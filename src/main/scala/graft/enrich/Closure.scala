@@ -1,0 +1,93 @@
+package graft.enrich
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph closure — the reference's transitive enrichment passes
+  * (ast_search/ast_manage.py:79-99: inherited-method propagation;
+  * update_version + reachability shapes), generalized.
+  *
+  * Spark has no recursive-CTE operator, so fixpoint iteration is a driver
+  * loop over DataFrame joins. Hygiene for scale:
+  *  - `localCheckpoint` each delta to cut lineage (otherwise plan depth
+  *    grows linearly with iterations and planning time explodes);
+  *  - dedup (`except`) against the accumulated set for termination on
+  *    cycles — the reference's `processed_relations` set does the same;
+  *  - the per-iteration join shuffles only the DELTA, not the full
+  *    accumulated closure.
+  */
+object Closure {
+
+  /** All (descendant, ancestor) pairs reachable along child→parent `edges`
+    * (columns src, dst). Depth-bounded only by the data (DAG assumed for
+    * termination without dedup; dedup makes cycles safe too). */
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val base = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(eager = true)
+    var acc = base
+    var delta = base
+    var i = 0
+    while (i < maxIter && !delta.isEmpty) {
+      // extend frontier one hop: delta(src,mid) ⋈ base(mid,dst)
+      val next = delta.as("d")
+        .join(base.as("b"), col("d.dst") === col("b.src"))
+        .select(col("d.src").as("src"), col("b.dst").as("dst"))
+        .distinct()
+      delta = next.except(acc).localCheckpoint(eager = true)
+      acc = acc.union(delta).localCheckpoint(eager = true)
+      i += 1
+    }
+    acc
+  }
+
+  /** D4 proper — inherited-method propagation (ast_manage.py:79-99): for
+    * every (class, ancestor) pair in the INHERITS closure, copy the
+    * ancestor's HAS_METHOD edges onto the class, skipping `__init__`
+    * (ast_manage.py:92-93) and edges the class already has. Returns the
+    * NEW HAS_METHOD edges only. */
+  def inheritedMethods(inherits: DataFrame, hasMethod: DataFrame): DataFrame = {
+    val closure = transitiveClosure(inherits) // (class, ancestor)
+    val inherited = closure.as("c")
+      .join(hasMethod.as("m"), col("c.dst") === col("m.src"))
+      .filter(!col("m.dst").endsWith(".__init__"))
+      .select(col("c.src").as("src"), col("m.dst").as("dst"))
+      .distinct()
+    inherited.except(hasMethod.select(col("src"), col("dst")))
+  }
+
+  /** GraphX variant of the reachability closure for the analytics story:
+    * Pregel propagating reachable-ancestor sets. Same interface; used when
+    * the closure is deep/wide enough that per-iteration DataFrame job
+    * setup dominates. Keys are hashed to Long vertex ids. */
+  def transitiveClosureGraphX(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import org.apache.spark.graphx._
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .select(xxhash64(col("src")).as("sid"), col("src"),
+        xxhash64(col("dst")).as("did"), col("dst"))
+      .cache()
+    val names = e.select(col("sid").as("id"), col("src").as("name"))
+      .union(e.select(col("did"), col("dst"))).distinct()
+    val vertices = names.as[(Long, String)].rdd
+    val edgeRdd = e.select(col("sid"), col("did")).as[(Long, Long)].rdd
+      .map { case (s, d) => Edge(s, d, ()) }
+    // propagate ancestor-id sets AGAINST edge direction (child accumulates
+    // its parents' reachable sets)
+    val g = Graph(vertices.map { case (id, _) => (id, Set.empty[Long]) }, edgeRdd)
+    val res = g.pregel(Set.empty[Long], maxIterations = 50,
+      activeDirection = EdgeDirection.In)(
+      (_, have, msg) => have ++ msg,
+      triplet => {
+        val reach = triplet.dstAttr + triplet.dstId
+        if (!reach.subsetOf(triplet.srcAttr)) Iterator((triplet.srcId, reach))
+        else Iterator.empty
+      },
+      (a, b) => a ++ b)
+    val pairs = res.vertices.flatMap { case (id, anc) => anc.map(a => (id, a)) }
+      .toDF("sid", "did")
+    val byName = names.withColumnRenamed("id", "sid").withColumnRenamed("name", "src")
+    pairs.join(byName, "sid")
+      .join(names.withColumnRenamed("id", "did").withColumnRenamed("name", "dst"), "did")
+      .select("src", "dst")
+  }
+}

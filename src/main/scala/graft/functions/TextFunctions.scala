@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline: tokenization,
+  * quality scoring, language-ID heuristic, fingerprinting, shingling, and
+  * the portable hash used by MinHash/SimHash.
+  *
+  * Everything here is built from codegen'd Spark SQL builtins (no UDFs) and
+  * is chosen to be bit-for-bit reproducible in ANSI SQL (the DuckDB
+  * oracle): integer arithmetic stays within 63 bits, regexes use the
+  * portable subset common to Java regex and RE2.
+  */
+object TextFunctions {
+
+  /** Lowercase, strip non-alphanumerics to spaces, collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Token count (0 for empty/blank text). */
+  def tokenCount(text: Column): Column =
+    when(length(normalize(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Stopword ratio over tokens, rounded for cross-engine comparability. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = size(filter(toks, t => t.isInCollection(stopwords)))
+    round(stops.cast("double") / greatest(size(toks), lit(1)), 4)
+  }
+
+  /** Mean token length — a crude fluency signal. */
+  def meanTokenLen(text: Column): Column =
+    round(
+      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / greatest(tokenCount(text), lit(1)), 4)
+
+  /** Alphabetic-character ratio of the raw text. */
+  def alphaRatio(text: Column): Column =
+    round(
+      (length(text) - length(regexp_replace(text, "[a-zA-Z]", ""))).cast("double")
+        / greatest(length(text), lit(1)), 4)
+
+  /** Composite quality score ∈ [0,1]: 0.5·alphaRatio + 0.3·lengthBand +
+    * 0.2·(1 − stopwordRatio). Computed as ONE exact integer fraction with a
+    * single final double division — summing three independently-rounded
+    * doubles lands on .00005 rounding boundaries where engines disagree by
+    * 1 ulp; a rational numerator/denominator never does. */
+  def qualityScore(text: Column): Column = {
+    val a = (length(text) - length(regexp_replace(text, "[a-zA-Z]", ""))).cast("long")
+    val l = greatest(length(text), lit(1)).cast("long")
+    val t = greatest(tokenCount(text), lit(1)).cast("long")
+    val stops = size(filter(tokens(text), tk => tk.isInCollection(stopwords))).cast("long")
+    // length band lbNum/lbDen: 1 inside [100,5000], len/100 below, 1/2 above
+    val lbNum = when(length(text).between(100, 5000), lit(1L))
+      .when(length(text) < 100, length(text).cast("long"))
+      .otherwise(lit(1L))
+    val lbDen = when(length(text).between(100, 5000), lit(1L))
+      .when(length(text) < 100, lit(100L))
+      .otherwise(lit(2L))
+    val num = lit(5L) * a * t * lbDen + lit(3L) * lbNum * l * t + lit(2L) * (t - stops) * l * lbDen
+    val den = lit(10L) * l * t * lbDen
+    round(num.cast("double") / den.cast("double"), 4)
+  }
+
+  /** Language-ID heuristic: score each candidate language by counting hits
+    * of its marker-token set, argmax with a fixed preference order on
+    * ties. On this corpus (shared vocabulary) it is a structural stand-in
+    * for a real n-gram model: the scoring/argmax plumbing is what matters
+    * at scale, and it is fully deterministic/SQL-portable. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "fr" -> Seq("le", "et", "la"),
+    "es" -> Seq("el", "y", "los"),
+    "zh" -> Seq("de5", "shi4", "le5")) // pinyin-ish placeholders
+
+  def langIdGuess(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isInCollection(markers))).as("score"),
+        lit(langMarkers.size - langMarkers.indexWhere(_._1 == lang)).as("prio"),
+        lit(lang).as("lang"))
+    }
+    when(size(filter(toks, t => t.isInCollection(langMarkers.flatMap(_._2)))) === 0,
+      lit("unknown"))
+      .otherwise(greatest(scored: _*).getField("lang"))
+  }
+
+  /** Content-defined fingerprint: md5 of the normalized text. Identical
+    * builtin exists in DuckDB → exact-dup grouping is oracle-checkable. */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** 63-bit-safe polynomial rolling hash of a string, mod p = 2^31-1.
+    * h = (h*31 + ascii(c)) % p per char. Reproducible in any SQL engine
+    * with 64-bit ints (intermediates < 2^36). Used as the base hash for
+    * MinHash / SimHash / n-gram fingerprints. */
+  val HashP = 2147483647L // 2^31 - 1
+
+  def rollingHash(s: Column): Column =
+    aggregate(
+      split(s, ""),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % HashP)
+
+  /** Word shingles: k-token windows of the normalized text, joined by a
+    * single space; distinct. Documents shorter than k tokens get their
+    * whole token string as the single shingle. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array(array_join(toks, " ")))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => array_join(slice(toks, i, lit(k)), " "))))
+  }
+
+  /** Hash every shingle with the rolling hash → distinct Long set. */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(text, k), s =>
+      aggregate(split(s, ""), lit(0L), (acc, ch) => (acc * 31L + ascii(ch)) % HashP)))
+}

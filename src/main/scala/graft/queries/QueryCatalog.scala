@@ -1,0 +1,581 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.store.{GraphSql, GraphTables, Tables}
+import graft.ops.GraphOps
+import graft.functions.TextFunctions
+import graft.pipeline.{Dedup, Similarity}
+
+/** The declared-query catalog: every operator from SURVEY.md §2 (plus the
+  * training-data pipeline operators) as a (SparkSession, sfDir) => DataFrame,
+  * paired with an ANSI-SQL oracle the driver replays in DuckDB over the
+  * same parquet tables.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - money/measure aggregates go through DECIMAL (exact) and are cast to
+  *    DOUBLE at the end — float summation order can never flip a value;
+  *  - any derived double (ratios, cosines) is round(_, 4) BEFORE any
+  *    ranking/filter that depends on it;
+  *  - counts are cast to BIGINT on both sides;
+  *  - timestamps are emitted as formatted strings;
+  *  - top-k/window orderings always carry a unique tie-break key.
+  */
+object QueryCatalog {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def nodes(s: SparkSession, d: String) = GraphTables.nodes(s, d)
+  private def edges(s: SparkSession, d: String) = GraphTables.edges(s, d)
+
+  // ---------------------------------------------------------------- graph B*
+
+  /** B1 — point lookup by primary key (graphDB.py:65-70). */
+  val gB1Point: Q = (s, d) =>
+    GraphOps.nodeByKey(nodes(s, d), "customer.42")
+      .select(col("full_name"), col("label"), col("name"), col("prop_num"))
+
+  val gB1PointSql: String =
+    s"""WITH ${GraphSql.nodesCte}
+       |SELECT full_name, label, name, prop_num FROM nodes WHERE full_name = 'customer.42'""".stripMargin
+
+  /** B2 — secondary-attribute scan by (label, prop) (graphDB.py:269-272). */
+  val gB2LabelProp: Q = (s, d) =>
+    GraphOps.nodesByLabelProp(nodes(s, d), "CUSTOMER", col("prop_num") > 9000)
+      .select(col("full_name"), col("name"), col("prop_num"))
+
+  val gB2LabelPropSql: String =
+    s"""WITH ${GraphSql.nodesCte}
+       |SELECT full_name, name, prop_num FROM nodes WHERE label = 'CUSTOMER' AND prop_num > 9000""".stripMargin
+
+  /** B3 — 1-hop expand with target filter (ast_manage.py:24-35):
+    * members of nation.3 with prop_num > 5000. */
+  val gB3ExpandFiltered: Q = (s, d) => {
+    val e = edges(s, d).filter(col("rel_type") === "IN_NATION" && col("dst") === "nation.3")
+    e.join(nodes(s, d), e("src") === col("full_name"))
+      .filter(col("prop_num") > 5000)
+      .select(col("full_name"), col("label"), col("name"))
+  }
+
+  val gB3ExpandFilteredSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT n.full_name, n.label, n.name FROM edges e JOIN nodes n ON e.src = n.full_name
+       |WHERE e.rel_type = 'IN_NATION' AND e.dst = 'nation.3' AND n.prop_num > 5000""".stripMargin
+
+  /** B4 — 1-hop expand, all targets (ast_manage.py:37-50): parts of order 1. */
+  val gB4ExpandAll: Q = (s, d) =>
+    GraphOps.expand(nodes(s, d), edges(s, d), "HAS_ITEM", col("full_name") === "orders.1")
+      .select(col("dst").as("full_name"), col("name"))
+
+  val gB4ExpandAllSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT n.full_name, n.name FROM edges e JOIN nodes n ON e.dst = n.full_name
+       |WHERE e.rel_type = 'HAS_ITEM' AND e.src = 'orders.1'""".stripMargin
+
+  /** B5 — 1-hop expand by edge type (ast_manage.py:52-62): orders of customer 7. */
+  val gB5ExpandType: Q = (s, d) => {
+    val e = edges(s, d).filter(col("rel_type") === "PLACED_BY" && col("dst") === "customer.7")
+    e.join(nodes(s, d), e("src") === col("full_name"))
+      .select(col("full_name"), col("name"), col("prop_num"))
+  }
+
+  val gB5ExpandTypeSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT n.full_name, n.name, n.prop_num FROM edges e JOIN nodes n ON e.src = n.full_name
+       |WHERE e.rel_type = 'PLACED_BY' AND e.dst = 'customer.7'""".stripMargin
+
+  /** B6 — member projection (graphDB.py:280-283): parts of order 3 with props. */
+  val gB6Projection: Q = (s, d) =>
+    GraphOps.expand(nodes(s, d), edges(s, d), "HAS_ITEM", col("full_name") === "orders.3")
+      .select(col("name"), col("prop_num"))
+
+  val gB6ProjectionSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT n.name, n.prop_num FROM edges e JOIN nodes n ON e.dst = n.full_name
+       |WHERE e.rel_type = 'HAS_ITEM' AND e.src = 'orders.3'""".stripMargin
+
+  /** B7 — existence predicate scan (graphDB.py:158-162). */
+  val gB7Exists: Q = (s, d) =>
+    GraphOps.existsProp(nodes(s, d), "prop_num").select(col("full_name"), col("label"))
+
+  val gB7ExistsSql: String =
+    s"""WITH ${GraphSql.nodesCte}
+       |SELECT full_name, label FROM nodes WHERE prop_num IS NOT NULL""".stripMargin
+
+  /** B8 — whole-snapshot scan (update_version.py:29-30). */
+  val gB8Scan: Q = (s, d) =>
+    nodes(s, d).select(col("full_name"), col("label"), col("name"))
+
+  val gB8ScanSql: String =
+    s"""WITH ${GraphSql.nodesCte}
+       |SELECT full_name, label, name FROM nodes""".stripMargin
+
+  /** B9 — kind-label disambiguation out of a multi-label set
+    * (ast_manage.py:32,42-44): array ops, no UDF. */
+  val gB9LabelPick: Q = (s, d) =>
+    nodes(s, d).select(col("full_name"),
+      GraphOps.kindOf(array(lit("none"), col("label")),
+        Seq("CUSTOMER", "ORDER", "PART", "SUPPLIER", "NATION", "REGION")).as("kind"))
+
+  val gB9LabelPickSql: String =
+    s"""WITH ${GraphSql.nodesCte}
+       |SELECT full_name, label AS kind FROM nodes""".stripMargin
+
+  // ---------------------------------------------------------------- graph A*
+
+  /** A1 — last-write-wins merge per key (graphDB.py:121-131), replayed over
+    * the events stream: the latest event (by unique event_id) wins. */
+  val gA1MergeLww: Q = (s, d) =>
+    Tables.events(s, d).groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        round(max_by(col("value"), col("event_id")), 2).as("last_value"),
+        count(lit(1)).as("n_events"),
+        max(col("event_id")).as("max_event_id"))
+
+  val gA1MergeLwwSql: String =
+    """SELECT user_id, arg_max(event_type, event_id) AS last_type,
+      |round(arg_max(value, event_id), 2) AS last_value,
+      |count(*) AS n_events, max(event_id) AS max_event_id
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** A2 — 'none' label promotion (graphDB.py:82-92). */
+  val gA2Promote: Q = (s, d) =>
+    nodes(s, d).select(col("full_name"),
+      array_join(GraphOps.promoteLabel(array(lit("none")), col("label")), ",").as("labels_str"))
+
+  val gA2PromoteSql: String =
+    s"""WITH ${GraphSql.nodesCte}
+       |SELECT full_name, label AS labels_str FROM nodes""".stripMargin
+
+  /** A4 — edge dedup on (src, rel_type, dst) (graphDB.py:133-153). */
+  val gA4EdgeDedup: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      concat(lit("orders."), col("l_orderkey")).as("src"),
+      concat(lit("part."), col("l_partkey")).as("dst"))
+      .distinct()
+
+  val gA4EdgeDedupSql: String =
+    """SELECT DISTINCT 'orders.' || l_orderkey AS src, 'part.' || l_partkey AS dst FROM lineitem""".stripMargin
+
+  /** A5 — DETACH-cascade delete (graphDB.py:94-100): drop NATION nodes,
+    * keep only edges whose both endpoints survive. */
+  val gA5Detach: Q = (s, d) => {
+    val surviving = nodes(s, d).filter(col("label") =!= "NATION")
+    val keys = surviving.select(col("full_name"))
+    edges(s, d)
+      .join(keys.withColumnRenamed("full_name", "src"), Seq("src"), "left_semi")
+      .join(keys.withColumnRenamed("full_name", "dst"), Seq("dst"), "left_semi")
+      .groupBy(col("rel_type")).agg(count(lit(1)).as("n_edges"))
+  }
+
+  val gA5DetachSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT e.rel_type, count(*) AS n_edges FROM edges e
+       |WHERE EXISTS (SELECT 1 FROM nodes s WHERE s.full_name = e.src AND s.label <> 'NATION')
+       |  AND EXISTS (SELECT 1 FROM nodes t WHERE t.full_name = e.dst AND t.label <> 'NATION')
+       |GROUP BY e.rel_type""".stripMargin
+
+  /** A7 — path-prefix strip (graphDB.py:155-174) on documents.source. */
+  val gA7Strip: Q = (s, d) =>
+    GraphOps.stripPathPrefix(
+      Tables.documents(s, d).select(col("doc_id"), col("source")), "source", "src")
+      .withColumnRenamed("source", "stripped")
+
+  val gA7StripSql: String =
+    """SELECT doc_id, CASE WHEN starts_with(source, 'src') THEN substring(source, 4) ELSE source END AS stripped
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- graph D*
+
+  /** D4 — transitive closure to fixpoint (ast_manage.py:79-99) over the
+    * containment hierarchy; DataFrame fixpoint loop vs recursive CTE. */
+  val gD4Closure: Q = (s, d) =>
+    graft.enrich.Closure.transitiveClosure(GraphTables.hierarchy(s, d))
+
+  val gD4ClosureSql: String =
+    s"""WITH RECURSIVE ${GraphSql.hierarchyCte},
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM hier
+       |  UNION
+       |  SELECT r.src, h.dst FROM reach r JOIN hier h ON r.dst = h.src
+       |)
+       |SELECT src, dst FROM reach""".stripMargin
+
+  /** D5 — snapshot carry-forward (update_version.py:21-44): docs whose
+    * source is NOT in the change list join the v2 snapshot. */
+  val gD5Carry: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      col("source").as("file_path"), array(lit("v1")).as("task_ids"))
+    GraphOps.carryForward(base, "v2", Seq("src0", "src1"))
+      .select(col("doc_id"), array_join(col("task_ids"), ",").as("tasks"))
+  }
+
+  val gD5CarrySql: String =
+    """SELECT doc_id, CASE WHEN source IN ('src0','src1') THEN 'v1' ELSE 'v1,v2' END AS tasks
+      |FROM documents""".stripMargin
+
+  /** B11 — result hydration: JSON pointer parse (graphDB.py:242 from_json
+    * analog) over events.props. */
+  val gB11Json: Q = (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_val"))
+
+  val gB11JsonSql: String =
+    """SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events""".stripMargin
+
+  /** C14 — code-slice extraction (myClient.py:46-82): line-slice [2,4] of a
+    * synthesized multi-line body, plus folding (graphDB.py:249-252). */
+  val gC14Slice: Q = (s, d) => {
+    val lines = split(regexp_replace(col("text"), " ", "\n"), "\n")
+    val snippet = array_join(slice(lines, 2, 3), "\n")
+    Tables.documents(s, d).select(col("doc_id"),
+      snippet.as("snippet"),
+      graft.hydrate.Hydrate.fold(snippet, 10).as("folded"))
+  }
+
+  val gC14SliceSql: String =
+    """SELECT doc_id,
+      |  array_to_string(list_slice(string_split(replace(text, ' ', chr(10)), chr(10)), 2, 4), chr(10)) AS snippet,
+      |  CASE WHEN length(array_to_string(list_slice(string_split(replace(text, ' ', chr(10)), chr(10)), 2, 4), chr(10))) > 10
+      |       THEN substring(array_to_string(list_slice(string_split(replace(text, ' ', chr(10)), chr(10)), 2, 4), chr(10)), 1, 10) || '...'
+      |       ELSE array_to_string(list_slice(string_split(replace(text, ' ', chr(10)), chr(10)), 2, 4), chr(10)) END AS folded
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- relational
+  private def dec(c: String) = col(c).cast("decimal(18,4)")
+
+  /** Grouped aggregation (TPC-H Q1 shape) — exact decimal sums → double. */
+  val q1Agg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Multi-way broadcast join + aggregation: order volume per nation/region. */
+  val q2JoinAgg: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"), col("r_name"))
+      .agg(sum(dec("o_totalprice")).cast("double").as("volume"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val q2JoinAggSql: String =
+    """SELECT n_name, r_name,
+      |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS volume, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_name, r_name""".stripMargin
+
+  /** Window function: per-customer order sequence number. */
+  val q3Window: Q = (s, d) =>
+    Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      row_number().over(Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"))
+
+  val q3WindowSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
+      |FROM orders""".stripMargin
+
+  /** Top-k with deterministic tie-break. */
+  val q4TopK: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  val q4TopKSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Set ops: BUILDING customers ∩ customers-with-F-orders ∖ customers-with-P-orders. */
+  val q5SetOps: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val withF = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val withP = o.filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("custkey")).distinct()
+    building.intersect(withF).except(withP)
+  }
+
+  val q5SetOpsSql: String =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin
+
+  /** Anti join: customers with no orders. */
+  val q6Anti: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val q6AntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Semi join: customers with at least one urgent order. */
+  val q7Semi: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+  }
+
+  val q7SemiSql: String =
+    """SELECT c_custkey FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** Tumbling-window aggregation over the event stream (batch view of the
+    * Structured Streaming windowed agg; exact decimal sums). */
+  val q8EventWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  val q8EventWindowSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Rollup (grouping sets): customer stats by segment with grand total. */
+  val q9Rollup: Q = (s, d) =>
+    Tables.customer(s, d)
+      .rollup(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("c_acctbal")).cast("double").as("sum_bal"))
+
+  val q9RollupSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY ROLLUP (c_mktsegment)""".stripMargin
+
+  // ---------------------------------------------------------------- text
+
+  /** Token counting (whitespace tokenization of normalized text). */
+  val tTokens: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  val tTokensSql: String =
+    s"""SELECT doc_id, CASE WHEN length($normSql) = 0 THEN 0
+       |ELSE len(string_split($normSql, ' ')) END::BIGINT AS n_tokens FROM documents""".stripMargin
+
+  /** Quality scoring: alpha ratio, stopword ratio, mean token length,
+    * composite score — all rounded for cross-engine equality. */
+  val tQuality: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+      TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+      TextFunctions.meanTokenLen(col("text")).as("mean_tok_len"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+
+  val tQualitySql: String = {
+    val toks = s"string_split($normSql, ' ')"
+    val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    val alpha = s"round((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4)"
+    val stopR = s"round(len(list_filter($toks, t -> list_contains($stopList, t)))::DOUBLE / greatest(len($toks), 1), 4)"
+    val nTok = s"CASE WHEN length($normSql) = 0 THEN 0 ELSE len($toks) END"
+    val meanL = s"round(list_sum(list_transform($toks, t -> length(t)))::DOUBLE / greatest($nTok, 1), 4)"
+    // integer-exact composite (see TextFunctions.qualityScore)
+    val aN = "(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::BIGINT"
+    val lN = "greatest(length(text), 1)::BIGINT"
+    val tN = s"greatest($nTok, 1)::BIGINT"
+    val sN = s"len(list_filter($toks, t -> list_contains($stopList, t)))::BIGINT"
+    val lbNum = "(CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1 WHEN length(text) < 100 THEN length(text) ELSE 1 END)::BIGINT"
+    val lbDen = "(CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1 WHEN length(text) < 100 THEN 100 ELSE 2 END)::BIGINT"
+    s"""SELECT doc_id, $alpha AS alpha_ratio, $stopR AS stop_ratio, $meanL AS mean_tok_len,
+       |round((5 * $aN * $tN * $lbDen + 3 * $lbNum * $lN * $tN + 2 * ($tN - $sN) * $lN * $lbDen)::DOUBLE
+       |      / (10 * $lN * $tN * $lbDen)::DOUBLE, 4) AS quality
+       |FROM documents""".stripMargin
+  }
+
+  /** Language-ID heuristic: marker-set scoring with fixed tie order. */
+  val tLangId: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      TextFunctions.langIdGuess(col("text")).as("lang_guess"))
+
+  val tLangIdSql: String = {
+    val toks = s"string_split($normSql, ' ')"
+    // greatest(struct(score, prio, lang)) ≡ SQL: pick max by (score, prio)
+    val scored = TextFunctions.langMarkers.zipWithIndex.map { case ((lang, ms), idx) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ",", "]")
+      val prio = TextFunctions.langMarkers.size - idx
+      s"(len(list_filter($toks, t -> list_contains($lst, t))), $prio, '$lang')"
+    }.mkString(", ")
+    val allMarkers = TextFunctions.langMarkers.flatMap(_._2).map(m => s"'$m'").mkString("[", ",", "]")
+    s"""SELECT doc_id, CASE WHEN len(list_filter($toks, t -> list_contains($allMarkers, t))) = 0 THEN 'unknown'
+       |ELSE (SELECT g[3] FROM (SELECT unnest([$scored]) AS g) ORDER BY g[1]::INT DESC, g[2]::INT DESC LIMIT 1) END AS lang_guess
+       |FROM documents""".stripMargin
+  }
+
+  /** Document fingerprinting: md5 of normalized text + 63-bit rolling hash. */
+  val tFingerprint: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      TextFunctions.fingerprintMd5(col("text")).as("fp_md5"),
+      TextFunctions.rollingHash(TextFunctions.normalize(col("text"))).as("fp_roll"))
+
+  val tFingerprintSql: String =
+    s"""SELECT doc_id, md5($normSql) AS fp_md5,
+       |list_reduce(list_prepend(0::BIGINT, list_transform(string_split($normSql, ''), c -> ascii(c)::BIGINT)),
+       |            (a, c) -> (a * 31 + c) % 2147483647) AS fp_roll
+       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup groups by content fingerprint. */
+  val dExact: Q = (s, d) =>
+    Dedup.exact(Tables.documents(s, d))
+
+  val dExactSql: String =
+    s"""SELECT md5($normSql) AS fp, min(doc_id) AS keeper_id, count(*) AS dup_count
+       |FROM documents GROUP BY 1""".stripMargin
+
+  /** n-gram Jaccard near-dup pairs via shingle inverted index. */
+  val dNgramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), k = 5, threshold = 0.2)
+
+  private val shingleHashesSql: String = {
+    val toks = s"string_split($normSql, ' ')"
+    val nt = s"len($toks)"
+    val shingle = s"list_distinct(CASE WHEN $nt < 5 THEN [array_to_string($toks, ' ')] " +
+      s"ELSE list_transform(range(1, $nt - 3), i -> array_to_string(list_slice($toks, i, i + 4), ' ')) END)"
+    s"list_distinct(list_transform($shingle, s -> list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)))"
+  }
+
+  val dNgramJaccardSql: String =
+    s"""WITH sh AS (SELECT doc_id, $shingleHashesSql AS hashes FROM documents),
+       |sizes AS (SELECT doc_id, len(hashes)::BIGINT AS n FROM sh),
+       |inv AS (SELECT doc_id, unnest(hashes) AS h FROM sh),
+       |rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) BETWEEN 2 AND 1000),
+       |invr AS (SELECT i.doc_id, i.h FROM inv i JOIN rare r ON i.h = r.h),
+       |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS inter
+       |           FROM invr x JOIN invr y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT a, b, round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
+       |FROM common JOIN sizes sa ON common.a = sa.doc_id JOIN sizes sb ON common.b = sb.doc_id
+       |WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 4) >= 0.2""".stripMargin
+
+  // ---------------------------------------------------------------- similarity
+
+  /** Brute-force cosine top-10 for query vectors 0–4. */
+  val sCosineTopK: Q = (s, d) =>
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)
+
+  private val cosSql =
+    """round(
+      |  list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), (a, x) -> a + x)
+      |  / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)), (a, x) -> a + x))
+      |   * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), (a, x) -> a + x))), 4)""".stripMargin
+
+  val sCosineTopKSql: String =
+    s"""SELECT q.vec_id AS query_id, c.vec_id, $cosSql AS sim,
+       |CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS INT) AS rank
+       |FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |WHERE q.vec_id IN (0, 1, 2, 3, 4)
+       |QUALIFY rank <= 10""".stripMargin
+
+  // ---------------------------------------------------------------- catalog
+
+  val queries: Map[String, Q] = Map(
+    "g_b1_point" -> gB1Point,
+    "g_b2_label_prop" -> gB2LabelProp,
+    "g_b3_expand_filtered" -> gB3ExpandFiltered,
+    "g_b4_expand_all" -> gB4ExpandAll,
+    "g_b5_expand_type" -> gB5ExpandType,
+    "g_b6_projection" -> gB6Projection,
+    "g_b7_exists" -> gB7Exists,
+    "g_b8_scan" -> gB8Scan,
+    "g_b9_label_pick" -> gB9LabelPick,
+    "g_a1_merge_lww" -> gA1MergeLww,
+    "g_a2_promote" -> gA2Promote,
+    "g_a4_edge_dedup" -> gA4EdgeDedup,
+    "g_a5_detach" -> gA5Detach,
+    "g_a7_strip" -> gA7Strip,
+    "g_d4_closure" -> gD4Closure,
+    "g_d5_carry" -> gD5Carry,
+    "g_b11_json" -> gB11Json,
+    "g_c14_slice" -> gC14Slice,
+    "q1_agg" -> q1Agg,
+    "q2_join_agg" -> q2JoinAgg,
+    "q3_window" -> q3Window,
+    "q4_topk" -> q4TopK,
+    "q5_setops" -> q5SetOps,
+    "q6_anti" -> q6Anti,
+    "q7_semi" -> q7Semi,
+    "q8_event_window" -> q8EventWindow,
+    "q9_rollup" -> q9Rollup,
+    "t_tokens" -> tTokens,
+    "t_quality" -> tQuality,
+    "t_langid" -> tLangId,
+    "t_fingerprint" -> tFingerprint,
+    "d_exact" -> dExact,
+    "d_ngram_jaccard" -> dNgramJaccard,
+    "s_cosine_topk" -> sCosineTopK,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "g_b1_point" -> gB1PointSql,
+    "g_b2_label_prop" -> gB2LabelPropSql,
+    "g_b3_expand_filtered" -> gB3ExpandFilteredSql,
+    "g_b4_expand_all" -> gB4ExpandAllSql,
+    "g_b5_expand_type" -> gB5ExpandTypeSql,
+    "g_b6_projection" -> gB6ProjectionSql,
+    "g_b7_exists" -> gB7ExistsSql,
+    "g_b8_scan" -> gB8ScanSql,
+    "g_b9_label_pick" -> gB9LabelPickSql,
+    "g_a1_merge_lww" -> gA1MergeLwwSql,
+    "g_a2_promote" -> gA2PromoteSql,
+    "g_a4_edge_dedup" -> gA4EdgeDedupSql,
+    "g_a5_detach" -> gA5DetachSql,
+    "g_a7_strip" -> gA7StripSql,
+    "g_d4_closure" -> gD4ClosureSql,
+    "g_d5_carry" -> gD5CarrySql,
+    "g_b11_json" -> gB11JsonSql,
+    "g_c14_slice" -> gC14SliceSql,
+    "q1_agg" -> q1AggSql,
+    "q2_join_agg" -> q2JoinAggSql,
+    "q3_window" -> q3WindowSql,
+    "q4_topk" -> q4TopKSql,
+    "q5_setops" -> q5SetOpsSql,
+    "q6_anti" -> q6AntiSql,
+    "q7_semi" -> q7SemiSql,
+    "q8_event_window" -> q8EventWindowSql,
+    "q9_rollup" -> q9RollupSql,
+    "t_tokens" -> tTokensSql,
+    "t_quality" -> tQualitySql,
+    "t_langid" -> tLangIdSql,
+    "t_fingerprint" -> tFingerprintSql,
+    "d_exact" -> dExactSql,
+    "d_ngram_jaccard" -> dNgramJaccardSql,
+    "s_cosine_topk" -> sCosineTopKSql,
+  )
+}

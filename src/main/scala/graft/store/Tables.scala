@@ -1,0 +1,147 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers over the driver's synthetic tables (TESTDATA.md) and the
+  * derivation of the engine's graph tables from them (FIXTURES.md §2).
+  *
+  * All readers are plain parquet scans — Catalyst pushes filters and
+  * prunes columns into the scan, so callers should filter/select on the
+  * returned DataFrame rather than materializing it.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark only reads
+    * via spark.sql.legacy.parquet.nanosAsLong=true (set by Verify/Bench).
+    * Normalize here: expose `ts` as a µs-precision timestamp (integer
+    * division — a double roundtrip would lose precision at ns scale). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Graph tables derived deterministically from the synthetic star schema,
+  * so every graph operator (SURVEY.md §2.A/B/D) is oracle-checkable: the
+  * DuckDB side re-derives the identical nodes/edges with plain SQL.
+  *
+  * Node identity follows the reference's `full_name` dotted-key convention
+  * (reference graphDB.py:65-70): `<table>.<key>`.
+  *
+  * The hierarchy customer→nation→region plus orders→customer gives a
+  * 4-level DAG for closure/reachability tests (D4 analog).
+  */
+object GraphTables {
+  import Tables._
+
+  /** nodes(full_name, label, task_id, name, prop_num) — one kind label per
+    * row here; multi-label/multi-task set semantics are exercised by the
+    * merge operators (graft.merge) on top of this base. */
+  def nodes(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(
+      concat(lit("customer."), col("c_custkey")).as("full_name"),
+      lit("CUSTOMER").as("label"),
+      col("c_name").as("name"),
+      col("c_acctbal").as("prop_num"))
+    val o = orders(s, d).select(
+      concat(lit("orders."), col("o_orderkey")).as("full_name"),
+      lit("ORDER").as("label"),
+      col("o_orderstatus").as("name"),
+      col("o_totalprice").as("prop_num"))
+    val p = part(s, d).select(
+      concat(lit("part."), col("p_partkey")).as("full_name"),
+      lit("PART").as("label"),
+      col("p_name").as("name"),
+      col("p_retailprice").as("prop_num"))
+    val su = supplier(s, d).select(
+      concat(lit("supplier."), col("s_suppkey")).as("full_name"),
+      lit("SUPPLIER").as("label"),
+      col("s_name").as("name"),
+      col("s_acctbal").as("prop_num"))
+    val n = nation(s, d).select(
+      concat(lit("nation."), col("n_nationkey")).as("full_name"),
+      lit("NATION").as("label"),
+      col("n_name").as("name"),
+      lit(null).cast("double").as("prop_num"))
+    val r = region(s, d).select(
+      concat(lit("region."), col("r_regionkey")).as("full_name"),
+      lit("REGION").as("label"),
+      col("r_name").as("name"),
+      lit(null).cast("double").as("prop_num"))
+    c.unionByName(o).unionByName(p).unionByName(su).unionByName(n).unionByName(r)
+  }
+
+  /** edges(src, rel_type, dst). Child→parent containment hierarchy plus
+    * the lineitem fan-out. */
+  def edges(s: SparkSession, d: String): DataFrame = {
+    val placed = orders(s, d).select(
+      concat(lit("orders."), col("o_orderkey")).as("src"),
+      lit("PLACED_BY").as("rel_type"),
+      concat(lit("customer."), col("o_custkey")).as("dst"))
+    val inNation = customer(s, d).select(
+      concat(lit("customer."), col("c_custkey")).as("src"),
+      lit("IN_NATION").as("rel_type"),
+      concat(lit("nation."), col("c_nationkey")).as("dst"))
+    val supNation = supplier(s, d).select(
+      concat(lit("supplier."), col("s_suppkey")).as("src"),
+      lit("IN_NATION").as("rel_type"),
+      concat(lit("nation."), col("s_nationkey")).as("dst"))
+    val inRegion = nation(s, d).select(
+      concat(lit("nation."), col("n_nationkey")).as("src"),
+      lit("IN_REGION").as("rel_type"),
+      concat(lit("region."), col("n_regionkey")).as("dst"))
+    val hasItem = lineitem(s, d).select(
+      concat(lit("orders."), col("l_orderkey")).as("src"),
+      lit("HAS_ITEM").as("rel_type"),
+      concat(lit("part."), col("l_partkey")).as("dst")).distinct()
+    placed.unionByName(inNation).unionByName(supNation)
+      .unionByName(inRegion).unionByName(hasItem)
+  }
+
+  /** The pure containment hierarchy (every edge type that is child→parent),
+    * used by reachability/closure operators. */
+  def hierarchy(s: SparkSession, d: String): DataFrame =
+    edges(s, d).filter(col("rel_type").isin("PLACED_BY", "IN_NATION", "IN_REGION"))
+}
+
+/** The DuckDB-side derivation of the same graph tables, spliced into
+  * oracle SQL as WITH-clause bodies. Must stay semantically identical to
+  * [[GraphTables]]. */
+object GraphSql {
+  val nodesCte: String =
+    """nodes AS (
+      |  SELECT 'customer.' || c_custkey AS full_name, 'CUSTOMER' AS label, c_name AS name, c_acctbal AS prop_num FROM customer
+      |  UNION ALL SELECT 'orders.' || o_orderkey, 'ORDER', o_orderstatus, o_totalprice FROM orders
+      |  UNION ALL SELECT 'part.' || p_partkey, 'PART', p_name, p_retailprice FROM part
+      |  UNION ALL SELECT 'supplier.' || s_suppkey, 'SUPPLIER', s_name, s_acctbal FROM supplier
+      |  UNION ALL SELECT 'nation.' || n_nationkey, 'NATION', n_name, CAST(NULL AS DOUBLE) FROM nation
+      |  UNION ALL SELECT 'region.' || r_regionkey, 'REGION', r_name, CAST(NULL AS DOUBLE) FROM region
+      |)""".stripMargin
+
+  val edgesCte: String =
+    """edges AS (
+      |  SELECT 'orders.' || o_orderkey AS src, 'PLACED_BY' AS rel_type, 'customer.' || o_custkey AS dst FROM orders
+      |  UNION ALL SELECT 'customer.' || c_custkey, 'IN_NATION', 'nation.' || c_nationkey FROM customer
+      |  UNION ALL SELECT 'supplier.' || s_suppkey, 'IN_NATION', 'nation.' || s_nationkey FROM supplier
+      |  UNION ALL SELECT 'nation.' || n_nationkey, 'IN_REGION', 'region.' || n_regionkey FROM nation
+      |  UNION ALL SELECT DISTINCT 'orders.' || l_orderkey, 'HAS_ITEM', 'part.' || l_partkey FROM lineitem
+      |)""".stripMargin
+
+  val hierarchyCte: String =
+    edgesCte + ",\nhier AS (SELECT src, dst FROM edges WHERE rel_type IN ('PLACED_BY','IN_NATION','IN_REGION'))"
+}
