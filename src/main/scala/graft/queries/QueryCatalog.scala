@@ -484,6 +484,45 @@ object QueryCatalog {
        |FROM common JOIN sizes sa ON common.a = sa.doc_id JOIN sizes sb ON common.b = sb.doc_id
        |WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 4) >= 0.2""".stripMargin
 
+  /** MinHash-LSH near-dup pairs: 16 hashes, 4 bands × 4 rows, est ≥ 0.25. */
+  val dMinhashLsh: Q = (s, d) =>
+    Dedup.minhashLshPairs(Tables.documents(s, d), k = 5, numHashes = 16,
+      bands = 4, threshold = 0.25)
+
+  val dMinhashLshSql: String =
+    s"""WITH sh AS (SELECT doc_id, $shingleHashesSql AS hashes FROM documents),
+       |sig AS (SELECT doc_id, list_transform(range(1, 17), i ->
+       |        list_min(list_transform(hashes, h -> (h * (2*i+1) + 104729*i) % 2147483647))) AS sig FROM sh),
+       |banded AS (SELECT doc_id, sig, unnest(list_transform(range(0, 4), b ->
+       |        {'band': b, 'bucket': array_to_string(list_slice(sig, b*4+1, b*4+4), '_')})) AS u FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS siga, y.sig AS sigb
+       |         FROM banded x JOIN banded y ON x.u.band = y.u.band AND x.u.bucket = y.u.bucket AND x.doc_id < y.doc_id)
+       |SELECT a, b, round(len(list_filter(range(1,17), i -> siga[i] = sigb[i]))::DOUBLE / 16, 4) AS est_jaccard
+       |FROM cand
+       |WHERE round(len(list_filter(range(1,17), i -> siga[i] = sigb[i]))::DOUBLE / 16, 4) >= 0.25""".stripMargin
+
+  /** SimHash near-dup pairs: 32-bit signature, 4×8-bit bands, Hamming ≤ 6. */
+  val dSimhash: Q = (s, d) =>
+    Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 6)
+
+  private val tokHashesSql: String = {
+    val toks = s"string_split($normSql, ' ')"
+    s"list_transform($toks, t -> list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647))"
+  }
+
+  val dSimhashSql: String =
+    s"""WITH sig AS (SELECT doc_id, list_sum(list_transform(range(0,32), j -> CASE WHEN
+       |    list_sum(list_transform($tokHashesSql, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |    THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS sig FROM documents),
+       |banded AS (SELECT doc_id, sig, unnest(list_transform(range(0,4), b ->
+       |    {'band': b, 'bucket': (sig >> (b*8)) & 255})) AS u FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS siga, y.sig AS sigb
+       |         FROM banded x JOIN banded y ON x.u.band = y.u.band AND x.u.bucket = y.u.bucket AND x.doc_id < y.doc_id)
+       |SELECT a, b, hamming FROM (
+       |  SELECT a, b, list_sum(list_transform(range(0,32), j -> (xor(siga, sigb) >> j) & 1))::BIGINT AS hamming FROM cand)
+       |WHERE hamming <= 6""".stripMargin
+
   // ---------------------------------------------------------------- similarity
 
   /** Brute-force cosine top-10 for query vectors 0–4. */
@@ -502,6 +541,37 @@ object QueryCatalog {
        |FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
        |WHERE q.vec_id IN (0, 1, 2, 3, 4)
        |QUALIFY rank <= 10""".stripMargin
+
+  /** Sign-LSH bucket expression, DuckDB side (must mirror
+    * Similarity.lshBucket / planeComponent exactly). */
+  private val lshBucketSql: String =
+    """list_sum(list_transform(range(0,4), i -> CASE WHEN
+      |  list_reduce(list_prepend(0.0, list_transform(range(0,64), j ->
+      |    embedding[j+1]::DOUBLE * ((((i*64+j)*2654435761) % 1000003)::DOUBLE / 1000003.0 - 0.5))), (a,x) -> a+x) > 0
+      |  THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT""".stripMargin
+
+  /** LSH-bucketed ANN top-10 for query vectors 0–4 (recall < 1 by design —
+    * the oracle replays the identical bucketing, so results still match). */
+  val sLshAnn: Q = (s, d) =>
+    Similarity.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)
+
+  val sLshAnnSql: String =
+    s"""WITH hashed AS (SELECT vec_id, embedding, $lshBucketSql AS bucket FROM embeddings)
+       |SELECT q.vec_id AS query_id, c.vec_id, $cosSql AS sim,
+       |CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS INT) AS rank
+       |FROM hashed q JOIN hashed c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |WHERE q.vec_id IN (0, 1, 2, 3, 4)
+       |QUALIFY rank <= 10""".stripMargin
+
+  /** Embedding near-duplicate pairs (same-bucket candidates, cosine ≥ 0.3). */
+  val sEmbNearDup: Q = (s, d) =>
+    Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.3)
+
+  val sEmbNearDupSql: String =
+    s"""WITH hashed AS (SELECT vec_id, embedding, $lshBucketSql AS bucket FROM embeddings)
+       |SELECT q.vec_id AS a, c.vec_id AS b, $cosSql AS sim
+       |FROM hashed q JOIN hashed c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+       |WHERE $cosSql >= 0.3""".stripMargin
 
   // ---------------------------------------------------------------- catalog
 
@@ -539,7 +609,11 @@ object QueryCatalog {
     "t_fingerprint" -> tFingerprint,
     "d_exact" -> dExact,
     "d_ngram_jaccard" -> dNgramJaccard,
+    "d_minhash_lsh" -> dMinhashLsh,
+    "d_simhash" -> dSimhash,
     "s_cosine_topk" -> sCosineTopK,
+    "s_lsh_ann" -> sLshAnn,
+    "s_emb_neardup" -> sEmbNearDup,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -576,6 +650,10 @@ object QueryCatalog {
     "t_fingerprint" -> tFingerprintSql,
     "d_exact" -> dExactSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
+    "d_minhash_lsh" -> dMinhashLshSql,
+    "d_simhash" -> dSimhashSql,
     "s_cosine_topk" -> sCosineTopKSql,
+    "s_lsh_ann" -> sLshAnnSql,
+    "s_emb_neardup" -> sEmbNearDupSql,
   )
 }
