@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{GraftExpressions, RollingHash, ShingleHashes}
 
 /** Text-analysis primitives for the training-data pipeline: tokenization,
   * quality scoring, language-ID heuristic, fingerprinting, shingling, and
@@ -103,6 +104,11 @@ object TextFunctions {
   val HashP = 2147483647L // 2^31 - 1
 
   def rollingHash(s: Column): Column =
+    GraftExpressions.col(RollingHash(GraftExpressions.expr(s)))
+
+  /** The portable HOF spelling of [[rollingHash]] — kept as the executable
+    * spec the native expression is property-tested against. */
+  def rollingHashSpec(s: Column): Column =
     aggregate(
       split(s, ""),
       lit(0L),
@@ -119,8 +125,15 @@ object TextFunctions {
           i => array_join(slice(toks, i, lit(k)), " "))))
   }
 
-  /** Hash every shingle with the rolling hash → distinct Long set. */
+  /** Hash every shingle with the rolling hash → distinct Long set.
+    * One codegen'd pass over the token array (no per-shingle string
+    * build); value-identical to [[shingleHashesSpec]]. */
   def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(transform(shingles(text, k), s =>
-      aggregate(split(s, ""), lit(0L), (acc, ch) => (acc * 31L + ascii(ch)) % HashP)))
+    GraftExpressions.col(
+      ShingleHashes(GraftExpressions.expr(tokens(text)), k))
+
+  /** Portable HOF spelling of [[shingleHashes]] — the executable spec the
+    * native expression is property-tested against. */
+  def shingleHashesSpec(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(text, k), s => rollingHashSpec(s)))
 }

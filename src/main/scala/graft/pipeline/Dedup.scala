@@ -66,6 +66,23 @@ object Dedup {
     array(sig: _*)
   }
 
+  /** (doc_id, sig) via ONE pass: explode shingle hashes, then a single
+    * codegen'd hash-aggregate computing all `numHashes` minima at once.
+    * The per-row array spelling ([[minhashSignature]]) re-evaluates the
+    * shingle pipeline per signature slot (interpreted HOFs — no CSE), which
+    * is numHashes× the work; this shape also map-side-combines, so at scale
+    * the shuffle carries one partial signature per doc per partition. */
+  def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"), k)).as("h"))
+    val aggs = minhashCoefs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % HashP).as(s"m$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   /** LSH candidate pairs from banded minhash signatures: docs agreeing on
     * all rows of any band collide. Returns (a, b, est_jaccard) where
     * est = fraction of matching signature positions, rounded. */
@@ -73,8 +90,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sig = docs.select(col("doc_id"),
-      minhashSignature(col("text"), k, numHashes).as("sig"))
+    val sig = minhashSignatures(docs, k, numHashes)
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_"))))
@@ -92,28 +108,66 @@ object Dedup {
       .select("a", "b", "est_jaccard")
   }
 
-  /** 32-bit SimHash over token rolling-hashes: bit j of the signature is
-    * set iff sum over tokens of (+1 if bit j of hash(token) else -1) > 0.
-    * Bit positions are unrolled at plan-build time (32 codegen'd terms) —
-    * stays inside whole-stage codegen, no UDF. */
+  /** Second 31-bit hash stream for the 62-bit SimHash: an affine remap of
+    * the token rolling hash, so each token contributes 62 usable bits. */
+  val SimhashA2 = 1000003L
+  val SimhashB2 = 8191L
+  val SimhashBits = 62
+
+  /** 62-bit SimHash over token rolling-hashes: bit j (j < 31) is set iff
+    * sum over tokens of (+1 if bit j of h1(token) else -1) > 0, and bit
+    * 31+j likewise from h2 = (h1·a2 + b2) mod p. 32 bits proved
+    * non-discriminative on a shared-vocabulary corpus (half of all pairs
+    * within Hamming 6); 62 bits makes near-dup selective. HOF spelling —
+    * the executable spec [[simhashSignatures]] is tested against. */
   def simhash(text: Column): Column = {
     val toks = tokens(text)
-    val hashes = transform(toks, t =>
-      aggregate(split(t, ""), lit(0L), (acc, ch) => (acc * 31L + ascii(ch)) % HashP))
-    (0 until 32).map { j =>
+    val hashes = transform(toks, t => rollingHash(t))
+    val hashes2 = transform(hashes, h => (h * SimhashA2 + SimhashB2) % HashP)
+    val lo = (0 until 31).map { j =>
       when(
         aggregate(hashes, lit(0L),
           (s, h) => s + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L)) > 0,
         lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    }
+    val hi = (0 until 31).map { j =>
+      when(
+        aggregate(hashes2, lit(0L),
+          (s, h) => s + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << (j + 31))).otherwise(lit(0L))
+    }
+    (lo ++ hi).reduce(_ + _)
   }
 
-  /** SimHash near-dup pairs: candidates share one of the four 8-bit
-    * sub-bands; verified by Hamming distance ≤ maxHamming. */
+  /** (doc_id, sig) via ONE pass: explode tokens, rolling-hash each once,
+    * then a codegen'd hash-aggregate of the 62 per-bit +1/−1 sums. Same
+    * values as [[simhash]] without the 62× re-evaluation of the token
+    * pipeline; map-side partial aggregation keeps the shuffle at one
+    * 62-column partial per doc per partition. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), rollingHash(col("t")).as("h1"))
+      .withColumn("h2", (col("h1") * SimhashA2 + SimhashB2) % HashP)
+    val aggs = (0 until 31).map(j =>
+      sum(when(shiftright(col("h1"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"a$j")) ++
+      (0 until 31).map(j =>
+        sum(when(shiftright(col("h2"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"b$j"))
+    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        ((0 until 31).map(j =>
+          when(col(s"a$j") > 0, lit(1L << j)).otherwise(lit(0L))) ++
+         (0 until 31).map(j =>
+           when(col(s"b$j") > 0, lit(1L << (j + 31))).otherwise(lit(0L))))
+          .reduce(_ + _).as("sig"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of the four 16-bit
+    * sub-bands of the 62-bit signature; verified by Hamming ≤ maxHamming
+    * (bit_count of the XOR — codegen'd builtin, same in DuckDB). */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sig = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val sig = simhashSignatures(docs)
     val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(b => shiftright(col("sig"), b * 8) % 256): _*)))
+      posexplode(array((0 until 4).map(b => shiftright(col("sig"), b * 16) % 65536): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
@@ -121,9 +175,9 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.sig").as("siga"), col("y.sig").as("sigb"))
       .dropDuplicates("a", "b")
-    val xorv = col("siga").bitwiseXOR(col("sigb"))
-    val hamming = (0 until 32).map(j => shiftright(xorv, j) % 2).reduce(_ + _)
-    cand.withColumn("hamming", hamming)
+    cand
+      .withColumn("hamming",
+        bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
   }

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{CosineSim, GraftExpressions}
 
 /** Similarity search over an embedding column (Array[Float]).
   *
@@ -15,8 +16,16 @@ object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in double.
     * Rounded to 4 decimals so ranking ties are resolved identically
-    * across engines (the oracle recomputes the same quantity). */
-  def cosine(a: Column, b: Column): Column = {
+    * across engines (the oracle recomputes the same quantity).
+    * Evaluated by the codegen'd [[graft.functions.CosineSim]] kernel —
+    * bit-identical to the HOF spelling [[cosineSpec]]. */
+  def cosine(a: Column, b: Column): Column =
+    round(GraftExpressions.col(
+      CosineSim(GraftExpressions.expr(a), GraftExpressions.expr(b))), 4)
+
+  /** Portable HOF spelling of [[cosine]] — the executable spec the native
+    * kernel is property-tested against. */
+  def cosineSpec(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),

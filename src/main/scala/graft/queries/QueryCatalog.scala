@@ -501,7 +501,8 @@ object QueryCatalog {
        |FROM cand
        |WHERE round(len(list_filter(range(1,17), i -> siga[i] = sigb[i]))::DOUBLE / 16, 4) >= 0.25""".stripMargin
 
-  /** SimHash near-dup pairs: 32-bit signature, 4×8-bit bands, Hamming ≤ 6. */
+  /** SimHash near-dup pairs: 62-bit signature (two 31-bit rolling-hash
+    * streams), 4×16-bit bands, Hamming ≤ 6. */
   val dSimhash: Q = (s, d) =>
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 6)
 
@@ -512,16 +513,21 @@ object QueryCatalog {
   }
 
   val dSimhashSql: String =
-    s"""WITH sig AS (SELECT doc_id, list_sum(list_transform(range(0,32), j -> CASE WHEN
-       |    list_sum(list_transform($tokHashesSql, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-       |    THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS sig FROM documents),
+    s"""WITH th AS (SELECT doc_id, $tokHashesSql AS h1 FROM documents),
+       |th2 AS (SELECT doc_id, h1, list_transform(h1, h -> (h * 1000003 + 8191) % 2147483647) AS h2 FROM th),
+       |sig AS (SELECT doc_id,
+       |  (list_sum(list_transform(range(0,31), j -> CASE WHEN
+       |     list_sum(list_transform(h1, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |     THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+       |   + list_sum(list_transform(range(0,31), j -> CASE WHEN
+       |     list_sum(list_transform(h2, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |     THEN (1::BIGINT << (j+31)) ELSE 0::BIGINT END)))::BIGINT AS sig FROM th2),
        |banded AS (SELECT doc_id, sig, unnest(list_transform(range(0,4), b ->
-       |    {'band': b, 'bucket': (sig >> (b*8)) & 255})) AS u FROM sig),
+       |    {'band': b, 'bucket': (sig >> (b*16)) & 65535})) AS u FROM sig),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS siga, y.sig AS sigb
        |         FROM banded x JOIN banded y ON x.u.band = y.u.band AND x.u.bucket = y.u.bucket AND x.doc_id < y.doc_id)
-       |SELECT a, b, hamming FROM (
-       |  SELECT a, b, list_sum(list_transform(range(0,32), j -> (xor(siga, sigb) >> j) & 1))::BIGINT AS hamming FROM cand)
-       |WHERE hamming <= 6""".stripMargin
+       |SELECT a, b, bit_count(xor(siga, sigb))::BIGINT AS hamming FROM cand
+       |WHERE bit_count(xor(siga, sigb)) <= 6""".stripMargin
 
   // ---------------------------------------------------------------- similarity
 

@@ -1,0 +1,188 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot per-row kernels of the
+  * text/dedup/similarity pipeline.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`) are
+  * evaluated interpreted — a char-by-char rolling hash written as
+  * `aggregate(split(s,""), ...)` costs ~50µs/shingle in tree-walk overhead
+  * and is re-evaluated once per signature slot. These expressions compute
+  * the identical values (bit-for-bit, so the DuckDB oracle SQL is
+  * unchanged) in a tight loop, with `doGenCode` so they stay inside
+  * whole-stage codegen.
+  */
+object GraftExpressions {
+  /** Wrap a raw Catalyst expression as a user-facing Column (Spark 4
+    * classic backend). */
+  def col(e: Expression): Column = ExpressionUtils.column(e)
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** h = (h*31 + codepoint(c)) % (2^31-1) over the string's characters —
+  * identical to `aggregate(split(s,""), 0L, (h,c) -> (h*31+ascii(c)) % p)`
+  * (TextFunctions.rollingHash's portable definition, replayed by the
+  * DuckDB oracle) but evaluated in one codegen'd loop. */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.RollingHash.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+  override def prettyName: String = "graft_rolling_hash"
+}
+
+object RollingHash {
+  val P: Long = 2147483647L // 2^31 - 1
+
+  /** Iterates code points (not UTF-16 units) to match Spark's
+    * `split(s, "")` + `ascii` on supplementary characters. */
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** Distinct rolling hashes of the k-token shingles of a token array —
+  * identical values to hashing `array_join(slice(toks, i, k), " ")` per
+  * window with [[RollingHash]] then `array_distinct` (first-occurrence
+  * order), but in one codegen'd pass with no per-shingle string
+  * allocation: the joining space (codepoint 32) is folded into the hash
+  * between tokens. Arrays shorter than k collapse to one whole-array
+  * shingle (TextFunctions.shingles semantics). */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.hashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.ShingleHashes.hashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+object ShingleHashes {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def hashes(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val kk = if (n < k) n else k
+    val windows = if (n < k) 1 else n - k + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    var i = 0
+    while (i < windows) {
+      var h = 0L
+      var j = 0
+      while (j < kk) {
+        if (j > 0) h = (h * 31L + 32L) % RollingHash.P // ' ' between tokens
+        val s = arr.getUTF8String(i + j).toString
+        var c = 0
+        val len = s.length
+        while (c < len) {
+          val cp = s.codePointAt(c)
+          h = (h * 31L + cp) % RollingHash.P
+          c += Character.charCount(cp)
+        }
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Cosine similarity of two float-array columns, computed in double with
+  * sequential accumulation — the same operation order as the
+  * `aggregate(zip_with(...))` formulation (and the oracle's SQL), so the
+  * value is bit-identical; results are rounded by callers before any
+  * ranking. Null if either side is null or lengths differ. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $xi = (double) $a.getFloat($i);
+         |    final double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosine"
+}
