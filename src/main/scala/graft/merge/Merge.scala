@@ -44,8 +44,11 @@ object Merge {
         lww("name"), lww("filePath"), lww("signature"), lww("clazz"), lww("code"),
         // open-ended props: later maps overwrite earlier keys
         aggregate(
-          array_sort(collect_list(struct(col("seq"), col("props")))),
-          lit(Map.empty[String, String]),
+          // comparator on seq only: a struct holding a MAP is not orderable
+          array_sort(collect_list(struct(col("seq"), col("props"))),
+            (l, r) => when(l.getField("seq") < r.getField("seq"), -1)
+              .when(l.getField("seq") > r.getField("seq"), 1).otherwise(0)),
+          map().cast("map<string,string>"),
           (acc, e) => map_concat(
             map_filter(acc, (k, _) => !map_contains_key(e.getField("props"), k)),
             e.getField("props"))

@@ -50,7 +50,7 @@ object GraphOps {
     * (reference ast_manage.py:32,42-44): higher-order filter on the array,
     * no UDF. */
   def kindOf(labels: Column, kinds: Seq[String]): Column =
-    element_at(filter(labels, l => l.isInCollection(kinds)), 1)
+    try_element_at(filter(labels, l => l.isInCollection(kinds)), lit(1))
 
   /** A5 — clear task data with DETACH-cascade (reference graphDB.py:94-100):
     * drop nodes in the task, then keep only edges whose BOTH endpoints

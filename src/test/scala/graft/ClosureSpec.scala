@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.enrich.Closure
+
+class ClosureSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("transitiveClosure on a chain reaches all ancestors") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val out = Closure.transitiveClosure(edges).as[(String, String)].collect().toSet
+    assert(out === Set(("a","b"),("b","c"),("c","d"),("a","c"),("b","d"),("a","d")))
+  }
+
+  test("transitiveClosure on a diamond dedups the shared ancestor") {
+    val edges = Seq(("d", "b"), ("d", "c"), ("b", "a"), ("c", "a")).toDF("src", "dst")
+    val out = Closure.transitiveClosure(edges).as[(String, String)].collect().toSet
+    assert(out === Set(("d","b"),("d","c"),("b","a"),("c","a"),("d","a")))
+  }
+
+  test("transitiveClosure terminates on cycles") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val out = Closure.transitiveClosure(edges).as[(String, String)].collect().toSet
+    assert(out === Set(("a","b"),("b","a"),("a","a"),("b","b")))
+  }
+
+  test("inheritedMethods copies ancestor methods, skips __init__ and existing") {
+    val inherits = Seq(("Sub", "Base"), ("Base", "Root")).toDF("src", "dst")
+    val hasMethod = Seq(
+      ("Base", "Base.run"), ("Base", "Base.__init__"),
+      ("Root", "Root.close"), ("Sub", "Sub.run")).toDF("src", "dst")
+    val out = Closure.inheritedMethods(inherits, hasMethod)
+      .as[(String, String)].collect().toSet
+    // Sub inherits Base.run + Root.close; Base inherits Root.close;
+    // __init__ never propagates (ast_manage.py:92-93)
+    assert(out === Set(("Sub","Base.run"),("Sub","Root.close"),("Base","Root.close")))
+  }
+
+  test("GraphX closure agrees with the DataFrame fixpoint on a random DAG") {
+    val rnd = new scala.util.Random(11)
+    // random DAG: edges only from higher to lower index -> acyclic
+    val edges = (0 until 40).flatMap { _ =>
+      val a = rnd.nextInt(12); val b = rnd.nextInt(12)
+      if (a > b) Some((s"n$a", s"n$b")) else None
+    }.distinct.toDF("src", "dst")
+    val df = Closure.transitiveClosure(edges).as[(String, String)].collect().toSet
+    val gx = Closure.transitiveClosureGraphX(spark, edges)
+      .as[(String, String)].collect().toSet
+    assert(df === gx)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),     // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "THE QUICK  brown fox, jumps over the lazy dog!")   // normalizes to 1
+  ).toDF("doc_id", "text")
+
+  test("exact: normalization-equal docs share a group, keeper is min id") {
+    val out = Dedup.exact(docs).collect()
+    val big = out.filter(_.getLong(2) == 3L) // group {1,2,5}
+    assert(big.length === 1)
+    assert(big(0).getLong(1) === 1L) // keeper_id
+    assert(out.map(_.getLong(2)).sum === 5L)
+  }
+
+  test("minhashSignatures equals the per-row expression spelling") {
+    val agg = Dedup.minhashSignatures(docs, k = 2, numHashes = 8)
+    val row = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 2, 8).as("sig"))
+    assert(agg.as("a").join(row.as("r"), "doc_id")
+      .filter(to_json(col("a.sig")) =!= to_json(col("r.sig"))).count() === 0)
+  }
+
+  test("identical docs have identical minhash signatures; est_jaccard 1.0") {
+    val pairs = Dedup.minhashLshPairs(docs, k = 2, numHashes = 8, bands = 4,
+      threshold = 0.0).collect()
+    val p12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.isDefined && p12.get.getDouble(2) === 1.0)
+    val p15 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 5L)
+    assert(p15.isDefined && p15.get.getDouble(2) === 1.0)
+  }
+
+  test("simhashSignatures equals the per-row expression spelling") {
+    val agg = Dedup.simhashSignatures(docs)
+    val row = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+    assert(agg.as("a").join(row.as("r"), "doc_id")
+      .filter(col("a.sig") =!= col("r.sig")).count() === 0)
+  }
+
+  test("simhashPairs: exact dups at hamming 0, near dup within threshold") {
+    val out = Dedup.simhashPairs(docs, maxHamming = 16).collect()
+    val p12 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.isDefined && p12.get.getLong(2) === 0L)
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
+  }
+
+  test("ngramJaccardPairs: dup pair at 1.0, near pair high, distinct absent") {
+    val out = Dedup.ngramJaccardPairs(docs, k = 2, threshold = 0.3).collect()
+    val j12 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(j12.isDefined && j12.get.getDouble(2) === 1.0)
+    val j13 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 3L)
+    assert(j13.isDefined && j13.get.getDouble(2) > 0.5)
+    assert(!out.exists(r => r.getLong(1) == 4L || r.getLong(0) == 4L))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // 4-dim corpus with known geometry
+  private val emb = Seq(
+    (0L, Seq(1f, 0f, 0f, 0f)),
+    (1L, Seq(0.9f, 0.1f, 0f, 0f)),  // closest to 0
+    (2L, Seq(0f, 1f, 0f, 0f)),      // orthogonal to 0
+    (3L, Seq(-1f, 0f, 0f, 0f)),     // opposite of 0
+    (4L, Seq(0.8f, 0.2f, 0f, 0f))   // second closest to 0
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine desc with vec_id tie-break") {
+    val out = Similarity.bruteForceTopK(emb, Seq(0L), 3).collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 4L, 2L))
+    assert(out.map(_.getInt(3)).toSeq === Seq(1, 2, 3))
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+  }
+
+  test("bruteForceTopK excludes the query itself") {
+    val out = Similarity.bruteForceTopK(emb, Seq(0L), 10).collect()
+    assert(!out.exists(_.getLong(1) == 0L))
+  }
+
+  test("lshTopK returns same-bucket neighbors ranked like brute force") {
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L), 10)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toMap
+    val out = Similarity.lshTopK(emb, Seq(0L), 10, numPlanes = 2, dim = 4).collect()
+    // every LSH hit must carry the same cosine as brute force; ranks are
+    // contiguous from 1
+    out.foreach(r => assert(bf(r.getLong(1)) === r.getDouble(2)))
+    assert(out.map(_.getInt(3)).sorted.toSeq === (1 to out.length).toSeq)
+  }
+
+  test("embeddingNearDupPairs finds the near-identical pair, a<b") {
+    val out = Similarity.embeddingNearDupPairs(emb, threshold = 0.95,
+      numPlanes = 2, dim = 4).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+    // opposite vectors never pass the threshold
+    assert(!out.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("lshBucket is deterministic and engine-portable") {
+    val b1 = emb.select(Similarity.lshBucket(col("embedding"), 4, 4).as("b"))
+      .as[Long].collect().toSeq
+    val b2 = emb.select(Similarity.lshBucket(col("embedding"), 4, 4).as("b"))
+      .as[Long].collect().toSeq
+    assert(b1 === b2)
+    assert(b1.forall(b => b >= 0 && b < 16))
+  }
+}
