@@ -1,0 +1,386 @@
+package graft.indexer
+
+import graft.model._
+import scala.collection.mutable
+import scala.util.matching.Regex
+
+/** Shallow structural indexer for Python source — the Scala restatement of
+  * the reference's syntax-only default mode (reference
+  * graph_database_index/shallow_indexer.py; kinds/edges mapping
+  * myClient.py:107-322). Pure function: one file in, event stream out —
+  * the Spark side runs it inside a flatMap (a UDTF morally), see
+  * [[IndexPipeline]].
+  *
+  * Fidelity target is the reference's shallow mode (its own default): kinds
+  * come from syntactic context, references resolve only against names
+  * visible syntactically (same file, `self.`, imports); everything else is
+  * unsolved and — like the reference (myClient.py:356-381, Neo4j path
+  * commented out) — dropped from the graph.
+  *
+  * Covered per SURVEY.md §2.C:
+  *  - C4 block structure: indentation scopes, headers, comments, strings
+  *  - C5 classdef → CLASS symbol + signature/scope locations
+  *  - C6 funcdef → FUNCTION, re-kinded METHOD inside a class
+  *    (myClient.py:181-183); `self` field promotion
+  *  - C7 inheritance capture from the base list (INHERITS)
+  *  - C8 imports (tracked for resolution; not materialized as edges,
+  *    matching myClient.py:283-289)
+  *  - C9 reference classification: call vs use by next-token `(`
+  *    (index_utils.py:147-152), qualifier detection, `self.x` member refs
+  *  - C10 name hierarchy: dotted module path, `__init__` collapse,
+  *    `Class.__init__.self.x` → `Class.x` (indexer_visitor.py:693-717)
+  *  - C12 multiline strings → ATOMIC_RANGE locations
+  *  - C13/C14 event mapping incl. `<CODE>{"S":…,"E":…,"F":…}</CODE>`
+  *    pointers (myClient.py:46-48) hydratable by [[graft.hydrate.Hydrate]]
+  */
+object PyIndexer {
+
+  final case class FileEvents(
+      symbols: Seq[SymbolEvent],
+      edges: Seq[EdgeEvent],
+      locations: Seq[LocationRow])
+
+  private val classHeader: Regex =
+    """^(\s*)class\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s*:.*$""".r
+  private val defHeader: Regex =
+    """^(\s*)(?:async\s+)?def\s+([A-Za-z_]\w*)\s*\(.*$""".r
+  private val importStmt: Regex =
+    """^\s*import\s+(.+)$""".r
+  private val fromImport: Regex =
+    """^\s*from\s+(\.*[\w.]*)\s+import\s+(.+)$""".r
+  private val assignStmt: Regex =
+    """^(\s*)([A-Za-z_]\w*)\s*(?::[^=]+)?=(?!=).*$""".r
+  private val selfAssign: Regex =
+    """self\.([A-Za-z_]\w*)\s*(?::[^=]+)?=(?!=)""".r
+  private val callSite: Regex =
+    """(?<![\w.])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
+  private val nameRef: Regex =
+    """(?<![\w.])([A-Za-z_]\w*)(?![\w(])""".r
+  private val selfRef: Regex =
+    """self\.([A-Za-z_]\w*)(?!\w)""".r
+
+  private val keywords = Set(
+    "and", "as", "assert", "async", "await", "break", "class", "continue",
+    "def", "del", "elif", "else", "except", "finally", "for", "from",
+    "global", "if", "import", "in", "is", "lambda", "nonlocal", "not",
+    "or", "pass", "raise", "return", "self", "try", "while", "with",
+    "yield", "True", "False", "None", "print", "len", "range", "super",
+    "isinstance", "str", "int", "float", "list", "dict", "set", "tuple")
+
+  /** C10 — dotted module name from a repo-relative path: strip `.py`,
+    * `/`→`.`, collapse `__init__` to the package
+    * (reference ast_utils.py:64-95, indexer_visitor.py:551-577). */
+  def moduleName(relPath: String): String = {
+    val noExt = relPath.stripSuffix(".py").stripSuffix("/__init__")
+    noExt.replace('/', '.')
+  }
+
+  /** Strip comments and blank out string contents, preserving line length
+    * where cheap; returns (processed lines, multiline-string ranges). */
+  private[indexer] def preprocess(lines: Array[String]): (Array[String], Seq[(Int, Int)]) = {
+    val out = new Array[String](lines.length)
+    val atomics = mutable.ArrayBuffer.empty[(Int, Int)]
+    var inTriple = false
+    var tripleQuote = "\"\"\""
+    var tripleStart = 0
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      val sb = new StringBuilder
+      var j = 0
+      var inStr = false
+      var strQuote = ' '
+      if (inTriple) {
+        val end = line.indexOf(tripleQuote)
+        if (end >= 0) {
+          inTriple = false
+          atomics += ((tripleStart, i + 1))
+          j = end + 3
+          sb.append(" " * j)
+        } else { j = line.length }
+      }
+      while (j < line.length) {
+        val c = line.charAt(j)
+        if (inStr) {
+          if (c == '\\') { sb.append("  "); j += 1 }
+          else if (c == strQuote) { inStr = false; sb.append(c) }
+          else sb.append(' ')
+        } else if (c == '"' || c == '\'') {
+          val q3 = line.substring(j).startsWith(c.toString * 3)
+          if (q3) {
+            val rest = line.substring(j + 3)
+            val end = rest.indexOf(c.toString * 3)
+            if (end >= 0) { sb.append(" " * (end + 6)); j += end + 5 }
+            else { inTriple = true; tripleQuote = c.toString * 3; tripleStart = i + 1
+              j = line.length }
+          } else { inStr = true; strQuote = c; sb.append(c) }
+        } else if (c == '#') { j = line.length }
+        else sb.append(c)
+        j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    (out, atomics.toSeq)
+  }
+
+  private def indentOf(s: String): Int = s.takeWhile(_ == ' ').length
+
+  /** End line (1-based, inclusive) of the scope whose header is at
+    * `header` (0-based) with indent `ind`: last non-blank line before the
+    * first line at indent <= ind. */
+  private def scopeEnd(lines: Array[String], header: Int, ind: Int): Int = {
+    var last = header
+    var i = header + 1
+    while (i < lines.length &&
+        (lines(i).trim.isEmpty || indentOf(lines(i)) > ind)) {
+      if (lines(i).trim.nonEmpty) last = i
+      i += 1
+    }
+    last + 1
+  }
+
+  private def codePtr(s: Int, e: Int, f: String): String =
+    s"""<CODE>{"S":$s,"E":$e,"F":"$f"}</CODE>"""
+
+  private final case class Scope(kind: String, fullName: String, indent: Int)
+
+  /** Index one file. `relPath` is repo-relative (A7 strips roots earlier). */
+  def indexFile(taskId: String, relPath: String, content: String): FileEvents = {
+    val rawLines = content.split("\n", -1)
+    val (lines, atomicRanges) = preprocess(rawLines)
+    val mod = moduleName(relPath)
+
+    val symbols = mutable.ArrayBuffer.empty[SymbolEvent]
+    val edges = mutable.ArrayBuffer.empty[EdgeEvent]
+    val locs = mutable.ArrayBuffer.empty[LocationRow]
+    var seq = 0L
+    def nextSeq(): Long = { seq += 1; seq }
+
+    // ---- pre-pass: module-level defs/classes/globals + imports (C8, D2 input)
+    val topClasses = mutable.Set.empty[String]
+    val topDefs = mutable.Set.empty[String]
+    val topGlobals = mutable.Set.empty[String]
+    val importedName = mutable.Map.empty[String, String] // alias -> full target
+    val importedModule = mutable.Map.empty[String, String] // alias -> module
+    lines.foreach {
+      case classHeader(ind, name, _) if ind.isEmpty => topClasses += name
+      case defHeader(ind, name) if ind.isEmpty => topDefs += name
+      case assignStmt(ind, name) if ind.isEmpty => topGlobals += name
+      case importStmt(spec) =>
+        spec.split(",").map(_.trim).filter(_.nonEmpty).foreach { part =>
+          val (target, alias) = part.split("\\s+as\\s+") match {
+            case Array(t, a) => (t.trim, a.trim)
+            case _ => (part.trim, part.trim.split("\\.").last)
+          }
+          importedModule(alias) = target
+        }
+      case fromImport(m, names) if !names.contains("(") =>
+        names.split(",").map(_.trim).filter(n => n.nonEmpty && n != "*").foreach { part =>
+          val (target, alias) = part.split("\\s+as\\s+") match {
+            case Array(t, a) => (t.trim, a.trim)
+            case _ => (part.trim, part.trim)
+          }
+          if (m.nonEmpty && !m.startsWith("."))
+            importedName(alias) = s"$m.$target"
+        }
+      case _ => ()
+    }
+
+    // module symbol (C13: FILE+MODULE recorded in the visitor ctor)
+    symbols += SymbolEvent(nextSeq(), taskId, Kind.Module, mod, mod.split("\\.").last,
+      Some(relPath), None, None,
+      Some(codePtr(1, rawLines.length, relPath)), Map.empty)
+    locs += LocationRow(mod, relPath, "SCOPE", 1, 1, rawLines.length, 1)
+
+    // fields discovered per class (for USES resolution)
+    val classFields = mutable.Map.empty[String, mutable.Set[String]]
+    val classMethods = mutable.Map.empty[String, mutable.Set[String]]
+
+    // ---- main pass with context stack (C4)
+    val stack = mutable.Stack.empty[Scope]
+    def curClass: Option[Scope] = stack.find(_.kind == Kind.Class)
+    def curCallable: Option[Scope] =
+      stack.find(s => s.kind == Kind.Function || s.kind == Kind.Method)
+    // reference drops module-level calls (myClient.py:291-297): source must
+    // be CLASS/FUNCTION/METHOD
+    def refSource: Option[Scope] =
+      stack.headOption.filter(_.kind != Kind.Module)
+
+    def resolveCallee(dotted: String): Option[String] = {
+      val parts = dotted.split("\\.")
+      if (dotted.startsWith("self.") && parts.length == 2)
+        curClass.map(c => s"${c.fullName}.${parts(1)}")
+      else if (parts.length == 1) {
+        val n = parts(0)
+        if (topDefs.contains(n)) Some(s"$mod.$n")
+        else if (topClasses.contains(n)) Some(s"$mod.$n")
+        else importedName.get(n)
+      } else if (importedModule.contains(parts(0)))
+        Some((importedModule(parts(0)) +: parts.tail).mkString("."))
+      else None
+    }
+
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      if (line.trim.nonEmpty) {
+        val ind = indentOf(line)
+        while (stack.nonEmpty && ind <= stack.top.indent) stack.pop()
+
+        line match {
+          case classHeader(_, name, bases) =>
+            val parent = stack.headOption.map(_.fullName).getOrElse(mod)
+            val full = s"$parent.$name"
+            val end = scopeEnd(lines, i, ind)
+            val sig = rawLines(i).trim
+            symbols += SymbolEvent(nextSeq(), taskId, Kind.Class, full, name,
+              Some(relPath), Some(sig), None, Some(codePtr(i + 1, end, relPath)), Map.empty)
+            locs += LocationRow(full, relPath, "SYMBOL", i + 1,
+              rawLines(i).indexOf(name) + 1, i + 1, rawLines(i).indexOf(name) + name.length)
+            locs += LocationRow(full, relPath, "SIGNATURE", i + 1, 1, i + 1, rawLines(i).length)
+            locs += LocationRow(full, relPath, "SCOPE", i + 1, 1, end, 1)
+            if (stack.isEmpty)
+              edges += EdgeEvent(nextSeq(), taskId, mod, Rel.Contains, full,
+                Map("association_type" -> Kind.Class))
+            // C7 — INHERITS per base (simple or dotted, import-resolved;
+            // unresolved stays as written -> stub node, like
+            // ast_manage.py:190-195 appending unresolved bases)
+            Option(bases).map(_.trim).filter(_.nonEmpty).foreach { bl =>
+              bl.split(",").map(_.trim)
+                .filter(b => b.nonEmpty && b != "object" && !b.contains("="))
+                .foreach { b =>
+                  val resolved = resolveCallee(b).getOrElse(
+                    if (b.contains(".")) b else s"$mod.$b")
+                  edges += EdgeEvent(nextSeq(), taskId, full, Rel.Inherits,
+                    resolved, Map.empty)
+                }
+            }
+            stack.push(Scope(Kind.Class, full, ind))
+
+          case defHeader(_, name) =>
+            val inClass = stack.headOption.exists(_.kind == Kind.Class)
+            val kind = if (inClass) Kind.Method else Kind.Function
+            val parent = stack.headOption.map(_.fullName).getOrElse(mod)
+            val full = s"$parent.$name"
+            val end = scopeEnd(lines, i, ind)
+            val sig = rawLines(i).trim
+            val clazz = if (inClass) Some(parent) else None
+            symbols += SymbolEvent(nextSeq(), taskId, kind, full, name,
+              Some(relPath), Some(sig), clazz, Some(codePtr(i + 1, end, relPath)), Map.empty)
+            locs += LocationRow(full, relPath, "SYMBOL", i + 1,
+              rawLines(i).indexOf(name) + 1, i + 1, rawLines(i).indexOf(name) + name.length)
+            locs += LocationRow(full, relPath, "SIGNATURE", i + 1, 1, i + 1, rawLines(i).length)
+            locs += LocationRow(full, relPath, "SCOPE", i + 1, 1, end, 1)
+            if (inClass) {
+              edges += EdgeEvent(nextSeq(), taskId, parent, Rel.HasMethod, full, Map.empty)
+              classMethods.getOrElseUpdate(parent, mutable.Set.empty) += name
+            } else if (stack.isEmpty)
+              edges += EdgeEvent(nextSeq(), taskId, mod, Rel.Contains, full,
+                Map("association_type" -> kind))
+            stack.push(Scope(kind, full, ind))
+
+          case assignStmt(_, name)
+              if stack.isEmpty && !keywords.contains(name) =>
+            val full = s"$mod.$name"
+            if (!topDefs.contains(name) && !topClasses.contains(name)) {
+              symbols += SymbolEvent(nextSeq(), taskId, Kind.GlobalVariable, full,
+                name, Some(relPath), None, None, None, Map.empty)
+              locs += LocationRow(full, relPath, "SYMBOL", i + 1, 1, i + 1,
+                rawLines(i).length)
+              edges += EdgeEvent(nextSeq(), taskId, mod, Rel.Contains, full,
+                Map("association_type" -> Kind.GlobalVariable))
+            }
+
+          case assignStmt(_, name)
+              if stack.headOption.exists(_.kind == Kind.Class) &&
+                !keywords.contains(name) =>
+            // class-level assignment -> FIELD (shallow_indexer static member)
+            val cls = stack.top.fullName
+            val full = s"$cls.$name"
+            symbols += SymbolEvent(nextSeq(), taskId, Kind.Field, full, name,
+              Some(relPath), None, Some(cls), None, Map.empty)
+            edges += EdgeEvent(nextSeq(), taskId, cls, Rel.HasField, full, Map.empty)
+            classFields.getOrElseUpdate(cls, mutable.Set.empty) += name
+
+          case _ => ()
+        }
+
+        // C10 — self.x = … inside a method promotes x to a Class FIELD
+        // (`Foo.__init__.self.bar` collapses to `Foo.bar`)
+        if (curCallable.exists(_.kind == Kind.Method)) {
+          selfAssign.findAllMatchIn(line).foreach { m =>
+            curClass.foreach { c =>
+              val fname = m.group(1)
+              if (!classFields.getOrElseUpdate(c.fullName, mutable.Set.empty)
+                    .contains(fname)) {
+                classFields(c.fullName) += fname
+                val full = s"${c.fullName}.$fname"
+                symbols += SymbolEvent(nextSeq(), taskId, Kind.Field, full, fname,
+                  Some(relPath), None, Some(c.fullName), None, Map.empty)
+                edges += EdgeEvent(nextSeq(), taskId, c.fullName, Rel.HasField,
+                  full, Map.empty)
+              }
+            }
+          }
+        }
+
+        // C9 — call sites: next non-space token is `(` (isCallNode rule)
+        val isHeader = classHeader.matches(line) || defHeader.matches(line)
+        refSource.foreach { src =>
+          if (!isHeader) {
+            callSite.findAllMatchIn(line).foreach { m =>
+              val callee = m.group(1)
+              if (!keywords.contains(callee))
+                resolveCallee(callee).foreach { dst =>
+                  if (dst != src.fullName) {
+                    edges += EdgeEvent(nextSeq(), taskId, src.fullName, Rel.Call,
+                      dst, Map.empty)
+                    locs += LocationRow(dst, relPath, "REFERENCE", i + 1,
+                      m.start + 1, i + 1, m.end)
+                  }
+                }
+            }
+          }
+          // C9 — USES: loads of module globals / self fields from callables
+          // (reference: FUNCTION|METHOD -> GLOBAL_VARIABLE|FIELD only,
+          // myClient.py:299-305)
+          if (src.kind == Kind.Function || src.kind == Kind.Method) {
+            nameRef.findAllMatchIn(line).foreach { m =>
+              val n = m.group(1)
+              if (topGlobals.contains(n) && !keywords.contains(n))
+                edges += EdgeEvent(nextSeq(), taskId, src.fullName, Rel.Uses,
+                  s"$mod.$n", Map.empty)
+            }
+            if (src.kind == Kind.Method) {
+              val assigned = selfAssign.findAllMatchIn(line).map(_.group(1)).toSet
+              selfRef.findAllMatchIn(line).foreach { m =>
+                val f = m.group(1)
+                curClass.foreach { c =>
+                  if (!assigned.contains(f) &&
+                      classFields.get(c.fullName).exists(_.contains(f)) &&
+                      !classMethods.get(c.fullName).exists(_.contains(f)))
+                    edges += EdgeEvent(nextSeq(), taskId, src.fullName, Rel.Uses,
+                      s"${c.fullName}.$f", Map.empty)
+                }
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+
+    // C12 — multiline strings as atomic ranges
+    atomicRanges.foreach { case (s, e) =>
+      locs += LocationRow(mod, relPath, "ATOMIC_RANGE", s, 1, e, 1)
+    }
+
+    FileEvents(symbols.toSeq, dedupEdges(edges.toSeq), locs.toSeq)
+  }
+
+  /** Within-file edge dedup (the reference's upsert makes repeats no-ops). */
+  private def dedupEdges(es: Seq[EdgeEvent]): Seq[EdgeEvent] =
+    es.groupBy(e => (e.src, e.relType, e.dst)).values.map(_.last).toSeq
+      .sortBy(_.seq)
+}

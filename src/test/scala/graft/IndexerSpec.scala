@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.indexer.{IndexPipeline, PyIndexer}
+import graft.indexer.IndexPipeline.SourceFile
+import graft.model._
+
+/** Golden tests over a miniature fixture repo shaped like the reference's
+  * test_repo (run_mutiprocess.py:91-99): packages, classes, inheritance,
+  * methods, fields, globals, imports, calls. */
+class IndexerSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val mainPy =
+    """import folder1.file1
+      |from folder1.file2 import Helper, helper_fn as hf
+      |
+      |GLOBAL_X = 42
+      |
+      |
+      |def main():
+      |    h = Helper()
+      |    hf()
+      |    local_fn(GLOBAL_X)
+      |
+      |
+      |def local_fn(v):
+      |    return v + GLOBAL_X
+      |""".stripMargin
+
+  private val file1Py =
+    """class Base:
+      |    kind = "base"
+      |
+      |    def __init__(self):
+      |        self.count = 0
+      |
+      |    def run(self):
+      |        self.count += 1
+      |        return self.count
+      |
+      |
+      |class Child(Base):
+      |    def extra(self):
+      |        return self.run()
+      |""".stripMargin
+
+  private val file2Py =
+    """'''Module docstring
+      |spanning lines.'''
+      |
+      |
+      |class Helper:
+      |    def help(self):
+      |        pass
+      |
+      |
+      |def helper_fn():
+      |    return Helper()
+      |""".stripMargin
+
+  private lazy val fixture = Seq(
+    SourceFile("main.py", mainPy),
+    SourceFile("folder1/file1.py", file1Py),
+    SourceFile("folder1/file2.py", file2Py)).toDS()
+
+  private lazy val ix = IndexPipeline.enrich(
+    IndexPipeline.indexFiles(spark, fixture, "t1"), "t1")
+
+  test("moduleName: dotted path, __init__ collapse (C10)") {
+    assert(PyIndexer.moduleName("main.py") === "main")
+    assert(PyIndexer.moduleName("folder1/file1.py") === "folder1.file1")
+    assert(PyIndexer.moduleName("pkg/__init__.py") === "pkg")
+  }
+
+  test("symbols: modules, classes, functions, methods with right kinds") {
+    val kinds = ix.nodes.select("full_name", "kind")
+      .as[(String, String)].collect().toMap
+    assert(kinds("main") === Kind.Module)
+    assert(kinds("folder1.file1.Base") === Kind.Class)
+    assert(kinds("folder1.file1.Base.run") === Kind.Method)
+    assert(kinds("main.main") === Kind.Function)
+    assert(kinds("main.GLOBAL_X") === Kind.GlobalVariable)
+    assert(kinds("folder1.file1.Base.count") === Kind.Field)
+    assert(kinds("folder1.file1.Base.kind") === Kind.Field)
+  }
+
+  test("method re-kind rule and clazz backpointer (C6)") {
+    val row = ix.nodes.filter(col("full_name") === "folder1.file1.Child.extra")
+      .select("kind", "clazz").as[(String, String)].collect()(0)
+    assert(row === ((Kind.Method, "folder1.file1.Child")))
+  }
+
+  test("edges: CONTAINS from module, HAS_METHOD, HAS_FIELD, INHERITS") {
+    val es = ix.edges.select("src", "rel_type", "dst")
+      .as[(String, String, String)].collect().toSet
+    assert(es.contains(("main", Rel.Contains, "main.main")))
+    assert(es.contains(("main", Rel.Contains, "main.GLOBAL_X")))
+    assert(es.contains(("folder1.file1", Rel.Contains, "folder1.file1.Base")))
+    assert(es.contains(("folder1.file1.Base", Rel.HasMethod, "folder1.file1.Base.run")))
+    assert(es.contains(("folder1.file1.Base", Rel.HasField, "folder1.file1.Base.count")))
+    assert(es.contains(("folder1.file1.Child", Rel.Inherits, "folder1.file1.Base")))
+  }
+
+  test("CALL edges resolve self-methods, imports, and local defs (C9)") {
+    val calls = ix.edges.filter(col("rel_type") === Rel.Call)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(calls.contains(("main.main", "folder1.file2.Helper")))      // Helper()
+    assert(calls.contains(("main.main", "folder1.file2.helper_fn")))   // hf() alias
+    assert(calls.contains(("main.main", "main.local_fn")))
+    assert(calls.contains(("folder1.file1.Child.extra", "folder1.file1.Base.run"))
+      || calls.contains(("folder1.file1.Child.extra", "folder1.file1.Child.run")))
+    // module-level calls are dropped (myClient.py:291-297)
+    assert(!calls.exists(_._1 == "main"))
+  }
+
+  test("USES edges: globals from functions, fields from methods") {
+    val uses = ix.edges.filter(col("rel_type") === Rel.Uses)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(uses.contains(("main.main", "main.GLOBAL_X")))
+    assert(uses.contains(("main.local_fn", "main.GLOBAL_X")))
+    assert(uses.contains(("folder1.file1.Base.run", "folder1.file1.Base.count")))
+  }
+
+  test("D4 closure: Child inherits run but never __init__") {
+    val hm = ix.edges.filter(col("rel_type") === Rel.HasMethod)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(hm.contains(("folder1.file1.Child", "folder1.file1.Base.run")))
+    assert(!hm.exists(e => e._1 == "folder1.file1.Child" && e._2.endsWith("__init__")))
+  }
+
+  test("unresolved callees become 'none' stub nodes (A4 stub rule)") {
+    // Helper is called from main but defined in file2 -> real node wins;
+    // nothing in the fixture is fully unresolved, so craft one:
+    val one = Seq(SourceFile("solo.py",
+      "from ext.lib import thing\n\ndef go():\n    thing()\n")).toDS()
+    val out = IndexPipeline.indexFiles(spark, one, "t2")
+    val kinds = out.nodes.select("full_name", "kind").as[(String, String)]
+      .collect().toMap
+    assert(kinds("ext.lib.thing") === Kind.None_)
+  }
+
+  test("code pointers hydrate against the source (B11/C14 roundtrip)") {
+    val files = fixture.toDF().withColumnRenamed("path", "file_path")
+    val cls = ix.nodes.filter(col("full_name") === "folder1.file2.Helper")
+      .select(col("full_name"), col("code"))
+    val hydrated = graft.hydrate.Hydrate.hydrate(cls, files, "code", 500)
+      .select("code").as[String].collect()(0)
+    assert(hydrated.startsWith("class Helper:"))
+    assert(hydrated.contains("def help(self):"))
+  }
+
+  test("signatures carry the header line (C5/C6)") {
+    val sigs = ix.nodes.select("full_name", "signature")
+      .as[(String, Option[String])].collect().toMap
+    assert(sigs("folder1.file1.Child") === Some("class Child(Base):"))
+    assert(sigs("main.local_fn") === Some("def local_fn(v):"))
+  }
+
+  test("locations: SYMBOL/SIGNATURE/SCOPE/ATOMIC_RANGE rows exist (C12)") {
+    val locs = ix.locations.select("symbolFullName", "kind")
+      .as[(String, String)].collect().toSet
+    assert(locs.contains(("folder1.file1.Base", "SYMBOL")))
+    assert(locs.contains(("folder1.file1.Base", "SCOPE")))
+    assert(locs.contains(("folder1.file1.Base.run", "SIGNATURE")))
+    assert(locs.contains(("folder1.file2", "ATOMIC_RANGE"))) // docstring
+  }
+
+  test("idempotent re-index: same snapshot twice equals once") {
+    val again = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fixture, "t1"), "t1")
+    assert(ix.nodes.collect().toSet === again.nodes.collect().toSet)
+    assert(ix.edges.collect().toSet === again.edges.collect().toSet)
+  }
+}
