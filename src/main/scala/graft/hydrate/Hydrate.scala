@@ -28,6 +28,15 @@ object Hydrate {
   def sliceLines(text: Column, start: Column, end: Column): Column =
     array_join(slice(split(text, "\n"), start, end - start + 1), "\n")
 
+  /** De-indent: strip the first line's leading-space count from every
+    * line — reference graphDB.py:220-223. */
+  def deindent(snippet: Column): Column = {
+    val lines = split(snippet, "\n")
+    val first = element_at(lines, 1)
+    val ind = length(first) - length(ltrim(first))
+    array_join(transform(lines, l => l.substr(ind + lit(1), length(l))), "\n")
+  }
+
   /** Fold a snippet to at most `foldedLen` chars, appending an ellipsis —
     * reference graphDB.py:249-252. */
   def fold(snippet: Column, foldedLen: Int): Column =
@@ -42,7 +51,8 @@ object Hydrate {
     withPtr
       .join(broadcast(files), withPtr("_ptr.F") === files("file_path"), "left")
       .withColumn("code",
-        fold(sliceLines(col("content"), col("_ptr.S"), col("_ptr.E")), foldedLen))
+        fold(deindent(sliceLines(col("content"), col("_ptr.S"), col("_ptr.E"))),
+          foldedLen))
       .drop("_ptr", "file_path", "content")
   }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.GraphDatabase
+import graft.indexer.IndexPipeline.SourceFile
+import graft.model._
+
+/** The facade must run the reference's workflows 1:1 (graphDB.py usage,
+  * update_version.py walkthrough). */
+class GraphDatabaseSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("addNode/addEdge/commit: upsert, promotion, stubs, point read") {
+    val db = GraphDatabase.inMemory(spark)
+    db.addNode("t1", Kind.None_, "m.C", Map("code" -> "v1"))
+    db.addNode("t1", Kind.Class, "m.C", Map("signature" -> "class C:"))
+    db.addEdge("t1", "m.C", Rel.HasMethod, "m.C.f")
+    db.commit()
+    val c = db.nodeByKey("m.C").collect()(0)
+    assert(c.getAs[String]("kind") === Kind.Class)
+    assert(c.getAs[String]("code") === "v1")
+    assert(db.nodeByKey("m.C.f").collect()(0).getAs[String]("kind") === Kind.None_)
+    // second commit with a prop update: last write wins, node count stable
+    db.addNode("t1", Kind.Class, "m.C", Map("code" -> "v2"))
+    db.commit()
+    assert(db.nodeByKey("m.C").collect()(0).getAs[String]("code") === "v2")
+    assert(db.nodes.count() === 2)
+  }
+
+  test("expand + clearTaskData cascade") {
+    val db = GraphDatabase.inMemory(spark)
+    db.addNode("t1", Kind.Class, "m.C")
+    db.addNode("t1", Kind.Method, "m.C.f")
+    db.addEdge("t1", "m.C", Rel.HasMethod, "m.C.f")
+    db.commit()
+    val out = db.expand(Rel.HasMethod, col("full_name") === "m.C").collect()
+    assert(out.length === 1 && out(0).getAs[String]("dst_name") === "m.C.f")
+    db.clearTaskData("t1")
+    assert(db.nodes.count() === 0 && db.edges.count() === 0)
+  }
+
+  test("persistent snapshot: write, reopen, same graph (atomic commit)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftdb").toString + "/snap"
+    val db = GraphDatabase.open(spark, dir)
+    db.addNode("t1", Kind.Class, "m.C")
+    db.addEdge("t1", "m.C", Rel.HasMethod, "m.C.f")
+    db.commit()
+    val db2 = GraphDatabase.open(spark, dir)
+    assert(db2.nodes.count() === 2)
+    assert(db2.edges.count() === 1)
+  }
+
+  test("updateVersion carries forward unchanged nodes (D5 walkthrough)") {
+    val db = GraphDatabase.inMemory(spark)
+    db.addNode("t1", Kind.Class, "a.C", Map("file_path" -> "a.py"))
+    db.addNode("t1", Kind.Class, "b.D", Map("file_path" -> "b.py"))
+    db.commit()
+    db.updateVersion("t1", "t2", changedFiles = Seq("a.py"))
+    val tasks = db.nodes.select("full_name", "task_ids")
+      .as[(String, Seq[String])].collect().toMap
+    assert(tasks("a.C") === Seq("t1"))        // changed -> not carried
+    assert(tasks("b.D") === Seq("t1", "t2"))  // unchanged -> carried
+  }
+
+  test("methodsOf: the reference's flagship demo (B6 + B11 hydration)") {
+    val db = GraphDatabase.inMemory(spark)
+    val files = Seq(SourceFile("p.py",
+      "class P:\n    def hi(self):\n        return 1\n")).toDS()
+    val ix = graft.indexer.IndexPipeline.indexFiles(spark, files, "t1")
+    // seed via the staged API from the indexed tables
+    ix.nodes.collect().foreach { r =>
+      db.addNode("t1", r.getAs[String]("kind"), r.getAs[String]("full_name"),
+        Option(r.getAs[String]("code")).map(c => Map("code" -> c)).getOrElse(Map.empty)
+          ++ Option(r.getAs[String]("signature")).map(s => Map("signature" -> s)).getOrElse(Map.empty))
+    }
+    ix.edges.collect().foreach { r =>
+      db.addEdge("t1", r.getAs[String]("src"), r.getAs[String]("rel_type"),
+        r.getAs[String]("dst"))
+    }
+    db.commit()
+    val fdf = files.toDF().withColumnRenamed("path", "file_path")
+    val out = db.methodsOf("p.P", fdf).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("name") === "hi")
+    assert(out(0).getAs[String]("code").startsWith("def hi(self):"))
+  }
+}
