@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for the training-data pipeline: image/audio/video
+  * payloads ride as opaque `binary` columns with typed metadata; decode /
+  * feature-extract / resize / frame-sample run per-partition so one
+  * executor task amortizes codec setup over its whole partition (the
+  * mapInPandas batch shape, in Scala: mapPartitions over an iterator).
+  *
+  * The actual codecs are NOT in this container, so the decode kernel is a
+  * clearly-marked deterministic STUB (content-hash-seeded) — the
+  * Spark-side contract (schema, null behavior, batch iteration,
+  * partitioning) is real and tested, and swapping `StubCodec` for a JNI
+  * codec changes no plan shape.
+  */
+object Multimodal {
+
+  /** media(doc_id, kind, payload, meta) — the at-rest schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", LongType))), nullable = true)))
+
+  final case class Media(doc_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int)
+  final case class MediaFeatures(doc_id: Long, kind: String,
+      feature: Seq[Float], width: Int, height: Int)
+
+  /** ======= STUB ======= deterministic stand-in for a real decoder:
+    * features are a content-hash-seeded pseudo-embedding. Replace with the
+    * actual codec (JNI/FFI) without touching the pipeline shape. */
+  object StubCodec {
+    def decodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      var h = 1125899906842597L // FNV-ish rolling seed
+      payload.foreach(b => h = h * 31 + (b & 0xff))
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        out(i) = ((h >>> 33).toInt % 1000) / 1000.0f
+        i += 1
+      }
+      out
+    }
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      payload.take(math.max(16, (payload.length.toLong * w * h /
+        math.max(1, w.toLong * h)).toInt)) // STUB: size-preserving no-op
+  }
+
+  /** Feature extraction over a media Dataset: per-partition batch loop —
+    * codec init happens once per partition, not per row (the reason this
+    * is mapPartitions, not a scalar UDF). */
+  def extractFeatures(media: Dataset[Media], dim: Int = 64)
+      : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec/session init would go here (amortized)
+      it.map { m =>
+        val f = StubCodec.decodeFeatures(m.payload, dim)
+        MediaFeatures(m.doc_id, m.kind, f.toSeq, m.width, m.height)
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: every `everyMs` milliseconds of
+    * duration becomes one (doc_id, frame_no) row — the explode shape a
+    * real frame extractor would fill with decoded frames. */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          greatest(floor(coalesce(col("meta.duration_ms"), lit(0L)) / everyMs)
+            .cast("long") - 1, lit(0L))))
+          .as("frame_no"))
+
+  /** Near-dup detection over media: stub features -> cosine LSH buckets,
+    * reusing the embedding pipeline end-to-end. */
+  def mediaNearDups(spark: SparkSession, media: Dataset[Media],
+      threshold: Double): DataFrame = {
+    import spark.implicits._
+    val emb = extractFeatures(media)
+      .select(col("doc_id").as("vec_id"), col("feature").as("embedding"))
+    graft.pipeline.Similarity.embeddingNearDupPairs(emb, threshold)
+  }
+}

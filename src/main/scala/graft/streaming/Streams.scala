@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference is batch-only; its incrementality is the D5 label
+  * carry-forward (update_version.py). At 100 TB the natural upgrade is a
+  * streaming ingest path: the same event vocabulary flowing continuously,
+  * with watermarked windowed aggregation for monitoring and
+  * mapGroupsWithState for sessionization. All transforms here are
+  * source-agnostic (`readStream` parquet/kafka/rate or MemoryStream in
+  * tests) — they take the already-loaded streaming DataFrame.
+  *
+  * Scale notes: windowed counts shuffle once on (window, key) with
+  * watermark-bounded state; sessionization state is per-key and evicted by
+  * processing-time timeout, so state size tracks ACTIVE keys, not history.
+  */
+object Streams {
+
+  /** Watermarked tumbling-window event counts + value sums per event_type.
+    * Late data beyond the watermark is dropped (state stays bounded). */
+  def windowedEventStats(events: DataFrame, watermark: String = "10 minutes",
+      window: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(count: Long, totalValue: Double,
+      lastTs: Long)
+  final case class SessionOut(user_id: Long, events: Long,
+      total_value: Double, closed: Boolean)
+
+  /** Per-user session aggregation via typed state (KeyValueGroupedDataset
+    * .mapGroupsWithState): an event-time gap beyond `gapMs` starts a new
+    * session. With `ProcessingTimeTimeout` idle sessions also flush as
+    * `closed=true` (production mode; tests use the default `NoTimeout`
+    * because timeout-driven empty micro-batches never let
+    * `processAllAvailable` settle). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](timeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(uid, s.count, s.totalValue, closed = true)
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+            // a gap beyond gapMs starts a new session
+            val merged = evs.foldLeft(prev) { (s, e) =>
+              if (s.lastTs != Long.MinValue && e.ts.getTime - s.lastTs > gapMs)
+                SessionState(1L, e.value, e.ts.getTime)
+              else SessionState(s.count + 1, s.totalValue + e.value, e.ts.getTime)
+            }
+            state.update(merged)
+            if (useTimeout) state.setTimeoutDuration(gapMs)
+            SessionOut(uid, merged.count, merged.totalValue, closed = false)
+          }
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the result table (test/demo harness). */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Update()): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

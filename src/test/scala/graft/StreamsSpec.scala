@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import java.sql.Timestamp
+
+class StreamsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("windowedEventStats aggregates tumbling windows per event_type") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(1), 10, "click", 2.0),
+      Event(2, ts(2), 11, "click", 3.0),
+      Event(3, ts(3), 10, "view", 1.0),
+      Event(4, ts(7), 10, "click", 5.0))
+    val out = Streams.runToMemory(spark,
+      Streams.windowedEventStats(mem.toDF(), "10 minutes", "5 minutes"),
+      "win_stats")
+    val rows = out.select("window_start", "event_type", "n", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows === Set(
+      (ts(0), "click", 2L, 5.0),
+      (ts(0), "view", 1L, 1.0),
+      (ts(5), "click", 1L, 5.0)))
+  }
+
+  test("sessionize accumulates per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 60 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    mem.addData(Event(1, ts(1), 10, "click", 2.0), Event(2, ts(2), 10, "view", 3.0))
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(4), 10, "click", 1.0), Event(4, ts(5), 20, "view", 9.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions")
+      .select("user_id", "events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    // last update per user reflects accumulated state
+    assert(rows.filter(_._1 == 10L).map(_._2).max === 3L)
+    assert(rows.filter(_._1 == 10L).map(_._3).max === 6.0)
+    assert(rows.filter(_._1 == 20L).toSet === Set((20L, 1L, 9.0)))
+  }
+
+  test("sessionize starts a fresh session after the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 2 * 60 * 1000L) // 2 min gap
+      .writeStream.format("memory").queryName("sessions2")
+      .outputMode("update").start()
+    mem.addData(Event(1, ts(1), 5, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(2, ts(10), 5, "click", 7.0)) // 9 min later -> new session
+    q.processAllAvailable()
+    val last = spark.table("sessions2")
+      .select("user_id", "events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).last
+    q.stop()
+    assert(last === ((5L, 1L, 7.0)))
+  }
+}
