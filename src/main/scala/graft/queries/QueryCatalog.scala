@@ -148,6 +148,30 @@ object QueryCatalog {
     s"""WITH ${GraphSql.nodesCte}
        |SELECT full_name, label AS labels_str FROM nodes""".stripMargin
 
+  /** A3 — prop-only update merge on existing nodes (graphDB.py:114-119):
+    * new values overwrite where an update exists, others keep their prop;
+    * nodes without updates pass through (left join + coalesce). */
+  val gA3Update: Q = (s, d) => {
+    val base = nodes(s, d).filter(col("label") === "CUSTOMER")
+      .select(col("full_name"), col("name"), col("prop_num"))
+    val upd = Tables.orders(s, d)
+      .groupBy(concat(lit("customer."), col("o_custkey")).as("full_name"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double").as("new_val"))
+    base.join(upd, Seq("full_name"), "left")
+      .select(col("full_name"), col("name"),
+        round(coalesce(col("new_val"), col("prop_num")), 2).as("prop_num"))
+  }
+
+  val gA3UpdateSql: String =
+    s"""WITH ${GraphSql.nodesCte},
+       |upd AS (SELECT 'customer.' || o_custkey AS full_name,
+       |        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS new_val
+       |        FROM orders GROUP BY 1)
+       |SELECT n.full_name, n.name, round(coalesce(u.new_val, n.prop_num), 2) AS prop_num
+       |FROM nodes n LEFT JOIN upd u ON n.full_name = u.full_name
+       |WHERE n.label = 'CUSTOMER'""".stripMargin
+
   /** A4 — edge dedup on (src, rel_type, dst) (graphDB.py:133-153). */
   val gA4EdgeDedup: Q = (s, d) =>
     Tables.lineitem(s, d).select(
@@ -593,6 +617,7 @@ object QueryCatalog {
     "g_b9_label_pick" -> gB9LabelPick,
     "g_a1_merge_lww" -> gA1MergeLww,
     "g_a2_promote" -> gA2Promote,
+    "g_a3_update" -> gA3Update,
     "g_a4_edge_dedup" -> gA4EdgeDedup,
     "g_a5_detach" -> gA5Detach,
     "g_a7_strip" -> gA7Strip,
@@ -634,6 +659,7 @@ object QueryCatalog {
     "g_b9_label_pick" -> gB9LabelPickSql,
     "g_a1_merge_lww" -> gA1MergeLwwSql,
     "g_a2_promote" -> gA2PromoteSql,
+    "g_a3_update" -> gA3UpdateSql,
     "g_a4_edge_dedup" -> gA4EdgeDedupSql,
     "g_a5_detach" -> gA5DetachSql,
     "g_a7_strip" -> gA7StripSql,
