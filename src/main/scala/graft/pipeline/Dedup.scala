@@ -39,7 +39,11 @@ object Dedup {
     val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq && col("df") >= 2)
     val invR = inv.join(rare.select("h"), "h")
-    val common = invR.as("x").join(invR.as("y"),
+    // identical subplans on both sides + forced shuffle join -> the
+    // inverted index is computed once and its exchange reused (broadcast
+    // would re-evaluate the build side; at scale it wouldn't fit anyway)
+    val common = invR.as("x").hint("SHUFFLE_MERGE")
+      .join(invR.as("y").hint("SHUFFLE_MERGE"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
@@ -95,7 +99,10 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = banded.as("x").join(banded.as("y"),
+    // forced shuffle join: both sides are the same banded-signature plan,
+    // so the exchange is computed once and reused (signatures hash once)
+    val cand = banded.as("x").hint("SHUFFLE_MERGE")
+      .join(banded.as("y").hint("SHUFFLE_MERGE"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -169,7 +176,9 @@ object Dedup {
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b => shiftright(col("sig"), b * 16) % 65536): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = banded.as("x").join(banded.as("y"),
+    // same shuffle-reuse rationale as minhashLshPairs
+    val cand = banded.as("x").hint("SHUFFLE_MERGE")
+      .join(banded.as("y").hint("SHUFFLE_MERGE"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),

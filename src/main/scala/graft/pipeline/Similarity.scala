@@ -102,7 +102,11 @@ object Similarity {
       numPlanes: Int = 4, dim: Int = 64): DataFrame = {
     val hashed = emb.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
-    hashed.as("x").join(hashed.as("y"),
+    // forced shuffle join so the bucketing pipeline runs once (reused
+    // exchange); the hashed corpus is join-side-symmetric and at scale
+    // never broadcastable
+    hashed.as("x").hint("SHUFFLE_MERGE")
+      .join(hashed.as("y").hint("SHUFFLE_MERGE"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
         cosine(col("x.embedding"), col("y.embedding")).as("sim"))

@@ -351,14 +351,19 @@ object QueryCatalog {
   /** Anti join: customers with no orders. */
   val q6Anti: Q = (s, d) => {
     val c = Tables.customer(s, d)
-    val o = Tables.orders(s, d).select(col("o_custkey"))
+    // selective anti side (every customer has SOME order, so the plain
+    // anti-join is vacuously empty — a weak oracle check)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+      .select(col("o_custkey"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
   }
 
   val q6AntiSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderpriority = '1-URGENT' AND o_totalprice > 150000)""".stripMargin
 
   /** Semi join: customers with at least one urgent order. */
   val q7Semi: Q = (s, d) => {
