@@ -96,6 +96,52 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (every `centroidEvery`-th
+    * vector is a centroid) partitions the corpus into cells; a query scores
+    * only vectors in its `nprobe` nearest cells. The classic scale path:
+    * centroids are broadcast (small), the corpus is assigned in one
+    * codegen'd pass, and per-query work drops from O(n) to
+    * O(nprobe·n/#cells). Recall < 1 by design; deterministic so the oracle
+    * replays the identical quantization. */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      centroidEvery: Int = 50, nprobe: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = emb.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // cell assignment: nearest centroid by cosine (ties -> lowest cid)
+    val byCell = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("crank", row_number().over(byCell))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    // query cells: nprobe nearest centroids per query vector
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val byQuery = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cid"),
+        cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("prank", row_number().over(byQuery))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    // score candidates within probed cells only
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    // each vector lives in exactly one cell and probe cells are distinct
+    // per query, so (query, vec) pairs are already unique
+    assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
   /** Embedding near-duplicate pairs: all (a,b), a<b, cosine ≥ threshold,
     * restricted to same-LSH-bucket candidates to stay sub-quadratic. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,

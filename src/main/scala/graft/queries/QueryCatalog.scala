@@ -418,6 +418,18 @@ object QueryCatalog {
     s"""SELECT doc_id, CASE WHEN length($normSql) = 0 THEN 0
        |ELSE len(string_split($normSql, ' ')) END::BIGINT AS n_tokens FROM documents""".stripMargin
 
+  /** BPE-ish subword counting: alpha runs, digit runs, and single
+    * punctuation marks each count as one token (the pre-tokenization regex
+    * of byte-pair encoders) — identical regex in both engines. */
+  val tBpeTokens: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+        .cast("long").as("n_subwords"))
+
+  val tBpeTokensSql: String =
+    """SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_subwords
+      |FROM documents""".stripMargin
+
   /** Quality scoring: alpha ratio, stopword ratio, mean token length,
     * composite score — all rounded for cross-engine equality. */
   val tQuality: Q = (s, d) =>
@@ -598,6 +610,36 @@ object QueryCatalog {
        |WHERE q.vec_id IN (0, 1, 2, 3, 4)
        |QUALIFY rank <= 10""".stripMargin
 
+  /** Cosine between two aliased list columns, DuckDB side (mirrors
+    * Similarity.cosine / CosineSim exactly; 64-dim). */
+  private def cosOf(a: String, b: String): String =
+    s"""round(
+       |  list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)
+       |  / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x, y) -> x + y))
+       |   * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y))), 4)""".stripMargin
+
+  /** IVF-style ANN: deterministic coarse centroids (vec_id % 50 == 0),
+    * nprobe=5, top-10 for query vectors 0–4. */
+  val sIvfAnn: Q = (s, d) =>
+    Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
+      centroidEvery = 50, nprobe = 5)
+
+  val sIvfAnnSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+       |assigned AS (SELECT vec_id, embedding, cid FROM (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cid) AS crank
+       |  FROM embeddings e CROSS JOIN cents c) WHERE crank = 1),
+       |probes AS (SELECT query_id, qv, cid FROM (
+       |  SELECT qq.vec_id AS query_id, qq.embedding AS qv, c.cid,
+       |    row_number() OVER (PARTITION BY qq.vec_id ORDER BY ${cosOf("qq.embedding", "c.cv")} DESC, c.cid) AS prank
+       |  FROM embeddings qq CROSS JOIN cents c WHERE qq.vec_id IN (0,1,2,3,4)) WHERE prank <= 5)
+       |SELECT query_id, vec_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+       |FROM (SELECT p.query_id, a.vec_id, ${cosOf("p.qv", "a.embedding")} AS sim
+       |      FROM assigned a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.query_id)
+       |QUALIFY rank <= 10""".stripMargin
+
   /** Embedding near-duplicate pairs (same-bucket candidates, cosine ≥ 0.3). */
   val sEmbNearDup: Q = (s, d) =>
     Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.3)
@@ -640,6 +682,7 @@ object QueryCatalog {
     "q8_event_window" -> q8EventWindow,
     "q9_rollup" -> q9Rollup,
     "t_tokens" -> tTokens,
+    "t_bpe_tokens" -> tBpeTokens,
     "t_quality" -> tQuality,
     "t_langid" -> tLangId,
     "t_fingerprint" -> tFingerprint,
@@ -649,6 +692,7 @@ object QueryCatalog {
     "d_simhash" -> dSimhash,
     "s_cosine_topk" -> sCosineTopK,
     "s_lsh_ann" -> sLshAnn,
+    "s_ivf_ann" -> sIvfAnn,
     "s_emb_neardup" -> sEmbNearDup,
   )
 
@@ -682,6 +726,7 @@ object QueryCatalog {
     "q8_event_window" -> q8EventWindowSql,
     "q9_rollup" -> q9RollupSql,
     "t_tokens" -> tTokensSql,
+    "t_bpe_tokens" -> tBpeTokensSql,
     "t_quality" -> tQualitySql,
     "t_langid" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
@@ -691,6 +736,7 @@ object QueryCatalog {
     "d_simhash" -> dSimhashSql,
     "s_cosine_topk" -> sCosineTopKSql,
     "s_lsh_ann" -> sLshAnnSql,
+    "s_ivf_ann" -> sIvfAnnSql,
     "s_emb_neardup" -> sEmbNearDupSql,
   )
 }

@@ -48,6 +48,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("ivfTopK: probed-cell candidates ranked like brute force") {
+    // centroidEvery=2 -> centroids {0,2,4}; every vector assigned to one
+    // cell; with nprobe covering all cells, results equal brute force
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L), 10).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val ivf = Similarity.ivfTopK(emb, Seq(0L), 10, centroidEvery = 2, nprobe = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(ivf === bf)
+    // tighter probe -> subset of brute force, ranks contiguous
+    val narrow = Similarity.ivfTopK(emb, Seq(0L), 10, centroidEvery = 2, nprobe = 1)
+      .collect()
+    assert(narrow.map(r => (r.getLong(1), r.getDouble(2))).toSet.subsetOf(bf.toSet))
+    assert(narrow.map(_.getInt(3)).sorted.toSeq === (1 to narrow.length).toSeq)
+  }
+
   test("lshBucket is deterministic and engine-portable") {
     val b1 = emb.select(Similarity.lshBucket(col("embedding"), 4, 4).as("b"))
       .as[Long].collect().toSeq
