@@ -162,28 +162,45 @@ object PyIndexer {
     val topDefs = mutable.Set.empty[String]
     val topGlobals = mutable.Set.empty[String]
     val importedName = mutable.Map.empty[String, String] // alias -> full target
-    val importedModule = mutable.Map.empty[String, String] // alias -> module
-    lines.foreach {
+    val importedModule = mutable.Map.empty[String, String] // binding -> module
+    // logical-line join for parenthesized import lists:
+    //   from m import (a, b as c,\n d)
+    val logical = {
+      val buf = mutable.ArrayBuffer.empty[String]
+      var pending: String = null
+      lines.foreach { l =>
+        if (pending != null) {
+          pending += " " + l.trim
+          if (l.contains(")")) { buf += pending.replaceAll("[()]", " "); pending = null }
+        } else if (l.trim.startsWith("from") && l.contains("(") && !l.contains(")"))
+          pending = l
+        else buf += l
+      }
+      buf.toSeq
+    }
+    logical.foreach {
       case classHeader(ind, name, _) if ind.isEmpty => topClasses += name
       case defHeader(ind, name) if ind.isEmpty => topDefs += name
       case assignStmt(ind, name) if ind.isEmpty => topGlobals += name
       case importStmt(spec) =>
         spec.split(",").map(_.trim).filter(_.nonEmpty).foreach { part =>
-          val (target, alias) = part.split("\\s+as\\s+") match {
-            case Array(t, a) => (t.trim, a.trim)
-            case _ => (part.trim, part.trim.split("\\.").last)
+          part.split("\\s+as\\s+") match {
+            case Array(t, a) => importedModule(a.trim) = t.trim
+            // plain `import a.b.c` binds the dotted path itself; dotted
+            // callees resolve by longest-prefix match below
+            case _ => importedModule(part.trim) = part.trim
           }
-          importedModule(alias) = target
         }
-      case fromImport(m, names) if !names.contains("(") =>
-        names.split(",").map(_.trim).filter(n => n.nonEmpty && n != "*").foreach { part =>
-          val (target, alias) = part.split("\\s+as\\s+") match {
-            case Array(t, a) => (t.trim, a.trim)
-            case _ => (part.trim, part.trim)
+      case fromImport(m, names) =>
+        names.replaceAll("[()]", " ").split(",").map(_.trim)
+          .filter(n => n.nonEmpty && n != "*").foreach { part =>
+            val (target, alias) = part.split("\\s+as\\s+") match {
+              case Array(t, a) => (t.trim, a.trim)
+              case _ => (part.trim, part.trim)
+            }
+            if (m.nonEmpty && !m.startsWith("."))
+              importedName(alias) = s"$m.$target"
           }
-          if (m.nonEmpty && !m.startsWith("."))
-            importedName(alias) = s"$m.$target"
-        }
       case _ => ()
     }
 
@@ -216,9 +233,20 @@ object PyIndexer {
         if (topDefs.contains(n)) Some(s"$mod.$n")
         else if (topClasses.contains(n)) Some(s"$mod.$n")
         else importedName.get(n)
-      } else if (importedModule.contains(parts(0)))
-        Some((importedModule(parts(0)) +: parts.tail).mkString("."))
-      else None
+      } else {
+        // longest-prefix match against imported module bindings, so both
+        // `import a.b.c` (binds a.b.c) and `import a.b as x` (binds x)
+        // resolve dotted call chains
+        (parts.length - 1 to 1 by -1).iterator
+          .map(i => (parts.take(i).mkString("."), parts.drop(i)))
+          .collectFirst { case (prefix, rest) if importedModule.contains(prefix) =>
+            (importedModule(prefix) +: rest).mkString(".")
+          }
+          .orElse {
+            // `from m import X` + `X.method(...)`
+            importedName.get(parts(0)).map(t => (t +: parts.tail.toSeq).mkString("."))
+          }
+      }
     }
 
     var i = 0

@@ -142,6 +142,26 @@ class IndexerSpec extends AnyFunSuite {
     assert(kinds("ext.lib.thing") === Kind.None_)
   }
 
+  test("parenthesized multi-line imports resolve (C8)") {
+    val src = Seq(SourceFile("p.py",
+      "from folder1.file2 import (Helper,\n    helper_fn as hfn)\n\ndef go():\n    hfn()\n    Helper()\n")).toDS()
+    val out = IndexPipeline.indexFiles(spark, src, "tp")
+    val calls = out.edges.filter(col("rel_type") === Rel.Call)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(calls.contains(("p.go", "folder1.file2.helper_fn")))
+    assert(calls.contains(("p.go", "folder1.file2.Helper")))
+  }
+
+  test("plain dotted import binds the full path; prefix-resolves calls (C8/C9)") {
+    val src = Seq(SourceFile("q.py",
+      "import folder1.file2\nimport os.path as osp\n\ndef go():\n    folder1.file2.helper_fn()\n    osp.join()\n")).toDS()
+    val calls = IndexPipeline.indexFiles(spark, src, "tq")
+      .edges.filter(col("rel_type") === Rel.Call)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(calls.contains(("q.go", "folder1.file2.helper_fn")))
+    assert(calls.contains(("q.go", "os.path.join")))
+  }
+
   test("code pointers hydrate against the source (B11/C14 roundtrip)") {
     val files = fixture.toDF().withColumnRenamed("path", "file_path")
     val cls = ix.nodes.filter(col("full_name") === "folder1.file2.Helper")
