@@ -33,8 +33,11 @@ object Closure {
         .join(base.as("b"), col("d.dst") === col("b.src"))
         .select(col("d.src").as("src"), col("b.dst").as("dst"))
         .distinct()
+      // only the delta needs an eager checkpoint (it both terminates the
+      // loop and feeds the next join); acc stays a shallow union tree of
+      // already-checkpointed deltas, so its lineage never deepens
       delta = next.except(acc).localCheckpoint(eager = true)
-      acc = acc.union(delta).localCheckpoint(eager = true)
+      acc = acc.union(delta)
       i += 1
     }
     acc

@@ -53,15 +53,20 @@ object GraphOps {
     try_element_at(filter(labels, l => l.isInCollection(kinds)), lit(1))
 
   /** A5 — clear task data with DETACH-cascade (reference graphDB.py:94-100):
-    * drop nodes in the task, then keep only edges whose BOTH endpoints
-    * survive (two semi-joins). */
+    * drop nodes in the task; edges lose any row touching a DELETED node
+    * (two anti-joins against the deleted key set). Anti against the
+    * deleted set, not semi against survivors: the deleted set is the
+    * one task being cleared — usually a small fraction of the graph and
+    * broadcastable, so the edge table never shuffles. Equivalent because
+    * every edge endpoint exists in nodes (the A4 stub invariant). */
   def clearTask(nodes: DataFrame, edges: DataFrame, taskId: String)
       : (DataFrame, DataFrame) = {
     val surviving = nodes.filter(!array_contains(col("task_ids"), taskId))
-    val keys = surviving.select(col("full_name"))
+    val deleted = nodes.filter(array_contains(col("task_ids"), taskId))
+      .select(col("full_name"))
     val e2 = edges
-      .join(keys.withColumnRenamed("full_name", "src"), Seq("src"), "left_semi")
-      .join(keys.withColumnRenamed("full_name", "dst"), Seq("dst"), "left_semi")
+      .join(deleted.withColumnRenamed("full_name", "src"), Seq("src"), "left_anti")
+      .join(deleted.withColumnRenamed("full_name", "dst"), Seq("dst"), "left_anti")
     (surviving, e2)
   }
 

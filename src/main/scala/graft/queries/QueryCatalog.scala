@@ -182,14 +182,16 @@ object QueryCatalog {
   val gA4EdgeDedupSql: String =
     """SELECT DISTINCT 'orders.' || l_orderkey AS src, 'part.' || l_partkey AS dst FROM lineitem""".stripMargin
 
-  /** A5 — DETACH-cascade delete (graphDB.py:94-100): drop NATION nodes,
-    * keep only edges whose both endpoints survive. */
+  /** A5 — DETACH-cascade delete (graphDB.py:94-100): drop NATION nodes;
+    * edges lose rows touching a deleted node. Anti-join against the
+    * (small, broadcastable) deleted set — the edge table never shuffles,
+    * unlike a semi-join against the full survivor set. */
   val gA5Detach: Q = (s, d) => {
-    val surviving = nodes(s, d).filter(col("label") =!= "NATION")
-    val keys = surviving.select(col("full_name"))
+    val deleted = nodes(s, d).filter(col("label") === "NATION")
+      .select(col("full_name"))
     edges(s, d)
-      .join(keys.withColumnRenamed("full_name", "src"), Seq("src"), "left_semi")
-      .join(keys.withColumnRenamed("full_name", "dst"), Seq("dst"), "left_semi")
+      .join(broadcast(deleted.withColumnRenamed("full_name", "src")), Seq("src"), "left_anti")
+      .join(broadcast(deleted.withColumnRenamed("full_name", "dst")), Seq("dst"), "left_anti")
       .groupBy(col("rel_type")).agg(count(lit(1)).as("n_edges"))
   }
 
