@@ -228,6 +228,28 @@ object QueryCatalog {
        |)
        |SELECT src, dst FROM reach""".stripMargin
 
+  /** Iterative analytics beyond the reference: 5-iteration PageRank over
+    * the containment hierarchy — DataFrame fixpoint loop vs unrolled-CTE
+    * oracle; per-iteration rounding makes both engines bit-identical. */
+  val q10Pagerank: Q = (s, d) =>
+    graft.enrich.Analytics.pageRank(GraphTables.hierarchy(s, d), iterations = 5)
+
+  val q10PagerankSql: String = {
+    def iter(i: Int): String =
+      s"""pr$i AS (SELECT t.v, round(0.15/(SELECT n FROM nn) + 0.85*coalesce(c.s, 0), 10) AS pr
+         |  FROM verts t LEFT JOIN (
+         |    SELECT e.dst AS v, round(sum(p.pr / o.cnt), 10) AS s
+         |    FROM hier e JOIN pr${i - 1} p ON e.src = p.v JOIN outdeg o ON e.src = o.src
+         |    GROUP BY e.dst) c ON t.v = c.v)""".stripMargin
+    s"""WITH ${GraphSql.hierarchyCte},
+       |verts AS (SELECT src AS v FROM hier UNION SELECT dst FROM hier),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+       |outdeg AS (SELECT src, count(*) AS cnt FROM hier GROUP BY src),
+       |pr0 AS (SELECT v, round(1.0/(SELECT n FROM nn), 10) AS pr FROM verts),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT v, round(pr, 6) AS pagerank FROM pr5""".stripMargin
+  }
+
   /** D5 — snapshot carry-forward (update_version.py:21-44): docs whose
     * source is NOT in the change list join the v2 snapshot. */
   val gD5Carry: Q = (s, d) => {
@@ -683,6 +705,7 @@ object QueryCatalog {
     "q7_semi" -> q7Semi,
     "q8_event_window" -> q8EventWindow,
     "q9_rollup" -> q9Rollup,
+    "q10_pagerank" -> q10Pagerank,
     "t_tokens" -> tTokens,
     "t_bpe_tokens" -> tBpeTokens,
     "t_quality" -> tQuality,
@@ -727,6 +750,7 @@ object QueryCatalog {
     "q7_semi" -> q7SemiSql,
     "q8_event_window" -> q8EventWindowSql,
     "q9_rollup" -> q9RollupSql,
+    "q10_pagerank" -> q10PagerankSql,
     "t_tokens" -> tTokensSql,
     "t_bpe_tokens" -> tBpeTokensSql,
     "t_quality" -> tQualitySql,
