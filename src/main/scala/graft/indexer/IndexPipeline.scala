@@ -22,57 +22,145 @@ object IndexPipeline {
 
   final case class SourceFile(path: String, content: String)
 
-  /** C1 — enumerate a source tree into (path, content) rows. `binaryFile`
-    * gives distributed listing + streaming reads; paths are relativized to
+  /** C1 — enumerate a source tree into (path, content) rows. Listing is
+    * driver-side (Spark's file sources silently skip `_`-prefixed names
+    * like `__init__.py` — the Hadoop hidden-file convention); content
+    * reads happen executor-side per partition. At the 100 TB posture the
+    * listing comes from a manifest either way. Paths are relativized to
     * `root` (A7, reference graphDB.py:155-174 does this post-hoc). */
   def readRepo(spark: SparkSession, root: String): Dataset[SourceFile] = {
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.py")
-      .option("recursiveFileLookup", "true")
-      .load(root)
-      .select(col("path"), col("content"))
-      .map { r =>
-        val p = r.getString(0).stripPrefix("file:")
-        val rel = p.stripPrefix(root.stripSuffix("/") + "/")
-        SourceFile(rel, new String(r.getAs[Array[Byte]](1), "UTF-8"))
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val rootPath = Paths.get(root)
+    val rels = Files.walk(rootPath).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".py"))
+      .map(p => rootPath.relativize(p).toString)
+      .toSeq.sorted
+    spark.createDataset(rels)
+      .repartition(math.max(1, math.min(rels.size, 64)))
+      .map { rel =>
+        val bytes = Files.readAllBytes(Paths.get(root, rel))
+        SourceFile(rel, new String(bytes, "UTF-8"))
       }
   }
 
   final case class Indexed(
-      nodes: DataFrame, edges: DataFrame, locations: DataFrame)
+      nodes: DataFrame, edges: DataFrame, locations: DataFrame,
+      imports: DataFrame)
 
   /** C2/C4/C13 — index every file and merge the event stream into graph
-    * tables. One wide flatMap (no shuffle) + the Merge shuffles. */
+    * tables. One wide flatMap (no shuffle) + the Merge shuffles. Files the
+    * parser chokes on degrade to an ERROR location row (never abort). */
   def indexFiles(spark: SparkSession, files: Dataset[SourceFile],
       taskId: String): Indexed = {
     import spark.implicits._
     val events = files.flatMap { f =>
-      val ev = PyIndexer.indexFile(taskId, f.path, f.content)
-      Seq((ev.symbols, ev.edges, ev.locations))
+      val ev = PyIndexer.indexFileSafe(taskId, f.path, f.content)
+      Seq((ev.symbols, ev.edges, ev.locations, ev.imports))
     }.cache()
     val symbolEvents = events.flatMap(_._1)
     val edgeEvents = events.flatMap(_._2)
     val locations = events.flatMap(_._3)
+    val imports = events.flatMap(_._4)
     val nodes0 = Merge.mergeNodes(symbolEvents.toDF())
     val edges = Merge.mergeEdges(edgeEvents.toDF())
     val nodes = Merge.withStubs(nodes0, edges, taskId)
-    Indexed(nodes, edges, locations.toDF())
+    Indexed(nodes, edges, locations.toDF(), imports.toDF())
   }
 
-  /** D1-D4 — enrichment: propagate inherited methods over the INHERITS
-    * closure as new HAS_METHOD edges (ast_manage.py:79-99). Import→CONTAINS
-    * (D2) is covered by the indexer's import-resolved references; the
-    * closure below is the fixpoint part. */
+  /** D2 — re-export chasing: an edge/import target `pkg.name` where `pkg`
+    * is a module that merely re-imports `name` (from .x import name in
+    * __init__.py) is rewritten to the definition's full_name. Applied
+    * `hops` times for chains (reference retries recursively,
+    * ast_manage.py:128-152). */
+  private def chaseReexports(targets: DataFrame, targetCol: String,
+      imports: DataFrame, definedKeys: DataFrame, hops: Int): DataFrame = {
+    val named = imports.filter(col("kind") === "name")
+      .select(concat(col("module"), lit("."), col("alias")).as("_alias_fqn"),
+        col("target").as("_reexport_target"))
+    (1 to hops).foldLeft(targets) { (df, _) =>
+      df
+        // only rewrite targets that are NOT actually defined symbols
+        .join(definedKeys.withColumnRenamed("full_name", targetCol)
+          .withColumn("_defined", lit(true)), Seq(targetCol), "left")
+        .join(named, col(targetCol) === col("_alias_fqn"), "left")
+        .withColumn(targetCol,
+          when(col("_defined").isNull && col("_reexport_target").isNotNull,
+            col("_reexport_target")).otherwise(col(targetCol)))
+        .drop("_alias_fqn", "_reexport_target", "_defined")
+    }
+  }
+
+  /** D1-D4 — enrichment:
+    *  1. re-export chasing (D2) rewrites edge targets through package
+    *     __init__ re-imports;
+    *  2. import containment (D1/D2): CONTAINS(importing module → imported
+    *     symbol), wildcard `import *` expanding to every top-level member
+    *     of the source module (B4 join shape, ast_manage.py:154-160);
+    *  3. inherited-method closure (D4, ast_manage.py:79-99);
+    *  4. stub reconciliation for the rewritten edge set.
+    */
   def enrich(ix: Indexed, taskId: String): Indexed = {
-    val inherits = ix.edges.filter(col("rel_type") === Rel.Inherits)
+    val defined = ix.nodes.filter(col("kind") =!= Kind.None_)
+      .select(col("full_name"))
+    val edges1 = chaseReexports(ix.edges, "dst", ix.imports, defined, hops = 2)
+
+    // named import containment (only targets that exist as defined symbols)
+    val importContains = chaseReexports(
+      ix.imports.filter(col("kind") === "name")
+        .select(col("module").as("src"), col("target").as("dst")),
+      "dst", ix.imports, defined, hops = 2)
+      .join(defined.withColumnRenamed("full_name", "dst"), Seq("dst"), "left_semi")
+      .select(col("src"), lit(Rel.Contains).as("rel_type"), col("dst"),
+        map(lit("association_type"), lit("IMPORT")).as("props"))
+    // wildcard: importing module CONTAINS every top-level member of target
+    // (expanded over the post-import-containment edge set, so a package's
+    // re-exported members — CONTAINS edges created just above — count)
+    val contains1 = edges1.unionByName(importContains)
+    val wildcardContains = ix.imports.filter(col("kind") === "wildcard")
+      .select(col("module").as("_importer"), col("target").as("_srcmod"))
+      .join(contains1.filter(col("rel_type") === Rel.Contains)
+        .select(col("src").as("_srcmod"), col("dst")), "_srcmod")
+      .select(col("_importer").as("src"), lit(Rel.Contains).as("rel_type"),
+        col("dst"), map(lit("association_type"), lit("IMPORT")).as("props"))
+
+    val withImports = contains1.unionByName(wildcardContains)
+      .dropDuplicates("src", "rel_type", "dst")
+
+    val inherits = withImports.filter(col("rel_type") === Rel.Inherits)
       .select(col("src"), col("dst"))
-    val hasMethod = ix.edges.filter(col("rel_type") === Rel.HasMethod)
+    val hasMethod = withImports.filter(col("rel_type") === Rel.HasMethod)
       .select(col("src"), col("dst"))
     val newEdges = Closure.inheritedMethods(inherits, hasMethod)
       .select(col("src"), lit(Rel.HasMethod).as("rel_type"), col("dst"),
         map(lit("inherited"), lit("true")).as("props"))
-    Indexed(ix.nodes, ix.edges.unionByName(newEdges), ix.locations)
+    val withInherited = withImports.unionByName(newEdges)
+
+    // C11 approximation: a CALL to an inherited method (`self.m()` bound
+    // syntactically to Class.m, which is not defined) re-points to the
+    // ancestor's definition discovered by the closure
+    val inheritedDefs = newEdges
+      .select(col("src").as("_cls"),
+        element_at(split(col("dst"), "\\."), -1).as("_meth"),
+        col("dst").as("_def"))
+    val finalEdges = withInherited
+      .join(defined.withColumn("_dstdef", lit(true))
+        .withColumnRenamed("full_name", "dst"), Seq("dst"), "left")
+      .withColumn("_cls2", expr("substring(dst, 1, length(dst) - length(element_at(split(dst, '\\\\.'), -1)) - 1)"))
+      .join(inheritedDefs,
+        col("rel_type") === Rel.Call && col("_dstdef").isNull &&
+          col("_cls2") === col("_cls") &&
+          element_at(split(col("dst"), "\\."), -1) === col("_meth"),
+        "left")
+      .withColumn("dst", coalesce(col("_def"), col("dst")))
+      .drop("_dstdef", "_cls2", "_cls", "_meth", "_def")
+      .dropDuplicates("src", "rel_type", "dst")
+
+    // stub reconciliation: real + still-referenced stubs for the new edges
+    val realNodes = ix.nodes.filter(col("kind") =!= Kind.None_)
+    val nodes2 = graft.merge.Merge.withStubs(realNodes, finalEdges, taskId)
+    Indexed(nodes2, finalEdges, ix.locations, ix.imports)
   }
 
   /** End-to-end: repo directory → enriched snapshot. */

@@ -35,10 +35,16 @@ import scala.util.matching.Regex
   */
 object PyIndexer {
 
+  /** Cross-file import fact (module, binding, absolute target, kind ∈
+    * {name, module, wildcard}) — input to the D1/D2 enrichment joins. */
+  final case class ImportFact(module: String, alias: String, target: String,
+      kind: String)
+
   final case class FileEvents(
       symbols: Seq[SymbolEvent],
       edges: Seq[EdgeEvent],
-      locations: Seq[LocationRow])
+      locations: Seq[LocationRow],
+      imports: Seq[ImportFact] = Seq.empty)
 
   private val classHeader: Regex =
     """^(\s*)class\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s*:.*$""".r
@@ -163,6 +169,25 @@ object PyIndexer {
     val topGlobals = mutable.Set.empty[String]
     val importedName = mutable.Map.empty[String, String] // alias -> full target
     val importedModule = mutable.Map.empty[String, String] // binding -> module
+    val importFacts = mutable.ArrayBuffer.empty[ImportFact]
+    val isPackage = relPath.endsWith("/__init__.py") || relPath == "__init__.py"
+    // C10 — resolve a from-import module spec, handling relative levels:
+    // '.'=current package, '..'=parent (ast_utils.py:64-95 level handling)
+    def resolveFromModule(spec: String): Option[String] = {
+      val level = spec.takeWhile(_ == '.').length
+      val rest = spec.drop(level)
+      if (level == 0) Some(rest)
+      else {
+        val pkg =
+          if (isPackage) mod.split("\\.").toSeq
+          else mod.split("\\.").toSeq.dropRight(1)
+        if (level - 1 > pkg.length) None
+        else {
+          val base = pkg.dropRight(level - 1)
+          Some((base ++ (if (rest.nonEmpty) Seq(rest) else Nil)).mkString("."))
+        }
+      }
+    }
     // logical-line join for parenthesized import lists:
     //   from m import (a, b as c,\n d)
     val logical = {
@@ -185,22 +210,34 @@ object PyIndexer {
       case importStmt(spec) =>
         spec.split(",").map(_.trim).filter(_.nonEmpty).foreach { part =>
           part.split("\\s+as\\s+") match {
-            case Array(t, a) => importedModule(a.trim) = t.trim
+            case Array(t, a) =>
+              importedModule(a.trim) = t.trim
+              importFacts += ImportFact(mod, a.trim, t.trim, "module")
             // plain `import a.b.c` binds the dotted path itself; dotted
             // callees resolve by longest-prefix match below
-            case _ => importedModule(part.trim) = part.trim
+            case _ =>
+              importedModule(part.trim) = part.trim
+              importFacts += ImportFact(mod, part.trim, part.trim, "module")
           }
         }
       case fromImport(m, names) =>
-        names.replaceAll("[()]", " ").split(",").map(_.trim)
-          .filter(n => n.nonEmpty && n != "*").foreach { part =>
-            val (target, alias) = part.split("\\s+as\\s+") match {
-              case Array(t, a) => (t.trim, a.trim)
-              case _ => (part.trim, part.trim)
+        resolveFromModule(m.trim).foreach { srcMod =>
+          names.replaceAll("[()]", " ").split(",").map(_.trim)
+            .filter(_.nonEmpty).foreach { part =>
+              if (part == "*") {
+                importFacts += ImportFact(mod, "*", srcMod, "wildcard")
+              } else {
+                val (target, alias) = part.split("\\s+as\\s+") match {
+                  case Array(t, a) => (t.trim, a.trim)
+                  case _ => (part.trim, part.trim)
+                }
+                if (srcMod.nonEmpty) {
+                  importedName(alias) = s"$srcMod.$target"
+                  importFacts += ImportFact(mod, alias, s"$srcMod.$target", "name")
+                }
+              }
             }
-            if (m.nonEmpty && !m.startsWith("."))
-              importedName(alias) = s"$m.$target"
-          }
+        }
       case _ => ()
     }
 
@@ -404,8 +441,34 @@ object PyIndexer {
       locs += LocationRow(mod, relPath, "ATOMIC_RANGE", s, 1, e, 1)
     }
 
-    FileEvents(symbols.toSeq, dedupEdges(edges.toSeq), locs.toSeq)
+    // parse-error heuristic for the shallow parser: a bracket opened and
+    // never closed by EOF → ERROR row (reference recordError,
+    // myClient.py:419-437); indexing still completes with what was seen
+    val balance = lines.map(l =>
+      l.count("([{".contains(_)) - l.count(")]}".contains(_))).sum
+    if (balance != 0)
+      locs += LocationRow(mod, relPath, "ERROR", 1, 1, rawLines.length, 1)
+
+    FileEvents(symbols.toSeq, dedupEdges(edges.toSeq), locs.toSeq,
+      importFacts.toSeq)
   }
+
+  /** Never-throwing wrapper: a file the indexer chokes on produces its
+    * MODULE symbol plus an ERROR location row instead of aborting the
+    * partition (the reference records errors via recordError,
+    * myClient.py:419-437). */
+  def indexFileSafe(taskId: String, relPath: String, content: String): FileEvents =
+    try indexFile(taskId, relPath, content)
+    catch {
+      case e: Exception =>
+        val m = moduleName(relPath)
+        FileEvents(
+          Seq(SymbolEvent(1L, taskId, Kind.Module, m, m.split("\\.").last,
+            Some(relPath), None, None, None, Map("index_error" -> e.toString))),
+          Seq.empty,
+          Seq(LocationRow(m, relPath, "ERROR", 1, 1, 1, 1)),
+          Seq.empty)
+    }
 
   /** Within-file edge dedup (the reference's upsert makes repeats no-ops). */
   private def dedupEdges(es: Seq[EdgeEvent]): Seq[EdgeEvent] =
