@@ -177,6 +177,12 @@ final class GraphDatabase private (
       .filter(dstPred)
   }
 
+  /** B10 — `execute_query` for the reference's observed Cypher shapes
+    * (graphDB.py:106-112; full Cypher delegated to Neo4j there, subset
+    * parsed natively here — SURVEY.md §7.3). */
+  def executeQuery(cypher: String): DataFrame =
+    CypherLite.execute(snap.nodes, snap.edges, cypher)
+
   /** B6 + B11 — methods of a class with hydrated code, the reference's
     * flagship demo query (graphDB.py:280-283). */
   def methodsOf(classFullName: String, files: DataFrame): DataFrame = {

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.GraphDatabase
+import graft.model._
+
+/** B10 — the reference's demo queries (graphDB.py:269-303) through the
+  * CypherLite subset parser. */
+class CypherLiteSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private lazy val db = {
+    val d = GraphDatabase.inMemory(spark)
+    d.addNode("sklearn", Kind.Class, "m.Person", Map("name" -> "Person"))
+    d.addNode("sklearn", Kind.Method, "m.Person.greet",
+      Map("name" -> "greet", "signature" -> "def greet(self):", "code" -> "..."))
+    d.addNode("sklearn", Kind.Module, "m", Map("name" -> "m", "file_path" -> "m.py"))
+    d.addNode("sklearn", Kind.Function, "m.util", Map("name" -> "util"))
+    d.addEdge("sklearn", "m.Person", Rel.HasMethod, "m.Person.greet")
+    d.addEdge("sklearn", "m", Rel.Contains, "m.Person")
+    d.commit()
+    d
+  }
+
+  test("B2: lookup by label+prop — MATCH (c:CLASS {name:'Person'}) RETURN c") {
+    val out = db.executeQuery("MATCH (c:CLASS {name: 'Person'}) RETURN c").collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("c.full_name") === "m.Person")
+  }
+
+  test("B1: point lookup within a task label") {
+    val out = db.executeQuery(
+      "MATCH (n:sklearn {full_name: 'm.Person'}) RETURN n.name").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("Person"))
+  }
+
+  test("B6: expand with projection — methods of a class with signature") {
+    val out = db.executeQuery(
+      "MATCH (c:CLASS {name: 'Person'})-[:HAS_METHOD]->(m:METHOD) " +
+        "RETURN m.name, m.signature, m.code").collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "greet")
+    assert(out(0).getString(1) === "def greet(self):")
+  }
+
+  test("B3: expand with target prop filter and labels() projection") {
+    val out = db.executeQuery(
+      "MATCH (m:MODULE {full_name: 'm'})-[:CONTAINS]->(c {name: 'Person'}) " +
+        "RETURN c.full_name, labels(c)").collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "m.Person")
+    assert(out(0).getSeq[String](1).contains(Kind.Class))
+    assert(out(0).getSeq[String](1).contains("sklearn"))
+  }
+
+  test("B7: existence predicate — WHERE exists(n.file_path)") {
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) WHERE exists(n.file_path) RETURN n.file_path, n.full_name")
+      .collect()
+    assert(out.map(_.getString(1)).toSet === Set("m"))
+  }
+
+  test("B8: whole-label scan — MATCH (m:sklearn) RETURN m") {
+    assert(db.executeQuery("MATCH (m:sklearn) RETURN m").count() === 4)
+  }
+
+  test("unsupported shapes are rejected, not silently wrong") {
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (a)-[:X*1..3]->(b) RETURN a")
+    }
+  }
+}
