@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftExpressions
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for the training-data pipeline, over a
@@ -70,21 +71,19 @@ object Dedup {
     array(sig: _*)
   }
 
-  /** (doc_id, sig) via ONE pass: explode shingle hashes, then a single
-    * codegen'd hash-aggregate computing all `numHashes` minima at once.
-    * The per-row array spelling ([[minhashSignature]]) re-evaluates the
-    * shingle pipeline per signature slot (interpreted HOFs — no CSE), which
-    * is numHashes× the work; this shape also map-side-combines, so at scale
-    * the shuffle carries one partial signature per doc per partition. */
+  /** (doc_id, sig) in ONE codegen'd pass per row: the
+    * [[org.apache.spark.sql.graft.MinhashSig]] kernel folds shingle
+    * hashing directly into the per-permutation minima — no intermediate
+    * array, no explode, no shuffle. Value-identical to the per-row array
+    * spelling ([[minhashSignature]]), which re-evaluates the interpreted
+    * shingle pipeline per signature slot and is kept as the executable
+    * spec. */
   def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(shingleHashes(col("text"), k)).as("h"))
-    val aggs = minhashCoefs(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % HashP).as(s"m$i")
-    }
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    val coefs = minhashCoefs(numHashes)
+    docs.select(col("doc_id"),
+      GraftExpressions.col(org.apache.spark.sql.graft.MinhashSig(
+        GraftExpressions.expr(tokens(col("text"))), k,
+        coefs.map(_._1), coefs.map(_._2))).as("sig"))
   }
 
   /** LSH candidate pairs from banded minhash signatures: docs agreeing on
@@ -146,27 +145,15 @@ object Dedup {
     (lo ++ hi).reduce(_ + _)
   }
 
-  /** (doc_id, sig) via ONE pass: explode tokens, rolling-hash each once,
-    * then a codegen'd hash-aggregate of the 62 per-bit +1/−1 sums. Same
-    * values as [[simhash]] without the 62× re-evaluation of the token
-    * pipeline; map-side partial aggregation keeps the shuffle at one
-    * 62-column partial per doc per partition. */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), rollingHash(col("t")).as("h1"))
-      .withColumn("h2", (col("h1") * SimhashA2 + SimhashB2) % HashP)
-    val aggs = (0 until 31).map(j =>
-      sum(when(shiftright(col("h1"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"a$j")) ++
-      (0 until 31).map(j =>
-        sum(when(shiftright(col("h2"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"b$j"))
-    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        ((0 until 31).map(j =>
-          when(col(s"a$j") > 0, lit(1L << j)).otherwise(lit(0L))) ++
-         (0 until 31).map(j =>
-           when(col(s"b$j") > 0, lit(1L << (j + 31))).otherwise(lit(0L))))
-          .reduce(_ + _).as("sig"))
-  }
+  /** (doc_id, sig) in ONE codegen'd pass per row via
+    * [[org.apache.spark.sql.graft.SimhashSig]]: per-token rolling hashes
+    * and all 62 bit counters accumulate in a single loop — no explode, no
+    * shuffle. Value-identical to [[simhash]] (the HOF spec). */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      GraftExpressions.col(org.apache.spark.sql.graft.SimhashSig(
+        GraftExpressions.expr(tokens(col("text"))), SimhashA2, SimhashB2))
+        .as("sig"))
 
   /** SimHash near-dup pairs: candidates share one of the four 16-bit
     * sub-bands of the 62-bit signature; verified by Hamming ≤ maxHamming

@@ -124,6 +124,127 @@ object ShingleHashes {
   }
 }
 
+/** Full MinHash signature in ONE pass over the token array: shingle
+  * hashes (as [[ShingleHashes]]) folded directly into the per-permutation
+  * minima — no intermediate array, no explode/groupBy shuffle. `coefs`
+  * are the (a,b) permutation constants; value-identical to
+  * `min((h*a+b) % p)` per slot over the distinct shingle hashes (min is
+  * insensitive to the distinctness, so dedup is skipped). */
+case class MinhashSig(child: Expression, k: Int, coefsA: Seq[Long],
+    coefsB: Seq[Long]) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val aArr = coefsA.toArray
+  @transient private lazy val bArr = coefsB.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSig.sig(input.asInstanceOf[ArrayData], k, aArr, bArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.MinhashSig.sig($c, $k, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+object MinhashSig {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def sig(toks: ArrayData, k: Int, a: Array[Long], b: Array[Long]): ArrayData = {
+    val n = toks.numElements()
+    val kk = if (n < k) n else k
+    val windows = if (n < k) 1 else n - k + 1
+    val m = a.length
+    val mins = Array.fill(m)(Long.MaxValue)
+    var i = 0
+    while (i < windows) {
+      var h = 0L
+      var j = 0
+      while (j < kk) {
+        if (j > 0) h = (h * 31L + 32L) % RollingHash.P
+        val s = toks.getUTF8String(i + j).toString
+        var c = 0
+        val len = s.length
+        while (c < len) {
+          val cp = s.codePointAt(c)
+          h = (h * 31L + cp) % RollingHash.P
+          c += Character.charCount(cp)
+        }
+        j += 1
+      }
+      var p = 0
+      while (p < m) {
+        val v = (h * a(p) + b(p)) % RollingHash.P
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Full 62-bit SimHash in ONE pass over the token array: per-token rolling
+  * hash h1 and remapped h2, 62 +1/−1 bit counters, final sign fold —
+  * value-identical to the explode + 62-sum aggregate spelling with no
+  * shuffle. */
+case class SimhashSig(child: Expression, a2: Long, b2: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SimhashSig.sig(input.asInstanceOf[ArrayData], a2, b2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.SimhashSig.sig($c, ${a2}L, ${b2}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash_sig"
+}
+
+object SimhashSig {
+  def sig(toks: ArrayData, a2: Long, b2: Long): Long = {
+    val counts = new Array[Int](62)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i).toString
+      var h = 0L
+      var c = 0
+      val len = s.length
+      while (c < len) {
+        val cp = s.codePointAt(c)
+        h = (h * 31L + cp) % RollingHash.P
+        c += Character.charCount(cp)
+      }
+      val h2 = (h * a2 + b2) % RollingHash.P
+      var j = 0
+      while (j < 31) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        if (((h2 >> j) & 1L) == 1L) counts(j + 31) += 1 else counts(j + 31) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 62) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
 /** Cosine similarity of two float-array columns, computed in double with
   * sequential accumulation — the same operation order as the
   * `aggregate(zip_with(...))` formulation (and the oracle's SQL), so the

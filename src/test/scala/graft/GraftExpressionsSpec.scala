@@ -81,10 +81,16 @@ class GraftExpressionsSpec extends AnyFunSuite {
     val data = Seq("the quick brown fox jumps over the lazy dog", "", "a b c")
     val run = (flag: Boolean) => {
       spark.conf.set("spark.sql.codegen.wholeStage", flag)
-      try data.toDF("text")
-        .select(rollingHash(col("text")), shingleHashes(col("text"), 2))
-        .collect().map(_.toString).toSeq
-      finally spark.conf.set("spark.sql.codegen.wholeStage", true)
+      try {
+        val docs = data.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val sigs = graft.pipeline.Dedup.minhashSignatures(docs, 2, 8)
+          .join(graft.pipeline.Dedup.simhashSignatures(docs), "doc_id")
+        data.toDF("text")
+          .select(rollingHash(col("text")), shingleHashes(col("text"), 2))
+          .collect().map(_.toString).toSeq ++
+          sigs.orderBy("doc_id").collect().map(_.toString).toSeq
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", true)
     }
     assert(run(true) === run(false))
   }
