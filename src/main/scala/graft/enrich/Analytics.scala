@@ -20,16 +20,18 @@ object Analytics {
     * the oracle side). Returns (v, pagerank) rounded to 6. */
   def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+    // static per-edge state (dst, out-degree share denominator) joined ONCE
+    // and checkpointed hash-partitioned on the iteration join key — each
+    // iteration shuffles only the rank side, never re-scans the source
+    val e2 = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("cnt")), "src")
+      .repartition(col("src")).localCheckpoint(eager = true)
     val verts = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
-      .localCheckpoint(eager = true)
+      .repartition(col("v")).localCheckpoint(eager = true)
     val n = verts.count().toDouble
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(eager = true)
     var pr = verts.withColumn("pr", round(lit(1.0 / n), 10))
     for (_ <- 1 to iterations) {
-      val contrib = e.join(pr.withColumnRenamed("v", "src"), "src")
-        .join(outdeg, "src")
+      val contrib = e2.join(pr.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(round(sum(col("pr") / col("cnt")), 10).as("s"))
       pr = verts.join(contrib, Seq("v"), "left")

@@ -22,8 +22,10 @@ object Closure {
     * (columns src, dst). Depth-bounded only by the data (DAG assumed for
     * termination without dedup; dedup makes cycles safe too). */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // checkpointed hash-partitioned on src — the probe key of every
+    // iteration's extension join, so only the delta side shuffles
     val base = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(eager = true)
+      .repartition(col("src")).localCheckpoint(eager = true)
     var acc = base
     var delta = base
     var i = 0
@@ -35,8 +37,11 @@ object Closure {
         .distinct()
       // only the delta needs an eager checkpoint (it both terminates the
       // loop and feeds the next join); acc stays a shallow union tree of
-      // already-checkpointed deltas, so its lineage never deepens
-      delta = next.except(acc).localCheckpoint(eager = true)
+      // already-checkpointed deltas, so its lineage never deepens.
+      // anti-join ≡ except here (next is distinct, keys non-null) without
+      // re-distincting the whole accumulated closure every iteration
+      delta = next.join(acc, Seq("src", "dst"), "left_anti")
+        .localCheckpoint(eager = true)
       acc = acc.union(delta)
       i += 1
     }
