@@ -2,15 +2,20 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSim, GraftExpressions}
+import org.apache.spark.sql.graft.{CosineSim, GraftExpressions, SignLshSig}
 
 /** Similarity search over an embedding column (Array[Float]).
   *
   * Baseline: brute-force cosine top-k — a broadcast of the (small) query
   * set against a full scan of the corpus; one shuffle for the per-query
-  * top-k. Scale path: LSH bucketing by random-hyperplane sign bits —
-  * corpus is hashed once, queries probe only their bucket, so the pairwise
-  * work drops from O(nq·n) to O(nq·n/2^bits) at some recall cost.
+  * top-k. Scale path: BANDED multi-plane sign-LSH (the same band/bucket
+  * pattern as [[Dedup.minhashLshPairs]]): a numPlanes-bit signature is
+  * computed once per vector in a codegen'd pass, split into `bands`
+  * sub-signatures, and two vectors become candidates iff they agree on
+  * ALL bits of at least one band. Work per band is O(n²/2^rowsPerBand)
+  * for the self-join case, recall is the union over bands, and a
+  * bucket-size cap drops degenerate hub buckets — no pairwise evaluation
+  * ever happens outside a shared (band, bucket).
   */
 object Similarity {
 
@@ -55,13 +60,14 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH: component j of
-    * plane i is derived from the rolling arithmetic (i*dim+j) — a fixed,
+    * plane i is derived from the rolling arithmetic (i*64+j) — a fixed,
     * engine-portable pattern standing in for a seeded Gaussian (the sign
     * structure, bucketing, and probe logic are what matter). */
-  def planeComponent(i: Int, j: Int): Double =
-    (((i.toLong * 64 + j) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+  def planeComponent(i: Int, j: Int): Double = SignLshSig.planeComponent(i, j)
 
-  /** Sign-LSH bucket id: one bit per hyperplane = sign of dot(v, plane). */
+  /** Sign-LSH signature, HOF spelling: one bit per hyperplane = sign of
+    * dot(v, plane). The executable spec the codegen'd [[lshSignature]]
+    * kernel is property-tested against. */
   def lshBucket(v: Column, numPlanes: Int, dim: Int): Column = {
     val bits = (0 until numPlanes).map { i =>
       val dot = aggregate(
@@ -74,19 +80,42 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN top-k: corpus hashed once; each query only scores
-    * vectors in its own bucket. Recall < 1 by design; the bucket count
-    * (2^numPlanes) tunes the work/recall tradeoff. */
-  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      numPlanes: Int = 4, dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** numPlanes-bit sign-LSH signature in ONE codegen'd pass per row
+    * ([[org.apache.spark.sql.graft.SignLshSig]]) — value-identical to the
+    * HOF spelling [[lshBucket]]. */
+  def lshSignature(v: Column, numPlanes: Int): Column =
+    GraftExpressions.col(SignLshSig(GraftExpressions.expr(v), numPlanes))
+
+  /** (vec_id, embedding, band, bucket): the signature split into `bands`
+    * sub-signatures of numPlanes/bands bits each — the row-banding of
+    * [[Dedup.minhashLshPairs]] applied to sign-LSH. Vectors agreeing on
+    * ALL bits of a band land in the same (band, bucket). */
+  private def bandedBuckets(emb: DataFrame, numPlanes: Int, bands: Int): DataFrame = {
+    require(numPlanes % bands == 0, "numPlanes must be divisible by bands")
+    val rows = numPlanes / bands
     val hashed = emb.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
-    val q = hashed.filter(col("vec_id").isin(queryIds: _*))
+      lshSignature(col("embedding"), numPlanes).as("sig"))
+    hashed.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * rows) % (1L << rows)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Banded-LSH ANN top-k: corpus hashed once; each query scores only the
+    * union of its band-bucket mates (candidates deduped across bands).
+    * Recall < 1 by design: per-band miss probability compounds, union
+    * over bands recovers it — numPlanes/bands tune the work/recall
+    * tradeoff without the flat-bucket quadratic. */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = bandedBuckets(emb, numPlanes, bands)
+    val q = banded.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("bucket"))
-    val scored = hashed.join(broadcast(q), "bucket")
+        col("band"), col("bucket"))
+    val scored = banded.join(broadcast(q), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id") // union of candidates over bands
       .select(col("query_id"), col("vec_id"),
         cosine(col("qv"), col("embedding")).as("sim"))
     val w = Window.partitionBy("query_id")
@@ -143,19 +172,30 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all (a,b), a<b, cosine ≥ threshold,
-    * restricted to same-LSH-bucket candidates to stay sub-quadratic. */
+    * candidates = union over bands of same-(band, bucket) pairs — the
+    * [[Dedup.minhashLshPairs]] shape. With numPlanes=32 / bands=4, each
+    * band has 2^8 buckets, so per-band self-join work is ~n²/256 (vs the
+    * old flat 16-bucket n²/16), and `maxBucket` drops degenerate hub
+    * buckets entirely (the `maxDocFreq` analog in
+    * [[Dedup.ngramJaccardPairs]]) so one hot bucket can never go
+    * quadratic at scale; buckets of 1 yield no pairs and are skipped. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
-      numPlanes: Int = 4, dim: Int = 64): DataFrame = {
-    val hashed = emb.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
-    // forced shuffle join so the bucketing pipeline runs once (reused
-    // exchange); the hashed corpus is join-side-symmetric and at scale
+      numPlanes: Int = 32, bands: Int = 4, maxBucket: Int = 4096): DataFrame = {
+    val banded = bandedBuckets(emb, numPlanes, bands)
+    val ok = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= 2 && col("bc") <= maxBucket)
+    val bandedOk = banded.join(ok.select("band", "bucket"), Seq("band", "bucket"))
+    // forced shuffle join so the banding pipeline runs once (reused
+    // exchange); the banded corpus is join-side-symmetric and at scale
     // never broadcastable
-    hashed.as("x").hint("SHUFFLE_MERGE")
-      .join(hashed.as("y").hint("SHUFFLE_MERGE"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+    val cand = bandedOk.as("x").hint("SHUFFLE_MERGE")
+      .join(bandedOk.as("y").hint("SHUFFLE_MERGE"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+      .dropDuplicates("a", "b")
+    cand.select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

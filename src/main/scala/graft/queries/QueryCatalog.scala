@@ -613,25 +613,41 @@ object QueryCatalog {
        |WHERE q.vec_id IN (0, 1, 2, 3, 4)
        |QUALIFY rank <= 10""".stripMargin
 
-  /** Sign-LSH bucket expression, DuckDB side (must mirror
-    * Similarity.lshBucket / planeComponent exactly). */
-  private val lshBucketSql: String =
-    """list_sum(list_transform(range(0,4), i -> CASE WHEN
-      |  list_reduce(list_prepend(0.0, list_transform(range(0,64), j ->
-      |    embedding[j+1]::DOUBLE * ((((i*64+j)*2654435761) % 1000003)::DOUBLE / 1000003.0 - 0.5))), (a,x) -> a+x) > 0
-      |  THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT""".stripMargin
+  /** Sign-LSH signature expression, DuckDB side (must mirror
+    * Similarity.lshSignature / SignLshSig.planeComponent exactly:
+    * per-plane sequential double accumulation over j). */
+  private def lshSigSql(numPlanes: Int): String =
+    s"""list_sum(list_transform(range(0,$numPlanes), i -> CASE WHEN
+       |  list_reduce(list_prepend(0.0, list_transform(range(0,64), j ->
+       |    embedding[j+1]::DOUBLE * ((((i*64+j)*2654435761) % 1000003)::DOUBLE / 1000003.0 - 0.5))), (a,x) -> a+x) > 0
+       |  THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT""".stripMargin
 
-  /** LSH-bucketed ANN top-10 for query vectors 0–4 (recall < 1 by design —
-    * the oracle replays the identical bucketing, so results still match). */
+  /** Banded (vec_id, embedding, band, bucket) CTE body, DuckDB side (must
+    * mirror Similarity.bandedBuckets: bucket = bits [band*rows, band*rows+rows)
+    * of the signature). */
+  private def bandedCteSql(numPlanes: Int, bands: Int): String = {
+    val rows = numPlanes / bands
+    s"""hashed AS (SELECT vec_id, embedding, ${lshSigSql(numPlanes)} AS sig FROM embeddings),
+       |banded AS (SELECT vec_id, embedding, u.band AS band, u.bucket AS bucket FROM (
+       |  SELECT vec_id, embedding, unnest(list_transform(range(0,$bands), b ->
+       |    {'band': b, 'bucket': (sig >> (b*$rows)) % ${1L << rows}})) AS u FROM hashed))""".stripMargin
+  }
+
+  /** Banded-LSH ANN top-10 for query vectors 0–4: 16 planes, 4 bands of 4
+    * bits, candidates = union over bands (recall < 1 by design — the
+    * oracle replays the identical banding, so results still match). */
   val sLshAnn: Q = (s, d) =>
-    Similarity.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)
+    Similarity.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
+      numPlanes = 16, bands = 4)
 
   val sLshAnnSql: String =
-    s"""WITH hashed AS (SELECT vec_id, embedding, $lshBucketSql AS bucket FROM embeddings)
-       |SELECT q.vec_id AS query_id, c.vec_id, $cosSql AS sim,
-       |CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS INT) AS rank
-       |FROM hashed q JOIN hashed c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-       |WHERE q.vec_id IN (0, 1, 2, 3, 4)
+    s"""WITH ${bandedCteSql(16, 4)},
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qv, c.vec_id, c.embedding AS cv
+       |         FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |         WHERE q.vec_id IN (0, 1, 2, 3, 4))
+       |SELECT query_id, vec_id, ${cosOf("qv", "cv")} AS sim,
+       |CAST(row_number() OVER (PARTITION BY query_id ORDER BY ${cosOf("qv", "cv")} DESC, vec_id) AS INT) AS rank
+       |FROM cand
        |QUALIFY rank <= 10""".stripMargin
 
   /** Cosine between two aliased list columns, DuckDB side (mirrors
@@ -664,15 +680,22 @@ object QueryCatalog {
        |      FROM assigned a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.query_id)
        |QUALIFY rank <= 10""".stripMargin
 
-  /** Embedding near-duplicate pairs (same-bucket candidates, cosine ≥ 0.3). */
+  /** Embedding near-duplicate pairs: 32 planes, 4 bands of 8 bits,
+    * candidates = union over band-buckets, hub buckets (>4096) dropped,
+    * cosine ≥ 0.3 verification. */
   val sEmbNearDup: Q = (s, d) =>
-    Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.3)
+    Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.3,
+      numPlanes = 32, bands = 4, maxBucket = 4096)
 
   val sEmbNearDupSql: String =
-    s"""WITH hashed AS (SELECT vec_id, embedding, $lshBucketSql AS bucket FROM embeddings)
-       |SELECT q.vec_id AS a, c.vec_id AS b, $cosSql AS sim
-       |FROM hashed q JOIN hashed c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
-       |WHERE $cosSql >= 0.3""".stripMargin
+    s"""WITH ${bandedCteSql(32, 4)},
+       |ok AS (SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 4096),
+       |bandedok AS (SELECT bb.vec_id, bb.embedding, bb.band, bb.bucket
+       |             FROM banded bb JOIN ok oo ON bb.band = oo.band AND bb.bucket = oo.bucket),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, x.embedding AS ea, y.vec_id AS b, y.embedding AS eb
+       |         FROM bandedok x JOIN bandedok y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT a, b, ${cosOf("ea", "eb")} AS sim FROM cand
+       |WHERE ${cosOf("ea", "eb")} >= 0.3""".stripMargin
 
   // ---------------------------------------------------------------- catalog
 

@@ -245,6 +245,57 @@ object SimhashSig {
   }
 }
 
+/** Multi-plane sign-LSH signature of a float-array column in ONE pass:
+  * bit i of the result is sign(dot(v, plane_i)) where plane_i's component
+  * j is the deterministic pseudo-random value
+  * `((i*64+j)*2654435761 % 1000003) / 1000003.0 - 0.5` (the engine-portable
+  * stand-in for a seeded Gaussian — replayed verbatim by the DuckDB
+  * oracle). Value-identical to the `aggregate(zip_with(...))` HOF
+  * spelling (graft.pipeline.Similarity.lshBucket): per-plane sequential
+  * double accumulation over j, so the sign can never diverge between
+  * engines. */
+case class SignLshSig(child: Expression, numPlanes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numPlanes >= 1 && numPlanes <= 62)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SignLshSig.sig(input.asInstanceOf[ArrayData], numPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.SignLshSig.sig($c, $numPlanes)")
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshSig =
+    copy(child = newChild)
+  override def prettyName: String = "graft_sign_lsh_sig"
+}
+
+object SignLshSig {
+  /** Component j of hyperplane i — must stay identical to
+    * graft.pipeline.Similarity.planeComponent and the oracle SQL. */
+  def planeComponent(i: Int, j: Int): Double =
+    (((i.toLong * 64 + j) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+
+  def sig(v: ArrayData, numPlanes: Int): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var i = 0
+    while (i < numPlanes) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        dot += v.getFloat(j).toDouble * planeComponent(i, j)
+        j += 1
+      }
+      if (dot > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+}
+
 /** Cosine similarity of two float-array columns, computed in double with
   * sequential accumulation — the same operation order as the
   * `aggregate(zip_with(...))` formulation (and the oracle's SQL), so the

@@ -29,23 +29,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out.exists(_.getLong(1) == 0L))
   }
 
-  test("lshTopK returns same-bucket neighbors ranked like brute force") {
+  test("lshTopK returns banded-bucket neighbors ranked like brute force") {
     val bf = Similarity.bruteForceTopK(emb, Seq(0L), 10)
       .select("vec_id", "sim").as[(Long, Double)].collect().toMap
-    val out = Similarity.lshTopK(emb, Seq(0L), 10, numPlanes = 2, dim = 4).collect()
+    val out = Similarity.lshTopK(emb, Seq(0L), 10, numPlanes = 2, bands = 2).collect()
     // every LSH hit must carry the same cosine as brute force; ranks are
     // contiguous from 1
     out.foreach(r => assert(bf(r.getLong(1)) === r.getDouble(2)))
     assert(out.map(_.getInt(3)).sorted.toSeq === (1 to out.length).toSeq)
   }
 
+  test("lshTopK candidate union over bands never duplicates a pair") {
+    val out = Similarity.lshTopK(emb, Seq(0L, 2L), 10, numPlanes = 4, bands = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(out.distinct === out)
+  }
+
   test("embeddingNearDupPairs finds the near-identical pair, a<b") {
     val out = Similarity.embeddingNearDupPairs(emb, threshold = 0.95,
-      numPlanes = 2, dim = 4).collect()
+      numPlanes = 2, bands = 2).collect()
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
     assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
     // opposite vectors never pass the threshold
     assert(!out.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("embeddingNearDupPairs bucket cap drops hub buckets") {
+    // with maxBucket=1 every (band,bucket) of size >= 2 is dropped -> no pairs
+    val out = Similarity.embeddingNearDupPairs(emb, threshold = 0.0,
+      numPlanes = 2, bands = 2, maxBucket = 1).collect()
+    assert(out.isEmpty)
   }
 
   test("ivfTopK: probed-cell candidates ranked like brute force") {
@@ -70,5 +83,13 @@ class SimilaritySpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(b1 === b2)
     assert(b1.forall(b => b >= 0 && b < 16))
+  }
+
+  test("lshSignature kernel is bit-identical to the HOF spec") {
+    val both = emb.select(
+      Similarity.lshSignature(col("embedding"), 16).as("k"),
+      Similarity.lshBucket(col("embedding"), 16, 4).as("h"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (k, h) => assert(k === h) }
   }
 }
