@@ -35,14 +35,63 @@ class HydrateSpec extends AnyFunSuite {
     assert(short === "abc")
   }
 
-  test("hydrate joins pointers against file contents and folds") {
+  test("hydrate replaces pointers in place; pointer-free rows pass through") {
     val results = Seq(
       ("m.C", """<CODE>{"S":1,"E":2,"F":"m.py"}</CODE>"""),
       ("m.D", "no pointer here")
     ).toDF("full_name", "ref")
     val out = Hydrate.hydrate(results, files, "ref", foldedLen = 100)
-      .select("full_name", "code").as[(String, Option[String])].collect().toMap
-    assert(out("m.C") === Some("line1\nline2"))
-    assert(out("m.D") === None)
+      .select("full_name", "code").as[(String, String)].collect().toMap
+    assert(out("m.C") === "line1\nline2")
+    assert(out("m.D") === "no pointer here")
+  }
+
+  test("processString hydrates ALL pointers, folding only when >1 snippet" +
+      " and len > foldedLen (graphDB.py:237-257, byte-for-byte)") {
+    val results = Seq((1L,
+      """A <CODE>{"S":1,"E":3,"F":"m.py"}</CODE> B <CODE>{"S":4,"E":5,"F":"m.py"}</CODE>"""
+    )).toDF("id", "s")
+    val out = Hydrate.processString(results, files, "s", foldedLen = 10)
+      .select("code").as[String].collect()(0)
+    // snippet1 = "line1\nline2\nline3" (17 chars) -> strip[:10] + suffix;
+    // snippet2 = "line4\nline5" (11 chars) -> folded too — matches the
+    // reference's process_string("A <CODE>…</CODE> B <CODE>…</CODE>")
+    assert(out === "A line1\nline...(code folded) B line4\nline...(code folded)")
+  }
+
+  test("processString: single long snippet is NEVER folded (len(matches)==1)") {
+    val results = Seq((1L, """<CODE>{"S":1,"E":5,"F":"m.py"}</CODE>""")).toDF("id", "s")
+    val out = Hydrate.processString(results, files, "s", foldedLen = 10)
+      .select("code").as[String].collect()(0)
+    assert(out === "line1\nline2\nline3\nline4\nline5")
+  }
+
+  test("processString: multi-pointer record folds only the long snippet") {
+    val results = Seq((1L,
+      """<CODE>{"S":1,"E":1,"F":"m.py"}</CODE>|<CODE>{"S":2,"E":5,"F":"m.py"}</CODE>"""
+    )).toDF("id", "s")
+    val out = Hydrate.processString(results, files, "s", foldedLen = 10)
+      .select("code").as[String].collect()(0)
+    // "line1" (5 chars <= 10) stays whole; lines 2-5 (23 chars) fold
+    assert(out === "line1|line2\nline...(code folded)")
+  }
+
+  test("processString: missing file hydrates to '' (graphDB.py:216-217)") {
+    val results = Seq((1L, """x<CODE>{"S":1,"E":2,"F":"gone.py"}</CODE>y"""))
+      .toDF("id", "s")
+    val out = Hydrate.processString(results, files, "s", foldedLen = 10)
+      .select("code").as[String].collect()(0)
+    assert(out === "xy")
+  }
+
+  test("processString: start line clamps to 1, inverted range yields ''") {
+    val results = Seq(
+      (1L, """<CODE>{"S":0,"E":2,"F":"m.py"}</CODE>"""),
+      (2L, """<CODE>{"S":4,"E":2,"F":"m.py"}</CODE>""")
+    ).toDF("id", "s")
+    val out = Hydrate.processString(results, files, "s", foldedLen = 100)
+      .orderBy("id").select("code").as[String].collect()
+    assert(out(0) === "line1\nline2")
+    assert(out(1) === "")
   }
 }
