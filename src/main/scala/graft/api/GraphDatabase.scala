@@ -79,12 +79,14 @@ final class GraphDatabase private (
     * persist if a directory is configured. */
   def commit(): Unit = synchronized {
     if (stagedSymbols.nonEmpty || stagedEdges.nonEmpty) {
-      val taskId = (stagedSymbols.map(_.taskId) ++ stagedEdges.map(_.taskId))
-        .headOption.getOrElse("default")
+      // mergeNodes already set-unions task_ids per node from the event
+      // stream, so a batch staging events from several tasks attributes
+      // each node (and each stub, below) to exactly the tasks that touched
+      // it — no collapse to the first task id (round-3 defect #2).
+      val edgeEvents = stagedEdges.toSeq.toDF()
       val fresh = Merge.mergeNodes(stagedSymbols.toSeq.toDF())
-      val freshEdges = Merge.mergeEdges(stagedEdges.toSeq.toDF())
-      val upserted = Merge.upsertInto(snap.nodes.drop("label"),
-        fresh.withColumn("task_ids", array(lit(taskId))))
+      val freshEdges = Merge.mergeEdges(edgeEvents)
+      val upserted = Merge.upsertInto(snap.nodes.drop("label"), fresh)
       // edge upsert: fresh props overwrite base props key-wise (A4)
       val allEdges = snap.edges.withColumn("prio", lit(0))
         .unionByName(freshEdges.withColumn("prio", lit(1)))
@@ -96,7 +98,7 @@ final class GraphDatabase private (
           (acc, e) => map_concat(
             map_filter(acc, (k, _) => !map_contains_key(e.getField("props"), k)),
             e.getField("props"))).as("props"))
-      val withStubs = Merge.withStubs(upserted, allEdges, taskId)
+      val withStubs = Merge.withStubsByTask(upserted, edgeEvents)
       snap = GraphSnapshot(withStubs, allEdges, snap.locations)
       stagedSymbols.clear(); stagedEdges.clear()
     }
@@ -158,6 +160,16 @@ final class GraphDatabase private (
       mergeIndexed(ix, newTask)
     }
   }
+
+  /** D6 proper — updateVersion driven from two REAL commits, the
+    * reference's own entry flow (update_version.py:80-99: get_change_list
+    * then update_version). The repo working tree is expected to be checked
+    * out at `commit2`, exactly as the reference assumes. */
+  def updateVersionFromCommits(oldTask: String, newTask: String,
+      repoRoot: String, commit1: String, commit2: String): Unit =
+    updateVersion(oldTask, newTask,
+      graft.indexer.GitChanges.changedFiles(repoRoot, commit1, commit2),
+      Some(repoRoot))
 
   // -------------------------------------------------------------- read path
 

@@ -52,9 +52,10 @@ object Hydrate {
       concat(substring(snippet, 1, foldedLen), lit("..."))).otherwise(snippet)
 
   /** Python str.strip(): all leading/trailing whitespace (Spark's trim
-    * only strips spaces). */
+    * only strips spaces). `(?U)` matches Python's Unicode notion of
+    * whitespace ( ,  , …), not just ASCII \s. */
   private def pyStrip(c: Column): Column =
-    regexp_replace(regexp_replace(c, "^\\s+", ""), "\\s+$", "")
+    regexp_replace(regexp_replace(c, "(?U)^\\s+", ""), "(?U)\\s+$", "")
 
   /** The reference's multi-snippet fold rule (graphDB.py:249-252): fold
     * ONLY when the record carries >1 pointer AND this snippet exceeds
@@ -74,12 +75,18 @@ object Hydrate {
       outCol: String = "code", foldedLen: Int = 10,
       isIndent: Boolean = false): DataFrame = {
     val inCols = results.columns.toSeq
-    val withId = results
+    // ONE linear plan: the row id is minted once and only flows DOWNSTREAM
+    // (explode → file join → group-back). The previous shape joined the
+    // grouped replacements back against a SECOND evaluation of the
+    // nondeterministic monotonically_increasing_id — plan-dependent silent
+    // corruption at scale (round-3 ADVICE, medium). Here the original row
+    // is carried through the explode and re-assembled by first() in the
+    // same aggregation, so no self-join exists to disagree with itself.
+    val exploded = results
       .withColumn("_hid", monotonically_increasing_id())
       .withColumn("_ptrs", parsePointers(col(strCol)))
-    val exploded = withId
-      .select(col("_hid"), size(col("_ptrs")).as("_n"),
-        posexplode(col("_ptrs")).as(Seq("_pos", "_ptr")))
+      .withColumn("_n", size(col("_ptrs")))
+      .select(col("*"), posexplode_outer(col("_ptrs")).as(Seq("_pos", "_ptr")))
       .withColumn("_p", from_json(col("_ptr"), pointerSchema))
     // files side: plain equi-join, strategy left to Catalyst/AQE — a
     // forced broadcast would OOM on a large repo (round-2 finding #1)
@@ -89,18 +96,18 @@ object Hydrate {
       array_join(slice(split(col("content"), "\n"), start, col("_p.E") - start + 1), "\n"))
       .otherwise(lit(""))
     val snip = coalesce(if (isIndent) deindent(raw) else raw, lit("")) // missing file -> ''
-    val repls = joined
-      .select(col("_hid"), col("_pos"), col("_ptr"),
-        foldMulti(snip, col("_n"), foldedLen).as("_repl"))
+    joined
+      .withColumn("_repl", foldMulti(snip, col("_n"), foldedLen))
       .groupBy("_hid")
-      .agg(array_sort(collect_list(struct(col("_pos"), col("_ptr"), col("_repl"))))
-        .as("_repls"))
-    withId.join(repls, Seq("_hid"), "left")
+      .agg(first(col(strCol)).as("_str"),
+        // collect_list drops nulls: pointer-less rows (posexplode_outer's
+        // null row) contribute an empty replacement list, not a null entry
+        (array_sort(collect_list(when(col("_ptr").isNotNull,
+          struct(col("_pos"), col("_ptr"), col("_repl"))))).as("_repls") +:
+          inCols.filter(_ != strCol).map(c => first(col(c)).as(c))): _*)
+      .withColumn(strCol, col("_str"))
       .withColumn(outCol,
-        aggregate(
-          coalesce(col("_repls"),
-            array().cast("array<struct<_pos:int,_ptr:string,_repl:string>>")),
-          col(strCol),
+        aggregate(col("_repls"), col(strCol),
           (acc, r) => replace(acc,
             concat(lit("<CODE>"), r.getField("_ptr"), lit("</CODE>")),
             r.getField("_repl"))))
@@ -111,9 +118,11 @@ object Hydrate {
   /** Hydrate a result column containing <CODE> pointers against a
     * files(file_path, content) DataFrame. Adds a `code` column holding
     * the fully hydrated string (all pointers replaced per the reference's
-    * process_string rule). */
+    * process_string rule). Default foldedLen=10 matches the reference's
+    * process_string signature (graphDB.py:228-229), which the B6/B11
+    * methodsOf demo path (graphDB.py:280-283) inherits. */
   def hydrate(results: DataFrame, files: DataFrame, pointerCol: String,
-      foldedLen: Int = 200): DataFrame =
+      foldedLen: Int = 10): DataFrame =
     processString(results, files, pointerCol, outCol = "code",
       foldedLen = foldedLen)
 }

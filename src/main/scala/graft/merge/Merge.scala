@@ -65,16 +65,32 @@ object Merge {
 
   /** A4's endpoint-stub rule: every edge endpoint that no node event named
     * becomes a 'none'-labeled stub node (anti-join + append). */
-  def withStubs(nodes: DataFrame, edges: DataFrame, taskId: String): DataFrame = {
-    val endpoints = edges.select(col("src").as("full_name"))
-      .union(edges.select(col("dst").as("full_name")))
-      .distinct()
+  def withStubs(nodes: DataFrame, edges: DataFrame, taskId: String): DataFrame =
+    appendStubs(nodes,
+      edges.select(col("src").as("full_name"))
+        .union(edges.select(col("dst").as("full_name")))
+        .groupBy("full_name").agg(array(lit(taskId)).as("task_ids")))
+
+  /** Task-faithful stub rule for mixed-task batches: each stub carries the
+    * set of task ids whose edge events referenced it (the reference's
+    * add_edge creates missing endpoints under the label of the CALLING
+    * task, graphDB.py:133-141 — a batch staging two tasks must not
+    * attribute all stubs to the first). `edgeEvents` is the raw staged
+    * stream with its `taskId` column. */
+  def withStubsByTask(nodes: DataFrame, edgeEvents: DataFrame): DataFrame =
+    appendStubs(nodes,
+      edgeEvents.select(col("src").as("full_name"), col("taskId"))
+        .union(edgeEvents.select(col("dst").as("full_name"), col("taskId")))
+        .groupBy("full_name")
+        .agg(array_sort(array_distinct(collect_list(col("taskId")))).as("task_ids")))
+
+  private def appendStubs(nodes: DataFrame, endpoints: DataFrame): DataFrame = {
     val stubs = endpoints
       .join(nodes.select("full_name"), Seq("full_name"), "left_anti")
       .select(
         col("full_name"),
         lit(Kind.None_).as("kind"),
-        array(lit(taskId)).as("task_ids"),
+        col("task_ids"),
         element_at(split(col("full_name"), "\\."), -1).as("name"),
         lit(null).cast("string").as("file_path"),
         lit(null).cast("string").as("signature"),

@@ -615,11 +615,15 @@ object QueryCatalog {
 
   /** Sign-LSH signature expression, DuckDB side (must mirror
     * Similarity.lshSignature / SignLshSig.planeComponent exactly:
-    * per-plane sequential double accumulation over j). */
+    * per-plane sequential double accumulation over j). The embedding dim
+    * is interpolated from the kernel's own hard invariant
+    * ([[org.apache.spark.sql.graft.SignLshSig.Dim]]) so the two sides
+    * cannot silently diverge. */
+  private val lshDim = org.apache.spark.sql.graft.SignLshSig.Dim
   private def lshSigSql(numPlanes: Int): String =
     s"""list_sum(list_transform(range(0,$numPlanes), i -> CASE WHEN
-       |  list_reduce(list_prepend(0.0, list_transform(range(0,64), j ->
-       |    embedding[j+1]::DOUBLE * ((((i*64+j)*2654435761) % 1000003)::DOUBLE / 1000003.0 - 0.5))), (a,x) -> a+x) > 0
+       |  list_reduce(list_prepend(0.0, list_transform(range(0,$lshDim), j ->
+       |    embedding[j+1]::DOUBLE * ((((i*$lshDim+j)*2654435761) % 1000003)::DOUBLE / 1000003.0 - 0.5))), (a,x) -> a+x) > 0
        |  THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT""".stripMargin
 
   /** Banded (vec_id, embedding, band, bucket) CTE body, DuckDB side (must

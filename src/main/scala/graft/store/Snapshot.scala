@@ -50,7 +50,7 @@ object Snapshot {
       spark.read.parquet(s"$dir/edges"),
       spark.read.parquet(s"$dir/locations"))
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[store] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p))
       Files.list(p).forEach(deleteRecursively)
     Files.deleteIfExists(p)

@@ -51,16 +51,53 @@ object GraphTables {
 
   /** The derived nodes/edges ARE the engine's base tables — a deployment
     * would persist them once (Snapshot.commit) rather than re-derive per
-    * query. Mirror that here: derive once per (session, dir) and keep the
-    * result cached, so every graph query reads the materialized table
-    * (with in-memory column stats for skipping) instead of replaying the
-    * star-schema union + distinct. */
+    * query. Mirror that here: derive once per SF dir and PERSIST to
+    * parquet (atomic swap, fingerprinted against the source files so a
+    * regenerated testdata dir rebuilds); every graph query then reads the
+    * materialized parquet scan — across JVMs, so bench runs no longer pay
+    * a derivation cost on whichever graph query happens to run first
+    * (rounds 1–3 saw 3–5× phantom swings from exactly that). */
   private val derived =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  /** Identity of the source tables: name+size+mtime of every parquet in
+    * the SF dir. Cheap (one listdir), catches driver-side regeneration. */
+  private def sourceFingerprint(d: String): String =
+    Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+
+  private def readMarker(f: java.io.File): Option[String] =
+    if (f.isFile) Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)) else None
+
   private def materialized(s: SparkSession, d: String, key: String)
       (build: => DataFrame): DataFrame =
-    derived.getOrElseUpdate((System.identityHashCode(s), s"$key:$d"),
-      build.cache())
+    derived.getOrElseUpdate((System.identityHashCode(s), s"$key:$d"), {
+      val root = sys.env.getOrElse("GRAFT_DERIVED_DIR",
+        System.getProperty("java.io.tmpdir") + "/graft-derived")
+      val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val target = new java.io.File(s"$root/$safe/$key")
+      // the marker lives inside the parquet dir; `_`-prefixed files are
+      // invisible to the parquet reader
+      val marker = new java.io.File(target, "_src_fingerprint")
+      val fp = sourceFingerprint(d)
+      GraphTables.synchronized {
+        if (!readMarker(marker).contains(fp)) {
+          val tmp = new java.io.File(
+            s"$root/$safe/.$key-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+          build.write.mode("overwrite").parquet(tmp.toString)
+          java.nio.file.Files.write(
+            new java.io.File(tmp, "_src_fingerprint").toPath,
+            fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (target.exists()) Snapshot.deleteRecursively(target.toPath)
+          java.nio.file.Files.move(tmp.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+      s.read.parquet(target.toString)
+    })
 
   /** nodes(full_name, label, task_id, name, prop_num) — one kind label per
     * row here; multi-label/multi-task set semantics are exercised by the

@@ -273,13 +273,24 @@ case class SignLshSig(child: Expression, numPlanes: Int)
 }
 
 object SignLshSig {
+  /** The per-plane component stride AND the maximum supported embedding
+    * dimensionality — a HARD invariant shared with the oracle SQL
+    * (QueryCatalog.lshSigSql interpolates it): `planeComponent`'s
+    * `i*Dim+j` indexing would alias plane i's tail onto plane i+1 for
+    * vectors longer than Dim, so `sig` rejects those outright (shorter
+    * vectors are fine — planes can't overlap below the stride). */
+  val Dim = 64
+
   /** Component j of hyperplane i — must stay identical to
     * graft.pipeline.Similarity.planeComponent and the oracle SQL. */
   def planeComponent(i: Int, j: Int): Double =
-    (((i.toLong * 64 + j) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+    (((i.toLong * Dim + j) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
 
   def sig(v: ArrayData, numPlanes: Int): Long = {
     val n = v.numElements()
+    if (n > Dim) throw new IllegalArgumentException(
+      s"graft_sign_lsh_sig: embedding dim $n exceeds plane stride $Dim " +
+        "(planes would alias)")
     var out = 0L
     var i = 0
     while (i < numPlanes) {

@@ -64,6 +64,24 @@ class GraphDatabaseSpec extends AnyFunSuite {
     assert(tasks("b.D") === Seq("t1", "t2"))  // unchanged -> carried
   }
 
+  test("mixed-task batch: nodes and stubs keep per-task attribution") {
+    val db = GraphDatabase.inMemory(spark)
+    db.addNode("t1", Kind.Class, "m.A")
+    db.addNode("t2", Kind.Class, "m.B")
+    db.addNode("t1", Kind.Class, "m.Shared")
+    db.addNode("t2", Kind.Class, "m.Shared")
+    db.addEdge("t1", "m.A", Rel.HasMethod, "m.A.f") // -> stub m.A.f under t1
+    db.addEdge("t2", "m.B", Rel.HasMethod, "m.B.g") // -> stub m.B.g under t2
+    db.commit()
+    val tasks = db.nodes.select("full_name", "task_ids")
+      .as[(String, Seq[String])].collect().toMap
+    assert(tasks("m.A") === Seq("t1"))
+    assert(tasks("m.B") === Seq("t2"))          // NOT collapsed onto t1
+    assert(tasks("m.Shared") === Seq("t1", "t2"))
+    assert(tasks("m.A.f") === Seq("t1"))        // stub follows its edge's task
+    assert(tasks("m.B.g") === Seq("t2"))
+  }
+
   test("methodsOf: the reference's flagship demo (B6 + B11 hydration)") {
     val db = GraphDatabase.inMemory(spark)
     val files = Seq(SourceFile("p.py",
@@ -84,6 +102,11 @@ class GraphDatabaseSpec extends AnyFunSuite {
     val out = db.methodsOf("p.P", fdf).collect()
     assert(out.length === 1)
     assert(out(0).getAs[String]("name") === "hi")
-    assert(out(0).getAs[String]("code").startsWith("def hi(self):"))
+    // Indentation is PRESERVED: methodsOf follows the reference's
+    // process_string default is_indent=False (graphDB.py:228) — the demo
+    // at graphDB.py:280-283 prints the method body with its class-level
+    // indent intact. (extract_code_from_file's own default is_indent=True,
+    // graphDB.py:208, is the de-indenting path — not the one used here.)
+    assert(out(0).getAs[String]("code").startsWith("    def hi(self):"))
   }
 }

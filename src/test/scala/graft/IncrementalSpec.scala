@@ -53,4 +53,42 @@ class IncrementalSpec extends AnyFunSuite {
     // and the new method exists only in v2
     assert(full.nodes.filter(col("full_name") === "a.A.m2").count() === 1)
   }
+
+  test("D6: two real commits drive updateVersion end-to-end") {
+    import scala.sys.process._
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graftgit").toFile
+    def sh(cmd: String*): String = Process(cmd, dir).!!
+    def put(name: String, content: String): Unit =
+      Files.write(Paths.get(dir.toString, name), content.getBytes("UTF-8"))
+    put("a.py", aV1); put("b.py", b)
+    sh("git", "init", "-q")
+    sh("git", "config", "user.email", "t@example.com")
+    sh("git", "config", "user.name", "t")
+    sh("git", "add", "."); sh("git", "commit", "-qm", "v1")
+    val c1 = sh("git", "rev-parse", "HEAD").trim
+    // index v1 while the tree is at v1 (reference flow indexes, THEN the
+    // repo moves and update_version bridges the two states)
+    val db = graft.api.GraphDatabase.inMemory(spark)
+    db.indexRepo(dir.toString, "v1")
+    put("a.py", aV2)
+    sh("git", "add", "."); sh("git", "commit", "-qm", "v2")
+    val c2 = sh("git", "rev-parse", "HEAD").trim
+
+    // the change list is extracted from git, not handed in
+    assert(graft.indexer.GitChanges.changedFiles(dir.toString, c1, c2) === Seq("a.py"))
+    db.updateVersionFromCommits("v1", "v2", dir.toString, c1, c2)
+
+    // v2 view of the incremental db ≡ a full re-index of the v2 tree
+    val full = IndexPipeline.run(spark, dir.toString, "v2")
+    def canonNodes(df: org.apache.spark.sql.DataFrame) =
+      df.select("full_name", "kind").collect().map(_.toString).toSet
+    val v2View = db.nodes.filter(array_contains(col("task_ids"), "v2"))
+    assert(canonNodes(v2View) === canonNodes(full.nodes))
+    assert(v2View.filter(col("full_name") === "a.A.m2").count() === 1)
+    // unchanged b.py carried BOTH tasks; changed a.py re-indexed under v2
+    val bTasks = db.nodes.filter(col("full_name") === "b.B")
+      .select("task_ids").as[Seq[String]].collect()(0)
+    assert(bTasks.sorted === Seq("v1", "v2"))
+  }
 }

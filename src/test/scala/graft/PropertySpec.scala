@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{CosineSim, MinhashSig, RollingHash, ShingleHashes, SignLshSig, SimhashSig}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SC}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.merge.Merge
+import graft.model._
+
+/** The ScalaCheck property suite promised by SURVEY §5 item 4.
+  *
+  * Kernel laws: every codegen'd Catalyst kernel must equal an INDEPENDENT
+  * higher-order spelling of the same published formula (the spelling the
+  * DuckDB oracle replays in SQL) on arbitrary inputs — not just the fixed
+  * + seeded cases in GraftExpressionsSpec.
+  *
+  * Operator laws (Spark-backed, fewer samples): A1 merge idempotence and
+  * upsert idempotence (re-playing a batch is a no-op — the reference's
+  * add_node is an upsert, graphDB.py:121-131), and transitive closure ≡
+  * the naive O(n³) closure on random DAGs.
+  */
+class PropertySpec extends AnyFunSuite {
+  private val P = RollingHash.P
+
+  private def check(name: String, p: Prop, min: Int = 200): Unit = {
+    val res = SC.check(SC.Parameters.default.withMinSuccessfulTests(min), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  // ---- independent executable specs (the oracle SQL's formulation) ----
+  private def rollSpec(s: String): Long = {
+    var h = 0L
+    s.codePoints().forEach(cp => h = (h * 31 + cp) % P)
+    h
+  }
+  private def shingleSpec(toks: Seq[String], k: Int): Seq[Long] = {
+    val ws = if (toks.length < k) Seq(toks) else toks.sliding(k).toSeq
+    ws.map(w => rollSpec(w.mkString(" "))).distinct
+  }
+  private def minhashSpec(toks: Seq[String], k: Int,
+      a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+    val hs = shingleSpec(toks, k) // min is insensitive to the dedup
+    a.indices.map(p => hs.map(h => (h * a(p) + b(p)) % P).min)
+  }
+  private def simhashSpec(toks: Seq[String], a2: Long, b2: Long): Long = {
+    val counts = new Array[Int](62)
+    toks.foreach { t =>
+      val h1 = rollSpec(t)
+      val h2 = (h1 * a2 + b2) % P
+      (0 until 31).foreach { j =>
+        counts(j) += (if (((h1 >> j) & 1L) == 1L) 1 else -1)
+        counts(j + 31) += (if (((h2 >> j) & 1L) == 1L) 1 else -1)
+      }
+    }
+    (0 until 62).foldLeft(0L)((s, j) => if (counts(j) > 0) s | (1L << j) else s)
+  }
+  private def signLshSpec(v: Seq[Float], numPlanes: Int): Long =
+    (0 until numPlanes).foldLeft(0L) { (sig, i) =>
+      val dot = v.indices.foldLeft(0.0)((a, j) =>
+        a + v(j).toDouble * SignLshSig.planeComponent(i, j))
+      if (dot > 0) sig | (1L << i) else sig
+    }
+  private def cosineSpec(a: Seq[Float], b: Seq[Float]): Double = {
+    def dot(x: Seq[Float], y: Seq[Float]) =
+      x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  private def strArr(toks: Seq[String]) =
+    new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+
+  private val genToken: Gen[String] =
+    Gen.oneOf(Gen.asciiPrintableStr.map(_.take(12)),
+      // "𝒳" is a supplementary codepoint (surrogate pair) — exercises the
+      // codePointAt iteration in the kernels
+      Gen.listOf(Gen.oneOf("λ", "ü", "中", "𝒳", "a", " ", "\t")).map(_.mkString))
+  private val genToks: Gen[List[String]] = Gen.listOf(genToken)
+
+  test("property: RollingHash kernel ≡ fold spec on arbitrary strings") {
+    check("rollingHash", Prop.forAll(Gen.listOf(genToken).map(_.mkString(" "))) {
+      s => RollingHash.hash(s) == rollSpec(s)
+    })
+  }
+
+  test("property: ShingleHashes kernel ≡ sliding-window spec, any k") {
+    check("shingleHashes", Prop.forAll(genToks, Gen.choose(1, 7)) { (toks, k) =>
+      ShingleHashes.hashes(strArr(toks), k).toLongArray.toSeq ==
+        shingleSpec(toks, k)
+    })
+  }
+
+  test("property: MinhashSig kernel ≡ per-permutation min spec") {
+    val genCoefs = Gen.listOfN(8, Gen.zip(
+      Gen.choose(1L, P - 1), Gen.choose(0L, P - 1)))
+    check("minhashSig", Prop.forAll(genToks, Gen.choose(1, 5), genCoefs) {
+      (toks, k, coefs) =>
+        val (a, b) = coefs.unzip
+        MinhashSig.sig(strArr(toks), k, a.toArray, b.toArray)
+          .toLongArray.toSeq == minhashSpec(toks, k, a, b)
+    })
+  }
+
+  test("property: SimhashSig kernel ≡ bit-counter spec") {
+    check("simhashSig", Prop.forAll(genToks,
+      Gen.choose(1L, P - 1), Gen.choose(0L, P - 1)) { (toks, a2, b2) =>
+      SimhashSig.sig(strArr(toks), a2, b2) == simhashSpec(toks, a2, b2)
+    })
+  }
+
+  test("property: SignLshSig kernel ≡ hyperplane-sign spec (dim invariant)") {
+    val genVec = Gen.listOfN(SignLshSig.Dim,
+      Gen.chooseNum(-5.0f, 5.0f, 0.0f, 1.0f, -1.0f))
+    check("signLshSig", Prop.forAll(genVec, Gen.choose(1, 62)) { (v, planes) =>
+      SignLshSig.sig(new GenericArrayData(v.toArray), planes) ==
+        signLshSpec(v, planes)
+    })
+  }
+
+  test("property: CosineSim kernel ≡ dot/norm spec (incl. NaN on zero norm)") {
+    val genVec = Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f, 0.0f))
+    check("cosineSim", Prop.forAll(genVec, genVec) { (a, b) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      val fast = CosineSim(
+        Literal.create(a, ArrayType(FloatType)),
+        Literal.create(b, ArrayType(FloatType))).eval(null)
+      val spec = cosineSpec(a, b)
+      (fast, spec) match {
+        case (f: Double, s) => (f.isNaN && s.isNaN) || f == s
+        case _ => false
+      }
+    })
+  }
+
+  // ---------------- Spark-backed operator laws (fewer samples) ----------
+
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val genEvents: Gen[List[SymbolEvent]] = {
+    val names = Gen.oneOf("m.A", "m.B", "m.C", "m.A.f", "m.B.g")
+    val kinds = Gen.oneOf(Kind.None_, Kind.Class, Kind.Method)
+    val tasks = Gen.oneOf("t1", "t2")
+    val ev = for {
+      n <- names; k <- kinds; t <- tasks
+      code <- Gen.option(Gen.oneOf("c1", "c2"))
+      props <- Gen.mapOf(Gen.zip(Gen.oneOf("p", "q"), Gen.oneOf("1", "2")))
+    } yield SymbolEvent(0L, t, k, n, n.split("\\.").last,
+      None, None, None, code, props)
+    Gen.nonEmptyListOf(ev)
+      .map(_.zipWithIndex.map { case (e, i) => e.copy(seq = i.toLong) })
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("full_name").toJSON.collect().toSeq.sorted
+
+  test("property: A1 merge idempotence — replaying a batch is a no-op") {
+    check("mergeIdempotent", Prop.forAll(genEvents) { events =>
+      val fresh = Merge.mergeNodes(events.toDF())
+      val once = Merge.upsertInto(fresh.limit(0), fresh)
+      canon(Merge.upsertInto(once, fresh)) == canon(once)
+    }, min = 8)
+  }
+
+  test("property: transitiveClosure ≡ naive O(n³) closure on random DAGs") {
+    val genDag = for {
+      n <- Gen.choose(3, 8)
+      pairs = for (i <- 0 until n; j <- i + 1 until n) yield (i, j)
+      picked <- Gen.someOf(pairs)
+    } yield picked.toList
+    check("closureNaive", Prop.forAll(genDag) { edges =>
+      if (edges.isEmpty) true
+      else {
+        val reach = scala.collection.mutable.Set[(Int, Int)](edges: _*)
+        var grew = true
+        while (grew) {
+          grew = false
+          for ((a, b) <- reach.toSeq; (c, d) <- reach.toSeq if b == c)
+            if (reach.add((a, d))) grew = true
+        }
+        val df = edges.map { case (a, b) => (s"n$a", s"n$b") }.toDF("src", "dst")
+        val got = graft.enrich.Closure.transitiveClosure(df)
+          .as[(String, String)].collect()
+          .map { case (s, d) => (s.drop(1).toInt, d.drop(1).toInt) }.toSet
+        got == reach.toSet
+      }
+    }, min = 8)
+  }
+}
