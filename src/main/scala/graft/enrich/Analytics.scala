@@ -1,6 +1,6 @@
 package graft.enrich
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on the edge-list representation — the
@@ -40,6 +40,56 @@ object Analytics {
         .localCheckpoint(eager = true)
     }
     pr.select(col("v"), round(col("pr"), 6).as("pagerank"))
+  }
+
+  /** The 100-TB-cluster path for PageRank: GraphX aggregateMessages with
+    * the SAME math as [[pageRank]] — uniform 1/N init, damping 0.85,
+    * dangling mass ignored, and the same per-iteration round-to-10
+    * (which quantizes away summation-order differences — the property
+    * that already makes the DataFrame loop bit-identical to the DuckDB
+    * oracle), so this variant is oracle-gated by the identical SQL.
+    *
+    * Why it exists: the DataFrame loop's per-iteration `localCheckpoint`
+    * pins unreplicated blocks — one lost executor kills the job on a real
+    * cluster (round-3 verdict). GraphX keeps iteration state in resilient
+    * RDDs with lineage, and its join strategy reuses the graph's
+    * partitioning across iterations instead of re-shuffling the rank
+    * table each round. String keys are hashed to Long vertex ids (as
+    * Closure.transitiveClosureGraphX does). */
+  def pageRankGraphX(spark: SparkSession, edges: DataFrame,
+      iterations: Int = 5): DataFrame = {
+    import org.apache.spark.graphx._
+    import spark.implicits._
+    def r10(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue()
+    val keyed = edges.select(
+      xxhash64(col("src")).as("sid"), col("src"),
+      xxhash64(col("dst")).as("did"), col("dst")).cache()
+    val names = keyed.select(col("sid").as("id"), col("src").as("name"))
+      .union(keyed.select(col("did"), col("dst"))).distinct().cache()
+    val n = names.count().toDouble
+    val g = Graph(
+      names.as[(Long, String)].rdd.map { case (id, _) => (id, ()) },
+      keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd
+        .map { case (s, d) => Edge(s, d, ()) }).cache()
+    val outDeg = g.outDegrees
+    val reset = 0.15 / n
+    var ranks = g.vertices.mapValues((_, _) => r10(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contribs = g
+        .outerJoinVertices(ranks)((_, _, r) => r.getOrElse(0.0))
+        .outerJoinVertices(outDeg)((_, rank, deg) => (rank, deg.getOrElse(0)))
+        .aggregateMessages[Double](
+          ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2.toDouble),
+          _ + _)
+        .mapValues(r10 _)
+      ranks = g.vertices.leftJoin(contribs)((_, _, c) =>
+        r10(reset + 0.85 * c.getOrElse(0.0)))
+    }
+    ranks.toDF("id", "pr")
+      .join(names, "id")
+      .select(col("name").as("v"), round(col("pr"), 6).as("pagerank"))
   }
 
   /** Connected components via iterated label propagation (min-id wins),

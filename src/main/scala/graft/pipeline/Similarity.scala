@@ -105,14 +105,27 @@ object Similarity {
     * union of its band-bucket mates (candidates deduped across bands).
     * Recall < 1 by design: per-band miss probability compounds, union
     * over bands recovers it — numPlanes/bands tune the work/recall
-    * tradeoff without the flat-bucket quadratic. */
+    * tradeoff without the flat-bucket quadratic.
+    *
+    * `probes` = Hamming probe radius WITHIN each band (multiprobe LSH):
+    * radius 1 additionally probes every bucket one sign-flip away, the
+    * classic way to buy recall with more probes instead of more hash
+    * tables — corpus-side cost is unchanged (nothing is re-hashed; only
+    * the tiny broadcast query side fans out ×(1+rows)). Radius 0 is the
+    * deterministic config the DuckDB oracle replays. */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+      numPlanes: Int = 16, bands: Int = 4, probes: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(probes == 0 || probes == 1, "probe radius 0 or 1 supported")
+    val rows = numPlanes / bands
     val banded = bandedBuckets(emb, numPlanes, bands)
-    val q = banded.filter(col("vec_id").isin(queryIds: _*))
+    val q0 = banded.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("band"), col("bucket"))
+    val q = if (probes == 0) q0
+      else q0.withColumn("bucket", explode(array(
+        col("bucket") +: (0 until rows).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b))): _*)))
     val scored = banded.join(broadcast(q), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id") // union of candidates over bands

@@ -250,6 +250,13 @@ object QueryCatalog {
        |SELECT v, round(pr, 6) AS pagerank FROM pr5""".stripMargin
   }
 
+  /** The GraphX scale path of q10 — same math, same per-iteration
+    * rounding, gated by the IDENTICAL oracle SQL (the round-to-10
+    * quantization makes summation order irrelevant across engines). */
+  val q10PagerankGx: Q = (s, d) =>
+    graft.enrich.Analytics.pageRankGraphX(s, GraphTables.hierarchy(s, d),
+      iterations = 5)
+
   /** D5 — snapshot carry-forward (update_version.py:21-44): docs whose
     * source is NOT in the change list join the v2 snapshot. */
   val gD5Carry: Q = (s, d) => {
@@ -271,6 +278,49 @@ object QueryCatalog {
 
   val gB11JsonSql: String =
     """SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events""".stripMargin
+
+  /** B11 multi-pointer hydration, oracle-gated: every record embeds TWO
+    * <CODE> pointers into two different synthesized files (one per
+    * document; the second pointer targets the NEXT doc's file, so the
+    * last record also exercises the missing-file→'' rule,
+    * graphDB.py:216-217). processString must hydrate both in place and
+    * fold each snippet longer than foldedLen per the reference's
+    * multi-snippet rule (>1 pointer AND len>10 → strip()[:10] +
+    * '...(code folded)', graphDB.py:249-252). The DuckDB oracle replays
+    * the identical slice+fold+replace pipeline in SQL. */
+  val gB11Multi: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val files = docs.select(concat(lit("f"), col("doc_id")).as("file_path"),
+      regexp_replace(col("text"), " ", "\n").as("content"))
+    val results = docs.select(col("doc_id"),
+      concat(lit("A:<CODE>{\"S\":1,\"E\":2,\"F\":\"f"), col("doc_id"),
+        lit("\"}</CODE> B:<CODE>{\"S\":2,\"E\":9999,\"F\":\"f"),
+        col("doc_id") + 1, lit("\"}</CODE>")).as("ptr_str"))
+    graft.hydrate.Hydrate.processString(results, files, "ptr_str",
+        outCol = "code", foldedLen = 10)
+      .select(col("doc_id"), col("code"))
+  }
+
+  val gB11MultiSql: String = {
+    val ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    def foldSql(sn: String) =
+      s"CASE WHEN length($sn) > 10 THEN substring(trim($sn, $ws), 1, 10) || '...(code folded)' ELSE $sn END"
+    """WITH files AS (SELECT 'f' || doc_id AS fp, replace(text, ' ', chr(10)) AS content FROM documents),
+      |base AS (SELECT doc_id,
+      |  'A:<CODE>{"S":1,"E":2,"F":"f' || doc_id || '"}</CODE> B:<CODE>{"S":2,"E":9999,"F":"f' || (doc_id+1) || '"}</CODE>' AS ptr_str
+      |  FROM documents),
+      |sn AS (SELECT b.doc_id, b.ptr_str,
+      |  coalesce((SELECT array_to_string(list_slice(string_split(f.content, chr(10)), 1, 2), chr(10)) FROM files f WHERE f.fp = 'f' || b.doc_id), '') AS s1,
+      |  coalesce((SELECT array_to_string(list_slice(string_split(f.content, chr(10)), 2, 9999), chr(10)) FROM files f WHERE f.fp = 'f' || (b.doc_id+1)), '') AS s2
+      |  FROM base b)
+      |SELECT doc_id,
+      |  replace(replace(ptr_str,
+      |    '<CODE>{"S":1,"E":2,"F":"f' || doc_id || '"}</CODE>', FOLD1),
+      |    '<CODE>{"S":2,"E":9999,"F":"f' || (doc_id+1) || '"}</CODE>', FOLD2) AS code
+      |FROM sn""".stripMargin
+      .replace("FOLD1", foldSql("s1"))
+      .replace("FOLD2", foldSql("s2"))
+  }
 
   /** C14 — code-slice extraction (myClient.py:46-82): line-slice [2,4] of a
     * synthesized multi-line body, plus folding (graphDB.py:249-252). */
@@ -722,6 +772,7 @@ object QueryCatalog {
     "g_d4_closure" -> gD4Closure,
     "g_d5_carry" -> gD5Carry,
     "g_b11_json" -> gB11Json,
+    "g_b11_multi" -> gB11Multi,
     "g_c14_slice" -> gC14Slice,
     "q1_agg" -> q1Agg,
     "q2_join_agg" -> q2JoinAgg,
@@ -733,6 +784,7 @@ object QueryCatalog {
     "q8_event_window" -> q8EventWindow,
     "q9_rollup" -> q9Rollup,
     "q10_pagerank" -> q10Pagerank,
+    "q10_pagerank_gx" -> q10PagerankGx,
     "t_tokens" -> tTokens,
     "t_bpe_tokens" -> tBpeTokens,
     "t_quality" -> tQuality,
@@ -767,6 +819,7 @@ object QueryCatalog {
     "g_d4_closure" -> gD4ClosureSql,
     "g_d5_carry" -> gD5CarrySql,
     "g_b11_json" -> gB11JsonSql,
+    "g_b11_multi" -> gB11MultiSql,
     "g_c14_slice" -> gC14SliceSql,
     "q1_agg" -> q1AggSql,
     "q2_join_agg" -> q2JoinAggSql,
@@ -778,6 +831,7 @@ object QueryCatalog {
     "q8_event_window" -> q8EventWindowSql,
     "q9_rollup" -> q9RollupSql,
     "q10_pagerank" -> q10PagerankSql,
+    "q10_pagerank_gx" -> q10PagerankSql,
     "t_tokens" -> tTokensSql,
     "t_bpe_tokens" -> tBpeTokensSql,
     "t_quality" -> tQualitySql,

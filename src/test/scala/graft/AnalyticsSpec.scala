@@ -21,6 +21,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(pr === again)
   }
 
+  test("pageRankGraphX agrees with the DataFrame loop exactly (small graph)") {
+    val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "top"))
+      .toDF("src", "dst")
+    val df = Analytics.pageRank(edges, 5).as[(String, Double)].collect().toMap
+    val gx = Analytics.pageRankGraphX(spark, edges, 5)
+      .as[(String, Double)].collect().toMap
+    assert(gx === df)
+  }
+
+  test("pageRankGraphX ≡ DataFrame loop on the sf0.01 hierarchy (scale path)") {
+    val d = "/root/testdata/sf0.01"
+    assume(new java.io.File(d).isDirectory)
+    val hier = graft.store.GraphTables.hierarchy(spark, d)
+    val df = Analytics.pageRank(hier, 5).as[(String, Double)].collect().toMap
+    val gx = Analytics.pageRankGraphX(spark, hier, 5)
+      .as[(String, Double)].collect().toMap
+    // identical math + per-iteration round-to-10 → bit-identical results
+    assert(gx.size === df.size)
+    assert(gx === df)
+  }
+
   test("connectedComponents: min-id label per undirected component") {
     val edges = Seq(("b", "a"), ("c", "b"), ("y", "z"), ("x", "y"))
       .toDF("src", "dst")

@@ -85,6 +85,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1.forall(b => b >= 0 && b < 16))
   }
 
+  test("ANN recall@10 vs brute force on sf0.01 embeddings (quality floor)") {
+    // The LSH/IVF oracles replay the identical banding in SQL, so
+    // CORRECTNESS proves determinism, not retrieval quality. This is the
+    // quality gate: recall@10 against the exact scan must clear a floor.
+    val d = "/root/testdata/sf0.01"
+    assume(new java.io.File(d).isDirectory)
+    val emb = graft.store.Tables.embeddings(TestSpark.spark, d)
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(emb, qs, 10))
+    def recall(approx: Map[Long, Set[Long]]): Double =
+      qs.map(q => (approx.getOrElse(q, Set.empty) & exact(q)).size / 10.0)
+        .sum / qs.size
+    // 16/4/probe-0 is the oracle-equivalence config (cheap, selective);
+    // 32/8 with Hamming-1 multiprobe is the recall-oriented config a
+    // retrieval deployment would run.
+    val lshFast = recall(topSets(Similarity.lshTopK(emb, qs, 10, 16, 4)))
+    val lshR = recall(topSets(Similarity.lshTopK(emb, qs, 10, 32, 8, probes = 1)))
+    val ivfR = recall(topSets(Similarity.ivfTopK(emb, qs, 10)))
+    info(f"recall@10: lsh(16/4)=$lshFast%.2f lsh(32/8,mp1)=$lshR%.2f ivf=$ivfR%.2f")
+    assert(lshR >= 0.6, f"LSH(32/8,mp1) recall@10 $lshR%.2f below 0.6 floor")
+    assert(ivfR >= 0.6, f"IVF recall@10 $ivfR%.2f below 0.6 floor")
+  }
+
   test("lshSignature kernel is bit-identical to the HOF spec") {
     val both = emb.select(
       Similarity.lshSignature(col("embedding"), 16).as("k"),
