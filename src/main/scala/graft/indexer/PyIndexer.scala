@@ -56,6 +56,8 @@ object PyIndexer {
     """^\s*from\s+(\.*[\w.]*)\s+import\s+(.+)$""".r
   private val assignStmt: Regex =
     """^(\s*)([A-Za-z_]\w*)\s*(?::[^=]+)?=(?!=).*$""".r
+  private val forStmt: Regex =
+    """^(\s*)for\s+([A-Za-z_]\w*)\s+in\b.*$""".r
   private val selfAssign: Regex =
     """self\.([A-Za-z_]\w*)\s*(?::[^=]+)?=(?!=)""".r
   private val callSite: Regex =
@@ -134,16 +136,41 @@ object PyIndexer {
 
   /** End line (1-based, inclusive) of the scope whose header is at
     * `header` (0-based) with indent `ind`: last non-blank line before the
-    * first line at indent <= ind. */
-  private def scopeEnd(lines: Array[String], header: Int, ind: Int): Int = {
+    * first NON-CONTINUATION line at indent <= ind (a multi-line header's
+    * closing `):` at header indent must not end the scope). */
+  private def scopeEnd(lines: Array[String], cont: Array[Boolean],
+      header: Int, ind: Int): Int = {
     var last = header
     var i = header + 1
     while (i < lines.length &&
-        (lines(i).trim.isEmpty || indentOf(lines(i)) > ind)) {
+        (lines(i).trim.isEmpty || cont(i) || indentOf(lines(i)) > ind)) {
       if (lines(i).trim.nonEmpty) last = i
       i += 1
     }
     last + 1
+  }
+
+  /** Physical-line continuation map: line i is a continuation when an
+    * earlier bracket is still open at its start (bracket counts taken from
+    * the PREPROCESSED lines, so brackets inside strings/comments don't
+    * count) or the previous line ended with a backslash. Continuation
+    * lines carry no structural meaning: they never open/close an
+    * indentation scope and never match a header — that is exactly how
+    * multi-line `def f(\n  a,\n):` headers stay inside their scope. */
+  private def continuations(lines: Array[String]): Array[Boolean] = {
+    val cont = new Array[Boolean](lines.length)
+    var bal = 0
+    var backslash = false
+    var i = 0
+    while (i < lines.length) {
+      cont(i) = bal > 0 || backslash
+      val l = lines(i)
+      bal += l.count(c => "([{".contains(c)) - l.count(c => ")]}".contains(c))
+      if (bal < 0) bal = 0
+      backslash = l.endsWith("\\")
+      i += 1
+    }
+    cont
   }
 
   private def codePtr(s: Int, e: Int, f: String): String =
@@ -155,6 +182,7 @@ object PyIndexer {
   def indexFile(taskId: String, relPath: String, content: String): FileEvents = {
     val rawLines = content.split("\n", -1)
     val (lines, atomicRanges) = preprocess(rawLines)
+    val cont = continuations(lines)
     val mod = moduleName(relPath)
 
     val symbols = mutable.ArrayBuffer.empty[SymbolEvent]
@@ -203,10 +231,20 @@ object PyIndexer {
       }
       buf.toSeq
     }
+    lines.indices.foreach { li =>
+      if (!cont(li)) lines(li) match {
+        case classHeader(ind, name, _) if ind.isEmpty => topClasses += name
+        case defHeader(ind, name) if ind.isEmpty => topDefs += name
+        case assignStmt(ind, name) if ind.isEmpty => topGlobals += name
+        // module-level for-targets are definitions at module scope →
+        // GLOBAL_VARIABLE in the reference's shallow mode
+        // (shallow_indexer.py:480-487: is_definition, no funcdef parent)
+        case forStmt(ind, name) if ind.isEmpty && !keywords.contains(name) =>
+          topGlobals += name
+        case _ => ()
+      }
+    }
     logical.foreach {
-      case classHeader(ind, name, _) if ind.isEmpty => topClasses += name
-      case defHeader(ind, name) if ind.isEmpty => topDefs += name
-      case assignStmt(ind, name) if ind.isEmpty => topGlobals += name
       case importStmt(spec) =>
         spec.split(",").map(_.trim).filter(_.nonEmpty).foreach { part =>
           part.split("\\s+as\\s+") match {
@@ -291,13 +329,16 @@ object PyIndexer {
       val line = lines(i)
       if (line.trim.nonEmpty) {
         val ind = indentOf(line)
+        // continuation lines (open bracket / trailing backslash) have no
+        // structural meaning: no scope pops, no header/assign matching
+        if (!cont(i)) {
         while (stack.nonEmpty && ind <= stack.top.indent) stack.pop()
 
         line match {
           case classHeader(_, name, bases) =>
             val parent = stack.headOption.map(_.fullName).getOrElse(mod)
             val full = s"$parent.$name"
-            val end = scopeEnd(lines, i, ind)
+            val end = scopeEnd(lines, cont, i, ind)
             val sig = rawLines(i).trim
             symbols += SymbolEvent(nextSeq(), taskId, Kind.Class, full, name,
               Some(relPath), Some(sig), None, Some(codePtr(i + 1, end, relPath)), Map.empty)
@@ -328,7 +369,7 @@ object PyIndexer {
             val kind = if (inClass) Kind.Method else Kind.Function
             val parent = stack.headOption.map(_.fullName).getOrElse(mod)
             val full = s"$parent.$name"
-            val end = scopeEnd(lines, i, ind)
+            val end = scopeEnd(lines, cont, i, ind)
             val sig = rawLines(i).trim
             val clazz = if (inClass) Some(parent) else None
             symbols += SymbolEvent(nextSeq(), taskId, kind, full, name,
@@ -368,8 +409,22 @@ object PyIndexer {
             edges += EdgeEvent(nextSeq(), taskId, cls, Rel.HasField, full, Map.empty)
             classFields.getOrElseUpdate(cls, mutable.Set.empty) += name
 
+          case forStmt(_, name)
+              if stack.isEmpty && !keywords.contains(name) &&
+                !topDefs.contains(name) && !topClasses.contains(name) =>
+            // module-level for-target → GLOBAL_VARIABLE (reference shallow
+            // mode records any module-scope definition as one)
+            val full = s"$mod.$name"
+            symbols += SymbolEvent(nextSeq(), taskId, Kind.GlobalVariable, full,
+              name, Some(relPath), None, None, None, Map.empty)
+            locs += LocationRow(full, relPath, "SYMBOL", i + 1, 1, i + 1,
+              rawLines(i).length)
+            edges += EdgeEvent(nextSeq(), taskId, mod, Rel.Contains, full,
+              Map("association_type" -> Kind.GlobalVariable))
+
           case _ => ()
         }
+        } // end !cont(i)
 
         // C10 — self.x = … inside a method promotes x to a Class FIELD
         // (`Foo.__init__.self.bar` collapses to `Foo.bar`)
