@@ -3,18 +3,28 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** B10 — `execute_query(cypher)` for the eight Cypher shapes the reference
-  * actually issues (SURVEY.md §2.B; graphDB.py:106-112 delegates arbitrary
-  * Cypher to Neo4j — full Cypher is out of scope by design, §7.3):
+/** B10 — `execute_query(cypher)` for the Cypher subset the reference's
+  * workflows issue (SURVEY.md §2.B; graphDB.py:106-112 delegates arbitrary
+  * Cypher to Neo4j — full Cypher is out of scope by design, §7.3).
   *
-  *   B1/B2  MATCH (n:L1:L2 {k:'v', …}) RETURN <proj>
-  *   B3-B6  MATCH (a:L {k:'v'})-[:REL]->(b:L2 {k2:'v2'}) RETURN <proj>
-  *   B7     MATCH (n:L) WHERE exists(n.prop) RETURN <proj>
-  *   B8     MATCH (n:L) RETURN n
+  * Supported shape — a single directed relationship CHAIN:
   *
-  * Projections: `x` (all columns of x, prefixed), `x.prop`,
-  * `labels(x)` (task_ids + kind array). Labels match the node's `kind` or
-  * one of its `task_ids` (the reference's multi-label set, §1.1).
+  *   MATCH (a:L1:L2 {k:'v', …}) -[:REL]-> (b) <-[:REL2]- (c:L3)
+  *   [WHERE exists(x.prop) [AND x.prop = 'val' …]]
+  *   RETURN <proj>[, <proj>…]
+  *
+  *  - any number of hops, each `-[:R]->` (forward) or `<-[:R]-` (reversed);
+  *  - node labels match `kind` or a member of `task_ids` (the reference's
+  *    multi-label set, §1.1); prop literals may contain commas/colons
+  *    inside quotes;
+  *  - WHERE supports `exists(v.prop)` and `v.prop = 'literal'` joined by
+  *    AND;
+  *  - projections: `x` (fixed columns of x, prefixed), `x.prop`,
+  *    `labels(x)` (task_ids + kind array).
+  *
+  * Anything else (OPTIONAL MATCH, variable-length `*`, undirected edges,
+  * multiple MATCH clauses, aggregation) raises — exactly the reference's
+  * posture of not reimplementing Neo4j.
   *
   * The parse result is a plain DataFrame expression — Catalyst plans it
   * like any hand-written combinator query (broadcast point expands,
@@ -24,37 +34,68 @@ object CypherLite {
 
   private val nodePat =
     """\(\s*(\w+)\s*((?::\w+)*)\s*(\{[^}]*\})?\s*\)""".r
-  private val matchEdge =
-    ("""(?s)MATCH\s*""" + nodePat.regex +
-      """\s*-\[\s*:(\w+)\s*\]->\s*""" + nodePat.regex +
-      """\s*RETURN\s+(.+)""").r
-  private val matchNodeWhere =
-    ("""(?s)MATCH\s*""" + nodePat.regex +
-      """\s*WHERE\s+exists\(\s*(\w+)\.(\w+)\s*\)\s*RETURN\s+(.+)""").r
-  private val matchNode =
-    ("""(?s)MATCH\s*""" + nodePat.regex + """\s*RETURN\s+(.+)""").r
+  private val matchChain =
+    """(?s)^MATCH\s+(.+?)\s*(?:\bWHERE\b\s+(.+?)\s*)?\bRETURN\b\s+(.+)$""".r
+  private val fwdArrow = """^-\s*\[\s*:(\w+)\s*\]\s*->$""".r
+  private val bwdArrow = """^<-\s*\[\s*:(\w+)\s*\]\s*-$""".r
+  private val whereExists = """^exists\(\s*(\w+)\.(\w+)\s*\)$""".r
+  private val whereEq = """^(\w+)\.(\w+)\s*=\s*(.+)$""".r
+
+  /** Split on `sep` at top level only — separators inside single/double
+    * quotes don't count (prop values may contain commas/colons). */
+  private def splitTop(s: String, sep: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        sb.append(c)
+        if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') { quote = c; sb.append(c) }
+      else if (s.regionMatches(true, i, sep, 0, sep.length) &&
+          (sep.head.isLetter // word separators (AND) need boundaries
+            && (i == 0 || !s.charAt(i - 1).isLetterOrDigit)
+            && (i + sep.length >= s.length || !s.charAt(i + sep.length).isLetterOrDigit)
+            || !sep.head.isLetter)) {
+        out += sb.toString; sb.clear(); i += sep.length - 1
+      } else sb.append(c)
+      i += 1
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def unquote(v: String): String = {
+    val t = v.trim
+    if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
+        (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
+      t.substring(1, t.length - 1)
+    else t
+  }
 
   private def parseProps(s: String): Map[String, String] =
     if (s == null || s.trim.isEmpty) Map.empty
-    else s.stripPrefix("{").stripSuffix("}").split(",").iterator
-      .map(_.trim).filter(_.nonEmpty)
+    else splitTop(s.trim.stripPrefix("{").stripSuffix("}"), ",").iterator
       .map { kv =>
-        val Array(k, v) = kv.split(":", 2)
-        k.trim -> v.trim.stripPrefix("'").stripSuffix("'")
-          .stripPrefix("\"").stripSuffix("\"")
+        val Seq(k, v) = splitTop(kv, ":") match {
+          case Seq(k1, rest @ _*) => Seq(k1, rest.mkString(":"))
+        }
+        k.trim -> unquote(v)
       }.toMap
 
   private def parseLabels(s: String): Seq[String] =
     if (s == null) Seq.empty
     else s.split(":").map(_.trim).filter(_.nonEmpty).toSeq
 
+  private val fixed = Set("full_name", "kind", "name", "file_path",
+    "signature", "clazz", "code")
+
   /** Node-pattern predicate over the engine's nodes schema: each label
     * must equal `kind` or be a member of `task_ids`; each prop literal is
     * an equality on the column (full_name/name/…) or the props map. */
-  private def nodePred(nodes: DataFrame, labels: Seq[String],
-      props: Map[String, String]): Column = {
-    val fixed = Set("full_name", "kind", "name", "file_path", "signature",
-      "clazz", "code")
+  private def nodePred(labels: Seq[String], props: Map[String, String]): Column = {
     val labelConds = labels.map(l =>
       col("kind") === l || array_contains(col("task_ids"), l))
     val propConds = props.map { case (k, v) =>
@@ -66,7 +107,7 @@ object CypherLite {
   /** vars: cypher variable -> DataFrame alias. */
   private def projections(spec: String, vars: Map[String, String])
       : Seq[Column] =
-    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap {
+    splitTop(spec, ",").flatMap {
       case p if p.startsWith("labels(") =>
         val v = p.stripPrefix("labels(").stripSuffix(")")
         val a = vars(v)
@@ -81,30 +122,71 @@ object CypherLite {
           .map(c => col(s"${vars(v)}.$c").as(s"$v.$c"))
     }
 
-  /** Execute one of the supported shapes against (nodes, edges). */
+  private final case class Hop(rel: String, reversed: Boolean)
+
+  /** Execute a supported chain query against (nodes, edges). */
   def execute(nodes: DataFrame, edges: DataFrame, query: String): DataFrame = {
     val q = query.trim
     q match {
-      case matchEdge(v1, l1, p1, rel, v2, l2, p2, ret) =>
-        val left = nodes.filter(nodePred(nodes, parseLabels(l1), parseProps(p1)))
-        val right = nodes.filter(nodePred(nodes, parseLabels(l2), parseProps(p2)))
-        val e = edges.filter(col("rel_type") === rel)
-        val joined = left.alias("l")
-          .join(e.alias("e"), col("l.full_name") === col("e.src"))
-          .join(right.alias("r"), col("e.dst") === col("r.full_name"))
-        joined.select(projections(ret, Map(v1 -> "l", v2 -> "r")): _*)
-      case matchNodeWhere(v, l, p, wv, wprop, ret) =>
-        require(wv == v, s"unknown variable $wv in WHERE")
-        val base = nodes
-          .filter(nodePred(nodes, parseLabels(l), parseProps(p)))
-          .filter(col(wprop).isNotNull)
-        base.alias("n").select(projections(ret, Map(v -> "n")): _*)
-      case matchNode(v, l, p, ret) =>
-        val base = nodes.filter(nodePred(nodes, parseLabels(l), parseProps(p)))
-        base.alias("n").select(projections(ret, Map(v -> "n")): _*)
+      case matchChain(pattern, whereClause, ret) =>
+        val nodeMs = nodePat.findAllMatchIn(pattern).toSeq
+        require(nodeMs.nonEmpty, s"no node pattern in: $q")
+        // arrows are exactly the text between consecutive node patterns
+        val hops = nodeMs.sliding(2).toSeq.collect { case Seq(a, b) =>
+          pattern.substring(a.end, b.start).trim match {
+            case fwdArrow(rel) => Hop(rel, reversed = false)
+            case bwdArrow(rel) => Hop(rel, reversed = true)
+            case other => throw new IllegalArgumentException(
+              s"unsupported relationship pattern '$other' (directed single-hop arrows only)")
+          }
+        }
+        val leading = pattern.substring(0, nodeMs.head.start).trim
+        val trailing = pattern.substring(nodeMs.last.end).trim
+        require(leading.isEmpty && trailing.isEmpty,
+          s"unsupported pattern text around the chain: $q")
+
+        val vars = nodeMs.zipWithIndex
+          .map { case (m, i) => m.group(1) -> s"n$i" }.toMap
+        var df = nodes
+          .filter(nodePred(parseLabels(nodeMs.head.group(2)),
+            parseProps(nodeMs.head.group(3))))
+          .alias("n0")
+        hops.zipWithIndex.foreach { case (hop, i) =>
+          val e = edges.filter(col("rel_type") === hop.rel).alias(s"e$i")
+          val next = nodes
+            .filter(nodePred(parseLabels(nodeMs(i + 1).group(2)),
+              parseProps(nodeMs(i + 1).group(3))))
+            .alias(s"n${i + 1}")
+          df =
+            if (!hop.reversed)
+              df.join(e, col(s"n$i.full_name") === col(s"e$i.src"))
+                .join(next, col(s"e$i.dst") === col(s"n${i + 1}.full_name"))
+            else
+              df.join(e, col(s"n$i.full_name") === col(s"e$i.dst"))
+                .join(next, col(s"e$i.src") === col(s"n${i + 1}.full_name"))
+        }
+        Option(whereClause).foreach { w =>
+          splitTop(w, "AND").foreach {
+            case whereExists(v, prop) =>
+              val a = vars.getOrElse(v,
+                throw new IllegalArgumentException(s"unknown variable $v in WHERE"))
+              df = df.filter(
+                if (fixed(prop)) col(s"$a.$prop").isNotNull
+                else element_at(col(s"$a.props"), prop).isNotNull)
+            case whereEq(v, prop, value) =>
+              val a = vars.getOrElse(v,
+                throw new IllegalArgumentException(s"unknown variable $v in WHERE"))
+              val lhs = if (fixed(prop)) col(s"$a.$prop")
+                else element_at(col(s"$a.props"), prop)
+              df = df.filter(lhs === unquote(value))
+            case other => throw new IllegalArgumentException(
+              s"unsupported WHERE condition: $other")
+          }
+        }
+        df.select(projections(ret, vars): _*)
       case _ =>
         throw new IllegalArgumentException(
-          s"unsupported Cypher shape (B1-B8 subset only): $q")
+          s"unsupported Cypher shape (directed MATCH-chain subset only): $q")
     }
   }
 }

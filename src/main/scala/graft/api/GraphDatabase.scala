@@ -47,6 +47,12 @@ final class GraphDatabase private (
   dir.filter(d => new java.io.File(s"$d/nodes").exists())
     .foreach(d => snap = Snapshot.read(spark, d))
 
+  // Staged per-call events accumulate on the DRIVER until commit() — this
+  // mirrors the reference's per-call add_node/add_edge surface 1:1 and is
+  // sized for that workload (interactive sessions, ~1e6 events ≈ a few
+  // hundred MB). BULK ingest must not route through addNode loops: use
+  // indexRepo / Merge.mergeNodes over a Dataset, which never materializes
+  // events on the driver.
   private val stagedSymbols = scala.collection.mutable.ArrayBuffer.empty[SymbolEvent]
   private val stagedEdges = scala.collection.mutable.ArrayBuffer.empty[EdgeEvent]
   private var stageSeq = 0L

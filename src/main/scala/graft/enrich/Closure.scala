@@ -57,7 +57,9 @@ object Closure {
     val closure = transitiveClosure(inherits) // (class, ancestor)
     val inherited = closure.as("c")
       .join(hasMethod.as("m"), col("c.dst") === col("m.src"))
-      .filter(!col("m.dst").endsWith(".__init__"))
+      // reference: `'__init__' in method` — a SUBSTRING test
+      // (ast_manage.py:92-93), not a suffix test; matched exactly
+      .filter(!col("m.dst").contains("__init__"))
       .select(col("c.src").as("src"), col("m.dst").as("dst"))
       .distinct()
     inherited.except(hasMethod.select(col("src"), col("dst")))

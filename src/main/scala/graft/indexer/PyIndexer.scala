@@ -176,7 +176,12 @@ object PyIndexer {
   private def codePtr(s: Int, e: Int, f: String): String =
     s"""<CODE>{"S":$s,"E":$e,"F":"$f"}</CODE>"""
 
-  private final case class Scope(kind: String, fullName: String, indent: Int)
+  private final case class Scope(kind: String, fullName: String, indent: Int,
+      locals: mutable.Map[String, String] = mutable.Map.empty)
+
+  /** `x = Callee(...)` — the head of a potential instance binding. */
+  private val instanceAssign: Regex =
+    """^\s*([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
 
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier). */
   def indexFile(taskId: String, relPath: String, content: String): FileEvents = {
@@ -303,6 +308,13 @@ object PyIndexer {
       val parts = dotted.split("\\.")
       if (dotted.startsWith("self.") && parts.length == 2)
         curClass.map(c => s"${c.fullName}.${parts(1)}")
+      else if (parts.length >= 2 &&
+          curCallable.exists(_.locals.contains(parts(0))))
+        // C3 (partial deep mode): `x.method()` where x was bound by a
+        // constructor call in this callable — resolves as jedi inference
+        // would for the direct-instantiation case
+        curCallable.map(fn =>
+          (fn.locals(parts(0)) +: parts.tail.toSeq).mkString("."))
       else if (parts.length == 1) {
         val n = parts(0)
         if (topDefs.contains(n)) Some(s"$mod.$n")
@@ -423,6 +435,23 @@ object PyIndexer {
               Map("association_type" -> Kind.GlobalVariable))
 
           case _ => ()
+        }
+
+        // C3 (partial deep mode): `x = ClassName(...)` inside a callable
+        // binds x's type for later `x.method()` resolution — the
+        // direct-constructor slice of what jedi inference gives the
+        // reference's deep mode (indexer_visitor.py:53-140). Guarded by
+        // the PEP8 capitalized-class convention for imported names (a
+        // local name only binds if it IS a known class).
+        curCallable.foreach { fn =>
+          instanceAssign.findFirstMatchIn(line).foreach { m =>
+            val v = m.group(1)
+            val callee = m.group(2)
+            val classish = topClasses.contains(callee) ||
+              callee.split("\\.").last.headOption.exists(_.isUpper)
+            if (!keywords.contains(callee) && classish)
+              resolveCallee(callee).foreach(t => fn.locals(v) = t)
+          }
         }
         } // end !cont(i)
 

@@ -64,9 +64,51 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(db.executeQuery("MATCH (m:sklearn) RETURN m").count() === 4)
   }
 
+  test("reversed arrow: (m)<-[:HAS_METHOD]-(c) matches c-HAS_METHOD->m") {
+    val out = db.executeQuery(
+      "MATCH (m:METHOD)<-[:HAS_METHOD]-(c:CLASS) RETURN m.full_name, c.full_name")
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "m.Person.greet")
+    assert(out(0).getString(1) === "m.Person")
+  }
+
+  test("multi-hop chain: module CONTAINS class HAS_METHOD method") {
+    val out = db.executeQuery(
+      "MATCH (mod:MODULE)-[:CONTAINS]->(c:CLASS)-[:HAS_METHOD]->(f) " +
+        "RETURN mod.full_name, c.name, f.name").collect()
+    assert(out.length === 1)
+    assert((out(0).getString(0), out(0).getString(1), out(0).getString(2)) ===
+      (("m", "Person", "greet")))
+  }
+
+  test("prop values containing commas and colons parse correctly") {
+    val d2 = GraphDatabase.inMemory(spark)
+    d2.addNode("t", Kind.Class, "x.C",
+      Map("name" -> "a, b: c", "signature" -> "def f(a, b):"))
+    d2.commit()
+    val out = d2.executeQuery(
+      "MATCH (n:CLASS {name: 'a, b: c', signature: 'def f(a, b):'}) RETURN n.full_name")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("x.C"))
+  }
+
+  test("WHERE conjunction: exists AND prop equality") {
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) WHERE exists(n.file_path) AND n.name = 'm' " +
+        "RETURN n.full_name").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("m"))
+  }
+
   test("unsupported shapes are rejected, not silently wrong") {
     intercept[IllegalArgumentException] {
       db.executeQuery("MATCH (a)-[:X*1..3]->(b) RETURN a")
+    }
+    intercept[IllegalArgumentException] {
+      db.executeQuery("OPTIONAL MATCH (a) RETURN a")
+    }
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (a)-[:R]-(b) RETURN a") // undirected
     }
   }
 }

@@ -116,6 +116,33 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.exists(_._1 == "main"))
   }
 
+  test("C3 partial: instance-typed x.method() resolves via constructor binding") {
+    val src =
+      """from lib import Helper
+        |
+        |class Local:
+        |    def m(self):
+        |        pass
+        |
+        |def work():
+        |    h = Helper()
+        |    h.run(1)
+        |    c = Local()
+        |    c.m()
+        |    unknown = mystery()
+        |    unknown.x()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "w.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("w.work", "lib.Helper")))       // constructor
+    assert(calls.contains(("w.work", "lib.Helper.run")))   // typed instance call
+    assert(calls.contains(("w.work", "w.Local")))
+    assert(calls.contains(("w.work", "w.Local.m")))
+    // a lowercase/unresolvable RHS binds nothing: unknown.x() stays dropped
+    assert(!calls.exists(_._2.endsWith(".x")))
+  }
+
   test("USES edges: globals from functions, fields from methods") {
     val uses = ix.edges.filter(col("rel_type") === Rel.Uses)
       .select("src", "dst").as[(String, String)].collect().toSet

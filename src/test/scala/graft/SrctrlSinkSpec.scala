@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.indexer.IndexPipeline
+import graft.indexer.IndexPipeline.SourceFile
+import graft.store.{Snapshot, SrctrlSink}
+
+/** The Sourcetrail-shaped export (sourcetraildb.py analog): relational
+  * integrity of the four tables plus atomic re-export. */
+class SrctrlSinkSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val snap = {
+    val files = Seq(
+      SourceFile("pkg/a.py",
+        "class A:\n    def run(self):\n        return GLOBAL\n\nGLOBAL = 1\n"),
+      SourceFile("pkg/b.py",
+        "from pkg.a import A\n\nclass B(A):\n    def go(self):\n        a = A()\n        return a.run()\n"))
+      .toDS()
+    val ix = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, files, "t1"), "t1")
+    Snapshot.GraphSnapshot(ix.nodes, ix.edges, ix.locations)
+  }
+
+  test("export tables: referential integrity on hash ids") {
+    val t = SrctrlSink.tables(snap)
+    val symbolIds = t("symbols").select("id").as[Long].collect().toSet
+    val fileIds = t("files").select("id").as[Long].collect().toSet
+    // every reference endpoint is a known symbol (A4 stub invariant)
+    val refs = t("references")
+      .select("context_symbol_id", "referenced_symbol_id", "kind")
+      .as[(Long, Long, String)].collect()
+    assert(refs.nonEmpty)
+    refs.foreach { case (c, r, k) =>
+      assert(symbolIds.contains(c) && symbolIds.contains(r), s"dangling ref $k")
+      assert(Set("REFERENCE_CALL", "REFERENCE_USAGE",
+        "REFERENCE_INHERITANCE").contains(k))
+    }
+    // INHERITS surfaced as a reference, members stay hierarchy-implied
+    assert(refs.exists(_._3 == "REFERENCE_INHERITANCE"))
+    // every location's file id is a known file
+    val locFiles = t("source_locations").select("file_id").as[Long].collect()
+    locFiles.foreach(f => assert(fileIds.contains(f)))
+  }
+
+  test("write is atomic and re-export overwrites in place") {
+    val dir = java.nio.file.Files.createTempDirectory("srctrl").toString + "/export"
+    SrctrlSink.write(snap, dir)
+    val once = SrctrlSink.read(spark, dir)("symbols").count()
+    SrctrlSink.write(snap, dir) // re-export over existing target
+    val twice = SrctrlSink.read(spark, dir)("symbols").count()
+    assert(once === twice && once > 0)
+    // ids are stable across exports (hash-based, no serial sequence)
+    assert(SrctrlSink.read(spark, dir)("symbols")
+      .select("id", "serialized_name").collect().toSet ===
+      SrctrlSink.tables(snap)("symbols")
+        .select("id", "serialized_name").collect().toSet)
+  }
+}
