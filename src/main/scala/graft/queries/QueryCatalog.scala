@@ -257,6 +257,49 @@ object QueryCatalog {
     graft.enrich.Analytics.pageRankGraphX(s, GraphTables.hierarchy(s, d),
       iterations = 5)
 
+  /** Connected components (min-label propagation on the undirected
+    * hierarchy). Oracle = 10 unrolled propagation steps: the graph
+    * converges in ≤6 (its diameter), and the fixpoint is stable, so the
+    * Spark until-no-change loop and the fixed unroll land identically. */
+  val q11Cc: Q = (s, d) =>
+    graft.enrich.Analytics.connectedComponents(GraphTables.hierarchy(s, d))
+
+  val q11CcSql: String = {
+    // MATERIALIZED: each step references its predecessor twice — an
+    // inlined CTE chain would re-evaluate l0 2^10 times
+    def iter(i: Int): String =
+      s"""l$i AS MATERIALIZED (SELECT t.v, least(t.c, coalesce(m.mc, t.c)) AS c FROM l${i - 1} t
+         |  LEFT JOIN (SELECT e.dst AS v, min(p.c) AS mc FROM und e JOIN l${i - 1} p ON e.src = p.v GROUP BY e.dst) m
+         |  ON t.v = m.v)""".stripMargin
+    s"""WITH ${GraphSql.hierarchyCte},
+       |und AS MATERIALIZED (SELECT src, dst FROM hier UNION SELECT dst, src FROM hier),
+       |verts AS (SELECT DISTINCT src AS v FROM und),
+       |l0 AS MATERIALIZED (SELECT v, v AS c FROM verts),
+       |${(1 to 10).map(iter).mkString(",\n")}
+       |SELECT v, c AS component FROM l10""".stripMargin
+  }
+
+  /** Salted skew join ≡ plain join (SkewOps.saltedJoin is a partitioning
+    * rewrite, not a semantic one — the oracle replays the PLAIN join, so
+    * a wrong salt/replication would hash-mismatch). */
+  val q12SaltedJoin: Q = (s, d) => {
+    val f = Tables.lineitem(s, d).select(
+      col("l_partkey").as("partkey"),
+      (col("l_orderkey") * 100 + col("l_linenumber")).as("rid"),
+      col("l_quantity").cast("decimal(18,4)").as("qty"))
+    val dim = Tables.part(s, d)
+      .select(col("p_partkey").as("partkey"), col("p_name"))
+    graft.ops.SkewOps.saltedJoin(f, dim, "partkey", "rid", buckets = 8)
+      .groupBy(col("p_name"))
+      .agg(sum(col("qty")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+  }
+
+  val q12SaltedJoinSql: String =
+    """SELECT p_name, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_name""".stripMargin
+
   /** D5 — snapshot carry-forward (update_version.py:21-44): docs whose
     * source is NOT in the change list join the v2 snapshot. */
   val gD5Carry: Q = (s, d) => {
@@ -785,6 +828,8 @@ object QueryCatalog {
     "q9_rollup" -> q9Rollup,
     "q10_pagerank" -> q10Pagerank,
     "q10_pagerank_gx" -> q10PagerankGx,
+    "q11_cc" -> q11Cc,
+    "q12_salted_join" -> q12SaltedJoin,
     "t_tokens" -> tTokens,
     "t_bpe_tokens" -> tBpeTokens,
     "t_quality" -> tQuality,
@@ -832,6 +877,8 @@ object QueryCatalog {
     "q9_rollup" -> q9RollupSql,
     "q10_pagerank" -> q10PagerankSql,
     "q10_pagerank_gx" -> q10PagerankSql,
+    "q11_cc" -> q11CcSql,
+    "q12_salted_join" -> q12SaltedJoinSql,
     "t_tokens" -> tTokensSql,
     "t_bpe_tokens" -> tBpeTokensSql,
     "t_quality" -> tQualitySql,
