@@ -96,9 +96,11 @@ object Analytics {
     * on the UNDIRECTED view of edges(src, dst). Deterministic; converges
     * in O(diameter) iterations. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // pre-partitioned on the iteration join key: each round shuffles only
+    // the (small) label table, never the edge table
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().repartition(col("src")).localCheckpoint(eager = true)
     var labels = und.select(col("src").as("v")).distinct()
       .withColumn("component", col("v"))
     var changed = 1L
@@ -107,14 +109,18 @@ object Analytics {
       val prop = und.join(labels.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(min(col("component")).as("neighbor_min"))
-      val next = labels.join(prop, Seq("v"), "left")
+      // carry the previous component through the SAME plan so convergence
+      // is a filter-count over the checkpointed result, not a second
+      // full-table join per iteration
+      val next = labels.withColumnRenamed("component", "_old")
+        .join(prop, Seq("v"), "left")
         .select(col("v"),
-          least(col("component"), coalesce(col("neighbor_min"), col("component")))
-            .as("component"))
+          least(col("_old"), coalesce(col("neighbor_min"), col("_old")))
+            .as("component"),
+          col("_old"))
         .localCheckpoint(eager = true)
-      changed = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.component") =!= col("o.component")).count()
-      labels = next
+      changed = next.filter(col("component") =!= col("_old")).count()
+      labels = next.select(col("v"), col("component"))
       i += 1
     }
     labels
