@@ -76,6 +76,49 @@ object Streams {
       }
   }
 
+  /** Continuous graph ingest — the streaming upgrade of the reference's
+    * batch-only pipeline: each micro-batch of symbol events merges into
+    * the snapshot directory with the SAME set-oriented A1–A4 semantics as
+    * the batch path (Merge.mergeNodes + upsertInto), and each batch
+    * commits atomically by rename (Snapshot.write = the per-batch
+    * transaction bracket, A9). Label promotion and last-write-wins hold
+    * ACROSS micro-batches because every batch upserts into the persisted
+    * base. foreachBatch is the right altitude: the merge itself stays a
+    * set-oriented batch job; streaming only schedules it. */
+  def graphIngest(events: Dataset[graft.model.SymbolEvent], dir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[graft.model.SymbolEvent], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val fresh = graft.merge.Merge.mergeNodes(batch.toDF())
+        val base =
+          if (new java.io.File(s"$dir/nodes").exists())
+            graft.store.Snapshot.read(spark, dir)
+          else graft.store.Snapshot.GraphSnapshot(
+            fresh.limit(0),
+            spark.emptyDataset[graft.model.EdgeRow].toDF()
+              .select(col("src"), col("relType").as("rel_type"), col("dst"),
+                col("props")).limit(0),
+            spark.emptyDataset[graft.model.LocationRow].toDF().limit(0))
+        val merged = graft.merge.Merge.upsertInto(base.nodes, fresh)
+        graft.store.Snapshot.write(
+          graft.store.Snapshot.GraphSnapshot(merged, base.edges,
+            base.locations), dir)
+        ()
+      }
+      .start()
+
+  /** Streaming exact dedup for a document stream: first-seen wins within
+    * the watermark horizon (state stays bounded — the streaming analog of
+    * Dedup.exactDedup's hash-groupBy). */
+  def streamingExactDedup(docs: DataFrame, watermark: String = "1 hour")
+      : DataFrame =
+    docs
+      .withColumn("fingerprint", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the result table (test/demo harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

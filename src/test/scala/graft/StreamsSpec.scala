@@ -53,6 +53,46 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows.filter(_._1 == 20L).toSet === Set((20L, 1L, 9.0)))
   }
 
+  test("graphIngest: A1/A2 merge semantics hold ACROSS micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.{Kind, SymbolEvent}
+    val dir = java.nio.file.Files.createTempDirectory("graftstream")
+      .toString + "/snap"
+    val mem = MemoryStream[SymbolEvent]
+    val q = Streams.graphIngest(mem.toDS(), dir)
+    // batch 1: node referenced before defined -> 'none' placeholder
+    mem.addData(SymbolEvent(1L, "t1", Kind.None_, "m.C", "C",
+      None, None, None, Some("v1"), Map.empty))
+    q.processAllAvailable()
+    val afterB1 = graft.store.Snapshot.read(spark, dir).nodes
+      .select("full_name", "kind").as[(String, String)].collect().toMap
+    assert(afterB1("m.C") === Kind.None_)
+    // batch 2: the real kind arrives + a prop update -> promotion (A2)
+    // and last-write-wins (A1) against the PERSISTED base
+    mem.addData(SymbolEvent(2L, "t1", Kind.Class, "m.C", "C",
+      None, Some("class C:"), None, Some("v2"), Map.empty))
+    q.processAllAvailable()
+    q.stop()
+    val snap = graft.store.Snapshot.read(spark, dir)
+    val row = snap.nodes.filter($"full_name" === "m.C").collect()(0)
+    assert(row.getAs[String]("kind") === Kind.Class)
+    assert(row.getAs[String]("code") === "v2")
+    assert(snap.nodes.count() === 1)
+  }
+
+  test("streamingExactDedup keeps first occurrence within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData((1L, ts(1), "same text"), (2L, ts(2), "same text"),
+      (3L, ts(3), "other text"))
+    val out = Streams.runToMemory(spark,
+      Streams.streamingExactDedup(
+        mem.toDF().toDF("doc_id", "ts", "text")),
+      "dedup_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("sessionize starts a fresh session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
