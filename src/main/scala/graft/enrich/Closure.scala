@@ -65,6 +65,25 @@ object Closure {
     inherited.except(hasMethod.select(col("src"), col("dst")))
   }
 
+  /** C11 — override detection (reference deep mode,
+    * indexer_visitor.py:125-157: `goto(follow_override=True)` per
+    * funcdef, emitted to Sourcetrail only): a method DEFINED on a class
+    * whose INHERITS-closure ancestor defines a same-named method
+    * overrides it. Returns (src=overriding method, dst=overridden
+    * ancestor method). `hasMethod` must be the defined set (inherited
+    * copies excluded by the caller). */
+  def overrides(inherits: DataFrame, hasMethod: DataFrame): DataFrame = {
+    val closure = transitiveClosure(inherits) // (class, ancestor)
+    def withName(df: DataFrame) = df
+      .withColumn("_m", element_at(split(col("dst"), "\\."), -1))
+    withName(hasMethod).as("c")
+      .join(closure.as("h"), col("c.src") === col("h.src"))
+      .join(withName(hasMethod).as("a"),
+        col("h.dst") === col("a.src") && col("c._m") === col("a._m"))
+      .select(col("c.dst").as("src"), col("a.dst").as("dst"))
+      .distinct()
+  }
+
   /** GraphX variant of the reachability closure for the analytics story:
     * Pregel propagating reachable-ancestor sets. Same interface; used when
     * the closure is deep/wide enough that per-iteration DataFrame job

@@ -17,7 +17,7 @@ class SrctrlSinkSpec extends AnyFunSuite {
       SourceFile("pkg/a.py",
         "class A:\n    def run(self):\n        return GLOBAL\n\nGLOBAL = 1\n"),
       SourceFile("pkg/b.py",
-        "from pkg.a import A\n\nclass B(A):\n    def go(self):\n        a = A()\n        return a.run()\n"))
+        "from pkg.a import A\n\nclass B(A):\n    def run(self):\n        return 2\n\n    def go(self):\n        a = A()\n        return a.run()\n"))
       .toDS()
     val ix = IndexPipeline.enrich(
       IndexPipeline.indexFiles(spark, files, "t1"), "t1")
@@ -36,10 +36,16 @@ class SrctrlSinkSpec extends AnyFunSuite {
     refs.foreach { case (c, r, k) =>
       assert(symbolIds.contains(c) && symbolIds.contains(r), s"dangling ref $k")
       assert(Set("REFERENCE_CALL", "REFERENCE_USAGE",
-        "REFERENCE_INHERITANCE").contains(k))
+        "REFERENCE_INHERITANCE", "REFERENCE_OVERRIDE").contains(k))
     }
     // INHERITS surfaced as a reference, members stay hierarchy-implied
     assert(refs.exists(_._3 == "REFERENCE_INHERITANCE"))
+    // C11: B.run overrides A.run — derived at export, like the
+    // reference's deep mode emitting overrides to Sourcetrail only
+    val symByName = t("symbols").select("serialized_name", "id")
+      .as[(String, Long)].collect().toMap
+    assert(refs.exists(r => r._3 == "REFERENCE_OVERRIDE" &&
+      r._1 == symByName("pkg.b.B.run") && r._2 == symByName("pkg.a.A.run")))
     // every location's file id is a known file
     val locFiles = t("source_locations").select("file_id").as[Long].collect()
     locFiles.foreach(f => assert(fileIds.contains(f)))
