@@ -30,14 +30,18 @@ object Analytics {
       .repartition(col("v")).localCheckpoint(eager = true)
     val n = verts.count().toDouble
     var pr = verts.withColumn("pr", round(lit(1.0 / n), 10))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = e2.join(pr.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(round(sum(col("pr") / col("cnt")), 10).as("s"))
       pr = verts.join(contrib, Seq("v"), "left")
         .select(col("v"),
           round(lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0)), 10).as("pr"))
-        .localCheckpoint(eager = true)
+      // checkpoint every 3rd iteration, not every one: lineage depth stays
+      // bounded (planning time can't explode) while the intermediate
+      // iterations pipeline inside a single job instead of forcing an
+      // eager materialization each round
+      if (i % 3 == 0 && i < iterations) pr = pr.localCheckpoint(eager = true)
     }
     pr.select(col("v"), round(col("pr"), 6).as("pagerank"))
   }
