@@ -55,6 +55,52 @@ object Multimodal {
         math.max(1, w.toLong * h)).toInt)) // STUB: size-preserving no-op
   }
 
+  /** ======= REAL (codec-free) ======= container-format sniffing from
+    * magic bytes: the standard first step of a media ingest pipeline —
+    * route rows to the right decoder, quarantine mislabeled payloads.
+    * Pure column expressions over the binary payload (codegen'd, no UDF). */
+  def sniffFormat(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def startsWithBytes(bytes: Int*): org.apache.spark.sql.Column =
+      bytes.zipWithIndex.map { case (b, i) =>
+        // substring on binary is 1-based and yields 1-byte binary slices
+        substring(payload, i + 1, 1) === lit(Array(b.toByte))
+      }.reduce(_ && _)
+    when(payload.isNull, lit(null).cast("string"))
+      .when(startsWithBytes(0x89, 0x50, 0x4e, 0x47), "png")
+      .when(startsWithBytes(0xff, 0xd8, 0xff), "jpeg")
+      .when(startsWithBytes(0x47, 0x49, 0x46, 0x38), "gif")
+      .when(startsWithBytes(0x52, 0x49, 0x46, 0x46), "riff") // wav/avi/webp
+      .when(startsWithBytes(0x49, 0x44, 0x33), "mp3")
+      .when(startsWithBytes(0x4f, 0x67, 0x67, 0x53), "ogg")
+      .when(startsWithBytes(0x00, 0x00, 0x00) &&
+        substring(payload, 5, 4) === lit("ftyp".getBytes), "mp4")
+      .otherwise("unknown")
+  }
+
+  /** ======= REAL (codec-free) ======= Shannon byte entropy of a payload
+    * (bits/byte, 0–8): the standard corrupt/encrypted/truncated-media
+    * screen — compressed media sits near 8, zero-padding and text sit
+    * low. Per-partition batch loop over a 256-bin histogram. */
+  def withByteEntropy(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "entropy"): DataFrame = {
+    val entropy = udf { (payload: Array[Byte]) =>
+      if (payload == null || payload.isEmpty) 0.0
+      else {
+        val counts = new Array[Long](256)
+        payload.foreach(b => counts(b & 0xff) += 1)
+        val n = payload.length.toDouble
+        var e = 0.0
+        counts.foreach { c =>
+          if (c > 0) { val p = c / n; e -= p * (math.log(p) / math.log(2)) }
+        }
+        e
+      }
+    }
+    // a JVM UDF (not Python): stays in-process, no serialization boundary;
+    // acceptable here because the histogram loop has no Column spelling
+    media.withColumn(outCol, entropy(col(payloadCol)))
+  }
+
   /** Feature extraction over a media Dataset: per-partition batch loop —
     * codec init happens once per partition, not per row (the reason this
     * is mapPartitions, not a scalar UDF). */

@@ -28,6 +28,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId === again)
   }
 
+  test("sniffFormat: magic bytes route payloads, no codec needed") {
+    val rows = Seq(
+      (1L, Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a).map(_.toByte)),
+      (2L, Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)),
+      (3L, "RIFF1234WAVE".getBytes),
+      (4L, Array(0x00, 0x00, 0x00, 0x18) .map(_.toByte) ++ "ftypmp42".getBytes),
+      (5L, "plain text".getBytes),
+      (6L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.sniffFormat(col("payload")).as("fmt"))
+      .as[(Long, String)].collect().toMap
+    assert(rows === Map(1L -> "png", 2L -> "jpeg", 3L -> "riff",
+      4L -> "mp4", 5L -> "unknown", 6L -> null))
+  }
+
+  test("withByteEntropy: uniform bytes -> 8 bits, constant -> 0") {
+    val rows = Seq(
+      (1L, Array.tabulate(256)(_.toByte)),          // uniform: all 256 values
+      (2L, Array.fill(100)(7.toByte)),              // constant
+      (3L, Array[Byte]()))                          // empty
+      .toDF("doc_id", "payload")
+    val out = Multimodal.withByteEntropy(rows)
+      .select("doc_id", "entropy").as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 8.0) < 1e-9)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === 0.0)
+  }
+
   test("sampleFrames explodes video duration into frame rows") {
     val rows = Seq(
       (10L, "video", null: Array[Byte], Row(0, 0, 0, 3500L)),
