@@ -183,6 +183,10 @@ object PyIndexer {
   private val instanceAssign: Regex =
     """^\s*([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
 
+  /** `self.f = Callee(...)` — a typed-field binding. */
+  private val selfInstanceAssign: Regex =
+    """self\.([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
+
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier). */
   def indexFile(taskId: String, relPath: String, content: String): FileEvents = {
     val rawLines = content.split("\n", -1)
@@ -293,6 +297,10 @@ object PyIndexer {
     // fields discovered per class (for USES resolution)
     val classFields = mutable.Map.empty[String, mutable.Set[String]]
     val classMethods = mutable.Map.empty[String, mutable.Set[String]]
+    // C3 (partial): constructor-typed self-fields per class —
+    // `self.h = Helper()` lets `self.h.run()` resolve from ANY later
+    // method of the class
+    val classFieldTypes = mutable.Map.empty[String, mutable.Map[String, String]]
 
     // ---- main pass with context stack (C4)
     val stack = mutable.Stack.empty[Scope]
@@ -315,6 +323,12 @@ object PyIndexer {
         // would for the direct-instantiation case
         curCallable.map(fn =>
           (fn.locals(parts(0)) +: parts.tail.toSeq).mkString("."))
+      else if (parts.length == 3 && parts(0) == "self")
+        // C3 (partial): `self.field.method()` through a constructor-typed
+        // field binding
+        curClass.flatMap(c =>
+          classFieldTypes.get(c.fullName).flatMap(_.get(parts(1))))
+          .map(t => s"$t.${parts(2)}")
       else if (parts.length == 1) {
         val n = parts(0)
         if (topDefs.contains(n)) Some(s"$mod.$n")
@@ -444,13 +458,21 @@ object PyIndexer {
         // the PEP8 capitalized-class convention for imported names (a
         // local name only binds if it IS a known class).
         curCallable.foreach { fn =>
-          instanceAssign.findFirstMatchIn(line).foreach { m =>
-            val v = m.group(1)
-            val callee = m.group(2)
+          def classishTarget(callee: String): Option[String] = {
             val classish = topClasses.contains(callee) ||
               callee.split("\\.").last.headOption.exists(_.isUpper)
-            if (!keywords.contains(callee) && classish)
-              resolveCallee(callee).foreach(t => fn.locals(v) = t)
+            if (!keywords.contains(callee) && classish) resolveCallee(callee)
+            else None
+          }
+          instanceAssign.findFirstMatchIn(line).foreach { m =>
+            classishTarget(m.group(2)).foreach(t => fn.locals(m.group(1)) = t)
+          }
+          if (fn.kind == Kind.Method) curClass.foreach { c =>
+            selfInstanceAssign.findAllMatchIn(line).foreach { m =>
+              classishTarget(m.group(2)).foreach(t =>
+                classFieldTypes.getOrElseUpdate(c.fullName,
+                  mutable.Map.empty)(m.group(1)) = t)
+            }
           }
         }
         } // end !cont(i)

@@ -143,6 +143,24 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.exists(_._2.endsWith(".x")))
   }
 
+  test("C3 partial: constructor-typed self.field.method() resolves class-wide") {
+    val src =
+      """from lib import Helper
+        |
+        |class Owner:
+        |    def __init__(self):
+        |        self.h = Helper()
+        |
+        |    def use(self):
+        |        return self.h.run()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "o.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("o.Owner.__init__", "lib.Helper")))
+    assert(calls.contains(("o.Owner.use", "lib.Helper.run")))
+  }
+
   test("USES edges: globals from functions, fields from methods") {
     val uses = ix.edges.filter(col("rel_type") === Rel.Uses)
       .select("src", "dst").as[(String, String)].collect().toSet
