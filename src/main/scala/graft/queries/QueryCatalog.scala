@@ -556,6 +556,23 @@ object QueryCatalog {
       TextFunctions.meanTokenLen(col("text")).as("mean_tok_len"),
       TextFunctions.qualityScore(col("text")).as("quality"))
 
+  /** quality-score expression, DuckDB side (shared by t_quality and the
+    * composed p_clean_corpus) — the integer-exact composite mirroring
+    * TextFunctions.qualityScore. */
+  private lazy val qualityExprSql: String = {
+    val toks = s"string_split($normSql, ' ')"
+    val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    val nTok = s"CASE WHEN length($normSql) = 0 THEN 0 ELSE len($toks) END"
+    val aN = "(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::BIGINT"
+    val lN = "greatest(length(text), 1)::BIGINT"
+    val tN = s"greatest($nTok, 1)::BIGINT"
+    val sN = s"len(list_filter($toks, t -> list_contains($stopList, t)))::BIGINT"
+    val lbNum = "(CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1 WHEN length(text) < 100 THEN length(text) ELSE 1 END)::BIGINT"
+    val lbDen = "(CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1 WHEN length(text) < 100 THEN 100 ELSE 2 END)::BIGINT"
+    s"""round((5 * $aN * $tN * $lbDen + 3 * $lbNum * $lN * $tN + 2 * ($tN - $sN) * $lN * $lbDen)::DOUBLE
+       |      / (10 * $lN * $tN * $lbDen)::DOUBLE, 4)""".stripMargin
+  }
+
   val tQualitySql: String = {
     val toks = s"string_split($normSql, ' ')"
     val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -563,18 +580,35 @@ object QueryCatalog {
     val stopR = s"round(len(list_filter($toks, t -> list_contains($stopList, t)))::DOUBLE / greatest(len($toks), 1), 4)"
     val nTok = s"CASE WHEN length($normSql) = 0 THEN 0 ELSE len($toks) END"
     val meanL = s"round(list_sum(list_transform($toks, t -> length(t)))::DOUBLE / greatest($nTok, 1), 4)"
-    // integer-exact composite (see TextFunctions.qualityScore)
-    val aN = "(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::BIGINT"
-    val lN = "greatest(length(text), 1)::BIGINT"
-    val tN = s"greatest($nTok, 1)::BIGINT"
-    val sN = s"len(list_filter($toks, t -> list_contains($stopList, t)))::BIGINT"
-    val lbNum = "(CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1 WHEN length(text) < 100 THEN length(text) ELSE 1 END)::BIGINT"
-    val lbDen = "(CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1 WHEN length(text) < 100 THEN 100 ELSE 2 END)::BIGINT"
     s"""SELECT doc_id, $alpha AS alpha_ratio, $stopR AS stop_ratio, $meanL AS mean_tok_len,
-       |round((5 * $aN * $tN * $lbDen + 3 * $lbNum * $lN * $tN + 2 * ($tN - $sN) * $lN * $lbDen)::DOUBLE
-       |      / (10 * $lN * $tN * $lbDen)::DOUBLE, 4) AS quality
+       |$qualityExprSql AS quality
        |FROM documents""".stripMargin
   }
+
+  /** The composed cleaning pipeline in ONE declared query — the shape a
+    * training-data run actually executes: quality-gate → exact dedup
+    * (first-seen keeper per normalized fingerprint) → per-keeper token
+    * stats. One filter + one shuffle (the dedup groupBy) + one keeper
+    * join; the oracle replays the identical composition. */
+  val pCleanCorpus: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val kept = docs
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+      .withColumn("fp", md5(TextFunctions.normalize(col("text"))))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+    kept.join(docs, "doc_id")
+      .select(col("doc_id"), col("dup_count"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+  }
+
+  val pCleanCorpusSql: String =
+    s"""WITH scored AS (SELECT doc_id, text FROM documents WHERE $qualityExprSql >= 0.5),
+       |kept AS (SELECT md5($normSql) AS fp, min(doc_id) AS doc_id, count(*) AS dup_count
+       |         FROM scored GROUP BY 1)
+       |SELECT k.doc_id, k.dup_count,
+       |  (CASE WHEN length($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END)::BIGINT AS n_tokens
+       |FROM kept k JOIN documents USING (doc_id)""".stripMargin
 
   /** Language-ID heuristic: marker-set scoring with fixed tie order. */
   val tLangId: Q = (s, d) =>
@@ -833,6 +867,7 @@ object QueryCatalog {
     "t_tokens" -> tTokens,
     "t_bpe_tokens" -> tBpeTokens,
     "t_quality" -> tQuality,
+    "p_clean_corpus" -> pCleanCorpus,
     "t_langid" -> tLangId,
     "t_fingerprint" -> tFingerprint,
     "d_exact" -> dExact,
@@ -882,6 +917,7 @@ object QueryCatalog {
     "t_tokens" -> tTokensSql,
     "t_bpe_tokens" -> tBpeTokensSql,
     "t_quality" -> tQualitySql,
+    "p_clean_corpus" -> pCleanCorpusSql,
     "t_langid" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
     "d_exact" -> dExactSql,
