@@ -36,12 +36,15 @@ object Hydrate {
   def sliceLines(text: Column, start: Column, end: Column): Column =
     array_join(slice(split(text, "\n"), start, end - start + 1), "\n")
 
-  /** De-indent: strip the first line's leading-space count from every
-    * line — reference graphDB.py:220-223. */
+  /** De-indent: strip the first line's leading-WHITESPACE count from every
+    * line — reference graphDB.py:219-223 (`len(line) - len(line.lstrip())`,
+    * Python lstrip = any Unicode whitespace incl. tabs, hence `(?U)\s`,
+    * not space-only ltrim). Lines shorter than the indent become ''
+    * (substr past the end), matching the reference's else-'' branch. */
   def deindent(snippet: Column): Column = {
     val lines = split(snippet, "\n")
     val first = element_at(lines, 1)
-    val ind = length(first) - length(ltrim(first))
+    val ind = length(first) - length(regexp_replace(first, "(?U)^\\s+", ""))
     array_join(transform(lines, l => l.substr(ind + lit(1), length(l))), "\n")
   }
 

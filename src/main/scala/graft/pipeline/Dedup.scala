@@ -114,6 +114,22 @@ object Dedup {
       .select("a", "b", "est_jaccard")
   }
 
+  /** Dup-CLUSTER formation — the shape a real dedup run ships: near-dup
+    * pairs are only evidence; transitively-connected docs form one
+    * cluster with a canonical keeper (min doc_id), singletons keep
+    * themselves. Pairs via [[minhashLshPairs]], clusters via undirected
+    * min-label propagation (Analytics.connectedComponents) — both
+    * bucketed/iterative, nothing all-pairs. */
+  def dupClusters(docs: DataFrame, k: Int, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val pairs = minhashLshPairs(docs, k, numHashes, bands, threshold)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val cc = graft.enrich.Analytics.connectedComponents(pairs)
+      .select(col("v").as("doc_id"), col("component").as("keeper"))
+    docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))
+  }
+
   /** Second 31-bit hash stream for the 62-bit SimHash: an affine remap of
     * the token rolling hash, so each token contributes 62 usable bits. */
   val SimhashA2 = 1000003L

@@ -693,6 +693,29 @@ object QueryCatalog {
        |FROM cand
        |WHERE round(len(list_filter(range(1,17), i -> siga[i] = sigb[i]))::DOUBLE / 16, 4) >= 0.25""".stripMargin
 
+  /** Dup-cluster formation: MinHash-LSH pairs → undirected min-label
+    * propagation → canonical keeper per doc. The oracle nests the
+    * d_minhash_lsh SQL as the pairs CTE and unrolls 20 MATERIALIZED
+    * propagation steps — matching connectedComponents' maxIter, so even a
+    * hypothetically-unconverged state is identical step-for-step. */
+  val dDupClusters: Q = (s, d) =>
+    Dedup.dupClusters(Tables.documents(s, d), k = 5, numHashes = 16,
+      bands = 4, threshold = 0.25)
+
+  val dDupClustersSql: String = {
+    def iter(i: Int): String =
+      s"""l$i AS MATERIALIZED (SELECT t.v, least(t.c, coalesce(m.mc, t.c)) AS c FROM l${i - 1} t
+         |  LEFT JOIN (SELECT e.dst AS v, min(p.c) AS mc FROM und e JOIN l${i - 1} p ON e.src = p.v GROUP BY e.dst) m
+         |  ON t.v = m.v)""".stripMargin
+    s"""WITH pairs AS MATERIALIZED ($dMinhashLshSql),
+       |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+       |verts AS (SELECT DISTINCT src AS v FROM und),
+       |l0 AS MATERIALIZED (SELECT v, v AS c FROM verts),
+       |${(1 to 20).map(iter).mkString(",\n")}
+       |SELECT d.doc_id, coalesce(l.c, d.doc_id) AS keeper
+       |FROM documents d LEFT JOIN l20 l ON d.doc_id = l.v""".stripMargin
+  }
+
   /** SimHash near-dup pairs: 62-bit signature (two 31-bit rolling-hash
     * streams), 4×16-bit bands, Hamming ≤ 6. */
   val dSimhash: Q = (s, d) =>
@@ -873,6 +896,7 @@ object QueryCatalog {
     "d_exact" -> dExact,
     "d_ngram_jaccard" -> dNgramJaccard,
     "d_minhash_lsh" -> dMinhashLsh,
+    "d_dup_clusters" -> dDupClusters,
     "d_simhash" -> dSimhash,
     "s_cosine_topk" -> sCosineTopK,
     "s_lsh_ann" -> sLshAnn,
@@ -923,6 +947,7 @@ object QueryCatalog {
     "d_exact" -> dExactSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_minhash_lsh" -> dMinhashLshSql,
+    "d_dup_clusters" -> dDupClustersSql,
     "d_simhash" -> dSimhashSql,
     "s_cosine_topk" -> sCosineTopKSql,
     "s_lsh_ann" -> sLshAnnSql,
