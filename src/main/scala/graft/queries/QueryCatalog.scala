@@ -300,6 +300,38 @@ object QueryCatalog {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_name""".stripMargin
 
+  /** As-of join, the scalable formulation: instead of a per-row range
+    * join (quadratic per key), tag both event streams, sort ONCE per key,
+    * and carry the last 'view' value forward with an ignore-nulls window
+    * — each 'click' picks up the most recent prior-or-equal 'view' for
+    * its user. One shuffle on user_id total; the classic union +
+    * last_value(IGNORE NULLS) pattern. Tie-break (ts, event_id) is
+    * replayed identically by the oracle (no native ASOF JOIN on the
+    * DuckDB side either — same window, same ties). */
+  val q13Asof: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("last_view_value",
+        last(when(col("event_type") === "view", col("value")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"),
+        round(col("last_view_value"), 2).as("last_view_value"))
+  }
+
+  val q13AsofSql: String =
+    """SELECT event_id, user_id, round(value, 2) AS value,
+      |  round(last_view_value, 2) AS last_view_value
+      |FROM (
+      |  SELECT event_id, user_id, event_type, value,
+      |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS last_view_value
+      |  FROM events)
+      |WHERE event_type = 'click'""".stripMargin
+
   /** D5 — snapshot carry-forward (update_version.py:21-44): docs whose
     * source is NOT in the change list join the v2 snapshot. */
   val gD5Carry: Q = (s, d) => {
@@ -887,6 +919,7 @@ object QueryCatalog {
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
     "q12_salted_join" -> q12SaltedJoin,
+    "q13_asof" -> q13Asof,
     "t_tokens" -> tTokens,
     "t_bpe_tokens" -> tBpeTokens,
     "t_quality" -> tQuality,
@@ -938,6 +971,7 @@ object QueryCatalog {
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,
     "q12_salted_join" -> q12SaltedJoinSql,
+    "q13_asof" -> q13AsofSql,
     "t_tokens" -> tTokensSql,
     "t_bpe_tokens" -> tBpeTokensSql,
     "t_quality" -> tQualitySql,
