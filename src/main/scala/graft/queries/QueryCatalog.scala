@@ -332,6 +332,21 @@ object QueryCatalog {
       |  FROM events)
       |WHERE event_type = 'click'""".stripMargin
 
+  /** KMV distinct-count sketch (Sketches.kmvDistinct) over customer
+    * names. HLL is NOT oracle-replayable (engine-specific hashes); KMV
+    * over the shared rolling hash is — both engines keep the 64 smallest
+    * distinct hashes and apply the identical estimator. */
+  val q14Kmv: Q = (s, d) =>
+    graft.pipeline.Sketches.kmvDistinct(Tables.customer(s, d), col("c_name"), 64)
+
+  val q14KmvSql: String = {
+    val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(c_name, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
+    s"""WITH h AS (SELECT DISTINCT $rollh AS h FROM customer),
+       |topk AS (SELECT h FROM h WHERE h > 0 ORDER BY h LIMIT 64)
+       |SELECT CASE WHEN (SELECT count(*) FROM topk) < 64 THEN (SELECT count(*) FROM topk)::DOUBLE
+       |       ELSE round(63.0 * 2147483647 / (SELECT max(h) FROM topk), 4) END AS est_distinct""".stripMargin
+  }
+
   /** D5 — snapshot carry-forward (update_version.py:21-44): docs whose
     * source is NOT in the change list join the v2 snapshot. */
   val gD5Carry: Q = (s, d) => {
@@ -920,6 +935,7 @@ object QueryCatalog {
     "q11_cc" -> q11Cc,
     "q12_salted_join" -> q12SaltedJoin,
     "q13_asof" -> q13Asof,
+    "q14_kmv" -> q14Kmv,
     "t_tokens" -> tTokens,
     "t_bpe_tokens" -> tBpeTokens,
     "t_quality" -> tQuality,
@@ -972,6 +988,7 @@ object QueryCatalog {
     "q11_cc" -> q11CcSql,
     "q12_salted_join" -> q12SaltedJoinSql,
     "q13_asof" -> q13AsofSql,
+    "q14_kmv" -> q14KmvSql,
     "t_tokens" -> tTokensSql,
     "t_bpe_tokens" -> tBpeTokensSql,
     "t_quality" -> tQualitySql,

@@ -134,6 +134,18 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: KMV sketch merges associatively (sketch(a∪b) ≡ merge)") {
+    import graft.pipeline.Sketches
+    val genHashes = Gen.listOf(Gen.choose(1L, Sketches.P - 1))
+    check("kmvMerge", Prop.forAll(genHashes, genHashes, Gen.choose(2, 32)) {
+      (a, b, k) =>
+        val ta = a.filter(_ > 0).distinct.sorted.take(k)
+        val tb = b.filter(_ > 0).distinct.sorted.take(k)
+        // merging per-partition sketches ≡ sketching the full union
+        Sketches.kmvSpec(ta ++ tb, k) == Sketches.kmvSpec(a ++ b, k)
+    })
+  }
+
   // ---------------- Spark-backed operator laws (fewer samples) ----------
 
   import TestSpark.spark
