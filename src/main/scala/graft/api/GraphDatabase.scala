@@ -201,6 +201,14 @@ final class GraphDatabase private (
   def executeQuery(cypher: String): DataFrame =
     CypherLite.execute(snap.nodes, snap.edges, cypher)
 
+  /** The reference's swallow-errors query behavior (graphDB.py:106-112:
+    * any failure → `''`): unparseable/failing queries yield an EMPTY
+    * frame instead of throwing. [[executeQuery]] stays the throwing,
+    * library-grade surface. */
+  def executeQuerySafe(cypher: String): DataFrame =
+    try executeQuery(cypher)
+    catch { case _: Exception => spark.emptyDataFrame }
+
   /** B6 + B11 — methods of a class with hydrated code, the reference's
     * flagship demo query (graphDB.py:280-283). */
   def methodsOf(classFullName: String, files: DataFrame): DataFrame = {

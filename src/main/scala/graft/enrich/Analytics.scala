@@ -96,6 +96,33 @@ object Analytics {
       .select(col("name").as("v"), round(col("pr"), 6).as("pagerank"))
   }
 
+  /** GraphX scale path for [[connectedComponents]]: GraphX's pointer-
+    * jumping CC finds the component PARTITION (converging in O(log n)
+    * supersteps vs the label loop's O(diameter)), then one aggregation
+    * maps each component to its min ORIGINAL name — which is exactly the
+    * converged min-label fixpoint, so this variant shares q11's oracle.
+    * (Only equal when the DataFrame loop also converges within its
+    * maxIter — true for any graph with diameter ≤ 20.) */
+  def connectedComponentsGraphX(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import spark.implicits._
+    val keyed = edges.select(
+      xxhash64(col("src")).as("sid"), col("src"),
+      xxhash64(col("dst")).as("did"), col("dst")).cache()
+    val names = keyed.select(col("sid").as("id"), col("src").as("name"))
+      .union(keyed.select(col("did"), col("dst"))).distinct()
+    val g = Graph(
+      names.as[(Long, String)].rdd.map { case (id, _) => (id, ()) },
+      keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd
+        .map { case (s, d) => Edge(s, d, ()) })
+    val comp = g.connectedComponents().vertices.toDF("id", "comp")
+    comp.join(names, "id")
+      .select(col("name").as("v"), col("comp"))
+      .withColumn("component", min(col("v")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
+      .select(col("v"), col("component"))
+  }
+
   /** Connected components via iterated label propagation (min-id wins),
     * on the UNDIRECTED view of edges(src, dst). Deterministic; converges
     * in O(diameter) iterations. */

@@ -279,6 +279,11 @@ object QueryCatalog {
        |SELECT v, c AS component FROM l10""".stripMargin
   }
 
+  /** The GraphX scale path of q11 — pointer-jumping CC + min-name
+    * mapping ≡ the converged min-label fixpoint; same oracle SQL. */
+  val q11CcGx: Q = (s, d) =>
+    graft.enrich.Analytics.connectedComponentsGraphX(s, GraphTables.hierarchy(s, d))
+
   /** Salted skew join ≡ plain join (SkewOps.saltedJoin is a partitioning
     * rewrite, not a semantic one — the oracle replays the PLAIN join, so
     * a wrong salt/replication would hash-mismatch). */
@@ -933,6 +938,7 @@ object QueryCatalog {
     "q10_pagerank" -> q10Pagerank,
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
+    "q11_cc_gx" -> q11CcGx,
     "q12_salted_join" -> q12SaltedJoin,
     "q13_asof" -> q13Asof,
     "q14_kmv" -> q14Kmv,
@@ -986,6 +992,7 @@ object QueryCatalog {
     "q10_pagerank" -> q10PagerankSql,
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,
+    "q11_cc_gx" -> q11CcSql,
     "q12_salted_join" -> q12SaltedJoinSql,
     "q13_asof" -> q13AsofSql,
     "q14_kmv" -> q14KmvSql,

@@ -50,4 +50,14 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(cc("a") === "a" && cc("b") === "a" && cc("c") === "a")
     assert(cc("x") === "x" && cc("y") === "x" && cc("z") === "x")
   }
+
+  test("connectedComponentsGraphX ≡ the label-propagation loop") {
+    val edges = Seq(("b", "a"), ("c", "b"), ("y", "z"), ("x", "y"), ("q", "c"))
+      .toDF("src", "dst")
+    val loop = Analytics.connectedComponents(edges)
+      .as[(String, String)].collect().toMap
+    val gx = Analytics.connectedComponentsGraphX(spark, edges)
+      .as[(String, String)].collect().toMap
+    assert(gx === loop)
+  }
 }
