@@ -28,10 +28,17 @@ object Snapshot {
 
   def write(snap: GraphSnapshot, dir: String): Unit = {
     val tmp = s"$dir.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    // sort on the point-lookup keys inside each file: parquet row-group
+    // min/max stats then skip row groups on full_name/src point reads
+    // (B1 lookups, expand probes) — the dir-based analog of bucketing
+    // (hive-style bucketing needs a metastore table, which a snapshot
+    // directory deliberately doesn't)
     snap.nodes
       .withColumn("part_task", coalesce(element_at(col("task_ids"), 1), lit("none")))
+      .sortWithinPartitions("full_name")
       .write.mode("overwrite").partitionBy("part_task").parquet(s"$tmp/nodes")
-    snap.edges.write.mode("overwrite").parquet(s"$tmp/edges")
+    snap.edges.sortWithinPartitions("src", "rel_type")
+      .write.mode("overwrite").parquet(s"$tmp/edges")
     snap.locations.write.mode("overwrite").parquet(s"$tmp/locations")
     val target = Paths.get(dir)
     if (Files.exists(target)) {

@@ -60,12 +60,17 @@ object GraphTables {
   private val derived =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
+  /** Bumped whenever the derived tables' CONTENT or physical layout
+    * changes — part of the fingerprint, so stale caches rebuild. */
+  private val derivedLayoutVersion = 2
+
   /** Identity of the source tables: name+size+mtime of every parquet in
     * the SF dir. Cheap (one listdir), catches driver-side regeneration. */
   private def sourceFingerprint(d: String): String =
-    Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    (s"v$derivedLayoutVersion" +:
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").toSeq)
       .mkString("|")
 
   private def readMarker(f: java.io.File): Option[String] =
@@ -134,6 +139,9 @@ object GraphTables {
       col("r_name").as("name"),
       lit(null).cast("double").as("prop_num"))
     c.unionByName(o).unionByName(p).unionByName(su).unionByName(n).unionByName(r)
+      // clustered by key in the persisted parquet: row-group stats skip on
+      // full_name point lookups (build-time cost, paid once per SF)
+      .repartition(col("full_name")).sortWithinPartitions("full_name")
   }
 
   /** edges(src, rel_type, dst). Child→parent containment hierarchy plus
@@ -161,6 +169,10 @@ object GraphTables {
       concat(lit("part."), col("l_partkey")).as("dst")).distinct()
     placed.unionByName(inNation).unionByName(supNation)
       .unionByName(inRegion).unionByName(hasItem)
+      // clustered by (rel_type, src): expand scans filter rel_type and
+      // probe src — both skip on row-group stats
+      .repartition(col("rel_type"), col("src"))
+      .sortWithinPartitions("rel_type", "src")
   }
 
   /** The pure containment hierarchy (every edge type that is child→parent),
