@@ -187,6 +187,13 @@ object PyIndexer {
   private val selfInstanceAssign: Regex =
     """self\.([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
 
+  /** `name: Type` inside a def header's parameter list — PEP 484
+    * annotations are pure syntax, so binding them is still shallow
+    * indexing. `(?!\s*[\[])` skips generics (`Optional[X]`, `dict[...]`)
+    * whose outer name is not the instance type. */
+  private val paramAnno: Regex =
+    """([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?!\s*\[)""".r
+
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier). */
   def indexFile(taskId: String, relPath: String, content: String): FileEvents = {
     val rawLines = content.split("\n", -1)
@@ -410,7 +417,21 @@ object PyIndexer {
             } else if (stack.isEmpty)
               edges += EdgeEvent(nextSeq(), taskId, mod, Rel.Contains, full,
                 Map("association_type" -> kind))
-            stack.push(Scope(kind, full, ind))
+            val fnScope = Scope(kind, full, ind)
+            // C3 (partial deep mode): PEP 484 parameter annotations bind
+            // param types for the body — `def f(h: Helper)` makes
+            // `h.run()` resolve to Helper.run. The logical header spans
+            // this line plus its bracket-continuation lines.
+            val headerText = (line +: (i + 1 until lines.length)
+              .iterator.takeWhile(cont(_)).map(lines(_)).toSeq).mkString(" ")
+            paramAnno.findAllMatchIn(headerText).foreach { m =>
+              val anno = m.group(2)
+              val classish = topClasses.contains(anno) ||
+                anno.split("\\.").last.headOption.exists(_.isUpper)
+              if (!keywords.contains(anno) && classish)
+                resolveCallee(anno).foreach(t => fnScope.locals(m.group(1)) = t)
+            }
+            stack.push(fnScope)
 
           case assignStmt(_, name)
               if stack.isEmpty && !keywords.contains(name) =>

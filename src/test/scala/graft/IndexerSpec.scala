@@ -161,6 +161,28 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("o.Owner.use", "lib.Helper.run")))
   }
 
+  test("C3 partial: PEP 484 param annotations type the parameter") {
+    val src =
+      """from lib import Helper
+        |
+        |def work(h: Helper, n: int):
+        |    return h.run(n)
+        |
+        |class Owner:
+        |    def go(self,
+        |           other: Helper):
+        |        return other.ping()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "a.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("a.work", "lib.Helper.run")))
+    // annotation on a CONTINUATION line of a multi-line header also binds
+    assert(calls.contains(("a.Owner.go", "lib.Helper.ping")))
+    // lowercase annotations (int) bind nothing
+    assert(!calls.exists(_._2.startsWith("int")))
+  }
+
   test("USES edges: globals from functions, fields from methods") {
     val uses = ix.edges.filter(col("rel_type") === Rel.Uses)
       .select("src", "dst").as[(String, String)].collect().toSet
