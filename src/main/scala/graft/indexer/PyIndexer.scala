@@ -194,6 +194,12 @@ object PyIndexer {
   private val paramAnno: Regex =
     """([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?!\s*\[)""".r
 
+  /** Bare class-body annotation `h: Helper` (dataclass style, no `=`) —
+    * an annassign definition in parso, so the reference records a FIELD
+    * for it; the type also feeds `self.h.method()` resolution. */
+  private val classAnnoBare: Regex =
+    """^(\s*)([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*$""".r
+
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier). */
   def indexFile(taskId: String, relPath: String, content: String): FileEvents = {
     val rawLines = content.split("\n", -1)
@@ -455,6 +461,35 @@ object PyIndexer {
               Some(relPath), None, Some(cls), None, Map.empty)
             edges += EdgeEvent(nextSeq(), taskId, cls, Rel.HasField, full, Map.empty)
             classFields.getOrElseUpdate(cls, mutable.Set.empty) += name
+            // an annotated assignment (`h: Helper = make()`) also types the
+            // field for self.h.method() resolution
+            paramAnno.findFirstMatchIn(line).filter(_.group(1) == name)
+              .foreach { m =>
+                val anno = m.group(2)
+                if (!keywords.contains(anno) &&
+                    (topClasses.contains(anno) ||
+                      anno.split("\\.").last.headOption.exists(_.isUpper)))
+                  resolveCallee(anno).foreach(t =>
+                    classFieldTypes.getOrElseUpdate(cls,
+                      mutable.Map.empty)(name) = t)
+              }
+
+          case classAnnoBare(_, name, anno)
+              if stack.headOption.exists(_.kind == Kind.Class) &&
+                !keywords.contains(name) =>
+            // bare dataclass-style annotation -> FIELD (annassign is a
+            // definition in parso) + type binding
+            val cls = stack.top.fullName
+            val full = s"$cls.$name"
+            symbols += SymbolEvent(nextSeq(), taskId, Kind.Field, full, name,
+              Some(relPath), None, Some(cls), None, Map.empty)
+            edges += EdgeEvent(nextSeq(), taskId, cls, Rel.HasField, full, Map.empty)
+            classFields.getOrElseUpdate(cls, mutable.Set.empty) += name
+            if (!keywords.contains(anno) &&
+                (topClasses.contains(anno) ||
+                  anno.split("\\.").last.headOption.exists(_.isUpper)))
+              resolveCallee(anno).foreach(t =>
+                classFieldTypes.getOrElseUpdate(cls, mutable.Map.empty)(name) = t)
 
           case forStmt(_, name)
               if stack.isEmpty && !keywords.contains(name) &&

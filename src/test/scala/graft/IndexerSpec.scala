@@ -183,6 +183,25 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.exists(_._2.startsWith("int")))
   }
 
+  test("C3 partial: dataclass-style class-body annotations type fields") {
+    val src =
+      """from lib import Helper
+        |
+        |class Box:
+        |    h: Helper
+        |    n: int = 0
+        |
+        |    def use(self):
+        |        return self.h.run()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "b.py", src)
+    val fields = ev.symbols.filter(_.kind == Kind.Field).map(_.fullName).toSet
+    assert(fields === Set("b.Box.h", "b.Box.n"))
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("b.Box.use", "lib.Helper.run")))
+  }
+
   test("USES edges: globals from functions, fields from methods") {
     val uses = ix.edges.filter(col("rel_type") === Rel.Uses)
       .select("src", "dst").as[(String, String)].collect().toSet
