@@ -134,25 +134,31 @@ object Analytics {
       .distinct().repartition(col("src")).localCheckpoint(eager = true)
     var labels = und.select(col("src").as("v")).distinct()
       .withColumn("component", col("v"))
+    // one min-label propagation hop; extra columns (the _old carry) ride
+    // along untouched
+    def step(df: DataFrame): DataFrame = {
+      val prop = und
+        .join(df.select(col("v").as("src"), col("component")), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(min(col("component")).as("_nm"))
+      df.join(prop, Seq("v"), "left")
+        .withColumn("component",
+          least(col("component"), coalesce(col("_nm"), col("component"))))
+        .drop("_nm")
+    }
     var changed = 1L
     var i = 0
     while (i < maxIter && changed > 0) {
-      val prop = und.join(labels.withColumnRenamed("v", "src"), "src")
-        .groupBy(col("dst").as("v"))
-        .agg(min(col("component")).as("neighbor_min"))
-      // carry the previous component through the SAME plan so convergence
-      // is a filter-count over the checkpointed result, not a second
-      // full-table join per iteration
-      val next = labels.withColumnRenamed("component", "_old")
-        .join(prop, Seq("v"), "left")
-        .select(col("v"),
-          least(col("_old"), coalesce(col("neighbor_min"), col("_old")))
-            .as("component"),
-          col("_old"))
+      // TWO hops per materialization: the checkpoint+count cost is paid
+      // half as often, and the fixpoint (what the oracle's unrolled
+      // propagation reaches) is stepping-invariant. The _old carry makes
+      // convergence a filter-count over the checkpointed result, not a
+      // second full-table join.
+      val next = step(step(labels.withColumn("_old", col("component"))))
         .localCheckpoint(eager = true)
       changed = next.filter(col("component") =!= col("_old")).count()
-      labels = next.select(col("v"), col("component"))
-      i += 1
+      labels = next.drop("_old")
+      i += 2
     }
     labels
   }
