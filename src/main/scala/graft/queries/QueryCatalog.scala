@@ -352,6 +352,27 @@ object QueryCatalog {
        |       ELSE round(63.0 * 2147483647 / (SELECT max(h) FROM topk), 4) END AS est_distinct""".stripMargin
   }
 
+  /** Grouped exact quantiles (median + p95 of quantity per returnflag):
+    * Spark's `percentile` ≡ DuckDB's `quantile_cont` (linear
+    * interpolation), rounded 4. The exact aggregate is the oracle-checked
+    * path; at the 100 TB posture a deployment would switch to
+    * `percentile_approx` (t-digest-style sketch, not oracle-replayable —
+    * engine-specific internals, same reason q14 uses KMV over HLL). */
+  val q15Quantile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+
+  val q15QuantileSql: String =
+    """SELECT l_returnflag,
+      |round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      |round(quantile_cont(l_quantity, 0.95), 4) AS p95,
+      |count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** D5 — snapshot carry-forward (update_version.py:21-44): docs whose
     * source is NOT in the change list join the v2 snapshot. */
   val gD5Carry: Q = (s, d) => {
@@ -942,6 +963,7 @@ object QueryCatalog {
     "q12_salted_join" -> q12SaltedJoin,
     "q13_asof" -> q13Asof,
     "q14_kmv" -> q14Kmv,
+    "q15_quantile" -> q15Quantile,
     "t_tokens" -> tTokens,
     "t_bpe_tokens" -> tBpeTokens,
     "t_quality" -> tQuality,
@@ -996,6 +1018,7 @@ object QueryCatalog {
     "q12_salted_join" -> q12SaltedJoinSql,
     "q13_asof" -> q13AsofSql,
     "q14_kmv" -> q14KmvSql,
+    "q15_quantile" -> q15QuantileSql,
     "t_tokens" -> tTokensSql,
     "t_bpe_tokens" -> tBpeTokensSql,
     "t_quality" -> tQualitySql,

@@ -100,6 +100,11 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSeq === Seq("m"))
   }
 
+  test("executeQuerySafe swallows failures like the reference (-> empty)") {
+    assert(db.executeQuerySafe("TOTALLY NOT CYPHER").count() === 0)
+    assert(db.executeQuerySafe("MATCH (m:sklearn) RETURN m").count() === 4)
+  }
+
   test("unsupported shapes are rejected, not silently wrong") {
     intercept[IllegalArgumentException] {
       db.executeQuery("MATCH (a)-[:X*1..3]->(b) RETURN a")
