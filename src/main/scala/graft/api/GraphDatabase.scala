@@ -111,6 +111,29 @@ final class GraphDatabase private (
     dir.foreach(d => { Snapshot.write(snap, d); snap = Snapshot.read(spark, d) })
   }
 
+  /** A3 — prop-only update of an EXISTING node (graphDB.py:114-119:
+    * match-then-SET): a missing full_name is a NO-OP — no node is
+    * created, unlike [[addNode]]'s upsert. Applied immediately, like the
+    * reference's per-call write. */
+  def updateNode(fullName: String, props: Map[String, String]): Unit = synchronized {
+    val fixedKeys = Seq("name", "file_path", "signature", "clazz", "code")
+    val hit = col("full_name") === fullName
+    var n = snap.nodes
+    props.filter(p => fixedKeys.contains(p._1)).foreach { case (k, v) =>
+      n = n.withColumn(k, when(hit, lit(v)).otherwise(col(k)))
+    }
+    val rest = props -- fixedKeys
+    if (rest.nonEmpty) {
+      val restMap = map(rest.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      n = n.withColumn("props",
+        when(hit, map_concat(
+          map_filter(col("props"), (k, _) => !k.isInCollection(rest.keys.toSeq)),
+          restMap)).otherwise(col("props")))
+    }
+    snap = GraphSnapshot(n, snap.edges, snap.locations)
+    dir.foreach(d => { Snapshot.write(snap, d); snap = Snapshot.read(spark, d) })
+  }
+
   /** C1-C14 + D1-D4 — index a Python repo into a task snapshot
     * (run_mutiprocess.run). */
   def indexRepo(root: String, taskId: String): Unit = synchronized {

@@ -64,6 +64,20 @@ class GraphDatabaseSpec extends AnyFunSuite {
     assert(tasks("b.D") === Seq("t1", "t2"))  // unchanged -> carried
   }
 
+  test("updateNode: prop-only SET on existing node; missing node is a no-op") {
+    val db = GraphDatabase.inMemory(spark)
+    db.addNode("t1", Kind.Class, "m.C", Map("code" -> "v1", "custom" -> "x"))
+    db.commit()
+    db.updateNode("m.C", Map("code" -> "v2", "custom" -> "y", "extra" -> "z"))
+    val row = db.nodeByKey("m.C").collect()(0)
+    assert(row.getAs[String]("code") === "v2")
+    val props = row.getAs[Map[String, String]]("props")
+    assert(props("custom") === "y" && props("extra") === "z")
+    // unlike add_node, a miss creates nothing (graphDB.py:114-119)
+    db.updateNode("m.Missing", Map("code" -> "nope"))
+    assert(db.nodes.count() === 1)
+  }
+
   test("mixed-task batch: nodes and stubs keep per-task attribution") {
     val db = GraphDatabase.inMemory(spark)
     db.addNode("t1", Kind.Class, "m.A")
