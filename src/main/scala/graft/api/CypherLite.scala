@@ -79,10 +79,12 @@ object CypherLite {
     if (s == null || s.trim.isEmpty) Map.empty
     else splitTop(s.trim.stripPrefix("{").stripSuffix("}"), ",").iterator
       .map { kv =>
-        val Seq(k, v) = splitTop(kv, ":") match {
-          case Seq(k1, rest @ _*) => Seq(k1, rest.mkString(":"))
+        splitTop(kv, ":") match {
+          case Seq(k1, rest @ _*) if rest.nonEmpty =>
+            k1.trim -> unquote(rest.mkString(":"))
+          case _ => throw new IllegalArgumentException(
+            s"malformed property literal '$kv' (expected key: value)")
         }
-        k.trim -> unquote(v)
       }.toMap
 
   private def parseLabels(s: String): Seq[String] =
@@ -145,6 +147,12 @@ object CypherLite {
         require(leading.isEmpty && trailing.isEmpty,
           s"unsupported pattern text around the chain: $q")
 
+        // a repeated variable would need a node-equality join condition
+        // we don't synthesize — raise rather than silently return every
+        // path (the module's raise-on-unsupported posture)
+        val varNames = nodeMs.map(_.group(1))
+        require(varNames.distinct.size == varNames.size,
+          s"repeated pattern variable not supported (cycle patterns): $q")
         val vars = nodeMs.zipWithIndex
           .map { case (m, i) => m.group(1) -> s"n$i" }.toMap
         var df = nodes

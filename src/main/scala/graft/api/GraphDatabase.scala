@@ -115,7 +115,14 @@ final class GraphDatabase private (
     * match-then-SET): a missing full_name is a NO-OP — no node is
     * created, unlike [[addNode]]'s upsert. Applied immediately, like the
     * reference's per-call write. */
-  def updateNode(fullName: String, props: Map[String, String]): Unit = synchronized {
+  def updateNode(fullName: String, props0: Map[String, String]): Unit = synchronized {
+    // the reference's writes are all immediate per-call: flush any staged
+    // batch first so "addNode then updateNode" applies in call order
+    // instead of silently missing the not-yet-committed node
+    if (stagedSymbols.nonEmpty || stagedEdges.nonEmpty) commit()
+    // accept the "class" props key exactly as addNode does (stored in the
+    // clazz column)
+    val props = props0.map { case (k, v) => (if (k == "class") "clazz" else k, v) }
     val fixedKeys = Seq("name", "file_path", "signature", "clazz", "code")
     val hit = col("full_name") === fullName
     var n = snap.nodes
@@ -226,10 +233,12 @@ final class GraphDatabase private (
 
   /** The reference's swallow-errors query behavior (graphDB.py:106-112:
     * any failure → `''`): unparseable/failing queries yield an EMPTY
-    * frame instead of throwing. [[executeQuery]] stays the throwing,
-    * library-grade surface. */
+    * frame instead of throwing. Materialized eagerly (the reference
+    * returns a record list), so EXECUTION-time failures are swallowed
+    * too, not just parse/analysis errors. [[executeQuery]] stays the
+    * throwing, library-grade surface. */
   def executeQuerySafe(cypher: String): DataFrame =
-    try executeQuery(cypher)
+    try executeQuery(cypher).localCheckpoint(eager = true)
     catch { case _: Exception => spark.emptyDataFrame }
 
   /** B6 + B11 — methods of a class with hydrated code, the reference's

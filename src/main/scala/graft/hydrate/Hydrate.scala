@@ -92,11 +92,16 @@ object Hydrate {
       .select(col("*"), posexplode_outer(col("_ptrs")).as(Seq("_pos", "_ptr")))
       .withColumn("_p", from_json(col("_ptr"), pointerSchema))
     // files side: plain equi-join, strategy left to Catalyst/AQE — a
-    // forced broadcast would OOM on a large repo (round-2 finding #1)
-    val joined = exploded.join(files, exploded("_p.F") === files("file_path"), "left")
+    // forced broadcast would OOM on a large repo (round-2 finding #1).
+    // The files columns are renamed to reserved names first: `results`
+    // may itself carry file_path/content columns (node frames do), and
+    // an unqualified reference after the join would be ambiguous.
+    val f = files.select(col("file_path").as("_hyd_path"),
+      col("content").as("_hyd_content"))
+    val joined = exploded.join(f, exploded("_p.F") === f("_hyd_path"), "left")
     val start = greatest(col("_p.S"), lit(1)) // reference clamps start_line < 1
     val raw = when(col("_p.E") >= start,
-      array_join(slice(split(col("content"), "\n"), start, col("_p.E") - start + 1), "\n"))
+      array_join(slice(split(col("_hyd_content"), "\n"), start, col("_p.E") - start + 1), "\n"))
       .otherwise(lit(""))
     val snip = coalesce(if (isIndent) deindent(raw) else raw, lit("")) // missing file -> ''
     joined

@@ -192,7 +192,10 @@ object PyIndexer {
     * indexing. `(?!\s*[\[])` skips generics (`Optional[X]`, `dict[...]`)
     * whose outer name is not the instance type. */
   private val paramAnno: Regex =
-    """([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?!\s*\[)""".r
+    // `(?!\w|\s*\[)`: the \w alternative stops backtracking from matching
+    // a generic's name minus its last char (`Callbacks[int]` must not
+    // match as `Callback`)
+    """([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?!\w|\s*\[)""".r
 
   /** Bare class-body annotation `h: Helper` (dataclass style, no `=`) —
     * an annassign definition in parso, so the reference records a FIELD

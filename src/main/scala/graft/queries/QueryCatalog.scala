@@ -264,20 +264,21 @@ object QueryCatalog {
   val q11Cc: Q = (s, d) =>
     graft.enrich.Analytics.connectedComponents(GraphTables.hierarchy(s, d))
 
-  val q11CcSql: String = {
-    // MATERIALIZED: each step references its predecessor twice — an
-    // inlined CTE chain would re-evaluate l0 2^10 times
-    def iter(i: Int): String =
-      s"""l$i AS MATERIALIZED (SELECT t.v, least(t.c, coalesce(m.mc, t.c)) AS c FROM l${i - 1} t
-         |  LEFT JOIN (SELECT e.dst AS v, min(p.c) AS mc FROM und e JOIN l${i - 1} p ON e.src = p.v GROUP BY e.dst) m
-         |  ON t.v = m.v)""".stripMargin
+  /** One unrolled min-label propagation step, shared by every CC oracle.
+    * MATERIALIZED: each step references its predecessor twice — an
+    * inlined CTE chain would re-evaluate l0 2^n times. */
+  private def ccIterSql(i: Int): String =
+    s"""l$i AS MATERIALIZED (SELECT t.v, least(t.c, coalesce(m.mc, t.c)) AS c FROM l${i - 1} t
+       |  LEFT JOIN (SELECT e.dst AS v, min(p.c) AS mc FROM und e JOIN l${i - 1} p ON e.src = p.v GROUP BY e.dst) m
+       |  ON t.v = m.v)""".stripMargin
+
+  val q11CcSql: String =
     s"""WITH ${GraphSql.hierarchyCte},
        |und AS MATERIALIZED (SELECT src, dst FROM hier UNION SELECT dst, src FROM hier),
        |verts AS (SELECT DISTINCT src AS v FROM und),
        |l0 AS MATERIALIZED (SELECT v, v AS c FROM verts),
-       |${(1 to 10).map(iter).mkString(",\n")}
+       |${(1 to 10).map(ccIterSql).mkString(",\n")}
        |SELECT v, c AS component FROM l10""".stripMargin
-  }
 
   /** The GraphX scale path of q11 — pointer-jumping CC + min-name
     * mapping ≡ the converged min-label fixpoint; same oracle SQL. */
@@ -775,19 +776,14 @@ object QueryCatalog {
     Dedup.dupClusters(Tables.documents(s, d), k = 5, numHashes = 16,
       bands = 4, threshold = 0.25)
 
-  val dDupClustersSql: String = {
-    def iter(i: Int): String =
-      s"""l$i AS MATERIALIZED (SELECT t.v, least(t.c, coalesce(m.mc, t.c)) AS c FROM l${i - 1} t
-         |  LEFT JOIN (SELECT e.dst AS v, min(p.c) AS mc FROM und e JOIN l${i - 1} p ON e.src = p.v GROUP BY e.dst) m
-         |  ON t.v = m.v)""".stripMargin
+  val dDupClustersSql: String =
     s"""WITH pairs AS MATERIALIZED ($dMinhashLshSql),
        |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
        |verts AS (SELECT DISTINCT src AS v FROM und),
        |l0 AS MATERIALIZED (SELECT v, v AS c FROM verts),
-       |${(1 to 20).map(iter).mkString(",\n")}
+       |${(1 to 20).map(ccIterSql).mkString(",\n")}
        |SELECT d.doc_id, coalesce(l.c, d.doc_id) AS keeper
        |FROM documents d LEFT JOIN l20 l ON d.doc_id = l.v""".stripMargin
-  }
 
   /** SimHash near-dup pairs: 62-bit signature (two 31-bit rolling-hash
     * streams), 4×16-bit bands, Hamming ≤ 6. */

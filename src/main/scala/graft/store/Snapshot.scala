@@ -33,9 +33,12 @@ object Snapshot {
     // (B1 lookups, expand probes) — the dir-based analog of bucketing
     // (hive-style bucketing needs a metastore table, which a snapshot
     // directory deliberately doesn't)
+    // part_task leads the sort: partitionBy requires ordering on the
+    // partition column, so this single sort satisfies the writer (no
+    // second writer-inserted sort that could unstably reorder full_name)
     snap.nodes
       .withColumn("part_task", coalesce(element_at(col("task_ids"), 1), lit("none")))
-      .sortWithinPartitions("full_name")
+      .sortWithinPartitions("part_task", "full_name")
       .write.mode("overwrite").partitionBy("part_task").parquet(s"$tmp/nodes")
     snap.edges.sortWithinPartitions("src", "rel_type")
       .write.mode("overwrite").parquet(s"$tmp/edges")

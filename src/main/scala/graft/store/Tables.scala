@@ -88,6 +88,10 @@ object GraphTables {
       // invisible to the parquet reader
       val marker = new java.io.File(target, "_src_fingerprint")
       val fp = sourceFingerprint(d)
+      // the JVM-local lock serializes builders in THIS process; across
+      // processes the swap is move-aside + rename (readers holding the old
+      // files keep them via the fs), and a lost rename race (another JVM
+      // swapped first) is absorbed by dropping our tmp build
       GraphTables.synchronized {
         if (!readMarker(marker).contains(fp)) {
           val tmp = new java.io.File(
@@ -96,9 +100,23 @@ object GraphTables {
           java.nio.file.Files.write(
             new java.io.File(tmp, "_src_fingerprint").toPath,
             fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          if (target.exists()) Snapshot.deleteRecursively(target.toPath)
-          java.nio.file.Files.move(tmp.toPath, target.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          try {
+            if (target.exists()) {
+              val old = new java.io.File(
+                s"$root/$safe/.$key-old-${java.util.UUID.randomUUID().toString.take(8)}")
+              java.nio.file.Files.move(target.toPath, old.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              java.nio.file.Files.move(tmp.toPath, target.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              Snapshot.deleteRecursively(old.toPath)
+            } else
+              java.nio.file.Files.move(tmp.toPath, target.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.FileSystemException =>
+              Snapshot.deleteRecursively(tmp.toPath) // lost race: other writer won
+          }
         }
       }
       s.read.parquet(target.toString)

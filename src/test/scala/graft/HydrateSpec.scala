@@ -12,6 +12,19 @@ class HydrateSpec extends AnyFunSuite {
     ("m.py", "line1\nline2\nline3\nline4\nline5")
   ).toDF("file_path", "content")
 
+  test("hydrating a frame that itself has file_path/content columns works") {
+    // node frames carry file_path (and may carry content) — the files
+    // join must not make those references ambiguous (round-4 regression)
+    val results = Seq(
+      ("n1", "m.py", "own content", """<CODE>{"S":1,"E":2,"F":"m.py"}</CODE>"""))
+      .toDF("full_name", "file_path", "content", "ref")
+    val out = Hydrate.processString(results, files, "ref", outCol = "code")
+      .collect()(0)
+    assert(out.getAs[String]("code") === "line1\nline2")
+    assert(out.getAs[String]("file_path") === "m.py")     // untouched
+    assert(out.getAs[String]("content") === "own content") // untouched
+  }
+
   test("parsePointer extracts the <CODE> JSON pointer (B11)") {
     val out = Seq("""prefix <CODE>{"S":2,"E":4,"F":"m.py"}</CODE> suffix""")
       .toDF("s").select(Hydrate.parsePointer(col("s")).as("p"))
