@@ -34,15 +34,37 @@ object CypherLite {
 
   private val nodePat =
     """\(\s*(\w+)\s*((?::\w+)*)\s*(\{[^}]*\})?\s*\)""".r
-  private val matchChain =
-    """(?s)^MATCH\s+(.+?)\s*(?:\bWHERE\b\s+(.+?)\s*)?\bRETURN\b\s+(.+)$""".r
   private val fwdArrow = """^-\s*\[\s*:(\w+)\s*\]\s*->$""".r
   private val bwdArrow = """^<-\s*\[\s*:(\w+)\s*\]\s*-$""".r
   private val whereExists = """^exists\(\s*(\w+)\.(\w+)\s*\)$""".r
   private val whereEq = """^(\w+)\.(\w+)\s*=\s*(.+)$""".r
 
+  /** Index of the first occurrence of `word` (whole-word, case-insensitive)
+    * outside single/double quotes; -1 if none. The same quote/escape rules
+    * as [[splitTop]] — prop literals holding text like "WHERE x" (code
+    * snippets, signatures) must not be mistaken for clause keywords. */
+  private def topLevelKeyword(s: String, word: String): Int = {
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1 // escaped char inside quotes
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (s.regionMatches(true, i, word, 0, word.length) &&
+          (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+          (i + word.length >= s.length || !s.charAt(i + word.length).isLetterOrDigit))
+        return i
+      i += 1
+    }
+    -1
+  }
+
   /** Split on `sep` at top level only — separators inside single/double
-    * quotes don't count (prop values may contain commas/colons). */
+    * quotes don't count (prop values may contain commas/colons), and a
+    * backslash inside quotes escapes the next char (so `'it\'s'` is one
+    * literal). */
   private def splitTop(s: String, sep: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
@@ -52,7 +74,8 @@ object CypherLite {
       val c = s.charAt(i)
       if (quote != 0) {
         sb.append(c)
-        if (c == quote) quote = 0
+        if (c == '\\' && i + 1 < s.length) { i += 1; sb.append(s.charAt(i)) }
+        else if (c == quote) quote = 0
       } else if (c == '\'' || c == '"') { quote = c; sb.append(c) }
       else if (s.regionMatches(true, i, sep, 0, sep.length) &&
           (sep.head.isLetter // word separators (AND) need boundaries
@@ -71,7 +94,8 @@ object CypherLite {
     val t = v.trim
     if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
         (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
-      t.substring(1, t.length - 1)
+      // unescape the backslash escapes splitTop honoured
+      t.substring(1, t.length - 1).replaceAll("""\\(['"\\])""", "$1")
     else t
   }
 
@@ -129,8 +153,22 @@ object CypherLite {
   /** Execute a supported chain query against (nodes, edges). */
   def execute(nodes: DataFrame, edges: DataFrame, query: String): DataFrame = {
     val q = query.trim
-    q match {
-      case matchChain(pattern, whereClause, ret) =>
+    // quote-aware clause split (not regex): WHERE/RETURN inside a quoted
+    // prop literal — likely in code/signature text — must not terminate
+    // the pattern
+    val retIdx = topLevelKeyword(q, "RETURN")
+    val isMatch = q.regionMatches(true, 0, "MATCH", 0, 5) &&
+      q.length > 5 && !q.charAt(5).isLetterOrDigit
+    val parsed: Option[(String, String, String)] =
+      if (isMatch && retIdx > 5) {
+        val whereIdx = topLevelKeyword(q.substring(0, retIdx), "WHERE")
+        val pattern = q.substring(5, if (whereIdx >= 0) whereIdx else retIdx).trim
+        val whereClause =
+          if (whereIdx >= 0) q.substring(whereIdx + 5, retIdx).trim else null
+        Some((pattern, whereClause, q.substring(retIdx + 6).trim))
+      } else None
+    parsed match {
+      case Some((pattern, whereClause, ret)) =>
         val nodeMs = nodePat.findAllMatchIn(pattern).toSeq
         require(nodeMs.nonEmpty, s"no node pattern in: $q")
         // arrows are exactly the text between consecutive node patterns
@@ -192,7 +230,7 @@ object CypherLite {
           }
         }
         df.select(projections(ret, vars): _*)
-      case _ =>
+      case None =>
         throw new IllegalArgumentException(
           s"unsupported Cypher shape (directed MATCH-chain subset only): $q")
     }

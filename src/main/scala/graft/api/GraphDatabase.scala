@@ -55,11 +55,22 @@ final class GraphDatabase private (
   // events on the driver.
   private val stagedSymbols = scala.collection.mutable.ArrayBuffer.empty[SymbolEvent]
   private val stagedEdges = scala.collection.mutable.ArrayBuffer.empty[EdgeEvent]
+  private val stagedUpdates = scala.collection.mutable.ArrayBuffer.empty[SymbolEvent]
   private var stageSeq = 0L
 
-  def nodes: DataFrame = snap.nodes
-  def edges: DataFrame = snap.edges
-  def locations: DataFrame = snap.locations
+  /** Reads flush any staged batch first (read-your-writes), so the staged
+    * write path is observationally the reference's immediate per-call
+    * semantics while consecutive writes still batch into one merge +
+    * one snapshot write (ADVICE r4: updateNode was O(snapshot) IO per
+    * call). */
+  private def autoFlush(): Unit = synchronized {
+    if (stagedSymbols.nonEmpty || stagedEdges.nonEmpty || stagedUpdates.nonEmpty)
+      commit()
+  }
+
+  def nodes: DataFrame = { autoFlush(); snap.nodes }
+  def edges: DataFrame = { autoFlush(); snap.edges }
+  def locations: DataFrame = { autoFlush(); snap.locations }
 
   // ------------------------------------------------------------- write path
 
@@ -84,15 +95,28 @@ final class GraphDatabase private (
   /** Merge the staged batch into the snapshot (set-oriented A1-A4) and
     * persist if a directory is configured. */
   def commit(): Unit = synchronized {
-    if (stagedSymbols.nonEmpty || stagedEdges.nonEmpty) {
+    if (stagedSymbols.nonEmpty || stagedEdges.nonEmpty || stagedUpdates.nonEmpty) {
       // mergeNodes already set-unions task_ids per node from the event
       // stream, so a batch staging events from several tasks attributes
       // each node (and each stub, below) to exactly the tasks that touched
       // it — no collapse to the first task id (round-3 defect #2).
       val edgeEvents = stagedEdges.toSeq.toDF()
-      val fresh = Merge.mergeNodes(stagedSymbols.toSeq.toDF())
+      // updateNode events ride the SAME seq-ordered stream (null taskId →
+      // no task attribution, 'none' kind → no promotion), so the LWW fold
+      // interleaves adds and prop-SETs in exact call order
+      val fresh = Merge.mergeNodes((stagedSymbols.toSeq ++ stagedUpdates.toSeq).toDF())
+      // never-create (graphDB.py:114-119): a key touched ONLY by
+      // updateNode survives the merge only if the base snapshot has it
+      val addKeys = stagedSymbols.iterator.map(_.fullName).toSet
+      val updOnly = stagedUpdates.iterator.map(_.fullName)
+        .filterNot(addKeys).toSeq.distinct
+      val freshGated =
+        if (updOnly.isEmpty) fresh
+        else fresh.filter(!col("full_name").isInCollection(updOnly)).unionByName(
+          fresh.filter(col("full_name").isInCollection(updOnly))
+            .join(snap.nodes.select("full_name"), Seq("full_name"), "left_semi"))
       val freshEdges = Merge.mergeEdges(edgeEvents)
-      val upserted = Merge.upsertInto(snap.nodes.drop("label"), fresh)
+      val upserted = Merge.upsertInto(snap.nodes.drop("label"), freshGated)
       // edge upsert: fresh props overwrite base props key-wise (A4)
       val allEdges = snap.edges.withColumn("prio", lit(0))
         .unionByName(freshEdges.withColumn("prio", lit(1)))
@@ -106,44 +130,32 @@ final class GraphDatabase private (
             e.getField("props"))).as("props"))
       val withStubs = Merge.withStubsByTask(upserted, edgeEvents)
       snap = GraphSnapshot(withStubs, allEdges, snap.locations)
-      stagedSymbols.clear(); stagedEdges.clear()
+      stagedSymbols.clear(); stagedEdges.clear(); stagedUpdates.clear()
     }
     dir.foreach(d => { Snapshot.write(snap, d); snap = Snapshot.read(spark, d) })
   }
 
   /** A3 — prop-only update of an EXISTING node (graphDB.py:114-119:
     * match-then-SET): a missing full_name is a NO-OP — no node is
-    * created, unlike [[addNode]]'s upsert. Applied immediately, like the
-    * reference's per-call write. */
+    * created, unlike [[addNode]]'s upsert. STAGED like addNode (one merge
+    * + one snapshot write per batch instead of a full snapshot rewrite
+    * per call); reads flush first, so call-order semantics are intact. */
   def updateNode(fullName: String, props0: Map[String, String]): Unit = synchronized {
-    // the reference's writes are all immediate per-call: flush any staged
-    // batch first so "addNode then updateNode" applies in call order
-    // instead of silently missing the not-yet-committed node
-    if (stagedSymbols.nonEmpty || stagedEdges.nonEmpty) commit()
     // accept the "class" props key exactly as addNode does (stored in the
     // clazz column)
     val props = props0.map { case (k, v) => (if (k == "class") "clazz" else k, v) }
-    val fixedKeys = Seq("name", "file_path", "signature", "clazz", "code")
-    val hit = col("full_name") === fullName
-    var n = snap.nodes
-    props.filter(p => fixedKeys.contains(p._1)).foreach { case (k, v) =>
-      n = n.withColumn(k, when(hit, lit(v)).otherwise(col(k)))
-    }
-    val rest = props -- fixedKeys
-    if (rest.nonEmpty) {
-      val restMap = map(rest.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-      n = n.withColumn("props",
-        when(hit, map_concat(
-          map_filter(col("props"), (k, _) => !k.isInCollection(rest.keys.toSeq)),
-          restMap)).otherwise(col("props")))
-    }
-    snap = GraphSnapshot(n, snap.edges, snap.locations)
-    dir.foreach(d => { Snapshot.write(snap, d); snap = Snapshot.read(spark, d) })
+    stageSeq += 1
+    stagedUpdates += SymbolEvent(stageSeq, null, Kind.None_, fullName,
+      props.getOrElse("name", null),
+      props.get("file_path"), props.get("signature"), props.get("clazz"),
+      props.get("code"),
+      props -- Seq("name", "file_path", "signature", "clazz", "code"))
   }
 
   /** C1-C14 + D1-D4 — index a Python repo into a task snapshot
     * (run_mutiprocess.run). */
   def indexRepo(root: String, taskId: String): Unit = synchronized {
+    autoFlush()
     val ix = IndexPipeline.run(spark, root, taskId)
     mergeIndexed(ix, taskId)
   }
@@ -161,6 +173,7 @@ final class GraphDatabase private (
 
   /** A5 — DETACH DELETE of a task snapshot. */
   def clearTaskData(taskId: String): Unit = synchronized {
+    autoFlush()
     val (n2, e2) = GraphOps.clearTask(snap.nodes, snap.edges, taskId)
     snap = GraphSnapshot(n2, e2, snap.locations)
     dir.foreach(d => Snapshot.write(snap, d))
@@ -168,6 +181,7 @@ final class GraphDatabase private (
 
   /** A6 — clear everything. */
   def clearDatabase(): Unit = synchronized {
+    stagedSymbols.clear(); stagedEdges.clear(); stagedUpdates.clear()
     snap = GraphSnapshot(snap.nodes.limit(0), snap.edges.limit(0),
       snap.locations.limit(0))
     dir.foreach(d => Snapshot.write(snap, d))
@@ -175,6 +189,7 @@ final class GraphDatabase private (
 
   /** A7 — strip a root prefix off file paths. */
   def updateFilePath(root: String): Unit = synchronized {
+    autoFlush()
     snap = GraphSnapshot(
       GraphOps.stripPathPrefix(snap.nodes, "file_path", root),
       snap.edges, snap.locations)
@@ -184,6 +199,7 @@ final class GraphDatabase private (
     * the new task onto unchanged nodes, re-index only changed files. */
   def updateVersion(oldTask: String, newTask: String, changedFiles: Seq[String],
       repoRoot: Option[String] = None): Unit = synchronized {
+    autoFlush()
     snap = GraphSnapshot(
       GraphOps.carryForward(snap.nodes, newTask, changedFiles),
       snap.edges, snap.locations)
@@ -210,16 +226,17 @@ final class GraphDatabase private (
   // -------------------------------------------------------------- read path
 
   def nodeByKey(fullName: String): DataFrame =
-    GraphOps.nodeByKey(snap.nodes, fullName)
+    GraphOps.nodeByKey(nodes, fullName)
 
   def nodesByKind(kind: String, pred: Column = lit(true)): DataFrame =
-    snap.nodes.filter(col("kind") === kind && pred)
+    nodes.filter(col("kind") === kind && pred)
 
   def expand(relType: String, srcPred: Column, dstPred: Column = lit(true)): DataFrame = {
+    val n = nodes // flushes once; snapshot frames below are consistent
     val e = snap.edges.filter(col("rel_type") === relType)
-    val srcs = snap.nodes.filter(srcPred).select(col("full_name").as("src"))
+    val srcs = n.filter(srcPred).select(col("full_name").as("src"))
     e.join(broadcast(srcs), "src")
-      .join(snap.nodes.withColumnRenamed("full_name", "dst_name")
+      .join(n.withColumnRenamed("full_name", "dst_name")
         .withColumnRenamed("kind", "dst_kind"),
         col("dst") === col("dst_name"))
       .filter(dstPred)
@@ -229,7 +246,7 @@ final class GraphDatabase private (
     * (graphDB.py:106-112; full Cypher delegated to Neo4j there, subset
     * parsed natively here — SURVEY.md §7.3). */
   def executeQuery(cypher: String): DataFrame =
-    CypherLite.execute(snap.nodes, snap.edges, cypher)
+    { val n = nodes; CypherLite.execute(n, snap.edges, cypher) }
 
   /** The reference's swallow-errors query behavior (graphDB.py:106-112:
     * any failure → `''`): unparseable/failing queries yield an EMPTY

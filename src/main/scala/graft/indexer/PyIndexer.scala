@@ -46,8 +46,10 @@ object PyIndexer {
       locations: Seq[LocationRow],
       imports: Seq[ImportFact] = Seq.empty)
 
+  // no trailing-':' requirement: a multi-line header (`class Foo(\n
+  // Base,\n):`) keeps its ':' on a continuation line, same as defHeader
   private val classHeader: Regex =
-    """^(\s*)class\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s*:.*$""".r
+    """^(\s*)class\s+([A-Za-z_]\w*)(.*)$""".r
   private val defHeader: Regex =
     """^(\s*)(?:async\s+)?def\s+([A-Za-z_]\w*)\s*\(.*$""".r
   private val importStmt: Regex =
@@ -133,6 +135,22 @@ object PyIndexer {
   }
 
   private def indentOf(s: String): Int = s.takeWhile(_ == ' ').length
+
+  /** Text inside the first balanced paren group of `s`, or "" — the base
+    * list of a (possibly multi-line, joined) class header. */
+  private def parenSpan(s: String): String = {
+    val o = s.indexOf('(')
+    if (o < 0) return ""
+    var depth = 0
+    var j = o
+    while (j < s.length) {
+      val ch = s.charAt(j)
+      if (ch == '(') depth += 1
+      else if (ch == ')') { depth -= 1; if (depth == 0) return s.substring(o + 1, j) }
+      j += 1
+    }
+    s.substring(o + 1) // unclosed paren (truncated source): best-effort
+  }
 
   /** End line (1-based, inclusive) of the scope whose header is at
     * `header` (0-based) with indent `ind`: last non-blank line before the
@@ -377,7 +395,7 @@ object PyIndexer {
         while (stack.nonEmpty && ind <= stack.top.indent) stack.pop()
 
         line match {
-          case classHeader(_, name, bases) =>
+          case classHeader(_, name, _) =>
             val parent = stack.headOption.map(_.fullName).getOrElse(mod)
             val full = s"$parent.$name"
             val end = scopeEnd(lines, cont, i, ind)
@@ -393,17 +411,19 @@ object PyIndexer {
                 Map("association_type" -> Kind.Class))
             // C7 — INHERITS per base (simple or dotted, import-resolved;
             // unresolved stays as written -> stub node, like
-            // ast_manage.py:190-195 appending unresolved bases)
-            Option(bases).map(_.trim).filter(_.nonEmpty).foreach { bl =>
-              bl.split(",").map(_.trim)
-                .filter(b => b.nonEmpty && b != "object" && !b.contains("="))
-                .foreach { b =>
-                  val resolved = resolveCallee(b).getOrElse(
-                    if (b.contains(".")) b else s"$mod.$b")
-                  edges += EdgeEvent(nextSeq(), taskId, full, Rel.Inherits,
-                    resolved, Map.empty)
-                }
-            }
+            // ast_manage.py:190-195 appending unresolved bases). The base
+            // list comes from the JOINED logical header, so multi-line
+            // `class Foo(\n  Base,\n):` headers inherit too (ADVICE r4).
+            val headerText = (line +: (i + 1 until lines.length)
+              .iterator.takeWhile(cont(_)).map(lines(_)).toSeq).mkString(" ")
+            parenSpan(headerText).split(",").map(_.trim)
+              .filter(b => b.nonEmpty && b != "object" && !b.contains("="))
+              .foreach { b =>
+                val resolved = resolveCallee(b).getOrElse(
+                  if (b.contains(".")) b else s"$mod.$b")
+                edges += EdgeEvent(nextSeq(), taskId, full, Rel.Inherits,
+                  resolved, Map.empty)
+              }
             stack.push(Scope(Kind.Class, full, ind))
 
           case defHeader(_, name) =>

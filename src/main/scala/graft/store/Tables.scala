@@ -62,20 +62,31 @@ object GraphTables {
 
   /** Bumped whenever the derived tables' CONTENT or physical layout
     * changes — part of the fingerprint, so stale caches rebuild. */
-  private val derivedLayoutVersion = 2
+  private val derivedLayoutVersion = 3
 
   /** Identity of the source tables: name+size+mtime of every parquet in
-    * the SF dir. Cheap (one listdir), catches driver-side regeneration. */
-  private def sourceFingerprint(d: String): String =
-    (s"v$derivedLayoutVersion" +:
-      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").toSeq)
-      .mkString("|")
+    * the SF dir. `*.parquet` may be a single file (the driver's layout) or
+    * a Spark-style directory-per-table — recurse one level so regenerated
+    * directory tables don't silently serve a stale derived cache. */
+  private def sourceFingerprint(d: String): String = {
+    def sig(f: java.io.File) = s"${f.getName}:${f.length}:${f.lastModified}"
+    val entries = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    (s"v$derivedLayoutVersion" +: entries.flatMap { e =>
+      if (e.isDirectory)
+        sig(e) +: Option(e.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).map(c => s"${e.getName}/${sig(c)}").toSeq
+      else Seq(sig(e))
+    }.toSeq).mkString("|")
+  }
 
   private def readMarker(f: java.io.File): Option[String] =
     if (f.isFile) Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
       java.nio.charset.StandardCharsets.UTF_8)) else None
+
+  /** How long a superseded version dir must sit unreferenced before GC
+    * deletes it; generous vs any single scan's lifetime on these tables. */
+  private val staleVersionGraceMs = 15L * 60 * 1000
 
   private def materialized(s: SparkSession, d: String, key: String)
       (build: => DataFrame): DataFrame =
@@ -83,43 +94,52 @@ object GraphTables {
       val root = sys.env.getOrElse("GRAFT_DERIVED_DIR",
         System.getProperty("java.io.tmpdir") + "/graft-derived")
       val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
-      val target = new java.io.File(s"$root/$safe/$key")
-      // the marker lives inside the parquet dir; `_`-prefixed files are
-      // invisible to the parquet reader
-      val marker = new java.io.File(target, "_src_fingerprint")
+      // Versioned layout: `base/v-<uuid>/` are immutable parquet dirs, and
+      // the `base/current` pointer file names the live one. Readers resolve
+      // the pointer then scan an immutable path, so a concurrent JVM's swap
+      // never makes an in-flight scan's files vanish (the ADVICE r4 race in
+      // the old move-aside/rename scheme). Superseded versions are GC'd
+      // only after a grace period, long after any scan that resolved them.
+      val base = new java.io.File(s"$root/$safe/$key")
+      val pointer = new java.io.File(base, "current")
       val fp = sourceFingerprint(d)
+
+      def liveVersion(): Option[java.io.File] =
+        readMarker(pointer).map(v => new java.io.File(base, v.trim)).filter(vd =>
+          readMarker(new java.io.File(vd, "_src_fingerprint")).contains(fp))
+
       // the JVM-local lock serializes builders in THIS process; across
-      // processes the swap is move-aside + rename (readers holding the old
-      // files keep them via the fs), and a lost rename race (another JVM
-      // swapped first) is absorbed by dropping our tmp build
+      // processes two simultaneous builds each write their own version dir
+      // and the last pointer rewrite wins — both dirs are valid, the loser
+      // is GC'd later
       GraphTables.synchronized {
-        if (!readMarker(marker).contains(fp)) {
-          val tmp = new java.io.File(
-            s"$root/$safe/.$key-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-          build.write.mode("overwrite").parquet(tmp.toString)
+        if (liveVersion().isEmpty) {
+          base.mkdirs()
+          val vName = s"v-${java.util.UUID.randomUUID().toString.take(8)}"
+          val vDir = new java.io.File(base, vName)
+          build.write.mode("overwrite").parquet(vDir.toString)
+          // `_`-prefixed files are invisible to the parquet reader
           java.nio.file.Files.write(
-            new java.io.File(tmp, "_src_fingerprint").toPath,
+            new java.io.File(vDir, "_src_fingerprint").toPath,
             fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          try {
-            if (target.exists()) {
-              val old = new java.io.File(
-                s"$root/$safe/.$key-old-${java.util.UUID.randomUUID().toString.take(8)}")
-              java.nio.file.Files.move(target.toPath, old.toPath,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              java.nio.file.Files.move(tmp.toPath, target.toPath,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              Snapshot.deleteRecursively(old.toPath)
-            } else
-              java.nio.file.Files.move(tmp.toPath, target.toPath,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException |
-                _: java.nio.file.FileSystemException =>
-              Snapshot.deleteRecursively(tmp.toPath) // lost race: other writer won
+          val ptrTmp = new java.io.File(base,
+            s".current-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+          java.nio.file.Files.write(ptrTmp.toPath,
+            vName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.file.Files.move(ptrTmp.toPath, pointer.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          val keep = readMarker(pointer).map(_.trim)
+          Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
+            if (f.isDirectory && !keep.contains(f.getName) &&
+                System.currentTimeMillis() - f.lastModified() > staleVersionGraceMs)
+              Snapshot.deleteRecursively(f.toPath)
           }
         }
       }
-      s.read.parquet(target.toString)
+      val vd = liveVersion().getOrElse(
+        sys.error(s"derived-cache build failed for $key at $base"))
+      s.read.parquet(vd.toString)
     })
 
   /** nodes(full_name, label, task_id, name, prop_num) — one kind label per

@@ -100,6 +100,26 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSeq === Seq("m"))
   }
 
+  test("prop values containing WHERE/RETURN keywords and escaped quotes") {
+    // ADVICE r4: clause splitting was quote-blind — code/signature text
+    // holding WHERE or RETURN terminated the pattern early
+    val d2 = GraphDatabase.inMemory(spark)
+    d2.addNode("t", Kind.Function, "x.f",
+      Map("name" -> "f", "signature" -> "RETURN x WHERE y",
+        "code" -> "it's a WHERE"))
+    d2.commit()
+    val out = d2.executeQuery(
+      "MATCH (n:FUNCTION {signature: 'RETURN x WHERE y'}) RETURN n.full_name")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("x.f"))
+    val esc = d2.executeQuery(
+      """MATCH (n:FUNCTION {code: 'it\'s a WHERE'}) RETURN n.name""").collect()
+    assert(esc.map(_.getString(0)).toSeq === Seq("f"))
+    val w = d2.executeQuery(
+      "MATCH (n:FUNCTION) WHERE n.code = 'it\\'s a WHERE' RETURN n.name").collect()
+    assert(w.map(_.getString(0)).toSeq === Seq("f"))
+  }
+
   test("executeQuerySafe swallows failures like the reference (-> empty)") {
     assert(db.executeQuerySafe("TOTALLY NOT CYPHER").count() === 0)
     assert(db.executeQuerySafe("MATCH (m:sklearn) RETURN m").count() === 4)

@@ -78,6 +78,26 @@ class GraphDatabaseSpec extends AnyFunSuite {
     assert(db.nodes.count() === 1)
   }
 
+  test("updateNode staging: interleaved add/update applies in call order") {
+    // ADVICE r4: updates are STAGED (no snapshot rewrite per call) but the
+    // seq-ordered LWW fold must preserve exact call order within a batch
+    val db = GraphDatabase.inMemory(spark)
+    db.addNode("t1", Kind.Class, "m.C", Map("code" -> "v1"))
+    db.updateNode("m.C", Map("code" -> "v2", "extra" -> "e1"))
+    db.addNode("t1", Kind.Class, "m.C", Map("code" -> "v3"))
+    db.updateNode("m.Ghost", Map("code" -> "x")) // never-create, same batch
+    val row = db.nodeByKey("m.C").collect()(0)   // read flushes the batch
+    assert(row.getAs[String]("code") === "v3")   // add AFTER update wins
+    assert(row.getAs[Map[String, String]]("props")("extra") === "e1")
+    assert(row.getAs[Seq[String]]("task_ids") === Seq("t1")) // no null task
+    assert(db.nodes.count() === 1)               // ghost not created
+    // update-before-add in a FRESH batch on a new key: still created by
+    // the add, and the earlier update correctly loses
+    db.updateNode("m.D", Map("code" -> "early"))
+    db.addNode("t2", Kind.Class, "m.D", Map("code" -> "late"))
+    assert(db.nodeByKey("m.D").collect()(0).getAs[String]("code") === "late")
+  }
+
   test("mixed-task batch: nodes and stubs keep per-task attribution") {
     val db = GraphDatabase.inMemory(spark)
     db.addNode("t1", Kind.Class, "m.A")

@@ -125,4 +125,28 @@ class IndexerBreadthSpec extends AnyFunSuite {
     assert(p.group(1).toInt === lines.indexWhere(_.startsWith("def register")) + 1)
     assert(p.group(2).toInt === lines.indexWhere(_.contains("return wrapper")) + 1)
   }
+
+  test("multi-line CLASS header: symbol, INHERITS from joined bases, methods parent") {
+    // ADVICE r4: `class Foo(\n  Base,\n):` used to produce no class symbol
+    val code =
+      """class Base:
+        |    pass
+        |
+        |class Wide(
+        |    Base,
+        |    dict,
+        |):
+        |    def m(self):
+        |        pass
+        |""".stripMargin
+    val e = PyIndexer.indexFile("t", "w.py", code)
+    val wide = e.symbols.find(_.fullName == "w.Wide")
+    assert(wide.isDefined && wide.get.kind == Kind.Class)
+    val inh = e.edges.filter(x => x.src == "w.Wide" && x.relType == Rel.Inherits)
+      .map(_.dst).toSet
+    assert(inh === Set("w.Base", "w.dict"))
+    // the method belongs to the class, not the module
+    val m = e.symbols.find(_.name == "m").get
+    assert(m.fullName === "w.Wide.m" && m.kind == Kind.Method)
+  }
 }
