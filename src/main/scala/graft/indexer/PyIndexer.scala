@@ -221,6 +221,18 @@ object PyIndexer {
   private val classAnnoBare: Regex =
     """^(\s*)([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*$""".r
 
+  /** `-> Type` return annotation in a (joined) def header; generics'
+    * outer name is not the instance type, so `-> Optional[X]` is skipped
+    * (same guard as [[paramAnno]]). */
+  private val returnArrow: Regex =
+    """->\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?!\w|\s*\[)""".r
+
+  /** Annotated local `x: Helper [= …]` inside a callable — an annassign,
+    * which types x for `x.method()` resolution (PEP 526 syntax, no
+    * inference needed). */
+  private val localAnno: Regex =
+    """^\s*([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?!\w|\s*\[)\s*(?:=(?!=).*)?$""".r
+
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier). */
   def indexFile(taskId: String, relPath: String, content: String): FileEvents = {
     val rawLines = content.split("\n", -1)
@@ -335,6 +347,36 @@ object PyIndexer {
     // `self.h = Helper()` lets `self.h.run()` resolve from ANY later
     // method of the class
     val classFieldTypes = mutable.Map.empty[String, mutable.Map[String, String]]
+
+    // C3 (partial): `-> Type` return annotations per callable, collected
+    // in a pre-pass so `x = f()` binds x's type even when f is defined
+    // LATER in the file (the declared-return slice of jedi's return-type
+    // inference, indexer_visitor.py:53-140; cross-file returns stay out
+    // of scope). Keys are module-relative ("Class.m" / "f"); returns of
+    // defs nested inside defs are not keyed.
+    val returnAnnoRaw = mutable.Map.empty[String, String]
+    locally {
+      val ctx = mutable.Stack.empty[(Int, String)]
+      lines.indices.foreach { li =>
+        val ln = lines(li)
+        if (!cont(li) && ln.trim.nonEmpty) {
+          val ind = indentOf(ln)
+          while (ctx.nonEmpty && ind <= ctx.top._1) ctx.pop()
+          ln match {
+            case classHeader(_, cname, _) => ctx.push((ind, cname))
+            case defHeader(_, dname) =>
+              val headerText = (ln +: (li + 1 until lines.length)
+                .iterator.takeWhile(cont(_)).map(lines(_)).toSeq).mkString(" ")
+              returnArrow.findFirstMatchIn(headerText).foreach { m =>
+                val key = ctx.toSeq.reverse.map(_._2) :+ dname
+                if (!key.contains("")) returnAnnoRaw(key.mkString(".")) = m.group(1)
+              }
+              ctx.push((ind, "")) // defs nest too; "" marks a non-keyed level
+            case _ => ()
+          }
+        }
+      }
+    }
 
     // ---- main pass with context stack (C4)
     val stack = mutable.Stack.empty[Scope]
@@ -537,20 +579,42 @@ object PyIndexer {
         // the PEP8 capitalized-class convention for imported names (a
         // local name only binds if it IS a known class).
         curCallable.foreach { fn =>
-          def classishTarget(callee: String): Option[String] = {
-            val classish = topClasses.contains(callee) ||
-              callee.split("\\.").last.headOption.exists(_.isUpper)
-            if (!keywords.contains(callee) && classish) resolveCallee(callee)
+          def classishType(anno: String): Option[String] = {
+            val classish = topClasses.contains(anno) ||
+              anno.split("\\.").last.headOption.exists(_.isUpper)
+            if (!keywords.contains(anno) && classish) resolveCallee(anno)
             else None
           }
-          instanceAssign.findFirstMatchIn(line).foreach { m =>
-            classishTarget(m.group(2)).foreach(t => fn.locals(m.group(1)) = t)
+          // declared `-> Type` of a called same-module function/method:
+          // `x = make()` with `def make() -> Helper:` binds x to Helper
+          def returnTypeTarget(callee: String): Option[String] =
+            if (keywords.contains(callee)) None
+            else resolveCallee(callee)
+              .filter(_.startsWith(mod + "."))
+              .flatMap(cf => returnAnnoRaw.get(cf.stripPrefix(mod + ".")))
+              .flatMap(classishType)
+          // binding priority: constructor RHS > callee's `-> Type` >
+          // explicit annotation on the target
+          instanceAssign.findFirstMatchIn(line) match {
+            case Some(m) =>
+              classishType(m.group(2)).orElse(returnTypeTarget(m.group(2)))
+                .orElse(localAnno.findFirstMatchIn(line)
+                  .filter(_.group(1) == m.group(1))
+                  .flatMap(a => classishType(a.group(2))))
+                .foreach(t => fn.locals(m.group(1)) = t)
+            case None =>
+              // annotated local without a constructor RHS (`x: Helper` /
+              // `x: Helper = registry.get(...)`)
+              localAnno.findFirstMatchIn(line).foreach { m =>
+                classishType(m.group(2)).foreach(t => fn.locals(m.group(1)) = t)
+              }
           }
           if (fn.kind == Kind.Method) curClass.foreach { c =>
             selfInstanceAssign.findAllMatchIn(line).foreach { m =>
-              classishTarget(m.group(2)).foreach(t =>
-                classFieldTypes.getOrElseUpdate(c.fullName,
-                  mutable.Map.empty)(m.group(1)) = t)
+              classishType(m.group(2)).orElse(returnTypeTarget(m.group(2)))
+                .foreach(t =>
+                  classFieldTypes.getOrElseUpdate(c.fullName,
+                    mutable.Map.empty)(m.group(1)) = t)
             }
           }
         }

@@ -202,6 +202,57 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("b.Box.use", "lib.Helper.run")))
   }
 
+  test("C3 partial: `-> Type` return annotations type call results") {
+    val src =
+      """from lib import Helper
+        |
+        |def use():
+        |    h = make()
+        |    return h.run()
+        |
+        |def make() -> Helper:
+        |    return Helper()
+        |
+        |class Factory:
+        |    def build(self) -> Helper:
+        |        return Helper()
+        |
+        |    def go(self):
+        |        x = self.build()
+        |        return x.ping()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "r.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // make() is defined AFTER use(): the pre-pass still keys its return
+    assert(calls.contains(("r.use", "lib.Helper.run")))
+    // method return annotations resolve self.build() results too
+    assert(calls.contains(("r.Factory.go", "lib.Helper.ping")))
+  }
+
+  test("C3 partial: annotated locals (`x: Helper = ...`) bind the type") {
+    val src =
+      """from lib import Helper
+        |
+        |def pick(registry):
+        |    h: Helper = registry.get("h")
+        |    return h.run()
+        |
+        |def skip():
+        |    n: int = 3
+        |    maybe: Optional[Helper] = None
+        |    return n
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "l.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("l.pick", "lib.Helper.run")))
+    // generics' outer name is not the instance type; lowercase annos bind
+    // nothing
+    assert(!calls.exists(_._2.startsWith("int")))
+    assert(!calls.exists(_._2.contains("Optional")))
+  }
+
   test("USES edges: globals from functions, fields from methods") {
     val uses = ix.edges.filter(col("rel_type") === Rel.Uses)
       .select("src", "dst").as[(String, String)].collect().toSet
