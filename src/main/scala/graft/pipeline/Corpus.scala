@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs
+  * on top of dedup/similarity: benchmark decontamination, per-document
+  * term weighting, and deterministic stratified sampling.
+  *
+  * All three are one-or-two-shuffle shapes with no driver-side loops, and
+  * every per-row kernel rides the shared portable rolling hash
+  * ([[graft.functions.TextFunctions.rollingHash]]), so each operator is
+  * replayable (and oracle-checked) in any SQL engine with 64-bit ints.
+  */
+object Corpus {
+
+  /** Train/test decontamination: for every corpus document, count the
+    * distinct word k-grams it shares with a benchmark/eval set — the
+    * standard "n-gram overlap" contamination check run before training.
+    *
+    * Shape: the benchmark's shingle set is tiny relative to the corpus
+    * (eval sets are thousands of docs against billions), so the join is
+    * broadcast-able and the corpus side streams through in one pass; with
+    * AQE on, Spark picks the broadcast automatically from the DISTINCT'd
+    * build side. Nothing is all-pairs: work is |corpus shingles ∩ bench
+    * shingles| via the hash join.
+    *
+    * @param benchPred marks rows of `docs` as the benchmark set
+    * @return (doc_id, n_shared) for non-benchmark docs with ≥1 shared
+    *         k-gram
+    */
+  def contamination(docs: DataFrame, benchPred: Column, k: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      shingleHashes(col("text"), k).as("hs"), benchPred.as("is_bench"))
+    val inv = sh.select(col("doc_id"), col("is_bench"), explode(col("hs")).as("h"))
+    val benchH = inv.filter(col("is_bench")).select("h").distinct()
+    inv.filter(!col("is_bench"))
+      .join(benchH, "h")
+      // shingleHashes is per-doc distinct already, so a plain count is
+      // the distinct-shared-shingle count
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Top-`n` terms per document by tf-idf (tf × ln(N/df)), ties broken by
+    * term — the classic relevance weighting, here as a corpus-quality /
+    * keyword-extraction primitive.
+    *
+    * Shape: explode → two aggregations (both partial-agg friendly) → one
+    * window for the per-doc top-n. The doc count joins in as a broadcast
+    * 1-row frame, not a driver-side `.count()` splice. Scores round to 4
+    * decimals BEFORE ranking so the ordering is engine-portable.
+    */
+  def tfIdfTopTerms(docs: DataFrame, n: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+      .select(col("doc_id"), col("term"), col("score"), col("rk"))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff
+    * `rollingHash(key) % 100 < ratePct(stratum)` — the reproducible,
+    * engine-portable alternative to `rand()` sampling for corpus mixing
+    * (per-language/per-source rates). A pure narrow filter: no shuffle,
+    * no RNG state, stable under re-runs and retries (Spark task retries
+    * make `rand()` sampling non-deterministic at scale).
+    *
+    * @param ratePct stratum → percentage kept (0–100)
+    * @param defaultPct rate for strata not in the map
+    */
+  def stratifiedSample(docs: DataFrame, key: Column, stratum: Column,
+      ratePct: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = ratePct.foldLeft(lit(defaultPct)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    docs.filter(rollingHash(key.cast("string")) % 100 < rate)
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.store.{GraphSql, GraphTables, Tables}
 import graft.ops.GraphOps
 import graft.functions.TextFunctions
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Corpus, Dedup, Similarity}
 
 /** The declared-query catalog: every operator from SURVEY.md §2 (plus the
   * training-data pipeline operators) as a (SparkSession, sfDir) => DataFrame,
@@ -729,14 +729,16 @@ object QueryCatalog {
   val dNgramJaccard: Q = (s, d) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, d), k = 5, threshold = 0.2)
 
-  private val shingleHashesSql: String = {
+  private def shingleHashesSqlK(k: Int): String = {
     val toks = s"string_split($normSql, ' ')"
     val nt = s"len($toks)"
-    val shingle = s"list_distinct(CASE WHEN $nt < 5 THEN [array_to_string($toks, ' ')] " +
-      s"ELSE list_transform(range(1, $nt - 3), i -> array_to_string(list_slice($toks, i, i + 4), ' ')) END)"
+    val shingle = s"list_distinct(CASE WHEN $nt < $k THEN [array_to_string($toks, ' ')] " +
+      s"ELSE list_transform(range(1, $nt - ${k - 2}), i -> array_to_string(list_slice($toks, i, i + ${k - 1}), ' ')) END)"
     s"list_distinct(list_transform($shingle, s -> list_reduce(list_prepend(0::BIGINT, " +
       s"list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)))"
   }
+
+  private val shingleHashesSql: String = shingleHashesSqlK(5)
 
   val dNgramJaccardSql: String =
     s"""WITH sh AS (SELECT doc_id, $shingleHashesSql AS hashes FROM documents),
@@ -920,6 +922,67 @@ object QueryCatalog {
        |SELECT a, b, ${cosOf("ea", "eb")} AS sim FROM cand
        |WHERE ${cosOf("ea", "eb")} >= 0.3""".stripMargin
 
+  // ----------------------------------------------------- corpus preparation
+
+  /** Gap-based sessionization (30-min gap) of the event stream — batch
+    * twin of the streaming session windows. */
+  val q16Sessions: Q = (s, d) =>
+    graft.pipeline.Sessions.sessionize(Tables.events(s, d), gapSeconds = 1800)
+
+  val q16SessionsSql: String =
+    """WITH e AS (SELECT user_id, event_id, ts, value,
+      |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |       THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS session_idx FROM e)
+      |SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, session_idx""".stripMargin
+
+  /** Train/test decontamination: 4-gram overlap of every corpus doc
+    * against the benchmark slice (doc_id % 50 = 0). */
+  val dContam: Q = (s, d) =>
+    Corpus.contamination(Tables.documents(s, d), col("doc_id") % 50 === 0, k = 4)
+
+  val dContamSql: String =
+    s"""WITH sh AS (SELECT doc_id, ${shingleHashesSqlK(4)} AS hashes FROM documents),
+       |benchh AS (SELECT DISTINCT unnest(hashes) AS h FROM sh WHERE doc_id % 50 = 0),
+       |inv AS (SELECT doc_id, unnest(hashes) AS h FROM sh WHERE doc_id % 50 <> 0)
+       |SELECT i.doc_id, count(*)::BIGINT AS n_shared
+       |FROM inv i JOIN benchh b ON i.h = b.h GROUP BY i.doc_id""".stripMargin
+
+  /** Top-3 tf-idf terms per document. */
+  val tTfidf: Q = (s, d) =>
+    Corpus.tfIdfTopTerms(Tables.documents(s, d), n = 3)
+
+  val tTfidfSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+       |idf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+       |scored AS (SELECT doc_id, term, round(tf * ln(n_docs / df), 4) AS score
+       |           FROM tf JOIN idf USING (term), n),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM scored)
+       |SELECT doc_id, term, score, rk::BIGINT AS rk FROM ranked WHERE rk <= 3""".stripMargin
+
+  /** Deterministic per-language stratified sample over the shared rolling
+    * hash (en 50%, zh 30%, rest 20%). */
+  val pSampleStrat: Q = (s, d) =>
+    Corpus.stratifiedSample(Tables.documents(s, d), col("doc_id"), col("lang"),
+        Map("en" -> 50, "zh" -> 30), defaultPct = 20)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  val pSampleStratSql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE list_reduce(list_prepend(0::BIGINT,
+      |        list_transform(string_split(doc_id::VARCHAR, ''), c -> ascii(c)::BIGINT)),
+      |        (a, c) -> (a * 31 + c) % 2147483647) % 100
+      |      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 30 ELSE 20 END""".stripMargin
+
   // ---------------------------------------------------------------- catalog
 
   val queries: Map[String, Q] = Map(
@@ -975,6 +1038,10 @@ object QueryCatalog {
     "s_lsh_ann" -> sLshAnn,
     "s_ivf_ann" -> sIvfAnn,
     "s_emb_neardup" -> sEmbNearDup,
+    "q16_sessions" -> q16Sessions,
+    "d_contam" -> dContam,
+    "t_tfidf" -> tTfidf,
+    "p_sample_strat" -> pSampleStrat,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1030,5 +1097,9 @@ object QueryCatalog {
     "s_lsh_ann" -> sLshAnnSql,
     "s_ivf_ann" -> sIvfAnnSql,
     "s_emb_neardup" -> sEmbNearDupSql,
+    "q16_sessions" -> q16SessionsSql,
+    "d_contam" -> dContamSql,
+    "t_tfidf" -> tTfidfSql,
+    "p_sample_strat" -> pSampleStratSql,
   )
 }

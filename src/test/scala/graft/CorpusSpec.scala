@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Corpus, Sessions}
+
+/** Corpus-preparation operators (decontamination, tf-idf, stratified
+  * sampling) and batch sessionization — semantics on hand-checkable
+  * inputs; the oracle gate covers them at sf0.01. */
+class CorpusSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("contamination counts shared k-grams against the benchmark slice") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"), // benchmark
+      (1L, "a quick brown fox jumps over whatever"),       // overlaps
+      (2L, "completely different words entirely here")     // clean
+    ).toDF("doc_id", "text")
+    val out = Corpus.contamination(docs, col("doc_id") === 0, k = 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "quick brown fox", "brown fox jumps", "fox jumps over"
+    assert(out === Map(1L -> 3L))
+  }
+
+  test("tfIdfTopTerms ranks distinctive terms above common ones") {
+    val docs = Seq(
+      (0L, "alpha alpha beta"),
+      (1L, "beta gamma"),
+      (2L, "beta delta")
+    ).toDF("doc_id", "text")
+    val top = Corpus.tfIdfTopTerms(docs, n = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // beta appears everywhere (idf = ln(1) = 0); the distinctive term wins
+    assert(top === Map(0L -> "alpha", 1L -> "gamma", 2L -> "delta"))
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val docs = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "zh")).toDF("doc_id", "lang")
+    val s1 = Corpus.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 50, "zh" -> 10), defaultPct = 0)
+    val s2 = Corpus.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 50, "zh" -> 10), defaultPct = 0)
+    val ids1 = s1.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 === s2.select("doc_id").as[Long].collect().sorted.toSeq)
+    val byLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 500 docs per stratum; the hash is uniform-ish, rates should land
+    // within a loose band around 250 / 50
+    assert(byLang("en") > 175 && byLang("en") < 325)
+    assert(byLang("zh") > 15 && byLang("zh") < 110)
+  }
+
+  test("sessionize splits on gaps and aggregates per session") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 7L, "u", 1.0, ""),   // session 0
+      (2L, ts(10), 7L, "u", 2.0, ""),  // same session (10 min gap)
+      (3L, ts(50), 7L, "u", 4.0, ""),  // 40 min gap -> new session
+      (4L, ts(5), 9L, "u", 8.0, "")    // other user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Sessions.sessionize(ev, gapSeconds = 1800)
+      .select("user_id", "session_idx", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out === Set((7L, 1L, 2L, 3.0), (7L, 2L, 1L, 4.0), (9L, 1L, 1L, 8.0)))
+  }
+}
