@@ -388,6 +388,12 @@ object PyIndexer {
     def refSource: Option[Scope] =
       stack.headOption.filter(_.kind != Kind.Module)
 
+    // C3 (partial): module-level instance globals — `db = Database()` at
+    // module scope types `db` for `db.query()` calls in any callable
+    // below (the singleton pattern jedi resolves in deep mode). Populated
+    // just before the main pass, once imports are known.
+    val moduleVarTypes = mutable.Map.empty[String, String]
+
     def resolveCallee(dotted: String): Option[String] = {
       val parts = dotted.split("\\.")
       if (dotted.startsWith("self.") && parts.length == 2)
@@ -405,6 +411,11 @@ object PyIndexer {
         curClass.flatMap(c =>
           classFieldTypes.get(c.fullName).flatMap(_.get(parts(1))))
           .map(t => s"$t.${parts(2)}")
+      else if (parts.length >= 2 && moduleVarTypes.contains(parts(0)))
+        // C3 (partial): module-level instance global (`db = Database()`
+        // singleton) — callable-locals above shadow it; an UNTYPED
+        // rebinding in the callable does not (syntactic limit)
+        Some((moduleVarTypes(parts(0)) +: parts.tail.toSeq).mkString("."))
       else if (parts.length == 1) {
         val n = parts(0)
         if (topDefs.contains(n)) Some(s"$mod.$n")
@@ -424,6 +435,17 @@ object PyIndexer {
             importedName.get(parts(0)).map(t => (t +: parts.tail.toSeq).mkString("."))
           }
       }
+    }
+
+    lines.indices.foreach { li =>
+      if (!cont(li) && lines(li).trim.nonEmpty && indentOf(lines(li)) == 0)
+        instanceAssign.findFirstMatchIn(lines(li)).foreach { m =>
+          val callee = m.group(2)
+          val classish = topClasses.contains(callee) ||
+            callee.split("\\.").last.headOption.exists(_.isUpper)
+          if (!keywords.contains(callee) && classish)
+            resolveCallee(callee).foreach(t => moduleVarTypes(m.group(1)) = t)
+        }
     }
 
     var i = 0

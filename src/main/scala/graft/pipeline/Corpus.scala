@@ -67,6 +67,35 @@ object Corpus {
       .select(col("doc_id"), col("term"), col("score"), col("rk"))
   }
 
+  /** Gopher-style repetition screens per document: the duplicate-word
+    * fraction (1 − distinct/total tokens) and the share of bigram
+    * occurrences taken by the single most frequent bigram — high values
+    * flag boilerplate/spam for corpus filtering (the "repetitious text"
+    * rules of large-corpus quality pipelines).
+    *
+    * Shape: the token stats are a narrow map; the bigram mode is one
+    * explode + two partial-agg-friendly groupBys keyed by doc_id — no
+    * per-doc collect, no cross-doc shuffle skew (bigram counts shuffle on
+    * (doc_id, bigram), already well-spread). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val base = toks.select(col("doc_id"),
+      size(col("t")).cast("long").as("n_tokens"),
+      size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("bg"))
+    val top = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bg"), sum("c").as("n_bg"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("dup_word_frac"),
+        coalesce(round(col("top_bg").cast("double") / col("n_bg"), 4), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * `rollingHash(key) % 100 < ratePct(stratum)` — the reproducible,
     * engine-portable alternative to `rand()` sampling for corpus mixing

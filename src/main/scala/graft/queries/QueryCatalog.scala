@@ -983,6 +983,39 @@ object QueryCatalog {
       |        (a, c) -> (a * 31 + c) % 2147483647) % 100
       |      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 30 ELSE 20 END""".stripMargin
 
+  /** Gopher-style repetition screens per document. */
+  val tRepetition: Q = (s, d) =>
+    Corpus.repetitionStats(Tables.documents(s, d))
+
+  val tRepetitionSql: String = {
+    val toks = s"string_split($normSql, ' ')"
+    s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+       |base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens, len(list_distinct(t))::BIGINT AS n_distinct FROM toks),
+       |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+       |       FROM toks WHERE len(t) >= 2),
+       |top AS (SELECT doc_id, max(c)::BIGINT AS top_bg, sum(c)::BIGINT AS n_bg
+       |        FROM (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1)
+       |SELECT b.doc_id, round(1 - n_distinct::DOUBLE / n_tokens, 4) AS dup_word_frac,
+       |  coalesce(round(top_bg::DOUBLE / n_bg, 4), 0.0) AS top_bigram_frac
+       |FROM base b LEFT JOIN top USING (doc_id)""".stripMargin
+  }
+
+  /** Corpus curation: keep the top-5 documents per language by quality
+    * score (the "best N per stratum" selection step of corpus mixing). */
+  val pBestPerLang: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+  }
+
+  val pBestPerLangSql: String =
+    s"""WITH scored AS (SELECT doc_id, lang, $qualityExprSql AS quality FROM documents),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk FROM scored)
+       |SELECT doc_id, lang, quality, rk::BIGINT AS rk FROM ranked WHERE rk <= 5""".stripMargin
+
   // ---------------------------------------------------------------- catalog
 
   val queries: Map[String, Q] = Map(
@@ -1042,6 +1075,8 @@ object QueryCatalog {
     "d_contam" -> dContam,
     "t_tfidf" -> tTfidf,
     "p_sample_strat" -> pSampleStrat,
+    "t_repetition" -> tRepetition,
+    "p_best_per_lang" -> pBestPerLang,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1101,5 +1136,7 @@ object QueryCatalog {
     "d_contam" -> dContamSql,
     "t_tfidf" -> tTfidfSql,
     "p_sample_strat" -> pSampleStratSql,
+    "t_repetition" -> tRepetitionSql,
+    "p_best_per_lang" -> pBestPerLangSql,
   )
 }

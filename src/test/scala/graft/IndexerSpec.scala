@@ -230,6 +230,29 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("r.Factory.go", "lib.Helper.ping")))
   }
 
+  test("C3 partial: module-level instance globals type their methods") {
+    val src =
+      """from lib import Database
+        |
+        |db = Database()
+        |
+        |def query():
+        |    return db.run("x")
+        |
+        |class Svc:
+        |    def go(self):
+        |        return db.ping()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "g.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("g.query", "lib.Database.run")))
+    assert(calls.contains(("g.Svc.go", "lib.Database.ping")))
+    // db itself is still a module GLOBAL_VARIABLE symbol
+    assert(ev.symbols.exists(s => s.fullName == "g.db" &&
+      s.kind == Kind.GlobalVariable))
+  }
+
   test("C3 partial: annotated locals (`x: Helper = ...`) bind the type") {
     val src =
       """from lib import Helper
