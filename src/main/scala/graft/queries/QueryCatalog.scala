@@ -1016,6 +1016,48 @@ object QueryCatalog {
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk FROM scored)
        |SELECT doc_id, lang, quality, rk::BIGINT AS rk FROM ranked WHERE rk <= 5""".stripMargin
 
+  /** Per-label mean embedding in long format — the centroid-UPDATE step
+    * of distributed k-means (the assignment step is `s_ivf_ann`'s
+    * shape); together they make one Lloyd iteration. Decimal-routed sums
+    * so the cross-row reduction is order-independent. */
+  val sCentroids: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(round(
+        sum(col("v").cast("double").cast("decimal(25,10)")).cast("double")
+          / count(lit(1)), 4).as("mean_v"))
+
+  val sCentroidsSql: String =
+    """SELECT label, dim, round(CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS mean_v
+      |FROM (SELECT label, unnest(range(0, 64)) AS dim, unnest(embedding)::DOUBLE AS v FROM embeddings)
+      |GROUP BY label, dim""".stripMargin
+
+  /** Token-budget chunking: assign docs (in doc_id order) to ~2048-token
+    * training chunks by running total. Partitioned by a doc_id shard so
+    * the window never funnels the corpus through one reducer — chunk ids
+    * are (shard, within-shard) composites, and chunk boundaries simply
+    * don't cross shards (exactly how a real packing job is sharded). */
+  val pPackChunks: Q = (s, d) => {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        (col("doc_id") / 1000).cast("long").as("shard"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("chunk_id",
+        (col("shard") * 100000 + expr("(cum - n_tokens) div 2048")).cast("long"))
+      .select("doc_id", "n_tokens", "chunk_id")
+  }
+
+  val pPackChunksSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  (CASE WHEN length($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END)::BIGINT AS n_tokens,
+       |  doc_id // 1000 AS shard FROM documents),
+       |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+       |SELECT doc_id, n_tokens, (shard * 100000 + (cum - n_tokens) // 2048)::BIGINT AS chunk_id FROM c""".stripMargin
+
   // ---------------------------------------------------------------- catalog
 
   val queries: Map[String, Q] = Map(
@@ -1077,6 +1119,8 @@ object QueryCatalog {
     "p_sample_strat" -> pSampleStrat,
     "t_repetition" -> tRepetition,
     "p_best_per_lang" -> pBestPerLang,
+    "s_centroids" -> sCentroids,
+    "p_pack_chunks" -> pPackChunks,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1138,5 +1182,7 @@ object QueryCatalog {
     "p_sample_strat" -> pSampleStratSql,
     "t_repetition" -> tRepetitionSql,
     "p_best_per_lang" -> pBestPerLangSql,
+    "s_centroids" -> sCentroidsSql,
+    "p_pack_chunks" -> pPackChunksSql,
   )
 }

@@ -33,6 +33,33 @@ class StreamsSpec extends AnyFunSuite {
       (ts(5), "click", 1L, 5.0)))
   }
 
+  test("stream ≡ batch: windowedEventStats equals the batch window agg") {
+    // the streaming path must be the SAME query as the batch q8 shape —
+    // one declarative plan, two execution modes (the Structured Streaming
+    // contract). 200 deterministic events, compared set-for-set.
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val events = (1 to 200).map { i =>
+      Event(i.toLong, ts(i % 60), (i % 7).toLong,
+        if (i % 3 == 0) "click" else "view", (i % 11).toDouble)
+    }
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("window_start", "event_type", "n", "total_value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val streamed = norm(Streams.runToMemory(spark,
+      Streams.windowedEventStats(mem.toDF(), "10 minutes", "5 minutes"),
+      "sb_eq"))
+    val batch = norm(events.toDF()
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value")))
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("sessionize accumulates per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
