@@ -96,6 +96,16 @@ object Corpus {
           .as("top_bigram_frac"))
   }
 
+  /** Export a corpus as sharded JSONL — the interchange format feeding
+    * tokenizer/training jobs downstream. Shard assignment hashes the key
+    * (deterministic and retry-stable, unlike round-robin repartition);
+    * shard count controls downstream reader parallelism. */
+  def exportJsonl(docs: DataFrame, path: String, shards: Int,
+      compress: Boolean = false): Unit = {
+    val w = docs.repartition(shards, col("doc_id")).write.mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * `rollingHash(key) % 100 < ratePct(stratum)` — the reproducible,
     * engine-portable alternative to `rand()` sampling for corpus mixing
