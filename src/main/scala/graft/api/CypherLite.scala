@@ -32,8 +32,6 @@ import org.apache.spark.sql.functions._
   */
 object CypherLite {
 
-  private val nodePat =
-    """\(\s*(\w+)\s*((?::\w+)*)\s*(\{[^}]*\})?\s*\)""".r
   private val fwdArrow = """^-\s*\[\s*:(\w+)\s*\]\s*->$""".r
   private val bwdArrow = """^<-\s*\[\s*:(\w+)\s*\]\s*-$""".r
   private val whereExists = """^exists\(\s*(\w+)\.(\w+)\s*\)$""".r
@@ -150,6 +148,72 @@ object CypherLite {
 
   private final case class Hop(rel: String, reversed: Boolean)
 
+  /** A scanned node pattern `(v:L1:L2 {props})`: [start, end) span in the
+    * pattern text plus the parsed pieces. */
+  private final case class NodePat(start: Int, end: Int, v: String,
+      labels: Seq[String], props: Map[String, String])
+
+  private val varLabels = """^(\w+)\s*((?::\s*\w+)*)\s*$""".r
+
+  /** First top-level (not in quotes) occurrence of `target`; -1 if none. */
+  private def topLevelIndexOf(s: String, target: Char): Int = {
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == target) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Scan the MATCH pattern for node patterns, quote-aware throughout:
+    * parens, braces, colons, and arrows inside quoted prop values are
+    * literal text (the nodePat regex this replaces choked on a `}` or
+    * `)` inside a code-snippet prop). Every top-level `(` opens a node
+    * pattern; arrow text between patterns never contains parens. */
+  private def scanNodes(pattern: String): Seq[NodePat] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[NodePat]
+    var i = 0
+    while (i < pattern.length) {
+      if (pattern.charAt(i) == '(') {
+        var depth = 0
+        var j = i
+        var quote: Char = 0
+        var end = -1
+        while (j < pattern.length && end < 0) {
+          val c = pattern.charAt(j)
+          if (quote != 0) {
+            if (c == '\\') j += 1
+            else if (c == quote) quote = 0
+          } else if (c == '\'' || c == '"') quote = c
+          else if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) end = j }
+          j += 1
+        }
+        if (end < 0) throw new IllegalArgumentException(
+          s"unbalanced parens in pattern: $pattern")
+        val inner = pattern.substring(i + 1, end)
+        val braceIdx = topLevelIndexOf(inner, '{')
+        val head = (if (braceIdx >= 0) inner.substring(0, braceIdx) else inner).trim
+        val props =
+          if (braceIdx >= 0) parseProps(inner.substring(braceIdx).trim) else Map.empty[String, String]
+        head match {
+          case varLabels(v, ls) =>
+            out += NodePat(i, end + 1, v, parseLabels(ls), props)
+          case _ => throw new IllegalArgumentException(
+            s"unsupported node pattern '($inner)' (expected (var:Label… {props}))")
+        }
+        i = end + 1
+      } else i += 1
+    }
+    out.toSeq
+  }
+
   /** Execute a supported chain query against (nodes, edges). */
   def execute(nodes: DataFrame, edges: DataFrame, query: String): DataFrame = {
     val q = query.trim
@@ -169,7 +233,7 @@ object CypherLite {
       } else None
     parsed match {
       case Some((pattern, whereClause, ret)) =>
-        val nodeMs = nodePat.findAllMatchIn(pattern).toSeq
+        val nodeMs = scanNodes(pattern)
         require(nodeMs.nonEmpty, s"no node pattern in: $q")
         // arrows are exactly the text between consecutive node patterns
         val hops = nodeMs.sliding(2).toSeq.collect { case Seq(a, b) =>
@@ -188,20 +252,18 @@ object CypherLite {
         // a repeated variable would need a node-equality join condition
         // we don't synthesize — raise rather than silently return every
         // path (the module's raise-on-unsupported posture)
-        val varNames = nodeMs.map(_.group(1))
+        val varNames = nodeMs.map(_.v)
         require(varNames.distinct.size == varNames.size,
           s"repeated pattern variable not supported (cycle patterns): $q")
         val vars = nodeMs.zipWithIndex
-          .map { case (m, i) => m.group(1) -> s"n$i" }.toMap
+          .map { case (m, i) => m.v -> s"n$i" }.toMap
         var df = nodes
-          .filter(nodePred(parseLabels(nodeMs.head.group(2)),
-            parseProps(nodeMs.head.group(3))))
+          .filter(nodePred(nodeMs.head.labels, nodeMs.head.props))
           .alias("n0")
         hops.zipWithIndex.foreach { case (hop, i) =>
           val e = edges.filter(col("rel_type") === hop.rel).alias(s"e$i")
           val next = nodes
-            .filter(nodePred(parseLabels(nodeMs(i + 1).group(2)),
-              parseProps(nodeMs(i + 1).group(3))))
+            .filter(nodePred(nodeMs(i + 1).labels, nodeMs(i + 1).props))
             .alias(s"n${i + 1}")
           df =
             if (!hop.reversed)

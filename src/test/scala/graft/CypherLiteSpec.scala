@@ -120,6 +120,19 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(w.map(_.getString(0)).toSeq === Seq("f"))
   }
 
+  test("prop values containing braces/parens (code snippets) parse correctly") {
+    // node-pattern scanning is quote-aware: `}` / `)` inside a quoted
+    // prop value must not terminate the props block or the node pattern
+    val d2 = GraphDatabase.inMemory(spark)
+    d2.addNode("t", Kind.Function, "x.g",
+      Map("name" -> "g", "code" -> "def g(a): return {a: (a)}"))
+    d2.commit()
+    val out = d2.executeQuery(
+      "MATCH (n:FUNCTION {code: 'def g(a): return {a: (a)}'}) RETURN n.full_name")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("x.g"))
+  }
+
   test("executeQuerySafe swallows failures like the reference (-> empty)") {
     assert(db.executeQuerySafe("TOTALLY NOT CYPHER").count() === 0)
     assert(db.executeQuerySafe("MATCH (m:sklearn) RETURN m").count() === 4)
