@@ -176,6 +176,46 @@ class PropertySpec extends AnyFunSuite {
     }, min = 8)
   }
 
+  test("property: sessionize partitions events exactly (counts and sums)") {
+    // every event lands in exactly one session: per-user session counts
+    // sum to the user's event count, and values sum to the user's total
+    val genEv = for {
+      uid <- Gen.choose(1L, 3L)
+      minute <- Gen.choose(0, 300)
+      value <- Gen.choose(0, 50)
+    } yield (uid, minute, value.toDouble)
+    check("sessionizeTotal", Prop.forAll(Gen.nonEmptyListOf(genEv)) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, m, v), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2026-01-01 ${m / 60}%02d:${m % 60}%02d:00"), u, v)
+      }.toDF("event_id", "ts", "user_id", "value")
+      val out = graft.pipeline.Sessions.sessionize(df, gapSeconds = 600)
+        .groupBy("user_id")
+        .agg(sum("n_events").as("n"), round(sum("sum_value"), 2).as("s"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val want = evs.groupBy(_._1).map { case (u, es) =>
+        u -> (es.size.toLong,
+          BigDecimal(es.map(_._3).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      out == want
+    }, min = 8)
+  }
+
+  test("property: stratifiedSample monotone in rate; 0% empty, 100% total") {
+    import graft.pipeline.Corpus
+    val genDocs = Gen.nonEmptyListOf(Gen.choose(0L, 5000L)).map(_.distinct)
+    check("sampleMonotone", Prop.forAll(genDocs, Gen.choose(0, 100)) { (ids, r) =>
+      val docs = ids.map(i => (i, if (i % 2 == 0) "en" else "zh")).toDF("doc_id", "lang")
+      def sample(p: Int) = Corpus.stratifiedSample(docs, col("doc_id"),
+        col("lang"), Map("en" -> p, "zh" -> p), p)
+        .select("doc_id").as[Long].collect().toSet
+      val atR = sample(r)
+      sample(0).isEmpty && sample(100) == ids.toSet && atR.subsetOf(sample(100)) &&
+        // monotone: raising the rate only ever adds rows
+        atR.subsetOf(sample(math.min(100, r + 10)))
+    }, min = 6)
+  }
+
   test("property: transitiveClosure ≡ naive O(n³) closure on random DAGs") {
     val genDag = for {
       n <- Gen.choose(3, 8)
