@@ -51,13 +51,17 @@ object CypherLite {
         else if (c == quote) quote = 0
       } else if (c == '\'' || c == '"') quote = c
       else if (s.regionMatches(true, i, word, 0, word.length) &&
-          (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
-          (i + word.length >= s.length || !s.charAt(i + word.length).isLetterOrDigit))
+          (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+          (i + word.length >= s.length || !isWordChar(s.charAt(i + word.length))))
         return i
       i += 1
     }
     -1
   }
+
+  /** \w boundary semantics: '_' is a word char, so `n.return_type` never
+    * reads as the RETURN keyword. */
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
   /** Split on `sep` at top level only — separators inside single/double
     * quotes don't count (prop values may contain commas/colons), and a
@@ -76,9 +80,9 @@ object CypherLite {
         else if (c == quote) quote = 0
       } else if (c == '\'' || c == '"') { quote = c; sb.append(c) }
       else if (s.regionMatches(true, i, sep, 0, sep.length) &&
-          (sep.head.isLetter // word separators (AND) need boundaries
-            && (i == 0 || !s.charAt(i - 1).isLetterOrDigit)
-            && (i + sep.length >= s.length || !s.charAt(i + sep.length).isLetterOrDigit)
+          (sep.head.isLetter // word separators (AND) need \w boundaries
+            && (i == 0 || !isWordChar(s.charAt(i - 1)))
+            && (i + sep.length >= s.length || !isWordChar(s.charAt(i + sep.length)))
             || !sep.head.isLetter)) {
         out += sb.toString; sb.clear(); i += sep.length - 1
       } else sb.append(c)

@@ -106,7 +106,8 @@ final class GraphDatabase private (
       // interleaves adds and prop-SETs in exact call order
       val fresh = Merge.mergeNodes((stagedSymbols.toSeq ++ stagedUpdates.toSeq).toDF())
       // never-create (graphDB.py:114-119): a key touched ONLY by
-      // updateNode survives the merge only if the base snapshot has it
+      // updateNode survives the merge only if the base snapshot has it —
+      // OR it becomes an edge stub in this very batch (handled below)
       val addKeys = stagedSymbols.iterator.map(_.fullName).toSet
       val updOnly = stagedUpdates.iterator.map(_.fullName)
         .filterNot(addKeys).toSeq.distinct
@@ -117,6 +118,16 @@ final class GraphDatabase private (
             .join(snap.nodes.select("full_name"), Seq("full_name"), "left_semi"))
       val freshEdges = Merge.mergeEdges(edgeEvents)
       val upserted = Merge.upsertInto(snap.nodes.drop("label"), freshGated)
+      // updateNode AFTER addEdge in the same batch must patch the edge's
+      // stub node (per-call replay: the stub exists when the SET runs) —
+      // seq-gated so an update staged BEFORE the edge stays a no-op,
+      // exactly like the reference's immediate calls
+      val endpointFirstSeq: Map[String, Long] = stagedEdges.iterator
+        .flatMap(e => Seq(e.src -> e.seq, e.dst -> e.seq)).toSeq
+        .groupMapReduce(_._1)(_._2)(math.min)
+      val stubPatchEvents = stagedUpdates.filter(u =>
+        !addKeys(u.fullName) &&
+          endpointFirstSeq.get(u.fullName).exists(u.seq > _)).toSeq
       // edge upsert: fresh props overwrite base props key-wise (A4)
       val allEdges = snap.edges.withColumn("prio", lit(0))
         .unionByName(freshEdges.withColumn("prio", lit(1)))
@@ -129,7 +140,10 @@ final class GraphDatabase private (
             map_filter(acc, (k, _) => !map_contains_key(e.getField("props"), k)),
             e.getField("props"))).as("props"))
       val withStubs = Merge.withStubsByTask(upserted, edgeEvents)
-      snap = GraphSnapshot(withStubs, allEdges, snap.locations)
+      val finalNodes =
+        if (stubPatchEvents.isEmpty) withStubs
+        else Merge.upsertInto(withStubs, Merge.mergeNodes(stubPatchEvents.toDF()))
+      snap = GraphSnapshot(finalNodes, allEdges, snap.locations)
       stagedSymbols.clear(); stagedEdges.clear(); stagedUpdates.clear()
     }
     dir.foreach(d => { Snapshot.write(snap, d); snap = Snapshot.read(spark, d) })
@@ -193,6 +207,7 @@ final class GraphDatabase private (
     snap = GraphSnapshot(
       GraphOps.stripPathPrefix(snap.nodes, "file_path", root),
       snap.edges, snap.locations)
+    dir.foreach(d => Snapshot.write(snap, d))
   }
 
   /** D5/D6 — incremental version update (update_version.py:58-73): carry
@@ -254,9 +269,13 @@ final class GraphDatabase private (
     * returns a record list), so EXECUTION-time failures are swallowed
     * too, not just parse/analysis errors. [[executeQuery]] stays the
     * throwing, library-grade surface. */
-  def executeQuerySafe(cypher: String): DataFrame =
+  def executeQuerySafe(cypher: String): DataFrame = {
+    // flush BEFORE the swallow: a failing staged WRITE must surface to
+    // the writer, not masquerade as an empty query result
+    autoFlush()
     try executeQuery(cypher).localCheckpoint(eager = true)
     catch { case _: Exception => spark.emptyDataFrame }
+  }
 
   /** B6 + B11 — methods of a class with hydrated code, the reference's
     * flagship demo query (graphDB.py:280-283). */

@@ -137,10 +137,13 @@ object PyIndexer {
   private def indentOf(s: String): Int = s.takeWhile(_ == ' ').length
 
   /** Text inside the first balanced paren group of `s`, or "" — the base
-    * list of a (possibly multi-line, joined) class header. */
+    * list of a (possibly multi-line, joined) class header. The parens
+    * must belong to the HEADER (open before the first ':'), not to an
+    * inline body (`class Config: x = f(Y)` has no base list). */
   private def parenSpan(s: String): String = {
     val o = s.indexOf('(')
-    if (o < 0) return ""
+    val colon = s.indexOf(':')
+    if (o < 0 || (colon >= 0 && colon < o)) return ""
     var depth = 0
     var j = o
     while (j < s.length) {
@@ -239,6 +242,13 @@ object PyIndexer {
     val (lines, atomicRanges) = preprocess(rawLines)
     val cont = continuations(lines)
     val mod = moduleName(relPath)
+
+    // the logical header at line `h`: the physical line plus its bracket/
+    // backslash continuation lines, joined — shared by the return-anno
+    // pre-pass, class base lists, and def param annotations
+    def joinedHeader(h: Int): String =
+      (lines(h) +: (h + 1 until lines.length)
+        .iterator.takeWhile(cont(_)).map(lines(_)).toSeq).mkString(" ")
 
     val symbols = mutable.ArrayBuffer.empty[SymbolEvent]
     val edges = mutable.ArrayBuffer.empty[EdgeEvent]
@@ -365,8 +375,7 @@ object PyIndexer {
           ln match {
             case classHeader(_, cname, _) => ctx.push((ind, cname))
             case defHeader(_, dname) =>
-              val headerText = (ln +: (li + 1 until lines.length)
-                .iterator.takeWhile(cont(_)).map(lines(_)).toSeq).mkString(" ")
+              val headerText = joinedHeader(li)
               returnArrow.findFirstMatchIn(headerText).foreach { m =>
                 val key = ctx.toSeq.reverse.map(_._2) :+ dname
                 if (!key.contains("")) returnAnnoRaw(key.mkString(".")) = m.group(1)
@@ -478,8 +487,7 @@ object PyIndexer {
             // ast_manage.py:190-195 appending unresolved bases). The base
             // list comes from the JOINED logical header, so multi-line
             // `class Foo(\n  Base,\n):` headers inherit too (ADVICE r4).
-            val headerText = (line +: (i + 1 until lines.length)
-              .iterator.takeWhile(cont(_)).map(lines(_)).toSeq).mkString(" ")
+            val headerText = joinedHeader(i)
             parenSpan(headerText).split(",").map(_.trim)
               .filter(b => b.nonEmpty && b != "object" && !b.contains("="))
               .foreach { b =>
@@ -515,8 +523,7 @@ object PyIndexer {
             // param types for the body — `def f(h: Helper)` makes
             // `h.run()` resolve to Helper.run. The logical header spans
             // this line plus its bracket-continuation lines.
-            val headerText = (line +: (i + 1 until lines.length)
-              .iterator.takeWhile(cont(_)).map(lines(_)).toSeq).mkString(" ")
+            val headerText = joinedHeader(i)
             paramAnno.findAllMatchIn(headerText).foreach { m =>
               val anno = m.group(2)
               val classish = topClasses.contains(anno) ||

@@ -32,11 +32,13 @@ object Corpus {
     *         k-gram
     */
   def contamination(docs: DataFrame, benchPred: Column, k: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      shingleHashes(col("text"), k).as("hs"), benchPred.as("is_bench"))
-    val inv = sh.select(col("doc_id"), col("is_bench"), explode(col("hs")).as("h"))
-    val benchH = inv.filter(col("is_bench")).select("h").distinct()
-    inv.filter(!col("is_bench"))
+    // filter BEFORE shingling on each side: the bench predicate pushes to
+    // the scan, so only the (tiny) bench slice is shingled for the build
+    // side and the corpus is shingled exactly once on the probe side
+    val benchH = docs.filter(benchPred)
+      .select(explode(shingleHashes(col("text"), k)).as("h")).distinct()
+    docs.filter(!benchPred)
+      .select(col("doc_id"), explode(shingleHashes(col("text"), k)).as("h"))
       .join(benchH, "h")
       // shingleHashes is per-doc distinct already, so a plain count is
       // the distinct-shared-shingle count

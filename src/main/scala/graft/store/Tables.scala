@@ -112,6 +112,7 @@ object GraphTables {
       // processes two simultaneous builds each write their own version dir
       // and the last pointer rewrite wins — both dirs are valid, the loser
       // is GC'd later
+      var built: Option[java.io.File] = None
       GraphTables.synchronized {
         if (liveVersion().isEmpty) {
           base.mkdirs()
@@ -129,15 +130,23 @@ object GraphTables {
           java.nio.file.Files.move(ptrTmp.toPath, pointer.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          val keep = readMarker(pointer).map(_.trim)
-          Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
-            if (f.isDirectory && !keep.contains(f.getName) &&
-                System.currentTimeMillis() - f.lastModified() > staleVersionGraceMs)
-              Snapshot.deleteRecursively(f.toPath)
-          }
+          built = Some(vDir)
+        }
+        // GC superseded version dirs past the grace window — on EVERY
+        // call, not just builds, so a lost-race loser dir doesn't persist
+        // forever once a valid pointer exists
+        val keep = readMarker(pointer).map(_.trim)
+        Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
+          if (f.isDirectory && !keep.contains(f.getName) && !built.map(_.getName).contains(f.getName) &&
+              System.currentTimeMillis() - f.lastModified() > staleVersionGraceMs)
+            Snapshot.deleteRecursively(f.toPath)
         }
       }
-      val vd = liveVersion().getOrElse(
+      // prefer the pointer, but fall back to the version we JUST built:
+      // a concurrent JVM may have re-pointed to a different fingerprint
+      // (source regenerated under us) — our dir is still valid for the
+      // inputs THIS session read
+      val vd = liveVersion().orElse(built).getOrElse(
         sys.error(s"derived-cache build failed for $key at $base"))
       s.read.parquet(vd.toString)
     })

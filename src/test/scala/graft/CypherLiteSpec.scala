@@ -120,6 +120,19 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(w.map(_.getString(0)).toSeq === Seq("f"))
   }
 
+  test("snake_case identifiers containing keyword substrings parse (\\w boundary)") {
+    val d2 = GraphDatabase.inMemory(spark)
+    d2.addNode("t", Kind.Function, "x.f",
+      Map("name" -> "f", "return_type" -> "int", "and_flag" -> "y"))
+    d2.commit()
+    // `return_type` must not read as the RETURN keyword, `and_flag` must
+    // not split the WHERE conjunction
+    val out = d2.executeQuery(
+      "MATCH (n:FUNCTION) WHERE n.return_type = 'int' AND n.and_flag = 'y' " +
+        "RETURN n.full_name").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("x.f"))
+  }
+
   test("prop values containing braces/parens (code snippets) parse correctly") {
     // node-pattern scanning is quote-aware: `}` / `)` inside a quoted
     // prop value must not terminate the props block or the node pattern

@@ -98,6 +98,24 @@ class GraphDatabaseSpec extends AnyFunSuite {
     assert(db.nodeByKey("m.D").collect()(0).getAs[String]("code") === "late")
   }
 
+  test("updateNode after addEdge in one batch patches the edge's stub") {
+    val db = GraphDatabase.inMemory(spark)
+    db.addEdge("t1", "m.A", Rel.Call, "m.B")
+    db.updateNode("m.B", Map("code" -> "patched")) // stub exists when SET runs
+    db.updateNode("m.C", Map("code" -> "nope"))    // no edge/add -> no-op
+    val rows = db.nodes.select("full_name", "code", "task_ids")
+      .as[(String, Option[String], Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows("m.B") === ((Some("patched"), Seq("t1")))) // patched, task kept
+    assert(!rows.contains("m.C"))
+    // update staged BEFORE the edge replays as a per-call no-op
+    val db2 = GraphDatabase.inMemory(spark)
+    db2.updateNode("m.B", Map("code" -> "early"))
+    db2.addEdge("t1", "m.A", Rel.Call, "m.B")
+    val b2 = db2.nodeByKey("m.B").collect()(0)
+    assert(b2.getAs[String]("code") == null)
+  }
+
   test("mixed-task batch: nodes and stubs keep per-task attribution") {
     val db = GraphDatabase.inMemory(spark)
     db.addNode("t1", Kind.Class, "m.A")
