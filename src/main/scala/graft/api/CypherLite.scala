@@ -226,7 +226,7 @@ object CypherLite {
     // the pattern
     val retIdx = topLevelKeyword(q, "RETURN")
     val isMatch = q.regionMatches(true, 0, "MATCH", 0, 5) &&
-      q.length > 5 && !q.charAt(5).isLetterOrDigit
+      q.length > 5 && !isWordChar(q.charAt(5))
     val parsed: Option[(String, String, String)] =
       if (isMatch && retIdx > 5) {
         val whereIdx = topLevelKeyword(q.substring(0, retIdx), "WHERE")

@@ -101,33 +101,49 @@ final class GraphDatabase private (
       // each node (and each stub, below) to exactly the tasks that touched
       // it — no collapse to the first task id (round-3 defect #2).
       val edgeEvents = stagedEdges.toSeq.toDF()
-      // updateNode events ride the SAME seq-ordered stream (null taskId →
-      // no task attribution, 'none' kind → no promotion), so the LWW fold
-      // interleaves adds and prop-SETs in exact call order
-      val fresh = Merge.mergeNodes((stagedSymbols.toSeq ++ stagedUpdates.toSeq).toDF())
-      // never-create (graphDB.py:114-119): a key touched ONLY by
-      // updateNode survives the merge only if the base snapshot has it —
-      // OR it becomes an edge stub in this very batch (handled below)
+      // never-create (graphDB.py:114-119): update_node applies only when
+      // the node EXISTS at the update's call time. Per-call replay order is
+      // recovered from the seq numbers: an update is "late" when some
+      // in-batch creation event (addNode, or an edge endpoint that stubs)
+      // precedes it; otherwise it can only patch a base-snapshot node —
+      // and must NOT leak fields into a node this same batch creates later
+      // (update-before-add replays as a strict no-op).
       val addKeys = stagedSymbols.iterator.map(_.fullName).toSet
-      val updOnly = stagedUpdates.iterator.map(_.fullName)
-        .filterNot(addKeys).toSeq.distinct
-      val freshGated =
-        if (updOnly.isEmpty) fresh
-        else fresh.filter(!col("full_name").isInCollection(updOnly)).unionByName(
-          fresh.filter(col("full_name").isInCollection(updOnly))
+      val addFirstSeq: Map[String, Long] = stagedSymbols.iterator
+        .map(ev => ev.fullName -> ev.seq).toSeq
+        .groupMapReduce(_._1)(_._2)(math.min)
+      val endpointFirstSeq: Map[String, Long] = stagedEdges.iterator
+        .flatMap(e => Seq(e.src -> e.seq, e.dst -> e.seq)).toSeq
+        .groupMapReduce(_._1)(_._2)(math.min)
+      val firstCreateSeq: Map[String, Long] =
+        (addFirstSeq.toSeq ++ endpointFirstSeq.toSeq)
+          .groupMapReduce(_._1)(_._2)(math.min)
+      val (lateUpdates, earlyUpdates) = stagedUpdates.toSeq.partition(u =>
+        firstCreateSeq.get(u.fullName).exists(u.seq > _))
+      // early updates (nothing in-batch created their key yet) patch the
+      // BASE snapshot only — left_semi drops the rest, so a later add in
+      // this batch starts from a clean node, exactly like per-call replay
+      val baseNodes =
+        if (earlyUpdates.isEmpty) snap.nodes.drop("label")
+        else Merge.upsertInto(snap.nodes.drop("label"),
+          Merge.mergeNodes(earlyUpdates.toDF())
             .join(snap.nodes.select("full_name"), Seq("full_name"), "left_semi"))
+      // late updates on added keys ride the SAME seq-ordered stream (null
+      // taskId → no task attribution, 'none' kind → no promotion), so the
+      // LWW fold interleaves adds and prop-SETs in exact call order; every
+      // key in `fresh` has an addNode event, so no never-create gating is
+      // needed here
+      val fresh = Merge.mergeNodes(
+        (stagedSymbols.toSeq ++ lateUpdates.filter(u => addKeys(u.fullName))).toDF())
       val freshEdges = Merge.mergeEdges(edgeEvents)
-      val upserted = Merge.upsertInto(snap.nodes.drop("label"), freshGated)
+      val upserted = Merge.upsertInto(baseNodes, fresh)
       // updateNode AFTER addEdge in the same batch must patch the edge's
       // stub node (per-call replay: the stub exists when the SET runs) —
       // seq-gated so an update staged BEFORE the edge stays a no-op,
       // exactly like the reference's immediate calls
-      val endpointFirstSeq: Map[String, Long] = stagedEdges.iterator
-        .flatMap(e => Seq(e.src -> e.seq, e.dst -> e.seq)).toSeq
-        .groupMapReduce(_._1)(_._2)(math.min)
-      val stubPatchEvents = stagedUpdates.filter(u =>
+      val stubPatchEvents = lateUpdates.filter(u =>
         !addKeys(u.fullName) &&
-          endpointFirstSeq.get(u.fullName).exists(u.seq > _)).toSeq
+          endpointFirstSeq.get(u.fullName).exists(u.seq > _))
       // edge upsert: fresh props overwrite base props key-wise (A4)
       val allEdges = snap.edges.withColumn("prio", lit(0))
         .unionByName(freshEdges.withColumn("prio", lit(1)))

@@ -1047,7 +1047,11 @@ object QueryCatalog {
         (col("doc_id") / 1000).cast("long").as("shard"))
       .withColumn("cum", sum("n_tokens").over(w))
       .withColumn("chunk_id",
-        (col("shard") * 100000 + expr("(cum - n_tokens) div 2048")).cast("long"))
+        // shard stride 2^40: within-shard chunk counts can never reach it
+        // (2^40 chunks × 2048 tokens ≫ any shard), so ids never collide
+        // across shards — a *100000 stride overflowed at ~204M tokens/shard
+        (col("shard") * lit(1L << 40) + expr("(cum - n_tokens) div 2048"))
+          .cast("long"))
       .select("doc_id", "n_tokens", "chunk_id")
   }
 
@@ -1056,7 +1060,7 @@ object QueryCatalog {
        |  (CASE WHEN length($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END)::BIGINT AS n_tokens,
        |  doc_id // 1000 AS shard FROM documents),
        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
-       |SELECT doc_id, n_tokens, (shard * 100000 + (cum - n_tokens) // 2048)::BIGINT AS chunk_id FROM c""".stripMargin
+       |SELECT doc_id, n_tokens, (shard * 1099511627776 + (cum - n_tokens) // 2048)::BIGINT AS chunk_id FROM c""".stripMargin
 
   // ---------------------------------------------------------------- catalog
 

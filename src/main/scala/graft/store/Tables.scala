@@ -60,6 +60,15 @@ object GraphTables {
   private val derived =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
+  /** Version dirs some session in THIS JVM resolved a DataFrame against.
+    * The per-session `derived` map keeps those plans alive for the
+    * session's lifetime, so GC must never delete them even after a
+    * concurrent JVM repoints `current` (ADVICE r5): a later action on the
+    * cached plan would hit deleted files. Process-lifetime pin — bounded
+    * by (#sessions × #keys), a handful of paths. */
+  private val pinnedVersionDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Bumped whenever the derived tables' CONTENT or physical layout
     * changes — part of the fingerprint, so stale caches rebuild. */
   private val derivedLayoutVersion = 3
@@ -134,12 +143,20 @@ object GraphTables {
         }
         // GC superseded version dirs past the grace window — on EVERY
         // call, not just builds, so a lost-race loser dir doesn't persist
-        // forever once a valid pointer exists
+        // forever once a valid pointer exists. Dirs pinned by a live
+        // session's cached plan in this JVM are never collected, and
+        // orphaned `.current-tmp-*` pointer files (crash between write and
+        // atomic move) are swept on the same schedule.
         val keep = readMarker(pointer).map(_.trim)
         Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
-          if (f.isDirectory && !keep.contains(f.getName) && !built.map(_.getName).contains(f.getName) &&
-              System.currentTimeMillis() - f.lastModified() > staleVersionGraceMs)
+          val stale =
+            System.currentTimeMillis() - f.lastModified() > staleVersionGraceMs
+          if (f.isDirectory && stale && !keep.contains(f.getName) &&
+              !built.map(_.getName).contains(f.getName) &&
+              !pinnedVersionDirs.contains(f.getAbsolutePath))
             Snapshot.deleteRecursively(f.toPath)
+          else if (f.isFile && stale && f.getName.startsWith(".current-tmp-"))
+            f.delete()
         }
       }
       // prefer the pointer, but fall back to the version we JUST built:
@@ -148,6 +165,7 @@ object GraphTables {
       // inputs THIS session read
       val vd = liveVersion().orElse(built).getOrElse(
         sys.error(s"derived-cache build failed for $key at $base"))
+      pinnedVersionDirs.add(vd.getAbsolutePath)
       s.read.parquet(vd.toString)
     })
 

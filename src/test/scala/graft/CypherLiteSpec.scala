@@ -161,5 +161,10 @@ class CypherLiteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       db.executeQuery("MATCH (a)-[:R]-(b) RETURN a") // undirected
     }
+    intercept[IllegalArgumentException] {
+      // '_' is a word char: MATCH_foo must fail the keyword-boundary
+      // check, same \w rule as WHERE/RETURN (ADVICE r5)
+      db.executeQuery("MATCH_foo (a) RETURN a")
+    }
   }
 }

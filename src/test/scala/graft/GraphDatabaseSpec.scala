@@ -92,10 +92,23 @@ class GraphDatabaseSpec extends AnyFunSuite {
     assert(row.getAs[Seq[String]]("task_ids") === Seq("t1")) // no null task
     assert(db.nodes.count() === 1)               // ghost not created
     // update-before-add in a FRESH batch on a new key: still created by
-    // the add, and the earlier update correctly loses
-    db.updateNode("m.D", Map("code" -> "early"))
+    // the add, and the earlier update is a strict no-op (graphDB.py:114-119
+    // — the node doesn't exist when the SET runs), so NONE of its fields
+    // leak into the created node, not even ones the add leaves unset
+    db.updateNode("m.D", Map("code" -> "early", "signature" -> "leak",
+      "orphan" -> "leak"))
     db.addNode("t2", Kind.Class, "m.D", Map("code" -> "late"))
-    assert(db.nodeByKey("m.D").collect()(0).getAs[String]("code") === "late")
+    val d = db.nodeByKey("m.D").collect()(0)
+    assert(d.getAs[String]("code") === "late")
+    assert(d.getAs[String]("signature") == null)
+    assert(!d.getAs[Map[String, String]]("props").contains("orphan"))
+    // ...but the same shape against a key the BASE snapshot already has
+    // applies the update first, then the add merges over it
+    db.updateNode("m.D", Map("signature" -> "applied"))
+    db.addNode("t2", Kind.Class, "m.D", Map("code" -> "v2"))
+    val d2 = db.nodeByKey("m.D").collect()(0)
+    assert(d2.getAs[String]("code") === "v2")
+    assert(d2.getAs[String]("signature") === "applied")
   }
 
   test("updateNode after addEdge in one batch patches the edge's stub") {
