@@ -128,10 +128,12 @@ object Analytics {
     * in O(diameter) iterations. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // pre-partitioned on the iteration join key: each round shuffles only
-    // the (small) label table, never the edge table
+    // the (small) label table, never the edge table. NO distinct() on the
+    // undirected view: duplicate edges cannot change a min() aggregation,
+    // and the dedup was a full extra shuffle of the edge table (r6)
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src")).localCheckpoint(eager = true)
+      .repartition(col("src")).localCheckpoint(eager = true)
     var labels = und.select(col("src").as("v")).distinct()
       .withColumn("component", col("v"))
     // one min-label propagation hop; extra columns (the _old carry) ride
@@ -149,16 +151,17 @@ object Analytics {
     var changed = 1L
     var i = 0
     while (i < maxIter && changed > 0) {
-      // TWO hops per materialization: the checkpoint+count cost is paid
-      // half as often, and the fixpoint (what the oracle's unrolled
-      // propagation reaches) is stepping-invariant. The _old carry makes
-      // convergence a filter-count over the checkpointed result, not a
-      // second full-table join.
-      val next = step(step(labels.withColumn("_old", col("component"))))
+      // THREE hops per materialization: the checkpoint+count cost (the
+      // per-round fixed overhead that dominates on a graph this shape) is
+      // paid a third as often, and the fixpoint (what the oracle's
+      // unrolled propagation reaches) is stepping-invariant. The _old
+      // carry makes convergence a filter-count over the checkpointed
+      // result, not a second full-table join.
+      val next = step(step(step(labels.withColumn("_old", col("component")))))
         .localCheckpoint(eager = true)
       changed = next.filter(col("component") =!= col("_old")).count()
       labels = next.drop("_old")
-      i += 2
+      i += 3
     }
     labels
   }

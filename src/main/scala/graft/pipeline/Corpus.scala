@@ -98,6 +98,73 @@ object Corpus {
           .as("top_bigram_frac"))
   }
 
+  /** Portable PII patterns (pure RE2 subset — no backrefs/lookarounds — so
+    * the Java-regex Spark side and the RE2 DuckDB oracle match the same
+    * spans). Redaction order is fixed (email → IPv4 → phone) and counting
+    * runs against the SAME intermediate the replacement saw, so overlapping
+    * matches can never double-count. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+
+  /** PII redaction: replace emails, IPv4 addresses, and phone-shaped
+    * numbers with typed placeholders — the scrubbing pass every
+    * web-scraped training corpus runs before release. A pure narrow map
+    * (no shuffle, stays in whole-stage codegen); returns per-doc match
+    * counts plus the redacted text for downstream hashing/export. */
+  def piiRedact(docs: DataFrame, text: Column): DataFrame = {
+    val afterEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Re, "<IP>")
+    val afterPhone = regexp_replace(afterIp, phoneRe, "<PHONE>")
+    docs.withColumn("n_emails",
+        size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(afterEmail, lit(ipv4Re), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(afterIp, lit(phoneRe), lit(0))).cast("long"))
+      .withColumn("redacted", afterPhone)
+  }
+
+  /** Cross-document boilerplate-line removal (the RefinedWeb/CCNet-style
+    * filter): a line occurring in ≥ `minDocs` DISTINCT documents is
+    * boilerplate (headers, footers, nav chrome) and is dropped from every
+    * document; each surviving document is reassembled in original line
+    * order.
+    *
+    * Shape at scale: explode to (doc, pos, line) → one count-distinct
+    * groupBy on line (partial-agg friendly; empty/whitespace lines are
+    * excluded up front so the one guaranteed hub key never shuffles) →
+    * the boilerplate set is tiny (by definition it's the high-df tail) so
+    * the anti-join broadcasts → one groupBy(doc_id) reassembly shuffle.
+    * Nothing is pairwise and no driver-side set is built.
+    *
+    * @return (doc_id, n_kept, n_removed, clean_text) for docs with ≥1
+    *         surviving line
+    */
+  def stripBoilerplate(docs: DataFrame, minDocs: Int): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.filter(trim(col("line")) =!= "")
+      .groupBy("line").agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("line"), lit(true).as("_b"))
+    // ONE pass over the exploded lines: flag membership with a (broadcast)
+    // left join, then kept/removed counts and the reassembly come out of a
+    // single groupBy — collect_list drops the nulls the `when` leaves on
+    // boilerplate lines
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(when(col("_b").isNull, 1)).cast("long").as("n_kept"),
+        count(when(col("_b").isNotNull, 1)).cast("long").as("n_removed"),
+        // struct(pos, line) sorts by pos first (unique per doc), so the
+        // default orderable-struct sort restores original line order
+        array_join(transform(
+          array_sort(collect_list(when(col("_b").isNull,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+      .filter(col("n_kept") >= 1)
+  }
+
   /** Export a corpus as sharded JSONL — the interchange format feeding
     * tokenizer/training jobs downstream. Shard assignment hashes the key
     * (deterministic and retry-stable, unlike round-robin repartition);

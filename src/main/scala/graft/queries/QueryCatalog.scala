@@ -1062,6 +1062,75 @@ object QueryCatalog {
        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
        |SELECT doc_id, n_tokens, (shard * 1099511627776 + (cum - n_tokens) // 2048)::BIGINT AS chunk_id FROM c""".stripMargin
 
+  /** PII redaction ([[Corpus.piiRedact]]). The corpus text is augmented
+    * with deterministic per-doc PII (email + IP + phone derived from
+    * doc_id) so the scrub is exercised on every row — the synthetic
+    * documents contain none of their own. Hash-compared on the redacted
+    * text, so both engines must match the exact replacement spans. */
+  val tPiiRedact: Q = (s, d) =>
+    Corpus.piiRedact(
+      Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7, tel 555-123-4567.")).as("text")),
+      col("text"))
+    .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+      md5(col("redacted")).as("redacted_md5"))
+
+  val tPiiRedactSql: String = {
+    val (e, i, p) = (Corpus.emailRe, Corpus.ipv4Re, Corpus.phoneRe)
+    s"""WITH aug AS (SELECT doc_id, text || ' Contact user' || doc_id ||
+       |  '@example.com or 10.0.' || (doc_id % 256) || '.7, tel 555-123-4567.' AS text FROM documents),
+       |r1 AS (SELECT doc_id, text, regexp_replace(text, '$e', '<EMAIL>', 'g') AS t1 FROM aug),
+       |r2 AS (SELECT doc_id, text, t1, regexp_replace(t1, '$i', '<IP>', 'g') AS t2 FROM r1)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$e'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(t1, '$i'))::BIGINT AS n_ips,
+       |  len(regexp_extract_all(t2, '$p'))::BIGINT AS n_phones,
+       |  md5(regexp_replace(t2, '$p', '<PHONE>', 'g')) AS redacted_md5
+       |FROM r2""".stripMargin
+  }
+
+  /** Cross-document boilerplate-line removal ([[Corpus.stripBoilerplate]]
+    * with minDocs=2): lines shared by ≥2 docs drop everywhere, docs are
+    * reassembled in line order, hash-compared. */
+  val dBoilerplate: Q = (s, d) =>
+    Corpus.stripBoilerplate(Tables.documents(s, d), minDocs = 2)
+      .select(col("doc_id"), col("n_kept"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+
+  val dBoilerplateSql: String =
+    """WITH l AS (SELECT doc_id, generate_subscripts(sl, 1) AS pos, unnest(sl) AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sl FROM documents)),
+      |b AS (SELECT line FROM l WHERE trim(line) <> '' GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+      |f AS (SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_b FROM l LEFT JOIN b ON l.line = b.line)
+      |SELECT doc_id,
+      |  (count(*) FILTER (WHERE NOT is_b))::BIGINT AS n_kept,
+      |  (count(*) FILTER (WHERE is_b))::BIGINT AS n_removed,
+      |  md5(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_b)) AS clean_md5
+      |FROM f GROUP BY doc_id HAVING (count(*) FILTER (WHERE NOT is_b)) >= 1""".stripMargin
+
+  /** Runtime-filter pruned semi-join ([[graft.ops.RuntimeFilters]]): fact
+    * rows are dropped by a bloom filter over the filtered dimension keys
+    * BEFORE the shuffle, then the exact semi-join removes false positives
+    * — so the oracle is the plain semi-join, which the result must equal
+    * bit-for-bit regardless of bloom sizing. */
+  val q17BloomSemi: Q = (s, d) =>
+    graft.ops.RuntimeFilters.bloomPrunedSemiJoin(
+      Tables.lineitem(s, d), col("l_orderkey"),
+      Tables.orders(s, d).filter(col("o_totalprice") > 150000), col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+
+  val q17BloomSemiSql: String =
+    """SELECT l_returnflag, count(*)::BIGINT AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+      |GROUP BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- catalog
 
   val queries: Map[String, Q] = Map(
@@ -1125,6 +1194,9 @@ object QueryCatalog {
     "p_best_per_lang" -> pBestPerLang,
     "s_centroids" -> sCentroids,
     "p_pack_chunks" -> pPackChunks,
+    "t_pii_redact" -> tPiiRedact,
+    "d_boilerplate" -> dBoilerplate,
+    "q17_bloom_semi" -> q17BloomSemi,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1188,5 +1260,8 @@ object QueryCatalog {
     "p_best_per_lang" -> pBestPerLangSql,
     "s_centroids" -> sCentroidsSql,
     "p_pack_chunks" -> pPackChunksSql,
+    "t_pii_redact" -> tPiiRedactSql,
+    "d_boilerplate" -> dBoilerplateSql,
+    "q17_bloom_semi" -> q17BloomSemiSql,
   )
 }

@@ -64,4 +64,38 @@ class CorpusSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(out === Set((7L, 1L, 2L, 3.0), (7L, 2L, 1L, 4.0), (9L, 1L, 1L, 8.0)))
   }
+
+  test("piiRedact scrubs emails/IPs/phones in order and counts each kind") {
+    val docs = Seq(
+      (0L, "mail bob.smith+x@corp.example.org now"),
+      (1L, "host 10.0.0.1 then call 555-123-4567"),
+      (2L, "user1@a.io and user2@b.io share 192.168.1.1"),
+      (3L, "nothing sensitive here 12345")
+    ).toDF("doc_id", "text")
+    val out = Corpus.piiRedact(docs, col("text"))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L) === ((0L, 1L, 0L, 0L, "mail <EMAIL> now")))
+    assert(out(1L) === ((1L, 0L, 1L, 1L, "host <IP> then call <PHONE>")))
+    assert(out(2L) === ((2L, 2L, 1L, 0L, "<EMAIL> and <EMAIL> share <IP>")))
+    assert(out(3L) === ((3L, 0L, 0L, 0L, "nothing sensitive here 12345")))
+  }
+
+  test("stripBoilerplate drops cross-doc lines, keeps order, counts both") {
+    val docs = Seq(
+      (0L, "FOOTER\nunique alpha\nmiddle\nFOOTER"),
+      (1L, "unique beta\nFOOTER\nlast line"),
+      (2L, "only here\n\nalso only here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.stripBoilerplate(docs, minDocs = 2)
+      .select("doc_id", "n_kept", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // FOOTER occurs in docs 0 and 1 -> boilerplate everywhere (both its
+    // occurrences in doc 0 drop); blank lines are never boilerplate
+    assert(out(0L) === ((0L, 2L, 2L, "unique alpha\nmiddle")))
+    assert(out(1L) === ((1L, 2L, 1L, "unique beta\nlast line")))
+    assert(out(2L) === ((2L, 3L, 0L, "only here\n\nalso only here")))
+  }
 }
