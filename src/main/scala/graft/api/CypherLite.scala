@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *   [WHERE exists(x.prop) [AND x.prop = 'val' …]]
   *   RETURN <proj>[, <proj>…]
   *
-  *  - any number of hops, each `-[:R]->` (forward) or `<-[:R]-` (reversed);
+  *  - any number of hops, each `-[:R]->` (forward) or `<-[:R]-` (reversed),
+  *    optionally variable-length with a bounded range (`-[:R*2]->`,
+  *    `-[:R*1..3]->`, `-[:R*..3]->`) — one result row per path, Neo4j's
+  *    relationship-uniqueness rule enforced;
   *  - node labels match `kind` or a member of `task_ids` (the reference's
   *    multi-label set, §1.1); prop literals may contain commas/colons
   *    inside quotes;
@@ -22,9 +25,9 @@ import org.apache.spark.sql.functions._
   *  - projections: `x` (fixed columns of x, prefixed), `x.prop`,
   *    `labels(x)` (task_ids + kind array).
   *
-  * Anything else (OPTIONAL MATCH, variable-length `*`, undirected edges,
-  * multiple MATCH clauses, aggregation) raises — exactly the reference's
-  * posture of not reimplementing Neo4j.
+  * Anything else (OPTIONAL MATCH, UNBOUNDED variable-length `*`,
+  * undirected edges, multiple MATCH clauses, aggregation) raises —
+  * exactly the reference's posture of not reimplementing Neo4j.
   *
   * The parse result is a plain DataFrame expression — Catalyst plans it
   * like any hand-written combinator query (broadcast point expands,
@@ -32,8 +35,63 @@ import org.apache.spark.sql.functions._
   */
 object CypherLite {
 
-  private val fwdArrow = """^-\s*\[\s*:(\w+)\s*\]\s*->$""".r
-  private val bwdArrow = """^<-\s*\[\s*:(\w+)\s*\]\s*-$""".r
+  private val fwdArrow = """^-\s*\[\s*:(\w+)\s*(\*[^\]]*)?\]\s*->$""".r
+  private val bwdArrow = """^<-\s*\[\s*:(\w+)\s*(\*[^\]]*)?\]\s*-$""".r
+
+  /** Hard cap on variable-length expansion: each extra hop is another
+    * self-join of the edge table, so an unbounded (or huge) `*` would be
+    * an unbudgeted combinatorial query — raise instead, the module's
+    * posture for everything it won't plan well. */
+  private val maxVarHops = 8
+
+  /** `*` spec → (min, max) hops. null (no star) = exactly 1. Bounded
+    * forms only: `*n`, `*..n`, `*m..n`. Unbounded (`*`, `*2..`) and
+    * zero-length (`*0`, Cypher's bind-same-node form) raise. */
+  private def parseStar(spec: String): (Int, Int) = {
+    if (spec == null) return (1, 1)
+    val body = spec.stripPrefix("*").trim
+    val (min, max) =
+      if (body.isEmpty) (1, -1)
+      else if (body.contains("..")) {
+        val parts = body.split("\\.\\.", -1).map(_.trim)
+        (if (parts(0).isEmpty) 1 else parts(0).toInt,
+          if (parts(1).isEmpty) -1 else parts(1).toInt)
+      } else (body.toInt, body.toInt)
+    require(max > 0, s"unbounded variable-length '$spec' not supported (bounded *m..n only)")
+    require(min >= 1, s"zero-length variable-length '$spec' not supported")
+    require(min <= max, s"empty hop range '$spec'")
+    require(max <= maxVarHops, s"variable-length bound ${max} exceeds the $maxVarHops-hop cap")
+    (min, max)
+  }
+
+  /** The (src, dst) endpoint pairs of every path of `min`..`max` edges of
+    * type `rel` — one output row PER PATH (Cypher's path multiplicity),
+    * with Neo4j's relationship-uniqueness rule (an edge appears at most
+    * once per path; on this dedup'd edge table an edge IS its (src,dst)).
+    *
+    * Shape: the length-L slice is L-1 self-joins on the hop key; lengths
+    * union together. Each self-join shuffles on the chain key unless the
+    * edge table is bucketed (store.Bucketing's layout co-locates it). */
+  private def varLengthRel(edges: DataFrame, rel: String,
+      min: Int, max: Int): DataFrame = {
+    val e = edges.filter(col("rel_type") === rel)
+    val perLength = (min to max).map { len =>
+      if (len == 1) e.select(col("src"), col("dst"))
+      else {
+        var df = e.select(col("src").as("s0"), col("dst").as("d0"))
+        for (j <- 1 until len) {
+          val ej = e.select(col("src").as(s"s$j"), col("dst").as(s"d$j"))
+          df = df.join(ej, col(s"d${j - 1}") === col(s"s$j"))
+          for (k <- 0 until j)
+            df = df.filter(
+              !(col(s"s$k") === col(s"s$j") && col(s"d$k") === col(s"d$j")))
+        }
+        df.select(col("s0").as("src"), col(s"d${len - 1}").as("dst"))
+      }
+    }
+    // unionAll: two paths with the same endpoints are two result rows
+    perLength.reduce(_ unionAll _)
+  }
   private val whereExists = """^exists\(\s*(\w+)\.(\w+)\s*\)$""".r
   private val whereEq = """^(\w+)\.(\w+)\s*=\s*(.+)$""".r
 
@@ -150,7 +208,10 @@ object CypherLite {
           .map(c => col(s"${vars(v)}.$c").as(s"$v.$c"))
     }
 
-  private final case class Hop(rel: String, reversed: Boolean)
+  private final case class Hop(rel: String, reversed: Boolean,
+      minHops: Int = 1, maxHops: Int = 1) {
+    def isVarLength: Boolean = !(minHops == 1 && maxHops == 1)
+  }
 
   /** A scanned node pattern `(v:L1:L2 {props})`: [start, end) span in the
     * pattern text plus the parsed pieces. */
@@ -242,10 +303,14 @@ object CypherLite {
         // arrows are exactly the text between consecutive node patterns
         val hops = nodeMs.sliding(2).toSeq.collect { case Seq(a, b) =>
           pattern.substring(a.end, b.start).trim match {
-            case fwdArrow(rel) => Hop(rel, reversed = false)
-            case bwdArrow(rel) => Hop(rel, reversed = true)
+            case fwdArrow(rel, star) =>
+              val (mn, mx) = parseStar(star)
+              Hop(rel, reversed = false, mn, mx)
+            case bwdArrow(rel, star) =>
+              val (mn, mx) = parseStar(star)
+              Hop(rel, reversed = true, mn, mx)
             case other => throw new IllegalArgumentException(
-              s"unsupported relationship pattern '$other' (directed single-hop arrows only)")
+              s"unsupported relationship pattern '$other' (directed arrows only)")
           }
         }
         val leading = pattern.substring(0, nodeMs.head.start).trim
@@ -265,7 +330,12 @@ object CypherLite {
           .filter(nodePred(nodeMs.head.labels, nodeMs.head.props))
           .alias("n0")
         hops.zipWithIndex.foreach { case (hop, i) =>
-          val e = edges.filter(col("rel_type") === hop.rel).alias(s"e$i")
+          // a var-length hop swaps the single edge scan for the union of
+          // per-length path compositions; endpoints join identically
+          val e = (if (hop.isVarLength)
+              varLengthRel(edges, hop.rel, hop.minHops, hop.maxHops)
+            else edges.filter(col("rel_type") === hop.rel)
+              .select(col("src"), col("dst"))).alias(s"e$i")
           val next = nodes
             .filter(nodePred(nodeMs(i + 1).labels, nodeMs(i + 1).props))
             .alias(s"n${i + 1}")

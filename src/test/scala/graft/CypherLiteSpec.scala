@@ -151,9 +151,64 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(db.executeQuerySafe("MATCH (m:sklearn) RETURN m").count() === 4)
   }
 
+  test("variable-length: (m)-[:CONTAINS*1..2]->(x) returns one row per path") {
+    // m -CONTAINS-> m.Person -CONTAINS? no; build a 2-level chain:
+    // m -CONTAINS-> m.Person and m.Person has no CONTAINS out-edge, so
+    // *1..2 from m finds exactly the length-1 path
+    val out = db.executeQuery(
+      "MATCH (a {full_name: 'm'})-[:CONTAINS*1..2]->(b) RETURN b.full_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("m.Person"))
+    // exact-length form: *2 composes CONTAINS then CONTAINS — none here
+    assert(db.executeQuery(
+      "MATCH (a {full_name: 'm'})-[:CONTAINS*2]->(b) RETURN b.full_name")
+      .collect().isEmpty)
+    // mixed-rel 2-path via composition: CONTAINS then HAS_METHOD is NOT
+    // a CONTAINS*2 path (types must all match)
+    val viaBoth = db.executeQuery(
+      "MATCH (a {full_name: 'm'})-[:CONTAINS]->(c)-[:HAS_METHOD]->(x) RETURN x.full_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaBoth === Seq("m.Person.greet"))
+  }
+
+  test("variable-length: reversed arrow and multi-path multiplicity") {
+    val d2 = GraphDatabase.inMemory(spark)
+    // diamond: a -> b1 -> c, a -> b2 -> c (two length-2 paths a..c)
+    d2.addEdge("t", "a", Rel.Call, "b1"); d2.addEdge("t", "b1", Rel.Call, "c")
+    d2.addEdge("t", "a", Rel.Call, "b2"); d2.addEdge("t", "b2", Rel.Call, "c")
+    val fwd = d2.executeQuery(
+      "MATCH (x {full_name: 'a'})-[:CALL*2]->(y) RETURN y.full_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(fwd === Seq("c", "c")) // one row PER PATH
+    val rev = d2.executeQuery(
+      "MATCH (y {full_name: 'c'})<-[:CALL*1..2]-(x) RETURN x.full_name")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(rev === Seq("a", "a", "b1", "b2"))
+  }
+
+  test("variable-length: relationship uniqueness stops 2-cycles repeating") {
+    val d3 = GraphDatabase.inMemory(spark)
+    d3.addEdge("t", "p", Rel.Call, "q"); d3.addEdge("t", "q", Rel.Call, "p")
+    // p->q->p->q would reuse edge p->q; only p->q (len 1) and p->q->p
+    // (len 2, two distinct edges) are valid from p
+    val out = d3.executeQuery(
+      "MATCH (x {full_name: 'p'})-[:CALL*1..3]->(y) RETURN y.full_name")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(out === Seq("p", "q"))
+  }
+
   test("unsupported shapes are rejected, not silently wrong") {
     intercept[IllegalArgumentException] {
-      db.executeQuery("MATCH (a)-[:X*1..3]->(b) RETURN a")
+      db.executeQuery("MATCH (a)-[:X*]->(b) RETURN a") // unbounded
+    }
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (a)-[:X*2..]->(b) RETURN a") // unbounded max
+    }
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (a)-[:X*0..2]->(b) RETURN a") // zero-length
+    }
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (a)-[:X*1..99]->(b) RETURN a") // over the cap
     }
     intercept[IllegalArgumentException] {
       db.executeQuery("OPTIONAL MATCH (a) RETURN a")
