@@ -208,6 +208,13 @@ object PyIndexer {
   private val selfInstanceAssign: Regex =
     """self\.([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
 
+  /** `c = x.attr[.attr…]` — a pure attribute READ (no trailing call):
+    * when every step of the chain is a typed field, `c` binds the final
+    * field's type (jedi's attribute-propagation, the read analog of the
+    * constructor slice). */
+  private val attrReadAssign: Regex =
+    """^\s*([A-Za-z_]\w*)\s*=\s*((?:[A-Za-z_]\w*\.)+[A-Za-z_]\w*)\s*$""".r
+
   /** `name: Type` inside a def header's parameter list — PEP 484
     * annotations are pure syntax, so binding them is still shallow
     * indexing. `(?!\s*[\[])` skips generics (`Optional[X]`, `dict[...]`)
@@ -403,6 +410,21 @@ object PyIndexer {
     // just before the main pass, once imports are known.
     val moduleVarTypes = mutable.Map.empty[String, String]
 
+    // C3 (partial): fold a dotted tail through typed-field bindings —
+    // `x.conn.execute` with x: Database and Database.conn: Conn resolves
+    // to Conn.execute, not Database.conn.execute (jedi's chained
+    // attribute access). Stops at the first untyped step; the last
+    // segment (the member being referenced) is never chased.
+    def chaseFields(t0: String, rest: Seq[String]): String = {
+      var t = t0
+      var idx = 0
+      while (idx < rest.length - 1 &&
+          classFieldTypes.get(t).exists(_.contains(rest(idx)))) {
+        t = classFieldTypes(t)(rest(idx)); idx += 1
+      }
+      (t +: rest.drop(idx)).mkString(".")
+    }
+
     def resolveCallee(dotted: String): Option[String] = {
       val parts = dotted.split("\\.")
       if (dotted.startsWith("self.") && parts.length == 2)
@@ -413,18 +435,18 @@ object PyIndexer {
         // constructor call in this callable — resolves as jedi inference
         // would for the direct-instantiation case
         curCallable.map(fn =>
-          (fn.locals(parts(0)) +: parts.tail.toSeq).mkString("."))
-      else if (parts.length == 3 && parts(0) == "self")
-        // C3 (partial): `self.field.method()` through a constructor-typed
-        // field binding
+          chaseFields(fn.locals(parts(0)), parts.tail.toSeq))
+      else if (parts.length >= 3 && parts(0) == "self")
+        // C3 (partial): `self.field[.field…].method()` through
+        // constructor-typed field bindings
         curClass.flatMap(c =>
           classFieldTypes.get(c.fullName).flatMap(_.get(parts(1))))
-          .map(t => s"$t.${parts(2)}")
+          .map(t => chaseFields(t, parts.drop(2).toSeq))
       else if (parts.length >= 2 && moduleVarTypes.contains(parts(0)))
         // C3 (partial): module-level instance global (`db = Database()`
         // singleton) — callable-locals above shadow it; an UNTYPED
         // rebinding in the callable does not (syntactic limit)
-        Some((moduleVarTypes(parts(0)) +: parts.tail.toSeq).mkString("."))
+        Some(chaseFields(moduleVarTypes(parts(0)), parts.tail.toSeq))
       else if (parts.length == 1) {
         val n = parts(0)
         if (topDefs.contains(n)) Some(s"$mod.$n")
@@ -634,8 +656,26 @@ object PyIndexer {
             case None =>
               // annotated local without a constructor RHS (`x: Helper` /
               // `x: Helper = registry.get(...)`)
-              localAnno.findFirstMatchIn(line).foreach { m =>
-                classishType(m.group(2)).foreach(t => fn.locals(m.group(1)) = t)
+              localAnno.findFirstMatchIn(line) match {
+                case Some(m) =>
+                  classishType(m.group(2)).foreach(t => fn.locals(m.group(1)) = t)
+                case None =>
+                  // attribute READ (`c = x.conn` / `c = self.db.conn`):
+                  // binds only when EVERY step of the chain is a typed
+                  // field — a partially-typed path must not leave c bound
+                  // to a half-resolved name
+                  attrReadAssign.findFirstMatchIn(line).foreach { m =>
+                    val parts = m.group(2).split("\\.").toSeq
+                    val base: Option[String] =
+                      if (parts.head == "self") curClass.map(_.fullName)
+                      else fn.locals.get(parts.head)
+                        .orElse(moduleVarTypes.get(parts.head))
+                    base.flatMap(b =>
+                      parts.tail.foldLeft(Option(b)) { (acc, p) =>
+                        acc.flatMap(t => classFieldTypes.get(t).flatMap(_.get(p)))
+                      })
+                      .foreach(t => fn.locals(m.group(1)) = t)
+                  }
               }
           }
           if (fn.kind == Kind.Method) curClass.foreach { c =>

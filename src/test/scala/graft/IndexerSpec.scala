@@ -253,6 +253,41 @@ class IndexerSpec extends AnyFunSuite {
       s.kind == Kind.GlobalVariable))
   }
 
+  test("C3 partial: attribute reads and chained fields propagate types") {
+    val src =
+      """from lib import Conn
+        |
+        |class Database:
+        |    def __init__(self):
+        |        self.conn = Conn()
+        |
+        |class App:
+        |    def __init__(self):
+        |        self.db = Database()
+        |
+        |    def run(self):
+        |        c = self.db.conn
+        |        return c.execute()
+        |
+        |    def direct(self):
+        |        return self.db.conn.execute()
+        |
+        |def main():
+        |    app = App()
+        |    d = app.db
+        |    return d.conn.cursor()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "c.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // `c = self.db.conn` walks App.db: Database then Database.conn: Conn
+    assert(calls.contains(("c.App.run", "lib.Conn.execute")))
+    // the same chain inline in a call resolves through chaseFields
+    assert(calls.contains(("c.App.direct", "lib.Conn.execute")))
+    // local read `d = app.db` + chained call `d.conn.cursor()`
+    assert(calls.contains(("c.main", "lib.Conn.cursor")))
+  }
+
   test("C3 partial: annotated locals (`x: Helper = ...`) bind the type") {
     val src =
       """from lib import Helper
