@@ -595,6 +595,69 @@ object QueryCatalog {
       |CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
       |FROM customer GROUP BY ROLLUP (c_mktsegment)""".stripMargin
 
+  /** CUBE over two dimensions — the grouping-sets family beyond q9's
+    * ROLLUP (every subtotal combination in ONE pass: Spark expands the
+    * grouping sets map-side, so it's still a single shuffle). */
+  val q18Cube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"))
+
+  val q18CubeSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+      |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** FULL OUTER join with aggregation: one side filtered to a segment so
+    * BOTH null-extensions are exercised (order-less customers keep null
+    * counts; orders of out-of-segment customers keep null names). */
+  val q19FullOuter: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("sum_price"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_orders"), col("sum_price"))
+  }
+
+  val q19FullOuterSql: String =
+    """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |o AS (SELECT o_custkey, count(*)::BIGINT AS n_orders,
+      |      CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |      FROM orders GROUP BY o_custkey)
+      |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders, sum_price
+      |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin
+
+  /** URL/domain statistics — the per-domain doc and occurrence counts a
+    * web-corpus curation pass balances and blocklists on. The corpus text
+    * is augmented with deterministic doc_id-derived URLs (the synthetic
+    * docs contain none), then one extract-explode-aggregate. */
+  val tDomains: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" see http://site"), pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit(" and https://mirror"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.org/x")).as("text"))
+      .select(col("doc_id"), explode(regexp_extract_all(col("text"),
+        lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("domain"))
+      .groupBy("domain")
+      .agg(count_distinct(col("doc_id")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_urls"))
+
+  val tDomainsSql: String =
+    """WITH aug AS (SELECT doc_id, text || ' see http://site' || (doc_id % 20) ||
+      |  '.example.com/p/' || doc_id || ' and https://mirror' || (doc_id % 7) ||
+      |  '.example.org/x' AS text FROM documents),
+      |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM aug)
+      |SELECT domain, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_urls
+      |FROM u GROUP BY domain""".stripMargin
+
   // ---------------------------------------------------------------- text
 
   /** Token counting (whitespace tokenization of normalized text). */
@@ -1197,6 +1260,9 @@ object QueryCatalog {
     "t_pii_redact" -> tPiiRedact,
     "d_boilerplate" -> dBoilerplate,
     "q17_bloom_semi" -> q17BloomSemi,
+    "q18_cube" -> q18Cube,
+    "q19_full_outer" -> q19FullOuter,
+    "t_domains" -> tDomains,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1263,5 +1329,8 @@ object QueryCatalog {
     "t_pii_redact" -> tPiiRedactSql,
     "d_boilerplate" -> dBoilerplateSql,
     "q17_bloom_semi" -> q17BloomSemiSql,
+    "q18_cube" -> q18CubeSql,
+    "q19_full_outer" -> q19FullOuterSql,
+    "t_domains" -> tDomainsSql,
   )
 }
