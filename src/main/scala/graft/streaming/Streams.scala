@@ -109,6 +109,26 @@ object Streams {
       }
       .start()
 
+  /** Watermarked stream-stream INNER join: pair each left event with the
+    * right events of the SAME key within `[left.ts, left.ts + range]` —
+    * the attribution shape (view → click within N minutes). The time-range
+    * predicate plus both watermarks is what lets Spark expire join state:
+    * a buffered left row is droppable once the right watermark passes
+    * `left.ts + range`, so state tracks the range window, not the stream's
+    * history. Exactly one shuffle per side (hash on user_id). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      watermark: String = "10 minutes",
+      rangeSeconds: Long = 300): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+      s"""l.user_id = r.user_id AND
+         |r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $rangeSeconds SECONDS""".stripMargin))
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+        col("l.ts").as("left_ts"), col("r.ts").as("right_ts"))
+  }
+
   /** Streaming exact dedup for a document stream: first-seen wins within
     * the watermark horizon (state stays bounded — the streaming analog of
     * Dedup.exactDedup's hash-groupBy). */

@@ -240,4 +240,52 @@ class PropertySpec extends AnyFunSuite {
       }
     }, min = 8)
   }
+
+  test("property: piiRedact is idempotent (placeholders contain no PII)") {
+    import graft.pipeline.Corpus
+    val word = Gen.oneOf("lorem", "ipsum", "x1", "Data", "..", "a-b")
+    val email = Gen.oneOf("bob@x.io", "a.b+c@corp.example.org")
+    val ip = Gen.oneOf("10.0.0.1", "192.168.255.3")
+    val phone = Gen.oneOf("555-123-4567", "800.555.1234")
+    val frag = Gen.frequency(5 -> word, 2 -> email, 2 -> ip, 2 -> phone)
+    val genText = Gen.listOf(frag).map(_.mkString(" "))
+    check("piiIdempotent", Prop.forAll(Gen.nonEmptyListOf(genText)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = Corpus.piiRedact(docs, col("text"))
+        .select(col("doc_id"), col("redacted").as("text"))
+      val onceMap = once.as[(Long, String)].collect().toMap
+      val twice = Corpus.piiRedact(once, col("text"))
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+        .as[(Long, Long, Long, Long, String)].collect()
+      twice.forall(r =>
+        r._2 == 0 && r._3 == 0 && r._4 == 0 && r._5 == onceMap(r._1))
+    }, min = 6)
+  }
+
+  test("property: stripBoilerplate ≡ plain-Scala model (lines, order, counts)") {
+    import graft.pipeline.Corpus
+    val genLine = Gen.oneOf("common", "COMMON2", "u1", "u2", "u3", "", " ")
+    val genDoc = Gen.listOf(genLine).map(_.mkString("\n"))
+    check("boilerModel", Prop.forAll(Gen.nonEmptyListOf(genDoc)) { docsRaw =>
+      val docs = docsRaw.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Corpus.stripBoilerplate(docs, minDocs = 2)
+        .select("doc_id", "n_kept", "n_removed", "clean_text")
+        .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      // reference model in plain Scala: split(-1) keeps trailing empties,
+      // per-doc distinct before the >=2-docs threshold
+      val lines = docsRaw.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split("\n", -1).toSeq }
+      val boiler = lines
+        .flatMap { case (id, ls) => ls.filter(_.trim.nonEmpty).distinct.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      lines.forall { case (id, ls) =>
+        val kept = ls.filterNot(boiler)
+        if (kept.isEmpty) !out.contains(id)
+        else out.get(id).exists(r => r._2 == kept.size &&
+          r._3 == (ls.size - kept.size) && r._4 == kept.mkString("\n"))
+      }
+    }, min = 6)
+  }
 }

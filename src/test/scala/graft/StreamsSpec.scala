@@ -120,6 +120,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
   }
 
+  test("intervalJoin pairs events within the range; stream ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // views (left) joined to clicks (right) of the same user within 5 min
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    views.addData(
+      Event(1, ts(1), 10, "view", 0.0),
+      Event(2, ts(10), 10, "view", 0.0),
+      Event(3, ts(1), 20, "view", 0.0))
+    clicks.addData(
+      Event(101, ts(3), 10, "click", 1.0),  // joins view 1 (within 5 min)
+      Event(102, ts(12), 10, "click", 1.0), // joins view 2
+      Event(103, ts(30), 10, "click", 1.0), // beyond every range
+      Event(104, ts(2), 99, "click", 1.0))  // no matching user
+    val out = Streams.runToMemory(spark,
+      Streams.intervalJoin(views.toDF(), clicks.toDF(), rangeSeconds = 300),
+      "ivjoin",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = out.select("user_id", "left_id", "right_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 1L, 101L), (10L, 2L, 102L)))
+    // the same predicate as a batch join gives the identical pairs
+    val l = Seq(Event(1, ts(1), 10, "view", 0.0), Event(2, ts(10), 10, "view", 0.0),
+      Event(3, ts(1), 20, "view", 0.0)).toDF().alias("l")
+    val r = Seq(Event(101, ts(3), 10, "click", 1.0), Event(102, ts(12), 10, "click", 1.0),
+      Event(103, ts(30), 10, "click", 1.0), Event(104, ts(2), 99, "click", 1.0))
+      .toDF().alias("r")
+    val batch = l.join(r, org.apache.spark.sql.functions.expr(
+        "l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 300 SECONDS"))
+      .select($"l.user_id", $"l.event_id", $"r.event_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === batch)
+  }
+
   test("sessionize starts a fresh session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
