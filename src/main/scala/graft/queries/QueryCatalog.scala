@@ -632,6 +632,51 @@ object QueryCatalog {
       |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders, sum_price
       |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin
 
+  /** PIVOT with explicit values (no extra distinct-scan job): priority
+    * counts per order status, one wide row per status. */
+  val q20Pivot: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus"),
+        coalesce(col("`1-URGENT`"), lit(0)).cast("long").as("n_urgent"),
+        coalesce(col("`2-HIGH`"), lit(0)).cast("long").as("n_high"),
+        coalesce(col("`3-MEDIUM`"), lit(0)).cast("long").as("n_medium"),
+        coalesce(col("`4-NOT SPECIFIED`"), lit(0)).cast("long").as("n_notspec"),
+        coalesce(col("`5-LOW`"), lit(0)).cast("long").as("n_low"))
+
+  val q20PivotSql: String =
+    """SELECT o_orderstatus,
+      |  (count(*) FILTER (WHERE o_orderpriority = '1-URGENT'))::BIGINT AS n_urgent,
+      |  (count(*) FILTER (WHERE o_orderpriority = '2-HIGH'))::BIGINT AS n_high,
+      |  (count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM'))::BIGINT AS n_medium,
+      |  (count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'))::BIGINT AS n_notspec,
+      |  (count(*) FILTER (WHERE o_orderpriority = '5-LOW'))::BIGINT AS n_low
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** RANGE-frame window (event-time frame, not row counts): per-customer
+    * rolling 30-day order spend. The frame key is epoch DAYS so both
+    * engines share integer range arithmetic; range frames include every
+    * same-day tie independent of physical order, so the result is
+    * deterministic without a tie-break column. */
+  val q21RangeWindow: Q = (s, d) => {
+    val days = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(days)
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      sum(dec("o_totalprice")).over(w).cast("double").as("spend_30d"))
+  }
+
+  val q21RangeWindowSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+      |FROM orders""".stripMargin
+
   /** URL/domain statistics — the per-domain doc and occurrence counts a
     * web-corpus curation pass balances and blocklists on. The corpus text
     * is augmented with deterministic doc_id-derived URLs (the synthetic
@@ -1263,6 +1308,8 @@ object QueryCatalog {
     "q18_cube" -> q18Cube,
     "q19_full_outer" -> q19FullOuter,
     "t_domains" -> tDomains,
+    "q20_pivot" -> q20Pivot,
+    "q21_range_window" -> q21RangeWindow,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1332,5 +1379,7 @@ object QueryCatalog {
     "q18_cube" -> q18CubeSql,
     "q19_full_outer" -> q19FullOuterSql,
     "t_domains" -> tDomainsSql,
+    "q20_pivot" -> q20PivotSql,
+    "q21_range_window" -> q21RangeWindowSql,
   )
 }
