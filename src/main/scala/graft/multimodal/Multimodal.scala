@@ -101,6 +101,42 @@ object Multimodal {
     media.withColumn(outCol, entropy(col(payloadCol)))
   }
 
+  final case class HeaderMeta(format: String, width: Option[Int],
+      height: Option[Int])
+
+  /** ======= REAL (codec-free) ======= image dimensions from container
+    * HEADERS — PNG's IHDR chunk (big-endian at offset 16/20), GIF's
+    * logical-screen descriptor (little-endian at 6/8), BMP's info header
+    * (little-endian at 18/22). Pure byte arithmetic, no codec: this is
+    * the metadata a real ingest records for every payload BEFORE any
+    * decode (size filters, aspect-ratio screens, thumbnail routing).
+    * JVM UDF for the same reason as [[withByteEntropy]]: a byte-offset
+    * loop has no Column spelling, and it stays in-process. */
+  def withHeaderMeta(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "header_meta"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) =>
+      if (p == null) HeaderMeta("missing", None, None)
+      else {
+        def u(i: Int) = p(i) & 0xff
+        if (p.length >= 24 && u(0) == 0x89 && u(1) == 0x50 &&
+            u(2) == 0x4e && u(3) == 0x47)
+          HeaderMeta("png",
+            Some((u(16) << 24) | (u(17) << 16) | (u(18) << 8) | u(19)),
+            Some((u(20) << 24) | (u(21) << 16) | (u(22) << 8) | u(23)))
+        else if (p.length >= 10 && u(0) == 'G' && u(1) == 'I' &&
+            u(2) == 'F' && u(3) == '8')
+          HeaderMeta("gif",
+            Some(u(6) | (u(7) << 8)), Some(u(8) | (u(9) << 8)))
+        else if (p.length >= 26 && u(0) == 'B' && u(1) == 'M')
+          HeaderMeta("bmp",
+            Some(u(18) | (u(19) << 8) | (u(20) << 16) | (u(21) << 24)),
+            Some(u(22) | (u(23) << 8) | (u(24) << 16) | (u(25) << 24)))
+        else HeaderMeta("unknown", None, None)
+      }
+    }
+    media.withColumn(outCol, parse(col(payloadCol)))
+  }
+
   /** Feature extraction over a media Dataset: per-partition batch loop —
     * codec init happens once per partition, not per row (the reason this
     * is mapPartitions, not a scalar UDF). */

@@ -677,6 +677,50 @@ object QueryCatalog {
       |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
       |FROM orders""".stripMargin
 
+  /** Corpus vocabulary: top-50 tokens by total frequency (term ties
+    * broken lexically) with doc frequencies — the vocab-seed / stopword
+    * audit primitive. Selection is a distributed TakeOrdered (orderBy +
+    * limit), never a one-reducer global window. */
+  val tVocab: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).cast("long").as("n"),
+        count_distinct(col("doc_id")).cast("long").as("n_docs"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(50)
+
+  val tVocabSql: String =
+    s"""SELECT t.term, count(*)::BIGINT AS n, count(DISTINCT t.doc_id)::BIGINT AS n_docs
+       |FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents) t
+       |WHERE t.term <> '' GROUP BY t.term ORDER BY n DESC, t.term LIMIT 50""".stripMargin
+
+  /** Equal-width token-length histogram (10 buckets to the observed max)
+    * — the length-distribution screen before packing/curation. Bucketing
+    * is a broadcast of ONE max value + a narrow map; no global sort or
+    * single-partition window anywhere. */
+  val tLengthHist: Q = (s, d) => {
+    val n = Tables.documents(s, d).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val mx = n.agg(max(col("n_tokens")).as("mx"))
+    n.crossJoin(broadcast(mx))
+      .withColumn("bucket",
+        least(col("n_tokens") * 10 / (col("mx") + 1), lit(9L)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+  }
+
+  val tLengthHistSql: String =
+    s"""WITH n AS (SELECT doc_id, (CASE WHEN length($normSql) = 0 THEN 0
+       |  ELSE len(string_split($normSql, ' ')) END)::BIGINT AS n_tokens FROM documents),
+       |m AS (SELECT max(n_tokens) AS mx FROM n)
+       |SELECT least(n_tokens * 10 // (mx + 1), 9)::BIGINT AS bucket,
+       |  count(*)::BIGINT AS n_docs, min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+       |FROM n, m GROUP BY 1""".stripMargin
+
   /** URL/domain statistics — the per-domain doc and occurrence counts a
     * web-corpus curation pass balances and blocklists on. The corpus text
     * is augmented with deterministic doc_id-derived URLs (the synthetic
@@ -710,7 +754,10 @@ object QueryCatalog {
     Tables.documents(s, d).select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
 
-  private val normSql =
+  // lazy: referenced by query vals declared ABOVE this point in the file
+  // (Scala strict vals initialize in declaration order — a strict val here
+  // leaves earlier interpolations with the string "null")
+  private lazy val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   val tTokensSql: String =
@@ -1310,6 +1357,8 @@ object QueryCatalog {
     "t_domains" -> tDomains,
     "q20_pivot" -> q20Pivot,
     "q21_range_window" -> q21RangeWindow,
+    "t_vocab" -> tVocab,
+    "t_length_hist" -> tLengthHist,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1381,5 +1430,7 @@ object QueryCatalog {
     "t_domains" -> tDomainsSql,
     "q20_pivot" -> q20PivotSql,
     "q21_range_window" -> q21RangeWindowSql,
+    "t_vocab" -> tVocabSql,
+    "t_length_hist" -> tLengthHistSql,
   )
 }

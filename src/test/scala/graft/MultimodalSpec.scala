@@ -73,4 +73,34 @@ class MultimodalSpec extends AnyFunSuite {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(out.contains((1L, 2L)))
   }
+
+  test("withHeaderMeta parses REAL png/gif/bmp header dimensions") {
+    // hand-assembled container headers, exactly per spec
+    val png = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // sig
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',                                   // IHDR
+      0, 0, 1, 0,   // width 256 (big-endian)
+      0, 0, 0, 200, // height 200
+      8, 6, 0, 0, 0).map(_.toByte)
+    val gif = ("GIF89a".getBytes.toSeq ++ Seq(
+      0x40, 0x01, // width 320 (little-endian)
+      0xf0, 0x00, // height 240
+      0x91, 0x00, 0x00).map(_.toByte)).toArray
+    val bmp = (Seq('B'.toInt, 'M'.toInt) ++ Seq.fill(16)(0) ++ Seq(
+      0x80, 0x02, 0x00, 0x00, // width 640 (little-endian)
+      0xe0, 0x01, 0x00, 0x00, // height 480
+      0x01, 0x00)).map(_.toByte).toArray
+    val rows = Seq((1L, png), (2L, gif), (3L, bmp),
+      (4L, "not an image".getBytes), (5L, null: Array[Byte]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.withHeaderMeta(rows)
+      .select(col("doc_id"), col("header_meta.format"),
+        col("header_meta.width"), col("header_meta.height"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(1L) === (("png", Some(256), Some(200))))
+    assert(out(2L) === (("gif", Some(320), Some(240))))
+    assert(out(3L) === (("bmp", Some(640), Some(480))))
+    assert(out(4L) === (("unknown", None, None)))
+    assert(out(5L) === (("missing", None, None)))
+  }
 }
