@@ -123,6 +123,57 @@ object Analytics {
       .select(col("v"), col("component"))
   }
 
+  /** Unweighted single-source shortest-path distances (BFS) over
+    * edges(src, dst), fixed iteration count — every iteration is one
+    * frontier join + a min-merge groupBy, both shuffling only the (small,
+    * growing) distance table against the pre-partitioned edge set. The
+    * fixpoint is reached once `iterations` ≥ graph depth from the source;
+    * the oracle unrolls the identical min-plus recurrence. */
+  def bfsDistances(edges: DataFrame, source: String,
+      iterations: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(eager = true)
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("v"), lit(0L).as("d"))
+    for (i <- 1 to iterations) {
+      val stepped = e.join(dist.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), (col("d") + 1).as("d"))
+      dist = dist.unionByName(stepped).groupBy("v").agg(min("d").as("d"))
+      if (i % 3 == 0 && i < iterations) dist = dist.localCheckpoint(eager = true)
+    }
+    dist
+  }
+
+  /** GraphX scale path for [[bfsDistances]]: the landmark-BFS Pregel of
+    * `graphx.lib.ShortestPaths` (resilient RDD state, partition-reusing
+    * joins) with the source as the single landmark — identical hop counts,
+    * so it shares q22's oracle. */
+  def bfsDistancesGraphX(spark: SparkSession, edges: DataFrame,
+      source: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import org.apache.spark.graphx.lib.ShortestPaths
+    import spark.implicits._
+    val keyed = edges.select(
+      xxhash64(col("src")).as("sid"), col("src"),
+      xxhash64(col("dst")).as("did"), col("dst")).cache()
+    val names = keyed.select(col("sid").as("id"), col("src").as("name"))
+      .union(keyed.select(col("did"), col("dst"))).distinct()
+    val srcId = names.filter(col("name") === source)
+      .select("id").as[Long].head()
+    // ShortestPaths measures hops FROM each vertex TO the landmark along
+    // edge direction; building the REVERSED graph turns that into
+    // source→v distances, matching the DataFrame loop
+    val g = Graph(
+      names.as[(Long, String)].rdd.map { case (id, _) => (id, ()) },
+      keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd
+        .map { case (s, d) => Edge(d, s, ()) })
+    ShortestPaths.run(g, Seq(srcId)).vertices
+      .flatMap { case (id, spMap) => spMap.get(srcId).map(d => (id, d.toLong)) }
+      .toDF("id", "d")
+      .join(names, "id")
+      .select(col("name").as("v"), col("d"))
+  }
+
   /** Connected components via iterated label propagation (min-id wins),
     * on the UNDIRECTED view of edges(src, dst). Deterministic; converges
     * in O(diameter) iterations. */

@@ -285,6 +285,39 @@ object QueryCatalog {
   val q11CcGx: Q = (s, d) =>
     graft.enrich.Analytics.connectedComponentsGraphX(s, GraphTables.hierarchy(s, d))
 
+  /** q22 — unweighted BFS distances from region.0 over the REVERSED
+    * containment hierarchy (region → nations → customers/suppliers →
+    * orders). The oracle unrolls the same min-plus recurrence; iterations
+    * on both sides exceed the graph depth, and the fixpoint is
+    * stepping-invariant. */
+  private val q22Iterations = 6
+
+  val q22Bfs: Q = (s, d) =>
+    graft.enrich.Analytics.bfsDistances(
+      GraphTables.hierarchy(s, d)
+        .select(col("dst").as("src"), col("src").as("dst")),
+      "region.0", iterations = q22Iterations)
+
+  /** GraphX landmark-BFS variant — same hop counts, same oracle. */
+  val q22BfsGx: Q = (s, d) =>
+    graft.enrich.Analytics.bfsDistancesGraphX(s,
+      GraphTables.hierarchy(s, d)
+        .select(col("dst").as("src"), col("src").as("dst")),
+      "region.0")
+
+  private def bfsIterSql(i: Int): String =
+    s"""l$i AS MATERIALIZED (SELECT v, min(d)::BIGINT AS d FROM (
+       |  SELECT v, d FROM l${i - 1}
+       |  UNION ALL SELECT e.dst AS v, p.d + 1 AS d FROM rev e JOIN l${i - 1} p ON e.src = p.v
+       |) GROUP BY v)""".stripMargin
+
+  val q22BfsSql: String =
+    s"""WITH ${GraphSql.hierarchyCte},
+       |rev AS MATERIALIZED (SELECT dst AS src, src AS dst FROM hier),
+       |l0 AS MATERIALIZED (SELECT 'region.0' AS v, 0::BIGINT AS d),
+       |${(1 to q22Iterations).map(bfsIterSql).mkString(",\n")}
+       |SELECT v, d FROM l$q22Iterations""".stripMargin
+
   /** Salted skew join ≡ plain join (SkewOps.saltedJoin is a partitioning
     * rewrite, not a semantic one — the oracle replays the PLAIN join, so
     * a wrong salt/replication would hash-mismatch). */
@@ -1359,6 +1392,8 @@ object QueryCatalog {
     "q21_range_window" -> q21RangeWindow,
     "t_vocab" -> tVocab,
     "t_length_hist" -> tLengthHist,
+    "q22_bfs" -> q22Bfs,
+    "q22_bfs_gx" -> q22BfsGx,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1432,5 +1467,7 @@ object QueryCatalog {
     "q21_range_window" -> q21RangeWindowSql,
     "t_vocab" -> tVocabSql,
     "t_length_hist" -> tLengthHistSql,
+    "q22_bfs" -> q22BfsSql,
+    "q22_bfs_gx" -> q22BfsSql,
   )
 }

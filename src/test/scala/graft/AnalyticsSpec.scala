@@ -60,4 +60,17 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(String, String)].collect().toMap
     assert(gx === loop)
   }
+
+  test("bfsDistances: hop counts from the source; GraphX variant agrees") {
+    // diamond + tail + unreachable island: a->b, a->c, b->d, c->d, d->e; x->y
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+      ("x", "y")).toDF("src", "dst")
+    val want = Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L, "e" -> 3L)
+    val loop = Analytics.bfsDistances(edges, "a", iterations = 6)
+      .as[(String, Long)].collect().toMap
+    assert(loop === want) // unreachable x/y are absent, d via min of 2 paths
+    val gx = Analytics.bfsDistancesGraphX(spark, edges, "a")
+      .as[(String, Long)].collect().toMap
+    assert(gx === want)
+  }
 }
