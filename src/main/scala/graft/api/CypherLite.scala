@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   *
   *  - any number of hops, each `-[:R]->` (forward) or `<-[:R]-` (reversed),
   *    optionally variable-length with a bounded range (`-[:R*2]->`,
-  *    `-[:R*1..3]->`, `-[:R*..3]->`) — one result row per path, Neo4j's
-  *    relationship-uniqueness rule enforced;
+  *    `-[:R*1..3]->`, `-[:R*..3]->`) — one result row per path, with
+  *    Neo4j's relationship-uniqueness rule enforced WITHIN each
+  *    variable-length segment (edges may still repeat across separate
+  *    pattern parts — a documented divergence from full pattern
+  *    isomorphism, which would need per-edge identity threaded through
+  *    every hop);
   *  - node labels match `kind` or a member of `task_ids` (the reference's
   *    multi-label set, §1.1); prop literals may contain commas/colons
   *    inside quotes;
@@ -54,6 +58,8 @@ object CypherLite {
       if (body.isEmpty) (1, -1)
       else if (body.contains("..")) {
         val parts = body.split("\\.\\.", -1).map(_.trim)
+        require(parts.length == 2,
+          s"malformed variable-length spec '$spec' (expected *m..n)")
         (if (parts(0).isEmpty) 1 else parts(0).toInt,
           if (parts(1).isEmpty) -1 else parts(1).toInt)
       } else (body.toInt, body.toInt)

@@ -412,17 +412,21 @@ object PyIndexer {
 
     // C3 (partial): fold a dotted tail through typed-field bindings —
     // `x.conn.execute` with x: Database and Database.conn: Conn resolves
-    // to Conn.execute, not Database.conn.execute (jedi's chained
-    // attribute access). Stops at the first untyped step; the last
-    // segment (the member being referenced) is never chased.
-    def chaseFields(t0: String, rest: Seq[String]): String = {
+    // to Conn.execute (jedi's chained attribute access). ALL-or-nothing:
+    // an untyped intermediate step yields None rather than a fabricated
+    // half-resolved name like Database.conn.execute (which would merge
+    // into a ghost stub node). The last segment (the member being
+    // referenced) is never chased.
+    def chaseFields(t0: String, rest: Seq[String]): Option[String] = {
       var t = t0
       var idx = 0
-      while (idx < rest.length - 1 &&
-          classFieldTypes.get(t).exists(_.contains(rest(idx)))) {
-        t = classFieldTypes(t)(rest(idx)); idx += 1
+      while (idx < rest.length - 1) {
+        classFieldTypes.get(t).flatMap(_.get(rest(idx))) match {
+          case Some(n) => t = n; idx += 1
+          case None => return None
+        }
       }
-      (t +: rest.drop(idx)).mkString(".")
+      Some((t +: rest.drop(idx)).mkString("."))
     }
 
     def resolveCallee(dotted: String): Option[String] = {
@@ -434,19 +438,19 @@ object PyIndexer {
         // C3 (partial deep mode): `x.method()` where x was bound by a
         // constructor call in this callable — resolves as jedi inference
         // would for the direct-instantiation case
-        curCallable.map(fn =>
+        curCallable.flatMap(fn =>
           chaseFields(fn.locals(parts(0)), parts.tail.toSeq))
       else if (parts.length >= 3 && parts(0) == "self")
         // C3 (partial): `self.field[.field…].method()` through
         // constructor-typed field bindings
         curClass.flatMap(c =>
           classFieldTypes.get(c.fullName).flatMap(_.get(parts(1))))
-          .map(t => chaseFields(t, parts.drop(2).toSeq))
+          .flatMap(t => chaseFields(t, parts.drop(2).toSeq))
       else if (parts.length >= 2 && moduleVarTypes.contains(parts(0)))
         // C3 (partial): module-level instance global (`db = Database()`
         // singleton) — callable-locals above shadow it; an UNTYPED
         // rebinding in the callable does not (syntactic limit)
-        Some(chaseFields(moduleVarTypes(parts(0)), parts.tail.toSeq))
+        chaseFields(moduleVarTypes(parts(0)), parts.tail.toSeq)
       else if (parts.length == 1) {
         val n = parts(0)
         if (topDefs.contains(n)) Some(s"$mod.$n")

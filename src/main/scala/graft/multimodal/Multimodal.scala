@@ -128,9 +128,11 @@ object Multimodal {
           HeaderMeta("gif",
             Some(u(6) | (u(7) << 8)), Some(u(8) | (u(9) << 8)))
         else if (p.length >= 26 && u(0) == 'B' && u(1) == 'M')
+          // biWidth/biHeight are SIGNED; a negative biHeight means a
+          // top-down row order, the magnitude is still the pixel height
           HeaderMeta("bmp",
-            Some(u(18) | (u(19) << 8) | (u(20) << 16) | (u(21) << 24)),
-            Some(u(22) | (u(23) << 8) | (u(24) << 16) | (u(25) << 24)))
+            Some(math.abs(u(18) | (u(19) << 8) | (u(20) << 16) | (u(21) << 24))),
+            Some(math.abs(u(22) | (u(23) << 8) | (u(24) << 16) | (u(25) << 24))))
         else HeaderMeta("unknown", None, None)
       }
     }

@@ -36,7 +36,9 @@ object RuntimeFilters {
     val bloom = small.select(toCol(
       new BloomFilterAggregate(new XxHash64(Seq(toExpr(smallKey))),
         Literal(estimatedItems)).toAggregateExpression()).as("_bf"))
-    val smallKeys = small.select(smallKey.as("_rf_key")).distinct()
+    // no distinct(): left_semi already has set semantics, and the dedup
+    // would be a full extra exchange over the dimension keys
+    val smallKeys = small.select(smallKey.as("_rf_key"))
     // might_contain requires its bloom side to be a constant or a scalar
     // subquery (the exact shape InjectRuntimeFilter plants); the one-row
     // aggregate above becomes that subquery

@@ -1235,10 +1235,11 @@ object QueryCatalog {
         (col("doc_id") / 1000).cast("long").as("shard"))
       .withColumn("cum", sum("n_tokens").over(w))
       .withColumn("chunk_id",
-        // shard stride 2^40: within-shard chunk counts can never reach it
-        // (2^40 chunks × 2048 tokens ≫ any shard), so ids never collide
-        // across shards — a *100000 stride overflowed at ~204M tokens/shard
-        (col("shard") * lit(1L << 40) + expr("(cum - n_tokens) div 2048"))
+        // shard stride 2^32: within-shard chunk counts can never reach it
+        // (2^32 chunks × 2048 tokens ≫ any 1000-doc shard), and the Long
+        // id space then holds 2^31 shards ≈ 2×10^12 docs — beyond the
+        // 100 TB envelope (a 2^40 stride overflowed at ~8.4B docs)
+        (col("shard") * lit(1L << 32) + expr("(cum - n_tokens) div 2048"))
           .cast("long"))
       .select("doc_id", "n_tokens", "chunk_id")
   }
@@ -1248,7 +1249,7 @@ object QueryCatalog {
        |  (CASE WHEN length($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END)::BIGINT AS n_tokens,
        |  doc_id // 1000 AS shard FROM documents),
        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
-       |SELECT doc_id, n_tokens, (shard * 1099511627776 + (cum - n_tokens) // 2048)::BIGINT AS chunk_id FROM c""".stripMargin
+       |SELECT doc_id, n_tokens, (shard * 4294967296 + (cum - n_tokens) // 2048)::BIGINT AS chunk_id FROM c""".stripMargin
 
   /** PII redaction ([[Corpus.piiRedact]]). The corpus text is augmented
     * with deterministic per-doc PII (email + IP + phone derived from

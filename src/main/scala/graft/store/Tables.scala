@@ -122,6 +122,7 @@ object GraphTables {
       // and the last pointer rewrite wins — both dirs are valid, the loser
       // is GC'd later
       var built: Option[java.io.File] = None
+      var resolvedDir: Option[java.io.File] = None
       GraphTables.synchronized {
         if (liveVersion().isEmpty) {
           base.mkdirs()
@@ -147,6 +148,19 @@ object GraphTables {
         // session's cached plan in this JVM are never collected, and
         // orphaned `.current-tmp-*` pointer files (crash between write and
         // atomic move) are swept on the same schedule.
+        // resolve + pin BEFORE the sweep, inside the lock: another session
+        // in this JVM GC-ing concurrently can never delete the dir this
+        // call is about to hand to a cached plan
+        resolvedDir = liveVersion().orElse(built)
+        resolvedDir.foreach { vd =>
+          pinnedVersionDirs.add(vd.getAbsolutePath)
+          // restart the cross-JVM grace window on every resolve: a
+          // concurrent JVM's sweep only deletes dirs UNTOUCHED for the
+          // grace period, so actively-resolved dirs stay safe; a session
+          // idle past the grace window after a cross-JVM repoint remains
+          // the documented residual race
+          vd.setLastModified(System.currentTimeMillis())
+        }
         val keep = readMarker(pointer).map(_.trim)
         Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
           val stale =
@@ -159,13 +173,8 @@ object GraphTables {
             f.delete()
         }
       }
-      // prefer the pointer, but fall back to the version we JUST built:
-      // a concurrent JVM may have re-pointed to a different fingerprint
-      // (source regenerated under us) — our dir is still valid for the
-      // inputs THIS session read
-      val vd = liveVersion().orElse(built).getOrElse(
+      val vd = resolvedDir.getOrElse(
         sys.error(s"derived-cache build failed for $key at $base"))
-      pinnedVersionDirs.add(vd.getAbsolutePath)
       s.read.parquet(vd.toString)
     })
 

@@ -211,6 +211,9 @@ class CypherLiteSpec extends AnyFunSuite {
       db.executeQuery("MATCH (a)-[:X*1..99]->(b) RETURN a") // over the cap
     }
     intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (a)-[:X*1..2..3]->(b) RETURN a") // malformed range
+    }
+    intercept[IllegalArgumentException] {
       db.executeQuery("OPTIONAL MATCH (a) RETURN a")
     }
     intercept[IllegalArgumentException] {

@@ -288,6 +288,29 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("c.main", "lib.Conn.cursor")))
   }
 
+  test("C3 partial: untyped intermediate steps emit NO half-resolved edges") {
+    val src =
+      """from lib import Database
+        |
+        |class App:
+        |    def __init__(self):
+        |        self.db = Database()
+        |
+        |    def run(self):
+        |        return self.db.cursor.execute()
+        |
+        |def main():
+        |    x = Database()
+        |    return x.cursor.execute()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "h.py", src)
+    val dsts = ev.edges.filter(_.relType == Rel.Call).map(_.dst).toSet
+    // Database has no typed field `cursor`: an all-or-nothing chase must
+    // not fabricate lib.Database.cursor.execute (a ghost stub on merge)
+    assert(!dsts.exists(_.contains("cursor")))
+    assert(dsts.contains("lib.Database")) // the constructor calls survive
+  }
+
   test("C3 partial: annotated locals (`x: Helper = ...`) bind the type") {
     val src =
       """from lib import Helper

@@ -102,5 +102,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) === (("bmp", Some(640), Some(480))))
     assert(out(4L) === (("unknown", None, None)))
     assert(out(5L) === (("missing", None, None)))
+    // top-down BMP: biHeight is stored negative; the magnitude is the height
+    val bmpTopDown = (Seq('B'.toInt, 'M'.toInt) ++ Seq.fill(16)(0) ++ Seq(
+      0x80, 0x02, 0x00, 0x00,  // width 640
+      0x20, 0xfe, 0xff, 0xff,  // height -480 two's complement
+      0x01, 0x00)).map(_.toByte).toArray
+    val td = Multimodal.withHeaderMeta(Seq((9L, bmpTopDown)).toDF("doc_id", "payload"))
+      .select(col("header_meta.width"), col("header_meta.height")).collect()(0)
+    assert((td.getInt(0), td.getInt(1)) === ((640, 480)))
   }
 }
