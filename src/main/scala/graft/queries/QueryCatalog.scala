@@ -292,6 +292,34 @@ object QueryCatalog {
     * stepping-invariant. */
   private val q22Iterations = 6
 
+  /** Semantic dedup end-to-end: banded sign-LSH near-dup pairs (the
+    * s_emb_neardup shape) → connected components → canonical keeper per
+    * embedding (component-min vec_id; singletons keep themselves). The
+    * oracle composes the pairs SQL with the unrolled CC recurrence,
+    * exactly like d_dup_clusters does for MinHash. */
+  val sEmbClusters: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val pairs = Similarity.embeddingNearDupPairs(emb, threshold = 0.3,
+        numPlanes = 32, bands = 4, maxBucket = 4096)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val cc = graft.enrich.Analytics.connectedComponents(pairs)
+      .select(col("v").as("vec_id"), col("component").as("keeper"))
+    emb.select(col("vec_id")).join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("keeper"), col("vec_id")).as("keeper"))
+  }
+
+  // lazy: sEmbNearDupSql is declared later in the file (strict-val init
+  // order would interpolate "null" — the normSql lesson)
+  lazy val sEmbClustersSql: String =
+    s"""WITH pairs AS MATERIALIZED ($sEmbNearDupSql),
+       |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+       |verts AS (SELECT DISTINCT src AS v FROM und),
+       |l0 AS MATERIALIZED (SELECT v, v AS c FROM verts),
+       |${(1 to 20).map(ccIterSql).mkString(",\n")}
+       |SELECT e.vec_id, coalesce(l.c, e.vec_id) AS keeper
+       |FROM embeddings e LEFT JOIN l20 l ON e.vec_id = l.v""".stripMargin
+
   val q22Bfs: Q = (s, d) =>
     graft.enrich.Analytics.bfsDistances(
       GraphTables.hierarchy(s, d)
@@ -1395,6 +1423,7 @@ object QueryCatalog {
     "t_length_hist" -> tLengthHist,
     "q22_bfs" -> q22Bfs,
     "q22_bfs_gx" -> q22BfsGx,
+    "s_emb_clusters" -> sEmbClusters,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1470,5 +1499,6 @@ object QueryCatalog {
     "t_length_hist" -> tLengthHistSql,
     "q22_bfs" -> q22BfsSql,
     "q22_bfs_gx" -> q22BfsSql,
+    "s_emb_clusters" -> sEmbClustersSql,
   )
 }
