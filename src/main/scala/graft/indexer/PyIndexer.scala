@@ -208,6 +208,14 @@ object PyIndexer {
   private val selfInstanceAssign: Regex =
     """self\.([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
 
+  /** `with Callee(...) as x:` — context-manager binding; the standard
+    * acquisition idiom for DB handles/sessions, so binding x to the
+    * constructed class resolves `x.method()` inside the block (the
+    * `__enter__`-returns-self convention jedi assumes for plain
+    * constructor context managers). */
+  private val withAsAssign: Regex =
+    """^\s*with\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(.*\)\s*as\s+([A-Za-z_]\w*)\s*:""".r
+
   /** `c = x.attr[.attr…]` — a pure attribute READ (no trailing call):
     * when every step of the chain is a typed field, `c` binds the final
     * field's type (jedi's attribute-propagation, the read analog of the
@@ -664,6 +672,13 @@ object PyIndexer {
                 case Some(m) =>
                   classishType(m.group(2)).foreach(t => fn.locals(m.group(1)) = t)
                 case None =>
+                  // context-manager binding (`with Database() as db:`) —
+                  // same classish/return-type resolution as a constructor
+                  // assignment (the enter-returns-self convention)
+                  withAsAssign.findFirstMatchIn(line).foreach { m =>
+                    classishType(m.group(1)).orElse(returnTypeTarget(m.group(1)))
+                      .foreach(t => fn.locals(m.group(2)) = t)
+                  }
                   // attribute READ (`c = x.conn` / `c = self.db.conn`):
                   // binds only when EVERY step of the chain is a typed
                   // field — a partially-typed path must not leave c bound

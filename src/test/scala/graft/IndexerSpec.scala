@@ -288,6 +288,29 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("c.main", "lib.Conn.cursor")))
   }
 
+  test("C3 partial: `with Ctor() as x:` binds the context-manager type") {
+    val src =
+      """from lib import Database
+        |
+        |def work():
+        |    with Database("dsn") as db:
+        |        return db.query("x")
+        |
+        |def declared():
+        |    with make_db() as db:
+        |        return db.ping()
+        |
+        |def make_db() -> Database:
+        |    return Database("dsn")
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "w.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("w.work", "lib.Database.query")))
+    // the `-> Type` return slice composes with the with-binding too
+    assert(calls.contains(("w.declared", "lib.Database.ping")))
+  }
+
   test("C3 partial: untyped intermediate steps emit NO half-resolved edges") {
     val src =
       """from lib import Database
