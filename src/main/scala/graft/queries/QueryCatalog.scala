@@ -1171,6 +1171,51 @@ object QueryCatalog {
        |SELECT i.doc_id, count(*)::BIGINT AS n_shared
        |FROM inv i JOIN benchh b ON i.h = b.h GROUP BY i.doc_id""".stripMargin
 
+  /** The WHOLE training-data prep in ONE declared query — the composition
+    * a real run executes end-to-end: drop the benchmark slice → quality
+    * gate → exact-dedup keeper → n-gram decontamination (any 4-shingle
+    * overlap with the benchmark drops the doc) → deterministic stratified
+    * sample by language → per-doc token counts. Three shuffles total
+    * (dedup groupBy, contamination join, keeper re-join); the sample and
+    * both filters are narrow. */
+  val pTrainMix: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bench = col("doc_id") % 50 === 0
+    val keepers = docs
+      .filter(!bench)
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+      .withColumn("fp", md5(TextFunctions.normalize(col("text"))))
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .join(docs, "doc_id")
+    val contaminated = Corpus.contamination(docs, bench, k = 4)
+      .select("doc_id")
+    val clean = keepers.join(contaminated, Seq("doc_id"), "left_anti")
+    Corpus.stratifiedSample(clean, col("doc_id"), col("lang"),
+        Map("en" -> 50, "zh" -> 30), defaultPct = 20)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+  }
+
+  lazy val pTrainMixSql: String =
+    s"""WITH nb AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+       |q AS (SELECT doc_id FROM nb WHERE $qualityExprSql >= 0.5),
+       |k AS (SELECT md5($normSql) AS fp, min(d.doc_id) AS doc_id
+       |      FROM q JOIN documents d USING (doc_id) GROUP BY 1),
+       |sh AS (SELECT doc_id, ${shingleHashesSqlK(4)} AS hashes FROM documents),
+       |benchh AS (SELECT DISTINCT unnest(hashes) AS h FROM sh WHERE doc_id % 50 = 0),
+       |cont AS (SELECT DISTINCT i.doc_id FROM
+       |         (SELECT doc_id, unnest(hashes) AS h FROM sh WHERE doc_id % 50 <> 0) i
+       |         JOIN benchh b ON i.h = b.h),
+       |clean AS (SELECT d.doc_id, d.lang, d.text FROM k JOIN documents d USING (doc_id)
+       |          ANTI JOIN cont USING (doc_id))
+       |SELECT doc_id, lang,
+       |  (CASE WHEN length($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END)::BIGINT AS n_tokens
+       |FROM clean
+       |WHERE list_reduce(list_prepend(0::BIGINT,
+       |        list_transform(string_split(doc_id::VARCHAR, ''), c -> ascii(c)::BIGINT)),
+       |        (a, c) -> (a * 31 + c) % 2147483647) % 100
+       |      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 30 ELSE 20 END""".stripMargin
+
   /** Top-3 tf-idf terms per document. */
   val tTfidf: Q = (s, d) =>
     Corpus.tfIdfTopTerms(Tables.documents(s, d), n = 3)
@@ -1424,6 +1469,7 @@ object QueryCatalog {
     "q22_bfs" -> q22Bfs,
     "q22_bfs_gx" -> q22BfsGx,
     "s_emb_clusters" -> sEmbClusters,
+    "p_train_mix" -> pTrainMix,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1500,5 +1546,6 @@ object QueryCatalog {
     "q22_bfs" -> q22BfsSql,
     "q22_bfs_gx" -> q22BfsSql,
     "s_emb_clusters" -> sEmbClustersSql,
+    "p_train_mix" -> pTrainMixSql,
   )
 }
