@@ -27,6 +27,31 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("dup_count"))
 
+  /** Per-document duplicated-SPAN fraction — the ExactSubstr-style
+    * partial-overlap screen (a doc can be mostly copied without being a
+    * whole-doc near-dup): the share of a doc's distinct k-token shingles
+    * that occur in at least one other document.
+    *
+    * Scale shape: inverted index + one count groupBy (partial-agg
+    * friendly; no pairwise work at all, so no hub cap is needed — a
+    * shingle in a million docs still contributes one count row), then
+    * one per-doc count join. */
+  def duplicatedSpanStats(docs: DataFrame, k: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingleHashes(col("text"), k).as("hashes"))
+    val inv = sh.select(col("doc_id"), explode(col("hashes")).as("h"))
+    // shingleHashes is per-doc distinct, so count(*) >= 2 means >= 2 docs
+    val dup = inv.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val nd = inv.join(dup, "h").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup"))
+    sh.select(col("doc_id"), size(col("hashes")).cast("long").as("n_shingles"))
+      .join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).cast("long").as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_shingles"), 4))
+  }
+
   /** Pairs (a,b), a<b, with n-gram Jaccard ≥ threshold, via an inverted
     * index on shingle hashes. `maxDocFreq` drops shingles appearing in
     * more than that many docs (hub/stopword shingles) — bounds the

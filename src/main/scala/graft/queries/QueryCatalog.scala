@@ -1216,6 +1216,22 @@ object QueryCatalog {
        |        (a, c) -> (a * 31 + c) % 2147483647) % 100
        |      < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 30 ELSE 20 END""".stripMargin
 
+  /** Duplicated-span fraction per doc ([[Dedup.duplicatedSpanStats]],
+    * k=8): the partial-overlap screen — whole-doc dedup misses a doc
+    * that merely CONTAINS a big copied block. */
+  val dSpanFrac: Q = (s, d) =>
+    Dedup.duplicatedSpanStats(Tables.documents(s, d), k = 8)
+
+  lazy val dSpanFracSql: String =
+    s"""WITH sh AS (SELECT doc_id, ${shingleHashesSqlK(8)} AS hashes FROM documents),
+       |inv AS (SELECT doc_id, unnest(hashes) AS h FROM sh),
+       |dup AS (SELECT h FROM inv GROUP BY h HAVING count(*) >= 2),
+       |nd AS (SELECT doc_id, count(*)::BIGINT AS n_dup FROM inv JOIN dup USING (h) GROUP BY doc_id)
+       |SELECT s.doc_id, len(s.hashes)::BIGINT AS n_shingles,
+       |  coalesce(n.n_dup, 0)::BIGINT AS n_dup,
+       |  round(coalesce(n.n_dup, 0)::DOUBLE / len(s.hashes), 4) AS dup_frac
+       |FROM sh s LEFT JOIN nd n USING (doc_id)""".stripMargin
+
   /** Top-3 tf-idf terms per document. */
   val tTfidf: Q = (s, d) =>
     Corpus.tfIdfTopTerms(Tables.documents(s, d), n = 3)
@@ -1470,6 +1486,7 @@ object QueryCatalog {
     "q22_bfs_gx" -> q22BfsGx,
     "s_emb_clusters" -> sEmbClusters,
     "p_train_mix" -> pTrainMix,
+    "d_span_frac" -> dSpanFrac,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1547,5 +1564,6 @@ object QueryCatalog {
     "q22_bfs_gx" -> q22BfsSql,
     "s_emb_clusters" -> sEmbClustersSql,
     "p_train_mix" -> pTrainMixSql,
+    "d_span_frac" -> dSpanFracSql,
   )
 }

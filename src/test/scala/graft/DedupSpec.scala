@@ -63,4 +63,18 @@ class DedupSpec extends AnyFunSuite {
     assert(j13.isDefined && j13.get.getDouble(2) > 0.5)
     assert(!out.exists(r => r.getLong(1) == 4L || r.getLong(0) == 4L))
   }
+
+  test("duplicatedSpanStats: partial overlap shows in the span fraction") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // shingles(k=2): ab bc cd de ef (5)
+      (2L, "a b c x y"),        // ab bc cx xy (4); shares ab, bc with doc 1
+      (3L, "p q r s")           // disjoint
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(docs, k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 5L, 2L, 0.4)))    // ab, bc duplicated
+    assert(out(2L) === ((2L, 4L, 2L, 0.5)))
+    assert(out(3L) === ((3L, 3L, 0L, 0.0)))
+  }
 }
