@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   *    pattern parts — a documented divergence from full pattern
   *    isomorphism, which would need per-edge identity threaded through
   *    every hop);
+  *  - relationship property equalities (`-[:R {k: 'v'}]->`); on a
+  *    var-length hop they constrain EVERY relationship of the path;
   *  - node labels match `kind` or a member of `task_ids` (the reference's
   *    multi-label set, §1.1); prop literals may contain commas/colons
   *    inside quotes;
@@ -39,8 +41,10 @@ import org.apache.spark.sql.functions._
   */
 object CypherLite {
 
-  private val fwdArrow = """^-\s*\[\s*:(\w+)\s*(\*[^\]]*)?\]\s*->$""".r
-  private val bwdArrow = """^<-\s*\[\s*:(\w+)\s*(\*[^\]]*)?\]\s*-$""".r
+  // star spec stops at `{` or `]`; an optional props literal follows (its
+  // greedy `.*` may span quoted text — the closing `]->` anchor bounds it)
+  private val fwdArrow = """^-\s*\[\s*:(\w+)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*->$""".r
+  private val bwdArrow = """^<-\s*\[\s*:(\w+)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*-$""".r
 
   /** Hard cap on variable-length expansion: each extra hop is another
     * self-join of the edge table, so an unbounded (or huge) `*` would be
@@ -78,9 +82,7 @@ object CypherLite {
     * Shape: the length-L slice is L-1 self-joins on the hop key; lengths
     * union together. Each self-join shuffles on the chain key unless the
     * edge table is bucketed (store.Bucketing's layout co-locates it). */
-  private def varLengthRel(edges: DataFrame, rel: String,
-      min: Int, max: Int): DataFrame = {
-    val e = edges.filter(col("rel_type") === rel)
+  private def varLengthRel(e: DataFrame, min: Int, max: Int): DataFrame = {
     val perLength = (min to max).map { len =>
       if (len == 1) e.select(col("src"), col("dst"))
       else {
@@ -215,9 +217,18 @@ object CypherLite {
     }
 
   private final case class Hop(rel: String, reversed: Boolean,
-      minHops: Int = 1, maxHops: Int = 1) {
+      minHops: Int = 1, maxHops: Int = 1,
+      props: Map[String, String] = Map.empty) {
     def isVarLength: Boolean = !(minHops == 1 && maxHops == 1)
   }
+
+  /** Edge scan for one hop: rel-type plus any relationship-property
+    * equalities (`-[:R {k: 'v'}]->`); on a var-length hop the props apply
+    * to EVERY relationship of the path, Neo4j's semantics. */
+  private def hopEdges(edges: DataFrame, hop: Hop): DataFrame =
+    edges.filter(hop.props.foldLeft(col("rel_type") === hop.rel) {
+      case (acc, (k, v)) => acc && element_at(col("props"), k) === v
+    }).select(col("src"), col("dst"))
 
   /** A scanned node pattern `(v:L1:L2 {props})`: [start, end) span in the
     * pattern text plus the parsed pieces. */
@@ -309,12 +320,12 @@ object CypherLite {
         // arrows are exactly the text between consecutive node patterns
         val hops = nodeMs.sliding(2).toSeq.collect { case Seq(a, b) =>
           pattern.substring(a.end, b.start).trim match {
-            case fwdArrow(rel, star) =>
+            case fwdArrow(rel, star, props) =>
               val (mn, mx) = parseStar(star)
-              Hop(rel, reversed = false, mn, mx)
-            case bwdArrow(rel, star) =>
+              Hop(rel, reversed = false, mn, mx, parseProps(props))
+            case bwdArrow(rel, star, props) =>
               val (mn, mx) = parseStar(star)
-              Hop(rel, reversed = true, mn, mx)
+              Hop(rel, reversed = true, mn, mx, parseProps(props))
             case other => throw new IllegalArgumentException(
               s"unsupported relationship pattern '$other' (directed arrows only)")
           }
@@ -338,10 +349,10 @@ object CypherLite {
         hops.zipWithIndex.foreach { case (hop, i) =>
           // a var-length hop swaps the single edge scan for the union of
           // per-length path compositions; endpoints join identically
+          val scan = hopEdges(edges, hop)
           val e = (if (hop.isVarLength)
-              varLengthRel(edges, hop.rel, hop.minHops, hop.maxHops)
-            else edges.filter(col("rel_type") === hop.rel)
-              .select(col("src"), col("dst"))).alias(s"e$i")
+              varLengthRel(scan, hop.minHops, hop.maxHops)
+            else scan).alias(s"e$i")
           val next = nodes
             .filter(nodePred(nodeMs(i + 1).labels, nodeMs(i + 1).props))
             .alias(s"n${i + 1}")

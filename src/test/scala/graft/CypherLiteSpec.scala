@@ -197,6 +197,26 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(out === Seq("p", "q"))
   }
 
+  test("relationship property patterns filter edges (incl. var-length)") {
+    val d4 = GraphDatabase.inMemory(spark)
+    d4.addEdge("t", "a", Rel.Call, "b", Map("via" -> "direct"))
+    d4.addEdge("t", "a", Rel.Call, "c", Map("via" -> "proxy"))
+    d4.addEdge("t", "b", Rel.Call, "d", Map("via" -> "direct"))
+    val direct = d4.executeQuery(
+      "MATCH (x {full_name: 'a'})-[:CALL {via: 'direct'}]->(y) RETURN y.full_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(direct === Seq("b"))
+    // var-length: every relationship of the path must satisfy the props
+    val chain = d4.executeQuery(
+      "MATCH (x {full_name: 'a'})-[:CALL*1..2 {via: 'direct'}]->(y) RETURN y.full_name")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(chain === Seq("b", "d")) // a->c (proxy) and paths through it drop
+    val rev = d4.executeQuery(
+      "MATCH (y)<-[:CALL {via: 'proxy'}]-(x) RETURN y.full_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(rev === Seq("c"))
+  }
+
   test("unsupported shapes are rejected, not silently wrong") {
     intercept[IllegalArgumentException] {
       db.executeQuery("MATCH (a)-[:X*]->(b) RETURN a") // unbounded
