@@ -288,4 +288,32 @@ class PropertySpec extends AnyFunSuite {
       }
     }, min = 6)
   }
+
+  test("property: duplicatedSpanStats ≡ plain-Scala shingle model") {
+    import graft.pipeline.Dedup
+    val genDoc = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.mkString(" "))
+    check("spanModel", Prop.forAll(Gen.nonEmptyListOf(genDoc)) { docsRaw =>
+      val k = 2
+      val docs = docsRaw.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // model: per-doc distinct k-shingles; a shingle is duplicated if it
+      // appears in >= 2 docs (shingleSpec mirrors the kernel's short-doc
+      // whole-text fallback)
+      def shingles(t: String): Set[String] = {
+        val toks = t.split(" ").toSeq
+        (if (toks.length < k) Seq(toks) else toks.sliding(k).toSeq)
+          .map(_.mkString(" ")).toSet
+      }
+      val perDoc = docsRaw.zipWithIndex.map { case (t, i) => i.toLong -> shingles(t) }
+      val dupSet = perDoc.flatMap { case (id, ss) => ss.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val out = Dedup.duplicatedSpanStats(docs, k)
+        .select("doc_id", "n_shingles", "n_dup")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      perDoc.forall { case (id, ss) =>
+        out(id) == ((id, ss.size.toLong, ss.count(dupSet).toLong))
+      }
+    }, min = 6)
+  }
 }
