@@ -109,6 +109,44 @@ object Streams {
       }
       .start()
 
+  /** Event-time sessionization with WATERMARK-driven closure — the
+    * production twin of [[sessionize]]: sessions split on in-batch gaps
+    * and, via `EventTimeTimeout` at `lastTs + gap`, the open session
+    * CLOSES exactly when the event-time watermark passes its gap horizon
+    * (no wall-clock dependence, replay-deterministic). Emits ONLY closed
+    * sessions (Append semantics); state size tracks open sessions. */
+  def sessionizeEventTime(events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.count, s.totalValue, closed = true))
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            evs.foreach { e =>
+              if (cur.lastTs != Long.MinValue && e.ts.getTime - cur.lastTs > gapMs) {
+                closed += SessionOut(uid, cur.count, cur.totalValue, closed = true)
+                cur = SessionState(0L, 0.0, Long.MinValue)
+              }
+              cur = SessionState(cur.count + 1, cur.totalValue + e.value, e.ts.getTime)
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.lastTs + gapMs)
+            closed.iterator
+          }
+      }
+  }
+
   /** Watermarked stream-stream INNER join: pair each left event with the
     * right events of the SAME key within `[left.ts, left.ts + range]` —
     * the attribution shape (view → click within N minutes). The time-range
