@@ -693,6 +693,19 @@ object QueryCatalog {
       |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders, sum_price
       |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin
 
+  /** Ordered list aggregation: per-region sorted nation roster — the
+    * collect/ordered-agg family (array_sort fixes the nondeterministic
+    * collect_list order, making the result engine-portable). */
+  val q23StrAgg: Q = (s, d) =>
+    Tables.nation(s, d)
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).cast("long").as("n"))
+
+  val q23StrAggSql: String =
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |count(*)::BIGINT AS n FROM nation GROUP BY n_regionkey""".stripMargin
+
   /** PIVOT with explicit values (no extra distinct-scan job): priority
     * counts per order status, one wide row per status. */
   val q20Pivot: Q = (s, d) =>
@@ -1487,6 +1500,7 @@ object QueryCatalog {
     "s_emb_clusters" -> sEmbClusters,
     "p_train_mix" -> pTrainMix,
     "d_span_frac" -> dSpanFrac,
+    "q23_stragg" -> q23StrAgg,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1565,5 +1579,6 @@ object QueryCatalog {
     "s_emb_clusters" -> sEmbClustersSql,
     "p_train_mix" -> pTrainMixSql,
     "d_span_frac" -> dSpanFracSql,
+    "q23_stragg" -> q23StrAggSql,
   )
 }
