@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   *  - node labels match `kind` or a member of `task_ids` (the reference's
   *    multi-label set, §1.1); prop literals may contain commas/colons
   *    inside quotes;
-  *  - WHERE supports `exists(v.prop)` and `v.prop = 'literal'` joined by
+  *  - WHERE supports `exists(v.prop)`, `NOT exists(v.prop)`,
+  *    `v.prop <> 'literal'` (Neo4j null semantics: a missing prop drops
+  *    the row), and `v.prop = 'literal'` joined by
   *    AND;
   *  - projections: `x` (fixed columns of x, prefixed), `x.prop`,
   *    `labels(x)` (task_ids + kind array).
@@ -101,7 +103,11 @@ object CypherLite {
     perLength.reduce(_ unionAll _)
   }
   private val whereExists = """^exists\(\s*(\w+)\.(\w+)\s*\)$""".r
+  private val whereNotExists = """^(?i)NOT\s+exists\(\s*(\w+)\.(\w+)\s*\)$""".r
   private val whereEq = """^(\w+)\.(\w+)\s*=\s*(.+)$""".r
+  // Neo4j `<>`: missing props compare to NULL, so the row drops — the
+  // Column `=!=` null semantics match exactly
+  private val whereNeq = """^(\w+)\.(\w+)\s*<>\s*(.+)$""".r
 
   /** Index of the first occurrence of `word` (whole-word, case-insensitive)
     * outside single/double quotes; -1 if none. The same quote/escape rules
@@ -365,19 +371,22 @@ object CypherLite {
                 .join(next, col(s"e$i.src") === col(s"n${i + 1}.full_name"))
         }
         Option(whereClause).foreach { w =>
+          def propCol(v: String, prop: String): Column = {
+            val a = vars.getOrElse(v,
+              throw new IllegalArgumentException(s"unknown variable $v in WHERE"))
+            if (fixed(prop)) col(s"$a.$prop")
+            else element_at(col(s"$a.props"), prop)
+          }
           splitTop(w, "AND").foreach {
+            // NOT exists must match before the bare exists pattern
+            case whereNotExists(v, prop) =>
+              df = df.filter(propCol(v, prop).isNull)
             case whereExists(v, prop) =>
-              val a = vars.getOrElse(v,
-                throw new IllegalArgumentException(s"unknown variable $v in WHERE"))
-              df = df.filter(
-                if (fixed(prop)) col(s"$a.$prop").isNotNull
-                else element_at(col(s"$a.props"), prop).isNotNull)
+              df = df.filter(propCol(v, prop).isNotNull)
+            case whereNeq(v, prop, value) =>
+              df = df.filter(propCol(v, prop) =!= unquote(value))
             case whereEq(v, prop, value) =>
-              val a = vars.getOrElse(v,
-                throw new IllegalArgumentException(s"unknown variable $v in WHERE"))
-              val lhs = if (fixed(prop)) col(s"$a.$prop")
-                else element_at(col(s"$a.props"), prop)
-              df = df.filter(lhs === unquote(value))
+              df = df.filter(propCol(v, prop) === unquote(value))
             case other => throw new IllegalArgumentException(
               s"unsupported WHERE condition: $other")
           }

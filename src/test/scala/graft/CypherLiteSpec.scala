@@ -197,6 +197,23 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(out === Seq("p", "q"))
   }
 
+  test("WHERE <> and NOT exists follow Neo4j null semantics") {
+    val neq = db.executeQuery(
+      "MATCH (n:sklearn) WHERE n.name <> 'Person' RETURN n.full_name")
+      .collect().map(_.getString(0)).toSet
+    // every node HAS a name here; Person drops, the rest stay
+    assert(neq === Set("m.Person.greet", "m", "m.util"))
+    // <> on a MISSING prop drops the row (null comparison), like Neo4j
+    val neqMissing = db.executeQuery(
+      "MATCH (n:sklearn) WHERE n.file_path <> 'nope' RETURN n.full_name")
+      .collect().map(_.getString(0)).toSet
+    assert(neqMissing === Set("m")) // only m has file_path at all
+    val notExists = db.executeQuery(
+      "MATCH (n:sklearn) WHERE NOT exists(n.file_path) RETURN n.full_name")
+      .collect().map(_.getString(0)).toSet
+    assert(notExists === Set("m.Person", "m.Person.greet", "m.util"))
+  }
+
   test("relationship property patterns filter edges (incl. var-length)") {
     val d4 = GraphDatabase.inMemory(spark)
     d4.addEdge("t", "a", Rel.Call, "b", Map("via" -> "direct"))
