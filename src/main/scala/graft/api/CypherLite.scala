@@ -102,7 +102,9 @@ object CypherLite {
     // unionAll: two paths with the same endpoints are two result rows
     perLength.reduce(_ unionAll _)
   }
-  private val whereExists = """^exists\(\s*(\w+)\.(\w+)\s*\)$""".r
+  // both case-insensitive (Neo4j function names are) — an (?i) on only
+  // one spelling would make EXISTS raise while NOT EXISTS parses
+  private val whereExists = """^(?i)exists\(\s*(\w+)\.(\w+)\s*\)$""".r
   private val whereNotExists = """^(?i)NOT\s+exists\(\s*(\w+)\.(\w+)\s*\)$""".r
   private val whereEq = """^(\w+)\.(\w+)\s*=\s*(.+)$""".r
   // Neo4j `<>`: missing props compare to NULL, so the row drops — the
@@ -268,7 +270,17 @@ object CypherLite {
     val out = scala.collection.mutable.ArrayBuffer.empty[NodePat]
     var i = 0
     while (i < pattern.length) {
-      if (pattern.charAt(i) == '(') {
+      val ch = pattern.charAt(i)
+      if (ch == '\'' || ch == '"') {
+        // quotes BETWEEN node patterns (relationship-property values) are
+        // literal text: a '(' inside them must not open a node pattern
+        var j = i + 1
+        while (j < pattern.length && pattern.charAt(j) != ch) {
+          if (pattern.charAt(j) == '\\') j += 1
+          j += 1
+        }
+        i = j + 1
+      } else if (ch == '(') {
         var depth = 0
         var j = i
         var quote: Char = 0

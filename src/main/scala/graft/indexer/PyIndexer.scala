@@ -212,9 +212,14 @@ object PyIndexer {
     * acquisition idiom for DB handles/sessions, so binding x to the
     * constructed class resolves `x.method()` inside the block (the
     * `__enter__`-returns-self convention jedi assumes for plain
-    * constructor context managers). */
-  private val withAsAssign: Regex =
-    """^\s*with\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(.*\)\s*as\s+([A-Za-z_]\w*)\s*:""".r
+    * constructor context managers). [[withManager]] matches EACH manager
+    * clause separately (`with A() as x, B() as y:` binds both); its
+    * `[^()]*` arg span keeps one clause's parens from swallowing the
+    * next, at the cost of skipping managers with nested call args —
+    * a silent miss, never a wrong binding. */
+  private val withStmt: Regex = """^\s*with\s+.*:\s*$""".r
+  private val withManager: Regex =
+    """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\([^()]*\)\s*as\s+([A-Za-z_]\w*)""".r
 
   /** `c = x.attr[.attr…]` — a pure attribute READ (no trailing call):
     * when every step of the chain is a typed field, `c` binds the final
@@ -674,11 +679,14 @@ object PyIndexer {
                 case None =>
                   // context-manager binding (`with Database() as db:`) —
                   // same classish/return-type resolution as a constructor
-                  // assignment (the enter-returns-self convention)
-                  withAsAssign.findFirstMatchIn(line).foreach { m =>
-                    classishType(m.group(1)).orElse(returnTypeTarget(m.group(1)))
-                      .foreach(t => fn.locals(m.group(2)) = t)
-                  }
+                  // assignment (the enter-returns-self convention); each
+                  // manager clause of a multi-manager `with` binds its OWN
+                  // as-target
+                  if (withStmt.matches(line))
+                    withManager.findAllMatchIn(line).foreach { m =>
+                      classishType(m.group(1)).orElse(returnTypeTarget(m.group(1)))
+                        .foreach(t => fn.locals(m.group(2)) = t)
+                    }
                   // attribute READ (`c = x.conn` / `c = self.db.conn`):
                   // binds only when EVERY step of the chain is a typed
                   // field — a partially-typed path must not leave c bound

@@ -316,9 +316,9 @@ object QueryCatalog {
        |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
        |verts AS (SELECT DISTINCT src AS v FROM und),
        |l0 AS MATERIALIZED (SELECT v, v AS c FROM verts),
-       |${(1 to 20).map(ccIterSql).mkString(",\n")}
+       |${(1 to 21).map(ccIterSql).mkString(",\n")}
        |SELECT e.vec_id, coalesce(l.c, e.vec_id) AS keeper
-       |FROM embeddings e LEFT JOIN l20 l ON e.vec_id = l.v""".stripMargin
+       |FROM embeddings e LEFT JOIN l21 l ON e.vec_id = l.v""".stripMargin
 
   val q22Bfs: Q = (s, d) =>
     graft.enrich.Analytics.bfsDistances(
@@ -1007,14 +1007,19 @@ object QueryCatalog {
     Dedup.dupClusters(Tables.documents(s, d), k = 5, numHashes = 16,
       bands = 4, threshold = 0.25)
 
+  // 21 unrolled hops: the Spark loop (maxIter=20, three hops per
+  // materialization) executes AT MOST 21 hops before its bound, and
+  // min-label state after exactly N hops is stepping-invariant — so the
+  // two sides agree even on a pathological >20-diameter pair chain that
+  // never converges within the bound
   val dDupClustersSql: String =
     s"""WITH pairs AS MATERIALIZED ($dMinhashLshSql),
        |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
        |verts AS (SELECT DISTINCT src AS v FROM und),
        |l0 AS MATERIALIZED (SELECT v, v AS c FROM verts),
-       |${(1 to 20).map(ccIterSql).mkString(",\n")}
+       |${(1 to 21).map(ccIterSql).mkString(",\n")}
        |SELECT d.doc_id, coalesce(l.c, d.doc_id) AS keeper
-       |FROM documents d LEFT JOIN l20 l ON d.doc_id = l.v""".stripMargin
+       |FROM documents d LEFT JOIN l21 l ON d.doc_id = l.v""".stripMargin
 
   /** SimHash near-dup pairs: 62-bit signature (two 31-bit rolling-hash
     * streams), 4×16-bit bands, Hamming ≤ 6. */

@@ -110,42 +110,23 @@ object Streams {
       .start()
 
   /** Event-time sessionization with WATERMARK-driven closure — the
-    * production twin of [[sessionize]]: sessions split on in-batch gaps
-    * and, via `EventTimeTimeout` at `lastTs + gap`, the open session
-    * CLOSES exactly when the event-time watermark passes its gap horizon
-    * (no wall-clock dependence, replay-deterministic). Emits ONLY closed
-    * sessions (Append semantics); state size tracks open sessions. */
-  def sessionizeEventTime(events: Dataset[Event],
-      gapMs: Long = 30 * 60 * 1000L,
-      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
-    import events.sparkSession.implicits._
+    * production twin of [[sessionize]], built on Spark's NATIVE
+    * `session_window` (not hand-rolled state): out-of-order events within
+    * the watermark delay merge into the correct session (adjacent windows
+    * coalesce as late data arrives — per-key last-seen state can't do
+    * that), and in Append mode a session emits exactly once, when the
+    * watermark passes its close. Replay-deterministic by construction. */
+  def sessionizeEventTime(events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (uid, it, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(uid, s.count, s.totalValue, closed = true))
-          } else {
-            val evs = it.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            evs.foreach { e =>
-              if (cur.lastTs != Long.MinValue && e.ts.getTime - cur.lastTs > gapMs) {
-                closed += SessionOut(uid, cur.count, cur.totalValue, closed = true)
-                cur = SessionState(0L, 0.0, Long.MinValue)
-              }
-              cur = SessionState(cur.count + 1, cur.totalValue + e.value, e.ts.getTime)
-            }
-            state.update(cur)
-            state.setTimeoutTimestamp(cur.lastTs + gapMs)
-            closed.iterator
-          }
-      }
-  }
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("events"), sum("value").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("events"), col("total_value"))
 
   /** Watermarked stream-stream INNER join: pair each left event with the
     * right events of the SAME key within `[left.ts, left.ts + range]` —

@@ -232,6 +232,20 @@ class CypherLiteSpec extends AnyFunSuite {
       "MATCH (y)<-[:CALL {via: 'proxy'}]-(x) RETURN y.full_name")
       .collect().map(_.getString(0)).toSeq
     assert(rev === Seq("c"))
+    // parens inside a quoted rel-prop value must not open a node pattern
+    val d5 = GraphDatabase.inMemory(spark)
+    d5.addEdge("t", "f", Rel.Call, "g", Map("signature" -> "run(x)"))
+    val paren = d5.executeQuery(
+      "MATCH (a)-[:CALL {signature: 'run(x)'}]->(b) RETURN b.full_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(paren === Seq("g"))
+  }
+
+  test("WHERE function keywords are case-insensitive like Neo4j") {
+    val up = db.executeQuery(
+      "MATCH (n:sklearn) WHERE EXISTS(n.file_path) RETURN n.full_name")
+      .collect().map(_.getString(0)).toSet
+    assert(up === Set("m"))
   }
 
   test("unsupported shapes are rejected, not silently wrong") {

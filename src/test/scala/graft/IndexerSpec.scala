@@ -309,6 +309,21 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("w.work", "lib.Database.query")))
     // the `-> Type` return slice composes with the with-binding too
     assert(calls.contains(("w.declared", "lib.Database.ping")))
+    // multi-manager with: each clause binds its OWN as-target
+    val src2 =
+      """from lib import Database, Lock
+        |
+        |def both():
+        |    with Database("d") as db, Lock("l") as lk:
+        |        db.query("x")
+        |        return lk.release()
+        |""".stripMargin
+    val ev2 = graft.indexer.PyIndexer.indexFile("t1", "w2.py", src2)
+    val calls2 = ev2.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls2.contains(("w2.both", "lib.Database.query")))
+    assert(calls2.contains(("w2.both", "lib.Lock.release")))
+    assert(!calls2.exists(_._2 == "lib.Database.release")) // no cross-binding
   }
 
   test("C3 partial: untyped intermediate steps emit NO half-resolved edges") {

@@ -157,29 +157,27 @@ class StreamsSpec extends AnyFunSuite {
   test("sessionizeEventTime closes sessions as the WATERMARK passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
-    val q = Streams.sessionizeEventTime(mem.toDS(),
-        gapMs = 5 * 60 * 1000L, watermarkDelay = "0 seconds")
+    val q = Streams.sessionizeEventTime(mem.toDF(),
+        gap = "5 minutes", watermarkDelay = "0 seconds")
       .writeStream.format("memory").queryName("et_sessions")
       .outputMode("append").start()
-    // batch 1: two events 2 min apart -> one open session, nothing emitted
-    mem.addData(Event(1, ts(1), 7, "click", 2.0), Event(2, ts(3), 7, "view", 3.0))
+    // batch 1: OUT-OF-ORDER events 2 min apart -> one open session,
+    // nothing emitted (watermark hasn't passed its close)
+    mem.addData(Event(2, ts(3), 7, "view", 3.0), Event(1, ts(1), 7, "click", 2.0))
     q.processAllAvailable()
     assert(spark.table("et_sessions").count() === 0)
-    // batch 2: an event 40 min later advances the watermark past the open
-    // session's gap horizon; a third batch lets the timeout fire
+    // batch 2 advances the watermark 40 min; batch 3 flushes the emit
     mem.addData(Event(3, ts(43), 7, "click", 1.0))
     q.processAllAvailable()
     mem.addData(Event(4, ts(45), 9, "view", 9.0))
     q.processAllAvailable()
     val closed = spark.table("et_sessions")
-      .select("user_id", "events", "total_value", "closed")
-      .as[(Long, Long, Double, Boolean)].collect().toSet
+      .select("user_id", "session_start", "events", "total_value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
     q.stop()
-    // the in-batch gap closure (batch 2 sees the 40-min gap directly)
-    // or the timeout produce the SAME closed session
-    assert(closed.contains((7L, 2L, 5.0, true)))
-    // the fresh session (event 3) and user 9's are still open -> absent
-    assert(!closed.exists(r => r._1 == 9L))
+    // the out-of-order pair merged into ONE session anchored at its
+    // earliest event; the 40-min-later session is still open -> absent
+    assert(closed === Set((7L, ts(1), 2L, 5.0)))
   }
 
   test("sessionize starts a fresh session after the inactivity gap") {
