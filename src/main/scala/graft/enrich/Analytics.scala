@@ -176,6 +176,66 @@ object Analytics {
       .select(col("name").as("v"), col("d"))
   }
 
+  /** Per-vertex triangle counts over a canonical undirected edge list
+    * (src < dst, deduped). Degree-ordered orientation: every edge points
+    * from its lower-(degree, id) endpoint to the higher one, so each
+    * out-neighborhood is O(√E) even on skewed graphs and every triangle
+    * materializes exactly once as a closed wedge — the standard
+    * scale-safe formulation (wedge count is Σ out-deg², bounded, instead
+    * of Σ deg², unbounded under hubs). Three self-joins on the oriented
+    * list, no driver state. Output: (v, n_tri) for vertices in ≥1
+    * triangle; the triangle SET is orientation-invariant, so the oracle
+    * can replay a plain id-ordered join at its small scale. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orientation key: (degree, id) — a total order, ties broken by id
+    val keyed = e
+      .join(deg.select(col("v").as("src"), col("deg").as("dsrc")), "src")
+      .join(deg.select(col("v").as("dst"), col("deg").as("ddst")), "dst")
+    val srcFirst = struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst"))
+    val oriented = keyed.select(
+        when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
+        when(srcFirst, col("dst")).otherwise(col("src")).as("w"),
+        // carry the head's orientation key so the wedge join can order
+        // its two legs without re-joining degrees
+        when(srcFirst, struct(col("ddst").as("d"), col("dst").as("id")))
+          .otherwise(struct(col("dsrc").as("d"), col("src").as("id"))).as("wk"))
+      .localCheckpoint(eager = true)
+    // wedge (u→v, u→w) with v strictly before w in orientation order,
+    // closed by oriented edge v→w
+    val l1 = oriented.select(col("u"), col("w").as("v"), col("wk").as("vk"))
+    val l2 = oriented.select(col("u"), col("w"), col("wk"))
+    val tris = l1.join(l2, Seq("u"))
+      .filter(col("vk") < col("wk"))
+      .join(oriented.select(col("u").as("v"), col("w")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** GraphX scale path for [[triangleCounts]]: `TriangleCount.run` over
+    * the same canonical edge list (resilient RDD state, edge-partition
+    * local set intersections) — identical per-vertex counts, so it
+    * shares q24's oracle. Vertex ids must already be numeric. */
+  def triangleCountsGraphX(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+    import spark.implicits._
+    val g = Graph.fromEdges(
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) },
+      defaultValue = (),
+      edgeStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    g.triangleCount().vertices
+      .filter(_._2 > 0)
+      .toDF("v", "n_tri")
+      .select(col("v"), col("n_tri").cast("long"))
+  }
+
   /** Connected components via iterated label propagation (min-id wins),
     * on the UNDIRECTED view of edges(src, dst). Deterministic; converges
     * in O(diameter) iterations. */

@@ -165,6 +165,63 @@ object Corpus {
       .filter(col("n_kept") >= 1)
   }
 
+  /** Corpus-wide exact duplicate-line removal, first occurrence wins —
+    * the line/paragraph-granularity exact dedup of large-corpus pipelines
+    * (complementing [[stripBoilerplate]]'s cross-doc-frequency rule): a
+    * line of ≥ `minLen` chars that already appeared earlier in the corpus
+    * (earlier = smaller (doc_id, pos)) is dropped; shorter lines are
+    * structural (headings, blanks, code punctuation) and always kept.
+    *
+    * Shape at scale: explode → one groupBy(line) computing the
+    * first-occurrence key as min(struct(doc_id, pos)) (partial-agg
+    * friendly; the short-line hub keys never enter the groupBy) → one
+    * join back on line → one reassembly groupBy(doc_id). No window over
+    * a skewed partition, no driver state.
+    *
+    * @return (doc_id, n_kept, n_removed, clean_text), one row per doc
+    */
+  def dedupLines(docs: DataFrame, minLen: Int): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val firsts = lines.filter(length(col("line")) >= minLen)
+      .groupBy("line")
+      .agg(min(struct(col("doc_id").as("d"), col("pos").as("p"))).as("first_occ"))
+    lines.join(firsts, Seq("line"), "left")
+      .withColumn("_drop", col("first_occ").isNotNull &&
+        !(col("first_occ.d") === col("doc_id") && col("first_occ.p") === col("pos")))
+      .groupBy("doc_id")
+      .agg(
+        count(when(!col("_drop"), 1)).cast("long").as("n_kept"),
+        count(when(col("_drop"), 1)).cast("long").as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("_drop"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
+
+  /** Temperature-flattened mixture sampling — the multilingual-corpus
+    * rebalancing step: stratum s is sampled at rate (n_s / n_max)^(1/2)
+    * (the square-root flattening of multilingual pretraining mixes,
+    * temperature T=2), so low-resource strata are up-weighted relative
+    * to their natural share. Rates derive IN-PLAN from the stratum
+    * counts (one tiny aggregate broadcast back — no driver collect);
+    * row selection rides the deterministic rolling hash exactly like
+    * [[stratifiedSample]] — no RNG, retry-stable. sqrt (not pow) on
+    * purpose: sqrt is IEEE-correctly-rounded in every engine, so the
+    * floor'd integer percentage is bit-portable.
+    *
+    * @return input rows kept by the mix, with the stratum's `pct` column
+    */
+  def temperatureMix(docs: DataFrame, key: Column, stratumCol: String): DataFrame = {
+    val counts = docs.groupBy(stratumCol).agg(count(lit(1)).as("n"))
+    val rates = counts.crossJoin(broadcast(counts.agg(max(col("n")).as("n_max"))))
+      .select(col(stratumCol),
+        floor(lit(100) * sqrt(col("n").cast("double") / col("n_max")))
+          .cast("long").as("pct"))
+    docs.join(broadcast(rates), stratumCol)
+      .filter(rollingHash(key.cast("string")) % 100 < col("pct"))
+  }
+
   /** Export a corpus as sharded JSONL — the interchange format feeding
     * tokenizer/training jobs downstream. Shard assignment hashes the key
     * (deterministic and retry-stable, unlike round-robin repartition);

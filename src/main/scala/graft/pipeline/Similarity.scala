@@ -184,6 +184,50 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
   }
 
+  /** Scalar-quantized (SQ8) ANN — the memory/bandwidth scale path that
+    * complements IVF's candidate pruning: every vector is quantized ONCE
+    * to signed-byte codes q_i = round(x_i · 127 / max_abs) (max_abs = the
+    * corpus-wide max |component|, one broadcast scalar), a shortlist of
+    * `shortlist` candidates per query is ranked by the quantized dot
+    * product — 4× less scan bandwidth than float32, and EXACT integer
+    * arithmetic, so the stage has no float-summation-order concern at
+    * all — and only the shortlist is re-ranked at full precision.
+    * Recall < 1 only through quantization error (shortlist ≫ k absorbs
+    * it); deterministic end to end, so the oracle replays both stages. */
+  def sqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      shortlist: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxAbs = emb.agg(max(array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))).as("m"))
+    val quant = emb.crossJoin(broadcast(maxAbs))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 127 / col("m"), 0).cast("long")).as("q8"))
+    val q = quant.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q8").as("qq8"))
+    val qdot = aggregate(zip_with(col("qq8"), col("q8"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("qsim").desc, col("vec_id").asc)
+    val short = quant.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), qdot.as("qsim"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "vec_id")
+    // full-precision re-rank of the (tiny) shortlist
+    val qv = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    short.join(emb, "vec_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
   /** Embedding near-duplicate pairs: all (a,b), a<b, cosine ≥ threshold,
     * candidates = union over bands of same-(band, bucket) pairs — the
     * [[Dedup.minhashLshPairs]] shape. With numPlanes=32 / bands=4, each

@@ -1427,6 +1427,183 @@ object QueryCatalog {
       |FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
       |GROUP BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------- round 6
+
+  /** Co-purchase graph for triangle counting: parts appearing together
+    * in ≥2 distinct orders, as canonical a<b pairs. One self-join on
+    * l_orderkey (within-order pairs only — never cross-catalog) plus a
+    * count aggregation; at scale the per-order fan-out is bounded by
+    * order size, not corpus size. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Per-vertex triangle counts over the co-purchase graph
+    * ([[graft.enrich.Analytics.triangleCounts]], degree-ordered
+    * orientation). The oracle replays a plain id-ordered 3-way join —
+    * valid because the triangle set is orientation-invariant. */
+  val q24Triangles: Q = (s, d) =>
+    graft.enrich.Analytics.triangleCounts(coPurchaseEdges(s, d))
+
+  /** GraphX TriangleCount variant — same edges, same per-vertex counts,
+    * same oracle. */
+  val q24TrianglesGx: Q = (s, d) =>
+    graft.enrich.Analytics.triangleCountsGraphX(s, coPurchaseEdges(s, d))
+
+  val q24TrianglesSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1
+      |        JOIN e e2 ON e2.a = e1.b
+      |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT v, count(*)::BIGINT AS n_tri FROM (
+      |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      |GROUP BY v""".stripMargin
+
+  /** Window navigation functions (lag, lead, first_value, last_value) —
+    * per-user inter-event gaps, telescoped value deltas, and first/last
+    * event types, all riding ONE window sort (one shuffle on user_id),
+    * then folded to per-user rows. Gaps are exact integer microseconds;
+    * value deltas go through DECIMAL — no float accumulation anywhere
+    * before the final rounded division. */
+  val q25Lag: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+        (lead(col("value").cast("decimal(18,2)"), 1).over(w)
+          - col("value").cast("decimal(18,2)")).as("delta_next"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(wAll).as("last_type"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("gap_us")).cast("double") / lit(1000000.0) / count(col("gap_us")), 4)
+          .as("avg_gap_s"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("delta_next")).cast("double").as("sum_next_delta"),
+        max(col("first_type")).as("first_type"),
+        max(col("last_type")).as("last_type"))
+      .filter(col("n_events") >= 2)
+  }
+
+  val q25LagSql: String =
+    """WITH w AS (SELECT user_id,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER win AS gap_us,
+      |  lead(CAST(value AS DECIMAL(18,2))) OVER win - CAST(value AS DECIMAL(18,2)) AS delta_next,
+      |  first_value(event_type) OVER win AS first_type,
+      |  last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, count(*)::BIGINT AS n_events,
+      |  round(sum(gap_us)::DOUBLE / 1000000.0 / count(gap_us), 4) AS avg_gap_s,
+      |  max(gap_us)::BIGINT AS max_gap_us,
+      |  CAST(sum(delta_next) AS DOUBLE) AS sum_next_delta,
+      |  max(first_type) AS first_type, max(last_type) AS last_type
+      |FROM w GROUP BY user_id HAVING count(*) >= 2""".stripMargin
+
+  /** Ranking-function family beyond row_number: ntile deciles,
+    * percent_rank, and cume_dist over per-segment customer spend. The
+    * window partitions by market segment — never a global one-reducer
+    * sort — and orders by (spend DESC, custkey), a unique key, so bucket
+    * edges and rank fractions are engine-deterministic. Spend stays
+    * DECIMAL through the aggregation. */
+  val q26Ranks: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("spend").desc, col("o_custkey"))
+    spend.join(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_custkey").as("custkey"),
+        col("spend").cast("double").as("spend"),
+        ntile(10).over(w).cast("long").as("decile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+  }
+
+  val q26RanksSql: String =
+    """WITH spend AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c_mktsegment AS segment, o_custkey AS custkey, CAST(spend AS DOUBLE) AS spend,
+      |  ntile(10) OVER win::BIGINT AS decile,
+      |  round(percent_rank() OVER win, 6) AS pr,
+      |  round(cume_dist() OVER win, 6) AS cd
+      |FROM spend JOIN customer ON o_custkey = c_custkey
+      |WINDOW win AS (PARTITION BY c_mktsegment ORDER BY spend DESC, o_custkey)""".stripMargin
+
+  /** Scalar-quantized (SQ8) ANN with full-precision re-rank
+    * ([[Similarity.sqTopK]]): int8 codes, exact-integer shortlist
+    * ranking, cosine re-rank of the shortlist. */
+  val sSqAnn: Q = (s, d) =>
+    Similarity.sqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
+      shortlist = 30)
+
+  val sSqAnnSql: String =
+    s"""WITH mx AS (SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS m FROM embeddings),
+       |q8 AS (SELECT vec_id, list_transform(embedding,
+       |         x -> round(x::DOUBLE * 127 / m, 0)::BIGINT) AS q8 FROM embeddings, mx),
+       |qq AS (SELECT vec_id AS query_id, q8 AS qq8 FROM q8 WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |short AS (SELECT query_id, vec_id FROM (
+       |  SELECT qq.query_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY qq.query_id
+       |      ORDER BY list_sum(list_transform(range(1, 65), i -> qq.qq8[i] * c.q8[i])) DESC,
+       |               c.vec_id) AS srank
+       |  FROM q8 c CROSS JOIN qq WHERE c.vec_id <> qq.query_id) WHERE srank <= 30)
+       |SELECT query_id, vec_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+       |FROM (SELECT s.query_id, s.vec_id, ${cosOf("q.embedding", "c.embedding")} AS sim
+       |      FROM short s JOIN embeddings c ON s.vec_id = c.vec_id
+       |      JOIN embeddings q ON s.query_id = q.vec_id)
+       |QUALIFY rank <= 10""".stripMargin
+
+  /** Temperature-flattened language mix ([[Corpus.temperatureMix]],
+    * T=2): per-language keep rates derived in-plan from corpus counts. */
+  val pTempMix: Q = (s, d) =>
+    Corpus.temperatureMix(Tables.documents(s, d), col("doc_id"), "lang")
+      .select(col("doc_id"), col("lang"), col("pct"))
+
+  val pTempMixSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |r AS (SELECT lang, floor(100 * sqrt(n::DOUBLE / (SELECT max(n) FROM c)))::BIGINT AS pct FROM c)
+      |SELECT d.doc_id, d.lang, r.pct FROM documents d JOIN r ON d.lang = r.lang
+      |WHERE list_reduce(list_prepend(0::BIGINT,
+      |        list_transform(string_split(d.doc_id::VARCHAR, ''), ch -> ascii(ch)::BIGINT)),
+      |        (a, ch) -> (a * 31 + ch) % 2147483647) % 100 < r.pct""".stripMargin
+
+  /** Corpus-wide first-occurrence line dedup ([[Corpus.dedupLines]],
+    * minLen=30), reassembled docs hash-compared. */
+  val dLineDedup: Q = (s, d) =>
+    Corpus.dedupLines(Tables.documents(s, d), minLen = 30)
+      .select(col("doc_id"), col("n_kept"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+
+  val dLineDedupSql: String =
+    """WITH l AS (SELECT doc_id, generate_subscripts(sl, 1) AS pos, unnest(sl) AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sl FROM documents)),
+      |f AS (SELECT line, min(struct_pack(d := doc_id, p := pos)) AS fo
+      |      FROM l WHERE len(line) >= 30 GROUP BY line),
+      |m AS (SELECT l.doc_id, l.pos, l.line,
+      |        f.fo IS NOT NULL AND NOT (f.fo.d = l.doc_id AND f.fo.p = l.pos) AS dropped
+      |      FROM l LEFT JOIN f ON l.line = f.line)
+      |SELECT doc_id,
+      |  (count(*) FILTER (WHERE NOT dropped))::BIGINT AS n_kept,
+      |  (count(*) FILTER (WHERE dropped))::BIGINT AS n_removed,
+      |  md5(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT dropped)) AS clean_md5
+      |FROM m GROUP BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- catalog
 
   val queries: Map[String, Q] = Map(
@@ -1506,6 +1683,13 @@ object QueryCatalog {
     "p_train_mix" -> pTrainMix,
     "d_span_frac" -> dSpanFrac,
     "q23_stragg" -> q23StrAgg,
+    "q24_triangles" -> q24Triangles,
+    "q24_triangles_gx" -> q24TrianglesGx,
+    "q25_lag" -> q25Lag,
+    "q26_ranks" -> q26Ranks,
+    "s_sq_ann" -> sSqAnn,
+    "p_temp_mix" -> pTempMix,
+    "d_line_dedup" -> dLineDedup,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1585,5 +1769,12 @@ object QueryCatalog {
     "p_train_mix" -> pTrainMixSql,
     "d_span_frac" -> dSpanFracSql,
     "q23_stragg" -> q23StrAggSql,
+    "q24_triangles" -> q24TrianglesSql,
+    "q24_triangles_gx" -> q24TrianglesSql,
+    "q25_lag" -> q25LagSql,
+    "q26_ranks" -> q26RanksSql,
+    "s_sq_ann" -> sSqAnnSql,
+    "p_temp_mix" -> pTempMixSql,
+    "d_line_dedup" -> dLineDedupSql,
   )
 }

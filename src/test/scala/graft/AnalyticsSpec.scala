@@ -61,6 +61,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(gx === loop)
   }
 
+  test("triangleCounts: per-vertex counts; GraphX variant agrees") {
+    // two triangles sharing edge (2,3): {1,2,3} and {2,3,4}; plus a
+    // triangle-free pendant edge (4,5). Canonical a<b input.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val want = Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L)
+    val df = Analytics.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(df === want) // vertex 5 is in no triangle and absent
+    val gx = Analytics.triangleCountsGraphX(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(gx === want)
+  }
+
   test("bfsDistances: hop counts from the source; GraphX variant agrees") {
     // diamond + tail + unreachable island: a->b, a->c, b->d, c->d, d->e; x->y
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),

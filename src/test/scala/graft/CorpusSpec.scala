@@ -82,6 +82,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 0L, 0L, 0L, "nothing sensitive here 12345")))
   }
 
+  test("dedupLines keeps the first occurrence, short lines always survive") {
+    val dup = "this duplicated line is long"
+    val docs = Seq(
+      (0L, s"$dup\nshort\nunique to zero"),
+      (1L, s"$dup\nanother unique line here"),
+      (2L, s"short\n$dup")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(docs, minLen = 10)
+      .select("doc_id", "n_kept", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 0 holds the first occurrence (smallest (doc_id, pos)); "short"
+    // is under minLen and survives everywhere
+    assert(out(0L) === ((0L, 3L, 0L, s"$dup\nshort\nunique to zero")))
+    assert(out(1L) === ((1L, 1L, 1L, "another unique line here")))
+    assert(out(2L) === ((2L, 1L, 1L, "short")))
+  }
+
+  test("temperatureMix up-weights low-resource strata via sqrt flattening") {
+    val docs = (0L until 1000L).map(i =>
+      (i, if (i < 800) "en" else "zh")).toDF("doc_id", "lang")
+    val out = Corpus.temperatureMix(docs, col("doc_id"), "lang")
+    val pct = out.select("lang", "pct").distinct()
+      .as[(String, Long)].collect().toMap
+    // en is the max stratum -> 100%; zh: floor(100*sqrt(200/800)) = 50%
+    assert(pct === Map("en" -> 100L, "zh" -> 50L))
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") === 800L) // pct=100 keeps everything
+    assert(byLang("zh") > 60 && byLang("zh") < 140) // ~50% of 200, hash-uniform-ish
+    // deterministic: the same call yields the same ids
+    val again = Corpus.temperatureMix(docs, col("doc_id"), "lang")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ===
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("stripBoilerplate drops cross-doc lines, keeps order, counts both") {
     val docs = Seq(
       (0L, "FOOTER\nunique alpha\nmiddle\nFOOTER"),

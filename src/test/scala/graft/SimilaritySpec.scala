@@ -111,6 +111,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfR >= 0.6, f"IVF recall@10 $ivfR%.2f below 0.6 floor")
   }
 
+  test("sqTopK: quantized shortlist + exact re-rank tracks brute force") {
+    val d = "/root/testdata/sf0.01"
+    assume(new java.io.File(d).isDirectory)
+    val emb = graft.store.Tables.embeddings(TestSpark.spark, d)
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(emb, qs, 10))
+    val sq = topSets(Similarity.sqTopK(emb, qs, 10, shortlist = 30))
+    val recall = qs.map(q => (sq.getOrElse(q, Set.empty) & exact(q)).size / 10.0)
+      .sum / qs.size
+    info(f"SQ8 recall@10 = $recall%.2f")
+    // int8 quantization barely perturbs a 64-dim cosine ranking; with a
+    // 3x shortlist the re-rank should recover nearly everything
+    assert(recall >= 0.8, f"SQ8 recall@10 $recall%.2f below 0.8 floor")
+  }
+
   test("lshSignature kernel is bit-identical to the HOF spec") {
     val both = emb.select(
       Similarity.lshSignature(col("embedding"), 16).as("k"),
