@@ -31,11 +31,18 @@ import org.apache.spark.sql.functions._
   *    the row), and `v.prop = 'literal'` joined by
   *    AND;
   *  - projections: `x` (fixed columns of x, prefixed), `x.prop`,
-  *    `labels(x)` (task_ids + kind array).
+  *    `labels(x)` (task_ids + kind array), `count(*)` / `count(x)` /
+  *    `count(x.prop)` — any item but a whole-variable may take an
+  *    `AS alias`; when a count appears, every non-aggregated item
+  *    becomes a grouping key (Cypher's implicit grouping);
+  *  - result shaping: `RETURN DISTINCT …`, `ORDER BY <output column>
+  *    [ASC|DESC], …` (references resolve against the RETURN list, the
+  *    common Neo4j idiom `RETURN m.name, count(r) AS n ORDER BY n DESC`),
+  *    `SKIP n`, `LIMIT n`.
   *
   * Anything else (OPTIONAL MATCH, UNBOUNDED variable-length `*`,
-  * undirected edges, multiple MATCH clauses, aggregation) raises —
-  * exactly the reference's posture of not reimplementing Neo4j.
+  * undirected edges, multiple MATCH clauses, aggregates beyond count)
+  * raises — exactly the reference's posture of not reimplementing Neo4j.
   *
   * The parse result is a plain DataFrame expression — Catalyst plans it
   * like any hand-written combinator query (broadcast point expands,
@@ -206,23 +213,127 @@ object CypherLite {
     (labelConds ++ propConds).reduceOption(_ && _).getOrElse(lit(true))
   }
 
-  /** vars: cypher variable -> DataFrame alias. */
-  private def projections(spec: String, vars: Map[String, String])
-      : Seq[Column] =
-    splitTop(spec, ",").flatMap {
-      case p if p.startsWith("labels(") =>
-        val v = p.stripPrefix("labels(").stripSuffix(")")
-        val a = vars(v)
-        Seq(array_union(col(s"$a.task_ids"), array(col(s"$a.kind")))
-          .as(s"labels($v)"))
-      case p if p.contains(".") =>
-        val Array(v, prop) = p.split("\\.", 2)
-        Seq(col(s"${vars(v)}.$prop").as(s"$v.$prop"))
-      case v =>
-        // whole-variable projection: fixed columns, prefixed
-        Seq("full_name", "kind", "name", "file_path", "signature")
-          .map(c => col(s"${vars(v)}.$c").as(s"$v.$c"))
+  /** Prop reference `v.prop` → Column (fixed column or props-map entry). */
+  private def propColOf(v: String, prop: String,
+      vars: Map[String, String]): Column = {
+    val a = vars.getOrElse(v,
+      throw new IllegalArgumentException(s"unknown variable $v"))
+    if (fixed(prop)) col(s"$a.$prop") else element_at(col(s"$a.props"), prop)
+  }
+
+  private val countRe = """^(?i)count\(\s*(\*|\w+(?:\.\w+)?)\s*\)$""".r
+
+  /** One RETURN item → (columns, isAggregate). `AS alias` applies to any
+    * single-column item; a whole-variable projection expands to its five
+    * fixed columns and can't be renamed. */
+  private def retItem(p: String, vars: Map[String, String])
+      : (Seq[Column], Boolean) = {
+    val (core, alias) = splitTop(p, "AS") match {
+      case Seq(c) => (c.trim, None)
+      case Seq(c, a) =>
+        require(a.trim.matches("""\w+"""), s"malformed alias in '$p'")
+        (c.trim, Some(a.trim))
+      case _ => throw new IllegalArgumentException(s"multiple AS in '$p'")
     }
+    def one(c: Column, default: String): Seq[Column] =
+      Seq(c.as(alias.getOrElse(default)))
+    core match {
+      case countRe(arg) =>
+        val c =
+          if (arg == "*") count(lit(1))
+          else if (arg.contains(".")) {
+            val Array(v, prop) = arg.split("\\.", 2)
+            count(propColOf(v, prop, vars))
+          } else count(col(s"${vars(arg)}.full_name"))
+        (one(c.cast("long"), s"count($arg)"), true)
+      case c if c.startsWith("labels(") =>
+        val v = c.stripPrefix("labels(").stripSuffix(")")
+        val a = vars(v)
+        (one(array_union(col(s"$a.task_ids"), array(col(s"$a.kind"))),
+          s"labels($v)"), false)
+      case c if c.contains(".") =>
+        // props-map fallback like WHERE's references: `x.custom_prop`
+        // projects the map entry when it's not a fixed column
+        val Array(v, prop) = c.split("\\.", 2)
+        (one(propColOf(v, prop, vars), s"$v.$prop"), false)
+      case v =>
+        require(alias.isEmpty,
+          s"AS on a whole-variable projection not supported: '$p'")
+        // whole-variable projection: fixed columns, prefixed
+        (Seq("full_name", "kind", "name", "file_path", "signature")
+          .map(c => col(s"${vars(v)}.$c").as(s"$v.$c")), false)
+    }
+  }
+
+  /** RETURN-clause result shaping: DISTINCT, AS aliases, count
+    * aggregation with Cypher's implicit grouping (every non-aggregated
+    * item is a grouping key), ORDER BY over output columns, SKIP, LIMIT.
+    * All of it is plain DataFrame surface — groupBy/agg, sort, offset,
+    * limit — so Catalyst plans partial aggregation and TakeOrdered the
+    * same as for hand-written combinators. */
+  private def shapeResult(df: DataFrame, ret0: String,
+      vars: Map[String, String]): DataFrame = {
+    var body = ret0.trim
+    // trailing clauses, in Cypher's fixed order: ORDER BY … SKIP n LIMIT n
+    var limitN: Option[Int] = None
+    var skipN: Option[Int] = None
+    var orderSpec: Option[String] = None
+    val limitIdx = topLevelKeyword(body, "LIMIT")
+    if (limitIdx >= 0) {
+      limitN = Some(body.substring(limitIdx + 5).trim.toInt)
+      body = body.substring(0, limitIdx).trim
+    }
+    val skipIdx = topLevelKeyword(body, "SKIP")
+    if (skipIdx >= 0) {
+      skipN = Some(body.substring(skipIdx + 4).trim.toInt)
+      body = body.substring(0, skipIdx).trim
+    }
+    val orderIdx = topLevelKeyword(body, "ORDER")
+    if (orderIdx >= 0) {
+      val tail = body.substring(orderIdx + 5).trim
+      require(tail.regionMatches(true, 0, "BY", 0, 2) &&
+        tail.length > 2 && !isWordChar(tail.charAt(2)),
+        s"malformed ORDER BY in: $ret0")
+      orderSpec = Some(tail.substring(2).trim)
+      body = body.substring(0, orderIdx).trim
+    }
+    val isDistinct = body.regionMatches(true, 0, "DISTINCT", 0, 8) &&
+      body.length > 8 && !isWordChar(body.charAt(8))
+    if (isDistinct) body = body.substring(8).trim
+
+    val items = splitTop(body, ",").map(retItem(_, vars))
+    val aggCols = items.filter(_._2).flatMap(_._1)
+    val plainCols = items.filterNot(_._2).flatMap(_._1)
+    var res =
+      if (aggCols.isEmpty) df.select(plainCols: _*)
+      else {
+        require(!isDistinct,
+          "DISTINCT with aggregation not supported (count(DISTINCT …) shape)")
+        if (plainCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+        // Cypher's implicit grouping: non-aggregated items are the key
+        else df.groupBy(plainCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      }
+    if (isDistinct) res = res.distinct()
+    orderSpec.foreach { spec =>
+      val outCols = res.columns.toSet
+      val keys = splitTop(spec, ",").map { item =>
+        val (ref, desc) = {
+          val t = item.trim
+          if (t.toUpperCase.endsWith(" DESC")) (t.dropRight(5).trim, true)
+          else if (t.toUpperCase.endsWith(" ASC")) (t.dropRight(4).trim, false)
+          else (t, false)
+        }
+        require(outCols.contains(ref),
+          s"ORDER BY '$ref' must reference a RETURN column (one of ${outCols.mkString(", ")})")
+        val c = col(s"`$ref`")
+        if (desc) c.desc else c.asc
+      }
+      res = res.orderBy(keys: _*)
+    }
+    skipN.foreach(n => res = res.offset(n))
+    limitN.foreach(n => res = res.limit(n))
+    res
+  }
 
   private final case class Hop(rel: String, reversed: Boolean,
       minHops: Int = 1, maxHops: Int = 1,
@@ -383,12 +494,7 @@ object CypherLite {
                 .join(next, col(s"e$i.src") === col(s"n${i + 1}.full_name"))
         }
         Option(whereClause).foreach { w =>
-          def propCol(v: String, prop: String): Column = {
-            val a = vars.getOrElse(v,
-              throw new IllegalArgumentException(s"unknown variable $v in WHERE"))
-            if (fixed(prop)) col(s"$a.$prop")
-            else element_at(col(s"$a.props"), prop)
-          }
+          def propCol(v: String, prop: String): Column = propColOf(v, prop, vars)
           splitTop(w, "AND").foreach {
             // NOT exists must match before the bare exists pattern
             case whereNotExists(v, prop) =>
@@ -403,7 +509,7 @@ object CypherLite {
               s"unsupported WHERE condition: $other")
           }
         }
-        df.select(projections(ret, vars): _*)
+        shapeResult(df, ret, vars)
       case None =>
         throw new IllegalArgumentException(
           s"unsupported Cypher shape (directed MATCH-chain subset only): $q")

@@ -248,6 +248,51 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(up === Set("m"))
   }
 
+  test("RETURN count(*) and count(var) aggregate the match") {
+    val out = db.executeQuery("MATCH (n:sklearn) RETURN count(*)").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(4L))
+    val cnt = db.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(m) RETURN count(m) AS n").collect()
+    assert(cnt(0).getAs[Long]("n") === 1L)
+  }
+
+  test("implicit grouping: RETURN n.kind, count(*) groups by kind") {
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) RETURN n.kind, count(*) AS n ORDER BY n DESC, n.kind")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("CLASS", 1L), ("FUNCTION", 1L), ("METHOD", 1L),
+      ("MODULE", 1L)))
+  }
+
+  test("ORDER BY / SKIP / LIMIT shape the result like Neo4j") {
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) RETURN n.full_name ORDER BY n.full_name LIMIT 2")
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("m", "m.Person"))
+    val skipped = db.executeQuery(
+      "MATCH (n:sklearn) RETURN n.full_name ORDER BY n.full_name SKIP 2 LIMIT 2")
+      .collect().map(_.getString(0)).toSeq
+    assert(skipped === Seq("m.Person.greet", "m.util"))
+    val desc = db.executeQuery(
+      "MATCH (n:sklearn) RETURN n.full_name AS fn ORDER BY fn DESC LIMIT 1")
+      .collect().map(_.getString(0)).toSeq
+    assert(desc === Seq("m.util"))
+  }
+
+  test("RETURN DISTINCT collapses duplicate projections") {
+    val d6 = GraphDatabase.inMemory(spark)
+    d6.addEdge("t", "a", Rel.Call, "x"); d6.addEdge("t", "b", Rel.Call, "x")
+    d6.addNode("t", Kind.Function, "a", Map("group" -> "g1"))
+    d6.addNode("t", Kind.Function, "b", Map("group" -> "g1"))
+    d6.commit()
+    val all = d6.executeQuery(
+      "MATCH (s)-[:CALL]->(t2) RETURN s.group").collect()
+    assert(all.length === 2)
+    val dist = d6.executeQuery(
+      "MATCH (s)-[:CALL]->(t2) RETURN DISTINCT s.group").collect()
+    assert(dist.map(_.getString(0)).toSeq === Seq("g1"))
+  }
+
   test("unsupported shapes are rejected, not silently wrong") {
     intercept[IllegalArgumentException] {
       db.executeQuery("MATCH (a)-[:X*]->(b) RETURN a") // unbounded
@@ -274,6 +319,14 @@ class CypherLiteSpec extends AnyFunSuite {
       // '_' is a word char: MATCH_foo must fail the keyword-boundary
       // check, same \w rule as WHERE/RETURN (ADVICE r5)
       db.executeQuery("MATCH_foo (a) RETURN a")
+    }
+    intercept[IllegalArgumentException] {
+      // ORDER BY must reference a RETURN column
+      db.executeQuery("MATCH (n:sklearn) RETURN n.name ORDER BY n.kind")
+    }
+    intercept[IllegalArgumentException] {
+      // count(DISTINCT …) shape not supported
+      db.executeQuery("MATCH (n:sklearn) RETURN DISTINCT n.kind, count(*)")
     }
   }
 }
