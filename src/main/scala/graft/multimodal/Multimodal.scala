@@ -107,9 +107,11 @@ object Multimodal {
   /** ======= REAL (codec-free) ======= image dimensions from container
     * HEADERS — PNG's IHDR chunk (big-endian at offset 16/20), GIF's
     * logical-screen descriptor (little-endian at 6/8), BMP's info header
-    * (little-endian at 18/22). Pure byte arithmetic, no codec: this is
-    * the metadata a real ingest records for every payload BEFORE any
-    * decode (size filters, aspect-ratio screens, thumbnail routing).
+    * (little-endian at 18/22), and JPEG's first SOFn frame header (found
+    * by walking the segment chain; height/width are big-endian at +5/+7
+    * past the marker). Pure byte arithmetic, no codec: this is the
+    * metadata a real ingest records for every payload BEFORE any decode
+    * (size filters, aspect-ratio screens, thumbnail routing).
     * JVM UDF for the same reason as [[withByteEntropy]]: a byte-offset
     * loop has no Column spelling, and it stays in-process. */
   def withHeaderMeta(media: DataFrame, payloadCol: String = "payload",
@@ -127,6 +129,32 @@ object Multimodal {
             u(2) == 'F' && u(3) == '8')
           HeaderMeta("gif",
             Some(u(6) | (u(7) << 8)), Some(u(8) | (u(9) << 8)))
+        else if (p.length >= 4 && u(0) == 0xff && u(1) == 0xd8) {
+          // JPEG: walk segments to the first SOFn (C0–CF minus the
+          // non-frame C4/C8/CC); stop at SOS (entropy-coded data) or a
+          // malformed length. The walk touches header bytes only —
+          // bounded, no decode.
+          var i = 2
+          var out = HeaderMeta("jpeg", None, None)
+          var done = false
+          while (!done && i + 3 < p.length && u(i) == 0xff) {
+            val m = u(i + 1)
+            if (m == 0xff) i += 1 // fill byte
+            else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+            else {
+              val len = (u(i + 2) << 8) | u(i + 3)
+              if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+                if (i + 8 < p.length)
+                  out = HeaderMeta("jpeg",
+                    Some((u(i + 7) << 8) | u(i + 8)),  // samples per line
+                    Some((u(i + 5) << 8) | u(i + 6)))  // number of lines
+                done = true
+              } else if (m == 0xda || len < 2) done = true
+              else i += 2 + len
+            }
+          }
+          out
+        }
         else if (p.length >= 26 && u(0) == 'B' && u(1) == 'M')
           // biWidth/biHeight are SIGNED; a negative biHeight means a
           // top-down row order, the magnitude is still the pixel height

@@ -111,4 +111,33 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("header_meta.width"), col("header_meta.height")).collect()(0)
     assert((td.getInt(0), td.getInt(1)) === ((640, 480)))
   }
+
+  test("withHeaderMeta walks JPEG segments to the SOF frame header") {
+    // SOI, APP0 (16-byte JFIF stanza), DQT (typical pre-SOF segment),
+    // then SOF0 with height 300 / width 450 big-endian — the walk must
+    // skip the variable-length segments and read the first real SOFn
+    val app0 = Seq(0xff, 0xe0, 0x00, 0x10) ++ "JFIF".getBytes.map(_.toInt) ++
+      Seq.fill(10)(0)
+    val dqt = Seq(0xff, 0xdb, 0x00, 0x05) ++ Seq.fill(3)(1)
+    val sof0 = Seq(0xff, 0xc0, 0x00, 0x11, 8,
+      0x01, 0x2c,  // height 300
+      0x01, 0xc2,  // width 450
+      3) ++ Seq.fill(10)(0)
+    val jpeg = (Seq(0xff, 0xd8) ++ app0 ++ dqt ++ sof0).map(_.toByte).toArray
+    // progressive JPEG: SOF2 carries the dimensions the same way
+    val sof2 = Seq(0xff, 0xc2, 0x00, 0x11, 8, 0x00, 0x64, 0x00, 0xc8, 3) ++
+      Seq.fill(10)(0)
+    val jpegProg = (Seq(0xff, 0xd8) ++ app0 ++ sof2).map(_.toByte).toArray
+    // truncated JPEG (cut before any SOF): format sniffs, dims stay null
+    val jpegTrunc = (Seq(0xff, 0xd8) ++ app0.take(6)).map(_.toByte).toArray
+    val out = Multimodal.withHeaderMeta(
+      Seq((1L, jpeg), (2L, jpegProg), (3L, jpegTrunc)).toDF("doc_id", "payload"))
+      .select(col("doc_id"), col("header_meta.format"),
+        col("header_meta.width"), col("header_meta.height"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(1L) === (("jpeg", Some(450), Some(300))))
+    assert(out(2L) === (("jpeg", Some(200), Some(100))))
+    assert(out(3L) === (("jpeg", None, None)))
+  }
 }

@@ -289,6 +289,67 @@ class PropertySpec extends AnyFunSuite {
     }, min = 6)
   }
 
+  test("property: triangleCounts ≡ naive enumeration on random graphs") {
+    import graft.enrich.Analytics
+    val genEdges = for {
+      n <- Gen.choose(3, 9)
+      pairs = for (i <- 0 until n; j <- i + 1 until n) yield (i.toLong, j.toLong)
+      picked <- Gen.someOf(pairs)
+    } yield picked.toList
+    check("triModel", Prop.forAll(genEdges) { edges =>
+      if (edges.isEmpty) true
+      else {
+        val es = edges.toSet
+        val verts = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+        // naive model: every vertex triple with all three canonical edges
+        val tris = for {
+          a <- verts; b <- verts if a < b; c <- verts if b < c
+          if es((a, b)) && es((b, c)) && es((a, c))
+        } yield Seq(a, b, c)
+        val want = tris.flatten.groupBy(identity)
+          .map { case (v, o) => v -> o.size.toLong }
+        val got = Analytics.triangleCounts(edges.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+        got == want
+      }
+    }, min = 8)
+  }
+
+  test("property: dedupLines is idempotent and its model holds") {
+    import graft.pipeline.Corpus
+    // lines of both classes: >= minLen (dedup-eligible) and short
+    val longLine = Gen.oneOf("aaaaaaaaaa", "bbbbbbbbbb", "cccccccccc")
+    val shortLine = Gen.oneOf("x", "y", "", "zz")
+    val genDoc = Gen.listOf(Gen.frequency(2 -> longLine, 3 -> shortLine))
+      .map(_.mkString("\n"))
+    check("dedupLinesModel", Prop.forAll(Gen.nonEmptyListOf(genDoc)) { docsRaw =>
+      val minLen = 10
+      val docs = docsRaw.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Corpus.dedupLines(docs, minLen)
+        .select("doc_id", "n_kept", "n_removed", "clean_text")
+        .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      // model: global first occurrence of each eligible line wins
+      val lines = docsRaw.zipWithIndex.flatMap { case (t, i) =>
+        t.split("\n", -1).zipWithIndex.map { case (l, p) => (i.toLong, p, l) } }
+      val firstOcc = lines.filter(_._3.length >= minLen)
+        .groupBy(_._3).map { case (l, occ) => l -> occ.map(o => (o._1, o._2)).min }
+      val modelOk = docsRaw.indices.forall { i =>
+        val mine = lines.filter(_._1 == i.toLong)
+        val kept = mine.filter { case (d, p, l) =>
+          l.length < minLen || firstOcc(l) == ((d, p)) }
+        out(i.toLong) == ((i.toLong, kept.size.toLong,
+          (mine.size - kept.size).toLong, kept.map(_._3).mkString("\n")))
+      }
+      // idempotence: a second pass removes nothing
+      val again = Corpus.dedupLines(
+        Corpus.dedupLines(docs, minLen)
+          .select(col("doc_id"), col("clean_text").as("text")), minLen)
+        .select("doc_id", "n_removed").as[(Long, Long)].collect()
+      modelOk && again.forall(_._2 == 0L)
+    }, min = 6)
+  }
+
   test("property: duplicatedSpanStats ≡ plain-Scala shingle model") {
     import graft.pipeline.Dedup
     val genDoc = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
