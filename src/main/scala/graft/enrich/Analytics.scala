@@ -261,32 +261,16 @@ object Analytics {
           least(col("component"), coalesce(col("_nm"), col("component"))))
         .drop("_nm")
     }
-    // pointer-jumping label compression: component ids are always vertex
-    // ids, so one self-join folds the label's OWN label in —
-    // label(v) := min(label(v), label(label(v))) — doubling effective
-    // propagation distance per application (the shortcutting half of
-    // pointer-jumping CC). Monotone (least) and in-component, so the
-    // min-label fixpoint — what the oracle's unrolled propagation
-    // reaches — is unchanged; it just arrives in O(log d) rounds
-    // instead of O(d).
-    def compress(df: DataFrame): DataFrame = {
-      val par = df.select(col("v").as("_pv"), col("component").as("_pc"))
-      df.join(par, df("component") === col("_pv"), "left")
-        .withColumn("component",
-          least(col("component"), coalesce(col("_pc"), col("component"))))
-        .drop("_pv", "_pc")
-    }
     var changed = 1L
     var i = 0
     while (i < maxIter && changed > 0) {
-      // THREE hops + one compression per materialization: the
-      // checkpoint+count cost (the per-round fixed overhead that
-      // dominates on a graph this shape) is paid once per round, and a
-      // round covers ~2× the graph distance the hops alone would. The
-      // _old carry makes convergence a filter-count over the
-      // checkpointed result, not a second full-table join.
-      val next = compress(
-          step(step(step(labels.withColumn("_old", col("component"))))))
+      // THREE hops per materialization: the checkpoint+count cost (the
+      // per-round fixed overhead that dominates on a graph this shape) is
+      // paid a third as often, and the fixpoint (what the oracle's
+      // unrolled propagation reaches) is stepping-invariant. The _old
+      // carry makes convergence a filter-count over the checkpointed
+      // result, not a second full-table join.
+      val next = step(step(step(labels.withColumn("_old", col("component")))))
         .localCheckpoint(eager = true)
       changed = next.filter(col("component") =!= col("_old")).count()
       labels = next.drop("_old")
