@@ -87,6 +87,21 @@ object GraphOps {
         array_union(col("task_ids"), array(lit(newTask))))
         .otherwise(col("task_ids")))
 
+  /** D5 companion — diff two snapshot labels: classify every node by its
+    * membership in (t1, t2) — 'carried' (in both), 'removed' (t1 only:
+    * the re-index dropped it), 'added' (t2 only: newly indexed). A
+    * narrow map over the nodes table — membership is two array_contains
+    * probes on the set-valued task_ids column, which IS the version
+    * index (update_version.py's multi-label membership, SURVEY §1.1);
+    * no join, no shuffle. */
+  def snapshotDiff(nodes: DataFrame, t1: String, t2: String): DataFrame = {
+    val in1 = array_contains(col("task_ids"), t1)
+    val in2 = array_contains(col("task_ids"), t2)
+    nodes.filter(in1 || in2)
+      .withColumn("diff_status",
+        when(in1 && in2, "carried").when(in1, "removed").otherwise("added"))
+  }
+
   /** A2 — label promotion (reference graphDB.py:82-92): REMOVE :none SET
     * :kind, guarded on the placeholder being present. */
   def promoteLabel(labels: Column, kind: Column): Column =

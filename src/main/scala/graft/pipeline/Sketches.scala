@@ -42,6 +42,25 @@ object Sketches {
           .otherwise(round(lit((k - 1).toDouble) * P / col("kth"), 4))
           .as("est_distinct"))
 
+  /** Per-group KMV distinct-count estimates — the grouped form of
+    * [[kmvDistinct]], one row per group. Sketch state is the k smallest
+    * distinct hashes PER GROUP: the distinct prunes before the per-group
+    * rank, so the window sorts each group's distinct-hash set (bounded
+    * by the value cardinality, ≪ raw rows), never the raw column. */
+  def kmvDistinctBy(df: DataFrame, group: Column, c: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.select(group.as("grp"), TextFunctions.rollingHash(c).as("h"))
+      .where(col("h") > 0).distinct()
+    val w = Window.partitionBy("grp").orderBy("h")
+    h.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy("grp")
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("n"))
+      .select(col("grp"),
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * P / col("kth"), 4))
+          .as("est_distinct"))
+  }
+
   /** Pure-Scala executable spec (PropertySpec: mergeability + estimator). */
   def kmvSpec(hashes: Seq[Long], k: Int): Double = {
     val ks = hashes.filter(_ > 0).distinct.sorted.take(k)

@@ -1604,6 +1604,48 @@ object QueryCatalog {
       |  md5(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT dropped)) AS clean_md5
       |FROM m GROUP BY doc_id""".stripMargin
 
+  /** D5 companion — snapshot diff ([[GraphOps.snapshotDiff]]): v1 = all
+    * docs; v2 = carried (unchanged sources) + re-indexed replacements
+    * (changed docs return under new ids, as a re-index would mint). The
+    * diff classifies every node as carried/removed/added from its
+    * set-valued task membership — a narrow map, no join. */
+  val gD5Diff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val changed = col("source").isin("src0", "src1")
+    val base = docs.select(col("doc_id"),
+      when(changed, array(lit("v1")))
+        .otherwise(array(lit("v1"), lit("v2"))).as("task_ids"))
+    val reindexed = docs.filter(changed)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array(lit("v2")).as("task_ids"))
+    GraphOps.snapshotDiff(base.unionByName(reindexed), "v1", "v2")
+      .select(col("doc_id"), col("diff_status"))
+  }
+
+  val gD5DiffSql: String =
+    """SELECT doc_id, CASE WHEN source IN ('src0','src1') THEN 'removed'
+      |  ELSE 'carried' END AS diff_status FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, 'added' FROM documents WHERE source IN ('src0','src1')""".stripMargin
+
+  /** Grouped KMV sketch ([[graft.pipeline.Sketches.kmvDistinctBy]]):
+    * distinct users per event type, k=64 — the grouped form of q14. */
+  val q14KmvGrouped: Q = (s, d) =>
+    graft.pipeline.Sketches.kmvDistinctBy(Tables.events(s, d),
+      col("event_type"), col("user_id").cast("string"), 64)
+      .withColumnRenamed("grp", "event_type")
+
+  val q14KmvGroupedSql: String = {
+    val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(user_id::VARCHAR, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
+    s"""WITH h AS (SELECT DISTINCT event_type, $rollh AS h FROM events),
+       |r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       |      FROM h WHERE h > 0)
+       |SELECT event_type,
+       |  CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+       |       ELSE round(63.0 * 2147483647 / max(h), 4) END AS est_distinct
+       |FROM r WHERE rk <= 64 GROUP BY event_type""".stripMargin
+  }
+
   // ---------------------------------------------------------------- catalog
 
   val queries: Map[String, Q] = Map(
@@ -1690,6 +1732,8 @@ object QueryCatalog {
     "s_sq_ann" -> sSqAnn,
     "p_temp_mix" -> pTempMix,
     "d_line_dedup" -> dLineDedup,
+    "g_d5_diff" -> gD5Diff,
+    "q14_kmv_grouped" -> q14KmvGrouped,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1776,5 +1820,7 @@ object QueryCatalog {
     "s_sq_ann" -> sSqAnnSql,
     "p_temp_mix" -> pTempMixSql,
     "d_line_dedup" -> dLineDedupSql,
+    "g_d5_diff" -> gD5DiffSql,
+    "q14_kmv_grouped" -> q14KmvGroupedSql,
   )
 }

@@ -289,6 +289,24 @@ class PropertySpec extends AnyFunSuite {
     }, min = 6)
   }
 
+  test("property: kmvDistinctBy ≡ per-group kmvSpec on random data") {
+    import graft.pipeline.Sketches
+    val genRow = for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0, 40)
+    } yield (g, s"val$v")
+    check("kmvGrouped", Prop.forAll(Gen.nonEmptyListOf(genRow)) { rows =>
+      val k = 8
+      val df = rows.toDF("grp", "v")
+      val got = Sketches.kmvDistinctBy(df, col("grp"), col("v"), k)
+        .as[(String, Double)].collect().toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> Sketches.kmvSpec(rs.map(r => rollSpec(r._2)), k)
+      }
+      got == want
+    }, min = 8)
+  }
+
   test("property: triangleCounts ≡ naive enumeration on random graphs") {
     import graft.enrich.Analytics
     val genEdges = for {
