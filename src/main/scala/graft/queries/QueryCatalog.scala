@@ -1646,6 +1646,30 @@ object QueryCatalog {
        |FROM r WHERE rk <= 64 GROUP BY event_type""".stripMargin
   }
 
+  /** Banded range join ([[graft.ops.RangeJoins.slidingCount]]): views per
+    * user in the 5 minutes before each click. The oracle replays the
+    * PLAIN inequality join — the banding is a partitioning rewrite, so a
+    * wrong band width or fan-out would hash-mismatch. */
+  val q27RangeJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("key"), col("event_id").as("id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("ts_us"))
+    graft.ops.RangeJoins.slidingCount(clicks, views, windowSec = 300)
+      .select(col("id").as("event_id"), col("key").as("user_id"),
+        col("n").as("n_views"))
+  }
+
+  val q27RangeJoinSql: String =
+    """SELECT c.event_id, c.user_id, count(v.user_id)::BIGINT AS n_views
+      |FROM events c LEFT JOIN events v
+      |  ON v.event_type = 'view' AND v.user_id = c.user_id
+      |  AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 300000000 AND epoch_us(c.ts)
+      |WHERE c.event_type = 'click'
+      |GROUP BY c.event_id, c.user_id""".stripMargin
+
   // ---------------------------------------------------------------- catalog
 
   val queries: Map[String, Q] = Map(
@@ -1734,6 +1758,7 @@ object QueryCatalog {
     "d_line_dedup" -> dLineDedup,
     "g_d5_diff" -> gD5Diff,
     "q14_kmv_grouped" -> q14KmvGrouped,
+    "q27_range_join" -> q27RangeJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1822,5 +1847,6 @@ object QueryCatalog {
     "d_line_dedup" -> dLineDedupSql,
     "g_d5_diff" -> gD5DiffSql,
     "q14_kmv_grouped" -> q14KmvGroupedSql,
+    "q27_range_join" -> q27RangeJoinSql,
   )
 }
