@@ -69,7 +69,14 @@ object Multimodal {
       .when(startsWithBytes(0x89, 0x50, 0x4e, 0x47), "png")
       .when(startsWithBytes(0xff, 0xd8, 0xff), "jpeg")
       .when(startsWithBytes(0x47, 0x49, 0x46, 0x38), "gif")
-      .when(startsWithBytes(0x52, 0x49, 0x46, 0x46), "riff") // wav/avi/webp
+      // RIFF containers split by their form type at offset 8
+      .when(startsWithBytes(0x52, 0x49, 0x46, 0x46) &&
+        substring(payload, 9, 4) === lit("WEBP".getBytes), "webp")
+      .when(startsWithBytes(0x52, 0x49, 0x46, 0x46) &&
+        substring(payload, 9, 4) === lit("WAVE".getBytes), "wav")
+      .when(startsWithBytes(0x52, 0x49, 0x46, 0x46) &&
+        substring(payload, 9, 4) === lit("AVI ".getBytes), "avi")
+      .when(startsWithBytes(0x52, 0x49, 0x46, 0x46), "riff")
       .when(startsWithBytes(0x49, 0x44, 0x33), "mp3")
       .when(startsWithBytes(0x4f, 0x67, 0x67, 0x53), "ogg")
       .when(startsWithBytes(0x00, 0x00, 0x00) &&
@@ -155,6 +162,31 @@ object Multimodal {
           }
           out
         }
+        else if (p.length >= 16 && u(0) == 'R' && u(1) == 'I' &&
+            u(2) == 'F' && u(3) == 'F' && u(8) == 'W' && u(9) == 'E' &&
+            u(10) == 'B' && u(11) == 'P') {
+          // WebP: the first chunk fourCC at 12 picks the bitstream flavor
+          val cc = new String(Array(p(12), p(13), p(14), p(15)), "US-ASCII")
+          cc match {
+            case "VP8 " if p.length >= 30 && u(23) == 0x9d &&
+                u(24) == 0x01 && u(25) == 0x2a =>
+              // lossy: 14-bit LE dimensions past the frame start code
+              HeaderMeta("webp",
+                Some((u(26) | (u(27) << 8)) & 0x3fff),
+                Some((u(28) | (u(29) << 8)) & 0x3fff))
+            case "VP8L" if p.length >= 25 && u(20) == 0x2f =>
+              // lossless: LSB-first packed 14-bit width-1 / height-1
+              val v = u(21) | (u(22) << 8) | (u(23) << 16) | (u(24) << 24)
+              HeaderMeta("webp",
+                Some((v & 0x3fff) + 1), Some(((v >> 14) & 0x3fff) + 1))
+            case "VP8X" if p.length >= 30 =>
+              // extended: 24-bit LE canvas width-1 / height-1 after flags
+              HeaderMeta("webp",
+                Some((u(24) | (u(25) << 8) | (u(26) << 16)) + 1),
+                Some((u(27) | (u(28) << 8) | (u(29) << 16)) + 1))
+            case _ => HeaderMeta("webp", None, None)
+          }
+        }
         else if (p.length >= 26 && u(0) == 'B' && u(1) == 'M')
           // biWidth/biHeight are SIGNED; a negative biHeight means a
           // top-down row order, the magnitude is still the pixel height
@@ -162,6 +194,55 @@ object Multimodal {
             Some(math.abs(u(18) | (u(19) << 8) | (u(20) << 16) | (u(21) << 24))),
             Some(math.abs(u(22) | (u(23) << 8) | (u(24) << 16) | (u(25) << 24))))
         else HeaderMeta("unknown", None, None)
+      }
+    }
+    media.withColumn(outCol, parse(col(payloadCol)))
+  }
+
+  final case class AudioMeta(format: String, channels: Option[Int],
+      sample_rate: Option[Int], bits_per_sample: Option[Int],
+      duration_ms: Option[Long])
+
+  /** ======= REAL (codec-free) ======= audio metadata from WAV headers:
+    * walk the RIFF chunk chain for `fmt ` (channels / sample rate / bit
+    * depth, all little-endian) and `data` (payload size, which with the
+    * fmt byte rate yields duration) — the sample-rate / channel / length
+    * screens an audio ingest applies before any decode. Chunk sizes pad
+    * to even offsets per the RIFF spec; the walk touches chunk headers
+    * only, never sample data. */
+  def withAudioMeta(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "audio_meta"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) =>
+      def u(i: Int) = p(i) & 0xff
+      def u16(i: Int) = u(i) | (u(i + 1) << 8)
+      def u32(i: Int) = u(i).toLong | (u(i + 1).toLong << 8) |
+        (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+      if (p == null || p.length < 12 || u(0) != 'R' || u(1) != 'I' ||
+          u(2) != 'F' || u(3) != 'F' || u(8) != 'W' || u(9) != 'A' ||
+          u(10) != 'V' || u(11) != 'E')
+        AudioMeta("not_wav", None, None, None, None)
+      else {
+        var i = 12
+        var channels, rate, bits = Option.empty[Int]
+        var byteRate = Option.empty[Long]
+        var dataLen = Option.empty[Long]
+        while (i + 8 <= p.length && (channels.isEmpty || dataLen.isEmpty)) {
+          val cc = new String(Array(p(i), p(i + 1), p(i + 2), p(i + 3)), "US-ASCII")
+          val len = u32(i + 4)
+          if (cc == "fmt " && i + 24 <= p.length) {
+            channels = Some(u16(i + 10))
+            rate = Some(u32(i + 12).toInt)
+            byteRate = Some(u32(i + 16))
+            bits = Some(u16(i + 22))
+          } else if (cc == "data") dataLen = Some(len)
+          // chunks pad to even; a corrupt length that would step backwards
+          // (or past Int range) ends the walk instead of looping
+          val next = i.toLong + 8L + len + (len & 1L)
+          i = if (next <= i || next > Int.MaxValue) p.length else next.toInt
+        }
+        val dur = for (d <- dataLen; br <- byteRate if br > 0)
+          yield d * 1000L / br
+        AudioMeta("wav", channels, rate, bits, dur)
       }
     }
     media.withColumn(outCol, parse(col(payloadCol)))

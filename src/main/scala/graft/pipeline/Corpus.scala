@@ -222,6 +222,58 @@ object Corpus {
       .filter(rollingHash(key.cast("string")) % 100 < col("pct"))
   }
 
+  /** Bigram language-model quality score — the CCNet/KenLM-style
+    * "perplexity filter" reshaped for engine portability: a bigram
+    * transition model is estimated from a trusted high-quality reference
+    * slice of the corpus, and every other document is scored by (a) its
+    * average transition probability P(w2|w1) under that model and (b) its
+    * out-of-vocabulary bigram rate. Low avg_p / high oov_rate marks text
+    * whose word transitions the reference corpus never makes — the same
+    * signal a perplexity filter thresholds, minus the log (ln is not
+    * bit-portable across engines; the probability average is).
+    *
+    * Shape at 100 TB: bigrams materialize per-row with zip_with (no
+    * shuffle), the model build aggregates only the reference slice (its
+    * predicate pushes to the scan), and scoring is ONE left hash join of
+    * corpus bigrams against the model keyed (w1, w2) plus one final
+    * groupBy(doc_id). Probabilities are scored in integer
+    * parts-per-million — `(a*2M + b) div (2b)` is exact HALF_UP rational
+    * rounding in pure BIGINT arithmetic — so every value is
+    * order-independent and bit-identical in any engine (a float average
+    * differs at the 6th decimal between engines at round-half
+    * boundaries; integers never do).
+    *
+    * @param refPred marks rows of `docs` as the trusted reference slice
+    * @return (doc_id, n_bigrams, oov_ppm, avg_p_ppm) for non-reference
+    *         docs with ≥1 bigram
+    */
+  def lmQualityScore(docs: DataFrame, refPred: Column): DataFrame = {
+    val toks = tokens(col("text"))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val pairs = docs
+      .select(col("doc_id"), refPred.as("is_ref"),
+        explode(zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("is_ref"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val ref = pairs.filter(col("is_ref"))
+    // model rows carry the head-word count alongside the bigram count, so
+    // the probe side needs a single join: P(w2|w1) = cb / cu
+    val model = ref.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .join(ref.groupBy("w1").agg(count(lit(1)).as("cu")), "w1")
+    pairs.filter(!col("is_ref"))
+      .join(model, Seq("w1", "w2"), "left")
+      // per-bigram P(w2|w1) in ppm: exact HALF_UP integer rounding
+      .withColumn("p_ppm",
+        coalesce(expr("(cb * 2000000 + cu) div (2 * cu)"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        expr("(sum(if(cb is null, 1L, 0L)) * 2000000 + count(1)) div (2 * count(1))")
+          .as("oov_ppm"),
+        expr("(sum(p_ppm) * 2 + count(1)) div (2 * count(1))").as("avg_p_ppm"))
+  }
+
   /** Export a corpus as sharded JSONL — the interchange format feeding
     * tokenizer/training jobs downstream. Shard assignment hashes the key
     * (deterministic and retry-stable, unlike round-robin repartition);

@@ -1583,6 +1583,31 @@ object QueryCatalog {
       |        list_transform(string_split(d.doc_id::VARCHAR, ''), ch -> ascii(ch)::BIGINT)),
       |        (a, ch) -> (a * 31 + ch) % 2147483647) % 100 < r.pct""".stripMargin
 
+  /** Bigram LM quality score ([[Corpus.lmQualityScore]]): the
+    * perplexity-filter signal (avg transition probability + OOV bigram
+    * rate, both in integer ppm) against a model trained on the
+    * doc_id%5=0 reference slice. */
+  val tLmScore: Q = (s, d) =>
+    Corpus.lmQualityScore(Tables.documents(s, d), col("doc_id") % 5 === 0)
+
+  val tLmScoreSql: String =
+    s"""WITH t AS (SELECT doc_id, doc_id % 5 = 0 AS is_ref,
+       |            string_split($normSql, ' ') AS toks FROM documents),
+       |pairs AS (SELECT doc_id, is_ref,
+       |            unnest(toks[1:len(toks)-1]) AS w1,
+       |            unnest(toks[2:len(toks)]) AS w2 FROM t),
+       |bgc AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM pairs WHERE is_ref GROUP BY w1, w2),
+       |ug AS (SELECT w1, count(*)::BIGINT AS cu FROM pairs WHERE is_ref GROUP BY w1),
+       |model AS (SELECT b.w1, b.w2, b.cb, u.cu FROM bgc b JOIN ug u ON b.w1 = u.w1),
+       |scored AS (SELECT p.doc_id, m.cb,
+       |    coalesce((m.cb * 2000000 + m.cu) // (2 * m.cu), 0) AS p_ppm
+       |  FROM pairs p LEFT JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+       |  WHERE NOT p.is_ref)
+       |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |  ((sum(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) * 2000000 + count(*)) // (2 * count(*)))::BIGINT AS oov_ppm,
+       |  ((sum(p_ppm) * 2 + count(*)) // (2 * count(*)))::BIGINT AS avg_p_ppm
+       |FROM scored GROUP BY doc_id""".stripMargin
+
   /** Corpus-wide first-occurrence line dedup ([[Corpus.dedupLines]],
     * minLen=30), reassembled docs hash-compared. */
   val dLineDedup: Q = (s, d) =>
@@ -1759,6 +1784,7 @@ object QueryCatalog {
     "g_d5_diff" -> gD5Diff,
     "q14_kmv_grouped" -> q14KmvGrouped,
     "q27_range_join" -> q27RangeJoin,
+    "t_lm_score" -> tLmScore,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1848,5 +1874,6 @@ object QueryCatalog {
     "g_d5_diff" -> gD5DiffSql,
     "q14_kmv_grouped" -> q14KmvGroupedSql,
     "q27_range_join" -> q27RangeJoinSql,
+    "t_lm_score" -> tLmScoreSql,
   )
 }

@@ -133,4 +133,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(1L) === ((1L, 2L, 1L, "unique beta\nlast line")))
     assert(out(2L) === ((2L, 3L, 0L, "only here\n\nalso only here")))
   }
+
+  test("lmQualityScore: reference transitions score high, OOV text scores low") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),   // reference (doc_id % 5 == 0)
+      (5L, "the cat ran on the mat"),   // reference
+      (1L, "the cat sat on the mat"),   // pure reference phrasing
+      (2L, "zx qy vw kj zz xq"),        // nothing in the model
+      (3L, "the cat")                   // single bigram, seen
+    ).toDF("doc_id", "text")
+    val out = Corpus.lmQualityScore(docs, col("doc_id") % 5 === 0)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // Model: "the"->{cat:2, mat:2} cu=4; "cat"->{sat:1, ran:1} cu=2;
+    // "sat"/"ran"->{on:1} cu=1; "on"->{the:2} cu=2.
+    // doc 1 bigrams: the-cat(2/4) cat-sat(1/2) sat-on(1/1) on-the(2/2)
+    //                the-mat(2/4) -> avg = (0.5+0.5+1+1+0.5)/5 = 0.7
+    assert(out(1L) === ((1L, 5L, 0L, 700000L)))
+    assert(out(2L) === ((2L, 5L, 1000000L, 0L)))
+    assert(out(3L) === ((3L, 1L, 0L, 500000L)))
+    // reference docs are never scored; no zero-bigram rows appear
+    assert(!out.contains(0L) && !out.contains(5L))
+  }
 }

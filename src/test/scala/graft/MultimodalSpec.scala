@@ -39,7 +39,8 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("doc_id", "payload")
       .select(col("doc_id"), Multimodal.sniffFormat(col("payload")).as("fmt"))
       .as[(Long, String)].collect().toMap
-    assert(rows === Map(1L -> "png", 2L -> "jpeg", 3L -> "riff",
+    // RIFF form types route to their own decoders since round 6
+    assert(rows === Map(1L -> "png", 2L -> "jpeg", 3L -> "wav",
       4L -> "mp4", 5L -> "unknown", 6L -> null))
   }
 
@@ -139,5 +140,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L) === (("jpeg", Some(450), Some(300))))
     assert(out(2L) === (("jpeg", Some(200), Some(100))))
     assert(out(3L) === (("jpeg", None, None)))
+  }
+
+  test("withHeaderMeta parses all three WebP bitstream flavors") {
+    def riff(chunk: Seq[Int]): Array[Byte] =
+      ("RIFF".getBytes.map(_.toInt).toSeq ++ Seq(0, 0, 0, 0) ++
+        "WEBP".getBytes.map(_.toInt).toSeq ++ chunk).map(_.toByte).toArray
+    // VP8 lossy: 3-byte frame tag, start code 9d 01 2a, then 14-bit LE dims
+    val vp8 = riff("VP8 ".getBytes.map(_.toInt).toSeq ++ Seq(0, 0, 0, 0) ++
+      Seq(0x00, 0x00, 0x00, 0x9d, 0x01, 0x2a,
+        0x40, 0x01,   // width 320
+        0xf0, 0x00))  // height 240
+    // VP8L lossless: sig 2f, then LSB-first 14-bit width-1 / height-1
+    // width 256, height 64: v = 255 | (63 << 14)
+    val v = 255 | (63 << 14)
+    val vp8l = riff("VP8L".getBytes.map(_.toInt).toSeq ++ Seq(6, 0, 0, 0) ++
+      Seq(0x2f, v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff,
+        0))
+    // VP8X extended: flags + reserved, then 24-bit LE canvas dims - 1
+    val vp8x = riff("VP8X".getBytes.map(_.toInt).toSeq ++ Seq(10, 0, 0, 0) ++
+      Seq(0x02, 0x00, 0x00, 0x00,
+        0xff, 0x03, 0x00,   // width 1024
+        0xff, 0x01, 0x00))  // height 512
+    val out = Multimodal.withHeaderMeta(
+      Seq((1L, vp8), (2L, vp8l), (3L, vp8x)).toDF("doc_id", "payload"))
+      .select(col("doc_id"), col("header_meta.format"),
+        col("header_meta.width"), col("header_meta.height"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(1L) === (("webp", Some(320), Some(240))))
+    assert(out(2L) === (("webp", Some(256), Some(64))))
+    assert(out(3L) === (("webp", Some(1024), Some(512))))
+    // sniffFormat splits RIFF flavors by form type
+    val sniffed = Seq((1L, vp8)).toDF("doc_id", "payload")
+      .select(Multimodal.sniffFormat(col("payload"))).head().getString(0)
+    assert(sniffed === "webp")
+  }
+
+  test("withAudioMeta walks WAV chunks for fmt and data") {
+    def le16(x: Int) = Seq(x & 0xff, (x >> 8) & 0xff)
+    def le32(x: Int) = Seq(x & 0xff, (x >> 8) & 0xff, (x >> 16) & 0xff, (x >> 24) & 0xff)
+    // 16kHz mono 16-bit: byteRate 32000; 64000 data bytes = 2000 ms.
+    // A LIST chunk with an ODD length sits in front, so the walk must pad
+    val fmt = "fmt ".getBytes.map(_.toInt).toSeq ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(16000) ++ le32(32000) ++ le16(2) ++ le16(16)
+    val list = "LIST".getBytes.map(_.toInt).toSeq ++ le32(3) ++ Seq(1, 2, 3, 0)
+    val data = "data".getBytes.map(_.toInt).toSeq ++ le32(64000)
+    val wav = ("RIFF".getBytes.map(_.toInt).toSeq ++ le32(0) ++
+      "WAVE".getBytes.map(_.toInt).toSeq ++ list ++ fmt ++ data)
+      .map(_.toByte).toArray
+    val out = Multimodal.withAudioMeta(
+      Seq((1L, wav), (2L, "RIFFxxxxAVI something".getBytes)).toDF("doc_id", "payload"))
+      .select(col("doc_id"), col("audio_meta.format"), col("audio_meta.channels"),
+        col("audio_meta.sample_rate"), col("audio_meta.bits_per_sample"),
+        col("audio_meta.duration_ms"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5))))).toMap
+    assert(out(1L) === (("wav", Some(1), Some(16000), Some(16), Some(2000L))))
+    assert(out(2L) === (("not_wav", None, None, None, None)))
   }
 }
