@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions._
   *  - node labels match `kind` or a member of `task_ids` (the reference's
   *    multi-label set, §1.1); prop literals may contain commas/colons
   *    inside quotes;
-  *  - WHERE supports `exists(v.prop)`, `NOT exists(v.prop)`,
-  *    `v.prop <> 'literal'` (Neo4j null semantics: a missing prop drops
-  *    the row), and `v.prop = 'literal'` joined by
-  *    AND;
+  *  - WHERE is a full boolean expression with Cypher precedence (NOT
+  *    over AND over OR) and parenthesized groups; leaves are
+  *    `exists(v.prop)` / `NOT exists(v.prop)`, `=`, `<>`,
+  *    `<` `<=` `>` `>=` (numeric when compared to an unquoted number,
+  *    lexicographic against a quoted string), `STARTS WITH` /
+  *    `ENDS WITH` / `CONTAINS`, and `v.prop IN ['a', 'b']` — all with
+  *    Neo4j null semantics (a missing prop drops the row);
   *  - projections: `x` (fixed columns of x, prefixed), `x.prop`,
   *    `labels(x)` (task_ids + kind array), `count(*)` / `count(x)` /
   *    `count(x.prop)` — any item but a whole-variable may take an
@@ -117,6 +120,12 @@ object CypherLite {
   // Neo4j `<>`: missing props compare to NULL, so the row drops — the
   // Column `=!=` null semantics match exactly
   private val whereNeq = """^(\w+)\.(\w+)\s*<>\s*(.+)$""".r
+  private val whereCmp = """^(\w+)\.(\w+)\s*(<=|>=|<|>)\s*(.+)$""".r
+  private val whereStrPred =
+    """^(?i)(\w+)\.(\w+)\s+(STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+(.+)$""".r
+  private val whereIn = """^(?i)(\w+)\.(\w+)\s+IN\s+\[(.*)\]$""".r
+  private val notParen = """^(?i)NOT\s*\((.*)$""".r
+  private val numericLit = """^-?\d+(\.\d+)?$""".r
 
   /** Index of the first occurrence of `word` (whole-word, case-insensitive)
     * outside single/double quotes; -1 if none. The same quote/escape rules
@@ -335,6 +344,112 @@ object CypherLite {
     res
   }
 
+  /** Split on a boolean keyword (AND / OR) at top level — outside quotes
+    * AND outside parentheses, with \w boundaries. [[splitTop]] is not
+    * paren-aware (prop literals never nest), but boolean groups do:
+    * `(a OR b) AND c` must not split inside the group. */
+  private def splitBool(s: String, word: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var quote: Char = 0
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        sb.append(c)
+        if (c == '\\' && i + 1 < s.length) { i += 1; sb.append(s.charAt(i)) }
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') { quote = c; sb.append(c) }
+      else if (c == '(') { depth += 1; sb.append(c) }
+      else if (c == ')') { depth -= 1; sb.append(c) }
+      else if (depth == 0 && s.regionMatches(true, i, word, 0, word.length) &&
+          (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+          (i + word.length >= s.length || !isWordChar(s.charAt(i + word.length)))) {
+        out += sb.toString; sb.clear(); i += word.length - 1
+      } else sb.append(c)
+      i += 1
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** True when `s` is one parenthesized group — starts with '(' whose
+    * match is the final char (quote-aware). */
+  private def isWholeParen(s: String): Boolean = {
+    if (!s.startsWith("(") || !s.endsWith(")")) return false
+    var quote: Char = 0
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == '(') depth += 1
+      else if (c == ')') {
+        depth -= 1
+        if (depth == 0) return i == s.length - 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** WHERE boolean expression → Column, with Cypher precedence (NOT over
+    * AND over OR) and parenthesized groups. Leaves: exists / NOT exists,
+    * `=`, `<>`, `<` `<=` `>` `>=` (numeric when the literal is an
+    * unquoted number — the prop casts to double — string otherwise),
+    * STARTS WITH / ENDS WITH / CONTAINS, and `IN [list]`. All comparisons
+    * keep Neo4j's null semantics (a missing prop drops the row) because
+    * Column predicates are null-rejecting the same way. */
+  private def parseWhere(s: String, vars: Map[String, String]): Column = {
+    val t = s.trim
+    val orParts = splitBool(t, "OR")
+    if (orParts.length > 1) return orParts.map(parseWhere(_, vars)).reduce(_ || _)
+    val andParts = splitBool(t, "AND")
+    if (andParts.length > 1) return andParts.map(parseWhere(_, vars)).reduce(_ && _)
+    if (isWholeParen(t)) return parseWhere(t.substring(1, t.length - 1), vars)
+    def propCol(v: String, prop: String): Column = propColOf(v, prop, vars)
+    def cmpOperand(v: String, prop: String, value: String): (Column, Column) = {
+      val raw = value.trim
+      if (numericLit.findFirstIn(raw).isDefined)
+        (propCol(v, prop).cast("double"), lit(raw.toDouble))
+      else (propCol(v, prop), lit(unquote(raw)))
+    }
+    t match {
+      // NOT exists must match before the bare exists pattern; NOT (…)
+      // negates a group (Cypher's unary NOT at top precedence)
+      case whereNotExists(v, prop) => propCol(v, prop).isNull
+      case notParen(rest) if isWholeParen(s"($rest") =>
+        !parseWhere(rest.dropRight(1), vars)
+      case whereExists(v, prop) => propCol(v, prop).isNotNull
+      case whereNeq(v, prop, value) => propCol(v, prop) =!= unquote(value)
+      case whereIn(v, prop, list) =>
+        propCol(v, prop).isin(splitTop(list, ",").map(unquote): _*)
+      case whereStrPred(v, prop, op, value) =>
+        val c = propCol(v, prop)
+        val lv = unquote(value)
+        op.toUpperCase.replaceAll("\\s+", " ") match {
+          case "STARTS WITH" => c.startsWith(lv)
+          case "ENDS WITH" => c.endsWith(lv)
+          case _ => c.contains(lv)
+        }
+      case whereCmp(v, prop, op, value) =>
+        val (l, r) = cmpOperand(v, prop, value)
+        op match {
+          case "<" => l < r
+          case "<=" => l <= r
+          case ">" => l > r
+          case _ => l >= r
+        }
+      case whereEq(v, prop, value) => propCol(v, prop) === unquote(value)
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHERE condition: $other")
+    }
+  }
+
   private final case class Hop(rel: String, reversed: Boolean,
       minHops: Int = 1, maxHops: Int = 1,
       props: Map[String, String] = Map.empty) {
@@ -494,20 +609,7 @@ object CypherLite {
                 .join(next, col(s"e$i.src") === col(s"n${i + 1}.full_name"))
         }
         Option(whereClause).foreach { w =>
-          def propCol(v: String, prop: String): Column = propColOf(v, prop, vars)
-          splitTop(w, "AND").foreach {
-            // NOT exists must match before the bare exists pattern
-            case whereNotExists(v, prop) =>
-              df = df.filter(propCol(v, prop).isNull)
-            case whereExists(v, prop) =>
-              df = df.filter(propCol(v, prop).isNotNull)
-            case whereNeq(v, prop, value) =>
-              df = df.filter(propCol(v, prop) =!= unquote(value))
-            case whereEq(v, prop, value) =>
-              df = df.filter(propCol(v, prop) === unquote(value))
-            case other => throw new IllegalArgumentException(
-              s"unsupported WHERE condition: $other")
-          }
+          df = df.filter(parseWhere(w, vars))
         }
         shapeResult(df, ret, vars)
       case None =>

@@ -329,4 +329,66 @@ class CypherLiteSpec extends AnyFunSuite {
       db.executeQuery("MATCH (n:sklearn) RETURN DISTINCT n.kind, count(*)")
     }
   }
+
+  test("WHERE OR / parenthesized groups follow Cypher precedence") {
+    // AND binds tighter than OR: matches Person (name) OR (util+FUNCTION)
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) WHERE n.name = 'Person' " +
+        "OR n.name = 'util' AND n.kind = 'FUNCTION' RETURN n.full_name")
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("m.Person", "m.util"))
+    // explicit group flips the precedence: (Person OR util) AND FUNCTION
+    val grouped = db.executeQuery(
+      "MATCH (n:sklearn) WHERE (n.name = 'Person' OR n.name = 'util') " +
+        "AND n.kind = 'FUNCTION' RETURN n.full_name")
+      .collect().map(_.getString(0)).toSet
+    assert(grouped === Set("m.util"))
+    // NOT over a group
+    val negated = db.executeQuery(
+      "MATCH (n:sklearn) WHERE NOT (n.kind = 'CLASS' OR n.kind = 'METHOD') " +
+        "AND exists(n.name) RETURN n.kind").collect().map(_.getString(0)).toSet
+    assert(negated === Set("MODULE", "FUNCTION"))
+  }
+
+  test("WHERE string predicates: STARTS WITH / ENDS WITH / CONTAINS / IN") {
+    val starts = db.executeQuery(
+      "MATCH (n:sklearn) WHERE n.full_name STARTS WITH 'm.Person' RETURN n.full_name")
+      .collect().map(_.getString(0)).toSet
+    assert(starts === Set("m.Person", "m.Person.greet"))
+    val ends = db.executeQuery(
+      "MATCH (n:sklearn) WHERE n.full_name ENDS WITH 'greet' RETURN n.full_name")
+      .collect().map(_.getString(0)).toSet
+    assert(ends === Set("m.Person.greet"))
+    val contains = db.executeQuery(
+      "MATCH (n:sklearn) WHERE n.signature CONTAINS 'self' RETURN n.full_name")
+      .collect().map(_.getString(0)).toSet
+    assert(contains === Set("m.Person.greet"))
+    val in = db.executeQuery(
+      "MATCH (n:sklearn) WHERE n.name IN ['Person', 'util'] RETURN n.full_name")
+      .collect().map(_.getString(0)).toSet
+    assert(in === Set("m.Person", "m.util"))
+  }
+
+  test("WHERE comparisons: numeric literals cast, strings compare lexicographically") {
+    val d2 = GraphDatabase.inMemory(spark)
+    d2.addNode("t", Kind.Class, "a", Map("name" -> "a", "score" -> "10"))
+    d2.addNode("t", Kind.Class, "b", Map("name" -> "b", "score" -> "9"))
+    d2.addNode("t", Kind.Class, "c", Map("name" -> "c")) // no score
+    d2.commit()
+    // numeric: 9 < 10 (lexicographic would say '9' > '10'); the missing
+    // prop on c compares to NULL and drops, Neo4j semantics
+    val num = d2.executeQuery(
+      "MATCH (n:t) WHERE n.score >= 10 RETURN n.name")
+      .collect().map(_.getString(0)).toSet
+    assert(num === Set("a"))
+    val lt = d2.executeQuery(
+      "MATCH (n:t) WHERE n.score < 10 RETURN n.name")
+      .collect().map(_.getString(0)).toSet
+    assert(lt === Set("b"))
+    // quoted literal: lexicographic string comparison
+    val lex = d2.executeQuery(
+      "MATCH (n:t) WHERE n.name > 'a' RETURN n.name")
+      .collect().map(_.getString(0)).toSet
+    assert(lex === Set("b", "c"))
+  }
 }
