@@ -670,6 +670,30 @@ object QueryCatalog {
       |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Explicit GROUPING SETS — the combination cube/rollup can't express:
+    * per-flag and per-status subtotals in ONE scan (no grand total, no
+    * pair-level rows). grouping() flags disambiguate a NULL that means
+    * "aggregated away" from a NULL data value, per-column rather than as
+    * a packed grouping_id so the oracle needs no bit-order assumption. */
+  val q28Gsets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        count(lit(1)).cast("long").as("n"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"))
+
+  val q28GsetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |GROUPING(l_returnflag)::BIGINT AS g_flag,
+      |GROUPING(l_linestatus)::BIGINT AS g_status,
+      |count(*)::BIGINT AS n,
+      |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
+
   /** FULL OUTER join with aggregation: one side filtered to a segment so
     * BOTH null-extensions are exercised (order-less customers keep null
     * counts; orders of out-of-segment customers keep null names). */
@@ -1785,6 +1809,7 @@ object QueryCatalog {
     "q14_kmv_grouped" -> q14KmvGrouped,
     "q27_range_join" -> q27RangeJoin,
     "t_lm_score" -> tLmScore,
+    "q28_gsets" -> q28Gsets,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1875,5 +1900,6 @@ object QueryCatalog {
     "q14_kmv_grouped" -> q14KmvGroupedSql,
     "q27_range_join" -> q27RangeJoinSql,
     "t_lm_score" -> tLmScoreSql,
+    "q28_gsets" -> q28GsetsSql,
   )
 }
