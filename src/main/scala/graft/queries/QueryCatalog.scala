@@ -694,6 +694,69 @@ object QueryCatalog {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
 
+  /** Correlated-subquery semantics, decorrelated: orders whose price
+    * exceeds 1.5x their customer's average order price. The oracle keeps
+    * the textbook correlated form; the Spark side is the shape a planner
+    * decorrelates it into — one partial-agg groupBy + one equi-join,
+    * which is also the 100-TB shape (no per-row subquery execution). The
+    * 1.5x-average comparison is cross-multiplied (price*2n > 3*sum) so
+    * everything stays in EXACT decimal arithmetic — no division, no
+    * float drift at the threshold boundary. */
+  val q29Corr: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val stats = o.groupBy("o_custkey")
+      .agg(sum(dec("o_totalprice")).as("s"), count(lit(1)).as("n"))
+    o.join(stats, "o_custkey")
+      .filter(dec("o_totalprice") * col("n") * 2 > col("s") * 3)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  val q29CorrSql: String =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o
+      |WHERE CAST(o.o_totalprice AS DECIMAL(18,4)) * 2 *
+      |    (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |  > 3 * (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+      |         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
+  /** Column-statistics profiling (the ANALYZE-style pass a lakehouse
+    * runs for optimizer stats and data-quality monitors): per string
+    * column of `documents` — row/null/exact-distinct counts and
+    * min/max/total lengths, ONE scan via a wide aggregate unpivoted
+    * with stack(). At 100 TB the exact count_distinct columns switch to
+    * the KMV sketch (q14_kmv) — exact here so the oracle replays it. */
+  val tColstats: Q = (s, d) =>
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("t_nul"),
+      count_distinct(col("text")).as("t_ndv"),
+      min(length(col("text"))).cast("long").as("t_min"),
+      max(length(col("text"))).cast("long").as("t_max"),
+      sum(length(col("text")).cast("long")).as("t_tot"),
+      sum(when(col("lang").isNull, 1L).otherwise(0L)).as("l_nul"),
+      count_distinct(col("lang")).as("l_ndv"),
+      min(length(col("lang"))).cast("long").as("l_min"),
+      max(length(col("lang"))).cast("long").as("l_max"),
+      sum(length(col("lang")).cast("long")).as("l_tot"),
+      sum(when(col("source").isNull, 1L).otherwise(0L)).as("s_nul"),
+      count_distinct(col("source")).as("s_ndv"),
+      min(length(col("source"))).cast("long").as("s_min"),
+      max(length(col("source"))).cast("long").as("s_max"),
+      sum(length(col("source")).cast("long")).as("s_tot"))
+    .selectExpr("""stack(3,
+      'text',   n, t_nul, t_ndv, t_min, t_max, t_tot,
+      'lang',   n, l_nul, l_ndv, l_min, l_max, l_tot,
+      'source', n, s_nul, s_ndv, s_min, s_max, s_tot)
+      AS (column_name, n_rows, n_null, n_distinct, min_len, max_len, total_len)""")
+
+  val tColstatsSql: String =
+    Seq("text", "lang", "source").map(c =>
+      s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
+         |sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+         |count(DISTINCT $c)::BIGINT AS n_distinct,
+         |min(length($c))::BIGINT AS min_len, max(length($c))::BIGINT AS max_len,
+         |sum(length($c))::BIGINT AS total_len FROM documents""".stripMargin)
+      .mkString("\nUNION ALL\n")
+
   /** FULL OUTER join with aggregation: one side filtered to a segment so
     * BOTH null-extensions are exercised (order-less customers keep null
     * counts; orders of out-of-segment customers keep null names). */
@@ -1810,6 +1873,8 @@ object QueryCatalog {
     "q27_range_join" -> q27RangeJoin,
     "t_lm_score" -> tLmScore,
     "q28_gsets" -> q28Gsets,
+    "q29_corr" -> q29Corr,
+    "t_colstats" -> tColstats,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1901,5 +1966,7 @@ object QueryCatalog {
     "q27_range_join" -> q27RangeJoinSql,
     "t_lm_score" -> tLmScoreSql,
     "q28_gsets" -> q28GsetsSql,
+    "q29_corr" -> q29CorrSql,
+    "t_colstats" -> tColstatsSql,
   )
 }
