@@ -43,9 +43,18 @@ import org.apache.spark.sql.functions._
   *    common Neo4j idiom `RETURN m.name, count(r) AS n ORDER BY n DESC`),
   *    `SKIP n`, `LIMIT n`.
   *
-  * Anything else (OPTIONAL MATCH, UNBOUNDED variable-length `*`,
-  * undirected edges, multiple MATCH clauses, aggregates beyond count)
-  * raises — exactly the reference's posture of not reimplementing Neo4j.
+  *  - multiple MATCH clauses, plain or OPTIONAL: each later clause must
+  *    START at a variable bound earlier and joins there — inner join for
+  *    MATCH, left join for OPTIONAL MATCH (non-matching rows
+  *    null-extend). Every clause may carry its own WHERE; an OPTIONAL
+  *    MATCH's WHERE folds into the left-join condition (Neo4j attaches
+  *    WHERE to the preceding MATCH, so a filtered optional row
+  *    null-extends rather than dropping).
+  *
+  * Anything else (UNBOUNDED variable-length `*`, undirected edges,
+  * later clauses not anchored at a bound variable, aggregates beyond
+  * count) raises — exactly the reference's posture of not
+  * reimplementing Neo4j.
   *
   * The parse result is a plain DataFrame expression — Catalyst plans it
   * like any hand-written combinator query (broadcast point expands,
@@ -540,81 +549,166 @@ object CypherLite {
     out.toSeq
   }
 
-  /** Execute a supported chain query against (nodes, edges). */
+  /** One parsed MATCH clause: its node patterns, hops, optionality, and
+    * its own trailing WHERE text (null when absent). */
+  private final case class Clause(optional: Boolean, nodeMs: Seq[NodePat],
+      hops: Seq[Hop], where: String)
+
+  /** Parse one clause body "pattern [WHERE cond]" into node patterns +
+    * hops, with the same validations the single-chain parser applied. */
+  private def parseClause(body: String, optional: Boolean, q: String): Clause = {
+    val whereIdx = topLevelKeyword(body, "WHERE")
+    val pattern = (if (whereIdx >= 0) body.substring(0, whereIdx) else body).trim
+    val where = if (whereIdx >= 0) body.substring(whereIdx + 5).trim else null
+    val nodeMs = scanNodes(pattern)
+    require(nodeMs.nonEmpty, s"no node pattern in: $q")
+    // arrows are exactly the text between consecutive node patterns
+    val hops = nodeMs.sliding(2).toSeq.collect { case Seq(a, b) =>
+      pattern.substring(a.end, b.start).trim match {
+        case fwdArrow(rel, star, props) =>
+          val (mn, mx) = parseStar(star)
+          Hop(rel, reversed = false, mn, mx, parseProps(props))
+        case bwdArrow(rel, star, props) =>
+          val (mn, mx) = parseStar(star)
+          Hop(rel, reversed = true, mn, mx, parseProps(props))
+        case other => throw new IllegalArgumentException(
+          s"unsupported relationship pattern '$other' (directed arrows only)")
+      }
+    }
+    val leading = pattern.substring(0, nodeMs.head.start).trim
+    val trailing = pattern.substring(nodeMs.last.end).trim
+    require(leading.isEmpty && trailing.isEmpty,
+      s"unsupported pattern text around the chain: $q")
+    // a repeated variable within one chain would need a node-equality
+    // join condition we don't synthesize — raise rather than silently
+    // return every path (the module's raise-on-unsupported posture)
+    val varNames = nodeMs.map(_.v)
+    require(varNames.distinct.size == varNames.size,
+      s"repeated pattern variable not supported (cycle patterns): $q")
+    Clause(optional, nodeMs, hops, where)
+  }
+
+  /** Build one chain's DataFrame with node aliases n{aliasStart+i}. */
+  private def buildChain(nodes: DataFrame, edges: DataFrame,
+      c: Clause, aliasStart: Int): DataFrame = {
+    var df = nodes
+      .filter(nodePred(c.nodeMs.head.labels, c.nodeMs.head.props))
+      .alias(s"n$aliasStart")
+    c.hops.zipWithIndex.foreach { case (hop, i) =>
+      // a var-length hop swaps the single edge scan for the union of
+      // per-length path compositions; endpoints join identically
+      val scan = hopEdges(edges, hop)
+      val ai = aliasStart + i
+      val e = (if (hop.isVarLength)
+          varLengthRel(scan, hop.minHops, hop.maxHops)
+        else scan).alias(s"e$ai")
+      val next = nodes
+        .filter(nodePred(c.nodeMs(i + 1).labels, c.nodeMs(i + 1).props))
+        .alias(s"n${ai + 1}")
+      df =
+        if (!hop.reversed)
+          df.join(e, col(s"n$ai.full_name") === col(s"e$ai.src"))
+            .join(next, col(s"e$ai.dst") === col(s"n${ai + 1}.full_name"))
+        else
+          df.join(e, col(s"n$ai.full_name") === col(s"e$ai.dst"))
+            .join(next, col(s"e$ai.src") === col(s"n${ai + 1}.full_name"))
+    }
+    df
+  }
+
+  /** Execute a supported query against (nodes, edges): one or more MATCH
+    * clauses — later clauses (plain or OPTIONAL) must start at a variable
+    * bound by an earlier clause and join there (inner vs left). Each
+    * clause may carry its own WHERE; an OPTIONAL MATCH's WHERE folds into
+    * the left-join condition (Neo4j attaches WHERE to the preceding
+    * MATCH, so a non-matching-or-filtered row null-extends rather than
+    * dropping). */
   def execute(nodes: DataFrame, edges: DataFrame, query: String): DataFrame = {
     val q = query.trim
-    // quote-aware clause split (not regex): WHERE/RETURN inside a quoted
+    // quote-aware clause split (not regex): keywords inside a quoted
     // prop literal — likely in code/signature text — must not terminate
     // the pattern
     val retIdx = topLevelKeyword(q, "RETURN")
     val isMatch = q.regionMatches(true, 0, "MATCH", 0, 5) &&
       q.length > 5 && !isWordChar(q.charAt(5))
-    val parsed: Option[(String, String, String)] =
-      if (isMatch && retIdx > 5) {
-        val whereIdx = topLevelKeyword(q.substring(0, retIdx), "WHERE")
-        val pattern = q.substring(5, if (whereIdx >= 0) whereIdx else retIdx).trim
-        val whereClause =
-          if (whereIdx >= 0) q.substring(whereIdx + 5, retIdx).trim else null
-        Some((pattern, whereClause, q.substring(retIdx + 6).trim))
-      } else None
-    parsed match {
-      case Some((pattern, whereClause, ret)) =>
-        val nodeMs = scanNodes(pattern)
-        require(nodeMs.nonEmpty, s"no node pattern in: $q")
-        // arrows are exactly the text between consecutive node patterns
-        val hops = nodeMs.sliding(2).toSeq.collect { case Seq(a, b) =>
-          pattern.substring(a.end, b.start).trim match {
-            case fwdArrow(rel, star, props) =>
-              val (mn, mx) = parseStar(star)
-              Hop(rel, reversed = false, mn, mx, parseProps(props))
-            case bwdArrow(rel, star, props) =>
-              val (mn, mx) = parseStar(star)
-              Hop(rel, reversed = true, mn, mx, parseProps(props))
-            case other => throw new IllegalArgumentException(
-              s"unsupported relationship pattern '$other' (directed arrows only)")
-          }
-        }
-        val leading = pattern.substring(0, nodeMs.head.start).trim
-        val trailing = pattern.substring(nodeMs.last.end).trim
-        require(leading.isEmpty && trailing.isEmpty,
-          s"unsupported pattern text around the chain: $q")
+    require(isMatch && retIdx > 5, s"unsupported Cypher shape " +
+      s"(MATCH … [OPTIONAL MATCH …] RETURN … subset only): $q")
+    val head = q.substring(0, retIdx)
+    val ret = q.substring(retIdx + 6).trim
 
-        // a repeated variable would need a node-equality join condition
-        // we don't synthesize — raise rather than silently return every
-        // path (the module's raise-on-unsupported posture)
-        val varNames = nodeMs.map(_.v)
-        require(varNames.distinct.size == varNames.size,
-          s"repeated pattern variable not supported (cycle patterns): $q")
-        val vars = nodeMs.zipWithIndex
-          .map { case (m, i) => m.v -> s"n$i" }.toMap
-        var df = nodes
-          .filter(nodePred(nodeMs.head.labels, nodeMs.head.props))
-          .alias("n0")
-        hops.zipWithIndex.foreach { case (hop, i) =>
-          // a var-length hop swaps the single edge scan for the union of
-          // per-length path compositions; endpoints join identically
-          val scan = hopEdges(edges, hop)
-          val e = (if (hop.isVarLength)
-              varLengthRel(scan, hop.minHops, hop.maxHops)
-            else scan).alias(s"e$i")
-          val next = nodes
-            .filter(nodePred(nodeMs(i + 1).labels, nodeMs(i + 1).props))
-            .alias(s"n${i + 1}")
-          df =
-            if (!hop.reversed)
-              df.join(e, col(s"n$i.full_name") === col(s"e$i.src"))
-                .join(next, col(s"e$i.dst") === col(s"n${i + 1}.full_name"))
-            else
-              df.join(e, col(s"n$i.full_name") === col(s"e$i.dst"))
-                .join(next, col(s"e$i.src") === col(s"n${i + 1}.full_name"))
-        }
-        Option(whereClause).foreach { w =>
-          df = df.filter(parseWhere(w, vars))
-        }
-        shapeResult(df, ret, vars)
-      case None =>
-        throw new IllegalArgumentException(
-          s"unsupported Cypher shape (directed MATCH-chain subset only): $q")
+    // split the pre-RETURN text into MATCH clauses: each further
+    // top-level MATCH starts a new clause; a trailing OPTIONAL keyword on
+    // the preceding body marks the NEXT clause optional
+    val matchPos = allTopLevelKeywords(head, "MATCH")
+    require(matchPos.headOption.contains(0), s"malformed MATCH clauses: $q")
+    val rawBodies = matchPos.zipWithIndex.map { case (p, ix) =>
+      val end = if (ix + 1 < matchPos.length) matchPos(ix + 1) else head.length
+      head.substring(p + 5, end).trim
     }
+    val optionalMarks = rawBodies.map(_.toUpperCase.endsWith("OPTIONAL"))
+    val clauses = rawBodies.zipWithIndex.map { case (b, ix) =>
+      val body = if (optionalMarks(ix)) b.dropRight(8).trim else b
+      parseClause(body, optional = ix > 0 && optionalMarks(ix - 1), q)
+    }
+
+    // clause 0 binds its variables; later clauses must hook onto one
+    var aliasCount = clauses.head.nodeMs.size
+    var vars = clauses.head.nodeMs.zipWithIndex
+      .map { case (m, i) => m.v -> s"n$i" }.toMap
+    var df = buildChain(nodes, edges, clauses.head, 0)
+    Option(clauses.head.where).foreach(w => df = df.filter(parseWhere(w, vars)))
+
+    clauses.drop(1).foreach { c =>
+      val headVar = c.nodeMs.head.v
+      require(vars.contains(headVar),
+        s"a later MATCH clause must start at a bound variable; '$headVar' is new: $q")
+      val fresh = c.nodeMs.drop(1).map(_.v)
+      require(fresh.forall(!vars.contains(_)),
+        s"later MATCH clause rebinds ${fresh.filter(vars.contains)}: $q")
+      val start = aliasCount
+      val sub = buildChain(nodes, edges, c, start)
+      val subVars = vars ++ c.nodeMs.zipWithIndex
+        .map { case (m, i) => m.v -> s"n${start + i}" }.toMap
+      val keyEq = col(s"${vars(headVar)}.full_name") === col(s"n$start.full_name")
+      if (c.optional) {
+        // WHERE folds into the join: a filtered-out optional row
+        // null-extends instead of dropping (Neo4j semantics)
+        val cond = Option(c.where)
+          .map(w => keyEq && parseWhere(w, subVars)).getOrElse(keyEq)
+        df = df.join(sub, cond, "left")
+      } else {
+        df = df.join(sub, keyEq)
+        Option(c.where).foreach(w => df = df.filter(parseWhere(w, subVars)))
+      }
+      // the clause head var stays bound to its ORIGINAL alias (always
+      // non-null); only the fresh tail vars enter scope
+      vars = vars ++ c.nodeMs.drop(1).zipWithIndex
+        .map { case (m, i) => m.v -> s"n${start + 1 + i}" }.toMap
+      aliasCount += c.nodeMs.size
+    }
+    shapeResult(df, ret, vars)
+  }
+
+  /** Every top-level (quote-aware, \w-bounded) occurrence of `word`,
+    * ascending — the multi-hit sibling of [[topLevelKeyword]]. */
+  private def allTopLevelKeywords(s: String, word: String): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (s.regionMatches(true, i, word, 0, word.length) &&
+          (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+          (i + word.length >= s.length || !isWordChar(s.charAt(i + word.length)))) {
+        out += i
+        i += word.length - 1
+      }
+      i += 1
+    }
+    out.toSeq
   }
 }

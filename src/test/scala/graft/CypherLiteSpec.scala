@@ -369,6 +369,43 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(in === Set("m.Person", "m.util"))
   }
 
+  test("OPTIONAL MATCH null-extends non-matching rows (left-join semantics)") {
+    // every sklearn CLASS, with its methods if any: Person has one,
+    // util is a FUNCTION (excluded), module m has no HAS_METHOD
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) OPTIONAL MATCH (n)-[:HAS_METHOD]->(mm:METHOD) " +
+        "RETURN n.full_name, mm.full_name").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(out === Set(
+      ("m.Person", Some("m.Person.greet")),
+      ("m.Person.greet", None),
+      ("m", None),
+      ("m.util", None)))
+  }
+
+  test("OPTIONAL MATCH WHERE folds into the join, not a post-filter") {
+    // Neo4j attaches WHERE to the preceding MATCH: a row whose optional
+    // match is filtered away null-extends instead of dropping
+    val out = db.executeQuery(
+      "MATCH (n:CLASS) OPTIONAL MATCH (n)-[:HAS_METHOD]->(mm) " +
+        "WHERE mm.name = 'nope' RETURN n.full_name, mm.full_name").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(out === Set(("m.Person", None)))
+  }
+
+  test("second MATCH clause joins at the shared variable (inner)") {
+    val out = db.executeQuery(
+      "MATCH (mod:MODULE)-[:CONTAINS]->(c) MATCH (c)-[:HAS_METHOD]->(f) " +
+        "RETURN mod.full_name, c.name, f.name").collect()
+    assert(out.length === 1)
+    assert((out(0).getString(0), out(0).getString(1), out(0).getString(2)) ===
+      (("m", "Person", "greet")))
+    // a later clause must anchor at a bound variable
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (a:CLASS) MATCH (b:MODULE) RETURN a, b")
+    }
+  }
+
   test("WHERE comparisons: numeric literals cast, strings compare lexicographically") {
     val d2 = GraphDatabase.inMemory(spark)
     d2.addNode("t", Kind.Class, "a", Map("name" -> "a", "score" -> "10"))
