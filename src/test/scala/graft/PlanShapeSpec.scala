@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.QueryCatalog
+
+/** Plan-shape gates: the scale properties the operators are DESIGNED
+  * around, asserted on the actual physical plans so a refactor that
+  * silently breaks pushdown / pruning / broadcast / join choice fails a
+  * spec instead of surfacing as a 100x regression on a real cluster.
+  * (Wall-clock benches can't catch these at test scale — a lost
+  * broadcast or pruned column costs nothing on 60k rows.) */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** All file scans in the executed plan, descending through AQE stages
+    * (plan.toString truncates scan metadata past 100 chars, so schema
+    * assertions must read the nodes, not the rendering). */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      fileScans(r.child)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(fileScans)
+  }
+
+  test("filters push down to the parquet scan (g_b2 label+prop lookup)") {
+    val plan = executed(QueryCatalog.gB2LabelProp(spark, sf))
+    assert(plan.contains("PushedFilters: ["),
+      s"expected parquet pushdown markers; plan:\n$plan")
+    // the label-equality predicate must reach the scan, not sit in a
+    // post-scan Filter only
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(label.*"),
+      s"label = 'x' should push to the scan; plan:\n$plan")
+  }
+
+  test("column pruning: q1 aggregation reads only the five columns it uses") {
+    val df = QueryCatalog.q1Agg(spark, sf)
+    df.collect()
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a parquet scan in the q1 plan")
+    val cols = scans.flatMap(_.requiredSchema.fieldNames).toSet
+    assert(cols.subsetOf(Set("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount")),
+      s"q1 must not read extra lineitem columns; scan read: $cols")
+  }
+
+  test("small dimension side broadcasts (q2 join-agg)") {
+    val plan = executed(QueryCatalog.q2JoinAgg(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation/region side should broadcast; plan:\n$plan")
+  }
+
+  test("no nested-loop or cartesian joins in the dedup/contamination paths") {
+    for ((name, q) <- Seq(
+        "d_contam" -> QueryCatalog.dContam,
+        "d_ngram_jaccard" -> QueryCatalog.dNgramJaccard,
+        "d_minhash_lsh" -> QueryCatalog.dMinhashLsh)) {
+      val plan = executed(q(spark, sf))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must never plan a cartesian product; plan:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must never plan a nested-loop join; plan:\n$plan")
+    }
+  }
+
+  test("whole-stage codegen covers the q1 aggregation pipeline") {
+    val plan = executed(QueryCatalog.q1Agg(spark, sf))
+    // tree rendering marks codegen stages with "*(id)" prefixes
+    assert(plan.contains("*("),
+      s"hot aggregation path fell out of codegen; plan:\n$plan")
+  }
+}
