@@ -1557,6 +1557,29 @@ object QueryCatalog {
       |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
       |GROUP BY v""".stripMargin
 
+  /** 3-core of the co-purchase graph ([[graft.enrich.Analytics.kCore]]):
+    * vertices surviving iterated degree-<3 deletion, with core degrees.
+    * The oracle unrolls the identical prune round 14 times — the sf0.01
+    * graph reaches its fixpoint in 11 (measured), and extra rounds on a
+    * converged edge set are no-ops, so both sides land on the same
+    * fixpoint. */
+  val q30Kcore: Q = (s, d) =>
+    graft.enrich.Analytics.kCore(coPurchaseEdges(s, d), k = 3)
+
+  private def kcoreIterSql(i: Int): String =
+    s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= 3),
+       |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+       |  JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)""".stripMargin
+
+  val q30KcoreSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |ce AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce UNION ALL SELECT b, a FROM ce),
+       |${(1 to 14).map(kcoreIterSql).mkString(",\n")}
+       |SELECT src AS v, count(*)::BIGINT AS deg FROM e14 GROUP BY src""".stripMargin
+
   /** Window navigation functions (lag, lead, first_value, last_value) —
     * per-user inter-event gaps, telescoped value deltas, and first/last
     * event types, all riding ONE window sort (one shuffle on user_id),
@@ -1875,6 +1898,7 @@ object QueryCatalog {
     "q28_gsets" -> q28Gsets,
     "q29_corr" -> q29Corr,
     "t_colstats" -> tColstats,
+    "q30_kcore" -> q30Kcore,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1968,5 +1992,6 @@ object QueryCatalog {
     "q28_gsets" -> q28GsetsSql,
     "q29_corr" -> q29CorrSql,
     "t_colstats" -> tColstatsSql,
+    "q30_kcore" -> q30KcoreSql,
   )
 }

@@ -86,4 +86,19 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(gx === want)
   }
+
+  test("kCore: cascading prune reaches the fixpoint, pendant chains fall") {
+    // triangle {a,b,c} + pendant chain c-d-e: the 2-core is the triangle
+    // alone, and d must fall in round TWO (degree 2 until e is removed) —
+    // the cascade the iteration exists for
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val core2 = Analytics.kCore(edges, k = 2)
+      .as[(String, Long)].collect().toMap
+    assert(core2 === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // k=3: the triangle's degree-2 vertices all fall -> empty core
+    assert(Analytics.kCore(edges, k = 3).count() === 0L)
+    // k=1 keeps everything (every vertex has a neighbor)
+    assert(Analytics.kCore(edges, k = 1).count() === 5L)
+  }
 }
