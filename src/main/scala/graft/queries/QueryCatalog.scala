@@ -1557,6 +1557,45 @@ object QueryCatalog {
       |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
       |GROUP BY v""".stripMargin
 
+  /** Histogram-based approximate quantiles — the deterministic 100 TB
+    * switch for q15's exact percentile: two scans (min/max/count, then
+    * 1000 equal-width bin counts — both partial-agg friendly), estimate =
+    * upper edge of the first bin whose running count reaches ceil(q*n).
+    * The 1000-row cumulative window is a fixed-size frame, never a
+    * data-sized single reducer. Binning and edges use the IDENTICAL
+    * float expression in both engines, so the result is bit-equal —
+    * unlike a t-digest/GK sketch, whose merge order is
+    * nondeterministic. */
+  val q31HistQuantile: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_totalprice").as("v"))
+    val mm = o.agg(min("v").as("lo"), max("v").as("hi"),
+      count(lit(1)).as("n"))
+    val hist = o.crossJoin(broadcast(mm))
+      .select(least(floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 1000)
+        .cast("long"), lit(999L)).as("bin"), col("lo"), col("hi"), col("n"))
+      .groupBy("bin", "lo", "hi", "n").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("bin")))
+    val qs = o.sparkSession.range(1)
+      .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+    hist.crossJoin(qs)
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("q")
+      .agg(min(col("bin")).as("bin"),
+        min(col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / 1000).as("est"))
+  }
+
+  val q31HistQuantileSql: String =
+    """WITH v AS (SELECT o_totalprice AS v FROM orders),
+      |mm AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM v),
+      |b AS (SELECT least(floor((v - lo) / (hi - lo) * 1000)::BIGINT, 999) AS bin,
+      |        lo, hi, n FROM v, mm),
+      |h AS (SELECT bin, lo, hi, n, count(*) AS c FROM b GROUP BY 1, 2, 3, 4),
+      |cum AS (SELECT bin, lo, hi, n, sum(c) OVER (ORDER BY bin) AS cum FROM h),
+      |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+      |SELECT q, min(bin)::BIGINT AS bin,
+      |  min(lo + (bin + 1) * (hi - lo) / 1000) AS est
+      |FROM cum, qs WHERE cum >= ceil(q * n) GROUP BY q""".stripMargin
+
   /** 3-core of the co-purchase graph ([[graft.enrich.Analytics.kCore]]):
     * vertices surviving iterated degree-<3 deletion, with core degrees.
     * The oracle unrolls the identical prune round 14 times — the sf0.01
@@ -1899,6 +1938,7 @@ object QueryCatalog {
     "q29_corr" -> q29Corr,
     "t_colstats" -> tColstats,
     "q30_kcore" -> q30Kcore,
+    "q31_hist_quantile" -> q31HistQuantile,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1993,5 +2033,6 @@ object QueryCatalog {
     "q29_corr" -> q29CorrSql,
     "t_colstats" -> tColstatsSql,
     "q30_kcore" -> q30KcoreSql,
+    "q31_hist_quantile" -> q31HistQuantileSql,
   )
 }
