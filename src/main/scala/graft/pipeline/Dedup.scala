@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftExpressions
 import graft.functions.TextFunctions._
@@ -36,6 +37,70 @@ object Dedup {
     * friendly; no pairwise work at all, so no hub cap is needed — a
     * shingle in a million docs still contributes one count row), then
     * one per-doc count join. */
+  /** ExactSubstr-style duplicated-span REMOVAL (the Lee et al. dedup,
+    * reshaped set-oriented): any k-token window whose hash occurs more
+    * than once corpus-wide keeps its FIRST occurrence (min (doc_id, pos))
+    * and every other occurrence's tokens are cut from their documents —
+    * partial plagiarism is removed span-by-span, not doc-by-doc.
+    *
+    * Shape at 100 TB, per stage: positional shingle hashes materialize
+    * per-row (transform over the token array, rolling hash inside the
+    * lambda — no shuffle); duplicate detection is one count/min groupBy
+    * on the hash; coverage needs NO per-token-per-span blowup — dropped
+    * spans and tokens union into one stream and a per-doc running
+    * max(span_end) window marks covered tokens in a single sort (the
+    * gaps-and-islands trick), then one groupBy reassembles. Window and
+    * reassembly both partition by doc_id — never a global reducer.
+    *
+    * Operates on the normalized token stream (the same view every other
+    * dedup operator hashes); a production pass would map kept token
+    * positions back to raw-text offsets.
+    *
+    * @return (doc_id, n_tokens, n_removed, clean_text) for every doc
+    */
+  def removeDuplicatedSpans(docs: DataFrame, k: Int): DataFrame = {
+    val tokd = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint(eager = true) // two consumers: occurrences + tokens
+    // positional k-shingles: pos = 0-based first-token index; docs with
+    // fewer than k tokens emit none (nothing to deduplicate)
+    val occ = tokd.select(col("doc_id"),
+        explode(when(size(col("toks")) < k,
+            array().cast("array<struct<pos:int,h:bigint>>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - k),
+            i => struct(i.cast("int").as("pos"),
+              rollingHash(array_join(slice(col("toks"), i + 1, lit(k)), " "))
+                .as("h"))))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    val dup = occ.groupBy("h")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id").as("d"), col("pos").as("p"))).as("fo"))
+      .filter(col("c") >= 2)
+    val drops = occ.join(dup, "h")
+      .filter(!(col("fo.d") === col("doc_id") && col("fo.p") === col("pos")))
+      .select(col("doc_id"), col("pos").as("p"), (col("pos") + k).as("e"))
+    val toksTbl = tokd.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("p", "tok")))
+    // one stream: span starts (is_tok=0, ordered before the token at the
+    // same position) and tokens; running max(e) = current coverage
+    val stream = drops
+      .select(col("doc_id"), col("p"), col("e"), lit(0).as("is_tok"),
+        lit(null).cast("string").as("tok"))
+      .unionByName(toksTbl.select(col("doc_id"), col("p"),
+        lit(null).cast("int").as("e"), lit(1).as("is_tok"), col("tok")))
+    val w = Window.partitionBy("doc_id").orderBy(col("p"), col("is_tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stream.withColumn("cv", max(col("e")).over(w))
+      .filter(col("is_tok") === 1)
+      .withColumn("keep", col("cv").isNull || col("cv") <= col("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(!col("keep"), 1)).cast("long").as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("p"), col("tok"))))),
+          s => s.getField("tok")), " ").as("clean_text"))
+  }
+
   def duplicatedSpanStats(docs: DataFrame, k: Int): DataFrame = {
     val sh = docs.select(col("doc_id"), shingleHashes(col("text"), k).as("hashes"))
     val inv = sh.select(col("doc_id"), explode(col("hashes")).as("h"))

@@ -1327,6 +1327,43 @@ object QueryCatalog {
   val dSpanFrac: Q = (s, d) =>
     Dedup.duplicatedSpanStats(Tables.documents(s, d), k = 8)
 
+  /** ExactSubstr-style span removal ([[Dedup.removeDuplicatedSpans]],
+    * k=8): duplicated windows keep their first corpus occurrence, later
+    * copies are cut token-by-token; reassembled docs hash-compared. */
+  val dSpanRemoval: Q = (s, d) =>
+    Dedup.removeDuplicatedSpans(Tables.documents(s, d), k = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+
+  lazy val dSpanRemovalSql: String = {
+    val toks = s"string_split($normSql, ' ')"
+    val rh = "list_reduce(list_prepend(0::BIGINT, " +
+      "list_transform(string_split(sh, ''), c -> ascii(c)::BIGINT)), " +
+      "(a, c) -> (a * 31 + c) % 2147483647)"
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |occ0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM t),
+       |occ AS (SELECT doc_id, (i - 1)::INT AS pos, $rh AS h FROM
+       |  (SELECT doc_id, i, array_to_string(toks[i : i + 7], ' ') AS sh FROM occ0)),
+       |dup AS (SELECT h, min(struct_pack(d := doc_id, p := pos)) AS fo
+       |        FROM occ GROUP BY h HAVING count(*) >= 2),
+       |drops AS (SELECT o.doc_id, o.pos AS p, o.pos + 8 AS e FROM occ o
+       |          JOIN dup d ON o.h = d.h
+       |          WHERE NOT (d.fo.d = o.doc_id AND d.fo.p = o.pos)),
+       |tok AS (SELECT doc_id, (generate_subscripts(toks, 1) - 1)::INT AS p,
+       |        unnest(toks) AS tok FROM t),
+       |u AS (SELECT doc_id, p, e, 0 AS is_tok, NULL AS tok FROM drops
+       |      UNION ALL SELECT doc_id, p, NULL, 1, tok FROM tok),
+       |cov AS (SELECT doc_id, p, is_tok, tok, max(e) OVER (
+       |          PARTITION BY doc_id ORDER BY p, is_tok
+       |          ROWS UNBOUNDED PRECEDING) AS cv FROM u),
+       |kept AS (SELECT doc_id, p, tok, (cv IS NULL OR cv <= p) AS keep
+       |         FROM cov WHERE is_tok = 1)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed,
+       |  md5(coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE keep), '')) AS clean_md5
+       |FROM kept GROUP BY doc_id""".stripMargin
+  }
+
   lazy val dSpanFracSql: String =
     s"""WITH sh AS (SELECT doc_id, ${shingleHashesSqlK(8)} AS hashes FROM documents),
        |inv AS (SELECT doc_id, unnest(hashes) AS h FROM sh),
@@ -1939,6 +1976,7 @@ object QueryCatalog {
     "t_colstats" -> tColstats,
     "q30_kcore" -> q30Kcore,
     "q31_hist_quantile" -> q31HistQuantile,
+    "d_span_removal" -> dSpanRemoval,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2034,5 +2072,6 @@ object QueryCatalog {
     "t_colstats" -> tColstatsSql,
     "q30_kcore" -> q30KcoreSql,
     "q31_hist_quantile" -> q31HistQuantileSql,
+    "d_span_removal" -> dSpanRemovalSql,
   )
 }

@@ -77,4 +77,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) === ((2L, 4L, 2L, 0.5)))
     assert(out(3L) === ((3L, 3L, 0L, 0.0)))
   }
+
+  test("removeDuplicatedSpans cuts later copies, keeps the first, merges overlaps") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // first occurrence of every window it has
+      (2L, "x a b c d y"),   // copies spans "a b c" and "b c d" (k=3):
+                             // overlapping drops must merge to cut a..d
+      (3L, "p q r s"),       // untouched
+      (4L, "a b c")          // whole doc duplicated -> everything cut
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, k = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 holds every first occurrence ((1,pos) < (2,pos), (4,pos))
+    assert(out(1L) === ((1L, 6L, 0L, "a b c d e f")))
+    // doc 2: windows "a b c"@1 and "b c d"@2 duplicate doc 1's -> tokens
+    // 1..4 cut (coverage of two overlapping spans), x and y survive
+    assert(out(2L) === ((2L, 6L, 4L, "x y")))
+    assert(out(3L) === ((3L, 4L, 0L, "p q r s")))
+    assert(out(4L) === ((4L, 3L, 3L, "")))
+  }
 }
