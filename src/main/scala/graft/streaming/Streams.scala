@@ -158,6 +158,66 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** "N seconds|minutes|hours|days" → milliseconds (the interval grammar
+    * the window/watermark params already use). */
+  private def durationMs(s: String): Long = {
+    val Array(n, unit) = s.trim.toLowerCase.split("\\s+")
+    val base = unit match {
+      case u if u.startsWith("second") => 1000L
+      case u if u.startsWith("minute") => 60000L
+      case u if u.startsWith("hour") => 3600000L
+      case u if u.startsWith("day") => 86400000L
+      case u => throw new IllegalArgumentException(s"unsupported unit $u")
+    }
+    n.toLong * base
+  }
+
+  final case class KmvRow(wstart: Timestamp, h: Long)
+  final case class KmvState(hashes: Seq[Long])
+  final case class KmvOut(window_start: Timestamp, est_distinct: Double)
+
+  /** Streaming KMV distinct-count per tumbling window: the cardinality
+    * sketch ([[graft.pipeline.Sketches]]) as continuously-maintained
+    * state. Per window the state is the k smallest distinct hashes —
+    * O(k) regardless of stream length — merged with each micro-batch and
+    * re-estimated via the SAME executable spec the batch sketch is
+    * property-tested against, so stream ≡ batch holds by construction
+    * on identical input. NoTimeout default for the AvailableNow test
+    * harness; production passes EventTimeTimeout so window state evicts
+    * once the watermark passes (the sessionizeEventTime posture). */
+  def streamingKmvDistinct(events: DataFrame, valueCol: org.apache.spark.sql.Column,
+      k: Int, window: String = "5 minutes", watermark: String = "10 minutes",
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[KmvOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(org.apache.spark.sql.functions.window(col("ts"), window)
+        .getField("start").as("wstart"),
+        graft.functions.TextFunctions.rollingHash(valueCol).as("h"))
+      .where(col("h") > 0)
+      .as[KmvRow]
+      .groupByKey(_.wstart.getTime)
+      .mapGroupsWithState[KmvState, KmvOut](timeout) {
+        case (ws, it, state: GroupState[KmvState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed: emit the final estimate and drop the state
+            val hs = state.get.hashes
+            state.remove()
+            KmvOut(new Timestamp(ws), graft.pipeline.Sketches.kmvSpec(hs, k))
+          } else {
+            val merged = (state.getOption.map(_.hashes).getOrElse(Nil) ++
+              it.map(_.h)).distinct.sorted.take(k)
+            state.update(KmvState(merged))
+            if (timeout == GroupStateTimeout.EventTimeTimeout)
+              // evict once the watermark passes window end + lateness
+              state.setTimeoutTimestamp(
+                ws + durationMs(window) + durationMs(watermark))
+            KmvOut(new Timestamp(ws), graft.pipeline.Sketches.kmvSpec(merged, k))
+          }
+      }
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the result table (test/demo harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

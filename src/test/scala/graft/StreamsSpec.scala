@@ -196,4 +196,34 @@ class StreamsSpec extends AnyFunSuite {
     q.stop()
     assert(last === ((5L, 1L, 7.0)))
   }
+
+  test("streamingKmvDistinct: O(k) state per window; stream ≡ batch sketch") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // 300 events over 3 windows, values drawn from per-window vocabularies
+    // larger than k so the estimator path (not the exact path) runs
+    val events = (1 to 300).map { i =>
+      Event(i.toLong, ts(i % 15), (i % 97).toLong, s"u${i % (37 + (i % 15) / 5)}", 1.0)
+    }
+    val mem = MemoryStream[Event]
+    // two batches so the state must merge across micro-batches
+    mem.addData(events.take(150): _*)
+    mem.addData(events.drop(150): _*)
+    val out = Streams.runToMemory(spark,
+      Streams.streamingKmvDistinct(mem.toDF(), col("event_type"), k = 16)
+        .toDF(), "kmv_stream")
+    // UPDATE mode emits one row per (window, batch); KMV estimates are
+    // monotone non-decreasing as state merges (kth-min only shrinks), so
+    // the final merged estimate per window is the max emit
+    val streamed = out.groupBy("window_start")
+      .agg(max("est_distinct").as("est"))
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toMap
+    val batch = graft.pipeline.Sketches.kmvDistinctBy(
+      events.toDF().select(
+        window(col("ts"), "5 minutes").getField("start").as("ws"),
+        col("event_type")),
+      col("ws"), col("event_type"), k = 16)
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toMap
+    assert(streamed === batch && streamed.size === 3)
+  }
 }
