@@ -272,6 +272,77 @@ object Analytics {
       .select(col("src").as("v"), col("deg"))
   }
 
+  /** Personalized PageRank: the teleport mass returns to a SOURCE SET
+    * instead of all vertices — the "similar nodes to these seeds" ranking
+    * used for graph-based retrieval/recommendation. Same math shape as
+    * [[pageRank]] (damping 0.85, dangling mass ignored, per-iteration
+    * round-to-10 so the oracle's different summation order lands on the
+    * same doubles); init is 1/|S| on the sources, 0 elsewhere, and the
+    * reset term 0.15/|S| applies only to sources. The source set joins
+    * the vertex table ONCE via broadcast (it is small by definition);
+    * each iteration shuffles only the rank table against the
+    * pre-partitioned edge state. Returns (v, ppr) rounded to 6. */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+      iterations: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val e2 = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("cnt")), "src")
+      .repartition(col("src")).localCheckpoint(eager = true)
+    val src = sources.select(col("v")).distinct().localCheckpoint(eager = true)
+    val ns = src.count().toDouble
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .join(broadcast(src.withColumn("is_src", lit(1))), Seq("v"), "left")
+      .select(col("v"), coalesce(col("is_src"), lit(0)).as("is_src"))
+      .repartition(col("v")).localCheckpoint(eager = true)
+    var pr = verts.withColumn("pr",
+      when(col("is_src") === 1, round(lit(1.0 / ns), 10)).otherwise(lit(0.0)))
+    for (i <- 1 to iterations) {
+      val contrib = e2.join(pr.select(col("v").as("src"), col("pr")), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(round(sum(col("pr") / col("cnt")), 10).as("s"))
+      pr = verts.join(contrib, Seq("v"), "left")
+        .select(col("v"), col("is_src"),
+          round(when(col("is_src") === 1, lit(0.15 / ns)).otherwise(lit(0.0))
+            + lit(0.85) * coalesce(col("s"), lit(0.0)), 10).as("pr"))
+      if (i % 8 == 0 && i < iterations) pr = pr.localCheckpoint(eager = true)
+    }
+    pr.select(col("v"), round(col("pr"), 6).as("ppr"))
+  }
+
+  /** Synchronous label-propagation communities over the undirected view
+    * of edges(src, dst): every vertex starts as its own label; each round
+    * every vertex adopts the modal label among its neighbors, ties broken
+    * deterministically by (max count, then MIN label) — the tie rule that
+    * makes LPA reproducible across engines and run orders (stock LPA's
+    * random tie-break is neither). Fixed iteration count (synchronous LPA
+    * may oscillate on bipartite structures; a fixed unroll is
+    * deterministic regardless, and the oracle replays the identical
+    * rounds). Each round: one edge⋈label join + a per-vertex windowed
+    * argmax — partition-by-vertex, never a single reducer. Returns
+    * (v, community). */
+  def labelPropagation(edges: DataFrame, iterations: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // distinct, unlike connectedComponents: LPA counts neighbor votes, so
+    // a duplicated edge would genuinely change the modal label
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("dst")).localCheckpoint(eager = true)
+    var labels = und.select(col("src").as("v")).distinct()
+      .withColumn("c", col("v"))
+    val w = Window.partitionBy("v").orderBy(col("cnt").desc, col("c"))
+    for (i <- 1 to iterations) {
+      val cnts = und.join(labels.select(col("v").as("dst"), col("c")), "dst")
+        .groupBy(col("src").as("v"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = cnts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("c"))
+      if (i % 4 == 0 && i < iterations) labels = labels.localCheckpoint(eager = true)
+    }
+    labels.select(col("v"), col("c").as("community"))
+  }
+
   /** Connected components via iterated label propagation (min-id wins),
     * on the UNDIRECTED view of edges(src, dst). Deterministic; converges
     * in O(diameter) iterations. */

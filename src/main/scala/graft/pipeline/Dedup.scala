@@ -28,6 +28,29 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental-batch exact dedup — the continuous-ingestion shape: a
+    * NEW batch of documents is deduplicated against the already-ingested
+    * base corpus (drop any batch doc whose fingerprint already exists in
+    * the base) and then within itself (keeper = min doc_id per
+    * fingerprint among the survivors). Returns one row per genuinely-new
+    * content fingerprint: (fp, keeper_id, batch_dups).
+    *
+    * Scale shape: the cross-corpus screen is ONE anti-join on the
+    * fingerprint — both sides shuffle on fp, no broadcast of the
+    * (enormous) base set; a deployment would additionally keep a bloom
+    * filter of base fingerprints as a scan-side prefilter (the
+    * RuntimeFilters.bloomPrunedSemiJoin pattern) so most batch rows never
+    * reach the shuffle. The within-batch pass is the same single
+    * groupBy as [[exact]]. */
+  def incremental(base: DataFrame, batch: DataFrame): DataFrame = {
+    def fp(df: DataFrame) =
+      df.select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+    fp(batch)
+      .join(fp(base).select(col("fp")), Seq("fp"), "left_anti")
+      .groupBy("fp")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("batch_dups"))
+  }
+
   /** Per-document duplicated-SPAN fraction — the ExactSubstr-style
     * partial-overlap screen (a doc can be mostly copied without being a
     * whole-doc near-dup): the share of a doc's distinct k-token shingles

@@ -61,6 +61,40 @@ object Sketches {
           .as("est_distinct"))
   }
 
+  /** Count-min sketch rows: (seed multiplier a, offset b) per hash row.
+    * a ≤ 2^17 keeps rh·a < 2^48 — 63-bit-safe in any SQL engine. */
+  val CmsSeeds: Seq[(Int, Long, Long)] =
+    Seq((1, 1L, 0L), (2, 7919L, 17L), (3, 104729L, 89L))
+
+  /** Count-min sketch heavy hitters over a token column: hash each token
+    * occurrence into `width` buckets under `depth` independent rows
+    * (h_s(t) = ((rollingHash(t)·a_s + b_s) mod P) mod width), count per
+    * (row, bucket) — the sketch is a FIXED `depth × width` table no
+    * matter the corpus size, built by one partial-agg groupBy — then
+    * estimate each candidate term as the MIN of its `depth` bucket
+    * counts (the classic CM upper bound: est ≥ true count, always).
+    * Returns the top-`k` terms by (estimate desc, term). The candidate
+    * set here is the distinct vocabulary (bounded, ≪ occurrences); at
+    * 100 TB a deployment feeds a sampled candidate list instead — the
+    * sketch side is already scale-free. */
+  def cmsTopK(df: DataFrame, c: Column, width: Int, k: Int): DataFrame = {
+    val occ = df.select(explode(c).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("term"), TextFunctions.rollingHash(col("term")).as("rh"))
+    val seedArr = array(CmsSeeds.map { case (s, a, b) =>
+      struct(lit(s).as("seed"), lit(a).as("a"), lit(b).as("b")) }: _*)
+    val occ3 = occ.select(col("term"), col("rh"), explode(seedArr).as("sd"))
+      .select(col("term"), col("sd.seed").as("seed"),
+        ((col("rh") * col("sd.a") + col("sd.b")) % lit(P) % lit(width.toLong))
+          .as("bucket"))
+    val sketch = occ3.groupBy("seed", "bucket").agg(count(lit(1)).as("cnt"))
+    val cand = occ3.distinct()
+    cand.join(sketch, Seq("seed", "bucket"))
+      .groupBy("term").agg(min(col("cnt")).cast("long").as("est"))
+      .orderBy(col("est").desc, col("term"))
+      .limit(k)
+  }
+
   /** Pure-Scala executable spec (PropertySpec: mergeability + estimator). */
   def kmvSpec(hashes: Seq[Long], k: Int): Double = {
     val ks = hashes.filter(_ > 0).distinct.sorted.take(k)

@@ -1881,6 +1881,110 @@ object QueryCatalog {
       |WHERE c.event_type = 'click'
       |GROUP BY c.event_id, c.user_id""".stripMargin
 
+  /** q32 — personalized PageRank over the containment hierarchy with the
+    * region roots as the teleport set
+    * ([[graft.enrich.Analytics.personalizedPageRank]]): "closeness to the
+    * seeds" ranking, the graph-retrieval primitive. Same oracle shape as
+    * q10 — per-iteration round-to-10 makes summation order irrelevant —
+    * with the reset/init mass restricted to the source set. */
+  val q32Ppr: Q = (s, d) => {
+    val hier = GraphTables.hierarchy(s, d)
+    val srcs = hier.select(col("src").as("v"))
+      .union(hier.select(col("dst").as("v"))).distinct()
+      .filter(col("v").startsWith("region."))
+    graft.enrich.Analytics.personalizedPageRank(hier, srcs, iterations = 5)
+  }
+
+  val q32PprSql: String = {
+    def iter(i: Int): String =
+      s"""p$i AS MATERIALIZED (SELECT t.v, round(CASE WHEN t.is_src = 1 THEN 0.15/(SELECT n FROM ns) ELSE 0 END
+         |    + 0.85*coalesce(c.s, 0), 10) AS pr
+         |  FROM sverts t LEFT JOIN (
+         |    SELECT e.dst AS v, round(sum(p.pr / o.cnt), 10) AS s
+         |    FROM hier e JOIN p${i - 1} p ON e.src = p.v JOIN outdeg o ON e.src = o.src
+         |    GROUP BY e.dst) c ON t.v = c.v)""".stripMargin
+    s"""WITH ${GraphSql.hierarchyCte},
+       |verts AS (SELECT src AS v FROM hier UNION SELECT dst FROM hier),
+       |sverts AS MATERIALIZED (SELECT v, CASE WHEN v LIKE 'region.%' THEN 1 ELSE 0 END AS is_src FROM verts),
+       |ns AS (SELECT sum(is_src)::DOUBLE AS n FROM sverts),
+       |outdeg AS (SELECT src, count(*) AS cnt FROM hier GROUP BY src),
+       |p0 AS (SELECT v, CASE WHEN is_src = 1 THEN round(1.0/(SELECT n FROM ns), 10) ELSE 0.0 END AS pr FROM sverts),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT v, round(pr, 6) AS ppr FROM p5""".stripMargin
+  }
+
+  /** q33 — label-propagation communities over the co-purchase graph
+    * ([[graft.enrich.Analytics.labelPropagation]]): 4 synchronous
+    * modal-label rounds with the deterministic (max count, min label)
+    * tie-break. The oracle unrolls the identical rounds; the pick is the
+    * two-level max-count-then-min-label so both engines agree exactly. */
+  val q33Labelprop: Q = (s, d) =>
+    graft.enrich.Analytics.labelPropagation(coPurchaseEdges(s, d), iterations = 4)
+
+  private def lpaIterSql(i: Int): String =
+    s"""c$i AS MATERIALIZED (SELECT e.src AS v, p.c, count(*) AS cnt
+       |  FROM und e JOIN l${i - 1} p ON e.dst = p.v GROUP BY 1, 2),
+       |l$i AS MATERIALIZED (SELECT c.v, min(c.c) AS c FROM c$i c
+       |  JOIN (SELECT v, max(cnt) AS mc FROM c$i GROUP BY v) m
+       |  ON c.v = m.v AND c.cnt = m.mc GROUP BY c.v)""".stripMargin
+
+  val q33LabelpropSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |ce AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce UNION SELECT b, a FROM ce),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS c FROM und),
+       |${(1 to 4).map(lpaIterSql).mkString(",\n")}
+       |SELECT v, c AS community FROM l4""".stripMargin
+
+  /** t_cms_topk — count-min-sketch heavy hitters over the document
+    * vocabulary ([[graft.pipeline.Sketches.cmsTopK]]): a fixed 3×1024
+    * sketch (one partial-agg groupBy regardless of corpus size),
+    * candidate estimate = min of its 3 bucket counts (the CM upper
+    * bound, est ≥ true count — property-tested), top-20 by (est, term).
+    * The oracle replays the identical rolling-hash row functions and
+    * sketch — a sketch built on engine-specific hashes never could be. */
+  val tCmsTopk: Q = (s, d) =>
+    graft.pipeline.Sketches.cmsTopK(Tables.documents(s, d),
+      graft.functions.TextFunctions.tokens(col("text")), width = 1024, k = 20)
+
+  val tCmsTopkSql: String = {
+    val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(term, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
+    s"""WITH occ AS MATERIALIZED (
+       |  SELECT term, $rollh AS rh
+       |  FROM (SELECT unnest(string_split($normSql, ' ')) AS term FROM documents)
+       |  WHERE term <> ''),
+       |seeds(seed, a, b) AS (VALUES (1, 1::BIGINT, 0::BIGINT), (2, 7919::BIGINT, 17::BIGINT), (3, 104729::BIGINT, 89::BIGINT)),
+       |occ3 AS MATERIALIZED (SELECT o.term, s.seed, ((o.rh * s.a + s.b) % 2147483647) % 1024 AS bucket
+       |  FROM occ o CROSS JOIN seeds s),
+       |sk AS (SELECT seed, bucket, count(*) AS cnt FROM occ3 GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT term, seed, bucket FROM occ3)
+       |SELECT c.term, min(s.cnt)::BIGINT AS est
+       |FROM cand c JOIN sk s ON c.seed = s.seed AND c.bucket = s.bucket
+       |GROUP BY c.term ORDER BY est DESC, c.term LIMIT 20""".stripMargin
+  }
+
+  /** d_incremental — continuous-ingestion dedup
+    * ([[graft.pipeline.Dedup.incremental]]): the odd-doc_id half plays
+    * the arriving batch, the even half the already-ingested base; one
+    * fingerprint anti-join screens the batch against the base, then the
+    * within-batch exact-dedup groupBy. */
+  val dIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.pipeline.Dedup.incremental(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
+  val dIncrementalSql: String =
+    s"""WITH fp AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+       |batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 2 = 1)
+       |SELECT b.fp, min(b.doc_id) AS keeper_id, count(*) AS batch_dups
+       |FROM batch b
+       |WHERE NOT EXISTS (SELECT 1 FROM fp WHERE doc_id % 2 = 0 AND fp.fp = b.fp)
+       |GROUP BY b.fp""".stripMargin
+
   // ---------------------------------------------------------------- catalog
 
   val queries: Map[String, Q] = Map(
@@ -1977,6 +2081,10 @@ object QueryCatalog {
     "q30_kcore" -> q30Kcore,
     "q31_hist_quantile" -> q31HistQuantile,
     "d_span_removal" -> dSpanRemoval,
+    "q32_ppr" -> q32Ppr,
+    "q33_labelprop" -> q33Labelprop,
+    "t_cms_topk" -> tCmsTopk,
+    "d_incremental" -> dIncremental,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2073,5 +2181,9 @@ object QueryCatalog {
     "q30_kcore" -> q30KcoreSql,
     "q31_hist_quantile" -> q31HistQuantileSql,
     "d_span_removal" -> dSpanRemovalSql,
+    "q32_ppr" -> q32PprSql,
+    "q33_labelprop" -> q33LabelpropSql,
+    "t_cms_topk" -> tCmsTopkSql,
+    "d_incremental" -> dIncrementalSql,
   )
 }

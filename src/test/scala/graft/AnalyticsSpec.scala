@@ -101,4 +101,30 @@ class AnalyticsSpec extends AnyFunSuite {
     // k=1 keeps everything (every vertex has a neighbor)
     assert(Analytics.kCore(edges, k = 1).count() === 5L)
   }
+
+  test("personalizedPageRank: mass stays reachable-from-sources, sums ≤ 1") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val srcs = Seq("a").toDF("v")
+    val ppr = Analytics.personalizedPageRank(edges, srcs, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // x/y are unreachable from the teleport set: exactly zero mass
+    assert(ppr("x") === 0.0 && ppr("y") === 0.0)
+    assert(ppr("a") > 0.0 && ppr("b") > 0.0 && ppr("c") > 0.0)
+    // the source holds the largest share (teleport returns to it alone)
+    assert(ppr("a") > ppr("b"))
+    assert(ppr.values.sum <= 1.0 + 1e-6)
+  }
+
+  test("labelPropagation: disjoint cliques converge to their min label") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val lp = Analytics.labelPropagation(edges, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(lp(_) === 1L))
+    assert(Seq(10L, 11L, 12L).forall(lp(_) === 10L))
+    // deterministic: a second run lands on identical labels
+    val lp2 = Analytics.labelPropagation(edges, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp === lp2)
+  }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.pipeline.{Dedup, Sketches}
+
+class SketchesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("cmsTopK: every estimate ≥ the exact count (the CM guarantee), " +
+    "and the skewed head is found exactly") {
+    // "alpha" dominates; long tail of distinct terms forces collisions
+    val docs = (
+      Seq.fill(40)("alpha beta") ++ Seq.fill(15)("gamma") ++
+        (1 to 200).map(i => s"tail$i word$i")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val top = Sketches.cmsTopK(docs, TextFunctions.tokens(col("text")),
+      width = 64, k = 250).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "").groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CM never underestimates — for every term that made the cut
+    top.foreach { case (term, est) => assert(est >= exact(term),
+      s"$term: est $est < exact ${exact(term)}") }
+    // the heavy hitter's estimate is sane and it ranks first
+    val first = Sketches.cmsTopK(docs, TextFunctions.tokens(col("text")),
+      width = 64, k = 1).collect().head
+    assert(Set("alpha", "beta").contains(first.getString(0))) // both count 40
+    assert(first.getLong(1) >= 40L)
+  }
+
+  test("incremental dedup: base-seen content drops, batch keeps first-seen") {
+    val base = Seq((0L, "shared doc"), (2L, "base only")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "shared doc"),   // already in base -> dropped
+      (3L, "new content"), (5L, "new content"), // batch dup -> one keeper
+      (7L, "fresh")).toDF("doc_id", "text")
+    val out = Dedup.incremental(base, batch)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((3L, 2L), (7L, 1L)))
+  }
+}
