@@ -248,6 +248,69 @@ object Multimodal {
     media.withColumn(outCol, parse(col(payloadCol)))
   }
 
+  final case class VideoMeta(format: String, major_brand: Option[String],
+      timescale: Option[Long], duration_ms: Option[Long])
+
+  /** ======= REAL (codec-free) ======= video metadata from MP4 / ISO-BMFF
+    * headers: walk the top-level box chain (big-endian u32 size + fourCC
+    * type, with the size==1 64-bit largesize escape) for `ftyp` (major
+    * brand — the mp4/mov/m4a routing key) and `moov`, then walk moov's
+    * children for `mvhd` (movie header: timescale and duration, u32 in
+    * version 0, u64 duration in version 1) — duration_ms = duration ·
+    * 1000 / timescale, the length screen a video ingest applies before
+    * touching any codec. Box headers only; sample data (`mdat`) is never
+    * read. */
+  def withVideoMeta(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "video_meta"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) =>
+      def u(i: Int) = p(i) & 0xff
+      def u32(i: Int) = u(i).toLong << 24 | u(i + 1).toLong << 16 |
+        u(i + 2).toLong << 8 | u(i + 3).toLong
+      def u64(i: Int) = (u32(i) << 32) | u32(i + 4)
+      def cc(i: Int) = new String(p.slice(i, i + 4), "US-ASCII")
+      if (p == null || p.length < 12 || cc(4) != "ftyp")
+        VideoMeta("not_mp4", None, None, None)
+      else {
+        var brand = Option.empty[String]
+        var timescale = Option.empty[Long]
+        var durMs = Option.empty[Long]
+        def walk(from: Int, until: Int, inMoov: Boolean): Unit = {
+          var i = from
+          while (i + 8 <= until) {
+            val size0 = u32(i)
+            val typ = cc(i + 4)
+            val (hdr, size) =
+              if (size0 == 1L && i + 16 <= until) (16, u64(i + 8))
+              else (8, if (size0 == 0L) (until - i).toLong else size0)
+            if (typ == "ftyp" && i + hdr + 4 <= until)
+              brand = Some(cc(i + hdr))
+            else if (typ == "moov" && !inMoov)
+              walk(i + hdr, math.min(until.toLong, i + size).toInt, inMoov = true)
+            else if (typ == "mvhd" && inMoov && i + hdr + 20 <= until) {
+              val version = u(i + hdr)
+              if (version == 1 && i + hdr + 28 <= until) {
+                timescale = Some(u32(i + hdr + 20))
+                durMs = timescale.filter(_ > 0)
+                  .map(ts => u64(i + hdr + 24) * 1000L / ts)
+              } else if (version == 0) {
+                timescale = Some(u32(i + hdr + 12))
+                durMs = timescale.filter(_ > 0)
+                  .map(ts => u32(i + hdr + 16) * 1000L / ts)
+              }
+            }
+            // a corrupt size that would step backwards or overflow ends
+            // the walk instead of looping (the WAV-walk rule)
+            val next = i.toLong + size
+            i = if (next <= i || next > until) until else next.toInt
+          }
+        }
+        walk(0, p.length, inMoov = false)
+        VideoMeta("mp4", brand, timescale, durMs)
+      }
+    }
+    media.withColumn(outCol, parse(col(payloadCol)))
+  }
+
   /** Feature extraction over a media Dataset: per-partition batch loop —
     * codec init happens once per partition, not per row (the reason this
     * is mapPartitions, not a scalar UDF). */

@@ -184,6 +184,54 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
   }
 
+  /** Full Lloyd k-means training, `iterations` rounds: deterministic
+    * seeding (every `centroidEvery`-th vector, the IVF coarse-quantizer
+    * rule), then per round (1) assign every vector to its nearest
+    * centroid by rounded cosine — ONE codegen'd pass over a broadcast of
+    * the (small) centroid set, ties to the lowest cid — and (2) recompute
+    * each centroid as the dim-wise mean of its cell through exact
+    * DECIMAL sums (the s_centroids discipline: summation order can't
+    * shift the result), rounded to 4. This is one Lloyd iteration as a
+    * 100 TB job: broadcast + narrow scan + partial-agg groupBy, no
+    * driver-side state beyond the centroid table itself.
+    *
+    * Rounding both the similarity and the means quantizes away every
+    * cross-engine float hazard, so the DuckDB oracle replays ALL
+    * iterations bit-identically — an HLL-style "trust me" ML loop would
+    * not be gateable.
+    *
+    * @return the trained centroids, (cid, dim, mean_v) — one row per
+    *         centroid component
+    */
+  def kMeansCentroids(emb: DataFrame, centroidEvery: Int,
+      iterations: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCell = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    var cents = emb.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => round(x.cast("double"), 4)).as("cv"))
+    var means: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          cosineSpec(col("embedding"), col("cv")).as("csim"))
+        .withColumn("crank", row_number().over(byCell))
+        .filter(col("crank") === 1)
+        .select(col("cid"), col("embedding"))
+      means = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim").cast("long").as("dim"))
+        .agg(round(
+          sum(col("v").cast("double").cast("decimal(25,10)")).cast("double")
+            / count(lit(1)), 4).as("mean_v"))
+      cents = means.groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean_v")))),
+          s => s.getField("mean_v")).as("cv"))
+    }
+    means
+  }
+
   /** Scalar-quantized (SQ8) ANN — the memory/bandwidth scale path that
     * complements IVF's candidate pruning: every vector is quantized ONCE
     * to signed-byte codes q_i = round(x_i · 127 / max_abs) (max_abs = the

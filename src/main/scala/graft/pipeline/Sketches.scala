@@ -95,6 +95,34 @@ object Sketches {
       .limit(k)
   }
 
+  /** Pure-Scala rolling hash — the same h=(h·31+c) mod P both engines
+    * compute; shared by the CMS specs below and the streaming sketch. */
+  def rollingHashScala(s: String): Long = {
+    var h = 0L
+    s.codePoints().forEach(cp => h = (h * 31 + cp) % P)
+    h
+  }
+
+  /** Pure-Scala CMS cell table of a token multiset — the executable spec
+    * of [[cmsTopK]]'s sketch stage, and the per-batch increment of the
+    * streaming sketch (CMS cells merge by ADDITION, so batch order can
+    * never change the result). */
+  def cmsCellsSpec(terms: Seq[String], width: Int): Map[(Int, Long), Long] =
+    terms.filter(_.nonEmpty).flatMap { t =>
+      val rh = rollingHashScala(t)
+      CmsSeeds.map { case (s, a, b) => (s, ((rh * a + b) % P) % width) }
+    }.groupBy(identity).map { case (cell, hits) => cell -> hits.size.toLong }
+
+  /** Point estimate for one term from a CMS cell table: min over the
+    * depth rows — the CM upper bound (≥ the true count, always). */
+  def cmsEstimateSpec(cells: Map[(Int, Long), Long], term: String,
+      width: Int): Long = {
+    val rh = rollingHashScala(term)
+    CmsSeeds.map { case (s, a, b) =>
+      cells.getOrElse((s, ((rh * a + b) % P) % width), 0L)
+    }.min
+  }
+
   /** Pure-Scala executable spec (PropertySpec: mergeability + estimator). */
   def kmvSpec(hashes: Seq[Long], k: Int): Double = {
     val ks = hashes.filter(_ > 0).distinct.sorted.take(k)

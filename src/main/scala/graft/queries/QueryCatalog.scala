@@ -1965,6 +1965,34 @@ object QueryCatalog {
        |GROUP BY c.term ORDER BY est DESC, c.term LIMIT 20""".stripMargin
   }
 
+  /** s_kmeans — full Lloyd k-means training, 2 iterations
+    * ([[graft.pipeline.Similarity.kMeansCentroids]]): deterministic
+    * seeds (vec_id % 100 == 0), rounded-cosine assignment (ties → lowest
+    * cid), decimal-exact dim-wise mean update. The oracle replays both
+    * iterations — assignment, mean, re-assignment, mean — bit-identically
+    * thanks to the round-to-4 quantization at every float boundary. */
+  val sKmeans: Q = (s, d) =>
+    Similarity.kMeansCentroids(Tables.embeddings(s, d),
+      centroidEvery = 100, iterations = 2)
+
+  val sKmeansSql: String = {
+    def assign(ci: String, out: String) =
+      s"""$out AS MATERIALIZED (SELECT cid, embedding FROM (
+         |  SELECT e.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cid) AS rk
+         |  FROM embeddings e CROSS JOIN $ci c) WHERE rk = 1)""".stripMargin
+    def meanOf(ai: String, out: String) =
+      s"""$out AS MATERIALIZED (SELECT cid, dim, round(CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS mean_v
+         |FROM (SELECT cid, unnest(range(0, 64)) AS dim, unnest(embedding)::DOUBLE AS v FROM $ai) GROUP BY cid, dim)""".stripMargin
+    s"""WITH c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> round(x::DOUBLE, 4)) AS cv FROM embeddings WHERE vec_id % 100 = 0),
+       |${assign("c0", "a1")},
+       |${meanOf("a1", "m1")},
+       |c1 AS (SELECT cid, array_agg(mean_v ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+       |${assign("c1", "a2")},
+       |${meanOf("a2", "m2")}
+       |SELECT cid, dim::BIGINT AS dim, mean_v FROM m2""".stripMargin
+  }
+
   /** d_incremental — continuous-ingestion dedup
     * ([[graft.pipeline.Dedup.incremental]]): the odd-doc_id half plays
     * the arriving batch, the even half the already-ingested base; one
@@ -2085,6 +2113,7 @@ object QueryCatalog {
     "q33_labelprop" -> q33Labelprop,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
+    "s_kmeans" -> sKmeans,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2185,5 +2214,6 @@ object QueryCatalog {
     "q33_labelprop" -> q33LabelpropSql,
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,
+    "s_kmeans" -> sKmeansSql,
   )
 }

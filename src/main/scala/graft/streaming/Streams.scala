@@ -218,6 +218,65 @@ object Streams {
       }
   }
 
+  final case class CmsCell(seed: Int, bucket: Long, cnt: Long)
+  final case class CmsState(cells: Seq[CmsCell])
+  final case class CmsOut(window_start: Timestamp, term: String, est: Long)
+
+  /** Streaming count-min heavy-hitter estimates per tumbling window: the
+    * CMS ([[graft.pipeline.Sketches.cmsTopK]]) as continuously-maintained
+    * state. Per window the state is the fixed depth×width cell table —
+    * O(width) regardless of stream length — incremented by each
+    * micro-batch; because CMS cells merge by ADDITION, the converged
+    * result is independent of batch boundaries and stream ≡ batch holds
+    * by construction (asserted in StreamsSpec against the same
+    * [[graft.pipeline.Sketches.cmsCellsSpec]] the batch operator is
+    * property-tested with). Emits the estimate for each of the supplied
+    * `candidates` per window per batch; estimates only grow as state
+    * merges, so the final value per (window, term) is the max emit.
+    * NoTimeout default for the AvailableNow test harness; production
+    * passes EventTimeTimeout so window state evicts once the watermark
+    * passes (the streamingKmvDistinct posture). */
+  def streamingCmsEstimates(events: DataFrame,
+      valueCol: org.apache.spark.sql.Column, candidates: Seq[String],
+      width: Int, window: String = "5 minutes", watermark: String = "10 minutes",
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[CmsOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.pipeline.Sketches
+    def estimates(ws: Long, cells: Map[(Int, Long), Long]): Iterator[CmsOut] =
+      candidates.iterator.map(t =>
+        CmsOut(new Timestamp(ws), t, Sketches.cmsEstimateSpec(cells, t, width)))
+    events
+      .withWatermark("ts", watermark)
+      .select(org.apache.spark.sql.functions.window(col("ts"), window)
+        .getField("start").as("wstart"), valueCol.cast("string").as("term"))
+      .where(col("term").isNotNull && col("term") =!= "")
+      .as[(Timestamp, String)]
+      .groupByKey(_._1.getTime)
+      .flatMapGroupsWithState[CmsState, CmsOut](OutputMode.Update(), timeout) {
+        case (ws, it, state: GroupState[CmsState]) =>
+          if (state.hasTimedOut) {
+            val cells = state.get.cells
+              .map(c => (c.seed, c.bucket) -> c.cnt).toMap
+            state.remove()
+            estimates(ws, cells)
+          } else {
+            val prev = state.getOption.map(_.cells.map(c =>
+              (c.seed, c.bucket) -> c.cnt).toMap).getOrElse(Map.empty)
+            val batch = Sketches.cmsCellsSpec(it.map(_._2).toSeq, width)
+            val merged = (prev.keySet ++ batch.keySet).iterator.map { k =>
+              k -> (prev.getOrElse(k, 0L) + batch.getOrElse(k, 0L))
+            }.toMap
+            state.update(CmsState(merged.map { case ((s, b), c) =>
+              CmsCell(s, b, c) }.toSeq))
+            if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(
+                ws + durationMs(window) + durationMs(watermark))
+            estimates(ws, merged)
+          }
+      }
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the result table (test/demo harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

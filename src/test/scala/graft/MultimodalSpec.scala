@@ -200,4 +200,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L) === (("wav", Some(1), Some(16000), Some(16), Some(2000L))))
     assert(out(2L) === (("not_wav", None, None, None, None)))
   }
+
+  test("withVideoMeta walks MP4 boxes for ftyp brand and mvhd duration") {
+    def be32(v: Long): Seq[Int] = Seq((v >> 24).toInt & 0xff,
+      (v >> 16).toInt & 0xff, (v >> 8).toInt & 0xff, v.toInt & 0xff)
+    def fourcc(s: String): Seq[Int] = s.getBytes.map(_.toInt).toSeq
+    // ftyp: major brand isom, minor version, one compatible brand
+    val ftyp = be32(20) ++ fourcc("ftyp") ++ fourcc("isom") ++ be32(0) ++
+      fourcc("mp41")
+    // mvhd v0: version+flags, ctime, mtime, timescale=1000, duration=5000
+    val mvhdBody = Seq(0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(1000) ++
+      be32(5000) ++ Seq.fill(80)(0) // rate/volume/matrix/next_track padding
+    val mvhd = be32(8L + mvhdBody.length) ++ fourcc("mvhd") ++ mvhdBody
+    val moov = be32(8L + mvhd.length) ++ fourcc("moov") ++ mvhd
+    // a free box between ftyp and moov exercises the skip path
+    val free = be32(16) ++ fourcc("free") ++ Seq.fill(8)(0)
+    val mp4 = (ftyp ++ free ++ moov).map(_.toByte).toArray
+    val out = Multimodal.withVideoMeta(
+      Seq((1L, mp4), (2L, "not a video".getBytes)).toDF("doc_id", "payload"))
+      .select(col("doc_id"), col("video_meta.format"),
+        col("video_meta.major_brand"), col("video_meta.timescale"),
+        col("video_meta.duration_ms"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out(1L) === (("mp4", Some("isom"), Some(1000L), Some(5000L))))
+    assert(out(2L) === (("not_mp4", None, None, None)))
+    // format sniffing routes the same payload
+    val sniffed = Seq((1L, mp4)).toDF("doc_id", "payload")
+      .select(Multimodal.sniffFormat(col("payload"))).head.getString(0)
+    assert(sniffed === "mp4")
+  }
 }

@@ -226,4 +226,40 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toMap
     assert(streamed === batch && streamed.size === 3)
   }
+
+  test("streamingCmsEstimates: fixed-size state; stream ≡ batch cells; " +
+    "estimates ≥ exact") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // skewed vocabulary over 2 windows; width 16 forces collisions
+    val events = (1 to 200).map { i =>
+      val term = if (i % 3 == 0) "hot" else s"t${i % 23}"
+      Event(i.toLong, ts(i % 10), i.toLong, term, 1.0)
+    }
+    val cands = Seq("hot", "t1", "t7", "absent")
+    val mem = MemoryStream[Event]
+    mem.addData(events.take(80): _*)   // two batches: state must merge
+    mem.addData(events.drop(80): _*)
+    val out = Streams.runToMemory(spark,
+      Streams.streamingCmsEstimates(mem.toDF(), col("event_type"),
+        cands, width = 16).toDF(), "cms_stream")
+    val streamed = out.groupBy("window_start", "term")
+      .agg(max("est").as("est"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    // batch replay: per-window cell tables from the SAME executable spec
+    val byWindow = events.groupBy(e =>
+      new Timestamp(e.ts.getTime / 300000L * 300000L))
+    val expected = byWindow.flatMap { case (ws, evs) =>
+      val cells = graft.pipeline.Sketches.cmsCellsSpec(evs.map(_.event_type), 16)
+      cands.map(t => (ws, t) ->
+        graft.pipeline.Sketches.cmsEstimateSpec(cells, t, 16))
+    }
+    assert(streamed === expected)
+    // CM guarantee within each window: estimate ≥ exact count
+    byWindow.foreach { case (ws, evs) =>
+      val exact = evs.groupBy(_.event_type).map { case (t, xs) => t -> xs.size }
+      cands.filter(exact.contains).foreach(t =>
+        assert(streamed((ws, t)) >= exact(t)))
+    }
+  }
 }
