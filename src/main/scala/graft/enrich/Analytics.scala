@@ -146,6 +146,36 @@ object Analytics {
     dist
   }
 
+  /** Single-source shortest-path COUNTS — distance AND the number of
+    * distinct shortest paths per vertex (the σ of Brandes' betweenness
+    * forward pass, exact integers). Bellman-Ford-style recompute each
+    * round: a vertex's (d, σ) derives ONLY from its in-neighbors' previous
+    * row — d = min(pred.d + 1), σ = Σ pred.σ over preds achieving that min
+    * (two-level min-then-sum, the engine-portable argmin) — so no
+    * accumulate-and-double-count hazard exists, and the fixpoint lands
+    * once `iterations` ≥ graph depth. Same shuffle shape as
+    * [[bfsDistances]]: each round joins the (small) state table against
+    * the pre-partitioned edge set. */
+  def shortestPathCounts(edges: DataFrame, source: String,
+      iterations: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(eager = true)
+    val src0 = e.sparkSession.range(1)
+      .select(lit(source).as("v"), lit(0L).as("d"), lit(1L).as("sig"))
+    var st = src0
+    for (i <- 1 to iterations) {
+      val cand = e.join(st.withColumnRenamed("v", "src"), "src")
+        .filter(col("dst") =!= source)
+        .select(col("dst").as("v"), (col("d") + 1).as("d"), col("sig"))
+      val md = cand.groupBy("v").agg(min("d").as("md"))
+      val nxt = cand.join(md, "v").filter(col("d") === col("md"))
+        .groupBy("v", "d").agg(sum("sig").as("sig"))
+      st = src0.unionByName(nxt.select(col("v"), col("d"), col("sig")))
+      if (i % 3 == 0 && i < iterations) st = st.localCheckpoint(eager = true)
+    }
+    st
+  }
+
   /** GraphX scale path for [[bfsDistances]]: the landmark-BFS Pregel of
     * `graphx.lib.ShortestPaths` (resilient RDD state, partition-reusing
     * joins) with the source as the single landmark — identical hop counts,

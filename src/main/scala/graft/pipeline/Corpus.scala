@@ -274,6 +274,48 @@ object Corpus {
         expr("(sum(p_ppm) * 2 + count(1)) div (2 * count(1))").as("avg_p_ppm"))
   }
 
+  /** Token-vote document classifier — the fastText-style curation
+    * classifier shape (language/domain/quality routing), distilled from a
+    * weak labeler: TRAIN = per-(token, label) counts over the labeled
+    * half, each token votes for its modal label; CLASSIFY = per document,
+    * the label with the most token votes. Both argmaxes use the
+    * deterministic (max count, then min label) pick, so the whole
+    * train-then-classify loop is engine-replayable — integer counts only,
+    * no float weights anywhere.
+    *
+    * Labels come from [[graft.functions.TextFunctions.langIdGuess]]
+    * applied to the training rows (heuristic-labeler distillation —
+    * exactly how production langid classifiers are bootstrapped).
+    *
+    * Scale shape: the model is one vocab-sized groupBy (partial-agg
+    * friendly); its vote table is vocab-sized and broadcast-able; scoring
+    * is one groupBy per (doc, label) plus a per-doc window — partitioned
+    * by doc, never a global reducer. Test docs sharing no vocabulary
+    * with the model drop out (no prediction is honest, not a default).
+    *
+    * @param isTrain marks the labeled training rows of `docs`
+    * @return (doc_id, pred_lang) for classifiable non-training docs
+    */
+  def tokenVoteClassifier(docs: DataFrame, isTrain: Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), isTrain.as("is_train"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val lab = docs.select(col("doc_id"), langIdGuess(col("text")).as("lang"))
+    val model = toks.filter(col("is_train")).join(lab, "doc_id")
+      .groupBy("term", "lang").agg(count(lit(1)).as("cnt"))
+    val byTerm = Window.partitionBy("term")
+      .orderBy(col("cnt").desc, col("lang"))
+    val vote = model.withColumn("rk", row_number().over(byTerm))
+      .filter(col("rk") === 1).select(col("term"), col("lang").as("vlang"))
+    val scored = toks.filter(!col("is_train")).join(vote, "term")
+      .groupBy("doc_id", "vlang").agg(count(lit(1)).as("n"))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("n").desc, col("vlang"))
+    scored.withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("vlang").as("pred_lang"))
+  }
+
   /** Export a corpus as sharded JSONL — the interchange format feeding
     * tokenizer/training jobs downstream. Shard assignment hashes the key
     * (deterministic and retry-stable, unlike round-robin repartition);

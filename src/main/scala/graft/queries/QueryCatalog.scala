@@ -1965,6 +1965,57 @@ object QueryCatalog {
        |GROUP BY c.term ORDER BY est DESC, c.term LIMIT 20""".stripMargin
   }
 
+  /** q34 — single-source shortest-path COUNTS from region.0 over the
+    * reversed hierarchy ([[graft.enrich.Analytics.shortestPathCounts]]):
+    * the σ of Brandes' betweenness forward pass, exact integers. The
+    * oracle unrolls the identical Bellman-Ford-style recompute
+    * (min-distance then sum-of-σ two-level pick per round). */
+  val q34SpCounts: Q = (s, d) =>
+    graft.enrich.Analytics.shortestPathCounts(
+      GraphTables.hierarchy(s, d)
+        .select(col("dst").as("src"), col("src").as("dst")),
+      "region.0", iterations = q22Iterations)
+
+  private def spIterSql(i: Int): String =
+    s"""spc$i AS MATERIALIZED (SELECT e.dst AS v, p.d + 1 AS d, p.sig
+       |  FROM rev e JOIN sp${i - 1} p ON e.src = p.v WHERE e.dst <> 'region.0'),
+       |sp$i AS MATERIALIZED (SELECT 'region.0' AS v, 0::BIGINT AS d, 1::BIGINT AS sig
+       |  UNION ALL
+       |  SELECT c.v, c.d, sum(c.sig)::BIGINT AS sig FROM spc$i c
+       |  JOIN (SELECT v, min(d) AS md FROM spc$i GROUP BY v) m ON c.v = m.v AND c.d = m.md
+       |  GROUP BY c.v, c.d)""".stripMargin
+
+  val q34SpCountsSql: String =
+    s"""WITH ${GraphSql.hierarchyCte},
+       |rev AS MATERIALIZED (SELECT dst AS src, src AS dst FROM hier),
+       |sp0 AS MATERIALIZED (SELECT 'region.0' AS v, 0::BIGINT AS d, 1::BIGINT AS sig),
+       |${(1 to q22Iterations).map(spIterSql).mkString(",\n")}
+       |SELECT v, d, sig FROM sp$q22Iterations""".stripMargin
+
+  /** t_token_vote — the fastText-style curation classifier
+    * ([[graft.pipeline.Corpus.tokenVoteClassifier]]): even doc_ids train
+    * a per-token modal-label model from the langid weak labeler, odd
+    * doc_ids are classified by majority token vote. Both argmaxes are
+    * the deterministic two-level (max count, min label) pick on each
+    * side. */
+  val tTokenVote: Q = (s, d) =>
+    graft.pipeline.Corpus.tokenVoteClassifier(Tables.documents(s, d),
+      col("doc_id") % 2 === 0)
+
+  val tTokenVoteSql: String =
+    s"""WITH lab AS MATERIALIZED (SELECT doc_id, lang_guess AS lang FROM ($tLangIdSql)),
+       |toks AS MATERIALIZED (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |model AS MATERIALIZED (SELECT t.term, l.lang, count(*) AS cnt FROM toks t JOIN lab l USING (doc_id)
+       |  WHERE t.doc_id % 2 = 0 AND t.term <> '' GROUP BY t.term, l.lang),
+       |vote AS (SELECT m.term, min(m.lang) AS vlang FROM model m
+       |  JOIN (SELECT term, max(cnt) AS mc FROM model GROUP BY term) x ON m.term = x.term AND m.cnt = x.mc
+       |  GROUP BY m.term),
+       |scored AS (SELECT t.doc_id, v.vlang, count(*) AS n FROM toks t JOIN vote v ON t.term = v.term
+       |  WHERE t.doc_id % 2 = 1 AND t.term <> '' GROUP BY t.doc_id, v.vlang)
+       |SELECT s.doc_id, min(s.vlang) AS pred_lang FROM scored s
+       |JOIN (SELECT doc_id, max(n) AS mn FROM scored GROUP BY doc_id) y ON s.doc_id = y.doc_id AND s.n = y.mn
+       |GROUP BY s.doc_id""".stripMargin
+
   /** s_kmeans — full Lloyd k-means training, 2 iterations
     * ([[graft.pipeline.Similarity.kMeansCentroids]]): deterministic
     * seeds (vec_id % 100 == 0), rounded-cosine assignment (ties → lowest
@@ -2114,6 +2165,8 @@ object QueryCatalog {
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
+    "q34_sp_counts" -> q34SpCounts,
+    "t_token_vote" -> tTokenVote,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2215,5 +2268,7 @@ object QueryCatalog {
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,
+    "q34_sp_counts" -> q34SpCountsSql,
+    "t_token_vote" -> tTokenVoteSql,
   )
 }

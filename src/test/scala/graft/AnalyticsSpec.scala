@@ -115,6 +115,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ppr.values.sum <= 1.0 + 1e-6)
   }
 
+  test("shortestPathCounts: diamond doubles sigma, chains keep it") {
+    // a -> {b, c} -> d -> e plus a longer a->x->y->d path that must NOT
+    // count (distance 3 > 2) and an unreachable island q->r
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+      ("a", "x"), ("x", "y"), ("y", "d"), ("q", "r")).toDF("src", "dst")
+    val got = Analytics.shortestPathCounts(edges, "a", iterations = 6)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("a") === ((0L, 1L)))
+    assert(got("b") === ((1L, 1L)) && got("c") === ((1L, 1L)))
+    assert(got("d") === ((2L, 2L))) // two shortest paths; the 3-hop one ignored
+    assert(got("e") === ((3L, 2L))) // counts carry through the chain
+    assert(!got.contains("q") && !got.contains("r"))
+  }
+
   test("labelPropagation: disjoint cliques converge to their min label") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
