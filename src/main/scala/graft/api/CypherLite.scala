@@ -133,6 +133,8 @@ object CypherLite {
   private val whereStrPred =
     """^(?i)(\w+)\.(\w+)\s+(STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+(.+)$""".r
   private val whereIn = """^(?i)(\w+)\.(\w+)\s+IN\s+\[(.*)\]$""".r
+  private val whereIsNull = """^(?i)(\w+)\.(\w+)\s+IS\s+NULL$""".r
+  private val whereIsNotNull = """^(?i)(\w+)\.(\w+)\s+IS\s+NOT\s+NULL$""".r
   private val notParen = """^(?i)NOT\s*\((.*)$""".r
   private val numericLit = """^-?\d+(\.\d+)?$""".r
 
@@ -434,6 +436,11 @@ object CypherLite {
       case notParen(rest) if isWholeParen(s"($rest") =>
         !parseWhere(rest.dropRight(1), vars)
       case whereExists(v, prop) => propCol(v, prop).isNotNull
+      // IS [NOT] NULL ≡ [NOT] exists — Neo4j's modern spelling (exists()
+      // on properties is deprecated there); must match before whereCmp
+      // so the bare `IS` never reaches the comparison fallbacks
+      case whereIsNotNull(v, prop) => propCol(v, prop).isNotNull
+      case whereIsNull(v, prop) => propCol(v, prop).isNull
       case whereNeq(v, prop, value) => propCol(v, prop) =!= unquote(value)
       case whereIn(v, prop, list) =>
         propCol(v, prop).isin(splitTop(list, ",").map(unquote): _*)

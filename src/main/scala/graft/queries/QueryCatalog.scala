@@ -1965,6 +1965,31 @@ object QueryCatalog {
        |GROUP BY c.term ORDER BY est DESC, c.term LIMIT 20""".stripMargin
   }
 
+  /** q35 — MULTIPLE distinct aggregates + a plain aggregate in one
+    * GROUP BY (distinct part and supplier counts next to a decimal sum):
+    * the classic planner stress that Spark executes via the Expand
+    * operator — each input row fans out once per distinct-column group,
+    * then a two-level aggregation dedups and merges. Scale note: the
+    * expand multiplies shuffled rows by (#distinct specs + 1); when that
+    * bites at 100 TB the sketch path (q14_kmv_grouped) replaces the
+    * exact distincts. */
+  val q35MultiDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count_distinct(col("l_partkey")).cast("long").as("nd_parts"),
+        count_distinct(col("l_suppkey")).cast("long").as("nd_supps"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  val q35MultiDistinctSql: String =
+    """SELECT l_returnflag,
+      |count(DISTINCT l_partkey)::BIGINT AS nd_parts,
+      |count(DISTINCT l_suppkey)::BIGINT AS nd_supps,
+      |CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** q34 — single-source shortest-path COUNTS from region.0 over the
     * reversed hierarchy ([[graft.enrich.Analytics.shortestPathCounts]]):
     * the σ of Brandes' betweenness forward pass, exact integers. The
@@ -2166,6 +2191,7 @@ object QueryCatalog {
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
     "q34_sp_counts" -> q34SpCounts,
+    "q35_multi_distinct" -> q35MultiDistinct,
     "t_token_vote" -> tTokenVote,
   )
 
@@ -2269,6 +2295,7 @@ object QueryCatalog {
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,
     "q34_sp_counts" -> q34SpCountsSql,
+    "q35_multi_distinct" -> q35MultiDistinctSql,
     "t_token_vote" -> tTokenVoteSql,
   )
 }

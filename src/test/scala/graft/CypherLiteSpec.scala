@@ -214,6 +214,22 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(notExists === Set("m.Person", "m.Person.greet", "m.util"))
   }
 
+  test("WHERE IS NULL / IS NOT NULL — Neo4j's modern exists() spelling") {
+    val isNull = db.executeQuery(
+      "MATCH (n:sklearn) WHERE n.file_path IS NULL RETURN n.full_name")
+      .collect().map(_.getString(0)).toSet
+    assert(isNull === Set("m.Person", "m.Person.greet", "m.util"))
+    val isNotNull = db.executeQuery(
+      "MATCH (n:sklearn) WHERE n.file_path IS NOT NULL RETURN n.full_name")
+      .collect().map(_.getString(0)).toSet
+    assert(isNotNull === Set("m"))
+    // composes with the boolean grammar and is case-insensitive
+    val combo = db.executeQuery(
+      "MATCH (n:sklearn) WHERE n.file_path is null AND n.name = 'util' " +
+        "RETURN n.full_name").collect().map(_.getString(0)).toSet
+    assert(combo === Set("m.util"))
+  }
+
   test("relationship property patterns filter edges (incl. var-length)") {
     val d4 = GraphDatabase.inMemory(spark)
     d4.addEdge("t", "a", Rel.Call, "b", Map("via" -> "direct"))
