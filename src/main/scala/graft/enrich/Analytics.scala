@@ -285,18 +285,27 @@ object Analytics {
     var prev = und.count()
     var done = prev == 0L
     var i = 0
-    while (i < maxIter && !done) {
-      val keep = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    // one degree-prune round; pruning a converged edge set is a no-op,
+    // so batching rounds between materializations cannot change the
+    // fixpoint (the CC three-hop argument)
+    def prune(df: DataFrame): DataFrame = {
+      val keep = df.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
-      val next = und.join(keep, "src")
+      df.join(keep, "src")
         .join(keep.withColumnRenamed("src", "dst"), "dst")
         .select(col("src"), col("dst"))
-        .localCheckpoint(eager = true)
+    }
+    while (i < maxIter && !done) {
+      // TWO rounds per checkpoint+count: the per-round fixed cost (eager
+      // materialization + count job) dominates on real graphs' shallow
+      // prune chains, so paying it half as often wins even with the
+      // deeper per-job plan
+      val next = prune(prune(und)).localCheckpoint(eager = true)
       val n = next.count()
       done = n == prev
       prev = n
       und = next
-      i += 1
+      i += 2
     }
     und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("v"), col("deg"))
@@ -337,6 +346,52 @@ object Analytics {
       if (i % 8 == 0 && i < iterations) pr = pr.localCheckpoint(eager = true)
     }
     pr.select(col("v"), round(col("pr"), 6).as("ppr"))
+  }
+
+  /** GraphX scale path for [[personalizedPageRank]] — same math (teleport
+    * and init mass restricted to the source set, dangling mass ignored,
+    * per-iteration round-to-10), resilient RDD state instead of pinned
+    * localCheckpoint blocks, so it shares q32's oracle SQL exactly as
+    * [[pageRankGraphX]] shares q10's. The source set is collected to a
+    * broadcast-able Set — it is small by definition (seeds). */
+  def personalizedPageRankGraphX(spark: SparkSession, edges: DataFrame,
+      sources: DataFrame, iterations: Int = 5): DataFrame = {
+    import org.apache.spark.graphx._
+    import spark.implicits._
+    def r10(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue()
+    val keyed = edges.select(
+      xxhash64(col("src")).as("sid"), col("src"),
+      xxhash64(col("dst")).as("did"), col("dst")).cache()
+    val names = keyed.select(col("sid").as("id"), col("src").as("name"))
+      .union(keyed.select(col("did"), col("dst"))).distinct().cache()
+    val srcIds = sources.select(xxhash64(col("v"))).distinct()
+      .as[Long].collect().toSet
+    val bSrc = spark.sparkContext.broadcast(srcIds)
+    val ns = srcIds.size.toDouble
+    val g = Graph(
+      names.as[(Long, String)].rdd.map { case (id, _) => (id, ()) },
+      keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd
+        .map { case (s, d) => Edge(s, d, ()) }).cache()
+    val outDeg = g.outDegrees
+    val reset = 0.15 / ns
+    var ranks = g.vertices.mapValues((id, _) =>
+      if (bSrc.value(id)) r10(1.0 / ns) else 0.0)
+    for (_ <- 1 to iterations) {
+      val contribs = g
+        .outerJoinVertices(ranks)((_, _, r) => r.getOrElse(0.0))
+        .outerJoinVertices(outDeg)((_, rank, deg) => (rank, deg.getOrElse(0)))
+        .aggregateMessages[Double](
+          ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2.toDouble),
+          _ + _)
+        .mapValues(r10 _)
+      ranks = g.vertices.leftJoin(contribs)((id, _, c) =>
+        r10((if (bSrc.value(id)) reset else 0.0) + 0.85 * c.getOrElse(0.0)))
+    }
+    ranks.toDF("id", "pr")
+      .join(names, "id")
+      .select(col("name").as("v"), round(col("pr"), 6).as("ppr"))
   }
 
   /** Synchronous label-propagation communities over the undirected view

@@ -1913,6 +1913,18 @@ object QueryCatalog {
        |SELECT v, round(pr, 6) AS ppr FROM p5""".stripMargin
   }
 
+  /** The GraphX scale path of q32 — same source-restricted teleport
+    * math, same per-iteration rounding, gated by the IDENTICAL oracle
+    * SQL (the q10/q10_gx pattern). */
+  val q32PprGx: Q = (s, d) => {
+    val hier = GraphTables.hierarchy(s, d)
+    val srcs = hier.select(col("src").as("v"))
+      .union(hier.select(col("dst").as("v"))).distinct()
+      .filter(col("v").startsWith("region."))
+    graft.enrich.Analytics.personalizedPageRankGraphX(s, hier, srcs,
+      iterations = 5)
+  }
+
   /** q33 — label-propagation communities over the co-purchase graph
     * ([[graft.enrich.Analytics.labelPropagation]]): 4 synchronous
     * modal-label rounds with the deterministic (max count, min label)
@@ -2186,6 +2198,7 @@ object QueryCatalog {
     "q31_hist_quantile" -> q31HistQuantile,
     "d_span_removal" -> dSpanRemoval,
     "q32_ppr" -> q32Ppr,
+    "q32_ppr_gx" -> q32PprGx,
     "q33_labelprop" -> q33Labelprop,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
@@ -2290,6 +2303,7 @@ object QueryCatalog {
     "q31_hist_quantile" -> q31HistQuantileSql,
     "d_span_removal" -> dSpanRemovalSql,
     "q32_ppr" -> q32PprSql,
+    "q32_ppr_gx" -> q32PprSql,
     "q33_labelprop" -> q33LabelpropSql,
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,

@@ -115,6 +115,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ppr.values.sum <= 1.0 + 1e-6)
   }
 
+  test("personalizedPageRankGraphX ≡ the DataFrame loop (small graph)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("x", "y"))
+      .toDF("src", "dst")
+    val srcs = Seq("a", "x").toDF("v")
+    val loop = Analytics.personalizedPageRank(edges, srcs, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gx = Analytics.personalizedPageRankGraphX(spark, edges, srcs,
+      iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(loop === gx)
+  }
+
   test("shortestPathCounts: diamond doubles sigma, chains keep it") {
     // a -> {b, c} -> d -> e plus a longer a->x->y->d path that must NOT
     // count (distance 3 > 2) and an unreachable island q->r
