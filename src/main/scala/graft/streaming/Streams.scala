@@ -277,6 +277,21 @@ object Streams {
       }
   }
 
+  /** Stateless corpus screens on a document STREAM: quality score + gate
+    * and PII redaction are pure narrow maps (Column expressions, no
+    * state, no shuffle), so the exact batch operators run on a streaming
+    * DataFrame unchanged — one declarative plan, two execution modes,
+    * row-for-row identical output (asserted in StreamsSpec). This is the
+    * continuous-ingestion front door: screen and scrub documents as they
+    * arrive, before the stateful dedup/sketch stages. */
+  def streamingCorpusScreen(docs: DataFrame, minQuality: Double): DataFrame =
+    graft.pipeline.Corpus.piiRedact(docs, col("text"))
+      .withColumn("quality",
+        graft.functions.TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"), col("quality"), col("n_emails"),
+        col("n_ips"), col("n_phones"), col("redacted"))
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the result table (test/demo harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -80,4 +80,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("*("),
       s"hot aggregation path fell out of codegen; plan:\n$plan")
   }
+
+  test("CMS candidate-lookup joins against the tiny sketch via broadcast") {
+    val plan = executed(QueryCatalog.tCmsTopk(spark, sf))
+    // the sketch side is a fixed depth×width table — if this ever plans
+    // as a shuffled join the sketch's whole point (scale-free side) is
+    // lost
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sketch join must broadcast; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"CMS path must stay equi-join only; plan:\n$plan")
+  }
+
+  test("incremental dedup anti-join shuffles on fp (base side never broadcasts)") {
+    val plan = executed(QueryCatalog.dIncremental(spark, sf))
+    // the base corpus is unbounded at scale: the anti-join must be a
+    // shuffle-partitioned hash/merge join keyed on fp, not a broadcast
+    // of the base fingerprint set (AQE may still broadcast at this tiny
+    // test SF — accept either hash strategy but never nested-loop)
+    assert(plan.contains("Join LeftAnti") || plan.contains("LeftAnti"),
+      s"expected an anti-join; plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"anti-join must stay an equi hash join; plan:\n$plan")
+  }
+
+  test("q35 multi-distinct plans the Expand two-level aggregation") {
+    val plan = executed(QueryCatalog.q35MultiDistinct(spark, sf))
+    assert(plan.contains("Expand"),
+      s"multiple distinct aggs should rewrite via Expand; plan:\n$plan")
+  }
 }

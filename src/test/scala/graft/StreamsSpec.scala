@@ -262,4 +262,35 @@ class StreamsSpec extends AnyFunSuite {
         assert(streamed((ws, t)) >= exact(t)))
     }
   }
+
+  test("streamingCorpusScreen: stateless screens run on the stream " +
+    "unchanged (row-for-row ≡ batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, ts(1), "Contact bob@example.com or 10.0.0.1 for the quality " +
+        "assessment of the corpus and a longer body of plain text that " +
+        "clears the length band with the usual stopwords in it."),
+      (2L, ts(2), "x"), // fails the quality gate
+      (3L, ts(3), "The quick brown fox jumps over the lazy dog and then " +
+        "keeps going for long enough to look like a real document of " +
+        "ordinary english prose with the usual stopwords in it."))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(docs: _*)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "quality", "n_emails", "n_ips", "n_phones", "redacted")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    val streamed = norm(Streams.runToMemory(spark,
+      Streams.streamingCorpusScreen(
+        mem.toDF().toDF("doc_id", "ts", "text"), minQuality = 0.75),
+      "screen_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append()))
+    val batch = norm(Streams.streamingCorpusScreen(
+      docs.toDF("doc_id", "ts", "text"), minQuality = 0.75))
+    assert(streamed === batch && streamed.map(_._1).contains(1L)
+      && !streamed.map(_._1).contains(2L))
+    // the PII actually got scrubbed on the stream
+    val red = streamed.find(_._1 == 1L).get._6
+    assert(red.contains("<EMAIL>") && red.contains("<IP>"))
+  }
 }
