@@ -173,6 +173,43 @@ object Dedup {
   /** MinHash signature: for each of `numHashes` permutations i,
     * min over shingle hashes h of (a_i*h + b_i) mod p. The (a_i, b_i)
     * are fixed odd/prime-ish constants so the oracle can replay them. */
+  /** Cross-table fuzzy match (entity resolution / record linkage): link
+    * each QUERY document to its best CATALOG match by n-gram Jaccard —
+    * the A×B variant of [[ngramJaccardPairs]] with the same scale spine:
+    * shingle inverted indexes on both sides, candidates only where a
+    * shingle co-occurs, a hub-shingle cap over the COMBINED posting list
+    * (a hub on either side would explode the candidate join), exact
+    * Jaccard verification on candidates only, then a per-query windowed
+    * best-match pick (jaccard desc, then lowest id — deterministic).
+    * Nothing is all-pairs; per-shingle work is bounded by the cap.
+    *
+    * @return (query_id, match_id, jaccard) — at most one row per query
+    */
+  def fuzzyJoin(queries: DataFrame, catalog: DataFrame, k: Int,
+      threshold: Double, maxDocFreq: Int = 1000): DataFrame = {
+    def sh(df: DataFrame) =
+      df.select(col("doc_id"), shingleHashes(col("text"), k).as("hashes"))
+    val qsh = sh(queries)
+    val csh = sh(catalog)
+    val qsz = qsh.select(col("doc_id").as("query_id"), size(col("hashes")).as("nq"))
+    val csz = csh.select(col("doc_id").as("match_id"), size(col("hashes")).as("nc"))
+    val qinv = qsh.select(col("doc_id").as("query_id"), explode(col("hashes")).as("h"))
+    val cinv = csh.select(col("doc_id").as("match_id"), explode(col("hashes")).as("h"))
+    val rare = qinv.select(col("h")).unionByName(cinv.select(col("h")))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select("h")
+    val common = qinv.join(rare, "h").join(cinv, "h")
+      .groupBy("query_id", "match_id").agg(count(lit(1)).as("inter"))
+    val scored = common.join(qsz, "query_id").join(csz, "match_id")
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("nq") + col("nc") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("jaccard").desc, col("match_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("query_id"), col("match_id"), col("jaccard"))
+  }
+
   def minhashCoefs(numHashes: Int): Seq[(Long, Long)] =
     (1 to numHashes).map(i => (2L * i + 1L, 104729L * i % HashP))
 

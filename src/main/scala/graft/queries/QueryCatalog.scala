@@ -1068,6 +1068,40 @@ object QueryCatalog {
        |FROM common JOIN sizes sa ON common.a = sa.doc_id JOIN sizes sb ON common.b = sb.doc_id
        |WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 4) >= 0.2""".stripMargin
 
+  /** d_fuzzy_join — cross-table fuzzy entity matching
+    * ([[graft.pipeline.Dedup.fuzzyJoin]]): odd doc_ids are the query
+    * table, even doc_ids the catalog; each query links to its best
+    * catalog match by 5-gram Jaccard ≥ 0.2 (the record-linkage shape —
+    * same inverted-index spine as d_ngram_jaccard, A×B instead of
+    * self-join, combined-posting-list hub cap, deterministic per-query
+    * best pick). */
+  val dFuzzyJoin: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.fuzzyJoin(docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0), k = 5, threshold = 0.2)
+  }
+
+  val dFuzzyJoinSql: String =
+    s"""WITH allsh AS MATERIALIZED (SELECT doc_id, $shingleHashesSql AS hashes FROM documents),
+       |q AS (SELECT * FROM allsh WHERE doc_id % 2 = 1),
+       |c AS (SELECT * FROM allsh WHERE doc_id % 2 = 0),
+       |qsz AS (SELECT doc_id AS query_id, len(hashes)::BIGINT AS nq FROM q),
+       |csz AS (SELECT doc_id AS match_id, len(hashes)::BIGINT AS nc FROM c),
+       |qinv AS MATERIALIZED (SELECT doc_id AS query_id, unnest(hashes) AS h FROM q),
+       |cinv AS MATERIALIZED (SELECT doc_id AS match_id, unnest(hashes) AS h FROM c),
+       |rare AS (SELECT h FROM (SELECT h FROM qinv UNION ALL SELECT h FROM cinv)
+       |         GROUP BY h HAVING count(*) <= 1000),
+       |common AS (SELECT x.query_id, y.match_id, count(*)::BIGINT AS inter
+       |           FROM qinv x JOIN rare r ON x.h = r.h JOIN cinv y ON x.h = y.h
+       |           GROUP BY 1, 2),
+       |scored AS (SELECT query_id, match_id,
+       |             round(inter::DOUBLE / (qsz.nq + csz.nc - inter), 4) AS jaccard
+       |           FROM common JOIN qsz USING (query_id) JOIN csz USING (match_id))
+       |SELECT query_id, match_id, jaccard FROM (
+       |  SELECT query_id, match_id, jaccard,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY jaccard DESC, match_id) AS rk
+       |  FROM scored WHERE jaccard >= 0.2) WHERE rk = 1""".stripMargin
+
   /** MinHash-LSH near-dup pairs: 16 hashes, 4 bands × 4 rows, est ≥ 0.25. */
   val dMinhashLsh: Q = (s, d) =>
     Dedup.minhashLshPairs(Tables.documents(s, d), k = 5, numHashes = 16,
@@ -2150,6 +2184,7 @@ object QueryCatalog {
     "d_exact" -> dExact,
     "d_ngram_jaccard" -> dNgramJaccard,
     "d_minhash_lsh" -> dMinhashLsh,
+    "d_fuzzy_join" -> dFuzzyJoin,
     "d_dup_clusters" -> dDupClusters,
     "d_simhash" -> dSimhash,
     "s_cosine_topk" -> sCosineTopK,
@@ -2255,6 +2290,7 @@ object QueryCatalog {
     "d_exact" -> dExactSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_minhash_lsh" -> dMinhashLshSql,
+    "d_fuzzy_join" -> dFuzzyJoinSql,
     "d_dup_clusters" -> dDupClustersSql,
     "d_simhash" -> dSimhashSql,
     "s_cosine_topk" -> sCosineTopKSql,

@@ -97,4 +97,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 4L, 0L, "p q r s")))
     assert(out(4L) === ((4L, 3L, 3L, "")))
   }
+
+  test("fuzzyJoin links each query to its best catalog match only") {
+    val catalog = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (20L, "an entirely different catalog record about spark engines"),
+      (30L, "the quick brown fox jumps over the lazy dog at noon"))
+      .toDF("doc_id", "text")
+    val queries = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // == 10
+      (2L, "completely unrelated text with no shared shingles here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyJoin(queries, catalog, k = 3, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // query 1 matches BOTH fox docs but keeps only the better (exact) one
+    assert(out(1L)._1 === 10L && out(1L)._2 === 1.0)
+    assert(!out.contains(2L)) // below threshold -> no forced match
+  }
 }
