@@ -348,6 +348,35 @@ object Analytics {
     pr.select(col("v"), round(col("pr"), 6).as("ppr"))
   }
 
+  /** Weighted PageRank over edges(src, dst, w): each vertex splits its
+    * rank over out-edges PROPORTIONALLY TO WEIGHT (contrib = pr·w/Σw(src))
+    * instead of uniformly — the random surfer follows strong edges more
+    * often, the natural ranking for weighted graphs like co-occurrence /
+    * co-purchase networks. Same scale + determinism shape as [[pageRank]]:
+    * static per-edge state (weight share denominator) joined once and
+    * pre-partitioned, per-iteration round-to-10. Returns (v, pagerank)
+    * rounded to 6. */
+  def pageRankWeighted(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    val e2 = e.join(e.groupBy(col("src")).agg(sum(col("w")).as("wsum")), "src")
+      .repartition(col("src")).localCheckpoint(eager = true)
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .repartition(col("v")).localCheckpoint(eager = true)
+    val n = verts.count().toDouble
+    var pr = verts.withColumn("pr", round(lit(1.0 / n), 10))
+    for (i <- 1 to iterations) {
+      val contrib = e2.join(pr.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(round(sum(col("pr") * col("w") / col("wsum")), 10).as("s"))
+      pr = verts.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          round(lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0)), 10).as("pr"))
+      if (i % 8 == 0 && i < iterations) pr = pr.localCheckpoint(eager = true)
+    }
+    pr.select(col("v"), round(col("pr"), 6).as("pagerank"))
+  }
+
   /** GraphX scale path for [[personalizedPageRank]] — same math (teleport
     * and init mass restricted to the source set, dangling mass ignored,
     * per-iteration round-to-10), resilient RDD state instead of pinned

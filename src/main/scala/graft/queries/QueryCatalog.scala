@@ -2011,6 +2011,92 @@ object QueryCatalog {
        |GROUP BY c.term ORDER BY est DESC, c.term LIMIT 20""".stripMargin
   }
 
+  /** q36 — conversion-funnel analysis over the event stream: per user,
+    * the furthest ORDERED stage reached in view → click → purchase,
+    * each stage within 24 h after the previous stage's first occurrence
+    * (the windowed sequential-pattern shape of product analytics),
+    * summarized as users per stage. Exact integer microseconds; three
+    * conditional min-aggregations + left joins, all keyed on user_id. */
+  val q36Funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val winUs = 86400L * 1000000L // each stage converts within 24 h
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + winUs)
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t2") + winUs)
+      .groupBy("user_id").agg(min("us").as("t3"))
+    ev.select("user_id").distinct()
+      .join(t1, Seq("user_id"), "left").join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0).cast("long").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).cast("long").as("n_users"))
+  }
+
+  val q36FunnelSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |f1 AS (SELECT user_id, min(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      |f2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e JOIN f1 ON e.user_id = f1.user_id
+      |       WHERE e.event_type = 'click' AND e.us > f1.t1 AND e.us <= f1.t1 + 86400000000 GROUP BY e.user_id),
+      |f3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e JOIN f2 ON e.user_id = f2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.us > f2.t2 AND e.us <= f2.t2 + 86400000000 GROUP BY e.user_id)
+      |SELECT stage, count(*)::BIGINT AS n_users FROM (
+      |  SELECT CASE WHEN f3.t3 IS NOT NULL THEN 3 WHEN f2.t2 IS NOT NULL THEN 2
+      |              WHEN f1.t1 IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS stage
+      |  FROM (SELECT DISTINCT user_id FROM ev) u
+      |  LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id))
+      |GROUP BY stage""".stripMargin
+
+  /** Weighted co-purchase edges, undirected: (src, dst, w = number of
+    * shared orders), both directions. */
+  private def coPurchaseEdgesW(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    e.select(col("src"), col("dst"), col("w"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
+  /** q37 — weighted PageRank over the undirected co-purchase graph
+    * ([[graft.enrich.Analytics.pageRankWeighted]]): rank splits over
+    * out-edges proportionally to the co-purchase count. Same unrolled
+    * round-to-10 oracle discipline as q10. */
+  val q37Wpr: Q = (s, d) =>
+    graft.enrich.Analytics.pageRankWeighted(coPurchaseEdgesW(s, d),
+      iterations = 5)
+
+  val q37WprSql: String = {
+    def iter(i: Int): String =
+      s"""wp$i AS MATERIALIZED (SELECT t.v, round(0.15/(SELECT n FROM wnn) + 0.85*coalesce(c.s, 0), 10) AS pr
+         |  FROM wverts t LEFT JOIN (
+         |    SELECT e.dst AS v, round(sum(p.pr * e.w / o.wsum), 10) AS s
+         |    FROM wund e JOIN wp${i - 1} p ON e.src = p.v JOIN wdeg o ON e.src = o.src
+         |    GROUP BY e.dst) c ON t.v = c.v)""".stripMargin
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |ce AS (SELECT a.l_partkey AS a, b.l_partkey AS b, count(*)::BIGINT AS w FROM op a JOIN op b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |wund AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM ce UNION ALL SELECT b, a, w FROM ce),
+       |wverts AS (SELECT DISTINCT src AS v FROM wund),
+       |wnn AS (SELECT count(*)::DOUBLE AS n FROM wverts),
+       |wdeg AS (SELECT src, sum(w) AS wsum FROM wund GROUP BY src),
+       |wp0 AS (SELECT v, round(1.0/(SELECT n FROM wnn), 10) AS pr FROM wverts),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT v, round(pr, 6) AS pagerank FROM wp5""".stripMargin
+  }
+
   /** q35 — MULTIPLE distinct aggregates + a plain aggregate in one
     * GROUP BY (distinct part and supplier counts next to a decimal sum):
     * the classic planner stress that Spark executes via the Expand
@@ -2240,6 +2326,8 @@ object QueryCatalog {
     "s_kmeans" -> sKmeans,
     "q34_sp_counts" -> q34SpCounts,
     "q35_multi_distinct" -> q35MultiDistinct,
+    "q36_funnel" -> q36Funnel,
+    "q37_wpr" -> q37Wpr,
     "t_token_vote" -> tTokenVote,
   )
 
@@ -2346,6 +2434,8 @@ object QueryCatalog {
     "s_kmeans" -> sKmeansSql,
     "q34_sp_counts" -> q34SpCountsSql,
     "q35_multi_distinct" -> q35MultiDistinctSql,
+    "q36_funnel" -> q36FunnelSql,
+    "q37_wpr" -> q37WprSql,
     "t_token_vote" -> tTokenVoteSql,
   )
 }
