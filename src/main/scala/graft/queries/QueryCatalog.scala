@@ -2011,6 +2011,96 @@ object QueryCatalog {
        |GROUP BY c.term ORDER BY est DESC, c.term LIMIT 20""".stripMargin
   }
 
+  /** t_winsor — winsorized statistics (outlier clipping before
+    * aggregation, the robust-stats pass of data cleaning): per group,
+    * values clip to the group's [p05, p95] band, then mean/min/max of
+    * the clipped column. Two scans (quantile bounds, then a broadcast
+    * bounds join + clipped aggregate); clipped values round to 4 BEFORE
+    * the decimal-routed sum, so the mean is summation-order-proof. */
+  val tWinsor: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("qty"))
+    val bounds = li.groupBy("l_returnflag").agg(
+      round(expr("percentile(qty, 0.05)"), 4).as("lo"),
+      round(expr("percentile(qty, 0.95)"), 4).as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .withColumn("clipped",
+        round(least(greatest(col("qty"), col("lo")), col("hi")), 4)
+          .cast("decimal(18,4)"))
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum(col("clipped")).cast("double") / count(lit(1)), 4)
+          .as("wmean"),
+        min(col("clipped")).cast("double").as("wmin"),
+        max(col("clipped")).cast("double").as("wmax"))
+  }
+
+  val tWinsorSql: String =
+    """WITH b AS (SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity::DOUBLE, 0.05), 4) AS lo,
+      |  round(quantile_cont(l_quantity::DOUBLE, 0.95), 4) AS hi
+      |  FROM lineitem GROUP BY l_returnflag),
+      |c AS (SELECT l.l_returnflag,
+      |  CAST(round(least(greatest(l.l_quantity::DOUBLE, b.lo), b.hi), 4) AS DECIMAL(18,4)) AS clipped
+      |  FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag)
+      |SELECT l_returnflag,
+      |  round(CAST(sum(clipped) AS DOUBLE) / count(*), 4) AS wmean,
+      |  CAST(min(clipped) AS DOUBLE) AS wmin,
+      |  CAST(max(clipped) AS DOUBLE) AS wmax
+      |FROM c GROUP BY l_returnflag""".stripMargin
+
+  /** p_group_sample — fixed-size per-stratum sample (k docs per
+    * language): rank by the portable rolling hash within each stratum,
+    * keep the first k — the balanced-subset extraction that complements
+    * p_sample_strat's rate-based sampling. Deterministic, retry-stable,
+    * no RNG; one window shuffle on the stratum key. */
+  val pGroupSample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.TextFunctions.langIdGuess(col("text")).as("lang"),
+      graft.functions.TextFunctions.rollingHash(concat(col("doc_id").cast("string"),
+        lit(":"), col("text"))).as("h"))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
+  val pGroupSampleSql: String = {
+    val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(doc_id || ':' || text, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
+    s"""WITH lab AS (SELECT doc_id, lang_guess AS lang FROM ($tLangIdSql)),
+       |h AS (SELECT d.doc_id, l.lang, $rollh AS h FROM documents d JOIN lab l USING (doc_id))
+       |SELECT doc_id, lang, rk FROM (
+       |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)::BIGINT AS rk
+       |  FROM h) WHERE rk <= 5""".stripMargin
+  }
+
+  /** q38 — null-safe join and null-aware grouping: order priorities are
+    * nulled out for one class (via nullif), then joined back to a small
+    * dimension with NULL-SAFE equality (Spark `<=>` ≡ SQL IS NOT
+    * DISTINCT FROM — the join where NULL matches NULL, which a plain
+    * equi-join silently drops) and grouped with the null group kept.
+    * The operator-checklist row for three-valued-logic handling. */
+  val q38NullJoin: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio"))
+    val dim = Tables.orders(s, d)
+      .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio"))
+      .distinct()
+      .withColumn("prio_label", coalesce(col("prio"), lit("UNSPECIFIED")))
+    o.join(dim, o("prio") <=> dim("prio"))
+      .groupBy(col("prio_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q38NullJoinSql: String =
+    """WITH o AS (SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio FROM orders),
+      |dim AS (SELECT prio, coalesce(prio, 'UNSPECIFIED') AS prio_label
+      |        FROM (SELECT DISTINCT nullif(o_orderpriority, '3-MEDIUM') AS prio FROM orders))
+      |SELECT d.prio_label, count(*) AS n
+      |FROM o JOIN dim d ON o.prio IS NOT DISTINCT FROM d.prio
+      |GROUP BY d.prio_label""".stripMargin
+
   /** q36 — conversion-funnel analysis over the event stream: per user,
     * the furthest ORDERED stage reached in view → click → purchase,
     * each stage within 24 h after the previous stage's first occurrence
@@ -2326,6 +2416,9 @@ object QueryCatalog {
     "s_kmeans" -> sKmeans,
     "q34_sp_counts" -> q34SpCounts,
     "q35_multi_distinct" -> q35MultiDistinct,
+    "t_winsor" -> tWinsor,
+    "p_group_sample" -> pGroupSample,
+    "q38_null_join" -> q38NullJoin,
     "q36_funnel" -> q36Funnel,
     "q37_wpr" -> q37Wpr,
     "t_token_vote" -> tTokenVote,
@@ -2434,6 +2527,9 @@ object QueryCatalog {
     "s_kmeans" -> sKmeansSql,
     "q34_sp_counts" -> q34SpCountsSql,
     "q35_multi_distinct" -> q35MultiDistinctSql,
+    "t_winsor" -> tWinsorSql,
+    "p_group_sample" -> pGroupSampleSql,
+    "q38_null_join" -> q38NullJoinSql,
     "q36_funnel" -> q36FunnelSql,
     "q37_wpr" -> q37WprSql,
     "t_token_vote" -> tTokenVoteSql,
