@@ -2011,6 +2011,62 @@ object QueryCatalog {
        |GROUP BY c.term ORDER BY est DESC, c.term LIMIT 20""".stripMargin
   }
 
+  /** q39 — HOPPING (sliding) window aggregation over the event stream:
+    * 10-minute windows advancing every 5 — each event lands in exactly
+    * two windows (the overlap factor), the standard smoothed-trend view.
+    * Spark's window(ts, size, slide) generates the per-event window set;
+    * the oracle unnests the two candidate starts and filters by
+    * containment — bag-identical. Decimal sums; exact µs boundaries. */
+  val q39Hopping: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("value")).cast("double").as("total_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n"), round(col("total_value"), 4).as("total_value"))
+
+  val q39HoppingSql: String =
+    """WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+      |cand AS (SELECT event_type, value, us,
+      |           unnest([us // 300000000 * 300000000,
+      |                   us // 300000000 * 300000000 - 300000000]) AS ws_us
+      |         FROM ev)
+      |SELECT ws_us, event_type, count(*) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_value
+      |FROM cand WHERE us >= ws_us AND us < ws_us + 600000000
+      |GROUP BY ws_us, event_type""".stripMargin
+
+  /** q40 — percent-of-total WITHOUT the single-partition window: the
+    * naive spelling (`sum() OVER ()`) funnels every row through one
+    * reducer; the scale-safe plan aggregates per group, then joins the
+    * 1-row grand total back as a broadcast. Share computed as an exact
+    * decimal ratio rounded to 6. */
+  val q40Share: Q = (s, d) => {
+    val per = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("o_totalprice")).as("revenue"))
+    val total = per.agg(sum(col("revenue")).as("grand"))
+    per.crossJoin(broadcast(total))
+      .select(col("n_name"),
+        col("revenue").cast("double").as("revenue"),
+        round(col("revenue").cast("double") / col("grand").cast("double"), 6)
+          .as("share"))
+  }
+
+  val q40ShareSql: String =
+    """WITH per AS (SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name),
+      |t AS (SELECT sum(revenue) AS grand FROM per)
+      |SELECT n_name, CAST(revenue AS DOUBLE) AS revenue,
+      |  round(CAST(revenue AS DOUBLE) / CAST(grand AS DOUBLE), 6) AS share
+      |FROM per, t""".stripMargin
+
   /** t_winsor — winsorized statistics (outlier clipping before
     * aggregation, the robust-stats pass of data cleaning): per group,
     * values clip to the group's [p05, p95] band, then mean/min/max of
@@ -2417,6 +2473,8 @@ object QueryCatalog {
     "q34_sp_counts" -> q34SpCounts,
     "q35_multi_distinct" -> q35MultiDistinct,
     "t_winsor" -> tWinsor,
+    "q39_hopping" -> q39Hopping,
+    "q40_share" -> q40Share,
     "p_group_sample" -> pGroupSample,
     "q38_null_join" -> q38NullJoin,
     "q36_funnel" -> q36Funnel,
@@ -2528,6 +2586,8 @@ object QueryCatalog {
     "q34_sp_counts" -> q34SpCountsSql,
     "q35_multi_distinct" -> q35MultiDistinctSql,
     "t_winsor" -> tWinsorSql,
+    "q39_hopping" -> q39HoppingSql,
+    "q40_share" -> q40ShareSql,
     "p_group_sample" -> pGroupSampleSql,
     "q38_null_join" -> q38NullJoinSql,
     "q36_funnel" -> q36FunnelSql,

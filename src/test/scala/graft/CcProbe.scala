@@ -49,12 +49,14 @@ object CcProbe {
     var i = 0
     while (i < 20 && changed > 0) {
       val mode = sys.env.getOrElse("CC_MODE", "plain")
-      val stepped = step(step(step(labels.withColumn("_old", col("component")))))
+      val stride = sys.env.getOrElse("CC_STRIDE", "3").toInt
+      val stepped = (1 to stride).foldLeft(
+        labels.withColumn("_old", col("component")))((df, _) => step(df))
       val next = (if (mode == "jump") compress(stepped) else stepped)
         .localCheckpoint(eager = true)
       changed = next.filter(col("component") =!= col("_old")).count()
       labels = next.drop("_old")
-      i += 3
+      i += stride
       println(f"hops=$i%2d changed=$changed%7d t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.2fs")
