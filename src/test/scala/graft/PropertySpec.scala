@@ -146,6 +146,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: CMS estimate ≥ exact count, and cells merge additively") {
+    import graft.pipeline.Sketches
+    val genTerm = Gen.oneOf("a", "bb", "ccc", "dddd", "hot", "t1", "t2", "zz9")
+    val genTerms = Gen.listOf(genTerm)
+    check("cmsUpperBound", Prop.forAll(genTerms, Gen.oneOf(4, 16, 64)) {
+      (terms, width) =>
+        val cells = Sketches.cmsCellsSpec(terms, width)
+        terms.distinct.forall { t =>
+          Sketches.cmsEstimateSpec(cells, t, width) >= terms.count(_ == t)
+        }
+    })
+    check("cmsAdditiveMerge", Prop.forAll(genTerms, genTerms, Gen.oneOf(8, 32)) {
+      (a, b, width) =>
+        val merged = {
+          val ca = Sketches.cmsCellsSpec(a, width)
+          val cb = Sketches.cmsCellsSpec(b, width)
+          (ca.keySet ++ cb.keySet).map(k =>
+            k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+        }
+        // merging per-batch cell tables ≡ sketching the concatenation —
+        // the law the streaming CMS state relies on
+        merged == Sketches.cmsCellsSpec(a ++ b, width)
+    })
+  }
+
   // ---------------- Spark-backed operator laws (fewer samples) ----------
 
   import TestSpark.spark
