@@ -2011,6 +2011,31 @@ object QueryCatalog {
        |GROUP BY c.term ORDER BY est DESC, c.term LIMIT 20""".stripMargin
   }
 
+  /** q41 — calendar aggregation (the date-function checklist row):
+    * orders bucketed by year/quarter/month plus a day-of-week profile —
+    * `year`/`quarter`/`month`/`dayofweek` are identical integer
+    * functions in both engines (dow normalized to ISO 1=Monday..7).
+    * Decimal revenue sums; pure narrow date math before one groupBy. */
+  val q41Calendar: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        // Spark dayofweek: 1=Sunday..7=Saturday -> ISO 1=Monday..7=Sunday
+        (pmod(dayofweek(col("o_orderdate")) + lit(5), lit(7)) + 1)
+          .cast("long").as("iso_dow"),
+        dec("o_totalprice").as("price"))
+      .groupBy("yr", "qtr", "mon", "iso_dow")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("revenue"))
+
+  val q41CalendarSql: String =
+    """SELECT year(o_orderdate)::BIGINT AS yr, quarter(o_orderdate)::BIGINT AS qtr,
+      |  month(o_orderdate)::BIGINT AS mon, isodow(o_orderdate)::BIGINT AS iso_dow,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** q39 — HOPPING (sliding) window aggregation over the event stream:
     * 10-minute windows advancing every 5 — each event lands in exactly
     * two windows (the overlap factor), the standard smoothed-trend view.
@@ -2474,6 +2499,7 @@ object QueryCatalog {
     "q35_multi_distinct" -> q35MultiDistinct,
     "t_winsor" -> tWinsor,
     "q39_hopping" -> q39Hopping,
+    "q41_calendar" -> q41Calendar,
     "q40_share" -> q40Share,
     "p_group_sample" -> pGroupSample,
     "q38_null_join" -> q38NullJoin,
@@ -2587,6 +2613,7 @@ object QueryCatalog {
     "q35_multi_distinct" -> q35MultiDistinctSql,
     "t_winsor" -> tWinsorSql,
     "q39_hopping" -> q39HoppingSql,
+    "q41_calendar" -> q41CalendarSql,
     "q40_share" -> q40ShareSql,
     "p_group_sample" -> pGroupSampleSql,
     "q38_null_join" -> q38NullJoinSql,
