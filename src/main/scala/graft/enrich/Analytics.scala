@@ -176,6 +176,51 @@ object Analytics {
     st
   }
 
+  /** Single-source betweenness dependencies — the COMPLETE Brandes
+    * algorithm for one source: the forward pass is
+    * [[shortestPathCounts]] (distance d and path count σ per vertex);
+    * the backward pass accumulates the dependency
+    * δ(v) = Σ_{w ∈ succ(v), d(w)=d(v)+1} (σ(v)/σ(w)) · (1 + δ(w))
+    * level by level from the deepest frontier back to the source — each
+    * level is one edge⋈state join + a partial-agg groupBy, `depth`
+    * levels total, with the per-level round-to-10 that makes the float
+    * sum engine-replayable (summing σ-ratio products in any order lands
+    * on the same quantized double). Full betweenness centrality is the
+    * sum of δ over all sources — at 100 TB one runs this per landmark
+    * source in parallel; the per-source job is what must be shuffle-sane,
+    * and it is: the σ/d table is computed once, checkpointed, and every
+    * backward level shuffles only the (shrinking) frontier slice.
+    *
+    * @return (v, d, betweenness) — δ rounded to 6, for reachable vertices
+    */
+  def betweennessFromSource(edges: DataFrame, source: String,
+      depth: Int = 10): DataFrame = {
+    val sp = shortestPathCounts(edges, source, depth)
+      .localCheckpoint(eager = true)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(eager = true)
+    var bt = sp.withColumn("delta", lit(0.0))
+    for (lvl <- (depth - 1) to 0 by -1) {
+      val contrib = e
+        .join(bt.select(col("v").as("dst"), col("d").as("dw"),
+          col("sig").as("sigw"), col("delta").as("deltaw")), "dst")
+        .filter(col("dw") === lvl + 1)
+        .join(sp.select(col("v").as("src"), col("d").as("du"),
+          col("sig").as("sigu")), "src")
+        .filter(col("du") === lvl)
+        .groupBy(col("src").as("v"))
+        .agg(round(sum(col("sigu").cast("double") / col("sigw")
+          * (lit(1.0) + col("deltaw"))), 10).as("c"))
+      bt = bt.join(contrib, Seq("v"), "left")
+        .withColumn("delta",
+          when(col("d") === lvl, coalesce(col("c"), lit(0.0)))
+            .otherwise(col("delta")))
+        .drop("c")
+      if (lvl % 4 == 0 && lvl > 0) bt = bt.localCheckpoint(eager = true)
+    }
+    bt.select(col("v"), col("d"), round(col("delta"), 6).as("betweenness"))
+  }
+
   /** GraphX scale path for [[bfsDistances]]: the landmark-BFS Pregel of
     * `graphx.lib.ShortestPaths` (resilient RDD state, partition-reusing
     * joins) with the source as the single landmark — identical hop counts,

@@ -2320,6 +2320,38 @@ object QueryCatalog {
        |${(1 to q22Iterations).map(spIterSql).mkString(",\n")}
        |SELECT v, d, sig FROM sp$q22Iterations""".stripMargin
 
+  /** q42 — single-source Brandes betweenness dependencies from region.0
+    * ([[graft.enrich.Analytics.betweennessFromSource]]): the forward
+    * σ/distance pass is q34's chain; the backward pass unrolls
+    * depth levels of δ(v) = Σ (σv/σw)(1+δw) over the BFS-DAG edges,
+    * round-to-10 per level. The oracle replays both passes. */
+  val q42Betweenness: Q = (s, d) =>
+    graft.enrich.Analytics.betweennessFromSource(
+      GraphTables.hierarchy(s, d)
+        .select(col("dst").as("src"), col("src").as("dst")),
+      "region.0", depth = q22Iterations)
+
+  val q42BetweennessSql: String = {
+    val n = q22Iterations
+    def back(lvl: Int): String = {
+      val prev = if (lvl == n - 1) "bt_init" else s"bt${lvl + 1}"
+      s"""bc$lvl AS MATERIALIZED (SELECT e.src AS v, round(sum(su.sig::DOUBLE / sw.sig * (1 + sw.delta)), 10) AS c
+         |  FROM rev e JOIN $prev sw ON e.dst = sw.v AND sw.d = ${lvl + 1}
+         |  JOIN sp$n su ON e.src = su.v AND su.d = $lvl
+         |  GROUP BY e.src),
+         |bt$lvl AS MATERIALIZED (SELECT b.v, b.d, b.sig,
+         |  CASE WHEN b.d = $lvl THEN coalesce(c.c, 0.0) ELSE b.delta END AS delta
+         |  FROM $prev b LEFT JOIN bc$lvl c ON b.v = c.v)""".stripMargin
+    }
+    s"""WITH ${GraphSql.hierarchyCte},
+       |rev AS MATERIALIZED (SELECT dst AS src, src AS dst FROM hier),
+       |sp0 AS MATERIALIZED (SELECT 'region.0' AS v, 0::BIGINT AS d, 1::BIGINT AS sig),
+       |${(1 to n).map(spIterSql).mkString(",\n")},
+       |bt_init AS (SELECT v, d, sig, 0.0 AS delta FROM sp$n),
+       |${(n - 1 to 0 by -1).map(back).mkString(",\n")}
+       |SELECT v, d, round(delta, 6) AS betweenness FROM bt0""".stripMargin
+  }
+
   /** t_token_vote — the fastText-style curation classifier
     * ([[graft.pipeline.Corpus.tokenVoteClassifier]]): even doc_ids train
     * a per-token modal-label model from the langid weak labeler, odd
@@ -2496,6 +2528,7 @@ object QueryCatalog {
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
     "q34_sp_counts" -> q34SpCounts,
+    "q42_betweenness" -> q42Betweenness,
     "q35_multi_distinct" -> q35MultiDistinct,
     "t_winsor" -> tWinsor,
     "q39_hopping" -> q39Hopping,
@@ -2610,6 +2643,7 @@ object QueryCatalog {
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,
     "q34_sp_counts" -> q34SpCountsSql,
+    "q42_betweenness" -> q42BetweennessSql,
     "q35_multi_distinct" -> q35MultiDistinctSql,
     "t_winsor" -> tWinsorSql,
     "q39_hopping" -> q39HoppingSql,

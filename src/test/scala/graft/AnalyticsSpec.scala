@@ -141,6 +141,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!got.contains("q") && !got.contains("r"))
   }
 
+  test("betweennessFromSource: Brandes dependencies on the diamond") {
+    // a -> {b, c} -> d -> e: delta(d)=1 (carries both paths to e),
+    // delta(b)=delta(c)=0.5+0.5=1, delta(e)=0 (frontier)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val got = Analytics.betweennessFromSource(edges, "a", depth = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("e") === 0.0)
+    assert(got("d") === 1.0)
+    assert(got("b") === 1.0 && got("c") === 1.0)
+    // deterministic across runs (the round-to-10 quantization)
+    val again = Analytics.betweennessFromSource(edges, "a", depth = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got === again)
+  }
+
   test("labelPropagation: disjoint cliques converge to their min label") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
