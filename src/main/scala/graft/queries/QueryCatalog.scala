@@ -2320,6 +2320,50 @@ object QueryCatalog {
        |${(1 to q22Iterations).map(spIterSql).mkString(",\n")}
        |SELECT v, d, sig FROM sp$q22Iterations""".stripMargin
 
+  /** q43 — KMV sketch SET ALGEBRA (the theta-sketch pattern): estimate
+    * the union and intersection cardinalities of two user sets (clickers
+    * vs purchasers) from their k-minimum-value sketches alone — merge =
+    * k smallest of the union, ρ = sketch-overlap fraction, est_inter =
+    * ρ · est_union. The scale story: each side's sketch is O(k) state
+    * built in one pass (the q14 shape); the set operation then touches
+    * ONLY sketches, never the raw sets — this is how distinct-overlap
+    * questions get answered across 100 TB partitions. Deterministic and
+    * replayable because both engines hash identically (the KMV-over-HLL
+    * rationale, applied to set ops). */
+  val q43KmvIntersect: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    def sketch(t: String) = graft.pipeline.Sketches.kmvSketch(
+      ev.filter(col("event_type") === t), col("user_id").cast("string"), 64)
+    val ka = sketch("click")
+    val kb = sketch("purchase")
+    val un = ka.unionByName(kb).distinct().orderBy(col("h")).limit(64)
+    val st = un.agg(max("h").as("kth"), count(lit(1)).as("n"))
+    val ni = un.join(ka, "h").join(kb, "h").agg(count(lit(1)).as("ni"))
+    st.crossJoin(ni)
+      .select(
+        when(col("n") < 64, col("n").cast("double"))
+          .otherwise(round(lit(63.0) * graft.pipeline.Sketches.P / col("kth"), 4))
+          .as("est_union"),
+        col("n"), col("ni"))
+      .select(col("est_union"),
+        round(col("ni") * col("est_union") / col("n"), 4).as("est_inter"))
+  }
+
+  val q43KmvIntersectSql: String = {
+    val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(user_id::VARCHAR, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
+    s"""WITH ka AS MATERIALIZED (SELECT h FROM (SELECT DISTINCT $rollh AS h FROM events WHERE event_type = 'click')
+       |      WHERE h > 0 ORDER BY h LIMIT 64),
+       |kb AS MATERIALIZED (SELECT h FROM (SELECT DISTINCT $rollh AS h FROM events WHERE event_type = 'purchase')
+       |      WHERE h > 0 ORDER BY h LIMIT 64),
+       |un AS MATERIALIZED (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) ORDER BY h LIMIT 64),
+       |st AS (SELECT max(h) AS kth, count(*) AS n FROM un),
+       |ni AS (SELECT count(*) AS ni FROM un JOIN ka USING (h) JOIN kb USING (h)),
+       |eu AS (SELECT CASE WHEN st.n < 64 THEN st.n::DOUBLE
+       |              ELSE round(63.0 * 2147483647 / st.kth, 4) END AS est_union,
+       |              st.n AS n, ni.ni AS ni FROM st, ni)
+       |SELECT est_union, round(ni * est_union / n, 4) AS est_inter FROM eu""".stripMargin
+  }
+
   /** q42 — single-source Brandes betweenness dependencies from region.0
     * ([[graft.enrich.Analytics.betweennessFromSource]]): the forward
     * σ/distance pass is q34's chain; the backward pass unrolls
@@ -2529,6 +2573,7 @@ object QueryCatalog {
     "s_kmeans" -> sKmeans,
     "q34_sp_counts" -> q34SpCounts,
     "q42_betweenness" -> q42Betweenness,
+    "q43_kmv_intersect" -> q43KmvIntersect,
     "q35_multi_distinct" -> q35MultiDistinct,
     "t_winsor" -> tWinsor,
     "q39_hopping" -> q39Hopping,
@@ -2644,6 +2689,7 @@ object QueryCatalog {
     "s_kmeans" -> sKmeansSql,
     "q34_sp_counts" -> q34SpCountsSql,
     "q42_betweenness" -> q42BetweennessSql,
+    "q43_kmv_intersect" -> q43KmvIntersectSql,
     "q35_multi_distinct" -> q35MultiDistinctSql,
     "t_winsor" -> tWinsorSql,
     "q39_hopping" -> q39HoppingSql,
