@@ -2320,6 +2320,49 @@ object QueryCatalog {
        |${(1 to q22Iterations).map(spIterSql).mkString(",\n")}
        |SELECT v, d, sig FROM sp$q22Iterations""".stripMargin
 
+  /** q44 — landmark HARMONIC closeness: Σ over landmarks of 1/d(l, v) —
+    * the standard scalable approximation of closeness centrality (exact
+    * closeness needs all-pairs; landmark BFS needs |L| frontier loops,
+    * each the q22 shape). Per-landmark reciprocals round to 10 then sum
+    * through DECIMAL, so the 3-term float sum has no order hazard.
+    * Completes the centrality family: degree (implicit), PageRank (q10/
+    * q32/q37), betweenness (q42), closeness (here). */
+  val q44Harmonic: Q = (s, d) => {
+    val rev = GraphTables.hierarchy(s, d)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    val landmarks = Seq("region.0", "region.1", "nation.0")
+    landmarks.map(l =>
+      graft.enrich.Analytics.bfsDistances(rev, l, iterations = q22Iterations)
+        .filter(col("d") > 0)
+        .select(col("v"),
+          round(lit(1.0) / col("d"), 10).cast("decimal(20,10)").as("h")))
+      .reduce(_ unionByName _)
+      .groupBy("v")
+      .agg(round(sum(col("h")).cast("double"), 4).as("harmonic"))
+  }
+
+  val q44HarmonicSql: String = {
+    val n = q22Iterations
+    def chain(pfx: String, src: String): String = {
+      def it(i: Int) =
+        s"""$pfx$i AS MATERIALIZED (SELECT v, min(d)::BIGINT AS d FROM (
+           |  SELECT v, d FROM $pfx${i - 1}
+           |  UNION ALL SELECT e.dst AS v, p.d + 1 AS d FROM rev e JOIN $pfx${i - 1} p ON e.src = p.v
+           |) GROUP BY v)""".stripMargin
+      s"""${pfx}0 AS MATERIALIZED (SELECT '$src' AS v, 0::BIGINT AS d),
+         |${(1 to n).map(it).mkString(",\n")}""".stripMargin
+    }
+    s"""WITH ${GraphSql.hierarchyCte},
+       |rev AS MATERIALIZED (SELECT dst AS src, src AS dst FROM hier),
+       |${chain("la", "region.0")},
+       |${chain("lb", "region.1")},
+       |${chain("lc", "nation.0")},
+       |hs AS (SELECT v, CAST(round(1.0 / d, 10) AS DECIMAL(20,10)) AS h FROM la$n WHERE d > 0
+       |  UNION ALL SELECT v, CAST(round(1.0 / d, 10) AS DECIMAL(20,10)) FROM lb$n WHERE d > 0
+       |  UNION ALL SELECT v, CAST(round(1.0 / d, 10) AS DECIMAL(20,10)) FROM lc$n WHERE d > 0)
+       |SELECT v, round(CAST(sum(h) AS DOUBLE), 4) AS harmonic FROM hs GROUP BY v""".stripMargin
+  }
+
   /** q43 — KMV sketch SET ALGEBRA (the theta-sketch pattern): estimate
     * the union and intersection cardinalities of two user sets (clickers
     * vs purchasers) from their k-minimum-value sketches alone — merge =
@@ -2574,6 +2617,7 @@ object QueryCatalog {
     "q34_sp_counts" -> q34SpCounts,
     "q42_betweenness" -> q42Betweenness,
     "q43_kmv_intersect" -> q43KmvIntersect,
+    "q44_harmonic" -> q44Harmonic,
     "q35_multi_distinct" -> q35MultiDistinct,
     "t_winsor" -> tWinsor,
     "q39_hopping" -> q39Hopping,
@@ -2690,6 +2734,7 @@ object QueryCatalog {
     "q34_sp_counts" -> q34SpCountsSql,
     "q42_betweenness" -> q42BetweennessSql,
     "q43_kmv_intersect" -> q43KmvIntersectSql,
+    "q44_harmonic" -> q44HarmonicSql,
     "q35_multi_distinct" -> q35MultiDistinctSql,
     "t_winsor" -> tWinsorSql,
     "q39_hopping" -> q39HoppingSql,
