@@ -2320,6 +2320,31 @@ object QueryCatalog {
        |${(1 to q22Iterations).map(spIterSql).mkString(",\n")}
        |SELECT v, d, sig FROM sp$q22Iterations""".stripMargin
 
+  /** q45 — median absolute deviation per group (the robust dispersion
+    * companion to t_winsor's robust location): MAD = median(|x − median|),
+    * two quantile aggregations with a broadcast medians join between
+    * them. Exact interpolated percentiles (the q15 discipline), rounded
+    * 4 at each float boundary. */
+  val q45Mad: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("qty"))
+    val med = li.groupBy("l_returnflag")
+      .agg(round(expr("percentile(qty, 0.5)"), 4).as("med"))
+    li.join(broadcast(med), "l_returnflag")
+      .withColumn("dev", abs(col("qty") - col("med")))
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"),
+        count(lit(1)).as("n"))
+  }
+
+  val q45MadSql: String =
+    """WITH m AS (SELECT l_returnflag, round(quantile_cont(l_quantity::DOUBLE, 0.5), 4) AS med
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_returnflag, round(quantile_cont(abs(l.l_quantity::DOUBLE - m.med), 0.5), 4) AS mad,
+      |  count(*) AS n
+      |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+      |GROUP BY l.l_returnflag""".stripMargin
+
   /** q44 — landmark HARMONIC closeness: Σ over landmarks of 1/d(l, v) —
     * the standard scalable approximation of closeness centrality (exact
     * closeness needs all-pairs; landmark BFS needs |L| frontier loops,
@@ -2618,6 +2643,7 @@ object QueryCatalog {
     "q42_betweenness" -> q42Betweenness,
     "q43_kmv_intersect" -> q43KmvIntersect,
     "q44_harmonic" -> q44Harmonic,
+    "q45_mad" -> q45Mad,
     "q35_multi_distinct" -> q35MultiDistinct,
     "t_winsor" -> tWinsor,
     "q39_hopping" -> q39Hopping,
@@ -2735,6 +2761,7 @@ object QueryCatalog {
     "q42_betweenness" -> q42BetweennessSql,
     "q43_kmv_intersect" -> q43KmvIntersectSql,
     "q44_harmonic" -> q44HarmonicSql,
+    "q45_mad" -> q45MadSql,
     "q35_multi_distinct" -> q35MultiDistinctSql,
     "t_winsor" -> tWinsorSql,
     "q39_hopping" -> q39HoppingSql,
