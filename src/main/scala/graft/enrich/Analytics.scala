@@ -340,7 +340,7 @@ object Analytics {
         .join(keep.withColumnRenamed("src", "dst"), "dst")
         .select(col("src"), col("dst"))
     }
-    while (i < maxIter && !done) {
+    while (i + 2 <= maxIter && !done) {
       // TWO rounds per checkpoint+count: the per-round fixed cost (eager
       // materialization + count job) dominates on real graphs' shallow
       // prune chains, so paying it half as often wins even with the
@@ -351,6 +351,16 @@ object Analytics {
       prev = n
       und = next
       i += 2
+    }
+    // single-prune tail round so an odd maxIter still bounds total prune
+    // rounds at exactly maxIter
+    if (!done && i < maxIter) {
+      val next = prune(und).localCheckpoint(eager = true)
+      val n = next.count()
+      done = n == prev
+      prev = n
+      und = next
+      i += 1
     }
     und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("v"), col("deg"))
@@ -372,12 +382,15 @@ object Analytics {
     val e2 = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("cnt")), "src")
       .repartition(col("src")).localCheckpoint(eager = true)
     val src = sources.select(col("v")).distinct().localCheckpoint(eager = true)
-    val ns = src.count().toDouble
     val verts = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
       .join(broadcast(src.withColumn("is_src", lit(1))), Seq("v"), "left")
       .select(col("v"), coalesce(col("is_src"), lit(0)).as("is_src"))
       .repartition(col("v")).localCheckpoint(eager = true)
+    // |S| counts only seeds present in the graph: an out-of-graph seed
+    // gets no rank row, so letting it dilute the teleport mass would
+    // silently diverge from the oracle's sum(is_src) spelling
+    val ns = verts.agg(sum(col("is_src"))).first().getLong(0).toDouble
     var pr = verts.withColumn("pr",
       when(col("is_src") === 1, round(lit(1.0 / ns), 10)).otherwise(lit(0.0)))
     for (i <- 1 to iterations) {

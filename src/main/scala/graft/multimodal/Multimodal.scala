@@ -288,7 +288,7 @@ object Multimodal {
               walk(i + hdr, math.min(until.toLong, i + size).toInt, inMoov = true)
             else if (typ == "mvhd" && inMoov && i + hdr + 20 <= until) {
               val version = u(i + hdr)
-              if (version == 1 && i + hdr + 28 <= until) {
+              if (version == 1 && i + hdr + 32 <= until) {
                 timescale = Some(u32(i + hdr + 20))
                 durMs = timescale.filter(_ > 0)
                   .map(ts => u64(i + hdr + 24) * 1000L / ts)

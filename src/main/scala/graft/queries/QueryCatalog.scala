@@ -2536,6 +2536,138 @@ object QueryCatalog {
        |WHERE NOT EXISTS (SELECT 1 FROM fp WHERE doc_id % 2 = 0 AND fp.fp = b.fp)
        |GROUP BY b.fp""".stripMargin
 
+  // ------------------------------------------------------- multimodal gate
+
+  /** m_headers — the multimodal header-parsing pillar under the oracle
+    * gate. Deterministic synthetic payloads are assembled IN-PLAN from
+    * integer columns (codegen'd `concat`/`unhex`/`lpad` over binary
+    * literals — a spelling independent of the byte-loop parsers, so an
+    * endianness or offset bug on either side mismatches the arithmetic
+    * oracle): doc_id%3 routes each document to a 24-byte PNG
+    * signature+IHDR, a 44-byte WAV RIFF/fmt/data header chain, or a
+    * 13-byte JPEG SOI+SOF0+EOI. [[graft.multimodal.Multimodal]] then
+    * sniffs the container ([[Multimodal.sniffFormat]]) and walks the
+    * headers ([[Multimodal.withHeaderMeta]]/[[Multimodal.withAudioMeta]]);
+    * the DuckDB oracle predicts every parsed field arithmetically from
+    * doc_id. Narrow maps only — no shuffle, scale-free. */
+  val mHeaders: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    // header fields as arithmetic in doc_id (mirrored by the oracle)
+    val w = (id % 1920 + 16).cast("int")
+    val h = (id % 1080 + 16).cast("int")
+    val ch = (id % 2 + 1).cast("int")
+    val rate = (id % 5 * 8000 + 8000).cast("int")
+    val secs = id % 30 + 1
+    // integer -> fixed-width binary via hex round-trip (big/little endian)
+    def be32(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c.cast("long")), 8, "0"))
+    def be16(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c.cast("long")), 4, "0"))
+    def le32(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c.cast("long")), 8, "0")
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    def le16(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c.cast("long")), 4, "0")
+      unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    def b(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+    val png = concat(b(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+      be32(lit(13)), lit("IHDR".getBytes), be32(w), be32(h))
+    val byteRate = rate.cast("long") * ch.cast("long") * lit(2L) // 16-bit PCM
+    val dataLen = byteRate * secs
+    val wav = concat(lit("RIFF".getBytes), le32(dataLen + 36),
+      lit("WAVE".getBytes), lit("fmt ".getBytes), le32(lit(16)),
+      le16(lit(1)), le16(ch), le32(rate), le32(byteRate),
+      le16(ch * 2), le16(lit(16)),
+      lit("data".getBytes), le32(dataLen))
+    val jpeg = concat(b(0xff, 0xd8), b(0xff, 0xc0), be16(lit(11)), b(0x08),
+      be16(h), be16(w), b(0xff, 0xd9))
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload",
+        when(id % 3 === 0, png).when(id % 3 === 1, wav).otherwise(jpeg))
+    val parsed = Multimodal.withAudioMeta(Multimodal.withHeaderMeta(media))
+    parsed.select(id,
+      Multimodal.sniffFormat(col("payload")).as("format"),
+      col("header_meta.width").as("width"),
+      col("header_meta.height").as("height"),
+      col("audio_meta.channels").as("channels"),
+      col("audio_meta.sample_rate").as("sample_rate"),
+      col("audio_meta.duration_ms").as("duration_ms"))
+  }
+
+  val mHeadersSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS format,
+      |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 1920 + 16 AS INTEGER) END AS width,
+      |  CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 1080 + 16 AS INTEGER) END AS height,
+      |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 2 + 1 AS INTEGER) END AS channels,
+      |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 5 * 8000 + 8000 AS INTEGER) END AS sample_rate,
+      |  CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 30 + 1) * 1000 AS BIGINT) END AS duration_ms
+      |FROM documents""".stripMargin
+
+  // -------------------------------------------------------- streaming gate
+
+  private val stSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** st_window — the streaming pillar under the oracle gate: the events
+    * table replayed through [[graft.streaming.Streams.streamingKmvDistinct]]
+    * as three event-time-ordered micro-batches (MemoryStream), so the
+    * per-window KMV state genuinely MERGES across batches; the DuckDB
+    * oracle computes the same per-window estimate with the batch KMV
+    * spelling (q14's min-k construction, windowed). Stream ≡ batch is the
+    * design invariant (state re-estimates through the same
+    * [[graft.pipeline.Sketches.kmvSpec]]); the KMV estimate is monotone
+    * non-decreasing as hashes accumulate, so max-per-window selects each
+    * window's final (fully-merged) emit. Windows are 7-day tumbling,
+    * emitted as epoch micros (the q39 trick). */
+  val stWindow: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    // event-time order across batches: nothing ever arrives behind the
+    // watermark, so no row is late-dropped and stream ≡ batch holds
+    val evs = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    val out = Streams.streamingKmvDistinct(mem.toDF(),
+      col("user_id").cast("string"), 64, "7 days", "10 minutes")
+    val name = s"st_window_out_${stSinkSeq.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+      .select(unix_micros(col("window_start")).as("ws_us"),
+        col("est_distinct"))
+      .groupBy(col("ws_us"))
+      .agg(max(col("est_distinct")).as("est_distinct"))
+  }
+
+  val stWindowSql: String = {
+    val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      "string_split(user_id::VARCHAR, ''), c -> ascii(c)::BIGINT)), " +
+      "(a, c) -> (a * 31 + c) % 2147483647)"
+    s"""WITH ev AS (SELECT epoch_us(ts) // 604800000000 * 604800000000 AS ws_us,
+       |  $rollh AS h FROM events),
+       |hs AS (SELECT DISTINCT ws_us, h FROM ev WHERE h > 0),
+       |topk AS (SELECT ws_us, h,
+       |  row_number() OVER (PARTITION BY ws_us ORDER BY h) AS rn FROM hs),
+       |k AS (SELECT ws_us, count(*) AS n, max(h) AS mx
+       |  FROM topk WHERE rn <= 64 GROUP BY ws_us)
+       |SELECT ws_us, CASE WHEN n < 64 THEN n::DOUBLE
+       |  ELSE round(63.0 * 2147483647 / mx, 4) END AS est_distinct
+       |FROM k""".stripMargin
+  }
+
   // ---------------------------------------------------------------- catalog
 
   val queries: Map[String, Q] = Map(
@@ -2654,6 +2786,8 @@ object QueryCatalog {
     "q36_funnel" -> q36Funnel,
     "q37_wpr" -> q37Wpr,
     "t_token_vote" -> tTokenVote,
+    "m_headers" -> mHeaders,
+    "st_window" -> stWindow,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2772,5 +2906,7 @@ object QueryCatalog {
     "q36_funnel" -> q36FunnelSql,
     "q37_wpr" -> q37WprSql,
     "t_token_vote" -> tTokenVoteSql,
+    "m_headers" -> mHeadersSql,
+    "st_window" -> stWindowSql,
   )
 }
