@@ -515,6 +515,20 @@ object Analytics {
     labels.select(col("v"), col("c").as("community"))
   }
 
+  /** Routed connected components: the DataFrame min-label loop
+    * ([[connectedComponents]]) is the deterministic oracle path and the
+    * local default; under `spark.graft.scale=cluster` the GraphX
+    * pointer-jumping twin ([[connectedComponentsGraphX]]) runs instead —
+    * O(log n) rounds vs the loop's O(diameter), the difference that
+    * matters on a 100x-diameter graph. Both reach the same converged
+    * fixpoint and are gated against the same oracle SQL (q11_cc /
+    * q11_cc_gx), so the routing flag changes cost, never answers. */
+  def connectedComponentsAuto(s: SparkSession, edges: DataFrame,
+      maxIter: Int = 20): DataFrame =
+    if (s.conf.getOption("spark.graft.scale").contains("cluster"))
+      connectedComponentsGraphX(s, edges)
+    else connectedComponents(edges, maxIter)
+
   /** Connected components via iterated label propagation (min-id wins),
     * on the UNDIRECTED view of edges(src, dst). Deterministic; converges
     * in O(diameter) iterations. */

@@ -22,23 +22,41 @@ object IndexPipeline {
 
   final case class SourceFile(path: String, content: String)
 
-  /** C1 — enumerate a source tree into (path, content) rows. Listing is
-    * driver-side (Spark's file sources silently skip `_`-prefixed names
-    * like `__init__.py` — the Hadoop hidden-file convention); content
-    * reads happen executor-side per partition. At the 100 TB posture the
-    * listing comes from a manifest either way. Paths are relativized to
-    * `root` (A7, reference graphDB.py:155-174 does this post-hoc). */
+  /** C1 — enumerate a source tree into (path, content) rows,
+    * EXECUTOR-side: the driver lists only the repo root's immediate
+    * children (O(1) driver memory at any repo size); each executor task
+    * walks its own subtree, and the resulting path set is rebalanced
+    * before the content reads (subtree sizes are skewed). A Spark file
+    * source (`binaryFile`) is deliberately NOT used here: the Hadoop
+    * hidden-file convention silently skips `_`-/`.`-prefixed names like
+    * `__init__.py` — load-bearing files for a Python indexer (they carry
+    * the re-exports D2 chases). Assumes a shared filesystem, the same
+    * posture the per-partition content reads already had. Paths are
+    * relativized to `root` (A7, reference graphDB.py:155-174 does this
+    * post-hoc). */
   def readRepo(spark: SparkSession, root: String): Dataset[SourceFile] = {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val rootPath = Paths.get(root)
-    val rels = Files.walk(rootPath).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".py"))
-      .map(p => rootPath.relativize(p).toString)
-      .toSeq.sorted
-    spark.createDataset(rels)
-      .repartition(math.max(1, math.min(rels.size, 64)))
+    val top = Files.list(rootPath).iterator().asScala
+      .map(p => rootPath.relativize(p).toString).toSeq.sorted
+    spark.createDataset(top)
+      .repartition(math.max(1, math.min(top.size, 64)))
+      .flatMap { rel =>
+        val p = Paths.get(root, rel)
+        if (Files.isRegularFile(p)) {
+          if (rel.endsWith(".py")) Iterator.single(rel) else Iterator.empty
+        } else if (Files.isDirectory(p)) {
+          val s = Files.walk(p)
+          try s.iterator().asScala
+            .filter(q => Files.isRegularFile(q) && q.toString.endsWith(".py"))
+            .map(q => Paths.get(root).relativize(q).toString)
+            .toVector.iterator
+          finally s.close()
+        } else Iterator.empty
+      }
+      .repartition(64)
       .map { rel =>
         val bytes = Files.readAllBytes(Paths.get(root, rel))
         SourceFile(rel, new String(bytes, "UTF-8"))

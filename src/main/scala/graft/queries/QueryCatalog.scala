@@ -262,7 +262,7 @@ object QueryCatalog {
     * converges in ≤6 (its diameter), and the fixpoint is stable, so the
     * Spark until-no-change loop and the fixed unroll land identically. */
   val q11Cc: Q = (s, d) =>
-    graft.enrich.Analytics.connectedComponents(GraphTables.hierarchy(s, d))
+    graft.enrich.Analytics.connectedComponentsAuto(s, GraphTables.hierarchy(s, d))
 
   /** One unrolled min-label propagation step, shared by every CC oracle.
     * MATERIALIZED: each step references its predecessor twice — an

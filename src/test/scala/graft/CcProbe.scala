@@ -47,8 +47,24 @@ object CcProbe {
     val t0 = System.nanoTime()
     var changed = 1L
     var i = 0
+    val mode0 = sys.env.getOrElse("CC_MODE", "plain")
+    if (mode0 == "fixed") {
+      // oracle-mirror: a FIXED unroll of `CC_HOPS` propagation hops with a
+      // mid checkpoint, no convergence counts at all — one (or two) jobs
+      // instead of one materialize+count per stride
+      val hops = sys.env.getOrElse("CC_HOPS", "10").toInt
+      val ckpt = sys.env.getOrElse("CC_CKPT", "5").toInt
+      var df = labels
+      for (h <- 1 to hops) {
+        df = step(df)
+        if (h % ckpt == 0 && h < hops) df = df.localCheckpoint(eager = true)
+      }
+      labels = df.localCheckpoint(eager = true)
+      println(f"hops=$hops fixed t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      changed = 0L
+    }
     while (i < 20 && changed > 0) {
-      val mode = sys.env.getOrElse("CC_MODE", "plain")
+      val mode = mode0
       val stride = sys.env.getOrElse("CC_STRIDE", "3").toInt
       val stepped = (1 to stride).foldLeft(
         labels.withColumn("_old", col("component")))((df, _) => step(df))

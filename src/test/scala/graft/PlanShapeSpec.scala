@@ -106,6 +106,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"anti-join must stay an equi hash join; plan:\n$plan")
   }
 
+  test("g_b5 expand-by-type pins its shape: pushed edge filters, equi hash join") {
+    // the r6 bench flagged a 2x swing on this query; the cause was the
+    // derived-cache one-time resolve migrating between queries (now paid
+    // in Bench warm-up), but this gate pins the join shape so a REAL
+    // plan regression can never hide behind run variance again
+    val df = QueryCatalog.gB5ExpandType(spark, sf)
+    df.collect()
+    val scans = fileScans(df.queryExecution.executedPlan)
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(_.contains("EqualTo(rel_type")),
+      s"rel_type filter must reach the edges scan; pushed: $pushed")
+    assert(pushed.exists(_.contains("EqualTo(dst")),
+      s"dst filter must reach the edges scan; pushed: $pushed")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"expand-by-type must stay an equi hash join; plan:\n$plan")
+  }
+
   test("q35 multi-distinct plans the Expand two-level aggregation") {
     val plan = executed(QueryCatalog.q35MultiDistinct(spark, sf))
     assert(plan.contains("Expand"),
