@@ -221,6 +221,28 @@ object Analytics {
     bt.select(col("v"), col("d"), round(col("delta"), 6).as("betweenness"))
   }
 
+  /** Betweenness centrality over a LANDMARK set — the production shape of
+    * Brandes: exact betweenness sums δ over ALL sources (quadratic; never
+    * run at scale), so one samples landmark sources and sums their
+    * dependency passes — an unbiased estimator up to the |V|/|L| scale
+    * factor. Each landmark is an INDEPENDENT [[betweennessFromSource]]
+    * job (at cluster scale these run as parallel jobs over the same
+    * cached edge table — no cross-landmark state); the combine is one
+    * union + partial-agg groupBy. Per-source δ is rounded to 6 before
+    * the sum (replayable regardless of summation order), the sum again
+    * to 6. Each source's OWN row is excluded from its contribution —
+    * Brandes centrality sums δ_s(v) over v ≠ s (the source's dependency
+    * counts paths it originates, not paths through it). Returns
+    * (v, betweenness) for vertices reachable from ≥1 landmark. */
+  def betweennessLandmarks(edges: DataFrame, sources: Seq[String],
+      depth: Int = 10): DataFrame =
+    sources.map(s => betweennessFromSource(edges, s, depth)
+        .filter(col("v") =!= s)
+        .select(col("v"), col("betweenness")))
+      .reduce(_ unionByName _)
+      .groupBy(col("v"))
+      .agg(round(sum(col("betweenness")), 6).as("betweenness"))
+
   /** GraphX scale path for [[bfsDistances]]: the landmark-BFS Pregel of
     * `graphx.lib.ShortestPaths` (resilient RDD state, partition-reusing
     * joins) with the source as the single landmark — identical hop counts,

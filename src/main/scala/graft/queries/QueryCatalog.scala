@@ -2464,6 +2464,56 @@ object QueryCatalog {
        |SELECT v, d, round(delta, 6) AS betweenness FROM bt0""".stripMargin
   }
 
+  /** q46 — betweenness centrality over a LANDMARK set
+    * ([[graft.enrich.Analytics.betweennessLandmarks]]): q42's complete
+    * single-source Brandes (forward σ/d chain + backward δ pass) run per
+    * landmark region and summed — the SURVEY "per-landmark parallel
+    * runs" estimator. The oracle replays all three source chains under
+    * prefixed CTE names and sums the per-source roundings. */
+  val q46Btw: Q = (s, d) =>
+    graft.enrich.Analytics.betweennessLandmarks(
+      GraphTables.hierarchy(s, d)
+        .select(col("dst").as("src"), col("src").as("dst")),
+      Seq("region.0", "region.1", "region.2"), depth = q22Iterations)
+
+  val q46BtwSql: String = {
+    val n = q22Iterations
+    def spIter(pfx: String, source: String)(i: Int): String =
+      s"""${pfx}spc$i AS MATERIALIZED (SELECT e.dst AS v, p.d + 1 AS d, p.sig
+         |  FROM rev e JOIN ${pfx}sp${i - 1} p ON e.src = p.v WHERE e.dst <> '$source'),
+         |${pfx}sp$i AS MATERIALIZED (SELECT '$source' AS v, 0::BIGINT AS d, 1::BIGINT AS sig
+         |  UNION ALL
+         |  SELECT c.v, c.d, sum(c.sig)::BIGINT AS sig FROM ${pfx}spc$i c
+         |  JOIN (SELECT v, min(d) AS md FROM ${pfx}spc$i GROUP BY v) m ON c.v = m.v AND c.d = m.md
+         |  GROUP BY c.v, c.d)""".stripMargin
+    def back(pfx: String)(lvl: Int): String = {
+      val prev = if (lvl == n - 1) s"${pfx}bt_init" else s"${pfx}bt${lvl + 1}"
+      s"""${pfx}bc$lvl AS MATERIALIZED (SELECT e.src AS v, round(sum(su.sig::DOUBLE / sw.sig * (1 + sw.delta)), 10) AS c
+         |  FROM rev e JOIN $prev sw ON e.dst = sw.v AND sw.d = ${lvl + 1}
+         |  JOIN ${pfx}sp$n su ON e.src = su.v AND su.d = $lvl
+         |  GROUP BY e.src),
+         |${pfx}bt$lvl AS MATERIALIZED (SELECT b.v, b.d, b.sig,
+         |  CASE WHEN b.d = $lvl THEN coalesce(c.c, 0.0) ELSE b.delta END AS delta
+         |  FROM $prev b LEFT JOIN ${pfx}bc$lvl c ON b.v = c.v)""".stripMargin
+    }
+    def chain(pfx: String, source: String): String =
+      s"""${(1 to n).map(spIter(pfx, source)).mkString(",\n")},
+         |${pfx}bt_init AS (SELECT v, d, sig, 0.0 AS delta FROM ${pfx}sp$n),
+         |${(n - 1 to 0 by -1).map(back(pfx)).mkString(",\n")}""".stripMargin
+    val landmarks = Seq("l0" -> "region.0", "l1" -> "region.1", "l2" -> "region.2")
+    val chains = landmarks.map { case (pfx, src) =>
+      s"""${pfx}sp0 AS MATERIALIZED (SELECT '$src' AS v, 0::BIGINT AS d, 1::BIGINT AS sig),
+         |${chain(pfx, src)}""".stripMargin
+    }.mkString(",\n")
+    val union = landmarks.map { case (pfx, src) =>
+      s"SELECT v, round(delta, 6) AS b FROM ${pfx}bt0 WHERE v <> '$src'" }
+      .mkString(" UNION ALL ")
+    s"""WITH ${GraphSql.hierarchyCte},
+       |rev AS MATERIALIZED (SELECT dst AS src, src AS dst FROM hier),
+       |$chains
+       |SELECT v, round(sum(b), 6) AS betweenness FROM ($union) GROUP BY v""".stripMargin
+  }
+
   /** t_token_vote — the fastText-style curation classifier
     * ([[graft.pipeline.Corpus.tokenVoteClassifier]]): even doc_ids train
     * a per-token modal-label model from the langid weak labeler, odd
@@ -2788,6 +2838,7 @@ object QueryCatalog {
     "t_token_vote" -> tTokenVote,
     "m_headers" -> mHeaders,
     "st_window" -> stWindow,
+    "q46_btw" -> q46Btw,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2908,5 +2959,6 @@ object QueryCatalog {
     "t_token_vote" -> tTokenVoteSql,
     "m_headers" -> mHeadersSql,
     "st_window" -> stWindowSql,
+    "q46_btw" -> q46BtwSql,
   )
 }

@@ -157,6 +157,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === again)
   }
 
+  test("betweennessLandmarks: sums per-source dependencies over the landmark set") {
+    // two sources on the diamond+tail: from a, delta(b)=delta(c)=1,
+    // delta(d)=1; from b, the only dependency is delta(d)=1 (d carries
+    // b's path to e). Summed: d=2, b=1 (b gets nothing from its own run)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val got = Analytics.betweennessLandmarks(edges, Seq("a", "b"), depth = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("d") === 2.0)
+    assert(got("b") === 1.0 && got("c") === 1.0)
+    assert(got("e") === 0.0)
+    // equals the sum of independent single-source runs, sources excluded
+    val single = Seq("a", "b").map(s =>
+      Analytics.betweennessFromSource(edges, s, depth = 4)
+        .collect().map(r => r.getString(0) -> r.getDouble(2))
+        .filter(_._1 != s).toMap)
+    val summed = single.flatMap(_.toSeq).groupBy(_._1)
+      .map { case (v, kvs) => v -> kvs.map(_._2).sum }
+    assert(got === summed)
+  }
+
   test("labelPropagation: disjoint cliques converge to their min label") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
