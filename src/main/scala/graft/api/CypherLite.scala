@@ -51,10 +51,16 @@ import org.apache.spark.sql.functions._
   *    WHERE to the preceding MATCH, so a filtered optional row
   *    null-extends rather than dropping).
   *
+  *  - one `WITH` pipe (aggregate-then-filter, SQL's HAVING shape):
+  *    `MATCH … WITH v, count(*) AS c WHERE c > k RETURN …` — bare
+  *    variables carry through (struct columns), expressions require
+  *    `AS`, the trailing WHERE filters the piped rows, and the RETURN
+  *    resolves against the pipe's output scope.
+  *
   * Anything else (UNBOUNDED variable-length `*`, undirected edges,
   * later clauses not anchored at a bound variable, aggregates beyond
-  * count) raises — exactly the reference's posture of not
-  * reimplementing Neo4j.
+  * count, chained WITH pipes) raises — exactly the reference's posture
+  * of not reimplementing Neo4j.
   *
   * The parse result is a plain DataFrame expression — Catalyst plans it
   * like any hand-written combinator query (broadcast point expands,
@@ -123,18 +129,21 @@ object CypherLite {
   }
   // both case-insensitive (Neo4j function names are) — an (?i) on only
   // one spelling would make EXISTS raise while NOT EXISTS parses
-  private val whereExists = """^(?i)exists\(\s*(\w+)\.(\w+)\s*\)$""".r
-  private val whereNotExists = """^(?i)NOT\s+exists\(\s*(\w+)\.(\w+)\s*\)$""".r
-  private val whereEq = """^(\w+)\.(\w+)\s*=\s*(.+)$""".r
+  // leaf references are generic ([\w.]+): `v.prop` in MATCH scope, a bare
+  // output column (or carried-variable field) after WITH — the scope's
+  // resolver decides what a ref may be and raises on anything else
+  private val whereExists = """^(?i)exists\(\s*([\w.]+)\s*\)$""".r
+  private val whereNotExists = """^(?i)NOT\s+exists\(\s*([\w.]+)\s*\)$""".r
+  private val whereEq = """^([\w.]+)\s*=\s*(.+)$""".r
   // Neo4j `<>`: missing props compare to NULL, so the row drops — the
   // Column `=!=` null semantics match exactly
-  private val whereNeq = """^(\w+)\.(\w+)\s*<>\s*(.+)$""".r
-  private val whereCmp = """^(\w+)\.(\w+)\s*(<=|>=|<|>)\s*(.+)$""".r
+  private val whereNeq = """^([\w.]+)\s*<>\s*(.+)$""".r
+  private val whereCmp = """^([\w.]+)\s*(<=|>=|<|>)\s*(.+)$""".r
   private val whereStrPred =
-    """^(?i)(\w+)\.(\w+)\s+(STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+(.+)$""".r
-  private val whereIn = """^(?i)(\w+)\.(\w+)\s+IN\s+\[(.*)\]$""".r
-  private val whereIsNull = """^(?i)(\w+)\.(\w+)\s+IS\s+NULL$""".r
-  private val whereIsNotNull = """^(?i)(\w+)\.(\w+)\s+IS\s+NOT\s+NULL$""".r
+    """^(?i)([\w.]+)\s+(STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+(.+)$""".r
+  private val whereIn = """^(?i)([\w.]+)\s+IN\s+\[(.*)\]$""".r
+  private val whereIsNull = """^(?i)([\w.]+)\s+IS\s+NULL$""".r
+  private val whereIsNotNull = """^(?i)([\w.]+)\s+IS\s+NOT\s+NULL$""".r
   private val notParen = """^(?i)NOT\s*\((.*)$""".r
   private val numericLit = """^-?\d+(\.\d+)?$""".r
 
@@ -246,8 +255,8 @@ object CypherLite {
   /** One RETURN item → (columns, isAggregate). `AS alias` applies to any
     * single-column item; a whole-variable projection expands to its five
     * fixed columns and can't be renamed. */
-  private def retItem(p: String, vars: Map[String, String])
-      : (Seq[Column], Boolean) = {
+  private def retItem(p: String, vars: Map[String, String],
+      plain: Set[String] = Set.empty): (Seq[Column], Boolean) = {
     val (core, alias) = splitTop(p, "AS") match {
       case Seq(c) => (c.trim, None)
       case Seq(c, a) =>
@@ -264,8 +273,11 @@ object CypherLite {
           else if (arg.contains(".")) {
             val Array(v, prop) = arg.split("\\.", 2)
             count(propColOf(v, prop, vars))
-          } else count(col(s"${vars(arg)}.full_name"))
+          } else if (plain(arg)) count(col(arg))
+          else count(col(s"${vars(arg)}.full_name"))
         (one(c.cast("long"), s"count($arg)"), true)
+      // a WITH output column referenced by name (post-pipe scope)
+      case c if plain(c) => (one(col(c), c), false)
       case c if c.startsWith("labels(") =>
         val v = c.stripPrefix("labels(").stripSuffix(")")
         val a = vars(v)
@@ -292,7 +304,7 @@ object CypherLite {
     * limit — so Catalyst plans partial aggregation and TakeOrdered the
     * same as for hand-written combinators. */
   private def shapeResult(df: DataFrame, ret0: String,
-      vars: Map[String, String]): DataFrame = {
+      vars: Map[String, String], plain: Set[String] = Set.empty): DataFrame = {
     var body = ret0.trim
     // trailing clauses, in Cypher's fixed order: ORDER BY … SKIP n LIMIT n
     var limitN: Option[Int] = None
@@ -321,7 +333,7 @@ object CypherLite {
       body.length > 8 && !isWordChar(body.charAt(8))
     if (isDistinct) body = body.substring(8).trim
 
-    val items = splitTop(body, ",").map(retItem(_, vars))
+    val items = splitTop(body, ",").map(retItem(_, vars, plain))
     val aggCols = items.filter(_._2).flatMap(_._1)
     val plainCols = items.filterNot(_._2).flatMap(_._1)
     var res =
@@ -415,52 +427,72 @@ object CypherLite {
     * STARTS WITH / ENDS WITH / CONTAINS, and `IN [list]`. All comparisons
     * keep Neo4j's null semantics (a missing prop drops the row) because
     * Column predicates are null-rejecting the same way. */
-  private def parseWhere(s: String, vars: Map[String, String]): Column = {
+  /** MATCH-scope reference resolution: `v.prop` only. */
+  private def matchScope(vars: Map[String, String])(ref: String): Column = {
+    require(ref.contains("."),
+      s"unsupported reference '$ref' (expected var.prop)")
+    val Array(v, prop) = ref.split("\\.", 2)
+    propColOf(v, prop, vars)
+  }
+
+  /** Post-WITH scope: a bare name is a WITH output column; `v.prop` is a
+    * field of a carried variable (a struct column after the pipe). */
+  private def withScope(vars: Map[String, String], plain: Set[String])
+      (ref: String): Column =
+    if (ref.contains(".")) {
+      val Array(v, prop) = ref.split("\\.", 2)
+      propColOf(v, prop, vars)
+    } else {
+      require(plain(ref),
+        s"unknown column '$ref' after WITH (available: ${plain.mkString(", ")})")
+      col(ref)
+    }
+
+  private def parseWhere(s: String, resolve: String => Column): Column = {
     val t = s.trim
     val orParts = splitBool(t, "OR")
-    if (orParts.length > 1) return orParts.map(parseWhere(_, vars)).reduce(_ || _)
+    if (orParts.length > 1) return orParts.map(parseWhere(_, resolve)).reduce(_ || _)
     val andParts = splitBool(t, "AND")
-    if (andParts.length > 1) return andParts.map(parseWhere(_, vars)).reduce(_ && _)
-    if (isWholeParen(t)) return parseWhere(t.substring(1, t.length - 1), vars)
-    def propCol(v: String, prop: String): Column = propColOf(v, prop, vars)
-    def cmpOperand(v: String, prop: String, value: String): (Column, Column) = {
+    if (andParts.length > 1) return andParts.map(parseWhere(_, resolve)).reduce(_ && _)
+    if (isWholeParen(t)) return parseWhere(t.substring(1, t.length - 1), resolve)
+    def cmpOperand(ref: String, value: String): (Column, Column) = {
       val raw = value.trim
       if (numericLit.findFirstIn(raw).isDefined)
-        (propCol(v, prop).cast("double"), lit(raw.toDouble))
-      else (propCol(v, prop), lit(unquote(raw)))
+        (resolve(ref).cast("double"), lit(raw.toDouble))
+      else (resolve(ref), lit(unquote(raw)))
     }
     t match {
       // NOT exists must match before the bare exists pattern; NOT (…)
       // negates a group (Cypher's unary NOT at top precedence)
-      case whereNotExists(v, prop) => propCol(v, prop).isNull
+      case whereNotExists(ref) => resolve(ref).isNull
       case notParen(rest) if isWholeParen(s"($rest") =>
-        !parseWhere(rest.dropRight(1), vars)
-      case whereExists(v, prop) => propCol(v, prop).isNotNull
+        !parseWhere(rest.dropRight(1), resolve)
+      case whereExists(ref) => resolve(ref).isNotNull
       // IS [NOT] NULL ≡ [NOT] exists — Neo4j's modern spelling (exists()
       // on properties is deprecated there); must match before whereCmp
       // so the bare `IS` never reaches the comparison fallbacks
-      case whereIsNotNull(v, prop) => propCol(v, prop).isNotNull
-      case whereIsNull(v, prop) => propCol(v, prop).isNull
-      case whereNeq(v, prop, value) => propCol(v, prop) =!= unquote(value)
-      case whereIn(v, prop, list) =>
-        propCol(v, prop).isin(splitTop(list, ",").map(unquote): _*)
-      case whereStrPred(v, prop, op, value) =>
-        val c = propCol(v, prop)
+      case whereIsNotNull(ref) => resolve(ref).isNotNull
+      case whereIsNull(ref) => resolve(ref).isNull
+      case whereNeq(ref, value) => resolve(ref) =!= unquote(value)
+      case whereIn(ref, list) =>
+        resolve(ref).isin(splitTop(list, ",").map(unquote): _*)
+      case whereStrPred(ref, op, value) =>
+        val c = resolve(ref)
         val lv = unquote(value)
         op.toUpperCase.replaceAll("\\s+", " ") match {
           case "STARTS WITH" => c.startsWith(lv)
           case "ENDS WITH" => c.endsWith(lv)
           case _ => c.contains(lv)
         }
-      case whereCmp(v, prop, op, value) =>
-        val (l, r) = cmpOperand(v, prop, value)
+      case whereCmp(ref, op, value) =>
+        val (l, r) = cmpOperand(ref, value)
         op match {
           case "<" => l < r
           case "<=" => l <= r
           case ">" => l > r
           case _ => l >= r
         }
-      case whereEq(v, prop, value) => propCol(v, prop) === unquote(value)
+      case whereEq(ref, value) => resolve(ref) === unquote(value)
       case other => throw new IllegalArgumentException(
         s"unsupported WHERE condition: $other")
     }
@@ -639,8 +671,13 @@ object CypherLite {
     val isMatch = q.regionMatches(true, 0, "MATCH", 0, 5) &&
       q.length > 5 && !isWordChar(q.charAt(5))
     require(isMatch && retIdx > 5, s"unsupported Cypher shape " +
-      s"(MATCH … [OPTIONAL MATCH …] RETURN … subset only): $q")
-    val head = q.substring(0, retIdx)
+      s"(MATCH … [OPTIONAL MATCH …] [WITH …] RETURN … subset only): $q")
+    // one aggregate-then-filter pipe: MATCH … WITH items [WHERE] RETURN …
+    val withPositions = clauseWithPositions(q)
+    require(withPositions.count(_ > retIdx) == 0 && withPositions.size <= 1,
+      s"only one WITH level is supported: $q")
+    val pipeIdx = withPositions.headOption
+    val head = q.substring(0, pipeIdx.getOrElse(retIdx))
     val ret = q.substring(retIdx + 6).trim
 
     // split the pre-RETURN text into MATCH clauses: each further
@@ -663,7 +700,8 @@ object CypherLite {
     var vars = clauses.head.nodeMs.zipWithIndex
       .map { case (m, i) => m.v -> s"n$i" }.toMap
     var df = buildChain(nodes, edges, clauses.head, 0)
-    Option(clauses.head.where).foreach(w => df = df.filter(parseWhere(w, vars)))
+    Option(clauses.head.where).foreach(w =>
+      df = df.filter(parseWhere(w, matchScope(vars))))
 
     clauses.drop(1).foreach { c =>
       val headVar = c.nodeMs.head.v
@@ -681,11 +719,12 @@ object CypherLite {
         // WHERE folds into the join: a filtered-out optional row
         // null-extends instead of dropping (Neo4j semantics)
         val cond = Option(c.where)
-          .map(w => keyEq && parseWhere(w, subVars)).getOrElse(keyEq)
+          .map(w => keyEq && parseWhere(w, matchScope(subVars))).getOrElse(keyEq)
         df = df.join(sub, cond, "left")
       } else {
         df = df.join(sub, keyEq)
-        Option(c.where).foreach(w => df = df.filter(parseWhere(w, subVars)))
+        Option(c.where).foreach(w =>
+          df = df.filter(parseWhere(w, matchScope(subVars))))
       }
       // the clause head var stays bound to its ORIGINAL alias (always
       // non-null); only the fresh tail vars enter scope
@@ -693,8 +732,103 @@ object CypherLite {
         .map { case (m, i) => m.v -> s"n${start + 1 + i}" }.toMap
       aliasCount += c.nodeMs.size
     }
-    shapeResult(df, ret, vars)
+    pipeIdx match {
+      case None => shapeResult(df, ret, vars)
+      case Some(p) =>
+        val (piped, pipedVars, plain) =
+          applyWith(df, q.substring(p + 4, retIdx).trim, vars)
+        shapeResult(piped, ret, pipedVars, plain)
+    }
   }
+
+  /** Columns a carried variable keeps through the WITH pipe (the fixed
+    * node columns plus the prop map and label set — everything any
+    * downstream projection or predicate can reference). */
+  private val carriedFields =
+    Seq("full_name", "kind", "name", "file_path", "signature", "clazz",
+      "code", "props", "task_ids")
+
+  /** The one-level `WITH` pipe — Cypher's aggregate-then-filter idiom
+    * (`MATCH … WITH v, count(*) AS c WHERE c > k RETURN …`). Items:
+    *  - a bare bound variable carries through as a STRUCT column named
+    *    after itself (so `v.prop`, `labels(v)`, `count(v)` still resolve
+    *    downstream);
+    *  - `v.prop AS alias` projects a property (alias REQUIRED, as in
+    *    Cypher: expression items must be named);
+    *  - `count(*)/count(v)/count(v.prop) AS alias` aggregates with the
+    *    same implicit grouping as RETURN (every non-aggregate item is a
+    *    grouping key).
+    * The optional trailing WHERE filters the PIPED rows (Cypher's
+    * post-aggregation filter — what HAVING is to SQL); its references
+    * resolve against the pipe's output scope. Anything else — a second
+    * WITH, ORDER/SKIP/LIMIT inside the pipe, un-aliased expressions —
+    * raises, the module's posture. */
+  private def applyWith(df0: DataFrame, body0: String,
+      vars: Map[String, String])
+      : (DataFrame, Map[String, String], Set[String]) = {
+    var body = body0
+    var whereTxt: Option[String] = None
+    val wIdx = topLevelKeyword(body, "WHERE")
+    if (wIdx >= 0) {
+      whereTxt = Some(body.substring(wIdx + 5).trim)
+      body = body.substring(0, wIdx).trim
+    }
+    var newVars = Map.empty[String, String]
+    var plain = Set.empty[String]
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    splitTop(body, ",").foreach { item =>
+      val (core, alias) = splitTop(item, "AS") match {
+        case Seq(c) => (c.trim, None)
+        case Seq(c, a) =>
+          require(a.trim.matches("""\w+"""), s"malformed alias in '$item'")
+          (c.trim, Some(a.trim))
+        case _ => throw new IllegalArgumentException(s"multiple AS in '$item'")
+      }
+      core match {
+        case countRe(arg) =>
+          val a = alias.getOrElse(throw new IllegalArgumentException(
+            s"WITH expression needs AS alias: '$item'"))
+          val c =
+            if (arg == "*") count(lit(1))
+            else if (arg.contains(".")) {
+              val Array(v, prop) = arg.split("\\.", 2)
+              count(propColOf(v, prop, vars))
+            } else count(col(s"${vars(arg)}.full_name"))
+          aggs += c.cast("long").as(a)
+          plain += a
+        case c if c.contains(".") =>
+          val a = alias.getOrElse(throw new IllegalArgumentException(
+            s"WITH expression needs AS alias: '$item'"))
+          val Array(v, prop) = c.split("\\.", 2)
+          keys += propColOf(v, prop, vars).as(a)
+          plain += a
+        case v if vars.contains(v) =>
+          require(alias.isEmpty,
+            s"AS on a carried variable not supported: '$item'")
+          val a = vars(v)
+          keys += struct(carriedFields.map(f => col(s"$a.$f").as(f)): _*).as(v)
+          newVars += v -> v
+        case other => throw new IllegalArgumentException(
+          s"unsupported WITH item '$other' (variable, v.prop AS x, count(…) AS x)")
+      }
+    }
+    var out =
+      if (aggs.isEmpty) df0.select(keys.toSeq: _*)
+      else if (keys.isEmpty) df0.agg(aggs.head, aggs.tail.toSeq: _*)
+      else df0.groupBy(keys.toSeq: _*).agg(aggs.head, aggs.tail.toSeq: _*)
+    whereTxt.foreach(w =>
+      out = out.filter(parseWhere(w, withScope(newVars, plain))))
+    (out, newVars, plain)
+  }
+
+  /** Top-level WITH occurrences that are the CLAUSE keyword — the WITH of
+    * `STARTS WITH` / `ENDS WITH` is disqualified by its preceding word. */
+  private def clauseWithPositions(s: String): Seq[Int] =
+    allTopLevelKeywords(s, "WITH").filterNot { p =>
+      val before = s.substring(0, p).reverse.dropWhile(_.isWhitespace).reverse
+      "(?i).*\\b(starts|ends)$".r.matches(before)
+    }
 
   /** Every top-level (quote-aware, \w-bounded) occurrence of `word`,
     * ascending — the multi-hit sibling of [[topLevelKeyword]]. */

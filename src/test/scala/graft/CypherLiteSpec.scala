@@ -444,4 +444,61 @@ class CypherLiteSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(lex === Set("b", "c"))
   }
+
+  private lazy val d7 = {
+    val d = GraphDatabase.inMemory(spark)
+    d.addNode("t", Kind.Class, "m.A", Map("name" -> "A"))
+    d.addNode("t", Kind.Class, "m.B", Map("name" -> "B"))
+    d.addNode("t", Kind.Method, "m.A.f", Map("name" -> "f"))
+    d.addNode("t", Kind.Method, "m.A.g", Map("name" -> "g"))
+    d.addNode("t", Kind.Method, "m.B.h", Map("name" -> "h"))
+    d.addEdge("t", "m.A", Rel.HasMethod, "m.A.f")
+    d.addEdge("t", "m.A", Rel.HasMethod, "m.A.g")
+    d.addEdge("t", "m.B", Rel.HasMethod, "m.B.h")
+    d.commit()
+    d
+  }
+
+  test("WITH pipe: aggregate then filter (the HAVING shape)") {
+    val out = d7.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(m) WITH c, count(*) AS n " +
+        "WHERE n > 1 RETURN c.name, n").collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "A")
+    assert(out(0).getLong(1) === 2L)
+    // post-pipe WHERE mixes an output column with a carried-variable
+    // prop predicate (incl. STARTS WITH, which must not read as a pipe)
+    val mixed = d7.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(m) WITH c, count(*) AS n " +
+        "WHERE n >= 1 AND c.name STARTS WITH 'B' RETURN c.name, n").collect()
+    assert(mixed.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("B", 1L)))
+  }
+
+  test("WITH pipe: projected props, RETURN by output column, ORDER BY") {
+    val out = d7.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(m) WITH c.name AS cls, count(m) AS n " +
+        "RETURN cls, n ORDER BY n DESC, cls").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("A", 2L), ("B", 1L)))
+  }
+
+  test("WITH quote-safety: STARTS WITH and quoted text never open a pipe") {
+    val sw = d7.executeQuery(
+      "MATCH (c:CLASS) WHERE c.name STARTS WITH 'A' RETURN c.name").collect()
+    assert(sw.map(_.getString(0)).toSeq === Seq("A"))
+    // ' WITH ' inside a quoted prop literal is plain text
+    val lit = d7.executeQuery(
+      "MATCH (c:CLASS {name: 'A WITH B'}) RETURN c.name").collect()
+    assert(lit.isEmpty)
+  }
+
+  test("WITH raises on a second pipe and un-aliased expressions") {
+    intercept[IllegalArgumentException] {
+      d7.executeQuery("MATCH (c:CLASS) WITH c WITH c RETURN c.name")
+    }
+    intercept[IllegalArgumentException] {
+      d7.executeQuery(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) WITH c.name, count(*) AS n RETURN n")
+    }
+  }
 }
