@@ -250,6 +250,15 @@ object PyIndexer {
   private val returnArrow: Regex =
     """->\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?!\w|\s*\[)""".r
 
+  /** `return Callee(...)` — a constructor (or call) return, the head of
+    * slice 8's un-annotated return-type inference. */
+  private val returnCtor: Regex =
+    """^\s*return\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
+
+  /** `return name` — a bare-name return (a typed local, or `self`). */
+  private val returnName: Regex =
+    """^\s*return\s+([A-Za-z_]\w*)\s*$""".r
+
   /** Annotated local `x: Helper [= …]` inside a callable — an annassign,
     * which types x for `x.method()` resolution (PEP 526 syntax, no
     * inference needed). */
@@ -385,23 +394,66 @@ object PyIndexer {
     // of scope). Keys are module-relative ("Class.m" / "f"); returns of
     // defs nested inside defs are not keyed.
     val returnAnnoRaw = mutable.Map.empty[String, String]
+    // C3 slice 8: INFERRED return types for defs with NO `->` annotation
+    // (indexer_visitor.py:183-241 is the behavior target — jedi follows
+    // the return expression): a body `return ClassName(...)`, `return
+    // <local already typed by a constructor or annotation earlier in the
+    // same def>`, or `return self` (the enclosing class — the builder/
+    // fluent pattern). First such return wins (control-flow merging of
+    // divergent branch types stays out of scope); a declared annotation
+    // always takes priority at the use site. Raw names resolve through
+    // the same classish/import path as declared annotations.
+    val returnInferredRaw = mutable.Map.empty[String, String]
     locally {
-      val ctx = mutable.Stack.empty[(Int, String)]
+      // (indent, name, isDef): a def's return key is valid only when
+      // every enclosing level is a class (same rule returnAnnoRaw used)
+      val ctx = mutable.Stack.empty[(Int, String, Boolean)]
+      val bodyLocals = mutable.Map.empty[String, mutable.Map[String, String]]
+      def ownerDefKey: Option[Seq[String]] = {
+        val chain = ctx.toSeq.reverse // bottom-first
+        if (chain.nonEmpty && chain.last._3 && chain.init.forall(!_._3))
+          Some(chain.map(_._2))
+        else None
+      }
       lines.indices.foreach { li =>
         val ln = lines(li)
         if (!cont(li) && ln.trim.nonEmpty) {
           val ind = indentOf(ln)
           while (ctx.nonEmpty && ind <= ctx.top._1) ctx.pop()
           ln match {
-            case classHeader(_, cname, _) => ctx.push((ind, cname))
+            case classHeader(_, cname, _) => ctx.push((ind, cname, false))
             case defHeader(_, dname) =>
               val headerText = joinedHeader(li)
+              val keyValid = ctx.toSeq.forall(!_._3)
               returnArrow.findFirstMatchIn(headerText).foreach { m =>
-                val key = ctx.toSeq.reverse.map(_._2) :+ dname
-                if (!key.contains("")) returnAnnoRaw(key.mkString(".")) = m.group(1)
+                if (keyValid)
+                  returnAnnoRaw((ctx.toSeq.reverse.map(_._2) :+ dname)
+                    .mkString(".")) = m.group(1)
               }
-              ctx.push((ind, "")) // defs nest too; "" marks a non-keyed level
-            case _ => ()
+              ctx.push((ind, dname, true))
+            case _ =>
+              ownerDefKey.foreach { names =>
+                val key = names.mkString(".")
+                instanceAssign.findFirstMatchIn(ln).foreach(m =>
+                  bodyLocals.getOrElseUpdate(key,
+                    mutable.Map.empty)(m.group(1)) = m.group(2))
+                localAnno.findFirstMatchIn(ln).foreach(m =>
+                  bodyLocals.getOrElseUpdate(key,
+                    mutable.Map.empty)(m.group(1)) = m.group(2))
+                if (!returnInferredRaw.contains(key)) {
+                  returnCtor.findFirstMatchIn(ln).foreach(m =>
+                    returnInferredRaw(key) = m.group(1))
+                  returnName.findFirstMatchIn(ln).foreach { m =>
+                    val n = m.group(1)
+                    if (n == "self") {
+                      val classes = names.dropRight(1)
+                      if (classes.nonEmpty)
+                        returnInferredRaw(key) = classes.mkString(".")
+                    } else bodyLocals.get(key).flatMap(_.get(n))
+                      .foreach(t => returnInferredRaw(key) = t)
+                  }
+                }
+              }
           }
         }
       }
@@ -654,12 +706,17 @@ object PyIndexer {
             else None
           }
           // declared `-> Type` of a called same-module function/method:
-          // `x = make()` with `def make() -> Helper:` binds x to Helper
+          // `x = make()` with `def make() -> Helper:` binds x to Helper;
+          // with no annotation, the INFERRED return (slice 8: the def's
+          // `return Ctor()` / typed-name / self body) fills in
           def returnTypeTarget(callee: String): Option[String] =
             if (keywords.contains(callee)) None
             else resolveCallee(callee)
               .filter(_.startsWith(mod + "."))
-              .flatMap(cf => returnAnnoRaw.get(cf.stripPrefix(mod + ".")))
+              .flatMap { cf =>
+                val k = cf.stripPrefix(mod + ".")
+                returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
+              }
               .flatMap(classishType)
           // binding priority: constructor RHS > callee's `-> Type` >
           // explicit annotation on the target

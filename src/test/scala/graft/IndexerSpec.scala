@@ -230,6 +230,72 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("r.Factory.go", "lib.Helper.ping")))
   }
 
+  test("C3 slice 8: un-annotated returns propagate (ctor / typed local / self)") {
+    val src =
+      """from lib import Helper
+        |
+        |def use():
+        |    h = make()
+        |    return h.run()
+        |
+        |def make():
+        |    return Helper()
+        |
+        |def via_local():
+        |    x = indirect()
+        |    return x.ping()
+        |
+        |def indirect():
+        |    tmp = Helper()
+        |    return tmp
+        |
+        |class Builder:
+        |    def chain(self):
+        |        return self
+        |
+        |def fluent():
+        |    b = Builder().chain()
+        |    return b
+        |
+        |def use_fluent():
+        |    c = helper_from_builder()
+        |    return c.finish()
+        |
+        |def helper_from_builder():
+        |    b = Builder()
+        |    return b
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "i.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // make() has NO -> annotation; its body returns Helper() — the
+    // inferred return still types h (the declared-annotation test's twin)
+    assert(calls.contains(("i.use", "lib.Helper.run")))
+    // `return tmp` where tmp = Helper() earlier in the def
+    assert(calls.contains(("i.via_local", "lib.Helper.ping")))
+    // `return b` where b = Builder(): a same-module class type; calling
+    // a method through it resolves against the local class
+    assert(calls.contains(("i.use_fluent", "i.Builder.finish")))
+  }
+
+  test("C3 slice 8: declared annotation beats the inferred return") {
+    val src =
+      """from lib import Helper, Other
+        |
+        |def use():
+        |    h = make()
+        |    return h.run()
+        |
+        |def make() -> Helper:
+        |    return Other()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "p.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("p.use", "lib.Helper.run")))
+    assert(!calls.contains(("p.use", "lib.Other.run")))
+  }
+
   test("C3 partial: module-level instance globals type their methods") {
     val src =
       """from lib import Database
