@@ -2658,6 +2658,52 @@ object QueryCatalog {
       |  CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 30 + 1) * 1000 AS BIGINT) END AS duration_ms
       |FROM documents""".stripMargin
 
+  /** m_video — the MP4/ISO-BMFF box walk under the oracle gate, same
+    * build-vs-parse independence as [[mHeaders]]: an in-plan synthetic
+    * `ftyp` + `moov(mvhd)` chain per document, with doc_id parity
+    * selecting the mvhd VERSION (even → v0 with u32 duration, odd → v1
+    * with u64 duration — the truncation-guard path a review fix just
+    * touched). timescale and duration are doc_id arithmetic; the oracle
+    * predicts duration_ms = duration·1000/timescale exactly (duration is
+    * a multiple of timescale by construction). */
+  val mVideo: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    val timescale = (id % 5 + 1) * lit(1000L)
+    val secs = id % 60 + 1
+    val dur = timescale * secs
+    def be32(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c.cast("long")), 8, "0"))
+    def be64(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c.cast("long")), 16, "0"))
+    def b(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+    val ftyp = concat(be32(lit(16)), lit("ftyp".getBytes),
+      lit("isom".getBytes), be32(lit(512)))
+    // mvhd v0: size 8+4+8+4+4 = no — header(8) + version/flags(4) +
+    // ctime/mtime(8) + timescale(4) + duration(4) = 28 bytes total
+    val mvhdV0 = concat(be32(lit(28)), lit("mvhd".getBytes),
+      be32(lit(0)), be32(lit(0)), be32(lit(0)), be32(timescale), be32(dur))
+    // mvhd v1: header(8) + version/flags(4) + ctime/mtime(16) +
+    // timescale(4) + duration(8) = 40 bytes total
+    val mvhdV1 = concat(be32(lit(40)), lit("mvhd".getBytes),
+      b(0x01, 0, 0, 0), be64(lit(0)), be64(lit(0)), be32(timescale), be64(dur))
+    val mvhd = when(id % 2 === 0, mvhdV0).otherwise(mvhdV1)
+    val moov = concat(be32(length(mvhd) + 8), lit("moov".getBytes), mvhd)
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload", concat(ftyp, moov))
+    Multimodal.withVideoMeta(media).select(id,
+      col("video_meta.format").as("format"),
+      col("video_meta.major_brand").as("major_brand"),
+      col("video_meta.timescale").as("timescale"),
+      col("video_meta.duration_ms").as("duration_ms"))
+  }
+
+  val mVideoSql: String =
+    """SELECT doc_id, 'mp4' AS format, 'isom' AS major_brand,
+      |  CAST((doc_id % 5 + 1) * 1000 AS BIGINT) AS timescale,
+      |  CAST((doc_id % 60 + 1) * 1000 AS BIGINT) AS duration_ms
+      |FROM documents""".stripMargin
+
   // -------------------------------------------------------- streaming gate
 
   private val stSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -2701,6 +2747,52 @@ object QueryCatalog {
       .groupBy(col("ws_us"))
       .agg(max(col("est_distinct")).as("est_distinct"))
   }
+
+  /** st_join — the watermarked stream-stream INTERVAL join under the
+    * oracle gate ([[graft.streaming.Streams.intervalJoin]]): view events
+    * paired with same-user click events within 24 hours, both sides
+    * replayed as event-time-ordered micro-batches so join state builds
+    * and matches across batch boundaries; the oracle is the equivalent
+    * batch self-join with the same time-range predicate. Inner-join
+    * matches emit as soon as both rows arrive (append mode holds nothing
+    * back), so the memory sink holds exactly the batch answer. */
+  val stJoin: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val evs = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val left = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    val right = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    val joined = Streams.intervalJoin(
+      left.toDF().filter(col("event_type") === "view"),
+      right.toDF().filter(col("event_type") === "click"),
+      watermark = "10 minutes", rangeSeconds = 86400L)
+    val name = s"st_join_out_${stSinkSeq.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        left.addData(chunk.toSeq: _*)
+        right.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name).select(col("user_id"),
+      col("left_id"), col("right_id"),
+      unix_micros(col("left_ts")).as("l_us"),
+      unix_micros(col("right_ts")).as("r_us"))
+  }
+
+  val stJoinSql: String =
+    """SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
+      |  epoch_us(l.ts) AS l_us, epoch_us(r.ts) AS r_us
+      |FROM events l JOIN events r ON l.user_id = r.user_id
+      |WHERE l.event_type = 'view' AND r.event_type = 'click'
+      |  AND epoch_us(r.ts) >= epoch_us(l.ts)
+      |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 86400000000""".stripMargin
 
   val stWindowSql: String = {
     val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(" +
@@ -2837,7 +2929,9 @@ object QueryCatalog {
     "q37_wpr" -> q37Wpr,
     "t_token_vote" -> tTokenVote,
     "m_headers" -> mHeaders,
+    "m_video" -> mVideo,
     "st_window" -> stWindow,
+    "st_join" -> stJoin,
     "q46_btw" -> q46Btw,
   )
 
@@ -2958,7 +3052,9 @@ object QueryCatalog {
     "q37_wpr" -> q37WprSql,
     "t_token_vote" -> tTokenVoteSql,
     "m_headers" -> mHeadersSql,
+    "m_video" -> mVideoSql,
     "st_window" -> stWindowSql,
+    "st_join" -> stJoinSql,
     "q46_btw" -> q46BtwSql,
   )
 }
