@@ -59,8 +59,25 @@ object IndexPipeline {
       .repartition(64)
       .map { rel =>
         val bytes = Files.readAllBytes(Paths.get(root, rel))
-        SourceFile(rel, new String(bytes, "UTF-8"))
+        SourceFile(rel, decodeSource(bytes))
       }
+  }
+
+  /** Decode parity with the reference (shallow_indexer.py:79-86): strict
+    * UTF-8 first; on malformed input fall back to a permissive total
+    * decode (ISO-8859-1 — every byte maps) instead of scattering U+FFFD
+    * replacement chars through the text. Keeps un-decodable files
+    * indexable with their ASCII structure intact, like the reference's
+    * codec fallback chain. */
+  private[graft] def decodeSource(bytes: Array[Byte]): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
   }
 
   final case class Indexed(
@@ -83,7 +100,14 @@ object IndexPipeline {
     val imports = events.flatMap(_._4)
     val nodes0 = Merge.mergeNodes(symbolEvents.toDF())
     val edges = Merge.mergeEdges(edgeEvents.toDF())
+      .localCheckpoint(eager = true)
     val nodes = Merge.withStubs(nodes0, edges, taskId)
+      .localCheckpoint(eager = true)
+    // lineage cut at the phase boundary: the enrichment stage chains
+    // enough joins that carrying the merge plan underneath it pushes
+    // task binaries past the MiB warning threshold — and this is a
+    // write pipeline, so materializing the merged tables is the normal
+    // posture (the reference persists here too)
     Indexed(nodes, edges, locations.toDF(), imports.toDF())
   }
 
@@ -145,6 +169,10 @@ object IndexPipeline {
 
     val withImports = contains1.unionByName(wildcardContains)
       .dropDuplicates("src", "rel_type", "dst")
+      // second lineage cut: the closure + call-rebinding joins below
+      // would otherwise re-serialize the whole re-export/wildcard chain
+      // in every downstream stage
+      .localCheckpoint(eager = true)
 
     val inherits = withImports.filter(col("rel_type") === Rel.Inherits)
       .select(col("src"), col("dst"))

@@ -438,6 +438,18 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.exists(_._2.contains("Optional")))
   }
 
+  test("decode fallback: malformed UTF-8 degrades to latin-1, never U+FFFD") {
+    // 'caf\xe9' is latin-1 — invalid as UTF-8 (lone continuation byte)
+    val latin1 = "# café\ndef f():\n    return 1\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val decoded = graft.indexer.IndexPipeline.decodeSource(latin1)
+    assert(decoded.contains("café"))
+    assert(!decoded.contains('�'))
+    // well-formed UTF-8 keeps its multi-byte chars
+    val utf8 = "# café\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(graft.indexer.IndexPipeline.decodeSource(utf8).contains("café"))
+  }
+
   test("USES edges: globals from functions, fields from methods") {
     val uses = ix.edges.filter(col("rel_type") === Rel.Uses)
       .select("src", "dst").as[(String, String)].collect().toSet
