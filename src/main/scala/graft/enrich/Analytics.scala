@@ -551,6 +551,69 @@ object Analytics {
       connectedComponentsGraphX(s, edges)
     else connectedComponents(edges, maxIter)
 
+  /** GraphX scale path for [[labelPropagation]] — SYNCHRONOUS modal-label
+    * rounds via aggregateMessages with the SAME deterministic
+    * (max count, min label) tie-break, so per-round labels are identical
+    * to the DataFrame loop and the two share one oracle. (graphx.lib
+    * .LabelPropagation is NOT used: its Pregel variant halts vertices
+    * that receive no messages and breaks ties differently — the
+    * documented reason r6 had no LPA twin.) Edges must be Long-keyed.
+    * Messages are per-neighbor label singletons merged into bounded
+    * count maps; state is one Long per vertex. */
+  def labelPropagationGraphX(spark: SparkSession, edges: DataFrame,
+      iterations: Int = 4): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import spark.implicits._
+    // both directions + distinct, exactly like the DataFrame loop (LPA
+    // counts votes, so a duplicate edge would change the mode)
+    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
+      .distinct()
+    var g = Graph.fromEdges(
+      und.as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) },
+      defaultValue = 0L, edgeStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => id)
+    for (_ <- 1 to iterations) {
+      val votes = g.aggregateMessages[Map[Long, Long]](
+        ctx => ctx.sendToDst(Map(ctx.srcAttr -> 1L)),
+        (a, b) => (a.keySet ++ b.keySet).iterator
+          .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
+      g = g.outerJoinVertices(votes) { (_, old, opt) =>
+        opt.map { m =>
+          val mx = m.values.max
+          m.collect { case (l, c) if c == mx => l }.min
+        }.getOrElse(old)
+      }
+    }
+    g.vertices.toDF("v", "community")
+  }
+
+  /** Bounded-hop weighted shortest paths (min-plus / Bellman-Ford): the
+    * exact distance from `source` over at most `rounds` relaxation
+    * rounds — the hop-cutoff variant a cluster actually runs (full
+    * Bellman-Ford is |V|-1 rounds; a bounded unroll is replayable and
+    * the common "within k hops" product semantics). Integer weights →
+    * exact integer distances, no float hazard; each round is one
+    * edge⋈state equi-join + a min groupBy against the pre-partitioned
+    * edge table (q34's shuffle shape). Returns (v, dist) for vertices
+    * reached within the bound. */
+  def weightedShortestPaths(edges: DataFrame, source: Long,
+      rounds: Int = 6): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src")).localCheckpoint(eager = true)
+    var st = e.sparkSession.range(1)
+      .select(lit(source).as("v"), lit(0L).as("dist"))
+    for (i <- 1 to rounds) {
+      val relax = e.join(st.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
+      st = st.unionByName(relax).groupBy(col("v"))
+        .agg(min(col("dist")).as("dist"))
+      if (i % 3 == 0 && i < rounds) st = st.localCheckpoint(eager = true)
+    }
+    st
+  }
+
   /** Connected components via iterated label propagation (min-id wins),
     * on the UNDIRECTED view of edges(src, dst). Deterministic; converges
     * in O(diameter) iterations. */

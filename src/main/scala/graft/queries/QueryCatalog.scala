@@ -1967,6 +1967,44 @@ object QueryCatalog {
   val q33Labelprop: Q = (s, d) =>
     graft.enrich.Analytics.labelPropagation(coPurchaseEdges(s, d), iterations = 4)
 
+  /** The GraphX scale path of q33 — synchronous aggregateMessages rounds
+    * with the identical (max count, min label) tie-break, so it shares
+    * q33's unrolled oracle (the graphx.lib Pregel variant does NOT match
+    * and is deliberately not used). */
+  val q33LabelpropGx: Q = (s, d) =>
+    graft.enrich.Analytics.labelPropagationGraphX(s, coPurchaseEdges(s, d),
+      iterations = 4)
+
+  /** q47 — bounded-hop weighted shortest paths over the weighted
+    * co-purchase graph ([[graft.enrich.Analytics.weightedShortestPaths]]):
+    * min-plus relaxation from the smallest vertex id, 6 rounds, exact
+    * integer distances; the oracle unrolls the same recurrence. The hop
+    * bound makes the operator replayable AND is the product semantics a
+    * cluster runs (distance within k hops). */
+  val q47Wsp: Q = (s, d) => {
+    val e = coPurchaseEdgesW(s, d)
+    // the seed is data-derived but a bounded scalar: min vertex id
+    val src = e.agg(min(col("src"))).first().getLong(0)
+    graft.enrich.Analytics.weightedShortestPaths(e, src, rounds = 6)
+  }
+
+  val q47WspSql: String = {
+    def iter(i: Int): String =
+      s"""d$i AS MATERIALIZED (SELECT v, min(dist) AS dist FROM (
+         |  SELECT v, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS v, p.dist + e.w AS dist
+         |  FROM wund e JOIN d${i - 1} p ON e.src = p.v) GROUP BY v)""".stripMargin
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |ce AS (SELECT a.l_partkey AS a, b.l_partkey AS b, count(*)::BIGINT AS w FROM op a JOIN op b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |wund AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM ce UNION ALL SELECT b, a, w FROM ce),
+       |d0 AS MATERIALIZED (SELECT min(src) AS v, 0::BIGINT AS dist FROM wund),
+       |${(1 to 6).map(iter).mkString(",\n")}
+       |SELECT v, dist FROM d6""".stripMargin
+  }
+
   private def lpaIterSql(i: Int): String =
     s"""c$i AS MATERIALIZED (SELECT e.src AS v, p.c, count(*) AS cnt
        |  FROM und e JOIN l${i - 1} p ON e.dst = p.v GROUP BY 1, 2),
@@ -2910,6 +2948,8 @@ object QueryCatalog {
     "q32_ppr" -> q32Ppr,
     "q32_ppr_gx" -> q32PprGx,
     "q33_labelprop" -> q33Labelprop,
+    "q33_labelprop_gx" -> q33LabelpropGx,
+    "q47_wsp" -> q47Wsp,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
@@ -3033,6 +3073,8 @@ object QueryCatalog {
     "q32_ppr" -> q32PprSql,
     "q32_ppr_gx" -> q32PprSql,
     "q33_labelprop" -> q33LabelpropSql,
+    "q33_labelprop_gx" -> q33LabelpropSql,
+    "q47_wsp" -> q47WspSql,
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,

@@ -178,6 +178,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === summed)
   }
 
+  test("labelPropagationGraphX ≡ the DataFrame loop (sync rounds, same tie-break)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val df = Analytics.labelPropagation(edges, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = Analytics.labelPropagationGraphX(spark, edges, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df === gx)
+  }
+
+  test("weightedShortestPaths: min-plus relaxation picks the cheaper long path") {
+    // a->b->c costs 1+1=2, beating the direct a->c (5); d unreachable
+    // within the bound from a? d sits 3 hops out: a->b->c->d = 2+7
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 7L))
+      .toDF("src", "dst", "w")
+    val got = Analytics.weightedShortestPaths(edges, source = 1L, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 0L)
+    assert(got(2L) === 1L)
+    assert(got(3L) === 2L)
+    assert(got(4L) === 9L)
+    // a 1-round bound only reaches direct neighbors, with direct costs
+    val bounded = Analytics.weightedShortestPaths(edges, source = 1L, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded === Map(1L -> 0L, 2L -> 1L, 3L -> 5L))
+  }
+
   test("labelPropagation: disjoint cliques converge to their min label") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
