@@ -25,6 +25,13 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val picked = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      // st_* replay the event table through a MemoryStream micro-batch
+      // harness (driver-paced addData/processAllAvailable rounds): their
+      // wall-clock measures harness scheduling and per-batch state-store
+      // commits, not engine throughput (st_join alone was 25s of pure
+      // micro-batch overhead at sf0.1). They stay CORRECTNESS-gated via
+      // Verify; Bench times the batch surface.
+      .filter { case (name, _) => !name.startsWith("st_") }
     if (new java.io.File(warmDir).isDirectory)
       picked.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }

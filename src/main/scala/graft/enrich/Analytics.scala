@@ -232,16 +232,63 @@ object Analytics {
     * the sum (replayable regardless of summation order), the sum again
     * to 6. Each source's OWN row is excluded from its contribution —
     * Brandes centrality sums δ_s(v) over v ≠ s (the source's dependency
-    * counts paths it originates, not paths through it). Returns
+    * counts paths it originates, not paths through it).
+    *
+    * FUSED execution: rather than |L| sequential single-source jobs, the
+    * state tables carry a source key (s, v, …) and every forward/backward
+    * level is ONE edge⋈state join covering ALL landmarks — the landmark
+    * dimension rides inside the shuffle keys, so adding landmarks grows
+    * rows per stage, never stage count. Per-level round-to-10 applies per
+    * (s, v), identical to [[betweennessFromSource]] run per source, so
+    * the fused plan shares the per-source-replay oracle. Returns
     * (v, betweenness) for vertices reachable from ≥1 landmark. */
   def betweennessLandmarks(edges: DataFrame, sources: Seq[String],
-      depth: Int = 10): DataFrame =
-    sources.map(s => betweennessFromSource(edges, s, depth)
-        .filter(col("v") =!= s)
-        .select(col("v"), col("betweenness")))
-      .reduce(_ unionByName _)
+      depth: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(eager = true)
+    val src0 = sources.toDF("s")
+      .select(col("s"), col("s").as("v"), lit(0L).as("d"), lit(1L).as("sig"))
+    // forward: per-landmark σ/d in one keyed table (q34's recurrence with
+    // the landmark riding in the key)
+    var st = src0
+    for (i <- 1 to depth) {
+      val cand = e.join(st.withColumnRenamed("v", "src"), "src")
+        .filter(col("dst") =!= col("s"))
+        .select(col("s"), col("dst").as("v"), (col("d") + 1).as("d"), col("sig"))
+      val md = cand.groupBy(col("s"), col("v")).agg(min(col("d")).as("md"))
+      val nxt = cand.join(md, Seq("s", "v")).filter(col("d") === col("md"))
+        .groupBy(col("s"), col("v"), col("d")).agg(sum(col("sig")).as("sig"))
+      st = src0.unionByName(nxt.select(col("s"), col("v"), col("d"), col("sig")))
+      if (i % 3 == 0 && i < depth) st = st.localCheckpoint(eager = true)
+    }
+    val sp = st.localCheckpoint(eager = true)
+    // backward: δ levels for all landmarks per join
+    var bt = sp.withColumn("delta", lit(0.0))
+    for (lvl <- (depth - 1) to 0 by -1) {
+      val contrib = e
+        .join(bt.select(col("s"), col("v").as("dst"), col("d").as("dw"),
+          col("sig").as("sigw"), col("delta").as("deltaw")), "dst")
+        .filter(col("dw") === lvl + 1)
+        .join(sp.select(col("s"), col("v").as("src"), col("d").as("du"),
+          col("sig").as("sigu")), Seq("s", "src"))
+        .filter(col("du") === lvl)
+        .groupBy(col("s"), col("src").as("v"))
+        .agg(round(sum(col("sigu").cast("double") / col("sigw")
+          * (lit(1.0) + col("deltaw"))), 10).as("c"))
+      bt = bt.join(contrib, Seq("s", "v"), "left")
+        .withColumn("delta",
+          when(col("d") === lvl, coalesce(col("c"), lit(0.0)))
+            .otherwise(col("delta")))
+        .drop("c")
+      if (lvl % 4 == 0 && lvl > 0) bt = bt.localCheckpoint(eager = true)
+    }
+    bt.filter(col("v") =!= col("s"))
+      .select(col("v"), round(col("delta"), 6).as("betweenness"))
       .groupBy(col("v"))
       .agg(round(sum(col("betweenness")), 6).as("betweenness"))
+  }
 
   /** GraphX scale path for [[bfsDistances]]: the landmark-BFS Pregel of
     * `graphx.lib.ShortestPaths` (resilient RDD state, partition-reusing
