@@ -290,6 +290,30 @@ object Analytics {
       .agg(round(sum(col("betweenness")), 6).as("betweenness"))
   }
 
+  /** Multi-landmark BFS distances in ONE keyed pass (the same fusion as
+    * [[betweennessLandmarks]]): state rows are (s, v, d) and each round
+    * is a single edge⋈state join + min groupBy covering ALL landmarks —
+    * landmark count scales rows per stage, not stage count. Recurrence
+    * per landmark is identical to [[bfsDistances]], so per-landmark
+    * oracles replay unchanged. */
+  def bfsDistancesLandmarks(edges: DataFrame, sources: Seq[String],
+      iterations: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(eager = true)
+    var st = sources.toDF("s")
+      .select(col("s"), col("s").as("v"), lit(0L).as("d"))
+    for (i <- 1 to iterations) {
+      val cand = e.join(st.withColumnRenamed("v", "src"), "src")
+        .select(col("s"), col("dst").as("v"), (col("d") + 1).as("d"))
+      st = st.unionByName(cand).groupBy(col("s"), col("v"))
+        .agg(min(col("d")).as("d"))
+      if (i % 3 == 0 && i < iterations) st = st.localCheckpoint(eager = true)
+    }
+    st
+  }
+
   /** GraphX scale path for [[bfsDistances]]: the landmark-BFS Pregel of
     * `graphx.lib.ShortestPaths` (resilient RDD state, partition-reusing
     * joins) with the source as the single landmark — identical hop counts,

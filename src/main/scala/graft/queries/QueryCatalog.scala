@@ -2393,13 +2393,14 @@ object QueryCatalog {
   val q44Harmonic: Q = (s, d) => {
     val rev = GraphTables.hierarchy(s, d)
       .select(col("dst").as("src"), col("src").as("dst"))
-    val landmarks = Seq("region.0", "region.1", "nation.0")
-    landmarks.map(l =>
-      graft.enrich.Analytics.bfsDistances(rev, l, iterations = q22Iterations)
-        .filter(col("d") > 0)
-        .select(col("v"),
-          round(lit(1.0) / col("d"), 10).cast("decimal(20,10)").as("h")))
-      .reduce(_ unionByName _)
+    // FUSED landmark BFS (the q46 pattern): one keyed pass for all three
+    // landmarks instead of three sequential frontier loops — the min
+    // recurrence per landmark is the oracle's spelling unchanged
+    graft.enrich.Analytics.bfsDistancesLandmarks(rev,
+        Seq("region.0", "region.1", "nation.0"), iterations = q22Iterations)
+      .filter(col("d") > 0)
+      .select(col("v"),
+        round(lit(1.0) / col("d"), 10).cast("decimal(20,10)").as("h"))
       .groupBy("v")
       .agg(round(sum(col("h")).cast("double"), 4).as("harmonic"))
   }
