@@ -198,7 +198,11 @@ object PyIndexer {
     s"""<CODE>{"S":$s,"E":$e,"F":"$f"}</CODE>"""
 
   private final case class Scope(kind: String, fullName: String, indent: Int,
-      locals: mutable.Map[String, String] = mutable.Map.empty)
+      locals: mutable.Map[String, String] = mutable.Map.empty,
+      // slice 9: container-typed names → their ELEMENT type (xs:
+      // list[Helper] binds "xs" -> Helper here, and iteration/subscript
+      // targets over xs land in `locals`)
+      elemLocals: mutable.Map[String, String] = mutable.Map.empty)
 
   /** `x = Callee(...)` — the head of a potential instance binding. */
   private val instanceAssign: Regex =
@@ -249,6 +253,28 @@ object PyIndexer {
     * (same guard as [[paramAnno]]). */
   private val returnArrow: Regex =
     """->\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?!\w|\s*\[)""".r
+
+  /** `xs: list[Helper]` (or List/Sequence/tuple/set/Iterable/… with an
+    * optional `typing.` prefix) — a container annotation whose FIRST type
+    * argument is the element type (slice 9: jedi's container-element
+    * inference for the annotated cases, indexer_visitor.py:561-577's
+    * typeshed-backed names). Nested generics (`list[dict[str, int]]`)
+    * deliberately don't match — their element is not an instance type. */
+  private val containerAnno: Regex =
+    ("""([A-Za-z_]\w*)\s*:\s*(?:typing\s*\.\s*)?""" +
+      """(?:list|List|Sequence|MutableSequence|tuple|Tuple|set|Set|""" +
+      """frozenset|FrozenSet|Iterable|Iterator|Collection)""" +
+      """\s*\[\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*[\],]""").r
+
+  /** `for y in xs:` over a simple name — the iteration binding slice 9
+    * feeds from [[containerAnno]] element types. */
+  private val forIn: Regex =
+    """^\s*for\s+([A-Za-z_]\w*)\s+in\s+([A-Za-z_]\w*)\s*:\s*$""".r
+
+  /** `y = xs[...]` — a subscript read; with xs container-typed, y binds
+    * the element type. */
+  private val subscriptRead: Regex =
+    """^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\[[^\]]*\]\s*$""".r
 
   /** `return Callee(...)` — a constructor (or call) return, the head of
     * slice 8's un-annotated return-type inference. */
@@ -622,6 +648,17 @@ object PyIndexer {
               if (!keywords.contains(anno) && classish)
                 resolveCallee(anno).foreach(t => fnScope.locals(m.group(1)) = t)
             }
+            // slice 9: container-annotated params bind their ELEMENT type
+            // (`def f(xs: list[Helper])` → iterating/subscripting xs
+            // yields Helper-typed names)
+            containerAnno.findAllMatchIn(headerText).foreach { m =>
+              val anno = m.group(2)
+              val classish = topClasses.contains(anno) ||
+                anno.split("\\.").last.headOption.exists(_.isUpper)
+              if (!keywords.contains(anno) && classish)
+                resolveCallee(anno).foreach(t =>
+                  fnScope.elemLocals(m.group(1)) = t)
+            }
             stack.push(fnScope)
 
           case assignStmt(_, name)
@@ -761,6 +798,22 @@ object PyIndexer {
                       .foreach(t => fn.locals(m.group(1)) = t)
                   }
               }
+          }
+          // slice 9: container-annotated LOCALS (`ys: Sequence[T] = …`)
+          // and the bindings that consume element types — iteration
+          // targets and subscript reads become T-typed locals
+          val isHdr = classHeader.matches(line) || defHeader.matches(line)
+          if (!isHdr) {
+            containerAnno.findFirstMatchIn(line)
+              .filter(m => line.trim.startsWith(m.group(1)))
+              .foreach(m => classishType(m.group(2))
+                .foreach(t => fn.elemLocals(m.group(1)) = t))
+            forIn.findFirstMatchIn(line).foreach(m =>
+              fn.elemLocals.get(m.group(2))
+                .foreach(t => fn.locals(m.group(1)) = t))
+            subscriptRead.findFirstMatchIn(line).foreach(m =>
+              fn.elemLocals.get(m.group(2))
+                .foreach(t => fn.locals(m.group(1)) = t))
           }
           if (fn.kind == Kind.Method) curClass.foreach { c =>
             selfInstanceAssign.findAllMatchIn(line).foreach { m =>

@@ -296,6 +296,31 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.contains(("p.use", "lib.Other.run")))
   }
 
+  test("C3 slice 9: container element types bind iteration and subscript targets") {
+    val src =
+      """from lib import Helper
+        |
+        |def use(xs: list[Helper]):
+        |    for h in xs:
+        |        h.run()
+        |    first = xs[0]
+        |    return first.ping()
+        |
+        |def local_container():
+        |    ys: Sequence[Helper] = load()
+        |    for y in ys:
+        |        y.go()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "c9.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // param container: iteration target and subscript read both typed
+    assert(calls.contains(("c9.use", "lib.Helper.run")))
+    assert(calls.contains(("c9.use", "lib.Helper.ping")))
+    // annotated local container
+    assert(calls.contains(("c9.local_container", "lib.Helper.go")))
+  }
+
   test("C3 partial: module-level instance globals type their methods") {
     val src =
       """from lib import Database

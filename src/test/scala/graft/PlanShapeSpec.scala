@@ -125,6 +125,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expand-by-type must stay an equi hash join; plan:\n$plan")
   }
 
+  test("m_headers is a pure narrow map: zero exchanges, scale-free") {
+    // payload build + header parse are per-row; a shuffle appearing here
+    // would mean the multimodal path stopped being embarrassingly
+    // parallel
+    val df = QueryCatalog.mHeaders(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"m_headers must not shuffle; plan:\n$plan")
+  }
+
   test("q35 multi-distinct plans the Expand two-level aggregation") {
     val plan = executed(QueryCatalog.q35MultiDistinct(spark, sf))
     assert(plan.contains("Expand"),
