@@ -51,6 +51,11 @@ import org.apache.spark.sql.functions._
   *    WHERE to the preceding MATCH, so a filtered optional row
   *    null-extends rather than dropping).
   *
+  *  - relationship VARIABLES on single hops (`-[r:REL]->`): `r.prop`
+  *    reads relationship properties (src/rel_type/dst are the fixed
+  *    columns), `count(r)` counts matched edges, whole-`r` projects the
+  *    edge triple; var-length hops and WITH-carry of `r` raise (list
+  *    semantics we don't model);
   *  - one `WITH` pipe (aggregate-then-filter, SQL's HAVING shape):
   *    `MATCH … WITH v, count(*) AS c WHERE c > k RETURN …` — bare
   *    variables carry through (struct columns), expressions require
@@ -69,9 +74,10 @@ import org.apache.spark.sql.functions._
 object CypherLite {
 
   // star spec stops at `{` or `]`; an optional props literal follows (its
-  // greedy `.*` may span quoted text — the closing `]->` anchor bounds it)
-  private val fwdArrow = """^-\s*\[\s*:(\w+)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*->$""".r
-  private val bwdArrow = """^<-\s*\[\s*:(\w+)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*-$""".r
+  // greedy `.*` may span quoted text — the closing `]->` anchor bounds it).
+  // An optional leading variable (`[r:REL]`) binds the relationship.
+  private val fwdArrow = """^-\s*\[\s*(\w+)?\s*:(\w+)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*->$""".r
+  private val bwdArrow = """^<-\s*\[\s*(\w+)?\s*:(\w+)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*-$""".r
 
   /** Hard cap on variable-length expansion: each extra hop is another
     * self-join of the edge table, so an unbounded (or huge) `*` would be
@@ -242,12 +248,24 @@ object CypherLite {
     (labelConds ++ propConds).reduceOption(_ && _).getOrElse(lit(true))
   }
 
-  /** Prop reference `v.prop` → Column (fixed column or props-map entry). */
+  private val fixedRel = Set("src", "rel_type", "dst")
+
+  /** True when the alias names an edge scan (`e<N>`) rather than a node
+    * (`n<N>`) or a WITH-carried struct — relationship variables resolve
+    * against the edge schema. */
+  private def isRelAlias(a: String): Boolean = a.matches("e\\d+")
+
+  /** Prop reference `v.prop` → Column (fixed column or props-map entry;
+    * relationship variables use the edge schema's fixed columns). */
   private def propColOf(v: String, prop: String,
       vars: Map[String, String]): Column = {
     val a = vars.getOrElse(v,
       throw new IllegalArgumentException(s"unknown variable $v"))
-    if (fixed(prop)) col(s"$a.$prop") else element_at(col(s"$a.props"), prop)
+    if (isRelAlias(a))
+      if (fixedRel(prop)) col(s"$a.$prop")
+      else element_at(col(s"$a.props"), prop)
+    else if (fixed(prop)) col(s"$a.$prop")
+    else element_at(col(s"$a.props"), prop)
   }
 
   private val countRe = """^(?i)count\(\s*(\*|\w+(?:\.\w+)?)\s*\)$""".r
@@ -274,7 +292,13 @@ object CypherLite {
             val Array(v, prop) = arg.split("\\.", 2)
             count(propColOf(v, prop, vars))
           } else if (plain(arg)) count(col(arg))
-          else count(col(s"${vars(arg)}.full_name"))
+          else {
+            val a = vars(arg)
+            // a relationship variable counts matched edges (src is
+            // non-null exactly when the optional hop matched)
+            if (isRelAlias(a)) count(col(s"$a.src"))
+            else count(col(s"$a.full_name"))
+          }
         (one(c.cast("long"), s"count($arg)"), true)
       // a WITH output column referenced by name (post-pipe scope)
       case c if plain(c) => (one(col(c), c), false)
@@ -291,9 +315,15 @@ object CypherLite {
       case v =>
         require(alias.isEmpty,
           s"AS on a whole-variable projection not supported: '$p'")
-        // whole-variable projection: fixed columns, prefixed
-        (Seq("full_name", "kind", "name", "file_path", "signature")
-          .map(c => col(s"${vars(v)}.$c").as(s"$v.$c")), false)
+        // whole-variable projection: fixed columns, prefixed (edge
+        // schema for a relationship variable)
+        val a = vars(v)
+        if (isRelAlias(a))
+          (Seq("src", "rel_type", "dst")
+            .map(c => col(s"$a.$c").as(s"$v.$c")), false)
+        else
+          (Seq("full_name", "kind", "name", "file_path", "signature")
+            .map(c => col(s"$a.$c").as(s"$v.$c")), false)
     }
   }
 
@@ -500,7 +530,8 @@ object CypherLite {
 
   private final case class Hop(rel: String, reversed: Boolean,
       minHops: Int = 1, maxHops: Int = 1,
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      varName: Option[String] = None) {
     def isVarLength: Boolean = !(minHops == 1 && maxHops == 1)
   }
 
@@ -510,7 +541,7 @@ object CypherLite {
   private def hopEdges(edges: DataFrame, hop: Hop): DataFrame =
     edges.filter(hop.props.foldLeft(col("rel_type") === hop.rel) {
       case (acc, (k, v)) => acc && element_at(col("props"), k) === v
-    }).select(col("src"), col("dst"))
+    }).select(col("src"), col("rel_type"), col("dst"), col("props"))
 
   /** A scanned node pattern `(v:L1:L2 {props})`: [start, end) span in the
     * pattern text plus the parsed pieces. */
@@ -604,16 +635,21 @@ object CypherLite {
     // arrows are exactly the text between consecutive node patterns
     val hops = nodeMs.sliding(2).toSeq.collect { case Seq(a, b) =>
       pattern.substring(a.end, b.start).trim match {
-        case fwdArrow(rel, star, props) =>
+        case fwdArrow(rv, rel, star, props) =>
           val (mn, mx) = parseStar(star)
-          Hop(rel, reversed = false, mn, mx, parseProps(props))
-        case bwdArrow(rel, star, props) =>
+          Hop(rel, reversed = false, mn, mx, parseProps(props), Option(rv))
+        case bwdArrow(rv, rel, star, props) =>
           val (mn, mx) = parseStar(star)
-          Hop(rel, reversed = true, mn, mx, parseProps(props))
+          Hop(rel, reversed = true, mn, mx, parseProps(props), Option(rv))
         case other => throw new IllegalArgumentException(
           s"unsupported relationship pattern '$other' (directed arrows only)")
       }
     }
+    // a variable on a var-length hop would bind a LIST of relationships
+    // (Neo4j semantics we don't model) — raise, the module's posture
+    hops.filter(h => h.isVarLength && h.varName.nonEmpty).foreach(h =>
+      throw new IllegalArgumentException(
+        s"relationship variable '${h.varName.get}' on a variable-length hop not supported: $q"))
     val leading = pattern.substring(0, nodeMs.head.start).trim
     val trailing = pattern.substring(nodeMs.last.end).trim
     require(leading.isEmpty && trailing.isEmpty,
@@ -695,10 +731,22 @@ object CypherLite {
       parseClause(body, optional = ix > 0 && optionalMarks(ix - 1), q)
     }
 
-    // clause 0 binds its variables; later clauses must hook onto one
+    // clause 0 binds its variables; later clauses must hook onto one.
+    // Relationship variables bind to their hop's edge alias (e<i>).
+    def relVarsOf(c: Clause, aliasStart: Int): Map[String, String] =
+      c.hops.zipWithIndex.collect {
+        case (h, i) if h.varName.nonEmpty =>
+          h.varName.get -> s"e${aliasStart + i}"
+      }.toMap
     var aliasCount = clauses.head.nodeMs.size
     var vars = clauses.head.nodeMs.zipWithIndex
       .map { case (m, i) => m.v -> s"n$i" }.toMap
+    locally {
+      val rv = relVarsOf(clauses.head, 0)
+      require(rv.keySet.intersect(vars.keySet).isEmpty,
+        s"relationship variable rebinds a node variable: $q")
+      vars = vars ++ rv
+    }
     var df = buildChain(nodes, edges, clauses.head, 0)
     Option(clauses.head.where).foreach(w =>
       df = df.filter(parseWhere(w, matchScope(vars))))
@@ -713,7 +761,8 @@ object CypherLite {
       val start = aliasCount
       val sub = buildChain(nodes, edges, c, start)
       val subVars = vars ++ c.nodeMs.zipWithIndex
-        .map { case (m, i) => m.v -> s"n${start + i}" }.toMap
+        .map { case (m, i) => m.v -> s"n${start + i}" }.toMap ++
+        relVarsOf(c, start)
       val keyEq = col(s"${vars(headVar)}.full_name") === col(s"n$start.full_name")
       if (c.optional) {
         // WHERE folds into the join: a filtered-out optional row
@@ -730,6 +779,12 @@ object CypherLite {
       // non-null); only the fresh tail vars enter scope
       vars = vars ++ c.nodeMs.drop(1).zipWithIndex
         .map { case (m, i) => m.v -> s"n${start + 1 + i}" }.toMap
+      locally {
+        val rv = relVarsOf(c, start)
+        require(rv.keySet.intersect(vars.keySet).isEmpty,
+          s"relationship variable rebinds a bound variable: $q")
+        vars = vars ++ rv
+      }
       aliasCount += c.nodeMs.size
     }
     pipeIdx match {
@@ -807,6 +862,8 @@ object CypherLite {
           require(alias.isEmpty,
             s"AS on a carried variable not supported: '$item'")
           val a = vars(v)
+          require(!isRelAlias(a),
+            s"carrying a relationship variable through WITH not supported: '$item'")
           keys += struct(carriedFields.map(f => col(s"$a.$f").as(f)): _*).as(v)
           newVars += v -> v
         case other => throw new IllegalArgumentException(

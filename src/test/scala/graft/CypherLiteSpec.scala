@@ -459,6 +459,44 @@ class CypherLiteSpec extends AnyFunSuite {
     d
   }
 
+  private lazy val d8 = {
+    val d = GraphDatabase.inMemory(spark)
+    d.addNode("t", Kind.Class, "m.A", Map("name" -> "A"))
+    d.addNode("t", Kind.Method, "m.A.f", Map("name" -> "f"))
+    d.addNode("t", Kind.Method, "m.A.g", Map("name" -> "g"))
+    d.addEdge("t", "m.A", Rel.HasMethod, "m.A.f", Map("vis" -> "public"))
+    d.addEdge("t", "m.A", Rel.HasMethod, "m.A.g", Map("vis" -> "private"))
+    d.commit()
+    d
+  }
+
+  test("relationship variables: r.prop, rel_type, count(r), whole-r") {
+    val props = d8.executeQuery(
+      "MATCH (c:CLASS)-[r:HAS_METHOD]->(m) WHERE r.vis = 'public' " +
+        "RETURN m.name, r.rel_type").collect()
+    assert(props.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("f", "HAS_METHOD")))
+    val cnt = d8.executeQuery(
+      "MATCH (c:CLASS)-[r:HAS_METHOD]->(m) RETURN c.name, count(r) AS n")
+      .collect()
+    assert(cnt.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("A", 2L)))
+    val whole = d8.executeQuery(
+      "MATCH (c:CLASS)-[r:HAS_METHOD]->(m {name: 'g'}) RETURN r").collect()
+    assert(whole.length === 1)
+    assert(whole(0).getAs[String]("r.rel_type") === "HAS_METHOD")
+    assert(whole(0).getAs[String]("r.dst") === "m.A.g")
+  }
+
+  test("relationship variables raise on var-length hops and WITH carry") {
+    intercept[IllegalArgumentException] {
+      d8.executeQuery("MATCH (a)-[r:HAS_METHOD*1..2]->(b) RETURN a.name")
+    }
+    intercept[IllegalArgumentException] {
+      d8.executeQuery(
+        "MATCH (a)-[r:HAS_METHOD]->(b) WITH r, count(*) AS n RETURN n")
+    }
+  }
+
   test("WITH pipe: aggregate then filter (the HAVING shape)") {
     val out = d7.executeQuery(
       "MATCH (c:CLASS)-[:HAS_METHOD]->(m) WITH c, count(*) AS n " +
