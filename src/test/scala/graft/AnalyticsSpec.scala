@@ -205,6 +205,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bounded === Map(1L -> 0L, 2L -> 1L, 3L -> 5L))
   }
 
+  test("weightedShortestPaths ≡ reference Dijkstra on seeded random graphs") {
+    import scala.collection.mutable
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 4) {
+      val n = 8 + rnd.nextInt(5)
+      val es = (1 to n * 2).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, 1L + rnd.nextInt(9))
+      }.filter(e => e._1 != e._2).distinct
+      val source = es.head._1
+      // with rounds >= |V| the hop-bounded unroll is exact — compare
+      // against a pure-Scala Dijkstra
+      val got = Analytics.weightedShortestPaths(es.toDF("src", "dst", "w"),
+        source, rounds = n).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val adj = es.groupBy(_._1).map { case (s, out) =>
+        s -> out.map(e => (e._2, e._3)) }
+      val dist = mutable.Map(source -> 0L)
+      val pq = mutable.PriorityQueue((0L, source))(Ordering.by(-_._1))
+      val settled = mutable.Set.empty[Long]
+      while (pq.nonEmpty) {
+        val (dv, v) = pq.dequeue()
+        if (!settled(v)) {
+          settled += v
+          adj.getOrElse(v, Nil).foreach { case (u, w) =>
+            if (dv + w < dist.getOrElse(u, Long.MaxValue)) {
+              dist(u) = dv + w
+              pq.enqueue((dist(u), u))
+            }
+          }
+        }
+      }
+      assert(got === dist.toMap)
+    }
+  }
+
   test("labelPropagation: disjoint cliques converge to their min label") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
