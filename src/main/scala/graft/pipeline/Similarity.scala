@@ -276,6 +276,94 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
   }
 
+  /** Product-quantized (PQ) ANN — the memory-compression scale path for
+    * billion-vector corpora (the IVF-PQ standard): each vector splits
+    * into `m` subvectors; each subspace gets a small codebook (seeded by
+    * the deterministic every-`centroidEvery`-th rule, refined by ONE
+    * Lloyd round with the s_kmeans decimal-mean discipline); a vector's
+    * code is its per-subspace nearest centroid (rounded DOT product,
+    * ties → lowest cid — dot, not cosine, because per-subspace dots ADD
+    * exactly across subspaces, which is what makes ADC principled). A
+    * query precomputes its `m × k_sub` lookup table of rounded partial
+    * dots; every corpus vector's approximate score is the sum of its
+    * codes' table entries (Asymmetric Distance Computation — a table
+    * lookup per subspace instead of a 32-float dot), a `shortlist` is
+    * ranked by that, and only the shortlist is re-ranked at full
+    * precision (the SQ8 posture). At scale the codebooks and LUTs are
+    * broadcast scalars and the scan reads m bytes of codes per vector
+    * instead of 4·dim bytes of floats — PQ compresses bandwidth; cell
+    * pruning is IVF's job. Deterministic end to end (rounded dots,
+    * decimal means), so the oracle replays training, encoding, ADC, and
+    * re-rank bit-identically. */
+  def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 4, subDim: Int = 16, centroidEvery: Int = 25,
+      shortlist: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rdot(a: Column, b: Column): Column =
+      round(aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v), 4)
+    // (vec_id, sub, sv): the subvector table, L2-NORMALIZED by the FULL
+    // vector's norm first — summed per-subspace dots then approximate
+    // the full cosine (un-normalized dot ADC would rank by magnitude,
+    // not angle, and recall collapses) — and components rounded like
+    // kMeans' c0 seeds so the one Lloyd round is decimal-replayable
+    val norm = sqrt(aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val subs = (0 until m).map { s =>
+      emb.select(col("vec_id"), lit(s).as("sub"),
+        transform(slice(col("embedding"), s * subDim + 1, subDim),
+          x => round(x.cast("double") / norm, 4)).as("sv"))
+    }.reduce(_ unionByName _)
+    val seeds = subs.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+    val byVecSub = Window.partitionBy("sub", "vec_id")
+      .orderBy(col("sim").desc, col("cid").asc)
+    def nearest(cands: DataFrame): DataFrame = subs
+      .join(broadcast(cands), "sub")
+      .select(col("sub"), col("vec_id"), col("sv"), col("cid"),
+        rdot(col("sv"), col("cv")).as("sim"))
+      .withColumn("rk", row_number().over(byVecSub))
+      .filter(col("rk") === 1)
+    // one Lloyd refinement per subspace
+    val books = nearest(seeds)
+      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
+      .groupBy(col("sub"), col("cid"), col("dim"))
+      .agg(round(sum(col("v").cast("decimal(25,10)")).cast("double")
+        / count(lit(1)), 4).as("mv"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
+        st => st.getField("mv")).as("cv"))
+    // corpus codes + query LUTs against the refined books
+    val enc = nearest(books)
+      .select(col("sub"), col("vec_id"), col("cid").as("code"))
+    val lut = subs.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("sub"), col("vec_id").as("query_id"), col("sv").as("qsv"))
+      .join(broadcast(books), "sub")
+      .select(col("sub"), col("query_id"), col("cid").as("code"),
+        rdot(col("qsv"), col("cv")).as("part"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val short = enc.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("part")), 4).as("adc"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "vec_id")
+    // full-precision re-rank of the shortlist
+    val qv = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    short.join(emb, "vec_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
   /** Embedding near-duplicate pairs: all (a,b), a<b, cosine ≥ threshold,
     * candidates = union over bands of same-(band, bucket) pairs — the
     * [[Dedup.minhashLshPairs]] shape. With numPlanes=32 / bands=4, each

@@ -2588,6 +2588,50 @@ object QueryCatalog {
     * cid), decimal-exact dim-wise mean update. The oracle replays both
     * iterations — assignment, mean, re-assignment, mean — bit-identically
     * thanks to the round-to-4 quantization at every float boundary. */
+  /** s_pq_ann — product-quantized ANN top-10 for query vectors 0–4
+    * ([[graft.pipeline.Similarity.pqTopK]]): 4 subspaces × 16 dims,
+    * codebooks seeded by the %25 rule and refined by one decimal-exact
+    * Lloyd round, rounded-dot ADC shortlist, exact cosine re-rank. The
+    * oracle replays training, encoding, the LUT sum, and the re-rank. */
+  val sPqAnn: Q = (s, d) =>
+    Similarity.pqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
+      m = 4, subDim = 16, centroidEvery = 25, shortlist = 100)
+
+  val sPqAnnSql: String = {
+    def rdotOf(a: String, b: String, dim: Int): String =
+      s"round(list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y), 4)"
+    val normSqlE = "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), (a, y) -> a + y))"
+    s"""WITH subs AS MATERIALIZED (
+       |  SELECT vec_id, ss.sub AS sub,
+       |    list_transform(list_slice(embedding, ss.sub*16 + 1, ss.sub*16 + 16), x -> round(x::DOUBLE / $normSqlE, 4)) AS sv
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) ss),
+       |seeds AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id % 25 = 0),
+       |a1 AS MATERIALIZED (SELECT sub, vec_id, sv, cid FROM (
+       |  SELECT s.sub, s.vec_id, s.sv, c.cid,
+       |    row_number() OVER (PARTITION BY s.sub, s.vec_id ORDER BY ${rdotOf("s.sv", "c.cv", 16)} DESC, c.cid) AS rk
+       |  FROM subs s JOIN seeds c ON s.sub = c.sub) WHERE rk = 1),
+       |m1 AS (SELECT sub, cid, dim, round(CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS mv
+       |  FROM (SELECT sub, cid, unnest(range(0, 16)) AS dim, unnest(sv) AS v FROM a1) GROUP BY 1, 2, 3),
+       |books AS MATERIALIZED (SELECT sub, cid, array_agg(mv ORDER BY dim) AS cv FROM m1 GROUP BY 1, 2),
+       |enc AS MATERIALIZED (SELECT sub, vec_id, cid AS code FROM (
+       |  SELECT s.sub, s.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY s.sub, s.vec_id ORDER BY ${rdotOf("s.sv", "c.cv", 16)} DESC, c.cid) AS rk
+       |  FROM subs s JOIN books c ON s.sub = c.sub) WHERE rk = 1),
+       |lut AS (SELECT q.sub, q.vec_id AS query_id, c.cid AS code, ${rdotOf("q.sv", "c.cv", 16)} AS part
+       |  FROM subs q JOIN books c ON q.sub = c.sub WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+       |short AS (SELECT query_id, vec_id FROM (
+       |  SELECT l.query_id, e.vec_id, round(sum(l.part), 4) AS adc,
+       |    row_number() OVER (PARTITION BY l.query_id ORDER BY round(sum(l.part), 4) DESC, e.vec_id) AS srank
+       |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+       |  WHERE e.vec_id <> l.query_id
+       |  GROUP BY l.query_id, e.vec_id) WHERE srank <= 100)
+       |SELECT s.query_id, s.vec_id, ${cosOf("q.embedding", "c.embedding")} AS sim,
+       |  CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY ${cosOf("q.embedding", "c.embedding")} DESC, s.vec_id) AS INT) AS rank
+       |FROM short s JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings c ON c.vec_id = s.vec_id
+       |QUALIFY rank <= 10""".stripMargin
+  }
+
   val sKmeans: Q = (s, d) =>
     Similarity.kMeansCentroids(Tables.embeddings(s, d),
       centroidEvery = 100, iterations = 2)
@@ -2959,6 +3003,7 @@ object QueryCatalog {
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
+    "s_pq_ann" -> sPqAnn,
     "q34_sp_counts" -> q34SpCounts,
     "q42_betweenness" -> q42Betweenness,
     "q43_kmv_intersect" -> q43KmvIntersect,
@@ -3084,6 +3129,7 @@ object QueryCatalog {
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,
+    "s_pq_ann" -> sPqAnnSql,
     "q34_sp_counts" -> q34SpCountsSql,
     "q42_betweenness" -> q42BetweennessSql,
     "q43_kmv_intersect" -> q43KmvIntersectSql,

@@ -111,6 +111,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfR >= 0.6, f"IVF recall@10 $ivfR%.2f below 0.6 floor")
   }
 
+  test("pqTopK: ADC shortlist + exact re-rank clears the recall floor") {
+    val d = "/root/testdata/sf0.01"
+    assume(new java.io.File(d).isDirectory)
+    val emb = graft.store.Tables.embeddings(TestSpark.spark, d)
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(emb, qs, 10))
+    val pq = topSets(Similarity.pqTopK(emb, qs, 10, shortlist = 100))
+    val recall = qs.map(q => (pq.getOrElse(q, Set.empty) & exact(q)).size / 10.0)
+      .sum / qs.size
+    info(f"PQ recall@10 = $recall%.2f")
+    // 16-dim sub-codes with ~20-centroid books are COARSE at toy corpus
+    // size (the mechanism is the point); the wide shortlist + exact
+    // re-rank must still recover a meaningful fraction
+    assert(recall >= 0.4, f"PQ recall@10 $recall%.2f below 0.4 floor")
+  }
+
   test("sqTopK: quantized shortlist + exact re-rank tracks brute force") {
     val d = "/root/testdata/sf0.01"
     assume(new java.io.File(d).isDirectory)
