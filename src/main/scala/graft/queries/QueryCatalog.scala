@@ -2882,6 +2882,63 @@ object QueryCatalog {
       |  AND epoch_us(r.ts) >= epoch_us(l.ts)
       |  AND epoch_us(r.ts) <= epoch_us(l.ts) + 86400000000""".stripMargin
 
+  /** st_session — NATIVE `session_window` sessionization under the
+    * oracle gate ([[graft.streaming.Streams.sessionizeEventTime]]):
+    * events replayed in event-time order as micro-batches; append mode
+    * emits each session exactly once when the watermark passes its
+    * close, so a far-future SENTINEL event (filtered from the output,
+    * absent from the oracle) advances the global watermark past every
+    * real session's close and flushes the tail. The oracle is the batch
+    * gap-split (q16's spelling) with session_window's boundary rule —
+    * a gap of EXACTLY the session gap starts a new session (windows are
+    * [start, last+gap)) — and end = last event + gap. */
+  val stSession: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val evs = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    val out = Streams.sessionizeEventTime(mem.toDF(),
+      gap = "30 minutes", watermarkDelay = "10 minutes")
+    val name = s"st_session_out_${stSinkSeq.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val maxTs = evs.map(_.ts.getTime).max
+      mem.addData(Streams.Event(-1L,
+        new java.sql.Timestamp(maxTs + 4L * 3600 * 1000), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("ss_us"),
+        unix_micros(col("session_end")).as("se_us"),
+        col("events"),
+        round(col("total_value"), 4).as("total_value"))
+  }
+
+  val stSessionSql: String =
+    """WITH e AS (SELECT user_id, event_id, ts, value,
+      |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+      |       THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS si FROM e)
+      |SELECT user_id, min(epoch_us(ts)) AS ss_us,
+      |  max(epoch_us(ts)) + 1800000000 AS se_us,
+      |  count(*)::BIGINT AS events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+      |FROM s GROUP BY user_id, si""".stripMargin
+
   val stWindowSql: String = {
     val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(" +
       "string_split(user_id::VARCHAR, ''), c -> ascii(c)::BIGINT)), " +
@@ -3023,6 +3080,7 @@ object QueryCatalog {
     "m_video" -> mVideo,
     "st_window" -> stWindow,
     "st_join" -> stJoin,
+    "st_session" -> stSession,
     "q46_btw" -> q46Btw,
   )
 
@@ -3149,6 +3207,7 @@ object QueryCatalog {
     "m_video" -> mVideoSql,
     "st_window" -> stWindowSql,
     "st_join" -> stJoinSql,
+    "st_session" -> stSessionSql,
     "q46_btw" -> q46BtwSql,
   )
 }

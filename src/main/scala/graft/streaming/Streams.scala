@@ -122,7 +122,11 @@ object Streams {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("events"), sum("value").as("total_value"))
+      // decimal-routed sum (the q16 discipline): summation order across
+      // merging session fragments can never shift the value, so the
+      // batch oracle replays it exactly
+      .agg(count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
