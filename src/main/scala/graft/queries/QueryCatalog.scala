@@ -2674,6 +2674,32 @@ object QueryCatalog {
        |WHERE NOT EXISTS (SELECT 1 FROM fp WHERE doc_id % 2 = 0 AND fp.fp = b.fp)
        |GROUP BY b.fp""".stripMargin
 
+  /** p_zorder — Z-order clustering key over (n_chars, lang)
+    * ([[graft.ops.Layout]]): 8-bit equal-width length buckets interleaved
+    * with 8-bit language-hash buckets into a 16-bit Morton key — the
+    * multi-dimensional layout key a 100 TB corpus is range-partitioned
+    * and sorted by so BOTH `lang =` and `n_chars BETWEEN` predicates
+    * prune row groups. Integer arithmetic end to end; the oracle replays
+    * the interleave bit by bit. */
+  val pZorder: Q = (s, d) => {
+    import graft.ops.Layout
+    val a = Layout.intBucket(col("n_chars"), width = 64, bits = 8)
+    val b = TextFunctions.rollingHash(col("lang")) % 256
+    Tables.documents(s, d)
+      .select(col("doc_id"), Layout.zorderKey(a, b, bits = 8).as("zkey"))
+  }
+
+  val pZorderSql: String = {
+    val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      "string_split(lang, ''), c -> ascii(c)::BIGINT)), " +
+      "(a, c) -> (a * 31 + c) % 2147483647)"
+    s"""WITH k AS (SELECT doc_id,
+       |  least(255, n_chars // 64) AS a, $rollh % 256 AS b FROM documents)
+       |SELECT doc_id, list_sum(list_transform(range(0, 8), i ->
+       |  (((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i + 1))))::BIGINT AS zkey
+       |FROM k""".stripMargin
+  }
+
   // ------------------------------------------------------- multimodal gate
 
   /** m_headers — the multimodal header-parsing pillar under the oracle
@@ -3078,6 +3104,7 @@ object QueryCatalog {
     "t_token_vote" -> tTokenVote,
     "m_headers" -> mHeaders,
     "m_video" -> mVideo,
+    "p_zorder" -> pZorder,
     "st_window" -> stWindow,
     "st_join" -> stJoin,
     "st_session" -> stSession,
@@ -3205,6 +3232,7 @@ object QueryCatalog {
     "t_token_vote" -> tTokenVoteSql,
     "m_headers" -> mHeadersSql,
     "m_video" -> mVideoSql,
+    "p_zorder" -> pZorderSql,
     "st_window" -> stWindowSql,
     "st_join" -> stJoinSql,
     "st_session" -> stSessionSql,
