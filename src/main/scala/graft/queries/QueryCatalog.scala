@@ -1633,6 +1633,43 @@ object QueryCatalog {
       |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
       |GROUP BY v""".stripMargin
 
+  /** q48 — local clustering coefficient over the co-purchase graph:
+    * c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 — how close each
+    * vertex's neighborhood is to a clique, THE standard per-vertex
+    * community-density measure and the natural consumer of
+    * [[graft.enrich.Analytics.triangleCounts]] (one degree groupBy + one
+    * left join on top of the oriented wedge closure). Integer numerator/
+    * denominator, ratio rounded to 6 — exactly replayable. */
+  val q48Clustering: Q = (s, d) => {
+    val e = coPurchaseEdges(s, d)
+    val deg = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val tri = graft.enrich.Analytics.triangleCounts(e)
+    deg.join(tri, Seq("v"), "left")
+      .filter(col("deg") >= 2)
+      .select(col("v"),
+        round(coalesce(col("n_tri"), lit(0L)) * lit(2.0)
+          / (col("deg") * (col("deg") - 1)), 6).as("coeff"),
+        col("deg"))
+  }
+
+  val q48ClusteringSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (SELECT v, count(*)::BIGINT AS deg FROM (
+      |  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1
+      |        JOIN e e2 ON e2.a = e1.b
+      |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tc AS (SELECT v, count(*)::BIGINT AS n_tri FROM (
+      |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      |GROUP BY v)
+      |SELECT d.v, round(coalesce(t.n_tri, 0) * 2.0 / (d.deg * (d.deg - 1)), 6) AS coeff, d.deg
+      |FROM deg d LEFT JOIN tc t ON d.v = t.v WHERE d.deg >= 2""".stripMargin
+
   /** Histogram-based approximate quantiles — the deterministic 100 TB
     * switch for q15's exact percentile: two scans (min/max/count, then
     * 1000 equal-width bin counts — both partial-agg friendly), estimate =
@@ -3083,6 +3120,7 @@ object QueryCatalog {
     "q33_labelprop" -> q33Labelprop,
     "q33_labelprop_gx" -> q33LabelpropGx,
     "q47_wsp" -> q47Wsp,
+    "q48_clustering" -> q48Clustering,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
@@ -3211,6 +3249,7 @@ object QueryCatalog {
     "q33_labelprop" -> q33LabelpropSql,
     "q33_labelprop_gx" -> q33LabelpropSql,
     "q47_wsp" -> q47WspSql,
+    "q48_clustering" -> q48ClusteringSql,
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,
