@@ -54,8 +54,9 @@ import org.apache.spark.sql.functions._
   *  - relationship VARIABLES on single hops (`-[r:REL]->`): `r.prop`
   *    reads relationship properties (src/rel_type/dst are the fixed
   *    columns), `count(r)` counts matched edges, whole-`r` projects the
-  *    edge triple; var-length hops and WITH-carry of `r` raise (list
-  *    semantics we don't model);
+  *    edge triple, and `type(r)` / `startNode(r)` / `endNode(r)` project
+  *    the rel_type and endpoint keys; var-length hops and WITH-carry of
+  *    `r` raise (list semantics we don't model);
   *  - one `WITH` pipe (aggregate-then-filter, SQL's HAVING shape):
   *    `MATCH … WITH v, count(*) AS c WHERE c > k RETURN …` — bare
   *    variables carry through (struct columns), expressions require
@@ -305,8 +306,25 @@ object CypherLite {
       case c if c.startsWith("labels(") =>
         val v = c.stripPrefix("labels(").stripSuffix(")")
         val a = vars(v)
+        require(!isRelAlias(a), s"labels() needs a node variable: '$p'")
         (one(array_union(col(s"$a.task_ids"), array(col(s"$a.kind"))),
           s"labels($v)"), false)
+      // Neo4j's relationship accessors: type(r) is the edge's rel_type;
+      // startNode/endNode yield the endpoint KEYS (full graph-side
+      // hydration of the endpoint nodes is the pattern's job — bind them
+      // as node variables instead)
+      case c if c.startsWith("type(") =>
+        val v = c.stripPrefix("type(").stripSuffix(")").trim
+        val a = vars(v)
+        require(isRelAlias(a), s"type() needs a relationship variable: '$p'")
+        (one(col(s"$a.rel_type"), s"type($v)"), false)
+      case c if c.startsWith("startNode(") || c.startsWith("endNode(") =>
+        val fn = if (c.startsWith("startNode(")) "startNode" else "endNode"
+        val v = c.stripPrefix(s"$fn(").stripSuffix(")").trim
+        val a = vars(v)
+        require(isRelAlias(a), s"$fn() needs a relationship variable: '$p'")
+        val side = if (fn == "startNode") "src" else "dst"
+        (one(col(s"$a.$side"), s"$fn($v)"), false)
       case c if c.contains(".") =>
         // props-map fallback like WHERE's references: `x.custom_prop`
         // projects the map entry when it's not a fixed column

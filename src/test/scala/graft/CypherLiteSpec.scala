@@ -487,6 +487,19 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(whole(0).getAs[String]("r.dst") === "m.A.g")
   }
 
+  test("relationship accessors: type(r), startNode(r), endNode(r)") {
+    val out = d8.executeQuery(
+      "MATCH (c:CLASS)-[r:HAS_METHOD]->(m {name: 'f'}) " +
+        "RETURN type(r), startNode(r), endNode(r)").collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "HAS_METHOD")
+    assert(out(0).getString(1) === "m.A")
+    assert(out(0).getString(2) === "m.A.f")
+    intercept[IllegalArgumentException] {
+      d8.executeQuery("MATCH (c:CLASS) RETURN type(c)")
+    }
+  }
+
   test("relationship variables raise on var-length hops and WITH carry") {
     intercept[IllegalArgumentException] {
       d8.executeQuery("MATCH (a)-[r:HAS_METHOD*1..2]->(b) RETURN a.name")
