@@ -3002,6 +3002,55 @@ object QueryCatalog {
       |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
       |FROM s GROUP BY user_id, si""".stripMargin
 
+  /** st_ingest — the foreachBatch GRAPH-INGEST write path under the
+    * oracle gate ([[graft.streaming.Streams.graphIngest]]): every
+    * customer becomes a 3-phase symbol-event chain (a `none` reference
+    * stub with a placeholder prop → the real CLASS definition with a
+    * second prop → a prop-only update), and the THREE PHASES ARRIVE AS
+    * THREE SEPARATE MICRO-BATCHES, so last-write-wins, `none`→kind
+    * promotion, and key-wise prop overwrite must all hold ACROSS the
+    * per-batch snapshot upserts (the A1/A2/A3 cross-batch claim). The
+    * final snapshot is read back and compared to the oracle's closed-form
+    * prediction of the merge outcome — pure arithmetic over `customer`,
+    * because the semantics resolve deterministically. */
+  val stIngest: Q = (s, d) => {
+    import s.implicits._
+    import graft.model.{Kind, SymbolEvent}
+    import graft.streaming.Streams
+    val custs = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long"), col("c_name"),
+        col("c_nationkey").cast("long"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    def ev(key: Long, name: String, nat: Long, phase: Int): SymbolEvent =
+      phase match {
+        case 0 => SymbolEvent(key * 3 + 1, "t1", Kind.None_, s"cust.$key",
+          s"ref$key", None, None, None, None, Map("seen" -> "ref"))
+        case 1 => SymbolEvent(key * 3 + 2, "t1", Kind.Class, s"cust.$key",
+          name, None, None, None, None, Map("nat" -> nat.toString))
+        case _ => SymbolEvent(key * 3 + 3, "t1", Kind.None_, s"cust.$key",
+          name, None, None, None, None, Map("seen" -> "upd"))
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-st-ingest").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SymbolEvent]
+    val q = Streams.graphIngest(mem.toDS(), dir)
+    try {
+      (0 to 2).foreach { phase =>
+        mem.addData(custs.map { case (k, n, nat) => ev(k, n, nat, phase) }: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.store.Snapshot.read(s, dir).nodes
+      .select(col("full_name"), col("kind"), col("name"),
+        element_at(col("props"), "seen").as("seen"),
+        element_at(col("props"), "nat").as("nat"))
+  }
+
+  val stIngestSql: String =
+    """SELECT 'cust.' || c_custkey AS full_name, 'CLASS' AS kind,
+      |  c_name AS name, 'upd' AS seen, c_nationkey::VARCHAR AS nat
+      |FROM customer""".stripMargin
+
   val stWindowSql: String = {
     val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(" +
       "string_split(user_id::VARCHAR, ''), c -> ascii(c)::BIGINT)), " +
@@ -3146,6 +3195,7 @@ object QueryCatalog {
     "st_window" -> stWindow,
     "st_join" -> stJoin,
     "st_session" -> stSession,
+    "st_ingest" -> stIngest,
     "q46_btw" -> q46Btw,
   )
 
@@ -3275,6 +3325,7 @@ object QueryCatalog {
     "st_window" -> stWindowSql,
     "st_join" -> stJoinSql,
     "st_session" -> stSessionSql,
+    "st_ingest" -> stIngestSql,
     "q46_btw" -> q46BtwSql,
   )
 }
