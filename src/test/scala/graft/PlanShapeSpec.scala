@@ -136,6 +136,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"m_headers must not shuffle; plan:\n$plan")
   }
 
+  test("p_zorder is a pure narrow map: zero exchanges") {
+    // the layout KEY must never cost a shuffle to compute — it exists to
+    // be attached during an already-planned write
+    val df = QueryCatalog.pZorder(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"p_zorder must not shuffle; plan:\n$plan")
+  }
+
   test("q35 multi-distinct plans the Expand two-level aggregation") {
     val plan = executed(QueryCatalog.q35MultiDistinct(spark, sf))
     assert(plan.contains("Expand"),
