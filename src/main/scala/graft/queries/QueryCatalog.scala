@@ -2751,16 +2751,17 @@ object QueryCatalog {
     * headers ([[Multimodal.withHeaderMeta]]/[[Multimodal.withAudioMeta]]);
     * the DuckDB oracle predicts every parsed field arithmetically from
     * doc_id. Narrow maps only — no shuffle, scale-free. */
-  val mHeaders: Q = (s, d) => {
-    import graft.multimodal.Multimodal
-    val id = col("doc_id")
-    // header fields as arithmetic in doc_id (mirrored by the oracle)
+  /** The synthetic PNG/WAV/JPEG payload column shared by the multimodal
+    * gates: doc_id%3 routes the format, every field is doc_id
+    * arithmetic, and the build spelling (hex/unhex/concat) is
+    * independent of the byte-walk parsers. */
+  private def syntheticMediaPayload(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
     val w = (id % 1920 + 16).cast("int")
     val h = (id % 1080 + 16).cast("int")
     val ch = (id % 2 + 1).cast("int")
     val rate = (id % 5 * 8000 + 8000).cast("int")
     val secs = id % 30 + 1
-    // integer -> fixed-width binary via hex round-trip (big/little endian)
     def be32(c: org.apache.spark.sql.Column) =
       unhex(lpad(hex(c.cast("long")), 8, "0"))
     def be16(c: org.apache.spark.sql.Column) =
@@ -2786,9 +2787,14 @@ object QueryCatalog {
       lit("data".getBytes), le32(dataLen))
     val jpeg = concat(b(0xff, 0xd8), b(0xff, 0xc0), be16(lit(11)), b(0x08),
       be16(h), be16(w), b(0xff, 0xd9))
+    when(id % 3 === 0, png).when(id % 3 === 1, wav).otherwise(jpeg)
+  }
+
+  val mHeaders: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
     val media = Tables.documents(s, d).select(id)
-      .withColumn("payload",
-        when(id % 3 === 0, png).when(id % 3 === 1, wav).otherwise(jpeg))
+      .withColumn("payload", syntheticMediaPayload(id))
     val parsed = Multimodal.withAudioMeta(Multimodal.withHeaderMeta(media))
     parsed.select(id,
       Multimodal.sniffFormat(col("payload")).as("format"),
@@ -2807,6 +2813,46 @@ object QueryCatalog {
       |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 2 + 1 AS INTEGER) END AS channels,
       |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 5 * 8000 + 8000 AS INTEGER) END AS sample_rate,
       |  CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 30 + 1) * 1000 AS BIGINT) END AS duration_ms
+      |FROM documents""".stripMargin
+
+  /** m_corrupt — TRUNCATION TOLERANCE under the oracle gate: every 5th
+    * document's payload is cut to its first 10 bytes (mid-header), and
+    * the sniffers/walkers must DEGRADE deterministically — never throw,
+    * never fabricate: a truncated PNG keeps its magic (sniff 'png') but
+    * yields no header dims; a truncated WAV still opens as RIFF but its
+    * form type is gone (sniff falls back to 'riff', the audio walk says
+    * 'not_wav'); a truncated JPEG finds its SOF marker but the frame
+    * fields run past the buffer, so dims stay null with no exception.
+    * The oracle predicts every degradation in closed form — this is the
+    * corrupt-input contract of the multimodal pillar as a driver-checked
+    * gate, not a comment. */
+  val mCorrupt: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    val full = syntheticMediaPayload(id)
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload",
+        when(id % 5 === 0, substring(full, 1, 10)).otherwise(full))
+    val parsed = Multimodal.withAudioMeta(Multimodal.withHeaderMeta(media))
+    parsed.select(id,
+      Multimodal.sniffFormat(col("payload")).as("sniffed"),
+      col("header_meta.format").as("hformat"),
+      col("audio_meta.format").as("aformat"),
+      col("header_meta.width").as("width"),
+      col("audio_meta.channels").as("channels"))
+  }
+
+  val mCorruptSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN (CASE WHEN doc_id % 5 = 0 THEN 'riff' ELSE 'wav' END)
+      |       ELSE 'jpeg' END AS sniffed,
+      |  CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 5 = 0 THEN 'unknown' ELSE 'png' END)
+      |       WHEN doc_id % 3 = 1 THEN 'unknown'
+      |       ELSE 'jpeg' END AS hformat,
+      |  CASE WHEN doc_id % 3 = 1 AND doc_id % 5 <> 0 THEN 'wav' ELSE 'not_wav' END AS aformat,
+      |  CASE WHEN doc_id % 3 <> 1 AND doc_id % 5 <> 0 THEN CAST(doc_id % 1920 + 16 AS INTEGER) END AS width,
+      |  CASE WHEN doc_id % 3 = 1 AND doc_id % 5 <> 0 THEN CAST(doc_id % 2 + 1 AS INTEGER) END AS channels
       |FROM documents""".stripMargin
 
   /** m_video — the MP4/ISO-BMFF box walk under the oracle gate, same
@@ -3191,6 +3237,7 @@ object QueryCatalog {
     "t_token_vote" -> tTokenVote,
     "m_headers" -> mHeaders,
     "m_video" -> mVideo,
+    "m_corrupt" -> mCorrupt,
     "p_zorder" -> pZorder,
     "st_window" -> stWindow,
     "st_join" -> stJoin,
@@ -3321,6 +3368,7 @@ object QueryCatalog {
     "t_token_vote" -> tTokenVoteSql,
     "m_headers" -> mHeadersSql,
     "m_video" -> mVideoSql,
+    "m_corrupt" -> mCorruptSql,
     "p_zorder" -> pZorderSql,
     "st_window" -> stWindowSql,
     "st_join" -> stJoinSql,
