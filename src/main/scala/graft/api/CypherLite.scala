@@ -270,6 +270,7 @@ object CypherLite {
   }
 
   private val countRe = """^(?i)count\(\s*(\*|\w+(?:\.\w+)?)\s*\)$""".r
+  private val collectRe = """^(?i)collect\(\s*(\w+(?:\.\w+)?)\s*\)$""".r
 
   /** One RETURN item → (columns, isAggregate). `AS alias` applies to any
     * single-column item; a whole-variable projection expands to its five
@@ -301,6 +302,17 @@ object CypherLite {
             else count(col(s"$a.full_name"))
           }
         (one(c.cast("long"), s"count($arg)"), true)
+      // collect(x) gathers values per group like Neo4j's list aggregate;
+      // the result is SORTED (Neo4j preserves encounter order, which is
+      // not deterministic on a distributed engine — sorted is)
+      case collectRe(arg) =>
+        val c =
+          if (arg.contains(".")) {
+            val Array(v, prop) = arg.split("\\.", 2)
+            collect_list(propColOf(v, prop, vars))
+          } else if (plain(arg)) collect_list(col(arg))
+          else collect_list(col(s"${vars(arg)}.full_name"))
+        (one(sort_array(c), s"collect($arg)"), true)
       // a WITH output column referenced by name (post-pipe scope)
       case c if plain(c) => (one(col(c), c), false)
       case c if c.startsWith("labels(") =>

@@ -487,6 +487,19 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(whole(0).getAs[String]("r.dst") === "m.A.g")
   }
 
+  test("collect(x) aggregates values per group (sorted for determinism)") {
+    val out = d7.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(m) " +
+        "RETURN c.name, collect(m.name) AS methods ORDER BY c.name").collect()
+    assert(out.map(r => (r.getString(0), r.getSeq[String](1))).toSeq ===
+      Seq(("A", Seq("f", "g")), ("B", Seq("h"))))
+    // whole-variable collect gathers full_name keys
+    val keys = d7.executeQuery(
+      "MATCH (c:CLASS {name: 'A'})-[:HAS_METHOD]->(m) RETURN collect(m) AS ms")
+      .collect()
+    assert(keys(0).getSeq[String](0) === Seq("m.A.f", "m.A.g"))
+  }
+
   test("relationship accessors: type(r), startNode(r), endNode(r)") {
     val out = d8.executeQuery(
       "MATCH (c:CLASS)-[r:HAS_METHOD]->(m {name: 'f'}) " +
