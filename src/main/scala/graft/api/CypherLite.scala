@@ -57,16 +57,17 @@ import org.apache.spark.sql.functions._
   *    edge triple, and `type(r)` / `startNode(r)` / `endNode(r)` project
   *    the rel_type and endpoint keys; var-length hops and WITH-carry of
   *    `r` raise (list semantics we don't model);
-  *  - one `WITH` pipe (aggregate-then-filter, SQL's HAVING shape):
-  *    `MATCH … WITH v, count(*) AS c WHERE c > k RETURN …` — bare
-  *    variables carry through (struct columns), expressions require
-  *    `AS`, the trailing WHERE filters the piped rows, and the RETURN
-  *    resolves against the pipe's output scope.
+  *  - `WITH` pipes, CHAINED (aggregate-then-filter, SQL's HAVING shape):
+  *    `MATCH … WITH v, count(*) AS c WHERE c > k WITH … RETURN …` — bare
+  *    variables carry through (struct columns), a previous pipe's output
+  *    columns carry by name (optionally renamed), expressions require
+  *    `AS`, each trailing WHERE filters that pipe's rows, and the RETURN
+  *    resolves against the last pipe's output scope.
   *
   * Anything else (UNBOUNDED variable-length `*`, undirected edges,
   * later clauses not anchored at a bound variable, aggregates beyond
-  * count, chained WITH pipes) raises — exactly the reference's posture
-  * of not reimplementing Neo4j.
+  * count/collect) raises — exactly the reference's posture of not
+  * reimplementing Neo4j.
   *
   * The parse result is a plain DataFrame expression — Catalyst plans it
   * like any hand-written combinator query (broadcast point expands,
@@ -738,12 +739,11 @@ object CypherLite {
       q.length > 5 && !isWordChar(q.charAt(5))
     require(isMatch && retIdx > 5, s"unsupported Cypher shape " +
       s"(MATCH … [OPTIONAL MATCH …] [WITH …] RETURN … subset only): $q")
-    // one aggregate-then-filter pipe: MATCH … WITH items [WHERE] RETURN …
+    // aggregate-then-filter pipes: MATCH … WITH items [WHERE] (chained) RETURN …
     val withPositions = clauseWithPositions(q)
-    require(withPositions.count(_ > retIdx) == 0 && withPositions.size <= 1,
-      s"only one WITH level is supported: $q")
-    val pipeIdx = withPositions.headOption
-    val head = q.substring(0, pipeIdx.getOrElse(retIdx))
+    require(withPositions.forall(_ < retIdx),
+      s"WITH after RETURN is not a clause: $q")
+    val head = q.substring(0, withPositions.headOption.getOrElse(retIdx))
     val ret = q.substring(retIdx + 6).trim
 
     // split the pre-RETURN text into MATCH clauses: each further
@@ -817,13 +817,16 @@ object CypherLite {
       }
       aliasCount += c.nodeMs.size
     }
-    pipeIdx match {
-      case None => shapeResult(df, ret, vars)
-      case Some(p) =>
-        val (piped, pipedVars, plain) =
-          applyWith(df, q.substring(p + 4, retIdx).trim, vars)
-        shapeResult(piped, ret, pipedVars, plain)
+    // fold the WITH pipes left to right; each re-scopes the next segment
+    var curVars = vars
+    var curPlain = Set.empty[String]
+    val bounds = withPositions :+ retIdx
+    withPositions.zipWithIndex.foreach { case (p, i) =>
+      val (d2, v2, p2) = applyWith(df,
+        q.substring(p + 4, bounds(i + 1)).trim, curVars, curPlain)
+      df = d2; curVars = v2; curPlain = p2
     }
+    shapeResult(df, ret, curVars, curPlain)
   }
 
   /** Columns a carried variable keeps through the WITH pipe (the fixed
@@ -833,8 +836,9 @@ object CypherLite {
     Seq("full_name", "kind", "name", "file_path", "signature", "clazz",
       "code", "props", "task_ids")
 
-  /** The one-level `WITH` pipe — Cypher's aggregate-then-filter idiom
-    * (`MATCH … WITH v, count(*) AS c WHERE c > k RETURN …`). Items:
+  /** One `WITH` pipe — Cypher's aggregate-then-filter idiom
+    * (`MATCH … WITH v, count(*) AS c WHERE c > k RETURN …`); chains fold
+    * left to right, each pipe re-scoping the next. Items:
     *  - a bare bound variable carries through as a STRUCT column named
     *    after itself (so `v.prop`, `labels(v)`, `count(v)` still resolve
     *    downstream);
@@ -845,11 +849,11 @@ object CypherLite {
     *    grouping key).
     * The optional trailing WHERE filters the PIPED rows (Cypher's
     * post-aggregation filter — what HAVING is to SQL); its references
-    * resolve against the pipe's output scope. Anything else — a second
-    * WITH, ORDER/SKIP/LIMIT inside the pipe, un-aliased expressions —
-    * raises, the module's posture. */
+    * resolve against the pipe's output scope. Anything else —
+    * ORDER/SKIP/LIMIT inside the pipe, un-aliased expressions — raises,
+    * the module's posture. */
   private def applyWith(df0: DataFrame, body0: String,
-      vars: Map[String, String])
+      vars: Map[String, String], prevPlain: Set[String] = Set.empty)
       : (DataFrame, Map[String, String], Set[String]) = {
     var body = body0
     var whereTxt: Option[String] = None
@@ -879,7 +883,8 @@ object CypherLite {
             else if (arg.contains(".")) {
               val Array(v, prop) = arg.split("\\.", 2)
               count(propColOf(v, prop, vars))
-            } else count(col(s"${vars(arg)}.full_name"))
+            } else if (prevPlain(arg)) count(col(arg))
+            else count(col(s"${vars(arg)}.full_name"))
           aggs += c.cast("long").as(a)
           plain += a
         case c if c.contains(".") =>
@@ -888,6 +893,12 @@ object CypherLite {
           val Array(v, prop) = c.split("\\.", 2)
           keys += propColOf(v, prop, vars).as(a)
           plain += a
+        // a previous pipe's output column carries through (optionally
+        // renamed) — what makes WITH chains composable
+        case c if prevPlain(c) =>
+          val out = alias.getOrElse(c)
+          keys += col(c).as(out)
+          plain += out
         case v if vars.contains(v) =>
           require(alias.isEmpty,
             s"AS on a carried variable not supported: '$item'")

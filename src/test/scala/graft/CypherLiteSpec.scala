@@ -556,10 +556,21 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(lit.isEmpty)
   }
 
-  test("WITH raises on a second pipe and un-aliased expressions") {
-    intercept[IllegalArgumentException] {
-      d7.executeQuery("MATCH (c:CLASS) WITH c WITH c RETURN c.name")
-    }
+  test("WITH chains: a second pipe filters the first pipe's aggregate") {
+    val out = d7.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(m) WITH c.name AS cls, count(*) AS n " +
+        "WITH cls, n WHERE n > 1 RETURN cls, n").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("A", 2L)))
+    // a rename mid-chain re-scopes the downstream references
+    val renamed = d7.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(m) WITH c, count(*) AS n " +
+        "WITH c.name AS cls, n AS total WHERE total >= 1 " +
+        "RETURN cls, total ORDER BY total DESC, cls").collect()
+    assert(renamed.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("A", 2L), ("B", 1L)))
+  }
+
+  test("WITH raises on un-aliased expressions") {
     intercept[IllegalArgumentException] {
       d7.executeQuery(
         "MATCH (c:CLASS)-[:HAS_METHOD]->(m) WITH c.name, count(*) AS n RETURN n")
