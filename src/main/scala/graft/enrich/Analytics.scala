@@ -98,6 +98,49 @@ object Analytics {
       .select(col("name").as("v"), round(col("pr"), 6).as("pagerank"))
   }
 
+  /** GraphX scale path for [[pageRankWeighted]] — the [[pageRankGraphX]]
+    * posture (resilient RDD state, partition-reusing joins) with
+    * weight-proportional contribution splitting: per-edge share =
+    * pr·w/Σw(src), per-iteration round-to-10 quantizing away
+    * summation-order differences, so it shares q37's oracle SQL. */
+  def pageRankWeightedGraphX(spark: SparkSession, edges: DataFrame,
+      iterations: Int = 5): DataFrame = {
+    import org.apache.spark.graphx._
+    import spark.implicits._
+    def r10(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue()
+    // the weighted graphs here are Long-keyed (co-purchase partkeys) —
+    // vertex ids are the keys themselves, no hash indirection needed
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long"))
+    val verts = e.select(col("src")).union(e.select(col("dst"))).distinct()
+      .cache()
+    val n = verts.count().toDouble
+    val g = Graph(
+      verts.as[Long].rdd.map(v => (v, ())),
+      e.as[(Long, Long, Long)].rdd.map { case (s, d, w) => Edge(s, d, w) })
+      .cache()
+    // out-weight denominators (the wsum static state of the DF loop)
+    val wsum = g.aggregateMessages[Long](ctx => ctx.sendToSrc(ctx.attr), _ + _)
+    val reset = 0.15 / n
+    var ranks = g.vertices.mapValues((_, _) => r10(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contribs = g
+        .outerJoinVertices(ranks)((_, _, r) => r.getOrElse(0.0))
+        .outerJoinVertices(wsum)((_, rank, ws) => (rank, ws.getOrElse(0L)))
+        .aggregateMessages[Double](
+          ctx => ctx.sendToDst(
+            ctx.srcAttr._1 * ctx.attr / ctx.srcAttr._2.toDouble),
+          _ + _)
+        .mapValues(r10 _)
+      ranks = g.vertices.leftJoin(contribs)((_, _, c) =>
+        r10(reset + 0.85 * c.getOrElse(0.0)))
+    }
+    ranks.toDF("v", "pr")
+      .select(col("v"), round(col("pr"), 6).as("pagerank"))
+  }
+
   /** GraphX scale path for [[connectedComponents]]: GraphX's pointer-
     * jumping CC finds the component PARTITION (converging in O(log n)
     * supersteps vs the label loop's O(diameter)), then one aggregation

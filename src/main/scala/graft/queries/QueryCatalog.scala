@@ -2328,6 +2328,12 @@ object QueryCatalog {
     graft.enrich.Analytics.pageRankWeighted(coPurchaseEdgesW(s, d),
       iterations = 5)
 
+  /** The GraphX scale path of q37 — weight-proportional aggregateMessages
+    * with the same per-iteration round-to-10; shares q37's oracle. */
+  val q37WprGx: Q = (s, d) =>
+    graft.enrich.Analytics.pageRankWeightedGraphX(s, coPurchaseEdgesW(s, d),
+      iterations = 5)
+
   val q37WprSql: String = {
     def iter(i: Int): String =
       s"""wp$i AS MATERIALIZED (SELECT t.v, round(0.15/(SELECT n FROM wnn) + 0.85*coalesce(c.s, 0), 10) AS pr
@@ -3234,6 +3240,7 @@ object QueryCatalog {
     "q38_null_join" -> q38NullJoin,
     "q36_funnel" -> q36Funnel,
     "q37_wpr" -> q37Wpr,
+    "q37_wpr_gx" -> q37WprGx,
     "t_token_vote" -> tTokenVote,
     "m_headers" -> mHeaders,
     "m_video" -> mVideo,
@@ -3365,6 +3372,7 @@ object QueryCatalog {
     "q38_null_join" -> q38NullJoinSql,
     "q36_funnel" -> q36FunnelSql,
     "q37_wpr" -> q37WprSql,
+    "q37_wpr_gx" -> q37WprSql,
     "t_token_vote" -> tTokenVoteSql,
     "m_headers" -> mHeadersSql,
     "m_video" -> mVideoSql,
