@@ -357,6 +357,40 @@ object Analytics {
     st
   }
 
+  /** GraphX scale path for [[bfsDistancesLandmarks]]: one
+    * `graphx.lib.ShortestPaths` Pregel run with ALL landmarks — the
+    * native multi-landmark BFS (per-vertex landmark→distance maps in
+    * resilient RDD state). Hop counts equal the DataFrame recurrence at
+    * fixpoint, so consumers share the unrolled oracles (the q22_gx
+    * argument, per landmark). Returns (s, v, d). */
+  def bfsDistancesLandmarksGraphX(spark: SparkSession, edges: DataFrame,
+      sources: Seq[String]): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import org.apache.spark.graphx.lib.ShortestPaths
+    import spark.implicits._
+    val keyed = edges.select(
+      xxhash64(col("src")).as("sid"), col("src"),
+      xxhash64(col("dst")).as("did"), col("dst")).cache()
+    val names = keyed.select(col("sid").as("id"), col("src").as("name"))
+      .union(keyed.select(col("did"), col("dst"))).distinct().cache()
+    val landmarkIds = names.filter(col("name").isin(sources: _*))
+      .as[(Long, String)].collect().toMap
+    // reversed edges turn ShortestPaths' to-landmark hops into
+    // landmark→v distances (the bfsDistancesGraphX trick)
+    val g = Graph(
+      names.as[(Long, String)].rdd.map { case (id, _) => (id, ()) },
+      keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd
+        .map { case (s, d) => Edge(d, s, ()) })
+    val lmap = landmarkIds // serializable local copy
+    ShortestPaths.run(g, lmap.keys.toSeq).vertices
+      .flatMap { case (id, spMap) =>
+        spMap.toSeq.map { case (lid, dist) => (lmap(lid), id, dist.toLong) }
+      }
+      .toDF("s", "id", "d")
+      .join(names, "id")
+      .select(col("s"), col("name").as("v"), col("d"))
+  }
+
   /** GraphX scale path for [[bfsDistances]]: the landmark-BFS Pregel of
     * `graphx.lib.ShortestPaths` (resilient RDD state, partition-reusing
     * joins) with the source as the single landmark — identical hop counts,

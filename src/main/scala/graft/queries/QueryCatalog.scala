@@ -2453,6 +2453,21 @@ object QueryCatalog {
       .agg(round(sum(col("h")).cast("double"), 4).as("harmonic"))
   }
 
+  /** The GraphX scale path of q44 — one multi-landmark ShortestPaths
+    * Pregel run feeding the same reciprocal-sum spelling; shares q44's
+    * oracle (hop counts equal the unrolled recurrence at fixpoint). */
+  val q44HarmonicGx: Q = (s, d) => {
+    val rev = GraphTables.hierarchy(s, d)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    graft.enrich.Analytics.bfsDistancesLandmarksGraphX(s, rev,
+        Seq("region.0", "region.1", "nation.0"))
+      .filter(col("d") > 0)
+      .select(col("v"),
+        round(lit(1.0) / col("d"), 10).cast("decimal(20,10)").as("h"))
+      .groupBy("v")
+      .agg(round(sum(col("h")).cast("double"), 4).as("harmonic"))
+  }
+
   val q44HarmonicSql: String = {
     val n = q22Iterations
     def chain(pfx: String, src: String): String = {
@@ -3230,6 +3245,7 @@ object QueryCatalog {
     "q42_betweenness" -> q42Betweenness,
     "q43_kmv_intersect" -> q43KmvIntersect,
     "q44_harmonic" -> q44Harmonic,
+    "q44_harmonic_gx" -> q44HarmonicGx,
     "q45_mad" -> q45Mad,
     "q35_multi_distinct" -> q35MultiDistinct,
     "t_winsor" -> tWinsor,
@@ -3362,6 +3378,7 @@ object QueryCatalog {
     "q42_betweenness" -> q42BetweennessSql,
     "q43_kmv_intersect" -> q43KmvIntersectSql,
     "q44_harmonic" -> q44HarmonicSql,
+    "q44_harmonic_gx" -> q44HarmonicSql,
     "q45_mad" -> q45MadSql,
     "q35_multi_distinct" -> q35MultiDistinctSql,
     "t_winsor" -> tWinsorSql,
