@@ -536,6 +536,41 @@ object Analytics {
       .select(col("src").as("v"), col("deg"))
   }
 
+  /** GraphX scale path for [[kCore]]: iterated `subgraph` pruning —
+    * drop vertices whose (undirected) degree < k, recompute, repeat to
+    * the fixpoint. Same converged subgraph as the DataFrame prune loop
+    * (the fixpoint is unique), so it shares q30's oracle. Resilient RDD
+    * state; each round is one degrees aggregation + one subgraph
+    * filter. */
+  def kCoreGraphX(spark: SparkSession, edges: DataFrame, k: Int,
+      maxIter: Int = 40): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import spark.implicits._
+    val keyed = edges.select(
+      xxhash64(col("src")).as("sid"), col("src"),
+      xxhash64(col("dst")).as("did"), col("dst")).cache()
+    val names = keyed.select(col("sid").as("id"), col("src").as("name"))
+      .union(keyed.select(col("did"), col("dst"))).distinct().cache()
+    var g = Graph.fromEdges(
+      keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd
+        .map { case (s, d) => Edge(s, d, ()) }, ())
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      val before = g.numEdges
+      val deg = g.degrees
+      g = g.outerJoinVertices(deg)((_, _, d) => d.getOrElse(0))
+        .subgraph(vpred = (_, d) => d >= k)
+        .mapVertices((_, _) => ())
+      g.cache()
+      changed = g.numEdges != before
+      i += 1
+    }
+    g.degrees.toDF("id", "deg")
+      .join(names, "id")
+      .select(col("name").as("v"), col("deg").cast("long").as("deg"))
+  }
+
   /** Personalized PageRank: the teleport mass returns to a SOURCE SET
     * instead of all vertices — the "similar nodes to these seeds" ranking
     * used for graph-based retrieval/recommendation. Same math shape as

@@ -1718,6 +1718,11 @@ object QueryCatalog {
   val q30Kcore: Q = (s, d) =>
     graft.enrich.Analytics.kCore(coPurchaseEdges(s, d), k = 3)
 
+  /** The GraphX scale path of q30 — iterated subgraph pruning to the
+    * same unique fixpoint; shares q30's oracle. */
+  val q30KcoreGx: Q = (s, d) =>
+    graft.enrich.Analytics.kCoreGraphX(s, coPurchaseEdges(s, d), k = 3)
+
   private def kcoreIterSql(i: Int): String =
     s"""k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= 3),
        |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
@@ -3229,6 +3234,7 @@ object QueryCatalog {
     "q29_corr" -> q29Corr,
     "t_colstats" -> tColstats,
     "q30_kcore" -> q30Kcore,
+    "q30_kcore_gx" -> q30KcoreGx,
     "q31_hist_quantile" -> q31HistQuantile,
     "d_span_removal" -> dSpanRemoval,
     "q32_ppr" -> q32Ppr,
@@ -3362,6 +3368,7 @@ object QueryCatalog {
     "q29_corr" -> q29CorrSql,
     "t_colstats" -> tColstatsSql,
     "q30_kcore" -> q30KcoreSql,
+    "q30_kcore_gx" -> q30KcoreSql,
     "q31_hist_quantile" -> q31HistQuantileSql,
     "d_span_removal" -> dSpanRemovalSql,
     "q32_ppr" -> q32PprSql,
