@@ -178,6 +178,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === summed)
   }
 
+  test("pageRankWeightedGraphX ≡ the DataFrame loop (small weighted graph)") {
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val df = Analytics.pageRankWeighted(edges, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gx = Analytics.pageRankWeightedGraphX(spark, edges, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(df === gx)
+  }
+
+  test("kCoreGraphX ≡ the DataFrame prune loop (pendant chains fall)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+      ("d", "e"), ("a", "d"), ("b", "d")).toDF("src", "dst")
+    val df = Analytics.kCore(edges, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gx = Analytics.kCoreGraphX(spark, edges, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df === gx)
+  }
+
   test("labelPropagationGraphX ≡ the DataFrame loop (sync rounds, same tie-break)") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
       (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
