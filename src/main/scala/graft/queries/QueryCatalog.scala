@@ -2927,6 +2927,42 @@ object QueryCatalog {
       |  CAST((doc_id % 60 + 1) * 1000 AS BIGINT) AS duration_ms
       |FROM documents""".stripMargin
 
+  /** p_media_mix — the CROSS-PILLAR composition: a multimodal ingest
+    * screen (drop payloads whose header parse failed — the m_corrupt
+    * degradation becomes a FILTER) joined with the text-quality gate
+    * over the side text, in one declared query — what a multimodal
+    * training-data prep run actually does before any decode. All narrow
+    * maps + one filter; the oracle composes the closed-form media
+    * predictions with the standard quality spelling. */
+  val pMediaMix: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    val full = syntheticMediaPayload(id)
+    val media = Tables.documents(s, d).select(id, col("text"))
+      .withColumn("payload",
+        when(id % 5 === 0, substring(full, 1, 10)).otherwise(full))
+    Multimodal.withAudioMeta(Multimodal.withHeaderMeta(media))
+      .filter(col("header_meta.width").isNotNull ||
+        col("audio_meta.sample_rate").isNotNull)
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= 0.2)
+      .select(id,
+        Multimodal.sniffFormat(col("payload")).as("format"),
+        coalesce(col("header_meta.width"), col("audio_meta.sample_rate"))
+          .as("dim"),
+        round(col("quality"), 4).as("quality"))
+  }
+
+  lazy val pMediaMixSql: String =
+    s"""WITH q AS (SELECT doc_id, text, $qualityExprSql AS quality FROM documents)
+       |SELECT doc_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS format,
+       |  CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 5 * 8000 + 8000 AS INTEGER)
+       |       ELSE CAST(doc_id % 1920 + 16 AS INTEGER) END AS dim,
+       |  round(quality, 4) AS quality
+       |FROM q
+       |WHERE doc_id % 5 <> 0 AND quality >= 0.2""".stripMargin
+
   // -------------------------------------------------------- streaming gate
 
   private val stSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -3267,6 +3303,7 @@ object QueryCatalog {
     "m_headers" -> mHeaders,
     "m_video" -> mVideo,
     "m_corrupt" -> mCorrupt,
+    "p_media_mix" -> pMediaMix,
     "p_zorder" -> pZorder,
     "st_window" -> stWindow,
     "st_join" -> stJoin,
@@ -3401,6 +3438,7 @@ object QueryCatalog {
     "m_headers" -> mHeadersSql,
     "m_video" -> mVideoSql,
     "m_corrupt" -> mCorruptSql,
+    "p_media_mix" -> pMediaMixSql,
     "p_zorder" -> pZorderSql,
     "st_window" -> stWindowSql,
     "st_join" -> stJoinSql,
