@@ -3159,6 +3159,60 @@ object QueryCatalog {
       |  c_name AS name, 'upd' AS seen, c_nationkey::VARCHAR AS nat
       |FROM customer""".stripMargin
 
+  /** st_screen — the stateless streaming corpus screen under the oracle
+    * gate ([[graft.streaming.Streams.streamingCorpusScreen]]): the same
+    * PII-augmented documents as t_pii_redact flow through the screen
+    * (scrub + quality gate) as three micro-batches. Stateless Column
+    * expressions run verbatim in both modes, so the memory sink holds
+    * exactly the batch answer; the oracle composes t_pii's redaction
+    * chain with the quality spelling and gate. */
+  val stScreen: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7, tel 555-123-4567.")).as("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = Streams.streamingCorpusScreen(
+      mem.toDF().toDF("doc_id", "text"), minQuality = 0.2)
+    val name = s"st_screen_out_${stSinkSeq.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+      .select(col("doc_id"), round(col("quality"), 4).as("quality"),
+        col("n_emails"), col("n_ips"), col("n_phones"),
+        md5(col("redacted")).as("redacted_md5"))
+  }
+
+  lazy val stScreenSql: String = {
+    val (e, i, p) = (Corpus.emailRe, Corpus.ipv4Re, Corpus.phoneRe)
+    s"""WITH aug AS (SELECT doc_id, text || ' Contact user' || doc_id ||
+       |  '@example.com or 10.0.' || (doc_id % 256) || '.7, tel 555-123-4567.' AS text FROM documents),
+       |r1 AS (SELECT doc_id, text, regexp_replace(text, '$e', '<EMAIL>', 'g') AS t1 FROM aug),
+       |r2 AS (SELECT doc_id, text, t1, regexp_replace(t1, '$i', '<IP>', 'g') AS t2 FROM r1),
+       |scr AS (SELECT doc_id,
+       |  $qualityExprSql AS quality,
+       |  len(regexp_extract_all(text, '$e'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(t1, '$i'))::BIGINT AS n_ips,
+       |  len(regexp_extract_all(t2, '$p'))::BIGINT AS n_phones,
+       |  md5(regexp_replace(t2, '$p', '<PHONE>', 'g')) AS redacted_md5
+       |FROM r2)
+       |SELECT doc_id, round(quality, 4) AS quality, n_emails, n_ips, n_phones, redacted_md5
+       |FROM scr WHERE quality >= 0.2""".stripMargin
+  }
+
   val stWindowSql: String = {
     val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(" +
       "string_split(user_id::VARCHAR, ''), c -> ascii(c)::BIGINT)), " +
@@ -3309,6 +3363,7 @@ object QueryCatalog {
     "st_join" -> stJoin,
     "st_session" -> stSession,
     "st_ingest" -> stIngest,
+    "st_screen" -> stScreen,
     "q46_btw" -> q46Btw,
   )
 
@@ -3444,6 +3499,7 @@ object QueryCatalog {
     "st_join" -> stJoinSql,
     "st_session" -> stSessionSql,
     "st_ingest" -> stIngestSql,
+    "st_screen" -> stScreenSql,
     "q46_btw" -> q46BtwSql,
   )
 }
