@@ -862,6 +862,34 @@ object QueryCatalog {
        |FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents) t
        |WHERE t.term <> '' GROUP BY t.term ORDER BY n DESC, t.term LIMIT 50""".stripMargin
 
+  /** t_lexdiv — per-language lexical CONCENTRATION (Herfindahl index over
+    * token frequencies): hhi = Σ (count_t / total)² — the diversity
+    * screen that flags spammy/repetitive strata (high hhi = few tokens
+    * dominate). Integer counts with one IEEE-exact double division at
+    * the end — no summation-order hazard anywhere; two partial-agg
+    * groupBys, no window. */
+  val tLexDiv: Q = (s, d) => {
+    val cnt = Tables.documents(s, d)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("vocab"),
+        sum(col("c")).cast("long").as("total"),
+        round(sum(col("c") * col("c")).cast("double")
+          / (sum(col("c")).cast("double") * sum(col("c")).cast("double")), 6)
+          .as("hhi"))
+  }
+
+  val tLexDivSql: String =
+    s"""WITH cnt AS (SELECT t.lang, t.term, count(*) AS c
+       |  FROM (SELECT lang, unnest(string_split($normSql, ' ')) AS term FROM documents) t
+       |  WHERE t.term <> '' GROUP BY 1, 2)
+       |SELECT lang, count(*)::BIGINT AS vocab, sum(c)::BIGINT AS total,
+       |  round(sum(c*c)::DOUBLE / (sum(c)::DOUBLE * sum(c)::DOUBLE), 6) AS hhi
+       |FROM cnt GROUP BY lang""".stripMargin
+
   /** Equal-width token-length histogram (10 buckets to the observed max)
     * — the length-distribution screen before packing/curation. Bucketing
     * is a broadcast of ONE max value + a narrow map; no global sort or
@@ -3302,6 +3330,7 @@ object QueryCatalog {
     "q20_pivot" -> q20Pivot,
     "q21_range_window" -> q21RangeWindow,
     "t_vocab" -> tVocab,
+    "t_lexdiv" -> tLexDiv,
     "t_length_hist" -> tLengthHist,
     "q22_bfs" -> q22Bfs,
     "q22_bfs_gx" -> q22BfsGx,
@@ -3438,6 +3467,7 @@ object QueryCatalog {
     "q20_pivot" -> q20PivotSql,
     "q21_range_window" -> q21RangeWindowSql,
     "t_vocab" -> tVocabSql,
+    "t_lexdiv" -> tLexDivSql,
     "t_length_hist" -> tLengthHistSql,
     "q22_bfs" -> q22BfsSql,
     "q22_bfs_gx" -> q22BfsSql,
