@@ -1698,6 +1698,50 @@ object QueryCatalog {
       |SELECT d.v, round(coalesce(t.n_tri, 0) * 2.0 / (d.deg * (d.deg - 1)), 6) AS coeff, d.deg
       |FROM deg d LEFT JOIN tc t ON d.v = t.v WHERE d.deg >= 2""".stripMargin
 
+  /** q49 — degree ASSORTATIVITY of the co-purchase graph: the Pearson
+    * correlation of endpoint degrees over the undirected edge list — do
+    * hubs connect to hubs (r>0) or to the periphery (r<0)? The one-number
+    * graph-topology profile (social nets assort, co-occurrence graphs
+    * usually disassort). All sums are exact integers (the q29 corr
+    * discipline); the only doubles are the final IEEE-exact
+    * multiply/divide/sqrt, rounded 6. At a 100× scale the integer sums
+    * route through DECIMAL — same spelling, wider type. */
+  val q49Assort: Q = (s, d) => {
+    val e = coPurchaseEdges(s, d)
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    und
+      .join(deg.select(col("v").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("v").as("dst"), col("deg").as("dy")), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(
+        round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("assortativity"),
+        col("m").cast("long").as("m"))
+  }
+
+  val q49AssortSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT src AS v, count(*) AS deg FROM und GROUP BY src),
+      |p AS (SELECT dx.deg AS dx, dy.deg AS dy FROM und u
+      |  JOIN deg dx ON u.src = dx.v JOIN deg dy ON u.dst = dy.v),
+      |sums AS (SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+      |  sum(dx*dy) AS sxy, sum(dx*dx) AS sxx, sum(dy*dy) AS syy FROM p)
+      |SELECT round((m*sxy - sx*sy)::DOUBLE
+      |  / (sqrt((m*sxx - sx*sx)::DOUBLE) * sqrt((m*syy - sy*sy)::DOUBLE)), 6) AS assortativity,
+      |  m::BIGINT AS m
+      |FROM sums""".stripMargin
+
   /** Histogram-based approximate quantiles — the deterministic 100 TB
     * switch for q15's exact percentile: two scans (min/max/count, then
     * 1000 equal-width bin counts — both partial-agg friendly), estimate =
@@ -3362,6 +3406,7 @@ object QueryCatalog {
     "q33_labelprop_gx" -> q33LabelpropGx,
     "q47_wsp" -> q47Wsp,
     "q48_clustering" -> q48Clustering,
+    "q49_assort" -> q49Assort,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
@@ -3499,6 +3544,7 @@ object QueryCatalog {
     "q33_labelprop_gx" -> q33LabelpropSql,
     "q47_wsp" -> q47WspSql,
     "q48_clustering" -> q48ClusteringSql,
+    "q49_assort" -> q49AssortSql,
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,
