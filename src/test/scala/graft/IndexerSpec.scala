@@ -321,6 +321,34 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("c9.local_container", "lib.Helper.go")))
   }
 
+  test("C3 slices 8-9 negative: no false bindings from unknowns or dicts") {
+    val src =
+      """from lib import Helper
+        |
+        |def use():
+        |    x = mystery()
+        |    return x.run()
+        |
+        |def mystery():
+        |    return unknown_thing
+        |
+        |def keys_only(xs: dict[str, Helper]):
+        |    for h in xs:
+        |        h.run()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "n.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // mystery() returns an untyped name -> x must stay unbound (no
+    // fabricated Helper edge)
+    assert(!calls.exists { case (s, d) =>
+      s == "n.use" && d.endsWith("Helper.run") })
+    // dict iteration yields KEYS, not values — the container slice must
+    // not bind h to Helper (dict is deliberately outside containerAnno)
+    assert(!calls.exists { case (s, d) =>
+      s == "n.keys_only" && d.endsWith("Helper.run") })
+  }
+
   test("C3 partial: module-level instance globals type their methods") {
     val src =
       """from lib import Database
