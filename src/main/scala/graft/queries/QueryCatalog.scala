@@ -1698,6 +1698,35 @@ object QueryCatalog {
       |SELECT d.v, round(coalesce(t.n_tri, 0) * 2.0 / (d.deg * (d.deg - 1)), 6) AS coeff, d.deg
       |FROM deg d LEFT JOIN tc t ON d.v = t.v WHERE d.deg >= 2""".stripMargin
 
+  /** p_pack_split — token-budget SPLITTING of over-long documents: a doc
+    * of n tokens becomes ceil(n/B) pieces of at most B tokens (the last
+    * piece takes the remainder) — what a real context-window packer does
+    * BEFORE bin-packing pieces into chunks (p_pack_chunks handles the
+    * packing; this handles the docs that don't fit at all). One narrow
+    * map + an explode, integer arithmetic end to end. */
+  val pPackSplit: Q = (s, d) => {
+    val b = 64L
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L),
+          floor((col("n_tok") - 1) / b).cast("long"))).as("piece"))
+      .select(col("doc_id"), col("piece").cast("long").as("piece"),
+        least(lit(b), col("n_tok") - col("piece") * b).cast("long")
+          .as("piece_tokens"))
+  }
+
+  val pPackSplitSql: String =
+    s"""WITH t AS (SELECT doc_id, (CASE WHEN length($normSql) = 0 THEN 0
+       |  ELSE len(string_split($normSql, ' ')) END)::BIGINT AS n_tok FROM documents),
+       |pieces AS (SELECT doc_id, n_tok, unnest(range(0, (n_tok + 63) // 64)) AS piece
+       |  FROM t WHERE n_tok > 0)
+       |SELECT doc_id, piece::BIGINT AS piece,
+       |  least(64, n_tok - piece * 64)::BIGINT AS piece_tokens
+       |FROM pieces""".stripMargin
+
   /** q49 — degree ASSORTATIVITY of the co-purchase graph: the Pearson
     * correlation of endpoint degrees over the undirected edge list — do
     * hubs connect to hubs (r>0) or to the periphery (r<0)? The one-number
@@ -3407,6 +3436,7 @@ object QueryCatalog {
     "q47_wsp" -> q47Wsp,
     "q48_clustering" -> q48Clustering,
     "q49_assort" -> q49Assort,
+    "p_pack_split" -> pPackSplit,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
@@ -3545,6 +3575,7 @@ object QueryCatalog {
     "q47_wsp" -> q47WspSql,
     "q48_clustering" -> q48ClusteringSql,
     "q49_assort" -> q49AssortSql,
+    "p_pack_split" -> pPackSplitSql,
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,
