@@ -28,6 +28,24 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("dup_count"))
 
+  /** PRIORITY dedup — the production curation rule: among exact
+    * duplicates keep the copy from the most trusted source (lower
+    * `priority` wins; doc_id breaks ties) instead of the arbitrary
+    * min-id keeper. One fingerprint shuffle, keeper picked by a
+    * struct-ordered min_by (lexicographic (priority, doc_id) — the
+    * deterministic two-level pick). Returns (fp, keeper_id,
+    * keeper_source, n_copies). */
+  def priorityDedup(docs: DataFrame, priority: Column): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), priority.as("pri"),
+        fingerprintMd5(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min_by(struct(col("doc_id"), col("source")),
+          struct(col("pri"), col("doc_id"))).as("k"),
+        count(lit(1)).as("n_copies"))
+      .select(col("fp"), col("k.doc_id").as("keeper_id"),
+        col("k.source").as("keeper_source"), col("n_copies"))
+
   /** Incremental-batch exact dedup — the continuous-ingestion shape: a
     * NEW batch of documents is deduplicated against the already-ingested
     * base corpus (drop any batch doc whose fingerprint already exists in

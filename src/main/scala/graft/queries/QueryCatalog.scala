@@ -1074,6 +1074,27 @@ object QueryCatalog {
     s"""SELECT md5($normSql) AS fp, min(doc_id) AS keeper_id, count(*) AS dup_count
        |FROM documents GROUP BY 1""".stripMargin
 
+  /** d_priority_dedup — source-priority dedup
+    * ([[graft.pipeline.Dedup.priorityDedup]]): among exact duplicates
+    * the copy from the most trusted source wins (numeric source suffix
+    * as the trust order here), doc_id breaks ties — the "keep the
+    * highest-quality copy" rule real curation runs instead of min-id.
+    * Oracle uses the two-level min-priority-then-min-id pick. */
+  val dPriorityDedup: Q = (s, d) =>
+    graft.pipeline.Dedup.priorityDedup(Tables.documents(s, d),
+      expr("cast(substring(source, 4) as int)"))
+
+  val dPriorityDedupSql: String =
+    s"""WITH f AS (SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS pri,
+       |  md5($normSql) AS fp FROM documents),
+       |mp AS (SELECT fp, min(pri) AS mpri FROM f GROUP BY fp),
+       |k AS (SELECT f.fp, min(f.doc_id) AS keeper_id FROM f
+       |  JOIN mp ON f.fp = mp.fp AND f.pri = mp.mpri GROUP BY f.fp),
+       |n AS (SELECT fp, count(*) AS n_copies FROM f GROUP BY fp)
+       |SELECT k.fp, k.keeper_id, f2.source AS keeper_source, n.n_copies
+       |FROM k JOIN f f2 ON f2.fp = k.fp AND f2.doc_id = k.keeper_id
+       |JOIN n ON n.fp = k.fp""".stripMargin
+
   /** n-gram Jaccard near-dup pairs via shingle inverted index. */
   val dNgramJaccard: Q = (s, d) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, d), k = 5, threshold = 0.2)
@@ -3437,6 +3458,7 @@ object QueryCatalog {
     "q48_clustering" -> q48Clustering,
     "q49_assort" -> q49Assort,
     "p_pack_split" -> pPackSplit,
+    "d_priority_dedup" -> dPriorityDedup,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
@@ -3576,6 +3598,7 @@ object QueryCatalog {
     "q48_clustering" -> q48ClusteringSql,
     "q49_assort" -> q49AssortSql,
     "p_pack_split" -> pPackSplitSql,
+    "d_priority_dedup" -> dPriorityDedupSql,
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,
