@@ -1748,6 +1748,44 @@ object QueryCatalog {
        |  least(64, n_tok - piece * 64)::BIGINT AS piece_tokens
        |FROM pieces""".stripMargin
 
+  /** q50 — per-landmark REACHABILITY profile over the containment
+    * hierarchy: descendants and max depth from every region, computed by
+    * the fused multi-landmark BFS. The oracle is deliberately a
+    * DIFFERENT spelling — the closed-form relational counts (nations,
+    * customers+suppliers, orders per region) — so the iterative frontier
+    * loop is checked against an independent derivation, not a replay of
+    * itself. */
+  val q50Reach: Q = (s, d) => {
+    val rev = GraphTables.hierarchy(s, d)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    graft.enrich.Analytics.bfsDistancesLandmarksGraphX(s, rev,
+        (0 to 4).map(i => s"region.$i"))
+      .filter(col("d") > 0)
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_reachable"), max(col("d")).as("max_depth"))
+  }
+
+  val q50ReachSql: String =
+    """WITH cn AS (SELECT n_regionkey AS r, count(*) AS c FROM nation GROUP BY 1),
+      |cc AS (SELECT n.n_regionkey AS r, count(*) AS c FROM customer
+      |  JOIN nation n ON c_nationkey = n.n_nationkey GROUP BY 1),
+      |cs AS (SELECT n.n_regionkey AS r, count(*) AS c FROM supplier
+      |  JOIN nation n ON s_nationkey = n.n_nationkey GROUP BY 1),
+      |co AS (SELECT n.n_regionkey AS r, count(*) AS c FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n ON c_nationkey = n.n_nationkey GROUP BY 1)
+      |SELECT 'region.' || r_regionkey AS s,
+      |  (coalesce(cn.c,0) + coalesce(cc.c,0) + coalesce(cs.c,0) + coalesce(co.c,0))::BIGINT AS n_reachable,
+      |  (CASE WHEN coalesce(co.c,0) > 0 THEN 3
+      |        WHEN coalesce(cc.c,0) + coalesce(cs.c,0) > 0 THEN 2
+      |        WHEN coalesce(cn.c,0) > 0 THEN 1 ELSE 0 END)::BIGINT AS max_depth
+      |FROM region
+      |LEFT JOIN cn ON cn.r = r_regionkey
+      |LEFT JOIN cc ON cc.r = r_regionkey
+      |LEFT JOIN cs ON cs.r = r_regionkey
+      |LEFT JOIN co ON co.r = r_regionkey
+      |WHERE coalesce(cn.c,0) + coalesce(cc.c,0) + coalesce(cs.c,0) + coalesce(co.c,0) > 0""".stripMargin
+
   /** q49 — degree ASSORTATIVITY of the co-purchase graph: the Pearson
     * correlation of endpoint degrees over the undirected edge list — do
     * hubs connect to hubs (r>0) or to the periphery (r<0)? The one-number
@@ -3457,6 +3495,7 @@ object QueryCatalog {
     "q47_wsp" -> q47Wsp,
     "q48_clustering" -> q48Clustering,
     "q49_assort" -> q49Assort,
+    "q50_reach" -> q50Reach,
     "p_pack_split" -> pPackSplit,
     "d_priority_dedup" -> dPriorityDedup,
     "t_cms_topk" -> tCmsTopk,
@@ -3597,6 +3636,7 @@ object QueryCatalog {
     "q47_wsp" -> q47WspSql,
     "q48_clustering" -> q48ClusteringSql,
     "q49_assort" -> q49AssortSql,
+    "q50_reach" -> q50ReachSql,
     "p_pack_split" -> pPackSplitSql,
     "d_priority_dedup" -> dPriorityDedupSql,
     "t_cms_topk" -> tCmsTopkSql,
