@@ -884,7 +884,11 @@ object CypherLite {
               val Array(v, prop) = arg.split("\\.", 2)
               count(propColOf(v, prop, vars))
             } else if (prevPlain(arg)) count(col(arg))
-            else count(col(s"${vars(arg)}.full_name"))
+            else {
+              val va = vars(arg)
+              if (isRelAlias(va)) count(col(s"$va.src"))
+              else count(col(s"$va.full_name"))
+            }
           aggs += c.cast("long").as(a)
           plain += a
         case c if c.contains(".") =>

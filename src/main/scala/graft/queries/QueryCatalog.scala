@@ -216,6 +216,37 @@ object QueryCatalog {
 
   /** D4 — transitive closure to fixpoint (ast_manage.py:79-99) over the
     * containment hierarchy; DataFrame fixpoint loop vs recursive CTE. */
+  /** B10 — `execute_query` under the ORACLE gate: a real CypherLite
+    * query (pattern chain + relationship variable + WITH aggregate-then-
+    * filter + aliased RETURN + ORDER BY) planned against the derived
+    * graph tables, with the oracle as plain SQL over the same CTEs. The
+    * parser's output is a DataFrame plan like any other — this gates the
+    * whole parse→plan→execute path, not just parser unit cases. */
+  val gB10Cypher: Q = (s, d) => {
+    val n = nodes(s, d).select(col("full_name"), col("label").as("kind"),
+      col("name"), lit(null).cast("string").as("file_path"),
+      lit(null).cast("string").as("signature"),
+      lit(null).cast("string").as("clazz"),
+      lit(null).cast("string").as("code"),
+      array(col("label")).as("task_ids"),
+      map(lit("bal"), col("prop_num").cast("string")).as("props"))
+    val e = edges(s, d).select(col("src"), col("rel_type"), col("dst"),
+      map().cast("map<string,string>").as("props"))
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (c:CUSTOMER)-[r:IN_NATION]->(n:NATION) " +
+        "WITH n, count(r) AS members WHERE members > 50 " +
+        "RETURN n.name AS nation, members ORDER BY members DESC, nation")
+  }
+
+  val gB10CypherSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT n.name AS nation, count(*) AS members
+       |FROM edges e
+       |JOIN nodes c ON e.src = c.full_name
+       |JOIN nodes n ON e.dst = n.full_name
+       |WHERE e.rel_type = 'IN_NATION' AND c.label = 'CUSTOMER' AND n.label = 'NATION'
+       |GROUP BY n.name HAVING count(*) > 50""".stripMargin
+
   val gD4Closure: Q = (s, d) =>
     graft.enrich.Closure.transitiveClosure(GraphTables.hierarchy(s, d))
 
@@ -3498,6 +3529,7 @@ object QueryCatalog {
     "q50_reach" -> q50Reach,
     "p_pack_split" -> pPackSplit,
     "d_priority_dedup" -> dPriorityDedup,
+    "g_b10_cypher" -> gB10Cypher,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
@@ -3639,6 +3671,7 @@ object QueryCatalog {
     "q50_reach" -> q50ReachSql,
     "p_pack_split" -> pPackSplitSql,
     "d_priority_dedup" -> dPriorityDedupSql,
+    "g_b10_cypher" -> gB10CypherSql,
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,
