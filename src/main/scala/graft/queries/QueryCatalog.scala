@@ -1779,6 +1779,56 @@ object QueryCatalog {
        |  least(64, n_tok - piece * 64)::BIGINT AS piece_tokens
        |FROM pieces""".stripMargin
 
+  /** q51 — LINK PREDICTION by common-neighbor Jaccard over the
+    * co-purchase graph: for non-adjacent pairs sharing neighbors,
+    * jaccard = |N(a)∩N(b)| / |N(a)∪N(b)| — the classic recommendation
+    * primitive. Scale posture: candidates come ONLY from wedges through
+    * centers with degree ≤ 64 (the hub cap of the inverted-index dedup
+    * family — one hot hub can never go quadratic; documented recall
+    * trade), existing edges are anti-joined out, and the ratio is
+    * integer/integer rounded 6 before the threshold. */
+  val q51LinkPred: Q = (s, d) => {
+    val e = coPurchaseEdges(s, d)
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val okCenter = deg.filter(col("deg") <= 64).select(col("v"))
+    val xe = und.join(okCenter.withColumnRenamed("v", "dst"), "dst")
+    val ye = und.join(okCenter.withColumnRenamed("v", "src"), "src")
+    val wed = xe.as("x").join(ye.as("y"),
+        col("x.dst") === col("y.src") && col("x.src") < col("y.dst"))
+      .groupBy(col("x.src").as("a"), col("y.dst").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    wed
+      .join(und.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("inter"),
+        round(col("inter").cast("double")
+          / (col("da") + col("db") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  val q51LinkPredSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM und GROUP BY src),
+      |ok AS (SELECT v FROM deg WHERE deg <= 64),
+      |wed AS MATERIALIZED (SELECT x.src AS a, y.dst AS b, count(*) AS inter
+      |  FROM und x JOIN ok ON x.dst = ok.v
+      |  JOIN und y ON y.src = x.dst AND x.src < y.dst
+      |  GROUP BY 1, 2),
+      |cand AS (SELECT w.a, w.b, w.inter FROM wed w
+      |  WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.src = w.a AND u.dst = w.b))
+      |SELECT c.a, c.b, c.inter,
+      |  round(c.inter::DOUBLE / (da.deg + db.deg - c.inter), 6) AS jaccard
+      |FROM cand c JOIN deg da ON c.a = da.v JOIN deg db ON c.b = db.v
+      |WHERE round(c.inter::DOUBLE / (da.deg + db.deg - c.inter), 6) >= 0.5""".stripMargin
+
   /** q50 — per-landmark REACHABILITY profile over the containment
     * hierarchy: descendants and max depth from every region, computed by
     * the fused multi-landmark BFS. The oracle is deliberately a
@@ -3527,6 +3577,7 @@ object QueryCatalog {
     "q48_clustering" -> q48Clustering,
     "q49_assort" -> q49Assort,
     "q50_reach" -> q50Reach,
+    "q51_linkpred" -> q51LinkPred,
     "p_pack_split" -> pPackSplit,
     "d_priority_dedup" -> dPriorityDedup,
     "g_b10_cypher" -> gB10Cypher,
@@ -3669,6 +3720,7 @@ object QueryCatalog {
     "q48_clustering" -> q48ClusteringSql,
     "q49_assort" -> q49AssortSql,
     "q50_reach" -> q50ReachSql,
+    "q51_linkpred" -> q51LinkPredSql,
     "p_pack_split" -> pPackSplitSql,
     "d_priority_dedup" -> dPriorityDedupSql,
     "g_b10_cypher" -> gB10CypherSql,
