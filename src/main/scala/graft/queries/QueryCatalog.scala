@@ -3454,6 +3454,62 @@ object QueryCatalog {
        |FROM scr WHERE quality >= 0.2""".stripMargin
   }
 
+  /** st_cms — per-window COUNT-MIN state under the oracle gate
+    * ([[graft.streaming.Streams.streamingCmsEstimates]]): event-type
+    * counts per 7-day window maintained as additive CMS cells across
+    * ordered micro-batches; estimates only grow as cells add, so
+    * max-per-(window, term) selects each window's final emit. The
+    * oracle rebuilds the same fixed-seed sketch per window in SQL and
+    * reads the same min-over-rows estimates. */
+  val stCms: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val evs = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    val out = Streams.streamingCmsEstimates(mem.toDF(), col("event_type"),
+      candidates = Seq("click", "error", "purchase", "signup", "view"),
+      width = 1024, window = "7 days", watermark = "10 minutes")
+    val name = s"st_cms_out_${stSinkSeq.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+      .select(unix_micros(col("window_start")).as("ws_us"), col("term"),
+        col("est"))
+      .groupBy(col("ws_us"), col("term"))
+      .agg(max(col("est")).as("est"))
+  }
+
+  lazy val stCmsSql: String = {
+    def rollh(c: String) = "list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(string_split($c, ''), ch -> ascii(ch)::BIGINT)), " +
+      "(a, ch) -> (a * 31 + ch) % 2147483647)"
+    s"""WITH occ AS (SELECT epoch_us(ts) // 604800000000 * 604800000000 AS ws_us,
+       |  event_type AS term FROM events),
+       |seeds(seed, a, b) AS (VALUES (1, 1::BIGINT, 0::BIGINT), (2, 7919::BIGINT, 17::BIGINT), (3, 104729::BIGINT, 89::BIGINT)),
+       |th AS MATERIALIZED (SELECT ws_us, term, ${rollh("term")} AS rh FROM occ),
+       |cells AS MATERIALIZED (SELECT ws_us, s.seed,
+       |  ((rh * s.a + s.b) % 2147483647) % 1024 AS bucket, count(*) AS cnt
+       |  FROM th CROSS JOIN seeds s GROUP BY 1, 2, 3),
+       |cand(term) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
+       |q AS (SELECT w.ws_us, c.term, ${rollh("c.term")} AS rh
+       |  FROM (SELECT DISTINCT ws_us FROM occ) w CROSS JOIN cand c)
+       |SELECT q.ws_us, q.term, min(coalesce(cl.cnt, 0))::BIGINT AS est
+       |FROM q CROSS JOIN seeds s
+       |LEFT JOIN cells cl ON cl.ws_us = q.ws_us AND cl.seed = s.seed
+       |  AND cl.bucket = ((q.rh * s.a + s.b) % 2147483647) % 1024
+       |GROUP BY q.ws_us, q.term""".stripMargin
+  }
+
   val stWindowSql: String = {
     val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(" +
       "string_split(user_id::VARCHAR, ''), c -> ascii(c)::BIGINT)), " +
@@ -3612,6 +3668,7 @@ object QueryCatalog {
     "st_session" -> stSession,
     "st_ingest" -> stIngest,
     "st_screen" -> stScreen,
+    "st_cms" -> stCms,
     "q46_btw" -> q46Btw,
   )
 
@@ -3755,6 +3812,7 @@ object QueryCatalog {
     "st_session" -> stSessionSql,
     "st_ingest" -> stIngestSql,
     "st_screen" -> stScreenSql,
+    "st_cms" -> stCmsSql,
     "q46_btw" -> q46BtwSql,
   )
 }
