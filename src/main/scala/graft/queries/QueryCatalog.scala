@@ -1779,6 +1779,79 @@ object QueryCatalog {
        |  least(64, n_tok - piece * 64)::BIGINT AS piece_tokens
        |FROM pieces""".stripMargin
 
+  /** q52 — HYBRID retrieval: Okapi BM25 over the keyword index fused
+    * with cosine vector search by Reciprocal Rank Fusion (rrf =
+    * Σ 1/(60+rank)) — the standard two-tower retrieval shape (sparse
+    * lexical + dense semantic, fused without score calibration). BM25
+    * candidates are bounded by the QUERY terms' postings (never the
+    * corpus), the vector side is the brute-force baseline, and both
+    * top-20 lists fuse into a top-10. Per-(doc, term) BM25 contributions
+    * round to 10 before the (≤3-term) sum rounds to 4 — the PageRank
+    * summation discipline; RRF adds ≤2 exact rationals. */
+  val q52Hybrid: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val qterms = Seq("hash", "join", "scan")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("len")).as("total"))
+    val tf = toks.filter(col("term").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sc = tf.join(dl, "doc_id").crossJoin(broadcast(stats))
+      .join(broadcast(dfr), "term")
+      .select(col("doc_id"),
+        round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * (col("tf") * 2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("len") * col("n") / col("total"))),
+          10).as("s"))
+    val bm = sc.groupBy(col("doc_id")).agg(round(sum(col("s")), 4).as("bm25"))
+    // candidate sets are query-bounded, so the global ranking windows
+    // stay small regardless of corpus size
+    val bt = bm.withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rank") <= 20).select(col("doc_id"), col("rank"))
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    val vt = emb.crossJoin(broadcast(qv)).filter(col("vec_id") =!= 0L)
+      .select(col("vec_id").as("doc_id"),
+        Similarity.cosine(col("qv"), col("embedding")).as("sim"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
+      .filter(col("rank") <= 20).select(col("doc_id"), col("rank"))
+    bt.unionByName(vt)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(lit(1.0) / (col("rank") + 60)), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= 10)
+  }
+
+  lazy val q52HybridSql: String =
+    s"""WITH tk AS (SELECT doc_id, t.term FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents) t WHERE t.term <> ''),
+       |dl AS MATERIALIZED (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+       |st AS (SELECT count(*) AS n, sum(len) AS total FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |  round(ln((st.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0) * (tf.tf * 2.2)
+       |    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len * st.n / st.total)), 10) AS s
+       |  FROM tf JOIN dl USING (doc_id) CROSS JOIN st JOIN dfr USING (term)),
+       |bm AS (SELECT doc_id, round(sum(s), 4) AS bm25 FROM sc GROUP BY 1),
+       |bt AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm QUALIFY rank <= 20),
+       |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |vs AS (SELECT c.vec_id AS doc_id, ${cosOf("c.embedding", "qv.embedding")} AS sim FROM embeddings c, qv WHERE c.vec_id <> 0),
+       |vt AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank FROM vs QUALIFY rank <= 20),
+       |u AS (SELECT doc_id, rank FROM bt UNION ALL SELECT doc_id, rank FROM vt),
+       |agg AS (SELECT doc_id, round(sum(1.0 / (rank + 60)), 6) AS rrf, count(*) AS n_lists
+       |  FROM u GROUP BY doc_id)
+       |SELECT doc_id, rrf, n_lists,
+       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+       |FROM agg QUALIFY rank <= 10""".stripMargin
+
   /** q51 — LINK PREDICTION by common-neighbor Jaccard over the
     * co-purchase graph: for non-adjacent pairs sharing neighbors,
     * jaccard = |N(a)∩N(b)| / |N(a)∪N(b)| — the classic recommendation
@@ -3634,6 +3707,7 @@ object QueryCatalog {
     "q49_assort" -> q49Assort,
     "q50_reach" -> q50Reach,
     "q51_linkpred" -> q51LinkPred,
+    "q52_hybrid" -> q52Hybrid,
     "p_pack_split" -> pPackSplit,
     "d_priority_dedup" -> dPriorityDedup,
     "g_b10_cypher" -> gB10Cypher,
@@ -3778,6 +3852,7 @@ object QueryCatalog {
     "q49_assort" -> q49AssortSql,
     "q50_reach" -> q50ReachSql,
     "q51_linkpred" -> q51LinkPredSql,
+    "q52_hybrid" -> q52HybridSql,
     "p_pack_split" -> pPackSplitSql,
     "d_priority_dedup" -> dPriorityDedupSql,
     "g_b10_cypher" -> gB10CypherSql,
