@@ -909,8 +909,12 @@ object CypherLite {
           val a = vars(v)
           require(!isRelAlias(a),
             s"carrying a relationship variable through WITH not supported: '$item'")
-          keys += struct(carriedFields.map(f => col(s"$a.$f").as(f)): _*).as(v)
-          newVars += v -> v
+          // the carried struct's alias is `__`-prefixed so a user node
+          // variable literally named e1/n2/… can never be misclassified
+          // by isRelAlias downstream (internal scan aliases are e\d+/n\d+)
+          val ca = s"__$v"
+          keys += struct(carriedFields.map(f => col(s"$a.$f").as(f)): _*).as(ca)
+          newVars += v -> ca
         case other => throw new IllegalArgumentException(
           s"unsupported WITH item '$other' (variable, v.prop AS x, count(…) AS x)")
       }

@@ -658,7 +658,13 @@ object Analytics {
       xxhash64(col("dst")).as("did"), col("dst")).cache()
     val names = keyed.select(col("sid").as("id"), col("src").as("name"))
       .union(keyed.select(col("did"), col("dst"))).distinct().cache()
-    val srcIds = sources.select(xxhash64(col("v"))).distinct()
+    // |S| counts only seeds present in the graph (mirror the DF path's
+    // sum(is_src) at personalizedPageRank): an out-of-graph seed gets no
+    // rank row, so letting it dilute the teleport mass would silently
+    // diverge from the DF twin and the oracle. The semi-join keeps the
+    // collect bounded by the (small) seed set, never the vertex set.
+    val srcIds = sources.select(xxhash64(col("v")).as("id")).distinct()
+      .join(names, Seq("id"), "left_semi")
       .as[Long].collect().toSet
     val bSrc = spark.sparkContext.broadcast(srcIds)
     val ns = srcIds.size.toDouble

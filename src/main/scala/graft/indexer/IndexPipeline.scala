@@ -39,8 +39,11 @@ object IndexPipeline {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val rootPath = Paths.get(root)
-    val top = Files.list(rootPath).iterator().asScala
-      .map(p => rootPath.relativize(p).toString).toSeq.sorted
+    val topStream = Files.list(rootPath)
+    val top =
+      try topStream.iterator().asScala
+        .map(p => rootPath.relativize(p).toString).toSeq.sorted
+      finally topStream.close()
     spark.createDataset(top)
       .repartition(math.max(1, math.min(top.size, 64)))
       .flatMap { rel =>

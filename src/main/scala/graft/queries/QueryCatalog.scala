@@ -3462,10 +3462,20 @@ object QueryCatalog {
         q.processAllAvailable()
       }
     } finally q.stop()
-    graft.store.Snapshot.read(s, dir).nodes
+    val out = graft.store.Snapshot.read(s, dir).nodes
       .select(col("full_name"), col("kind"), col("name"),
         element_at(col("props"), "seen").as("seen"),
         element_at(col("props"), "nat").as("nat"))
+      .localCheckpoint(eager = true)
+    // the snapshot is fully materialized above, so the per-invocation
+    // temp tree can go now instead of accumulating across Verify runs
+    deleteRecursively(new java.io.File(dir))
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   val stIngestSql: String =

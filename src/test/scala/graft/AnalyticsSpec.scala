@@ -127,6 +127,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(loop === gx)
   }
 
+  test("PPR: an out-of-graph seed dilutes neither path (both agree)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"))
+      .toDF("src", "dst")
+    // "ghost" never appears in the graph: |S| must count only {a} on both
+    // paths, so the result equals the single-seed run exactly
+    val withGhost = Seq("a", "ghost").toDF("v")
+    val justA = Seq("a").toDF("v")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val loopGhost = m(Analytics.personalizedPageRank(edges, withGhost, 5))
+    val gxGhost = m(Analytics.personalizedPageRankGraphX(spark, edges, withGhost, 5))
+    val loopRef = m(Analytics.personalizedPageRank(edges, justA, 5))
+    assert(loopGhost === loopRef)
+    assert(gxGhost === loopRef)
+  }
+
   test("shortestPathCounts: diamond doubles sigma, chains keep it") {
     // a -> {b, c} -> d -> e plus a longer a->x->y->d path that must NOT
     // count (distance 3 > 2) and an unreachable island q->r

@@ -570,6 +570,17 @@ class CypherLiteSpec extends AnyFunSuite {
       Seq(("A", 2L), ("B", 1L)))
   }
 
+  test("WITH carry: a node variable literally named e1 stays a node") {
+    // regression: carried aliases used to equal the variable name, so a
+    // user variable spelled like an internal edge alias (e\d+) was
+    // misresolved as a relationship downstream (fixed columns like .name
+    // fell through to the props map and came back null)
+    val out = d7.executeQuery(
+      "MATCH (e1:CLASS)-[:HAS_METHOD]->(m) WITH e1, count(*) AS n " +
+        "WHERE n > 1 RETURN e1.name, n").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("A", 2L)))
+  }
+
   test("WITH raises on un-aliased expressions") {
     intercept[IllegalArgumentException] {
       d7.executeQuery(
