@@ -178,45 +178,124 @@ object Analytics {
       iterations: Int = 10): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(eager = true)
-    var dist = e.sparkSession.range(1)
+    // frontier-delta: only the vertices FIRST reached last round expand
+    // this round (in unweighted BFS a settled vertex can never improve,
+    // so re-expanding it — the r7 shape — was pure waste: per-round cost
+    // tracked the full settled set instead of the frontier). Each frontier
+    // is checkpointed eagerly — it is small, and the anti-join against
+    // the settled union would otherwise make plan size exponential.
+    var frontier = e.sparkSession.range(1)
       .select(lit(source).as("v"), lit(0L).as("d"))
-    for (i <- 1 to iterations) {
-      val stepped = e.join(dist.withColumnRenamed("v", "src"), "src")
-        .select(col("dst").as("v"), (col("d") + 1).as("d"))
-      dist = dist.unionByName(stepped).groupBy("v").agg(min("d").as("d"))
-      if (i % 3 == 0 && i < iterations) dist = dist.localCheckpoint(eager = true)
+      .localCheckpoint(eager = true)
+    var settled = frontier
+    var i = 1
+    var done = false
+    while (i <= iterations && !done) {
+      val nxt = e.join(frontier.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v")).distinct()
+        .join(settled.select(col("v")), Seq("v"), "left_anti")
+        .select(col("v"), lit(i.toLong).as("d"))
+        .localCheckpoint(eager = true)
+      if (nxt.isEmpty) done = true  // fixpoint: nothing new is reachable
+      else {
+        settled = settled.unionByName(nxt)
+        frontier = nxt
+        i += 1
+      }
     }
-    dist
+    settled
   }
 
   /** Single-source shortest-path COUNTS — distance AND the number of
     * distinct shortest paths per vertex (the σ of Brandes' betweenness
-    * forward pass, exact integers). Bellman-Ford-style recompute each
-    * round: a vertex's (d, σ) derives ONLY from its in-neighbors' previous
-    * row — d = min(pred.d + 1), σ = Σ pred.σ over preds achieving that min
-    * (two-level min-then-sum, the engine-portable argmin) — so no
-    * accumulate-and-double-count hazard exists, and the fixpoint lands
-    * once `iterations` ≥ graph depth. Same shuffle shape as
-    * [[bfsDistances]]: each round joins the (small) state table against
-    * the pre-partitioned edge set. */
+    * forward pass, exact integers). Frontier-delta execution
+    * ([[sigmaLevels]]): a vertex first reached at level i has final
+    * d = i and final σ = Σ σ(pred) over the complete level-(i−1)
+    * frontier, so each round expands ONLY the new frontier against the
+    * pre-partitioned edge set — per-round cost tracks the frontier, not
+    * the settled set. The fixpoint (reached once `iterations` ≥ graph
+    * depth, or earlier when a frontier empties) is identical to the
+    * min-then-sum recurrence the oracle unrolls. */
   def shortestPathCounts(edges: DataFrame, source: String,
       iterations: Int = 10): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(eager = true)
     val src0 = e.sparkSession.range(1)
       .select(lit(source).as("v"), lit(0L).as("d"), lit(1L).as("sig"))
-    var st = src0
-    for (i <- 1 to iterations) {
-      val cand = e.join(st.withColumnRenamed("v", "src"), "src")
-        .filter(col("dst") =!= source)
-        .select(col("dst").as("v"), (col("d") + 1).as("d"), col("sig"))
-      val md = cand.groupBy("v").agg(min("d").as("md"))
-      val nxt = cand.join(md, "v").filter(col("d") === col("md"))
-        .groupBy("v", "d").agg(sum("sig").as("sig"))
-      st = src0.unionByName(nxt.select(col("v"), col("d"), col("sig")))
-      if (i % 3 == 0 && i < iterations) st = st.localCheckpoint(eager = true)
+    sigmaLevels(e, src0, Seq("v"), iterations).reduce(_.unionByName(_))
+  }
+
+  /** The frontier-delta Brandes forward pass shared by [[shortestPathCounts]]
+    * (key = v) and [[betweennessLandmarks]] (key = s, v — the landmark rides
+    * in the state key): per round, ONLY the previous level's frontier
+    * expands — a vertex first reached at level i has final d = i and final
+    * σ = Σ σ(pred) over the complete level-(i−1) frontier, so the full-state
+    * re-expand the r7 loop did per round (cost ∝ settled × degree) is
+    * replaced by one frontier⋈edges join + one anti-join against settled
+    * KEYS (cost ∝ frontier × degree + settled). Distances and σ are exact
+    * integers, so the fixpoint — and every oracle that unrolls the r7
+    * recurrence — is unchanged. Each level is eagerly checkpointed: levels
+    * are small, the anti-join would otherwise nest plans exponentially, and
+    * the backward pass ([[backwardDeltas]]) reuses the slices directly
+    * instead of re-filtering a monolithic state table per level.
+    * Returns the per-distance slices: levels(i) = rows at distance i. */
+  private def sigmaLevels(e: DataFrame, src0: DataFrame,
+      key: Seq[String], maxRounds: Int): IndexedSeq[DataFrame] = {
+    val srcKey = key.filterNot(_ == "v")
+    val levels = scala.collection.mutable.ArrayBuffer(
+      src0.localCheckpoint(eager = true))
+    var settledKeys = levels(0).select(key.map(col): _*)
+    var i = 1
+    var done = false
+    while (i <= maxRounds && !done) {
+      val cand = e.join(levels.last.withColumnRenamed("v", "src"), "src")
+        .select(srcKey.map(col) ++ Seq(col("dst").as("v"), col("sig")): _*)
+      val nxt = cand.join(settledKeys, key, "left_anti")
+        .groupBy(key.map(col): _*)
+        .agg(sum(col("sig")).as("sig"))
+        .select(key.map(col) ++ Seq(lit(i.toLong).as("d"), col("sig")): _*)
+        .select(levels(0).columns.map(col).toIndexedSeq: _*)
+        .localCheckpoint(eager = true)
+      if (nxt.isEmpty) done = true  // BFS fixpoint reached early
+      else {
+        levels += nxt
+        settledKeys = settledKeys.unionByName(nxt.select(key.map(col): _*))
+        i += 1
+      }
     }
-    st
+    levels.toIndexedSeq
+  }
+
+  /** The level-sliced Brandes backward pass: δ at level l derives ONLY from
+    * level l+1 (δ(v) = Σ_{w ∈ succ(v), d(w)=d(v)+1} σv/σw·(1+δw), rounded
+    * to 10 per (key) exactly as the r7 loop did), so each level is two
+    * slice-sized joins — the r7 shape instead left-joined the contribution
+    * into the FULL accumulated state every level (cost ∝ state × depth,
+    * plus full-state checkpoints to cap the lineage). Slices come
+    * checkpointed from [[sigmaLevels]]; each new δ slice is checkpointed
+    * (small) and the result is their union. */
+  private def backwardDeltas(e: DataFrame, levels: IndexedSeq[DataFrame],
+      key: Seq[String]): DataFrame = {
+    val srcKey = key.filterNot(_ == "v")
+    var lvlState = levels.last.withColumn("delta", lit(0.0))
+      .localCheckpoint(eager = true)
+    var acc = lvlState
+    for (lvl <- (levels.size - 2) to 0 by -1) {
+      val contrib = e
+        .join(lvlState.select(srcKey.map(col) ++ Seq(col("v").as("dst"),
+          col("sig").as("sigw"), col("delta").as("deltaw")): _*), "dst")
+        .join(levels(lvl).select(srcKey.map(col) ++ Seq(col("v").as("src"),
+          col("sig").as("sigu")): _*), srcKey :+ "src")
+        .groupBy(srcKey.map(col) :+ col("src").as("v"): _*)
+        .agg(round(sum(col("sigu").cast("double") / col("sigw")
+          * (lit(1.0) + col("deltaw"))), 10).as("c"))
+      lvlState = levels(lvl).join(contrib, key, "left")
+        .withColumn("delta", coalesce(col("c"), lit(0.0)))
+        .drop("c")
+        .localCheckpoint(eager = true)
+      acc = acc.unionByName(lvlState)
+    }
+    acc
   }
 
   /** Single-source betweenness dependencies — the COMPLETE Brandes
@@ -225,10 +304,10 @@ object Analytics {
     * the backward pass accumulates the dependency
     * δ(v) = Σ_{w ∈ succ(v), d(w)=d(v)+1} (σ(v)/σ(w)) · (1 + δ(w))
     * level by level from the deepest frontier back to the source — each
-    * level is one edge⋈state join + a partial-agg groupBy, `depth`
-    * levels total, with the per-level round-to-10 that makes the float
-    * sum engine-replayable (summing σ-ratio products in any order lands
-    * on the same quantized double). Full betweenness centrality is the
+    * level is two SLICE-sized joins ([[backwardDeltas]]; never a
+    * full-state update), with the per-level round-to-10 that makes the
+    * float sum engine-replayable (summing σ-ratio products in any order
+    * lands on the same quantized double). Full betweenness centrality is the
     * sum of δ over all sources — at 100 TB one runs this per landmark
     * source in parallel; the per-source job is what must be shuffle-sane,
     * and it is: the σ/d table is computed once, checkpointed, and every
@@ -238,30 +317,13 @@ object Analytics {
     */
   def betweennessFromSource(edges: DataFrame, source: String,
       depth: Int = 10): DataFrame = {
-    val sp = shortestPathCounts(edges, source, depth)
-      .localCheckpoint(eager = true)
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(eager = true)
-    var bt = sp.withColumn("delta", lit(0.0))
-    for (lvl <- (depth - 1) to 0 by -1) {
-      val contrib = e
-        .join(bt.select(col("v").as("dst"), col("d").as("dw"),
-          col("sig").as("sigw"), col("delta").as("deltaw")), "dst")
-        .filter(col("dw") === lvl + 1)
-        .join(sp.select(col("v").as("src"), col("d").as("du"),
-          col("sig").as("sigu")), "src")
-        .filter(col("du") === lvl)
-        .groupBy(col("src").as("v"))
-        .agg(round(sum(col("sigu").cast("double") / col("sigw")
-          * (lit(1.0) + col("deltaw"))), 10).as("c"))
-      bt = bt.join(contrib, Seq("v"), "left")
-        .withColumn("delta",
-          when(col("d") === lvl, coalesce(col("c"), lit(0.0)))
-            .otherwise(col("delta")))
-        .drop("c")
-      if (lvl % 4 == 0 && lvl > 0) bt = bt.localCheckpoint(eager = true)
-    }
-    bt.select(col("v"), col("d"), round(col("delta"), 6).as("betweenness"))
+    val src0 = e.sparkSession.range(1)
+      .select(lit(source).as("v"), lit(0L).as("d"), lit(1L).as("sig"))
+    val levels = sigmaLevels(e, src0, Seq("v"), depth)
+    backwardDeltas(e, levels, Seq("v"))
+      .select(col("v"), col("d"), round(col("delta"), 6).as("betweenness"))
   }
 
   /** Betweenness centrality over a LANDMARK set — the production shape of
@@ -293,41 +355,12 @@ object Analytics {
       .repartition(col("src")).localCheckpoint(eager = true)
     val src0 = sources.toDF("s")
       .select(col("s"), col("s").as("v"), lit(0L).as("d"), lit(1L).as("sig"))
-    // forward: per-landmark σ/d in one keyed table (q34's recurrence with
-    // the landmark riding in the key)
-    var st = src0
-    for (i <- 1 to depth) {
-      val cand = e.join(st.withColumnRenamed("v", "src"), "src")
-        .filter(col("dst") =!= col("s"))
-        .select(col("s"), col("dst").as("v"), (col("d") + 1).as("d"), col("sig"))
-      val md = cand.groupBy(col("s"), col("v")).agg(min(col("d")).as("md"))
-      val nxt = cand.join(md, Seq("s", "v")).filter(col("d") === col("md"))
-        .groupBy(col("s"), col("v"), col("d")).agg(sum(col("sig")).as("sig"))
-      st = src0.unionByName(nxt.select(col("s"), col("v"), col("d"), col("sig")))
-      if (i % 3 == 0 && i < depth) st = st.localCheckpoint(eager = true)
-    }
-    val sp = st.localCheckpoint(eager = true)
-    // backward: δ levels for all landmarks per join
-    var bt = sp.withColumn("delta", lit(0.0))
-    for (lvl <- (depth - 1) to 0 by -1) {
-      val contrib = e
-        .join(bt.select(col("s"), col("v").as("dst"), col("d").as("dw"),
-          col("sig").as("sigw"), col("delta").as("deltaw")), "dst")
-        .filter(col("dw") === lvl + 1)
-        .join(sp.select(col("s"), col("v").as("src"), col("d").as("du"),
-          col("sig").as("sigu")), Seq("s", "src"))
-        .filter(col("du") === lvl)
-        .groupBy(col("s"), col("src").as("v"))
-        .agg(round(sum(col("sigu").cast("double") / col("sigw")
-          * (lit(1.0) + col("deltaw"))), 10).as("c"))
-      bt = bt.join(contrib, Seq("s", "v"), "left")
-        .withColumn("delta",
-          when(col("d") === lvl, coalesce(col("c"), lit(0.0)))
-            .otherwise(col("delta")))
-        .drop("c")
-      if (lvl % 4 == 0 && lvl > 0) bt = bt.localCheckpoint(eager = true)
-    }
-    bt.filter(col("v") =!= col("s"))
+    // forward: per-landmark frontier σ/d — the landmark rides in the state
+    // key (s, v), so each level is ONE edge⋈frontier join for ALL landmarks
+    val levels = sigmaLevels(e, src0, Seq("s", "v"), depth)
+    // backward: δ level-by-level for all landmarks per join
+    backwardDeltas(e, levels, Seq("s", "v"))
+      .filter(col("v") =!= col("s"))
       .select(col("v"), round(col("delta"), 6).as("betweenness"))
       .groupBy(col("v"))
       .agg(round(sum(col("betweenness")), 6).as("betweenness"))
@@ -345,16 +378,28 @@ object Analytics {
     import spark.implicits._
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(eager = true)
-    var st = sources.toDF("s")
+    // frontier-delta (the bfsDistances rationale, keyed by landmark):
+    // only (s, v) pairs first reached last round expand this round
+    var frontier = sources.toDF("s")
       .select(col("s"), col("s").as("v"), lit(0L).as("d"))
-    for (i <- 1 to iterations) {
-      val cand = e.join(st.withColumnRenamed("v", "src"), "src")
-        .select(col("s"), col("dst").as("v"), (col("d") + 1).as("d"))
-      st = st.unionByName(cand).groupBy(col("s"), col("v"))
-        .agg(min(col("d")).as("d"))
-      if (i % 3 == 0 && i < iterations) st = st.localCheckpoint(eager = true)
+      .localCheckpoint(eager = true)
+    var settled = frontier
+    var i = 1
+    var done = false
+    while (i <= iterations && !done) {
+      val nxt = e.join(frontier.withColumnRenamed("v", "src"), "src")
+        .select(col("s"), col("dst").as("v")).distinct()
+        .join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
+        .select(col("s"), col("v"), lit(i.toLong).as("d"))
+        .localCheckpoint(eager = true)
+      if (nxt.isEmpty) done = true
+      else {
+        settled = settled.unionByName(nxt)
+        frontier = nxt
+        i += 1
+      }
     }
-    st
+    settled
   }
 
   /** GraphX scale path for [[bfsDistancesLandmarks]]: one
@@ -791,14 +836,35 @@ object Analytics {
       rounds: Int = 6): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .repartition(col("src")).localCheckpoint(eager = true)
+    // delta Bellman-Ford: only rows that IMPROVED last round relax this
+    // round. A vertex whose distance did not change re-derives exactly the
+    // candidates it already produced, so skipping it loses nothing — the
+    // bound after k rounds is still the exact min over ≤k-edge paths, and
+    // integer weights keep it oracle-exact. The improved set is
+    // checkpointed per round (small, and the plan would otherwise nest);
+    // the merge into the full table is one |V|-sized min groupBy.
     var st = e.sparkSession.range(1)
       .select(lit(source).as("v"), lit(0L).as("dist"))
-    for (i <- 1 to rounds) {
-      val relax = e.join(st.withColumnRenamed("v", "src"), "src")
-        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
-      st = st.unionByName(relax).groupBy(col("v"))
-        .agg(min(col("dist")).as("dist"))
-      if (i % 3 == 0 && i < rounds) st = st.localCheckpoint(eager = true)
+      .localCheckpoint(eager = true)
+    var frontier = st
+    var i = 1
+    var done = false
+    while (i <= rounds && !done) {
+      val relax = e.join(frontier.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(min(col("dist") + col("w")).as("cand"))
+      val improved = relax.join(st, Seq("v"), "left")
+        .filter(col("dist").isNull || col("cand") < col("dist"))
+        .select(col("v"), col("cand").as("dist"))
+        .localCheckpoint(eager = true)
+      if (improved.isEmpty) done = true  // no relaxation fired: fixpoint
+      else {
+        st = st.unionByName(improved).groupBy(col("v"))
+          .agg(min(col("dist")).as("dist"))
+          .localCheckpoint(eager = true)
+        frontier = improved
+        i += 1
+      }
     }
     st
   }

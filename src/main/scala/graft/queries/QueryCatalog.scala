@@ -2343,7 +2343,9 @@ object QueryCatalog {
     * bound makes the operator replayable AND is the product semantics a
     * cluster runs (distance within k hops). */
   val q47Wsp: Q = (s, d) => {
-    val e = coPurchaseEdgesW(s, d)
+    // materialize the co-purchase graph ONCE: the seed scan below and the
+    // relaxation loop otherwise each re-run the self-join construction
+    val e = coPurchaseEdgesW(s, d).localCheckpoint(eager = true)
     // the seed is data-derived but a bounded scalar: min vertex id
     val src = e.agg(min(col("src"))).first().getLong(0)
     graft.enrich.Analytics.weightedShortestPaths(e, src, rounds = 6)
