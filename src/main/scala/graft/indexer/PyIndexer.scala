@@ -155,6 +155,36 @@ object PyIndexer {
     s.substring(o + 1) // unclosed paren (truncated source): best-effort
   }
 
+  /** Depth-0 comma split of a parameter list — commas inside nested
+    * brackets (`dict[str, int]` annotations, tuple defaults) stay within
+    * their piece. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val sb = new StringBuilder
+    s.foreach {
+      case c @ ('(' | '[' | '{') => depth += 1; sb.append(c)
+      case c @ (')' | ']' | '}') => depth -= 1; sb.append(c)
+      case ',' if depth == 0 => out += sb.toString(); sb.clear()
+      case c => sb.append(c)
+    }
+    if (sb.nonEmpty) out += sb.toString()
+    out.toSeq
+  }
+
+  /** Leading name of one parameter piece (`*args`/`**kw` stripped to the
+    * bare name; annotation/default tails ignored). */
+  private val paramName: Regex = """^\*{0,2}([A-Za-z_]\w*)""".r
+
+  /** 0-based column of the first bare-word occurrence of `w` in `s` at or
+    * after `from` — not preceded by a `.` or word char (attribute members
+    * never count, per shallow_indexer.py:488-489), not part of a longer
+    * word. -1 when absent. */
+  private def wordPos(s: String, w: String, from: Int = 0): Int = {
+    val re = ("""(?<![\w.])""" + java.util.regex.Pattern.quote(w) + """(?!\w)""").r
+    re.findAllMatchIn(s).find(_.start >= from).map(_.start).getOrElse(-1)
+  }
+
   /** End line (1-based, inclusive) of the scope whose header is at
     * `header` (0-based) with indent `ind`: last non-blank line before the
     * first NON-CONTINUATION line at indent <= ind (a multi-line header's
@@ -202,7 +232,18 @@ object PyIndexer {
       // slice 9: container-typed names → their ELEMENT type (xs:
       // list[Helper] binds "xs" -> Helper here, and iteration/subscript
       // targets over xs land in `locals`)
-      elemLocals: mutable.Map[String, String] = mutable.Map.empty)
+      elemLocals: mutable.Map[String, String] = mutable.Map.empty,
+      // the reference's ContextInfo.localSymbolNames (shallow_indexer.py:
+      // 130, seeded with params at :363-374): names whose bare usages
+      // record LOCAL location rows
+      localNames: mutable.Set[String] = mutable.Set.empty)
+
+  /** Bare-name occurrence for the LOCAL usage scan — unlike [[nameRef]] a
+    * following `(` or `.` does NOT disqualify: the reference records local
+    * usage for calls of a local and for the base of an attribute chain
+    * (`self` in `self.x`); only names AFTER a dot are skipped
+    * (shallow_indexer.py:486-494). */
+  private val localUse: Regex = """(?<![\w.])([A-Za-z_]\w*)""".r
 
   /** `x = Callee(...)` — the head of a potential instance binding. */
   private val instanceAssign: Regex =
@@ -310,6 +351,23 @@ object PyIndexer {
     val locs = mutable.ArrayBuffer.empty[LocationRow]
     var seq = 0L
     def nextSeq(): Long = { seq += 1; seq }
+
+    // (line, startCol) of every LOCAL definition row already emitted —
+    // the usage scan skips these so a definition's own name node never
+    // double-records (the reference visits each name node exactly once)
+    val localDefPos = mutable.Set.empty[(Int, Int)]
+    // LOCAL definition row for `name` bound in callable `fn` at 0-based
+    // line `lineNo` — spelling `fn<name>` per getLocalSymbolName
+    // (shallow_indexer.py:545-546)
+    def recordLocalDef(fn: Scope, name: String, lineNo: Int): Unit = {
+      val cpos = wordPos(rawLines(lineNo), name)
+      if (cpos >= 0) {
+        locs += LocationRow(s"${fn.fullName}<$name>", relPath, "LOCAL",
+          lineNo + 1, cpos + 1, lineNo + 1, cpos + name.length)
+        localDefPos += ((lineNo + 1, cpos + 1))
+      }
+      fn.localNames += name
+    }
 
     // ---- pre-pass: module-level defs/classes/globals + imports (C8, D2 input)
     val topClasses = mutable.Set.empty[String]
@@ -659,6 +717,30 @@ object PyIndexer {
                 resolveCallee(anno).foreach(t =>
                   fnScope.elemLocals(m.group(1)) = t)
             }
+            // A9/srctrl LOCAL symbols: every parameter (incl. self) is a
+            // function-local — the reference records one local-symbol row
+            // per param (shallow_indexer.py:394-397) and seeds the
+            // context's localSymbolNames with them (:363-374). Position =
+            // the param's first bare-word occurrence in the (possibly
+            // multi-line) header, after the opening paren.
+            splitTopLevel(parenSpan(headerText))
+              .flatMap(p => paramName.findFirstMatchIn(p.trim).map(_.group(1)))
+              .foreach { p =>
+                var h = i
+                var cpos = -1
+                while (cpos < 0 && h < rawLines.length &&
+                    (h == i || cont(h))) {
+                  val from = if (h == i) rawLines(h).indexOf('(') + 1 else 0
+                  cpos = wordPos(rawLines(h), p, from)
+                  if (cpos < 0) h += 1
+                }
+                if (cpos >= 0) {
+                  locs += LocationRow(s"$full<$p>", relPath, "LOCAL",
+                    h + 1, cpos + 1, h + 1, cpos + p.length)
+                  localDefPos += ((h + 1, cpos + 1))
+                }
+                fnScope.localNames += p
+              }
             stack.push(fnScope)
 
           case assignStmt(_, name)
@@ -725,6 +807,24 @@ object PyIndexer {
               rawLines(i).length)
             edges += EdgeEvent(nextSeq(), taskId, mod, Rel.Contains, full,
               Map("association_type" -> Kind.GlobalVariable))
+
+          // A9/srctrl LOCAL symbols: a plain name bound directly inside a
+          // funcdef (assignment / for-target) is a local-symbol definition
+          // (shallow_indexer.py:473-475: non-member definitions record a
+          // local symbol + location and join localSymbolNames; member
+          // `self.x` / `x.attr` targets never match [[assignStmt]]).
+          // Every re-binding records another row, as the reference does.
+          case assignStmt(_, name)
+              if stack.headOption.exists(sc =>
+                sc.kind == Kind.Method || sc.kind == Kind.Function) &&
+                !keywords.contains(name) =>
+            recordLocalDef(stack.top, name, i)
+
+          case forStmt(_, name)
+              if stack.headOption.exists(sc =>
+                sc.kind == Kind.Method || sc.kind == Kind.Function) &&
+                !keywords.contains(name) =>
+            recordLocalDef(stack.top, name, i)
 
           case _ => ()
         }
@@ -814,6 +914,15 @@ object PyIndexer {
             subscriptRead.findFirstMatchIn(line).foreach(m =>
               fn.elemLocals.get(m.group(2))
                 .foreach(t => fn.locals(m.group(1)) = t))
+            // A9 LOCAL: `with … as x` as-targets are definitions inside
+            // the callable (same reference path as assignment targets)
+            if (withStmt.matches(line) &&
+                stack.headOption.exists(sc =>
+                  sc.kind == Kind.Method || sc.kind == Kind.Function))
+              withManager.findAllMatchIn(line).foreach { m =>
+                val t = m.group(2)
+                if (!keywords.contains(t)) recordLocalDef(fn, t, i)
+              }
           }
           if (fn.kind == Kind.Method) curClass.foreach { c =>
             selfInstanceAssign.findAllMatchIn(line).foreach { m =>
@@ -885,6 +994,21 @@ object PyIndexer {
                 }
               }
             }
+            // A9/srctrl LOCAL usages (shallow_indexer.py:486-494): a bare
+            // name — not after a '.'; calls and attribute BASES count, so
+            // `self` in `self.x` records — matching a tracked local of
+            // the innermost callable records another LOCAL row. Scanned on
+            // the PREPROCESSED line (names inside strings/comments never
+            // match); definition positions themselves are skipped, the
+            // reference visits each name node once.
+            if (!isHeader && src.localNames.nonEmpty)
+              localUse.findAllMatchIn(line).foreach { m =>
+                val n = m.group(1)
+                if (src.localNames.contains(n) &&
+                    !localDefPos.contains((i + 1, m.start + 1)))
+                  locs += LocationRow(s"${src.fullName}<$n>", relPath,
+                    "LOCAL", i + 1, m.start + 1, i + 1, m.start + n.length)
+              }
           }
         }
       }

@@ -212,6 +212,55 @@ object QueryCatalog {
     """SELECT doc_id, CASE WHEN starts_with(source, 'src') THEN substring(source, 4) ELSE source END AS stripped
       |FROM documents""".stripMargin
 
+  /** g_a9 — LOCAL symbol rows through the real indexer (the srctrl sink's
+    * `source_locations` feed, shallow_indexer.py:394-397/473-475/486-494):
+    * deterministic Python modules are generated in-executor from nation
+    * keys, indexed by [[graft.indexer.PyIndexer.indexFile]], and every
+    * LOCAL row (params, assignment/for targets, bare usages) is predicted
+    * closed-form by the oracle — positions included. The m_headers
+    * pattern applied to the indexer: the parser is real, the payload is
+    * synthesized in-plan, the prediction is arithmetic. */
+  val gA9Locals: Q = (s, d) => {
+    import s.implicits._
+    Tables.nation(s, d)
+      .select(col("n_nationkey").cast("int").as("k")).as[Int]
+      .flatMap { k =>
+        val e = k % 3
+        val src = (Seq(
+          s"def f$k(a, b):",
+          "    x = a + b",
+          "    for j in r:",
+          "        x = x + j") ++
+          (0 until e).map(m => s"    v$m = a") :+
+          "    return x").mkString("", "\n", "\n")
+        graft.indexer.PyIndexer.indexFile("a9", s"m$k.py", src)
+          .locations.filter(_.kind == "LOCAL")
+          .map(l => (l.symbolFullName, l.startLine, l.startCol, l.endCol))
+      }
+      .toDF("local_symbol", "start_line", "start_col", "end_col")
+  }
+
+  val gA9LocalsSql: String =
+    """WITH ks AS (SELECT n_nationkey::INT AS k, length(n_nationkey::VARCHAR) AS dk, (n_nationkey::INT % 3) AS e FROM nation),
+      |extra AS (SELECT k, e, unnest(range(0, e)) AS m FROM ks),
+      |pos AS (
+      |  SELECT k, 'a' AS nm, 1 AS line, 7 + dk AS c FROM ks
+      |  UNION ALL SELECT k, 'a', 2, 9 FROM ks
+      |  UNION ALL SELECT k, 'a', 5 + m, 10 FROM extra
+      |  UNION ALL SELECT k, 'b', 1, 10 + dk FROM ks
+      |  UNION ALL SELECT k, 'b', 2, 13 FROM ks
+      |  UNION ALL SELECT k, 'x', 2, 5 FROM ks
+      |  UNION ALL SELECT k, 'x', 4, 9 FROM ks
+      |  UNION ALL SELECT k, 'x', 4, 13 FROM ks
+      |  UNION ALL SELECT k, 'x', 5 + e, 12 FROM ks
+      |  UNION ALL SELECT k, 'j', 3, 9 FROM ks
+      |  UNION ALL SELECT k, 'j', 4, 17 FROM ks
+      |  UNION ALL SELECT k, 'v' || m::VARCHAR, 5 + m, 5 FROM extra)
+      |SELECT 'm' || k::VARCHAR || '.f' || k::VARCHAR || '<' || nm || '>' AS local_symbol,
+      |  line::INT AS start_line, c::INT AS start_col,
+      |  (c + length(nm) - 1)::INT AS end_col
+      |FROM pos""".stripMargin
+
   // ---------------------------------------------------------------- graph D*
 
   /** D4 — transitive closure to fixpoint (ast_manage.py:79-99) over the
@@ -3629,6 +3678,7 @@ object QueryCatalog {
     "g_a4_edge_dedup" -> gA4EdgeDedup,
     "g_a5_detach" -> gA5Detach,
     "g_a7_strip" -> gA7Strip,
+    "g_a9_locals" -> gA9Locals,
     "g_d4_closure" -> gD4Closure,
     "g_d5_carry" -> gD5Carry,
     "g_b11_json" -> gB11Json,
@@ -3774,6 +3824,7 @@ object QueryCatalog {
     "g_a4_edge_dedup" -> gA4EdgeDedupSql,
     "g_a5_detach" -> gA5DetachSql,
     "g_a7_strip" -> gA7StripSql,
+    "g_a9_locals" -> gA9LocalsSql,
     "g_d4_closure" -> gD4ClosureSql,
     "g_d5_carry" -> gD5CarrySql,
     "g_b11_json" -> gB11JsonSql,

@@ -575,6 +575,66 @@ class IndexerSpec extends AnyFunSuite {
     assert(locs.contains(("folder1.file2", "ATOMIC_RANGE"))) // docstring
   }
 
+  test("A9 LOCAL: params, assign/for/with targets and their usages record rows") {
+    val src = Seq(
+      "def f(a, b=2):",
+      "    x = a + b",
+      "    for j in items:",
+      "        x = x + j",
+      "    with Conn() as c:",
+      "        c.run()",
+      "    return x",
+      "").mkString("\n")
+    val locals = PyIndexer.indexFile("t", "m.py", src).locations
+      .filter(_.kind == "LOCAL")
+    def pos(n: String) = locals.filter(_.symbolFullName == s"m.f<$n>")
+      .map(l => (l.startLine, l.startCol)).toSet
+    // params define on the header; every later bare usage records again
+    assert(pos("a") === Set((1, 7), (2, 9)))
+    assert(pos("b") === Set((1, 10), (2, 13)))
+    // re-binding records a second definition row; RHS/return usages record
+    assert(pos("x") === Set((2, 5), (4, 9), (4, 13), (7, 12)))
+    // for-target and with-as-target are definitions; `c.run()` records the
+    // attribute BASE (reference skips only names after the dot)
+    assert(pos("j") === Set((3, 9), (4, 17)))
+    assert(pos("c") === Set((5, 20), (6, 9)))
+    // nothing else became local (Conn/items are not locals; no module rows)
+    assert(locals.map(_.symbolFullName).toSet ===
+      Set("m.f<a>", "m.f<b>", "m.f<x>", "m.f<j>", "m.f<c>"))
+  }
+
+  test("A9 LOCAL: self records as a local; member names after '.' do not") {
+    val src = Seq(
+      "class K:",
+      "    def m(self, v):",
+      "        self.x = v",
+      "        return self.x",
+      "").mkString("\n")
+    val locals = PyIndexer.indexFile("t", "k.py", src).locations
+      .filter(_.kind == "LOCAL")
+    def pos(n: String) = locals.filter(_.symbolFullName == s"k.K.m<$n>")
+      .map(l => (l.startLine, l.startCol)).toSet
+    // self: param def + the two attribute-base usages
+    assert(pos("self") === Set((2, 11), (3, 9), (4, 16)))
+    assert(pos("v") === Set((2, 17), (3, 18)))
+    // the member name x never records a LOCAL (it is a FIELD), and class
+    // bodies / module scope produce no locals at all
+    assert(locals.map(_.symbolFullName).toSet === Set("k.K.m<self>", "k.K.m<v>"))
+  }
+
+  test("A9 LOCAL: strings never record; module assigns stay global") {
+    val src = "def g(s2):\n    t = \"s2 x\"\n    return s2\n\nTOP = 1\n"
+    val ev = PyIndexer.indexFile("t", "s.py", src)
+    val locals = ev.locations.filter(_.kind == "LOCAL")
+    // the s2 inside the string literal must not match (preprocessed scan)
+    assert(locals.filter(_.symbolFullName == "s.g<s2>")
+      .map(l => (l.startLine, l.startCol)).toSet === Set((1, 7), (3, 12)))
+    assert(locals.map(_.symbolFullName).toSet === Set("s.g<s2>", "s.g<t>"))
+    // TOP is a GLOBAL_VARIABLE symbol, not a local
+    assert(ev.symbols.exists(s => s.fullName == "s.TOP" &&
+      s.kind == Kind.GlobalVariable))
+  }
+
   test("idempotent re-index: same snapshot twice equals once") {
     val again = IndexPipeline.enrich(
       IndexPipeline.indexFiles(spark, fixture, "t1"), "t1")

@@ -51,6 +51,22 @@ class SrctrlSinkSpec extends AnyFunSuite {
     locFiles.foreach(f => assert(fileIds.contains(f)))
   }
 
+  test("LOCAL symbol rows flow into source_locations (A9 srctrl parity)") {
+    val t = SrctrlSink.tables(snap)
+    val locals = t("source_locations").filter(col("kind") === "LOCAL")
+    // pkg.b.B.go binds `a = A()` then uses it in `return a.run()` —
+    // exactly two rows keyed by the local-symbol name hash
+    val aId = spark.range(1)
+      .select(xxhash64(lit("pkg.b.B.go<a>"))).as[Long].head()
+    val aRows = locals.filter(col("element_id") === aId)
+      .select("start_line", "start_col").as[(Int, Int)].collect().toSet
+    assert(aRows === Set((8, 9), (9, 16)))
+    // every method's self param is a local too
+    val selfId = spark.range(1)
+      .select(xxhash64(lit("pkg.b.B.run<self>"))).as[Long].head()
+    assert(locals.filter(col("element_id") === selfId).count() === 1)
+  }
+
   test("write is atomic and re-export overwrites in place") {
     val dir = java.nio.file.Files.createTempDirectory("srctrl").toString + "/export"
     SrctrlSink.write(snap, dir)
