@@ -63,6 +63,10 @@ import org.apache.spark.sql.functions._
   *    columns carry by name (optionally renamed), expressions require
   *    `AS`, each trailing WHERE filters that pipe's rows, and the RETURN
   *    resolves against the last pipe's output scope.
+  *  - scalar EXPRESSIONS in RETURN and WITH items: property/column
+  *    arithmetic (`+ - * / %`, parens, unary minus, literals) and
+  *    `coalesce()`, `toInteger()`, `toFloat()`, `abs()`, `size()` —
+  *    see [[parseValueExpr]].
   *
   * Anything else (UNBOUNDED variable-length `*`, undirected edges,
   * later clauses not anchored at a bound variable, aggregates beyond
@@ -273,11 +277,153 @@ object CypherLite {
   private val countRe = """^(?i)count\(\s*(\*|\w+(?:\.\w+)?)\s*\)$""".r
   private val collectRe = """^(?i)collect\(\s*(\w+(?:\.\w+)?)\s*\)$""".r
 
+  private val scalarFns = Set("coalesce", "tointeger", "tofloat", "abs", "size")
+
+  /** True when a RETURN/WITH item core is a scalar EXPRESSION rather than
+    * a plain reference: a top-level arithmetic operator outside quotes and
+    * parens, or a leading scalar-function call. `count(*)`/`collect(x)`
+    * never match (their operators/args sit inside parens and their heads
+    * are not scalar functions). */
+  private def isValueExpr(c: String): Boolean = {
+    val head = c.takeWhile(isWordChar).toLowerCase
+    if (scalarFns.contains(head) && c.drop(head.length).trim.startsWith("("))
+      return true
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < c.length) {
+      val ch = c.charAt(i)
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else if (ch == '\'' || ch == '"') quote = ch
+      else if (ch == '(') depth += 1
+      else if (ch == ')') depth -= 1
+      else if (depth == 0 && "+-*/%".indexOf(ch.toInt) >= 0) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Scalar RETURN/WITH expressions — the most common real-world shapes
+    * `execute_query` passes through (reference graphDB.py:106-112 accepts
+    * arbitrary Cypher; this closes the property-arithmetic slice):
+    * `+ - * / %` with Cypher precedence, parentheses, unary minus,
+    * numeric/string literals, `v.prop` / carried-column operands, and the
+    * scalar functions `coalesce`, `toInteger`, `toFloat`, `abs`, `size`.
+    * Props are string-typed in the map model, so arithmetic follows
+    * Spark's implicit numeric coercion — `toInteger()`/`toFloat()` are
+    * the explicit Cypher-style casts. `size()` sizes an ArrayType operand
+    * (a `collect()` pipe output, checked against the input schema) and
+    * string-lengths anything else. Recursive descent; unsupported syntax
+    * raises, the module's posture. */
+  private def parseValueExpr(s: String, vars: Map[String, String],
+      plain: Set[String],
+      schema: org.apache.spark.sql.types.StructType): Column = {
+    var i = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$msg in expression '$s' (pos $i)")
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def peek: Char = if (i < s.length) s.charAt(i) else ' '
+    def expr(): Column = {
+      var l = term()
+      ws()
+      while (peek == '+' || peek == '-') {
+        val op = peek; i += 1
+        val r = term()
+        l = if (op == '+') l + r else l - r
+        ws()
+      }
+      l
+    }
+    def term(): Column = {
+      var l = factor()
+      ws()
+      while (peek == '*' || peek == '/' || peek == '%') {
+        val op = peek; i += 1
+        val r = factor()
+        l = op match { case '*' => l * r; case '/' => l / r; case _ => l % r }
+        ws()
+      }
+      l
+    }
+    def factor(): Column = {
+      ws()
+      if (peek == '(') {
+        i += 1; val e = expr(); ws()
+        if (peek != ')') fail("missing ')'")
+        i += 1; e
+      }
+      else if (peek == '-') { i += 1; negate(factor()) }
+      else if (peek == '\'' || peek == '"') lit(stringLit())
+      else if (peek.isDigit) numberLit()
+      else ident()
+    }
+    def stringLit(): String = {
+      val q = peek; i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != q) { sb.append(s.charAt(i)); i += 1 }
+      if (i >= s.length) fail("unterminated string")
+      i += 1; sb.toString()
+    }
+    def numberLit(): Column = {
+      val st = i
+      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+      val t = s.substring(st, i)
+      if (t.contains(".")) lit(t.toDouble) else lit(t.toLong)
+    }
+    def ident(): Column = {
+      val st = i
+      while (i < s.length && isWordChar(s.charAt(i))) i += 1
+      if (i == st) fail("expected an operand")
+      val w = s.substring(st, i)
+      ws()
+      if (peek == '(') {
+        i += 1; ws()
+        val argStart = i
+        val args = scala.collection.mutable.ArrayBuffer.empty[Column]
+        if (peek != ')') {
+          args += expr(); ws()
+          while (peek == ',') { i += 1; args += expr(); ws() }
+        }
+        val argEnd = i
+        if (peek != ')') fail("missing ')'")
+        i += 1
+        w.toLowerCase match {
+          case "coalesce" => coalesce(args.toSeq: _*)
+          case "tointeger" => args.head.cast("long")
+          case "tofloat" => args.head.cast("double")
+          case "abs" => abs(args.head)
+          case "size" =>
+            val argTxt = s.substring(argStart, argEnd).trim
+            val isArray = argTxt.matches("""\w+""") && plain(argTxt) &&
+              schema.fields.find(_.name == argTxt)
+                .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+            if (isArray) size(args.head) else length(args.head.cast("string"))
+          case other => fail(s"unsupported function '$other(…)'")
+        }
+      } else if (peek == '.') {
+        i += 1
+        val pst = i
+        while (i < s.length && isWordChar(s.charAt(i))) i += 1
+        if (i == pst) fail("expected a property name")
+        propColOf(w, s.substring(pst, i), vars)
+      } else if (plain(w)) col(w)
+      else if (vars.contains(w)) fail(
+        s"whole-variable operand '$w' (use a property: $w.<prop>)")
+      else fail(s"unknown name '$w'")
+    }
+    val out = expr()
+    ws()
+    if (i < s.length) fail("trailing input")
+    out
+  }
+
   /** One RETURN item → (columns, isAggregate). `AS alias` applies to any
     * single-column item; a whole-variable projection expands to its five
     * fixed columns and can't be renamed. */
   private def retItem(p: String, vars: Map[String, String],
-      plain: Set[String] = Set.empty): (Seq[Column], Boolean) = {
+      plain: Set[String] = Set.empty,
+      schema: org.apache.spark.sql.types.StructType =
+        new org.apache.spark.sql.types.StructType()): (Seq[Column], Boolean) = {
     val (core, alias) = splitTop(p, "AS") match {
       case Seq(c) => (c.trim, None)
       case Seq(c, a) =>
@@ -314,6 +460,10 @@ object CypherLite {
           } else if (plain(arg)) collect_list(col(arg))
           else collect_list(col(s"${vars(arg)}.full_name"))
         (one(sort_array(c), s"collect($arg)"), true)
+      // scalar expression (arithmetic / size / coalesce / toInteger…):
+      // default output name is the expression text as written, Cypher-like
+      case c if isValueExpr(c) =>
+        (one(parseValueExpr(c, vars, plain, schema), c), false)
       // a WITH output column referenced by name (post-pipe scope)
       case c if plain(c) => (one(col(c), c), false)
       case c if c.startsWith("labels(") =>
@@ -394,7 +544,7 @@ object CypherLite {
       body.length > 8 && !isWordChar(body.charAt(8))
     if (isDistinct) body = body.substring(8).trim
 
-    val items = splitTop(body, ",").map(retItem(_, vars, plain))
+    val items = splitTop(body, ",").map(retItem(_, vars, plain, df.schema))
     val aggCols = items.filter(_._2).flatMap(_._1)
     val plainCols = items.filterNot(_._2).flatMap(_._1)
     var res =
@@ -890,6 +1040,14 @@ object CypherLite {
               else count(col(s"$va.full_name"))
             }
           aggs += c.cast("long").as(a)
+          plain += a
+        // scalar expression (arithmetic / size / coalesce / toInteger…);
+        // checked BEFORE the dotted-reference case so `m.seen + 1 AS x`
+        // parses as arithmetic instead of a property named "seen + 1"
+        case c if isValueExpr(c) =>
+          val a = alias.getOrElse(throw new IllegalArgumentException(
+            s"WITH expression needs AS alias: '$item'"))
+          keys += parseValueExpr(c, vars, prevPlain, df0.schema).as(a)
           plain += a
         case c if c.contains(".") =>
           val a = alias.getOrElse(throw new IllegalArgumentException(

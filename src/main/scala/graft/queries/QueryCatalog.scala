@@ -284,12 +284,15 @@ object QueryCatalog {
     graft.api.CypherLite.execute(n, e,
       "MATCH (c:CUSTOMER)-[r:IN_NATION]->(n:NATION) " +
         "WITH n, count(r) AS members WHERE members > 50 " +
-        "RETURN n.name AS nation, members ORDER BY members DESC, nation")
+        "RETURN n.name AS nation, members, members * 2 + 1 AS doubled, " +
+        "size(n.name) + members AS score ORDER BY members DESC, nation")
   }
 
   val gB10CypherSql: String =
     s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
-       |SELECT n.name AS nation, count(*) AS members
+       |SELECT n.name AS nation, count(*) AS members,
+       |  count(*) * 2 + 1 AS doubled,
+       |  length(n.name) + count(*) AS score
        |FROM edges e
        |JOIN nodes c ON e.src = c.full_name
        |JOIN nodes n ON e.dst = n.full_name

@@ -570,6 +570,39 @@ class CypherLiteSpec extends AnyFunSuite {
       Seq(("A", 2L), ("B", 1L)))
   }
 
+  test("RETURN expressions: arithmetic, size(), coalesce(), toInteger()") {
+    val out = db.executeQuery(
+      "MATCH (c:CLASS {name: 'Person'}) RETURN c.name, size(c.name) AS ln, " +
+        "1 + 2 * 3 AS seven, (4 + 6) / 2 - -1 AS six, " +
+        "coalesce(c.nope, 'dflt') AS d, toInteger('41') + 1 AS n").collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getString(0) === "Person")
+    assert(r.getInt(1) === 6)
+    assert(r.getLong(2) === 7L)
+    // division follows Spark semantics (always double), unary minus binds
+    assert(r.getDouble(3) === 6.0)
+    assert(r.getString(4) === "dflt")
+    assert(r.getLong(5) === 42L)
+  }
+
+  test("WITH expressions: computed columns pipe, filter, and compose") {
+    val out = db.executeQuery(
+      "MATCH (c:sklearn) WITH c, size(c.name) AS ln WHERE ln > 4 " +
+        "RETURN c.name, ln + 1 AS lp ORDER BY lp").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("greet", 6L), ("Person", 7L)))
+  }
+
+  test("expressions raise on unknown functions and unknown names") {
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (c:CLASS) RETURN sqrt(c.name) AS x").collect()
+    }
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (c:CLASS) RETURN ghost + 1 AS x").collect()
+    }
+  }
+
   test("WITH carry: a node variable literally named e1 stays a node") {
     // regression: carried aliases used to equal the variable name, so a
     // user variable spelled like an internal edge alias (e\d+) was
