@@ -75,25 +75,33 @@ object Analytics {
     val names = keyed.select(col("sid").as("id"), col("src").as("name"))
       .union(keyed.select(col("did"), col("dst"))).distinct().cache()
     val n = names.count().toDouble
-    val g = Graph(
-      names.as[(Long, String)].rdd.map { case (id, _) => (id, ()) },
+    // one graph object carries BOTH the static per-vertex state (out-
+    // degree) and the iterated rank: every round is then a single
+    // outerJoinVertices against an aggregateMessages output built on the
+    // SAME vertex index (the fast leftZipJoin path — iterating separate
+    // VertexRDDs through leftJoin was the "different indexes is slow"
+    // warning), with the replaced graph unpersisted as soon as its
+    // successor materializes. EdgePartition2D bounds each vertex's
+    // replication to 2√P partitions — the layout that matters at
+    // cluster scale and costs nothing here.
+    val g = Graph.fromEdges(
       keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd
-        .map { case (s, d) => Edge(s, d, ()) }).cache()
-    val outDeg = g.outDegrees
+        .map { case (s, d) => Edge(s, d, ()) }, ())
+      .partitionBy(PartitionStrategy.EdgePartition2D)
     val reset = 0.15 / n
-    var ranks = g.vertices.mapValues((_, _) => r10(1.0 / n))
+    var rankGraph = g.outerJoinVertices(g.outDegrees)((_, _, d) =>
+      d.getOrElse(0)).mapVertices((_, d) => (r10(1.0 / n), d)).cache()
     for (_ <- 1 to iterations) {
-      val contribs = g
-        .outerJoinVertices(ranks)((_, _, r) => r.getOrElse(0.0))
-        .outerJoinVertices(outDeg)((_, rank, deg) => (rank, deg.getOrElse(0)))
-        .aggregateMessages[Double](
-          ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2.toDouble),
-          _ + _)
-        .mapValues(r10 _)
-      ranks = g.vertices.leftJoin(contribs)((_, _, c) =>
-        r10(reset + 0.85 * c.getOrElse(0.0)))
+      val contribs = rankGraph.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2.toDouble),
+        _ + _).mapValues(r10 _)
+      val prev = rankGraph
+      rankGraph = rankGraph.outerJoinVertices(contribs)((_, attr, c) =>
+        (r10(reset + 0.85 * c.getOrElse(0.0)), attr._2)).cache()
+      rankGraph.vertices.count()
+      prev.unpersist(blocking = false)
     }
-    ranks.toDF("id", "pr")
+    rankGraph.vertices.mapValues((_, a) => a._1).toDF("id", "pr")
       .join(names, "id")
       .select(col("name").as("v"), round(col("pr"), 6).as("pagerank"))
   }
@@ -191,12 +199,16 @@ object Analytics {
     var i = 1
     var done = false
     while (i <= iterations && !done) {
+      // lazy checkpoint + count: ONE job materializes the level's blocks
+      // AND decides the fixpoint (eager + isEmpty was two barriers per
+      // level — the dominant cost of a small-frontier BFS under a
+      // contended scheduler)
       val nxt = e.join(frontier.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v")).distinct()
         .join(settled.select(col("v")), Seq("v"), "left_anti")
         .select(col("v"), lit(i.toLong).as("d"))
-        .localCheckpoint(eager = true)
-      if (nxt.isEmpty) done = true  // fixpoint: nothing new is reachable
+        .localCheckpoint(eager = false)
+      if (nxt.count() == 0L) done = true  // fixpoint: nothing new reachable
       else {
         settled = settled.unionByName(nxt)
         frontier = nxt

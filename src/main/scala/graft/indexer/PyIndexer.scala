@@ -621,14 +621,94 @@ object PyIndexer {
       }
     }
 
+    def classishType(anno: String): Option[String] = {
+      val classish = topClasses.contains(anno) ||
+        anno.split("\\.").last.headOption.exists(_.isUpper)
+      if (!keywords.contains(anno) && classish) resolveCallee(anno)
+      else None
+    }
+
+    // declared `-> Type` of a called same-module function/method:
+    // `x = make()` with `def make() -> Helper:` binds x to Helper;
+    // with no annotation, the INFERRED return (slice 8: the def's
+    // `return Ctor()` / typed-name / self body) fills in
+    def returnTypeTarget(callee: String): Option[String] =
+      if (keywords.contains(callee)) None
+      else resolveCallee(callee)
+        .filter(_.startsWith(mod + "."))
+        .flatMap { cf =>
+          val k = cf.stripPrefix(mod + ".")
+          returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
+        }
+        .flatMap(classishType)
+
+    // C3 slice 10: the return type of `<T>.method()` — same-module
+    // receiver classes only (cross-file returns stay out of scope, the
+    // declared-annotation slice's rule), declared `->` beating the
+    // inferred body type like every other use site.
+    def methodReturn(recv: String, method: String): Option[String] =
+      if (!recv.startsWith(mod + ".")) None
+      else {
+        val k = recv.stripPrefix(mod + ".") + "." + method
+        returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
+          .flatMap(classishType)
+      }
+
+    /** C3 slice 10, the one-line chain: given a binding whose RHS head
+      * call starts at `afterOpen` (index just past the head's `(`), fold
+      * any trailing `.method()` links through [[methodReturn]]. No chain
+      * → the head's own type stands; an unresolvable link or non-call
+      * trailer (`.attr`, `[0]`) → None — all-or-nothing, a mis-typed
+      * `x = Service().connect()` must not stay bound to Service. An
+      * unbalanced head call (physical-line continuation) keeps the
+      * pre-slice-10 behavior: the head type binds, the invisible tail is
+      * a silent miss. */
+    def chainReturnType(line: String, afterOpen: Int,
+        base: Option[String]): Option[String] = {
+      def closeOf(from: Int): Int = {
+        var j = from
+        var depth = 1
+        while (j < line.length && depth > 0) {
+          val c = line.charAt(j)
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          j += 1
+        }
+        if (depth == 0) j else -1
+      }
+      val headEnd = closeOf(afterOpen)
+      if (headEnd < 0) return base
+      val link = """^\s*\.\s*([A-Za-z_]\w*)\s*\(""".r
+      var t = base
+      var pos = headEnd
+      while (pos < line.length && !line.substring(pos).trim.isEmpty) {
+        val rest = line.substring(pos)
+        link.findFirstMatchIn(rest) match {
+          case Some(mm) =>
+            t = t.flatMap(methodReturn(_, mm.group(1)))
+            if (t.isEmpty) return None
+            pos = closeOf(pos + mm.end)
+            if (pos < 0) return None
+          case None =>
+            // `.attr` / `[0]` trailers: the bound value is NOT the head
+            // call's result — refuse rather than mis-type. Any other
+            // trailer (`;`, a ternary, …) keeps the head binding, the
+            // pre-slice-10 behavior for those shapes.
+            val head = rest.trim.head
+            return if (head == '.' || head == '[') None else t
+        }
+      }
+      t
+    }
+
     lines.indices.foreach { li =>
       if (!cont(li) && lines(li).trim.nonEmpty && indentOf(lines(li)) == 0)
         instanceAssign.findFirstMatchIn(lines(li)).foreach { m =>
           val callee = m.group(2)
-          val classish = topClasses.contains(callee) ||
-            callee.split("\\.").last.headOption.exists(_.isUpper)
-          if (!keywords.contains(callee) && classish)
-            resolveCallee(callee).foreach(t => moduleVarTypes(m.group(1)) = t)
+          // module-level globals keep the ctor-only rule (no function
+          // return chasing at module scope), but a trailing method chain
+          // folds — or voids — the binding exactly as in a callable
+          chainReturnType(lines(li), m.end, classishType(callee))
+            .foreach(t => moduleVarTypes(m.group(1)) = t)
         }
     }
 
@@ -836,30 +916,15 @@ object PyIndexer {
         // the PEP8 capitalized-class convention for imported names (a
         // local name only binds if it IS a known class).
         curCallable.foreach { fn =>
-          def classishType(anno: String): Option[String] = {
-            val classish = topClasses.contains(anno) ||
-              anno.split("\\.").last.headOption.exists(_.isUpper)
-            if (!keywords.contains(anno) && classish) resolveCallee(anno)
-            else None
-          }
-          // declared `-> Type` of a called same-module function/method:
-          // `x = make()` with `def make() -> Helper:` binds x to Helper;
-          // with no annotation, the INFERRED return (slice 8: the def's
-          // `return Ctor()` / typed-name / self body) fills in
-          def returnTypeTarget(callee: String): Option[String] =
-            if (keywords.contains(callee)) None
-            else resolveCallee(callee)
-              .filter(_.startsWith(mod + "."))
-              .flatMap { cf =>
-                val k = cf.stripPrefix(mod + ".")
-                returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
-              }
-              .flatMap(classishType)
           // binding priority: constructor RHS > callee's `-> Type` >
           // explicit annotation on the target
           instanceAssign.findFirstMatchIn(line) match {
             case Some(m) =>
-              classishType(m.group(2)).orElse(returnTypeTarget(m.group(2)))
+              // slice 10: a trailing `.method()` chain folds the head's
+              // type through method returns (`x = Service().connect()`
+              // binds the FINAL return type, never the head class)
+              chainReturnType(line, m.end,
+                  classishType(m.group(2)).orElse(returnTypeTarget(m.group(2))))
                 .orElse(localAnno.findFirstMatchIn(line)
                   .filter(_.group(1) == m.group(1))
                   .flatMap(a => classishType(a.group(2))))
@@ -926,7 +991,8 @@ object PyIndexer {
           }
           if (fn.kind == Kind.Method) curClass.foreach { c =>
             selfInstanceAssign.findAllMatchIn(line).foreach { m =>
-              classishType(m.group(2)).orElse(returnTypeTarget(m.group(2)))
+              chainReturnType(line, m.end,
+                  classishType(m.group(2)).orElse(returnTypeTarget(m.group(2))))
                 .foreach(t =>
                   classFieldTypes.getOrElseUpdate(c.fullName,
                     mutable.Map.empty)(m.group(1)) = t)

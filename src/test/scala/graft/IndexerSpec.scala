@@ -349,6 +349,98 @@ class IndexerSpec extends AnyFunSuite {
       s == "n.keys_only" && d.endsWith("Helper.run") })
   }
 
+  test("C3 slice 10: method returns chain through typed receivers") {
+    val src =
+      """from lib import Helper, Other
+        |
+        |class Service:
+        |    def connect(self) -> Helper:
+        |        return Helper()
+        |
+        |class Registry:
+        |    def connect(self) -> Other:
+        |        return Other()
+        |
+        |    def open(self):
+        |        return Helper()
+        |
+        |def use():
+        |    svc = Service()
+        |    conn = svc.connect()
+        |    return conn.run()
+        |
+        |def keyed():
+        |    s = Service()
+        |    r = Registry()
+        |    a = s.connect()
+        |    b = r.connect()
+        |    a.ping()
+        |    b.ping()
+        |
+        |def inferred():
+        |    r = Registry()
+        |    h = r.open()
+        |    return h.go()
+        |
+        |def one_liner():
+        |    x = Service().connect()
+        |    return x.fly()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "s10.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // `conn = svc.connect()` resolves through the LOCAL's class to the
+    // method's declared return — the (class, method) keying
+    assert(calls.contains(("s10.use", "lib.Helper.run")))
+    // two classes sharing a method name resolve per-receiver, not by
+    // bare method name
+    assert(calls.contains(("s10.keyed", "lib.Helper.ping")))
+    assert(calls.contains(("s10.keyed", "lib.Other.ping")))
+    // un-annotated method body `return Helper()` feeds the same chain
+    assert(calls.contains(("s10.inferred", "lib.Helper.go")))
+    // one-line ctor chain `Service().connect()` binds the FINAL return
+    // type, not the head constructor's class
+    assert(calls.contains(("s10.one_liner", "lib.Helper.fly")))
+    assert(!calls.exists { case (s, d) =>
+      s == "s10.one_liner" && d == "s10.Service.fly" })
+  }
+
+  test("C3 slice 10 negative: untyped middles bind nothing") {
+    val src =
+      """from lib import Helper
+        |
+        |class Service:
+        |    def connect(self) -> Helper:
+        |        return Helper()
+        |
+        |def untyped_receiver(svc):
+        |    c = svc.connect()
+        |    return c.run()
+        |
+        |def untyped_method():
+        |    s = Service()
+        |    q = s.mystery()
+        |    return q.run()
+        |
+        |def unknown_head():
+        |    z = Unknown().connect()
+        |    return z.run()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "s10n.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // svc has no type (bare param) -> c stays unbound
+    assert(!calls.exists { case (s, d) =>
+      s == "s10n.untyped_receiver" && d.endsWith("Helper.run") })
+    // Service.mystery does not exist -> q stays unbound (no Helper edge,
+    // no half-resolved ghost through the missing method)
+    assert(!calls.exists { case (s, d) =>
+      s == "s10n.untyped_method" && (d.endsWith("Helper.run") || d.contains("mystery.")) })
+    // Unknown is not a known class -> the chain must not fabricate a type
+    assert(!calls.exists { case (s, d) =>
+      s == "s10n.unknown_head" && d.endsWith("Helper.run") })
+  }
+
   test("C3 partial: module-level instance globals type their methods") {
     val src =
       """from lib import Database
