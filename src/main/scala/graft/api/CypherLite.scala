@@ -68,9 +68,14 @@ import org.apache.spark.sql.functions._
   *    `coalesce()`, `toInteger()`, `toFloat()`, `abs()`, `size()` —
   *    see [[parseValueExpr]].
   *
+  *  - aggregates: `count` / `collect` / `sum` / `avg` / `min` / `max`
+  *    with Cypher's implicit grouping (every non-aggregated item is a
+  *    key) in both RETURN and WITH — see [[numAggCol]] for the
+  *    string-model coercion rules.
+  *
   * Anything else (UNBOUNDED variable-length `*`, undirected edges,
   * later clauses not anchored at a bound variable, aggregates beyond
-  * count/collect) raises — exactly the reference's posture of not
+  * those six) raises — exactly the reference's posture of not
   * reimplementing Neo4j.
   *
   * The parse result is a plain DataFrame expression — Catalyst plans it
@@ -193,6 +198,8 @@ object CypherLite {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var quote: Char = 0
+    var depth = 0 // paren depth outside quotes: a separator inside a
+                  // function call (`coalesce(x, 'd')`) never splits
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -201,7 +208,10 @@ object CypherLite {
         if (c == '\\' && i + 1 < s.length) { i += 1; sb.append(s.charAt(i)) }
         else if (c == quote) quote = 0
       } else if (c == '\'' || c == '"') { quote = c; sb.append(c) }
-      else if (s.regionMatches(true, i, sep, 0, sep.length) &&
+      else if (c == '(') { depth += 1; sb.append(c) }
+      else if (c == ')') { depth = math.max(0, depth - 1); sb.append(c) }
+      else if (depth == 0 &&
+          s.regionMatches(true, i, sep, 0, sep.length) &&
           (sep.head.isLetter // word separators (AND) need \w boundaries
             && (i == 0 || !isWordChar(s.charAt(i - 1)))
             && (i + sep.length >= s.length || !isWordChar(s.charAt(i + sep.length)))
@@ -276,6 +286,31 @@ object CypherLite {
 
   private val countRe = """^(?i)count\(\s*(\*|\w+(?:\.\w+)?)\s*\)$""".r
   private val collectRe = """^(?i)collect\(\s*(\w+(?:\.\w+)?)\s*\)$""".r
+  private val numAggRe = """^(?i)(sum|avg|min|max)\(\s*(\w+(?:\.\w+)?)\s*\)$""".r
+
+  /** sum/avg/min/max over a property or pipe column. The graph model is
+    * string-typed (fixed columns and the props map are all strings), so
+    * sum/avg coerce numerically (non-numeric → null, Neo4j's skip-nulls
+    * aggregate semantics via Spark's null-ignoring aggs) while min/max
+    * stay on the raw string — lexicographic, exactly what the DuckDB
+    * oracle's min/max over VARCHAR computes. Numeric min/max is one
+    * `toFloat()` WITH-pipe away. */
+  private def numAggCol(fn: String, arg: String, vars: Map[String, String],
+      plain: String => Boolean): Column = {
+    val base =
+      if (arg.contains(".")) {
+        val Array(v, prop) = arg.split("\\.", 2)
+        propColOf(v, prop, vars)
+      } else if (plain(arg)) col(arg)
+      else throw new IllegalArgumentException(
+        s"$fn() needs a property or pipe column, got variable '$arg'")
+    fn.toLowerCase match {
+      case "sum" => sum(base.cast("double"))
+      case "avg" => avg(base.cast("double"))
+      case "min" => min(base)
+      case "max" => max(base)
+    }
+  }
 
   private val scalarFns = Set("coalesce", "tointeger", "tofloat", "abs", "size")
 
@@ -449,6 +484,9 @@ object CypherLite {
             else count(col(s"$a.full_name"))
           }
         (one(c.cast("long"), s"count($arg)"), true)
+      case numAggRe(fn, arg) =>
+        (one(numAggCol(fn, arg, vars, plain), s"${fn.toLowerCase}($arg)"),
+          true)
       // collect(x) gathers values per group like Neo4j's list aggregate;
       // the result is SORTED (Neo4j preserves encounter order, which is
       // not deterministic on a distributed engine — sorted is)
@@ -1040,6 +1078,11 @@ object CypherLite {
               else count(col(s"$va.full_name"))
             }
           aggs += c.cast("long").as(a)
+          plain += a
+        case numAggRe(fn, arg) =>
+          val a = alias.getOrElse(throw new IllegalArgumentException(
+            s"WITH expression needs AS alias: '$item'"))
+          aggs += numAggCol(fn, arg, vars, prevPlain).as(a)
           plain += a
         // scalar expression (arithmetic / size / coalesce / toInteger…);
         // checked BEFORE the dotted-reference case so `m.seen + 1 AS x`

@@ -28,9 +28,18 @@ object Tables {
     * division — a double roundtrip would lose precision at ns scale). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // normalize the generator's timestamp spelling-of-the-round to one
+    // TIMESTAMP (LTZ) type: TIMESTAMP(NANOS) arrives as long under
+    // nanosAsLong, timestamp[us] without a zone arrives as TIMESTAMP_NTZ.
+    // Sessions run UTC, so the NTZ→LTZ cast preserves the wall-clock
+    // AND the instant — unix_micros() here equals DuckDB's epoch_us()
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -84,10 +84,19 @@ object Streams {
     * transaction bracket, A9). Label promotion and last-write-wins hold
     * ACROSS micro-batches because every batch upserts into the persisted
     * base. foreachBatch is the right altitude: the merge itself stays a
-    * set-oriented batch job; streaming only schedules it. */
-  def graphIngest(events: Dataset[graft.model.SymbolEvent], dir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
+    * set-oriented batch job; streaming only schedules it.
+    *
+    * Pass `checkpointDir` for restart recovery: offsets commit to the
+    * checkpoint after each batch, so a restarted query resumes from the
+    * first unprocessed batch — and if the process died between the
+    * snapshot write and the offset commit, the one replayed batch
+    * re-merges the SAME events into the persisted base, which the
+    * seq-gated LWW upsert absorbs idempotently (merge(x, x) = merge(x)).
+    * Exactly-once STATE, at-least-once batch execution. */
+  def graphIngest(events: Dataset[graft.model.SymbolEvent], dir: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream
       .foreachBatch { (batch: Dataset[graft.model.SymbolEvent], _: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
@@ -107,7 +116,9 @@ object Streams {
             base.locations), dir)
         ()
       }
+    checkpointDir.fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
+  }
 
   /** Event-time sessionization with WATERMARK-driven closure — the
     * production twin of [[sessionize]], built on Spark's NATIVE

@@ -614,6 +614,59 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("A", 2L)))
   }
 
+  private lazy val d9 = {
+    val d = GraphDatabase.inMemory(spark)
+    d.addNode("t", Kind.Class, "m.A", Map("name" -> "A"))
+    d.addNode("t", Kind.Class, "m.B", Map("name" -> "B"))
+    d.addNode("t", Kind.Method, "m.A.f", Map("name" -> "f", "lines" -> "10"))
+    d.addNode("t", Kind.Method, "m.A.g", Map("name" -> "g", "lines" -> "4"))
+    d.addNode("t", Kind.Method, "m.B.h", Map("name" -> "h", "lines" -> "7"))
+    d.addEdge("t", "m.A", Rel.HasMethod, "m.A.f")
+    d.addEdge("t", "m.A", Rel.HasMethod, "m.A.g")
+    d.addEdge("t", "m.B", Rel.HasMethod, "m.B.h")
+    d.commit()
+    d
+  }
+
+  test("numeric aggregates: sum()/avg() coerce props, implicit grouping") {
+    val out = d9.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(m) " +
+        "RETURN c.name, sum(m.lines) AS total, avg(m.lines) AS mean " +
+        "ORDER BY total DESC").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq === Seq(("A", 14.0, 7.0), ("B", 7.0, 7.0)))
+  }
+
+  test("min()/max() are lexicographic on the string model") {
+    val out = d9.executeQuery(
+      "MATCH (c:CLASS {name: 'A'})-[:HAS_METHOD]->(m) " +
+        "RETURN min(m.name) AS lo, max(m.name) AS hi").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("f", "g")))
+    // the footgun the doc calls out: "10" < "4" lexicographically —
+    // numeric min is one toFloat() pipe away, not min()'s job
+    val lex = d9.executeQuery(
+      "MATCH (c:CLASS {name: 'A'})-[:HAS_METHOD]->(m) " +
+        "RETURN min(m.lines) AS lo").collect()
+    assert(lex(0).getString(0) === "10")
+  }
+
+  test("WITH pipe carries sum() and filters on it (HAVING over sums)") {
+    val out = d9.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(m) WITH c, sum(m.lines) AS total " +
+        "WHERE total > 10 RETURN c.name, total").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      Seq(("A", 14.0)))
+  }
+
+  test("numeric aggregates raise on a whole-variable argument") {
+    intercept[IllegalArgumentException] {
+      d9.executeQuery(
+        "MATCH (c:CLASS)-[:HAS_METHOD]->(m) RETURN c.name, sum(m) AS s")
+        .collect()
+    }
+  }
+
   test("WITH raises on un-aliased expressions") {
     intercept[IllegalArgumentException] {
       d7.executeQuery(
