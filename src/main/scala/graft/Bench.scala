@@ -54,6 +54,21 @@ object Bench {
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       catch { case _: Throwable => "?" }
+    // Cache reset between queries: operators cache DataFrames and (in the
+    // _gx twins) GraphX RDDs that nothing unpersists, so a long bench
+    // session accumulates storage blocks until eviction — and THEN each
+    // query's time depends on where Map iteration placed it (measured:
+    // q37_wpr_gx swung 4.4s ↔ 18.7s between subset runs purely from
+    // which queries preceded it). Resetting puts every query on the same
+    // footing: warm parquet page cache + derived tables on disk, cold
+    // in-memory cache. Within a query's 3 runs caches stay (DF cache
+    // hits by canonicalized plan — that warm reuse IS steady state).
+    def resetCacheState(): Unit = {
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    resetCacheState() // drop the warm-up scale's leftovers
     val loadStart = loadavg()
     val results = picked.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
@@ -61,6 +76,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+      resetCacheState()
       name -> times
     }
     val loadEnd = loadavg()

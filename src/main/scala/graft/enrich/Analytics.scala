@@ -119,33 +119,37 @@ object Analytics {
       java.math.BigDecimal.valueOf(x)
         .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue()
     // the weighted graphs here are Long-keyed (co-purchase partkeys) —
-    // vertex ids are the keys themselves, no hash indirection needed
+    // vertex ids are the keys themselves, no hash indirection needed.
+    // Same one-graph shape as [[pageRankGraphX]]: the vertex attr carries
+    // (rank, Σw) so each round is ONE aggregateMessages + ONE
+    // outerJoinVertices on the same vertex index (leftZipJoin path — the
+    // old double-join iterated through the slow different-indexes join),
+    // with the superseded graph unpersisted once its successor is live.
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("long"))
-    val verts = e.select(col("src")).union(e.select(col("dst"))).distinct()
-      .cache()
-    val n = verts.count().toDouble
-    val g = Graph(
-      verts.as[Long].rdd.map(v => (v, ())),
-      e.as[(Long, Long, Long)].rdd.map { case (s, d, w) => Edge(s, d, w) })
-      .cache()
+    val g = Graph.fromEdges(
+      e.as[(Long, Long, Long)].rdd.map { case (s, d, w) => Edge(s, d, w) },
+      ()).partitionBy(PartitionStrategy.EdgePartition2D)
+    // every vertex of this undirected-union graph appears in the edge
+    // list, so fromEdges' vertex set IS the oracle's wverts
+    val n = g.numVertices.toDouble
     // out-weight denominators (the wsum static state of the DF loop)
     val wsum = g.aggregateMessages[Long](ctx => ctx.sendToSrc(ctx.attr), _ + _)
     val reset = 0.15 / n
-    var ranks = g.vertices.mapValues((_, _) => r10(1.0 / n))
+    var rankGraph = g.outerJoinVertices(wsum)((_, _, ws) => ws.getOrElse(0L))
+      .mapVertices((_, ws) => (r10(1.0 / n), ws)).cache()
     for (_ <- 1 to iterations) {
-      val contribs = g
-        .outerJoinVertices(ranks)((_, _, r) => r.getOrElse(0.0))
-        .outerJoinVertices(wsum)((_, rank, ws) => (rank, ws.getOrElse(0L)))
-        .aggregateMessages[Double](
-          ctx => ctx.sendToDst(
-            ctx.srcAttr._1 * ctx.attr / ctx.srcAttr._2.toDouble),
-          _ + _)
-        .mapValues(r10 _)
-      ranks = g.vertices.leftJoin(contribs)((_, _, c) =>
-        r10(reset + 0.85 * c.getOrElse(0.0)))
+      val contribs = rankGraph.aggregateMessages[Double](
+        ctx => ctx.sendToDst(
+          ctx.srcAttr._1 * ctx.attr / ctx.srcAttr._2.toDouble),
+        _ + _).mapValues(r10 _)
+      val prev = rankGraph
+      rankGraph = rankGraph.outerJoinVertices(contribs)((_, attr, c) =>
+        (r10(reset + 0.85 * c.getOrElse(0.0)), attr._2)).cache()
+      rankGraph.vertices.count()
+      prev.unpersist(blocking = false)
     }
-    ranks.toDF("v", "pr")
+    rankGraph.vertices.mapValues((_, a) => a._1).toDF("v", "pr")
       .select(col("v"), round(col("pr"), 6).as("pagerank"))
   }
 
@@ -725,26 +729,30 @@ object Analytics {
       .as[Long].collect().toSet
     val bSrc = spark.sparkContext.broadcast(srcIds)
     val ns = srcIds.size.toDouble
-    val g = Graph(
-      names.as[(Long, String)].rdd.map { case (id, _) => (id, ()) },
+    // one-graph iteration shape (see [[pageRankGraphX]]): vertex attr =
+    // (rank, outDeg), one aggregateMessages + one same-index
+    // outerJoinVertices per round, superseded graphs unpersisted
+    val g = Graph.fromEdges(
       keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd
-        .map { case (s, d) => Edge(s, d, ()) }).cache()
-    val outDeg = g.outDegrees
+        .map { case (s, d) => Edge(s, d, ()) }, ())
+      .partitionBy(PartitionStrategy.EdgePartition2D)
     val reset = 0.15 / ns
-    var ranks = g.vertices.mapValues((id, _) =>
-      if (bSrc.value(id)) r10(1.0 / ns) else 0.0)
+    var rankGraph = g.outerJoinVertices(g.outDegrees)((_, _, d) =>
+      d.getOrElse(0))
+      .mapVertices((id, d) =>
+        (if (bSrc.value(id)) r10(1.0 / ns) else 0.0, d)).cache()
     for (_ <- 1 to iterations) {
-      val contribs = g
-        .outerJoinVertices(ranks)((_, _, r) => r.getOrElse(0.0))
-        .outerJoinVertices(outDeg)((_, rank, deg) => (rank, deg.getOrElse(0)))
-        .aggregateMessages[Double](
-          ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2.toDouble),
-          _ + _)
-        .mapValues(r10 _)
-      ranks = g.vertices.leftJoin(contribs)((id, _, c) =>
-        r10((if (bSrc.value(id)) reset else 0.0) + 0.85 * c.getOrElse(0.0)))
+      val contribs = rankGraph.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2.toDouble),
+        _ + _).mapValues(r10 _)
+      val prev = rankGraph
+      rankGraph = rankGraph.outerJoinVertices(contribs)((id, attr, c) =>
+        (r10((if (bSrc.value(id)) reset else 0.0) + 0.85 * c.getOrElse(0.0)),
+          attr._2)).cache()
+      rankGraph.vertices.count()
+      prev.unpersist(blocking = false)
     }
-    ranks.toDF("id", "pr")
+    rankGraph.vertices.mapValues((_, a) => a._1).toDF("id", "pr")
       .join(names, "id")
       .select(col("name").as("v"), round(col("pr"), 6).as("ppr"))
   }
