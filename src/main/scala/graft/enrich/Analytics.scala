@@ -620,11 +620,13 @@ object Analytics {
     while (changed && i < maxIter) {
       val before = g.numEdges
       val deg = g.degrees
+      val prev = g
       g = g.outerJoinVertices(deg)((_, _, d) => d.getOrElse(0))
         .subgraph(vpred = (_, d) => d >= k)
         .mapVertices((_, _) => ())
       g.cache()
-      changed = g.numEdges != before
+      changed = g.numEdges != before // numEdges materializes the new graph
+      prev.unpersist(blocking = false) // round 0's uncached base: no-op
       i += 1
     }
     g.degrees.toDF("id", "deg")
@@ -823,22 +825,30 @@ object Analytics {
     val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
       .distinct()
+    // each round's graph is cached and materialized before the previous
+    // one is dropped: without the cache, round i's aggregateMessages AND
+    // outerJoinVertices each re-evaluate the whole chain below them —
+    // ~2× recompute per level, 2^k over the unroll (the same fix as
+    // [[pageRankGraphX]]'s one-graph iteration)
     var g = Graph.fromEdges(
       und.as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) },
-      defaultValue = 0L, edgeStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
-      vertexStorageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .mapVertices((id, _) => id)
+      defaultValue = 0L)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+      .mapVertices((id, _) => id).cache()
     for (_ <- 1 to iterations) {
       val votes = g.aggregateMessages[Map[Long, Long]](
         ctx => ctx.sendToDst(Map(ctx.srcAttr -> 1L)),
         (a, b) => (a.keySet ++ b.keySet).iterator
           .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
+      val prev = g
       g = g.outerJoinVertices(votes) { (_, old, opt) =>
         opt.map { m =>
           val mx = m.values.max
           m.collect { case (l, c) if c == mx => l }.min
         }.getOrElse(old)
-      }
+      }.cache()
+      g.vertices.count()
+      prev.unpersist(blocking = false)
     }
     g.vertices.toDF("v", "community")
   }

@@ -343,4 +343,26 @@ object Corpus {
     }
     docs.filter(rollingHash(key.cast("string")) % 100 < rate)
   }
+
+  /** Deterministic train/val/test assignment by key hash — the split
+    * every training pipeline needs to be STABLE across re-runs,
+    * incremental ingests, and engines: a document's split follows its id
+    * forever (append-only corpora never reshuffle history, leakage
+    * audits can recompute membership anywhere). `rollingHash(key) %
+    * 1000` buckets; [0, 10·trainPct) → train, the next 10·valPct →
+    * val, the rest → test. A pure narrow map: no shuffle, no RNG, the
+    * split of 100 TB costs one scan.
+    *
+    * Returns the input plus (bucket, split). */
+  def splitAssign(docs: DataFrame, key: Column,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    val bucket = rollingHash(key.cast("string")) % 1000
+    docs.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct * 10, "train")
+          .when(col("bucket") < (trainPct + valPct) * 10, "val")
+          .otherwise("test"))
+  }
 }

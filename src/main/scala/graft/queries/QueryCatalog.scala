@@ -2609,6 +2609,25 @@ object QueryCatalog {
        |  FROM h) WHERE rk <= 5""".stripMargin
   }
 
+  /** p_split_assign — deterministic hash-stable train/val/test split
+    * ([[graft.pipeline.Corpus.splitAssign]]): a doc's split follows its
+    * id across re-runs, incremental ingests, and engines (the oracle
+    * recomputes membership from scratch and must land on identical
+    * buckets). 90/5/5 over the documents table. */
+  val pSplitAssign: Q = (s, d) =>
+    graft.pipeline.Corpus.splitAssign(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+
+  val pSplitAssignSql: String = {
+    val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(doc_id::VARCHAR, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
+    s"""SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 900 THEN 'train'
+       |       WHEN bucket < 950 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, $rollh % 1000 AS bucket FROM documents)""".stripMargin
+  }
+
   /** q38 — null-safe join and null-aware grouping: order priorities are
     * nulled out for one class (via nullif), then joined back to a small
     * dimension with NULL-SAFE equality (Spark `<=>` ≡ SQL IS NOT
@@ -3574,6 +3593,45 @@ object QueryCatalog {
         md5(col("redacted")).as("redacted_md5"))
   }
 
+  /** st_dedup — [[graft.streaming.Streams.streamingExactDedup]] through
+    * the micro-batch replay harness: documents stream in doc_id order
+    * (synthetic event time = epoch + doc_id seconds, all within the 1 h
+    * watermark so dedup state never expires mid-replay) and the query
+    * must emit EXACTLY one row per distinct text. The gate projects the
+    * fingerprint only: which duplicate survives inside a micro-batch is
+    * engine-scheduling dependent (dropDuplicates keeps an arbitrary
+    * first), but the emitted fingerprint SET is not. */
+  val stDedup: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val withTs = mem.toDF().toDF("doc_id", "text")
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val out = Streams.streamingExactDedup(withTs, watermark = "1 hour")
+    val name = s"st_dedup_out_${stSinkSeq.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // the corpus streams through TWICE: the second pass arrives in
+      // later micro-batches and must be dropped row-for-row against the
+      // first pass's state — the cross-batch dedup path the gate exists
+      // for (the synthetic corpus itself has no exact duplicates)
+      (docs ++ docs).grouped(math.max(1, docs.length / 3 + 1)).foreach {
+        chunk =>
+          mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name).select(col("fingerprint"))
+  }
+
+  val stDedupSql: String =
+    "SELECT DISTINCT md5(text) AS fingerprint FROM documents"
+
   lazy val stScreenSql: String = {
     val (e, i, p) = (Corpus.emailRe, Corpus.ipv4Re, Corpus.phoneRe)
     s"""WITH aug AS (SELECT doc_id, text || ' Contact user' || doc_id ||
@@ -3774,6 +3832,7 @@ object QueryCatalog {
     "q51_linkpred" -> q51LinkPred,
     "q52_hybrid" -> q52Hybrid,
     "p_pack_split" -> pPackSplit,
+    "p_split_assign" -> pSplitAssign,
     "d_priority_dedup" -> dPriorityDedup,
     "g_b10_cypher" -> gB10Cypher,
     "t_cms_topk" -> tCmsTopk,
@@ -3807,6 +3866,7 @@ object QueryCatalog {
     "st_session" -> stSession,
     "st_ingest" -> stIngest,
     "st_screen" -> stScreen,
+    "st_dedup" -> stDedup,
     "st_cms" -> stCms,
     "q46_btw" -> q46Btw,
   )
@@ -3920,6 +3980,7 @@ object QueryCatalog {
     "q51_linkpred" -> q51LinkPredSql,
     "q52_hybrid" -> q52HybridSql,
     "p_pack_split" -> pPackSplitSql,
+    "p_split_assign" -> pSplitAssignSql,
     "d_priority_dedup" -> dPriorityDedupSql,
     "g_b10_cypher" -> gB10CypherSql,
     "t_cms_topk" -> tCmsTopkSql,
@@ -3953,6 +4014,7 @@ object QueryCatalog {
     "st_session" -> stSessionSql,
     "st_ingest" -> stIngestSql,
     "st_screen" -> stScreenSql,
+    "st_dedup" -> stDedupSql,
     "st_cms" -> stCmsSql,
     "q46_btw" -> q46BtwSql,
   )

@@ -155,4 +155,30 @@ class CorpusSpec extends AnyFunSuite {
     // reference docs are never scored; no zero-bigram rows appear
     assert(!out.contains(0L) && !out.contains(5L))
   }
+
+  test("splitAssign: deterministic, exhaustive, id-stable under append") {
+    val docs = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val out = Corpus.splitAssign(docs, col("doc_id"))
+      .select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length === 200)
+    // every row lands in exactly one split, consistent with its bucket
+    out.foreach { case (_, b, s) =>
+      assert(b >= 0 && b < 1000)
+      val expect = if (b < 900) "train" else if (b < 950) "val" else "test"
+      assert(s === expect)
+    }
+    // id-stability: the same doc in a 10x larger corpus keeps its split —
+    // the property that makes the assignment append-safe and auditable
+    val more = (1L to 2000L).map(i => (i, s"other $i")).toDF("doc_id", "text")
+    val again = Corpus.splitAssign(more, col("doc_id"))
+      .filter(col("doc_id") <= 200)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val first = out.map(r => r._1 -> r._3).toMap
+    assert(again === first)
+    // percentage knobs are validated
+    intercept[IllegalArgumentException] {
+      Corpus.splitAssign(docs, col("doc_id"), trainPct = 98, valPct = 5)
+    }
+  }
 }
