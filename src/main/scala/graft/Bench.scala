@@ -65,8 +65,15 @@ object Bench {
     // hits by canonicalized plan — that warm reuse IS steady state).
     def resetCacheState(): Unit = {
       spark.sqlContext.clearCache()
+      // blocking: the storage drop runs to completion HERE, in the
+      // untimed gap, instead of racing the next query's first stages;
+      // the GC pass lets the ContextCleaner reap dead shuffle/broadcast
+      // state so a 130-query session doesn't progressively degrade
+      // (isolated subset runs measured g_b11_json at 0.21s vs 4.4s for
+      // the same query late in an accumulating full run)
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
     }
     resetCacheState() // drop the warm-up scale's leftovers
     val loadStart = loadavg()

@@ -194,7 +194,7 @@ object CypherLite {
     * quotes don't count (prop values may contain commas/colons), and a
     * backslash inside quotes escapes the next char (so `'it\'s'` is one
     * literal). */
-  private def splitTop(s: String, sep: String): Seq[String] = {
+  private[api] def splitTop(s: String, sep: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var quote: Char = 0
@@ -224,7 +224,7 @@ object CypherLite {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  private def unquote(v: String): String = {
+  private[api] def unquote(v: String): String = {
     val t = v.trim
     if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
         (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
@@ -233,7 +233,7 @@ object CypherLite {
     else t
   }
 
-  private def parseProps(s: String): Map[String, String] =
+  private[api] def parseProps(s: String): Map[String, String] =
     if (s == null || s.trim.isEmpty) Map.empty
     else splitTop(s.trim.stripPrefix("{").stripSuffix("}"), ",").iterator
       .map { kv =>

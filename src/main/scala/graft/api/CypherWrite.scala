@@ -1,0 +1,163 @@
+package graft.api
+
+import graft.model.Kind
+
+/** The WRITE side of `execute_query` — the Cypher statements the
+  * reference itself issues against its store, parsed into typed
+  * mutations that route to the [[GraphDatabase]] write API (which owns
+  * the A1–A6 semantics):
+  *
+  *  - `MATCH (n) DETACH DELETE n`                     → clear database
+  *    (graphDB.py:104)
+  *  - `MATCH (n:`task`) DETACH DELETE n`              → clear task data
+  *    (graphDB.py:98)
+  *  - `MATCH (n:none {full_name: 'x'}) REMOVE n:none SET n:LABEL`
+  *    → the `none`→kind promotion (graphDB.py:86-88, A2)
+  *  - `CREATE (n:KIND:task {full_name: 'x', k: 'v'})` and
+  *    `MERGE (n:KIND:task {full_name: 'x'}) [SET n.k = 'v', …]`
+  *    → node upsert (py2neo `graph.create`/`push` spelling of
+  *    add_node, graphDB.py:121-131; both routes hit A1/A2 merge
+  *    semantics — in this single-key model CREATE of an existing key
+  *    upserts, as add_node does)
+  *  - `MATCH (n {full_name: 'x'}) SET n.k = 'v', …`   → prop-only update
+  *    of an EXISTING node (update_node, graphDB.py:114-119, A3 —
+  *    missing node is a no-op)
+  *  - `MERGE (a:task {full_name: 'x'})-[:REL {k:'v'}]->(b {full_name: 'y'})`
+  *    → edge upsert with endpoint stubs (add_edge, graphDB.py:133-152,
+  *    A4); the task label may sit on either endpoint
+  *
+  * Labels on a node pattern split by vocabulary: a member of
+  * [[Kind.all]] is the kind, anything else is a task id. Node
+  * creation requires a task label (the reference's handler always
+  * carries `task_id`); parameterized queries (`$full_name`) raise —
+  * inline the literal, there is no session parameter map.
+  *
+  * [[parse]] returns None for anything that is not a write statement —
+  * the caller then plans it as a read via [[CypherLite]]. Malformed
+  * WRITE-keyword statements raise rather than falling through (a
+  * mistyped DELETE must not silently become a read-parse error later).
+  */
+object CypherWrite {
+
+  sealed trait Stmt
+  case object ClearAll extends Stmt
+  final case class ClearLabel(label: String) extends Stmt
+  final case class Promote(fullName: String, newKind: String) extends Stmt
+  final case class UpsertNode(task: String, kind: String, fullName: String,
+      props: Map[String, String]) extends Stmt
+  final case class UpdateProps(fullName: String,
+      props: Map[String, String]) extends Stmt
+  final case class UpsertEdge(task: String, src: String, relType: String,
+      dst: String, props: Map[String, String]) extends Stmt
+
+  // `(var[:lbl[:lbl…]] [{props}])` — labels may be backticked (the
+  // reference backticks task ids, graphDB.py:98); props literal is
+  // non-greedy up to the closing braceless paren
+  private val nodePat =
+    """\(\s*(\w+)((?:\s*:\s*`?[\w./\-]+`?)*)\s*(\{.*?\})?\s*\)"""
+  private val clearAllRe =
+    """(?is)^\s*MATCH\s*\(\s*(\w+)\s*\)\s*DETACH\s+DELETE\s+(\w+)\s*$""".r
+  private val clearLabelRe =
+    ("""(?is)^\s*MATCH\s*\(\s*(\w+)\s*:\s*`?([\w./\-]+)`?\s*\)\s*""" +
+      """DETACH\s+DELETE\s+(\w+)\s*$""").r
+  private val promoteRe =
+    ("""(?is)^\s*MATCH\s*\(\s*(\w+)\s*:\s*none\s*\{\s*full_name\s*:\s*""" +
+      """('[^']*'|"[^"]*")\s*\}\s*\)\s*REMOVE\s+(\w+)\s*:\s*none\s+""" +
+      """SET\s+(\w+)\s*:\s*`?([\w./\-]+)`?\s*$""").r
+  private val nodeWriteRe =
+    (s"""(?is)^\\s*(CREATE|MERGE)\\s*$nodePat\\s*(SET\\s+.+?)?\\s*$$""").r
+  private val updateRe =
+    (s"""(?is)^\\s*MATCH\\s*$nodePat\\s*(SET\\s+.+?)\\s*$$""").r
+  private val edgeWriteRe =
+    (s"""(?is)^\\s*(CREATE|MERGE)\\s*$nodePat\\s*-\\s*\\[\\s*:\\s*""" +
+      s"""(\\w+)\\s*(\\{.*?\\})?\\s*\\]\\s*->\\s*$nodePat\\s*$$""").r
+
+  private def labelsOf(spec: String): Seq[String] =
+    if (spec == null) Seq.empty
+    else spec.split(":").iterator.map(_.trim.stripPrefix("`").stripSuffix("`"))
+      .filter(_.nonEmpty).toSeq
+
+  /** (kind, task labels) — kind defaults to `none` exactly as
+    * _create_node does for a missing label (graphDB.py:73-75). */
+  private def splitLabels(labels: Seq[String]): (String, Seq[String]) = {
+    val (kinds, tasks) = labels.partition(l => Kind.all.contains(l))
+    require(kinds.size <= 1, s"multiple kind labels: ${kinds.mkString(", ")}")
+    (kinds.headOption.getOrElse(Kind.None_), tasks)
+  }
+
+  private def noParams(s: String): String = {
+    require(!s.contains("$"),
+      "parameterized Cypher not supported — inline the literal")
+    s
+  }
+
+  /** `SET v.k = 'x', v.j = 'y'` → props map; every target must dot the
+    * bound variable. */
+  private def parseSetItems(set: String, v: String): Map[String, String] =
+    CypherLite.splitTop(noParams(set).trim.replaceAll("(?is)^SET\\s+", ""), ",")
+      .map { item =>
+        val m = """(?s)^\s*(\w+)\.(\w+)\s*=\s*(.+?)\s*$""".r
+          .findFirstMatchIn(item)
+          .getOrElse(throw new IllegalArgumentException(
+            s"unsupported SET item '$item' (expected $v.prop = <literal>)"))
+        require(m.group(1) == v,
+          s"SET target '${m.group(1)}' is not the bound variable '$v'")
+        m.group(2) -> CypherLite.unquote(m.group(3))
+      }.toMap
+
+  private def propsOf(lit: String): Map[String, String] =
+    if (lit == null) Map.empty else CypherLite.parseProps(noParams(lit))
+
+  private def fullNameOf(props: Map[String, String], what: String): String =
+    props.getOrElse("full_name", throw new IllegalArgumentException(
+      s"$what pattern needs a full_name prop (the reference's node key)"))
+
+  /** Some(stmt) when `q` is a supported write statement; None when it is
+    * not write-shaped at all. Write-shaped but malformed raises. */
+  def parse(q: String): Option[Stmt] = q match {
+    case clearAllRe(v, v2) =>
+      require(v == v2, s"DETACH DELETE '$v2' does not match bound '$v'")
+      Some(ClearAll)
+    case clearLabelRe(v, label, v2) =>
+      require(v == v2, s"DETACH DELETE '$v2' does not match bound '$v'")
+      Some(ClearLabel(label))
+    case promoteRe(v, fn, v2, v3, label) =>
+      require(v == v2 && v == v3, "REMOVE/SET must target the bound variable")
+      Some(Promote(CypherLite.unquote(noParams(fn)), label))
+    case edgeWriteRe(_, _, aLabels, aProps, rel, rProps, _, bLabels, bProps) =>
+      val (_, aTasks) = splitLabels(labelsOf(aLabels))
+      val (_, bTasks) = splitLabels(labelsOf(bLabels))
+      val task = (aTasks ++ bTasks).headOption.getOrElse(
+        throw new IllegalArgumentException(
+          "edge MERGE needs a task label on an endpoint (stub attribution)"))
+      Some(UpsertEdge(task,
+        fullNameOf(propsOf(aProps), "start node"), rel,
+        fullNameOf(propsOf(bProps), "end node"), propsOf(rProps)))
+    case nodeWriteRe(_, v, labelSpec, propLit, set) =>
+      val (kind, tasks) = splitLabels(labelsOf(labelSpec))
+      require(tasks.nonEmpty,
+        "node CREATE/MERGE needs a task label (the reference's handler " +
+          "always writes under a task_id)")
+      val props = propsOf(propLit) ++
+        Option(set).map(parseSetItems(_, v)).getOrElse(Map.empty)
+      Some(UpsertNode(tasks.head, kind, fullNameOf(props, "node") ,
+        props - "full_name"))
+    case updateRe(v, labelSpec, propLit, set) =>
+      // a labeled MATCH-SET is still an A3 update; the label is a match
+      // constraint the single-key model already guarantees via full_name
+      val props = propsOf(propLit)
+      Some(UpdateProps(fullNameOf(props, "update"),
+        parseSetItems(set, v)))
+    case _ =>
+      // a statement HEADED by a write keyword must not silently fall
+      // through to the read parser; DETACH DELETE / REMOVE inside quoted
+      // prop values stay untouched (only the head is inspected), and an
+      // unquoted one will raise in CypherLite's read parse anyway
+      val head = q.trim.takeWhile(!_.isWhitespace).toUpperCase
+      require(head != "CREATE" && head != "MERGE",
+        s"unsupported write statement: $q")
+      // `MATCH … SET` that fell through (e.g. missing full_name) raises
+      // in the branches above; a plain MATCH…RETURN lands here → a read
+      None
+  }
+}

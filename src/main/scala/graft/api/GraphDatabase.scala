@@ -273,11 +273,48 @@ final class GraphDatabase private (
       .filter(dstPred)
   }
 
+  /** The `none`→kind promotion as the reference's explicit Cypher issues
+    * it (`MATCH (n:none {full_name}) REMOVE n:none SET n:LABEL`,
+    * graphDB.py:86-88): only a node currently holding the placeholder
+    * kind promotes; anything else is untouched (A2). */
+  def promoteNodeKind(fullName: String, newKind: String): Unit = synchronized {
+    autoFlush()
+    snap = GraphSnapshot(
+      snap.nodes.withColumn("kind",
+        when(col("full_name") === fullName && col("kind") === Kind.None_,
+          newKind).otherwise(col("kind"))),
+      snap.edges, snap.locations)
+    dir.foreach(d => Snapshot.write(snap, d))
+  }
+
   /** B10 — `execute_query` for the reference's observed Cypher shapes
     * (graphDB.py:106-112; full Cypher delegated to Neo4j there, subset
-    * parsed natively here — SURVEY.md §7.3). */
+    * parsed natively here — SURVEY.md §7.3). WRITE statements (the
+    * shapes the reference's own handler issues — see [[CypherWrite]])
+    * route to the typed write API and return an empty frame, exactly
+    * the no-records result `graph.run` gives a write. */
   def executeQuery(cypher: String): DataFrame =
-    { val n = nodes; CypherLite.execute(n, snap.edges, cypher) }
+    CypherWrite.parse(cypher) match {
+      case Some(st) =>
+        st match {
+          case CypherWrite.ClearAll => clearDatabase()
+          case CypherWrite.ClearLabel(l) =>
+            // the reference only issues this for task labels
+            // (graphDB.py:96-100); deleting by KIND would need different
+            // semantics, so refuse rather than silently no-op
+            require(!Kind.all.contains(l),
+              s"DETACH DELETE by kind label '$l' not supported (task labels only)")
+            clearTaskData(l)
+          case CypherWrite.Promote(fn, k) => promoteNodeKind(fn, k)
+          case CypherWrite.UpsertNode(task, kind, fn, props) =>
+            addNode(task, kind, fn, props)
+          case CypherWrite.UpdateProps(fn, props) => updateNode(fn, props)
+          case CypherWrite.UpsertEdge(task, s, r, d, props) =>
+            addEdge(task, s, r, d, props)
+        }
+        spark.emptyDataFrame
+      case None => { val n = nodes; CypherLite.execute(n, snap.edges, cypher) }
+    }
 
   /** The reference's swallow-errors query behavior (graphDB.py:106-112:
     * any failure → `''`): unparseable/failing queries yield an EMPTY

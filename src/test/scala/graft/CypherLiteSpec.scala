@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.api.GraphDatabase
 import graft.model._
 
@@ -664,6 +665,68 @@ class CypherLiteSpec extends AnyFunSuite {
       d9.executeQuery(
         "MATCH (c:CLASS)-[:HAS_METHOD]->(m) RETURN c.name, sum(m) AS s")
         .collect()
+    }
+  }
+
+  test("write Cypher: CREATE/MERGE/SET/promotion/DELETE route to the " +
+      "typed write API with reference semantics") {
+    val d = GraphDatabase.inMemory(spark)
+    // CREATE with kind+task labels and props (py2neo create spelling)
+    assert(d.executeQuery(
+      "CREATE (n:CLASS:tw {full_name: 'm.A', name: 'A'})").count() === 0)
+    // MERGE + SET upserts props on the same key (add_node's update path)
+    d.executeQuery("MERGE (n:CLASS:tw {full_name: 'm.A'}) SET n.code = 'class A:'")
+    // edge MERGE stubs the unknown endpoint as `none` (A4)
+    d.executeQuery(
+      "MERGE (a:tw {full_name: 'm.A'})-[:INHERITS]->(b {full_name: 'm.B'})")
+    val kinds = d.nodes.select("full_name", "kind")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kinds === Map("m.A" -> Kind.Class, "m.B" -> Kind.None_))
+    // explicit promotion Cypher (graphDB.py:86-88): none → CLASS
+    d.executeQuery(
+      "MATCH (n:none {full_name: 'm.B'}) REMOVE n:none SET n:CLASS")
+    assert(d.nodes.filter(col("full_name") === "m.B")
+      .select("kind").head().getString(0) === Kind.Class)
+    // a second promotion attempt is a no-op (kind is no longer none)
+    d.executeQuery(
+      "MATCH (n:none {full_name: 'm.B'}) REMOVE n:none SET n:METHOD")
+    assert(d.nodes.filter(col("full_name") === "m.B")
+      .select("kind").head().getString(0) === Kind.Class)
+    // MATCH-SET is A3: existing node patches, missing node is a NO-OP
+    d.executeQuery("MATCH (n {full_name: 'm.A'}) SET n.sig = 'x', n.v = '2'")
+    d.executeQuery("MATCH (n {full_name: 'm.GHOST'}) SET n.v = '9'")
+    assert(d.nodes.count() === 2)
+    val aProps = d.executeQuery(
+      "MATCH (n:tw {full_name: 'm.A'}) RETURN n.code, n.sig, n.v").head()
+    assert((aProps.getString(0), aProps.getString(1), aProps.getString(2))
+      === (("class A:", "x", "2")))
+    // task-scoped DETACH DELETE clears the task's nodes (A5)
+    d.executeQuery("MATCH (n:`tw`) DETACH DELETE n")
+    assert(d.nodes.count() === 0)
+    // full clear (A6)
+    d.executeQuery("CREATE (n:CLASS:tw2 {full_name: 'm.C'})")
+    d.executeQuery("MATCH (n) DETACH DELETE n")
+    assert(d.nodes.count() === 0)
+  }
+
+  test("write Cypher rejects malformed writes instead of reading them") {
+    val d = GraphDatabase.inMemory(spark)
+    // node write without a task label
+    intercept[IllegalArgumentException] {
+      d.executeQuery("CREATE (n:CLASS {full_name: 'm.X'})")
+    }
+    // parameterized statement
+    intercept[IllegalArgumentException] {
+      d.executeQuery(
+        "MATCH (n:none {full_name: $full_name}) REMOVE n:none SET n:CLASS")
+    }
+    // DETACH DELETE by kind label
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MATCH (n:CLASS) DETACH DELETE n")
+    }
+    // write keyword head with unsupported body
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MERGE (a)-[:R]->(b) ON CREATE SET a.x = '1'")
     }
   }
 
