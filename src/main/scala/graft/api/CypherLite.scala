@@ -87,8 +87,10 @@ object CypherLite {
   // star spec stops at `{` or `]`; an optional props literal follows (its
   // greedy `.*` may span quoted text — the closing `]->` anchor bounds it).
   // An optional leading variable (`[r:REL]`) binds the relationship.
-  private val fwdArrow = """^-\s*\[\s*(\w+)?\s*:(\w+)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*->$""".r
-  private val bwdArrow = """^<-\s*\[\s*(\w+)?\s*:(\w+)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*-$""".r
+  // rel spec allows Neo4j's type ALTERNATION `:A|B|C` (matched edges may
+  // be of any listed type — one scan filter, not a union)
+  private val fwdArrow = """^-\s*\[\s*(\w+)?\s*:(\w+(?:\s*\|\s*\w+)*)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*->$""".r
+  private val bwdArrow = """^<-\s*\[\s*(\w+)?\s*:(\w+(?:\s*\|\s*\w+)*)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*-$""".r
 
   /** Hard cap on variable-length expansion: each extra hop is another
     * self-join of the edge table, so an unbounded (or huge) `*` would be
@@ -754,13 +756,19 @@ object CypherLite {
     def isVarLength: Boolean = !(minHops == 1 && maxHops == 1)
   }
 
-  /** Edge scan for one hop: rel-type plus any relationship-property
-    * equalities (`-[:R {k: 'v'}]->`); on a var-length hop the props apply
-    * to EVERY relationship of the path, Neo4j's semantics. */
-  private def hopEdges(edges: DataFrame, hop: Hop): DataFrame =
-    edges.filter(hop.props.foldLeft(col("rel_type") === hop.rel) {
+  /** Edge scan for one hop: rel-type (or `A|B` alternation) plus any
+    * relationship-property equalities (`-[:R {k: 'v'}]->`); on a
+    * var-length hop the props apply to EVERY relationship of the path,
+    * Neo4j's semantics. */
+  private def hopEdges(edges: DataFrame, hop: Hop): DataFrame = {
+    val types = hop.rel.split("\\|").map(_.trim)
+    val typePred =
+      if (types.length == 1) col("rel_type") === types(0)
+      else col("rel_type").isin(types.toSeq: _*)
+    edges.filter(hop.props.foldLeft(typePred) {
       case (acc, (k, v)) => acc && element_at(col("props"), k) === v
     }).select(col("src"), col("rel_type"), col("dst"), col("props"))
+  }
 
   /** A scanned node pattern `(v:L1:L2 {props})`: [start, end) span in the
     * pattern text plus the parsed pieces. */
@@ -917,8 +925,130 @@ object CypherLite {
     * the left-join condition (Neo4j attaches WHERE to the preceding
     * MATCH, so a non-matching-or-filtered row null-extends rather than
     * dropping). */
+  /** Safety bound on shortestPath BFS depth for an unbounded `*`: the
+    * loop stops at the reachability fixpoint anyway (an empty frontier),
+    * so this only caps pathological deep chains. */
+  private val spathMaxDepth = 32
+
+  /** `MATCH p = shortestPath((a…)-[:R|S*…]->(b…)) [WHERE …] RETURN …` —
+    * Neo4j's one-shortest-path-per-endpoint-pair operator. UNBOUNDED `*`
+    * is allowed HERE (unlike plain var-length patterns, which enumerate
+    * every path): a breadth-first frontier fixpoint costs one
+    * edges⋈frontier join per level — linear, not combinatorial — and
+    * `length(p)` is the level at which each endpoint pair first met.
+    * Both arrow directions, rel-type alternation, per-edge rel props,
+    * `*`/`*..n`/`*m..n`/`*m..` specs (min 0 = Neo4j's bind-same-node,
+    * the zero-length row appearing when the start also satisfies the
+    * end pattern). The path variable exists ONLY for `length(p)` —
+    * node/relationship list projections of `p` are not modeled. */
+  private def executeShortestPath(nodes: DataFrame, edges: DataFrame,
+      q: String, spIdx: Int): DataFrame = {
+    val open = q.indexOf('(', spIdx)
+    require(open > 0, s"malformed shortestPath: $q")
+    // balanced-paren scan (quote-aware) for the pattern's closing paren
+    var depth = 0; var j = open; var close = -1; var quote: Char = 0
+    while (j < q.length && close < 0) {
+      val c = q.charAt(j)
+      if (quote != 0) { if (c == '\\') j += 1 else if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) close = j }
+      j += 1
+    }
+    require(close > 0, s"unbalanced shortestPath parens: $q")
+    val inner = q.substring(open + 1, close)
+    val tail = q.substring(close + 1).trim
+    val pVar = q.substring(0, spIdx).trim
+      .replaceAll("(?is)^MATCH\\s+", "").replaceAll("\\s*=\\s*$", "").trim
+    require(pVar.matches("""\w+"""), s"malformed path variable in: $q")
+
+    val pats = scanNodes(inner)
+    require(pats.size == 2,
+      s"shortestPath needs exactly (a)-[…]->(b), got ${pats.size} nodes: $q")
+    val Seq(aPat, bPat) = pats
+    val arrow = inner.substring(aPat.end, bPat.start).trim
+    val (relSpec, reversed, star, relProps) = arrow match {
+      case fwdArrow(v, rel, st, pr) =>
+        require(v == null, s"relationship variable in shortestPath: $q")
+        (rel, false, st, pr)
+      case bwdArrow(v, rel, st, pr) =>
+        require(v == null, s"relationship variable in shortestPath: $q")
+        (rel, true, st, pr)
+      case other => throw new IllegalArgumentException(
+        s"unsupported shortestPath relationship '$other'")
+    }
+    require(star != null,
+      s"shortestPath needs a variable-length relationship (add *): $q")
+    // lenient star grammar: `*` | `*n` | `*..n` | `*m..n` | `*m..`
+    val body = star.stripPrefix("*").trim
+    val (minH, maxH) =
+      if (body.isEmpty) (1, spathMaxDepth)
+      else if (body.contains("..")) {
+        val parts = body.split("\\.\\.", -1).map(_.trim)
+        require(parts.length == 2, s"malformed spec '$star'")
+        (if (parts(0).isEmpty) 1 else parts(0).toInt,
+          if (parts(1).isEmpty) spathMaxDepth
+          else math.min(parts(1).toInt, spathMaxDepth))
+      } else (body.toInt, math.min(body.toInt, spathMaxDepth))
+    require(minH >= 0 && minH <= maxH, s"empty hop range '$star'")
+
+    val hop = Hop(relSpec, reversed, 1, 1,
+      Option(relProps).map(parseProps).getOrElse(Map.empty))
+    val scan = hopEdges(edges, hop)
+    val e = (if (reversed)
+        scan.select(col("dst").as("src"), col("src").as("dst"))
+      else scan.select(col("src"), col("dst")))
+      .repartition(col("src")).localCheckpoint(eager = true)
+
+    // multi-source frontier BFS keyed by the start node: settled(s, v, d)
+    // holds the first (= shortest) level each (start, vertex) pair met
+    var frontier = nodes.filter(nodePred(aPat.labels, aPat.props))
+      .select(col("full_name").as("s"))
+      .withColumn("v", col("s")).withColumn("d", lit(0L))
+      .localCheckpoint(eager = true)
+    var settled = frontier
+    var i = 1
+    var done = frontier.isEmpty
+    while (i <= maxH && !done) {
+      val nxt = e.join(frontier.select(col("s"), col("v").as("src")), "src")
+        .select(col("s"), col("dst").as("v")).distinct()
+        .join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
+        .select(col("s"), col("v"), lit(i.toLong).as("d"))
+        .localCheckpoint(eager = false)
+      if (nxt.count() == 0L) done = true
+      else { settled = settled.unionByName(nxt); frontier = nxt; i += 1 }
+    }
+
+    val paths = settled.filter(col("d") >= minH && col("d") <= maxH)
+    val vars = Map(aPat.v -> "n0", bPat.v -> "n1")
+    var df = paths
+      .join(nodes.alias("n0"), col("n0.full_name") === col("s"))
+      .join(nodes.filter(nodePred(bPat.labels, bPat.props)).alias("n1"),
+        col("n1.full_name") === col("v"))
+      .withColumn("__plen", col("d"))
+
+    var rest = tail
+    val retIdx2 = topLevelKeyword(rest, "RETURN")
+    require(retIdx2 >= 0, s"shortestPath needs a RETURN clause: $q")
+    val whereIdx = topLevelKeyword(rest, "WHERE")
+    if (whereIdx >= 0 && whereIdx < retIdx2)
+      df = df.filter(parseWhere(
+        rest.substring(whereIdx + 5, retIdx2).trim, matchScope(vars)))
+    // length(p) projects the BFS level — rewrite to the plain column so
+    // the ordinary RETURN machinery (aliases, ORDER BY, aggregates over
+    // it) applies unchanged
+    val ret = rest.substring(retIdx2 + 6).trim
+      .replaceAll("(?i)\\blength\\(\\s*" + java.util.regex.Pattern.quote(pVar)
+        + "\\s*\\)", "__plen")
+    shapeResult(df, ret, vars, Set("__plen"))
+  }
+
   def execute(nodes: DataFrame, edges: DataFrame, query: String): DataFrame = {
     val q = query.trim
+    locally {
+      val spIdx = topLevelKeyword(q, "shortestPath")
+      if (spIdx >= 0) return executeShortestPath(nodes, edges, q, spIdx)
+    }
     // quote-aware clause split (not regex): keywords inside a quoted
     // prop literal — likely in code/signature text — must not terminate
     // the pattern

@@ -271,7 +271,10 @@ object QueryCatalog {
     * graph tables, with the oracle as plain SQL over the same CTEs. The
     * parser's output is a DataFrame plan like any other — this gates the
     * whole parse→plan→execute path, not just parser unit cases. */
-  val gB10Cypher: Q = (s, d) => {
+  /** The derived star-schema graph in the node/edge shape CypherLite
+    * executes against (the graph model's fixed columns + props map). */
+  private def cypherTables(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val n = nodes(s, d).select(col("full_name"), col("label").as("kind"),
       col("name"), lit(null).cast("string").as("file_path"),
       lit(null).cast("string").as("signature"),
@@ -281,12 +284,41 @@ object QueryCatalog {
       map(lit("bal"), col("prop_num").cast("string")).as("props"))
     val e = edges(s, d).select(col("src"), col("rel_type"), col("dst"),
       map().cast("map<string,string>").as("props"))
+    (n, e)
+  }
+
+  val gB10Cypher: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
     graft.api.CypherLite.execute(n, e,
       "MATCH (c:CUSTOMER)-[r:IN_NATION]->(n:NATION) " +
         "WITH n, count(r) AS members WHERE members > 50 " +
         "RETURN n.name AS nation, members, members * 2 + 1 AS doubled, " +
         "size(n.name) + members AS score ORDER BY members DESC, nation")
   }
+
+  /** g_b10_spath — Cypher `shortestPath` with an UNBOUNDED `*` and
+    * rel-type alternation, executed as a multi-source BFS frontier
+    * fixpoint (linear per level, never path enumeration): every node
+    * with a directed path INTO region.0 through the containment
+    * hierarchy, at its minimum hop count. The oracle replays q22's
+    * unrolled min-merge recurrence (converged well before 6 rounds)
+    * minus the zero-length row (`*` means ≥1 hop). */
+  val gB10Spath: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH p = shortestPath((a:REGION {full_name: 'region.0'})" +
+        "<-[:PLACED_BY|IN_NATION|IN_REGION*]-(b)) " +
+        "RETURN b.full_name AS v, length(p) AS d")
+  }
+
+  // lazy: q22Iterations/bfsIterSql are declared later in the object —
+  // an eager init here would read 0 and build an iteration-free chain
+  lazy val gB10SpathSql: String =
+    s"""WITH ${GraphSql.hierarchyCte},
+       |rev AS MATERIALIZED (SELECT dst AS src, src AS dst FROM hier),
+       |l0 AS MATERIALIZED (SELECT 'region.0' AS v, 0::BIGINT AS d),
+       |${(1 to q22Iterations).map(bfsIterSql).mkString(",\n")}
+       |SELECT v, d FROM l$q22Iterations WHERE d > 0""".stripMargin
 
   val gB10CypherSql: String =
     s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
@@ -3835,6 +3867,7 @@ object QueryCatalog {
     "p_split_assign" -> pSplitAssign,
     "d_priority_dedup" -> dPriorityDedup,
     "g_b10_cypher" -> gB10Cypher,
+    "g_b10_spath" -> gB10Spath,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
@@ -3983,6 +4016,7 @@ object QueryCatalog {
     "p_split_assign" -> pSplitAssignSql,
     "d_priority_dedup" -> dPriorityDedupSql,
     "g_b10_cypher" -> gB10CypherSql,
+    "g_b10_spath" -> gB10SpathSql,
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,

@@ -709,6 +709,74 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(d.nodes.count() === 0)
   }
 
+  private lazy val dsp = {
+    val d = GraphDatabase.inMemory(spark)
+    // a diamond with a long detour: shortest a->e is 2 via either arm,
+    // the 3-hop detour must NOT win; f is reachable only backwards
+    d.addNode("t", Kind.Module, "a", Map("name" -> "a"))
+    d.addNode("t", Kind.Module, "b", Map("name" -> "b"))
+    d.addNode("t", Kind.Module, "c", Map("name" -> "c"))
+    d.addNode("t", Kind.Module, "e", Map("name" -> "e"))
+    d.addNode("t", Kind.Module, "f", Map("name" -> "f"))
+    d.addEdge("t", "a", Rel.Contains, "b")
+    d.addEdge("t", "a", Rel.Uses, "c")
+    d.addEdge("t", "b", Rel.Contains, "e")
+    d.addEdge("t", "c", Rel.Contains, "e")
+    d.addEdge("t", "b", Rel.Contains, "c") // detour edge
+    d.addEdge("t", "f", Rel.Contains, "a") // only f->a, never a->f
+    d.commit()
+    d
+  }
+
+  test("shortestPath: unbounded * BFS returns min hops per endpoint") {
+    val out = dsp.executeQuery(
+      "MATCH p = shortestPath((a {full_name: 'a'})-[:CONTAINS*]->(b)) " +
+        "RETURN b.full_name AS v, length(p) AS d ORDER BY v").collect()
+    // CONTAINS only: a->b (1), a->b->c (2, detour arm), a->b->e (2);
+    // f unreachable forward; a itself excluded (min 1 hop)
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("b", 1L), ("c", 2L), ("e", 2L)))
+  }
+
+  test("shortestPath: rel-type alternation widens the frontier") {
+    val out = dsp.executeQuery(
+      "MATCH p = shortestPath((a {full_name: 'a'})-[:CONTAINS|USES*]->(b)) " +
+        "RETURN b.full_name AS v, length(p) AS d ORDER BY v").collect()
+    // USES opens a->c directly: c now at 1, e still 2
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("b", 1L), ("c", 1L), ("e", 2L)))
+  }
+
+  test("shortestPath: reversed arrow, bounds, WHERE, and end labels") {
+    val rev = dsp.executeQuery(
+      "MATCH p = shortestPath((a {full_name: 'e'})<-[:CONTAINS*]-(b)) " +
+        "RETURN b.full_name AS v, length(p) AS d ORDER BY v").collect()
+    // into e: b(1), c(1), a(2 via either arm), f(3)
+    assert(rev.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 2L), ("b", 1L), ("c", 1L), ("f", 3L)))
+    // *2.. lower bound drops the 1-hop rows; WHERE filters on props
+    val bounded = dsp.executeQuery(
+      "MATCH p = shortestPath((a {full_name: 'e'})<-[:CONTAINS*2..]-(b)) " +
+        "WHERE b.name <> 'f' RETURN b.full_name AS v, length(p) AS d")
+      .collect()
+    assert(bounded.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 2L)))
+    // aggregates compose over length(p)
+    val agg = dsp.executeQuery(
+      "MATCH p = shortestPath((a {full_name: 'e'})<-[:CONTAINS*]-(b)) " +
+        "RETURN max(length(p)) AS deepest").collect()
+    assert(agg(0).getLong(0) === 3L)
+  }
+
+  test("plain bounded var-length still enumerates paths (not shortest)") {
+    // the detour means TWO distinct a~>e paths of lengths 2 and 3: path
+    // multiplicity is the non-shortestPath contract (one row per path)
+    val out = dsp.executeQuery(
+      "MATCH (a {full_name: 'a'})-[:CONTAINS*1..4]->(b {full_name: 'e'}) " +
+        "RETURN count(*) AS n").collect()
+    assert(out(0).getLong(0) === 2L)
+  }
+
   test("write Cypher rejects malformed writes instead of reading them") {
     val d = GraphDatabase.inMemory(spark)
     // node write without a task label
