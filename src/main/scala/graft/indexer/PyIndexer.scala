@@ -317,6 +317,13 @@ object PyIndexer {
   private val subscriptRead: Regex =
     """^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\[[^\]]*\]\s*$""".r
 
+  /** `except SomeError as e:` — the handler target binds the exception
+    * class (C3 slice 11: jedi types the as-name from the except clause;
+    * the tuple form `except (A, B) as e` is ambiguous and deliberately
+    * unmatched). */
+  private val exceptAs: Regex =
+    """^\s*except\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s+as\s+([A-Za-z_]\w*)\s*:\s*$""".r
+
   /** `return Callee(...)` — a constructor (or call) return, the head of
     * slice 8's un-annotated return-type inference. */
   private val returnCtor: Regex =
@@ -906,6 +913,14 @@ object PyIndexer {
                 !keywords.contains(name) =>
             recordLocalDef(stack.top, name, i)
 
+          // `except E as e:` — the handler target is a local definition
+          // inside the callable (jedi names it like any other binding)
+          case exceptAs(_, name)
+              if stack.headOption.exists(sc =>
+                sc.kind == Kind.Method || sc.kind == Kind.Function) &&
+                !keywords.contains(name) =>
+            recordLocalDef(stack.top, name, i)
+
           case _ => ()
         }
 
@@ -946,6 +961,13 @@ object PyIndexer {
                       classishType(m.group(1)).orElse(returnTypeTarget(m.group(1)))
                         .foreach(t => fn.locals(m.group(2)) = t)
                     }
+                  // C3 slice 11: `except CustomError as e:` types e as
+                  // the (resolvable) exception class, so `e.method()`
+                  // chains resolve; unresolvable builtins stay unbound
+                  exceptAs.findFirstMatchIn(line).foreach { m =>
+                    classishType(m.group(1))
+                      .foreach(t => fn.locals(m.group(2)) = t)
+                  }
                   // attribute READ (`c = x.conn` / `c = self.db.conn`):
                   // binds only when EVERY step of the chain is a typed
                   // field — a partially-typed path must not leave c bound

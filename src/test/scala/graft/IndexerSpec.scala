@@ -349,6 +349,35 @@ class IndexerSpec extends AnyFunSuite {
       s == "n.keys_only" && d.endsWith("Helper.run") })
   }
 
+  test("C3 slice 11: except-as binds the handler target to the " +
+      "exception class; builtins stay unbound") {
+    val src =
+      """class ParseError(Exception):
+        |    def explain(self):
+        |        return 'bad'
+        |
+        |def risky():
+        |    try:
+        |        work()
+        |    except ParseError as e:
+        |        return e.explain()
+        |    except ValueError as v:
+        |        return v.args
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "exc.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // e is ParseError → e.explain() resolves to the class method
+    assert(calls.contains(("exc.risky", "exc.ParseError.explain")))
+    // v is a builtin the module can't resolve → no fabricated edge
+    assert(!calls.exists(_._2.endsWith("ValueError.args")))
+    // both as-targets are LOCAL definitions inside risky (A9 rows)
+    val locals = ev.locations.filter(_.kind == "LOCAL")
+      .map(_.symbolFullName).toSet
+    assert(locals.contains("exc.risky<e>"))
+    assert(locals.contains("exc.risky<v>"))
+  }
+
   test("C3 slice 10: method returns chain through typed receivers") {
     val src =
       """from lib import Helper, Other
