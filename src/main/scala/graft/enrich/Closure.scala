@@ -65,22 +65,62 @@ object Closure {
     inherited.except(hasMethod.select(col("src"), col("dst")))
   }
 
+  /** [[transitiveClosure]] carrying the MINIMUM hop count per pair:
+    * (descendant, ancestor, depth). The frontier loop reaches each pair
+    * first at its shortest distance (BFS invariant), so the anti-join
+    * that admits only NEW pairs is also the min-depth selector. */
+  def transitiveClosureDepth(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val base = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint(eager = true)
+    var acc = base.withColumn("depth", lit(1L))
+    var delta = acc
+    var i = 0
+    while (i < maxIter && !delta.isEmpty) {
+      val next = delta.as("d")
+        .join(base.as("b"), col("d.dst") === col("b.src"))
+        .select(col("d.src").as("src"), col("b.dst").as("dst"),
+          (col("d.depth") + 1).as("depth"))
+        .groupBy(col("src"), col("dst")).agg(min(col("depth")).as("depth"))
+      delta = next.join(acc.select(col("src"), col("dst")),
+          Seq("src", "dst"), "left_anti")
+        .localCheckpoint(eager = true)
+      acc = acc.union(delta)
+      i += 1
+    }
+    acc
+  }
+
   /** C11 — override detection (reference deep mode,
     * indexer_visitor.py:125-157: `goto(follow_override=True)` per
     * funcdef, emitted to Sourcetrail only): a method DEFINED on a class
-    * whose INHERITS-closure ancestor defines a same-named method
-    * overrides it. Returns (src=overriding method, dst=overridden
-    * ancestor method). `hasMethod` must be the defined set (inherited
-    * copies excluded by the caller). */
+    * overrides the same-named method of its NEAREST INHERITS-closure
+    * ancestor that defines one — jedi's goto resolves the single method
+    * the child actually shadows, not every same-named method up the
+    * chain (C.run with B.run and A.run above it overrides B.run only;
+    * B.run separately overrides A.run). Equal-depth ties (two direct
+    * bases both defining the name) keep both rows: base ORDER — what
+    * Python's MRO would consult — is not modeled in the INHERITS edges,
+    * so the tie is surfaced rather than guessed. Returns
+    * (src=overriding method, dst=overridden ancestor method).
+    * `hasMethod` must be the defined set (inherited copies excluded by
+    * the caller). */
   def overrides(inherits: DataFrame, hasMethod: DataFrame): DataFrame = {
-    val closure = transitiveClosure(inherits) // (class, ancestor)
+    import org.apache.spark.sql.expressions.Window
+    val closure = transitiveClosureDepth(inherits) // (class, ancestor, depth)
     def withName(df: DataFrame) = df
       .withColumn("_m", element_at(split(col("dst"), "\\."), -1))
-    withName(hasMethod).as("c")
+    val cand = withName(hasMethod).as("c")
       .join(closure.as("h"), col("c.src") === col("h.src"))
       .join(withName(hasMethod).as("a"),
         col("h.dst") === col("a.src") && col("c._m") === col("a._m"))
-      .select(col("c.dst").as("src"), col("a.dst").as("dst"))
+      .select(col("c.dst").as("src"), col("a.dst").as("dst"),
+        col("h.depth").as("depth"))
+      .distinct()
+    // per overriding method: keep only the closest defining ancestor(s)
+    cand.withColumn("_best",
+        min(col("depth")).over(Window.partitionBy(col("src"))))
+      .filter(col("depth") === col("_best"))
+      .select(col("src"), col("dst"))
       .distinct()
   }
 

@@ -37,6 +37,34 @@ class ClosureSpec extends AnyFunSuite {
     assert(out === Set(("Sub","Base.run"),("Sub","Root.close"),("Base","Root.close")))
   }
 
+  test("overrides resolves to the NEAREST defining ancestor only") {
+    // C -> B -> A, all defining run(); D -> C defines nothing
+    val inherits = Seq(("C", "B"), ("B", "A"), ("D", "C"))
+      .toDF("src", "dst")
+    val hasMethod = Seq(
+      ("A", "A.run"), ("B", "B.run"), ("C", "C.run"),
+      ("A", "A.close"), ("C", "C.close"), ("D", "D.only"))
+      .toDF("src", "dst")
+    val out = Closure.overrides(inherits, hasMethod)
+      .as[(String, String)].collect().toSet
+    assert(out === Set(
+      ("C.run", "B.run"),   // NOT ("C.run", "A.run") — jedi's goto
+      ("B.run", "A.run"),   // resolves one level per definition
+      ("C.close", "A.close")// skips B (no close there) to the definer
+    ))
+  }
+
+  test("overrides keeps equal-depth ties (unordered multiple bases)") {
+    val inherits = Seq(("C", "A"), ("C", "B")).toDF("src", "dst")
+    val hasMethod = Seq(
+      ("A", "A.run"), ("B", "B.run"), ("C", "C.run")).toDF("src", "dst")
+    val out = Closure.overrides(inherits, hasMethod)
+      .as[(String, String)].collect().toSet
+    // base order (what the MRO would consult) is not modeled — surface
+    // both candidates rather than guessing
+    assert(out === Set(("C.run", "A.run"), ("C.run", "B.run")))
+  }
+
   test("GraphX closure agrees with the DataFrame fixpoint on a random DAG") {
     val rnd = new scala.util.Random(11)
     // random DAG: edges only from higher to lower index -> acyclic
