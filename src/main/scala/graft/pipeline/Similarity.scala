@@ -299,6 +299,27 @@ object Similarity {
       m: Int = 4, subDim: Int = 16, centroidEvery: Int = 25,
       shortlist: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (enc, lut) = pqCodes(emb, queryIds, m, subDim, centroidEvery)
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val short = enc.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("part")), 4).as("adc"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "vec_id")
+    exactRerank(short, emb, queryIds, k)
+  }
+
+  /** The PQ training/encoding shared by [[pqTopK]] and [[ivfPqTopK]]:
+    * per-subspace codebooks (deterministic seeds + one decimal-exact
+    * Lloyd round), corpus codes, and the queries' partial-dot lookup
+    * tables. Returns (enc(sub, vec_id, code), lut(sub, query_id, code,
+    * part)). */
+  private def pqCodes(emb: DataFrame, queryIds: Seq[Long],
+      m: Int, subDim: Int, centroidEvery: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     def rdot(a: Column, b: Column): Column =
       round(aggregate(zip_with(a, b, (x, y) => x * y),
         lit(0.0), (acc, v) => acc + v), 4)
@@ -342,16 +363,14 @@ object Similarity {
       .join(broadcast(books), "sub")
       .select(col("sub"), col("query_id"), col("cid").as("code"),
         rdot(col("qsv"), col("cv")).as("part"))
-    val wShort = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("vec_id").asc)
-    val short = enc.join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(round(sum(col("part")), 4).as("adc"))
-      .withColumn("srank", row_number().over(wShort))
-      .filter(col("srank") <= shortlist)
-      .select("query_id", "vec_id")
-    // full-precision re-rank of the shortlist
+    (enc, lut)
+  }
+
+  /** Full-precision re-rank of a (query_id, vec_id) shortlist — the
+    * final stage every quantized path shares. */
+  private def exactRerank(short: DataFrame, emb: DataFrame,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qv = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = Window.partitionBy("query_id")
@@ -362,6 +381,60 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "sim", "rank")
+  }
+
+  /** IVF-PQ — the production billion-vector ANN layout (the FAISS IVFPQ
+    * shape): IVF's coarse quantizer prunes the SEARCH SPACE (only
+    * vectors in the query's `nprobe` nearest cells are candidates), PQ's
+    * codes compress the SCAN (candidates are ranked by ADC table
+    * lookups, m bytes per vector, never a float dot), and only the ADC
+    * shortlist is re-ranked exactly. At 100 TB the two prunings compose:
+    * cells bound candidate count, codes bound bytes per candidate;
+    * centroids, codebooks, and LUTs all broadcast. Deterministic end to
+    * end (rounded cosines for cell ranks, the PQ decimal discipline for
+    * codes), so the oracle replays coarse assignment, training,
+    * encoding, ADC, and re-rank bit-identically. */
+  def ivfPqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      centroidEvery: Int = 50, nprobe: Int = 8,
+      m: Int = 4, subDim: Int = 16, pqCentroidEvery: Int = 25,
+      shortlist: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // IVF coarse layer: one cell per vector, nprobe cells per query
+    val cents = emb.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val byCell = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("crank", row_number().over(byCell))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid"))
+    val byQuery = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cid"),
+        cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("prank", row_number().over(byQuery))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val cand = assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    // PQ layer scores ONLY the probed-cell candidates
+    val (enc, lut) = pqCodes(emb, queryIds, m, subDim, pqCentroidEvery)
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val short = cand.join(enc, "vec_id")
+      .join(broadcast(lut), Seq("sub", "code", "query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("part")), 4).as("adc"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "vec_id")
+    exactRerank(short, emb, queryIds, k)
   }
 
   /** Embedding near-duplicate pairs: all (a,b), a<b, cosine ≥ threshold,

@@ -3070,6 +3070,63 @@ object QueryCatalog {
     * cid), decimal-exact dim-wise mean update. The oracle replays both
     * iterations — assignment, mean, re-assignment, mean — bit-identically
     * thanks to the round-to-4 quantization at every float boundary. */
+  /** s_ivfpq_ann — IVF-PQ composed ANN top-10 for query vectors 0–4
+    * ([[graft.pipeline.Similarity.ivfPqTopK]]): IVF cells prune the
+    * candidate space (8 probes), PQ-ADC ranks the survivors (4×16
+    * codebooks), exact cosine re-ranks the shortlist — the FAISS IVFPQ
+    * layout as one declarative plan. The oracle replays the whole
+    * composition, so the gate is algorithmic equality, not recall. */
+  val sIvfPqAnn: Q = (s, d) =>
+    Similarity.ivfPqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
+      centroidEvery = 50, nprobe = 8, m = 4, subDim = 16,
+      pqCentroidEvery = 25, shortlist = 60)
+
+  lazy val sIvfPqAnnSql: String = {
+    def rdotOf(a: String, b: String, dim: Int): String =
+      s"round(list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y), 4)"
+    val normSqlE = "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), (a, y) -> a + y))"
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+       |assigned AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cid) AS crank
+       |  FROM embeddings e CROSS JOIN cents c) WHERE crank = 1),
+       |probes AS (SELECT query_id, cid FROM (
+       |  SELECT qq.vec_id AS query_id, c.cid,
+       |    row_number() OVER (PARTITION BY qq.vec_id ORDER BY ${cosOf("qq.embedding", "c.cv")} DESC, c.cid) AS prank
+       |  FROM embeddings qq CROSS JOIN cents c WHERE qq.vec_id IN (0,1,2,3,4)) WHERE prank <= 8),
+       |cand AS (SELECT p.query_id, a.vec_id
+       |  FROM assigned a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.query_id),
+       |subs AS MATERIALIZED (
+       |  SELECT vec_id, ss.sub AS sub,
+       |    list_transform(list_slice(embedding, ss.sub*16 + 1, ss.sub*16 + 16), x -> round(x::DOUBLE / $normSqlE, 4)) AS sv
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) ss),
+       |seeds AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id % 25 = 0),
+       |a1 AS MATERIALIZED (SELECT sub, vec_id, sv, cid FROM (
+       |  SELECT s.sub, s.vec_id, s.sv, c.cid,
+       |    row_number() OVER (PARTITION BY s.sub, s.vec_id ORDER BY ${rdotOf("s.sv", "c.cv", 16)} DESC, c.cid) AS rk
+       |  FROM subs s JOIN seeds c ON s.sub = c.sub) WHERE rk = 1),
+       |m1 AS (SELECT sub, cid, dim, round(CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS mv
+       |  FROM (SELECT sub, cid, unnest(range(0, 16)) AS dim, unnest(sv) AS v FROM a1) GROUP BY 1, 2, 3),
+       |books AS MATERIALIZED (SELECT sub, cid, array_agg(mv ORDER BY dim) AS cv FROM m1 GROUP BY 1, 2),
+       |enc AS MATERIALIZED (SELECT sub, vec_id, cid AS code FROM (
+       |  SELECT s.sub, s.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY s.sub, s.vec_id ORDER BY ${rdotOf("s.sv", "c.cv", 16)} DESC, c.cid) AS rk
+       |  FROM subs s JOIN books c ON s.sub = c.sub) WHERE rk = 1),
+       |lut AS (SELECT q.sub, q.vec_id AS query_id, c.cid AS code, ${rdotOf("q.sv", "c.cv", 16)} AS part
+       |  FROM subs q JOIN books c ON q.sub = c.sub WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+       |short AS (SELECT query_id, vec_id FROM (
+       |  SELECT cd.query_id, cd.vec_id, round(sum(l.part), 4) AS adc,
+       |    row_number() OVER (PARTITION BY cd.query_id ORDER BY round(sum(l.part), 4) DESC, cd.vec_id) AS srank
+       |  FROM cand cd JOIN enc e ON e.vec_id = cd.vec_id
+       |    JOIN lut l ON e.sub = l.sub AND e.code = l.code AND l.query_id = cd.query_id
+       |  GROUP BY cd.query_id, cd.vec_id) WHERE srank <= 60)
+       |SELECT s.query_id, s.vec_id, ${cosOf("q.embedding", "c.embedding")} AS sim,
+       |  CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY ${cosOf("q.embedding", "c.embedding")} DESC, s.vec_id) AS INT) AS rank
+       |FROM short s JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings c ON c.vec_id = s.vec_id
+       |QUALIFY rank <= 10""".stripMargin
+  }
+
   /** s_pq_ann — product-quantized ANN top-10 for query vectors 0–4
     * ([[graft.pipeline.Similarity.pqTopK]]): 4 subspaces × 16 dims,
     * codebooks seeded by the %25 rule and refined by one decimal-exact
@@ -3872,6 +3929,7 @@ object QueryCatalog {
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
     "s_pq_ann" -> sPqAnn,
+    "s_ivfpq_ann" -> sIvfPqAnn,
     "q34_sp_counts" -> q34SpCounts,
     "q42_betweenness" -> q42Betweenness,
     "q43_kmv_intersect" -> q43KmvIntersect,
@@ -4021,6 +4079,7 @@ object QueryCatalog {
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,
     "s_pq_ann" -> sPqAnnSql,
+    "s_ivfpq_ann" -> sIvfPqAnnSql,
     "q34_sp_counts" -> q34SpCountsSql,
     "q42_betweenness" -> q42BetweennessSql,
     "q43_kmv_intersect" -> q43KmvIntersectSql,

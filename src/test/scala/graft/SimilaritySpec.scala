@@ -111,6 +111,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfR >= 0.6, f"IVF recall@10 $ivfR%.2f below 0.6 floor")
   }
 
+  test("ivfPqTopK: composed cell-prune + ADC clears the recall floor") {
+    val d = "/root/testdata/sf0.01"
+    assume(new java.io.File(d).isDirectory)
+    val emb = graft.store.Tables.embeddings(TestSpark.spark, d)
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(emb, qs, 10))
+    val ivfpq = topSets(Similarity.ivfPqTopK(emb, qs, 10))
+    val recall = qs
+      .map(q => (ivfpq.getOrElse(q, Set.empty) & exact(q)).size / 10.0)
+      .sum / qs.size
+    info(f"IVF-PQ recall@10 = $recall%.2f")
+    // two stacked prunings (8 probed cells, then coarse 16-dim codes)
+    // lose more than either alone — the composition must still recover
+    // a meaningful fraction before the exact re-rank
+    assert(recall >= 0.4, f"IVF-PQ recall@10 $recall%.2f below 0.4 floor")
+  }
+
   test("pqTopK: ADC shortlist + exact re-rank clears the recall floor") {
     val d = "/root/testdata/sf0.01"
     assume(new java.io.File(d).isDirectory)
