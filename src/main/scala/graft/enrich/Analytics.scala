@@ -759,6 +759,52 @@ object Analytics {
       .select(col("name").as("v"), round(col("pr"), 6).as("ppr"))
   }
 
+  /** HITS (hubs & authorities), fixed iteration count over edges(src,
+    * dst): auth(v) = Σ hub(u) over in-edges, hub(v) = Σ auth(w) over
+    * out-edges, each side L1-NORMALIZED per round (sums through DECIMAL
+    * so order can't shift them, then round-to-10 — the PageRank oracle
+    * discipline). The norm is a 1-row broadcast, never a driver
+    * round-trip; per round the edge table shuffles only against the
+    * score side, exactly the [[pageRank]] shape. Returns (v, hub, auth)
+    * rounded to 6. */
+  def hits(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint(eager = true)
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .repartition(col("v")).localCheckpoint(eager = true)
+    def l1(df: DataFrame, c: String): DataFrame = {
+      val n = df.agg(sum(col(c).cast("decimal(38,10)")).cast("double").as("_n"))
+      df.crossJoin(broadcast(n))
+        .select(col("v"), round(col(c) / col("_n"), 10).as(c))
+    }
+    var hub = verts.withColumn("hub", lit(1.0))
+    var auth: DataFrame = verts.withColumn("auth", lit(1.0))
+    for (i <- 1 to iterations) {
+      auth = l1(verts.join(
+          e.join(hub.withColumnRenamed("v", "src"), "src")
+            .groupBy(col("dst").as("v"))
+            .agg(round(sum(col("hub").cast("decimal(38,10)")).cast("double"),
+              10).as("auth")),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col("auth"), lit(0.0)).as("auth")), "auth")
+      hub = l1(verts.join(
+          e.join(auth.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(col("src").as("v"))
+            .agg(round(sum(col("auth").cast("decimal(38,10)")).cast("double"),
+              10).as("hub")),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col("hub"), lit(0.0)).as("hub")), "hub")
+      if (i % 4 == 0 && i < iterations) {
+        hub = hub.localCheckpoint(eager = true)
+        auth = auth.localCheckpoint(eager = true)
+      }
+    }
+    hub.join(auth, "v")
+      .select(col("v"), round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("auth"))
+  }
+
   /** Synchronous label-propagation communities over the undirected view
     * of edges(src, dst): every vertex starts as its own label; each round
     * every vertex adopts the modal label among its neighbors, ties broken

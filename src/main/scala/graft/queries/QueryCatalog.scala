@@ -331,6 +331,34 @@ object QueryCatalog {
        |WHERE e.rel_type = 'IN_NATION' AND c.label = 'CUSTOMER' AND n.label = 'NATION'
        |GROUP BY n.name HAVING count(*) > 50""".stripMargin
 
+  /** q53 — HITS hubs & authorities over the containment hierarchy
+    * ([[graft.enrich.Analytics.hits]]), 3 rounds: mutually-recursive
+    * L1-normalized scores, decimal-routed sums + round-to-10 per stage
+    * so the oracle unrolls every round bit-identically. */
+  val q53Hits: Q = (s, d) =>
+    graft.enrich.Analytics.hits(GraphTables.hierarchy(s, d), iterations = 3)
+
+  lazy val q53HitsSql: String = {
+    val dsum = (c: String) =>
+      s"round(CAST(sum(CAST($c AS DECIMAL(38,10))) AS DOUBLE), 10)"
+    def round10(x: String) = s"round($x, 10)"
+    def authOf(i: Int) =
+      s"""ar$i AS (SELECT t.v, coalesce(c.s, 0.0) AS a FROM hverts t LEFT JOIN (
+         |  SELECT e.dst AS v, ${dsum("p.hub")} AS s
+         |  FROM hier e JOIN hn${i - 1} p ON e.src = p.v GROUP BY e.dst) c ON t.v = c.v),
+         |an$i AS MATERIALIZED (SELECT v, ${round10(s"a / (SELECT CAST(sum(CAST(a AS DECIMAL(38,10))) AS DOUBLE) FROM ar$i)")} AS auth FROM ar$i),
+         |hr$i AS (SELECT t.v, coalesce(c.s, 0.0) AS h FROM hverts t LEFT JOIN (
+         |  SELECT e.src AS v, ${dsum("p.auth")} AS s
+         |  FROM hier e JOIN an$i p ON e.dst = p.v GROUP BY e.src) c ON t.v = c.v),
+         |hn$i AS MATERIALIZED (SELECT v, ${round10(s"h / (SELECT CAST(sum(CAST(h AS DECIMAL(38,10))) AS DOUBLE) FROM hr$i)")} AS hub FROM hr$i)""".stripMargin
+    s"""WITH ${GraphSql.hierarchyCte},
+       |hverts AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM hier UNION ALL SELECT dst FROM hier)),
+       |hn0 AS (SELECT v, 1.0 AS hub FROM hverts),
+       |${(1 to 3).map(authOf).mkString(",\n")}
+       |SELECT h.v, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+       |FROM hn3 h JOIN an3 a ON h.v = a.v""".stripMargin
+  }
+
   val gD4Closure: Q = (s, d) =>
     graft.enrich.Closure.transitiveClosure(GraphTables.hierarchy(s, d))
 
@@ -3960,6 +3988,7 @@ object QueryCatalog {
     "st_dedup" -> stDedup,
     "st_cms" -> stCms,
     "q46_btw" -> q46Btw,
+    "q53_hits" -> q53Hits,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4110,5 +4139,6 @@ object QueryCatalog {
     "st_dedup" -> stDedupSql,
     "st_cms" -> stCmsSql,
     "q46_btw" -> q46BtwSql,
+    "q53_hits" -> q53HitsSql,
   )
 }

@@ -276,6 +276,28 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: star hub/authority structure, L1-normalized per side") {
+    // s1, s2 both point at h; h points at a1, a2: h is the top authority
+    // (everything flows into it) and s1/s2/h share the hub mass
+    val edges = Seq(("s1", "h"), ("s2", "h"), ("h", "a1"), ("h", "a2"))
+      .toDF("src", "dst")
+    val out = Analytics.hits(edges, iterations = 3)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // each side sums to ~1 (L1 norm, up to the round-to-6 output)
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-4)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-4)
+    // h dominates authorities; s1/s2 tie as hubs above a1/a2 (sinks = 0)
+    assert(out("h")._2 > out("a1")._2 && out("h")._2 > out("s1")._2)
+    assert(out("s1")._1 === out("s2")._1)
+    assert(out("a1")._1 === 0.0 && out("a2")._1 === 0.0)
+    // deterministic across runs
+    val again = Analytics.hits(edges, iterations = 3)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(out === again)
+  }
+
   test("labelPropagation: disjoint cliques converge to their min label") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
