@@ -62,7 +62,10 @@ import org.apache.spark.sql.functions._
   *    variables carry through (struct columns), a previous pipe's output
   *    columns carry by name (optionally renamed), expressions require
   *    `AS`, each trailing WHERE filters that pipe's rows, and the RETURN
-  *    resolves against the last pipe's output scope.
+  *    resolves against the last pipe's output scope. Each pipe supports
+  *    Cypher's full shaping order `WITH items [ORDER BY …] [SKIP n]
+  *    [LIMIT n] [WHERE …]` — ORDER/SKIP/LIMIT apply BEFORE the trailing
+  *    WHERE (the top-N-then-continue shape).
   *  - scalar EXPRESSIONS in RETURN and WITH items: property/column
   *    arithmetic (`+ - * / %`, parens, unary minus, literals) and
   *    `coalesce()`, `toInteger()`, `toFloat()`, `abs()`, `size()` —
@@ -1180,6 +1183,34 @@ object CypherLite {
       whereTxt = Some(body.substring(wIdx + 5).trim)
       body = body.substring(0, wIdx).trim
     }
+    // WITH-clause result shaping, Cypher's fixed order `WITH items
+    // [ORDER BY …] [SKIP n] [LIMIT n] [WHERE …]`: ORDER/SKIP/LIMIT
+    // apply to the projected pipe BEFORE the trailing WHERE filters it
+    // (Neo4j's top-N-then-continue shape). Stripped back to front.
+    var limitN: Option[Int] = None
+    var skipN: Option[Int] = None
+    var orderSpec: Option[String] = None
+    locally {
+      val li = topLevelKeyword(body, "LIMIT")
+      if (li >= 0) {
+        limitN = Some(body.substring(li + 5).trim.toInt)
+        body = body.substring(0, li).trim
+      }
+      val si = topLevelKeyword(body, "SKIP")
+      if (si >= 0) {
+        skipN = Some(body.substring(si + 4).trim.toInt)
+        body = body.substring(0, si).trim
+      }
+      val oi = topLevelKeyword(body, "ORDER")
+      if (oi >= 0) {
+        val tail = body.substring(oi + 5).trim
+        require(tail.regionMatches(true, 0, "BY", 0, 2) &&
+          tail.length > 2 && !isWordChar(tail.charAt(2)),
+          s"malformed ORDER BY in WITH: $body0")
+        orderSpec = Some(tail.substring(2).trim)
+        body = body.substring(0, oi).trim
+      }
+    }
     var newVars = Map.empty[String, String]
     var plain = Set.empty[String]
     val keys = scala.collection.mutable.ArrayBuffer.empty[Column]
@@ -1254,6 +1285,21 @@ object CypherLite {
       if (aggs.isEmpty) df0.select(keys.toSeq: _*)
       else if (keys.isEmpty) df0.agg(aggs.head, aggs.tail.toSeq: _*)
       else df0.groupBy(keys.toSeq: _*).agg(aggs.head, aggs.tail.toSeq: _*)
+    orderSpec.foreach { spec =>
+      val sortKeys = splitTop(spec, ",").map { item =>
+        val (ref, desc) = {
+          val t = item.trim
+          if (t.toUpperCase.endsWith(" DESC")) (t.dropRight(5).trim, true)
+          else if (t.toUpperCase.endsWith(" ASC")) (t.dropRight(4).trim, false)
+          else (t, false)
+        }
+        val c = withScope(newVars, plain)(ref)
+        if (desc) c.desc else c.asc
+      }
+      out = out.orderBy(sortKeys: _*)
+    }
+    skipN.foreach(n => out = out.offset(n))
+    limitN.foreach(n => out = out.limit(n))
     whereTxt.foreach(w =>
       out = out.filter(parseWhere(w, withScope(newVars, plain))))
     (out, newVars, plain)

@@ -798,6 +798,31 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("WITH pipes shape with ORDER BY / SKIP / LIMIT before WHERE") {
+    // top-1 class by method count, then continue the pipeline
+    val top = d7.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(m) " +
+        "WITH c, count(*) AS n ORDER BY n DESC, c.name ASC LIMIT 1 " +
+        "RETURN c.name, n").collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("A", 2L)))
+    // SKIP past the top row
+    val second = d7.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(m) " +
+        "WITH c, count(*) AS n ORDER BY n DESC, c.name ASC SKIP 1 " +
+        "RETURN c.name, n").collect()
+    assert(second.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("B", 1L)))
+    // Cypher's clause order: LIMIT applies BEFORE the trailing WHERE —
+    // the kept top-1 row (A, n=2) fails n < 2, so nothing survives; the
+    // wrong WHERE-then-LIMIT reading would keep B's row (n=1) instead
+    val none = d7.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(m) " +
+        "WITH c, count(*) AS n ORDER BY n DESC, c.name ASC LIMIT 1 " +
+        "WHERE n < 2 RETURN c.name, n").collect()
+    assert(none.isEmpty)
+  }
+
   test("WITH raises on un-aliased expressions") {
     intercept[IllegalArgumentException] {
       d7.executeQuery(
