@@ -3482,29 +3482,26 @@ object QueryCatalog {
     * non-decreasing as hashes accumulate, so max-per-window selects each
     * window's final (fully-merged) emit. Windows are 7-day tumbling,
     * emitted as epoch micros (the q39 trick). */
-  val stWindow: Q = (s, d) => {
+  /** Event-time-ordered replay rows for the st_* gates: nothing ever
+    * arrives behind the watermark, so no row is late-dropped and
+    * stream ≡ batch holds. (Collected at the driver BY DESIGN — see
+    * [[StreamReplay]]'s harness contract.) */
+  private def eventsOrdered(s: SparkSession, d: String)
+      : Seq[graft.streaming.Streams.Event] = {
     import s.implicits._
-    import graft.streaming.Streams
-    // event-time order across batches: nothing ever arrives behind the
-    // watermark, so no row is late-dropped and stream ≡ batch holds
-    val evs = Tables.events(s, d)
+    Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
-      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
-    val out = Streams.streamingKmvDistinct(mem.toDF(),
-      col("user_id").cast("string"), 64, "7 days", "10 minutes")
-    val name = s"st_window_out_${stSinkSeq.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("update").start()
-    try {
-      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
-        mem.addData(chunk.toSeq: _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    s.table(name)
+      .as[graft.streaming.Streams.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+  }
+
+  val stWindow: Q = (s, d) => {
+    import s.implicits._
+    StreamReplay.replay(s, eventsOrdered(s, d), "st_window", "update") {
+      df => graft.streaming.Streams.streamingKmvDistinct(df,
+        col("user_id").cast("string"), 64, "7 days", "10 minutes").toDF()
+    }
       .select(unix_micros(col("window_start")).as("ws_us"),
         col("est_distinct"))
       .groupBy(col("ws_us"))
@@ -3519,13 +3516,12 @@ object QueryCatalog {
     * batch self-join with the same time-range predicate. Inner-join
     * matches emit as soon as both rows arrive (append mode holds nothing
     * back), so the memory sink holds exactly the batch answer. */
+  // two-source stream-stream join: the one st_* gate the single-stream
+  // StreamReplay.replay can't drive (both sides must advance per batch)
   val stJoin: Q = (s, d) => {
     import s.implicits._
     import graft.streaming.Streams
-    val evs = Tables.events(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val evs = eventsOrdered(s, d)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val left = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
     val right = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
@@ -3570,28 +3566,15 @@ object QueryCatalog {
   val stSession: Q = (s, d) => {
     import s.implicits._
     import graft.streaming.Streams
-    val evs = Tables.events(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
-    val out = Streams.sessionizeEventTime(mem.toDF(),
-      gap = "30 minutes", watermarkDelay = "10 minutes")
-    val name = s"st_session_out_${stSinkSeq.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try {
-      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
-        mem.addData(chunk.toSeq: _*)
-        q.processAllAvailable()
-      }
-      val maxTs = evs.map(_.ts.getTime).max
-      mem.addData(Streams.Event(-1L,
-        new java.sql.Timestamp(maxTs + 4L * 3600 * 1000), -1L, "sentinel", 0.0))
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(name)
+    val evs = eventsOrdered(s, d)
+    val maxTs = evs.map(_.ts.getTime).max
+    StreamReplay.replay(s, evs, "st_session", "append",
+      tail = Seq(Streams.Event(-1L,
+        new java.sql.Timestamp(maxTs + 4L * 3600 * 1000), -1L,
+        "sentinel", 0.0))) {
+      df => Streams.sessionizeEventTime(df,
+        gap = "30 minutes", watermarkDelay = "10 minutes")
+    }
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"),
         unix_micros(col("session_start")).as("ss_us"),
@@ -3690,21 +3673,11 @@ object QueryCatalog {
           lit("@example.com or 10.0."),
           pmod(col("doc_id"), lit(256)).cast("string"),
           lit(".7, tel 555-123-4567.")).as("text"))
-      .as[(Long, String)].collect().sortBy(_._1)
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val out = Streams.streamingCorpusScreen(
-      mem.toDF().toDF("doc_id", "text"), minQuality = 0.2)
-    val name = s"st_screen_out_${stSinkSeq.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try {
-      docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
-        mem.addData(chunk.toSeq: _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    s.table(name)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    StreamReplay.replay(s, docs, "st_screen", "append") {
+      df => Streams.streamingCorpusScreen(
+        df.toDF("doc_id", "text"), minQuality = 0.2)
+    }
       .select(col("doc_id"), round(col("quality"), 4).as("quality"),
         col("n_emails"), col("n_ips"), col("n_phones"),
         md5(col("redacted")).as("redacted_md5"))
@@ -3723,27 +3696,20 @@ object QueryCatalog {
     import graft.streaming.Streams
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
-      .as[(Long, String)].collect().sortBy(_._1)
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val withTs = mem.toDF().toDF("doc_id", "text")
-      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
-    val out = Streams.streamingExactDedup(withTs, watermark = "1 hour")
-    val name = s"st_dedup_out_${stSinkSeq.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try {
-      // the corpus streams through TWICE: the second pass arrives in
-      // later micro-batches and must be dropped row-for-row against the
-      // first pass's state — the cross-batch dedup path the gate exists
-      // for (the synthetic corpus itself has no exact duplicates)
-      (docs ++ docs).grouped(math.max(1, docs.length / 3 + 1)).foreach {
-        chunk =>
-          mem.addData(chunk.toSeq: _*)
-          q.processAllAvailable()
-      }
-    } finally q.stop()
-    s.table(name).select(col("fingerprint"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // the corpus streams through TWICE: the second pass arrives in
+    // later micro-batches and must be dropped row-for-row against the
+    // first pass's state — the cross-batch dedup path the gate exists
+    // for (the synthetic corpus itself has no exact duplicates)
+    StreamReplay.replay(s, docs ++ docs, "st_dedup", "append",
+      batches = 6) {
+      df => Streams.streamingExactDedup(
+        df.toDF("doc_id", "text")
+          .withColumn("ts",
+            timestamp_seconds(lit(1700000000L) + col("doc_id"))),
+        watermark = "1 hour")
+    }
+      .select(col("fingerprint"))
   }
 
   val stDedupSql: String =
@@ -3775,26 +3741,12 @@ object QueryCatalog {
     * reads the same min-over-rows estimates. */
   val stCms: Q = (s, d) => {
     import s.implicits._
-    import graft.streaming.Streams
-    val evs = Tables.events(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
-    val out = Streams.streamingCmsEstimates(mem.toDF(), col("event_type"),
-      candidates = Seq("click", "error", "purchase", "signup", "view"),
-      width = 1024, window = "7 days", watermark = "10 minutes")
-    val name = s"st_cms_out_${stSinkSeq.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("update").start()
-    try {
-      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
-        mem.addData(chunk.toSeq: _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    s.table(name)
+    StreamReplay.replay(s, eventsOrdered(s, d), "st_cms", "update") {
+      df => graft.streaming.Streams.streamingCmsEstimates(df,
+        col("event_type"),
+        candidates = Seq("click", "error", "purchase", "signup", "view"),
+        width = 1024, window = "7 days", watermark = "10 minutes").toDF()
+    }
       .select(unix_micros(col("window_start")).as("ws_us"), col("term"),
         col("est"))
       .groupBy(col("ws_us"), col("term"))
