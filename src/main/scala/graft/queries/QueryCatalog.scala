@@ -2942,6 +2942,56 @@ object QueryCatalog {
        |SELECT v, round(CAST(sum(h) AS DOUBLE), 4) AS harmonic FROM hs GROUP BY v""".stripMargin
   }
 
+  /** q54 — distance distribution from a landmark set (the
+    * effective-diameter profile): hop-count histogram + CDF over the
+    * fused multi-landmark BFS ([[graft.enrich.Analytics
+    * .bfsDistancesLandmarks]] — one frontier pass carries ALL landmarks
+    * in its state key). At 100 TB this is THE cheap way to profile a
+    * graph's reach: landmark sampling bounds work to |landmarks| BFS
+    * passes fused into one, and the histogram is O(diameter) rows. The
+    * CDF window orders ≤diameter rows — never a wide reducer. */
+  val q54DistDist: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val rev = GraphTables.hierarchy(s, d)
+      .select(col("dst").as("src"), col("src").as("dst"))
+    val dist = graft.enrich.Analytics.bfsDistancesLandmarks(rev,
+      Seq("region.0", "region.1", "nation.0"), iterations = q22Iterations)
+      .filter(col("d") > 0)
+      .groupBy(col("d")).agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dist
+      .withColumn("cdf", round(sum(col("n_pairs")).over(w) /
+        sum(col("n_pairs")).over(Window.partitionBy()), 6))
+      .select(col("d"), col("n_pairs"), col("cdf"))
+  }
+
+  lazy val q54DistDistSql: String = {
+    val n = q22Iterations
+    def chain(pfx: String, src: String): String = {
+      def it(i: Int) =
+        s"""$pfx$i AS MATERIALIZED (SELECT v, min(d)::BIGINT AS d FROM (
+           |  SELECT v, d FROM $pfx${i - 1}
+           |  UNION ALL SELECT e.dst AS v, p.d + 1 AS d FROM rev e JOIN $pfx${i - 1} p ON e.src = p.v
+           |) GROUP BY v)""".stripMargin
+      s"""${pfx}0 AS MATERIALIZED (SELECT '$src' AS v, 0::BIGINT AS d),
+         |${(1 to n).map(it).mkString(",\n")}""".stripMargin
+    }
+    s"""WITH ${GraphSql.hierarchyCte},
+       |rev AS MATERIALIZED (SELECT dst AS src, src AS dst FROM hier),
+       |${chain("da", "region.0")},
+       |${chain("db", "region.1")},
+       |${chain("dc", "nation.0")},
+       |alld AS (SELECT d FROM da$n WHERE d > 0
+       |  UNION ALL SELECT d FROM db$n WHERE d > 0
+       |  UNION ALL SELECT d FROM dc$n WHERE d > 0),
+       |hist AS (SELECT d, count(*)::BIGINT AS n_pairs FROM alld GROUP BY d)
+       |SELECT d, n_pairs,
+       |  round(sum(n_pairs) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+       |    / (SELECT sum(n_pairs) FROM hist), 6) AS cdf
+       |FROM hist""".stripMargin
+  }
+
   /** q43 — KMV sketch SET ALGEBRA (the theta-sketch pattern): estimate
     * the union and intersection cardinalities of two user sets (clickers
     * vs purchasers) from their k-minimum-value sketches alone — merge =
@@ -3941,6 +3991,7 @@ object QueryCatalog {
     "st_cms" -> stCms,
     "q46_btw" -> q46Btw,
     "q53_hits" -> q53Hits,
+    "q54_distdist" -> q54DistDist,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -4092,5 +4143,6 @@ object QueryCatalog {
     "st_cms" -> stCmsSql,
     "q46_btw" -> q46BtwSql,
     "q53_hits" -> q53HitsSql,
+    "q54_distdist" -> q54DistDistSql,
   )
 }
