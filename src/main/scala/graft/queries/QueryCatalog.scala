@@ -1789,17 +1789,11 @@ object QueryCatalog {
     * l_orderkey (within-order pairs only — never cross-catalog) plus a
     * count aggregation; at scale the per-order fan-out is bounded by
     * order size, not corpus size. */
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-      .distinct()
-    op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select(col("src"), col("dst"))
-  }
+  /** Canonical (src<dst) co-purchase pairs — a parquet scan of the
+    * persisted derived table ([[GraphTables.coPurchase]]), not a
+    * per-query lineitem self-join. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    GraphTables.coPurchase(s, d).select(col("src"), col("dst"))
 
   /** Per-vertex triangle counts over the co-purchase graph
     * ([[graft.enrich.Analytics.triangleCounts]], degree-ordered
@@ -2760,14 +2754,7 @@ object QueryCatalog {
   /** Weighted co-purchase edges, undirected: (src, dst, w = number of
     * shared orders), both directions. */
   private def coPurchaseEdgesW(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-      .distinct()
-    val e = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    val e = GraphTables.coPurchase(s, d)
     e.select(col("src"), col("dst"), col("w"))
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
   }

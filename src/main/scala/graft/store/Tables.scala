@@ -262,6 +262,27 @@ object GraphTables {
     * used by reachability/closure operators. */
   def hierarchy(s: SparkSession, d: String): DataFrame =
     edges(s, d).filter(col("rel_type").isin("PLACED_BY", "IN_NATION", "IN_REGION"))
+
+  /** The undirected co-purchase graph in canonical form — (src, dst, w)
+    * with src < dst and w = number of shared orders, kept when w ≥ 2.
+    * Deriving it is a lineitem self-join (the most expensive graph-table
+    * derivation in the catalog), and ~11 analytics queries consume it —
+    * so it persists through the same fingerprinted versioned layout as
+    * nodes/edges: ONE derivation per corpus version, every query after
+    * that reads a parquet scan. Exactly what a deployment does with a
+    * derived graph at 100 TB (re-derive on ingest, not per query). */
+  def coPurchase(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "copurchase") {
+      val op = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+        .distinct()
+      op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .repartition(col("src")).sortWithinPartitions("src", "dst")
+    }
 }
 
 /** The DuckDB-side derivation of the same graph tables, spliced into
