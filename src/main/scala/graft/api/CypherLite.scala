@@ -515,6 +515,24 @@ object CypherLite {
         require(!isRelAlias(a), s"labels() needs a node variable: '$p'")
         (one(array_union(col(s"$a.task_ids"), array(col(s"$a.kind"))),
           s"labels($v)"), false)
+      // properties(n) — the node's property MAP, Neo4j-style: the fixed
+      // columns (where set) folded together with the props map; keys(n)
+      // is its key set, SORTED (map ordering is not deterministic on a
+      // distributed engine, sorted is)
+      case c if c.startsWith("properties(") || c.startsWith("keys(") =>
+        val fn = if (c.startsWith("properties(")) "properties" else "keys"
+        val v = c.stripPrefix(s"$fn(").stripSuffix(")").trim
+        val a = vars(v)
+        require(!isRelAlias(a), s"$fn() needs a node variable: '$p'")
+        val fixedPairs = Seq("name", "file_path", "signature", "clazz", "code")
+          .flatMap(f => Seq(lit(f), col(s"$a.$f")))
+        val allProps = map_concat(
+          map_filter(map(fixedPairs: _*), (_, vv) => vv.isNotNull),
+          col(s"$a.props"))
+        val out0 =
+          if (fn == "properties") allProps
+          else array_sort(map_keys(allProps))
+        (one(out0, s"$fn($v)"), false)
       // Neo4j's relationship accessors: type(r) is the edge's rel_type;
       // startNode/endNode yield the endpoint KEYS (full graph-side
       // hydration of the endpoint nodes is the pattern's job — bind them

@@ -501,6 +501,23 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(keys(0).getSeq[String](0) === Seq("m.A.f", "m.A.g"))
   }
 
+  test("properties(n) folds fixed columns with the props map; keys(n) " +
+      "is the sorted key set") {
+    val out = db.executeQuery(
+      "MATCH (c:CLASS {name: 'Person'}) RETURN properties(c), keys(c)")
+      .collect()
+    assert(out.length === 1)
+    val props = out(0).getMap[String, String](0)
+    assert(props("name") === "Person")
+    assert(!props.contains("code")) // unset fixed columns stay absent
+    assert(out(0).getSeq[String](1) === props.keys.toSeq.sorted)
+    // methods carry signature+code as fixed columns — both surface
+    val m = db.executeQuery(
+      "MATCH (m:METHOD) RETURN properties(m) AS p").collect()(0)
+      .getMap[String, String](0)
+    assert(m("signature") === "def greet(self):" && m("code") === "...")
+  }
+
   test("relationship accessors: type(r), startNode(r), endNode(r)") {
     val out = d8.executeQuery(
       "MATCH (c:CLASS)-[r:HAS_METHOD]->(m {name: 'f'}) " +
