@@ -805,6 +805,57 @@ object Analytics {
         round(col("auth"), 6).as("auth"))
   }
 
+  /** GraphX scale path for [[hits]] — identical math (per-stage
+    * round-to-10, L1 normalization, auth-then-hub order within a round),
+    * so it shares q53's oracle exactly as [[pageRankGraphX]] shares
+    * q10's. One graph carries (hub, auth); each half-round is one
+    * aggregateMessages + one same-index outerJoinVertices, norms are
+    * RDD sums (the round-to-10 quantizes away double-summation-order
+    * drift, the established twin discipline), superseded graphs
+    * unpersist as their successors materialize. */
+  def hitsGraphX(spark: SparkSession, edges: DataFrame,
+      iterations: Int = 5): DataFrame = {
+    import org.apache.spark.graphx._
+    import spark.implicits._
+    def r10(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue()
+    val keyed = edges.select(
+      xxhash64(col("src")).as("sid"), col("src"),
+      xxhash64(col("dst")).as("did"), col("dst")).cache()
+    val names = keyed.select(col("sid").as("id"), col("src").as("name"))
+      .union(keyed.select(col("did"), col("dst"))).distinct().cache()
+    val g = Graph.fromEdges(
+      keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd.distinct()
+        .map { case (s, d) => Edge(s, d, ()) }, ())
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    var hg = g.mapVertices((_, _) => (1.0, 1.0)).cache() // (hub, auth)
+    for (_ <- 1 to iterations) {
+      val authRaw = hg.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr._1), _ + _).mapValues(r10 _)
+      var mid = hg.outerJoinVertices(authRaw)((_, attr, a) =>
+        (attr._1, a.getOrElse(0.0)))
+      val an = mid.vertices.map(_._2._2).sum()
+      mid = mid.mapVertices((_, at) => (at._1, r10(at._2 / an))).cache()
+      val hubRaw = mid.aggregateMessages[Double](
+        ctx => ctx.sendToSrc(ctx.dstAttr._2), _ + _).mapValues(r10 _)
+      var nxt = mid.outerJoinVertices(hubRaw)((_, attr, h) =>
+        (h.getOrElse(0.0), attr._2))
+      val hn = nxt.vertices.map(_._2._1).sum()
+      nxt = nxt.mapVertices((_, at) => (r10(at._1 / hn), at._2)).cache()
+      nxt.vertices.count()
+      val prev = hg
+      hg = nxt
+      mid.unpersist(blocking = false)
+      prev.unpersist(blocking = false)
+    }
+    hg.vertices.toDF("id", "ha")
+      .select(col("id"), col("ha._1").as("hub0"), col("ha._2").as("auth0"))
+      .join(names, "id")
+      .select(col("name").as("v"), round(col("hub0"), 6).as("hub"),
+        round(col("auth0"), 6).as("auth"))
+  }
+
   /** Synchronous label-propagation communities over the undirected view
     * of edges(src, dst): every vertex starts as its own label; each round
     * every vertex adopts the modal label among its neighbors, ties broken

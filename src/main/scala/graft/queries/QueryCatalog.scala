@@ -359,6 +359,12 @@ object QueryCatalog {
        |FROM hn3 h JOIN an3 a ON h.v = a.v""".stripMargin
   }
 
+  /** The GraphX scale path of q53 — identical per-stage rounding and
+    * normalization order; shares q53's oracle. */
+  val q53HitsGx: Q = (s, d) =>
+    graft.enrich.Analytics.hitsGraphX(s, GraphTables.hierarchy(s, d),
+      iterations = 3)
+
   val gD4Closure: Q = (s, d) =>
     graft.enrich.Closure.transitiveClosure(GraphTables.hierarchy(s, d))
 
@@ -3978,6 +3984,7 @@ object QueryCatalog {
     "st_cms" -> stCms,
     "q46_btw" -> q46Btw,
     "q53_hits" -> q53Hits,
+    "q53_hits_gx" -> q53HitsGx,
     "q54_distdist" -> q54DistDist,
   )
 
@@ -4130,6 +4137,7 @@ object QueryCatalog {
     "st_cms" -> stCmsSql,
     "q46_btw" -> q46BtwSql,
     "q53_hits" -> q53HitsSql,
+    "q53_hits_gx" -> q53HitsSql,
     "q54_distdist" -> q54DistDistSql,
   )
 }

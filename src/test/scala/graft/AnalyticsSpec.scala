@@ -298,6 +298,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out === again)
   }
 
+  test("hitsGraphX agrees with the DataFrame loop exactly") {
+    val edges = Seq(("s1", "h"), ("s2", "h"), ("h", "a1"), ("h", "a2"),
+      ("a1", "s1")).toDF("src", "dst")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+    val dfPath = asMap(Analytics.hits(edges, iterations = 3))
+    val gxPath = asMap(Analytics.hitsGraphX(spark, edges, iterations = 3))
+    assert(dfPath === gxPath)
+  }
+
   test("labelPropagation: disjoint cliques converge to their min label") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
