@@ -317,6 +317,36 @@ object PyIndexer {
   private val subscriptRead: Regex =
     """^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\[[^\]]*\]\s*$""".r
 
+  /** `xs = [Helper(), Helper()]` — a homogeneous constructor-list
+    * literal binds xs's ELEMENT type (C3 slice 12: jedi infers the
+    * list's value type from its items); mixed-type or non-call items
+    * leave xs unbound. */
+  private val listLitAssign: Regex =
+    """^\s*([A-Za-z_]\w*)\s*=\s*\[(.+)\]\s*$""".r
+  private val ctorItem: Regex =
+    """^\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(\s*[^()]*\)\s*$""".r
+
+  /** Split on top-level commas (outside brackets/parens/quotes) — list
+    * items' constructor args may themselves contain commas. */
+  private def splitTopComma(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    for (c <- s) {
+      if (quote != 0) { sb.append(c); if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; sb.append(c)
+        case '(' | '[' | '{' => depth += 1; sb.append(c)
+        case ')' | ']' | '}' => depth = math.max(0, depth - 1); sb.append(c)
+        case ',' if depth == 0 => out += sb.toString; sb.clear()
+        case other => sb.append(other)
+      }
+    }
+    out += sb.toString
+    out.toSeq
+  }
+
   /** `except SomeError as e:` — the handler target binds the exception
     * class (C3 slice 11: jedi types the as-name from the except clause;
     * the tuple form `except (A, B) as e` is ambiguous and deliberately
@@ -995,6 +1025,18 @@ object PyIndexer {
               .filter(m => line.trim.startsWith(m.group(1)))
               .foreach(m => classishType(m.group(2))
                 .foreach(t => fn.elemLocals(m.group(1)) = t))
+            // C3 slice 12: a homogeneous constructor-list literal binds
+            // the element type; mixed/non-call items bind nothing
+            listLitAssign.findFirstMatchIn(line).foreach { m =>
+              val types = splitTopComma(m.group(2)).map(_.trim)
+                .map {
+                  case ctorItem(callee) => classishType(callee)
+                  case _ => None
+                }
+              if (types.nonEmpty && types.forall(_.isDefined) &&
+                  types.flatten.distinct.size == 1)
+                fn.elemLocals(m.group(1)) = types.head.get
+            }
             forIn.findFirstMatchIn(line).foreach(m =>
               fn.elemLocals.get(m.group(2))
                 .foreach(t => fn.locals(m.group(1)) = t))

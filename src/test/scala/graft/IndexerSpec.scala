@@ -378,6 +378,33 @@ class IndexerSpec extends AnyFunSuite {
     assert(locals.contains("exc.risky<v>"))
   }
 
+  test("C3 slice 12: homogeneous constructor lists bind element types") {
+    val src =
+      """from lib import Helper
+        |
+        |def use():
+        |    xs = [Helper(), Helper(2, 3)]
+        |    for y in xs:
+        |        y.run()
+        |    z = xs[0]
+        |    z.stop()
+        |
+        |def mixed():
+        |    ms = [Helper(), unknown_factory()]
+        |    for w in ms:
+        |        w.run()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "lst.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // iteration target and subscript read both carry the element type
+    assert(calls.contains(("lst.use", "lib.Helper.run")))
+    assert(calls.contains(("lst.use", "lib.Helper.stop")))
+    // a mixed list (one item unresolvable) binds nothing — no
+    // fabricated resolution for w
+    assert(!calls.contains(("lst.mixed", "lib.Helper.run")))
+  }
+
   test("C3 slice 10: method returns chain through typed receivers") {
     val src =
       """from lib import Helper, Other
