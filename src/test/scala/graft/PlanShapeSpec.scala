@@ -151,4 +151,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Expand"),
       s"multiple distinct aggs should rewrite via Expand; plan:\n$plan")
   }
+
+  test("co-purchase queries scan the persisted derived table, never the " +
+      "lineitem self-join") {
+    // the co-purchase graph is derived ONCE per corpus version
+    // (GraphTables.coPurchase) — a plan that re-reads lineitem here means
+    // the most expensive derivation in the catalog silently became a
+    // per-query cost again (~11 queries pay it)
+    val df = QueryCatalog.q48Clustering(spark, sf)
+    df.collect()
+    val scans = fileScans(df.queryExecution.executedPlan)
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(scans.nonEmpty)
+    assert(!scans.exists(_.contains("lineitem")),
+      s"q48 must read the materialized co-purchase table, scans:\n${scans.mkString("\n")}")
+    assert(scans.exists(_.contains("copurchase")),
+      s"expected a copurchase derived-table scan, scans:\n${scans.mkString("\n")}")
+  }
 }
