@@ -28,6 +28,22 @@ object TextFunctions {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Flesch reading-ease heuristic, engine-portable: sentences =
+    * `[.!?]+` runs in the RAW text (min 1), words = [[tokenCount]]
+    * (min 1), syllables = `[aeiouy]+` vowel groups in the normalized
+    * text with a one-per-word aggregate floor (true Flesch counts ≥1
+    * syllable per word; vowel-less tokens — numbers — would otherwise
+    * undercount). 206.835 − 1.015·(w/s) − 84.6·(syl/w), rounded to 4.
+    * Pure narrow regexp arithmetic — codegen'd, no shuffle. */
+  def fleschEase(text: Column): Column = {
+    val w = greatest(tokenCount(text).cast("double"), lit(1.0))
+    val s = greatest(regexp_count(text, lit("[.!?]+")).cast("double"),
+      lit(1.0))
+    val syl = greatest(
+      regexp_count(normalize(text), lit("[aeiouy]+")).cast("double"), w)
+    round(lit(206.835) - lit(1.015) * w / s - lit(84.6) * syl / w, 4)
+  }
+
   /** Stopword ratio over tokens, rounded for cross-engine comparability. */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)

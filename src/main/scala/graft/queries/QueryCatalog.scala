@@ -1121,6 +1121,30 @@ object QueryCatalog {
 
   /** Quality scoring: alpha ratio, stopword ratio, mean token length,
     * composite score — all rounded for cross-engine equality. */
+  /** t_readability — Flesch reading-ease over the documents table
+    * ([[TextFunctions.fleschEase]], with its component counts exposed so
+    * the gate pins the full derivation): the classic readability screen
+    * a corpus-quality pipeline runs next to the Gopher-style ratios. */
+  val tReadability: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      greatest(TextFunctions.tokenCount(col("text")), lit(1))
+        .cast("long").as("n_words"),
+      greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+        .cast("long").as("n_sents"),
+      TextFunctions.fleschEase(col("text")).as("flesch"))
+
+  lazy val tReadabilitySql: String = {
+    val nTok = s"CASE WHEN length($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END"
+    s"""SELECT doc_id,
+       |  greatest($nTok, 1)::BIGINT AS n_words,
+       |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sents,
+       |  round(206.835
+       |    - 1.015 * greatest($nTok, 1)::DOUBLE / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE
+       |    - 84.6 * greatest(len(regexp_extract_all($normSql, '[aeiouy]+')), greatest($nTok, 1))::DOUBLE
+       |        / greatest($nTok, 1)::DOUBLE, 4) AS flesch
+       |FROM documents""".stripMargin
+  }
+
   val tQuality: Q = (s, d) =>
     Tables.documents(s, d).select(col("doc_id"),
       TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
@@ -3984,6 +4008,7 @@ object QueryCatalog {
     "st_cms" -> stCms,
     "q46_btw" -> q46Btw,
     "q53_hits" -> q53Hits,
+    "t_readability" -> tReadability,
     "q53_hits_gx" -> q53HitsGx,
     "q54_distdist" -> q54DistDist,
   )
@@ -4137,6 +4162,7 @@ object QueryCatalog {
     "st_cms" -> stCmsSql,
     "q46_btw" -> q46BtwSql,
     "q53_hits" -> q53HitsSql,
+    "t_readability" -> tReadabilitySql,
     "q53_hits_gx" -> q53HitsSql,
     "q54_distdist" -> q54DistDistSql,
   )
