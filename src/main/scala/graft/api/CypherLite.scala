@@ -263,7 +263,9 @@ object CypherLite {
   private def nodePred(labels: Seq[String], props: Map[String, String]): Column = {
     val labelConds = labels.map(l =>
       col("kind") === l || array_contains(col("task_ids"), l))
-    val propConds = props.map { case (k, v) =>
+    val propConds = props.map { case (k0, v) =>
+      // `{class: 'X'}` matches the clazz column (write-side vocabulary)
+      val k = if (k0 == "class") "clazz" else k0
       if (fixed(k)) col(k) === v else element_at(col("props"), k) === v
     }
     (labelConds ++ propConds).reduceOption(_ && _).getOrElse(lit(true))
@@ -271,10 +273,19 @@ object CypherLite {
 
   private val fixedRel = Set("src", "rel_type", "dst")
 
-  /** True when the alias names an edge scan (`e<N>`) rather than a node
-    * (`n<N>`) or a WITH-carried struct — relationship variables resolve
-    * against the edge schema. */
-  private def isRelAlias(a: String): Boolean = a.matches("e\\d+")
+  /** Internal edge-scan alias, a RESERVED namespace (`__rel<N>`) no user
+    * variable can ever occupy: user-written variables bind through the
+    * vars map to planner-generated aliases only (`n<N>` node scans,
+    * `__rel<N>` edge scans, `__w_<v>` WITH-carried structs), so
+    * relationship-ness is decided by the planner's own binding — never
+    * inferred from a user-controllable spelling. A node variable
+    * literally named `e1` (or `__rel7`) stays a node everywhere. */
+  private def relAlias(i: Int): String = s"__rel$i"
+
+  /** True when the alias names an edge scan — i.e. the planner bound it
+    * via [[relAlias]]; relationship variables resolve against the edge
+    * schema. */
+  private def isRelAlias(a: String): Boolean = a.startsWith("__rel")
 
   /** Prop reference `v.prop` → Column (fixed column or props-map entry;
     * relationship variables use the edge schema's fixed columns). */
@@ -285,8 +296,12 @@ object CypherLite {
     if (isRelAlias(a))
       if (fixedRel(prop)) col(s"$a.$prop")
       else element_at(col(s"$a.props"), prop)
-    else if (fixed(prop)) col(s"$a.$prop")
-    else element_at(col(s"$a.props"), prop)
+    else {
+      // `v.class` reads the clazz column — the write-side key vocabulary
+      val p = if (prop == "class") "clazz" else prop
+      if (fixed(p)) col(s"$a.$p")
+      else element_at(col(s"$a.props"), p)
+    }
   }
 
   private val countRe = """^(?i)count\(\s*(\*|\w+(?:\.\w+)?)\s*\)$""".r
@@ -524,8 +539,12 @@ object CypherLite {
         val v = c.stripPrefix(s"$fn(").stripSuffix(")").trim
         val a = vars(v)
         require(!isRelAlias(a), s"$fn() needs a node variable: '$p'")
-        val fixedPairs = Seq("name", "file_path", "signature", "clazz", "code")
-          .flatMap(f => Seq(lit(f), col(s"$a.$f")))
+        // user-facing key "class" maps to the internal clazz column —
+        // the write path's vocabulary (GraphDatabase.addNode), so a
+        // CREATE {class:'X'} round-trips to properties(n)['class']
+        val fixedPairs = Seq("name" -> "name", "file_path" -> "file_path",
+          "signature" -> "signature", "class" -> "clazz", "code" -> "code")
+          .flatMap { case (k, f) => Seq(lit(k), col(s"$a.$f")) }
         val allProps = map_concat(
           map_filter(map(fixedPairs: _*), (_, vv) => vv.isNotNull),
           col(s"$a.props"))
@@ -640,9 +659,11 @@ object CypherLite {
   }
 
   /** Split on a boolean keyword (AND / OR) at top level — outside quotes
-    * AND outside parentheses, with \w boundaries. [[splitTop]] is not
-    * paren-aware (prop literals never nest), but boolean groups do:
-    * `(a OR b) AND c` must not split inside the group. */
+    * AND outside parentheses, with \w boundaries. [[splitTop]] is also
+    * quote- and paren-aware but splits on a literal SEPARATOR; this one
+    * splits on a KEYWORD, so it additionally requires \w boundaries
+    * (`BRAND` must not split at its embedded `AND`). `(a OR b) AND c`
+    * must not split inside the group. */
   private def splitBool(s: String, word: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
@@ -922,19 +943,20 @@ object CypherLite {
       // per-length path compositions; endpoints join identically
       val scan = hopEdges(edges, hop)
       val ai = aliasStart + i
+      val ea = relAlias(ai)
       val e = (if (hop.isVarLength)
           varLengthRel(scan, hop.minHops, hop.maxHops)
-        else scan).alias(s"e$ai")
+        else scan).alias(ea)
       val next = nodes
         .filter(nodePred(c.nodeMs(i + 1).labels, c.nodeMs(i + 1).props))
         .alias(s"n${ai + 1}")
       df =
         if (!hop.reversed)
-          df.join(e, col(s"n$ai.full_name") === col(s"e$ai.src"))
-            .join(next, col(s"e$ai.dst") === col(s"n${ai + 1}.full_name"))
+          df.join(e, col(s"n$ai.full_name") === col(s"$ea.src"))
+            .join(next, col(s"$ea.dst") === col(s"n${ai + 1}.full_name"))
         else
-          df.join(e, col(s"n$ai.full_name") === col(s"e$ai.dst"))
-            .join(next, col(s"e$ai.src") === col(s"n${ai + 1}.full_name"))
+          df.join(e, col(s"n$ai.full_name") === col(s"$ea.dst"))
+            .join(next, col(s"$ea.src") === col(s"n${ai + 1}.full_name"))
     }
     df
   }
@@ -1008,9 +1030,12 @@ object CypherLite {
         val parts = body.split("\\.\\.", -1).map(_.trim)
         require(parts.length == 2, s"malformed spec '$star'")
         (if (parts(0).isEmpty) 1 else parts(0).toInt,
-          if (parts(1).isEmpty) spathMaxDepth
-          else math.min(parts(1).toInt, spathMaxDepth))
-      } else (body.toInt, math.min(body.toInt, spathMaxDepth))
+          if (parts(1).isEmpty) spathMaxDepth else parts(1).toInt)
+      } else (body.toInt, body.toInt)
+    // a bound beyond the BFS safety cap is its own error — clamping
+    // silently would mislabel `*40` as an "empty hop range"
+    require(maxH <= spathMaxDepth,
+      s"hop bound $maxH exceeds spathMaxDepth ($spathMaxDepth): '$star'")
     require(minH >= 0 && minH <= maxH, s"empty hop range '$star'")
 
     val hop = Hop(relSpec, reversed, 1, 1,
@@ -1105,7 +1130,7 @@ object CypherLite {
     def relVarsOf(c: Clause, aliasStart: Int): Map[String, String] =
       c.hops.zipWithIndex.collect {
         case (h, i) if h.varName.nonEmpty =>
-          h.varName.get -> s"e${aliasStart + i}"
+          h.varName.get -> relAlias(aliasStart + i)
       }.toMap
     var aliasCount = clauses.head.nodeMs.size
     var vars = clauses.head.nodeMs.zipWithIndex
@@ -1289,10 +1314,10 @@ object CypherLite {
           val a = vars(v)
           require(!isRelAlias(a),
             s"carrying a relationship variable through WITH not supported: '$item'")
-          // the carried struct's alias is `__`-prefixed so a user node
-          // variable literally named e1/n2/… can never be misclassified
-          // by isRelAlias downstream (internal scan aliases are e\d+/n\d+)
-          val ca = s"__$v"
+          // the carried struct's alias lives in its own `__w_` namespace,
+          // disjoint from node scans (n<N>) and edge scans (__rel<N>) —
+          // no user variable name can land it in the rel namespace
+          val ca = s"__w_$v"
           keys += struct(carriedFields.map(f => col(s"$a.$f").as(f)): _*).as(ca)
           newVars += v -> ca
         case other => throw new IllegalArgumentException(

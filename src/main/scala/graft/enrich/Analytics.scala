@@ -810,8 +810,11 @@ object Analytics {
     * so it shares q53's oracle exactly as [[pageRankGraphX]] shares
     * q10's. One graph carries (hub, auth); each half-round is one
     * aggregateMessages + one same-index outerJoinVertices, norms are
-    * RDD sums (the round-to-10 quantizes away double-summation-order
-    * drift, the established twin discipline), superseded graphs
+    * EXACT-decimal RDD folds (BigDecimal addition is associative and
+    * commutative with no rounding, so partition order can't shift the
+    * sum — the same decimal(38,10) discipline the DF twin's l1 uses;
+    * a plain double .sum() would make the shared oracle gate depend on
+    * reduction order near a 1e-10 rounding boundary), superseded graphs
     * unpersist as their successors materialize. */
   def hitsGraphX(spark: SparkSession, edges: DataFrame,
       iterations: Int = 5): DataFrame = {
@@ -820,6 +823,14 @@ object Analytics {
     def r10(x: Double): Double =
       java.math.BigDecimal.valueOf(x)
         .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue()
+    // order-independent L1 norm: exact BigDecimal addition over the
+    // r10-rounded values (valueOf(double) is the exact shortest-decimal
+    // of an already-10-dp value), one double conversion at the end —
+    // the same decimal discipline as the DF twin's l1; a plain double
+    // .sum() would depend on reduction order near a rounding boundary
+    def decSum(xs: org.apache.spark.rdd.RDD[Double]): Double =
+      xs.map(java.math.BigDecimal.valueOf)
+        .fold(java.math.BigDecimal.ZERO)(_ add _).doubleValue()
     val keyed = edges.select(
       xxhash64(col("src")).as("sid"), col("src"),
       xxhash64(col("dst")).as("did"), col("dst")).cache()
@@ -835,13 +846,13 @@ object Analytics {
         ctx => ctx.sendToDst(ctx.srcAttr._1), _ + _).mapValues(r10 _)
       var mid = hg.outerJoinVertices(authRaw)((_, attr, a) =>
         (attr._1, a.getOrElse(0.0)))
-      val an = mid.vertices.map(_._2._2).sum()
+      val an = decSum(mid.vertices.map(_._2._2))
       mid = mid.mapVertices((_, at) => (at._1, r10(at._2 / an))).cache()
       val hubRaw = mid.aggregateMessages[Double](
         ctx => ctx.sendToSrc(ctx.dstAttr._2), _ + _).mapValues(r10 _)
       var nxt = mid.outerJoinVertices(hubRaw)((_, attr, h) =>
         (h.getOrElse(0.0), attr._2))
-      val hn = nxt.vertices.map(_._2._1).sum()
+      val hn = decSum(nxt.vertices.map(_._2._1))
       nxt = nxt.mapVertices((_, at) => (r10(at._1 / hn), at._2)).cache()
       nxt.vertices.count()
       val prev = hg

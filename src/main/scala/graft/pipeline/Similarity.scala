@@ -138,18 +138,35 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (every `centroidEvery`-th
-    * vector is a centroid) partitions the corpus into cells; a query scores
-    * only vectors in its `nprobe` nearest cells. The classic scale path:
-    * centroids are broadcast (small), the corpus is assigned in one
-    * codegen'd pass, and per-query work drops from O(n) to
-    * O(nprobe·n/#cells). Recall < 1 by design; deterministic so the oracle
-    * replays the identical quantization. */
+  /** Deterministic FIXED-SIZE centroid seed selection: the `nlist`
+    * vectors whose portable rolling hash of vec_id ranks lowest (ties →
+    * lowest vec_id) — the `p_group_sample` discipline applied to
+    * quantizer seeding. |seeds| is `nlist` REGARDLESS of corpus size
+    * (the FAISS nlist contract), so the coarse-assignment crossJoin is
+    * O(n·nlist) with an O(nlist) broadcast at any scale — unlike a
+    * modulo rule, whose centroid set grows with n. Physically a
+    * TakeOrderedAndProject: per-partition partial top-nlist, O(nlist)
+    * rows at the driver, never a global sort. Replayable in ANSI SQL
+    * as `ORDER BY rolling_hash(vec_id), vec_id LIMIT nlist`. */
+  def centroidSeeds(emb: DataFrame, nlist: Int): DataFrame =
+    emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        graft.functions.TextFunctions.rollingHash(
+          col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("cid"))
+      .limit(nlist)
+      .select(col("cid"), col("cv"))
+
+  /** IVF-style ANN: a deterministic coarse quantizer ([[centroidSeeds]],
+    * `nlist` fixed-count centroids) partitions the corpus into cells; a
+    * query scores only vectors in its `nprobe` nearest cells. The classic
+    * scale path: centroids are broadcast (small and CONSTANT-SIZE in n),
+    * the corpus is assigned in one codegen'd pass, and per-query work
+    * drops from O(n) to O(nprobe·n/nlist). Recall < 1 by design;
+    * deterministic so the oracle replays the identical quantization. */
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      centroidEvery: Int = 50, nprobe: Int = 5): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = emb.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val cents = centroidSeeds(emb, nlist)
     // cell assignment: nearest centroid by cosine (ties -> lowest cid)
     val byCell = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid").asc)
@@ -185,8 +202,8 @@ object Similarity {
   }
 
   /** Full Lloyd k-means training, `iterations` rounds: deterministic
-    * seeding (every `centroidEvery`-th vector, the IVF coarse-quantizer
-    * rule), then per round (1) assign every vector to its nearest
+    * seeding ([[centroidSeeds]] — `nlist` fixed-count seeds, the IVF
+    * coarse-quantizer rule), then per round (1) assign every vector to its nearest
     * centroid by rounded cosine — ONE codegen'd pass over a broadcast of
     * the (small) centroid set, ties to the lowest cid — and (2) recompute
     * each centroid as the dim-wise mean of its cell through exact
@@ -203,14 +220,14 @@ object Similarity {
     * @return the trained centroids, (cid, dim, mean_v) — one row per
     *         centroid component
     */
-  def kMeansCentroids(emb: DataFrame, centroidEvery: Int,
+  def kMeansCentroids(emb: DataFrame, nlist: Int,
       iterations: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byCell = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid").asc)
-    var cents = emb.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cid"),
-        transform(col("embedding"), x => round(x.cast("double"), 4)).as("cv"))
+    var cents = centroidSeeds(emb, nlist)
+      .select(col("cid"),
+        transform(col("cv"), x => round(x.cast("double"), 4)).as("cv"))
     var means: DataFrame = null
     for (_ <- 1 to iterations) {
       val assigned = emb.crossJoin(broadcast(cents))
@@ -279,7 +296,8 @@ object Similarity {
   /** Product-quantized (PQ) ANN — the memory-compression scale path for
     * billion-vector corpora (the IVF-PQ standard): each vector splits
     * into `m` subvectors; each subspace gets a small codebook (seeded by
-    * the deterministic every-`centroidEvery`-th rule, refined by ONE
+    * the deterministic fixed-count [[centroidSeeds]] rule — `ksub`
+    * entries per book — refined by ONE
     * Lloyd round with the s_kmeans decimal-mean discipline); a vector's
     * code is its per-subspace nearest centroid (rounded DOT product,
     * ties → lowest cid — dot, not cosine, because per-subspace dots ADD
@@ -296,10 +314,10 @@ object Similarity {
     * decimal means), so the oracle replays training, encoding, ADC, and
     * re-rank bit-identically. */
   def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      m: Int = 4, subDim: Int = 16, centroidEvery: Int = 25,
+      m: Int = 4, subDim: Int = 16, ksub: Int = 16,
       shortlist: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (enc, lut) = pqCodes(emb, queryIds, m, subDim, centroidEvery)
+    val (enc, lut) = pqCodes(emb, queryIds, m, subDim, ksub)
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id").asc)
     val short = enc.join(broadcast(lut), Seq("sub", "code"))
@@ -318,7 +336,7 @@ object Similarity {
     * tables. Returns (enc(sub, vec_id, code), lut(sub, query_id, code,
     * part)). */
   private def pqCodes(emb: DataFrame, queryIds: Seq[Long],
-      m: Int, subDim: Int, centroidEvery: Int): (DataFrame, DataFrame) = {
+      m: Int, subDim: Int, ksub: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     def rdot(a: Column, b: Column): Column =
       round(aggregate(zip_with(a, b, (x, y) => x * y),
@@ -336,7 +354,10 @@ object Similarity {
         transform(slice(col("embedding"), s * subDim + 1, subDim),
           x => round(x.cast("double") / norm, 4)).as("sv"))
     }.reduce(_ unionByName _)
-    val seeds = subs.filter(col("vec_id") % centroidEvery === 0)
+    // fixed ksub seed ids per subspace (the same vec_ids across subs,
+    // picked once by the constant-size centroidSeeds rule)
+    val sids = centroidSeeds(emb, ksub).select(col("cid").as("vec_id"))
+    val seeds = subs.join(broadcast(sids), "vec_id")
       .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
     val byVecSub = Window.partitionBy("sub", "vec_id")
       .orderBy(col("sim").desc, col("cid").asc)
@@ -395,13 +416,12 @@ object Similarity {
     * codes), so the oracle replays coarse assignment, training,
     * encoding, ADC, and re-rank bit-identically. */
   def ivfPqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      centroidEvery: Int = 50, nprobe: Int = 8,
-      m: Int = 4, subDim: Int = 16, pqCentroidEvery: Int = 25,
+      nlist: Int = 16, nprobe: Int = 8,
+      m: Int = 4, subDim: Int = 16, ksub: Int = 16,
       shortlist: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // IVF coarse layer: one cell per vector, nprobe cells per query
-    val cents = emb.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val cents = centroidSeeds(emb, nlist)
     val byCell = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid").asc)
     val assigned = emb.crossJoin(broadcast(cents))
@@ -424,7 +444,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
     // PQ layer scores ONLY the probed-cell candidates
-    val (enc, lut) = pqCodes(emb, queryIds, m, subDim, pqCentroidEvery)
+    val (enc, lut) = pqCodes(emb, queryIds, m, subDim, ksub)
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id").asc)
     val short = cand.join(enc, "vec_id")

@@ -1465,14 +1465,25 @@ object QueryCatalog {
        |  / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x, y) -> x + y))
        |   * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y))), 4)""".stripMargin
 
-  /** IVF-style ANN: deterministic coarse centroids (vec_id % 50 == 0),
-    * nprobe=5, top-10 for query vectors 0–4. */
+  /** Rolling hash of vec_id::VARCHAR, DuckDB side — the
+    * [[graft.pipeline.Similarity.centroidSeeds]] selection key: the
+    * nlist ids with the lowest hash (ties → lowest id) are the quantizer
+    * seeds, so |centroids| is CONSTANT in corpus size. */
+  private val rollhVecId: String =
+    "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(vec_id::VARCHAR, ''), ch -> ascii(ch)::BIGINT)), (h, ch) -> (h * 31 + ch) % 2147483647)"
+
+  /** `cents` CTE body: the fixed-`nlist` centroid seed set. */
+  private def centsSql(nlist: Int): String =
+    s"(SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY $rollhVecId, vec_id LIMIT $nlist)"
+
+  /** IVF-style ANN: deterministic fixed-count coarse centroids
+    * (centroidSeeds nlist=16), nprobe=8, top-10 for query vectors 0–4. */
   val sIvfAnn: Q = (s, d) =>
     Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
-      centroidEvery = 50, nprobe = 5)
+      nlist = 16, nprobe = 8)
 
   val sIvfAnnSql: String =
-    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+    s"""WITH cents AS ${centsSql(16)},
        |assigned AS (SELECT vec_id, embedding, cid FROM (
        |  SELECT e.vec_id, e.embedding, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cid) AS crank
@@ -1480,7 +1491,7 @@ object QueryCatalog {
        |probes AS (SELECT query_id, qv, cid FROM (
        |  SELECT qq.vec_id AS query_id, qq.embedding AS qv, c.cid,
        |    row_number() OVER (PARTITION BY qq.vec_id ORDER BY ${cosOf("qq.embedding", "c.cv")} DESC, c.cid) AS prank
-       |  FROM embeddings qq CROSS JOIN cents c WHERE qq.vec_id IN (0,1,2,3,4)) WHERE prank <= 5)
+       |  FROM embeddings qq CROSS JOIN cents c WHERE qq.vec_id IN (0,1,2,3,4)) WHERE prank <= 8)
        |SELECT query_id, vec_id, sim,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
        |FROM (SELECT p.query_id, a.vec_id, ${cosOf("p.qv", "a.embedding")} AS sim
@@ -3161,7 +3172,8 @@ object QueryCatalog {
 
   /** s_kmeans — full Lloyd k-means training, 2 iterations
     * ([[graft.pipeline.Similarity.kMeansCentroids]]): deterministic
-    * seeds (vec_id % 100 == 0), rounded-cosine assignment (ties → lowest
+    * fixed-count seeds (centroidSeeds nlist=8 — k is constant in corpus
+    * size), rounded-cosine assignment (ties → lowest
     * cid), decimal-exact dim-wise mean update. The oracle replays both
     * iterations — assignment, mean, re-assignment, mean — bit-identically
     * thanks to the round-to-4 quantization at every float boundary. */
@@ -3173,14 +3185,14 @@ object QueryCatalog {
     * composition, so the gate is algorithmic equality, not recall. */
   val sIvfPqAnn: Q = (s, d) =>
     Similarity.ivfPqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
-      centroidEvery = 50, nprobe = 8, m = 4, subDim = 16,
-      pqCentroidEvery = 25, shortlist = 60)
+      nlist = 16, nprobe = 8, m = 4, subDim = 16,
+      ksub = 16, shortlist = 60)
 
   lazy val sIvfPqAnnSql: String = {
     def rdotOf(a: String, b: String, dim: Int): String =
       s"round(list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y), 4)"
     val normSqlE = "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), (a, y) -> a + y))"
-    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+    s"""WITH cents AS ${centsSql(16)},
        |assigned AS MATERIALIZED (SELECT vec_id, cid FROM (
        |  SELECT e.vec_id, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cid) AS crank
@@ -3195,7 +3207,8 @@ object QueryCatalog {
        |  SELECT vec_id, ss.sub AS sub,
        |    list_transform(list_slice(embedding, ss.sub*16 + 1, ss.sub*16 + 16), x -> round(x::DOUBLE / $normSqlE, 4)) AS sv
        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) ss),
-       |seeds AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id % 25 = 0),
+       |sids AS (SELECT vec_id FROM embeddings ORDER BY $rollhVecId, vec_id LIMIT 16),
+       |seeds AS (SELECT sub, s.vec_id AS cid, sv AS cv FROM subs s JOIN sids USING (vec_id)),
        |a1 AS MATERIALIZED (SELECT sub, vec_id, sv, cid FROM (
        |  SELECT s.sub, s.vec_id, s.sv, c.cid,
        |    row_number() OVER (PARTITION BY s.sub, s.vec_id ORDER BY ${rdotOf("s.sv", "c.cv", 16)} DESC, c.cid) AS rk
@@ -3224,12 +3237,14 @@ object QueryCatalog {
 
   /** s_pq_ann — product-quantized ANN top-10 for query vectors 0–4
     * ([[graft.pipeline.Similarity.pqTopK]]): 4 subspaces × 16 dims,
-    * codebooks seeded by the %25 rule and refined by one decimal-exact
+    * codebooks seeded by the fixed-count centroidSeeds rule (ksub=16
+    * entries per book, constant in corpus size) and refined by one
+    * decimal-exact
     * Lloyd round, rounded-dot ADC shortlist, exact cosine re-rank. The
     * oracle replays training, encoding, the LUT sum, and the re-rank. */
   val sPqAnn: Q = (s, d) =>
     Similarity.pqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
-      m = 4, subDim = 16, centroidEvery = 25, shortlist = 100)
+      m = 4, subDim = 16, ksub = 16, shortlist = 100)
 
   val sPqAnnSql: String = {
     def rdotOf(a: String, b: String, dim: Int): String =
@@ -3239,7 +3254,8 @@ object QueryCatalog {
        |  SELECT vec_id, ss.sub AS sub,
        |    list_transform(list_slice(embedding, ss.sub*16 + 1, ss.sub*16 + 16), x -> round(x::DOUBLE / $normSqlE, 4)) AS sv
        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) ss),
-       |seeds AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id % 25 = 0),
+       |sids AS (SELECT vec_id FROM embeddings ORDER BY $rollhVecId, vec_id LIMIT 16),
+       |seeds AS (SELECT sub, s.vec_id AS cid, sv AS cv FROM subs s JOIN sids USING (vec_id)),
        |a1 AS MATERIALIZED (SELECT sub, vec_id, sv, cid FROM (
        |  SELECT s.sub, s.vec_id, s.sv, c.cid,
        |    row_number() OVER (PARTITION BY s.sub, s.vec_id ORDER BY ${rdotOf("s.sv", "c.cv", 16)} DESC, c.cid) AS rk
@@ -3268,7 +3284,7 @@ object QueryCatalog {
 
   val sKmeans: Q = (s, d) =>
     Similarity.kMeansCentroids(Tables.embeddings(s, d),
-      centroidEvery = 100, iterations = 2)
+      nlist = 8, iterations = 2)
 
   val sKmeansSql: String = {
     def assign(ci: String, out: String) =
@@ -3279,7 +3295,7 @@ object QueryCatalog {
     def meanOf(ai: String, out: String) =
       s"""$out AS MATERIALIZED (SELECT cid, dim, round(CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS mean_v
          |FROM (SELECT cid, unnest(range(0, 64)) AS dim, unnest(embedding)::DOUBLE AS v FROM $ai) GROUP BY cid, dim)""".stripMargin
-    s"""WITH c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> round(x::DOUBLE, 4)) AS cv FROM embeddings WHERE vec_id % 100 = 0),
+    s"""WITH c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> round(x::DOUBLE, 4)) AS cv FROM embeddings ORDER BY $rollhVecId, vec_id LIMIT 8),
        |${assign("c0", "a1")},
        |${meanOf("a1", "m1")},
        |c1 AS (SELECT cid, array_agg(mean_v ORDER BY dim) AS cv FROM m1 GROUP BY cid),
@@ -3752,9 +3768,11 @@ object QueryCatalog {
 
   /** st_dedup — [[graft.streaming.Streams.streamingExactDedup]] through
     * the micro-batch replay harness: documents stream in doc_id order
-    * (synthetic event time = epoch + doc_id seconds, all within the 1 h
-    * watermark so dedup state never expires mid-replay) and the query
-    * must emit EXACTLY one row per distinct text. The gate projects the
+    * (synthetic event time = epoch + doc_id MILLIseconds, so even a
+    * 1M-doc corpus spans ~17 min — comfortably inside the 1 h watermark
+    * at any verify scale, and the second pass can never arrive behind
+    * the watermark and be dropped as late data instead of deduped) and
+    * the query must emit EXACTLY one row per distinct text. The gate projects the
     * fingerprint only: which duplicate survives inside a micro-batch is
     * engine-scheduling dependent (dropDuplicates keeps an arbitrary
     * first), but the emitted fingerprint SET is not. */
@@ -3773,7 +3791,7 @@ object QueryCatalog {
       df => Streams.streamingExactDedup(
         df.toDF("doc_id", "text")
           .withColumn("ts",
-            timestamp_seconds(lit(1700000000L) + col("doc_id"))),
+            timestamp_millis(lit(1700000000000L) + col("doc_id"))),
         watermark = "1 hour")
     }
       .select(col("fingerprint"))

@@ -518,6 +518,24 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(m("signature") === "def greet(self):" && m("code") === "...")
   }
 
+  test("class property key round-trips: write 'class' -> read 'class'") {
+    // write-side vocabulary: addNode maps 'class' into the clazz column;
+    // the read side must expose the SAME key — properties(n)['class'],
+    // n.class, and {class: …} pattern literals all hit the clazz column
+    val d = GraphDatabase.inMemory(spark)
+    d.executeQuery("CREATE (m:METHOD:t {full_name: 'x.C.m', name: 'm', class: 'C'})")
+    d.commit()
+    val row = d.executeQuery(
+      "MATCH (n:METHOD {class: 'C'}) RETURN n.class, properties(n), keys(n)")
+      .collect()
+    assert(row.length === 1)
+    assert(row(0).getString(0) === "C")
+    val props = row(0).getMap[String, String](1)
+    assert(props("class") === "C")
+    assert(!props.contains("clazz"))
+    assert(row(0).getSeq[String](2).contains("class"))
+  }
+
   test("relationship accessors: type(r), startNode(r), endNode(r)") {
     val out = d8.executeQuery(
       "MATCH (c:CLASS)-[r:HAS_METHOD]->(m {name: 'f'}) " +
@@ -554,6 +572,24 @@ class CypherLiteSpec extends AnyFunSuite {
       "MATCH (c:CLASS)-[:HAS_METHOD]->(m) WITH c, count(*) AS n " +
         "WHERE n >= 1 AND c.name STARTS WITH 'B' RETURN c.name, n").collect()
     assert(mixed.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("B", 1L)))
+  }
+
+  test("node variables named like internal aliases stay nodes everywhere") {
+    // `e1`/`n2` as USER node variables: relationship-ness is decided by
+    // the planner's binding (reserved __rel namespace), never by the
+    // variable's spelling — e1.name must project the node column, not
+    // fall through to the edge schema / props-map nulls
+    val direct = d7.executeQuery(
+      "MATCH (e1:CLASS {name: 'A'})-[:HAS_METHOD]->(n2) " +
+        "RETURN e1.name, n2.name ORDER BY n2.name").collect()
+    assert(direct.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("A", "f"), ("A", "g")))
+    // carried through WITH: the struct carry + downstream .name / labels()
+    val carried = d7.executeQuery(
+      "MATCH (e1:CLASS)-[:HAS_METHOD]->(m) WITH e1, count(m) AS n " +
+        "WHERE n > 1 RETURN e1.name, n").collect()
+    assert(carried.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("A", 2L)))
   }
 
   test("WITH pipe: projected props, RETURN by output column, ORDER BY") {

@@ -62,18 +62,38 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("ivfTopK: probed-cell candidates ranked like brute force") {
-    // centroidEvery=2 -> centroids {0,2,4}; every vector assigned to one
+    // nlist=3 -> 3 hash-selected centroids; every vector assigned to one
     // cell; with nprobe covering all cells, results equal brute force
     val bf = Similarity.bruteForceTopK(emb, Seq(0L), 10).collect()
       .map(r => (r.getLong(1), r.getDouble(2))).toSeq
-    val ivf = Similarity.ivfTopK(emb, Seq(0L), 10, centroidEvery = 2, nprobe = 3)
+    val ivf = Similarity.ivfTopK(emb, Seq(0L), 10, nlist = 3, nprobe = 3)
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(ivf === bf)
     // tighter probe -> subset of brute force, ranks contiguous
-    val narrow = Similarity.ivfTopK(emb, Seq(0L), 10, centroidEvery = 2, nprobe = 1)
+    val narrow = Similarity.ivfTopK(emb, Seq(0L), 10, nlist = 3, nprobe = 1)
       .collect()
     assert(narrow.map(r => (r.getLong(1), r.getDouble(2))).toSet.subsetOf(bf.toSet))
     assert(narrow.map(_.getInt(3)).sorted.toSeq === (1 to narrow.length).toSeq)
+  }
+
+  test("centroidSeeds: seed count is FIXED regardless of corpus size") {
+    // the 100 TB contract: |centroids| = nlist, independent of n — a
+    // corpus 4x the size must still yield exactly nlist seeds (the
+    // round-9 modulo rule grew the set linearly with n)
+    val big = (0L until 200L).map(i => (i, Seq(i.toFloat, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val bigger = (0L until 800L).map(i => (i, Seq(i.toFloat, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.centroidSeeds(big, 16).count() === 16L)
+    assert(Similarity.centroidSeeds(bigger, 16).count() === 16L)
+    // deterministic: the selection replays identically
+    val s1 = Similarity.centroidSeeds(big, 16).select("cid")
+      .as[Long].collect().toSet
+    val s2 = Similarity.centroidSeeds(big, 16).select("cid")
+      .as[Long].collect().toSet
+    assert(s1 === s2)
+    // a corpus smaller than nlist yields the whole corpus
+    assert(Similarity.centroidSeeds(emb, 16).count() === 5L)
   }
 
   test("lshBucket is deterministic and engine-portable") {
