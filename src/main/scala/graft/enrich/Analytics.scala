@@ -418,69 +418,112 @@ object Analytics {
     settled
   }
 
-  /** GraphX scale path for [[bfsDistancesLandmarks]]: one
-    * `graphx.lib.ShortestPaths` Pregel run with ALL landmarks — the
-    * native multi-landmark BFS (per-vertex landmark→distance maps in
-    * resilient RDD state). Hop counts equal the DataFrame recurrence at
-    * fixpoint, so consumers share the unrolled oracles (the q22_gx
-    * argument, per landmark). Returns (s, v, d). */
+  /** GraphX scale path for [[bfsDistancesLandmarks]]: a fused
+    * multi-landmark BFS whose vertex state is a FIXED-WIDTH Int array —
+    * one distance slot per landmark — instead of lib.ShortestPaths'
+    * per-vertex Map[VertexId, Int] (which allocates a fresh map per
+    * message merge; at |L|=3 the array state roughly halves the
+    * per-round allocation cost that made the q44 twin ~2x its DF
+    * sibling). One-graph iteration shape: one aggregateMessages (src
+    * attr only) + one same-index outerJoinVertices per round; a vertex
+    * re-sends only while some slot improved last round (frontier
+    * discipline), and messages min-combine element-wise, so hop counts
+    * equal the DataFrame recurrence at fixpoint and consumers share the
+    * unrolled oracles (the q22_gx argument, per landmark).
+    * Returns (s, v, d). */
   def bfsDistancesLandmarksGraphX(spark: SparkSession, edges: DataFrame,
       sources: Seq[String]): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
-    import org.apache.spark.graphx.lib.ShortestPaths
+    import org.apache.spark.graphx.{Edge, Graph, TripletFields}
     import spark.implicits._
     val keyed = edges.select(
       xxhash64(col("src")).as("sid"), col("src"),
       xxhash64(col("dst")).as("did"), col("dst")).cache()
     val names = keyed.select(col("sid").as("id"), col("src").as("name"))
       .union(keyed.select(col("did"), col("dst"))).distinct().cache()
-    val landmarkIds = names.filter(col("name").isin(sources: _*))
-      .as[(Long, String)].collect().toMap
-    // reversed edges turn ShortestPaths' to-landmark hops into
-    // landmark→v distances (the bfsDistancesGraphX trick)
-    val g = Graph(
+    val idOf = names.filter(col("name").isin(sources: _*))
+      .as[(Long, String)].collect().map(_.swap).toMap
+    // slot i belongs to sources(i); landmarks absent from the graph
+    // simply never seed a 0 (their slots stay INF everywhere)
+    val lids: Array[Long] = sources.map(s => idOf.getOrElse(s, -1L)).toArray
+    val lnames: Array[String] = sources.toArray
+    val L = lids.length
+    val INF = Int.MaxValue
+    val slotOf = lids.zipWithIndex.filter(_._1 != -1L).toMap
+    // distances propagate FORWARD from each landmark along the given
+    // edge direction — exactly the DF twin's frontier expansion (callers
+    // hand in a pre-reversed edge list when they want ancestor walks)
+    var g = Graph(
       names.as[(Long, String)].rdd.map { case (id, _) => (id, ()) },
       keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd
-        .map { case (s, d) => Edge(d, s, ()) })
-    val lmap = landmarkIds // serializable local copy
-    ShortestPaths.run(g, lmap.keys.toSeq).vertices
-      .flatMap { case (id, spMap) =>
-        spMap.toSeq.map { case (lid, dist) => (lmap(lid), id, dist.toLong) }
+        .map { case (s, d) => Edge(s, d, ()) })
+      .mapVertices { (id, _) =>
+        val d = Array.fill(L)(INF)
+        slotOf.get(id).foreach(i => d(i) = 0)
+        (d, slotOf.contains(id)) // (dists, improved-last-round)
+      }.cache()
+    var active = slotOf.size.toLong
+    while (active > 0) {
+      val msgs = g.aggregateMessages[Array[Int]](
+        ctx => {
+          val (d, changed) = ctx.srcAttr
+          if (changed) {
+            val m = new Array[Int](L)
+            var any = false
+            var i = 0
+            while (i < L) {
+              m(i) = if (d(i) == INF) INF else d(i) + 1
+              if (m(i) != INF) any = true
+              i += 1
+            }
+            if (any) ctx.sendToDst(m)
+          }
+        },
+        (a, b) => {
+          var i = 0
+          while (i < L) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+          a
+        },
+        TripletFields.Src)
+      val nxt = g.outerJoinVertices(msgs) { (_, attr, mOpt) =>
+        mOpt match {
+          case Some(m) =>
+            val d = attr._1
+            var changed = false
+            val nd = new Array[Int](L)
+            var i = 0
+            while (i < L) {
+              nd(i) = math.min(d(i), m(i))
+              if (nd(i) < d(i)) changed = true
+              i += 1
+            }
+            if (changed) (nd, true) else (d, false)
+          case None => (attr._1, false)
+        }
+      }.cache()
+      active = nxt.vertices.filter(_._2._2).count()
+      val prev = g
+      g = nxt
+      prev.unpersist(blocking = false)
+    }
+    val ln = lnames // serializable local copy
+    g.vertices
+      .flatMap { case (id, (d, _)) =>
+        Iterator.range(0, d.length).filter(d(_) != INF)
+          .map(i => (ln(i), id, d(i).toLong))
       }
       .toDF("s", "id", "d")
       .join(names, "id")
       .select(col("s"), col("name").as("v"), col("d"))
   }
 
-  /** GraphX scale path for [[bfsDistances]]: the landmark-BFS Pregel of
-    * `graphx.lib.ShortestPaths` (resilient RDD state, partition-reusing
-    * joins) with the source as the single landmark — identical hop counts,
-    * so it shares q22's oracle. */
+  /** GraphX scale path for [[bfsDistances]]: the fixed-width
+    * multi-landmark BFS ([[bfsDistancesLandmarksGraphX]]) with the
+    * source as the single landmark (a 1-slot array state) — identical
+    * hop counts, so it shares q22's oracle. */
   def bfsDistancesGraphX(spark: SparkSession, edges: DataFrame,
-      source: String): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
-    import org.apache.spark.graphx.lib.ShortestPaths
-    import spark.implicits._
-    val keyed = edges.select(
-      xxhash64(col("src")).as("sid"), col("src"),
-      xxhash64(col("dst")).as("did"), col("dst")).cache()
-    val names = keyed.select(col("sid").as("id"), col("src").as("name"))
-      .union(keyed.select(col("did"), col("dst"))).distinct()
-    val srcId = names.filter(col("name") === source)
-      .select("id").as[Long].head()
-    // ShortestPaths measures hops FROM each vertex TO the landmark along
-    // edge direction; building the REVERSED graph turns that into
-    // source→v distances, matching the DataFrame loop
-    val g = Graph(
-      names.as[(Long, String)].rdd.map { case (id, _) => (id, ()) },
-      keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd
-        .map { case (s, d) => Edge(d, s, ()) })
-    ShortestPaths.run(g, Seq(srcId)).vertices
-      .flatMap { case (id, spMap) => spMap.get(srcId).map(d => (id, d.toLong)) }
-      .toDF("id", "d")
-      .join(names, "id")
-      .select(col("name").as("v"), col("d"))
-  }
+      source: String): DataFrame =
+    bfsDistancesLandmarksGraphX(spark, edges, Seq(source))
+      .select(col("v"), col("d"))
 
   /** Per-vertex triangle counts over a canonical undirected edge list
     * (src < dst, deduped). Degree-ordered orientation: every edge points

@@ -2933,8 +2933,9 @@ object QueryCatalog {
       .agg(round(sum(col("h")).cast("double"), 4).as("harmonic"))
   }
 
-  /** The GraphX scale path of q44 — one multi-landmark ShortestPaths
-    * Pregel run feeding the same reciprocal-sum spelling; shares q44's
+  /** The GraphX scale path of q44 — one fused multi-landmark BFS with
+    * fixed-width array vertex state feeding the same reciprocal-sum
+    * spelling; shares q44's
     * oracle (hop counts equal the unrolled recurrence at fixpoint). */
   val q44HarmonicGx: Q = (s, d) => {
     val rev = GraphTables.hierarchy(s, d)
