@@ -331,6 +331,73 @@ object QueryCatalog {
        |WHERE e.rel_type = 'IN_NATION' AND c.label = 'CUSTOMER' AND n.label = 'NATION'
        |GROUP BY n.name HAVING count(*) > 50""".stripMargin
 
+  /** g_b10_write — the Cypher WRITE path end-to-end under the oracle
+    * gate: a script of write statements (CREATE node, within-batch LWW
+    * re-CREATE, MERGE edge with endpoint stubs, `none`→kind promotion,
+    * prop-only SET, DETACH DELETE of a scratch task with edge cascade)
+    * executed ENTIRELY through
+    * [[graft.api.GraphDatabase.executeQuery]] — so the parse→mutation
+    * ROUTING layer is what's gated, not just the A1–A6 merge semantics
+    * underneath (those have their own rows). The final snapshot is
+    * compared to the oracle's closed-form prediction over `nation`
+    * (the st_ingest discipline, batch side). The driver-side loop over
+    * the collected nation rows (25 at any SF) is the bounded harness
+    * pattern, not a query path. */
+  val gB10Write: Q = (s, d) => {
+    import s.implicits._
+    val db = graft.api.GraphDatabase.inMemory(s)
+    def run(c: String): Unit = { db.executeQuery(c); () }
+    def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    val nats = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    nats.foreach { case (k, nm, _) =>
+      run(s"CREATE (n:CLASS:`t1` {full_name: 'nation.$k', name: '${esc(nm)}'})") }
+    // LWW upsert: a second CREATE of an existing key — newest wins (A1)
+    run("CREATE (n:CLASS:`t1` {full_name: 'nation.0', name: 'RENAMED'})")
+    // edge upserts create `none` stubs for the not-yet-seen regions (A4)
+    nats.foreach { case (k, _, r) =>
+      run(s"MERGE (a:`t1` {full_name: 'nation.$k'})-[:IN_REGION]->" +
+        s"(b {full_name: 'region.$r'})") }
+    // stub promotion (A2): every region stub becomes a REGION node
+    nats.map(_._3).distinct.sorted.foreach { r =>
+      run(s"MATCH (n:none {full_name: 'region.$r'}) " +
+        s"REMOVE n:none SET n:REGION") }
+    // prop-only SET on existing nodes (A3)
+    nats.foreach { case (k, _, _) =>
+      run(s"MATCH (n {full_name: 'nation.$k'}) SET n.nk = '$k'") }
+    // scratch task: its node AND its edge into nation.1 must cascade
+    // away on DETACH DELETE (A5); nation.1 itself survives untouched
+    run("CREATE (n:CLASS:`t2` {full_name: 'tmp.0', name: 'tmp'})")
+    run("MERGE (a:`t2` {full_name: 'tmp.0'})-[:CALL]->" +
+      "(b {full_name: 'nation.1'})")
+    run("MATCH (n:`t2`) DETACH DELETE n")
+    val inDeg = db.edges.groupBy(col("dst").as("full_name"))
+      .agg(count(lit(1)).as("n_in"))
+    db.nodes
+      .select(col("full_name"), col("kind"), col("name"),
+        element_at(col("props"), "nk").as("nk"))
+      .join(inDeg, Seq("full_name"), "left")
+      .select(col("full_name"), col("kind"), col("name"), col("nk"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"))
+  }
+
+  /** Closed-form prediction: nations keep their CREATE fields (LWW
+    * rename on key 0), carry the SET prop, and have no in-edges once
+    * the scratch CALL edge cascades; regions are promoted stubs whose
+    * `name` is the stub rule's last dot-segment and whose in-degree is
+    * their nation count. The scratch task contributes nothing. */
+  val gB10WriteSql: String =
+    """WITH nat AS (SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS r FROM nation)
+      |SELECT 'nation.' || k AS full_name, 'CLASS' AS kind,
+      |  CASE WHEN k = 0 THEN 'RENAMED' ELSE nm END AS name,
+      |  k::VARCHAR AS nk, 0::BIGINT AS n_in
+      |FROM nat
+      |UNION ALL
+      |SELECT 'region.' || r, 'REGION', r::VARCHAR, NULL, count(*)::BIGINT
+      |FROM nat GROUP BY r""".stripMargin
+
   /** q53 — HITS hubs & authorities over the containment hierarchy
     * ([[graft.enrich.Analytics.hits]]), 3 rounds: mutually-recursive
     * L1-normalized scores, decimal-routed sums + round-to-10 per stage
@@ -3990,6 +4057,7 @@ object QueryCatalog {
     "p_split_assign" -> pSplitAssign,
     "d_priority_dedup" -> dPriorityDedup,
     "g_b10_cypher" -> gB10Cypher,
+    "g_b10_write" -> gB10Write,
     "g_b10_spath" -> gB10Spath,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
@@ -4144,6 +4212,7 @@ object QueryCatalog {
     "p_split_assign" -> pSplitAssignSql,
     "d_priority_dedup" -> dPriorityDedupSql,
     "g_b10_cypher" -> gB10CypherSql,
+    "g_b10_write" -> gB10WriteSql,
     "g_b10_spath" -> gB10SpathSql,
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,
