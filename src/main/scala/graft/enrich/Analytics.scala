@@ -382,6 +382,186 @@ object Analytics {
       .agg(round(sum(col("betweenness")), 6).as("betweenness"))
   }
 
+  /** GraphX scale path for [[betweennessLandmarks]] — the one analytics
+    * pillar that previously had no resilient-RDD twin. Same math, same
+    * roundings, so it SHARES q46's oracle:
+    *
+    *  - forward pass: level-synchronous multi-landmark BFS whose vertex
+    *    state is a fixed-width (dist, σ) slot pair per landmark (the
+    *    [[bfsDistancesLandmarksGraphX]] array discipline) — a vertex
+    *    first reached at level i gets σ = Σ σ(pred) over the complete
+    *    level-(i−1) frontier, delivered as one element-wise-summed
+    *    message array per round (exact integers);
+    *  - backward pass: Brandes dependencies level by level from the
+    *    deepest settled level back to the sources — per level one
+    *    aggregateMessages sends σ_src/σ_dst·(1+δ_dst) src-ward exactly
+    *    for (slot) pairs with d(dst)=d(src)+1, summed element-wise and
+    *    rounded to 10 per slot on assignment (the DF twin's per-level
+    *    per-(s,v) quantization);
+    *  - combine: per vertex, Σ over slots (own-source slot excluded) of
+    *    round-6 δ, rounded to 6 — computed locally per vertex, no extra
+    *    shuffle.
+    *
+    * One-graph iteration shape throughout: one aggregateMessages + one
+    * same-index outerJoinVertices per level, cache + count + unpersist
+    * predecessor. 2·depth bounded rounds total; adding landmarks widens
+    * the arrays, never the round count. */
+  def betweennessLandmarksGraphX(spark: SparkSession, edges: DataFrame,
+      sources: Seq[String], depth: Int = 10): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph, TripletFields}
+    import spark.implicits._
+    def r10(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val keyed = edges.select(
+      xxhash64(col("src")).as("sid"), col("src"),
+      xxhash64(col("dst")).as("did"), col("dst")).cache()
+    val names = keyed.select(col("sid").as("id"), col("src").as("name"))
+      .union(keyed.select(col("did"), col("dst"))).distinct().cache()
+    val idOf = names.filter(col("name").isin(sources: _*))
+      .as[(Long, String)].collect().map(_.swap).toMap
+    val lids: Array[Long] = sources.map(s => idOf.getOrElse(s, -1L)).toArray
+    val L = lids.length
+    val INF = Int.MaxValue
+    val slotOf = lids.zipWithIndex.filter(_._1 != -1L).toMap
+    // forward state: (dists, sigmas) — slot i belongs to sources(i)
+    var g = Graph(
+      names.as[(Long, String)].rdd.map { case (id, _) => (id, ()) },
+      keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd
+        .map { case (s, d) => Edge(s, d, ()) })
+      .mapVertices { (id, _) =>
+        val d = Array.fill(L)(INF)
+        val sg = Array.fill(L)(0L)
+        slotOf.get(id).foreach { i => d(i) = 0; sg(i) = 1L }
+        (d, sg, slotOf.contains(id)) // (dist, σ, settled-last-round)
+      }.cache()
+    var lastLevel = 0
+    var active = slotOf.size.toLong
+    while (active > 0 && lastLevel < depth) {
+      val prevLevel = lastLevel
+      val msgs = g.aggregateMessages[Array[Long]](
+        ctx => {
+          val (d, sg, just) = ctx.srcAttr
+          if (just) {
+            val m = new Array[Long](L)
+            var any = false
+            var i = 0
+            while (i < L) {
+              if (d(i) == prevLevel) { m(i) = sg(i); any = true }
+              i += 1
+            }
+            if (any) ctx.sendToDst(m)
+          }
+        },
+        (a, b) => {
+          var i = 0
+          while (i < L) { a(i) += b(i); i += 1 }
+          a
+        },
+        TripletFields.Src)
+      val nxt = g.outerJoinVertices(msgs) { (_, attr, mOpt) =>
+        mOpt match {
+          case Some(m) =>
+            val (d, sg, _) = attr
+            var settled = false
+            var i = 0
+            while (i < L) {
+              if (m(i) > 0L && d(i) == INF) settled = true
+              i += 1
+            }
+            if (!settled) (d, sg, false)
+            else {
+              val nd = d.clone(); val nsg = sg.clone()
+              i = 0
+              while (i < L) {
+                if (m(i) > 0L && nd(i) == INF) {
+                  nd(i) = prevLevel + 1; nsg(i) = m(i)
+                }
+                i += 1
+              }
+              (nd, nsg, true)
+            }
+          case None => (attr._1, attr._2, false)
+        }
+      }.cache()
+      active = nxt.vertices.filter(_._2._3).count()
+      val prev = g
+      g = nxt
+      prev.unpersist(blocking = false)
+      if (active > 0) lastLevel += 1
+    }
+    // backward state: (dists, sigmas, deltas); deepest level keeps δ=0
+    var bg = g.mapVertices((_, attr) =>
+      (attr._1, attr._2, Array.fill(L)(0.0))).cache()
+    bg.vertices.count()
+    g.unpersist(blocking = false)
+    for (lvl <- (lastLevel - 1) to 0 by -1) {
+      val msgs = bg.aggregateMessages[Array[Double]](
+        ctx => {
+          val (dd, sgd, deld) = ctx.dstAttr
+          val (ds, sgs, _) = ctx.srcAttr
+          val m = new Array[Double](L)
+          var any = false
+          var i = 0
+          while (i < L) {
+            if (ds(i) == lvl && dd(i) == lvl + 1) {
+              m(i) = sgs(i).toDouble / sgd(i) * (1.0 + deld(i))
+              any = true
+            }
+            i += 1
+          }
+          if (any) ctx.sendToSrc(m)
+        },
+        (a, b) => {
+          var i = 0
+          while (i < L) { a(i) += b(i); i += 1 }
+          a
+        },
+        TripletFields.All)
+      val nxt = bg.outerJoinVertices(msgs) { (_, attr, mOpt) =>
+        val (d, sg, del) = attr
+        var mine = false
+        var i = 0
+        while (i < L) { if (d(i) == lvl) mine = true; i += 1 }
+        if (!mine) attr
+        else {
+          val nd = del.clone()
+          val m = mOpt.orNull
+          i = 0
+          while (i < L) {
+            if (d(i) == lvl) nd(i) = r10(if (m == null) 0.0 else m(i))
+            i += 1
+          }
+          (d, sg, nd)
+        }
+      }.cache()
+      nxt.vertices.count()
+      val prev = bg
+      bg = nxt
+      prev.unpersist(blocking = false)
+    }
+    val lidsLocal = lids
+    bg.vertices
+      .flatMap { case (id, (d, _, del)) =>
+        var acc = 0.0
+        var any = false
+        var i = 0
+        while (i < d.length) {
+          if (d(i) != INF && id != lidsLocal(i)) {
+            acc += r6(del(i)); any = true
+          }
+          i += 1
+        }
+        if (any) Iterator.single((id, r6(acc))) else Iterator.empty
+      }
+      .toDF("id", "betweenness")
+      .join(names, "id")
+      .select(col("name").as("v"), col("betweenness"))
+  }
+
   /** Multi-landmark BFS distances in ONE keyed pass (the same fusion as
     * [[betweennessLandmarks]]): state rows are (s, v, d) and each round
     * is a single edge⋈state join + min groupBy covering ALL landmarks —

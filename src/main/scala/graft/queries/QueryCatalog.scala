@@ -3176,6 +3176,17 @@ object QueryCatalog {
         .select(col("dst").as("src"), col("src").as("dst")),
       Seq("region.0", "region.1", "region.2"), depth = q22Iterations)
 
+  /** The GraphX scale path of q46
+    * ([[graft.enrich.Analytics.betweennessLandmarksGraphX]]): fused
+    * forward σ/d + backward δ Brandes with fixed-width per-landmark
+    * array state — identical per-level roundings, so it shares q46's
+    * oracle (the _gx twin discipline). */
+  val q46BtwGx: Q = (s, d) =>
+    graft.enrich.Analytics.betweennessLandmarksGraphX(s,
+      GraphTables.hierarchy(s, d)
+        .select(col("dst").as("src"), col("src").as("dst")),
+      Seq("region.0", "region.1", "region.2"), depth = q22Iterations)
+
   val q46BtwSql: String = {
     val n = q22Iterations
     def spIter(pfx: String, source: String)(i: Int): String =
@@ -4094,6 +4105,7 @@ object QueryCatalog {
     "st_dedup" -> stDedup,
     "st_cms" -> stCms,
     "q46_btw" -> q46Btw,
+    "q46_btw_gx" -> q46BtwGx,
     "q53_hits" -> q53Hits,
     "t_readability" -> tReadability,
     "q53_hits_gx" -> q53HitsGx,
@@ -4249,6 +4261,7 @@ object QueryCatalog {
     "st_dedup" -> stDedupSql,
     "st_cms" -> stCmsSql,
     "q46_btw" -> q46BtwSql,
+    "q46_btw_gx" -> q46BtwSql,
     "q53_hits" -> q53HitsSql,
     "t_readability" -> tReadabilitySql,
     "q53_hits_gx" -> q53HitsSql,

@@ -194,6 +194,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === summed)
   }
 
+  test("betweennessLandmarksGraphX ≡ the DataFrame loop") {
+    // diamond + tail + a cross edge so sigma ratios are non-trivial and
+    // the two landmarks overlap mid-graph
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("b", "e"), ("c", "f"), ("f", "e")).toDF("src", "dst")
+    val df = Analytics.betweennessLandmarks(edges, Seq("a", "b"), depth = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gx = Analytics.betweennessLandmarksGraphX(spark, edges,
+        Seq("a", "b"), depth = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(df === gx)
+    // a landmark absent from the graph dilutes nothing (both agree)
+    val df2 = Analytics.betweennessLandmarks(edges, Seq("a", "zz"), depth = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gx2 = Analytics.betweennessLandmarksGraphX(spark, edges,
+        Seq("a", "zz"), depth = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(df2 === gx2)
+  }
+
   test("pageRankWeightedGraphX ≡ the DataFrame loop (small weighted graph)") {
     val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 1L))
       .toDF("src", "dst", "w")
