@@ -113,4 +113,50 @@ object SrctrlSink {
   def read(spark: SparkSession, dir: String): Map[String, DataFrame] =
     Seq("files", "symbols", "references", "source_locations")
       .map(n => n -> spark.read.parquet(s"$dir/$n")).toMap
+
+  /** The export tables' column lists and CREATE statements — the
+    * `.srctrldb` schema ([[writeSrctrldb]]). */
+  private val ddl: Seq[(String, Seq[String], String)] = Seq(
+    ("files", Seq("id", "file_path", "language"),
+      "CREATE TABLE files(id INTEGER, file_path TEXT, language TEXT)"),
+    ("symbols", Seq("id", "serialized_name", "kind", "definition_kind"),
+      "CREATE TABLE symbols(id INTEGER, serialized_name TEXT, kind TEXT, " +
+        "definition_kind TEXT)"),
+    ("references", Seq("id", "context_symbol_id", "referenced_symbol_id",
+      "kind"),
+      "CREATE TABLE \"references\"(id INTEGER, context_symbol_id INTEGER, " +
+        "referenced_symbol_id INTEGER, kind TEXT)"),
+    ("source_locations", Seq("element_id", "file_id", "kind", "start_line",
+      "start_col", "end_line", "end_col"),
+      "CREATE TABLE source_locations(element_id INTEGER, file_id INTEGER, " +
+        "kind TEXT, start_line INTEGER, start_col INTEGER, " +
+        "end_line INTEGER, end_col INTEGER)"))
+
+  /** Materialize the snapshot's Sourcetrail export as a REAL `.srctrldb`
+    * SQLite database file ([[SqliteFile]]) — the reference's second-sink
+    * ARTIFACT itself (a file a SQLite client opens), not just its
+    * relational model. Bounded driver-side collect BY DESIGN: an
+    * embedded SQLite database is a single-writer object — the reference
+    * funnels every record through one SWIG writer exactly the same way —
+    * so this is an export utility for one snapshot; the distributed
+    * query path stays on [[write]]'s parquet tables. Rows are sorted on
+    * every column so re-exports of the same snapshot are byte-stable. */
+  def writeSrctrldb(snap: Snapshot.GraphSnapshot, path: String): Unit = {
+    import SqliteFile._
+    val ts = tables(snap)
+    val out = ddl.map { case (name, cols, sql) =>
+      val rows = ts(name)
+        .orderBy(cols.map(col): _*)
+        .collect().toSeq
+        .map(r => cols.indices.map(i => r.get(i) match {
+          case null => SqlNull
+          case v: Long => SqlInt(v)
+          case v: Int => SqlInt(v.toLong)
+          case v: String => SqlText(v)
+          case v => SqlText(v.toString)
+        }).toSeq)
+      Table(name, sql, rows)
+    }
+    SqliteFile.write(path, out)
+  }
 }

@@ -80,4 +80,36 @@ class SrctrlSinkSpec extends AnyFunSuite {
       SrctrlSink.tables(snap)("symbols")
         .select("id", "serialized_name").collect().toSet)
   }
+
+  test("writeSrctrldb emits a real SQLite file matching the tables row-for-row") {
+    import graft.store.SqliteFile
+    import graft.store.SqliteFile.{SqlInt, SqlNull, SqlText, SqlVal}
+    val path = java.nio.file.Files.createTempDirectory("srctrldb").toString +
+      "/index.srctrldb"
+    SrctrlSink.writeSrctrldb(snap, path)
+    val db = SqliteFile.read(path)
+    assert(db.keySet ===
+      Set("files", "symbols", "references", "source_locations"))
+    // every table matches the parquet-side relational model row-for-row
+    def norm(v: Any): SqlVal = v match {
+      case null => SqlNull
+      case l: Long => SqlInt(l)
+      case i: Int => SqlInt(i.toLong)
+      case s: String => SqlText(s)
+      case o => SqlText(o.toString)
+    }
+    val t = SrctrlSink.tables(snap)
+    db.foreach { case (name, rows) =>
+      val expect = t(name).collect()
+        .map(r => (0 until r.length).map(i => norm(r.get(i))))
+      assert(rows.toSet === expect.toSet, s"table $name")
+      assert(rows.size === expect.length, s"table $name row count")
+    }
+    // byte-stable re-export (sorted rows, no timestamps)
+    val path2 = path + ".again"
+    SrctrlSink.writeSrctrldb(snap, path2)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path2))))
+  }
 }
