@@ -691,15 +691,18 @@ object PyIndexer {
           .flatMap(classishType)
       }
 
-    /** C3 slice 10, the one-line chain: given a binding whose RHS head
-      * call starts at `afterOpen` (index just past the head's `(`), fold
-      * any trailing `.method()` links through [[methodReturn]]. No chain
-      * → the head's own type stands; an unresolvable link or non-call
-      * trailer (`.attr`, `[0]`) → None — all-or-nothing, a mis-typed
-      * `x = Service().connect()` must not stay bound to Service. An
-      * unbalanced head call (physical-line continuation) keeps the
-      * pre-slice-10 behavior: the head type binds, the invisible tail is
-      * a silent miss. */
+    /** C3 slices 10+13, the one-line chain: given a binding whose RHS
+      * head call starts at `afterOpen` (index just past the head's `(`),
+      * fold trailing links through the current chain type —
+      * `.method()` via [[methodReturn]] (slice 10) and plain `.attr`
+      * via the class's typed FIELDS (slice 13: `x = a.b().c`, jedi's
+      * chained resolution over attributes, indexer_visitor.py:183-241).
+      * No chain → the head's own type stands; an unresolvable link or a
+      * subscript trailer (`[0]`) → None — all-or-nothing, a mis-typed
+      * `x = Service().connect()` (or an UNTYPED middle attribute) must
+      * not stay bound partway. An unbalanced head call (physical-line
+      * continuation) keeps the pre-slice-10 behavior: the head type
+      * binds, the invisible tail is a silent miss. */
     def chainReturnType(line: String, afterOpen: Int,
         base: Option[String]): Option[String] = {
       def closeOf(from: Int): Int = {
@@ -714,27 +717,54 @@ object PyIndexer {
       }
       val headEnd = closeOf(afterOpen)
       if (headEnd < 0) return base
-      val link = """^\s*\.\s*([A-Za-z_]\w*)\s*\(""".r
+      val linkCall = """^\s*\.\s*([A-Za-z_]\w*)\s*\(""".r
+      val linkAttr = """^\s*\.\s*([A-Za-z_]\w*)""".r
       var t = base
       var pos = headEnd
       while (pos < line.length && !line.substring(pos).trim.isEmpty) {
         val rest = line.substring(pos)
-        link.findFirstMatchIn(rest) match {
+        linkCall.findFirstMatchIn(rest) match {
           case Some(mm) =>
             t = t.flatMap(methodReturn(_, mm.group(1)))
             if (t.isEmpty) return None
             pos = closeOf(pos + mm.end)
             if (pos < 0) return None
-          case None =>
-            // `.attr` / `[0]` trailers: the bound value is NOT the head
-            // call's result — refuse rather than mis-type. Any other
-            // trailer (`;`, a ternary, …) keeps the head binding, the
-            // pre-slice-10 behavior for those shapes.
-            val head = rest.trim.head
-            return if (head == '.' || head == '[') None else t
+          case None => linkAttr.findFirstMatchIn(rest) match {
+            case Some(mm) =>
+              // slice 13: a non-call `.attr` link reads a typed field of
+              // the chain's current class; untyped field → refuse
+              t = t.flatMap(ty =>
+                classFieldTypes.get(ty).flatMap(_.get(mm.group(1))))
+              if (t.isEmpty) return None
+              pos = pos + mm.end
+            case None =>
+              // `[0]` trailers: the bound value is NOT the chain result —
+              // refuse rather than mis-type. Any other trailer (`;`, a
+              // ternary, …) keeps the current binding, the pre-slice-10
+              // behavior for those shapes.
+              return if (rest.trim.head == '[') None else t
+          }
         }
       }
       t
+    }
+
+    /** C3 slice 13, the head: `x = recv.path.m()` — a method call whose
+      * RECEIVER is a typed local / `self` / typed-field path rather than
+      * a constructor or bare callee (`self.f.m()`, `db.session().q()`'s
+      * head `db.session`). Every intermediate step must be a typed field
+      * and the final link a resolvable same-module method return —
+      * all-or-nothing, like every other slice. `baseOf` supplies the
+      * first segment's type from the enclosing scope. */
+    def attrCallHead(callee: String,
+        baseOf: String => Option[String]): Option[String] = {
+      val parts = callee.split("\\.").toSeq
+      if (parts.length < 2) None
+      else baseOf(parts.head)
+        .flatMap(b => parts.tail.dropRight(1).foldLeft(Option(b)) { (acc, p) =>
+          acc.flatMap(t => classFieldTypes.get(t).flatMap(_.get(p)))
+        })
+        .flatMap(recv => methodReturn(recv, parts.last))
     }
 
     lines.indices.foreach { li =>
@@ -967,9 +997,14 @@ object PyIndexer {
             case Some(m) =>
               // slice 10: a trailing `.method()` chain folds the head's
               // type through method returns (`x = Service().connect()`
-              // binds the FINAL return type, never the head class)
+              // binds the FINAL return type, never the head class);
+              // slice 13: the head itself may be a typed-receiver method
+              // call (`self.f.m()`, `db.connect()` with db a typed local)
               chainReturnType(line, m.end,
-                  classishType(m.group(2)).orElse(returnTypeTarget(m.group(2))))
+                  classishType(m.group(2)).orElse(returnTypeTarget(m.group(2)))
+                    .orElse(attrCallHead(m.group(2),
+                      n => if (n == "self") curClass.map(_.fullName)
+                        else fn.locals.get(n).orElse(moduleVarTypes.get(n)))))
                 .orElse(localAnno.findFirstMatchIn(line)
                   .filter(_.group(1) == m.group(1))
                   .flatMap(a => classishType(a.group(2))))

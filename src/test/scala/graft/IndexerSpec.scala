@@ -497,6 +497,96 @@ class IndexerSpec extends AnyFunSuite {
       s == "s10n.unknown_head" && d.endsWith("Helper.run") })
   }
 
+  test("C3 slice 13: attribute chains through method returns") {
+    val src =
+      """from lib import Helper
+        |
+        |class Conn:
+        |    def run(self) -> Helper:
+        |        return Helper()
+        |
+        |class Database:
+        |    def __init__(self):
+        |        self.conn = Conn()
+        |
+        |    def session(self) -> Conn:
+        |        return Conn()
+        |
+        |class App:
+        |    def __init__(self):
+        |        self.db = Database()
+        |
+        |    def via_field(self):
+        |        h = self.db.session()
+        |        return h.fly()
+        |
+        |    def chained(self):
+        |        x = self.db.session().run()
+        |        return x.go()
+        |
+        |def locals_and_fields():
+        |    d = Database()
+        |    c = d.session()
+        |    y = d.conn.run()
+        |    z = Database().conn
+        |    return c.ping(), y.dive(), z.close_it()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "c13.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // head `self.<typed-field>.method()` resolves through the field path
+    assert(calls.contains(("c13.App.via_field", "c13.Conn.fly")))
+    // the same head feeds trailing call links all the way down
+    assert(calls.contains(("c13.App.chained", "lib.Helper.go")))
+    // typed-local receiver head (`d.session()`)
+    assert(calls.contains(("c13.locals_and_fields", "c13.Conn.ping")))
+    // field MIDDLE in a call head (`d.conn.run()`)
+    assert(calls.contains(("c13.locals_and_fields", "lib.Helper.dive")))
+    // plain `.attr` TAIL after a constructor head (`Database().conn`)
+    assert(calls.contains(("c13.locals_and_fields", "c13.Conn.close_it")))
+  }
+
+  test("C3 slice 13 negative: untyped middles void the whole chain") {
+    val src =
+      """from lib import Helper
+        |
+        |class Conn:
+        |    def run(self) -> Helper:
+        |        return Helper()
+        |
+        |class Database:
+        |    def __init__(self):
+        |        self.conn = Conn()
+        |        self.thing = opaque()
+        |
+        |def untyped_field_middle():
+        |    d = Database()
+        |    w = d.thing.run()
+        |    return w.go()
+        |
+        |def untyped_attr_tail():
+        |    q = Database().missing
+        |    return q.run()
+        |
+        |def subscript_tail():
+        |    s = Database().conn[0]
+        |    return s.run()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "c13n.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // self.thing = opaque() types nothing -> the d.thing.run() chain is
+    // void, w stays unbound (no Helper ghost)
+    assert(!calls.exists { case (s, d) =>
+      s == "c13n.untyped_field_middle" && d.endsWith(".go") })
+    // Database().missing: missing is not a typed field -> q unbound
+    assert(!calls.exists { case (s, d) =>
+      s == "c13n.untyped_attr_tail" && d.endsWith(".run") && d != "c13n.Conn.run" })
+    // a subscript trailer is NOT the chain result -> s unbound
+    assert(!calls.exists { case (s, d) =>
+      s == "c13n.subscript_tail" && d.endsWith("Conn.run") })
+  }
+
   test("C3 partial: module-level instance globals type their methods") {
     val src =
       """from lib import Database
