@@ -229,6 +229,65 @@ object CypherLite {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Render one parameter value as an inline Cypher literal. The graph
+    * model is string-typed (§1.2), so strings quote-and-escape (the
+    * escapes [[splitTop]]/[[unquote]] honour), numbers and booleans
+    * inline bare (numeric WHERE comparisons see them unquoted, exactly
+    * like hand-written literals), and sequences render as `[…]` lists
+    * (the `IN $list` shape). Anything else — including null, which in
+    * Neo4j makes every comparison null-propagate and is far more likely
+    * a caller bug here — raises. */
+  private def renderParam(name: String, v: Any): String = v match {
+    case s: String =>
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case _: Int | _: Long | _: Short | _: Byte | _: Boolean => v.toString
+    case d: Double => require(!d.isNaN && !d.isInfinite,
+        s"parameter $$$name: non-finite double has no Cypher literal"); d.toString
+    case f: Float => renderParam(name, f.toDouble)
+    case b: BigDecimal => b.toString
+    case xs: Seq[_] =>
+      xs.map(renderParam(name, _)).mkString("[", ", ", "]")
+    case xs: Array[_] => renderParam(name, xs.toSeq)
+    case null => throw new IllegalArgumentException(
+      s"parameter $$$name is null (inline IS NULL predicates instead)")
+    case other => throw new IllegalArgumentException(
+      s"parameter $$$name: unsupported type ${other.getClass.getName}")
+  }
+
+  /** Neo4j-style query parameters (`$full_name`), the reference's own
+    * spelling (`graph.run(query, full_name=…)`, graphDB.py:86-91):
+    * every `$name` token OUTSIDE quoted text is replaced by the rendered
+    * literal of `params(name)` before parsing — so parameters work
+    * uniformly in prop literals, WHERE comparisons, IN lists, SKIP/LIMIT
+    * and the WRITE statements [[CypherWrite]] routes. A `$name` with no
+    * binding raises (Neo4j's ParameterMissing); unused bindings are
+    * fine (Neo4j ignores them too). `$` inside quotes is literal text. */
+  private[api] def substituteParams(q: String, params: Map[String, Any]): String = {
+    if (params.isEmpty && !q.contains("$")) return q
+    val sb = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (quote != 0) {
+        sb.append(c)
+        if (c == '\\' && i + 1 < q.length) { i += 1; sb.append(q.charAt(i)) }
+        else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"') { quote = c; sb.append(c); i += 1 }
+      else if (c == '$' && i + 1 < q.length && isWordChar(q.charAt(i + 1))) {
+        var j = i + 1
+        while (j < q.length && isWordChar(q.charAt(j))) j += 1
+        val name = q.substring(i + 1, j)
+        val v = params.getOrElse(name, throw new IllegalArgumentException(
+          s"missing query parameter $$$name (expected a binding)"))
+        sb.append(renderParam(name, v))
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private[api] def unquote(v: String): String = {
     val t = v.trim
     if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
@@ -250,9 +309,24 @@ object CypherLite {
         }
       }.toMap
 
-  private def parseLabels(s: String): Seq[String] =
-    if (s == null) Seq.empty
-    else s.split(":").map(_.trim).filter(_.nonEmpty).toSeq
+  /** Label spec `:A:B:`c/d`` → label names. Backtick-quoted labels (the
+    * reference backticks task ids — graphDB.py:98 `(n:`task`)`, and its
+    * demo query `(c:`sklearn`:CLASS)`, graphDB.py:271-274) may hold any
+    * text but a backtick, including `/` and `:`. */
+  private def parseLabels(s: String): Seq[String] = {
+    if (s == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var tick = false
+    s.foreach { c =>
+      if (tick) { if (c == '`') tick = false else sb.append(c) }
+      else if (c == '`') tick = true
+      else if (c == ':') { out += sb.toString; sb.clear() }
+      else sb.append(c)
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   private val fixed = Set("full_name", "kind", "name", "file_path",
     "signature", "clazz", "code")
@@ -817,7 +891,10 @@ object CypherLite {
   private final case class NodePat(start: Int, end: Int, v: String,
       labels: Seq[String], props: Map[String, String])
 
-  private val varLabels = """^(\w+)\s*((?::\s*\w+)*)\s*$""".r
+  // optional variable (anonymous node patterns `()` / `(:CLASS)` bind a
+  // planner-reserved `__anon…` name); labels plain `\w+` or backticked
+  private val varLabels =
+    """^(\w+)?\s*((?::\s*(?:`[^`]+`|\w+))*)\s*$""".r
 
   /** First top-level (not in quotes) occurrence of `target`; -1 if none. */
   private def topLevelIndexOf(s: String, target: Char): Int = {
@@ -840,7 +917,7 @@ object CypherLite {
     * literal text (the nodePat regex this replaces choked on a `}` or
     * `)` inside a code-snippet prop). Every top-level `(` opens a node
     * pattern; arrow text between patterns never contains parens. */
-  private def scanNodes(pattern: String): Seq[NodePat] = {
+  private def scanNodes(pattern: String, anonPrefix: String = "__anon_"): Seq[NodePat] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[NodePat]
     var i = 0
     while (i < pattern.length) {
@@ -878,7 +955,12 @@ object CypherLite {
           if (braceIdx >= 0) parseProps(inner.substring(braceIdx).trim) else Map.empty[String, String]
         head match {
           case varLabels(v, ls) =>
-            out += NodePat(i, end + 1, v, parseLabels(ls), props)
+            // anonymous pattern (`()` / `(:CLASS)`): bind a reserved
+            // planner name — unique per pattern position, never
+            // user-referencable (the vars map only hands out what the
+            // query text names)
+            val name = Option(v).getOrElse(s"$anonPrefix${out.size}")
+            out += NodePat(i, end + 1, name, parseLabels(ls), props)
           case _ => throw new IllegalArgumentException(
             s"unsupported node pattern '($inner)' (expected (var:Label… {props}))")
         }
@@ -895,11 +977,14 @@ object CypherLite {
 
   /** Parse one clause body "pattern [WHERE cond]" into node patterns +
     * hops, with the same validations the single-chain parser applied. */
-  private def parseClause(body: String, optional: Boolean, q: String): Clause = {
+  private def parseClause(body: String, optional: Boolean, q: String,
+      clauseIx: Int = 0): Clause = {
     val whereIdx = topLevelKeyword(body, "WHERE")
     val pattern = (if (whereIdx >= 0) body.substring(0, whereIdx) else body).trim
     val where = if (whereIdx >= 0) body.substring(whereIdx + 5).trim else null
-    val nodeMs = scanNodes(pattern)
+    // anonymous-node names are unique across clauses (clause index in
+    // the prefix), so a multi-clause query never "rebinds" an anon var
+    val nodeMs = scanNodes(pattern, s"__anon${clauseIx}_")
     require(nodeMs.nonEmpty, s"no node pattern in: $q")
     // arrows are exactly the text between consecutive node patterns
     val hops = nodeMs.sliding(2).toSeq.collect { case Seq(a, b) =>
@@ -1089,6 +1174,12 @@ object CypherLite {
     shapeResult(df, ret, vars, Set("__plen"))
   }
 
+  /** [[execute]] with Neo4j-style query parameters — `$name` tokens are
+    * inlined via [[substituteParams]] before parsing. */
+  def execute(nodes: DataFrame, edges: DataFrame, query: String,
+      params: Map[String, Any]): DataFrame =
+    execute(nodes, edges, substituteParams(query, params))
+
   def execute(nodes: DataFrame, edges: DataFrame, query: String): DataFrame = {
     val q = query.trim
     locally {
@@ -1122,7 +1213,7 @@ object CypherLite {
     val optionalMarks = rawBodies.map(_.toUpperCase.endsWith("OPTIONAL"))
     val clauses = rawBodies.zipWithIndex.map { case (b, ix) =>
       val body = if (optionalMarks(ix)) b.dropRight(8).trim else b
-      parseClause(body, optional = ix > 0 && optionalMarks(ix - 1), q)
+      parseClause(body, optional = ix > 0 && optionalMarks(ix - 1), q, ix)
     }
 
     // clause 0 binds its variables; later clauses must hook onto one.

@@ -29,8 +29,10 @@ import graft.model.Kind
   * Labels on a node pattern split by vocabulary: a member of
   * [[Kind.all]] is the kind, anything else is a task id. Node
   * creation requires a task label (the reference's handler always
-  * carries `task_id`); parameterized queries (`$full_name`) raise —
-  * inline the literal, there is no session parameter map.
+  * carries `task_id`); parameterized queries (`$full_name`,
+  * graphDB.py:86-91) route through `executeQuery(q, params)`, which
+  * inlines every `$name` before the parse — a `$name` surviving to
+  * this parser (the no-params overload) raises.
   *
   * [[parse]] returns None for anything that is not a write statement —
   * the caller then plans it as a read via [[CypherLite]]. Malformed
@@ -85,9 +87,28 @@ object CypherWrite {
     (kinds.headOption.getOrElse(Kind.None_), tasks)
   }
 
+  /** Guard against an UN-substituted parameter token reaching the typed
+    * write parse — the parameterized entry points (GraphDatabase
+    * `executeQuery(q, params)`) inline `$name` via
+    * [[CypherLite.substituteParams]] BEFORE routing here, so a surviving
+    * `$name` outside quotes means the caller used the no-params overload
+    * with a parameterized query. `$` inside quoted text (code snippets,
+    * shell text) is literal and passes. */
   private def noParams(s: String): String = {
-    require(!s.contains("$"),
-      "parameterized Cypher not supported — inline the literal")
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == '$' && i + 1 < s.length &&
+          (s.charAt(i + 1).isLetterOrDigit || s.charAt(i + 1) == '_'))
+        throw new IllegalArgumentException(
+          "unbound query parameter — pass a params map (executeQuery(q, params))")
+      i += 1
+    }
     s
   }
 

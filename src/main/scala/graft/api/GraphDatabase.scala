@@ -316,6 +316,23 @@ final class GraphDatabase private (
       case None => { val n = nodes; CypherLite.execute(n, snap.edges, cypher) }
     }
 
+  /** [[executeQuery]] with Neo4j-style parameters — the reference's own
+    * `graph.run(query, full_name=…)` spelling (graphDB.py:86-91): every
+    * `$name` is inlined as a literal before parsing, so parameters work
+    * in prop literals, WHERE, IN lists and the WRITE statements alike. */
+  def executeQuery(cypher: String, params: Map[String, Any]): DataFrame =
+    executeQuery(CypherLite.substituteParams(cypher, params))
+
+  /** [[executeQuerySafe]] with parameters (see [[executeQuery]]). A
+    * missing/invalid parameter is swallowed to an empty frame too — it
+    * surfaces at `graph.run` time in the reference, inside its
+    * swallow-all try (graphDB.py:106-112). */
+  def executeQuerySafe(cypher: String, params: Map[String, Any]): DataFrame = {
+    autoFlush()
+    try executeQuery(cypher, params).localCheckpoint(eager = true)
+    catch { case _: Exception => spark.emptyDataFrame }
+  }
+
   /** The reference's swallow-errors query behavior (graphDB.py:106-112:
     * any failure → `''`): unparseable/failing queries yield an EMPTY
     * frame instead of throwing. Materialized eagerly (the reference

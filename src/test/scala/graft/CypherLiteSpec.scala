@@ -882,4 +882,99 @@ class CypherLiteSpec extends AnyFunSuite {
         "MATCH (c:CLASS)-[:HAS_METHOD]->(m) WITH c.name, count(*) AS n RETURN n")
     }
   }
+
+  // ------------------------------------------------------ parameters ($x)
+
+  test("parameters: $full_name in a prop literal (graphDB.py:86-91 shape)") {
+    val out = db.executeQuery(
+      "MATCH (n:sklearn {full_name: $full_name}) RETURN n.name",
+      Map("full_name" -> "m.Person")).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("Person"))
+  }
+
+  test("parameters: string escaping round-trips quotes and backslashes") {
+    val d = GraphDatabase.inMemory(spark)
+    d.addNode("t", Kind.Function, "m.f",
+      Map("name" -> "f", "signature" -> """def f(x="it's a \ test"):"""))
+    d.commit()
+    val out = d.executeQuery(
+      "MATCH (n:t) WHERE n.signature = $sig RETURN n.full_name",
+      Map("sig" -> """def f(x="it's a \ test"):""")).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("m.f"))
+  }
+
+  test("parameters: numbers compare numerically, lists drive IN") {
+    val d = GraphDatabase.inMemory(spark)
+    d.addNode("t", Kind.Function, "m.a", Map("name" -> "a", "arity" -> "2"))
+    d.addNode("t", Kind.Function, "m.b", Map("name" -> "b", "arity" -> "10"))
+    d.commit()
+    // numeric $min: 10 > 9 numerically (lexicographically "10" < "9")
+    val nums = d.executeQuery(
+      "MATCH (n:t) WHERE n.arity > $min RETURN n.name",
+      Map("min" -> 9)).collect()
+    assert(nums.map(_.getString(0)).toSeq === Seq("b"))
+    val in = d.executeQuery(
+      "MATCH (n:t) WHERE n.name IN $names RETURN n.full_name",
+      Map("names" -> Seq("a", "zzz"))).collect()
+    assert(in.map(_.getString(0)).toSeq === Seq("m.a"))
+  }
+
+  test("parameters: $ inside quoted text is literal; missing binding raises") {
+    val d = GraphDatabase.inMemory(spark)
+    d.addNode("t", Kind.Function, "m.f", Map("name" -> "$price"))
+    d.commit()
+    // the quoted '$price' is text, not a parameter — no binding needed
+    val out = d.executeQuery(
+      "MATCH (n:t {name: '$price'}) RETURN n.full_name", Map.empty[String, Any])
+      .collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("m.f"))
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MATCH (n:t {name: $nope}) RETURN n", Map.empty[String, Any])
+    }
+    // executeQuerySafe swallows it (the reference's posture)
+    assert(d.executeQuerySafe("MATCH (n:t {name: $nope}) RETURN n",
+      Map.empty[String, Any]).isEmpty)
+  }
+
+  test("parameters: a parameterized WRITE routes through CypherWrite") {
+    val d = GraphDatabase.inMemory(spark)
+    d.executeQuery("CREATE (n:t:FUNCTION {full_name: $fn, name: $nm})",
+      Map("fn" -> "m.g", "nm" -> "g"))
+    val out = d.executeQuery("MATCH (n:t) RETURN n.full_name, n.name").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("m.g", "g")))
+    // the no-params overload must NOT treat $fn as literal text
+    intercept[IllegalArgumentException] {
+      d.executeQuery("CREATE (n:t:FUNCTION {full_name: $fn})")
+    }
+  }
+
+  // ------------------------------------------- backticked labels, anon nodes
+
+  test("backticked labels: the reference's own demo spelling") {
+    // graphDB.py:271-274: MATCH (c:`sklearn`:CLASS {name: 'Person'}) RETURN c
+    val out = db.executeQuery(
+      "MATCH (c:`sklearn`:CLASS {name: 'Person'}) RETURN c").collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("c.full_name") === "m.Person")
+  }
+
+  test("backticked labels hold slashes (project_cc_python/102-style task ids)") {
+    val d = GraphDatabase.inMemory(spark)
+    d.addNode("project_cc_python/102", Kind.Class, "m.C", Map("name" -> "C"))
+    d.commit()
+    val out = d.executeQuery(
+      "MATCH (c:`project_cc_python/102`:CLASS) RETURN c.full_name").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("m.C"))
+  }
+
+  test("anonymous node patterns: () and (:LABEL) bind no variable") {
+    // classes that contain at least one method — the target stays anonymous
+    val out = db.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(:METHOD) RETURN c.full_name").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("m.Person"))
+    val any = db.executeQuery(
+      "MATCH (m:MODULE)-[:CONTAINS]->() RETURN m.full_name").collect()
+    assert(any.map(_.getString(0)).toSeq === Seq("m"))
+  }
 }
