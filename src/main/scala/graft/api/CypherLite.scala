@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   *   RETURN <proj>[, <proj>…]
   *
   *  - any number of hops, each `-[:R]->` (forward) or `<-[:R]-` (reversed),
-  *    optionally variable-length with a bounded range (`-[:R*2]->`,
-  *    `-[:R*1..3]->`, `-[:R*..3]->`) — one result row per path, with
+  *    optionally variable-length (`-[:R*2]->`, `-[:R*1..3]->`,
+  *    `-[:R*..3]->`, zero-length `-[:R*0..2]->` binding the same node,
+  *    and unbounded `-[:R*]->` via an edge-uniqueness path fixpoint
+  *    capped at [[unboundedMatchCap]] levels) — one result row per
+  *    path, with
   *    Neo4j's relationship-uniqueness rule enforced WITHIN each
   *    variable-length segment (edges may still repeat across separate
   *    pattern parts — a documented divergence from full pattern
@@ -76,10 +79,13 @@ import org.apache.spark.sql.functions._
   *    key) in both RETURN and WITH — see [[numAggCol]] for the
   *    string-model coercion rules.
   *
-  * Anything else (UNBOUNDED variable-length `*`, undirected edges,
-  * later clauses not anchored at a bound variable, aggregates beyond
-  * those six) raises — exactly the reference's posture of not
-  * reimplementing Neo4j.
+  *  - `UNION` / `UNION ALL` over same-column branches, leading
+  *    `UNWIND [list] AS x` preludes (literal or `$param` lists), and
+  *    Neo4j-style `$name` parameters via the params overloads.
+  *
+  * Anything else (undirected edges, later clauses not anchored at a
+  * bound variable, aggregates beyond those six) raises — exactly the
+  * reference's posture of not reimplementing Neo4j.
   *
   * The parse result is a plain DataFrame expression — Catalyst plans it
   * like any hand-written combinator query (broadcast point expands,
@@ -101,9 +107,10 @@ object CypherLite {
     * posture for everything it won't plan well. */
   private val maxVarHops = 8
 
-  /** `*` spec → (min, max) hops. null (no star) = exactly 1. Bounded
-    * forms only: `*n`, `*..n`, `*m..n`. Unbounded (`*`, `*2..`) and
-    * zero-length (`*0`, Cypher's bind-same-node form) raise. */
+  /** `*` spec → (min, max) hops. null (no star) = exactly 1. `*n`,
+    * `*..n`, `*m..n`, zero-length mins (`*0..n`, Cypher's bind-same-node
+    * form), and UNBOUNDED maxes (`*`, `*m..` → max = -1, expanded by
+    * the edge-uniqueness fixpoint in [[varLengthRelUnbounded]]). */
   private def parseStar(spec: String): (Int, Int) = {
     if (spec == null) return (1, 1)
     val body = spec.stripPrefix("*").trim
@@ -116,11 +123,55 @@ object CypherLite {
         (if (parts(0).isEmpty) 1 else parts(0).toInt,
           if (parts(1).isEmpty) -1 else parts(1).toInt)
       } else (body.toInt, body.toInt)
-    require(max > 0, s"unbounded variable-length '$spec' not supported (bounded *m..n only)")
-    require(min >= 1, s"zero-length variable-length '$spec' not supported")
-    require(min <= max, s"empty hop range '$spec'")
-    require(max <= maxVarHops, s"variable-length bound ${max} exceeds the $maxVarHops-hop cap")
+    require(min >= 0, s"negative hop count in '$spec'")
+    if (max >= 0) {
+      require(min <= max, s"empty hop range '$spec'")
+      require(max <= maxVarHops,
+        s"variable-length bound ${max} exceeds the $maxVarHops-hop cap " +
+          s"(use an unbounded '*' for fixpoint expansion)")
+    }
     (min, max)
+  }
+
+  /** Depth cap for UNBOUNDED `*` expansion in plain MATCH: the fixpoint
+    * stops when no path extends (relationship uniqueness makes every
+    * path finite), so this only catches graphs whose SIMPLE-path depth
+    * explodes — there we raise rather than silently truncate the path
+    * set (a missing row is a wrong answer; Neo4j would enumerate on). */
+  private val unboundedMatchCap = 32
+
+  /** Every (src, dst) endpoint pair of paths with `min`..∞ edges of the
+    * given scan, one row PER PATH, under Neo4j's relationship-uniqueness
+    * rule — a breadth-first path-extension fixpoint. Each level is one
+    * frontier⋈edges join; the visited-edge set rides along as an array
+    * column, so uniqueness is a narrow `array_contains` filter, not a
+    * driver-side structure. Levels localCheckpoint: the loop is
+    * DataFrame-iterative (lineage would otherwise deepen per level). */
+  private def varLengthRelUnbounded(e0: DataFrame, min: Int): DataFrame = {
+    val e = e0.select(col("src"), col("dst"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var frontier = e.select(col("src"), col("dst"),
+      array(struct(col("src").as("s"), col("dst").as("d"))).as("__p"))
+      .localCheckpoint(true)
+    var level = 1
+    if (min <= 1) out += frontier.select("src", "dst")
+    while (!frontier.isEmpty && level < unboundedMatchCap) {
+      level += 1
+      frontier = frontier.alias("p")
+        .join(e.alias("x"), col("p.dst") === col("x.src"))
+        .filter(!array_contains(col("p.__p"),
+          struct(col("x.src").as("s"), col("x.dst").as("d"))))
+        .select(col("p.src").as("src"), col("x.dst").as("dst"),
+          concat(col("p.__p"),
+            array(struct(col("x.src").as("s"), col("x.dst").as("d")))).as("__p"))
+        .localCheckpoint(true)
+      if (level >= min) out += frontier.select("src", "dst")
+    }
+    require(frontier.isEmpty,
+      s"unbounded variable-length expansion passed $unboundedMatchCap " +
+        "levels without converging — bound the pattern (*m..n)")
+    out.reduceOption(_ unionAll _)
+      .getOrElse(e.limit(0))
   }
 
   /** The (src, dst) endpoint pairs of every path of `min`..`max` edges of
@@ -815,32 +866,59 @@ object CypherLite {
       col(ref)
     }
 
-  private def parseWhere(s: String, resolve: String => Column): Column = {
+  /** Right-hand-side reference resolution for comparisons: a QUOTED
+    * value is always a literal, but a bare identifier naming an in-scope
+    * plain column (an UNWIND variable, a WITH output) or a `v.prop` on a
+    * bound variable is a REFERENCE — Neo4j's reading. Anything else
+    * stays a literal (the module's long-standing behavior for bare
+    * words). Enables `WHERE n.full_name = nm` under UNWIND and
+    * property-to-property comparisons (`WHERE a.name = b.name`). */
+  private def valueRefOf(vars: Map[String, String], plain: Set[String])
+      (t0: String): Option[Column] = {
+    val t = t0.trim
+    if (t.matches("""\w+""") && plain(t)) Some(col(t))
+    else if (t.matches("""\w+\.\w+""") && vars.contains(t.split("\\.", 2)(0))) {
+      val Array(v, p) = t.split("\\.", 2)
+      Some(propColOf(v, p, vars))
+    } else None
+  }
+
+  private def parseWhere(s: String, resolve: String => Column,
+      valueRef: String => Option[Column] = _ => None): Column = {
     val t = s.trim
     val orParts = splitBool(t, "OR")
-    if (orParts.length > 1) return orParts.map(parseWhere(_, resolve)).reduce(_ || _)
+    if (orParts.length > 1)
+      return orParts.map(parseWhere(_, resolve, valueRef)).reduce(_ || _)
     val andParts = splitBool(t, "AND")
-    if (andParts.length > 1) return andParts.map(parseWhere(_, resolve)).reduce(_ && _)
-    if (isWholeParen(t)) return parseWhere(t.substring(1, t.length - 1), resolve)
+    if (andParts.length > 1)
+      return andParts.map(parseWhere(_, resolve, valueRef)).reduce(_ && _)
+    if (isWholeParen(t))
+      return parseWhere(t.substring(1, t.length - 1), resolve, valueRef)
     def cmpOperand(ref: String, value: String): (Column, Column) = {
       val raw = value.trim
-      if (numericLit.findFirstIn(raw).isDefined)
-        (resolve(ref).cast("double"), lit(raw.toDouble))
-      else (resolve(ref), lit(unquote(raw)))
+      valueRef(raw) match {
+        case Some(c) => (resolve(ref), c)
+        case None =>
+          if (numericLit.findFirstIn(raw).isDefined)
+            (resolve(ref).cast("double"), lit(raw.toDouble))
+          else (resolve(ref), lit(unquote(raw)))
+      }
     }
     t match {
       // NOT exists must match before the bare exists pattern; NOT (…)
       // negates a group (Cypher's unary NOT at top precedence)
       case whereNotExists(ref) => resolve(ref).isNull
       case notParen(rest) if isWholeParen(s"($rest") =>
-        !parseWhere(rest.dropRight(1), resolve)
+        !parseWhere(rest.dropRight(1), resolve, valueRef)
       case whereExists(ref) => resolve(ref).isNotNull
       // IS [NOT] NULL ≡ [NOT] exists — Neo4j's modern spelling (exists()
       // on properties is deprecated there); must match before whereCmp
       // so the bare `IS` never reaches the comparison fallbacks
       case whereIsNotNull(ref) => resolve(ref).isNotNull
       case whereIsNull(ref) => resolve(ref).isNull
-      case whereNeq(ref, value) => resolve(ref) =!= unquote(value)
+      case whereNeq(ref, value) =>
+        valueRef(value).map(resolve(ref) =!= _)
+          .getOrElse(resolve(ref) =!= unquote(value))
       case whereIn(ref, list) =>
         resolve(ref).isin(splitTop(list, ",").map(unquote): _*)
       case whereStrPred(ref, op, value) =>
@@ -859,7 +937,9 @@ object CypherLite {
           case ">" => l > r
           case _ => l >= r
         }
-      case whereEq(ref, value) => resolve(ref) === unquote(value)
+      case whereEq(ref, value) =>
+        valueRef(value).map(resolve(ref) === _)
+          .getOrElse(resolve(ref) === unquote(value))
       case other => throw new IllegalArgumentException(
         s"unsupported WHERE condition: $other")
     }
@@ -1029,9 +1109,23 @@ object CypherLite {
       val scan = hopEdges(edges, hop)
       val ai = aliasStart + i
       val ea = relAlias(ai)
-      val e = (if (hop.isVarLength)
-          varLengthRel(scan, hop.minHops, hop.maxHops)
-        else scan).alias(ea)
+      val e = (if (hop.isVarLength) {
+          // zero-length leg (Cypher's bind-same-node `*0..`): identity
+          // endpoint pairs over all nodes — both endpoint patterns then
+          // constrain the SAME node through the two joins below; the
+          // rel type never applies to a zero-edge path
+          val zero =
+            if (hop.minHops == 0)
+              Seq(nodes.select(col("full_name").as("src"),
+                col("full_name").as("dst")))
+            else Seq.empty
+          val pos =
+            if (hop.maxHops == 0) Seq.empty
+            else if (hop.maxHops < 0)
+              Seq(varLengthRelUnbounded(scan, math.max(hop.minHops, 1)))
+            else Seq(varLengthRel(scan, math.max(hop.minHops, 1), hop.maxHops))
+          (zero ++ pos).reduce(_ unionAll _)
+        } else scan).alias(ea)
       val next = nodes
         .filter(nodePred(c.nodeMs(i + 1).labels, c.nodeMs(i + 1).props))
         .alias(s"n${ai + 1}")
@@ -1174,26 +1268,137 @@ object CypherLite {
     shapeResult(df, ret, vars, Set("__plen"))
   }
 
+  /** `q1 UNION [ALL] q2 [UNION [ALL] q3 …]` — each branch plans
+    * independently through [[execute]] and the results combine by
+    * position: Neo4j requires every branch to return the SAME column
+    * names, and so do we (checked, clear raise). Plain UNION dedups
+    * rows (Neo4j semantics); mixing UNION and UNION ALL in one query
+    * raises, as it does in Neo4j. Distinct-on-map-columns (a
+    * `properties()` projection under plain UNION) cannot hash — raise
+    * with the UNION ALL workaround named. */
+  private def executeUnion(nodes: DataFrame, edges: DataFrame, q: String,
+      unionPos: Seq[Int]): DataFrame = {
+    val allRe = """^(?i)UNION\s+ALL""".r
+    val seps = unionPos.map { p =>
+      val isAll = allRe.findFirstIn(q.substring(p)).isDefined
+      (p, if (isAll) allRe.findFirstIn(q.substring(p)).get.length else 5)
+    }
+    val allFlags = seps.map(_._2 > 5)
+    require(allFlags.distinct.size == 1,
+      s"cannot mix UNION and UNION ALL in one query: $q")
+    val starts = 0 +: seps.map { case (p, len) => p + len }
+    val ends = seps.map(_._1) :+ q.length
+    val parts = starts.zip(ends).map { case (s, e) => q.substring(s, e).trim }
+    parts.foreach(p => require(p.nonEmpty, s"empty UNION branch: $q"))
+    val dfs = parts.map(execute(nodes, edges, _))
+    val colSets = dfs.map(_.columns.toSeq)
+    require(colSets.distinct.size == 1,
+      s"all UNION branches must return the same columns; got " +
+        s"${colSets.map(_.mkString("(", ", ", ")")).mkString(" vs ")}")
+    val combined = dfs.reduce(_ unionAll _)
+    if (allFlags.head) combined
+    else {
+      require(!combined.schema.exists(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]),
+        "UNION (distinct) over a map-typed column (properties()) cannot " +
+          "hash — use UNION ALL")
+      combined.dropDuplicates()
+    }
+  }
+
   /** [[execute]] with Neo4j-style query parameters — `$name` tokens are
     * inlined via [[substituteParams]] before parsing. */
   def execute(nodes: DataFrame, edges: DataFrame, query: String,
       params: Map[String, Any]): DataFrame =
     execute(nodes, edges, substituteParams(query, params))
 
+  /** One parsed `UNWIND [...] AS x` prelude: the variable and its
+    * literal values (unquoted, in list order). */
+  private final case class Unwind(v: String, values: Seq[String])
+
+  /** Parse the leading `UNWIND [literals] AS x` clauses (zero or more)
+    * off the query; returns them plus the remaining text. Quote-aware:
+    * a `]` inside a quoted list element is literal. Only literal lists
+    * (or, upstream, a `$param` list the substitution already inlined)
+    * are supported — UNWINDing a collected sub-result is Neo4j surface
+    * we don't model. */
+  private def parseUnwinds(q0: String): (Seq[Unwind], String) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Unwind]
+    var q = q0
+    while (q.regionMatches(true, 0, "UNWIND", 0, 6) &&
+        (q.length == 6 || !isWordChar(q.charAt(6)))) {
+      val rest = q.substring(6).trim
+      require(rest.startsWith("["),
+        s"UNWIND expects a literal list (or a \\$$param list): $q")
+      // find the matching top-level ']' honoring quotes
+      var i = 1
+      var quote: Char = 0
+      var end = -1
+      while (i < rest.length && end < 0) {
+        val c = rest.charAt(i)
+        if (quote != 0) {
+          if (c == '\\') i += 1
+          else if (c == quote) quote = 0
+        } else if (c == '\'' || c == '"') quote = c
+        else if (c == ']') end = i
+        i += 1
+      }
+      require(end > 0, s"unterminated UNWIND list: $q")
+      val values = splitTop(rest.substring(1, end), ",").map(unquote)
+      val tail = rest.substring(end + 1).trim
+      val asRe = """^(?i)AS\s+(\w+)\s*""".r
+      val m = asRe.findFirstMatchIn(tail).getOrElse(
+        throw new IllegalArgumentException(s"UNWIND needs `AS <var>`: $q"))
+      out += Unwind(m.group(1), values)
+      q = tail.substring(m.matched.length).trim
+    }
+    require(out.map(_.v).distinct.size == out.size,
+      s"repeated UNWIND variable: $q0")
+    (out.toSeq, q)
+  }
+
   def execute(nodes: DataFrame, edges: DataFrame, query: String): DataFrame = {
-    val q = query.trim
+    val q0 = query.trim
+    locally {
+      // UNION splits FIRST — each branch is a full sub-query (possibly a
+      // shortestPath or WITH-piped one) planned independently
+      val unionPos = allTopLevelKeywords(q0, "UNION")
+      if (unionPos.nonEmpty) return executeUnion(nodes, edges, q0, unionPos)
+    }
+    // UNWIND preludes: `UNWIND [...] AS x [UNWIND …] MATCH … / RETURN …`
+    val (unwinds, q) = parseUnwinds(q0)
     locally {
       val spIdx = topLevelKeyword(q, "shortestPath")
-      if (spIdx >= 0) return executeShortestPath(nodes, edges, q, spIdx)
+      if (spIdx >= 0) {
+        require(unwinds.isEmpty,
+          s"UNWIND before shortestPath is not supported: $q0")
+        return executeShortestPath(nodes, edges, q, spIdx)
+      }
     }
+    val unwindVars: Set[String] = unwinds.map(_.v).toSet
+    def addUnwinds(df0: DataFrame): DataFrame =
+      unwinds.foldLeft(df0) { (d, u) =>
+        // explode keeps the unwound rows INSIDE the one plan (a
+        // row-multiplying generator, no join): Cypher's list × match
+        // row multiplicity
+        d.withColumn(u.v, explode(array(u.values.map(lit): _*)))
+      }
     // quote-aware clause split (not regex): keywords inside a quoted
     // prop literal — likely in code/signature text — must not terminate
     // the pattern
     val retIdx = topLevelKeyword(q, "RETURN")
+    // bare `UNWIND … RETURN …` (no MATCH): a one-row seed exploded per
+    // unwound value — Neo4j's list-driver shape
+    if (unwinds.nonEmpty && retIdx == 0) {
+      val seed = addUnwinds(nodes.sparkSession.range(1).toDF("__seed"))
+        .drop("__seed")
+      return shapeResult(seed, q.substring(6).trim,
+        Map.empty[String, String], unwindVars)
+    }
     val isMatch = q.regionMatches(true, 0, "MATCH", 0, 5) &&
       q.length > 5 && !isWordChar(q.charAt(5))
     require(isMatch && retIdx > 5, s"unsupported Cypher shape " +
-      s"(MATCH … [OPTIONAL MATCH …] [WITH …] RETURN … subset only): $q")
+      s"([UNWIND …] MATCH … [OPTIONAL MATCH …] [WITH …] RETURN … subset only): $q")
     // aggregate-then-filter pipes: MATCH … WITH items [WHERE] (chained) RETURN …
     val withPositions = clauseWithPositions(q)
     require(withPositions.forall(_ < retIdx),
@@ -1232,9 +1437,15 @@ object CypherLite {
         s"relationship variable rebinds a node variable: $q")
       vars = vars ++ rv
     }
-    var df = buildChain(nodes, edges, clauses.head, 0)
+    // MATCH-scope resolver extended with the unwound plain columns: a
+    // bare unwind variable resolves as a column; everything else is the
+    // usual v.prop resolution
+    def scopeU(vs: Map[String, String])(ref: String): Column =
+      if (!ref.contains(".") && unwindVars(ref)) col(ref)
+      else matchScope(vs)(ref)
+    var df = addUnwinds(buildChain(nodes, edges, clauses.head, 0))
     Option(clauses.head.where).foreach(w =>
-      df = df.filter(parseWhere(w, matchScope(vars))))
+      df = df.filter(parseWhere(w, scopeU(vars), valueRefOf(vars, unwindVars))))
 
     clauses.drop(1).foreach { c =>
       val headVar = c.nodeMs.head.v
@@ -1252,13 +1463,17 @@ object CypherLite {
       if (c.optional) {
         // WHERE folds into the join: a filtered-out optional row
         // null-extends instead of dropping (Neo4j semantics)
+        // NOTE: unwind columns live on the LEFT side only — a join
+        // condition may reference them (Spark resolves across sides)
         val cond = Option(c.where)
-          .map(w => keyEq && parseWhere(w, matchScope(subVars))).getOrElse(keyEq)
+          .map(w => keyEq && parseWhere(w, scopeU(subVars),
+            valueRefOf(subVars, unwindVars))).getOrElse(keyEq)
         df = df.join(sub, cond, "left")
       } else {
         df = df.join(sub, keyEq)
         Option(c.where).foreach(w =>
-          df = df.filter(parseWhere(w, matchScope(subVars))))
+          df = df.filter(parseWhere(w, scopeU(subVars),
+            valueRefOf(subVars, unwindVars))))
       }
       // the clause head var stays bound to its ORIGINAL alias (always
       // non-null); only the fresh tail vars enter scope
@@ -1272,9 +1487,10 @@ object CypherLite {
       }
       aliasCount += c.nodeMs.size
     }
-    // fold the WITH pipes left to right; each re-scopes the next segment
+    // fold the WITH pipes left to right; each re-scopes the next segment;
+    // unwound variables enter the pipeline as plain columns
     var curVars = vars
-    var curPlain = Set.empty[String]
+    var curPlain = unwindVars
     val bounds = withPositions :+ retIdx
     withPositions.zipWithIndex.foreach { case (p, i) =>
       val (d2, v2, p2) = applyWith(df,

@@ -398,6 +398,73 @@ object QueryCatalog {
       |SELECT 'region.' || r, 'REGION', r::VARCHAR, NULL, count(*)::BIGINT
       |FROM nat GROUP BY r""".stripMargin
 
+  /** g_b10_union — Cypher `UNION` (distinct) across two branch
+    * sub-queries: nations reached from customers vs from suppliers.
+    * Each branch alone yields thousands of duplicate rows, so the
+    * cross-branch dedup is genuinely load-bearing, not cosmetic. */
+  val gB10Union: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (c:CUSTOMER)-[:IN_NATION]->(n:NATION) RETURN n.name AS v " +
+        "UNION " +
+        "MATCH (sp:SUPPLIER)-[:IN_NATION]->(n:NATION) RETURN n.name AS v")
+  }
+
+  val gB10UnionSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT n.name AS v FROM edges e
+       |JOIN nodes c ON e.src = c.full_name JOIN nodes n ON e.dst = n.full_name
+       |WHERE e.rel_type = 'IN_NATION' AND c.label = 'CUSTOMER' AND n.label = 'NATION'
+       |UNION
+       |SELECT n.name FROM edges e
+       |JOIN nodes sp ON e.src = sp.full_name JOIN nodes n ON e.dst = n.full_name
+       |WHERE e.rel_type = 'IN_NATION' AND sp.label = 'SUPPLIER' AND n.label = 'NATION'""".stripMargin
+
+  /** g_b10_unwind — the `$list` + `UNWIND` batch-lookup idiom through
+    * the parameterized entry point: a parameter list of node keys (one
+    * of them unmatched) drives point lookups, then a second clause
+    * fans out to customers with an aggregate. Gates UNWIND row
+    * multiplicity, bare-variable WHERE resolution against the unwound
+    * column, and `$param` list substitution in one row. */
+  val gB10Unwind: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "UNWIND $keys AS k " +
+        "MATCH (n:NATION) WHERE n.full_name = k " +
+        "MATCH (n)<-[:IN_NATION]-(c:CUSTOMER) " +
+        "RETURN k, n.name AS nation, count(c) AS customers",
+      Map("keys" -> Seq("nation.0", "nation.3", "nation.7", "nation.99")))
+  }
+
+  val gB10UnwindSql: String =
+    """WITH sel AS (SELECT unnest(['nation.0', 'nation.3', 'nation.7', 'nation.99']) AS k)
+      |SELECT s.k, n.n_name AS nation, count(*)::BIGINT AS customers
+      |FROM sel s
+      |JOIN nation n ON s.k = 'nation.' || n.n_nationkey
+      |JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** g_b10_varlen — zero-length (`*0..1`, Cypher's bind-same-node) and
+    * UNBOUNDED (`*`) variable-length hops in a PLAIN MATCH chain (not
+    * shortestPath): every customer's containment walk up the hierarchy.
+    * The unbounded hop runs the edge-uniqueness path fixpoint
+    * ([[graft.api.CypherLite]] varLengthRelUnbounded) and must converge
+    * in two levels on this tree; the zero-length leg binds the nation
+    * itself alongside its region. */
+  val gB10Varlen: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (c:CUSTOMER)-[:IN_NATION*]->(n)-[:IN_REGION*0..1]->(t) " +
+        "RETURN t.kind AS kind, count(*) AS n")
+  }
+
+  /** On the tree-shaped hierarchy each customer contributes exactly one
+    * nation endpoint (zero-length leg) and one region endpoint (one
+    * IN_REGION hop) — closed form, no recursion needed oracle-side. */
+  val gB10VarlenSql: String =
+    """SELECT 'NATION' AS kind, count(*)::BIGINT AS n FROM customer
+      |UNION ALL SELECT 'REGION', count(*)::BIGINT FROM customer""".stripMargin
+
   /** q53 — HITS hubs & authorities over the containment hierarchy
     * ([[graft.enrich.Analytics.hits]]), 3 rounds: mutually-recursive
     * L1-normalized scores, decimal-routed sums + round-to-10 per stage
@@ -4070,6 +4137,9 @@ object QueryCatalog {
     "g_b10_cypher" -> gB10Cypher,
     "g_b10_write" -> gB10Write,
     "g_b10_spath" -> gB10Spath,
+    "g_b10_union" -> gB10Union,
+    "g_b10_unwind" -> gB10Unwind,
+    "g_b10_varlen" -> gB10Varlen,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
@@ -4224,6 +4294,9 @@ object QueryCatalog {
     "p_split_assign" -> pSplitAssignSql,
     "d_priority_dedup" -> dPriorityDedupSql,
     "g_b10_cypher" -> gB10CypherSql,
+    "g_b10_union" -> gB10UnionSql,
+    "g_b10_unwind" -> gB10UnwindSql,
+    "g_b10_varlen" -> gB10VarlenSql,
     "g_b10_write" -> gB10WriteSql,
     "g_b10_spath" -> gB10SpathSql,
     "t_cms_topk" -> tCmsTopkSql,

@@ -311,15 +311,8 @@ class CypherLiteSpec extends AnyFunSuite {
   }
 
   test("unsupported shapes are rejected, not silently wrong") {
-    intercept[IllegalArgumentException] {
-      db.executeQuery("MATCH (a)-[:X*]->(b) RETURN a") // unbounded
-    }
-    intercept[IllegalArgumentException] {
-      db.executeQuery("MATCH (a)-[:X*2..]->(b) RETURN a") // unbounded max
-    }
-    intercept[IllegalArgumentException] {
-      db.executeQuery("MATCH (a)-[:X*0..2]->(b) RETURN a") // zero-length
-    }
+    // unbounded (`*`, `*2..`) and zero-length (`*0..n`) are SUPPORTED
+    // since round 10 — see the var-length tests above
     intercept[IllegalArgumentException] {
       db.executeQuery("MATCH (a)-[:X*1..99]->(b) RETURN a") // over the cap
     }
@@ -966,6 +959,114 @@ class CypherLiteSpec extends AnyFunSuite {
     val out = d.executeQuery(
       "MATCH (c:`project_cc_python/102`:CLASS) RETURN c.full_name").collect()
     assert(out.map(_.getString(0)).toSeq === Seq("m.C"))
+  }
+
+  // --------------------------------------------------------- UNION / UNWIND
+
+  test("UNION dedups across branches; UNION ALL keeps multiplicity") {
+    val both = db.executeQuery(
+      "MATCH (c:CLASS) RETURN c.full_name UNION MATCH (m:MODULE)-[:CONTAINS]->(c) " +
+        "RETURN c.full_name").collect()
+    // m.Person appears in both branches — UNION dedups to one row
+    assert(both.map(_.getString(0)).toSeq === Seq("m.Person"))
+    val all = db.executeQuery(
+      "MATCH (c:CLASS) RETURN c.full_name UNION ALL MATCH (m:MODULE)-[:CONTAINS]->(c) " +
+        "RETURN c.full_name").collect()
+    assert(all.map(_.getString(0)).sorted.toSeq === Seq("m.Person", "m.Person"))
+  }
+
+  test("UNION raises on mismatched columns and on mixed UNION/UNION ALL") {
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (c:CLASS) RETURN c.name UNION MATCH (c:CLASS) RETURN c.full_name")
+    }
+    intercept[IllegalArgumentException] {
+      db.executeQuery(
+        "MATCH (c:CLASS) RETURN c.name UNION MATCH (c:CLASS) RETURN c.name " +
+          "UNION ALL MATCH (c:CLASS) RETURN c.name")
+    }
+  }
+
+  test("UNWIND drives batch point-lookups (the $list + UNWIND idiom)") {
+    val out = db.executeQuery(
+      "UNWIND $keys AS k MATCH (n:sklearn) WHERE n.full_name = k RETURN n.name",
+      Map("keys" -> Seq("m.Person", "m.util", "nope"))).collect()
+    assert(out.map(_.getString(0)).sorted.toSeq === Seq("Person", "util"))
+  }
+
+  test("UNWIND multiplies rows per list element and projects the variable") {
+    val out = db.executeQuery(
+      "UNWIND ['a', 'b'] AS tag MATCH (c:CLASS) RETURN c.name, tag").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("Person", "a"), ("Person", "b")))
+  }
+
+  test("bare UNWIND … RETURN (no MATCH) with aggregation") {
+    val out = db.executeQuery(
+      "UNWIND [3, 1, 2] AS x RETURN count(x) AS n").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(3L))
+    val rows = db.executeQuery("UNWIND ['p', 'q'] AS x RETURN x").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq === Seq("p", "q"))
+  }
+
+  test("property-to-property comparison: WHERE a.name = b.name") {
+    val d = GraphDatabase.inMemory(spark)
+    d.addNode("t", Kind.Class, "p.C", Map("name" -> "C"))
+    d.addNode("t", Kind.Class, "q.C", Map("name" -> "C"))
+    d.addNode("t", Kind.Class, "q.D", Map("name" -> "D"))
+    d.addEdge("t", "p.C", Rel.Inherits, "q.C")
+    d.addEdge("t", "p.C", Rel.Inherits, "q.D")
+    d.commit()
+    val out = d.executeQuery(
+      "MATCH (a:CLASS)-[:INHERITS]->(b:CLASS) WHERE a.name = b.name " +
+        "RETURN a.full_name, b.full_name").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("p.C", "q.C")))
+  }
+
+  // -------------------------------------- zero-length / unbounded var-length
+
+  private lazy val chainDb = {
+    // a -> b -> c -> d  plus a diamond a -> x -> c
+    val d = GraphDatabase.inMemory(spark)
+    Seq("a", "b", "c", "dd", "x").foreach(n =>
+      d.addNode("t", Kind.Class, n, Map("name" -> n)))
+    Seq("a" -> "b", "b" -> "c", "c" -> "dd", "a" -> "x", "x" -> "c")
+      .foreach { case (s, t) => d.addEdge("t", s, Rel.Inherits, t) }
+    d.commit()
+    d
+  }
+
+  test("zero-length *0..1: binds the same node at zero hops") {
+    val out = chainDb.executeQuery(
+      "MATCH (s:CLASS {name: 'a'})-[:INHERITS*0..1]->(t) RETURN t.name").collect()
+    // zero hops → a itself; one hop → b and x
+    assert(out.map(_.getString(0)).sorted.toSeq === Seq("a", "b", "x"))
+  }
+
+  test("unbounded *: fixpoint enumerates every simple-edge path") {
+    val out = chainDb.executeQuery(
+      "MATCH (s:CLASS {name: 'a'})-[:INHERITS*]->(t) RETURN t.name").collect()
+    // paths from a: b, c(2 ways), dd(2 ways), x → 6 paths
+    assert(out.map(_.getString(0)).sorted.toSeq ===
+      Seq("b", "c", "c", "dd", "dd", "x"))
+  }
+
+  test("unbounded * terminates on cycles (edge uniqueness) ") {
+    val d = GraphDatabase.inMemory(spark)
+    Seq("p", "q").foreach(n => d.addNode("t", Kind.Class, n, Map("name" -> n)))
+    d.addEdge("t", "p", Rel.Inherits, "q")
+    d.addEdge("t", "q", Rel.Inherits, "p")
+    d.commit()
+    val out = d.executeQuery(
+      "MATCH (s:CLASS {name: 'p'})-[:INHERITS*]->(t) RETURN t.name").collect()
+    // p->q (1 hop) and p->q->p (2 hops, both edges used once) — then stop
+    assert(out.map(_.getString(0)).sorted.toSeq === Seq("p", "q"))
+  }
+
+  test("*2.. lower-bounded unbounded spec") {
+    val out = chainDb.executeQuery(
+      "MATCH (s:CLASS {name: 'a'})-[:INHERITS*2..]->(t) RETURN t.name").collect()
+    assert(out.map(_.getString(0)).sorted.toSeq === Seq("c", "c", "dd", "dd"))
   }
 
   test("anonymous node patterns: () and (:LABEL) bind no variable") {
