@@ -1,6 +1,6 @@
 package graft.enrich
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph closure — the reference's transitive enrichment passes
@@ -90,38 +90,104 @@ object Closure {
     acc
   }
 
+  /** Python's C3 merge: `L(C) = C + merge(L(B1)…L(Bn), [B1…Bn])`. Pick
+    * the first list-head that appears in no other list's TAIL; remove it
+    * everywhere; repeat. On a C3 inconsistency (Python raises TypeError
+    * at class-creation time — such code cannot even import) we
+    * best-effort take the first head, keeping the function total. */
+  private def c3Merge(head: String, seqs: Seq[List[String]]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer(head)
+    var lists = seqs.filter(_.nonEmpty)
+    while (lists.nonEmpty) {
+      val cand = lists.iterator.map(_.head)
+        .find(h => !lists.exists(_.tail.contains(h)))
+        .getOrElse(lists.head.head)
+      out += cand
+      lists = lists.map(_.filterNot(_ == cand)).filter(_.nonEmpty)
+    }
+    out.toSeq
+  }
+
+  /** C3 linearization of every class in the INHERITS graph — one
+    * DataFrame fixpoint round per hierarchy LEVEL (a class linearizes
+    * once all its bases have): bases that are never themselves a
+    * subclass (external/stub bases) seed as `[self]`. Input columns
+    * (src=class, dst=base, ord=base position in the class header);
+    * missing `ord` ties break on the base NAME, deterministically.
+    * Returns (cls, mro) with the class itself at position 0. Classes on
+    * an inheritance CYCLE (illegal Python) never linearize and are
+    * absent from the result. */
+  def c3Linearize(inheritsOrd: DataFrame): DataFrame = {
+    val spark = inheritsOrd.sparkSession
+    val c3Udf = udf { (cls: String, bm: Seq[Row]) =>
+      val bases = bm.map(_.getString(1)).toList
+      val mros = bm.map(_.getSeq[String](2).toList)
+      c3Merge(cls, mros :+ bases)
+    }
+    val edges = inheritsOrd.select(col("src"), col("dst"),
+      coalesce(col("ord"), lit(0)).cast("int").as("ord"))
+    val parents = edges.groupBy("src").agg(
+      array_sort(collect_list(struct(col("ord"), col("dst")))).as("bases"))
+    val subclassed = edges.select(col("src").as("cls")).distinct()
+    var done = edges.select(col("dst").as("cls")).distinct()
+      .join(subclassed, Seq("cls"), "left_anti")
+      .withColumn("mro", array(col("cls")))
+      .localCheckpoint(true)
+    var remaining = parents.localCheckpoint(true)
+    var progressed = true
+    var rounds = 0
+    while (progressed && rounds < 64 && !remaining.isEmpty) {
+      rounds += 1
+      val exploded = remaining.select(col("src"), explode(col("bases")).as("b"))
+        .select(col("src"), col("b.ord").as("ord"), col("b.dst").as("base"))
+      val joined = exploded
+        .join(done.withColumnRenamed("cls", "base"), Seq("base"), "left")
+      val agg = joined.groupBy("src").agg(
+        count(lit(1)).as("nb"), count(col("mro")).as("nd"),
+        array_sort(collect_list(struct(col("ord"), col("base"), col("mro"))))
+          .as("bm"))
+      val ready = agg.filter(col("nb") === col("nd"))
+        .select(col("src").as("cls"), c3Udf(col("cls"), col("bm")).as("mro"))
+        .localCheckpoint(true)
+      progressed = !ready.isEmpty
+      if (progressed) {
+        done = done.unionByName(ready).localCheckpoint(true)
+        remaining = remaining.join(ready.select(col("cls").as("src")),
+          Seq("src"), "left_anti").localCheckpoint(true)
+      }
+    }
+    done
+  }
+
   /** C11 — override detection (reference deep mode,
     * indexer_visitor.py:125-157: `goto(follow_override=True)` per
     * funcdef, emitted to Sourcetrail only): a method DEFINED on a class
-    * overrides the same-named method of its NEAREST INHERITS-closure
-    * ancestor that defines one — jedi's goto resolves the single method
-    * the child actually shadows, not every same-named method up the
-    * chain (C.run with B.run and A.run above it overrides B.run only;
-    * B.run separately overrides A.run). Equal-depth ties (two direct
-    * bases both defining the name) keep both rows: base ORDER — what
-    * Python's MRO would consult — is not modeled in the INHERITS edges,
-    * so the tie is surfaced rather than guessed. Returns
-    * (src=overriding method, dst=overridden ancestor method).
-    * `hasMethod` must be the defined set (inherited copies excluded by
-    * the caller). */
+    * overrides the method the class actually SHADOWS — the first
+    * same-named definition along the class's Python MRO (C3
+    * linearization over base order, [[c3Linearize]]), exactly what
+    * jedi's goto resolves. One deterministic answer per method: in a
+    * diamond `C(A, B)` with `A(X)`, `C.run` overrides `X.run`, not
+    * `B.run` — MRO order `C, A, X, B` beats nearest-by-depth. Input
+    * `inherits` may carry an `ord` column (base position, the
+    * indexer's `ord` edge prop); without it ties break on the base
+    * name. Returns (src=overriding method, dst=overridden ancestor
+    * method). `hasMethod` must be the defined set (inherited copies
+    * excluded by the caller). */
   def overrides(inherits: DataFrame, hasMethod: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val closure = transitiveClosureDepth(inherits) // (class, ancestor, depth)
+    val inheritsOrd =
+      if (inherits.columns.contains("ord")) inherits
+      else inherits.withColumn("ord", lit(0))
+    val lin = c3Linearize(inheritsOrd) // (cls, mro incl. self at pos 0)
     def withName(df: DataFrame) = df
       .withColumn("_m", element_at(split(col("dst"), "\\."), -1))
-    val cand = withName(hasMethod).as("c")
-      .join(closure.as("h"), col("c.src") === col("h.src"))
+    val anc = lin.select(col("cls"),
+      posexplode(col("mro")).as(Seq("pos", "anc"))).filter(col("pos") > 0)
+    withName(hasMethod).as("c")
+      .join(anc, col("c.src") === col("cls"))
       .join(withName(hasMethod).as("a"),
-        col("h.dst") === col("a.src") && col("c._m") === col("a._m"))
-      .select(col("c.dst").as("src"), col("a.dst").as("dst"),
-        col("h.depth").as("depth"))
-      .distinct()
-    // per overriding method: keep only the closest defining ancestor(s)
-    cand.withColumn("_best",
-        min(col("depth")).over(Window.partitionBy(col("src"))))
-      .filter(col("depth") === col("_best"))
-      .select(col("src"), col("dst"))
-      .distinct()
+        col("anc") === col("a.src") && col("c._m") === col("a._m"))
+      .groupBy(col("c.dst").as("src"))
+      .agg(min_by(col("a.dst"), col("pos")).as("dst"))
   }
 
   /** GraphX variant of the reachability closure for the analytics story:

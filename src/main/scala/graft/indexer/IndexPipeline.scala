@@ -66,20 +66,61 @@ object IndexPipeline {
       }
   }
 
-  /** Decode parity with the reference (shallow_indexer.py:79-86): strict
-    * UTF-8 first; on malformed input fall back to a permissive total
-    * decode (ISO-8859-1 — every byte maps) instead of scattering U+FFFD
-    * replacement chars through the text. Keeps un-decodable files
-    * indexable with their ASCII structure intact, like the reference's
-    * codec fallback chain. */
+  /** Encoding auto-derivation (the reference tries UTF-8 then lets the
+    * codecs layer "derive encoding automatically",
+    * shallow_indexer.py:79-86). For PYTHON sources the principled
+    * derivation is what `tokenize.detect_encoding` does — and what we
+    * implement, executor-side and allocation-light:
+    *
+    *  1. BOM sniff: UTF-8 / UTF-16LE/BE / UTF-32LE/BE (32 before 16 —
+    *     a UTF-32LE BOM starts with the UTF-16LE one);
+    *  2. PEP 263 coding cookie on line 1 or 2
+    *     (`# -*- coding: latin-1 -*-`), charset resolved through Java's
+    *     alias table (latin-1, cp1252, …) with unknown names ignored;
+    *  3. strict UTF-8 (the Python-3 default);
+    *  4. permissive total ISO-8859-1 (every byte maps) rather than
+    *     scattering U+FFFD through the text — keeps un-decodable files
+    *     indexable with their ASCII structure intact. */
   private[graft] def decodeSource(bytes: Array[Byte]): String = {
-    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    import java.nio.charset.{Charset, StandardCharsets}
+    def at(i: Int): Int = bytes(i) & 0xff
+    def decode(cs: Charset, offset: Int): String =
+      new String(bytes, offset, bytes.length - offset, cs)
+    // 1 — BOM
+    if (bytes.length >= 4 && at(0) == 0xff && at(1) == 0xfe &&
+        at(2) == 0x00 && at(3) == 0x00)
+      return decode(Charset.forName("UTF-32LE"), 4)
+    if (bytes.length >= 4 && at(0) == 0x00 && at(1) == 0x00 &&
+        at(2) == 0xfe && at(3) == 0xff)
+      return decode(Charset.forName("UTF-32BE"), 4)
+    if (bytes.length >= 2 && at(0) == 0xff && at(1) == 0xfe)
+      return decode(StandardCharsets.UTF_16LE, 2)
+    if (bytes.length >= 2 && at(0) == 0xfe && at(1) == 0xff)
+      return decode(StandardCharsets.UTF_16BE, 2)
+    if (bytes.length >= 3 && at(0) == 0xef && at(1) == 0xbb && at(2) == 0xbf)
+      return decode(StandardCharsets.UTF_8, 3)
+    // 2 — PEP 263 cookie within the first two lines (read them as
+    // latin-1: the cookie is ASCII and every byte maps)
+    locally {
+      val headLen = math.min(bytes.length, 256)
+      val head = new String(bytes, 0, headLen, StandardCharsets.ISO_8859_1)
+      val cookie = """coding[:=]\s*([-\w.]+)""".r
+      head.split("\n", 3).take(2).foreach { ln =>
+        if (ln.trim.startsWith("#"))
+          cookie.findFirstMatchIn(ln).foreach { m =>
+            try return new String(bytes, Charset.forName(m.group(1)))
+            catch { case _: Exception => /* unknown codec name: fall on */ }
+          }
+      }
+    }
+    // 3 — strict UTF-8, 4 — total fallback
+    val dec = StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
     try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
     catch {
       case _: java.nio.charset.CharacterCodingException =>
-        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        new String(bytes, StandardCharsets.ISO_8859_1)
     }
   }
 

@@ -266,6 +266,14 @@ object PyIndexer {
   private val withManager: Regex =
     """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\([^()]*\)\s*as\s+([A-Za-z_]\w*)""".r
 
+  /** `(x := Ctor(...))` — a walrus binding (C3 slice 15): the named
+    * expression types its target exactly like an assignment would (jedi
+    * treats `:=` as a definition); flow-insensitively safe — the binding
+    * survives the enclosing if/while, which is also Python's own scoping
+    * for walrus targets (they leak into the surrounding scope). */
+  private val walrusBind: Regex =
+    """\(\s*([A-Za-z_]\w*)\s*:=\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
+
   /** `c = x.attr[.attr…]` — a pure attribute READ (no trailing call):
     * when every step of the chain is a typed field, `c` binds the final
     * field's type (jedi's attribute-propagation, the read analog of the
@@ -325,6 +333,20 @@ object PyIndexer {
     """^\s*([A-Za-z_]\w*)\s*=\s*\[(.+)\]\s*$""".r
   private val ctorItem: Regex =
     """^\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(\s*[^()]*\)\s*$""".r
+
+  /** `a, b = X(), y` — parallel tuple unpacking (C3 slice 14): when the
+    * RHS arity matches, each target binds INDEPENDENTLY from its own
+    * position (jedi types tuple elements one by one) — constructor items
+    * and already-typed bare names resolve, anything else leaves that one
+    * target unbound. Starred targets and nested tuples stay out. */
+  private val tupleTargetsAssign: Regex =
+    """^\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*=(?!=)\s*(.+?)\s*$""".r
+
+  /** `a = b = Ctor()` — chained assignment: every target binds the one
+    * RHS type (also slice 14; jedi resolves both names to the same
+    * instance). */
+  private val chainedAssign: Regex =
+    """^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*=(?!=)\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
 
   /** Split on top-level commas (outside brackets/parens/quotes) — list
     * items' constructor args may themselves contain commas. */
@@ -812,11 +834,15 @@ object PyIndexer {
             val headerText = joinedHeader(i)
             parenSpan(headerText).split(",").map(_.trim)
               .filter(b => b.nonEmpty && b != "object" && !b.contains("="))
-              .foreach { b =>
+              .zipWithIndex
+              .foreach { case (b, bi) =>
                 val resolved = resolveCallee(b).getOrElse(
                   if (b.contains(".")) b else s"$mod.$b")
+                // base POSITION rides on the edge: Python's MRO (C3
+                // linearization) consults base order, so override
+                // resolution downstream (Closure.overrides) needs it
                 edges += EdgeEvent(nextSeq(), taskId, full, Rel.Inherits,
-                  resolved, Map.empty)
+                  resolved, Map("ord" -> bi.toString))
               }
             stack.push(Scope(Kind.Class, full, ind))
 
@@ -981,6 +1007,16 @@ object PyIndexer {
                 !keywords.contains(name) =>
             recordLocalDef(stack.top, name, i)
 
+          // tuple-unpack targets (`a, b = …`) are each a local definition
+          // (the reference's visitName walks every target of the
+          // testlist, shallow_indexer.py:486-494)
+          case tupleTargetsAssign(targets, _)
+              if stack.headOption.exists(sc =>
+                sc.kind == Kind.Method || sc.kind == Kind.Function) =>
+            targets.split(",").map(_.trim)
+              .filter(t => t.nonEmpty && !keywords.contains(t))
+              .foreach(t => recordLocalDef(stack.top, t, i))
+
           case _ => ()
         }
 
@@ -1049,7 +1085,49 @@ object PyIndexer {
                       })
                       .foreach(t => fn.locals(m.group(1)) = t)
                   }
+                  // C3 slice 14: parallel tuple unpacking — when the RHS
+                  // arity matches, each position binds independently
+                  // (constructor call or already-typed bare name); a
+                  // position that doesn't resolve leaves only ITS target
+                  // unbound, unlike the all-or-nothing chain slices
+                  // (positions are independent in jedi too)
+                  tupleTargetsAssign.findFirstMatchIn(line).foreach { m =>
+                    val targets = m.group(1).split(",").map(_.trim).toSeq
+                    val items = splitTopComma(m.group(2)).map(_.trim)
+                    if (items.size == targets.size)
+                      targets.zip(items).foreach { case (tgt, item) =>
+                        if (!keywords.contains(tgt)) {
+                          val ty = item match {
+                            case ctorItem(callee) =>
+                              classishType(callee)
+                                .orElse(returnTypeTarget(callee))
+                            case nm if nm.matches("""[A-Za-z_]\w*""") =>
+                              fn.locals.get(nm).orElse(moduleVarTypes.get(nm))
+                            case _ => None
+                          }
+                          ty.foreach(t => fn.locals(tgt) = t)
+                        }
+                      }
+                  }
+                  // slice 14, chained form: `a = b = Ctor()` binds both
+                  // targets to the one constructed type
+                  chainedAssign.findFirstMatchIn(line).foreach { m =>
+                    classishType(m.group(3)).orElse(returnTypeTarget(m.group(3)))
+                      .foreach { t =>
+                        Seq(m.group(1), m.group(2))
+                          .filterNot(keywords.contains)
+                          .foreach(n => fn.locals(n) = t)
+                      }
+                  }
               }
+          }
+          // C3 slice 15: walrus bindings (`if (x := Helper()):`) type
+          // their target wherever they appear on the line — independent
+          // of the assignment-shaped cases above
+          walrusBind.findAllMatchIn(line).foreach { m =>
+            if (!keywords.contains(m.group(1)))
+              classishType(m.group(2)).orElse(returnTypeTarget(m.group(2)))
+                .foreach(t => fn.locals(m.group(1)) = t)
           }
           // slice 9: container-annotated LOCALS (`ys: Sequence[T] = …`)
           // and the bindings that consume element types — iteration
@@ -1086,6 +1164,14 @@ object PyIndexer {
               withManager.findAllMatchIn(line).foreach { m =>
                 val t = m.group(2)
                 if (!keywords.contains(t)) recordLocalDef(fn, t, i)
+              }
+            // walrus targets (`(x := …)`) are local definitions too —
+            // Python scopes them to the enclosing function
+            if (stack.headOption.exists(sc =>
+                sc.kind == Kind.Method || sc.kind == Kind.Function))
+              walrusBind.findAllMatchIn(line).foreach { m =>
+                if (!keywords.contains(m.group(1)))
+                  recordLocalDef(fn, m.group(1), i)
               }
           }
           if (fn.kind == Kind.Method) curClass.foreach { c =>

@@ -64,7 +64,10 @@ object SrctrlSink {
       .select(col("src"), col("dst"))
     val overrideEdges = graft.enrich.Closure.overrides(
       snap.edges.filter(col("rel_type") === Rel.Inherits)
-        .select(col("src"), col("dst")),
+        // base order (the indexer's `ord` edge prop) feeds the C3/MRO
+        // resolution; legacy edges without it tie-break on base name
+        .select(col("src"), col("dst"),
+          element_at(col("props"), "ord").cast("int").as("ord")),
       definedMethods)
       .select(col("src"), lit("OVERRIDE").as("rel_type"), col("dst"))
     val references = snap.edges

@@ -54,15 +54,43 @@ class ClosureSpec extends AnyFunSuite {
     ))
   }
 
-  test("overrides keeps equal-depth ties (unordered multiple bases)") {
-    val inherits = Seq(("C", "A"), ("C", "B")).toDF("src", "dst")
+  test("overrides consults base ORDER via the MRO: C(B, A) shadows B first") {
+    // with explicit ord, the MRO is C, B, A — B.run is what C.run shadows
+    val inherits = Seq(("C", "A", 1), ("C", "B", 0)).toDF("src", "dst", "ord")
     val hasMethod = Seq(
       ("A", "A.run"), ("B", "B.run"), ("C", "C.run")).toDF("src", "dst")
     val out = Closure.overrides(inherits, hasMethod)
       .as[(String, String)].collect().toSet
-    // base order (what the MRO would consult) is not modeled — surface
-    // both candidates rather than guessing
-    assert(out === Set(("C.run", "A.run"), ("C.run", "B.run")))
+    assert(out === Set(("C.run", "B.run")))
+    // without ord, the tie breaks deterministically on the base name
+    val noOrd = Closure.overrides(
+      Seq(("C", "A"), ("C", "B")).toDF("src", "dst"), hasMethod)
+      .as[(String, String)].collect().toSet
+    assert(noOrd === Set(("C.run", "A.run")))
+  }
+
+  test("overrides follows the C3 MRO through a diamond, not nearest depth") {
+    // C(A, B), A(X): Python's MRO is C, A, X, B — so C.run overrides
+    // X.run (depth 2 through the left branch) even though B.run sits at
+    // depth 1; nearest-by-depth would answer B.run and be wrong
+    val inherits = Seq(("C", "A", 0), ("C", "B", 1), ("A", "X", 0))
+      .toDF("src", "dst", "ord")
+    val hasMethod = Seq(
+      ("X", "X.run"), ("B", "B.run"), ("C", "C.run")).toDF("src", "dst")
+    val out = Closure.overrides(inherits, hasMethod)
+      .as[(String, String)].collect().toSet
+    assert(out === Set(("C.run", "X.run")))
+  }
+
+  test("c3Linearize matches Python on the classic diamond") {
+    val inherits = Seq(
+      ("D", "B", 0), ("D", "C", 1), ("B", "A", 0), ("C", "A", 0))
+      .toDF("src", "dst", "ord")
+    val mro = Closure.c3Linearize(inherits)
+      .as[(String, Seq[String])].collect().toMap
+    assert(mro("D") === Seq("D", "B", "C", "A"))
+    assert(mro("B") === Seq("B", "A"))
+    assert(mro("A") === Seq("A"))
   }
 
   test("GraphX closure agrees with the DataFrame fixpoint on a random DAG") {

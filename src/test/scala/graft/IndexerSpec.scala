@@ -405,6 +405,85 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.contains(("lst.mixed", "lib.Helper.run")))
   }
 
+  test("C3 slice 14: tuple unpacking binds positions independently") {
+    val src =
+      """from lib import Helper, Other
+        |
+        |def use():
+        |    a, b = Helper(), Other()
+        |    a.run()
+        |    b.spin()
+        |
+        |def partial():
+        |    c, d = Helper(), unknown_factory()
+        |    c.run()
+        |    d.spin()
+        |
+        |def arity():
+        |    e, f = make_pair()
+        |    e.run()
+        |
+        |def names():
+        |    h = Helper()
+        |    x, y = h, Other()
+        |    x.run()
+        |    y.spin()
+        |
+        |def chained():
+        |    p = q = Helper()
+        |    p.run()
+        |    q.stop()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "tup.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // parallel positions bind independently
+    assert(calls.contains(("tup.use", "lib.Helper.run")))
+    assert(calls.contains(("tup.use", "lib.Other.spin")))
+    // an unresolvable position voids only ITS target
+    assert(calls.contains(("tup.partial", "lib.Helper.run")))
+    assert(!calls.contains(("tup.partial", "lib.Other.spin")))
+    // arity mismatch (single call RHS) binds nothing
+    assert(!calls.contains(("tup.arity", "lib.Helper.run")))
+    // typed bare names flow through positions
+    assert(calls.contains(("tup.names", "lib.Helper.run")))
+    assert(calls.contains(("tup.names", "lib.Other.spin")))
+    // chained a = b = Ctor() types both targets
+    assert(calls.contains(("tup.chained", "lib.Helper.run")))
+    assert(calls.contains(("tup.chained", "lib.Helper.stop")))
+    // tuple targets are LOCAL definitions inside the callable
+    val locals = ev.locations.filter(_.kind == "LOCAL").map(_.symbolFullName).toSet
+    assert(locals.contains("tup.use<a>"))
+    assert(locals.contains("tup.use<b>"))
+  }
+
+  test("C3 slice 15: walrus bindings type their target") {
+    val src =
+      """from lib import Helper
+        |
+        |def use(reader):
+        |    if (h := Helper()) is not None:
+        |        h.run()
+        |    while (nxt := Helper(1)):
+        |        nxt.stop()
+        |
+        |def miss(reader):
+        |    if (u := unknown_factory()):
+        |        u.run()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "wal.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("wal.use", "lib.Helper.run")))
+    assert(calls.contains(("wal.use", "lib.Helper.stop")))
+    assert(!calls.exists(_._2.contains("unknown")))
+    // walrus targets are LOCAL definitions (Python scopes them to the
+    // enclosing function)
+    val locals = ev.locations.filter(_.kind == "LOCAL").map(_.symbolFullName).toSet
+    assert(locals.contains("wal.use<h>"))
+    assert(locals.contains("wal.use<nxt>"))
+  }
+
   test("C3 slice 10: method returns chain through typed receivers") {
     val src =
       """from lib import Helper, Other
@@ -739,6 +818,40 @@ class IndexerSpec extends AnyFunSuite {
     // well-formed UTF-8 keeps its multi-byte chars
     val utf8 = "# café\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
     assert(graft.indexer.IndexPipeline.decodeSource(utf8).contains("café"))
+  }
+
+  test("encoding auto-derivation: BOMs and PEP 263 coding cookies") {
+    import graft.indexer.IndexPipeline.decodeSource
+    import java.nio.charset.{Charset, StandardCharsets}
+    val text = "# café\ndef f():\n    return 'schön'\n"
+    // UTF-16LE with BOM (codecs 'utf-16' output)
+    val u16 = Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      text.getBytes(StandardCharsets.UTF_16LE)
+    assert(decodeSource(u16) === text)
+    // UTF-32LE BOM starts with the UTF-16LE BOM — must sniff 32 first
+    val u32 = Array[Byte](0xff.toByte, 0xfe.toByte, 0, 0) ++
+      text.getBytes(Charset.forName("UTF-32LE"))
+    assert(decodeSource(u32) === text)
+    // UTF-8 BOM is stripped, not leaked into the first line
+    val u8bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      text.getBytes(StandardCharsets.UTF_8)
+    assert(decodeSource(u8bom) === text)
+    // PEP 263 cookie names the codec when UTF-8 would misread the bytes:
+    // 'schön' in latin-1 is invalid UTF-8, and cp1252's € (0x80) differs
+    // from latin-1 — the cookie decides
+    val cookieTxt = "# -*- coding: cp1252 -*-\nx = '€ café'\n"
+    val cp1252 = cookieTxt.getBytes(Charset.forName("windows-1252"))
+    assert(decodeSource(cp1252) === cookieTxt)
+    // cookie on line 2 (after a shebang) also counts
+    val she = "#!/usr/bin/env python\n# coding: latin-1\ns = 'café'\n"
+    assert(decodeSource(she.getBytes(StandardCharsets.ISO_8859_1)) === she)
+    // cookie on line 3 does NOT count (PEP 263: lines 1-2 only) — the
+    // latin-1 é then falls through to the permissive total decode
+    val late = "x = 1\ny = 2\n# coding: utf-16\nz = 'café'\n"
+    assert(decodeSource(late.getBytes(StandardCharsets.ISO_8859_1)) === late)
+    // an unknown codec name in the cookie is ignored, not fatal
+    val bogus = "# coding: no-such-codec\nx = 1\n"
+    assert(decodeSource(bogus.getBytes(StandardCharsets.UTF_8)) === bogus)
   }
 
   test("USES edges: globals from functions, fields from methods") {
