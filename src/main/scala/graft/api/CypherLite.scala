@@ -429,9 +429,52 @@ object CypherLite {
     }
   }
 
-  private val countRe = """^(?i)count\(\s*(\*|\w+(?:\.\w+)?)\s*\)$""".r
-  private val collectRe = """^(?i)collect\(\s*(\w+(?:\.\w+)?)\s*\)$""".r
+  private val countRe =
+    """^(?i)count\(\s*(DISTINCT\s+)?(\*|\w+(?:\.\w+)?)\s*\)$""".r
+  private val collectRe =
+    """^(?i)collect\(\s*(DISTINCT\s+)?(\w+(?:\.\w+)?)\s*\)$""".r
   private val numAggRe = """^(?i)(sum|avg|min|max)\(\s*(\w+(?:\.\w+)?)\s*\)$""".r
+
+  /** `count([DISTINCT] …)` column, shared by RETURN and WITH items.
+    * `count(v)` on a node variable counts bound rows via the key column
+    * (src for a relationship variable — non-null exactly when an
+    * optional hop matched); `count(DISTINCT v)` deduplicates on that
+    * same key, Neo4j's distinct-entities reading. `count(DISTINCT *)`
+    * is not Cypher — raise. */
+  private def countCol(distinct: Boolean, arg: String,
+      vars: Map[String, String], plain: String => Boolean): Column = {
+    val base: Option[Column] =
+      if (arg == "*") None
+      else if (arg.contains(".")) {
+        val Array(v, prop) = arg.split("\\.", 2)
+        Some(propColOf(v, prop, vars))
+      } else if (plain(arg)) Some(col(arg))
+      else {
+        val a = vars(arg)
+        Some(if (isRelAlias(a)) col(s"$a.src") else col(s"$a.full_name"))
+      }
+    (distinct, base) match {
+      case (true, None) =>
+        throw new IllegalArgumentException("count(DISTINCT *) is not Cypher")
+      case (true, Some(c)) => count_distinct(c)
+      case (false, None) => count(lit(1))
+      case (false, Some(c)) => count(c)
+    }
+  }
+
+  /** `collect([DISTINCT] …)` column, shared by RETURN and WITH items —
+    * Neo4j's list aggregate (set variant under DISTINCT), SORTED because
+    * encounter order is not deterministic on a distributed engine. */
+  private def collectCol(distinct: Boolean, arg: String,
+      vars: Map[String, String], plain: String => Boolean): Column = {
+    val base =
+      if (arg.contains(".")) {
+        val Array(v, prop) = arg.split("\\.", 2)
+        propColOf(v, prop, vars)
+      } else if (plain(arg)) col(arg)
+      else col(s"${vars(arg)}.full_name")
+    sort_array(if (distinct) collect_set(base) else collect_list(base))
+  }
 
   /** sum/avg/min/max over a property or pipe column. The graph model is
     * string-typed (fixed columns and the props map are all strings), so
@@ -502,7 +545,7 @@ object CypherLite {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"$msg in expression '$s' (pos $i)")
     def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
-    def peek: Char = if (i < s.length) s.charAt(i) else ' '
+    def peek: Char = if (i < s.length) s.charAt(i) else '\u0000'
     def expr(): Column = {
       var l = term()
       ws()
@@ -597,6 +640,64 @@ object CypherLite {
     out
   }
 
+  /** True when a RETURN/WITH item core is a CASE expression. */
+  private def isCaseExpr(c: String): Boolean =
+    c.length > 4 && c.regionMatches(true, 0, "CASE", 0, 4) &&
+      !isWordChar(c.charAt(4))
+
+  /** Cypher CASE expression, both forms:
+    *   generic: `CASE WHEN <pred> THEN <val> [WHEN …]* [ELSE <val>] END`
+    *   simple:  `CASE <operand> WHEN <val> THEN <val> [… ] [ELSE …] END`
+    * Predicates are full WHERE booleans (parseWhere over the same scope
+    * as the item — so `v.prop`, pipe columns, AND/OR/NOT, comparisons
+    * all work); operands and values are scalar value expressions
+    * ([[parseValueExpr]]: literals, arithmetic, `v.prop`, pipe columns,
+    * the scalar functions). A missing ELSE yields null, Cypher's
+    * semantics (Spark's `when` chain without `otherwise`). Nested CASE
+    * raises, the module's posture. */
+  private def parseCaseExpr(s0: String, vars: Map[String, String],
+      plain: Set[String],
+      schema: org.apache.spark.sql.types.StructType): Column = {
+    val s = s0.trim
+    def fail(m: String): Nothing =
+      throw new IllegalArgumentException(s"$m in CASE expression '$s0'")
+    if (allTopLevelKeywords(s, "CASE").size > 1) fail("nested CASE not supported")
+    val ends = allTopLevelKeywords(s, "END")
+    if (ends.size != 1 || s.substring(ends.head + 3).trim.nonEmpty)
+      fail("CASE must close with a single trailing END")
+    val inner = s.substring(4, ends.head).trim
+    val whenPos = allTopLevelKeywords(inner, "WHEN")
+    if (whenPos.isEmpty) fail("CASE needs at least one WHEN")
+    val elsePos = allTopLevelKeywords(inner, "ELSE")
+    if (elsePos.size > 1) fail("multiple ELSE")
+    elsePos.foreach(p => if (p < whenPos.last) fail("ELSE before last WHEN"))
+    def valueOf(t: String): Column = parseValueExpr(t.trim, vars, plain, schema)
+    // simple form: non-empty text between CASE and the first WHEN is the
+    // tested operand; each WHEN side is then a value compared with `=`
+    val operandTxt = inner.substring(0, whenPos.head).trim
+    val operand = if (operandTxt.isEmpty) None else Some(valueOf(operandTxt))
+    val tailEnd = elsePos.headOption.getOrElse(inner.length)
+    val arms = whenPos.zipWithIndex.map { case (p, i) =>
+      val armEnd = if (i + 1 < whenPos.length) whenPos(i + 1) else tailEnd
+      val arm = inner.substring(p + 4, armEnd)
+      val thenPos = allTopLevelKeywords(arm, "THEN")
+      if (thenPos.size != 1) fail("each WHEN needs exactly one THEN")
+      val condTxt = arm.substring(0, thenPos.head).trim
+      val cond = operand match {
+        case Some(op) => op === valueOf(condTxt)
+        case None =>
+          parseWhere(condTxt, withScope(vars, plain), valueRefOf(vars, plain))
+      }
+      (cond, valueOf(arm.substring(thenPos.head + 4).trim))
+    }
+    val chained = arms.tail.foldLeft(when(arms.head._1, arms.head._2)) {
+      case (acc, (c, v)) => acc.when(c, v)
+    }
+    elsePos.headOption
+      .map(p => chained.otherwise(valueOf(inner.substring(p + 4).trim)))
+      .getOrElse(chained)
+  }
+
   /** One RETURN item → (columns, isAggregate). `AS alias` applies to any
     * single-column item; a whole-variable projection expands to its five
     * fixed columns and can't be renamed. */
@@ -614,35 +715,25 @@ object CypherLite {
     def one(c: Column, default: String): Seq[Column] =
       Seq(c.as(alias.getOrElse(default)))
     core match {
-      case countRe(arg) =>
-        val c =
-          if (arg == "*") count(lit(1))
-          else if (arg.contains(".")) {
-            val Array(v, prop) = arg.split("\\.", 2)
-            count(propColOf(v, prop, vars))
-          } else if (plain(arg)) count(col(arg))
-          else {
-            val a = vars(arg)
-            // a relationship variable counts matched edges (src is
-            // non-null exactly when the optional hop matched)
-            if (isRelAlias(a)) count(col(s"$a.src"))
-            else count(col(s"$a.full_name"))
-          }
-        (one(c.cast("long"), s"count($arg)"), true)
+      case countRe(dist, arg) =>
+        val c = countCol(dist != null, arg, vars, plain)
+        val nm = s"count(${if (dist != null) "DISTINCT " else ""}$arg)"
+        (one(c.cast("long"), nm), true)
       case numAggRe(fn, arg) =>
         (one(numAggCol(fn, arg, vars, plain), s"${fn.toLowerCase}($arg)"),
           true)
       // collect(x) gathers values per group like Neo4j's list aggregate;
       // the result is SORTED (Neo4j preserves encounter order, which is
-      // not deterministic on a distributed engine — sorted is)
-      case collectRe(arg) =>
-        val c =
-          if (arg.contains(".")) {
-            val Array(v, prop) = arg.split("\\.", 2)
-            collect_list(propColOf(v, prop, vars))
-          } else if (plain(arg)) collect_list(col(arg))
-          else collect_list(col(s"${vars(arg)}.full_name"))
-        (one(sort_array(c), s"collect($arg)"), true)
+      // not deterministic on a distributed engine — sorted is).
+      // collect(DISTINCT x) is the set variant (collect_set), same
+      // sorted discipline.
+      case collectRe(dist, arg) =>
+        val nm = s"collect(${if (dist != null) "DISTINCT " else ""}$arg)"
+        (one(collectCol(dist != null, arg, vars, plain), nm), true)
+      // CASE before the value-expression probe: a THEN/ELSE value may
+      // contain top-level arithmetic that would trip isValueExpr
+      case c if isCaseExpr(c) =>
+        (one(parseCaseExpr(c, vars, plain, schema), c), false)
       // scalar expression (arithmetic / size / coalesce / toInteger…):
       // default output name is the expression text as written, Cypher-like
       case c if isValueExpr(c) =>
@@ -1097,6 +1188,60 @@ object CypherLite {
     Clause(optional, nodeMs, hops, where)
   }
 
+  /** `-[` outside quotes — the relationship-pattern marker that
+    * distinguishes a pattern-existence predicate from a boolean leaf. */
+  private def hasRelPatternText(s: String): Boolean = {
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '[')
+        return true
+      i += 1
+    }
+    false
+  }
+
+  /** One pattern-existence predicate `[NOT] (a)-[:R]->(b)` lifted out of
+    * a MATCH-clause WHERE — Neo4j's existential subpattern, executed as
+    * a semi-join (anti-join under NOT) rather than a boolean column. */
+  private final case class PatPred(neg: Boolean, clause: Clause)
+
+  /** Partition a MATCH-clause WHERE into pattern-existence predicates
+    * (top-level AND conjuncts containing a relationship pattern) and the
+    * remaining ordinary boolean text. A pattern under OR would need a
+    * disjunctive join plan we don't synthesize — raise, the module's
+    * posture. `clauseIx` namespaces the predicates' anonymous nodes away
+    * from every real clause (real clauses use their ordinal). */
+  private def extractPatternPreds(w: String, q: String, clauseIx: Int)
+      : (Seq[PatPred], Option[String]) = {
+    if (!hasRelPatternText(w)) return (Nil, Some(w))
+    require(splitBool(w, "OR").lengthCompare(1) == 0 ||
+        splitBool(w, "OR").forall(!hasRelPatternText(_)),
+      s"pattern predicate under OR not supported: $q")
+    val (pats, rest) = splitBool(w, "AND").partition(hasRelPatternText)
+    val preds = pats.zipWithIndex.map { case (p0, i) =>
+      val t = p0.trim
+      val neg = t.regionMatches(true, 0, "NOT", 0, 3) && t.length > 3 &&
+        !isWordChar(t.charAt(3))
+      var body = (if (neg) t.substring(3) else t).trim
+      while (isWholeParen(body)) body = body.substring(1, body.length - 1).trim
+      val pc = parseClause(body, optional = false, q,
+        clauseIx = 1000 + clauseIx * 10 + i)
+      require(pc.where == null,
+        s"WHERE inside a pattern predicate is not a thing: $q")
+      pc.hops.foreach(h => require(h.varName.isEmpty,
+        s"a pattern predicate cannot bind relationship variable " +
+          s"'${h.varName.getOrElse("")}': $q"))
+      PatPred(neg, pc)
+    }
+    (preds, if (rest.isEmpty) None else Some(rest.mkString(" AND ")))
+  }
+
   /** Build one chain's DataFrame with node aliases n{aliasStart+i}. */
   private def buildChain(nodes: DataFrame, edges: DataFrame,
       c: Clause, aliasStart: Int): DataFrame = {
@@ -1444,10 +1589,47 @@ object CypherLite {
       if (!ref.contains(".") && unwindVars(ref)) col(ref)
       else matchScope(vs)(ref)
     var df = addUnwinds(buildChain(nodes, edges, clauses.head, 0))
+    // pattern-existence predicates become semi-joins (anti under NOT)
+    // against their own mini-chain; the join keeps only left columns, so
+    // the predicate's aliases never leak into scope. Every NAMED node in
+    // the predicate must already be bound (Neo4j's rule: a pattern
+    // predicate cannot introduce variables); anonymous nodes are the
+    // existential part.
+    def applyPatternPreds(d0: DataFrame, preds: Seq[PatPred],
+        vs: Map[String, String]): DataFrame = {
+      var d = d0
+      preds.foreach { pp =>
+        pp.clause.nodeMs.foreach(m => require(
+          vs.contains(m.v) || m.v.startsWith("__anon"),
+          s"pattern predicate introduces unbound variable '${m.v}': $q"))
+        val start = aliasCount
+        aliasCount += pp.clause.nodeMs.size
+        val sub = buildChain(nodes, edges, pp.clause, start)
+        val boundEqs = pp.clause.nodeMs.zipWithIndex.collect {
+          case (m, i) if vs.contains(m.v) =>
+            col(s"${vs(m.v)}.full_name") === col(s"n${start + i}.full_name")
+        }
+        require(boundEqs.nonEmpty,
+          s"pattern predicate must reference a bound variable: $q")
+        d = d.join(sub, boundEqs.reduce(_ && _),
+          if (pp.neg) "left_anti" else "left_semi")
+      }
+      d
+    }
+    // a clause WHERE splits into pattern predicates (join surgery) and
+    // the ordinary boolean remainder (a filter Column)
+    def applyClauseWhere(d0: DataFrame, w: String,
+        vs: Map[String, String], clauseIx: Int): DataFrame = {
+      val (preds, rest) = extractPatternPreds(w, q, clauseIx)
+      var d = applyPatternPreds(d0, preds, vs)
+      rest.foreach(w2 =>
+        d = d.filter(parseWhere(w2, scopeU(vs), valueRefOf(vs, unwindVars))))
+      d
+    }
     Option(clauses.head.where).foreach(w =>
-      df = df.filter(parseWhere(w, scopeU(vars), valueRefOf(vars, unwindVars))))
+      df = applyClauseWhere(df, w, vars, 0))
 
-    clauses.drop(1).foreach { c =>
+    clauses.drop(1).zipWithIndex.foreach { case (c, cIx) =>
       val headVar = c.nodeMs.head.v
       require(vars.contains(headVar),
         s"a later MATCH clause must start at a bound variable; '$headVar' is new: $q")
@@ -1455,6 +1637,9 @@ object CypherLite {
       require(fresh.forall(!vars.contains(_)),
         s"later MATCH clause rebinds ${fresh.filter(vars.contains)}: $q")
       val start = aliasCount
+      // bump BEFORE any pattern predicate in this clause's WHERE
+      // allocates its own aliases (applyPatternPreds reads aliasCount)
+      aliasCount += c.nodeMs.size
       val sub = buildChain(nodes, edges, c, start)
       val subVars = vars ++ c.nodeMs.zipWithIndex
         .map { case (m, i) => m.v -> s"n${start + i}" }.toMap ++
@@ -1465,6 +1650,8 @@ object CypherLite {
         // null-extends instead of dropping (Neo4j semantics)
         // NOTE: unwind columns live on the LEFT side only — a join
         // condition may reference them (Spark resolves across sides)
+        Option(c.where).foreach(w => require(!hasRelPatternText(w),
+          s"pattern predicate in an OPTIONAL MATCH WHERE not supported: $q"))
         val cond = Option(c.where)
           .map(w => keyEq && parseWhere(w, scopeU(subVars),
             valueRefOf(subVars, unwindVars))).getOrElse(keyEq)
@@ -1472,8 +1659,7 @@ object CypherLite {
       } else {
         df = df.join(sub, keyEq)
         Option(c.where).foreach(w =>
-          df = df.filter(parseWhere(w, scopeU(subVars),
-            valueRefOf(subVars, unwindVars))))
+          df = applyClauseWhere(df, w, subVars, cIx + 1))
       }
       // the clause head var stays bound to its ORIGINAL alias (always
       // non-null); only the fresh tail vars enter scope
@@ -1485,7 +1671,6 @@ object CypherLite {
           s"relationship variable rebinds a bound variable: $q")
         vars = vars ++ rv
       }
-      aliasCount += c.nodeMs.size
     }
     // fold the WITH pipes left to right; each re-scopes the next segment;
     // unwound variables enter the pipeline as plain columns
@@ -1574,26 +1759,26 @@ object CypherLite {
         case _ => throw new IllegalArgumentException(s"multiple AS in '$item'")
       }
       core match {
-        case countRe(arg) =>
+        case countRe(dist, arg) =>
           val a = alias.getOrElse(throw new IllegalArgumentException(
             s"WITH expression needs AS alias: '$item'"))
-          val c =
-            if (arg == "*") count(lit(1))
-            else if (arg.contains(".")) {
-              val Array(v, prop) = arg.split("\\.", 2)
-              count(propColOf(v, prop, vars))
-            } else if (prevPlain(arg)) count(col(arg))
-            else {
-              val va = vars(arg)
-              if (isRelAlias(va)) count(col(s"$va.src"))
-              else count(col(s"$va.full_name"))
-            }
-          aggs += c.cast("long").as(a)
+          aggs += countCol(dist != null, arg, vars, prevPlain)
+            .cast("long").as(a)
           plain += a
         case numAggRe(fn, arg) =>
           val a = alias.getOrElse(throw new IllegalArgumentException(
             s"WITH expression needs AS alias: '$item'"))
           aggs += numAggCol(fn, arg, vars, prevPlain).as(a)
+          plain += a
+        case collectRe(dist, arg) =>
+          val a = alias.getOrElse(throw new IllegalArgumentException(
+            s"WITH expression needs AS alias: '$item'"))
+          aggs += collectCol(dist != null, arg, vars, prevPlain).as(a)
+          plain += a
+        case c if isCaseExpr(c) =>
+          val a = alias.getOrElse(throw new IllegalArgumentException(
+            s"WITH expression needs AS alias: '$item'"))
+          keys += parseCaseExpr(c, vars, prevPlain, df0.schema).as(a)
           plain += a
         // scalar expression (arithmetic / size / coalesce / toInteger…);
         // checked BEFORE the dotted-reference case so `m.seen + 1 AS x`

@@ -465,6 +465,93 @@ object QueryCatalog {
     """SELECT 'NATION' AS kind, count(*)::BIGINT AS n FROM customer
       |UNION ALL SELECT 'REGION', count(*)::BIGINT FROM customer""".stripMargin
 
+  /** g_b10_distinct — `count(DISTINCT …)` under the oracle gate: a
+    * region roll-up where the customer count dwarfs the distinct nation
+    * count, so the dedup inside the aggregate is load-bearing (a plain
+    * count would be thousands, the distinct count is ≤ 25). */
+  val gB10Distinct: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (c:CUSTOMER)-[:IN_NATION]->(n:NATION)-[:IN_REGION]->(r:REGION) " +
+        "RETURN r.name AS region, count(DISTINCT n.name) AS nations, " +
+        "count(c) AS customers")
+  }
+
+  val gB10DistinctSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT r.name AS region, count(DISTINCT n.name)::BIGINT AS nations,
+       |  count(*)::BIGINT AS customers
+       |FROM edges e1
+       |JOIN nodes c ON e1.src = c.full_name
+       |JOIN nodes n ON e1.dst = n.full_name
+       |JOIN edges e2 ON e2.src = n.full_name AND e2.rel_type = 'IN_REGION'
+       |JOIN nodes r ON e2.dst = r.full_name
+       |WHERE e1.rel_type = 'IN_NATION' AND c.label = 'CUSTOMER'
+       |  AND n.label = 'NATION' AND r.label = 'REGION'
+       |GROUP BY r.name""".stripMargin
+
+  /** g_b10_case — CASE expressions under the oracle gate: a simple-form
+    * CASE on the node kind and a searched CASE banding the numeric prop
+    * (string-typed in the graph model, cast by the comparison), both as
+    * implicit grouping keys of a count. */
+  val gB10Case: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (m)-[:IN_NATION]->(n:NATION) " +
+        "RETURN n.name AS nation, " +
+        "CASE m.kind WHEN 'CUSTOMER' THEN 'cust' WHEN 'SUPPLIER' THEN 'supp' " +
+        "ELSE 'other' END AS side, " +
+        "CASE WHEN m.bal >= 5000 THEN 'hi' WHEN m.bal >= 0 THEN 'lo' " +
+        "ELSE 'neg' END AS band, " +
+        "count(m) AS members")
+  }
+
+  val gB10CaseSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT n.name AS nation,
+       |  CASE m.label WHEN 'CUSTOMER' THEN 'cust' WHEN 'SUPPLIER' THEN 'supp'
+       |    ELSE 'other' END AS side,
+       |  CASE WHEN m.prop_num >= 5000 THEN 'hi' WHEN m.prop_num >= 0 THEN 'lo'
+       |    ELSE 'neg' END AS band,
+       |  count(*)::BIGINT AS members
+       |FROM edges e
+       |JOIN nodes m ON e.src = m.full_name
+       |JOIN nodes n ON e.dst = n.full_name
+       |WHERE e.rel_type = 'IN_NATION' AND n.label = 'NATION'
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** g_b10_patpred — pattern-existence predicates under the oracle
+    * gate: customers of region-0 nations (positive predicate with an
+    * anonymous prop-matched endpoint → semi-join) who never placed a
+    * P-status order (`NOT (c)<-[:PLACED_BY]-({name: 'P'})` →
+    * anti-join against the prop-filtered edge scan), counted per
+    * nation. The anti-join removes ~98% of the semi-join's survivors —
+    * both joins are load-bearing. */
+  val gB10Patpred: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (c:CUSTOMER)-[:IN_NATION]->(n:NATION) " +
+        "WHERE (n)-[:IN_REGION]->({full_name: 'region.0'}) " +
+        "AND NOT (c)<-[:PLACED_BY]-({name: 'P'}) " +
+        "RETURN n.name AS nation, count(c) AS lapsed")
+  }
+
+  val gB10PatpredSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT n.name AS nation, count(*)::BIGINT AS lapsed
+       |FROM edges e
+       |JOIN nodes c ON e.src = c.full_name
+       |JOIN nodes n ON e.dst = n.full_name
+       |WHERE e.rel_type = 'IN_NATION' AND c.label = 'CUSTOMER'
+       |  AND n.label = 'NATION'
+       |  AND EXISTS (SELECT 1 FROM edges e2 WHERE e2.src = n.full_name
+       |    AND e2.rel_type = 'IN_REGION' AND e2.dst = 'region.0')
+       |  AND NOT EXISTS (SELECT 1 FROM edges e3
+       |    JOIN nodes o ON e3.src = o.full_name
+       |    WHERE e3.dst = c.full_name AND e3.rel_type = 'PLACED_BY'
+       |      AND o.name = 'P')
+       |GROUP BY n.name""".stripMargin
+
   /** q53 — HITS hubs & authorities over the containment hierarchy
     * ([[graft.enrich.Analytics.hits]]), 3 rounds: mutually-recursive
     * L1-normalized scores, decimal-routed sums + round-to-10 per stage
@@ -4140,6 +4227,9 @@ object QueryCatalog {
     "g_b10_union" -> gB10Union,
     "g_b10_unwind" -> gB10Unwind,
     "g_b10_varlen" -> gB10Varlen,
+    "g_b10_distinct" -> gB10Distinct,
+    "g_b10_case" -> gB10Case,
+    "g_b10_patpred" -> gB10Patpred,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
@@ -4297,6 +4387,9 @@ object QueryCatalog {
     "g_b10_union" -> gB10UnionSql,
     "g_b10_unwind" -> gB10UnwindSql,
     "g_b10_varlen" -> gB10VarlenSql,
+    "g_b10_distinct" -> gB10DistinctSql,
+    "g_b10_case" -> gB10CaseSql,
+    "g_b10_patpred" -> gB10PatpredSql,
     "g_b10_write" -> gB10WriteSql,
     "g_b10_spath" -> gB10SpathSql,
     "t_cms_topk" -> tCmsTopkSql,

@@ -1078,4 +1078,112 @@ class CypherLiteSpec extends AnyFunSuite {
       "MATCH (m:MODULE)-[:CONTAINS]->() RETURN m.full_name").collect()
     assert(any.map(_.getString(0)).toSeq === Seq("m"))
   }
+
+  // ------------------------------- DISTINCT aggregates / CASE / pattern preds
+
+  test("count(DISTINCT …) vs count(…) over var-length duplicate rows") {
+    val out = chainDb.executeQuery(
+      "MATCH (s:CLASS {name: 'a'})-[:INHERITS*]->(t) " +
+        "RETURN count(t) AS paths, count(DISTINCT t) AS targets").collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("paths") === 6L)
+    assert(out(0).getAs[Long]("targets") === 4L)
+  }
+
+  test("collect(DISTINCT x) is the sorted set variant") {
+    val out = chainDb.executeQuery(
+      "MATCH (s:CLASS {name: 'a'})-[:INHERITS*]->(t) " +
+        "RETURN collect(DISTINCT t.name) AS names").collect()
+    assert(out(0).getSeq[String](0).toSeq === Seq("b", "c", "dd", "x"))
+  }
+
+  test("count(DISTINCT …) through a WITH pipe") {
+    val out = chainDb.executeQuery(
+      "MATCH (s:CLASS)-[:INHERITS]->(t) " +
+        "WITH s, count(DISTINCT t.name) AS fanout WHERE fanout > 1 " +
+        "RETURN s.name AS src, fanout").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 2L)))
+  }
+
+  test("generic CASE WHEN in RETURN; missing ELSE yields null") {
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) RETURN n.full_name AS fn, " +
+        "CASE WHEN n.kind = 'CLASS' THEN 'type' " +
+        "WHEN n.kind = 'METHOD' OR n.kind = 'FUNCTION' THEN 'callable' " +
+        "END AS grp ORDER BY fn").collect()
+    val got = out.map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("m.Person") === "type")
+    assert(got("m.Person.greet") === "callable")
+    assert(got("m.util") === "callable")
+    assert(got("m") === null) // MODULE: no arm, no ELSE
+  }
+
+  test("simple-form CASE with operand, arithmetic THEN values, in WITH") {
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) " +
+        "WITH CASE n.kind WHEN 'CLASS' THEN 10 WHEN 'METHOD' THEN 2 + 3 " +
+        "ELSE 0 END AS w RETURN sum(w) AS total").collect()
+    assert(out(0).getDouble(0) === 15.0)
+  }
+
+  test("CASE as an implicit grouping key with count") {
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) RETURN " +
+        "CASE WHEN n.kind = 'MODULE' THEN 'mod' ELSE 'sym' END AS side, " +
+        "count(n) AS cnt ORDER BY side").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("mod", 1L), ("sym", 3L)))
+  }
+
+  test("nested CASE raises (posture)") {
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (n:sklearn) RETURN CASE WHEN n.kind = 'X' " +
+        "THEN CASE WHEN n.name = 'y' THEN 1 END ELSE 2 END AS z")
+    }
+  }
+
+  test("positive pattern predicate: semi-join keeps matching rows") {
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) WHERE (n)-[:CONTAINS]->({name: 'Person'}) " +
+        "RETURN n.full_name").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("m"))
+  }
+
+  test("NOT pattern predicate: anti-join drops matching rows") {
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) WHERE NOT (n)-[:HAS_METHOD]->() RETURN n.full_name")
+      .collect()
+    assert(out.map(_.getString(0)).sorted.toSeq ===
+      Seq("m", "m.Person.greet", "m.util"))
+  }
+
+  test("pattern predicate mixes with ordinary conjuncts and later clauses") {
+    val out = db.executeQuery(
+      "MATCH (mod:MODULE)-[:CONTAINS]->(c) " +
+        "WHERE (c)-[:HAS_METHOD]->(:METHOD) AND exists(c.name) " +
+        "RETURN c.name").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("Person"))
+  }
+
+  test("pattern predicate referencing TWO bound variables") {
+    // (mod)-[:CONTAINS]->(c) as a predicate with both ends bound
+    val out = db.executeQuery(
+      "MATCH (mod:MODULE) MATCH (mod)-[:CONTAINS]->(c:CLASS) " +
+        "WHERE (mod)-[:CONTAINS]->(c) RETURN mod.full_name, c.name").collect()
+    assert(out.length === 1)
+  }
+
+  test("pattern predicate under OR raises (posture)") {
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (n:sklearn) " +
+        "WHERE (n)-[:HAS_METHOD]->() OR n.name = 'm' RETURN n.full_name")
+    }
+  }
+
+  test("pattern predicate with an unbound named variable raises") {
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (n:sklearn) WHERE (z)-[:CONTAINS]->() " +
+        "RETURN n.full_name")
+    }
+  }
 }
