@@ -28,6 +28,11 @@ object TextFunctions {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  /** The Gopher rules' stop-word list (Rae et al. 2021, App. A1.1): a
+    * document must contain ≥ 2 of these to pass the screen. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Flesch reading-ease heuristic, engine-portable: sentences =
     * `[.!?]+` runs in the RAW text (min 1), words = [[tokenCount]]
     * (min 1), syllables = `[aeiouy]+` vowel groups in the normalized

@@ -103,6 +103,57 @@ object Corpus {
     * spans). Redaction order is fixed (email → IPv4 → phone) and counting
     * runs against the SAME intermediate the replacement saw, so overlapping
     * matches can never double-count. */
+  /** Gopher quality rules (Rae et al. 2021, App. A1.1) — the published
+    * heuristic document screen for web-scale LM corpora, as ONE narrow
+    * codegen'd projection (no shuffle, no UDF): word count ∈ [minWords,
+    * maxWords], mean word length ∈ [3,10], symbol-to-word ratio (`#` or
+    * `...`) < 0.1, < 90% of non-blank lines bullet-started, < 30%
+    * ellipsis-ended, ≥ 80% of words containing an alphabetic character,
+    * and ≥ 2 distinct stop words present ([[graft.functions
+    * .TextFunctions.gopherStopwords]]). Every threshold decision is
+    * INTEGER arithmetic (`10·symbols < words`, `5·alpha > 4·words`, …)
+    * so the keep flag can never 1-ulp-flip between engines; the ratio
+    * columns are rounded display stats only. Words are RAW whitespace
+    * tokens (the published rules are over raw words); the stop-word
+    * probe uses the normalized token stream. */
+  def gopherScreen(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val rawToks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val nWords = size(rawToks).cast("long")
+    val totLen = aggregate(rawToks, lit(0L), (a, t) => a + length(t))
+    val nSym = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long")
+    val lines = filter(split(col("text"), "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => substring(trim(l), 1, 1).isin("-", "*", "•"))).cast("long")
+    val nEllip = size(filter(lines,
+      l => trim(l).endsWith("...") || trim(l).endsWith("…"))).cast("long")
+    val nAlpha = size(filter(rawToks,
+      t => regexp_count(t, lit("[A-Za-z]")) > 0)).cast("long")
+    val ntoks = tokens(col("text"))
+    val nStops = gopherStopwords
+      .map(w => when(array_contains(ntoks, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val w1 = greatest(nWords, lit(1L))
+    val l1 = greatest(nLines, lit(1L))
+    val keep =
+      nWords >= minWords && nWords <= maxWords &&
+        totLen >= lit(3L) * nWords && totLen <= lit(10L) * nWords &&
+        lit(10L) * nSym < nWords &&
+        lit(10L) * nBullet < lit(9L) * nLines &&
+        lit(10L) * nEllip < lit(3L) * nLines &&
+        lit(5L) * nAlpha > lit(4L) * nWords &&
+        nStops >= 2L
+    docs.select(col("doc_id"), nWords.as("n_words"),
+      round(totLen.cast("double") / w1, 4).as("mean_word_len"),
+      round(nSym.cast("double") / w1, 4).as("symbol_ratio"),
+      round(nBullet.cast("double") / l1, 4).as("bullet_frac"),
+      round(nEllip.cast("double") / l1, 4).as("ellipsis_frac"),
+      round(nAlpha.cast("double") / w1, 4).as("alpha_word_frac"),
+      nStops.as("n_stop_hits"),
+      keep.cast("int").as("keep"))
+  }
+
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val phoneRe = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"

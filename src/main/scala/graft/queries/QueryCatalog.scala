@@ -1366,6 +1366,73 @@ object QueryCatalog {
        |FROM documents""".stripMargin
   }
 
+  /** t_gopher — [[graft.pipeline.Corpus.gopherScreen]], the published
+    * Gopher rule screen. The corpus is single-line, so some documents
+    * are augmented IN-PLAN (the st_screen/m_headers pattern: real
+    * kernel, synthesized payload, closed-form oracle) with bullet
+    * lists, an at-the-0.9-boundary bullet page, and a `#`-symbol tail —
+    * making every rule family (words, mean length, symbols, bullets,
+    * ellipses, alpha words, stop words) decide real rows both ways. */
+  val tGopher: Q = (s, d) => {
+    // the synthetic vocabulary holds only ONE Gopher stop word ("the"),
+    // so even doc_ids get two more appended — the ≥2-distinct-stops rule
+    // then decides rows both ways instead of rejecting everything
+    val aug = Tables.documents(s, d).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 11 === 1, lit(" # # # # # # # #"))
+          .when(col("doc_id") % 5 === 0,
+            lit("\n- item one\n- item two\nmore text..."))
+          .when(col("doc_id") % 5 === 3,
+            lit(Seq.fill(9)("\n- b").mkString))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit(" and that")).otherwise(lit(""))))
+    Corpus.gopherScreen(aug)
+  }
+
+  lazy val tGopherSql: String = {
+    val stops = TextFunctions.gopherStopwords
+      .map(w => s"(CASE WHEN list_contains(ntoks, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH aug AS (SELECT doc_id, text || CASE
+       |    WHEN doc_id % 11 = 1 THEN ' # # # # # # # #'
+       |    WHEN doc_id % 5 = 0 THEN chr(10) || '- item one' || chr(10) || '- item two' || chr(10) || 'more text...'
+       |    WHEN doc_id % 5 = 3 THEN repeat(chr(10) || '- b', 9)
+       |    ELSE '' END
+       |    || CASE WHEN doc_id % 2 = 0 THEN ' and that' ELSE '' END AS text FROM documents),
+       |t AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS toks,
+       |    list_filter(regexp_split_to_array(text, chr(10)), x -> len(trim(x)) > 0) AS lns,
+       |    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+       |    string_split($normSql, ' ') AS ntoks
+       |  FROM aug),
+       |s AS (SELECT doc_id,
+       |    len(toks)::BIGINT AS n_words,
+       |    coalesce(list_sum(list_transform(toks, x -> strlen(x))), 0)::BIGINT AS tot_len,
+       |    n_sym::BIGINT AS n_sym,
+       |    len(lns)::BIGINT AS n_lines,
+       |    len(list_filter(lns, x -> substr(trim(x), 1, 1) IN ('-', '*', '•')))::BIGINT AS n_bullet,
+       |    len(list_filter(lns, x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…')))::BIGINT AS n_ellip,
+       |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+       |    ($stops)::BIGINT AS n_stops
+       |  FROM t)
+       |SELECT doc_id, n_words,
+       |  round(tot_len::DOUBLE / greatest(n_words, 1), 4) AS mean_word_len,
+       |  round(n_sym::DOUBLE / greatest(n_words, 1), 4) AS symbol_ratio,
+       |  round(n_bullet::DOUBLE / greatest(n_lines, 1), 4) AS bullet_frac,
+       |  round(n_ellip::DOUBLE / greatest(n_lines, 1), 4) AS ellipsis_frac,
+       |  round(n_alpha::DOUBLE / greatest(n_words, 1), 4) AS alpha_word_frac,
+       |  n_stop_hits, keep FROM (
+       |  SELECT *, n_stops AS n_stop_hits,
+       |    (CASE WHEN n_words >= 50 AND n_words <= 100000
+       |      AND tot_len >= 3 * n_words AND tot_len <= 10 * n_words
+       |      AND 10 * n_sym < n_words
+       |      AND 10 * n_bullet < 9 * n_lines
+       |      AND 10 * n_ellip < 3 * n_lines
+       |      AND 5 * n_alpha > 4 * n_words
+       |      AND n_stops >= 2 THEN 1 ELSE 0 END)::INT AS keep
+       |  FROM s)""".stripMargin
+  }
+
   val tQuality: Q = (s, d) =>
     Tables.documents(s, d).select(col("doc_id"),
       TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
@@ -4268,6 +4335,7 @@ object QueryCatalog {
     "q46_btw_gx" -> q46BtwGx,
     "q53_hits" -> q53Hits,
     "t_readability" -> tReadability,
+    "t_gopher" -> tGopher,
     "q53_hits_gx" -> q53HitsGx,
     "q54_distdist" -> q54DistDist,
   )
@@ -4430,6 +4498,7 @@ object QueryCatalog {
     "q46_btw_gx" -> q46BtwSql,
     "q53_hits" -> q53HitsSql,
     "t_readability" -> tReadabilitySql,
+    "t_gopher" -> tGopherSql,
     "q53_hits_gx" -> q53HitsSql,
     "q54_distdist" -> q54DistDistSql,
   )
