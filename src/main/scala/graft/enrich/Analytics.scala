@@ -715,7 +715,11 @@ object Analytics {
     * list, no driver state. Output: (v, n_tri) for vertices in ≥1
     * triangle; the triangle SET is orientation-invariant, so the oracle
     * can replay a plain id-ordered join at its small scale. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  /** The triangle set (u,v,w) of a canonical undirected edge list via
+    * degree-ordered orientation — each triangle exactly once, vertex
+    * order is ORIENTATION order (by (degree, id)), not id order. Shared
+    * kernel of [[triangleCounts]] and [[edgeSupport]]. */
+  private def orientedTriangles(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
@@ -737,12 +741,63 @@ object Analytics {
     // closed by oriented edge v→w
     val l1 = oriented.select(col("u"), col("w").as("v"), col("wk").as("vk"))
     val l2 = oriented.select(col("u"), col("w"), col("wk"))
-    val tris = l1.join(l2, Seq("u"))
+    l1.join(l2, Seq("u"))
       .filter(col("vk") < col("wk"))
       .join(oriented.select(col("u").as("v"), col("w")), Seq("v", "w"))
       .select(col("u"), col("v"), col("w"))
-    tris.select(explode(array(col("u"), col("v"), col("w"))).as("v"))
+  }
+
+  def triangleCounts(edges: DataFrame): DataFrame =
+    orientedTriangles(edges)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
+
+  /** Per-EDGE triangle support over the canonical undirected edge list:
+    * how many triangles each edge closes — the k-truss building block
+    * (an edge belongs to the k-truss iff its support within the truss
+    * is ≥ k−2). Same oriented-wedge kernel as [[triangleCounts]] (wedge
+    * work bounded by Σ out-deg², hub-safe); each triangle contributes
+    * one support unit to each of its three edges, re-canonicalized to
+    * (min,max) form so output rows align with the input edge list.
+    * Edges in no triangle are absent (support 0). */
+  def edgeSupport(edges: DataFrame): DataFrame =
+    orientedTriangles(edges)
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("src"),
+          greatest(col("u"), col("v")).as("dst")),
+        struct(least(col("u"), col("w")).as("src"),
+          greatest(col("u"), col("w")).as("dst")),
+        struct(least(col("v"), col("w")).as("src"),
+          greatest(col("v"), col("w")).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+
+  /** k-truss: the maximal subgraph where every edge closes ≥ k−2
+    * triangles WITHIN the subgraph — the standard cohesive-community
+    * core, stricter than k-core. Iterative peel: recompute support on
+    * the survivors, drop under-supported edges, repeat to fixpoint.
+    * Each round is the bounded wedge join plus one semi-join; the edge
+    * set only shrinks, lineage stays flat via localCheckpoint, and the
+    * loop exits on an unchanged count (≤ maxIter rounds — at 100 TB
+    * each round is a fixed number of shuffles on a shrinking set, the
+    * k-core discipline). k ≤ 2 is the whole graph by definition. */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    val canon = edges.select(col("src"), col("dst"))
+    if (k <= 2) return canon
+    var e = canon.localCheckpoint(eager = true)
+    var n = e.count()
+    var it = 0
+    var done = n == 0
+    while (!done && it < maxIter) {
+      val kept = e.join(
+          edgeSupport(e).filter(col("support") >= k - 2),
+          Seq("src", "dst"), "left_semi")
+        .localCheckpoint(eager = true)
+      val m = kept.count()
+      done = m == n || m == 0
+      e = kept; n = m; it += 1
+    }
+    e
   }
 
   /** GraphX scale path for [[triangleCounts]]: `TriangleCount.run` over

@@ -2136,6 +2136,48 @@ object QueryCatalog {
   val q24TrianglesGx: Q = (s, d) =>
     graft.enrich.Analytics.triangleCountsGraphX(s, coPurchaseEdges(s, d))
 
+  /** q55 — per-EDGE triangle support on the co-purchase graph
+    * ([[graft.enrich.Analytics.edgeSupport]]): the k-truss building
+    * block. Same oriented-wedge kernel as q24; the oracle explodes the
+    * id-ordered triangle set into its three canonical edges. */
+  val q55Esupport: Q = (s, d) =>
+    graft.enrich.Analytics.edgeSupport(coPurchaseEdges(s, d))
+
+  val q55EsupportSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1
+      |        JOIN e e2 ON e2.a = e1.b
+      |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT src, dst, count(*)::BIGINT AS support FROM (
+      |  SELECT x AS src, y AS dst FROM tri UNION ALL SELECT y, z FROM tri
+      |  UNION ALL SELECT x, z FROM tri)
+      |GROUP BY src, dst""".stripMargin
+
+  /** q56 — 3-truss of the co-purchase graph
+    * ([[graft.enrich.Analytics.kTruss]]). For k = 3 the iterative peel
+    * provably converges in ONE effective round at ANY scale (an edge
+    * survives iff it closes ≥ 1 triangle, and a surviving triangle keeps
+    * all three of its edges alive), so the oracle's closed form —
+    * distinct triangle edges — is exact; the multi-round cascade is
+    * spec-gated on a crafted graph (AnalyticsSpec). */
+  val q56Ktruss: Q = (s, d) =>
+    graft.enrich.Analytics.kTruss(coPurchaseEdges(s, d), k = 3)
+
+  val q56KtrussSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1
+      |        JOIN e e2 ON e2.a = e1.b
+      |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT DISTINCT src, dst FROM (
+      |  SELECT x AS src, y AS dst FROM tri UNION ALL SELECT y, z FROM tri
+      |  UNION ALL SELECT x, z FROM tri)""".stripMargin
+
   val q24TrianglesSql: String =
     """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
@@ -4258,6 +4300,8 @@ object QueryCatalog {
     "d_span_frac" -> dSpanFrac,
     "q23_stragg" -> q23StrAgg,
     "q24_triangles" -> q24Triangles,
+    "q55_esupport" -> q55Esupport,
+    "q56_ktruss" -> q56Ktruss,
     "q24_triangles_gx" -> q24TrianglesGx,
     "q25_lag" -> q25Lag,
     "q26_ranks" -> q26Ranks,
@@ -4421,6 +4465,8 @@ object QueryCatalog {
     "d_span_frac" -> dSpanFracSql,
     "q23_stragg" -> q23StrAggSql,
     "q24_triangles" -> q24TrianglesSql,
+    "q55_esupport" -> q55EsupportSql,
+    "q56_ktruss" -> q56KtrussSql,
     "q24_triangles_gx" -> q24TrianglesSql,
     "q25_lag" -> q25LagSql,
     "q26_ranks" -> q26RanksSql,

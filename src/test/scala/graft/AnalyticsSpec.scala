@@ -342,4 +342,31 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lp === lp2)
   }
+
+  test("edgeSupport: per-edge triangle counts on the shared-edge fixture") {
+    // triangles {1,2,3} and {2,3,4} share edge (2,3); (4,5) closes none
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val sup = Analytics.edgeSupport(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sup === Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L,
+      (2L, 4L) -> 1L, (3L, 4L) -> 1L)) // (4,5) absent: support 0
+  }
+
+  test("kTruss: K4 survives k=4; a triangle strip cascades to empty") {
+    // K4 on {1,2,3,4}: every edge closes exactly 2 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(Analytics.kTruss(k4, k = 4).count() === 6L)
+    // strip of triangles {1,2,3},{2,3,4},{3,4,5}: k=4 peels the
+    // support-1 rim first, which starves (2,3)/(3,4) — a REAL 2-round
+    // cascade, the fixpoint behavior the closed-form q56 oracle can't see
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L)).toDF("src", "dst")
+    assert(Analytics.kTruss(strip, k = 4).count() === 0L)
+    // k=3 keeps exactly the triangle edges; k<=2 is the whole graph
+    val withPendant = strip.union(Seq((5L, 9L)).toDF("src", "dst"))
+    assert(Analytics.kTruss(withPendant, k = 3).count() === 7L)
+    assert(Analytics.kTruss(withPendant, k = 2).count() === 8L)
+  }
 }
