@@ -190,6 +190,32 @@ object Closure {
       .agg(min_by(col("a.dst"), col("pos")).as("dst"))
   }
 
+  /** C3 slice 16 — zero-argument `super().m()` resolution (reference
+    * deep mode resolves it through jedi, indexer_visitor.py:183-241):
+    * the callee is the FIRST definition of `m` along the calling
+    * class's C3 MRO AFTER the class itself — Python's own `super()`
+    * binding, diamond-correct via [[c3Linearize]]. Input `calls` has
+    * (cls, meth); returns (cls, meth, target) for resolvable pairs
+    * only (an unresolved super-call yields nothing — the shallow
+    * posture for unknown names). `hasMethod` must be the DEFINED
+    * method set, inherited copies excluded. */
+  def superResolve(inherits: DataFrame, hasMethod: DataFrame,
+      calls: DataFrame): DataFrame = {
+    val inheritsOrd =
+      if (inherits.columns.contains("ord")) inherits
+      else inherits.withColumn("ord", lit(0))
+    val lin = c3Linearize(inheritsOrd)
+    val anc = lin.select(col("cls"),
+      posexplode(col("mro")).as(Seq("pos", "anc"))).filter(col("pos") > 0)
+    val defs = hasMethod
+      .withColumn("_m", element_at(split(col("dst"), "\\."), -1))
+    calls.join(anc, Seq("cls"))
+      .join(defs.as("a"),
+        col("anc") === col("a.src") && col("meth") === col("a._m"))
+      .groupBy(col("cls"), col("meth"))
+      .agg(min_by(col("a.dst"), col("pos")).as("target"))
+  }
+
   /** GraphX variant of the reachability closure for the analytics story:
     * Pregel propagating reachable-ancestor sets. Same interface; used when
     * the closure is deep/wide enough that per-iteration DataFrame job

@@ -225,7 +225,39 @@ object IndexPipeline {
     val newEdges = Closure.inheritedMethods(inherits, hasMethod)
       .select(col("src"), lit(Rel.HasMethod).as("rel_type"), col("dst"),
         map(lit("inherited"), lit("true")).as("props"))
-    val withInherited = withImports.unionByName(newEdges)
+    val withInherited0 = withImports.unionByName(newEdges)
+
+    // C3 slice 16: `super().m()` sentinel call edges
+    // (`<cls>.__super__.<m>`, PyIndexer) rewrite to the first definition
+    // of m along the class's C3 MRO after the class itself
+    // (Closure.superResolve — Python's zero-argument super() binding);
+    // unresolved sentinels DROP, the shallow posture. The sentinel set
+    // is tiny (one row per distinct super-call pair), so these joins
+    // never touch the main edge volume.
+    val superSent = ".__super__."
+    val isSuperCall = col("rel_type") === Rel.Call &&
+      col("dst").contains(superSent)
+    val superRaw = withInherited0.filter(isSuperCall)
+    val withInherited =
+      if (superRaw.isEmpty) withInherited0
+      else {
+        val pairs = superRaw.select(
+          substring_index(col("dst"), superSent, 1).as("cls"),
+          substring_index(col("dst"), superSent, -1).as("meth")).distinct()
+        val inheritsOrd = withImports
+          .filter(col("rel_type") === Rel.Inherits)
+          .select(col("src"), col("dst"),
+            element_at(col("props"), "ord").cast("int").as("ord"))
+        val resolved = Closure.superResolve(inheritsOrd, hasMethod, pairs)
+        val rewritten = superRaw
+          .withColumn("cls", substring_index(col("dst"), superSent, 1))
+          .withColumn("meth", substring_index(col("dst"), superSent, -1))
+          .join(resolved, Seq("cls", "meth"))
+          .withColumn("dst", col("target"))
+          .drop("cls", "meth", "target")
+        withInherited0.filter(!isSuperCall).unionByName(rewritten)
+          .dropDuplicates("src", "rel_type", "dst")
+      }
 
     // C11 approximation: a CALL to an inherited method (`self.m()` bound
     // syntactically to Class.m, which is not defined) re-points to the

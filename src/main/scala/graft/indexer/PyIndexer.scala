@@ -64,6 +64,8 @@ object PyIndexer {
     """self\.([A-Za-z_]\w*)\s*(?::[^=]+)?=(?!=)""".r
   private val callSite: Regex =
     """(?<![\w.])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
+  private val superCall: Regex =
+    """super\(\)\s*\.\s*([A-Za-z_]\w*)\s*\(""".r
   private val nameRef: Regex =
     """(?<![\w.])([A-Za-z_]\w*)(?![\w(])""".r
   private val selfRef: Regex =
@@ -1221,6 +1223,21 @@ object PyIndexer {
                   }
                 }
             }
+            // C3 slice 16 — `super().m()`: the real callee is the first
+            // definer of m along the class's C3 MRO AFTER the class —
+            // whole-graph information (bases live in other files), so
+            // emit a `<cls>.__super__.<m>` SENTINEL call edge; enrich
+            // rewrites it via [[graft.enrich.Closure.superResolve]] and
+            // drops it when nothing on the MRO defines m (jedi's
+            // zero-argument super() binding). No REFERENCE location row:
+            // the target symbol is unknowable per-file.
+            if (src.kind == Kind.Method)
+              superCall.findAllMatchIn(line).foreach { m =>
+                curClass.foreach { c =>
+                  edges += EdgeEvent(nextSeq(), taskId, src.fullName, Rel.Call,
+                    s"${c.fullName}.__super__.${m.group(1)}", Map.empty)
+                }
+              }
           }
           // C9 — USES: loads of module globals / self fields from callables
           // (reference: FUNCTION|METHOD -> GLOBAL_VARIABLE|FIELD only,

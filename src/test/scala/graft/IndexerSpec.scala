@@ -992,4 +992,52 @@ class IndexerSpec extends AnyFunSuite {
     assert(ix.nodes.collect().toSet === again.nodes.collect().toSet)
     assert(ix.edges.collect().toSet === again.edges.collect().toSet)
   }
+
+  // ---------------------------------------------------- C3 slice 16: super()
+
+  test("super().m() resolves along the C3 MRO across files (slice 16)") {
+    val aPy =
+      """class X:
+        |    def run(self):
+        |        return 1
+        |    def only_x(self):
+        |        return 9
+        |
+        |
+        |class A(X):
+        |    def run(self):
+        |        return super().run() + 1
+        |""".stripMargin
+    val bPy =
+      """from a import A
+        |
+        |
+        |class B(A):
+        |    def ping(self):
+        |        return 2
+        |
+        |
+        |class C(B):
+        |    def run(self):
+        |        return super().run()
+        |    def go(self):
+        |        return super().only_x()
+        |    def nowhere(self):
+        |        return super().missing()
+        |""".stripMargin
+    val ix2 = IndexPipeline.enrich(IndexPipeline.indexFiles(spark,
+      Seq(SourceFile("a.py", aPy), SourceFile("b.py", bPy)).toDS(), "ts"), "ts")
+    val calls = ix2.edges.filter(col("rel_type") === Rel.Call)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    // A.run's super() -> X.run (one level up, same file)
+    assert(calls.contains(("a.A.run", "a.X.run")))
+    // C's MRO is C, B, A, X: super().run() from C.run -> the FIRST
+    // definer after C, which is A (B defines no run)
+    assert(calls.contains(("b.C.run", "a.A.run")))
+    // super().only_x() skips B and A straight to X
+    assert(calls.contains(("b.C.go", "a.X.only_x")))
+    // an unresolvable super-call leaves NO edge — and no sentinel leaks
+    assert(!calls.exists(_._2.contains("__super__")))
+    assert(!calls.exists(_._1 == "b.C.nowhere"))
+  }
 }
