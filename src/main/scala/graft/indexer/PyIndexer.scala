@@ -661,6 +661,11 @@ object PyIndexer {
         // singleton) — callable-locals above shadow it; an UNTYPED
         // rebinding in the callable does not (syntactic limit)
         chaseFields(moduleVarTypes(parts(0)), parts.tail.toSeq)
+      else if (parts.length >= 2 && topClasses.contains(parts(0)))
+        // slice 17: classmethod-style access on a local class —
+        // `Cls.m()` is the class's member; `Cls.attr.m()` chases the
+        // typed class attribute like a self-field
+        chaseFields(s"$mod.${parts(0)}", parts.tail.toSeq)
       else if (parts.length == 1) {
         val n = parts(0)
         if (topDefs.contains(n)) Some(s"$mod.$n")
@@ -951,6 +956,16 @@ object PyIndexer {
                   resolveCallee(anno).foreach(t =>
                     classFieldTypes.getOrElseUpdate(cls,
                       mutable.Map.empty)(name) = t)
+              }
+            // slice 17: an UNANNOTATED class-body constructor assignment
+            // (`x = Helper()`) types the class attribute exactly like a
+            // constructor-typed self-field, so `self.x.m()` / `o.x.m()` /
+            // `Cls.x.m()` chase through it (jedi resolves all three)
+            instanceAssign.findFirstMatchIn(line).filter(_.group(1) == name)
+              .foreach { m =>
+                classishType(m.group(2)).foreach(t =>
+                  classFieldTypes.getOrElseUpdate(cls,
+                    mutable.Map.empty)(name) = t)
               }
 
           case classAnnoBare(_, name, anno)

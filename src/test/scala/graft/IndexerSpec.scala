@@ -1040,4 +1040,37 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.exists(_._2.contains("__super__")))
     assert(!calls.exists(_._1 == "b.C.nowhere"))
   }
+
+  test("slice 17: class attributes and classmethod-style calls resolve") {
+    val src =
+      """class Helper:
+        |    def help(self):
+        |        pass
+        |
+        |
+        |class Other:
+        |    x = Helper()
+        |
+        |    def own(self):
+        |        return self.x.help()
+        |
+        |
+        |def use():
+        |    Helper.help()
+        |    Other.x.help()
+        |    o = Other()
+        |    o.x.help()
+        |""".stripMargin
+    val r = PyIndexer.indexFile("t", "m.py", src)
+    val calls = r.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // Helper.help() / Other.x.help() / o.x.help() all land on the method
+    assert(calls.contains(("m.use", "m.Helper.help")))
+    // self.x through the class-attribute type inside the class itself
+    assert(calls.contains(("m.Other.own", "m.Helper.help")))
+    // the class-body constructor still records the ctor call + FIELD
+    assert(calls.contains(("m.Other", "m.Helper")))
+    assert(r.edges.exists(e => e.relType == Rel.HasField &&
+      e.src == "m.Other" && e.dst == "m.Other.x"))
+  }
 }
