@@ -168,4 +168,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans.exists(_.contains("copurchase")),
       s"expected a copurchase derived-table scan, scans:\n${scans.mkString("\n")}")
   }
+
+  test("t_gopher is a pure narrow map: zero exchanges, scale-free") {
+    val plan = executed(QueryCatalog.tGopher(spark, sf))
+    assert(!plan.contains("Exchange"),
+      s"gopherScreen must not shuffle; plan:\n$plan")
+  }
+
+  test("g_b10_patpred plans the semi/anti joins, no cartesian product") {
+    val plan = executed(QueryCatalog.gB10Patpred(spark, sf))
+    assert(plan.contains("LeftSemi"),
+      s"positive pattern predicate must be a semi-join; plan:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"NOT pattern predicate must be an anti-join; plan:\n$plan")
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"pattern predicates must stay equi-joins; plan:\n$plan")
+  }
 }
