@@ -226,6 +226,8 @@ object CypherLite {
     * snippets, signatures) must not be mistaken for clause keywords. */
   private def topLevelKeyword(s: String, word: String): Int = {
     var quote: Char = 0
+    var brace = 0 // `{…}` bodies (prop literals, EXISTS{} subqueries)
+                  // are opaque to the clause scanners
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -233,7 +235,10 @@ object CypherLite {
         if (c == '\\') i += 1 // escaped char inside quotes
         else if (c == quote) quote = 0
       } else if (c == '\'' || c == '"') quote = c
-      else if (s.regionMatches(true, i, word, 0, word.length) &&
+      else if (c == '{') brace += 1
+      else if (c == '}') brace = math.max(0, brace - 1)
+      else if (brace == 0 &&
+          s.regionMatches(true, i, word, 0, word.length) &&
           (i == 0 || !isWordChar(s.charAt(i - 1))) &&
           (i + word.length >= s.length || !isWordChar(s.charAt(i + word.length))))
         return i
@@ -840,6 +845,17 @@ object CypherLite {
       body.length > 8 && !isWordChar(body.charAt(8))
     if (isDistinct) body = body.substring(8).trim
 
+    // RETURN * — every user-named variable (pipe columns first, then
+    // variables, each sorted: Neo4j's order is bind order, which a
+    // distributed plan can't promise — sorted is deterministic).
+    // Anonymous pattern nodes never project (they have no user name).
+    if (body == "*") {
+      val userVars = vars.keys.filterNot(_.startsWith("__anon")).toSeq.sorted
+      require(userVars.nonEmpty || plain.nonEmpty,
+        "RETURN * with nothing in scope")
+      body = (plain.toSeq.sorted ++ userVars).mkString(", ")
+    }
+
     val items = splitTop(body, ",").map(retItem(_, vars, plain, df.schema))
     val aggCols = items.filter(_._2).flatMap(_._1)
     val plainCols = items.filterNot(_._2).flatMap(_._1)
@@ -884,7 +900,7 @@ object CypherLite {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var quote: Char = 0
-    var depth = 0
+    var depth = 0 // parens AND braces both group (EXISTS{} bodies)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -893,8 +909,8 @@ object CypherLite {
         if (c == '\\' && i + 1 < s.length) { i += 1; sb.append(s.charAt(i)) }
         else if (c == quote) quote = 0
       } else if (c == '\'' || c == '"') { quote = c; sb.append(c) }
-      else if (c == '(') { depth += 1; sb.append(c) }
-      else if (c == ')') { depth -= 1; sb.append(c) }
+      else if (c == '(' || c == '{') { depth += 1; sb.append(c) }
+      else if (c == ')' || c == '}') { depth -= 1; sb.append(c) }
       else if (depth == 0 && s.regionMatches(true, i, word, 0, word.length) &&
           (i == 0 || !isWordChar(s.charAt(i - 1))) &&
           (i + word.length >= s.length || !isWordChar(s.charAt(i + word.length)))) {
@@ -1209,7 +1225,8 @@ object CypherLite {
   /** One pattern-existence predicate `[NOT] (a)-[:R]->(b)` lifted out of
     * a MATCH-clause WHERE — Neo4j's existential subpattern, executed as
     * a semi-join (anti-join under NOT) rather than a boolean column. */
-  private final case class PatPred(neg: Boolean, clause: Clause)
+  private final case class PatPred(neg: Boolean, clause: Clause,
+      allowNewVars: Boolean)
 
   /** Partition a MATCH-clause WHERE into pattern-existence predicates
     * (top-level AND conjuncts containing a relationship pattern) and the
@@ -1224,20 +1241,37 @@ object CypherLite {
         splitBool(w, "OR").forall(!hasRelPatternText(_)),
       s"pattern predicate under OR not supported: $q")
     val (pats, rest) = splitBool(w, "AND").partition(hasRelPatternText)
+    val existsWrap = """(?is)^EXISTS\s*\{(.*)\}$""".r
     val preds = pats.zipWithIndex.map { case (p0, i) =>
       val t = p0.trim
       val neg = t.regionMatches(true, 0, "NOT", 0, 3) && t.length > 3 &&
         !isWordChar(t.charAt(3))
       var body = (if (neg) t.substring(3) else t).trim
       while (isWholeParen(body)) body = body.substring(1, body.length - 1).trim
+      // modern Neo4j spelling: `EXISTS { [MATCH] pattern [WHERE …] }` —
+      // same existential semantics, same semi/anti-join plan; the inner
+      // WHERE (resolving against the subpattern's own variables) filters
+      // the sub-chain before the join
+      var wasExists = false
+      existsWrap.findFirstMatchIn(body).foreach { m =>
+        wasExists = true
+        body = m.group(1).trim
+        if (body.regionMatches(true, 0, "MATCH", 0, 5) &&
+            body.length > 5 && !isWordChar(body.charAt(5)))
+          body = body.substring(5).trim
+      }
+      // a non-null pc.where can only come from the EXISTS{} body — a
+      // bare conjunct never contains the WHERE keyword (it would have
+      // ended the enclosing clause's pattern first)
       val pc = parseClause(body, optional = false, q,
         clauseIx = 1000 + clauseIx * 10 + i)
-      require(pc.where == null,
-        s"WHERE inside a pattern predicate is not a thing: $q")
       pc.hops.foreach(h => require(h.varName.isEmpty,
         s"a pattern predicate cannot bind relationship variable " +
           s"'${h.varName.getOrElse("")}': $q"))
-      PatPred(neg, pc)
+      // an EXISTS{} SUBQUERY may introduce its own local variables
+      // (existential, visible to its inner WHERE only); a bare pattern
+      // predicate may not (Neo4j's rule — a bare-name typo must raise)
+      PatPred(neg, pc, allowNewVars = wasExists)
     }
     (preds, if (rest.isEmpty) None else Some(rest.mkString(" AND ")))
   }
@@ -1599,12 +1633,20 @@ object CypherLite {
         vs: Map[String, String]): DataFrame = {
       var d = d0
       preds.foreach { pp =>
-        pp.clause.nodeMs.foreach(m => require(
-          vs.contains(m.v) || m.v.startsWith("__anon"),
-          s"pattern predicate introduces unbound variable '${m.v}': $q"))
+        if (!pp.allowNewVars)
+          pp.clause.nodeMs.foreach(m => require(
+            vs.contains(m.v) || m.v.startsWith("__anon"),
+            s"pattern predicate introduces unbound variable '${m.v}': $q"))
         val start = aliasCount
         aliasCount += pp.clause.nodeMs.size
-        val sub = buildChain(nodes, edges, pp.clause, start)
+        var sub = buildChain(nodes, edges, pp.clause, start)
+        // an EXISTS{…} inner WHERE resolves against the subpattern's own
+        // variables and filters the sub-chain BEFORE the semi/anti join
+        Option(pp.clause.where).foreach { w =>
+          val subVars = pp.clause.nodeMs.zipWithIndex
+            .map { case (m, i) => m.v -> s"n${start + i}" }.toMap
+          sub = sub.filter(parseWhere(w, matchScope(subVars)))
+        }
         val boundEqs = pp.clause.nodeMs.zipWithIndex.collect {
           case (m, i) if vs.contains(m.v) =>
             col(s"${vs(m.v)}.full_name") === col(s"n${start + i}.full_name")
@@ -1759,6 +1801,21 @@ object CypherLite {
         case _ => throw new IllegalArgumentException(s"multiple AS in '$item'")
       }
       core match {
+        // WITH * — carry every pipe column and every user-named node
+        // variable (Cypher's pass-everything-through; `WITH *, agg AS a`
+        // is the common spelling). Relationship variables raise, the
+        // module's carry posture.
+        case "*" =>
+          require(alias.isEmpty, s"AS on '*' is not a thing: '$item'")
+          prevPlain.toSeq.sorted.foreach { c => keys += col(c); plain += c }
+          vars.keys.filterNot(_.startsWith("__anon")).toSeq.sorted.foreach { v =>
+            val a = vars(v)
+            require(!isRelAlias(a),
+              "carrying a relationship variable through WITH * not supported")
+            val ca = s"__w_$v"
+            keys += struct(carriedFields.map(f => col(s"$a.$f").as(f)): _*).as(ca)
+            newVars += v -> ca
+          }
         case countRe(dist, arg) =>
           val a = alias.getOrElse(throw new IllegalArgumentException(
             s"WITH expression needs AS alias: '$item'"))
@@ -1853,6 +1910,7 @@ object CypherLite {
   private def allTopLevelKeywords(s: String, word: String): Seq[Int] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var quote: Char = 0
+    var brace = 0 // `{…}` bodies are opaque, as in [[topLevelKeyword]]
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -1860,7 +1918,10 @@ object CypherLite {
         if (c == '\\') i += 1
         else if (c == quote) quote = 0
       } else if (c == '\'' || c == '"') quote = c
-      else if (s.regionMatches(true, i, word, 0, word.length) &&
+      else if (c == '{') brace += 1
+      else if (c == '}') brace = math.max(0, brace - 1)
+      else if (brace == 0 &&
+          s.regionMatches(true, i, word, 0, word.length) &&
           (i == 0 || !isWordChar(s.charAt(i - 1))) &&
           (i + word.length >= s.length || !isWordChar(s.charAt(i + word.length)))) {
         out += i

@@ -133,6 +133,58 @@ object CypherWrite {
     props.getOrElse("full_name", throw new IllegalArgumentException(
       s"$what pattern needs a full_name prop (the reference's node key)"))
 
+  // `FOREACH (x IN [elems] | <write clause>)` — greedy body up to the
+  // final closing paren
+  private val foreachRe =
+    """(?is)^\s*FOREACH\s*\(\s*(\w+)\s+IN\s+\[(.*?)\]\s*\|\s*(.+)\)\s*$""".r
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** Replace bare word-boundary occurrences of variable `v` outside
+    * quotes with `value` (already a rendered literal) — the FOREACH
+    * element substitution, the same quote discipline as parameter
+    * inlining. */
+  private def substVar(s: String, v: String, value: String): String = {
+    val sb = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        sb.append(c)
+        if (c == '\\' && i + 1 < s.length) { i += 1; sb.append(s.charAt(i)) }
+        else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"') { quote = c; sb.append(c); i += 1 }
+      else if (s.regionMatches(i, v, 0, v.length) &&
+          (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+          (i + v.length >= s.length || !isWordChar(s.charAt(i + v.length)))) {
+        sb.append(value); i += v.length
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** [[parse]] generalized to statement LISTS: `FOREACH (x IN [list] |
+    * <write clause>)` — Neo4j's per-element write loop — expands to one
+    * typed mutation per element (the loop variable substitutes wherever
+    * a literal can appear; a `$param` list arrives pre-inlined by the
+    * parameterized entry point). Expansion is driver-side over the
+    * LITERAL list — bounded by the query text, the parameter-batch
+    * idiom, never a data-driven loop. Nested FOREACH composes. A
+    * FOREACH whose body is not a write clause raises; everything else
+    * delegates to [[parse]]. */
+  def parseAll(q: String): Option[Seq[Stmt]] = q match {
+    case foreachRe(v, list, body) =>
+      val elems = CypherLite.splitTop(noParams(list), ",").map(_.trim)
+      Some(elems.flatMap { e =>
+        val substituted = substVar(body.trim, v, e)
+        parseAll(substituted).getOrElse(throw new IllegalArgumentException(
+          s"FOREACH body must be a write clause, got: $body"))
+      })
+    case _ => parse(q).map(Seq(_))
+  }
+
   /** Some(stmt) when `q` is a supported write statement; None when it is
     * not write-shaped at all. Write-shaped but malformed raises. */
   def parse(q: String): Option[Stmt] = q match {
@@ -174,8 +226,8 @@ object CypherWrite {
       // through to the read parser; DETACH DELETE / REMOVE inside quoted
       // prop values stay untouched (only the head is inspected), and an
       // unquoted one will raise in CypherLite's read parse anyway
-      val head = q.trim.takeWhile(!_.isWhitespace).toUpperCase
-      require(head != "CREATE" && head != "MERGE",
+      val head = q.trim.takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
+      require(head != "CREATE" && head != "MERGE" && head != "FOREACH",
         s"unsupported write statement: $q")
       // `MATCH … SET` that fell through (e.g. missing full_name) raises
       // in the branches above; a plain MATCH…RETURN lands here → a read

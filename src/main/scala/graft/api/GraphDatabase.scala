@@ -294,9 +294,9 @@ final class GraphDatabase private (
     * route to the typed write API and return an empty frame, exactly
     * the no-records result `graph.run` gives a write. */
   def executeQuery(cypher: String): DataFrame =
-    CypherWrite.parse(cypher) match {
-      case Some(st) =>
-        st match {
+    CypherWrite.parseAll(cypher) match {
+      case Some(stmts) =>
+        stmts.foreach {
           case CypherWrite.ClearAll => clearDatabase()
           case CypherWrite.ClearLabel(l) =>
             // the reference only issues this for task labels

@@ -1186,4 +1186,53 @@ class CypherLiteSpec extends AnyFunSuite {
         "RETURN n.full_name")
     }
   }
+
+  // ----------------------------------------- RETURN * / WITH * / EXISTS{}
+
+  test("RETURN * projects every user variable; anon nodes stay hidden") {
+    val out = db.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(:METHOD) RETURN *").collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("c.full_name") === "m.Person")
+    // only c's five fixed columns — the anonymous method never projects
+    assert(out(0).schema.fieldNames.toSet ===
+      Set("c.full_name", "c.kind", "c.name", "c.file_path", "c.signature"))
+  }
+
+  test("WITH * carries every variable plus an aggregate alongside") {
+    val out = db.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(f) WITH *, count(f) AS n " +
+        "RETURN c.name, n").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("Person", 1L)))
+  }
+
+  test("EXISTS { … } subquery predicate with inner WHERE") {
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) WHERE EXISTS { MATCH (n)-[:CONTAINS]->(x) " +
+        "WHERE x.name = 'Person' } RETURN n.full_name").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("m"))
+    // NOT EXISTS: inner WHERE that matches nothing keeps every row
+    val none = db.executeQuery(
+      "MATCH (n:sklearn) WHERE NOT EXISTS { (n)-[:CONTAINS]->(x) " +
+        "WHERE x.name = 'zzz' } RETURN n.full_name").collect()
+    assert(none.length === 4)
+  }
+
+  test("FOREACH writes: one typed mutation per list element") {
+    val d = GraphDatabase.inMemory(spark)
+    d.executeQuery("FOREACH (nm IN ['a1', 'a2', 'a3'] | " +
+      "CREATE (n:CLASS:`tf` {full_name: nm, name: nm}))")
+    d.executeQuery("FOREACH (nm IN ['a1', 'a2'] | " +
+      "MATCH (n {full_name: nm}) SET n.seen = 'y')")
+    val rows = d.nodes.select(col("full_name"),
+        org.apache.spark.sql.functions.element_at(col("props"), "seen"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.keySet === Set("a1", "a2", "a3"))
+    assert(rows("a1") === "y" && rows("a2") === "y" && rows("a3") === null)
+    // body that is not a write raises
+    intercept[IllegalArgumentException] {
+      d.executeQuery("FOREACH (x IN ['p'] | MATCH (n) RETURN n)")
+    }
+  }
 }
