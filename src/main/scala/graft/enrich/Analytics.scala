@@ -1145,6 +1145,80 @@ object Analytics {
         round(col("auth0"), 6).as("auth"))
   }
 
+  /** Eigenvector centrality by MAX-norm power iteration over in-edges
+    * (x ← Aᵀx / max(Aᵀx)): Bonacich centrality, the influence pillar
+    * PR/HITS don't cover (no damping, no mutual recursion). Max-norm
+    * instead of the textbook L2 keeps every stage decimal-exact (an L2
+    * norm's sqrt has rounding no SQL oracle can replay bit-for-bit):
+    * in-sums route through DECIMAL(38,10) + round-to-10, the max is
+    * exact over already-rounded values and broadcasts as ONE row (never
+    * a driver round-trip) — the q53/HITS discipline, so the oracle
+    * unrolls every round identically. An all-zero round (possible on a
+    * DAG once mass drains) normalizes to 0, not null. Pass the
+    * symmetrized edge list for undirected centrality. */
+  def eigenvector(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint(eager = true)
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .repartition(col("v")).localCheckpoint(eager = true)
+    var x = verts.withColumn("score", lit(1.0))
+    for (i <- 1 to iterations) {
+      val raw = verts.join(
+          e.join(x.withColumnRenamed("v", "src"), "src")
+            .groupBy(col("dst").as("v"))
+            .agg(round(sum(col("score").cast("decimal(38,10)")).cast("double"),
+              10).as("s")),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col("s"), lit(0.0)).as("s"))
+      val mx = raw.agg(max(col("s")).as("_mx"))
+      x = raw.crossJoin(broadcast(mx))
+        .select(col("v"), when(col("_mx") > 0,
+          round(col("s") / col("_mx"), 10)).otherwise(lit(0.0)).as("score"))
+      if (i % 4 == 0 && i < iterations) x = x.localCheckpoint(eager = true)
+    }
+    x.select(col("v"), round(col("score"), 6).as("score"))
+  }
+
+  /** GraphX scale path for [[eigenvector]] — identical math (per-stage
+    * round-to-10, max-norm; max over doubles is order-independent so no
+    * decimal fold is needed, unlike the HITS L1 sums), shares the same
+    * oracle. One graph, aggregateMessages per round, superseded graphs
+    * unpersist as successors materialize. */
+  def eigenvectorGraphX(spark: SparkSession, edges: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    import org.apache.spark.graphx._
+    import spark.implicits._
+    def r10(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue()
+    val keyed = edges.select(
+      xxhash64(col("src")).as("sid"), col("src"),
+      xxhash64(col("dst")).as("did"), col("dst")).cache()
+    val names = keyed.select(col("sid").as("id"), col("src").as("name"))
+      .union(keyed.select(col("did"), col("dst"))).distinct().cache()
+    val g = Graph.fromEdges(
+      keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd.distinct()
+        .map { case (s, d) => Edge(s, d, ()) }, ())
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    var xg = g.mapVertices((_, _) => 1.0).cache()
+    for (_ <- 1 to iterations) {
+      val sums = xg.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr), _ + _).mapValues(r10 _)
+      var nxt = xg.outerJoinVertices(sums)((_, _, s) => s.getOrElse(0.0))
+      val mx = nxt.vertices.map(_._2).fold(0.0)(math.max)
+      nxt = nxt.mapVertices((_, s) =>
+        if (mx > 0) r10(s / mx) else 0.0).cache()
+      nxt.vertices.count()
+      val prev = xg
+      xg = nxt
+      prev.unpersist(blocking = false)
+    }
+    xg.vertices.toDF("id", "score0")
+      .join(names, "id")
+      .select(col("name").as("v"), round(col("score0"), 6).as("score"))
+  }
+
   /** Synchronous label-propagation communities over the undirected view
     * of edges(src, dst): every vertex starts as its own label; each round
     * every vertex adopts the modal label among its neighbors, ties broken

@@ -520,6 +520,32 @@ object QueryCatalog {
        |WHERE e.rel_type = 'IN_NATION' AND n.label = 'NATION'
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** g_b10_exists — the `EXISTS { MATCH … WHERE … }` subquery spelling
+    * under the oracle gate: suppliers counted per nation, keeping only
+    * nations whose region the inner WHERE names — the subquery
+    * introduces its own local variable (r) and filters it before the
+    * semi-join, the exact shape the bare-pattern gate can't exercise. */
+  val gB10Exists: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (sp:SUPPLIER)-[:IN_NATION]->(n:NATION) " +
+        "WHERE EXISTS { MATCH (n)-[:IN_REGION]->(r) WHERE r.name = 'ASIA' } " +
+        "RETURN n.name AS nation, count(sp) AS suppliers")
+  }
+
+  val gB10ExistsSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT n.name AS nation, count(*)::BIGINT AS suppliers
+       |FROM edges e
+       |JOIN nodes sp ON e.src = sp.full_name
+       |JOIN nodes n ON e.dst = n.full_name
+       |WHERE e.rel_type = 'IN_NATION' AND sp.label = 'SUPPLIER'
+       |  AND n.label = 'NATION'
+       |  AND EXISTS (SELECT 1 FROM edges e2 JOIN nodes r ON e2.dst = r.full_name
+       |    WHERE e2.src = n.full_name AND e2.rel_type = 'IN_REGION'
+       |      AND r.name = 'ASIA')
+       |GROUP BY n.name""".stripMargin
+
   /** g_b10_patpred — pattern-existence predicates under the oracle
     * gate: customers of region-0 nations (positive predicate with an
     * anonymous prop-matched endpoint → semi-join) who never placed a
@@ -2177,6 +2203,42 @@ object QueryCatalog {
       |SELECT DISTINCT src, dst FROM (
       |  SELECT x AS src, y AS dst FROM tri UNION ALL SELECT y, z FROM tri
       |  UNION ALL SELECT x, z FROM tri)""".stripMargin
+
+  /** q57 — eigenvector centrality on the symmetrized co-purchase graph
+    * ([[graft.enrich.Analytics.eigenvector]], max-norm power
+    * iteration): the influence pillar between PageRank (damped random
+    * walk) and HITS (bipartite mutual recursion). 3 rounds, each
+    * decimal-summed + round-10 normalized by the exact max, so the
+    * oracle unrolls bit-identically; the GraphX twin shares it. */
+  val q57Eigen: Q = (s, d) => {
+    val e0 = coPurchaseEdges(s, d)
+    graft.enrich.Analytics.eigenvector(e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))), iterations = 3)
+  }
+
+  val q57EigenGx: Q = (s, d) => {
+    val e0 = coPurchaseEdges(s, d)
+    graft.enrich.Analytics.eigenvectorGraphX(s, e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst"))), iterations = 3)
+  }
+
+  lazy val q57EigenSql: String = {
+    def roundOf(i: Int) =
+      s"""r$i AS (SELECT t.v, coalesce(c.s, 0.0) AS s FROM everts t LEFT JOIN (
+         |  SELECT e.dst AS v, round(CAST(sum(CAST(p.score AS DECIMAL(38,10))) AS DOUBLE), 10) AS s
+         |  FROM se e JOIN x${i - 1} p ON e.src = p.v GROUP BY e.dst) c ON t.v = c.v),
+         |x$i AS MATERIALIZED (SELECT v, CASE WHEN (SELECT max(s) FROM r$i) > 0
+         |  THEN round(s / (SELECT max(s) FROM r$i), 10) ELSE 0.0 END AS score FROM r$i)""".stripMargin
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst FROM op a JOIN op b
+       |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |se AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |everts AS MATERIALIZED (SELECT DISTINCT src AS v FROM se),
+       |x0 AS (SELECT v, 1.0 AS score FROM everts),
+       |${(1 to 3).map(roundOf).mkString(",\n")}
+       |SELECT v, round(score, 6) AS score FROM x3""".stripMargin
+  }
 
   val q24TrianglesSql: String =
     """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -4302,6 +4364,8 @@ object QueryCatalog {
     "q24_triangles" -> q24Triangles,
     "q55_esupport" -> q55Esupport,
     "q56_ktruss" -> q56Ktruss,
+    "q57_eigen" -> q57Eigen,
+    "q57_eigen_gx" -> q57EigenGx,
     "q24_triangles_gx" -> q24TrianglesGx,
     "q25_lag" -> q25Lag,
     "q26_ranks" -> q26Ranks,
@@ -4341,6 +4405,7 @@ object QueryCatalog {
     "g_b10_distinct" -> gB10Distinct,
     "g_b10_case" -> gB10Case,
     "g_b10_patpred" -> gB10Patpred,
+    "g_b10_exists" -> gB10Exists,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
@@ -4467,6 +4532,8 @@ object QueryCatalog {
     "q24_triangles" -> q24TrianglesSql,
     "q55_esupport" -> q55EsupportSql,
     "q56_ktruss" -> q56KtrussSql,
+    "q57_eigen" -> q57EigenSql,
+    "q57_eigen_gx" -> q57EigenSql,
     "q24_triangles_gx" -> q24TrianglesSql,
     "q25_lag" -> q25LagSql,
     "q26_ranks" -> q26RanksSql,
@@ -4504,6 +4571,7 @@ object QueryCatalog {
     "g_b10_distinct" -> gB10DistinctSql,
     "g_b10_case" -> gB10CaseSql,
     "g_b10_patpred" -> gB10PatpredSql,
+    "g_b10_exists" -> gB10ExistsSql,
     "g_b10_write" -> gB10WriteSql,
     "g_b10_spath" -> gB10SpathSql,
     "t_cms_topk" -> tCmsTopkSql,

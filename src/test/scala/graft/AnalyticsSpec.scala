@@ -369,4 +369,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Analytics.kTruss(withPendant, k = 3).count() === 7L)
     assert(Analytics.kTruss(withPendant, k = 2).count() === 8L)
   }
+
+  test("eigenvector: max-norm power iteration; GraphX twin agrees exactly") {
+    // undirected star + triangle: hub 1 touches 2,3,4; 3-4-5 triangle
+    val und0 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (3L, 4L), (4L, 5L), (3L, 5L))
+      .toDF("src", "dst")
+    val sym = und0.union(und0.select($"dst".as("src"), $"src".as("dst")))
+    val df = Analytics.eigenvector(sym, iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    // the max-normalized top vertex scores exactly 1
+    assert(df.values.max === 1.0)
+    // 3 and 4 (degree 3, inside the triangle) dominate the leaf 2
+    assert(df(3L) > df(2L) && df(4L) > df(2L))
+    val gx = Analytics.eigenvectorGraphX(spark, sym, iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(gx === df)
+  }
 }
