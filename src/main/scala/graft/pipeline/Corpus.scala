@@ -103,6 +103,28 @@ object Corpus {
     * spans). Redaction order is fixed (email → IPv4 → phone) and counting
     * runs against the SAME intermediate the replacement saw, so overlapping
     * matches can never double-count. */
+  /** URL canonicalization + duplicate-URL collapse — the recrawl dedup
+    * every web corpus runs before content dedup: scheme and `www.`
+    * drop (case-insensitive), host lowercased (paths stay
+    * case-sensitive, per RFC 3986), query/fragment strip, trailing
+    * slash trim; documents sharing a canonical URL collapse to the
+    * FIRST (min doc_id — deterministic, replayable). One narrow
+    * canonicalization map + one groupBy: a single shuffle on the
+    * canonical key at any scale. Every regex is ANCHORED (single
+    * possible match), so Spark's replace-all and an oracle's
+    * replace-first agree. */
+  def dedupByUrl(docs: DataFrame, url: Column): DataFrame = {
+    val noScheme = regexp_replace(url, "(?i)^[a-z][a-z0-9+.-]*://", "")
+    val noWww = regexp_replace(noScheme, "(?i)^www\\.", "")
+    val host = substring_index(noWww, "/", 1)
+    val rest = noWww.substr(length(host) + 1, length(noWww))
+    val restClean =
+      regexp_replace(regexp_replace(rest, "[?#].*$", ""), "/+$", "")
+    docs.withColumn("canonical_url", concat(lower(host), restClean))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+  }
+
   /** Gopher quality rules (Rae et al. 2021, App. A1.1) — the published
     * heuristic document screen for web-scale LM corpora, as ONE narrow
     * codegen'd projection (no shuffle, no UDF): word count ∈ [minWords,

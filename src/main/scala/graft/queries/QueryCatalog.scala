@@ -1392,6 +1392,44 @@ object QueryCatalog {
        |FROM documents""".stripMargin
   }
 
+  /** d_url_dedup — [[graft.pipeline.Corpus.dedupByUrl]]: URL
+    * canonicalization + recrawl collapse. URLs are synthesized IN-PLAN
+    * (the sources are bare tokens) with deliberate variant noise —
+    * mixed-case schemes, `www.` vs bare host, tracking queries,
+    * trailing slashes — so the canonicalizer's every rule is what
+    * makes variants collide; (source, doc_id%40) collisions make
+    * n_dups > 1 rows real. */
+  val dUrlDedup: Q = (s, d) => {
+    val aug = Tables.documents(s, d).withColumn("url",
+      concat(
+        when(col("doc_id") % 2 === 0, lit("https://WWW."))
+          .otherwise(lit("HTTP://")),
+        col("source"), lit(".example.com/Page/"),
+        (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=x&ref=y"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit(""))))
+    Corpus.dedupByUrl(aug, col("url"))
+  }
+
+  val dUrlDedupSql: String =
+    """WITH aug AS (SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.' ELSE 'HTTP://' END)
+      |    || source || '.example.com/Page/' || (doc_id % 40)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&ref=y' ELSE '' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) AS url
+      |  FROM documents),
+      |c0 AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(url, '(?i)^[a-z][a-z0-9+.-]*://', ''),
+      |      '(?i)^www\.', '') AS nw FROM aug),
+      |c1 AS (SELECT doc_id, split_part(nw, '/', 1) AS host,
+      |    substr(nw, length(split_part(nw, '/', 1)) + 1) AS rest FROM c0),
+      |c2 AS (SELECT doc_id, lower(host) ||
+      |    regexp_replace(regexp_replace(rest, '[?#].*$', ''), '/+$', '')
+      |    AS canonical_url FROM c1)
+      |SELECT canonical_url, min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
+      |FROM c2 GROUP BY canonical_url""".stripMargin
+
   /** t_gopher — [[graft.pipeline.Corpus.gopherScreen]], the published
     * Gopher rule screen. The corpus is single-line, so some documents
     * are augmented IN-PLAN (the st_screen/m_headers pattern: real
@@ -4372,6 +4410,7 @@ object QueryCatalog {
     "s_sq_ann" -> sSqAnn,
     "p_temp_mix" -> pTempMix,
     "d_line_dedup" -> dLineDedup,
+    "d_url_dedup" -> dUrlDedup,
     "g_d5_diff" -> gD5Diff,
     "q14_kmv_grouped" -> q14KmvGrouped,
     "q27_range_join" -> q27RangeJoin,
@@ -4540,6 +4579,7 @@ object QueryCatalog {
     "s_sq_ann" -> sSqAnnSql,
     "p_temp_mix" -> pTempMixSql,
     "d_line_dedup" -> dLineDedupSql,
+    "d_url_dedup" -> dUrlDedupSql,
     "g_d5_diff" -> gD5DiffSql,
     "q14_kmv_grouped" -> q14KmvGroupedSql,
     "q27_range_join" -> q27RangeJoinSql,

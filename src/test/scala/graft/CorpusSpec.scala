@@ -181,4 +181,19 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.splitAssign(docs, col("doc_id"), trainPct = 98, valPct = 5)
     }
   }
+
+  test("dedupByUrl: scheme/www/query/slash variants collide; path case survives") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "https://www.Ex.com/A/b?q=1"),
+      (2L, "HTTP://ex.com/A/b#frag"),
+      (3L, "https://WWW.ex.com/A/b/"),
+      (4L, "https://ex.com/a/B")). // different path CASE: distinct
+      toDF("doc_id", "url")
+    val out = graft.pipeline.Corpus.dedupByUrl(docs, col("url"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("ex.com/A/b") === ((1L, 3L)))
+    assert(out("ex.com/a/B") === ((4L, 1L)))
+    assert(out.size === 2)
+  }
 }
