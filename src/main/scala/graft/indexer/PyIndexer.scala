@@ -586,11 +586,19 @@ object PyIndexer {
                   bodyLocals.getOrElseUpdate(key,
                     mutable.Map.empty)(m.group(1)) = m.group(2))
                 if (!returnInferredRaw.contains(key)) {
-                  returnCtor.findFirstMatchIn(ln).foreach(m =>
-                    returnInferredRaw(key) = m.group(1))
+                  returnCtor.findFirstMatchIn(ln).foreach { m =>
+                    if (m.group(1) == "cls") {
+                      // slice 18: classmethod factory `return cls()` —
+                      // jedi binds cls to the enclosing class, so
+                      // `x = X.make()` types x as X
+                      val classes = names.dropRight(1)
+                      if (classes.nonEmpty)
+                        returnInferredRaw(key) = classes.mkString(".")
+                    } else returnInferredRaw(key) = m.group(1)
+                  }
                   returnName.findFirstMatchIn(ln).foreach { m =>
                     val n = m.group(1)
-                    if (n == "self") {
+                    if (n == "self" || n == "cls") {
                       val classes = names.dropRight(1)
                       if (classes.nonEmpty)
                         returnInferredRaw(key) = classes.mkString(".")

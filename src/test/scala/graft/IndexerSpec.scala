@@ -1073,4 +1073,26 @@ class IndexerSpec extends AnyFunSuite {
     assert(r.edges.exists(e => e.relType == Rel.HasField &&
       e.src == "m.Other" && e.dst == "m.Other.x"))
   }
+
+  test("slice 18: classmethod factory return cls() types the caller") {
+    val src =
+      """class X:
+        |    def run(self):
+        |        pass
+        |
+        |    @classmethod
+        |    def make(cls):
+        |        return cls()
+        |
+        |
+        |def use():
+        |    x = X.make()
+        |    x.run()
+        |""".stripMargin
+    val r = PyIndexer.indexFile("t", "m.py", src)
+    val calls = r.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("m.use", "m.X.make")))
+    assert(calls.contains(("m.use", "m.X.run")))
+  }
 }
