@@ -1219,6 +1219,40 @@ object Analytics {
       .select(col("name").as("v"), round(col("score0"), 6).as("score"))
   }
 
+  /** Newman modularity of a community assignment over the canonical
+    * undirected edge list — the community-QUALITY score, the natural
+    * consumer of [[labelPropagation]]'s output:
+    * Q = Σ_c [ m_c/m − (d_c/2m)² ]. Computed via the decomposition
+    * Q = (4·m·S1 − S2) / (4·m²) with S1 = within-community edge count
+    * and S2 = Σ_c d_c² — every AGGREGATE is an exact integer count, so
+    * the only floating point is one fixed-shape scalar expression over
+    * three numbers, which IEEE-evaluates identically on any engine (no
+    * order-dependent double summation, the HITS-norm lesson; doubles
+    * rather than long products so 4·m² cannot overflow at any m). Two
+    * label joins + two groupBys + three 1-row broadcasts; returns one
+    * row (m, q). */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val lab = communities.select(col("v"), col("community"))
+    val s1Row = e
+      .join(lab.select(col("v").as("src"), col("community").as("cs")), "src")
+      .join(lab.select(col("v").as("dst"), col("community").as("cd")), "dst")
+      .filter(col("cs") === col("cd"))
+      .agg(count(lit(1)).as("s1"))
+    val deg = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val s2Row = lab.join(deg, "v")
+      .groupBy("community").agg(sum(col("deg")).as("d_c"))
+      .agg(sum(col("d_c") * col("d_c")).as("s2"))
+    val mRow = e.agg(count(lit(1)).as("m"))
+    s1Row.crossJoin(broadcast(s2Row)).crossJoin(broadcast(mRow))
+      .select(col("m"),
+        round(
+          (lit(4.0) * col("m") * col("s1") - col("s2")) /
+            (lit(4.0) * col("m") * col("m")), 6).as("q"))
+  }
+
   /** Synchronous label-propagation communities over the undirected view
     * of edges(src, dst): every vertex starts as its own label; each round
     * every vertex adopts the modal label among its neighbors, ties broken

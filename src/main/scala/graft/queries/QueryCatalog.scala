@@ -2278,6 +2278,38 @@ object QueryCatalog {
        |SELECT v, round(score, 6) AS score FROM x3""".stripMargin
   }
 
+  /** q58 — Newman modularity of the LPA communities on the co-purchase
+    * graph ([[graft.enrich.Analytics.modularity]]): the community
+    * QUALITY score, consuming q33's assignment. All aggregates are
+    * exact integer counts; the only floating point is one fixed-shape
+    * scalar expression, spelled identically in the oracle. */
+  val q58Modularity: Q = (s, d) => {
+    val e = coPurchaseEdges(s, d)
+    graft.enrich.Analytics.modularity(e,
+      graft.enrich.Analytics.labelPropagation(e, iterations = 4))
+  }
+
+  lazy val q58ModularitySql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |ce AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce UNION SELECT b, a FROM ce),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS c FROM und),
+       |${(1 to 4).map(lpaIterSql).mkString(",\n")},
+       |lab AS MATERIALIZED (SELECT v, c AS community FROM l4),
+       |s1t AS (SELECT count(*) AS s1 FROM ce e
+       |  JOIN lab la ON e.a = la.v JOIN lab lb ON e.b = lb.v
+       |  WHERE la.community = lb.community),
+       |degt AS (SELECT v, count(*) AS deg FROM
+       |  (SELECT a AS v FROM ce UNION ALL SELECT b FROM ce) GROUP BY v),
+       |s2t AS (SELECT sum(d_c * d_c) AS s2 FROM
+       |  (SELECT l.community, sum(d.deg) AS d_c FROM lab l
+       |   JOIN degt d ON l.v = d.v GROUP BY 1)),
+       |mt AS (SELECT count(*) AS m FROM ce)
+       |SELECT m::BIGINT AS m, round((4.0 * m * s1 - s2) / (4.0 * m * m), 6) AS q
+       |FROM s1t, s2t, mt""".stripMargin
+
   val q24TrianglesSql: String =
     """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
@@ -4404,6 +4436,7 @@ object QueryCatalog {
     "q56_ktruss" -> q56Ktruss,
     "q57_eigen" -> q57Eigen,
     "q57_eigen_gx" -> q57EigenGx,
+    "q58_modularity" -> q58Modularity,
     "q24_triangles_gx" -> q24TrianglesGx,
     "q25_lag" -> q25Lag,
     "q26_ranks" -> q26Ranks,
@@ -4573,6 +4606,7 @@ object QueryCatalog {
     "q56_ktruss" -> q56KtrussSql,
     "q57_eigen" -> q57EigenSql,
     "q57_eigen_gx" -> q57EigenSql,
+    "q58_modularity" -> q58ModularitySql,
     "q24_triangles_gx" -> q24TrianglesSql,
     "q25_lag" -> q25LagSql,
     "q26_ranks" -> q26RanksSql,

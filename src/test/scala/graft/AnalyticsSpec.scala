@@ -385,4 +385,20 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(gx === df)
   }
+
+  test("modularity: two cliques joined by one bridge score high Q") {
+    // K3 + K3 with a single bridge; perfect 2-community assignment
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val perfect = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L),
+      (6L, 2L)).toDF("v", "community")
+    val r = Analytics.modularity(edges, perfect).collect()(0)
+    // m=7, S1=6, degrees (2,2,3,3,2,2) -> d_c = 7 and 7, S2 = 98
+    // Q = (4*7*6 - 98) / (4*49) = 70/196 = 0.357143
+    assert(r.getLong(0) === 7L)
+    assert(r.getDouble(1) === 0.357143)
+    // the degenerate one-community assignment scores exactly 0
+    val one = perfect.select($"v", org.apache.spark.sql.functions.lit(1L).as("community"))
+    assert(Analytics.modularity(edges, one).collect()(0).getDouble(1) === 0.0)
+  }
 }
