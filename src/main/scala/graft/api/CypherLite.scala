@@ -505,7 +505,9 @@ object CypherLite {
     }
   }
 
-  private val scalarFns = Set("coalesce", "tointeger", "tofloat", "abs", "size")
+  private val scalarFns = Set("coalesce", "tointeger", "tofloat", "abs", "size",
+    "toupper", "tolower", "trim", "ltrim", "rtrim", "replace", "substring",
+    "left", "right")
 
   /** True when a RETURN/WITH item core is a scalar EXPRESSION rather than
     * a plain reference: a top-level arithmetic operator outside quotes and
@@ -620,6 +622,29 @@ object CypherLite {
           case "tointeger" => args.head.cast("long")
           case "tofloat" => args.head.cast("double")
           case "abs" => abs(args.head)
+          // Cypher string functions, Neo4j semantics: toUpper/toLower,
+          // trim family, literal (non-regex) replace, 0-BASED substring
+          // (Spark's is 1-based — shift), left/right prefix/suffix
+          case "toupper" => upper(args.head.cast("string"))
+          case "tolower" => lower(args.head.cast("string"))
+          case "trim" => trim(args.head.cast("string"))
+          case "ltrim" => ltrim(args.head.cast("string"))
+          case "rtrim" => rtrim(args.head.cast("string"))
+          case "replace" =>
+            if (args.length != 3) fail("replace(s, search, repl) takes 3 args")
+            call_function("replace", args.toSeq: _*)
+          case "substring" =>
+            if (args.length < 2 || args.length > 3)
+              fail("substring(s, start[, len]) takes 2-3 args")
+            val len = if (args.length == 3) args(2).cast("int")
+              else lit(Int.MaxValue)
+            args.head.cast("string").substr(args(1).cast("int") + 1, len)
+          case "left" =>
+            if (args.length != 2) fail("left(s, n) takes 2 args")
+            call_function("left", args.head.cast("string"), args(1).cast("int"))
+          case "right" =>
+            if (args.length != 2) fail("right(s, n) takes 2 args")
+            call_function("right", args.head.cast("string"), args(1).cast("int"))
           case "size" =>
             val argTxt = s.substring(argStart, argEnd).trim
             val isArray = argTxt.matches("""\w+""") && plain(argTxt) &&
@@ -871,19 +896,42 @@ object CypherLite {
     if (isDistinct) res = res.distinct()
     orderSpec.foreach { spec =>
       val outCols = res.columns.toSet
-      val keys = splitTop(spec, ",").map { item =>
-        val (ref, desc) = {
-          val t = item.trim
-          if (t.toUpperCase.endsWith(" DESC")) (t.dropRight(5).trim, true)
-          else if (t.toUpperCase.endsWith(" ASC")) (t.dropRight(4).trim, false)
-          else (t, false)
-        }
-        require(outCols.contains(ref),
-          s"ORDER BY '$ref' must reference a RETURN column (one of ${outCols.mkString(", ")})")
-        val c = col(s"`$ref`")
-        if (desc) c.desc else c.asc
+      val parsed = splitTop(spec, ",").map { item =>
+        val t = item.trim
+        if (t.toUpperCase.endsWith(" DESC")) (t.dropRight(5).trim, true)
+        else if (t.toUpperCase.endsWith(" ASC")) (t.dropRight(4).trim, false)
+        else (t, false)
       }
-      res = res.orderBy(keys: _*)
+      val hiddenRefs = parsed.map(_._1).filterNot(outCols.contains).distinct
+      if (hiddenRefs.isEmpty) {
+        val keys = parsed.map { case (ref, desc) =>
+          val c = col(s"`$ref`")
+          if (desc) c.desc else c.asc
+        }
+        res = res.orderBy(keys: _*)
+      } else {
+        // ORDER BY on a NON-RETURNED property (`RETURN n.name ORDER BY
+        // n.bal DESC` — Neo4j's top-N idiom): project hidden sort
+        // columns alongside the output, sort, drop them. After
+        // aggregation or DISTINCT the per-row property no longer exists
+        // — raise, which is Neo4j's own rule too.
+        require(aggCols.isEmpty, s"ORDER BY '${hiddenRefs.mkString(", ")}' " +
+          s"must reference a RETURN column after aggregation: $ret0")
+        require(!isDistinct,
+          s"ORDER BY on a non-returned property cannot follow DISTINCT: $ret0")
+        val hiddenIx = hiddenRefs.zipWithIndex.toMap
+        val hiddenCols = hiddenRefs.zipWithIndex.map { case (ref, i) =>
+          withScope(vars, plain)(ref).as(s"__sort_$i")
+        }
+        val keys = parsed.map { case (ref, desc) =>
+          val c = if (outCols.contains(ref)) col(s"`$ref`")
+            else col(s"__sort_${hiddenIx(ref)}")
+          if (desc) c.desc else c.asc
+        }
+        res = df.select(plainCols ++ hiddenCols: _*)
+          .orderBy(keys: _*)
+          .drop(hiddenRefs.indices.map(i => s"__sort_$i"): _*)
+      }
     }
     skipN.foreach(n => res = res.offset(n))
     limitN.foreach(n => res = res.limit(n))

@@ -331,8 +331,9 @@ class CypherLiteSpec extends AnyFunSuite {
       db.executeQuery("MATCH_foo (a) RETURN a")
     }
     intercept[IllegalArgumentException] {
-      // ORDER BY must reference a RETURN column
-      db.executeQuery("MATCH (n:sklearn) RETURN n.name ORDER BY n.kind")
+      // ORDER BY may reference a non-returned PROPERTY (supported), but
+      // an unknown variable must still raise
+      db.executeQuery("MATCH (n:sklearn) RETURN n.name ORDER BY zz.kind")
     }
     intercept[IllegalArgumentException] {
       // count(DISTINCT …) shape not supported
@@ -1233,6 +1234,45 @@ class CypherLiteSpec extends AnyFunSuite {
     // body that is not a write raises
     intercept[IllegalArgumentException] {
       d.executeQuery("FOREACH (x IN ['p'] | MATCH (n) RETURN n)")
+    }
+  }
+
+  test("string functions: toUpper/toLower/replace/substring/left/right") {
+    val out = db.executeQuery(
+      "MATCH (c:CLASS) RETURN toUpper(c.name) AS u, toLower(c.name) AS l, " +
+        "replace(c.name, 'son', 'SON') AS r, substring(c.name, 0, 3) AS s3, " +
+        "substring(c.name, 3) AS tail, left(c.name, 2) AS lf, " +
+        "right(c.name, 3) AS rt, trim('  x  ') AS t").collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[String]("u") === "PERSON")
+    assert(r.getAs[String]("l") === "person")
+    assert(r.getAs[String]("r") === "PerSON")
+    assert(r.getAs[String]("s3") === "Per") // Cypher substring is 0-based
+    assert(r.getAs[String]("tail") === "son")
+    assert(r.getAs[String]("lf") === "Pe")
+    assert(r.getAs[String]("rt") === "son")
+    assert(r.getAs[String]("t") === "x")
+  }
+
+  test("ORDER BY a non-returned property (the top-N idiom)") {
+    val d = GraphDatabase.inMemory(spark)
+    Seq(("a", "3"), ("b", "1"), ("c", "2")).foreach { case (n, r) =>
+      d.addNode("t", Kind.Class, n, Map("name" -> n, "rank" -> r)) }
+    d.commit()
+    val out = d.executeQuery(
+      "MATCH (n:CLASS) RETURN n.name ORDER BY n.rank DESC LIMIT 2").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "c"))
+    // mixed: one output column, one hidden property
+    val mixed = d.executeQuery(
+      "MATCH (n:CLASS) RETURN n.name AS nm ORDER BY n.rank, nm").collect()
+    assert(mixed.map(_.getString(0)).toSeq === Seq("b", "c", "a"))
+    // after aggregation the hidden property is gone - raises
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MATCH (n:CLASS) RETURN count(n) AS c ORDER BY n.rank")
+    }
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MATCH (n:CLASS) RETURN DISTINCT n.name ORDER BY n.rank")
     }
   }
 }
