@@ -40,6 +40,40 @@ object Similarity {
     round(dot / (na * nb), 4)
   }
 
+  /** Matryoshka two-stage ANN (Kusupati et al. 2022: MRL-nested
+    * representations keep most of the signal in a PREFIX of the
+    * embedding): shortlist by cosine over the first `prefixDim`
+    * dimensions, then EXACT full-dimension re-rank of each query's
+    * shortlist. The coarse pass touches prefixDim/dim of the arithmetic
+    * of a brute scan and the exact pass only `shortlist` rows per query
+    * — the standard retrieval funnel, a DIMENSION-reduction shortlist
+    * complementing the partition- (IVF), hash- (LSH), and code-
+    * compression (PQ/SQ8) families. Recall < 1 by design; gated by the
+    * recall floor alongside them. Fully deterministic (round-4 sims,
+    * vec_id tie-break), so the oracle replays both stages. */
+  def mrlTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      prefixDim: Int = 32, shortlist: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val coarse = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("qv"),
+        cosineSpec(slice(col("qv"), 1, prefixDim),
+          slice(col("embedding"), 1, prefixDim)).as("csim"))
+    val wC = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("vec_id").asc)
+    val wF = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    coarse.withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= shortlist)
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank")
+  }
+
   /** Brute-force top-k: for each query vector (vec_id ∈ queryIds), the k
     * nearest corpus vectors by cosine (excluding self), ties broken by
     * vec_id. Query side is broadcast — the corpus scan never shuffles

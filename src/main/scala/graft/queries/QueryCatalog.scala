@@ -1761,6 +1761,37 @@ object QueryCatalog {
       |  / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)), (a, x) -> a + x))
       |   * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), (a, x) -> a + x))), 4)""".stripMargin
 
+  /** Cosine over the first `dims` entries of two list columns, DuckDB
+    * side — sequential left-to-right accumulation, the kernel's order. */
+  private def listCosSql(a: String, b: String, dims: Int): String =
+    s"""round(
+       |  list_reduce(list_prepend(0.0, list_transform(range(1, ${dims + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)
+       |  / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${dims + 1}), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (acc, x) -> acc + x))
+       |   * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${dims + 1}), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x))), 4)""".stripMargin
+
+  /** s_mrl_ann — Matryoshka two-stage ANN
+    * ([[graft.pipeline.Similarity.mrlTopK]]): 32-dim prefix shortlist
+    * (top-100) then exact 64-dim re-rank — the dimension-reduction
+    * funnel alongside the IVF/LSH/PQ families. Both stages replay
+    * exactly (round-4 sims, vec_id tie-breaks). */
+  val sMrlAnn: Q = (s, d) =>
+    Similarity.mrlTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10)
+
+  lazy val sMrlAnnSql: String = {
+    val c32 = listCosSql("q.qv", "c.embedding", 32)
+    val c64 = listCosSql("s.qv", "s.embedding", 64)
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |coarse AS (SELECT q.query_id, c.vec_id, c.embedding, q.qv, $c32 AS csim
+       |  FROM embeddings c JOIN q ON c.vec_id <> q.query_id),
+       |short AS (SELECT query_id, vec_id, embedding, qv FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, vec_id) AS crank
+       |  FROM coarse) WHERE crank <= 100)
+       |SELECT s.query_id, s.vec_id, $c64 AS sim,
+       |  CAST(row_number() OVER (PARTITION BY s.query_id ORDER BY $c64 DESC, s.vec_id) AS INT) AS rank
+       |FROM short s
+       |QUALIFY rank <= 10""".stripMargin
+  }
+
   val sCosineTopKSql: String =
     s"""SELECT q.vec_id AS query_id, c.vec_id, $cosSql AS sim,
        |CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS INT) AS rank
@@ -4483,6 +4514,7 @@ object QueryCatalog {
     "s_kmeans" -> sKmeans,
     "s_pq_ann" -> sPqAnn,
     "s_ivfpq_ann" -> sIvfPqAnn,
+    "s_mrl_ann" -> sMrlAnn,
     "q34_sp_counts" -> q34SpCounts,
     "q42_betweenness" -> q42Betweenness,
     "q43_kmv_intersect" -> q43KmvIntersect,
@@ -4653,6 +4685,7 @@ object QueryCatalog {
     "s_kmeans" -> sKmeansSql,
     "s_pq_ann" -> sPqAnnSql,
     "s_ivfpq_ann" -> sIvfPqAnnSql,
+    "s_mrl_ann" -> sMrlAnnSql,
     "q34_sp_counts" -> q34SpCountsSql,
     "q42_betweenness" -> q42BetweennessSql,
     "q43_kmv_intersect" -> q43KmvIntersectSql,
