@@ -39,4 +39,54 @@ object Sessions {
         date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
+
+  /** Strict-order conversion funnel: for each user, the FIRST occurrence
+    * of step 1, then the first occurrence of step 2 strictly AFTER it,
+    * and so on — each step must follow the user's completion of the
+    * previous one (the standard product-analytics funnel, not mere
+    * set-intersection of event types). Output: one row per step with
+    * the surviving user count and the conversion ratio vs step 1.
+    *
+    * Scale shape: one filtered user-keyed aggregation per step (steps
+    * are a handful, data passes are bounded); each step's survivors are
+    * localCheckpoint'd so step i+1 and the count row reuse them rather
+    * than re-deriving the chain. Per-user state is ONE timestamp —
+    * never a per-user event sort or collect. Timestamps compare as
+    * epoch MICROSECONDS (integers), bit-identical across engines.
+    *
+    * `maxGapSeconds` is the CONVERSION WINDOW: each step must land
+    * within that many seconds of the previous step's completion (the
+    * product-analytics "converted within N hours" reading); None means
+    * unbounded. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      maxGapSeconds: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val gapPred = maxGapSeconds
+      .map(g => col("e.us") <= col("p.t") + g * 1000000L)
+      .getOrElse(lit(true))
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    var reached: DataFrame = null
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      reached = (
+        if (i == 0)
+          ev.filter(col("event_type") === st)
+            .groupBy("user_id").agg(min(col("us")).as("t"))
+        else
+          ev.filter(col("event_type") === st).as("e")
+            .join(reached.as("p"), col("e.user_id") === col("p.user_id"))
+            .filter(col("e.us") > col("p.t") && gapPred)
+            .groupBy(col("e.user_id").as("user_id"))
+            .agg(min(col("e.us")).as("t"))
+        ).localCheckpoint(eager = true)
+      reached.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(st).as("event_type"),
+          col("users"))
+    }
+    val all = rows.reduce(_ unionByName _)
+    val base = all.filter(col("step") === 1).select(col("users").as("base"))
+    all.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("users"),
+        round(col("users").cast("double") / col("base"), 6).as("conversion"))
+  }
 }

@@ -1919,6 +1919,38 @@ object QueryCatalog {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, session_idx""".stripMargin
 
+  /** e_funnel — strict-order conversion funnel
+    * ([[graft.pipeline.Sessions.funnel]]) over the events table:
+    * view → click → signup → purchase, each step's first occurrence
+    * strictly after the user's previous-step completion and within an
+    * 8-hour conversion window of it (unwindowed, this corpus converts
+    * everyone — the window is what makes each stage's drop-off real:
+    * 150 → 26 → 5 → 1 at sf0.01). */
+  val eFunnel: Q = (s, d) =>
+    graft.pipeline.Sessions.funnel(Tables.events(s, d),
+      Seq("view", "click", "signup", "purchase"),
+      maxGapSeconds = Some(8L * 3600))
+
+  val eFunnelSql: String =
+    """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+      |  JOIN s1 p ON e.user_id = p.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > p.t AND epoch_us(e.ts) <= p.t + 28800000000 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+      |  JOIN s2 p ON e.user_id = p.user_id
+      |  WHERE e.event_type = 'signup' AND epoch_us(e.ts) > p.t AND epoch_us(e.ts) <= p.t + 28800000000 GROUP BY e.user_id),
+      |s4 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+      |  JOIN s3 p ON e.user_id = p.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > p.t AND epoch_us(e.ts) <= p.t + 28800000000 GROUP BY e.user_id),
+      |c AS (SELECT 1 AS step, 'view' AS event_type, count(*) AS users FROM s1
+      |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'signup', count(*) FROM s3
+      |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+      |SELECT step::INT AS step, event_type, users::BIGINT AS users,
+      |  round(users::DOUBLE / (SELECT users FROM c WHERE step = 1), 6) AS conversion
+      |FROM c""".stripMargin
+
   /** Train/test decontamination: 4-gram overlap of every corpus doc
     * against the benchmark slice (doc_id % 50 = 0). */
   val dContam: Q = (s, d) =>
@@ -4438,6 +4470,7 @@ object QueryCatalog {
     "s_ivf_ann" -> sIvfAnn,
     "s_emb_neardup" -> sEmbNearDup,
     "q16_sessions" -> q16Sessions,
+    "e_funnel" -> eFunnel,
     "d_contam" -> dContam,
     "t_tfidf" -> tTfidf,
     "p_sample_strat" -> pSampleStrat,
@@ -4609,6 +4642,7 @@ object QueryCatalog {
     "s_ivf_ann" -> sIvfAnnSql,
     "s_emb_neardup" -> sEmbNearDupSql,
     "q16_sessions" -> q16SessionsSql,
+    "e_funnel" -> eFunnelSql,
     "d_contam" -> dContamSql,
     "t_tfidf" -> tTfidfSql,
     "p_sample_strat" -> pSampleStratSql,

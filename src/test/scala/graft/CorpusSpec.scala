@@ -196,4 +196,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(out("ex.com/a/B") === ((4L, 1L)))
     assert(out.size === 2)
   }
+
+  test("funnel: strict order, conversion window, per-step drop-off") {
+    import java.sql.Timestamp
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // u1 full ordered funnel; u2 clicks BEFORE viewing (order violation);
+    // u3 views then clicks outside the 10-min window; u4 view+click only
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(1), "click"), (1L, t(2), "purchase"),
+      (2L, t(0), "click"), (2L, t(1), "view"),
+      (3L, t(0), "view"), (3L, t(20), "click"),
+      (4L, t(0), "view"), (4L, t(5), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Sessions.funnel(ev, Seq("view", "click", "purchase"),
+        maxGapSeconds = Some(600))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1) === (("view", 4L)))   // everyone views eventually
+    assert(out(2) === (("click", 2L)))  // u1, u4 (u2 order, u3 window)
+    assert(out(3) === (("purchase", 1L))) // u1 only
+  }
 }
