@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -88,5 +88,33 @@ object Sessions {
     all.crossJoin(broadcast(base))
       .select(col("step"), col("event_type"), col("users"),
         round(col("users").cast("double") / col("base"), 6).as("conversion"))
+  }
+
+  /** Weekly COHORT RETENTION — the other product-analytics staple next
+    * to [[funnel]]: users are cohorted by the week of their first
+    * qualifying activity, and each later active week counts them at
+    * `week_offset = (week − cohort)/7`; the rate divides by the
+    * cohort's own week-0 size. Weeks are Monday-truncated in the
+    * session timezone, offsets are exact integer day arithmetic, so the
+    * table replays identically in any engine.
+    *
+    * Scale shape: one (user, week) dedup, one per-user min, two
+    * user-keyed joins + one small-key groupBy — the (cohort, offset)
+    * result is O(weeks²) rows regardless of user count. */
+  def retention(events: DataFrame, activity: Column): DataFrame = {
+    val ew = events.filter(activity)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohorts = ew.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    val act = ew.join(cohorts, "user_id")
+      .select(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+      .groupBy("cohort", "week_offset").agg(count(lit(1)).as("users"))
+    val sizes = act.filter(col("week_offset") === 0)
+      .select(col("cohort"), col("users").as("cohort_size"))
+    act.join(sizes, "cohort")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("week_offset"), col("users"),
+        round(col("users").cast("double") / col("cohort_size"), 6).as("rate"))
   }
 }

@@ -1951,6 +1951,29 @@ object QueryCatalog {
       |  round(users::DOUBLE / (SELECT users FROM c WHERE step = 1), 6) AS conversion
       |FROM c""".stripMargin
 
+  /** e_retention — weekly cohort retention
+    * ([[graft.pipeline.Sessions.retention]]) of HIGH-VALUE purchasers
+    * (value > 90 — the full corpus has every user active every week, so
+    * the qualifying-activity filter is what makes the cohort curves
+    * real: graded drop-off across 5 cohorts at sf0.01). */
+  val eRetention: Q = (s, d) =>
+    graft.pipeline.Sessions.retention(Tables.events(s, d),
+      col("event_type") === "purchase" && col("value") > 90)
+
+  val eRetentionSql: String =
+    """WITH ew AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |  FROM events WHERE event_type = 'purchase' AND value > 90),
+      |co AS (SELECT user_id, min(wk) AS cohort FROM ew GROUP BY user_id),
+      |act AS (SELECT c.cohort,
+      |    (date_diff('day', c.cohort, e.wk) // 7)::INT AS week_offset,
+      |    count(*) AS users
+      |  FROM ew e JOIN co c USING (user_id) GROUP BY 1, 2),
+      |sz AS (SELECT cohort, users AS cohort_size FROM act WHERE week_offset = 0)
+      |SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort, a.week_offset,
+      |  a.users::BIGINT AS users,
+      |  round(a.users::DOUBLE / s.cohort_size, 6) AS rate
+      |FROM act a JOIN sz s USING (cohort)""".stripMargin
+
   /** Train/test decontamination: 4-gram overlap of every corpus doc
     * against the benchmark slice (doc_id % 50 = 0). */
   val dContam: Q = (s, d) =>
@@ -4471,6 +4494,7 @@ object QueryCatalog {
     "s_emb_neardup" -> sEmbNearDup,
     "q16_sessions" -> q16Sessions,
     "e_funnel" -> eFunnel,
+    "e_retention" -> eRetention,
     "d_contam" -> dContam,
     "t_tfidf" -> tTfidf,
     "p_sample_strat" -> pSampleStrat,
@@ -4643,6 +4667,7 @@ object QueryCatalog {
     "s_emb_neardup" -> sEmbNearDupSql,
     "q16_sessions" -> q16SessionsSql,
     "e_funnel" -> eFunnelSql,
+    "e_retention" -> eRetentionSql,
     "d_contam" -> dContamSql,
     "t_tfidf" -> tTfidfSql,
     "p_sample_strat" -> pSampleStratSql,

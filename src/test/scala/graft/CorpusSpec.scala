@@ -215,4 +215,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2) === (("click", 2L)))  // u1, u4 (u2 order, u3 window)
     assert(out(3) === (("purchase", 1L))) // u1 only
   }
+
+  test("retention: weekly cohorts, offsets, per-cohort rates") {
+    import java.sql.Timestamp
+    def t(day: Int) = new Timestamp(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    // 2024-01-01 is a Monday. u1: weeks 0,1,2; u2: weeks 0,2; u3 joins
+    // in week 1, active weeks 1,2
+    val ev = Seq(
+      (1L, t(0)), (1L, t(8)), (1L, t(15)),
+      (2L, t(1)), (2L, t(16)),
+      (3L, t(9)), (3L, t(14))
+    ).toDF("user_id", "ts").withColumn("keep",
+      org.apache.spark.sql.functions.lit(true))
+    val out = Sessions.retention(ev, col("keep"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("2024-01-01", 0)) === ((2L, 1.0)))
+    assert(out(("2024-01-01", 1)) === ((1L, 0.5)))   // only u1 in wk 1
+    assert(out(("2024-01-01", 2)) === ((2L, 1.0)))   // u1 + u2
+    assert(out(("2024-01-08", 0)) === ((1L, 1.0)))   // u3's own cohort
+    assert(out(("2024-01-08", 1)) === ((1L, 1.0)))
+    assert(out.size === 5)
+  }
 }
