@@ -117,4 +117,33 @@ object Sessions {
         col("week_offset"), col("users"),
         round(col("users").cast("double") / col("cohort_size"), 6).as("rate"))
   }
+
+  /** Daily volume spikes per event type — trailing-baseline anomaly
+    * flagging, the monitoring staple over an events table: each (type,
+    * day) count against the mean of its previous `baselineDays` full
+    * days (a ROWS frame: one shuffle on event_type, the frame scan
+    * rides the sort). Days with an incomplete baseline drop. The spike
+    * decision is INTEGER arithmetic (`thresholdPct·trail > 100·n·days`
+    * inverted), so the flag can never 1-ulp-flip; the ratio column is a
+    * rounded display stat. */
+  def dailySpikes(events: DataFrame, baselineDays: Int = 7,
+      thresholdPct: Int = 120): DataFrame = {
+    val daily = events.groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-baselineDays, -1)
+    daily
+      .withColumn("trail", sum(col("n")).over(w))
+      .withColumn("trail_days", count(col("n")).over(w))
+      .filter(col("trail_days") === baselineDays)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"),
+        round(col("n").cast("double") * col("trail_days") / col("trail"), 6)
+          .as("ratio"),
+        when(lit(100L) * col("n") * col("trail_days") >
+          lit(thresholdPct.toLong) * col("trail"), 1).otherwise(0)
+          .cast("int").as("spike"))
+  }
 }

@@ -1974,6 +1974,27 @@ object QueryCatalog {
       |  round(a.users::DOUBLE / s.cohort_size, 6) AS rate
       |FROM act a JOIN sz s USING (cohort)""".stripMargin
 
+  /** e_spike — trailing-baseline daily volume anomalies
+    * ([[graft.pipeline.Sessions.dailySpikes]]): each (event_type, day)
+    * count vs the mean of its previous 7 full days, spike at >1.2×
+    * (integer decision; 10 of 115 rows flag at sf0.01). */
+  val eSpike: Q = (s, d) =>
+    graft.pipeline.Sessions.dailySpikes(Tables.events(s, d))
+
+  val eSpikeSql: String =
+    """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+      |    count(*) AS n FROM events GROUP BY 1, 2),
+      |w AS (SELECT *,
+      |    sum(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail,
+      |    count(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_days
+      |  FROM daily)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n::BIGINT AS n,
+      |  round(n::DOUBLE * trail_days / trail, 6) AS ratio,
+      |  (CASE WHEN 100 * n * trail_days > 120 * trail THEN 1 ELSE 0 END)::INT AS spike
+      |FROM w WHERE trail_days = 7""".stripMargin
+
   /** Train/test decontamination: 4-gram overlap of every corpus doc
     * against the benchmark slice (doc_id % 50 = 0). */
   val dContam: Q = (s, d) =>
@@ -4495,6 +4516,7 @@ object QueryCatalog {
     "q16_sessions" -> q16Sessions,
     "e_funnel" -> eFunnel,
     "e_retention" -> eRetention,
+    "e_spike" -> eSpike,
     "d_contam" -> dContam,
     "t_tfidf" -> tTfidf,
     "p_sample_strat" -> pSampleStrat,
@@ -4668,6 +4690,7 @@ object QueryCatalog {
     "q16_sessions" -> q16SessionsSql,
     "e_funnel" -> eFunnelSql,
     "e_retention" -> eRetentionSql,
+    "e_spike" -> eSpikeSql,
     "d_contam" -> dContamSql,
     "t_tfidf" -> tTfidfSql,
     "p_sample_strat" -> pSampleStratSql,
