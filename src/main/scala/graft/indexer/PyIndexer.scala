@@ -549,11 +549,21 @@ object PyIndexer {
     // always takes priority at the use site. Raw names resolve through
     // the same classish/import path as declared annotations.
     val returnInferredRaw = mutable.Map.empty[String, String]
+    // C3 slice 19: "C.m" keys of defs decorated `@property` /
+    // `@(functools.)cached_property` — an attribute READ of one chases
+    // the method's declared/inferred return type (jedi's descriptor
+    // resolution: `db.conn` IS a Conn, not a bound method)
+    val propertyDefsRaw = mutable.Set.empty[String]
+    val propertyDecos = Set("property", "cached_property",
+      "functools.cached_property")
     locally {
       // (indent, name, isDef): a def's return key is valid only when
       // every enclosing level is a class (same rule returnAnnoRaw used)
       val ctx = mutable.Stack.empty[(Int, String, Boolean)]
       val bodyLocals = mutable.Map.empty[String, mutable.Map[String, String]]
+      // armed by a @property-family decorator line, consumed by the next
+      // def header; stacked decorators keep it armed
+      var pendingProp = false
       def ownerDefKey: Option[Seq[String]] = {
         val chain = ctx.toSeq.reverse // bottom-first
         if (chain.nonEmpty && chain.last._3 && chain.init.forall(!_._3))
@@ -565,18 +575,29 @@ object PyIndexer {
         if (!cont(li) && ln.trim.nonEmpty) {
           val ind = indentOf(ln)
           while (ctx.nonEmpty && ind <= ctx.top._1) ctx.pop()
+          val isDecorator = ln.trim.startsWith("@")
+          if (isDecorator && propertyDecos.contains(ln.trim.stripPrefix("@")
+              .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')))
+            pendingProp = true
           ln match {
-            case classHeader(_, cname, _) => ctx.push((ind, cname, false))
+            case classHeader(_, cname, _) =>
+              pendingProp = false
+              ctx.push((ind, cname, false))
             case defHeader(_, dname) =>
               val headerText = joinedHeader(li)
               val keyValid = ctx.toSeq.forall(!_._3)
+              val key = (ctx.toSeq.reverse.map(_._2) :+ dname).mkString(".")
               returnArrow.findFirstMatchIn(headerText).foreach { m =>
-                if (keyValid)
-                  returnAnnoRaw((ctx.toSeq.reverse.map(_._2) :+ dname)
-                    .mkString(".")) = m.group(1)
+                if (keyValid) returnAnnoRaw(key) = m.group(1)
               }
+              // a property on anything but a directly-class-nested def
+              // is out of the key space, same rule as the return maps
+              if (pendingProp && keyValid && ctx.toSeq.nonEmpty)
+                propertyDefsRaw += key
+              pendingProp = false
               ctx.push((ind, dname, true))
             case _ =>
+              if (!isDecorator) pendingProp = false
               ownerDefKey.foreach { names =>
                 val key = names.mkString(".")
                 instanceAssign.findFirstMatchIn(ln).foreach(m =>
@@ -639,7 +660,8 @@ object PyIndexer {
       var t = t0
       var idx = 0
       while (idx < rest.length - 1) {
-        classFieldTypes.get(t).flatMap(_.get(rest(idx))) match {
+        classFieldTypes.get(t).flatMap(_.get(rest(idx)))
+            .orElse(propertyTypeOf(t, rest(idx))) match {
           case Some(n) => t = n; idx += 1
           case None => return None
         }
@@ -660,9 +682,11 @@ object PyIndexer {
           chaseFields(fn.locals(parts(0)), parts.tail.toSeq))
       else if (parts.length >= 3 && parts(0) == "self")
         // C3 (partial): `self.field[.field…].method()` through
-        // constructor-typed field bindings
+        // constructor-typed field bindings (or an @property descriptor,
+        // slice 19)
         curClass.flatMap(c =>
-          classFieldTypes.get(c.fullName).flatMap(_.get(parts(1))))
+          classFieldTypes.get(c.fullName).flatMap(_.get(parts(1)))
+            .orElse(propertyTypeOf(c.fullName, parts(1))))
           .flatMap(t => chaseFields(t, parts.drop(2).toSeq))
       else if (parts.length >= 2 && moduleVarTypes.contains(parts(0)))
         // C3 (partial): module-level instance global (`db = Database()`
@@ -701,6 +725,18 @@ object PyIndexer {
       if (!keywords.contains(anno) && classish) resolveCallee(anno)
       else None
     }
+
+    // C3 slice 19: attribute READ through an @property method of a
+    // same-module class — the descriptor's declared (or slice-8
+    // inferred) return type IS the attribute's type
+    def propertyTypeOf(owner: String, attr: String): Option[String] =
+      if (!owner.startsWith(mod + ".")) None
+      else {
+        val k = owner.stripPrefix(mod + ".") + "." + attr
+        if (!propertyDefsRaw.contains(k)) None
+        else returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
+          .flatMap(classishType)
+      }
 
     // declared `-> Type` of a called same-module function/method:
     // `x = make()` with `def make() -> Helper:` binds x to Helper;

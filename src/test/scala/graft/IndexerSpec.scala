@@ -1095,4 +1095,50 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("m.use", "m.X.make")))
     assert(calls.contains(("m.use", "m.X.run")))
   }
+
+  test("slice 19: @property attribute reads chase the return type") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        pass
+        |
+        |
+        |class Database:
+        |    @property
+        |    def conn(self) -> Conn:
+        |        return Conn()
+        |
+        |    @property
+        |    def inferred(self):
+        |        return Conn()
+        |
+        |    def not_a_prop(self) -> Conn:
+        |        return Conn()
+        |
+        |
+        |class App:
+        |    def __init__(self):
+        |        self.db = Database()
+        |
+        |    def run(self):
+        |        self.db.conn.execute()
+        |
+        |
+        |def use():
+        |    db = Database()
+        |    db.conn.execute()
+        |    db.inferred.execute()
+        |    db.not_a_prop.execute()
+        |""".stripMargin
+    val r = PyIndexer.indexFile("t", "m.py", src)
+    val calls = r.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // declared AND slice-8-inferred property returns both chase
+    assert(calls.contains(("m.use", "m.Conn.execute")))
+    // two-hop: constructor-typed self field then the property
+    assert(calls.contains(("m.App.run", "m.Conn.execute")))
+    // a NON-property method read (no call) is a bound method, not its
+    // return value — the chain through it must emit NOTHING
+    assert(!calls.exists(_._2.contains("not_a_prop")))
+  }
 }
