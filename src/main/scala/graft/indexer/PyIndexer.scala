@@ -255,6 +255,11 @@ object PyIndexer {
   private val selfInstanceAssign: Regex =
     """self\.([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
 
+  /** `self.f = name` — a BARE-name field binding (the constructor-
+    * injection pattern); the name's local/param type flows to the field. */
+  private val selfNameAssign: Regex =
+    """self\.([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*([A-Za-z_]\w*)\s*$""".r
+
   /** `with Callee(...) as x:` — context-manager binding; the standard
     * acquisition idiom for DB handles/sessions, so binding x to the
     * constructed class resolves `x.method()` inside the block (the
@@ -1242,6 +1247,17 @@ object PyIndexer {
                 .foreach(t =>
                   classFieldTypes.getOrElseUpdate(c.fullName,
                     mutable.Map.empty)(m.group(1)) = t)
+            }
+            // C3 slice 20: `self.f = <name>` where the name is a TYPED
+            // param/local — the constructor-injection pattern
+            // (`def __init__(self, conn: Conn): self.conn = conn`);
+            // jedi types the field from the assigned name. Bare-name
+            // RHS only, so the constructor-call handler above stays
+            // disjoint.
+            selfNameAssign.findAllMatchIn(line).foreach { m =>
+              fn.locals.get(m.group(2)).foreach(t =>
+                classFieldTypes.getOrElseUpdate(c.fullName,
+                  mutable.Map.empty)(m.group(1)) = t)
             }
           }
         }

@@ -1141,4 +1141,29 @@ class IndexerSpec extends AnyFunSuite {
     // return value — the chain through it must emit NOTHING
     assert(!calls.exists(_._2.contains("not_a_prop")))
   }
+
+  test("slice 20: self.f = <typed param> (constructor injection)") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        pass
+        |
+        |
+        |class App:
+        |    def __init__(self, conn: Conn, raw):
+        |        self.conn = conn
+        |        self.raw = raw
+        |
+        |    def run(self):
+        |        self.conn.execute()
+        |        self.raw.execute()
+        |""".stripMargin
+    val r = PyIndexer.indexFile("t", "m.py", src)
+    val calls = r.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // annotated param flows through the field to the call site
+    assert(calls.contains(("m.App.run", "m.Conn.execute")))
+    // the UNTYPED param's field emits nothing (all-or-nothing discipline)
+    assert(calls.count(_._1 == "m.App.run") === 1)
+  }
 }
