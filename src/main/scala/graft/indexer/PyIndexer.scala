@@ -310,6 +310,17 @@ object PyIndexer {
   private val returnArrow: Regex =
     """->\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?!\w|\s*\[)""".r
 
+  /** C3 slice 21 — nullable annotations: `x: Optional[Conn]` and the
+    * PEP 604 unions `x: Conn | None` / `x: None | Conn` type the name
+    * as the INNER class (jedi resolves members through the non-None
+    * arm). Two spellings, one capture each. */
+  private val optionalAnno: Regex =
+    ("""([A-Za-z_]\w*)\s*:\s*(?:typing\.)?Optional\[\s*""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\]""").r
+  private val unionNoneAnno: Regex =
+    ("""([A-Za-z_]\w*)\s*:\s*(?:None\s*\|\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)""" +
+      """|([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\|\s*None)(?!\w|\s*[\[|])""").r
+
   /** `xs: list[Helper]` (or List/Sequence/tuple/set/Iterable/… with an
     * optional `typing.` prefix) — a container annotation whose FIRST type
     * argument is the element type (slice 9: jedi's container-element
@@ -935,6 +946,18 @@ object PyIndexer {
               if (!keywords.contains(anno) && classish)
                 resolveCallee(anno).foreach(t => fnScope.locals(m.group(1)) = t)
             }
+            // slice 21: Optional[X] / X | None params type as X (jedi
+            // resolves members through the non-None arm)
+            (optionalAnno.findAllMatchIn(headerText).map(m =>
+                (m.group(1), m.group(2))) ++
+              unionNoneAnno.findAllMatchIn(headerText).map(m =>
+                (m.group(1), Option(m.group(2)).getOrElse(m.group(3)))))
+              .foreach { case (nm, anno) =>
+                val classish = topClasses.contains(anno) ||
+                  anno.split("\\.").last.headOption.exists(_.isUpper)
+                if (!keywords.contains(anno) && classish)
+                  resolveCallee(anno).foreach(t => fnScope.locals(nm) = t)
+              }
             // slice 9: container-annotated params bind their ELEMENT type
             // (`def f(xs: list[Helper])` → iterating/subscripting xs
             // yields Helper-typed names)
@@ -1110,10 +1133,29 @@ object PyIndexer {
                 .orElse(localAnno.findFirstMatchIn(line)
                   .filter(_.group(1) == m.group(1))
                   .flatMap(a => classishType(a.group(2))))
+                // slice 21: `h: Optional[Helper] = factory()` — the
+                // nullable annotation types the target when the RHS
+                // resolves nothing
+                .orElse(optionalAnno.findFirstMatchIn(line)
+                  .filter(_.group(1) == m.group(1))
+                  .flatMap(a => classishType(a.group(2))))
+                .orElse(unionNoneAnno.findFirstMatchIn(line)
+                  .filter(_.group(1) == m.group(1))
+                  .flatMap(a => classishType(
+                    Option(a.group(2)).getOrElse(a.group(3)))))
                 .foreach(t => fn.locals(m.group(1)) = t)
             case None =>
               // annotated local without a constructor RHS (`x: Helper` /
-              // `x: Helper = registry.get(...)`)
+              // `x: Helper = registry.get(...)`); slice 21 extends the
+              // same binding to `x: Optional[Helper]` / `x: Helper | None`
+              optionalAnno.findFirstMatchIn(line)
+                .map(m => (m.group(1), m.group(2)))
+                .orElse(unionNoneAnno.findFirstMatchIn(line)
+                  .map(m => (m.group(1),
+                    Option(m.group(2)).getOrElse(m.group(3)))))
+                .foreach { case (nm, anno) =>
+                  classishType(anno).foreach(t => fn.locals(nm) = t)
+                }
               localAnno.findFirstMatchIn(line) match {
                 case Some(m) =>
                   classishType(m.group(2)).foreach(t => fn.locals(m.group(1)) = t)

@@ -1166,4 +1166,48 @@ class IndexerSpec extends AnyFunSuite {
     // the UNTYPED param's field emits nothing (all-or-nothing discipline)
     assert(calls.count(_._1 == "m.App.run") === 1)
   }
+
+  test("slice 21: Optional[X] and X | None params type as X") {
+    val src =
+      """from lib import Helper
+        |from typing import Optional
+        |
+        |
+        |def a(h: Optional[Helper]):
+        |    return h.run()
+        |
+        |
+        |def b(h: Helper | None):
+        |    return h.ping()
+        |
+        |
+        |def c(h: None | Helper):
+        |    return h.poke()
+        |""".stripMargin
+    val r = PyIndexer.indexFile("t", "m.py", src)
+    val calls = r.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("m.a", "lib.Helper.run")))
+    assert(calls.contains(("m.b", "lib.Helper.ping")))
+    assert(calls.contains(("m.c", "lib.Helper.poke")))
+  }
+
+  test("slice 21: Optional-annotated LOCALS bind too") {
+    val src =
+      """from lib import Helper
+        |from typing import Optional
+        |
+        |
+        |def use():
+        |    h: Optional[Helper] = registry()
+        |    h.run()
+        |    g: Helper | None = registry()
+        |    g.ping()
+        |""".stripMargin
+    val r = PyIndexer.indexFile("t", "m.py", src)
+    val calls = r.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("m.use", "lib.Helper.run")))
+    assert(calls.contains(("m.use", "lib.Helper.ping")))
+  }
 }
