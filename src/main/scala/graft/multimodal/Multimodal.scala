@@ -248,6 +248,47 @@ object Multimodal {
     media.withColumn(outCol, parse(col(payloadCol)))
   }
 
+  final case class FlacMeta(format: String, channels: Option[Int],
+      sample_rate: Option[Int], bits_per_sample: Option[Int],
+      total_samples: Option[Long], duration_ms: Option[Long])
+
+  /** ======= REAL (codec-free) ======= FLAC STREAMINFO metadata: after
+    * the `fLaC` magic, the first metadata block must be STREAMINFO
+    * (type 0, 34 bytes) whose bit-packed tail carries 20 bits sample
+    * rate, 3 bits channels−1, 5 bits bits-per-sample−1 and 36 bits
+    * total samples — the exact screen an audio ingest runs before any
+    * decode. Header bytes only; frames are never read. Anything that
+    * is not FLAC (or whose first block is not a well-formed STREAMINFO)
+    * reports `not_flac` with null fields, the [[withAudioMeta]]
+    * discipline. */
+  def withFlacMeta(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "flac_meta"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) =>
+      def u(i: Int) = p(i) & 0xff
+      val bad = FlacMeta("not_flac", None, None, None, None, None)
+      if (p == null || p.length < 42 || u(0) != 'f' || u(1) != 'L' ||
+          u(2) != 'a' || u(3) != 'C')
+        bad
+      else {
+        val blockType = u(4) & 0x7f
+        val blockLen = (u(5) << 16) | (u(6) << 8) | u(7)
+        if (blockType != 0 || blockLen != 34 || p.length < 8 + 34) bad
+        else {
+          val rate = (u(18) << 12) | (u(19) << 4) | (u(20) >> 4)
+          val ch = ((u(20) >> 1) & 0x7) + 1
+          val bps = (((u(20) & 1) << 4) | (u(21) >> 4)) + 1
+          val samples = ((u(21) & 0xf).toLong << 32) |
+            (u(22).toLong << 24) | (u(23).toLong << 16) |
+            (u(24).toLong << 8) | u(25).toLong
+          val dur = if (rate > 0) Some(samples * 1000L / rate) else None
+          FlacMeta("flac", Some(ch), Some(rate), Some(bps),
+            Some(samples), dur)
+        }
+      }
+    }
+    media.withColumn(outCol, parse(col(payloadCol)))
+  }
+
   final case class VideoMeta(format: String, major_brand: Option[String],
       timescale: Option[Long], duration_ms: Option[Long])
 

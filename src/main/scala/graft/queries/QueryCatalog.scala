@@ -4095,6 +4095,56 @@ object QueryCatalog {
       |  CAST((doc_id % 60 + 1) * 1000 AS BIGINT) AS duration_ms
       |FROM documents""".stripMargin
 
+  /** m_flac — FLAC STREAMINFO parsing
+    * ([[graft.multimodal.Multimodal.withFlacMeta]]) under the oracle
+    * gate (the m_headers discipline: in-plan synthetic payloads built
+    * by an independent bit-packing spelling, closed-form prediction):
+    * the 64-bit packed rate/channels/bps/samples tail round-trips
+    * through the parser's bit unpacking; every 7th payload is
+    * TRUNCATED mid-magic and must degrade to `not_flac` with nulls. */
+  val mFlac: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    val rate = (id % 5 * 8000 + 8000).cast("long")
+    val ch = (id % 2 + 1).cast("long")
+    val secs = (id % 30 + 1).cast("long")
+    val samples = secs * rate
+    // 20 bits rate | 3 bits channels-1 | 5 bits bps-1 (16) | 36 bits samples
+    val packed = shiftleft(rate, 44) + shiftleft(ch - 1, 41) +
+      shiftleft(lit(15L), 36) + samples
+    def be64(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 16, "0"))
+    val full = concat(lit("fLaC".getBytes),
+      unhex(lit("80000022")), // last-block flag | STREAMINFO, len 34
+      unhex(lit("10001000")), // min/max blocksize 4096
+      unhex(lit("000000000000")), // min/max framesize unknown
+      be64(packed),
+      unhex(lit("00" * 16))) // MD5 placeholder
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload0", full)
+      .withColumn("payload",
+        when(id % 7 === 0, expr("substring(payload0, 1, 6)"))
+          .otherwise(col("payload0")))
+    Multimodal.withFlacMeta(media).select(id,
+      col("flac_meta.format").as("format"),
+      col("flac_meta.channels").as("channels"),
+      col("flac_meta.sample_rate").as("sample_rate"),
+      col("flac_meta.bits_per_sample").as("bits_per_sample"),
+      col("flac_meta.total_samples").as("total_samples"),
+      col("flac_meta.duration_ms").as("duration_ms"))
+  }
+
+  val mFlacSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN 'not_flac' ELSE 'flac' END AS format,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE (doc_id % 2 + 1)::INT END AS channels,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE (doc_id % 5 * 8000 + 8000)::INT END AS sample_rate,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 16::INT END AS bits_per_sample,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL
+      |    ELSE ((doc_id % 30 + 1) * (doc_id % 5 * 8000 + 8000))::BIGINT END AS total_samples,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL
+      |    ELSE ((doc_id % 30 + 1) * 1000)::BIGINT END AS duration_ms
+      |FROM documents""".stripMargin
+
   /** p_media_mix — the CROSS-PILLAR composition: a multimodal ingest
     * screen (drop payloads whose header parse failed — the m_corrupt
     * degradation becomes a FILTER) joined with the text-quality gate
@@ -4517,6 +4567,7 @@ object QueryCatalog {
     "e_funnel" -> eFunnel,
     "e_retention" -> eRetention,
     "e_spike" -> eSpike,
+    "m_flac" -> mFlac,
     "d_contam" -> dContam,
     "t_tfidf" -> tTfidf,
     "p_sample_strat" -> pSampleStrat,
@@ -4691,6 +4742,7 @@ object QueryCatalog {
     "e_funnel" -> eFunnelSql,
     "e_retention" -> eRetentionSql,
     "e_spike" -> eSpikeSql,
+    "m_flac" -> mFlacSql,
     "d_contam" -> dContamSql,
     "t_tfidf" -> tTfidfSql,
     "p_sample_strat" -> pSampleStratSql,
