@@ -4210,6 +4210,41 @@ object QueryCatalog {
       .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
   }
 
+  /** st_funnel — the streaming conversion funnel
+    * ([[graft.streaming.Streams.streamingFunnel]]) through the
+    * micro-batch replay: per-user flatMapGroupsWithState step machine,
+    * events arriving in event-time order across 6 batches — so step
+    * completions SPAN batches (a user's view lands batches before the
+    * click that advances them) and the monotone state must carry. The
+    * oracle is the batch funnel chain emitting each user's completion
+    * times. */
+  val stFunnel: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    StreamReplay.replay(s, eventsOrdered(s, d), "st_funnel", "append",
+      batches = 6) {
+      df => Streams.streamingFunnel(df.as[Streams.Event],
+        Seq("view", "click", "signup", "purchase")).toDF()
+    }
+  }
+
+  val stFunnelSql: String =
+    """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+      |  JOIN s1 p ON e.user_id = p.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > p.t GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+      |  JOIN s2 p ON e.user_id = p.user_id
+      |  WHERE e.event_type = 'signup' AND epoch_us(e.ts) > p.t GROUP BY e.user_id),
+      |s4 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+      |  JOIN s3 p ON e.user_id = p.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > p.t GROUP BY e.user_id)
+      |SELECT user_id, 1::INT AS step, 'view' AS event_type, t AS us FROM s1
+      |UNION ALL SELECT user_id, 2, 'click', t FROM s2
+      |UNION ALL SELECT user_id, 3, 'signup', t FROM s3
+      |UNION ALL SELECT user_id, 4, 'purchase', t FROM s4""".stripMargin
+
   val stWindow: Q = (s, d) => {
     import s.implicits._
     StreamReplay.replay(s, eventsOrdered(s, d), "st_window", "update") {
@@ -4673,6 +4708,7 @@ object QueryCatalog {
     "st_ingest" -> stIngest,
     "st_screen" -> stScreen,
     "st_dedup" -> stDedup,
+    "st_funnel" -> stFunnel,
     "st_cms" -> stCms,
     "q46_btw" -> q46Btw,
     "q46_btw_gx" -> q46BtwGx,
@@ -4848,6 +4884,7 @@ object QueryCatalog {
     "st_ingest" -> stIngestSql,
     "st_screen" -> stScreenSql,
     "st_dedup" -> stDedupSql,
+    "st_funnel" -> stFunnelSql,
     "st_cms" -> stCmsSql,
     "q46_btw" -> q46BtwSql,
     "q46_btw_gx" -> q46BtwSql,

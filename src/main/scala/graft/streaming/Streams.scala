@@ -76,6 +76,43 @@ object Streams {
       }
   }
 
+  final case class FunnelState(step: Int, lastUs: Long)
+  final case class FunnelOut(user_id: Long, step: Int, event_type: String,
+      us: Long)
+
+  /** Streaming conversion funnel — the stateful streaming twin of
+    * [[graft.pipeline.Sessions.funnel]]: per-user state is (steps
+    * completed, last completion µs); each micro-batch's events process
+    * in (ts, event_id) order and every step COMPLETION emits exactly
+    * one append-mode row. State is two numbers per user and strictly
+    * monotone (the step only advances), so state size is O(active
+    * users) and a completion can never re-emit. In-order delivery
+    * across batches is the caller's contract (the replay harness feeds
+    * event-time order; a production deployment fronts this with a
+    * watermarked sort or accepts missed advancement on disorder). */
+  def streamingFunnel(events: Dataset[Event], steps: Seq[String])
+      : Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            if (s.step < steps.length && e.event_type == steps(s.step) &&
+                us(e.ts) > s.lastUs) {
+              s = FunnelState(s.step + 1, us(e.ts))
+              out += FunnelOut(uid, s.step, e.event_type, s.lastUs)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Continuous graph ingest — the streaming upgrade of the reference's
     * batch-only pipeline: each micro-batch of symbol events merges into
     * the snapshot directory with the SAME set-oriented A1–A4 semantics as

@@ -330,4 +330,25 @@ class StreamsSpec extends AnyFunSuite {
     val red = streamed.find(_._1 == 1L).get._6
     assert(red.contains("<EMAIL>") && red.contains("<IP>"))
   }
+
+  test("streamingFunnel: monotone state, strict order, no re-emission") {
+    import graft.queries.StreamReplay
+    def ev(id: Long, ms: Long, uid: Long, t: String) =
+      Streams.Event(id, new java.sql.Timestamp(ms), uid, t, 0.0)
+    // u1 completes across SEPARATE batches; u2 clicks before viewing
+    // (never advances past view); a second view must not re-emit step 1
+    val rows = Seq(
+      ev(1, 1000, 1, "view"), ev(2, 1500, 2, "click"),
+      ev(3, 2000, 1, "click"), ev(4, 2500, 2, "view"),
+      ev(5, 3000, 1, "view"), ev(6, 3500, 1, "purchase"))
+    val out = StreamReplay.replay(TestSpark.spark, rows, "funnel_spec",
+      "append", batches = 3) { df =>
+      import TestSpark.spark.implicits._
+      Streams.streamingFunnel(df.as[Streams.Event],
+        Seq("view", "click", "purchase")).toDF()
+    }.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+    assert(out === Set(
+      (1L, 1, 1000000L), (1L, 2, 2000000L), (1L, 3, 3500000L),
+      (2L, 1, 2500000L)))
+  }
 }
