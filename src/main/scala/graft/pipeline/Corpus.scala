@@ -103,6 +103,59 @@ object Corpus {
     * spans). Redaction order is fixed (email → IPv4 → phone) and counting
     * runs against the SAME intermediate the replacement saw, so overlapping
     * matches can never double-count. */
+  /** Budget-constrained WATER-FILLING allocation over strata — the data
+    * mixing step a training run executes after temperature flattening:
+    * allocate a token budget (`budgetNum/budgetDen` of total
+    * availability) across languages proportionally to sqrt-flattened
+    * availability, CAP any stratum at what it actually has,
+    * redistribute the surplus among the uncapped, repeat to fixpoint
+    * (≤ #strata rounds; `rounds` rounds are unrolled — once converged,
+    * extra cap-rounds are no-ops, which is exactly what lets the
+    * oracle unroll the same fixed count). ALL arithmetic is integer —
+    * corrected isqrt weights (a floor(sqrt(double)) alone can
+    * 1-ulp-flip at perfect squares) and integral division — so the
+    * allocation is bit-portable. The input is the already-tiny
+    * per-stratum aggregate; every round is two 1-row broadcasts + a
+    * narrow map. Returns (stratum, avail, alloc, capped). */
+  def budgetFill(avail: DataFrame, budgetNum: Long = 8, budgetDen: Long = 10,
+      rounds: Int = 4): DataFrame = {
+    val w0 = floor(sqrt(col("avail").cast("double"))).cast("long")
+    val isq = when((w0 + 1) * (w0 + 1) <= col("avail"), w0 + 1)
+      .when(w0 * w0 > col("avail"), w0 - 1)
+      .otherwise(w0)
+    var df = avail.select(col("stratum"), col("avail").cast("long").as("avail"))
+      .withColumn("w", isq)
+      .withColumn("capped", lit(false))
+      .withColumn("alloc", lit(0L))
+      .localCheckpoint(eager = true)
+    val budgetRow = df
+      .agg((sum(col("avail")) * budgetNum).as("_bnum"))
+      .select(expr(s"_bnum div $budgetDen").as("budget"))
+    def withPool(d: DataFrame): DataFrame = {
+      val sw = d.filter(!col("capped"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("sw"))
+      val spent = d.agg(coalesce(sum(when(col("capped"), col("alloc"))
+        .otherwise(lit(0L))), lit(0L)).as("spent"))
+      d.crossJoin(broadcast(sw)).crossJoin(broadcast(spent))
+        .crossJoin(broadcast(budgetRow))
+        .withColumn("rem", col("budget") - col("spent"))
+        .withColumn("share", when(col("capped") || col("sw") === 0, lit(0L))
+          .otherwise(expr("rem * w div sw")))
+    }
+    for (_ <- 1 to rounds) {
+      df = withPool(df)
+        .withColumn("newcap", !col("capped") && col("share") >= col("avail"))
+        .withColumn("alloc", when(col("newcap"), col("avail"))
+          .otherwise(col("alloc")))
+        .withColumn("capped", col("capped") || col("newcap"))
+        .select("stratum", "avail", "w", "capped", "alloc")
+        .localCheckpoint(eager = true)
+    }
+    withPool(df).select(col("stratum"), col("avail"),
+      when(col("capped"), col("alloc")).otherwise(col("share")).as("alloc"),
+      col("capped").cast("int").as("capped"))
+  }
+
   /** URL canonicalization + duplicate-URL collapse — the recrawl dedup
     * every web corpus runs before content dedup: scheme and `www.`
     * drop (case-insensitive), host lowercased (paths stay

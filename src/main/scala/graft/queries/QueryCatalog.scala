@@ -1995,6 +1995,49 @@ object QueryCatalog {
       |  (CASE WHEN 100 * n * trail_days > 120 * trail THEN 1 ELSE 0 END)::INT AS spike
       |FROM w WHERE trail_days = 7""".stripMargin
 
+  /** p_budget_fill — water-filling token-budget allocation
+    * ([[graft.pipeline.Corpus.budgetFill]]): 80% of total tokens
+    * spread over languages by sqrt-flattened weight, capping at
+    * availability and redistributing the surplus (3 real cap rounds at
+    * sf0.01 — small languages exhaust first under the flattening, so
+    * the cascade is genuinely exercised; round 4 is the idempotent
+    * no-op both sides unroll). */
+  val pBudgetFill: Q = (s, d) => {
+    val avail = Tables.documents(s, d)
+      .select(col("lang").as("stratum"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy("stratum").agg(sum(col("n")).as("avail"))
+    Corpus.budgetFill(avail)
+  }
+
+  lazy val pBudgetFillSql: String = {
+    def share(prev: String, a: String) =
+      s"((((SELECT budget FROM b) - (SELECT coalesce(sum(CASE WHEN capped THEN alloc ELSE 0 END), 0) FROM $prev)) * $a.w) // " +
+        s"greatest((SELECT coalesce(sum(CASE WHEN NOT capped THEN w ELSE 0 END), 0) FROM $prev), 1))"
+    def roundOf(i: Int) = {
+      val prev = s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (SELECT s.stratum, s.avail, s.w,
+         |  s.capped OR ${share(prev, "s")} >= s.avail AS capped,
+         |  CASE WHEN NOT s.capped AND ${share(prev, "s")} >= s.avail
+         |    THEN s.avail ELSE s.alloc END AS alloc
+         |  FROM $prev s)""".stripMargin
+    }
+    val nTok = s"CASE WHEN length($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END"
+    s"""WITH avail AS (SELECT lang AS stratum, sum($nTok)::BIGINT AS avail
+       |  FROM documents GROUP BY 1),
+       |base AS (SELECT stratum, avail,
+       |  CASE WHEN (w0 + 1) * (w0 + 1) <= avail THEN w0 + 1
+       |    WHEN w0 * w0 > avail THEN w0 - 1 ELSE w0 END AS w
+       |  FROM (SELECT *, floor(sqrt(avail::DOUBLE))::BIGINT AS w0 FROM avail)),
+       |b AS (SELECT (sum(avail) * 8) // 10 AS budget FROM base),
+       |r0 AS (SELECT stratum, avail, w, false AS capped, 0::BIGINT AS alloc FROM base),
+       |${(1 to 4).map(roundOf).mkString(",\n")}
+       |SELECT f.stratum, f.avail,
+       |  (CASE WHEN f.capped THEN f.alloc ELSE ${share("r4", "f")} END)::BIGINT AS alloc,
+       |  f.capped::INT AS capped
+       |FROM r4 f""".stripMargin
+  }
+
   /** Train/test decontamination: 4-gram overlap of every corpus doc
     * against the benchmark slice (doc_id % 50 = 0). */
   val dContam: Q = (s, d) =>
@@ -4603,6 +4646,7 @@ object QueryCatalog {
     "e_retention" -> eRetention,
     "e_spike" -> eSpike,
     "m_flac" -> mFlac,
+    "p_budget_fill" -> pBudgetFill,
     "d_contam" -> dContam,
     "t_tfidf" -> tTfidf,
     "p_sample_strat" -> pSampleStrat,
@@ -4779,6 +4823,7 @@ object QueryCatalog {
     "e_retention" -> eRetentionSql,
     "e_spike" -> eSpikeSql,
     "m_flac" -> mFlacSql,
+    "p_budget_fill" -> pBudgetFillSql,
     "d_contam" -> dContamSql,
     "t_tfidf" -> tTfidfSql,
     "p_sample_strat" -> pSampleStratSql,

@@ -239,4 +239,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(("2024-01-08", 1)) === ((1L, 1.0)))
     assert(out.size === 5)
   }
+
+  test("budgetFill: cascading caps redistribute surplus; totals respect B") {
+    // avail 100/100/10000, weights 10/10/100, B = 80% of 10200 = 8160
+    // round 1: shares 680/680/6800 -> a and b cap at 100 each
+    // final: c gets (8160-200)*100//100 = 7960 (< 10000, uncapped)
+    val avail = Seq(("a", 100L), ("b", 100L), ("c", 10000L))
+      .toDF("stratum", "avail")
+    val out = graft.pipeline.Corpus.budgetFill(avail)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(out("a") === ((100L, 1)))
+    assert(out("b") === ((100L, 1)))
+    assert(out("c") === ((7960L, 0)))
+  }
 }
