@@ -1397,15 +1397,41 @@ object Analytics {
     * on the UNDIRECTED view of edges(src, dst). Deterministic; converges
     * in O(diameter) iterations. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // pre-partitioned on the iteration join key: each round shuffles only
-    // the (small) label table, never the edge table. NO distinct() on the
-    // undirected view: duplicate edges cannot change a min() aggregation,
-    // and the dedup was a full extra shuffle of the edge table (r6)
-    val und = edges.select(col("src"), col("dst"))
+    val und = undirectedView(edges)
+    ccFrom(und, und.select(col("src").as("v")).distinct()
+      .withColumn("component", col("v")), maxIter)
+  }
+
+  /** Incremental CC — the D5 carry-forward discipline applied to
+    * analytics: re-run min-label propagation SEEDED from a previous
+    * labeling (`prev`: (v, component)) after edges were added. Seeds
+    * are already component-coarse, so convergence takes the few hops
+    * that join the NEW edges' endpoints, not the old graph's diameter.
+    * Vertices absent from `prev` seed as themselves. A previous label
+    * is the min vertex id of its old component, so the seeded fixpoint
+    * EQUALS the full recomputation — the gate shares q11's oracle. */
+  def connectedComponentsIncremental(edges: DataFrame, prev: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val und = undirectedView(edges)
+    val seed = und.select(col("src").as("v")).distinct()
+      .join(prev.select(col("v"), col("component").as("_p")), Seq("v"), "left")
+      .withColumn("component", coalesce(col("_p"), col("v")))
+      .drop("_p")
+    ccFrom(und, seed, maxIter)
+  }
+
+  // pre-partitioned on the iteration join key: each round shuffles only
+  // the (small) label table, never the edge table. NO distinct() on the
+  // undirected view: duplicate edges cannot change a min() aggregation,
+  // and the dedup was a full extra shuffle of the edge table (r6)
+  private def undirectedView(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src")).localCheckpoint(eager = true)
-    var labels = und.select(col("src").as("v")).distinct()
-      .withColumn("component", col("v"))
+
+  private def ccFrom(und: DataFrame, labels0: DataFrame,
+      maxIter: Int): DataFrame = {
+    var labels = labels0
     // one min-label propagation hop; extra columns (the _old carry) ride
     // along untouched
     def step(df: DataFrame): DataFrame = {

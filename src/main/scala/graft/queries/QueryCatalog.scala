@@ -660,6 +660,20 @@ object QueryCatalog {
   val q11Cc: Q = (s, d) =>
     graft.enrich.Analytics.connectedComponentsAuto(s, GraphTables.hierarchy(s, d))
 
+  /** q59 — INCREMENTAL connected components
+    * ([[graft.enrich.Analytics.connectedComponentsIncremental]]): a
+    * deterministic 90% of the hierarchy edges label first (the "previous
+    * version"), then the FULL edge set re-converges from those seeds —
+    * the D5 carry-forward discipline applied to analytics. The seeded
+    * fixpoint must equal the from-scratch labeling, so the gate shares
+    * q11's oracle verbatim. */
+  val q59CcInc: Q = (s, d) => {
+    val all = GraphTables.hierarchy(s, d)
+    val old = all.filter(pmod(xxhash64(col("src"), col("dst")), lit(10)) =!= 0)
+    graft.enrich.Analytics.connectedComponentsIncremental(all,
+      graft.enrich.Analytics.connectedComponents(old))
+  }
+
   /** One unrolled min-label propagation step, shared by every CC oracle.
     * MATERIALIZED: each step references its predecessor twice — an
     * inlined CTE chain would re-evaluate l0 2^n times. */
@@ -4620,6 +4634,7 @@ object QueryCatalog {
     "q10_pagerank" -> q10Pagerank,
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
+    "q59_cc_inc" -> q59CcInc,
     "q11_cc_gx" -> q11CcGx,
     "q12_salted_join" -> q12SaltedJoin,
     "q13_asof" -> q13Asof,
@@ -4797,6 +4812,7 @@ object QueryCatalog {
     "q10_pagerank" -> q10PagerankSql,
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,
+    "q59_cc_inc" -> q11CcSql,
     "q11_cc_gx" -> q11CcSql,
     "q12_salted_join" -> q12SaltedJoinSql,
     "q13_asof" -> q13AsofSql,

@@ -401,4 +401,18 @@ class AnalyticsSpec extends AnyFunSuite {
     val one = perfect.select($"v", org.apache.spark.sql.functions.lit(1L).as("community"))
     assert(Analytics.modularity(edges, one).collect()(0).getDouble(1) === 0.0)
   }
+
+  test("connectedComponentsIncremental: seeded fixpoint equals full CC") {
+    // old graph: {1,2} and {3,4} separate; the new edge (2,3) merges them,
+    // and vertex 9 (new, isolated via (9,10)) self-seeds
+    val oldE = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val prev = Analytics.connectedComponents(oldE)
+    val allE = Seq((1L, 2L), (3L, 4L), (2L, 3L), (9L, 10L)).toDF("src", "dst")
+    val inc = Analytics.connectedComponentsIncremental(allE, prev)
+      .as[(Long, Long)].collect().toMap
+    val full = Analytics.connectedComponents(allE)
+      .as[(Long, Long)].collect().toMap
+    assert(inc === full)
+    assert(inc(4L) === 1L && inc(10L) === 9L)
+  }
 }
