@@ -98,11 +98,6 @@ object Corpus {
           .as("top_bigram_frac"))
   }
 
-  /** Portable PII patterns (pure RE2 subset — no backrefs/lookarounds — so
-    * the Java-regex Spark side and the RE2 DuckDB oracle match the same
-    * spans). Redaction order is fixed (email → IPv4 → phone) and counting
-    * runs against the SAME intermediate the replacement saw, so overlapping
-    * matches can never double-count. */
   /** Budget-constrained WATER-FILLING allocation over strata — the data
     * mixing step a training run executes after temperature flattening:
     * allocate a token budget (`budgetNum/budgetDen` of total
@@ -151,8 +146,12 @@ object Corpus {
         .select("stratum", "avail", "w", "capped", "alloc")
         .localCheckpoint(eager = true)
     }
+    // least(share, avail): with enough rounds the guard is a no-op
+    // (uncapped share < avail at the fixpoint); with too few it bounds
+    // the error to under-allocation, never an over-claimed stratum
     withPool(df).select(col("stratum"), col("avail"),
-      when(col("capped"), col("alloc")).otherwise(col("share")).as("alloc"),
+      when(col("capped"), col("alloc"))
+        .otherwise(least(col("share"), col("avail"))).as("alloc"),
       col("capped").cast("int").as("capped"))
   }
 
@@ -166,16 +165,22 @@ object Corpus {
     * canonical key at any scale. Every regex is ANCHORED (single
     * possible match), so Spark's replace-all and an oracle's
     * replace-first agree. */
-  def dedupByUrl(docs: DataFrame, url: Column): DataFrame = {
+  def dedupByUrl(docs: DataFrame, url: Column): DataFrame =
+    docs.withColumn("canonical_url", canonicalUrl(url))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+
+  /** The canonical form of one URL (see [[dedupByUrl]]). IDEMPOTENT —
+    * canonicalizing a canonical URL is a no-op (property-tested), the
+    * invariant that lets canonical keys be stored and re-joined. */
+  def canonicalUrl(url: Column): Column = {
     val noScheme = regexp_replace(url, "(?i)^[a-z][a-z0-9+.-]*://", "")
     val noWww = regexp_replace(noScheme, "(?i)^www\\.", "")
     val host = substring_index(noWww, "/", 1)
     val rest = noWww.substr(length(host) + 1, length(noWww))
     val restClean =
       regexp_replace(regexp_replace(rest, "[?#].*$", ""), "/+$", "")
-    docs.withColumn("canonical_url", concat(lower(host), restClean))
-      .groupBy(col("canonical_url"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+    concat(lower(host), restClean)
   }
 
   /** Gopher quality rules (Rae et al. 2021, App. A1.1) — the published
@@ -229,6 +234,11 @@ object Corpus {
       keep.cast("int").as("keep"))
   }
 
+  /** Portable PII patterns (pure RE2 subset — no backrefs/lookarounds — so
+    * the Java-regex Spark side and the RE2 DuckDB oracle match the same
+    * spans). Redaction order is fixed (email → IPv4 → phone) and counting
+    * runs against the SAME intermediate the replacement saw, so overlapping
+    * matches can never double-count. */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val phoneRe = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"

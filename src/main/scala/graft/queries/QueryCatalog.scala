@@ -2047,7 +2047,7 @@ object QueryCatalog {
        |r0 AS (SELECT stratum, avail, w, false AS capped, 0::BIGINT AS alloc FROM base),
        |${(1 to 4).map(roundOf).mkString(",\n")}
        |SELECT f.stratum, f.avail,
-       |  (CASE WHEN f.capped THEN f.alloc ELSE ${share("r4", "f")} END)::BIGINT AS alloc,
+       |  (CASE WHEN f.capped THEN f.alloc ELSE least(${share("r4", "f")}, f.avail) END)::BIGINT AS alloc,
        |  f.capped::INT AS capped
        |FROM r4 f""".stripMargin
   }

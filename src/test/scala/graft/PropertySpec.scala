@@ -420,4 +420,51 @@ class PropertySpec extends AnyFunSuite {
       }
     }, min = 6)
   }
+
+  test("property: canonicalUrl is idempotent and variant-insensitive") {
+    import TestSpark.spark.implicits._
+    val gen = for {
+      scheme <- Gen.oneOf("http://", "HTTPS://", "ftp://", "")
+      www <- Gen.oneOf("www.", "WWW.", "")
+      host <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString)
+      seg <- Gen.listOfN(2, Gen.alphaNumStr.map(_.take(5)))
+      q <- Gen.oneOf("", "?a=1&b=2", "#frag")
+      slash <- Gen.oneOf("", "/")
+    } yield s"$scheme$www$host.com${seg.mkString("/", "/", "")}$q$slash"
+    val urls = Gen.listOfN(300, gen).sample.get
+    val canon = graft.pipeline.Corpus.canonicalUrl _
+    val df = urls.toDF("u")
+      .select(col("u"), canon(col("u")).as("c1"))
+      .withColumn("c2", canon(col("c1")))
+    // idempotence: a canonical URL re-canonicalizes to itself
+    assert(df.filter(col("c1") =!= col("c2")).count() === 0L)
+    // variant-insensitivity: scheme/www/query/slash variants of one
+    // base URL all land on one canonical key
+    val variants = Seq("http://", "HTTPS://", "").flatMap(sc =>
+      Seq("www.", "").flatMap(w => Seq("", "?x=1").flatMap(q =>
+        Seq("", "/").map(t => s"$sc${w}base.com/A/b$q$t"))))
+    val keys = variants.toDF("u").select(canon(col("u")))
+      .distinct().as[String].collect()
+    assert(keys.toSeq === Seq("base.com/A/b"))
+  }
+
+  test("property: budgetFill never over-allocates a stratum or the budget") {
+    import TestSpark.spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(1L, 100000L)).map(_.take(8))
+    (1 to 5).foreach { _ =>
+      val avails = gen.sample.get
+      val df = avails.zipWithIndex.map { case (a, i) => (s"s$i", a) }
+        .toDF("stratum", "avail")
+      val out = graft.pipeline.Corpus.budgetFill(df, rounds = 8).collect()
+      val b = avails.sum * 8 / 10
+      out.foreach { r =>
+        val (avail, alloc, capped) =
+          (r.getLong(1), r.getLong(2), r.getInt(3))
+        assert(alloc <= avail, s"over-allocated: $alloc > $avail")
+        if (capped == 1) assert(alloc === avail)
+        else assert(alloc < avail)
+      }
+      assert(out.map(_.getLong(2)).sum <= b)
+    }
+  }
 }
