@@ -1275,4 +1275,12 @@ class CypherLiteSpec extends AnyFunSuite {
       d.executeQuery("MATCH (n:CLASS) RETURN DISTINCT n.name ORDER BY n.rank")
     }
   }
+
+  test("FOREACH composes with $param lists (the batch-write idiom)") {
+    val d = GraphDatabase.inMemory(spark)
+    d.executeQuery("FOREACH (nm IN $names | " +
+      "CREATE (n:CLASS:`tp` {full_name: nm, name: nm}))",
+      Map("names" -> Seq("p1", "p2")))
+    assert(d.nodes.count() === 2)
+  }
 }
