@@ -619,8 +619,9 @@ object CypherLite {
         i += 1
         w.toLowerCase match {
           case "coalesce" => coalesce(args.toSeq: _*)
-          case "tointeger" => args.head.cast("long")
-          case "tofloat" => args.head.cast("double")
+          // Cypher's toInteger/toFloat return null on junk — try_cast
+          case "tointeger" => args.head.try_cast("long")
+          case "tofloat" => args.head.try_cast("double")
           case "abs" => abs(args.head)
           // Cypher string functions, Neo4j semantics: toUpper/toLower,
           // trim family, literal (non-regex) replace, 0-BASED substring
@@ -1055,7 +1056,9 @@ object CypherLite {
         case Some(c) => (resolve(ref), c)
         case None =>
           if (numericLit.findFirstIn(raw).isDefined)
-            (resolve(ref).cast("double"), lit(raw.toDouble))
+            // try_cast: a non-numeric property compared to a number is
+            // NULL in Neo4j (row drops) — ANSI cast would THROW instead
+            (resolve(ref).try_cast("double"), lit(raw.toDouble))
           else (resolve(ref), lit(unquote(raw)))
       }
     }
@@ -1112,10 +1115,14 @@ object CypherLite {
     * var-length hop the props apply to EVERY relationship of the path,
     * Neo4j's semantics. */
   private def hopEdges(edges: DataFrame, hop: Hop): DataFrame = {
-    val types = hop.rel.split("\\|").map(_.trim)
+    // a null rel is the bare arrow: any relationship type
     val typePred =
-      if (types.length == 1) col("rel_type") === types(0)
-      else col("rel_type").isin(types.toSeq: _*)
+      if (hop.rel == null) lit(true)
+      else {
+        val types = hop.rel.split("\\|").map(_.trim)
+        if (types.length == 1) col("rel_type") === types(0)
+        else col("rel_type").isin(types.toSeq: _*)
+      }
     edges.filter(hop.props.foldLeft(typePred) {
       case (acc, (k, v)) => acc && element_at(col("props"), k) === v
     }).select(col("src"), col("rel_type"), col("dst"), col("props"))
@@ -1230,6 +1237,9 @@ object CypherLite {
         case bwdArrow(rv, rel, star, props) =>
           val (mn, mx) = parseStar(star)
           Hop(rel, reversed = true, mn, mx, parseProps(props), Option(rv))
+        // bare arrows: ANY relationship type (Neo4j's `-->`/`<--`)
+        case "-->" => Hop(null, reversed = false)
+        case "<--" => Hop(null, reversed = true)
         case other => throw new IllegalArgumentException(
           s"unsupported relationship pattern '$other' (directed arrows only)")
       }
@@ -1264,6 +1274,14 @@ object CypherLite {
         else if (c == quote) quote = 0
       } else if (c == '\'' || c == '"') quote = c
       else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '[')
+        return true
+      // full bare arrows only: `n.bal<-1` / `a-5 > b` must stay
+      // comparisons, so `-->` needs both dashes and `<--` all three chars
+      else if (c == '-' && i + 2 < s.length && s.charAt(i + 1) == '-' &&
+          s.charAt(i + 2) == '>')
+        return true
+      else if (c == '<' && i + 2 < s.length && s.charAt(i + 1) == '-' &&
+          s.charAt(i + 2) == '-')
         return true
       i += 1
     }

@@ -1283,4 +1283,23 @@ class CypherLiteSpec extends AnyFunSuite {
       Map("names" -> Seq("p1", "p2")))
     assert(d.nodes.count() === 2)
   }
+
+  test("bare arrows --> / <-- match any relationship type") {
+    val out = db.executeQuery(
+      "MATCH (c:CLASS)-->(m) RETURN m.full_name").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("m.Person.greet"))
+    val rev = db.executeQuery(
+      "MATCH (m:METHOD)<--(c) RETURN c.full_name").collect()
+    assert(rev.map(_.getString(0)).toSeq === Seq("m.Person"))
+    // bare arrow inside a pattern predicate
+    val pred = db.executeQuery(
+      "MATCH (n:sklearn) WHERE NOT (n)-->() RETURN n.full_name").collect()
+    assert(pred.map(_.getString(0)).sorted.toSeq ===
+      Seq("m.Person.greet", "m.util"))
+    // a no-space negative comparison must STILL parse as a comparison
+    // (null-propagating to zero rows here), never as a pattern arrow
+    val cmp = db.executeQuery(
+      "MATCH (n:sklearn) WHERE n.name<-1 RETURN count(n) AS c").collect()
+    assert(cmp(0).getLong(0) === 0L)
+  }
 }
