@@ -1854,6 +1854,10 @@ object CypherLite {
         body = body.substring(0, oi).trim
       }
     }
+    // WITH DISTINCT — Neo4j's pipe-level dedup (rows, after projection)
+    val isDistinct = body.regionMatches(true, 0, "DISTINCT", 0, 8) &&
+      body.length > 8 && !isWordChar(body.charAt(8))
+    if (isDistinct) body = body.substring(8).trim
     var newVars = Map.empty[String, String]
     var plain = Set.empty[String]
     val keys = scala.collection.mutable.ArrayBuffer.empty[Column]
@@ -1940,9 +1944,26 @@ object CypherLite {
       }
     }
     var out =
-      if (aggs.isEmpty) df0.select(keys.toSeq: _*)
-      else if (keys.isEmpty) df0.agg(aggs.head, aggs.tail.toSeq: _*)
-      else df0.groupBy(keys.toSeq: _*).agg(aggs.head, aggs.tail.toSeq: _*)
+      if (aggs.isEmpty) {
+        val sel = df0.select(keys.toSeq: _*)
+        if (!isDistinct) sel
+        else {
+          // a carried node variable dedups by its KEY (full_name): the
+          // carried struct holds a MAP column Spark can't set-op on,
+          // and rows sharing the key are identical node rows anyway
+          val dk = newVars.values.toSeq.sorted
+            .map(ca => (s"__dk_$ca", col(s"$ca.full_name")))
+          val withK = dk.foldLeft(sel) { case (d, (n, c)) => d.withColumn(n, c) }
+          withK.dropDuplicates(plain.toSeq.sorted ++ dk.map(_._1))
+            .drop(dk.map(_._1): _*)
+        }
+      } else {
+        require(!isDistinct,
+          "WITH DISTINCT with aggregation not supported (aggregate the " +
+            "distinct input in a prior pipe)")
+        if (keys.isEmpty) df0.agg(aggs.head, aggs.tail.toSeq: _*)
+        else df0.groupBy(keys.toSeq: _*).agg(aggs.head, aggs.tail.toSeq: _*)
+      }
     orderSpec.foreach { spec =>
       val sortKeys = splitTop(spec, ",").map { item =>
         val (ref, desc) = {

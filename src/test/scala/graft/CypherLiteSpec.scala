@@ -1302,4 +1302,15 @@ class CypherLiteSpec extends AnyFunSuite {
       "MATCH (n:sklearn) WHERE n.name<-1 RETURN count(n) AS c").collect()
     assert(cmp(0).getLong(0) === 0L)
   }
+
+  test("WITH DISTINCT dedups the pipe before downstream aggregation") {
+    val out = chainDb.executeQuery(
+      "MATCH (s:CLASS {name: 'a'})-[:INHERITS*]->(t) " +
+        "WITH DISTINCT t RETURN count(t) AS n").collect()
+    assert(out(0).getLong(0) === 4L) // 6 paths, 4 distinct targets
+    intercept[IllegalArgumentException] {
+      chainDb.executeQuery("MATCH (s:CLASS)-[:INHERITS]->(t) " +
+        "WITH DISTINCT count(t) AS n RETURN n")
+    }
+  }
 }
