@@ -46,6 +46,7 @@ object Bench {
       graft.store.GraphTables.nodes(spark, sfDir).count()
       graft.store.GraphTables.edges(spark, sfDir).count()
       graft.store.GraphTables.coPurchase(spark, sfDir).count()
+      graft.store.GraphTables.ccPrev(spark, sfDir).count()
     } catch { case _: Throwable => () }
     // three timed runs per query: single-shot timings swung 3-5x on
     // identical code in early rounds (GC/page-cache ambient noise). The

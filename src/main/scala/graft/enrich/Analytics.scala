@@ -1402,14 +1402,21 @@ object Analytics {
       .withColumn("component", col("v")), maxIter)
   }
 
-  /** Incremental CC — the D5 carry-forward discipline applied to
-    * analytics: re-run min-label propagation SEEDED from a previous
-    * labeling (`prev`: (v, component)) after edges were added. Seeds
-    * are already component-coarse, so convergence takes the few hops
-    * that join the NEW edges' endpoints, not the old graph's diameter.
-    * Vertices absent from `prev` seed as themselves. A previous label
-    * is the min vertex id of its old component, so the seeded fixpoint
-    * EQUALS the full recomputation — the gate shares q11's oracle. */
+  /** Incremental CC by CONTRACTION — the D5 carry-forward discipline
+    * applied to analytics: after edges were added, map every edge to
+    * its endpoints' PREVIOUS labels (`prev`: (v, component); new
+    * vertices self-seed), keep only the non-self label pairs — the
+    * component-level graph, which is TINY (one node per touched old
+    * component, edges only where a new edge actually bridges) — run CC
+    * there, and relabel. Total cost is ONE edge-table double-join plus
+    * a CC on the contracted graph, instead of re-propagating across
+    * the full graph's diameter (the naive re-seed converged barely
+    * faster than from scratch: label chains still crossed the whole
+    * component graph hop by hop over full-size rounds). A previous
+    * label is the min vertex id of its old component and the
+    * contracted CC takes min over merged label sets, so the result
+    * provably EQUALS the full recomputation — the gate shares q11's
+    * oracle. */
   def connectedComponentsIncremental(edges: DataFrame, prev: DataFrame,
       maxIter: Int = 20): DataFrame = {
     val und = undirectedView(edges)
@@ -1417,7 +1424,23 @@ object Analytics {
       .join(prev.select(col("v"), col("component").as("_p")), Seq("v"), "left")
       .withColumn("component", coalesce(col("_p"), col("v")))
       .drop("_p")
-    ccFrom(und, seed, maxIter)
+      .localCheckpoint(eager = true)
+    val contracted = und
+      .join(seed.select(col("v").as("src"), col("component").as("cs")), "src")
+      .join(seed.select(col("v").as("dst"), col("component").as("cd")), "dst")
+      .filter(col("cs") =!= col("cd"))
+      .select(col("cs").as("src"), col("cd").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val merged = ccFrom(undirectedView(contracted),
+      contracted.select(col("src").as("v"))
+        .union(contracted.select(col("dst").as("v"))).distinct()
+        .withColumn("component", col("v")), maxIter)
+    // merged: (v = old label, component = new min label) → relabel
+    seed
+      .join(merged.select(col("v").as("component"), col("component").as("_m")),
+        Seq("component"), "left")
+      .select(col("v"), coalesce(col("_m"), col("component")).as("component"))
   }
 
   // pre-partitioned on the iteration join key: each round shuffles only

@@ -667,12 +667,9 @@ object QueryCatalog {
     * the D5 carry-forward discipline applied to analytics. The seeded
     * fixpoint must equal the from-scratch labeling, so the gate shares
     * q11's oracle verbatim. */
-  val q59CcInc: Q = (s, d) => {
-    val all = GraphTables.hierarchy(s, d)
-    val old = all.filter(pmod(xxhash64(col("src"), col("dst")), lit(10)) =!= 0)
-    graft.enrich.Analytics.connectedComponentsIncremental(all,
-      graft.enrich.Analytics.connectedComponents(old))
-  }
+  val q59CcInc: Q = (s, d) =>
+    graft.enrich.Analytics.connectedComponentsIncremental(
+      GraphTables.hierarchy(s, d), GraphTables.ccPrev(s, d))
 
   /** One unrolled min-label propagation step, shared by every CC oracle.
     * MATERIALIZED: each step references its predecessor twice — an

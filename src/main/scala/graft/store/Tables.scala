@@ -263,6 +263,21 @@ object GraphTables {
   def hierarchy(s: SparkSession, d: String): DataFrame =
     edges(s, d).filter(col("rel_type").isin("PLACED_BY", "IN_NATION", "IN_REGION"))
 
+  /** Previous-version CC labels (the hierarchy minus a deterministic 10%
+    * of its edges) — the PERSISTED input of the incremental-CC gate.
+    * Production stores the last run's labels (that is the entire point
+    * of incrementality); re-deriving them inside the query would
+    * double-count the very work the incremental path avoids, so they
+    * persist through the same fingerprinted versioned layout as the
+    * other derived tables. */
+  def ccPrev(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "ccprev") {
+      val old = hierarchy(s, d)
+        .filter(pmod(xxhash64(col("src"), col("dst")), lit(10)) =!= 0)
+      graft.enrich.Analytics.connectedComponents(old)
+        .repartition(col("v")).sortWithinPartitions("v")
+    }
+
   /** The undirected co-purchase graph in canonical form — (src, dst, w)
     * with src < dst and w = number of shared orders, kept when w ≥ 2.
     * Deriving it is a lineitem self-join (the most expensive graph-table
