@@ -184,4 +184,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
       s"pattern predicates must stay equi-joins; plan:\n$plan")
   }
+
+  test("incremental CC's previous labels are a PERSISTED parquet scan") {
+    // the incremental-CC gate's whole point: prev labels come from the
+    // fingerprinted ccprev derived table (production stores the last
+    // run's labels); re-running the old-graph CC in-query would
+    // double-count the very work incrementality avoids. The q59 plan
+    // itself hides file scans behind its localCheckpoint boundary, so
+    // the gate asserts the TABLE's provenance: resolving it twice must
+    // plan a ccprev parquet scan, never a CC loop.
+    val prev = graft.store.GraphTables.ccPrev(spark, sf)
+    val scans = fileScans(prev.queryExecution.executedPlan)
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(scans.nonEmpty && scans.forall(_.contains("ccprev")),
+      s"ccPrev must be a materialized parquet scan, scans:\n${scans.mkString("\n")}")
+  }
 }
