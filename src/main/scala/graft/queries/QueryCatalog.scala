@@ -4299,6 +4299,38 @@ object QueryCatalog {
       |UNION ALL SELECT user_id, 3, 'signup', t FROM s3
       |UNION ALL SELECT user_id, 4, 'purchase', t FROM s4""".stripMargin
 
+  /** st_retention — streaming cohort emission
+    * ([[graft.streaming.Streams.streamingCohorts]]): per-user
+    * (cohort, seen-weeks bitmask) state over the high-value-purchase
+    * stream, batch-aggregated from the emitted (user, offset) pairs to
+    * the SAME cohort table the batch operator produces — so the gate
+    * shares e_retention's oracle verbatim. */
+  val stRetention: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val evs = eventsOrdered(s, d)
+      .filter(e => e.event_type == "purchase" && e.value > 90)
+    val sink = StreamReplay.replay(s, evs, "st_retention", "append",
+      batches = 6) {
+      df => {
+        import s.implicits._
+        Streams.streamingCohorts(df.as[Streams.Event]).toDF()
+      }
+    }
+    // week-0 size via a cohort window, not a sink self-join (the memory
+    // sink's attributes conflict when joined to themselves)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cohort_us")
+    sink.groupBy(col("cohort_us"), col("week_offset"))
+      .agg(count(lit(1)).as("users"))
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("users"))).over(w))
+      .select(
+        date_format(timestamp_micros(col("cohort_us")), "yyyy-MM-dd")
+          .as("cohort"),
+        col("week_offset"), col("users"),
+        round(col("users").cast("double") / col("cohort_size"), 6).as("rate"))
+  }
+
   val stWindow: Q = (s, d) => {
     import s.implicits._
     StreamReplay.replay(s, eventsOrdered(s, d), "st_window", "update") {
@@ -4765,6 +4797,7 @@ object QueryCatalog {
     "st_screen" -> stScreen,
     "st_dedup" -> stDedup,
     "st_funnel" -> stFunnel,
+    "st_retention" -> stRetention,
     "st_cms" -> stCms,
     "q46_btw" -> q46Btw,
     "q46_btw_gx" -> q46BtwGx,
@@ -4943,6 +4976,7 @@ object QueryCatalog {
     "st_screen" -> stScreenSql,
     "st_dedup" -> stDedupSql,
     "st_funnel" -> stFunnelSql,
+    "st_retention" -> eRetentionSql,
     "st_cms" -> stCmsSql,
     "q46_btw" -> q46BtwSql,
     "q46_btw_gx" -> q46BtwSql,

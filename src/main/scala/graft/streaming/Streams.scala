@@ -113,6 +113,52 @@ object Streams {
       }
   }
 
+  final case class CohortState(cohortUs: Long, seen: Long)
+  final case class CohortOut(user_id: Long, cohort_us: Long, week_offset: Int)
+
+  /** Streaming cohort emission — the stateful twin of
+    * [[graft.pipeline.Sessions.retention]]'s per-user normalization:
+    * each user's state is (cohort week µs, a SEEN-WEEKS BITMASK), so a
+    * (user, week-offset) pair emits exactly once in append mode and
+    * per-user state is two longs regardless of history length. Weeks
+    * are Monday-truncated in UTC (pure epoch-µs integer arithmetic —
+    * identical to `date_trunc('week')` in a UTC session); offsets
+    * beyond 63 raise (the bitmask bound — ~1.2 years of weekly
+    * offsets; widen to an array state before that horizon matters).
+    * Downstream cohort counts are a plain batch aggregation of the
+    * emitted pairs. In-order delivery is the caller's contract, as in
+    * [[streamingFunnel]]. */
+  def streamingCohorts(events: Dataset[Event]): Dataset[CohortOut] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val weekUs = 7L * 86400L * 1000000L
+    def weekStart(u: Long): Long = {
+      val day = Math.floorDiv(u, 86400L * 1000000L)
+      // epoch day 0 is a THURSDAY = 3 days past Monday
+      (day - Math.floorMod(day + 3, 7)) * 86400L * 1000000L
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[CohortState]) =>
+          var s = state.getOption.getOrElse(CohortState(Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CohortOut]
+          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val wk = weekStart(us(e.ts))
+            if (s.cohortUs == Long.MinValue) s = CohortState(wk, 0L)
+            val off = ((wk - s.cohortUs) / weekUs).toInt
+            require(off >= 0 && off <= 63,
+              s"week offset $off outside the 64-week bitmask state")
+            if ((s.seen & (1L << off)) == 0L) {
+              s = s.copy(seen = s.seen | (1L << off))
+              out += CohortOut(uid, s.cohortUs, off)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Continuous graph ingest — the streaming upgrade of the reference's
     * batch-only pipeline: each micro-batch of symbol events merges into
     * the snapshot directory with the SAME set-oriented A1–A4 semantics as
