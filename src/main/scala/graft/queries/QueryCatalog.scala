@@ -20,7 +20,15 @@ import graft.pipeline.{Corpus, Dedup, Similarity}
   *    ranking/filter that depends on it;
   *  - counts are cast to BIGINT on both sides;
   *  - timestamps are emitted as formatted strings;
-  *  - top-k/window orderings always carry a unique tie-break key.
+  *  - top-k/window orderings always carry a unique tie-break key;
+  *  - NO `-0.0` ever reaches an output column: Spark's BigDecimal-backed
+  *    round always yields `+0.0`, but DuckDB's round preserves the IEEE
+  *    sign of a tiny negative input — so every oracle `round()` whose
+  *    argument can be negative (cosines, centroid/component means,
+  *    assortativity, modularity, Flesch) appends `+ 0.0`, which
+  *    IEEE-forces `-0.0` to `+0.0` and is an exact no-op on every other
+  *    value (NULL stays NULL). tools/check_oracle.py scans both engines'
+  *    outputs for a signed zero and fails the query if one appears.
   */
 object QueryCatalog {
   private type Q = (SparkSession, String) => DataFrame
@@ -660,12 +668,17 @@ object QueryCatalog {
   val q11Cc: Q = (s, d) =>
     graft.enrich.Analytics.connectedComponentsAuto(s, GraphTables.hierarchy(s, d))
 
-  /** q59 — INCREMENTAL connected components
+  /** q59 — INCREMENTAL connected components by CONTRACTION
     * ([[graft.enrich.Analytics.connectedComponentsIncremental]]): a
     * deterministic 90% of the hierarchy edges label first (the "previous
-    * version"), then the FULL edge set re-converges from those seeds —
-    * the D5 carry-forward discipline applied to analytics. The seeded
-    * fixpoint must equal the from-scratch labeling, so the gate shares
+    * version", persisted as the fingerprinted `ccprev` derived table),
+    * then the FULL edge set is mapped to those previous labels, only the
+    * non-self label PAIRS are kept (the tiny component-level graph), CC
+    * runs on that contracted graph, and vertices relabel through the
+    * merge map — one edge double-join regardless of graph diameter.
+    * Because a previous label is its old component's min vertex id and
+    * the contracted CC takes min over merged label sets, the result
+    * provably equals the from-scratch labeling, so the gate shares
     * q11's oracle verbatim. */
   val q59CcInc: Q = (s, d) =>
     graft.enrich.Analytics.connectedComponentsIncremental(
@@ -1399,7 +1412,7 @@ object QueryCatalog {
        |  round(206.835
        |    - 1.015 * greatest($nTok, 1)::DOUBLE / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE
        |    - 84.6 * greatest(len(regexp_extract_all($normSql, '[aeiouy]+')), greatest($nTok, 1))::DOUBLE
-       |        / greatest($nTok, 1)::DOUBLE, 4) AS flesch
+       |        / greatest($nTok, 1)::DOUBLE, 4) + 0.0 AS flesch
        |FROM documents""".stripMargin
   }
 
@@ -1852,12 +1865,15 @@ object QueryCatalog {
        |QUALIFY rank <= 10""".stripMargin
 
   /** Cosine between two aliased list columns, DuckDB side (mirrors
-    * Similarity.cosine / CosineSim exactly; 64-dim). */
+    * Similarity.cosine / CosineSim exactly; 64-dim). The trailing
+    * `+ 0.0` IEEE-normalizes `-0.0` (a tiny negative cosine rounded to
+    * zero keeps its sign in DuckDB's round; Spark's BigDecimal-backed
+    * round always yields `+0.0`) so both engines emit identical bytes. */
   private def cosOf(a: String, b: String): String =
-    s"""round(
+    s"""(round(
        |  list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)
        |  / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (x, y) -> x + y))
-       |   * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y))), 4)""".stripMargin
+       |   * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y))), 4) + 0.0)""".stripMargin
 
   /** Rolling hash of vec_id::VARCHAR, DuckDB side — the
     * [[graft.pipeline.Similarity.centroidSeeds]] selection key: the
@@ -2233,7 +2249,7 @@ object QueryCatalog {
           / count(lit(1)), 4).as("mean_v"))
 
   val sCentroidsSql: String =
-    """SELECT label, dim, round(CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS mean_v
+    """SELECT label, dim, round(CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) + 0.0 AS mean_v
       |FROM (SELECT label, unnest(range(0, 64)) AS dim, unnest(embedding)::DOUBLE AS v FROM embeddings)
       |GROUP BY label, dim""".stripMargin
 
@@ -2468,7 +2484,7 @@ object QueryCatalog {
        |  (SELECT l.community, sum(d.deg) AS d_c FROM lab l
        |   JOIN degt d ON l.v = d.v GROUP BY 1)),
        |mt AS (SELECT count(*) AS m FROM ce)
-       |SELECT m::BIGINT AS m, round((4.0 * m * s1 - s2) / (4.0 * m * m), 6) AS q
+       |SELECT m::BIGINT AS m, round((4.0 * m * s1 - s2) / (4.0 * m * m), 6) + 0.0 AS q
        |FROM s1t, s2t, mt""".stripMargin
 
   val q24TrianglesSql: String =
@@ -2750,7 +2766,7 @@ object QueryCatalog {
       |sums AS (SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
       |  sum(dx*dy) AS sxy, sum(dx*dx) AS sxx, sum(dy*dy) AS syy FROM p)
       |SELECT round((m*sxy - sx*sy)::DOUBLE
-      |  / (sqrt((m*sxx - sx*sx)::DOUBLE) * sqrt((m*syy - sy*sy)::DOUBLE)), 6) AS assortativity,
+      |  / (sqrt((m*sxx - sx*sx)::DOUBLE) * sqrt((m*syy - sy*sy)::DOUBLE)), 6) + 0.0 AS assortativity,
       |  m::BIGINT AS m
       |FROM sums""".stripMargin
 
@@ -3927,8 +3943,10 @@ object QueryCatalog {
          |  SELECT e.embedding, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cid) AS rk
          |  FROM embeddings e CROSS JOIN $ci c) WHERE rk = 1)""".stripMargin
+    // `round(…) + 0.0` forces any `-0.0` (tiny negative component mean,
+    // sign preserved by DuckDB's round but not Spark's) to `+0.0`.
     def meanOf(ai: String, out: String) =
-      s"""$out AS MATERIALIZED (SELECT cid, dim, round(CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS mean_v
+      s"""$out AS MATERIALIZED (SELECT cid, dim, round(CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) + 0.0 AS mean_v
          |FROM (SELECT cid, unnest(range(0, 64)) AS dim, unnest(embedding)::DOUBLE AS v FROM $ai) GROUP BY cid, dim)""".stripMargin
     s"""WITH c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> round(x::DOUBLE, 4)) AS cv FROM embeddings ORDER BY $rollhVecId, vec_id LIMIT 8),
        |${assign("c0", "a1")},

@@ -467,4 +467,35 @@ class PropertySpec extends AnyFunSuite {
       assert(out.map(_.getLong(2)).sum <= b)
     }
   }
+
+  /** The catalog's zero-sign invariant (QueryCatalog header): Spark's
+    * round never emits IEEE `-0.0`, and the oracle-side `round(…) + 0.0`
+    * normalization is exact — it flips `-0.0` to `+0.0` and is a bitwise
+    * no-op on every other double. DuckDB's round DOES preserve the sign
+    * of a tiny negative (the r10 `s_kmeans` hash failure), so both halves
+    * of this law are what keep the two engines byte-identical. */
+  test("property: Spark round never emits -0.0; `+ 0.0` normalization is exact") {
+    import TestSpark.spark.implicits._
+    def rawBits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    val negZeroBits = rawBits(-0.0)
+
+    // tiny negatives (round → zero) plus ordinary magnitudes, both signs
+    val tiny = Gen.chooseNum(1e-12, 4.9e-5).map(-_)
+    val anyD = Gen.oneOf(tiny, Gen.chooseNum(-1e6, 1e6), Gen.const(-0.0))
+    val samples = (1 to 400).flatMap(_ => anyD.sample) :+ -0.0 :+ -1e-9
+    val rounded = samples.toDF("x")
+      .select(round(col("x"), 4).as("r"), round(col("x"), 6).as("r6"))
+      .collect()
+    rounded.foreach { row =>
+      Seq(row.getDouble(0), row.getDouble(1)).foreach { r =>
+        assert(rawBits(r) != negZeroBits, s"Spark round emitted -0.0")
+      }
+    }
+    // + 0.0 law: kills the sign of zero, exact no-op elsewhere
+    samples.foreach { x =>
+      val n = x + 0.0
+      if (x == 0.0) assert(rawBits(n) == rawBits(0.0))
+      else assert(rawBits(n) == rawBits(x))
+    }
+  }
 }

@@ -6,6 +6,7 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 """
 import sys, os, json, hashlib
 import duckdb
+import numpy as np
 import pyarrow.parquet as pq
 import pandas as pd
 
@@ -22,6 +23,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         else:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def negzero_cols(df: pd.DataFrame):
+    """Columns containing IEEE -0.0 — invisible to the value compare below
+    (pandas treats -0.0 == +0.0) but byte-different under the driver's raw
+    hash. The catalog invariant is that NEITHER engine ever emits one."""
+    bad = []
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            v = df[c].to_numpy(dtype="float64", na_value=np.nan)
+            if np.any((v == 0.0) & np.signbit(v)):
+                bad.append(c)
+    return bad
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -44,6 +57,11 @@ def main():
             duck_df = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        nz_s, nz_d = negzero_cols(spark_df), negzero_cols(duck_df)
+        if nz_s or nz_d:
+            print(f"FAIL {name}: -0.0 present (spark={nz_s} duck={nz_d}) — "
+                  "byte-hash hazard; normalize with `round(...) + 0.0`")
+            n_fail += 1; continue
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns differ spark={list(a.columns)} duck={list(b.columns)}")
