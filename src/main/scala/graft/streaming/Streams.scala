@@ -85,31 +85,62 @@ object Streams {
     * completed, last completion µs); each micro-batch's events process
     * in (ts, event_id) order and every step COMPLETION emits exactly
     * one append-mode row. State is two numbers per user and strictly
-    * monotone (the step only advances), so state size is O(active
-    * users) and a completion can never re-emit. In-order delivery
-    * across batches is the caller's contract (the replay harness feeds
-    * event-time order; a production deployment fronts this with a
-    * watermarked sort or accepts missed advancement on disorder). */
-  def streamingFunnel(events: Dataset[Event], steps: Seq[String])
-      : Dataset[FunnelOut] = {
+    * monotone (the step only advances), so a completion can never
+    * re-emit; users who never enter the funnel store NO state at all.
+    * In-order delivery across batches is the caller's contract (the
+    * replay harness feeds event-time order; a production deployment
+    * fronts this with a watermarked sort or accepts missed advancement
+    * on disorder).
+    *
+    * `stateTtlSeconds` is the production state bound (the streaming
+    * spelling of the batch funnel's `maxGapSeconds` conversion window):
+    * when set, the input MUST carry a watermark (`withWatermark("ts",
+    * …)`), the timeout mode is event-time, and a user's state expires
+    * once the watermark passes `ttl` past their last step completion —
+    * so state is O(users inside their conversion window), not O(every
+    * user ever seen). Events at or behind the watermark are ignored, so
+    * a late straggler can neither advance nor resurrect an expired
+    * funnel; a FRESH (in-watermark) event after expiry starts a new
+    * funnel from step 1, exactly the conversion-window reading. None
+    * (the default, and the replay-gate configuration) keeps the
+    * unbounded-window semantics the batch oracle replays. */
+  def streamingFunnel(events: Dataset[Event], steps: Seq[String],
+      stateTtlSeconds: Option[Long] = None): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
     def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val timeoutConf = if (stateTtlSeconds.isDefined)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (uid, it, state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
-          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
-            if (s.step < steps.length && e.event_type == steps(s.step) &&
-                us(e.ts) > s.lastUs) {
-              s = FunnelState(s.step + 1, us(e.ts))
-              out += FunnelOut(uid, s.step, e.event_type, s.lastUs)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wmUs = stateTtlSeconds
+              .map(_ => state.getCurrentWatermarkMs() * 1000L)
+            var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+            it.toSeq.sortBy(e => (us(e.ts), e.event_id))
+              .filter(e => wmUs.forall(us(e.ts) >= _))
+              .foreach { e =>
+                if (s.step < steps.length && e.event_type == steps(s.step) &&
+                    us(e.ts) > s.lastUs) {
+                  s = FunnelState(s.step + 1, us(e.ts))
+                  out += FunnelOut(uid, s.step, e.event_type, s.lastUs)
+                }
+              }
+            if (s.step == 0) { if (state.exists) state.remove() }
+            else {
+              state.update(s)
+              stateTtlSeconds.foreach { ttl =>
+                state.setTimeoutTimestamp(math.max(
+                  state.getCurrentWatermarkMs() + 1L,
+                  s.lastUs / 1000L + ttl * 1000L))
+              }
             }
+            out.iterator
           }
-          state.update(s)
-          out.iterator
       }
   }
 
@@ -122,13 +153,25 @@ object Streams {
     * (user, week-offset) pair emits exactly once in append mode and
     * per-user state is two longs regardless of history length. Weeks
     * are Monday-truncated in UTC (pure epoch-µs integer arithmetic —
-    * identical to `date_trunc('week')` in a UTC session); offsets
-    * beyond 63 raise (the bitmask bound — ~1.2 years of weekly
-    * offsets; widen to an array state before that horizon matters).
-    * Downstream cohort counts are a plain batch aggregation of the
-    * emitted pairs. In-order delivery is the caller's contract, as in
-    * [[streamingFunnel]]. */
-  def streamingCohorts(events: Dataset[Event]): Dataset[CohortOut] = {
+    * identical to `date_trunc('week')` in a UTC session). Offsets
+    * outside the 64-week bitmask horizon (or negative, under
+    * out-of-order delivery) emit NOTHING, gracefully — a single
+    * long-lived user must degrade to a missing data point, never
+    * poison the whole query. Downstream cohort counts are a plain
+    * batch aggregation of the emitted pairs. In-order delivery is the
+    * caller's contract, as in [[streamingFunnel]].
+    *
+    * `expireAtHorizon = true` is the production state bound: the input
+    * must carry a watermark, the timeout mode is event-time, and a
+    * user's state expires once the watermark passes their cohort start
+    * + 64 weeks — past that point the bitmask can never emit again, so
+    * the state is dead weight. Events at or behind the watermark are
+    * ignored (no late resurrection); a FRESH event after expiry
+    * re-enters the user as a NEW cohort — the standard "resurrected
+    * user" reading of a horizon-capped cohort analysis. The default
+    * `false` keeps the replay-gate semantics the batch oracle shares. */
+  def streamingCohorts(events: Dataset[Event],
+      expireAtHorizon: Boolean = false): Dataset[CohortOut] = {
     import events.sparkSession.implicits._
     def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
     val weekUs = 7L * 86400L * 1000000L
@@ -137,25 +180,38 @@ object Streams {
       // epoch day 0 is a THURSDAY = 3 days past Monday
       (day - Math.floorMod(day + 3, 7)) * 86400L * 1000000L
     }
+    val timeoutConf = if (expireAtHorizon)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[CohortState, CohortOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (uid, it, state: GroupState[CohortState]) =>
-          var s = state.getOption.getOrElse(CohortState(Long.MinValue, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[CohortOut]
-          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
-            val wk = weekStart(us(e.ts))
-            if (s.cohortUs == Long.MinValue) s = CohortState(wk, 0L)
-            val off = ((wk - s.cohortUs) / weekUs).toInt
-            require(off >= 0 && off <= 63,
-              s"week offset $off outside the 64-week bitmask state")
-            if ((s.seen & (1L << off)) == 0L) {
-              s = s.copy(seen = s.seen | (1L << off))
-              out += CohortOut(uid, s.cohortUs, off)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wmUs = if (expireAtHorizon)
+              state.getCurrentWatermarkMs() * 1000L else Long.MinValue
+            var s = state.getOption.getOrElse(CohortState(Long.MinValue, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[CohortOut]
+            it.toSeq.sortBy(e => (us(e.ts), e.event_id))
+              .filter(e => us(e.ts) >= wmUs)
+              .foreach { e =>
+                val wk = weekStart(us(e.ts))
+                if (s.cohortUs == Long.MinValue) s = CohortState(wk, 0L)
+                val off = ((wk - s.cohortUs) / weekUs).toInt
+                if (off >= 0 && off <= 63 && (s.seen & (1L << off)) == 0L) {
+                  s = s.copy(seen = s.seen | (1L << off))
+                  out += CohortOut(uid, s.cohortUs, off)
+                }
+              }
+            if (s.cohortUs != Long.MinValue) {
+              state.update(s)
+              if (expireAtHorizon)
+                state.setTimeoutTimestamp(math.max(
+                  state.getCurrentWatermarkMs() + 1L,
+                  (s.cohortUs + 64L * weekUs) / 1000L))
             }
+            out.iterator
           }
-          state.update(s)
-          out.iterator
       }
   }
 

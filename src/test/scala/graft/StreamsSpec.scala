@@ -351,4 +351,97 @@ class StreamsSpec extends AnyFunSuite {
       (1L, 1, 1000000L), (1L, 2, 2000000L), (1L, 3, 3500000L),
       (2L, 1, 2500000L)))
   }
+
+  private def ev(id: Long, ms: Long, uid: Long, t: String) =
+    Streams.Event(id, new java.sql.Timestamp(ms), uid, t, 0.0)
+
+  /** Drive `xform` over per-batch chunks with a 0s watermark, returning
+    * (sink rows, state rows after the final batch). Each addData +
+    * processAllAvailable is one watermark step, so event-time timeouts
+    * actually fire. */
+  private def runTtl(label: String, chunks: Seq[Seq[Streams.Event]])
+      (xform: org.apache.spark.sql.Dataset[Streams.Event]
+        => org.apache.spark.sql.DataFrame)
+      : (Array[org.apache.spark.sql.Row], Long) = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = xform(mem.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName(label)
+      .outputMode("append").start()
+    try chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    (spark.table(label).collect(),
+      q.lastProgress.stateOperators(0).numRowsTotal)
+  }
+
+  test("streamingFunnel TTL: expired state is dropped, late events can't " +
+    "resurrect a funnel, fresh events restart one") {
+    val hourMs = 3600L * 1000L
+    val (rows, stateRows) = runTtl("funnel_ttl", Seq(
+      // u1 enters the funnel (step 1, timeout = +10s past completion)
+      Seq(ev(1, 1000, 1, "view")),
+      // u9 advances the watermark far past u1's TTL → u1's state expires
+      Seq(ev(2, hourMs, 9, "view")),
+      Seq(ev(3, hourMs + 1000, 9, "click")),
+      // LATE u1 click (behind the watermark): pre-expiry this was the
+      // step-2 completion; it must be ignored, not resurrect the funnel
+      Seq(ev(4, 5000, 1, "click")),
+      // FRESH u1 view: starts a NEW funnel from step 1
+      Seq(ev(5, 2 * hourMs, 1, "view")))) { ds =>
+      import spark.implicits._
+      Streams.streamingFunnel(ds, Seq("view", "click"),
+        stateTtlSeconds = Some(10L)).toDF()
+    }
+    val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 1, 1000000L),               // original entry
+      (9L, 1, hourMs * 1000L), (9L, 2, (hourMs + 1000) * 1000L),
+      (1L, 1, 2 * hourMs * 1000L)))    // fresh restart — NOT a step 2
+    // u1's first state expired, and so did u9's (its TTL also passed
+    // once the final batch advanced the watermark); only the restarted
+    // u1 funnel remains
+    assert(stateRows === 1L)
+  }
+
+  test("streamingCohorts horizon TTL: state expires past 64 weeks, late " +
+    "events ignored, returning user re-enters as a new cohort") {
+    val weekMs = 7L * 86400L * 1000L
+    // Monday week boundary: 2024-01-01 is a Monday
+    val t0 = Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val (rows, stateRows) = runTtl("cohort_ttl", Seq(
+      Seq(ev(1, t0, 1, "purchase")),                  // u1 cohort week 0
+      Seq(ev(2, t0 + 65 * weekMs, 9, "purchase")),    // wm → past horizon
+      Seq(ev(3, t0 + 66 * weekMs, 9, "purchase")),    // u1 expires here
+      Seq(ev(4, t0 + 1 * weekMs, 1, "purchase")),     // LATE u1 — ignored
+      Seq(ev(5, t0 + 67 * weekMs, 1, "purchase")))) { ds =>
+      Streams.streamingCohorts(ds, expireAtHorizon = true).toDF()
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // Monday-aligned week start, same arithmetic as the operator
+    // (epoch day 0 is a Thursday = 3 days past Monday)
+    val day0 = Math.floorDiv(t0, 86400000L)
+    val wk0 = (day0 - Math.floorMod(day0 + 3, 7)) * 86400000L
+    def wkUs(w: Long) = (wk0 + w * weekMs) * 1000L
+    assert(got === Set(
+      (1L, wkUs(0), 0),   // original cohort entry
+      (9L, wkUs(65), 0), (9L, wkUs(65), 1),
+      (1L, wkUs(67), 0))) // resurrection: NEW cohort, offset 0 again
+    assert(stateRows === 2L) // u1's original state gone; u9 + new u1
+  }
+
+  test("streamingCohorts clamps beyond-horizon offsets instead of failing") {
+    import graft.queries.StreamReplay
+    val weekMs = 7L * 86400L * 1000L
+    val t0 = Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    // a 70-week-lived user: offsets 0 and 70 — the latter must be a
+    // silent no-emit (it used to throw and kill the whole query)
+    val rows = Seq(ev(1, t0, 1, "purchase"),
+      ev(2, t0 + 70 * weekMs, 1, "purchase"),
+      ev(3, t0 + 70 * weekMs + 1000, 2, "purchase"))
+    val out = StreamReplay.replay(spark, rows, "cohort_clamp", "append",
+      batches = 2) { df =>
+      Streams.streamingCohorts(df.as[Streams.Event]).toDF()
+    }.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(out === Set((1L, 0), (2L, 0)))
+  }
 }
