@@ -443,9 +443,14 @@ object CypherLite {
   /** `count([DISTINCT] …)` column, shared by RETURN and WITH items.
     * `count(v)` on a node variable counts bound rows via the key column
     * (src for a relationship variable — non-null exactly when an
-    * optional hop matched); `count(DISTINCT v)` deduplicates on that
-    * same key, Neo4j's distinct-entities reading. `count(DISTINCT *)`
-    * is not Cypher — raise. */
+    * optional hop matched); `count(DISTINCT v)` deduplicates on the
+    * ENTITY identity — full_name for a node, the whole
+    * (src, rel_type, dst) triple for a relationship (src alone is a
+    * valid non-null marker for plain count(r), but distinct
+    * relationships are not distinct sources: a grouped
+    * `count(DISTINCT r)` would otherwise always read 1). Neo4j's
+    * distinct-entities reading. `count(DISTINCT *)` is not Cypher —
+    * raise. */
   private def countCol(distinct: Boolean, arg: String,
       vars: Map[String, String], plain: String => Boolean): Column = {
     val base: Option[Column] =
@@ -456,7 +461,14 @@ object CypherLite {
       } else if (plain(arg)) Some(col(arg))
       else {
         val a = vars(arg)
-        Some(if (isRelAlias(a)) col(s"$a.src") else col(s"$a.full_name"))
+        Some(
+          if (isRelAlias(a) && distinct)
+            // null when the (optional) hop didn't bind, so the
+            // null-skipping count can't tally a phantom relationship
+            when(col(s"$a.src").isNotNull,
+              struct(col(s"$a.src"), col(s"$a.rel_type"), col(s"$a.dst")))
+          else if (isRelAlias(a)) col(s"$a.src")
+          else col(s"$a.full_name"))
       }
     (distinct, base) match {
       case (true, None) =>

@@ -143,8 +143,16 @@ object CypherWrite {
   /** Replace bare word-boundary occurrences of variable `v` outside
     * quotes with `value` (already a rendered literal) — the FOREACH
     * element substitution, the same quote discipline as parameter
-    * inlining. */
+    * inlining. An occurrence whose next non-space char is `:` is a
+    * property-map KEY (or a label anchor), not a value position — a
+    * loop variable named like a prop key (`FOREACH (x IN … | CREATE
+    * ({x: x}))`) must rewrite only the value side, never the key. */
   private def substVar(s: String, v: String, value: String): String = {
+    def keyPosition(after: Int): Boolean = {
+      var j = after
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      j < s.length && s.charAt(j) == ':'
+    }
     val sb = new StringBuilder
     var quote: Char = 0
     var i = 0
@@ -158,7 +166,8 @@ object CypherWrite {
       } else if (c == '\'' || c == '"') { quote = c; sb.append(c); i += 1 }
       else if (s.regionMatches(i, v, 0, v.length) &&
           (i == 0 || !isWordChar(s.charAt(i - 1))) &&
-          (i + v.length >= s.length || !isWordChar(s.charAt(i + v.length)))) {
+          (i + v.length >= s.length || !isWordChar(s.charAt(i + v.length))) &&
+          !keyPosition(i + v.length)) {
         sb.append(value); i += v.length
       } else { sb.append(c); i += 1 }
     }

@@ -175,7 +175,10 @@ object Corpus {
     * invariant that lets canonical keys be stored and re-joined. */
   def canonicalUrl(url: Column): Column = {
     val noScheme = regexp_replace(url, "(?i)^[a-z][a-z0-9+.-]*://", "")
-    val noWww = regexp_replace(noScheme, "(?i)^www\\.", "")
+    // ALL leading www labels in one pass: a host like www.www.x.com must
+    // canonicalize to the same key as its own canonical form, or the
+    // idempotence invariant breaks on re-canonicalization
+    val noWww = regexp_replace(noScheme, "(?i)^(www\\.)+", "")
     val host = substring_index(noWww, "/", 1)
     val rest = noWww.substr(length(host) + 1, length(noWww))
     val restClean =
@@ -187,11 +190,13 @@ object Corpus {
     * heuristic document screen for web-scale LM corpora, as ONE narrow
     * codegen'd projection (no shuffle, no UDF): word count ∈ [minWords,
     * maxWords], mean word length ∈ [3,10], symbol-to-word ratio (`#` or
-    * `...`) < 0.1, < 90% of non-blank lines bullet-started, < 30%
+    * `...`) ≤ 0.1, ≤ 90% of non-blank lines bullet-started, ≤ 30%
     * ellipsis-ended, ≥ 80% of words containing an alphabetic character,
     * and ≥ 2 distinct stop words present ([[graft.functions
-    * .TextFunctions.gopherStopwords]]). Every threshold decision is
-    * INTEGER arithmetic (`10·symbols < words`, `5·alpha > 4·words`, …)
+    * .TextFunctions.gopherStopwords]]); the ratio cutoffs are INCLUSIVE
+    * (the paper removes when a ratio is GREATER than its threshold).
+    * Every threshold decision is
+    * INTEGER arithmetic (`10·symbols ≤ words`, `5·alpha ≥ 4·words`, …)
     * so the keep flag can never 1-ulp-flip between engines; the ratio
     * columns are rounded display stats only. Words are RAW whitespace
     * tokens (the published rules are over raw words); the stop-word
@@ -216,13 +221,16 @@ object Corpus {
       .reduce(_ + _)
     val w1 = greatest(nWords, lit(1L))
     val l1 = greatest(nLines, lit(1L))
+    // Rae et al. REMOVE when a ratio is GREATER than its cutoff and
+    // REQUIRE at-least-80% alphabetic words — so a document sitting
+    // exactly at a published threshold is KEPT (inclusive comparisons)
     val keep =
       nWords >= minWords && nWords <= maxWords &&
         totLen >= lit(3L) * nWords && totLen <= lit(10L) * nWords &&
-        lit(10L) * nSym < nWords &&
-        lit(10L) * nBullet < lit(9L) * nLines &&
-        lit(10L) * nEllip < lit(3L) * nLines &&
-        lit(5L) * nAlpha > lit(4L) * nWords &&
+        lit(10L) * nSym <= nWords &&
+        lit(10L) * nBullet <= lit(9L) * nLines &&
+        lit(10L) * nEllip <= lit(3L) * nLines &&
+        lit(5L) * nAlpha >= lit(4L) * nWords &&
         nStops >= 2L
     docs.select(col("doc_id"), nWords.as("n_words"),
       round(totLen.cast("double") / w1, 4).as("mean_word_len"),

@@ -1445,7 +1445,7 @@ object QueryCatalog {
       |  FROM documents),
       |c0 AS (SELECT doc_id,
       |    regexp_replace(regexp_replace(url, '(?i)^[a-z][a-z0-9+.-]*://', ''),
-      |      '(?i)^www\.', '') AS nw FROM aug),
+      |      '(?i)^(www\.)+', '') AS nw FROM aug),
       |c1 AS (SELECT doc_id, split_part(nw, '/', 1) AS host,
       |    substr(nw, length(split_part(nw, '/', 1)) + 1) AS rest FROM c0),
       |c2 AS (SELECT doc_id, lower(host) ||
@@ -1513,10 +1513,10 @@ object QueryCatalog {
        |  SELECT *, n_stops AS n_stop_hits,
        |    (CASE WHEN n_words >= 50 AND n_words <= 100000
        |      AND tot_len >= 3 * n_words AND tot_len <= 10 * n_words
-       |      AND 10 * n_sym < n_words
-       |      AND 10 * n_bullet < 9 * n_lines
-       |      AND 10 * n_ellip < 3 * n_lines
-       |      AND 5 * n_alpha > 4 * n_words
+       |      AND 10 * n_sym <= n_words
+       |      AND 10 * n_bullet <= 9 * n_lines
+       |      AND 10 * n_ellip <= 3 * n_lines
+       |      AND 5 * n_alpha >= 4 * n_words
        |      AND n_stops >= 2 THEN 1 ELSE 0 END)::INT AS keep
        |  FROM s)""".stripMargin
   }

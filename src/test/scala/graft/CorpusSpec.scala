@@ -252,4 +252,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(out("b") === ((100L, 1)))
     assert(out("c") === ((7960L, 0)))
   }
+
+  test("gopherScreen keeps documents exactly AT the published cutoffs " +
+    "(Rae et al. remove only when a ratio EXCEEDS its threshold)") {
+    def keepOf(text: String): Int =
+      Corpus.gopherScreen(Seq((1L, text)).toDF("doc_id", "text"),
+        minWords = 10).select("keep").as[Int].collect().head
+    // symbol-to-word ratio: 1 '#' over 10 words == 0.1 → keep; 2 → drop
+    val symBase = "the and have with that more words here also"
+    assert(keepOf(s"$symBase word#") === 1)
+    assert(keepOf(s"$symBase word##") === 0)
+    // bullet lines: 9 of 10 == 0.9 → keep; 10 of 10 → drop
+    val bullet = "- the and have with"
+    val plain = "plain words here too"
+    assert(keepOf((Seq.fill(9)(bullet) :+ plain).mkString("\n")) === 1)
+    assert(keepOf(Seq.fill(10)(bullet).mkString("\n")) === 0)
+    // ellipsis lines: 3 of 10 == 0.3 → keep; 4 of 10 → drop
+    val ell = "the and have with..."
+    val noEll = "the and have with"
+    assert(keepOf((Seq.fill(3)(ell) ++ Seq.fill(7)(noEll))
+      .mkString("\n")) === 1)
+    assert(keepOf((Seq.fill(4)(ell) ++ Seq.fill(6)(noEll))
+      .mkString("\n")) === 0)
+    // alphabetic words: 8 of 10 == 0.8 → keep; 7 of 10 → drop
+    assert(keepOf("the and have with that 123 456 word more here") === 1)
+    assert(keepOf("the and have with that 123 456 789 more here") === 0)
+  }
 }

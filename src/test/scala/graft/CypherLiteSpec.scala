@@ -482,6 +482,20 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(whole(0).getAs[String]("r.dst") === "m.A.g")
   }
 
+  test("count(DISTINCT r) counts distinct relationships, not sources") {
+    // both HAS_METHOD edges share src = m.A — a src-keyed distinct
+    // would collapse the grouped count to 1
+    val cnt = d8.executeQuery(
+      "MATCH (c:CLASS)-[r:HAS_METHOD]->(m) " +
+        "RETURN c.name, count(DISTINCT r) AS n").collect()
+    assert(cnt.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("A", 2L)))
+    // ungrouped shape for completeness
+    val all = d8.executeQuery(
+      "MATCH ()-[r:HAS_METHOD]->() RETURN count(DISTINCT r) AS n").collect()
+    assert(all.map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("collect(x) aggregates values per group (sorted for determinism)") {
     val out = d7.executeQuery(
       "MATCH (c:CLASS)-[:HAS_METHOD]->(m) " +
@@ -1235,6 +1249,18 @@ class CypherLiteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       d.executeQuery("FOREACH (x IN ['p'] | MATCH (n) RETURN n)")
     }
+  }
+
+  test("FOREACH loop variable colliding with a prop-map key substitutes " +
+    "only value positions") {
+    val d = GraphDatabase.inMemory(spark)
+    // `name` is both the loop variable AND a property KEY: the key
+    // position must survive the substitution untouched
+    d.executeQuery("FOREACH (name IN ['k1', 'k2'] | " +
+      "CREATE (n:CLASS:`tfk` {full_name: name, name: name}))")
+    val rows = d.nodes.select(col("full_name"), col("name"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows === Map("k1" -> "k1", "k2" -> "k2"))
   }
 
   test("string functions: toUpper/toLower/replace/substring/left/right") {

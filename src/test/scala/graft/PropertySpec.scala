@@ -425,7 +425,7 @@ class PropertySpec extends AnyFunSuite {
     import TestSpark.spark.implicits._
     val gen = for {
       scheme <- Gen.oneOf("http://", "HTTPS://", "ftp://", "")
-      www <- Gen.oneOf("www.", "WWW.", "")
+      www <- Gen.oneOf("www.", "WWW.", "", "www.www.", "WWW.www.")
       host <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString)
       seg <- Gen.listOfN(2, Gen.alphaNumStr.map(_.take(5)))
       q <- Gen.oneOf("", "?a=1&b=2", "#frag")
@@ -441,7 +441,7 @@ class PropertySpec extends AnyFunSuite {
     // variant-insensitivity: scheme/www/query/slash variants of one
     // base URL all land on one canonical key
     val variants = Seq("http://", "HTTPS://", "").flatMap(sc =>
-      Seq("www.", "").flatMap(w => Seq("", "?x=1").flatMap(q =>
+      Seq("www.", "", "www.www.").flatMap(w => Seq("", "?x=1").flatMap(q =>
         Seq("", "/").map(t => s"$sc${w}base.com/A/b$q$t"))))
     val keys = variants.toDF("u").select(canon(col("u")))
       .distinct().as[String].collect()
