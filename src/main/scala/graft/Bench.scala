@@ -128,6 +128,21 @@ object Bench {
     val minAsc = finalTimes.toSeq.sortBy(_._2.min)
       .map { case (k, v) => f""""$k":${v.min}%.3f""" }.mkString("{", ",", "}")
     println(s"""{"queries_min_asc":$minAsc,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","load_start":"$loadStart","load_end":"$loadEnd","reran":$reranJson}""")
+    // The stdout tail truncates at ~2KB, so only the slowest ~50 queries
+    // survive in the round artifact. The COMPLETE per-query map (min +
+    // median + reran + load lines) also lands in a file at the repo
+    // root, committed with the round, so every timing is
+    // machine-readable round-over-round.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",
+         |"load_start":"$loadStart","load_end":"$loadEnd",
+         |"queries":$qs,
+         |"queries_median":$med,
+         |"reran":$reranJson}""".stripMargin
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }
