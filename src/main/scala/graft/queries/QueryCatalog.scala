@@ -632,6 +632,60 @@ object QueryCatalog {
        |)
        |SELECT src, dst FROM reach""".stripMargin
 
+  /** g_c11_override — C11 override detection along the real Python MRO
+    * ([[graft.enrich.Closure.overrides]] over [[graft.enrich.Closure
+    * .c3Linearize]]'s DataFrame fixpoint; reference deep mode resolves
+    * the same relation through jedi's `goto(follow_override=True)`,
+    * indexer_visitor.py:125-157). Fixture: 25 independent DIAMONDS
+    * synthesized in-plan from `nation` — per key k: `A_k(X_k)`,
+    * `C_k(A_k, B_k)`, methods `run/go/fly` defined on a key-varied
+    * subset (A_k defines `run` only for even k). The diamond's C3
+    * order is the published constant `[C, A, X, B]` — depth-first
+    * through the LEFT base before the right base, so `C.go` must
+    * resolve to `X.go` (grandparent through A) over `B.go` (direct
+    * base), the exact case nearest-by-depth gets wrong. The oracle
+    * replays that documented linearization as a positions table and
+    * takes each method's min-position same-named ancestor definition —
+    * an independent spelling with no shared code path through the
+    * fixpoint. */
+  val gC11Override: Q = (s, d) => {
+    val k = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("k"))
+    def cls(p: String) = concat(lit("m."), lit(p), col("k"))
+    def meth(p: String, m: String) = concat(cls(p), lit("." + m))
+    val inherits = k.select(cls("A").as("src"), cls("X").as("dst"),
+        lit(0).as("ord"))
+      .unionByName(k.select(cls("C").as("src"), cls("A").as("dst"),
+        lit(0).as("ord")))
+      .unionByName(k.select(cls("C").as("src"), cls("B").as("dst"),
+        lit(1).as("ord")))
+    val defSpec = Seq("X" -> "run", "X" -> "go", "B" -> "run",
+      "B" -> "go", "B" -> "fly", "C" -> "run", "C" -> "go", "C" -> "fly")
+    val hasMethod = defSpec.map { case (c, m) =>
+      k.select(cls(c).as("src"), meth(c, m).as("dst"))
+    }.reduce(_ unionByName _)
+      .unionByName(k.filter(col("k") % 2 === 0)
+        .select(cls("A").as("src"), meth("A", "run").as("dst")))
+    graft.enrich.Closure.overrides(inherits, hasMethod)
+  }
+
+  val gC11OverrideSql: String =
+    """WITH k AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+      |defs AS (
+      |  SELECT k.k, t.ck, t.m FROM k CROSS JOIN (VALUES
+      |    ('X','run'),('X','go'),('B','run'),('B','go'),('B','fly'),
+      |    ('C','run'),('C','go'),('C','fly')) AS t(ck, m)
+      |  UNION ALL SELECT k, 'A', 'run' FROM k WHERE k % 2 = 0),
+      |mro AS (SELECT * FROM (VALUES
+      |  ('C','A',1),('C','X',2),('C','B',3),('A','X',1)) AS t(ck, anc, pos)),
+      |cand AS (
+      |  SELECT c.k, c.ck, c.m, r.anc, r.pos
+      |  FROM defs c JOIN mro r ON c.ck = r.ck
+      |  JOIN defs a ON a.k = c.k AND a.ck = r.anc AND a.m = c.m)
+      |SELECT 'm.' || ck || k || '.' || m AS src,
+      |  'm.' || arg_min(anc, pos) || k || '.' || m AS dst
+      |FROM cand GROUP BY k, ck, m""".stripMargin
+
   /** Iterative analytics beyond the reference: 5-iteration PageRank over
     * the containment hierarchy — DataFrame fixpoint loop vs unrolled-CTE
     * oracle; per-iteration rounding makes both engines bit-identical. */
@@ -4665,6 +4719,7 @@ object QueryCatalog {
     "g_a7_strip" -> gA7Strip,
     "g_a9_locals" -> gA9Locals,
     "g_d4_closure" -> gD4Closure,
+    "g_c11_override" -> gC11Override,
     "g_d5_carry" -> gD5Carry,
     "g_b11_json" -> gB11Json,
     "g_b11_multi" -> gB11Multi,
@@ -4844,6 +4899,7 @@ object QueryCatalog {
     "g_a7_strip" -> gA7StripSql,
     "g_a9_locals" -> gA9LocalsSql,
     "g_d4_closure" -> gD4ClosureSql,
+    "g_c11_override" -> gC11OverrideSql,
     "g_d5_carry" -> gD5CarrySql,
     "g_b11_json" -> gB11JsonSql,
     "g_b11_multi" -> gB11MultiSql,
