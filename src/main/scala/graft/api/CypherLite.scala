@@ -46,10 +46,12 @@ import org.apache.spark.sql.functions._
   *    common Neo4j idiom `RETURN m.name, count(r) AS n ORDER BY n DESC`),
   *    `SKIP n`, `LIMIT n`.
   *
-  *  - multiple MATCH clauses, plain or OPTIONAL: each later clause must
-  *    START at a variable bound earlier and joins there — inner join for
-  *    MATCH, left join for OPTIONAL MATCH (non-matching rows
-  *    null-extend). Every clause may carry its own WHERE; an OPTIONAL
+  *  - multiple MATCH clauses, plain or OPTIONAL: a later plain MATCH
+  *    must START at a variable bound earlier and inner-joins there; an
+  *    OPTIONAL MATCH left-joins — at its bound head variable when
+  *    anchored, or (UN-anchored, sharing no variable) against the whole
+  *    driving row set, null-extending when the optional pattern yields
+  *    nothing. Every clause may carry its own WHERE; an OPTIONAL
   *    MATCH's WHERE folds into the left-join condition (Neo4j attaches
   *    WHERE to the preceding MATCH, so a filtered optional row
   *    null-extends rather than dropping).
@@ -83,9 +85,10 @@ import org.apache.spark.sql.functions._
   *    `UNWIND [list] AS x` preludes (literal or `$param` lists), and
   *    Neo4j-style `$name` parameters via the params overloads.
   *
-  * Anything else (undirected edges, later clauses not anchored at a
-  * bound variable, aggregates beyond those six) raises — exactly the
-  * reference's posture of not reimplementing Neo4j.
+  * Anything else (undirected edges, later PLAIN clauses not anchored at
+  * a bound variable — a silent cartesian product, aggregates beyond
+  * those six) raises — exactly the reference's posture of not
+  * reimplementing Neo4j.
   *
   * The parse result is a plain DataFrame expression — Catalyst plans it
   * like any hand-written combinator query (broadcast point expands,
@@ -1751,9 +1754,16 @@ object CypherLite {
 
     clauses.drop(1).zipWithIndex.foreach { case (c, cIx) =>
       val headVar = c.nodeMs.head.v
-      require(vars.contains(headVar),
+      val anchored = vars.contains(headVar)
+      // an UN-anchored clause (no shared variable) is legal Cypher only
+      // for OPTIONAL MATCH here: it left-joins the driving row set on
+      // TRUE — every driving row pairs with every optional match, or
+      // null-extends when the optional pattern (or its WHERE) yields
+      // nothing. A plain un-anchored MATCH would be a silent cartesian
+      // product — still refused.
+      require(anchored || c.optional,
         s"a later MATCH clause must start at a bound variable; '$headVar' is new: $q")
-      val fresh = c.nodeMs.drop(1).map(_.v)
+      val fresh = (if (anchored) c.nodeMs.drop(1) else c.nodeMs).map(_.v)
       require(fresh.forall(!vars.contains(_)),
         s"later MATCH clause rebinds ${fresh.filter(vars.contains)}: $q")
       val start = aliasCount
@@ -1764,7 +1774,10 @@ object CypherLite {
       val subVars = vars ++ c.nodeMs.zipWithIndex
         .map { case (m, i) => m.v -> s"n${start + i}" }.toMap ++
         relVarsOf(c, start)
-      val keyEq = col(s"${vars(headVar)}.full_name") === col(s"n$start.full_name")
+      val keyEq =
+        if (anchored)
+          col(s"${vars(headVar)}.full_name") === col(s"n$start.full_name")
+        else lit(true)
       if (c.optional) {
         // WHERE folds into the join: a filtered-out optional row
         // null-extends instead of dropping (Neo4j semantics)
@@ -1781,10 +1794,14 @@ object CypherLite {
         Option(c.where).foreach(w =>
           df = applyClauseWhere(df, w, subVars, cIx + 1))
       }
-      // the clause head var stays bound to its ORIGINAL alias (always
-      // non-null); only the fresh tail vars enter scope
-      vars = vars ++ c.nodeMs.drop(1).zipWithIndex
-        .map { case (m, i) => m.v -> s"n${start + 1 + i}" }.toMap
+      // an anchored clause's head var stays bound to its ORIGINAL alias
+      // (always non-null); only fresh vars enter scope — which for an
+      // un-anchored optional clause includes the head
+      vars = vars ++ (
+        if (anchored) c.nodeMs.drop(1).zipWithIndex
+          .map { case (m, i) => m.v -> s"n${start + 1 + i}" }
+        else c.nodeMs.zipWithIndex
+          .map { case (m, i) => m.v -> s"n${start + i}" }).toMap
       locally {
         val rv = relVarsOf(c, start)
         require(rv.keySet.intersect(vars.keySet).isEmpty,

@@ -19,6 +19,11 @@ import graft.model.Kind
   *    add_node, graphDB.py:121-131; both routes hit A1/A2 merge
   *    semantics — in this single-key model CREATE of an existing key
   *    upserts, as add_node does)
+  *  - `MERGE (n:KIND:task {full_name: 'x'}) ON CREATE SET n.a='1'
+  *    ON MATCH SET n.b='2'` → conditional upsert: the ON CREATE branch
+  *    seeds a new node (pattern props + branch), the ON MATCH branch
+  *    patches an existing one (A3 update) — py2neo's merge-with-branches
+  *    spelling
   *  - `MATCH (n {full_name: 'x'}) SET n.k = 'v', …`   → prop-only update
   *    of an EXISTING node (update_node, graphDB.py:114-119, A3 —
   *    missing node is a no-op)
@@ -49,6 +54,14 @@ object CypherWrite {
       props: Map[String, String]) extends Stmt
   final case class UpdateProps(fullName: String,
       props: Map[String, String]) extends Stmt
+  /** `MERGE (n:KIND:task {full_name:'x'}) ON CREATE SET … ON MATCH SET …`
+    * — Neo4j's conditional upsert: `props` are the pattern literals
+    * (applied only on create, where they seed the new node; on match
+    * they are the match constraint the single-key model already
+    * guarantees via full_name), `onCreate`/`onMatch` the branch SETs. */
+  final case class MergeNode(task: String, kind: String, fullName: String,
+      props: Map[String, String], onCreate: Map[String, String],
+      onMatch: Map[String, String]) extends Stmt
   final case class UpsertEdge(task: String, src: String, relType: String,
       dst: String, props: Map[String, String]) extends Stmt
 
@@ -68,6 +81,13 @@ object CypherWrite {
       """SET\s+(\w+)\s*:\s*`?([\w./\-]+)`?\s*$""").r
   private val nodeWriteRe =
     (s"""(?is)^\\s*(CREATE|MERGE)\\s*$nodePat\\s*(SET\\s+.+?)?\\s*$$""").r
+  // MERGE with ON CREATE SET / ON MATCH SET branches (either, both, any
+  // order); the branch tail parses clause by clause below
+  private val mergeOnRe =
+    (s"""(?is)^\\s*MERGE\\s*$nodePat\\s*""" +
+      s"""((?:ON\\s+(?:CREATE|MATCH)\\s+SET\\s+.+?)+)\\s*$$""").r
+  private val onClauseRe =
+    """(?is)ON\s+(CREATE|MATCH)\s+SET\s+(.+?)(?=ON\s+(?:CREATE|MATCH)\s+SET|$)""".r
   private val updateRe =
     (s"""(?is)^\\s*MATCH\\s*$nodePat\\s*(SET\\s+.+?)\\s*$$""").r
   private val edgeWriteRe =
@@ -215,6 +235,21 @@ object CypherWrite {
       Some(UpsertEdge(task,
         fullNameOf(propsOf(aProps), "start node"), rel,
         fullNameOf(propsOf(bProps), "end node"), propsOf(rProps)))
+    case mergeOnRe(v, labelSpec, propLit, branches) =>
+      val (kind, tasks) = splitLabels(labelsOf(labelSpec))
+      require(tasks.nonEmpty,
+        "node MERGE needs a task label (the reference's handler " +
+          "always writes under a task_id)")
+      var onCreate = Map.empty[String, String]
+      var onMatch = Map.empty[String, String]
+      onClauseRe.findAllMatchIn(branches).foreach { m =>
+        val items = parseSetItems("SET " + m.group(2).trim, v)
+        if (m.group(1).equalsIgnoreCase("CREATE")) onCreate ++= items
+        else onMatch ++= items
+      }
+      val props = propsOf(propLit)
+      Some(MergeNode(tasks.head, kind, fullNameOf(props, "node"),
+        props - "full_name", onCreate, onMatch))
     case nodeWriteRe(_, v, labelSpec, propLit, set) =>
       val (kind, tasks) = splitLabels(labelsOf(labelSpec))
       require(tasks.nonEmpty,

@@ -162,7 +162,18 @@ final class GraphDatabase private (
       snap = GraphSnapshot(finalNodes, allEdges, snap.locations)
       stagedSymbols.clear(); stagedEdges.clear(); stagedUpdates.clear()
     }
-    dir.foreach(d => { Snapshot.write(snap, d); snap = Snapshot.read(spark, d) })
+    dir match {
+      case Some(d) => Snapshot.write(snap, d); snap = Snapshot.read(spark, d)
+      case None =>
+        // in-memory sessions must truncate lineage HERE, exactly as the
+        // persisted path does via its write+re-read: each commit's merge
+        // plan embeds the previous snapshot's plan several times
+        // (upsertInto + stubs), so an interactive session with many
+        // commits (e.g. per-statement MERGE existence probes) otherwise
+        // compounds the plan exponentially
+        snap = GraphSnapshot(snap.nodes.localCheckpoint(eager = true),
+          snap.edges.localCheckpoint(eager = true), snap.locations)
+    }
   }
 
   /** A3 — prop-only update of an EXISTING node (graphDB.py:114-119:
@@ -170,6 +181,22 @@ final class GraphDatabase private (
     * created, unlike [[addNode]]'s upsert. STAGED like addNode (one merge
     * + one snapshot write per batch instead of a full snapshot rewrite
     * per call); reads flush first, so call-order semantics are intact. */
+  /** Neo4j `MERGE … ON CREATE SET … ON MATCH SET …` — the conditional
+    * upsert: if the key exists (in the snapshot or the staged batch —
+    * the existence probe read-your-writes-flushes first), apply the ON
+    * MATCH branch as an A3 prop patch; otherwise create the node from
+    * the pattern props + the ON CREATE branch (A1). The branch decision
+    * is a driver-side point probe, matching this API's per-statement
+    * interactive surface — bulk conditional upserts stay on the
+    * set-oriented [[graft.merge.Merge]] path. */
+  def mergeNode(taskId: String, kind: String, fullName: String,
+      props: Map[String, String], onCreate: Map[String, String],
+      onMatch: Map[String, String]): Unit = synchronized {
+    if (nodeByKey(fullName).isEmpty)
+      addNode(taskId, kind, fullName, props ++ onCreate)
+    else if (onMatch.nonEmpty) updateNode(fullName, onMatch)
+  }
+
   def updateNode(fullName: String, props0: Map[String, String]): Unit = synchronized {
     // accept the "class" props key exactly as addNode does (stored in the
     // clazz column)
@@ -308,6 +335,8 @@ final class GraphDatabase private (
           case CypherWrite.Promote(fn, k) => promoteNodeKind(fn, k)
           case CypherWrite.UpsertNode(task, kind, fn, props) =>
             addNode(task, kind, fn, props)
+          case CypherWrite.MergeNode(task, kind, fn, props, onCreate, onMatch) =>
+            mergeNode(task, kind, fn, props, onCreate, onMatch)
           case CypherWrite.UpdateProps(fn, props) => updateNode(fn, props)
           case CypherWrite.UpsertEdge(task, s, r, d, props) =>
             addEdge(task, s, r, d, props)

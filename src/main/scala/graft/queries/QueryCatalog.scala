@@ -375,6 +375,19 @@ object QueryCatalog {
     // prop-only SET on existing nodes (A3)
     nats.foreach { case (k, _, _) =>
       run(s"MATCH (n {full_name: 'nation.$k'}) SET n.nk = '$k'") }
+    // MERGE with branches (conditional upsert): ON MATCH patches the
+    // three existing nations (origin must NOT seed); ON CREATE seeds
+    // three new nodes, and a SECOND merge of each must take the ON
+    // MATCH branch only (origin survives as 'new', matched appears)
+    (0L to 2L).foreach { k =>
+      run(s"MERGE (n:CLASS:`t1` {full_name: 'nation.$k'}) " +
+        "ON CREATE SET n.origin = 'ghost' ON MATCH SET n.touched = 'y'") }
+    (0L to 2L).foreach { k =>
+      run(s"MERGE (n:CLASS:`t1` {full_name: 'merged.$k', name: 'M$k'}) " +
+        "ON CREATE SET n.origin = 'new'") }
+    (0L to 2L).foreach { k =>
+      run(s"MERGE (n:CLASS:`t1` {full_name: 'merged.$k'}) " +
+        "ON CREATE SET n.origin = 'again' ON MATCH SET n.matched = '1'") }
     // scratch task: its node AND its edge into nation.1 must cascade
     // away on DETACH DELETE (A5); nation.1 itself survives untouched
     run("CREATE (n:CLASS:`t2` {full_name: 'tmp.0', name: 'tmp'})")
@@ -385,26 +398,41 @@ object QueryCatalog {
       .agg(count(lit(1)).as("n_in"))
     db.nodes
       .select(col("full_name"), col("kind"), col("name"),
-        element_at(col("props"), "nk").as("nk"))
+        element_at(col("props"), "nk").as("nk"),
+        element_at(col("props"), "touched").as("touched"),
+        element_at(col("props"), "origin").as("origin"),
+        element_at(col("props"), "matched").as("matched"))
       .join(inDeg, Seq("full_name"), "left")
       .select(col("full_name"), col("kind"), col("name"), col("nk"),
+        col("touched"), col("origin"), col("matched"),
         coalesce(col("n_in"), lit(0L)).as("n_in"))
   }
 
   /** Closed-form prediction: nations keep their CREATE fields (LWW
     * rename on key 0), carry the SET prop, and have no in-edges once
-    * the scratch CALL edge cascades; regions are promoted stubs whose
-    * `name` is the stub rule's last dot-segment and whose in-degree is
-    * their nation count. The scratch task contributes nothing. */
+    * the scratch CALL edge cascades; nations 0-2 additionally carry the
+    * ON MATCH `touched` patch (and never the ON CREATE `origin`);
+    * regions are promoted stubs whose `name` is the stub rule's last
+    * dot-segment and whose in-degree is their nation count; the merged.*
+    * nodes carry the first merge's ON CREATE seed and the second
+    * merge's ON MATCH patch — never the second ON CREATE value. The
+    * scratch task contributes nothing. */
   val gB10WriteSql: String =
     """WITH nat AS (SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS r FROM nation)
       |SELECT 'nation.' || k AS full_name, 'CLASS' AS kind,
       |  CASE WHEN k = 0 THEN 'RENAMED' ELSE nm END AS name,
-      |  k::VARCHAR AS nk, 0::BIGINT AS n_in
+      |  k::VARCHAR AS nk,
+      |  CASE WHEN k <= 2 THEN 'y' END AS touched,
+      |  NULL AS origin, NULL AS matched, 0::BIGINT AS n_in
       |FROM nat
       |UNION ALL
-      |SELECT 'region.' || r, 'REGION', r::VARCHAR, NULL, count(*)::BIGINT
-      |FROM nat GROUP BY r""".stripMargin
+      |SELECT 'region.' || r, 'REGION', r::VARCHAR, NULL, NULL, NULL, NULL,
+      |  count(*)::BIGINT
+      |FROM nat GROUP BY r
+      |UNION ALL
+      |SELECT 'merged.' || k, 'CLASS', 'M' || k, NULL, NULL, 'new', '1',
+      |  0::BIGINT
+      |FROM nat WHERE k <= 2""".stripMargin
 
   /** g_b10_union — Cypher `UNION` (distinct) across two branch
     * sub-queries: nations reached from customers vs from suppliers.

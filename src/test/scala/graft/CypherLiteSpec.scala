@@ -1251,6 +1251,58 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE ON CREATE SET / ON MATCH SET takes exactly one branch") {
+    val d = GraphDatabase.inMemory(spark)
+    def props(fn: String): Map[String, String] = {
+      val r = d.nodes.filter(col("full_name") === fn)
+        .select(org.apache.spark.sql.functions.element_at(col("props"), "o"),
+          org.apache.spark.sql.functions.element_at(col("props"), "m"),
+          col("name")).collect()
+      assert(r.length === 1)
+      Map("o" -> r(0).getString(0), "m" -> r(0).getString(1),
+        "name" -> r(0).getString(2)).filter(_._2 != null)
+    }
+    // first merge: node absent → ON CREATE branch (pattern props + seed)
+    d.executeQuery("MERGE (n:CLASS:`mg` {full_name: 'x.A', name: 'A'}) " +
+      "ON CREATE SET n.o = 'new'")
+    assert(props("x.A") === Map("o" -> "new", "name" -> "A"))
+    // second merge: node present → ON MATCH only; the second ON CREATE
+    // value must NOT overwrite the first
+    d.executeQuery("MERGE (n:CLASS:`mg` {full_name: 'x.A'}) " +
+      "ON CREATE SET n.o = 'again' ON MATCH SET n.m = '1'")
+    assert(props("x.A") === Map("o" -> "new", "m" -> "1", "name" -> "A"))
+    // ON MATCH alone on an absent node creates WITHOUT the match patch
+    d.executeQuery("MERGE (n:CLASS:`mg` {full_name: 'x.B', name: 'B'}) " +
+      "ON MATCH SET n.m = '1'")
+    assert(props("x.B") === Map("name" -> "B"))
+  }
+
+  test("un-anchored OPTIONAL MATCH left-joins the whole driving row set") {
+    // matched: every driving row pairs with the independent match
+    val hit = db.executeQuery(
+      "MATCH (c:CLASS) OPTIONAL MATCH (f:FUNCTION {name: 'util'}) " +
+        "RETURN c.name, f.full_name").collect()
+    assert(hit.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("Person", "m.util")))
+    // no match anywhere: the driving row null-extends instead of dropping
+    val miss = db.executeQuery(
+      "MATCH (c:CLASS) OPTIONAL MATCH (f:FUNCTION {name: 'nope'}) " +
+        "RETURN c.name, f.full_name").collect()
+    assert(miss.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("Person", null)))
+    // a WHERE on the un-anchored optional folds into the join condition
+    val whr = db.executeQuery(
+      "MATCH (c:CLASS) OPTIONAL MATCH (f:FUNCTION) WHERE f.name = 'nope' " +
+        "RETURN c.name, f.full_name").collect()
+    assert(whr.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("Person", null)))
+    // an un-anchored PLAIN match is still a refused cartesian product
+    intercept[IllegalArgumentException] {
+      db.executeQuery(
+        "MATCH (c:CLASS) MATCH (f:FUNCTION) RETURN c.name, f.full_name")
+    }
+  }
+
   test("FOREACH loop variable colliding with a prop-map key substitutes " +
     "only value positions") {
     val d = GraphDatabase.inMemory(spark)
