@@ -95,7 +95,7 @@ object Closure {
     * everywhere; repeat. On a C3 inconsistency (Python raises TypeError
     * at class-creation time — such code cannot even import) we
     * best-effort take the first head, keeping the function total. */
-  private def c3Merge(head: String, seqs: Seq[List[String]]): Seq[String] = {
+  private[graft] def c3Merge(head: String, seqs: Seq[List[String]]): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer(head)
     var lists = seqs.filter(_.nonEmpty)
     while (lists.nonEmpty) {

@@ -672,12 +672,49 @@ object PyIndexer {
     // half-resolved name like Database.conn.execute (which would merge
     // into a ghost stub node). The last segment (the member being
     // referenced) is never chased.
+    // ---- C3 slice 23: same-file class MRO for inherited-member typing.
+    // `classBases` (full class name → ordered, resolved base names) and
+    // `classMethodsRaw` (full class name → def names) fill in a pre-pass
+    // below (before the main pass), so a field typed in a BASE class's
+    // __init__ — even a base defined LATER in the file — resolves
+    // through a subclass instance, what jedi resolves via the class
+    // hierarchy. The linearization is the same C3 merge the enrich-side
+    // override detection uses ([[graft.enrich.Closure.c3Merge]]);
+    // classes outside this file linearize as leaves.
+    val classBases = mutable.Map.empty[String, Seq[String]]
+    val classMethodsRaw = mutable.Map.empty[String, mutable.Set[String]]
+    val mroMemo = mutable.Map.empty[String, Seq[String]]
+    def mroOf(cls: String): Seq[String] = mroMemo.get(cls) match {
+      case Some(m) => m
+      case None =>
+        mroMemo(cls) = Seq(cls) // cycle guard (illegal Python anyway)
+        val bases = classBases.getOrElse(cls, Seq.empty)
+        val res =
+          if (bases.isEmpty) Seq(cls)
+          else graft.enrich.Closure.c3Merge(cls,
+            bases.map(b => mroOf(b).toList) :+ bases.toList)
+        mroMemo(cls) = res
+        res
+    }
+    /** First typed field OR @property named `field` along `cls`'s MRO —
+      * the subclass's own binding shadows a base's (MRO order). */
+    def fieldTypeViaMro(cls: String, field: String): Option[String] =
+      mroOf(cls).iterator
+        .map(c => classFieldTypes.get(c).flatMap(_.get(field))
+          .orElse(propertyTypeOf(c, field)))
+        .collectFirst { case Some(t) => t }
+    /** [[fieldTypeViaMro]] without the @property arm — for the chain
+      * links that deliberately read plain typed fields only. */
+    def fieldOnlyViaMro(cls: String, field: String): Option[String] =
+      mroOf(cls).iterator
+        .map(c => classFieldTypes.get(c).flatMap(_.get(field)))
+        .collectFirst { case Some(t) => t }
+
     def chaseFields(t0: String, rest: Seq[String]): Option[String] = {
       var t = t0
       var idx = 0
       while (idx < rest.length - 1) {
-        classFieldTypes.get(t).flatMap(_.get(rest(idx)))
-            .orElse(propertyTypeOf(t, rest(idx))) match {
+        fieldTypeViaMro(t, rest(idx)) match {
           case Some(n) => t = n; idx += 1
           case None => return None
         }
@@ -699,10 +736,10 @@ object PyIndexer {
       else if (parts.length >= 3 && parts(0) == "self")
         // C3 (partial): `self.field[.field…].method()` through
         // constructor-typed field bindings (or an @property descriptor,
-        // slice 19)
-        curClass.flatMap(c =>
-          classFieldTypes.get(c.fullName).flatMap(_.get(parts(1)))
-            .orElse(propertyTypeOf(c.fullName, parts(1))))
+        // slice 19) — looked up along the class's MRO (slice 23: a
+        // field the PARENT's __init__ typed resolves through the
+        // subclass instance)
+        curClass.flatMap(c => fieldTypeViaMro(c.fullName, parts(1)))
           .flatMap(t => chaseFields(t, parts.drop(2).toSeq))
       else if (parts.length >= 2 && moduleVarTypes.contains(parts(0)))
         // C3 (partial): module-level instance global (`db = Database()`
@@ -771,14 +808,22 @@ object PyIndexer {
     // C3 slice 10: the return type of `<T>.method()` — same-module
     // receiver classes only (cross-file returns stay out of scope, the
     // declared-annotation slice's rule), declared `->` beating the
-    // inferred body type like every other use site.
-    def methodReturn(recv: String, method: String): Option[String] =
-      if (!recv.startsWith(mod + ".")) None
+    // inferred body type like every other use site. Slice 23: the
+    // return comes from the class that DEFINES the method first along
+    // the receiver's MRO — a subclass def shadows a base's even when
+    // un-annotated (Python's override semantics), a base-only def
+    // resolves through the subclass receiver.
+    def methodReturn(recv: String, method: String): Option[String] = {
+      val definer = mroOf(recv)
+        .find(c => classMethodsRaw.get(c).exists(_.contains(method)))
+        .getOrElse(recv)
+      if (!definer.startsWith(mod + ".")) None
       else {
-        val k = recv.stripPrefix(mod + ".") + "." + method
+        val k = definer.stripPrefix(mod + ".") + "." + method
         returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
           .flatMap(classishType)
       }
+    }
 
     /** C3 slices 10+13, the one-line chain: given a binding whose RHS
       * head call starts at `afterOpen` (index just past the head's `(`),
@@ -821,9 +866,9 @@ object PyIndexer {
           case None => linkAttr.findFirstMatchIn(rest) match {
             case Some(mm) =>
               // slice 13: a non-call `.attr` link reads a typed field of
-              // the chain's current class; untyped field → refuse
-              t = t.flatMap(ty =>
-                classFieldTypes.get(ty).flatMap(_.get(mm.group(1))))
+              // the chain's current class (through its MRO, slice 23);
+              // untyped field → refuse
+              t = t.flatMap(fieldOnlyViaMro(_, mm.group(1)))
               if (t.isEmpty) return None
               pos = pos + mm.end
             case None =>
@@ -851,7 +896,7 @@ object PyIndexer {
       if (parts.length < 2) None
       else baseOf(parts.head)
         .flatMap(b => parts.tail.dropRight(1).foldLeft(Option(b)) { (acc, p) =>
-          acc.flatMap(t => classFieldTypes.get(t).flatMap(_.get(p)))
+          acc.flatMap(fieldOnlyViaMro(_, p))
         })
         .flatMap(recv => methodReturn(recv, parts.last))
     }
@@ -866,6 +911,58 @@ object PyIndexer {
           chainReturnType(lines(li), m.end, classishType(callee))
             .foreach(t => moduleVarTypes(m.group(1)) = t)
         }
+    }
+
+    // ---- C3 slice 23 pre-pass: class base lists, per-class def names,
+    // and constructor-typed self-fields for EVERY class — BEFORE the
+    // main pass, so MRO lookups see a base defined anywhere in the
+    // file. Scope chain mirrors the main pass exactly (full names
+    // through the enclosing scope's full name, defs included), so the
+    // keys here are the same names the main pass emits. Resolution is
+    // context-free at this point (the scope stack is empty): imports,
+    // top-level classes and the return-annotation maps are all
+    // populated, and locals-dependent shapes (`self.f = param`) stay a
+    // main-pass-only refinement.
+    locally {
+      val ctx = mutable.Stack.empty[(Int, String, Boolean)] // ind, full, isClass
+      lines.indices.foreach { li =>
+        val ln = lines(li)
+        if (!cont(li) && ln.trim.nonEmpty) {
+          val ind = indentOf(ln)
+          while (ctx.nonEmpty && ind <= ctx.top._1) ctx.pop()
+          def parentFull = ctx.headOption.map(_._2).getOrElse(mod)
+          ln match {
+            case classHeader(_, name, _) =>
+              val full = s"$parentFull.$name"
+              val bases = parenSpan(joinedHeader(li)).split(",").map(_.trim)
+                .filter(b => b.nonEmpty && b != "object" && !b.contains("="))
+                .map(b => resolveCallee(b).getOrElse(
+                  if (b.contains(".")) b else s"$mod.$b")).toSeq
+              if (bases.nonEmpty) classBases(full) = bases
+              ctx.push((ind, full, true))
+            case defHeader(_, name) =>
+              if (ctx.headOption.exists(_._3))
+                classMethodsRaw.getOrElseUpdate(parentFull,
+                  mutable.Set.empty) += name
+              ctx.push((ind, s"$parentFull.$name", false))
+            case _ =>
+              val inMethod = ctx.toSeq.exists(_._3) &&
+                ctx.headOption.exists(!_._3)
+              if (inMethod) ctx.find(_._3).map(_._2).foreach { cls =>
+                selfInstanceAssign.findAllMatchIn(ln).foreach { m =>
+                  chainReturnType(ln, m.end,
+                      classishType(m.group(2))
+                        .orElse(returnTypeTarget(m.group(2))))
+                    .foreach(t => classFieldTypes.getOrElseUpdate(cls,
+                      mutable.Map.empty)(m.group(1)) = t)
+                }
+              }
+          }
+        }
+      }
+      // chain resolution above may have consulted MROs while classBases
+      // was still filling — drop any prematurely-memoized linearization
+      mroMemo.clear()
     }
 
     var i = 0
@@ -1189,7 +1286,7 @@ object PyIndexer {
                         .orElse(moduleVarTypes.get(parts.head))
                     base.flatMap(b =>
                       parts.tail.foldLeft(Option(b)) { (acc, p) =>
-                        acc.flatMap(t => classFieldTypes.get(t).flatMap(_.get(p)))
+                        acc.flatMap(fieldOnlyViaMro(_, p))
                       })
                       .foreach(t => fn.locals(m.group(1)) = t)
                   }

@@ -1210,4 +1210,152 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("m.use", "lib.Helper.run")))
     assert(calls.contains(("m.use", "lib.Helper.ping")))
   }
+
+  private def callsOf(src: String, path: String = "m.py"): Set[(String, String)] =
+    PyIndexer.indexFile("t", path, src)
+      .edges.filter(_.relType == Rel.Call).map(e => (e.src, e.dst)).toSet
+
+  test("slice 22: import-alias and from-imported-module constructors " +
+    "type the bound local (incl. negative: unresolvable alias)") {
+    val src =
+      """import pkg.mod as m
+        |from pkg import mod2
+        |from pkg.mod import Cls as C
+        |
+        |
+        |def use():
+        |    x = m.Cls()
+        |    x.run()
+        |    y = mod2.Other()
+        |    y.go()
+        |    z = C()
+        |    z.fire()
+        |    w = ghost.Cls()
+        |    w.boom()
+        |""".stripMargin
+    val calls = callsOf(src)
+    assert(calls.contains(("m.use", "pkg.mod.Cls.run")))
+    assert(calls.contains(("m.use", "pkg.mod2.Other.go")))
+    assert(calls.contains(("m.use", "pkg.mod.Cls.fire")))
+    // `ghost` was never imported: the constructor cannot resolve, so the
+    // member call must NOT bind to any pkg-qualified ghost target
+    assert(!calls.exists(_._2.contains("ghost")) ||
+      calls.exists { case (_, d) => d == "m.ghost.Cls" } === false)
+    assert(!calls.exists(_._2.endsWith("Cls.boom")))
+  }
+
+  test("slice 23: a field typed in a BASE __init__ resolves through a " +
+    "subclass instance — even when the base is defined later") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        pass
+        |
+        |
+        |class Sub(Base):
+        |    def go(self):
+        |        self.conn.execute()
+        |
+        |
+        |class Base:
+        |    def __init__(self):
+        |        self.conn = Conn()
+        |""".stripMargin
+    val calls = callsOf(src, "app/db.py")
+    assert(calls.contains(("app.db.Sub.go", "app.db.Conn.execute")))
+  }
+
+  test("slice 23: diamond field lookup follows the C3 MRO [C, A, X, B], " +
+    "not nearest-by-depth") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        pass
+        |
+        |
+        |class Pool:
+        |    def execute(self):
+        |        pass
+        |
+        |
+        |class X:
+        |    def __init__(self):
+        |        self.h = Conn()
+        |
+        |
+        |class A(X):
+        |    pass
+        |
+        |
+        |class B:
+        |    def __init__(self):
+        |        self.h = Pool()
+        |
+        |
+        |class C(A, B):
+        |    def go(self):
+        |        self.h.execute()
+        |""".stripMargin
+    val calls = callsOf(src, "d.py")
+    // h resolves through A→X (left base's MRO) BEFORE direct base B
+    assert(calls.contains(("d.C.go", "d.Conn.execute")))
+    assert(!calls.contains(("d.C.go", "d.Pool.execute")))
+  }
+
+  test("slice 23: base-defined method return resolves through a subclass " +
+    "receiver; subclass defs shadow; untyped base stays unresolved") {
+    val src =
+      """class Conn:
+        |    def ping(self):
+        |        pass
+        |
+        |
+        |class Sock:
+        |    def ping(self):
+        |        pass
+        |
+        |
+        |class BaseRepo:
+        |    def make(self) -> Conn:
+        |        pass
+        |
+        |
+        |class Repo(BaseRepo):
+        |    pass
+        |
+        |
+        |class Override(BaseRepo):
+        |    def make(self):
+        |        return Sock()
+        |
+        |
+        |def use(r: Repo, o: Override):
+        |    c = r.make()
+        |    c.ping()
+        |    s = o.make()
+        |    s.poke()
+        |""".stripMargin
+    val calls = callsOf(src)
+    // inherited: Repo has no make — BaseRepo's -> Conn applies
+    assert(calls.contains(("m.use", "m.Conn.ping")))
+    // shadowed: Override.make (inferred Sock) beats BaseRepo's Conn
+    assert(calls.contains(("m.use", "m.Sock.poke")))
+    assert(!calls.contains(("m.use", "m.Conn.poke")))
+  }
+
+  test("slice 23 negative: an UNTYPED base field leaves the member " +
+    "unresolved (no fabricated target)") {
+    val src =
+      """class Base:
+        |    def __init__(self, conn):
+        |        self.conn = conn
+        |
+        |
+        |class Sub(Base):
+        |    def go(self):
+        |        self.conn.execute()
+        |""".stripMargin
+    val calls = callsOf(src)
+    assert(!calls.exists(_._2.endsWith("execute")))
+  }
 }
