@@ -32,8 +32,23 @@ object SqliteFile {
   final case class SqlText(v: String) extends SqlVal
   case object SqlNull extends SqlVal
 
+  /** One table to write. `rowids` (strictly ascending, same length as
+    * `rows`) assigns explicit rowids — required for faithful
+    * `INTEGER PRIMARY KEY` (rowid-alias) tables, where real SQLite
+    * stores NULL in the aliased record column and the key in the rowid;
+    * omitted, rows get 1..n in order. `autoIndexes` materialize the
+    * automatic indexes a table-constraint PRIMARY KEY/UNIQUE implies
+    * (SQLite's `sqlite_autoindex_<tbl>_<n>` — integrity_check demands
+    * their b-trees exist and agree with the table). */
   final case class Table(name: String, createSql: String,
-      rows: Seq[Seq[SqlVal]])
+      rows: Seq[Seq[SqlVal]], rowids: Option[Seq[Long]] = None,
+      autoIndexes: Seq[AutoIndex] = Seq.empty)
+
+  /** One automatic index: `entries` are the full index records — the
+    * indexed columns followed by the row's rowid as the last column —
+    * pre-sorted in index key order. Registered in sqlite_master with a
+    * NULL sql text, exactly as SQLite records its own autoindexes. */
+  final case class AutoIndex(name: String, entries: Seq[Seq[SqlVal]])
 
   private val PageSize = 4096
   private val Usable = PageSize // no reserved bytes per page
@@ -231,6 +246,104 @@ object SqliteFile {
     ptrs.zipWithIndex.foreach { case (off, j) => putU16(p, base + 8 + 2 * j, off) }
   }
 
+  /** Pack pre-sorted index entries into an INDEX b-tree (leaf 0x0a,
+    * interior 0x02); returns the root page. Unlike a table tree, an
+    * index interior cell carries a REAL entry (the separator between
+    * its child subtrees) — entries are partitioned leaf-run /
+    * separator / leaf-run …, never duplicated. Entries must each fit a
+    * page (no index-overflow support — keys here are small). */
+  private def buildIndexTree(pf: PageFile, payloads: Seq[Array[Byte]]): Int = {
+    def formatIndexLeaf(p: Array[Byte], take: Seq[Array[Byte]]): Unit = {
+      p(0) = 0x0a
+      putU16(p, 1, 0)
+      putU16(p, 3, take.size)
+      var content = Usable
+      val ptrs = new ArrayBuffer[Int]()
+      take.foreach { pay =>
+        val lv = varint(pay.length.toLong)
+        content -= lv.length + pay.length
+        System.arraycopy(lv, 0, p, content, lv.length)
+        System.arraycopy(pay, 0, p, content + lv.length, pay.length)
+        ptrs += content
+      }
+      require(content >= 8 + 2 * take.size, "index leaf overpacked")
+      putU16(p, 5, content)
+      p(7) = 0
+      ptrs.zipWithIndex.foreach { case (off, j) => putU16(p, 8 + 2 * j, off) }
+    }
+    if (payloads.isEmpty) {
+      val pno = pf.alloc()
+      formatIndexLeaf(pf.page(pno), Seq.empty)
+      return pno
+    }
+    payloads.foreach(p =>
+      require(p.length + 9 <= Usable - 35, "index entry too large"))
+    // ---- leaves, reserving one entry BETWEEN runs as the separator
+    val leaves = new ArrayBuffer[Int]()
+    val seps = new ArrayBuffer[Array[Byte]]()
+    var idx = 0
+    while (idx < payloads.size) {
+      val take = new ArrayBuffer[Array[Byte]]()
+      var used = 0
+      var fits = true
+      while (idx < payloads.size && fits) {
+        val pay = payloads(idx)
+        if (take.isEmpty ||
+            used + pay.length + 9 + 2 * (take.size + 1) <= Usable - 8) {
+          take += pay; used += pay.length + 9; idx += 1
+        } else fits = false
+      }
+      val pno = pf.alloc()
+      formatIndexLeaf(pf.page(pno), take.toSeq)
+      leaves += pno
+      if (idx < payloads.size) { seps += payloads(idx); idx += 1 }
+    }
+    // ---- interior levels: children c0..cn with separators s0..s(n-1);
+    // group children, consuming the separator between groups upward
+    var children: Seq[Int] = leaves.toSeq
+    var betweens: Seq[Array[Byte]] = seps.toSeq
+    while (children.size > 1) {
+      val parents = new ArrayBuffer[Int]()
+      val upSeps = new ArrayBuffer[Array[Byte]]()
+      var ci = 0
+      while (ci < children.size) {
+        val n = math.min(InteriorFanout, children.size - ci)
+        // no singleton group (an interior page needs ≥1 cell + rightmost)
+        val take = if (children.size - ci - n == 1) n - 1 else n
+        val group = children.slice(ci, ci + take)
+        val groupSeps = betweens.slice(ci, ci + take - 1)
+        val pno = pf.alloc()
+        val p = pf.page(pno)
+        p(0) = 0x02
+        putU16(p, 1, 0)
+        putU16(p, 3, group.size - 1)
+        putU32(p, 8, group.last.toLong)
+        var content = Usable
+        val ptrs = new ArrayBuffer[Int]()
+        group.dropRight(1).zip(groupSeps).foreach { case (child, pay) =>
+          val lv = varint(pay.length.toLong)
+          content -= 4 + lv.length + pay.length
+          putU32(p, content, child.toLong)
+          System.arraycopy(lv, 0, p, content + 4, lv.length)
+          System.arraycopy(pay, 0, p, content + 4 + lv.length, pay.length)
+          ptrs += content
+        }
+        putU16(p, 5, content)
+        p(7) = 0
+        ptrs.zipWithIndex.foreach { case (off, j) => putU16(p, 12 + 2 * j, off) }
+        parents += pno
+        ci += take
+        if (ci < children.size) {
+          // the separator between this group and the next moves up
+          upSeps += betweens(ci - 1)
+        }
+      }
+      children = parents.toSeq
+      betweens = upSeps.toSeq
+    }
+    children.head
+  }
+
   /** Pack cells into a table b-tree bottom-up; returns the root page. */
   private def buildTree(pf: PageFile, cells: Seq[Cell]): Int = {
     val cs = cells.toIndexedSeq
@@ -313,18 +426,31 @@ object SqliteFile {
   def write(path: String, tables: Seq[Table]): Unit = {
     val pf = new PageFile
     require(pf.alloc() == 1) // page 1: sqlite_master root, filled below
-    val roots = tables.map { t =>
-      val cells = t.rows.zipWithIndex.map { case (row, i) =>
-        leafCell(pf, i + 1L, record(row))
+    // (master type, name, tbl_name, root, sql-or-null)
+    val masterRows = tables.flatMap { t =>
+      val ids = t.rowids.getOrElse(t.rows.indices.map(_ + 1L))
+      require(ids.size == t.rows.size,
+        s"${t.name}: ${ids.size} rowids for ${t.rows.size} rows")
+      require(ids.zip(ids.drop(1)).forall { case (a, b) => a < b },
+        s"${t.name}: rowids must be strictly ascending (b-tree key order)")
+      val cells = t.rows.zip(ids).map { case (row, rid) =>
+        leafCell(pf, rid, record(row))
       }
-      t.name -> buildTree(pf, cells)
+      val tRow = ("table", t.name, t.name, buildTree(pf, cells),
+        SqlText(t.createSql): SqlVal)
+      val iRows = t.autoIndexes.map { ix =>
+        ("index", ix.name, t.name,
+          buildIndexTree(pf, ix.entries.map(record)), SqlNull: SqlVal)
+      }
+      tRow +: iRows
     }
-    // sqlite_master: (type, name, tbl_name, rootpage, sql)
-    val masterCells = roots.zip(tables).zipWithIndex.map {
-      case (((name, root), t), i) =>
+    // sqlite_master: (type, name, tbl_name, rootpage, sql) — autoindex
+    // rows carry a NULL sql, exactly as SQLite records its own
+    val masterCells = masterRows.zipWithIndex.map {
+      case ((typ, name, tbl, root, sql), i) =>
         leafCell(pf, i + 1L, record(Seq(
-          SqlText("table"), SqlText(name), SqlText(name),
-          SqlInt(root.toLong), SqlText(t.createSql))))
+          SqlText(typ), SqlText(name), SqlText(tbl),
+          SqlInt(root.toLong), sql)))
     }
     formatLeaf(pf.page(1), 100, masterCells)
     // ---- the 100-byte file header
@@ -400,10 +526,12 @@ object SqliteFile {
           throw new IllegalArgumentException(s"unexpected page type $t")
       }
     }
-    walk(1, 100).map { row =>
-      val name = row(1).asInstanceOf[SqlText].v
-      val root = row(3).asInstanceOf[SqlInt].v.toInt
-      name -> walk(root, 0)
-    }.toMap
+    walk(1, 100)
+      .filter(_.head == SqlText("table")) // autoindex rows are not tables
+      .map { row =>
+        val name = row(1).asInstanceOf[SqlText].v
+        val root = row(3).asInstanceOf[SqlInt].v.toInt
+        name -> walk(root, 0)
+      }.toMap
   }
 }

@@ -112,4 +112,85 @@ class SrctrlSinkSpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path2))))
   }
+
+  test("writeSourcetrailDb emits the REAL Sourcetrail catalog, verified " +
+    "by an actual SQLite with full referential integrity") {
+    assume(new ProcessBuilder("python3", "-c", "import sqlite3")
+      .start().waitFor() == 0, "python3+sqlite3 unavailable")
+    val path = java.nio.file.Files.createTempDirectory("stdb").toString +
+      "/real.srctrldb"
+    SrctrlSink.writeSourcetrailDb(snap, path)
+    val script =
+      """import sys, sqlite3, json
+        |c = sqlite3.connect(sys.argv[1])
+        |def one(q): return c.execute(q).fetchone()[0]
+        |out = {}
+        |out['integrity'] = one('PRAGMA integrity_check')
+        |out['fk'] = c.execute('PRAGMA foreign_key_check').fetchall()
+        |out['tables'] = sorted(r[0] for r in c.execute(
+        |    "SELECT name FROM sqlite_master WHERE type='table'"))
+        |out['version'] = one("SELECT value FROM meta WHERE key='storage_version'")
+        |out['dangling_edges'] = one('''SELECT count(*) FROM edge e
+        |    WHERE e.source_node_id NOT IN (SELECT id FROM node)
+        |       OR e.target_node_id NOT IN (SELECT id FROM node)''')
+        |out['dangling_occ'] = one('''SELECT count(*) FROM occurrence o
+        |    WHERE o.element_id NOT IN (SELECT id FROM element)
+        |       OR o.source_location_id NOT IN (SELECT id FROM source_location)''')
+        |out['symbol_not_node'] = one('''SELECT count(*) FROM symbol
+        |    WHERE id NOT IN (SELECT id FROM node)''')
+        |out['file_not_filenode'] = one('''SELECT count(*) FROM file
+        |    WHERE id NOT IN (SELECT id FROM node WHERE type = 262144)''')
+        |out['loc_bad_file'] = one('''SELECT count(*) FROM source_location
+        |    WHERE file_node_id NOT IN (SELECT id FROM node WHERE type = 262144)''')
+        |def nid(serialized):
+        |    r = c.execute('SELECT id FROM node WHERE serialized_name=?',
+        |                  (serialized,)).fetchone()
+        |    return r[0] if r else None
+        |def ser(name):
+        |    return '.' + '\tm' + '\tn'.join(p + '\ts\tp' for p in name.split('.'))
+        |out['clsA_type'] = c.execute(
+        |    'SELECT type FROM node WHERE serialized_name=?',
+        |    (ser('pkg.a.A'),)).fetchone()[0]
+        |def edge_between(t, a, b):
+        |    return c.execute('SELECT count(*) FROM edge WHERE type=? AND '
+        |        'source_node_id=? AND target_node_id=?',
+        |        (t, nid(ser(a)), nid(ser(b)))).fetchone()[0]
+        |out['member'] = edge_between(1, 'pkg.a', 'pkg.a.A')
+        |out['call'] = edge_between(8, 'pkg.b.B.go', 'pkg.a.A.run')
+        |out['inherit'] = edge_between(16, 'pkg.b.B', 'pkg.a.A')
+        |out['override'] = edge_between(32, 'pkg.b.B.run', 'pkg.a.A.run')
+        |out['local'] = one("SELECT count(*) FROM local_symbol WHERE name='pkg.b.B.go<a>'")
+        |out['occ_total'] = one('SELECT count(*) FROM occurrence')
+        |print(json.dumps(out))
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("stcheck", ".py")
+    java.nio.file.Files.writeString(f, script)
+    val pb = new ProcessBuilder("python3", f.toString, path)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val outRaw = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor() === 0, s"sqlite3 check failed:\n$outRaw")
+    val out = outRaw.trim.linesIterator.toSeq.last
+    def field(k: String): String = {
+      val m = ("\"" + k + "\":\\s*(\\[[^\\]]*\\]|\"[^\"]*\"|\\d+)").r
+        .findFirstMatchIn(out)
+      assert(m.isDefined, s"missing $k in $out"); m.get.group(1)
+    }
+    assert(field("integrity") === "\"ok\"")
+    assert(field("fk") === "[]", "foreign_key_check must be clean")
+    assert(field("tables") ===
+      Seq("edge", "element", "element_component", "error", "file",
+        "filecontent", "local_symbol", "meta", "node", "occurrence",
+        "source_location", "symbol")
+        .mkString("[\"", "\", \"", "\"]"))
+    assert(field("version") === "\"25\"")
+    Seq("dangling_edges", "dangling_occ", "symbol_not_node",
+      "file_not_filenode", "loc_bad_file").foreach(k =>
+      assert(field(k) === "0", s"$k must be 0"))
+    assert(field("clsA_type") === "128") // NODE_CLASS
+    // nesting-derived MEMBER + true references with Sourcetrail type ints
+    Seq("member", "call", "inherit", "override", "local").foreach(k =>
+      assert(field(k) === "1", s"$k edge/row missing"))
+    assert(field("occ_total").toInt > 0)
+  }
 }
