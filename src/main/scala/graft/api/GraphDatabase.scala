@@ -182,18 +182,24 @@ final class GraphDatabase private (
     * + one snapshot write per batch instead of a full snapshot rewrite
     * per call); reads flush first, so call-order semantics are intact. */
   /** Neo4j `MERGE … ON CREATE SET … ON MATCH SET …` — the conditional
-    * upsert: if the key exists (in the snapshot or the staged batch —
-    * the existence probe read-your-writes-flushes first), apply the ON
-    * MATCH branch as an A3 prop patch; otherwise create the node from
-    * the pattern props + the ON CREATE branch (A1). The branch decision
-    * is a driver-side point probe, matching this API's per-statement
-    * interactive surface — bulk conditional upserts stay on the
-    * set-oriented [[graft.merge.Merge]] path. */
+    * upsert: if the key exists, apply the ON MATCH branch as an A3 prop
+    * patch; otherwise create the node from the pattern props + the ON
+    * CREATE branch (A1). The existence probe reads the staged batch on
+    * the driver (addNode events and edge-endpoint stubs both create)
+    * plus a point lookup on the base snapshot — read-your-writes
+    * WITHOUT forcing a merge-flush per statement, so a run of MERGEs
+    * stays one commit (staged updates can't create, and deletes apply
+    * to the snapshot immediately, so staged + base is exact). The
+    * branch decision is a driver-side point probe, matching this API's
+    * per-statement interactive surface — bulk conditional upserts stay
+    * on the set-oriented [[graft.merge.Merge]] path. */
   def mergeNode(taskId: String, kind: String, fullName: String,
       props: Map[String, String], onCreate: Map[String, String],
       onMatch: Map[String, String]): Unit = synchronized {
-    if (nodeByKey(fullName).isEmpty)
-      addNode(taskId, kind, fullName, props ++ onCreate)
+    val exists = stagedSymbols.exists(_.fullName == fullName) ||
+      stagedEdges.exists(e => e.src == fullName || e.dst == fullName) ||
+      !snap.nodes.filter(col("full_name") === fullName).isEmpty
+    if (!exists) addNode(taskId, kind, fullName, props ++ onCreate)
     else if (onMatch.nonEmpty) updateNode(fullName, onMatch)
   }
 
