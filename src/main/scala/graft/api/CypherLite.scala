@@ -57,11 +57,14 @@ import org.apache.spark.sql.functions._
   *    null-extends rather than dropping).
   *
   *  - relationship VARIABLES on single hops (`-[r:REL]->`): `r.prop`
-  *    reads relationship properties (src/rel_type/dst are the fixed
-  *    columns), `count(r)` counts matched edges, whole-`r` projects the
-  *    edge triple, and `type(r)` / `startNode(r)` / `endNode(r)` project
-  *    the rel_type and endpoint keys; var-length hops and WITH-carry of
-  *    `r` raise (list semantics we don't model);
+  *    reads relationship properties (src/rel_type/dst/hops are the
+  *    fixed columns), `count(r)` counts matched edges, whole-`r`
+  *    projects the edge triple, and `type(r)` / `startNode(r)` /
+  *    `endNode(r)` project the rel_type and endpoint keys; `r` carries
+  *    through WITH (a `__wr_` struct keeping relationship-ness); a
+  *    var-length `r` binds its PATH SUMMARY — `size(r)`/`length(r)`
+  *    read the hop count, rel_type/props are null (Neo4j's full
+  *    relationship-list projection is not modeled);
   *  - `WITH` pipes, CHAINED (aggregate-then-filter, SQL's HAVING shape):
   *    `MATCH … WITH v, count(*) AS c WHERE c > k WITH … RETURN …` — bare
   *    variables carry through (struct columns), a previous pipe's output
@@ -157,7 +160,8 @@ object CypherLite {
       array(struct(col("src").as("s"), col("dst").as("d"))).as("__p"))
       .localCheckpoint(true)
     var level = 1
-    if (min <= 1) out += frontier.select("src", "dst")
+    if (min <= 1)
+      out += frontier.select(col("src"), col("dst"), lit(1L).as("hops"))
     while (!frontier.isEmpty && level < unboundedMatchCap) {
       level += 1
       frontier = frontier.alias("p")
@@ -168,13 +172,15 @@ object CypherLite {
           concat(col("p.__p"),
             array(struct(col("x.src").as("s"), col("x.dst").as("d")))).as("__p"))
         .localCheckpoint(true)
-      if (level >= min) out += frontier.select("src", "dst")
+      if (level >= min)
+        out += frontier.select(col("src"), col("dst"),
+          lit(level.toLong).as("hops"))
     }
     require(frontier.isEmpty,
       s"unbounded variable-length expansion passed $unboundedMatchCap " +
         "levels without converging — bound the pattern (*m..n)")
     out.reduceOption(_ unionAll _)
-      .getOrElse(e.limit(0))
+      .getOrElse(e.select(col("src"), col("dst"), lit(0L).as("hops")).limit(0))
   }
 
   /** The (src, dst) endpoint pairs of every path of `min`..`max` edges of
@@ -187,7 +193,8 @@ object CypherLite {
     * edge table is bucketed (store.Bucketing's layout co-locates it). */
   private def varLengthRel(e: DataFrame, min: Int, max: Int): DataFrame = {
     val perLength = (min to max).map { len =>
-      if (len == 1) e.select(col("src"), col("dst"))
+      if (len == 1)
+        e.select(col("src"), col("dst"), lit(1L).as("hops"))
       else {
         var df = e.select(col("src").as("s0"), col("dst").as("d0"))
         for (j <- 1 until len) {
@@ -197,7 +204,8 @@ object CypherLite {
             df = df.filter(
               !(col(s"s$k") === col(s"s$j") && col(s"d$k") === col(s"d$j")))
         }
-        df.select(col("s0").as("src"), col(s"d${len - 1}").as("dst"))
+        df.select(col("s0").as("src"), col(s"d${len - 1}").as("dst"),
+          lit(len.toLong).as("hops"))
       }
     }
     // unionAll: two paths with the same endpoints are two result rows
@@ -404,7 +412,14 @@ object CypherLite {
     (labelConds ++ propConds).reduceOption(_ && _).getOrElse(lit(true))
   }
 
-  private val fixedRel = Set("src", "rel_type", "dst")
+  private val fixedRel = Set("src", "rel_type", "dst", "hops")
+
+  /** The uniform column set every NAMED relationship alias carries
+    * (single-hop scans add `hops = 1`; var-length path frames carry the
+    * real hop count with null rel_type/props — this engine models a
+    * var-length `r` as its PATH SUMMARY, `size(r)`/`length(r)` reading
+    * the hop count, not Neo4j's full relationship list). */
+  private val relCarriedFields = Seq("src", "rel_type", "dst", "props", "hops")
 
   /** Internal edge-scan alias, a RESERVED namespace (`__rel<N>`) no user
     * variable can ever occupy: user-written variables bind through the
@@ -415,10 +430,11 @@ object CypherLite {
     * literally named `e1` (or `__rel7`) stays a node everywhere. */
   private def relAlias(i: Int): String = s"__rel$i"
 
-  /** True when the alias names an edge scan — i.e. the planner bound it
-    * via [[relAlias]]; relationship variables resolve against the edge
-    * schema. */
-  private def isRelAlias(a: String): Boolean = a.startsWith("__rel")
+  /** True when the alias names an edge scan (`__rel<N>`, bound via
+    * [[relAlias]]) or a WITH-carried relationship struct (`__wr_<v>`);
+    * relationship variables resolve against the edge schema. */
+  private def isRelAlias(a: String): Boolean =
+    a.startsWith("__rel") || a.startsWith("__wr_")
 
   /** Prop reference `v.prop` → Column (fixed column or props-map entry;
     * relationship variables use the edge schema's fixed columns). */
@@ -467,9 +483,12 @@ object CypherLite {
         Some(
           if (isRelAlias(a) && distinct)
             // null when the (optional) hop didn't bind, so the
-            // null-skipping count can't tally a phantom relationship
+            // null-skipping count can't tally a phantom relationship;
+            // hops joins the identity so a var-length r counts distinct
+            // path summaries, not just endpoint pairs
             when(col(s"$a.src").isNotNull,
-              struct(col(s"$a.src"), col(s"$a.rel_type"), col(s"$a.dst")))
+              struct(col(s"$a.src"), col(s"$a.rel_type"), col(s"$a.dst"),
+                col(s"$a.hops")))
           else if (isRelAlias(a)) col(s"$a.src")
           else col(s"$a.full_name"))
       }
@@ -521,8 +540,8 @@ object CypherLite {
   }
 
   private val scalarFns = Set("coalesce", "tointeger", "tofloat", "abs", "size",
-    "toupper", "tolower", "trim", "ltrim", "rtrim", "replace", "substring",
-    "left", "right")
+    "length", "toupper", "tolower", "trim", "ltrim", "rtrim", "replace",
+    "substring", "left", "right")
 
   /** True when a RETURN/WITH item core is a scalar EXPRESSION rather than
     * a plain reference: a top-level arithmetic operator outside quotes and
@@ -623,6 +642,23 @@ object CypherLite {
       ws()
       if (peek == '(') {
         i += 1; ws()
+        // size(r)/length(r) on a RELATIONSHIP variable reads the hop
+        // count (a var-length r is its path summary; a single hop is 1)
+        // — intercepted before generic arg parsing, which refuses
+        // whole-variable operands
+        if (w.equalsIgnoreCase("size") || w.equalsIgnoreCase("length")) {
+          val save = i
+          val st2 = i
+          while (i < s.length && isWordChar(s.charAt(i))) i += 1
+          val argVar = s.substring(st2, i)
+          ws()
+          if (peek == ')' && argVar.nonEmpty &&
+              vars.get(argVar).exists(isRelAlias)) {
+            i += 1
+            return col(s"${vars(argVar)}.hops")
+          }
+          i = save
+        }
         val argStart = i
         val args = scala.collection.mutable.ArrayBuffer.empty[Column]
         if (peek != ')') {
@@ -661,7 +697,7 @@ object CypherLite {
           case "right" =>
             if (args.length != 2) fail("right(s, n) takes 2 args")
             call_function("right", args.head.cast("string"), args(1).cast("int"))
-          case "size" =>
+          case "size" | "length" =>
             val argTxt = s.substring(argStart, argEnd).trim
             val isArray = argTxt.matches("""\w+""") && plain(argTxt) &&
               schema.fields.find(_.name == argTxt)
@@ -691,6 +727,17 @@ object CypherLite {
     c.length > 4 && c.regionMatches(true, 0, "CASE", 0, 4) &&
       !isWordChar(c.charAt(4))
 
+  /** CASE/END nesting depth just before position `p` of `s` — counts
+    * CASE keyword opens minus END closes, so keywords inside a NESTED
+    * CASE…END span can be told apart from the enclosing level's. */
+  private def caseDepthAt(s: String, p: Int): Int =
+    allTopLevelKeywords(s, "CASE").count(_ < p) -
+      allTopLevelKeywords(s, "END").count(q => q + 3 <= p)
+
+  /** Top-level keyword positions treating nested CASE…END as opaque. */
+  private def caseTopKeywords(s: String, kw: String): Seq[Int] =
+    allTopLevelKeywords(s, kw).filter(p => caseDepthAt(s, p) == 0)
+
   /** Cypher CASE expression, both forms:
     *   generic: `CASE WHEN <pred> THEN <val> [WHEN …]* [ELSE <val>] END`
     *   simple:  `CASE <operand> WHEN <val> THEN <val> [… ] [ELSE …] END`
@@ -698,26 +745,34 @@ object CypherLite {
     * as the item — so `v.prop`, pipe columns, AND/OR/NOT, comparisons
     * all work); operands and values are scalar value expressions
     * ([[parseValueExpr]]: literals, arithmetic, `v.prop`, pipe columns,
-    * the scalar functions). A missing ELSE yields null, Cypher's
-    * semantics (Spark's `when` chain without `otherwise`). Nested CASE
-    * raises, the module's posture. */
+    * the scalar functions) — or a NESTED CASE, which recurses: WHEN/
+    * THEN/ELSE scanning treats inner CASE…END spans as opaque, so
+    * `THEN CASE … END` composes to any depth. A missing ELSE yields
+    * null, Cypher's semantics (Spark's `when` chain without
+    * `otherwise`). */
   private def parseCaseExpr(s0: String, vars: Map[String, String],
       plain: Set[String],
       schema: org.apache.spark.sql.types.StructType): Column = {
     val s = s0.trim
     def fail(m: String): Nothing =
       throw new IllegalArgumentException(s"$m in CASE expression '$s0'")
-    if (allTopLevelKeywords(s, "CASE").size > 1) fail("nested CASE not supported")
+    // the END matching the LEADING CASE: depth 1 (only the outer open)
     val ends = allTopLevelKeywords(s, "END")
-    if (ends.size != 1 || s.substring(ends.head + 3).trim.nonEmpty)
-      fail("CASE must close with a single trailing END")
+      .filter(p => caseDepthAt(s, p) == 1)
+    if (ends.isEmpty) fail("CASE without matching END")
+    if (s.substring(ends.head + 3).trim.nonEmpty)
+      fail("trailing input after END")
     val inner = s.substring(4, ends.head).trim
-    val whenPos = allTopLevelKeywords(inner, "WHEN")
+    val whenPos = caseTopKeywords(inner, "WHEN")
     if (whenPos.isEmpty) fail("CASE needs at least one WHEN")
-    val elsePos = allTopLevelKeywords(inner, "ELSE")
+    val elsePos = caseTopKeywords(inner, "ELSE")
     if (elsePos.size > 1) fail("multiple ELSE")
     elsePos.foreach(p => if (p < whenPos.last) fail("ELSE before last WHEN"))
-    def valueOf(t: String): Column = parseValueExpr(t.trim, vars, plain, schema)
+    def valueOf(t0: String): Column = {
+      val t = t0.trim
+      if (isCaseExpr(t)) parseCaseExpr(t, vars, plain, schema)
+      else parseValueExpr(t, vars, plain, schema)
+    }
     // simple form: non-empty text between CASE and the first WHEN is the
     // tested operand; each WHEN side is then a value compared with `=`
     val operandTxt = inner.substring(0, whenPos.head).trim
@@ -726,7 +781,7 @@ object CypherLite {
     val arms = whenPos.zipWithIndex.map { case (p, i) =>
       val armEnd = if (i + 1 < whenPos.length) whenPos(i + 1) else tailEnd
       val arm = inner.substring(p + 4, armEnd)
-      val thenPos = allTopLevelKeywords(arm, "THEN")
+      val thenPos = caseTopKeywords(arm, "THEN")
       if (thenPos.size != 1) fail("each WHEN needs exactly one THEN")
       val condTxt = arm.substring(0, thenPos.head).trim
       val cond = operand match {
@@ -1259,11 +1314,10 @@ object CypherLite {
           s"unsupported relationship pattern '$other' (directed arrows only)")
       }
     }
-    // a variable on a var-length hop would bind a LIST of relationships
-    // (Neo4j semantics we don't model) — raise, the module's posture
-    hops.filter(h => h.isVarLength && h.varName.nonEmpty).foreach(h =>
-      throw new IllegalArgumentException(
-        s"relationship variable '${h.varName.get}' on a variable-length hop not supported: $q"))
+    // a variable on a var-length hop binds the PATH SUMMARY (src, dst,
+    // hop count) — size(r)/length(r) read the count; Neo4j's full
+    // relationship-list projection is not modeled (r.props raise via
+    // the null columns)
     val leading = pattern.substring(0, nodeMs.head.start).trim
     val trailing = pattern.substring(nodeMs.last.end).trim
     require(leading.isEmpty && trailing.isEmpty,
@@ -1369,7 +1423,8 @@ object CypherLite {
       val scan = hopEdges(edges, hop)
       val ai = aliasStart + i
       val ea = relAlias(ai)
-      val e = (if (hop.isVarLength) {
+      val eRaw =
+        if (hop.isVarLength) {
           // zero-length leg (Cypher's bind-same-node `*0..`): identity
           // endpoint pairs over all nodes — both endpoint patterns then
           // constrain the SAME node through the two joins below; the
@@ -1377,15 +1432,24 @@ object CypherLite {
           val zero =
             if (hop.minHops == 0)
               Seq(nodes.select(col("full_name").as("src"),
-                col("full_name").as("dst")))
+                col("full_name").as("dst"), lit(0L).as("hops")))
             else Seq.empty
           val pos =
             if (hop.maxHops == 0) Seq.empty
             else if (hop.maxHops < 0)
               Seq(varLengthRelUnbounded(scan, math.max(hop.minHops, 1)))
             else Seq(varLengthRel(scan, math.max(hop.minHops, 1), hop.maxHops))
-          (zero ++ pos).reduce(_ unionAll _)
-        } else scan).alias(ea)
+          (zero ++ pos).map(_.select(col("src"), col("dst"), col("hops")))
+            .reduce(_ unionAll _)
+        } else scan
+      // a NAMED hop presents the uniform relationship-alias schema:
+      // single-hop scans add hops = 1; var-length path frames add null
+      // rel_type/props (the PATH-SUMMARY model — see relCarriedFields)
+      val e = (if (hop.varName.isEmpty) eRaw
+        else if (hop.isVarLength)
+          eRaw.withColumn("rel_type", lit(null).cast("string"))
+            .withColumn("props", lit(null).cast("map<string,string>"))
+        else eRaw.withColumn("hops", lit(1L))).alias(ea)
       val next = nodes
         .filter(nodePred(c.nodeMs(i + 1).labels, c.nodeMs(i + 1).props))
         .alias(s"n${ai + 1}")
@@ -1900,19 +1964,21 @@ object CypherLite {
         case _ => throw new IllegalArgumentException(s"multiple AS in '$item'")
       }
       core match {
-        // WITH * — carry every pipe column and every user-named node
-        // variable (Cypher's pass-everything-through; `WITH *, agg AS a`
-        // is the common spelling). Relationship variables raise, the
-        // module's carry posture.
+        // WITH * — carry every pipe column and every user-named node or
+        // relationship variable (Cypher's pass-everything-through;
+        // `WITH *, agg AS a` is the common spelling).
         case "*" =>
           require(alias.isEmpty, s"AS on '*' is not a thing: '$item'")
           prevPlain.toSeq.sorted.foreach { c => keys += col(c); plain += c }
           vars.keys.filterNot(_.startsWith("__anon")).toSeq.sorted.foreach { v =>
             val a = vars(v)
-            require(!isRelAlias(a),
-              "carrying a relationship variable through WITH * not supported")
-            val ca = s"__w_$v"
-            keys += struct(carriedFields.map(f => col(s"$a.$f").as(f)): _*).as(ca)
+            // relationship variables carry as their uniform edge/path
+            // struct in the dedicated `__wr_` namespace (so downstream
+            // reads keep relationship-ness); nodes carry as before
+            val (ca, fields) =
+              if (isRelAlias(a)) (s"__wr_$v", relCarriedFields)
+              else (s"__w_$v", carriedFields)
+            keys += struct(fields.map(f => col(s"$a.$f").as(f)): _*).as(ca)
             newVars += v -> ca
           }
         case countRe(dist, arg) =>
@@ -1960,13 +2026,15 @@ object CypherLite {
           require(alias.isEmpty,
             s"AS on a carried variable not supported: '$item'")
           val a = vars(v)
-          require(!isRelAlias(a),
-            s"carrying a relationship variable through WITH not supported: '$item'")
-          // the carried struct's alias lives in its own `__w_` namespace,
+          // the carried struct's alias lives in its own namespace,
           // disjoint from node scans (n<N>) and edge scans (__rel<N>) —
-          // no user variable name can land it in the rel namespace
-          val ca = s"__w_$v"
-          keys += struct(carriedFields.map(f => col(s"$a.$f").as(f)): _*).as(ca)
+          // no user variable name can land it in the rel namespace;
+          // relationship carries use `__wr_` so reads after the pipe
+          // still resolve against the edge/path schema
+          val (ca, fields) =
+            if (isRelAlias(a)) (s"__wr_$v", relCarriedFields)
+            else (s"__w_$v", carriedFields)
+          keys += struct(fields.map(f => col(s"$a.$f").as(f)): _*).as(ca)
           newVars += v -> ca
         case other => throw new IllegalArgumentException(
           s"unsupported WITH item '$other' (variable, v.prop AS x, count(…) AS x)")
@@ -1979,9 +2047,13 @@ object CypherLite {
         else {
           // a carried node variable dedups by its KEY (full_name): the
           // carried struct holds a MAP column Spark can't set-op on,
-          // and rows sharing the key are identical node rows anyway
-          val dk = newVars.values.toSeq.sorted
-            .map(ca => (s"__dk_$ca", col(s"$ca.full_name")))
+          // and rows sharing the key are identical node rows anyway; a
+          // relationship carry dedups by its identity triple + hop count
+          val dk = newVars.values.toSeq.sorted.flatMap(ca =>
+            if (ca.startsWith("__wr_"))
+              Seq("src", "rel_type", "dst", "hops")
+                .map(f => (s"__dk_${ca}_$f", col(s"$ca.$f")))
+            else Seq((s"__dk_$ca", col(s"$ca.full_name"))))
           val withK = dk.foldLeft(sel) { case (d, (n, c)) => d.withColumn(n, c) }
           withK.dropDuplicates(plain.toSeq.sorted ++ dk.map(_._1))
             .drop(dk.map(_._1): _*)

@@ -557,14 +557,11 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
-  test("relationship variables raise on var-length hops and WITH carry") {
-    intercept[IllegalArgumentException] {
-      d8.executeQuery("MATCH (a)-[r:HAS_METHOD*1..2]->(b) RETURN a.name")
-    }
-    intercept[IllegalArgumentException] {
-      d8.executeQuery(
-        "MATCH (a)-[r:HAS_METHOD]->(b) WITH r, count(*) AS n RETURN n")
-    }
+  test("count(r) over a var-length variable counts paths") {
+    val out = d8.executeQuery(
+      "MATCH (a:CLASS)-[r:HAS_METHOD*1..2]->(b) RETURN count(r) AS n")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L)) // A→f, A→g
   }
 
   test("WITH pipe: aggregate then filter (the HAVING shape)") {
@@ -1051,6 +1048,38 @@ class CypherLiteSpec extends AnyFunSuite {
     d
   }
 
+  test("var-length relationship variable: size(r)/length(r) read the " +
+    "hop count per path") {
+    // paths a→…→c: a-b-c (2 hops) and a-x-c (2 hops); a→…→dd: two
+    // 3-hop paths through b-c and x-c
+    val out = chainDb.executeQuery(
+      "MATCH (s:CLASS {name: 'a'})-[r:INHERITS*1..3]->(t) " +
+        "RETURN t.name AS n, size(r) AS hops ORDER BY n, hops").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(
+      ("b", 1L), ("c", 2L), ("c", 2L), ("dd", 3L), ("dd", 3L), ("x", 1L)))
+    // single-hop named rel: size(r) is 1
+    val one = chainDb.executeQuery(
+      "MATCH (s:CLASS {name: 'a'})-[r:INHERITS]->(t) " +
+        "RETURN t.name AS n, length(r) AS hops ORDER BY n").collect()
+    assert(one.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("b", 1L), ("x", 1L)))
+  }
+
+  test("relationship variables carry through WITH (explicit and *)") {
+    val out = chainDb.executeQuery(
+      "MATCH (s:CLASS {name: 'a'})-[r:INHERITS*2..3]->(t) " +
+        "WITH t, r WHERE t.name = 'dd' " +
+        "RETURN t.name AS n, size(r) AS hops ORDER BY hops").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("dd", 3L), ("dd", 3L)))
+    // WITH * keeps the relationship too; single-hop r.rel_type survives
+    val star = chainDb.executeQuery(
+      "MATCH (s:CLASS {name: 'a'})-[r:INHERITS]->(t) " +
+        "WITH * RETURN t.name AS n, r.rel_type AS rt ORDER BY n").collect()
+    assert(star.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("b", "INHERITS"), ("x", "INHERITS")))
+  }
+
   test("zero-length *0..1: binds the same node at zero hops") {
     val out = chainDb.executeQuery(
       "MATCH (s:CLASS {name: 'a'})-[:INHERITS*0..1]->(t) RETURN t.name").collect()
@@ -1150,10 +1179,25 @@ class CypherLiteSpec extends AnyFunSuite {
       Seq(("mod", 1L), ("sym", 3L)))
   }
 
-  test("nested CASE raises (posture)") {
+  test("nested CASE composes: THEN and ELSE arms recurse") {
+    // outer discriminates module vs symbol; the symbol arm nests a
+    // second CASE on the kind, the module arm nests one in ELSE
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) RETURN n.full_name AS fn, " +
+        "CASE WHEN n.kind = 'MODULE' " +
+        "THEN CASE WHEN n.name = 'm' THEN 'root-mod' ELSE 'sub-mod' END " +
+        "ELSE CASE n.kind WHEN 'CLASS' THEN 'type' " +
+        "WHEN 'METHOD' THEN 'member' ELSE 'other' END " +
+        "END AS grp ORDER BY fn").collect()
+    val got = out.map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("m") === "root-mod")
+    assert(got("m.Person") === "type")
+    assert(got("m.Person.greet") === "member")
+    assert(got("m.util") === "other") // FUNCTION: inner simple-form ELSE
+    // a still-unbalanced CASE (no matching END) raises
     intercept[IllegalArgumentException] {
       db.executeQuery("MATCH (n:sklearn) RETURN CASE WHEN n.kind = 'X' " +
-        "THEN CASE WHEN n.name = 'y' THEN 1 END ELSE 2 END AS z")
+        "THEN CASE WHEN n.name = 'y' THEN 1 END AS z")
     }
   }
 
