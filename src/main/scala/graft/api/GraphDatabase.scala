@@ -326,8 +326,34 @@ final class GraphDatabase private (
     * shapes the reference's own handler issues — see [[CypherWrite]])
     * route to the typed write API and return an empty frame, exactly
     * the no-records result `graph.run` gives a write. */
+  /** `<read clauses> FOREACH (v IN <boundList> | <write body>)` — the
+    * DATA-DRIVEN write loop (`MATCH … WITH collect(n.name) AS names
+    * FOREACH (nm IN names | SET …)`): the read part runs through
+    * CypherLite, the bound list collects at the driver, and the loop
+    * re-enters the LITERAL-FOREACH machinery with the elements rendered
+    * as escaped string literals — one bounded read feeding the same
+    * typed write expansion, never a per-row Spark action. The literal
+    * form (`IN [ … ]`) never matches here (its list is not a bare
+    * identifier), so [[CypherWrite.parseAll]] keeps owning it. */
+  private val dataForeachRe =
+    """(?is)^(.+?\S)\s+FOREACH\s*\(\s*(\w+)\s+IN\s+(\w+)\s*\|\s*(.+)\)\s*$""".r
+
   def executeQuery(cypher: String): DataFrame =
     CypherWrite.parseAll(cypher) match {
+      case None if dataForeachRe.findFirstMatchIn(cypher).isDefined =>
+        val m = dataForeachRe.findFirstMatchIn(cypher).get
+        val (readPart, v, listVar, body) =
+          (m.group(1), m.group(2), m.group(3), m.group(4))
+        val n = nodes
+        val rows = CypherLite.execute(n, snap.edges,
+          s"$readPart RETURN $listVar AS __fe").collect()
+        val elems = rows.toSeq.flatMap(r => r.getSeq[Any](0)).map(_.toString)
+        if (elems.nonEmpty) {
+          def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+          executeQuery(s"FOREACH ($v IN [" +
+            elems.map(e => s"'${esc(e)}'").mkString(", ") + s"] | $body)")
+        }
+        spark.emptyDataFrame
       case Some(stmts) =>
         stmts.foreach {
           case CypherWrite.ClearAll => clearDatabase()

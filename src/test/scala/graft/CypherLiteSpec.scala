@@ -1347,6 +1347,27 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("data-driven FOREACH: the write loop runs over a COLLECTED list") {
+    val d = GraphDatabase.inMemory(spark)
+    d.executeQuery("FOREACH (nm IN ['p1', 'p2', 'q3'] | " +
+      "CREATE (n:CLASS:`dd` {full_name: nm, name: nm}))")
+    // read feeds write: collect the p-names, patch exactly those
+    d.executeQuery(
+      "MATCH (n:CLASS) WHERE n.name STARTS WITH 'p' " +
+        "WITH collect(n.name) AS names " +
+        "FOREACH (nm IN names | MATCH (x {full_name: nm}) SET x.seen = 'y')")
+    val rows = d.nodes.select(col("full_name"),
+        org.apache.spark.sql.functions.element_at(col("props"), "seen"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows === Map("p1" -> "y", "p2" -> "y", "q3" -> null))
+    // an empty collected list is a no-op, not an error
+    d.executeQuery(
+      "MATCH (n:CLASS) WHERE n.name STARTS WITH 'zz' " +
+        "WITH collect(n.name) AS names " +
+        "FOREACH (nm IN names | MATCH (x {full_name: nm}) SET x.seen = 'n')")
+    assert(d.nodes.count() === 3)
+  }
+
   test("FOREACH loop variable colliding with a prop-map key substitutes " +
     "only value positions") {
     val d = GraphDatabase.inMemory(spark)
