@@ -779,6 +779,41 @@ object PyIndexer {
       else None
     }
 
+    /** C3 slice 24 — `typing.cast`: `x = cast(Helper, y)` (also the
+      * quoted forward-reference `cast("Helper", y)`, any import alias,
+      * and `typing.cast(…)`) types the target as the cast's FIRST
+      * argument — jedi honors the declared type over inference. Reads
+      * the RAW line because [[preprocess]] blanks string contents (the
+      * quoted form would otherwise be invisible); offsets agree, the
+      * blanking is 1:1. Only the imported typing function binds. */
+    def castTarget(rawLine: String, callee: String,
+        afterOpen: Int): Option[String] = {
+      val isCast = importedName.get(callee).contains("typing.cast") ||
+        (callee == "typing.cast" && importedModule.contains("typing"))
+      if (!isCast) None
+      else {
+        var j = afterOpen
+        var depth = 0
+        var end = -1
+        while (j < rawLine.length && end < 0) {
+          val c = rawLine.charAt(j)
+          if (c == '(') depth += 1
+          else if (c == ')') { if (depth == 0) end = j else depth -= 1 }
+          else if (c == ',' && depth == 0) end = j
+          j += 1
+        }
+        if (end < 0) None
+        else {
+          val raw = rawLine.substring(afterOpen, end).trim
+          val nm = if (raw.length >= 2 &&
+              ((raw.head == '"' && raw.last == '"') ||
+                (raw.head == '\'' && raw.last == '\'')))
+            raw.substring(1, raw.length - 1).trim else raw
+          if (nm.matches("""[A-Za-z_][\w.]*""")) classishType(nm) else None
+        }
+      }
+    }
+
     // C3 slice 19: attribute READ through an @property method of a
     // same-module class — the descriptor's declared (or slice-8
     // inferred) return type IS the attribute's type
@@ -1221,9 +1256,12 @@ object PyIndexer {
               // type through method returns (`x = Service().connect()`
               // binds the FINAL return type, never the head class);
               // slice 13: the head itself may be a typed-receiver method
-              // call (`self.f.m()`, `db.connect()` with db a typed local)
+              // call (`self.f.m()`, `db.connect()` with db a typed local);
+              // slice 24: a typing.cast head binds its declared type
               chainReturnType(line, m.end,
-                  classishType(m.group(2)).orElse(returnTypeTarget(m.group(2)))
+                  classishType(m.group(2))
+                    .orElse(castTarget(rawLines(i), m.group(2), m.end))
+                    .orElse(returnTypeTarget(m.group(2)))
                     .orElse(attrCallHead(m.group(2),
                       n => if (n == "self") curClass.map(_.fullName)
                         else fn.locals.get(n).orElse(moduleVarTypes.get(n)))))

@@ -1343,6 +1343,42 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.contains(("m.use", "m.Conn.poke")))
   }
 
+  test("slice 24: typing.cast types the target (bare, quoted, aliased, " +
+    "module-qualified; un-imported cast binds nothing)") {
+    val src =
+      """import typing
+        |from typing import cast
+        |from typing import cast as as_type
+        |from lib import Helper
+        |
+        |
+        |def use(y):
+        |    a = cast(Helper, y)
+        |    a.run()
+        |    b = cast("Helper", y)
+        |    b.ping()
+        |    c = typing.cast(Helper, y)
+        |    c.poke()
+        |    d = as_type(Helper, y)
+        |    d.jump()
+        |""".stripMargin
+    val calls = callsOf(src)
+    assert(calls.contains(("m.use", "lib.Helper.run")))
+    assert(calls.contains(("m.use", "lib.Helper.ping")))
+    assert(calls.contains(("m.use", "lib.Helper.poke")))
+    assert(calls.contains(("m.use", "lib.Helper.jump")))
+    // a local function named cast (not the typing import) binds nothing
+    val shadow = callsOf(
+      """from lib import Helper
+        |
+        |
+        |def use(y):
+        |    e = cast(Helper, y)
+        |    e.fly()
+        |""".stripMargin)
+    assert(!shadow.exists(_._2.endsWith("fly")))
+  }
+
   test("slice 23 negative: an UNTYPED base field leaves the member " +
     "unresolved (no fabricated target)") {
     val src =
