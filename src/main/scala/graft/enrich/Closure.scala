@@ -95,6 +95,37 @@ object Closure {
     * everywhere; repeat. On a C3 inconsistency (Python raises TypeError
     * at class-creation time — such code cannot even import) we
     * best-effort take the first head, keeping the function total. */
+  /** Driver-side [[c3Linearize]] for broadcast-sized hierarchies: the
+    * same level-ordered computation (a class linearizes once all its
+    * bases have; cycles never do and are absent), same [[c3Merge]]
+    * kernel, one `parallelize` instead of a per-level job chain. */
+  private def c3LinearizeLocal(spark: org.apache.spark.sql.SparkSession,
+      edges: Seq[(String, String, Int)]): DataFrame = {
+    import spark.implicits._
+    val bases: Map[String, List[String]] = edges.groupBy(_._1)
+      .map { case (c, es) => c -> es.sortBy(e => (e._3, e._2)).map(_._2).toList }
+    val memo = scala.collection.mutable.Map.empty[String, Option[List[String]]]
+    val inProgress = scala.collection.mutable.Set.empty[String]
+    def mro(c: String): Option[List[String]] = memo.getOrElseUpdate(c, {
+      if (inProgress(c)) None // cycle: never linearizes
+      else bases.get(c) match {
+        case None => Some(List(c))
+        case Some(bs) =>
+          inProgress += c
+          val sub = bs.map(mro)
+          inProgress -= c
+          if (sub.exists(_.isEmpty)) None
+          else Some(c3Merge(c, sub.map(_.get) :+ bs).toList)
+      }
+    })
+    val subclassed = edges.map(_._1).toSet
+    val leaves = edges.map(_._2).filterNot(subclassed).distinct
+      .map(c => (c, List(c)))
+    val linearized = bases.keys.toSeq.sorted
+      .flatMap(c => mro(c).map(m => (c, m)))
+    (leaves ++ linearized).toDF("cls", "mro")
+  }
+
   private[graft] def c3Merge(head: String, seqs: Seq[List[String]]): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer(head)
     var lists = seqs.filter(_.nonEmpty)
@@ -116,9 +147,25 @@ object Closure {
     * missing `ord` ties break on the base NAME, deterministically.
     * Returns (cls, mro) with the class itself at position 0. Classes on
     * an inheritance CYCLE (illegal Python) never linearize and are
-    * absent from the result. */
+    * absent from the result.
+    *
+    * ADAPTIVE: an inheritance graph under `c3LocalThreshold` edges
+    * (default 100k — class hierarchies are broadcast-sized metadata
+    * even for enormous repos) linearizes AT THE DRIVER with the same
+    * [[c3Merge]] kernel and parallelizes the result, skipping
+    * one-Spark-job-per-hierarchy-LEVEL fixpoint overhead; above it the
+    * distributed fixpoint runs unchanged. Identical output either way
+    * (MroLocalSpec pins the equivalence). */
   def c3Linearize(inheritsOrd: DataFrame): DataFrame = {
     val spark = inheritsOrd.sparkSession
+    val threshold = spark.conf
+      .getOption("spark.graft.c3LocalThreshold").map(_.toInt)
+      .getOrElse(100000)
+    val head = inheritsOrd.select(col("src"), col("dst"),
+        coalesce(col("ord"), lit(0)).cast("int").as("ord"))
+      .limit(threshold + 1).collect()
+    if (head.length <= threshold) return c3LinearizeLocal(spark,
+      head.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq)
     val c3Udf = udf { (cls: String, bm: Seq[Row]) =>
       val bases = bm.map(_.getString(1)).toList
       val mros = bm.map(_.getSeq[String](2).toList)

@@ -105,4 +105,38 @@ class ClosureSpec extends AnyFunSuite {
       .as[(String, String)].collect().toSet
     assert(df === gx)
   }
+
+  test("c3Linearize: driver-local fast path equals the distributed " +
+    "fixpoint on random multi-inheritance DAGs (and drops cycles)") {
+    val rnd = new scala.util.Random(11)
+    def distributed[T](body: => T): T = {
+      spark.conf.set("spark.graft.c3LocalThreshold", "0")
+      try body finally spark.conf.unset("spark.graft.c3LocalThreshold")
+    }
+    (1 to 3).foreach { _ =>
+      // layered DAG: each class inherits 1-3 earlier classes, ordered
+      val n = 18
+      val edges = (1 until n).flatMap { i =>
+        val nb = 1 + rnd.nextInt(math.min(3, i))
+        rnd.shuffle((0 until i).toList).take(nb).zipWithIndex
+          .map { case (b, ord) => (s"C$i", s"C$b", ord) }
+      }
+      val df = edges.toDF("src", "dst", "ord")
+      val local = Closure.c3Linearize(df)
+        .as[(String, Seq[String])].collect().toMap
+      val dist = distributed(Closure.c3Linearize(df)
+        .as[(String, Seq[String])].collect().toMap)
+      assert(local === dist)
+    }
+    // a cycle never linearizes on either path; the acyclic rest does
+    val cyc = Seq(("A", "B", 0), ("B", "A", 0), ("D", "E", 0))
+      .toDF("src", "dst", "ord")
+    val local = Closure.c3Linearize(cyc)
+      .as[(String, Seq[String])].collect().toMap
+    val dist = distributed(Closure.c3Linearize(cyc)
+      .as[(String, Seq[String])].collect().toMap)
+    assert(!local.contains("A") && !local.contains("B"))
+    assert(local("D") === Seq("D", "E") && local("E") === Seq("E"))
+    assert(local === dist)
+  }
 }
