@@ -260,6 +260,12 @@ object PyIndexer {
   private val selfNameAssign: Regex =
     """self\.([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*([A-Za-z_]\w*)\s*$""".r
 
+  /** `self.f: T = …` — an ANNOTATED field binding: the declared type is
+    * authoritative regardless of the RHS (jedi honors annassign types),
+    * so it applies LAST and overwrites any RHS-derived binding. */
+  private val selfAnnoAssign: Regex =
+    """self\.([A-Za-z_]\w*)\s*:\s*([^=]+?)\s*=(?!=)""".r
+
   /** `with Callee(...) as x:` — context-manager binding; the standard
     * acquisition idiom for DB handles/sessions, so binding x to the
     * constructed class resolves `x.method()` inside the block (the
@@ -779,6 +785,21 @@ object PyIndexer {
       else None
     }
 
+    /** The class name inside an annotation text: unwraps `Optional[X]`
+      * and the PEP 604 `X | None` / `None | X` spellings (slice 21's
+      * non-None-arm reading), then routes through [[classishType]]. */
+    def annoCoreType(anno0: String): Option[String] = {
+      val a = anno0.trim
+      val opt = """^(?i)Optional\[\s*([\w.]+)\s*\]$""".r
+      val core = a match {
+        case opt(x) => x
+        case _ =>
+          val parts = a.split("\\|").map(_.trim).filter(_ != "None")
+          if (parts.length == 1) parts(0) else a
+      }
+      if (core.matches("""[A-Za-z_][\w.]*""")) classishType(core) else None
+    }
+
     /** C3 slice 24 — `typing.cast`: `x = cast(Helper, y)` (also the
       * quoted forward-reference `cast("Helper", y)`, any import alias,
       * and `typing.cast(…)`) types the target as the cast's FIRST
@@ -989,6 +1010,13 @@ object PyIndexer {
                       classishType(m.group(2))
                         .orElse(returnTypeTarget(m.group(2))))
                     .foreach(t => classFieldTypes.getOrElseUpdate(cls,
+                      mutable.Map.empty)(m.group(1)) = t)
+                }
+                // annotated fields join the pre-pass too, so a base's
+                // `self.f: T = …` resolves through subclasses (slice 23)
+                selfAnnoAssign.findAllMatchIn(ln).foreach { m =>
+                  annoCoreType(m.group(2)).foreach(t =>
+                    classFieldTypes.getOrElseUpdate(cls,
                       mutable.Map.empty)(m.group(1)) = t)
                 }
               }
@@ -1433,6 +1461,14 @@ object PyIndexer {
             // disjoint.
             selfNameAssign.findAllMatchIn(line).foreach { m =>
               fn.locals.get(m.group(2)).foreach(t =>
+                classFieldTypes.getOrElseUpdate(c.fullName,
+                  mutable.Map.empty)(m.group(1)) = t)
+            }
+            // `self.f: T = …` — the declared annotation wins over any
+            // RHS-derived binding above (jedi's annassign semantics);
+            // Optional[X] / X | None unwrap like slice 21
+            selfAnnoAssign.findAllMatchIn(line).foreach { m =>
+              annoCoreType(m.group(2)).foreach(t =>
                 classFieldTypes.getOrElseUpdate(c.fullName,
                   mutable.Map.empty)(m.group(1)) = t)
             }

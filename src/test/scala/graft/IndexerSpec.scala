@@ -1379,6 +1379,39 @@ class IndexerSpec extends AnyFunSuite {
     assert(!shadow.exists(_._2.endsWith("fly")))
   }
 
+  test("slice 25: annotated self-fields — the declared type wins over " +
+    "the RHS, unwraps Optional, and resolves through the MRO") {
+    val src =
+      """from typing import Optional
+        |from lib import Conn, Pool
+        |
+        |
+        |class Base:
+        |    def __init__(self, factory):
+        |        self.a: Conn = factory()
+        |        self.b: Optional[Pool] = None
+        |        self.c: Conn | None = factory()
+        |        self.d = Pool()
+        |        self.d: Conn = factory()
+        |
+        |
+        |class Sub(Base):
+        |    def go(self):
+        |        self.a.execute()
+        |        self.b.acquire()
+        |        self.c.commit()
+        |        self.d.query()
+        |""".stripMargin
+    val calls = callsOf(src)
+    assert(calls.contains(("m.Sub.go", "lib.Conn.execute")))
+    assert(calls.contains(("m.Sub.go", "lib.Pool.acquire")))
+    assert(calls.contains(("m.Sub.go", "lib.Conn.commit")))
+    // annotation is authoritative: the later annassign re-types d even
+    // though a constructor bound it first
+    assert(calls.contains(("m.Sub.go", "lib.Conn.query")))
+    assert(!calls.contains(("m.Sub.go", "lib.Pool.query")))
+  }
+
   test("slice 23 negative: an UNTYPED base field leaves the member " +
     "unresolved (no fabricated target)") {
     val src =
