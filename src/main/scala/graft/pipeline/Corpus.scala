@@ -509,4 +509,57 @@ object Corpus {
           .when(col("bucket") < (trainPct + valPct) * 10, "val")
           .otherwise("test"))
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw documents by
+    * how target-like they look under hashed-n-gram bag-of-words models.
+    * Features are the unigrams + bigrams of the normalized token
+    * stream, hashed into `buckets` buckets by the portable rolling
+    * hash; the TARGET slice's and the RAW corpus's bucket distributions
+    * get Laplace smoothing, and a document's importance weight is
+    * DSIR's log w(x) = Σ_b n_b(x) · (ln p̂_target(b) − ln p̂_raw(b)).
+    * The per-bucket log-ratio rounds to 6 decimals and rides DECIMAL
+    * through the per-doc fold (integer counts × fixed-point ratio —
+    * order-independent, bit-identical across engines); the final
+    * weight rounds to 4. Output: the top-`k` documents by weight
+    * (ties → doc_id) as (doc_id, weight, rank).
+    *
+    * Scale shape: one explode + one (doc, bucket) partial-agg groupBy
+    * over the corpus; both bucket models and the log-ratio table are
+    * `buckets` rows — broadcast; top-k is TakeOrderedAndProject, never
+    * a global sort. DSIR proper Gumbel-SAMPLES by weight; the
+    * deterministic rank keeps the oracle exact (sampling is one
+    * rand-keyed sort away). */
+  def dsirSelect(docs: DataFrame, target: Column, buckets: Int = 64,
+      k: Int = 50): DataFrame = {
+    val toks = tokens(col("text"))
+    val uni = filter(toks, t => length(t) > 0)
+    val bi = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => when(b.isNotNull && length(a) > 0 && length(b) > 0,
+          concat(a, lit("\u0001"), b))),
+      x => x.isNotNull)
+    val feats = docs.select(col("doc_id"), target.as("is_t"),
+        explode(concat(uni, bi)).as("f"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(rollingHash(col("f")), lit(buckets.toLong)).as("b"))
+    val docB = feats.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).cast("decimal(12,0)").as("n"))
+    val srcB = feats.groupBy(col("b")).agg(count(lit(1)).as("cs"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val tots = srcB.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tt"))
+    val ratio = srcB.crossJoin(broadcast(tots))
+      .select(col("b"),
+        round(log((col("ct") + 1).cast("double") / (col("tt") + buckets))
+          - log((col("cs") + 1).cast("double") / (col("ts") + buckets)), 6)
+          .cast("decimal(18,6)").as("r"))
+    docB.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("n") * col("r")).cast("double"), 4).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("weight"),
+        row_number().over(Window.orderBy(col("weight").desc, col("doc_id")))
+          .cast("int").as("rank"))
+  }
 }

@@ -4039,6 +4039,51 @@ object QueryCatalog {
        |SELECT cid, dim::BIGINT AS dim, mean_v FROM m2""".stripMargin
   }
 
+  /** p_dsir — DSIR-style importance-resampling selection
+    * ([[graft.pipeline.Corpus.dsirSelect]]): hashed unigram+bigram
+    * bag-of-words models of the target slice (sources src0/src1) vs
+    * the raw corpus, Laplace-smoothed log-ratio per bucket, per-doc
+    * weight = Σ n_b·ratio_b through DECIMAL, top-50 by weight. The
+    * oracle replays the identical rolling-hash bucketing and
+    * fixed-point fold; its final rounded weight appends `+ 0.0` (the
+    * zero-sign invariant — weights are signed). */
+  val pDsir: Q = (s, d) =>
+    graft.pipeline.Corpus.dsirSelect(Tables.documents(s, d),
+      col("source").isin("src0", "src1"))
+
+  lazy val pDsirSql: String = {
+    def rollh(c: String) = "list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(string_split($c, ''), ch -> ascii(ch)::BIGINT)), " +
+      "(a, ch) -> (a * 31 + ch) % 2147483647)"
+    s"""WITH tk AS (SELECT doc_id, source,
+       |    CASE WHEN length($normSql) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split($normSql, ' ') END AS ts FROM documents),
+       |feats AS (
+       |  SELECT doc_id, source, unnest(ts) AS f FROM tk
+       |  UNION ALL
+       |  SELECT doc_id, source, unnest(list_transform(range(1, len(ts)),
+       |    i -> ts[i] || chr(1) || ts[i + 1])) AS f FROM tk),
+       |fb AS (SELECT doc_id, source, ${rollh("f")} % 64 AS b FROM feats
+       |  WHERE length(f) > 0),
+       |docb AS (SELECT doc_id, b, count(*)::DECIMAL(12,0) AS n
+       |  FROM fb GROUP BY 1, 2),
+       |srcb AS (SELECT b, count(*) AS cs,
+       |    sum(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS ct
+       |  FROM fb GROUP BY b),
+       |tots AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM srcb),
+       |ratio AS (SELECT b,
+       |    CAST(round(ln((ct + 1)::DOUBLE / (tt + 64))
+       |      - ln((cs + 1)::DOUBLE / (ts + 64)), 6) AS DECIMAL(18,6)) AS r
+       |  FROM srcb, tots),
+       |wt AS (SELECT doc_id,
+       |    round(CAST(sum(n * r) AS DOUBLE), 4) + 0.0 AS weight
+       |  FROM docb JOIN ratio USING (b) GROUP BY doc_id)
+       |SELECT doc_id, weight,
+       |  CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT) AS rank
+       |FROM wt
+       |QUALIFY rank <= 50""".stripMargin
+  }
+
   /** d_incremental — continuous-ingestion dedup
     * ([[graft.pipeline.Dedup.incremental]]): the odd-doc_id half plays
     * the arriving batch, the even half the already-ingested base; one
@@ -4748,6 +4793,7 @@ object QueryCatalog {
     "g_a9_locals" -> gA9Locals,
     "g_d4_closure" -> gD4Closure,
     "g_c11_override" -> gC11Override,
+    "p_dsir" -> pDsir,
     "g_d5_carry" -> gD5Carry,
     "g_b11_json" -> gB11Json,
     "g_b11_multi" -> gB11Multi,
@@ -4928,6 +4974,7 @@ object QueryCatalog {
     "g_a9_locals" -> gA9LocalsSql,
     "g_d4_closure" -> gD4ClosureSql,
     "g_c11_override" -> gC11OverrideSql,
+    "p_dsir" -> pDsirSql,
     "g_d5_carry" -> gD5CarrySql,
     "g_b11_json" -> gB11JsonSql,
     "g_b11_multi" -> gB11MultiSql,

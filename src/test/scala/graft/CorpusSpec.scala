@@ -253,6 +253,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(out("c") === ((7960L, 0)))
   }
 
+  test("dsirSelect ranks target-like documents above off-domain ones") {
+    // target vocabulary: cooking; off-domain: legal. The mystery docs
+    // reuse one or the other vocabulary — DSIR must rank the
+    // cooking-like mystery doc above the legal-like one.
+    val cook = "simmer the onion garlic butter sauce then bake the bread"
+    val law = "the party hereby agrees to indemnify the aforementioned clause"
+    val docs = Seq(
+      (0L, cook, "tgt"), (1L, cook + " whisk flour sugar", "tgt"),
+      (2L, law, "raw"), (3L, law + " pursuant to the statute", "raw"),
+      (4L, "simmer garlic butter sauce bake", "raw"),   // cooking-like
+      (5L, "hereby indemnify the clause statute", "raw") // legal-like
+    ).toDF("doc_id", "text", "grp")
+    val out = Corpus.dsirSelect(docs, col("grp") === "tgt", buckets = 32,
+        k = 6)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2)))
+      .toMap
+    // the cooking-like mystery doc outranks the legal-like one
+    assert(out(4L)._1 > out(5L)._1)
+    assert(out(4L)._2 < out(5L)._2)
+    // and the target docs themselves score above the off-domain docs
+    assert(Seq(0L, 1L).map(out(_)._1).min > Seq(2L, 3L).map(out(_)._1).max)
+  }
+
   test("gopherScreen keeps documents exactly AT the published cutoffs " +
     "(Rae et al. remove only when a ratio EXCEEDS its threshold)") {
     def keepOf(text: String): Int =
