@@ -510,6 +510,47 @@ object Corpus {
           .otherwise("test"))
   }
 
+  /** Filter-threshold sweep — the calibration table a pipeline builds
+    * BEFORE picking a quality cutoff: for every candidate threshold
+    * t_i = i/bins, how many documents and how much token mass survive
+    * `score >= t_i`, absolute and as fractions. ONE corpus pass builds
+    * a `bins`-row (docs, tokens) histogram keyed by score bin; the
+    * per-threshold row is a REVERSE cumulative sum over those bins
+    * plus a 1-row total broadcast — O(bins) state after the scan,
+    * never bins× corpus rows. Counts are integers; fractions round to
+    * 6. Scores outside [0, 1) clamp into the edge bins. */
+  def thresholdSweep(docs: DataFrame, score: Column, weight: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val bin = least(greatest(floor(score * bins).cast("int"), lit(0)),
+      lit(bins - 1))
+    val hist = docs.select(bin.as("bin"), weight.cast("long").as("w"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum(col("w")).as("tok"))
+    // complete the bin axis so empty bins still emit their threshold row
+    val axis = docs.sparkSession.range(bins)
+      .select(col("id").cast("int").as("bin"))
+    val full = axis.join(hist, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("tok"), lit(0L)).as("tok"))
+    // bins-row frame: the single-partition window is the point
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = full.agg(sum(col("n")).as("tn"),
+      greatest(sum(col("tok")), lit(1L)).as("ttok"))
+    full
+      .withColumn("n_kept", sum(col("n")).over(w))
+      .withColumn("tokens_kept", sum(col("tok")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(
+        round(col("bin").cast("double") / bins, 2).as("threshold"),
+        col("n_kept"),
+        round(col("n_kept").cast("double") / greatest(col("tn"), lit(1L)), 6)
+          .as("frac_kept"),
+        col("tokens_kept"),
+        round(col("tokens_kept").cast("double") / col("ttok"), 6)
+          .as("token_frac"))
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): rank raw documents by
     * how target-like they look under hashed-n-gram bag-of-words models.

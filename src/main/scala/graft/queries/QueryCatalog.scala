@@ -4084,6 +4084,39 @@ object QueryCatalog {
        |QUALIFY rank <= 50""".stripMargin
   }
 
+  /** t_sweep — quality-threshold calibration sweep
+    * ([[graft.pipeline.Corpus.thresholdSweep]]): per candidate cutoff
+    * i/10, the doc and token mass surviving `quality >= cutoff` — the
+    * table a pipeline reads before choosing its filter threshold. One
+    * histogram pass + a 10-row reverse cumulative window. */
+  val tSweep: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.pipeline.Corpus.thresholdSweep(docs,
+      graft.functions.TextFunctions.qualityScore(col("text")),
+      graft.functions.TextFunctions.tokenCount(col("text")))
+  }
+
+  lazy val tSweepSql: String = {
+    val nTok = s"CASE WHEN length($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END"
+    s"""WITH scored AS (SELECT least(greatest(CAST(floor($qualityExprSql * 10) AS INT), 0), 9) AS bin,
+       |    $nTok::BIGINT AS w FROM documents),
+       |hist AS (SELECT a.bin, count(s.bin)::BIGINT AS n,
+       |    coalesce(sum(s.w), 0)::BIGINT AS tok
+       |  FROM (SELECT unnest(range(0, 10))::INT AS bin) a
+       |  LEFT JOIN scored s ON s.bin = a.bin GROUP BY a.bin),
+       |tot AS (SELECT sum(n) AS tn, greatest(sum(tok), 1) AS ttok FROM hist),
+       |cum AS (SELECT bin,
+       |    sum(n) OVER (ORDER BY bin DESC) AS n_kept,
+       |    sum(tok) OVER (ORDER BY bin DESC) AS tokens_kept
+       |  FROM hist)
+       |SELECT round(bin::DOUBLE / 10, 2) AS threshold,
+       |  n_kept::BIGINT AS n_kept,
+       |  round(n_kept::DOUBLE / greatest(tn, 1), 6) AS frac_kept,
+       |  tokens_kept::BIGINT AS tokens_kept,
+       |  round(tokens_kept::DOUBLE / ttok, 6) AS token_frac
+       |FROM cum, tot""".stripMargin
+  }
+
   /** d_incremental — continuous-ingestion dedup
     * ([[graft.pipeline.Dedup.incremental]]): the odd-doc_id half plays
     * the arriving batch, the even half the already-ingested base; one
@@ -4794,6 +4827,7 @@ object QueryCatalog {
     "g_d4_closure" -> gD4Closure,
     "g_c11_override" -> gC11Override,
     "p_dsir" -> pDsir,
+    "t_sweep" -> tSweep,
     "g_d5_carry" -> gD5Carry,
     "g_b11_json" -> gB11Json,
     "g_b11_multi" -> gB11Multi,
@@ -4975,6 +5009,7 @@ object QueryCatalog {
     "g_d4_closure" -> gD4ClosureSql,
     "g_c11_override" -> gC11OverrideSql,
     "p_dsir" -> pDsirSql,
+    "t_sweep" -> tSweepSql,
     "g_d5_carry" -> gD5CarrySql,
     "g_b11_json" -> gB11JsonSql,
     "g_b11_multi" -> gB11MultiSql,
