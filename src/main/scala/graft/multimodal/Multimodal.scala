@@ -79,6 +79,9 @@ object Multimodal {
       .when(startsWithBytes(0x52, 0x49, 0x46, 0x46), "riff")
       .when(startsWithBytes(0x49, 0x44, 0x33), "mp3")
       .when(startsWithBytes(0x4f, 0x67, 0x67, 0x53), "ogg")
+      // TIFF: "II*\0" (little-endian) / "MM\0*" (big-endian)
+      .when(startsWithBytes(0x49, 0x49, 0x2a, 0x00), "tiff")
+      .when(startsWithBytes(0x4d, 0x4d, 0x00, 0x2a), "tiff")
       .when(startsWithBytes(0x00, 0x00, 0x00) &&
         substring(payload, 5, 4) === lit("ftyp".getBytes), "mp4")
       .otherwise("unknown")
@@ -185,6 +188,44 @@ object Multimodal {
                 Some((u(24) | (u(25) << 8) | (u(26) << 16)) + 1),
                 Some((u(27) | (u(28) << 8) | (u(29) << 16)) + 1))
             case _ => HeaderMeta("webp", None, None)
+          }
+        }
+        else if (p.length >= 8 &&
+            ((u(0) == 'I' && u(1) == 'I' && u(2) == 0x2a && u(3) == 0) ||
+              (u(0) == 'M' && u(1) == 'M' && u(2) == 0 && u(3) == 0x2a))) {
+          // TIFF: byte order from the magic, then the first IFD's
+          // 12-byte entries; ImageWidth (256) / ImageLength (257) as
+          // SHORT (type 3, value in the field's first 2 bytes, in file
+          // byte order) or LONG (type 4, full 4 bytes). Header bytes
+          // only — bounded walk, out-of-range IFD degrades to no dims.
+          val le = u(0) == 'I'
+          def r16(i: Int) =
+            if (le) u(i) | (u(i + 1) << 8) else (u(i) << 8) | u(i + 1)
+          def r32(i: Int): Long =
+            if (le) u(i).toLong | (u(i + 1).toLong << 8) |
+              (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+            else (u(i).toLong << 24) | (u(i + 1).toLong << 16) |
+              (u(i + 2).toLong << 8) | u(i + 3).toLong
+          val ifd = r32(4)
+          if (ifd < 0 || ifd + 2 > p.length) HeaderMeta("tiff", None, None)
+          else {
+            val base = ifd.toInt
+            val n = r16(base)
+            var w: Option[Int] = None
+            var h: Option[Int] = None
+            var e = 0
+            while (e < n && base + 2 + 12 * (e + 1) <= p.length) {
+              val off = base + 2 + 12 * e
+              val tag = r16(off)
+              val v: Option[Int] = r16(off + 2) match {
+                case 3 => Some(r16(off + 8))
+                case 4 => Some(r32(off + 8).toInt)
+                case _ => None
+              }
+              if (tag == 256) w = v else if (tag == 257) h = v
+              e += 1
+            }
+            HeaderMeta("tiff", w, h)
           }
         }
         else if (p.length >= 26 && u(0) == 'B' && u(1) == 'M')

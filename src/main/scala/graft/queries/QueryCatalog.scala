@@ -4216,6 +4216,56 @@ object QueryCatalog {
     when(id % 3 === 0, png).when(id % 3 === 1, wav).otherwise(jpeg)
   }
 
+  /** m_tiff — the TIFF IFD walk under the oracle gate, same
+    * build-vs-parse independence as [[mHeaders]]: per doc_id parity the
+    * in-plan payload is a LITTLE-endian file with SHORT dimension
+    * entries or a BIG-endian file with LONG entries — both byte orders
+    * and both value encodings of the ImageWidth/ImageLength tags
+    * (256/257), plus a decoy tag (259) the walk must skip. Dims reuse
+    * the mHeaders arithmetic so the oracle stays closed-form. */
+  val mTiff: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    val w = (id % 1920 + 16).cast("int")
+    val h = (id % 1080 + 16).cast("int")
+    def b(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+    def be32(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c.cast("long")), 8, "0"))
+    def be16(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c.cast("long")), 4, "0"))
+    def le32(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c.cast("long")), 8, "0")
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    def le16(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c.cast("long")), 4, "0")
+      unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    // LE: II*\0, IFD@8, 3 entries of (tag, type=SHORT, count=1, value+pad)
+    val leEntry = (tag: Int, v: org.apache.spark.sql.Column) =>
+      concat(le16(lit(tag)), le16(lit(3)), le32(lit(1)), le16(v), le16(lit(0)))
+    val tiffLe = concat(b('I', 'I', 0x2a, 0x00), le32(lit(8)), le16(lit(3)),
+      leEntry(256, w), leEntry(257, h), leEntry(259, lit(1)), le32(lit(0)))
+    // BE: MM\0*, IFD@8, LONG-typed values (full 4 bytes)
+    val beEntry = (tag: Int, v: org.apache.spark.sql.Column) =>
+      concat(be16(lit(tag)), be16(lit(4)), be32(lit(1)), be32(v))
+    val tiffBe = concat(b('M', 'M', 0x00, 0x2a), be32(lit(8)), be16(lit(3)),
+      beEntry(256, w), beEntry(257, h), beEntry(259, lit(1)), be32(lit(0)))
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload", when(id % 2 === 0, tiffLe).otherwise(tiffBe))
+    Multimodal.withHeaderMeta(media).select(id,
+      Multimodal.sniffFormat(col("payload")).as("format"),
+      col("header_meta.width").as("width"),
+      col("header_meta.height").as("height"))
+  }
+
+  val mTiffSql: String =
+    """SELECT doc_id, 'tiff' AS format,
+      |  CAST(doc_id % 1920 + 16 AS INTEGER) AS width,
+      |  CAST(doc_id % 1080 + 16 AS INTEGER) AS height
+      |FROM documents""".stripMargin
+
   val mHeaders: Q = (s, d) => {
     import graft.multimodal.Multimodal
     val id = col("doc_id")
@@ -4967,6 +5017,7 @@ object QueryCatalog {
     "q37_wpr_gx" -> q37WprGx,
     "t_token_vote" -> tTokenVote,
     "m_headers" -> mHeaders,
+    "m_tiff" -> mTiff,
     "m_video" -> mVideo,
     "m_corrupt" -> mCorrupt,
     "p_media_mix" -> pMediaMix,
@@ -5149,6 +5200,7 @@ object QueryCatalog {
     "q37_wpr_gx" -> q37WprSql,
     "t_token_vote" -> tTokenVoteSql,
     "m_headers" -> mHeadersSql,
+    "m_tiff" -> mTiffSql,
     "m_video" -> mVideoSql,
     "m_corrupt" -> mCorruptSql,
     "p_media_mix" -> pMediaMixSql,
