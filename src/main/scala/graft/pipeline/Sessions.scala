@@ -118,6 +118,30 @@ object Sessions {
         round(col("users").cast("double") / col("cohort_size"), 6).as("rate"))
   }
 
+  /** Top event SEQUENCES (k-step paths) — the user-flow / Sankey input
+    * of product analytics: per user, every run of k CONSECUTIVE events
+    * in (ts, event_id) order forms a path string; paths count
+    * corpus-wide and the top-n emerge. One shuffle on user_id for the
+    * lead window (same partitioning as every per-user shape here); the
+    * path groupBy keys on a bounded-cardinality string (≤ |event
+    * types|^k), and top-n is TakeOrderedAndProject — never a global
+    * sort of the event stream. */
+  def topPaths(events: DataFrame, k: Int = 3, n: Int = 10): DataFrame = {
+    require(k >= 2, "a path needs at least 2 steps")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = (0 until k).map(i => lead(col("event_type"), i).over(w))
+    events
+      .select(concat_ws(" > ", steps: _*).as("path"),
+        steps.last.isNotNull.as("_full"))
+      .filter(col("_full"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(n)
+      .select(col("path"), col("n"),
+        row_number().over(Window.orderBy(col("n").desc, col("path")))
+          .cast("int").as("rank"))
+  }
+
   /** Daily volume spikes per event type — trailing-baseline anomaly
     * flagging, the monitoring staple over an events table: each (type,
     * day) count against the mean of its previous `baselineDays` full

@@ -2104,6 +2104,26 @@ object QueryCatalog {
       |  (CASE WHEN 100 * n * trail_days > 120 * trail THEN 1 ELSE 0 END)::INT AS spike
       |FROM w WHERE trail_days = 7""".stripMargin
 
+  /** e_paths — top 3-step event paths
+    * ([[graft.pipeline.Sessions.topPaths]]): per-user consecutive
+    * event-type trigrams in (ts, event_id) order, counted corpus-wide,
+    * top 10 (ties → path) — the user-flow table behind a Sankey. */
+  val ePaths: Q = (s, d) =>
+    graft.pipeline.Sessions.topPaths(Tables.events(s, d))
+
+  val ePathsSql: String =
+    """WITH seq AS (SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER win AS e2,
+      |    lead(event_type, 2) OVER win AS e3
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |paths AS (SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+      |  FROM seq WHERE e3 IS NOT NULL)
+      |SELECT path, count(*)::BIGINT AS n,
+      |  CAST(row_number() OVER (ORDER BY count(*) DESC, path) AS INT) AS rank
+      |FROM paths GROUP BY path
+      |QUALIFY rank <= 10""".stripMargin
+
   /** p_budget_fill — water-filling token-budget allocation
     * ([[graft.pipeline.Corpus.budgetFill]]): 80% of total tokens
     * spread over languages by sqrt-flattened weight, capping at
@@ -4920,6 +4940,7 @@ object QueryCatalog {
     "e_funnel" -> eFunnel,
     "e_retention" -> eRetention,
     "e_spike" -> eSpike,
+    "e_paths" -> ePaths,
     "m_flac" -> mFlac,
     "p_budget_fill" -> pBudgetFill,
     "d_contam" -> dContam,
@@ -5103,6 +5124,7 @@ object QueryCatalog {
     "e_funnel" -> eFunnelSql,
     "e_retention" -> eRetentionSql,
     "e_spike" -> eSpikeSql,
+    "e_paths" -> ePathsSql,
     "m_flac" -> mFlacSql,
     "p_budget_fill" -> pBudgetFillSql,
     "d_contam" -> dContamSql,
