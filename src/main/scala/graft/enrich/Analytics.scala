@@ -18,6 +18,33 @@ object Analytics {
     * 0.85, uniform init 1/N, dangling mass ignored (nodes with no
     * out-edges contribute nothing — the simple formulation, identical on
     * the oracle side). Returns (v, pagerank) rounded to 6. */
+  /** KATZ centrality, `iterations` unrolled rounds of x ← β + α·Aᵀx
+    * (β = 1, α = 0.1): every walk into a node counts, geometrically
+    * damped by length — the prestige measure PageRank normalizes away.
+    * Same posture as [[pageRank]]: edges checkpointed hash-partitioned
+    * on the iteration join key once, only the score side shuffles per
+    * round, per-iteration round-10 quantizes summation order so the
+    * unrolled-CTE oracle lands bit-identical. */
+  def katz(edges: DataFrame, iterations: Int = 5,
+      alpha: Double = 0.1): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(eager = true)
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .repartition(col("v")).localCheckpoint(eager = true)
+    var x = verts.withColumn("x", lit(1.0))
+    for (i <- 1 to iterations) {
+      val contrib = e.join(x.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(round(sum(col("x")) * alpha, 10).as("s"))
+      x = verts.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          round(lit(1.0) + coalesce(col("s"), lit(0.0)), 10).as("x"))
+      if (i % 8 == 0 && i < iterations) x = x.localCheckpoint(eager = true)
+    }
+    x.select(col("v"), round(col("x"), 6).as("katz"))
+  }
+
   def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     // static per-edge state (dst, out-degree share denominator) joined ONCE

@@ -714,6 +714,26 @@ object QueryCatalog {
       |  'm.' || arg_min(anc, pos) || k || '.' || m AS dst
       |FROM cand GROUP BY k, ck, m""".stripMargin
 
+  /** q60 — KATZ centrality over the containment hierarchy
+    * ([[graft.enrich.Analytics.katz]]): 5 unrolled x ← 1 + 0.1·Aᵀx
+    * rounds vs the same unrolled-CTE oracle discipline as PageRank. */
+  val q60Katz: Q = (s, d) =>
+    graft.enrich.Analytics.katz(GraphTables.hierarchy(s, d), iterations = 5)
+
+  val q60KatzSql: String = {
+    def iter(i: Int): String =
+      s"""k$i AS (SELECT t.v, round(1.0 + coalesce(c.s, 0), 10) AS x
+         |  FROM verts t LEFT JOIN (
+         |    SELECT e.dst AS v, round(sum(p.x) * 0.1, 10) AS s
+         |    FROM hier e JOIN k${i - 1} p ON e.src = p.v
+         |    GROUP BY e.dst) c ON t.v = c.v)""".stripMargin
+    s"""WITH ${GraphSql.hierarchyCte},
+       |verts AS (SELECT src AS v FROM hier UNION SELECT dst FROM hier),
+       |k0 AS (SELECT v, 1.0 AS x FROM verts),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT v, round(x, 6) AS katz FROM k5""".stripMargin
+  }
+
   /** Iterative analytics beyond the reference: 5-iteration PageRank over
     * the containment hierarchy — DataFrame fixpoint loop vs unrolled-CTE
     * oracle; per-iteration rounding makes both engines bit-identical. */
@@ -4912,6 +4932,7 @@ object QueryCatalog {
     "q8_event_window" -> q8EventWindow,
     "q9_rollup" -> q9Rollup,
     "q10_pagerank" -> q10Pagerank,
+    "q60_katz" -> q60Katz,
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
     "q59_cc_inc" -> q59CcInc,
@@ -5096,6 +5117,7 @@ object QueryCatalog {
     "q8_event_window" -> q8EventWindowSql,
     "q9_rollup" -> q9RollupSql,
     "q10_pagerank" -> q10PagerankSql,
+    "q60_katz" -> q60KatzSql,
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,
     "q59_cc_inc" -> q11CcSql,
