@@ -199,4 +199,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans.nonEmpty && scans.forall(_.contains("ccprev")),
       s"ccPrev must be a materialized parquet scan, scans:\n${scans.mkString("\n")}")
   }
+
+  test("m_tiff is a pure narrow map: zero exchanges, scale-free") {
+    val plan = executed(QueryCatalog.mTiff(spark, sf))
+    assert(!plan.contains("Exchange"),
+      s"the TIFF build+parse must not shuffle; plan:\n$plan")
+  }
+
+  test("p_dsir: the bucket-model joins broadcast, never cartesian") {
+    val plan = executed(QueryCatalog.pDsir(spark, sf))
+    // the ratio table (≤64 rows) must hash-join broadcast against the
+    // per-doc bucket counts, and the totals ride a broadcast-nested-loop
+    // 1-row cross join — an actual cartesian would be corpus × corpus
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ratio join must broadcast; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no real cartesian allowed; plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject, not a global sort; plan:\n$plan")
+  }
+
+  test("t_sweep: one corpus shuffle into a bins-sized window") {
+    val plan = executed(QueryCatalog.tSweep(spark, sf))
+    // the histogram groupBy is the only corpus-sized exchange; the
+    // cumulative window then runs over bins rows (single partition BY
+    // DESIGN — 10 rows), so no corpus-sized global sort appears
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges <= 3, // doc-histogram partials + axis join sides
+      s"t_sweep must not multiply corpus-sized shuffles; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"totals must broadcast; plan:\n$plan")
+  }
+
+  test("e_paths: one user_id shuffle, top-n via TakeOrderedAndProject") {
+    val plan = executed(QueryCatalog.ePaths(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-n must be TakeOrderedAndProject; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"no join blowups in a window+count plan:\n$plan")
+  }
 }
