@@ -282,6 +282,45 @@ object Dedup {
       .select("a", "b", "est_jaccard")
   }
 
+  /** INCREMENTAL MinHash-LSH near-dup screening — the
+    * continuous-ingestion twin of [[minhashLshPairs]] ([[incremental]]
+    * is the exact-hash version): an arriving `batch` screens against
+    * the already-ingested `base` through shared (band, bucket) keys, so
+    * the per-ingest cost is O(batch·bands + collisions) — the base's
+    * banded signatures are the precomputed/persisted side at scale
+    * (here derived in-plan from the same kernel; production stores them
+    * the way ccprev stores CC labels). Returns every batch doc as
+    * (doc_id, n_base_hits, kept): kept = 1 when NO base doc matches at
+    * `threshold` (novel content), n_base_hits = how many base
+    * near-dups screened it out. */
+  def minhashIncremental(base: DataFrame, batch: DataFrame, k: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    def banded(df: DataFrame) =
+      minhashSignatures(df, k, numHashes).select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_"))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val est = round(size(filter(zip_with(col("siga"), col("sigb"), (x, y) =>
+      when(x === y, 1).otherwise(0)), v => v === 1)).cast("double")
+      / numHashes, 4)
+    val hits = banded(batch).as("x")
+      .join(banded(base).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("base_id"),
+        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .dropDuplicates("doc_id", "base_id")
+      .withColumn("est", est)
+      .filter(col("est") >= threshold)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_base_hits"))
+    batch.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_base_hits"), lit(0L)).as("n_base_hits"),
+        col("n_base_hits").isNull.cast("int").as("kept"))
+  }
+
   /** Dup-CLUSTER formation — the shape a real dedup run ships: near-dup
     * pairs are only evidence; transitively-connected docs form one
     * cluster with a canonical keeper (min doc_id), singletons keep

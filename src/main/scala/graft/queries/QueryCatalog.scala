@@ -1824,6 +1824,38 @@ object QueryCatalog {
        |FROM cand
        |WHERE round(len(list_filter(range(1,17), i -> siga[i] = sigb[i]))::DOUBLE / 16, 4) >= 0.25""".stripMargin
 
+  /** d_minhash_inc — INCREMENTAL near-dup screening
+    * ([[graft.pipeline.Dedup.minhashIncremental]]): the odd-doc_id half
+    * plays the arriving batch against the even-half base (the
+    * d_incremental split), colliding through shared (band, bucket) LSH
+    * keys only — per-ingest cost O(batch·bands + collisions), never
+    * batch × base. Output: every batch doc with its base near-dup
+    * count and the kept flag. */
+  val dMinhashInc: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.minhashIncremental(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      k = 5, numHashes = 16, bands = 4, threshold = 0.25)
+  }
+
+  val dMinhashIncSql: String =
+    s"""WITH sh AS (SELECT doc_id, $shingleHashesSql AS hashes FROM documents),
+       |sig AS (SELECT doc_id, list_transform(range(1, 17), i ->
+       |        list_min(list_transform(hashes, h -> (h * (2*i+1) + 104729*i) % 2147483647))) AS sig FROM sh),
+       |banded AS (SELECT doc_id, sig, unnest(list_transform(range(0, 4), b ->
+       |        {'band': b, 'bucket': array_to_string(list_slice(sig, b*4+1, b*4+4), '_')})) AS u FROM sig),
+       |hits AS (SELECT x.doc_id, count(DISTINCT y.doc_id)::BIGINT AS n_base_hits
+       |  FROM banded x JOIN banded y
+       |    ON x.u.band = y.u.band AND x.u.bucket = y.u.bucket
+       |   AND x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+       |  WHERE round(len(list_filter(range(1,17), i -> x.sig[i] = y.sig[i]))::DOUBLE / 16, 4) >= 0.25
+       |  GROUP BY x.doc_id)
+       |SELECT d.doc_id, coalesce(h.n_base_hits, 0) AS n_base_hits,
+       |  (CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END)::INT AS kept
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.doc_id % 2 = 1""".stripMargin
+
   /** Dup-cluster formation: MinHash-LSH pairs → undirected min-label
     * propagation → canonical keeper per doc. The oracle nests the
     * d_minhash_lsh SQL as the pairs CTE and unrolls 20 MATERIALIZED
@@ -4950,6 +4982,7 @@ object QueryCatalog {
     "d_exact" -> dExact,
     "d_ngram_jaccard" -> dNgramJaccard,
     "d_minhash_lsh" -> dMinhashLsh,
+    "d_minhash_inc" -> dMinhashInc,
     "d_fuzzy_join" -> dFuzzyJoin,
     "d_dup_clusters" -> dDupClusters,
     "d_simhash" -> dSimhash,
@@ -5135,6 +5168,7 @@ object QueryCatalog {
     "d_exact" -> dExactSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_minhash_lsh" -> dMinhashLshSql,
+    "d_minhash_inc" -> dMinhashIncSql,
     "d_fuzzy_join" -> dFuzzyJoinSql,
     "d_dup_clusters" -> dDupClustersSql,
     "d_simhash" -> dSimhashSql,
