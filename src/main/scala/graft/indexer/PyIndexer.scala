@@ -358,6 +358,15 @@ object PyIndexer {
   private val ctorItem: Regex =
     """^\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(\s*[^()]*\)\s*$""".r
 
+  /** `xs = [Ctor(…) for … in …]` (or a set comprehension) — a
+    * comprehension whose ELEMENT is a constructor call binds the
+    * target's element type (C3 slice 26: jedi infers the comp element
+    * from its expression), feeding the same elemLocals machinery as
+    * container annotations. */
+  private val compCtorAssign: Regex =
+    ("""^\s*([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*[\[{]\s*""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(.*\sfor\s+.*[\]}]\s*$""").r
+
   /** `a, b = X(), y` — parallel tuple unpacking (C3 slice 14): when the
     * RHS arity matches, each target binds INDEPENDENTLY from its own
     * position (jedi types tuple elements one by one) — constructor items
@@ -1421,6 +1430,11 @@ object PyIndexer {
                   types.flatten.distinct.size == 1)
                 fn.elemLocals(m.group(1)) = types.head.get
             }
+            // C3 slice 26: constructor-call comprehensions bind the
+            // element type (a non-classish element binds nothing)
+            compCtorAssign.findFirstMatchIn(line).foreach(m =>
+              classishType(m.group(2))
+                .foreach(t => fn.elemLocals(m.group(1)) = t))
             forIn.findFirstMatchIn(line).foreach(m =>
               fn.elemLocals.get(m.group(2))
                 .foreach(t => fn.locals(m.group(1)) = t))

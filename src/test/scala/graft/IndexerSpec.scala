@@ -1412,6 +1412,32 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.contains(("m.Sub.go", "lib.Pool.query")))
   }
 
+  test("slice 26: constructor-call comprehensions type iteration and " +
+    "subscript targets (non-classish elements bind nothing)") {
+    val src =
+      """from lib import Helper
+        |
+        |
+        |def use(ts):
+        |    xs = [Helper(t) for t in ts]
+        |    for x in xs:
+        |        x.run()
+        |    y = xs[0]
+        |    y.ping()
+        |    zs = {Helper(t) for t in ts}
+        |    for z in zs:
+        |        z.poke()
+        |    ws = [str(t) for t in ts]
+        |    for w in ws:
+        |        w.jump()
+        |""".stripMargin
+    val calls = callsOf(src)
+    assert(calls.contains(("m.use", "lib.Helper.run")))
+    assert(calls.contains(("m.use", "lib.Helper.ping")))
+    assert(calls.contains(("m.use", "lib.Helper.poke")))
+    assert(!calls.exists(_._2.endsWith("jump")))
+  }
+
   test("slice 23 negative: an UNTYPED base field leaves the member " +
     "unresolved (no fabricated target)") {
     val src =
