@@ -4324,18 +4324,25 @@ object QueryCatalog {
       concat(be16(lit(tag)), be16(lit(4)), be32(lit(1)), be32(v))
     val tiffBe = concat(b('M', 'M', 0x00, 0x2a), be32(lit(8)), be16(lit(3)),
       beEntry(256, w), beEntry(257, h), beEntry(259, lit(1)), be32(lit(0)))
+    // every 7th payload truncates to 6 bytes (magic survives, the IFD
+    // offset doesn't): sniff still says tiff, the walk degrades to
+    // unknown/dimensionless — the m_corrupt discipline for this format
+    val full = when(id % 2 === 0, tiffLe).otherwise(tiffBe)
     val media = Tables.documents(s, d).select(id)
-      .withColumn("payload", when(id % 2 === 0, tiffLe).otherwise(tiffBe))
+      .withColumn("payload",
+        when(id % 7 === 0, substring(full, 1, 6)).otherwise(full))
     Multimodal.withHeaderMeta(media).select(id,
       Multimodal.sniffFormat(col("payload")).as("format"),
+      col("header_meta.format").as("hformat"),
       col("header_meta.width").as("width"),
       col("header_meta.height").as("height"))
   }
 
   val mTiffSql: String =
     """SELECT doc_id, 'tiff' AS format,
-      |  CAST(doc_id % 1920 + 16 AS INTEGER) AS width,
-      |  CAST(doc_id % 1080 + 16 AS INTEGER) AS height
+      |  CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'tiff' END AS hformat,
+      |  CASE WHEN doc_id % 7 <> 0 THEN CAST(doc_id % 1920 + 16 AS INTEGER) END AS width,
+      |  CASE WHEN doc_id % 7 <> 0 THEN CAST(doc_id % 1080 + 16 AS INTEGER) END AS height
       |FROM documents""".stripMargin
 
   val mHeaders: Q = (s, d) => {
