@@ -133,6 +133,42 @@ object Analytics {
       .select(col("name").as("v"), round(col("pr"), 6).as("pagerank"))
   }
 
+  /** GraphX twin of [[katz]] — the [[pageRankGraphX]] posture (one graph
+    * object, aggregateMessages per round, EdgePartition2D) with Katz's
+    * x ← 1 + α·Aᵀx update and the same per-iteration round-10, so it
+    * shares the identical unrolled-CTE oracle. */
+  def katzGraphX(spark: SparkSession, edges: DataFrame,
+      iterations: Int = 5, alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.graphx._
+    import spark.implicits._
+    def r10(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue()
+    val keyed = edges.select(
+      xxhash64(col("src")).as("sid"), col("src"),
+      xxhash64(col("dst")).as("did"), col("dst")).cache()
+    val names = keyed.select(col("sid").as("id"), col("src").as("name"))
+      .union(keyed.select(col("did"), col("dst"))).distinct().cache()
+    val g = Graph.fromEdges(
+      keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd
+        .map { case (s, d) => Edge(s, d, ()) }, ())
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    var xg = g.mapVertices((_, _) => 1.0).cache()
+    for (_ <- 1 to iterations) {
+      val contribs = xg.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr), _ + _)
+        .mapValues(v => r10(v * alpha))
+      val prev = xg
+      xg = xg.outerJoinVertices(contribs)((_, _, c) =>
+        r10(1.0 + c.getOrElse(0.0))).cache()
+      xg.vertices.count()
+      prev.unpersist(blocking = false)
+    }
+    xg.vertices.toDF("id", "x")
+      .join(names, "id")
+      .select(col("name").as("v"), round(col("x"), 6).as("katz"))
+  }
+
   /** GraphX scale path for [[pageRankWeighted]] — the [[pageRankGraphX]]
     * posture (resilient RDD state, partition-reusing joins) with
     * weight-proportional contribution splitting: per-edge share =

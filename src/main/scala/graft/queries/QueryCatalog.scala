@@ -720,6 +720,11 @@ object QueryCatalog {
   val q60Katz: Q = (s, d) =>
     graft.enrich.Analytics.katz(GraphTables.hierarchy(s, d), iterations = 5)
 
+  /** q60_gx — the GraphX twin, same math + round-10 → same oracle. */
+  val q60KatzGx: Q = (s, d) =>
+    graft.enrich.Analytics.katzGraphX(s, GraphTables.hierarchy(s, d),
+      iterations = 5)
+
   val q60KatzSql: String = {
     def iter(i: Int): String =
       s"""k$i AS (SELECT t.v, round(1.0 + coalesce(c.s, 0), 10) AS x
@@ -4972,6 +4977,7 @@ object QueryCatalog {
     "q9_rollup" -> q9Rollup,
     "q10_pagerank" -> q10Pagerank,
     "q60_katz" -> q60Katz,
+    "q60_katz_gx" -> q60KatzGx,
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
     "q59_cc_inc" -> q59CcInc,
@@ -5158,6 +5164,7 @@ object QueryCatalog {
     "q9_rollup" -> q9RollupSql,
     "q10_pagerank" -> q10PagerankSql,
     "q60_katz" -> q60KatzSql,
+    "q60_katz_gx" -> q60KatzSql,
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,
     "q59_cc_inc" -> q11CcSql,
