@@ -572,7 +572,19 @@ object Corpus {
     * deterministic rank keeps the oracle exact (sampling is one
     * rand-keyed sort away). */
   def dsirSelect(docs: DataFrame, target: Column, buckets: Int = 64,
-      k: Int = 50): DataFrame = {
+      k: Int = 50): DataFrame =
+    dsirWeights(docs, target, buckets)
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("weight"),
+        row_number().over(Window.orderBy(col("weight").desc, col("doc_id")))
+          .cast("int").as("rank"))
+
+  /** [[dsirSelect]]'s weight table — EVERY doc's importance log-weight,
+    * for downstream consumers that sample rather than rank
+    * ([[gumbelTopK]]). */
+  def dsirWeights(docs: DataFrame, target: Column,
+      buckets: Int = 64): DataFrame = {
     val toks = tokens(col("text"))
     val uni = filter(toks, t => length(t) > 0)
     val bi = filter(
@@ -597,10 +609,33 @@ object Corpus {
     docB.join(broadcast(ratio), "b")
       .groupBy(col("doc_id"))
       .agg(round(sum(col("n") * col("r")).cast("double"), 4).as("weight"))
-      .orderBy(col("weight").desc, col("doc_id"))
+  }
+
+  /** GUMBEL-TOP-K sampling over a (doc_id, weight) log-weight table —
+    * the sampling step DSIR actually ships (k docs ∝ exp(weight/T),
+    * WITHOUT replacement, via the Gumbel-max trick): per-doc noise
+    * g = −ln(−ln(u)) with u a DETERMINISTIC hash-uniform in (0,1) (the
+    * portable rolling hash over a salted doc_id — replayable in any
+    * engine, re-runs draw the same sample; a true rand() would break
+    * both reproducibility and the oracle), key = weight/T + g, top-k by
+    * key through TakeOrderedAndProject. The key rounds to 6 so the
+    * cross-engine ln noise can't flip an ordering the tie-break
+    * doesn't already settle. */
+  def gumbelTopK(weighted: DataFrame, k: Int = 50,
+      temperature: Double = 1.0): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    // hash ∈ [0, P-1] → u ∈ [1/(P+1), P/(P+1)] ⊂ (0,1): both log args
+    // stay finite
+    val u = (rollingHash(concat(lit("gum:"), col("doc_id").cast("string")))
+      .cast("double") + 1.0) / 2147483648.0
+    val g = -log(-log(u))
+    weighted
+      .select(col("doc_id"),
+        round(col("weight") / temperature + g, 6).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
       .limit(k)
-      .select(col("doc_id"), col("weight"),
-        row_number().over(Window.orderBy(col("weight").desc, col("doc_id")))
+      .select(col("doc_id"), col("key"),
+        row_number().over(Window.orderBy(col("key").desc, col("doc_id")))
           .cast("int").as("rank"))
   }
 }

@@ -4128,11 +4128,14 @@ object QueryCatalog {
     graft.pipeline.Corpus.dsirSelect(Tables.documents(s, d),
       col("source").isin("src0", "src1"))
 
-  lazy val pDsirSql: String = {
-    def rollh(c: String) = "list_reduce(list_prepend(0::BIGINT, " +
-      s"list_transform(string_split($c, ''), ch -> ascii(ch)::BIGINT)), " +
-      "(a, ch) -> (a * 31 + ch) % 2147483647)"
-    s"""WITH tk AS (SELECT doc_id, source,
+  private def rollhOf(c: String) = "list_reduce(list_prepend(0::BIGINT, " +
+    s"list_transform(string_split($c, ''), ch -> ascii(ch)::BIGINT)), " +
+    "(a, ch) -> (a * 31 + ch) % 2147483647)"
+
+  /** The DSIR weight CTE chain (… → `wt(doc_id, weight)`), shared by
+    * the ranking and the Gumbel-sampling gates. */
+  private lazy val dsirWeightsCte: String =
+    s"""tk AS (SELECT doc_id, source,
        |    CASE WHEN length($normSql) = 0 THEN []::VARCHAR[]
        |         ELSE string_split($normSql, ' ') END AS ts FROM documents),
        |feats AS (
@@ -4140,7 +4143,7 @@ object QueryCatalog {
        |  UNION ALL
        |  SELECT doc_id, source, unnest(list_transform(range(1, len(ts)),
        |    i -> ts[i] || chr(1) || ts[i + 1])) AS f FROM tk),
-       |fb AS (SELECT doc_id, source, ${rollh("f")} % 64 AS b FROM feats
+       |fb AS (SELECT doc_id, source, ${rollhOf("f")} % 64 AS b FROM feats
        |  WHERE length(f) > 0),
        |docb AS (SELECT doc_id, b, count(*)::DECIMAL(12,0) AS n
        |  FROM fb GROUP BY 1, 2),
@@ -4154,12 +4157,37 @@ object QueryCatalog {
        |  FROM srcb, tots),
        |wt AS (SELECT doc_id,
        |    round(CAST(sum(n * r) AS DOUBLE), 4) + 0.0 AS weight
-       |  FROM docb JOIN ratio USING (b) GROUP BY doc_id)
+       |  FROM docb JOIN ratio USING (b) GROUP BY doc_id)""".stripMargin
+
+  lazy val pDsirSql: String =
+    s"""WITH $dsirWeightsCte
        |SELECT doc_id, weight,
        |  CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT) AS rank
        |FROM wt
        |QUALIFY rank <= 50""".stripMargin
-  }
+
+  /** p_dsir_sample — GUMBEL-TOP-K sampling over the DSIR weights
+    * ([[graft.pipeline.Corpus.gumbelTopK]]): deterministic
+    * hash-uniform u per doc, Gumbel noise −ln(−ln(u)), key =
+    * weight + g, top-50 — the without-replacement ∝exp(weight)
+    * sampling DSIR ships, seeded so every engine draws the SAME
+    * sample. */
+  val pDsirSample: Q = (s, d) =>
+    graft.pipeline.Corpus.gumbelTopK(
+      graft.pipeline.Corpus.dsirWeights(Tables.documents(s, d),
+        col("source").isin("src0", "src1")))
+
+  lazy val pDsirSampleSql: String =
+    s"""WITH $dsirWeightsCte,
+       |keyed AS (SELECT doc_id,
+       |    round(weight + (-ln(-ln(
+       |      (${rollhOf("'gum:' || doc_id")} + 1)::DOUBLE / 2147483648.0
+       |    ))), 6) + 0.0 AS key
+       |  FROM wt)
+       |SELECT doc_id, key,
+       |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rank
+       |FROM keyed
+       |QUALIFY rank <= 50""".stripMargin
 
   /** t_sweep — quality-threshold calibration sweep
     * ([[graft.pipeline.Corpus.thresholdSweep]]): per candidate cutoff
@@ -4961,6 +4989,7 @@ object QueryCatalog {
     "g_d4_closure" -> gD4Closure,
     "g_c11_override" -> gC11Override,
     "p_dsir" -> pDsir,
+    "p_dsir_sample" -> pDsirSample,
     "t_sweep" -> tSweep,
     "g_d5_carry" -> gD5Carry,
     "g_b11_json" -> gB11Json,
@@ -5148,6 +5177,7 @@ object QueryCatalog {
     "g_d4_closure" -> gD4ClosureSql,
     "g_c11_override" -> gC11OverrideSql,
     "p_dsir" -> pDsirSql,
+    "p_dsir_sample" -> pDsirSampleSql,
     "t_sweep" -> tSweepSql,
     "g_d5_carry" -> gD5CarrySql,
     "g_b11_json" -> gB11JsonSql,

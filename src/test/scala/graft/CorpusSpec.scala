@@ -276,6 +276,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(Seq(0L, 1L).map(out(_)._1).min > Seq(2L, 3L).map(out(_)._1).max)
   }
 
+  test("gumbelTopK: deterministic, weight-dominant, and temperature-aware") {
+    // a log-weight gap of 50 dwarfs any Gumbel draw (|g| < ~22 at the
+    // hash-uniform's 2^-31 floor) — doc 0 must always win at T=1
+    val weighted = (0L to 19L)
+      .map(i => (i, if (i == 0L) 50.0 else 0.0)).toDF("doc_id", "weight")
+    val a = Corpus.gumbelTopK(weighted, k = 5).collect()
+    val b = Corpus.gumbelTopK(weighted, k = 5).collect()
+    assert(a.toSeq === b.toSeq)                   // hash-seeded: replayable
+    assert(a.head.getLong(0) === 0L && a.head.getInt(2) === 1)
+    // at a huge temperature the weights flatten to ~0 and the sample is
+    // driven by the (weight-independent) noise alone — so doubling every
+    // weight changes nothing
+    val hot = Corpus.gumbelTopK(weighted, k = 5, temperature = 1e9)
+      .select("doc_id").as[Long].collect().toSet
+    val hot2 = Corpus.gumbelTopK(
+      weighted.withColumn("weight", col("weight") * 2), k = 5,
+      temperature = 1e9).select("doc_id").as[Long].collect().toSet
+    assert(hot === hot2)
+  }
+
   test("gopherScreen keeps documents exactly AT the published cutoffs " +
     "(Rae et al. remove only when a ratio EXCEEDS its threshold)") {
     def keepOf(text: String): Int =
