@@ -499,6 +499,59 @@ object Similarity {
     * buckets entirely (the `maxDocFreq` analog in
     * [[Dedup.ngramJaccardPairs]]) so one hot bucket can never go
     * quadratic at scale; buckets of 1 yield no pairs and are skipped. */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the deterministic
+    * fixed-count coarse quantizer ([[centroidSeeds]]), compute pairwise
+    * cosine ONLY within a cluster, and drop every vector that has a
+    * LOWER-id cluster-mate at `sim >= tau` (the paper keeps one
+    * representative per ε-neighborhood; lowest-id is this module's
+    * deterministic, oracle-replayable stand-in for its
+    * lowest-centroid-similarity rule). Unlike [[embeddingNearDupPairs]]
+    * (sign-LSH candidates, recall tuned by bands), the cluster
+    * restriction here is the SEMANTIC statement of the method itself:
+    * only same-concept vectors are compared at all.
+    *
+    * 100 TB shape: centroids are broadcast and constant-size in n, cell
+    * assignment is one codegen'd pass, and the within-cell self-join is
+    * bounded by `maxCell` — an oversize (degenerate hub) cell is
+    * excluded from pair generation and its members are all kept, the
+    * [[Dedup.ngramJaccardPairs]] `maxDocFreq` cap discipline, so no
+    * cell can ever go quadratic.
+    *
+    * @return (vec_id, cid, keep) for EVERY input vector — keep = 0 iff
+    *         some lower-id vector in the same cell is `>= tau` similar
+    */
+  def semDedup(emb: DataFrame, tau: Double, nlist: Int = 16,
+      maxCell: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroidSeeds(emb, nlist)
+    val byCell = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("crank", row_number().over(byCell))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val ok = assigned.groupBy("cid").agg(count(lit(1)).as("cc"))
+      .filter(col("cc") >= 2 && col("cc") <= maxCell)
+    val inCell = assigned.join(ok.select("cid"), Seq("cid"))
+    // duplicate ids: the HIGHER member of every over-threshold pair —
+    // a vector is dropped if ANY lower id in its cell is tau-close,
+    // regardless of whether that lower id is itself dropped (the
+    // one-pass EXISTS rule; transitive-closure keeper selection is
+    // [[Dedup]]'s dupClusters job, not this screen's)
+    val dups = inCell.as("x").hint("SHUFFLE_MERGE")
+      .join(inCell.as("y").hint("SHUFFLE_MERGE"),
+        col("x.cid") === col("y.cid")
+          && col("x.vec_id") < col("y.vec_id")
+          && cosine(col("x.embedding"), col("y.embedding")) >= tau)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    assigned.join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("dup").isNull, 1).otherwise(0).cast("int").as("keep"))
+  }
+
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
       numPlanes: Int = 32, bands: Int = 4, maxBucket: Int = 4096): DataFrame = {
     val banded = bandedBuckets(emb, numPlanes, bands)

@@ -2064,6 +2064,30 @@ object QueryCatalog {
        |SELECT a, b, ${cosOf("ea", "eb")} AS sim FROM cand
        |WHERE ${cosOf("ea", "eb")} >= 0.3""".stripMargin
 
+  /** s_semdedup — SemDeDup semantic deduplication
+    * ([[graft.pipeline.Similarity.semDedup]], Abbas et al. 2023):
+    * cluster with the fixed-count coarse quantizer (nlist=16), drop any
+    * vector with a lower-id cluster-mate at cosine ≥ 0.35; every vector
+    * reported with its cell and keep flag. */
+  val sSemDedup: Q = (s, d) =>
+    Similarity.semDedup(Tables.embeddings(s, d), tau = 0.35, nlist = 16,
+      maxCell = 4096)
+
+  val sSemDedupSql: String =
+    s"""WITH cents AS ${centsSql(16)},
+       |asg AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cid) AS crank
+       |  FROM embeddings e, cents c),
+       |a1 AS (SELECT vec_id, embedding, cid FROM asg WHERE crank = 1),
+       |ok AS (SELECT cid FROM a1 GROUP BY 1 HAVING count(*) BETWEEN 2 AND 4096),
+       |incell AS (SELECT a1.* FROM a1 JOIN ok USING (cid)),
+       |dups AS (SELECT DISTINCT y.vec_id
+       |  FROM incell x JOIN incell y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE ${cosOf("x.embedding", "y.embedding")} >= 0.35)
+       |SELECT a1.vec_id, a1.cid,
+       |  (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS keep
+       |FROM a1 LEFT JOIN dups d ON a1.vec_id = d.vec_id""".stripMargin
+
   // ----------------------------------------------------- corpus preparation
 
   /** Gap-based sessionization (30-min gap) of the event stream — batch
@@ -5032,6 +5056,7 @@ object QueryCatalog {
     "s_lsh_ann" -> sLshAnn,
     "s_ivf_ann" -> sIvfAnn,
     "s_emb_neardup" -> sEmbNearDup,
+    "s_semdedup" -> sSemDedup,
     "q16_sessions" -> q16Sessions,
     "e_funnel" -> eFunnel,
     "e_retention" -> eRetention,
@@ -5220,6 +5245,7 @@ object QueryCatalog {
     "s_lsh_ann" -> sLshAnnSql,
     "s_ivf_ann" -> sIvfAnnSql,
     "s_emb_neardup" -> sEmbNearDupSql,
+    "s_semdedup" -> sSemDedupSql,
     "q16_sessions" -> q16SessionsSql,
     "e_funnel" -> eFunnelSql,
     "e_retention" -> eRetentionSql,

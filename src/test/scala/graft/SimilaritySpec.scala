@@ -61,6 +61,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  test("semDedup drops the higher id of a tau-close cluster pair, keeps the rest") {
+    // nlist=2: the two lowest-rolling-hash seeds partition the corpus;
+    // 0/1/4 are mutually ~parallel, 2 orthogonal, 3 antipodal
+    val out = Similarity.semDedup(emb, tau = 0.95, nlist = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out.size === 5)                       // every vector reported
+    assert(out(0L) === 1)                        // lowest id always kept
+    // 0 and 1 are 0.9939-similar: if they share a cell, 1 is dropped
+    val cells = Similarity.semDedup(emb, tau = 0.95, nlist = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (cells(0L) == cells(1L)) assert(out(1L) === 0)
+    // the opposite vector is never anyone's near-dup
+    assert(out(3L) === 1)
+  }
+
+  test("semDedup maxCell cap: an oversize cell generates no drops") {
+    val out = Similarity.semDedup(emb, tau = 0.0, nlist = 1, maxCell = 2)
+      .collect().map(_.getInt(2))
+    // one cell of 5 > maxCell=2 -> excluded from pair generation, all kept
+    assert(out.forall(_ == 1))
+  }
+
   test("ivfTopK: probed-cell candidates ranked like brute force") {
     // nlist=3 -> 3 hash-selected centroids; every vector assigned to one
     // cell; with nprobe covering all cells, results equal brute force
