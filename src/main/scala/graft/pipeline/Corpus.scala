@@ -551,6 +551,41 @@ object Corpus {
           .as("token_frac"))
   }
 
+  /** Exact ROC-AUC of a score column against a binary label — the
+    * calibration readout for any quality classifier (is the LM filter's
+    * signal actually separating the target domain?). Uses the tie-aware
+    * rank-sum (Mann-Whitney) identity, but computed from GROUPED score
+    * counts, never a corpus-wide rank: ascending over distinct scores s
+    * with p_s positives / n_s negatives and cumN_<s negatives strictly
+    * below,
+    *   AUC = Σ_s p_s · (2·cumN_<s + n_s) / (2·nP·nN)
+    * — each tie group contributes its positives × (negatives below +
+    * half the tied negatives). The numerator is an exact BIGINT; one
+    * final double division rounds to 6.
+    *
+    * 100 TB shape: ONE groupBy(score) shuffle over the corpus; the
+    * ordered cumulative pass runs on the distinct-score AGGREGATE,
+    * whose size is bounded by the score's codomain (integer ppm ≤ 1e6
+    * rows), not the corpus — the single-partition window is the point,
+    * as in [[thresholdSweep]]. Returns 1 row (n_pos, n_neg, auc); auc
+    * is NULL when either class is empty (undefined, Neo4j-null style
+    * rather than a sentinel). */
+  def aucExact(scored: DataFrame, score: Column,
+      positive: Column): DataFrame = {
+    val g = scored.groupBy(score.as("s"))
+      .agg(sum(when(positive, 1L).otherwise(0L)).as("p"),
+        sum(when(positive, 0L).otherwise(1L)).as("n"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumn", coalesce(sum(col("n")).over(w), lit(0L)))
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        // ANSI-safe: one empty class -> NULL, not a /0 error
+        when(sum(col("p")) > 0 && sum(col("n")) > 0,
+          round(sum(col("p") * (lit(2) * col("cumn") + col("n")))
+              .cast("double")
+            / (lit(2.0) * sum(col("p")) * sum(col("n"))), 6)).as("auc"))
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): rank raw documents by
     * how target-like they look under hashed-n-gram bag-of-words models.

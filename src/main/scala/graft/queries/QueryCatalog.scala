@@ -3140,8 +3140,11 @@ object QueryCatalog {
   val tLmScore: Q = (s, d) =>
     Corpus.lmQualityScore(Tables.documents(s, d), col("doc_id") % 5 === 0)
 
-  val tLmScoreSql: String =
-    s"""WITH t AS (SELECT doc_id, doc_id % 5 = 0 AS is_ref,
+  /** The bigram-LM scoring CTE chain (… → `scored(doc_id, cb, p_ppm)`,
+    * one row per non-ref bigram), shared by the per-doc score gate and
+    * the AUC calibration gate. */
+  private lazy val lmScoredCte: String =
+    s"""t AS (SELECT doc_id, doc_id % 5 = 0 AS is_ref,
        |            string_split($normSql, ' ') AS toks FROM documents),
        |pairs AS (SELECT doc_id, is_ref,
        |            unnest(toks[1:len(toks)-1]) AS w1,
@@ -3152,11 +3155,45 @@ object QueryCatalog {
        |scored AS (SELECT p.doc_id, m.cb,
        |    coalesce((m.cb * 2000000 + m.cu) // (2 * m.cu), 0) AS p_ppm
        |  FROM pairs p LEFT JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
-       |  WHERE NOT p.is_ref)
+       |  WHERE NOT p.is_ref)""".stripMargin
+
+  val tLmScoreSql: String =
+    s"""WITH $lmScoredCte
        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
        |  ((sum(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) * 2000000 + count(*)) // (2 * count(*)))::BIGINT AS oov_ppm,
        |  ((sum(p_ppm) * 2 + count(*)) // (2 * count(*)))::BIGINT AS avg_p_ppm
        |FROM scored GROUP BY doc_id""".stripMargin
+
+  /** t_auc — exact ROC-AUC calibration of the bigram-LM quality score
+    * ([[graft.pipeline.Corpus.aucExact]]): does `avg_p_ppm` separate
+    * the src0/src1 target slice? Tie-aware rank-sum identity over
+    * GROUPED score counts (integer numerator, one rounded division) —
+    * never a corpus-wide rank. */
+  val tAuc: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = graft.pipeline.Corpus
+      .lmQualityScore(docs, col("doc_id") % 5 === 0)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    graft.pipeline.Corpus.aucExact(scored, col("avg_p_ppm"),
+      col("source").isin("src0", "src1"))
+  }
+
+  val tAucSql: String =
+    s"""WITH $lmScoredCte,
+       |lm AS (SELECT doc_id,
+       |    ((sum(p_ppm) * 2 + count(*)) // (2 * count(*)))::BIGINT AS s
+       |  FROM scored GROUP BY doc_id),
+       |lab AS (SELECT l.s,
+       |    CASE WHEN d.source IN ('src0', 'src1') THEN 1 ELSE 0 END AS pos
+       |  FROM lm l JOIN documents d USING (doc_id)),
+       |g AS (SELECT s, sum(pos)::BIGINT AS p, sum(1 - pos)::BIGINT AS n
+       |  FROM lab GROUP BY s),
+       |c AS (SELECT *, coalesce(sum(n) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn
+       |  FROM g)
+       |SELECT sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg,
+       |  round(sum(p * (2 * cumn + n))::DOUBLE / (2.0 * sum(p) * sum(n)), 6) AS auc
+       |FROM c""".stripMargin
 
   /** Corpus-wide first-occurrence line dedup ([[Corpus.dedupLines]],
     * minLen=30), reassembled docs hash-compared. */
@@ -5105,6 +5142,7 @@ object QueryCatalog {
     "q14_kmv_grouped" -> q14KmvGrouped,
     "q27_range_join" -> q27RangeJoin,
     "t_lm_score" -> tLmScore,
+    "t_auc" -> tAuc,
     "q28_gsets" -> q28Gsets,
     "q29_corr" -> q29Corr,
     "t_colstats" -> tColstats,
@@ -5294,6 +5332,7 @@ object QueryCatalog {
     "q14_kmv_grouped" -> q14KmvGroupedSql,
     "q27_range_join" -> q27RangeJoinSql,
     "t_lm_score" -> tLmScoreSql,
+    "t_auc" -> tAucSql,
     "q28_gsets" -> q28GsetsSql,
     "q29_corr" -> q29CorrSql,
     "t_colstats" -> tColstatsSql,

@@ -276,6 +276,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(Seq(0L, 1L).map(out(_)._1).min > Seq(2L, 3L).map(out(_)._1).max)
   }
 
+  test("aucExact: perfect, inverted, tied, and one-class cases") {
+    def auc(rows: Seq[(Long, Int)]): org.apache.spark.sql.Row =
+      Corpus.aucExact(rows.toDF("s", "pos"), col("s"), col("pos") === 1)
+        .collect().head
+    val perfect = auc(Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)))
+    assert((perfect.getLong(0), perfect.getLong(1)) === ((2L, 2L)))
+    assert(perfect.getDouble(2) === 1.0)
+    assert(auc(Seq((1L, 1), (2L, 1), (3L, 0))).getDouble(2) === 0.0)
+    // tie at s=1 counts half: pairs (pos1,neg1)=0.5, (pos2,neg1)=1 -> 0.75
+    assert(auc(Seq((1L, 0), (1L, 1), (2L, 1))).getDouble(2) === 0.75)
+    // one-class input: AUC undefined -> null
+    assert(auc(Seq((1L, 1), (2L, 1))).isNullAt(2))
+  }
+
   test("gumbelTopK: deterministic, weight-dominant, and temperature-aware") {
     // a log-weight gap of 50 dwarfs any Gumbel draw (|g| < ~22 at the
     // hash-uniform's 2^-31 floor) — doc 0 must always win at T=1
