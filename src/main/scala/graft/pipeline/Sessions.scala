@@ -150,6 +150,79 @@ object Sessions {
     * decision is INTEGER arithmetic (`thresholdPct·trail > 100·n·days`
     * inverted), so the flag can never 1-ulp-flip; the ratio column is a
     * rounded display stat. */
+  /** DAU/WAU stickiness — the "what share of this week's users came
+    * back today" engagement curve: per active day, distinct users that
+    * day (DAU) over distinct users in the trailing `windowDays` window
+    * (WAU), as a ratio in (0, 1].
+    *
+    * A distinct-count over a SLIDING window has no direct windowed
+    * form; the scale-correct shape is coverage explosion: dedup the
+    * stream to (user, day) FIRST (the only corpus-sized shuffle), then
+    * explode each activity day onto the ≤`windowDays` future days it
+    * covers and re-distinct — a bounded ×window fan-out of the
+    * already-tiny per-day activity table, never of the raw events.
+    * Days with zero activity emit no row (their DAU is 0 by
+    * definition); partial leading windows report the users seen so far,
+    * the standard product-analytics convention. */
+  def stickiness(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, "windowDays must be positive")
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
+          .as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
+  /** Exponentially-weighted daily volume anomalies — [[dailySpikes]]'
+    * EWMA twin, reacting faster to level shifts than the flat trailing
+    * mean: baseline_t = Σ_{j=1..w} 2^(w−j)·n_{t−j} / (2^w − 1), i.e.
+    * α = 1/2 decay with weights as EXACT dyadic integers — the weighted
+    * trail is a plain BIGINT sum, bit-portable across engines, where a
+    * float pow() chain could drift in the last ulp. Spike when
+    * n > (thresholdPct/100) × baseline, decided in integers
+    * (100·n·denom > pct·trail). Emits only days with a FULL trailing
+    * window, like [[dailySpikes]].
+    *
+    * Scale: the per-(event_type, day) aggregate (tiny — days × types)
+    * fans out ×`windowDays` onto the days it influences, then one
+    * groupBy reassembles the weighted trail — a bounded explosion of an
+    * AGGREGATE, never a second pass over raw events. */
+  def ewmaSpikes(events: DataFrame, windowDays: Int = 7,
+      thresholdPct: Int = 150): DataFrame = {
+    require(windowDays > 0 && windowDays < 62, "windowDays out of range")
+    val denom = (1L << windowDays) - 1
+    val daily = events.groupBy(col("event_type"),
+        to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val offs = (1 to windowDays).map(j =>
+      struct(lit(j).as("j"), lit(1L << (windowDays - j)).as("w")))
+    val trail = daily
+      .select(col("event_type"), col("day"), col("n"),
+        explode(array(offs: _*)).as("o"))
+      .select(col("event_type"),
+        date_add(col("day"), col("o.j")).as("day"),
+        (col("n") * col("o.w")).as("wn"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("wn")).as("trail"), count(lit(1)).as("trail_days"))
+      .filter(col("trail_days") === windowDays)
+    daily.join(trail, Seq("event_type", "day"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        round(col("trail").cast("double") / denom, 6).as("baseline"),
+        round(col("n").cast("double") * denom / col("trail"), 6)
+          .as("ratio"),
+        when(lit(100L) * col("n") * denom >
+          lit(thresholdPct.toLong) * col("trail"), 1).otherwise(0)
+          .cast("int").as("spike"))
+  }
+
   def dailySpikes(events: DataFrame, baselineDays: Int = 7,
       thresholdPct: Int = 120): DataFrame = {
     val daily = events.groupBy(col("event_type"),

@@ -2185,6 +2185,46 @@ object QueryCatalog {
       |  (CASE WHEN 100 * n * trail_days > 120 * trail THEN 1 ELSE 0 END)::INT AS spike
       |FROM w WHERE trail_days = 7""".stripMargin
 
+  /** e_stickiness — DAU/WAU engagement
+    * ([[graft.pipeline.Sessions.stickiness]]): per active day, distinct
+    * users that day over distinct users in the trailing 7 days, via
+    * coverage explosion of the deduped (user, day) table — a sliding
+    * distinct-count with no corpus-wide window. */
+  val eStickiness: Q = (s, d) =>
+    graft.pipeline.Sessions.stickiness(Tables.events(s, d))
+
+  val eStickinessSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day),
+      |wau AS (SELECT day, count(*)::BIGINT AS wau FROM (
+      |    SELECT DISTINCT user_id, day + j::INT AS day
+      |    FROM ud, range(0, 7) t(j)) GROUP BY day)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+      |  round(d.dau::DOUBLE / w.wau, 6) AS stickiness
+      |FROM dau d JOIN wau w USING (day)""".stripMargin
+
+  /** e_ewma — exponentially-weighted daily volume anomalies
+    * ([[graft.pipeline.Sessions.ewmaSpikes]]): α=1/2 EWMA baseline over
+    * the previous 7 days with EXACT dyadic integer weights (trail is a
+    * BIGINT — no cross-engine float pow drift), spike at >1.5×
+    * baseline, decided in integers. */
+  val eEwma: Q = (s, d) =>
+    graft.pipeline.Sessions.ewmaSpikes(Tables.events(s, d))
+
+  val eEwmaSql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+      |trail AS (SELECT event_type, day + j::INT AS day,
+      |    sum(n * (1::BIGINT << (7 - j)))::BIGINT AS trail,
+      |    count(*)::BIGINT AS trail_days
+      |  FROM daily, range(1, 8) t(j) GROUP BY 1, 2
+      |  HAVING count(*) = 7)
+      |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n,
+      |  round(t.trail::DOUBLE / 127, 6) AS baseline,
+      |  round(d.n::DOUBLE * 127 / t.trail, 6) AS ratio,
+      |  (CASE WHEN 100 * d.n * 127 > 150 * t.trail THEN 1 ELSE 0 END)::INT AS spike
+      |FROM daily d JOIN trail t USING (event_type, day)""".stripMargin
+
   /** e_paths — top 3-step event paths
     * ([[graft.pipeline.Sessions.topPaths]]): per-user consecutive
     * event-type trigrams in (ts, event_id) order, counted corpus-wide,
@@ -5098,6 +5138,8 @@ object QueryCatalog {
     "e_funnel" -> eFunnel,
     "e_retention" -> eRetention,
     "e_spike" -> eSpike,
+    "e_ewma" -> eEwma,
+    "e_stickiness" -> eStickiness,
     "e_paths" -> ePaths,
     "m_flac" -> mFlac,
     "p_budget_fill" -> pBudgetFill,
@@ -5288,6 +5330,8 @@ object QueryCatalog {
     "e_funnel" -> eFunnelSql,
     "e_retention" -> eRetentionSql,
     "e_spike" -> eSpikeSql,
+    "e_ewma" -> eEwmaSql,
+    "e_stickiness" -> eStickinessSql,
     "e_paths" -> ePathsSql,
     "m_flac" -> mFlacSql,
     "p_budget_fill" -> pBudgetFillSql,

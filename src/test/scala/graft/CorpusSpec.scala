@@ -216,6 +216,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3) === (("purchase", 1L))) // u1 only
   }
 
+  test("stickiness: trailing-window distinct actives, dedup within day") {
+    import java.sql.Timestamp
+    def t(day: Int, h: Int = 0) = new Timestamp(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).plusHours(h)
+        .toInstant.toEpochMilli)
+    // u1 active days 0,1; u2 day 0 twice (dedup); u3 day 2 only
+    val ev = Seq((1L, t(0)), (1L, t(1)), (2L, t(0)), (2L, t(0, 5)),
+      (3L, t(2))).toDF("user_id", "ts")
+    val out = Sessions.stickiness(ev, windowDays = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("2024-01-01") === ((2L, 2L, 1.0)))       // u1,u2 / u1,u2
+    assert(out("2024-01-02") === ((1L, 2L, 0.5)))       // u1 / u1,u2
+    assert(out("2024-01-03") === ((1L, 3L, 0.333333)))  // u3 / all three
+    assert(out.size === 3)                              // active days only
+  }
+
+  test("ewmaSpikes: dyadic-weighted baseline, full-window gate, spike rule") {
+    import java.sql.Timestamp
+    def t(day: Int) = new Timestamp(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    // 'a': days 0,1 at 1/day, then day 2 bursts to 4 events
+    val rows = Seq((1L, t(0)), (2L, t(1))) ++
+      (3L to 6L).map(i => (i, t(2)))
+    val ev = rows.toDF("event_id", "ts").withColumn("event_type",
+      org.apache.spark.sql.functions.lit("a"))
+    val out = Sessions.ewmaSpikes(ev, windowDays = 2, thresholdPct = 150)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(5))).toMap
+    // window=2: weights (2,1)/3. Day 1 lacks a full window (no day -1).
+    // Day 2 baseline = (2*n1 + 1*n0)/3 = (2+1)/3 = 1.0; n=4 -> spike
+    assert(out.size === 1)
+    assert(out("2024-01-03") === ((4L, 1.0, 1)))
+  }
+
   test("retention: weekly cohorts, offsets, per-cohort rates") {
     import java.sql.Timestamp
     def t(day: Int) = new Timestamp(
