@@ -240,4 +240,41 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoop"),
       s"no join blowups in a window+count plan:\n$plan")
   }
+
+  test("s_semdedup: centroids broadcast; the only self-join is within-cell") {
+    val plan = executed(QueryCatalog.sSemDedup(spark, sf))
+    // the 16-centroid assignment must ride a broadcast-nested-loop (a
+    // constant-size side), never a real cartesian; the within-cell pair
+    // join is an equi join on cid
+    assert(!plan.contains("CartesianProduct"),
+      s"no real cartesian allowed; plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"within-cell pairing must be an equi join on cid; plan:\n$plan")
+  }
+
+  test("t_auc: the rank-free AUC never sorts the corpus globally") {
+    val plan = executed(QueryCatalog.tAuc(spark, sf))
+    // the cumulative window must run on the grouped distinct-score
+    // aggregate — the plan's Window sits above a HashAggregate, and no
+    // corpus-sized global Sort+Window pairing on raw doc rows exists
+    assert(plan.contains("Window"), s"expected the grouped window:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no join blowups; plan:\n$plan")
+  }
+
+  test("e_stickiness: coverage explosion happens AFTER the (user, day) dedup") {
+    val df = QueryCatalog.eStickiness(spark, sf)
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    // the Generate (explode) must consume the deduped activity table,
+    // not the raw event stream: optimizer keeps an Aggregate (distinct)
+    // below the Generate
+    val genIdx = analyzed.indexOf("Generate explode")
+    assert(genIdx >= 0, s"expected an explode in:\n$analyzed")
+    assert(analyzed.indexOf("Aggregate", genIdx) >= 0,
+      s"explode must sit above the (user, day) dedup aggregate:\n$analyzed")
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"day join must be an equi join; plan:\n$plan")
+  }
 }
