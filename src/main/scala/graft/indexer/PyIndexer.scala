@@ -1332,14 +1332,20 @@ object PyIndexer {
                 case Some(m) =>
                   classishType(m.group(2)).foreach(t => fn.locals(m.group(1)) = t)
                 case None =>
-                  // context-manager binding (`with Database() as db:`) —
-                  // same classish/return-type resolution as a constructor
-                  // assignment (the enter-returns-self convention); each
-                  // manager clause of a multi-manager `with` binds its OWN
-                  // as-target
+                  // context-manager binding (`with Database() as db:`);
+                  // each manager clause of a multi-manager `with` binds
+                  // its OWN as-target. C3 slice 27: the as-target is
+                  // `__enter__`'s return type resolved along the
+                  // manager's MRO (jedi follows the context-manager
+                  // protocol: a `-> Cursor` enter types the target
+                  // Cursor; `return self` keeps the manager class); an
+                  // absent or unresolvable `__enter__` (cross-module
+                  // managers included) falls back to the manager class
+                  // itself — the enter-returns-self convention
                   if (withStmt.matches(line))
                     withManager.findAllMatchIn(line).foreach { m =>
                       classishType(m.group(1)).orElse(returnTypeTarget(m.group(1)))
+                        .map(t => methodReturn(t, "__enter__").getOrElse(t))
                         .foreach(t => fn.locals(m.group(2)) = t)
                     }
                   // C3 slice 11: `except CustomError as e:` types e as

@@ -762,6 +762,48 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls2.exists(_._2 == "lib.Database.release")) // no cross-binding
   }
 
+  test("C3 slice 27: `with` binds __enter__'s return along the MRO") {
+    val src =
+      """class Cursor:
+        |    def execute(self, q):
+        |        return q
+        |
+        |class Database:
+        |    def __enter__(self) -> Cursor:
+        |        return Cursor()
+        |
+        |class Pool(Database):
+        |    pass
+        |
+        |class Lock:
+        |    def __enter__(self):
+        |        return self
+        |    def release(self):
+        |        pass
+        |
+        |def work():
+        |    with Database("dsn") as cur:
+        |        return cur.execute("x")
+        |
+        |def pooled():
+        |    with Pool() as cur:
+        |        return cur.execute("y")
+        |
+        |def locked():
+        |    with Lock() as lk:
+        |        return lk.release()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "cm.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // declared `-> Cursor` enter: the as-target is a Cursor, NOT Database
+    assert(calls.contains(("cm.work", "cm.Cursor.execute")))
+    // __enter__ inherited from the base resolves through the MRO
+    assert(calls.contains(("cm.pooled", "cm.Cursor.execute")))
+    // `return self` keeps the manager class (slice 8's self inference)
+    assert(calls.contains(("cm.locked", "cm.Lock.release")))
+  }
+
   test("C3 partial: untyped intermediate steps emit NO half-resolved edges") {
     val src =
       """from lib import Database
