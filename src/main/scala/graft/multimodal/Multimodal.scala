@@ -330,6 +330,74 @@ object Multimodal {
     media.withColumn(outCol, parse(col(payloadCol)))
   }
 
+  final case class Mp3Meta(format: String, id3_version: Option[Int],
+    tag_size: Option[Int], mpeg_version: Option[String],
+    layer: Option[Int], bitrate_kbps: Option[Int],
+    sample_rate: Option[Int], channel_mode: Option[String])
+
+  /** ======= REAL (codec-free) ======= MP3 metadata: an optional ID3v2
+    * tag header (`ID3` magic, version byte, 28-bit SYNCSAFE size — 7
+    * bits per byte, the tag's own skip count) followed by the first
+    * MPEG audio frame header (11-bit sync `0xFFE`, version/layer bits,
+    * bitrate + sample-rate indices into the published tables, channel
+    * mode) — the routing screen an audio ingest runs before any frame
+    * decode. Bitrate tables are implemented for Layer III (the "3" in
+    * mp3) in MPEG-1 and MPEG-2/2.5; a Layer I/II frame still reports
+    * its version/layer/rate but a null bitrate. A payload with no
+    * valid sync after the tag (or a reserved version/layer/sample-rate
+    * field, or truncation) degrades to `not_mp3` with null fields —
+    * the [[withAudioMeta]] discipline. Header bytes only; audio frames
+    * are never read. */
+  def withMp3Meta(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "mp3_meta"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) =>
+      def u(i: Int) = p(i) & 0xff
+      val bad = Mp3Meta("not_mp3", None, None, None, None, None, None, None)
+      if (p == null || p.length < 4) bad
+      else {
+        val (idv, tag, off) =
+          if (p.length >= 10 && u(0) == 'I' && u(1) == 'D' && u(2) == '3') {
+            val size = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
+            (Some(u(3)), size, 10 + size)
+          } else (None, 0, 0)
+        if (p.length < off + 4 || u(off) != 0xff ||
+            (u(off + 1) & 0xe0) != 0xe0) bad
+        else {
+          val b1 = u(off + 1); val b2 = u(off + 2); val b3 = u(off + 3)
+          val verBits = (b1 >> 3) & 0x3
+          val layerBits = (b1 >> 1) & 0x3 // 1=III, 2=II, 3=I
+          val srIdx = (b2 >> 2) & 0x3
+          if (verBits == 1 || layerBits == 0 || srIdx == 3) bad
+          else {
+            val ver = verBits match {
+              case 3 => "1"; case 2 => "2"; case _ => "2.5"
+            }
+            val brIdx = (b2 >> 4) & 0xf
+            val v1l3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+              160, 192, 224, 256, 320)
+            val v2l3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+              112, 128, 144, 160)
+            val br =
+              if (brIdx == 0 || brIdx == 15 || layerBits != 1) None
+              else Some(if (verBits == 3) v1l3(brIdx) else v2l3(brIdx))
+            val srs = verBits match {
+              case 3 => Array(44100, 48000, 32000)
+              case 2 => Array(22050, 24000, 16000)
+              case _ => Array(11025, 12000, 8000)
+            }
+            val mode = ((b3 >> 6) & 0x3) match {
+              case 0 => "stereo"; case 1 => "joint_stereo"
+              case 2 => "dual_channel"; case _ => "mono"
+            }
+            Mp3Meta("mp3", idv, Some(tag), Some(ver),
+              Some(4 - layerBits), br, Some(srs(srIdx)), Some(mode))
+          }
+        }
+      }
+    }
+    media.withColumn(outCol, parse(col(payloadCol)))
+  }
+
   final case class VideoMeta(format: String, major_brand: Option[String],
       timescale: Option[Long], duration_ms: Option[Long])
 

@@ -4640,6 +4640,55 @@ object QueryCatalog {
       |    ELSE ((doc_id % 30 + 1) * 1000)::BIGINT END AS duration_ms
       |FROM documents""".stripMargin
 
+  /** m_mp3 — ID3v2 + MPEG frame-header parsing
+    * ([[graft.multimodal.Multimodal.withMp3Meta]]) under the oracle
+    * gate (the m_headers discipline): in-plan synthetic payloads — an
+    * ID3v2.3 header whose SYNCSAFE size (doc_id%10) the parser must
+    * skip, zero tag padding built by an independent spelling
+    * (substring of a constant zero run), then an MPEG-1 Layer III
+    * frame header exercising all 14 bitrate indices, 3 sample rates
+    * and 4 channel modes; every 7th payload TRUNCATED mid-tag must
+    * degrade to `not_mp3` with nulls. */
+  val mMp3: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    val tagSize = id % 10
+    def byte(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 2, "0"))
+    val b2 = (id % 14 + 1) * 16 + (id % 3) * 4 // brIdx<<4 | srIdx<<2
+    val b3 = (id % 4) * 64 // channel mode<<6
+    val full = concat(lit("ID3".getBytes), unhex(lit("030000")),
+      unhex(lit("000000")), byte(tagSize), // syncsafe size < 128
+      expr("substring(x'00000000000000000000', 1, doc_id % 10)"),
+      unhex(lit("FFFB")), byte(b2), byte(b3))
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload",
+        when(id % 7 === 0, substring(full, 1, 6)).otherwise(full))
+    Multimodal.withMp3Meta(media).select(id,
+      col("mp3_meta.format").as("format"),
+      col("mp3_meta.id3_version").as("id3_version"),
+      col("mp3_meta.tag_size").as("tag_size"),
+      col("mp3_meta.mpeg_version").as("mpeg_version"),
+      col("mp3_meta.layer").as("layer"),
+      col("mp3_meta.bitrate_kbps").as("bitrate_kbps"),
+      col("mp3_meta.sample_rate").as("sample_rate"),
+      col("mp3_meta.channel_mode").as("channel_mode"))
+  }
+
+  val mMp3Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN 'not_mp3' ELSE 'mp3' END AS format,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 3::INT END AS id3_version,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE (doc_id % 10)::INT END AS tag_size,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE '1' END AS mpeg_version,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 3::INT END AS layer,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL
+      |    ELSE ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[(doc_id % 14)::INT + 1]::INT END AS bitrate_kbps,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL
+      |    ELSE ([44100,48000,32000])[(doc_id % 3)::INT + 1]::INT END AS sample_rate,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL
+      |    ELSE (['stereo','joint_stereo','dual_channel','mono'])[(doc_id % 4)::INT + 1] END AS channel_mode
+      |FROM documents""".stripMargin
+
   /** p_media_mix — the CROSS-PILLAR composition: a multimodal ingest
     * screen (drop payloads whose header parse failed — the m_corrupt
     * degradation becomes a FILTER) joined with the text-quality gate
@@ -5142,6 +5191,7 @@ object QueryCatalog {
     "e_stickiness" -> eStickiness,
     "e_paths" -> ePaths,
     "m_flac" -> mFlac,
+    "m_mp3" -> mMp3,
     "p_budget_fill" -> pBudgetFill,
     "d_contam" -> dContam,
     "t_tfidf" -> tTfidf,
@@ -5334,6 +5384,7 @@ object QueryCatalog {
     "e_stickiness" -> eStickinessSql,
     "e_paths" -> ePathsSql,
     "m_flac" -> mFlacSql,
+    "m_mp3" -> mMp3Sql,
     "p_budget_fill" -> pBudgetFillSql,
     "d_contam" -> dContamSql,
     "t_tfidf" -> tTfidfSql,

@@ -201,6 +201,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L) === (("not_wav", None, None, None, None)))
   }
 
+  test("withMp3Meta: syncsafe ID3 skip, bare frames, layer/version tables") {
+    def mp3(b1: Int, b2: Int, b3: Int, tag: Int = -1): Array[Byte] = {
+      val frame = Seq(0xff, b1, b2, b3)
+      val bytes =
+        if (tag < 0) frame
+        else "ID3".getBytes.map(_.toInt).toSeq ++
+          Seq(4, 0, 0, 0, 0, tag >> 7, tag & 0x7f) ++
+          Seq.fill(tag)(0) ++ frame
+      bytes.map(_.toByte).toArray
+    }
+    val rows = Seq(
+      // ID3v2.4, 130-byte tag (syncsafe spans two bytes), V1 L3 128k
+      // 44.1kHz joint stereo
+      (1L, mp3(0xfb, 0x90, 0x40, tag = 130)),
+      // bare frame, no tag: MPEG2 L3 -> the V2 bitrate table (idx 9=80)
+      (2L, mp3(0xf3, 0x94, 0x00)),
+      // V1 Layer II: version/rate parse, bitrate table out of scope
+      (3L, mp3(0xfd, 0x90, 0xc0)),
+      // reserved version bits -> not_mp3
+      (4L, mp3(0xeb, 0x90, 0x00)),
+      // reserved sample-rate index -> not_mp3
+      (5L, mp3(0xfb, 0x9c, 0x00)),
+      (6L, "MThd not audio at all".getBytes))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.withMp3Meta(rows)
+      .select(col("doc_id"), col("mp3_meta.format"),
+        col("mp3_meta.id3_version"), col("mp3_meta.tag_size"),
+        col("mp3_meta.mpeg_version"), col("mp3_meta.layer"),
+        col("mp3_meta.bitrate_kbps"), col("mp3_meta.sample_rate"),
+        col("mp3_meta.channel_mode"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4)), Option(r.get(5)), Option(r.get(6)),
+          Option(r.get(7)), Option(r.get(8))))).toMap
+    assert(out(1L) === (("mp3", Some(4), Some(130), Some("1"), Some(3),
+      Some(128), Some(44100), Some("joint_stereo"))))
+    assert(out(2L) === (("mp3", None, Some(0), Some("2"), Some(3),
+      Some(80), Some(24000), Some("stereo"))))
+    assert(out(3L) === (("mp3", None, Some(0), Some("1"), Some(2),
+      None, Some(44100), Some("mono"))))
+    assert(out(4L) === (("not_mp3", None, None, None, None, None, None, None)))
+    assert(out(5L) === (("not_mp3", None, None, None, None, None, None, None)))
+    assert(out(6L) === (("not_mp3", None, None, None, None, None, None, None)))
+  }
+
   test("withVideoMeta walks MP4 boxes for ftyp brand and mvhd duration") {
     def be32(v: Long): Seq[Int] = Seq((v >> 24).toInt & 0xff,
       (v >> 16).toInt & 0xff, (v >> 8).toInt & 0xff, v.toInt & 0xff)
