@@ -18,6 +18,104 @@ object Analytics {
     * 0.85, uniform init 1/N, dangling mass ignored (nodes with no
     * out-edges contribute nothing — the simple formulation, identical on
     * the oracle side). Returns (v, pagerank) rounded to 6. */
+  /** STRONGLY connected components by the distributed COLORING
+    * algorithm (Orzan; the FW-BW family's many-pivots-per-round member):
+    * per round, (1) MIN-ANCESTOR coloring — propagate the minimum id
+    * FORWARD along edges to fixpoint, so every vertex is colored by the
+    * smallest id that reaches it; (2) each color ROOT r (a vertex that
+    * is its own color — no smaller ancestor) anchors one SCC: exactly
+    * the vertices that reach r BACK through their own color class
+    * (mutual reachability with r, since r already reaches its whole
+    * class forward); (3) extracted vertices leave, and the next round
+    * runs on the remainder. Every root's SCC extracts in parallel, so
+    * driver rounds = depth of the condensation restricted to color
+    * minima (2 on the gate fixture BY CONSTRUCTION — [[
+    * graft.store.GraphTables.sccRings]]), and each inner fixpoint walks
+    * at most the SCC diameter + feed-in path (≤9 there). Labels are the
+    * MIN member id (string order) — a root is its own smallest ancestor,
+    * hence its component's minimum — matching both the GraphX twin's
+    * relabeling and the oracle's closure `min`.
+    *
+    * Scale shape: every step is an equi join of the (shrinking) vertex
+    * state against the edge set plus a min/distinct groupBy — no
+    * all-pairs reachability is ever materialized (the transitive-closure
+    * spelling is the ORACLE's luxury, quadratic in component fan-out).
+    * Until-no-change loops with localCheckpoint lineage hygiene, the
+    * [[bfsDistances]] discipline. */
+  def stronglyConnected(edges: DataFrame): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint(eager = true)
+    var rem = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .localCheckpoint(eager = true)
+    var result: Option[DataFrame] = None
+    while (rem.limit(1).count() > 0) {
+      // (1) min-ancestor coloring to fixpoint
+      var colr = rem.select(col("v"), col("v").as("c"))
+        .localCheckpoint(eager = true)
+      var changed = 1L
+      while (changed > 0) {
+        val prop = e.join(colr, e("src") === colr("v"))
+          .select(e("dst").as("v"), colr("c"))
+        val upd = colr.union(prop).groupBy("v").agg(min("c").as("c"))
+          .localCheckpoint(eager = true)
+        changed = upd.as("n")
+          .join(colr.select(col("v"), col("c").as("oc")), "v")
+          .filter(col("c") =!= col("oc")).count()
+        colr = upd
+      }
+      // (2) backward containment within the color class
+      var mark = colr.filter(col("v") === col("c"))
+        .localCheckpoint(eager = true)
+      changed = 1L
+      while (changed > 0) {
+        val back = e.join(mark, e("dst") === mark("v"))
+          .select(e("src").as("v"), mark("c"))
+          .join(colr.select(col("v"), col("c").as("vc")), "v")
+          .filter(col("c") === col("vc")).select("v", "c")
+        val upd = mark.union(back).distinct().localCheckpoint(eager = true)
+        changed = upd.count() - mark.count()
+        mark = upd
+      }
+      result = Some(result.fold(mark)(_.union(mark)))
+      // (3) peel the settled vertices out of the remainder
+      val done = mark.select("v")
+      rem = rem.join(done, Seq("v"), "left_anti").localCheckpoint(eager = true)
+      e = e.join(done.withColumnRenamed("v", "src"), Seq("src"), "left_anti")
+        .join(done.withColumnRenamed("v", "dst"), Seq("dst"), "left_anti")
+        .localCheckpoint(eager = true)
+    }
+    result.fold(rem.select(col("v"), col("v").as("scc")))(
+      _.select(col("v"), col("c").as("scc")))
+  }
+
+  /** The GraphX scale path of [[stronglyConnected]]:
+    * `graphx.lib.StronglyConnectedComponents` over xxhash64 vertex ids,
+    * relabeled to the component-min NAME (the [[connectedComponentsGraphX]]
+    * convention) so all three spellings — coloring loop, Pregel, oracle
+    * closure — agree on the min-member label. */
+  def stronglyConnectedGraphX(spark: SparkSession, edges: DataFrame,
+      numIter: Int = 12): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import spark.implicits._
+    val keyed = edges.select(
+      xxhash64(col("src")).as("sid"), col("src"),
+      xxhash64(col("dst")).as("did"), col("dst")).cache()
+    val names = keyed.select(col("sid").as("id"), col("src").as("name"))
+      .union(keyed.select(col("did"), col("dst"))).distinct()
+    val g = Graph(
+      names.as[(Long, String)].rdd.map { case (id, _) => (id, ()) },
+      keyed.select(col("sid"), col("did")).as[(Long, Long)].rdd
+        .map { case (s, d) => Edge(s, d, ()) })
+    val comp = g.stronglyConnectedComponents(numIter)
+      .vertices.toDF("id", "comp")
+    comp.join(names, "id")
+      .select(col("name").as("v"), col("comp"))
+      .withColumn("scc", min(col("v")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
+      .select(col("v"), col("scc"))
+  }
+
   /** KATZ centrality, `iterations` unrolled rounds of x ← β + α·Aᵀx
     * (β = 1, α = 0.1): every walk into a node counts, geometrically
     * damped by length — the prestige measure PageRank normalizes away.

@@ -739,6 +739,33 @@ object QueryCatalog {
        |SELECT v, round(x, 6) AS katz FROM k5""".stripMargin
   }
 
+  /** q61 — STRONGLY connected components
+    * ([[graft.enrich.Analytics.stronglyConnected]], the Orzan coloring
+    * loop) over the cyclic ring fixture
+    * ([[graft.store.GraphTables.sccRings]]): per-(nation, octet)
+    * customer rings are the SCCs, one-way star bridges and order
+    * pendants must NOT merge (bridged rings share ancestors; pendants
+    * are singleton components). The oracle affords the quadratic
+    * luxury the engine never does: full recursive-CTE reachability
+    * closure, scc(u) = min v with u→*v ∧ v→*u (self included via the
+    * closure seed). */
+  val q61Scc: Q = (s, d) =>
+    graft.enrich.Analytics.stronglyConnected(GraphTables.sccRings(s, d))
+
+  /** q61_gx — the GraphX twin (Pregel SCC + component-min relabel),
+    * same oracle. */
+  val q61SccGx: Q = (s, d) =>
+    graft.enrich.Analytics.stronglyConnectedGraphX(s, GraphTables.sccRings(s, d))
+
+  val q61SccSql: String =
+    s"""WITH RECURSIVE ${GraphSql.sccRingsCte},
+       |verts AS (SELECT src AS v FROM scce UNION SELECT dst FROM scce),
+       |reach(s, t) AS (SELECT v, v FROM verts
+       |  UNION SELECT r.s, e.dst FROM reach r JOIN scce e ON r.t = e.src)
+       |SELECT a.s AS v, min(a.t) AS scc
+       |FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s
+       |GROUP BY a.s""".stripMargin
+
   /** Iterative analytics beyond the reference: 5-iteration PageRank over
     * the containment hierarchy — DataFrame fixpoint loop vs unrolled-CTE
     * oracle; per-iteration rounding makes both engines bit-identical. */
@@ -5156,6 +5183,8 @@ object QueryCatalog {
     "q9_rollup" -> q9Rollup,
     "q10_pagerank" -> q10Pagerank,
     "q60_katz" -> q60Katz,
+    "q61_scc" -> q61Scc,
+    "q61_scc_gx" -> q61SccGx,
     "q60_katz_gx" -> q60KatzGx,
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
@@ -5349,6 +5378,8 @@ object QueryCatalog {
     "q9_rollup" -> q9RollupSql,
     "q10_pagerank" -> q10PagerankSql,
     "q60_katz" -> q60KatzSql,
+    "q61_scc" -> q61SccSql,
+    "q61_scc_gx" -> q61SccSql,
     "q60_katz_gx" -> q60KatzSql,
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,

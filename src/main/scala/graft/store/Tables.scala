@@ -278,6 +278,38 @@ object GraphTables {
         .repartition(col("v")).sortWithinPartitions("v")
     }
 
+  /** A DIRECTED graph with real cycles — the SCC gate's fixture (every
+    * natural edge table here is a DAG or undirected, so strong
+    * connectivity needs its own derivation): customers form rings of ≤8
+    * within (nation, rank-octet) — rank over custkey inside the nation,
+    * successor = next rank in the octet, wrapping — plus ONE-WAY bridge
+    * edges from nation 0's first customer to every other nation's first
+    * (SCCs must not leak through them), plus each order as a pendant
+    * source onto its customer (singleton SCCs in the periphery). Ring
+    * size is capped at 8 BY CONSTRUCTION and the condensation depth is 2
+    * (nation-0 ring → all others), both independent of corpus size — the
+    * bounds the SCC loop's convergence rides on. Gate plumbing: the
+    * per-nation rank windows are bounded at n/25 rows per partition. */
+  def sccRings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(s, d).select(
+      concat(lit("customer."), col("c_custkey")).as("v"),
+      col("c_nationkey").as("nk"), col("c_custkey").as("k"))
+    val g = cust
+      .withColumn("r", row_number().over(Window.partitionBy("nk").orderBy("k")))
+      .withColumn("oct", ((col("r") - 1) / 8).cast("int"))
+    val w2 = Window.partitionBy("nk", "oct").orderBy("r")
+    val ring = g.select(col("v").as("src"),
+      coalesce(lead(col("v"), 1).over(w2), first(col("v")).over(w2)).as("dst"))
+    val bridges = g.filter(col("nk") === 0 && col("r") === 1).select(col("v").as("src"))
+      .crossJoin(broadcast(
+        g.filter(col("nk") =!= 0 && col("r") === 1).select(col("v").as("dst"))))
+    val pend = Tables.orders(s, d).select(
+      concat(lit("orders."), col("o_orderkey")).as("src"),
+      concat(lit("customer."), col("o_custkey")).as("dst"))
+    ring.unionByName(bridges).unionByName(pend)
+  }
+
   /** The undirected co-purchase graph in canonical form — (src, dst, w)
     * with src < dst and w = number of shared orders, kept when w ≥ 2.
     * Deriving it is a lineitem self-join (the most expensive graph-table
@@ -325,4 +357,23 @@ object GraphSql {
 
   val hierarchyCte: String =
     edgesCte + ",\nhier AS (SELECT src, dst FROM edges WHERE rel_type IN ('PLACED_BY','IN_NATION','IN_REGION'))"
+
+  /** [[GraphTables.sccRings]], DuckDB spelling — rings of ≤8 per
+    * (nation, rank-octet), one-way star bridges from nation 0, order
+    * pendants. Must stay semantically identical. */
+  val sccRingsCte: String =
+    """scust AS (SELECT 'customer.' || c_custkey AS v, c_nationkey AS nk,
+      |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS r
+      |  FROM customer),
+      |goct AS (SELECT v, nk, r, ((r - 1) // 8)::INT AS oct FROM scust),
+      |ring AS (SELECT v AS src,
+      |    coalesce(lead(v) OVER win, first_value(v) OVER win) AS dst
+      |  FROM goct WINDOW win AS (PARTITION BY nk, oct ORDER BY r)),
+      |bridges AS (SELECT a.v AS src, b.v AS dst
+      |  FROM (SELECT v FROM goct WHERE nk = 0 AND r = 1) a,
+      |       (SELECT v FROM goct WHERE nk <> 0 AND r = 1) b),
+      |pend AS (SELECT 'orders.' || o_orderkey AS src, 'customer.' || o_custkey AS dst FROM orders),
+      |scce AS (SELECT src, dst FROM ring
+      |  UNION SELECT src, dst FROM bridges
+      |  UNION SELECT src, dst FROM pend)""".stripMargin
 }

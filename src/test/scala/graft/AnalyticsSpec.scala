@@ -7,6 +7,29 @@ class AnalyticsSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("stronglyConnected: cycles merge, one-way bridges and pendants don't") {
+    // two 3-cycles joined by a ONE-WAY bridge, a pendant source, a
+    // self-loop, and a 2-node back-and-forth
+    val edges = Seq(
+      ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),   // SCC {a1,a2,a3}
+      ("a1", "b1"),                               // one-way bridge
+      ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),   // SCC {b1,b2,b3}
+      ("p", "a2"),                                // pendant source
+      ("s", "s"),                                 // self-loop singleton
+      ("x", "y"), ("y", "x")                      // SCC {x,y}
+    ).toDF("src", "dst")
+    val expected = Map(
+      "a1" -> "a1", "a2" -> "a1", "a3" -> "a1",
+      "b1" -> "b1", "b2" -> "b1", "b3" -> "b1",
+      "p" -> "p", "s" -> "s", "x" -> "x", "y" -> "x")
+    val df = Analytics.stronglyConnected(edges)
+      .as[(String, String)].collect().toMap
+    assert(df === expected)
+    val gx = Analytics.stronglyConnectedGraphX(spark, edges)
+      .as[(String, String)].collect().toMap
+    assert(gx === expected)
+  }
+
   test("pageRank: sinks accumulate rank, values deterministic across runs") {
     // star into "hub": a,b,c -> hub ; chain hub -> top
     val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "top"))
