@@ -235,6 +235,11 @@ object PyIndexer {
       // list[Helper] binds "xs" -> Helper here, and iteration/subscript
       // targets over xs land in `locals`)
       elemLocals: mutable.Map[String, String] = mutable.Map.empty,
+      // slice 28: mapping-typed names → their VALUE type (d: dict[str,
+      // Conn] binds "d" -> Conn here; subscripting, `.values()`
+      // iteration and `.get()` reads surface it — but NOT plain `for k
+      // in d:`, which iterates KEYS, the reason this is a separate map)
+      valueLocals: mutable.Map[String, String] = mutable.Map.empty,
       // the reference's ContextInfo.localSymbolNames (shallow_indexer.py:
       // 130, seeded with params at :363-374): names whose bare usages
       // record LOCAL location rows
@@ -343,6 +348,28 @@ object PyIndexer {
     * feeds from [[containerAnno]] element types. */
   private val forIn: Regex =
     """^\s*for\s+([A-Za-z_]\w*)\s+in\s+([A-Za-z_]\w*)\s*:\s*$""".r
+
+  /** `d: dict[str, Conn]` (or Dict/Mapping/MutableMapping/OrderedDict/
+    * defaultdict, optional `typing.` prefix) — a MAPPING annotation
+    * whose SECOND type argument is the value type (C3 slice 28: jedi
+    * surfaces it through subscripting, `.values()` iteration and
+    * `.get()`; plain `for k in d:` iterates KEYS and must bind
+    * nothing). A nested generic in the value position stays out, the
+    * [[containerAnno]] rule. */
+  private val mappingAnno: Regex =
+    ("""([A-Za-z_]\w*)\s*:\s*(?:typing\s*\.\s*)?""" +
+      """(?:dict|Dict|Mapping|MutableMapping|OrderedDict|defaultdict)""" +
+      """\s*\[\s*[^\[\],]+,\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\]""").r
+
+  /** `for v in d.values():` — the value-side iteration of slice 28. */
+  private val forInValues: Regex =
+    """^\s*for\s+([A-Za-z_]\w*)\s+in\s+([A-Za-z_]\w*)\s*\.\s*values\s*\(\s*\)\s*:\s*$""".r
+
+  /** `v = d.get(...)` — jedi resolves members through Optional's
+    * non-None arm (the slice-21 rule), so a mapping's `.get` read binds
+    * the value type too. */
+  private val mapGetRead: Regex =
+    """^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\.\s*get\s*\(""".r
 
   /** `y = xs[...]` — a subscript read; with xs container-typed, y binds
     * the element type. */
@@ -1138,6 +1165,15 @@ object PyIndexer {
                 resolveCallee(anno).foreach(t =>
                   fnScope.elemLocals(m.group(1)) = t)
             }
+            // slice 28: mapping-annotated params bind their VALUE type
+            mappingAnno.findAllMatchIn(headerText).foreach { m =>
+              val anno = m.group(2)
+              val classish = topClasses.contains(anno) ||
+                anno.split("\\.").last.headOption.exists(_.isUpper)
+              if (!keywords.contains(anno) && classish)
+                resolveCallee(anno).foreach(t =>
+                  fnScope.valueLocals(m.group(1)) = t)
+            }
             // A9/srctrl LOCAL symbols: every parameter (incl. self) is a
             // function-local — the reference records one local-symbol row
             // per param (shallow_indexer.py:394-397) and seeds the
@@ -1446,6 +1482,20 @@ object PyIndexer {
                 .foreach(t => fn.locals(m.group(1)) = t))
             subscriptRead.findFirstMatchIn(line).foreach(m =>
               fn.elemLocals.get(m.group(2))
+                .orElse(fn.valueLocals.get(m.group(2)))
+                .foreach(t => fn.locals(m.group(1)) = t))
+            // slice 28: mapping-annotated LOCALS, value-side iteration
+            // and .get() reads (plain `for k in d:` binds nothing — the
+            // map's keys are out of model)
+            mappingAnno.findFirstMatchIn(line)
+              .filter(m => line.trim.startsWith(m.group(1)))
+              .foreach(m => classishType(m.group(2))
+                .foreach(t => fn.valueLocals(m.group(1)) = t))
+            forInValues.findFirstMatchIn(line).foreach(m =>
+              fn.valueLocals.get(m.group(2))
+                .foreach(t => fn.locals(m.group(1)) = t))
+            mapGetRead.findFirstMatchIn(line).foreach(m =>
+              fn.valueLocals.get(m.group(2))
                 .foreach(t => fn.locals(m.group(1)) = t))
             // A9 LOCAL: `with … as x` as-targets are definitions inside
             // the callable (same reference path as assignment targets)

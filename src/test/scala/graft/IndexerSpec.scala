@@ -804,6 +804,38 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("cm.locked", "cm.Lock.release")))
   }
 
+  test("C3 slice 28: mapping annotations bind the VALUE type, keys stay out") {
+    val src =
+      """from lib import Conn
+        |
+        |def run(pool: dict[str, Conn], name):
+        |    c = pool[name]
+        |    return c.execute("q")
+        |
+        |def sweep(pool: dict[str, Conn]):
+        |    for c in pool.values():
+        |        c.ping()
+        |    for k in pool:
+        |        k.execute("nope")
+        |
+        |def lookup():
+        |    reg: Dict[str, Conn] = make()
+        |    c = reg.get("a")
+        |    return c.close()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "mp.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // subscript read surfaces the value type
+    assert(calls.contains(("mp.run", "lib.Conn.execute")))
+    // .values() iteration surfaces it too
+    assert(calls.contains(("mp.sweep", "lib.Conn.ping")))
+    // plain `for k in pool:` iterates KEYS — k must NOT type as Conn
+    assert(!calls.contains(("mp.sweep", "lib.Conn.execute")))
+    // annotated local + .get() read (Optional's non-None arm)
+    assert(calls.contains(("mp.lookup", "lib.Conn.close")))
+  }
+
   test("C3 partial: untyped intermediate steps emit NO half-resolved edges") {
     val src =
       """from lib import Database
