@@ -586,6 +586,40 @@ object Corpus {
             / (lit(2.0) * sum(col("p")) * sum(col("n"))), 6)).as("auc"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    * language, split the corpus into head / middle / tail thirds by LM
+    * quality score — the mix knob CCNet ships (train mostly on head,
+    * sample middle, drop or downweight tail). Bucket assignment is a
+    * pure function of (lang, score), decided in integers: with
+    * c_lt = docs scoring strictly HIGHER in the language and n the
+    * language total, head iff 3·c_lt < n, middle iff 3·c_lt < 2n, else
+    * tail — a whole tie group lands in one bucket (thresholds never
+    * split equal scores; bucket sizes are thirds up to tie-group
+    * granularity, the honest deterministic reading).
+    *
+    * Scale shape: the [[aucExact]] discipline — one groupBy(lang,
+    * score) corpus shuffle; the per-language cumulative windows run on
+    * the distinct-(lang, score) AGGREGATE (bounded by the score
+    * codomain, ≤1e6 ppm rows per language), and the bucket table joins
+    * back by (lang, score). Returns (doc_id, lang, score, bucket). */
+  def ccnetBuckets(scored: DataFrame, lang: Column,
+      score: Column): DataFrame = {
+    val d = scored.select(col("doc_id"), lang.as("lang"), score.as("s"))
+    val g = d.groupBy("lang", "s").agg(count(lit(1)).as("c"))
+    val before = Window.partitionBy("lang").orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = g
+      .withColumn("clt", coalesce(sum(col("c")).over(before), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("lang")))
+      .select(col("lang"), col("s"),
+        when(col("clt") * 3 < col("n"), "head")
+          .when(col("clt") * 3 < col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+    d.join(b, Seq("lang", "s"))
+      .select(col("doc_id"), col("lang"), col("s").as("score"),
+        col("bucket"))
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): rank raw documents by
     * how target-like they look under hashed-n-gram bag-of-words models.

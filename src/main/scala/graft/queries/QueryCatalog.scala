@@ -3245,6 +3245,37 @@ object QueryCatalog {
       col("source").isin("src0", "src1"))
   }
 
+  /** t_ccnet — CCNet head/middle/tail perplexity bucketing
+    * ([[graft.pipeline.Corpus.ccnetBuckets]]): per language, integer
+    * tercile thresholds over the bigram-LM score; whole tie groups land
+    * in one bucket. */
+  val tCcnet: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = graft.pipeline.Corpus
+      .lmQualityScore(docs, col("doc_id") % 5 === 0)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    graft.pipeline.Corpus.ccnetBuckets(scored, col("lang"),
+      col("avg_p_ppm"))
+  }
+
+  val tCcnetSql: String =
+    s"""WITH $lmScoredCte,
+       |lm AS (SELECT doc_id,
+       |    ((sum(p_ppm) * 2 + count(*)) // (2 * count(*)))::BIGINT AS s
+       |  FROM scored GROUP BY doc_id),
+       |dd AS (SELECT l.doc_id, d.lang, l.s FROM lm l JOIN documents d USING (doc_id)),
+       |g AS (SELECT lang, s, count(*)::BIGINT AS c FROM dd GROUP BY 1, 2),
+       |b AS (SELECT lang, s,
+       |    coalesce(sum(c) OVER (PARTITION BY lang ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt,
+       |    sum(c) OVER (PARTITION BY lang) AS n
+       |  FROM g)
+       |SELECT dd.doc_id, dd.lang, dd.s AS score,
+       |  CASE WHEN b.clt * 3 < b.n THEN 'head'
+       |       WHEN b.clt * 3 < 2 * b.n THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM dd JOIN b USING (lang, s)""".stripMargin
+
   val tAucSql: String =
     s"""WITH $lmScoredCte,
        |lm AS (SELECT doc_id,
@@ -5264,6 +5295,7 @@ object QueryCatalog {
     "q27_range_join" -> q27RangeJoin,
     "t_lm_score" -> tLmScore,
     "t_auc" -> tAuc,
+    "t_ccnet" -> tCcnet,
     "q28_gsets" -> q28Gsets,
     "q29_corr" -> q29Corr,
     "t_colstats" -> tColstats,
@@ -5459,6 +5491,7 @@ object QueryCatalog {
     "q27_range_join" -> q27RangeJoinSql,
     "t_lm_score" -> tLmScoreSql,
     "t_auc" -> tAucSql,
+    "t_ccnet" -> tCcnetSql,
     "q28_gsets" -> q28GsetsSql,
     "q29_corr" -> q29CorrSql,
     "t_colstats" -> tColstatsSql,

@@ -313,6 +313,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(Seq(0L, 1L).map(out(_)._1).min > Seq(2L, 3L).map(out(_)._1).max)
   }
 
+  test("ccnetBuckets: per-lang integer terciles, tie groups never split") {
+    // lang a: 6 docs, scores 60,50,40,30,20,10 -> clean thirds
+    // lang b: 4 docs, scores 9,9,9,1 -> the 3-way tie at the head
+    //   crosses both thresholds but must land whole in 'head'
+    val rows = Seq(
+      (1L, "a", 60L), (2L, "a", 50L), (3L, "a", 40L),
+      (4L, "a", 30L), (5L, "a", 20L), (6L, "a", 10L),
+      (7L, "b", 9L), (8L, "b", 9L), (9L, "b", 9L), (10L, "b", 1L)
+    ).toDF("doc_id", "lang", "s")
+    val out = Corpus.ccnetBuckets(rows, col("lang"), col("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(Seq(1L, 2L).map(out) === Seq("head", "head"))
+    assert(Seq(3L, 4L).map(out) === Seq("middle", "middle"))
+    assert(Seq(5L, 6L).map(out) === Seq("tail", "tail"))
+    assert(Seq(7L, 8L, 9L).map(out).distinct === Seq("head"))
+    // 10's clt=3, n=4: 9 >= 8 -> tail
+    assert(out(10L) === "tail")
+  }
+
   test("aucExact: perfect, inverted, tied, and one-class cases") {
     def auc(rows: Seq[(Long, Int)]): org.apache.spark.sql.Row =
       Corpus.aucExact(rows.toDF("s", "pos"), col("s"), col("pos") === 1)
