@@ -242,6 +242,39 @@ object Corpus {
       keep.cast("int").as("keep"))
   }
 
+  /** StarCoder/SantaCoder-style CODE-data screen (Li et al. 2023;
+    * Allal et al. 2023): the line-geometry and character-class rules a
+    * source-code corpus applies where prose rules ([[gopherScreen]])
+    * don't transfer — drop files whose longest line exceeds
+    * `maxLineLen` (minified/generated code), whose MEAN line length
+    * exceeds `maxAvgLen`, or whose alphanumeric character fraction
+    * falls below 25% (binary-ish/data blobs). Keep decisions are pure
+    * integer comparisons (totals vs count·threshold, 4·alnum vs chars)
+    * — a reported ratio sitting exactly on a cutoff can never flip
+    * across engines; reported fractions round to 4. A pure narrow map,
+    * zero Exchange, whole-stage codegen. */
+  def codeScreen(docs: DataFrame, maxLineLen: Int = 1000,
+      maxAvgLen: Int = 100): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val totLineLen = aggregate(lines, lit(0L), (a, l) => a + length(l))
+    val maxLine = array_max(transform(lines, l => length(l))).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nAlnum = length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
+      .cast("long")
+    val keep =
+      maxLine <= maxLineLen &&
+        totLineLen <= lit(maxAvgLen.toLong) * nLines &&
+        lit(4L) * nAlnum >= nChars
+    docs.select(col("doc_id"), nLines.as("n_lines"),
+      maxLine.as("max_line_len"),
+      round(totLineLen.cast("double") / greatest(nLines, lit(1L)), 4)
+        .as("avg_line_len"),
+      round(nAlnum.cast("double") / greatest(nChars, lit(1L)), 4)
+        .as("alnum_frac"),
+      keep.cast("int").as("keep"))
+  }
+
   /** Portable PII patterns (pure RE2 subset — no backrefs/lookarounds — so
     * the Java-regex Spark side and the RE2 DuckDB oracle match the same
     * spans). Redaction order is fixed (email → IPv4 → phone) and counting

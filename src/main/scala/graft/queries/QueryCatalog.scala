@@ -1588,6 +1588,45 @@ object QueryCatalog {
       |SELECT canonical_url, min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
       |FROM c2 GROUP BY canonical_url""".stripMargin
 
+  /** t_code — [[graft.pipeline.Corpus.codeScreen]], the StarCoder-style
+    * code-data screen. The corpus is single-line prose, so documents
+    * are augmented IN-PLAN (the t_gopher pattern) to make every rule
+    * decide both ways: every 5th doc gains a 1200-char minified line
+    * (max-line drop), every 5th+1 splits into one word per line (short
+    * lines, keep), every 5th+2 becomes a symbol blob (alnum-fraction
+    * drop); the rest screen on their natural geometry (long one-liners
+    * fail the mean-line rule). */
+  val tCode: Q = (s, d) => {
+    val id = col("doc_id")
+    val aug = when(id % 5 === 0,
+        concat(col("text"), lit("\n"), repeat(lit("x"), 1200)))
+      .when(id % 5 === 1, regexp_replace(col("text"), " ", "\n"))
+      .when(id % 5 === 2, repeat(lit("@#$%^&*()!~ "), 40))
+      .otherwise(col("text"))
+    graft.pipeline.Corpus.codeScreen(
+      Tables.documents(s, d).select(id, aug.as("text")))
+  }
+
+  val tCodeSql: String =
+    """WITH aug AS (SELECT doc_id, CASE
+      |    WHEN doc_id % 5 = 0 THEN text || chr(10) || repeat('x', 1200)
+      |    WHEN doc_id % 5 = 1 THEN replace(text, ' ', chr(10))
+      |    WHEN doc_id % 5 = 2 THEN repeat('@#$%^&*()!~ ', 40)
+      |    ELSE text END AS text FROM documents),
+      |r AS (SELECT doc_id,
+      |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
+      |    list_max(list_transform(string_split(text, chr(10)), x -> length(x)))::BIGINT AS max_line_len,
+      |    list_sum(list_transform(string_split(text, chr(10)), x -> length(x)))::BIGINT AS tot,
+      |    length(text)::BIGINT AS nchars,
+      |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::BIGINT AS alnum
+      |  FROM aug)
+      |SELECT doc_id, n_lines, max_line_len,
+      |  round(tot::DOUBLE / greatest(n_lines, 1), 4) AS avg_line_len,
+      |  round(alnum::DOUBLE / greatest(nchars, 1), 4) AS alnum_frac,
+      |  (CASE WHEN max_line_len <= 1000 AND tot <= 100 * n_lines
+      |        AND 4 * alnum >= nchars THEN 1 ELSE 0 END)::INT AS keep
+      |FROM r""".stripMargin
+
   /** t_gopher — [[graft.pipeline.Corpus.gopherScreen]], the published
     * Gopher rule screen. The corpus is single-line, so some documents
     * are augmented IN-PLAN (the st_screen/m_headers pattern: real
@@ -5369,6 +5408,7 @@ object QueryCatalog {
     "q53_hits" -> q53Hits,
     "t_readability" -> tReadability,
     "t_gopher" -> tGopher,
+    "t_code" -> tCode,
     "q53_hits_gx" -> q53HitsGx,
     "q54_distdist" -> q54DistDist,
   )
@@ -5565,6 +5605,7 @@ object QueryCatalog {
     "q53_hits" -> q53HitsSql,
     "t_readability" -> tReadabilitySql,
     "t_gopher" -> tGopherSql,
+    "t_code" -> tCodeSql,
     "q53_hits_gx" -> q53HitsSql,
     "q54_distdist" -> q54DistDistSql,
   )

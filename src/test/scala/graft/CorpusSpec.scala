@@ -313,6 +313,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(Seq(0L, 1L).map(out(_)._1).min > Seq(2L, 3L).map(out(_)._1).max)
   }
 
+  test("codeScreen: line geometry and alnum-fraction rules, boundary-inclusive") {
+    def row(id: Long, text: String) = (id, text)
+    val docs = Seq(
+      row(1L, "def f():\n    return 1\n"),            // normal code: keep
+      row(2L, "x" * 1001 + "\n" * 19),                // 1001-char line: drop
+      row(3L, "x" * 1000 + "\n" * 19),                // AT the cutoff: keep
+      row(4L, ("y" * 100 + "\n") * 3),                // mean == 75 <= 100: keep
+      row(5L, "@#$%! \n" * 50),                       // alnum-poor: drop
+      row(6L, "ab@#\n" * 50)                          // alnum == 2/5 >= 1/4: keep
+    ).toDF("doc_id", "text")
+    val out = Corpus.codeScreen(docs)
+      .collect().map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(out === Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0, 6L -> 1))
+  }
+
   test("ccnetBuckets: per-lang integer terciles, tie groups never split") {
     // lang a: 6 docs, scores 60,50,40,30,20,10 -> clean thirds
     // lang b: 4 docs, scores 9,9,9,1 -> the 3-way tie at the head

@@ -241,6 +241,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no join blowups in a window+count plan:\n$plan")
   }
 
+  test("t_code is a pure narrow map: zero exchanges, scale-free") {
+    val plan = executed(QueryCatalog.tCode(spark, sf))
+    assert(!plan.contains("Exchange"),
+      s"code screen must not shuffle; plan:\n$plan")
+  }
+
   test("s_semdedup: centroids broadcast; the only self-join is within-cell") {
     val plan = executed(QueryCatalog.sSemDedup(spark, sf))
     // the 16-centroid assignment must ride a broadcast-nested-loop (a
