@@ -89,6 +89,24 @@ object Analytics {
       _.select(col("v"), col("c").as("scc")))
   }
 
+  /** CONDENSATION of a directed graph: contract every SCC
+    * ([[stronglyConnected]]) to one node and keep the distinct
+    * non-self label pairs — the DAG downstream cycle-aware processing
+    * actually consumes (topological stages, cycle-free reachability).
+    * One edge double-join against the label table + a distinct — the
+    * [[connectedComponentsIncremental]] contraction shape. */
+  def condensation(edges: DataFrame): DataFrame = {
+    val scc = stronglyConnected(edges)
+    edges.select(col("src"), col("dst"))
+      .join(scc.withColumnRenamed("v", "src")
+        .withColumnRenamed("scc", "csrc"), "src")
+      .join(scc.withColumnRenamed("v", "dst")
+        .withColumnRenamed("scc", "cdst"), "dst")
+      .filter(col("csrc") =!= col("cdst"))
+      .select(col("csrc").as("src_scc"), col("cdst").as("dst_scc"))
+      .distinct()
+  }
+
   /** The GraphX scale path of [[stronglyConnected]]:
     * `graphx.lib.StronglyConnectedComponents` over xxhash64 vertex ids,
     * relabeled to the component-min NAME (the [[connectedComponentsGraphX]]

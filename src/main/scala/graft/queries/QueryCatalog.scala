@@ -757,6 +757,26 @@ object QueryCatalog {
   val q61SccGx: Q = (s, d) =>
     graft.enrich.Analytics.stronglyConnectedGraphX(s, GraphTables.sccRings(s, d))
 
+  /** q62 — the CONDENSATION DAG of the ring fixture
+    * ([[graft.enrich.Analytics.condensation]]): rings contract to
+    * single nodes, surviving edges are exactly the one-way bridges and
+    * the order→ring pendants. Oracle: the closure labels, one
+    * edge double-join, distinct non-self pairs. */
+  val q62Condense: Q = (s, d) =>
+    graft.enrich.Analytics.condensation(GraphTables.sccRings(s, d))
+
+  val q62CondenseSql: String =
+    s"""WITH RECURSIVE ${GraphSql.sccRingsCte},
+       |verts AS (SELECT src AS v FROM scce UNION SELECT dst FROM scce),
+       |reach(s, t) AS (SELECT v, v FROM verts
+       |  UNION SELECT r.s, e.dst FROM reach r JOIN scce e ON r.t = e.src),
+       |lab AS (SELECT a.s AS v, min(a.t) AS scc
+       |  FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s
+       |  GROUP BY a.s)
+       |SELECT DISTINCT ls.scc AS src_scc, ld.scc AS dst_scc
+       |FROM scce e JOIN lab ls ON e.src = ls.v JOIN lab ld ON e.dst = ld.v
+       |WHERE ls.scc <> ld.scc""".stripMargin
+
   val q61SccSql: String =
     s"""WITH RECURSIVE ${GraphSql.sccRingsCte},
        |verts AS (SELECT src AS v FROM scce UNION SELECT dst FROM scce),
@@ -5255,6 +5275,7 @@ object QueryCatalog {
     "q60_katz" -> q60Katz,
     "q61_scc" -> q61Scc,
     "q61_scc_gx" -> q61SccGx,
+    "q62_condense" -> q62Condense,
     "q60_katz_gx" -> q60KatzGx,
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
@@ -5452,6 +5473,7 @@ object QueryCatalog {
     "q60_katz" -> q60KatzSql,
     "q61_scc" -> q61SccSql,
     "q61_scc_gx" -> q61SccSql,
+    "q62_condense" -> q62CondenseSql,
     "q60_katz_gx" -> q60KatzSql,
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,

@@ -30,6 +30,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(gx === expected)
   }
 
+  test("condensation: SCCs contract, only cross-SCC edges survive, no dups") {
+    val edges = Seq(
+      ("a1", "a2"), ("a2", "a1"),   // SCC A
+      ("b1", "b2"), ("b2", "b1"),   // SCC B
+      ("a1", "b1"), ("a2", "b2"),   // two bridges -> ONE condensed edge
+      ("p", "a1")                   // pendant -> A
+    ).toDF("src", "dst")
+    val out = Analytics.condensation(edges)
+      .as[(String, String)].collect().toSet
+    assert(out === Set(("a1", "b1"), ("p", "a1")))
+  }
+
   test("pageRank: sinks accumulate rank, values deterministic across runs") {
     // star into "hub": a,b,c -> hub ; chain hub -> top
     val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "top"))
