@@ -5183,6 +5183,31 @@ object QueryCatalog {
     * max-per-(window, term) selects each window's final emit. The
     * oracle rebuilds the same fixed-seed sketch per window in SQL and
     * reads the same min-over-rows estimates. */
+  /** st_ewma — STREAMING day-close anomaly alerts
+    * ([[graft.streaming.Streams.streamingEwma]]): per event_type, a
+    * day's (count, dyadic EWMA baseline, spike) row emits the moment
+    * the next day's first event arrives; the replay's per-type
+    * far-future sentinel batch closes the final real day (the
+    * sentinel's own day never closes). Shares e_ewma's oracle —
+    * stream ≡ batch row for row. */
+  val stEwma: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val evs = eventsOrdered(s, d)
+    val sentinelTs = new java.sql.Timestamp(
+      evs.iterator.map(_.ts.getTime).max + 3L * 86400000L)
+    val tail = evs.iterator.map(_.event_type).toSeq.distinct.sorted
+      .zipWithIndex.map { case (et, i) =>
+        Streams.Event(Long.MaxValue - i, sentinelTs, -1L, et, 0.0) }
+    StreamReplay.replay(s, evs, "st_ewma", "append", batches = 6,
+      tail = tail) {
+      df => Streams.streamingEwma(df.as[Streams.Event]).toDF()
+    }
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("day_us")), "yyyy-MM-dd").as("day"),
+        col("n"), col("baseline"), col("ratio"), col("spike"))
+  }
+
   val stCms: Q = (s, d) => {
     import s.implicits._
     StreamReplay.replay(s, eventsOrdered(s, d), "st_cms", "update") {
@@ -5424,6 +5449,7 @@ object QueryCatalog {
     "st_funnel" -> stFunnel,
     "st_retention" -> stRetention,
     "st_cms" -> stCms,
+    "st_ewma" -> stEwma,
     "q46_btw" -> q46Btw,
     "q46_btw_gx" -> q46BtwGx,
     "q53_hits" -> q53Hits,
@@ -5622,6 +5648,7 @@ object QueryCatalog {
     "st_funnel" -> stFunnelSql,
     "st_retention" -> eRetentionSql,
     "st_cms" -> stCmsSql,
+    "st_ewma" -> eEwmaSql,
     "q46_btw" -> q46BtwSql,
     "q46_btw_gx" -> q46BtwSql,
     "q53_hits" -> q53HitsSql,

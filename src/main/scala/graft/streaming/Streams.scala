@@ -215,6 +215,81 @@ object Streams {
       }
   }
 
+  final case class EwmaDayCount(dayUs: Long, n: Long)
+  final case class EwmaState(hist: Seq[EwmaDayCount], curDayUs: Long,
+    curN: Long)
+  final case class EwmaOut(event_type: String, day_us: Long, n: Long,
+    baseline: Double, ratio: Double, spike: Int)
+
+  /** Streaming twin of [[graft.pipeline.Sessions.ewmaSpikes]]: per
+    * event_type, a day's volume row (count, α=1/2 dyadic-exact EWMA
+    * baseline over the previous `windowDays` PRESENT days, spike flag)
+    * emits the moment the first event of a LATER day arrives — the
+    * at-day-close anomaly alert the batch job only delivers next run.
+    * State per key is the last `windowDays` completed (day, count)
+    * pairs plus the accumulating current day — O(window) longs, key
+    * space = event types (bounded) — and a day emits ONLY with all
+    * `windowDays` trailing days present, the batch rule, so the gate
+    * shares e_ewma's oracle semantics (the replay's far-future sentinel
+    * closes the final real day; the sentinel's own day never closes and
+    * is discarded with the stream). The per-row arithmetic is the same
+    * integer trail the batch side folds — the doubles only round for
+    * display. In-order delivery is the caller's contract, as in
+    * [[streamingFunnel]]. */
+  def streamingEwma(events: Dataset[Event], windowDays: Int = 7,
+      thresholdPct: Int = 150): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    require(windowDays > 0 && windowDays < 62, "windowDays out of range")
+    val dayUsLen = 86400L * 1000000L
+    val denom = (1L << windowDays) - 1
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    def close(et: String, s: EwmaState): (EwmaState, Option[EwmaOut]) = {
+      val hist2 = (s.hist :+ EwmaDayCount(s.curDayUs, s.curN))
+        .takeRight(windowDays)
+      val prior = s.hist.filter(h =>
+        h.dayUs >= s.curDayUs - windowDays * dayUsLen &&
+          h.dayUs < s.curDayUs)
+      val out =
+        if (prior.size == windowDays) {
+          val trail = prior.map { h =>
+            val j = ((s.curDayUs - h.dayUs) / dayUsLen).toInt
+            h.n * (1L << (windowDays - j))
+          }.sum
+          // round-6 through BigDecimal HALF_UP — what Spark's round()
+          // does, so the streamed rows hash-match the batch oracle's
+          def r6(x: Double): Double = BigDecimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some(EwmaOut(et, s.curDayUs, s.curN,
+            r6(trail.toDouble / denom),
+            r6(s.curN.toDouble * denom / trail),
+            if (100L * s.curN * denom > thresholdPct.toLong * trail) 1
+            else 0))
+        } else None
+      (EwmaState(hist2, 0L, 0L), out)
+    }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (et, it, state: GroupState[EwmaState]) =>
+          var s = state.getOption.getOrElse(EwmaState(Nil, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaOut]
+          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val d = us(e.ts) / dayUsLen * dayUsLen
+            if (s.curN == 0L || d == s.curDayUs)
+              s = EwmaState(s.hist, d, s.curN + 1)
+            else if (d > s.curDayUs) {
+              val (s2, row) = close(et, s)
+              out ++= row
+              s = EwmaState(s2.hist, d, 1L)
+            }
+            // d < curDayUs (an out-of-order DAY) is the caller-contract
+            // violation: ignored, like a behind-watermark event
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Continuous graph ingest — the streaming upgrade of the reference's
     * batch-only pipeline: each micro-batch of symbol events merges into
     * the snapshot directory with the SAME set-oriented A1–A4 semantics as

@@ -352,6 +352,31 @@ class StreamsSpec extends AnyFunSuite {
       (2L, 1, 2500000L)))
   }
 
+  test("streamingEwma: day counts merge across batches, rows emit at " +
+    "day close with a full window only") {
+    import graft.queries.StreamReplay
+    val day = 86400000L
+    def evd(id: Long, d: Int, t: String = "a") =
+      Streams.Event(id, new java.sql.Timestamp(d * day + id), 1L, t, 0.0)
+    // type a: days 0,1 then a 4-event burst on day 2 and a day-3 closer;
+    // day 2's events SPAN batches (replay splits 8 rows across 3+ chunks)
+    // so the in-day count must merge in state. type b: single day, never
+    // a full window, emits nothing.
+    val rows = Seq(evd(1, 0), evd(2, 1)) ++ (3L to 6L).map(evd(_, 2)) ++
+      Seq(evd(7, 3), evd(8, 0, "b"))
+    val out = StreamReplay.replay(TestSpark.spark, rows, "ewma_spec",
+      "append", batches = 4) { df =>
+      import TestSpark.spark.implicits._
+      Streams.streamingEwma(df.as[Streams.Event], windowDays = 2).toDF()
+    }.collect()
+      .map(r => (r.getString(0), r.getLong(1) / (day * 1000L),
+        r.getLong(2), r.getDouble(3), r.getInt(5))).toSet
+    // day 2 closes when day 3's event arrives: baseline (2*1+1*1)/3 = 1,
+    // n = 4 -> spike; day 1 lacks a full 2-day window (no day -1); day 3
+    // never closes (stream ends, no sentinel in this spec)
+    assert(out === Set(("a", 2L, 4L, 1.0, 1)))
+  }
+
   private def ev(id: Long, ms: Long, uid: Long, t: String) =
     Streams.Event(id, new java.sql.Timestamp(ms), uid, t, 0.0)
 
