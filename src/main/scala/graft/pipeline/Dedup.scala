@@ -158,6 +158,54 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_shingles"), 4))
   }
 
+  /** CONTENT-DEFINED chunking dedup (the rsync/LBFS boundary trick, the
+    * FastCDC family): cut each document at positions where the rolling
+    * hash of the trailing `window` characters lands in residue class 0
+    * mod `modulus` — boundaries move WITH the content, so an insertion
+    * reshapes only the chunks it touches, where fixed-size blocks would
+    * shift every downstream block. Chunk fingerprints then feed
+    * chunk-LEVEL dedup: a document's `dup_chunk_frac` is the share of
+    * its chunks whose fingerprint also appears in ANOTHER document —
+    * the shift-robust shared-content screen whole-doc hashing can't
+    * give (expected chunk length ≈ `modulus` chars).
+    *
+    * Scale shape: boundary detection and chunk fingerprinting are
+    * per-row codegen'd array HOFs (O(len·window) char hashing, no
+    * chunk strings ever shuffled — only their hashes explode); the
+    * corpus-level work is ONE fingerprint groupBy plus the stats join
+    * back. Empty documents emit nothing. Returns (doc_id, n_chunks,
+    * n_dup_chunks, dup_chunk_frac). */
+  def cdcChunks(docs: DataFrame, window: Int = 8,
+      modulus: Int = 64): DataFrame = {
+    require(window > 0 && modulus > 0, "window and modulus must be positive")
+    val txt = col("text")
+    val len = length(txt)
+    val bs = when(len >= window,
+        filter(sequence(lit(window), len),
+          p => rollingHash(txt.substr(p - window + 1, lit(window)))
+            % modulus === 0))
+      .otherwise(array().cast("array<int>"))
+    // the final position closes the last chunk; appended only when it
+    // is not already a boundary (order-preserving — no array_distinct,
+    // whose ordering contract differs across engines)
+    val es = when(array_contains(bs, len), bs)
+      .otherwise(concat(bs, array(len)))
+    val fps = transform(sequence(lit(1), size(es)), i => {
+      val prev = when(i === 1, 0).otherwise(element_at(es, i - 1))
+      rollingHash(txt.substr(prev + 1, element_at(es, i) - prev))
+    })
+    val ch = docs.filter(len > 0).select(col("doc_id"), explode(fps).as("fp"))
+    val dupFps = ch.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("fp")
+    ch.join(dupFps.withColumn("isdup", lit(1L)), Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_chunks"))
+      .withColumn("dup_chunk_frac",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
+  }
+
   /** Pairs (a,b), a<b, with n-gram Jaccard ≥ threshold, via an inverted
     * index on shingle hashes. `maxDocFreq` drops shingles appearing in
     * more than that many docs (hub/stopword shingles) — bounds the

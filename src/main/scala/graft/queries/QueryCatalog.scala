@@ -1808,6 +1808,41 @@ object QueryCatalog {
 
   // ---------------------------------------------------------------- dedup
 
+  /** d_cdc — content-defined chunking dedup
+    * ([[graft.pipeline.Dedup.cdcChunks]], window=8, modulus=64): hash-
+    * derived chunk boundaries, chunk-fingerprint dedup stats per doc.
+    * The oracle replays the identical boundary rule with DuckDB list
+    * HOFs — the rolling hash, residue class, chunk slicing and
+    * fingerprints are the same spelling in both engines. */
+  val dCdc: Q = (s, d) =>
+    Dedup.cdcChunks(Tables.documents(s, d))
+
+  lazy val dCdcSql: String = {
+    def rollh(c: String) = "list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(string_split($c, ''), ch -> ascii(ch)::BIGINT)), " +
+      "(a, ch) -> (a * 31 + ch) % 2147483647)"
+    s"""WITH base AS (SELECT doc_id, text, length(text)::INT AS len
+       |  FROM documents WHERE length(text) > 0),
+       |bnd AS (SELECT doc_id, text, len,
+       |    CASE WHEN len >= 8 THEN list_filter(range(8, len + 1),
+       |      p -> ${rollh("substring(text, p::INT - 7, 8)")} % 64 = 0)
+       |    ELSE []::BIGINT[] END AS bs
+       |  FROM base),
+       |ends AS (SELECT doc_id, text,
+       |    CASE WHEN list_contains(bs, len::BIGINT) THEN bs
+       |         ELSE list_append(bs, len::BIGINT) END AS es
+       |  FROM bnd),
+       |ch AS (SELECT doc_id, unnest(list_transform(range(1, len(es) + 1),
+       |    i -> ${rollh("substring(text, (CASE WHEN i = 1 THEN 0 ELSE es[i::INT - 1] END)::INT + 1, (es[i::INT] - CASE WHEN i = 1 THEN 0 ELSE es[i::INT - 1] END)::INT)")})) AS fp
+       |  FROM ends),
+       |dup AS (SELECT fp FROM ch GROUP BY fp
+       |  HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT c.doc_id, count(*)::BIGINT AS n_chunks,
+       |  sum(CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_dup_chunks,
+       |  round(sum(CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END)::DOUBLE / count(*), 4) AS dup_chunk_frac
+       |FROM ch c LEFT JOIN dup d USING (fp) GROUP BY c.doc_id""".stripMargin
+  }
+
   /** Exact dedup groups by content fingerprint. */
   val dExact: Q = (s, d) =>
     Dedup.exact(Tables.documents(s, d))
@@ -5317,6 +5352,7 @@ object QueryCatalog {
     "t_langid" -> tLangId,
     "t_fingerprint" -> tFingerprint,
     "d_exact" -> dExact,
+    "d_cdc" -> dCdc,
     "d_ngram_jaccard" -> dNgramJaccard,
     "d_minhash_lsh" -> dMinhashLsh,
     "d_minhash_inc" -> dMinhashInc,
@@ -5516,6 +5552,7 @@ object QueryCatalog {
     "t_langid" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
     "d_exact" -> dExactSql,
+    "d_cdc" -> dCdcSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_minhash_inc" -> dMinhashIncSql,

@@ -8,6 +8,29 @@ class DedupSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("cdcChunks: boundaries move with content — an insertion keeps " +
+    "downstream chunks shared") {
+    // long enough to cut into several chunks at modulus=16
+    val a = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight ") * 4
+    val b = "INSERTED PREFIX >>> " + a      // shifted by 20 chars
+    val c = "totally unrelated content with no shared chunks at all"
+    val out = graft.pipeline.Dedup.cdcChunks(
+      Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"),
+      window = 8, modulus = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // both versions split into several chunks
+    assert(out(1L)._1 > 3 && out(2L)._1 > 3)
+    // hash-derived boundaries re-align after the insertion: most of the
+    // shifted doc's chunks still match the original (fixed-size blocks
+    // would share none)
+    assert(out(2L)._3 > 0.5, s"expected re-aligned chunks, got ${out(2L)}")
+    assert(out(1L)._2 > 0)
+    // the unrelated doc shares nothing
+    assert(out(3L)._2 === 0L && out(3L)._3 === 0.0)
+  }
+
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
     (2L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 1
