@@ -1322,12 +1322,10 @@ object CypherLite {
     val trailing = pattern.substring(nodeMs.last.end).trim
     require(leading.isEmpty && trailing.isEmpty,
       s"unsupported pattern text around the chain: $q")
-    // a repeated variable within one chain would need a node-equality
-    // join condition we don't synthesize — raise rather than silently
-    // return every path (the module's raise-on-unsupported posture)
-    val varNames = nodeMs.map(_.v)
-    require(varNames.distinct.size == varNames.size,
-      s"repeated pattern variable not supported (cycle patterns): $q")
+    // a repeated variable within one chain is a CYCLE pattern —
+    // buildChain closes it with node-identity equality on the repeated
+    // positions (and Neo4j's relationship-uniqueness keeps a
+    // back-and-forth over one edge out of the rows)
     Clause(optional, nodeMs, hops, where)
   }
 
@@ -1460,6 +1458,38 @@ object CypherLite {
         else
           df.join(e, col(s"n$ai.full_name") === col(s"$ea.dst"))
             .join(next, col(s"$ea.src") === col(s"n${ai + 1}.full_name"))
+    }
+    // CYCLE patterns: a repeated node variable closes the chain back
+    // onto an earlier position — node identity is full_name equality
+    // between the two join slots (every occurrence's own label/prop
+    // filters already applied above). Anonymous slots never repeat
+    // (generated names are unique).
+    val firstAt = scala.collection.mutable.Map.empty[String, Int]
+    c.nodeMs.zipWithIndex.foreach { case (m, i) =>
+      firstAt.get(m.v) match {
+        case Some(i0) =>
+          df = df.filter(col(s"n${aliasStart + i0}.full_name") ===
+            col(s"n${aliasStart + i}.full_name"))
+        case None => firstAt(m.v) = i
+      }
+    }
+    // Neo4j RELATIONSHIP-UNIQUENESS (match isomorphism): two
+    // relationship slots of ONE pattern never bind the same edge — an
+    // edge's identity here is its (src, rel_type, dst) triple, so the
+    // guard is pairwise triple inequality over the single-hop slots.
+    // Var-length paths stay out (the PATH-SUMMARY model never exposes
+    // their internal edges), matching the module's documented scope.
+    val hopAliases = c.hops.zipWithIndex.collect {
+      case (h, i) if !h.isVarLength => relAlias(aliasStart + i)
+    }
+    for {
+      ii <- hopAliases.indices
+      jj <- ii + 1 until hopAliases.size
+    } {
+      val (x, y) = (hopAliases(ii), hopAliases(jj))
+      df = df.filter(!(col(s"$x.src") === col(s"$y.src") &&
+        col(s"$x.rel_type") === col(s"$y.rel_type") &&
+        col(s"$x.dst") === col(s"$y.dst")))
     }
     df
   }
@@ -1753,8 +1783,12 @@ object CypherLite {
           h.varName.get -> relAlias(aliasStart + i)
       }.toMap
     var aliasCount = clauses.head.nodeMs.size
+    // FIRST occurrence wins: a cycle pattern's repeated variable reads
+    // from its original slot (buildChain equates the slots anyway)
     var vars = clauses.head.nodeMs.zipWithIndex
-      .map { case (m, i) => m.v -> s"n$i" }.toMap
+      .foldLeft(Map.empty[String, String]) { case (acc, (m, i)) =>
+        if (acc.contains(m.v)) acc else acc + (m.v -> s"n$i")
+      }
     locally {
       val rv = relVarsOf(clauses.head, 0)
       require(rv.keySet.intersect(vars.keySet).isEmpty,
@@ -1817,30 +1851,35 @@ object CypherLite {
       df = applyClauseWhere(df, w, vars, 0))
 
     clauses.drop(1).zipWithIndex.foreach { case (c, cIx) =>
-      val headVar = c.nodeMs.head.v
-      val anchored = vars.contains(headVar)
-      // an UN-anchored clause (no shared variable) is legal Cypher only
-      // for OPTIONAL MATCH here: it left-joins the driving row set on
-      // TRUE — every driving row pairs with every optional match, or
-      // null-extends when the optional pattern (or its WHERE) yields
-      // nothing. A plain un-anchored MATCH would be a silent cartesian
-      // product — still refused.
+      // EVERY position sharing an already-bound variable anchors the
+      // join (Neo4j's rule: a later MATCH may share any number of
+      // bound variables, not just its head). An UN-anchored clause (no
+      // shared variable at all) is legal Cypher only for OPTIONAL
+      // MATCH here: it left-joins the driving row set on TRUE — every
+      // driving row pairs with every optional match, or null-extends
+      // when the optional pattern (or its WHERE) yields nothing. A
+      // plain un-anchored MATCH would be a silent cartesian product —
+      // still refused.
+      val boundPos = c.nodeMs.zipWithIndex
+        .filter { case (m, _) => vars.contains(m.v) }
+      val anchored = boundPos.nonEmpty
       require(anchored || c.optional,
-        s"a later MATCH clause must start at a bound variable; '$headVar' is new: $q")
-      val fresh = (if (anchored) c.nodeMs.drop(1) else c.nodeMs).map(_.v)
-      require(fresh.forall(!vars.contains(_)),
-        s"later MATCH clause rebinds ${fresh.filter(vars.contains)}: $q")
+        s"a later MATCH clause must share a bound variable: $q")
       val start = aliasCount
       // bump BEFORE any pattern predicate in this clause's WHERE
       // allocates its own aliases (applyPatternPreds reads aliasCount)
       aliasCount += c.nodeMs.size
       val sub = buildChain(nodes, edges, c, start)
       val subVars = vars ++ c.nodeMs.zipWithIndex
-        .map { case (m, i) => m.v -> s"n${start + i}" }.toMap ++
-        relVarsOf(c, start)
+        .foldLeft(Map.empty[String, String]) { case (acc, (m, i)) =>
+          if (vars.contains(m.v) || acc.contains(m.v)) acc
+          else acc + (m.v -> s"n${start + i}")
+        } ++ relVarsOf(c, start)
       val keyEq =
         if (anchored)
-          col(s"${vars(headVar)}.full_name") === col(s"n$start.full_name")
+          boundPos.map { case (m, i) =>
+            col(s"${vars(m.v)}.full_name") === col(s"n${start + i}.full_name")
+          }.reduce(_ && _)
         else lit(true)
       if (c.optional) {
         // WHERE folds into the join: a filtered-out optional row
@@ -1858,14 +1897,14 @@ object CypherLite {
         Option(c.where).foreach(w =>
           df = applyClauseWhere(df, w, subVars, cIx + 1))
       }
-      // an anchored clause's head var stays bound to its ORIGINAL alias
-      // (always non-null); only fresh vars enter scope — which for an
-      // un-anchored optional clause includes the head
-      vars = vars ++ (
-        if (anchored) c.nodeMs.drop(1).zipWithIndex
-          .map { case (m, i) => m.v -> s"n${start + 1 + i}" }
-        else c.nodeMs.zipWithIndex
-          .map { case (m, i) => m.v -> s"n${start + i}" }).toMap
+      // an anchoring variable stays bound to its ORIGINAL alias (always
+      // non-null under OPTIONAL); only fresh vars enter scope, first
+      // occurrence winning (a within-clause repeat is a cycle slot)
+      vars = vars ++ c.nodeMs.zipWithIndex
+        .foldLeft(Map.empty[String, String]) { case (acc, (m, i)) =>
+          if (vars.contains(m.v) || acc.contains(m.v)) acc
+          else acc + (m.v -> s"n${start + i}")
+        }
       locally {
         val rv = relVarsOf(c, start)
         require(rv.keySet.intersect(vars.keySet).isEmpty,

@@ -169,31 +169,22 @@ object Dedup {
     * the shift-robust shared-content screen whole-doc hashing can't
     * give (expected chunk length ≈ `modulus` chars).
     *
-    * Scale shape: boundary detection and chunk fingerprinting are
-    * per-row codegen'd array HOFs (O(len·window) char hashing, no
-    * chunk strings ever shuffled — only their hashes explode); the
-    * corpus-level work is ONE fingerprint groupBy plus the stats join
-    * back. Empty documents emit nothing. Returns (doc_id, n_chunks,
-    * n_dup_chunks, dup_chunk_frac). */
+    * Scale shape: boundary detection and chunk fingerprinting run in
+    * the ONE-pass codegen'd [[org.apache.spark.sql.graft.CdcChunkHashes]]
+    * kernel (incremental trailing-window hash, O(len) per row — the
+    * HOF spelling's O(len·window) substring churn measured 64s at
+    * sf0.1); no chunk strings are ever shuffled — only their hashes
+    * explode, and the corpus-level work is ONE fingerprint groupBy
+    * plus the stats join back. Empty documents emit nothing. Returns
+    * (doc_id, n_chunks, n_dup_chunks, dup_chunk_frac). */
   def cdcChunks(docs: DataFrame, window: Int = 8,
       modulus: Int = 64): DataFrame = {
     require(window > 0 && modulus > 0, "window and modulus must be positive")
     val txt = col("text")
     val len = length(txt)
-    val bs = when(len >= window,
-        filter(sequence(lit(window), len),
-          p => rollingHash(txt.substr(p - window + 1, lit(window)))
-            % modulus === 0))
-      .otherwise(array().cast("array<int>"))
-    // the final position closes the last chunk; appended only when it
-    // is not already a boundary (order-preserving — no array_distinct,
-    // whose ordering contract differs across engines)
-    val es = when(array_contains(bs, len), bs)
-      .otherwise(concat(bs, array(len)))
-    val fps = transform(sequence(lit(1), size(es)), i => {
-      val prev = when(i === 1, 0).otherwise(element_at(es, i - 1))
-      rollingHash(txt.substr(prev + 1, element_at(es, i) - prev))
-    })
+    val fps = GraftExpressions.col(
+      org.apache.spark.sql.graft.CdcChunkHashes(
+        GraftExpressions.expr(txt), window, modulus))
     val ch = docs.filter(len > 0).select(col("doc_id"), explode(fps).as("fp"))
     val dupFps = ch.groupBy("fp")
       .agg(countDistinct(col("doc_id")).as("nd"))

@@ -304,6 +304,32 @@ object QueryCatalog {
         "size(n.name) + members AS score ORDER BY members DESC, nation")
   }
 
+  /** g_b10_cycle — CYCLE pattern + Neo4j relationship-uniqueness under
+    * the oracle gate: order pairs sharing at least two distinct parts,
+    * spelled as a diamond chain CLOSED BACK on its first variable
+    * (`…<-[:HAS_ITEM]-(o1)`). Match isomorphism forces the two part
+    * slots apart (reusing one edge for both hops through o1 is
+    * excluded), so `paths` counts ORDERED distinct-part pairs —
+    * k·(k−1) for k shared parts, exactly what the oracle's
+    * shared-count identity computes. */
+  val gB10Cycle: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (o1:ORDER)-[:HAS_ITEM]->(p1:PART)<-[:HAS_ITEM]-(o2:ORDER)" +
+        "-[:HAS_ITEM]->(p2:PART)<-[:HAS_ITEM]-(o1) " +
+        "WHERE o1.full_name < o2.full_name " +
+        "WITH o1, o2, count(*) AS paths WHERE paths >= 2 " +
+        "RETURN o1.full_name AS a, o2.full_name AS b, paths")
+  }
+
+  val gB10CycleSql: String =
+    s"""WITH ${GraphSql.edgesCte},
+       |hi AS (SELECT src AS o, dst AS p FROM edges WHERE rel_type = 'HAS_ITEM'),
+       |sh AS (SELECT a.o AS o1, b.o AS o2, count(*) AS k
+       |  FROM hi a JOIN hi b ON a.p = b.p AND a.o < b.o GROUP BY 1, 2)
+       |SELECT o1 AS a, o2 AS b, (k * (k - 1))::BIGINT AS paths
+       |FROM sh WHERE k >= 2""".stripMargin
+
   /** g_b10_spath — Cypher `shortestPath` with an UNBOUNDED `*` and
     * rel-type alternation, executed as a multi-source BFS frontier
     * fixpoint (linear per level, never path enumeration): every node
@@ -5440,6 +5466,7 @@ object QueryCatalog {
     "g_b10_cypher" -> gB10Cypher,
     "g_b10_write" -> gB10Write,
     "g_b10_spath" -> gB10Spath,
+    "g_b10_cycle" -> gB10Cycle,
     "g_b10_union" -> gB10Union,
     "g_b10_unwind" -> gB10Unwind,
     "g_b10_varlen" -> gB10Varlen,
@@ -5647,6 +5674,7 @@ object QueryCatalog {
     "g_b10_exists" -> gB10ExistsSql,
     "g_b10_write" -> gB10WriteSql,
     "g_b10_spath" -> gB10SpathSql,
+    "g_b10_cycle" -> gB10CycleSql,
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,

@@ -369,3 +369,76 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_cosine"
 }
+
+/** CONTENT-DEFINED chunk fingerprints of a string in ONE pass: cut
+  * wherever the [[RollingHash]] of the trailing `window` code points is
+  * ≡ 0 mod `modulus` (maintained incrementally — h' = h·31 + c_in −
+  * c_out·31^window, all mod 2^31−1), emitting the [[RollingHash]] of
+  * each chunk as it closes (running hash, reset at every boundary).
+  * Value-identical to the HOF spelling — `filter(sequence(w, len), p ->
+  * rollingHash(substr(p−w+1, w)) % m = 0)` boundaries, then per-slice
+  * rollingHash — which costs O(len·window) substring allocations and
+  * falls out of codegen; this is O(len) with zero allocation per
+  * position, inside whole-stage codegen. The final partial chunk closes
+  * at end-of-string (not emitted separately when the last position was
+  * already a boundary). */
+case class CdcChunkHashes(child: Expression, window: Int, modulus: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(window >= 1 && modulus >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunkHashes.hashes(input.asInstanceOf[UTF8String], window, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.CdcChunkHashes.hashes($c, $window, $modulus)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cdc_chunk_hashes"
+}
+
+object CdcChunkHashes {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def hashes(s: UTF8String, window: Int, modulus: Int): ArrayData = {
+    val str = s.toString
+    val P = RollingHash.P
+    var pw = 1L // 31^window mod P
+    var t = 0
+    while (t < window) { pw = (pw * 31L) % P; t += 1 }
+    val ring = new Array[Long](window)
+    var wh = 0L       // rolling trailing-window hash
+    var ch = 0L       // running current-chunk hash
+    var chunkLen = 0
+    var cpCount = 0   // code-point position (1-based)
+    val out = new scala.collection.mutable.ArrayBuffer[Long]
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      cpCount += 1
+      ch = (ch * 31L + cp) % P
+      chunkLen += 1
+      val slot = (cpCount - 1) % window
+      if (cpCount <= window) {
+        ring(slot) = cp
+        wh = (wh * 31L + cp) % P
+      } else {
+        val outCp = ring(slot)
+        ring(slot) = cp
+        wh = ((wh * 31L + cp - (outCp * pw) % P) % P + P) % P
+      }
+      if (cpCount >= window && wh % modulus == 0) {
+        out += ch
+        ch = 0L
+        chunkLen = 0
+      }
+    }
+    if (chunkLen > 0) out += ch
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -1456,4 +1456,54 @@ class CypherLiteSpec extends AnyFunSuite {
         "WITH DISTINCT count(t) AS n RETURN n")
     }
   }
+
+  private lazy val cycleDb = {
+    val d = GraphDatabase.inMemory(spark)
+    // two orders sharing two parts; a third sharing only one
+    for (o <- Seq("o1", "o2", "o3")) d.addNode("t", Kind.Class, o, Map("name" -> o))
+    for (p <- Seq("p1", "p2")) d.addNode("t", Kind.Function, p, Map("name" -> p))
+    d.addEdge("t", "o1", Rel.Call, "p1"); d.addEdge("t", "o1", Rel.Call, "p2")
+    d.addEdge("t", "o2", Rel.Call, "p1"); d.addEdge("t", "o2", Rel.Call, "p2")
+    d.addEdge("t", "o3", Rel.Call, "p1")
+    d.commit()
+    d
+  }
+
+  test("cycle patterns: a repeated variable closes the chain; rel-uniqueness " +
+    "keeps one edge from binding twice") {
+    // diamond closed back on o1: pairs of orders sharing TWO parts.
+    // Rel-uniqueness forces p1 <> p2 (else the two hops through o1 bind
+    // the same edge), so o3 (one shared part) never qualifies.
+    val out = cycleDb.executeQuery(
+      "MATCH (o1:CLASS)-[:CALL]->(p1)<-[:CALL]-(o2:CLASS)-[:CALL]->(p2)<-[:CALL]-(o1) " +
+        "WHERE o1.name < o2.name " +
+        "RETURN o1.name AS a, o2.name AS b, count(*) AS paths").collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.getString(0), r.getString(1)) === (("o1", "o2")))
+    assert(r.getLong(2) === 2L) // (p1,p2) and (p2,p1)
+    // same pattern WITHOUT the cycle close: o3 rows appear
+    val open = cycleDb.executeQuery(
+      "MATCH (x:CLASS)-[:CALL]->(q1)<-[:CALL]-(y:CLASS)-[:CALL]->(q2) " +
+        "WHERE x.name < y.name RETURN DISTINCT x.name, y.name").collect()
+    assert(open.length > 1)
+  }
+
+  test("a later MATCH may share ANY bound variable, not just its head") {
+    val out = cycleDb.executeQuery(
+      "MATCH (a:CLASS {name: 'o1'})-[:CALL]->(p) " +
+        "MATCH (b:CLASS {name: 'o2'})-[:CALL]->(p) " +
+        "RETURN p.name AS shared ORDER BY shared").collect()
+    // the second clause anchors on p (its LAST position, not the head)
+    assert(out.map(_.getString(0)).toSeq === Seq("p1", "p2"))
+  }
+
+  test("back-and-forth over one edge is excluded by rel-uniqueness") {
+    // (a)-[:CALL]->(p)<-[:CALL]-(a): both hops would need the SAME edge
+    // (a, CALL, p) — Neo4j returns nothing, and so does the engine
+    val out = cycleDb.executeQuery(
+      "MATCH (a:CLASS {name: 'o3'})-[:CALL]->(p)<-[:CALL]-(a) " +
+        "RETURN a.name").collect()
+    assert(out.isEmpty)
+  }
 }

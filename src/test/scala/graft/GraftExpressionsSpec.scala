@@ -53,6 +53,39 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](0) === r.getSeq[Long](1))
   }
 
+  test("CdcChunkHashes matches the HOF boundary+slice spelling") {
+    import org.apache.spark.sql.graft.{CdcChunkHashes, GraftExpressions}
+    // the HOF spelling the kernel replaced (and the DuckDB oracle still
+    // replays): positions with trailing-window hash ≡ 0 mod m cut the
+    // string; each slice is rolling-hashed
+    def spec(window: Int, modulus: Int) = {
+      val txt = col("s")
+      val len = length(txt)
+      val bs = when(len >= window,
+          filter(sequence(lit(window), len),
+            p => rollingHashSpec(txt.substr(p - window + 1, lit(window)))
+              % modulus === 0))
+        .otherwise(array().cast("array<int>"))
+      val es = when(array_contains(bs, len), bs)
+        .otherwise(concat(bs, array(len)))
+      transform(sequence(lit(1), size(es)), i => {
+        val prev = when(i === 1, 0).otherwise(element_at(es, i - 1))
+        rollingHashSpec(txt.substr(prev + 1, element_at(es, i) - prev))
+      })
+    }
+    for ((w, m) <- Seq((8, 64), (4, 16), (1, 2), (16, 8))) {
+      val df = (randomTexts(7L * w + m, 150).filter(_.nonEmpty) :+
+        "héllo wörld, ünïcode chunks répéat héllo wörld")
+        .toDF("s")
+        .select(
+          GraftExpressions.col(CdcChunkHashes(
+            GraftExpressions.expr(col("s")), w, m)).as("fast"),
+          spec(w, m).as("spec"))
+      assert(df.filter(to_json(col("fast")) =!= to_json(col("spec"))).count() === 0,
+        s"window=$w modulus=$m")
+    }
+  }
+
   test("CosineSim matches the HOF spec on random float vectors") {
     val rnd = new scala.util.Random(7)
     val pairs = (0 until 200).map { _ =>
