@@ -306,7 +306,7 @@ object QueryCatalog {
 
   /** g_b10_cycle — CYCLE pattern + Neo4j relationship-uniqueness under
     * the oracle gate: order pairs sharing at least two distinct parts,
-    * spelled as a diamond chain CLOSED BACK on its first variable
+    * spelled as a diamond chain CLOSED BACK on its first variable (o1 anchored to a key-prefix slice so the diamond's fan-out stays bounded at any sf — the selective predicate pushes down to the chain head)
     * (`…<-[:HAS_ITEM]-(o1)`). Match isomorphism forces the two part
     * slots apart (reusing one edge for both hops through o1 is
     * excluded), so `paths` counts ORDERED distinct-part pairs —
@@ -317,7 +317,8 @@ object QueryCatalog {
     graft.api.CypherLite.execute(n, e,
       "MATCH (o1:ORDER)-[:HAS_ITEM]->(p1:PART)<-[:HAS_ITEM]-(o2:ORDER)" +
         "-[:HAS_ITEM]->(p2:PART)<-[:HAS_ITEM]-(o1) " +
-        "WHERE o1.full_name < o2.full_name " +
+        "WHERE o1.full_name STARTS WITH 'orders.100' " +
+        "AND o1.full_name < o2.full_name " +
         "WITH o1, o2, count(*) AS paths WHERE paths >= 2 " +
         "RETURN o1.full_name AS a, o2.full_name AS b, paths")
   }
@@ -326,7 +327,8 @@ object QueryCatalog {
     s"""WITH ${GraphSql.edgesCte},
        |hi AS (SELECT src AS o, dst AS p FROM edges WHERE rel_type = 'HAS_ITEM'),
        |sh AS (SELECT a.o AS o1, b.o AS o2, count(*) AS k
-       |  FROM hi a JOIN hi b ON a.p = b.p AND a.o < b.o GROUP BY 1, 2)
+       |  FROM hi a JOIN hi b ON a.p = b.p AND a.o < b.o
+       |  WHERE starts_with(a.o, 'orders.100') GROUP BY 1, 2)
        |SELECT o1 AS a, o2 AS b, (k * (k - 1))::BIGINT AS paths
        |FROM sh WHERE k >= 2""".stripMargin
 
@@ -776,7 +778,7 @@ object QueryCatalog {
     * closure, scc(u) = min v with u→*v ∧ v→*u (self included via the
     * closure seed). */
   val q61Scc: Q = (s, d) =>
-    graft.enrich.Analytics.stronglyConnected(GraphTables.sccRings(s, d))
+    graft.enrich.Analytics.stronglyConnectedAuto(s, GraphTables.sccRings(s, d))
 
   /** q61_gx — the GraphX twin (Pregel SCC + component-min relabel),
     * same oracle. */

@@ -1482,11 +1482,11 @@ class CypherLiteSpec extends AnyFunSuite {
     val r = out(0)
     assert((r.getString(0), r.getString(1)) === (("o1", "o2")))
     assert(r.getLong(2) === 2L) // (p1,p2) and (p2,p1)
-    // same pattern WITHOUT the cycle close: o3 rows appear
+    // the UN-closed diamond head (pairs sharing ≥1 part): o3 appears
     val open = cycleDb.executeQuery(
-      "MATCH (x:CLASS)-[:CALL]->(q1)<-[:CALL]-(y:CLASS)-[:CALL]->(q2) " +
+      "MATCH (x:CLASS)-[:CALL]->(q1)<-[:CALL]-(y:CLASS) " +
         "WHERE x.name < y.name RETURN DISTINCT x.name, y.name").collect()
-    assert(open.length > 1)
+    assert(open.length === 3) // (o1,o2) (o1,o3) (o2,o3)
   }
 
   test("a later MATCH may share ANY bound variable, not just its head") {
