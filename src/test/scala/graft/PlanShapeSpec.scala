@@ -247,6 +247,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"code screen must not shuffle; plan:\n$plan")
   }
 
+  test("d_cdc: the one-pass kernel is in the plan, not the HOF spelling") {
+    val plan = executed(QueryCatalog.dCdc(spark, sf))
+    // the O(len) codegen'd kernel must be what runs — a refactor back
+    // to transform/filter HOFs was a measured 195x regression at sf0.1
+    assert(plan.contains("graft_cdc_chunk_hashes"),
+      s"expected the CdcChunkHashes kernel; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"stats join must be an equi join; plan:\n$plan")
+  }
+
   test("s_semdedup: centroids broadcast; the only self-join is within-cell") {
     val plan = executed(QueryCatalog.sSemDedup(spark, sf))
     // the 16-centroid assignment must ride a broadcast-nested-loop (a
