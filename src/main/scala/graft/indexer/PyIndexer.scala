@@ -235,6 +235,10 @@ object PyIndexer {
       // list[Helper] binds "xs" -> Helper here, and iteration/subscript
       // targets over xs land in `locals`)
       elemLocals: mutable.Map[String, String] = mutable.Map.empty,
+      // slice 29: method-REFERENCE aliases (`f = db.query`) — name →
+      // resolved method full name; a later bare `f(...)` emits the
+      // Call edge to it (jedi's bound-method reference)
+      methodRefs: mutable.Map[String, String] = mutable.Map.empty,
       // slice 28: mapping-typed names → their VALUE type (d: dict[str,
       // Conn] binds "d" -> Conn here; subscripting, `.values()`
       // iteration and `.get()` reads surface it — but NOT plain `for k
@@ -1401,11 +1405,35 @@ object PyIndexer {
                       if (parts.head == "self") curClass.map(_.fullName)
                       else fn.locals.get(parts.head)
                         .orElse(moduleVarTypes.get(parts.head))
-                    base.flatMap(b =>
+                    val fieldBind = base.flatMap(b =>
                       parts.tail.foldLeft(Option(b)) { (acc, p) =>
                         acc.flatMap(fieldOnlyViaMro(_, p))
                       })
-                      .foreach(t => fn.locals(m.group(1)) = t)
+                    fieldBind.foreach(t => fn.locals(m.group(1)) = t)
+                    // C3 slice 29: when the tail is not a typed field
+                    // but IS a method of the chained class, the target
+                    // is a BOUND-METHOD alias: `f = db.query` makes a
+                    // later bare `f(...)` call Database.query (jedi's
+                    // method-reference resolution). Same-module classes
+                    // resolve the definer along the MRO (override
+                    // semantics); cross-module receivers take the
+                    // member blindly, chaseFields' own convention.
+                    if (fieldBind.isEmpty)
+                      base.flatMap(b =>
+                        parts.tail.dropRight(1).foldLeft(Option(b)) {
+                          (acc, p) => acc.flatMap(fieldOnlyViaMro(_, p))
+                        })
+                        .flatMap { cls =>
+                          val mth = parts.last
+                          mroOf(cls).find(c =>
+                              classMethodsRaw.get(c).exists(_.contains(mth)))
+                            .map(d => s"$d.$mth")
+                            .orElse(
+                              if (!cls.startsWith(mod + "."))
+                                Some(s"$cls.$mth")
+                              else None)
+                        }
+                        .foreach(t => fn.methodRefs(m.group(1)) = t)
                   }
                   // C3 slice 14: parallel tuple unpacking — when the RHS
                   // arity matches, each position binds independently
@@ -1571,8 +1599,15 @@ object PyIndexer {
           if (!isHeader) {
             callSite.findAllMatchIn(line).foreach { m =>
               val callee = m.group(1)
-              if (!keywords.contains(callee))
-                resolveCallee(callee).foreach { dst =>
+              if (!keywords.contains(callee)) {
+                // slice 29: a bare name bound as a method reference
+                // (`f = db.query`) calls that method — the local alias
+                // shadows any same-named module def, Python's own rule
+                val viaRef =
+                  if (!callee.contains("."))
+                    curCallable.flatMap(_.methodRefs.get(callee))
+                  else None
+                viaRef.orElse(resolveCallee(callee)).foreach { dst =>
                   if (dst != src.fullName) {
                     edges += EdgeEvent(nextSeq(), taskId, src.fullName, Rel.Call,
                       dst, Map.empty)
@@ -1580,6 +1615,7 @@ object PyIndexer {
                       m.start + 1, i + 1, m.end)
                   }
                 }
+              }
             }
             // C3 slice 16 — `super().m()`: the real callee is the first
             // definer of m along the class's C3 MRO AFTER the class —

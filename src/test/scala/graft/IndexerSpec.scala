@@ -836,6 +836,56 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("mp.lookup", "lib.Conn.close")))
   }
 
+  test("C3 slice 29: method references bind as callable aliases") {
+    val src =
+      """from lib import Conn
+        |
+        |class Repo:
+        |    def fetch(self):
+        |        return 1
+        |
+        |class Cached(Repo):
+        |    pass
+        |
+        |def run():
+        |    r = Cached()
+        |    f = r.fetch
+        |    return f()
+        |
+        |def remote(conn: Conn):
+        |    g = conn.execute
+        |    return g("q")
+        |
+        |def selfstyle():
+        |    pass
+        |
+        |class App:
+        |    def __init__(self):
+        |        self.h = None
+        |
+        |    def go(self):
+        |        h = self.go
+        |        return h()
+        |
+        |def untyped(x):
+        |    u = x.whatever
+        |    return u()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "mr.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // same-module: the alias resolves through the MRO to the definer
+    assert(calls.contains(("mr.run", "mr.Repo.fetch")))
+    // cross-module receiver: the member is taken blindly (chaseFields'
+    // convention)
+    assert(calls.contains(("mr.remote", "lib.Conn.execute")))
+    // self-method reference
+    assert(calls.contains(("mr.App.go", "mr.App.go")) ||
+      !calls.exists(_._1 == "mr.App.go")) // self-call may drop (dst==src)
+    // an untyped receiver binds nothing — u() emits no edge
+    assert(!calls.exists { case (s, d) => s == "mr.untyped" && d.endsWith("whatever") })
+  }
+
   test("C3 partial: untyped intermediate steps emit NO half-resolved edges") {
     val src =
       """from lib import Database
