@@ -150,6 +150,41 @@ object Sessions {
     * decision is INTEGER arithmetic (`thresholdPct·trail > 100·n·days`
     * inverted), so the flag can never 1-ulp-flip; the ratio column is a
     * rounded display stat. */
+  /** Two-proportion z-test on a deterministic user split — the A/B
+    * readout every product-analytics stack ships: variant = a hash rule
+    * on user_id (given as `variantB`), conversion = the user emitted a
+    * qualifying event at least once, z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a
+    * + 1/n_b)) with p̂ the pooled rate. All counts are exact integers
+    * from one distinct-user aggregate; the z statistic is a single
+    * IEEE expression over those integers (identical in any engine) and
+    * rounds to 6; the significance flag compares the ROUNDED z against
+    * the two-sided 5% critical value so both engines decide on the
+    * same bytes. Returns one row (n_a, n_b, conv_a, conv_b, rate_a,
+    * rate_b, z, significant). */
+  def abTest(events: DataFrame, variantB: Column,
+      converted: Column): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(max(when(converted, 1L).otherwise(0L)).as("conv"))
+      .select(col("user_id"), col("conv"),
+        when(variantB, 1L).otherwise(0L).as("vb"))
+    val agg = users.agg(
+      sum(when(col("vb") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("vb") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("vb") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("vb") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val z = round((pa - pb) /
+      sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      (z + 0.0).as("z"),
+      when(abs(z) > 1.959964, 1).otherwise(0).cast("int").as("significant"))
+  }
+
   /** DAU/WAU stickiness — the "what share of this week's users came
     * back today" engagement curve: per active day, distinct users that
     * day (DAU) over distinct users in the trailing `windowDays` window

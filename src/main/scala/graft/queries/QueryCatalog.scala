@@ -2374,6 +2374,39 @@ object QueryCatalog {
       |  (CASE WHEN 100 * d.n * 127 > 150 * t.trail THEN 1 ELSE 0 END)::INT AS spike
       |FROM daily d JOIN trail t USING (event_type, day)""".stripMargin
 
+  /** e_ab_test — two-proportion z-test
+    * ([[graft.pipeline.Sessions.abTest]]): variant B = odd user_id,
+    * conversion = a >90-value purchase; pooled z with the significance
+    * flag decided on the ROUNDED statistic. */
+  val eAbTest: Q = (s, d) =>
+    graft.pipeline.Sessions.abTest(Tables.events(s, d),
+      col("user_id") % 2 === 1,
+      col("event_type") === "purchase" && col("value") > 90)
+
+  val eAbTestSql: String =
+    """WITH u AS (SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END)::BIGINT AS conv,
+      |    (user_id % 2)::BIGINT AS vb
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT
+      |    sum(CASE WHEN vb = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+      |    sum(CASE WHEN vb = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+      |    sum(CASE WHEN vb = 0 THEN conv ELSE 0 END)::BIGINT AS conv_a,
+      |    sum(CASE WHEN vb = 1 THEN conv ELSE 0 END)::BIGINT AS conv_b
+      |  FROM u),
+      |z AS (SELECT *,
+      |    round((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b)
+      |      / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+      |        * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+      |        * (1.0 / n_a + 1.0 / n_b)), 6) + 0.0 AS zz
+      |  FROM a)
+      |SELECT n_a, n_b, conv_a, conv_b,
+      |  round(conv_a::DOUBLE / n_a, 6) AS rate_a,
+      |  round(conv_b::DOUBLE / n_b, 6) AS rate_b,
+      |  zz AS z,
+      |  (CASE WHEN abs(zz) > 1.959964 THEN 1 ELSE 0 END)::INT AS significant
+      |FROM z""".stripMargin
+
   /** e_paths — top 3-step event paths
     * ([[graft.pipeline.Sessions.topPaths]]): per-user consecutive
     * event-type trigrams in (ts, event_id) order, counted corpus-wide,
@@ -5398,6 +5431,7 @@ object QueryCatalog {
     "e_spike" -> eSpike,
     "e_ewma" -> eEwma,
     "e_stickiness" -> eStickiness,
+    "e_ab_test" -> eAbTest,
     "e_paths" -> ePaths,
     "m_flac" -> mFlac,
     "m_mp3" -> mMp3,
@@ -5599,6 +5633,7 @@ object QueryCatalog {
     "e_spike" -> eSpikeSql,
     "e_ewma" -> eEwmaSql,
     "e_stickiness" -> eStickinessSql,
+    "e_ab_test" -> eAbTestSql,
     "e_paths" -> ePathsSql,
     "m_flac" -> mFlacSql,
     "m_mp3" -> mMp3Sql,

@@ -216,6 +216,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3) === (("purchase", 1L))) // u1 only
   }
 
+  test("abTest: exact counts, pooled z, rounded-stat significance") {
+    import java.sql.Timestamp
+    def t(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    // users 0..9: evens = A, odds = B. A converts 4/5, B converts 1/5
+    // (conversion = any 'buy' event; repeats must not double-count)
+    val rows = (0L to 9L).map(u => (u * 10 + 1, t(u.toInt), u,
+        if ((u % 2 == 0 && u < 8) || u == 1) "buy" else "view", 1.0)) :+
+      ((991L, t(99), 0L, "buy", 1.0)) // repeat conversion for user 0
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Sessions.abTest(ev, col("user_id") % 2 === 1,
+      col("event_type") === "buy").collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      === ((5L, 5L, 4L, 1L)))
+    assert(out.getDouble(4) === 0.8 && out.getDouble(5) === 0.2)
+    // z = (0.8-0.2)/sqrt(0.5*0.5*(0.4)) = 0.6/sqrt(0.1) = 1.897367
+    assert(out.getDouble(6) === 1.897367)
+    assert(out.getInt(7) === 0) // below 1.959964
+  }
+
   test("stickiness: trailing-window distinct actives, dedup within day") {
     import java.sql.Timestamp
     def t(day: Int, h: Int = 0) = new Timestamp(
