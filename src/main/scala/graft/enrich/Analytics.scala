@@ -168,6 +168,43 @@ object Analytics {
       .distinct()
   }
 
+  /** Topological LAYERS of the condensation DAG: layer(C) = longest
+    * path (in condensed edges) into component C — the stage number a
+    * cycle-aware scheduler runs C at (stage 0 components have no
+    * cross-SCC dependencies). SCC labels come from
+    * [[stronglyConnectedAuto]] once; the condensed edge set is one edge
+    * double-join + distinct; then max-plus relaxation to fixpoint —
+    * rounds = condensation depth (2 on the gate fixture BY
+    * CONSTRUCTION), each one equi join + max groupBy on the (tiny)
+    * component table. Every component reports, including isolated
+    * ones (layer 0). The oracle unrolls the identical recurrence. */
+  def condensationLayers(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    val scc = stronglyConnectedAuto(s, edges).localCheckpoint(eager = true)
+    val ce = edges.select(col("src"), col("dst"))
+      .join(scc.withColumnRenamed("v", "src")
+        .withColumnRenamed("scc", "cs"), "src")
+      .join(scc.withColumnRenamed("v", "dst")
+        .withColumnRenamed("scc", "cd"), "dst")
+      .filter(col("cs") =!= col("cd"))
+      .select(col("cs"), col("cd")).distinct()
+      .localCheckpoint(eager = true)
+    var layers = scc.select(col("scc").as("c")).distinct()
+      .select(col("c"), lit(0L).as("layer")).localCheckpoint(eager = true)
+    var changed = 1L
+    while (changed > 0) {
+      val relax = ce.join(layers, ce("cs") === layers("c"))
+        .select(col("cd").as("c"), (col("layer") + 1).as("layer"))
+      val upd = layers.union(relax).groupBy("c")
+        .agg(max("layer").as("layer")).localCheckpoint(eager = true)
+      changed = upd.as("n")
+        .join(layers.select(col("c"), col("layer").as("ol")), "c")
+        .filter(col("layer") =!= col("ol")).count()
+      layers = upd
+    }
+    layers.select(col("c").as("scc"), col("layer"))
+  }
+
   /** The GraphX scale path of [[stronglyConnected]]:
     * `graphx.lib.StronglyConnectedComponents` over xxhash64 vertex ids,
     * relabeled to the component-min NAME (the [[connectedComponentsGraphX]]

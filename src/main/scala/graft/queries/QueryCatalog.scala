@@ -805,6 +805,36 @@ object QueryCatalog {
        |FROM scce e JOIN lab ls ON e.src = ls.v JOIN lab ld ON e.dst = ld.v
        |WHERE ls.scc <> ld.scc""".stripMargin
 
+  /** q63 — topological layers of the condensation
+    * ([[graft.enrich.Analytics.condensationLayers]]): longest-path
+    * stage number per SCC (orders → 0, nation-0 rings → 1, bridged
+    * rings → 2 on the fixture). Oracle: the closure labels + 5
+    * unrolled max-plus relaxation rounds (depth is 2). */
+  val q63Topo: Q = (s, d) =>
+    graft.enrich.Analytics.condensationLayers(GraphTables.sccRings(s, d))
+
+  val q63TopoSql: String = {
+    def relax(i: Int): String =
+      s"""r$i AS MATERIALIZED (SELECT t.c, greatest(t.layer, coalesce(m.ml, 0)) AS layer
+         |  FROM r${i - 1} t LEFT JOIN (
+         |    SELECT ce.cd AS c, max(p.layer) + 1 AS ml
+         |    FROM ce JOIN r${i - 1} p ON ce.cs = p.c GROUP BY ce.cd) m
+         |  ON t.c = m.c)""".stripMargin
+    s"""WITH RECURSIVE ${GraphSql.sccRingsCte},
+       |verts AS (SELECT src AS v FROM scce UNION SELECT dst FROM scce),
+       |reach(s, t) AS (SELECT v, v FROM verts
+       |  UNION SELECT r.s, e.dst FROM reach r JOIN scce e ON r.t = e.src),
+       |lab AS MATERIALIZED (SELECT a.s AS v, min(a.t) AS scc
+       |  FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s
+       |  GROUP BY a.s),
+       |ce AS MATERIALIZED (SELECT DISTINCT ls.scc AS cs, ld.scc AS cd
+       |  FROM scce e JOIN lab ls ON e.src = ls.v JOIN lab ld ON e.dst = ld.v
+       |  WHERE ls.scc <> ld.scc),
+       |r0 AS MATERIALIZED (SELECT DISTINCT scc AS c, 0::BIGINT AS layer FROM lab),
+       |${(1 to 5).map(relax).mkString(",\n")}
+       |SELECT c AS scc, layer FROM r5""".stripMargin
+  }
+
   val q61SccSql: String =
     s"""WITH RECURSIVE ${GraphSql.sccRingsCte},
        |verts AS (SELECT src AS v FROM scce UNION SELECT dst FROM scce),
@@ -5397,6 +5427,7 @@ object QueryCatalog {
     "q61_scc" -> q61Scc,
     "q61_scc_gx" -> q61SccGx,
     "q62_condense" -> q62Condense,
+    "q63_topo" -> q63Topo,
     "q60_katz_gx" -> q60KatzGx,
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
@@ -5599,6 +5630,7 @@ object QueryCatalog {
     "q61_scc" -> q61SccSql,
     "q61_scc_gx" -> q61SccSql,
     "q62_condense" -> q62CondenseSql,
+    "q63_topo" -> q63TopoSql,
     "q60_katz_gx" -> q60KatzSql,
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,

@@ -42,6 +42,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out === Set(("a1", "b1"), ("p", "a1")))
   }
 
+  test("condensationLayers: longest-path stages; isolated SCCs report 0") {
+    // p -> A(2cyc) -> B(2cyc); q -> B directly: layer(B) must take the
+    // LONGEST path (through A), not the 1-hop shortcut. x<->y isolated.
+    val edges = Seq(
+      ("p", "a1"), ("a1", "a2"), ("a2", "a1"),
+      ("a1", "b1"), ("b1", "b2"), ("b2", "b1"),
+      ("q", "b1"),
+      ("x", "y"), ("y", "x")
+    ).toDF("src", "dst")
+    val out = Analytics.condensationLayers(edges)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("p" -> 0L, "q" -> 0L, "a1" -> 1L, "b1" -> 2L,
+      "x" -> 0L))
+  }
+
   test("pageRank: sinks accumulate rank, values deterministic across runs") {
     // star into "hub": a,b,c -> hub ; chain hub -> top
     val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "top"))
