@@ -156,8 +156,14 @@ object Analytics {
     * actually consumes (topological stages, cycle-free reachability).
     * One edge double-join against the label table + a distinct — the
     * [[connectedComponentsIncremental]] contraction shape. */
-  def condensation(edges: DataFrame): DataFrame = {
-    val scc = stronglyConnectedAuto(edges.sparkSession, edges)
+  def condensation(edges: DataFrame): DataFrame =
+    condensationFrom(edges, stronglyConnectedAuto(edges.sparkSession, edges))
+
+  /** [[condensation]] over ALREADY-DERIVED labels (the persisted
+    * `scclabels` table at scale — labels derive once per corpus
+    * version, consumers scan parquet). */
+  def condensationFrom(edges: DataFrame, scc0: DataFrame): DataFrame = {
+    val scc = scc0
     edges.select(col("src"), col("dst"))
       .join(scc.withColumnRenamed("v", "src")
         .withColumnRenamed("scc", "csrc"), "src")
@@ -178,9 +184,14 @@ object Analytics {
     * CONSTRUCTION), each one equi join + max groupBy on the (tiny)
     * component table. Every component reports, including isolated
     * ones (layer 0). The oracle unrolls the identical recurrence. */
-  def condensationLayers(edges: DataFrame): DataFrame = {
-    val s = edges.sparkSession
-    val scc = stronglyConnectedAuto(s, edges).localCheckpoint(eager = true)
+  def condensationLayers(edges: DataFrame): DataFrame =
+    condensationLayersFrom(edges,
+      stronglyConnectedAuto(edges.sparkSession, edges))
+
+  /** [[condensationLayers]] over already-derived labels — see
+    * [[condensationFrom]]. */
+  def condensationLayersFrom(edges: DataFrame, scc0: DataFrame): DataFrame = {
+    val scc = scc0.localCheckpoint(eager = true)
     val ce = edges.select(col("src"), col("dst"))
       .join(scc.withColumnRenamed("v", "src")
         .withColumnRenamed("scc", "cs"), "src")

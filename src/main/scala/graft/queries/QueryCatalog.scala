@@ -786,12 +786,15 @@ object QueryCatalog {
     graft.enrich.Analytics.stronglyConnectedGraphX(s, GraphTables.sccRings(s, d))
 
   /** q62 — the CONDENSATION DAG of the ring fixture
-    * ([[graft.enrich.Analytics.condensation]]): rings contract to
+    * ([[graft.enrich.Analytics.condensationFrom]]): rings contract to
     * single nodes, surviving edges are exactly the one-way bridges and
-    * the order→ring pendants. Oracle: the closure labels, one
-    * edge double-join, distinct non-self pairs. */
+    * the order→ring pendants. Labels come from the PERSISTED
+    * `scclabels` derived table ([[graft.store.GraphTables.sccLabels]]
+    * — derived once per corpus version, the ccprev discipline); the
+    * oracle recomputes them from the closure. */
   val q62Condense: Q = (s, d) =>
-    graft.enrich.Analytics.condensation(GraphTables.sccRings(s, d))
+    graft.enrich.Analytics.condensationFrom(GraphTables.sccRings(s, d),
+      GraphTables.sccLabels(s, d))
 
   val q62CondenseSql: String =
     s"""WITH RECURSIVE ${GraphSql.sccRingsCte},
@@ -806,12 +809,14 @@ object QueryCatalog {
        |WHERE ls.scc <> ld.scc""".stripMargin
 
   /** q63 — topological layers of the condensation
-    * ([[graft.enrich.Analytics.condensationLayers]]): longest-path
+    * ([[graft.enrich.Analytics.condensationLayersFrom]] over the
+    * persisted `scclabels` table): longest-path
     * stage number per SCC (orders → 0, nation-0 rings → 1, bridged
     * rings → 2 on the fixture). Oracle: the closure labels + 5
     * unrolled max-plus relaxation rounds (depth is 2). */
   val q63Topo: Q = (s, d) =>
-    graft.enrich.Analytics.condensationLayers(GraphTables.sccRings(s, d))
+    graft.enrich.Analytics.condensationLayersFrom(GraphTables.sccRings(s, d),
+      GraphTables.sccLabels(s, d))
 
   val q63TopoSql: String = {
     def relax(i: Int): String =

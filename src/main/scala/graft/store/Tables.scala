@@ -310,6 +310,19 @@ object GraphTables {
     ring.unionByName(bridges).unionByName(pend)
   }
 
+  /** SCC labels of [[sccRings]], PERSISTED through the fingerprinted
+    * versioned layout (the [[ccPrev]]/[[coPurchase]] discipline): the
+    * labeling derives ONCE per corpus version; the condensation and
+    * topological-layer consumers then read a parquet scan instead of
+    * re-running the coloring loop per query — exactly what a deployment
+    * does with a derived component table at 100 TB. `q61_scc` still
+    * gates the live algorithm. */
+  def sccLabels(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "scclabels") {
+      graft.enrich.Analytics.stronglyConnected(sccRings(s, d))
+        .repartition(col("v")).sortWithinPartitions("v")
+    }
+
   /** The undirected co-purchase graph in canonical form — (src, dst, w)
     * with src < dst and w = number of shared orders, kept when w ≥ 2.
     * Deriving it is a lineitem self-join (the most expensive graph-table

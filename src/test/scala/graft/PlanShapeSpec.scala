@@ -200,6 +200,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ccPrev must be a materialized parquet scan, scans:\n${scans.mkString("\n")}")
   }
 
+  test("q62/q63's SCC labels are a PERSISTED parquet scan") {
+    // the condensation/layer consumers must read the scclabels derived
+    // table (one labeling per corpus version), never re-run the
+    // coloring loop in-query — the ccprev discipline
+    val labels = graft.store.GraphTables.sccLabels(spark, sf)
+    val scans = fileScans(labels.queryExecution.executedPlan)
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(scans.nonEmpty && scans.forall(_.contains("scclabels")),
+      s"sccLabels must be a materialized parquet scan, scans:\n${scans.mkString("\n")}")
+  }
+
   test("m_tiff is a pure narrow map: zero exchanges, scale-free") {
     val plan = executed(QueryCatalog.mTiff(spark, sf))
     assert(!plan.contains("Exchange"),
