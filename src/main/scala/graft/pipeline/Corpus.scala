@@ -275,6 +275,71 @@ object Corpus {
       keep.cast("int").as("keep"))
   }
 
+  /** Token-distribution Shannon entropy per document — the
+    * information-density quality signal (low entropy = templated or
+    * repetitive text), complementing [[repetitionStats]]' exact n-gram
+    * repeats with a whole-distribution view: over the normalized token
+    * stream, `H = log2(n) − (Σ c·log2 c)/n` with `c` the per-type
+    * counts. The factored form keeps every input to the float log an
+    * exact INTEGER (counts, not probabilities), so both engines feed
+    * `log2` identical arguments; `H` is mathematically ≥ 0 and rounds
+    * to 4.
+    *
+    * Shape: explode → (doc_id, token) count → per-doc aggregate — two
+    * shuffles on doc_id-prefixed keys, both map-side combined; no
+    * all-pairs anything, scales linearly in corpus tokens. Documents
+    * with zero tokens emit no row (their entropy is undefined). */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(log2(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log2(col("c").cast("double"))) /
+            sum(col("c")).cast("double"), 4).as("entropy"))
+  }
+
+  /** C4 line-level cleaning (Raffel et al. 2020, §2.2 — the "Colossal
+    * Clean Crawled Corpus" recipe): keep only lines that end in a
+    * terminal punctuation mark (`.` `!` `?` or a closing quote), carry
+    * at least five whitespace words, and don't mention "javascript";
+    * then drop the whole page if the cleaned text has fewer than three
+    * sentences (terminal-punct occurrences), or if the RAW page contains
+    * "lorem ipsum" (any case) or a curly brace. Complements
+    * [[gopherScreen]] (document-ratio rules) and [[codeScreen]]
+    * (code-geometry rules) as the third published screen: C4 is the one
+    * that edits INSIDE the document rather than only gating it.
+    *
+    * Shape: one narrow codegen'd projection per document — the line
+    * filter is a per-row array pipeline, no shuffle, no UDF; at 100 TB
+    * it streams map-side at scan speed. All keep decisions are integer
+    * comparisons (word/sentence COUNTS vs constants), so no
+    * cross-engine float hazard exists by construction. */
+  def c4Clean(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      substring(t, -1, 1).isin(".", "!", "?", "\"", "”") &&
+        size(filter(split(t, "\\s+"), w => length(w) > 0)) >= 5 &&
+        !contains(lower(l), lit("javascript"))
+    })
+    val clean = array_join(kept, "\n")
+    val nSent = regexp_count(clean, lit("[.!?]")).cast("long")
+    val pageBad = contains(lower(col("text")), lit("lorem ipsum")) ||
+      contains(col("text"), lit("{"))
+    val keep = nSent >= 3L && !pageBad
+    docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSent.as("n_sentences"),
+      length(clean).cast("long").as("clean_len"),
+      when(keep, clean).otherwise(lit("")).as("clean_text"),
+      keep.cast("int").as("keep"))
+  }
+
   /** Portable PII patterns (pure RE2 subset — no backrefs/lookarounds — so
     * the Java-regex Spark side and the RE2 DuckDB oracle match the same
     * spans). Redaction order is fixed (email → IPv4 → phone) and counting

@@ -185,6 +185,33 @@ object Sessions {
       when(abs(z) > 1.959964, 1).otherwise(0).cast("int").as("significant"))
   }
 
+  /** First-order Markov transition matrix between event types — the
+    * "what happens next" model behind every product-flow diagram (and
+    * the generative counterpart of [[topPaths]]' top-k readout): for
+    * every ordered pair of CONSECUTIVE same-user events, the transition
+    * count and the row-normalized probability P(next | prev). Each
+    * user's final event transitions into the synthetic `endState`, so
+    * every matrix row sums to exactly 1 and session-terminal behavior
+    * is first-class.
+    *
+    * Shape: one shuffle on user_id for the lag window (the only
+    * corpus-sized exchange), then a groupBy on the ≤|types|²-row pair
+    * table; the probability denominator is a window sum over that tiny
+    * aggregate. Counts are exact BIGINTs; the probability is a single
+    * IEEE division rounded to 6. */
+  def markovTransitions(events: DataFrame,
+      endState: String = "(end)"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events.select(col("event_type").as("prev_type"),
+      coalesce(lead(col("event_type"), 1).over(w), lit(endState))
+        .as("next_type"))
+    val counts = pairs.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    counts.select(col("prev_type"), col("next_type"), col("n"),
+      round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("prev_type")), 6).as("p"))
+  }
+
   /** DAU/WAU stickiness — the "what share of this week's users came
     * back today" engagement curve: per active day, distinct users that
     * day (DAU) over distinct users in the trailing `windowDays` window

@@ -1633,6 +1633,22 @@ object QueryCatalog {
        |FROM documents""".stripMargin
   }
 
+  /** t_entropy — [[graft.pipeline.Corpus.tokenEntropy]]: per-document
+    * Shannon entropy of the token distribution, in the factored
+    * integer-argument form `log2(n) − (Σ c·log2 c)/n`. */
+  val tEntropy: Q = (s, d) =>
+    graft.pipeline.Corpus.tokenEntropy(Tables.documents(s, d))
+
+  lazy val tEntropySql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+       |  FROM documents),
+       |c AS (SELECT doc_id, tok, count(*)::BIGINT AS c
+       |  FROM tok WHERE len(tok) > 0 GROUP BY 1, 2)
+       |SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+       |  round(log2(sum(c)::DOUBLE)
+       |    - sum(c::DOUBLE * log2(c::DOUBLE)) / sum(c)::DOUBLE, 4) + 0.0 AS entropy
+       |FROM c GROUP BY doc_id""".stripMargin
+
   /** d_url_dedup — [[graft.pipeline.Corpus.dedupByUrl]]: URL
     * canonicalization + recrawl collapse. URLs are synthesized IN-PLAN
     * (the sources are bare tokens) with deliberate variant noise —
@@ -1709,6 +1725,63 @@ object QueryCatalog {
       |  (CASE WHEN max_line_len <= 1000 AND tot <= 100 * n_lines
       |        AND 4 * alnum >= nchars THEN 1 ELSE 0 END)::INT AS keep
       |FROM r""".stripMargin
+
+  /** t_c4 — [[graft.pipeline.Corpus.c4Clean]], the C4 line-level
+    * cleaning recipe. The corpus is single-line unpunctuated prose, so
+    * documents are augmented IN-PLAN (the t_gopher pattern) to make
+    * every rule decide both ways: `doc_id % 3 == 0` gives the base line
+    * a terminal period (line kept, 1 sentence); `% 7` appends in turn a
+    * too-short line, a `{`-bearing line (page drop), a "Lorem Ipsum"
+    * line (page drop), a "Javascript" line (line drop), a 3-sentence
+    * paragraph (page keep), and a 2-sentence paragraph — the last
+    * reaching the ≥3-sentence page bar only when the base line also
+    * kept its period, pinning the exactly-at-3 boundary on real rows. */
+  val tC4: Q = (s, d) => {
+    val id = col("doc_id")
+    val aug = concat(
+      col("text"),
+      when(id % 3 === 0, lit(".")).otherwise(lit("")),
+      when(id % 7 === 0, lit("\nA short line."))
+        .when(id % 7 === 1, lit("\nfunction f() { return 1; }"))
+        .when(id % 7 === 2, lit("\nLorem Ipsum dolor sit amet for padding here."))
+        .when(id % 7 === 3, lit("\nPlease enable Javascript to view the content here."))
+        .when(id % 7 === 4, lit("\nA good first sentence is right here. A good second sentence follows it now. And here is the third one!"))
+        .when(id % 7 === 5, lit("\nAnother complete sentence appears right here today! And one more full sentence lands right here too."))
+        .otherwise(lit("")))
+    Corpus.c4Clean(Tables.documents(s, d).select(id, aug.as("text")))
+  }
+
+  lazy val tC4Sql: String =
+    s"""WITH aug AS (SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END
+       |    || CASE
+       |    WHEN doc_id % 7 = 0 THEN chr(10) || 'A short line.'
+       |    WHEN doc_id % 7 = 1 THEN chr(10) || 'function f() { return 1; }'
+       |    WHEN doc_id % 7 = 2 THEN chr(10) || 'Lorem Ipsum dolor sit amet for padding here.'
+       |    WHEN doc_id % 7 = 3 THEN chr(10) || 'Please enable Javascript to view the content here.'
+       |    WHEN doc_id % 7 = 4 THEN chr(10) || 'A good first sentence is right here. A good second sentence follows it now. And here is the third one!'
+       |    WHEN doc_id % 7 = 5 THEN chr(10) || 'Another complete sentence appears right here today! And one more full sentence lands right here too.'
+       |    ELSE '' END AS text FROM documents),
+       |t AS (SELECT doc_id,
+       |    string_split(text, chr(10)) AS lns,
+       |    list_filter(string_split(text, chr(10)), l ->
+       |      right(trim(l), 1) IN ('.', '!', '?', '"', '”')
+       |      AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'), w -> len(w) > 0)) >= 5
+       |      AND NOT contains(lower(l), 'javascript')) AS kept,
+       |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS page_bad
+       |  FROM aug),
+       |c AS (SELECT doc_id, len(lns)::BIGINT AS n_lines,
+       |    len(kept)::BIGINT AS n_kept_lines,
+       |    coalesce(array_to_string(kept, chr(10)), '') AS clean, page_bad
+       |  FROM t)
+       |SELECT doc_id, n_lines, n_kept_lines,
+       |  len(regexp_extract_all(clean, '[.!?]'))::BIGINT AS n_sentences,
+       |  length(clean)::BIGINT AS clean_len,
+       |  CASE WHEN len(regexp_extract_all(clean, '[.!?]')) >= 3 AND NOT page_bad
+       |       THEN clean ELSE '' END AS clean_text,
+       |  (CASE WHEN len(regexp_extract_all(clean, '[.!?]')) >= 3 AND NOT page_bad
+       |        THEN 1 ELSE 0 END)::INT AS keep
+       |FROM c""".stripMargin
 
   /** t_gopher — [[graft.pipeline.Corpus.gopherScreen]], the published
     * Gopher rule screen. The corpus is single-line, so some documents
@@ -2408,6 +2481,25 @@ object QueryCatalog {
       |  round(d.n::DOUBLE * 127 / t.trail, 6) AS ratio,
       |  (CASE WHEN 100 * d.n * 127 > 150 * t.trail THEN 1 ELSE 0 END)::INT AS spike
       |FROM daily d JOIN trail t USING (event_type, day)""".stripMargin
+
+  /** e_markov — first-order event-type transition matrix
+    * ([[graft.pipeline.Sessions.markovTransitions]]): consecutive-pair
+    * counts per user (ties broken on event_id), terminal events feeding
+    * a synthetic "(end)" state, probabilities row-normalized over the
+    * tiny pair table. */
+  val eMarkov: Q = (s, d) =>
+    graft.pipeline.Sessions.markovTransitions(Tables.events(s, d))
+
+  val eMarkovSql: String =
+    """WITH pairs AS (SELECT event_type AS prev_type,
+      |    coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |             '(end)') AS next_type
+      |  FROM events),
+      |c AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |  round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+      |FROM c""".stripMargin
 
   /** e_ab_test — two-proportion z-test
     * ([[graft.pipeline.Sessions.abTest]]): variant B = odd user_id,
@@ -5468,6 +5560,7 @@ object QueryCatalog {
     "e_ewma" -> eEwma,
     "e_stickiness" -> eStickiness,
     "e_ab_test" -> eAbTest,
+    "e_markov" -> eMarkov,
     "e_paths" -> ePaths,
     "m_flac" -> mFlac,
     "m_mp3" -> mMp3,
@@ -5489,6 +5582,7 @@ object QueryCatalog {
     "q21_range_window" -> q21RangeWindow,
     "t_vocab" -> tVocab,
     "t_lexdiv" -> tLexDiv,
+    "t_entropy" -> tEntropy,
     "t_length_hist" -> tLengthHist,
     "q22_bfs" -> q22Bfs,
     "q22_bfs_gx" -> q22BfsGx,
@@ -5591,6 +5685,7 @@ object QueryCatalog {
     "t_readability" -> tReadability,
     "t_gopher" -> tGopher,
     "t_code" -> tCode,
+    "t_c4" -> tC4,
     "q53_hits_gx" -> q53HitsGx,
     "q54_distdist" -> q54DistDist,
   )
@@ -5671,6 +5766,7 @@ object QueryCatalog {
     "e_ewma" -> eEwmaSql,
     "e_stickiness" -> eStickinessSql,
     "e_ab_test" -> eAbTestSql,
+    "e_markov" -> eMarkovSql,
     "e_paths" -> ePathsSql,
     "m_flac" -> mFlacSql,
     "m_mp3" -> mMp3Sql,
@@ -5692,6 +5788,7 @@ object QueryCatalog {
     "q21_range_window" -> q21RangeWindowSql,
     "t_vocab" -> tVocabSql,
     "t_lexdiv" -> tLexDivSql,
+    "t_entropy" -> tEntropySql,
     "t_length_hist" -> tLengthHistSql,
     "q22_bfs" -> q22BfsSql,
     "q22_bfs_gx" -> q22BfsSql,
@@ -5794,6 +5891,7 @@ object QueryCatalog {
     "t_readability" -> tReadabilitySql,
     "t_gopher" -> tGopherSql,
     "t_code" -> tCodeSql,
+    "t_c4" -> tC4Sql,
     "q53_hits_gx" -> q53HitsSql,
     "q54_distdist" -> q54DistDistSql,
   )

@@ -235,6 +235,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.getInt(7) === 0) // below 1.959964
   }
 
+  test("markovTransitions: per-user consecutive pairs, end state, row sums") {
+    import java.sql.Timestamp
+    def t(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    // u1: a -> b -> a -> (end); u2: a -> a -> (end)
+    val ev = Seq((1L, t(0), 1L, "a"), (2L, t(1), 1L, "b"),
+      (3L, t(2), 1L, "a"), (4L, t(0), 2L, "a"), (5L, t(1), 2L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sessions.markovTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // from 'a' (4 outgoing): a->b 1, a->a 1, a->(end) 2
+    assert(out(("a", "b")) === ((1L, 0.25)))
+    assert(out(("a", "a")) === ((1L, 0.25)))
+    assert(out(("a", "(end)")) === ((2L, 0.5)))
+    // from 'b': b->a only
+    assert(out(("b", "a")) === ((1L, 1.0)))
+    assert(out.size === 4)
+    // every row of the matrix sums to exactly 1
+    val sums = out.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._2).sum).toMap
+    assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
   test("stickiness: trailing-window distinct actives, dedup within day") {
     import java.sql.Timestamp
     def t(day: Int, h: Int = 0) = new Timestamp(
@@ -345,6 +368,52 @@ class CorpusSpec extends AnyFunSuite {
     val out = Corpus.codeScreen(docs)
       .collect().map(r => r.getLong(0) -> r.getInt(5)).toMap
     assert(out === Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0, 6L -> 1))
+  }
+
+  test("tokenEntropy: exact dyadic cases, zero floor, empty-doc drop") {
+    val docs = Seq(
+      (1L, "a a b b"),         // uniform over 2 types: H = 1
+      (2L, "a a a a"),         // single type: H = 0 exactly
+      (3L, "a b c d"),         // uniform over 4 types: H = 2
+      (4L, "a a a b"),         // 3/4,1/4: H = 2 - 3/4*log2(3) ≈ 0.8113
+      (5L, "")                 // no tokens: no row
+    ).toDF("doc_id", "text")
+    val out = Corpus.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) === ((4L, 2L, 1.0)))
+    assert(out(2L) === ((4L, 1L, 0.0)))
+    assert(out(3L) === ((4L, 4L, 2.0)))
+    assert(out(4L) === ((4L, 2L, 0.8113)))
+    assert(!out.contains(5L) && out.size === 4)
+  }
+
+  test("c4Clean: line rules, page rules, and the exactly-3-sentence bar") {
+    val good = "This line has at least five words."
+    val docs = Seq(
+      (1L, s"$good\n$good\n$good"),                  // 3 sentences: keep
+      (2L, s"$good\n$good"),                         // 2 sentences: drop
+      (3L, s"$good\nshort one.\n$good\n$good"),      // <5-word line cut
+      (4L, s"$good\nno terminal punctuation here on this line\n$good\n$good"),
+      (5L, s"$good\nEnable Javascript to view this content now.\n$good\n$good"),
+      (6L, s"$good\n$good\n$good\nlorem IPSUM"),     // page drop, any case
+      (7L, s"$good\n$good\n$good\nvar x = {"),       // page drop: brace
+      (8L, "He said \"stop right there please now!\"\n" + s"$good\n$good")
+    ).toDF("doc_id", "text")
+    val out = Corpus.c4Clean(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(6) === 1)
+    assert(out(2L).getInt(6) === 0 && out(2L).getString(5) === "")
+    // the short / unpunctuated / javascript lines are cut but the page
+    // still clears the 3-sentence bar on its surviving lines
+    for (id <- Seq(3L, 4L, 5L)) {
+      assert(out(id).getLong(2) === 3L, s"doc $id kept lines")
+      assert(out(id).getInt(6) === 1, s"doc $id keep")
+      assert(!out(id).getString(5).toLowerCase.contains("javascript"))
+    }
+    assert(out(6L).getInt(6) === 0 && out(7L).getInt(6) === 0)
+    // closing-quote terminal punctuation counts as a line ending
+    assert(out(8L).getLong(2) === 3L && out(8L).getInt(6) === 1)
   }
 
   test("ccnetBuckets: per-lang integer terciles, tie groups never split") {
