@@ -64,6 +64,13 @@ object PyIndexer {
     """self\.([A-Za-z_]\w*)\s*(?::[^=]+)?=(?!=)""".r
   private val callSite: Regex =
     """(?<![\w.])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
+  /** `xs[0].m(` / `d["k"].m(…)` — a member call through ONE subscript
+    * on a bare name (C3 slice 31: jedi resolves the subscript to the
+    * container's element / mapping's value type and the member through
+    * it; [[callSite]] can't carry the bracket trailer). */
+  private val subscriptCallSite: Regex =
+    ("""(?<![\w.])([A-Za-z_]\w*)\s*\[[^\[\]]*\]\s*\.\s*""" +
+      """([A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*)\s*\(""").r
   private val superCall: Regex =
     """super\(\)\s*\.\s*([A-Za-z_]\w*)\s*\(""".r
   private val nameRef: Regex =
@@ -102,6 +109,29 @@ object PyIndexer {
       var j = 0
       var inStr = false
       var strQuote = ' '
+      // C3 slice 33: f-string interpolations are CODE, not text — jedi
+      // resolves names and calls inside `f"{…}"` (parso parses fstring
+      // expression nodes), so the blanking pass PRESERVES the chars of
+      // each top-level `{expr}` group (rewriting the braces to parens —
+      // a parenthesized expression downstream regexes already accept)
+      // while still blanking the literal text, `{{`/`}}` escapes, and
+      // everything after a format-spec `:` or `!r`-style conversion.
+      var fStr = false       // current single-line string is f-prefixed
+      var braceDepth = 0     // inside {expr} of an f-string
+      var inSpec = false     // past the expression's format-spec colon
+      var innerBr = 0        // [ ] nesting inside the expression
+      def isFPrefix(at: Int): Boolean = {
+        var k = at - 1
+        var seen = List.empty[Char]
+        while (k >= 0 && seen.length < 3 && line.charAt(k).isLetter) {
+          seen = line.charAt(k) :: seen; k -= 1
+        }
+        val okBoundary = k < 0 || { val p = line.charAt(k)
+          !p.isLetterOrDigit && p != '_' }
+        okBoundary && seen.nonEmpty &&
+          seen.forall(c => "rRbBuUfF".contains(c)) &&
+          seen.exists(c => c == 'f' || c == 'F')
+      }
       if (inTriple) {
         val end = line.indexOf(tripleQuote)
         if (end >= 0) {
@@ -114,8 +144,36 @@ object PyIndexer {
       while (j < line.length) {
         val c = line.charAt(j)
         if (inStr) {
-          if (c == '\\') { sb.append("  "); j += 1 }
-          else if (c == strQuote) { inStr = false; sb.append(c) }
+          if (c == strQuote && !(fStr && braceDepth > 0)) {
+            inStr = false; fStr = false; sb.append(c)
+          } else if (fStr && braceDepth == 0) {
+            if (c == '{') {
+              if (j + 1 < line.length && line.charAt(j + 1) == '{') {
+                sb.append("  "); j += 1         // literal {{ stays text
+              } else { braceDepth = 1; innerBr = 0; inSpec = false
+                sb.append('(') }
+            } else if (c == '\\') { sb.append("  "); j += 1 }
+            else sb.append(' ')
+          } else if (fStr) {                     // inside {expr}
+            if (c == '{') { braceDepth += 1
+              sb.append(if (inSpec) ' ' else '{') }
+            else if (c == '}') {
+              braceDepth -= 1
+              if (braceDepth == 0) { inSpec = false; sb.append(')') }
+              else sb.append(if (inSpec) ' ' else '}')
+            } else if (inSpec) sb.append(' ')
+            else if (c == '[' || c == '(') { innerBr += 1; sb.append(c) }
+            else if (c == ']' || c == ')') {
+              innerBr = math.max(0, innerBr - 1); sb.append(c)
+            } else if (c == ':' && braceDepth == 1 && innerBr == 0) {
+              inSpec = true; sb.append(' ')
+            } else if (c == '!' && braceDepth == 1 && innerBr == 0 &&
+                j + 1 < line.length && "rsa".contains(line.charAt(j + 1)) &&
+                (j + 2 >= line.length || line.charAt(j + 2) == '}' ||
+                  line.charAt(j + 2) == ':')) {
+              inSpec = true; sb.append(' ')
+            } else sb.append(c)
+          } else if (c == '\\') { sb.append("  "); j += 1 }
           else sb.append(' ')
         } else if (c == '"' || c == '\'') {
           val q3 = line.substring(j).startsWith(c.toString * 3)
@@ -125,7 +183,8 @@ object PyIndexer {
             if (end >= 0) { sb.append(" " * (end + 6)); j += end + 5 }
             else { inTriple = true; tripleQuote = c.toString * 3; tripleStart = i + 1
               j = line.length }
-          } else { inStr = true; strQuote = c; sb.append(c) }
+          } else { inStr = true; strQuote = c; fStr = isFPrefix(j)
+            braceDepth = 0; inSpec = false; innerBr = 0; sb.append(c) }
         } else if (c == '#') { j = line.length }
         else sb.append(c)
         j += 1
@@ -239,6 +298,11 @@ object PyIndexer {
       // resolved method full name; a later bare `f(...)` emits the
       // Call edge to it (jedi's bound-method reference)
       methodRefs: mutable.Map[String, String] = mutable.Map.empty,
+      // slice 32: CLASS-object aliases (`mk = Helper`) — name → resolved
+      // class full name; `mk()` then constructs Helper (call edge to the
+      // class, constructor-typed binding), jedi's class-reference
+      // resolution
+      classAliases: mutable.Map[String, String] = mutable.Map.empty,
       // slice 28: mapping-typed names → their VALUE type (d: dict[str,
       // Conn] binds "d" -> Conn here; subscripting, `.values()`
       // iteration and `.get()` reads surface it — but NOT plain `for k
@@ -449,6 +513,27 @@ object PyIndexer {
   private val returnName: Regex =
     """^\s*return\s+([A-Za-z_]\w*)\s*$""".r
 
+  /** `yield Ctor(...)` / `yield name` — the generator twins of
+    * [[returnCtor]]/[[returnName]] (C3 slice 30: jedi infers the
+    * ITERATION type of a generator from its yield expressions, so
+    * `for x in gen():` types x). */
+  private val yieldCtor: Regex =
+    """^\s*yield\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
+  private val yieldName: Regex =
+    """^\s*yield\s+([A-Za-z_]\w*)\s*$""".r
+
+  /** `for x in f():` over a bare call — feeds from the callee's yield
+    * type (slice 30). */
+  private val forInCall: Regex =
+    """^\s*for\s+([A-Za-z_]\w*)\s+in\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\([^()]*\)\s*:\s*$""".r
+
+  /** `x = Name` — a bare-name RHS assignment: a CLASS RHS makes x a
+    * class alias (slice 32), an already-typed local RHS aliases the
+    * instance (`y = h` types y as h's type, jedi's name-to-name
+    * flow). Dotted RHS stays with [[attrReadAssign]]/slice 29. */
+  private val bareNameAssign: Regex =
+    """^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*$""".r
+
   /** Annotated local `x: Helper [= …]` inside a callable — an annassign,
     * which types x for `x.method()` resolution (PEP 526 syntax, no
     * inference needed). */
@@ -611,6 +696,11 @@ object PyIndexer {
     // always takes priority at the use site. Raw names resolve through
     // the same classish/import path as declared annotations.
     val returnInferredRaw = mutable.Map.empty[String, String]
+    // C3 slice 30: INFERRED yield types — `yield ClassName(...)` or
+    // `yield <typed local>` keys the generator's ITERATION type the same
+    // way returnInferredRaw keys its return type; `for x in gen():`
+    // consumes it. First yield wins, same merge rule as returns.
+    val yieldInferredRaw = mutable.Map.empty[String, String]
     // C3 slice 19: "C.m" keys of defs decorated `@property` /
     // `@(functools.)cached_property` — an attribute READ of one chases
     // the method's declared/inferred return type (jedi's descriptor
@@ -688,6 +778,13 @@ object PyIndexer {
                     } else bodyLocals.get(key).flatMap(_.get(n))
                       .foreach(t => returnInferredRaw(key) = t)
                   }
+                }
+                if (!yieldInferredRaw.contains(key)) {
+                  yieldCtor.findFirstMatchIn(ln).foreach(m =>
+                    yieldInferredRaw(key) = m.group(1))
+                  yieldName.findFirstMatchIn(ln).foreach(m =>
+                    bodyLocals.get(key).flatMap(_.get(m.group(1)))
+                      .foreach(t => yieldInferredRaw(key) = t))
                 }
               }
           }
@@ -899,6 +996,16 @@ object PyIndexer {
           val k = cf.stripPrefix(mod + ".")
           returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
         }
+        .flatMap(classishType)
+
+    /** C3 slice 30 — the yield (iteration) type of a same-module
+      * generator, resolving method callees (`self.gen` / `obj.gen`)
+      * through the same key space as [[returnTypeTarget]]. */
+    def yieldTypeTarget(callee: String): Option[String] =
+      if (keywords.contains(callee)) None
+      else resolveCallee(callee)
+        .filter(_.startsWith(mod + "."))
+        .flatMap(cf => yieldInferredRaw.get(cf.stripPrefix(mod + ".")))
         .flatMap(classishType)
 
     // C3 slice 10: the return type of `<T>.method()` — same-module
@@ -1337,6 +1444,9 @@ object PyIndexer {
               // slice 24: a typing.cast head binds its declared type
               chainReturnType(line, m.end,
                   classishType(m.group(2))
+                    // slice 32: `m = mk()` through a class alias binds
+                    // the aliased class, same as a direct constructor
+                    .orElse(fn.classAliases.get(m.group(2)))
                     .orElse(castTarget(rawLines(i), m.group(2), m.end))
                     .orElse(returnTypeTarget(m.group(2)))
                     .orElse(attrCallHead(m.group(2),
@@ -1387,6 +1497,20 @@ object PyIndexer {
                       classishType(m.group(1)).orElse(returnTypeTarget(m.group(1)))
                         .map(t => methodReturn(t, "__enter__").getOrElse(t))
                         .foreach(t => fn.locals(m.group(2)) = t)
+                    }
+                  // slice 32: bare-name RHS — an instance alias when the
+                  // RHS is a typed local (`y = h`), a CLASS alias when
+                  // it's a class object (`mk = Helper`); keywords and
+                  // unresolvable names bind nothing
+                  bareNameAssign.findFirstMatchIn(line)
+                    .filter(m => !keywords.contains(m.group(2)))
+                    .foreach { m =>
+                      fn.locals.get(m.group(2)) match {
+                        case Some(t) => fn.locals(m.group(1)) = t
+                        case None =>
+                          classishType(m.group(2)).foreach(t =>
+                            fn.classAliases(m.group(1)) = t)
+                      }
                     }
                   // C3 slice 11: `except CustomError as e:` types e as
                   // the (resolvable) exception class, so `e.method()`
@@ -1508,6 +1632,12 @@ object PyIndexer {
             forIn.findFirstMatchIn(line).foreach(m =>
               fn.elemLocals.get(m.group(2))
                 .foreach(t => fn.locals(m.group(1)) = t))
+            // slice 30: `for x in gen():` binds the generator's yield
+            // type (skipping `.values()`, which slice 28 owns)
+            forInCall.findFirstMatchIn(line)
+              .filter(!_.group(2).endsWith(".values"))
+              .foreach(m => yieldTypeTarget(m.group(2))
+                .foreach(t => fn.locals(m.group(1)) = t))
             subscriptRead.findFirstMatchIn(line).foreach(m =>
               fn.elemLocals.get(m.group(2))
                 .orElse(fn.valueLocals.get(m.group(2)))
@@ -1605,7 +1735,10 @@ object PyIndexer {
                 // shadows any same-named module def, Python's own rule
                 val viaRef =
                   if (!callee.contains("."))
-                    curCallable.flatMap(_.methodRefs.get(callee))
+                    // slice 29 method refs; slice 32 class aliases
+                    // (`mk()` constructs the aliased class)
+                    curCallable.flatMap(fn => fn.methodRefs.get(callee)
+                      .orElse(fn.classAliases.get(callee)))
                   else None
                 viaRef.orElse(resolveCallee(callee)).foreach { dst =>
                   if (dst != src.fullName) {
@@ -1614,6 +1747,24 @@ object PyIndexer {
                     locs += LocationRow(dst, relPath, "REFERENCE", i + 1,
                       m.start + 1, i + 1, m.end)
                   }
+                }
+              }
+            }
+            // slice 31: a member call through a subscripted container /
+            // mapping local (`xs[0].m()`, `d["k"].m()`) — the receiver
+            // type is the element / value binding, the member chain
+            // folds through typed fields like any other receiver
+            subscriptCallSite.findAllMatchIn(line).foreach { m =>
+              val recvType = curCallable.flatMap(fn =>
+                fn.elemLocals.get(m.group(1))
+                  .orElse(fn.valueLocals.get(m.group(1))))
+              val chain = m.group(2).split("\\.").map(_.trim).toSeq
+              recvType.flatMap(t => chaseFields(t, chain)).foreach { dst =>
+                if (dst != src.fullName) {
+                  edges += EdgeEvent(nextSeq(), taskId, src.fullName,
+                    Rel.Call, dst, Map.empty)
+                  locs += LocationRow(dst, relPath, "REFERENCE", i + 1,
+                    m.start + 1, i + 1, m.end)
                 }
               }
             }

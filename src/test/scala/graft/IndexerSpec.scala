@@ -886,6 +886,125 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.exists { case (s, d) => s == "mr.untyped" && d.endsWith("whatever") })
   }
 
+  test("C3 slice 30: generator yield types bind for-loop targets") {
+    val src =
+      """class Helper:
+        |    def ping(self):
+        |        return 1
+        |
+        |def gen():
+        |    yield Helper()
+        |
+        |def passthrough():
+        |    h = Helper()
+        |    yield h
+        |
+        |def untypedgen():
+        |    yield make()
+        |
+        |def use():
+        |    for h in gen():
+        |        h.ping()
+        |    for p in passthrough():
+        |        p.ping()
+        |    for u in untypedgen():
+        |        u.whatever()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "yg.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // `yield Ctor()` and `yield <typed local>` both type the target
+    assert(calls.contains(("yg.use", "yg.Helper.ping")))
+    // an unresolvable yield binds nothing — no ghost edge
+    assert(!calls.exists(_._2.endsWith("whatever")))
+  }
+
+  test("C3 slice 31: subscript member calls through container/mapping types") {
+    val src =
+      """from lib import Conn
+        |
+        |class Helper:
+        |    def ping(self):
+        |        return 1
+        |
+        |def f(d: dict[str, Helper], xs: list[Helper], u):
+        |    d["k"].ping()
+        |    xs[0].ping()
+        |    c: dict[str, Conn] = {}
+        |    c["x"].execute("q")
+        |    u[0].nothing()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "sc.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("sc.f", "sc.Helper.ping")))
+    // cross-module value type takes the member blindly
+    assert(calls.contains(("sc.f", "lib.Conn.execute")))
+    // an untyped receiver binds nothing
+    assert(!calls.exists(_._2.endsWith("nothing")))
+  }
+
+  test("C3 slice 32: class-object and instance aliases") {
+    val src =
+      """class Helper:
+        |    def ping(self):
+        |        return 1
+        |
+        |def alias():
+        |    mk = Helper
+        |    m = mk()
+        |    return m.ping()
+        |
+        |def instalias():
+        |    h = Helper()
+        |    y = h
+        |    return y.ping()
+        |
+        |def unknown():
+        |    mk = Mystery
+        |    m = mk()
+        |    return m.ping()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "al.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // mk() emits the constructor call edge AND types m
+    assert(calls.contains(("al.alias", "al.Helper")))
+    assert(calls.contains(("al.alias", "al.Helper.ping")))
+    // bare-name instance alias flows the type
+    assert(calls.contains(("al.instalias", "al.Helper.ping")))
+    // an unresolvable class name binds nothing
+    assert(!calls.exists(_._1 == "al.unknown"))
+  }
+
+  test("C3 slice 33: f-string interpolations are code, literals stay text") {
+    val src =
+      """class Helper:
+        |    def ping(self):
+        |        return 1
+        |
+        |def f(h: Helper):
+        |    a = f"val={h.ping()}"
+        |    b = f"pad {h.ping():>10} and {h.ping()!r}"
+        |    c = f"{{ping_literal()}} stays text"
+        |    d = "plain {h.ping()} is not code"
+        |    return a
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "fs.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toList
+    // the interpolated calls (plain, format-spec'd, and !r-converted)
+    // resolve; the escaped-brace literal and the non-f string emit none
+    assert(calls.contains(("fs.f", "fs.Helper.ping")))
+    assert(!calls.exists(_._2.endsWith("ping_literal")))
+    // and a location row lands on each interpolation's line (5 and 6)
+    val pingLocs = ev.locations
+      .filter(l => l.symbolFullName == "fs.Helper.ping" &&
+        l.kind == "REFERENCE")
+      .map(_.startLine).toSet
+    assert(pingLocs.contains(6) && pingLocs.contains(7))
+  }
+
   test("C3 partial: untyped intermediate steps emit NO half-resolved edges") {
     val src =
       """from lib import Database
