@@ -1783,4 +1783,50 @@ object Analytics {
     }
     labels
   }
+
+  /** Deterministic random walks — the DeepWalk/node2vec corpus
+    * generator (Perozzi et al. 2014; Grover & Leskovec 2016): `walks`
+    * walks of `steps` steps from every vertex of an undirected BIGINT
+    * graph. The "random" next hop is an ARGMIN over a keyed integer
+    * hash `h(cur, walk, step, nbr) mod p` (p = 2³¹−1, intermediates
+    * < 2⁶³) with (h, nbr) tie-break — fully deterministic, so walks
+    * are retry-stable, engine-portable, and oracle-replayable, while
+    * distributing like uniform sampling (each neighbor's key is an
+    * independent hash).
+    *
+    * Shape: per step, ONE hash join of the (vertex × walk)-sized
+    * frontier against the src-partitioned edge table plus a groupBy
+    * argmin (`min(struct(h, nbr))` — no per-group sort), never a
+    * corpus-wide window. Walk count and length are constants, so the
+    * plan is `steps` joins deep with the frontier bounded at
+    * |V|·walks rows — the shape that holds when V is 10⁹. Output:
+    * (start_id, walk, step, node), step 0 = the start itself. */
+  def deterministicWalks(edges: DataFrame, walks: Int = 2,
+      steps: Int = 4): DataFrame = {
+    require(walks >= 1 && steps >= 0, "walks >= 1, steps >= 0")
+    val P = 2147483647L
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).localCheckpoint(eager = true)
+    var frontier = und.select(col("src").as("start_id")).distinct()
+      .select(col("start_id"),
+        explode(sequence(lit(0L), lit(walks - 1L))).as("walk"))
+      .select(col("start_id"), col("walk"), col("start_id").as("node"))
+    var out = frontier.select(col("start_id"), col("walk"),
+      lit(0L).as("step"), col("node"))
+    var st = 1
+    while (st <= steps) {
+      val h = (col("src") * 1000003L + col("walk") * 8191L +
+        lit(st.toLong) * 131071L + col("dst") * 31L) % P
+      frontier = frontier
+        .join(und, frontier("node") === und("src"))
+        .groupBy(col("start_id"), col("walk"))
+        .agg(min(struct(h.as("h"), col("dst").as("node"))).as("_m"))
+        .select(col("start_id"), col("walk"), col("_m.node").as("node"))
+      out = out.unionByName(frontier.select(col("start_id"), col("walk"),
+        lit(st.toLong).as("step"), col("node")))
+      st += 1
+    }
+    out
+  }
 }

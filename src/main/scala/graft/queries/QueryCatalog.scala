@@ -2909,6 +2909,41 @@ object QueryCatalog {
   val q24TrianglesGx: Q = (s, d) =>
     graft.enrich.Analytics.triangleCountsGraphX(s, coPurchaseEdges(s, d))
 
+  /** q64 — deterministic random walks over the co-purchase graph
+    * ([[graft.enrich.Analytics.deterministicWalks]]): 2 walks × 4 steps
+    * from every vertex, next hop = argmin of a keyed integer hash — the
+    * DeepWalk/node2vec corpus generator, retry-stable and
+    * oracle-replayable. The oracle unrolls the 4 steps, reproducing the
+    * exact (hash, neighbor) argmin per (start, walk). */
+  val q64Walks: Q = (s, d) =>
+    graft.enrich.Analytics.deterministicWalks(coPurchaseEdges(s, d),
+      walks = 2, steps = 4)
+
+  private def walkStepSql(i: Int): String =
+    s"""s$i AS MATERIALIZED (SELECT start_id, walk, node FROM (
+       |  SELECT f.start_id, f.walk, u.dst AS node,
+       |    row_number() OVER (PARTITION BY f.start_id, f.walk ORDER BY
+       |      (u.src::BIGINT * 1000003 + f.walk::BIGINT * 8191
+       |       + $i * 131071 + u.dst::BIGINT * 31) % 2147483647, u.dst) AS rn
+       |  FROM s${i - 1} f JOIN und u ON u.src = f.node) WHERE rn = 1)""".stripMargin
+
+  lazy val q64WalksSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+       |s0 AS (SELECT v AS start_id, j AS walk, v AS node FROM
+       |  (SELECT DISTINCT src AS v FROM und), range(0, 2) t(j)),
+       |${(1 to 4).map(walkStepSql).mkString(",\n")}
+       |SELECT start_id::BIGINT AS start_id, walk::BIGINT AS walk,
+       |  i::BIGINT AS step, node::BIGINT AS node FROM (
+       |  SELECT start_id, walk, 0 AS i, node FROM s0
+       |  UNION ALL SELECT start_id, walk, 1, node FROM s1
+       |  UNION ALL SELECT start_id, walk, 2, node FROM s2
+       |  UNION ALL SELECT start_id, walk, 3, node FROM s3
+       |  UNION ALL SELECT start_id, walk, 4, node FROM s4)""".stripMargin
+
   /** q55 — per-EDGE triangle support on the co-purchase graph
     * ([[graft.enrich.Analytics.edgeSupport]]): the k-truss building
     * block. Same oriented-wedge kernel as q24; the oracle explodes the
@@ -5525,6 +5560,7 @@ object QueryCatalog {
     "q61_scc_gx" -> q61SccGx,
     "q62_condense" -> q62Condense,
     "q63_topo" -> q63Topo,
+    "q64_walks" -> q64Walks,
     "q60_katz_gx" -> q60KatzGx,
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
@@ -5731,6 +5767,7 @@ object QueryCatalog {
     "q61_scc_gx" -> q61SccSql,
     "q62_condense" -> q62CondenseSql,
     "q63_topo" -> q63TopoSql,
+    "q64_walks" -> q64WalksSql,
     "q60_katz_gx" -> q60KatzSql,
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,

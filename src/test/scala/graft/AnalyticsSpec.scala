@@ -452,6 +452,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Analytics.modularity(edges, one).collect()(0).getDouble(1) === 0.0)
   }
 
+  test("deterministicWalks: valid edges, full length, replay-stable") {
+    // a path 1-2-3-4 plus the triangle 4-5-6
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (4L, 6L)).toDF("src", "dst")
+    val und = edges.as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val w = Analytics.deterministicWalks(edges, walks = 2, steps = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    // 6 vertices x 2 walks x 4 positions, step 0 = the start
+    assert(w.length === 6 * 2 * 4)
+    assert(w.filter(_._3 == 0L).forall(r => r._4 == r._1))
+    // every consecutive (step, step+1) pair is a real undirected edge
+    val byWalk = w.groupBy(r => (r._1, r._2))
+      .view.mapValues(_.sortBy(_._3).map(_._4).toSeq).toMap
+    assert(byWalk.values.forall(p =>
+      p.sliding(2).forall(s => und.contains((s(0), s(1))))))
+    // the two walks from a branching vertex are not forced identical,
+    // and a re-run reproduces the exact same corpus
+    val w2 = Analytics.deterministicWalks(edges, walks = 2, steps = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(w.sortBy(r => (r._1, r._2, r._3)).toSeq ===
+      w2.sortBy(r => (r._1, r._2, r._3)).toSeq)
+  }
+
   test("connectedComponentsIncremental: seeded fixpoint equals full CC") {
     // old graph: {1,2} and {3,4} separate; the new edge (2,3) merges them,
     // and vertex 9 (new, isolated via (9,10)) self-seeds
