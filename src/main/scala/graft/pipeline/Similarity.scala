@@ -552,6 +552,54 @@ object Similarity {
         when(col("dup").isNull, 1).otherwise(0).cast("int").as("keep"))
   }
 
+  /** Cell-restricted MUTUAL k-NN graph over the embedding corpus — the
+    * input structure of graph-based semantic clustering, neighbor label
+    * propagation, and kNN curation (and the batch analogue of an HNSW
+    * build's base layer): assign every vector to its nearest
+    * coarse-quantizer cell ([[centroidSeeds]] — broadcast, fixed-count,
+    * one codegen'd pass), rank each vector's CELL-MATES by rounded
+    * cosine, keep its top `k`, and retain an edge only when BOTH
+    * endpoints keep it (the standard mutual-kNN noise filter),
+    * canonical `src < dst`.
+    *
+    * Scale: never all-pairs — the self-join is per cell, with cells
+    * capped at `maxCell` (hub guard), so candidate count and skew are
+    * both bounded by the quantizer, the IVF discipline. Determinism:
+    * round-4 sims + vec_id tie-breaks make the graph retry-stable and
+    * oracle-replayable. */
+  def knnGraph(emb: DataFrame, k: Int = 3, nlist: Int = 16,
+      maxCell: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroidSeeds(emb, nlist)
+    val byCell = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("crank", row_number().over(byCell))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val ok = assigned.groupBy("cid").agg(count(lit(1)).as("cc"))
+      .filter(col("cc") >= 2 && col("cc") <= maxCell)
+    val inCell = assigned.join(ok.select("cid"), Seq("cid"))
+    val w = Window.partitionBy("a").orderBy(col("sim").desc, col("b").asc)
+    val ranked = inCell.as("x").hint("SHUFFLE_MERGE")
+      .join(inCell.as("y").hint("SHUFFLE_MERGE"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a"), col("b"), col("sim"))
+    // the mutual rule: (a,b) survives iff b ranked a back; cosine is
+    // exactly symmetric (commutative accumulation), so p.sim == q.sim
+    ranked.as("p").join(ranked.as("q"),
+        col("p.a") === col("q.b") && col("p.b") === col("q.a"))
+      .filter(col("p.a") < col("p.b"))
+      .select(col("p.a").as("src"), col("p.b").as("dst"),
+        col("p.sim").as("sim"))
+  }
+
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
       numPlanes: Int = 32, bands: Int = 4, maxBucket: Int = 4096): DataFrame = {
     val banded = bandedBuckets(emb, numPlanes, bands)

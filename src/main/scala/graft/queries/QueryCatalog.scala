@@ -2345,6 +2345,33 @@ object QueryCatalog {
        |  (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS keep
        |FROM a1 LEFT JOIN dups d ON a1.vec_id = d.vec_id""".stripMargin
 
+  /** s_knn_graph — cell-restricted mutual k-NN graph
+    * ([[graft.pipeline.Similarity.knnGraph]]): IVF cell assignment
+    * (nlist=16), per-vector top-3 cell-mates by rounded cosine, edge
+    * kept only when mutual, canonical src < dst. */
+  val sKnnGraph: Q = (s, d) =>
+    Similarity.knnGraph(Tables.embeddings(s, d), k = 3, nlist = 16,
+      maxCell = 4096)
+
+  val sKnnGraphSql: String =
+    s"""WITH cents AS ${centsSql(16)},
+       |asg AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cid) AS crank
+       |  FROM embeddings e, cents c),
+       |a1 AS (SELECT vec_id, embedding, cid FROM asg WHERE crank = 1),
+       |ok AS (SELECT cid FROM a1 GROUP BY 1 HAVING count(*) BETWEEN 2 AND 4096),
+       |incell AS (SELECT a1.* FROM a1 JOIN ok USING (cid)),
+       |ranked AS (SELECT a, b, sim FROM (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |      ${cosOf("x.embedding", "y.embedding")} AS sim,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${cosOf("x.embedding", "y.embedding")} DESC, y.vec_id) AS rnk
+       |  FROM incell x JOIN incell y ON x.cid = y.cid AND x.vec_id <> y.vec_id)
+       |  WHERE rnk <= 3)
+       |SELECT p.a AS src, p.b AS dst, p.sim AS sim
+       |FROM ranked p JOIN ranked q ON p.a = q.b AND p.b = q.a
+       |WHERE p.a < p.b""".stripMargin
+
   // ----------------------------------------------------- corpus preparation
 
   /** Gap-based sessionization (30-min gap) of the event stream — batch
@@ -5589,6 +5616,7 @@ object QueryCatalog {
     "s_ivf_ann" -> sIvfAnn,
     "s_emb_neardup" -> sEmbNearDup,
     "s_semdedup" -> sSemDedup,
+    "s_knn_graph" -> sKnnGraph,
     "q16_sessions" -> q16Sessions,
     "e_funnel" -> eFunnel,
     "e_retention" -> eRetention,
@@ -5796,6 +5824,7 @@ object QueryCatalog {
     "s_ivf_ann" -> sIvfAnnSql,
     "s_emb_neardup" -> sEmbNearDupSql,
     "s_semdedup" -> sSemDedupSql,
+    "s_knn_graph" -> sKnnGraphSql,
     "q16_sessions" -> q16SessionsSql,
     "e_funnel" -> eFunnelSql,
     "e_retention" -> eRetentionSql,

@@ -127,6 +127,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1.forall(b => b >= 0 && b < 16))
   }
 
+  test("knnGraph: mutual rule prunes one-way edges, noise stays isolated") {
+    // one cell (nlist=1): the {0,1,4} cluster forms a mutual triangle at
+    // k=2; 2 and 4 are NOT mutual (2 ranks 4 first, 4 prefers 0 and 1)
+    val g = Similarity.knnGraph(emb, k = 2, nlist = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(g.map(r => (r._1, r._2)).toSet ===
+      Set((0L, 1L), (0L, 4L), (1L, 4L)))
+    // canonical orientation and symmetric sims
+    assert(g.forall(r => r._1 < r._2))
+    assert(g.find(r => (r._1, r._2) == ((0L, 1L))).get._3 === 0.9939)
+    // k=1 keeps only the single strongest reciprocal pair
+    val g1 = Similarity.knnGraph(emb, k = 1, nlist = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(g1.map(r => (r._1, r._2)).toSet === Set((0L, 1L)))
+  }
+
   test("ANN recall@10 vs brute force on sf0.01 embeddings (quality floor)") {
     // The LSH/IVF oracles replay the identical banding in SQL, so
     // CORRECTNESS proves determinism, not retrieval quality. This is the
