@@ -5223,6 +5223,36 @@ object QueryCatalog {
         round(col("users").cast("double") / col("cohort_size"), 6).as("rate"))
   }
 
+  /** st_markov — streaming event-type transitions
+    * ([[graft.streaming.Streams.streamingTransitions]]): per-user
+    * last-event state across 6 micro-batches (transitions SPAN
+    * batches), emitted pairs batch-aggregated into the same matrix as
+    * e_markov MINUS the "(end)" rows — a stream never ends, so the
+    * oracle drops terminal transitions rather than inventing them. */
+  val stMarkov: Q = (s, d) => {
+    import s.implicits._
+    val sink = StreamReplay.replay(s, eventsOrdered(s, d), "st_markov",
+      "append", batches = 6) {
+      df => graft.streaming.Streams
+        .streamingTransitions(df.as[graft.streaming.Streams.Event]).toDF()
+    }
+    sink.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / sum(col("n"))
+          .over(Window.partitionBy("prev_type")), 6).as("p"))
+  }
+
+  val stMarkovSql: String =
+    """WITH pairs AS (SELECT event_type AS prev_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
+      |  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |  round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+      |FROM c""".stripMargin
+
   val stWindow: Q = (s, d) => {
     import s.implicits._
     StreamReplay.replay(s, eventsOrdered(s, d), "st_window", "update") {
@@ -5741,6 +5771,7 @@ object QueryCatalog {
     "st_dedup" -> stDedup,
     "st_funnel" -> stFunnel,
     "st_retention" -> stRetention,
+    "st_markov" -> stMarkov,
     "st_cms" -> stCms,
     "st_ewma" -> stEwma,
     "q46_btw" -> q46Btw,
@@ -5949,6 +5980,7 @@ object QueryCatalog {
     "st_dedup" -> stDedupSql,
     "st_funnel" -> stFunnelSql,
     "st_retention" -> eRetentionSql,
+    "st_markov" -> stMarkovSql,
     "st_cms" -> stCmsSql,
     "st_ewma" -> eEwmaSql,
     "q46_btw" -> q46BtwSql,

@@ -144,6 +144,65 @@ object Streams {
       }
   }
 
+  final case class MarkovState(lastUs: Long, lastEventId: Long,
+      lastType: String)
+  final case class TransitionOut(prev_type: String, next_type: String)
+
+  /** Streaming event-type transitions — the stateful twin of
+    * [[graft.pipeline.Sessions.markovTransitions]]: per-user state is
+    * the LAST event seen (epoch-µs, event_id, type — three fields
+    * regardless of history length); each arriving event emits exactly
+    * one (prev, next) pair against it and becomes the new state, so
+    * the downstream matrix is a plain batch aggregation of the emitted
+    * pairs. There is no "(end)" row: a stream never ends — terminal
+    * transitions are batch-only semantics, and the gate's oracle drops
+    * them rather than pretending otherwise. In-order delivery is the
+    * caller's contract, as in [[streamingFunnel]].
+    *
+    * `stateTtlSeconds` is the production state bound (the
+    * streamingFunnel discipline): the input must be watermarked, the
+    * timeout mode is event-time, and an idle user's state expires
+    * `ttl` past their last event — dropping only the ONE transition
+    * that would span the expiry gap (graceful degradation; a fresh
+    * event re-seeds the chain). Events at or behind the watermark are
+    * ignored, so a late straggler can't resurrect expired state. None
+    * (the default and replay-gate configuration) keeps the unbounded
+    * semantics the batch oracle replays. */
+  def streamingTransitions(events: Dataset[Event],
+      stateTtlSeconds: Option[Long] = None): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val timeoutConf = if (stateTtlSeconds.isDefined)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[MarkovState, TransitionOut](
+        OutputMode.Append, timeoutConf) {
+        case (_, it, state: GroupState[MarkovState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wmUs = stateTtlSeconds
+              .map(_ => state.getCurrentWatermarkMs() * 1000L)
+            var s = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[TransitionOut]
+            it.toSeq.sortBy(e => (us(e.ts), e.event_id))
+              .filter(e => wmUs.forall(us(e.ts) >= _))
+              .foreach { e =>
+                if (s != null) out += TransitionOut(s.lastType, e.event_type)
+                s = MarkovState(us(e.ts), e.event_id, e.event_type)
+              }
+            if (s != null) {
+              state.update(s)
+              stateTtlSeconds.foreach { ttl =>
+                state.setTimeoutTimestamp(math.max(
+                  state.getCurrentWatermarkMs() + 1L,
+                  s.lastUs / 1000L + ttl * 1000L))
+              }
+            }
+            out.iterator
+          }
+      }
+  }
+
   final case class CohortState(cohortUs: Long, seen: Long)
   final case class CohortOut(user_id: Long, cohort_us: Long, week_offset: Int)
 

@@ -428,6 +428,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(stateRows === 1L)
   }
 
+  test("streamingTransitions: pairs span batches, no end state") {
+    import graft.queries.StreamReplay
+    val rows = Seq(
+      ev(1, 1000, 1, "a"), ev(2, 1500, 2, "a"),
+      ev(3, 2000, 1, "b"), ev(4, 2500, 2, "a"),
+      ev(5, 3000, 1, "a"))
+    val out = StreamReplay.replay(TestSpark.spark, rows, "markov_spec",
+      "append", batches = 5) { df =>
+      import TestSpark.spark.implicits._
+      Streams.streamingTransitions(df.as[Streams.Event]).toDF()
+    }.collect().map(r => (r.getString(0), r.getString(1)))
+    // u1: a->b->a (across batches); u2: a->a; terminal events emit nothing
+    assert(out.sorted.toSeq === Seq(("a", "a"), ("a", "b"), ("b", "a")))
+  }
+
+  test("streamingTransitions TTL: expiry drops only the spanning pair") {
+    val hourMs = 3600L * 1000L
+    val (rows, stateRows) = runTtl("markov_ttl", Seq(
+      Seq(ev(1, 1000, 1, "a")),
+      // u9 advances the watermark far past u1's 10s TTL
+      Seq(ev(2, hourMs, 9, "a")),
+      Seq(ev(3, hourMs + 1000, 9, "b")),
+      // fresh u1 event after expiry: re-seeds, no pair against the
+      // pre-expiry 'a'
+      Seq(ev(4, 2 * hourMs, 1, "c")),
+      Seq(ev(5, 2 * hourMs + 1000, 1, "d")))) { ds =>
+      import spark.implicits._
+      Streams.streamingTransitions(ds, stateTtlSeconds = Some(10L)).toDF()
+    }
+    val got = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    // a->c (the expiry-spanning pair) must NOT appear; c->d must
+    assert(got === Set(("a", "b"), ("c", "d")))
+    // u1's re-seeded state survives; u9's expired with the final
+    // watermark advance
+    assert(stateRows === 1L)
+  }
+
   test("streamingCohorts horizon TTL: state expires past 64 weeks, late " +
     "events ignored, returning user re-enters as a new cohort") {
     val weekMs = 7L * 86400L * 1000L
