@@ -185,6 +185,56 @@ object Sessions {
       when(abs(z) > 1.959964, 1).otherwise(0).cast("int").as("significant"))
   }
 
+  /** Weekly growth accounting — the new/retained/resurrected/churned
+    * decomposition behind every growth dashboard (the accounting
+    * identity: Δ active = new + resurrected − churned): weeks are
+    * Monday-truncated (the [[retention]] convention) and indexed as
+    * integer epoch-weeks; a user's active week is `new` on their first,
+    * `retained` when they were active the immediately previous week,
+    * `resurrected` otherwise; `churned` counts at week w the users
+    * active in w−1 but absent in w, bounded at the corpus's last active
+    * week (beyond it everyone would trivially "churn").
+    *
+    * Shape: ONE corpus shuffle to the deduped (user, week) table;
+    * the first-week aggregate, per-user lag window, churn anti-join and
+    * per-week counts all run on that already-tiny activity table, and
+    * the max-week bound is a broadcast 1-row aggregate — nothing
+    * corpus-sized is touched twice. */
+  def lifecycle(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+        (datediff(date_trunc("week", col("ts")),
+          lit(java.sql.Date.valueOf("1970-01-05"))) / 7).cast("int").as("wk"))
+      .distinct()
+    val firstW = uw.groupBy("user_id").agg(min("wk").as("first_wk"))
+    val lw = Window.partitionBy("user_id").orderBy("wk")
+    val flagged = uw
+      .withColumn("prev_wk", lag(col("wk"), 1).over(lw))
+      .join(firstW, "user_id")
+      .withColumn("status",
+        when(col("wk") === col("first_wk"), "new")
+          .when(col("prev_wk") === col("wk") - 1, "retained")
+          .otherwise("resurrected"))
+    val counts = flagged.groupBy("wk").agg(
+      sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("status") === "retained", 1L).otherwise(0L))
+        .as("n_retained"),
+      sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+        .as("n_resurrected"))
+    val maxW = uw.agg(max("wk").as("max_wk"))
+    val churn = uw.as("a")
+      .join(uw.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("b.wk") === col("a.wk") + 1, "left_anti")
+      .crossJoin(broadcast(maxW))
+      .filter(col("wk") + 1 <= col("max_wk"))
+      .groupBy((col("wk") + 1).as("wk")).agg(count(lit(1)).as("n_churned"))
+    counts.join(churn, Seq("wk"), "full_outer")
+      .select(col("wk"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** First-order Markov transition matrix between event types — the
     * "what happens next" model behind every product-flow diagram (and
     * the generative counterpart of [[topPaths]]' top-k readout): for

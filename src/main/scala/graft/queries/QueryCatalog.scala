@@ -2509,6 +2509,42 @@ object QueryCatalog {
       |  (CASE WHEN 100 * d.n * 127 > 150 * t.trail THEN 1 ELSE 0 END)::INT AS spike
       |FROM daily d JOIN trail t USING (event_type, day)""".stripMargin
 
+  /** e_lifecycle — weekly growth accounting
+    * ([[graft.pipeline.Sessions.lifecycle]]): per week, new / retained /
+    * resurrected user counts plus churned (active previous week, absent
+    * this week, bounded at the last active week) — the Δactive = new +
+    * resurrected − churned identity. */
+  val eLifecycle: Q = (s, d) =>
+    graft.pipeline.Sessions.lifecycle(Tables.events(s, d))
+
+  val eLifecycleSql: String =
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |    (date_diff('day', DATE '1970-01-05', date_trunc('week', ts)) // 7)::INT AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, min(wk) AS first_wk FROM uw GROUP BY 1),
+      |st AS (SELECT u.user_id, u.wk,
+      |    CASE WHEN u.wk = f.first_wk THEN 'new'
+      |         WHEN p.user_id IS NOT NULL THEN 'retained'
+      |         ELSE 'resurrected' END AS status
+      |  FROM uw u JOIN f USING (user_id)
+      |  LEFT JOIN uw p ON p.user_id = u.user_id AND p.wk = u.wk - 1),
+      |counts AS (SELECT wk,
+      |    sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)::BIGINT AS n_new,
+      |    sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)::BIGINT AS n_retained,
+      |    sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)::BIGINT AS n_resurrected
+      |  FROM st GROUP BY 1),
+      |mw AS (SELECT max(wk) AS max_wk FROM uw),
+      |churn AS (SELECT a.wk + 1 AS wk, count(*)::BIGINT AS n_churned
+      |  FROM uw a LEFT JOIN uw b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+      |  CROSS JOIN mw
+      |  WHERE b.user_id IS NULL AND a.wk + 1 <= mw.max_wk GROUP BY 1)
+      |SELECT coalesce(c.wk, h.wk)::INT AS wk,
+      |  coalesce(c.n_new, 0)::BIGINT AS n_new,
+      |  coalesce(c.n_retained, 0)::BIGINT AS n_retained,
+      |  coalesce(c.n_resurrected, 0)::BIGINT AS n_resurrected,
+      |  coalesce(h.n_churned, 0)::BIGINT AS n_churned
+      |FROM counts c FULL OUTER JOIN churn h ON c.wk = h.wk""".stripMargin
+
   /** e_markov — first-order event-type transition matrix
     * ([[graft.pipeline.Sessions.markovTransitions]]): consecutive-pair
     * counts per user (ties broken on event_id), terminal events feeding
@@ -5655,6 +5691,7 @@ object QueryCatalog {
     "e_stickiness" -> eStickiness,
     "e_ab_test" -> eAbTest,
     "e_markov" -> eMarkov,
+    "e_lifecycle" -> eLifecycle,
     "e_paths" -> ePaths,
     "m_flac" -> mFlac,
     "m_mp3" -> mMp3,
@@ -5864,6 +5901,7 @@ object QueryCatalog {
     "e_stickiness" -> eStickinessSql,
     "e_ab_test" -> eAbTestSql,
     "e_markov" -> eMarkovSql,
+    "e_lifecycle" -> eLifecycleSql,
     "e_paths" -> ePathsSql,
     "m_flac" -> mFlacSql,
     "m_mp3" -> mMp3Sql,

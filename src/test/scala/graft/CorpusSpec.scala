@@ -235,6 +235,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.getInt(7) === 0) // below 1.959964
   }
 
+  test("lifecycle: new/retained/resurrected/churned growth accounting") {
+    import java.sql.Timestamp
+    // Monday-truncated weeks starting 2024-01-01 (a Monday)
+    def t(week: Int) = new Timestamp(
+      java.time.LocalDate.of(2024, 1, 1).plusWeeks(week)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    // u1: weeks 0,1,3 (retained at 1, churn at 2, resurrect at 3)
+    // u2: week 0 only (churns at 1); u3: first seen week 2
+    val ev = Seq((1L, t(0)), (1L, t(1)), (1L, t(3)), (2L, t(0)),
+      (3L, t(2))).toDF("user_id", "ts")
+    val out = Sessions.lifecycle(ev).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val w0 = out.keys.min
+    // wk: (new, retained, resurrected, churned)
+    assert(out(w0) === ((2L, 0L, 0L, 0L)))      // u1, u2 new
+    assert(out(w0 + 1) === ((0L, 1L, 0L, 1L)))  // u1 retained, u2 churned
+    assert(out(w0 + 2) === ((1L, 0L, 0L, 1L)))  // u3 new, u1 churned
+    assert(out(w0 + 3) === ((0L, 0L, 1L, 1L)))  // u1 resurrected, u3 churned
+    // nothing reported beyond the last active week
+    assert(out.size === 4)
+  }
+
   test("markovTransitions: per-user consecutive pairs, end state, row sums") {
     import java.sql.Timestamp
     def t(i: Int) = new Timestamp(1700000000000L + i * 1000L)
