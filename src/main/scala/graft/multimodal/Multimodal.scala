@@ -487,6 +487,54 @@ object Multimodal {
             .cast("long") - 1, lit(0L))))
           .as("frame_no"))
 
+  /** 64-bit perceptual difference hash of a raw 9×8 grayscale grid —
+    * [[org.apache.spark.sql.graft.DHash64]], the codegen'd kernel;
+    * NULL for payloads under 72 bytes (corrupt-input contract). */
+  def dHash64(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.GraftExpressions.col(
+      org.apache.spark.sql.graft.DHash64(
+        org.apache.spark.sql.graft.GraftExpressions.expr(payload)))
+
+  /** Perceptual-hash near-duplicate IMAGE pairs — the visual twin of
+    * the text near-dup family: [[dHash64]] each payload's grayscale
+    * grid, split the 64-bit hash into FOUR 16-bit bands, candidate
+    * pairs share at least one band value, and survivors have Hamming
+    * distance ≤ `maxHamming`. With 4 bands, pigeonhole guarantees FULL
+    * recall for Hamming ≤ 3 (3 differing bits can't dirty all 4 bands)
+    * — so the gate's oracle is the plain all-pairs form, exactly.
+    *
+    * Shape: one narrow hash projection, a ×4 band explode of the
+    * (doc_id, hash) table, one self-join per shared band key — never
+    * all-pairs on the corpus; `maxBucket` caps degenerate bands (hub
+    * guard, the minhash-LSH discipline; at gate scale no band nears
+    * it, so the cap never disturbs the oracle equality). Corrupt
+    * (short) payloads hash NULL and drop out. */
+  def phashNearDup(media: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 4096): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band LSH guarantees full recall only up to Hamming 3")
+    val hashed = media.select(col("doc_id"), dHash64(col("payload")).as("h"))
+      .filter(col("h").isNotNull)
+    val banded = hashed.select(col("doc_id"), col("h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            (shiftrightunsigned(col("h"), b * 16) % 65536L).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("h"), col("bk.band"), col("bk.key"))
+    val ok = banded.groupBy("band", "key").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= 2 && col("bc") <= maxBucket)
+    val bandedOk = banded.join(ok.select("band", "key"), Seq("band", "key"))
+    bandedOk.as("x").join(bandedOk.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
+      .distinct()
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Near-dup detection over media: stub features -> cosine LSH buckets,
     * reusing the embedding pipeline end-to-end. */
   def mediaNearDups(spark: SparkSession, media: Dataset[Media],

@@ -4860,6 +4860,69 @@ object QueryCatalog {
     when(id % 3 === 0, png).when(id % 3 === 1, wav).otherwise(jpeg)
   }
 
+  /** m_phash — perceptual-hash near-dup image pairs
+    * ([[graft.multimodal.Multimodal.phashNearDup]]). Payloads are
+    * 72-byte grayscale grids synthesized IN-PLAN (the decode stub's
+    * output shape — real kernel, synthesized pixels, closed-form
+    * oracle): base grids are per-id pseudo-random (unrelated pairs land
+    * at Hamming ≈ 32, far above the gate), every `% 10 == 1` doc copies
+    * its predecessor's grid with ONE pixel nudged (+2 — Hamming ≤ 2,
+    * the planted near-dup), every `% 10 == 5` doc uses an alternate
+    * formula (a hard negative), and every `% 17 == 3` payload truncates
+    * to 10 bytes (NULL hash, the corrupt contract). The oracle rebuilds
+    * the pixels arithmetically and takes the PLAIN all-pairs Hamming ≤
+    * 3 — exact, because 4-band LSH has full recall at that threshold
+    * (pigeonhole). */
+  val mPhash: Q = (s, d) => {
+    val id = col("doc_id")
+    // quadratic scramble: a LINEAR pixel formula leaves adjacent-pixel
+    // deltas constant, so unrelated grids share wrap-phase bit patterns
+    // (thousands of sub-threshold pairs) — squaring mod a large prime
+    // makes adjacent comparisons pseudo-random (unrelated Hamming ≈ 32).
+    // The grid builds through ONE transform lambda over the 72 pixel
+    // indices — a 72-wide concat of these CASE trees was a codegen bomb
+    // (14.7s at sf0.1; this spelling benches 0.4s)
+    def pixNormal(base: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) = {
+      val h1 = (base * 999983L + n * 2654435761L) % 1000003L
+      ((h1 * h1) % 1000003L) % 251L
+    }
+    def pixAlt(n: org.apache.spark.sql.Column) = {
+      val h2 = (id * 104729L + n * 7919L) % 1000003L
+      ((h2 * h2) % 1000003L) % 251L
+    }
+    def pix(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(id % 10 === 5, pixAlt(n))
+        .when(id % 10 === 1 && n === 40,
+          (pixNormal(id - 1, n) + 2L) % 251L)
+        .when(id % 10 === 1, pixNormal(id - 1, n))
+        .otherwise(pixNormal(id, n))
+    val grid = unhex(array_join(
+      transform(sequence(lit(0L), lit(71L)),
+        n => lpad(hex(pix(n)), 2, "0")), ""))
+    val payload = when(id % 17 === 3, substring(grid, 1, 10)).otherwise(grid)
+    graft.multimodal.Multimodal.phashNearDup(
+      Tables.documents(s, d).select(id, payload.as("payload")))
+  }
+
+  val mPhashSql: String =
+    """WITH px AS (SELECT doc_id,
+      |    list_transform(range(0, 72), n ->
+      |      CASE WHEN doc_id % 10 = 5 THEN (((doc_id * 104729 + n * 7919) % 1000003) * ((doc_id * 104729 + n * 7919) % 1000003) % 1000003) % 251
+      |           WHEN doc_id % 10 = 1 AND n = 40 THEN ((((doc_id - 1) * 999983 + n * 2654435761) % 1000003) * (((doc_id - 1) * 999983 + n * 2654435761) % 1000003) % 1000003 % 251 + 2) % 251
+      |           WHEN doc_id % 10 = 1 THEN (((doc_id - 1) * 999983 + n * 2654435761) % 1000003) * (((doc_id - 1) * 999983 + n * 2654435761) % 1000003) % 1000003 % 251
+      |           ELSE ((doc_id * 999983 + n * 2654435761) % 1000003) * ((doc_id * 999983 + n * 2654435761) % 1000003) % 1000003 % 251 END) AS p
+      |  FROM documents WHERE doc_id % 17 <> 3),
+      |h AS (SELECT doc_id, list_sum(list_transform(range(0, 64), b ->
+      |    CASE WHEN p[(b // 8) * 9 + (b % 8) + 1] < p[(b // 8) * 9 + (b % 8) + 2]
+      |         THEN (CASE WHEN b = 63 THEN -9223372036854775807 - 1
+      |               ELSE (1::BIGINT << b) END) ELSE 0 END))::BIGINT AS h
+      |  FROM px)
+      |SELECT x.doc_id AS a, y.doc_id AS b,
+      |  bit_count(xor(x.h, y.h))::INT AS hamming
+      |FROM h x JOIN h y ON x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.h, y.h)) <= 3""".stripMargin
+
   /** m_tiff — the TIFF IFD walk under the oracle gate, same
     * build-vs-parse independence as [[mHeaders]]: per doc_id parity the
     * in-plan payload is a LITTLE-endian file with SHORT dimension
@@ -5695,6 +5758,7 @@ object QueryCatalog {
     "e_paths" -> ePaths,
     "m_flac" -> mFlac,
     "m_mp3" -> mMp3,
+    "m_phash" -> mPhash,
     "p_budget_fill" -> pBudgetFill,
     "d_contam" -> dContam,
     "t_tfidf" -> tTfidf,
@@ -5905,6 +5969,7 @@ object QueryCatalog {
     "e_paths" -> ePathsSql,
     "m_flac" -> mFlacSql,
     "m_mp3" -> mMp3Sql,
+    "m_phash" -> mPhashSql,
     "p_budget_fill" -> pBudgetFillSql,
     "d_contam" -> dContamSql,
     "t_tfidf" -> tTfidfSql,

@@ -370,6 +370,63 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "graft_cosine"
 }
 
+/** 64-bit DIFFERENCE HASH (dHash) of a raw 8-bit grayscale 9×8 pixel
+  * grid — the classic perceptual image fingerprint (Krawetz's dHash):
+  * bit `r*8+c` is set when `pixel[r*9+c] < pixel[r*9+c+1]` (each row of
+  * 9 pixels yields 8 left-vs-right comparisons). The DECODE step (codec
+  * bytes → grayscale grid) is the multimodal pillar's deterministic
+  * stub — no image libs in-container — and this kernel is the REAL
+  * Spark-side plumbing it feeds: a codegen'd one-pass scan of the
+  * binary column. Bytes compare UNSIGNED (0..255, the oracle's get-byte
+  * arithmetic); payloads shorter than the 72-byte grid yield NULL (the
+  * m_corrupt degradation contract: never throw, never fabricate). */
+case class DHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < DHash64.GridBytes) null else DHash64.hash(b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.length < ${DHash64.GridBytes}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.sql.graft.DHash64.hash($c);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): DHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_dhash64"
+}
+
+object DHash64 {
+  /** 9 columns × 8 rows of 8-bit gray — the canonical dHash grid. */
+  val GridBytes = 72
+
+  def hash(b: Array[Byte]): Long = {
+    var out = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val l = b(r * 9 + c) & 0xff
+        val rt = b(r * 9 + c + 1) & 0xff
+        if (l < rt) out |= (1L << (r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+}
+
 /** CONTENT-DEFINED chunk fingerprints of a string in ONE pass: cut
   * wherever the [[RollingHash]] of the trailing `window` code points is
   * ≡ 0 mod `modulus` (maintained incrementally — h' = h·31 + c_in −

@@ -275,4 +275,39 @@ class MultimodalSpec extends AnyFunSuite {
       .select(Multimodal.sniffFormat(col("payload"))).head.getString(0)
     assert(sniffed === "mp4")
   }
+
+  test("dHash64: known grid, unsigned bytes, truncation nulls") {
+    // row r filled with ascending pixels -> every comparison left<right
+    // -> all 64 bits set -> hash == -1 (two's complement all-ones)
+    val ascending = Array.tabulate(72)(n => (n % 9 * 20).toByte)
+    // descending rows -> no bit set
+    val descending = Array.tabulate(72)(n => ((8 - n % 9) * 20).toByte)
+    // unsigned compare: 0x7f (127) < 0x80 (128) even though signed says otherwise
+    val signedEdge = Array.tabulate(72)(n => if (n % 9 % 2 == 0) 0x7f.toByte else 0x80.toByte)
+    val rows = Seq((1L, ascending), (2L, descending), (3L, signedEdge),
+      (4L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), Multimodal.dHash64(col("payload")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(1L) === Some(-1L))
+    assert(rows(2L) === Some(0L))
+    // alternating 127,128,127,... -> bits set exactly where left==127
+    val kernelEdge = org.apache.spark.sql.graft.DHash64.hash(signedEdge)
+    assert(rows(3L) === Some(kernelEdge) && kernelEdge != 0L)
+    assert(rows(4L) === None)
+  }
+
+  test("phashNearDup: planted pair found, perturbed grid within Hamming 3") {
+    def grid(seed: Long) =
+      Array.tabulate(72)(n => ((seed * 1000003L + n * 2654435761L) % 251).toByte)
+    val nearA = grid(10)
+    val nearB = grid(10).clone(); nearB(40) = (nearB(40) + 2).toByte
+    val rows = Seq((1L, grid(1)), (2L, grid(2)), (10L, nearA), (11L, nearB),
+      (5L, Array[Byte](9, 9))).toDF("doc_id", "payload")
+    val out = Multimodal.phashNearDup(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.map(p => (p._1, p._2)).toSet === Set((10L, 11L)))
+    assert(out.head._3 <= 2)
+  }
 }
