@@ -185,6 +185,60 @@ object Sessions {
       when(abs(z) > 1.959964, 1).otherwise(0).cast("int").as("significant"))
   }
 
+  /** RFM segmentation — the classic recency/frequency/monetary customer
+    * scoring: per user over qualifying events, days since last purchase
+    * (relative to the corpus's last purchase — a 1-row broadcast, no
+    * wall clock), purchase count, and whole-dollar spend (summed through
+    * DECIMAL cents — order-independent, bit-exact). Each metric maps to
+    * a 1–5 quintile score by the INTEGER rule `score = (5·c_lt) div n +
+    * 1` with `c_lt` = users with a strictly smaller metric (recency
+    * negated so recent = high) — a tie group shares `c_lt`, so it can
+    * NEVER split across scores (the ccnetBuckets discipline, quintile
+    * form), and the div is exact integer arithmetic in any engine. The
+    * segment label is a fixed CASE over the three scores.
+    *
+    * Shape: one user groupBy (the only corpus shuffle), then per-metric
+    * distinct-value counting + a cumulative window over the DISTINCT
+    * metric values — bounded by the metric codomains (days, counts,
+    * whole dollars; the t_auc argument), never a corpus-wide rank. */
+  def rfm(events: DataFrame, isPurchase: Column): DataFrame = {
+    val per = events.filter(isPurchase).groupBy("user_id").agg(
+      max(unix_micros(col("ts"))).as("last_us"),
+      count(lit(1)).as("freq"),
+      (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("cents"))
+    val mx = per.agg(max("last_us").as("max_us"))
+    val base = per.crossJoin(broadcast(mx))
+      .withColumn("rec_days",
+        expr("CAST((max_us - last_us) DIV 86400000000 AS BIGINT)"))
+      .withColumn("money", expr("CAST(cents DIV 100 AS BIGINT)"))
+      .select(col("user_id"), col("rec_days"), col("freq"), col("money"),
+        (-col("rec_days")).as("_rmetric"))
+    def quintile(df: DataFrame, m: String, out: String): DataFrame = {
+      val vc = df.groupBy(col(m)).agg(count(lit(1)).as("_c"))
+      val w = Window.orderBy(col(m))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cl = vc
+        .withColumn("_clt", coalesce(sum(col("_c")).over(w), lit(0L)))
+      val tot = vc.agg(sum(col("_c")).as("_n"))
+      df.join(cl.select(col(m), col("_clt")), m)
+        .crossJoin(broadcast(tot))
+        .withColumn(out, expr(s"CAST((5 * _clt) DIV _n AS INT) + 1"))
+        .drop("_clt", "_n")
+    }
+    val scored = quintile(quintile(quintile(base,
+      "_rmetric", "r_score"), "freq", "f_score"), "money", "m_score")
+    scored.select(col("user_id"), col("rec_days"), col("freq"),
+      col("money"),
+      col("r_score"), col("f_score"), col("m_score"),
+      when(col("r_score") >= 4 && col("f_score") >= 4 &&
+        col("m_score") >= 4, "champion")
+        .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+        .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+        .when(col("r_score") <= 2 && col("m_score") <= 2, "hibernating")
+        .otherwise("regular").as("segment"))
+  }
+
   /** Weekly growth accounting — the new/retained/resurrected/churned
     * decomposition behind every growth dashboard (the accounting
     * identity: Δ active = new + resurrected − churned): weeks are

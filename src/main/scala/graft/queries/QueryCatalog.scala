@@ -1633,6 +1633,35 @@ object QueryCatalog {
        |FROM documents""".stripMargin
   }
 
+  /** t_fertility — per-language TOKENIZER FERTILITY (subword tokens per
+    * whitespace word — the standard multilingual tokenizer-quality
+    * metric; high fertility = the tokenizer fragments that language):
+    * BPE-ish subword counts ([[tBpeTokens]]'s pre-tokenization regex)
+    * over normalized word counts, aggregated per language. Integer sums
+    * (one partial-agg groupBy on the bounded lang key), one rounded
+    * division at the end. */
+  val tFertility: Q = (s, d) =>
+    Tables.documents(s, d).select(col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("w"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+          .cast("long").as("sw"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("sw")).as("n_subwords"),
+        round(sum(col("sw")).cast("double") /
+          greatest(sum(col("w")), lit(1L)), 4).as("fertility"))
+
+  lazy val tFertilitySql: String =
+    s"""WITH t AS (SELECT lang,
+       |    (CASE WHEN length($normSql) = 0 THEN 0
+       |     ELSE len(string_split($normSql, ' ')) END)::BIGINT AS w,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS sw
+       |  FROM documents)
+       |SELECT lang, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words,
+       |  sum(sw)::BIGINT AS n_subwords,
+       |  round(sum(sw)::DOUBLE / greatest(sum(w), 1), 4) AS fertility
+       |FROM t GROUP BY lang""".stripMargin
+
   /** t_entropy — [[graft.pipeline.Corpus.tokenEntropy]]: per-document
     * Shannon entropy of the token distribution, in the factored
     * integer-argument form `log2(n) − (Σ c·log2 c)/n`. */
@@ -2508,6 +2537,40 @@ object QueryCatalog {
       |  round(d.n::DOUBLE * 127 / t.trail, 6) AS ratio,
       |  (CASE WHEN 100 * d.n * 127 > 150 * t.trail THEN 1 ELSE 0 END)::INT AS spike
       |FROM daily d JOIN trail t USING (event_type, day)""".stripMargin
+
+  /** e_rfm — RFM quintile segmentation
+    * ([[graft.pipeline.Sessions.rfm]]): recency (days vs the corpus's
+    * last purchase) / frequency / whole-dollar monetary per user,
+    * scored 1–5 by the integer rule `(5·c_lt) div n + 1` (tie groups
+    * never split), fixed CASE segment labels. The oracle computes
+    * `c_lt` as `rank() − 1` — the same strict-smaller count. */
+  val eRfm: Q = (s, d) =>
+    graft.pipeline.Sessions.rfm(Tables.events(s, d),
+      col("event_type") === "purchase")
+
+  val eRfmSql: String =
+    """WITH per AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+      |    count(*)::BIGINT AS freq,
+      |    (sum(CAST(value AS DECIMAL(18,2))) * 100)::BIGINT AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |mx AS (SELECT max(last_us) AS max_us FROM per),
+      |base AS (SELECT user_id,
+      |    ((max_us - last_us) // 86400000000)::BIGINT AS rec_days,
+      |    freq, (cents // 100)::BIGINT AS money,
+      |    -((max_us - last_us) // 86400000000) AS rm
+      |  FROM per CROSS JOIN mx),
+      |scored AS (SELECT user_id, rec_days, freq, money,
+      |    ((5 * (rank() OVER (ORDER BY rm) - 1)) // count(*) OVER ())::INT + 1 AS r_score,
+      |    ((5 * (rank() OVER (ORDER BY freq) - 1)) // count(*) OVER ())::INT + 1 AS f_score,
+      |    ((5 * (rank() OVER (ORDER BY money) - 1)) // count(*) OVER ())::INT + 1 AS m_score
+      |  FROM base)
+      |SELECT user_id, rec_days, freq, money, r_score, f_score, m_score,
+      |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+      |       WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+      |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+      |       WHEN r_score <= 2 AND m_score <= 2 THEN 'hibernating'
+      |       ELSE 'regular' END AS segment
+      |FROM scored""".stripMargin
 
   /** e_lifecycle — weekly growth accounting
     * ([[graft.pipeline.Sessions.lifecycle]]): per week, new / retained /
@@ -5755,6 +5818,7 @@ object QueryCatalog {
     "e_ab_test" -> eAbTest,
     "e_markov" -> eMarkov,
     "e_lifecycle" -> eLifecycle,
+    "e_rfm" -> eRfm,
     "e_paths" -> ePaths,
     "m_flac" -> mFlac,
     "m_mp3" -> mMp3,
@@ -5778,6 +5842,7 @@ object QueryCatalog {
     "t_vocab" -> tVocab,
     "t_lexdiv" -> tLexDiv,
     "t_entropy" -> tEntropy,
+    "t_fertility" -> tFertility,
     "t_length_hist" -> tLengthHist,
     "q22_bfs" -> q22Bfs,
     "q22_bfs_gx" -> q22BfsGx,
@@ -5966,6 +6031,7 @@ object QueryCatalog {
     "e_ab_test" -> eAbTestSql,
     "e_markov" -> eMarkovSql,
     "e_lifecycle" -> eLifecycleSql,
+    "e_rfm" -> eRfmSql,
     "e_paths" -> ePathsSql,
     "m_flac" -> mFlacSql,
     "m_mp3" -> mMp3Sql,
@@ -5989,6 +6055,7 @@ object QueryCatalog {
     "t_vocab" -> tVocabSql,
     "t_lexdiv" -> tLexDivSql,
     "t_entropy" -> tEntropySql,
+    "t_fertility" -> tFertilitySql,
     "t_length_hist" -> tLengthHistSql,
     "q22_bfs" -> q22BfsSql,
     "q22_bfs_gx" -> q22BfsSql,

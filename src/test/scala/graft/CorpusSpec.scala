@@ -235,6 +235,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.getInt(7) === 0) // below 1.959964
   }
 
+  test("rfm: integer quintiles, tie groups share a score, segments fixed") {
+    import java.sql.Timestamp
+    def t(day: Int) = new Timestamp(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    // five users, purchase counts 1..5, later last-purchase for higher
+    // ids, spend proportional to count — strictly increasing metrics
+    // give scores exactly 1..5 ((5·c_lt) div 5 + 1 = c_lt + 1)
+    val rows = (1 to 5).flatMap { u =>
+      (1 to u).map(i => (u * 100L + i, t(u * 2 + i), u.toLong, "purchase",
+        25.0))
+    } :+ ((999L, t(1), 1L, "view", 1.0)) // non-purchase: ignored
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Sessions.rfm(ev, col("event_type") === "purchase").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7))).toMap
+    assert(out(5L) === ((5, 5, 5, "champion")))
+    assert(out(1L) === ((1, 1, 1, "hibernating")))
+    assert(out(3L)._4 === "regular")
+    // tie groups: equal metrics share a score
+    val tied = Seq((1L, t(0), 1L, "purchase", 10.0),
+      (2L, t(0), 2L, "purchase", 10.0),
+      (3L, t(5), 3L, "purchase", 99.0), (4L, t(5), 3L, "purchase", 99.0),
+      (5L, t(5), 4L, "purchase", 99.0), (6L, t(5), 4L, "purchase", 99.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ts2 = Sessions.rfm(tied, col("event_type") === "purchase").collect()
+      .map(r => r.getLong(0) -> (r.getInt(4), r.getInt(5), r.getInt(6)))
+      .toMap
+    assert(ts2(1L) === ts2(2L) && ts2(3L) === ts2(4L))
+  }
+
   test("lifecycle: new/retained/resurrected/churned growth accounting") {
     import java.sql.Timestamp
     // Monday-truncated weeks starting 2024-01-01 (a Monday)
