@@ -1784,6 +1784,61 @@ object Analytics {
     labels
   }
 
+  /** Greedy MAXIMAL MATCHING by deterministic edge priorities — the
+    * parallel matching primitive (Luby-style symmetry breaking, the
+    * Blelloch/Fineman/Shun greedy-MIS family): per round, an edge joins
+    * the matching iff its priority key is the MINIMUM among all edges
+    * at BOTH endpoints; matched vertices and their incident edges drop,
+    * and the loop repeats until no edges remain. The priority is a
+    * scrambled integer hash with the full (h, src, dst) tuple as the
+    * comparison key, so ties are impossible, the result is
+    * deterministic (≡ sequential greedy in priority order), and rounds
+    * are O(log m) in expectation under the pseudo-random h. Useful as
+    * the pairing step of coarsening/partitioning and dedup-pair
+    * assignment.
+    *
+    * Shape per round: two groupBy-min passes over the remaining edge
+    * set + an equi-join back and two anti-joins — every step keyed, no
+    * all-pairs, frontier shrinks geometrically; localCheckpoint per
+    * round keeps the plan flat. */
+  def maximalMatching(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val P = 2147483647L
+    val spark = edges.sparkSession
+    var rem = edges.select(col("src"), col("dst"))
+      .filter(col("src") < col("dst"))
+      .withColumn("h",
+        ((col("src") * 999983L + col("dst") * 2654435761L) % 1000003L) *
+          ((col("src") * 999983L + col("dst") * 2654435761L) % 1000003L) % P)
+      .localCheckpoint(eager = true)
+    var matched = spark.range(0)
+      .select(col("id").as("src"), col("id").as("dst"))
+    var round = 0
+    var n = rem.count()
+    while (n > 0 && round < maxRounds) {
+      def key = struct(col("h"), col("src"), col("dst"))
+      val minV = rem.select(col("src").as("v"), key.as("k"))
+        .unionByName(rem.select(col("dst").as("v"), key.as("k")))
+        .groupBy("v").agg(min(col("k")).as("mv"))
+      val m = rem
+        .join(minV.select(col("v").as("src"), col("mv").as("ms")), "src")
+        .join(minV.select(col("v").as("dst"), col("mv").as("md")), "dst")
+        .filter(key === col("ms") && key === col("md"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = true)
+      matched = matched.unionByName(m).localCheckpoint(eager = true)
+      val mv = m.select(col("src").as("v"))
+        .unionByName(m.select(col("dst").as("v")))
+      rem = rem
+        .join(mv.select(col("v").as("src")), Seq("src"), "left_anti")
+        .join(mv.select(col("v").as("dst")), Seq("dst"), "left_anti")
+        .localCheckpoint(eager = true)
+      n = rem.count()
+      round += 1
+    }
+    require(n == 0, s"maximalMatching: $n edges left after $maxRounds rounds")
+    matched
+  }
+
   /** Deterministic random walks — the DeepWalk/node2vec corpus
     * generator (Perozzi et al. 2014; Grover & Leskovec 2016): `walks`
     * walks of `steps` steps from every vertex of an undirected BIGINT

@@ -3070,6 +3070,38 @@ object QueryCatalog {
        |  UNION ALL SELECT start_id, walk, 3, node FROM s3
        |  UNION ALL SELECT start_id, walk, 4, node FROM s4)""".stripMargin
 
+  /** q65 — greedy maximal matching on the co-purchase graph
+    * ([[graft.enrich.Analytics.maximalMatching]]): per round an edge
+    * matches iff its (h, src, dst) priority is the minimum at BOTH
+    * endpoints; matched vertices drop; repeat to fixpoint. The oracle
+    * unrolls 15 rounds (converged rounds no-op). */
+  val q65Matching: Q = (s, d) =>
+    graft.enrich.Analytics.maximalMatching(coPurchaseEdges(s, d))
+
+  private def matchRoundSql(i: Int): String =
+    s"""mv$i AS MATERIALIZED (SELECT v, min(k) AS mv FROM (
+       |  SELECT src AS v, (h, src, dst) AS k FROM r${i - 1}
+       |  UNION ALL SELECT dst, (h, src, dst) FROM r${i - 1}) GROUP BY v),
+       |m$i AS MATERIALIZED (SELECT e.src, e.dst FROM r${i - 1} e
+       |  JOIN mv$i a ON a.v = e.src AND a.mv = (e.h, e.src, e.dst)
+       |  JOIN mv$i b ON b.v = e.dst AND b.mv = (e.h, e.src, e.dst)),
+       |r$i AS MATERIALIZED (SELECT e.* FROM r${i - 1} e
+       |  ANTI JOIN (SELECT src AS v FROM m$i UNION ALL SELECT dst FROM m$i) x ON e.src = x.v
+       |  ANTI JOIN (SELECT src AS v FROM m$i UNION ALL SELECT dst FROM m$i) y ON e.dst = y.v)""".stripMargin
+
+  lazy val q65MatchingSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |r0 AS MATERIALIZED (SELECT a::BIGINT AS src, b::BIGINT AS dst,
+       |    ((a::BIGINT * 999983 + b::BIGINT * 2654435761) % 1000003)
+       |      * ((a::BIGINT * 999983 + b::BIGINT * 2654435761) % 1000003)
+       |      % 2147483647 AS h
+       |  FROM e),
+       |${(1 to 15).map(matchRoundSql).mkString(",\n")}
+       |${(1 to 15).map(i => s"SELECT src, dst FROM m$i").mkString("\nUNION ALL ")}""".stripMargin
+
   /** q55 — per-EDGE triangle support on the co-purchase graph
     * ([[graft.enrich.Analytics.edgeSupport]]): the k-truss building
     * block. Same oriented-wedge kernel as q24; the oracle explodes the
@@ -5780,6 +5812,7 @@ object QueryCatalog {
     "q62_condense" -> q62Condense,
     "q63_topo" -> q63Topo,
     "q64_walks" -> q64Walks,
+    "q65_matching" -> q65Matching,
     "q60_katz_gx" -> q60KatzGx,
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
@@ -5993,6 +6026,7 @@ object QueryCatalog {
     "q62_condense" -> q62CondenseSql,
     "q63_topo" -> q63TopoSql,
     "q64_walks" -> q64WalksSql,
+    "q65_matching" -> q65MatchingSql,
     "q60_katz_gx" -> q60KatzSql,
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,

@@ -452,6 +452,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Analytics.modularity(edges, one).collect()(0).getDouble(1) === 0.0)
   }
 
+  test("maximalMatching: vertex-disjoint, maximal, deterministic") {
+    // a path + a triangle + an isolated edge, plus seeded random graphs
+    val fixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    def check(edges: org.apache.spark.sql.DataFrame): Unit = {
+      val es = edges.as[(Long, Long)].collect()
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val m = Analytics.maximalMatching(edges).as[(Long, Long)].collect()
+      // a valid matching: edges of the graph, no vertex twice
+      assert(m.forall(p => es.contains(p)))
+      val vs = m.flatMap(p => Seq(p._1, p._2))
+      assert(vs.distinct.length === vs.length)
+      // maximal: every graph edge touches a matched vertex
+      val vset = vs.toSet
+      assert(es.forall(e => vset.contains(e._1) || vset.contains(e._2)))
+      // deterministic
+      val m2 = Analytics.maximalMatching(edges).as[(Long, Long)].collect()
+      assert(m.sorted.toSeq === m2.sorted.toSeq)
+    }
+    check(fixed)
+    val rnd = new scala.util.Random(7)
+    val randomEdges = (1 to 60)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct.toDF("src", "dst")
+    check(randomEdges)
+  }
+
   test("deterministicWalks: valid edges, full length, replay-stable") {
     // a path 1-2-3-4 plus the triangle 4-5-6
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
