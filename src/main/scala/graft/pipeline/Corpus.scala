@@ -275,6 +275,52 @@ object Corpus {
       keep.cast("int").as("keep"))
   }
 
+  /** Deterministic STRIDE-SCHEDULED interleaving — the data-ordering
+    * step a blended training run needs after the mix proportions are
+    * chosen (the Megatron-style multi-source blend): source s with
+    * weight w_s emits its k-th document at rational "pass" (k+1)/w_s,
+    * and the global training order is ascending pass (ties by source
+    * then index). Passes scale by L = lcm(weights) into EXACT integer
+    * keys `(k+1)·(L/w_s)` — no float scheduling drift, replayable on
+    * any engine, and a source with twice the weight appears exactly
+    * twice as often in any prefix.
+    *
+    * The global POSITION of each document is computed in CLOSED FORM,
+    * not with a corpus-wide window: pos = 1 + Σ over sources t of
+    * |{j : key_t(j) < K}| (+ the tie term for t ordered before s) =
+    * min(n_t, (K−1) div st_t) — per-source counts and strides are a
+    * broadcast-sized table, so the whole operator is one per-source
+    * rank window + a bounded ×|sources| fan-out join + a groupBy: a
+    * total order over 10⁹ docs with no single-reducer sort. The oracle
+    * replays it as a plain global row_number, proving the closed form
+    * exact. */
+  def interleave(docs: DataFrame, weights: Map[String, Int],
+      defaultWeight: Int = 1): DataFrame = {
+    require(weights.values.forall(_ >= 1) && defaultWeight >= 1,
+      "weights must be positive")
+    def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+    val lcm = (weights.values.toSeq :+ defaultWeight)
+      .reduce((a, b) => a / gcd(a, b) * b)
+    val stExpr = weights.foldLeft(lit(lcm / defaultWeight): Column) {
+      case (acc, (l, w)) => when(col("lang") === l, lit(lcm / w)).otherwise(acc)
+    }
+    val ks = docs.select(col("doc_id"), col("lang"))
+      .withColumn("k", row_number().over(
+        Window.partitionBy("lang").orderBy("doc_id")).cast("long") - 1)
+      .withColumn("st", stExpr.cast("long"))
+      .withColumn("key", (col("k") + 1) * col("st"))
+    val counts = ks.groupBy(col("lang").as("t_lang"))
+      .agg(count(lit(1)).as("n_t"), first(col("st")).as("st_t"))
+    ks.crossJoin(broadcast(counts))
+      .withColumn("lt",
+        least(col("n_t"), expr("CAST((key - 1) DIV st_t AS BIGINT)")))
+      .withColumn("eq",
+        when(col("t_lang") < col("lang") && col("key") % col("st_t") === 0 &&
+          expr("key DIV st_t") <= col("n_t"), 1L).otherwise(0L))
+      .groupBy(col("doc_id"), col("lang"), col("k"))
+      .agg((sum(col("lt") + col("eq")) + 1).as("pos"))
+  }
+
   /** Token-distribution Shannon entropy per document — the
     * information-density quality signal (low entropy = templated or
     * repetitive text), complementing [[repetitionStats]]' exact n-gram

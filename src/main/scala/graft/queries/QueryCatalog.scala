@@ -1633,6 +1633,25 @@ object QueryCatalog {
        |FROM documents""".stripMargin
   }
 
+  /** p_interleave — stride-scheduled deterministic training order
+    * ([[graft.pipeline.Corpus.interleave]]): en weight 4, zh weight 2,
+    * others 1 (L = 4 → strides 1/2/4); the Spark side computes each
+    * document's global position in CLOSED FORM (broadcast per-source
+    * counts — no corpus-wide window), the oracle replays it as a plain
+    * global row_number, proving them identical. */
+  val pInterleave: Q = (s, d) =>
+    graft.pipeline.Corpus.interleave(Tables.documents(s, d),
+      Map("en" -> 4, "zh" -> 2))
+
+  val pInterleaveSql: String =
+    """WITH k AS (SELECT doc_id, lang,
+      |    (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1)::BIGINT AS k,
+      |    (CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 ELSE 4 END)::BIGINT AS st
+      |  FROM documents)
+      |SELECT doc_id, lang, k,
+      |  row_number() OVER (ORDER BY (k + 1) * st, lang, k)::BIGINT AS pos
+      |FROM k""".stripMargin
+
   /** t_fertility — per-language TOKENIZER FERTILITY (subword tokens per
     * whitespace word — the standard multilingual tokenizer-quality
     * metric; high fertility = the tokenizer fragments that language):
@@ -5921,6 +5940,7 @@ object QueryCatalog {
     "q52_hybrid" -> q52Hybrid,
     "p_pack_split" -> pPackSplit,
     "p_split_assign" -> pSplitAssign,
+    "p_interleave" -> pInterleave,
     "d_priority_dedup" -> dPriorityDedup,
     "g_b10_cypher" -> gB10Cypher,
     "g_b10_write" -> gB10Write,
@@ -6135,6 +6155,7 @@ object QueryCatalog {
     "q52_hybrid" -> q52HybridSql,
     "p_pack_split" -> pPackSplitSql,
     "p_split_assign" -> pSplitAssignSql,
+    "p_interleave" -> pInterleaveSql,
     "d_priority_dedup" -> dPriorityDedupSql,
     "g_b10_cypher" -> gB10CypherSql,
     "g_b10_union" -> gB10UnionSql,

@@ -235,6 +235,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.getInt(7) === 0) // below 1.959964
   }
 
+  test("interleave: closed-form positions are the exact stride order") {
+    // sources a (weight 2, 8 docs) and b (weight 1, 4 docs)
+    val docs = ((1L to 8L).map(i => (i, "a")) ++
+      (101L to 104L).map(i => (i, "b"))).toDF("doc_id", "lang")
+    val out = Corpus.interleave(docs, Map("a" -> 2), defaultWeight = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // positions are a permutation of 1..12
+    assert(out.map(_._3).sorted.toSeq === (1L to 12L).toSeq)
+    // the closed form equals an explicitly sorted stride schedule:
+    // key = (k+1) * (lcm/w), ties by lang then k
+    val expect = out.sortBy(_._3).map(_._1).toSeq
+    val manual = ((1L to 8L).zipWithIndex.map { case (id, k) =>
+      (id, ((k + 1) * 1L, "a", k.toLong)) } ++
+      (101L to 104L).zipWithIndex.map { case (id, k) =>
+        (id, ((k + 1) * 2L, "b", k.toLong)) })
+      .sortBy(_._2).map(_._1).toSeq
+    assert(expect === manual)
+    // prefix balance: in every even prefix, source a appears 2x b
+    val prefix6 = out.sortBy(_._3).take(6).map(_._2)
+    assert(prefix6.count(_ == "a") === 4 && prefix6.count(_ == "b") === 2)
+  }
+
   test("rfm: integer quintiles, tie groups share a score, segments fixed") {
     import java.sql.Timestamp
     def t(day: Int) = new Timestamp(
