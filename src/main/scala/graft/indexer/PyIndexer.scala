@@ -322,7 +322,7 @@ object PyIndexer {
 
   /** `x = Callee(...)` — the head of a potential instance binding. */
   private val instanceAssign: Regex =
-    """^\s*([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
+    """^\s*([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*(?:await\s+)?([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
 
   /** `self.f = Callee(...)` — a typed-field binding. */
   private val selfInstanceAssign: Regex =
@@ -505,9 +505,29 @@ object PyIndexer {
     """^\s*except\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s+as\s+([A-Za-z_]\w*)\s*:\s*$""".r
 
   /** `return Callee(...)` — a constructor (or call) return, the head of
-    * slice 8's un-annotated return-type inference. */
+    * slice 8's un-annotated return-type inference. `await` unwraps (C3
+    * slice 34: a coroutine's awaited value IS its return). */
   private val returnCtor: Regex =
-    """^\s*return\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
+    """^\s*return\s+(?:await\s+)?([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
+
+  /** `case Cls(...) as x:` — a class-pattern capture (C3 slice 35: jedi
+    * narrows the as-name to the matched class; bare `case Cls():`
+    * without a capture binds nothing). */
+  private val matchCaseAs: Regex =
+    """^\s*case\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(.*\)\s+as\s+([A-Za-z_]\w*)\s*:\s*$""".r
+
+  /** `*args: T` / `**kw: T` — starred-parameter annotations (C3 slice
+    * 36): `*args: T` is a TUPLE of T (element binding), `**kw: T` a
+    * str→T mapping (value binding) — PEP 484's reading. */
+  private val starParamAnno: Regex =
+    """(?<!\*)\*([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)""".r
+  private val dstarParamAnno: Regex =
+    """\*\*([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)""".r
+
+  /** `def f(h=Ctor()):` — a constructor DEFAULT types the parameter (C3
+    * slice 37: jedi infers an unannotated param from its default). */
+  private val paramCtorDefault: Regex =
+    """([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
 
   /** `return name` — a bare-name return (a typed local, or `self`). */
   private val returnName: Regex =
@@ -1285,6 +1305,44 @@ object PyIndexer {
                 resolveCallee(anno).foreach(t =>
                   fnScope.valueLocals(m.group(1)) = t)
             }
+            // slice 36: `*args: T` is a tuple OF T (element binding),
+            // `**kw: T` a str→T mapping (value binding) — both override
+            // the plain paramAnno direct bind their name also matched
+            starParamAnno.findAllMatchIn(headerText).foreach { m =>
+              val anno = m.group(2)
+              val classish = topClasses.contains(anno) ||
+                anno.split("\\.").last.headOption.exists(_.isUpper)
+              if (!keywords.contains(anno) && classish)
+                resolveCallee(anno).foreach { t =>
+                  fnScope.locals.remove(m.group(1))
+                  fnScope.elemLocals(m.group(1)) = t
+                }
+            }
+            dstarParamAnno.findAllMatchIn(headerText).foreach { m =>
+              val anno = m.group(2)
+              val classish = topClasses.contains(anno) ||
+                anno.split("\\.").last.headOption.exists(_.isUpper)
+              if (!keywords.contains(anno) && classish)
+                resolveCallee(anno).foreach { t =>
+                  fnScope.locals.remove(m.group(1))
+                  fnScope.valueLocals(m.group(1)) = t
+                }
+            }
+            // slice 37: an unannotated param with a CONSTRUCTOR default
+            // (`def f(h=Helper()):`) types from the default — an
+            // explicit annotation (already bound above) wins
+            paramCtorDefault.findAllMatchIn(parenSpan(headerText))
+              .foreach { m =>
+                val anno = m.group(2)
+                val classish = topClasses.contains(anno) ||
+                  anno.split("\\.").last.headOption.exists(_.isUpper)
+                if (!fnScope.locals.contains(m.group(1)) &&
+                    !fnScope.elemLocals.contains(m.group(1)) &&
+                    !fnScope.valueLocals.contains(m.group(1)) &&
+                    !keywords.contains(anno) && classish)
+                  resolveCallee(anno).foreach(t =>
+                    fnScope.locals(m.group(1)) = t)
+              }
             // A9/srctrl LOCAL symbols: every parameter (incl. self) is a
             // function-local — the reference records one local-symbol row
             // per param (shallow_indexer.py:394-397) and seeds the
@@ -1412,6 +1470,14 @@ object PyIndexer {
                 !keywords.contains(name) =>
             recordLocalDef(stack.top, name, i)
 
+          // `case Cls(...) as x:` — the capture is a local definition
+          // (slice 35's location twin of the except-as rule)
+          case matchCaseAs(_, name)
+              if stack.headOption.exists(sc =>
+                sc.kind == Kind.Method || sc.kind == Kind.Function) &&
+                !keywords.contains(name) =>
+            recordLocalDef(stack.top, name, i)
+
           // tuple-unpack targets (`a, b = …`) are each a local definition
           // (the reference's visitName walks every target of the
           // testlist, shallow_indexer.py:486-494)
@@ -1516,6 +1582,12 @@ object PyIndexer {
                   // the (resolvable) exception class, so `e.method()`
                   // chains resolve; unresolvable builtins stay unbound
                   exceptAs.findFirstMatchIn(line).foreach { m =>
+                    classishType(m.group(1))
+                      .foreach(t => fn.locals(m.group(2)) = t)
+                  }
+                  // slice 35: `case Cls(...) as x:` — jedi narrows the
+                  // capture to the matched class pattern
+                  matchCaseAs.findFirstMatchIn(line).foreach { m =>
                     classishType(m.group(1))
                       .foreach(t => fn.locals(m.group(2)) = t)
                   }

@@ -1005,6 +1005,59 @@ class IndexerSpec extends AnyFunSuite {
     assert(pingLocs.contains(6) && pingLocs.contains(7))
   }
 
+  test("C3 slices 34-37: await, match-case captures, starred params, " +
+    "constructor defaults") {
+    val src =
+      """class Helper:
+        |    def ping(self):
+        |        return 1
+        |
+        |async def afetch():
+        |    return Helper()
+        |
+        |async def usea():
+        |    h = await afetch()
+        |    return h.ping()
+        |
+        |def match_case(x):
+        |    match x:
+        |        case Helper() as h:
+        |            return h.ping()
+        |        case Mystery() as m:
+        |            return m.unknowable()
+        |
+        |def starargs(*hs: Helper):
+        |    for h in hs:
+        |        h.ping()
+        |
+        |def kwargs_anno(**hs: Helper):
+        |    for v in hs.values():
+        |        v.ping()
+        |
+        |def default_ctor(h=Helper()):
+        |    return h.ping()
+        |
+        |def default_anno_wins(h: Helper = make_unknown()):
+        |    return h.ping()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "mc.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // slice 34: await unwraps the coroutine's inferred return
+    assert(calls.contains(("mc.usea", "mc.Helper.ping")))
+    // slice 35: the class-pattern capture narrows; unresolvable patterns
+    // bind nothing
+    assert(calls.contains(("mc.match_case", "mc.Helper.ping")))
+    assert(!calls.exists(_._2.endsWith("unknowable")))
+    // slice 36: *args iterates as Helper; **kw .values() too
+    assert(calls.contains(("mc.starargs", "mc.Helper.ping")))
+    assert(calls.contains(("mc.kwargs_anno", "mc.Helper.ping")))
+    // slice 37: constructor default types the param; an annotation
+    // still wins over an unresolvable default
+    assert(calls.contains(("mc.default_ctor", "mc.Helper.ping")))
+    assert(calls.contains(("mc.default_anno_wins", "mc.Helper.ping")))
+  }
+
   test("C3 partial: untyped intermediate steps emit NO half-resolved edges") {
     val src =
       """from lib import Database
