@@ -311,6 +311,40 @@ object Analytics {
     pr.select(col("v"), round(col("pr"), 6).as("pagerank"))
   }
 
+  /** INCREMENTAL PageRank by WARM START — the production posture for a
+    * slowly-changing graph: ranks from the previous corpus version (a
+    * persisted derived table, [[graft.store.GraphTables.prPrev]]) seed
+    * the iteration on the CURRENT edge set, and a small fixed number of
+    * damped rounds re-converges the delta — 2 rounds here versus the
+    * from-scratch 5, the classic ~60% iteration saving that GROWS with
+    * the cold-start round count at scale. Vertices new to this version
+    * (or absent from prev) start at the uniform 1/n. Same per-iteration
+    * round-10 discipline as [[pageRank]], so the oracle replays the
+    * previous ranks AND the warm rounds bit-identically. */
+  def pageRankIncremental(edges: DataFrame, prev: DataFrame,
+      iterations: Int = 2): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val e2 = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("cnt")), "src")
+      .repartition(col("src")).localCheckpoint(eager = true)
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .repartition(col("v")).localCheckpoint(eager = true)
+    val n = verts.count().toDouble
+    var pr = verts.join(prev.select(col("v"), col("pagerank")), Seq("v"), "left")
+      .select(col("v"),
+        round(coalesce(col("pagerank"), lit(1.0 / n)), 10).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = e2.join(pr.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(round(sum(col("pr") / col("cnt")), 10).as("s"))
+      pr = verts.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          round(lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0)), 10)
+            .as("pr"))
+    }
+    pr.select(col("v"), round(col("pr"), 6).as("pagerank"))
+  }
+
   /** The 100-TB-cluster path for PageRank: GraphX aggregateMessages with
     * the SAME math as [[pageRank]] — uniform 1/N init, damping 0.85,
     * dangling mass ignored, and the same per-iteration round-to-10

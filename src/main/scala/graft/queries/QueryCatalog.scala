@@ -878,6 +878,47 @@ object QueryCatalog {
     graft.enrich.Analytics.pageRankGraphX(s, GraphTables.hierarchy(s, d),
       iterations = 5)
 
+  /** q66 — INCREMENTAL PageRank by warm start
+    * ([[graft.enrich.Analytics.pageRankIncremental]]): previous-version
+    * ranks (the persisted `prprev` derived table — PageRank over a
+    * deterministic 90% of the hierarchy, selected by the PORTABLE
+    * rolling hash) seed 2 damped rounds on the full edge set — vs the
+    * from-scratch 5. Unlike q59's contraction (provably ≡ from-scratch),
+    * a warm start's result DEPENDS on the seed, so the oracle replays
+    * the previous run (5 unrolled rounds on the old edges) and then the
+    * 2 warm rounds, bit-identically via the round-10 discipline. */
+  val q66PrInc: Q = (s, d) =>
+    graft.enrich.Analytics.pageRankIncremental(
+      GraphTables.hierarchy(s, d), GraphTables.prPrev(s, d))
+
+  lazy val q66PrIncSql: String = {
+    val rh = "list_reduce(list_prepend(0::BIGINT, " +
+      "list_transform(string_split(src || '|' || dst, ''), c -> ascii(c)::BIGINT)), " +
+      "(a, c) -> (a * 31 + c) % 2147483647)"
+    def iter(pre: String, i: Int, edges: String, outdeg: String,
+        nn: String): String =
+      s"""$pre$i AS MATERIALIZED (SELECT t.v, round(0.15/(SELECT n FROM $nn) + 0.85*coalesce(c.s, 0), 10) AS pr
+         |  FROM ${pre}verts t LEFT JOIN (
+         |    SELECT e.dst AS v, round(sum(p.pr / o.cnt), 10) AS s
+         |    FROM $edges e JOIN $pre${i - 1} p ON e.src = p.v JOIN $outdeg o ON e.src = o.src
+         |    GROUP BY e.dst) c ON t.v = c.v)""".stripMargin
+    s"""WITH ${GraphSql.hierarchyCte},
+       |old AS MATERIALIZED (SELECT src, dst FROM hier WHERE $rh % 10 <> 0),
+       |overts AS (SELECT src AS v FROM old UNION SELECT dst FROM old),
+       |onn AS (SELECT count(*)::DOUBLE AS n FROM overts),
+       |ood AS (SELECT src, count(*) AS cnt FROM old GROUP BY src),
+       |o0 AS (SELECT v, round(1.0/(SELECT n FROM onn), 10) AS pr FROM overts),
+       |${(1 to 5).map(i => iter("o", i, "old", "ood", "onn")).mkString(",\n")},
+       |prev AS MATERIALIZED (SELECT v, round(pr, 6) AS pagerank FROM o5),
+       |wverts AS (SELECT src AS v FROM hier UNION SELECT dst FROM hier),
+       |wnn AS (SELECT count(*)::DOUBLE AS n FROM wverts),
+       |wod AS (SELECT src, count(*) AS cnt FROM hier GROUP BY src),
+       |w0 AS (SELECT t.v, round(coalesce(p.pagerank, 1.0/(SELECT n FROM wnn)), 10) AS pr
+       |  FROM wverts t LEFT JOIN prev p ON t.v = p.v),
+       |${(1 to 2).map(i => iter("w", i, "hier", "wod", "wnn")).mkString(",\n")}
+       |SELECT v, round(pr, 6) AS pagerank FROM w2""".stripMargin
+  }
+
   /** Connected components (min-label propagation on the undirected
     * hierarchy). Oracle = 10 unrolled propagation steps: the graph
     * converges in ≤6 (its diameter), and the fixpoint is stable, so the
@@ -5836,6 +5877,7 @@ object QueryCatalog {
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
     "q59_cc_inc" -> q59CcInc,
+    "q66_pr_inc" -> q66PrInc,
     "q11_cc_gx" -> q11CcGx,
     "q12_salted_join" -> q12SaltedJoin,
     "q13_asof" -> q13Asof,
@@ -6051,6 +6093,7 @@ object QueryCatalog {
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,
     "q59_cc_inc" -> q11CcSql,
+    "q66_pr_inc" -> q66PrIncSql,
     "q11_cc_gx" -> q11CcSql,
     "q12_salted_join" -> q12SaltedJoinSql,
     "q13_asof" -> q13AsofSql,

@@ -278,6 +278,22 @@ object GraphTables {
         .repartition(col("v")).sortWithinPartitions("v")
     }
 
+  /** Previous-version PageRank over the hierarchy minus a deterministic
+    * 10% of edges — the PERSISTED warm-start input of the incremental
+    * PageRank gate (the [[ccPrev]] discipline). The edge selection uses
+    * the PORTABLE rolling hash (not xxhash64): unlike q59 — whose
+    * contraction provably equals from-scratch, so its oracle never sees
+    * the prev table — a warm-start's RESULT depends on the previous
+    * ranks, so the oracle must replay this derivation exactly. */
+  def prPrev(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "prprev") {
+      val old = hierarchy(s, d).filter(
+        graft.functions.TextFunctions.rollingHash(
+          concat(col("src"), lit("|"), col("dst"))) % 10 =!= 0)
+      graft.enrich.Analytics.pageRank(old)
+        .repartition(col("v")).sortWithinPartitions("v")
+    }
+
   /** A DIRECTED graph with real cycles — the SCC gate's fixture (every
     * natural edge table here is a DAG or undirected, so strong
     * connectivity needs its own derivation): customers form rings of ≤8

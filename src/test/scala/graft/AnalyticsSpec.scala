@@ -452,6 +452,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Analytics.modularity(edges, one).collect()(0).getDouble(1) === 0.0)
   }
 
+  test("pageRankIncremental: warm start composes — pr5 + 2 warm ≡ pr7") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+      ("d", "e"), ("e", "a")).toDF("src", "dst")
+    val pr5 = Analytics.pageRank(edges, iterations = 5)
+    val warm = Analytics.pageRankIncremental(edges, pr5, iterations = 2)
+      .as[(String, Double)].collect().toMap
+    val pr7 = Analytics.pageRank(edges, iterations = 7)
+      .as[(String, Double)].collect().toMap
+    // the seed is pr5's round-6 OUTPUT (not its round-10 internal
+    // state), so composition is exact up to that quantization: two
+    // damped rounds amplify a ≤5e-7 seed gap by at most 0.85+0.85²
+    assert(warm.keySet === pr7.keySet)
+    assert(warm.forall { case (v, p) => math.abs(p - pr7(v)) <= 2e-6 })
+    // and the warm start itself is deterministic
+    val warm2 = Analytics.pageRankIncremental(edges, pr5, iterations = 2)
+      .as[(String, Double)].collect().toMap
+    assert(warm === warm2)
+    // a vertex absent from prev seeds at the uniform 1/n: adding a new
+    // pendant edge must not blow up — the new vertex just gets ranked
+    val edges2 = edges.union(Seq(("e", "f")).toDF("src", "dst"))
+    val inc = Analytics.pageRankIncremental(edges2, pr5, iterations = 2)
+      .as[(String, Double)].collect().toMap
+    assert(inc.size === 6 && inc.contains("f") && inc("f") > 0.0)
+  }
+
   test("maximalMatching: vertex-disjoint, maximal, deterministic") {
     // a path + a triangle + an isolated edge, plus seeded random graphs
     val fixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
