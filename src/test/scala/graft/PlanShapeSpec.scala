@@ -289,6 +289,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no join blowups; plan:\n$plan")
   }
 
+  test("p_interleave: positions come from broadcast counts, NO global window") {
+    val plan = executed(QueryCatalog.pInterleave(spark, sf))
+    // the only Window is the per-source rank (partitioned by lang); the
+    // global total-order position must NOT be a corpus-wide window —
+    // every row_number spec in the plan carries the lang partition
+    // column ahead of its sort key
+    val winLines = plan.split("\n").filter(_.contains("row_number()"))
+    assert(winLines.nonEmpty &&
+      winLines.forall(_.contains("windowspecdefinition(lang#")),
+      s"every row_number must be lang-partitioned; plan:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoop"),
+      s"per-source counts must broadcast; plan:\n$plan")
+    // the fan-out join against the tiny counts table is a broadcast
+    // nested-loop cross (bounded x|sources|), never a shuffled cartesian
+    assert(!plan.contains("CartesianProduct"),
+      s"no shuffled cartesian; plan:\n$plan")
+  }
+
+  test("m_phash: banded equi self-join, kernel in-plan, no cartesian") {
+    val plan = executed(QueryCatalog.mPhash(spark, sf))
+    assert(plan.contains("graft_dhash64"),
+      s"the native dHash kernel must be in the plan; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"band candidates must pair via equi join; plan:\n$plan")
+  }
+
+  test("q66_pr_inc: previous ranks are a PERSISTED parquet scan") {
+    val df = QueryCatalog.q66PrInc(spark, sf)
+    df.collect()
+    val scans = fileScans(df.queryExecution.executedPlan)
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(scans.exists(_.contains("prprev")),
+      s"warm-start seeds must come from the persisted prprev table; scans:\n${scans.mkString("\n")}")
+  }
+
   test("e_stickiness: coverage explosion happens AFTER the (user, day) dedup") {
     val df = QueryCatalog.eStickiness(spark, sf)
     val analyzed = df.queryExecution.optimizedPlan.toString
