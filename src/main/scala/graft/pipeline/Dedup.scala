@@ -227,6 +227,43 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs — the dedup rule Jaccard
+    * structurally misses: a short document EMBEDDED in a long one (a
+    * quoted article, a boilerplate-wrapped repost) has tiny Jaccard
+    * (|A∩B|/|A∪B| shrinks with the size gap) but containment
+    * `|A∩B| / min(|A|, |B|)` ≈ 1 — the measure CC-style web dedup
+    * pipelines use alongside resemblance (Broder's containment).
+    * Same scale spine as [[ngramJaccardPairs]]: shingle inverted index,
+    * df-capped postings (never all-pairs), exact verification on
+    * candidates only; `contained` names the smaller (lower-id on a
+    * size tie) document of each surviving pair. */
+  def containmentPairs(docs: DataFrame, k: Int, threshold: Double,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      shingleHashes(col("text"), k).as("hashes"))
+    val sizes = sh.select(col("doc_id"), size(col("hashes")).as("n"))
+    val inv = sh.select(col("doc_id"), explode(col("hashes")).as("h"))
+    val rare = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq && col("df") >= 2)
+    val invR = inv.join(rare.select("h"), "h")
+    val common = invR.as("x").hint("SHUFFLE_MERGE")
+      .join(invR.as("y").hint("SHUFFLE_MERGE"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("n", "nb"), "b")
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= threshold)
+      .withColumn("contained",
+        when(col("na") <= col("nb"), col("a")).otherwise(col("b")))
+      .select("a", "b", "containment", "contained")
+  }
+
   /** MinHash signature: for each of `numHashes` permutations i,
     * min over shingle hashes h of (a_i*h + b_i) mod p. The (a_i, b_i)
     * are fixed odd/prime-ish constants so the oracle can replay them. */

@@ -2124,6 +2124,42 @@ object QueryCatalog {
        |FROM common JOIN sizes sa ON common.a = sa.doc_id JOIN sizes sb ON common.b = sb.doc_id
        |WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 4) >= 0.2""".stripMargin
 
+  /** d_containment — asymmetric containment dedup
+    * ([[graft.pipeline.Dedup.containmentPairs]]): every `% 13 == 4`
+    * document's text becomes the first 90 chars of its predecessor's —
+    * an EMBEDDED document whose Jaccard against the original is low
+    * (the size gap shrinks the union ratio) but whose containment is
+    * 1.0; the gate also demonstrates the negative (the planted pairs
+    * would NOT clear a same-threshold Jaccard rule). */
+  val dContainment: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val prevTxt = base.select((col("doc_id") + 1).as("doc_id"),
+      col("text").as("prev_text"))
+    val aug = base.join(prevTxt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 4 && col("prev_text").isNotNull,
+          substring(col("prev_text"), 1, 90)).otherwise(col("text"))
+          .as("text"))
+    Dedup.containmentPairs(aug, k = 5, threshold = 0.9)
+  }
+
+  val dContainmentSql: String =
+    s"""WITH aug AS (SELECT b.doc_id,
+       |    CASE WHEN b.doc_id % 13 = 4 AND p.text IS NOT NULL
+       |         THEN substr(p.text, 1, 90) ELSE b.text END AS text
+       |  FROM documents b LEFT JOIN documents p ON p.doc_id = b.doc_id - 1),
+       |sh AS (SELECT doc_id, $shingleHashesSql AS hashes FROM aug),
+       |sizes AS (SELECT doc_id, len(hashes)::BIGINT AS n FROM sh),
+       |inv AS (SELECT doc_id, unnest(hashes) AS h FROM sh),
+       |rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) BETWEEN 2 AND 1000),
+       |invr AS (SELECT i.doc_id, i.h FROM inv i JOIN rare r ON i.h = r.h),
+       |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS inter
+       |           FROM invr x JOIN invr y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT a, b, round(inter::DOUBLE / least(sa.n, sb.n), 4) AS containment,
+       |  CASE WHEN sa.n <= sb.n THEN a ELSE b END AS contained
+       |FROM common JOIN sizes sa ON common.a = sa.doc_id JOIN sizes sb ON common.b = sb.doc_id
+       |WHERE round(inter::DOUBLE / least(sa.n, sb.n), 4) >= 0.9""".stripMargin
+
   /** d_fuzzy_join — cross-table fuzzy entity matching
     * ([[graft.pipeline.Dedup.fuzzyJoin]]): odd doc_ids are the query
     * table, even doc_ids the catalog; each query links to its best
@@ -5892,6 +5928,7 @@ object QueryCatalog {
     "d_exact" -> dExact,
     "d_cdc" -> dCdc,
     "d_ngram_jaccard" -> dNgramJaccard,
+    "d_containment" -> dContainment,
     "d_minhash_lsh" -> dMinhashLsh,
     "d_minhash_inc" -> dMinhashInc,
     "d_fuzzy_join" -> dFuzzyJoin,
@@ -6108,6 +6145,7 @@ object QueryCatalog {
     "d_exact" -> dExactSql,
     "d_cdc" -> dCdcSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
+    "d_containment" -> dContainmentSql,
     "d_minhash_lsh" -> dMinhashLshSql,
     "d_minhash_inc" -> dMinhashIncSql,
     "d_fuzzy_join" -> dFuzzyJoinSql,

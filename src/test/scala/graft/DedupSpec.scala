@@ -87,6 +87,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.exists(r => r.getLong(1) == 4L || r.getLong(0) == 4L))
   }
 
+  test("containmentPairs: embedded doc at 1.0 where Jaccard misses it") {
+    // doc 2 is a strict prefix of the much longer doc 1 — containment 1,
+    // Jaccard low; doc 3 shares nothing
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val prefix = (1 to 8).map(i => s"w$i").mkString(" ")
+    val cd = Seq((1L, words), (2L, prefix),
+      (3L, (1 to 10).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(cd, k = 2, threshold = 0.9).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // (a=1, b=2): containment 1.0, the smaller doc 2 is the contained one
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      === ((1L, 2L, 1.0, 2L)))
+    // the same pair under a same-threshold JACCARD rule is invisible:
+    // 7 shared 2-shingles / 39-union ≈ 0.18
+    val jac = Dedup.ngramJaccardPairs(cd, k = 2, threshold = 0.9).collect()
+    assert(jac.isEmpty)
+  }
+
   test("duplicatedSpanStats: partial overlap shows in the span fraction") {
     val docs = Seq(
       (1L, "a b c d e f"),      // shingles(k=2): ab bc cd de ef (5)
