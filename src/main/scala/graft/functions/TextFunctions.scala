@@ -22,6 +22,24 @@ object TextFunctions {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 
+  /** Luhn checksum validity of a digit string — the mod-10 rule every
+    * payment-card number satisfies (and the reason card-shaped PII can
+    * be VALIDATED, not just pattern-matched): from the RIGHT, every
+    * second digit doubles (minus 9 past 4), and the total must divide
+    * by 10. Pure integer arithmetic over `sequence`/`aggregate` —
+    * engine-portable, no float anywhere. Non-digit input is the
+    * caller's contract (candidates come from a digits-only regex). */
+  def luhnValid(s: Column): Column = {
+    val n = length(s)
+    val total = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
+      // i counts 1..n from the left; right-position n−i doubles when odd
+      val d = s.substr(i, lit(1)).cast("long")
+      val dbl = d * 2 - when(d > 4, 9L).otherwise(0L)
+      acc + when((n - i) % 2 === 1, dbl).otherwise(d)
+    })
+    total % 10 === 0
+  }
+
   /** Token count (0 for empty/blank text). */
   def tokenCount(text: Column): Column =
     when(length(normalize(text)) === 0, lit(0)).otherwise(size(tokens(text)))

@@ -1693,6 +1693,72 @@ object QueryCatalog {
       |  row_number() OVER (ORDER BY (k + 1) * st, lang, k)::BIGINT AS pos
       |FROM k""".stripMargin
 
+  /** t_luhn — checksum-validated card PII
+    * ([[graft.pipeline.Corpus.piiCards]]). Card-shaped numbers are
+    * synthesized IN-PLAN with a computed Luhn CHECK DIGIT, so the
+    * valid/invalid split is decided by real checksum arithmetic on
+    * id-varying numbers: `% 9 == 2` docs carry a VALID 16-digit card
+    * (base from doc_id, check digit closing the mod-10 sum), `% 9 == 5`
+    * docs the SAME base with the check digit off by one (candidate,
+    * fails validation), `% 9 == 7` docs a 12-digit run (too short to
+    * even be a candidate). */
+  val tLuhn: Q = (s, d) => {
+    val id = col("doc_id")
+    val base = lpad((id * 7919L % 1000000000000000L).cast("string"), 15, "0")
+    // Luhn sum of the 15 base digits as positions 1..15 of a 16-digit
+    // number: left-position j has right-position 16-j, doubled when odd
+    // — i.e. when j is odd
+    val sum15 = aggregate(sequence(lit(1), lit(15)), lit(0L), (acc, j) => {
+      val dg = base.substr(j, lit(1)).cast("long")
+      val dbl = dg * 2 - when(dg > 4, 9L).otherwise(0L)
+      acc + when(j % 2 === 1, dbl).otherwise(dg)
+    })
+    val check = (lit(10L) - sum15 % 10) % 10
+    val aug = concat(col("text"),
+      when(id % 9 === 2, concat(lit(" pay "), base, check.cast("string")))
+        .when(id % 9 === 5,
+          concat(lit(" ref "), base, ((check + 1) % 10).cast("string")))
+        .when(id % 9 === 7, lit(" order 123456789012 closed"))
+        .otherwise(lit("")))
+    graft.pipeline.Corpus.piiCards(
+      Tables.documents(s, d).select(id, aug.as("text")))
+  }
+
+  lazy val tLuhnSql: String = {
+    val luhn = (c: String) =>
+      s"""list_sum(list_transform(range(1, length($c) + 1), i ->
+         |  CASE WHEN (length($c) - i) % 2 = 1
+         |       THEN 2 * substr($c, i::INT, 1)::BIGINT
+         |            - CASE WHEN substr($c, i::INT, 1)::BIGINT > 4 THEN 9 ELSE 0 END
+         |       ELSE substr($c, i::INT, 1)::BIGINT END)) % 10 = 0""".stripMargin
+    s"""WITH b AS (SELECT doc_id, text,
+       |    lpad((doc_id * 7919 % 1000000000000000)::VARCHAR, 15, '0') AS base
+       |  FROM documents),
+       |ck AS (SELECT doc_id, text, base,
+       |    (10 - list_sum(list_transform(range(1, 16), j ->
+       |      CASE WHEN j % 2 = 1
+       |           THEN 2 * substr(base, j::INT, 1)::BIGINT
+       |                - CASE WHEN substr(base, j::INT, 1)::BIGINT > 4 THEN 9 ELSE 0 END
+       |           ELSE substr(base, j::INT, 1)::BIGINT END)) % 10) % 10 AS c
+       |  FROM b),
+       |aug AS (SELECT doc_id, text || CASE
+       |    WHEN doc_id % 9 = 2 THEN ' pay ' || base || c::VARCHAR
+       |    WHEN doc_id % 9 = 5 THEN ' ref ' || base || ((c + 1) % 10)::VARCHAR
+       |    WHEN doc_id % 9 = 7 THEN ' order 123456789012 closed'
+       |    ELSE '' END AS text FROM ck),
+       |x AS (SELECT doc_id, text,
+       |    regexp_extract_all(text, '\\b\\d{13,19}\\b') AS cands
+       |  FROM aug),
+       |v AS (SELECT doc_id, text, cands,
+       |    list_filter(cands, c -> ${luhn("c")}) AS valid
+       |  FROM x)
+       |SELECT doc_id, len(cands)::BIGINT AS n_candidates,
+       |  len(valid)::BIGINT AS n_valid,
+       |  list_reduce(list_prepend(text, valid),
+       |    (t, c) -> replace(t, c, '<CARD>')) AS redacted
+       |FROM v""".stripMargin
+  }
+
   /** t_fertility — per-language TOKENIZER FERTILITY (subword tokens per
     * whitespace word — the standard multilingual tokenizer-quality
     * metric; high fertility = the tokenizer fragments that language):
@@ -5974,6 +6040,7 @@ object QueryCatalog {
     "t_lexdiv" -> tLexDiv,
     "t_entropy" -> tEntropy,
     "t_fertility" -> tFertility,
+    "t_luhn" -> tLuhn,
     "t_length_hist" -> tLengthHist,
     "q22_bfs" -> q22Bfs,
     "q22_bfs_gx" -> q22BfsGx,
@@ -6191,6 +6258,7 @@ object QueryCatalog {
     "t_lexdiv" -> tLexDivSql,
     "t_entropy" -> tEntropySql,
     "t_fertility" -> tFertilitySql,
+    "t_luhn" -> tLuhnSql,
     "t_length_hist" -> tLengthHistSql,
     "q22_bfs" -> q22BfsSql,
     "q22_bfs_gx" -> q22BfsSql,

@@ -235,6 +235,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.getInt(7) === 0) // below 1.959964
   }
 
+  test("piiCards: Luhn vectors, validation gates redaction, short runs skip") {
+    import graft.functions.TextFunctions
+    // canonical Luhn vectors: 4111111111111111 (valid), one-off
+    // mutation (invalid), 79927398713 (the textbook example)
+    val vecs = Seq("4111111111111111", "4111111111111112", "79927398713",
+      "79927398714").toDF("s")
+      .select(col("s"), TextFunctions.luhnValid(col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(vecs("4111111111111111") && !vecs("4111111111111112"))
+    assert(vecs("79927398713") && !vecs("79927398714"))
+    val docs = Seq(
+      (1L, "pay 4111111111111111 now"),        // valid card: redacted
+      (2L, "order 4111111111111112 shipped"),  // candidate, fails Luhn
+      (3L, "code 123456789012 x"),             // 12 digits: not a candidate
+      (4L, "two 4111111111111111 and 5500005555555559 here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.piiCards(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(1L) === ((1L, 1L, "pay <CARD> now")))
+    assert(out(2L) === ((1L, 0L, "order 4111111111111112 shipped")))
+    assert(out(3L) === ((0L, 0L, "code 123456789012 x")))
+    assert(out(4L)._2 === 2L &&
+      out(4L)._3 === "two <CARD> and <CARD> here")
+  }
+
   test("interleave: closed-form positions are the exact stride order") {
     // sources a (weight 2, 8 docs) and b (weight 1, 4 docs)
     val docs = ((1L to 8L).map(i => (i, "a")) ++
