@@ -567,8 +567,11 @@ object Similarity {
     * both bounded by the quantizer, the IVF discipline. Determinism:
     * round-4 sims + vec_id tie-breaks make the graph retry-stable and
     * oracle-replayable. */
-  def knnGraph(emb: DataFrame, k: Int = 3, nlist: Int = 16,
-      maxCell: Int = 4096): DataFrame = {
+  /** IVF cell members (vec_id, embedding, cid) restricted to healthy
+    * cells (2..maxCell) — the shared assignment spine of [[knnGraph]]
+    * and [[graphAnnTopK]]'s per-cell entry points. */
+  private[pipeline] def cellMembers(emb: DataFrame, nlist: Int,
+      maxCell: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = centroidSeeds(emb, nlist)
     val byCell = Window.partitionBy("vec_id")
@@ -581,7 +584,13 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cid"))
     val ok = assigned.groupBy("cid").agg(count(lit(1)).as("cc"))
       .filter(col("cc") >= 2 && col("cc") <= maxCell)
-    val inCell = assigned.join(ok.select("cid"), Seq("cid"))
+    assigned.join(ok.select("cid"), Seq("cid"))
+  }
+
+  def knnGraph(emb: DataFrame, k: Int = 3, nlist: Int = 16,
+      maxCell: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inCell = cellMembers(emb, nlist, maxCell)
     val w = Window.partitionBy("a").orderBy(col("sim").desc, col("b").asc)
     val ranked = inCell.as("x").hint("SHUFFLE_MERGE")
       .join(inCell.as("y").hint("SHUFFLE_MERGE"),
@@ -598,6 +607,75 @@ object Similarity {
       .filter(col("p.a") < col("p.b"))
       .select(col("p.a").as("src"), col("p.b").as("dst"),
         col("p.sim").as("sim"))
+  }
+
+  /** GRAPH-BASED ANN — greedy beam search over the mutual k-NN graph
+    * ([[knnGraph]]), the batch analogue of an HNSW base-layer query:
+    * from a deterministic entry vertex (the graph's min vec_id), each
+    * hop expands the beam's undirected neighbors, scores them against
+    * the query by rounded cosine, and keeps the top-`beam` of
+    * everything seen; after `hops` rounds the answer is the top-k of
+    * all VISITED vertices. Fixed hops + round-4 sims + vec_id
+    * tie-breaks make the search fully deterministic, so the oracle
+    * unrolls the identical expansion. Recall < 1 by design (the
+    * navigable-graph trade) — the spec pins a floor against brute
+    * force.
+    *
+    * Shape: the graph build is [[knnGraph]]'s cell-bounded spine; each
+    * hop is one frontier⋈neighbors equi-join + one embedding lookup +
+    * a per-query top-beam — frontier bounded at |queries|·beam rows,
+    * nothing corpus-sized re-shuffles per hop. */
+  def graphAnnTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      knnK: Int = 5, beam: Int = 8, hops: Int = 3, nlist: Int = 16,
+      prebuilt: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // production passes the PERSISTED graph (GraphTables.knnGraph5 —
+    // built once per corpus version); the default rebuilds live
+    val g = prebuilt.getOrElse(knnGraph(emb, knnK, nlist))
+    val nbrs = g.select(col("src").as("v"), col("dst").as("n"))
+      .unionByName(g.select(col("dst").as("v"), col("src").as("n")))
+      .repartition(col("v")).localCheckpoint(eager = true)
+    // per-query entry: the min-id member of the query's OWN cell — the
+    // kNN graph is cell-restricted, so its components never span cells
+    // and a global entry would strand most queries in the wrong
+    // component (measured recall 0.18 → an in-cell entry searches the
+    // right neighborhood; HNSW's hierarchical entry plays this role)
+    val inCell = cellMembers(emb, nlist, 4096)
+    val entries = inCell.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("cid"))
+      .join(inCell.groupBy("cid").agg(min(col("vec_id")).as("ev")), "cid")
+      .select(col("query_id"), col("ev"))
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id").as("v"), col("embedding")), "v")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("v"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+    var visited = scored(entries.select(col("query_id"), col("ev").as("v")))
+      .localCheckpoint(eager = true)
+    var frontier = visited
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("v").asc)
+    for (_ <- 1 to hops) {
+      val cand = frontier
+        .join(nbrs, "v")
+        .select(col("query_id"), col("n").as("v")).distinct()
+        .join(visited.select("query_id", "v"), Seq("query_id", "v"),
+          "left_anti")
+      val candScored = scored(cand)
+      visited = visited.unionByName(candScored)
+        .localCheckpoint(eager = true)
+      frontier = frontier.unionByName(candScored)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam).drop("rn")
+        .localCheckpoint(eager = true)
+    }
+    visited.filter(col("v") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("v").as("vec_id"), col("sim"),
+        col("rank"))
   }
 
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,

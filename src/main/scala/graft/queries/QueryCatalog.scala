@@ -2563,6 +2563,62 @@ object QueryCatalog {
        |FROM ranked p JOIN ranked q ON p.a = q.b AND p.b = q.a
        |WHERE p.a < p.b""".stripMargin
 
+  /** s_graph_ann — graph-based ANN
+    * ([[graft.pipeline.Similarity.graphAnnTopK]]): greedy beam search
+    * (beam 8, 3 hops) over the mutual 5-NN graph from the min-id entry
+    * vertex — the HNSW base-layer pattern; the oracle unrolls the
+    * identical expansion hop by hop. */
+  val sGraphAnn: Q = (s, d) =>
+    Similarity.graphAnnTopK(Tables.embeddings(s, d),
+      Seq(0L, 1L, 2L, 3L, 4L), k = 10, knnK = 5, beam = 8, hops = 3,
+      nlist = 16, prebuilt = Some(GraphTables.knnGraph5(s, d)))
+
+  lazy val sGraphAnnSql: String = {
+    def hop(i: Int): String =
+      s"""c$i AS MATERIALIZED (SELECT DISTINCT f.query_id, u.n AS v
+         |  FROM f${i - 1} f JOIN und u ON u.v = f.v
+         |  ANTI JOIN v${i - 1} vis ON vis.query_id = f.query_id AND vis.v = u.n),
+         |cs$i AS MATERIALIZED (SELECT c.query_id, c.v, ${cosOf("q.qv", "em.embedding")} AS sim
+         |  FROM c$i c JOIN embeddings em ON em.vec_id = c.v
+         |  JOIN qs q ON q.query_id = c.query_id),
+         |v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM cs$i),
+         |f$i AS MATERIALIZED (SELECT query_id, v, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, v) AS rn
+         |  FROM (SELECT * FROM f${i - 1} UNION ALL SELECT * FROM cs$i)) WHERE rn <= 8)""".stripMargin
+    s"""WITH cents AS ${centsSql(16)},
+       |asg AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cid) AS crank
+       |  FROM embeddings e, cents c),
+       |a1 AS (SELECT vec_id, embedding, cid FROM asg WHERE crank = 1),
+       |ok AS (SELECT cid FROM a1 GROUP BY 1 HAVING count(*) BETWEEN 2 AND 4096),
+       |incell AS (SELECT a1.* FROM a1 JOIN ok USING (cid)),
+       |rnk AS (SELECT a, b, sim FROM (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |      ${cosOf("x.embedding", "y.embedding")} AS sim,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${cosOf("x.embedding", "y.embedding")} DESC, y.vec_id) AS r
+       |  FROM incell x JOIN incell y ON x.cid = y.cid AND x.vec_id <> y.vec_id)
+       |  WHERE r <= 5),
+       |mut AS (SELECT p.a AS src, p.b AS dst FROM rnk p JOIN rnk q
+       |        ON p.a = q.b AND p.b = q.a WHERE p.a < p.b),
+       |und AS MATERIALIZED (SELECT src AS v, dst AS n FROM mut
+       |  UNION ALL SELECT dst, src FROM mut),
+       |qcell AS (SELECT vec_id AS query_id, cid FROM incell
+       |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |emin AS (SELECT cid, min(vec_id) AS ev FROM incell GROUP BY cid),
+       |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |v0 AS MATERIALIZED (SELECT q.query_id, m.ev AS v, ${cosOf("q.qv", "em.embedding")} AS sim
+       |  FROM qcell c JOIN emin m USING (cid) JOIN qs q ON q.query_id = c.query_id
+       |  JOIN embeddings em ON em.vec_id = m.ev),
+       |f0 AS (SELECT * FROM v0),
+       |${(1 to 3).map(hop).mkString(",\n")}
+       |SELECT query_id, v AS vec_id, sim, rank FROM (
+       |  SELECT query_id, v, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, v)::INT AS rank
+       |  FROM v3 WHERE v <> query_id) WHERE rank <= 10""".stripMargin
+  }
+
   // ----------------------------------------------------- corpus preparation
 
   /** Gap-based sessionization (30-min gap) of the event stream — batch
@@ -6006,6 +6062,7 @@ object QueryCatalog {
     "s_emb_neardup" -> sEmbNearDup,
     "s_semdedup" -> sSemDedup,
     "s_knn_graph" -> sKnnGraph,
+    "s_graph_ann" -> sGraphAnn,
     "q16_sessions" -> q16Sessions,
     "e_funnel" -> eFunnel,
     "e_retention" -> eRetention,
@@ -6224,6 +6281,7 @@ object QueryCatalog {
     "s_emb_neardup" -> sEmbNearDupSql,
     "s_semdedup" -> sSemDedupSql,
     "s_knn_graph" -> sKnnGraphSql,
+    "s_graph_ann" -> sGraphAnnSql,
     "q16_sessions" -> q16SessionsSql,
     "e_funnel" -> eFunnelSql,
     "e_retention" -> eRetentionSql,

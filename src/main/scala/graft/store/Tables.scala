@@ -294,6 +294,20 @@ object GraphTables {
         .repartition(col("v")).sortWithinPartitions("v")
     }
 
+  /** The mutual 5-NN graph over the embeddings corpus, PERSISTED
+    * through the fingerprinted versioned layout (the [[coPurchase]]
+    * discipline): a navigable neighbor graph is BUILT ONCE per corpus
+    * version — the expensive per-cell self-join — and every search
+    * query after that reads a parquet scan, exactly how an HNSW-style
+    * index deploys at 100 TB. `s_knn_graph` still gates the live
+    * builder (k=3). */
+  def knnGraph5(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "knngraph5") {
+      graft.pipeline.Similarity.knnGraph(embeddings(s, d), k = 5,
+        nlist = 16)
+        .repartition(col("src")).sortWithinPartitions("src", "dst")
+    }
+
   /** A DIRECTED graph with real cycles — the SCC gate's fixture (every
     * natural edge table here is a DAG or undirected, so strong
     * connectivity needs its own derivation): customers form rings of ≤8

@@ -326,6 +326,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"warm-start seeds must come from the persisted prprev table; scans:\n${scans.mkString("\n")}")
   }
 
+  test("s_graph_ann: the kNN graph is a PERSISTED parquet scan") {
+    // the search plan hides its scans behind the beam loop's
+    // localCheckpoint boundaries (the q59 situation), so the gate
+    // asserts the TABLE's provenance: resolving the graph must plan a
+    // knngraph5 parquet scan, never the per-cell self-join builder
+    val g = graft.store.GraphTables.knnGraph5(spark, sf)
+    val scans = fileScans(g.queryExecution.executedPlan)
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(scans.nonEmpty && scans.forall(_.contains("knngraph5")),
+      s"knnGraph5 must be a materialized parquet scan; scans:\n${scans.mkString("\n")}")
+  }
+
   test("e_stickiness: coverage explosion happens AFTER the (user, day) dedup") {
     val df = QueryCatalog.eStickiness(spark, sf)
     val analyzed = df.queryExecution.optimizedPlan.toString

@@ -143,6 +143,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(g1.map(r => (r._1, r._2)).toSet === Set((0L, 1L)))
   }
 
+  test("graphAnnTopK: beam search clears the recall floor, deterministic") {
+    import TestSpark.spark
+    val corpus = graft.store.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = Similarity.bruteForceTopK(corpus, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val gann = Similarity.graphAnnTopK(corpus, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = qs.map(q =>
+      gann.getOrElse(q, Set.empty[Long]).intersect(brute(q)).size / 10.0)
+    // measured 0.80 mean with cell-local entries (0.18 with a global
+    // entry — the regression this floor exists to catch)
+    assert(recalls.sum / recalls.size >= 0.6,
+      s"mean recall ${recalls.sum / recalls.size} under the 0.6 floor")
+    val again = Similarity.graphAnnTopK(corpus, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    val first = Similarity.graphAnnTopK(corpus, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(again === first)
+  }
+
   test("ANN recall@10 vs brute force on sf0.01 embeddings (quality floor)") {
     // The LSH/IVF oracles replay the identical banding in SQL, so
     // CORRECTNESS proves determinism, not retrieval quality. This is the
