@@ -185,6 +185,50 @@ object Sessions {
       when(abs(z) > 1.959964, 1).otherwise(0).cast("int").as("significant"))
   }
 
+  /** Multi-touch ATTRIBUTION — the marketing-analytics staple: for each
+    * conversion, credit the user's touch events inside the lookback
+    * window under the three classic models at once — FIRST-touch (the
+    * earliest touch gets 1), LAST-touch (the latest pre-conversion
+    * touch gets 1), and LINEAR (1/n each, carried as integer
+    * MICRO-credits `1000000 div n` — the t_lm_score ppm discipline:
+    * order-independent, bit-portable, no decimal-scale or float-sum
+    * divergence between engines; the ≤(n−1)µ floor loss per conversion
+    * is deterministic). Ties inside a model break on (ts, event_id),
+    * the corpus-wide ordering convention. Returns per-channel credit
+    * totals plus the touch count.
+    *
+    * Shape: one user-keyed equi-join of conversions × touches with the
+    * window predicate as a residual filter (per-user fan-out is
+    * bounded by the user's own activity — never a corpus range join),
+    * two windowed firsts over that bounded join, one groupBy on the
+    * tiny channel key. */
+  def attribution(events: DataFrame, isConversion: Column,
+      isTouch: Column, lookbackSeconds: Long = 7L * 86400): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val conv = events.filter(isConversion).select(col("user_id"),
+      us.as("cus"), col("event_id").as("cid"))
+    val touch = events.filter(isTouch).select(col("user_id"),
+      col("event_type").as("channel"), us.as("tus"),
+      col("event_id").as("tid"))
+    val joined = conv.join(touch, "user_id")
+      .filter(col("tus") < col("cus") &&
+        col("tus") >= col("cus") - lookbackSeconds * 1000000L)
+    val w = Window.partitionBy("user_id", "cid")
+    val flagged = joined
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_first",
+        min(struct(col("tus"), col("tid"))).over(w))
+      .withColumn("_last",
+        max(struct(col("tus"), col("tid"))).over(w))
+    flagged.groupBy(col("channel")).agg(
+      count(lit(1)).as("n_touches"),
+      sum(when(struct(col("tus"), col("tid")) === col("_first"), 1L)
+        .otherwise(0L)).as("first_touch"),
+      sum(when(struct(col("tus"), col("tid")) === col("_last"), 1L)
+        .otherwise(0L)).as("last_touch"),
+      sum(expr("CAST(1000000 DIV _n AS BIGINT)")).as("linear_ppm"))
+  }
+
   /** RFM segmentation — the classic recency/frequency/monetary customer
     * scoring: per user over qualifying events, days since last purchase
     * (relative to the corpus's last purchase — a 1-row broadcast, no

@@ -2756,6 +2756,34 @@ object QueryCatalog {
       |  (CASE WHEN 100 * d.n * 127 > 150 * t.trail THEN 1 ELSE 0 END)::INT AS spike
       |FROM daily d JOIN trail t USING (event_type, day)""".stripMargin
 
+  /** e_attribution — multi-touch attribution
+    * ([[graft.pipeline.Sessions.attribution]]): purchases credited to
+    * the user's view/click touches inside a 7-day lookback under
+    * first-touch, last-touch, and linear (integer micro-credit) models
+    * at once. */
+  val eAttribution: Q = (s, d) =>
+    graft.pipeline.Sessions.attribution(Tables.events(s, d),
+      col("event_type") === "purchase",
+      col("event_type").isin("view", "click"))
+
+  val eAttributionSql: String =
+    """WITH conv AS (SELECT user_id, epoch_us(ts) AS cus, event_id AS cid
+      |  FROM events WHERE event_type = 'purchase'),
+      |tch AS (SELECT user_id, event_type AS channel, epoch_us(ts) AS tus,
+      |    event_id AS tid
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |j AS (SELECT c.user_id, c.cid, t.channel, t.tus, t.tid,
+      |    count(*) OVER (PARTITION BY c.user_id, c.cid) AS n,
+      |    min((t.tus, t.tid)) OVER (PARTITION BY c.user_id, c.cid) AS f,
+      |    max((t.tus, t.tid)) OVER (PARTITION BY c.user_id, c.cid) AS l
+      |  FROM conv c JOIN tch t ON c.user_id = t.user_id
+      |  WHERE t.tus < c.cus AND t.tus >= c.cus - 604800000000)
+      |SELECT channel, count(*)::BIGINT AS n_touches,
+      |  sum(CASE WHEN (tus, tid) = f THEN 1 ELSE 0 END)::BIGINT AS first_touch,
+      |  sum(CASE WHEN (tus, tid) = l THEN 1 ELSE 0 END)::BIGINT AS last_touch,
+      |  sum(1000000 // n)::BIGINT AS linear_ppm
+      |FROM j GROUP BY channel""".stripMargin
+
   /** e_rfm — RFM quintile segmentation
     * ([[graft.pipeline.Sessions.rfm]]): recency (days vs the corpus's
     * last purchase) / frequency / whole-dollar monetary per user,
@@ -6073,6 +6101,7 @@ object QueryCatalog {
     "e_markov" -> eMarkov,
     "e_lifecycle" -> eLifecycle,
     "e_rfm" -> eRfm,
+    "e_attribution" -> eAttribution,
     "e_paths" -> ePaths,
     "m_flac" -> mFlac,
     "m_mp3" -> mMp3,
@@ -6292,6 +6321,7 @@ object QueryCatalog {
     "e_markov" -> eMarkovSql,
     "e_lifecycle" -> eLifecycleSql,
     "e_rfm" -> eRfmSql,
+    "e_attribution" -> eAttributionSql,
     "e_paths" -> ePathsSql,
     "m_flac" -> mFlacSql,
     "m_mp3" -> mMp3Sql,

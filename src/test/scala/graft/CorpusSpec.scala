@@ -235,6 +235,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.getInt(7) === 0) // below 1.959964
   }
 
+  test("attribution: first/last/linear models, lookback, micro-credits") {
+    import java.sql.Timestamp
+    def t(h: Int) = new Timestamp(1700000000000L + h * 3600_000L)
+    // u1: view(t0) -> click(t1) -> view(t2) -> PURCHASE(t3): n=3,
+    //   first = view@t0, last = view@t2, linear 333333µ each
+    // u2: click OUTSIDE the 7-day lookback, then PURCHASE: no touches
+    // u3: touch AFTER the purchase: never credited
+    val rows = Seq(
+      (1L, t(0), 1L, "view"), (2L, t(1), 1L, "click"),
+      (3L, t(2), 1L, "view"), (4L, t(3), 1L, "purchase"),
+      (5L, t(0), 2L, "click"), (6L, t(24 * 8), 2L, "purchase"),
+      (7L, t(5), 3L, "purchase"), (8L, t(6), 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sessions.attribution(rows,
+      col("event_type") === "purchase",
+      col("event_type").isin("view", "click")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // (n_touches, first, last, linear_ppm)
+    assert(out("view") === ((2L, 1L, 1L, 666666L)))
+    assert(out("click") === ((1L, 0L, 0L, 333333L)))
+    assert(out.size === 2)
+  }
+
   test("piiCards: Luhn vectors, validation gates redaction, short runs skip") {
     import graft.functions.TextFunctions
     // canonical Luhn vectors: 4111111111111111 (valid), one-off
