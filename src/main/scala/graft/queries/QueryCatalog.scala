@@ -5890,6 +5890,25 @@ object QueryCatalog {
     * fingerprint only: which duplicate survives inside a micro-batch is
     * engine-scheduling dependent (dropDuplicates keeps an arbitrary
     * first), but the emitted fingerprint SET is not. */
+  /** st_neardup — streaming MinHash-LSH near-dup screening
+    * ([[graft.streaming.Streams.streamingNearDup]]): the corpus streams
+    * once in doc_id order across 6 micro-batches; per-(band, bucket)
+    * state accumulates and every arriving doc screens against it. The
+    * post-sink DISTINCT (a pair can collide in several bands)
+    * reproduces the batch d_minhash_lsh pair set row-for-row — the two
+    * share one oracle. */
+  val stNearDup: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    StreamReplay.replay(s, docs, "st_neardup", "append", batches = 6) {
+      df => graft.streaming.Streams.streamingNearDup(
+        df.toDF("doc_id", "text"), k = 5, numHashes = 16, bands = 4,
+        threshold = 0.25).toDF()
+    }.distinct()
+  }
+
   val stDedup: Q = (s, d) => {
     import s.implicits._
     import graft.streaming.Streams
@@ -6220,6 +6239,7 @@ object QueryCatalog {
     "st_ingest" -> stIngest,
     "st_screen" -> stScreen,
     "st_dedup" -> stDedup,
+    "st_neardup" -> stNearDup,
     "st_funnel" -> stFunnel,
     "st_retention" -> stRetention,
     "st_markov" -> stMarkov,
@@ -6440,6 +6460,7 @@ object QueryCatalog {
     "st_ingest" -> stIngestSql,
     "st_screen" -> stScreenSql,
     "st_dedup" -> stDedupSql,
+    "st_neardup" -> dMinhashLshSql,
     "st_funnel" -> stFunnelSql,
     "st_retention" -> eRetentionSql,
     "st_markov" -> stMarkovSql,

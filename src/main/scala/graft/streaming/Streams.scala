@@ -144,6 +144,58 @@ object Streams {
       }
   }
 
+  final case class NearDupOut(a: Long, b: Long, est_jaccard: Double)
+
+  /** Streaming MinHash-LSH near-dup screening — the continuous twin of
+    * [[graft.pipeline.Dedup.minhashLshPairs]]: each arriving document's
+    * banded signature keys into per-(band, bucket) state (the ingested
+    * bucket members: id + 16-long signature each), emits a pair for
+    * every state member whose estimated Jaccard clears the threshold,
+    * then joins the bucket. With in-order delivery every batch pair
+    * (a < b) emits exactly when b arrives — the post-sink DISTINCT
+    * (a pair can collide in several bands) reproduces the batch pair
+    * set row-for-row, which is the gate. State is O(bucket members)
+    * per key, `maxBucket`-capped (the batch hub-cap's streaming
+    * analogue: an over-full bucket stops ACCUMULATING but keeps
+    * screening); estimates round HALF_UP like Spark's round so the
+    * emission matches the batch spelling bit-for-bit. */
+  def streamingNearDup(docs: DataFrame, k: Int, numHashes: Int,
+      bands: Int, threshold: Double,
+      maxBucket: Int = 4096): Dataset[NearDupOut] = {
+    import docs.sparkSession.implicits._
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val banded = graft.pipeline.Dedup
+      .minhashSignatures(docs, k, numHashes)
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .as[(Long, Seq[Long], Int, String)]
+    banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[List[(Long, Seq[Long])]]) =>
+          var st = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupOut]
+          it.toSeq.sortBy(_._1).foreach { case (id, sig, _, _) =>
+            st.foreach { case (bid, bsig) =>
+              if (bid != id) {
+                val m = sig.iterator.zip(bsig.iterator).count(p => p._1 == p._2)
+                val est = BigDecimal(m.toDouble / numHashes)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (est >= threshold)
+                  out += NearDupOut(math.min(id, bid), math.max(id, bid), est)
+              }
+            }
+            if (st.size < maxBucket && !st.exists(_._1 == id))
+              st = (id, sig) :: st
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class MarkovState(lastUs: Long, lastEventId: Long,
       lastType: String)
   final case class TransitionOut(prev_type: String, next_type: String)

@@ -428,6 +428,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(stateRows === 1L)
   }
 
+  test("streamingNearDup: pairs span batches, stream ≡ batch pair set") {
+    import graft.queries.StreamReplay
+    import graft.pipeline.Dedup
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content with other words entirely here"),
+      (3L, "the quick brown fox jumps over the lazy dog today"), // dup of 1
+      (4L, "the quick brown fox jumps over the lazy cat today")) // near 1/3
+    val sink = StreamReplay.replay(TestSpark.spark, texts, "neardup_spec",
+      "append", batches = 4) { df =>
+      import TestSpark.spark.implicits._
+      Streams.streamingNearDup(df.toDF("doc_id", "text"),
+        k = 3, numHashes = 16, bands = 4, threshold = 0.25).toDF()
+    }.distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // doc 3 (batch 3) pairs with doc 1 (batch 1): state spans batches
+    val batch = Dedup.minhashLshPairs(
+      texts.toDF("doc_id", "text"), k = 3, numHashes = 16, bands = 4,
+      threshold = 0.25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sink === batch)
+    assert(sink.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 1.0))
+    assert(!sink.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("streamingTransitions: pairs span batches, no end state") {
     import graft.queries.StreamReplay
     val rows = Seq(
