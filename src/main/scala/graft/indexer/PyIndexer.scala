@@ -529,6 +529,31 @@ object PyIndexer {
   private val paramCtorDefault: Regex =
     """([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
 
+  /** `isinstance(x, Cls)` inside an `if`/`elif`/`while`/`assert` line —
+    * jedi NARROWS x to Cls in the guarded region (C3 slice 38; the
+    * line-scoped model binds for the rest of the callable, the usual
+    * over-approximation of these slices). */
+  private val isinstanceNarrow: Regex =
+    """isinstance\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\)""".r
+
+  /** `c = copy.copy(x)` / `c = (copy.)deepcopy(x)` — the stdlib copy
+    * functions preserve their argument's type (C3 slice 39: jedi's
+    * typeshed overloads return T for copy[T]). */
+  private val copyAssign: Regex =
+    """^\s*([A-Za-z_]\w*)\s*=\s*((?:copy\s*\.\s*)?(?:deepcopy|copy))\s*\(\s*([A-Za-z_]\w*)\s*\)\s*$""".r
+
+  /** `f = (functools.)partial(Cls, ...)` — calling the partial
+    * constructs Cls (C3 slice 40: jedi resolves partial's return to the
+    * bound callable), so f joins the slice-32 class-alias namespace. */
+  private val partialAssign: Regex =
+    """^\s*([A-Za-z_]\w*)\s*=\s*((?:functools\s*\.\s*)?partial)\s*\(\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*[,)]""".r
+
+  /** `y = x if … else None` — a self-conditional on a typed name binds
+    * the non-None arm's type (C3 slice 41, the bare-name analogue of
+    * slice 21's Optional reading). */
+  private val ternaryNameAssign: Regex =
+    """^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s+if\s+.+\s+else\s+None\s*$""".r
+
   /** `return name` — a bare-name return (a typed local, or `self`). */
   private val returnName: Regex =
     """^\s*return\s+([A-Za-z_]\w*)\s*$""".r
@@ -1498,6 +1523,22 @@ object PyIndexer {
         // the PEP8 capitalized-class convention for imported names (a
         // local name only binds if it IS a known class).
         curCallable.foreach { fn =>
+          // slice 39: stdlib copy functions preserve the argument's type
+          copyAssign.findFirstMatchIn(line).foreach { m =>
+            resolveCallee(m.group(2).replaceAll("\\s+", "")) match {
+              case Some("copy.copy") | Some("copy.deepcopy") =>
+                fn.locals.get(m.group(3))
+                  .foreach(t => fn.locals(m.group(1)) = t)
+              case _ => ()
+            }
+          }
+          // slice 40: a partial over a class is a class alias
+          partialAssign.findFirstMatchIn(line).foreach { m =>
+            if (resolveCallee(m.group(2).replaceAll("\\s+", ""))
+                .contains("functools.partial"))
+              classishType(m.group(3))
+                .foreach(t => fn.classAliases(m.group(1)) = t)
+          }
           // binding priority: constructor RHS > callee's `-> Type` >
           // explicit annotation on the target
           instanceAssign.findFirstMatchIn(line) match {
@@ -1591,6 +1632,22 @@ object PyIndexer {
                     classishType(m.group(1))
                       .foreach(t => fn.locals(m.group(2)) = t)
                   }
+                  // slice 38: isinstance guards narrow the tested name
+                  val trimmed = line.trim
+                  if (trimmed.startsWith("if ") ||
+                      trimmed.startsWith("elif ") ||
+                      trimmed.startsWith("while ") ||
+                      trimmed.startsWith("assert "))
+                    isinstanceNarrow.findAllMatchIn(line).foreach { m =>
+                      classishType(m.group(2))
+                        .foreach(t => fn.locals(m.group(1)) = t)
+                    }
+                  // slice 41: `y = x if … else None` flows x's type
+                  ternaryNameAssign.findFirstMatchIn(line)
+                    .foreach { m =>
+                      fn.locals.get(m.group(2))
+                        .foreach(t => fn.locals(m.group(1)) = t)
+                    }
                   // attribute READ (`c = x.conn` / `c = self.db.conn`):
                   // binds only when EVERY step of the chain is a typed
                   // field — a partially-typed path must not leave c bound

@@ -1058,6 +1058,62 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("mc.default_anno_wins", "mc.Helper.ping")))
   }
 
+  test("C3 slices 38-41: isinstance narrowing, copy, partial, self-ternary") {
+    val src =
+      """import copy
+        |import functools
+        |
+        |class Helper:
+        |    def ping(self):
+        |        return 1
+        |
+        |def narrow(x):
+        |    if isinstance(x, Helper):
+        |        x.ping()
+        |
+        |def narrow_assert(x):
+        |    assert isinstance(x, Helper)
+        |    return x.ping()
+        |
+        |def no_narrow(x):
+        |    flag = isinstance(x, Helper)
+        |    return x.whatever()
+        |
+        |def deep(h: Helper):
+        |    c = copy.deepcopy(h)
+        |    return c.ping()
+        |
+        |def notcopy(h: Helper):
+        |    c = other.deepcopy(h)
+        |    return c.mystery()
+        |
+        |def part():
+        |    f = functools.partial(Helper)
+        |    m = f()
+        |    return m.ping()
+        |
+        |def ternary_not(x: Helper):
+        |    y = x if x else None
+        |    return y.ping()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "nc.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // slice 38: guard-position isinstance narrows; a VALUE-position
+    // isinstance must not
+    assert(calls.contains(("nc.narrow", "nc.Helper.ping")))
+    assert(calls.contains(("nc.narrow_assert", "nc.Helper.ping")))
+    assert(!calls.exists(_._2.endsWith("whatever")))
+    // slice 39: only the real stdlib copy functions flow the type
+    assert(calls.contains(("nc.deep", "nc.Helper.ping")))
+    assert(!calls.exists(_._2.endsWith("mystery")))
+    // slice 40: the partial constructs and types like a class alias
+    assert(calls.contains(("nc.part", "nc.Helper")))
+    assert(calls.contains(("nc.part", "nc.Helper.ping")))
+    // slice 41: the self-conditional keeps the non-None arm's type
+    assert(calls.contains(("nc.ternary_not", "nc.Helper.ping")))
+  }
+
   test("C3 partial: untyped intermediate steps emit NO half-resolved edges") {
     val src =
       """from lib import Database
