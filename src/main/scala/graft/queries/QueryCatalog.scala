@@ -742,6 +742,52 @@ object QueryCatalog {
       |  'm.' || arg_min(anc, pos) || k || '.' || m AS dst
       |FROM cand GROUP BY k, ck, m""".stripMargin
 
+  /** g_c15_cycles — CIRCULAR-DEPENDENCY detection, the cross-pillar
+    * pipeline every code-graph tool ships: per nation key a synthetic
+    * 4-module package indexes DISTRIBUTEDLY (the C2 per-file fan-out:
+    * [[graft.indexer.PyIndexer.indexFile]] inside a flatMap), its
+    * cross-module call edges (resolved through the C8 import maps)
+    * contract to the MODULE dependency graph, and
+    * [[graft.enrich.Analytics.stronglyConnected]] finds the import
+    * cycles — modules a→b→c→a are planted cyclic, d→a acyclic. The
+    * oracle predicts the component structure in closed form (SCC label
+    * = min member, the q61 convention). */
+  val gC15Cycles: Q = (s, d) => {
+    import s.implicits._
+    val fedges = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("int").as("k")).as[Int]
+      .flatMap { k =>
+        val p = s"pkg$k"
+        def module(m: String, imp: String, callee: String) =
+          (s"$p/$m.py",
+            s"import $p.$imp\n\ndef f$m():\n    return $p.$callee()\n")
+        val files = Seq(
+          module("a", "b", "b.fb"), module("b", "c", "c.fc"),
+          module("c", "a", "a.fa"), module("d", "a", "a.fa"))
+        files.flatMap { case (path, src) =>
+          graft.indexer.PyIndexer.indexFile("c15", path, src).edges
+            .filter(_.relType == graft.model.Rel.Call)
+            .map(e => (e.src, e.dst))
+        }
+      }.toDF("fsrc", "fdst")
+    val modEdges = fedges.select(
+      regexp_replace(col("fsrc"), "\\.[^.]+$", "").as("src"),
+      regexp_replace(col("fdst"), "\\.[^.]+$", "").as("dst"))
+    val scc = graft.enrich.Analytics.stronglyConnected(modEdges)
+    val w = Window.partitionBy("scc")
+    scc.withColumn("in_cycle",
+      (count(lit(1)).over(w) > 1).cast("int"))
+  }
+
+  val gC15CyclesSql: String =
+    """WITH ks AS (SELECT n_nationkey::INT AS k FROM nation),
+      |mods AS (SELECT k, unnest(['a', 'b', 'c', 'd']) AS m FROM ks)
+      |SELECT 'pkg' || k || '.' || m AS v,
+      |  CASE WHEN m IN ('a', 'b', 'c') THEN 'pkg' || k || '.a'
+      |       ELSE 'pkg' || k || '.' || m END AS scc,
+      |  (CASE WHEN m IN ('a', 'b', 'c') THEN 1 ELSE 0 END)::INT AS in_cycle
+      |FROM mods""".stripMargin
+
   /** q60 — KATZ centrality over the containment hierarchy
     * ([[graft.enrich.Analytics.katz]]): 5 unrolled x ← 1 + 0.1·Aᵀx
     * rounds vs the same unrolled-CTE oracle discipline as PageRank. */
@@ -6061,6 +6107,7 @@ object QueryCatalog {
     "g_b11_json" -> gB11Json,
     "g_b11_multi" -> gB11Multi,
     "g_c14_slice" -> gC14Slice,
+    "g_c15_cycles" -> gC15Cycles,
     "q1_agg" -> q1Agg,
     "q2_join_agg" -> q2JoinAgg,
     "q3_window" -> q3Window,
@@ -6282,6 +6329,7 @@ object QueryCatalog {
     "g_b11_json" -> gB11JsonSql,
     "g_b11_multi" -> gB11MultiSql,
     "g_c14_slice" -> gC14SliceSql,
+    "g_c15_cycles" -> gC15CyclesSql,
     "q1_agg" -> q1AggSql,
     "q2_join_agg" -> q2JoinAggSql,
     "q3_window" -> q3WindowSql,
