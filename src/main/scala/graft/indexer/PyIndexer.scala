@@ -554,6 +554,29 @@ object PyIndexer {
   private val ternaryNameAssign: Regex =
     """^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s+if\s+.+\s+else\s+None\s*$""".r
 
+  /** `for i, h in enumerate(xs):` — the SECOND target iterates xs's
+    * elements (C3 slice 42; the index stays unbound). */
+  private val forInEnumerate: Regex =
+    """^\s*for\s+([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s+in\s+enumerate\(\s*([A-Za-z_]\w*)\s*\)\s*:\s*$""".r
+
+  /** `for a, b in zip(xs, ys):` — each target takes its own side's
+    * element type (slice 42). */
+  private val forInZip: Regex =
+    """^\s*for\s+([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s+in\s+zip\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)\s*:\s*$""".r
+
+  /** `for h in sorted(xs):` (reversed/list/tuple/set) — order/container
+    * wrappers pass the element type through (slice 42: typeshed's
+    * Iterable[T] → T signatures). */
+  private val forInPassthrough: Regex =
+    """^\s*for\s+([A-Za-z_]\w*)\s+in\s+(?:sorted|reversed|list|tuple|set)\(\s*([A-Za-z_]\w*)\s*\)\s*:\s*$""".r
+
+  /** `hs = [h for h in src]` / `[h for h in gen()]` — an IDENTITY
+    * comprehension carries the source's element (or a generator's
+    * yield) type onto the target's element binding (C3 slice 43). */
+  private val compIdentAssign: Regex =
+    ("""^\s*([A-Za-z_]\w*)\s*=\s*\[\s*([A-Za-z_]\w*)\s+for\s+([A-Za-z_]\w*)""" +
+      """\s+in\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*(\([^()]*\))?\s*\]\s*$""").r
+
   /** `return name` — a bare-name return (a typed local, or `self`). */
   private val returnName: Regex =
     """^\s*return\s+([A-Za-z_]\w*)\s*$""".r
@@ -1554,6 +1577,11 @@ object PyIndexer {
                     // slice 32: `m = mk()` through a class alias binds
                     // the aliased class, same as a direct constructor
                     .orElse(fn.classAliases.get(m.group(2)))
+                    // slice 44: `h = f()` on a typed INSTANCE resolves
+                    // through its class's __call__ (MRO'd, declared or
+                    // inferred return — jedi's callable-object protocol)
+                    .orElse(fn.locals.get(m.group(2))
+                      .flatMap(t => methodReturn(t, "__call__")))
                     .orElse(castTarget(rawLines(i), m.group(2), m.end))
                     .orElse(returnTypeTarget(m.group(2)))
                     .orElse(attrCallHead(m.group(2),
@@ -1767,6 +1795,28 @@ object PyIndexer {
               .filter(!_.group(2).endsWith(".values"))
               .foreach(m => yieldTypeTarget(m.group(2))
                 .foreach(t => fn.locals(m.group(1)) = t))
+            // slice 42: enumerate/zip/order-wrapper iteration
+            forInEnumerate.findFirstMatchIn(line).foreach(m =>
+              fn.elemLocals.get(m.group(3))
+                .foreach(t => fn.locals(m.group(2)) = t))
+            forInZip.findFirstMatchIn(line).foreach { m =>
+              fn.elemLocals.get(m.group(3))
+                .foreach(t => fn.locals(m.group(1)) = t)
+              fn.elemLocals.get(m.group(4))
+                .foreach(t => fn.locals(m.group(2)) = t)
+            }
+            forInPassthrough.findFirstMatchIn(line).foreach(m =>
+              fn.elemLocals.get(m.group(2))
+                .foreach(t => fn.locals(m.group(1)) = t))
+            // slice 43: identity comprehensions carry the element type
+            compIdentAssign.findFirstMatchIn(line)
+              .filter(m => m.group(2) == m.group(3))
+              .foreach { m =>
+                val srcType =
+                  if (m.group(5) == null) fn.elemLocals.get(m.group(4))
+                  else yieldTypeTarget(m.group(4))
+                srcType.foreach(t => fn.elemLocals(m.group(1)) = t)
+              }
             subscriptRead.findFirstMatchIn(line).foreach(m =>
               fn.elemLocals.get(m.group(2))
                 .orElse(fn.valueLocals.get(m.group(2)))

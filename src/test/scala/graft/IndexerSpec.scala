@@ -1114,6 +1114,68 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("nc.ternary_not", "nc.Helper.ping")))
   }
 
+  test("C3 slices 42-44: wrapper iteration, identity comps, __call__") {
+    val src =
+      """class Helper:
+        |    def ping(self):
+        |        return 1
+        |
+        |def gen():
+        |    yield Helper()
+        |
+        |def comp():
+        |    hs = [h for h in gen()]
+        |    return hs[0].ping()
+        |
+        |def comp_name(xs: list[Helper]):
+        |    ys = [x for x in xs]
+        |    return ys[0].ping()
+        |
+        |def comp_not_ident(xs: list[Helper]):
+        |    ns = [x.unknowable for x in xs]
+        |    return ns[0].mystery()
+        |
+        |def enum_for(xs: list[Helper]):
+        |    for i, h in enumerate(xs):
+        |        h.ping()
+        |        i.nothing()
+        |
+        |def zip_for(xs: list[Helper], ys: list[Helper]):
+        |    for a, b in zip(xs, ys):
+        |        a.ping()
+        |        b.ping()
+        |
+        |def sorted_list(xs: list[Helper]):
+        |    for h in sorted(xs):
+        |        h.ping()
+        |
+        |class Factory:
+        |    def __call__(self):
+        |        return Helper()
+        |
+        |def calls():
+        |    f = Factory()
+        |    h = f()
+        |    return h.ping()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "wi.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // slice 42: enumerate's SECOND target, both zip sides, and order
+    // wrappers pass the element type; the enumerate index binds nothing
+    assert(calls.contains(("wi.enum_for", "wi.Helper.ping")))
+    assert(!calls.exists(_._2.endsWith("nothing")))
+    assert(calls.contains(("wi.zip_for", "wi.Helper.ping")))
+    assert(calls.contains(("wi.sorted_list", "wi.Helper.ping")))
+    // slice 43: identity comps over a generator call and an elem-typed
+    // name; a non-identity element binds nothing
+    assert(calls.contains(("wi.comp", "wi.Helper.ping")))
+    assert(calls.contains(("wi.comp_name", "wi.Helper.ping")))
+    assert(!calls.exists(_._2.endsWith("mystery")))
+    // slice 44: calling a typed instance resolves through __call__
+    assert(calls.contains(("wi.calls", "wi.Helper.ping")))
+  }
+
   test("C3 partial: untyped intermediate steps emit NO half-resolved edges") {
     val src =
       """from lib import Database
