@@ -281,7 +281,8 @@ object Analytics {
     x.select(col("v"), round(col("x"), 6).as("katz"))
   }
 
-  def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+      warmStart: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     // static per-edge state (dst, out-degree share denominator) joined ONCE
     // and checkpointed hash-partitioned on the iteration join key — each
@@ -292,7 +293,16 @@ object Analytics {
       .union(e.select(col("dst").as("v"))).distinct()
       .repartition(col("v")).localCheckpoint(eager = true)
     val n = verts.count().toDouble
-    var pr = verts.withColumn("pr", round(lit(1.0 / n), 10))
+    // warm start (the incremental path): previous ranks seed where
+    // present, new/unknown vertices at the uniform 1/n — one shared
+    // iteration body so the two paths can never desynchronize
+    var pr = warmStart match {
+      case Some(prev) =>
+        verts.join(prev.select(col("v"), col("pagerank")), Seq("v"), "left")
+          .select(col("v"),
+            round(coalesce(col("pagerank"), lit(1.0 / n)), 10).as("pr"))
+      case None => verts.withColumn("pr", round(lit(1.0 / n), 10))
+    }
     for (i <- 1 to iterations) {
       val contrib = e2.join(pr.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
@@ -322,28 +332,8 @@ object Analytics {
     * round-10 discipline as [[pageRank]], so the oracle replays the
     * previous ranks AND the warm rounds bit-identically. */
   def pageRankIncremental(edges: DataFrame, prev: DataFrame,
-      iterations: Int = 2): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    val e2 = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("cnt")), "src")
-      .repartition(col("src")).localCheckpoint(eager = true)
-    val verts = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
-      .repartition(col("v")).localCheckpoint(eager = true)
-    val n = verts.count().toDouble
-    var pr = verts.join(prev.select(col("v"), col("pagerank")), Seq("v"), "left")
-      .select(col("v"),
-        round(coalesce(col("pagerank"), lit(1.0 / n)), 10).as("pr"))
-    for (_ <- 1 to iterations) {
-      val contrib = e2.join(pr.withColumnRenamed("v", "src"), "src")
-        .groupBy(col("dst").as("v"))
-        .agg(round(sum(col("pr") / col("cnt")), 10).as("s"))
-      pr = verts.join(contrib, Seq("v"), "left")
-        .select(col("v"),
-          round(lit(0.15 / n) + lit(0.85) * coalesce(col("s"), lit(0.0)), 10)
-            .as("pr"))
-    }
-    pr.select(col("v"), round(col("pr"), 6).as("pagerank"))
-  }
+      iterations: Int = 2): DataFrame =
+    pageRank(edges, iterations, warmStart = Some(prev))
 
   /** The 100-TB-cluster path for PageRank: GraphX aggregateMessages with
     * the SAME math as [[pageRank]] — uniform 1/N init, damping 0.85,
@@ -1835,7 +1825,10 @@ object Analytics {
     * set + an equi-join back and two anti-joins — every step keyed, no
     * all-pairs, frontier shrinks geometrically; localCheckpoint per
     * round keeps the plan flat. */
-  def maximalMatching(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def maximalMatching(edges: DataFrame, maxRounds: Int = 15): DataFrame = {
+    // the default matches the q65 oracle's 15-round unroll exactly: a
+    // graph needing more rounds fails the require below LOUDLY instead
+    // of silently returning matches the oracle never unions
     val P = 2147483647L
     val spark = edges.sparkSession
     var rem = edges.select(col("src"), col("dst"))

@@ -1379,17 +1379,25 @@ object PyIndexer {
             // slice 37: an unannotated param with a CONSTRUCTOR default
             // (`def f(h=Helper()):`) types from the default — an
             // explicit annotation (already bound above) wins
-            paramCtorDefault.findAllMatchIn(parenSpan(headerText))
-              .foreach { m =>
-                val anno = m.group(2)
-                val classish = topClasses.contains(anno) ||
-                  anno.split("\\.").last.headOption.exists(_.isUpper)
-                if (!fnScope.locals.contains(m.group(1)) &&
-                    !fnScope.elemLocals.contains(m.group(1)) &&
-                    !fnScope.valueLocals.contains(m.group(1)) &&
-                    !keywords.contains(anno) && classish)
-                  resolveCallee(anno).foreach(t =>
-                    fnScope.locals(m.group(1)) = t)
+            // matched per TOP-LEVEL parameter piece, not over the raw
+            // span: a keyword argument of a nested default call
+            // (`def f(t=compute(retries=Backoff())):`) must not bind
+            // `retries` as a typed local
+            splitTopLevel(parenSpan(headerText)).map(_.trim)
+              .foreach { piece =>
+                paramCtorDefault.findFirstMatchIn(piece)
+                  .filter(_.start == 0)
+                  .foreach { m =>
+                    val anno = m.group(2)
+                    val classish = topClasses.contains(anno) ||
+                      anno.split("\\.").last.headOption.exists(_.isUpper)
+                    if (!fnScope.locals.contains(m.group(1)) &&
+                        !fnScope.elemLocals.contains(m.group(1)) &&
+                        !fnScope.valueLocals.contains(m.group(1)) &&
+                        !keywords.contains(anno) && classish)
+                      resolveCallee(anno).foreach(t =>
+                        fnScope.locals(m.group(1)) = t)
+                  }
               }
             // A9/srctrl LOCAL symbols: every parameter (incl. self) is a
             // function-local — the reference records one local-symbol row

@@ -518,7 +518,12 @@ object Multimodal {
     val banded = hashed.select(col("doc_id"), col("h"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            (shiftrightunsigned(col("h"), b * 16) % 65536L).as("key"))): _*))
+            // mask, don't mod: band 0's shift is 0 and a signed % on a
+            // negative hash (bit 63 set) would key low-16-equal hashes
+            // of mixed sign into DIFFERENT buckets — losing pairs the
+            // all-pairs oracle keeps
+            shiftrightunsigned(col("h"), b * 16)
+              .bitwiseAND(lit(0xffffL)).as("key"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("h"), col("bk.band"), col("bk.key"))
     val ok = banded.groupBy("band", "key").agg(count(lit(1)).as("bc"))

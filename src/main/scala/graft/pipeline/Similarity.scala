@@ -201,15 +201,8 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = centroidSeeds(emb, nlist)
-    // cell assignment: nearest centroid by cosine (ties -> lowest cid)
-    val byCell = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        cosine(col("embedding"), col("cv")).as("csim"))
-      .withColumn("crank", row_number().over(byCell))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    // cell assignment: the shared quantizer spine
+    val assigned = assignCells(emb, nlist)
     // query cells: nprobe nearest centroids per query vector
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -523,19 +516,8 @@ object Similarity {
     */
   def semDedup(emb: DataFrame, tau: Double, nlist: Int = 16,
       maxCell: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = centroidSeeds(emb, nlist)
-    val byCell = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        cosine(col("embedding"), col("cv")).as("csim"))
-      .withColumn("crank", row_number().over(byCell))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
-    val ok = assigned.groupBy("cid").agg(count(lit(1)).as("cc"))
-      .filter(col("cc") >= 2 && col("cc") <= maxCell)
-    val inCell = assigned.join(ok.select("cid"), Seq("cid"))
+    val assigned = assignCells(emb, nlist)
+    val inCell = cellMembers(emb, nlist, maxCell)
     // duplicate ids: the HIGHER member of every over-threshold pair —
     // a vector is dropped if ANY lower id in its cell is tau-close,
     // regardless of whether that lower id is itself dropped (the
@@ -567,21 +549,29 @@ object Similarity {
     * both bounded by the quantizer, the IVF discipline. Determinism:
     * round-4 sims + vec_id tie-breaks make the graph retry-stable and
     * oracle-replayable. */
-  /** IVF cell members (vec_id, embedding, cid) restricted to healthy
-    * cells (2..maxCell) — the shared assignment spine of [[knnGraph]]
-    * and [[graphAnnTopK]]'s per-cell entry points. */
-  private[pipeline] def cellMembers(emb: DataFrame, nlist: Int,
-      maxCell: Int): DataFrame = {
+  /** IVF cell assignment (vec_id, embedding, cid): nearest centroid by
+    * rounded cosine, ties to the lowest cid — THE shared quantizer
+    * spine of [[ivfTopK]], [[semDedup]], [[knnGraph]] and
+    * [[graphAnnTopK]]; a tie-break or rounding change here is the only
+    * place it can happen, so the gates can't diverge from each other. */
+  private[pipeline] def assignCells(emb: DataFrame, nlist: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = centroidSeeds(emb, nlist)
     val byCell = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         cosine(col("embedding"), col("cv")).as("csim"))
       .withColumn("crank", row_number().over(byCell))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** [[assignCells]] restricted to healthy cells (2..maxCell) — the
+    * pairwise consumers' hub guard. */
+  private[pipeline] def cellMembers(emb: DataFrame, nlist: Int,
+      maxCell: Int): DataFrame = {
+    val assigned = assignCells(emb, nlist)
     val ok = assigned.groupBy("cid").agg(count(lit(1)).as("cc"))
       .filter(col("cc") >= 2 && col("cc") <= maxCell)
     assigned.join(ok.select("cid"), Seq("cid"))

@@ -155,13 +155,16 @@ object Streams {
     * (a < b) emits exactly when b arrives — the post-sink DISTINCT
     * (a pair can collide in several bands) reproduces the batch pair
     * set row-for-row, which is the gate. State is O(bucket members)
-    * per key, `maxBucket`-capped (the batch hub-cap's streaming
-    * analogue: an over-full bucket stops ACCUMULATING but keeps
-    * screening); estimates round HALF_UP like Spark's round so the
-    * emission matches the batch spelling bit-for-bit. */
+    * per key — UNBOUNDED by default, because the batch twin has no
+    * bucket cap and capping would silently drop pairs between two
+    * post-cap arrivals (breaking stream ≡ batch); pass `maxBucket` as
+    * an explicit production bound when that trade is wanted (an
+    * over-full bucket then stops accumulating but keeps screening).
+    * Estimates round HALF_UP like Spark's round so the emission
+    * matches the batch spelling bit-for-bit. */
   def streamingNearDup(docs: DataFrame, k: Int, numHashes: Int,
       bands: Int, threshold: Double,
-      maxBucket: Int = 4096): Dataset[NearDupOut] = {
+      maxBucket: Int = Int.MaxValue): Dataset[NearDupOut] = {
     import docs.sparkSession.implicits._
     require(numHashes % bands == 0)
     val rows = numHashes / bands

@@ -298,6 +298,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(4L) === None)
   }
 
+  test("phashNearDup: band keys mask, not mod — mixed-sign hashes pair") {
+    // build a grid realizing an exact dHash bit pattern: each row walks
+    // ±1 from 100 so comparison c of row r is exactly bit r*8+c
+    def gridOf(hash: Long): Array[Byte] = {
+      val g = new Array[Byte](72)
+      for (r <- 0 until 8) {
+        var p = 100
+        g(r * 9) = p.toByte
+        for (c <- 0 until 8) {
+          p = if (((hash >>> (r * 8 + c)) & 1L) == 1L) p + 1 else p - 1
+          g(r * 9 + c + 1) = p.toByte
+        }
+      }
+      g
+    }
+    // A has bit 63 set (negative hash); B positive; they differ in bits
+    // 63/47/31 (one per band 1-3) and agree on the low 16 — so band 0
+    // is the ONLY collision chance, and a signed % key (the fixed bug)
+    // would put them in different buckets and lose the Hamming-3 pair
+    val a = 0x8000800080000005L
+    val b = 0x0000000000000005L
+    assert(org.apache.spark.sql.graft.DHash64.hash(gridOf(a)) === a)
+    assert(org.apache.spark.sql.graft.DHash64.hash(gridOf(b)) === b)
+    val out = Multimodal.phashNearDup(
+      Seq((1L, gridOf(a)), (2L, gridOf(b))).toDF("doc_id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, 2L, 3)))
+  }
+
   test("phashNearDup: planted pair found, perturbed grid within Hamming 3") {
     def grid(seed: Long) =
       Array.tabulate(72)(n => ((seed * 1000003L + n * 2654435761L) % 251).toByte)
