@@ -1739,6 +1739,41 @@ object QueryCatalog {
       |  row_number() OVER (ORDER BY (k + 1) * st, lang, k)::BIGINT AS pos
       |FROM k""".stripMargin
 
+  /** p_checks — declarative data-quality gate
+    * ([[graft.pipeline.Checks.qualityChecks]]): 8 rules over documents
+    * and events in one wide aggregate per table; the corpus is built to
+    * decide both ways (uniqueness/completeness/consistency pass,
+    * min-length/value-range/type-set fail). */
+  val pChecks: Q = (s, d) =>
+    graft.pipeline.Checks.qualityChecks(Tables.documents(s, d),
+      Tables.events(s, d))
+
+  val pChecksSql: String =
+    """WITH d AS (SELECT count(*)::BIGINT AS n,
+      |    count(DISTINCT doc_id)::BIGINT AS ids,
+      |    sum(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 1 ELSE 0 END)::BIGINT AS complete,
+      |    sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)::BIGINT AS consistent,
+      |    sum(CASE WHEN lang IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END)::BIGINT AS langok,
+      |    sum(CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END)::BIGINT AS len100
+      |  FROM documents),
+      |e AS (SELECT count(*)::BIGINT AS n,
+      |    count(DISTINCT event_id)::BIGINT AS ids,
+      |    sum(CASE WHEN value >= 0 AND value <= 100 THEN 1 ELSE 0 END)::BIGINT AS vrange,
+      |    sum(CASE WHEN event_type IN ('view','click','signup','purchase') THEN 1 ELSE 0 END)::BIGINT AS typeok
+      |  FROM events),
+      |rows AS (
+      |  SELECT 'documents' AS tbl, 'doc_id_unique' AS check_name, ids AS ok, n FROM d
+      |  UNION ALL SELECT 'documents', 'text_complete', complete, n FROM d
+      |  UNION ALL SELECT 'documents', 'n_chars_consistent', consistent, n FROM d
+      |  UNION ALL SELECT 'documents', 'lang_accepted', langok, n FROM d
+      |  UNION ALL SELECT 'documents', 'text_min_len_100', len100, n FROM d
+      |  UNION ALL SELECT 'events', 'event_id_unique', ids, n FROM e
+      |  UNION ALL SELECT 'events', 'value_in_range', vrange, n FROM e
+      |  UNION ALL SELECT 'events', 'type_accepted', typeok, n FROM e)
+      |SELECT tbl, check_name, ((1000000 * ok) // n)::BIGINT AS metric_ppm,
+      |  (CASE WHEN ok = n THEN 1 ELSE 0 END)::INT AS passed
+      |FROM rows""".stripMargin
+
   /** t_luhn — checksum-validated card PII
     * ([[graft.pipeline.Corpus.piiCards]]). Card-shaped numbers are
     * synthesized IN-PLAN with a computed Luhn CHECK DIGIT, so the
@@ -6239,6 +6274,7 @@ object QueryCatalog {
     "p_pack_split" -> pPackSplit,
     "p_split_assign" -> pSplitAssign,
     "p_interleave" -> pInterleave,
+    "p_checks" -> pChecks,
     "d_priority_dedup" -> dPriorityDedup,
     "g_b10_cypher" -> gB10Cypher,
     "g_b10_write" -> gB10Write,
@@ -6461,6 +6497,7 @@ object QueryCatalog {
     "p_pack_split" -> pPackSplitSql,
     "p_split_assign" -> pSplitAssignSql,
     "p_interleave" -> pInterleaveSql,
+    "p_checks" -> pChecksSql,
     "d_priority_dedup" -> dPriorityDedupSql,
     "g_b10_cypher" -> gB10CypherSql,
     "g_b10_union" -> gB10UnionSql,

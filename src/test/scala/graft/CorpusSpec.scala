@@ -620,4 +620,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(keepOf("the and have with that 123 456 word more here") === 1)
     assert(keepOf("the and have with that 123 456 789 more here") === 0)
   }
+
+  test("qualityChecks: per-rule ppm metrics and exact pass/fail verdicts") {
+    import graft.pipeline.Checks
+    // 4 docs: one duplicate id, one empty text, one n_chars mismatch,
+    // one off-list lang, one short text — every doc rule decides both ways
+    val docs = Seq(
+      (1L, "x" * 100, 100, "en"),
+      (1L, "y" * 100, 100, "de"),   // dup id
+      (2L, "", 0, "en"),            // empty text (completeness fail)
+      (3L, "z" * 50, 99, "xx")      // short + n_chars wrong + bad lang
+    ).toDF("doc_id", "text", "n_chars", "lang")
+    val events = Seq(
+      (10L, 5.0, "view"),
+      (11L, 250.0, "click"),        // value out of range
+      (12L, 50.0, "scroll")         // off-list type
+    ).toDF("event_id", "value", "event_type")
+    val out = Checks.qualityChecks(docs, events)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    assert(out(("documents", "doc_id_unique")) === ((750000L, 0)))   // 3/4
+    assert(out(("documents", "text_complete")) === ((750000L, 0)))   // 3/4
+    assert(out(("documents", "n_chars_consistent")) === ((750000L, 0)))
+    assert(out(("documents", "lang_accepted")) === ((750000L, 0)))
+    assert(out(("documents", "text_min_len_100")) === ((500000L, 0)))// 2/4
+    assert(out(("events", "event_id_unique")) === ((1000000L, 1)))
+    assert(out(("events", "value_in_range")) === ((666666L, 0)))     // 2/3
+    assert(out(("events", "type_accepted")) === ((666666L, 0)))
+    assert(out.size === 8)
+  }
 }
