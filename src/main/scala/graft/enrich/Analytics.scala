@@ -1866,6 +1866,67 @@ object Analytics {
     matched
   }
 
+  /** Deterministic greedy MAXIMAL INDEPENDENT SET (Luby 1986, the
+    * rootfinding/symmetry-breaking primitive behind coloring, coarsening
+    * and landmark selection): per round a vertex joins the MIS iff its
+    * priority key is strictly smaller than EVERY remaining neighbor's
+    * key; MIS vertices and their whole neighborhoods drop, and the loop
+    * repeats until no vertices remain. The key is the (scrambled-hash,
+    * id) tuple — ties impossible, so the result is deterministic
+    * (≡ sequential greedy in priority order), engine-portable, and the
+    * round count is O(log n) in expectation under the pseudo-random h.
+    *
+    * Shape per round: one neighbor-min groupBy over the remaining edge
+    * set + a left join back, one neighborhood expansion keyed on the
+    * (geometrically shrinking) winner set, two semi-joins to trim the
+    * edge frontier — every step keyed, no all-pairs; localCheckpoint
+    * keeps plans flat. Isolated remainders (null neighbor-min) join
+    * unconditionally, guaranteeing termination. */
+  def maximalIndependentSet(edges: DataFrame, maxRounds: Int = 15)
+      : DataFrame = {
+    // 15 matches the q67 oracle's unroll: a graph needing more rounds
+    // fails the require below loudly rather than under-returning
+    val P = 2147483647L
+    val spark = edges.sparkSession
+    val dir = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    var und = dir.unionByName(
+        dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(eager = true)
+    var verts = und.select(col("src").as("v")).distinct()
+      .withColumn("h",
+        ((col("v") * 999983L + 2654435761L) % 1000003L) *
+          ((col("v") * 999983L + 2654435761L) % 1000003L) % P)
+      .localCheckpoint(eager = true)
+    var mis = spark.range(0).select(col("id").as("v"))
+    var round = 0
+    var n = verts.count()
+    while (n > 0 && round < maxRounds) {
+      val k = struct(col("h"), col("v"))
+      val nbrMin = und
+        .join(verts.select(col("v").as("src"), k.as("k")), "src")
+        .groupBy(col("dst").as("v")).agg(min(col("k")).as("nk"))
+      val win = verts.join(nbrMin, Seq("v"), "left")
+        .filter(col("nk").isNull || k < col("nk"))
+        .select("v").localCheckpoint(eager = true)
+      mis = mis.unionByName(win).localCheckpoint(eager = true)
+      val drop = win.unionByName(
+        und.join(win.select(col("v").as("src")), "src")
+          .select(col("dst").as("v"))).distinct()
+      verts = verts.join(drop, Seq("v"), "left_anti")
+        .localCheckpoint(eager = true)
+      und = und
+        .join(verts.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(verts.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).localCheckpoint(eager = true)
+      n = verts.count()
+      round += 1
+    }
+    require(n == 0, s"maximalIndependentSet: $n vertices left after " +
+      s"$maxRounds rounds")
+    mis
+  }
+
   /** Deterministic random walks — the DeepWalk/node2vec corpus
     * generator (Perozzi et al. 2014; Grover & Leskovec 2016): `walks`
     * walks of `steps` steps from every vertex of an undirected BIGINT

@@ -3429,6 +3429,41 @@ object QueryCatalog {
        |${(1 to 15).map(matchRoundSql).mkString(",\n")}
        |${(1 to 15).map(i => s"SELECT src, dst FROM m$i").mkString("\nUNION ALL ")}""".stripMargin
 
+  /** q67 — deterministic maximal independent set on the co-purchase
+    * graph ([[graft.enrich.Analytics.maximalIndependentSet]], Luby
+    * priorities): per round a vertex wins iff its (hash, id) key beats
+    * every remaining neighbor's; winners + neighborhoods drop. The
+    * oracle unrolls 15 rounds (converged rounds no-op). */
+  val q67Mis: Q = (s, d) =>
+    graft.enrich.Analytics.maximalIndependentSet(coPurchaseEdges(s, d))
+
+  private def misRoundSql(i: Int): String =
+    s"""nk$i AS MATERIALIZED (SELECT u.dst AS v, min((k.h, k.v)) AS nk
+       |  FROM u${i - 1} u JOIN v${i - 1} k ON k.v = u.src GROUP BY u.dst),
+       |w$i AS MATERIALIZED (SELECT k.v FROM v${i - 1} k
+       |  LEFT JOIN nk$i n ON n.v = k.v
+       |  WHERE n.v IS NULL OR (k.h, k.v) < n.nk),
+       |d$i AS MATERIALIZED (SELECT v FROM w$i
+       |  UNION SELECT u.dst FROM u${i - 1} u JOIN w$i w ON u.src = w.v),
+       |v$i AS MATERIALIZED (SELECT k.* FROM v${i - 1} k
+       |  ANTI JOIN d$i d ON k.v = d.v),
+       |u$i AS MATERIALIZED (SELECT u.* FROM u${i - 1} u
+       |  JOIN v$i a ON a.v = u.src JOIN v$i b ON b.v = u.dst)""".stripMargin
+
+  lazy val q67MisSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |u0 AS MATERIALIZED (SELECT a::BIGINT AS src, b::BIGINT AS dst FROM e
+       |      UNION SELECT b::BIGINT, a::BIGINT FROM e),
+       |v0 AS MATERIALIZED (SELECT v,
+       |    ((v * 999983 + 2654435761) % 1000003)
+       |      * ((v * 999983 + 2654435761) % 1000003) % 2147483647 AS h
+       |  FROM (SELECT DISTINCT src AS v FROM u0)),
+       |${(1 to 15).map(misRoundSql).mkString(",\n")}
+       |${(1 to 15).map(i => s"SELECT v FROM w$i").mkString("\nUNION ALL ")}""".stripMargin
+
   /** q55 — per-EDGE triangle support on the co-purchase graph
     * ([[graft.enrich.Analytics.edgeSupport]]): the k-truss building
     * block. Same oriented-wedge kernel as q24; the oracle explodes the
@@ -6160,6 +6195,7 @@ object QueryCatalog {
     "q63_topo" -> q63Topo,
     "q64_walks" -> q64Walks,
     "q65_matching" -> q65Matching,
+    "q67_mis" -> q67Mis,
     "q60_katz_gx" -> q60KatzGx,
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
@@ -6383,6 +6419,7 @@ object QueryCatalog {
     "q63_topo" -> q63TopoSql,
     "q64_walks" -> q64WalksSql,
     "q65_matching" -> q65MatchingSql,
+    "q67_mis" -> q67MisSql,
     "q60_katz_gx" -> q60KatzSql,
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,

@@ -506,6 +506,37 @@ class AnalyticsSpec extends AnyFunSuite {
     check(randomEdges)
   }
 
+  test("maximalIndependentSet: independent, maximal, deterministic") {
+    val fixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    def check(edges: org.apache.spark.sql.DataFrame): Unit = {
+      val es = edges.as[(Long, Long)].collect()
+        .filter(p => p._1 != p._2)
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val verts = es.flatMap(e => Seq(e._1, e._2))
+      val mis = Analytics.maximalIndependentSet(edges)
+        .as[Long].collect().toSet
+      // independent: no graph edge has both endpoints in the set
+      assert(es.forall(e => !(mis.contains(e._1) && mis.contains(e._2))))
+      // maximal: every vertex outside the set has a neighbor inside it
+      val nbrs = es.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+      assert((verts -- mis).forall(v => nbrs(v).exists(mis.contains)))
+      // deterministic
+      val mis2 = Analytics.maximalIndependentSet(edges)
+        .as[Long].collect().toSet
+      assert(mis === mis2)
+    }
+    check(fixed)
+    val rnd = new scala.util.Random(13)
+    val randomEdges = (1 to 60)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct.toDF("src", "dst")
+    check(randomEdges)
+  }
+
   test("deterministicWalks: valid edges, full length, replay-stable") {
     // a path 1-2-3-4 plus the triangle 4-5-6
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
