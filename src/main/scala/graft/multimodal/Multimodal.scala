@@ -289,6 +289,95 @@ object Multimodal {
     media.withColumn(outCol, parse(col(payloadCol)))
   }
 
+  final case class ExifMeta(orientation: Option[Int],
+      captured_at: Option[String])
+
+  /** ======= REAL (codec-free) ======= EXIF metadata from a JPEG's APP1
+    * segment: walk the marker chain (skipping APP0/JFIF, XMP and any
+    * other segment) to the APP1 whose payload starts `Exif\0\0`, then
+    * run a TIFF IFD walk over the EMBEDDED tiff block — both byte
+    * orders — extracting Orientation (tag 274, SHORT) and DateTime
+    * (tag 306, 20-byte ASCII, reached through its value OFFSET into the
+    * tiff block). Orientation is the rotate/flip screen an image ingest
+    * applies before any decode; the capture timestamp drives temporal
+    * splits. All offsets are bounds-checked against the APP1 segment
+    * end, so truncated or exif-less JPEGs degrade to nulls — the
+    * m_corrupt discipline. JVM UDF for the [[withHeaderMeta]] reason:
+    * a byte-offset walk has no Column spelling. */
+  def withExifMeta(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "exif_meta"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) =>
+      def u(i: Int) = p(i) & 0xff
+      if (p == null || p.length < 4 || u(0) != 0xff || u(1) != 0xd8)
+        ExifMeta(None, None)
+      else {
+        // marker walk to the Exif APP1 (same chain discipline as the
+        // SOFn walk in withHeaderMeta)
+        var i = 2
+        var tiff = -1
+        var tiffEnd = -1
+        var done = false
+        while (!done && i + 3 < p.length && u(i) == 0xff) {
+          val m = u(i + 1)
+          if (m == 0xff) i += 1
+          else if (m == 0x01 || m == 0xd9 || (m >= 0xd0 && m <= 0xd7)) {
+            if (m == 0xd9) done = true else i += 2
+          } else {
+            val len = (u(i + 2) << 8) | u(i + 3)
+            if (m == 0xe1 && len >= 16 && i + 9 < p.length &&
+                u(i + 4) == 'E' && u(i + 5) == 'x' && u(i + 6) == 'i' &&
+                u(i + 7) == 'f' && u(i + 8) == 0 && u(i + 9) == 0) {
+              tiff = i + 10
+              tiffEnd = math.min(p.length, i + 2 + len)
+              done = true
+            } else if (m == 0xda || len < 2) done = true
+            else i += 2 + len
+          }
+        }
+        if (tiff < 0 || tiff + 8 > tiffEnd) ExifMeta(None, None)
+        else {
+          def t(i: Int) = p(tiff + i) & 0xff
+          val isLe = t(0) == 'I' && t(1) == 'I' && t(2) == 0x2a && t(3) == 0
+          val isBe = t(0) == 'M' && t(1) == 'M' && t(2) == 0 && t(3) == 0x2a
+          if (!isLe && !isBe) ExifMeta(None, None)
+          else {
+            def r16(i: Int) =
+              if (isLe) t(i) | (t(i + 1) << 8) else (t(i) << 8) | t(i + 1)
+            def r32(i: Int): Long =
+              if (isLe) t(i).toLong | (t(i + 1).toLong << 8) |
+                (t(i + 2).toLong << 16) | (t(i + 3).toLong << 24)
+              else (t(i).toLong << 24) | (t(i + 1).toLong << 16) |
+                (t(i + 2).toLong << 8) | t(i + 3).toLong
+            val ifd = r32(4)
+            if (ifd < 0 || tiff + ifd + 2 > tiffEnd) ExifMeta(None, None)
+            else {
+              val base = ifd.toInt
+              val n = r16(base)
+              var orient = Option.empty[Int]
+              var dt = Option.empty[String]
+              var e = 0
+              while (e < n && tiff + base + 2 + 12 * (e + 1) <= tiffEnd) {
+                val off = base + 2 + 12 * e
+                val tag = r16(off)
+                val typ = r16(off + 2)
+                val cnt = r32(off + 4)
+                if (tag == 274 && typ == 3) orient = Some(r16(off + 8))
+                else if (tag == 306 && typ == 2 && cnt == 20) {
+                  val vo = r32(off + 8)
+                  if (vo >= 0 && tiff + vo + 20 <= tiffEnd)
+                    dt = Some(new String(p, tiff + vo.toInt, 19, "US-ASCII"))
+                }
+                e += 1
+              }
+              ExifMeta(orient, dt)
+            }
+          }
+        }
+      }
+    }
+    media.withColumn(outCol, parse(col(payloadCol)))
+  }
+
   final case class FlacMeta(format: String, channels: Option[Int],
       sample_rate: Option[Int], bits_per_sample: Option[Int],
       total_samples: Option[Long], duration_ms: Option[Long])

@@ -5437,6 +5437,84 @@ object QueryCatalog {
       |  CASE WHEN doc_id % 7 <> 0 THEN CAST(doc_id % 1080 + 16 AS INTEGER) END AS height
       |FROM documents""".stripMargin
 
+  /** m_exif — EXIF orientation + capture timestamp through the APP1
+    * walk ([[graft.multimodal.Multimodal.withExifMeta]]). Payloads are
+    * real JPEG marker chains built IN-PLAN: APP0/JFIF first (the walk
+    * must skip it), then per doc_id parity a little- or big-endian Exif
+    * APP1 whose embedded TIFF carries Orientation (SHORT, tag 274) and
+    * DateTime (20-byte ASCII at a value OFFSET, tag 306), then SOF0 +
+    * EOI. Every `% 5 == 2` doc has no APP1 (nulls) and every `% 7 == 0`
+    * truncates mid-APP1 (nulls, the m_corrupt discipline). Both tag
+    * values derive arithmetically from doc_id, so the oracle is
+    * closed-form — build vs parse independence. */
+  val mExif: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    def b(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+    def be32(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c.cast("long")), 8, "0"))
+    def be16(c: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(c.cast("long")), 4, "0"))
+    def le32(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c.cast("long")), 8, "0")
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    def le16(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c.cast("long")), 4, "0")
+      unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    val orient = (id % 8 + 1).cast("int")
+    val dt = concat(
+      lpad((id % 26 + 2000).cast("string"), 4, "0"), lit(":"),
+      lpad((id % 12 + 1).cast("string"), 2, "0"), lit(":"),
+      lpad((id % 28 + 1).cast("string"), 2, "0"), lit(" "),
+      lpad((id % 24).cast("string"), 2, "0"), lit(":"),
+      lpad((id * 7 % 60).cast("string"), 2, "0"), lit(":"),
+      lpad((id * 13 % 60).cast("string"), 2, "0"))
+    // TIFF block: header(8) + count(2) + 2×entry(12) + next-IFD(4) = 38,
+    // then the 20-byte ASCII DateTime at offset 38 → 58 bytes total;
+    // APP1 length = 2 (len field) + 6 (Exif\0\0) + 58 = 66
+    val tiffLe = concat(b('I', 'I', 0x2a, 0x00), le32(lit(8)), le16(lit(2)),
+      le16(lit(274)), le16(lit(3)), le32(lit(1)), le16(orient), le16(lit(0)),
+      le16(lit(306)), le16(lit(2)), le32(lit(20)), le32(lit(38)),
+      le32(lit(0)), dt.cast("binary"), b(0))
+    val tiffBe = concat(b('M', 'M', 0x00, 0x2a), be32(lit(8)), be16(lit(2)),
+      be16(lit(274)), be16(lit(3)), be32(lit(1)), be16(orient), be16(lit(0)),
+      be16(lit(306)), be16(lit(2)), be32(lit(20)), be32(lit(38)),
+      be32(lit(0)), dt.cast("binary"), b(0))
+    val app0 = concat(b(0xff, 0xe0), be16(lit(16)),
+      lit("JFIF".getBytes), b(0, 1, 1, 0), be16(lit(1)), be16(lit(1)), b(0, 0))
+    val app1 = concat(b(0xff, 0xe1), be16(lit(66)),
+      lit("Exif".getBytes), b(0, 0),
+      when(id % 2 === 0, tiffLe).otherwise(tiffBe))
+    val sof = concat(b(0xff, 0xc0), be16(lit(11)), b(0x08),
+      be16(lit(32)), be16(lit(32)), b(0xff, 0xd9))
+    val withExif = concat(b(0xff, 0xd8), app0, app1, sof)
+    val plain = concat(b(0xff, 0xd8), app0, sof)
+    val payload = when(id % 7 === 0, substring(withExif, 1, 24))
+      .when(id % 5 === 2, plain).otherwise(withExif)
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload", payload)
+    Multimodal.withExifMeta(media).select(id,
+      col("exif_meta.orientation").as("orientation"),
+      col("exif_meta.captured_at").as("captured_at"))
+  }
+
+  val mExifSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 OR doc_id % 5 = 2 THEN NULL
+      |       ELSE CAST(doc_id % 8 + 1 AS INTEGER) END AS orientation,
+      |  CASE WHEN doc_id % 7 = 0 OR doc_id % 5 = 2 THEN NULL ELSE
+      |    lpad(CAST(doc_id % 26 + 2000 AS VARCHAR), 4, '0') || ':' ||
+      |    lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ' ' ||
+      |    lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST(doc_id * 13 % 60 AS VARCHAR), 2, '0')
+      |  END AS captured_at
+      |FROM documents""".stripMargin
+
   val mHeaders: Q = (s, d) => {
     import graft.multimodal.Multimodal
     val id = col("doc_id")
@@ -6348,6 +6426,7 @@ object QueryCatalog {
     "t_token_vote" -> tTokenVote,
     "m_headers" -> mHeaders,
     "m_tiff" -> mTiff,
+    "m_exif" -> mExif,
     "m_video" -> mVideo,
     "m_corrupt" -> mCorrupt,
     "p_media_mix" -> pMediaMix,
@@ -6572,6 +6651,7 @@ object QueryCatalog {
     "t_token_vote" -> tTokenVoteSql,
     "m_headers" -> mHeadersSql,
     "m_tiff" -> mTiffSql,
+    "m_exif" -> mExifSql,
     "m_video" -> mVideoSql,
     "m_corrupt" -> mCorruptSql,
     "p_media_mix" -> pMediaMixSql,

@@ -142,6 +142,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) === (("jpeg", None, None)))
   }
 
+  test("withExifMeta: APP1 walk past decoys, both byte orders, degrades") {
+    // little-endian TIFF: orientation 6, DateTime "2021:03:04 05:06:07"
+    val dt = "2021:03:04 05:06:07"
+    def le16(v: Int) = Seq(v & 0xff, v >> 8)
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, v >>> 24)
+    def be16(v: Int) = Seq(v >> 8, v & 0xff)
+    def be32(v: Int) = Seq(v >>> 24, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+    val tiffLe = Seq('I'.toInt, 'I'.toInt, 0x2a, 0x00) ++ le32(8) ++ le16(2) ++
+      (le16(274) ++ le16(3) ++ le32(1) ++ le16(6) ++ le16(0)) ++
+      (le16(306) ++ le16(2) ++ le32(20) ++ le32(38)) ++ le32(0) ++
+      dt.getBytes.map(_.toInt) :+ 0
+    val tiffBe = Seq('M'.toInt, 'M'.toInt, 0x00, 0x2a) ++ be32(8) ++ be16(2) ++
+      (be16(274) ++ be16(3) ++ be32(1) ++ be16(6) ++ be16(0)) ++
+      (be16(306) ++ be16(2) ++ be32(20) ++ be32(38)) ++ be32(0) ++
+      dt.getBytes.map(_.toInt) :+ 0
+    // a bad-offset variant: DateTime's value offset points past the block
+    val tiffBad = Seq('I'.toInt, 'I'.toInt, 0x2a, 0x00) ++ le32(8) ++ le16(2) ++
+      (le16(274) ++ le16(3) ++ le32(1) ++ le16(6) ++ le16(0)) ++
+      (le16(306) ++ le16(2) ++ le32(20) ++ le32(9999)) ++ le32(0) ++
+      dt.getBytes.map(_.toInt) :+ 0
+    def app1(tiff: Seq[Int]) =
+      Seq(0xff, 0xe1) ++ be16(2 + 6 + tiff.size) ++
+        "Exif".getBytes.map(_.toInt) ++ Seq(0, 0) ++ tiff
+    // an XMP APP1 (same marker, different payload) the walk must skip
+    val xmp = {
+      val body = "http://ns.adobe.com/xap/1.0/".getBytes.map(_.toInt).toSeq :+ 0
+      Seq(0xff, 0xe1) ++ be16(2 + body.size) ++ body
+    }
+    val app0 = Seq(0xff, 0xe0, 0x00, 0x10) ++ "JFIF".getBytes.map(_.toInt) ++
+      Seq.fill(10)(0)
+    val eoi = Seq(0xff, 0xd9)
+    def jpeg(segs: Seq[Int]*) =
+      (Seq(0xff, 0xd8) ++ segs.flatten ++ eoi).map(_.toByte).toArray
+    val rows = Seq(
+      (1L, jpeg(app0, xmp, app1(tiffLe))),   // LE behind two decoys
+      (2L, jpeg(app1(tiffBe))),              // BE, APP1 first
+      (3L, jpeg(app0)),                      // no exif at all
+      (4L, jpeg(app0, xmp, app1(tiffLe)).take(20)), // truncated mid-walk
+      (5L, jpeg(app1(tiffBad))))             // orientation ok, bad dt offset
+    val out = Multimodal.withExifMeta(rows.toDF("doc_id", "payload"))
+      .select(col("doc_id"), col("exif_meta.orientation"),
+        col("exif_meta.captured_at"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out(1L) === ((Some(6), Some(dt))))
+    assert(out(2L) === ((Some(6), Some(dt))))
+    assert(out(3L) === ((None, None)))
+    assert(out(4L) === ((None, None)))
+    assert(out(5L) === ((Some(6), None)))
+  }
+
   test("withHeaderMeta parses all three WebP bitstream flavors") {
     def riff(chunk: Seq[Int]): Array[Byte] =
       ("RIFF".getBytes.map(_.toInt).toSeq ++ Seq(0, 0, 0, 0) ++
