@@ -69,6 +69,45 @@ object Corpus {
       .select(col("doc_id"), col("term"), col("score"), col("rk"))
   }
 
+  /** Pointwise mutual information of co-occurring word pairs — the
+    * collocation miner (Church & Hanks 1990): for frequent terms a, b,
+    * `pmi = ln(P(a,b) / (P(a)·P(b)))` over document-level co-occurrence.
+    * High-PMI pairs surface multiword expressions and topical couplings;
+    * a corpus-quality audit runs it to spot boilerplate phrase locks.
+    *
+    * Shape: ONE distinct (doc, term) pass; document frequencies gate the
+    * vocabulary to terms in ≥ `minDfPct`% of docs — that bound is the
+    * scale argument, since terms with df ≥ N·q number at most
+    * (avg distinct terms per doc)/q regardless of corpus size, so the
+    * per-doc pair fan-out is bounded and the self-join is never
+    * all-pairs over raw vocabulary. Counts stay exact BIGINTs; the only
+    * float is one ln of an exactly-computed rational, rounded to 4
+    * before the TakeOrdered so ranking is engine-portable. */
+  def pmiPairs(docs: DataFrame, minDfPct: Int = 10, minPairPct: Int = 1,
+      topK: Int = 20): DataFrame = {
+    val tw = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val freq = tw.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 100 >= col("n_docs") * minDfPct)
+      .select("term", "df")
+    val ft = tw.join(broadcast(freq), "term")
+    ft.select(col("doc_id"), col("term").as("t1"), col("df").as("df1"))
+      .join(ft.select(col("doc_id"), col("term").as("t2"),
+        col("df").as("df2")), "doc_id")
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2", "df1", "df2").agg(count(lit(1)).as("n_ab"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("n_ab") * 100 >= col("n_docs") * minPairPct)
+      .select(col("t1"), col("t2"), col("n_ab").cast("long").as("n_ab"),
+        round(log((col("n_ab") * col("n_docs")).cast("double") /
+          (col("df1") * col("df2")).cast("double")), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(topK)
+  }
+
   /** Gopher-style repetition screens per document: the duplicate-word
     * fraction (1 − distinct/total tokens) and the share of bigram
     * occurrences taken by the single most frequent bigram — high values

@@ -1614,6 +1614,29 @@ object QueryCatalog {
        |  round(sum(c*c)::DOUBLE / (sum(c)::DOUBLE * sum(c)::DOUBLE), 6) AS hhi
        |FROM cnt GROUP BY lang""".stripMargin
 
+  /** t_pmi — top collocations by pointwise mutual information
+    * ([[graft.pipeline.Corpus.pmiPairs]]): document-level co-occurrence
+    * over the df ≥ 10% vocabulary, support ≥ 1% of docs, ln of an
+    * exactly-computed rational rounded to 4 before the TakeOrdered. */
+  val tPmi: Q = (s, d) => graft.pipeline.Corpus.pmiPairs(Tables.documents(s, d))
+
+  val tPmiSql: String =
+    s"""WITH tw AS (SELECT DISTINCT doc_id, t.term FROM
+       |    (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+       |     FROM documents) t WHERE t.term <> ''),
+       |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+       |f AS (SELECT term, count(*)::BIGINT AS df FROM tw GROUP BY term
+       |      HAVING count(*) * 100 >= (SELECT n_docs FROM n) * 10),
+       |p AS (SELECT a.term AS t1, b.term AS t2, fa.df AS df1, fb.df AS df2,
+       |        count(*)::BIGINT AS n_ab
+       |      FROM tw a JOIN tw b ON a.doc_id = b.doc_id AND a.term < b.term
+       |      JOIN f fa ON fa.term = a.term JOIN f fb ON fb.term = b.term
+       |      GROUP BY 1, 2, 3, 4)
+       |SELECT t1, t2, n_ab,
+       |  round(ln((n_ab * n_docs)::DOUBLE / (df1 * df2)::DOUBLE), 4) AS pmi
+       |FROM p, n WHERE n_ab * 100 >= n_docs * 1
+       |ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin
+
   /** Equal-width token-length histogram (10 buckets to the observed max)
     * — the length-distribution screen before packing/curation. Bucketing
     * is a broadcast of ONE max value + a narrow map; no global sort or
@@ -6339,6 +6362,7 @@ object QueryCatalog {
     "q21_range_window" -> q21RangeWindow,
     "t_vocab" -> tVocab,
     "t_lexdiv" -> tLexDiv,
+    "t_pmi" -> tPmi,
     "t_entropy" -> tEntropy,
     "t_fertility" -> tFertility,
     "t_luhn" -> tLuhn,
@@ -6564,6 +6588,7 @@ object QueryCatalog {
     "q21_range_window" -> q21RangeWindowSql,
     "t_vocab" -> tVocabSql,
     "t_lexdiv" -> tLexDivSql,
+    "t_pmi" -> tPmiSql,
     "t_entropy" -> tEntropySql,
     "t_fertility" -> tFertilitySql,
     "t_luhn" -> tLuhnSql,

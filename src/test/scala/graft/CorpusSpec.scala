@@ -621,6 +621,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(keepOf("the and have with that 123 456 789 more here") === 0)
   }
 
+  test("pmiPairs: perfectly coupled pair tops independent pairs at 0") {
+    // x and y co-occur in exactly the 5 docs where either appears;
+    // a and b appear everywhere — pmi(x,y) = ln(5·10/25) = ln 2,
+    // every pair involving a ubiquitous term = ln 1 = 0
+    val docs = ((1L to 5L).map(i => (i, "a b x y")) ++
+      (6L to 10L).map(i => (i, "a b"))).toDF("doc_id", "text")
+    val out = Corpus.pmiPairs(docs)
+      .as[(String, String, Long, Double)].collect()
+    assert(out.head === (("x", "y", 5L, 0.6931)))
+    assert(out.length === 6)
+    assert(out.tail.forall(_._4 === 0.0))
+    // tie group after the winner is lexically ordered
+    assert(out.tail.map(p => (p._1, p._2)).toSeq ===
+      Seq(("a", "b"), ("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")))
+    // df gate: a term under the 10% document-frequency floor never pairs
+    val rare = docs.union(Seq((11L, "zz")).toDF("doc_id", "text"))
+    val out2 = Corpus.pmiPairs(rare, minDfPct = 20)
+      .as[(String, String, Long, Double)].collect()
+    assert(!out2.exists(p => p._1 == "zz" || p._2 == "zz"))
+  }
+
   test("qualityChecks: per-rule ppm metrics and exact pass/fail verdicts") {
     import graft.pipeline.Checks
     // 4 docs: one duplicate id, one empty text, one n_chars mismatch,
