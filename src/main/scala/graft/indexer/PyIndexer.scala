@@ -86,6 +86,66 @@ object PyIndexer {
     "yield", "True", "False", "None", "print", "len", "range", "super",
     "isinstance", "str", "int", "float", "list", "dict", "set", "tuple")
 
+  /** C3 slice 45 — TYPESHED-LITE: return types of high-frequency stdlib
+    * callables. jedi resolves stdlib symbols through its bundled
+    * typeshed stubs (reference indexer_visitor.py:561-577 maps stub
+    * file paths back to `re`/`os.path`-style module hierarchies); this
+    * table pins the most-called subset so a stdlib-constructed local
+    * types — and its member calls resolve — like any locally-defined
+    * class. Keys are ABSOLUTE dotted names (after import resolution);
+    * values are stdlib class names. Lowercase stdlib classes
+    * (`datetime.datetime`) ride here because [[PyIndexer]]'s
+    * upper-initial `classishType` heuristic skips them. */
+  private val typeshedReturns: Map[String, String] = Map(
+    "re.compile" -> "re.Pattern",
+    "re.match" -> "re.Match", "re.search" -> "re.Match",
+    "re.fullmatch" -> "re.Match",
+    "datetime.datetime" -> "datetime.datetime",
+    "datetime.datetime.now" -> "datetime.datetime",
+    "datetime.datetime.utcnow" -> "datetime.datetime",
+    "datetime.datetime.fromisoformat" -> "datetime.datetime",
+    "datetime.datetime.fromtimestamp" -> "datetime.datetime",
+    "datetime.date" -> "datetime.date",
+    "datetime.date.today" -> "datetime.date",
+    "datetime.timedelta" -> "datetime.timedelta",
+    "uuid.uuid1" -> "uuid.UUID", "uuid.uuid4" -> "uuid.UUID",
+    "uuid.uuid5" -> "uuid.UUID",
+    "pathlib.Path.cwd" -> "pathlib.Path",
+    "pathlib.Path.home" -> "pathlib.Path",
+    "urllib.parse.urlparse" -> "urllib.parse.ParseResult",
+    "tempfile.TemporaryDirectory" -> "tempfile.TemporaryDirectory",
+    "logging.getLogger" -> "logging.Logger",
+    "subprocess.run" -> "subprocess.CompletedProcess",
+    "subprocess.Popen" -> "subprocess.Popen",
+    "sqlite3.connect" -> "sqlite3.Connection")
+
+  /** Method returns on the slice-45 stdlib classes — what typeshed's
+    * class stubs declare for the members a member-call chain folds
+    * through ([[PyIndexer]]'s `methodReturn` consults this arm when the
+    * MRO's defining class is not module-local). */
+  private val typeshedMethodReturns: Map[String, Map[String, String]] = Map(
+    "re.Pattern" -> Map("match" -> "re.Match", "search" -> "re.Match",
+      "fullmatch" -> "re.Match"),
+    "pathlib.Path" -> Map("resolve" -> "pathlib.Path",
+      "absolute" -> "pathlib.Path", "expanduser" -> "pathlib.Path",
+      "with_suffix" -> "pathlib.Path", "with_name" -> "pathlib.Path",
+      "joinpath" -> "pathlib.Path", "rename" -> "pathlib.Path"),
+    "datetime.datetime" -> Map("replace" -> "datetime.datetime",
+      "astimezone" -> "datetime.datetime", "date" -> "datetime.date"),
+    "datetime.date" -> Map("replace" -> "datetime.date"),
+    "argparse.ArgumentParser" -> Map(
+      "parse_args" -> "argparse.Namespace"),
+    "sqlite3.Connection" -> Map("cursor" -> "sqlite3.Cursor",
+      "execute" -> "sqlite3.Cursor"),
+    "sqlite3.Cursor" -> Map("execute" -> "sqlite3.Cursor"),
+    "logging.Logger" -> Map("getChild" -> "logging.Logger"))
+
+  /** Builtins with class-valued returns (`open` has no import to
+    * resolve through — it binds only when nothing local shadows it,
+    * checked at the use site). */
+  private val typeshedBuiltins: Map[String, String] = Map(
+    "open" -> "io.TextIOWrapper")
+
   /** C10 — dotted module name from a repo-relative path: strip `.py`,
     * `/`→`.`, collapse `__init__` to the package
     * (reference ast_utils.py:64-95, indexer_visitor.py:551-577). */
@@ -1066,6 +1126,21 @@ object PyIndexer {
         }
         .flatMap(classishType)
 
+    /** C3 slice 45 — stdlib factory returns through the typeshed-lite
+      * table: `p = re.compile(r)` types p as re.Pattern when `re` (or
+      * an alias / `from` import of it) resolves the callee; builtins
+      * like `open` bind only when no local def/class/import shadows
+      * the name — jedi's own shadowing rule. */
+    def typeshedReturnTarget(callee: String): Option[String] =
+      if (keywords.contains(callee)) None
+      else resolveCallee(callee).flatMap(typeshedReturns.get)
+        .orElse {
+          if (!callee.contains(".") && !topDefs.contains(callee) &&
+              !topClasses.contains(callee) && !importedName.contains(callee))
+            typeshedBuiltins.get(callee)
+          else None
+        }
+
     /** C3 slice 30 — the yield (iteration) type of a same-module
       * generator, resolving method callees (`self.gen` / `obj.gen`)
       * through the same key space as [[returnTypeTarget]]. */
@@ -1088,7 +1163,10 @@ object PyIndexer {
       val definer = mroOf(recv)
         .find(c => classMethodsRaw.get(c).exists(_.contains(method)))
         .getOrElse(recv)
-      if (!definer.startsWith(mod + ".")) None
+      if (!definer.startsWith(mod + "."))
+        // slice 45: a stdlib receiver's member returns what its
+        // typeshed stub declares (re.Pattern.match → re.Match)
+        typeshedMethodReturns.get(definer).flatMap(_.get(method))
       else {
         val k = definer.stripPrefix(mod + ".") + "." + method
         returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
@@ -1223,7 +1301,8 @@ object PyIndexer {
                 selfInstanceAssign.findAllMatchIn(ln).foreach { m =>
                   chainReturnType(ln, m.end,
                       classishType(m.group(2))
-                        .orElse(returnTypeTarget(m.group(2))))
+                        .orElse(returnTypeTarget(m.group(2)))
+                    .orElse(typeshedReturnTarget(m.group(2))))
                     .foreach(t => classFieldTypes.getOrElseUpdate(cls,
                       mutable.Map.empty)(m.group(1)) = t)
                 }
@@ -1592,6 +1671,7 @@ object PyIndexer {
                       .flatMap(t => methodReturn(t, "__call__")))
                     .orElse(castTarget(rawLines(i), m.group(2), m.end))
                     .orElse(returnTypeTarget(m.group(2)))
+                    .orElse(typeshedReturnTarget(m.group(2)))
                     .orElse(attrCallHead(m.group(2),
                       n => if (n == "self") curClass.map(_.fullName)
                         else fn.locals.get(n).orElse(moduleVarTypes.get(n)))))
@@ -1638,6 +1718,7 @@ object PyIndexer {
                   if (withStmt.matches(line))
                     withManager.findAllMatchIn(line).foreach { m =>
                       classishType(m.group(1)).orElse(returnTypeTarget(m.group(1)))
+                        .orElse(typeshedReturnTarget(m.group(1)))
                         .map(t => methodReturn(t, "__enter__").getOrElse(t))
                         .foreach(t => fn.locals(m.group(2)) = t)
                     }
@@ -1740,6 +1821,7 @@ object PyIndexer {
                             case ctorItem(callee) =>
                               classishType(callee)
                                 .orElse(returnTypeTarget(callee))
+                                .orElse(typeshedReturnTarget(callee))
                             case nm if nm.matches("""[A-Za-z_]\w*""") =>
                               fn.locals.get(nm).orElse(moduleVarTypes.get(nm))
                             case _ => None
@@ -1752,6 +1834,7 @@ object PyIndexer {
                   // targets to the one constructed type
                   chainedAssign.findFirstMatchIn(line).foreach { m =>
                     classishType(m.group(3)).orElse(returnTypeTarget(m.group(3)))
+                      .orElse(typeshedReturnTarget(m.group(3)))
                       .foreach { t =>
                         Seq(m.group(1), m.group(2))
                           .filterNot(keywords.contains)
@@ -1766,6 +1849,7 @@ object PyIndexer {
           walrusBind.findAllMatchIn(line).foreach { m =>
             if (!keywords.contains(m.group(1)))
               classishType(m.group(2)).orElse(returnTypeTarget(m.group(2)))
+                .orElse(typeshedReturnTarget(m.group(2)))
                 .foreach(t => fn.locals(m.group(1)) = t)
           }
           // slice 9: container-annotated LOCALS (`ys: Sequence[T] = …`)
@@ -1863,7 +1947,8 @@ object PyIndexer {
           if (fn.kind == Kind.Method) curClass.foreach { c =>
             selfInstanceAssign.findAllMatchIn(line).foreach { m =>
               chainReturnType(line, m.end,
-                  classishType(m.group(2)).orElse(returnTypeTarget(m.group(2))))
+                  classishType(m.group(2)).orElse(returnTypeTarget(m.group(2)))
+                    .orElse(typeshedReturnTarget(m.group(2))))
                 .foreach(t =>
                   classFieldTypes.getOrElseUpdate(c.fullName,
                     mutable.Map.empty)(m.group(1)) = t)

@@ -1176,6 +1176,90 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("wi.calls", "wi.Helper.ping")))
   }
 
+  test("C3 slice 45: typeshed-lite stdlib returns bind and chain") {
+    val src =
+      """import re
+        |import datetime as dt
+        |from pathlib import Path
+        |import argparse
+        |
+        |def rex(src):
+        |    p = re.compile(src)
+        |    m = p.match(src)
+        |    return m.group(0)
+        |
+        |def stamps():
+        |    t = dt.datetime.now()
+        |    d = t.date()
+        |    return d.isoformat()
+        |
+        |def paths(root):
+        |    base = Path(root)
+        |    r = base.resolve()
+        |    return r.as_posix()
+        |
+        |def cli():
+        |    ap = argparse.ArgumentParser()
+        |    args = ap.parse_args()
+        |    return args
+        |
+        |def reads(name):
+        |    with open(name) as fh:
+        |        return fh.read()
+        |
+        |def not_imported(src):
+        |    q = zlib.compress(src)
+        |    return q.whatever()
+        |
+        |def shadowed(name):
+        |    fh = open(name)
+        |    return fh.read()
+        |
+        |def open(name):
+        |    return name
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "sl.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // re.compile types p → member calls chain through Pattern and Match
+    assert(calls.contains(("sl.rex", "re.compile")))
+    assert(calls.contains(("sl.rex", "re.Pattern.match")))
+    assert(calls.contains(("sl.rex", "re.Match.group")))
+    // the dt module alias resolves, now() types, .date() folds the type
+    assert(calls.contains(("sl.stamps", "datetime.datetime.now")))
+    assert(calls.contains(("sl.stamps", "datetime.datetime.date")))
+    assert(calls.contains(("sl.stamps", "datetime.date.isoformat")))
+    // a from-imported stdlib CLASS constructs and its methods keep Path
+    assert(calls.contains(("sl.paths", "pathlib.Path")))
+    assert(calls.contains(("sl.paths", "pathlib.Path.resolve")))
+    assert(calls.contains(("sl.paths", "pathlib.Path.as_posix")))
+    assert(calls.contains(("sl.cli", "argparse.ArgumentParser.parse_args")))
+    // negative: an un-imported module binds nothing
+    assert(!calls.exists(_._2.contains("zlib")))
+    assert(!calls.exists(_._2.endsWith("whatever")))
+    // open(): a module-local def SHADOWS the builtin everywhere in the
+    // file (Python name resolution), so neither site types TextIOWrapper
+    assert(!calls.exists(_._2.contains("TextIOWrapper")))
+    assert(calls.contains(("sl.shadowed", "sl.open")))
+  }
+
+  test("C3 slice 45: the open builtin binds when nothing shadows it") {
+    val src =
+      """def reads(name):
+        |    with open(name) as fh:
+        |        return fh.read()
+        |
+        |def direct(name):
+        |    fh = open(name)
+        |    return fh.read()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "op.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("op.reads", "io.TextIOWrapper.read")))
+    assert(calls.contains(("op.direct", "io.TextIOWrapper.read")))
+  }
+
   test("C3 partial: untyped intermediate steps emit NO half-resolved edges") {
     val src =
       """from lib import Database
