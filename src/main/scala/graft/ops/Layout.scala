@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators for the 100 TB posture: multi-dimensional
@@ -30,4 +31,36 @@ object Layout {
     * rounding at bin edges). */
   def intBucket(c: Column, width: Int, bits: Int): Column =
     least(lit((1 << bits) - 1), floor(c / width).cast("long"))
+
+  /** Size-balanced output-shard assignment — the writer-side step that
+    * keeps training shards (and their downstream reader tasks) the same
+    * byte size: documents ordered by size DESC (doc_id tiebreak) deal
+    * onto `shards` shards SERPENTINE-wise (round r left-to-right, round
+    * r+1 right-to-left — the boustrophedon variant of LPT scheduling,
+    * which cancels the systematic big-end bias plain round-robin keeps),
+    * fully deterministic and replayable.
+    *
+    * Scale shape: the global size rank is DECOMPOSED so no corpus-wide
+    * single-partition window exists — per-size-bucket counts (the size
+    * codomain is bounded, the t_auc/rfm discipline) take the cumulative
+    * window over that tiny bucket table, and the intra-bucket
+    * row_number is PARTITIONED by size, i.e. distributed. The bucket
+    * table joins back broadcast. */
+  def shardAssign(docs: DataFrame, shards: Int, sizeCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val buckets = docs.groupBy(col(sizeCol)).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col(sizeCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = buckets
+      .withColumn("_before", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .select(col(sizeCol), col("_before"))
+    val wIn = Window.partitionBy(col(sizeCol)).orderBy(col(idCol))
+    docs.join(broadcast(cum), sizeCol)
+      .withColumn("_rk", col("_before") + row_number().over(wIn) - 1)
+      .select(col(idCol),
+        when(expr(s"_rk DIV $shards") % 2 === 0, col("_rk") % shards)
+          .otherwise(lit(shards - 1) - col("_rk") % shards)
+          .cast("int").as("shard"))
+  }
 }

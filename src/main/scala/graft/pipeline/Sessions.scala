@@ -390,6 +390,32 @@ object Sessions {
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
   }
 
+  /** Power-user / engagement-frequency histogram (the L28 chart): users
+    * bucketed by how many DISTINCT days they were active in the trailing
+    * `windowDays` ending at the corpus's LAST active day — the anchor is
+    * a broadcast 1-row max, never the wall clock (the [[rfm]] recency
+    * discipline), so the result is replay-stable. Share is integer ppm.
+    *
+    * Shape: one dedup shuffle to (user, day), the window filter, a
+    * per-user count, then a ≤`windowDays`-row histogram — bounded output,
+    * no corpus-wide window. */
+  def powerHistogram(events: DataFrame, windowDays: Int = 28): DataFrame = {
+    require(windowDays > 0, "windowDays must be positive")
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val anchor = ud.agg(max(col("day")).as("anchor"))
+    val act = ud.crossJoin(broadcast(anchor))
+      .filter(datediff(col("anchor"), col("day")) < windowDays)
+      .groupBy("user_id").agg(count(lit(1)).as("days_active"))
+    val tot = act.agg(count(lit(1)).as("n_total"))
+    act.groupBy("days_active")
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("days_active"), col("n_users"),
+        expr("CAST((1000000 * n_users) DIV n_total AS BIGINT)")
+          .as("share_ppm"))
+  }
+
   /** Exponentially-weighted daily volume anomalies — [[dailySpikes]]'
     * EWMA twin, reacting faster to level shifts than the flat trailing
     * mean: baseline_t = Σ_{j=1..w} 2^(w−j)·n_{t−j} / (2^w − 1), i.e.

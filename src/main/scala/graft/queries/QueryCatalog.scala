@@ -2838,6 +2838,40 @@ object QueryCatalog {
       |  round(d.dau::DOUBLE / w.wau, 6) AS stickiness
       |FROM dau d JOIN wau w USING (day)""".stripMargin
 
+  /** e_power — the L28 power-user histogram
+    * ([[graft.pipeline.Sessions.powerHistogram]]): users bucketed by
+    * distinct active days in the trailing 28 anchored at the corpus's
+    * last active day (broadcast 1-row max, no wall clock); integer-ppm
+    * shares. */
+  val ePower: Q = (s, d) =>
+    graft.pipeline.Sessions.powerHistogram(Tables.events(s, d))
+
+  val ePowerSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |a AS (SELECT max(day) AS anchor FROM ud),
+      |act AS (SELECT user_id, count(*)::BIGINT AS days_active FROM ud, a
+      |        WHERE date_diff('day', day, anchor) < 28 GROUP BY user_id),
+      |t AS (SELECT count(*)::BIGINT AS n_total FROM act)
+      |SELECT days_active, count(*)::BIGINT AS n_users,
+      |  ((1000000 * count(*)) // (SELECT n_total FROM t))::BIGINT AS share_ppm
+      |FROM act GROUP BY days_active""".stripMargin
+
+  /** p_shard — size-balanced serpentine shard assignment
+    * ([[graft.ops.Layout.shardAssign]]): docs size-DESC dealt onto 8
+    * shards boustrophedon-wise; the oracle replays it as a plain global
+    * row_number, proving the decomposed (bucket-cumulative +
+    * intra-bucket) rank exact. */
+  val pShard: Q = (s, d) =>
+    graft.ops.Layout.shardAssign(Tables.documents(s, d), shards = 8)
+
+  val pShardSql: String =
+    """WITH r AS (SELECT doc_id,
+      |    row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+      |  FROM documents)
+      |SELECT doc_id,
+      |  (CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END)::INT AS shard
+      |FROM r""".stripMargin
+
   /** e_ewma — exponentially-weighted daily volume anomalies
     * ([[graft.pipeline.Sessions.ewmaSpikes]]): α=1/2 EWMA baseline over
     * the previous 7 days with EXACT dyadic integer weights (trail is a
@@ -6335,6 +6369,8 @@ object QueryCatalog {
     "e_spike" -> eSpike,
     "e_ewma" -> eEwma,
     "e_stickiness" -> eStickiness,
+    "e_power" -> ePower,
+    "p_shard" -> pShard,
     "e_ab_test" -> eAbTest,
     "e_markov" -> eMarkov,
     "e_lifecycle" -> eLifecycle,
@@ -6561,6 +6597,8 @@ object QueryCatalog {
     "e_spike" -> eSpikeSql,
     "e_ewma" -> eEwmaSql,
     "e_stickiness" -> eStickinessSql,
+    "e_power" -> ePowerSql,
+    "p_shard" -> pShardSql,
     "e_ab_test" -> eAbTestSql,
     "e_markov" -> eMarkovSql,
     "e_lifecycle" -> eLifecycleSql,

@@ -621,6 +621,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(keepOf("the and have with that 123 456 789 more here") === 0)
   }
 
+  test("powerHistogram: windowed distinct days, anchored, ppm shares") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int = 1) =
+      Timestamp.valueOf(f"2024-03-$day%02d $h%02d:00:00")
+    // anchor = day 28; window 28 covers days 1..28
+    val events = Seq(
+      (1L, ts(28)), (1L, ts(28, 5)), (1L, ts(27)), (1L, ts(26)), // u1: 3 days
+      (2L, ts(28)),                                              // u2: 1 day
+      (3L, ts(10)), (3L, ts(20)), (3L, ts(25)),                  // u3: 3 days
+      (4L, ts(1))                                                // u4: 1 day (in)
+    ).toDF("user_id", "ts")
+    val rows = Sessions.powerHistogram(events)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(3L) === ((2L, 500000L)))  // u1, u3
+    assert(rows(1L) === ((2L, 500000L)))  // u2, u4
+    assert(rows.size === 2)
+    // a user entirely OUTSIDE the trailing window disappears (and the
+    // shares renormalize over in-window users only)
+    val feb = events.union(Seq((5L, Timestamp.valueOf("2024-01-05 01:00:00")))
+      .toDF("user_id", "ts"))
+    val rows2 = Sessions.powerHistogram(feb)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(rows2 === Map(3L -> 2L, 1L -> 2L))
+  }
+
   test("pmiPairs: perfectly coupled pair tops independent pairs at 0") {
     // x and y co-occur in exactly the 5 docs where either appears;
     // a and b appear everywhere — pmi(x,y) = ln(5·10/25) = ln 2,

@@ -38,4 +38,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(rowMajorSpan === 3855L)
     assert(zSpan < rowMajorSpan / 10)
   }
+
+  test("shardAssign: serpentine deal, tight byte balance, deterministic") {
+    // sizes 96..1: serpentine over 4 shards — round 0 deals 96..93 to
+    // shards 0..3, round 1 deals 92..89 to shards 3..0, and so on
+    val docs = (1L to 96L).map(i => (i, (97 - i).toInt))
+      .toDF("doc_id", "n_chars")
+    val out = Layout.shardAssign(docs, shards = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(out(1L) === 0 && out(2L) === 1 && out(3L) === 2 && out(4L) === 3)
+    assert(out(5L) === 3 && out(6L) === 2 && out(7L) === 1 && out(8L) === 0)
+    assert(out(9L) === 0)
+    // balance: 96 docs = 12 full up-down rounds, each summing equally
+    // per shard — the serpentine deal is EXACTLY balanced
+    val bytes = (1L to 96L).map(i => out(i) -> (97 - i))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(bytes.values.toSet.size === 1)
+    // ties broken by doc_id: equal sizes deal in id order
+    val tied = Seq((10L, 5), (11L, 5), (12L, 5), (13L, 5), (14L, 5))
+      .toDF("doc_id", "n_chars")
+    val t = Layout.shardAssign(tied, shards = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(t === Map(10L -> 0, 11L -> 1, 12L -> 1, 13L -> 0, 14L -> 0))
+  }
 }
