@@ -6247,6 +6247,39 @@ object QueryCatalog {
       .agg(max(col("est")).as("est"))
   }
 
+  /** st_quantile — per-window streaming HISTOGRAM QUANTILES
+    * ([[graft.streaming.Streams.streamingQuantiles]]): a fixed 101-bin
+    * count histogram per 7-day window, merged additively across ordered
+    * micro-batches; p50/p90/p99 read as the smallest bin whose
+    * cumulative count reaches ceil(q·n/100) — all integers. Each emit
+    * carries the running n (strictly growing per fired batch), so
+    * max_by(est, n) selects the converged estimate; the oracle rebuilds
+    * the same histogram per window in SQL. */
+  val stQuantile: Q = (s, d) => {
+    import s.implicits._
+    StreamReplay.replay(s, eventsOrdered(s, d), "st_quantile", "update") {
+      df => graft.streaming.Streams.streamingQuantiles(df).toDF()
+    }
+      .groupBy(unix_micros(col("window_start")).as("ws_us"), col("q"))
+      .agg(max_by(col("est_bin"), col("n")).as("est_bin"),
+        max(col("n")).as("n"))
+  }
+
+  val stQuantileSql: String =
+    """WITH ev AS (SELECT epoch_us(ts) // 604800000000 * 604800000000 AS ws_us,
+      |    least(greatest(floor(value), 0), 100)::INT AS bin FROM events),
+      |b AS (SELECT ws_us, bin, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+      |n AS (SELECT ws_us, sum(c)::BIGINT AS n FROM b GROUP BY 1),
+      |cum AS (SELECT ws_us, bin,
+      |    sum(c) OVER (PARTITION BY ws_us ORDER BY bin)::BIGINT AS cum
+      |  FROM b),
+      |qs(q) AS (VALUES (50), (90), (99))
+      |SELECT c.ws_us, q.q::INT AS q, min(c.bin)::INT AS est_bin,
+      |  min(n.n)::BIGINT AS n
+      |FROM cum c JOIN n ON n.ws_us = c.ws_us CROSS JOIN qs q
+      |WHERE 100 * c.cum >= q.q * n.n
+      |GROUP BY c.ws_us, q.q""".stripMargin
+
   lazy val stCmsSql: String = {
     def rollh(c: String) = "list_reduce(list_prepend(0::BIGINT, " +
       s"list_transform(string_split($c, ''), ch -> ascii(ch)::BIGINT)), " +
@@ -6502,6 +6535,7 @@ object QueryCatalog {
     "st_retention" -> stRetention,
     "st_markov" -> stMarkov,
     "st_cms" -> stCms,
+    "st_quantile" -> stQuantile,
     "st_ewma" -> stEwma,
     "q46_btw" -> q46Btw,
     "q46_btw_gx" -> q46BtwGx,
@@ -6730,6 +6764,7 @@ object QueryCatalog {
     "st_retention" -> eRetentionSql,
     "st_markov" -> stMarkovSql,
     "st_cms" -> stCmsSql,
+    "st_quantile" -> stQuantileSql,
     "st_ewma" -> eEwmaSql,
     "q46_btw" -> q46BtwSql,
     "q46_btw_gx" -> q46BtwSql,

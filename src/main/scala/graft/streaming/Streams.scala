@@ -620,6 +620,89 @@ object Streams {
       }
   }
 
+  final case class HistCell(bin: Int, cnt: Long)
+  final case class HistState(cells: Seq[HistCell])
+  final case class QuantOut(window_start: Timestamp, q: Int, est_bin: Int,
+      n: Long)
+
+  /** Smallest bin whose cumulative count reaches ceil(q·n/100) — the
+    * integer histogram-quantile read (`100·cum ≥ q·n` over exact
+    * BIGINTs, so no engine can 1-ulp-flip a bin). Shared by every emit
+    * path and asserted directly in StreamsSpec. */
+  private def histQuantiles(ws: Long, cells: Map[Int, Long],
+      qs: Seq[Int]): Iterator[QuantOut] = {
+    val n = cells.valuesIterator.sum
+    val sorted = cells.toSeq.sortBy(_._1)
+    qs.iterator.map { q =>
+      var cum = 0L
+      var est = sorted.last._1
+      var found = false
+      val it = sorted.iterator
+      while (it.hasNext && !found) {
+        val (b, c) = it.next()
+        cum += c
+        if (100L * cum >= q.toLong * n) { est = b; found = true }
+      }
+      QuantOut(new Timestamp(ws), q, est, n)
+    }
+  }
+
+  /** Streaming histogram QUANTILES per tumbling window: a fixed-bin
+    * count histogram as continuously-maintained state — O(bins) longs
+    * per window regardless of stream length (an exact quantile would
+    * buffer every value), merged by ADDITION so the converged result is
+    * independent of micro-batch boundaries and stream ≡ batch holds by
+    * construction. Values clamp into `[0, bins)` integer bins; the
+    * quantile is the smallest bin whose cumulative count reaches
+    * ceil(q·n/100) — bin-resolution by design (the latency-dashboard /
+    * t_colstats discipline) and pure integer arithmetic, so the oracle
+    * replays it exactly. Each emit carries the running `n`; since a
+    * group only fires on batches that DELIVER rows, n strictly grows
+    * and max_by(est, n) selects each window's final estimate.
+    * NoTimeout default for the AvailableNow harness; production passes
+    * EventTimeTimeout (the streamingKmvDistinct posture). */
+  def streamingQuantiles(events: DataFrame, qs: Seq[Int] = Seq(50, 90, 99),
+      bins: Int = 101, window: String = "7 days",
+      watermark: String = "10 minutes",
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[QuantOut] = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 100), "bad qs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(org.apache.spark.sql.functions.window(col("ts"), window)
+        .getField("start").as("wstart"),
+        least(greatest(floor(col("value")), lit(0)), lit(bins - 1))
+          .cast("int").as("bin"))
+      .as[(Timestamp, Int)]
+      .groupByKey(_._1.getTime)
+      .flatMapGroupsWithState[HistState, QuantOut](OutputMode.Update(),
+        timeout) {
+        case (ws, it, state: GroupState[HistState]) =>
+          if (state.hasTimedOut) {
+            val cells = state.get.cells.map(c => c.bin -> c.cnt).toMap
+            state.remove()
+            histQuantiles(ws, cells, qs)
+          } else {
+            val prev = state.getOption
+              .map(_.cells.map(c => c.bin -> c.cnt).toMap)
+              .getOrElse(Map.empty[Int, Long])
+            val batch = it.foldLeft(Map.empty[Int, Long]) { (m, r) =>
+              m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+            }
+            val merged = (prev.keySet ++ batch.keySet).iterator.map(b =>
+              b -> (prev.getOrElse(b, 0L) + batch.getOrElse(b, 0L))).toMap
+            state.update(HistState(merged.map { case (b, c) =>
+              HistCell(b, c) }.toSeq))
+            if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(
+                ws + durationMs(window) + durationMs(watermark))
+            histQuantiles(ws, merged, qs)
+          }
+      }
+  }
+
   /** Stateless corpus screens on a document STREAM: quality score + gate
     * and PII redaction are pure narrow maps (Column expressions, no
     * state, no shuffle), so the exact batch operators run on a streaming

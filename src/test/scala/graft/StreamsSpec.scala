@@ -531,4 +531,28 @@ class StreamsSpec extends AnyFunSuite {
     }.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
     assert(out === Set((1L, 0), (2L, 0)))
   }
+
+  test("streamingQuantiles: additive bins across batches, integer " +
+    "quantile reads, final n selects the converged estimate") {
+    import graft.queries.StreamReplay
+    def ev(id: Long, v: Double) =
+      Streams.Event(id, new java.sql.Timestamp(1000L + id), 1L, "a", v)
+    // one window; values 1..10 plus an out-of-range 250.0 (clamps to
+    // bin 100) and a negative (clamps to 0), spanning 4 batches
+    val rows = (1L to 10L).map(i => ev(i, i.toDouble)) ++
+      Seq(ev(11, 250.0), ev(12, -3.0))
+    val out = StreamReplay.replay(TestSpark.spark, rows, "quant_spec",
+      "update", batches = 4) { df =>
+      Streams.streamingQuantiles(df, qs = Seq(50, 90, 100)).toDF()
+    }.collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3)))
+    // final rows (n = 12): sorted bins 0,1..10,100 — p50 = 6th value
+    // (ceil(0.5·12)=6) = bin 5; p90 = ceil(10.8)=11th = bin 10;
+    // p100 = 12th = the clamped 100 bin
+    val fin = out.filter(_._3 == 12L).map(t => t._1 -> t._2).toMap
+    assert(fin === Map(50 -> 5, 90 -> 10, 100 -> 100))
+    // intermediate emits exist with strictly smaller n (state merged
+    // across batches, not recomputed per batch)
+    assert(out.exists(_._3 < 12L))
+    assert(out.map(_._3).max === 12L)
+  }
 }
