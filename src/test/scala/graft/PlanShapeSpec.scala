@@ -338,6 +338,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"knnGraph5 must be a materialized parquet scan; scans:\n${scans.mkString("\n")}")
   }
 
+  test("p_shard: rank windows stay size-partitioned, buckets broadcast") {
+    val plan = executed(QueryCatalog.pShard(spark, sf))
+    // the scale argument: NO corpus-wide single-partition row_number —
+    // every row_number carries the n_chars partition column; the only
+    // ordered-unpartitioned window is the cumulative sum over the tiny
+    // size-bucket table
+    val winLines = plan.split("\n").filter(_.contains("row_number()"))
+    assert(winLines.nonEmpty &&
+      winLines.forall(_.contains("windowspecdefinition(n_chars#")),
+      s"every row_number must be n_chars-partitioned; plan:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the bucket-cumulative table must broadcast; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
+  test("p_checks: one wide aggregate per table, no joins, no windows") {
+    val df = QueryCatalog.pChecks(spark, sf)
+    df.collect()
+    assert(fileScans(df.queryExecution.executedPlan).size === 2,
+      "exactly one scan per checked table")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"rules must be columns of the same aggregate, not passes; plan:\n$plan")
+  }
+
+  test("t_pmi: frequent vocab gates the pair join; no cartesian pairs") {
+    val plan = executed(QueryCatalog.tPmi(spark, sf))
+    // pairs come from an equi join on doc_id over df-gated terms — a
+    // cartesian pair enumeration would be the all-pairs blowup
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the frequent-term table must broadcast; plan:\n$plan")
+  }
+
   test("e_stickiness: coverage explosion happens AFTER the (user, day) dedup") {
     val df = QueryCatalog.eStickiness(spark, sf)
     val analyzed = df.queryExecution.optimizedPlan.toString
