@@ -93,6 +93,55 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
   }
 
+  /** Maximal-marginal-relevance DIVERSE top-k (Carbonell & Goldstein
+    * 1998) — the diversity-aware selection a curation pipeline runs so
+    * retrieved exemplars don't collapse onto near-duplicates: greedily
+    * pick argmax `λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s)`,
+    * score rounded to 6 with vec_id tie-break — fully deterministic.
+    *
+    * Scale shape: the corpus-sized work is the distributed shortlist
+    * (brute/ANN top-`candidates`) and the candidate×candidate sim
+    * matrix via the same codegen'd cosine kernel; the iterative
+    * selection then runs driver-local over the COLLECTED ≤candidates²
+    * matrix — the q52 hybrid-retrieval bounded-collect discipline
+    * (candidates is query-bounded, never corpus-sized). λ arrives as an
+    * integer percent so both engines derive bit-identical 0.7 / 0.3
+    * doubles. */
+  def mmrTopK(emb: DataFrame, queryId: Long, k: Int = 10,
+      candidates: Int = 50, lambdaPct: Int = 70): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val lam = lambdaPct / 100.0
+    val comp = (100 - lambdaPct) / 100.0
+    val cand = bruteForceTopK(emb, Seq(queryId), candidates)
+      .select(col("vec_id"), col("sim"))
+    val cd = cand.join(emb, "vec_id")
+      .select(col("vec_id"), col("sim"), col("embedding"))
+    val pair = cd.as("x").join(cd.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("ps"))
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, s) => Seq((a, b) -> s, (b, a) -> s) }.toMap
+    val simq = cd.select(col("vec_id"), col("sim"))
+      .as[(Long, Double)].collect().toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val rest = scala.collection.mutable.SortedSet(simq.keys.toSeq: _*)
+    while (selected.size < k && rest.nonEmpty) {
+      val best = rest.iterator.map { id =>
+        val pen = if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => pair((id, s._1))).max
+        (id, r6(lam * simq(id) - comp * pen))
+      }.maxBy { case (id, sc) => (sc, -id) }
+      selected += best
+      rest -= best._1
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((id, sc), i) => (id, sc, i + 1) }
+      .toDF("vec_id", "score", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH: component j of
     * plane i is derived from the rolling arithmetic (i*64+j) — a fixed,
     * engine-portable pattern standing in for a seeded Gaussian (the sign

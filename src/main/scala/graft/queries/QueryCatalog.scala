@@ -2507,6 +2507,45 @@ object QueryCatalog {
        |QUALIFY rank <= 10""".stripMargin
   }
 
+  /** s_mmr — maximal-marginal-relevance diverse top-10 for query 0
+    * ([[graft.pipeline.Similarity.mmrTopK]]): greedy
+    * `0.7·sim(q,d) − 0.3·max sim(d, selected)` over the brute top-50
+    * candidate set, round-6 scores, vec_id tie-break. The oracle
+    * unrolls the 10 selection rounds. */
+  val sMmr: Q = (s, d) =>
+    Similarity.mmrTopK(Tables.embeddings(s, d), queryId = 0L)
+
+  private def mmrRoundSql(i: Int): String =
+    s"""m$i AS MATERIALIZED (SELECT c.vec_id,
+       |    round(0.7 * c.simq - 0.3 * (SELECT max(p.ps) FROM pb p
+       |      JOIN sel${i - 1} s ON p.a = c.vec_id AND p.b = s.vec_id), 6)
+       |      AS score
+       |  FROM cand c
+       |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})),
+       |w$i AS MATERIALIZED (SELECT vec_id, score, $i AS rank FROM m$i
+       |  ORDER BY score DESC, vec_id LIMIT 1),
+       |sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1}
+       |  UNION ALL SELECT vec_id FROM w$i)""".stripMargin
+
+  lazy val sMmrSql: String = {
+    val cq = listCosSql("q.qv", "c.embedding", 64)
+    val cp = listCosSql("x.embedding", "y.embedding", 64)
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cand AS MATERIALIZED (SELECT vec_id, simq, embedding FROM (
+       |  SELECT c.vec_id, $cq AS simq, c.embedding,
+       |    row_number() OVER (ORDER BY $cq DESC, c.vec_id) AS rn
+       |  FROM embeddings c, q WHERE c.vec_id <> 0) WHERE rn <= 50),
+       |pair AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b, $cp AS ps
+       |  FROM cand x JOIN cand y ON x.vec_id < y.vec_id),
+       |pb AS (SELECT a, b, ps FROM pair UNION ALL SELECT b, a, ps FROM pair),
+       |w1 AS MATERIALIZED (SELECT vec_id, round(0.7 * simq - 0.3 * 0.0, 6)
+       |    AS score, 1 AS rank FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM w1),
+       |${(2 to 10).map(mmrRoundSql).mkString(",\n")}
+       |SELECT vec_id, score, rank::INT AS rank FROM (
+       |  ${(1 to 10).map(i => s"SELECT * FROM w$i").mkString(" UNION ALL ")})""".stripMargin
+  }
+
   val sCosineTopKSql: String =
     s"""SELECT q.vec_id AS query_id, c.vec_id, $cosSql AS sim,
        |CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosSql DESC, c.vec_id) AS INT) AS rank
@@ -6390,6 +6429,7 @@ object QueryCatalog {
     "d_dup_clusters" -> dDupClusters,
     "d_simhash" -> dSimhash,
     "s_cosine_topk" -> sCosineTopK,
+    "s_mmr" -> sMmr,
     "s_lsh_ann" -> sLshAnn,
     "s_ivf_ann" -> sIvfAnn,
     "s_emb_neardup" -> sEmbNearDup,
@@ -6619,6 +6659,7 @@ object QueryCatalog {
     "d_dup_clusters" -> dDupClustersSql,
     "d_simhash" -> dSimhashSql,
     "s_cosine_topk" -> sCosineTopKSql,
+    "s_mmr" -> sMmrSql,
     "s_lsh_ann" -> sLshAnnSql,
     "s_ivf_ann" -> sIvfAnnSql,
     "s_emb_neardup" -> sEmbNearDupSql,

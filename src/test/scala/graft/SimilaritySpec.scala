@@ -39,6 +39,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_.getInt(3)).sorted.toSeq === (1 to out.length).toSeq)
   }
 
+  test("mmrTopK: the redundant twin loses to the diverse candidate") {
+    // 1 and 2 are near-identical twins at cos 0.9 from the query; 3 is a
+    // DIVERSE candidate at cos 0.85 but only 0.55 from 1. Plain top-2
+    // keeps both twins; MMR's 0.3·max-sim penalty swaps the second twin
+    // (0.7·0.9 − 0.3·1 = 0.33) for the diverse 3 (0.7·0.85 − 0.3·0.55 =
+    // 0.43).
+    val diverse = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.4359f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.4359f, 0.001f, 0f)),
+      (3L, Seq(0.85f, -0.493f, 0.1857f, 0f)),
+      (4L, Seq(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(diverse, Seq(0L), 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(brute === Seq(1L, 2L))
+    val mmr = Similarity.mmrTopK(diverse, 0L, k = 2, candidates = 10)
+      .orderBy("rank").collect()
+    assert(mmr.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(mmr.map(_.getInt(2)).toSeq === Seq(1, 2))
+    // scores are the rounded MMR objective, strictly ordered here
+    assert(mmr(0).getDouble(1) > mmr(1).getDouble(1))
+    // deterministic
+    val again = Similarity.mmrTopK(diverse, 0L, k = 2, candidates = 10)
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    assert(again === Seq(1L, 3L))
+  }
+
   test("lshTopK candidate union over bands never duplicates a pair") {
     val out = Similarity.lshTopK(emb, Seq(0L, 2L), 10, numPlanes = 4, bands = 4)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
