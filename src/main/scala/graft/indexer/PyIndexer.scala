@@ -371,7 +371,12 @@ object PyIndexer {
       // the reference's ContextInfo.localSymbolNames (shallow_indexer.py:
       // 130, seeded with params at :363-374): names whose bare usages
       // record LOCAL location rows
-      localNames: mutable.Set[String] = mutable.Set.empty)
+      localNames: mutable.Set[String] = mutable.Set.empty,
+      // slice 46: names bound to an EMPTY container literal (`xs = []`,
+      // `d = {}`, `list()`/`set()`/`dict()`) — a later `.append(Ctor())`
+      // / `.add(...)` / `d[k] = Ctor()` infers the content type, jedi's
+      // container-content tracking for the build-up idiom
+      emptyContainers: mutable.Set[String] = mutable.Set.empty)
 
   /** Bare-name occurrence for the LOCAL usage scan — unlike [[nameRef]] a
     * following `(` or `.` does NOT disqualify: the reference records local
@@ -556,6 +561,32 @@ object PyIndexer {
     out += sb.toString
     out.toSeq
   }
+
+  /** `xs = []` / `d = {}` / `list()`/`set()`/`dict()` — an EMPTY
+    * container binding (C3 slice 46): the content type is inferred from
+    * later writes ([[appendCall]], [[subscriptPut]]), jedi's
+    * container-content tracking for the build-up idiom. */
+  private val emptyContainerAssign: Regex =
+    ("""^\s*([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*""" +
+      """(?:\[\s*\]|\{\s*\}|list\(\s*\)|set\(\s*\)|dict\(\s*\))\s*$""").r
+
+  /** `xs.append(Helper())` / `xs.add(h)` — a content write into a
+    * slice-46 empty container; the FIRST resolvable write binds the
+    * element type (an explicit annotation always wins). */
+  private val appendCall: Regex =
+    """^\s*([A-Za-z_]\w*)\s*\.\s*(?:append|add)\s*\(\s*(.+?)\s*\)\s*$""".r
+
+  /** `d[k] = Helper()` — the mapping-side slice-46 write: binds the
+    * VALUE type of an empty-dict local. */
+  private val subscriptPut: Regex =
+    """^\s*([A-Za-z_]\w*)\s*\[[^\]]*\]\s*=(?!=)\s*(.+?)\s*$""".r
+
+  /** `for k, v in d.items():` — the items() iteration of a mapping-typed
+    * local (C3 slice 47): the key target stays unbound (keys are out of
+    * model, the slice-28 rule), the VALUE target binds. */
+  private val forInItems: Regex =
+    ("""^\s*for\s+([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s+in\s+""" +
+      """([A-Za-z_]\w*)\s*\.\s*items\s*\(\s*\)\s*:\s*$""").r
 
   /** `except SomeError as e:` — the handler target binds the exception
     * class (C3 slice 11: jedi types the as-name from the except clause;
@@ -1926,6 +1957,34 @@ object PyIndexer {
             mapGetRead.findFirstMatchIn(line).foreach(m =>
               fn.valueLocals.get(m.group(2))
                 .foreach(t => fn.locals(m.group(1)) = t))
+            // C3 slice 47: `for k, v in d.items():` — the value target
+            // binds, the key stays unbound (slice 28's key rule)
+            forInItems.findFirstMatchIn(line).foreach(m =>
+              fn.valueLocals.get(m.group(3))
+                .foreach(t => fn.locals(m.group(2)) = t))
+            // C3 slice 46: empty-container build-up — record `xs = []`,
+            // then the first resolvable `.append`/`.add`/`d[k] =` write
+            // infers the content type; explicit annotations win
+            emptyContainerAssign.findFirstMatchIn(line).foreach(m =>
+              if (!keywords.contains(m.group(1)))
+                fn.emptyContainers += m.group(1))
+            def writeType(rhs: String): Option[String] = rhs match {
+              case ctorItem(callee) =>
+                classishType(callee).orElse(returnTypeTarget(callee))
+                  .orElse(typeshedReturnTarget(callee))
+              case nm if nm.matches("""[A-Za-z_]\w*""") => fn.locals.get(nm)
+              case _ => None
+            }
+            appendCall.findFirstMatchIn(line)
+              .filter(m => fn.emptyContainers.contains(m.group(1)) &&
+                !fn.elemLocals.contains(m.group(1)))
+              .foreach(m => writeType(m.group(2))
+                .foreach(t => fn.elemLocals(m.group(1)) = t))
+            subscriptPut.findFirstMatchIn(line)
+              .filter(m => fn.emptyContainers.contains(m.group(1)) &&
+                !fn.valueLocals.contains(m.group(1)))
+              .foreach(m => writeType(m.group(2))
+                .foreach(t => fn.valueLocals(m.group(1)) = t))
             // A9 LOCAL: `with … as x` as-targets are definitions inside
             // the callable (same reference path as assignment targets)
             if (withStmt.matches(line) &&

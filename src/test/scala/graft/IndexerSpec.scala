@@ -1260,6 +1260,65 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("op.direct", "io.TextIOWrapper.read")))
   }
 
+  test("C3 slices 46-47: empty-container build-up and items() values") {
+    val src =
+      """class Helper:
+        |    def ping(self):
+        |        return 1
+        |
+        |def build():
+        |    xs = []
+        |    xs.append(Helper())
+        |    for h in xs:
+        |        h.ping()
+        |    return xs[0].ping()
+        |
+        |def build_set(h0: Helper):
+        |    s = set()
+        |    s.add(h0)
+        |    for h in s:
+        |        h.ping()
+        |
+        |def build_dict():
+        |    d = {}
+        |    d["a"] = Helper()
+        |    for k, v in d.items():
+        |        v.ping()
+        |        k.nothing()
+        |    g = d.get("a")
+        |    return g.ping()
+        |
+        |def anno_wins():
+        |    ys: list[Helper] = []
+        |    ys.append(unknown_thing())
+        |    return ys[0].ping()
+        |
+        |def not_empty(zs):
+        |    zs.append(Helper())
+        |    return zs[0].mystery()
+        |
+        |def untyped_write():
+        |    ws = []
+        |    ws.append(shrug())
+        |    return ws[0].mystery()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "ec.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // slice 46: list/set/dict build-up types iteration, subscript reads,
+    // items() values and .get() reads
+    assert(calls.contains(("ec.build", "ec.Helper.ping")))
+    assert(calls.contains(("ec.build_set", "ec.Helper.ping")))
+    assert(calls.contains(("ec.build_dict", "ec.Helper.ping")))
+    // slice 47: the key target binds nothing
+    assert(!calls.exists(_._2.endsWith("nothing")))
+    // an explicit annotation beats a later unresolvable write
+    assert(calls.contains(("ec.anno_wins", "ec.Helper.ping")))
+    // a param (not empty-initialized) and an unresolvable write bind
+    // nothing — no fabricated members
+    assert(!calls.exists(_._2.endsWith("mystery")))
+  }
+
   test("C3 partial: untyped intermediate steps emit NO half-resolved edges") {
     val src =
       """from lib import Database
