@@ -1927,6 +1927,54 @@ object Analytics {
     mis
   }
 
+  /** GraphX scale path for [[maximalIndependentSet]] — identical
+    * priorities and round semantics (so it shares q67's oracle), with
+    * iteration state in GraphX vertex attrs (0 = active, 1 = in MIS,
+    * 2 = removed) instead of re-materialized DataFrames: per round one
+    * aggregateMessages carries active-neighbor min keys, a second
+    * broadcasts winner removal — the [[pageRankGraphX]] posture for
+    * clusters where the frontier loop's per-round checkpoint overhead
+    * dominates. */
+  def maximalIndependentSetGraphX(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = 15): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import spark.implicits._
+    val P = 2147483647L
+    def keyOf(v: Long): (Long, Long) = {
+      val s = (v * 999983L + 2654435761L) % 1000003L
+      (s * s % P, v)
+    }
+    def lt(a: (Long, Long), b: (Long, Long)) =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    val rdd = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Seq(Edge(a, b, ()), Edge(b, a, ())) }
+    var g = Graph.fromEdges(rdd, 0).cache()
+    var round = 0
+    var active = g.vertices.filter(_._2 == 0).count()
+    while (active > 0 && round < maxRounds) {
+      val nbrMin = g.aggregateMessages[(Long, Long)](
+        ctx => if (ctx.srcAttr == 0 && ctx.dstAttr == 0)
+          ctx.sendToDst(keyOf(ctx.srcId)),
+        (a, b) => if (lt(a, b)) a else b)
+      val marked = g.outerJoinVertices(nbrMin) { (id, st, nm) =>
+        if (st == 0 && nm.forall(m => lt(keyOf(id), m))) 1 else st
+      }.cache()
+      val drop = marked.aggregateMessages[Int](
+        ctx => if (ctx.srcAttr == 1 && ctx.dstAttr == 0) ctx.sendToDst(2),
+        (a, _) => a)
+      val next = marked.outerJoinVertices(drop) { (_, st, d) =>
+        if (st == 0 && d.isDefined) 2 else st
+      }.cache()
+      active = next.vertices.filter(_._2 == 0).count()
+      g = next
+      round += 1
+    }
+    require(active == 0, s"maximalIndependentSetGraphX: $active vertices " +
+      s"left after $maxRounds rounds")
+    g.vertices.filter(_._2 == 1).map(_._1).toDF("v")
+  }
+
   /** Deterministic random walks — the DeepWalk/node2vec corpus
     * generator (Perozzi et al. 2014; Grover & Leskovec 2016): `walks`
     * walks of `steps` steps from every vertex of an undirected BIGINT

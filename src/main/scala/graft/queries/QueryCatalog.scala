@@ -3533,6 +3533,10 @@ object QueryCatalog {
   val q67Mis: Q = (s, d) =>
     graft.enrich.Analytics.maximalIndependentSet(coPurchaseEdges(s, d))
 
+  /** GraphX twin — same priorities and rounds, same oracle. */
+  val q67MisGx: Q = (s, d) =>
+    graft.enrich.Analytics.maximalIndependentSetGraphX(s, coPurchaseEdges(s, d))
+
   private def misRoundSql(i: Int): String =
     s"""nk$i AS MATERIALIZED (SELECT u.dst AS v, min((k.h, k.v)) AS nk
        |  FROM u${i - 1} u JOIN v${i - 1} k ON k.v = u.src GROUP BY u.dst),
@@ -6403,6 +6407,7 @@ object QueryCatalog {
     "q64_walks" -> q64Walks,
     "q65_matching" -> q65Matching,
     "q67_mis" -> q67Mis,
+    "q67_mis_gx" -> q67MisGx,
     "q60_katz_gx" -> q60KatzGx,
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
@@ -6633,6 +6638,7 @@ object QueryCatalog {
     "q64_walks" -> q64WalksSql,
     "q65_matching" -> q65MatchingSql,
     "q67_mis" -> q67MisSql,
+    "q67_mis_gx" -> q67MisSql,
     "q60_katz_gx" -> q60KatzSql,
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,

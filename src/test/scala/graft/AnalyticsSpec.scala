@@ -535,6 +535,14 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
       .distinct.toDF("src", "dst")
     check(randomEdges)
+    // the GraphX twin shares the priorities and rounds exactly
+    for (edges <- Seq(fixed, randomEdges)) {
+      val df = Analytics.maximalIndependentSet(edges)
+        .as[Long].collect().toSet
+      val gx = Analytics.maximalIndependentSetGraphX(spark, edges)
+        .as[Long].collect().toSet
+      assert(df === gx)
+    }
   }
 
   test("deterministicWalks: valid edges, full length, replay-stable") {
