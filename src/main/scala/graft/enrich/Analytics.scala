@@ -1927,6 +1927,72 @@ object Analytics {
     mis
   }
 
+  /** Jones-Plassmann greedy GRAPH COLORING (Jones & Plassmann 1993) —
+    * the parallel vertex coloring behind conflict-free scheduling,
+    * register-allocation-style partitioning and parallel Gauss-Seidel:
+    * per round an uncolored vertex whose (hash, id) priority is the
+    * LOCAL MAX among uncolored neighbors picks the smallest color absent
+    * from its already-colored neighborhood. Same-round winners are never
+    * adjacent (two adjacent vertices can't both be local maxima), so
+    * parallel assignment is conflict-free; rounds = the longest
+    * decreasing-priority path, O(log n) w.h.p. under the scrambled hash.
+    *
+    * Shape per round: one neighbor-max groupBy + a left join back picks
+    * winners; the smallest-free-color is a bounded explode (0..deg per
+    * winner — Σ(deg+1) ≤ m + n per round, never quadratic) anti-joined
+    * against colored-neighbor colors. Fully deterministic: the greedy
+    * is a pure function of the priorities. */
+  def jpColoring(edges: DataFrame, maxRounds: Int = 18): DataFrame = {
+    // 18 matches the q68 oracle's unroll (sf0.01 needs 13 — dense
+    // co-purchase cliques chain priorities; sf0.1 needs 5); a graph
+    // needing more fails the require below loudly
+    val P = 2147483647L
+    val spark = edges.sparkSession
+    val dir = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = dir.unionByName(
+        dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(eager = true)
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    var unc = und.select(col("src").as("v")).distinct()
+      .withColumn("h",
+        ((col("v") * 999983L + 2654435761L) % 1000003L) *
+          ((col("v") * 999983L + 2654435761L) % 1000003L) % P)
+      .localCheckpoint(eager = true)
+    var colored = spark.range(0)
+      .select(col("id").as("v"), col("id").cast("int").as("color"))
+    var round = 0
+    var n = unc.count()
+    while (n > 0 && round < maxRounds) {
+      val k = struct(col("h"), col("v"))
+      val nbrMax = und
+        .join(unc.select(col("v").as("src"), k.as("k")), "src")
+        .groupBy(col("dst").as("v")).agg(max(col("k")).as("nk"))
+      val win = unc.join(nbrMax, Seq("v"), "left")
+        .filter(col("nk").isNull || k > col("nk"))
+        .select("v").localCheckpoint(eager = true)
+      val nbrColors = und.join(win.select(col("v").as("src")), "src")
+        .join(colored.select(col("v").as("dst"), col("color")), "dst")
+        .select(col("src").as("v"), col("color")).distinct()
+      val newColors = win.join(deg, Seq("v"), "left")
+        .select(col("v"),
+          explode(sequence(lit(0),
+            coalesce(col("deg").cast("int"), lit(0)))).as("color"))
+        .join(nbrColors, Seq("v", "color"), "left_anti")
+        .groupBy("v").agg(min(col("color")).cast("int").as("color"))
+      colored = colored.unionByName(newColors)
+        .localCheckpoint(eager = true)
+      unc = unc.join(win, Seq("v"), "left_anti")
+        .localCheckpoint(eager = true)
+      n = unc.count()
+      round += 1
+    }
+    require(n == 0, s"jpColoring: $n vertices uncolored after " +
+      s"$maxRounds rounds")
+    colored
+  }
+
   /** GraphX scale path for [[maximalIndependentSet]] — identical
     * priorities and round semantics (so it shares q67's oracle), with
     * iteration state in GraphX vertex attrs (0 = active, 1 = in MIS,

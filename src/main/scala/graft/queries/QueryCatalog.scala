@@ -3564,6 +3564,50 @@ object QueryCatalog {
        |${(1 to 15).map(misRoundSql).mkString(",\n")}
        |${(1 to 15).map(i => s"SELECT v FROM w$i").mkString("\nUNION ALL ")}""".stripMargin
 
+  /** q68 — Jones-Plassmann greedy coloring of the co-purchase graph
+    * ([[graft.enrich.Analytics.jpColoring]]): per round, local-max
+    * priority vertices take the smallest color absent from their
+    * colored neighborhoods. The oracle unrolls 18 rounds (sf0.01 needs
+    * 13, sf0.1 needs 5). */
+  val q68Coloring: Q = (s, d) =>
+    graft.enrich.Analytics.jpColoring(coPurchaseEdges(s, d))
+
+  private def jpRoundSql(i: Int): String =
+    s"""nk$i AS MATERIALIZED (SELECT u.dst AS v, max((k.h, k.v)) AS nk
+       |  FROM u0 u JOIN uc${i - 1} k ON k.v = u.src GROUP BY u.dst),
+       |w$i AS MATERIALIZED (SELECT k.v FROM uc${i - 1} k
+       |  LEFT JOIN nk$i n ON n.v = k.v
+       |  WHERE n.v IS NULL OR (k.h, k.v) > n.nk),
+       |ncol$i AS MATERIALIZED (SELECT DISTINCT u.src AS v, c.color
+       |  FROM u0 u JOIN w$i w ON u.src = w.v
+       |  JOIN col${i - 1} c ON c.v = u.dst),
+       |newc$i AS MATERIALIZED (SELECT cd.v, min(cd.color)::INT AS color
+       |  FROM (SELECT w.v, unnest(range(0, d.deg + 1))::INT AS color
+       |        FROM w$i w JOIN deg d ON d.v = w.v) cd
+       |  ANTI JOIN ncol$i x ON x.v = cd.v AND x.color = cd.color
+       |  GROUP BY cd.v),
+       |col$i AS MATERIALIZED (SELECT v, color FROM col${i - 1}
+       |  UNION ALL SELECT v, color FROM newc$i),
+       |uc$i AS MATERIALIZED (SELECT k.* FROM uc${i - 1} k
+       |  ANTI JOIN w$i w ON w.v = k.v)""".stripMargin
+
+  lazy val q68ColoringSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |u0 AS MATERIALIZED (SELECT a::BIGINT AS src, b::BIGINT AS dst FROM e
+       |      UNION SELECT b::BIGINT, a::BIGINT FROM e),
+       |deg AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS deg
+       |  FROM u0 GROUP BY src),
+       |uc0 AS MATERIALIZED (SELECT v,
+       |    ((v * 999983 + 2654435761) % 1000003)
+       |      * ((v * 999983 + 2654435761) % 1000003) % 2147483647 AS h
+       |  FROM (SELECT DISTINCT src AS v FROM u0)),
+       |col0 AS (SELECT 0::BIGINT AS v, 0::INT AS color WHERE 1 = 0),
+       |${(1 to 18).map(jpRoundSql).mkString(",\n")}
+       |SELECT v, color FROM col18""".stripMargin
+
   /** q55 — per-EDGE triangle support on the co-purchase graph
     * ([[graft.enrich.Analytics.edgeSupport]]): the k-truss building
     * block. Same oriented-wedge kernel as q24; the oracle explodes the
@@ -6408,6 +6452,7 @@ object QueryCatalog {
     "q65_matching" -> q65Matching,
     "q67_mis" -> q67Mis,
     "q67_mis_gx" -> q67MisGx,
+    "q68_coloring" -> q68Coloring,
     "q60_katz_gx" -> q60KatzGx,
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
@@ -6639,6 +6684,7 @@ object QueryCatalog {
     "q65_matching" -> q65MatchingSql,
     "q67_mis" -> q67MisSql,
     "q67_mis_gx" -> q67MisSql,
+    "q68_coloring" -> q68ColoringSql,
     "q60_katz_gx" -> q60KatzSql,
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,

@@ -545,6 +545,40 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("jpColoring: proper, complete, deterministic, greedy-tight") {
+    val fixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    def check(edges: org.apache.spark.sql.DataFrame): Unit = {
+      val es = edges.as[(Long, Long)].collect()
+        .filter(p => p._1 != p._2)
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val verts = es.flatMap(e => Seq(e._1, e._2))
+      val c = Analytics.jpColoring(edges).as[(Long, Int)].collect().toMap
+      // complete and proper: every vertex colored, no edge monochrome
+      assert(c.keySet === verts)
+      assert(es.forall(e => c(e._1) != c(e._2)))
+      // greedy-tight: a vertex's color is the SMALLEST absent from its
+      // neighborhood-restricted-to-smaller-colors — in particular some
+      // vertex has color 0 and colors form a contiguous 0..max range
+      val used = c.values.toSet
+      assert(used === (0 to used.max).toSet)
+      val c2 = Analytics.jpColoring(edges).as[(Long, Int)].collect().toMap
+      assert(c === c2)
+    }
+    check(fixed)
+    // the triangle 10-11-12 needs exactly 3 colors; the path and the
+    // isolated edge need 2
+    val cf = Analytics.jpColoring(fixed).as[(Long, Int)].collect().toMap
+    assert(Set(cf(10L), cf(11L), cf(12L)).size === 3)
+    val rnd = new scala.util.Random(29)
+    val randomEdges = (1 to 60)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct.toDF("src", "dst")
+    check(randomEdges)
+  }
+
   test("deterministicWalks: valid edges, full length, replay-stable") {
     // a path 1-2-3-4 plus the triangle 4-5-6
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
