@@ -1927,6 +1927,108 @@ object Analytics {
     mis
   }
 
+  /** Boruvka MINIMUM SPANNING FOREST (Boruvka 1926; the textbook
+    * distributed MST) — per round every component selects its minimum
+    * outgoing edge under the total key (weight, src, dst) (ties
+    * impossible, so the forest is unique and ≡ Kruskal under the same
+    * tie-break), selected edges join the forest, and touched components
+    * merge by min-label propagation over the (tiny) component-merge
+    * graph; components at least halve per round, so rounds are
+    * O(log n).
+    *
+    * Shape per round: two comp-label joins + one groupBy-min pick the
+    * edges; the merge propagation runs on the COMPONENT graph (≤ #comps
+    * nodes — geometrically shrinking, never the raw edge set). Both the
+    * round count and the per-round propagation depth are bounded by
+    * explicit budgets with LOUD require failures (the q65/q67/q68
+    * discipline), matched by the oracle's unroll. */
+  def boruvkaMsf(edges: DataFrame, maxRounds: Int = 6,
+      propHops: Int = 12): DataFrame = {
+    val spark = edges.sparkSession
+    val e0 = edges.select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("weight"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min(col("weight")).as("weight"))
+      .localCheckpoint(eager = true)
+    var comp = e0.select(col("src").as("v"))
+      .unionByName(e0.select(col("dst").as("v"))).distinct()
+      .withColumn("comp", col("v")).localCheckpoint(eager = true)
+    var forest = spark.range(0).select(col("id").as("src"),
+      col("id").as("dst"), col("id").as("weight"))
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val ec = e0
+        .join(comp.select(col("v").as("src"), col("comp").as("ca")), "src")
+        .join(comp.select(col("v").as("dst"), col("comp").as("cb")), "dst")
+        .filter(col("ca") =!= col("cb")).localCheckpoint(eager = true)
+      if (ec.isEmpty) done = true
+      else {
+        val k = struct(col("weight"), col("src"), col("dst"))
+        val sides = ec.select(col("ca").as("c"), k.as("k"), col("cb").as("oc"))
+          .unionByName(
+            ec.select(col("cb").as("c"), k.as("k"), col("ca").as("oc")))
+        val best = sides
+          .groupBy("c").agg(min(struct(col("k"), col("oc"))).as("m"))
+          .select(col("c"), col("m.k.src").as("src"),
+            col("m.k.dst").as("dst"), col("m.k.weight").as("weight"),
+            col("m.oc").as("oc"))
+          .localCheckpoint(eager = true)
+        forest = forest.unionByName(
+            best.select(col("src"), col("dst"), col("weight")).distinct())
+          .localCheckpoint(eager = true)
+        // merge the touched components: min-label propagation over the
+        // component-merge graph (size ≤ #components, not the edge set)
+        val mg0 = best.select(col("c").as("a"), col("oc").as("b"))
+        val mg = mg0.unionByName(
+            mg0.select(col("b").as("a"), col("a").as("b")))
+          .distinct().localCheckpoint(eager = true)
+        var lbl = mg.select(col("a").as("c")).distinct()
+          .withColumn("lbl", col("c")).localCheckpoint(eager = true)
+        // THREE hops per materialization (the ccFrom amortization): the
+        // checkpoint+count overhead dominates on the tiny comp graph,
+        // and the fixpoint is stepping-invariant
+        def hop(df: DataFrame): DataFrame = {
+          val prop = mg.join(df.select(col("c").as("a"), col("lbl")), "a")
+            .groupBy(col("b").as("c")).agg(min(col("lbl")).as("nl"))
+          df.join(prop, Seq("c"), "left")
+            .withColumn("lbl",
+              least(col("lbl"), coalesce(col("nl"), col("lbl"))))
+            .drop("nl")
+        }
+        var hops = 0
+        var changed = 1L
+        while (changed > 0 && hops < propHops) {
+          val next = hop(hop(hop(lbl.withColumn("_old", col("lbl")))))
+            .localCheckpoint(eager = true)
+          changed = next.filter(col("lbl") =!= col("_old")).count()
+          lbl = next.drop("_old")
+          hops += 3
+        }
+        require(changed == 0, s"boruvkaMsf: merge propagation not " +
+          s"converged after $propHops hops (round $round)")
+        comp = comp
+          .join(lbl.select(col("c").as("comp"), col("lbl")), Seq("comp"),
+            "left")
+          .withColumn("comp", coalesce(col("lbl"), col("comp")))
+          .drop("lbl").localCheckpoint(eager = true)
+        round += 1
+      }
+    }
+    if (!done) {
+      // the budget ran out exactly at convergence iff no cross-component
+      // edge survives — check before declaring failure
+      val rem = e0
+        .join(comp.select(col("v").as("src"), col("comp").as("ca")), "src")
+        .join(comp.select(col("v").as("dst"), col("comp").as("cb")), "dst")
+        .filter(col("ca") =!= col("cb")).count()
+      require(rem == 0, s"boruvkaMsf: $rem cross-component edges remain " +
+        s"after $maxRounds rounds")
+    }
+    forest
+  }
+
   /** Jones-Plassmann greedy GRAPH COLORING (Jones & Plassmann 1993) —
     * the parallel vertex coloring behind conflict-free scheduling,
     * register-allocation-style partitioning and parallel Gauss-Seidel:

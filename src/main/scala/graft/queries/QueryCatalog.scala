@@ -3608,6 +3608,54 @@ object QueryCatalog {
        |${(1 to 18).map(jpRoundSql).mkString(",\n")}
        |SELECT v, color FROM col18""".stripMargin
 
+  /** q69 — Boruvka minimum spanning forest of the weighted co-purchase
+    * graph ([[graft.enrich.Analytics.boruvkaMsf]]): per round every
+    * component takes its min (weight, src, dst)-keyed outgoing edge;
+    * merges propagate on the component graph. The oracle unrolls 6
+    * rounds × 12 merge hops (sf0.01 needs 4 × ≤7). */
+  val q69Msf: Q = (s, d) =>
+    graft.enrich.Analytics.boruvkaMsf(
+      GraphTables.coPurchase(s, d)
+        .select(col("src"), col("dst"), col("w").as("weight")))
+
+  private def msfPropSql(r: Int, j: Int): String =
+    s"""l${r}_$j AS MATERIALIZED (SELECT l.c,
+       |    CASE WHEN p.nl IS NULL OR l.lbl <= p.nl THEN l.lbl ELSE p.nl END AS lbl
+       |  FROM l${r}_${j - 1} l LEFT JOIN (
+       |    SELECT m.b AS c, min(x.lbl) AS nl FROM mg$r m
+       |    JOIN l${r}_${j - 1} x ON x.c = m.a GROUP BY m.b) p ON p.c = l.c)""".stripMargin
+
+  private def msfRoundSql(r: Int, hops: Int): String =
+    s"""ec$r AS MATERIALIZED (SELECT e.src, e.dst, e.w, ca.comp AS ca, cb.comp AS cb
+       |  FROM e0 e JOIN cmp${r - 1} ca ON ca.v = e.src
+       |  JOIN cmp${r - 1} cb ON cb.v = e.dst WHERE ca.comp <> cb.comp),
+       |best$r AS MATERIALIZED (SELECT c, min((w, src, dst)) AS k FROM (
+       |    SELECT ca AS c, w, src, dst FROM ec$r
+       |    UNION ALL SELECT cb, w, src, dst FROM ec$r) GROUP BY c),
+       |bestE$r AS MATERIALIZED (SELECT b.c, e.src, e.dst, e.w,
+       |    CASE WHEN e.ca = b.c THEN e.cb ELSE e.ca END AS oc
+       |  FROM best$r b JOIN ec$r e ON (e.w, e.src, e.dst) = b.k),
+       |sel$r AS MATERIALIZED (SELECT DISTINCT src, dst, w FROM bestE$r),
+       |mg$r AS MATERIALIZED (SELECT c AS a, oc AS b FROM bestE$r
+       |  UNION SELECT oc, c FROM bestE$r),
+       |l${r}_0 AS MATERIALIZED (SELECT DISTINCT a AS c, a AS lbl FROM mg$r),
+       |${(1 to hops).map(j => msfPropSql(r, j)).mkString(",\n")},
+       |cmp$r AS MATERIALIZED (SELECT c.v, coalesce(l.lbl, c.comp) AS comp
+       |  FROM cmp${r - 1} c LEFT JOIN l${r}_$hops l ON l.c = c.comp)""".stripMargin
+
+  lazy val q69MsfSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT a.l_partkey::BIGINT AS src,
+       |    b.l_partkey::BIGINT AS dst, count(*)::BIGINT AS w
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |cmp0 AS MATERIALIZED (SELECT v, v AS comp FROM (
+       |  SELECT src AS v FROM e0 UNION SELECT dst FROM e0)),
+       |${(1 to 6).map(r => msfRoundSql(r, 12)).mkString(",\n")}
+       |${(1 to 6).map(r => s"SELECT src, dst, w AS weight FROM sel$r")
+           .mkString("\nUNION ALL ")}""".stripMargin
+
   /** q55 — per-EDGE triangle support on the co-purchase graph
     * ([[graft.enrich.Analytics.edgeSupport]]): the k-truss building
     * block. Same oriented-wedge kernel as q24; the oracle explodes the
@@ -6453,6 +6501,7 @@ object QueryCatalog {
     "q67_mis" -> q67Mis,
     "q67_mis_gx" -> q67MisGx,
     "q68_coloring" -> q68Coloring,
+    "q69_msf" -> q69Msf,
     "q60_katz_gx" -> q60KatzGx,
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
@@ -6685,6 +6734,7 @@ object QueryCatalog {
     "q67_mis" -> q67MisSql,
     "q67_mis_gx" -> q67MisSql,
     "q68_coloring" -> q68ColoringSql,
+    "q69_msf" -> q69MsfSql,
     "q60_katz_gx" -> q60KatzSql,
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,

@@ -545,6 +545,41 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("boruvkaMsf ≡ Kruskal under the (weight, src, dst) tie-break") {
+    def kruskal(es: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      es.sortBy { case (s, d, w) => (w, s, d) }.foreach { case (s, d, w) =>
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) { parent(rs) = rd; out += ((s, d, w)) }
+      }
+      out.toSet
+    }
+    def check(es: Seq[(Long, Long, Long)]): Unit = {
+      val got = Analytics.boruvkaMsf(es.toDF("src", "dst", "weight"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === kruskal(es))
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct.size
+      // spanning forest size: n − #components (Kruskal's own count)
+      assert(got.size === kruskal(es).size && got.size < verts)
+    }
+    // two components, a tie (weight 5 twice) broken by (src, dst)
+    check(Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 9L),
+      (10L, 11L, 1L), (11L, 12L, 2L), (10L, 12L, 2L)))
+    val rnd = new scala.util.Random(31)
+    val randomEdges = (1 to 80)
+      .map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong,
+        (rnd.nextInt(7) + 1).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2), p._3))
+      .groupBy(p => (p._1, p._2)).map(_._2.head).toSeq
+    check(randomEdges)
+  }
+
   test("jpColoring: proper, complete, deterministic, greedy-tight") {
     val fixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("src", "dst")
