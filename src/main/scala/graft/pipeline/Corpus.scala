@@ -108,6 +108,42 @@ object Corpus {
       .limit(topK)
   }
 
+  /** Zipf rank-frequency slope — the classic corpus-health diagnostic
+    * (natural language sits near slope −1 on the log-log rank/frequency
+    * line; spammy or templated corpora bend away): least-squares slope
+    * of `(ln r, ln f_r)` over the top-`k` terms.
+    *
+    * Determinism: each ln rounds to 6 BEFORE any summation (java and C
+    * ln may differ in the last ulp — rounding first makes every fold
+    * input bit-identical), and all four sums fold SEQUENTIALLY in rank
+    * order over one collected ≤k-element array (`sort_array` +
+    * `aggregate`, the cosine-kernel fold discipline) — no
+    * summation-order hazard. Scale: corpus-sized work is the one token
+    * groupBy; the rank window and the fit run on the ≤k aggregate. */
+  def zipfSlope(docs: DataFrame, k: Int = 30): DataFrame = {
+    val tf = docs.select(explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("term"))
+    val ranked = tf.withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .select(col("r"),
+        round(log(col("r").cast("double")), 6).as("x"),
+        round(log(col("n").cast("double")), 6).as("y"))
+    ranked
+      .agg(sort_array(collect_list(struct(col("r"), col("x"), col("y"))))
+        .as("p"))
+      .select(
+        expr("CAST(size(p) AS BIGINT)").as("n_terms"),
+        expr("""round(
+          (size(p) * aggregate(p, 0D, (a, e) -> a + e.x * e.y)
+            - aggregate(p, 0D, (a, e) -> a + e.x)
+              * aggregate(p, 0D, (a, e) -> a + e.y))
+          / (size(p) * aggregate(p, 0D, (a, e) -> a + e.x * e.x)
+            - aggregate(p, 0D, (a, e) -> a + e.x)
+              * aggregate(p, 0D, (a, e) -> a + e.x)), 4)""").as("slope"))
+  }
+
   /** Gopher-style repetition screens per document: the duplicate-word
     * fraction (1 − distinct/total tokens) and the share of bigram
     * occurrences taken by the single most frequent bigram — high values

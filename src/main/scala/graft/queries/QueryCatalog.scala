@@ -1637,6 +1637,32 @@ object QueryCatalog {
        |FROM p, n WHERE n_ab * 100 >= n_docs * 1
        |ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin
 
+  /** t_zipf — Zipf rank-frequency slope
+    * ([[graft.pipeline.Corpus.zipfSlope]]): least-squares slope of
+    * (ln r, ln f) over the top-30 terms; every ln rounds to 6 before
+    * the rank-ordered sequential folds, so both engines sum identical
+    * bits in identical order. */
+  val tZipf: Q = (s, d) => graft.pipeline.Corpus.zipfSlope(Tables.documents(s, d))
+
+  val tZipfSql: String =
+    s"""WITH tf AS (SELECT t.term, count(*)::BIGINT AS n
+       |  FROM (SELECT unnest(string_split($normSql, ' ')) AS term FROM documents) t
+       |  WHERE t.term <> '' GROUP BY t.term),
+       |ranked AS (SELECT r, round(ln(r), 6) AS x, round(ln(n), 6) AS y FROM (
+       |  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r FROM tf)
+       |  WHERE r <= 30),
+       |pts AS (SELECT list(struct_pack(r := r, x := x, y := y) ORDER BY r) AS p
+       |  FROM ranked)
+       |SELECT len(p)::BIGINT AS n_terms,
+       |  round(
+       |    (len(p) * list_reduce(list_prepend(0.0, list_transform(p, e -> e.x * e.y)), (a, v) -> a + v)
+       |      - list_reduce(list_prepend(0.0, list_transform(p, e -> e.x)), (a, v) -> a + v)
+       |        * list_reduce(list_prepend(0.0, list_transform(p, e -> e.y)), (a, v) -> a + v))
+       |    / (len(p) * list_reduce(list_prepend(0.0, list_transform(p, e -> e.x * e.x)), (a, v) -> a + v)
+       |      - list_reduce(list_prepend(0.0, list_transform(p, e -> e.x)), (a, v) -> a + v)
+       |        * list_reduce(list_prepend(0.0, list_transform(p, e -> e.x)), (a, v) -> a + v)), 4) AS slope
+       |FROM pts""".stripMargin
+
   /** Equal-width token-length histogram (10 buckets to the observed max)
     * — the length-distribution screen before packing/curation. Bucketing
     * is a broadcast of ONE max value + a narrow map; no global sort or
@@ -6571,6 +6597,7 @@ object QueryCatalog {
     "t_vocab" -> tVocab,
     "t_lexdiv" -> tLexDiv,
     "t_pmi" -> tPmi,
+    "t_zipf" -> tZipf,
     "t_entropy" -> tEntropy,
     "t_fertility" -> tFertility,
     "t_luhn" -> tLuhn,
@@ -6804,6 +6831,7 @@ object QueryCatalog {
     "t_vocab" -> tVocabSql,
     "t_lexdiv" -> tLexDivSql,
     "t_pmi" -> tPmiSql,
+    "t_zipf" -> tZipfSql,
     "t_entropy" -> tEntropySql,
     "t_fertility" -> tFertilitySql,
     "t_luhn" -> tLuhnSql,

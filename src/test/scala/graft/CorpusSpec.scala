@@ -646,6 +646,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows2 === Map(3L -> 2L, 1L -> 2L))
   }
 
+  test("zipfSlope: exact-power-law corpus fits slope -1") {
+    // term t_r appears round(64/r) times for r = 1..8 — frequencies on
+    // an exact f = 64/r power law, so the log-log fit slope is ≈ −1
+    val words = (1 to 8).flatMap(r =>
+      Seq.fill(math.round(64.0 / r).toInt)(s"w$r"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = Corpus.zipfSlope(docs).as[(Long, Double)].collect().head
+    assert(out._1 === 8L)
+    assert(math.abs(out._2 + 1.0) < 0.02, s"slope ${out._2}")
+    // a flat (uniform) corpus fits slope 0
+    val flat = Seq((1L, (1 to 8).flatMap(r =>
+      Seq.fill(10)(s"u$r")).mkString(" "))).toDF("doc_id", "text")
+    val f = Corpus.zipfSlope(flat).as[(Long, Double)].collect().head
+    assert(f._2 === 0.0)
+  }
+
   test("pmiPairs: perfectly coupled pair tops independent pairs at 0") {
     // x and y co-occur in exactly the 5 docs where either appears;
     // a and b appear everywhere — pmi(x,y) = ln(5·10/25) = ln 2,
