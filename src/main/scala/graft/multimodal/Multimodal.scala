@@ -419,6 +419,51 @@ object Multimodal {
     media.withColumn(outCol, parse(col(payloadCol)))
   }
 
+  final case class OggMeta(format: String, channels: Option[Int],
+      sample_rate: Option[Int], granule: Option[Long])
+
+  /** ======= REAL (codec-free) ======= Ogg/Vorbis metadata: the first
+    * Ogg page (`OggS` magic, version 0, little-endian 64-bit granule
+    * position, 27-byte header + segment table) must carry a Vorbis
+    * IDENTIFICATION header as its first packet (`vorbis`,
+    * version 0, channels u8, sample rate u32 LE) — the container walk
+    * an audio ingest runs before any codec work. A non-Ogg payload, a
+    * non-zero structure version, a first packet that isn't a Vorbis ID
+    * header, or truncation degrade to `not_ogg` with null fields (the
+    * [[withAudioMeta]] discipline). Header bytes only. */
+  def withOggMeta(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "ogg_meta"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) =>
+      def u(i: Int) = p(i) & 0xff
+      val bad = OggMeta("not_ogg", None, None, None)
+      if (p == null || p.length < 28 || u(0) != 'O' || u(1) != 'g' ||
+          u(2) != 'g' || u(3) != 'S' || u(4) != 0)
+        bad
+      else {
+        val granule = (0 until 8).map(i => u(6 + i).toLong << (8 * i)).sum
+        val nSegs = u(26)
+        val body = 27 + nSegs
+        // first packet starts right after the segment table
+        if (p.length < body + 16) bad
+        else if (u(body) != 1 || u(body + 1) != 'v' || u(body + 2) != 'o' ||
+            u(body + 3) != 'r' || u(body + 4) != 'b' || u(body + 5) != 'i' ||
+            u(body + 6) != 's')
+          bad
+        else {
+          // vorbis_version u32 LE must be 0, then channels u8, rate u32
+          val ver = (0 until 4).map(i => u(body + 7 + i) << (8 * i)).sum
+          if (ver != 0) bad
+          else {
+            val ch = u(body + 11)
+            val rate = (0 until 4).map(i => u(body + 12 + i) << (8 * i)).sum
+            OggMeta("ogg", Some(ch), Some(rate), Some(granule))
+          }
+        }
+      }
+    }
+    media.withColumn(outCol, parse(col(payloadCol)))
+  }
+
   final case class Mp3Meta(format: String, id3_version: Option[Int],
     tag_size: Option[Int], mpeg_version: Option[String],
     layer: Option[Int], bitrate_kbps: Option[Int],

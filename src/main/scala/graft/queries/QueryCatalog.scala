@@ -5733,6 +5733,54 @@ object QueryCatalog {
       |  END AS captured_at
       |FROM documents""".stripMargin
 
+  /** m_ogg — Ogg/Vorbis identification-header parse
+    * ([[graft.multimodal.Multimodal.withOggMeta]]): real BOS pages with
+    * LE-64 granule positions and a segment-table-addressed first packet
+    * built IN-PLAN; every `% 5 == 2` page carries a COMMENT header as
+    * its first packet (type 3 — must degrade, the walk checks the
+    * packet type, not just the magic) and every `% 7 == 0` payload
+    * truncates mid-packet. Closed-form oracle. */
+  val mOgg: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    def b(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+    def le32(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c.cast("long")), 8, "0")
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    val ch = (id % 8 + 1).cast("int")
+    val rate = (id % 5 * 8000 + 8000).cast("int")
+    val granule = id * 441
+    def packet(ptype: Int) = concat(b(ptype), lit("vorbis".getBytes),
+      le32(lit(0)), unhex(lpad(hex(ch.cast("long")), 2, "0")), le32(rate))
+    val page = (ptype: Int) => concat(lit("OggS".getBytes), b(0, 0x02),
+      le32(granule), le32(lit(0)), // granule low half, high half 0
+      le32(id % 100000), le32(lit(0)), le32(lit(0)),
+      b(1, 16), packet(ptype))
+    val full = when(id % 5 === 2, page(3)).otherwise(page(1))
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload",
+        when(id % 7 === 0, substring(full, 1, 20)).otherwise(full))
+    Multimodal.withOggMeta(media).select(id,
+      col("ogg_meta.format").as("format"),
+      col("ogg_meta.channels").as("channels"),
+      col("ogg_meta.sample_rate").as("sample_rate"),
+      col("ogg_meta.granule").as("granule"))
+  }
+
+  val mOggSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 OR doc_id % 5 = 2 THEN 'not_ogg'
+      |       ELSE 'ogg' END AS format,
+      |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 2
+      |       THEN CAST(doc_id % 8 + 1 AS INTEGER) END AS channels,
+      |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 2
+      |       THEN CAST(doc_id % 5 * 8000 + 8000 AS INTEGER) END AS sample_rate,
+      |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 2
+      |       THEN CAST(doc_id * 441 AS BIGINT) END AS granule
+      |FROM documents""".stripMargin
+
   val mHeaders: Q = (s, d) => {
     import graft.multimodal.Multimodal
     val id = col("doc_id")
@@ -6686,6 +6734,7 @@ object QueryCatalog {
     "m_headers" -> mHeaders,
     "m_tiff" -> mTiff,
     "m_exif" -> mExif,
+    "m_ogg" -> mOgg,
     "m_video" -> mVideo,
     "m_corrupt" -> mCorrupt,
     "p_media_mix" -> pMediaMix,
@@ -6920,6 +6969,7 @@ object QueryCatalog {
     "m_headers" -> mHeadersSql,
     "m_tiff" -> mTiffSql,
     "m_exif" -> mExifSql,
+    "m_ogg" -> mOggSql,
     "m_video" -> mVideoSql,
     "m_corrupt" -> mCorruptSql,
     "p_media_mix" -> pMediaMixSql,

@@ -193,6 +193,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(5L) === ((Some(6), None)))
   }
 
+  test("withOggMeta: BOS page walk, segment-table offset, degradations") {
+    def le32(v: Long) = Seq((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    def page(ptype: Int, nSegs: Int = 1, version: Int = 0,
+        vorbisVer: Long = 0L): Array[Byte] = {
+      val packet = Seq(ptype) ++ "vorbis".getBytes.map(_.toInt) ++
+        le32(vorbisVer) ++ Seq(2) ++ le32(44100)
+      ("OggS".getBytes.map(_.toInt).toSeq ++ Seq(version, 0x02) ++
+        le32(123456L) ++ le32(0) ++ le32(7) ++ le32(0) ++ le32(0) ++
+        Seq(nSegs) ++ Seq(16) ++ Seq.fill(nSegs - 1)(0) ++
+        packet).map(_.toByte).toArray
+    }
+    val rows = Seq(
+      (1L, page(1)),                       // well-formed ID header
+      (2L, page(3)),                       // comment header first: degrade
+      (3L, page(1, nSegs = 3)),            // longer segment table honored
+      (4L, page(1).take(30)),              // truncated mid-packet
+      (5L, page(1, version = 1)),          // unknown structure version
+      (6L, page(1, vorbisVer = 7L)))       // bad vorbis version
+    val out = Multimodal.withOggMeta(rows.toDF("doc_id", "payload"))
+      .select(col("doc_id"), col("ogg_meta.format"),
+        col("ogg_meta.channels"), col("ogg_meta.sample_rate"),
+        col("ogg_meta.granule"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4))))).toMap
+    assert(out(1L) === (("ogg", Some(2), Some(44100), Some(123456L))))
+    assert(out(2L)._1 === "not_ogg" && out(2L)._2.isEmpty)
+    assert(out(3L) === (("ogg", Some(2), Some(44100), Some(123456L))))
+    assert(out(4L)._1 === "not_ogg")
+    assert(out(5L)._1 === "not_ogg")
+    assert(out(6L)._1 === "not_ogg")
+  }
+
   test("withHeaderMeta parses all three WebP bitstream flavors") {
     def riff(chunk: Seq[Int]): Array[Byte] =
       ("RIFF".getBytes.map(_.toInt).toSeq ++ Seq(0, 0, 0, 0) ++
