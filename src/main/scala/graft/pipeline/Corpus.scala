@@ -108,6 +108,46 @@ object Corpus {
       .limit(topK)
   }
 
+  /** Per-source KL DIVERGENCE from the corpus unigram distribution —
+    * the domain-shift diagnostic (CCNet/DSIR lineage): a source whose
+    * Laplace-smoothed term distribution sits far from the corpus's is a
+    * candidate for reweighting or review. `KL(p_s ‖ q) =
+    * Σ_t p ln(p/q)` with add-one smoothing over the shared vocabulary
+    * (so zero counts stay finite and every source scores the same
+    * support).
+    *
+    * Determinism: probabilities are exact-rational divisions (identical
+    * doubles both engines); each term's contribution rounds to 8 before
+    * the TERM-ORDERED sequential fold (the zipfSlope discipline), so
+    * last-ulp ln() differences can never reach a sum. Scale: corpus
+    * work is one (source, term) groupBy; the sources × vocabulary grid
+    * is bounded (vocab × |sources|), and the corpus side broadcasts. */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val st = tok.groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val corpus = tok.groupBy("term").agg(count(lit(1)).as("ct"))
+    val vocabN = corpus.agg(count(lit(1)).as("v"), sum(col("ct")).as("n"))
+    val sources = st.groupBy("source").agg(sum(col("c")).as("ns"))
+    sources.crossJoin(broadcast(corpus))
+      .join(st, Seq("source", "term"), "left")
+      .crossJoin(broadcast(vocabN))
+      .select(col("source"), col("term"),
+        ((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("ns") + col("v")).cast("double")).as("p"),
+        ((col("ct") + 1).cast("double") /
+          (col("n") + col("v")).cast("double")).as("q"))
+      .select(col("source"), col("term"),
+        round(col("p") * log(col("p") / col("q")), 8).as("contrib"))
+      .groupBy("source")
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+        .as("cs"))
+      .select(col("source"),
+        round(expr("aggregate(cs, 0D, (a, e) -> a + e.contrib)"), 4)
+          .as("kl"))
+  }
+
   /** Zipf rank-frequency slope — the classic corpus-health diagnostic
     * (natural language sits near slope −1 on the log-log rank/frequency
     * line; spammy or templated corpora bend away): least-squares slope

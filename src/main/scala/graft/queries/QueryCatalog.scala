@@ -1663,6 +1663,33 @@ object QueryCatalog {
        |        * list_reduce(list_prepend(0.0, list_transform(p, e -> e.x)), (a, v) -> a + v)), 4) AS slope
        |FROM pts""".stripMargin
 
+  /** t_kl — per-source KL divergence from the corpus unigram
+    * distribution ([[graft.pipeline.Corpus.sourceKl]]): add-one
+    * smoothing over the shared vocab, per-term contributions rounded to
+    * 8 before a term-ordered fold. */
+  val tKl: Q = (s, d) => graft.pipeline.Corpus.sourceKl(Tables.documents(s, d))
+
+  val tKlSql: String =
+    s"""WITH tok AS (SELECT source, t.term FROM
+       |    (SELECT source, unnest(string_split($normSql, ' ')) AS term
+       |     FROM documents) t WHERE t.term <> ''),
+       |st AS (SELECT source, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+       |corpus AS (SELECT term, count(*)::BIGINT AS ct FROM tok GROUP BY 1),
+       |vn AS (SELECT count(*)::BIGINT AS v, sum(ct)::BIGINT AS n FROM corpus),
+       |srcs AS (SELECT source, sum(c)::BIGINT AS ns FROM st GROUP BY 1),
+       |grid AS (SELECT s.source, co.term,
+       |    round(((coalesce(st.c, 0) + 1)::DOUBLE / (s.ns + vn.v)::DOUBLE)
+       |      * ln(((coalesce(st.c, 0) + 1)::DOUBLE / (s.ns + vn.v)::DOUBLE)
+       |           / ((co.ct + 1)::DOUBLE / (vn.n + vn.v)::DOUBLE)), 8)
+       |      AS contrib
+       |  FROM srcs s CROSS JOIN corpus co CROSS JOIN vn
+       |  LEFT JOIN st ON st.source = s.source AND st.term = co.term),
+       |folded AS (SELECT source, list(contrib ORDER BY term) AS cs FROM grid
+       |  GROUP BY source)
+       |SELECT source,
+       |  round(list_reduce(list_prepend(0.0, cs), (a, v) -> a + v), 4) AS kl
+       |FROM folded""".stripMargin
+
   /** Equal-width token-length histogram (10 buckets to the observed max)
     * — the length-distribution screen before packing/curation. Bucketing
     * is a broadcast of ONE max value + a narrow map; no global sort or
@@ -6646,6 +6673,7 @@ object QueryCatalog {
     "t_lexdiv" -> tLexDiv,
     "t_pmi" -> tPmi,
     "t_zipf" -> tZipf,
+    "t_kl" -> tKl,
     "t_entropy" -> tEntropy,
     "t_fertility" -> tFertility,
     "t_luhn" -> tLuhn,
@@ -6881,6 +6909,7 @@ object QueryCatalog {
     "t_lexdiv" -> tLexDivSql,
     "t_pmi" -> tPmiSql,
     "t_zipf" -> tZipfSql,
+    "t_kl" -> tKlSql,
     "t_entropy" -> tEntropySql,
     "t_fertility" -> tFertilitySql,
     "t_luhn" -> tLuhnSql,

@@ -646,6 +646,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows2 === Map(3L -> 2L, 1L -> 2L))
   }
 
+  test("sourceKl: conforming sources near 0, divergent source apart") {
+    // a and b share the corpus distribution; c is disjoint-vocabulary
+    val docs = Seq(
+      (1L, "x x x y y z", "a"), (2L, "x x x y y z", "b"),
+      (3L, "q q q q r r", "c")
+    ).toDF("doc_id", "text", "source")
+    val kl = Corpus.sourceKl(docs).as[(String, Double)].collect().toMap
+    assert(kl.keySet === Set("a", "b", "c"))
+    // KL is non-negative and symmetric sources score identically
+    assert(kl.values.forall(_ >= 0.0))
+    assert(kl("a") === kl("b"))
+    // the off-distribution source diverges far beyond the conformers
+    assert(kl("c") > kl("a") * 3 && kl("c") > 0.2)
+    assert(kl("a") < 0.2)
+  }
+
   test("zipfSlope: exact-power-law corpus fits slope -1") {
     // term t_r appears round(64/r) times for r = 1..8 — frequencies on
     // an exact f = 64/r power law, so the log-log fit slope is ≈ −1
