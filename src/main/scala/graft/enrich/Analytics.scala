@@ -1927,6 +1927,51 @@ object Analytics {
     mis
   }
 
+  /** Full k-core DECOMPOSITION — coreness per vertex — by h-index
+    * iteration (Montresor, De Pellegrini & Miorandi 2013, the
+    * distributed coreness algorithm): start from degree and repeatedly
+    * set `est(v) ← min(est(v), H(neighbor ests))` where H is the
+    * h-index (`max over desc-rank r of min(r, est_r)`); the fixpoint is
+    * exactly the peeling number k-core(v) that [[kTruss]]-style
+    * cascading peels would compute, without any sequential peel.
+    *
+    * Shape per round: one est join onto the edge list + a
+    * vertex-PARTITIONED rank window + a groupBy max — all distributed,
+    * no global sort; ests are monotone non-increasing so convergence is
+    * a change-count. Round budget loud-require'd and matched by the
+    * oracle's unroll (sf0.01 converges in 10). */
+  def coreness(edges: DataFrame, maxRounds: Int = 14): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dir = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = dir.unionByName(
+        dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(eager = true)
+    var est = und.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("est")).localCheckpoint(eager = true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val w = Window.partitionBy("v").orderBy(col("e").desc)
+      val h = und
+        .join(est.select(col("v").as("src"), col("est").as("e")), "src")
+        .select(col("dst").as("v"), col("e"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("v").agg(max(least(col("rn"), col("e"))).as("h"))
+      val next = est.join(h, "v")
+        .select(col("v"), col("est"),
+          least(col("est"), col("h")).as("_new"))
+        .localCheckpoint(eager = true)
+      changed = next.filter(col("_new") =!= col("est")).count()
+      est = next.select(col("v"), col("_new").as("est"))
+        .localCheckpoint(eager = true)
+      round += 1
+    }
+    require(changed == 0,
+      s"coreness: not converged after $maxRounds rounds")
+    est.select(col("v"), col("est").cast("long").as("coreness"))
+  }
+
   /** Boruvka MINIMUM SPANNING FOREST (Boruvka 1926; the textbook
     * distributed MST) — per round every component selects its minimum
     * outgoing edge under the total key (weight, src, dst) (ties

@@ -3661,6 +3661,33 @@ object QueryCatalog {
        |${(1 to 18).map(jpRoundSql).mkString(",\n")}
        |SELECT v, color FROM col18""".stripMargin
 
+  /** q70 — full coreness decomposition of the co-purchase graph
+    * ([[graft.enrich.Analytics.coreness]], Montresor et al. h-index
+    * iteration). The oracle unrolls 14 rounds (sf0.01 converges
+    * in 10); converged rounds no-op. */
+  val q70Coreness: Q = (s, d) =>
+    graft.enrich.Analytics.coreness(coPurchaseEdges(s, d))
+
+  private def corenessRoundSql(i: Int): String =
+    s"""h$i AS MATERIALIZED (SELECT v, max(least(rn, e)) AS h FROM (
+       |  SELECT u.dst AS v, x.est AS e,
+       |    row_number() OVER (PARTITION BY u.dst ORDER BY x.est DESC) AS rn
+       |  FROM und u JOIN est${i - 1} x ON x.v = u.src) GROUP BY v),
+       |est$i AS MATERIALIZED (SELECT e.v, least(e.est, h.h) AS est
+       |  FROM est${i - 1} e JOIN h$i h ON h.v = e.v)""".stripMargin
+
+  lazy val q70CorenessSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS MATERIALIZED (SELECT a::BIGINT AS src, b::BIGINT AS dst FROM e
+       |      UNION SELECT b::BIGINT, a::BIGINT FROM e),
+       |est0 AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS est
+       |  FROM und GROUP BY src),
+       |${(1 to 14).map(corenessRoundSql).mkString(",\n")}
+       |SELECT v, est::BIGINT AS coreness FROM est14""".stripMargin
+
   /** q69 — Boruvka minimum spanning forest of the weighted co-purchase
     * graph ([[graft.enrich.Analytics.boruvkaMsf]]): per round every
     * component takes its min (weight, src, dst)-keyed outgoing edge;
@@ -6603,6 +6630,7 @@ object QueryCatalog {
     "q67_mis_gx" -> q67MisGx,
     "q68_coloring" -> q68Coloring,
     "q69_msf" -> q69Msf,
+    "q70_coreness" -> q70Coreness,
     "q60_katz_gx" -> q60KatzGx,
     "q10_pagerank_gx" -> q10PagerankGx,
     "q11_cc" -> q11Cc,
@@ -6839,6 +6867,7 @@ object QueryCatalog {
     "q67_mis_gx" -> q67MisSql,
     "q68_coloring" -> q68ColoringSql,
     "q69_msf" -> q69MsfSql,
+    "q70_coreness" -> q70CorenessSql,
     "q60_katz_gx" -> q60KatzSql,
     "q10_pagerank_gx" -> q10PagerankSql,
     "q11_cc" -> q11CcSql,

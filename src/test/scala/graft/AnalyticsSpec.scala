@@ -545,6 +545,55 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("coreness ≡ sequential peeling; agrees with the k-core cut") {
+    def peel(es: Set[(Long, Long)]): Map[Long, Int] = {
+      val adj = scala.collection.mutable.Map.empty[Long,
+        scala.collection.mutable.Set[Long]]
+      es.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+      val core = scala.collection.mutable.Map.empty[Long, Int]
+      var k = 0
+      while (adj.nonEmpty) {
+        val victims = adj.filter(_._2.size <= k).keys.toSeq
+        if (victims.isEmpty) k += 1
+        else victims.foreach { v =>
+          core(v) = k
+          adj(v).foreach(u => adj.get(u).foreach(_ -= v))
+          adj -= v
+        }
+      }
+      core.toMap
+    }
+    def check(edges: org.apache.spark.sql.DataFrame): Unit = {
+      val es = edges.as[(Long, Long)].collect()
+        .filter(p => p._1 != p._2)
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val got = Analytics.coreness(edges).as[(Long, Long)].collect().toMap
+      assert(got.view.mapValues(_.toInt).toMap === peel(es))
+    }
+    // triangle + pendant: triangle coreness 2, pendant 1
+    val fixed = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val cf = Analytics.coreness(fixed).as[(Long, Long)].collect().toMap
+    assert(cf === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    check(fixed)
+    val rnd = new scala.util.Random(37)
+    val randomEdges = (1 to 90)
+      .map(_ => (rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct.toDF("src", "dst")
+    check(randomEdges)
+    // consistency: {v : coreness(v) ≥ 2} is exactly kCore(k = 2)'s set
+    val c2 = Analytics.coreness(randomEdges).as[(Long, Long)].collect()
+      .filter(_._2 >= 2L).map(_._1).toSet
+    val kc = Analytics.kCore(randomEdges, k = 2)
+      .select("v").as[Long].collect().toSet
+    assert(c2 === kc)
+  }
+
   test("boruvkaMsf ≡ Kruskal under the (weight, src, dst) tie-break") {
     def kruskal(es: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
