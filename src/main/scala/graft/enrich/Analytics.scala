@@ -1939,8 +1939,9 @@ object Analytics {
     * vertex-PARTITIONED rank window + a groupBy max — all distributed,
     * no global sort; ests are monotone non-increasing so convergence is
     * a change-count. Round budget loud-require'd and matched by the
-    * oracle's unroll (sf0.01 converges in 10). */
-  def coreness(edges: DataFrame, maxRounds: Int = 14): DataFrame = {
+    * oracle's unroll (sf0.01 converges in 10; the dense little
+    * sf0.001 graph — coreness 15 — cascades for 21). */
+  def coreness(edges: DataFrame, maxRounds: Int = 26): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dir = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
@@ -1952,13 +1953,7 @@ object Analytics {
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
-      val w = Window.partitionBy("v").orderBy(col("e").desc)
-      val h = und
-        .join(est.select(col("v").as("src"), col("est").as("e")), "src")
-        .select(col("dst").as("v"), col("e"))
-        .withColumn("rn", row_number().over(w))
-        .groupBy("v").agg(max(least(col("rn"), col("e"))).as("h"))
-      val next = est.join(h, "v")
+      val next = est.join(corenessRound(und, est), "v")
         .select(col("v"), col("est"),
           least(col("est"), col("h")).as("_new"))
         .localCheckpoint(eager = true)
@@ -1970,6 +1965,20 @@ object Analytics {
     require(changed == 0,
       s"coreness: not converged after $maxRounds rounds")
     est.select(col("v"), col("est").cast("long").as("coreness"))
+  }
+
+  /** One h-index round: each vertex's h over its neighbors' current
+    * estimates, via a vertex-PARTITIONED rank window (exposed so the
+    * plan gate can pin the distribution — the loop's localCheckpoints
+    * hide it from the final plan). */
+  private[graft] def corenessRound(und: DataFrame, est: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("v").orderBy(col("e").desc)
+    und.join(est.select(col("v").as("src"), col("est").as("e")), "src")
+      .select(col("dst").as("v"), col("e"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("v").agg(max(least(col("rn"), col("e"))).as("h"))
   }
 
   /** Boruvka MINIMUM SPANNING FOREST (Boruvka 1926; the textbook

@@ -3663,8 +3663,8 @@ object QueryCatalog {
 
   /** q70 — full coreness decomposition of the co-purchase graph
     * ([[graft.enrich.Analytics.coreness]], Montresor et al. h-index
-    * iteration). The oracle unrolls 14 rounds (sf0.01 converges
-    * in 10); converged rounds no-op. */
+    * iteration). The oracle unrolls 26 rounds (sf0.01 converges in
+    * 10, sf0.001's dense little graph in 21); converged rounds no-op. */
   val q70Coreness: Q = (s, d) =>
     graft.enrich.Analytics.coreness(coPurchaseEdges(s, d))
 
@@ -3685,8 +3685,8 @@ object QueryCatalog {
        |      UNION SELECT b::BIGINT, a::BIGINT FROM e),
        |est0 AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS est
        |  FROM und GROUP BY src),
-       |${(1 to 14).map(corenessRoundSql).mkString(",\n")}
-       |SELECT v, est::BIGINT AS coreness FROM est14""".stripMargin
+       |${(1 to 26).map(corenessRoundSql).mkString(",\n")}
+       |SELECT v, est::BIGINT AS coreness FROM est26""".stripMargin
 
   /** q69 — Boruvka minimum spanning forest of the weighted co-purchase
     * graph ([[graft.enrich.Analytics.boruvkaMsf]]): per round every

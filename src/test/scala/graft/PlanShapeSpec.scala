@@ -372,6 +372,42 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the frequent-term table must broadcast; plan:\n$plan")
   }
 
+  test("q70_coreness: the h-index rank window stays vertex-partitioned") {
+    // the loop's localCheckpoints hide round plans from the final scan
+    // (the s_graph_ann situation), so gate the exposed round body — the
+    // exact DataFrame the loop iterates
+    import org.apache.spark.sql.functions._
+    import TestSpark.spark.implicits._
+    val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val est = Seq((1L, 1L), (2L, 2L), (3L, 1L)).toDF("v", "est")
+    val round = graft.enrich.Analytics.corenessRound(und, est)
+    val plan = executed(round)
+    val winLines = plan.split("\n").filter(_.contains("row_number()"))
+    assert(winLines.nonEmpty &&
+      winLines.forall(l => l.contains("windowspecdefinition(v#") ||
+        l.contains("windowspecdefinition(dst#")),
+      s"the rank window must be vertex-partitioned, never " +
+        s"single-partition; plan:\n$plan")
+  }
+
+  test("s_mmr: candidate matrix joins broadcast, kernel in-plan") {
+    val df = QueryCatalog.sMmr(spark, sf)
+    // the distributed stages (shortlist + pair matrix) run inside
+    // mmrTopK's collects; gate the RESOLVED shortlist plan instead
+    val shortlist = graft.pipeline.Similarity.bruteForceTopK(
+      graft.store.Tables.embeddings(spark, sf), Seq(0L), 50)
+    val plan = executed(shortlist)
+    assert(plan.contains("graft_cosine") || plan.contains("CosineSim") ||
+      plan.contains("cosinesim"),
+      s"the codegen'd cosine kernel must be in the plan; plan:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoop"),
+      s"the query side must broadcast; plan:\n$plan")
+    // and the driver-side selection is bounded: k rows out
+    assert(df.count() === 10)
+  }
+
   test("e_stickiness: coverage explosion happens AFTER the (user, day) dedup") {
     val df = QueryCatalog.eStickiness(spark, sf)
     val analyzed = df.queryExecution.optimizedPlan.toString
