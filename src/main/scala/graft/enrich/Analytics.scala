@@ -1866,6 +1866,20 @@ object Analytics {
     matched
   }
 
+  /** 2-approximate minimum VERTEX COVER (Gavril's classical bound): the
+    * endpoints of any maximal matching cover every edge (an uncovered
+    * edge could still be matched — contradiction) and number at most
+    * 2·OPT (any cover must hit each matched edge separately). Rides
+    * [[maximalMatching]]'s deterministic priorities, so the cover is
+    * replayable; one distinct over the matched endpoint set. */
+  def vertexCover2Approx(edges: DataFrame, maxRounds: Int = 15)
+      : DataFrame = {
+    val m = maximalMatching(edges, maxRounds)
+    m.select(col("src").as("v"))
+      .unionByName(m.select(col("dst").as("v")))
+      .distinct()
+  }
+
   /** Deterministic greedy MAXIMAL INDEPENDENT SET (Luby 1986, the
     * rootfinding/symmetry-breaking primitive behind coloring, coarsening
     * and landmark selection): per round a vertex joins the MIS iff its

@@ -390,6 +390,50 @@ object Sessions {
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
   }
 
+  /** Market-basket ASSOCIATION RULES (Agrawal et al. 1993's 2-itemset
+    * core): for co-purchased item pairs, both directed rules a→b with
+    * `support = n_ab/N`, `confidence = n_ab/n_a`,
+    * `lift = n_ab·N/(n_a·n_b)` — the recommender / cross-sell table.
+    * Counts stay exact BIGINTs (support as integer ppm); confidence and
+    * lift are single IEEE divisions of exact integers rounded to 6, and
+    * the top-k orders on the ROUNDED lift with a rule tie-break — fully
+    * engine-portable.
+    *
+    * Shape: one distinct (basket, item) pass, a per-basket pair
+    * self-join (fan-out quadratic in BASKET size — baskets are small and
+    * bounded, the co-purchase argument; the min-support filter prunes
+    * the tail), item counts broadcast back, TakeOrderedAndProject. */
+  def basketRules(baskets: DataFrame, minPairCount: Int = 2,
+      topK: Int = 25): DataFrame = {
+    val b = baskets.select(col("basket_id"), col("item")).distinct()
+    val n = b.agg(count_distinct(col("basket_id")).as("n_baskets"))
+    val ia = b.groupBy("item").agg(count(lit(1)).as("ni"))
+    val pairs = b.select(col("basket_id"), col("item").as("a"))
+      .join(b.select(col("basket_id"), col("item").as("b_")), "basket_id")
+      .filter(col("a") < col("b_"))
+      .groupBy(col("a"), col("b_")).agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= minPairCount)
+    pairs.select(col("a").as("antecedent"), col("b_").as("consequent"),
+        col("nab"))
+      .unionByName(pairs.select(col("b_").as("antecedent"),
+        col("a").as("consequent"), col("nab")))
+      .join(broadcast(ia.select(col("item").as("antecedent"),
+        col("ni").as("na"))), "antecedent")
+      .join(broadcast(ia.select(col("item").as("consequent"),
+        col("ni").as("nc"))), "consequent")
+      .crossJoin(broadcast(n))
+      .select(col("antecedent"), col("consequent"),
+        col("nab").cast("long").as("n_ab"),
+        expr("CAST((1000000 * nab) DIV n_baskets AS BIGINT)")
+          .as("support_ppm"),
+        round(col("nab").cast("double") / col("na").cast("double"), 6)
+          .as("confidence"),
+        round((col("nab") * col("n_baskets")).cast("double") /
+          (col("na") * col("nc")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(topK)
+  }
+
   /** Power-user / engagement-frequency histogram (the L28 chart): users
     * bucketed by how many DISTINCT days they were active in the trailing
     * `windowDays` ending at the corpus's LAST active day — the anchor is

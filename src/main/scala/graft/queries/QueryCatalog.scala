@@ -2964,6 +2964,35 @@ object QueryCatalog {
       |  (CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END)::INT AS shard
       |FROM r""".stripMargin
 
+  /** e_basket — market-basket association rules over order baskets
+    * ([[graft.pipeline.Sessions.basketRules]]): both directed rules per
+    * co-purchased pair, integer-ppm support, round-6 confidence/lift,
+    * top-25 by rounded lift. */
+  val eBasket: Q = (s, d) =>
+    graft.pipeline.Sessions.basketRules(
+      Tables.lineitem(s, d).select(col("l_orderkey").as("basket_id"),
+        col("l_partkey").cast("long").as("item")))
+
+  val eBasketSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS basket_id,
+      |    l_partkey::BIGINT AS item FROM lineitem),
+      |n AS (SELECT count(DISTINCT basket_id)::BIGINT AS n_baskets FROM b),
+      |ia AS (SELECT item, count(*)::BIGINT AS ni FROM b GROUP BY item),
+      |p AS (SELECT x.item AS a, y.item AS b_, count(*)::BIGINT AS nab
+      |  FROM b x JOIN b y ON x.basket_id = y.basket_id AND x.item < y.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |r AS (SELECT a AS antecedent, b_ AS consequent, nab FROM p
+      |  UNION ALL SELECT b_, a, nab FROM p)
+      |SELECT r.antecedent, r.consequent, r.nab AS n_ab,
+      |  ((1000000 * r.nab) // n.n_baskets)::BIGINT AS support_ppm,
+      |  round(r.nab::DOUBLE / na.ni::DOUBLE, 6) AS confidence,
+      |  round((r.nab * n.n_baskets)::DOUBLE / (na.ni * nc.ni)::DOUBLE, 6) AS lift
+      |FROM r
+      |JOIN ia na ON na.item = r.antecedent
+      |JOIN ia nc ON nc.item = r.consequent
+      |CROSS JOIN n
+      |ORDER BY lift DESC, antecedent, consequent LIMIT 25""".stripMargin
+
   /** e_ewma — exponentially-weighted daily volume anomalies
     * ([[graft.pipeline.Sessions.ewmaSpikes]]): α=1/2 EWMA baseline over
     * the previous 7 days with EXACT dyadic integer weights (trail is a
@@ -3577,6 +3606,29 @@ object QueryCatalog {
        |  FROM e),
        |${(1 to 15).map(matchRoundSql).mkString(",\n")}
        |${(1 to 15).map(i => s"SELECT src, dst FROM m$i").mkString("\nUNION ALL ")}""".stripMargin
+
+  /** q71 — 2-approximate minimum vertex cover on the co-purchase graph
+    * ([[graft.enrich.Analytics.vertexCover2Approx]], Gavril): the
+    * distinct endpoints of q65's deterministic maximal matching; shares
+    * its 15-round unrolled machinery. */
+  val q71Vc: Q = (s, d) =>
+    graft.enrich.Analytics.vertexCover2Approx(coPurchaseEdges(s, d))
+
+  lazy val q71VcSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |r0 AS MATERIALIZED (SELECT a::BIGINT AS src, b::BIGINT AS dst,
+       |    ((a::BIGINT * 999983 + b::BIGINT * 2654435761) % 1000003)
+       |      * ((a::BIGINT * 999983 + b::BIGINT * 2654435761) % 1000003)
+       |      % 2147483647 AS h
+       |  FROM e),
+       |${(1 to 15).map(matchRoundSql).mkString(",\n")}
+       |SELECT DISTINCT v FROM (
+       |  ${(1 to 15).map(i =>
+             s"SELECT src AS v FROM m$i UNION ALL SELECT dst FROM m$i")
+           .mkString("\n  UNION ALL ")})""".stripMargin
 
   /** q67 — deterministic maximal independent set on the co-purchase
     * graph ([[graft.enrich.Analytics.maximalIndependentSet]], Luby
@@ -6628,6 +6680,7 @@ object QueryCatalog {
     "q65_matching" -> q65Matching,
     "q67_mis" -> q67Mis,
     "q67_mis_gx" -> q67MisGx,
+    "q71_vc" -> q71Vc,
     "q68_coloring" -> q68Coloring,
     "q69_msf" -> q69Msf,
     "q70_coreness" -> q70Coreness,
@@ -6671,6 +6724,7 @@ object QueryCatalog {
     "e_ewma" -> eEwma,
     "e_stickiness" -> eStickiness,
     "e_power" -> ePower,
+    "e_basket" -> eBasket,
     "p_shard" -> pShard,
     "e_ab_test" -> eAbTest,
     "e_markov" -> eMarkov,
@@ -6865,6 +6919,7 @@ object QueryCatalog {
     "q65_matching" -> q65MatchingSql,
     "q67_mis" -> q67MisSql,
     "q67_mis_gx" -> q67MisSql,
+    "q71_vc" -> q71VcSql,
     "q68_coloring" -> q68ColoringSql,
     "q69_msf" -> q69MsfSql,
     "q70_coreness" -> q70CorenessSql,
@@ -6908,6 +6963,7 @@ object QueryCatalog {
     "e_ewma" -> eEwmaSql,
     "e_stickiness" -> eStickinessSql,
     "e_power" -> ePowerSql,
+    "e_basket" -> eBasketSql,
     "p_shard" -> pShardSql,
     "e_ab_test" -> eAbTestSql,
     "e_markov" -> eMarkovSql,

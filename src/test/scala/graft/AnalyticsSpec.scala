@@ -506,6 +506,22 @@ class AnalyticsSpec extends AnyFunSuite {
     check(randomEdges)
   }
 
+  test("vertexCover2Approx: covers every edge, ≤ 2x a maximum matching") {
+    val rnd = new scala.util.Random(41)
+    val edges = (1 to 70)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct.toDF("src", "dst")
+    val es = edges.as[(Long, Long)].collect().toSet
+    val cover = Analytics.vertexCover2Approx(edges).as[Long].collect().toSet
+    // a valid cover: every edge touches it
+    assert(es.forall(e => cover.contains(e._1) || cover.contains(e._2)))
+    // Gavril's bound: |C| = 2·|M| and any cover needs ≥ |M| vertices
+    val m = Analytics.maximalMatching(edges).count()
+    assert(cover.size === 2 * m)
+  }
+
   test("maximalIndependentSet: independent, maximal, deterministic") {
     val fixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("src", "dst")

@@ -646,6 +646,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows2 === Map(3L -> 2L, 1L -> 2L))
   }
 
+  test("basketRules: hand-checked support/confidence/lift, both ways") {
+    // 4 baskets: {1,2} {1,2} {1,3} {3}
+    val b = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 3L)).toDF("basket_id", "item")
+    val out = Sessions.basketRules(b)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    val byRule = out.map(r => (r._1, r._2) -> r).toMap
+    // rule 2→1: n_ab=2, support 2/4, conf 2/2 = 1.0, lift 2·4/(2·3)
+    assert(byRule((2L, 1L)) === ((2L, 1L, 2L, 500000L, 1.0, 1.333333)))
+    // rule 1→2: conf 2/3, lift identical (symmetric)
+    assert(byRule((1L, 2L)) === ((1L, 2L, 2L, 500000L, 0.666667, 1.333333)))
+    // the {1,3} pair appears once — under the min-support floor
+    assert(!byRule.contains((1L, 3L)) && !byRule.contains((3L, 1L)))
+    assert(out.length === 2)
+    // ranking: equal lift ties break on (antecedent, consequent)
+    assert(out.map(r => (r._1, r._2)).toSeq === Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("sourceKl: conforming sources near 0, divergent source apart") {
     // a and b share the corpus distribution; c is disjoint-vocabulary
     val docs = Seq(
