@@ -390,6 +390,44 @@ object Sessions {
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
   }
 
+  /** Holt double-exponential FORECAST of daily event volume (Holt 1957,
+    * the level+trend step up from [[ewmaSpikes]]' flat EWMA): with
+    * α = β = 1/2, `l_t = n_t/2 + (l_{t-1}+b_{t-1})/2`,
+    * `b_t = (l_t−l_{t-1})/2 + b_{t-1}/2`; the one-step-ahead forecast
+    * is `l_T + b_T` — the capacity-planning number a daily pipeline
+    * publishes.
+    *
+    * Determinism: the recurrence folds SEQUENTIALLY in day order over
+    * one collected per-type day list (bounded: days × types is an
+    * AGGREGATE, the ewmaSpikes argument) with the identical arithmetic
+    * spelled on both engines — inputs are exact integer counts, every
+    * op is the same IEEE double op in the same order, rounding only on
+    * output. */
+  def holtForecast(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"),
+        to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+        .as("ds"))
+      .select(col("event_type"), expr("""
+        aggregate(ds,
+          named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE), 'i', 0),
+          (a, e) -> IF(a.i = 0,
+            named_struct('l', CAST(e.n AS DOUBLE), 'b', CAST(0.0 AS DOUBLE), 'i', 1),
+            named_struct(
+              'l', 0.5D * CAST(e.n AS DOUBLE) + 0.5D * (a.l + a.b),
+              'b', 0.5D * ((0.5D * CAST(e.n AS DOUBLE) + 0.5D * (a.l + a.b)) - a.l)
+                   + 0.5D * a.b,
+              'i', a.i + 1)),
+          a -> named_struct('days', CAST(a.i AS BIGINT),
+            'level', round(a.l, 6), 'trend', round(a.b, 6),
+            'forecast', round(a.l + a.b, 6))) AS h"""))
+      .select(col("event_type"), col("h.days").as("days"),
+        col("h.level").as("level"), col("h.trend").as("trend"),
+        col("h.forecast").as("forecast"))
+  }
+
   /** Market-basket ASSOCIATION RULES (Agrawal et al. 1993's 2-itemset
     * core): for co-purchased item pairs, both directed rules a→b with
     * `support = n_ab/N`, `confidence = n_ab/n_a`,

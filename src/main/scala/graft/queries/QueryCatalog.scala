@@ -2993,6 +2993,38 @@ object QueryCatalog {
       |CROSS JOIN n
       |ORDER BY lift DESC, antecedent, consequent LIMIT 25""".stripMargin
 
+  /** e_holt — Holt level+trend one-step forecast of daily volume
+    * ([[graft.pipeline.Sessions.holtForecast]]): α = β = 1/2
+    * recurrence folded in day order with identical IEEE ops both
+    * engines, rounded on output only. */
+  val eHolt: Q = (s, d) =>
+    graft.pipeline.Sessions.holtForecast(Tables.events(s, d))
+
+  // NOTE: a list_reduce spelling is NOT usable here — DuckDB 1.0's
+  // list_reduce aliases the accumulator buffer from the second
+  // iteration on, so a multi-field struct fold where one field reads
+  // another observes partially-written state (verified empirically:
+  // `(a, x) -> struct(l := a.l + x.l, b := a.l)` returns b = NEW l
+  // from step 2). The recursive CTE has pure per-step semantics.
+  val eHoltSql: String =
+    """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+      |d AS (SELECT event_type, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily),
+      |h AS (
+      |  SELECT event_type, 1::BIGINT AS t, n::DOUBLE AS l, 0.0::DOUBLE AS b
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, h.t + 1,
+      |    0.5 * d.n::DOUBLE + 0.5 * (h.l + h.b),
+      |    0.5 * ((0.5 * d.n::DOUBLE + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+      |  FROM h JOIN d ON d.event_type = h.event_type AND d.rn = h.t + 1)
+      |SELECT event_type, t AS days, round(l, 6) AS level,
+      |  round(b, 6) AS trend, round(l + b, 6) AS forecast
+      |FROM h
+      |QUALIFY t = max(t) OVER (PARTITION BY event_type)""".stripMargin
+
   /** e_ewma — exponentially-weighted daily volume anomalies
     * ([[graft.pipeline.Sessions.ewmaSpikes]]): α=1/2 EWMA baseline over
     * the previous 7 days with EXACT dyadic integer weights (trail is a
@@ -6725,6 +6757,7 @@ object QueryCatalog {
     "e_stickiness" -> eStickiness,
     "e_power" -> ePower,
     "e_basket" -> eBasket,
+    "e_holt" -> eHolt,
     "p_shard" -> pShard,
     "e_ab_test" -> eAbTest,
     "e_markov" -> eMarkov,
@@ -6964,6 +6997,7 @@ object QueryCatalog {
     "e_stickiness" -> eStickinessSql,
     "e_power" -> ePowerSql,
     "e_basket" -> eBasketSql,
+    "e_holt" -> eHoltSql,
     "p_shard" -> pShardSql,
     "e_ab_test" -> eAbTestSql,
     "e_markov" -> eMarkovSql,

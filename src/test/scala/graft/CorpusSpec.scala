@@ -646,6 +646,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows2 === Map(3L -> 2L, 1L -> 2L))
   }
 
+  test("holtForecast: hand-traced level/trend recurrence") {
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-04-$day%02d 01:00:00")
+    // counts per day: 1, 2, 3, 4 (one event type) — hand trace with
+    // α = β = 1/2: l: 1, 1.5, 2.375, 3.46875; b: 0, 0.25, 0.5625,
+    // 0.828125; forecast = 4.296875
+    val events = (1 to 4).flatMap(d =>
+      (1 to d).map(i => (d * 100L + i, ts(d), "a")))
+      .toDF("event_id", "ts", "event_type")
+    val out = Sessions.holtForecast(events)
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(out === (("a", 4L, 3.46875, 0.828125, 4.296875)))
+  }
+
   test("basketRules: hand-checked support/confidence/lift, both ways") {
     // 4 baskets: {1,2} {1,2} {1,3} {3}
     val b = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
