@@ -1883,15 +1883,24 @@ object CypherLite {
         else lit(true)
       if (c.optional) {
         // WHERE folds into the join: a filtered-out optional row
-        // null-extends instead of dropping (Neo4j semantics)
+        // null-extends instead of dropping (Neo4j semantics). A PATTERN
+        // predicate in the WHERE applies the same way — it semi/anti
+        // filters the OPTIONAL side before the left join, so a row
+        // failing the pattern null-extends rather than dropping. The
+        // predicate must anchor on the optional clause's own variables
+        // (applyPatternPreds' bound-variable require enforces it).
         // NOTE: unwind columns live on the LEFT side only — a join
         // condition may reference them (Spark resolves across sides)
-        Option(c.where).foreach(w => require(!hasRelPatternText(w),
-          s"pattern predicate in an OPTIONAL MATCH WHERE not supported: $q"))
-        val cond = Option(c.where)
-          .map(w => keyEq && parseWhere(w, scopeU(subVars),
+        val (optPreds, optRest) = Option(c.where)
+          .map(w => extractPatternPreds(w, q, cIx + 1))
+          .getOrElse((Seq.empty, None))
+        val subLocal = c.nodeMs.zipWithIndex
+          .map { case (m, i) => m.v -> s"n${start + i}" }.toMap
+        val sub2 = applyPatternPreds(sub, optPreds, subLocal)
+        val cond = optRest
+          .map(w2 => keyEq && parseWhere(w2, scopeU(subVars),
             valueRefOf(subVars, unwindVars))).getOrElse(keyEq)
-        df = df.join(sub, cond, "left")
+        df = df.join(sub2, cond, "left")
       } else {
         df = df.join(sub, keyEq)
         Option(c.where).foreach(w =>

@@ -642,6 +642,35 @@ object QueryCatalog {
        |      AND o.name = 'P')
        |GROUP BY n.name""".stripMargin
 
+  /** g_b10_optpred — a PATTERN predicate inside an OPTIONAL MATCH
+    * WHERE (r11d): the predicate semi-joins the OPTIONAL side before
+    * the left join, so a customer without an F-status order
+    * null-extends its nation instead of dropping it — count(c) then
+    * reads 0 for such nations. Exercises the one Cypher shape the r10
+    * verdict still listed as raising. */
+  val gB10Optpred: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (n:NATION) " +
+        "OPTIONAL MATCH (n)<-[:IN_NATION]-(c:CUSTOMER) " +
+        "WHERE (c)<-[:PLACED_BY]-({name: 'F'}) " +
+        "RETURN n.name AS nation, count(c) AS filled")
+  }
+
+  val gB10OptpredSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT n.name AS nation, count(x.cust)::BIGINT AS filled
+       |FROM nodes n LEFT JOIN (
+       |  SELECT e.dst AS nat, c.full_name AS cust FROM edges e
+       |  JOIN nodes c ON e.src = c.full_name
+       |  WHERE e.rel_type = 'IN_NATION' AND c.label = 'CUSTOMER'
+       |    AND EXISTS (SELECT 1 FROM edges e2
+       |      JOIN nodes o ON e2.src = o.full_name
+       |      WHERE e2.dst = c.full_name AND e2.rel_type = 'PLACED_BY'
+       |        AND o.name = 'F')) x ON x.nat = n.full_name
+       |WHERE n.label = 'NATION'
+       |GROUP BY n.name""".stripMargin
+
   /** q53 — HITS hubs & authorities over the containment hierarchy
     * ([[graft.enrich.Analytics.hits]]), 3 rounds: mutually-recursive
     * L1-normalized scores, decimal-routed sums + round-to-10 per stage
@@ -6850,6 +6879,7 @@ object QueryCatalog {
     "g_b10_distinct" -> gB10Distinct,
     "g_b10_case" -> gB10Case,
     "g_b10_patpred" -> gB10Patpred,
+    "g_b10_optpred" -> gB10Optpred,
     "g_b10_exists" -> gB10Exists,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
@@ -7087,6 +7117,7 @@ object QueryCatalog {
     "g_b10_distinct" -> gB10DistinctSql,
     "g_b10_case" -> gB10CaseSql,
     "g_b10_patpred" -> gB10PatpredSql,
+    "g_b10_optpred" -> gB10OptpredSql,
     "g_b10_exists" -> gB10ExistsSql,
     "g_b10_write" -> gB10WriteSql,
     "g_b10_spath" -> gB10SpathSql,

@@ -404,6 +404,33 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(out === Set(("m.Person", None)))
   }
 
+  test("OPTIONAL MATCH WHERE pattern predicate filters the optional " +
+    "side, null-extending failures") {
+    // Person's method greet: positive predicate (its class CONTAINS-es
+    // from m) keeps it; the NOT form filters it away but the driving
+    // Person row must null-extend, never drop
+    val pos = db.executeQuery(
+      "MATCH (n:CLASS) OPTIONAL MATCH (n)-[:HAS_METHOD]->(mm:METHOD) " +
+        "WHERE (n)<-[:CONTAINS]-({name: 'm'}) " +
+        "RETURN n.full_name, mm.full_name").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(pos === Set(("m.Person", Some("m.Person.greet"))))
+    val neg = db.executeQuery(
+      "MATCH (n:CLASS) OPTIONAL MATCH (n)-[:HAS_METHOD]->(mm:METHOD) " +
+        "WHERE NOT (mm)<-[:HAS_METHOD]-({name: 'Person'}) " +
+        "RETURN n.full_name, mm.full_name").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(neg === Set(("m.Person", None)))
+    // a pattern predicate AND a boolean remainder compose: the boolean
+    // part stays in the join condition
+    val mixed = db.executeQuery(
+      "MATCH (n:CLASS) OPTIONAL MATCH (n)-[:HAS_METHOD]->(mm:METHOD) " +
+        "WHERE (n)<-[:CONTAINS]-({name: 'm'}) AND mm.name = 'nope' " +
+        "RETURN n.full_name, mm.full_name").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(mixed === Set(("m.Person", None)))
+  }
+
   test("second MATCH clause joins at the shared variable (inner)") {
     val out = db.executeQuery(
       "MATCH (mod:MODULE)-[:CONTAINS]->(c) MATCH (c)-[:HAS_METHOD]->(f) " +
