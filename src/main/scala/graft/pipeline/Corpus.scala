@@ -108,6 +108,46 @@ object Corpus {
       .limit(topK)
   }
 
+  /** Per-document BIGRAM-LM negative log-likelihood — the real
+    * perplexity scorer behind CCNet-style quality bucketing: train an
+    * add-one-smoothed bigram model on the corpus itself, then score
+    * each document's token stream under it; high NLL = off-distribution
+    * (or gibberish) text. `P(w₂|w₁) = (c₁₂+1)/(c₁+V)`.
+    *
+    * Determinism: probabilities are exact-rational doubles; each
+    * bigram's −ln P rounds to 8 and the per-doc sum folds SEQUENTIALLY
+    * in token-position order over a collected per-doc list (bounded by
+    * document length — the zipfSlope/sourceKl fold discipline). The
+    * model (≤ vocab² rows) broadcasts; the corpus passes once for
+    * counts and once for scoring. */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val pairs = toks
+      .withColumn("w2", lead(col("w"), 1).over(w2))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("pos"), col("w").as("w1"), col("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(count_distinct(col("w")).as("v"))
+    pairs
+      .join(broadcast(big), Seq("w1", "w2"), "left")
+      .join(broadcast(uni.crossJoin(broadcast(vocab))), Seq("w1"))
+      .select(col("doc_id"), col("pos"),
+        round(-log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")), 8).as("nl"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("nl"))))
+        .as("ns"))
+      .select(col("doc_id"),
+        expr("CAST(size(ns) AS BIGINT)").as("n_bigrams"),
+        expr("round(aggregate(ns, 0D, (a, e) -> a + e.nl) / size(ns), 4)")
+          .as("nll"))
+  }
+
   /** Per-source KL DIVERGENCE from the corpus unigram distribution —
     * the domain-shift diagnostic (CCNet/DSIR lineage): a source whose
     * Laplace-smoothed term distribution sits far from the corpus's is a

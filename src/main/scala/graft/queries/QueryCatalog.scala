@@ -1666,6 +1666,35 @@ object QueryCatalog {
        |FROM p, n WHERE n_ab * 100 >= n_docs * 1
        |ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin
 
+  /** t_ppl — per-document bigram-LM negative log-likelihood
+    * ([[graft.pipeline.Corpus.bigramNll]]): add-one-smoothed corpus
+    * bigram model scoring each doc's token stream, per-bigram −ln P
+    * rounded to 8 and folded in position order. */
+  val tPpl: Q = (s, d) => graft.pipeline.Corpus.bigramNll(Tables.documents(s, d))
+
+  val tPplSql: String =
+    s"""WITH toks AS (SELECT doc_id, t.term AS w,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS pos
+       |  FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term,
+       |        generate_subscripts(string_split($normSql, ' '), 1) AS ord
+       |        FROM documents) t WHERE t.term <> ''),
+       |pairs AS (SELECT a.doc_id, a.pos, a.w AS w1, b.w AS w2
+       |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+       |big AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+       |uni AS (SELECT w1, count(*)::BIGINT AS c1 FROM pairs GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w)::BIGINT AS v FROM toks),
+       |scored AS (SELECT p.doc_id, p.pos,
+       |    round(-ln((coalesce(g.c12, 0) + 1)::DOUBLE /
+       |      (u.c1 + (SELECT v FROM v))::DOUBLE), 8) AS nl
+       |  FROM pairs p LEFT JOIN big g ON g.w1 = p.w1 AND g.w2 = p.w2
+       |  JOIN uni u ON u.w1 = p.w1),
+       |folded AS (SELECT doc_id, list(nl ORDER BY pos) AS ns FROM scored
+       |  GROUP BY doc_id)
+       |SELECT doc_id, len(ns)::BIGINT AS n_bigrams,
+       |  round(list_reduce(list_prepend(0.0::DOUBLE, ns), (a, x) -> a + x)
+       |    / len(ns), 4) AS nll
+       |FROM folded""".stripMargin
+
   /** t_zipf — Zipf rank-frequency slope
     * ([[graft.pipeline.Corpus.zipfSlope]]): least-squares slope of
     * (ln r, ln f) over the top-30 terms; every ln rounds to 6 before
@@ -6818,6 +6847,7 @@ object QueryCatalog {
     "t_pmi" -> tPmi,
     "t_zipf" -> tZipf,
     "t_kl" -> tKl,
+    "t_ppl" -> tPpl,
     "t_entropy" -> tEntropy,
     "t_fertility" -> tFertility,
     "t_luhn" -> tLuhn,
@@ -7059,6 +7089,7 @@ object QueryCatalog {
     "t_pmi" -> tPmiSql,
     "t_zipf" -> tZipfSql,
     "t_kl" -> tKlSql,
+    "t_ppl" -> tPplSql,
     "t_entropy" -> tEntropySql,
     "t_fertility" -> tFertilitySql,
     "t_luhn" -> tLuhnSql,

@@ -646,6 +646,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows2 === Map(3L -> 2L, 1L -> 2L))
   }
 
+  test("bigramNll: seen-everywhere bigrams score low, novel ones high") {
+    // doc 1 repeats the corpus's dominant bigram; doc 3 is the one
+    // place "q r" appears — its smoothed probability is far lower
+    val docs = Seq(
+      (1L, "x y x y x y"),
+      (2L, "x y x y"),
+      (3L, "q r")
+    ).toDF("doc_id", "text")
+    val out = Corpus.bigramNll(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 5L && out(2L)._2 === 3L && out(3L)._2 === 1L)
+    assert(out(1L)._3 < out(3L)._3)
+    // hand check doc 3: c("q r")=1, c1("q")=1, V=4 → P = 2/5,
+    // nll = -ln(0.4) = 0.9163
+    assert(out(3L)._3 === 0.9163)
+    // doc 1's "x y" hops: P = (5+1)/(5+4) = 2/3; "y x": (3+1)/(3+4) =
+    // 4/7; nll = (3·ln(3/2) + 2·ln(7/4))/5
+    val exp = BigDecimal((3 * math.log(1.5) + 2 * math.log(7.0 / 4)) / 5)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(1L)._3 - exp) < 2e-4)
+  }
+
   test("holtForecast: hand-traced level/trend recurrence") {
     import java.sql.Timestamp
     def ts(day: Int) = Timestamp.valueOf(f"2024-04-$day%02d 01:00:00")

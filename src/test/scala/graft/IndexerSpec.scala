@@ -1243,6 +1243,29 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("sl.shadowed", "sl.open")))
   }
 
+  test("C3 slice 45: stdlib method chains fold through typeshed returns") {
+    // `m = re.compile(r).match(s)` — the chain head constructs a stdlib
+    // type and the trailing .match() folds through the stub's return,
+    // exactly like same-module chains (slice 10's rule)
+    val src =
+      """import re
+        |from pathlib import Path
+        |
+        |def chained(src):
+        |    m = re.compile(src).match(src)
+        |    return m.group(1)
+        |
+        |def pchain(root):
+        |    r = Path(root).expanduser().resolve()
+        |    return r.as_posix()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "ch.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("ch.chained", "re.Match.group")))
+    assert(calls.contains(("ch.pchain", "pathlib.Path.as_posix")))
+  }
+
   test("C3 slice 45: the open builtin binds when nothing shadows it") {
     val src =
       """def reads(name):
