@@ -6638,6 +6638,50 @@ object QueryCatalog {
         col("n"), col("baseline"), col("ratio"), col("spike"))
   }
 
+  /** st_holt — STREAMING day-close Holt forecasts
+    * ([[graft.streaming.Streams.streamingHolt]]): each real day's
+    * (level, trend, next-day forecast) emits when the next day's first
+    * event arrives; the replay's per-type far-future sentinel closes
+    * the final real day. The oracle emits the recursive CTE's EVERY
+    * per-day prefix state — stream ≡ batch prefix-for-prefix. */
+  val stHolt: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val evs = eventsOrdered(s, d)
+    val sentinelTs = new java.sql.Timestamp(
+      evs.iterator.map(_.ts.getTime).max + 3L * 86400000L)
+    val tail = evs.iterator.map(_.event_type).toSeq.distinct.sorted
+      .zipWithIndex.map { case (et, i) =>
+        Streams.Event(Long.MaxValue - i, sentinelTs, -1L, et, 0.0) }
+    StreamReplay.replay(s, evs, "st_holt", "append", batches = 6,
+      tail = tail) {
+      df => Streams.streamingHolt(df.as[Streams.Event]).toDF()
+    }
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("day_us")), "yyyy-MM-dd")
+          .as("day"),
+        col("days"), col("level"), col("trend"), col("forecast"))
+  }
+
+  val stHoltSql: String =
+    """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+      |d AS (SELECT event_type, day, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily),
+      |h AS (
+      |  SELECT event_type, day, 1::INT AS t, n::DOUBLE AS l, 0.0::DOUBLE AS b
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.day, h.t + 1,
+      |    0.5 * d.n::DOUBLE + 0.5 * (h.l + h.b),
+      |    0.5 * ((0.5 * d.n::DOUBLE + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+      |  FROM h JOIN d ON d.event_type = h.event_type AND d.rn = h.t + 1)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, t AS days,
+      |  round(l, 6) AS level, round(b, 6) AS trend,
+      |  round(l + b, 6) AS forecast
+      |FROM h""".stripMargin
+
   val stCms: Q = (s, d) => {
     import s.implicits._
     StreamReplay.replay(s, eventsOrdered(s, d), "st_cms", "update") {
@@ -6954,6 +6998,7 @@ object QueryCatalog {
     "st_markov" -> stMarkov,
     "st_cms" -> stCms,
     "st_quantile" -> stQuantile,
+    "st_holt" -> stHolt,
     "st_ewma" -> stEwma,
     "q46_btw" -> q46Btw,
     "q46_btw_gx" -> q46BtwGx,
@@ -7196,6 +7241,7 @@ object QueryCatalog {
     "st_markov" -> stMarkovSql,
     "st_cms" -> stCmsSql,
     "st_quantile" -> stQuantileSql,
+    "st_holt" -> stHoltSql,
     "st_ewma" -> eEwmaSql,
     "q46_btw" -> q46BtwSql,
     "q46_btw_gx" -> q46BtwSql,

@@ -404,6 +404,60 @@ object Streams {
       }
   }
 
+  final case class HoltState(l: Double, b: Double, days: Int,
+      curDayUs: Long, curN: Long)
+  final case class HoltOut(event_type: String, day_us: Long, days: Int,
+      level: Double, trend: Double, forecast: Double)
+
+  /** Streaming twin of [[graft.pipeline.Sessions.holtForecast]]: per
+    * event_type, the α = β = 1/2 level+trend state folds a day's count
+    * the moment the first event of a LATER day arrives, emitting that
+    * day's (level, trend, next-day forecast) — the capacity forecast at
+    * day close rather than next batch run. State is four numbers per
+    * type (bounded key space); the arithmetic is the EXACT op sequence
+    * the batch fold runs (`nl` computed once, `b` from it — identical
+    * IEEE bits), round-6 through BigDecimal HALF_UP = Spark's round, so
+    * streamed rows hash-match the batch oracle's per-day prefix states.
+    * In-order delivery is the caller's contract ([[streamingEwma]]). */
+  def streamingHolt(events: Dataset[Event]): Dataset[HoltOut] = {
+    import events.sparkSession.implicits._
+    val dayUsLen = 86400L * 1000000L
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def close(et: String, s: HoltState): (HoltState, HoltOut) = {
+      val x = s.curN.toDouble
+      val (nl, nb, nd) =
+        if (s.days == 0) (x, 0.0, 1)
+        else {
+          val nl0 = 0.5 * x + 0.5 * (s.l + s.b)
+          (nl0, 0.5 * (nl0 - s.l) + 0.5 * s.b, s.days + 1)
+        }
+      (HoltState(nl, nb, nd, 0L, 0L),
+        HoltOut(et, s.curDayUs, nd, r6(nl), r6(nb), r6(nl + nb)))
+    }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (et, it, state: GroupState[HoltState]) =>
+          var s = state.getOption.getOrElse(HoltState(0.0, 0.0, 0, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[HoltOut]
+          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val d = us(e.ts) / dayUsLen * dayUsLen
+            if (s.curN == 0L || d == s.curDayUs)
+              s = s.copy(curDayUs = d, curN = s.curN + 1)
+            else if (d > s.curDayUs) {
+              val (s2, row) = close(et, s)
+              out += row
+              s = s2.copy(curDayUs = d, curN = 1L)
+            }
+            // an out-of-order DAY violates the caller contract: ignored
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Continuous graph ingest — the streaming upgrade of the reference's
     * batch-only pipeline: each micro-batch of symbol events merges into
     * the snapshot directory with the SAME set-oriented A1–A4 semantics as

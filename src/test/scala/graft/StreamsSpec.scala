@@ -532,6 +532,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(out === Set((1L, 0), (2L, 0)))
   }
 
+  test("streamingHolt: day counts merge across batches, prefix states " +
+    "match the hand recurrence, final open day never emits") {
+    import graft.queries.StreamReplay
+    val day = 86400000L
+    def evd(id: Long, d: Int) =
+      Streams.Event(id, new java.sql.Timestamp(d * day + id), 1L, "a", 0.0)
+    // counts 1, 2, 3 on days 0-2 (day 1's two events SPAN batches), a
+    // closing day-3 event left OPEN at stream end
+    val rows = Seq(evd(1, 0), evd(2, 1), evd(3, 1), evd(4, 2), evd(5, 2),
+      evd(6, 2), evd(7, 3))
+    val out = StreamReplay.replay(TestSpark.spark, rows, "holt_spec",
+      "append", batches = 3) { df =>
+      import TestSpark.spark.implicits._
+      Streams.streamingHolt(df.as[Streams.Event]).toDF()
+    }.collect().map(r => (r.getInt(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5))).sortBy(_._1)
+    // hand trace: l: 1, 1.5, 2.375; b: 0, 0.25, 0.5625
+    assert(out.toSeq === Seq(
+      (1, 1.0, 0.0, 1.0),
+      (2, 1.5, 0.25, 1.75),
+      (3, 2.375, 0.5625, 2.9375)))
+  }
+
   test("streamingQuantiles: additive bins across batches, integer " +
     "quantile reads, final n selects the converged estimate") {
     import graft.queries.StreamReplay
