@@ -588,6 +588,21 @@ object PyIndexer {
     ("""^\s*for\s+([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s+in\s+""" +
       """([A-Za-z_]\w*)\s*\.\s*items\s*\(\s*\)\s*:\s*$""").r
 
+  /** `f = lambda …: Cls(...)` — a lambda FACTORY (C3 slice 48): jedi
+    * infers the lambda's return from its body expression, so calling f
+    * constructs (and types) Cls — the slice-40 partial pattern without
+    * the functools import. Only constructor-call bodies bind. */
+  private val lambdaCtorAssign: Regex =
+    ("""^\s*([A-Za-z_]\w*)\s*=\s*lambda[^:]*:\s*""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""").r
+
+  /** `y = next(iter(xs))` / `y = next(iter(xs), default)` — the
+    * first-element read of a container (C3 slice 49): jedi resolves it
+    * to the element type, like `xs[0]`. */
+  private val nextIterRead: Regex =
+    ("""^\s*([A-Za-z_]\w*)\s*=\s*next\s*\(\s*iter\s*\(\s*""" +
+      """([A-Za-z_]\w*)\s*\)\s*[,)]""").r
+
   /** `except SomeError as e:` — the handler target binds the exception
     * class (C3 slice 11: jedi types the as-name from the except clause;
     * the tuple form `except (A, B) as e` is ambiguous and deliberately
@@ -1680,6 +1695,15 @@ object PyIndexer {
               classishType(m.group(3))
                 .foreach(t => fn.classAliases(m.group(1)) = t)
           }
+          // slice 48: a LAMBDA whose body is a constructor call is a
+          // factory — calling it constructs the class (jedi infers the
+          // lambda's return from its body expression), the slice-40
+          // partial pattern without the import
+          lambdaCtorAssign.findFirstMatchIn(line).foreach { m =>
+            classishType(m.group(2))
+              .orElse(returnTypeTarget(m.group(2)))
+              .foreach(t => fn.classAliases(m.group(1)) = t)
+          }
           // binding priority: constructor RHS > callee's `-> Type` >
           // explicit annotation on the target
           instanceAssign.findFirstMatchIn(line) match {
@@ -1943,6 +1967,13 @@ object PyIndexer {
             subscriptRead.findFirstMatchIn(line).foreach(m =>
               fn.elemLocals.get(m.group(2))
                 .orElse(fn.valueLocals.get(m.group(2)))
+                .foreach(t => fn.locals(m.group(1)) = t))
+            // slice 49: next(iter(xs)) reads the first ELEMENT — the
+            // subscript-read rule for the iterator-protocol spelling.
+            // Mapping locals stay out: next(iter(d)) yields a KEY,
+            // which slice 28 keeps out of model.
+            nextIterRead.findFirstMatchIn(line).foreach(m =>
+              fn.elemLocals.get(m.group(2))
                 .foreach(t => fn.locals(m.group(1)) = t))
             // slice 28: mapping-annotated LOCALS, value-side iteration
             // and .get() reads (plain `for k in d:` binds nothing — the

@@ -1266,6 +1266,52 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("ch.pchain", "pathlib.Path.as_posix")))
   }
 
+  test("C3 slices 48-49: lambda factories and next(iter(...)) elements") {
+    val src =
+      """class Helper:
+        |    def ping(self):
+        |        return 1
+        |
+        |def factory():
+        |    mk = lambda: Helper()
+        |    h = mk()
+        |    return h.ping()
+        |
+        |def factory_args():
+        |    mk2 = lambda x, y=1: Helper(x, y)
+        |    h = mk2(5)
+        |    return h.ping()
+        |
+        |def not_ctor():
+        |    f = lambda x: x + 1
+        |    v = f(1)
+        |    return v.mystery()
+        |
+        |def first(xs: list[Helper]):
+        |    h = next(iter(xs))
+        |    return h.ping()
+        |
+        |def first_default(xs: list[Helper]):
+        |    h = next(iter(xs), None)
+        |    return h.ping()
+        |
+        |def dict_keys(d: dict[str, Helper]):
+        |    k = next(iter(d))
+        |    return k.mystery()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "lf.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("lf.factory", "lf.Helper")))
+    assert(calls.contains(("lf.factory", "lf.Helper.ping")))
+    assert(calls.contains(("lf.factory_args", "lf.Helper.ping")))
+    assert(calls.contains(("lf.first", "lf.Helper.ping")))
+    assert(calls.contains(("lf.first_default", "lf.Helper.ping")))
+    // a non-constructor lambda body and a mapping's key iterator bind
+    // nothing — no fabricated members
+    assert(!calls.exists(_._2.endsWith("mystery")))
+  }
+
   test("C3 slice 45: the open builtin binds when nothing shadows it") {
     val src =
       """def reads(name):
