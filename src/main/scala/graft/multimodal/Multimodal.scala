@@ -419,6 +419,56 @@ object Multimodal {
     media.withColumn(outCol, parse(col(payloadCol)))
   }
 
+  final case class AviMeta(format: String, width: Option[Int],
+      height: Option[Int], total_frames: Option[Long],
+      duration_ms: Option[Long])
+
+  /** ======= REAL (codec-free) ======= AVI main-header metadata: walk
+    * the RIFF chunk chain for the `LIST`/`hdrl` whose first subchunk is
+    * the 56-byte `avih` main header — µs-per-frame, total frames,
+    * width, height (all little-endian) — the dimension/duration screen
+    * a video ingest runs before any codec work; completes the RIFF
+    * family next to [[withAudioMeta]]'s WAV walk. Chunk sizes pad to
+    * even offsets per the RIFF spec; anything not RIFF/`AVI ` (or with
+    * a malformed/truncated header list) degrades to `not_avi` with
+    * null fields. */
+  def withAviMeta(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "avi_meta"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) =>
+      def u(i: Int) = p(i) & 0xff
+      def u32(i: Int) = u(i).toLong | (u(i + 1).toLong << 8) |
+        (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+      def cc(i: Int) = new String(p.slice(i, i + 4), "US-ASCII")
+      val bad = AviMeta("not_avi", None, None, None, None)
+      if (p == null || p.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ")
+        bad
+      else {
+        var i = 12
+        var out = bad
+        while (out.format == "not_avi" && i + 8 <= p.length) {
+          val kind = cc(i)
+          val len = u32(i + 4)
+          if (kind == "LIST" && i + 12 <= p.length && cc(i + 8) == "hdrl" &&
+              i + 12 + 8 <= p.length && cc(i + 12) == "avih" &&
+              u32(i + 16) >= 40 && i + 20 + 40 <= p.length) {
+            val a = i + 20
+            val usf = u32(a)
+            val frames = u32(a + 16)
+            val dur = if (usf > 0) Some(frames * usf / 1000L) else None
+            out = AviMeta("avi", Some(u32(a + 32).toInt),
+              Some(u32(a + 36).toInt), Some(frames), dur)
+          } else {
+            val next = i.toLong + 8L + len + (len & 1L)
+            i = if (next <= i || next > Int.MaxValue) p.length
+              else next.toInt
+          }
+        }
+        out
+      }
+    }
+    media.withColumn(outCol, parse(col(payloadCol)))
+  }
+
   final case class OggMeta(format: String, channels: Option[Int],
       sample_rate: Option[Int], granule: Option[Long])
 

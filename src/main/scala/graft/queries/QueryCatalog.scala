@@ -5929,6 +5929,66 @@ object QueryCatalog {
       |  END AS captured_at
       |FROM documents""".stripMargin
 
+  /** m_avi — AVI main-header parse
+    * ([[graft.multimodal.Multimodal.withAviMeta]]): real RIFF/`AVI `
+    * files built IN-PLAN — a decoy `JUNK` chunk precedes the
+    * LIST/hdrl/avih (the walk must skip it, honoring even-padding);
+    * every `% 5 == 2` payload is a RIFF/WAVE (wrong form type) and
+    * every `% 7 == 0` truncates mid-header. Closed-form oracle. */
+  val mAvi: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    def b(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+    def le32(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c.cast("long")), 8, "0")
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    val w = (id % 1920 + 16).cast("int")
+    val h = (id % 1080 + 16).cast("int")
+    val frames = id % 900 + 1
+    val usf = (id % 3 + 1) * 20000  // 50/25/16.6 fps
+    // JUNK decoy with an ODD length (9) — the walk must pad to even
+    val junk = concat(lit("JUNK".getBytes), le32(lit(9)),
+      b(1, 2, 3, 4, 5, 6, 7, 8, 9, 0))
+    val avih = concat(lit("avih".getBytes), le32(lit(56)),
+      le32(usf), le32(lit(0)), le32(lit(0)), le32(lit(0x10)),
+      le32(frames), le32(lit(0)), le32(lit(2)), le32(lit(0)),
+      le32(w), le32(h),
+      le32(lit(0)), le32(lit(0)), le32(lit(0)), le32(lit(0)))
+    val hdrl = concat(lit("LIST".getBytes), le32(lit(4 + 64)),
+      lit("hdrl".getBytes), avih)
+    val avi = concat(lit("RIFF".getBytes), le32(lit(4 + 18 + 76)),
+      lit("AVI ".getBytes), junk, hdrl)
+    val wav = concat(lit("RIFF".getBytes), le32(lit(4)),
+      lit("WAVE".getBytes))
+    val payload = when(id % 5 === 2, wav)
+      .when(id % 7 === 0, substring(avi, 1, 40)).otherwise(avi)
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload", payload)
+    Multimodal.withAviMeta(media).select(id,
+      col("avi_meta.format").as("format"),
+      col("avi_meta.width").as("width"),
+      col("avi_meta.height").as("height"),
+      col("avi_meta.total_frames").as("total_frames"),
+      col("avi_meta.duration_ms").as("duration_ms"))
+  }
+
+  val mAviSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 2 OR doc_id % 7 = 0 THEN 'not_avi'
+      |       ELSE 'avi' END AS format,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0
+      |       THEN CAST(doc_id % 1920 + 16 AS INTEGER) END AS width,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0
+      |       THEN CAST(doc_id % 1080 + 16 AS INTEGER) END AS height,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0
+      |       THEN CAST(doc_id % 900 + 1 AS BIGINT) END AS total_frames,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0
+      |       THEN CAST((doc_id % 900 + 1) * ((doc_id % 3 + 1) * 20000) // 1000 AS BIGINT)
+      |  END AS duration_ms
+      |FROM documents""".stripMargin
+
   /** m_ogg — Ogg/Vorbis identification-header parse
     * ([[graft.multimodal.Multimodal.withOggMeta]]): real BOS pages with
     * LE-64 granule positions and a segment-table-addressed first packet
@@ -6982,6 +7042,7 @@ object QueryCatalog {
     "m_tiff" -> mTiff,
     "m_exif" -> mExif,
     "m_ogg" -> mOgg,
+    "m_avi" -> mAvi,
     "m_video" -> mVideo,
     "m_corrupt" -> mCorrupt,
     "p_media_mix" -> pMediaMix,
@@ -7225,6 +7286,7 @@ object QueryCatalog {
     "m_tiff" -> mTiffSql,
     "m_exif" -> mExifSql,
     "m_ogg" -> mOggSql,
+    "m_avi" -> mAviSql,
     "m_video" -> mVideoSql,
     "m_corrupt" -> mCorruptSql,
     "p_media_mix" -> pMediaMixSql,

@@ -193,6 +193,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(5L) === ((Some(6), None)))
   }
 
+  test("withAviMeta: chunk walk past decoys with odd-length padding") {
+    def le32(v: Long) = Seq((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    def avih(usf: Long, frames: Long, w: Long, h: Long) =
+      "avih".getBytes.map(_.toInt).toSeq ++ le32(56) ++ le32(usf) ++
+        le32(0) ++ le32(0) ++ le32(16) ++ le32(frames) ++ le32(0) ++
+        le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++
+        Seq.fill(4)(le32(0)).flatten
+    def hdrl(body: Seq[Int]) =
+      "LIST".getBytes.map(_.toInt).toSeq ++ le32(4 + body.size) ++
+        "hdrl".getBytes.map(_.toInt) ++ body
+    def riff(form: String, body: Seq[Int]) =
+      ("RIFF".getBytes.map(_.toInt).toSeq ++ le32(4 + body.size) ++
+        form.getBytes.map(_.toInt) ++ body).map(_.toByte).toArray
+    val junk = "JUNK".getBytes.map(_.toInt).toSeq ++ le32(3) ++
+      Seq(1, 2, 3, 0) // odd length pads to even
+    val good = riff("AVI ", junk ++ hdrl(avih(40000, 250, 640, 480)))
+    val wav = riff("WAVE", Seq.empty)
+    val trunc = good.take(30)
+    val out = Multimodal.withAviMeta(
+      Seq((1L, good), (2L, wav), (3L, trunc)).toDF("doc_id", "payload"))
+      .select(col("doc_id"), col("avi_meta.format"), col("avi_meta.width"),
+        col("avi_meta.height"), col("avi_meta.total_frames"),
+        col("avi_meta.duration_ms"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5))))).toMap
+    assert(out(1L) === (("avi", Some(640), Some(480), Some(250L),
+      Some(10000L))))
+    assert(out(2L)._1 === "not_avi" && out(2L)._2.isEmpty)
+    assert(out(3L)._1 === "not_avi")
+  }
+
   test("withOggMeta: BOS page walk, segment-table offset, degradations") {
     def le32(v: Long) = Seq((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
       ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
