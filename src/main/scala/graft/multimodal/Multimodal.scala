@@ -514,6 +514,175 @@ object Multimodal {
     media.withColumn(outCol, parse(col(payloadCol)))
   }
 
+  final case class MkvMeta(format: String, doc_type_version: Option[Int],
+      timestamp_scale: Option[Long])
+
+  /** ======= REAL (codec-free) ======= Matroska/WebM metadata: an EBML
+    * varint walk — element IDs are 1-4-byte varints (class marker bits
+    * kept), sizes are 1-8-byte varints (marker stripped, all-value-bits-
+    * set means "unknown: extends to the end", the streaming-Segment
+    * convention). The walk reads the EBML head's `DocType`
+    * (`matroska`/`webm`) and `DocTypeVersion`, then descends the
+    * unknown-size Segment past decoy elements (SeekHead, Void) into
+    * `Info`/`TimestampScale` — exactly the container sniff a video
+    * ingest runs before touching a cluster. Unknown IDs are skipped by
+    * their declared size; a payload that isn't EBML or whose head is
+    * malformed degrades to `not_mkv` with null fields; a Segment without
+    * an Info keeps the format but reports a null timestamp scale. */
+  def withMkvMeta(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "mkv_meta"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) =>
+      def u(i: Int) = p(i) & 0xff
+      // EBML varint: width = leading zero bits of the first byte + 1.
+      // Returns (value, width); for IDs the marker bit is KEPT (the
+      // conventional ID spelling), for sizes it is stripped. A size
+      // whose value bits are all ones is "unknown" -> Long.MaxValue.
+      def vintWidth(i: Int): Int = {
+        val b = u(i)
+        if (b >= 0x80) 1 else if (b >= 0x40) 2 else if (b >= 0x20) 3
+        else if (b >= 0x10) 4 else if (b >= 0x08) 5 else if (b >= 0x04) 6
+        else if (b >= 0x02) 7 else if (b == 0x01) 8 else 0
+      }
+      def readId(i: Int): (Long, Int) = {
+        val w = vintWidth(i)
+        if (w == 0 || w > 4 || i + w > p.length) (-1L, 0)
+        else ((0 until w).foldLeft(0L)((a, k) => (a << 8) | u(i + k)), w)
+      }
+      def readSize(i: Int): (Long, Int) = {
+        val w = vintWidth(i)
+        if (w == 0 || i + w > p.length) (-1L, 0)
+        else {
+          val raw = (0 until w).foldLeft(0L)((a, k) => (a << 8) | u(i + k))
+          val v = raw & ((1L << (7 * w)) - 1)
+          (if (v == (1L << (7 * w)) - 1) Long.MaxValue else v, w)
+        }
+      }
+      def readUint(i: Int, len: Int): Long =
+        (0 until len).foldLeft(0L)((a, k) => (a << 8) | u(i + k))
+      val bad = MkvMeta("not_mkv", None, None)
+      if (p == null || p.length < 6) bad
+      else {
+        val (headId, hw) = readId(0)
+        val (headSz, hsw) = readSize(hw)
+        if (headId != 0x1A45DFA3L || hsw == 0 || headSz == Long.MaxValue ||
+            hw + hsw + headSz > p.length)
+          bad
+        else {
+          // -- EBML head children: DocType (0x4282), DocTypeVersion (0x4287)
+          var docType: String = null
+          var dtv: Option[Int] = None
+          var i = hw + hsw
+          val headEnd = i + headSz.toInt
+          var ok = true
+          while (ok && i < headEnd) {
+            val (id, iw) = readId(i)
+            val (sz, sw) = readSize(i + iw)
+            if (iw == 0 || sw == 0 || sz == Long.MaxValue ||
+                i + iw + sw + sz > headEnd) { ok = false }
+            else {
+              val at = i + iw + sw
+              if (id == 0x4282L)
+                docType = new String(p.slice(at, at + sz.toInt), "US-ASCII")
+              else if (id == 0x4287L) dtv = Some(readUint(at, sz.toInt).toInt)
+              i = at + sz.toInt
+            }
+          }
+          if (!ok || docType == null ||
+              (docType != "matroska" && docType != "webm")) bad
+          else {
+            // -- Segment (0x18538067), size may be unknown (to end)
+            var ts: Option[Long] = None
+            if (headEnd + 2 <= p.length) {
+              val (segId, sgw) = readId(headEnd)
+              val (segSz, sgsw) = readSize(headEnd + sgw)
+              if (segId == 0x18538067L && sgsw != 0) {
+                var j = headEnd + sgw + sgsw
+                val segEnd =
+                  if (segSz == Long.MaxValue) p.length
+                  else math.min(p.length.toLong, j + segSz).toInt
+                var go = true
+                while (go && j < segEnd) {
+                  val (id, iw) = readId(j)
+                  val (sz, sw) = readSize(j + iw)
+                  if (iw == 0 || sw == 0 || sz == Long.MaxValue ||
+                      j + iw + sw + sz > segEnd) { go = false }
+                  else if (id == 0x1549A966L) { // Info: scan children
+                    var k = j + iw + sw
+                    val infoEnd = k + sz.toInt
+                    while (go && k < infoEnd) {
+                      val (cid, cw) = readId(k)
+                      val (csz, csw) = readSize(k + cw)
+                      if (cw == 0 || csw == 0 || csz == Long.MaxValue ||
+                          k + cw + csw + csz > infoEnd) { go = false }
+                      else {
+                        if (cid == 0x2AD7B1L)
+                          ts = Some(readUint(k + cw + csw, csz.toInt))
+                        k = k + cw + csw + csz.toInt
+                      }
+                    }
+                    go = false // Info found; done either way
+                  } else j = j + iw + sw + sz.toInt
+                }
+              }
+            }
+            MkvMeta(if (docType == "webm") "webm" else "mkv", dtv, ts)
+          }
+        }
+      }
+    }
+    media.withColumn(outCol, parse(col(payloadCol)))
+  }
+
+  final case class GzipMeta(format: String, mtime: Option[Long],
+      os: Option[Int], fname: Option[String], isize: Option[Long])
+
+  /** ======= REAL (codec-free) ======= gzip member metadata (RFC 1952):
+    * magic `1f 8b`, deflate CM, then the FLG-driven optional-field walk —
+    * FEXTRA is skipped by its little-endian XLEN, FNAME/FCOMMENT are
+    * NUL-terminated scans, FHCRC is two bytes — and the trailer's last
+    * four bytes are ISIZE (uncompressed size mod 2^32). This is the
+    * inventory pass an ingest runs over a crawl archive before deciding
+    * what to decompress; the deflate stream itself is never touched.
+    * Non-gzip payloads and members truncated before the trailer degrade
+    * to `not_gzip` with null fields. */
+  def withGzipMeta(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "gzip_meta"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) =>
+      def u(i: Int) = p(i) & 0xff
+      def le32(i: Int) = (0 until 4).map(k => u(i + k).toLong << (8 * k)).sum
+      val bad = GzipMeta("not_gzip", None, None, None, None)
+      if (p == null || p.length < 18 || u(0) != 0x1f || u(1) != 0x8b ||
+          u(2) != 8)
+        bad
+      else {
+        val flg = u(3); val mtime = le32(4); val os = u(9)
+        var i = 10
+        var ok = true
+        if ((flg & 4) != 0) { // FEXTRA: u16 LE length prefix
+          if (i + 2 > p.length) ok = false
+          else { val xlen = u(i) | (u(i + 1) << 8); i += 2 + xlen }
+        }
+        var name: Option[String] = None
+        if (ok && (flg & 8) != 0) { // FNAME: NUL-terminated latin-1
+          val start = i
+          while (i < p.length && u(i) != 0) i += 1
+          if (i >= p.length) ok = false
+          else { name = Some(new String(p.slice(start, i), "ISO-8859-1"))
+            i += 1 }
+        }
+        if (ok && (flg & 16) != 0) { // FCOMMENT
+          while (i < p.length && u(i) != 0) i += 1
+          if (i >= p.length) ok = false else i += 1
+        }
+        if (ok && (flg & 2) != 0) i += 2 // FHCRC
+        if (!ok || i + 8 > p.length) bad // CRC32 + ISIZE must fit
+        else GzipMeta("gzip", Some(mtime), Some(os), name,
+          Some(le32(p.length - 4)))
+      }
+    }
+    media.withColumn(outCol, parse(col(payloadCol)))
+  }
+
   final case class Mp3Meta(format: String, id3_version: Option[Int],
     tag_size: Option[Int], mpeg_version: Option[String],
     layer: Option[Int], bitrate_kbps: Option[Int],

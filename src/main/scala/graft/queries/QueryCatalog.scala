@@ -5989,6 +5989,123 @@ object QueryCatalog {
       |  END AS duration_ms
       |FROM documents""".stripMargin
 
+  /** m_mkv — Matroska/WebM EBML walk
+    * ([[graft.multimodal.Multimodal.withMkvMeta]]): real EBML payloads
+    * built IN-PLAN — varint IDs/sizes, a Void decoy inside the head, an
+    * UNKNOWN-size Segment (0xFF) whose Info sits behind a SeekHead
+    * decoy; every `% 5 == 2` payload is RIFF/WAVE, every `% 7 == 0`
+    * truncates mid-head, and every `% 11 == 3` Segment carries no Info
+    * (format kept, null timestamp scale). Closed-form oracle. */
+  val mMkv: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    def b(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+    val ver = unhex(lpad(hex((id % 4 + 1).cast("long")), 2, "0"))
+    val ts3 = unhex(lpad(hex(((id % 4 + 1) * 500000).cast("long")), 6, "0"))
+    def head(dt: String) = {
+      val L = dt.length
+      concat(b(0x1A, 0x45, 0xDF, 0xA3), b(0x80 | (15 + L)),
+        b(0x42, 0x86, 0x81, 0x01),         // EBMLVersion = 1
+        b(0xEC, 0x82, 0x00, 0x00),         // Void decoy
+        b(0x42, 0x82, 0x80 | L), lit(dt.getBytes("US-ASCII")),
+        b(0x42, 0x87, 0x81), ver)          // DocTypeVersion
+    }
+    val seekHead = b(0x11, 0x4D, 0x9B, 0x74, 0x84, 1, 2, 3, 4)
+    val info = concat(
+      b(0x15, 0x49, 0xA9, 0x66, 0x87, 0x2A, 0xD7, 0xB1, 0x83), ts3)
+    val segStart = b(0x18, 0x53, 0x80, 0x67, 0xFF) // unknown size
+    val seg = when(id % 11 === 3, concat(segStart, seekHead))
+      .otherwise(concat(segStart, seekHead, info))
+    val mkv = concat(
+      when(id % 3 === 1, head("webm")).otherwise(head("matroska")), seg)
+    val riff = concat(lit("RIFF".getBytes), b(4, 0, 0, 0),
+      lit("WAVE".getBytes))
+    val payload = when(id % 5 === 2, riff)
+      .when(id % 7 === 0, substring(mkv, 1, 10)).otherwise(mkv)
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload", payload)
+    Multimodal.withMkvMeta(media).select(id,
+      col("mkv_meta.format").as("format"),
+      col("mkv_meta.doc_type_version").as("doc_type_version"),
+      col("mkv_meta.timestamp_scale").as("timestamp_scale"))
+  }
+
+  val mMkvSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 2 OR doc_id % 7 = 0 THEN 'not_mkv'
+      |       WHEN doc_id % 3 = 1 THEN 'webm' ELSE 'mkv' END AS format,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0
+      |       THEN CAST(doc_id % 4 + 1 AS INTEGER) END AS doc_type_version,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0 AND doc_id % 11 <> 3
+      |       THEN CAST((doc_id % 4 + 1) * 500000 AS BIGINT)
+      |  END AS timestamp_scale
+      |FROM documents""".stripMargin
+
+  /** m_gzip — gzip member-header walk
+    * ([[graft.multimodal.Multimodal.withGzipMeta]]): real RFC 1952
+    * members built IN-PLAN with every FLG combination present in the
+    * corpus — FEXTRA (`% 3 == 0`), FNAME (`% 2 == 0`), FCOMMENT
+    * (`% 9 == 1`), FHCRC (`% 4 == 1`) — so the walk must skip each
+    * optional field correctly to find the trailer ISIZE; `% 5 == 2`
+    * payloads are zlib (wrong magic) and `% 7 == 0` truncate before the
+    * trailer. Closed-form oracle. */
+  val mGzip: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    def b(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+    def le32(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c.cast("long")), 8, "0")
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    val none = lit(Array.empty[Byte])
+    val flg = when(id % 3 === 0, 4).otherwise(0) +
+      when(id % 2 === 0, 8).otherwise(0) +
+      when(id % 9 === 1, 16).otherwise(0) +
+      when(id % 4 === 1, 2).otherwise(0)
+    val header = concat(b(0x1f, 0x8b, 8),
+      unhex(lpad(hex(flg.cast("long")), 2, "0")),
+      le32(id * 60), b(0),
+      unhex(lpad(hex((id % 13).cast("long")), 2, "0")))
+    val fextra = when(id % 3 === 0, b(4, 0, 9, 9, 9, 9)).otherwise(none)
+    val fname = when(id % 2 === 0,
+      concat(lit("f".getBytes), encode(id.cast("string"), "UTF-8"),
+        lit(".txt".getBytes), b(0))).otherwise(none)
+    val fcomment = when(id % 9 === 1,
+      concat(lit("crawl".getBytes), b(0))).otherwise(none)
+    val fhcrc = when(id % 4 === 1, b(0x12, 0x34)).otherwise(none)
+    val gz = concat(header, fextra, fname, fcomment, fhcrc,
+      b(1, 2, 3, 4, 5),                 // deflate body (never read)
+      b(0xAA, 0xBB, 0xCC, 0xDD),        // CRC32
+      le32(id % 100000))                // ISIZE
+    val zlib = b(0x78, 0x9c, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+      13, 14, 15, 16, 17, 18)
+    val payload = when(id % 5 === 2, zlib)
+      .when(id % 7 === 0, substring(gz, 1, 12)).otherwise(gz)
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload", payload)
+    Multimodal.withGzipMeta(media).select(id,
+      col("gzip_meta.format").as("format"),
+      col("gzip_meta.mtime").as("mtime"),
+      col("gzip_meta.os").as("os"),
+      col("gzip_meta.fname").as("fname"),
+      col("gzip_meta.isize").as("isize"))
+  }
+
+  val mGzipSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 2 OR doc_id % 7 = 0 THEN 'not_gzip'
+      |       ELSE 'gzip' END AS format,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0
+      |       THEN CAST(doc_id * 60 AS BIGINT) END AS mtime,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0
+      |       THEN CAST(doc_id % 13 AS INTEGER) END AS os,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0 AND doc_id % 2 = 0
+      |       THEN 'f' || doc_id || '.txt' END AS fname,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0
+      |       THEN CAST(doc_id % 100000 AS BIGINT) END AS isize
+      |FROM documents""".stripMargin
+
   /** m_ogg — Ogg/Vorbis identification-header parse
     * ([[graft.multimodal.Multimodal.withOggMeta]]): real BOS pages with
     * LE-64 granule positions and a segment-table-addressed first packet
@@ -7043,6 +7160,8 @@ object QueryCatalog {
     "m_exif" -> mExif,
     "m_ogg" -> mOgg,
     "m_avi" -> mAvi,
+    "m_mkv" -> mMkv,
+    "m_gzip" -> mGzip,
     "m_video" -> mVideo,
     "m_corrupt" -> mCorrupt,
     "p_media_mix" -> pMediaMix,
@@ -7287,6 +7406,8 @@ object QueryCatalog {
     "m_exif" -> mExifSql,
     "m_ogg" -> mOggSql,
     "m_avi" -> mAviSql,
+    "m_mkv" -> mMkvSql,
+    "m_gzip" -> mGzipSql,
     "m_video" -> mVideoSql,
     "m_corrupt" -> mCorruptSql,
     "p_media_mix" -> pMediaMixSql,

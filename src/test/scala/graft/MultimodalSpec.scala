@@ -260,6 +260,86 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(6L)._1 === "not_ogg")
   }
 
+  test("withMkvMeta: EBML varint walk, unknown-size Segment, degradations") {
+    def el(idBytes: Seq[Int], body: Seq[Int]): Seq[Int] =
+      idBytes ++ Seq(0x80 | body.size) ++ body
+    def head(dt: String, ver: Int): Seq[Int] =
+      el(Seq(0x1A, 0x45, 0xDF, 0xA3),
+        el(Seq(0x42, 0x86), Seq(1)) ++          // EBMLVersion
+        el(Seq(0xEC), Seq(0, 0)) ++             // Void decoy
+        el(Seq(0x42, 0x82), dt.getBytes.map(_.toInt).toSeq) ++
+        el(Seq(0x42, 0x87), Seq(ver)))
+    def info(ts: Long): Seq[Int] =
+      el(Seq(0x15, 0x49, 0xA9, 0x66),
+        el(Seq(0x2A, 0xD7, 0xB1),
+          Seq(((ts >> 16) & 0xff).toInt, ((ts >> 8) & 0xff).toInt,
+            (ts & 0xff).toInt)))
+    val seek = el(Seq(0x11, 0x4D, 0x9B, 0x74), Seq(9, 9, 9))
+    def seg(body: Seq[Int], unknown: Boolean = true): Seq[Int] =
+      Seq(0x18, 0x53, 0x80, 0x67) ++
+        (if (unknown) Seq(0xFF) else Seq(0x80 | body.size)) ++ body
+    def bytes(xs: Seq[Int]) = xs.map(_.toByte).toArray
+    val good = bytes(head("matroska", 4) ++ seg(seek ++ info(1000000L)))
+    val webm = bytes(head("webm", 2) ++ seg(seek ++ info(500000L),
+      unknown = false)) // known-size segment honored too
+    val noInfo = bytes(head("matroska", 1) ++ seg(seek))
+    val badDt = bytes(head("quicktime", 1) ++ seg(seek ++ info(1L)))
+    val trunc = good.take(9)
+    val rows = Seq((1L, good), (2L, webm), (3L, noInfo), (4L, badDt),
+      (5L, trunc), (6L, "RIFF1234WAVE".getBytes))
+    val out = Multimodal.withMkvMeta(rows.toDF("doc_id", "payload"))
+      .select(col("doc_id"), col("mkv_meta.format"),
+        col("mkv_meta.doc_type_version"), col("mkv_meta.timestamp_scale"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(1L) === (("mkv", Some(4), Some(1000000L))))
+    assert(out(2L) === (("webm", Some(2), Some(500000L))))
+    assert(out(3L) === (("mkv", Some(1), None)))
+    assert(out(4L)._1 === "not_mkv" && out(4L)._2.isEmpty)
+    assert(out(5L)._1 === "not_mkv")
+    assert(out(6L)._1 === "not_mkv")
+  }
+
+  test("withGzipMeta: FLG-driven optional-field walk to the trailer") {
+    def le32(v: Long) = Seq((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    def gz(flg: Int, extra: Seq[Int] = Nil, name: String = null,
+        comment: String = null, hcrc: Boolean = false,
+        isize: Long = 777L): Array[Byte] = {
+      val opt = (if (extra.nonEmpty)
+          Seq(extra.size & 0xff, extra.size >> 8) ++ extra else Nil) ++
+        (if (name != null) name.getBytes.map(_.toInt).toSeq :+ 0 else Nil) ++
+        (if (comment != null)
+          comment.getBytes.map(_.toInt).toSeq :+ 0 else Nil) ++
+        (if (hcrc) Seq(0x12, 0x34) else Nil)
+      (Seq(0x1f, 0x8b, 8, flg) ++ le32(99L) ++ Seq(0, 3) ++ opt ++
+        Seq(1, 2, 3) ++ le32(0xAABBCCDDL) ++ le32(isize))
+        .map(_.toByte).toArray
+    }
+    val rows = Seq(
+      (1L, gz(0)),                                       // no optionals
+      (2L, gz(8, name = "a.txt")),                       // FNAME
+      (3L, gz(4 | 8 | 16 | 2, extra = Seq(7, 7, 7),      // all four
+        name = "b.bin", comment = "c", hcrc = true, isize = 123456L)),
+      (4L, gz(8, name = "abcdefghijklmnop").take(20)),   // unterminated name
+      (5L, gz(0).take(12)),                              // before trailer
+      (6L, (Seq(0x78, 0x9c) ++ Seq.fill(20)(1)).map(_.toByte).toArray))
+    val out = Multimodal.withGzipMeta(rows.toDF("doc_id", "payload"))
+      .select(col("doc_id"), col("gzip_meta.format"), col("gzip_meta.mtime"),
+        col("gzip_meta.os"), col("gzip_meta.fname"), col("gzip_meta.isize"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5))))).toMap
+    assert(out(1L) === (("gzip", Some(99L), Some(3), None, Some(777L))))
+    assert(out(2L) === (("gzip", Some(99L), Some(3), Some("a.txt"),
+      Some(777L))))
+    assert(out(3L) === (("gzip", Some(99L), Some(3), Some("b.bin"),
+      Some(123456L))))
+    assert(out(4L)._1 === "not_gzip")
+    assert(out(5L)._1 === "not_gzip")
+    assert(out(6L)._1 === "not_gzip")
+  }
+
   test("withHeaderMeta parses all three WebP bitstream flavors") {
     def riff(chunk: Seq[Int]): Array[Byte] =
       ("RIFF".getBytes.map(_.toInt).toSeq ++ Seq(0, 0, 0, 0) ++
