@@ -2256,4 +2256,38 @@ object Analytics {
     }
     out
   }
+
+  /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) over canonical
+    * `src < dst` undirected edges, for each threshold k: N_k = nodes
+    * with degree > k, E_k = edges with BOTH endpoint degrees > k.
+    * Scale shape: one degree agg + one edge↔degree double join reduce
+    * everything to two tiny histograms (distinct degrees / distinct
+    * edge min-degrees); the k list joins against those, so adding
+    * thresholds never re-scans edges. φ is exact integer ppm (floor) —
+    * no float crosses an oracle. Thresholds with N_k < 2 are dropped
+    * (φ undefined). */
+  def richClub(edges: DataFrame, ks: Seq[Long]): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val em = edges
+      .join(deg.select(col("v").as("src"), col("deg").as("da")), "src")
+      .join(deg.select(col("v").as("dst"), col("deg").as("db")), "dst")
+      .select(least(col("da"), col("db")).as("md"))
+      .groupBy("md").agg(count(lit(1)).as("ec"))
+    val nd = deg.groupBy("deg").agg(count(lit(1)).as("nc"))
+    val kdf = edges.sparkSession.range(1)
+      .select(explode(array(ks.map(lit(_)): _*)).as("k"))
+    val nk = nd.crossJoin(broadcast(kdf)).filter(col("deg") > col("k"))
+      .groupBy("k").agg(sum("nc").as("nk"))
+    val ek = em.crossJoin(broadcast(kdf)).filter(col("md") > col("k"))
+      .groupBy("k").agg(sum("ec").as("ek"))
+    nk.join(ek, Seq("k"), "left")
+      .filter(col("nk") >= 2)
+      .select(col("k").cast("long").as("k"),
+        col("nk").cast("long").as("nk"),
+        coalesce(col("ek"), lit(0L)).cast("long").as("ek"),
+        expr("2000000 * coalesce(ek, 0) div (nk * (nk - 1))")
+          .cast("long").as("phi_ppm"))
+  }
 }

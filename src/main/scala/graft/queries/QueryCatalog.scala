@@ -4271,6 +4271,38 @@ object QueryCatalog {
       |  m::BIGINT AS m
       |FROM sums""".stripMargin
 
+  /** q72 — RICH-CLUB coefficient of the co-purchase graph: for degree
+    * thresholds k ∈ {1,2,4,8,16,32}, φ(k) = 2·E_k / (N_k·(N_k−1)) where
+    * N_k = nodes with degree > k and E_k = edges whose BOTH endpoints
+    * exceed k — do hubs form a densely-wired club? Scale shape: one
+    * degree aggregation, one edge↔degree double join to get each edge's
+    * MIN endpoint degree, then everything collapses to two tiny
+    * histograms (distinct degrees) against a 6-row broadcast threshold
+    * list — E_k/N_k are suffix sums, so adding thresholds never re-scans
+    * edges. φ is emitted as exact integer ppm (floor), so no float
+    * crosses the gate. */
+  val q72Richclub: Q = (s, d) =>
+    graft.enrich.Analytics.richClub(coPurchaseEdges(s, d),
+      Seq(1L, 2L, 4L, 8L, 16L, 32L))
+
+  val q72RichclubSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM und GROUP BY src),
+      |em AS (SELECT least(da.deg, db.deg) AS md FROM e
+      |  JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+      |ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k),
+      |nk AS (SELECT k, sum(1) AS nk FROM ks JOIN deg ON deg.deg > k GROUP BY k),
+      |ek AS (SELECT k, sum(1) AS ek FROM ks JOIN em ON em.md > k GROUP BY k)
+      |SELECT nk.k::BIGINT AS k, nk.nk::BIGINT AS nk,
+      |  coalesce(ek.ek, 0)::BIGINT AS ek,
+      |  (2000000 * coalesce(ek.ek, 0) // (nk.nk * (nk.nk - 1)))::BIGINT AS phi_ppm
+      |FROM nk LEFT JOIN ek ON nk.k = ek.k
+      |WHERE nk.nk >= 2""".stripMargin
+
   /** Histogram-based approximate quantiles — the deterministic 100 TB
     * switch for q15's exact percentile: two scans (min/max/count, then
     * 1000 equal-width bin counts — both partial-agg friendly), estimate =
@@ -7112,6 +7144,7 @@ object QueryCatalog {
     "q47_wsp" -> q47Wsp,
     "q48_clustering" -> q48Clustering,
     "q49_assort" -> q49Assort,
+    "q72_richclub" -> q72Richclub,
     "q50_reach" -> q50Reach,
     "q51_linkpred" -> q51LinkPred,
     "q52_hybrid" -> q52Hybrid,
@@ -7358,6 +7391,7 @@ object QueryCatalog {
     "q47_wsp" -> q47WspSql,
     "q48_clustering" -> q48ClusteringSql,
     "q49_assort" -> q49AssortSql,
+    "q72_richclub" -> q72RichclubSql,
     "q50_reach" -> q50ReachSql,
     "q51_linkpred" -> q51LinkPredSql,
     "q52_hybrid" -> q52HybridSql,

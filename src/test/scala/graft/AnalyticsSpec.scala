@@ -716,4 +716,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(inc === full)
     assert(inc(4L) === 1L && inc(10L) === 9L)
   }
+
+  test("richClub: K4+pendant+star matches hand-computed phi") {
+    // K4 on {1,2,3,4}, pendant 5 on 1, star 10-(11..15).
+    // deg: 1→4, 2..4→3, 5→1, 10→5, leaves→1.
+    val e = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)) ++ (11L to 15L).map(l => (10L, l)))
+      .toDF("src", "dst")
+    val out = Analytics.richClub(e, Seq(1L, 2L, 4L))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // k=1 and k=2: club = {1,2,3,4,10}, club edges = the 6 clique edges
+    // (pendant/star edges have a deg-1 endpoint): phi = 12/20 = 0.6.
+    // k=4: only node 10 qualifies -> N_k < 2, dropped.
+    assert(out === Seq((1L, 5L, 6L, 600000L), (2L, 5L, 6L, 600000L)))
+  }
 }
