@@ -588,6 +588,34 @@ object Corpus {
       .withColumn("redacted", afterPhone)
   }
 
+  /** Encoding-damage (mojibake) screen: count the three classic markers
+    * of a broken decode pipeline — U+FFFD replacement characters (a
+    * decoder already gave up), `Ã`-led sequences (UTF-8 read as
+    * latin-1 then re-encoded: `é`→`Ã©`), and `â€`-led sequences (CP1252
+    * punctuation through the same wringer: `’`→`â€™`) — and fold them
+    * into one integer ppm severity with a keep/quarantine verdict.
+    * A pure narrow map (regexp_count only, whole-stage codegen, zero
+    * shuffle); all arithmetic is integer so the verdict threshold can
+    * never flip cross-engine. The weights (4/2/3) rank FFFD worst:
+    * it is unrecoverable, while double-UTF-8 is mechanically
+    * reversible. */
+  def mojibakeScreen(docs: DataFrame, text: Column,
+      quarantinePpm: Long = 2000L): DataFrame = {
+    val nFffd = regexp_count(text, lit("�")).cast("long")
+    val nDouble = regexp_count(text, lit("Ã")).cast("long")
+    val nCp = regexp_count(text, lit("â€")).cast("long")
+    docs.select(col("doc_id"),
+        nFffd.as("n_fffd"), nDouble.as("n_double_utf8"), nCp.as("n_cp1252"),
+        length(text).cast("long").as("len"))
+      .withColumn("moji_ppm",
+        expr("1000000 * (4 * n_fffd + 2 * n_double_utf8 + 3 * n_cp1252) " +
+          "div greatest(len, 1)").cast("long"))
+      .withColumn("verdict",
+        when(col("moji_ppm") > quarantinePpm, lit("quarantine"))
+          .otherwise(lit("clean")))
+      .drop("len")
+  }
+
   /** Cross-document boilerplate-line removal (the RefinedWeb/CCNet-style
     * filter): a line occurring in ≥ `minDocs` DISTINCT documents is
     * boilerplate (headers, footers, nav chrome) and is dropped from every

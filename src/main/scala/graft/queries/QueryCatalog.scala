@@ -2153,6 +2153,43 @@ object QueryCatalog {
        |        THEN 1 ELSE 0 END)::INT AS keep
        |FROM c""".stripMargin
 
+  /** t_mojibake — [[graft.pipeline.Corpus.mojibakeScreen]]: the
+    * encoding-damage inventory. The synthetic corpus is clean ASCII, so
+    * damage is injected IN-PLAN (the t_c4 pattern): `% 3` appends
+    * double-UTF-8 `Ã©` runs, `% 4` appends CP1252-mangled `â€™` runs,
+    * `% 5` appends U+FFFD replacement characters — so every marker
+    * class and the integer-ppm quarantine threshold decide real rows
+    * both ways. The oracle spells the counts as substring-replace
+    * length deltas (an independent spelling of regexp_count). */
+  val tMojibake: Q = (s, d) => {
+    val aug = concat(col("text"),
+      expr("repeat('Ã©', CAST(doc_id % 3 AS INT))"),
+      expr("repeat('â€™', CAST(doc_id % 4 AS INT))"),
+      expr("repeat('�', CAST(doc_id % 5 AS INT))"))
+    Corpus.mojibakeScreen(
+      Tables.documents(s, d).select(col("doc_id"), aug.as("text")),
+      col("text"))
+  }
+
+  lazy val tMojibakeSql: String =
+    """WITH aug AS (SELECT doc_id, text
+      |    || repeat('Ã©', (doc_id % 3)::INT)
+      |    || repeat('â€™', (doc_id % 4)::INT)
+      |    || repeat(chr(65533), (doc_id % 5)::INT) AS t FROM documents),
+      |c AS (SELECT doc_id,
+      |    (length(t) - length(replace(t, chr(65533), '')))::BIGINT AS n_fffd,
+      |    (length(t) - length(replace(t, 'Ã', '')))::BIGINT AS n_double_utf8,
+      |    ((length(t) - length(replace(t, 'â€', ''))) // 2)::BIGINT AS n_cp1252,
+      |    length(t)::BIGINT AS len
+      |  FROM aug)
+      |SELECT doc_id, n_fffd, n_double_utf8, n_cp1252,
+      |  (1000000 * (4 * n_fffd + 2 * n_double_utf8 + 3 * n_cp1252)
+      |     // greatest(len, 1))::BIGINT AS moji_ppm,
+      |  CASE WHEN 1000000 * (4 * n_fffd + 2 * n_double_utf8 + 3 * n_cp1252)
+      |     // greatest(len, 1) > 2000
+      |       THEN 'quarantine' ELSE 'clean' END AS verdict
+      |FROM c""".stripMargin
+
   /** t_gopher — [[graft.pipeline.Corpus.gopherScreen]], the published
     * Gopher rule screen. The corpus is single-line, so some documents
     * are augmented IN-PLAN (the st_screen/m_headers pattern: real
@@ -7220,6 +7257,7 @@ object QueryCatalog {
     "t_gopher" -> tGopher,
     "t_code" -> tCode,
     "t_c4" -> tC4,
+    "t_mojibake" -> tMojibake,
     "q53_hits_gx" -> q53HitsGx,
     "q54_distdist" -> q54DistDist,
   )
@@ -7467,6 +7505,7 @@ object QueryCatalog {
     "t_gopher" -> tGopherSql,
     "t_code" -> tCodeSql,
     "t_c4" -> tC4Sql,
+    "t_mojibake" -> tMojibakeSql,
     "q53_hits_gx" -> q53HitsSql,
     "q54_distdist" -> q54DistDistSql,
   )

@@ -781,4 +781,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(("events", "type_accepted")) === ((666666L, 0)))
     assert(out.size === 8)
   }
+
+  test("mojibakeScreen counts marker classes and quarantines by ppm") {
+    val docs = Seq(
+      (1L, "perfectly clean ascii text of reasonable length here"),
+      (2L, "cafÃ© naÃ¯ve"),                 // two double-UTF-8 markers
+      (3L, "itâ€™s â€œquotedâ€"),          // three CP1252 markers
+      (4L, "bad��decode"),        // two replacement chars
+      (5L, "")).toDF("doc_id", "text")
+    val out = Corpus.mojibakeScreen(docs, col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) === ((0L, 0L, 0L, 0L, "clean")))
+    assert(out(2L)._2 === 2L)              // n_double_utf8
+    assert(out(2L)._5 === "quarantine")    // 2*2e6/11 ppm >> 2000
+    assert(out(3L)._3 === 3L)              // n_cp1252
+    assert(out(4L) === ((2L, 0L, 0L,
+      1000000L * 8 / "bad��decode".length, "quarantine")))
+    assert(out(5L) === ((0L, 0L, 0L, 0L, "clean"))) // empty: no div-by-0
+  }
 }
