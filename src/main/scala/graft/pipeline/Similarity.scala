@@ -93,6 +93,47 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank")
   }
 
+  /** Gonzalez (1985) farthest-first k-CENTER selection — the diversity
+    * sampler a curation pipeline runs to pick k maximally-spread
+    * exemplars (coreset seeds, eval-probe selection, cluster init with
+    * a 2-approximation guarantee on the covering radius): seed with the
+    * min vec_id, then k−1 times pick the point whose best similarity to
+    * any chosen center is LOWEST (cosine spelling of "farthest from the
+    * chosen set"), round-4 sims with vec_id tie-break — fully
+    * deterministic, so the oracle replays every round.
+    *
+    * Scale shape: each round is one corpus scan against a BROADCAST
+    * ≤k-row center set (the bruteForceTopK shape) followed by a top-1
+    * reduce; the driver collects ONE row per round (the d4/landmark
+    * bounded-collect discipline — k is a constant, never corpus-sized).
+    * Recomputing sims against all centers each round keeps the loop
+    * stateless (no persisted lineage, no checkpoint hygiene) at k×
+    * redundant arithmetic — the right trade at k ≤ 16. */
+  def kCenterSelect(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k-center needs k >= 1, got $k")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val seed = e.orderBy(col("vec_id").asc).select("vec_id").head.getLong(0)
+    var picks = Vector[(Int, Long, Option[Double])]((0, seed, None))
+    var ids = Vector(seed)
+    for (r <- 1 until k) {
+      val cen = e.filter(col("vec_id").isin(ids: _*))
+        .select(col("embedding").as("cv"))
+      val next = e.filter(!col("vec_id").isin(ids: _*))
+        .crossJoin(broadcast(cen))
+        .select(col("vec_id"), cosine(col("embedding"), col("cv")).as("s"))
+        .groupBy("vec_id").agg(max("s").as("max_sim"))
+        .orderBy(col("max_sim").asc, col("vec_id").asc)
+        .head
+      picks = picks :+ ((r, next.getLong(0), Some(next.getDouble(1))))
+      ids = ids :+ next.getLong(0)
+    }
+    picks.toDF("sel_round", "vec_id", "max_sim")
+      .select(col("sel_round").cast("int").as("sel_round"),
+        col("vec_id"), col("max_sim"))
+  }
+
   /** Maximal-marginal-relevance DIVERSE top-k (Carbonell & Goldstein
     * 1998) — the diversity-aware selection a curation pipeline runs so
     * retrieved exemplars don't collapse onto near-duplicates: greedily

@@ -5571,6 +5571,39 @@ object QueryCatalog {
        |QUALIFY rank <= 10""".stripMargin
   }
 
+  /** s_kcenter — Gonzalez farthest-first k-center diversity selection
+    * ([[graft.pipeline.Similarity.kCenterSelect]]): seed = min vec_id,
+    * then 7 rounds of "pick the point least similar to its nearest
+    * chosen center" (round-4 cosine, vec_id tie-break). The oracle
+    * replays every round as a chained MATERIALIZED CTE (the s_mmr
+    * discipline — un-materialized multi-reference CTEs re-inline
+    * exponentially in DuckDB). */
+  val sKcenter: Q = (s, d) =>
+    Similarity.kCenterSelect(Tables.embeddings(s, d), k = 8)
+
+  val sKcenterSql: String = {
+    val rounds = (1 until 8).map { i =>
+      s"""ms$i AS MATERIALIZED (SELECT e.vec_id, max(${cosOf("e.embedding", "c.embedding")}) AS s
+         |  FROM embeddings e, cen${i - 1} cn, embeddings c
+         |  WHERE c.vec_id = cn.vec_id
+         |    AND e.vec_id NOT IN (SELECT vec_id FROM cen${i - 1})
+         |  GROUP BY e.vec_id),
+         |p$i AS (SELECT $i AS r, vec_id, s FROM ms$i
+         |  ORDER BY s ASC, vec_id ASC LIMIT 1),
+         |cen$i AS MATERIALIZED (SELECT vec_id FROM cen${i - 1}
+         |  UNION ALL SELECT vec_id FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 until 8)
+      .map(i => s"SELECT r, vec_id, s FROM p$i").mkString("\nUNION ALL ")
+    s"""WITH p0 AS (SELECT 0 AS r, min(vec_id) AS vec_id,
+       |    NULL::DOUBLE AS s FROM embeddings),
+       |cen0 AS MATERIALIZED (SELECT vec_id FROM p0),
+       |$rounds
+       |SELECT r::INT AS sel_round, vec_id, s AS max_sim
+       |FROM (SELECT r, vec_id, s FROM p0
+       |UNION ALL $union)""".stripMargin
+  }
+
   val sKmeans: Q = (s, d) =>
     Similarity.kMeansCentroids(Tables.embeddings(s, d),
       nlist = 8, iterations = 2)
@@ -7205,6 +7238,7 @@ object QueryCatalog {
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
+    "s_kcenter" -> sKcenter,
     "s_pq_ann" -> sPqAnn,
     "s_ivfpq_ann" -> sIvfPqAnn,
     "s_mrl_ann" -> sMrlAnn,
@@ -7453,6 +7487,7 @@ object QueryCatalog {
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,
+    "s_kcenter" -> sKcenterSql,
     "s_pq_ann" -> sPqAnnSql,
     "s_ivfpq_ann" -> sIvfPqAnnSql,
     "s_mrl_ann" -> sMrlAnnSql,

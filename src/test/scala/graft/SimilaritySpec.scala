@@ -303,4 +303,20 @@ class SimilaritySpec extends AnyFunSuite {
     // of the exact top-10 on these embeddings (0.88 measured)
     assert(recall >= 0.7, f"MRL recall@10 $recall%.2f below 0.7 floor")
   }
+
+  test("kCenterSelect: farthest-first order and round-4 coverage sims") {
+    // 1=(1,0) seeds (min id); 2=(0,1) is orthogonal (sim 0) so picked
+    // next; 4=(.7,.7) sits at 0.7071 from both; 3≈(1,0) is near-dup of
+    // the seed and must come LAST despite its small id.
+    val e = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 0.01f)), (4L, Array(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSelect(e, 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2)))).sortBy(_._1)
+    assert(out.map(_._2).toSeq === Seq(1L, 2L, 4L, 3L))
+    assert(out(0)._3 === None)
+    assert(out(1)._3 === Some(0.0))
+    assert(out(2)._3 === Some(0.7071))
+  }
 }
