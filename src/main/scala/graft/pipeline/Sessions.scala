@@ -441,6 +441,27 @@ object Sessions {
     * self-join (fan-out quadratic in BASKET size — baskets are small and
     * bounded, the co-purchase argument; the min-support filter prunes
     * the tail), item counts broadcast back, TakeOrderedAndProject. */
+  /** Day-of-week SEASONALITY index per event type: each weekday's share
+    * of the type's volume versus a uniform week, as exact integer ppm
+    * (1 000 000 = exactly uniform, 7 000 000 = everything on one day).
+    * The weekday is derived from the EPOCH-DAY number ((days+3) mod 7,
+    * 0 = Monday) — pure integer arithmetic, immune to the Sunday-first /
+    * Monday-first convention split between engines. Scale shape: one
+    * partial-agg-friendly groupBy to a ≤7-rows-per-type table, then a
+    * per-type total join on that tiny aggregate — the corpus is scanned
+    * once. */
+  def weekdaySeasonality(events: DataFrame): DataFrame = {
+    val dow = pmod(
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) + 3,
+      lit(7))
+    val daily = events.select(col("event_type"), dow.cast("int").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+    val tot = daily.groupBy("event_type").agg(sum("n").as("total"))
+    daily.join(tot, "event_type")
+      .select(col("event_type"), col("dow"), col("n").cast("long").as("n"),
+        expr("1000000 * 7 * n div total").cast("long").as("index_ppm"))
+  }
+
   def basketRules(baskets: DataFrame, minPairCount: Int = 2,
       topK: Int = 25): DataFrame = {
     val b = baskets.select(col("basket_id"), col("item")).distinct()

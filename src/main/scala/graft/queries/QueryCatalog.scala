@@ -3007,6 +3007,23 @@ object QueryCatalog {
       |  (CASE WHEN 100 * n * trail_days > 120 * trail THEN 1 ELSE 0 END)::INT AS spike
       |FROM w WHERE trail_days = 7""".stripMargin
 
+  /** e_seasonality — day-of-week volume seasonality per event type
+    * ([[graft.pipeline.Sessions.weekdaySeasonality]]): integer-ppm
+    * index vs a uniform week, weekday from epoch-day arithmetic
+    * ((days+3) mod 7, 0=Monday) so no engine weekday-convention skew. */
+  val eSeasonality: Q = (s, d) =>
+    graft.pipeline.Sessions.weekdaySeasonality(Tables.events(s, d))
+
+  val eSeasonalitySql: String =
+    """WITH d AS (SELECT event_type,
+      |    ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7)::INT AS dow
+      |  FROM events),
+      |c AS (SELECT event_type, dow, count(*) AS n FROM d GROUP BY 1, 2),
+      |t AS (SELECT event_type, sum(n) AS total FROM c GROUP BY 1)
+      |SELECT c.event_type, c.dow, n::BIGINT AS n,
+      |  (1000000 * 7 * n // total)::BIGINT AS index_ppm
+      |FROM c JOIN t USING (event_type)""".stripMargin
+
   /** e_stickiness — DAU/WAU engagement
     * ([[graft.pipeline.Sessions.stickiness]]): per active day, distinct
     * users that day over distinct users in the trailing 7 days, via
@@ -7134,6 +7151,7 @@ object QueryCatalog {
     "e_funnel" -> eFunnel,
     "e_retention" -> eRetention,
     "e_spike" -> eSpike,
+    "e_seasonality" -> eSeasonality,
     "e_ewma" -> eEwma,
     "e_stickiness" -> eStickiness,
     "e_power" -> ePower,
@@ -7383,6 +7401,7 @@ object QueryCatalog {
     "e_funnel" -> eFunnelSql,
     "e_retention" -> eRetentionSql,
     "e_spike" -> eSpikeSql,
+    "e_seasonality" -> eSeasonalitySql,
     "e_ewma" -> eEwmaSql,
     "e_stickiness" -> eStickinessSql,
     "e_power" -> ePowerSql,

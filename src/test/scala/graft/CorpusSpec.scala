@@ -402,6 +402,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.size === 3)                              // active days only
   }
 
+  test("weekdaySeasonality: epoch-day dow, ppm index vs uniform week") {
+    import java.sql.Timestamp
+    def t(day: Int) = new Timestamp(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day) // a Monday
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    val ev = (Seq(t(0), t(0), t(0), t(1)).map(("a", _)) ++
+      (0 to 6).map(d => ("b", t(d))))
+      .toDF("event_type", "ts")
+    val out = Sessions.weekdaySeasonality(ev)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("a", 0)) === ((3L, 5250000L)))   // 3/4 of the week's volume
+    assert(out(("a", 1)) === ((1L, 1750000L)))
+    (0 to 6).foreach(d => assert(out(("b", d)) === ((1L, 1000000L))))
+    assert(out.size === 9)
+  }
+
   test("ewmaSpikes: dyadic-weighted baseline, full-window gate, spike rule") {
     import java.sql.Timestamp
     def t(day: Int) = new Timestamp(
