@@ -616,6 +616,54 @@ object Corpus {
       .drop("len")
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010) at corpus scope: split
+    * lowercased text into candidate phrases at stopwords/punctuation
+    * (gaps-and-islands over token positions), score each word by
+    * degree/frequency — degree = Σ length of phrases containing it, so
+    * words that travel in long phrases outrank loners — and each phrase
+    * by the sum of its word scores; emit the global top-k.
+    *
+    * Scale shape: one token explode (the corpus shuffle), per-doc
+    * position windows (partitioned by doc_id, never global), two
+    * partial-agg groupBys for word/phrase stats, and a TakeOrdered
+    * top-k. All scores are integer milli-units (1000·deg div freq;
+    * phrase total div occurrences — exact, since every occurrence of a
+    * phrase contributes the identical word-score sum), so ranking can
+    * never 1-ulp-flip cross-engine. Phrases longer than `maxPhraseLen`
+    * are dropped (the classic RAKE cap — unbounded runs are boilerplate,
+    * not keywords). */
+  def rakeKeywords(docs: DataFrame, stopwords: Seq[String],
+      k: Int = 20, maxPhraseLen: Int = 4): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        posexplode(split(regexp_replace(lower(col("text")), "[^a-z]+", " "),
+          " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val wnd = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = toks.filter(!col("w").isInCollection(stopwords))
+      .withColumn("run", col("pos") - row_number().over(wnd))
+    val phrases = runs.groupBy(col("doc_id"), col("run"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("pws"))
+      .select(transform(col("pws"), s => s.getField("w")).as("ws"))
+      .filter(size(col("ws")) <= maxPhraseLen)
+    val occ = phrases.select(array_join(col("ws"), " ").as("phrase"),
+      col("ws"), size(col("ws")).as("plen"))
+    val pw = occ.select(col("phrase"), col("plen"), explode(col("ws")).as("w"))
+    val wstats = pw.groupBy("w").agg(count(lit(1)).as("freq"),
+        sum("plen").as("deg"))
+      .withColumn("wscore", expr("1000 * deg div freq"))
+    val tot = pw.join(wstats.select("w", "wscore"), "w")
+      .groupBy("phrase").agg(sum("wscore").as("tot"))
+    val cnt = occ.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
+    cnt.join(tot, "phrase")
+      .withColumn("score_milli", expr("tot div n_occurrences"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_milli").desc, col("phrase").asc)))
+      .filter(col("rank") <= k)
+      .select(col("phrase"), col("n_occurrences").cast("long").as("n_occurrences"),
+        col("score_milli").cast("long").as("score_milli"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Cross-document boilerplate-line removal (the RefinedWeb/CCNet-style
     * filter): a line occurring in ≥ `minDocs` DISTINCT documents is
     * boilerplate (headers, footers, nav chrome) and is dropped from every

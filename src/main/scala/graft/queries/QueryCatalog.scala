@@ -2190,6 +2190,43 @@ object QueryCatalog {
       |       THEN 'quarantine' ELSE 'clean' END AS verdict
       |FROM c""".stripMargin
 
+  /** t_rake — RAKE keyword extraction
+    * ([[graft.pipeline.Corpus.rakeKeywords]]): corpus-global top-20
+    * candidate phrases (stopword/punctuation islands, ≤4 words) by
+    * degree/frequency word scores in exact integer milli-units. The
+    * oracle replays islands via pos − row_number and zip-unnests token
+    * positions. */
+  val tRake: Q = (s, d) =>
+    Corpus.rakeKeywords(Tables.documents(s, d),
+      Seq("a", "the", "of", "and", "in", "to", "is"), k = 20)
+
+  lazy val tRakeSql: String =
+    """WITH base AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ') AS t
+      |  FROM documents),
+      |toks AS (SELECT doc_id, unnest(range(1, len(t) + 1))::INT AS pos,
+      |    unnest(t) AS w FROM base),
+      |ns AS (SELECT doc_id, pos, w,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      |  FROM toks WHERE w <> ''
+      |    AND w NOT IN ('a', 'the', 'of', 'and', 'in', 'to', 'is')),
+      |phr AS MATERIALIZED (SELECT doc_id, pos - rn AS run,
+      |    string_agg(w, ' ' ORDER BY pos) AS phrase, count(*) AS plen
+      |  FROM ns GROUP BY doc_id, pos - rn HAVING count(*) <= 4),
+      |pw AS MATERIALIZED (SELECT phrase, plen,
+      |    unnest(string_split(phrase, ' ')) AS w FROM phr),
+      |ws AS (SELECT w, 1000 * sum(plen) // count(*) AS wscore
+      |  FROM pw GROUP BY w),
+      |tot AS (SELECT p.phrase, sum(ws.wscore) AS tot
+      |  FROM pw p JOIN ws USING (w) GROUP BY 1),
+      |cnt AS (SELECT phrase, count(*) AS n_occurrences FROM phr GROUP BY 1)
+      |SELECT c.phrase, c.n_occurrences::BIGINT AS n_occurrences,
+      |  (t.tot // c.n_occurrences)::BIGINT AS score_milli,
+      |  row_number() OVER (ORDER BY t.tot // c.n_occurrences DESC,
+      |    c.phrase ASC)::INT AS rank
+      |FROM cnt c JOIN tot t USING (phrase)
+      |QUALIFY rank <= 20""".stripMargin
+
   /** t_gopher — [[graft.pipeline.Corpus.gopherScreen]], the published
     * Gopher rule screen. The corpus is single-line, so some documents
     * are augmented IN-PLAN (the st_screen/m_headers pattern: real
@@ -7310,6 +7347,7 @@ object QueryCatalog {
     "t_code" -> tCode,
     "t_c4" -> tC4,
     "t_mojibake" -> tMojibake,
+    "t_rake" -> tRake,
     "q53_hits_gx" -> q53HitsGx,
     "q54_distdist" -> q54DistDist,
   )
@@ -7560,6 +7598,7 @@ object QueryCatalog {
     "t_code" -> tCodeSql,
     "t_c4" -> tC4Sql,
     "t_mojibake" -> tMojibakeSql,
+    "t_rake" -> tRakeSql,
     "q53_hits_gx" -> q53HitsSql,
     "q54_distdist" -> q54DistDistSql,
   )

@@ -419,6 +419,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.size === 9)
   }
 
+  test("rakeKeywords: degree/freq scoring over stopword islands") {
+    val docs = Seq((1L, "red apple the green apple a red"))
+      .toDF("doc_id", "text")
+    val out = Corpus.rakeKeywords(docs, Seq("a", "the"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    // words: apple freq2 deg4 → 2000; red freq2 deg3 → 1500; green
+    // freq1 deg2 → 2000. phrases: "green apple" 4000 > "red apple"
+    // 3500 > "red" 1500.
+    assert(out.toSeq === Seq(
+      ("green apple", 1L, 4000L, 1),
+      ("red apple", 1L, 3500L, 2),
+      ("red", 1L, 1500L, 3)))
+  }
+
   test("ewmaSpikes: dyadic-weighted baseline, full-window gate, spike rule") {
     import java.sql.Timestamp
     def t(day: Int) = new Timestamp(
