@@ -664,6 +664,31 @@ object Corpus {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Fractional-EPOCH repeat expansion — the materialization step of a
+    * training mix whose per-source weights aren't integers (the "src A
+    * for 2.5 epochs, src B for 0.3" recipe): every document appears
+    * ⌊w⌋ times, plus once more iff a deterministic per-doc LCG hash
+    * lands under the fractional part — so the EXACT corpus-level epoch
+    * count converges to w per source while the choice of which docs
+    * carry the extra copy is stable across runs, engines, and
+    * partitionings (no RNG, no sampling drift). Weights arrive as
+    * integer ppm; the hash is pure 63-bit-safe integer arithmetic.
+    * Scale shape: a narrow map + a ≤⌈w⌉-bounded explode — ZERO
+    * shuffles; the output streams straight into the pack/shard stages.
+    * Emits (doc_id, source, epoch 0..copies−1). */
+  def epochRepeat(docs: DataFrame, wppm: Column): DataFrame = {
+    val withW = docs
+      .select(col("doc_id"), col("source"), wppm.cast("long").as("wppm"))
+      .withColumn("h",
+        pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+          lit(2147483647L)) % lit(1000000L))
+      .withColumn("copies", expr(
+        "wppm div 1000000 + (CASE WHEN h < wppm % 1000000 THEN 1 ELSE 0 END)"))
+    withW.select(col("doc_id"), col("source"),
+      explode(when(col("copies") > 0, sequence(lit(0L), col("copies") - 1))
+        .otherwise(array().cast("array<bigint>"))).as("epoch"))
+  }
+
   /** Cross-document boilerplate-line removal (the RefinedWeb/CCNet-style
     * filter): a line occurring in ≥ `minDocs` DISTINCT documents is
     * boilerplate (headers, footers, nav chrome) and is dropped from every

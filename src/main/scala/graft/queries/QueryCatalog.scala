@@ -1873,6 +1873,27 @@ object QueryCatalog {
       |  row_number() OVER (ORDER BY (k + 1) * st, lang, k)::BIGINT AS pos
       |FROM k""".stripMargin
 
+  /** p_repeat — fractional-epoch repeat expansion
+    * ([[graft.pipeline.Corpus.epochRepeat]]): per-source weights
+    * 0.3–2.5 epochs derived from the source index (wppm =
+    * 300000 + (idx mod 5)·550000); every doc appears ⌊w⌋ times plus one
+    * hash-gated extra, epochs enumerated 0..copies−1. Zero-shuffle
+    * narrow explode; the oracle replays the LCG gate and range
+    * expansion. */
+  val pRepeat: Q = (s, d) =>
+    Corpus.epochRepeat(Tables.documents(s, d),
+      expr("300000 + (CAST(substring(source, 4) AS INT) % 5) * 550000"))
+
+  val pRepeatSql: String =
+    """WITH w AS (SELECT doc_id, source,
+      |    (300000 + (substr(source, 4)::INT % 5) * 550000)::BIGINT AS wppm,
+      |    (doc_id * 1103515245 + 12345) % 2147483647 % 1000000 AS h
+      |  FROM documents)
+      |SELECT doc_id, source,
+      |  unnest(range(0, wppm // 1000000
+      |    + CASE WHEN h < wppm % 1000000 THEN 1 ELSE 0 END))::BIGINT AS epoch
+      |FROM w""".stripMargin
+
   /** p_checks — declarative data-quality gate
     * ([[graft.pipeline.Checks.qualityChecks]]): 8 rules over documents
     * and events in one wide aggregate per table; the corpus is built to
@@ -7276,6 +7297,7 @@ object QueryCatalog {
     "p_pack_split" -> pPackSplit,
     "p_split_assign" -> pSplitAssign,
     "p_interleave" -> pInterleave,
+    "p_repeat" -> pRepeat,
     "p_checks" -> pChecks,
     "d_priority_dedup" -> dPriorityDedup,
     "g_b10_cypher" -> gB10Cypher,
@@ -7527,6 +7549,7 @@ object QueryCatalog {
     "p_pack_split" -> pPackSplitSql,
     "p_split_assign" -> pSplitAssignSql,
     "p_interleave" -> pInterleaveSql,
+    "p_repeat" -> pRepeatSql,
     "p_checks" -> pChecksSql,
     "d_priority_dedup" -> dPriorityDedupSql,
     "g_b10_cypher" -> gB10CypherSql,

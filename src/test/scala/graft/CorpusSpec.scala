@@ -434,6 +434,21 @@ class CorpusSpec extends AnyFunSuite {
       ("red", 1L, 1500L, 3)))
   }
 
+  test("epochRepeat: floor copies plus deterministic hash-gated extra") {
+    def h(id: Long) = (id * 1103515245L + 12345L) % 2147483647L % 1000000L
+    val docs = (1L to 40L).map(i => (i, "x")).toDF("doc_id", "source")
+    // wppm 1.5M: copies = 1 + (h < 500000); wppm 0: doc vanishes
+    val out = Corpus.epochRepeat(docs, lit(1500000L))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expected = (1L to 40L).flatMap(i =>
+      (0L until (1L + (if (h(i) < 500000L) 1L else 0L))).map(e => (i, e)))
+    assert(out.sorted.toSeq === expected.sorted)
+    assert(expected.size > 40 && expected.size < 80) // some of each
+    assert(Corpus.epochRepeat(docs, lit(0L)).count() === 0L)
+    // integer epochs: wppm 3.0M gives exactly 3 copies for every doc
+    assert(Corpus.epochRepeat(docs, lit(3000000L)).count() === 120L)
+  }
+
   test("ewmaSpikes: dyadic-weighted baseline, full-window gate, spike rule") {
     import java.sql.Timestamp
     def t(day: Int) = new Timestamp(

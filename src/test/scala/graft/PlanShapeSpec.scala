@@ -175,6 +175,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"gopherScreen must not shuffle; plan:\n$plan")
   }
 
+  test("p_repeat + t_mojibake are pure narrow maps: zero exchanges") {
+    // epoch expansion is a bounded explode and the mojibake screen a
+    // regexp_count projection — either one shuffling would mean a
+    // per-row op silently grew a corpus-wide exchange
+    val plan1 = executed(QueryCatalog.pRepeat(spark, sf))
+    assert(!plan1.contains("Exchange"),
+      s"epochRepeat must not shuffle; plan:\n$plan1")
+    val plan2 = executed(QueryCatalog.tMojibake(spark, sf))
+    assert(!plan2.contains("Exchange"),
+      s"mojibakeScreen must not shuffle; plan:\n$plan2")
+  }
+
   test("g_b10_patpred plans the semi/anti joins, no cartesian product") {
     val plan = executed(QueryCatalog.gB10Patpred(spark, sf))
     assert(plan.contains("LeftSemi"),
