@@ -6992,6 +6992,39 @@ object QueryCatalog {
         col("n"), col("baseline"), col("ratio"), col("spike"))
   }
 
+  /** st_record — STREAMING all-time record-day alerts
+    * ([[graft.streaming.Streams.streamingRecords]]): a row per closed
+    * day that strictly beats every previous closed day of its type;
+    * O(1) integer state per type. The oracle is the batch window-max
+    * spelling — stream ≡ batch on exact integer compares. */
+  val stRecord: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val evs = eventsOrdered(s, d)
+    val sentinelTs = new java.sql.Timestamp(
+      evs.iterator.map(_.ts.getTime).max + 3L * 86400000L)
+    val tail = evs.iterator.map(_.event_type).toSeq.distinct.sorted
+      .zipWithIndex.map { case (et, i) =>
+        Streams.Event(Long.MaxValue - i, sentinelTs, -1L, et, 0.0) }
+    StreamReplay.replay(s, evs, "st_record", "append", batches = 6,
+      tail = tail) {
+      df => Streams.streamingRecords(df.as[Streams.Event]).toDF()
+    }
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("day_us")), "yyyy-MM-dd").as("day"),
+        col("n"), col("prev_record"))
+  }
+
+  val stRecordSql: String =
+    """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+      |    count(*) AS n FROM events GROUP BY 1, 2),
+      |w AS (SELECT *, coalesce(max(n) OVER (PARTITION BY event_type
+      |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) AS prev_record FROM daily)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n::BIGINT AS n,
+      |  prev_record::BIGINT AS prev_record
+      |FROM w WHERE n > prev_record""".stripMargin
+
   /** st_holt — STREAMING day-close Holt forecasts
     * ([[graft.streaming.Streams.streamingHolt]]): each real day's
     * (level, trend, next-day forecast) emits when the next day's first
@@ -7360,6 +7393,7 @@ object QueryCatalog {
     "st_cms" -> stCms,
     "st_quantile" -> stQuantile,
     "st_holt" -> stHolt,
+    "st_record" -> stRecord,
     "st_ewma" -> stEwma,
     "q46_btw" -> q46Btw,
     "q46_btw_gx" -> q46BtwGx,
@@ -7612,6 +7646,7 @@ object QueryCatalog {
     "st_cms" -> stCmsSql,
     "st_quantile" -> stQuantileSql,
     "st_holt" -> stHoltSql,
+    "st_record" -> stRecordSql,
     "st_ewma" -> eEwmaSql,
     "q46_btw" -> q46BtwSql,
     "q46_btw_gx" -> q46BtwSql,

@@ -458,6 +458,47 @@ object Streams {
       }
   }
 
+  final case class RecordState(recordN: Long, curDayUs: Long, curN: Long)
+  final case class RecordOut(event_type: String, day_us: Long, n: Long,
+      prev_record: Long)
+
+  /** Streaming all-time RECORD-DAY alerts: per event type, emit a row
+    * the moment a closed day's volume strictly exceeds every previous
+    * closed day's — the "biggest day ever" monitoring signal, at day
+    * close rather than next batch run. State is THREE longs per type
+    * (running record + open-day accumulator) over a bounded key space —
+    * the smallest state in this module, no TTL needed. Day close is
+    * first-event-of-a-later-day ([[streamingEwma]]'s contract; the
+    * replay's far-future sentinel closes the final real day). All
+    * decisions are exact integer compares, so streamed rows hash-match
+    * the batch window-max oracle. */
+  def streamingRecords(events: Dataset[Event]): Dataset[RecordOut] = {
+    import events.sparkSession.implicits._
+    val dayUsLen = 86400L * 1000000L
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RecordState, RecordOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (et, it, state: GroupState[RecordState]) =>
+          var s = state.getOption.getOrElse(RecordState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RecordOut]
+          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val d = us(e.ts) / dayUsLen * dayUsLen
+            if (s.curN == 0L || d == s.curDayUs)
+              s = s.copy(curDayUs = d, curN = s.curN + 1)
+            else if (d > s.curDayUs) {
+              if (s.curN > s.recordN) {
+                out += RecordOut(et, s.curDayUs, s.curN, s.recordN)
+                s = RecordState(s.curN, d, 1L)
+              } else s = s.copy(curDayUs = d, curN = 1L)
+            }
+            // an out-of-order DAY violates the caller contract: ignored
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Continuous graph ingest — the streaming upgrade of the reference's
     * batch-only pipeline: each micro-batch of symbol events merges into
     * the snapshot directory with the SAME set-oriented A1–A4 semantics as

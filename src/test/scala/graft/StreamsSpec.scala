@@ -578,4 +578,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.exists(_._3 < 12L))
     assert(out.map(_._3).max === 12L)
   }
+
+  test("streamingRecords: record-day alerts only on strict new highs") {
+    implicit val sqlCtx = spark.sqlContext
+    def dt(day: Int, h: Int = 1) =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    def dayUs(day: Int) = dt(day, 0).getTime * 1000L
+    val mem = MemoryStream[Event]
+    // click days: 2, 1, 3, 3, (open); view days: 1, 2, (open)
+    mem.addData(
+      Event(1, dt(1), 1, "click", 0), Event(2, dt(1, 2), 1, "click", 0),
+      Event(3, dt(2), 1, "click", 0),
+      Event(4, dt(3), 1, "click", 0), Event(5, dt(3, 2), 1, "click", 0),
+      Event(6, dt(3, 3), 1, "click", 0),
+      Event(7, dt(4), 1, "click", 0), Event(8, dt(4, 2), 1, "click", 0),
+      Event(9, dt(4, 3), 1, "click", 0),
+      Event(10, dt(5), 1, "click", 0), // closes day4: ties record, silent
+      Event(11, dt(1), 2, "view", 0),
+      Event(12, dt(2), 2, "view", 0), Event(13, dt(2, 2), 2, "view", 0),
+      Event(14, dt(3), 2, "view", 0))
+    val out = Streams.runToMemory(spark,
+        Streams.streamingRecords(mem.toDS()).toDF(), "st_rec",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out === Set(
+      ("click", dayUs(1), 2L, 0L),
+      ("click", dayUs(3), 3L, 2L),   // day2's dip never emitted
+      ("view", dayUs(1), 1L, 0L),
+      ("view", dayUs(2), 2L, 1L)))   // day4 tie and open days absent
+  }
 }
