@@ -603,6 +603,23 @@ object PyIndexer {
     ("""^\s*([A-Za-z_]\w*)\s*=\s*next\s*\(\s*iter\s*\(\s*""" +
       """([A-Za-z_]\w*)\s*\)\s*[,)]""").r
 
+  /** `x = name or Ctor(...)` — the OR-DEFAULT idiom (C3 slice 50):
+    * jedi infers the union of both arms; the constructor arm is the
+    * resolvable one here (and when `name` is a typed local of the same
+    * class the union collapses exactly), so the target binds the
+    * constructed type. Only bare-name left arms match — a call arm is
+    * slice 10's territory. */
+  private val orDefaultAssign: Regex =
+    ("""^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s+or\s+""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""").r
+
+  /** `assert isinstance(x, Cls)` — the assert-guard narrowing (C3
+    * slice 51): jedi narrows x to Cls for the rest of the scope, the
+    * assert-spelled twin of slice 38's if-guard. */
+  private val assertIsinstance: Regex =
+    ("""^\s*assert\s+isinstance\s*\(\s*([A-Za-z_]\w*)\s*,\s*""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\)""").r
+
   /** `except SomeError as e:` — the handler target binds the exception
     * class (C3 slice 11: jedi types the as-name from the except clause;
     * the tuple form `except (A, B) as e` is ambiguous and deliberately
@@ -1703,6 +1720,20 @@ object PyIndexer {
             classishType(m.group(2))
               .orElse(returnTypeTarget(m.group(2)))
               .foreach(t => fn.classAliases(m.group(1)) = t)
+          }
+          // slice 50: `x = name or Ctor(...)` — the or-default idiom
+          // binds the constructor arm (jedi's union, collapsed onto the
+          // resolvable side)
+          orDefaultAssign.findFirstMatchIn(line).foreach { m =>
+            classishType(m.group(3))
+              .orElse(returnTypeTarget(m.group(3)))
+              .orElse(typeshedReturnTarget(m.group(3)))
+              .foreach(t => fn.locals(m.group(1)) = t)
+          }
+          // slice 51: `assert isinstance(x, Cls)` narrows x for the
+          // rest of the scope — the assert twin of slice 38's if-guard
+          assertIsinstance.findFirstMatchIn(line).foreach { m =>
+            classishType(m.group(2)).foreach(t => fn.locals(m.group(1)) = t)
           }
           // binding priority: constructor RHS > callee's `-> Type` >
           // explicit annotation on the target

@@ -1312,6 +1312,43 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.exists(_._2.endsWith("mystery")))
   }
 
+  test("C3 slices 50-51: or-default and assert-isinstance narrowing") {
+    val src =
+      """class Helper:
+        |    def ping(self):
+        |        return 1
+        |
+        |def or_default(h):
+        |    c = h or Helper()
+        |    return c.ping()
+        |
+        |def chained():
+        |    a = b = Helper()
+        |    return a.ping() + b.ping()
+        |
+        |def asserted(x):
+        |    assert isinstance(x, Helper)
+        |    return x.ping()
+        |
+        |def not_isinstance(x):
+        |    assert x
+        |    return x.mystery()
+        |
+        |def or_unresolved(h):
+        |    c = h or unknown_factory()
+        |    return c.mystery()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "oc.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("oc.or_default", "oc.Helper")))
+    assert(calls.contains(("oc.or_default", "oc.Helper.ping")))
+    assert(calls.contains(("oc.chained", "oc.Helper.ping")))
+    assert(calls.contains(("oc.asserted", "oc.Helper.ping")))
+    // bare asserts and unresolvable arms bind nothing
+    assert(!calls.exists(_._2.endsWith("mystery")))
+  }
+
   test("C3 slice 45: the open builtin binds when nothing shadows it") {
     val src =
       """def reads(name):
