@@ -541,7 +541,8 @@ object CypherLite {
 
   private val scalarFns = Set("coalesce", "tointeger", "tofloat", "abs", "size",
     "length", "toupper", "tolower", "trim", "ltrim", "rtrim", "replace",
-    "substring", "left", "right")
+    "substring", "left", "right", "tostring", "round", "split", "reverse",
+    "head", "last")
 
   /** True when a RETURN/WITH item core is a scalar EXPRESSION rather than
     * a plain reference: a top-level arithmetic operator outside quotes and
@@ -572,7 +573,9 @@ object CypherLite {
     * arbitrary Cypher; this closes the property-arithmetic slice):
     * `+ - * / %` with Cypher precedence, parentheses, unary minus,
     * numeric/string literals, `v.prop` / carried-column operands, and the
-    * scalar functions `coalesce`, `toInteger`, `toFloat`, `abs`, `size`.
+    * scalar functions `coalesce`, `toInteger`, `toFloat`, `abs`, `size`,
+    * the string family (`toUpper`…`right`), and (r11e) `toString`,
+    * `round`, literal-delimiter `split`, `reverse`, `head`, `last`.
     * Props are string-typed in the map model, so arithmetic follows
     * Spark's implicit numeric coercion — `toInteger()`/`toFloat()` are
     * the explicit Cypher-style casts. `size()` sizes an ArrayType operand
@@ -703,6 +706,19 @@ object CypherLite {
               schema.fields.find(_.name == argTxt)
                 .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
             if (isArray) size(args.head) else length(args.head.cast("string"))
+          case "tostring" => args.head.cast("string")
+          // Cypher round() is round-half-up to an integer-valued DOUBLE
+          case "round" => round(args.head.cast("double"), 0)
+          case "split" =>
+            if (args.length != 2) fail("split(s, delim) takes 2 args")
+            // Neo4j splits on the LITERAL delimiter — quote it so regex
+            // metacharacters (".", "|") split literally
+            call_function("split", args.head.cast("string"),
+              concat(lit("\\Q"), args(1).cast("string"), lit("\\E")))
+          // reverse works on strings and lists alike (as in Cypher)
+          case "reverse" => reverse(args.head)
+          case "head" => element_at(args.head, 1)
+          case "last" => element_at(args.head, -1)
           case other => fail(s"unsupported function '$other(…)'")
         }
       } else if (peek == '.') {

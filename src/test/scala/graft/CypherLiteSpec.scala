@@ -1425,6 +1425,24 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(r.getAs[String]("t") === "x")
   }
 
+  test("scalar functions: toString/round/split/reverse/head/last") {
+    val out = db.executeQuery(
+      "MATCH (c:CLASS) RETURN toString(42) AS s, round(2.5) AS r, " +
+        "round(2.4) AS r2, split('a.b.c', '.') AS parts, " +
+        "reverse(c.name) AS rev, head(split('x|y', '|')) AS h, " +
+        "last(split('x|y', '|')) AS lst").collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[String]("s") === "42")
+    assert(r.getAs[Double]("r") === 3.0)   // Cypher half-up
+    assert(r.getAs[Double]("r2") === 2.0)
+    // the delimiter is LITERAL — '.' and '|' must not act as regex
+    assert(r.getAs[Seq[String]]("parts") === Seq("a", "b", "c"))
+    assert(r.getAs[String]("rev") === "nosreP")
+    assert(r.getAs[String]("h") === "x")
+    assert(r.getAs[String]("lst") === "y")
+  }
+
   test("ORDER BY a non-returned property (the top-N idiom)") {
     val d = GraphDatabase.inMemory(spark)
     Seq(("a", "3"), ("b", "1"), ("c", "2")).foreach { case (n, r) =>
