@@ -289,6 +289,75 @@ object Multimodal {
     media.withColumn(outCol, parse(col(payloadCol)))
   }
 
+  final case class WavStats(format: String, n_samples: Option[Long],
+      peak: Option[Int], sumsq: Option[Long], rms: Option[Double])
+
+  /** ======= REAL (decode, not just headers) ======= PCM sample
+    * statistics from a 16-bit mono WAV: walk the RIFF chain to `fmt `
+    * and `data`, then READ THE SAMPLES — peak |amplitude|, exact
+    * integer sum of squares, and RMS (the loudness/silence screen an
+    * audio curation pipeline runs to drop silent or clipped clips).
+    * This is the one multimodal op that touches payload bytes beyond
+    * headers — the actual "feature extract" step, kept codec-free by
+    * speaking raw PCM. The accumulators are integers (sumsq ≤ n·2³⁰,
+    * 63-bit-safe for any real clip), so only the final
+    * `round(sqrt(sumsq/n), 4)` is floating — one IEEE op sequence,
+    * identical cross-engine. Non-WAV, non-16-bit, non-mono, empty or
+    * TRUNCATED data (declared length past the payload) degrade to
+    * `not_wav`/nulls per the corrupt contract — a half-read clip must
+    * never report a confident loudness. */
+  def withWavStats(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "wav_stats"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) =>
+      def u(i: Int) = p(i) & 0xff
+      def u16(i: Int) = u(i) | (u(i + 1) << 8)
+      def s16(i: Int) = u16(i).toShort.toInt
+      def u32(i: Int) = u(i).toLong | (u(i + 1).toLong << 8) |
+        (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+      val bad = WavStats("not_wav", None, None, None, None)
+      if (p == null || p.length < 12 || u(0) != 'R' || u(1) != 'I' ||
+          u(2) != 'F' || u(3) != 'F' || u(8) != 'W' || u(9) != 'A' ||
+          u(10) != 'V' || u(11) != 'E')
+        bad
+      else {
+        var i = 12
+        var bits, channels = -1
+        var dataAt = -1
+        var dataLen = -1L
+        while (i + 8 <= p.length && (bits < 0 || dataAt < 0)) {
+          val cc = new String(Array(p(i), p(i + 1), p(i + 2), p(i + 3)),
+            "US-ASCII")
+          val len = u32(i + 4)
+          if (cc == "fmt " && i + 24 <= p.length) {
+            channels = u16(i + 10); bits = u16(i + 22)
+          } else if (cc == "data") { dataAt = i + 8; dataLen = len }
+          val next = i.toLong + 8L + len + (len & 1L)
+          i = if (next <= i || next > Int.MaxValue) p.length else next.toInt
+        }
+        if (bits != 16 || channels != 1 || dataAt < 0 || dataLen <= 0 ||
+            dataLen % 2 != 0 || dataAt + dataLen > p.length)
+          bad
+        else {
+          val n = (dataLen / 2).toInt
+          var k = 0
+          var peak = 0
+          var sumsq = 0L
+          while (k < n) {
+            val s = s16(dataAt + 2 * k)
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumsq += s.toLong * s
+            k += 1
+          }
+          val rms = BigDecimal(math.sqrt(sumsq.toDouble / n))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          WavStats("wav", Some(n.toLong), Some(peak), Some(sumsq), Some(rms))
+        }
+      }
+    }
+    media.withColumn(outCol, parse(col(payloadCol)))
+  }
+
   final case class ExifMeta(orientation: Option[Int],
       captured_at: Option[String])
 

@@ -6283,6 +6283,74 @@ object QueryCatalog {
       |       THEN CAST(doc_id % 100000 AS BIGINT) END AS isize
       |FROM documents""".stripMargin
 
+  /** m_wav_rms — PCM sample statistics
+    * ([[graft.multimodal.Multimodal.withWavStats]]): real 16-bit mono
+    * WAVs built IN-PLAN with `doc_id % 32 + 1` alternating ±a samples
+    * (a = doc_id % 30000) — the kernel must actually READ the sample
+    * bytes, not just headers; peak = a, sumsq = n·a², rms = a, all in
+    * closed form. `% 5 == 2` payloads are AVI, `% 7 == 0` declare a
+    * data length past the payload (truncation), `% 11 == 3` are stereo
+    * — each must degrade. */
+  val mWavRms: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    def b(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+    def le32(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c.cast("long")), 8, "0")
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    def le16(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c.cast("long")), 4, "0")
+      unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    val none = lit(Array.empty[Byte])
+    val a = id % 30000
+    val n = (id % 32 + 1).cast("int")
+    val pos = le16(a)
+    val neg = le16((lit(65536) - a) % 65536) // two's-complement of -a
+    val samples = concat((0 until 32).map(k =>
+      when(lit(k) < n, if (k % 2 == 0) pos else neg).otherwise(none)): _*)
+    def fmtChunk(channels: Int) = concat(lit("fmt ".getBytes), le32(lit(16)),
+      le16(lit(1)), le16(lit(channels)), le32(lit(8000)), le32(lit(16000)),
+      le16(lit(2)), le16(lit(16)))
+    val dataChunk = concat(lit("data".getBytes), le32(n * 2), samples)
+    def wav(channels: Int, data: org.apache.spark.sql.Column) =
+      concat(lit("RIFF".getBytes), le32(lit(36) + n * 2),
+        lit("WAVE".getBytes), fmtChunk(channels), data)
+    val truncated = concat(lit("data".getBytes), le32(lit(64)), b(1, 2, 3, 4))
+    val avi = concat(lit("RIFF".getBytes), le32(lit(4)), lit("AVI ".getBytes))
+    val payload = when(id % 5 === 2, avi)
+      .when(id % 7 === 0, wav(1, truncated))
+      .when(id % 11 === 3, wav(2, dataChunk))
+      .otherwise(wav(1, dataChunk))
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload", payload)
+    Multimodal.withWavStats(media).select(id,
+      col("wav_stats.format").as("format"),
+      col("wav_stats.n_samples").as("n_samples"),
+      col("wav_stats.peak").as("peak"),
+      col("wav_stats.sumsq").as("sumsq"),
+      col("wav_stats.rms").as("rms"))
+  }
+
+  val mWavRmsSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 2 OR doc_id % 7 = 0 OR doc_id % 11 = 3
+      |       THEN 'not_wav' ELSE 'wav' END AS format,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0 AND doc_id % 11 <> 3
+      |       THEN CAST(doc_id % 32 + 1 AS BIGINT) END AS n_samples,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0 AND doc_id % 11 <> 3
+      |       THEN CAST(doc_id % 30000 AS INTEGER) END AS peak,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0 AND doc_id % 11 <> 3
+      |       THEN CAST((doc_id % 32 + 1) * (doc_id % 30000) * (doc_id % 30000) AS BIGINT)
+      |  END AS sumsq,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0 AND doc_id % 11 <> 3
+      |       THEN round(sqrt(CAST((doc_id % 32 + 1) * (doc_id % 30000) * (doc_id % 30000) AS BIGINT)::DOUBLE
+      |         / (doc_id % 32 + 1)), 4) + 0.0
+      |  END AS rms
+      |FROM documents""".stripMargin
+
   /** m_ogg — Ogg/Vorbis identification-header parse
     * ([[graft.multimodal.Multimodal.withOggMeta]]): real BOS pages with
     * LE-64 granule positions and a segment-table-addressed first packet
@@ -7376,6 +7444,7 @@ object QueryCatalog {
     "m_avi" -> mAvi,
     "m_mkv" -> mMkv,
     "m_gzip" -> mGzip,
+    "m_wav_rms" -> mWavRms,
     "m_video" -> mVideo,
     "m_corrupt" -> mCorrupt,
     "p_media_mix" -> pMediaMix,
@@ -7629,6 +7698,7 @@ object QueryCatalog {
     "m_avi" -> mAviSql,
     "m_mkv" -> mMkvSql,
     "m_gzip" -> mGzipSql,
+    "m_wav_rms" -> mWavRmsSql,
     "m_video" -> mVideoSql,
     "m_corrupt" -> mCorruptSql,
     "p_media_mix" -> pMediaMixSql,

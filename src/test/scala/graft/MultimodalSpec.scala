@@ -340,6 +340,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(6L)._1 === "not_gzip")
   }
 
+  test("withWavStats: reads PCM samples for peak/sumsq/rms") {
+    def le32(v: Long) = Seq((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def fmtChunk(channels: Int, bits: Int) =
+      "fmt ".getBytes.map(_.toInt).toSeq ++ le32(16) ++ le16(1) ++
+        le16(channels) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(bits)
+    def wav(samples: Seq[Int], channels: Int = 1, bits: Int = 16,
+        declared: Option[Long] = None): Array[Byte] = {
+      val data = "data".getBytes.map(_.toInt).toSeq ++
+        le32(declared.getOrElse(2L * samples.size)) ++
+        samples.flatMap(s => le16(s & 0xffff))
+      ("RIFF".getBytes.map(_.toInt).toSeq ++ le32(4 + 24 + data.size) ++
+        "WAVE".getBytes.map(_.toInt).toSeq ++ fmtChunk(channels, bits) ++
+        data).map(_.toByte).toArray
+    }
+    val rows = Seq(
+      (1L, wav(Seq(3, -4, 0, 5))),          // sumsq 9+16+0+25=50
+      (2L, wav(Seq(-32768))),               // most-negative sample
+      (3L, wav(Seq(1, 2), channels = 2)),   // stereo: degrade
+      (4L, wav(Seq(1, 2), bits = 8)),       // 8-bit: degrade
+      (5L, wav(Seq(1, 2), declared = Some(64L))), // truncated: degrade
+      (6L, wav(Seq.empty)))                 // empty data: degrade
+    val out = Multimodal.withWavStats(rows.toDF("doc_id", "payload"))
+      .select(col("doc_id"), col("wav_stats.format"),
+        col("wav_stats.n_samples"), col("wav_stats.peak"),
+        col("wav_stats.sumsq"), col("wav_stats.rms"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5))))).toMap
+    assert(out(1L) === (("wav", Some(4L), Some(5), Some(50L),
+      Some(3.5355)))) // sqrt(12.5) round-4
+    assert(out(2L) === (("wav", Some(1L), Some(32768), Some(1073741824L),
+      Some(32768.0))))
+    Seq(3L, 4L, 5L, 6L).foreach(i =>
+      assert(out(i)._1 === "not_wav" && out(i)._2.isEmpty))
+  }
+
   test("withHeaderMeta parses all three WebP bitstream flavors") {
     def riff(chunk: Seq[Int]): Array[Byte] =
       ("RIFF".getBytes.map(_.toInt).toSeq ++ Seq(0, 0, 0, 0) ++
