@@ -1095,6 +1095,33 @@ object Analytics {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("support"))
 
+  /** SCAN structural similarity (Xu et al. 2007) per edge:
+    * σ(u,v) = |N[u]∩N[v]| / √(|N[u]|·|N[v]|) over CLOSED neighborhoods
+    * — for adjacent u,v the intersection is (triangle support + the two
+    * endpoints) — the edge weight SCAN thresholds to find structural
+    * clusters, hubs, and outliers. Reuses the oriented-wedge
+    * [[edgeSupport]] kernel (hub-safe, Σ out-deg² bounded) plus one
+    * degree double-join; support-0 edges are kept via the left join
+    * (σ is defined for every edge). Integer numerators; the one float
+    * op sequence (divide by √ of an integer product) is identical
+    * cross-engine, round-6. */
+  def scanSimilarity(edges: DataFrame): DataFrame = {
+    val sup = edgeSupport(edges)
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    edges.select("src", "dst")
+      .join(sup, Seq("src", "dst"), "left")
+      .na.fill(0L, Seq("support"))
+      .join(deg.select(col("v").as("src"), col("deg").as("du")), "src")
+      .join(deg.select(col("v").as("dst"), col("deg").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        (col("support") + 2).cast("long").as("common"),
+        round((col("support") + 2).cast("double") /
+          sqrt(((col("du") + 1) * (col("dv") + 1)).cast("double")), 6)
+          .as("sim"))
+  }
+
   /** k-truss: the maximal subgraph where every edge closes ≥ k−2
     * triangles WITHIN the subgraph — the standard cohesive-community
     * core, stricter than k-core. Iterative peel: recompute support on

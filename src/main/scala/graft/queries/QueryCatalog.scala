@@ -4010,6 +4010,34 @@ object QueryCatalog {
       |  UNION ALL SELECT x, z FROM tri)
       |GROUP BY src, dst""".stripMargin
 
+  /** q73 — SCAN structural similarity per co-purchase edge
+    * ([[graft.enrich.Analytics.scanSimilarity]]): closed-neighborhood
+    * overlap (support + 2) over √ of the closed-degree product — the
+    * SCAN clustering edge weight. Oracle replays the triangle explode +
+    * degree join with the identical float spelling. */
+  val q73Scan: Q = (s, d) =>
+    graft.enrich.Analytics.scanSimilarity(coPurchaseEdges(s, d))
+
+  val q73ScanSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1
+      |        JOIN e e2 ON e2.a = e1.b
+      |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |sup AS (SELECT src, dst, count(*) AS support FROM (
+      |  SELECT x AS src, y AS dst FROM tri UNION ALL SELECT y, z FROM tri
+      |  UNION ALL SELECT x, z FROM tri) GROUP BY src, dst),
+      |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT src AS v, count(*) AS deg FROM und GROUP BY 1)
+      |SELECT e.a AS src, e.b AS dst,
+      |  (coalesce(s.support, 0) + 2)::BIGINT AS common,
+      |  round((coalesce(s.support, 0) + 2)::DOUBLE
+      |    / sqrt(((da.deg + 1) * (db.deg + 1))::DOUBLE), 6) + 0.0 AS sim
+      |FROM e LEFT JOIN sup s ON s.src = e.a AND s.dst = e.b
+      |JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v""".stripMargin
+
   /** q56 — 3-truss of the co-purchase graph
     * ([[graft.enrich.Analytics.kTruss]]). For k = 3 the iterative peel
     * provably converges in ONE effective round at ANY scale (an edge
@@ -7360,6 +7388,7 @@ object QueryCatalog {
     "q23_stragg" -> q23StrAgg,
     "q24_triangles" -> q24Triangles,
     "q55_esupport" -> q55Esupport,
+    "q73_scan" -> q73Scan,
     "q56_ktruss" -> q56Ktruss,
     "q57_eigen" -> q57Eigen,
     "q57_eigen_gx" -> q57EigenGx,
@@ -7614,6 +7643,7 @@ object QueryCatalog {
     "q23_stragg" -> q23StrAggSql,
     "q24_triangles" -> q24TrianglesSql,
     "q55_esupport" -> q55EsupportSql,
+    "q73_scan" -> q73ScanSql,
     "q56_ktruss" -> q56KtrussSql,
     "q57_eigen" -> q57EigenSql,
     "q57_eigen_gx" -> q57EigenSql,

@@ -717,6 +717,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(inc(4L) === 1L && inc(10L) === 9L)
   }
 
+  test("scanSimilarity: closed-neighborhood overlap on triangle+pendant") {
+    // triangle {1,2,3} + pendant (3,4). deg: 1:2, 2:2, 3:3, 4:1.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Analytics.scanSimilarity(e)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out((1L, 2L)) === ((3L, 1.0)))        // 3/sqrt(3*3)
+    assert(out((1L, 3L)) === ((3L, 0.866025)))   // 3/sqrt(3*4)
+    assert(out((2L, 3L)) === ((3L, 0.866025)))
+    assert(out((3L, 4L)) === ((2L, 0.707107)))   // support-0 edge kept
+    assert(out.size === 4)
+  }
+
   test("richClub: K4+pendant+star matches hand-computed phi") {
     // K4 on {1,2,3,4}, pendant 5 on 1, star 10-(11..15).
     // deg: 1→4, 2..4→3, 5→1, 10→5, leaves→1.
