@@ -462,6 +462,36 @@ object Sessions {
         expr("1000000 * 7 * n div total").cast("long").as("index_ppm"))
   }
 
+  /** CONVERSION-LAG distribution: for every user whose first `fromType`
+    * event is followed (at or after it) by a `toType` event, the lag to
+    * the FIRST such event, bucketed into whole days — plus the running
+    * cumulative conversion rate over all `fromType` users as integer
+    * ppm ("x% convert within N days", the funnel-latency curve).
+    * Timestamps compare as epoch MICROSECONDS (integers); day buckets
+    * and the cumulative ppm are integer div, so no boundary can flip
+    * cross-engine. Scale shape: two per-user aggregations and one
+    * user-keyed join (all on the user_id shuffle), collapsing to a
+    * ≤few-hundred-row day histogram; the cumulative window runs on that
+    * tiny aggregate with a broadcast 1-row total. */
+  def conversionLag(events: DataFrame, fromType: String,
+      toType: String): DataFrame = {
+    val f = events.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t0"))
+    val t = events.filter(col("event_type") === toType)
+      .select(col("user_id"), unix_micros(col("ts")).as("t1"))
+    val lag = f.join(t, "user_id").filter(col("t1") >= col("t0"))
+      .groupBy("user_id").agg(min(col("t1") - col("t0")).as("lag_us"))
+    val histo = lag.select(expr("lag_us div 86400000000").as("lag_days"))
+      .groupBy("lag_days").agg(count(lit(1)).as("users"))
+    val total = f.agg(count(lit(1)).as("n"))
+    histo.crossJoin(broadcast(total))
+      .withColumn("cum",
+        sum("users").over(Window.orderBy("lag_days")))
+      .select(col("lag_days").cast("long").as("lag_days"),
+        col("users").cast("long").as("users"),
+        expr("1000000 * cum div n").cast("long").as("cum_ppm"))
+  }
+
   def basketRules(baskets: DataFrame, minPairCount: Int = 2,
       topK: Int = 25): DataFrame = {
     val b = baskets.select(col("basket_id"), col("item")).distinct()

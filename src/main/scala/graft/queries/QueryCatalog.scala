@@ -3082,6 +3082,28 @@ object QueryCatalog {
       |  (1000000 * 7 * n // total)::BIGINT AS index_ppm
       |FROM c JOIN t USING (event_type)""".stripMargin
 
+  /** e_lag — signup→purchase conversion-lag distribution
+    * ([[graft.pipeline.Sessions.conversionLag]]): first purchase at or
+    * after the first signup, whole-day buckets, cumulative conversion
+    * as integer ppm — the funnel-latency curve. */
+  val eLag: Q = (s, d) =>
+    graft.pipeline.Sessions.conversionLag(Tables.events(s, d),
+      "signup", "purchase")
+
+  val eLagSql: String =
+    """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |l AS (SELECT f.user_id, min(epoch_us(e.ts) - t0) AS lag_us
+      |  FROM f JOIN events e USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= t0
+      |  GROUP BY 1),
+      |h AS (SELECT lag_us // 86400000000 AS lag_days, count(*) AS users
+      |  FROM l GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM f)
+      |SELECT lag_days::BIGINT AS lag_days, users::BIGINT AS users,
+      |  (1000000 * sum(users) OVER (ORDER BY lag_days) // n)::BIGINT AS cum_ppm
+      |FROM h, tot""".stripMargin
+
   /** e_stickiness — DAU/WAU engagement
     * ([[graft.pipeline.Sessions.stickiness]]): per active day, distinct
     * users that day over distinct users in the trailing 7 days, via
@@ -7339,6 +7361,7 @@ object QueryCatalog {
     "e_retention" -> eRetention,
     "e_spike" -> eSpike,
     "e_seasonality" -> eSeasonality,
+    "e_lag" -> eLag,
     "e_ewma" -> eEwma,
     "e_stickiness" -> eStickiness,
     "e_power" -> ePower,
@@ -7594,6 +7617,7 @@ object QueryCatalog {
     "e_retention" -> eRetentionSql,
     "e_spike" -> eSpikeSql,
     "e_seasonality" -> eSeasonalitySql,
+    "e_lag" -> eLagSql,
     "e_ewma" -> eEwmaSql,
     "e_stickiness" -> eStickinessSql,
     "e_power" -> ePowerSql,

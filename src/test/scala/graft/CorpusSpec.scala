@@ -449,6 +449,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.epochRepeat(docs, lit(3000000L)).count() === 120L)
   }
 
+  test("conversionLag: first-after-first lag buckets and cumulative ppm") {
+    import java.sql.Timestamp
+    def t(day: Int, h: Int = 0) = new Timestamp(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).plusHours(h)
+        .toInstant.toEpochMilli)
+    // u1: signup d0, purchases d0(+2h) and d3 → lag 0; u2: signup d1,
+    // purchase d3 → lag 2; u3: purchase BEFORE signup only → excluded;
+    // u4: signup, never purchases → in the denominator only
+    val ev = Seq(
+      (1L, "signup", t(0)), (1L, "purchase", t(0, 2)), (1L, "purchase", t(3)),
+      (2L, "signup", t(1)), (2L, "purchase", t(3)),
+      (3L, "purchase", t(0)), (3L, "signup", t(1)),
+      (4L, "signup", t(2))).toDF("user_id", "event_type", "ts")
+    val out = Sessions.conversionLag(ev, "signup", "purchase")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(0L -> ((1L, 250000L)), 2L -> ((1L, 500000L))))
+  }
+
   test("ewmaSpikes: dyadic-weighted baseline, full-window gate, spike rule") {
     import java.sql.Timestamp
     def t(day: Int) = new Timestamp(
