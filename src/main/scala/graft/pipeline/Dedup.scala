@@ -413,6 +413,26 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))
   }
 
+  /** SOFT dedup — down-WEIGHT duplicates instead of dropping them (the
+    * SoftDeDup idea: hard removal loses the signal that popular text
+    * carries, uniform keeping over-trains on it; weighting each doc by
+    * 1/|its near-dup cluster| makes every cluster contribute exactly one
+    * document's worth of expected training mass). Clusters via
+    * [[dupClusters]] (banded LSH + min-label CC — never all-pairs);
+    * weights are integer ppm (1000000 div size), ready for
+    * [[graft.pipeline.Corpus.epochRepeat]]'s ppm contract downstream.
+    * One extra tiny groupBy+join on the cluster table. */
+  def softDedupWeights(docs: DataFrame, k: Int, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val clusters = dupClusters(docs, k, numHashes, bands, threshold)
+    val sizes = clusters.groupBy("keeper")
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, "keeper")
+      .select(col("doc_id"), col("keeper"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        expr("1000000 div cluster_size").cast("long").as("weight_ppm"))
+  }
+
   /** Second 31-bit hash stream for the 62-bit SimHash: an affine remap of
     * the token rolling hash, so each token contributes 62 usable bits. */
   val SimhashA2 = 1000003L

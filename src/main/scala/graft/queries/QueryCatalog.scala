@@ -2642,6 +2642,23 @@ object QueryCatalog {
        |SELECT d.doc_id, coalesce(l.c, d.doc_id) AS keeper
        |FROM documents d LEFT JOIN l21 l ON d.doc_id = l.v""".stripMargin
 
+  /** d_softdedup — SOFT dedup weights
+    * ([[graft.pipeline.Dedup.softDedupWeights]]): every doc keeps a
+    * 1/cluster-size ppm weight instead of being dropped, so each
+    * near-dup cluster contributes one document's worth of expected
+    * training mass. The oracle nests the full d_dup_clusters chain and
+    * adds the size join. */
+  val dSoftdedup: Q = (s, d) =>
+    Dedup.softDedupWeights(Tables.documents(s, d), k = 5, numHashes = 16,
+      bands = 4, threshold = 0.25)
+
+  lazy val dSoftdedupSql: String =
+    s"""WITH cl AS MATERIALIZED ($dDupClustersSql),
+       |sz AS (SELECT keeper, count(*) AS cluster_size FROM cl GROUP BY 1)
+       |SELECT cl.doc_id, cl.keeper, cluster_size::BIGINT AS cluster_size,
+       |  (1000000 // cluster_size)::BIGINT AS weight_ppm
+       |FROM cl JOIN sz USING (keeper)""".stripMargin
+
   /** SimHash near-dup pairs: 62-bit signature (two 31-bit rolling-hash
     * streams), 4×16-bit bands, Hamming ≤ 6. */
   val dSimhash: Q = (s, d) =>
@@ -7347,6 +7364,7 @@ object QueryCatalog {
     "d_minhash_inc" -> dMinhashInc,
     "d_fuzzy_join" -> dFuzzyJoin,
     "d_dup_clusters" -> dDupClusters,
+    "d_softdedup" -> dSoftdedup,
     "d_simhash" -> dSimhash,
     "s_cosine_topk" -> sCosineTopK,
     "s_mmr" -> sMmr,
@@ -7603,6 +7621,7 @@ object QueryCatalog {
     "d_minhash_inc" -> dMinhashIncSql,
     "d_fuzzy_join" -> dFuzzyJoinSql,
     "d_dup_clusters" -> dDupClustersSql,
+    "d_softdedup" -> dSoftdedupSql,
     "d_simhash" -> dSimhashSql,
     "s_cosine_topk" -> sCosineTopKSql,
     "s_mmr" -> sMmrSql,

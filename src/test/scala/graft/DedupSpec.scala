@@ -157,4 +157,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L)._1 === 10L && out(1L)._2 === 1.0)
     assert(!out.contains(2L)) // below threshold -> no forced match
   }
+
+  test("softDedupWeights: 1/cluster-size ppm, singletons keep 1.0") {
+    val dup = "the quick brown fox jumps over the lazy dog again today"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup),  // one 3-cluster
+      (4L, "completely different text with no shared shingles at all here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.softDedupWeights(docs, k = 3, numHashes = 16,
+        bands = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    Seq(1L, 2L, 3L).foreach(i =>
+      assert(out(i) === ((1L, 3L, 333333L))))
+    assert(out(4L) === ((4L, 1L, 1000000L)))
+    // cluster mass: 3 docs x 1/3 ≈ one document's worth
+  }
 }
