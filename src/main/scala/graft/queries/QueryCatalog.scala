@@ -7160,6 +7160,31 @@ object QueryCatalog {
       |  prev_record::BIGINT AS prev_record
       |FROM w WHERE n > prev_record""".stripMargin
 
+  /** st_lag — STREAMING conversion lag
+    * ([[graft.streaming.Streams.streamingConversionLag]]): each user's
+    * whole-day signup→purchase lag emits exactly once at conversion
+    * time. Oracle = e_lag's per-user lag CTE (stream ≡ batch on
+    * integer µs compares). */
+  val stLag: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    StreamReplay.replay(s, eventsOrdered(s, d), "st_lag", "append",
+      batches = 6) {
+      df => Streams.streamingConversionLag(df.as[Streams.Event],
+        "signup", "purchase").toDF()
+    }.select(col("user_id"), col("lag_days"))
+  }
+
+  val stLagSql: String =
+    """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |l AS (SELECT f.user_id, min(epoch_us(e.ts) - t0) AS lag_us
+      |  FROM f JOIN events e USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= t0
+      |  GROUP BY 1)
+      |SELECT user_id, (lag_us // 86400000000)::BIGINT AS lag_days
+      |FROM l""".stripMargin
+
   /** st_holt — STREAMING day-close Holt forecasts
     * ([[graft.streaming.Streams.streamingHolt]]): each real day's
     * (level, trend, next-day forecast) emits when the next day's first
@@ -7533,6 +7558,7 @@ object QueryCatalog {
     "st_quantile" -> stQuantile,
     "st_holt" -> stHolt,
     "st_record" -> stRecord,
+    "st_lag" -> stLag,
     "st_ewma" -> stEwma,
     "q46_btw" -> q46Btw,
     "q46_btw_gx" -> q46BtwGx,
@@ -7790,6 +7816,7 @@ object QueryCatalog {
     "st_quantile" -> stQuantileSql,
     "st_holt" -> stHoltSql,
     "st_record" -> stRecordSql,
+    "st_lag" -> stLagSql,
     "st_ewma" -> eEwmaSql,
     "q46_btw" -> q46BtwSql,
     "q46_btw_gx" -> q46BtwSql,

@@ -258,6 +258,61 @@ object Streams {
       }
   }
 
+  final case class LagState(t0: Long, converted: Boolean)
+  final case class LagOut(user_id: Long, lag_days: Long)
+
+  /** Streaming CONVERSION LAG — the stateful twin of
+    * [[graft.pipeline.Sessions.conversionLag]]'s per-user lag: state is
+    * (first `fromType` µs, converted flag) — one long and a bool per
+    * user; the moment the first at-or-after `toType` event arrives, the
+    * whole-day lag emits EXACTLY ONCE (append mode; the converted flag
+    * makes emission idempotent across batches). The funnel-latency
+    * signal at conversion time rather than next batch run; the batch
+    * day-histogram is a plain aggregation of the emitted pairs.
+    * In-order delivery is the caller's contract ([[streamingFunnel]]).
+    *
+    * `stateTtlDays` is the production bound ([[streamingTransitions]]'
+    * posture): with a watermarked input, an un-converted user's state
+    * expires that many days after their first `fromType` event —
+    * conversions slower than the TTL are missed, the explicit trade;
+    * the gate runs the default None, sharing the batch oracle. */
+  def streamingConversionLag(events: Dataset[Event], fromType: String,
+      toType: String, stateTtlDays: Option[Int] = None): Dataset[LagOut] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val dayUs = 86400000000L
+    val timeoutConf = if (stateTtlDays.isDefined)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LagState, LagOut](
+        OutputMode.Append, timeoutConf) {
+        case (uid, it, state: GroupState[LagState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(LagState(-1L, false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[LagOut]
+            it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+              if (e.event_type == fromType && s.t0 < 0L)
+                s = s.copy(t0 = us(e.ts))
+              else if (e.event_type == toType && !s.converted &&
+                  s.t0 >= 0L && us(e.ts) >= s.t0) {
+                out += LagOut(uid, (us(e.ts) - s.t0) / dayUs)
+                s = s.copy(converted = true)
+              }
+            }
+            if (s.t0 >= 0L) {
+              state.update(s)
+              if (!s.converted) stateTtlDays.foreach { ttl =>
+                state.setTimeoutTimestamp(math.max(
+                  state.getCurrentWatermarkMs() + 1L,
+                  s.t0 / 1000L + ttl.toLong * 86400000L))
+              }
+            }
+            out.iterator
+          }
+      }
+  }
+
   final case class CohortState(cohortUs: Long, seen: Long)
   final case class CohortOut(user_id: Long, cohort_us: Long, week_offset: Int)
 

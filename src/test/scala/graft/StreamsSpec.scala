@@ -579,6 +579,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.map(_._3).max === 12L)
   }
 
+  test("streamingConversionLag: exactly-once emission across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def dt(day: Int, h: Int = 1) =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val mem = MemoryStream[Event]
+    // u1 signs up then converts two batches later (second purchase
+    // must NOT re-emit); u2 purchases before signup only; u3 never
+    // converts
+    mem.addData(
+      Event(1, dt(1), 1, "signup", 0),
+      Event(2, dt(1), 2, "purchase", 0),
+      Event(3, dt(1, 2), 3, "signup", 0))
+    mem.addData(
+      Event(4, dt(2), 2, "signup", 0),
+      Event(5, dt(4), 1, "purchase", 0))
+    mem.addData(Event(6, dt(5), 1, "purchase", 0))
+    val out = Streams.runToMemory(spark,
+        Streams.streamingConversionLag(mem.toDS(), "signup", "purchase")
+          .toDF(), "st_lag_t",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((1L, 3L)))   // day1→day4, once
+    assert(out.length === 1)              // no re-emission, no u2/u3
+  }
+
   test("streamingRecords: record-day alerts only on strict new highs") {
     implicit val sqlCtx = spark.sqlContext
     def dt(day: Int, h: Int = 1) =
