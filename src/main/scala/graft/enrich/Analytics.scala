@@ -1095,6 +1095,32 @@ object Analytics {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("support"))
 
+  /** Average-NEIGHBOR-degree curve k_nn(k) (Pastor-Satorras et al.
+    * 2001) — q49's one-number assortativity unrolled into the full
+    * mixing profile: for each degree k, the mean over degree-k nodes of
+    * their mean neighbor degree (rising curve = assortative hubs-with-
+    * hubs, falling = disassortative hub-periphery). All-integer ppm
+    * arithmetic (per-node 10⁶·Σnbdeg div deg, then the per-k mean as
+    * div) so no ratio can 1-ulp-flip. Scale shape: one degree agg, one
+    * edge↔degree join + per-node sum on the same vertex shuffle, then a
+    * distinct-degree-sized groupBy — no window, nothing quadratic. */
+  def neighborDegreeCurve(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val sumnb = und
+      .join(deg.select(col("v").as("dst"), col("deg").as("dnb")), "dst")
+      .groupBy("src").agg(sum("dnb").as("sumnb"))
+    deg.join(sumnb, deg("v") === sumnb("src"))
+      .select(col("deg").as("k"),
+        expr("1000000 * sumnb div deg").as("annd_ppm"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"),
+        expr("sum(annd_ppm) div count(1)").as("knn_ppm"))
+      .select(col("k").cast("long").as("k"),
+        col("n_nodes").cast("long").as("n_nodes"),
+        col("knn_ppm").cast("long").as("knn_ppm"))
+  }
+
   /** SCAN structural similarity (Xu et al. 2007) per edge:
     * σ(u,v) = |N[u]∩N[v]| / √(|N[u]|·|N[v]|) over CLOSED neighborhoods
     * — for adjacent u,v the intersection is (triangle support + the two

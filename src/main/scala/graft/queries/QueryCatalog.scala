@@ -4077,6 +4077,28 @@ object QueryCatalog {
       |FROM e LEFT JOIN sup s ON s.src = e.a AND s.dst = e.b
       |JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v""".stripMargin
 
+  /** q74 — average-neighbor-degree curve k_nn(k) on the co-purchase
+    * graph ([[graft.enrich.Analytics.neighborDegreeCurve]]): q49's
+    * assortativity unrolled into the full degree-mixing profile,
+    * all-integer ppm. */
+  val q74Knn: Q = (s, d) =>
+    graft.enrich.Analytics.neighborDegreeCurve(coPurchaseEdges(s, d))
+
+  val q74KnnSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM und GROUP BY 1),
+      |sn AS (SELECT u.src, sum(dn.deg) AS sumnb FROM und u
+      |  JOIN deg dn ON u.dst = dn.v GROUP BY 1),
+      |annd AS (SELECT d.deg AS k, 1000000 * sn.sumnb // d.deg AS annd_ppm
+      |  FROM deg d JOIN sn ON d.v = sn.src)
+      |SELECT k::BIGINT AS k, count(*)::BIGINT AS n_nodes,
+      |  (sum(annd_ppm) // count(*))::BIGINT AS knn_ppm
+      |FROM annd GROUP BY k""".stripMargin
+
   /** q56 — 3-truss of the co-purchase graph
     * ([[graft.enrich.Analytics.kTruss]]). For k = 3 the iterative peel
     * provably converges in ONE effective round at ANY scale (an edge
@@ -7455,6 +7477,7 @@ object QueryCatalog {
     "q24_triangles" -> q24Triangles,
     "q55_esupport" -> q55Esupport,
     "q73_scan" -> q73Scan,
+    "q74_knn" -> q74Knn,
     "q56_ktruss" -> q56Ktruss,
     "q57_eigen" -> q57Eigen,
     "q57_eigen_gx" -> q57EigenGx,
@@ -7713,6 +7736,7 @@ object QueryCatalog {
     "q24_triangles" -> q24TrianglesSql,
     "q55_esupport" -> q55EsupportSql,
     "q73_scan" -> q73ScanSql,
+    "q74_knn" -> q74KnnSql,
     "q56_ktruss" -> q56KtrussSql,
     "q57_eigen" -> q57EigenSql,
     "q57_eigen_gx" -> q57EigenSql,

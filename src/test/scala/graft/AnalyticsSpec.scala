@@ -730,6 +730,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.size === 4)
   }
 
+  test("neighborDegreeCurve: star graph is perfectly disassortative") {
+    // star 1-(2,3,4): center deg 3 with all-deg-1 neighbors, leaves
+    // deg 1 with the deg-3 center — k_nn(3)=1, k_nn(1)=3
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val out = Analytics.neighborDegreeCurve(e)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(3L) === ((1L, 1000000L)))
+    assert(out(1L) === ((3L, 3000000L)))
+  }
+
   test("richClub: K4+pendant+star matches hand-computed phi") {
     // K4 on {1,2,3,4}, pendant 5 on 1, star 10-(11..15).
     // deg: 1→4, 2..4→3, 5→1, 10→5, leaves→1.
