@@ -5944,6 +5944,43 @@ object QueryCatalog {
        |FROM k""".stripMargin
   }
 
+  /** p_hilbert — HILBERT clustering key over the same (n_chars, lang)
+    * buckets as p_zorder ([[graft.ops.Layout.hilbertKey]]): consecutive
+    * keys are grid-adjacent, so key ranges cover compact 2-D regions —
+    * tighter row-group pruning than Morton for the same sort. The
+    * oracle replays the rotate/reflect walk as a RECURSIVE CTE (the
+    * e_holt discipline — DuckDB's list_reduce aliases multi-field
+    * struct accumulators, so the non-commutative fold must recurse). */
+  val pHilbert: Q = (s, d) => {
+    import graft.ops.Layout
+    val a = Layout.intBucket(col("n_chars"), width = 64, bits = 8)
+    val b = TextFunctions.rollingHash(col("lang")) % 256
+    Tables.documents(s, d)
+      .select(col("doc_id"), Layout.hilbertKey(a, b, bits = 8).as("hkey"))
+  }
+
+  val pHilbertSql: String = {
+    val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      "string_split(lang, ''), c -> ascii(c)::BIGINT)), " +
+      "(a, c) -> (a * 31 + c) % 2147483647)"
+    s"""WITH RECURSIVE k AS (SELECT doc_id,
+       |  least(255, n_chars // 64)::BIGINT AS x, ($rollh % 256)::BIGINT AS y
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, x, y, 0::BIGINT AS d, 128::BIGINT AS s FROM k
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    CASE WHEN (y & s) = 0 THEN
+       |      (CASE WHEN (x & s) > 0 THEN 255 - y ELSE y END) ELSE x END,
+       |    CASE WHEN (y & s) = 0 THEN
+       |      (CASE WHEN (x & s) > 0 THEN 255 - x ELSE x END) ELSE y END,
+       |    d + s * s * xor(CASE WHEN (x & s) > 0 THEN 3 ELSE 0 END,
+       |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+       |    s // 2
+       |  FROM h WHERE s > 0)
+       |SELECT doc_id, d AS hkey FROM h WHERE s = 0""".stripMargin
+  }
+
   // ------------------------------------------------------- multimodal gate
 
   /** m_headers — the multimodal header-parsing pillar under the oracle
@@ -7567,6 +7604,7 @@ object QueryCatalog {
     "m_corrupt" -> mCorrupt,
     "p_media_mix" -> pMediaMix,
     "p_zorder" -> pZorder,
+    "p_hilbert" -> pHilbert,
     "st_window" -> stWindow,
     "st_join" -> stJoin,
     "st_session" -> stSession,
@@ -7826,6 +7864,7 @@ object QueryCatalog {
     "m_corrupt" -> mCorruptSql,
     "p_media_mix" -> pMediaMixSql,
     "p_zorder" -> pZorderSql,
+    "p_hilbert" -> pHilbertSql,
     "st_window" -> stWindowSql,
     "st_join" -> stJoinSql,
     "st_session" -> stSessionSql,

@@ -499,3 +499,55 @@ object CdcChunkHashes {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** Hilbert-curve index of a 2-D bucket pair (Hilbert 1891; the xy→d
+  * walk as given by Warren, Hacker's Delight / the public-domain
+  * Wikipedia spelling): unlike the Morton/Z-order interleave, every
+  * consecutive pair of Hilbert keys is GRID-ADJACENT, so a range of
+  * keys covers a compact 2-D region — tighter parquet row-group
+  * min/max pruning for 2-D predicates at the cost of this
+  * data-dependent rotate/reflect walk (which is why Z-order is the
+  * cheap default and Hilbert the quality upgrade; Delta/Iceberg
+  * expose both). One codegen'd integer loop per row, `bits` levels. */
+case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertIndex.index(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.HilbertIndex.index($a, $b, $bits)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HilbertIndex =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_hilbert_index"
+}
+
+object HilbertIndex {
+  /** xy→d for a 2^bits × 2^bits grid. Coordinates are masked into
+    * range (the caller buckets them; masking keeps the kernel total). */
+  def index(x0: Long, y0: Long, bits: Int): Long = {
+    val n = 1L << bits
+    var x = x0 & (n - 1)
+    var y = y0 & (n - 1)
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      // rotate/reflect the quadrant so the sub-curve orients correctly
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}

@@ -127,4 +127,26 @@ class GraftExpressionsSpec extends AnyFunSuite {
     }
     assert(run(true) === run(false))
   }
+
+  test("HilbertIndex: bijective and every consecutive key grid-adjacent") {
+    import org.apache.spark.sql.graft.HilbertIndex
+    val bits = 4
+    val n = 1 << bits // full 16×16 grid
+    val cells = for (x <- 0 until n; y <- 0 until n)
+      yield (HilbertIndex.index(x, y, bits), (x, y))
+    val byD = cells.toMap
+    assert(byD.size === n * n)                       // bijection
+    assert(cells.map(_._1).min === 0L && cells.map(_._1).max === (n * n - 1))
+    (0L until (n * n - 1).toLong).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"d=$d: ($x1,$y1) -> ($x2,$y2) not adjacent") // the Hilbert property
+    }
+    // the codegen'd expression evaluates the same walk
+    val df = Seq((3L, 5L), (200L, 17L), (0L, 0L)).toDF("a", "b")
+      .select(graft.ops.Layout.hilbertKey(col("a"), col("b"), 8).as("h"))
+    assert(df.collect().map(_.getLong(0)).toSeq ===
+      Seq(HilbertIndex.index(3, 5, 8), HilbertIndex.index(200, 17, 8),
+        HilbertIndex.index(0, 0, 8)))
+  }
 }

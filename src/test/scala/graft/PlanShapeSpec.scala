@@ -146,6 +146,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"p_zorder must not shuffle; plan:\n$plan")
   }
 
+  test("p_hilbert is a pure narrow map inside whole-stage codegen") {
+    val df = QueryCatalog.pHilbert(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"p_hilbert must not shuffle; plan:\n$plan")
+    assert(plan.contains("*(1) Project"),
+      s"the Hilbert kernel must stay inside whole-stage codegen " +
+        s"(the `*(n)` marker); plan:\n$plan")
+  }
+
   test("q35 multi-distinct plans the Expand two-level aggregation") {
     val plan = executed(QueryCatalog.q35MultiDistinct(spark, sf))
     assert(plan.contains("Expand"),
