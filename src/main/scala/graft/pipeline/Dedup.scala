@@ -413,6 +413,44 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))
   }
 
+  /** BLOOM-gated incremental dedup — the sketch-sized alternative to
+    * [[incremental]]'s anti-join when the base corpus is huge: the base
+    * collapses to a ≤`mBits`-row bit set (k=2 integer hash positions per
+    * fingerprint) that BROADCASTS, so screening a new batch costs two
+    * broadcast probes and zero shuffles of the base — the membership
+    * screen a 100 TB ingest runs before paying the exact check. One-
+    * sided by construction: NO false negatives (a true dup always hits
+    * both its bits), false positives at the classic (1−e^(−kn/m))^k
+    * rate get re-checked downstream. Emits both the Bloom verdict and
+    * the exact one (the gate pins the no-false-negative invariant and
+    * the false-positive accounting); production keeps only `maybe_dup`
+    * and routes hits to the exact path. All hashes are the engine-
+    * portable rolling hash — the filter is REPLAYABLE, not a binary
+    * blob, so any engine (or the oracle) can rebuild bit-for-bit. */
+  def bloomDedup(base: DataFrame, batch: DataFrame,
+      mBits: Int = 4096): DataFrame = {
+    import graft.functions.TextFunctions
+    def h(df: DataFrame) = df.select(col("doc_id"),
+      TextFunctions.rollingHash(TextFunctions.normalize(col("text"))).as("h"))
+    def p1(c: Column) = c % mBits
+    def p2(c: Column) = ((c * 1103515245L + 12345L) % 2147483647L) % mBits
+    val baseH = h(base)
+    val bits = baseH
+      .select(explode(array(p1(col("h")), p2(col("h")))).as("bit"))
+      .distinct().withColumn("present", lit(1))
+    val b = h(batch).select(col("doc_id"), col("h"),
+      p1(col("h")).as("b1"), p2(col("h")).as("b2"))
+    b.join(broadcast(bits.select(col("bit").as("b1"), col("present").as("m1"))),
+        Seq("b1"), "left")
+      .join(broadcast(bits.select(col("bit").as("b2"), col("present").as("m2"))),
+        Seq("b2"), "left")
+      .join(baseH.select(col("h")).distinct().withColumn("t", lit(1)), Seq("h"),
+        "left")
+      .select(col("doc_id"),
+        (col("m1").isNotNull && col("m2").isNotNull).cast("int").as("maybe_dup"),
+        col("t").isNotNull.cast("int").as("true_dup"))
+  }
+
   /** SOFT dedup — down-WEIGHT duplicates instead of dropping them (the
     * SoftDeDup idea: hard removal loses the signal that popular text
     * carries, uniform keeping over-trains on it; weighting each doc by

@@ -5918,6 +5918,38 @@ object QueryCatalog {
        |WHERE NOT EXISTS (SELECT 1 FROM fp WHERE doc_id % 2 = 0 AND fp.fp = b.fp)
        |GROUP BY b.fp""".stripMargin
 
+  /** d_bloom — Bloom-gated incremental dedup
+    * ([[graft.pipeline.Dedup.bloomDedup]]): base = even doc_ids collapse
+    * to a replayable 4096-bit k=2 filter; odd-doc_id batch docs carry
+    * both the Bloom verdict and the exact one. The oracle rebuilds the
+    * filter bit-for-bit (the rolling hash is engine-portable). */
+  val dBloom: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.bloomDedup(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
+  private lazy val rollhNorm: String = rollhOf(s"($normSql)")
+
+  lazy val dBloomSql: String =
+    s"""WITH fp AS (SELECT doc_id, $rollhNorm AS h FROM documents),
+       |base AS MATERIALIZED (SELECT h FROM fp WHERE doc_id % 2 = 0),
+       |bits AS MATERIALIZED (SELECT DISTINCT bit FROM (
+       |  SELECT h % 4096 AS bit FROM base
+       |  UNION ALL
+       |  SELECT ((h * 1103515245 + 12345) % 2147483647) % 4096 FROM base)),
+       |b AS (SELECT doc_id, h, h % 4096 AS b1,
+       |    ((h * 1103515245 + 12345) % 2147483647) % 4096 AS b2
+       |  FROM fp WHERE doc_id % 2 = 1)
+       |SELECT doc_id,
+       |  (CASE WHEN EXISTS (SELECT 1 FROM bits WHERE bit = b.b1)
+       |         AND EXISTS (SELECT 1 FROM bits WHERE bit = b.b2)
+       |        THEN 1 ELSE 0 END)::INT AS maybe_dup,
+       |  (CASE WHEN EXISTS (SELECT 1 FROM base WHERE base.h = b.h)
+       |        THEN 1 ELSE 0 END)::INT AS true_dup
+       |FROM b""".stripMargin
+
   /** p_zorder — Z-order clustering key over (n_chars, lang)
     * ([[graft.ops.Layout]]): 8-bit equal-width length buckets interleaved
     * with 8-bit language-hash buckets into a 16-bit Morton key — the
@@ -7449,6 +7481,7 @@ object QueryCatalog {
     "d_fuzzy_join" -> dFuzzyJoin,
     "d_dup_clusters" -> dDupClusters,
     "d_softdedup" -> dSoftdedup,
+    "d_bloom" -> dBloom,
     "d_simhash" -> dSimhash,
     "s_cosine_topk" -> sCosineTopK,
     "s_mmr" -> sMmr,
@@ -7709,6 +7742,7 @@ object QueryCatalog {
     "d_fuzzy_join" -> dFuzzyJoinSql,
     "d_dup_clusters" -> dDupClustersSql,
     "d_softdedup" -> dSoftdedupSql,
+    "d_bloom" -> dBloomSql,
     "d_simhash" -> dSimhashSql,
     "s_cosine_topk" -> sCosineTopKSql,
     "s_mmr" -> sMmrSql,

@@ -158,6 +158,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains(2L)) // below threshold -> no forced match
   }
 
+  test("bloomDedup: no false negatives; positives re-checked exactly") {
+    val base = Seq((0L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = (Seq((1L, "alpha beta gamma"),    // true dup
+      (3L, "completely novel text here")) ++      // novel
+      (5L to 199L by 2).map(i => (i, s"filler document number $i")))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomDedup(base, batch, mBits = 64) // tiny m: force FPs
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    assert(out(1L) === ((1, 1)))
+    assert(out(3L)._2 === 0)
+    // the one-sided invariant: every true dup is Bloom-positive
+    out.values.foreach { case (maybe, truth) =>
+      if (truth == 1) assert(maybe === 1) }
+    // with m=64 bits and 98 novel docs, SOME false positive must exist
+    assert(out.values.exists { case (maybe, truth) =>
+      maybe == 1 && truth == 0 })
+  }
+
   test("softDedupWeights: 1/cluster-size ppm, singletons keep 1.0") {
     val dup = "the quick brown fox jumps over the lazy dog again today"
     val docs = Seq(
