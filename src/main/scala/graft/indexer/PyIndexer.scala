@@ -620,6 +620,20 @@ object PyIndexer {
     ("""^\s*assert\s+isinstance\s*\(\s*([A-Za-z_]\w*)\s*,\s*""" +
       """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\)""").r
 
+  /** `y = max(xs)` / `y = min(xs)` — builtin element reads (C3 slice
+    * 52): typeshed's Iterable[T] → T signatures, so the target binds
+    * the container's element type. Bare-name args only (a keyed
+    * `max(xs, key=…)` still reads an element — the trailing args are
+    * irrelevant, so they're allowed after the name). */
+  private val builtinElemRead: Regex =
+    ("""^\s*([A-Za-z_]\w*)\s*=\s*(?:max|min)\s*\(\s*""" +
+      """([A-Za-z_]\w*)\s*[,)]""").r
+
+  /** `y = xs.pop()` / `y = d.pop(k)` — the pop read (also slice 52):
+    * a list's pop returns its element, a mapping's its VALUE. */
+  private val popRead: Regex =
+    """^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\.\s*pop\s*\(""".r
+
   /** `except SomeError as e:` — the handler target binds the exception
     * class (C3 slice 11: jedi types the as-name from the except clause;
     * the tuple form `except (A, B) as e` is ambiguous and deliberately
@@ -2005,6 +2019,17 @@ object PyIndexer {
             // which slice 28 keeps out of model.
             nextIterRead.findFirstMatchIn(line).foreach(m =>
               fn.elemLocals.get(m.group(2))
+                .foreach(t => fn.locals(m.group(1)) = t))
+            // slice 52: builtin ELEMENT reads — `y = max(xs)` / `min(xs)`
+            // (typeshed: Iterable[T] → T) and `y = xs.pop()` (list.pop
+            // returns the element; a MAPPING's pop returns the VALUE,
+            // routed through valueLocals like slice 28's reads)
+            builtinElemRead.findFirstMatchIn(line).foreach(m =>
+              fn.elemLocals.get(m.group(2))
+                .foreach(t => fn.locals(m.group(1)) = t))
+            popRead.findFirstMatchIn(line).foreach(m =>
+              fn.elemLocals.get(m.group(2))
+                .orElse(fn.valueLocals.get(m.group(2)))
                 .foreach(t => fn.locals(m.group(1)) = t))
             // slice 28: mapping-annotated LOCALS, value-side iteration
             // and .get() reads (plain `for k in d:` binds nothing — the

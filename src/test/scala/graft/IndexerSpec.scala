@@ -1349,6 +1349,42 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.exists(_._2.endsWith("mystery")))
   }
 
+  test("C3 slice 52: max/min/pop element reads bind the content type") {
+    val src =
+      """class Helper:
+        |    def ping(self):
+        |        return 1
+        |
+        |def maxed(xs: list[Helper]):
+        |    h = max(xs)
+        |    return h.ping()
+        |
+        |def keyed(xs: list[Helper]):
+        |    h = min(xs, key=len)
+        |    return h.ping()
+        |
+        |def popped(xs: list[Helper]):
+        |    h = xs.pop()
+        |    return h.ping()
+        |
+        |def map_pop(d: dict[str, Helper]):
+        |    h = d.pop("k")
+        |    return h.ping()
+        |
+        |def untyped(xs):
+        |    h = max(xs)
+        |    return h.mystery()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "er.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("er.maxed", "er.Helper.ping")))
+    assert(calls.contains(("er.keyed", "er.Helper.ping")))
+    assert(calls.contains(("er.popped", "er.Helper.ping")))
+    assert(calls.contains(("er.map_pop", "er.Helper.ping")))
+    assert(!calls.exists(_._2.endsWith("mystery")))
+  }
+
   test("C3 slice 45: the open builtin binds when nothing shadows it") {
     val src =
       """def reads(name):
