@@ -77,6 +77,42 @@ object Sketches {
     * set here is the distinct vocabulary (bounded, ≪ occurrences); at
     * 100 TB a deployment feeds a sampled candidate list instead — the
     * sketch side is already scale-free. */
+  /** PORTABLE HyperLogLog distinct-count (Flajolet et al. 2007) — the
+    * register walk built from the shared rolling hash instead of an
+    * engine-private hash, so unlike `approx_count_distinct` the sketch
+    * is REPLAYABLE by any engine (the q14 KMV argument, applied to the
+    * other classic cardinality sketch). Register selector = h mod m; ρ =
+    * leading zeros of a decorrelated second 31-bit stream + 1 (spelled
+    * as 32 − len(bin(w)) — pure integer, no log2 float hazard).
+    * Registers max-merge, so the groupBy is partial-agg friendly and
+    * sketches union by register max — O(m) state. The estimate keeps
+    * Σ2^(32−ρ_j) as an EXACT integer (common denominator 2³²) so the
+    * only float op is the final α·m²·2³²/S division — one identical
+    * IEEE op sequence, round-4. Raw estimator only (the gate's
+    * cardinality sits far above the 2.5m linear-counting switch; the
+    * zero-register count is emitted so a caller CAN apply it). */
+  def hllDistinct(df: DataFrame, c: Column, m: Int = 16): DataFrame = {
+    require(m == 16, "alpha is pinned for m = 16 (0.673)")
+    val h0 = TextFunctions.rollingHash(c)
+    val regs = df.select(h0.as("h0"))
+      .select((col("h0") % m).as("bucket"),
+        ((col("h0") * 1103515245L + 12345L) % P).as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0, 32)
+          .otherwise(lit(32) - length(bin(col("w")))).cast("int").as("rho"))
+      .groupBy("bucket").agg(max("rho").as("rho_max"))
+    val all = df.sparkSession.range(m).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left").na.fill(0, Seq("rho_max"))
+    all.agg(
+        expr("sum(shiftleft(CAST(1 AS BIGINT), 32 - rho_max))").as("s_scaled"),
+        expr("sum(CASE WHEN rho_max = 0 THEN 1 ELSE 0 END)")
+          .cast("int").as("zero_regs"))
+      .select(lit(m).as("m"), col("s_scaled").cast("long").as("s_scaled"),
+        col("zero_regs"),
+        round(lit(673L * m * m * 4294967296L).cast("double")
+          / (lit(1000L) * col("s_scaled")), 4).as("est_hll"))
+  }
+
   def cmsTopK(df: DataFrame, c: Column, width: Int, k: Int): DataFrame = {
     val occ = df.select(explode(c).as("term"))
       .filter(col("term") =!= "")

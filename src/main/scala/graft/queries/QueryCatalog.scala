@@ -1158,9 +1158,12 @@ object QueryCatalog {
       |WHERE event_type = 'click'""".stripMargin
 
   /** KMV distinct-count sketch (Sketches.kmvDistinct) over customer
-    * names. HLL is NOT oracle-replayable (engine-specific hashes); KMV
-    * over the shared rolling hash is — both engines keep the 64 smallest
-    * distinct hashes and apply the identical estimator. */
+    * names. The BUILTIN HLL (`approx_count_distinct`) is not
+    * oracle-replayable (engine-private hashes); KMV over the shared
+    * rolling hash is — both engines keep the 64 smallest distinct
+    * hashes and apply the identical estimator. q75_hll closes the gap
+    * from the other side: a portable HLL whose registers the oracle
+    * rebuilds. */
   val q14Kmv: Q = (s, d) =>
     graft.pipeline.Sketches.kmvDistinct(Tables.customer(s, d), col("c_name"), 64)
 
@@ -1170,6 +1173,34 @@ object QueryCatalog {
        |topk AS (SELECT h FROM h WHERE h > 0 ORDER BY h LIMIT 64)
        |SELECT CASE WHEN (SELECT count(*) FROM topk) < 64 THEN (SELECT count(*) FROM topk)::DOUBLE
        |       ELSE round(63.0 * 2147483647 / (SELECT max(h) FROM topk), 4) END AS est_distinct""".stripMargin
+  }
+
+  /** q75_hll — PORTABLE HyperLogLog over customer names
+    * ([[graft.pipeline.Sketches.hllDistinct]]): the q14 KMV argument
+    * applied to the other classic cardinality sketch — built from the
+    * shared rolling hash so the oracle rebuilds every register (the
+    * builtin `approx_count_distinct` can never cross this gate). Same
+    * input column as q14 for estimator comparability. */
+  val q75Hll: Q = (s, d) =>
+    graft.pipeline.Sketches.hllDistinct(Tables.customer(s, d), col("c_name"))
+
+  val q75HllSql: String = {
+    val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(c_name, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
+    s"""WITH h AS (SELECT $rollh AS h0 FROM customer),
+       |r AS (SELECT h0 % 16 AS bucket,
+       |  ((h0 * 1103515245 + 12345) % 2147483647) AS w FROM h),
+       |rho AS (SELECT bucket,
+       |  max(CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END) AS rho_max
+       |  FROM r GROUP BY 1),
+       |regs AS (SELECT i AS bucket, coalesce(rho_max, 0) AS rho_max
+       |  FROM range(0, 16) t(i) LEFT JOIN rho ON rho.bucket = i),
+       |s AS (SELECT sum(1::BIGINT << (32 - rho_max)::INT) AS s_scaled,
+       |  sum(CASE WHEN rho_max = 0 THEN 1 ELSE 0 END) AS zero_regs
+       |  FROM regs)
+       |SELECT 16::INT AS m, s_scaled::BIGINT AS s_scaled,
+       |  zero_regs::INT AS zero_regs,
+       |  round((673 * 256 * 4294967296)::DOUBLE / (1000 * s_scaled), 4) AS est_hll
+       |FROM s""".stripMargin
   }
 
   /** Grouped exact quantiles (median + p95 of quantity per returnflag):
@@ -7465,6 +7496,7 @@ object QueryCatalog {
     "q12_salted_join" -> q12SaltedJoin,
     "q13_asof" -> q13Asof,
     "q14_kmv" -> q14Kmv,
+    "q75_hll" -> q75Hll,
     "q15_quantile" -> q15Quantile,
     "t_tokens" -> tTokens,
     "t_bpe_tokens" -> tBpeTokens,
@@ -7726,6 +7758,7 @@ object QueryCatalog {
     "q12_salted_join" -> q12SaltedJoinSql,
     "q13_asof" -> q13AsofSql,
     "q14_kmv" -> q14KmvSql,
+    "q75_hll" -> q75HllSql,
     "q15_quantile" -> q15QuantileSql,
     "t_tokens" -> tTokensSql,
     "t_bpe_tokens" -> tBpeTokensSql,

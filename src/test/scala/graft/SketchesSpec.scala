@@ -41,4 +41,20 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(out === Set((3L, 2L), (7L, 1L)))
   }
+
+  test("hllDistinct: within the m=16 error regime; duplicate-invariant") {
+    import graft.pipeline.Sketches
+    val n = 1000
+    val vals = (1 to n).map(i => s"value-$i-${i * 7}")
+    val df = vals.toDF("v")
+    val est = Sketches.hllDistinct(df, col("v")).collect()(0)
+    val e = est.getDouble(3)
+    // m=16 raw HLL: relative stddev ~1.04/sqrt(16) = 26%; allow 3 sigma
+    assert(math.abs(e - n) / n < 0.8, s"est $e too far from $n")
+    // cardinality estimate must ignore duplicates entirely
+    val dup = (vals ++ vals ++ vals).toDF("v")
+    val est2 = Sketches.hllDistinct(dup, col("v")).collect()(0)
+    assert(est2.getDouble(3) === e)
+    assert(est2.getLong(1) === est.getLong(1)) // identical registers
+  }
 }
