@@ -113,6 +113,31 @@ object Sketches {
           / (lit(1000L) * col("s_scaled")), 4).as("est_hll"))
   }
 
+  /** Per-group [[hllDistinct]] — one register SET per group key. The
+    * missing-register densification is algebraic, not a join: absent
+    * buckets contribute 2³² each, so S = Σ_present 2^(32−ρ) +
+    * (m − present)·2³² — the per-group aggregate never fans out. */
+  def hllDistinctBy(df: DataFrame, group: Column, c: Column,
+      m: Int = 16): DataFrame = {
+    require(m == 16, "alpha is pinned for m = 16 (0.673)")
+    val rho = df.select(group.as("g"), TextFunctions.rollingHash(c).as("h0"))
+      .select(col("g"), (col("h0") % m).as("bucket"),
+        ((col("h0") * 1103515245L + 12345L) % P).as("w"))
+      .select(col("g"), col("bucket"),
+        when(col("w") === 0, 32)
+          .otherwise(lit(32) - length(bin(col("w")))).cast("int").as("rho"))
+      .groupBy("g", "bucket").agg(max("rho").as("rho_max"))
+    rho.groupBy("g").agg(
+        expr("sum(shiftleft(CAST(1 AS BIGINT), 32 - rho_max))").as("sp"),
+        count(lit(1)).as("nb"))
+      .select(col("g"),
+        (col("sp") + (lit(m.toLong) - col("nb")) * lit(4294967296L))
+          .cast("long").as("s_scaled"))
+      .select(col("g"), col("s_scaled"),
+        round(lit(673L * m * m * 4294967296L).cast("double")
+          / (lit(1000L) * col("s_scaled")), 4).as("est_hll"))
+  }
+
   def cmsTopK(df: DataFrame, c: Column, width: Int, k: Int): DataFrame = {
     val occ = df.select(explode(c).as("term"))
       .filter(col("term") =!= "")

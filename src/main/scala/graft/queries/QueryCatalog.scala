@@ -1203,6 +1203,30 @@ object QueryCatalog {
        |FROM s""".stripMargin
   }
 
+  /** q76_hll_grouped — per-segment portable HLL
+    * ([[graft.pipeline.Sketches.hllDistinctBy]]): one register set per
+    * market segment; missing registers densified ALGEBRAICALLY
+    * (S += (m−present)·2³²), never by a join. */
+  val q76HllGrouped: Q = (s, d) =>
+    graft.pipeline.Sketches.hllDistinctBy(Tables.customer(s, d),
+        col("c_mktsegment"), col("c_name"))
+      .withColumnRenamed("g", "segment")
+
+  val q76HllGroupedSql: String = {
+    val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(c_name, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647)"
+    s"""WITH h AS (SELECT c_mktsegment AS g, $rollh AS h0 FROM customer),
+       |r AS (SELECT g, h0 % 16 AS bucket,
+       |  ((h0 * 1103515245 + 12345) % 2147483647) AS w FROM h),
+       |rho AS (SELECT g, bucket,
+       |  max(CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END) AS rho_max
+       |  FROM r GROUP BY 1, 2),
+       |s AS (SELECT g, sum(1::BIGINT << (32 - rho_max)::INT)
+       |    + (16 - count(*)) * 4294967296 AS s_scaled FROM rho GROUP BY g)
+       |SELECT g AS segment, s_scaled::BIGINT AS s_scaled,
+       |  round((673 * 256 * 4294967296)::DOUBLE / (1000 * s_scaled), 4) AS est_hll
+       |FROM s""".stripMargin
+  }
+
   /** Grouped exact quantiles (median + p95 of quantity per returnflag):
     * Spark's `percentile` ≡ DuckDB's `quantile_cont` (linear
     * interpolation), rounded 4. The exact aggregate is the oracle-checked
@@ -7249,6 +7273,42 @@ object QueryCatalog {
         col("n"), col("baseline"), col("ratio"), col("spike"))
   }
 
+  /** st_hll — STREAMING portable HLL per 7-day window
+    * ([[graft.streaming.Streams.streamingHllDistinct]]): register-max
+    * state (O(m) regardless of stream length), estimates grow
+    * monotonically so the final per window is the max emit; the oracle
+    * rebuilds every window's registers in SQL. */
+  val stHll: Q = (s, d) => {
+    import s.implicits._
+    StreamReplay.replay(s, eventsOrdered(s, d), "st_hll", "update") {
+      df => graft.streaming.Streams.streamingHllDistinct(df,
+        col("user_id").cast("string"), "7 days", "10 minutes").toDF()
+    }
+      .select(unix_micros(col("window_start")).as("ws_us"),
+        col("s_scaled"), col("est_hll"))
+      .groupBy(col("ws_us"))
+      .agg(min(col("s_scaled")).as("s_scaled"),
+        max(col("est_hll")).as("est_hll"))
+  }
+
+  val stHllSql: String = {
+    val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      "string_split(user_id::VARCHAR, ''), c -> ascii(c)::BIGINT)), " +
+      "(a, c) -> (a * 31 + c) % 2147483647)"
+    s"""WITH ev AS (SELECT epoch_us(ts) // 604800000000 * 604800000000 AS ws_us,
+       |  $rollh AS h0 FROM events),
+       |r AS (SELECT ws_us, h0 % 16 AS bucket,
+       |  ((h0 * 1103515245 + 12345) % 2147483647) AS w FROM ev),
+       |rho AS (SELECT ws_us, bucket,
+       |  max(CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END) AS rho_max
+       |  FROM r GROUP BY 1, 2),
+       |s AS (SELECT ws_us, sum(1::BIGINT << (32 - rho_max)::INT)
+       |    + (16 - count(*)) * 4294967296 AS s_scaled FROM rho GROUP BY ws_us)
+       |SELECT ws_us, s_scaled::BIGINT AS s_scaled,
+       |  round((673 * 256 * 4294967296)::DOUBLE / (1000 * s_scaled), 4) AS est_hll
+       |FROM s""".stripMargin
+  }
+
   /** st_record — STREAMING all-time record-day alerts
     * ([[graft.streaming.Streams.streamingRecords]]): a row per closed
     * day that strictly beats every previous closed day of its type;
@@ -7497,6 +7557,8 @@ object QueryCatalog {
     "q13_asof" -> q13Asof,
     "q14_kmv" -> q14Kmv,
     "q75_hll" -> q75Hll,
+    "q76_hll_grouped" -> q76HllGrouped,
+    "st_hll" -> stHll,
     "q15_quantile" -> q15Quantile,
     "t_tokens" -> tTokens,
     "t_bpe_tokens" -> tBpeTokens,
@@ -7759,6 +7821,8 @@ object QueryCatalog {
     "q13_asof" -> q13AsofSql,
     "q14_kmv" -> q14KmvSql,
     "q75_hll" -> q75HllSql,
+    "q76_hll_grouped" -> q76HllGroupedSql,
+    "st_hll" -> stHllSql,
     "q15_quantile" -> q15QuantileSql,
     "t_tokens" -> tTokensSql,
     "t_bpe_tokens" -> tBpeTokensSql,

@@ -711,6 +711,70 @@ object Streams {
       }
   }
 
+  final case class HllRow(wstart: Timestamp, bucket: Int, rho: Int)
+  final case class HllState(regs: Seq[Int])
+  final case class HllOut(window_start: Timestamp, s_scaled: Long,
+      est_hll: Double)
+
+  /** Streaming PORTABLE HyperLogLog per tumbling window
+    * ([[graft.pipeline.Sketches.hllDistinct]] as continuously-maintained
+    * state): per window the state is the fixed m=16 register vector —
+    * registers merge by MAX, so the converged result is independent of
+    * batch boundaries and stream ≡ batch holds by construction (the
+    * st_cms addition argument, with max instead of +). Estimates only
+    * grow as registers grow, so the final value per window is the max
+    * emit. The estimate arithmetic is the batch operator's exact IEEE
+    * op sequence + BigDecimal HALF_UP round-4 (= Spark's round), so
+    * streamed rows hash-match the batch oracle. NoTimeout default for
+    * the AvailableNow harness; production passes EventTimeTimeout (the
+    * [[streamingKmvDistinct]] posture). */
+  def streamingHllDistinct(events: DataFrame,
+      valueCol: org.apache.spark.sql.Column,
+      window: String = "7 days", watermark: String = "10 minutes",
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[HllOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val m = 16
+    def est(regs: Seq[Int]): (Long, Double) = {
+      val s = regs.map(r => 1L << (32 - r)).sum
+      val e = BigDecimal((673L * m * m * 4294967296L).toDouble / (1000L * s))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (s, e)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .select(org.apache.spark.sql.functions.window(col("ts"), window)
+          .getField("start").as("wstart"),
+        graft.functions.TextFunctions.rollingHash(valueCol).as("h"))
+      .select(col("wstart"), (col("h") % m).cast("int").as("bucket"),
+        ((col("h") * 1103515245L + 12345L) % 2147483647L).as("w"))
+      .select(col("wstart"), col("bucket"),
+        when(col("w") === 0, 32)
+          .otherwise(lit(32) - length(bin(col("w")))).cast("int").as("rho"))
+      .as[HllRow]
+      .groupByKey(_.wstart.getTime)
+      .mapGroupsWithState[HllState, HllOut](timeout) {
+        case (ws, it, state: GroupState[HllState]) =>
+          if (state.hasTimedOut) {
+            val (s, e) = est(state.get.regs)
+            state.remove()
+            HllOut(new Timestamp(ws), s, e)
+          } else {
+            val regs = state.getOption.map(_.regs.toArray)
+              .getOrElse(Array.fill(m)(0))
+            it.foreach(r =>
+              regs(r.bucket) = math.max(regs(r.bucket), r.rho))
+            state.update(HllState(regs.toSeq))
+            if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(
+                ws + durationMs(window) + durationMs(watermark))
+            val (s, e) = est(regs.toSeq)
+            HllOut(new Timestamp(ws), s, e)
+          }
+      }
+  }
+
   final case class CmsCell(seed: Int, bucket: Long, cnt: Long)
   final case class CmsState(cells: Seq[CmsCell])
   final case class CmsOut(window_start: Timestamp, term: String, est: Long)

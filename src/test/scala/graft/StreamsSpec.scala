@@ -604,6 +604,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.length === 1)              // no re-emission, no u2/u3
   }
 
+  test("streamingHllDistinct: register-max state ≡ batch across batches") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val events = (1 to 300).map { i =>
+      Event(i.toLong, ts(i % 50), (i % 87).toLong, "click", 0.0)
+    }
+    val mem = MemoryStream[Event]
+    mem.addData(events.take(150): _*)  // two batches: registers must merge
+    mem.addData(events.drop(150): _*)
+    val streamed = Streams.runToMemory(spark,
+        Streams.streamingHllDistinct(mem.toDF(),
+          col("user_id").cast("string"), "7 days").toDF(), "st_hll_t")
+      .groupBy("window_start")
+      .agg(org.apache.spark.sql.functions.min("s_scaled").as("s"),
+        org.apache.spark.sql.functions.max("est_hll").as("e"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val batch = graft.pipeline.Sketches.hllDistinct(
+        events.toDF().select(col("user_id").cast("string").as("v")),
+        col("v"))
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    assert(streamed === batch) // one 7-day window covers all events
+  }
+
   test("streamingRecords: record-day alerts only on strict new highs") {
     implicit val sqlCtx = spark.sqlContext
     def dt(day: Int, h: Int = 1) =
