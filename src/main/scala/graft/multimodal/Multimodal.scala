@@ -752,6 +752,61 @@ object Multimodal {
     media.withColumn(outCol, parse(col(payloadCol)))
   }
 
+  final case class ZipMeta(format: String, n_entries: Option[Int],
+      cd_size: Option[Long], cd_offset: Option[Long],
+      first_name: Option[String])
+
+  /** ======= REAL (codec-free) ======= ZIP inventory: find the
+    * End-Of-Central-Directory record by scanning BACKWARD from the tail
+    * (the EOCD floats in front of a variable-length archive comment —
+    * the part naive fixed-offset readers get wrong), read the entry
+    * count and central-directory size/offset, then verify the first
+    * central-directory header and lift its filename — the listing pass
+    * an ingest runs to decide whether an archive is worth extracting.
+    * No signature at cd_offset, a truncated tail, or an out-of-range
+    * directory degrade to `not_zip` with null fields. */
+  def withZipMeta(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "zip_meta"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) =>
+      def u(i: Int) = p(i) & 0xff
+      def u16(i: Int) = u(i) | (u(i + 1) << 8)
+      def u32(i: Int) = u(i).toLong | (u(i + 1).toLong << 8) |
+        (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+      val bad = ZipMeta("not_zip", None, None, None, None)
+      if (p == null || p.length < 22) bad
+      else {
+        // EOCD scan: last 22..22+65535 bytes; bounded by the payload
+        var at = -1
+        var i = p.length - 22
+        val floor = math.max(0, p.length - 22 - 65535)
+        while (at < 0 && i >= floor) {
+          if (u(i) == 0x50 && u(i + 1) == 0x4b && u(i + 2) == 0x05 &&
+              u(i + 3) == 0x06 &&
+              i + 22 + u16(i + 20) == p.length) // comment len must close
+            at = i
+          else i -= 1
+        }
+        if (at < 0) bad
+        else {
+          val n = u16(at + 10)
+          val cdSize = u32(at + 12)
+          val cdOff = u32(at + 16)
+          if (cdOff + cdSize > at || cdOff + 46 > p.length ||
+              u32(cdOff.toInt) != 0x02014b50L)
+            bad
+          else {
+            val fnLen = u16(cdOff.toInt + 28)
+            if (cdOff + 46 + fnLen > p.length) bad
+            else ZipMeta("zip", Some(n), Some(cdSize), Some(cdOff),
+              Some(new String(p.slice(cdOff.toInt + 46,
+                cdOff.toInt + 46 + fnLen), "US-ASCII")))
+          }
+        }
+      }
+    }
+    media.withColumn(outCol, parse(col(payloadCol)))
+  }
+
   final case class Mp3Meta(format: String, id3_version: Option[Int],
     tag_size: Option[Int], mpeg_version: Option[String],
     layer: Option[Int], bitrate_kbps: Option[Int],

@@ -6564,6 +6564,70 @@ object QueryCatalog {
       |  END AS rms
       |FROM documents""".stripMargin
 
+  /** m_zip — ZIP EOCD inventory
+    * ([[graft.multimodal.Multimodal.withZipMeta]]): real archives built
+    * IN-PLAN with `% 4 + 1` entries (35-byte local headers, 48-byte
+    * central entries); `% 11 == 3` archives carry a TRAILING COMMENT so
+    * the EOCD must be found by the backward scan, `% 5 == 2` payloads
+    * are gzip, `% 7 == 0` truncate the tail. Closed-form oracle. */
+  val mZip: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    def b(bytes: Int*) = lit(bytes.map(_.toByte).toArray)
+    def le32(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c.cast("long")), 8, "0")
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    def le16(c: org.apache.spark.sql.Column) = {
+      val hx = lpad(hex(c.cast("long")), 4, "0")
+      unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    val none = lit(Array.empty[Byte])
+    val n = (id % 4 + 1).cast("int")
+    def lfh(k: Int) = concat(b(0x50, 0x4b, 0x03, 0x04),
+      lit(Array.fill(22)(0.toByte)), le16(lit(2)), le16(lit(0)),
+      lit(s"f$k".getBytes), b(7, 7, 7))
+    def cde(k: Int) = concat(b(0x50, 0x4b, 0x01, 0x02),
+      lit(Array.fill(24)(0.toByte)), le16(lit(2)),
+      lit(Array.fill(16)(0.toByte)), lit(s"f$k".getBytes))
+    val locals = concat((0 until 4).map(k =>
+      when(lit(k) < n, lfh(k)).otherwise(none)): _*)
+    val cd = concat((0 until 4).map(k =>
+      when(lit(k) < n, cde(k)).otherwise(none)): _*)
+    val comment = when(id % 11 === 3, lit("trailing comment".getBytes))
+      .otherwise(none)
+    val eocd = concat(b(0x50, 0x4b, 0x05, 0x06), b(0, 0, 0, 0),
+      le16(n), le16(n), le32(n * 48), le32(n * 35),
+      le16(when(id % 11 === 3, 16).otherwise(0)), comment)
+    val zip = concat(locals, cd, eocd)
+    val gz = concat(b(0x1f, 0x8b, 8, 0), lit(Array.fill(20)(1.toByte)))
+    val payload = when(id % 5 === 2, gz)
+      .when(id % 7 === 0, substring(zip, 1, 30)).otherwise(zip)
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload", payload)
+    Multimodal.withZipMeta(media).select(id,
+      col("zip_meta.format").as("format"),
+      col("zip_meta.n_entries").as("n_entries"),
+      col("zip_meta.cd_size").as("cd_size"),
+      col("zip_meta.cd_offset").as("cd_offset"),
+      col("zip_meta.first_name").as("first_name"))
+  }
+
+  val mZipSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 2 OR doc_id % 7 = 0 THEN 'not_zip'
+      |       ELSE 'zip' END AS format,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0
+      |       THEN CAST(doc_id % 4 + 1 AS INTEGER) END AS n_entries,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0
+      |       THEN CAST((doc_id % 4 + 1) * 48 AS BIGINT) END AS cd_size,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0
+      |       THEN CAST((doc_id % 4 + 1) * 35 AS BIGINT) END AS cd_offset,
+      |  CASE WHEN doc_id % 5 <> 2 AND doc_id % 7 <> 0
+      |       THEN 'f0' END AS first_name
+      |FROM documents""".stripMargin
+
   /** m_ogg — Ogg/Vorbis identification-header parse
     * ([[graft.multimodal.Multimodal.withOggMeta]]): real BOS pages with
     * LE-64 granule positions and a segment-table-addressed first packet
@@ -7727,6 +7791,7 @@ object QueryCatalog {
     "m_mkv" -> mMkv,
     "m_gzip" -> mGzip,
     "m_wav_rms" -> mWavRms,
+    "m_zip" -> mZip,
     "m_video" -> mVideo,
     "m_corrupt" -> mCorrupt,
     "p_media_mix" -> pMediaMix,
@@ -7991,6 +8056,7 @@ object QueryCatalog {
     "m_mkv" -> mMkvSql,
     "m_gzip" -> mGzipSql,
     "m_wav_rms" -> mWavRmsSql,
+    "m_zip" -> mZipSql,
     "m_video" -> mVideoSql,
     "m_corrupt" -> mCorruptSql,
     "p_media_mix" -> pMediaMixSql,

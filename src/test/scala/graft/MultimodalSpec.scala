@@ -378,6 +378,44 @@ class MultimodalSpec extends AnyFunSuite {
       assert(out(i)._1 === "not_wav" && out(i)._2.isEmpty))
   }
 
+  test("withZipMeta: backward EOCD scan past a trailing comment") {
+    def le32(v: Long) = Seq((v & 0xff).toInt, ((v >> 8) & 0xff).toInt,
+      ((v >> 16) & 0xff).toInt, ((v >> 24) & 0xff).toInt)
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def lfh(name: String) = Seq(0x50, 0x4b, 0x03, 0x04) ++
+      Seq.fill(22)(0) ++ le16(name.length) ++ le16(0) ++
+      name.getBytes.map(_.toInt).toSeq ++ Seq(9, 9)
+    def cde(name: String) = Seq(0x50, 0x4b, 0x01, 0x02) ++
+      Seq.fill(24)(0) ++ le16(name.length) ++ Seq.fill(16)(0) ++
+      name.getBytes.map(_.toInt).toSeq
+    def zip(names: Seq[String], comment: String = ""): Array[Byte] = {
+      val locals = names.flatMap(lfh)
+      val cd = names.flatMap(cde)
+      (locals ++ cd ++ Seq(0x50, 0x4b, 0x05, 0x06) ++ Seq.fill(4)(0) ++
+        le16(names.size) ++ le16(names.size) ++ le32(cd.size) ++
+        le32(locals.size) ++ le16(comment.length) ++
+        comment.getBytes.map(_.toInt).toSeq).map(_.toByte).toArray
+    }
+    val rows = Seq(
+      (1L, zip(Seq("a.txt", "b.bin"))),
+      (2L, zip(Seq("only.dat"), comment = "made by graft")),
+      (3L, zip(Seq("x")).dropRight(5)),            // truncated EOCD
+      (4L, (Seq(0x1f, 0x8b, 8) ++ Seq.fill(30)(0)).map(_.toByte).toArray))
+    val out = Multimodal.withZipMeta(rows.toDF("doc_id", "payload"))
+      .select(col("doc_id"), col("zip_meta.format"),
+        col("zip_meta.n_entries"), col("zip_meta.cd_size"),
+        col("zip_meta.cd_offset"), col("zip_meta.first_name"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5))))).toMap
+    val l2 = 2 * (30 + 5 + 2)                       // two 5-char names
+    assert(out(1L) === (("zip", Some(2), Some(2L * 51), Some(l2.toLong),
+      Some("a.txt"))))
+    assert(out(2L)._1 === "zip" && out(2L)._5 === Some("only.dat"))
+    assert(out(3L)._1 === "not_zip")
+    assert(out(4L)._1 === "not_zip")
+  }
+
   test("withHeaderMeta parses all three WebP bitstream flavors") {
     def riff(chunk: Seq[Int]): Array[Byte] =
       ("RIFF".getBytes.map(_.toInt).toSeq ++ Seq(0, 0, 0, 0) ++
