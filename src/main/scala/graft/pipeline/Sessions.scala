@@ -118,6 +118,39 @@ object Sessions {
         round(col("users").cast("double") / col("cohort_size"), 6).as("rate"))
   }
 
+  /** Cohort LIFETIME-VALUE curve — [[retention]]'s revenue twin: per
+    * (signup-cohort week, week offset), the purchase revenue that week
+    * and the CUMULATIVE revenue per cohort user (the LTV curve a
+    * payback model reads). Cohort = first purchase week (the retention
+    * convention). Revenue sums route through DECIMAL(18,6) so the sum
+    * is order-independent — a double sum would be partitioning-
+    * dependent; the only float ops are the final round-4/round-6
+    * display casts. The cumulative window runs over the tiny
+    * (cohort × offsets) aggregate, never the raw stream. */
+  def cohortLtv(events: DataFrame, isPurchase: Column): DataFrame = {
+    val p = events.filter(isPurchase)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+        col("value").cast("decimal(18,6)").as("v"))
+    val cohorts = p.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    val agg = p.join(cohorts, "user_id")
+      .select(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"),
+        col("v"))
+      .groupBy("cohort", "week_offset")
+      .agg(sum("v").as("rev"))
+    val sizes = p.join(cohorts, "user_id")
+      .filter(col("wk") === col("cohort"))
+      .groupBy("cohort").agg(count_distinct(col("user_id")).as("cohort_size"))
+    val wCum = Window.partitionBy("cohort").orderBy("week_offset")
+    agg.withColumn("cum", sum("rev").over(wCum))
+      .join(sizes, "cohort")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("week_offset"),
+        round(col("rev").cast("double"), 4).as("revenue"),
+        round(col("cum").cast("double") / col("cohort_size"), 6)
+          .as("ltv_per_user"))
+  }
+
   /** Top event SEQUENCES (k-step paths) — the user-flow / Sankey input
     * of product analytics: per user, every run of k CONSECUTIVE events
     * in (ts, event_id) order forms a path string; paths count

@@ -3116,6 +3116,31 @@ object QueryCatalog {
       |  round(a.users::DOUBLE / s.cohort_size, 6) AS rate
       |FROM act a JOIN sz s USING (cohort)""".stripMargin
 
+  /** e_ltv — cohort lifetime-value curve
+    * ([[graft.pipeline.Sessions.cohortLtv]]): per (first-purchase-week
+    * cohort, week offset), that week's revenue and cumulative revenue
+    * per cohort user; DECIMAL revenue sums, float only at display. */
+  val eLtv: Q = (s, d) =>
+    graft.pipeline.Sessions.cohortLtv(Tables.events(s, d),
+      col("event_type") === "purchase")
+
+  val eLtvSql: String =
+    """WITH p AS (SELECT user_id, date_trunc('week', ts) AS wk,
+      |    CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |co AS (SELECT user_id, min(wk) AS cohort FROM p GROUP BY 1),
+      |a AS (SELECT c.cohort,
+      |    (date_diff('day', c.cohort, p.wk) // 7)::INT AS week_offset,
+      |    sum(p.v) AS rev
+      |  FROM p JOIN co c USING (user_id) GROUP BY 1, 2),
+      |sz AS (SELECT c.cohort, count(DISTINCT p.user_id) AS cohort_size
+      |  FROM p JOIN co c USING (user_id) WHERE p.wk = c.cohort GROUP BY 1)
+      |SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort, a.week_offset,
+      |  round(a.rev::DOUBLE, 4) AS revenue,
+      |  round((sum(a.rev) OVER (PARTITION BY a.cohort
+      |      ORDER BY a.week_offset))::DOUBLE / s.cohort_size, 6) AS ltv_per_user
+      |FROM a JOIN sz s ON a.cohort = s.cohort""".stripMargin
+
   /** e_spike — trailing-baseline daily volume anomalies
     * ([[graft.pipeline.Sessions.dailySpikes]]): each (event_type, day)
     * count vs the mean of its previous 7 full days, spike at >1.2×
@@ -7655,6 +7680,7 @@ object QueryCatalog {
     "e_spike" -> eSpike,
     "e_seasonality" -> eSeasonality,
     "e_lag" -> eLag,
+    "e_ltv" -> eLtv,
     "e_ewma" -> eEwma,
     "e_stickiness" -> eStickiness,
     "e_power" -> ePower,
@@ -7920,6 +7946,7 @@ object QueryCatalog {
     "e_spike" -> eSpikeSql,
     "e_seasonality" -> eSeasonalitySql,
     "e_lag" -> eLagSql,
+    "e_ltv" -> eLtvSql,
     "e_ewma" -> eEwmaSql,
     "e_stickiness" -> eStickinessSql,
     "e_power" -> ePowerSql,

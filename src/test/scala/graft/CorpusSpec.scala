@@ -469,6 +469,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(out === Map(0L -> ((1L, 250000L)), 2L -> ((1L, 500000L))))
   }
 
+  test("cohortLtv: decimal revenue sums, cumulative per-user curve") {
+    import java.sql.Timestamp
+    def t(day: Int) = new Timestamp(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day) // Monday
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    // cohort week0: u1 (10 + 20 in week1), u2 (5); one-user week1
+    // cohort: u3 (7)
+    val ev = Seq(
+      (1L, "purchase", t(0), 10.0), (1L, "purchase", t(8), 20.0),
+      (2L, "purchase", t(1), 5.0),
+      (3L, "purchase", t(8), 7.0),
+      (1L, "view", t(0), 99.0)) // non-purchase ignored
+      .toDF("user_id", "event_type", "ts", "value")
+    val out = Sessions.cohortLtv(ev, col("event_type") === "purchase")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(("2024-01-01", 0)) === ((15.0, 7.5)))   // (10+5)/2 users
+    assert(out(("2024-01-01", 1)) === ((20.0, 17.5)))  // cum 35/2
+    assert(out(("2024-01-08", 0)) === ((7.0, 7.0)))
+    assert(out.size === 3)
+  }
+
   test("ewmaSpikes: dyadic-weighted baseline, full-window gate, spike rule") {
     import java.sql.Timestamp
     def t(day: Int) = new Timestamp(
