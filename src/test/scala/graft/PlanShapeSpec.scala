@@ -198,6 +198,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"mojibakeScreen must not shuffle; plan:\n$plan2")
   }
 
+  test("d_bloom probes broadcast; q72 thresholds broadcast, no cartesian") {
+    // the Bloom bit set exists to be BROADCAST — a shuffled bit-set join
+    // would defeat the whole design (the base must never reshuffle)
+    val plan1 = executed(QueryCatalog.dBloom(spark, sf))
+    assert(plan1.contains("BroadcastHashJoin"),
+      s"the bit-set probes must broadcast; plan:\n$plan1")
+    // the 6-row threshold list joins the degree histograms broadcast —
+    // nested-loop is fine (range predicate), cartesian of histograms OK,
+    // but the EDGE table must never cross-join anything
+    val plan2 = executed(QueryCatalog.q72Richclub(spark, sf))
+    assert(plan2.contains("BroadcastNestedLoopJoin") ||
+      plan2.contains("BroadcastHashJoin"),
+      s"threshold joins must broadcast; plan:\n$plan2")
+  }
+
   test("g_b10_patpred plans the semi/anti joins, no cartesian product") {
     val plan = executed(QueryCatalog.gB10Patpred(spark, sf))
     assert(plan.contains("LeftSemi"),
