@@ -689,6 +689,35 @@ object Corpus {
         .otherwise(array().cast("array<bigint>"))).as("epoch"))
   }
 
+  /** Domain BLOCKLIST screen (the UT1/adult-filter step of web-corpus
+    * curation, FineWeb §3.1): a document is dropped when its URL host
+    * equals a blocked domain OR sits under one — suffix matching at
+    * LABEL boundaries ("ads.net" blocks "x.ads.net", never
+    * "notads.net"), implemented by exploding the host into its ≤label
+    * dot-suffixes and broadcast-joining the blocklist (host label count
+    * is bounded, the blocklist is small — zero corpus shuffles beyond
+    * the per-doc aggregate). Hosts are lowercased and scheme/path/
+    * port-stripped first. Emits (host, blocked_by, keep). */
+  def domainBlocklist(docs: DataFrame, url: Column,
+      blocked: Seq[String]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val host = lower(regexp_replace(regexp_replace(regexp_replace(
+      url.cast("string"), "^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+      "[/:?#].*$", ""), "\\.$", ""))
+    val base = docs.select(col("doc_id"), host.as("host"))
+    val sufs = base.select(col("doc_id"),
+      explode(expr("transform(sequence(1, size(split(host, '\\\\.'))), " +
+        "i -> array_join(slice(split(host, '\\\\.'), i, 1000), '.'))"))
+        .as("suf"))
+    val hit = sufs
+      .join(broadcast(blocked.toDF("blocked_domain")),
+        col("suf") === col("blocked_domain"))
+      .groupBy("doc_id").agg(min("blocked_domain").as("blocked_by"))
+    base.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("host"), col("blocked_by"),
+        col("blocked_by").isNull.cast("int").as("keep"))
+  }
+
   /** Cross-document boilerplate-line removal (the RefinedWeb/CCNet-style
     * filter): a line occurring in ≥ `minDocs` DISTINCT documents is
     * boilerplate (headers, footers, nav chrome) and is dropped from every

@@ -2303,6 +2303,39 @@ object QueryCatalog {
       |FROM cnt c JOIN tot t USING (phrase)
       |QUALIFY rank <= 20""".stripMargin
 
+  /** t_blocklist — domain blocklist screen
+    * ([[graft.pipeline.Corpus.domainBlocklist]]): URLs synthesized
+    * IN-PLAN (the d_url_dedup pattern) with mixed-case schemes/labels,
+    * 0-2 subdomain levels and two TLD families; the blocklist blocks
+    * one whole TLD family by SUFFIX (`ads.net`) and one exact source
+    * host (`src3.example.com`), plus a never-matching entry. Closed-
+    * form oracle predicts every verdict. */
+  val tBlocklist: Q = (s, d) => {
+    val id = col("doc_id")
+    val aug = Tables.documents(s, d).withColumn("url",
+      concat(lit("HTTPS://"),
+        when(id % 3 === 0, lit("")).when(id % 3 === 1, lit("SUB."))
+          .otherwise(lit("deep.Sub.")),
+        col("source"),
+        when(id % 4 === 0, lit(".ads.net")).otherwise(lit(".example.com")),
+        lit("/p/"), id.cast("string")))
+    Corpus.domainBlocklist(aug, col("url"),
+      Seq("ads.net", "src3.example.com", "tracker.io"))
+  }
+
+  val tBlocklistSql: String =
+    """SELECT doc_id,
+      |  lower((CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'SUB.'
+      |         ELSE 'deep.Sub.' END)
+      |    || source
+      |    || CASE WHEN doc_id % 4 = 0 THEN '.ads.net'
+      |            ELSE '.example.com' END) AS host,
+      |  CASE WHEN doc_id % 4 = 0 THEN 'ads.net'
+      |       WHEN source = 'src3' THEN 'src3.example.com' END AS blocked_by,
+      |  (CASE WHEN doc_id % 4 = 0 OR source = 'src3' THEN 0
+      |        ELSE 1 END)::INT AS keep
+      |FROM documents""".stripMargin
+
   /** t_gopher — [[graft.pipeline.Corpus.gopherScreen]], the published
     * Gopher rule screen. The corpus is single-line, so some documents
     * are augmented IN-PLAN (the st_screen/m_headers pattern: real
@@ -7848,6 +7881,7 @@ object QueryCatalog {
     "t_c4" -> tC4,
     "t_mojibake" -> tMojibake,
     "t_rake" -> tRake,
+    "t_blocklist" -> tBlocklist,
     "q53_hits_gx" -> q53HitsGx,
     "q54_distdist" -> q54DistDist,
   )
@@ -8114,6 +8148,7 @@ object QueryCatalog {
     "t_c4" -> tC4Sql,
     "t_mojibake" -> tMojibakeSql,
     "t_rake" -> tRakeSql,
+    "t_blocklist" -> tBlocklistSql,
     "q53_hits_gx" -> q53HitsSql,
     "q54_distdist" -> q54DistDistSql,
   )

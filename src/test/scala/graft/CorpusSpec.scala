@@ -491,6 +491,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.size === 3)
   }
 
+  test("domainBlocklist: label-boundary suffixes, case/scheme folding") {
+    val docs = Seq(
+      (1L, "https://x.ads.net/page"),       // suffix match
+      (2L, "HTTP://ADS.NET:8080/q?a=1"),    // exact + case + port
+      (3L, "https://notads.net/"),          // NOT a label boundary
+      (4L, "https://safe.example.com/p"),
+      (5L, "https://ads.net.evil.org/")     // blocked domain mid-host: keep
+    ).toDF("doc_id", "url")
+    val out = Corpus.domainBlocklist(docs, col("url"), Seq("ads.net"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), r.getInt(3)))).toMap
+    assert(out(1L) === (("x.ads.net", Some("ads.net"), 0)))
+    assert(out(2L) === (("ads.net", Some("ads.net"), 0)))
+    assert(out(3L) === (("notads.net", None, 1)))
+    assert(out(4L) === (("safe.example.com", None, 1)))
+    assert(out(5L) === (("ads.net.evil.org", None, 1)))
+  }
+
   test("ewmaSpikes: dyadic-weighted baseline, full-window gate, spike rule") {
     import java.sql.Timestamp
     def t(day: Int) = new Timestamp(
