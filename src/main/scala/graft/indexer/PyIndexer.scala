@@ -620,6 +620,13 @@ object PyIndexer {
     ("""^\s*assert\s+isinstance\s*\(\s*([A-Za-z_]\w*)\s*,\s*""" +
       """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\)""").r
 
+  /** `y = d.setdefault(k, default)` — the get-or-insert idiom (C3 slice
+    * 53): on an empty-dict build-up the default infers the VALUE type,
+    * and the target reads it (typeshed's `setdefault(…) -> _VT`). */
+  private val setdefaultCall: Regex =
+    ("""^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\.\s*setdefault\s*""" +
+      """\(\s*[^,()]+,\s*(.+)\)\s*$""").r
+
   /** `y = max(xs)` / `y = min(xs)` — builtin element reads (C3 slice
     * 52): typeshed's Iterable[T] → T signatures, so the target binds
     * the container's element type. Bare-name args only (a keyed
@@ -2072,6 +2079,18 @@ object PyIndexer {
                 !fn.valueLocals.contains(m.group(1)))
               .foreach(m => writeType(m.group(2))
                 .foreach(t => fn.valueLocals(m.group(1)) = t))
+            // C3 slice 53: `y = d.setdefault(k, Ctor())` — BOTH a write
+            // and a read: on an empty-dict build-up it infers the VALUE
+            // type (jedi's setdefault(…) -> _VT overload), and the
+            // target binds that value type either way
+            setdefaultCall.findFirstMatchIn(line).foreach { m =>
+              if (fn.emptyContainers.contains(m.group(2)) &&
+                  !fn.valueLocals.contains(m.group(2)))
+                writeType(m.group(3))
+                  .foreach(t => fn.valueLocals(m.group(2)) = t)
+              fn.valueLocals.get(m.group(2))
+                .foreach(t => fn.locals(m.group(1)) = t)
+            }
             // A9 LOCAL: `with … as x` as-targets are definitions inside
             // the callable (same reference path as assignment targets)
             if (withStmt.matches(line) &&

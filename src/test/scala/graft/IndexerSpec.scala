@@ -1385,6 +1385,34 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.exists(_._2.endsWith("mystery")))
   }
 
+  test("C3 slice 53: setdefault infers dict content and binds the read") {
+    val src =
+      """class Helper:
+        |    def ping(self):
+        |        return 1
+        |
+        |def build_up():
+        |    d = {}
+        |    h = d.setdefault("k", Helper())
+        |    return h.ping()
+        |
+        |def read_typed(d: dict[str, Helper]):
+        |    h = d.setdefault("k", None)
+        |    return h.ping()
+        |
+        |def untyped(d):
+        |    h = d.setdefault("k", 1)
+        |    return h.mystery()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "sd.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("sd.build_up", "sd.Helper")))
+    assert(calls.contains(("sd.build_up", "sd.Helper.ping")))
+    assert(calls.contains(("sd.read_typed", "sd.Helper.ping")))
+    assert(!calls.exists(_._2.endsWith("mystery")))
+  }
+
   test("C3 slice 45: the open builtin binds when nothing shadows it") {
     val src =
       """def reads(name):
