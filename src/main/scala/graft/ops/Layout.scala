@@ -39,6 +39,28 @@ object Layout {
       GraftExpressions.expr(b.cast("long")), bits))
   }
 
+  /** Deterministic SHARD MANIFEST — the integrity artifact a training
+    * run ships next to its shards: per shard, the doc count, total
+    * characters, an ORDER-INDEPENDENT content checksum (sum of the
+    * portable rolling hashes — addition commutes, so the manifest is
+    * identical under any partitioning or write order), and the id
+    * range. A reader re-derives the manifest and compares — corruption,
+    * truncation, or a nondeterministic upstream shows up as a checksum
+    * mismatch before any training step runs. One groupBy on the
+    * ≤`shards`-row key after [[shardAssign]]'s assignment. */
+  def shardManifest(docs: DataFrame, shards: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    val content = docs.select(col("doc_id"), col("n_chars"),
+      TextFunctions.rollingHash(TextFunctions.normalize(col("text"))).as("h"))
+    shardAssign(docs, shards).select(col("doc_id"), col("shard"))
+      .join(content, "doc_id")
+      .groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"),
+        sum("h").cast("long").as("hash_sum"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+  }
+
   /** Equal-width integer bucketizer: value // width, capped to the
     * 2^bits-1 top bucket. Integer division keeps the key exactly
     * replayable by any engine (a float-range bucketizer would hinge on

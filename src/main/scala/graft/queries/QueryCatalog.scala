@@ -3286,6 +3286,24 @@ object QueryCatalog {
       |  (CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END)::INT AS shard
       |FROM r""".stripMargin
 
+  /** p_manifest — deterministic shard manifests
+    * ([[graft.ops.Layout.shardManifest]]): per shard the doc count,
+    * total chars, an order-independent rolling-hash checksum and the
+    * id range — the integrity artifact shipped next to training
+    * shards. The oracle nests the serpentine assignment. */
+  val pManifest: Q = (s, d) =>
+    graft.ops.Layout.shardManifest(Tables.documents(s, d), shards = 8)
+
+  lazy val pManifestSql: String =
+    s"""WITH asg AS ($pShardSql),
+       |c AS (SELECT doc_id, n_chars, $rollhNorm AS h FROM documents)
+       |SELECT a.shard, count(*)::BIGINT AS n_docs,
+       |  sum(c.n_chars)::BIGINT AS total_chars,
+       |  sum(c.h)::BIGINT AS hash_sum,
+       |  min(c.doc_id) AS min_doc, max(c.doc_id) AS max_doc
+       |FROM asg a JOIN c ON a.doc_id = c.doc_id
+       |GROUP BY a.shard""".stripMargin
+
   /** e_basket — market-basket association rules over order baskets
     * ([[graft.pipeline.Sessions.basketRules]]): both directed rules per
     * co-purchased pair, integer-ppm support, round-6 confidence/lift,
@@ -7720,6 +7738,7 @@ object QueryCatalog {
     "e_basket" -> eBasket,
     "e_holt" -> eHolt,
     "p_shard" -> pShard,
+    "p_manifest" -> pManifest,
     "e_ab_test" -> eAbTest,
     "e_markov" -> eMarkov,
     "e_lifecycle" -> eLifecycle,
@@ -7987,6 +8006,7 @@ object QueryCatalog {
     "e_basket" -> eBasketSql,
     "e_holt" -> eHoltSql,
     "p_shard" -> pShardSql,
+    "p_manifest" -> pManifestSql,
     "e_ab_test" -> eAbTestSql,
     "e_markov" -> eMarkovSql,
     "e_lifecycle" -> eLifecycleSql,

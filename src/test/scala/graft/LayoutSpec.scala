@@ -61,4 +61,27 @@ class LayoutSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toMap
     assert(t === Map(10L -> 0, 11L -> 1, 12L -> 1, 13L -> 0, 14L -> 0))
   }
+
+  test("shardManifest: checksum is partitioning/order independent") {
+    val docs = (1L to 40L)
+      .map(i => (i, s"document body $i", 10 + (i % 7)))
+      .toDF("doc_id", "text", "n_chars")
+    val m1 = Layout.shardManifest(docs, shards = 4)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // a different physical layout must produce the identical manifest
+    val m2 = Layout.shardManifest(docs.repartition(7).sortWithinPartitions(
+        org.apache.spark.sql.functions.col("text")), shards = 4)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(m1 === m2)
+    assert(m1.map(_._2).sum === 40L)        // every doc in exactly one shard
+    // a corrupted doc flips its shard's checksum and no other
+    val corrupted = docs.withColumn("text",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("doc_id") === 17L,
+        org.apache.spark.sql.functions.lit("CORRUPTED"))
+        .otherwise(org.apache.spark.sql.functions.col("text")))
+    val m3 = Layout.shardManifest(corrupted, shards = 4)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(m1.zip(m3).count { case (a, b) => a._4 != b._4 } === 1)
+  }
 }
