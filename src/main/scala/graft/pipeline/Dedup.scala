@@ -427,29 +427,63 @@ object Dedup {
     * and routes hits to the exact path. All hashes are the engine-
     * portable rolling hash — the filter is REPLAYABLE, not a binary
     * blob, so any engine (or the oracle) can rebuild bit-for-bit. */
-  def bloomDedup(base: DataFrame, batch: DataFrame,
-      mBits: Int = 4096): DataFrame = {
+  private def bloomH(df: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
-    def h(df: DataFrame) = df.select(col("doc_id"),
+    df.select(col("doc_id"),
       TextFunctions.rollingHash(TextFunctions.normalize(col("text"))).as("h"))
-    def p1(c: Column) = c % mBits
-    def p2(c: Column) = ((c * 1103515245L + 12345L) % 2147483647L) % mBits
-    val baseH = h(base)
-    val bits = baseH
-      .select(explode(array(p1(col("h")), p2(col("h")))).as("bit"))
-      .distinct().withColumn("present", lit(1))
-    val b = h(batch).select(col("doc_id"), col("h"),
-      p1(col("h")).as("b1"), p2(col("h")).as("b2"))
-    b.join(broadcast(bits.select(col("bit").as("b1"), col("present").as("m1"))),
-        Seq("b1"), "left")
-      .join(broadcast(bits.select(col("bit").as("b2"), col("present").as("m2"))),
-        Seq("b2"), "left")
-      .join(baseH.select(col("h")).distinct().withColumn("t", lit(1)), Seq("h"),
-        "left")
-      .select(col("doc_id"),
-        (col("m1").isNotNull && col("m2").isNotNull).cast("int").as("maybe_dup"),
-        col("t").isNotNull.cast("int").as("true_dup"))
   }
+  private def bloomP1(c: Column, mBits: Int): Column = c % mBits
+  private def bloomP2(c: Column, mBits: Int): Column =
+    ((c * 1103515245L + 12345L) % 2147483647L) % mBits
+
+  /** Build the ≤`mBits`-row bit set from the base corpus — the BUILD-ONCE
+    * half of the Bloom screen: one aggregation over the base, persisted
+    * as a derived table (the knngraph5/scclabels shape) and re-read per
+    * ingest batch, so the per-batch screen touches the base ZERO times. */
+  def bloomBits(base: DataFrame, mBits: Int = 4096): DataFrame =
+    bloomH(base)
+      .select(explode(array(bloomP1(col("h"), mBits),
+        bloomP2(col("h"), mBits))).as("bit"))
+      .distinct().withColumn("present", lit(1))
+
+  /** SCREEN-ONLY path — the shape production actually runs per batch:
+    * probe a PREBUILT bit set (from [[bloomBits]], typically a parquet
+    * scan of the persisted filter) with two broadcast joins. The batch
+    * never shuffles and the base is never touched — the physical plan is
+    * scan → broadcast-probe → broadcast-probe with no hash Exchange
+    * (PlanShapeSpec pins this). Emits (doc_id, h, maybe_dup); hits route
+    * to [[bloomVerify]] for the exact check. */
+  def bloomScreen(bits: DataFrame, batch: DataFrame,
+      mBits: Int = 4096): DataFrame =
+    bloomH(batch)
+      .select(col("doc_id"), col("h"),
+        bloomP1(col("h"), mBits).as("b1"), bloomP2(col("h"), mBits).as("b2"))
+      .join(broadcast(bits.select(col("bit").as("b1"),
+        col("present").as("m1"))), Seq("b1"), "left")
+      .join(broadcast(bits.select(col("bit").as("b2"),
+        col("present").as("m2"))), Seq("b2"), "left")
+      .select(col("doc_id"), col("h"),
+        (col("m1").isNotNull && col("m2").isNotNull).cast("int").as("maybe_dup"))
+
+  /** EXACT verification of screen survivors: only rows the Bloom screen
+    * flagged (`maybe_dup = 1` — an FP-rate-sized subset, not the batch)
+    * join base fingerprints; screen misses are true negatives by the
+    * filter's no-false-negative guarantee and never touch the base. */
+  def bloomVerify(baseH: DataFrame, screened: DataFrame): DataFrame = {
+    val hits = screened.filter(col("maybe_dup") === 1)
+      .join(baseH.select(col("h")).distinct().withColumn("t", lit(1)),
+        Seq("h"), "left")
+      .select(col("doc_id"), col("maybe_dup"),
+        col("t").isNotNull.cast("int").as("true_dup"))
+    val misses = screened.filter(col("maybe_dup") === 0)
+      .select(col("doc_id"), col("maybe_dup"),
+        lit(0).cast("int").as("true_dup"))
+    hits.unionByName(misses)
+  }
+
+  def bloomDedup(base: DataFrame, batch: DataFrame,
+      mBits: Int = 4096): DataFrame =
+    bloomVerify(bloomH(base), bloomScreen(bloomBits(base, mBits), batch, mBits))
 
   /** SOFT dedup — down-WEIGHT duplicates instead of dropping them (the
     * SoftDeDup idea: hard removal loses the signal that popular text

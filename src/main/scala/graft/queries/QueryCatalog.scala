@@ -6061,6 +6061,20 @@ object QueryCatalog {
       docs.filter(col("doc_id") % 2 === 1))
   }
 
+  /** d_bloom_screen — the SCREEN-ONLY Bloom path, the shape production
+    * runs per ingest batch ([[graft.pipeline.Dedup.bloomScreen]]): probe
+    * the PERSISTED bit-set derived table ([[GraphTables.bloomBits4096]],
+    * built once per corpus version) with two broadcast joins — the batch
+    * never shuffles and the base is never touched (PlanShapeSpec pins
+    * zero hash Exchange). The oracle rebuilds the same filter from the
+    * base (its luxury at test scale). */
+  val dBloomScreen: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.bloomScreen(GraphTables.bloomBits4096(s, d),
+        docs.filter(col("doc_id") % 2 === 1))
+      .select(col("doc_id"), col("maybe_dup"))
+  }
+
   private lazy val rollhNorm: String = rollhOf(s"($normSql)")
 
   lazy val dBloomSql: String =
@@ -6079,6 +6093,22 @@ object QueryCatalog {
        |        THEN 1 ELSE 0 END)::INT AS maybe_dup,
        |  (CASE WHEN EXISTS (SELECT 1 FROM base WHERE base.h = b.h)
        |        THEN 1 ELSE 0 END)::INT AS true_dup
+       |FROM b""".stripMargin
+
+  lazy val dBloomScreenSql: String =
+    s"""WITH fp AS (SELECT doc_id, $rollhNorm AS h FROM documents),
+       |base AS MATERIALIZED (SELECT h FROM fp WHERE doc_id % 2 = 0),
+       |bits AS MATERIALIZED (SELECT DISTINCT bit FROM (
+       |  SELECT h % 4096 AS bit FROM base
+       |  UNION ALL
+       |  SELECT ((h * 1103515245 + 12345) % 2147483647) % 4096 FROM base)),
+       |b AS (SELECT doc_id, h % 4096 AS b1,
+       |    ((h * 1103515245 + 12345) % 2147483647) % 4096 AS b2
+       |  FROM fp WHERE doc_id % 2 = 1)
+       |SELECT doc_id,
+       |  (CASE WHEN EXISTS (SELECT 1 FROM bits WHERE bit = b.b1)
+       |         AND EXISTS (SELECT 1 FROM bits WHERE bit = b.b2)
+       |        THEN 1 ELSE 0 END)::INT AS maybe_dup
        |FROM b""".stripMargin
 
   /** p_zorder — Z-order clustering key over (n_chars, lang)
@@ -7716,6 +7746,7 @@ object QueryCatalog {
     "d_dup_clusters" -> dDupClusters,
     "d_softdedup" -> dSoftdedup,
     "d_bloom" -> dBloom,
+    "d_bloom_screen" -> dBloomScreen,
     "d_simhash" -> dSimhash,
     "s_cosine_topk" -> sCosineTopK,
     "s_mmr" -> sMmr,
@@ -7984,6 +8015,7 @@ object QueryCatalog {
     "d_dup_clusters" -> dDupClustersSql,
     "d_softdedup" -> dSoftdedupSql,
     "d_bloom" -> dBloomSql,
+    "d_bloom_screen" -> dBloomScreenSql,
     "d_simhash" -> dSimhashSql,
     "s_cosine_topk" -> sCosineTopKSql,
     "s_mmr" -> sMmrSql,

@@ -353,6 +353,20 @@ object GraphTables {
         .repartition(col("v")).sortWithinPartitions("v")
     }
 
+  /** The persisted ≤4096-row Bloom bit set over the even-doc_id base
+    * corpus — the BUILD-ONCE artifact of the d_bloom ingest screen
+    * ([[graft.pipeline.Dedup.bloomBits]]), persisted through the same
+    * fingerprinted versioned layout as the other derived tables: the
+    * base is aggregated ONCE per corpus version; every batch screen
+    * after that is a parquet scan + two broadcast probes with ZERO
+    * base-side work (PlanShapeSpec pins the no-Exchange shape). */
+  def bloomBits4096(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "bloombits") {
+      graft.pipeline.Dedup.bloomBits(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0), mBits = 4096)
+        .repartition(1).sortWithinPartitions("bit")
+    }
+
   /** The undirected co-purchase graph in canonical form — (src, dst, w)
     * with src < dst and w = number of shared orders, kept when w ≥ 2.
     * Deriving it is a lineitem self-join (the most expensive graph-table

@@ -376,6 +376,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"knnGraph5 must be a materialized parquet scan; scans:\n${scans.mkString("\n")}")
   }
 
+  test("d_bloom_screen: persisted bit-set scan + broadcast probes, zero " +
+      "hash Exchange (the base is never touched per batch)") {
+    val df = QueryCatalog.dBloomScreen(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the per-batch screen must not shuffle anything; plan:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the bit set must broadcast; plan:\n$plan")
+    val scans = fileScans(df.queryExecution.executedPlan)
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(scans.exists(_.contains("bloombits")),
+      s"the filter must come from the persisted bloombits derived table, " +
+        s"not a base aggregation; scans:\n${scans.mkString("\n")}")
+    assert(scans.count(_.contains("documents")) === 1,
+      s"only the batch side may scan documents; scans:\n${scans.mkString("\n")}")
+  }
+
   test("p_shard: rank windows stay size-partitioned, buckets broadcast") {
     val plan = executed(QueryCatalog.pShard(spark, sf))
     // the scale argument: NO corpus-wide single-partition row_number —
