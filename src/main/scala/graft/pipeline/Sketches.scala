@@ -87,10 +87,12 @@ object Sketches {
     * Registers max-merge, so the groupBy is partial-agg friendly and
     * sketches union by register max — O(m) state. The estimate keeps
     * Σ2^(32−ρ_j) as an EXACT integer (common denominator 2³²) so the
-    * only float op is the final α·m²·2³²/S division — one identical
-    * IEEE op sequence, round-4. Raw estimator only (the gate's
-    * cardinality sits far above the 2.5m linear-counting switch; the
-    * zero-register count is emitted so a caller CAN apply it). */
+    * only float ops are the final α·m²·2³²/S division and — in the
+    * small-n regime (raw ≤ 2.5m with empty registers, Flajolet §4) —
+    * the LINEAR-COUNTING correction m·ln(m/V): identical IEEE op
+    * sequences in both engines, round-4. The raw/corrected switch
+    * compares the UNROUNDED raw estimate against 2.5m, so both engines
+    * branch on the same double. */
   def hllDistinct(df: DataFrame, c: Column, m: Int = 16): DataFrame = {
     require(m == 16, "alpha is pinned for m = 16 (0.673)")
     val h0 = TextFunctions.rollingHash(c)
@@ -103,20 +105,25 @@ object Sketches {
       .groupBy("bucket").agg(max("rho").as("rho_max"))
     val all = df.sparkSession.range(m).select(col("id").as("bucket"))
       .join(regs, Seq("bucket"), "left").na.fill(0, Seq("rho_max"))
+    val raw = lit(673L * m * m * 4294967296L).cast("double") /
+      (lit(1000L) * col("s_scaled"))
     all.agg(
         expr("sum(shiftleft(CAST(1 AS BIGINT), 32 - rho_max))").as("s_scaled"),
         expr("sum(CASE WHEN rho_max = 0 THEN 1 ELSE 0 END)")
           .cast("int").as("zero_regs"))
       .select(lit(m).as("m"), col("s_scaled").cast("long").as("s_scaled"),
         col("zero_regs"),
-        round(lit(673L * m * m * 4294967296L).cast("double")
-          / (lit(1000L) * col("s_scaled")), 4).as("est_hll"))
+        round(when(col("zero_regs") > 0 && raw <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("zero_regs")))
+          .otherwise(raw), 4).as("est_hll"))
   }
 
   /** Per-group [[hllDistinct]] — one register SET per group key. The
     * missing-register densification is algebraic, not a join: absent
     * buckets contribute 2³² each, so S = Σ_present 2^(32−ρ) +
-    * (m − present)·2³² — the per-group aggregate never fans out. */
+    * (m − present)·2³² — the per-group aggregate never fans out. Same
+    * linear-counting small-n correction as the ungrouped form (V =
+    * m − present, since a present bucket always has ρ ≥ 1). */
   def hllDistinctBy(df: DataFrame, group: Column, c: Column,
       m: Int = 16): DataFrame = {
     require(m == 16, "alpha is pinned for m = 16 (0.673)")
@@ -127,15 +134,33 @@ object Sketches {
         when(col("w") === 0, 32)
           .otherwise(lit(32) - length(bin(col("w")))).cast("int").as("rho"))
       .groupBy("g", "bucket").agg(max("rho").as("rho_max"))
+    val raw = lit(673L * m * m * 4294967296L).cast("double") /
+      (lit(1000L) * col("s_scaled"))
     rho.groupBy("g").agg(
         expr("sum(shiftleft(CAST(1 AS BIGINT), 32 - rho_max))").as("sp"),
         count(lit(1)).as("nb"))
       .select(col("g"),
         (col("sp") + (lit(m.toLong) - col("nb")) * lit(4294967296L))
-          .cast("long").as("s_scaled"))
+          .cast("long").as("s_scaled"),
+        (lit(m) - col("nb")).cast("int").as("zero_regs"))
       .select(col("g"), col("s_scaled"),
-        round(lit(673L * m * m * 4294967296L).cast("double")
-          / (lit(1000L) * col("s_scaled")), 4).as("est_hll"))
+        round(when(col("zero_regs") > 0 && raw <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("zero_regs")))
+          .otherwise(raw), 4).as("est_hll"))
+  }
+
+  /** Pure-Scala estimate from an m-register HLL vector — the executable
+    * spec of [[hllDistinct]]'s final arithmetic (raw estimator +
+    * linear-counting small-n correction), shared by the streaming sketch
+    * so stream emits hash-match the batch oracle: identical IEEE op
+    * sequence + BigDecimal HALF_UP round-4 (= Spark's `round`). */
+  def hllEstimateSpec(regs: Seq[Int]): (Long, Double) = {
+    val m = regs.length
+    val s = regs.map(r => 1L << (32 - r)).sum
+    val raw = (673L * m * m * 4294967296L).toDouble / (1000L * s)
+    val v = regs.count(_ == 0)
+    val e0 = if (v > 0 && raw <= 2.5 * m) m * math.log(m.toDouble / v) else raw
+    (s, BigDecimal(e0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   def cmsTopK(df: DataFrame, c: Column, width: Int, k: Int): DataFrame = {

@@ -1199,7 +1199,11 @@ object QueryCatalog {
        |  FROM regs)
        |SELECT 16::INT AS m, s_scaled::BIGINT AS s_scaled,
        |  zero_regs::INT AS zero_regs,
-       |  round((673 * 256 * 4294967296)::DOUBLE / (1000 * s_scaled), 4) AS est_hll
+       |  round(CASE WHEN zero_regs > 0 AND
+       |      (673 * 256 * 4294967296)::DOUBLE / (1000 * s_scaled) <= 40.0
+       |    THEN 16.0 * ln(16.0 / zero_regs)
+       |    ELSE (673 * 256 * 4294967296)::DOUBLE / (1000 * s_scaled) END, 4)
+       |    AS est_hll
        |FROM s""".stripMargin
   }
 
@@ -1221,9 +1225,14 @@ object QueryCatalog {
        |  max(CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END) AS rho_max
        |  FROM r GROUP BY 1, 2),
        |s AS (SELECT g, sum(1::BIGINT << (32 - rho_max)::INT)
-       |    + (16 - count(*)) * 4294967296 AS s_scaled FROM rho GROUP BY g)
+       |    + (16 - count(*)) * 4294967296 AS s_scaled,
+       |    (16 - count(*))::INT AS zero_regs FROM rho GROUP BY g)
        |SELECT g AS segment, s_scaled::BIGINT AS s_scaled,
-       |  round((673 * 256 * 4294967296)::DOUBLE / (1000 * s_scaled), 4) AS est_hll
+       |  round(CASE WHEN zero_regs > 0 AND
+       |      (673 * 256 * 4294967296)::DOUBLE / (1000 * s_scaled) <= 40.0
+       |    THEN 16.0 * ln(16.0 / zero_regs)
+       |    ELSE (673 * 256 * 4294967296)::DOUBLE / (1000 * s_scaled) END, 4)
+       |    AS est_hll
        |FROM s""".stripMargin
   }
 
@@ -7457,8 +7466,11 @@ object QueryCatalog {
       .select(unix_micros(col("window_start")).as("ws_us"),
         col("s_scaled"), col("est_hll"))
       .groupBy(col("ws_us"))
+      // most-converged emit per window: s_scaled strictly shrinks as
+      // registers grow, while est is NOT monotone across the r12
+      // linear-counting crossover — min_by, not max(est)
       .agg(min(col("s_scaled")).as("s_scaled"),
-        max(col("est_hll")).as("est_hll"))
+        min_by(col("est_hll"), col("s_scaled")).as("est_hll"))
   }
 
   val stHllSql: String = {
@@ -7473,9 +7485,14 @@ object QueryCatalog {
        |  max(CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END) AS rho_max
        |  FROM r GROUP BY 1, 2),
        |s AS (SELECT ws_us, sum(1::BIGINT << (32 - rho_max)::INT)
-       |    + (16 - count(*)) * 4294967296 AS s_scaled FROM rho GROUP BY ws_us)
+       |    + (16 - count(*)) * 4294967296 AS s_scaled,
+       |    (16 - count(*))::INT AS zero_regs FROM rho GROUP BY ws_us)
        |SELECT ws_us, s_scaled::BIGINT AS s_scaled,
-       |  round((673 * 256 * 4294967296)::DOUBLE / (1000 * s_scaled), 4) AS est_hll
+       |  round(CASE WHEN zero_regs > 0 AND
+       |      (673 * 256 * 4294967296)::DOUBLE / (1000 * s_scaled) <= 40.0
+       |    THEN 16.0 * ln(16.0 / zero_regs)
+       |    ELSE (673 * 256 * 4294967296)::DOUBLE / (1000 * s_scaled) END, 4)
+       |    AS est_hll
        |FROM s""".stripMargin
   }
 

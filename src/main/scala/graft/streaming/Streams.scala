@@ -721,13 +721,16 @@ object Streams {
     * state): per window the state is the fixed m=16 register vector —
     * registers merge by MAX, so the converged result is independent of
     * batch boundaries and stream ≡ batch holds by construction (the
-    * st_cms addition argument, with max instead of +). Estimates only
-    * grow as registers grow, so the final value per window is the max
-    * emit. The estimate arithmetic is the batch operator's exact IEEE
-    * op sequence + BigDecimal HALF_UP round-4 (= Spark's round), so
-    * streamed rows hash-match the batch oracle. NoTimeout default for
-    * the AvailableNow harness; production passes EventTimeTimeout (the
-    * [[streamingKmvDistinct]] posture). */
+    * st_cms addition argument, with max instead of +). Estimates grow
+    * monotonically in the raw regime; the linear-counting correction
+    * (r12) breaks that monotonicity at the 2.5m crossover, so consumers
+    * pick the most-converged emit by MIN s_scaled (strictly
+    * non-increasing as registers grow), not max estimate. The estimate
+    * arithmetic is [[graft.pipeline.Sketches.hllEstimateSpec]] — the
+    * batch operator's exact IEEE op sequence + BigDecimal HALF_UP
+    * round-4 (= Spark's round) — so streamed rows hash-match the batch
+    * oracle. NoTimeout default for the AvailableNow harness; production
+    * passes EventTimeTimeout (the [[streamingKmvDistinct]] posture). */
   def streamingHllDistinct(events: DataFrame,
       valueCol: org.apache.spark.sql.Column,
       window: String = "7 days", watermark: String = "10 minutes",
@@ -736,12 +739,8 @@ object Streams {
     val spark = events.sparkSession
     import spark.implicits._
     val m = 16
-    def est(regs: Seq[Int]): (Long, Double) = {
-      val s = regs.map(r => 1L << (32 - r)).sum
-      val e = BigDecimal((673L * m * m * 4294967296L).toDouble / (1000L * s))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (s, e)
-    }
+    def est(regs: Seq[Int]): (Long, Double) =
+      graft.pipeline.Sketches.hllEstimateSpec(regs)
     events
       .withWatermark("ts", watermark)
       .select(org.apache.spark.sql.functions.window(col("ts"), window)

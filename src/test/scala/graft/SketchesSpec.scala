@@ -57,4 +57,35 @@ class SketchesSpec extends AnyFunSuite {
     assert(est2.getDouble(3) === e)
     assert(est2.getLong(1) === est.getLong(1)) // identical registers
   }
+
+  test("hllDistinct: linear-counting correction makes n≈m estimates " +
+      "accurate (raw estimator alone is biased high at small n)") {
+    import graft.pipeline.Sketches
+    // small-n regime: n near m = 16 — the raw estimator's bias zone
+    for (n <- Seq(1, 4, 10, 16)) {
+      val df = (1 to n).map(i => s"item-$i-${i * 13}").toDF("v")
+      val row = Sketches.hllDistinct(df, col("v")).collect()(0)
+      val v = row.getInt(2) // zero_regs
+      val e = row.getDouble(3)
+      // the in-plan estimate must be the linear-counting value
+      // (V > 0 is guaranteed at n ≤ m: at most n registers are hit)
+      val expected = BigDecimal(16.0 * math.log(16.0 / v))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(e === expected, s"n=$n: expected lc $expected, got $e")
+      // and it must actually be accurate: |est − n| within ~2·sqrt(m)
+      assert(math.abs(e - n) <= 8, s"n=$n: lc estimate $e off by > 8")
+      // matches the pure-Scala executable spec (streaming shares it)
+      val regs = Array.fill(16)(0)
+      (1 to n).map(i => s"item-$i-${i * 13}").foreach { s =>
+        val h = Sketches.rollingHashScala(s)
+        val w = (h * 1103515245L + 12345L) % Sketches.P
+        val rho = if (w == 0) 32 else 32 - java.lang.Long.toBinaryString(w).length
+        val b = (h % 16).toInt
+        regs(b) = math.max(regs(b), rho)
+      }
+      val (ss, es) = Sketches.hllEstimateSpec(regs.toSeq)
+      assert(ss === row.getLong(1) && es === e,
+        s"n=$n: spec ($ss, $es) != plan (${row.getLong(1)}, $e)")
+    }
+  }
 }

@@ -617,8 +617,11 @@ class StreamsSpec extends AnyFunSuite {
         Streams.streamingHllDistinct(mem.toDF(),
           col("user_id").cast("string"), "7 days").toDF(), "st_hll_t")
       .groupBy("window_start")
+      // most-converged emit: min s_scaled (est is not monotone across
+      // the r12 linear-counting crossover — see st_hll in QueryCatalog)
       .agg(org.apache.spark.sql.functions.min("s_scaled").as("s"),
-        org.apache.spark.sql.functions.max("est_hll").as("e"))
+        org.apache.spark.sql.functions.min_by(col("est_hll"),
+          col("s_scaled")).as("e"))
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
     val batch = graft.pipeline.Sketches.hllDistinct(
         events.toDF().select(col("user_id").cast("string").as("v")),
