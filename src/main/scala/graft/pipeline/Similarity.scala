@@ -288,11 +288,21 @@ object Similarity {
     * drops from O(n) to O(nprobe·n/nlist). Recall < 1 by design;
     * deterministic so the oracle replays the identical quantization. */
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      nlist: Int = 16, nprobe: Int = 8): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 8): DataFrame =
+    ivfTopKIndexed(assignCells(emb, nlist), centroidSeeds(emb, nlist),
+      emb, queryIds, k, nprobe)
+
+  /** [[ivfTopK]] over a PERSISTED index — the deployment shape: `index`
+    * is the cell-clustered corpus (vec_id, embedding, cid) and `cents`
+    * the centroid table, both built ONCE per corpus version
+    * ([[graft.store.GraphTables.ivfIndex16]]/`ivfCents16`) and read as
+    * parquet scans; a query never re-runs the O(n·nlist) assignment
+    * pass. Clustering the index by cid means probed-cell candidate
+    * selection skips row groups on min/max stats — the partition-pruned
+    * scan a 100 TB deployment relies on. */
+  def ivfTopKIndexed(index: DataFrame, cents: DataFrame, emb: DataFrame,
+      queryIds: Seq[Long], k: Int, nprobe: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = centroidSeeds(emb, nlist)
-    // cell assignment: the shared quantizer spine
-    val assigned = assignCells(emb, nlist)
     // query cells: nprobe nearest centroids per query vector
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -309,7 +319,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id").asc)
     // each vector lives in exactly one cell and probe cells are distinct
     // per query, so (query, vec) pairs are already unique
-    assigned.join(broadcast(probes), "cid")
+    index.join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("qv"), col("embedding")).as("sim"))
@@ -433,8 +443,22 @@ object Similarity {
   def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
       m: Int = 4, subDim: Int = 16, ksub: Int = 16,
       shortlist: Int = 100): DataFrame = {
+    val books = pqTrain(emb, m, subDim, ksub)
+    pqTopKIndexed(emb, pqEncode(emb, books, m, subDim), books,
+      queryIds, k, m, subDim, shortlist)
+  }
+
+  /** [[pqTopK]] over a PERSISTED model — the deployment shape: `books`
+    * (codebooks) and `enc` (corpus codes) are built ONCE per corpus
+    * version ([[graft.store.GraphTables.pqBooks4x16]]/`pqEnc4x16`) and
+    * read as parquet scans; a query computes only its own m×ksub LUT
+    * (tiny — queries × books, both broadcast-bounded) and the ADC sum
+    * over the code table. Training and corpus encoding never re-run. */
+  def pqTopKIndexed(emb: DataFrame, enc: DataFrame, books: DataFrame,
+      queryIds: Seq[Long], k: Int, m: Int = 4, subDim: Int = 16,
+      shortlist: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (enc, lut) = pqCodes(emb, queryIds, m, subDim, ksub)
+    val lut = pqLut(emb, queryIds, books, m, subDim)
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id").asc)
     val short = enc.join(broadcast(lut), Seq("sub", "code"))
@@ -447,45 +471,54 @@ object Similarity {
     exactRerank(short, emb, queryIds, k)
   }
 
-  /** The PQ training/encoding shared by [[pqTopK]] and [[ivfPqTopK]]:
-    * per-subspace codebooks (deterministic seeds + one decimal-exact
-    * Lloyd round), corpus codes, and the queries' partial-dot lookup
-    * tables. Returns (enc(sub, vec_id, code), lut(sub, query_id, code,
-    * part)). */
-  private def pqCodes(emb: DataFrame, queryIds: Seq[Long],
-      m: Int, subDim: Int, ksub: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    def rdot(a: Column, b: Column): Column =
-      round(aggregate(zip_with(a, b, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v), 4)
-    // (vec_id, sub, sv): the subvector table, L2-NORMALIZED by the FULL
-    // vector's norm first — summed per-subspace dots then approximate
-    // the full cosine (un-normalized dot ADC would rank by magnitude,
-    // not angle, and recall collapses) — and components rounded like
-    // kMeans' c0 seeds so the one Lloyd round is decimal-replayable
+  /** Rounded dot product of two double-array columns — the PQ float
+    * boundary (round-4 quantizes every cross-engine hazard away). */
+  private def rdotCol(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v), 4)
+
+  /** (vec_id, sub, sv): the subvector table, L2-NORMALIZED by the FULL
+    * vector's norm first — summed per-subspace dots then approximate
+    * the full cosine (un-normalized dot ADC would rank by magnitude,
+    * not angle, and recall collapses) — and components rounded like
+    * kMeans' c0 seeds so the one Lloyd round is decimal-replayable. */
+  private def pqSubs(emb: DataFrame, m: Int, subDim: Int): DataFrame = {
     val norm = sqrt(aggregate(
       transform(col("embedding"), x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
-    val subs = (0 until m).map { s =>
+    (0 until m).map { s =>
       emb.select(col("vec_id"), lit(s).as("sub"),
         transform(slice(col("embedding"), s * subDim + 1, subDim),
           x => round(x.cast("double") / norm, 4)).as("sv"))
     }.reduce(_ unionByName _)
-    // fixed ksub seed ids per subspace (the same vec_ids across subs,
-    // picked once by the constant-size centroidSeeds rule)
+  }
+
+  /** Per-(sub, vec) nearest codebook entry by rounded dot, ties → lowest
+    * cid — shared by training (against seeds) and encoding (against the
+    * refined books). */
+  private def pqNearest(subs: DataFrame, cands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVecSub = Window.partitionBy("sub", "vec_id")
+      .orderBy(col("sim").desc, col("cid").asc)
+    subs.join(broadcast(cands), "sub")
+      .select(col("sub"), col("vec_id"), col("sv"), col("cid"),
+        rdotCol(col("sv"), col("cv")).as("sim"))
+      .withColumn("rk", row_number().over(byVecSub))
+      .filter(col("rk") === 1)
+  }
+
+  /** PQ TRAINING — per-subspace codebooks (sub, cid, cv): deterministic
+    * fixed-count seeds ([[centroidSeeds]], the same vec_ids across
+    * subspaces) refined by ONE Lloyd round with the s_kmeans
+    * decimal-mean discipline. The build-once model artifact of
+    * [[pqTopK]]/[[ivfPqTopK]] — m·ksub rows regardless of corpus size. */
+  def pqTrain(emb: DataFrame, m: Int = 4, subDim: Int = 16,
+      ksub: Int = 16): DataFrame = {
+    val subs = pqSubs(emb, m, subDim)
     val sids = centroidSeeds(emb, ksub).select(col("cid").as("vec_id"))
     val seeds = subs.join(broadcast(sids), "vec_id")
       .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
-    val byVecSub = Window.partitionBy("sub", "vec_id")
-      .orderBy(col("sim").desc, col("cid").asc)
-    def nearest(cands: DataFrame): DataFrame = subs
-      .join(broadcast(cands), "sub")
-      .select(col("sub"), col("vec_id"), col("sv"), col("cid"),
-        rdot(col("sv"), col("cv")).as("sim"))
-      .withColumn("rk", row_number().over(byVecSub))
-      .filter(col("rk") === 1)
-    // one Lloyd refinement per subspace
-    val books = nearest(seeds)
+    pqNearest(subs, seeds)
       .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
       .groupBy(col("sub"), col("cid"), col("dim"))
       .agg(round(sum(col("v").cast("decimal(25,10)")).cast("double")
@@ -493,16 +526,26 @@ object Similarity {
       .groupBy(col("sub"), col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
         st => st.getField("mv")).as("cv"))
-    // corpus codes + query LUTs against the refined books
-    val enc = nearest(books)
+  }
+
+  /** PQ ENCODING — the corpus code table (sub, vec_id, code) against
+    * trained books: one broadcast-probe pass over the corpus, m small
+    * ints per vector. The second build-once model artifact. */
+  def pqEncode(emb: DataFrame, books: DataFrame, m: Int = 4,
+      subDim: Int = 16): DataFrame =
+    pqNearest(pqSubs(emb, m, subDim), books)
       .select(col("sub"), col("vec_id"), col("cid").as("code"))
-    val lut = subs.filter(col("vec_id").isin(queryIds: _*))
+
+  /** A query batch's ADC lookup tables (sub, query_id, code, part) —
+    * per-query work only: |queries|·m·ksub rows, computed fresh each
+    * search against the (persisted) books. */
+  def pqLut(emb: DataFrame, queryIds: Seq[Long], books: DataFrame,
+      m: Int, subDim: Int): DataFrame =
+    pqSubs(emb.filter(col("vec_id").isin(queryIds: _*)), m, subDim)
       .select(col("sub"), col("vec_id").as("query_id"), col("sv").as("qsv"))
       .join(broadcast(books), "sub")
       .select(col("sub"), col("query_id"), col("cid").as("code"),
-        rdot(col("qsv"), col("cv")).as("part"))
-    (enc, lut)
-  }
+        rdotCol(col("qsv"), col("cv")).as("part"))
 
   /** Full-precision re-rank of a (query_id, vec_id) shortlist — the
     * final stage every quantized path shares. */
@@ -536,17 +579,24 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 8,
       m: Int = 4, subDim: Int = 16, ksub: Int = 16,
       shortlist: Int = 60): DataFrame = {
+    val books = pqTrain(emb, m, subDim, ksub)
+    ivfPqTopKIndexed(assignCells(emb, nlist).select("vec_id", "cid"),
+      centroidSeeds(emb, nlist), pqEncode(emb, books, m, subDim), books,
+      emb, queryIds, k, nprobe, m, subDim, shortlist)
+  }
+
+  /** [[ivfPqTopK]] over a PERSISTED index + model — the deployment
+    * shape: cell assignments, centroids, codebooks, and corpus codes
+    * are all build-once derived tables
+    * ([[graft.store.GraphTables.ivfIndex16]]/`ivfCents16`/
+    * `pqBooks4x16`/`pqEnc4x16`); a search computes only the query
+    * probes and LUT (both query-bounded) — neither the O(n·nlist)
+    * assignment nor the PQ training/encoding ever re-runs. */
+  def ivfPqTopKIndexed(index: DataFrame, cents: DataFrame, enc: DataFrame,
+      books: DataFrame, emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nprobe: Int = 8, m: Int = 4, subDim: Int = 16,
+      shortlist: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // IVF coarse layer: one cell per vector, nprobe cells per query
-    val cents = centroidSeeds(emb, nlist)
-    val byCell = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        cosine(col("embedding"), col("cv")).as("csim"))
-      .withColumn("crank", row_number().over(byCell))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("cid"))
     val byQuery = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cid").asc)
     val probes = emb.filter(col("vec_id").isin(queryIds: _*))
@@ -557,11 +607,11 @@ object Similarity {
       .withColumn("prank", row_number().over(byQuery))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("cid"))
-    val cand = assigned.join(broadcast(probes), "cid")
+    val cand = index.select("vec_id", "cid").join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
     // PQ layer scores ONLY the probed-cell candidates
-    val (enc, lut) = pqCodes(emb, queryIds, m, subDim, ksub)
+    val lut = pqLut(emb, queryIds, books, m, subDim)
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id").asc)
     val short = cand.join(enc, "vec_id")
@@ -643,8 +693,10 @@ object Similarity {
     * rounded cosine, ties to the lowest cid — THE shared quantizer
     * spine of [[ivfTopK]], [[semDedup]], [[knnGraph]] and
     * [[graphAnnTopK]]; a tie-break or rounding change here is the only
-    * place it can happen, so the gates can't diverge from each other. */
-  private[pipeline] def assignCells(emb: DataFrame, nlist: Int): DataFrame = {
+    * place it can happen, so the gates can't diverge from each other.
+    * Public since r12: the persisted `ivfindex` derived table
+    * ([[graft.store.GraphTables.ivfIndex16]]) materializes this. */
+  def assignCells(emb: DataFrame, nlist: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = centroidSeeds(emb, nlist)
     val byCell = Window.partitionBy("vec_id")

@@ -2937,10 +2937,16 @@ object QueryCatalog {
     s"(SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY $rollhVecId, vec_id LIMIT $nlist)"
 
   /** IVF-style ANN: deterministic fixed-count coarse centroids
-    * (centroidSeeds nlist=16), nprobe=8, top-10 for query vectors 0–4. */
+    * (centroidSeeds nlist=16), nprobe=8, top-10 for query vectors 0–4.
+    * r12: reads the PERSISTED centroid table + cell-clustered index
+    * ([[GraphTables.ivfCents16]]/`ivfIndex16`, built once per corpus
+    * version) — the oracle replays the derivation inline (its luxury at
+    * test scale); the live assignment pass is still gated by s_semdedup
+    * / s_knn_graph, which call `assignCells` directly. */
   val sIvfAnn: Q = (s, d) =>
-    Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
-      nlist = 16, nprobe = 8)
+    Similarity.ivfTopKIndexed(GraphTables.ivfIndex16(s, d),
+      GraphTables.ivfCents16(s, d), Tables.embeddings(s, d),
+      Seq(0L, 1L, 2L, 3L, 4L), 10, nprobe = 8)
 
   val sIvfAnnSql: String =
     s"""WITH cents AS ${centsSql(16)},
@@ -5777,9 +5783,13 @@ object QueryCatalog {
     * layout as one declarative plan. The oracle replays the whole
     * composition, so the gate is algorithmic equality, not recall. */
   val sIvfPqAnn: Q = (s, d) =>
-    Similarity.ivfPqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
-      nlist = 16, nprobe = 8, m = 4, subDim = 16,
-      ksub = 16, shortlist = 60)
+    // r12: all four model artifacts persisted (index, centroids, books,
+    // codes); the search does only query-bounded work
+    Similarity.ivfPqTopKIndexed(GraphTables.ivfIndex16(s, d),
+      GraphTables.ivfCents16(s, d), GraphTables.pqEnc4x16(s, d),
+      GraphTables.pqBooks4x16(s, d), Tables.embeddings(s, d),
+      Seq(0L, 1L, 2L, 3L, 4L), 10, nprobe = 8, m = 4, subDim = 16,
+      shortlist = 60)
 
   lazy val sIvfPqAnnSql: String = {
     def rdotOf(a: String, b: String, dim: Int): String =
@@ -5836,8 +5846,11 @@ object QueryCatalog {
     * Lloyd round, rounded-dot ADC shortlist, exact cosine re-rank. The
     * oracle replays training, encoding, the LUT sum, and the re-rank. */
   val sPqAnn: Q = (s, d) =>
-    Similarity.pqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
-      m = 4, subDim = 16, ksub = 16, shortlist = 100)
+    // r12: persisted codebooks + code table; only the query LUT and the
+    // ADC sum run per search (pqTopK still trains live in SimilaritySpec)
+    Similarity.pqTopKIndexed(Tables.embeddings(s, d),
+      GraphTables.pqEnc4x16(s, d), GraphTables.pqBooks4x16(s, d),
+      Seq(0L, 1L, 2L, 3L, 4L), 10, m = 4, subDim = 16, shortlist = 100)
 
   val sPqAnnSql: String = {
     def rdotOf(a: String, b: String, dim: Int): String =

