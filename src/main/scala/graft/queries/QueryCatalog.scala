@@ -860,6 +860,22 @@ object QueryCatalog {
   val q61SccGx: Q = (s, d) =>
     graft.enrich.Analytics.stronglyConnectedGraphX(s, GraphTables.sccRings(s, d))
 
+  /** q77_scc_inc — INCREMENTAL SCC
+    * ([[graft.enrich.Analytics.stronglyConnectedIncremental]]): the
+    * PERSISTED previous labels + condensation ([[GraphTables.sccPrev]] /
+    * `sccPrevCond` — derived from the ring fixture minus a
+    * deterministic 10% of edges) plus ONLY the new 10% delta; the job
+    * BFS-bounds the affected region (fwd from new heads ∩ bwd from new
+    * tails on the augmented condensation) and re-runs SCC on that tiny
+    * subgraph — the old edge table is never read. Provably ≡
+    * from-scratch (additions only coarsen; min-member labels compose),
+    * so it SHARES q61's oracle verbatim — the q59/q66 incremental
+    * discipline completing the set. */
+  val q77SccInc: Q = (s, d) =>
+    graft.enrich.Analytics.stronglyConnectedIncremental(
+      GraphTables.sccDelta(s, d),
+      GraphTables.sccPrev(s, d), GraphTables.sccPrevCond(s, d))
+
   /** q62 — the CONDENSATION DAG of the ring fixture
     * ([[graft.enrich.Analytics.condensationFrom]]): rings contract to
     * single nodes, surviving edges are exactly the one-way bridges and
@@ -7737,6 +7753,7 @@ object QueryCatalog {
     "q60_katz" -> q60Katz,
     "q61_scc" -> q61Scc,
     "q61_scc_gx" -> q61SccGx,
+    "q77_scc_inc" -> q77SccInc,
     "q62_condense" -> q62Condense,
     "q63_topo" -> q63Topo,
     "q64_walks" -> q64Walks,
@@ -8006,6 +8023,7 @@ object QueryCatalog {
     "q60_katz" -> q60KatzSql,
     "q61_scc" -> q61SccSql,
     "q61_scc_gx" -> q61SccSql,
+    "q77_scc_inc" -> q61SccSql,
     "q62_condense" -> q62CondenseSql,
     "q63_topo" -> q63TopoSql,
     "q64_walks" -> q64WalksSql,

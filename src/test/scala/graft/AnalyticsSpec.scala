@@ -30,6 +30,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(gx === expected)
   }
 
+  test("stronglyConnectedIncremental ≡ from-scratch, incl. a merge that " +
+      "routes THROUGH an untouched middle component") {
+    // old graph: SCC {a1,a2} → b (singleton) → SCC {c1,c2}, plus an
+    // unrelated SCC {x,y} and a pendant p → a1
+    val oldEdges = Seq(
+      ("a1", "a2"), ("a2", "a1"),
+      ("a1", "b"), ("b", "c1"),
+      ("c1", "c2"), ("c2", "c1"),
+      ("x", "y"), ("y", "x"),
+      ("p", "a1")
+    ).toDF("src", "dst")
+    val prev = Analytics.stronglyConnected(oldEdges)
+    // new edges: c2 → a2 closes a cycle a→b→c→a — the merge must pull in
+    // the UNTOUCHED middle singleton b (no new edge is incident to it);
+    // plus a brand-new vertex n hanging off x (stays a singleton)
+    val newEdges = Seq(("c2", "a2"), ("x", "n")).toDF("src", "dst")
+    val full = oldEdges.unionByName(newEdges)
+    val prevCond = Analytics.condensationFrom(oldEdges, prev)
+    val inc = Analytics.stronglyConnectedIncremental(newEdges, prev, prevCond)
+      .as[(String, String)].collect().toMap
+    val scratch = Analytics.stronglyConnected(full)
+      .as[(String, String)].collect().toMap
+    assert(inc === scratch)
+    // the DISTRIBUTED fallback (forced by threshold 0) must agree with
+    // the driver-local Tarjan kernel label-for-label
+    val incDist = Analytics.stronglyConnectedIncremental(
+        newEdges, prev, prevCond, localThreshold = 0)
+      .as[(String, String)].collect().toMap
+    assert(incDist === scratch)
+    // and the merged class really is {a1,a2,b,c1,c2} labeled a1
+    assert(Seq("a1", "a2", "b", "c1", "c2").forall(v => inc(v) == "a1"))
+    assert(inc("n") === "n" && inc("p") === "p" && inc("x") === "x")
+  }
+
   test("condensation: SCCs contract, only cross-SCC edges survive, no dups") {
     val edges = Seq(
       ("a1", "a2"), ("a2", "a1"),   // SCC A
