@@ -330,6 +330,20 @@ object Dedup {
         coefs.map(_._1), coefs.map(_._2))).as("sig"))
   }
 
+  /** Banded minhash signatures (doc_id, sig, band, bucket) — the shared
+    * LSH keying of [[minhashLshPairs]]/[[minhashIncremental]] and the
+    * streaming screen, and the layout of the PERSISTED base-signature
+    * table ([[graft.store.GraphTables.lshBase16x4]]). */
+  def bandedSignatures(docs: DataFrame, k: Int, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    minhashSignatures(docs, k, numHashes).select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
   /** LSH candidate pairs from banded minhash signatures: docs agreeing on
     * all rows of any band collide. Returns (a, b, est_jaccard) where
     * est = fraction of matching signature positions, rounded. */
@@ -371,13 +385,7 @@ object Dedup {
     * near-dups screened it out. */
   def minhashIncremental(base: DataFrame, batch: DataFrame, k: Int,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    require(numHashes % bands == 0)
-    val rows = numHashes / bands
-    def banded(df: DataFrame) =
-      minhashSignatures(df, k, numHashes).select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_"))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    def banded(df: DataFrame) = bandedSignatures(df, k, numHashes, bands)
     val est = round(size(filter(zip_with(col("siga"), col("sigb"), (x, y) =>
       when(x === y, 1).otherwise(0)), v => v === 1)).cast("double")
       / numHashes, 4)

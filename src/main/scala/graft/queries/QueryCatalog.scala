@@ -7408,6 +7408,42 @@ object QueryCatalog {
     }.distinct()
   }
 
+  /** st_neardup_inc — the PRODUCTION streaming near-dup screen
+    * ([[graft.streaming.Streams.streamingNearDupScreen]]): the odd-half
+    * corpus streams in 3 micro-batches against the PERSISTED even-half
+    * banded-signature table ([[GraphTables.lshBase16x4]]) via a
+    * STATELESS stream-static join — zero state rows at any corpus size
+    * (StreamsSpec pins `stateOperators` empty), the bound the unbounded
+    * st_neardup twin documents away. Batch-split invariant by
+    * construction (no cross-row state), so the oracle is the plain
+    * batch×base SQL join. */
+  val stNearDupInc: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 1)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val base = GraphTables.lshBase16x4(s, d)
+    StreamReplay.replay(s, docs, "st_neardup_inc", "append", batches = 3) {
+      df => graft.streaming.Streams.streamingNearDupScreen(
+        df.toDF("doc_id", "text"), base, k = 5, numHashes = 16, bands = 4,
+        threshold = 0.25)
+    }.distinct()
+  }
+
+  val stNearDupIncSql: String =
+    s"""WITH sh AS (SELECT doc_id, $shingleHashesSql AS hashes FROM documents),
+       |sig AS (SELECT doc_id, list_transform(range(1, 17), i ->
+       |        list_min(list_transform(hashes, h -> (h * (2*i+1) + 104729*i) % 2147483647))) AS sig FROM sh),
+       |banded AS (SELECT doc_id, sig, unnest(list_transform(range(0, 4), b ->
+       |        {'band': b, 'bucket': array_to_string(list_slice(sig, b*4+1, b*4+4), '_')})) AS u FROM sig)
+       |SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS base_id,
+       |  round(len(list_filter(range(1,17), i -> x.sig[i] = y.sig[i]))::DOUBLE / 16, 4) AS est_jaccard
+       |FROM banded x JOIN banded y
+       |  ON x.u.band = y.u.band AND x.u.bucket = y.u.bucket
+       | AND x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+       |WHERE round(len(list_filter(range(1,17), i -> x.sig[i] = y.sig[i]))::DOUBLE / 16, 4) >= 0.25""".stripMargin
+
   val stDedup: Q = (s, d) => {
     import s.implicits._
     import graft.streaming.Streams
@@ -7960,6 +7996,7 @@ object QueryCatalog {
     "st_screen" -> stScreen,
     "st_dedup" -> stDedup,
     "st_neardup" -> stNearDup,
+    "st_neardup_inc" -> stNearDupInc,
     "st_funnel" -> stFunnel,
     "st_retention" -> stRetention,
     "st_markov" -> stMarkov,
@@ -8230,6 +8267,7 @@ object QueryCatalog {
     "st_screen" -> stScreenSql,
     "st_dedup" -> stDedupSql,
     "st_neardup" -> dMinhashLshSql,
+    "st_neardup_inc" -> stNearDupIncSql,
     "st_funnel" -> stFunnelSql,
     "st_retention" -> eRetentionSql,
     "st_markov" -> stMarkovSql,

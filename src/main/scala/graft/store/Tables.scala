@@ -429,6 +429,21 @@ object GraphTables {
         .repartition(col("v")).sortWithinPartitions("v")
     }
 
+  /** The PERSISTED banded base-signature table (doc_id, sig, band,
+    * bucket) over the even-doc_id half — what the streaming near-dup
+    * screen probes per micro-batch through a stateless stream-static
+    * join ([[graft.streaming.Streams.streamingNearDupScreen]]); the
+    * `minhashIncremental` base side as a build-once artifact, clustered
+    * by (band, bucket) so probes prune row groups. */
+  def lshBase16x4(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "lshbase") {
+      graft.pipeline.Dedup.bandedSignatures(
+          documents(s, d).filter(col("doc_id") % 2 === 0),
+          k = 5, numHashes = 16, bands = 4)
+        .repartition(col("band"), col("bucket"))
+        .sortWithinPartitions("band", "bucket")
+    }
+
   /** The arriving 2% edge batch itself, persisted like any ingest batch
     * would be — the incremental job's INPUT is a batch table, not a
     * filter over a re-derived full graph (deriving the ring fixture per

@@ -453,6 +453,53 @@ class StreamsSpec extends AnyFunSuite {
     assert(!sink.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("streamingNearDupScreen: ZERO state rows under a corpus-sized " +
+      "replay; batch-split invariant; matches minhashIncremental's hits") {
+    import graft.pipeline.Dedup
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog today"
+    // corpus-sized: 300 base docs + 200 streamed docs across 4 batches
+    val base = (0L until 300L).map(i =>
+      (i * 2, if (i % 7 == 0) dup else s"base document number $i with its own words"))
+    val batch = (0L until 200L).map(i =>
+      (i * 2 + 1, if (i % 11 == 0) dup else s"novel streamed text $i unlike others"))
+    val baseBanded = Dedup.bandedSignatures(
+      base.toDF("doc_id", "text"), k = 3, numHashes = 16, bands = 4)
+      .localCheckpoint(true)
+    val mem = MemoryStream[(Long, String)]
+    batch.grouped(50).foreach(g => mem.addData(g: _*))
+    val q = Streams.streamingNearDupScreen(mem.toDF()
+        .toDF("doc_id", "text"), baseBanded,
+        k = 3, numHashes = 16, bands = 4, threshold = 0.25)
+      .writeStream.format("memory").queryName("neardup_screen_spec")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the whole point: a stream-static join keeps NO state store rows
+    val progresses = q.recentProgress
+    assert(progresses.nonEmpty)
+    assert(progresses.forall(_.stateOperators.isEmpty),
+      s"expected a stateless plan; stateOperators: " +
+        progresses.flatMap(_.stateOperators.map(_.operatorName)).mkString(","))
+    val streamed = spark.table("neardup_screen_spec").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ≡ the batch incremental screen's pair set (before its groupBy)
+    val expected = Dedup.bandedSignatures(
+        batch.toDF("doc_id", "text"), k = 3, numHashes = 16, bands = 4).as("x")
+      .join(baseBanded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        round(size(filter(zip_with(col("x.sig"), col("y.sig"), (p, v) =>
+          when(p === v, 1).otherwise(0)), v => v === 1)).cast("double") / 16, 4)
+          .as("est"))
+      .filter(col("est") >= 0.25)
+      .select("a", "b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === expected)
+    assert(streamed.nonEmpty) // the dup plants guarantee hits
+  }
+
   test("streamingTransitions: pairs span batches, no end state") {
     import graft.queries.StreamReplay
     val rows = Seq(
