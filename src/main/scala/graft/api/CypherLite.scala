@@ -154,33 +154,43 @@ object CypherLite {
     * driver-side structure. Levels localCheckpoint: the loop is
     * DataFrame-iterative (lineage would otherwise deepen per level). */
   private def varLengthRelUnbounded(e0: DataFrame, min: Int): DataFrame = {
-    val e = e0.select(col("src"), col("dst"))
+    val e = e0.select(col("src"), col("rel_type"), col("dst"))
+    // the visited-edge array doubles as the PATH for `relationships(p)`
+    // projections (r12): entries carry (s, t, d); uniqueness still
+    // compares (s, d) only — on this dedup'd edge table an edge IS its
+    // (src, dst), the documented identity
+    def emit(f: DataFrame, hops: Long) = f.select(col("src"), col("dst"),
+      lit(hops).as("hops"),
+      transform(col("__p"), x => struct(x.getField("s").as("src"),
+        x.getField("t").as("rel_type"), x.getField("d").as("dst")))
+        .as("prels"))
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var frontier = e.select(col("src"), col("dst"),
-      array(struct(col("src").as("s"), col("dst").as("d"))).as("__p"))
+      array(struct(col("src").as("s"), col("rel_type").as("t"),
+        col("dst").as("d"))).as("__p"))
       .localCheckpoint(true)
     var level = 1
-    if (min <= 1)
-      out += frontier.select(col("src"), col("dst"), lit(1L).as("hops"))
+    if (min <= 1) out += emit(frontier, 1L)
     while (!frontier.isEmpty && level < unboundedMatchCap) {
       level += 1
       frontier = frontier.alias("p")
         .join(e.alias("x"), col("p.dst") === col("x.src"))
-        .filter(!array_contains(col("p.__p"),
-          struct(col("x.src").as("s"), col("x.dst").as("d"))))
+        .filter(!exists(col("p.__p"), el =>
+          el.getField("s") === col("x.src") && el.getField("d") === col("x.dst")))
         .select(col("p.src").as("src"), col("x.dst").as("dst"),
           concat(col("p.__p"),
-            array(struct(col("x.src").as("s"), col("x.dst").as("d")))).as("__p"))
+            array(struct(col("x.src").as("s"), col("x.rel_type").as("t"),
+              col("x.dst").as("d")))).as("__p"))
         .localCheckpoint(true)
-      if (level >= min)
-        out += frontier.select(col("src"), col("dst"),
-          lit(level.toLong).as("hops"))
+      if (level >= min) out += emit(frontier, level.toLong)
     }
     require(frontier.isEmpty,
       s"unbounded variable-length expansion passed $unboundedMatchCap " +
         "levels without converging — bound the pattern (*m..n)")
     out.reduceOption(_ unionAll _)
-      .getOrElse(e.select(col("src"), col("dst"), lit(0L).as("hops")).limit(0))
+      .getOrElse(emit(e.select(col("src"), col("dst"),
+        array(struct(col("src").as("s"), col("rel_type").as("t"),
+          col("dst").as("d"))).as("__p")), 0L).limit(0))
   }
 
   /** The (src, dst) endpoint pairs of every path of `min`..`max` edges of
@@ -192,20 +202,29 @@ object CypherLite {
     * union together. Each self-join shuffles on the chain key unless the
     * edge table is bucketed (store.Bucketing's layout co-locates it). */
   private def varLengthRel(e: DataFrame, min: Int, max: Int): DataFrame = {
+    // per-edge rel types ride along (t$j) so `relationships(p)` path
+    // projections (r12) see the actual type of each hop — uniqueness
+    // stays on (src, dst), the documented edge identity here
+    def edgeStruct(j: Int) = struct(col(s"s$j").as("src"),
+      col(s"t$j").as("rel_type"), col(s"d$j").as("dst"))
     val perLength = (min to max).map { len =>
       if (len == 1)
-        e.select(col("src"), col("dst"), lit(1L).as("hops"))
+        e.select(col("src"), col("dst"), lit(1L).as("hops"),
+          array(struct(col("src"), col("rel_type"), col("dst"))).as("prels"))
       else {
-        var df = e.select(col("src").as("s0"), col("dst").as("d0"))
+        var df = e.select(col("src").as("s0"), col("rel_type").as("t0"),
+          col("dst").as("d0"))
         for (j <- 1 until len) {
-          val ej = e.select(col("src").as(s"s$j"), col("dst").as(s"d$j"))
+          val ej = e.select(col("src").as(s"s$j"), col("rel_type").as(s"t$j"),
+            col("dst").as(s"d$j"))
           df = df.join(ej, col(s"d${j - 1}") === col(s"s$j"))
           for (k <- 0 until j)
             df = df.filter(
               !(col(s"s$k") === col(s"s$j") && col(s"d$k") === col(s"d$j")))
         }
         df.select(col("s0").as("src"), col(s"d${len - 1}").as("dst"),
-          lit(len.toLong).as("hops"))
+          lit(len.toLong).as("hops"),
+          array((0 until len).map(edgeStruct): _*).as("prels"))
       }
     }
     // unionAll: two paths with the same endpoints are two result rows
@@ -1301,7 +1320,8 @@ object CypherLite {
   /** One parsed MATCH clause: its node patterns, hops, optionality, and
     * its own trailing WHERE text (null when absent). */
   private final case class Clause(optional: Boolean, nodeMs: Seq[NodePat],
-      hops: Seq[Hop], where: String)
+      hops: Seq[Hop], where: String,
+      pathVar: Option[String] = None)
 
   /** Parse one clause body "pattern [WHERE cond]" into node patterns +
     * hops, with the same validations the single-chain parser applied. */
@@ -1439,6 +1459,13 @@ object CypherLite {
       val ea = relAlias(ai)
       val eRaw =
         if (hop.isVarLength) {
+          // a path variable needs the per-path edge list (`prels`) on
+          // every var-length frame; other queries keep the narrow
+          // (src, dst, hops) summary
+          val keep: DataFrame => DataFrame =
+            if (c.pathVar.isDefined)
+              _.select(col("src"), col("dst"), col("hops"), col("prels"))
+            else _.select(col("src"), col("dst"), col("hops"))
           // zero-length leg (Cypher's bind-same-node `*0..`): identity
           // endpoint pairs over all nodes — both endpoint patterns then
           // constrain the SAME node through the two joins below; the
@@ -1446,15 +1473,16 @@ object CypherLite {
           val zero =
             if (hop.minHops == 0)
               Seq(nodes.select(col("full_name").as("src"),
-                col("full_name").as("dst"), lit(0L).as("hops")))
+                col("full_name").as("dst"), lit(0L).as("hops"))
+                .withColumn("prels", expr("CAST(array() AS " +
+                  "array<struct<src:string,rel_type:string,dst:string>>)")))
             else Seq.empty
           val pos =
             if (hop.maxHops == 0) Seq.empty
             else if (hop.maxHops < 0)
               Seq(varLengthRelUnbounded(scan, math.max(hop.minHops, 1)))
             else Seq(varLengthRel(scan, math.max(hop.minHops, 1), hop.maxHops))
-          (zero ++ pos).map(_.select(col("src"), col("dst"), col("hops")))
-            .reduce(_ unionAll _)
+          (zero ++ pos).map(keep).reduce(_ unionAll _)
         } else scan
       // a NAMED hop presents the uniform relationship-alias schema:
       // single-hop scans add hops = 1; var-length path frames add null
@@ -1506,6 +1534,39 @@ object CypherLite {
       df = df.filter(!(col(s"$x.src") === col(s"$y.src") &&
         col(s"$x.rel_type") === col(s"$y.rel_type") &&
         col(s"$x.dst") === col(s"$y.dst")))
+    }
+    // PATH VARIABLE projections (r12): `p = (a)-[…]->(b)` materializes
+    // three plain columns — the node list (pattern-order full_names,
+    // var-length interiors included), the relationship list (one
+    // (src, rel_type, dst) struct per traversed edge), and the length —
+    // that `nodes(p)`/`relationships(p)`/`length(p)` rewrite to.
+    // Forward hops only: a reversed hop's physical edge order runs
+    // against pattern order and is not modeled (raise, the posture).
+    c.pathVar.foreach { pv =>
+      require(c.hops.forall(!_.reversed),
+        s"path variable '$pv' over a reversed hop (<-[…]-) is not modeled")
+      val emptyRels = expr("CAST(array() AS " +
+        "array<struct<src:string,rel_type:string,dst:string>>)")
+      val relArrs: Seq[Column] = c.hops.zipWithIndex.map { case (hop, i) =>
+        val ea = relAlias(aliasStart + i)
+        if (hop.isVarLength) col(s"$ea.prels")
+        else array(struct(col(s"$ea.src").as("src"),
+          col(s"$ea.rel_type").as("rel_type"), col(s"$ea.dst").as("dst")))
+      }
+      val nodeArrs: Seq[Column] =
+        array(col(s"n$aliasStart.full_name")) +:
+          c.hops.zipWithIndex.map { case (hop, i) =>
+            val ea = relAlias(aliasStart + i)
+            if (hop.isVarLength)
+              transform(col(s"$ea.prels"), r => r.getField("dst"))
+            else array(col(s"n${aliasStart + i + 1}.full_name"))
+          }
+      df = df
+        .withColumn(s"__pnodes_$pv",
+          if (nodeArrs.size == 1) nodeArrs.head else concat(nodeArrs: _*))
+        .withColumn(s"__prels_$pv",
+          if (relArrs.isEmpty) emptyRels else concat(relArrs: _*))
+        .withColumn(s"__plen_$pv", size(col(s"__prels_$pv")).cast("long"))
     }
     df
   }
@@ -1727,6 +1788,44 @@ object CypherLite {
     (out.toSeq, q)
   }
 
+  /** PATH VARIABLES in plain MATCH (r12): strip `p =` after each
+    * top-level MATCH (ordinal-keyed, so the clause builder knows which
+    * chain materializes which path), and textually rewrite
+    * `nodes(p)`/`relationships(p)`/`length(p)`/`size(p)` anywhere in
+    * the query to the plain columns [[buildChain]] adds — the
+    * shortestPath `__plen` trick, generalized. Returns (rewritten
+    * query, path var per MATCH ordinal, the plain column names). */
+  private def extractPathVars(q: String)
+      : (String, Map[Int, String], Set[String]) = {
+    val mPos = allTopLevelKeywords(q, "MATCH")
+    val assignRe = """\A\s*(\w+)\s*=\s*\(""".r
+    val sb = new StringBuilder(q)
+    val byMatch = scala.collection.mutable.Map.empty[Int, String]
+    // right-to-left so earlier offsets stay valid while stripping
+    for ((p, ix) <- mPos.zipWithIndex.reverse) {
+      assignRe.findPrefixMatchOf(q.substring(p + 5)).foreach { m =>
+        byMatch(ix) = m.group(1)
+        sb.replace(p + 5, p + 5 + m.end - 1, " ") // keep the '('
+      }
+    }
+    if (byMatch.isEmpty) return (q, Map.empty, Set.empty)
+    val names = byMatch.values.toSeq
+    require(names.distinct.size == names.size,
+      s"repeated path variable across MATCH clauses: $q")
+    var out = sb.toString
+    for (pv <- names) {
+      val w = java.util.regex.Pattern.quote(pv)
+      out = out.replaceAll(s"(?i)\\bnodes\\(\\s*$w\\s*\\)", s"__pnodes_$pv")
+      out = out.replaceAll(s"(?i)\\brelationships\\(\\s*$w\\s*\\)",
+        s"__prels_$pv")
+      out = out.replaceAll(s"(?i)\\b(?:length|size)\\(\\s*$w\\s*\\)",
+        s"__plen_$pv")
+    }
+    val cols = names.flatMap(pv =>
+      Seq(s"__pnodes_$pv", s"__prels_$pv", s"__plen_$pv")).toSet
+    (out, byMatch.toMap, cols)
+  }
+
   def execute(nodes: DataFrame, edges: DataFrame, query: String): DataFrame = {
     val q0 = query.trim
     locally {
@@ -1736,16 +1835,17 @@ object CypherLite {
       if (unionPos.nonEmpty) return executeUnion(nodes, edges, q0, unionPos)
     }
     // UNWIND preludes: `UNWIND [...] AS x [UNWIND …] MATCH … / RETURN …`
-    val (unwinds, q) = parseUnwinds(q0)
+    val (unwinds, qU) = parseUnwinds(q0)
     locally {
-      val spIdx = topLevelKeyword(q, "shortestPath")
+      val spIdx = topLevelKeyword(qU, "shortestPath")
       if (spIdx >= 0) {
         require(unwinds.isEmpty,
           s"UNWIND before shortestPath is not supported: $q0")
-        return executeShortestPath(nodes, edges, q, spIdx)
+        return executeShortestPath(nodes, edges, qU, spIdx)
       }
     }
-    val unwindVars: Set[String] = unwinds.map(_.v).toSet
+    val (q, pathByMatch, pathCols) = extractPathVars(qU)
+    val unwindVars: Set[String] = unwinds.map(_.v).toSet ++ pathCols
     def addUnwinds(df0: DataFrame): DataFrame =
       unwinds.foldLeft(df0) { (d, u) =>
         // explode keeps the unwound rows INSIDE the one plan (a
@@ -1788,7 +1888,17 @@ object CypherLite {
     val optionalMarks = rawBodies.map(_.toUpperCase.endsWith("OPTIONAL"))
     val clauses = rawBodies.zipWithIndex.map { case (b, ix) =>
       val body = if (optionalMarks(ix)) b.dropRight(8).trim else b
-      parseClause(body, optional = ix > 0 && optionalMarks(ix - 1), q, ix)
+      val pc = parseClause(body, optional = ix > 0 && optionalMarks(ix - 1),
+        q, ix)
+      pathByMatch.get(ix).foreach { pv =>
+        require(!pc.optional,
+          s"a path variable on OPTIONAL MATCH is not modeled: $q")
+        require(!unwinds.exists(_.v == pv) &&
+            !pc.nodeMs.exists(_.v == pv) &&
+            !pc.hops.exists(_.varName.contains(pv)),
+          s"path variable '$pv' rebinds another variable: $q")
+      }
+      pc.copy(pathVar = pathByMatch.get(ix))
     }
 
     // clause 0 binds its variables; later clauses must hook onto one.

@@ -529,6 +529,30 @@ object QueryCatalog {
     """SELECT 'NATION' AS kind, count(*)::BIGINT AS n FROM customer
       |UNION ALL SELECT 'REGION', count(*)::BIGINT FROM customer""".stripMargin
 
+  /** g_b10_path — PATH VARIABLES in plain MATCH (r12): `p = (o:ORDER)-
+    * [:…*3]->(x:REGION)` walks the 3-type alternation chain
+    * order→customer→nation→region; `nodes(p)` / `relationships(p)` /
+    * `length(p)` rewrite to the path-summary columns the chain builder
+    * materializes (head/last/size exercise the arrays' CONTENT — the
+    * full node/edge lists incl. per-edge rel types are spec-gated in
+    * CypherLitePathSpec). Exactly one 3-hop path per order on the
+    * layered graph, so the oracle is the closed-form star join. */
+  val gB10Path: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH p = (o:ORDER)-[:PLACED_BY|IN_NATION|IN_REGION*3]->(x:REGION) " +
+        "RETURN head(nodes(p)) AS first_node, last(nodes(p)) AS last_node, " +
+        "size(relationships(p)) AS n_rels, length(p) AS len")
+  }
+
+  val gB10PathSql: String =
+    """SELECT 'orders.' || o.o_orderkey AS first_node,
+      |  'region.' || n.n_regionkey AS last_node,
+      |  3::INT AS n_rels, 3::BIGINT AS len
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin
+
   /** g_b10_distinct — `count(DISTINCT …)` under the oracle gate: a
     * region roll-up where the customer count dwarfs the distinct nation
     * count, so the dedup inside the aggregate is load-bearing (a plain
@@ -7946,6 +7970,7 @@ object QueryCatalog {
     "g_b10_union" -> gB10Union,
     "g_b10_unwind" -> gB10Unwind,
     "g_b10_varlen" -> gB10Varlen,
+    "g_b10_path" -> gB10Path,
     "g_b10_distinct" -> gB10Distinct,
     "g_b10_case" -> gB10Case,
     "g_b10_patpred" -> gB10Patpred,
@@ -8214,6 +8239,7 @@ object QueryCatalog {
     "g_b10_union" -> gB10UnionSql,
     "g_b10_unwind" -> gB10UnwindSql,
     "g_b10_varlen" -> gB10VarlenSql,
+    "g_b10_path" -> gB10PathSql,
     "g_b10_distinct" -> gB10DistinctSql,
     "g_b10_case" -> gB10CaseSql,
     "g_b10_patpred" -> gB10PatpredSql,

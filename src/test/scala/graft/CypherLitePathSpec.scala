@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.api.GraphDatabase
+import graft.model._
+
+/** r12 — path variables in plain MATCH: `p = (a)-[:R*m..n]->(b)` with
+  * nodes(p) / relationships(p) / length(p) projections (the one common
+  * Cypher family that still raised after r11; shortestPath's `p` only
+  * carried length). */
+class CypherLitePathSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private lazy val diamond = {
+    val d = GraphDatabase.inMemory(spark)
+    d.addEdge("t", "a", Rel.Call, "b1"); d.addEdge("t", "b1", Rel.Call, "c")
+    d.addEdge("t", "a", Rel.Call, "b2"); d.addEdge("t", "b2", Rel.Call, "c")
+    d.commit(); d
+  }
+
+  test("p over a var-length hop: nodes/relationships/length, one row per path") {
+    val out = diamond.executeQuery(
+      "MATCH p = (x {full_name: 'a'})-[:CALL*1..2]->(y {full_name: 'c'}) " +
+        "RETURN length(p) AS len, nodes(p) AS ns, relationships(p) AS rs")
+      .collect()
+    assert(out.length === 2) // a->b1->c and a->b2->c
+    val paths = out.map { r =>
+      (r.getLong(0), r.getSeq[String](1).toList,
+        r.getSeq[Row](2).map(e =>
+          (e.getString(0), e.getString(1), e.getString(2))).toList)
+    }.sortBy(_._2.mkString)
+    assert(paths(0)._1 === 2L && paths(1)._1 === 2L)
+    assert(paths.map(_._2) === Seq(
+      List("a", "b1", "c"), List("a", "b2", "c")))
+    assert(paths(0)._3 === List(("a", Rel.Call, "b1"), ("b1", Rel.Call, "c")))
+    assert(paths(1)._3 === List(("a", Rel.Call, "b2"), ("b2", Rel.Call, "c")))
+  }
+
+  test("relationships(p) carries PER-EDGE types under alternation") {
+    val d = GraphDatabase.inMemory(spark)
+    d.addEdge("t", "m", Rel.Contains, "k")
+    d.addEdge("t", "k", Rel.HasMethod, "f")
+    d.commit()
+    val out = d.executeQuery(
+      "MATCH p = (x {full_name: 'm'})-[:CONTAINS|HAS_METHOD*2]->(y) " +
+        "RETURN relationships(p) AS rs").collect()
+    assert(out.length === 1)
+    val types = out(0).getSeq[Row](0).map(_.getString(1)).toList
+    assert(types === List(Rel.Contains, Rel.HasMethod))
+  }
+
+  test("p spans MIXED fixed and var-length hops in one chain") {
+    val d = GraphDatabase.inMemory(spark)
+    d.addEdge("t", "m", Rel.Contains, "k")
+    d.addEdge("t", "k", Rel.HasMethod, "f")
+    d.commit()
+    val out = d.executeQuery(
+      "MATCH p = (x {full_name: 'm'})-[:CONTAINS]->(y)-[:HAS_METHOD*1..2]->(z) " +
+        "RETURN nodes(p) AS ns, length(p) AS len").collect()
+    assert(out.length === 1)
+    assert(out(0).getSeq[String](0).toList === List("m", "k", "f"))
+    assert(out(0).getLong(1) === 2L)
+  }
+
+  test("zero-length leg: *0..1 binds the same node with an empty path") {
+    val out = diamond.executeQuery(
+      "MATCH p = (x {full_name: 'a'})-[:CALL*0..1]->(y) " +
+        "RETURN y.full_name AS y, length(p) AS len, size(nodes(p)) AS nn " +
+        "ORDER BY len, y").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq === Seq(("a", 0L, 1), ("b1", 1L, 2), ("b2", 1L, 2)))
+  }
+
+  test("length(p) works in WHERE; head/last project path endpoints") {
+    val out = diamond.executeQuery(
+      "MATCH p = (x {full_name: 'a'})-[:CALL*1..2]->(y) " +
+        "WHERE length(p) = 2 " +
+        "RETURN head(nodes(p)) AS h, last(nodes(p)) AS l").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq === Seq(("a", "c"), ("a", "c")))
+  }
+
+  test("single-node path: p = (a) has length 0 and one node") {
+    val out = diamond.executeQuery(
+      "MATCH p = (x {full_name: 'b1'}) " +
+        "RETURN length(p) AS len, nodes(p) AS ns").collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 0L)
+    assert(out(0).getSeq[String](1).toList === List("b1"))
+  }
+
+  test("negatives: reversed hop, OPTIONAL MATCH, unknown path var all raise") {
+    intercept[Exception] {
+      diamond.executeQuery(
+        "MATCH p = (y {full_name: 'c'})<-[:CALL*1..2]-(x) RETURN length(p)")
+        .collect()
+    }
+    intercept[Exception] {
+      diamond.executeQuery(
+        "MATCH (x {full_name: 'a'}) OPTIONAL MATCH p = (x)-[:CALL*1..2]->(y) " +
+          "RETURN length(p)").collect()
+    }
+    intercept[Exception] {
+      diamond.executeQuery(
+        "MATCH (x {full_name: 'a'})-[:CALL]->(y) RETURN nodes(q)").collect()
+    }
+  }
+}
