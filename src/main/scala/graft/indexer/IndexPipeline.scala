@@ -266,6 +266,19 @@ object IndexPipeline {
       .select(col("src").as("_cls"),
         element_at(split(col("dst"), "\\."), -1).as("_meth"),
         col("dst").as("_def"))
+    // r12 (r11 verdict #4): cross-module member-take VERIFICATION — the
+    // chaseFields convention takes the final member of a cross-module
+    // chain blindly, which can emit CALL edges to members that don't
+    // exist. Here the whole-corpus tables exist, so the blind take joins
+    // against the indexed defs: a CALL whose dst parses as
+    // <cls>.<member> where <cls> IS an indexed CLASS node but nothing
+    // defines <member> — not the class's own defs (incl. FIELD nodes),
+    // not the inherited-method closure — resolves to NOTHING, jedi's
+    // behavior (indexer_visitor.py:183-241): the edge DROPS instead of
+    // fabricating a stub. Receivers outside the indexed corpus keep the
+    // take (nothing to disprove — the shallow posture).
+    val classDefs = ix.nodes.filter(col("kind") === Kind.Class)
+      .select(col("full_name").as("_clsdef")).distinct()
     val finalEdges = withInherited
       .join(defined.withColumn("_dstdef", lit(true))
         .withColumnRenamed("full_name", "dst"), Seq("dst"), "left")
@@ -275,8 +288,11 @@ object IndexPipeline {
           col("_cls2") === col("_cls") &&
           element_at(split(col("dst"), "\\."), -1) === col("_meth"),
         "left")
+      .join(classDefs, col("_cls2") === col("_clsdef"), "left")
+      .filter(!(col("rel_type") === Rel.Call && col("_dstdef").isNull &&
+        col("_def").isNull && col("_clsdef").isNotNull))
       .withColumn("dst", coalesce(col("_def"), col("dst")))
-      .drop("_dstdef", "_cls2", "_cls", "_meth", "_def")
+      .drop("_dstdef", "_cls2", "_cls", "_meth", "_def", "_clsdef")
       .dropDuplicates("src", "rel_type", "dst")
 
     // stub reconciliation: real + still-referenced stubs for the new edges

@@ -2180,4 +2180,60 @@ class IndexerSpec extends AnyFunSuite {
     val calls = callsOf(src)
     assert(!calls.exists(_._2.endsWith("execute")))
   }
+  test("r12: cross-module member takes verify against the indexed class " +
+      "table — a nonexistent member resolves to NOTHING (jedi), an " +
+      "unindexed receiver keeps the take") {
+    val libPy =
+      """class Conn:
+        |    def execute(self):
+        |        return 1
+        |
+        |
+        |class Sub(Conn):
+        |    pass
+        |""".stripMargin
+    val appPy =
+      """from lib import Conn, Sub
+        |from extmod import Widget
+        |
+        |def good():
+        |    c = Conn()
+        |    return c.execute()
+        |
+        |def bad():
+        |    c = Conn()
+        |    return c.no_such_member()
+        |
+        |def inherited():
+        |    s = Sub()
+        |    return s.execute()
+        |
+        |def external():
+        |    w = Widget()
+        |    return w.spin()
+        |""".stripMargin
+    val ix2 = IndexPipeline.enrich(IndexPipeline.indexFiles(spark,
+      Seq(SourceFile("lib.py", libPy), SourceFile("app.py", appPy)).toDS(),
+      "tv"), "tv")
+    val calls = ix2.edges.filter(col("rel_type") === Rel.Call)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    // the defined member resolves
+    assert(calls.contains(("app.good", "lib.Conn.execute")))
+    // the NONEXISTENT member on an indexed class drops — no member
+    // edge (the Conn() constructor call itself rightly stays), and no
+    // stub node is fabricated for it
+    assert(!calls.exists(_._2.endsWith("no_such_member")),
+      s"expected no edge to the missing member, got " +
+        calls.filter(_._1 == "app.bad"))
+    assert(calls.contains(("app.bad", "lib.Conn")))
+    assert(ix2.nodes.filter(col("full_name") === "lib.Conn.no_such_member")
+      .isEmpty)
+    // an INHERITED member is not a miss: the closure re-points it
+    assert(calls.contains(("app.inherited", "lib.Conn.execute")) ||
+      calls.contains(("app.inherited", "lib.Sub.execute")))
+    // a receiver class OUTSIDE the indexed corpus keeps the blind take
+    // (nothing to disprove — the shallow posture)
+    assert(calls.contains(("app.external", "extmod.Widget.spin")))
+  }
+
 }
