@@ -495,6 +495,69 @@ object Analytics {
     x.select(col("v"), round(col("x"), 6).as("katz"))
   }
 
+  /** HyperANF (Boldi, Rosa & Vigna, WWW 2011) — the approximate
+    * NEIGHBORHOOD FUNCTION: per vertex v and radius h, |B_h(v)| = how
+    * many vertices v reaches within h hops, kept as an m=16 PORTABLE
+    * HLL register set (the [[graft.pipeline.Sketches]] machinery: the
+    * shared rolling hash, ρ = 32 − len(bin(w)), registers max-merge) —
+    * so the per-vertex state is O(m) REGARDLESS of ball size, the whole
+    * point at 100 TB where exact reachability sets are quadratic. Per
+    * round one edges⋈registers equi-join + a partial-agg max groupBy on
+    * (v, bucket) — max-merge is associative/idempotent, so map-side
+    * combine does most of the work and duplicate propagation is
+    * harmless. Estimates apply the r12 small-n LINEAR-COUNTING
+    * correction (balls of a few vertices are the common case at small
+    * h — exactly HLL's bias zone); per-vertex round-4 estimates sum
+    * through DECIMAL (order-independent), so the oracle replays every
+    * register and every estimate bit-for-bit. Returns one row per
+    * radius: (h, nf = Σ_v |B_h(v)| estimate, reached_frac vs h=rounds).
+    * N(h)'s growth curve is the effective-diameter instrument. */
+  def anf(edges: DataFrame, rounds: Int, m: Int = 16): DataFrame = {
+    require(m == 16, "alpha is pinned for m = 16 (0.673)")
+    require(rounds >= 1 && rounds <= 12, s"anf rounds $rounds out of budget")
+    val P = 2147483647L
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("dst")).localCheckpoint(eager = true)
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    val h0 = graft.functions.TextFunctions.rollingHash(col("v"))
+    var regs = verts
+      .select(col("v"), (h0 % m).cast("int").as("bucket"),
+        ((h0 * 1103515245L + 12345L) % P).as("w"))
+      .select(col("v"), col("bucket"),
+        when(col("w") === 0, 32)
+          .otherwise(lit(32) - length(bin(col("w")))).cast("int").as("rho"))
+      .repartition(col("v")).localCheckpoint(eager = true)
+    // registers are SPARSE (absent bucket = empty); densify
+    // algebraically at estimate time, the hllDistinctBy discipline
+    def nfAt(r: DataFrame, h: Int): DataFrame = {
+      val raw = lit(673L * m * m * 4294967296L).cast("double") /
+        (lit(1000L) * col("s_scaled"))
+      r.groupBy("v").agg(
+          expr("sum(shiftleft(CAST(1 AS BIGINT), 32 - rho))").as("sp"),
+          count(lit(1)).as("nb"))
+        .select(
+          (col("sp") + (lit(m.toLong) - col("nb")) * lit(4294967296L))
+            .cast("long").as("s_scaled"),
+          (lit(m) - col("nb")).cast("int").as("zero_regs"))
+        .select(round(when(col("zero_regs") > 0 && raw <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("zero_regs")))
+          .otherwise(raw), 4).as("est"))
+        .agg(sum(col("est").cast("decimal(28,4)")).as("nfd"))
+        .select(lit(h).as("h"), round(col("nfd").cast("double"), 4).as("nf"))
+    }
+    val out = scala.collection.mutable.ArrayBuffer(nfAt(regs, 0))
+    for (h <- 1 to rounds) {
+      val prop = e.join(regs.withColumnRenamed("v", "dst"), Seq("dst"))
+        .select(col("src").as("v"), col("bucket"), col("rho"))
+      regs = regs.unionByName(prop)
+        .groupBy("v", "bucket").agg(max("rho").as("rho"))
+        .localCheckpoint(eager = true)
+      out += nfAt(regs, h)
+    }
+    out.reduce(_ unionByName _)
+  }
+
   def pageRank(edges: DataFrame, iterations: Int = 5,
       warmStart: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"))

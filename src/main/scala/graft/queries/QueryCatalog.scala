@@ -5545,6 +5545,51 @@ object QueryCatalog {
     * through DECIMAL, so the 3-term float sum has no order hazard.
     * Completes the centrality family: degree (implicit), PageRank (q10/
     * q32/q37), betweenness (q42), closeness (here). */
+  /** q78_anf — HyperANF neighborhood function
+    * ([[graft.enrich.Analytics.anf]], Boldi-Rosa-Vigna 2011): per-vertex
+    * out-reachability BALL SIZES at radius h = 0..3 over the containment
+    * hierarchy, each ball an m=16 PORTABLE HLL register set (O(m) state
+    * per vertex where exact reachability is quadratic — the 100 TB
+    * spelling of "how connected is this graph"); registers max-merge
+    * along edges per round, estimates take the r12 linear-counting
+    * correction (tiny balls are HLL's bias zone), per-vertex round-4
+    * estimates sum through DECIMAL. The oracle replays every register,
+    * every correction branch, and the sum bit-for-bit. */
+  val q78Anf: Q = (s, d) =>
+    graft.enrich.Analytics.anf(GraphTables.hierarchy(s, d), rounds = 3)
+
+  val q78AnfSql: String = {
+    val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      "string_split(v, ''), c -> ascii(c)::BIGINT)), " +
+      "(a, c) -> (a * 31 + c) % 2147483647)"
+    def est(k: Int): String =
+      s"""e$k AS (SELECT v,
+         |  sum(1::BIGINT << (32 - rho)::INT) + (16 - count(*)) * 4294967296 AS s_scaled,
+         |  (16 - count(*))::INT AS zero_regs FROM r$k GROUP BY v),
+         |n$k AS (SELECT $k::INT AS h, round(sum(
+         |  round(CASE WHEN zero_regs > 0 AND
+         |      (673 * 256 * 4294967296)::DOUBLE / (1000 * s_scaled) <= 40.0
+         |    THEN 16.0 * ln(16.0 / zero_regs)
+         |    ELSE (673 * 256 * 4294967296)::DOUBLE / (1000 * s_scaled) END, 4)
+         |  ::DECIMAL(28,4))::DOUBLE, 4) AS nf FROM e$k)""".stripMargin
+    def round_(k: Int): String =
+      s"""r$k AS MATERIALIZED (SELECT v, bucket, max(rho) AS rho FROM (
+         |  SELECT v, bucket, rho FROM r${k - 1}
+         |  UNION ALL
+         |  SELECT e.src AS v, r.bucket, r.rho
+         |  FROM hier e JOIN r${k - 1} r ON e.dst = r.v) GROUP BY 1, 2)""".stripMargin
+    s"""WITH ${GraphSql.hierarchyCte},
+       |verts AS (SELECT src AS v FROM hier UNION SELECT dst FROM hier),
+       |hh AS (SELECT v, $rollh AS h0 FROM verts),
+       |r0 AS MATERIALIZED (SELECT v, (h0 % 16)::INT AS bucket,
+       |  (CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END)::INT AS rho
+       |  FROM (SELECT v, h0, (h0 * 1103515245 + 12345) % 2147483647 AS w FROM hh)),
+       |${(1 to 3).map(round_).mkString(",\n")},
+       |${(0 to 3).map(est).mkString(",\n")}
+       |SELECT h, nf FROM n0 UNION ALL SELECT h, nf FROM n1
+       |UNION ALL SELECT h, nf FROM n2 UNION ALL SELECT h, nf FROM n3""".stripMargin
+  }
+
   val q44Harmonic: Q = (s, d) => {
     val rev = GraphTables.hierarchy(s, d)
       .select(col("dst").as("src"), col("src").as("dst"))
@@ -7987,6 +8032,7 @@ object QueryCatalog {
     "q42_betweenness" -> q42Betweenness,
     "q43_kmv_intersect" -> q43KmvIntersect,
     "q44_harmonic" -> q44Harmonic,
+    "q78_anf" -> q78Anf,
     "q44_harmonic_gx" -> q44HarmonicGx,
     "q45_mad" -> q45Mad,
     "q35_multi_distinct" -> q35MultiDistinct,
@@ -8259,6 +8305,7 @@ object QueryCatalog {
     "q42_betweenness" -> q42BetweennessSql,
     "q43_kmv_intersect" -> q43KmvIntersectSql,
     "q44_harmonic" -> q44HarmonicSql,
+    "q78_anf" -> q78AnfSql,
     "q44_harmonic_gx" -> q44HarmonicSql,
     "q45_mad" -> q45MadSql,
     "q35_multi_distinct" -> q35MultiDistinctSql,

@@ -64,6 +64,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(inc("n") === "n" && inc("p") === "p" && inc("x") === "x")
   }
 
+  test("anf: neighborhood function is monotone in h and tracks exact " +
+      "ball sizes within HLL tolerance (linear-counting zone)") {
+    // chain a->b->c->d plus a detached pair x->y: exact out-ball sizes
+    //   h=0: 1,1,1,1,1,1 (Σ 6);  h=1: 2,2,2,1,2,1 (Σ 10)
+    //   h=2: 3,3,2,1,2,1 (Σ 12); h=3: 4,3,2,1,2,1 (Σ 13)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("src", "dst")
+    val nf = Analytics.anf(edges, rounds = 3)
+      .as[(Int, Double)].collect().sortBy(_._1)
+    assert(nf.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    val exact = Seq(6.0, 10.0, 12.0, 13.0)
+    nf.zip(exact).foreach { case ((h, est), tru) =>
+      assert(math.abs(est - tru) / tru < 0.35,
+        s"h=$h: est $est too far from exact $tru")
+    }
+    // monotone: balls only grow
+    assert(nf.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("condensation: SCCs contract, only cross-SCC edges survive, no dups") {
     val edges = Seq(
       ("a1", "a2"), ("a2", "a1"),   // SCC A
