@@ -2205,6 +2205,66 @@ object PyIndexer {
                 }
               }
             }
+            // r12 slice 55: INLINE CALL-RESULT CHAINS —
+            // `Head(...).m1(...).m2(...)` emits a Call edge PER LINK
+            // (jedi references every chained call, not just the head):
+            // the head's RESULT type (constructor, class alias,
+            // declared/inferred return, typeshed stub, typed-receiver
+            // head) folds through methodReturn link by link; each
+            // link's callee resolves along the chain type's MRO
+            // (same-module definers; cross-module blind take — slice 54
+            // verifies those at enrich). callSite's lookbehind never
+            // matches a post-`)` trailer, so links are exclusively this
+            // scanner's. An unresolvable link stops the chain (the
+            // all-or-nothing posture, applied link-prefix-wise).
+            locally {
+              def closeParen(from: Int): Int = {
+                var j = from; var depth = 1
+                while (j < line.length && depth > 0) {
+                  val c = line.charAt(j)
+                  if (c == '(') depth += 1 else if (c == ')') depth -= 1
+                  j += 1
+                }
+                if (depth == 0) j else -1
+              }
+              val linkCall = """^\s*\.\s*([A-Za-z_]\w*)\s*\(""".r
+              callSite.findAllMatchIn(line).foreach { m =>
+                val callee = m.group(1)
+                if (!keywords.contains(callee)) {
+                  var t: Option[String] = classishType(callee)
+                    .orElse(curCallable.flatMap(_.classAliases.get(callee)))
+                    .orElse(returnTypeTarget(callee))
+                    .orElse(typeshedReturnTarget(callee))
+                    .orElse(curCallable.flatMap(fn => attrCallHead(callee,
+                      n => if (n == "self") curClass.map(_.fullName)
+                        else fn.locals.get(n).orElse(moduleVarTypes.get(n)))))
+                  var pos = closeParen(m.end)
+                  var guard = 0
+                  while (t.isDefined && pos >= 0 && pos < line.length &&
+                      guard < 8) {
+                    guard += 1
+                    linkCall.findFirstMatchIn(line.substring(pos)) match {
+                      case Some(mm) =>
+                        val recv = t.get
+                        val member = mm.group(1)
+                        val definer = mroOf(recv).find(c =>
+                          classMethodsRaw.get(c).exists(_.contains(member)))
+                        val dst = definer.map(d => s"$d.$member")
+                          .getOrElse(s"$recv.$member")
+                        if (dst != src.fullName) {
+                          edges += EdgeEvent(nextSeq(), taskId, src.fullName,
+                            Rel.Call, dst, Map.empty)
+                          locs += LocationRow(dst, relPath, "REFERENCE",
+                            i + 1, pos + mm.start + 1, i + 1, pos + mm.end)
+                        }
+                        t = methodReturn(recv, member)
+                        pos = closeParen(pos + mm.end)
+                      case None => pos = -1
+                    }
+                  }
+                }
+              }
+            }
             // C3 slice 16 — `super().m()`: the real callee is the first
             // definer of m along the class's C3 MRO AFTER the class —
             // whole-graph information (bases live in other files), so

@@ -2236,4 +2236,52 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("app.external", "extmod.Widget.spin")))
   }
 
+  test("r12 slice 55: inline call-result chains emit a Call edge per " +
+      "link (ctor heads, fluent builders, typed-receiver heads)") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        return 1
+        |
+        |class Database:
+        |    def get_conn(self) -> Conn:
+        |        return Conn()
+        |
+        |class Builder:
+        |    def with_a(self):
+        |        return self
+        |    def build(self) -> Conn:
+        |        return Conn()
+        |
+        |def chain():
+        |    c = Database().get_conn()
+        |    return c.execute()
+        |
+        |def fluent():
+        |    b = Builder().with_a().with_a()
+        |    return b.build().execute()
+        |
+        |def inline():
+        |    return Database().get_conn().execute()
+        |
+        |def untyped():
+        |    return mystery().whatever().more()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t", "p.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // the assignment head's link now references like jedi does
+    assert(calls.contains(("p.chain", "p.Database.get_conn")))
+    assert(calls.contains(("p.chain", "p.Conn.execute")))
+    // fluent: return-self links fold, the call-trailer member resolves
+    assert(calls.contains(("p.fluent", "p.Builder.with_a")))
+    assert(calls.contains(("p.fluent", "p.Conn.execute")))
+    // fully inline: every link references
+    assert(calls.contains(("p.inline", "p.Database.get_conn")))
+    assert(calls.contains(("p.inline", "p.Conn.execute")))
+    // an unresolvable head emits no link edges at all
+    assert(!calls.exists { case (s, d) =>
+      s == "p.untyped" && (d.endsWith("whatever") || d.endsWith("more")) })
+  }
+
 }
