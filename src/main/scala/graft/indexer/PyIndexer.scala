@@ -518,6 +518,14 @@ object PyIndexer {
   private val ctorItem: Regex =
     """^\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(\s*[^()]*\)\s*$""".r
 
+  /** `d = {"k": Ctor(), …}` / `s = {Ctor(), …}` — a homogeneous
+    * constructor BRACE literal (C3 slice 56, the dict/set twin of
+    * slice 12): colon entries bind the target's VALUE type (keys stay
+    * out of model, slice 28's rule), colon-free items are a SET and
+    * bind the ELEMENT type; mixed or non-call items bind nothing. */
+  private val braceLitAssign: Regex =
+    """^\s*([A-Za-z_]\w*)\s*=\s*\{(.+)\}\s*$""".r
+
   /** `xs = [Ctor(…) for … in …]` (or a set comprehension) — a
     * comprehension whose ELEMENT is a constructor call binds the
     * target's element type (C3 slice 26: jedi infers the comp element
@@ -1980,6 +1988,35 @@ object PyIndexer {
                   types.flatten.distinct.size == 1)
                 fn.elemLocals(m.group(1)) = types.head.get
             }
+            // r12 slice 56: homogeneous constructor-DICT literals bind
+            // the VALUE type (keys out of model per slice 28's rule);
+            // a colon-free brace literal is a SET — element type
+            braceLitAssign.findFirstMatchIn(line)
+              .filterNot(m => m.group(2).contains(" for "))
+              .foreach { m =>
+                val items = splitTopComma(m.group(2)).map(_.trim)
+                val entryVal =
+                  """^(?:'[^']*'|"[^"]*"|[\w.]+)\s*:\s*(.+)$""".r
+                val allDict =
+                  items.nonEmpty &&
+                    items.forall(entryVal.findFirstMatchIn(_).isDefined)
+                val anyColon = items.exists(_.contains(":"))
+                val vals: Seq[String] =
+                  if (allDict)
+                    items.map(i =>
+                      entryVal.findFirstMatchIn(i).get.group(1).trim)
+                  else if (anyColon) Seq.empty // mixed/nested: bind nothing
+                  else items
+                val types = vals.map {
+                  case ctorItem(callee) => classishType(callee)
+                  case _ => None
+                }
+                if (types.nonEmpty && types.forall(_.isDefined) &&
+                    types.flatten.distinct.size == 1) {
+                  if (allDict) fn.valueLocals(m.group(1)) = types.head.get
+                  else fn.elemLocals(m.group(1)) = types.head.get
+                }
+              }
             // C3 slice 26: constructor-call comprehensions bind the
             // element type (a non-classish element binds nothing)
             compCtorAssign.findFirstMatchIn(line).foreach(m =>

@@ -2284,4 +2284,39 @@ class IndexerSpec extends AnyFunSuite {
       s == "p.untyped" && (d.endsWith("whatever") || d.endsWith("more")) })
   }
 
+  test("r12 slice 56: constructor brace literals — dicts bind VALUE " +
+      "types, sets bind ELEMENT types, mixed binds nothing") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        return 1
+        |
+        |def dictvals():
+        |    d = {"a": Conn(), "b": Conn()}
+        |    return d["a"].execute()
+        |
+        |def setvals():
+        |    s = {Conn(), Conn()}
+        |    for c in s:
+        |        c.execute()
+        |
+        |def mixed():
+        |    m = {"a": Conn(), "b": other()}
+        |    return m["a"].run()
+        |
+        |def values_iter():
+        |    d = {"a": Conn()}
+        |    for v in d.values():
+        |        v.execute()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t", "p.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("p.dictvals", "p.Conn.execute")))
+    assert(calls.contains(("p.setvals", "p.Conn.execute")))
+    assert(calls.contains(("p.values_iter", "p.Conn.execute")))
+    // a mixed-value dict binds nothing — no edge to Conn.run
+    assert(!calls.exists { case (s, d) => s == "p.mixed" && d.endsWith("run") })
+  }
+
 }
