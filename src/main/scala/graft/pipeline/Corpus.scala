@@ -1139,6 +1139,84 @@ object Corpus {
     * key through TakeOrderedAndProject. The key rounds to 6 so the
     * cross-engine ln noise can't flip an ordering the tie-break
     * doesn't already settle. */
+  /** BPE MERGE TRAINING rounds (Sennrich, Haddow & Birch 2016) — the
+    * tokenizer-training primitive a corpus pipeline runs BEFORE any
+    * token counting exists: per round, the most frequent adjacent
+    * symbol pair across the corpus becomes a merge rule and every
+    * occurrence merges. Scale shape is the algorithm's own: the corpus
+    * collapses ONCE to a (word, count) vocabulary (bounded at
+    * `vocabCap` by (count desc, word) — a TakeOrdered, never a global
+    * sort), and all training runs on the vocab's symbol table
+    * (vocab × word-length rows). Each round is fully RELATIONAL —
+    * no per-row fold anywhere: adjacent pairs via one lead() window,
+    * the rule via a count-weighted argmax (ties → lexicographic
+    * (lhs, rhs), deterministic), and the greedy LEFT-TO-RIGHT
+    * NON-OVERLAPPING merge (Python BPE's semantics, where `aaaa`
+    * merges to `aa aa`) via the pos − row_number ISLANDS trick:
+    * candidate positions form runs, and exactly the even offsets of
+    * each run merge (x ≠ y runs are singletons, so one spelling covers
+    * both cases). The rule broadcast-joins the symbol table; merged
+    * rows concat, successors drop, positions renumber. The oracle
+    * replays every round — pairs, argmax, islands, rewrite — verbatim.
+    * Returns one row per round: (merge_round, lhs, rhs, pair_count). */
+  def bpeMerges(docs: DataFrame, rounds: Int = 3, vocabCap: Int = 2000,
+      maxLen: Int = 12): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"bpe rounds $rounds out of budget")
+    val words = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= maxLen)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(vocabCap)
+    val byWord = Window.partitionBy("word").orderBy("pos")
+    var sym = words
+      .select(col("word"), col("cnt"),
+        posexplode(split(col("word"), "")).as(Seq("p0", "sym")))
+      .select(col("word"), col("cnt"),
+        (col("p0") + 1).cast("long").as("pos"), col("sym"))
+      .localCheckpoint(eager = true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val p = sym.withColumn("nxt", lead(col("sym"), 1).over(byWord))
+        .localCheckpoint(eager = true)
+      val best = p.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("bx"), col("nxt").as("by"))
+        .agg(sum(col("cnt")).cast("long").as("n"))
+        .orderBy(col("n").desc, col("bx"), col("by")).limit(1)
+        .localCheckpoint(eager = true)
+      out += best.select(lit(r).as("merge_round"), col("bx").as("lhs"),
+        col("by").as("rhs"), col("n").as("pair_count"))
+      // greedy non-overlap: islands of consecutive candidates, even
+      // offsets merge (odd `o` is the 1-based spelling of offset-even)
+      val cand = p.join(broadcast(best),
+          col("sym") === col("bx") && col("nxt") === col("by"))
+        .select(col("word"), col("pos"))
+        .withColumn("rn", row_number().over(byWord))
+        .withColumn("o", row_number().over(
+          Window.partitionBy(col("word"), col("pos") - col("rn"))
+            .orderBy("pos")))
+        .filter(col("o") % 2 === 1)
+        .select(col("word"), col("pos"))
+        .localCheckpoint(eager = true)
+      sym = p.alias("p")
+        .join(cand.alias("m"),
+          col("p.word") === col("m.word") && col("p.pos") === col("m.pos"),
+          "left")
+        .join(cand.alias("md"),
+          col("p.word") === col("md.word") &&
+            col("p.pos") === col("md.pos") + 1, "left")
+        .filter(col("md.pos").isNull)
+        .select(col("p.word").as("word"), col("p.cnt").as("cnt"),
+          col("p.pos").as("opos"),
+          when(col("m.pos").isNotNull, concat(col("p.sym"), col("p.nxt")))
+            .otherwise(col("p.sym")).as("sym"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("word").orderBy("opos")).cast("long"))
+        .drop("opos")
+        .localCheckpoint(eager = true)
+    }
+    out.reduce(_ unionByName _)
+  }
+
   def gumbelTopK(weighted: DataFrame, k: Int = 50,
       temperature: Double = 1.0): DataFrame = {
     require(temperature > 0, "temperature must be positive")

@@ -1932,6 +1932,52 @@ object QueryCatalog {
     """SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_subwords
       |FROM documents""".stripMargin
 
+  /** t_bpe_merges — BPE merge-training rounds
+    * ([[graft.pipeline.Corpus.bpeMerges]], Sennrich 2016): 3 rounds of
+    * most-frequent-adjacent-pair merging over the top-2000 word
+    * vocabulary — the tokenizer-training primitive, fully relational
+    * (lead-window pairs, argmax rule, islands-based greedy non-overlap
+    * rewrite). The oracle replays every round verbatim. */
+  val tBpeMerges: Q = (s, d) =>
+    Corpus.bpeMerges(Tables.documents(s, d), rounds = 3,
+      vocabCap = 2000, maxLen = 12)
+
+  val tBpeMergesSql: String = {
+    def round_(k: Int): String =
+      s"""p$k AS MATERIALIZED (SELECT word, cnt, pos, sym,
+         |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s${k - 1}),
+         |b$k AS MATERIALIZED (SELECT sym AS bx, nxt AS byy, sum(cnt)::BIGINT AS n
+         |  FROM p$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY n DESC, bx, byy LIMIT 1),
+         |c$k AS (SELECT p.word, p.pos,
+         |    row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn
+         |  FROM p$k p, b$k b WHERE p.sym = b.bx AND p.nxt = b.byy),
+         |m$k AS MATERIALIZED (SELECT word, pos FROM (
+         |  SELECT word, pos, row_number() OVER (
+         |    PARTITION BY word, pos - rn ORDER BY pos) AS o FROM c$k)
+         |  WHERE o % 2 = 1),
+         |s$k AS MATERIALIZED (SELECT word, cnt,
+         |  row_number() OVER (PARTITION BY word ORDER BY opos)::BIGINT AS pos, sym
+         |  FROM (SELECT p.word, p.cnt, p.pos AS opos,
+         |    CASE WHEN m.pos IS NOT NULL THEN p.sym || p.nxt ELSE p.sym END AS sym
+         |  FROM p$k p
+         |  LEFT JOIN m$k m ON p.word = m.word AND p.pos = m.pos
+         |  LEFT JOIN m$k md ON p.word = md.word AND p.pos = md.pos + 1
+         |  WHERE md.pos IS NULL))""".stripMargin
+    s"""WITH w0 AS (SELECT term AS word, count(*) AS cnt FROM (
+       |  SELECT unnest(string_split($normSql, ' ')) AS term FROM documents)
+       |  WHERE term <> '' AND length(term) <= 12 GROUP BY 1),
+       |vocab AS MATERIALIZED (SELECT word, cnt FROM w0
+       |  ORDER BY cnt DESC, word LIMIT 2000),
+       |s0 AS MATERIALIZED (SELECT word, cnt,
+       |  unnest(range(1, length(word) + 1))::BIGINT AS pos,
+       |  unnest(string_split(word, '')) AS sym FROM vocab),
+       |${(1 to 3).map(round_).mkString(",\n")}
+       |SELECT 1::INT AS merge_round, bx AS lhs, byy AS rhs, n AS pair_count FROM b1
+       |UNION ALL SELECT 2::INT, bx, byy, n FROM b2
+       |UNION ALL SELECT 3::INT, bx, byy, n FROM b3""".stripMargin
+  }
+
   /** Quality scoring: alpha ratio, stopword ratio, mean token length,
     * composite score — all rounded for cross-engine equality. */
   /** t_readability — Flesch reading-ease over the documents table
@@ -7884,6 +7930,7 @@ object QueryCatalog {
     "q15_quantile" -> q15Quantile,
     "t_tokens" -> tTokens,
     "t_bpe_tokens" -> tBpeTokens,
+    "t_bpe_merges" -> tBpeMerges,
     "t_quality" -> tQuality,
     "p_clean_corpus" -> pCleanCorpus,
     "t_langid" -> tLangId,
@@ -8157,6 +8204,7 @@ object QueryCatalog {
     "q15_quantile" -> q15QuantileSql,
     "t_tokens" -> tTokensSql,
     "t_bpe_tokens" -> tBpeTokensSql,
+    "t_bpe_merges" -> tBpeMergesSql,
     "t_quality" -> tQualitySql,
     "p_clean_corpus" -> pCleanCorpusSql,
     "t_langid" -> tLangIdSql,

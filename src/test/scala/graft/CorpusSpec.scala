@@ -907,4 +907,23 @@ class CorpusSpec extends AnyFunSuite {
       1000000L * 8 / "bad��decode".length, "quarantine")))
     assert(out(5L) === ((0L, 0L, 0L, 0L, "clean"))) // empty: no div-by-0
   }
+  test("bpeMerges: greedy left-to-right non-overlap (aaaa → aa|aa), " +
+      "count-weighted argmax with lexicographic ties") {
+    // vocab: "aaaa" ×2 (run-of-equals case), "banana" ×1
+    val docs = Seq((1L, "aaaa aaaa banana")).toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.bpeMerges(docs, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    // round 1: (a,a) appears 3× per "aaaa" × cnt 2 = 6 — and the merge
+    // must produce [aa, aa], NOT [aa, a, a] (greedy non-overlap)
+    assert(out(0) === ((1, "a", "a", 6L)))
+    // round 2: (a,n), (n,a) and the new (aa,aa) all count 2 — the
+    // lexicographic (lhs, rhs) tie-break picks (a,n)
+    assert(out(1) === ((2, "a", "n", 2L)))
+    // round 3: (aa,aa) at 2 beats banana's singleton pairs — which
+    // PROVES round 1 merged both aa pairs (an overlap bug would leave
+    // [aa, a, a] and no (aa,aa) pair at all)
+    assert(out(2) === ((3, "aa", "aa", 2L)))
+  }
+
 }
