@@ -624,6 +624,60 @@ object Similarity {
     exactRerank(short, emb, queryIds, k)
   }
 
+  /** DOMINANT PRINCIPAL COMPONENT of the embedding corpus by MATRIX-FREE
+    * power iteration — the all-but-the-top post-processing primitive
+    * (Mu & Viswanath, ICLR 2018: embeddings share a large common
+    * direction; removing it improves similarity quality), and the
+    * PCA-whitening building block. Never materializes the d×d
+    * covariance (d²·n rows): each iteration is y = Σ_v s_v·(x_v − μ)
+    * with s_v = (x_v − μ)·w — one codegen'd dot per vector (n rows) +
+    * one posexplode/groupBy (n·d rows), the 100 TB shape. Determinism:
+    * μ and the per-dim accumulations route through DECIMAL (the
+    * s_centroids discipline — summation order can't shift them), dots
+    * round-6, max-abs normalization with the division done in DOUBLE
+    * after an exact decimal max — so the oracle unrolls all iterations
+    * bit-identically. Returns (dim, w) — the round-6 component. */
+  def dominantComponent(emb: DataFrame, iterations: Int = 4,
+      dim: Int = 64): DataFrame = {
+    require(iterations >= 1 && iterations <= 8, "iteration budget")
+    val spark = emb.sparkSession
+    val muArr = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(round(sum(col("x").cast("double").cast("decimal(28,10)"))
+        .cast("double") / count(lit(1)), 6).as("mu"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+        s => s.getField("mu")).as("mu"))
+      .localCheckpoint(eager = true)
+    var w = spark.range(1)
+      .select(transform(sequence(lit(0), lit(dim - 1)),
+        _ => lit(0.125)).as("w"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      val centered = zip_with(col("embedding"), col("mu"),
+        (x, m) => x.cast("double") - m)
+      val sv = emb.crossJoin(broadcast(muArr)).crossJoin(broadcast(w))
+        .select(col("embedding"), col("mu"),
+          round(aggregate(zip_with(centered, col("w"), (c, wv) => c * wv),
+            lit(0.0), (a, v) => a + v), 6).as("s"))
+      val y = sv
+        .select(col("s"), posexplode(centered).as(Seq("dim", "c")))
+        .groupBy(col("dim"))
+        .agg(sum(round(col("s") * col("c"), 6).cast("decimal(28,6)")).as("y"))
+        .localCheckpoint(eager = true)
+      val mx = y.agg(max(abs(col("y"))).as("m"))
+      w = y.crossJoin(broadcast(mx))
+        .select(col("dim"),
+          round(col("y").cast("double") / col("m").cast("double"), 6)
+            .as("wv"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("wv")))),
+          s => s.getField("wv")).as("w"))
+        .localCheckpoint(eager = true)
+    }
+    w.select(posexplode(col("w")).as(Seq("dim", "w")))
+      .select(col("dim").cast("int").as("dim"), (col("w") + 0.0).as("w"))
+  }
+
   /** Embedding near-duplicate pairs: all (a,b), a<b, cosine ≥ threshold,
     * candidates = union over bands of same-(band, bucket) pairs — the
     * [[Dedup.minhashLshPairs]] shape. With numPlanes=32 / bands=4, each

@@ -3005,6 +3005,47 @@ object QueryCatalog {
     * `+ 0.0` IEEE-normalizes `-0.0` (a tiny negative cosine rounded to
     * zero keeps its sign in DuckDB's round; Spark's BigDecimal-backed
     * round always yields `+0.0`) so both engines emit identical bytes. */
+  /** s_pca_top — dominant principal component of the embedding corpus
+    * ([[graft.pipeline.Similarity.dominantComponent]], Mu & Viswanath
+    * 2018): 4 matrix-free power-iteration rounds, mean-centered,
+    * decimal-routed accumulations, round-6 quantization at every float
+    * boundary — the ABTT / PCA-whitening primitive that never builds
+    * the d×d covariance. The oracle unrolls all four rounds. */
+  val sPcaTop: Q = (s, d) =>
+    Similarity.dominantComponent(Tables.embeddings(s, d), iterations = 4)
+
+  val sPcaTopSql: String = {
+    def dot(cExpr: String, wRef: String): String =
+      "round(list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+        s"i -> $cExpr * $wRef[i])), (a, b) -> a + b), 6)"
+    val cent = "(e.embedding[i]::DOUBLE - mu.m[i])"
+    def iter(k: Int): String =
+      s"""s$k AS MATERIALIZED (SELECT e.vec_id,
+         |  ${dot(cent, s"w${k - 1}.w")} AS s
+         |  FROM embeddings e, muarr mu, w${k - 1}),
+         |y$k AS MATERIALIZED (SELECT dim,
+         |  sum(round(s.s * (e.embedding[dim]::DOUBLE - mu.m[dim]), 6)
+         |    ::DECIMAL(28,6)) AS y
+         |  FROM embeddings e JOIN s$k s USING (vec_id), muarr mu,
+         |    (SELECT unnest(range(1, 65)) AS dim) dims
+         |  GROUP BY dim),
+         |mx$k AS (SELECT max(abs(y)) AS m FROM y$k),
+         |w$k AS MATERIALIZED (SELECT array_agg(
+         |    round(y::DOUBLE / (SELECT m FROM mx$k)::DOUBLE, 6)
+         |    ORDER BY dim) AS w FROM y$k)""".stripMargin
+    s"""WITH mu0 AS (SELECT dim,
+       |  round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+       |    AS mu
+       |  FROM (SELECT unnest(range(0, 64)) AS dim,
+       |    unnest(list_transform(embedding, v -> v::DOUBLE)) AS x
+       |    FROM embeddings) GROUP BY dim),
+       |muarr AS MATERIALIZED (SELECT array_agg(mu ORDER BY dim) AS m FROM mu0),
+       |w0 AS (SELECT list_transform(range(0, 64), i -> 0.125::DOUBLE) AS w),
+       |${(1 to 4).map(iter).mkString(",\n")}
+       |SELECT (dim - 1)::INT AS dim, (w[dim] + 0.0) AS w
+       |FROM w4, (SELECT unnest(range(1, 65)) AS dim) dims""".stripMargin
+  }
+
   private def cosOf(a: String, b: String): String =
     s"""(round(
        |  list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)
@@ -7951,6 +7992,7 @@ object QueryCatalog {
     "s_mmr" -> sMmr,
     "s_lsh_ann" -> sLshAnn,
     "s_ivf_ann" -> sIvfAnn,
+    "s_pca_top" -> sPcaTop,
     "s_emb_neardup" -> sEmbNearDup,
     "s_semdedup" -> sSemDedup,
     "s_knn_graph" -> sKnnGraph,
@@ -8225,6 +8267,7 @@ object QueryCatalog {
     "s_mmr" -> sMmrSql,
     "s_lsh_ann" -> sLshAnnSql,
     "s_ivf_ann" -> sIvfAnnSql,
+    "s_pca_top" -> sPcaTopSql,
     "s_emb_neardup" -> sEmbNearDupSql,
     "s_semdedup" -> sSemDedupSql,
     "s_knn_graph" -> sKnnGraphSql,

@@ -319,4 +319,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1)._3 === Some(0.0))
     assert(out(2)._3 === Some(0.7071))
   }
+  test("dominantComponent: recovers a planted dominant direction " +
+      "(|cosine| with the plant > 0.95) and is deterministic") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // plant: direction d = (1, 1, 0, …, 0)/√2 with ±large coefficients,
+    // plus small per-dim noise — the top PC must align with d
+    val dim = 64
+    val rows = (0 until 200).map { i =>
+      val coef = if (i % 2 == 0) 5.0 else -5.0
+      val arr = Array.tabulate(dim) { j =>
+        val noise = (((i * 31 + j * 17) % 13) - 6) * 0.02
+        val planted = if (j < 2) coef / math.sqrt(2) else 0.0
+        (planted + noise).toFloat
+      }
+      Row(i.toLong, arr.toSeq)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val w = Similarity.dominantComponent(emb, iterations = 4)
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val plant = Array.tabulate(dim)(j =>
+      if (j < 2) 1.0 / math.sqrt(2) else 0.0)
+    val dot = w.zip(plant).map { case (a, b) => a * b }.sum
+    val nw = math.sqrt(w.map(x => x * x).sum)
+    assert(math.abs(dot / nw) > 0.95,
+      s"top PC misaligned: |cos| = ${math.abs(dot / nw)}")
+    // deterministic: a second run is bit-identical
+    val w2 = Similarity.dominantComponent(emb, iterations = 4)
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(w.toSeq === w2.toSeq)
+  }
+
 }
