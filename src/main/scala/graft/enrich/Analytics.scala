@@ -402,6 +402,17 @@ object Analytics {
     condensationLayersFrom(edges,
       stronglyConnectedAuto(edges.sparkSession, edges))
 
+  /** [[condensationLayersFrom]] over an ALREADY-DERIVED condensation —
+    * the r12 deployment shape: labels AND condensation persist per
+    * corpus version (`scclabels`/`scccond`), so the relaxation loop
+    * reads two parquet scans and touches the base graph zero times. */
+  def condensationLayersOver(condEdges: DataFrame,
+      scc0: DataFrame): DataFrame =
+    layersLoop(
+      condEdges.select(col("src_scc").as("cs"), col("dst_scc").as("cd"))
+        .localCheckpoint(eager = true),
+      scc0.localCheckpoint(eager = true))
+
   /** [[condensationLayers]] over already-derived labels — see
     * [[condensationFrom]]. */
   def condensationLayersFrom(edges: DataFrame, scc0: DataFrame): DataFrame = {
@@ -414,6 +425,10 @@ object Analytics {
       .filter(col("cs") =!= col("cd"))
       .select(col("cs"), col("cd")).distinct()
       .localCheckpoint(eager = true)
+    layersLoop(ce, scc)
+  }
+
+  private def layersLoop(ce: DataFrame, scc: DataFrame): DataFrame = {
     var layers = scc.select(col("scc").as("c")).distinct()
       .select(col("c"), lit(0L).as("layer")).localCheckpoint(eager = true)
     var changed = 1L

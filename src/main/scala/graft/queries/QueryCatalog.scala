@@ -908,8 +908,9 @@ object QueryCatalog {
     * — derived once per corpus version, the ccprev discipline); the
     * oracle recomputes them from the closure. */
   val q62Condense: Q = (s, d) =>
-    graft.enrich.Analytics.condensationFrom(GraphTables.sccRings(s, d),
-      GraphTables.sccLabels(s, d))
+    // r12: the condensation persists per corpus version (`scccond`, the
+    // scclabels discipline) — this query IS the derived-table scan
+    GraphTables.sccCond(s, d)
 
   val q62CondenseSql: String =
     s"""WITH RECURSIVE ${GraphSql.sccRingsCte},
@@ -930,7 +931,9 @@ object QueryCatalog {
     * rings → 2 on the fixture). Oracle: the closure labels + 5
     * unrolled max-plus relaxation rounds (depth is 2). */
   val q63Topo: Q = (s, d) =>
-    graft.enrich.Analytics.condensationLayersFrom(GraphTables.sccRings(s, d),
+    // r12: both inputs persisted (scclabels + scccond) — the relaxation
+    // loop reads two parquet scans, never the base graph
+    graft.enrich.Analytics.condensationLayersOver(GraphTables.sccCond(s, d),
       GraphTables.sccLabels(s, d))
 
   val q63TopoSql: String = {

@@ -412,6 +412,18 @@ object GraphTables {
     * (the entire point of incrementality). The xxhash64 selection is
     * fine here for the same reason as ccPrev: q77's result provably
     * equals from-scratch, so the oracle never replays this derivation. */
+  /** The CURRENT condensation (src_scc, dst_scc) of [[sccRings]],
+    * PERSISTED like [[sccLabels]] (r12): the condensation derives ONCE
+    * per corpus version; q62 is then a parquet scan and q63's
+    * max-plus relaxation reads it instead of re-running the ring
+    * windows + double join per query. */
+  def sccCond(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, "scccond") {
+      graft.enrich.Analytics.condensationFrom(sccRings(s, d), sccLabels(s, d))
+        .repartition(col("src_scc"))
+        .sortWithinPartitions("src_scc", "dst_scc")
+    }
+
   /** The incremental-SCC delta rate: 1-in-50 edges (2%) — a plausible
     * "new batch arrived" fraction. NOT 10% like ccPrev: ring SCCs
     * shatter when ANY of their ~8 edges is removed, so a 10% deletion

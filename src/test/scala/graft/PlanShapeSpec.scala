@@ -247,6 +247,13 @@ class PlanShapeSpec extends AnyFunSuite {
       .map(_.relation.location.rootPaths.mkString(","))
     assert(scans.nonEmpty && scans.forall(_.contains("scclabels")),
       s"sccLabels must be a materialized parquet scan, scans:\n${scans.mkString("\n")}")
+    // r12: the condensation itself persists too — q62 IS this scan and
+    // q63's relaxation reads it instead of re-deriving the ring windows
+    val cond = graft.store.GraphTables.sccCond(spark, sf)
+    val cscans = fileScans(cond.queryExecution.executedPlan)
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(cscans.nonEmpty && cscans.forall(_.contains("scccond")),
+      s"sccCond must be a materialized parquet scan, scans:\n${cscans.mkString("\n")}")
   }
 
   test("m_tiff is a pure narrow map: zero exchanges, scale-free") {
