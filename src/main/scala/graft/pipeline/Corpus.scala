@@ -1139,6 +1139,60 @@ object Corpus {
     * key through TakeOrderedAndProject. The key rounds to 6 so the
     * cross-engine ln noise can't flip an ordering the tie-break
     * doesn't already settle. */
+  /** IN-ENGINE QUALITY-CLASSIFIER TRAINING — batch gradient descent for
+    * a logistic-style screen (the FineWeb-Edu / CCNet move: train a
+    * cheap classifier on weak labels, score the corpus with it), as a
+    * 100 TB Spark job: each round is ONE partial-agg pass computing the
+    * four gradient sums; model state is 4 numbers. Determinism makes it
+    * gateable where real logistic GD is not: the sigmoid is the HARD
+    * surrogate clip(0.25·m + 0.5, 0, 1) (pure +,×,clip — no exp, which
+    * engines round differently at the last ulp), margins round-6,
+    * per-row gradient terms round-6 then DECIMAL-sum (order-independent),
+    * and the weight update rounds HALF_UP-6 (= Spark round) — so the
+    * oracle replays every round bit-for-bit. Weak labels come from the
+    * integer-exact composite [[TextFunctions.qualityScore]] ≥ 0.5;
+    * features are the round-4 quality ratios. Per-round state collected:
+    * 4 numbers (the k-center 1-row-per-round pattern). Returns
+    * (feature 0..3, weight) — bias, alpha ratio, stopword ratio,
+    * length band. */
+  def trainQualityClassifier(docs: DataFrame, rounds: Int = 3,
+      lr: Double = 1.0): DataFrame = {
+    import graft.functions.TextFunctions
+    require(rounds >= 1 && rounds <= 10, "round budget")
+    val spark = docs.sparkSession
+    val feats = docs.select(
+        TextFunctions.alphaRatio(col("text")).as("x1"),
+        TextFunctions.stopwordRatio(col("text")).as("x2"),
+        round(least(length(col("text")), lit(2000)).cast("double") / 2000, 4)
+          .as("x3"),
+        (TextFunctions.qualityScore(col("text")) >= 0.5)
+          .cast("int").cast("double").as("y"))
+      .localCheckpoint(eager = true)
+    val n = feats.count().toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to rounds) {
+      val m = round(lit(w(0)) + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3"), 6)
+      val p = greatest(lit(0.0), least(lit(1.0), lit(0.25) * m + lit(0.5)))
+      val err = p - col("y")
+      val g = feats.agg(
+          sum(round(err, 6).cast("decimal(28,6)")).as("g0"),
+          sum(round(err * col("x1"), 6).cast("decimal(28,6)")).as("g1"),
+          sum(round(err * col("x2"), 6).cast("decimal(28,6)")).as("g2"),
+          sum(round(err * col("x3"), 6).cast("decimal(28,6)")).as("g3"))
+        .collect()(0)
+      for (j <- 0 to 3)
+        w(j) = r6(w(j) - lr * g.getDecimal(j).doubleValue() / n)
+    }
+    import spark.implicits._
+    w.toSeq.zipWithIndex.map { case (wv, j) => (j, wv) }
+      .toDF("feature", "weight")
+      .select(col("feature").cast("int").as("feature"),
+        (col("weight") + 0.0).as("weight"))
+  }
+
   /** BPE MERGE TRAINING rounds (Sennrich, Haddow & Birch 2016) — the
     * tokenizer-training primitive a corpus pipeline runs BEFORE any
     * token counting exists: per round, the most frequent adjacent

@@ -2537,6 +2537,54 @@ object QueryCatalog {
        |FROM documents""".stripMargin
   }
 
+  /** t_quality_train — IN-ENGINE quality-classifier training
+    * ([[graft.pipeline.Corpus.trainQualityClassifier]]): 3 batch-GD
+    * rounds on the round-4 quality features with hard-sigmoid margins
+    * (no exp — engines disagree at the last ulp; the clip surrogate is
+    * pure +,×), round-6 gradient terms DECIMAL-summed, HALF_UP-6 weight
+    * updates. The oracle unrolls all three rounds. */
+  val tQualityTrain: Q = (s, d) =>
+    Corpus.trainQualityClassifier(Tables.documents(s, d), rounds = 3)
+
+  val tQualityTrainSql: String = {
+    val toks = s"string_split($normSql, ' ')"
+    val stopList =
+      TextFunctions.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    val alpha = "round((length(text) - length(regexp_replace(text, " +
+      "'[a-zA-Z]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4)"
+    val stopR = s"round(len(list_filter($toks, t -> list_contains(" +
+      s"$stopList, t)))::DOUBLE / greatest(len($toks), 1), 4)"
+    val x3 = "round(least(length(text), 2000)::DOUBLE / 2000, 4)"
+    val y = s"(CASE WHEN $qualityExprSql >= 0.5 THEN 1 ELSE 0 END)::DOUBLE"
+    def iter(k: Int): String =
+      s"""g$k AS (SELECT
+         |  sum(round(err, 6)::DECIMAL(28,6)) AS g0,
+         |  sum(round(err * x1, 6)::DECIMAL(28,6)) AS g1,
+         |  sum(round(err * x2, 6)::DECIMAL(28,6)) AS g2,
+         |  sum(round(err * x3, 6)::DECIMAL(28,6)) AS g3
+         |  FROM (SELECT x1, x2, x3,
+         |    greatest(0.0::DOUBLE, least(1.0::DOUBLE,
+         |      0.25::DOUBLE * round(w.a + w.b * x1 + w.c * x2 + w.d * x3, 6)
+         |      + 0.5::DOUBLE)) - y AS err
+         |  FROM feats, w${k - 1} w)),
+         |w$k AS (SELECT
+         |  round(w.a - 1.0::DOUBLE * g.g0::DOUBLE / (SELECT n FROM nn), 6) AS a,
+         |  round(w.b - 1.0::DOUBLE * g.g1::DOUBLE / (SELECT n FROM nn), 6) AS b,
+         |  round(w.c - 1.0::DOUBLE * g.g2::DOUBLE / (SELECT n FROM nn), 6) AS c,
+         |  round(w.d - 1.0::DOUBLE * g.g3::DOUBLE / (SELECT n FROM nn), 6) AS d
+         |  FROM w${k - 1} w, g$k g)""".stripMargin
+    s"""WITH feats AS MATERIALIZED (SELECT
+       |  $alpha AS x1, $stopR AS x2, $x3 AS x3, $y AS y FROM documents),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM feats),
+       |w0 AS (SELECT 0.0::DOUBLE AS a, 0.0::DOUBLE AS b,
+       |  0.0::DOUBLE AS c, 0.0::DOUBLE AS d),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT 0::INT AS feature, (a + 0.0) AS weight FROM w3
+       |UNION ALL SELECT 1::INT, (b + 0.0) FROM w3
+       |UNION ALL SELECT 2::INT, (c + 0.0) FROM w3
+       |UNION ALL SELECT 3::INT, (d + 0.0) FROM w3""".stripMargin
+  }
+
   /** The composed cleaning pipeline in ONE declared query — the shape a
     * training-data run actually executes: quality-gate → exact dedup
     * (first-seen keeper per normalized fingerprint) → per-keeper token
@@ -7975,6 +8023,7 @@ object QueryCatalog {
     "t_tokens" -> tTokens,
     "t_bpe_tokens" -> tBpeTokens,
     "t_bpe_merges" -> tBpeMerges,
+    "t_quality_train" -> tQualityTrain,
     "t_quality" -> tQuality,
     "p_clean_corpus" -> pCleanCorpus,
     "t_langid" -> tLangId,
@@ -8250,6 +8299,7 @@ object QueryCatalog {
     "t_tokens" -> tTokensSql,
     "t_bpe_tokens" -> tBpeTokensSql,
     "t_bpe_merges" -> tBpeMergesSql,
+    "t_quality_train" -> tQualityTrainSql,
     "t_quality" -> tQualitySql,
     "p_clean_corpus" -> pCleanCorpusSql,
     "t_langid" -> tLangIdSql,
