@@ -1239,36 +1239,91 @@ object Corpus {
         .localCheckpoint(eager = true)
       out += best.select(lit(r).as("merge_round"), col("bx").as("lhs"),
         col("by").as("rhs"), col("n").as("pair_count"))
-      // greedy non-overlap: islands of consecutive candidates, even
-      // offsets merge (odd `o` is the 1-based spelling of offset-even)
-      val cand = p.join(broadcast(best),
-          col("sym") === col("bx") && col("nxt") === col("by"))
-        .select(col("word"), col("pos"))
-        .withColumn("rn", row_number().over(byWord))
-        .withColumn("o", row_number().over(
-          Window.partitionBy(col("word"), col("pos") - col("rn"))
-            .orderBy("pos")))
-        .filter(col("o") % 2 === 1)
-        .select(col("word"), col("pos"))
-        .localCheckpoint(eager = true)
-      sym = p.alias("p")
-        .join(cand.alias("m"),
-          col("p.word") === col("m.word") && col("p.pos") === col("m.pos"),
-          "left")
-        .join(cand.alias("md"),
-          col("p.word") === col("md.word") &&
-            col("p.pos") === col("md.pos") + 1, "left")
-        .filter(col("md.pos").isNull)
-        .select(col("p.word").as("word"), col("p.cnt").as("cnt"),
-          col("p.pos").as("opos"),
-          when(col("m.pos").isNotNull, concat(col("p.sym"), col("p.nxt")))
-            .otherwise(col("p.sym")).as("sym"))
-        .withColumn("pos", row_number().over(
-          Window.partitionBy("word").orderBy("opos")).cast("long"))
-        .drop("opos")
-        .localCheckpoint(eager = true)
+      sym = applyMerge(p, best)
     }
     out.reduce(_ unionByName _)
+  }
+
+  /** One BPE merge-rule application over a (word, cnt, pos, sym, nxt)
+    * symbol table — the greedy left-to-right non-overlap rewrite shared
+    * by [[bpeMerges]] (training) and [[bpeFertility]] (encoding):
+    * islands of consecutive candidate positions merge at even offsets
+    * (`o % 2 = 1` is the 1-based spelling), merged rows concat,
+    * successors drop, positions renumber. `rule` is a broadcastable
+    * 1-row (bx, by) frame. */
+  private def applyMerge(p: DataFrame, rule: DataFrame): DataFrame = {
+    val byWord = Window.partitionBy("word").orderBy("pos")
+    val cand = p.join(broadcast(rule.select(col("bx"), col("by"))),
+        col("sym") === col("bx") && col("nxt") === col("by"))
+      .select(col("word"), col("pos"))
+      .withColumn("rn", row_number().over(byWord))
+      .withColumn("o", row_number().over(
+        Window.partitionBy(col("word"), col("pos") - col("rn"))
+          .orderBy("pos")))
+      .filter(col("o") % 2 === 1)
+      .select(col("word"), col("pos"))
+      .localCheckpoint(eager = true)
+    p.alias("p")
+      .join(cand.alias("m"),
+        col("p.word") === col("m.word") && col("p.pos") === col("m.pos"),
+        "left")
+      .join(cand.alias("md"),
+        col("p.word") === col("md.word") &&
+          col("p.pos") === col("md.pos") + 1, "left")
+      .filter(col("md.pos").isNull)
+      .select(col("p.word").as("word"), col("p.cnt").as("cnt"),
+        col("p.pos").as("opos"),
+        when(col("m.pos").isNotNull, concat(col("p.sym"), col("p.nxt")))
+          .otherwise(col("p.sym")).as("sym"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("word").orderBy("opos")).cast("long"))
+      .drop("opos")
+      .localCheckpoint(eager = true)
+  }
+
+  /** BPE ENCODING fertility — the learned merges APPLIED: train
+    * [[bpeMerges]]' rules on the capped head vocabulary, then apply
+    * them to EVERY distinct word of the corpus (training caps the pair
+    * statistics; application is exact — any word containing a learned
+    * pair merges) and report per-language fertility, subwords per word
+    * — the post-training twin of the pre-training `t_fertility`
+    * diagnostic. Scale shape: the corpus collapses to (lang, word,
+    * count) once; rule application is rounds × the islands rewrite on
+    * the distinct-word symbol table; the final fertility is one
+    * bounded-key groupBy. Integer sums, one rounded division. */
+  def bpeFertility(docs: DataFrame, rounds: Int = 3, vocabCap: Int = 2000,
+      maxLen: Int = 12): DataFrame = {
+    val rules = bpeMerges(docs, rounds, vocabCap, maxLen)
+      .localCheckpoint(eager = true)
+    val byWord = Window.partitionBy("word").orderBy("pos")
+    val langWords = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= maxLen)
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
+    // rule application is lang-independent: rewrite each DISTINCT word
+    // once, then join the per-language counts back
+    var sym = langWords.select(col("word")).distinct()
+      .select(col("word"), lit(1L).as("cnt"),
+        posexplode(split(col("word"), "")).as(Seq("p0", "sym")))
+      .select(col("word"), col("cnt"),
+        (col("p0") + 1).cast("long").as("pos"), col("sym"))
+      .localCheckpoint(eager = true)
+    for (r <- 1 to rounds) {
+      val p = sym.withColumn("nxt", lead(col("sym"), 1).over(byWord))
+      sym = applyMerge(p,
+        rules.filter(col("merge_round") === r)
+          .select(col("lhs").as("bx"), col("rhs").as("by")))
+    }
+    val subCounts = sym.groupBy("word").agg(count(lit(1)).as("n_sub"))
+    langWords.join(subCounts, "word")
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_sub")).as("n_subwords"))
+      .select(col("lang"), col("n_words").cast("long").as("n_words"),
+        col("n_subwords").cast("long").as("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 4)
+          .as("subwords_per_word"))
   }
 
   def gumbelTopK(weighted: DataFrame, k: Int = 50,

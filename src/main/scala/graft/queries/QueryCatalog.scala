@@ -1945,7 +1945,10 @@ object QueryCatalog {
     Corpus.bpeMerges(Tables.documents(s, d), rounds = 3,
       vocabCap = 2000, maxLen = 12)
 
-  val tBpeMergesSql: String = {
+  /** The BPE training WITH-body (vocab → symbol table → 3 rounds of
+    * argmax + islands rewrite), shared by t_bpe_merges and the
+    * t_bpe_fertility encoder. */
+  private lazy val bpeTrainCtes: String = {
     def round_(k: Int): String =
       s"""p$k AS MATERIALIZED (SELECT word, cnt, pos, sym,
          |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s${k - 1}),
@@ -1967,7 +1970,7 @@ object QueryCatalog {
          |  LEFT JOIN m$k m ON p.word = m.word AND p.pos = m.pos
          |  LEFT JOIN m$k md ON p.word = md.word AND p.pos = md.pos + 1
          |  WHERE md.pos IS NULL))""".stripMargin
-    s"""WITH w0 AS (SELECT term AS word, count(*) AS cnt FROM (
+    s"""w0 AS (SELECT term AS word, count(*) AS cnt FROM (
        |  SELECT unnest(string_split($normSql, ' ')) AS term FROM documents)
        |  WHERE term <> '' AND length(term) <= 12 GROUP BY 1),
        |vocab AS MATERIALIZED (SELECT word, cnt FROM w0
@@ -1975,10 +1978,59 @@ object QueryCatalog {
        |s0 AS MATERIALIZED (SELECT word, cnt,
        |  unnest(range(1, length(word) + 1))::BIGINT AS pos,
        |  unnest(string_split(word, '')) AS sym FROM vocab),
-       |${(1 to 3).map(round_).mkString(",\n")}
+       |${(1 to 3).map(round_).mkString(",\n")}""".stripMargin
+  }
+
+  val tBpeMergesSql: String =
+    s"""WITH $bpeTrainCtes
        |SELECT 1::INT AS merge_round, bx AS lhs, byy AS rhs, n AS pair_count FROM b1
        |UNION ALL SELECT 2::INT, bx, byy, n FROM b2
        |UNION ALL SELECT 3::INT, bx, byy, n FROM b3""".stripMargin
+
+  /** t_bpe_fertility — the learned merges APPLIED
+    * ([[graft.pipeline.Corpus.bpeFertility]]): every distinct corpus
+    * word rewrites through the 3 trained rules (training caps the pair
+    * statistics at the head vocabulary; application is exact) and
+    * per-language fertility = subwords per word — the post-training
+    * twin of t_fertility. The oracle re-trains AND re-applies. */
+  val tBpeFertility: Q = (s, d) =>
+    Corpus.bpeFertility(Tables.documents(s, d), rounds = 3,
+      vocabCap = 2000, maxLen = 12)
+
+  val tBpeFertilitySql: String = {
+    def apply_(k: Int): String =
+      s"""pa$k AS MATERIALIZED (SELECT word, pos, sym,
+         |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM a${k - 1}),
+         |ca$k AS (SELECT p.word, p.pos,
+         |    row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn
+         |  FROM pa$k p, b$k b WHERE p.sym = b.bx AND p.nxt = b.byy),
+         |ma$k AS MATERIALIZED (SELECT word, pos FROM (
+         |  SELECT word, pos, row_number() OVER (
+         |    PARTITION BY word, pos - rn ORDER BY pos) AS o FROM ca$k)
+         |  WHERE o % 2 = 1),
+         |a$k AS MATERIALIZED (SELECT word,
+         |  row_number() OVER (PARTITION BY word ORDER BY opos)::BIGINT AS pos, sym
+         |  FROM (SELECT p.word, p.pos AS opos,
+         |    CASE WHEN m.pos IS NOT NULL THEN p.sym || p.nxt ELSE p.sym END AS sym
+         |  FROM pa$k p
+         |  LEFT JOIN ma$k m ON p.word = m.word AND p.pos = m.pos
+         |  LEFT JOIN ma$k md ON p.word = md.word AND p.pos = md.pos + 1
+         |  WHERE md.pos IS NULL))""".stripMargin
+    s"""WITH $bpeTrainCtes,
+       |lw AS MATERIALIZED (SELECT lang, term AS word, count(*) AS cnt FROM (
+       |  SELECT lang, unnest(string_split($normSql, ' ')) AS term FROM documents)
+       |  WHERE term <> '' AND length(term) <= 12 GROUP BY 1, 2),
+       |a0 AS MATERIALIZED (SELECT word,
+       |  unnest(range(1, length(word) + 1))::BIGINT AS pos,
+       |  unnest(string_split(word, '')) AS sym
+       |  FROM (SELECT DISTINCT word FROM lw)),
+       |${(1 to 3).map(apply_).mkString(",\n")},
+       |sub AS (SELECT word, count(*) AS n_sub FROM a3 GROUP BY word)
+       |SELECT lang, sum(cnt)::BIGINT AS n_words,
+       |  sum(cnt * n_sub)::BIGINT AS n_subwords,
+       |  round(sum(cnt * n_sub)::DOUBLE / sum(cnt)::DOUBLE, 4)
+       |    AS subwords_per_word
+       |FROM lw JOIN sub USING (word) GROUP BY lang""".stripMargin
   }
 
   /** Quality scoring: alpha ratio, stopword ratio, mean token length,
@@ -8024,6 +8076,7 @@ object QueryCatalog {
     "t_bpe_tokens" -> tBpeTokens,
     "t_bpe_merges" -> tBpeMerges,
     "t_quality_train" -> tQualityTrain,
+    "t_bpe_fertility" -> tBpeFertility,
     "t_quality" -> tQuality,
     "p_clean_corpus" -> pCleanCorpus,
     "t_langid" -> tLangId,
@@ -8300,6 +8353,7 @@ object QueryCatalog {
     "t_bpe_tokens" -> tBpeTokensSql,
     "t_bpe_merges" -> tBpeMergesSql,
     "t_quality_train" -> tQualityTrainSql,
+    "t_bpe_fertility" -> tBpeFertilitySql,
     "t_quality" -> tQualitySql,
     "p_clean_corpus" -> pCleanCorpusSql,
     "t_langid" -> tLangIdSql,

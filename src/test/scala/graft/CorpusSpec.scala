@@ -960,4 +960,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(w(1) > 0, s"expected positive alpha-ratio weight, got ${w.toSeq}")
   }
 
+  test("bpeFertility: applied merges reduce fertility vs characters, " +
+      "and OOV-of-vocab words still merge (application is exact)") {
+    val docs = Seq(
+      (1L, "aa aa aa aa aa aa bb bb bb bb"),   // head vocab: aa, bb
+      (2L, "aabb" * 1)).toDF("doc_id", "text") // rare word, not in top pairs' training? still merges
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val out = graft.pipeline.Corpus.bpeFertility(docs, rounds = 2,
+      vocabCap = 2, maxLen = 12)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.length === 1 && out(0)._1 == "en")
+    val (_, nw, ns, f) = out(0)
+    assert(nw === 11L)
+    // with (a,a) and (b,b) learned, "aa"→1 sym, "bb"→1 sym, "aabb"→2
+    assert(ns === 12L, s"expected 12 subwords, got $ns (fertility $f)")
+  }
+
 }
