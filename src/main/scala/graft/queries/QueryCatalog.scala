@@ -7703,6 +7703,26 @@ object QueryCatalog {
        | AND x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
        |WHERE round(len(list_filter(range(1,17), i -> x.sig[i] = y.sig[i]))::DOUBLE / 16, 4) >= 0.25""".stripMargin
 
+  /** st_bloom — the Bloom ingest screen AS A STREAM: production runs
+    * [[graft.pipeline.Dedup.bloomScreen]] on the arriving batch stream,
+    * and because the screen is a narrow select + two broadcast probes of
+    * the PERSISTED bit set ([[GraphTables.bloomBits4096]]), it runs on a
+    * streaming DataFrame unchanged — stream-static joins, STATELESS
+    * (the st_neardup_inc posture). Batch-split invariant by
+    * construction; shares d_bloom_screen's oracle verbatim. */
+  val stBloom: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 1)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val bits = GraphTables.bloomBits4096(s, d)
+    StreamReplay.replay(s, docs, "st_bloom", "append", batches = 3) {
+      df => Dedup.bloomScreen(bits, df.toDF("doc_id", "text"))
+        .select(col("doc_id"), col("maybe_dup"))
+    }
+  }
+
   val stDedup: Q = (s, d) => {
     import s.implicits._
     import graft.streaming.Streams
@@ -8262,6 +8282,7 @@ object QueryCatalog {
     "st_dedup" -> stDedup,
     "st_neardup" -> stNearDup,
     "st_neardup_inc" -> stNearDupInc,
+    "st_bloom" -> stBloom,
     "st_funnel" -> stFunnel,
     "st_retention" -> stRetention,
     "st_markov" -> stMarkov,
@@ -8539,6 +8560,7 @@ object QueryCatalog {
     "st_dedup" -> stDedupSql,
     "st_neardup" -> dMinhashLshSql,
     "st_neardup_inc" -> stNearDupIncSql,
+    "st_bloom" -> dBloomScreenSql,
     "st_funnel" -> stFunnelSql,
     "st_retention" -> eRetentionSql,
     "st_markov" -> stMarkovSql,
