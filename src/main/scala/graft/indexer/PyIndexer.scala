@@ -482,6 +482,22 @@ object PyIndexer {
   private val forIn: Regex =
     """^\s*for\s+([A-Za-z_]\w*)\s+in\s+([A-Za-z_]\w*)\s*:\s*$""".r
 
+  /** r12 slice 57, the SELF-FIELD container family: build-up writes
+    * (`self.f.append(Ctor())` / `.add(…)` — the class-field twin of
+    * slice 46's local build-up, captured in the slice-23 pre-pass so a
+    * consumer method EARLIER in the file still resolves), iteration
+    * (`for c in self.f:`) and subscript reads/calls. */
+  private val selfContainerWrite: Regex =
+    ("""self\.([A-Za-z_]\w*)\s*\.\s*(?:append|add)\s*\(\s*""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""").r
+  private val forInSelf: Regex =
+    """^\s*for\s+([A-Za-z_]\w*)\s+in\s+self\.([A-Za-z_]\w*)\s*:\s*$""".r
+  private val selfSubscriptRead: Regex =
+    """^\s*([A-Za-z_]\w*)\s*=\s*self\.([A-Za-z_]\w*)\s*\[[^\]]*\]\s*$""".r
+  private val selfSubscriptCallSite: Regex =
+    ("""self\.([A-Za-z_]\w*)\s*\[[^\[\]]*\]\s*\.\s*""" +
+      """([A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*)\s*\(""").r
+
   /** `d: dict[str, Conn]` (or Dict/Mapping/MutableMapping/OrderedDict/
     * defaultdict, optional `typing.` prefix) — a MAPPING annotation
     * whose SECOND type argument is the value type (C3 slice 28: jedi
@@ -898,6 +914,12 @@ object PyIndexer {
     // `self.h = Helper()` lets `self.h.run()` resolve from ANY later
     // method of the class
     val classFieldTypes = mutable.Map.empty[String, mutable.Map[String, String]]
+    // r12 slice 57: ELEMENT types of container self-fields
+    // (`self.conns.append(Conn())` → conns: list-of-Conn), first
+    // resolvable write wins (slice 46's rule), pre-pass-collected so
+    // method order in the file never matters
+    val classFieldElemTypes =
+      mutable.Map.empty[String, mutable.Map[String, String]]
 
     // C3 (partial): `-> Type` return annotations per callable, collected
     // in a pre-pass so `x = f()` binds x's type even when f is defined
@@ -1071,6 +1093,13 @@ object PyIndexer {
     def fieldOnlyViaMro(cls: String, field: String): Option[String] =
       mroOf(cls).iterator
         .map(c => classFieldTypes.get(c).flatMap(_.get(field)))
+        .collectFirst { case Some(t) => t }
+
+    /** r12 slice 57: ELEMENT type of a container self-field along the
+      * MRO — a base's build-up types a subclass's iteration. */
+    def fieldElemViaMro(cls: String, field: String): Option[String] =
+      mroOf(cls).iterator
+        .map(c => classFieldElemTypes.get(c).flatMap(_.get(field)))
         .collectFirst { case Some(t) => t }
 
     def chaseFields(t0: String, rest: Seq[String]): Option[String] = {
@@ -1404,6 +1433,15 @@ object PyIndexer {
                   annoCoreType(m.group(2)).foreach(t =>
                     classFieldTypes.getOrElseUpdate(cls,
                       mutable.Map.empty)(m.group(1)) = t)
+                }
+                // r12 slice 57: container self-field build-up writes —
+                // first resolvable write wins (slice 46's rule)
+                selfContainerWrite.findAllMatchIn(ln).foreach { m =>
+                  classishType(m.group(2)).foreach { t =>
+                    val fm = classFieldElemTypes.getOrElseUpdate(cls,
+                      mutable.Map.empty)
+                    if (!fm.contains(m.group(1))) fm(m.group(1)) = t
+                  }
                 }
               }
           }
@@ -2025,6 +2063,16 @@ object PyIndexer {
             forIn.findFirstMatchIn(line).foreach(m =>
               fn.elemLocals.get(m.group(2))
                 .foreach(t => fn.locals(m.group(1)) = t))
+            // r12 slice 57: iteration / subscript reads over a
+            // container SELF-FIELD bind the element type (MRO'd)
+            if (fn.kind == Kind.Method) curClass.foreach { c =>
+              forInSelf.findFirstMatchIn(line).foreach(m =>
+                fieldElemViaMro(c.fullName, m.group(2))
+                  .foreach(t => fn.locals(m.group(1)) = t))
+              selfSubscriptRead.findFirstMatchIn(line).foreach(m =>
+                fieldElemViaMro(c.fullName, m.group(2))
+                  .foreach(t => fn.locals(m.group(1)) = t))
+            }
             // slice 30: `for x in gen():` binds the generator's yield
             // type (skipping `.values()`, which slice 28 owns)
             forInCall.findFirstMatchIn(line)
@@ -2242,6 +2290,25 @@ object PyIndexer {
                 }
               }
             }
+            // r12 slice 57: a member call through a SUBSCRIPTED
+            // container self-field (`self.conns[0].execute()`) — the
+            // receiver is the field's element type (MRO'd), the member
+            // chain folds through typed fields like slice 31
+            if (src.kind == Kind.Method || src.kind == Kind.Function)
+              curClass.foreach { c =>
+                selfSubscriptCallSite.findAllMatchIn(line).foreach { m =>
+                  val chain = m.group(2).split("\\.").map(_.trim).toSeq
+                  fieldElemViaMro(c.fullName, m.group(1))
+                    .flatMap(t => chaseFields(t, chain)).foreach { dst =>
+                      if (dst != src.fullName) {
+                        edges += EdgeEvent(nextSeq(), taskId, src.fullName,
+                          Rel.Call, dst, Map.empty)
+                        locs += LocationRow(dst, relPath, "REFERENCE",
+                          i + 1, m.start + 1, i + 1, m.end)
+                      }
+                    }
+                }
+              }
             // r12 slice 55: INLINE CALL-RESULT CHAINS —
             // `Head(...).m1(...).m2(...)` emits a Call edge PER LINK
             // (jedi references every chained call, not just the head):

@@ -2319,4 +2319,42 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.exists { case (s, d) => s == "p.mixed" && d.endsWith("run") })
   }
 
+  test("r12 slice 57: container SELF-FIELD build-up — iteration, " +
+      "subscript reads and calls bind the element type, file-order and " +
+      "MRO independent") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        return 1
+        |
+        |class Base:
+        |    def fill(self):
+        |        self.conns.append(Conn())
+        |
+        |class Pool(Base):
+        |    def use_before_fill(self):
+        |        for c in self.conns:
+        |            c.execute()
+        |    def first(self):
+        |        return self.conns[0].execute()
+        |    def pick(self):
+        |        x = self.conns[1]
+        |        return x.execute()
+        |    def untyped(self):
+        |        for z in self.mystery:
+        |            z.whatever()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t", "p.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // the build-up lives on the BASE class and LATER in the file than
+    // one consumer — both must still resolve (pre-pass + MRO)
+    assert(calls.contains(("p.Pool.use_before_fill", "p.Conn.execute")))
+    assert(calls.contains(("p.Pool.first", "p.Conn.execute")))
+    assert(calls.contains(("p.Pool.pick", "p.Conn.execute")))
+    // an un-built field binds nothing
+    assert(!calls.exists { case (s, d) =>
+      s == "p.Pool.untyped" && d.endsWith("whatever") })
+  }
+
 }
