@@ -645,4 +645,43 @@ object Sessions {
           lit(thresholdPct.toLong) * col("trail"), 1).otherwise(0)
           .cast("int").as("spike"))
   }
+  /** KAPLAN-MEIER time-to-event table — survival analysis over
+    * TIME-TO-CONVERSION (days from a user's first event to their first
+    * `eventType`), the funnel-latency primitive survival analysis does
+    * right where a naive mean does not: users who never converted are
+    * CENSORED at the corpus horizon (they were at risk the whole
+    * observed window — dropping them biases the estimate optimistic).
+    * For each observed duration t the table gives the at-risk count
+    * (duration ≥ t), the conversions at exactly t, and the integer-ppm
+    * hazard — the (n_i, d_i) ingredients of S(t) = Π (1 − d_i/n_i);
+    * every gated number is exact integer arithmetic (the cumulative
+    * PRODUCT is the consumer's one float fold, deliberately outside
+    * the gate). Scale shape: one per-user groupBy, then everything
+    * runs on the BOUNDED distinct-duration-days table — the lone
+    * unpartitioned window (the cumulative at-risk count) orders
+    * ≤ horizon-days rows, the p_shard tiny-table rule. */
+  def kaplanMeier(events: DataFrame,
+      eventType: String = "purchase"): DataFrame = {
+    val per = events.groupBy("user_id").agg(
+      expr("min(unix_micros(ts)) div 86400000000").as("first_day"),
+      expr(s"min(CASE WHEN event_type = '$eventType' THEN " +
+        "unix_micros(ts) div 86400000000 END)").as("conv_day"))
+    val mx = events.agg(
+      expr("max(unix_micros(ts)) div 86400000000").as("hz"))
+    val lt = per.crossJoin(broadcast(mx))
+      .select(
+        (coalesce(col("conv_day"), col("hz")) - col("first_day")).as("t"),
+        col("conv_day").isNotNull.cast("int").as("churned"))
+    val byT = lt.groupBy("t")
+      .agg(count(lit(1)).as("n_t"), sum("churned").as("d_t"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.withColumn("n_risk", sum(col("n_t")).over(wDesc))
+      .filter(col("d_t") > 0)
+      .select(col("t").cast("long").as("t_days"),
+        col("n_risk").cast("long").as("n_risk"),
+        col("d_t").cast("long").as("d_conv"),
+        expr("(1000000 * d_t) div n_risk").cast("long").as("hazard_ppm"))
+  }
+
 }

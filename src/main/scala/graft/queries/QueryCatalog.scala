@@ -3461,6 +3461,34 @@ object QueryCatalog {
     * ([[graft.pipeline.Sessions.conversionLag]]): first purchase at or
     * after the first signup, whole-day buckets, cumulative conversion
     * as integer ppm — the funnel-latency curve. */
+  /** e_km — Kaplan-Meier time-to-conversion table
+    * ([[graft.pipeline.Sessions.kaplanMeier]]): per observed duration,
+    * the at-risk count, conversions, and integer-ppm hazard — the
+    * survival-analysis ingredients (never-converters censored at the
+    * horizon) with every gated number exact integer arithmetic (the
+    * consumer's cumulative product is the one float fold, deliberately
+    * outside the gate). */
+  val eKm: Q = (s, d) =>
+    graft.pipeline.Sessions.kaplanMeier(Tables.events(s, d), "purchase")
+
+  val eKmSql: String =
+    """WITH per AS (SELECT user_id,
+      |  min(epoch_us(ts)) // 86400000000 AS fd,
+      |  min(CASE WHEN event_type = 'purchase'
+      |    THEN epoch_us(ts) // 86400000000 END) AS cd FROM events GROUP BY 1),
+      |mx AS (SELECT max(epoch_us(ts)) // 86400000000 AS hz FROM events),
+      |lt AS (SELECT coalesce(cd, (SELECT hz FROM mx)) - fd AS t,
+      |  (CASE WHEN cd IS NOT NULL THEN 1 ELSE 0 END) AS churned
+      |  FROM per),
+      |byt AS (SELECT t, count(*) AS n_t, sum(churned) AS d_t
+      |  FROM lt GROUP BY t),
+      |cum AS (SELECT t, n_t, d_t, sum(n_t) OVER (ORDER BY t DESC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      |  FROM byt)
+      |SELECT t::BIGINT AS t_days, n_risk::BIGINT AS n_risk,
+      |  d_t::BIGINT AS d_conv, ((1000000 * d_t) // n_risk)::BIGINT AS hazard_ppm
+      |FROM cum WHERE d_t > 0""".stripMargin
+
   val eLag: Q = (s, d) =>
     graft.pipeline.Sessions.conversionLag(Tables.events(s, d),
       "signup", "purchase")
@@ -8128,6 +8156,7 @@ object QueryCatalog {
     "e_spike" -> eSpike,
     "e_seasonality" -> eSeasonality,
     "e_lag" -> eLag,
+    "e_km" -> eKm,
     "e_ltv" -> eLtv,
     "e_ewma" -> eEwma,
     "e_stickiness" -> eStickiness,
@@ -8406,6 +8435,7 @@ object QueryCatalog {
     "e_spike" -> eSpikeSql,
     "e_seasonality" -> eSeasonalitySql,
     "e_lag" -> eLagSql,
+    "e_km" -> eKmSql,
     "e_ltv" -> eLtvSql,
     "e_ewma" -> eEwmaSql,
     "e_stickiness" -> eStickinessSql,

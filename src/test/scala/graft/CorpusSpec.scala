@@ -977,4 +977,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(ns === 12L, s"expected 12 subwords, got $ns (fertility $f)")
   }
 
+  test("kaplanMeier: censored users stay at risk, never convert; " +
+      "hazards are exact integer ppm") {
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2026-01-$day%02d 10:00:00")
+    // u1 converts at t=1, u2 at t=3, u3 NEVER (censored at horizon
+    // day 5, duration 4), u4 converts at t=1
+    val ev = Seq(
+      (1L, d(1), 1L, "view", 0.0, ""), (2L, d(2), 1L, "purchase", 1.0, ""),
+      (3L, d(1), 2L, "view", 0.0, ""), (4L, d(4), 2L, "purchase", 1.0, ""),
+      (5L, d(1), 3L, "view", 0.0, ""), (6L, d(5), 3L, "view", 0.0, ""),
+      (7L, d(2), 4L, "view", 0.0, ""), (8L, d(3), 4L, "purchase", 1.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Sessions.kaplanMeier(ev, "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // durations: u1 t=1 conv, u4 t=1 conv, u2 t=3 conv, u3 t=4 censored
+    // t=1: at risk 4 (everyone), 2 convert → hazard 500000 ppm
+    // t=3: at risk 2 (u2, u3), 1 converts → 500000 ppm
+    // t=4 has no conversions (censoring only) → no row
+    assert(out.toSeq === Seq((1L, 4L, 2L, 500000L), (3L, 2L, 1L, 500000L)))
+  }
+
 }

@@ -256,6 +256,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"sccCond must be a materialized parquet scan, scans:\n${cscans.mkString("\n")}")
   }
 
+  test("q77_scc_inc: all three inputs are PERSISTED parquet scans " +
+      "(labels, condensation, delta batch — the old edge table is " +
+      "never read)") {
+    for ((table, df) <- Seq(
+        "sccprev50" -> graft.store.GraphTables.sccPrev(spark, sf),
+        "sccprevcond50" -> graft.store.GraphTables.sccPrevCond(spark, sf),
+        "sccdelta50" -> graft.store.GraphTables.sccDelta(spark, sf))) {
+      val scans = fileScans(df.queryExecution.executedPlan)
+        .map(_.relation.location.rootPaths.mkString(","))
+      assert(scans.nonEmpty && scans.forall(_.contains(table)),
+        s"$table must be a materialized parquet scan; scans:\n${scans.mkString("\n")}")
+    }
+  }
+
   test("m_tiff is a pure narrow map: zero exchanges, scale-free") {
     val plan = executed(QueryCatalog.mTiff(spark, sf))
     assert(!plan.contains("Exchange"),
