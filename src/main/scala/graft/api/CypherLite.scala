@@ -1592,8 +1592,11 @@ object CypherLite {
     * Both arrow directions, rel-type alternation, per-edge rel props,
     * `*`/`*..n`/`*m..n`/`*m..` specs (min 0 = Neo4j's bind-same-node,
     * the zero-length row appearing when the start also satisfies the
-    * end pattern). The path variable exists ONLY for `length(p)` —
-    * node/relationship list projections of `p` are not modeled. */
+    * end pattern). The path variable carries `length(p)` AND (r12)
+    * `nodes(p)`/`relationships(p)`: the BFS tracks a deterministic
+    * min-predecessor parent, and ONE shortest path per endpoint pair
+    * (Neo4j's contract) reconstructs by backtracking — built only when
+    * the tail references it. */
   private def executeShortestPath(nodes: DataFrame, edges: DataFrame,
       q: String, spIdx: Int): DataFrame = {
     val open = q.indexOf('(', spIdx)
@@ -1651,25 +1654,35 @@ object CypherLite {
     val hop = Hop(relSpec, reversed, 1, 1,
       Option(relProps).map(parseProps).getOrElse(Map.empty))
     val scan = hopEdges(edges, hop)
-    val e = (if (reversed)
-        scan.select(col("dst").as("src"), col("src").as("dst"))
-      else scan.select(col("src"), col("dst")))
+    // BFS space: reversed arrows flip the scan; rel types ride along for
+    // the path-projection reconstruction (r12)
+    val eTyped = (if (reversed)
+        scan.select(col("dst").as("src"), col("src").as("dst"),
+          col("rel_type"))
+      else scan.select(col("src"), col("dst"), col("rel_type")))
+    val e = eTyped.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(eager = true)
 
-    // multi-source frontier BFS keyed by the start node: settled(s, v, d)
-    // holds the first (= shortest) level each (start, vertex) pair met
+    // multi-source frontier BFS keyed by the start node: settled
+    // (s, v, d, par) holds the first (= shortest) level each
+    // (start, vertex) pair met, plus the MIN predecessor at that level
+    // — a deterministic parent pointer, so ONE shortest path per pair
+    // (Neo4j's shortestPath contract) reconstructs by backtracking
     var frontier = nodes.filter(nodePred(aPat.labels, aPat.props))
       .select(col("full_name").as("s"))
       .withColumn("v", col("s")).withColumn("d", lit(0L))
+      .withColumn("par", lit(null).cast("string"))
       .localCheckpoint(eager = true)
     var settled = frontier
     var i = 1
     var done = frontier.isEmpty
     while (i <= maxH && !done) {
       val nxt = e.join(frontier.select(col("s"), col("v").as("src")), "src")
-        .select(col("s"), col("dst").as("v")).distinct()
+        .groupBy(col("s"), col("dst"))
+        .agg(min(col("src")).as("par"))
+        .select(col("s"), col("dst").as("v"), col("par"))
         .join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
-        .select(col("s"), col("v"), lit(i.toLong).as("d"))
+        .select(col("s"), col("v"), lit(i.toLong).as("d"), col("par"))
         .localCheckpoint(eager = false)
       if (nxt.count() == 0L) done = true
       else { settled = settled.unionByName(nxt); frontier = nxt; i += 1 }
@@ -1683,20 +1696,77 @@ object CypherLite {
         col("n1.full_name") === col("v"))
       .withColumn("__plen", col("d"))
 
+    // r12: nodes(p)/relationships(p) projections — reconstruct THE
+    // shortest path per (s, v) by backtracking the parent pointers,
+    // maxD level-bounded rounds, each one (still-building rows) ⋈
+    // settled ⋈ min-rel-type edge join; node lists are in PATTERN order
+    // (a … b), rel structs keep PHYSICAL orientation under reversed
+    // arrows. Built only when the tail actually references them.
+    val pQuoted = java.util.regex.Pattern.quote(pVar)
+    val needPaths =
+      ("(?i)\\b(nodes|relationships)\\(\\s*" + pQuoted + "\\s*\\)").r
+        .findFirstIn(tail).isDefined
+    if (needPaths) {
+      val eMin = eTyped.groupBy("src", "dst")
+        .agg(min(col("rel_type")).as("rt"))
+        .localCheckpoint(eager = true)
+      val emptyRels = expr("CAST(array() AS " +
+        "array<struct<src:string,rel_type:string,dst:string>>)")
+      var st = paths.select(col("s"), col("v"), col("v").as("cur"),
+          array(col("v")).as("__bn"), emptyRels.as("__br"),
+          col("d").as("rem"))
+        .localCheckpoint(eager = true)
+      val maxD = paths.agg(coalesce(max(col("d")), lit(0L)))
+        .collect()(0).getLong(0)
+      for (_ <- 1L to maxD) {
+        val settledRows = st.filter(col("rem") === 0)
+        val relStruct =
+          if (!reversed)
+            struct(col("q.par").as("src"), col("t.rt").as("rel_type"),
+              col("p.cur").as("dst"))
+          else
+            struct(col("p.cur").as("src"), col("t.rt").as("rel_type"),
+              col("q.par").as("dst"))
+        val step = st.filter(col("rem") > 0).alias("p")
+          .join(settled.alias("q"),
+            col("p.s") === col("q.s") && col("p.cur") === col("q.v") &&
+              col("q.d") === col("p.rem"))
+          .join(eMin.alias("t"),
+            col("t.src") === col("q.par") && col("t.dst") === col("p.cur"))
+          .select(col("p.s").as("s"), col("p.v").as("v"),
+            col("q.par").as("cur"),
+            concat(array(col("q.par")), col("p.__bn")).as("__bn"),
+            concat(array(relStruct), col("p.__br")).as("__br"),
+            (col("p.rem") - 1).as("rem"))
+        st = settledRows.unionByName(step).localCheckpoint(eager = true)
+      }
+      df = df.join(st.select(col("s").as("__ps"), col("v").as("__pv"),
+          col("__bn").as("__pnodes"), col("__br").as("__prels")),
+        col("s") === col("__ps") && col("v") === col("__pv"))
+        .drop("__ps", "__pv")
+    }
+
+    def rewritePathFns(t: String): String = t
+      .replaceAll("(?i)\\b(?:length|size)\\(\\s*" + pQuoted + "\\s*\\)",
+        "__plen")
+      .replaceAll("(?i)\\bnodes\\(\\s*" + pQuoted + "\\s*\\)", "__pnodes")
+      .replaceAll("(?i)\\brelationships\\(\\s*" + pQuoted + "\\s*\\)",
+        "__prels")
+    val plainCols = Set("__plen") ++
+      (if (needPaths) Set("__pnodes", "__prels") else Set.empty[String])
+
     var rest = tail
     val retIdx2 = topLevelKeyword(rest, "RETURN")
     require(retIdx2 >= 0, s"shortestPath needs a RETURN clause: $q")
     val whereIdx = topLevelKeyword(rest, "WHERE")
     if (whereIdx >= 0 && whereIdx < retIdx2)
       df = df.filter(parseWhere(
-        rest.substring(whereIdx + 5, retIdx2).trim, matchScope(vars)))
-    // length(p) projects the BFS level — rewrite to the plain column so
-    // the ordinary RETURN machinery (aliases, ORDER BY, aggregates over
-    // it) applies unchanged
-    val ret = rest.substring(retIdx2 + 6).trim
-      .replaceAll("(?i)\\blength\\(\\s*" + java.util.regex.Pattern.quote(pVar)
-        + "\\s*\\)", "__plen")
-    shapeResult(df, ret, vars, Set("__plen"))
+        rewritePathFns(rest.substring(whereIdx + 5, retIdx2).trim),
+        ref => if (plainCols(ref)) col(ref) else matchScope(vars)(ref)))
+    // path projections rewrite to plain columns so the ordinary RETURN
+    // machinery (aliases, ORDER BY, aggregates) applies unchanged
+    val ret = rewritePathFns(rest.substring(retIdx2 + 6).trim)
+    shapeResult(df, ret, vars, plainCols)
   }
 
   /** `q1 UNION [ALL] q2 [UNION [ALL] q3 …]` — each branch plans

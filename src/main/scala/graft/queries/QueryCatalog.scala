@@ -347,6 +347,32 @@ object QueryCatalog {
         "RETURN b.full_name AS v, length(p) AS d")
   }
 
+  /** g_b10_spathp — shortestPath PATH PROJECTIONS (r12):
+    * `nodes(p)`/`relationships(p)` now reconstruct one deterministic
+    * shortest path per endpoint pair (min-predecessor parents,
+    * backtracking joins); the gate drives the reconstruction in-plan
+    * through the driver and pins the endpoints + length surface
+    * (head/last/size — the full node/edge sequences incl. the
+    * tie-break are spec-gated in CypherLitePathSpec). */
+  val gB10SpathP: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH p = shortestPath((a:REGION {full_name: 'region.0'})" +
+        "<-[:PLACED_BY|IN_NATION|IN_REGION*]-(b)) " +
+        "RETURN b.full_name AS v, length(p) AS d, " +
+        "head(nodes(p)) AS first_node, last(nodes(p)) AS last_node, " +
+        "size(relationships(p)) AS n_rels")
+  }
+
+  lazy val gB10SpathPSql: String =
+    s"""WITH ${GraphSql.hierarchyCte},
+       |rev AS MATERIALIZED (SELECT dst AS src, src AS dst FROM hier),
+       |l0 AS MATERIALIZED (SELECT 'region.0' AS v, 0::BIGINT AS d),
+       |${(1 to q22Iterations).map(bfsIterSql).mkString(",\n")}
+       |SELECT v, d, 'region.0' AS first_node, v AS last_node,
+       |  d::INT AS n_rels
+       |FROM l$q22Iterations WHERE d > 0""".stripMargin
+
   // lazy: q22Iterations/bfsIterSql are declared later in the object —
   // an eager init here would read 0 and build an iteration-free chain
   lazy val gB10SpathSql: String =
@@ -8259,6 +8285,7 @@ object QueryCatalog {
     "g_b10_unwind" -> gB10Unwind,
     "g_b10_varlen" -> gB10Varlen,
     "g_b10_path" -> gB10Path,
+    "g_b10_spathp" -> gB10SpathP,
     "g_b10_distinct" -> gB10Distinct,
     "g_b10_case" -> gB10Case,
     "g_b10_patpred" -> gB10Patpred,
@@ -8535,6 +8562,7 @@ object QueryCatalog {
     "g_b10_unwind" -> gB10UnwindSql,
     "g_b10_varlen" -> gB10VarlenSql,
     "g_b10_path" -> gB10PathSql,
+    "g_b10_spathp" -> gB10SpathPSql,
     "g_b10_distinct" -> gB10DistinctSql,
     "g_b10_case" -> gB10CaseSql,
     "g_b10_patpred" -> gB10PatpredSql,

@@ -90,6 +90,37 @@ class CypherLitePathSpec extends AnyFunSuite {
     assert(out(0).getSeq[String](1).toList === List("b1"))
   }
 
+  test("shortestPath: nodes(p)/relationships(p) reconstruct ONE " +
+      "deterministic shortest path (min-predecessor tie-break)") {
+    val out = diamond.executeQuery(
+      "MATCH p = shortestPath((x {full_name: 'a'})-[:CALL*]->" +
+        "(y {full_name: 'c'})) " +
+        "RETURN length(p) AS len, nodes(p) AS ns, relationships(p) AS rs")
+      .collect()
+    assert(out.length === 1) // ONE path per endpoint pair, Neo4j's rule
+    assert(out(0).getLong(0) === 2L)
+    // two shortest paths exist (via b1, via b2); the min-predecessor
+    // parent rule deterministically picks b1
+    assert(out(0).getSeq[String](1).toList === List("a", "b1", "c"))
+    assert(out(0).getSeq[Row](2).map(e =>
+        (e.getString(0), e.getString(1), e.getString(2))).toList ===
+      List(("a", Rel.Call, "b1"), ("b1", Rel.Call, "c")))
+  }
+
+  test("shortestPath reversed arrow: pattern-order nodes, physical rels") {
+    val out = diamond.executeQuery(
+      "MATCH p = shortestPath((y {full_name: 'c'})<-[:CALL*]-" +
+        "(x {full_name: 'a'})) " +
+        "RETURN nodes(p) AS ns, relationships(p) AS rs").collect()
+    assert(out.length === 1)
+    // pattern order runs y → x even though the edges point x → y
+    assert(out(0).getSeq[String](0).toList === List("c", "b1", "a"))
+    // rel structs keep PHYSICAL orientation
+    assert(out(0).getSeq[Row](1).map(e =>
+        (e.getString(0), e.getString(2))).toList ===
+      List(("b1", "c"), ("a", "b1")))
+  }
+
   test("negatives: reversed hop, OPTIONAL MATCH, unknown path var all raise") {
     intercept[Exception] {
       diamond.executeQuery(
