@@ -1597,10 +1597,16 @@ object CypherLite {
     * min-predecessor parent, and ONE shortest path per endpoint pair
     * (Neo4j's contract) reconstructs by backtracking — built only when
     * the tail references it. */
-  private def executeShortestPath(nodes: DataFrame, edges: DataFrame,
-      q: String, spIdx: Int): DataFrame = {
-    val open = q.indexOf('(', spIdx)
-    require(open > 0, s"malformed shortestPath: $q")
+  /** Shared parse of `MATCH p = <kw>((a…)-[…]->(b…)) <tail>` for the
+    * shortestPath family. */
+  private final case class SpParts(pVar: String, aPat: NodePat,
+      bPat: NodePat, hop: Hop, reversed: Boolean, minH: Int, maxH: Int,
+      tail: String)
+
+  private def parseSpathPattern(q: String, kwIdx: Int,
+      kw: String): SpParts = {
+    val open = q.indexOf('(', kwIdx)
+    require(open > 0, s"malformed $kw: $q")
     // balanced-paren scan (quote-aware) for the pattern's closing paren
     var depth = 0; var j = open; var close = -1; var quote: Char = 0
     while (j < q.length && close < 0) {
@@ -1611,30 +1617,30 @@ object CypherLite {
       else if (c == ')') { depth -= 1; if (depth == 0) close = j }
       j += 1
     }
-    require(close > 0, s"unbalanced shortestPath parens: $q")
+    require(close > 0, s"unbalanced $kw parens: $q")
     val inner = q.substring(open + 1, close)
     val tail = q.substring(close + 1).trim
-    val pVar = q.substring(0, spIdx).trim
+    val pVar = q.substring(0, kwIdx).trim
       .replaceAll("(?is)^MATCH\\s+", "").replaceAll("\\s*=\\s*$", "").trim
     require(pVar.matches("""\w+"""), s"malformed path variable in: $q")
 
     val pats = scanNodes(inner)
     require(pats.size == 2,
-      s"shortestPath needs exactly (a)-[…]->(b), got ${pats.size} nodes: $q")
+      s"$kw needs exactly (a)-[…]->(b), got ${pats.size} nodes: $q")
     val Seq(aPat, bPat) = pats
     val arrow = inner.substring(aPat.end, bPat.start).trim
     val (relSpec, reversed, star, relProps) = arrow match {
       case fwdArrow(v, rel, st, pr) =>
-        require(v == null, s"relationship variable in shortestPath: $q")
+        require(v == null, s"relationship variable in $kw: $q")
         (rel, false, st, pr)
       case bwdArrow(v, rel, st, pr) =>
-        require(v == null, s"relationship variable in shortestPath: $q")
+        require(v == null, s"relationship variable in $kw: $q")
         (rel, true, st, pr)
       case other => throw new IllegalArgumentException(
-        s"unsupported shortestPath relationship '$other'")
+        s"unsupported $kw relationship '$other'")
     }
     require(star != null,
-      s"shortestPath needs a variable-length relationship (add *): $q")
+      s"$kw needs a variable-length relationship (add *): $q")
     // lenient star grammar: `*` | `*n` | `*..n` | `*m..n` | `*m..`
     val body = star.stripPrefix("*").trim
     val (minH, maxH) =
@@ -1650,9 +1656,16 @@ object CypherLite {
     require(maxH <= spathMaxDepth,
       s"hop bound $maxH exceeds spathMaxDepth ($spathMaxDepth): '$star'")
     require(minH >= 0 && minH <= maxH, s"empty hop range '$star'")
+    SpParts(pVar, aPat, bPat,
+      Hop(relSpec, reversed, 1, 1,
+        Option(relProps).map(parseProps).getOrElse(Map.empty)),
+      reversed, minH, maxH, tail)
+  }
 
-    val hop = Hop(relSpec, reversed, 1, 1,
-      Option(relProps).map(parseProps).getOrElse(Map.empty))
+  private def executeShortestPath(nodes: DataFrame, edges: DataFrame,
+      q: String, spIdx: Int): DataFrame = {
+    val sp = parseSpathPattern(q, spIdx, "shortestPath")
+    val SpParts(pVar, aPat, bPat, hop, reversed, minH, maxH, tail) = sp
     val scan = hopEdges(edges, hop)
     // BFS space: reversed arrows flip the scan; rel types ride along for
     // the path-projection reconstruction (r12)
@@ -1765,6 +1778,113 @@ object CypherLite {
         ref => if (plainCols(ref)) col(ref) else matchScope(vars)(ref)))
     // path projections rewrite to plain columns so the ordinary RETURN
     // machinery (aliases, ORDER BY, aggregates) applies unchanged
+    val ret = rewritePathFns(rest.substring(retIdx2 + 6).trim)
+    shapeResult(df, ret, vars, plainCols)
+  }
+
+  /** `MATCH p = allShortestPaths((a…)-[:R*…]->(b…)) …` — EVERY shortest
+    * path per endpoint pair, one row per path (Neo4j's multiplicity;
+    * plain `shortestPath` returns one). Plan: the same multi-source BFS
+    * derives distances, then the per-start LAYERED DAG (edges (u, w)
+    * with d(u) + 1 = d(w) — every path in it is a shortest-path prefix
+    * by construction) is enumerated forward, carrying node/edge arrays;
+    * rounds = max distance, each one frontier⋈DAG join. Parallel edges
+    * of different rel types are DISTINCT paths, as in Neo4j. The
+    * enumeration is combinatorial in the DAG's path count — exactly
+    * Neo4j's own cost for this operator; the spathMaxDepth cap bounds
+    * depth, never correctness. `nodes(p)`/`relationships(p)`/
+    * `length(p)` project like the r12 shortestPath machinery. */
+  private def executeAllShortestPaths(nodes: DataFrame, edges: DataFrame,
+      q: String, idx: Int): DataFrame = {
+    val sp = parseSpathPattern(q, idx, "allShortestPaths")
+    val SpParts(pVar, aPat, bPat, hop, reversed, minH, maxH, tail) = sp
+    val scan = hopEdges(edges, hop)
+    val eTyped = (if (reversed)
+        scan.select(col("dst").as("src"), col("src").as("dst"),
+          col("rel_type"))
+      else scan.select(col("src"), col("dst"), col("rel_type")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val e = eTyped.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).localCheckpoint(eager = true)
+    var frontier = nodes.filter(nodePred(aPat.labels, aPat.props))
+      .select(col("full_name").as("s"))
+      .withColumn("v", col("s")).withColumn("d", lit(0L))
+      .localCheckpoint(eager = true)
+    var settled = frontier
+    var i = 1
+    var done = frontier.isEmpty
+    while (i <= maxH && !done) {
+      val nxt = e.join(frontier.select(col("s"), col("v").as("src")), "src")
+        .select(col("s"), col("dst").as("v")).distinct()
+        .join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
+        .select(col("s"), col("v"), lit(i.toLong).as("d"))
+        .localCheckpoint(eager = false)
+      if (nxt.count() == 0L) done = true
+      else { settled = settled.unionByName(nxt); frontier = nxt; i += 1 }
+    }
+    // per-start layered DAG: only edges that advance the BFS level
+    val spE = eTyped.alias("t")
+      .join(settled.alias("u"), col("t.src") === col("u.v"))
+      .join(settled.alias("w"),
+        col("w.s") === col("u.s") && col("t.dst") === col("w.v") &&
+          col("w.d") === col("u.d") + 1)
+      .select(col("u.s").as("s"), col("t.src").as("esrc"),
+        col("t.dst").as("edst"), col("t.rel_type").as("rt"),
+        col("w.d").as("dl"))
+      .repartition(col("s"), col("esrc"))
+      .localCheckpoint(eager = true)
+    val emptyRels = expr("CAST(array() AS " +
+      "array<struct<src:string,rel_type:string,dst:string>>)")
+    var rows = settled.filter(col("d") === 0)
+      .select(col("s"), col("v").as("cur"), lit(0L).as("d"),
+        array(col("v")).as("__pnodes"), emptyRels.as("__prels"))
+      .localCheckpoint(eager = true)
+    var all = rows
+    val maxD = settled.agg(coalesce(max(col("d")), lit(0L)))
+      .collect()(0).getLong(0)
+    for (lvl <- 1L to maxD) {
+      val relStruct =
+        if (!reversed)
+          struct(col("x.esrc").as("src"), col("x.rt").as("rel_type"),
+            col("x.edst").as("dst"))
+        else
+          struct(col("x.edst").as("src"), col("x.rt").as("rel_type"),
+            col("x.esrc").as("dst"))
+      rows = rows.alias("p")
+        .join(spE.alias("x"),
+          col("p.s") === col("x.s") && col("p.cur") === col("x.esrc") &&
+            col("x.dl") === lvl)
+        .select(col("p.s").as("s"), col("x.edst").as("cur"),
+          lit(lvl).as("d"),
+          concat(col("p.__pnodes"), array(col("x.edst"))).as("__pnodes"),
+          concat(col("p.__prels"), array(relStruct)).as("__prels"))
+        .localCheckpoint(eager = true)
+      all = all.unionByName(rows)
+    }
+    val paths = all.filter(col("d") >= minH && col("d") <= maxH)
+    val vars = Map(aPat.v -> "n0", bPat.v -> "n1")
+    var df = paths
+      .join(nodes.alias("n0"), col("n0.full_name") === col("s"))
+      .join(nodes.filter(nodePred(bPat.labels, bPat.props)).alias("n1"),
+        col("n1.full_name") === col("cur"))
+      .withColumn("__plen", col("d"))
+    val pQuoted = java.util.regex.Pattern.quote(pVar)
+    def rewritePathFns(t: String): String = t
+      .replaceAll("(?i)\\b(?:length|size)\\(\\s*" + pQuoted + "\\s*\\)",
+        "__plen")
+      .replaceAll("(?i)\\bnodes\\(\\s*" + pQuoted + "\\s*\\)", "__pnodes")
+      .replaceAll("(?i)\\brelationships\\(\\s*" + pQuoted + "\\s*\\)",
+        "__prels")
+    val plainCols = Set("__plen", "__pnodes", "__prels")
+    var rest = tail
+    val retIdx2 = topLevelKeyword(rest, "RETURN")
+    require(retIdx2 >= 0, s"allShortestPaths needs a RETURN clause: $q")
+    val whereIdx = topLevelKeyword(rest, "WHERE")
+    if (whereIdx >= 0 && whereIdx < retIdx2)
+      df = df.filter(parseWhere(
+        rewritePathFns(rest.substring(whereIdx + 5, retIdx2).trim),
+        ref => if (plainCols(ref)) col(ref) else matchScope(vars)(ref)))
     val ret = rewritePathFns(rest.substring(retIdx2 + 6).trim)
     shapeResult(df, ret, vars, plainCols)
   }
@@ -1907,6 +2027,12 @@ object CypherLite {
     // UNWIND preludes: `UNWIND [...] AS x [UNWIND …] MATCH … / RETURN …`
     val (unwinds, qU) = parseUnwinds(q0)
     locally {
+      val aspIdx = topLevelKeyword(qU, "allShortestPaths")
+      if (aspIdx >= 0) {
+        require(unwinds.isEmpty,
+          s"UNWIND before allShortestPaths is not supported: $q0")
+        return executeAllShortestPaths(nodes, edges, qU, aspIdx)
+      }
       val spIdx = topLevelKeyword(qU, "shortestPath")
       if (spIdx >= 0) {
         require(unwinds.isEmpty,

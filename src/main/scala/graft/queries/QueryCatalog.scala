@@ -347,6 +347,21 @@ object QueryCatalog {
         "RETURN b.full_name AS v, length(p) AS d")
   }
 
+  /** g_b10_allsp — allShortestPaths (r12): EVERY shortest path per
+    * endpoint pair via the per-start layered-DAG enumeration. The
+    * hierarchy is a TREE, so each pair has exactly one shortest path
+    * and the gate shares the BFS-distance oracle (the DIAMOND
+    * multiplicity — two rows for two equal-length routes — is
+    * spec-gated in CypherLitePathSpec, where an oracle can't replay
+    * per-path rows without enumerating paths itself). */
+  val gB10Allsp: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH p = allShortestPaths((a:REGION {full_name: 'region.0'})" +
+        "<-[:PLACED_BY|IN_NATION|IN_REGION*]-(b)) " +
+        "RETURN b.full_name AS v, length(p) AS d")
+  }
+
   /** g_b10_spathp — shortestPath PATH PROJECTIONS (r12):
     * `nodes(p)`/`relationships(p)` now reconstruct one deterministic
     * shortest path per endpoint pair (min-predecessor parents,
@@ -8286,6 +8301,7 @@ object QueryCatalog {
     "g_b10_varlen" -> gB10Varlen,
     "g_b10_path" -> gB10Path,
     "g_b10_spathp" -> gB10SpathP,
+    "g_b10_allsp" -> gB10Allsp,
     "g_b10_distinct" -> gB10Distinct,
     "g_b10_case" -> gB10Case,
     "g_b10_patpred" -> gB10Patpred,
@@ -8563,6 +8579,7 @@ object QueryCatalog {
     "g_b10_varlen" -> gB10VarlenSql,
     "g_b10_path" -> gB10PathSql,
     "g_b10_spathp" -> gB10SpathPSql,
+    "g_b10_allsp" -> gB10SpathSql,
     "g_b10_distinct" -> gB10DistinctSql,
     "g_b10_case" -> gB10CaseSql,
     "g_b10_patpred" -> gB10PatpredSql,

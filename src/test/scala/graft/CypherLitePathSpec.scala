@@ -121,6 +121,30 @@ class CypherLitePathSpec extends AnyFunSuite {
       List(("b1", "c"), ("a", "b1")))
   }
 
+  test("allShortestPaths: BOTH shortest paths of the diamond, one row " +
+      "each; longer paths never appear") {
+    val d = GraphDatabase.inMemory(spark)
+    // diamond a→{b1,b2}→c plus a LONGER route a→x→y→c (must not appear)
+    d.addEdge("t", "a", Rel.Call, "b1"); d.addEdge("t", "b1", Rel.Call, "c")
+    d.addEdge("t", "a", Rel.Call, "b2"); d.addEdge("t", "b2", Rel.Call, "c")
+    d.addEdge("t", "a", Rel.Call, "x"); d.addEdge("t", "x", Rel.Call, "y")
+    d.addEdge("t", "y", Rel.Call, "c")
+    d.commit()
+    val out = d.executeQuery(
+      "MATCH p = allShortestPaths((s {full_name: 'a'})-[:CALL*]->" +
+        "(t {full_name: 'c'})) " +
+        "RETURN length(p) AS len, nodes(p) AS ns").collect()
+    assert(out.length === 2) // one row PER shortest path
+    val ns = out.map(_.getSeq[String](1).toList).sortBy(_.mkString)
+    assert(ns.toList === List(List("a", "b1", "c"), List("a", "b2", "c")))
+    assert(out.forall(_.getLong(0) === 2L))
+    // and shortestPath on the same pattern returns exactly ONE
+    val one = d.executeQuery(
+      "MATCH p = shortestPath((s {full_name: 'a'})-[:CALL*]->" +
+        "(t {full_name: 'c'})) RETURN nodes(p) AS ns").collect()
+    assert(one.length === 1)
+  }
+
   test("negatives: reversed hop, OPTIONAL MATCH, unknown path var all raise") {
     intercept[Exception] {
       diamond.executeQuery(
