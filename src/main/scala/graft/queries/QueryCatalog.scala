@@ -5817,7 +5817,9 @@ object QueryCatalog {
   val q78Anf: Q = (s, d) =>
     graft.enrich.Analytics.anf(GraphTables.hierarchy(s, d), rounds = 3)
 
-  val q78AnfSql: String = {
+  /** The HyperANF WITH-body (registers → 3 merge rounds → per-round
+    * estimates), shared by q78_anf and q79_effdiam. */
+  private lazy val anfCtes: String = {
     val rollh = "list_reduce(list_prepend(0::BIGINT, list_transform(" +
       "string_split(v, ''), c -> ascii(c)::BIGINT)), " +
       "(a, c) -> (a * 31 + c) % 2147483647)"
@@ -5844,10 +5846,38 @@ object QueryCatalog {
        |  (CASE WHEN w = 0 THEN 32 ELSE 32 - length(bin(w)) END)::INT AS rho
        |  FROM (SELECT v, h0, (h0 * 1103515245 + 12345) % 2147483647 AS w FROM hh)),
        |${(1 to 3).map(round_).mkString(",\n")},
-       |${(0 to 3).map(est).mkString(",\n")}
-       |SELECT h, nf FROM n0 UNION ALL SELECT h, nf FROM n1
-       |UNION ALL SELECT h, nf FROM n2 UNION ALL SELECT h, nf FROM n3""".stripMargin
+       |${(0 to 3).map(est).mkString(",\n")},
+       |nfall AS (SELECT h, nf FROM n0 UNION ALL SELECT h, nf FROM n1
+       |  UNION ALL SELECT h, nf FROM n2 UNION ALL SELECT h, nf FROM n3)""".stripMargin
   }
+
+  val q78AnfSql: String =
+    s"""$anfCtes
+       |SELECT h, nf FROM nfall""".stripMargin
+
+  /** q79_effdiam — EFFECTIVE DIAMETER from the ANF curve
+    * ([[graft.enrich.Analytics.anf]] composed): the smallest radius h
+    * whose neighborhood function reaches 90% of the max-radius value —
+    * HyperANF's headline statistic (Boldi-Rosa-Vigna report exactly
+    * this). One broadcast of the 1-row nf(max) against the 4-row curve. */
+  val q79Effdiam: Q = (s, d) => {
+    val nf = graft.enrich.Analytics.anf(GraphTables.hierarchy(s, d),
+      rounds = 3).localCheckpoint(true)
+    val mx = nf.filter(col("h") === 3).select(col("nf").as("nf3"))
+    nf.crossJoin(broadcast(mx))
+      .filter(col("nf") >= lit(0.9) * col("nf3"))
+      .orderBy("h").limit(1)
+      .select(col("h").cast("int").as("eff_diameter"),
+        round(col("nf") / col("nf3"), 4).as("coverage"))
+  }
+
+  val q79EffdiamSql: String =
+    s"""$anfCtes,
+       |mx AS (SELECT nf AS nf3 FROM nfall WHERE h = 3)
+       |SELECT h::INT AS eff_diameter,
+       |  round(nf / (SELECT nf3 FROM mx), 4) AS coverage
+       |FROM nfall WHERE nf >= 0.9::DOUBLE * (SELECT nf3 FROM mx)
+       |ORDER BY h LIMIT 1""".stripMargin
 
   val q44Harmonic: Q = (s, d) => {
     val rev = GraphTables.hierarchy(s, d)
@@ -8319,6 +8349,7 @@ object QueryCatalog {
     "q43_kmv_intersect" -> q43KmvIntersect,
     "q44_harmonic" -> q44Harmonic,
     "q78_anf" -> q78Anf,
+    "q79_effdiam" -> q79Effdiam,
     "q44_harmonic_gx" -> q44HarmonicGx,
     "q45_mad" -> q45Mad,
     "q35_multi_distinct" -> q35MultiDistinct,
@@ -8600,6 +8631,7 @@ object QueryCatalog {
     "q43_kmv_intersect" -> q43KmvIntersectSql,
     "q44_harmonic" -> q44HarmonicSql,
     "q78_anf" -> q78AnfSql,
+    "q79_effdiam" -> q79EffdiamSql,
     "q44_harmonic_gx" -> q44HarmonicSql,
     "q45_mad" -> q45MadSql,
     "q35_multi_distinct" -> q35MultiDistinctSql,
