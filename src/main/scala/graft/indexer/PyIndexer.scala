@@ -180,6 +180,12 @@ object PyIndexer {
       var braceDepth = 0     // inside {expr} of an f-string
       var inSpec = false     // past the expression's format-spec colon
       var innerBr = 0        // [ ] nesting inside the expression
+      // r12 slice 58: a string in ANNOTATION POSITION (immediately after
+      // `:` or `->` at zero curly depth — dict-literal colons live
+      // inside `{}` and stay blanked) is a PEP 484 forward reference:
+      // its CONTENT is a type expression, preserved like f-string code
+      var annoStr = false
+      var curly = 0          // {} depth OUTSIDE strings
       def isFPrefix(at: Int): Boolean = {
         var k = at - 1
         var seen = List.empty[Char]
@@ -205,7 +211,11 @@ object PyIndexer {
         val c = line.charAt(j)
         if (inStr) {
           if (c == strQuote && !(fStr && braceDepth > 0)) {
-            inStr = false; fStr = false; sb.append(c)
+            sb.append(if (annoStr) ' ' else c)
+            inStr = false; fStr = false; annoStr = false
+          } else if (annoStr) {
+            // forward-reference content is a type expression: preserve
+            sb.append(c)
           } else if (fStr && braceDepth == 0) {
             if (c == '{') {
               if (j + 1 < line.length && line.charAt(j + 1) == '{') {
@@ -244,9 +254,19 @@ object PyIndexer {
             else { inTriple = true; tripleQuote = c.toString * 3; tripleStart = i + 1
               j = line.length }
           } else { inStr = true; strQuote = c; fStr = isFPrefix(j)
-            braceDepth = 0; inSpec = false; innerBr = 0; sb.append(c) }
+            braceDepth = 0; inSpec = false; innerBr = 0
+            val tail = sb.toString.reverse.dropWhile(_ == ' ').reverse
+            annoStr = !fStr && curly == 0 &&
+              (tail.endsWith(":") || tail.endsWith("->"))
+            // the quotes of a forward-ref annotation blank along with
+            // nothing else: `c: "Conn"` reads as `c:  Conn ` downstream
+            sb.append(if (annoStr) ' ' else c) }
         } else if (c == '#') { j = line.length }
-        else sb.append(c)
+        else {
+          if (c == '{') curly += 1
+          else if (c == '}') curly = math.max(0, curly - 1)
+          sb.append(c)
+        }
         j += 1
       }
       out(i) = sb.toString
@@ -1116,7 +1136,10 @@ object PyIndexer {
 
     def resolveCallee(dotted: String): Option[String] = {
       val parts = dotted.split("\\.")
-      if (dotted.startsWith("self.") && parts.length == 2)
+      if ((dotted.startsWith("self.") || dotted.startsWith("cls.")) &&
+          parts.length == 2)
+        // `cls.m()` inside a classmethod binds like `self.m()` — the
+        // enclosing class (r12 slice 58's classmethod arm)
         curClass.map(c => s"${c.fullName}.${parts(1)}")
       else if (parts.length >= 2 &&
           curCallable.exists(_.locals.contains(parts(0))))
@@ -1125,7 +1148,8 @@ object PyIndexer {
         // would for the direct-instantiation case
         curCallable.flatMap(fn =>
           chaseFields(fn.locals(parts(0)), parts.tail.toSeq))
-      else if (parts.length >= 3 && parts(0) == "self")
+      else if (parts.length >= 3 &&
+          (parts(0) == "self" || parts(0) == "cls"))
         // C3 (partial): `self.field[.field…].method()` through
         // constructor-typed field bindings (or an @property descriptor,
         // slice 19) — looked up along the class's MRO (slice 23: a
@@ -1164,10 +1188,15 @@ object PyIndexer {
       }
     }
 
-    def classishType(anno: String): Option[String] = {
+    def classishType(anno0: String): Option[String] = {
+      // r12 slice 58: PEP 484 QUOTED forward references (`c: "Conn"`) —
+      // preprocess preserves annotation-position string contents; the
+      // quotes strip here (a type expression never contains them)
+      val anno = anno0.replaceAll("[\"']", "").trim
       val classish = topClasses.contains(anno) ||
         anno.split("\\.").last.headOption.exists(_.isUpper)
-      if (!keywords.contains(anno) && classish) resolveCallee(anno)
+      if (anno.nonEmpty && !keywords.contains(anno) && classish)
+        resolveCallee(anno)
       else None
     }
 
@@ -1175,7 +1204,7 @@ object PyIndexer {
       * and the PEP 604 `X | None` / `None | X` spellings (slice 21's
       * non-None-arm reading), then routes through [[classishType]]. */
     def annoCoreType(anno0: String): Option[String] = {
-      val a = anno0.trim
+      val a = anno0.replaceAll("[\"']", "").trim // slice 58: forward refs
       val opt = """^(?i)Optional\[\s*([\w.]+)\s*\]$""".r
       val core = a match {
         case opt(x) => x
@@ -1826,7 +1855,8 @@ object PyIndexer {
                     .orElse(returnTypeTarget(m.group(2)))
                     .orElse(typeshedReturnTarget(m.group(2)))
                     .orElse(attrCallHead(m.group(2),
-                      n => if (n == "self") curClass.map(_.fullName)
+                      n => if (n == "self" || n == "cls")
+                          curClass.map(_.fullName)
                         else fn.locals.get(n).orElse(moduleVarTypes.get(n)))))
                 .orElse(localAnno.findFirstMatchIn(line)
                   .filter(_.group(1) == m.group(1))
@@ -2340,7 +2370,8 @@ object PyIndexer {
                     .orElse(returnTypeTarget(callee))
                     .orElse(typeshedReturnTarget(callee))
                     .orElse(curCallable.flatMap(fn => attrCallHead(callee,
-                      n => if (n == "self") curClass.map(_.fullName)
+                      n => if (n == "self" || n == "cls")
+                          curClass.map(_.fullName)
                         else fn.locals.get(n).orElse(moduleVarTypes.get(n)))))
                   var pos = closeParen(m.end)
                   var guard = 0

@@ -2357,4 +2357,43 @@ class IndexerSpec extends AnyFunSuite {
       s == "p.Pool.untyped" && d.endsWith("whatever") })
   }
 
+  test("r12 slice 58: PEP 484 quoted forward references and classmethod " +
+      "cls member calls") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        return 1
+        |
+        |def quoted(c: "Conn"):
+        |    return c.execute()
+        |
+        |def quoted_local():
+        |    x: "Conn" = make()
+        |    return x.execute()
+        |
+        |class Fac:
+        |    @classmethod
+        |    def build(cls):
+        |        return cls.helper()
+        |    @classmethod
+        |    def helper(cls):
+        |        return Conn()
+        |
+        |def not_anno():
+        |    d = {"k": "Conn"}
+        |    return d
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t", "p.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // quoted annotations type params and annotated locals
+    assert(calls.contains(("p.quoted", "p.Conn.execute")))
+    assert(calls.contains(("p.quoted_local", "p.Conn.execute")))
+    // cls.member() inside a classmethod binds the enclosing class
+    assert(calls.contains(("p.Fac.build", "p.Fac.helper")))
+    // a dict VALUE string after ':' (curly depth > 0) stays TEXT — no
+    // phantom Conn reference from not_anno
+    assert(!calls.exists(_._1 == "p.not_anno"))
+  }
+
 }
