@@ -204,9 +204,13 @@ object Corpus {
     val tf = docs.select(explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("n"))
+    // Global top-k via orderBy().limit(k) — TakeOrderedAndProject in the
+    // physical plan (per-partition top-k + k-bounded driver merge), never
+    // a full-table single-partition window. The rank window then runs on
+    // the ≤k-row aggregate only (the dsirSelect/gumbelTopK spelling).
+    val top = tf.orderBy(col("n").desc, col("term")).limit(k)
     val w = Window.orderBy(col("n").desc, col("term"))
-    val ranked = tf.withColumn("r", row_number().over(w))
-      .filter(col("r") <= k)
+    val ranked = top.withColumn("r", row_number().over(w))
       .select(col("r"),
         round(log(col("r").cast("double")), 6).as("x"),
         round(log(col("n").cast("double")), 6).as("y"))
@@ -654,11 +658,14 @@ object Corpus {
     val tot = pw.join(wstats.select("w", "wscore"), "w")
       .groupBy("phrase").agg(sum("wscore").as("tot"))
     val cnt = occ.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
+    // Top-k spelled orderBy().limit(k) → TakeOrderedAndProject; the rank
+    // window only ever sees the ≤k survivors (the dsirSelect spelling).
     cnt.join(tot, "phrase")
       .withColumn("score_milli", expr("tot div n_occurrences"))
+      .orderBy(col("score_milli").desc, col("phrase").asc)
+      .limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score_milli").desc, col("phrase").asc)))
-      .filter(col("rank") <= k)
       .select(col("phrase"), col("n_occurrences").cast("long").as("n_occurrences"),
         col("score_milli").cast("long").as("score_milli"),
         col("rank").cast("int").as("rank"))

@@ -289,6 +289,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-k must be TakeOrderedAndProject, not a global sort; plan:\n$plan")
   }
 
+  test("t_zipf / t_rake: top-k is TakeOrderedAndProject, never a " +
+      "full-table single-partition rank window") {
+    // r12 verdict weak #1: the rank spelling must be orderBy().limit(k)
+    // so the global ordering cost is per-partition top-k + a k-bounded
+    // driver merge; the row_number window then only ever sees ≤k rows.
+    for ((name, df) <- Seq(
+        "t_zipf" -> QueryCatalog.tZipf(spark, sf),
+        "t_rake" -> QueryCatalog.tRake(spark, sf))) {
+      val plan = executed(df)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name top-k must be TakeOrderedAndProject; plan:\n$plan")
+      // no corpus-sized single-partition exchange feeding the window:
+      // every SinglePartition exchange must sit ABOVE the TakeOrdered
+      // (i.e. the window input is the ≤k-row limit output)
+      val takeIdx = plan.indexOf("TakeOrderedAndProject")
+      val spIdx = plan.indexOf("Exchange SinglePartition")
+      assert(spIdx == -1 || spIdx < takeIdx,
+        s"$name: single-partition exchange below the top-k; plan:\n$plan")
+    }
+  }
+
   test("t_sweep: one corpus shuffle into a bins-sized window") {
     val plan = executed(QueryCatalog.tSweep(spark, sf))
     // the histogram groupBy is the only corpus-sized exchange; the
