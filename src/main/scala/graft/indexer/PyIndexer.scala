@@ -162,6 +162,13 @@ object PyIndexer {
     var inTriple = false
     var tripleQuote = "\"\"\""
     var tripleStart = 0
+    // {} depth OUTSIDE strings — carried ACROSS lines (like inTriple):
+    // in a multi-line dict literal the value string after a `:` sits at
+    // line-local depth 0 but real depth ≥ 1, and must NOT be read as a
+    // PEP 484 forward-reference annotation (r13, advisor finding — a
+    // registry dict mapping names to "ClassName" / "mod.func(...)"
+    // strings would otherwise fabricate phantom refs and Call edges).
+    var curly = 0
     var i = 0
     while (i < lines.length) {
       val line = lines(i)
@@ -185,7 +192,6 @@ object PyIndexer {
       // inside `{}` and stay blanked) is a PEP 484 forward reference:
       // its CONTENT is a type expression, preserved like f-string code
       var annoStr = false
-      var curly = 0          // {} depth OUTSIDE strings
       def isFPrefix(at: Int): Boolean = {
         var k = at - 1
         var seen = List.empty[Char]

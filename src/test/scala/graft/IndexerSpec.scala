@@ -2396,4 +2396,39 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.exists(_._1 == "p.not_anno"))
   }
 
+  test("r13: multi-line dict literals carry brace depth across lines — " +
+      "value strings are never forward-reference annotations") {
+    // advisor finding (r12): the per-line `curly` reset made every value
+    // string in a MULTI-line dict follow a `:` at line-local depth 0,
+    // so registry/config dicts mapping names to "ClassName" or
+    // "mod.func(...)" strings fabricated phantom refs and Call edges.
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        return 1
+        |
+        |CONFIG = {
+        |    "route": "dispatch(request)",
+        |    "kind": "Conn",
+        |    "nested": {
+        |        "deep": "Conn.execute(x)",
+        |    },
+        |}
+        |
+        |def after(c: "Conn"):
+        |    return c.execute()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t", "p.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // no phantom module-level dispatch/execute calls from string data
+    assert(!calls.exists { case (_, d) =>
+      d.endsWith("dispatch") || d.contains("request") })
+    assert(!calls.exists { case (s, _) => s == "p" || s == "p.CONFIG" },
+      s"dict value strings must stay text; got $calls")
+    // depth bookkeeping recovers after the dict closes: the real quoted
+    // annotation below it still types the param
+    assert(calls.contains(("p.after", "p.Conn.execute")))
+  }
+
 }
