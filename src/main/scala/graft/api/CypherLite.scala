@@ -62,9 +62,11 @@ import org.apache.spark.sql.functions._
   *    projects the edge triple, and `type(r)` / `startNode(r)` /
   *    `endNode(r)` project the rel_type and endpoint keys; `r` carries
   *    through WITH (a `__wr_` struct keeping relationship-ness); a
-  *    var-length `r` binds its PATH SUMMARY — `size(r)`/`length(r)`
-  *    read the hop count, rel_type/props are null (Neo4j's full
-  *    relationship-list projection is not modeled);
+  *    var-length `r` binds the traversed-edge LIST (r13): whole-`r`
+  *    projects the (src, rel_type, dst) struct array — Neo4j's
+  *    relationship list — while `size(r)`/`length(r)` read the hop
+  *    count and `r.prop`/`type(r)` stay null (per-hop props of a
+  *    var-length binding have no single value);
   *  - `WITH` pipes, CHAINED (aggregate-then-filter, SQL's HAVING shape):
   *    `MATCH … WITH v, count(*) AS c WHERE c > k WITH … RETURN …` — bare
   *    variables carry through (struct columns), a previous pipe's output
@@ -145,6 +147,13 @@ object CypherLite {
     * explodes — there we raise rather than silently truncate the path
     * set (a missing row is a wrong answer; Neo4j would enumerate on). */
   private val unboundedMatchCap = 32
+
+  /** allShortestPaths per-level row budget: the layered-DAG enumeration
+    * is combinatorial in the graph's equal-length path multiplicity (a
+    * diamond lattice doubles rows per level), so each level's
+    * materialized row count is capped and exceeding it raises loudly —
+    * the unboundedMatchCap discipline applied to path multiplicity. */
+  private val allspLevelRowCap = 2000000L
 
   /** Every (src, dst) endpoint pair of paths with `min`..∞ edges of the
     * given scan, one row PER PATH, under Neo4j's relationship-uniqueness
@@ -433,11 +442,12 @@ object CypherLite {
 
   private val fixedRel = Set("src", "rel_type", "dst", "hops")
 
-  /** The uniform column set every NAMED relationship alias carries
-    * (single-hop scans add `hops = 1`; var-length path frames carry the
-    * real hop count with null rel_type/props — this engine models a
-    * var-length `r` as its PATH SUMMARY, `size(r)`/`length(r)` reading
-    * the hop count, not Neo4j's full relationship list). */
+  /** The uniform column set a NAMED relationship variable carries
+    * through a WITH pipe (single-hop scans add `hops = 1`; var-length
+    * frames carry the real hop count with null rel_type/props). A
+    * var-length `r` additionally exposes its traversed-edge list
+    * (`prels`) for whole-variable projection (r13) — the list does not
+    * carry through WITH, the documented posture. */
   private val relCarriedFields = Seq("src", "rel_type", "dst", "props", "hops")
 
   /** Internal edge-scan alias, a RESERVED namespace (`__rel<N>`) no user
@@ -448,6 +458,16 @@ object CypherLite {
     * inferred from a user-controllable spelling. A node variable
     * literally named `e1` (or `__rel7`) stays a node everywhere. */
   private def relAlias(i: Int): String = s"__rel$i"
+
+  /** Alias for a NAMED var-length hop's path-frame scan — a distinct
+    * reserved namespace so projection code can tell "relationship
+    * ENTITY" (single hop: src/rel_type/dst columns) from "relationship
+    * LIST" (var-length: the `prels` struct array Neo4j returns for
+    * `RETURN r` on `-[r:REL*1..3]->`). Still `__rel`-prefixed, so every
+    * existing isRelAlias site keeps treating it as an edge binding. */
+  private def varRelAlias(i: Int): String = s"__relv$i"
+
+  private def isVarLenRelAlias(a: String): Boolean = a.startsWith("__relv")
 
   /** True when the alias names an edge scan (`__rel<N>`, bound via
     * [[relAlias]]) or a WITH-carried relationship struct (`__wr_<v>`);
@@ -931,7 +951,12 @@ object CypherLite {
         // whole-variable projection: fixed columns, prefixed (edge
         // schema for a relationship variable)
         val a = vars(v)
-        if (isRelAlias(a))
+        if (isVarLenRelAlias(a))
+          // a var-length relationship variable IS a list — project the
+          // traversed-edge struct array (Neo4j's relationship list,
+          // r13; size(r)/length(r) still read the hop count)
+          (Seq(col(s"$a.prels").as(v)), false)
+        else if (isRelAlias(a))
           (Seq("src", "rel_type", "dst")
             .map(c => col(s"$a.$c").as(s"$v.$c")), false)
         else
@@ -1350,10 +1375,10 @@ object CypherLite {
           s"unsupported relationship pattern '$other' (directed arrows only)")
       }
     }
-    // a variable on a var-length hop binds the PATH SUMMARY (src, dst,
-    // hop count) — size(r)/length(r) read the count; Neo4j's full
-    // relationship-list projection is not modeled (r.props raise via
-    // the null columns)
+    // a variable on a var-length hop binds the traversed-edge LIST
+    // (r13): whole-r projects the prels struct array (Neo4j's
+    // relationship list); size(r)/length(r) read the hop count;
+    // r.props/type(r) stay null (no single value across hops)
     val leading = pattern.substring(0, nodeMs.head.start).trim
     val trailing = pattern.substring(nodeMs.last.end).trim
     require(leading.isEmpty && trailing.isEmpty,
@@ -1456,14 +1481,16 @@ object CypherLite {
       // per-length path compositions; endpoints join identically
       val scan = hopEdges(edges, hop)
       val ai = aliasStart + i
-      val ea = relAlias(ai)
+      val ea = if (hop.isVarLength && hop.varName.nonEmpty) varRelAlias(ai)
+        else relAlias(ai)
       val eRaw =
         if (hop.isVarLength) {
-          // a path variable needs the per-path edge list (`prels`) on
-          // every var-length frame; other queries keep the narrow
-          // (src, dst, hops) summary
+          // a path variable — or a NAMED var-length hop, whose whole-
+          // variable projection is the relationship list (r13) — needs
+          // the per-path edge list (`prels`) on every var-length frame;
+          // other queries keep the narrow (src, dst, hops) summary
           val keep: DataFrame => DataFrame =
-            if (c.pathVar.isDefined)
+            if (c.pathVar.isDefined || hop.varName.nonEmpty)
               _.select(col("src"), col("dst"), col("hops"), col("prels"))
             else _.select(col("src"), col("dst"), col("hops"))
           // zero-length leg (Cypher's bind-same-node `*0..`): identity
@@ -1540,26 +1567,37 @@ object CypherLite {
     // var-length interiors included), the relationship list (one
     // (src, rel_type, dst) struct per traversed edge), and the length —
     // that `nodes(p)`/`relationships(p)`/`length(p)` rewrite to.
-    // Forward hops only: a reversed hop's physical edge order runs
-    // against pattern order and is not modeled (raise, the posture).
+    // REVERSED hops (r13): each relationship struct keeps the edge's
+    // PHYSICAL (src, rel_type, dst) — Neo4j's relationship entities do
+    // the same, a path does not flip an edge's own endpoints — and the
+    // list order follows PATTERN order, so a reversed var-length leg
+    // contributes its edges (and interior nodes) reversed.
     c.pathVar.foreach { pv =>
-      require(c.hops.forall(!_.reversed),
-        s"path variable '$pv' over a reversed hop (<-[…]-) is not modeled")
       val emptyRels = expr("CAST(array() AS " +
         "array<struct<src:string,rel_type:string,dst:string>>)")
+      def hopAliasOf(hop: Hop, i: Int): String =
+        if (hop.isVarLength && hop.varName.nonEmpty)
+          varRelAlias(aliasStart + i) else relAlias(aliasStart + i)
       val relArrs: Seq[Column] = c.hops.zipWithIndex.map { case (hop, i) =>
-        val ea = relAlias(aliasStart + i)
-        if (hop.isVarLength) col(s"$ea.prels")
-        else array(struct(col(s"$ea.src").as("src"),
+        val ea = hopAliasOf(hop, i)
+        if (hop.isVarLength) {
+          val pr = col(s"$ea.prels")
+          if (hop.reversed) reverse(pr) else pr
+        } else array(struct(col(s"$ea.src").as("src"),
           col(s"$ea.rel_type").as("rel_type"), col(s"$ea.dst").as("dst")))
       }
       val nodeArrs: Seq[Column] =
         array(col(s"n$aliasStart.full_name")) +:
           c.hops.zipWithIndex.map { case (hop, i) =>
-            val ea = relAlias(aliasStart + i)
-            if (hop.isVarLength)
-              transform(col(s"$ea.prels"), r => r.getField("dst"))
-            else array(col(s"n${aliasStart + i + 1}.full_name"))
+            val ea = hopAliasOf(hop, i)
+            if (hop.isVarLength) {
+              // forward leg visits each edge's dst in list order; a
+              // reversed leg walks the composition backwards, visiting
+              // each edge's SRC in reverse list order
+              if (hop.reversed)
+                reverse(transform(col(s"$ea.prels"), r => r.getField("src")))
+              else transform(col(s"$ea.prels"), r => r.getField("dst"))
+            } else array(col(s"n${aliasStart + i + 1}.full_name"))
           }
       df = df
         .withColumn(s"__pnodes_$pv",
@@ -1759,12 +1797,14 @@ object CypherLite {
         .drop("__ps", "__pv")
     }
 
-    def rewritePathFns(t: String): String = t
-      .replaceAll("(?i)\\b(?:length|size)\\(\\s*" + pQuoted + "\\s*\\)",
-        "__plen")
-      .replaceAll("(?i)\\bnodes\\(\\s*" + pQuoted + "\\s*\\)", "__pnodes")
-      .replaceAll("(?i)\\brelationships\\(\\s*" + pQuoted + "\\s*\\)",
-        "__prels")
+    def rewritePathFns(t: String): String = {
+      var r = replaceOutsideQuotes(t,
+        "(?i)\\b(?:length|size)\\(\\s*" + pQuoted + "\\s*\\)", "__plen")
+      r = replaceOutsideQuotes(r,
+        "(?i)\\bnodes\\(\\s*" + pQuoted + "\\s*\\)", "__pnodes")
+      replaceOutsideQuotes(r,
+        "(?i)\\brelationships\\(\\s*" + pQuoted + "\\s*\\)", "__prels")
+    }
     val plainCols = Set("__plen") ++
       (if (needPaths) Set("__pnodes", "__prels") else Set.empty[String])
 
@@ -1860,6 +1900,16 @@ object CypherLite {
           concat(col("p.__pnodes"), array(col("x.edst"))).as("__pnodes"),
           concat(col("p.__prels"), array(relStruct)).as("__prels"))
         .localCheckpoint(eager = true)
+      // path-multiplicity budget (r13, advisor finding): the DAG
+      // enumeration is combinatorial by the operator's own semantics —
+      // a diamond lattice doubles the row count per level — so fail
+      // FAST with a clear error instead of unbounded growth; the
+      // count() reads the just-materialized checkpoint (cheap).
+      val nLvl = rows.count()
+      require(nLvl <= allspLevelRowCap,
+        s"allShortestPaths path multiplicity exceeds cap at level $lvl " +
+          s"($nLvl > $allspLevelRowCap shortest paths in flight) — " +
+          s"narrow the endpoint patterns: $q")
       all = all.unionByName(rows)
     }
     val paths = all.filter(col("d") >= minH && col("d") <= maxH)
@@ -1870,12 +1920,14 @@ object CypherLite {
         col("n1.full_name") === col("cur"))
       .withColumn("__plen", col("d"))
     val pQuoted = java.util.regex.Pattern.quote(pVar)
-    def rewritePathFns(t: String): String = t
-      .replaceAll("(?i)\\b(?:length|size)\\(\\s*" + pQuoted + "\\s*\\)",
-        "__plen")
-      .replaceAll("(?i)\\bnodes\\(\\s*" + pQuoted + "\\s*\\)", "__pnodes")
-      .replaceAll("(?i)\\brelationships\\(\\s*" + pQuoted + "\\s*\\)",
-        "__prels")
+    def rewritePathFns(t: String): String = {
+      var r = replaceOutsideQuotes(t,
+        "(?i)\\b(?:length|size)\\(\\s*" + pQuoted + "\\s*\\)", "__plen")
+      r = replaceOutsideQuotes(r,
+        "(?i)\\bnodes\\(\\s*" + pQuoted + "\\s*\\)", "__pnodes")
+      replaceOutsideQuotes(r,
+        "(?i)\\brelationships\\(\\s*" + pQuoted + "\\s*\\)", "__prels")
+    }
     val plainCols = Set("__plen", "__pnodes", "__prels")
     var rest = tail
     val retIdx2 = topLevelKeyword(rest, "RETURN")
@@ -1978,6 +2030,37 @@ object CypherLite {
     (out.toSeq, q)
   }
 
+  /** `replaceAll` applied only OUTSIDE single/double-quoted string
+    * literals (r13, advisor finding): the textual path-function rewrite
+    * must never mangle a quoted property literal like
+    * `{full_name: 'length(p)'}` — plausible text in this code-graph
+    * domain, and the clause splitter is quote-aware for the same
+    * reason. Backslash escapes honored; an unterminated quote keeps its
+    * tail literal (the parser raises on it elsewhere). */
+  private def replaceOutsideQuotes(s: String, regex: String,
+      repl: String): String = {
+    val sb = new StringBuilder
+    var i = 0; var segStart = 0; var quote: Char = 0
+    def flushCode(end: Int): Unit =
+      sb.append(s.substring(segStart, end).replaceAll(regex, repl))
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) {
+          sb.append(s.substring(segStart, i + 1)); segStart = i + 1
+          quote = 0
+        }
+      } else if (c == '\'' || c == '"') {
+        flushCode(i); segStart = i; quote = c
+      }
+      i += 1
+    }
+    if (quote != 0) sb.append(s.substring(segStart))
+    else flushCode(s.length)
+    sb.toString
+  }
+
   /** PATH VARIABLES in plain MATCH (r12): strip `p =` after each
     * top-level MATCH (ordinal-keyed, so the clause builder knows which
     * chain materializes which path), and textually rewrite
@@ -2005,11 +2088,12 @@ object CypherLite {
     var out = sb.toString
     for (pv <- names) {
       val w = java.util.regex.Pattern.quote(pv)
-      out = out.replaceAll(s"(?i)\\bnodes\\(\\s*$w\\s*\\)", s"__pnodes_$pv")
-      out = out.replaceAll(s"(?i)\\brelationships\\(\\s*$w\\s*\\)",
-        s"__prels_$pv")
-      out = out.replaceAll(s"(?i)\\b(?:length|size)\\(\\s*$w\\s*\\)",
-        s"__plen_$pv")
+      out = replaceOutsideQuotes(out,
+        s"(?i)\\bnodes\\(\\s*$w\\s*\\)", s"__pnodes_$pv")
+      out = replaceOutsideQuotes(out,
+        s"(?i)\\brelationships\\(\\s*$w\\s*\\)", s"__prels_$pv")
+      out = replaceOutsideQuotes(out,
+        s"(?i)\\b(?:length|size)\\(\\s*$w\\s*\\)", s"__plen_$pv")
     }
     val cols = names.flatMap(pv =>
       Seq(s"__pnodes_$pv", s"__prels_$pv", s"__plen_$pv")).toSet
@@ -2082,18 +2166,26 @@ object CypherLite {
       head.substring(p + 5, end).trim
     }
     val optionalMarks = rawBodies.map(_.toUpperCase.endsWith("OPTIONAL"))
-    val clauses = rawBodies.zipWithIndex.map { case (b, ix) =>
+    val parsed = rawBodies.zipWithIndex.map { case (b, ix) =>
       val body = if (optionalMarks(ix)) b.dropRight(8).trim else b
-      val pc = parseClause(body, optional = ix > 0 && optionalMarks(ix - 1),
-        q, ix)
-      pathByMatch.get(ix).foreach { pv =>
-        require(!pc.optional,
-          s"a path variable on OPTIONAL MATCH is not modeled: $q")
-        require(!unwinds.exists(_.v == pv) &&
-            !pc.nodeMs.exists(_.v == pv) &&
-            !pc.hops.exists(_.varName.contains(pv)),
-          s"path variable '$pv' rebinds another variable: $q")
-      }
+      parseClause(body, optional = ix > 0 && optionalMarks(ix - 1), q, ix)
+    }
+    // a path variable may not collide with ANY bound variable — node or
+    // relationship vars of EVERY clause, not just the owning one (r13,
+    // advisor finding: a node named `p` in another MATCH silently
+    // collided with the textual nodes(p) rewrite), nor an UNWIND var
+    locally {
+      val bound = unwinds.map(_.v).toSet ++
+        parsed.flatMap(pc => pc.nodeMs.map(_.v) ++
+          pc.hops.flatMap(_.varName))
+      pathByMatch.values.foreach(pv => require(!bound(pv),
+        s"path variable '$pv' rebinds another variable: $q"))
+    }
+    // an OPTIONAL MATCH path variable null-extends with its clause
+    // (Neo4j: p IS NULL when the optional pattern finds nothing) — the
+    // path columns are built on the optional side before the left join,
+    // so the null extension is exactly the join's own (r13)
+    val clauses = parsed.zipWithIndex.map { case (pc, ix) =>
       pc.copy(pathVar = pathByMatch.get(ix))
     }
 
@@ -2102,7 +2194,8 @@ object CypherLite {
     def relVarsOf(c: Clause, aliasStart: Int): Map[String, String] =
       c.hops.zipWithIndex.collect {
         case (h, i) if h.varName.nonEmpty =>
-          h.varName.get -> relAlias(aliasStart + i)
+          h.varName.get -> (if (h.isVarLength) varRelAlias(aliasStart + i)
+            else relAlias(aliasStart + i))
       }.toMap
     var aliasCount = clauses.head.nodeMs.size
     // FIRST occurrence wins: a cycle pattern's repeated variable reads

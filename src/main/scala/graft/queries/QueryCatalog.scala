@@ -594,6 +594,29 @@ object QueryCatalog {
       |JOIN customer c ON o.o_custkey = c.c_custkey
       |JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin
 
+  /** g_b10_pathrev — r13 path-variable breadth under the oracle gate:
+    * a REVERSED var-length hop (`<-[r:IN_NATION*1]-`, the shape that
+    * raised through r12) with a named var-length relationship variable,
+    * plus an OPTIONAL MATCH path variable that null-extends when the
+    * nation is outside AMERICA (Neo4j: p IS NULL with its clause). */
+  val gB10PathRev: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH p = (n:NATION)<-[r:IN_NATION*1]-(c:CUSTOMER) " +
+        "OPTIONAL MATCH p2 = (n)-[:IN_REGION]->(g:REGION {name: 'AMERICA'}) " +
+        "RETURN head(nodes(p)) AS nation, last(nodes(p)) AS customer, " +
+        "length(p) AS len, size(r) AS nr, length(p2) AS am_len")
+  }
+
+  val gB10PathRevSql: String =
+    """SELECT 'nation.' || c.c_nationkey AS nation,
+      |  'customer.' || c.c_custkey AS customer,
+      |  1::BIGINT AS len, 1::BIGINT AS nr,
+      |  (CASE WHEN r.r_name = 'AMERICA' THEN 1 ELSE NULL END)::BIGINT AS am_len
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin
+
   /** g_b10_distinct — `count(DISTINCT …)` under the oracle gate: a
     * region roll-up where the customer count dwarfs the distinct nation
     * count, so the dedup inside the aggregate is load-bearing (a plain
@@ -8330,6 +8353,7 @@ object QueryCatalog {
     "g_b10_unwind" -> gB10Unwind,
     "g_b10_varlen" -> gB10Varlen,
     "g_b10_path" -> gB10Path,
+    "g_b10_pathrev" -> gB10PathRev,
     "g_b10_spathp" -> gB10SpathP,
     "g_b10_allsp" -> gB10Allsp,
     "g_b10_distinct" -> gB10Distinct,
@@ -8609,6 +8633,7 @@ object QueryCatalog {
     "g_b10_unwind" -> gB10UnwindSql,
     "g_b10_varlen" -> gB10VarlenSql,
     "g_b10_path" -> gB10PathSql,
+    "g_b10_pathrev" -> gB10PathRevSql,
     "g_b10_spathp" -> gB10SpathPSql,
     "g_b10_allsp" -> gB10SpathSql,
     "g_b10_distinct" -> gB10DistinctSql,

@@ -145,20 +145,97 @@ class CypherLitePathSpec extends AnyFunSuite {
     assert(one.length === 1)
   }
 
-  test("negatives: reversed hop, OPTIONAL MATCH, unknown path var all raise") {
-    intercept[Exception] {
-      diamond.executeQuery(
-        "MATCH p = (y {full_name: 'c'})<-[:CALL*1..2]-(x) RETURN length(p)")
-        .collect()
+  test("r13: reversed SINGLE hop — pattern-order nodes, physical rels") {
+    val out = diamond.executeQuery(
+      "MATCH p = (y {full_name: 'c'})<-[:CALL]-(x) " +
+        "RETURN nodes(p) AS ns, relationships(p) AS rs, length(p) AS len")
+      .collect()
+    assert(out.length === 2)
+    val paths = out.map { r =>
+      (r.getSeq[String](0).toList,
+        r.getSeq[Row](1).map(e =>
+          (e.getString(0), e.getString(1), e.getString(2))).toList,
+        r.getLong(2))
+    }.sortBy(_._1.mkString)
+    assert(paths.map(_._1) === Seq(List("c", "b1"), List("c", "b2")))
+    // the relationship keeps its PHYSICAL endpoints (Neo4j entities do)
+    assert(paths(0)._2 === List(("b1", Rel.Call, "c")))
+    assert(paths(1)._2 === List(("b2", Rel.Call, "c")))
+    assert(paths.forall(_._3 == 1L))
+  }
+
+  test("r13: reversed VAR-LENGTH hop — edges and interior nodes reversed " +
+      "into pattern order") {
+    val out = diamond.executeQuery(
+      "MATCH p = (y {full_name: 'c'})<-[:CALL*2]-(x {full_name: 'a'}) " +
+        "RETURN nodes(p) AS ns, relationships(p) AS rs").collect()
+    assert(out.length === 2)
+    val paths = out.map { r =>
+      (r.getSeq[String](0).toList,
+        r.getSeq[Row](1).map(e =>
+          (e.getString(0), e.getString(1), e.getString(2))).toList)
+    }.sortBy(_._1.mkString)
+    assert(paths.map(_._1) === Seq(
+      List("c", "b1", "a"), List("c", "b2", "a")))
+    assert(paths(0)._2 === List(("b1", Rel.Call, "c"), ("a", Rel.Call, "b1")))
+    assert(paths(1)._2 === List(("b2", Rel.Call, "c"), ("a", Rel.Call, "b2")))
+  }
+
+  test("r13: OPTIONAL MATCH path variable — bound when matched, NULL " +
+      "when the optional pattern finds nothing") {
+    val hit = diamond.executeQuery(
+      "MATCH (x {full_name: 'a'}) OPTIONAL MATCH p = (x)-[:CALL*1..2]->" +
+        "(y {full_name: 'c'}) RETURN length(p) AS len ORDER BY len")
+      .collect()
+    assert(hit.length === 2 && hit.forall(_.getLong(0) == 2L))
+    val miss = diamond.executeQuery(
+      "MATCH (x {full_name: 'c'}) OPTIONAL MATCH p = (x)-[:CALL]->(y) " +
+        "RETURN x.full_name AS x, length(p) AS len").collect()
+    assert(miss.length === 1)
+    assert(miss(0).getString(0) === "c" && miss(0).isNullAt(1))
+  }
+
+  test("r13: whole-variable projection of a VAR-LENGTH relationship " +
+      "variable returns the relationship LIST") {
+    val out = diamond.executeQuery(
+      "MATCH (x {full_name: 'a'})-[r:CALL*1..2]->(y {full_name: 'c'}) " +
+        "RETURN r, size(r) AS n").collect()
+    assert(out.length === 2)
+    out.foreach { row =>
+      val rels = row.getSeq[Row](0).map(e =>
+        (e.getString(0), e.getString(1), e.getString(2))).toList
+      assert(rels.size === 2 && row.getLong(1) === 2L)
+      assert(rels.head._1 === "a" && rels.last._3 === "c")
+      assert(rels.forall(_._2 == Rel.Call))
     }
-    intercept[Exception] {
-      diamond.executeQuery(
-        "MATCH (x {full_name: 'a'}) OPTIONAL MATCH p = (x)-[:CALL*1..2]->(y) " +
-          "RETURN length(p)").collect()
-    }
+    // single-hop r stays a relationship ENTITY (src/rel_type/dst cols)
+    val one = diamond.executeQuery(
+      "MATCH (x {full_name: 'a'})-[r:CALL]->(y {full_name: 'b1'}) " +
+        "RETURN r").collect()
+    assert(one.length === 1 && one(0).length === 3)
+  }
+
+  test("r13: quoted property literals survive the path-fn rewrite") {
+    val d = GraphDatabase.inMemory(spark)
+    d.addEdge("t", "src1", Rel.Call, "length(p)")
+    d.commit()
+    val out = d.executeQuery(
+      "MATCH p = (x)-[:CALL]->(y {full_name: 'length(p)'}) " +
+        "RETURN y.full_name AS y, length(p) AS len").collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "length(p)" && out(0).getLong(1) === 1L)
+  }
+
+  test("r13 negatives: unknown path var raises; a path var colliding " +
+      "with a variable bound in ANOTHER clause raises") {
     intercept[Exception] {
       diamond.executeQuery(
         "MATCH (x {full_name: 'a'})-[:CALL]->(y) RETURN nodes(q)").collect()
+    }
+    intercept[Exception] {
+      diamond.executeQuery(
+        "MATCH p = (x {full_name: 'a'})-[:CALL]->(y) " +
+          "MATCH (p)-[:CALL]->(z) RETURN length(p)").collect()
     }
   }
 }
