@@ -2086,29 +2086,89 @@ object Analytics {
     * provably EQUALS the full recomputation — the gate shares q11's
     * oracle. */
   def connectedComponentsIncremental(edges: DataFrame, prev: DataFrame,
-      maxIter: Int = 20): DataFrame = {
-    val und = undirectedView(edges)
-    val seed = und.select(col("src").as("v")).distinct()
+      maxIter: Int = 20, localThreshold: Int = 200000): DataFrame = {
+    // DIRECTED edges suffice here (r13 — the q59 drift fix): the label
+    // mapping only needs each edge's endpoint pair once, and the
+    // contracted graph is re-undirected inside ccFrom anyway. The old
+    // undirectedView() spelling shuffled + checkpointed a 2|E|-row
+    // table before the contraction even started — a full extra pass of
+    // the big table for zero semantic effect.
+    val e1 = edges.select(col("src"), col("dst"))
+    val seed = e1.select(col("src").as("v"))
+      .union(e1.select(col("dst").as("v"))).distinct()
       .join(prev.select(col("v"), col("component").as("_p")), Seq("v"), "left")
       .withColumn("component", coalesce(col("_p"), col("v")))
       .drop("_p")
       .localCheckpoint(eager = true)
-    val contracted = und
+    val contracted = e1
       .join(seed.select(col("v").as("src"), col("component").as("cs")), "src")
       .join(seed.select(col("v").as("dst"), col("component").as("cd")), "dst")
       .filter(col("cs") =!= col("cd"))
       .select(col("cs").as("src"), col("cd").as("dst"))
       .distinct()
       .localCheckpoint(eager = true)
-    val merged = ccFrom(undirectedView(contracted),
-      contracted.select(col("src").as("v"))
-        .union(contracted.select(col("dst").as("v"))).distinct()
-        .withColumn("component", col("v")), maxIter)
+    // merge classes over the contracted label graph — delta-bounded by
+    // the incremental premise, so a driver-local UNION-FIND kernel
+    // (min-label union, the q77 Tarjan-probe discipline: bounded
+    // limit(k+1) probe, distributed fallback above it, identical labels
+    // either way) replaces rounds of checkpointed fixpoint jobs whose
+    // per-round overhead dominated at this graph size (r13).
+    val probe = contracted.limit(localThreshold + 1)
+      .collect().map(r => (r.get(0), r.get(1)))
+    val merged: DataFrame =
+      if (probe.length <= localThreshold) {
+        // label type follows the caller's vertex type (string corpus
+        // keys here, longs in specs) — rebuild with the source schema
+        val vt = contracted.schema.head.dataType
+        val rows = unionFindMin(probe).toSeq
+          .map { case (a, b) => org.apache.spark.sql.Row(a, b) }
+        edges.sparkSession.createDataFrame(
+          new java.util.ArrayList(
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v", vt),
+            org.apache.spark.sql.types.StructField("component", vt))))
+      } else ccFrom(undirectedView(contracted),
+        contracted.select(col("src").as("v"))
+          .union(contracted.select(col("dst").as("v"))).distinct()
+          .withColumn("component", col("v")), maxIter)
     // merged: (v = old label, component = new min label) → relabel
     seed
-      .join(merged.select(col("v").as("component"), col("component").as("_m")),
+      .join(broadcast(merged
+          .select(col("v").as("component"), col("component").as("_m"))),
         Seq("component"), "left")
       .select(col("v"), coalesce(col("_m"), col("component")).as("component"))
+  }
+
+  /** Driver-local min-label union-find over a (bounded) edge list: the
+    * connected-component kernel of the contracted label graph. Returns
+    * every touched label mapped to its class MINIMUM — exactly what the
+    * distributed min-label fixpoint converges to on the same graph. */
+  private[enrich] def unionFindMin(
+      edgeList: Array[(Any, Any)]): Map[Any, Any] = {
+    // labels are Comparable at runtime whatever the column type
+    // (String / java.lang.Long / Integer) — min-union compares natively
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // union by MIN label so every root is its class minimum
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val touched = edgeList.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    touched.iterator.map(v => v -> find(v)).toMap
   }
 
   // pre-partitioned on the iteration join key: each round shuffles only

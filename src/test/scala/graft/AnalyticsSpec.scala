@@ -768,6 +768,12 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(inc === full)
     assert(inc(4L) === 1L && inc(10L) === 9L)
+    // threshold 0 FORCES the distributed ccFrom fallback — identical
+    // labels either way (the q77 probe discipline, r13)
+    val incDist = Analytics.connectedComponentsIncremental(allE, prev,
+        localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(incDist === full)
   }
 
   test("scanSimilarity: closed-neighborhood overlap on triangle+pendant") {
