@@ -750,9 +750,15 @@ object Similarity {
     * place it can happen, so the gates can't diverge from each other.
     * Public since r12: the persisted `ivfindex` derived table
     * ([[graft.store.GraphTables.ivfIndex16]]) materializes this. */
-  def assignCells(emb: DataFrame, nlist: Int): DataFrame = {
+  def assignCells(emb: DataFrame, nlist: Int): DataFrame =
+    assignCellsTo(emb, centroidSeeds(emb, nlist))
+
+  /** [[assignCells]] against a GIVEN centroid table — the refresh path's
+    * entry (r13): incremental index maintenance assigns only the
+    * arriving vectors to the EXISTING centroids, so the quantizer must
+    * be an input, not re-derived from the (changed) corpus. */
+  def assignCellsTo(emb: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = centroidSeeds(emb, nlist)
     val byCell = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid").asc)
     emb.crossJoin(broadcast(cents))
@@ -761,6 +767,38 @@ object Similarity {
       .withColumn("crank", row_number().over(byCell))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** INCREMENTAL IVF index refresh (r13 — the ccprev/sccprev warm-start
+    * discipline applied to ANN model artifacts): vectors the previous
+    * index already placed KEEP their rows untouched; only the arriving
+    * delta (an anti-join on vec_id — the batch is usually a vanishing
+    * fraction of the corpus) pays the O(|delta|·nlist) assignment
+    * against the PERSISTED centroids. Because cell assignment is
+    * per-vector deterministic, the refreshed index provably EQUALS
+    * `assignCellsTo(embAll, cents)` — so an incremental gate can share
+    * the batch oracle with the centroid derivation pinned to the
+    * previous corpus. Periodic full retrain (new seeds) remains the
+    * documented trade when drift accumulates. */
+  def ivfIndexRefresh(prevIndex: DataFrame, embAll: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val delta = embAll.join(prevIndex.select("vec_id"), Seq("vec_id"),
+      "left_anti")
+    prevIndex.select(col("vec_id"), col("embedding"), col("cid"))
+      .unionByName(assignCellsTo(delta, cents))
+  }
+
+  /** INCREMENTAL PQ code refresh (r13): re-encode ONLY vectors absent
+    * from the previous code table against the persisted books; existing
+    * codes ride through untouched. Provably equals
+    * `pqEncode(embAll, books)` (per-vector deterministic), same oracle
+    * sharing as [[ivfIndexRefresh]]. */
+  def pqEncodeRefresh(prevEnc: DataFrame, embAll: DataFrame,
+      books: DataFrame, m: Int = 4, subDim: Int = 16): DataFrame = {
+    val delta = embAll.join(
+      prevEnc.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+    prevEnc.select(col("sub"), col("vec_id"), col("code"))
+      .unionByName(pqEncode(delta, books, m, subDim))
   }
 
   /** [[assignCells]] restricted to healthy cells (2..maxCell) — the

@@ -3230,6 +3230,12 @@ object QueryCatalog {
   private def centsSql(nlist: Int): String =
     s"(SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY $rollhVecId, vec_id LIMIT $nlist)"
 
+  /** [[centsSql]] over the PREVIOUS corpus (minus the 2% delta) — the
+    * incremental-refresh gates pin the quantizer derivation to the
+    * corpus the persisted model was trained on (r13). */
+  private def centsPrevSql(nlist: Int): String =
+    s"(SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % ${GraphTables.annDeltaMod} <> 0 ORDER BY $rollhVecId, vec_id LIMIT $nlist)"
+
   /** IVF-style ANN: deterministic fixed-count coarse centroids
     * (centroidSeeds nlist=16), nprobe=8, top-10 for query vectors 0–4.
     * r12: reads the PERSISTED centroid table + cell-clustered index
@@ -3242,8 +3248,8 @@ object QueryCatalog {
       GraphTables.ivfCents16(s, d), Tables.embeddings(s, d),
       Seq(0L, 1L, 2L, 3L, 4L), 10, nprobe = 8)
 
-  val sIvfAnnSql: String =
-    s"""WITH cents AS ${centsSql(16)},
+  private def ivfAnnSqlWith(cents: String): String =
+    s"""WITH cents AS $cents,
        |assigned AS (SELECT vec_id, embedding, cid FROM (
        |  SELECT e.vec_id, e.embedding, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cid) AS crank
@@ -3257,6 +3263,27 @@ object QueryCatalog {
        |FROM (SELECT p.query_id, a.vec_id, ${cosOf("p.qv", "a.embedding")} AS sim
        |      FROM assigned a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.query_id)
        |QUALIFY rank <= 10""".stripMargin
+
+  val sIvfAnnSql: String = ivfAnnSqlWith(centsSql(16))
+
+  /** s_ivf_inc — INCREMENTAL IVF index refresh + search (r13, verdict
+    * task #4): the persisted previous-corpus index/centroids
+    * ([[GraphTables.ivfIndexPrev]]/`ivfCentsPrev`) absorb only the 2%
+    * arriving delta via [[graft.pipeline.Similarity.ivfIndexRefresh]]
+    * (anti-join + O(|delta|·nlist) assignment), then the same top-10
+    * search as s_ivf_ann runs over the refreshed index. Because cell
+    * assignment is per-vector deterministic, refresh ≡ assigning the
+    * WHOLE corpus to the previous centroids — the oracle replays
+    * exactly that, with the centroid derivation pinned to the previous
+    * corpus. */
+  val sIvfInc: Q = (s, d) =>
+    Similarity.ivfTopKIndexed(
+      Similarity.ivfIndexRefresh(GraphTables.ivfIndexPrev(s, d),
+        Tables.embeddings(s, d), GraphTables.ivfCentsPrev(s, d)),
+      GraphTables.ivfCentsPrev(s, d), Tables.embeddings(s, d),
+      Seq(0L, 1L, 2L, 3L, 4L), 10, nprobe = 8)
+
+  val sIvfIncSql: String = ivfAnnSqlWith(centsPrevSql(16))
 
   /** Embedding near-duplicate pairs: 32 planes, 4 bands of 8 bits,
     * candidates = union over band-buckets, hub buckets (>4096) dropped,
@@ -6249,7 +6276,7 @@ object QueryCatalog {
       GraphTables.pqEnc4x16(s, d), GraphTables.pqBooks4x16(s, d),
       Seq(0L, 1L, 2L, 3L, 4L), 10, m = 4, subDim = 16, shortlist = 100)
 
-  val sPqAnnSql: String = {
+  private def pqAnnSqlWith(trainWhere: String): String = {
     def rdotOf(a: String, b: String, dim: Int): String =
       s"round(list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y), 4)"
     val normSqlE = "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), (a, y) -> a + y))"
@@ -6257,12 +6284,12 @@ object QueryCatalog {
        |  SELECT vec_id, ss.sub AS sub,
        |    list_transform(list_slice(embedding, ss.sub*16 + 1, ss.sub*16 + 16), x -> round(x::DOUBLE / $normSqlE, 4)) AS sv
        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) ss),
-       |sids AS (SELECT vec_id FROM embeddings ORDER BY $rollhVecId, vec_id LIMIT 16),
+       |sids AS (SELECT vec_id FROM embeddings $trainWhere ORDER BY $rollhVecId, vec_id LIMIT 16),
        |seeds AS (SELECT sub, s.vec_id AS cid, sv AS cv FROM subs s JOIN sids USING (vec_id)),
        |a1 AS MATERIALIZED (SELECT sub, vec_id, sv, cid FROM (
        |  SELECT s.sub, s.vec_id, s.sv, c.cid,
        |    row_number() OVER (PARTITION BY s.sub, s.vec_id ORDER BY ${rdotOf("s.sv", "c.cv", 16)} DESC, c.cid) AS rk
-       |  FROM subs s JOIN seeds c ON s.sub = c.sub) WHERE rk = 1),
+       |  FROM subs s JOIN seeds c ON s.sub = c.sub ${if (trainWhere.isEmpty) "" else trainWhere.replace("vec_id", "s.vec_id")}) WHERE rk = 1),
        |m1 AS (SELECT sub, cid, dim, round(CAST(sum(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / count(*), 4) AS mv
        |  FROM (SELECT sub, cid, unnest(range(0, 16)) AS dim, unnest(sv) AS v FROM a1) GROUP BY 1, 2, 3),
        |books AS MATERIALIZED (SELECT sub, cid, array_agg(mv ORDER BY dim) AS cv FROM m1 GROUP BY 1, 2),
@@ -6284,6 +6311,27 @@ object QueryCatalog {
        |  JOIN embeddings c ON c.vec_id = s.vec_id
        |QUALIFY rank <= 10""".stripMargin
   }
+
+  val sPqAnnSql: String = pqAnnSqlWith("")
+
+  /** s_pq_inc — INCREMENTAL PQ code refresh + ADC search (r13): the
+    * persisted previous-corpus books/codes ([[GraphTables.pqBooksPrev]]/
+    * `pqEncPrev`) absorb only the 2% delta via
+    * [[graft.pipeline.Similarity.pqEncodeRefresh]] (anti-join +
+    * broadcast-probe encode of the arriving vectors), then the same
+    * ADC shortlist + exact re-rank as s_pq_ann. Refresh ≡ encoding the
+    * whole corpus against the previous books (per-vector
+    * deterministic); the oracle replays that, with TRAINING pinned to
+    * the previous corpus. */
+  val sPqInc: Q = (s, d) =>
+    Similarity.pqTopKIndexed(Tables.embeddings(s, d),
+      Similarity.pqEncodeRefresh(GraphTables.pqEncPrev(s, d),
+        Tables.embeddings(s, d), GraphTables.pqBooksPrev(s, d)),
+      GraphTables.pqBooksPrev(s, d),
+      Seq(0L, 1L, 2L, 3L, 4L), 10, m = 4, subDim = 16, shortlist = 100)
+
+  val sPqIncSql: String =
+    pqAnnSqlWith(s"WHERE vec_id % ${GraphTables.annDeltaMod} <> 0")
 
   /** s_kcenter — Gonzalez farthest-first k-center diversity selection
     * ([[graft.pipeline.Similarity.kCenterSelect]]): seed = min vec_id,
@@ -8239,6 +8287,8 @@ object QueryCatalog {
     "s_mmr" -> sMmr,
     "s_lsh_ann" -> sLshAnn,
     "s_ivf_ann" -> sIvfAnn,
+    "s_ivf_inc" -> sIvfInc,
+    "s_pq_inc" -> sPqInc,
     "s_pca_top" -> sPcaTop,
     "s_emb_neardup" -> sEmbNearDup,
     "s_semdedup" -> sSemDedup,
@@ -8522,6 +8572,8 @@ object QueryCatalog {
     "s_mmr" -> sMmrSql,
     "s_lsh_ann" -> sLshAnnSql,
     "s_ivf_ann" -> sIvfAnnSql,
+    "s_ivf_inc" -> sIvfIncSql,
+    "s_pq_inc" -> sPqIncSql,
     "s_pca_top" -> sPcaTopSql,
     "s_emb_neardup" -> sEmbNearDupSql,
     "s_semdedup" -> sSemDedupSql,

@@ -392,6 +392,49 @@ object GraphTables {
         .repartition(col("sub")).sortWithinPartitions("sub", "vec_id")
     }
 
+  /** The incremental-ANN delta rate: 1-in-50 vec_ids (2%) arrive as the
+    * "new batch" — the [[sccDeltaMod]] discipline. Embedded in every
+    * prev-artifact cache key (the fingerprint covers source FILES, not
+    * derivation constants). */
+  val annDeltaMod = 50
+
+  private def embPrev(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") % annDeltaMod =!= 0)
+
+  /** PREVIOUS-version ANN model artifacts (r13 — the ccPrev/sccPrev
+    * discipline applied to the quantizer models): centroids, IVF index,
+    * PQ books and PQ codes over the corpus MINUS the 2% delta, persisted
+    * exactly as a deployment stores last build's model. The incremental
+    * refresh gates (`s_ivf_inc`/`s_pq_inc`) assign/encode ONLY the
+    * arriving delta against these and provably match the batch oracle
+    * with the centroid/book derivation pinned to the previous corpus. */
+  def ivfCentsPrev(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, s"ivfcentsprev$annDeltaMod") {
+      graft.pipeline.Similarity.centroidSeeds(embPrev(s, d), nlist = 16)
+        .coalesce(1).sortWithinPartitions("cid")
+    }
+
+  def ivfIndexPrev(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, s"ivfindexprev$annDeltaMod") {
+      graft.pipeline.Similarity.assignCellsTo(embPrev(s, d),
+          ivfCentsPrev(s, d))
+        .repartition(col("cid")).sortWithinPartitions("cid", "vec_id")
+    }
+
+  def pqBooksPrev(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, s"pqbooksprev$annDeltaMod") {
+      graft.pipeline.Similarity.pqTrain(embPrev(s, d),
+          m = 4, subDim = 16, ksub = 16)
+        .coalesce(1).sortWithinPartitions("sub", "cid")
+    }
+
+  def pqEncPrev(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, s"pqencprev$annDeltaMod") {
+      graft.pipeline.Similarity.pqEncode(embPrev(s, d),
+          pqBooksPrev(s, d), m = 4, subDim = 16)
+        .repartition(col("sub")).sortWithinPartitions("sub", "vec_id")
+    }
+
   /** The persisted ≤4096-row Bloom bit set over the even-doc_id base
     * corpus — the BUILD-ONCE artifact of the d_bloom ingest screen
     * ([[graft.pipeline.Dedup.bloomBits]]), persisted through the same

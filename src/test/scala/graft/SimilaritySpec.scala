@@ -220,6 +220,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfR >= 0.6, f"IVF recall@10 $ivfR%.2f below 0.6 floor")
   }
 
+  test("r13 incremental refresh: ivfIndexRefresh / pqEncodeRefresh " +
+      "provably equal the full re-derivation against the same model") {
+    val d = "/root/testdata/sf0.01"
+    assume(new java.io.File(d).isDirectory)
+    val emb = graft.store.Tables.embeddings(TestSpark.spark, d)
+    val prevCorpus = emb.filter(col("vec_id") % 50 =!= 0)
+    val cents = Similarity.centroidSeeds(prevCorpus, 16)
+    // IVF: prev index + delta assignment == whole-corpus assignment
+    val prevIdx = Similarity.assignCellsTo(prevCorpus, cents)
+    val refreshed = Similarity.ivfIndexRefresh(prevIdx, emb, cents)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val full = Similarity.assignCellsTo(emb, cents)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(refreshed === full)
+    // PQ: prev codes + delta encode == whole-corpus encode
+    val books = Similarity.pqTrain(prevCorpus)
+    val prevEnc = Similarity.pqEncode(prevCorpus, books)
+    val encRef = Similarity.pqEncodeRefresh(prevEnc, emb, books)
+      .select("sub", "vec_id", "code").as[(Int, Long, Long)]
+      .collect().toSet
+    val encFull = Similarity.pqEncode(emb, books)
+      .select("sub", "vec_id", "code").as[(Int, Long, Long)]
+      .collect().toSet
+    assert(encRef === encFull)
+    // the refresh only ever touches the delta: no prev row re-assigned
+    assert(refreshed.keySet.count(_ % 50 == 0) > 0)
+  }
+
   test("ivfPqTopK: composed cell-prune + ADC clears the recall floor") {
     val d = "/root/testdata/sf0.01"
     assume(new java.io.File(d).isDirectory)
