@@ -279,7 +279,25 @@ object IndexPipeline {
     // take (nothing to disprove — the shallow posture).
     val classDefs = ix.nodes.filter(col("kind") === Kind.Class)
       .select(col("full_name").as("_clsdef")).distinct()
-    val finalEdges = withInherited
+    // r13 (advisor finding): 'not in the def table' is weaker evidence
+    // than 'does not exist' for classes that build members DYNAMICALLY.
+    // A class that defines or inherits __getattr__/__getattribute__ can
+    // answer any member take at runtime, so its absent members keep the
+    // conservative stub instead of dropping — the drop applies only to
+    // classes the indexer can model completely. (setattr()-built members
+    // stay out of reach: a bare builtin call emits no edge to key on.)
+    val dynCls = defined
+      .filter(col("full_name").endsWith(".__getattr__") ||
+        col("full_name").endsWith(".__getattribute__"))
+      .select(expr("substring(full_name, 1, length(full_name) - " +
+        "length(element_at(split(full_name, '\\\\.'), -1)) - 1)")
+        .as("_dyncls"))
+      .unionByName(inheritedDefs
+        .filter(col("_meth").isin("__getattr__", "__getattribute__"))
+        .select(col("_cls").as("_dyncls")))
+      .distinct()
+      .withColumn("_dyn", lit(true))
+    val flagged = withInherited
       .join(defined.withColumn("_dstdef", lit(true))
         .withColumnRenamed("full_name", "dst"), Seq("dst"), "left")
       .withColumn("_cls2", expr("substring(dst, 1, length(dst) - length(element_at(split(dst, '\\\\.'), -1)) - 1)"))
@@ -289,16 +307,35 @@ object IndexPipeline {
           element_at(split(col("dst"), "\\."), -1) === col("_meth"),
         "left")
       .join(classDefs, col("_cls2") === col("_clsdef"), "left")
-      .filter(!(col("rel_type") === Rel.Call && col("_dstdef").isNull &&
-        col("_def").isNull && col("_clsdef").isNotNull))
+      .join(dynCls, col("_cls2") === col("_dyncls"), "left")
+      .withColumn("_dropme",
+        col("rel_type") === Rel.Call && col("_dstdef").isNull &&
+          col("_def").isNull && col("_clsdef").isNotNull && col("_dyn").isNull)
+    val finalEdges = flagged
+      .filter(!col("_dropme"))
       .withColumn("dst", coalesce(col("_def"), col("dst")))
-      .drop("_dstdef", "_cls2", "_cls", "_meth", "_def", "_clsdef")
+      .drop("_dstdef", "_cls2", "_cls", "_meth", "_def", "_clsdef",
+        "_dyncls", "_dyn", "_dropme")
       .dropDuplicates("src", "rel_type", "dst")
+    // r13 (r12 verdict #7): a dropped nonexistent-member edge must also
+    // drop its srctrl REFERENCE occurrence rows — the SQLite sink keys
+    // occurrences by symbolFullName, and a location citing a name no
+    // edge carries would either dangle or (if the name re-appears as a
+    // hierarchy prefix) cite a dropped reference. Symbol/scope/local
+    // locations are untouched: only the REFERENCE anchor of the dropped
+    // take goes.
+    val droppedDsts = flagged.filter(col("_dropme"))
+      .select(col("dst").as("symbolFullName")).distinct()
+      .withColumn("_gone", lit(true))
+    val locations2 = ix.locations
+      .join(droppedDsts, Seq("symbolFullName"), "left")
+      .filter(!(col("kind") === "REFERENCE" && col("_gone").isNotNull))
+      .drop("_gone")
 
     // stub reconciliation: real + still-referenced stubs for the new edges
     val realNodes = ix.nodes.filter(col("kind") =!= Kind.None_)
     val nodes2 = graft.merge.Merge.withStubs(realNodes, finalEdges, taskId)
-    Indexed(nodes2, finalEdges, ix.locations, ix.imports)
+    Indexed(nodes2, finalEdges, locations2, ix.imports)
   }
 
   /** End-to-end: repo directory → enriched snapshot. */

@@ -2234,6 +2234,57 @@ class IndexerSpec extends AnyFunSuite {
     // a receiver class OUTSIDE the indexed corpus keeps the blind take
     // (nothing to disprove — the shallow posture)
     assert(calls.contains(("app.external", "extmod.Widget.spin")))
+    // r13 (verdict #7): the dropped member's REFERENCE occurrence rows
+    // go with the edge — the SQLite sink never cites a dropped take;
+    // the resolved member's reference anchor stays
+    val refLocs = ix2.locations.filter(col("kind") === "REFERENCE")
+      .select("symbolFullName").as[String].collect().toSet
+    assert(!refLocs.exists(_.endsWith("no_such_member")),
+      s"dropped edge must drop its REFERENCE location; got $refLocs")
+  }
+
+  test("r13: a class defining or inheriting __getattr__ keeps blind " +
+      "member takes — 'not in the def table' is not 'does not exist'") {
+    val libPy =
+      """class Proxy:
+        |    def __getattr__(self, name):
+        |        return lambda: 1
+        |
+        |class Child(Proxy):
+        |    pass
+        |
+        |class Plain:
+        |    def real(self):
+        |        return 1
+        |""".stripMargin
+    val appPy =
+      """from lib import Proxy, Child, Plain
+        |
+        |def via_proxy():
+        |    p = Proxy()
+        |    return p.anything_at_all()
+        |
+        |def via_child():
+        |    c = Child()
+        |    return c.dynamic_too()
+        |
+        |def via_plain():
+        |    q = Plain()
+        |    return q.not_there()
+        |""".stripMargin
+    val ix2 = IndexPipeline.enrich(IndexPipeline.indexFiles(spark,
+      Seq(SourceFile("lib.py", libPy), SourceFile("app.py", appPy)).toDS(),
+      "tdy"), "tdy")
+    val calls = ix2.edges.filter(col("rel_type") === Rel.Call)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    // __getattr__ classes answer any member at runtime: keep the take
+    assert(calls.contains(("app.via_proxy", "lib.Proxy.anything_at_all")),
+      s"__getattr__ class must keep the blind take; got $calls")
+    // the marker INHERITS down the closure
+    assert(calls.contains(("app.via_child", "lib.Child.dynamic_too")),
+      s"inherited __getattr__ must keep the take; got $calls")
+    // a fully-modeled class still drops its nonexistent member
+    assert(!calls.exists(_._2.endsWith("not_there")))
   }
 
   test("r12 slice 55: inline call-result chains emit a Call edge per " +
