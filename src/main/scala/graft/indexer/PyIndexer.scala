@@ -976,6 +976,21 @@ object PyIndexer {
     val propertyDefsRaw = mutable.Set.empty[String]
     val propertyDecos = Set("property", "cached_property",
       "functools.cached_property")
+    // r13 slice 59: DECORATOR-TRANSPARENT returns — jedi resolves a
+    // decorated def's call result through the decorator (functools.wraps
+    // / identity wrappers preserve the signature), so a decorated
+    // `-> T` / inferred return KEEPS its key as long as every decorator
+    // RESOLVES: a known signature-preserving builtin, a module-local
+    // def/class (bound before the decorated def, as Python requires),
+    // or an imported name (the chaseFields optimism — nothing to
+    // disprove). A bare decorator name jedi itself could not resolve
+    // (no def, no import) makes the call result unknown → the def's
+    // return keys DROP and `x = f()` binds nothing.
+    val decoPoisoned = mutable.Set.empty[String]
+    val knownDecoHeads = Set("staticmethod", "classmethod", "property",
+      "cached_property", "abstractmethod", "functools", "dataclass",
+      "dataclasses", "abc", "typing", "override", "wraps", "lru_cache",
+      "cache")
     locally {
       // (indent, name, isDef): a def's return key is valid only when
       // every enclosing level is a class (same rule returnAnnoRaw used)
@@ -984,6 +999,11 @@ object PyIndexer {
       // armed by a @property-family decorator line, consumed by the next
       // def header; stacked decorators keep it armed
       var pendingProp = false
+      // armed by an UNRESOLVABLE decorator line (slice 59); consumed by
+      // the next def header, which poisons that def's return keys
+      var pendingBadDeco = false
+      // names a decorator could legally be bound to at this point
+      val boundNames = mutable.Set.empty[String]
       def ownerDefKey: Option[Seq[String]] = {
         val chain = ctx.toSeq.reverse // bottom-first
         if (chain.nonEmpty && chain.last._3 && chain.init.forall(!_._3))
@@ -996,19 +1016,33 @@ object PyIndexer {
           val ind = indentOf(ln)
           while (ctx.nonEmpty && ind <= ctx.top._1) ctx.pop()
           val isDecorator = ln.trim.startsWith("@")
-          if (isDecorator && propertyDecos.contains(ln.trim.stripPrefix("@")
-              .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')))
-            pendingProp = true
+          if (isDecorator) {
+            val dotted = ln.trim.stripPrefix("@")
+              .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
+            if (propertyDecos.contains(dotted)) pendingProp = true
+            val head = dotted.split("\\.").headOption.getOrElse("")
+            if (head.nonEmpty && !knownDecoHeads.contains(head) &&
+                !boundNames.contains(head) &&
+                !importedName.contains(head) &&
+                !importedModule.contains(head))
+              pendingBadDeco = true
+          }
           ln match {
             case classHeader(_, cname, _) =>
               pendingProp = false
+              pendingBadDeco = false
+              boundNames += cname
               ctx.push((ind, cname, false))
             case defHeader(_, dname) =>
               val headerText = joinedHeader(li)
               val keyValid = ctx.toSeq.forall(!_._3)
               val key = (ctx.toSeq.reverse.map(_._2) :+ dname).mkString(".")
+              boundNames += dname
+              if (pendingBadDeco) decoPoisoned += key
+              pendingBadDeco = false
               returnArrow.findFirstMatchIn(headerText).foreach { m =>
-                if (keyValid) returnAnnoRaw(key) = m.group(1)
+                if (keyValid && !decoPoisoned.contains(key))
+                  returnAnnoRaw(key) = m.group(1)
               }
               // a property on anything but a directly-class-nested def
               // is out of the key space, same rule as the return maps
@@ -1017,7 +1051,7 @@ object PyIndexer {
               pendingProp = false
               ctx.push((ind, dname, true))
             case _ =>
-              if (!isDecorator) pendingProp = false
+              if (!isDecorator) { pendingProp = false; pendingBadDeco = false }
               ownerDefKey.foreach { names =>
                 val key = names.mkString(".")
                 instanceAssign.findFirstMatchIn(ln).foreach(m =>
@@ -1026,7 +1060,8 @@ object PyIndexer {
                 localAnno.findFirstMatchIn(ln).foreach(m =>
                   bodyLocals.getOrElseUpdate(key,
                     mutable.Map.empty)(m.group(1)) = m.group(2))
-                if (!returnInferredRaw.contains(key)) {
+                if (!returnInferredRaw.contains(key) &&
+                    !decoPoisoned.contains(key)) {
                   returnCtor.findFirstMatchIn(ln).foreach { m =>
                     if (m.group(1) == "cls") {
                       // slice 18: classmethod factory `return cls()` —
@@ -1047,7 +1082,8 @@ object PyIndexer {
                       .foreach(t => returnInferredRaw(key) = t)
                   }
                 }
-                if (!yieldInferredRaw.contains(key)) {
+                if (!yieldInferredRaw.contains(key) &&
+                    !decoPoisoned.contains(key)) {
                   yieldCtor.findFirstMatchIn(ln).foreach(m =>
                     yieldInferredRaw(key) = m.group(1))
                   yieldName.findFirstMatchIn(ln).foreach(m =>

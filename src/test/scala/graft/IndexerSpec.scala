@@ -2447,6 +2447,62 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.exists(_._1 == "p.not_anno"))
   }
 
+  test("r13 slice 59: decorator-transparent returns — resolvable " +
+      "decorators keep the return key, an unresolvable one binds nothing") {
+    val src =
+      """import functools
+        |from ext import traced
+        |
+        |class Conn:
+        |    def execute(self):
+        |        return 1
+        |
+        |def logged(fn):
+        |    @functools.wraps(fn)
+        |    def inner(*a, **k):
+        |        return fn(*a, **k)
+        |    return inner
+        |
+        |@logged
+        |def local_deco() -> Conn:
+        |    return Conn()
+        |
+        |@traced
+        |def imported_deco():
+        |    return Conn()
+        |
+        |@functools.lru_cache(maxsize=8)
+        |def cached_factory() -> Conn:
+        |    return Conn()
+        |
+        |@no_such_decorator
+        |def mystery() -> Conn:
+        |    return Conn()
+        |
+        |def use():
+        |    a = local_deco()
+        |    b = imported_deco()
+        |    c = cached_factory()
+        |    z = mystery()
+        |    a.execute()
+        |    b.execute()
+        |    c.execute()
+        |    z.ping()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t", "p.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // module-local, imported, and functools decorators are transparent:
+    // the decorated factory types its caller's local (jedi through
+    // wraps/identity handling)
+    assert(calls.contains(("p.use", "p.Conn.execute")))
+    // the unresolvable decorator makes the call result unknown — jedi
+    // binds nothing, so no member edge fabricates off z
+    assert(!calls.exists { case (s, d) =>
+      s == "p.use" && d.endsWith("ping") },
+      s"unresolvable decorator must bind nothing; got $calls")
+  }
+
   test("r13: multi-line dict literals carry brace depth across lines — " +
       "value strings are never forward-reference annotations") {
     // advisor finding (r12): the per-line `curly` reset made every value
