@@ -8159,6 +8159,48 @@ object QueryCatalog {
       |WHERE 100 * c.cum >= q.q * n.n
       |GROUP BY c.ws_us, q.q""".stripMargin
 
+  /** st_ddsketch — per-window streaming LOG-BUCKET quantiles
+    * ([[graft.streaming.Streams.streamingLogQuantiles]], r12 verdict
+    * task #6's mergeable-quantile upgrade): integer milli-units bucket
+    * by (MSB octave, top 6 mantissa bits) — DDSketch/HDR-histogram
+    * log buckets with pure-integer boundaries, ≤3% relative error at
+    * any magnitude, no upper clamp. Counts merge by addition across
+    * ordered micro-batches; p50/p90/p99 read integerly and the bucket
+    * midpoint decodes with shifts. max_by(est, n) selects the
+    * converged emit (n strictly grows per fired batch); the oracle
+    * rebuilds bucket ids, counts, quantile pick, and decode verbatim. */
+  val stDdsketch: Q = (s, d) => {
+    import s.implicits._
+    StreamReplay.replay(s, eventsOrdered(s, d), "st_ddsketch", "update") {
+      df => graft.streaming.Streams.streamingLogQuantiles(df).toDF()
+    }
+      .groupBy(unix_micros(col("window_start")).as("ws_us"), col("q"))
+      .agg(max_by(col("est_milli"), col("n")).as("est_milli"),
+        max(col("n")).as("n"))
+  }
+
+  val stDdsketchSql: String =
+    """WITH ev AS (SELECT epoch_us(ts) // 604800000000 * 604800000000 AS ws_us,
+      |    greatest(floor(value * 1000), 0)::BIGINT AS lv FROM events),
+      |ids AS (SELECT ws_us, CASE WHEN lv <= 63 THEN lv
+      |    ELSE (length(bin(lv)) - 6)::BIGINT * 64 + (lv >> (length(bin(lv)) - 6)) END AS b
+      |  FROM ev),
+      |b AS (SELECT ws_us, b, count(*)::BIGINT AS c FROM ids GROUP BY 1, 2),
+      |n AS (SELECT ws_us, sum(c)::BIGINT AS n FROM b GROUP BY 1),
+      |cum AS (SELECT ws_us, b,
+      |    sum(c) OVER (PARTITION BY ws_us ORDER BY b)::BIGINT AS cum FROM b),
+      |qs(q) AS (VALUES (50), (90), (99)),
+      |sel AS (SELECT c.ws_us, q.q::INT AS q, min(c.b) AS b, min(n.n)::BIGINT AS n
+      |  FROM cum c JOIN n ON n.ws_us = c.ws_us CROSS JOIN qs q
+      |  WHERE 100 * c.cum >= q.q * n.n
+      |  GROUP BY c.ws_us, q.q)
+      |SELECT ws_us, q,
+      |  (CASE WHEN b <= 63 THEN b
+      |    ELSE ((b % 64) * (1::BIGINT << (b // 64))
+      |      + ((b % 64 + 1) * (1::BIGINT << (b // 64)) - 1)) // 2 END)::BIGINT
+      |    AS est_milli, n
+      |FROM sel""".stripMargin
+
   lazy val stCmsSql: String = {
     def rollh(c: String) = "list_reduce(list_prepend(0::BIGINT, " +
       s"list_transform(string_split($c, ''), ch -> ascii(ch)::BIGINT)), " +
@@ -8465,6 +8507,7 @@ object QueryCatalog {
     "st_markov" -> stMarkov,
     "st_cms" -> stCms,
     "st_quantile" -> stQuantile,
+    "st_ddsketch" -> stDdsketch,
     "st_holt" -> stHolt,
     "st_record" -> stRecord,
     "st_lag" -> stLag,
@@ -8750,6 +8793,7 @@ object QueryCatalog {
     "st_markov" -> stMarkovSql,
     "st_cms" -> stCmsSql,
     "st_quantile" -> stQuantileSql,
+    "st_ddsketch" -> stDdsketchSql,
     "st_holt" -> stHoltSql,
     "st_record" -> stRecordSql,
     "st_lag" -> stLagSql,

@@ -626,6 +626,41 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.map(_._3).max === 12L)
   }
 
+  test("r13 streamingLogQuantiles: log buckets carry the heavy tail the " +
+      "fixed histogram clamps, additive state, ≤3% relative error") {
+    import graft.queries.StreamReplay
+    def ev(id: Long, v: Double) =
+      Streams.Event(id, new java.sql.Timestamp(1000L + id), 1L, "a", v)
+    // heavy tail: 1..10 plus 250.0 and 90000.5 — both lost to the 101-bin
+    // clamp in streamingQuantiles, both resolved here; negative clamps 0
+    val rows = (1L to 10L).map(i => ev(i, i.toDouble)) ++
+      Seq(ev(11, 250.0), ev(12, 90000.5), ev(13, -3.0))
+    val out = StreamReplay.replay(TestSpark.spark, rows, "ddsk_spec",
+      "update", batches = 4) { df =>
+      Streams.streamingLogQuantiles(df, qs = Seq(50, 90, 100)).toDF()
+    }.collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    val fin = out.filter(_._3 == 13L).map(t => t._1 -> t._2).toMap
+    // n = 13: p50 = 7th smallest milli value (0,1000,...): 6000 exact
+    // (ids ≤ 63 only when v*1000 ≤ 63 — 6.0 → 6000 is bucketed, so
+    // within 3.2%); p100 = the 90000.5 tail
+    assert(math.abs(fin(50) - 6000L) <= 200L, s"p50 off: $fin")
+    assert(math.abs(fin(90) - 250000L) <= 8000L, s"p90 off: $fin")
+    assert(math.abs(fin(100) - 90000500L) <= 2900000L, s"p100 off: $fin")
+    // relative error bound: every estimate within 2^-5 of truth
+    for ((q, truth) <- Seq(50 -> 6000L, 90 -> 250000L, 100 -> 90000500L))
+      assert(math.abs(fin(q) - truth).toDouble / truth <= 1.0 / 32 + 1e-9,
+        s"q$q exceeded the relative-error bound: ${fin(q)} vs $truth")
+    // additive across batches: intermediate emits with smaller n exist
+    assert(out.exists(_._3 < 13L) && out.map(_._3).max === 13L)
+    // stream ≡ batch: a single-batch replay lands on identical finals
+    val one = StreamReplay.replay(TestSpark.spark, rows, "ddsk_spec1",
+      "update", batches = 1) { df =>
+      Streams.streamingLogQuantiles(df, qs = Seq(50, 90, 100)).toDF()
+    }.collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .filter(_._3 == 13L).map(t => t._1 -> t._2).toMap
+    assert(one === fin)
+  }
+
   test("streamingConversionLag: exactly-once emission across batches") {
     implicit val sqlCtx = spark.sqlContext
     def dt(day: Int, h: Int = 1) =
