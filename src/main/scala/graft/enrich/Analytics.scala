@@ -2070,6 +2070,34 @@ object Analytics {
       .withColumn("component", col("v")), maxIter)
   }
 
+  /** [[connectedComponents]] for PAIR graphs known to be small relative
+    * to the corpus (near-dup candidate pairs, LSH cluster edges): the
+    * q77/q59 probe discipline — a bounded `limit(k+1)` collect feeds
+    * the driver-local min-label union-find, the distributed fixpoint
+    * is the fallback above the threshold, identical labels either way
+    * (both converge to the class minimum). The win is rounds × job
+    * overhead on graphs whose edge count is a vanishing fraction of
+    * the corpus — exactly the near-dup shape, where |pairs| ≪ |docs|
+    * at any scale or the dedup would be removing most of the corpus. */
+  def connectedComponentsBounded(edges: DataFrame,
+      maxIter: Int = 20, localThreshold: Int = 200000): DataFrame = {
+    val e1 = edges.select(col("src"), col("dst"))
+      .localCheckpoint(eager = true)
+    val probe = e1.limit(localThreshold + 1)
+      .collect().map(r => (r.get(0), r.get(1)))
+    if (probe.length <= localThreshold) {
+      val vt = e1.schema.head.dataType
+      val rows = unionFindMin(probe).toSeq
+        .map { case (a, b) => org.apache.spark.sql.Row(a, b) }
+      edges.sparkSession.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v", vt),
+          org.apache.spark.sql.types.StructField("component", vt))))
+    } else connectedComponents(e1, maxIter)
+  }
+
   /** Incremental CC by CONTRACTION — the D5 carry-forward discipline
     * applied to analytics: after edges were added, map every edge to
     * its endpoints' PREVIOUS labels (`prev`: (v, component); new

@@ -415,7 +415,10 @@ object Dedup {
       threshold: Double): DataFrame = {
     val pairs = minhashLshPairs(docs, k, numHashes, bands, threshold)
       .select(col("a").as("src"), col("b").as("dst"))
-    val cc = graft.enrich.Analytics.connectedComponents(pairs)
+    // bounded driver union-find kernel (r13): near-dup pair graphs are
+    // a vanishing fraction of the corpus by construction, so the q59
+    // probe discipline applies — distributed fallback above 200k pairs
+    val cc = graft.enrich.Analytics.connectedComponentsBounded(pairs)
       .select(col("v").as("doc_id"), col("component").as("keeper"))
     docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))

@@ -1162,12 +1162,11 @@ object QueryCatalog {
     val pairs = Similarity.embeddingNearDupPairs(emb, threshold = 0.3,
         numPlanes = 32, bands = 4, maxBucket = 4096)
       .select(col("a").as("src"), col("b").as("dst"))
-    // deliberately the DF loop, not the routed Auto: the pair graph is
-    // tiny by construction (bucket-capped LSH pairs), so GraphX's fixed
-    // per-round overhead loses to the DataFrame loop here (A/B'd r7:
-    // 6.7s routed vs 5.2s loop at sf0.1 — the LSH pair generation, not
-    // the CC, is this query's cost)
-    val cc = graft.enrich.Analytics.connectedComponents(pairs)
+    // the pair graph is tiny by construction (bucket-capped LSH
+    // pairs), so the bounded driver union-find kernel (r13 — the q59
+    // probe discipline, distributed fallback above 200k pairs) replaces
+    // rounds of fixpoint jobs; labels identical (class minimum)
+    val cc = graft.enrich.Analytics.connectedComponentsBounded(pairs)
       .select(col("v").as("vec_id"), col("component").as("keeper"))
     emb.select(col("vec_id")).join(cc, Seq("vec_id"), "left")
       .select(col("vec_id"),

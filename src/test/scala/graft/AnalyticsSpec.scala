@@ -776,6 +776,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(incDist === full)
   }
 
+  test("r13 connectedComponentsBounded: driver union-find ≡ the " +
+      "distributed loop, spec-forced fallback at threshold 0") {
+    val e = Seq((5L, 2L), (2L, 9L), (7L, 8L), (1L, 5L)).toDF("src", "dst")
+    val kernel = Analytics.connectedComponentsBounded(e)
+      .as[(Long, Long)].collect().toMap
+    val dist = Analytics.connectedComponentsBounded(e, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    val loop = Analytics.connectedComponents(e)
+      .as[(Long, Long)].collect().toMap
+    assert(kernel === loop && dist === loop)
+    assert(kernel === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 9L -> 1L,
+      7L -> 7L, 8L -> 7L))
+  }
+
   test("scanSimilarity: closed-neighborhood overlap on triangle+pendant") {
     // triangle {1,2,3} + pendant (3,4). deg: 1:2, 2:2, 3:3, 4:1.
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
