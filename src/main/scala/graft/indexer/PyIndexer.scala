@@ -1041,8 +1041,18 @@ object PyIndexer {
               if (pendingBadDeco) decoPoisoned += key
               pendingBadDeco = false
               returnArrow.findFirstMatchIn(headerText).foreach { m =>
-                if (keyValid && !decoPoisoned.contains(key))
-                  returnAnnoRaw(key) = m.group(1)
+                if (keyValid && !decoPoisoned.contains(key)) {
+                  // r13 slice 60: PEP 673 `-> Self` (and the explicit
+                  // `typing.Self`) is the ENCLOSING class — the modern
+                  // fluent-builder annotation jedi resolves natively;
+                  // outside a class it annotates nothing
+                  val raw = m.group(1).replaceAll("[\"']", "").trim
+                  if (raw == "Self" || raw == "typing.Self") {
+                    val classes = ctx.toSeq.reverse.map(_._2)
+                    if (classes.nonEmpty)
+                      returnAnnoRaw(key) = classes.mkString(".")
+                  } else returnAnnoRaw(key) = m.group(1)
+                }
               }
               // a property on anything but a directly-class-nested def
               // is out of the key space, same rule as the return maps

@@ -2503,6 +2503,43 @@ class IndexerSpec extends AnyFunSuite {
       s"unresolvable decorator must bind nothing; got $calls")
   }
 
+  test("r13 slice 60: PEP 673 `-> Self` returns bind the enclosing " +
+      "class; module-level Self annotates nothing") {
+    val src =
+      """from typing import Self
+        |
+        |class Conn:
+        |    def execute(self):
+        |        return 1
+        |
+        |class Builder:
+        |    def with_x(self) -> Self:
+        |        return self
+        |    def conn(self) -> Conn:
+        |        return Conn()
+        |
+        |def use():
+        |    b = Builder().with_x().with_x()
+        |    c = b.conn()
+        |    return c.execute()
+        |
+        |def stray() -> Self:
+        |    return None
+        |
+        |def consume():
+        |    s = stray()
+        |    return s.anything()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t", "p.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // the Self-typed fluent chain folds through to the Conn member
+    assert(calls.contains(("p.use", "p.Conn.execute")), s"got $calls")
+    // a module-level `-> Self` keys nothing — no fabricated type
+    assert(!calls.exists { case (s, d) =>
+      s == "p.consume" && d.endsWith("anything") })
+  }
+
   test("r13: multi-line dict literals carry brace depth across lines — " +
       "value strings are never forward-reference annotations") {
     // advisor finding (r12): the per-line `curly` reset made every value
