@@ -188,6 +188,50 @@ object Corpus {
           .as("kl"))
   }
 
+  /** POPULATION STABILITY INDEX per source (r13) — the standard
+    * production drift monitor (credit-scoring lineage, the metric a
+    * corpus pipeline alarms on between ingest versions): PSI =
+    * Σ_buckets (p_i − q_i)·ln(p_i/q_i) of each source's document-length
+    * distribution against the whole corpus, with the conventional
+    * read-out thresholds (< 0.1 stable, ≥ 0.25 drifted). Buckets are
+    * log2 OCTAVES of the character length — `length(bin(len))`, pure
+    * integer, so the bucket boundary can never 1-ulp-flip cross-engine
+    * (the st_ddsketch discipline); Laplace-smoothed over the corpus
+    * bucket set so empty buckets stay finite. Each term rounds to 8
+    * before a bucket-ordered sequential fold (the sourceKl discipline —
+    * ln() last-ulp drift can never reach a sum).
+    *
+    * Scale: one narrow map + two partial-agg groupBys; the sources ×
+    * buckets grid is bounded (≤ ~60 octaves × |sources|) and the corpus
+    * side broadcasts — same shape as sourceKl, no corpus joins. */
+  def psiDrift(docs: DataFrame): DataFrame = {
+    val b = docs.select(col("source"),
+      length(bin(greatest(length(col("text")).cast("long"), lit(1L))))
+        .as("bucket"))
+    val sb = b.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val corpus = b.groupBy("bucket").agg(count(lit(1)).as("cb"))
+    val tot = corpus.agg(count(lit(1)).as("nb"), sum(col("cb")).as("n"))
+    val srcs = sb.groupBy("source").agg(sum(col("c")).as("ns"))
+    srcs.crossJoin(broadcast(corpus))
+      .join(sb, Seq("source", "bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("bucket"),
+        ((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("ns") + col("nb")).cast("double")).as("p"),
+        ((col("cb") + 1).cast("double") /
+          (col("n") + col("nb")).cast("double")).as("q"))
+      .select(col("source"), col("bucket"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 8)
+          .as("contrib"))
+      .groupBy("source")
+      .agg(sort_array(collect_list(struct(col("bucket"), col("contrib"))))
+        .as("cs"))
+      .select(col("source"),
+        round(expr("aggregate(cs, 0D, (a, e) -> a + e.contrib)"), 4)
+          .as("psi"))
+      .withColumn("drifted", (col("psi") >= 0.25).cast("int"))
+  }
+
   /** Zipf rank-frequency slope — the classic corpus-health diagnostic
     * (natural language sits near slope −1 on the log-log rank/frequency
     * line; spammy or templated corpora bend away): least-squares slope

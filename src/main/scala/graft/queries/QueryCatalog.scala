@@ -1897,6 +1897,37 @@ object QueryCatalog {
     * 8 before a term-ordered fold. */
   val tKl: Q = (s, d) => graft.pipeline.Corpus.sourceKl(Tables.documents(s, d))
 
+  /** t_psi — per-source POPULATION STABILITY INDEX
+    * ([[graft.pipeline.Corpus.psiDrift]]): drift of each source's
+    * document-length distribution vs the whole corpus over integer
+    * log2-octave buckets, Laplace-smoothed, term-rounded-8 then
+    * bucket-ordered fold, PSI rounded 4 with the conventional ≥ 0.25
+    * drifted verdict. */
+  val tPsi: Q = (s, d) => Corpus.psiDrift(Tables.documents(s, d))
+
+  val tPsiSql: String =
+    """WITH b AS (SELECT source,
+      |    length(bin(greatest(length(text), 1)::BIGINT)) AS bucket
+      |  FROM documents),
+      |sb AS (SELECT source, bucket, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+      |corpus AS (SELECT bucket, count(*)::BIGINT AS cb FROM b GROUP BY 1),
+      |tot AS (SELECT count(*)::BIGINT AS nb, sum(cb)::BIGINT AS n FROM corpus),
+      |srcs AS (SELECT source, sum(c)::BIGINT AS ns FROM sb GROUP BY 1),
+      |grid AS (SELECT s.source, co.bucket,
+      |    round((((coalesce(sb.c, 0) + 1)::DOUBLE / (s.ns + tot.nb)::DOUBLE)
+      |        - ((co.cb + 1)::DOUBLE / (tot.n + tot.nb)::DOUBLE))
+      |      * ln(((coalesce(sb.c, 0) + 1)::DOUBLE / (s.ns + tot.nb)::DOUBLE)
+      |          / ((co.cb + 1)::DOUBLE / (tot.n + tot.nb)::DOUBLE)), 8) AS contrib
+      |  FROM srcs s CROSS JOIN corpus co CROSS JOIN tot
+      |  LEFT JOIN sb ON sb.source = s.source AND sb.bucket = co.bucket),
+      |folded AS (SELECT source, list(contrib ORDER BY bucket) AS cs
+      |  FROM grid GROUP BY source)
+      |SELECT source,
+      |  round(list_reduce(list_prepend(0.0, cs), (a, v) -> a + v), 4) AS psi,
+      |  (CASE WHEN round(list_reduce(list_prepend(0.0, cs), (a, v) -> a + v), 4) >= 0.25
+      |    THEN 1 ELSE 0 END)::INT AS drifted
+      |FROM folded""".stripMargin
+
   val tKlSql: String =
     s"""WITH tok AS (SELECT source, t.term FROM
        |    (SELECT source, unnest(string_split($normSql, ' ')) AS term
@@ -8380,6 +8411,7 @@ object QueryCatalog {
     "t_pmi" -> tPmi,
     "t_zipf" -> tZipf,
     "t_kl" -> tKl,
+    "t_psi" -> tPsi,
     "t_ppl" -> tPpl,
     "t_entropy" -> tEntropy,
     "t_fertility" -> tFertility,
@@ -8666,6 +8698,7 @@ object QueryCatalog {
     "t_pmi" -> tPmiSql,
     "t_zipf" -> tZipfSql,
     "t_kl" -> tKlSql,
+    "t_psi" -> tPsiSql,
     "t_ppl" -> tPplSql,
     "t_entropy" -> tEntropySql,
     "t_fertility" -> tFertilitySql,

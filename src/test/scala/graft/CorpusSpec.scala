@@ -823,6 +823,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(kl("a") < 0.2)
   }
 
+  test("r13 psiDrift: conforming sources score ~0, a shifted length " +
+      "distribution crosses the 0.25 drifted threshold") {
+    // a and b share the corpus's length mix (octaves 4 and 7);
+    // c sits entirely in octave 10 — a hard distribution shift
+    val short = "x" * 10          // bin length 4
+    val mid = "y" * 100           // bin length 7
+    val long = "z" * 600          // bin length 10
+    // c stays a small slice of the corpus — PSI compares a source
+    // against the whole mix, so a dominant shifted segment would drag
+    // the conformers' scores up too (the monitor's own semantics)
+    val docs = (
+      (1L to 20L).map(i => (i, if (i % 2 == 0) short else mid, "a")) ++
+      (21L to 40L).map(i => (i, if (i % 2 == 0) short else mid, "b")) ++
+      (41L to 44L).map(i => (i, long, "c"))
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.psiDrift(docs).as[(String, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet === Set("a", "b", "c"))
+    // PSI ≥ 0 everywhere; identical sources score identically
+    assert(out.values.forall(_._1 >= 0.0))
+    assert(out("a") === out("b"))
+    // conformers sit under the 0.1 stability rule-of-thumb, the
+    // shifted source alarms past 0.25
+    assert(out("a")._1 < 0.1 && out("a")._2 === 0)
+    assert(out("c")._1 >= 0.25 && out("c")._2 === 1, s"got ${out("c")}")
+  }
+
   test("zipfSlope: exact-power-law corpus fits slope -1") {
     // term t_r appears round(64/r) times for r = 1..8 — frequencies on
     // an exact f = 64/r power law, so the log-log fit slope is ≈ −1
