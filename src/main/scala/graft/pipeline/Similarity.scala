@@ -134,6 +134,96 @@ object Similarity {
         col("vec_id"), col("max_sim"))
   }
 
+  /** k-means|| SCALABLE INITIALIZATION (r13, Bahmani et al. VLDB 2012 —
+    * THE distributed k-means seeding: k-means++ needs k sequential
+    * corpus passes, k-means|| gets an O(log φ)-competitive seed set in
+    * a constant number of rounds): starting from the deterministic
+    * 1-seed, each round OVERSAMPLES — every point joins the candidate
+    * set with probability l·d²(x,C)/φ, where d² = 1 − max cosine to the
+    * current candidates (rounded 4, the kernel discipline) and
+    * φ = Σ d² (DECIMAL sum) — then candidates are weighted by the size
+    * of their nearest-assignment cell and a deterministic WEIGHTED
+    * greedy k-center picks the final k (max w·(1 − max sim to chosen),
+    * cid tie-break) — the weighted recluster step, made replayable
+    * (k-means++ there would need RNG).
+    *
+    * Determinism: the sampling coin is the portable rolling hash of
+    * (vec_id, round) against h·φ < l·10⁶·d² — pure products of
+    * bit-identical doubles, no division; every sim rounds to 4 before
+    * any compare. Scale: each round is one broadcast-candidates corpus
+    * pass (candidates stay O(l·rounds)); the per-round 1-row φ
+    * aggregate and the ≤|cand|² final matrix are the bounded-collect
+    * discipline (mmr/k-center). Emits every candidate with its cell
+    * weight and final pick order (−1 = not picked). */
+  def kmeansParInit(emb: DataFrame, k: Int = 8, l: Int = 8,
+      rounds: Int = 2, maxCandidates: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), col("embedding"))
+    var candIds: Vector[Long] =
+      Vector(centroidSeeds(emb, 1).select(col("cid")).as[Long].head())
+    for (r <- 1 to rounds) {
+      val cen = e.filter(col("vec_id").isin(candIds: _*))
+        .select(col("embedding").as("cv"))
+      // candidates score d² = 0 (cos(x,x) rounds to exactly 1), so the
+      // sampling coin can never re-pick them — no exclusion join needed
+      val d2 = e.crossJoin(broadcast(cen))
+        .select(col("vec_id"), cosine(col("embedding"), col("cv")).as("s"))
+        .groupBy("vec_id")
+        .agg((lit(1.0) - max(col("s"))).as("d2"))
+      val phi = d2.agg(round(sum(col("d2").cast("decimal(25,10)"))
+        .cast("double"), 4)).head().getDouble(0)
+      // the sampling coin is the LCG hash (the epochRepeat spelling —
+      // the string rolling hash is near-LINEAR over consecutive integer
+      // ids and clumps the sample); per-round salt in the increment
+      val newIds = d2.filter(
+          (pmod(col("vec_id") * lit(1103515245L) + lit(12345L * r),
+            lit(2147483647L)) % lit(1000000L)).cast("double") * lit(phi) <
+          lit(l * 1000000.0) * col("d2"))
+        .select(col("vec_id")).as[Long].collect().sorted.toVector
+      candIds = (candIds ++ newIds).distinct
+      require(candIds.length <= maxCandidates,
+        s"k-means|| candidate blow-up (${candIds.length} > $maxCandidates)")
+    }
+    require(candIds.length >= k,
+      s"k-means|| undersampled: ${candIds.length} candidates < k=$k " +
+        "(raise l or rounds)")
+    // cell weights: every point assigns to its nearest candidate
+    val candVecs = e.filter(col("vec_id").isin(candIds: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val byPoint = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cs").desc, col("cid").asc)
+    val w = e.crossJoin(broadcast(candVecs))
+      .select(col("vec_id"), col("cid"),
+        cosine(col("embedding"), col("cv")).as("cs"))
+      .withColumn("rk", row_number().over(byPoint))
+      .filter(col("rk") === 1)
+      .groupBy("cid").agg(count(lit(1)).as("w"))
+    // candidates whose cell is empty (never nearest) carry weight 0
+    val weights = candIds.toDF("cid").join(w, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("w"), lit(0L)).as("w"))
+      .as[(Long, Long)].collect().toMap
+    // pairwise candidate sims (distributed kernel, bounded collect)
+    val sims = candVecs.alias("a").crossJoin(broadcast(candVecs.alias("b")))
+      .select(col("a.cid").as("ca"), col("b.cid").as("cb"),
+        cosine(col("a.cv"), col("b.cv")).as("s"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // deterministic weighted greedy k-center over the candidate set
+    var chosen = Vector(weights.toSeq.maxBy { case (cid, wv) => (wv, -cid) }._1)
+    while (chosen.length < k) {
+      val next = candIds.filterNot(chosen.contains).map { c =>
+        val maxSim = chosen.map(ch => sims((c, ch))).max
+        (c, weights(c) * (1.0 - maxSim))
+      }.maxBy { case (cid, score) => (score, -cid) }._1
+      chosen = chosen :+ next
+    }
+    val order = chosen.zipWithIndex.toMap
+    candIds.sorted.map(c =>
+        (c, weights(c), order.get(c).map(_.toInt).getOrElse(-1)))
+      .toDF("cid", "w", "sel_round")
+  }
+
   /** Maximal-marginal-relevance DIVERSE top-k (Carbonell & Goldstein
     * 1998) — the diversity-aware selection a curation pipeline runs so
     * retrieved exemplars don't collapse onto near-duplicates: greedily

@@ -6396,6 +6396,62 @@ object QueryCatalog {
        |UNION ALL $union)""".stripMargin
   }
 
+  /** s_kmeanspar — k-means|| scalable initialization
+    * ([[graft.pipeline.Similarity.kmeansParInit]], Bahmani et al. 2012):
+    * 2 oversampling rounds at l=8 from the deterministic 1-seed (LCG
+    * coin vs l·d²/φ, φ a decimal sum), cell-count weights, then a
+    * deterministic weighted greedy k-center picks the final 8. The
+    * oracle unrolls both sampling rounds and all 7 greedy picks as
+    * chained MATERIALIZED CTEs. */
+  val sKmeansPar: Q = (s, d) =>
+    Similarity.kmeansParInit(Tables.embeddings(s, d), k = 8, l = 8,
+      rounds = 2)
+
+  val sKmeansParSql: String = {
+    def d2Of(cand: String, out: String, pout: String) =
+      s"""$out AS MATERIALIZED (SELECT e.vec_id,
+         |    1 - max(${cosOf("e.embedding", "c.embedding")}) AS d2
+         |  FROM embeddings e CROSS JOIN embeddings c
+         |  WHERE c.vec_id IN (SELECT cid FROM $cand)
+         |  GROUP BY e.vec_id),
+         |$pout AS MATERIALIZED (SELECT round(CAST(sum(CAST(d2 AS DECIMAL(25,10))) AS DOUBLE), 4) AS phi FROM $out)""".stripMargin
+    def sampleRound(r: Int, prev: String, dT: String, pT: String, out: String) =
+      s"""$out AS MATERIALIZED (SELECT cid FROM $prev UNION
+         |  SELECT d.vec_id FROM $dT d, $pT p
+         |  WHERE (((d.vec_id * 1103515245 + ${12345L * r}) % 2147483647) % 1000000)::DOUBLE * p.phi
+         |    < 8000000.0 * d.d2)""".stripMargin
+    val greedy = (1 until 8).map { i =>
+      s"""g$i AS MATERIALIZED (SELECT w.cid, $i AS r FROM wt w
+         |  WHERE w.cid NOT IN (SELECT cid FROM ch${i - 1})
+         |  ORDER BY w.w * (1 - (SELECT max(s.s) FROM s
+         |    WHERE s.ca = w.cid AND s.cb IN (SELECT cid FROM ch${i - 1}))) DESC,
+         |    w.cid ASC LIMIT 1),
+         |ch$i AS MATERIALIZED (SELECT cid, r FROM ch${i - 1} UNION ALL SELECT cid, r FROM g$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS MATERIALIZED (SELECT vec_id AS cid FROM embeddings ORDER BY $rollhVecId, vec_id LIMIT 1),
+       |${d2Of("c0", "d1", "p1")},
+       |${sampleRound(1, "c0", "d1", "p1", "c1")},
+       |${d2Of("c1", "d2_", "p2")},
+       |${sampleRound(2, "c1", "d2_", "p2", "c2")},
+       |asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.vec_id AS cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosOf("e.embedding", "c.embedding")} DESC, c.vec_id) AS rk
+       |  FROM embeddings e CROSS JOIN embeddings c
+       |  WHERE c.vec_id IN (SELECT cid FROM c2)) WHERE rk = 1),
+       |wt AS MATERIALIZED (SELECT c2.cid, coalesce(n.cnt, 0)::BIGINT AS w
+       |  FROM c2 LEFT JOIN (SELECT cid, count(*)::BIGINT AS cnt FROM asg GROUP BY 1) n
+       |  ON n.cid = c2.cid),
+       |s AS MATERIALIZED (SELECT a.vec_id AS ca, b.vec_id AS cb,
+       |    ${cosOf("a.embedding", "b.embedding")} AS s
+       |  FROM embeddings a CROSS JOIN embeddings b
+       |  WHERE a.vec_id IN (SELECT cid FROM c2) AND b.vec_id IN (SELECT cid FROM c2)),
+       |ch0 AS MATERIALIZED (SELECT cid, 0 AS r FROM wt ORDER BY w DESC, cid ASC LIMIT 1),
+       |$greedy
+       |SELECT w.cid, w.w, coalesce(ch.r, -1)::INT AS sel_round
+       |FROM wt w LEFT JOIN ch7 ch ON ch.cid = w.cid""".stripMargin
+  }
+
   val sKmeans: Q = (s, d) =>
     Similarity.kMeansCentroids(Tables.embeddings(s, d),
       nlist = 8, iterations = 2)
@@ -8487,6 +8543,7 @@ object QueryCatalog {
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
     "s_kmeans" -> sKmeans,
+    "s_kmeanspar" -> sKmeansPar,
     "s_kcenter" -> sKcenter,
     "s_pq_ann" -> sPqAnn,
     "s_ivfpq_ann" -> sIvfPqAnn,
@@ -8774,6 +8831,7 @@ object QueryCatalog {
     "t_cms_topk" -> tCmsTopkSql,
     "d_incremental" -> dIncrementalSql,
     "s_kmeans" -> sKmeansSql,
+    "s_kmeanspar" -> sKmeansParSql,
     "s_kcenter" -> sKcenterSql,
     "s_pq_ann" -> sPqAnnSql,
     "s_ivfpq_ann" -> sIvfPqAnnSql,

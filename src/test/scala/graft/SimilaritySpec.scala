@@ -332,6 +332,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.7, f"MRL recall@10 $recall%.2f below 0.7 floor")
   }
 
+  test("r13 kmeansParInit: oversampled candidates cover, weights " +
+      "partition the corpus, exactly k picks, deterministic") {
+    val d = "/root/testdata/sf0.01"
+    assume(new java.io.File(d).isDirectory)
+    val emb = graft.store.Tables.embeddings(TestSpark.spark, d)
+    val out = Similarity.kmeansParInit(emb, k = 8, l = 8, rounds = 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    // more candidates than k (the oversampling point), exactly k picked
+    assert(out.length > 8)
+    assert(out.count(_._3 >= 0) === 8)
+    assert(out.filter(_._3 >= 0).map(_._3).sorted.toSeq === (0 until 8))
+    // cell weights partition the whole corpus
+    assert(out.map(_._2).sum === emb.count())
+    // pick 0 is the heaviest cell (weighted greedy's start rule)
+    val maxW = out.map(_._2).max
+    assert(out.find(_._3 == 0).get._2 === maxW)
+    // deterministic: bit-identical on re-run
+    val again = Similarity.kmeansParInit(emb, k = 8, l = 8, rounds = 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("kCenterSelect: farthest-first order and round-4 coverage sims") {
     // 1=(1,0) seeds (min id); 2=(0,1) is orthogonal (sim 0) so picked
     // next; 4=(.7,.7) sits at 0.7071 from both; 3≈(1,0) is near-dup of
