@@ -2444,7 +2444,7 @@ object Analytics {
     * explicit budgets with LOUD require failures (the q65/q67/q68
     * discipline), matched by the oracle's unroll. */
   def boruvkaMsf(edges: DataFrame, maxRounds: Int = 6,
-      propHops: Int = 12): DataFrame = {
+      propHops: Int = 12, localThreshold: Int = 200000): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.select(
         least(col("src"), col("dst")).as("src"),
@@ -2485,30 +2485,50 @@ object Analytics {
         val mg = mg0.unionByName(
             mg0.select(col("b").as("a"), col("a").as("b")))
           .distinct().localCheckpoint(eager = true)
-        var lbl = mg.select(col("a").as("c")).distinct()
-          .withColumn("lbl", col("c")).localCheckpoint(eager = true)
-        // THREE hops per materialization (the ccFrom amortization): the
-        // checkpoint+count overhead dominates on the tiny comp graph,
-        // and the fixpoint is stepping-invariant
-        def hop(df: DataFrame): DataFrame = {
-          val prop = mg.join(df.select(col("c").as("a"), col("lbl")), "a")
-            .groupBy(col("b").as("c")).agg(min(col("lbl")).as("nl"))
-          df.join(prop, Seq("c"), "left")
-            .withColumn("lbl",
-              least(col("lbl"), coalesce(col("nl"), col("lbl"))))
-            .drop("nl")
+        // merge-class labels: the bounded driver union-find kernel (r13,
+        // the q59 discipline — the merge graph has ≤ one pair per
+        // component, so from round 1 on it is far below the threshold
+        // even at cluster scale); distributed min-label propagation is
+        // the fallback above it, identical labels (class minimum)
+        val mgProbe = mg.limit(localThreshold + 1)
+          .collect().map(r => (r.get(0), r.get(1)))
+        val lbl: DataFrame = if (mgProbe.length <= localThreshold) {
+          val vt = mg.schema.head.dataType
+          val rows = unionFindMin(mgProbe).toSeq
+            .map { case (a, b) => org.apache.spark.sql.Row(a, b) }
+          spark.createDataFrame(
+            new java.util.ArrayList(
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("c", vt),
+              org.apache.spark.sql.types.StructField("lbl", vt))))
+        } else {
+          var l0 = mg.select(col("a").as("c")).distinct()
+            .withColumn("lbl", col("c")).localCheckpoint(eager = true)
+          // THREE hops per materialization (the ccFrom amortization):
+          // the checkpoint+count overhead dominates on the tiny comp
+          // graph, and the fixpoint is stepping-invariant
+          def hop(df: DataFrame): DataFrame = {
+            val prop = mg.join(df.select(col("c").as("a"), col("lbl")), "a")
+              .groupBy(col("b").as("c")).agg(min(col("lbl")).as("nl"))
+            df.join(prop, Seq("c"), "left")
+              .withColumn("lbl",
+                least(col("lbl"), coalesce(col("nl"), col("lbl"))))
+              .drop("nl")
+          }
+          var hops = 0
+          var changed = 1L
+          while (changed > 0 && hops < propHops) {
+            val next = hop(hop(hop(l0.withColumn("_old", col("lbl")))))
+              .localCheckpoint(eager = true)
+            changed = next.filter(col("lbl") =!= col("_old")).count()
+            l0 = next.drop("_old")
+            hops += 3
+          }
+          require(changed == 0, s"boruvkaMsf: merge propagation not " +
+            s"converged after $propHops hops (round $round)")
+          l0
         }
-        var hops = 0
-        var changed = 1L
-        while (changed > 0 && hops < propHops) {
-          val next = hop(hop(hop(lbl.withColumn("_old", col("lbl")))))
-            .localCheckpoint(eager = true)
-          changed = next.filter(col("lbl") =!= col("_old")).count()
-          lbl = next.drop("_old")
-          hops += 3
-        }
-        require(changed == 0, s"boruvkaMsf: merge propagation not " +
-          s"converged after $propHops hops (round $round)")
         comp = comp
           .join(lbl.select(col("c").as("comp"), col("lbl")), Seq("comp"),
             "left")

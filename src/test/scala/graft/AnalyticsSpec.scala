@@ -684,6 +684,12 @@ class AnalyticsSpec extends AnyFunSuite {
       val verts = es.flatMap(e => Seq(e._1, e._2)).distinct.size
       // spanning forest size: n − #components (Kruskal's own count)
       assert(got.size === kruskal(es).size && got.size < verts)
+      // threshold 0 FORCES the distributed merge-propagation fallback —
+      // identical forest (the r13 union-find kernel discipline)
+      val dist = Analytics.boruvkaMsf(es.toDF("src", "dst", "weight"),
+          localThreshold = 0)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(dist === got)
     }
     // two components, a tie (weight 5 twice) broken by (src, dst)
     check(Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 9L),
