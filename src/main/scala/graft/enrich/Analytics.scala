@@ -86,10 +86,45 @@ object Analytics {
     * known-small number of steps. */
   private val sccStepBatch = 3
 
-  def stronglyConnected(edges: DataFrame): DataFrame = {
+  def stronglyConnected(edges: DataFrame,
+      localThreshold: Int = 200000): DataFrame = {
     val e0 = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).localCheckpoint(eager = true)
+    val isStringKeyed = e0.schema.head.dataType ==
+      org.apache.spark.sql.types.StringType
+    // r13: the q77 probe discipline applied to the WHOLE operator — a
+    // graph under the probe threshold skips the distributed trim AND
+    // the coloring loop entirely: the driver-local Tarjan kernel labels
+    // everything in one pass (min-member labels, exactly what the loop
+    // converges to). The iterative-peel trim's per-round anti-join +
+    // checkpoint jobs were the dominant cost at test scale; at cluster
+    // scale the probe misses and the trim + Orzan loop below (with a
+    // post-trim core probe) carry the work. String-keyed graphs only
+    // (the kernel's key type) — others take the loop unconditionally.
+    def tarjanAll(pairs: Array[(String, String)]): DataFrame = {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val m = tarjanNontrivial(pairs)
+      pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+        .toSeq.sorted.map(v => (v, m.getOrElse(v, v))).toDF("v", "scc")
+    }
+    if (isStringKeyed) {
+      val probe0 = e0.limit(localThreshold + 1)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      if (probe0.length <= localThreshold) return tarjanAll(probe0)
+    }
     val (trimmed, eTrim, remTrim) = sccTrim(e0)
+    // post-trim probe: the acyclic periphery is gone, so the surviving
+    // cyclic core may fit the kernel even when the full graph did not
+    if (isStringKeyed) {
+      val probe = eTrim.limit(localThreshold + 1)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      if (probe.length <= localThreshold) {
+        val core = tarjanAll(probe)
+        return trimmed.fold(core)(t =>
+          t.select(col("v"), col("c").as("scc")).unionByName(core))
+      }
+    }
     var e = eTrim
     var rem = remTrim
     var result: Option[DataFrame] = trimmed

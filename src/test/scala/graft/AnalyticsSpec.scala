@@ -25,6 +25,11 @@ class AnalyticsSpec extends AnyFunSuite {
     val df = Analytics.stronglyConnected(edges)
       .as[(String, String)].collect().toMap
     assert(df === expected)
+    // threshold 0 FORCES the distributed Orzan coloring loop past the
+    // r13 Tarjan-kernel short-circuit — identical labels
+    val loop = Analytics.stronglyConnected(edges, localThreshold = 0)
+      .as[(String, String)].collect().toMap
+    assert(loop === expected)
     val gx = Analytics.stronglyConnectedGraphX(spark, edges)
       .as[(String, String)].collect().toMap
     assert(gx === expected)
