@@ -84,7 +84,35 @@ object Multimodal {
       .when(startsWithBytes(0x4d, 0x4d, 0x00, 0x2a), "tiff")
       .when(startsWithBytes(0x00, 0x00, 0x00) &&
         substring(payload, 5, 4) === lit("ftyp".getBytes), "mp4")
+      .when(startsWithBytes(0x25, 0x50, 0x44, 0x46, 0x2d), "pdf") // %PDF-
       .otherwise("unknown")
+  }
+
+  /** ======= REAL (codec-free) ======= PDF structural metadata (r13) —
+    * the dominant DOCUMENT container of real training-data ingest: the
+    * `%PDF-x.y` header version, the page count from the page-tree
+    * root's `/Count` entry (the spec's own page-count source — counting
+    * `/Type /Page` objects would miscount inheritance-split trees), and
+    * the `%%EOF` trailer check (a missing trailer is the classic
+    * truncated-download signature — such files quarantine before any
+    * text-extraction stage). PDF's header/xref/trailer grammar is ASCII
+    * by spec, so the walk is pure codegen'd string/regexp Columns over
+    * the decoded payload — no UDF, no shuffle, scale-free. */
+  def withPdfMeta(media: DataFrame, payloadCol: String = "payload")
+      : DataFrame = {
+    val p = col(payloadCol)
+    val s = p.cast("string")
+    val isPdf = p.isNotNull &&
+      substring(p, 1, 5) === lit("%PDF-".getBytes)
+    val cnt = regexp_extract(s, "/Type\\s*/Pages[^>]*/Count\\s+(\\d+)", 1)
+    media
+      .withColumn("is_pdf", isPdf)
+      .withColumn("pdf_version",
+        when(isPdf, substring(s, 6, 3)).otherwise(lit(null).cast("string")))
+      .withColumn("pdf_pages",
+        when(isPdf && cnt =!= "", cnt.cast("int"))
+          .otherwise(lit(null).cast("int")))
+      .withColumn("pdf_eof_ok", isPdf && s.rlike("%%EOF\\s*$"))
   }
 
   /** ======= REAL (codec-free) ======= Shannon byte entropy of a payload

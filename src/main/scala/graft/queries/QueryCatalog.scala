@@ -7360,6 +7360,44 @@ object QueryCatalog {
       |  CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 30 + 1) * 1000 AS BIGINT) END AS duration_ms
       |FROM documents""".stripMargin
 
+  /** m_pdf — PDF structural metadata under the oracle gate
+    * ([[graft.multimodal.Multimodal.withPdfMeta]]): synthetic PDFs
+    * assembled IN-PLAN (version and page count pure doc_id arithmetic,
+    * page count read from the page-tree root's `/Count` — the spec's
+    * own source), every doc_id%4==0 row routed to a PNG payload (must
+    * sniff png / null PDF fields), and every doc_id%7==3 PDF truncated
+    * before its `%%EOF` (the truncated-download quarantine: version and
+    * pages still parse, the trailer check fails). Narrow codegen'd
+    * string/regexp maps, zero shuffle. */
+  val mPdf: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    val body = concat(
+      lit("%PDF-1."), (id % 8).cast("string"), lit("\n"),
+      lit("1 0 obj <</Type /Pages /Kids [] /Count "),
+      (id % 20 + 1).cast("string"), lit(">> endobj\n"),
+      lit("trailer <</Root 1 0 R>>\nstartxref\n0\n"))
+    val pdf = when(id % 7 === 3, body)
+      .otherwise(concat(body, lit("%%EOF")))
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload",
+        when(id % 4 === 0, syntheticMediaPayload(lit(0L)))
+          .otherwise(pdf.cast("binary")))
+    Multimodal.withPdfMeta(media).select(id,
+      Multimodal.sniffFormat(col("payload")).as("format"),
+      col("is_pdf"), col("pdf_version"), col("pdf_pages"),
+      col("pdf_eof_ok"))
+  }
+
+  val mPdfSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 4 = 0 THEN 'png' ELSE 'pdf' END AS format,
+      |  doc_id % 4 <> 0 AS is_pdf,
+      |  CASE WHEN doc_id % 4 <> 0 THEN '1.' || (doc_id % 8) END AS pdf_version,
+      |  CASE WHEN doc_id % 4 <> 0 THEN CAST(doc_id % 20 + 1 AS INTEGER) END AS pdf_pages,
+      |  doc_id % 4 <> 0 AND doc_id % 7 <> 3 AS pdf_eof_ok
+      |FROM documents""".stripMargin
+
   /** m_corrupt — TRUNCATION TOLERANCE under the oracle gate: every 5th
     * document's payload is cut to its first 10 bytes (mid-header), and
     * the sniffers/walkers must DEGRADE deterministically — never throw,
@@ -8568,6 +8606,7 @@ object QueryCatalog {
     "q37_wpr_gx" -> q37WprGx,
     "t_token_vote" -> tTokenVote,
     "m_headers" -> mHeaders,
+    "m_pdf" -> mPdf,
     "m_tiff" -> mTiff,
     "m_exif" -> mExif,
     "m_ogg" -> mOgg,
@@ -8856,6 +8895,7 @@ object QueryCatalog {
     "q37_wpr_gx" -> q37WprSql,
     "t_token_vote" -> tTokenVoteSql,
     "m_headers" -> mHeadersSql,
+    "m_pdf" -> mPdfSql,
     "m_tiff" -> mTiffSql,
     "m_exif" -> mExifSql,
     "m_ogg" -> mOggSql,

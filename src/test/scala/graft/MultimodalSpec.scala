@@ -601,6 +601,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 3)))
   }
 
+  test("r13 withPdfMeta: version/count/trailer parse; decoys, nulls, " +
+      "truncations and count-less PDFs all degrade") {
+    val good = "%PDF-1.7\n1 0 obj <</Type /Pages /Kids [] /Count 12>> " +
+      "endobj\ntrailer\n%%EOF"
+    val noEof = "%PDF-1.4\n1 0 obj <</Type /Pages /Count 3>> endobj\n"
+    val noCount = "%PDF-2.0\nsome body\n%%EOF"
+    val rows = Seq(
+      (1L, good.getBytes("UTF-8")),
+      (2L, noEof.getBytes("UTF-8")),
+      (3L, noCount.getBytes("UTF-8")),
+      (4L, Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)), // png magic
+      (5L, null.asInstanceOf[Array[Byte]]),
+      (6L, "%PDF".getBytes("UTF-8"))                    // cut mid-magic
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.withPdfMeta(rows)
+      .select("doc_id", "is_pdf", "pdf_version", "pdf_pages", "pdf_eof_ok")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          r.getBoolean(4)))).toMap
+    assert(out(1L) === ((true, Some("1.7"), Some(12), true)))
+    assert(out(2L) === ((true, Some("1.4"), Some(3), false)))
+    assert(out(3L) === ((true, Some("2.0"), None, true)))
+    assert(out(4L) === ((false, None, None, false)))
+    assert(out(5L) === ((false, None, None, false)))
+    assert(out(6L) === ((false, None, None, false)))
+    // the sniffer routes pdf alongside the image formats
+    val fmt = Multimodal
+      .withPdfMeta(rows)
+      .select(col("doc_id"), Multimodal.sniffFormat(col("payload")))
+      .as[(Long, String)].collect().toMap
+    assert(fmt(1L) === "pdf" && fmt(4L) === "png")
+  }
+
   test("phashNearDup: planted pair found, perturbed grid within Hamming 3") {
     def grid(seed: Long) =
       Array.tabulate(72)(n => ((seed * 1000003L + n * 2654435761L) % 251).toByte)
