@@ -1535,6 +1535,66 @@ object Analytics {
     *
     * @return (v, deg) for vertices in the k-core, with their core degree
     */
+  /** DENSEST-SUBGRAPH peeling profile (r13 — Charikar 2000's greedy
+    * 2-approximation in Bahmani et al. VLDB 2012's PARALLEL form, the
+    * MapReduce spelling: instead of peeling one min-degree vertex per
+    * step — |V| sequential rounds — each round removes EVERY vertex
+    * whose degree is at most the current average (deg·|V| ≤ 2·|E|,
+    * exact integers, at least one such vertex always exists), so the
+    * graph shrinks geometrically and the round whose survivor set
+    * maximizes density |E|/|V| is a 2-approx densest subgraph — the
+    * community-core / spam-farm detector of large-graph curation.
+    *
+    * Determinism: thresholds and the best-round pick are pure integer
+    * comparisons (density compared by IEEE division of exact integers —
+    * equal rationals divide to the identical double, ties to the
+    * earliest round). Scale: each round is one degree groupBy + one
+    * broadcast-remove semi-join on a geometrically shrinking edge set;
+    * rounds = O(log |V|); per-round stats are 1-row aggregates. Emits
+    * one row per round (n_vertices, n_edges, density_milli, best). */
+  def densestSubgraph(edges: DataFrame, maxRounds: Int = 24): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var und = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src")).localCheckpoint(eager = true)
+    var verts = und.select(col("src").as("v")).distinct()
+      .localCheckpoint(eager = true)
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var nV = verts.count()
+    var nE = und.count() / 2
+    stats += ((0, nV, nE))
+    var r = 1
+    while (nV > 0 && r <= maxRounds) {
+      // remove every vertex with deg·|V| ≤ 2·|E| (isolated vertices have
+      // deg 0 via the left join and always qualify)
+      val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      val keep = verts.join(deg, Seq("v"), "left")
+        .filter(coalesce(col("deg"), lit(0L)) * lit(nV) > lit(2L * nE))
+        .select(col("v")).localCheckpoint(eager = true)
+      und = und
+        .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(eager = true)
+      verts = keep
+      nV = verts.count()
+      nE = und.count() / 2
+      if (nV > 0) stats += ((r, nV, nE))
+      r += 1
+    }
+    require(nV == 0,
+      s"densestSubgraph: not converged after $maxRounds rounds ($nV left)")
+    // best round: max |E|/|V| (exact-integer IEEE division — equal
+    // rationals hit the identical double), ties to the earliest round
+    val best = stats.maxBy { case (rr, v, e) =>
+      (e.toDouble / v, -rr) }._1
+    stats.toSeq.map { case (rr, v, e) =>
+      (rr, v, e, 1000L * e / v, if (rr == best) 1 else 0) }
+      .toDF("round", "n_vertices", "n_edges", "density_milli", "best")
+  }
+
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 20): DataFrame = {
     var und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))

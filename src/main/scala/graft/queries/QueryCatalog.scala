@@ -4294,6 +4294,52 @@ object QueryCatalog {
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
     GraphTables.coPurchase(s, d).select(col("src"), col("dst"))
 
+  /** q80_densest — DENSEST-SUBGRAPH peeling profile over the
+    * co-purchase graph ([[graft.enrich.Analytics.densestSubgraph]],
+    * Charikar 2000 greedy via Bahmani et al. 2012's parallel rounds):
+    * each round removes every vertex with deg·|V| ≤ 2·|E| (exact
+    * integers); the best-density survivor set is a 2-approx densest
+    * subgraph. The oracle unrolls all 24 round CTEs; rows only for
+    * non-empty rounds; best picked by exact-rational density (IEEE
+    * division of exact integers, earliest-round tie-break). */
+  val q80Densest: Q = (s, d) =>
+    graft.enrich.Analytics.densestSubgraph(
+      GraphTables.coPurchase(s, d).select(col("src"), col("dst")))
+
+  val q80DensestSql: String = {
+    def roundSql(r: Int): String =
+      s"""d$r AS (SELECT src AS v, count(*)::BIGINT AS deg FROM u${r - 1} GROUP BY 1),
+         |v$r AS MATERIALIZED (SELECT vv.v FROM v${r - 1} vv
+         |  LEFT JOIN d$r d ON d.v = vv.v CROSS JOIN s${r - 1} s
+         |  WHERE coalesce(d.deg, 0) * s.nv > 2 * s.ne),
+         |u$r AS MATERIALIZED (SELECT u.src, u.dst FROM u${r - 1} u
+         |  JOIN v$r x ON u.src = x.v JOIN v$r y ON u.dst = y.v),
+         |s$r AS MATERIALIZED (SELECT $r AS round,
+         |  (SELECT count(*) FROM v$r)::BIGINT AS nv,
+         |  (SELECT count(*) FROM u$r)::BIGINT // 2 AS ne)""".stripMargin
+    val rounds = (1 to 24).map(roundSql).mkString(",\n")
+    val union = (0 to 24).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS MATERIALIZED (SELECT a.l_partkey::BIGINT AS a, b.l_partkey::BIGINT AS b
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |u0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+       |  UNION ALL SELECT b, a FROM e),
+       |v0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM u0),
+       |s0 AS MATERIALIZED (SELECT 0 AS round,
+       |  (SELECT count(*) FROM v0)::BIGINT AS nv,
+       |  (SELECT count(*) FROM u0)::BIGINT // 2 AS ne),
+       |$rounds,
+       |st AS MATERIALIZED ($union),
+       |best AS (SELECT round FROM st WHERE nv > 0
+       |  ORDER BY ne::DOUBLE / nv DESC, round ASC LIMIT 1)
+       |SELECT s.round::INT AS round, s.nv AS n_vertices, s.ne AS n_edges,
+       |  (1000 * s.ne // s.nv)::BIGINT AS density_milli,
+       |  (CASE WHEN s.round = b.round THEN 1 ELSE 0 END)::INT AS best
+       |FROM st s CROSS JOIN best b WHERE s.nv > 0""".stripMargin
+  }
+
   /** Per-vertex triangle counts over the co-purchase graph
     * ([[graft.enrich.Analytics.triangleCounts]], degree-ordered
     * orientation). The oracle replays a plain id-ordered 3-way join —
@@ -8518,6 +8564,7 @@ object QueryCatalog {
     "d_span_frac" -> dSpanFrac,
     "q23_stragg" -> q23StrAgg,
     "q24_triangles" -> q24Triangles,
+    "q80_densest" -> q80Densest,
     "q55_esupport" -> q55Esupport,
     "q73_scan" -> q73Scan,
     "q74_knn" -> q74Knn,
@@ -8807,6 +8854,7 @@ object QueryCatalog {
     "d_span_frac" -> dSpanFracSql,
     "q23_stragg" -> q23StrAggSql,
     "q24_triangles" -> q24TrianglesSql,
+    "q80_densest" -> q80DensestSql,
     "q55_esupport" -> q55EsupportSql,
     "q73_scan" -> q73ScanSql,
     "q74_knn" -> q74KnnSql,

@@ -668,6 +668,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(c2 === kc)
   }
 
+  test("r13 densestSubgraph: the peeling profile isolates a planted " +
+      "clique as the best round") {
+    // K5 (density 2.0) + a 6-vertex pendant path hanging off vertex 1
+    // (path vertices peel in the early rounds, the clique survives)
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val path = (0 until 6).map(i => (100L + i, 101L + i))
+    val e = (k5 ++ path).toDF("src", "dst") // disjoint ids; 1 joins path?
+    val out = Analytics.densestSubgraph(
+        (k5 ++ path :+ ((1L, 100L))).toDF("src", "dst"))
+      .as[(Int, Long, Long, Long, Int)].collect().sortBy(_._1)
+    // round 0 is the full graph; the best round's density is the
+    // clique's (K5: 10 edges / 5 vertices = 2.0 → 2000 milli)
+    assert(out.head._1 === 0)
+    val best = out.filter(_._5 == 1)
+    assert(best.length === 1)
+    assert(best.head._4 === 2000L, s"got ${best.toSeq}")
+    assert(best.head._2 === 5L && best.head._3 === 10L)
+    // exactly one best flag, profile converges to empty (last round
+    // non-empty rows only), densities are 1000·e div v throughout
+    out.foreach(r => assert(r._4 === 1000L * r._3 / r._2))
+  }
+
   test("boruvkaMsf ≡ Kruskal under the (weight, src, dst) tie-break") {
     def kruskal(es: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
