@@ -397,6 +397,53 @@ class PlanShapeSpec extends AnyFunSuite {
       s"band candidates must pair via equi join; plan:\n$plan")
   }
 
+  test("r13 s_ivf_inc / s_pq_inc: the refresh reads the PERSISTED " +
+      "previous-version artifacts and anti-joins, never retrains") {
+    for ((table, df) <- Seq(
+        "ivfcentsprev" -> graft.store.GraphTables.ivfCentsPrev(spark, sf),
+        "ivfindexprev" -> graft.store.GraphTables.ivfIndexPrev(spark, sf),
+        "pqbooksprev" -> graft.store.GraphTables.pqBooksPrev(spark, sf),
+        "pqencprev" -> graft.store.GraphTables.pqEncPrev(spark, sf))) {
+      val scans = fileScans(df.queryExecution.executedPlan)
+        .map(_.relation.location.rootPaths.mkString(","))
+      assert(scans.nonEmpty && scans.forall(_.contains(table)),
+        s"$table must be a materialized parquet scan; scans:\n${scans.mkString("\n")}")
+    }
+    val df = QueryCatalog.sIvfInc(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = fileScans(df.queryExecution.executedPlan)
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(scans.exists(_.contains("ivfindexprev")) &&
+        scans.exists(_.contains("ivfcentsprev")),
+      s"s_ivf_inc must read the persisted prev model; scans:\n${scans.mkString("\n")}")
+    // the delta is carved out by an anti-join against the prev index —
+    // the refresh's only corpus-vs-model contact
+    assert(plan.contains("LeftAnti"),
+      s"refresh must anti-join out already-indexed vectors; plan:\n$plan")
+  }
+
+  test("r13 m_pdf: pure narrow maps — zero exchanges") {
+    val df = QueryCatalog.mPdf(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"PDF metadata must be a narrow map; plan:\n$plan")
+  }
+
+  test("r13 t_psi: the sources × octaves grid broadcasts — no " +
+      "cartesian, no corpus-sized shuffle multiplication") {
+    val plan0 = executed(QueryCatalog.tPsi(spark, sf))
+    assert(!plan0.contains("CartesianProduct"),
+      s"the bounded grids must broadcast; plan:\n$plan0")
+    // count the FINAL plan only (AQE renders the initial plan below it,
+    // doubling every node in the string)
+    val plan = plan0.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 5,
+      s"t_psi must not multiply corpus shuffles; plan:\n$plan0")
+  }
+
   test("q66_pr_inc: previous ranks are a PERSISTED parquet scan") {
     val df = QueryCatalog.q66PrInc(spark, sf)
     df.collect()
