@@ -8371,6 +8371,51 @@ object QueryCatalog {
       |    AS est_milli, n
       |FROM sel""".stripMargin
 
+  /** st_psi — streaming PSI drift alarm per 7-day window
+    * ([[graft.streaming.Streams.streamingPsiDrift]]): the window's
+    * value distribution (st_ddsketch's integer log2-octave buckets,
+    * additive state) scores a Population Stability Index against the
+    * all-time reference distribution (collected once, ≤64 rows); the
+    * readout replays t_psi's arithmetic — Laplace over the reference
+    * bucket set, round-8 terms folded in bucket order, round 4. */
+  val stPsi: Q = (s, d) => {
+    import s.implicits._
+    val ref = Tables.events(s, d)
+      .select(greatest(floor(col("value") * 1000), lit(0L)).as("lv"))
+      .select(when(col("lv") <= 63L, col("lv"))
+        .otherwise((length(bin(col("lv"))) - 6).cast("long") * 64L +
+          expr("shiftright(lv, length(bin(lv)) - 6)")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    StreamReplay.replay(s, eventsOrdered(s, d), "st_psi", "update") {
+      df => graft.streaming.Streams.streamingPsiDrift(df, ref).toDF()
+    }
+      .groupBy(unix_micros(col("window_start")).as("ws_us"))
+      .agg(max_by(col("psi"), col("n")).as("psi"), max(col("n")).as("n"))
+  }
+
+  val stPsiSql: String =
+    """WITH ev AS (SELECT epoch_us(ts) // 604800000000 * 604800000000 AS ws_us,
+      |    (CASE WHEN lv <= 63 THEN lv
+      |     ELSE (length(bin(lv)) - 6)::BIGINT * 64 + (lv >> (length(bin(lv)) - 6)) END) AS b
+      |  FROM (SELECT ts, greatest(floor(value * 1000), 0)::BIGINT AS lv FROM events)),
+      |wb AS (SELECT ws_us, b, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+      |ref AS (SELECT b, count(*)::BIGINT AS rc FROM ev GROUP BY 1),
+      |rt AS (SELECT sum(rc)::BIGINT AS rtot, count(*)::BIGINT AS nb FROM ref),
+      |wn AS (SELECT ws_us, sum(c)::BIGINT AS n FROM wb GROUP BY 1),
+      |grid AS (SELECT w.ws_us, r.b,
+      |    round((((coalesce(wb.c, 0) + 1)::DOUBLE / (w.n + rt.nb)::DOUBLE)
+      |        - ((r.rc + 1)::DOUBLE / (rt.rtot + rt.nb)::DOUBLE))
+      |      * ln(((coalesce(wb.c, 0) + 1)::DOUBLE / (w.n + rt.nb)::DOUBLE)
+      |          / ((r.rc + 1)::DOUBLE / (rt.rtot + rt.nb)::DOUBLE)), 8) AS contrib
+      |  FROM wn w CROSS JOIN ref r CROSS JOIN rt
+      |  LEFT JOIN wb ON wb.ws_us = w.ws_us AND wb.b = r.b),
+      |folded AS (SELECT ws_us, list(contrib ORDER BY b) AS cs FROM grid GROUP BY ws_us)
+      |SELECT f.ws_us,
+      |  round(list_reduce(list_prepend(0.0, cs), (a, v) -> a + v), 4) AS psi,
+      |  w.n
+      |FROM folded f JOIN wn w ON w.ws_us = f.ws_us""".stripMargin
+
   lazy val stCmsSql: String = {
     def rollh(c: String) = "list_reduce(list_prepend(0::BIGINT, " +
       s"list_transform(string_split($c, ''), ch -> ascii(ch)::BIGINT)), " +
@@ -8682,6 +8727,7 @@ object QueryCatalog {
     "st_cms" -> stCms,
     "st_quantile" -> stQuantile,
     "st_ddsketch" -> stDdsketch,
+    "st_psi" -> stPsi,
     "st_holt" -> stHolt,
     "st_record" -> stRecord,
     "st_lag" -> stLag,
@@ -8972,6 +9018,7 @@ object QueryCatalog {
     "st_cms" -> stCmsSql,
     "st_quantile" -> stQuantileSql,
     "st_ddsketch" -> stDdsketchSql,
+    "st_psi" -> stPsiSql,
     "st_holt" -> stHoltSql,
     "st_record" -> stRecordSql,
     "st_lag" -> stLagSql,

@@ -1047,6 +1047,81 @@ object Streams {
       }
   }
 
+  final case class PsiOut(window_start: Timestamp, psi: Double, n: Long)
+
+  /** Streaming PSI DRIFT ALARM per tumbling window (r13 — the t_psi
+    * monitor moved to the ingest stream, where a drift alarm is
+    * actually actionable): the window's value distribution, bucketed by
+    * the [[streamingLogQuantiles]] integer log2-octave spelling, scores
+    * a Population Stability Index against a REFERENCE distribution
+    * (the persisted corpus buckets — bounded ≤64 rows, collected once
+    * and closed over; window buckets are a subset of the reference's
+    * by construction when the reference covers history). State is the
+    * additive bucket-count map — order- and batch-boundary-independent;
+    * the PSI readout replays the batch arithmetic exactly: exact-integer
+    * Laplace-smoothed ratios, per-term HALF_UP round-8 before a
+    * bucket-ordered sequential fold, round-4 result. */
+  def streamingPsiDrift(events: DataFrame, refCounts: Map[Long, Long],
+      window: String = "7 days", watermark: String = "10 minutes",
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[PsiOut] = {
+    require(refCounts.nonEmpty, "empty reference distribution")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val refTotal = refCounts.valuesIterator.sum
+    val refBuckets = refCounts.keys.toSeq.sorted
+    val nb = refBuckets.size
+    def round(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def psiOf(cells: Map[Long, Long]): (Double, Long) = {
+      val n = cells.valuesIterator.sum
+      var acc = 0.0
+      refBuckets.foreach { b =>
+        val p = (cells.getOrElse(b, 0L) + 1).toDouble / (n + nb)
+        val q = (refCounts(b) + 1).toDouble / (refTotal + nb)
+        acc += round((p - q) * math.log(p / q), 8)
+      }
+      (round(acc, 4), n)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .select(org.apache.spark.sql.functions.window(col("ts"), window)
+        .getField("start").as("wstart"),
+        greatest(floor(col("value") * 1000), lit(0L)).as("lv"))
+      .select(col("wstart"),
+        when(col("lv") <= 63L, col("lv"))
+          .otherwise((length(bin(col("lv"))) - 6).cast("long") * 64L +
+            expr("shiftright(lv, length(bin(lv)) - 6)")).as("b"))
+      .as[(Timestamp, Long)]
+      .groupByKey(_._1.getTime)
+      .flatMapGroupsWithState[LogState, PsiOut](OutputMode.Update(),
+        timeout) {
+        case (ws, it, state: GroupState[LogState]) =>
+          if (state.hasTimedOut) {
+            val cells = state.get.cells.map(c => c.b -> c.cnt).toMap
+            state.remove()
+            val (psi, n) = psiOf(cells)
+            Iterator.single(PsiOut(new Timestamp(ws), psi, n))
+          } else {
+            val prev = state.getOption
+              .map(_.cells.map(c => c.b -> c.cnt).toMap)
+              .getOrElse(Map.empty[Long, Long])
+            val batch = it.foldLeft(Map.empty[Long, Long]) { (m, r) =>
+              m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+            }
+            val merged = (prev.keySet ++ batch.keySet).iterator.map(b =>
+              b -> (prev.getOrElse(b, 0L) + batch.getOrElse(b, 0L))).toMap
+            state.update(LogState(merged.map { case (b, c) =>
+              LogCell(b, c) }.toSeq))
+            if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(
+                ws + durationMs(window) + durationMs(watermark))
+            val (psi, n) = psiOf(merged)
+            Iterator.single(PsiOut(new Timestamp(ws), psi, n))
+          }
+      }
+  }
+
   /** Stateless corpus screens on a document STREAM: quality score + gate
     * and PII redaction are pure narrow maps (Column expressions, no
     * state, no shuffle), so the exact batch operators run on a streaming

@@ -661,6 +661,51 @@ class StreamsSpec extends AnyFunSuite {
     assert(one === fin)
   }
 
+  test("r13 streamingPsiDrift: a shifted window alarms, a conforming " +
+      "one stays near 0; additive state ≡ single batch") {
+    import graft.queries.StreamReplay
+    def ev(id: Long, day: Int, v: Double) =
+      Streams.Event(id, java.sql.Timestamp.valueOf(
+        f"2024-01-$day%02d 01:00:00"), 1L, "a", v)
+    // reference: an even mix of octave-4 (0.01*1000=10) and octave-10
+    // (600*1000 → high) values
+    val ref = Map(
+      (math.floor(0.01 * 1000).toLong, 100L),     // lv=10 ≤ 63 → bucket 10
+      (0L, 0L)) // placeholder replaced below
+    // build the real reference from the batch bucket rule: values 0.01
+    // and 600.0 — compute buckets via the same integer spelling
+    def bucketOf(v: Double): Long = {
+      val lv = math.max(math.floor(v * 1000).toLong, 0L)
+      if (lv <= 63) lv
+      else {
+        val m = 64 - java.lang.Long.numberOfLeadingZeros(lv)
+        (m - 6).toLong * 64 + (lv >> (m - 6))
+      }
+    }
+    val reference = Map(bucketOf(0.01) -> 100L, bucketOf(600.0) -> 100L)
+    // window 1 (days 1-7): the reference mix → PSI ≈ 0
+    // window 2 (days 8-14): all high values → drifted
+    val rows = (1L to 20L).map(i =>
+        ev(i, (i % 5).toInt + 1, if (i % 2 == 0) 0.01 else 600.0)) ++
+      (21L to 40L).map(i => ev(i, 10, 600.0))
+    val out = StreamReplay.replay(TestSpark.spark, rows, "psi_spec",
+      "update", batches = 4) { df =>
+      Streams.streamingPsiDrift(df, reference).toDF()
+    }.collect().map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2)))
+    val finals = out.groupBy(_._1).map { case (w, es) => w -> es.maxBy(_._3) }
+    assert(finals.size === 2)
+    val Seq(w1, w2) = finals.keys.toSeq.sortBy(_.getTime)
+    assert(finals(w1)._2 < 0.1, s"conforming window drifted: ${finals(w1)}")
+    assert(finals(w2)._2 >= 0.25, s"shifted window silent: ${finals(w2)}")
+    // stream ≡ batch: one-batch replay lands on identical final PSIs
+    val one = StreamReplay.replay(TestSpark.spark, rows, "psi_spec1",
+      "update", batches = 1) { df =>
+      Streams.streamingPsiDrift(df, reference).toDF()
+    }.collect().map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).map { case (w, es) => w -> es.maxBy(_._3) }
+    assert(one === finals)
+  }
+
   test("streamingConversionLag: exactly-once emission across batches") {
     implicit val sqlCtx = spark.sqlContext
     def dt(day: Int, h: Int = 1) =
