@@ -188,6 +188,29 @@ object Corpus {
           .as("kl"))
   }
 
+  /** SPECIAL-TOKEN contamination screen (r13) — tokenizer hygiene: web
+    * scrapes that already passed through an LLM pipeline leak control
+    * tokens (`<|endoftext|>`, ChatML `<|im_start|>`, SentencePiece
+    * `<s>`/`</s>`/`<unk>`/`<pad>`, Llama `[INST]`), and a document
+    * carrying them poisons training (the tokenizer emits REAL control
+    * ids mid-document — document-boundary and turn structure corrupt
+    * silently). Counts each family with literal (non-regex) substring
+    * counting, flags any hit. Pure narrow map, all-integer verdict. */
+  val specialTokens: Seq[String] = Seq(
+    "<|endoftext|>", "<|im_start|>", "<|im_end|>", "<|assistant|>",
+    "<s>", "</s>", "<unk>", "<pad>", "[INST]", "[/INST]")
+
+  def specialTokenScreen(docs: DataFrame): DataFrame = {
+    // literal count: (len(text) − len(replace(text, tok, ''))) / len(tok)
+    def countOf(tok: String) =
+      ((length(col("text")) -
+        length(call_function("replace", col("text"), lit(tok), lit("")))) /
+        lit(tok.length)).cast("long")
+    val total = specialTokens.map(countOf).reduce(_ + _)
+    docs.select(col("doc_id"), total.as("n_special"))
+      .withColumn("contaminated", (col("n_special") > 0).cast("int"))
+  }
+
   /** POPULATION STABILITY INDEX per source (r13) — the standard
     * production drift monitor (credit-scoring lineage, the metric a
     * corpus pipeline alarms on between ingest versions): PSI =

@@ -1897,6 +1897,38 @@ object QueryCatalog {
     * 8 before a term-ordered fold. */
   val tKl: Q = (s, d) => graft.pipeline.Corpus.sourceKl(Tables.documents(s, d))
 
+  /** t_special — special-token contamination screen
+    * ([[graft.pipeline.Corpus.specialTokenScreen]]): LLM control tokens
+    * leaked into scraped text poison tokenization; the corpus is
+    * augmented IN-PLAN (the t_gopher pattern) so planted ChatML /
+    * SentencePiece / Llama markers decide rows both ways. Literal
+    * substring counts, all-integer verdict, pure narrow map. */
+  val tSpecial: Q = (s, d) => {
+    val aug = Tables.documents(s, d).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 13 === 0, lit(" <|endoftext|>"))
+          .when(col("doc_id") % 13 === 4,
+            lit(" <|im_start|>user hello<|im_end|>"))
+          .when(col("doc_id") % 13 === 7, lit(" [INST] hi [/INST] <s>"))
+          .otherwise(lit(""))))
+    Corpus.specialTokenScreen(aug)
+  }
+
+  val tSpecialSql: String = {
+    val counts = graft.pipeline.Corpus.specialTokens.map { t =>
+      val esc = t.replace("'", "''")
+      s"(length(t2) - length(replace(t2, '$esc', ''))) // ${t.length}"
+    }.mkString(" + ")
+    s"""SELECT doc_id, ($counts)::BIGINT AS n_special,
+       |  (CASE WHEN ($counts) > 0 THEN 1 ELSE 0 END)::INT AS contaminated
+       |FROM (SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 13 = 0 THEN ' <|endoftext|>'
+       |      WHEN doc_id % 13 = 4 THEN ' <|im_start|>user hello<|im_end|>'
+       |      WHEN doc_id % 13 = 7 THEN ' [INST] hi [/INST] <s>'
+       |      ELSE '' END) AS t2
+       |  FROM documents)""".stripMargin
+  }
+
   /** t_psi — per-source POPULATION STABILITY INDEX
     * ([[graft.pipeline.Corpus.psiDrift]]): drift of each source's
     * document-length distribution vs the whole corpus over integer
@@ -8597,6 +8629,7 @@ object QueryCatalog {
     "t_zipf" -> tZipf,
     "t_kl" -> tKl,
     "t_psi" -> tPsi,
+    "t_special" -> tSpecial,
     "t_ppl" -> tPpl,
     "t_entropy" -> tEntropy,
     "t_fertility" -> tFertility,
@@ -8888,6 +8921,7 @@ object QueryCatalog {
     "t_zipf" -> tZipfSql,
     "t_kl" -> tKlSql,
     "t_psi" -> tPsiSql,
+    "t_special" -> tSpecialSql,
     "t_ppl" -> tPplSql,
     "t_entropy" -> tEntropySql,
     "t_fertility" -> tFertilitySql,

@@ -823,6 +823,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(kl("a") < 0.2)
   }
 
+  test("r13 specialTokenScreen: control-token leaks count per family, " +
+      "overlapping text stays clean") {
+    val docs = Seq(
+      (1L, "plain prose with no markers at all"),
+      (2L, "chat dump <|im_start|>user hi<|im_end|> <|im_start|>x"),
+      (3L, "sp tokens <s>seq</s> plus <unk> and <pad>"),
+      (4L, "llama [INST] q [/INST] answer"),
+      (5L, "lookalikes: < s > <|endoftext |> [INST without close"),
+      (6L, "double <|endoftext|><|endoftext|>")
+    ).toDF("doc_id", "text")
+    val out = Corpus.specialTokenScreen(docs)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((0L, 0)))
+    assert(out(2L) === ((3L, 1)))  // two im_start + one im_end
+    assert(out(3L) === ((4L, 1)))
+    assert(out(4L) === ((2L, 1)))
+    assert(out(5L) === ((0L, 0)))  // near-misses never flag
+    assert(out(6L) === ((2L, 1)))
+  }
+
   test("r13 psiDrift: conforming sources score ~0, a shifted length " +
       "distribution crosses the 0.25 drifted threshold") {
     // a and b share the corpus's length mix (octaves 4 and 7);
