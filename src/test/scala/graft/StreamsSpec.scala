@@ -661,6 +661,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(one === fin)
   }
 
+  test("r13 EventTimeTimeout: an expired quantile window emits once " +
+      "from its timeout and drops its state (first timeout-path gate " +
+      "in the module)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    def ev(id: Long, day: Int, v: Double) =
+      Streams.Event(id, java.sql.Timestamp.valueOf(
+        f"2024-01-$day%02d 01:00:00"), 1L, "a", v)
+    val mem = MemoryStream[Streams.Event]
+    // window 1 fills, then a far-future sentinel (year 2025) advances
+    // the watermark past window1's end + watermark slack, firing the
+    // EventTimeTimeout expiry for window1's state
+    mem.addData((1L to 6L).map(i => ev(i, (i % 4).toInt + 1, i * 7.0)): _*)
+    mem.addData(Streams.Event(99L,
+      java.sql.Timestamp.valueOf("2025-06-01 00:00:00"), 1L, "a", 1.0))
+    val out = Streams.runToMemory(spark,
+        Streams.streamingLogQuantiles(mem.toDF(), qs = Seq(50),
+          timeout = GroupStateTimeout.EventTimeTimeout).toDF(),
+        "st_ddsk_ttl")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // epoch-aligned 7-day windows put days 1-3 in the first window
+    // (2023-12-28): events 1,2,4,5,6 → values 7,14,28,35,42
+    val w1 = out.map(_._1).min
+    val w1Rows = out.filter(r => r._1 == w1 && r._4 == 5L)
+    // the converged window-1 estimate appears at least twice: the
+    // batch-1 emit AND the timeout-path emit fired by the sentinel
+    // batch (which carries NO window-1 rows — only the expiry can
+    // re-emit it) — and the expiry's readout matches the batch one
+    assert(w1Rows.length >= 2,
+      s"expected a timeout re-emit for the expired window; got ${out.toSeq}")
+    // p50 of 7,14,28,35,42 → 28000 milli, log-bucket midpoint 27903
+    assert(w1Rows.forall(_._3 == 27903L), s"got ${w1Rows.toSeq}")
+    assert(w1Rows.map(r => (r._2, r._3, r._4)).distinct.length === 1)
+  }
+
   test("r13 streamingPsiDrift: a shifted window alarms, a conforming " +
       "one stays near 0; additive state ≡ single batch") {
     import graft.queries.StreamReplay
