@@ -717,10 +717,13 @@ object Streams {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withWatermark("ts", watermark)
       .select(org.apache.spark.sql.functions.window(col("ts"), window)
         .getField("start").as("wstart"),
         graft.functions.TextFunctions.rollingHash(valueCol).as("h"))
+      // r13: the watermark rides the projected WINDOW START — see
+      // streamingLogQuantiles: getField("start") drops a ts-side tag
+      // and EventTimeTimeout refuses state functions without one
+      .withWatermark("wstart", watermark)
       .where(col("h") > 0)
       .as[KmvRow]
       .groupByKey(_.wstart.getTime)
@@ -775,10 +778,13 @@ object Streams {
     def est(regs: Seq[Int]): (Long, Double) =
       graft.pipeline.Sketches.hllEstimateSpec(regs)
     events
-      .withWatermark("ts", watermark)
       .select(org.apache.spark.sql.functions.window(col("ts"), window)
           .getField("start").as("wstart"),
         graft.functions.TextFunctions.rollingHash(valueCol).as("h"))
+      // r13: the watermark rides the projected WINDOW START — see
+      // streamingLogQuantiles: getField("start") drops a ts-side tag
+      // and EventTimeTimeout refuses state functions without one
+      .withWatermark("wstart", watermark)
       .select(col("wstart"), (col("h") % m).cast("int").as("bucket"),
         ((col("h") * 1103515245L + 12345L) % 2147483647L).as("w"))
       .select(col("wstart"), col("bucket"),
@@ -836,9 +842,12 @@ object Streams {
       candidates.iterator.map(t =>
         CmsOut(new Timestamp(ws), t, Sketches.cmsEstimateSpec(cells, t, width)))
     events
-      .withWatermark("ts", watermark)
       .select(org.apache.spark.sql.functions.window(col("ts"), window)
         .getField("start").as("wstart"), valueCol.cast("string").as("term"))
+      // r13: the watermark rides the projected WINDOW START — see
+      // streamingLogQuantiles: getField("start") drops a ts-side tag
+      // and EventTimeTimeout refuses state functions without one
+      .withWatermark("wstart", watermark)
       .where(col("term").isNotNull && col("term") =!= "")
       .as[(Timestamp, String)]
       .groupByKey(_._1.getTime)
@@ -916,11 +925,14 @@ object Streams {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withWatermark("ts", watermark)
       .select(org.apache.spark.sql.functions.window(col("ts"), window)
         .getField("start").as("wstart"),
         least(greatest(floor(col("value")), lit(0)), lit(bins - 1))
           .cast("int").as("bin"))
+      // r13: the watermark rides the projected WINDOW START — see
+      // streamingLogQuantiles: getField("start") drops a ts-side tag
+      // and EventTimeTimeout refuses state functions without one
+      .withWatermark("wstart", watermark)
       .as[(Timestamp, Int)]
       .groupByKey(_._1.getTime)
       .flatMapGroupsWithState[HistState, QuantOut](OutputMode.Update(),
