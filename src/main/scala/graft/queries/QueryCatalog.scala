@@ -8095,6 +8095,46 @@ object QueryCatalog {
     }
   }
 
+  /** st_bloom_refresh — CONTINUOUS Bloom-base maintenance
+    * ([[graft.streaming.Streams.bloomRefreshIngest]], closing the
+    * st_bloom loop): the odd-doc stream screens each micro-batch
+    * against the CURRENT set (persisted even-doc base + earlier
+    * batches) then ORs its own bits in via foreachBatch. Bit-OR is
+    * additive/idempotent, so the final maintained set is batch-split
+    * invariant and provably ≡ bloomBits over base ∪ stream — the
+    * oracle rebuilds exactly that from the shared rolling hash. */
+  val stBloomRefresh: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 1)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val bits0 = GraphTables.bloomBits4096(s, d).select(col("bit"))
+      .as[Long].collect().toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val (q, getBits, _) = Streams.bloomRefreshIngest(
+      mem.toDF().toDF("doc_id", "text"), bits0)
+    try {
+      docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    getBits().toSeq.sorted.toDF("bit")
+      .withColumn("present", lit(1))
+  }
+
+  lazy val stBloomRefreshSql: String =
+    s"""WITH fp AS (SELECT doc_id, $rollhNorm AS h FROM documents),
+       |bits AS (SELECT DISTINCT bit FROM (
+       |  SELECT h % 4096 AS bit FROM fp
+       |  UNION ALL
+       |  SELECT ((h * 1103515245 + 12345) % 2147483647) % 4096 FROM fp))
+       |SELECT bit::BIGINT AS bit, 1::INT AS present FROM bits""".stripMargin
+
   val stDedup: Q = (s, d) => {
     import s.implicits._
     import graft.streaming.Streams
@@ -8761,6 +8801,7 @@ object QueryCatalog {
     "st_quantile" -> stQuantile,
     "st_ddsketch" -> stDdsketch,
     "st_psi" -> stPsi,
+    "st_bloom_refresh" -> stBloomRefresh,
     "st_holt" -> stHolt,
     "st_record" -> stRecord,
     "st_lag" -> stLag,
@@ -9053,6 +9094,7 @@ object QueryCatalog {
     "st_quantile" -> stQuantileSql,
     "st_ddsketch" -> stDdsketchSql,
     "st_psi" -> stPsiSql,
+    "st_bloom_refresh" -> stBloomRefreshSql,
     "st_holt" -> stHoltSql,
     "st_record" -> stRecordSql,
     "st_lag" -> stLagSql,

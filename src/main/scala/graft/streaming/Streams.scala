@@ -1148,6 +1148,48 @@ object Streams {
       }
   }
 
+  /** Continuous Bloom-base MAINTENANCE (r13 — closes the st_bloom loop:
+    * the screen ran against a STATIC persisted bit set, so duplicates
+    * arriving WITHIN the stream could never flag until the next offline
+    * base rebuild): each micro-batch first screens against the CURRENT
+    * bit set — the persisted base plus every earlier batch's bits —
+    * then ORs its own bits in. Bit-OR is additive and idempotent, so
+    * the maintained SET is order- and batch-boundary-independent
+    * (exactly bloomBits of base ∪ stream — the oracle's spelling);
+    * screen verdicts for intra-stream dups naturally depend on arrival
+    * order, the screen's own semantics. foreachBatch is the right
+    * altitude (the graphIngest argument): the per-batch screen and bit
+    * derivation stay declarative Column code; only the ≤mBits-row set
+    * crosses the driver, and production persists it per commit exactly
+    * like the versioned derived tables. Returns the query, an accessor
+    * for the current set, and one for the accumulated screen verdicts. */
+  def bloomRefreshIngest(docs: DataFrame, bits0: Set[Long],
+      mBits: Int = 4096)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         () => Set[Long], () => Seq[(Long, Int)]) = {
+    val spark = docs.sparkSession
+    val ref = new java.util.concurrent.atomic.AtomicReference[Set[Long]](bits0)
+    val screened =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val q = docs.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import spark.implicits._
+        val cur = ref.get()
+        val bitsDf = cur.toSeq.toDF("bit").withColumn("present", lit(1))
+        graft.pipeline.Dedup.bloomScreen(bitsDf, batch, mBits)
+          .select(col("doc_id"), col("maybe_dup"))
+          .collect().foreach(r => screened.add((r.getLong(0), r.getInt(1))))
+        val newBits = graft.pipeline.Dedup.bloomBits(batch, mBits)
+          .select(col("bit")).collect().map(_.getLong(0)).toSet
+        ref.updateAndGet(_ ++ newBits)
+        ()
+      }
+      .start()
+    (q, () => ref.get(),
+      () => scala.jdk.CollectionConverters.IteratorHasAsScala(
+        screened.iterator()).asScala.toSeq)
+  }
+
   /** Stateless corpus screens on a document STREAM: quality score + gate
     * and PII redaction are pure narrow maps (Column expressions, no
     * state, no shuffle), so the exact batch operators run on a streaming

@@ -697,6 +697,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(w1Rows.map(r => (r._2, r._3, r._4)).distinct.length === 1)
   }
 
+  test("r13 bloomRefreshIngest: an intra-stream duplicate flags once " +
+      "its original's bits are folded in; the set is split-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(chunks: Seq[Seq[(Long, String)]])
+        : (Set[Long], Map[Long, Int]) = {
+      val mem = MemoryStream[(Long, String)]
+      val (q, bits, scr) = Streams.bloomRefreshIngest(
+        mem.toDF().toDF("doc_id", "text"), Set.empty[Long])
+      try {
+        chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      (bits(), scr().toMap)
+    }
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "alpha beta gamma"),   // dup of doc 1, later batch
+      (4L, "zeta eta theta"))
+    val (bitsSplit, scr) = run(Seq(docs.take(2), docs.drop(2)))
+    // doc 3's text arrived in batch 1 as doc 1 → bits present → flags;
+    // doc 1 itself screened against an EMPTY base → clean
+    assert(scr(1L) === 0 && scr(3L) === 1, s"got $scr")
+    assert(scr(2L) === 0 && scr(4L) === 0)
+    // st_bloom's static-base screen could never flag doc 3 — both docs
+    // are new relative to the persisted base (the loop this op closes)
+    // the maintained SET is batch-split invariant (bit-OR additivity)
+    val (bitsOne, _) = run(Seq(docs))
+    assert(bitsSplit === bitsOne)
+    // same-batch dup does NOT flag (bits fold in AFTER the screen) —
+    // the documented arrival-order semantics
+    val (_, scrSame) = run(Seq(Seq((1L, "x y z"), (9L, "x y z"))))
+    assert(scrSame(9L) === 0)
+  }
+
   test("r13 streamingPsiDrift: a shifted window alarms, a conforming " +
       "one stays near 0; additive state ≡ single batch") {
     import graft.queries.StreamReplay
