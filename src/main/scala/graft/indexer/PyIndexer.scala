@@ -677,6 +677,14 @@ object PyIndexer {
     ("""^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\.\s*setdefault\s*""" +
       """\(\s*[^,()]+,\s*(.+)\)\s*$""").r
 
+  /** `y = d.get(k, default)` — the read-with-fallback idiom (C3 slice
+    * 61): jedi infers the union of the mapping's value type and the
+    * DEFAULT arm; when the receiver's value type is unknown, the
+    * resolvable default is the binding. */
+  private val getDefaultCall: Regex =
+    ("""^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\.\s*get\s*""" +
+      """\(\s*[^,()]+,\s*(.+)\)\s*$""").r
+
   /** `y = max(xs)` / `y = min(xs)` — builtin element reads (C3 slice
     * 52): typeshed's Iterable[T] → T signatures, so the target binds
     * the container's element type. Bare-name args only (a keyed
@@ -2257,6 +2265,16 @@ object PyIndexer {
                   .foreach(t => fn.valueLocals(m.group(2)) = t)
               fn.valueLocals.get(m.group(2))
                 .foreach(t => fn.locals(m.group(1)) = t)
+            }
+            // C3 slice 61: `y = d.get(k, Ctor())` — jedi's union of the
+            // mapping's value type and the DEFAULT arm: a TYPED receiver
+            // keeps the slice-28 value binding; an untyped one binds the
+            // resolvable default (the `conn = pool.get(key, Conn())`
+            // idiom; get never inserts, so no value-type write)
+            getDefaultCall.findFirstMatchIn(line).foreach { m =>
+              if (!fn.valueLocals.contains(m.group(2)))
+                writeType(m.group(3))
+                  .foreach(t => fn.locals(m.group(1)) = t)
             }
             // A9 LOCAL: `with … as x` as-targets are definitions inside
             // the callable (same reference path as assignment targets)

@@ -2503,6 +2503,41 @@ class IndexerSpec extends AnyFunSuite {
       s"unresolvable decorator must bind nothing; got $calls")
   }
 
+  test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
+      "untyped receiver; typed receivers keep the value binding") {
+    val src =
+      """from typing import Dict
+        |
+        |class Conn:
+        |    def execute(self):
+        |        return 1
+        |class Other:
+        |    def ping(self):
+        |        return 2
+        |
+        |def untyped(pool):
+        |    c = pool.get('k', Conn())
+        |    return c.execute()
+        |
+        |def typed(pool: Dict[str, Other]):
+        |    o = pool.get('k', make_unknown())
+        |    return o.ping()
+        |
+        |def unresolvable(pool):
+        |    z = pool.get('k', make_unknown())
+        |    return z.whatever()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t", "p.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("p.untyped", "p.Conn.execute")), s"got $calls")
+    // the slice-28 value binding wins on a typed mapping
+    assert(calls.contains(("p.typed", "p.Other.ping")))
+    // an unresolvable default on an untyped receiver binds nothing
+    assert(!calls.exists { case (s, d) =>
+      s == "p.unresolvable" && d.endsWith("whatever") })
+  }
+
   test("r13 slice 60: PEP 673 `-> Self` returns bind the enclosing " +
       "class; module-level Self annotates nothing") {
     val src =
