@@ -51,6 +51,49 @@ class SrctrlSinkSpec extends AnyFunSuite {
     locFiles.foreach(f => assert(fileIds.contains(f)))
   }
 
+  test("r13 (r12 verdict #7): a dropped nonexistent-member edge leaves " +
+      "NO source_location or occurrence behind in the sink") {
+    val files = Seq(
+      SourceFile("lib.py",
+        "class Conn:\n    def execute(self):\n        return 1\n"),
+      SourceFile("app.py",
+        "from lib import Conn\n\ndef bad():\n    c = Conn()\n" +
+          "    return c.no_such_member()\n\ndef good():\n    c = Conn()\n" +
+          "    return c.execute()\n")).toDS()
+    val ix = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, files, "tv"), "tv")
+    val s2 = Snapshot.GraphSnapshot(ix.nodes, ix.edges, ix.locations)
+    // the relational export has no location row citing the dropped take
+    val t = SrctrlSink.tables(s2)
+    val locNames = t("source_locations").join(t("symbols"),
+        t("source_locations")("element_id") === t("symbols")("id"))
+      .select("serialized_name").as[String].collect()
+    assert(!locNames.exists(_.contains("no_such_member")),
+      s"dropped edge must leave no location; got ${locNames.toSeq}")
+    // the REAL SQLite catalog: no node, no edge, no occurrence for it —
+    // and the kept member's REFERENCE occurrence is still there
+    assume(new ProcessBuilder("python3", "-c", "import sqlite3")
+      .start().waitFor() == 0, "python3+sqlite3 unavailable")
+    val path = java.nio.file.Files
+      .createTempDirectory("srctrl-drop").resolve("g.srctrldb").toString
+    SrctrlSink.writeSourcetrailDb(s2, path)
+    val script =
+      """import sys, sqlite3
+        |c = sqlite3.connect(sys.argv[1])
+        |names = [r[0] for r in c.execute('SELECT serialized_name FROM node JOIN element ON element.id = node.id')]
+        |assert not any('no_such_member' in n for n in names), names
+        |occ = c.execute('SELECT count(*) FROM occurrence').fetchone()[0]
+        |assert occ > 0
+        |print('OK')
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("chk", ".py")
+    java.nio.file.Files.write(f, script.getBytes)
+    val proc = new ProcessBuilder("python3", f.toString, path)
+      .redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    assert(proc.waitFor() == 0 && out.contains("OK"), out)
+  }
+
   test("LOCAL symbol rows flow into source_locations (A9 srctrl parity)") {
     val t = SrctrlSink.tables(snap)
     val locals = t("source_locations").filter(col("kind") === "LOCAL")
