@@ -194,6 +194,72 @@ object Sessions {
     * the two-sided 5% critical value so both engines decide on the
     * same bytes. Returns one row (n_a, n_b, conv_a, conv_b, rate_a,
     * rate_b, z, significant). */
+  /** CUPED variance reduction (r13 — Deng et al. WSDM 2013, the
+    * industry-standard power amplifier for [[abTest]]-style experiments):
+    * each user's PRE-period metric X (activity before the experiment)
+    * explains away part of the experiment-period metric Y's variance —
+    * Y* = Y − θ·(X − X̄) with θ = cov(X,Y)/var(X) preserves every
+    * treatment effect (θ uses pre-period data only) while shrinking
+    * variance by exactly cov²/(var X·var Y), the fraction reported.
+    *
+    * Determinism: the period cutoff is the integer MIDPOINT of the
+    * corpus's µs timestamp span (a 1-row broadcast aggregate — replay-
+    * stable, no wall clock, the e_power discipline); per-user X/Y are
+    * DECIMAL-routed sums rounded 4; all cross-user moments route
+    * through DECIMAL(38,10) casts of identical IEEE products; adjusted
+    * means use the CLOSED FORM Σy*_v = Σy_v − θ(Σx_v − n_v·X̄), so no
+    * second corpus pass and no per-user float fold exists to drift.
+    * Scale: one user_id groupBy + one global aggregate. Returns one
+    * row (n_a, n_b, theta, mean_y_a/b, mean_adj_a/b, var_reduction). */
+  def cupedAdjust(events: DataFrame, variantB: Column): DataFrame = {
+    val span = events.agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    def dec(c: Column) = c.cast("decimal(38,10)")
+    val users = events.crossJoin(broadcast(span))
+      .withColumn("cut", expr("(lo + hi) div 2"))
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(dec(when(unix_micros(col("ts")) < col("cut"),
+          col("value")).otherwise(lit(0.0)))).cast("double"), 4).as("x"),
+        round(sum(dec(when(unix_micros(col("ts")) >= col("cut"),
+          col("value")).otherwise(lit(0.0)))).cast("double"), 4).as("y"))
+      .select(col("user_id"), col("x"), col("y"),
+        when(variantB, 1L).otherwise(0L).as("vb"))
+    val g = users.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("vb") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("vb") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(dec(col("x"))).cast("double").as("sx"),
+      sum(dec(col("y"))).cast("double").as("sy"),
+      sum(dec(col("x") * col("x"))).cast("double").as("sxx"),
+      sum(dec(col("y") * col("y"))).cast("double").as("syy"),
+      sum(dec(col("x") * col("y"))).cast("double").as("sxy"),
+      sum(dec(when(col("vb") === 0, col("x")).otherwise(lit(0.0))))
+        .cast("double").as("sxa"),
+      sum(dec(when(col("vb") === 1, col("x")).otherwise(lit(0.0))))
+        .cast("double").as("sxb"),
+      sum(dec(when(col("vb") === 0, col("y")).otherwise(lit(0.0))))
+        .cast("double").as("sya"),
+      sum(dec(when(col("vb") === 1, col("y")).otherwise(lit(0.0))))
+        .cast("double").as("syb"))
+    val n = col("n").cast("double")
+    val covXy = col("sxy") - col("sx") * col("sy") / n
+    val varX = col("sxx") - col("sx") * col("sx") / n
+    val varY = col("syy") - col("sy") * col("sy") / n
+    val theta = round(covXy / varX, 6)
+    val meanX = col("sx") / n
+    g.select(col("n_a"), col("n_b"),
+      (theta + 0.0).as("theta"),
+      (round(col("sya") / col("n_a"), 6) + 0.0).as("mean_y_a"),
+      (round(col("syb") / col("n_b"), 6) + 0.0).as("mean_y_b"),
+      (round((col("sya") - theta * (col("sxa") - col("n_a") * meanX))
+        / col("n_a"), 6) + 0.0).as("mean_adj_a"),
+      (round((col("syb") - theta * (col("sxb") - col("n_b") * meanX))
+        / col("n_b"), 6) + 0.0).as("mean_adj_b"),
+      (round(covXy * covXy / (varX * varY), 6) + 0.0).as("var_reduction"))
+  }
+
   def abTest(events: DataFrame, variantB: Column,
       converted: Column): DataFrame = {
     val users = events.groupBy(col("user_id"))

@@ -3930,6 +3930,52 @@ object QueryCatalog {
       |  round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
       |FROM c""".stripMargin
 
+  /** e_cuped — CUPED variance reduction
+    * ([[graft.pipeline.Sessions.cupedAdjust]], Deng et al. 2013): the
+    * pre-period covariate (per-user value mass before the corpus's
+    * timestamp-midpoint cutoff) adjusts the experiment metric,
+    * reporting θ, raw and adjusted per-variant means, and the exact
+    * cov²/(varX·varY) variance-reduction fraction — all moments
+    * DECIMAL-routed, the cutoff a replay-stable integer midpoint. */
+  val eCuped: Q = (s, d) =>
+    graft.pipeline.Sessions.cupedAdjust(Tables.events(s, d),
+      col("user_id") % 2 === 1)
+
+  val eCupedSql: String =
+    """WITH span AS (SELECT min(epoch_us(ts))::BIGINT AS lo,
+      |    max(epoch_us(ts))::BIGINT AS hi FROM events),
+      |u AS (SELECT user_id,
+      |    round(CAST(sum(CAST(CASE WHEN epoch_us(ts) < (lo + hi) // 2
+      |      THEN value ELSE 0.0::DOUBLE END AS DECIMAL(38,10))) AS DOUBLE), 4) AS x,
+      |    round(CAST(sum(CAST(CASE WHEN epoch_us(ts) >= (lo + hi) // 2
+      |      THEN value ELSE 0.0::DOUBLE END AS DECIMAL(38,10))) AS DOUBLE), 4) AS y,
+      |    (user_id % 2)::BIGINT AS vb
+      |  FROM events CROSS JOIN span GROUP BY user_id),
+      |g AS (SELECT count(*)::BIGINT AS n,
+      |    sum(CASE WHEN vb = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+      |    sum(CASE WHEN vb = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+      |    CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(CASE WHEN vb = 0 THEN x ELSE 0.0::DOUBLE END AS DECIMAL(38,10))) AS DOUBLE) AS sxa,
+      |    CAST(sum(CAST(CASE WHEN vb = 1 THEN x ELSE 0.0::DOUBLE END AS DECIMAL(38,10))) AS DOUBLE) AS sxb,
+      |    CAST(sum(CAST(CASE WHEN vb = 0 THEN y ELSE 0.0::DOUBLE END AS DECIMAL(38,10))) AS DOUBLE) AS sya,
+      |    CAST(sum(CAST(CASE WHEN vb = 1 THEN y ELSE 0.0::DOUBLE END AS DECIMAL(38,10))) AS DOUBLE) AS syb
+      |  FROM u)
+      |SELECT n_a, n_b,
+      |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) + 0.0 AS theta,
+      |  round(sya / n_a, 6) + 0.0 AS mean_y_a,
+      |  round(syb / n_b, 6) + 0.0 AS mean_y_b,
+      |  round((sya - (round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) + 0.0)
+      |    * (sxa - n_a * (sx / n))) / n_a, 6) + 0.0 AS mean_adj_a,
+      |  round((syb - (round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) + 0.0)
+      |    * (sxb - n_b * (sx / n))) / n_b, 6) + 0.0 AS mean_adj_b,
+      |  round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+      |    / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) + 0.0 AS var_reduction
+      |FROM g""".stripMargin
+
   /** e_ab_test — two-proportion z-test
     * ([[graft.pipeline.Sessions.abTest]]): variant B = odd user_id,
     * conversion = a >90-value purchase; pooled z with the significance
@@ -8639,6 +8685,7 @@ object QueryCatalog {
     "p_shard" -> pShard,
     "p_manifest" -> pManifest,
     "e_ab_test" -> eAbTest,
+    "e_cuped" -> eCuped,
     "e_markov" -> eMarkov,
     "e_lifecycle" -> eLifecycle,
     "e_rfm" -> eRfm,
@@ -8932,6 +8979,7 @@ object QueryCatalog {
     "p_shard" -> pShardSql,
     "p_manifest" -> pManifestSql,
     "e_ab_test" -> eAbTestSql,
+    "e_cuped" -> eCupedSql,
     "e_markov" -> eMarkovSql,
     "e_lifecycle" -> eLifecycleSql,
     "e_rfm" -> eRfmSql,

@@ -235,6 +235,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.getInt(7) === 0) // below 1.959964
   }
 
+  test("r13 cupedAdjust: the pre-period covariate shrinks variance by " +
+      "cov²/(varX·varY) and the treatment effect survives adjustment") {
+    import java.sql.Timestamp
+    // pre period: hours 0-9; experiment period: hours 10-19 (the cutoff
+    // is the corpus µs midpoint). Y = X + noise + per-variant lift, so
+    // X explains most of Y's variance and θ ≈ 1.
+    def t(h: Int) = new Timestamp(1700000000000L + h * 3600_000L)
+    val rows = (0L to 9L).flatMap { u =>
+      val base = (u % 5 + 1) * 10.0          // heavy user-level variance
+      val lift = if (u % 2 == 1) 5.0 else 0.0
+      val noise = (u % 3).toDouble           // small residual
+      Seq((u * 2 + 1, t(u.toInt), u, "act", base),           // pre: X
+        (u * 2 + 2, t(10 + u.toInt), u, "act", base + lift + noise))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Sessions.cupedAdjust(ev, col("user_id") % 2 === 1)
+      .collect().head
+    val (na, nb) = (out.getLong(0), out.getLong(1))
+    val theta = out.getDouble(2)
+    val (ya, yb) = (out.getDouble(3), out.getDouble(4))
+    val (aa, ab) = (out.getDouble(5), out.getDouble(6))
+    val vr = out.getDouble(7)
+    assert(na === 5L && nb === 5L)
+    // θ near 1 (Y tracks X), large variance reduction
+    assert(math.abs(theta - 1.0) < 0.15, s"theta $theta")
+    assert(vr > 0.8 && vr <= 1.0, s"var_reduction $vr")
+    // the ~5.0 lift survives adjustment (CUPED is unbiased for the
+    // effect) while the raw and adjusted effects agree within noise
+    assert(math.abs((ab - aa) - (yb - ya)) < 1.5,
+      s"effect distorted: raw ${yb - ya}, adj ${ab - aa}")
+    assert(ab - aa > 3.0)
+  }
+
   test("attribution: first/last/linear models, lookback, micro-credits") {
     import java.sql.Timestamp
     def t(h: Int) = new Timestamp(1700000000000L + h * 3600_000L)
