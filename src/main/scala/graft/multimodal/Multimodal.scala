@@ -115,6 +115,41 @@ object Multimodal {
       .withColumn("pdf_eof_ok", isPdf && s.rlike("%%EOF\\s*$"))
   }
 
+  /** ======= REAL (codec-free) ======= SRT SUBTITLE metadata (r13) —
+    * subtitle dumps (the OpenSubtitles lineage) are a staple
+    * conversational-text source, and their cue timing is the usable
+    * signal: cue count, total cued milliseconds (the speech-density /
+    * speaking-rate denominator), and the format check that quarantines
+    * mislabeled files. SRT's grammar is ASCII timing lines
+    * (`HH:MM:SS,mmm --> HH:MM:SS,mmm`), so the parse is codegen'd
+    * regexp + fixed-offset substring arithmetic over each matched
+    * timing line — a bounded HOF over the ≤cues matches, all-integer
+    * milliseconds. */
+  def withSrtMeta(media: DataFrame, payloadCol: String = "payload")
+      : DataFrame = {
+    val s = col(payloadCol).cast("string")
+    val isSrt = col(payloadCol).isNotNull &&
+      s.rlike("^\\d+\\r?\\n\\d{2}:\\d{2}:\\d{2},\\d{3} -->")
+    val times = regexp_extract_all(s,
+      lit("\\d{2}:\\d{2}:\\d{2},\\d{3} --> \\d{2}:\\d{2}:\\d{2},\\d{3}"),
+      lit(0))
+    // "HH:MM:SS,mmm --> HH:MM:SS,mmm": start fields at 1/4/7/10, end
+    // fields at 18/21/24/27 (1-based, fixed by the matched grammar)
+    def ms(e: org.apache.spark.sql.Column, off: Int) =
+      substring(e, off, 2).cast("long") * 3600000L +
+        substring(e, off + 3, 2).cast("long") * 60000L +
+        substring(e, off + 6, 2).cast("long") * 1000L +
+        substring(e, off + 9, 3).cast("long")
+    media
+      .withColumn("is_srt", isSrt)
+      .withColumn("n_cues",
+        when(isSrt, size(times)).otherwise(lit(0)).cast("int"))
+      .withColumn("cued_ms",
+        when(isSrt, aggregate(transform(times,
+            e => ms(e, 18) - ms(e, 1)), lit(0L), (a, v) => a + v))
+          .otherwise(lit(0L)))
+  }
+
   /** ======= REAL (codec-free) ======= Shannon byte entropy of a payload
     * (bits/byte, 0–8): the standard corrupt/encrypted/truncated-media
     * screen — compressed media sits near 8, zero-padding and text sit

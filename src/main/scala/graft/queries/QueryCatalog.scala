@@ -7522,6 +7522,43 @@ object QueryCatalog {
       |  doc_id % 4 <> 0 AND doc_id % 7 <> 3 AS pdf_eof_ok
       |FROM documents""".stripMargin
 
+  /** m_srt — SRT subtitle metadata under the oracle gate
+    * ([[graft.multimodal.Multimodal.withSrtMeta]]): files with
+    * doc_id%5+1 cues are assembled IN-PLAN (each cue j spans
+    * [3j s, 3j+2.5 s] — 2500 ms, so cued_ms = 2500·cues in closed
+    * form), every doc_id%4==0 row is plain prose (must not parse), and
+    * every doc_id%9==2 file swaps the arrow for a malformed one (the
+    * timing regexp matches no cue — n_cues 0 while is_srt still sees
+    * the leading index/timing shape fail → not srt). */
+  val mSrt: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val id = col("doc_id")
+    val cues = (id % 5 + 1).cast("int")
+    def two(c: org.apache.spark.sql.Column) =
+      lpad(c.cast("string"), 2, "0")
+    val arrow = when(id % 9 === 2, lit(" ==> ")).otherwise(lit(" --> "))
+    val body = array_join(transform(sequence(lit(0), cues - 1), j =>
+      concat((j + 1).cast("string"), lit("\n"),
+        lit("00:00:"), two(j * 3), lit(",000"), arrow,
+        lit("00:00:"), two(j * 3 + 2), lit(",500\n"),
+        lit("subtitle line "), j.cast("string"), lit("\n"))), "\n")
+    val media = Tables.documents(s, d).select(id)
+      .withColumn("payload",
+        when(id % 4 === 0, lit("plain prose, no cues here"))
+          .otherwise(body).cast("binary"))
+    Multimodal.withSrtMeta(media)
+      .select(id, col("is_srt"), col("n_cues"), col("cued_ms"))
+  }
+
+  val mSrtSql: String =
+    """SELECT doc_id,
+      |  (doc_id % 4 <> 0 AND doc_id % 9 <> 2) AS is_srt,
+      |  (CASE WHEN doc_id % 4 <> 0 AND doc_id % 9 <> 2
+      |    THEN doc_id % 5 + 1 ELSE 0 END)::INT AS n_cues,
+      |  (CASE WHEN doc_id % 4 <> 0 AND doc_id % 9 <> 2
+      |    THEN (doc_id % 5 + 1) * 2500 ELSE 0 END)::BIGINT AS cued_ms
+      |FROM documents""".stripMargin
+
   /** m_corrupt — TRUNCATION TOLERANCE under the oracle gate: every 5th
     * document's payload is cut to its first 10 bytes (mid-header), and
     * the sniffers/walkers must DEGRADE deterministically — never throw,
@@ -8819,6 +8856,7 @@ object QueryCatalog {
     "t_token_vote" -> tTokenVote,
     "m_headers" -> mHeaders,
     "m_pdf" -> mPdf,
+    "m_srt" -> mSrt,
     "m_tiff" -> mTiff,
     "m_exif" -> mExif,
     "m_ogg" -> mOgg,
@@ -9113,6 +9151,7 @@ object QueryCatalog {
     "t_token_vote" -> tTokenVoteSql,
     "m_headers" -> mHeadersSql,
     "m_pdf" -> mPdfSql,
+    "m_srt" -> mSrtSql,
     "m_tiff" -> mTiffSql,
     "m_exif" -> mExifSql,
     "m_ogg" -> mOggSql,

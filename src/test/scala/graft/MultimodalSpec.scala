@@ -635,6 +635,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fmt(1L) === "pdf" && fmt(4L) === "png")
   }
 
+  test("r13 withSrtMeta: cue count + cued milliseconds; hour/minute " +
+      "rollover exact; prose, malformed arrows and nulls degrade") {
+    val real = "1\n00:59:58,750 --> 01:00:01,250\nhello\n\n" +
+      "2\n01:00:02,000 --> 01:00:03,000\nworld\n"
+    val rows = Seq(
+      (1L, real.getBytes("UTF-8")),
+      (2L, "just some prose".getBytes("UTF-8")),
+      (3L, "1\n00:00:00,000 ==> 00:00:01,000\nbad arrow\n".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.withSrtMeta(rows)
+      .select("doc_id", "is_srt", "n_cues", "cued_ms")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getLong(3)))).toMap
+    // cue 1 crosses the hour boundary: 3600.0+1.25 − 3598.75 = 2500 ms
+    assert(out(1L) === ((true, 2, 3500L)), s"got ${out(1L)}")
+    assert(out(2L) === ((false, 0, 0L)))
+    assert(out(3L) === ((false, 0, 0L)))
+    assert(out(4L) === ((false, 0, 0L)))
+  }
+
   test("phashNearDup: planted pair found, perturbed grid within Hamming 3") {
     def grid(seed: Long) =
       Array.tabulate(72)(n => ((seed * 1000003L + n * 2654435761L) % 251).toByte)
