@@ -423,12 +423,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"refresh must anti-join out already-indexed vectors; plan:\n$plan")
   }
 
-  test("r13 m_pdf: pure narrow maps — zero exchanges") {
-    val df = QueryCatalog.mPdf(spark, sf)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"PDF metadata must be a narrow map; plan:\n$plan")
+  test("r13 m_pdf / m_srt / t_special: pure narrow maps — zero exchanges") {
+    for ((name, df) <- Seq("m_pdf" -> QueryCatalog.mPdf(spark, sf),
+        "m_srt" -> QueryCatalog.mSrt(spark, sf),
+        "t_special" -> QueryCatalog.tSpecial(spark, sf))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name must be a narrow map; plan:\n$plan")
+    }
   }
 
   test("r13 t_psi: the sources × octaves grid broadcasts — no " +
