@@ -188,6 +188,46 @@ object Corpus {
           .as("kl"))
   }
 
+  /** TOP n-GRAM repetition screens, n ∈ {2,3,4} (r13 — the remaining
+    * "repetitious text" rows of Gopher's rule table, Rae et al. 2021
+    * App. A1.1: a document where one n-gram dominates is boilerplate/
+    * spam): per document, the fraction of n-gram OCCURRENCES taken by
+    * the single most frequent n-gram (the [[repetitionStats]]
+    * top-bigram convention extended to 3- and 4-grams), as exact
+    * integer PPM — `1000000·max_count div total` — so the published
+    * thresholds (0.20/0.18/0.16) decide in pure integer arithmetic.
+    *
+    * Shape: one explode per n off the shared token-array scan, counts
+    * keyed by (doc_id, n, gram) — partial-agg friendly, well-spread —
+    * then a per-doc max/sum and a 3-way conditional pivot. Short docs
+    * (< n tokens) contribute no n-grams and keep. */
+  def topNgramFracs(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val stacked = (2 to 4).map { n =>
+      toks.filter(size(col("t")) >= n)
+        .select(col("doc_id"), lit(n).as("n"),
+          explode(expr(s"transform(sequence(1, size(t) - ${n - 1}), " +
+            s"i -> array_join(slice(t, i, $n), ' '))")).as("gram"))
+    }.reduce(_ unionByName _)
+    val top = stacked.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n")
+      .agg(max(col("c")).as("mc"), sum(col("c")).as("ng"))
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("n") === 2, expr("1000000 * mc div ng"))).as("p2"),
+        max(when(col("n") === 3, expr("1000000 * mc div ng"))).as("p3"),
+        max(when(col("n") === 4, expr("1000000 * mc div ng"))).as("p4"))
+    docs.select(col("doc_id")).join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("p2"), lit(0L)).as("top2_ppm"),
+        coalesce(col("p3"), lit(0L)).as("top3_ppm"),
+        coalesce(col("p4"), lit(0L)).as("top4_ppm"))
+      .withColumn("keep",
+        (col("top2_ppm") <= 200000L && col("top3_ppm") <= 180000L &&
+          col("top4_ppm") <= 160000L).cast("int"))
+  }
+
   /** SPECIAL-TOKEN contamination screen (r13) — tokenizer hygiene: web
     * scrapes that already passed through an LLM pipeline leak control
     * tokens (`<|endoftext|>`, ChatML `<|im_start|>`, SentencePiece

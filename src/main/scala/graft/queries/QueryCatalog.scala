@@ -4227,6 +4227,41 @@ object QueryCatalog {
        |FROM base b LEFT JOIN top USING (doc_id)""".stripMargin
   }
 
+  /** t_ngram_rep — top n-gram repetition screens, n ∈ {2,3,4}
+    * ([[graft.pipeline.Corpus.topNgramFracs]], the remaining Gopher
+    * A1.1 repetition rows): per-doc fraction of n-gram occurrences
+    * taken by the most frequent n-gram, exact integer ppm with the
+    * published 0.20/0.18/0.16 thresholds deciding integerly. */
+  val tNgramRep: Q = (s, d) =>
+    Corpus.topNgramFracs(Tables.documents(s, d))
+
+  val tNgramRepSql: String = {
+    val toks = s"string_split($normSql, ' ')"
+    def gramCte(n: Int) =
+      s"""g$n AS (SELECT doc_id, $n AS n,
+         |  unnest(list_transform(range(1, len(t) - ${n - 2}),
+         |    i -> ${(0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")})) AS gram
+         |  FROM toks WHERE len(t) >= $n)""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+       |${(2 to 4).map(gramCte).mkString(",\n")},
+       |allg AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3 UNION ALL SELECT * FROM g4),
+       |cnt AS (SELECT doc_id, n, gram, count(*)::BIGINT AS c FROM allg GROUP BY 1, 2, 3),
+       |top AS (SELECT doc_id, n, max(c)::BIGINT AS mc, sum(c)::BIGINT AS ng
+       |  FROM cnt GROUP BY 1, 2),
+       |wide AS (SELECT doc_id,
+       |    max(CASE WHEN n = 2 THEN 1000000 * mc // ng END) AS p2,
+       |    max(CASE WHEN n = 3 THEN 1000000 * mc // ng END) AS p3,
+       |    max(CASE WHEN n = 4 THEN 1000000 * mc // ng END) AS p4
+       |  FROM top GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(w.p2, 0)::BIGINT AS top2_ppm,
+       |  coalesce(w.p3, 0)::BIGINT AS top3_ppm,
+       |  coalesce(w.p4, 0)::BIGINT AS top4_ppm,
+       |  (CASE WHEN coalesce(w.p2, 0) <= 200000 AND coalesce(w.p3, 0) <= 180000
+       |     AND coalesce(w.p4, 0) <= 160000 THEN 1 ELSE 0 END)::INT AS keep
+       |FROM documents d LEFT JOIN wide w ON w.doc_id = d.doc_id""".stripMargin
+  }
+
   /** Corpus curation: keep the top-5 documents per language by quality
     * score (the "best N per stratum" selection step of corpus mixing). */
   val pBestPerLang: Q = (s, d) => {
@@ -8754,6 +8789,7 @@ object QueryCatalog {
     "t_kl" -> tKl,
     "t_psi" -> tPsi,
     "t_special" -> tSpecial,
+    "t_ngram_rep" -> tNgramRep,
     "t_ppl" -> tPpl,
     "t_entropy" -> tEntropy,
     "t_fertility" -> tFertility,
@@ -9049,6 +9085,7 @@ object QueryCatalog {
     "t_kl" -> tKlSql,
     "t_psi" -> tPsiSql,
     "t_special" -> tSpecialSql,
+    "t_ngram_rep" -> tNgramRepSql,
     "t_ppl" -> tPplSql,
     "t_entropy" -> tEntropySql,
     "t_fertility" -> tFertilitySql,

@@ -856,6 +856,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(kl("a") < 0.2)
   }
 
+  test("r13 topNgramFracs: hand-counted dominant n-grams, published " +
+      "thresholds decide in integer ppm, short docs keep") {
+    val docs = Seq(
+      // "a b" appears 3× of 5 bigrams → 600000 ppm → drop (> 0.20)
+      (1L, "a b a b a b"),
+      // 12 distinct tokens: every n-gram unique → top2 = 1/11 ≈ 90909,
+      // top4 = 1/9 ≈ 111111 — all under the thresholds (the published
+      // rules implicitly need length: a 8-token doc's 1/5 four-gram
+      // share would trip 0.16 with zero repetition)
+      (2L, "q w e r t y u i o p k j"),
+      (3L, "one"),            // < 2 tokens → all 0, keep
+      (4L, "x y x y z")       // bigrams: xy,yx,xy,yz → top2 = 2/4 = 500000
+    ).toDF("doc_id", "text")
+    val out = Corpus.topNgramFracs(docs)
+      .as[(Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L)._1 === 600000L && out(1L)._4 === 0)
+    assert(out(2L)._1 === 90909L && out(2L)._4 === 1)
+    assert(out(3L) === ((0L, 0L, 0L, 1)))
+    assert(out(4L)._1 === 500000L && out(4L)._4 === 0)
+    // trigram check for doc 1: "a b a" 2×, "b a b" 2× of 4 → 500000
+    assert(out(1L)._2 === 500000L)
+  }
+
   test("r13 specialTokenScreen: control-token leaks count per family, " +
       "overlapping text stays clean") {
     val docs = Seq(
