@@ -1536,28 +1536,40 @@ object Analytics {
     * @return (v, deg) for vertices in the k-core, with their core degree
     */
   /** DENSEST-SUBGRAPH peeling profile (r13 — Charikar 2000's greedy
-    * 2-approximation in Bahmani et al. VLDB 2012's PARALLEL form, the
+    * approximation in Bahmani et al. VLDB 2012's PARALLEL form, the
     * MapReduce spelling: instead of peeling one min-degree vertex per
     * step — |V| sequential rounds — each round removes EVERY vertex
-    * whose degree is at most the current average (deg·|V| ≤ 2·|E|,
-    * exact integers, at least one such vertex always exists), so the
-    * graph shrinks geometrically and the round whose survivor set
-    * maximizes density |E|/|V| is a 2-approx densest subgraph — the
-    * community-core / spam-farm detector of large-graph curation.
+    * whose degree is at most (1+ε)× the current average with ε = 1/10
+    * (deg·|V|·10 ≤ 2·|E|·11, exact integers), so every survivor has
+    * deg > 2(1+ε)|E|/|V| and the handshake bound forces
+    * |survivors| < |V|/(1+ε): the vertex set shrinks GEOMETRICALLY and
+    * the loop is guaranteed to terminate within ⌈log₁.₁|V|⌉ rounds
+    * (r14 — the exact-average ε = 0 threshold has no such bound: a
+    * path graph peels only its two endpoints per round). The round
+    * whose survivor set maximizes density |E|/|V| is a 2(1+ε)-approx
+    * densest subgraph — the community-core / spam-farm detector of
+    * large-graph curation.
     *
     * Determinism: thresholds and the best-round pick are pure integer
     * comparisons (density compared by IEEE division of exact integers —
     * equal rationals divide to the identical double, ties to the
     * earliest round). Scale: each round is one degree groupBy + one
     * broadcast-remove semi-join on a geometrically shrinking edge set;
-    * rounds = O(log |V|); per-round stats are 1-row aggregates. Emits
-    * one row per round (n_vertices, n_edges, density_milli, best). */
-  def densestSubgraph(edges: DataFrame, maxRounds: Int = 24): DataFrame = {
+    * rounds ≤ log₁.₁|V| (maxRounds = 0 auto-sizes to that bound, so
+    * the terminal require can only fire on a genuine invariant break);
+    * per-round stats are 1-row aggregates. Emits one row per non-empty
+    * round (n_vertices, n_edges, density_milli, best); an empty /
+    * self-loop-only edge input yields an empty profile (no 0-vertex
+    * division row). */
+  def densestSubgraph(edges: DataFrame, maxRounds: Int = 0): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // self-loop filter AFTER the union: filtering only the forward
+    // branch let a reversed self-loop survive as a 0-real-degree vertex
+    // the (1+ε) threshold keeps forever (deg·|V|·10 > 0 with nE = 0)
     var und = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
       .distinct()
       .repartition(col("src")).localCheckpoint(eager = true)
     var verts = und.select(col("src").as("v")).distinct()
@@ -1565,14 +1577,21 @@ object Analytics {
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     var nV = verts.count()
     var nE = und.count() / 2
-    stats += ((0, nV, nE))
+    if (nV > 0) stats += ((0, nV, nE))
+    // (1+ε) geometric-shrink bound: |V| shrinks by ≥ 1/1.1 per round,
+    // so ⌈log₁.₁ nV⌉ + 1 rounds always suffice
+    val bound = if (maxRounds > 0) maxRounds
+      else math.ceil(math.log(math.max(nV, 2).toDouble) /
+        math.log(1.1)).toInt + 1
     var r = 1
-    while (nV > 0 && r <= maxRounds) {
-      // remove every vertex with deg·|V| ≤ 2·|E| (isolated vertices have
-      // deg 0 via the left join and always qualify)
+    while (nV > 0 && r <= bound) {
+      // remove every vertex with deg·|V|·10 ≤ 2·|E|·11, i.e. deg at most
+      // (1+ε)·average with ε = 1/10 (isolated vertices have deg 0 via
+      // the left join and always qualify)
       val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
       val keep = verts.join(deg, Seq("v"), "left")
-        .filter(coalesce(col("deg"), lit(0L)) * lit(nV) > lit(2L * nE))
+        .filter(coalesce(col("deg"), lit(0L)) * lit(nV) * lit(10L) >
+          lit(2L * nE * 11L))
         .select(col("v")).localCheckpoint(eager = true)
       und = und
         .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
@@ -1585,9 +1604,16 @@ object Analytics {
       r += 1
     }
     require(nV == 0,
-      s"densestSubgraph: not converged after $maxRounds rounds ($nV left)")
+      s"densestSubgraph: not converged after $bound rounds ($nV left)")
     // best round: max |E|/|V| (exact-integer IEEE division — equal
-    // rationals hit the identical double), ties to the earliest round
+    // rationals hit the identical double), ties to the earliest round;
+    // an empty profile (no vertices at round 0) short-circuits before
+    // any division
+    if (stats.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0).as("round"), lit(0L).as("n_vertices"),
+          lit(0L).as("n_edges"), lit(0L).as("density_milli"),
+          lit(0).as("best")).limit(0)
     val best = stats.maxBy { case (rr, v, e) =>
       (e.toDouble / v, -rr) }._1
     stats.toSeq.map { case (rr, v, e) =>

@@ -191,16 +191,26 @@ object Corpus {
   /** TOP n-GRAM repetition screens, n ∈ {2,3,4} (r13 — the remaining
     * "repetitious text" rows of Gopher's rule table, Rae et al. 2021
     * App. A1.1: a document where one n-gram dominates is boilerplate/
-    * spam): per document, the fraction of n-gram OCCURRENCES taken by
-    * the single most frequent n-gram (the [[repetitionStats]]
-    * top-bigram convention extended to 3- and 4-grams), as exact
-    * integer PPM — `1000000·max_count div total` — so the published
-    * thresholds (0.20/0.18/0.16) decide in pure integer arithmetic.
+    * spam): per document, the fraction of CHARACTERS contained within
+    * occurrences of the single most frequent n-gram — the statistic the
+    * published thresholds (0.20/0.18/0.16) are actually defined over
+    * (r14, advisor: the earlier occurrence-count fraction diverges from
+    * it whenever a short dominant gram sits in long-token text).
+    * Computed as exact integer PPM — `1000000·max_count·gram_chars div
+    * doc_chars` — where doc_chars is the space-joined NORMALIZED token
+    * stream (the same normalization the grams are built from, so
+    * numerator and denominator count the same alphabet) and gram_chars
+    * includes the joining spaces. Most-frequent tie-break: highest
+    * count, then longest gram (the choice only reaches the output
+    * through the gram's LENGTH, so any further tie is outcome-free).
+    * Sliding occurrences may overlap ("a a a a"), so the ppm can
+    * exceed 10⁶ — the screen direction is unaffected.
     *
     * Shape: one explode per n off the shared token-array scan, counts
     * keyed by (doc_id, n, gram) — partial-agg friendly, well-spread —
-    * then a per-doc max/sum and a 3-way conditional pivot. Short docs
-    * (< n tokens) contribute no n-grams and keep. */
+    * then a per-doc struct-max, a broadcast-size doc-length join, and a
+    * 3-way conditional pivot. Short docs (< n tokens) contribute no
+    * n-grams and keep. */
   def topNgramFracs(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
     val stacked = (2 to 4).map { n =>
@@ -209,15 +219,21 @@ object Corpus {
           explode(expr(s"transform(sequence(1, size(t) - ${n - 1}), " +
             s"i -> array_join(slice(t, i, $n), ' '))")).as("gram"))
     }.reduce(_ unionByName _)
+    val dl = toks.select(col("doc_id"),
+      length(array_join(col("t"), " ")).cast("long").as("dl"))
     val top = stacked.groupBy("doc_id", "n", "gram")
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id", "n")
-      .agg(max(col("c")).as("mc"), sum(col("c")).as("ng"))
+      .agg(max(struct(col("c"),
+        length(col("gram")).cast("long").as("gl"))).as("m"))
+      .select(col("doc_id"), col("n"),
+        col("m").getField("c").as("mc"), col("m").getField("gl").as("gl"))
+      .join(dl, Seq("doc_id"))
       .groupBy("doc_id")
       .agg(
-        max(when(col("n") === 2, expr("1000000 * mc div ng"))).as("p2"),
-        max(when(col("n") === 3, expr("1000000 * mc div ng"))).as("p3"),
-        max(when(col("n") === 4, expr("1000000 * mc div ng"))).as("p4"))
+        max(when(col("n") === 2, expr("1000000 * mc * gl div dl"))).as("p2"),
+        max(when(col("n") === 3, expr("1000000 * mc * gl div dl"))).as("p3"),
+        max(when(col("n") === 4, expr("1000000 * mc * gl div dl"))).as("p4"))
     docs.select(col("doc_id")).join(top, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("p2"), lit(0L)).as("top2_ppm"),
@@ -235,10 +251,19 @@ object Corpus {
     * carrying them poisons training (the tokenizer emits REAL control
     * ids mid-document — document-boundary and turn structure corrupt
     * silently). Counts each family with literal (non-regex) substring
-    * counting, flags any hit. Pure narrow map, all-integer verdict. */
+    * counting, flags any hit. Pure narrow map, all-integer verdict.
+    *
+    * r14 (advisor): `<s>`/`</s>` are ALSO legitimate HTML strikethrough
+    * tags — common in web scrapes upstream of HTML stripping — so they
+    * only count when at least one UNAMBIGUOUS family (`<|…|>`, `<unk>`,
+    * `<pad>`, `[INST]`) co-occurs in the same document; alone they
+    * neither count nor flag. */
   val specialTokens: Seq[String] = Seq(
     "<|endoftext|>", "<|im_start|>", "<|im_end|>", "<|assistant|>",
     "<s>", "</s>", "<unk>", "<pad>", "[INST]", "[/INST]")
+
+  /** The HTML-ambiguous subset of [[specialTokens]] (strikethrough). */
+  val htmlAmbiguousTokens: Set[String] = Set("<s>", "</s>")
 
   def specialTokenScreen(docs: DataFrame): DataFrame = {
     // literal count: (len(text) − len(replace(text, tok, ''))) / len(tok)
@@ -246,8 +271,13 @@ object Corpus {
       ((length(col("text")) -
         length(call_function("replace", col("text"), lit(tok), lit("")))) /
         lit(tok.length)).cast("long")
-    val total = specialTokens.map(countOf).reduce(_ + _)
-    docs.select(col("doc_id"), total.as("n_special"))
+    val sure = specialTokens.filterNot(htmlAmbiguousTokens)
+      .map(countOf).reduce(_ + _)
+    val ambig = htmlAmbiguousTokens.toSeq.sorted.map(countOf).reduce(_ + _)
+    docs.select(col("doc_id"), sure.as("ns"), ambig.as("na"))
+      .select(col("doc_id"),
+        (col("ns") + when(col("ns") > 0L, col("na")).otherwise(lit(0L)))
+          .as("n_special"))
       .withColumn("contaminated", (col("n_special") > 0).cast("int"))
   }
 

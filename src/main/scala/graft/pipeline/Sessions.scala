@@ -247,7 +247,13 @@ object Sessions {
     val covXy = col("sxy") - col("sx") * col("sy") / n
     val varX = col("sxx") - col("sx") * col("sx") / n
     val varY = col("syy") - col("sy") * col("sy") / n
-    val theta = round(covXy / varX, 6)
+    // r14 degenerate-input guard (advisor): a constant pre-period X
+    // (varX = 0 — e.g. every event lands after the midpoint cutoff)
+    // has nothing to explain away, so θ = 0 and the adjustment is the
+    // identity (var_reduction 0) instead of a silent NaN cascade; the
+    // strict > 0 also absorbs a tiny negative varX from float
+    // cancellation on constant columns
+    val theta = when(varX > 0.0, round(covXy / varX, 6)).otherwise(0.0)
     val meanX = col("sx") / n
     g.select(col("n_a"), col("n_b"),
       (theta + 0.0).as("theta"),
@@ -257,7 +263,9 @@ object Sessions {
         / col("n_a"), 6) + 0.0).as("mean_adj_a"),
       (round((col("syb") - theta * (col("sxb") - col("n_b") * meanX))
         / col("n_b"), 6) + 0.0).as("mean_adj_b"),
-      (round(covXy * covXy / (varX * varY), 6) + 0.0).as("var_reduction"))
+      (when(varX > 0.0 && varY > 0.0,
+        round(covXy * covXy / (varX * varY), 6))
+        .otherwise(0.0) + 0.0).as("var_reduction"))
   }
 
   def abTest(events: DataFrame, variantB: Column,

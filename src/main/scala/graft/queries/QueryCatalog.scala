@@ -1915,18 +1915,28 @@ object QueryCatalog {
   }
 
   val tSpecialSql: String = {
-    val counts = graft.pipeline.Corpus.specialTokens.map { t =>
+    def countsOf(toks: Seq[String]) = toks.map { t =>
       val esc = t.replace("'", "''")
       s"(length(t2) - length(replace(t2, '$esc', ''))) // ${t.length}"
     }.mkString(" + ")
-    s"""SELECT doc_id, ($counts)::BIGINT AS n_special,
-       |  (CASE WHEN ($counts) > 0 THEN 1 ELSE 0 END)::INT AS contaminated
-       |FROM (SELECT doc_id, text ||
+    // r14: HTML-ambiguous <s>/</s> only count when an unambiguous
+    // family co-occurs (Corpus.htmlAmbiguousTokens)
+    val sure = countsOf(graft.pipeline.Corpus.specialTokens
+      .filterNot(graft.pipeline.Corpus.htmlAmbiguousTokens))
+    val ambig = countsOf(
+      graft.pipeline.Corpus.htmlAmbiguousTokens.toSeq.sorted)
+    s"""WITH aug AS (SELECT doc_id, text ||
        |    (CASE WHEN doc_id % 13 = 0 THEN ' <|endoftext|>'
        |      WHEN doc_id % 13 = 4 THEN ' <|im_start|>user hello<|im_end|>'
        |      WHEN doc_id % 13 = 7 THEN ' [INST] hi [/INST] <s>'
        |      ELSE '' END) AS t2
-       |  FROM documents)""".stripMargin
+       |  FROM documents),
+       |c AS (SELECT doc_id, ($sure)::BIGINT AS ns, ($ambig)::BIGINT AS na
+       |  FROM aug)
+       |SELECT doc_id,
+       |  (ns + CASE WHEN ns > 0 THEN na ELSE 0 END)::BIGINT AS n_special,
+       |  (CASE WHEN ns > 0 THEN 1 ELSE 0 END)::INT AS contaminated
+       |FROM c""".stripMargin
   }
 
   /** t_psi — per-source POPULATION STABILITY INDEX
@@ -4229,9 +4239,10 @@ object QueryCatalog {
 
   /** t_ngram_rep — top n-gram repetition screens, n ∈ {2,3,4}
     * ([[graft.pipeline.Corpus.topNgramFracs]], the remaining Gopher
-    * A1.1 repetition rows): per-doc fraction of n-gram occurrences
-    * taken by the most frequent n-gram, exact integer ppm with the
-    * published 0.20/0.18/0.16 thresholds deciding integerly. */
+    * A1.1 repetition rows): per-doc fraction of CHARACTERS contained
+    * within the most frequent n-gram's occurrences (r14 — the statistic
+    * the published 0.20/0.18/0.16 thresholds are defined over), exact
+    * integer ppm over the normalized token stream, deciding integerly. */
   val tNgramRep: Q = (s, d) =>
     Corpus.topNgramFracs(Tables.documents(s, d))
 
@@ -4246,13 +4257,19 @@ object QueryCatalog {
        |${(2 to 4).map(gramCte).mkString(",\n")},
        |allg AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3 UNION ALL SELECT * FROM g4),
        |cnt AS (SELECT doc_id, n, gram, count(*)::BIGINT AS c FROM allg GROUP BY 1, 2, 3),
-       |top AS (SELECT doc_id, n, max(c)::BIGINT AS mc, sum(c)::BIGINT AS ng
-       |  FROM cnt GROUP BY 1, 2),
-       |wide AS (SELECT doc_id,
-       |    max(CASE WHEN n = 2 THEN 1000000 * mc // ng END) AS p2,
-       |    max(CASE WHEN n = 3 THEN 1000000 * mc // ng END) AS p3,
-       |    max(CASE WHEN n = 4 THEN 1000000 * mc // ng END) AS p4
-       |  FROM top GROUP BY 1)
+       |mx AS (SELECT doc_id, n, max(c)::BIGINT AS mc FROM cnt GROUP BY 1, 2),
+       |top AS (SELECT c.doc_id, c.n, m.mc,
+       |    max(length(c.gram))::BIGINT AS gl
+       |  FROM cnt c JOIN mx m ON m.doc_id = c.doc_id AND m.n = c.n
+       |    AND c.c = m.mc
+       |  GROUP BY 1, 2, 3),
+       |dl AS (SELECT doc_id, length(array_to_string(t, ' '))::BIGINT AS dl
+       |  FROM toks),
+       |wide AS (SELECT t.doc_id,
+       |    max(CASE WHEN n = 2 THEN 1000000 * mc * gl // dl END) AS p2,
+       |    max(CASE WHEN n = 3 THEN 1000000 * mc * gl // dl END) AS p3,
+       |    max(CASE WHEN n = 4 THEN 1000000 * mc * gl // dl END) AS p4
+       |  FROM top t JOIN dl ON dl.doc_id = t.doc_id GROUP BY 1)
        |SELECT d.doc_id,
        |  coalesce(w.p2, 0)::BIGINT AS top2_ppm,
        |  coalesce(w.p3, 0)::BIGINT AS top3_ppm,
@@ -4410,9 +4427,12 @@ object QueryCatalog {
   /** q80_densest — DENSEST-SUBGRAPH peeling profile over the
     * co-purchase graph ([[graft.enrich.Analytics.densestSubgraph]],
     * Charikar 2000 greedy via Bahmani et al. 2012's parallel rounds):
-    * each round removes every vertex with deg·|V| ≤ 2·|E| (exact
-    * integers); the best-density survivor set is a 2-approx densest
-    * subgraph. The oracle unrolls all 24 round CTEs; rows only for
+    * each round removes every vertex with deg·|V|·10 ≤ 2·|E|·11 — the
+    * (1+ε) ε = 1/10 threshold whose handshake bound guarantees
+    * geometric vertex shrink (r14; exact integers); the best-density
+    * survivor set is a 2(1+ε)-approx densest subgraph. The oracle
+    * unrolls all 24 round CTEs (the ε-slack converges FASTER than the
+    * old exact-average peel, which took ≤ 11 at sf0.1); rows only for
     * non-empty rounds; best picked by exact-rational density (IEEE
     * division of exact integers, earliest-round tie-break). */
   val q80Densest: Q = (s, d) =>
@@ -4424,7 +4444,7 @@ object QueryCatalog {
       s"""d$r AS (SELECT src AS v, count(*)::BIGINT AS deg FROM u${r - 1} GROUP BY 1),
          |v$r AS MATERIALIZED (SELECT vv.v FROM v${r - 1} vv
          |  LEFT JOIN d$r d ON d.v = vv.v CROSS JOIN s${r - 1} s
-         |  WHERE coalesce(d.deg, 0) * s.nv > 2 * s.ne),
+         |  WHERE coalesce(d.deg, 0) * s.nv * 10 > 2 * s.ne * 11),
          |u$r AS MATERIALIZED (SELECT u.src, u.dst FROM u${r - 1} u
          |  JOIN v$r x ON u.src = x.v JOIN v$r y ON u.dst = y.v),
          |s$r AS MATERIALIZED (SELECT $r AS round,
@@ -8486,14 +8506,17 @@ object QueryCatalog {
       .agg(max(col("est")).as("est"))
   }
 
-  /** st_quantile — per-window streaming HISTOGRAM QUANTILES
-    * ([[graft.streaming.Streams.streamingQuantiles]]): a fixed 101-bin
-    * count histogram per 7-day window, merged additively across ordered
-    * micro-batches; p50/p90/p99 read as the smallest bin whose
-    * cumulative count reaches ceil(q·n/100) — all integers. Each emit
-    * carries the running n (strictly growing per fired batch), so
-    * max_by(est, n) selects the converged estimate; the oracle rebuilds
-    * the same histogram per window in SQL. */
+  /** st_quantile — per-window streaming WHOLE-UNIT QUANTILES
+    * ([[graft.streaming.Streams.streamingQuantiles]], r14: a readout
+    * shape over the st_ddsketch log-bucket kernel — the r13 verdict's
+    * task #2): DDSketch-style integer log buckets per 7-day window,
+    * merged additively across ordered micro-batches; p50/p90/p99 read
+    * as the smallest bucket whose cumulative count reaches
+    * ceil(q·n/100), the bucket midpoint decodes with shifts, and the
+    * emit clamps est_milli/1000 to the [0,bins) whole-unit output
+    * domain. Each emit carries the running n (strictly growing per
+    * fired batch), so max_by(est, n) selects the converged estimate;
+    * the oracle replays buckets, pick, decode, and clamp verbatim. */
   val stQuantile: Q = (s, d) => {
     import s.implicits._
     StreamReplay.replay(s, eventsOrdered(s, d), "st_quantile", "update") {
@@ -8506,18 +8529,25 @@ object QueryCatalog {
 
   val stQuantileSql: String =
     """WITH ev AS (SELECT epoch_us(ts) // 604800000000 * 604800000000 AS ws_us,
-      |    least(greatest(floor(value), 0), 100)::INT AS bin FROM events),
-      |b AS (SELECT ws_us, bin, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+      |    greatest(floor(value * 1000), 0)::BIGINT AS lv FROM events),
+      |ids AS (SELECT ws_us, CASE WHEN lv <= 63 THEN lv
+      |    ELSE (length(bin(lv)) - 6)::BIGINT * 64 + (lv >> (length(bin(lv)) - 6)) END AS b
+      |  FROM ev),
+      |b AS (SELECT ws_us, b, count(*)::BIGINT AS c FROM ids GROUP BY 1, 2),
       |n AS (SELECT ws_us, sum(c)::BIGINT AS n FROM b GROUP BY 1),
-      |cum AS (SELECT ws_us, bin,
-      |    sum(c) OVER (PARTITION BY ws_us ORDER BY bin)::BIGINT AS cum
-      |  FROM b),
-      |qs(q) AS (VALUES (50), (90), (99))
-      |SELECT c.ws_us, q.q::INT AS q, min(c.bin)::INT AS est_bin,
-      |  min(n.n)::BIGINT AS n
-      |FROM cum c JOIN n ON n.ws_us = c.ws_us CROSS JOIN qs q
-      |WHERE 100 * c.cum >= q.q * n.n
-      |GROUP BY c.ws_us, q.q""".stripMargin
+      |cum AS (SELECT ws_us, b,
+      |    sum(c) OVER (PARTITION BY ws_us ORDER BY b)::BIGINT AS cum FROM b),
+      |qs(q) AS (VALUES (50), (90), (99)),
+      |sel AS (SELECT c.ws_us, q.q::INT AS q, min(c.b) AS b, min(n.n)::BIGINT AS n
+      |  FROM cum c JOIN n ON n.ws_us = c.ws_us CROSS JOIN qs q
+      |  WHERE 100 * c.cum >= q.q * n.n
+      |  GROUP BY c.ws_us, q.q)
+      |SELECT ws_us, q,
+      |  least((CASE WHEN b <= 63 THEN b
+      |    ELSE ((b % 64) * (1::BIGINT << (b // 64))
+      |      + ((b % 64 + 1) * (1::BIGINT << (b // 64)) - 1)) // 2 END) // 1000,
+      |    100)::INT AS est_bin, n
+      |FROM sel""".stripMargin
 
   /** st_ddsketch — per-window streaming LOG-BUCKET quantiles
     * ([[graft.streaming.Streams.streamingLogQuantiles]], r12 verdict

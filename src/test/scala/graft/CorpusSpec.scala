@@ -266,6 +266,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs((ab - aa) - (yb - ya)) < 1.5,
       s"effect distorted: raw ${yb - ya}, adj ${ab - aa}")
     assert(ab - aa > 3.0)
+
+    // r14 degenerate guard (advisor): every user shares the same
+    // pre-period X (varX = 0) → θ = 0, the adjustment is the identity,
+    // var_reduction 0 — no NaN/null cascade
+    val const = (0L to 3L).flatMap(u => Seq(
+      (u * 2 + 1, t(0), u, "act", 5.0),
+      (u * 2 + 2, t(19), u, "act", (u + 1).toDouble)))
+    val d = Sessions.cupedAdjust(
+      const.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      col("user_id") % 2 === 1).collect().head
+    assert(d.getDouble(2) === 0.0 && d.getDouble(7) === 0.0,
+      s"degenerate CUPED not guarded: $d")
+    assert(d.getDouble(5) === d.getDouble(3) &&
+      d.getDouble(6) === d.getDouble(4))
   }
 
   test("attribution: first/last/linear models, lookback, micro-credits") {
@@ -856,48 +870,58 @@ class CorpusSpec extends AnyFunSuite {
     assert(kl("a") < 0.2)
   }
 
-  test("r13 topNgramFracs: hand-counted dominant n-grams, published " +
-      "thresholds decide in integer ppm, short docs keep") {
+  test("r14 topNgramFracs: hand-counted CHARACTER fractions (the " +
+      "statistic the published thresholds are defined over), short " +
+      "docs keep") {
+    // 24 distinct 2-char tokens: every n-gram unique, so top-n char
+    // share = (2n + n−1)/71 — all under the thresholds
+    val unique = ('a' to 'x').map(c => s"$c$c").mkString(" ")
     val docs = Seq(
-      // "a b" appears 3× of 5 bigrams → 600000 ppm → drop (> 0.20)
+      // tokens [a,b]×3, doc chars 11; top bigram "a b" (c=3, 3 chars)
+      // → 1000000·9 div 11 = 818181 → drop (> 0.20)
       (1L, "a b a b a b"),
-      // 12 distinct tokens: every n-gram unique → top2 = 1/11 ≈ 90909,
-      // top4 = 1/9 ≈ 111111 — all under the thresholds (the published
-      // rules implicitly need length: a 8-token doc's 1/5 four-gram
-      // share would trip 0.16 with zero repetition)
-      (2L, "q w e r t y u i o p k j"),
+      (2L, unique),
       (3L, "one"),            // < 2 tokens → all 0, keep
-      (4L, "x y x y z")       // bigrams: xy,yx,xy,yz → top2 = 2/4 = 500000
+      (4L, "x y x y z")       // "x y" ×2 of 9 chars → 6/9 → 666666
     ).toDF("doc_id", "text")
     val out = Corpus.topNgramFracs(docs)
       .as[(Long, Long, Long, Long, Int)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
-    assert(out(1L)._1 === 600000L && out(1L)._4 === 0)
-    assert(out(2L)._1 === 90909L && out(2L)._4 === 1)
+    assert(out(1L)._1 === 818181L && out(1L)._4 === 0)
+    // doc 2: dl = 24·2 + 23 = 71; top2 = 5/71 → 70422; top3 = 8/71 →
+    // 112676; top4 = 11/71 → 154929 — all under 0.20/0.18/0.16 → keep
+    assert(out(2L) === ((70422L, 112676L, 154929L, 1)))
     assert(out(3L) === ((0L, 0L, 0L, 1)))
-    assert(out(4L)._1 === 500000L && out(4L)._4 === 0)
-    // trigram check for doc 1: "a b a" 2×, "b a b" 2× of 4 → 500000
-    assert(out(1L)._2 === 500000L)
+    assert(out(4L)._1 === 666666L && out(4L)._4 === 0)
+    // trigram check for doc 1: "a b a" 2×, "b a b" 2× (tie → same gl 5)
+    // → 1000000·2·5 div 11 = 909090; overlapping 4-grams ("a b a b" 2×,
+    // gl 7) exceed 10⁶ by design: 1272727
+    assert(out(1L)._2 === 909090L)
+    assert(out(1L)._3 === 1272727L)
   }
 
-  test("r13 specialTokenScreen: control-token leaks count per family, " +
-      "overlapping text stays clean") {
+  test("r14 specialTokenScreen: control-token leaks count per family; " +
+      "HTML-ambiguous <s>/</s> need an unambiguous co-occurrence") {
     val docs = Seq(
       (1L, "plain prose with no markers at all"),
       (2L, "chat dump <|im_start|>user hi<|im_end|> <|im_start|>x"),
       (3L, "sp tokens <s>seq</s> plus <unk> and <pad>"),
       (4L, "llama [INST] q [/INST] answer"),
       (5L, "lookalikes: < s > <|endoftext |> [INST without close"),
-      (6L, "double <|endoftext|><|endoftext|>")
+      (6L, "double <|endoftext|><|endoftext|>"),
+      // r14 (advisor): residual HTML strikethrough with NO control
+      // family present — <s>/</s> alone neither count nor flag
+      (7L, "big <s>sale</s> now, html not yet stripped")
     ).toDF("doc_id", "text")
     val out = Corpus.specialTokenScreen(docs)
       .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out(1L) === ((0L, 0)))
     assert(out(2L) === ((3L, 1)))  // two im_start + one im_end
-    assert(out(3L) === ((4L, 1)))
+    assert(out(3L) === ((4L, 1)))  // <unk>+<pad> unlock the <s>/</s> pair
     assert(out(4L) === ((2L, 1)))
     assert(out(5L) === ((0L, 0)))  // near-misses never flag
     assert(out(6L) === ((2L, 1)))
+    assert(out(7L) === ((0L, 0)))
   }
 
   test("r13 psiDrift: conforming sources score ~0, a shifted length " +

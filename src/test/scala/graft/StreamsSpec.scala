@@ -697,6 +697,46 @@ class StreamsSpec extends AnyFunSuite {
     assert(w1Rows.map(r => (r._2, r._3, r._4)).distinct.length === 1)
   }
 
+  test("r14 per-row lateness: a cross-window row within the watermark " +
+      "allowance is KEPT; a row beyond it drops (the wstart-tag " +
+      "regression both ways)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.OutputMode
+    // epoch-aligned 7-day windows flip at 2024-01-04 00:00 (a Thursday).
+    // Batch 1: two on-time window-1 rows. Batch 2: the first window-2
+    // row, 5 min past the boundary — under the r13 wstart watermark this
+    // alone pushed the clock a whole window past every window-1 row.
+    // Batch 3: a window-1 straggler 7 min behind the max seen ts (within
+    // the 10 min allowance → must be KEPT) and one 25 min behind (beyond
+    // it → must drop).
+    // EventTimeTimeout: Spark's state operator only drops
+    // behind-watermark input rows under event-time timeout (the
+    // production posture); NoTimeout processes everything
+    def ev(ts: String, v: Double) = Streams.Event(1L,
+      java.sql.Timestamp.valueOf(ts), 1L, "a", v)
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.streamingLogQuantiles(mem.toDF(), qs = Seq(50),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout
+          .EventTimeTimeout).toDF()
+      .writeStream.format("memory").queryName("st_latewin")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      Seq(
+        Seq(ev("2024-01-03 10:00:00", 10.0), ev("2024-01-03 11:00:00", 10.0)),
+        Seq(ev("2024-01-04 00:05:00", 99.0)),
+        Seq(ev("2024-01-03 23:58:00", 10.0),   // 7 min late: kept
+            ev("2024-01-03 23:40:00", 10.0))   // 25 min late: dropped
+      ).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table("st_latewin").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(3)))
+    val w1 = java.sql.Timestamp.valueOf("2023-12-28 00:00:00")
+    // window 1's final n counts the two on-time rows plus exactly the
+    // 7-min straggler
+    assert(out.filter(_._1 == w1).map(_._2).max === 3L,
+      s"got ${out.toSeq}")
+  }
+
   test("r13 bloomRefreshIngest: an intra-stream duplicate flags once " +
       "its original's bits are folded in; the set is split-invariant") {
     implicit val sqlCtx = spark.sqlContext
