@@ -79,7 +79,16 @@ object Bench {
     }
     resetCacheState() // drop the warm-up scale's leftovers
     val loadStart = loadavg()
-    val results = picked.map { case (name, fn) =>
+    // r14: time the sweep in NAME order, not Map iteration order. A
+    // HashMap reshuffles every query's position whenever the catalog
+    // grows, so session-lifetime state a cache reset can't return (JIT /
+    // code-cache occupancy, heap fragmentation, accumulated /tmp shuffle
+    // dirs) lands on DIFFERENT queries each round — r13's correlated
+    // "+0.5-0.9s on unchanged GraphX twins" was exactly this placement
+    // lottery. Sorted order keeps each query's predecessors stable
+    // round-over-round, so a drift in its number means the QUERY (or
+    // real ambient load), not the sweep.
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -87,7 +96,7 @@ object Bench {
       }
       resetCacheState()
       name -> times
-    }
+    }.toMap
     val loadEnd = loadavg()
     // Contention guard (second pass): a committed artifact must never
     // carry a number 8x off steady state because the machine happened to

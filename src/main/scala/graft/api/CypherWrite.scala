@@ -30,6 +30,12 @@ import graft.model.Kind
   *  - `MERGE (a:task {full_name: 'x'})-[:REL {k:'v'}]->(b {full_name: 'y'})`
   *    → edge upsert with endpoint stubs (add_edge, graphDB.py:133-152,
   *    A4); the task label may sit on either endpoint
+  *  - `MERGE (a:task {full_name:'x'})-[r:REL]->(b {full_name:'y'})
+  *    ON CREATE SET r.a='1' ON MATCH SET r.b='2'` → conditional edge
+  *    upsert (r14): create seeds pattern props + the ON CREATE branch,
+  *    match patches the existing edge's props key-wise — py2neo's
+  *    edge-branch spelling (public-API breadth beyond the reference's
+  *    own parameterized add_edge)
   *
   * Labels on a node pattern split by vocabulary: a member of
   * [[Kind.all]] is the kind, anything else is a task id. Node
@@ -64,6 +70,18 @@ object CypherWrite {
       onMatch: Map[String, String]) extends Stmt
   final case class UpsertEdge(task: String, src: String, relType: String,
       dst: String, props: Map[String, String]) extends Stmt
+  /** `MERGE (a)-[r:REL {props}]->(b) ON CREATE SET r.k='v' ON MATCH SET
+    * r.j='w'` (r14, r13 verdict task #3) — the edge-pattern analog of
+    * [[MergeNode]]: edge identity is the (src, rel_type, dst) key (the
+    * single-key A4 model — pattern props seed creation, they are not
+    * match constraints), the ON CREATE branch seeds a new edge's props,
+    * the ON MATCH branch patches an existing one key-wise. Branch SETs
+    * must dot the bound RELATIONSHIP variable (endpoint SETs are out of
+    * this subset and raise). */
+  final case class MergeEdge(task: String, src: String, relType: String,
+      dst: String, props: Map[String, String],
+      onCreate: Map[String, String], onMatch: Map[String, String])
+    extends Stmt
 
   // `(var[:lbl[:lbl…]] [{props}])` — labels may be backticked (the
   // reference backticks task ids, graphDB.py:98); props literal is
@@ -90,9 +108,17 @@ object CypherWrite {
     """(?is)ON\s+(CREATE|MATCH)\s+SET\s+(.+?)(?=ON\s+(?:CREATE|MATCH)\s+SET|$)""".r
   private val updateRe =
     (s"""(?is)^\\s*MATCH\\s*$nodePat\\s*(SET\\s+.+?)\\s*$$""").r
+  // a bound relationship variable is allowed (and ignored) on the plain
+  // upsert; the branch form below REQUIRES it as the SET target
   private val edgeWriteRe =
-    (s"""(?is)^\\s*(CREATE|MERGE)\\s*$nodePat\\s*-\\s*\\[\\s*:\\s*""" +
+    (s"""(?is)^\\s*(CREATE|MERGE)\\s*$nodePat\\s*-\\s*\\[\\s*(?:\\w+\\s*)?:\\s*""" +
       s"""(\\w+)\\s*(\\{.*?\\})?\\s*\\]\\s*->\\s*$nodePat\\s*$$""").r
+  // edge MERGE with ON CREATE SET / ON MATCH SET branches (either, both,
+  // any order) — the r14 write-surface extension (r13 verdict task #3)
+  private val edgeMergeOnRe =
+    (s"""(?is)^\\s*MERGE\\s*$nodePat\\s*-\\s*\\[\\s*(\\w+)?\\s*:\\s*""" +
+      s"""(\\w+)\\s*(\\{.*?\\})?\\s*\\]\\s*->\\s*$nodePat\\s*""" +
+      s"""((?:ON\\s+(?:CREATE|MATCH)\\s+SET\\s+.+?)+)\\s*$$""").r
 
   private def labelsOf(spec: String): Seq[String] =
     if (spec == null) Seq.empty
@@ -226,6 +252,27 @@ object CypherWrite {
     case promoteRe(v, fn, v2, v3, label) =>
       require(v == v2 && v == v3, "REMOVE/SET must target the bound variable")
       Some(Promote(CypherLite.unquote(noParams(fn)), label))
+    case edgeMergeOnRe(_, aLabels, aProps, relVar, rel, rProps,
+        _, bLabels, bProps, branches) =>
+      val (_, aTasks) = splitLabels(labelsOf(aLabels))
+      val (_, bTasks) = splitLabels(labelsOf(bLabels))
+      val task = (aTasks ++ bTasks).headOption.getOrElse(
+        throw new IllegalArgumentException(
+          "edge MERGE needs a task label on an endpoint (stub attribution)"))
+      require(relVar != null && relVar.nonEmpty,
+        "edge MERGE branches need a bound relationship variable " +
+          "(MERGE (a)-[r:REL]->(b) ON … SET r.prop = …)")
+      var onCreate = Map.empty[String, String]
+      var onMatch = Map.empty[String, String]
+      onClauseRe.findAllMatchIn(branches).foreach { m =>
+        val items = parseSetItems("SET " + m.group(2).trim, relVar)
+        if (m.group(1).equalsIgnoreCase("CREATE")) onCreate ++= items
+        else onMatch ++= items
+      }
+      Some(MergeEdge(task,
+        fullNameOf(propsOf(aProps), "start node"), rel,
+        fullNameOf(propsOf(bProps), "end node"), propsOf(rProps),
+        onCreate, onMatch))
     case edgeWriteRe(_, _, aLabels, aProps, rel, rProps, _, bLabels, bProps) =>
       val (_, aTasks) = splitLabels(labelsOf(aLabels))
       val (_, bTasks) = splitLabels(labelsOf(bLabels))

@@ -92,6 +92,39 @@ final class GraphDatabase private (
     stagedEdges += EdgeEvent(stageSeq, taskId, src, relType, dst, props)
   }
 
+  /** Neo4j `MERGE (a)-[r:REL]->(b) ON CREATE SET … ON MATCH SET …` —
+    * the conditional EDGE upsert (r14, the [[mergeNode]] pattern on the
+    * A4 edge key): if (src, rel_type, dst) exists, the ON MATCH branch
+    * patches its props KEY-WISE; otherwise the edge is created from the
+    * pattern props + the ON CREATE branch. Existence probes the staged
+    * batch on the driver plus a point lookup on the base snapshot
+    * (read-your-writes without a per-statement flush — the mergeNode
+    * discipline). The in-batch edge fold is whole-map LWW
+    * ([[graft.merge.Merge.mergeEdges]]), so an ON MATCH patch over a
+    * SAME-BATCH staged edge re-stages the folded map ++ the branch —
+    * per-call replay keeps earlier staged keys; a base-snapshot match
+    * stages the branch alone and commit's key-wise prio fold does the
+    * patch. */
+  def mergeEdge(taskId: String, src: String, relType: String, dst: String,
+      props: Map[String, String], onCreate: Map[String, String],
+      onMatch: Map[String, String]): Unit = synchronized {
+    val stagedSame = stagedEdges.filter(e =>
+      e.src == src && e.relType == relType && e.dst == dst)
+    val exists = stagedSame.nonEmpty ||
+      !snap.edges.filter(col("src") === src &&
+        col("rel_type") === relType && col("dst") === dst).isEmpty
+    if (!exists) addEdge(taskId, src, relType, dst, props ++ onCreate)
+    else if (onMatch.nonEmpty) {
+      // the staged view of this edge is the LAST staged event's map
+      // (mergeEdges' whole-map LWW); base-only matches stage the branch
+      // alone and the commit fold patches key-wise
+      val stagedProps =
+        if (stagedSame.isEmpty) Map.empty[String, String]
+        else stagedSame.maxBy(_.seq).props
+      addEdge(taskId, src, relType, dst, stagedProps ++ onMatch)
+    }
+  }
+
   /** Merge the staged batch into the snapshot (set-oriented A1-A4) and
     * persist if a directory is configured. */
   def commit(): Unit = synchronized {
@@ -372,6 +405,8 @@ final class GraphDatabase private (
           case CypherWrite.UpdateProps(fn, props) => updateNode(fn, props)
           case CypherWrite.UpsertEdge(task, s, r, d, props) =>
             addEdge(task, s, r, d, props)
+          case CypherWrite.MergeEdge(task, s, r, d, props, onC, onM) =>
+            mergeEdge(task, s, r, d, props, onC, onM)
         }
         spark.emptyDataFrame
       case None => { val n = nodes; CypherLite.execute(n, snap.edges, cypher) }

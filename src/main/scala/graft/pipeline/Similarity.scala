@@ -155,6 +155,16 @@ object Similarity {
     * aggregate and the ≤|cand|² final matrix are the bounded-collect
     * discipline (mmr/k-center). Emits every candidate with its cell
     * weight and final pick order (−1 = not picked). */
+  /** Candidate pull-back as a BROADCAST SEMI-JOIN (r14 — replaces the
+    * up-to-4096-literal `isin` predicate): the bounded id set becomes a
+    * broadcast-hash probe, the catalog's idiomatic spelling at any cap.
+    * Package-visible so PlanShapeSpec pins the physical join. */
+  private[graft] def candSemiJoin(e: DataFrame, ids: Seq[Long]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.join(broadcast(ids.toDF("vec_id")), Seq("vec_id"), "left_semi")
+  }
+
   def kmeansParInit(emb: DataFrame, k: Int = 8, l: Int = 8,
       rounds: Int = 2, maxCandidates: Int = 4096): DataFrame = {
     val spark = emb.sparkSession
@@ -162,9 +172,9 @@ object Similarity {
     val e = emb.select(col("vec_id"), col("embedding"))
     var candIds: Vector[Long] =
       Vector(centroidSeeds(emb, 1).select(col("cid")).as[Long].head())
+    def candVecsOf(ids: Vector[Long]) = candSemiJoin(e, ids)
     for (r <- 1 to rounds) {
-      val cen = e.filter(col("vec_id").isin(candIds: _*))
-        .select(col("embedding").as("cv"))
+      val cen = candVecsOf(candIds).select(col("embedding").as("cv"))
       // candidates score d² = 0 (cos(x,x) rounds to exactly 1), so the
       // sampling coin can never re-pick them — no exclusion join needed
       val d2 = e.crossJoin(broadcast(cen))
@@ -176,12 +186,20 @@ object Similarity {
       // the sampling coin is the LCG hash (the epochRepeat spelling —
       // the string rolling hash is near-LINEAR over consecutive integer
       // ids and clumps the sample); per-round salt in the increment
-      val newIds = d2.filter(
+      // probe discipline (r14): limit(cap+1) BEFORE the collect — the
+      // driver holds at most maxCandidates+1 rows even when the sample
+      // blows up, and the require fires on the probe, not after the
+      // fact (the q77 Tarjan-probe spelling). Within the bound the
+      // limit is a no-op, so the sampled set is unchanged.
+      val probe = d2.filter(
           (pmod(col("vec_id") * lit(1103515245L) + lit(12345L * r),
             lit(2147483647L)) % lit(1000000L)).cast("double") * lit(phi) <
           lit(l * 1000000.0) * col("d2"))
-        .select(col("vec_id")).as[Long].collect().sorted.toVector
-      candIds = (candIds ++ newIds).distinct
+        .select(col("vec_id")).limit(maxCandidates + 1)
+        .as[Long].collect()
+      require(probe.length <= maxCandidates,
+        s"k-means|| candidate blow-up (> $maxCandidates sampled in round $r)")
+      candIds = (candIds ++ probe.sorted.toVector).distinct
       require(candIds.length <= maxCandidates,
         s"k-means|| candidate blow-up (${candIds.length} > $maxCandidates)")
     }
@@ -189,7 +207,7 @@ object Similarity {
       s"k-means|| undersampled: ${candIds.length} candidates < k=$k " +
         "(raise l or rounds)")
     // cell weights: every point assigns to its nearest candidate
-    val candVecs = e.filter(col("vec_id").isin(candIds: _*))
+    val candVecs = candVecsOf(candIds)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val byPoint = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cs").desc, col("cid").asc)

@@ -457,6 +457,22 @@ object QueryCatalog {
     (0L to 2L).foreach { k =>
       run(s"MERGE (n:CLASS:`t1` {full_name: 'merged.$k'}) " +
         "ON CREATE SET n.origin = 'again' ON MATCH SET n.matched = '1'") }
+    // r14: EDGE MERGE with branches. The IN_REGION edges of nations 0-2
+    // exist → ON MATCH patches r.et, the ON CREATE r.eo must NOT seed;
+    // the NEXT chain edges are new → ON CREATE seeds r.eo, and a SECOND
+    // merge of each takes the ON MATCH branch only (eo survives 'new',
+    // em appears)
+    nats.take(3).foreach { case (k, _, r) =>
+      run(s"MERGE (a:`t1` {full_name: 'nation.$k'})-[r:IN_REGION]->" +
+        s"(b {full_name: 'region.$r'}) " +
+        "ON CREATE SET r.eo = 'ghost' ON MATCH SET r.et = 'y'") }
+    (0L to 2L).foreach { k =>
+      run(s"MERGE (a:`t1` {full_name: 'nation.$k'})-[r:NEXT]->" +
+        s"(b {full_name: 'nation.${k + 1}'}) ON CREATE SET r.eo = 'new'") }
+    (0L to 2L).foreach { k =>
+      run(s"MERGE (a:`t1` {full_name: 'nation.$k'})-[r:NEXT]->" +
+        s"(b {full_name: 'nation.${k + 1}'}) " +
+        "ON CREATE SET r.eo = 'again' ON MATCH SET r.em = '1'") }
     // scratch task: its node AND its edge into nation.1 must cascade
     // away on DETACH DELETE (A5); nation.1 itself survives untouched
     run("CREATE (n:CLASS:`t2` {full_name: 'tmp.0', name: 'tmp'})")
@@ -465,6 +481,16 @@ object QueryCatalog {
     run("MATCH (n:`t2`) DETACH DELETE n")
     val inDeg = db.edges.groupBy(col("dst").as("full_name"))
       .agg(count(lit(1)).as("n_in"))
+    // edge-branch readout (r14): each nation has ≤1 outgoing IN_REGION
+    // and ≤1 outgoing NEXT edge — their branch props surface per src
+    val regionEdge = db.edges.filter(col("rel_type") === "IN_REGION")
+      .select(col("src").as("full_name"),
+        element_at(col("props"), "et").as("r_et"),
+        element_at(col("props"), "eo").as("r_eo"))
+    val nextEdge = db.edges.filter(col("rel_type") === "NEXT")
+      .select(col("src").as("full_name"),
+        element_at(col("props"), "eo").as("x_eo"),
+        element_at(col("props"), "em").as("x_em"))
     db.nodes
       .select(col("full_name"), col("kind"), col("name"),
         element_at(col("props"), "nk").as("nk"),
@@ -472,16 +498,23 @@ object QueryCatalog {
         element_at(col("props"), "origin").as("origin"),
         element_at(col("props"), "matched").as("matched"))
       .join(inDeg, Seq("full_name"), "left")
+      .join(regionEdge, Seq("full_name"), "left")
+      .join(nextEdge, Seq("full_name"), "left")
       .select(col("full_name"), col("kind"), col("name"), col("nk"),
         col("touched"), col("origin"), col("matched"),
-        coalesce(col("n_in"), lit(0L)).as("n_in"))
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        col("r_et"), col("r_eo"), col("x_eo"), col("x_em"))
   }
 
   /** Closed-form prediction: nations keep their CREATE fields (LWW
-    * rename on key 0), carry the SET prop, and have no in-edges once
-    * the scratch CALL edge cascades; nations 0-2 additionally carry the
-    * ON MATCH `touched` patch (and never the ON CREATE `origin`);
-    * regions are promoted stubs whose `name` is the stub rule's last
+    * rename on key 0), carry the SET prop, and their in-degree is the
+    * NEXT chain's (nations 1-3; the scratch CALL edge cascades);
+    * nations 0-2 additionally carry the ON MATCH `touched` patch (and
+    * never the ON CREATE `origin`), the edge-branch patches r_et (IN
+    * _REGION existed → ON MATCH, never the ON CREATE r_eo) and
+    * x_eo/x_em (NEXT created by the first merge's ON CREATE, patched by
+    * the second's ON MATCH — never the second ON CREATE value); regions
+    * are promoted stubs whose `name` is the stub rule's last
     * dot-segment and whose in-degree is their nation count; the merged.*
     * nodes carry the first merge's ON CREATE seed and the second
     * merge's ON MATCH patch — never the second ON CREATE value. The
@@ -492,15 +525,19 @@ object QueryCatalog {
       |  CASE WHEN k = 0 THEN 'RENAMED' ELSE nm END AS name,
       |  k::VARCHAR AS nk,
       |  CASE WHEN k <= 2 THEN 'y' END AS touched,
-      |  NULL AS origin, NULL AS matched, 0::BIGINT AS n_in
+      |  NULL AS origin, NULL AS matched,
+      |  (CASE WHEN k BETWEEN 1 AND 3 THEN 1 ELSE 0 END)::BIGINT AS n_in,
+      |  CASE WHEN k <= 2 THEN 'y' END AS r_et, NULL::VARCHAR AS r_eo,
+      |  CASE WHEN k <= 2 THEN 'new' END AS x_eo,
+      |  CASE WHEN k <= 2 THEN '1' END AS x_em
       |FROM nat
       |UNION ALL
       |SELECT 'region.' || r, 'REGION', r::VARCHAR, NULL, NULL, NULL, NULL,
-      |  count(*)::BIGINT
+      |  count(*)::BIGINT, NULL, NULL, NULL, NULL
       |FROM nat GROUP BY r
       |UNION ALL
       |SELECT 'merged.' || k, 'CLASS', 'M' || k, NULL, NULL, 'new', '1',
-      |  0::BIGINT
+      |  0::BIGINT, NULL, NULL, NULL, NULL
       |FROM nat WHERE k <= 2""".stripMargin
 
   /** g_b10_union — Cypher `UNION` (distinct) across two branch

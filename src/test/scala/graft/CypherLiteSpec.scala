@@ -1348,6 +1348,54 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(props("x.B") === Map("name" -> "B"))
   }
 
+  test("r14 edge MERGE ON CREATE SET / ON MATCH SET takes exactly one " +
+      "branch; SETs must dot the relationship variable") {
+    val d = GraphDatabase.inMemory(spark)
+    def eprops(src: String, rel: String, dst: String): Map[String, String] = {
+      val r = d.edges.filter(col("src") === src &&
+          col("rel_type") === rel && col("dst") === dst)
+        .select(org.apache.spark.sql.functions.element_at(col("props"), "k"),
+          org.apache.spark.sql.functions.element_at(col("props"), "o"),
+          org.apache.spark.sql.functions.element_at(col("props"), "m"))
+        .collect()
+      assert(r.length === 1)
+      Map("k" -> r(0).getString(0), "o" -> r(0).getString(1),
+        "m" -> r(0).getString(2)).filter(_._2 != null)
+    }
+    // absent edge → ON CREATE seeds (pattern props + branch), ON MATCH
+    // never applies
+    d.executeQuery("MERGE (a:`mg` {full_name: 'x.A'})-[r:CALLS {k: 'v'}]->" +
+      "(b {full_name: 'x.B'}) ON CREATE SET r.o = 'new' ON MATCH SET r.m = '1'")
+    assert(eprops("x.A", "CALLS", "x.B") === Map("k" -> "v", "o" -> "new"))
+    // present edge (same-batch staged AND after a flush) → ON MATCH
+    // patches key-wise, the second ON CREATE value never lands
+    d.executeQuery("MERGE (a:`mg` {full_name: 'x.A'})-[r:CALLS]->" +
+      "(b {full_name: 'x.B'}) " +
+      "ON CREATE SET r.o = 'again' ON MATCH SET r.m = '1'")
+    assert(eprops("x.A", "CALLS", "x.B") ===
+      Map("k" -> "v", "o" -> "new", "m" -> "1"))
+    // eprops flushed the batch: a cross-commit match patches the BASE
+    // snapshot edge key-wise too
+    d.executeQuery("MERGE (a:`mg` {full_name: 'x.A'})-[r:CALLS]->" +
+      "(b {full_name: 'x.B'}) ON MATCH SET r.m = '2'")
+    assert(eprops("x.A", "CALLS", "x.B") ===
+      Map("k" -> "v", "o" -> "new", "m" -> "2"))
+    // ON MATCH alone on an absent edge creates WITHOUT the match patch
+    d.executeQuery("MERGE (a:`mg` {full_name: 'x.A'})-[r:USES]->" +
+      "(b {full_name: 'x.C'}) ON MATCH SET r.m = '1'")
+    assert(eprops("x.A", "USES", "x.C") === Map.empty)
+    // branch SET must dot the BOUND relationship variable
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MERGE (a:`mg` {full_name: 'x.A'})-[r:CALLS]->" +
+        "(b {full_name: 'x.B'}) ON MATCH SET a.m = '1'")
+    }
+    // branches without a relationship variable raise
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MERGE (a:`mg` {full_name: 'x.A'})-[:CALLS]->" +
+        "(b {full_name: 'x.B'}) ON MATCH SET r.m = '1'")
+    }
+  }
+
   test("un-anchored OPTIONAL MATCH left-joins the whole driving row set") {
     // matched: every driving row pairs with the independent match
     val hit = db.executeQuery(

@@ -434,6 +434,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("r14 s_kmeanspar: candidate pull-back is a broadcast semi-join, " +
+      "not a literal IN list") {
+    val e = graft.store.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val df = graft.pipeline.Similarity.candSemiJoin(e, Seq(1L, 2L, 3L))
+    df.collect()
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate ids must probe as a broadcast semi-join; plan:\n$plan")
+    assert(!plan.contains("vec_id#") || !plan.contains(" IN ("),
+      s"no literal IN predicate over candidate ids; plan:\n$plan")
+  }
+
   test("r13 t_psi: the sources × octaves grid broadcasts — no " +
       "cartesian, no corpus-sized shuffle multiplication") {
     val plan0 = executed(QueryCatalog.tPsi(spark, sf))
