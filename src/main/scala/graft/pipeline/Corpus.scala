@@ -1470,6 +1470,109 @@ object Corpus {
           .as("subwords_per_word"))
   }
 
+  /** UNIGRAM-LM TOKENIZER TRAINING (r14, Kudo 2018 — SentencePiece's
+    * unigram model, the other production tokenizer family beside
+    * [[bpeMerges]]): seed a piece vocabulary from substring statistics,
+    * run EM rounds where the E-step VITERBI-segments every vocab word
+    * under the current piece scores and the M-step re-scores pieces
+    * from their expected counts, then prune to the target vocab size.
+    *
+    * Shape (the bpeMerges / t_quality_train bounded-model discipline):
+    * the CORPUS-sized work is distributed — one token explode + groupBy
+    * collapses to the (word, cnt) head vocabulary capped at `vocabCap`
+    * by (cnt desc, word) (a TakeOrdered; SentencePiece itself trains on
+    * a capped input, input_sentence_size), and one substring explode +
+    * groupBy + TakeOrdered caps the seed pieces (every 1..`maxPiece`
+    * substring, occurrence-weighted; single chars always kept so
+    * segmentation is total). EM then runs as a DRIVER KERNEL over the
+    * collected ≤vocabCap×≤(seedCap+chars) model — bounded by
+    * construction, the same altitude as t_quality_train's weight vector
+    * — never a corpus pass.
+    *
+    * Determinism / oracle replay: piece scores are integer MICRO-NATS —
+    * round(ln(c/total), 6) then ×10⁶ to BIGINT (the zipf r6-ln
+    * discipline; the ×10⁶ re-round is safe because a 6-decimal double
+    * is within 1e-4 of its integer image) — so the Viterbi DP is PURE
+    * INTEGER max-plus: no float compare can flip a segmentation. Ties
+    * prefer the LONGER piece. M-step scores are Laplace-smoothed over
+    * the full seed set ((c+1)/(total+|V|)), so every piece stays finite
+    * and the recursion is total. The oracle unrolls the whole thing —
+    * word cap, seed cap, and per-round the 8-position DP tables, the
+    * backtrace, expected counts, and re-scoring — in SQL. Pruning keeps
+    * the top `vocabSize` pieces by (final count desc, piece asc) plus
+    * every single char.
+    *
+    * Emits one row per seed piece: (piece, seed_cnt, em_cnt, kept). */
+  def unigramLm(docs: DataFrame, emRounds: Int = 2, vocabCap: Int = 2000,
+      maxLen: Int = 8, maxPiece: Int = 4, seedCap: Int = 200,
+      vocabSize: Int = 64): DataFrame = {
+    require(emRounds >= 1 && emRounds <= 4, "emRounds out of budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= maxLen)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(vocabCap)
+      .localCheckpoint(eager = true)
+    // seed pieces: all substrings (start i, length l ≤ maxPiece),
+    // occurrence-weighted by word count
+    val subs = words.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  filter(transform(sequence(1, $maxPiece), l ->
+           |    CASE WHEN i + l - 1 <= length(word)
+           |         THEN substring(word, i, l) END),
+           |  x -> x IS NOT NULL)))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).cast("long").as("scnt"))
+      .localCheckpoint(eager = true)
+    val seeds = (subs.filter(length(col("piece")) === 1) unionByName
+        subs.filter(length(col("piece")) > 1)
+          .orderBy(col("scnt").desc, col("piece")).limit(seedCap))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val wordArr = words.as[(String, Long)].collect().sortBy(_._1)
+    // integer micro-nats: round(ln(c/tot), 6) · 1e6 — see scaladoc
+    def micro(c: Long, tot: Long): Long = math.round(
+      BigDecimal(math.log(c.toDouble / tot))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    val pieces = seeds.map(_._1)
+    var wts: Map[String, Long] = {
+      val tot = seeds.iterator.map(_._2).sum
+      seeds.iterator.map { case (p, c) => p -> micro(c, tot) }.toMap
+    }
+    var counts = Map.empty[String, Long]
+    for (_ <- 1 to emRounds) {
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      wordArr.foreach { case (w, wc) =>
+        val n = w.length
+        val best = Array.fill(n + 1)(Long.MinValue); best(0) = 0L
+        val bl = Array.fill(n + 1)(0)
+        // every position is reachable (single chars are always scored),
+        // but guard the accumulator against an unreached-prefix wrap
+        for (i <- 1 to n; l <- 1 to math.min(maxPiece, i))
+          if (best(i - l) != Long.MinValue)
+            wts.get(w.substring(i - l, i)).foreach { lw =>
+              val s = best(i - l) + lw
+              if (s > best(i) || (s == best(i) && l > bl(i))) {
+                best(i) = s; bl(i) = l
+              }
+            }
+        var i = n
+        while (i > 0) { val l = bl(i); cnt(w.substring(i - l, i)) += wc; i -= l }
+      }
+      counts = cnt.toMap
+      val tot = counts.valuesIterator.sum
+      wts = pieces.iterator
+        .map(p => p -> micro(counts.getOrElse(p, 0L) + 1L,
+          tot + pieces.length)).toMap
+    }
+    // prune: top vocabSize by (final count desc, piece), chars forced
+    val kept = pieces.sortBy(p => (-counts.getOrElse(p, 0L), p))
+      .take(vocabSize).toSet ++ pieces.filter(_.length == 1)
+    seeds.toSeq.map { case (p, sc) =>
+      (p, sc, counts.getOrElse(p, 0L), if (kept(p)) 1 else 0) }
+      .toDF("piece", "seed_cnt", "em_cnt", "kept")
+  }
+
   def gumbelTopK(weighted: DataFrame, k: Int = 50,
       temperature: Double = 1.0): DataFrame = {
     require(temperature > 0, "temperature must be positive")

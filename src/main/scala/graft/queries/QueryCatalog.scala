@@ -2206,6 +2206,102 @@ object QueryCatalog {
        |FROM lw JOIN sub USING (word) GROUP BY lang""".stripMargin
   }
 
+  /** t_unigram_lm — UNIGRAM-LM tokenizer training
+    * ([[graft.pipeline.Corpus.unigramLm]], Kudo 2018 — SentencePiece's
+    * unigram family, the sibling of t_bpe_merges): capped word vocab →
+    * capped substring seed pieces → 2 EM rounds (integer micro-nat
+    * Viterbi E-step, Laplace-smoothed M-step) → prune to 64 + chars.
+    * The oracle unrolls the word cap, the seed cap, and per round the
+    * 8-position max-plus DP tables, the backtrace, the expected counts,
+    * and the re-scoring — all integer except the r6-ln score map. */
+  val tUnigramLm: Q = (s, d) =>
+    Corpus.unigramLm(Tables.documents(s, d), emRounds = 2,
+      vocabCap = 2000, maxLen = 8, maxPiece = 4, seedCap = 200,
+      vocabSize = 64)
+
+  lazy val tUnigramLmSql: String = {
+    val maxLen = 8; val maxPiece = 4; val emRounds = 2
+    // one DP round: weights table w{r-1} → best-segmentation tables
+    // u{r}d1..8 → flattened (word, i, l) → backtrace u{r}t1..8 →
+    // expected counts uc{r} → (non-final) re-scored weights w{r}
+    def dpRound(r: Int): String = {
+      val prevW = s"uw${r - 1}"
+      def dI(i: Int): String = {
+        val arms = (1 to math.min(maxPiece, i)).map { l =>
+          s"""SELECT p.word, p.cnt, p.n, p.sc + w.lw AS sc, $l AS l
+             |      FROM u${r}d${i - l} p JOIN $prevW w
+             |        ON w.piece = substring(p.word, ${i - l + 1}, $l)
+             |      WHERE p.n >= $i""".stripMargin
+        }.mkString("\n      UNION ALL ")
+        s"""u${r}d$i AS MATERIALIZED (
+           |  SELECT word, cnt, n, sc, l FROM (
+           |    SELECT word, cnt, n, sc, l, row_number() OVER (
+           |      PARTITION BY word ORDER BY sc DESC, l DESC) AS rk
+           |    FROM ($arms)) WHERE rk = 1)""".stripMargin
+      }
+      def tK(k: Int): String =
+        s"""u${r}t$k AS MATERIALIZED (
+           |  SELECT t.word, t.cnt, t.i - d.l AS i,
+           |    substring(t.word, t.i - d.l + 1, d.l) AS piece
+           |  FROM u${r}t${k - 1} t JOIN u${r}dd d
+           |    ON d.word = t.word AND d.i = t.i
+           |  WHERE t.i > 0)""".stripMargin
+      val dds = (1 to maxLen)
+        .map(i => s"SELECT word, $i AS i, l FROM u${r}d$i")
+        .mkString(" UNION ALL ")
+      val emits = (1 to maxLen)
+        .map(k => s"SELECT piece, cnt FROM u${r}t$k")
+        .mkString(" UNION ALL ")
+      val reWeight = if (r == emRounds) "" else
+        s""",
+           |utot$r AS (SELECT sum(c)::BIGINT AS t FROM uc$r),
+           |uw$r AS MATERIALIZED (SELECT s.piece,
+           |  round(round(ln((coalesce(c.c, 0) + 1)::DOUBLE / (t.t + np.np)),
+           |    6) * 1000000)::BIGINT AS lw
+           |  FROM useeds s LEFT JOIN uc$r c USING (piece)
+           |  CROSS JOIN utot$r t CROSS JOIN unp np)""".stripMargin
+      s"""u${r}d0 AS MATERIALIZED (SELECT word, cnt, length(word) AS n,
+         |  0::BIGINT AS sc, 0 AS l FROM uwords),
+         |${(1 to maxLen).map(dI).mkString(",\n")},
+         |u${r}dd AS MATERIALIZED ($dds),
+         |u${r}t0 AS (SELECT word, cnt, length(word) AS i FROM uwords),
+         |${(1 to maxLen).map(tK).mkString(",\n")},
+         |uc$r AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS c
+         |  FROM ($emits) GROUP BY piece)$reWeight""".stripMargin
+    }
+    s"""WITH uwords AS MATERIALIZED (
+       |  SELECT word, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
+       |  WHERE word <> '' AND length(word) <= $maxLen
+       |  GROUP BY word ORDER BY cnt DESC, word LIMIT 2000),
+       |usubs AS MATERIALIZED (
+       |  SELECT piece, sum(cnt)::BIGINT AS scnt FROM (
+       |    SELECT w.cnt, substring(w.word, i.i::INT, l.l::INT) AS piece
+       |    FROM uwords w, range(1, ${maxLen + 1}) i(i),
+       |      range(1, ${maxPiece + 1}) l(l)
+       |    WHERE i.i + l.l - 1 <= length(w.word))
+       |  GROUP BY piece),
+       |useeds AS MATERIALIZED (
+       |  SELECT piece, scnt FROM usubs WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, scnt FROM (
+       |    SELECT piece, scnt FROM usubs WHERE length(piece) > 1
+       |    ORDER BY scnt DESC, piece LIMIT 200)),
+       |unp AS (SELECT count(*)::BIGINT AS np FROM useeds),
+       |utot0 AS (SELECT sum(scnt)::BIGINT AS t FROM useeds),
+       |uw0 AS MATERIALIZED (SELECT piece,
+       |  round(round(ln(scnt::DOUBLE / t), 6) * 1000000)::BIGINT AS lw
+       |  FROM useeds, utot0),
+       |${(1 to emRounds).map(dpRound).mkString(",\n")},
+       |ranked AS (SELECT s.piece, s.scnt, coalesce(c.c, 0)::BIGINT AS cc,
+       |    row_number() OVER (ORDER BY coalesce(c.c, 0) DESC, s.piece) AS rk
+       |  FROM useeds s LEFT JOIN uc$emRounds c USING (piece))
+       |SELECT piece, scnt AS seed_cnt, cc AS em_cnt,
+       |  (CASE WHEN length(piece) = 1 OR rk <= 64 THEN 1 ELSE 0 END)::INT
+       |    AS kept
+       |FROM ranked""".stripMargin
+  }
+
   /** Quality scoring: alpha ratio, stopword ratio, mean token length,
     * composite score — all rounded for cross-engine equality. */
   /** t_readability — Flesch reading-ease over the documents table
@@ -8779,6 +8875,7 @@ object QueryCatalog {
     "t_tokens" -> tTokens,
     "t_bpe_tokens" -> tBpeTokens,
     "t_bpe_merges" -> tBpeMerges,
+    "t_unigram_lm" -> tUnigramLm,
     "t_quality_train" -> tQualityTrain,
     "t_bpe_fertility" -> tBpeFertility,
     "t_quality" -> tQuality,
@@ -9075,6 +9172,7 @@ object QueryCatalog {
     "t_tokens" -> tTokensSql,
     "t_bpe_tokens" -> tBpeTokensSql,
     "t_bpe_merges" -> tBpeMergesSql,
+    "t_unigram_lm" -> tUnigramLmSql,
     "t_quality_train" -> tQualityTrainSql,
     "t_bpe_fertility" -> tBpeFertilitySql,
     "t_quality" -> tQualitySql,

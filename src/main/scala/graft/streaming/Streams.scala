@@ -1113,19 +1113,35 @@ object Streams {
     * order, the screen's own semantics. foreachBatch is the right
     * altitude (the graphIngest argument): the per-batch screen and bit
     * derivation stay declarative Column code; only the ≤mBits-row set
-    * crosses the driver, and production persists it per commit exactly
-    * like the versioned derived tables. Returns the query, an accessor
-    * for the current set, and one for the accumulated screen verdicts. */
+    * crosses the driver.
+    *
+    * r14 (r13 verdict task #7) — the persist-per-commit + RESTART path
+    * is real now, not documentation: with `persistDir` set, every batch
+    * commits the maintained set as `commit_<batchId>.txt` via
+    * write-tmp-then-ATOMIC-RENAME (a torn write can only strand a tmp
+    * file, never a half commit), and a fresh call SEEDS from the
+    * highest committed batch (bits grow monotonically under OR, so the
+    * latest commit IS the union of everything screened — no pointer
+    * file needed). With `checkpoint` set the query resumes its source
+    * offsets; a replayed last batch re-ORs idempotently and re-commits
+    * the same file, so crash-restart is exactly-once on the SET.
+    * StreamsSpec proves a stop/restart run lands bit-identical to the
+    * uninterrupted one. Returns the query, an accessor for the current
+    * set, and one for the accumulated screen verdicts (per query
+    * instance). */
   def bloomRefreshIngest(docs: DataFrame, bits0: Set[Long],
-      mBits: Int = 4096)
+      mBits: Int = 4096, persistDir: Option[String] = None,
+      checkpoint: Option[String] = None)
       : (org.apache.spark.sql.streaming.StreamingQuery,
          () => Set[Long], () => Seq[(Long, Int)]) = {
     val spark = docs.sparkSession
-    val ref = new java.util.concurrent.atomic.AtomicReference[Set[Long]](bits0)
+    val seed = bits0 ++
+      persistDir.flatMap(bloomBitsRecover).getOrElse(Set.empty[Long])
+    val ref = new java.util.concurrent.atomic.AtomicReference[Set[Long]](seed)
     val screened =
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
-    val q = docs.writeStream.outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    val writer0 = docs.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import spark.implicits._
         val cur = ref.get()
         val bitsDf = cur.toSeq.toDF("bit").withColumn("present", lit(1))
@@ -1134,13 +1150,52 @@ object Streams {
           .collect().foreach(r => screened.add((r.getLong(0), r.getInt(1))))
         val newBits = graft.pipeline.Dedup.bloomBits(batch, mBits)
           .select(col("bit")).collect().map(_.getLong(0)).toSet
-        ref.updateAndGet(_ ++ newBits)
+        val updated = ref.updateAndGet(_ ++ newBits)
+        persistDir.foreach(d => bloomBitsCommit(d, batchId, updated))
         ()
       }
+    val q = checkpoint
+      .fold(writer0)(c => writer0.option("checkpointLocation", c))
       .start()
     (q, () => ref.get(),
       () => scala.jdk.CollectionConverters.IteratorHasAsScala(
         screened.iterator()).asScala.toSeq)
+  }
+
+  private val bloomCommitRe = """commit_(\d+)\.txt""".r
+
+  /** Atomically commit the maintained bit set for `batchId`:
+    * write-to-tmp then ATOMIC_MOVE, idempotent per batch id (a
+    * checkpoint-replayed batch rewrites the identical content). */
+  def bloomBitsCommit(dir: String, batchId: Long, bits: Set[Long]): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    val tmp = p.resolve(s".commit_$batchId.tmp")
+    java.nio.file.Files.writeString(tmp, bits.toSeq.sorted.mkString("\n"))
+    java.nio.file.Files.move(tmp, p.resolve(s"commit_$batchId.txt"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The last committed bit set: the commit with the HIGHEST batch id —
+    * bits only grow under OR, so it is the union of every committed
+    * batch. None when nothing committed yet. */
+  def bloomBitsRecover(dir: String): Option[Set[Long]] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return None
+    val commits = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.list(p).iterator()).asScala
+      .flatMap(f => f.getFileName.toString match {
+        case bloomCommitRe(id) => Some(id.toLong -> f)
+        case _ => None
+      }).toSeq
+    if (commits.isEmpty) None
+    else {
+      val latest = commits.maxBy(_._1)._2
+      val text = java.nio.file.Files.readString(latest).trim
+      Some(if (text.isEmpty) Set.empty[Long]
+        else text.split("\n").iterator.map(_.trim.toLong).toSet)
+    }
   }
 
   /** Stateless corpus screens on a document STREAM: quality score + gate

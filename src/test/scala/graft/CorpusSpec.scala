@@ -924,6 +924,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(7L) === ((0L, 0)))
   }
 
+  test("r14 unigramLm: hand-checked seed counts, micro-nat Viterbi " +
+      "decides segmentations deterministically, pruning ties break by " +
+      "piece order, chars always survive") {
+    // corpus "ab ab abab": words ab(2), abab(1); seed substrings
+    // a:4 b:4 ab:4 ba:1 aba:1 bab:1 abab:1 (occurrence-weighted)
+    val docs = Seq((1L, "ab ab abab")).toDF("doc_id", "text")
+    val out = Corpus.unigramLm(docs, emRounds = 2, vocabCap = 10,
+        maxLen = 8, maxPiece = 4, seedCap = 10, vocabSize = 3)
+      .as[(String, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set("a", "b", "ab", "ba", "aba", "bab", "abab"))
+    assert(out.view.mapValues(_._1).toMap === Map("a" -> 4L, "b" -> 4L,
+      "ab" -> 4L, "ba" -> 1L, "aba" -> 1L, "bab" -> 1L, "abab" -> 1L))
+    // Viterbi: "ab" → [ab]; "abab" → [ab, ab] beats [abab] by exactly
+    // one micro-nat (2·r6(ln(4/16)) = -2772588 > r6(ln(1/16)) =
+    // -2772589) — the integer DP decides, no float compare anywhere
+    assert(out("ab")._2 === 4L)
+    assert((out("abab")._2, out("a")._2, out("b")._2) === ((0L, 0L, 0L)))
+    // pruning to vocabSize 3: ab (count 4) then the count-0 tie breaks
+    // by piece ASC ("a" < "aba" < "abab" < …); chars a/b forced kept
+    assert(out.view.mapValues(_._3).toMap === Map("ab" -> 1, "a" -> 1,
+      "aba" -> 1, "b" -> 1, "abab" -> 0, "ba" -> 0, "bab" -> 0))
+  }
+
   test("r13 psiDrift: conforming sources score ~0, a shifted length " +
       "distribution crosses the 0.25 drifted threshold") {
     // a and b share the corpus's length mix (octaves 4 and 7);

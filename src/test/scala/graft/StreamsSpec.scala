@@ -770,6 +770,55 @@ class StreamsSpec extends AnyFunSuite {
     assert(scrSame(9L) === 0)
   }
 
+  test("r14 bloomRefreshIngest: persist-per-commit + restart — the " +
+      "maintained set recovers from the last commit bit-identically " +
+      "and a post-restart duplicate still flags") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("bloomrr").toString
+    val (srcDir, bitsDir, ckpt) =
+      (s"$base/src", s"$base/bits", s"$base/ckpt")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def stream = spark.readStream.schema(schema).parquet(srcDir)
+    def drive(chunk: Seq[(Long, String)])
+        : (Set[Long], Map[Long, Int]) = {
+      chunk.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val (q, bits, scr) = Streams.bloomRefreshIngest(stream,
+        Set.empty[Long], persistDir = Some(bitsDir),
+        checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+      (bits(), scr().toMap)
+    }
+    // run 1: two docs, then the query STOPS (a crash/deploy)
+    val (bits1, scr1) = drive(Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon")))
+    assert(scr1(1L) === 0 && scr1(2L) === 0)
+    // the commit landed and recovery reads it back bit-identically
+    assert(Streams.bloomBitsRecover(bitsDir) === Some(bits1))
+    // run 2: a FRESH query (bits0 empty — the seed must come from the
+    // recovered commit; the checkpoint skips run 1's files) sees a dup
+    // of doc 1 and flags it
+    val (bits2, scr2) = drive(Seq(
+      (3L, "alpha beta gamma"), (4L, "zeta eta theta")))
+    assert(scr2.keySet === Set(3L, 4L), s"restart re-screened: $scr2")
+    assert(scr2(3L) === 1 && scr2(4L) === 0, s"got $scr2")
+    // the restarted set ≡ one uninterrupted run over all four docs
+    // (bit-OR additivity + recovered seed)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val (q3, bits3, _) = Streams.bloomRefreshIngest(
+      mem.toDF().toDF("doc_id", "text"), Set.empty[Long])
+    try {
+      mem.addData((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+        (3L, "alpha beta gamma"), (4L, "zeta eta theta"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(bits2 === bits3())
+    // the recovered-latest rule: the highest batch id wins
+    assert(Streams.bloomBitsRecover(bitsDir) === Some(bits2))
+  }
+
   test("r13 streamingPsiDrift: a shifted window alarms, a conforming " +
       "one stays near 0; additive state ≡ single batch") {
     import graft.queries.StreamReplay
