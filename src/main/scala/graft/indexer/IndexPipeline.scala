@@ -134,8 +134,19 @@ object IndexPipeline {
   def indexFiles(spark: SparkSession, files: Dataset[SourceFile],
       taskId: String): Indexed = {
     import spark.implicits._
+    // r14 slice 62 pre-scan: one cheap executor pass collects each
+    // module's top-level binding set (bounded: names per repo, the model
+    // jedi holds in memory for the whole project anyway); broadcast so
+    // the deep pass can DISPROVE imported decorator names cross-module
+    val ctx = PyIndexer.corpusContext(
+      files.map { f =>
+        val (m, ns, open) = PyIndexer.moduleBindings(f.path, f.content)
+        (m, ns.toSeq.sorted, open)
+      }.collect().toSeq.map(t => (t._1, t._2.toSet, t._3)))
+    val ctxB = spark.sparkContext.broadcast(ctx)
     val events = files.flatMap { f =>
-      val ev = PyIndexer.indexFileSafe(taskId, f.path, f.content)
+      val ev = PyIndexer.indexFileSafe(taskId, f.path, f.content,
+        Some(ctxB.value))
       Seq((ev.symbols, ev.edges, ev.locations, ev.imports))
     }.cache()
     val symbolEvents = events.flatMap(_._1)

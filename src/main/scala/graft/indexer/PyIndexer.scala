@@ -810,8 +810,18 @@ object PyIndexer {
   private val localAnno: Regex =
     """^\s*([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?!\w|\s*\[)\s*(?:=(?!=).*)?$""".r
 
-  /** Index one file. `relPath` is repo-relative (A7 strips roots earlier). */
-  def indexFile(taskId: String, relPath: String, content: String): FileEvents = {
+  /** Cross-module resolution context for deep slices (r14, slice 62):
+    * `modules` = corpus modules whose top-level binding set is CLOSED
+    * (no `import *`, no module-level `__getattr__` — PEP 562 dynamic
+    * attrs reopen it, the dynamic-class exemption's module analog);
+    * `bound` = every full name bound at a closed module's top level
+    * (defs, classes, assignments, import aliases, for/with targets). */
+  final case class CorpusContext(modules: Set[String], bound: Set[String])
+
+  /** Index one file. `relPath` is repo-relative (A7 strips roots earlier).
+    * `corpus`, when present, enables the cross-module slices (62). */
+  def indexFile(taskId: String, relPath: String, content: String,
+      corpus: Option[CorpusContext] = None): FileEvents = {
     val rawLines = content.split("\n", -1)
     val (lines, atomicRanges) = preprocess(rawLines)
     val cont = continuations(lines)
@@ -1029,11 +1039,33 @@ object PyIndexer {
               .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
             if (propertyDecos.contains(dotted)) pendingProp = true
             val head = dotted.split("\\.").headOption.getOrElse("")
+            val tail = dotted.split("\\.").toSeq.drop(1)
+            // r14 slice 62: an IMPORTED decorator is no longer trusted
+            // blindly — when the import's TARGET module is indexed and
+            // CLOSED (CorpusContext) and the name is not bound at its
+            // top level, the corpus has disproved the decorator (jedi
+            // resolves it to nothing) → poison, exactly like a bare
+            // unresolvable name. Targets outside the corpus, open
+            // modules, and attribute chains deeper than one keep the
+            // optimism (nothing to disprove).
+            def disproved(fqn: String): Boolean = {
+              val i = fqn.lastIndexOf('.')
+              i > 0 && corpus.exists(c =>
+                c.modules.contains(fqn.substring(0, i)) && !c.bound(fqn))
+            }
             if (head.nonEmpty && !knownDecoHeads.contains(head) &&
-                !boundNames.contains(head) &&
-                !importedName.contains(head) &&
-                !importedModule.contains(head))
-              pendingBadDeco = true
+                !boundNames.contains(head)) {
+              if (!importedName.contains(head) &&
+                  !importedModule.contains(head))
+                pendingBadDeco = true
+              else if (tail.isEmpty && importedName.contains(head) &&
+                  disproved(importedName(head)))
+                pendingBadDeco = true
+              else if (tail.size == 1 && !importedName.contains(head) &&
+                  importedModule.contains(head) &&
+                  disproved(importedModule(head) + "." + tail.head))
+                pendingBadDeco = true
+            }
           }
           ln match {
             case classHeader(_, cname, _) =>
@@ -2551,8 +2583,9 @@ object PyIndexer {
     * MODULE symbol plus an ERROR location row instead of aborting the
     * partition (the reference records errors via recordError,
     * myClient.py:419-437). */
-  def indexFileSafe(taskId: String, relPath: String, content: String): FileEvents =
-    try indexFile(taskId, relPath, content)
+  def indexFileSafe(taskId: String, relPath: String, content: String,
+      corpus: Option[CorpusContext] = None): FileEvents =
+    try indexFile(taskId, relPath, content, corpus)
     catch {
       case e: Exception =>
         val m = moduleName(relPath)
@@ -2568,4 +2601,67 @@ object PyIndexer {
   private def dedupEdges(es: Seq[EdgeEvent]): Seq[EdgeEvent] =
     es.groupBy(e => (e.src, e.relType, e.dst)).values.map(_.last).toSeq
       .sortBy(_.seq)
+
+  /** Slice-62 PRE-SCAN — the names a module binds at its TOP LEVEL
+    * (defs, classes, assignments incl. tuple targets, import aliases,
+    * for/with targets), plus whether the binding set is CLOSED: a
+    * `from x import *` or a module-level `__getattr__` (PEP 562) can
+    * bind anything at runtime, so such a module can never DISPROVE a
+    * name. Runs string-blanking preprocess (a column-0 `def` inside a
+    * docstring must not bind) but emits nothing — a cheap executor-side
+    * regex pass over headers, collected once per pipeline run. */
+  def moduleBindings(relPath: String, content: String)
+      : (String, Set[String], Boolean) = {
+    val rawLines = content.split("\n", -1)
+    val (lines, _) = preprocess(rawLines)
+    val cont = continuations(lines)
+    val mod = moduleName(relPath)
+    val names = mutable.Set.empty[String]
+    var open = false
+    val withAs = """^with\b.*\bas\s+([A-Za-z_]\w*)\s*:?\s*$""".r
+    val tupleAssign =
+      """^([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*=(?!=).*$""".r
+    lines.indices.foreach { li =>
+      val ln = lines(li)
+      if (!cont(li) && ln.nonEmpty && !ln.head.isWhitespace) ln match {
+        case defHeader(ind, d) if ind.isEmpty =>
+          names += d; if (d == "__getattr__") open = true
+        case classHeader(ind, c, _) if ind.isEmpty => names += c
+        case fromImport(_, items) =>
+          if (items.trim == "*" || items.contains("*")) open = true
+          else items.split(",").foreach { it =>
+            val parts = it.trim.stripPrefix("(").stripSuffix(")")
+              .trim.split("\\s+as\\s+")
+            val bound = parts.last.trim
+            if (bound.matches("[A-Za-z_]\\w*")) names += bound
+          }
+        case importStmt(items) =>
+          items.split(",").foreach { it =>
+            val parts = it.trim.split("\\s+as\\s+")
+            val bound = if (parts.length > 1) parts.last.trim
+              else parts.head.trim.split("\\.").head.trim
+            if (bound.matches("[A-Za-z_]\\w*")) names += bound
+          }
+        case assignStmt(ind, n) if ind.isEmpty => names += n
+        case tupleAssign(ts) =>
+          ts.split(",").foreach(t => names += t.trim)
+        case forStmt(ind, v) if ind.isEmpty => names += v
+        case withAs(v) => names += v
+        case _ => ()
+      }
+    }
+    (mod, names.toSet, open)
+  }
+
+  /** Fold per-module binding scans into the [[CorpusContext]] the deep
+    * slices consume: open modules are excluded entirely (they cannot
+    * disprove), bound names are module-qualified. */
+  def corpusContext(scans: Seq[(String, Set[String], Boolean)])
+      : CorpusContext = {
+    val closed = scans.filterNot(_._3)
+    CorpusContext(
+      closed.iterator.map(_._1).toSet,
+      closed.iterator.flatMap { case (m, ns, _) =>
+        ns.iterator.map(n => s"$m.$n") }.toSet)
+  }
 }

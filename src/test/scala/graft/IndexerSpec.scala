@@ -2503,6 +2503,115 @@ class IndexerSpec extends AnyFunSuite {
       s"unresolvable decorator must bind nothing; got $calls")
   }
 
+  test("r14 slice 62: cross-module decorator verification — an import " +
+      "the corpus DISPROVES poisons the return key; an indexed def, a " +
+      "variable binding, an open module, and an out-of-corpus import " +
+      "all keep it") {
+    val modA =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |def wraps_factory(fn):
+        |    return fn
+        |
+        |ALIAS_DECO = wraps_factory
+        |""".stripMargin
+    val modOpen =
+      """from somewhere_else import *
+        |""".stripMargin
+    val modB =
+      """from mod_a import wraps_factory, missing_deco, ALIAS_DECO, Conn
+        |from mod_open import anything_goes
+        |from not_in_corpus import external_deco
+        |import mod_a
+        |
+        |@wraps_factory
+        |def mk_ok() -> Conn:
+        |    return Conn()
+        |
+        |@missing_deco
+        |def mk_bad() -> Conn:
+        |    return Conn()
+        |
+        |@ALIAS_DECO
+        |def mk_var() -> Conn:
+        |    return Conn()
+        |
+        |@anything_goes
+        |def mk_open() -> Conn:
+        |    return Conn()
+        |
+        |@external_deco
+        |def mk_ext() -> Conn:
+        |    return Conn()
+        |
+        |@mod_a.wraps_factory
+        |def mk_attr() -> Conn:
+        |    return Conn()
+        |
+        |@mod_a.no_such_attr
+        |def mk_attr_bad() -> Conn:
+        |    return Conn()
+        |
+        |def use():
+        |    a = mk_ok()
+        |    a.ping()
+        |    b = mk_bad()
+        |    b.ping()
+        |    c = mk_var()
+        |    c.ping()
+        |    d = mk_open()
+        |    d.ping()
+        |    e = mk_ext()
+        |    e.ping()
+        |    f = mk_attr()
+        |    f.ping()
+        |    g = mk_attr_bad()
+        |    g.ping()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_a.py", modA),
+      SourceFile("mod_open.py", modOpen),
+      SourceFile("mod_b.py", modB)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t62"), "t62")
+    val pings = out.edges
+      .filter(col("rel_type") === Rel.Call && col("dst") === "mod_a.Conn.ping")
+      .select("src").as[String].collect().toSet
+    // kept: indexed def (direct and as mod_a attribute), a top-level
+    // VARIABLE binding (could be a callable — can't disprove), an OPEN
+    // module (import * — can bind anything), an out-of-corpus import
+    assert(pings.contains("mod_b.use"), s"got $pings")
+    // the per-binding evidence: exactly the disproved decorators bind
+    // nothing — count the surviving x.ping() uses via USE/CALL pairs
+    val ev = graft.indexer.PyIndexer.indexFile("t62", "mod_b.py", modB,
+      Some(graft.indexer.PyIndexer.corpusContext(Seq(
+        graft.indexer.PyIndexer.moduleBindings("mod_a.py", modA),
+        graft.indexer.PyIndexer.moduleBindings("mod_open.py", modOpen),
+        graft.indexer.PyIndexer.moduleBindings("mod_b.py", modB)))))
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .filter(_.dst == "mod_a.Conn.ping").map(_.src)
+    // 5 kept bindings (ok, var, open, ext, attr) each emit the member
+    // call once from use(); the within-file dedup collapses them to one
+    // edge — so instead pin the POISON side: re-run with the two bad
+    // decorators' defs isolated
+    def pingsOf(body: String): Boolean = {
+      val one = "from mod_a import missing_deco, Conn\nimport mod_a\n" +
+        body + "\ndef use():\n    x = mk()\n    x.ping()\n"
+      graft.indexer.PyIndexer.indexFile("t62", "mod_b.py", one,
+        Some(graft.indexer.PyIndexer.corpusContext(Seq(
+          graft.indexer.PyIndexer.moduleBindings("mod_a.py", modA)))))
+        .edges.exists(e => e.relType == Rel.Call &&
+          e.dst == "mod_a.Conn.ping" && e.src == "mod_b.use")
+    }
+    assert(!pingsOf("@missing_deco\ndef mk() -> Conn:\n    return Conn()"),
+      "a corpus-disproved from-import decorator must poison")
+    assert(!pingsOf("@mod_a.no_such_attr\ndef mk() -> Conn:\n    return Conn()"),
+      "a corpus-disproved module-attribute decorator must poison")
+    assert(pingsOf("@mod_a.wraps_factory\ndef mk() -> Conn:\n    return Conn()"))
+    assert(calls.nonEmpty)
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
