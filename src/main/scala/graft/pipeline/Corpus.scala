@@ -1503,9 +1503,51 @@ object Corpus {
     * every single char.
     *
     * Emits one row per seed piece: (piece, seed_cnt, em_cnt, kept). */
-  def unigramLm(docs: DataFrame, emRounds: Int = 2, vocabCap: Int = 2000,
-      maxLen: Int = 8, maxPiece: Int = 4, seedCap: Int = 200,
-      vocabSize: Int = 64): DataFrame = {
+  /** The trained unigram model [[unigramLm]] emits and
+    * [[unigramFertility]] applies: seed pieces with their seed counts,
+    * final expected counts, the pruned keep set, and the APPLICATION
+    * scores — Laplace-smoothed micro-nats RE-NORMALIZED over the kept
+    * set (SentencePiece renormalizes after pruning), plus the UNK
+    * penalty an out-of-vocab character costs. */
+  private[graft] final case class UnigramModel(
+      seeds: Seq[(String, Long)], counts: Map[String, Long],
+      kept: Set[String], appWts: Map[String, Long], unkLw: Long)
+
+  /** Integer micro-nats: round(ln(c/tot), 6) · 1e6 — the score map both
+    * unigram operators and their oracles share. */
+  private def microNats(c: Long, tot: Long): Long = math.round(
+    BigDecimal(math.log(c.toDouble / tot))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+
+  /** Viterbi-segment `w` under integer micro-nat piece scores: max-plus
+    * DP, ties prefer the LONGER piece; `unk` (when ≥ 0 entries exist)
+    * prices single chars absent from `wts`. Returns the piece sequence
+    * back-to-front. */
+  private def viterbiPieces(w: String, maxPiece: Int,
+      wts: Map[String, Long], unk: Option[Long]): Seq[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Long.MinValue); best(0) = 0L
+    val bl = Array.fill(n + 1)(0)
+    for (i <- 1 to n; l <- 1 to math.min(maxPiece, i))
+      if (best(i - l) != Long.MinValue) {
+        val piece = w.substring(i - l, i)
+        val lwOpt = wts.get(piece).orElse(if (l == 1) unk else None)
+        lwOpt.foreach { lw =>
+          val s = best(i - l) + lw
+          if (s > best(i) || (s == best(i) && l > bl(i))) {
+            best(i) = s; bl(i) = l
+          }
+        }
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = n
+    while (i > 0) { val l = bl(i); out += w.substring(i - l, i); i -= l }
+    out.toSeq
+  }
+
+  private[graft] def unigramTrain(docs: DataFrame, emRounds: Int,
+      vocabCap: Int, maxLen: Int, maxPiece: Int, seedCap: Int,
+      vocabSize: Int): UnigramModel = {
     require(emRounds >= 1 && emRounds <= 4, "emRounds out of budget")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1529,48 +1571,160 @@ object Corpus {
           .orderBy(col("scnt").desc, col("piece")).limit(seedCap))
       .as[(String, Long)].collect().sortBy(_._1)
     val wordArr = words.as[(String, Long)].collect().sortBy(_._1)
-    // integer micro-nats: round(ln(c/tot), 6) · 1e6 — see scaladoc
-    def micro(c: Long, tot: Long): Long = math.round(
-      BigDecimal(math.log(c.toDouble / tot))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
     val pieces = seeds.map(_._1)
     var wts: Map[String, Long] = {
       val tot = seeds.iterator.map(_._2).sum
-      seeds.iterator.map { case (p, c) => p -> micro(c, tot) }.toMap
+      seeds.iterator.map { case (p, c) => p -> microNats(c, tot) }.toMap
     }
     var counts = Map.empty[String, Long]
     for (_ <- 1 to emRounds) {
       val cnt = scala.collection.mutable.Map.empty[String, Long]
         .withDefaultValue(0L)
       wordArr.foreach { case (w, wc) =>
-        val n = w.length
-        val best = Array.fill(n + 1)(Long.MinValue); best(0) = 0L
-        val bl = Array.fill(n + 1)(0)
-        // every position is reachable (single chars are always scored),
-        // but guard the accumulator against an unreached-prefix wrap
-        for (i <- 1 to n; l <- 1 to math.min(maxPiece, i))
-          if (best(i - l) != Long.MinValue)
-            wts.get(w.substring(i - l, i)).foreach { lw =>
-              val s = best(i - l) + lw
-              if (s > best(i) || (s == best(i) && l > bl(i))) {
-                best(i) = s; bl(i) = l
-              }
-            }
-        var i = n
-        while (i > 0) { val l = bl(i); cnt(w.substring(i - l, i)) += wc; i -= l }
+        viterbiPieces(w, maxPiece, wts, None).foreach(p => cnt(p) += wc)
       }
       counts = cnt.toMap
       val tot = counts.valuesIterator.sum
       wts = pieces.iterator
-        .map(p => p -> micro(counts.getOrElse(p, 0L) + 1L,
+        .map(p => p -> microNats(counts.getOrElse(p, 0L) + 1L,
           tot + pieces.length)).toMap
     }
     // prune: top vocabSize by (final count desc, piece), chars forced
     val kept = pieces.sortBy(p => (-counts.getOrElse(p, 0L), p))
       .take(vocabSize).toSet ++ pieces.filter(_.length == 1)
-    seeds.toSeq.map { case (p, sc) =>
-      (p, sc, counts.getOrElse(p, 0L), if (kept(p)) 1 else 0) }
+    // application scores: smoothed over the KEPT set (renormalized)
+    val tot = counts.valuesIterator.sum
+    val appWts = kept.iterator.map(p =>
+      p -> microNats(counts.getOrElse(p, 0L) + 1L, tot + kept.size)).toMap
+    UnigramModel(seeds.toSeq, counts, kept, appWts,
+      microNats(1L, tot + kept.size))
+  }
+
+  def unigramLm(docs: DataFrame, emRounds: Int = 2, vocabCap: Int = 2000,
+      maxLen: Int = 8, maxPiece: Int = 4, seedCap: Int = 200,
+      vocabSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = unigramTrain(docs, emRounds, vocabCap, maxLen, maxPiece,
+      seedCap, vocabSize)
+    m.seeds.map { case (p, sc) =>
+      (p, sc, m.counts.getOrElse(p, 0L), if (m.kept(p)) 1 else 0) }
       .toDF("piece", "seed_cnt", "em_cnt", "kept")
+  }
+
+  /** UNIGRAM-LM FERTILITY (r14) — the trained-and-PRUNED unigram model
+    * APPLIED, the application twin of [[unigramLm]] exactly as
+    * [[bpeFertility]] twins [[bpeMerges]]: every distinct corpus word
+    * (length-capped like training — the token-stream slice the model is
+    * defined over) Viterbi-segments under the pruned model's
+    * renormalized scores, and per-language fertility = pieces per word.
+    * A single character outside the kept set prices as the UNK penalty
+    * (SentencePiece's unk piece), so segmentation is total even for
+    * words whose alphabet the capped training vocab never saw.
+    *
+    * Scale shape: training is the bounded [[unigramTrain]] kernel; the
+    * APPLICATION is fully distributed and relational — the corpus
+    * collapses to (lang, word, cnt) once, each DISTINCT word runs the
+    * same integer max-plus DP as unrolled DataFrame layers (one
+    * hash-partition by word, then per-position broadcast piece joins +
+    * partial-agg struct-max argmaxes — no per-row UDF, no driver pass),
+    * the backtrace unrolls the same way, and per-language counts join
+    * back (the bpeFertility discipline). Below `kernelThreshold`
+    * distinct words the segmentation short-circuits through the SAME
+    * [[viterbiPieces]] kernel driver-side (the bounded union-find/Tarjan
+    * probe discipline: limit(k+1) decides BEFORE rows are held, the
+    * spec forces the distributed path at threshold 0 and pins
+    * equality). The oracle replays training AND the application DP
+    * verbatim. */
+  def unigramFertility(docs: DataFrame, emRounds: Int = 2,
+      vocabCap: Int = 2000, maxLen: Int = 8, maxPiece: Int = 4,
+      seedCap: Int = 200, vocabSize: Int = 64,
+      kernelThreshold: Int = 200000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = unigramTrain(docs, emRounds, vocabCap, maxLen, maxPiece,
+      seedCap, vocabSize)
+    val langWords = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= maxLen)
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
+    val distinctWords = langWords.select(col("word")).distinct()
+    val probe = distinctWords.limit(kernelThreshold + 1)
+      .as[String].collect()
+    val nsub =
+      if (probe.length <= kernelThreshold)
+        probe.sorted.toSeq.map(w => (w,
+          viterbiPieces(w, maxPiece, m.appWts, Some(m.unkLw)).length.toLong))
+          .toDF("word", "n_pieces")
+      else unigramSegmentRelational(distinctWords, m, maxLen, maxPiece)
+    langWords.join(nsub, Seq("word"))
+      .groupBy("lang")
+      .agg(sum(col("cnt")).cast("long").as("n_words"),
+        sum(col("cnt") * col("n_pieces")).cast("long").as("n_pieces"),
+        round(sum(col("cnt") * col("n_pieces")).cast("double") /
+          sum(col("cnt")), 4).as("pieces_per_word"))
+  }
+
+  /** The distributed spelling of the fertility segmentation — unrolled
+    * integer max-plus DP layers over the distinct-word table (see
+    * [[unigramFertility]]); provably ≡ [[viterbiPieces]] per word
+    * (identical scores and tie-breaks), spec-pinned at threshold 0. */
+  private def unigramSegmentRelational(distinctWords: DataFrame,
+      m: UnigramModel, maxLen: Int, maxPiece: Int): DataFrame = {
+    val spark = distinctWords.sparkSession
+    import spark.implicits._
+    val wtsDf = broadcast(m.appWts.toSeq.sortBy(_._1)
+      .toDF("piece", "lw"))
+    val w0 = distinctWords
+      .repartition(col("word"))
+      .select(col("word"), length(col("word")).as("n"))
+      .localCheckpoint(eager = true)
+    // DP layer i: best (score, piece-length) ending at position i —
+    // union of one arm per piece length, argmax by struct max (score,
+    // then LONGER piece, the kernel's tie-break); the l = 1 arm
+    // LEFT-joins so an out-of-vocab char prices as UNK
+    var layers = Vector(w0.select(col("word"), col("n"),
+      lit(0L).as("sc"), lit(0).as("l")))
+    for (i <- 1 to maxLen) {
+      val arms = (1 to math.min(maxPiece, i)).map { l =>
+        val prev = layers(i - l).filter(col("n") >= i)
+          .withColumn("piece", expr(s"substring(word, ${i - l + 1}, $l)"))
+        if (l == 1)
+          prev.join(wtsDf, Seq("piece"), "left")
+            .select(col("word"), col("n"),
+              (col("sc") + coalesce(col("lw"), lit(m.unkLw))).as("sc"),
+              lit(l).as("l"))
+        else
+          prev.join(wtsDf, Seq("piece"))
+            .select(col("word"), col("n"),
+              (col("sc") + col("lw")).as("sc"), lit(l).as("l"))
+      }
+      // checkpoint EVERY layer: layer i references layers i-1..i-4, so
+      // an uncheckpointed chain replays its predecessors exponentially
+      // (~4-ary recursion — measured 13.3s at sf0.1 vs 1.3s flat)
+      layers = layers :+ arms.reduce(_ unionByName _)
+        .groupBy("word", "n")
+        .agg(max(struct(col("sc"), col("l"))).as("m"))
+        .select(col("word"), col("n"), col("m").getField("sc").as("sc"),
+          col("m").getField("l").as("l"))
+        .localCheckpoint(eager = true)
+    }
+    val dd = (1 to maxLen).map(i =>
+        layers(i).select(col("word"), lit(i).as("i"), col("l")))
+      .reduce(_ unionByName _).localCheckpoint(eager = true)
+    // backtrace: each step consumes one piece; n_pieces = steps taken
+    var trace = w0.select(col("word"), col("n").as("i"))
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to maxLen) {
+      trace = trace.filter(col("i") > 0)
+        .join(dd, Seq("word", "i"))
+        .select(col("word"), (col("i") - col("l")).as("i"))
+        .localCheckpoint(eager = true)
+      steps += trace.select(col("word"))
+    }
+    steps.reduce(_ unionByName _)
+      .groupBy("word").agg(count(lit(1)).as("n_pieces"))
   }
 
   def gumbelTopK(weighted: DataFrame, k: Int = 50,

@@ -2219,7 +2219,10 @@ object QueryCatalog {
       vocabCap = 2000, maxLen = 8, maxPiece = 4, seedCap = 200,
       vocabSize = 64)
 
-  lazy val tUnigramLmSql: String = {
+  /** The unigram-LM TRAINING WITH-body (word cap → seed cap → per-round
+    * DP/backtrace/recount → `ranked` with the prune rank), shared by
+    * t_unigram_lm and the t_unigram_fertility application oracle. */
+  private lazy val unigramTrainCtes: String = {
     val maxLen = 8; val maxPiece = 4; val emRounds = 2
     // one DP round: weights table w{r-1} → best-segmentation tables
     // u{r}d1..8 → flattened (word, i, l) → backtrace u{r}t1..8 →
@@ -2269,7 +2272,7 @@ object QueryCatalog {
          |uc$r AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS c
          |  FROM ($emits) GROUP BY piece)$reWeight""".stripMargin
     }
-    s"""WITH uwords AS MATERIALIZED (
+    s"""uwords AS MATERIALIZED (
        |  SELECT word, count(*)::BIGINT AS cnt FROM (
        |    SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
        |  WHERE word <> '' AND length(word) <= $maxLen
@@ -2293,13 +2296,92 @@ object QueryCatalog {
        |  round(round(ln(scnt::DOUBLE / t), 6) * 1000000)::BIGINT AS lw
        |  FROM useeds, utot0),
        |${(1 to emRounds).map(dpRound).mkString(",\n")},
-       |ranked AS (SELECT s.piece, s.scnt, coalesce(c.c, 0)::BIGINT AS cc,
+       |ranked AS MATERIALIZED (
+       |  SELECT s.piece, s.scnt, coalesce(c.c, 0)::BIGINT AS cc,
        |    row_number() OVER (ORDER BY coalesce(c.c, 0) DESC, s.piece) AS rk
-       |  FROM useeds s LEFT JOIN uc$emRounds c USING (piece))
+       |  FROM useeds s LEFT JOIN uc$emRounds c USING (piece))""".stripMargin
+  }
+
+  lazy val tUnigramLmSql: String =
+    s"""WITH $unigramTrainCtes
        |SELECT piece, scnt AS seed_cnt, cc AS em_cnt,
        |  (CASE WHEN length(piece) = 1 OR rk <= 64 THEN 1 ELSE 0 END)::INT
        |    AS kept
        |FROM ranked""".stripMargin
+
+  /** t_unigram_fertility — the trained-and-pruned unigram model APPLIED
+    * ([[graft.pipeline.Corpus.unigramFertility]], the application twin
+    * of t_unigram_lm exactly as t_bpe_fertility twins t_bpe_merges):
+    * every distinct length-capped corpus word Viterbi-segments under
+    * the kept set's renormalized micro-nat scores (out-of-vocab single
+    * chars price as UNK), per-language fertility = pieces per word.
+    * The oracle re-trains and replays the application DP verbatim. */
+  val tUnigramFertility: Q = (s, d) =>
+    Corpus.unigramFertility(Tables.documents(s, d), emRounds = 2,
+      vocabCap = 2000, maxLen = 8, maxPiece = 4, seedCap = 200,
+      vocabSize = 64)
+
+  lazy val tUnigramFertilitySql: String = {
+    val maxLen = 8; val maxPiece = 4
+    def aI(i: Int): String = {
+      val arms = (1 to math.min(maxPiece, i)).map { l =>
+        if (l == 1)
+          s"""SELECT p.word, p.n, p.sc + coalesce(w.lw, u.lw) AS sc, 1 AS l
+             |      FROM ua${i - 1} p CROSS JOIN uunk u LEFT JOIN uas w
+             |        ON w.piece = substring(p.word, $i, 1)
+             |      WHERE p.n >= $i""".stripMargin
+        else
+          s"""SELECT p.word, p.n, p.sc + w.lw AS sc, $l AS l
+             |      FROM ua${i - l} p JOIN uas w
+             |        ON w.piece = substring(p.word, ${i - l + 1}, $l)
+             |      WHERE p.n >= $i""".stripMargin
+      }.mkString("\n      UNION ALL ")
+      s"""ua$i AS MATERIALIZED (
+         |  SELECT word, n, sc, l FROM (
+         |    SELECT word, n, sc, l, row_number() OVER (
+         |      PARTITION BY word ORDER BY sc DESC, l DESC) AS rk
+         |    FROM ($arms)) WHERE rk = 1)""".stripMargin
+    }
+    def tK(k: Int): String =
+      s"""uat$k AS MATERIALIZED (
+         |  SELECT t.word, t.i - d.l AS i
+         |  FROM uat${k - 1} t JOIN uadd d ON d.word = t.word AND d.i = t.i
+         |  WHERE t.i > 0)""".stripMargin
+    val dds = (1 to maxLen)
+      .map(i => s"SELECT word, $i AS i, l FROM ua$i")
+      .mkString(" UNION ALL ")
+    val emits = (1 to maxLen)
+      .map(k => s"SELECT word FROM uat$k").mkString(" UNION ALL ")
+    s"""WITH $unigramTrainCtes,
+       |ulw AS MATERIALIZED (SELECT lang, word, count(*)::BIGINT AS cnt FROM (
+       |  SELECT lang, unnest(string_split($normSql, ' ')) AS word
+       |  FROM documents)
+       |  WHERE word <> '' AND length(word) <= $maxLen GROUP BY 1, 2),
+       |uavw AS MATERIALIZED (SELECT word, length(word) AS n
+       |  FROM (SELECT DISTINCT word FROM ulw)),
+       |ukept AS MATERIALIZED (SELECT piece FROM ranked
+       |  WHERE length(piece) = 1 OR rk <= 64),
+       |uwn AS ((SELECT (SELECT sum(c) FROM uc2)::BIGINT AS t,
+       |  (SELECT count(*) FROM ukept)::BIGINT AS kn)),
+       |uas AS MATERIALIZED (SELECT k.piece,
+       |  round(round(ln((coalesce(c.c, 0) + 1)::DOUBLE / (w.t + w.kn)),
+       |    6) * 1000000)::BIGINT AS lw
+       |  FROM ukept k LEFT JOIN uc2 c USING (piece) CROSS JOIN uwn w),
+       |uunk AS (SELECT round(round(ln(1::DOUBLE / (t + kn)), 6)
+       |  * 1000000)::BIGINT AS lw FROM uwn),
+       |ua0 AS MATERIALIZED (SELECT word, n, 0::BIGINT AS sc, 0 AS l
+       |  FROM uavw),
+       |${(1 to maxLen).map(aI).mkString(",\n")},
+       |uadd AS MATERIALIZED ($dds),
+       |uat0 AS (SELECT word, n AS i FROM uavw),
+       |${(1 to maxLen).map(tK).mkString(",\n")},
+       |unsub AS MATERIALIZED (SELECT word, count(*)::BIGINT AS n_pieces
+       |  FROM ($emits) GROUP BY word)
+       |SELECT lang, sum(cnt)::BIGINT AS n_words,
+       |  sum(cnt * n_pieces)::BIGINT AS n_pieces,
+       |  round(sum(cnt * n_pieces)::DOUBLE / sum(cnt)::DOUBLE, 4)
+       |    AS pieces_per_word
+       |FROM ulw JOIN unsub USING (word) GROUP BY lang""".stripMargin
   }
 
   /** Quality scoring: alpha ratio, stopword ratio, mean token length,
@@ -8876,6 +8958,7 @@ object QueryCatalog {
     "t_bpe_tokens" -> tBpeTokens,
     "t_bpe_merges" -> tBpeMerges,
     "t_unigram_lm" -> tUnigramLm,
+    "t_unigram_fertility" -> tUnigramFertility,
     "t_quality_train" -> tQualityTrain,
     "t_bpe_fertility" -> tBpeFertility,
     "t_quality" -> tQuality,
@@ -9173,6 +9256,7 @@ object QueryCatalog {
     "t_bpe_tokens" -> tBpeTokensSql,
     "t_bpe_merges" -> tBpeMergesSql,
     "t_unigram_lm" -> tUnigramLmSql,
+    "t_unigram_fertility" -> tUnigramFertilitySql,
     "t_quality_train" -> tQualityTrainSql,
     "t_bpe_fertility" -> tBpeFertilitySql,
     "t_quality" -> tQualitySql,

@@ -948,6 +948,31 @@ class CorpusSpec extends AnyFunSuite {
       "aba" -> 1, "b" -> 1, "abab" -> 0, "ba" -> 0, "bab" -> 0))
   }
 
+  test("r14 unigramFertility: the pruned model segments the whole " +
+      "corpus — kept pieces win, out-of-vocab chars price as UNK") {
+    // vocabCap 2 keeps {ab, abab} for training (ties break by word:
+    // 'abab' < 'xq'), so 'xq' trains nothing and x/q are OOV chars
+    val docs = Seq((1L, "en", "ab ab abab"), (2L, "fr", "xq"))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.unigramFertility(docs, emRounds = 2, vocabCap = 2,
+        maxLen = 8, maxPiece = 4, seedCap = 10, vocabSize = 3)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // en: ab → [ab] (1 piece) twice, abab → [ab, ab] (2) → 4/3
+    assert(out("en") === ((3L, 4L, 1.3333)))
+    // fr: xq segments as two UNK chars → 2/1
+    assert(out("fr") === ((1L, 2L, 2.0)))
+    // threshold 0 forces the DISTRIBUTED unrolled-DP path — must be
+    // label-identical to the driver Viterbi kernel (the bounded-probe
+    // discipline's spec-forced fallback)
+    val rel = Corpus.unigramFertility(docs, emRounds = 2, vocabCap = 2,
+        maxLen = 8, maxPiece = 4, seedCap = 10, vocabSize = 3,
+        kernelThreshold = 0)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rel === out)
+  }
+
   test("r13 psiDrift: conforming sources score ~0, a shifted length " +
       "distribution crosses the 0.25 drifted threshold") {
     // a and b share the corpus's length mix (octaves 4 and 7);
