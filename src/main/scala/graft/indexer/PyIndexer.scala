@@ -810,13 +810,18 @@ object PyIndexer {
   private val localAnno: Regex =
     """^\s*([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?!\w|\s*\[)\s*(?:=(?!=).*)?$""".r
 
-  /** Cross-module resolution context for deep slices (r14, slice 62):
-    * `modules` = corpus modules whose top-level binding set is CLOSED
-    * (no `import *`, no module-level `__getattr__` — PEP 562 dynamic
-    * attrs reopen it, the dynamic-class exemption's module analog);
-    * `bound` = every full name bound at a closed module's top level
-    * (defs, classes, assignments, import aliases, for/with targets). */
-  final case class CorpusContext(modules: Set[String], bound: Set[String])
+  /** Cross-module resolution context for deep slices (r14, slices
+    * 62-63): `modules` = corpus modules whose top-level binding set is
+    * CLOSED (no `import *`, no module-level `__getattr__` — PEP 562
+    * dynamic attrs reopen it, the dynamic-class exemption's module
+    * analog); `bound` = every full name bound at a closed module's top
+    * level (defs, classes, assignments, import aliases, for/with
+    * targets); `returns` = declared `-> Class` annotations of top-level
+    * defs, resolved against the DEFINING module's own classes (def fqn
+    * → class fqn — slice 63's cross-module factory typing; positive
+    * facts, so collected from open modules too). */
+  final case class CorpusContext(modules: Set[String], bound: Set[String],
+      returns: Map[String, String])
 
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier).
     * `corpus`, when present, enables the cross-module slices (62). */
@@ -1357,16 +1362,22 @@ object PyIndexer {
     // declared `-> Type` of a called same-module function/method:
     // `x = make()` with `def make() -> Helper:` binds x to Helper;
     // with no annotation, the INFERRED return (slice 8: the def's
-    // `return Ctor()` / typed-name / self body) fills in
+    // `return Ctor()` / typed-name / self body) fills in. r14 slice 63:
+    // an IMPORTED top-level factory resolves through the corpus scan's
+    // declared-return facts (`from db import open_conn` then
+    // `c = open_conn()` types c db.Conn when open_conn's `-> Conn`
+    // resolves to a class of ITS OWN module) — the fqn is already
+    // module-qualified, member calls then flow the chaseFields path
+    // under the slice-54 enrich verification
     def returnTypeTarget(callee: String): Option[String] =
       if (keywords.contains(callee)) None
-      else resolveCallee(callee)
-        .filter(_.startsWith(mod + "."))
-        .flatMap { cf =>
+      else resolveCallee(callee).flatMap { cf =>
+        if (cf.startsWith(mod + ".")) {
           val k = cf.stripPrefix(mod + ".")
           returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
-        }
-        .flatMap(classishType)
+            .flatMap(classishType)
+        } else corpus.flatMap(_.returns.get(cf))
+      }
 
     /** C3 slice 45 — stdlib factory returns through the typeshed-lite
       * table: `p = re.compile(r)` types p as re.Pattern when `re` (or
@@ -2611,22 +2622,39 @@ object PyIndexer {
     * docstring must not bind) but emits nothing — a cheap executor-side
     * regex pass over headers, collected once per pipeline run. */
   def moduleBindings(relPath: String, content: String)
-      : (String, Set[String], Boolean) = {
+      : (String, Set[String], Boolean, Map[String, String]) = {
     val rawLines = content.split("\n", -1)
     val (lines, _) = preprocess(rawLines)
     val cont = continuations(lines)
     val mod = moduleName(relPath)
     val names = mutable.Set.empty[String]
+    val classes = mutable.Set.empty[String]
+    val defAnnos = mutable.Map.empty[String, String]
     var open = false
     val withAs = """^with\b.*\bas\s+([A-Za-z_]\w*)\s*:?\s*$""".r
     val tupleAssign =
       """^([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*=(?!=).*$""".r
+    val arrowTail = """->\s*(.+?)\s*:\s*$""".r
+    def joined(li: Int): String =
+      (lines(li) +: (li + 1 until lines.length)
+        .iterator.takeWhile(cont(_)).map(lines(_)).toSeq).mkString(" ")
     lines.indices.foreach { li =>
       val ln = lines(li)
       if (!cont(li) && ln.nonEmpty && !ln.head.isWhitespace) ln match {
         case defHeader(ind, d) if ind.isEmpty =>
           names += d; if (d == "__getattr__") open = true
-        case classHeader(ind, c, _) if ind.isEmpty => names += c
+          // slice 63: a declared `-> Anno` on the (joined) header,
+          // unwrapped of quotes / Optional[X] / X | None; simple names
+          // only — resolution happens against this module's classes
+          arrowTail.findFirstMatchIn(joined(li)).foreach { m =>
+            var a = m.group(1).replaceAll("[\"']", "").trim
+            if (a.startsWith("Optional[") && a.endsWith("]"))
+              a = a.substring(9, a.length - 1).trim
+            a = a.stripSuffix("| None").stripPrefix("None |").trim
+            if (a.matches("[A-Za-z_]\\w*")) defAnnos(d) = a
+          }
+        case classHeader(ind, c, _) if ind.isEmpty =>
+          names += c; classes += c
         case fromImport(_, items) =>
           if (items.trim == "*" || items.contains("*")) open = true
           else items.split(",").foreach { it =>
@@ -2650,18 +2678,24 @@ object PyIndexer {
         case _ => ()
       }
     }
-    (mod, names.toSet, open)
+    val returns = defAnnos.iterator.collect {
+      case (d, a) if classes.contains(a) => s"$mod.$d" -> s"$mod.$a"
+    }.toMap
+    (mod, names.toSet, open, returns)
   }
 
   /** Fold per-module binding scans into the [[CorpusContext]] the deep
-    * slices consume: open modules are excluded entirely (they cannot
-    * disprove), bound names are module-qualified. */
-  def corpusContext(scans: Seq[(String, Set[String], Boolean)])
+    * slices consume: open modules are excluded from the DISPROOF side
+    * (they cannot disprove) but contribute their positive return facts;
+    * bound names are module-qualified. */
+  def corpusContext(
+      scans: Seq[(String, Set[String], Boolean, Map[String, String])])
       : CorpusContext = {
     val closed = scans.filterNot(_._3)
     CorpusContext(
       closed.iterator.map(_._1).toSet,
-      closed.iterator.flatMap { case (m, ns, _) =>
-        ns.iterator.map(n => s"$m.$n") }.toSet)
+      closed.iterator.flatMap { case (m, ns, _, _) =>
+        ns.iterator.map(n => s"$m.$n") }.toSet,
+      scans.iterator.flatMap(_._4).toMap)
   }
 }

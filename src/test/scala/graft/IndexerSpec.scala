@@ -2612,6 +2612,67 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.nonEmpty)
   }
 
+  test("r14 slice 63: cross-module DECLARED returns — an imported " +
+      "factory's `-> Class` types its caller; non-class and " +
+      "unannotated imports bind nothing") {
+    val modA =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |def helper():
+        |    return 1
+        |
+        |def open_conn() -> Conn:
+        |    return Conn()
+        |
+        |def open_untyped():
+        |    return Conn()
+        |
+        |def weird() -> helper:
+        |    return helper
+        |""".stripMargin
+    val modB =
+      """from mod_a import open_conn, open_untyped, weird
+        |import mod_a
+        |
+        |def use():
+        |    c = open_conn()
+        |    c.ping()
+        |
+        |def use_attr():
+        |    c = mod_a.open_conn()
+        |    c.ping()
+        |
+        |def use_untyped():
+        |    u = open_untyped()
+        |    u.ping()
+        |
+        |def use_weird():
+        |    w = weird()
+        |    w.ping()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_a.py", modA),
+      SourceFile("mod_b.py", modB)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t63"), "t63")
+    val pings = out.edges
+      .filter(col("rel_type") === Rel.Call && col("dst") === "mod_a.Conn.ping")
+      .select("src").as[String].collect().toSet
+    // the declared cross-module factory types both the from-import and
+    // the module-attribute call sites
+    assert(pings === Set("mod_b.use", "mod_b.use_attr"), s"got $pings")
+    // the unannotated factory stays out of scope (cross-module INFERRED
+    // returns are not scanned) and `-> helper` is not a class — neither
+    // binds, so no ping edge fabricates from their callers
+    val allCalls = out.edges.filter(col("rel_type") === Rel.Call)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(!allCalls.exists(c => c._1 == "mod_b.use_untyped" &&
+      c._2.endsWith(".ping")))
+    assert(!allCalls.exists(c => c._1 == "mod_b.use_weird" &&
+      c._2.endsWith(".ping")))
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
