@@ -1418,8 +1418,12 @@ object PyIndexer {
         .getOrElse(recv)
       if (!definer.startsWith(mod + "."))
         // slice 45: a stdlib receiver's member returns what its
-        // typeshed stub declares (re.Pattern.match → re.Match)
+        // typeshed stub declares (re.Pattern.match → re.Match);
+        // r14 slice 64: a CORPUS receiver's method returns its scanned
+        // declared `-> Class` (resolved in the defining module), so
+        // `c = db_client.cursor()` types through a cross-module class
         typeshedMethodReturns.get(definer).flatMap(_.get(method))
+          .orElse(corpus.flatMap(_.returns.get(s"$definer.$method")))
       else {
         val k = definer.stripPrefix(mod + ".") + "." + method
         returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
@@ -2631,6 +2635,11 @@ object PyIndexer {
     val classes = mutable.Set.empty[String]
     val defAnnos = mutable.Map.empty[String, String]
     var open = false
+    // the top-level class whose body we are inside, and its method
+    // indent (the FIRST def indent seen — deeper defs are nested
+    // functions, not methods; slice 64)
+    var curCls: Option[String] = None
+    var methodIndent = -1
     val withAs = """^with\b.*\bas\s+([A-Za-z_]\w*)\s*:?\s*$""".r
     val tupleAssign =
       """^([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*=(?!=).*$""".r
@@ -2638,44 +2647,62 @@ object PyIndexer {
     def joined(li: Int): String =
       (lines(li) +: (li + 1 until lines.length)
         .iterator.takeWhile(cont(_)).map(lines(_)).toSeq).mkString(" ")
+    // slice 63: a declared `-> Anno` on the (joined) header, unwrapped
+    // of quotes / Optional[X] / X | None; simple names only —
+    // resolution happens against this module's classes
+    def annoOf(li: Int): Option[String] =
+      arrowTail.findFirstMatchIn(joined(li)).flatMap { m =>
+        var a = m.group(1).replaceAll("[\"']", "").trim
+        if (a.startsWith("Optional[") && a.endsWith("]"))
+          a = a.substring(9, a.length - 1).trim
+        a = a.stripSuffix("| None").stripPrefix("None |").trim
+        if (a.matches("[A-Za-z_]\\w*")) Some(a) else None
+      }
     lines.indices.foreach { li =>
       val ln = lines(li)
-      if (!cont(li) && ln.nonEmpty && !ln.head.isWhitespace) ln match {
-        case defHeader(ind, d) if ind.isEmpty =>
-          names += d; if (d == "__getattr__") open = true
-          // slice 63: a declared `-> Anno` on the (joined) header,
-          // unwrapped of quotes / Optional[X] / X | None; simple names
-          // only — resolution happens against this module's classes
-          arrowTail.findFirstMatchIn(joined(li)).foreach { m =>
-            var a = m.group(1).replaceAll("[\"']", "").trim
-            if (a.startsWith("Optional[") && a.endsWith("]"))
-              a = a.substring(9, a.length - 1).trim
-            a = a.stripSuffix("| None").stripPrefix("None |").trim
-            if (a.matches("[A-Za-z_]\\w*")) defAnnos(d) = a
-          }
-        case classHeader(ind, c, _) if ind.isEmpty =>
-          names += c; classes += c
-        case fromImport(_, items) =>
-          if (items.trim == "*" || items.contains("*")) open = true
-          else items.split(",").foreach { it =>
-            val parts = it.trim.stripPrefix("(").stripSuffix(")")
-              .trim.split("\\s+as\\s+")
-            val bound = parts.last.trim
-            if (bound.matches("[A-Za-z_]\\w*")) names += bound
-          }
-        case importStmt(items) =>
-          items.split(",").foreach { it =>
-            val parts = it.trim.split("\\s+as\\s+")
-            val bound = if (parts.length > 1) parts.last.trim
-              else parts.head.trim.split("\\.").head.trim
-            if (bound.matches("[A-Za-z_]\\w*")) names += bound
-          }
-        case assignStmt(ind, n) if ind.isEmpty => names += n
-        case tupleAssign(ts) =>
-          ts.split(",").foreach(t => names += t.trim)
-        case forStmt(ind, v) if ind.isEmpty => names += v
-        case withAs(v) => names += v
-        case _ => ()
+      if (!cont(li) && ln.nonEmpty && !ln.head.isWhitespace) {
+        curCls = None; methodIndent = -1
+        ln match {
+          case defHeader(ind, d) if ind.isEmpty =>
+            names += d; if (d == "__getattr__") open = true
+            annoOf(li).foreach(a => defAnnos(d) = a)
+          case classHeader(ind, c, _) if ind.isEmpty =>
+            names += c; classes += c; curCls = Some(c)
+          case fromImport(_, items) =>
+            if (items.trim == "*" || items.contains("*")) open = true
+            else items.split(",").foreach { it =>
+              val parts = it.trim.stripPrefix("(").stripSuffix(")")
+                .trim.split("\\s+as\\s+")
+              val bound = parts.last.trim
+              if (bound.matches("[A-Za-z_]\\w*")) names += bound
+            }
+          case importStmt(items) =>
+            items.split(",").foreach { it =>
+              val parts = it.trim.split("\\s+as\\s+")
+              val bound = if (parts.length > 1) parts.last.trim
+                else parts.head.trim.split("\\.").head.trim
+              if (bound.matches("[A-Za-z_]\\w*")) names += bound
+            }
+          case assignStmt(ind, n) if ind.isEmpty => names += n
+          case tupleAssign(ts) =>
+            ts.split(",").foreach(t => names += t.trim)
+          case forStmt(ind, v) if ind.isEmpty => names += v
+          case withAs(v) => names += v
+          case _ => ()
+        }
+      } else if (!cont(li) && ln.nonEmpty && curCls.isDefined) {
+        // slice 64: METHOD `-> Anno` returns of a top-level class —
+        // first-level defs only (the first def indent seen inside the
+        // class body; deeper defs are nested functions, which can only
+        // follow a method and so never set the level)
+        ln match {
+          case defHeader(ind, d) =>
+            if (methodIndent < 0) methodIndent = ind.length
+            if (ind.length == methodIndent)
+              annoOf(li).foreach(a =>
+                defAnnos(s"${curCls.get}.$d") = a)
+          case _ => ()
+        }
       }
     }
     val returns = defAnnos.iterator.collect {

@@ -2673,6 +2673,49 @@ class IndexerSpec extends AnyFunSuite {
       c._2.endsWith(".ping")))
   }
 
+  test("r14 slice 64: cross-module METHOD returns — a corpus class's " +
+      "declared `-> Class` types bindings and inline chains") {
+    val modA =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |class Client:
+        |    def cursor(self) -> Conn:
+        |        return Conn()
+        |    def raw(self):
+        |        return Conn()
+        |""".stripMargin
+    val modB =
+      """from mod_a import Client
+        |
+        |def use():
+        |    cl = Client()
+        |    cur = cl.cursor()
+        |    cur.ping()
+        |
+        |def use_chain():
+        |    Client().cursor().ping()
+        |
+        |def use_raw():
+        |    r = Client().raw()
+        |    r.ping()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_a.py", modA),
+      SourceFile("mod_b.py", modB)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t64"), "t64")
+    val pings = out.edges
+      .filter(col("rel_type") === Rel.Call && col("dst") === "mod_a.Conn.ping")
+      .select("src").as[String].collect().toSet
+    assert(pings === Set("mod_b.use", "mod_b.use_chain"), s"got $pings")
+    // the unannotated method stays out of scope — no fabricated edge
+    val allCalls = out.edges.filter(col("rel_type") === Rel.Call)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(!allCalls.exists(c => c._1 == "mod_b.use_raw" &&
+      c._2.endsWith(".ping")))
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
