@@ -140,9 +140,11 @@ object IndexPipeline {
     // the deep pass can DISPROVE imported decorator names cross-module
     val ctx = PyIndexer.corpusContext(
       files.map { f =>
-        val (m, ns, open, rets) = PyIndexer.moduleBindings(f.path, f.content)
-        (m, ns.toSeq.sorted, open, rets.toSeq.sorted)
-      }.collect().toSeq.map(t => (t._1, t._2.toSet, t._3, t._4.toMap)))
+        val (m, ns, open, rets, flds) =
+          PyIndexer.moduleBindings(f.path, f.content)
+        (m, ns.toSeq.sorted, open, rets.toSeq.sorted, flds.toSeq.sorted)
+      }.collect().toSeq
+        .map(t => (t._1, t._2.toSet, t._3, t._4.toMap, t._5.toMap)))
     val ctxB = spark.sparkContext.broadcast(ctx)
     val events = files.flatMap { f =>
       val ev = PyIndexer.indexFileSafe(taskId, f.path, f.content,

@@ -816,12 +816,15 @@ object PyIndexer {
     * dynamic attrs reopen it, the dynamic-class exemption's module
     * analog); `bound` = every full name bound at a closed module's top
     * level (defs, classes, assignments, import aliases, for/with
-    * targets); `returns` = declared `-> Class` annotations of top-level
-    * defs, resolved against the DEFINING module's own classes (def fqn
-    * → class fqn — slice 63's cross-module factory typing; positive
-    * facts, so collected from open modules too). */
+    * targets); `returns` = declared `-> Class` annotations of
+    * top-level defs and first-level methods, resolved against the
+    * DEFINING module's own classes (def fqn → class fqn — slices
+    * 63-64's cross-module factory/method typing; positive facts, so
+    * collected from open modules too); `fields` = class-body ANNOTATED
+    * fields and `@property` reads (attr fqn → class fqn — slice 65's
+    * cross-module attribute chases). */
   final case class CorpusContext(modules: Set[String], bound: Set[String],
-      returns: Map[String, String])
+      returns: Map[String, String], fields: Map[String, String])
 
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier).
     * `corpus`, when present, enables the cross-module slices (62). */
@@ -1200,17 +1203,25 @@ object PyIndexer {
     }
     /** First typed field OR @property named `field` along `cls`'s MRO —
       * the subclass's own binding shadows a base's (MRO order). */
+    // r14 slice 65: a CROSS-MODULE receiver's annotated class fields
+    // and @property reads resolve through the corpus scan's field facts
+    // (declared on the class itself — no cross-module MRO)
+    def corpusFieldOf(cls: String, field: String): Option[String] =
+      if (cls.startsWith(mod + ".")) None
+      else corpus.flatMap(_.fields.get(s"$cls.$field"))
     def fieldTypeViaMro(cls: String, field: String): Option[String] =
       mroOf(cls).iterator
         .map(c => classFieldTypes.get(c).flatMap(_.get(field))
           .orElse(propertyTypeOf(c, field)))
         .collectFirst { case Some(t) => t }
+        .orElse(corpusFieldOf(cls, field))
     /** [[fieldTypeViaMro]] without the @property arm — for the chain
       * links that deliberately read plain typed fields only. */
     def fieldOnlyViaMro(cls: String, field: String): Option[String] =
       mroOf(cls).iterator
         .map(c => classFieldTypes.get(c).flatMap(_.get(field)))
         .collectFirst { case Some(t) => t }
+        .orElse(corpusFieldOf(cls, field))
 
     /** r12 slice 57: ELEMENT type of a container self-field along the
       * MRO — a base's build-up types a subclass's iteration. */
@@ -2626,7 +2637,8 @@ object PyIndexer {
     * docstring must not bind) but emits nothing — a cheap executor-side
     * regex pass over headers, collected once per pipeline run. */
   def moduleBindings(relPath: String, content: String)
-      : (String, Set[String], Boolean, Map[String, String]) = {
+      : (String, Set[String], Boolean, Map[String, String],
+         Map[String, String]) = {
     val rawLines = content.split("\n", -1)
     val (lines, _) = preprocess(rawLines)
     val cont = continuations(lines)
@@ -2634,12 +2646,14 @@ object PyIndexer {
     val names = mutable.Set.empty[String]
     val classes = mutable.Set.empty[String]
     val defAnnos = mutable.Map.empty[String, String]
+    val fieldAnnos = mutable.Map.empty[String, String]
     var open = false
-    // the top-level class whose body we are inside, and its method
-    // indent (the FIRST def indent seen — deeper defs are nested
-    // functions, not methods; slice 64)
+    // the top-level class whose body we are inside, and its body
+    // indent (the FIRST statement indent seen — deeper statements are
+    // nested in methods, not class members; slices 64-65)
     var curCls: Option[String] = None
-    var methodIndent = -1
+    var bodyIndent = -1
+    var pendingProp = false
     val withAs = """^with\b.*\bas\s+([A-Za-z_]\w*)\s*:?\s*$""".r
     val tupleAssign =
       """^([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*=(?!=).*$""".r
@@ -2661,7 +2675,7 @@ object PyIndexer {
     lines.indices.foreach { li =>
       val ln = lines(li)
       if (!cont(li) && ln.nonEmpty && !ln.head.isWhitespace) {
-        curCls = None; methodIndent = -1
+        curCls = None; bodyIndent = -1; pendingProp = false
         ln match {
           case defHeader(ind, d) if ind.isEmpty =>
             names += d; if (d == "__getattr__") open = true
@@ -2690,39 +2704,55 @@ object PyIndexer {
           case withAs(v) => names += v
           case _ => ()
         }
-      } else if (!cont(li) && ln.nonEmpty && curCls.isDefined) {
-        // slice 64: METHOD `-> Anno` returns of a top-level class —
-        // first-level defs only (the first def indent seen inside the
-        // class body; deeper defs are nested functions, which can only
-        // follow a method and so never set the level)
-        ln match {
-          case defHeader(ind, d) =>
-            if (methodIndent < 0) methodIndent = ind.length
-            if (ind.length == methodIndent)
-              annoOf(li).foreach(a =>
-                defAnnos(s"${curCls.get}.$d") = a)
-          case _ => ()
+      } else if (!cont(li) && ln.trim.nonEmpty && curCls.isDefined) {
+        // slices 64-65: first-level class members only (the first
+        // statement indent inside the class body; deeper lines live in
+        // methods). Methods key their `-> Anno` under Cls.m; a
+        // @property method keys it as a FIELD read; annotated
+        // class-body fields (`conn: Conn [= ...]`) key as fields too.
+        val ind = ln.takeWhile(_.isWhitespace).length
+        if (bodyIndent < 0) bodyIndent = ind
+        if (ind == bodyIndent) ln match {
+          case defHeader(_, d) =>
+            annoOf(li).foreach { a =>
+              defAnnos(s"${curCls.get}.$d") = a
+              if (pendingProp) fieldAnnos(s"${curCls.get}.$d") = a
+            }
+            pendingProp = false
+          case localAnno(f, a) if a.matches("[A-Za-z_]\\w*") =>
+            fieldAnnos(s"${curCls.get}.$f") = a
+          case _ =>
+            val t = ln.trim
+            if (t.startsWith("@")) {
+              val deco = t.stripPrefix("@")
+                .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
+              if (deco == "property" || deco == "cached_property" ||
+                  deco == "functools.cached_property") pendingProp = true
+            } else pendingProp = false
         }
       }
     }
     val returns = defAnnos.iterator.collect {
       case (d, a) if classes.contains(a) => s"$mod.$d" -> s"$mod.$a"
     }.toMap
-    (mod, names.toSet, open, returns)
+    val fields = fieldAnnos.iterator.collect {
+      case (f, a) if classes.contains(a) => s"$mod.$f" -> s"$mod.$a"
+    }.toMap
+    (mod, names.toSet, open, returns, fields)
   }
 
   /** Fold per-module binding scans into the [[CorpusContext]] the deep
     * slices consume: open modules are excluded from the DISPROOF side
     * (they cannot disprove) but contribute their positive return facts;
     * bound names are module-qualified. */
-  def corpusContext(
-      scans: Seq[(String, Set[String], Boolean, Map[String, String])])
-      : CorpusContext = {
+  def corpusContext(scans: Seq[(String, Set[String], Boolean,
+      Map[String, String], Map[String, String])]): CorpusContext = {
     val closed = scans.filterNot(_._3)
     CorpusContext(
       closed.iterator.map(_._1).toSet,
-      closed.iterator.flatMap { case (m, ns, _, _) =>
+      closed.iterator.flatMap { case (m, ns, _, _, _) =>
         ns.iterator.map(n => s"$m.$n") }.toSet,
-      scans.iterator.flatMap(_._4).toMap)
+      scans.iterator.flatMap(_._4).toMap,
+      scans.iterator.flatMap(_._5).toMap)
   }
 }

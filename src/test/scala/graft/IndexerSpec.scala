@@ -2716,6 +2716,53 @@ class IndexerSpec extends AnyFunSuite {
       c._2.endsWith(".ping")))
   }
 
+  test("r14 slice 65: cross-module ANNOTATED class fields and " +
+      "@property reads chase through attribute chains") {
+    val modA =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |class Client:
+        |    conn: Conn = None
+        |    plain = 7
+        |    def __init__(self):
+        |        self.conn = Conn()
+        |    @property
+        |    def backup(self) -> Conn:
+        |        return Conn()
+        |    def normal(self) -> Conn:
+        |        return Conn()
+        |""".stripMargin
+    val modB =
+      """from mod_a import Client
+        |
+        |def use_field():
+        |    cl = Client()
+        |    cl.conn.ping()
+        |
+        |def use_prop():
+        |    cl = Client()
+        |    cl.backup.ping()
+        |
+        |def use_plain():
+        |    cl = Client()
+        |    cl.plain.ping()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_a.py", modA),
+      SourceFile("mod_b.py", modB)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t65"), "t65")
+    val pings = out.edges
+      .filter(col("rel_type") === Rel.Call && col("dst") === "mod_a.Conn.ping")
+      .select("src").as[String].collect().toSet
+    assert(pings.contains("mod_b.use_field"), s"got $pings")
+    assert(pings.contains("mod_b.use_prop"), s"got $pings")
+    // the unannotated field has no scanned type — no Conn.ping edge
+    // fabricates from its caller
+    assert(!pings.contains("mod_b.use_plain"), s"got $pings")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
