@@ -265,6 +265,58 @@ object Corpus {
   /** The HTML-ambiguous subset of [[specialTokens]] (strikethrough). */
   val htmlAmbiguousTokens: Set[String] = Set("<s>", "</s>")
 
+  /** HTML entities decoded by [[htmlStrip]], in APPLICATION order —
+    * `&amp;` must decode LAST so `&amp;lt;` correctly single-decodes to
+    * the literal `&lt;` (the standard double-escape rule). */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML STRIPPING (r14) — the FIRST step of every web-scrape curation
+    * pipeline (trafilatura/jusText's extraction core, minus readability
+    * heuristics), and the stage the [[specialTokenScreen]] contract
+    * explicitly sequences after: drop `<script>`/`<style>` blocks and
+    * comments WITH their contents (code/CSS must not leak into the
+    * text), turn every remaining tag into a space, decode the common
+    * named entities (in [[htmlEntities]] order — `&amp;` last, so
+    * double-escapes single-decode), and collapse whitespace. Emits the
+    * cleaned text plus the audit counters a pipeline thresholds on:
+    * tag and entity counts and the kept-character ratio (exact integer
+    * ppm — a page that is mostly markup keeps a low ratio and gets
+    * routed to re-extraction).
+    *
+    * Shape: a pure NARROW MAP of codegen'd regexp_replace/replace
+    * chains — zero Exchange (plan-gated), embarrassingly parallel at
+    * any scale. Regexes stay in the Java-regex ∩ RE2 subset ((?is),
+    * lazy quantifiers, character classes) so the oracle replays them
+    * verbatim. */
+  def htmlStrip(docs: DataFrame): DataFrame = {
+    val raw = col("text")
+    def countOf(c: org.apache.spark.sql.Column, tok: String) =
+      ((length(c) - length(call_function("replace", c, lit(tok), lit("")))) /
+        lit(tok.length)).cast("long")
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(raw, "(?is)<script[^>]*>.*?</script>", " "),
+        "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val nTags = regexp_count(noBlocks, lit("<[^>]*>")).cast("long")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val nEntities = htmlEntities.map(e => countOf(noTags, e._1))
+      .reduce(_ + _)
+    val decoded = htmlEntities.foldLeft(noTags) { case (c, (from, to)) =>
+      call_function("replace", c, lit(from), lit(to))
+    }
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    docs.select(col("doc_id"), clean.as("text_clean"),
+      nTags.as("n_tags"), nEntities.as("n_entities"),
+      length(raw).cast("long").as("__rawlen"))
+      .select(col("doc_id"), col("text_clean"), col("n_tags"),
+        col("n_entities"),
+        expr("1000000 * length(text_clean) div greatest(__rawlen, 1)")
+          .as("kept_ppm"))
+  }
+
   def specialTokenScreen(docs: DataFrame): DataFrame = {
     // literal count: (len(text) − len(replace(text, tok, ''))) / len(tok)
     def countOf(tok: String) =

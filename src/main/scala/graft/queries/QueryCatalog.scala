@@ -1976,6 +1976,62 @@ object QueryCatalog {
        |FROM c""".stripMargin
   }
 
+  /** t_html — HTML STRIPPING ([[graft.pipeline.Corpus.htmlStrip]]): the
+    * first step of a web-scrape pipeline — script/style/comment blocks
+    * drop with contents, tags become spaces, common entities decode
+    * (&amp; last so double-escapes single-decode), whitespace
+    * collapses; emits the cleaned text + tag/entity counts and the
+    * kept-character ppm. The corpus is augmented IN-PLAN (the t_special
+    * pattern) so markup-wrapped and markup-free rows decide both ways.
+    * Pure narrow map, zero Exchange (plan-gated). */
+  val tHtml: Q = (s, d) => {
+    val aug = Tables.documents(s, d).withColumn("text",
+      when(col("doc_id") % 7 === 0, concat(
+        lit("<html><head><title>t</title><style type=\"text/css\">p " +
+          "{color: red}</style></head><body><!-- note --><p class=\"a\">"),
+        col("text"),
+        lit("</p><script>var x = 1 < 2 && true;</script>&amp;lt; " +
+          "&nbsp;fin</body></html>")))
+        .when(col("doc_id") % 7 === 3,
+          concat(lit("plain &quot;quoted&quot; &amp; <b>bold</b> "),
+            col("text")))
+        .otherwise(col("text")))
+    Corpus.htmlStrip(aug)
+  }
+
+  lazy val tHtmlSql: String = {
+    def sq(x: String) = x.replace("'", "''")
+    val entityChain = graft.pipeline.Corpus.htmlEntities
+      .foldLeft("ntg") { case (acc, (from, to)) =>
+        s"replace($acc, '${sq(from)}', '${sq(to)}')" }
+    val entityCount = graft.pipeline.Corpus.htmlEntities.map { case (t, _) =>
+      s"(length(ntg) - length(replace(ntg, '${sq(t)}', ''))) // ${t.length}"
+    }.mkString(" + ")
+    s"""WITH aug AS (SELECT doc_id, CASE
+       |    WHEN doc_id % 7 = 0 THEN '<html><head><title>t</title><style type="text/css">p {color: red}</style></head><body><!-- note --><p class="a">'
+       |      || text || '</p><script>var x = 1 < 2 && true;</script>&amp;lt; &nbsp;fin</body></html>'
+       |    WHEN doc_id % 7 = 3 THEN 'plain &quot;quoted&quot; &amp; <b>bold</b> ' || text
+       |    ELSE text END AS t2
+       |  FROM documents),
+       |nb AS (SELECT doc_id, t2, regexp_replace(regexp_replace(regexp_replace(t2,
+       |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |    '(?s)<!--.*?-->', ' ', 'g') AS nbk FROM aug),
+       |nt AS (SELECT doc_id, t2,
+       |    len(regexp_extract_all(nbk, '<[^>]*>'))::BIGINT AS n_tags,
+       |    regexp_replace(nbk, '<[^>]*>', ' ', 'g') AS ntg FROM nb),
+       |en AS (SELECT doc_id, t2, n_tags,
+       |    ($entityCount)::BIGINT AS n_entities,
+       |    $entityChain AS decd FROM nt),
+       |cl AS (SELECT doc_id, t2, n_tags, n_entities,
+       |    trim(regexp_replace(decd, '\\s+', ' ', 'g')) AS text_clean
+       |  FROM en)
+       |SELECT doc_id, text_clean, n_tags, n_entities,
+       |  (1000000 * length(text_clean) // greatest(length(t2), 1))::BIGINT
+       |    AS kept_ppm
+       |FROM cl""".stripMargin
+  }
+
   /** t_psi — per-source POPULATION STABILITY INDEX
     * ([[graft.pipeline.Corpus.psiDrift]]): drift of each source's
     * document-length distribution vs the whole corpus over integer
@@ -9036,6 +9092,7 @@ object QueryCatalog {
     "t_kl" -> tKl,
     "t_psi" -> tPsi,
     "t_special" -> tSpecial,
+    "t_html" -> tHtml,
     "t_ngram_rep" -> tNgramRep,
     "t_ppl" -> tPpl,
     "t_entropy" -> tEntropy,
@@ -9334,6 +9391,7 @@ object QueryCatalog {
     "t_kl" -> tKlSql,
     "t_psi" -> tPsiSql,
     "t_special" -> tSpecialSql,
+    "t_html" -> tHtmlSql,
     "t_ngram_rep" -> tNgramRepSql,
     "t_ppl" -> tPplSql,
     "t_entropy" -> tEntropySql,

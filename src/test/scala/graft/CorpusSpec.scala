@@ -973,6 +973,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(rel === out)
   }
 
+  test("r14 htmlStrip: script/style/comment contents drop, tags become " +
+      "spaces, entities single-decode (&amp; last), counters exact") {
+    val docs = Seq(
+      (1L, "<html><body><p>Hello <b>world</b></p>" +
+        "<script>var x = 1 < 2;</script></body></html>"),
+      (2L, "a &amp;lt; b &quot;q&quot; &nbsp;c &amp; d"),
+      (3L, "no markup at all"),
+      (4L, "<style>p { color: red }</style><!-- hidden -->visible")
+    ).toDF("doc_id", "text")
+    val out = Corpus.htmlStrip(docs)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // script CONTENT gone (the 1 < 2 must not leak); 8 surviving tags
+    // (html body p b /b /p /body /html — the script pair went with its
+    // block)
+    assert(out(1L)._1 === "Hello world")
+    assert(out(1L)._2 === 8L)
+    // &amp;lt; single-decodes to the literal &lt; — never to '<'
+    assert(out(2L)._1 === "a &lt; b \"q\" c & d")
+    assert(out(2L)._3 === 5L) // 2×amp + 2×quot + nbsp
+    assert(out(3L) === (("no markup at all", 0L, 0L, 1000000L)))
+    // style + comment contents drop entirely
+    assert(out(4L)._1 === "visible")
+    // kept ratio: doc 1 keeps 11 of 86 chars → 127906 ppm
+    assert(out(1L)._4 === 1000000L * 11 / docs.collect()
+      .find(_.getLong(0) == 1L).get.getString(1).length)
+  }
+
   test("r13 psiDrift: conforming sources score ~0, a shifted length " +
       "distribution crosses the 0.25 drifted threshold") {
     // a and b share the corpus's length mix (octaves 4 and 7);

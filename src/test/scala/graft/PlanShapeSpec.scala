@@ -426,7 +426,8 @@ class PlanShapeSpec extends AnyFunSuite {
   test("r13 m_pdf / m_srt / t_special: pure narrow maps — zero exchanges") {
     for ((name, df) <- Seq("m_pdf" -> QueryCatalog.mPdf(spark, sf),
         "m_srt" -> QueryCatalog.mSrt(spark, sf),
-        "t_special" -> QueryCatalog.tSpecial(spark, sf))) {
+        "t_special" -> QueryCatalog.tSpecial(spark, sf),
+        "t_html" -> QueryCatalog.tHtml(spark, sf))) {
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
