@@ -1203,25 +1203,28 @@ object PyIndexer {
     }
     /** First typed field OR @property named `field` along `cls`'s MRO —
       * the subclass's own binding shadows a base's (MRO order). */
-    // r14 slice 65: a CROSS-MODULE receiver's annotated class fields
-    // and @property reads resolve through the corpus scan's field facts
-    // (declared on the class itself — no cross-module MRO)
+    // r14 slices 65-66: a CROSS-MODULE class's annotated fields and
+    // @property reads resolve through the corpus scan's field facts —
+    // consulted PER MRO CLASS (slice 66: a local subclass of an
+    // imported base inherits the base's declared fields; bases resolve
+    // to fqns at the class header, so the local MRO carries them), with
+    // local bindings shadowing in MRO order
     def corpusFieldOf(cls: String, field: String): Option[String] =
       if (cls.startsWith(mod + ".")) None
       else corpus.flatMap(_.fields.get(s"$cls.$field"))
     def fieldTypeViaMro(cls: String, field: String): Option[String] =
       mroOf(cls).iterator
         .map(c => classFieldTypes.get(c).flatMap(_.get(field))
-          .orElse(propertyTypeOf(c, field)))
+          .orElse(propertyTypeOf(c, field))
+          .orElse(corpusFieldOf(c, field)))
         .collectFirst { case Some(t) => t }
-        .orElse(corpusFieldOf(cls, field))
     /** [[fieldTypeViaMro]] without the @property arm — for the chain
       * links that deliberately read plain typed fields only. */
     def fieldOnlyViaMro(cls: String, field: String): Option[String] =
       mroOf(cls).iterator
-        .map(c => classFieldTypes.get(c).flatMap(_.get(field)))
+        .map(c => classFieldTypes.get(c).flatMap(_.get(field))
+          .orElse(corpusFieldOf(c, field)))
         .collectFirst { case Some(t) => t }
-        .orElse(corpusFieldOf(cls, field))
 
     /** r12 slice 57: ELEMENT type of a container self-field along the
       * MRO — a base's build-up types a subclass's iteration. */
@@ -1424,8 +1427,12 @@ object PyIndexer {
     // un-annotated (Python's override semantics), a base-only def
     // resolves through the subclass receiver.
     def methodReturn(recv: String, method: String): Option[String] = {
+      // slice 66: a CROSS-MODULE MRO class defines the method when the
+      // corpus scan keyed its declared return — a local subclass of an
+      // imported base resolves the base's `-> Class` methods
       val definer = mroOf(recv)
-        .find(c => classMethodsRaw.get(c).exists(_.contains(method)))
+        .find(c => classMethodsRaw.get(c).exists(_.contains(method)) ||
+          corpus.exists(_.returns.contains(s"$c.$method")))
         .getOrElse(recv)
       if (!definer.startsWith(mod + "."))
         // slice 45: a stdlib receiver's member returns what its

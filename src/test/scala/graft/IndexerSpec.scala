@@ -2763,6 +2763,45 @@ class IndexerSpec extends AnyFunSuite {
     assert(!pings.contains("mod_b.use_plain"), s"got $pings")
   }
 
+  test("r14 slice 66: a LOCAL subclass of an imported base inherits " +
+      "the base's scanned method returns and annotated fields") {
+    val modA =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |class Base:
+        |    conn: Conn = None
+        |    def cursor(self) -> Conn:
+        |        return Conn()
+        |""".stripMargin
+    val modB =
+      """from mod_a import Base
+        |
+        |class Sub(Base):
+        |    def extra(self):
+        |        return 0
+        |
+        |def use_method():
+        |    s = Sub()
+        |    c = s.cursor()
+        |    c.ping()
+        |
+        |def use_field():
+        |    s = Sub()
+        |    s.conn.ping()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_a.py", modA),
+      SourceFile("mod_b.py", modB)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t66"), "t66")
+    val pings = out.edges
+      .filter(col("rel_type") === Rel.Call && col("dst") === "mod_a.Conn.ping")
+      .select("src").as[String].collect().toSet
+    assert(pings === Set("mod_b.use_method", "mod_b.use_field"),
+      s"got $pings")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
