@@ -1984,8 +1984,8 @@ object QueryCatalog {
     * kept-character ppm. The corpus is augmented IN-PLAN (the t_special
     * pattern) so markup-wrapped and markup-free rows decide both ways.
     * Pure narrow map, zero Exchange (plan-gated). */
-  val tHtml: Q = (s, d) => {
-    val aug = Tables.documents(s, d).withColumn("text",
+  private def htmlAugmented(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("text",
       when(col("doc_id") % 7 === 0, concat(
         lit("<html><head><title>t</title><style type=\"text/css\">p " +
           "{color: red}</style></head><body><!-- note --><p class=\"a\">"),
@@ -1996,7 +1996,23 @@ object QueryCatalog {
           concat(lit("plain &quot;quoted&quot; &amp; <b>bold</b> "),
             col("text")))
         .otherwise(col("text")))
-    Corpus.htmlStrip(aug)
+
+  val tHtml: Q = (s, d) => Corpus.htmlStrip(htmlAugmented(s, d))
+
+  /** st_html — the HTML stripper ON THE INGEST STREAM (r14): the
+    * scrape-extraction step belongs at the front of the continuous
+    * front door, BEFORE the quality/PII screen and the stateful dedup
+    * stages; [[graft.pipeline.Corpus.htmlStrip]] is stateless Column
+    * code, so the exact batch operator runs on a streaming frame
+    * unchanged (the st_screen / st_bloom posture — zero state rows at
+    * any corpus size) and the gate shares t_html's oracle verbatim. */
+  val stHtml: Q = (s, d) => {
+    import s.implicits._
+    val docs = htmlAugmented(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    StreamReplay.replay(s, docs, "st_html", "append") { df =>
+      Corpus.htmlStrip(df.toDF("doc_id", "text"))
+    }
   }
 
   lazy val tHtmlSql: String = {
@@ -9093,6 +9109,7 @@ object QueryCatalog {
     "t_psi" -> tPsi,
     "t_special" -> tSpecial,
     "t_html" -> tHtml,
+    "st_html" -> stHtml,
     "t_ngram_rep" -> tNgramRep,
     "t_ppl" -> tPpl,
     "t_entropy" -> tEntropy,
@@ -9392,6 +9409,7 @@ object QueryCatalog {
     "t_psi" -> tPsiSql,
     "t_special" -> tSpecialSql,
     "t_html" -> tHtmlSql,
+    "st_html" -> tHtmlSql,
     "t_ngram_rep" -> tNgramRepSql,
     "t_ppl" -> tPplSql,
     "t_entropy" -> tEntropySql,

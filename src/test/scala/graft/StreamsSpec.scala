@@ -697,6 +697,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(w1Rows.map(r => (r._2, r._3, r._4)).distinct.length === 1)
   }
 
+  test("r14 htmlStrip on a stream: stateless, row-for-row ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "<p>Hello <b>world</b></p><script>var x = 1;</script>"),
+      (2L, "a &amp;lt; b &quot;q&quot;"),
+      (3L, "plain text"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.pipeline.Corpus.htmlStrip(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("st_html_spec")
+      .outputMode("append").start()
+    try {
+      docs.grouped(2).foreach { c => mem.addData(c: _*)
+        q.processAllAvailable() }
+      // stateless: the plan holds ZERO state rows (the st_bloom
+      // stream-static discipline)
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+    val streamed = spark.table("st_html_spec").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = graft.pipeline.Corpus.htmlStrip(
+        docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed === batch)
+  }
+
   test("r14 per-row lateness: a cross-window row within the watermark " +
       "allowance is KEPT; a row beyond it drops (the wstart-tag " +
       "regression both ways)") {
