@@ -822,9 +822,12 @@ object PyIndexer {
     * 63-64's cross-module factory/method typing; positive facts, so
     * collected from open modules too); `fields` = class-body ANNOTATED
     * fields and `@property` reads (attr fqn → class fqn — slice 65's
-    * cross-module attribute chases). */
+    * cross-module attribute chases); `vars` = module-level SINGLETONS
+    * (`db = Database()` constructor or annotated assignments — var fqn
+    * → class fqn, slice 67's imported-singleton typing). */
   final case class CorpusContext(modules: Set[String], bound: Set[String],
-      returns: Map[String, String], fields: Map[String, String])
+      returns: Map[String, String], fields: Map[String, String],
+      vars: Map[String, String])
 
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier).
     * `corpus`, when present, enables the cross-module slices (62). */
@@ -1284,17 +1287,28 @@ object PyIndexer {
         else if (topClasses.contains(n)) Some(s"$mod.$n")
         else importedName.get(n)
       } else {
+        // r14 slice 67: an imported MODULE SINGLETON's attribute chain
+        // chases through the corpus scan's var type (`from mod_a import
+        // db; db.conn.execute()` resolves Database.conn.execute instead
+        // of fabricating mod_a.db.conn.execute) — the blind take stays
+        // the fallback when the corpus typed nothing
+        def viaVars(fqn: String, rest: Seq[String]): Option[String] =
+          corpus.flatMap(_.vars.get(fqn)) match {
+            case Some(cls) if rest.nonEmpty => chaseFields(cls, rest)
+            case _ => Some((fqn +: rest).mkString("."))
+          }
         // longest-prefix match against imported module bindings, so both
         // `import a.b.c` (binds a.b.c) and `import a.b as x` (binds x)
         // resolve dotted call chains
         (parts.length - 1 to 1 by -1).iterator
           .map(i => (parts.take(i).mkString("."), parts.drop(i)))
           .collectFirst { case (prefix, rest) if importedModule.contains(prefix) =>
-            (importedModule(prefix) +: rest).mkString(".")
-          }
+            viaVars(s"${importedModule(prefix)}.${rest.head}", rest.tail.toSeq)
+          }.flatten
           .orElse {
             // `from m import X` + `X.method(...)`
-            importedName.get(parts(0)).map(t => (t +: parts.tail.toSeq).mkString("."))
+            importedName.get(parts(0))
+              .flatMap(t => viaVars(t, parts.tail.toSeq))
           }
       }
     }
@@ -2645,7 +2659,7 @@ object PyIndexer {
     * regex pass over headers, collected once per pipeline run. */
   def moduleBindings(relPath: String, content: String)
       : (String, Set[String], Boolean, Map[String, String],
-         Map[String, String]) = {
+         Map[String, String], Map[String, String]) = {
     val rawLines = content.split("\n", -1)
     val (lines, _) = preprocess(rawLines)
     val cont = continuations(lines)
@@ -2654,6 +2668,7 @@ object PyIndexer {
     val classes = mutable.Set.empty[String]
     val defAnnos = mutable.Map.empty[String, String]
     val fieldAnnos = mutable.Map.empty[String, String]
+    val varAnnos = mutable.Map.empty[String, String]
     var open = false
     // the top-level class whose body we are inside, and its body
     // indent (the FIRST statement indent seen — deeper statements are
@@ -2704,7 +2719,20 @@ object PyIndexer {
                 else parts.head.trim.split("\\.").head.trim
               if (bound.matches("[A-Za-z_]\\w*")) names += bound
             }
-          case assignStmt(ind, n) if ind.isEmpty => names += n
+          case assignStmt(ind, n) if ind.isEmpty =>
+            names += n
+            // slice 67: module singleton — a constructor or annotated
+            // assignment types the module-level name (simple own-module
+            // class names only; resolution at the fold below)
+            instanceAssign.findFirstMatchIn(ln) match {
+              case Some(m) if m.group(2).matches("[A-Za-z_]\\w*") =>
+                varAnnos(n) = m.group(2)
+              case _ => ln match {
+                case localAnno(_, a) if a.matches("[A-Za-z_]\\w*") =>
+                  varAnnos(n) = a
+                case _ => ()
+              }
+            }
           case tupleAssign(ts) =>
             ts.split(",").foreach(t => names += t.trim)
           case forStmt(ind, v) if ind.isEmpty => names += v
@@ -2745,7 +2773,10 @@ object PyIndexer {
     val fields = fieldAnnos.iterator.collect {
       case (f, a) if classes.contains(a) => s"$mod.$f" -> s"$mod.$a"
     }.toMap
-    (mod, names.toSet, open, returns, fields)
+    val vars = varAnnos.iterator.collect {
+      case (v, a) if classes.contains(a) => s"$mod.$v" -> s"$mod.$a"
+    }.toMap
+    (mod, names.toSet, open, returns, fields, vars)
   }
 
   /** Fold per-module binding scans into the [[CorpusContext]] the deep
@@ -2753,13 +2784,15 @@ object PyIndexer {
     * (they cannot disprove) but contribute their positive return facts;
     * bound names are module-qualified. */
   def corpusContext(scans: Seq[(String, Set[String], Boolean,
-      Map[String, String], Map[String, String])]): CorpusContext = {
+      Map[String, String], Map[String, String], Map[String, String])])
+      : CorpusContext = {
     val closed = scans.filterNot(_._3)
     CorpusContext(
       closed.iterator.map(_._1).toSet,
-      closed.iterator.flatMap { case (m, ns, _, _, _) =>
+      closed.iterator.flatMap { case (m, ns, _, _, _, _) =>
         ns.iterator.map(n => s"$m.$n") }.toSet,
       scans.iterator.flatMap(_._4).toMap,
-      scans.iterator.flatMap(_._5).toMap)
+      scans.iterator.flatMap(_._5).toMap,
+      scans.iterator.flatMap(_._6).toMap)
   }
 }

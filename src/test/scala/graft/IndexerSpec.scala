@@ -2802,6 +2802,54 @@ class IndexerSpec extends AnyFunSuite {
       s"got $pings")
   }
 
+  test("r14 slice 67: imported MODULE SINGLETONS chase through their " +
+      "scanned constructor/annotated type; untyped vars keep the " +
+      "blind take") {
+    val modA =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |class Database:
+        |    conn: Conn = None
+        |    def query(self) -> Conn:
+        |        return Conn()
+        |
+        |db = Database()
+        |cfg: Database = None
+        |mystery = load_something()
+        |""".stripMargin
+    val modB =
+      """from mod_a import db, cfg, mystery
+        |import mod_a
+        |
+        |def use_ctor():
+        |    db.conn.ping()
+        |
+        |def use_anno():
+        |    c = cfg.query()
+        |    c.ping()
+        |
+        |def use_attr():
+        |    mod_a.db.conn.ping()
+        |
+        |def use_untyped():
+        |    mystery.conn.ping()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_a.py", modA),
+      SourceFile("mod_b.py", modB)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t67"), "t67")
+    val pings = out.edges
+      .filter(col("rel_type") === Rel.Call && col("dst") === "mod_a.Conn.ping")
+      .select("src").as[String].collect().toSet
+    assert(pings.contains("mod_b.use_ctor"), s"got $pings")
+    assert(pings.contains("mod_b.use_anno"), s"got $pings")
+    assert(pings.contains("mod_b.use_attr"), s"got $pings")
+    // the untyped module var keeps the blind take — never a Conn edge
+    assert(!pings.contains("mod_b.use_untyped"), s"got $pings")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
