@@ -938,6 +938,123 @@ object Multimodal {
     media.withColumn(outCol, parse(col(payloadCol)))
   }
 
+  final case class TarMeta(is_tar: Boolean, n_entries: Int,
+      payload_bytes: Long, checksum_ok: Boolean, truncated: Boolean)
+
+  /** Build a real USTAR (POSIX.1-1988) archive: one 512-byte header per
+    * entry — name[100] mode[8] uid[8] gid[8] size[12 octal] mtime[12]
+    * chksum[8] typeflag linkname[100] magic "ustar\0" version "00"
+    * uname[32] gname[32] devmajor[8] devminor[8] prefix[155] — the
+    * checksum the simple unsigned sum of the header with its own field
+    * as 8 spaces, rendered "%06o\0 "; payload 'x'·size zero-padded to
+    * the 512 block; the archive terminated by two zero blocks. The
+    * writer half of the [[withTarMeta]] contract: the gate assembles
+    * archives with it, the spec corrupts them. Timestamps are fixed 0
+    * (replay-stable — no wall clock). */
+  def buildUstar(entries: Seq[(String, Long)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, size) =>
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes("US-ASCII")
+        System.arraycopy(b, 0, h, off, math.min(b.length, 100))
+      }
+      put(0, name.take(99))
+      put(100, "0000644\u0000"); put(108, "0000000\u0000")
+      put(116, "0000000\u0000")
+      put(124, ("%011o".format(size)) + "\u0000")
+      put(136, "00000000000\u0000")
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      h(156) = '0'
+      put(257, "ustar\u0000"); put(263, "00")
+      val sum = h.map(_ & 0xff).sum
+      put(148, "%06o".format(sum) + "\u0000 ")
+      out.write(h)
+      val pad = ((size + 511) / 512) * 512
+      val body = new Array[Byte](pad.toInt)
+      java.util.Arrays.fill(body, 0, size.toInt, 'x'.toByte)
+      out.write(body)
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /** ======= REAL ======= TAR archive walk — the container screen a
+    * crawl ingest runs on `.tar` payloads before any member extraction
+    * (how many members, how many payload bytes, is the container
+    * intact): hop header→header via `512 + ⌈size/512⌉·512` (octal size
+    * field), VERIFY each header's checksum (unsigned byte sum with the
+    * checksum field as spaces — the rule every tar implementation
+    * agrees on) and the `ustar` magic, and stop cleanly at the
+    * two-zero-block terminator. Degradations are deterministic, never
+    * thrown: no valid first header → `not_tar`; a mid-archive cut (an
+    * interrupted download) → `truncated = true` with only the FULLY
+    * CONTAINED members counted; a checksum mismatch stops the walk
+    * with `checksum_ok = false`. Headers only — member bytes are
+    * hopped over, never read (the [[withVideoMeta]] box-walk
+    * discipline). Per-row narrow byte walk, zero shuffle. */
+  def withTarMeta(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "tar_meta"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) =>
+      val bad = TarMeta(is_tar = false, 0, 0L, checksum_ok = false,
+        truncated = false)
+      if (p == null || p.length < 512) bad
+      else {
+        var off = 0
+        var entries = 0
+        var bytes = 0L
+        var sawValid = false
+        var ckOk = true
+        var trunc = false
+        var done = false
+        while (!done) {
+          if (off + 512 > p.length) {
+            // ran off the end without the zero-block terminator
+            trunc = sawValid; done = true
+          } else if ((off until off + 512).forall(p(_) == 0)) {
+            done = true // proper terminator
+          } else if (!(p(off + 257) == 'u' && p(off + 258) == 's' &&
+              p(off + 259) == 't' && p(off + 260) == 'a' &&
+              p(off + 261) == 'r')) {
+            if (sawValid) trunc = true // garbage after valid members
+            done = true
+          } else {
+            // checksum: unsigned sum with the chksum field as spaces
+            var sum = 0
+            var i = 0
+            while (i < 512) {
+              sum += (if (i >= 148 && i < 156) ' '.toInt
+                else p(off + i) & 0xff)
+              i += 1
+            }
+            val stored = new String(p, off + 148, 8, "US-ASCII")
+              .takeWhile(c => c >= '0' && c <= '7')
+            val size = new String(p, off + 124, 12, "US-ASCII")
+              .dropWhile(c => c == ' ' || c == '\u0000')
+              .takeWhile(c => c >= '0' && c <= '7')
+            if (stored.isEmpty || size.isEmpty ||
+                java.lang.Integer.parseInt(stored, 8) != sum) {
+              if (sawValid || stored.nonEmpty) ckOk = false
+              done = true
+            } else {
+              sawValid = true
+              val sz = java.lang.Long.parseLong(size, 8)
+              val span = 512L + ((sz + 511L) / 512L) * 512L
+              if (off + span > p.length) {
+                trunc = true; done = true // member cut mid-payload
+              } else {
+                entries += 1; bytes += sz; off = (off + span).toInt
+              }
+            }
+          }
+        }
+        if (!sawValid) bad
+        else TarMeta(is_tar = true, entries, bytes, ckOk, trunc)
+      }
+    }
+    media.withColumn(outCol, parse(col(payloadCol)))
+  }
+
   final case class VideoMeta(format: String, major_brand: Option[String],
       timescale: Option[Long], duration_ms: Option[Long])
 

@@ -734,6 +734,104 @@ object Sessions {
     * runs on the BOUNDED distinct-duration-days table — the lone
     * unpartitioned window (the cumulative at-risk count) orders
     * ≤ horizon-days rows, the p_shard tiny-table rule. */
+  /** SAMPLE-RATIO-MISMATCH guardrail (r14 — Fabijan et al. KDD 2019,
+    * "Diagnosing Sample Ratio Mismatch": the single most important
+    * trust check an experimentation platform runs BEFORE reading any
+    * metric — if the observed variant split deviates from the design
+    * ratio, the assignment itself is broken (redirect loss, bot
+    * filtering skew, triggered-analysis bugs) and every downstream
+    * readout is invalid): a one-df chi-square over distinct-user
+    * variant counts against the designed B share (`expectedBppm`,
+    * integer parts-per-million — the default 500000 is the 50/50
+    * split).
+    *
+    * Determinism: counts are exact integers from one distinct-user
+    * aggregate; expected counts and the chi-square are a single IEEE
+    * expression over those integers (identical in any engine), rounded
+    * 6; the mismatch flag compares the ROUNDED statistic to the 5%
+    * one-df critical value 3.841459 (the [[abTest]] rounded-decision
+    * discipline). Scale: one user_id groupBy → one 1-row aggregate.
+    * Returns one row (n_a, n_b, expected_b, chi2, srm). */
+  def srmCheck(events: DataFrame, variantB: Column,
+      expectedBppm: Long = 500000L): DataFrame = {
+    require(expectedBppm > 0L && expectedBppm < 1000000L,
+      s"srmCheck: expectedBppm must be in (0, 1e6), got $expectedBppm")
+    val agg = events.groupBy(col("user_id"))
+      .agg(max(when(variantB, 1L).otherwise(0L)).as("vb"))
+      .agg(
+        sum(when(col("vb") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("vb") === 1, 1L).otherwise(0L)).as("n_b"))
+    val total = (col("n_a") + col("n_b")).cast("double")
+    val eb = total * lit(expectedBppm.toDouble / 1e6)
+    val ea = total - eb
+    val chi2 = round(
+      (col("n_a").cast("double") - ea) * (col("n_a").cast("double") - ea)
+        / ea +
+      (col("n_b").cast("double") - eb) * (col("n_b").cast("double") - eb)
+        / eb, 6)
+    agg.select(col("n_a"), col("n_b"),
+      (round(eb, 6) + 0.0).as("expected_b"),
+      (chi2 + 0.0).as("chi2"),
+      when(chi2 > 3.841459, 1).otherwise(0).cast("int").as("srm"))
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES (r14 — the quasi-experimental workhorse
+    * when randomization is impossible: launches, pricing changes,
+    * market-level rollouts. Card & Krueger 1994's two-period two-group
+    * form): the treatment effect is the TREATED group's pre→post mean
+    * change minus the CONTROL group's — the control differencing
+    * removes the shared time trend the naive pre/post compare absorbs
+    * as lift).
+    *
+    * Period cutoff and per-user metric follow [[cupedAdjust]] exactly:
+    * the integer MIDPOINT of the corpus's µs timestamp span splits
+    * pre/post, each user contributes a DECIMAL-routed value sum per
+    * period rounded 4 (users span both periods with 0 where inactive —
+    * the balanced-panel convention, so composition can't shift between
+    * periods). Group means route through DECIMAL(38,10) sums of the
+    * rounded per-user values; the DiD estimate is computed from the
+    * UNROUNDED group means and rounded 6 once (rounding the four means
+    * first would compound to ±2e-6). Scale: one user_id groupBy + one
+    * 1-row aggregate. Returns one row (n_a, n_b, mean_pre_a,
+    * mean_post_a, mean_pre_b, mean_post_b, did). */
+  def diffInDiff(events: DataFrame, variantB: Column): DataFrame = {
+    val span = events.agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    def dec(c: Column) = c.cast("decimal(38,10)")
+    val users = events.crossJoin(broadcast(span))
+      .withColumn("cut", expr("(lo + hi) div 2"))
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(dec(when(unix_micros(col("ts")) < col("cut"),
+          col("value")).otherwise(lit(0.0)))).cast("double"), 4).as("x"),
+        round(sum(dec(when(unix_micros(col("ts")) >= col("cut"),
+          col("value")).otherwise(lit(0.0)))).cast("double"), 4).as("y"))
+      .select(col("x"), col("y"),
+        when(variantB, 1L).otherwise(0L).as("vb"))
+    val g = users.agg(
+      sum(when(col("vb") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("vb") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(dec(when(col("vb") === 0, col("x")).otherwise(lit(0.0))))
+        .cast("double").as("sxa"),
+      sum(dec(when(col("vb") === 1, col("x")).otherwise(lit(0.0))))
+        .cast("double").as("sxb"),
+      sum(dec(when(col("vb") === 0, col("y")).otherwise(lit(0.0))))
+        .cast("double").as("sya"),
+      sum(dec(when(col("vb") === 1, col("y")).otherwise(lit(0.0))))
+        .cast("double").as("syb"))
+    val preA = col("sxa") / col("n_a")
+    val postA = col("sya") / col("n_a")
+    val preB = col("sxb") / col("n_b")
+    val postB = col("syb") / col("n_b")
+    g.select(col("n_a"), col("n_b"),
+      (round(preA, 6) + 0.0).as("mean_pre_a"),
+      (round(postA, 6) + 0.0).as("mean_post_a"),
+      (round(preB, 6) + 0.0).as("mean_pre_b"),
+      (round(postB, 6) + 0.0).as("mean_post_b"),
+      (round((postB - preB) - (postA - preA), 6) + 0.0).as("did"))
+  }
+
   def kaplanMeier(events: DataFrame,
       eventType: String = "purchase"): DataFrame = {
     val per = events.groupBy("user_id").agg(

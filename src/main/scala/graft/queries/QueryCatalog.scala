@@ -4273,6 +4273,72 @@ object QueryCatalog {
       |    / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) + 0.0 AS var_reduction
       |FROM g""".stripMargin
 
+  /** e_srm — sample-ratio-mismatch guardrail
+    * ([[graft.pipeline.Sessions.srmCheck]], Fabijan et al. KDD 2019):
+    * a DELIBERATELY skewed assignment (user_id % 10 == 0 as variant B
+    * against a designed 50/50) so the chi-square fires and the gate
+    * pins both the statistic and the raised flag; the mismatch
+    * decision compares the ROUNDED chi2 to 3.841459. */
+  val eSrm: Q = (s, d) =>
+    graft.pipeline.Sessions.srmCheck(Tables.events(s, d),
+      col("user_id") % 10 === 0)
+
+  val eSrmSql: String =
+    """WITH u AS (SELECT user_id,
+      |    max(CASE WHEN user_id % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS vb
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT
+      |    sum(CASE WHEN vb = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+      |    sum(CASE WHEN vb = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+      |  FROM u),
+      |c AS (SELECT *,
+      |    (n_a + n_b)::DOUBLE * 0.5 AS eb,
+      |    (n_a + n_b)::DOUBLE - (n_a + n_b)::DOUBLE * 0.5 AS ea
+      |  FROM a),
+      |z AS (SELECT *,
+      |    round((n_a::DOUBLE - ea) * (n_a::DOUBLE - ea) / ea
+      |      + (n_b::DOUBLE - eb) * (n_b::DOUBLE - eb) / eb, 6) + 0.0 AS c2
+      |  FROM c)
+      |SELECT n_a, n_b, round(eb, 6) + 0.0 AS expected_b, c2 AS chi2,
+      |  (CASE WHEN c2 > 3.841459 THEN 1 ELSE 0 END)::INT AS srm
+      |FROM z""".stripMargin
+
+  /** e_did — difference-in-differences
+    * ([[graft.pipeline.Sessions.diffInDiff]], Card & Krueger 1994's
+    * two-period two-group form): treated = odd user_id, pre/post split
+    * on the corpus's integer µs-midpoint (the e_cuped cutoff), balanced
+    * panel (every user contributes 0 where inactive); the DiD estimate
+    * rounds ONCE from the unrounded group means. */
+  val eDid: Q = (s, d) =>
+    graft.pipeline.Sessions.diffInDiff(Tables.events(s, d),
+      col("user_id") % 2 === 1)
+
+  val eDidSql: String =
+    """WITH span AS (SELECT min(epoch_us(ts))::BIGINT AS lo,
+      |    max(epoch_us(ts))::BIGINT AS hi FROM events),
+      |u AS (SELECT user_id,
+      |    round(CAST(sum(CAST(CASE WHEN epoch_us(ts) < (lo + hi) // 2
+      |      THEN value ELSE 0.0::DOUBLE END AS DECIMAL(38,10))) AS DOUBLE), 4) AS x,
+      |    round(CAST(sum(CAST(CASE WHEN epoch_us(ts) >= (lo + hi) // 2
+      |      THEN value ELSE 0.0::DOUBLE END AS DECIMAL(38,10))) AS DOUBLE), 4) AS y,
+      |    (user_id % 2)::BIGINT AS vb
+      |  FROM events CROSS JOIN span GROUP BY user_id),
+      |g AS (SELECT
+      |    sum(CASE WHEN vb = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+      |    sum(CASE WHEN vb = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+      |    CAST(sum(CAST(CASE WHEN vb = 0 THEN x ELSE 0.0::DOUBLE END AS DECIMAL(38,10))) AS DOUBLE) AS sxa,
+      |    CAST(sum(CAST(CASE WHEN vb = 1 THEN x ELSE 0.0::DOUBLE END AS DECIMAL(38,10))) AS DOUBLE) AS sxb,
+      |    CAST(sum(CAST(CASE WHEN vb = 0 THEN y ELSE 0.0::DOUBLE END AS DECIMAL(38,10))) AS DOUBLE) AS sya,
+      |    CAST(sum(CAST(CASE WHEN vb = 1 THEN y ELSE 0.0::DOUBLE END AS DECIMAL(38,10))) AS DOUBLE) AS syb
+      |  FROM u)
+      |SELECT n_a, n_b,
+      |  round(sxa / n_a, 6) + 0.0 AS mean_pre_a,
+      |  round(sya / n_a, 6) + 0.0 AS mean_post_a,
+      |  round(sxb / n_b, 6) + 0.0 AS mean_pre_b,
+      |  round(syb / n_b, 6) + 0.0 AS mean_post_b,
+      |  round((syb / n_b - sxb / n_b) - (sya / n_a - sxa / n_a), 6) + 0.0 AS did
+      |FROM g""".stripMargin
+
   /** e_ab_test — two-proportion z-test
     * ([[graft.pipeline.Sessions.abTest]]): variant B = odd user_id,
     * conversion = a >90-value purchase; pooled z with the significance
@@ -7901,6 +7967,55 @@ object QueryCatalog {
       |    THEN (doc_id % 5 + 1) * 2500 ELSE 0 END)::BIGINT AS cued_ms
       |FROM documents""".stripMargin
 
+  /** m_tar — TAR archive walk under the oracle gate
+    * ([[graft.multimodal.Multimodal.withTarMeta]]): real USTAR archives
+    * assembled by [[graft.multimodal.Multimodal.buildUstar]] (valid
+    * checksums, zero-block terminator) with doc_id%3+1 members of size
+    * doc_id%600 + 7j + 5; every doc_id%4==0 row is prose (must say
+    * not_tar), every doc_id%9==2 archive loses its terminator and its
+    * last 100 bytes (an interrupted download: the cut member's header
+    * is intact and checksum-verified, but its payload span runs past
+    * the buffer → truncated=true and only the complete members count).
+    * The oracle predicts members and payload bytes in closed form:
+    * k complete members carry k·(base+5) + 7·k(k−1)/2 bytes. Per-row
+    * narrow byte walk (UDF justified — no builtin hops octal-sized
+    * 512-byte blocks), zero Exchange. */
+  val mTar: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val build = udf { (id: Long) =>
+      if (id % 4 == 0) "plain prose, not an archive".getBytes("US-ASCII")
+      else {
+        val n = (id % 3 + 1).toInt
+        val entries = (0 until n).map(j =>
+          (s"d$id/f$j.txt", id % 600 + 7L * j + 5L))
+        val full = Multimodal.buildUstar(entries)
+        if (id % 9 == 2) full.dropRight(1024 + 100) else full
+      }
+    }
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("payload", build(col("doc_id")))
+    Multimodal.withTarMeta(media).select(col("doc_id"),
+      col("tar_meta.is_tar").as("is_tar"),
+      col("tar_meta.n_entries").as("n_entries"),
+      col("tar_meta.payload_bytes").as("payload_bytes"),
+      col("tar_meta.checksum_ok").as("checksum_ok"),
+      col("tar_meta.truncated").as("truncated"))
+  }
+
+  val mTarSql: String =
+    """WITH b AS (SELECT doc_id,
+      |    (doc_id % 3 + 1)::INT AS n, (doc_id % 600)::BIGINT AS base,
+      |    (doc_id % 4 = 0) AS prose,
+      |    (doc_id % 4 <> 0 AND doc_id % 9 = 2) AS trunc
+      |  FROM documents),
+      |m AS (SELECT *,
+      |    (CASE WHEN prose THEN 0 WHEN trunc THEN n - 1 ELSE n END)::INT AS k
+      |  FROM b)
+      |SELECT doc_id, NOT prose AS is_tar, k AS n_entries,
+      |  (k * (base + 5) + 7 * k * (k - 1) / 2)::BIGINT AS payload_bytes,
+      |  NOT prose AS checksum_ok, trunc AS truncated
+      |FROM m""".stripMargin
+
   /** m_corrupt — TRUNCATION TOLERANCE under the oracle gate: every 5th
     * document's payload is cut to its first 10 bytes (mid-header), and
     * the sniffers/walkers must DEGRADE deterministically — never throw,
@@ -8923,6 +9038,44 @@ object QueryCatalog {
       |  w.n
       |FROM folded f JOIN wn w ON w.ws_us = f.ws_us""".stripMargin
 
+  /** st_srm — streaming sample-ratio-mismatch alarm per 7-day window
+    * ([[graft.streaming.Streams.streamingSrm]]): exposure counts by
+    * variant (the e_srm deliberately-skewed user_id%10 split against a
+    * designed 50/50) held as TWO LONGS of additive state per open
+    * window; the chi-square readout replays the batch operator's IEEE
+    * expression, rounds 6, and flags on the rounded statistic.
+    * max_by(·, n_a+n_b) selects each window's converged emit (counts
+    * strictly grow per fired batch); the oracle recomputes the window
+    * counts and the statistic verbatim. */
+  val stSrm: Q = (s, d) => {
+    import s.implicits._
+    StreamReplay.replay(s, eventsOrdered(s, d), "st_srm", "update") {
+      df => graft.streaming.Streams.streamingSrm(df,
+        col("user_id") % 10 === 0).toDF()
+    }
+      .groupBy(unix_micros(col("window_start")).as("ws_us"))
+      .agg(max_by(col("n_a"), col("n_a") + col("n_b")).as("n_a"),
+        max_by(col("n_b"), col("n_a") + col("n_b")).as("n_b"),
+        max_by(col("chi2"), col("n_a") + col("n_b")).as("chi2"),
+        max_by(col("srm"), col("n_a") + col("n_b")).as("srm"))
+  }
+
+  val stSrmSql: String =
+    """WITH ev AS (SELECT epoch_us(ts) // 604800000000 * 604800000000 AS ws_us,
+      |    CASE WHEN user_id % 10 = 0 THEN 1 ELSE 0 END AS vb FROM events),
+      |a AS (SELECT ws_us,
+      |    sum(CASE WHEN vb = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+      |    sum(CASE WHEN vb = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+      |  FROM ev GROUP BY 1),
+      |c AS (SELECT *, (n_a + n_b)::DOUBLE * 0.5 AS eb,
+      |    (n_a + n_b)::DOUBLE - (n_a + n_b)::DOUBLE * 0.5 AS ea FROM a),
+      |z AS (SELECT *, round((n_a::DOUBLE - ea) * (n_a::DOUBLE - ea) / ea
+      |    + (n_b::DOUBLE - eb) * (n_b::DOUBLE - eb) / eb, 6) + 0.0 AS c2
+      |  FROM c)
+      |SELECT ws_us, n_a, n_b, c2 AS chi2,
+      |  (CASE WHEN c2 > 3.841459 THEN 1 ELSE 0 END)::INT AS srm
+      |FROM z""".stripMargin
+
   lazy val stCmsSql: String = {
     def rollh(c: String) = "list_reduce(list_prepend(0::BIGINT, " +
       s"list_transform(string_split($c, ''), ch -> ascii(ch)::BIGINT)), " +
@@ -9077,6 +9230,8 @@ object QueryCatalog {
     "p_manifest" -> pManifest,
     "e_ab_test" -> eAbTest,
     "e_cuped" -> eCuped,
+    "e_srm" -> eSrm,
+    "e_did" -> eDid,
     "e_markov" -> eMarkov,
     "e_lifecycle" -> eLifecycle,
     "e_rfm" -> eRfm,
@@ -9214,6 +9369,7 @@ object QueryCatalog {
     "m_headers" -> mHeaders,
     "m_pdf" -> mPdf,
     "m_srt" -> mSrt,
+    "m_tar" -> mTar,
     "m_tiff" -> mTiff,
     "m_exif" -> mExif,
     "m_ogg" -> mOgg,
@@ -9243,6 +9399,7 @@ object QueryCatalog {
     "st_quantile" -> stQuantile,
     "st_ddsketch" -> stDdsketch,
     "st_psi" -> stPsi,
+    "st_srm" -> stSrm,
     "st_bloom_refresh" -> stBloomRefresh,
     "st_holt" -> stHolt,
     "st_record" -> stRecord,
@@ -9377,6 +9534,8 @@ object QueryCatalog {
     "p_manifest" -> pManifestSql,
     "e_ab_test" -> eAbTestSql,
     "e_cuped" -> eCupedSql,
+    "e_srm" -> eSrmSql,
+    "e_did" -> eDidSql,
     "e_markov" -> eMarkovSql,
     "e_lifecycle" -> eLifecycleSql,
     "e_rfm" -> eRfmSql,
@@ -9514,6 +9673,7 @@ object QueryCatalog {
     "m_headers" -> mHeadersSql,
     "m_pdf" -> mPdfSql,
     "m_srt" -> mSrtSql,
+    "m_tar" -> mTarSql,
     "m_tiff" -> mTiffSql,
     "m_exif" -> mExifSql,
     "m_ogg" -> mOggSql,
@@ -9543,6 +9703,7 @@ object QueryCatalog {
     "st_quantile" -> stQuantileSql,
     "st_ddsketch" -> stDdsketchSql,
     "st_psi" -> stPsiSql,
+    "st_srm" -> stSrmSql,
     "st_bloom_refresh" -> stBloomRefreshSql,
     "st_holt" -> stHoltSql,
     "st_record" -> stRecordSql,

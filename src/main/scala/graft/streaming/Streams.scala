@@ -1101,6 +1101,82 @@ object Streams {
       }
   }
 
+  final case class SrmState(nA: Long, nB: Long)
+  final case class SrmOut(window_start: Timestamp, n_a: Long, n_b: Long,
+      chi2: Double, srm: Int)
+
+  /** Streaming SAMPLE-RATIO-MISMATCH alarm per tumbling window (r14 —
+    * the [[graft.pipeline.Sessions.srmCheck]] guardrail moved to the
+    * exposure stream, where SRM is actually caught in time to stop an
+    * experiment: Fabijan et al. KDD 2019 report most mismatches are
+    * assignment-infrastructure bugs visible within hours): per window,
+    * EXPOSURE counts by variant against the designed B share
+    * (`expectedBppm`), scored by the one-df chi-square on every update.
+    *
+    * State is TWO LONGS per open window — counts merge by addition, so
+    * the converged readout is order- and micro-batch-boundary-
+    * independent (stream ≡ batch; intermediate emits are monotone
+    * prefixes). The chi-square is the batch operator's exact IEEE
+    * expression over those integers, rounded 6, the flag decided on
+    * the ROUNDED statistic — the oracle replays it verbatim. Exposure
+    * counts (not per-user dedup) by design: distinct-user state would
+    * be unbounded per window, and an assignment bug skews exposures
+    * the same way it skews users. NoTimeout default for the
+    * AvailableNow harness; production passes EventTimeTimeout (the
+    * streamingKmvDistinct posture). */
+  def streamingSrm(events: DataFrame,
+      variantB: org.apache.spark.sql.Column,
+      expectedBppm: Long = 500000L, window: String = "7 days",
+      watermark: String = "10 minutes",
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[SrmOut] = {
+    require(expectedBppm > 0L && expectedBppm < 1000000L,
+      s"streamingSrm: expectedBppm must be in (0, 1e6), got $expectedBppm")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val share = expectedBppm.toDouble / 1e6
+    def readout(ws: Long, nA: Long, nB: Long): SrmOut = {
+      val total = (nA + nB).toDouble
+      val eb = total * share
+      val ea = total - eb
+      val chi2 = BigDecimal(
+        (nA.toDouble - ea) * (nA.toDouble - ea) / ea +
+        (nB.toDouble - eb) * (nB.toDouble - eb) / eb)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      SrmOut(new Timestamp(ws), nA, nB, chi2,
+        if (chi2 > 3.841459) 1 else 0)
+    }
+    events
+      .select(col("ts"),
+        org.apache.spark.sql.functions.window(col("ts"), window)
+          .getField("start").as("wstart"),
+        when(variantB, 1L).otherwise(0L).as("vb"))
+      // watermark on ts, carried through to the state operator —
+      // per-row lateness (see streamingKmvDistinct)
+      .withWatermark("ts", watermark)
+      .as[(Timestamp, Timestamp, Long)]
+      .groupByKey(_._2.getTime)
+      .flatMapGroupsWithState[SrmState, SrmOut](OutputMode.Update(),
+        timeout) {
+        case (ws, it, state: GroupState[SrmState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(readout(ws, s.nA, s.nB))
+          } else {
+            val prev = state.getOption.getOrElse(SrmState(0L, 0L))
+            var a = prev.nA
+            var b = prev.nB
+            it.foreach(r => if (r._3 == 1L) b += 1 else a += 1)
+            state.update(SrmState(a, b))
+            if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(
+                ws + durationMs(window) + durationMs(watermark))
+            Iterator.single(readout(ws, a, b))
+          }
+      }
+  }
+
   /** Continuous Bloom-base MAINTENANCE (r13 — closes the st_bloom loop:
     * the screen ran against a STATIC persisted bit set, so duplicates
     * arriving WITHIN the stream could never flag until the next offline

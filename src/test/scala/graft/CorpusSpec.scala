@@ -282,6 +282,70 @@ class CorpusSpec extends AnyFunSuite {
       d.getDouble(6) === d.getDouble(4))
   }
 
+  test("r14 srmCheck: exact counts, chi-square, rounded-stat flag; " +
+      "balanced split stays quiet") {
+    import java.sql.Timestamp
+    def t(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    // 100 users, variant B = user_id % 10 == 0 → 10 B vs 90 A against
+    // a designed 50/50: eb = 50, chi2 = 40²/50 + 40²/50 = 64.0 → SRM
+    val ev = (0L until 100L).map(u => (u + 1, t(u.toInt), u, "act", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Sessions.srmCheck(ev, col("user_id") % 10 === 0)
+      .collect().head
+    assert((out.getLong(0), out.getLong(1)) === ((90L, 10L)))
+    assert(out.getDouble(2) === 50.0)
+    assert(out.getDouble(3) === 64.0)
+    assert(out.getInt(4) === 1)
+    // an even split against the same design: chi2 = 0, no flag
+    val ok = Sessions.srmCheck(ev, col("user_id") % 2 === 0)
+      .collect().head
+    assert((ok.getLong(0), ok.getLong(1)) === ((50L, 50L)))
+    assert(ok.getDouble(3) === 0.0 && ok.getInt(4) === 0)
+    // a 48/52 wobble is within chance at n=100 (chi2 = 0.16): quiet
+    val wob = Sessions.srmCheck(ev,
+      col("user_id") % 25 === 0 || col("user_id") % 2 === 0)
+    assert(wob.collect().head.getInt(4) === 0)
+    // repeated events per user must not inflate the counts
+    val dup = ev.union(ev)
+    val d = Sessions.srmCheck(dup, col("user_id") % 10 === 0)
+      .collect().head
+    assert((d.getLong(0), d.getLong(1)) === ((90L, 10L)))
+  }
+
+  test("r14 diffInDiff: the control trend differences out and the " +
+      "balanced panel zeroes inactive periods") {
+    import java.sql.Timestamp
+    // pre: hours 0-9, post: hours 10-19 (midpoint cutoff). Both groups
+    // share a +3.0 time trend; treated (odd) users get an extra +2.0
+    // post lift. DiD must recover exactly 2.0 with the trend removed.
+    def t(h: Int) = new Timestamp(1700000000000L + h * 3600_000L)
+    val rows = (0L to 9L).flatMap { u =>
+      val base = (u % 5 + 1).toDouble
+      val lift = if (u % 2 == 1) 2.0 else 0.0
+      Seq((u * 2 + 1, t(u.toInt), u, "act", base),
+        (u * 2 + 2, t(10 + u.toInt), u, "act", base + 3.0 + lift))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Sessions.diffInDiff(ev, col("user_id") % 2 === 1)
+      .collect().head
+    assert((out.getLong(0), out.getLong(1)) === ((5L, 5L)))
+    val (preA, postA) = (out.getDouble(2), out.getDouble(3))
+    val (preB, postB) = (out.getDouble(4), out.getDouble(5))
+    assert(postA - preA === 3.0)          // control: trend only
+    assert(postB - preB === 5.0)          // treated: trend + lift
+    assert(out.getDouble(6) === 2.0)      // DiD isolates the lift
+    // balanced panel: a user active ONLY pre contributes y = 0 post
+    // (composition can't shift) — two pre-only control users drag the
+    // control post mean down, which the estimate must reflect
+    val ev2 = (rows ++ Seq((100L, t(0), 10L, "act", 4.0),
+      (101L, t(1), 12L, "act", 4.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out2 = Sessions.diffInDiff(ev2, col("user_id") % 2 === 1)
+      .collect().head
+    assert(out2.getLong(0) === 7L)
+    assert(out2.getDouble(3) < postA)     // post mean diluted by zeros
+  }
+
   test("attribution: first/last/linear models, lookback, micro-credits") {
     import java.sql.Timestamp
     def t(h: Int) = new Timestamp(1700000000000L + h * 3600_000L)

@@ -656,6 +656,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(4L) === ((false, 0, 0L)))
   }
 
+  test("r14 withTarMeta: USTAR walk — checksum verify, block hop, " +
+      "terminator stop; prose, truncation and bad checksums degrade") {
+    val good = Multimodal.buildUstar(Seq(("a.txt", 5L), ("b/c.txt", 700L)))
+    // cut mid-payload of the second member (drop terminator + 100)
+    val cut = good.dropRight(1024 + 100)
+    // corrupt the FIRST header's checksum field
+    val badck = good.clone(); badck(150) = '9'.toByte
+    // corrupt the SECOND header's checksum (first member spans 1024)
+    val badck2 = good.clone(); badck2(1024 + 150) = '9'.toByte
+    // garbage after a valid member (magic gone at the second header)
+    val garb = good.take(1024) ++ Array.fill(512)('q'.toByte)
+    val rows = Seq(
+      (1L, good), (2L, cut), (3L, badck), (4L, badck2), (5L, garb),
+      (6L, "plain prose, not an archive".getBytes("US-ASCII")),
+      (7L, null.asInstanceOf[Array[Byte]]),
+      (8L, Multimodal.buildUstar(Nil)) // empty archive: just terminator
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.withTarMeta(rows)
+      .select(col("doc_id"), col("tar_meta.*"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getLong(3), r.getBoolean(4),
+          r.getBoolean(5)))).toMap
+    assert(out(1L) === ((true, 2, 705L, true, false)))
+    // member 2's header is intact but its payload span runs out
+    assert(out(2L) === ((true, 1, 5L, true, true)))
+    assert(out(3L) === ((false, 0, 0L, false, false)))
+    assert(out(4L) === ((true, 1, 5L, false, false)))
+    assert(out(5L) === ((true, 1, 5L, true, true)))
+    assert(out(6L) === ((false, 0, 0L, false, false)))
+    assert(out(7L) === ((false, 0, 0L, false, false)))
+    assert(out(8L) === ((false, 0, 0L, false, false)))
+    // the builder's blocks are real USTAR: 512-aligned, magic at 257
+    assert(good.length === 512 + 512 + 512 + 1024 + 1024)
+    assert(new String(good.slice(257, 262), "US-ASCII") === "ustar")
+  }
+
   test("phashNearDup: planted pair found, perturbed grid within Hamming 3") {
     def grid(seed: Long) =
       Array.tabulate(72)(n => ((seed * 1000003L + n * 2654435761L) % 251).toByte)

@@ -892,6 +892,41 @@ class StreamsSpec extends AnyFunSuite {
     assert(one === finals)
   }
 
+  test("r14 streamingSrm: a skewed split alarms, a balanced one stays " +
+      "quiet; additive counts ≡ single batch; rounded-stat flag") {
+    import graft.queries.StreamReplay
+    import org.apache.spark.sql.functions.{when, dayofmonth, col}
+    def ev(id: Long, day: Int, user: Long) =
+      Streams.Event(id, java.sql.Timestamp.valueOf(
+        f"2024-01-$day%02d 01:00:00"), user, "exp", 1.0)
+    // epoch-aligned 7-day tumbling windows break on Thursdays: Jan 5
+    // and Jan 12 2024 land in consecutive windows. Window 1: 90/10
+    // split under a 50/50 design → SRM; window 2: 50/50 → quiet
+    val rows = (0L until 100L).map(i => ev(i + 1, 5, i)) ++
+      (0L until 100L).map(i => ev(i + 101, 12, i))
+    def run(tag: String, batches: Int) =
+      StreamReplay.replay(TestSpark.spark, rows, tag, "update",
+        batches = batches) { df =>
+        // window 1 B-rule: user%10==0 (10%); window 2: user%2==0 (50%)
+        Streams.streamingSrm(df,
+          when(dayofmonth(col("ts")) < 8,
+            col("user_id") % 10 === 0)
+            .otherwise(col("user_id") % 2 === 0)).toDF()
+      }.collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4)))
+        .groupBy(_._1).map { case (w, es) => w -> es.maxBy(e => e._2 + e._3) }
+    val finals = run("srm_spec", batches = 4)
+    assert(finals.size === 2)
+    val Seq(w1, w2) = finals.keys.toSeq.sortBy(_.getTime)
+    // window 1: n_a=90, n_b=10, chi2 = 2·40²/50 = 64.0 → flagged
+    assert(finals(w1) === ((w1, 90L, 10L, 64.0, 1)), s"got ${finals(w1)}")
+    // window 2: exact 50/50 → chi2 0, quiet
+    assert(finals(w2) === ((w2, 50L, 50L, 0.0, 0)), s"got ${finals(w2)}")
+    // stream ≡ batch: one-batch replay lands on identical finals
+    assert(run("srm_spec1", batches = 1) === finals)
+  }
+
   test("streamingConversionLag: exactly-once emission across batches") {
     implicit val sqlCtx = spark.sqlContext
     def dt(day: Int, h: Int = 1) =
