@@ -244,6 +244,98 @@ object Corpus {
           col("top4_ppm") <= 160000L).cast("int"))
   }
 
+  /** DUPLICATE-LINE repetition screens (r14 — Gopher A1.1 rows 1 and 3,
+    * Rae et al. 2021: a document whose lines repeat is templated
+    * boilerplate — navigation chrome, forum signatures, scraped
+    * listings): per document, the fraction of LINES that are repeats of
+    * an earlier identical line, and the fraction of CHARACTERS those
+    * repeat occurrences carry — both exact integer PPM (`1e6·x div y`,
+    * never a float ratio). A line occurring c times contributes c−1
+    * repeat lines and (c−1)·length repeat characters; character totals
+    * count line bytes only (separators excluded on both sides of the
+    * div, so the statistic is separator-free). The screen keeps when
+    * dup_line_ppm ≤ 300000 AND dup_char_ppm ≤ 200000 (the published
+    * 0.30/0.20 thresholds). All-empty docs (0 total chars) keep with 0
+    * ppm.
+    *
+    * Shape: one explode on the line separator, one partial-agg-friendly
+    * (doc_id, line) groupBy, one per-doc fold — no cross-doc shuffle
+    * skew (line counts key on (doc_id, line), well-spread). */
+  def dupLineStats(docs: DataFrame): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      explode(split(col("text"), "\n")).as("line"))
+    val perLine = lines.groupBy("doc_id", "line")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("l", length(col("line")).cast("long"))
+    val perDoc = perLine.groupBy("doc_id").agg(
+      sum(col("c")).as("n_lines"),
+      sum(col("c") - 1).as("dup_lines"),
+      sum(col("c") * col("l")).as("tot_chars"),
+      sum((col("c") - 1) * col("l")).as("dup_chars"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(expr("1000000 * dup_lines div n_lines"), lit(0L))
+          .as("dup_line_ppm"),
+        coalesce(when(col("tot_chars") > 0,
+          expr("1000000 * dup_chars div tot_chars")), lit(0L))
+          .as("dup_char_ppm"))
+      .withColumn("keep",
+        (col("dup_line_ppm") <= 300000L && col("dup_char_ppm") <= 200000L)
+          .cast("int"))
+  }
+
+  /** DUPLICATED n-GRAM repetition screens, n ∈ {5..10} (r14 — Gopher
+    * A1.1 rows 6–10, the long-range twin of [[topNgramFracs]]' rows
+    * 3–5: where a TOP short gram flags a dominant phrase, ANY repeated
+    * long gram flags copy-paste structure — templated spans repeated
+    * inside one document): per document and n, the fraction of
+    * characters carried by occurrences of n-grams that appear MORE THAN
+    * ONCE, as exact integer PPM against the normalized space-joined
+    * token stream (the topNgramFracs denominator — numerator and
+    * denominator count the same alphabet; gram chars include the
+    * joining spaces, occurrences may overlap so ppm can exceed 10⁶,
+    * screen direction unaffected). Keeps when every n passes its
+    * published threshold (0.15/0.14/0.13/0.12/0.11/0.10 for n=5..10).
+    * Short docs (< n tokens) contribute no n-grams and keep.
+    *
+    * Shape: one explode per n off the shared token-array scan, counts
+    * keyed by (doc_id, n, gram) — partial-agg friendly, well-spread —
+    * the c ≥ 2 filter BEFORE the per-doc fold (the unique tail, the
+    * vast majority of grams, dies in the partial aggregate), then a
+    * broadcast-size doc-length join and a 6-way conditional pivot. */
+  def dupNgramFracs(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val stacked = (5 to 10).map { n =>
+      toks.filter(size(col("t")) >= n)
+        .select(col("doc_id"), lit(n).as("n"),
+          explode(expr(s"transform(sequence(1, size(t) - ${n - 1}), " +
+            s"i -> array_join(slice(t, i, $n), ' '))")).as("gram"))
+    }.reduce(_ unionByName _)
+    val dl = toks.select(col("doc_id"),
+      length(array_join(col("t"), " ")).cast("long").as("dl"))
+    val dup = stacked.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .groupBy("doc_id", "n")
+      .agg(sum(col("c") * length(col("gram")).cast("long")).as("dc"))
+      .join(dl, Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("n") === 5, expr("1000000 * dc div dl"))).as("p5"),
+        (6 to 10).map(n =>
+          max(when(col("n") === n, expr("1000000 * dc div dl")))
+            .as(s"p$n")): _*)
+    val thresholds = Map(5 -> 150000L, 6 -> 140000L, 7 -> 130000L,
+      8 -> 120000L, 9 -> 110000L, 10 -> 100000L)
+    docs.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        (5 to 10).map(n => coalesce(col(s"p$n"), lit(0L))
+          .as(s"dup${n}_ppm")): _*)
+      .withColumn("keep",
+        (5 to 10).map(n => col(s"dup${n}_ppm") <= thresholds(n))
+          .reduce(_ && _).cast("int"))
+  }
+
   /** SPECIAL-TOKEN contamination screen (r13) — tokenizer hygiene: web
     * scrapes that already passed through an LLM pipeline leak control
     * tokens (`<|endoftext|>`, ChatML `<|im_start|>`, SentencePiece

@@ -4632,6 +4632,110 @@ object QueryCatalog {
        |FROM documents d LEFT JOIN wide w ON w.doc_id = d.doc_id""".stripMargin
   }
 
+  /** t_dupline — duplicate-line repetition screens
+    * ([[graft.pipeline.Corpus.dupLineStats]], Gopher A1.1 rows 1/3):
+    * the corpus text is single-line, so the gate synthesizes line
+    * structure IN-PLAN — every 2 normalized tokens become one line
+    * (the ~30-word vocabulary makes 2-token lines collide naturally,
+    * so both ppm columns are non-degenerate) — and the oracle rebuilds
+    * the identical lines with list_slice. Repeat lines and their
+    * characters as exact integer ppm, keep at the published 0.30/0.20
+    * thresholds. */
+  val tDupline: Q = (s, d) => {
+    val lined = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), array_join(expr(
+        "transform(sequence(0, (size(t) - 1) div 2), " +
+          "g -> array_join(slice(t, g * 2 + 1, 2), ' '))"), "\n")
+        .as("text"))
+    Corpus.dupLineStats(lined)
+  }
+
+  val tDuplineSql: String = {
+    val toks = s"string_split($normSql, ' ')"
+    s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+       |lines AS (SELECT doc_id,
+       |    unnest(list_transform(range(0, (len(t) - 1) // 2 + 1),
+       |      g -> array_to_string(list_slice(t, g * 2 + 1, g * 2 + 2), ' '))) AS line
+       |  FROM toks),
+       |pl AS (SELECT doc_id, line, count(*)::BIGINT AS c,
+       |    length(line)::BIGINT AS l FROM lines GROUP BY 1, 2),
+       |pd AS (SELECT doc_id, sum(c)::BIGINT AS n_lines,
+       |    sum(c - 1)::BIGINT AS dup_lines,
+       |    sum(c * l)::BIGINT AS tot_chars,
+       |    sum((c - 1) * l)::BIGINT AS dup_chars
+       |  FROM pl GROUP BY 1),
+       |pp AS (SELECT doc_id,
+       |    coalesce(1000000 * dup_lines // n_lines, 0)::BIGINT AS dup_line_ppm,
+       |    coalesce(CASE WHEN tot_chars > 0
+       |      THEN 1000000 * dup_chars // tot_chars END, 0)::BIGINT AS dup_char_ppm
+       |  FROM pd)
+       |SELECT d.doc_id,
+       |  coalesce(p.dup_line_ppm, 0)::BIGINT AS dup_line_ppm,
+       |  coalesce(p.dup_char_ppm, 0)::BIGINT AS dup_char_ppm,
+       |  (CASE WHEN coalesce(p.dup_line_ppm, 0) <= 300000
+       |     AND coalesce(p.dup_char_ppm, 0) <= 200000
+       |   THEN 1 ELSE 0 END)::INT AS keep
+       |FROM documents d LEFT JOIN pp p ON p.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** t_dupgram — duplicated 5..10-gram character fractions
+    * ([[graft.pipeline.Corpus.dupNgramFracs]], Gopher A1.1 rows 6–10 —
+    * the long-range copy-paste screens beside t_ngram_rep's top-gram
+    * rows 3–5): characters carried by n-grams occurring more than once,
+    * integer ppm against the shared normalized denominator; keep when
+    * every n passes its published threshold. The word-soup corpus has
+    * no natural repeated 5-grams (an all-zero gate would be
+    * degenerate), so every doc_id%3==0 document gets its own first 12
+    * tokens APPENDED in-plan — a planted copy-paste span the screens
+    * must price at every n; the oracle replays the append. */
+  val tDupgram: Q = (s, d) => {
+    val t0 = TextFunctions.tokens(col("text"))
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" "),
+            array_join(slice(t0, 1, 12), " ")))
+          .otherwise(col("text")).as("text"))
+    Corpus.dupNgramFracs(planted)
+  }
+
+  val tDupgramSql: String = {
+    def gramCte(n: Int) =
+      s"""g$n AS (SELECT doc_id, $n AS n,
+         |  unnest(list_transform(range(1, len(t) - ${n - 2}),
+         |    i -> ${(0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")})) AS gram
+         |  FROM toks WHERE len(t) >= $n)""".stripMargin
+    val thresholds = Map(5 -> 150000L, 6 -> 140000L, 7 -> 130000L,
+      8 -> 120000L, 9 -> 110000L, 10 -> 100000L)
+    s"""WITH base AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |toks AS (SELECT doc_id, string_split(
+       |    CASE WHEN doc_id % 3 = 0 AND length(nt) > 0
+       |      THEN nt || ' ' || array_to_string(
+       |        list_slice(string_split(nt, ' '), 1, 12), ' ')
+       |      ELSE nt END, ' ') AS t FROM base),
+       |${(5 to 10).map(gramCte).mkString(",\n")},
+       |allg AS (${(5 to 10).map(n => s"SELECT * FROM g$n").mkString(" UNION ALL ")}),
+       |cnt AS (SELECT doc_id, n, gram, count(*)::BIGINT AS c
+       |  FROM allg GROUP BY 1, 2, 3),
+       |dup AS (SELECT doc_id, n, sum(c * length(gram))::BIGINT AS dc
+       |  FROM cnt WHERE c >= 2 GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, length(array_to_string(t, ' '))::BIGINT AS dl
+       |  FROM toks),
+       |wide AS (SELECT u.doc_id,
+       |${(5 to 10).map(n =>
+           s"    max(CASE WHEN n = $n THEN 1000000 * dc // dl END) AS p$n")
+          .mkString(",\n")}
+       |  FROM dup u JOIN dl ON dl.doc_id = u.doc_id GROUP BY 1)
+       |SELECT d.doc_id,
+       |${(5 to 10).map(n =>
+           s"  coalesce(w.p$n, 0)::BIGINT AS dup${n}_ppm").mkString(",\n")},
+       |  (CASE WHEN ${(5 to 10).map(n =>
+            s"coalesce(w.p$n, 0) <= ${thresholds(n)}").mkString(" AND ")}
+       |   THEN 1 ELSE 0 END)::INT AS keep
+       |FROM documents d LEFT JOIN wide w ON w.doc_id = d.doc_id""".stripMargin
+  }
+
   /** Corpus curation: keep the top-5 documents per language by quality
     * score (the "best N per stratum" selection step of corpus mixing). */
   val pBestPerLang: Q = (s, d) => {
@@ -9266,6 +9370,8 @@ object QueryCatalog {
     "t_html" -> tHtml,
     "st_html" -> stHtml,
     "t_ngram_rep" -> tNgramRep,
+    "t_dupline" -> tDupline,
+    "t_dupgram" -> tDupgram,
     "t_ppl" -> tPpl,
     "t_entropy" -> tEntropy,
     "t_fertility" -> tFertility,
@@ -9570,6 +9676,8 @@ object QueryCatalog {
     "t_html" -> tHtmlSql,
     "st_html" -> tHtmlSql,
     "t_ngram_rep" -> tNgramRepSql,
+    "t_dupline" -> tDuplineSql,
+    "t_dupgram" -> tDupgramSql,
     "t_ppl" -> tPplSql,
     "t_entropy" -> tEntropySql,
     "t_fertility" -> tFertilitySql,

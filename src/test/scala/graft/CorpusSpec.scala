@@ -964,6 +964,55 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(1L)._3 === 1272727L)
   }
 
+  test("r14 dupLineStats: repeat lines and their characters as exact " +
+      "ppm; unique docs and empty docs keep") {
+    val docs = Seq(
+      // 4 lines, "abc" ×3: 2 repeat lines of 4 → dup_line = 500000;
+      // chars: tot = 3·3 + 2 = 11, dup = 2·3 = 6 → 545454 → drop
+      (1L, "abc\nabc\nabc\nzz"),
+      (2L, "one\ntwo\nthree"),             // all unique → 0/0, keep
+      (3L, ""),                            // one empty line, 0 chars → keep
+      // repeats of the EMPTY line count as lines but carry 0 chars:
+      // 3 lines ("x", "", ""), dup_lines 1 → 333333 → drop (>0.30);
+      // dup chars 0 → char ppm 0
+      (4L, "x\n\n")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dupLineStats(docs)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((500000L, 545454L, 0)))
+    assert(out(2L) === ((0L, 0L, 1)))
+    assert(out(3L) === ((0L, 0L, 1)))
+    assert(out(4L) === ((333333L, 0L, 0)))
+  }
+
+  test("r14 dupNgramFracs: chars in >1-occurrence n-grams as ppm, " +
+      "per-n thresholds; short docs keep") {
+    // 12 tokens [a b c d e] + [a b c d e] + [q r]: every 5-gram that
+    // repeats is "a b c d e" (positions 1 and 6? no — overlap check):
+    // grams of n=5 at i=1..8: "a b c d e"(1), "b c d e a"(2),
+    // "c d e a b"(3), "d e a b c"(4), "e a b c d"(5), "a b c d e"(6),
+    // "b c d e q"(7), "c d e q r"(8) → "a b c d e" ×2 (9 chars) →
+    // dup5 = 2·9 = 18 of dl = 23 → 782608 → drop at n=5
+    val rep = "a b c d e a b c d e q r"
+    val docs = Seq(
+      (1L, rep),
+      (2L, ('a' to 'x').map(c => s"$c$c").mkString(" ")), // unique → keep
+      (3L, "just four small words")                       // <5 tokens → keep
+    ).toDF("doc_id", "text")
+    val out = Corpus.dupNgramFracs(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 ->
+        ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    assert(out(1L)._1 === 782608L)
+    // n=6: "a b c d e a" ... the repeated 6-grams: window (1) vs (6)?
+    // grams at 1..7 — none repeat except none: all distinct → 0
+    assert(out(1L)._2 === 0L)
+    assert(out(1L)._7 === 0)                // dropped at n=5
+    assert(out(2L) === ((0L, 0L, 0L, 0L, 0L, 0L, 1)))
+    assert(out(3L) === ((0L, 0L, 0L, 0L, 0L, 0L, 1)))
+  }
+
   test("r14 specialTokenScreen: control-token leaks count per family; " +
       "HTML-ambiguous <s>/</s> need an unambiguous co-occurrence") {
     val docs = Seq(
