@@ -140,13 +140,13 @@ object IndexPipeline {
     // the deep pass can DISPROVE imported decorator names cross-module
     val ctx = PyIndexer.corpusContext(
       files.map { f =>
-        val (m, ns, open, rets, flds, vars) =
-          PyIndexer.moduleBindings(f.path, f.content)
-        (m, ns.toSeq.sorted, open, rets.toSeq.sorted, flds.toSeq.sorted,
-          vars.toSeq.sorted)
+        val s = PyIndexer.moduleBindings(f.path, f.content)
+        (s.mod, s.names.toSeq.sorted, s.open, s.classes.toSeq.sorted,
+          s.returns.toSeq.sorted, s.fields.toSeq.sorted,
+          s.vars.toSeq.sorted, s.imports.toSeq.sorted)
       }.collect().toSeq
-        .map(t => (t._1, t._2.toSet, t._3, t._4.toMap, t._5.toMap,
-          t._6.toMap)))
+        .map(t => PyIndexer.ModuleScan(t._1, t._2.toSet, t._3,
+          t._4.toSet, t._5.toMap, t._6.toMap, t._7.toMap, t._8.toMap)))
     val ctxB = spark.sparkContext.broadcast(ctx)
     val events = files.flatMap { f =>
       val ev = PyIndexer.indexFileSafe(taskId, f.path, f.content,

@@ -829,6 +829,18 @@ object PyIndexer {
       returns: Map[String, String], fields: Map[String, String],
       vars: Map[String, String])
 
+  /** One module's pre-scan facts, RAW (slice 68): annotation values are
+    * the simple names as written; resolution — against the module's own
+    * classes first, then through its from-import bindings into other
+    * scanned modules' class sets — happens once, in [[corpusContext]],
+    * where every module's classes are visible. `imports` maps each
+    * from-imported local binding to its qualified source
+    * (`User -> "models.User"`, aliases included). */
+  final case class ModuleScan(mod: String, names: Set[String],
+      open: Boolean, classes: Set[String], returns: Map[String, String],
+      fields: Map[String, String], vars: Map[String, String],
+      imports: Map[String, String])
+
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier).
     * `corpus`, when present, enables the cross-module slices (62). */
   def indexFile(taskId: String, relPath: String, content: String,
@@ -2657,9 +2669,7 @@ object PyIndexer {
     * name. Runs string-blanking preprocess (a column-0 `def` inside a
     * docstring must not bind) but emits nothing — a cheap executor-side
     * regex pass over headers, collected once per pipeline run. */
-  def moduleBindings(relPath: String, content: String)
-      : (String, Set[String], Boolean, Map[String, String],
-         Map[String, String], Map[String, String]) = {
+  def moduleBindings(relPath: String, content: String): ModuleScan = {
     val rawLines = content.split("\n", -1)
     val (lines, _) = preprocess(rawLines)
     val cont = continuations(lines)
@@ -2669,6 +2679,7 @@ object PyIndexer {
     val defAnnos = mutable.Map.empty[String, String]
     val fieldAnnos = mutable.Map.empty[String, String]
     val varAnnos = mutable.Map.empty[String, String]
+    val importBindings = mutable.Map.empty[String, String]
     var open = false
     // the top-level class whose body we are inside, and its body
     // indent (the FIRST statement indent seen — deeper statements are
@@ -2704,13 +2715,23 @@ object PyIndexer {
             annoOf(li).foreach(a => defAnnos(d) = a)
           case classHeader(ind, c, _) if ind.isEmpty =>
             names += c; classes += c; curCls = Some(c)
-          case fromImport(_, items) =>
+          case fromImport(srcMod, items) =>
             if (items.trim == "*" || items.contains("*")) open = true
             else items.split(",").foreach { it =>
               val parts = it.trim.stripPrefix("(").stripSuffix(")")
                 .trim.split("\\s+as\\s+")
               val bound = parts.last.trim
-              if (bound.matches("[A-Za-z_]\\w*")) names += bound
+              if (bound.matches("[A-Za-z_]\\w*")) {
+                names += bound
+                // slice 68: an ABSOLUTE from-import binds the local
+                // name to its qualified source — the corpus fold
+                // resolves annotations through it (relative imports
+                // have no corpus-stable module spelling; skipped)
+                val orig = parts.head.trim
+                if (!srcMod.startsWith(".") && srcMod.nonEmpty &&
+                    orig.matches("[A-Za-z_]\\w*"))
+                  importBindings(bound) = s"$srcMod.$orig"
+              }
             }
           case importStmt(items) =>
             items.split(",").foreach { it =>
@@ -2767,32 +2788,49 @@ object PyIndexer {
         }
       }
     }
-    val returns = defAnnos.iterator.collect {
-      case (d, a) if classes.contains(a) => s"$mod.$d" -> s"$mod.$a"
-    }.toMap
-    val fields = fieldAnnos.iterator.collect {
-      case (f, a) if classes.contains(a) => s"$mod.$f" -> s"$mod.$a"
-    }.toMap
-    val vars = varAnnos.iterator.collect {
-      case (v, a) if classes.contains(a) => s"$mod.$v" -> s"$mod.$a"
-    }.toMap
-    (mod, names.toSet, open, returns, fields, vars)
+    // slice 68: annotations stay RAW here (module-qualified keys,
+    // simple-name values) — resolution moved to the corpus fold where
+    // every module's class set is visible, so an imported-class
+    // annotation (`from models import User` + `-> User`) types too
+    ModuleScan(mod, names.toSet, open, classes.toSet,
+      defAnnos.iterator.map { case (d, a) => s"$mod.$d" -> a }.toMap,
+      fieldAnnos.iterator.map { case (f, a) => s"$mod.$f" -> a }.toMap,
+      varAnnos.iterator.map { case (v, a) => s"$mod.$v" -> a }.toMap,
+      importBindings.toMap)
   }
 
   /** Fold per-module binding scans into the [[CorpusContext]] the deep
     * slices consume: open modules are excluded from the DISPROOF side
     * (they cannot disprove) but contribute their positive return facts;
-    * bound names are module-qualified. */
-  def corpusContext(scans: Seq[(String, Set[String], Boolean,
-      Map[String, String], Map[String, String], Map[String, String])])
-      : CorpusContext = {
-    val closed = scans.filterNot(_._3)
+    * bound names are module-qualified. Annotation resolution (slice 68)
+    * runs here, with the whole corpus visible: an annotation names the
+    * scanning module's OWN class, or — new — a class it FROM-IMPORTS
+    * from another scanned module (aliases included: `import User as U`
+    * + `-> U` types as the source class). An import whose target module
+    * is out of corpus, or whose name is not a class there, resolves to
+    * nothing — the optimistic take stays, the corpus never guesses. */
+  def corpusContext(scans: Seq[ModuleScan]): CorpusContext = {
+    val closed = scans.filterNot(_.open)
+    val classesByMod = scans.iterator.map(s => s.mod -> s.classes).toMap
+    def resolve(s: ModuleScan)(anno: String): Option[String] =
+      if (s.classes.contains(anno)) Some(s"${s.mod}.$anno")
+      else s.imports.get(anno).filter { q =>
+        val i = q.lastIndexOf('.')
+        i > 0 && classesByMod.get(q.substring(0, i))
+          .exists(_.contains(q.substring(i + 1)))
+      }
+    def resolved(pick: ModuleScan => Map[String, String])
+        : Map[String, String] =
+      scans.iterator.flatMap { s =>
+        pick(s).iterator.flatMap { case (k, a) =>
+          resolve(s)(a).map(k -> _) }
+      }.toMap
     CorpusContext(
-      closed.iterator.map(_._1).toSet,
-      closed.iterator.flatMap { case (m, ns, _, _, _, _) =>
-        ns.iterator.map(n => s"$m.$n") }.toSet,
-      scans.iterator.flatMap(_._4).toMap,
-      scans.iterator.flatMap(_._5).toMap,
-      scans.iterator.flatMap(_._6).toMap)
+      closed.iterator.map(_.mod).toSet,
+      closed.iterator.flatMap { s =>
+        s.names.iterator.map(n => s"${s.mod}.$n") }.toSet,
+      resolved(_.returns),
+      resolved(_.fields),
+      resolved(_.vars))
   }
 }

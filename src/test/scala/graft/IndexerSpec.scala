@@ -2850,6 +2850,78 @@ class IndexerSpec extends AnyFunSuite {
     assert(!pings.contains("mod_b.use_untyped"), s"got $pings")
   }
 
+  test("r14 slice 68: IMPORTED-class annotations resolve at the corpus " +
+      "fold — a factory returning a class it from-imports types its " +
+      "cross-module caller; out-of-corpus and non-class imports drop") {
+    val modM =
+      """class User:
+        |    def save(self):
+        |        return 1
+        |
+        |def helper():
+        |    return 1
+        |""".stripMargin
+    // the factory module DEFINES no class: its annotations only type
+    // through its own from-imports (incl. an alias), which slices 63-67
+    // could not see (own-module class resolution only)
+    val modF =
+      """from mod_m import User, helper
+        |from mod_m import User as U
+        |from ghost_mod import Ghost
+        |
+        |def load() -> User:
+        |    return User()
+        |
+        |def load_alias() -> U:
+        |    return U()
+        |
+        |def load_fn() -> helper:
+        |    return helper
+        |
+        |def load_ghost() -> Ghost:
+        |    return Ghost()
+        |""".stripMargin
+    val modB =
+      """from mod_f import load, load_alias, load_fn, load_ghost
+        |
+        |def use():
+        |    u = load()
+        |    u.save()
+        |
+        |def use_alias():
+        |    u = load_alias()
+        |    u.save()
+        |
+        |def use_fn():
+        |    f = load_fn()
+        |    f.save()
+        |
+        |def use_ghost():
+        |    g = load_ghost()
+        |    g.save()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_m.py", modM), SourceFile("mod_f.py", modF),
+      SourceFile("mod_b.py", modB)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t68"), "t68")
+    val saves = out.edges
+      .filter(col("rel_type") === Rel.Call &&
+        col("dst") === "mod_m.User.save")
+      .select("src").as[String].collect().toSet
+    // both the plain and the aliased imported-class annotation type the
+    // two-hop chain mod_b -> mod_f -> mod_m
+    assert(saves.contains("mod_b.use"), s"got $saves")
+    assert(saves.contains("mod_b.use_alias"), s"got $saves")
+    // an imported NON-class (a def) and an out-of-corpus import resolve
+    // to nothing — no fabricated member edges from their callers
+    val allCalls = out.edges.filter(col("rel_type") === Rel.Call)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(!allCalls.exists(c => c._1 == "mod_b.use_fn" &&
+      c._2.endsWith(".save")))
+    assert(!allCalls.exists(c => c._1 == "mod_b.use_ghost" &&
+      c._2.endsWith(".save")))
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
