@@ -292,6 +292,60 @@ object Sessions {
       when(abs(z) > 1.959964, 1).otherwise(0).cast("int").as("significant"))
   }
 
+  /** ALWAYS-VALID sequential test (r14 — Johari, Koomen, Pekelis &
+    * Walsh, KDD 2017 "Peeking at A/B Tests": the mixture sequential
+    * probability ratio test behind every modern experimentation
+    * platform's "you may peek" guarantee — a fixed-horizon z-test's
+    * p-value is invalid the moment anyone looks early, while the mSPRT
+    * p-process is valid at EVERY stopping time): for the two-proportion
+    * effect θ̂ = rate_b − rate_a with pooled variance V, the mixture
+    * likelihood ratio against a N(0, τ²) effect prior is
+    * Λ = sqrt(V/(V+τ²)) · exp(θ̂²τ²/(2V(V+τ²))); reject at level α when
+    * Λ ≥ 1/α, always-valid p = min(1, 1/Λ).
+    *
+    * Emitted as LOG Λ (a strong effect at tiny V overflows exp — the
+    * log form cannot), rounded 6, with the decision on the ROUNDED
+    * statistic against ln(1/α) (the [[abTest]] discipline); the
+    * always-valid p rounds from the unrounded exp(−logΛ) (underflows to
+    * an exact 0, never overflows). A degenerate pooled rate (all or no
+    * users converted → V = 0) carries no usable normal approximation:
+    * logΛ = 0, p = 1, not significant — loud-zero rather than NaN.
+    * Scale: one distinct-user aggregate → one 1-row fold, identical
+    * IEEE expressions in any engine. Returns one row (n_a, n_b, conv_a,
+    * conv_b, effect, log_lambda, p_always, significant). */
+  def msprt(events: DataFrame, variantB: Column, converted: Column,
+      tau: Double = 0.01, alpha: Double = 0.05): DataFrame = {
+    require(tau > 0 && alpha > 0 && alpha < 1, "msprt: bad tau/alpha")
+    val users = events.groupBy(col("user_id"))
+      .agg(max(when(converted, 1L).otherwise(0L)).as("conv"))
+      .select(col("user_id"), col("conv"),
+        when(variantB, 1L).otherwise(0L).as("vb"))
+    val agg = users.agg(
+      sum(when(col("vb") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("vb") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("vb") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("vb") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val v = pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+    val eff = pb - pa
+    val t2 = lit(tau * tau)
+    val logLamRaw = lit(0.5) * log(v / (v + t2)) +
+      eff * eff * t2 / (lit(2.0) * v * (v + t2))
+    val logLam = when(v > 0.0, round(logLamRaw, 6)).otherwise(0.0)
+    val pAlways = when(v > 0.0,
+      round(least(lit(1.0), exp(-logLamRaw)), 6)).otherwise(1.0)
+    val crit = math.log(1.0 / alpha)
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      (round(eff, 6) + 0.0).as("effect"),
+      (logLam + 0.0).as("log_lambda"),
+      (pAlways + 0.0).as("p_always"),
+      when(logLam >= crit, 1).otherwise(0).cast("int").as("significant"))
+  }
+
   /** Multi-touch ATTRIBUTION — the marketing-analytics staple: for each
     * conversion, credit the user's touch events inside the lookback
     * window under the three classic models at once — FIRST-touch (the

@@ -4372,6 +4372,49 @@ object QueryCatalog {
       |  (CASE WHEN abs(zz) > 1.959964 THEN 1 ELSE 0 END)::INT AS significant
       |FROM z""".stripMargin
 
+  /** e_msprt — always-valid sequential test
+    * ([[graft.pipeline.Sessions.msprt]], Johari et al. KDD 2017): the
+    * mixture-SPRT log likelihood ratio over e_ab_test's exact counts
+    * (variant B = odd user_id, conversion = >90-value purchase,
+    * τ = 0.01 effect prior); emitted in LOG form (overflow-free), the
+    * decision on the ROUNDED statistic vs ln(1/α); a rounded 6-decimal
+    * statistic sits ≥ 2.7e-7 from the irrational threshold, so a ulp of
+    * cross-libm ln() disagreement can never flip the flag. */
+  val eMsprt: Q = (s, d) =>
+    graft.pipeline.Sessions.msprt(Tables.events(s, d),
+      col("user_id") % 2 === 1,
+      col("event_type") === "purchase" && col("value") > 90)
+
+  val eMsprtSql: String =
+    """WITH u AS (SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END)::BIGINT AS conv,
+      |    (user_id % 2)::BIGINT AS vb
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT
+      |    sum(CASE WHEN vb = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+      |    sum(CASE WHEN vb = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+      |    sum(CASE WHEN vb = 0 THEN conv ELSE 0 END)::BIGINT AS conv_a,
+      |    sum(CASE WHEN vb = 1 THEN conv ELSE 0 END)::BIGINT AS conv_b
+      |  FROM u),
+      |m AS (SELECT *,
+      |    (conv_a + conv_b)::DOUBLE / (n_a + n_b) AS pp,
+      |    conv_b::DOUBLE / n_b - conv_a::DOUBLE / n_a AS eff
+      |  FROM a),
+      |v AS (SELECT *,
+      |    pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b) AS vv
+      |  FROM m),
+      |l AS (SELECT *,
+      |    0.5 * ln(vv / (vv + 0.0001))
+      |      + eff * eff * 0.0001 / (2.0 * vv * (vv + 0.0001)) AS ll
+      |  FROM v)
+      |SELECT n_a, n_b, conv_a, conv_b,
+      |  round(eff, 6) + 0.0 AS effect,
+      |  (CASE WHEN vv > 0 THEN round(ll, 6) ELSE 0.0 END) + 0.0 AS log_lambda,
+      |  (CASE WHEN vv > 0 THEN round(least(1.0, exp(-ll)), 6) ELSE 1.0 END) + 0.0 AS p_always,
+      |  (CASE WHEN vv > 0 AND round(ll, 6) >= ln(1.0 / 0.05)
+      |    THEN 1 ELSE 0 END)::INT AS significant
+      |FROM l""".stripMargin
+
   /** e_paths — top 3-step event paths
     * ([[graft.pipeline.Sessions.topPaths]]): per-user consecutive
     * event-type trigrams in (ts, event_id) order, counted corpus-wide,
@@ -9336,6 +9379,7 @@ object QueryCatalog {
     "e_cuped" -> eCuped,
     "e_srm" -> eSrm,
     "e_did" -> eDid,
+    "e_msprt" -> eMsprt,
     "e_markov" -> eMarkov,
     "e_lifecycle" -> eLifecycle,
     "e_rfm" -> eRfm,
@@ -9642,6 +9686,7 @@ object QueryCatalog {
     "e_cuped" -> eCupedSql,
     "e_srm" -> eSrmSql,
     "e_did" -> eDidSql,
+    "e_msprt" -> eMsprtSql,
     "e_markov" -> eMarkovSql,
     "e_lifecycle" -> eLifecycleSql,
     "e_rfm" -> eRfmSql,

@@ -282,6 +282,45 @@ class CorpusSpec extends AnyFunSuite {
       d.getDouble(6) === d.getDouble(4))
   }
 
+  test("r14 msprt: a strong planted effect crosses ln(1/alpha), a null " +
+      "effect stays flat, degenerate pooled rates loud-zero") {
+    import java.sql.Timestamp
+    def t(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    // 2000 users: odd = B. A converts 50/1000, B converts 600/1000 — a
+    // massive effect at a sample size where the τ=0.01 mixture prior
+    // has accumulated evidence (the mSPRT is deliberately conservative
+    // at tiny n: that is the always-valid guarantee)
+    def mk(conv: Long => Boolean) =
+      (0L until 2000L).map(u => (u + 1, t(u.toInt), u,
+        if (conv(u)) "buy" else "view", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val strong = mk(u => (u % 2 == 1 && u % 10 < 6) ||
+      (u % 2 == 0 && u % 40 == 0))
+    val out = Sessions.msprt(strong, col("user_id") % 2 === 1,
+      col("event_type") === "buy").collect().head
+    assert((out.getLong(0), out.getLong(1)) === ((1000L, 1000L)))
+    assert((out.getLong(2), out.getLong(3)) === ((50L, 600L)))
+    assert(out.getDouble(4) === 0.55)          // effect = 0.60 - 0.05
+    assert(out.getDouble(5) > 2.995732, s"logLam ${out.getDouble(5)}")
+    assert(out.getInt(7) === 1)
+    assert(out.getDouble(6) < 0.05)            // always-valid p rejects
+    // null effect: identical rates → logLam = 0.5·ln(V/(V+τ²)) < 0,
+    // p_always = 1, not significant (peeking cannot false-positive)
+    val flat = mk(u => u % 5 == 0) // 40/200 in each arm — equal rates
+    val o2 = Sessions.msprt(flat, col("user_id") % 2 === 1,
+      col("event_type") === "buy").collect().head
+    assert(o2.getDouble(4) === 0.0)
+    assert(o2.getDouble(5) < 0.0)
+    assert(o2.getDouble(6) === 1.0)
+    assert(o2.getInt(7) === 0)
+    // degenerate: nobody converts → V = 0 → loud zero, not NaN
+    val none = mk(_ => false)
+    val o3 = Sessions.msprt(none, col("user_id") % 2 === 1,
+      col("event_type") === "buy").collect().head
+    assert(o3.getDouble(5) === 0.0 && o3.getDouble(6) === 1.0 &&
+      o3.getInt(7) === 0)
+  }
+
   test("r14 srmCheck: exact counts, chi-square, rounded-stat flag; " +
       "balanced split stays quiet") {
     import java.sql.Timestamp
