@@ -435,6 +435,51 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("r14 m_tar: a pure narrow byte walk — zero exchanges") {
+    val df = QueryCatalog.mTar(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"m_tar must be a narrow map; plan:\n$plan")
+  }
+
+  test("r14 e_srm / e_did / e_msprt: one user_id shuffle then a 1-row " +
+      "fold — no corpus re-exchange") {
+    for ((name, df) <- Seq("e_srm" -> QueryCatalog.eSrm(spark, sf),
+        "e_did" -> QueryCatalog.eDid(spark, sf),
+        "e_msprt" -> QueryCatalog.eMsprt(spark, sf))) {
+      df.collect()
+      // final plan only — AQE prints the initial plan below it
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      // ≤2: the user_id partial→final aggregate pair (e_did's broadcast
+      // span join adds only a BroadcastExchange, not a hash shuffle);
+      // the terminal 1-row fold is a SinglePartition exchange
+      assert(exchanges <= 2,
+        s"$name must shuffle the corpus once (user_id); plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name span join must broadcast; plan:\n$plan")
+    }
+  }
+
+  test("r14 t_dupline / t_dupgram: partial-agg-friendly (doc, key) " +
+      "counts — the c>=2 / repeat filters never force a second " +
+      "corpus-wide exchange beyond the keyed aggregates") {
+    for ((name, df, cap) <- Seq(
+        ("t_dupline", QueryCatalog.tDupline(spark, sf), 4),
+        ("t_dupgram", QueryCatalog.tDupgram(spark, sf), 5))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= cap,
+        s"$name exchange count $exchanges exceeds $cap; plan:\n$plan")
+      assert(plan.contains("partial_count") || plan.contains("partial"),
+        s"$name counts must partial-aggregate; plan:\n$plan")
+    }
+  }
+
   test("r14 s_kmeanspar: candidate pull-back is a broadcast semi-join, " +
       "not a literal IN list") {
     val e = graft.store.Tables.embeddings(spark, sf)
