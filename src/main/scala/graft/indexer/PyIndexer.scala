@@ -839,7 +839,7 @@ object PyIndexer {
   final case class ModuleScan(mod: String, names: Set[String],
       open: Boolean, classes: Set[String], returns: Map[String, String],
       fields: Map[String, String], vars: Map[String, String],
-      imports: Map[String, String])
+      imports: Map[String, String], modImports: Map[String, String])
 
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier).
     * `corpus`, when present, enables the cross-module slices (62). */
@@ -2680,6 +2680,7 @@ object PyIndexer {
     val fieldAnnos = mutable.Map.empty[String, String]
     val varAnnos = mutable.Map.empty[String, String]
     val importBindings = mutable.Map.empty[String, String]
+    val modImports = mutable.Map.empty[String, String]
     var open = false
     // the top-level class whose body we are inside, and its body
     // indent (the FIRST statement indent seen — deeper statements are
@@ -2703,7 +2704,11 @@ object PyIndexer {
         if (a.startsWith("Optional[") && a.endsWith("]"))
           a = a.substring(9, a.length - 1).trim
         a = a.stripSuffix("| None").stripPrefix("None |").trim
-        if (a.matches("[A-Za-z_]\\w*")) Some(a) else None
+        // slice 69: dotted module-attribute annotations (`-> mod.Cls`)
+        // key too — resolution through the module's import bindings
+        // happens at the corpus fold
+        if (a.matches("[A-Za-z_]\\w*(?:\\.[A-Za-z_]\\w*)*")) Some(a)
+        else None
       }
     lines.indices.foreach { li =>
       val ln = lines(li)
@@ -2739,6 +2744,15 @@ object PyIndexer {
               val bound = if (parts.length > 1) parts.last.trim
                 else parts.head.trim.split("\\.").head.trim
               if (bound.matches("[A-Za-z_]\\w*")) names += bound
+              // slice 69: a plain `import pkg.mod [as m]` binds the
+              // alias (or the full dotted path) as a MODULE prefix for
+              // dotted annotations — resolved at the corpus fold
+              val full = parts.head.trim
+              if (full.matches("[A-Za-z_]\\w*(?:\\.[A-Za-z_]\\w*)*")) {
+                val key = if (parts.length > 1) parts.last.trim else full
+                if (key.matches("[A-Za-z_]\\w*(?:\\.[A-Za-z_]\\w*)*"))
+                  modImports(key) = full
+              }
             }
           case assignStmt(ind, n) if ind.isEmpty =>
             names += n
@@ -2746,10 +2760,12 @@ object PyIndexer {
             // assignment types the module-level name (simple own-module
             // class names only; resolution at the fold below)
             instanceAssign.findFirstMatchIn(ln) match {
-              case Some(m) if m.group(2).matches("[A-Za-z_]\\w*") =>
-                varAnnos(n) = m.group(2)
+              case Some(m) if m.group(2)
+                  .matches("[A-Za-z_]\\w*(?:\\.[A-Za-z_]\\w*)*") =>
+                varAnnos(n) = m.group(2) // slice 69: dotted ctors key too
               case _ => ln match {
-                case localAnno(_, a) if a.matches("[A-Za-z_]\\w*") =>
+                case localAnno(_, a)
+                    if a.matches("[A-Za-z_]\\w*(?:\\.[A-Za-z_]\\w*)*") =>
                   varAnnos(n) = a
                 case _ => ()
               }
@@ -2775,7 +2791,8 @@ object PyIndexer {
               if (pendingProp) fieldAnnos(s"${curCls.get}.$d") = a
             }
             pendingProp = false
-          case localAnno(f, a) if a.matches("[A-Za-z_]\\w*") =>
+          case localAnno(f, a)
+              if a.matches("[A-Za-z_]\\w*(?:\\.[A-Za-z_]\\w*)*") =>
             fieldAnnos(s"${curCls.get}.$f") = a
           case _ =>
             val t = ln.trim
@@ -2796,7 +2813,7 @@ object PyIndexer {
       defAnnos.iterator.map { case (d, a) => s"$mod.$d" -> a }.toMap,
       fieldAnnos.iterator.map { case (f, a) => s"$mod.$f" -> a }.toMap,
       varAnnos.iterator.map { case (v, a) => s"$mod.$v" -> a }.toMap,
-      importBindings.toMap)
+      importBindings.toMap, modImports.toMap)
   }
 
   /** Fold per-module binding scans into the [[CorpusContext]] the deep
@@ -2813,11 +2830,22 @@ object PyIndexer {
     val closed = scans.filterNot(_.open)
     val classesByMod = scans.iterator.map(s => s.mod -> s.classes).toMap
     def resolve(s: ModuleScan)(anno: String): Option[String] =
-      if (s.classes.contains(anno)) Some(s"${s.mod}.$anno")
-      else s.imports.get(anno).filter { q =>
-        val i = q.lastIndexOf('.')
-        i > 0 && classesByMod.get(q.substring(0, i))
-          .exists(_.contains(q.substring(i + 1)))
+      if (!anno.contains('.')) {
+        if (s.classes.contains(anno)) Some(s"${s.mod}.$anno")
+        else s.imports.get(anno).filter { q =>
+          val i = q.lastIndexOf('.')
+          i > 0 && classesByMod.get(q.substring(0, i))
+            .exists(_.contains(q.substring(i + 1)))
+        }
+      } else {
+        // slice 69: dotted `prefix.Cls` — the prefix must be one of the
+        // scanning module's OWN `import` bindings (alias or full dotted
+        // path); the class must exist in the bound module's scan
+        val i = anno.lastIndexOf('.')
+        val (pref, cls) = (anno.substring(0, i), anno.substring(i + 1))
+        s.modImports.get(pref)
+          .filter(m => classesByMod.get(m).exists(_.contains(cls)))
+          .map(m => s"$m.$cls")
       }
     def resolved(pick: ModuleScan => Map[String, String])
         : Map[String, String] =

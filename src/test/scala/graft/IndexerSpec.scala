@@ -2922,6 +2922,78 @@ class IndexerSpec extends AnyFunSuite {
       c._2.endsWith(".save")))
   }
 
+  test("r14 slice 69: DOTTED module-attribute annotations and module " +
+      "singletons (`-> mod.Cls`, `db = mod.Cls()`, aliases) resolve " +
+      "through plain-import bindings; unimported prefixes drop") {
+    val modM =
+      """class User:
+        |    def save(self):
+        |        return 1
+        |""".stripMargin
+    val modF =
+      """import mod_m
+        |import mod_m as mm
+        |import ghost_mod
+        |
+        |db = mod_m.User()
+        |
+        |def load() -> mod_m.User:
+        |    return mod_m.User()
+        |
+        |def load_alias() -> mm.User:
+        |    return mm.User()
+        |
+        |def load_ghost() -> ghost_mod.User:
+        |    return None
+        |
+        |def load_unimported() -> other_mod.User:
+        |    return None
+        |""".stripMargin
+    val modB =
+      """from mod_f import load, load_alias, load_ghost, load_unimported, db
+        |
+        |def use():
+        |    u = load()
+        |    u.save()
+        |
+        |def use_alias():
+        |    u = load_alias()
+        |    u.save()
+        |
+        |def use_singleton():
+        |    db.save()
+        |
+        |def use_ghost():
+        |    g = load_ghost()
+        |    g.save()
+        |
+        |def use_unimported():
+        |    g = load_unimported()
+        |    g.save()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_m.py", modM), SourceFile("mod_f.py", modF),
+      SourceFile("mod_b.py", modB)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t69"), "t69")
+    val saves = out.edges
+      .filter(col("rel_type") === Rel.Call &&
+        col("dst") === "mod_m.User.save")
+      .select("src").as[String].collect().toSet
+    // dotted annotation, its alias spelling, and the dotted-constructor
+    // module singleton all type through the plain-import binding
+    assert(saves.contains("mod_b.use"), s"got $saves")
+    assert(saves.contains("mod_b.use_alias"), s"got $saves")
+    assert(saves.contains("mod_b.use_singleton"), s"got $saves")
+    // an out-of-corpus module and an unimported prefix resolve to
+    // nothing — no fabricated member edges
+    val allCalls = out.edges.filter(col("rel_type") === Rel.Call)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(!allCalls.exists(c => c._1 == "mod_b.use_ghost" &&
+      c._2.endsWith(".save")))
+    assert(!allCalls.exists(c => c._1 == "mod_b.use_unimported" &&
+      c._2.endsWith(".save")))
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
