@@ -657,6 +657,48 @@ object Similarity {
 
   /** Full-precision re-rank of a (query_id, vec_id) shortlist — the
     * final stage every quantized path shares. */
+  /** BINARY-QUANTIZED ANN (r14 — the 1-bit extreme of the quantization
+    * ladder SQ8 (8 bits) and PQ (sub-byte codes) already cover, and the
+    * shortlist trick modern vector stores ship as "binary quantization"
+    * / BBQ: Charikar 2002's sign-random-projection insight applied to
+    * the RAW axes — for centered embeddings, the SIGN BIT per dimension
+    * preserves angular neighborhood, so 64 dims collapse to ONE 64-bit
+    * word and candidate generation is an XOR + popcount per corpus
+    * vector, 32× less bandwidth than the float scan and branch-free):
+    * pack sign bits (strictly positive → 1) into a long, rank by
+    * Hamming distance to the query word (ties → vec_id), take a
+    * `shortlist`, re-rank ONLY the shortlist at full precision (the SQ8
+    * posture — the gate's rank column is exact cosine over ≤shortlist
+    * rows).
+    *
+    * Determinism: the sign predicate, XOR, and popcount are integer
+    * ops no engine can 1-ulp-flip; the oracle replays pack, Hamming
+    * rank, and re-rank bit-identically. Scale: the packed table is
+    * 8 bytes/vector; queries broadcast; at billions of vectors this is
+    * the scan-bandwidth floor and composes with IVF cell pruning
+    * exactly as PQ does. */
+  def bqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      shortlist: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = emb.select(col("vec_id"),
+      expr("aggregate(sequence(0, size(embedding) - 1), 0L, " +
+        "(acc, i) -> acc | CASE WHEN element_at(embedding, i + 1) > 0.0 " +
+        "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)")
+        .as("bits"))
+    val q = packed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("bits").as("qbits"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("hd").asc, col("vec_id").asc)
+    val short = packed.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        bit_count(col("qbits").bitwiseXOR(col("bits"))).as("hd"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "vec_id")
+    exactRerank(short, emb, queryIds, k)
+  }
+
   private def exactRerank(short: DataFrame, emb: DataFrame,
       queryIds: Seq[Long], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

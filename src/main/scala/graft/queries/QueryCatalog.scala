@@ -5874,6 +5874,38 @@ object QueryCatalog {
        |      JOIN embeddings q ON s.query_id = q.vec_id)
        |QUALIFY rank <= 10""".stripMargin
 
+  /** s_bq_ann — binary-quantized ANN
+    * ([[graft.pipeline.Similarity.bqTopK]]): sign-bit packing to ONE
+    * 64-bit word per vector, XOR+popcount Hamming shortlist (integer
+    * ops, un-flippable), exact-cosine re-rank of the shortlist only;
+    * the oracle replays pack, Hamming rank, and re-rank. */
+  val sBqAnn: Q = (s, d) =>
+    Similarity.bqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
+      shortlist = 50)
+
+  val sBqAnnSql: String =
+    s"""WITH b AS (SELECT vec_id,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 64),
+       |      i -> CASE WHEN embedding[i + 1] > 0.0
+       |        THEN (CASE WHEN i = 63 THEN -9223372036854775807 - 1
+       |              ELSE (1::BIGINT << i) END)
+       |        ELSE 0::BIGINT END)),
+       |      (a, v) -> a | v) AS bits FROM embeddings),
+       |qq AS (SELECT vec_id AS query_id, bits AS qbits FROM b
+       |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |short AS (SELECT query_id, vec_id FROM (
+       |  SELECT qq.query_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY qq.query_id
+       |      ORDER BY bit_count(xor(qq.qbits, c.bits)), c.vec_id) AS srank
+       |  FROM b c CROSS JOIN qq WHERE c.vec_id <> qq.query_id)
+       |  WHERE srank <= 50)
+       |SELECT query_id, vec_id, sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+       |FROM (SELECT s.query_id, s.vec_id, ${cosOf("q.embedding", "c.embedding")} AS sim
+       |      FROM short s JOIN embeddings c ON s.vec_id = c.vec_id
+       |      JOIN embeddings q ON s.query_id = q.vec_id)
+       |QUALIFY rank <= 10""".stripMargin
+
   /** Temperature-flattened language mix ([[Corpus.temperatureMix]],
     * T=2): per-language keep rates derived in-plan from corpus counts. */
   val pTempMix: Q = (s, d) =>
@@ -9440,6 +9472,7 @@ object QueryCatalog {
     "q25_lag" -> q25Lag,
     "q26_ranks" -> q26Ranks,
     "s_sq_ann" -> sSqAnn,
+    "s_bq_ann" -> sBqAnn,
     "p_temp_mix" -> pTempMix,
     "d_line_dedup" -> dLineDedup,
     "d_url_dedup" -> dUrlDedup,
@@ -9747,6 +9780,7 @@ object QueryCatalog {
     "q25_lag" -> q25LagSql,
     "q26_ranks" -> q26RanksSql,
     "s_sq_ann" -> sSqAnnSql,
+    "s_bq_ann" -> sBqAnnSql,
     "p_temp_mix" -> pTempMixSql,
     "d_line_dedup" -> dLineDedupSql,
     "d_url_dedup" -> dUrlDedupSql,

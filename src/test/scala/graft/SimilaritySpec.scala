@@ -215,9 +215,13 @@ class SimilaritySpec extends AnyFunSuite {
     val lshFast = recall(topSets(Similarity.lshTopK(emb, qs, 10, 16, 4)))
     val lshR = recall(topSets(Similarity.lshTopK(emb, qs, 10, 32, 8, probes = 1)))
     val ivfR = recall(topSets(Similarity.ivfTopK(emb, qs, 10)))
-    info(f"recall@10: lsh(16/4)=$lshFast%.2f lsh(32/8,mp1)=$lshR%.2f ivf=$ivfR%.2f")
+    // r14: the 1-bit shortlist — 64 sign bits stand in for 64 floats
+    val bqR = recall(topSets(Similarity.bqTopK(emb, qs, 10, shortlist = 50)))
+    info(f"recall@10: lsh(16/4)=$lshFast%.2f lsh(32/8,mp1)=$lshR%.2f " +
+      f"ivf=$ivfR%.2f bq(50)=$bqR%.2f")
     assert(lshR >= 0.6, f"LSH(32/8,mp1) recall@10 $lshR%.2f below 0.6 floor")
     assert(ivfR >= 0.6, f"IVF recall@10 $ivfR%.2f below 0.6 floor")
+    assert(bqR >= 0.6, f"BQ(shortlist 50) recall@10 $bqR%.2f below 0.6 floor")
   }
 
   test("r13 incremental refresh: ivfIndexRefresh / pqEncodeRefresh " +
