@@ -792,6 +792,16 @@ object PyIndexer {
   private val yieldName: Regex =
     """^\s*yield\s+([A-Za-z_]\w*)\s*$""".r
 
+  /** `-> list[Elem]` (and the [[containerAnno]] family) as a RETURN
+    * annotation — [[returnArrow]]'s no-bracket guard excludes these, so
+    * the container-arrow form matches the header directly; the first
+    * type argument is the element (r14 slice 70). */
+  private val arrowContainer: Regex =
+    ("""->\s*(?:typing\s*\.\s*)?""" +
+      """(?:list|List|Sequence|MutableSequence|tuple|Tuple|set|Set|""" +
+      """frozenset|FrozenSet|Iterable|Iterator|Collection)""" +
+      """\s*\[\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*[\],]""").r
+
   /** `for x in f():` over a bare call — feeds from the callee's yield
     * type (slice 30). */
   private val forInCall: Regex =
@@ -995,6 +1005,11 @@ object PyIndexer {
     // of scope). Keys are module-relative ("Class.m" / "f"); returns of
     // defs nested inside defs are not keyed.
     val returnAnnoRaw = mutable.Map.empty[String, String]
+    // r14 slice 70: raw ELEMENT annotation of defs declared to return a
+    // container (`-> list[User]` keys "User") — consumed by iteration,
+    // subscript reads, and `xs = f()` element bindings; the container
+    // itself is not an instance type, so returnAnnoRaw never sees it
+    val returnElemRaw = mutable.Map.empty[String, String]
     // C3 slice 8: INFERRED return types for defs with NO `->` annotation
     // (indexer_visitor.py:183-241 is the behavior target — jedi follows
     // the return expression): a body `return ClassName(...)`, `return
@@ -1116,6 +1131,13 @@ object PyIndexer {
                       returnAnnoRaw(key) = classes.mkString(".")
                   } else returnAnnoRaw(key) = m.group(1)
                 }
+              }
+              // r14 slice 70: container arrows (`-> list[User]`) are
+              // excluded from returnArrow by its no-bracket guard —
+              // they key the ELEMENT type instead
+              arrowContainer.findFirstMatchIn(headerText).foreach { cm =>
+                if (keyValid && !decoPoisoned.contains(key))
+                  returnElemRaw(key) = cm.group(1)
               }
               // a property on anything but a directly-class-nested def
               // is out of the key space, same rule as the return maps
@@ -1442,6 +1464,17 @@ object PyIndexer {
       else resolveCallee(callee)
         .filter(_.startsWith(mod + "."))
         .flatMap(cf => yieldInferredRaw.get(cf.stripPrefix(mod + ".")))
+        .flatMap(classishType)
+
+    /** r14 slice 70 — the ELEMENT type of a same-module callee declared
+      * to return a container (`def all() -> list[User]`): iterating or
+      * subscripting the call result yields User (jedi's generic-alias
+      * element inference for the declared case). */
+    def returnElemTarget(callee: String): Option[String] =
+      if (keywords.contains(callee)) None
+      else resolveCallee(callee)
+        .filter(_.startsWith(mod + "."))
+        .flatMap(cf => returnElemRaw.get(cf.stripPrefix(mod + ".")))
         .flatMap(classishType)
 
     // C3 slice 10: the return type of `<T>.method()` — same-module
@@ -2255,11 +2288,21 @@ object PyIndexer {
                   .foreach(t => fn.locals(m.group(1)) = t))
             }
             // slice 30: `for x in gen():` binds the generator's yield
-            // type (skipping `.values()`, which slice 28 owns)
+            // type (skipping `.values()`, which slice 28 owns); r14
+            // slice 70: a declared container return feeds the same
+            // binding (`for u in all_users():` with `-> list[User]`)
             forInCall.findFirstMatchIn(line)
               .filter(!_.group(2).endsWith(".values"))
               .foreach(m => yieldTypeTarget(m.group(2))
+                .orElse(returnElemTarget(m.group(2)))
                 .foreach(t => fn.locals(m.group(1)) = t))
+            // r14 slice 70: `xs = all_users()` binds the TARGET's
+            // ELEMENT type — iteration and subscript reads then type
+            // like any container-annotated local (the container itself
+            // is never an instance type, so fn.locals stays out)
+            instanceAssign.findFirstMatchIn(line).foreach(m =>
+              returnElemTarget(m.group(2))
+                .foreach(t => fn.elemLocals(m.group(1)) = t))
             // slice 42: enumerate/zip/order-wrapper iteration
             forInEnumerate.findFirstMatchIn(line).foreach(m =>
               fn.elemLocals.get(m.group(3))

@@ -2994,6 +2994,59 @@ class IndexerSpec extends AnyFunSuite {
       c._2.endsWith(".save")))
   }
 
+  test("r14 slice 70: container RETURN annotations (`-> list[User]`) " +
+      "feed iteration, subscript reads, and element bindings; bare " +
+      "containers and unresolvable elements bind nothing") {
+    val src =
+      """class User:
+        |    def save(self):
+        |        return 1
+        |
+        |def all_users() -> list[User]:
+        |    return [User()]
+        |
+        |def typed_set() -> Set[User]:
+        |    return {User()}
+        |
+        |def bare() -> list:
+        |    return []
+        |
+        |def ghost() -> list[other.Thing]:
+        |    return []
+        |
+        |def use_for():
+        |    for u in all_users():
+        |        u.save()
+        |
+        |def use_bind():
+        |    xs = all_users()
+        |    for u in xs:
+        |        u.save()
+        |
+        |def use_sub():
+        |    xs = typed_set()
+        |    first = xs[0]
+        |    first.save()
+        |
+        |def use_bare():
+        |    for b in bare():
+        |        b.save()
+        |
+        |def use_ghost():
+        |    g = ghost()
+        |    for x in g:
+        |        x.save()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t70", "m.py", src)
+    val saves = ev.edges.filter(e => e.relType == Rel.Call &&
+      e.dst == "m.User.save").map(_.src).toSet
+    assert(saves.contains("m.use_for"), s"got $saves")
+    assert(saves.contains("m.use_bind"), s"got $saves")
+    assert(saves.contains("m.use_sub"), s"got $saves")
+    assert(!saves.contains("m.use_bare"), s"got $saves")
+    assert(!saves.contains("m.use_ghost"), s"got $saves")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
