@@ -9019,6 +9019,49 @@ object QueryCatalog {
     }.select(col("user_id"), col("lag_days"))
   }
 
+  /** st_msprt — the always-valid monitor fed LIVE
+    * ([[graft.streaming.Streams.streamingConversions]] →
+    * [[graft.pipeline.Sessions.msprt]]'s fold): per-user
+    * exposure/conversion state on the stream (≤2 emissions per user,
+    * exactly-once across batches), the post-sink readout aggregates
+    * max(conv) per user into counts and replays e_msprt's exact logΛ
+    * arithmetic — the gate SHARES e_msprt's oracle verbatim. */
+  val stMsprt: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val panel = StreamReplay.replay(s, eventsOrdered(s, d), "st_msprt",
+      "update", batches = 6) {
+      df => Streams.streamingConversions(df.as[Streams.Event],
+        uid => uid % 2, "purchase", minValue = 90.0).toDF()
+    }
+      .groupBy("user_id")
+      .agg(max(col("vb")).as("vb"), max(col("conv")).cast("long").as("conv"))
+    val agg = panel.agg(
+      sum(when(col("vb") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("vb") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("vb") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("vb") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val v = pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+    val eff = pb - pa
+    val t2 = lit(0.0001)
+    val logLamRaw = lit(0.5) * log(v / (v + t2)) +
+      eff * eff * t2 / (lit(2.0) * v * (v + t2))
+    val logLam = when(v > 0.0, round(logLamRaw, 6)).otherwise(0.0)
+    val pAlways = when(v > 0.0,
+      round(least(lit(1.0), exp(-logLamRaw)), 6)).otherwise(1.0)
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      (round(eff, 6) + 0.0).as("effect"),
+      (logLam + 0.0).as("log_lambda"),
+      (pAlways + 0.0).as("p_always"),
+      when(logLam >= math.log(20.0), 1).otherwise(0).cast("int")
+        .as("significant"))
+  }
+
   val stLagSql: String =
     """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
       |  WHERE event_type = 'signup' GROUP BY 1),
@@ -9583,6 +9626,7 @@ object QueryCatalog {
     "st_ddsketch" -> stDdsketch,
     "st_psi" -> stPsi,
     "st_srm" -> stSrm,
+    "st_msprt" -> stMsprt,
     "st_bloom_refresh" -> stBloomRefresh,
     "st_holt" -> stHolt,
     "st_record" -> stRecord,
@@ -9891,6 +9935,7 @@ object QueryCatalog {
     "st_ddsketch" -> stDdsketchSql,
     "st_psi" -> stPsiSql,
     "st_srm" -> stSrmSql,
+    "st_msprt" -> eMsprtSql,
     "st_bloom_refresh" -> stBloomRefreshSql,
     "st_holt" -> stHoltSql,
     "st_record" -> stRecordSql,

@@ -346,6 +346,49 @@ object Streams {
       }
   }
 
+  final case class ConvState(vb: Long, conv: Boolean)
+  final case class ConvOut(user_id: Long, vb: Long, conv: Int)
+
+  /** Streaming per-user EXPOSURE/CONVERSION state (r14 — the input the
+    * always-valid monitor needs live: Johari et al.'s mSPRT exists
+    * precisely because experimenters WATCH results continuously, so the
+    * deduped (user, variant, converted) panel must maintain itself on
+    * the stream, not in a nightly batch): per user, state is a variant
+    * tag and a converted flag — TWO fields regardless of history — and
+    * a row emits only when that state CHANGES: once at first exposure
+    * (conv 0) and once at first conversion (conv 1), ≤2 emissions per
+    * user ever, idempotent across micro-batches (spec-proven; repeat
+    * conversions emit nothing). The post-sink readout `max(conv) per
+    * user → counts → logΛ` is then exactly [[graft.pipeline.Sessions
+    * .msprt]]'s batch arithmetic — the gate shares its oracle spelling
+    * verbatim. Update mode; state O(users) like every per-user panel
+    * ([[streamingCohorts]], [[streamingConversionLag]]), with the same
+    * optional TTL posture available in production. */
+  def streamingConversions(events: Dataset[Event], variantOf: Long => Long,
+      convertedType: String, minValue: Double = Double.NegativeInfinity)
+      : Dataset[ConvOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConvState, ConvOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[ConvState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[ConvOut]
+          var s = state.getOption.getOrElse {
+            val fresh = ConvState(variantOf(uid), conv = false)
+            out += ConvOut(uid, fresh.vb, 0) // first exposure
+            fresh
+          }
+          val converts = it.exists(e => e.event_type == convertedType &&
+            e.value > minValue)
+          if (converts && !s.conv) {
+            s = s.copy(conv = true)
+            out += ConvOut(uid, s.vb, 1)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   final case class CohortState(cohortUs: Long, seen: Long)
   final case class CohortOut(user_id: Long, cohort_us: Long, week_offset: Int)
 

@@ -927,6 +927,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(run("srm_spec1", batches = 1) === finals)
   }
 
+  test("r14 streamingConversions: one exposure row, one conversion row, " +
+      "never more — across batches, repeats, and pre-exposure converts") {
+    implicit val sqlCtx = spark.sqlContext
+    def dt(day: Int, h: Int = 1) =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val mem = MemoryStream[Event]
+    // u1 browses then converts NEXT batch, then converts again (no
+    // re-emit); u2 converts on FIRST sight (exposure + conversion rows
+    // in one batch); u3 never converts; u4 appears twice, no convert
+    mem.addData(
+      Event(1, dt(1), 1, "view", 1.0),
+      Event(2, dt(1), 3, "view", 1.0),
+      Event(3, dt(1), 4, "view", 1.0))
+    mem.addData(
+      Event(4, dt(2), 1, "purchase", 99.0),
+      Event(5, dt(2), 2, "purchase", 95.0),
+      Event(6, dt(2), 4, "view", 1.0))
+    mem.addData(
+      Event(7, dt(3), 1, "purchase", 99.0),   // repeat: silent
+      Event(8, dt(3), 2, "purchase", 50.0))   // below min: silent
+    val q = Streams.streamingConversions(mem.toDS(), uid => uid % 2,
+        "purchase", minValue = 90.0)
+      .writeStream.format("memory").queryName("conv_panel")
+      .outputMode("update").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val rows = spark.table("conv_panel")
+      .as[(Long, Long, Int)].collect().toSeq
+    // exactly one exposure row per user, exactly one conversion row per
+    // converting user — no duplicates from later batches
+    assert(rows.groupBy(identity).forall(_._2.size == 1),
+      s"duplicate emissions: $rows")
+    assert(rows.toSet === Set(
+      (1L, 1L, 0), (1L, 1L, 1),
+      (2L, 0L, 0), (2L, 0L, 1),
+      (3L, 1L, 0), (4L, 0L, 0)), s"got $rows")
+  }
+
   test("streamingConversionLag: exactly-once emission across batches") {
     implicit val sqlCtx = spark.sqlContext
     def dt(day: Int, h: Int = 1) =
