@@ -346,6 +346,60 @@ object Sessions {
       when(logLam >= crit, 1).otherwise(0).cast("int").as("significant"))
   }
 
+  /** QUANTILE TREATMENT EFFECT (r14 — the distributional readout mean
+    * tests miss: an experiment can leave the mean flat while moving the
+    * median down and the p90 up, i.e. helping light users and hurting
+    * heavy ones; comparing per-variant quantiles is the standard
+    * heterogeneity check): per-variant p-quantiles of the per-user
+    * metric, estimated on the integer LOG-BUCKET kernel (the
+    * st_ddsketch spelling — values to milli-units, bucket by (MSB
+    * octave, top-6 mantissa bits), ≤3% relative error, every boundary
+    * a pure integer op), QTE_q = est_b − est_a in exact integer
+    * milli-units.
+    *
+    * Scale: one user_id groupBy collapses the corpus; everything after
+    * runs on the BOUNDED per-variant bucket table (≤ 64·octaves rows —
+    * the kaplanMeier tiny-table rule for its one window). Quantile
+    * pick (smallest bucket with 100·cum ≥ q·n) and midpoint decode are
+    * all-integer — the oracle replays them bucket-for-bucket. Returns
+    * one row per q (q, est_a_milli, est_b_milli, qte_milli). */
+  def quantileTreatmentEffect(events: DataFrame, variantB: Column,
+      qs: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 100), "bad qs")
+    def dec(c: Column) = c.cast("decimal(38,10)")
+    val users = events.groupBy(col("user_id"))
+      .agg(round(sum(dec(col("value"))).cast("double"), 4).as("y"))
+      .select(col("y"), when(variantB, 1L).otherwise(0L).as("vb"))
+    val lv = greatest(floor(col("y") * 1000).cast("long"), lit(0L))
+    val bucketed = users.select(col("vb"), lv.as("lv"))
+      .select(col("vb"),
+        when(col("lv") <= 63L, col("lv"))
+          .otherwise((length(bin(col("lv"))) - 6).cast("long") * 64L +
+            expr("shiftright(lv, length(bin(lv)) - 6)")).as("b"))
+    val counts = bucketed.groupBy("vb", "b").agg(count(lit(1)).as("c"))
+    val n = counts.groupBy("vb").agg(sum(col("c")).as("n"))
+    val cum = counts.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy("vb").orderBy("b")))
+    val qDf = events.sparkSession.createDataFrame(
+      qs.map(Tuple1(_))).toDF("q")
+    val sel = cum.join(n, "vb").crossJoin(broadcast(qDf))
+      .filter(lit(100L) * col("cum") >= col("q").cast("long") * col("n"))
+      .groupBy("vb", "q").agg(min(col("b")).as("b"))
+    // midpoint decode — the logBucketEstMilli integer spelling, all
+    // integer ops (div, never float division)
+    val est = expr("CASE WHEN b <= 63 THEN b ELSE " +
+      "((b % 64) * shiftleft(CAST(1 AS BIGINT), CAST(b div 64 AS INT)) " +
+      "+ ((b % 64 + 1) * shiftleft(CAST(1 AS BIGINT), " +
+      "CAST(b div 64 AS INT)) - 1)) div 2 END")
+    sel.select(col("vb"), col("q"), est.cast("long").as("est"))
+      .groupBy("q")
+      .agg(max(when(col("vb") === 0, col("est"))).as("est_a_milli"),
+        max(when(col("vb") === 1, col("est"))).as("est_b_milli"))
+      .select(col("q"),
+        col("est_a_milli"), col("est_b_milli"),
+        (col("est_b_milli") - col("est_a_milli")).as("qte_milli"))
+  }
+
   /** Multi-touch ATTRIBUTION — the marketing-analytics staple: for each
     * conversion, credit the user's touch events inside the lookback
     * window under the three classic models at once — FIRST-touch (the

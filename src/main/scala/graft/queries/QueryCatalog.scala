@@ -4415,6 +4415,46 @@ object QueryCatalog {
       |    THEN 1 ELSE 0 END)::INT AS significant
       |FROM l""".stripMargin
 
+  /** e_qte — quantile treatment effect
+    * ([[graft.pipeline.Sessions.quantileTreatmentEffect]]): per-variant
+    * p50/p90 of the per-user value mass on the st_ddsketch integer
+    * log-bucket kernel, QTE = est_b − est_a in exact milli-units; the
+    * oracle replays bucketing, the cum-count pick, and the midpoint
+    * decode bucket-for-bucket. */
+  val eQte: Q = (s, d) =>
+    graft.pipeline.Sessions.quantileTreatmentEffect(Tables.events(s, d),
+      col("user_id") % 2 === 1)
+
+  val eQteSql: String =
+    """WITH u AS (SELECT user_id,
+      |    round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 4) AS y,
+      |    (user_id % 2)::BIGINT AS vb
+      |  FROM events GROUP BY user_id),
+      |lvs AS (SELECT vb, greatest(floor(y * 1000), 0)::BIGINT AS lv FROM u),
+      |ids AS (SELECT vb, CASE WHEN lv <= 63 THEN lv
+      |    ELSE (length(bin(lv)) - 6)::BIGINT * 64 + (lv >> (length(bin(lv)) - 6)) END AS b
+      |  FROM lvs),
+      |cnt AS (SELECT vb, b, count(*)::BIGINT AS c FROM ids GROUP BY 1, 2),
+      |n AS (SELECT vb, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+      |cum AS (SELECT vb, b,
+      |    sum(c) OVER (PARTITION BY vb ORDER BY b)::BIGINT AS cum FROM cnt),
+      |qs(q) AS (VALUES (50), (90)),
+      |sel AS (SELECT c.vb, q.q::INT AS q, min(c.b) AS b
+      |  FROM cum c JOIN n ON n.vb = c.vb CROSS JOIN qs q
+      |  WHERE 100 * c.cum >= q.q * n.n
+      |  GROUP BY c.vb, q.q),
+      |est AS (SELECT vb, q,
+      |  (CASE WHEN b <= 63 THEN b
+      |    ELSE ((b % 64) * (1::BIGINT << (b // 64))
+      |      + ((b % 64 + 1) * (1::BIGINT << (b // 64)) - 1)) // 2 END)::BIGINT
+      |    AS est FROM sel)
+      |SELECT q,
+      |  max(CASE WHEN vb = 0 THEN est END)::BIGINT AS est_a_milli,
+      |  max(CASE WHEN vb = 1 THEN est END)::BIGINT AS est_b_milli,
+      |  (max(CASE WHEN vb = 1 THEN est END)
+      |    - max(CASE WHEN vb = 0 THEN est END))::BIGINT AS qte_milli
+      |FROM est GROUP BY q""".stripMargin
+
   /** e_paths — top 3-step event paths
     * ([[graft.pipeline.Sessions.topPaths]]): per-user consecutive
     * event-type trigrams in (ts, event_id) order, counted corpus-wide,
@@ -9455,6 +9495,7 @@ object QueryCatalog {
     "e_srm" -> eSrm,
     "e_did" -> eDid,
     "e_msprt" -> eMsprt,
+    "e_qte" -> eQte,
     "e_markov" -> eMarkov,
     "e_lifecycle" -> eLifecycle,
     "e_rfm" -> eRfm,
@@ -9764,6 +9805,7 @@ object QueryCatalog {
     "e_srm" -> eSrmSql,
     "e_did" -> eDidSql,
     "e_msprt" -> eMsprtSql,
+    "e_qte" -> eQteSql,
     "e_markov" -> eMarkovSql,
     "e_lifecycle" -> eLifecycleSql,
     "e_rfm" -> eRfmSql,

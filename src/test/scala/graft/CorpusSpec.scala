@@ -321,6 +321,38 @@ class CorpusSpec extends AnyFunSuite {
       o3.getInt(7) === 0)
   }
 
+  test("r14 quantileTreatmentEffect: per-variant log-bucket quantiles " +
+      "and their integer-milli difference; small exact buckets decode " +
+      "exactly") {
+    import java.sql.Timestamp
+    def t(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    // control (even): per-user totals 0.001..0.010 (lv 1..10, exact
+    // small buckets); treated (odd): totals 0.011..0.020 (lv 11..20).
+    // p50 of 10 values = the 5th (100·cum ≥ 50·10 ⇔ cum ≥ 5);
+    // p90 = the 9th. QTE = +10 milli at both quantiles.
+    val ev = (0L until 20L).map { u =>
+      val y = if (u % 2 == 0) (u / 2 + 1) * 0.001 else (u / 2 + 11) * 0.001
+      (u + 1, t(u.toInt), u, "act", y)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Sessions.quantileTreatmentEffect(ev, col("user_id") % 2 === 1)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(50) === ((5L, 15L, 10L)), s"got ${out(50)}")
+    assert(out(90) === ((9L, 19L, 10L)), s"got ${out(90)}")
+    // heavy-tail values land in a LOG bucket whose midpoint decodes
+    // with shifts: three odd users at y=600.0 put the treated p90
+    // (13 users → 100·cum ≥ 1170 → the 12th) in the lv=600000 bucket,
+    // est within 3% of 600000
+    val tail = (ev.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+      r.getLong(2), r.getString(3), r.getDouble(4))).toSeq ++
+      Seq(21L, 23L, 25L).map(u => (100L + u, t(99), u, "act", 600.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val p90b = Sessions.quantileTreatmentEffect(tail,
+      col("user_id") % 2 === 1).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(math.abs(p90b(90) - 600000L) < 20000L, s"got ${p90b(90)}")
+  }
+
   test("r14 srmCheck: exact counts, chi-square, rounded-stat flag; " +
       "balanced split stays quiet") {
     import java.sql.Timestamp
