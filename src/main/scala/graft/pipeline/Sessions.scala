@@ -964,4 +964,47 @@ object Sessions {
         expr("(1000000 * d_t) div n_risk").cast("long").as("hazard_ppm"))
   }
 
+  /** CUSUM drift monitor (r14 — Page 1954, the classic sequential
+    * change-point chart; the DRIFT sibling of [[dailySpikes]]'s
+    * trailing-ratio spike and [[ewmaSpikes]]'s smoothed-level alarm:
+    * CUSUM accumulates small persistent excesses that neither catches)
+    * over the per-(event_type, day) volume series. The one-sided upper
+    * chart is S_d = max(0, S_{d-1} + (x_d − ref − k)); an alarm fires
+    * when S_d exceeds h. The reference ref is CALIBRATED from the
+    * series itself in exact integers (milli-units:
+    * `ref = (1000·Σn) div days` per type — in production this is the
+    * control chart's pre-computed calibration artifact, which is why
+    * the streaming twin [[graft.streaming.Streams.streamingCusum]]
+    * takes it as a parameter); slack k = ref div 20 (5%) and threshold
+    * h = ref (one average day's full volume in accumulated excess).
+    *
+    * Determinism: the max(0,·) recurrence is NOT a window primitive,
+    * but its closed form is — with P_d = Σ_{j≤d} inc_j and P_0 = 0,
+    * S_d = P_d − min(0, min_{j≤d} P_j) — so the whole chart is two
+    * window passes (running sum + running min) over exact BIGINT
+    * milli-units; no float enters any gated value. Scale shape: one
+    * (type, day) count shuffle, a 5-row broadcast calibration join,
+    * then windows over the BOUNDED per-type day series (≤ horizon
+    * days each — the tiny-table rule). */
+  def cusum(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val cal = daily.groupBy("event_type")
+      .agg(expr("(1000 * sum(n)) div count(*)").as("ref"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(cal), "event_type")
+      .withColumn("inc",
+        col("n") * 1000L - col("ref") - expr("ref div 20"))
+      .withColumn("p", sum(col("inc")).over(w))
+      .withColumn("mp", least(lit(0L), min(col("p")).over(w)))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"),
+        (col("p") - col("mp")).cast("long").as("s_milli"),
+        when(col("p") - col("mp") > col("ref"), 1).otherwise(0)
+          .cast("int").as("alarm"))
+  }
+
 }

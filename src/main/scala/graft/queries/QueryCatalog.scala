@@ -3890,6 +3890,35 @@ object QueryCatalog {
       |  (CASE WHEN 100 * n * trail_days > 120 * trail THEN 1 ELSE 0 END)::INT AS spike
       |FROM w WHERE trail_days = 7""".stripMargin
 
+  /** e_cusum — CUSUM drift monitor over daily volumes
+    * ([[graft.pipeline.Sessions.cusum]], Page 1954): the sequential
+    * change-point chart S_d = max(0, S_{d-1} + (x_d − ref − k)) in
+    * its window closed form S_d = P_d − min(0, min_prefix P) over
+    * exact BIGINT milli-units; ref calibrated per type as
+    * (1000·Σn) div days, k = ref div 20, alarm at S > ref. The
+    * streaming twin `st_cusum` shares this oracle verbatim. */
+  val eCusum: Q = (s, d) =>
+    graft.pipeline.Sessions.cusum(Tables.events(s, d))
+
+  val eCusumSql: String =
+    """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+      |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+      |cal AS (SELECT event_type,
+      |    ((1000 * sum(n)) // count(*))::BIGINT AS ref
+      |  FROM daily GROUP BY 1),
+      |j AS (SELECT d.event_type, d.day, d.n, c.ref,
+      |    d.n * 1000 - c.ref - c.ref // 20 AS inc
+      |  FROM daily d JOIN cal c USING (event_type)),
+      |w AS (SELECT *,
+      |    sum(inc) OVER (PARTITION BY event_type ORDER BY day) AS p
+      |  FROM j),
+      |m AS (SELECT *, least(0, min(p) OVER (PARTITION BY event_type
+      |    ORDER BY day)) AS mp FROM w)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+      |  (p - mp)::BIGINT AS s_milli,
+      |  (CASE WHEN p - mp > ref THEN 1 ELSE 0 END)::INT AS alarm
+      |FROM m""".stripMargin
+
   /** e_seasonality — day-of-week volume seasonality per event type
     * ([[graft.pipeline.Sessions.weekdaySeasonality]]): integer-ppm
     * index vs a uniform week, weekday from epoch-day arithmetic
@@ -9044,6 +9073,36 @@ object QueryCatalog {
       |  prev_record::BIGINT AS prev_record
       |FROM w WHERE n > prev_record""".stripMargin
 
+  /** st_cusum — STREAMING CUSUM drift monitor
+    * ([[graft.streaming.Streams.streamingCusum]]): a chart row per
+    * closed day per type; ref is the same exact-integer calibration
+    * the batch twin derives in-plan, computed here driver-side from
+    * the replay fixture (the deployed chart's pre-computed parameter).
+    * Four-long state per type; stream ≡ batch on exact BIGINT
+    * milli-units, so this shares e_cusum's oracle verbatim. */
+  val stCusum: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val evs = eventsOrdered(s, d)
+    val dayMs = 86400000L
+    val refMilli = evs.groupBy(_.event_type).map { case (et, es) =>
+      val days = es.iterator.map(_.ts.getTime / dayMs).toSet.size
+      et -> 1000L * es.size / days
+    }
+    val sentinelTs = new java.sql.Timestamp(
+      evs.iterator.map(_.ts.getTime).max + 3L * 86400000L)
+    val tail = evs.iterator.map(_.event_type).toSeq.distinct.sorted
+      .zipWithIndex.map { case (et, i) =>
+        Streams.Event(Long.MaxValue - i, sentinelTs, -1L, et, 0.0) }
+    StreamReplay.replay(s, evs, "st_cusum", "append", batches = 6,
+      tail = tail) {
+      df => Streams.streamingCusum(df.as[Streams.Event], refMilli).toDF()
+    }
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("day_us")), "yyyy-MM-dd").as("day"),
+        col("n"), col("s_milli"), col("alarm"))
+  }
+
   /** st_lag — STREAMING conversion lag
     * ([[graft.streaming.Streams.streamingConversionLag]]): each user's
     * whole-day signup→purchase lag emits exactly once at conversion
@@ -9479,6 +9538,8 @@ object QueryCatalog {
     "e_funnel" -> eFunnel,
     "e_retention" -> eRetention,
     "e_spike" -> eSpike,
+    "e_cusum" -> eCusum,
+    "st_cusum" -> stCusum,
     "e_seasonality" -> eSeasonality,
     "e_lag" -> eLag,
     "e_km" -> eKm,
@@ -9789,6 +9850,8 @@ object QueryCatalog {
     "e_funnel" -> eFunnelSql,
     "e_retention" -> eRetentionSql,
     "e_spike" -> eSpikeSql,
+    "e_cusum" -> eCusumSql,
+    "st_cusum" -> eCusumSql,
     "e_seasonality" -> eSeasonalitySql,
     "e_lag" -> eLagSql,
     "e_km" -> eKmSql,

@@ -630,6 +630,59 @@ object Streams {
       }
   }
 
+  final case class CusumState(curDayUs: Long, curN: Long, p: Long,
+      minP: Long)
+  final case class CusumOut(event_type: String, day_us: Long, n: Long,
+      s_milli: Long, alarm: Int)
+
+  /** Streaming CUSUM drift monitor (r14 — Page 1954): the continuous
+    * twin of [[graft.pipeline.Sessions.cusum]]. Per event type the
+    * one-sided upper chart S_d = max(0, S_{d-1} + (x_d − ref − k))
+    * runs over closed-day volumes; a row emits at every day close with
+    * the chart value and the alarm flag (S > h). `refMilli` is the
+    * PRE-COMPUTED calibration artifact (milli-units per day — control
+    * charts are calibrated before monitoring begins; the batch twin
+    * derives it in-plan, this one takes it as the deployed parameter);
+    * slack k = ref div 20 and threshold h = ref follow the batch
+    * spelling exactly. State is FOUR longs per type — the open-day
+    * accumulator plus the closed form's running prefix sum and prefix
+    * min (S = P − min(0, minP) — so the max(0,·) recurrence never
+    * needs to be stored). Day close is first-event-of-a-later-day
+    * ([[streamingRecords]]'s contract; the replay's far-future
+    * sentinel closes the final real day). All chart values are exact
+    * BIGINT milli-units, so streamed rows hash-match the batch
+    * window-sum/window-min oracle. */
+  def streamingCusum(events: Dataset[Event], refMilli: Map[String, Long])
+      : Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    val dayUsLen = 86400L * 1000000L
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (et, it, state: GroupState[CusumState]) =>
+          val ref = refMilli.getOrElse(et, 0L)
+          var s = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
+          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val d = us(e.ts) / dayUsLen * dayUsLen
+            if (s.curN == 0L || d == s.curDayUs)
+              s = s.copy(curDayUs = d, curN = s.curN + 1)
+            else if (d > s.curDayUs) {
+              val p = s.p + (s.curN * 1000L - ref - ref / 20L)
+              val minP = math.min(s.minP, p)
+              val sMilli = p - math.min(0L, minP)
+              out += CusumOut(et, s.curDayUs, s.curN, sMilli,
+                if (sMilli > ref) 1 else 0)
+              s = CusumState(d, 1L, p, minP)
+            }
+            // an out-of-order DAY violates the caller contract: ignored
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Continuous graph ingest — the streaming upgrade of the reference's
     * batch-only pipeline: each micro-batch of symbol events merges into
     * the snapshot directory with the SAME set-oriented A1–A4 semantics as

@@ -383,6 +383,35 @@ class CorpusSpec extends AnyFunSuite {
     assert((d.getLong(0), d.getLong(1)) === ((90L, 10L)))
   }
 
+  test("r14 cusum: in-plan calibration, max(0,.) floor via the " +
+      "window closed form, alarm only past h = ref") {
+    import java.sql.Timestamp
+    def t(day: Int, i: Int) =
+      Timestamp.valueOf(f"2026-02-$day%02d 01:${i % 60}%02d:00")
+    // click days 1..4 count 1,1,6,6: ref = 14000/4 = 3500, k = 175;
+    // P = -2675,-5350,-3025,-700; S = 0,0,2325,4650 → alarm on day 4
+    // view days 1..2 count 2,1: ref = 1500, k = 75; P = 425,-150;
+    // least(0, minP) clamps the all-positive prefix → S = 425, 0
+    val rows =
+      (1 to 1).map(i => (100L + i, t(1, i), 1L, "click", 0.0)) ++
+      (1 to 1).map(i => (200L + i, t(2, i), 1L, "click", 0.0)) ++
+      (1 to 6).map(i => (300L + i, t(3, i), 1L, "click", 0.0)) ++
+      (1 to 6).map(i => (400L + i, t(4, i), 1L, "click", 0.0)) ++
+      (1 to 2).map(i => (500L + i, t(1, i), 2L, "view", 0.0)) ++
+      (1 to 1).map(i => (600L + i, t(2, i), 2L, "view", 0.0))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Sessions.cusum(ev)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(out === Set(
+      ("click", "2026-02-01", 1L, 0L, 0),
+      ("click", "2026-02-02", 1L, 0L, 0),
+      ("click", "2026-02-03", 6L, 2325L, 0),
+      ("click", "2026-02-04", 6L, 4650L, 1),
+      ("view", "2026-02-01", 2L, 425L, 0),
+      ("view", "2026-02-02", 1L, 0L, 0)))
+  }
+
   test("r14 diffInDiff: the control trend differences out and the " +
       "balanced panel zeroes inactive periods") {
     import java.sql.Timestamp

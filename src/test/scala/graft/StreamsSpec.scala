@@ -1044,4 +1044,33 @@ class StreamsSpec extends AnyFunSuite {
       ("view", dayUs(1), 1L, 0L),
       ("view", dayUs(2), 2L, 1L)))   // day4 tie and open days absent
   }
+
+  test("streamingCusum: chart floors at zero across a dip, alarms past " +
+      "h, open day never emits") {
+    implicit val sqlCtx = spark.sqlContext
+    def dt(day: Int, h: Int = 1) =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    def dayUs(day: Int) = dt(day, 0).getTime * 1000L
+    val mem = MemoryStream[Event]
+    // click day counts 3, 1, 4, 4 with ref = 2000 milli (k = 100):
+    // incs 900, -1100, 1900, 1900 → P = 900, -200, 1700, 3600;
+    // S = 900, 0 (floor), 1900, 3800 → alarm only on day 4 (> 2000)
+    mem.addData(
+      (1 to 3).map(i => Event(i.toLong, dt(1, i), 1, "click", 0)) ++
+      Seq(Event(4, dt(2), 1, "click", 0)) ++
+      (5 to 8).map(i => Event(i.toLong, dt(3, i - 4), 1, "click", 0)) ++
+      (9 to 12).map(i => Event(i.toLong, dt(4, i - 8), 1, "click", 0)) ++
+      Seq(Event(13, dt(5), 1, "click", 0)): _*)  // closes day 4
+    val out = Streams.runToMemory(spark,
+        Streams.streamingCusum(mem.toDS(),
+          Map("click" -> 2000L)).toDF(), "st_cusum_t",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(out === Set(
+      ("click", dayUs(1), 3L, 900L, 0),
+      ("click", dayUs(2), 1L, 0L, 0),
+      ("click", dayUs(3), 4L, 1900L, 0),
+      ("click", dayUs(4), 4L, 3800L, 1)))  // day 5 open: absent
+  }
 }
