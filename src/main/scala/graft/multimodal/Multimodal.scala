@@ -1055,6 +1055,96 @@ object Multimodal {
     media.withColumn(outCol, parse(col(payloadCol)))
   }
 
+  final case class WarcMeta(is_warc: Boolean, warc_version: String,
+      n_records: Int, n_responses: Int, content_bytes: Long,
+      truncated: Boolean)
+
+  /** ======= REAL ======= WARC record walk (r14) — the container of the
+    * dominant web-scale training corpus (Common Crawl ships as WARC, ISO
+    * 28500): before any HTML stripping or text extraction an ingest
+    * needs the container-level screen — how many records, how many are
+    * `response` records (the only ones carrying page payloads), how many
+    * content bytes, and is the file intact. Each record is an ASCII
+    * header block (`WARC/x.y` version line + `Name: value` fields)
+    * terminated by CRLFCRLF, then exactly `Content-Length` content
+    * bytes, then the CRLFCRLF record separator — so the walk MUST hop by
+    * declared length (content is arbitrary bytes; a regex scan would
+    * false-match `WARC/` inside payloads). Degradations are
+    * deterministic, never thrown ([[withTarMeta]]'s discipline): no
+    * `WARC/` magic → not WARC; a record whose declared content overruns
+    * the buffer or whose separator is missing (the interrupted-download
+    * signature) → `truncated = true` with only FULLY CONTAINED records
+    * counted. Header fields are matched case-insensitively (the spec
+    * says field names are). Per-row narrow byte walk, zero shuffle. */
+  def withWarcMeta(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "warc_meta"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) =>
+      val bad = WarcMeta(is_warc = false, null, 0, 0, 0L,
+        truncated = false)
+      def ascii(from: Int, until: Int) =
+        new String(p, from, until - from, "US-ASCII")
+      if (p == null || p.length < 9 || ascii(0, 5) != "WARC/") bad
+      else {
+        var records = 0
+        var responses = 0
+        var bytes = 0L
+        var trunc = false
+        var done = false
+        var off = 0
+        var version: String = null
+        while (!done) {
+          if (off >= p.length) done = true // clean end-of-file
+          else if (off + 5 > p.length || ascii(off, off + 5) != "WARC/") {
+            trunc = true; done = true // bytes between records: damaged
+          } else {
+            // header block ends at the first CRLFCRLF
+            var hEnd = -1
+            var i = off
+            while (hEnd < 0 && i + 3 < p.length) {
+              if (p(i) == '\r' && p(i + 1) == '\n' &&
+                  p(i + 2) == '\r' && p(i + 3) == '\n') hEnd = i
+              i += 1
+            }
+            if (hEnd < 0) { trunc = true; done = true }
+            else {
+              val lines = ascii(off, hEnd).split("\r\n")
+              if (version == null) version = lines.head.drop(5)
+              val fields = lines.tail.flatMap { l =>
+                val c = l.indexOf(':')
+                if (c < 0) None
+                else Some(l.take(c).trim.toLowerCase ->
+                  l.drop(c + 1).trim)
+              }.toMap
+              fields.get("content-length")
+                  .flatMap(v => scala.util.Try(v.toLong).toOption) match {
+                case None => trunc = true; done = true
+                case Some(len) =>
+                  val cStart = hEnd + 4
+                  val recEnd = cStart.toLong + len
+                  if (recEnd + 4 > p.length ||
+                      p(recEnd.toInt) != '\r' ||
+                      p(recEnd.toInt + 1) != '\n' ||
+                      p(recEnd.toInt + 2) != '\r' ||
+                      p(recEnd.toInt + 3) != '\n') {
+                    trunc = true; done = true
+                  } else {
+                    records += 1
+                    if (fields.get("warc-type").contains("response"))
+                      responses += 1
+                    bytes += len
+                    off = recEnd.toInt + 4
+                  }
+              }
+            }
+          }
+        }
+        WarcMeta(is_warc = true, version, records, responses, bytes,
+          trunc)
+      }
+    }
+    media.withColumn(outCol, parse(col(payloadCol)))
+  }
+
   final case class VideoMeta(format: String, major_brand: Option[String],
       timescale: Option[Long], duration_ms: Option[Long])
 

@@ -8264,6 +8264,69 @@ object QueryCatalog {
       |  NOT prose AS checksum_ok, trunc AS truncated
       |FROM m""".stripMargin
 
+  /** m_warc — WARC record walk under the oracle gate
+    * ([[graft.multimodal.Multimodal.withWarcMeta]]): assembled archives
+    * of 1–4 records (mixed `response`/`request` types, varying
+    * content lengths, version 1.0/1.1 by doc), every 11th doc declaring
+    * MORE content than it carries (the interrupted-download case — only
+    * fully contained records count, `truncated` flags), every 4th doc
+    * plain prose (not WARC). The oracle predicts records, response
+    * count, and content bytes in closed form over a generate_series
+    * unroll of the generator's arithmetic. */
+  val mWarc: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val build = udf { (id: Long) =>
+      if (id % 4 == 0) "plain prose, not an archive".getBytes("US-ASCII")
+      else {
+        val n = (id % 4 + 1).toInt
+        val sb = new StringBuilder
+        (1 to n).foreach { i =>
+          val typ = if ((id + i) % 3 == 0) "request" else "response"
+          val len = (id + 7L * i) % 50 + 1
+          val declared = if (id % 11 == 5 && i == n) len + 10 else len
+          sb.append(s"WARC/1.${id % 2}\r\nWARC-Type: $typ\r\n")
+            .append(s"WARC-Record-ID: <urn:uuid:$id-$i>\r\n")
+            .append(s"Content-Length: $declared\r\n\r\n")
+            .append("x" * len.toInt).append("\r\n\r\n")
+        }
+        sb.toString.getBytes("US-ASCII")
+      }
+    }
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("payload", build(col("doc_id")))
+    Multimodal.withWarcMeta(media).select(col("doc_id"),
+      col("warc_meta.is_warc").as("is_warc"),
+      col("warc_meta.warc_version").as("warc_version"),
+      col("warc_meta.n_records").as("n_records"),
+      col("warc_meta.n_responses").as("n_responses"),
+      col("warc_meta.content_bytes").as("content_bytes"),
+      col("warc_meta.truncated").as("truncated"))
+  }
+
+  val mWarcSql: String =
+    """WITH d AS (SELECT doc_id, (doc_id % 4 + 1)::INT AS n,
+      |    (doc_id % 4 = 0) AS prose, (doc_id % 11 = 5) AS tr
+      |  FROM documents),
+      |r AS (SELECT d.doc_id, d.n, d.tr, i.i AS i,
+      |    (d.doc_id + 7 * i.i) % 50 + 1 AS len,
+      |    CASE WHEN (d.doc_id + i.i) % 3 <> 0 THEN 1 ELSE 0 END AS resp,
+      |    (NOT d.tr OR i.i < d.n) AS kept
+      |  FROM d, generate_series(1, 4) AS i(i) WHERE i.i <= d.n),
+      |a AS (SELECT doc_id,
+      |    sum(CASE WHEN kept THEN 1 ELSE 0 END)::INT AS recs,
+      |    sum(CASE WHEN kept THEN resp ELSE 0 END)::INT AS resps,
+      |    sum(CASE WHEN kept THEN len ELSE 0 END)::BIGINT AS bytes
+      |  FROM r GROUP BY 1)
+      |SELECT d.doc_id, NOT d.prose AS is_warc,
+      |  CASE WHEN NOT d.prose THEN '1.' || (d.doc_id % 2)::VARCHAR END
+      |    AS warc_version,
+      |  (CASE WHEN d.prose THEN 0 ELSE a.recs END)::INT AS n_records,
+      |  (CASE WHEN d.prose THEN 0 ELSE a.resps END)::INT AS n_responses,
+      |  (CASE WHEN d.prose THEN 0 ELSE a.bytes END)::BIGINT
+      |    AS content_bytes,
+      |  (NOT d.prose AND d.tr) AS truncated
+      |FROM d JOIN a USING (doc_id)""".stripMargin
+
   /** m_corrupt — TRUNCATION TOLERANCE under the oracle gate: every 5th
     * document's payload is cut to its first 10 bytes (mid-header), and
     * the sniffers/walkers must DEGRADE deterministically — never throw,
@@ -9698,6 +9761,7 @@ object QueryCatalog {
     "m_pdf" -> mPdf,
     "m_srt" -> mSrt,
     "m_tar" -> mTar,
+    "m_warc" -> mWarc,
     "m_tiff" -> mTiff,
     "m_exif" -> mExif,
     "m_ogg" -> mOgg,
@@ -10010,6 +10074,7 @@ object QueryCatalog {
     "m_pdf" -> mPdfSql,
     "m_srt" -> mSrtSql,
     "m_tar" -> mTarSql,
+    "m_warc" -> mWarcSql,
     "m_tiff" -> mTiffSql,
     "m_exif" -> mExifSql,
     "m_ogg" -> mOggSql,

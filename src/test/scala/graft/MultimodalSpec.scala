@@ -692,6 +692,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(good.slice(257, 262), "US-ASCII") === "ustar")
   }
 
+  test("r14 withWarcMeta: record hop by declared length; overruns, " +
+      "missing separators and header damage degrade, never throw") {
+    def rec(ver: String, typ: String, body: String,
+        declared: Option[Long] = None, lenField: String = "Content-Length")
+        : String =
+      s"WARC/$ver\r\n$lenField: ${declared.getOrElse(body.length.toLong)}" +
+        s"\r\nWARC-Type: $typ\r\n\r\n$body\r\n\r\n"
+    val good = rec("1.0", "response", "hello WARC/1.0 inside") +
+      rec("1.0", "request", "q=1") + rec("1.0", "response", "x" * 40)
+    // declared overrun on the LAST record (interrupted download)
+    val overrun = rec("1.1", "response", "abc") +
+      rec("1.1", "response", "abcdef", declared = Some(99L))
+    // separator missing: content flows into the next record's magic
+    val nosep = rec("1.0", "response", "abc").dropRight(2) +
+      rec("1.0", "response", "def")
+    // header field case-insensitivity (spec: field names are)
+    val lower = rec("1.0", "response", "abcd", lenField = "content-length")
+    // no Content-Length at all: unwalkable
+    val nolen = "WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"
+    // garbage between records
+    val garb = rec("1.0", "response", "abc") + "JUNK" +
+      rec("1.0", "response", "def")
+    val rows = Seq(
+      (1L, good.getBytes("US-ASCII")),
+      (2L, overrun.getBytes("US-ASCII")),
+      (3L, nosep.getBytes("US-ASCII")),
+      (4L, lower.getBytes("US-ASCII")),
+      (5L, nolen.getBytes("US-ASCII")),
+      (6L, garb.getBytes("US-ASCII")),
+      (7L, "plain prose".getBytes("US-ASCII")),
+      (8L, null.asInstanceOf[Array[Byte]])
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.withWarcMeta(rows)
+      .select(col("doc_id"), col("warc_meta.*"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2)), r.getInt(3),
+          r.getInt(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(out(1L) === ((true, Some("1.0"), 3, 2, 64L, false)))
+    assert(out(2L) === ((true, Some("1.1"), 1, 1, 3L, true)))
+    // the missing separator lands mid-"WARC/..." → overrun detected
+    assert(out(3L)._6 === true && out(3L)._3 === 0)
+    assert(out(4L) === ((true, Some("1.0"), 1, 1, 4L, false)))
+    assert(out(5L) === ((true, Some("1.0"), 0, 0, 0L, true)))
+    assert(out(6L) === ((true, Some("1.0"), 1, 1, 3L, true)))
+    assert(out(7L) === ((false, None, 0, 0, 0L, false)))
+    assert(out(8L) === ((false, None, 0, 0, 0L, false)))
+  }
+
   test("phashNearDup: planted pair found, perturbed grid within Hamming 3") {
     def grid(seed: Long) =
       Array.tabulate(72)(n => ((seed * 1000003L + n * 2654435761L) % 251).toByte)
