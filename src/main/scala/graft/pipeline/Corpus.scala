@@ -1569,6 +1569,66 @@ object Corpus {
       .localCheckpoint(eager = true)
   }
 
+  /** WORDPIECE merge training (r14 — Schuster & Nakajima 2012, the
+    * BERT-lineage third production tokenizer family beside
+    * [[bpeMerges]] (frequency-greedy) and [[unigramLm]] (EM-pruned)):
+    * the SAME capped word vocabulary, symbol table, and greedy islands
+    * rewrite as BPE, but each round merges the pair maximizing the
+    * LIKELIHOOD score count(ab) / (count(a)·count(b)) — the pair whose
+    * fusion most raises a unigram LM's corpus likelihood — rather than
+    * the raw pair count. That is WordPiece's defining difference: a
+    * frequent-but-expected pair (two already-frequent symbols) loses to
+    * a rarer pair that co-occurs far above chance. The score is held as
+    * integer PARTS-PER-BILLION (`(n·10⁹) div (uₐ·u_b)` — exact BIGINT
+    * division, no float compare can 1-ulp-flip the argmax cross-engine;
+    * ties break (lhs, rhs) lexicographic). Unigram counts come off the
+    * same symbol table as the pair counts, so each round's score is
+    * self-consistent under the previous rounds' rewrites. Scale shape:
+    * identical to BPE training — the capped vocab bounds the symbol
+    * table, the per-round unigram table is ≤ distinct-symbols rows and
+    * broadcast into the score join. Returns one row per round:
+    * (merge_round, lhs, rhs, pair_count, score_ppb). */
+  def wordpieceMerges(docs: DataFrame, rounds: Int = 3,
+      vocabCap: Int = 2000, maxLen: Int = 12): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"wordpiece rounds $rounds out of budget")
+    val words = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= maxLen)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(vocabCap)
+    val byWord = Window.partitionBy("word").orderBy("pos")
+    var sym = words
+      .select(col("word"), col("cnt"),
+        posexplode(split(col("word"), "")).as(Seq("p0", "sym")))
+      .select(col("word"), col("cnt"),
+        (col("p0") + 1).cast("long").as("pos"), col("sym"))
+      .localCheckpoint(eager = true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val p = sym.withColumn("nxt", lead(col("sym"), 1).over(byWord))
+        .localCheckpoint(eager = true)
+      val uni = p.groupBy(col("sym"))
+        .agg(sum(col("cnt")).cast("long").as("u"))
+        .localCheckpoint(eager = true)
+      val best = p.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("bx"), col("nxt").as("by"))
+        .agg(sum(col("cnt")).cast("long").as("n"))
+        .join(broadcast(uni.select(col("sym").as("bx"),
+          col("u").as("ua"))), "bx")
+        .join(broadcast(uni.select(col("sym").as("by"),
+          col("u").as("ub"))), "by")
+        .withColumn("score_ppb",
+          expr("(n * cast(1000000000 as bigint)) div (ua * ub)"))
+        .orderBy(col("score_ppb").desc, col("bx"), col("by")).limit(1)
+        .localCheckpoint(eager = true)
+      out += best.select(lit(r).as("merge_round"), col("bx").as("lhs"),
+        col("by").as("rhs"), col("n").as("pair_count"), col("score_ppb"))
+      sym = applyMerge(p, best)
+    }
+    out.reduce(_ unionByName _)
+  }
+
   /** BPE ENCODING fertility — the learned merges APPLIED: train
     * [[bpeMerges]]' rules on the capped head vocabulary, then apply
     * them to EVERY distinct word of the corpus (training caps the pair

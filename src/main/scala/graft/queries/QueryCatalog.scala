@@ -2278,6 +2278,63 @@ object QueryCatalog {
        |FROM lw JOIN sub USING (word) GROUP BY lang""".stripMargin
   }
 
+  /** t_wordpiece — WORDPIECE merge training
+    * ([[graft.pipeline.Corpus.wordpieceMerges]], Schuster & Nakajima
+    * 2012 — the BERT-family third tokenizer beside BPE and unigram-LM):
+    * BPE's vocab/symbol-table/islands machinery, but each round's merge
+    * maximizes the likelihood score count(ab)/(count(a)·count(b)) held
+    * as exact integer parts-per-billion. The oracle replays every
+    * round — unigram counts, pair counts, ppb argmax, islands rewrite —
+    * verbatim. */
+  val tWordpiece: Q = (s, d) =>
+    Corpus.wordpieceMerges(Tables.documents(s, d), rounds = 3,
+      vocabCap = 2000, maxLen = 12)
+
+  private lazy val wpTrainCtes: String = {
+    def round_(k: Int): String =
+      s"""wp$k AS MATERIALIZED (SELECT word, cnt, pos, sym,
+         |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM ws${k - 1}),
+         |wu$k AS MATERIALIZED (SELECT sym, sum(cnt)::BIGINT AS u
+         |  FROM ws${k - 1} GROUP BY 1),
+         |wb$k AS MATERIALIZED (SELECT bx, byy, n,
+         |    ((n * 1000000000) // (a.u * b.u))::BIGINT AS score_ppb
+         |  FROM (SELECT sym AS bx, nxt AS byy, sum(cnt)::BIGINT AS n
+         |    FROM wp$k WHERE nxt IS NOT NULL GROUP BY 1, 2) pc
+         |  JOIN wu$k a ON pc.bx = a.sym JOIN wu$k b ON pc.byy = b.sym
+         |  ORDER BY score_ppb DESC, bx, byy LIMIT 1),
+         |wc$k AS (SELECT p.word, p.pos,
+         |    row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS rn
+         |  FROM wp$k p, wb$k b WHERE p.sym = b.bx AND p.nxt = b.byy),
+         |wm$k AS MATERIALIZED (SELECT word, pos FROM (
+         |  SELECT word, pos, row_number() OVER (
+         |    PARTITION BY word, pos - rn ORDER BY pos) AS o FROM wc$k)
+         |  WHERE o % 2 = 1),
+         |ws$k AS MATERIALIZED (SELECT word, cnt,
+         |  row_number() OVER (PARTITION BY word ORDER BY opos)::BIGINT AS pos, sym
+         |  FROM (SELECT p.word, p.cnt, p.pos AS opos,
+         |    CASE WHEN m.pos IS NOT NULL THEN p.sym || p.nxt ELSE p.sym END AS sym
+         |  FROM wp$k p
+         |  LEFT JOIN wm$k m ON p.word = m.word AND p.pos = m.pos
+         |  LEFT JOIN wm$k md ON p.word = md.word AND p.pos = md.pos + 1
+         |  WHERE md.pos IS NULL))""".stripMargin
+    s"""ww0 AS (SELECT term AS word, count(*) AS cnt FROM (
+       |  SELECT unnest(string_split($normSql, ' ')) AS term FROM documents)
+       |  WHERE term <> '' AND length(term) <= 12 GROUP BY 1),
+       |wvocab AS MATERIALIZED (SELECT word, cnt FROM ww0
+       |  ORDER BY cnt DESC, word LIMIT 2000),
+       |ws0 AS MATERIALIZED (SELECT word, cnt,
+       |  unnest(range(1, length(word) + 1))::BIGINT AS pos,
+       |  unnest(string_split(word, '')) AS sym FROM wvocab),
+       |${(1 to 3).map(round_).mkString(",\n")}""".stripMargin
+  }
+
+  val tWordpieceSql: String =
+    s"""WITH $wpTrainCtes
+       |SELECT 1::INT AS merge_round, bx AS lhs, byy AS rhs,
+       |  n AS pair_count, score_ppb FROM wb1
+       |UNION ALL SELECT 2::INT, bx, byy, n, score_ppb FROM wb2
+       |UNION ALL SELECT 3::INT, bx, byy, n, score_ppb FROM wb3""".stripMargin
+
   /** t_unigram_lm — UNIGRAM-LM tokenizer training
     * ([[graft.pipeline.Corpus.unigramLm]], Kudo 2018 — SentencePiece's
     * unigram family, the sibling of t_bpe_merges): capped word vocab →
@@ -9566,6 +9623,7 @@ object QueryCatalog {
     "t_tokens" -> tTokens,
     "t_bpe_tokens" -> tBpeTokens,
     "t_bpe_merges" -> tBpeMerges,
+    "t_wordpiece" -> tWordpiece,
     "t_unigram_lm" -> tUnigramLm,
     "t_unigram_fertility" -> tUnigramFertility,
     "t_quality_train" -> tQualityTrain,
@@ -9879,6 +9937,7 @@ object QueryCatalog {
     "t_tokens" -> tTokensSql,
     "t_bpe_tokens" -> tBpeTokensSql,
     "t_bpe_merges" -> tBpeMergesSql,
+    "t_wordpiece" -> tWordpieceSql,
     "t_unigram_lm" -> tUnigramLmSql,
     "t_unigram_fertility" -> tUnigramFertilitySql,
     "t_quality_train" -> tQualityTrainSql,

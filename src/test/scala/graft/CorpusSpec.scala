@@ -1344,6 +1344,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2) === ((3, "aa", "aa", 2L)))
   }
 
+  test("r14 wordpieceMerges: likelihood argmax beats raw frequency, " +
+      "ppb ties break lexicographic; BPE on the same corpus differs") {
+    // (q,z): n=4 but u_q = u_z = 4 → 4e9/16 = 250,000,000 ppb wins
+    // round 1 over the 45-count pairs (45e9/4950 = 9,090,909 ppb).
+    // Round 2: (b,x) ties (x,a) at 9,090,909 → lexicographic (b,x).
+    // Round 3: (a,b) 10e9/550 ties (x,a) 45e9/2475 at 18,181,818 →
+    // lexicographic (a,b).
+    val text = (Seq.fill(10)("ab") ++ Seq.fill(45)("xa") ++
+      Seq.fill(45)("bx") ++ Seq.fill(4)("qz")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.wordpieceMerges(docs, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(out(0) === ((1, "q", "z", 4L, 250000000L)))
+    assert(out(1) === ((2, "b", "x", 45L, 9090909L)))
+    assert(out(2) === ((3, "a", "b", 10L, 18181818L)))
+    // BPE's frequency argmax picks a 45-count pair first — the
+    // likelihood criterion is the whole observable difference
+    val bpe = graft.pipeline.Corpus.bpeMerges(docs, rounds = 1)
+      .collect().head
+    assert((bpe.getString(1), bpe.getString(2)) === (("b", "x")))
+  }
+
   test("trainQualityClassifier: GD moves weights toward the label " +
       "correlation and improves training accuracy over round 0") {
     // 30 clean docs (alpha-heavy, stopword-bearing, mid-length → y=1)
