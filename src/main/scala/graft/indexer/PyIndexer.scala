@@ -262,8 +262,13 @@ object PyIndexer {
           } else { inStr = true; strQuote = c; fStr = isFPrefix(j)
             braceDepth = 0; inSpec = false; innerBr = 0
             val tail = sb.toString.reverse.dropWhile(_ == ' ').reverse
+            // r14 slice 71: a string just inside a typing generic's
+            // bracket that itself follows `:`/`->` (`-> Optional["C"]`)
+            // is ALSO a forward reference; a data subscript (`d["k"]`)
+            // never matches — no `:`/`->` abuts the opening name
             annoStr = !fStr && curly == 0 &&
-              (tail.endsWith(":") || tail.endsWith("->"))
+              (tail.endsWith(":") || tail.endsWith("->") ||
+                annoGenericTail.findFirstIn(tail).isDefined)
             // the quotes of a forward-ref annotation blank along with
             // nothing else: `c: "Conn"` reads as `c:  Conn ` downstream
             sb.append(if (annoStr) ' ' else c) }
@@ -787,6 +792,16 @@ object PyIndexer {
     * [[returnCtor]]/[[returnName]] (C3 slice 30: jedi infers the
     * ITERATION type of a generator from its yield expressions, so
     * `for x in gen():` types x). */
+  /** Annotation position INSIDE a typing generic's first bracket —
+    * the blanking pass preserves string content there (r14 slice 71:
+    * `-> Optional["Conn"]`); anchored so `:`/`->` must abut the
+    * generic's own name, which a data subscript never satisfies. */
+  private val annoGenericTail: Regex =
+    ("""(?::|->)\s*(?:typing\s*\.\s*)?""" +
+      """(?:Optional|Union|List|Dict|Set|Tuple|FrozenSet|Sequence|""" +
+      """MutableSequence|Iterable|Iterator|Collection|list|dict|set|""" +
+      """tuple|frozenset)\s*\[\s*$""").r
+
   private val yieldCtor: Regex =
     """^\s*yield\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
   private val yieldName: Regex =
@@ -801,6 +816,20 @@ object PyIndexer {
       """(?:list|List|Sequence|MutableSequence|tuple|Tuple|set|Set|""" +
       """frozenset|FrozenSet|Iterable|Iterator|Collection)""" +
       """\s*\[\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*[\],]""").r
+
+  /** `-> Optional[User]` / `-> None | User` return annotations — the
+    * RETURN analog of slice 21's nullable params/locals (r14 slice 71):
+    * jedi resolves `x = f()` members through the Union's non-None arm,
+    * so the inner class is the optimistic take. The `User | None` order
+    * already lands in [[returnArrow]] (its lookahead stops at `[`, not
+    * `|`) — these two cover the spellings it can't see. Stored as the
+    * INNER name so every downstream consumer (same-module binding,
+    * cross-module fold) is unchanged. */
+  private val arrowOptional: Regex =
+    ("""->\s*(?:typing\s*\.\s*)?Optional\[\s*["']?""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)["']?\s*\]""").r
+  private val arrowUnionNone: Regex =
+    """->\s*None\s*\|\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?!\w|\s*[\[|])""".r
 
   /** `for x in f():` over a bare call — feeds from the callee's yield
     * type (slice 30). */
@@ -1138,6 +1167,14 @@ object PyIndexer {
               arrowContainer.findFirstMatchIn(headerText).foreach { cm =>
                 if (keyValid && !decoPoisoned.contains(key))
                   returnElemRaw(key) = cm.group(1)
+              }
+              // r14 slice 71: `-> Optional[User]` / `-> None | User`
+              // bind the non-None arm (overwriting returnArrow's
+              // useless "None" capture in the union-first spelling)
+              (arrowOptional.findFirstMatchIn(headerText) orElse
+                  arrowUnionNone.findFirstMatchIn(headerText)).foreach { om =>
+                if (keyValid && !decoPoisoned.contains(key))
+                  returnAnnoRaw(key) = om.group(1)
               }
               // a property on anything but a directly-class-nested def
               // is out of the key space, same rule as the return maps

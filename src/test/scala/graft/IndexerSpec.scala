@@ -3047,6 +3047,66 @@ class IndexerSpec extends AnyFunSuite {
     assert(!saves.contains("m.use_ghost"), s"got $saves")
   }
 
+  test("r14 slice 71: Optional / None-union RETURN annotations bind " +
+      "the non-None arm; unresolvable inners bind nothing") {
+    val src =
+      """from typing import Optional
+        |
+        |class Conn:
+        |    def execute(self):
+        |        return 1
+        |class Other:
+        |    def ping(self):
+        |        return 2
+        |
+        |def find() -> Optional[Conn]:
+        |    return None
+        |
+        |def pick() -> None | Other:
+        |    return None
+        |
+        |def trail() -> Conn | None:
+        |    return None
+        |
+        |def fref() -> Optional["Conn"]:
+        |    return None
+        |
+        |def ghost() -> Optional[unknown.Thing]:
+        |    return None
+        |
+        |def use_opt():
+        |    c = find()
+        |    return c.execute()
+        |
+        |def use_union():
+        |    o = pick()
+        |    return o.ping()
+        |
+        |def use_trail():
+        |    c = trail()
+        |    return c.execute()
+        |
+        |def use_fref():
+        |    c = fref()
+        |    return c.execute()
+        |
+        |def use_ghost():
+        |    g = ghost()
+        |    return g.execute()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t71", "o.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("o.use_opt", "o.Conn.execute")), s"got $calls")
+    assert(calls.contains(("o.use_union", "o.Other.ping")), s"got $calls")
+    assert(calls.contains(("o.use_trail", "o.Conn.execute")), s"got $calls")
+    assert(calls.contains(("o.use_fref", "o.Conn.execute")), s"got $calls")
+    // the ghost() call edge itself is real; the member must not bind
+    assert(!calls.contains(("o.use_ghost", "o.Conn.execute")), s"got $calls")
+    assert(!calls.exists(c => c._1 == "o.use_ghost" &&
+      c._2.endsWith(".execute")), s"got $calls")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
