@@ -36,6 +36,13 @@ import graft.model.Kind
   *    match patches the existing edge's props key-wise — py2neo's
   *    edge-branch spelling (public-API breadth beyond the reference's
   *    own parameterized add_edge)
+  *  - `MATCH (a {full_name:'x'})-[r:REL]->(b {full_name:'y'}) DELETE r`
+  *    → point edge delete (r14); nodes stay — DETACH is A5's cascade
+  *  - `MATCH (n {full_name:'x'}) REMOVE n.k, n.j` → property removal
+  *    (r14): core fields null out, open-map keys drop, absent keys
+  *    no-op (Neo4j semantics)
+  *  - `MATCH (n {full_name:'x'}) SET n += {k:'v', …}` → map-merge
+  *    patch, the bulk spelling of the per-key SET list (A3 semantics)
   *
   * Labels on a node pattern split by vocabulary: a member of
   * [[Kind.all]] is the kind, anything else is a task id. Node
@@ -68,6 +75,16 @@ object CypherWrite {
   final case class MergeNode(task: String, kind: String, fullName: String,
       props: Map[String, String], onCreate: Map[String, String],
       onMatch: Map[String, String]) extends Stmt
+  /** `MATCH (a {full_name:'x'})-[r:REL]->(b {full_name:'y'}) DELETE r`
+    * — point edge delete (r14 write-surface breadth): drops the one
+    * (src, rel_type, dst) edge; nodes stay (DETACH is A5's job). */
+  final case class DeleteEdge(src: String, relType: String, dst: String)
+      extends Stmt
+  /** `MATCH (n {full_name:'x'}) REMOVE n.k, n.j` — property removal
+    * (r14): core fields null out, open-map keys drop; a key the node
+    * doesn't carry is a no-op (Neo4j semantics). */
+  final case class RemoveProps(fullName: String, keys: Seq[String])
+      extends Stmt
   final case class UpsertEdge(task: String, src: String, relType: String,
       dst: String, props: Map[String, String]) extends Stmt
   /** `MERGE (a)-[r:REL {props}]->(b) ON CREATE SET r.k='v' ON MATCH SET
@@ -119,6 +136,20 @@ object CypherWrite {
     (s"""(?is)^\\s*MERGE\\s*$nodePat\\s*-\\s*\\[\\s*(\\w+)?\\s*:\\s*""" +
       s"""(\\w+)\\s*(\\{.*?\\})?\\s*\\]\\s*->\\s*$nodePat\\s*""" +
       s"""((?:ON\\s+(?:CREATE|MATCH)\\s+SET\\s+.+?)+)\\s*$$""").r
+  // MATCH (a {full_name:'x'})-[r:REL]->(b {full_name:'y'}) DELETE r
+  private val edgeDeleteRe =
+    (s"""(?is)^\\s*MATCH\\s*$nodePat\\s*-\\s*\\[\\s*(\\w+)\\s*:\\s*""" +
+      s"""(\\w+)\\s*\\]\\s*->\\s*$nodePat\\s*DELETE\\s+(\\w+)\\s*$$""").r
+  // MATCH (n {full_name:'x'}) REMOVE n.k[, n.j …] — prop-dotted items
+  // only; label REMOVE is the promote form above
+  private val removePropsRe =
+    (s"""(?is)^\\s*MATCH\\s*$nodePat\\s*REMOVE\\s+""" +
+      s"""(\\w+\\s*\\.\\s*\\w+(?:\\s*,\\s*\\w+\\s*\\.\\s*\\w+)*)\\s*$$""").r
+  // MATCH (n {full_name:'x'}) SET n += {k:'v', …} — map-merge, Neo4j's
+  // bulk-patch spelling of the per-key SET list (same A3 semantics)
+  private val setPlusRe =
+    (s"""(?is)^\\s*MATCH\\s*$nodePat\\s*SET\\s+(\\w+)\\s*\\+=\\s*""" +
+      s"""(\\{.*?\\})\\s*$$""").r
 
   private def labelsOf(spec: String): Seq[String] =
     if (spec == null) Seq.empty
@@ -252,6 +283,23 @@ object CypherWrite {
     case promoteRe(v, fn, v2, v3, label) =>
       require(v == v2 && v == v3, "REMOVE/SET must target the bound variable")
       Some(Promote(CypherLite.unquote(noParams(fn)), label))
+    case edgeDeleteRe(_, _, aProps, relVar, rel, _, _, bProps, delVar) =>
+      require(relVar == delVar,
+        s"DELETE '$delVar' does not match bound '$relVar'")
+      Some(DeleteEdge(fullNameOf(propsOf(aProps), "start node"), rel,
+        fullNameOf(propsOf(bProps), "end node")))
+    case removePropsRe(v, _, propLit, items) =>
+      val keys = items.split(",").toSeq.map { it =>
+        val parts = it.split("\\.").map(_.trim)
+        require(parts.length == 2 && parts(0) == v,
+          s"REMOVE must dot the bound variable: ${it.trim}")
+        parts(1)
+      }
+      Some(RemoveProps(fullNameOf(propsOf(propLit), "remove"), keys))
+    case setPlusRe(v, _, propLit, v2, mapLit) =>
+      require(v == v2, s"SET '$v2' does not match bound '$v'")
+      Some(UpdateProps(fullNameOf(propsOf(propLit), "update"),
+        propsOf(mapLit)))
     case edgeMergeOnRe(_, aLabels, aProps, relVar, rel, rProps,
         _, bLabels, bProps, branches) =>
       val (_, aTasks) = splitLabels(labelsOf(aLabels))

@@ -267,6 +267,48 @@ final class GraphDatabase private (
     dir.foreach(d => { Snapshot.write(snap, d); snap = Snapshot.read(spark, d) })
   }
 
+  /** Cypher `MATCH (a)-[r:REL]->(b) DELETE r` — point edge delete (r14
+    * write-surface breadth past the reference's parameterized handlers):
+    * staged writes flush first (read-your-writes), then the one
+    * (src, rel_type, dst) row drops. Nodes and locations stay — DETACH
+    * cascade is A5's job. A narrow filter over the edge set; the
+    * snapshot rewrite is the same atomic-rename commit every write
+    * takes. */
+  def deleteEdge(src: String, relType: String, dst: String): Unit =
+    synchronized {
+      autoFlush()
+      val e2 = snap.edges.filter(!(col("src") === src &&
+        col("rel_type") === relType && col("dst") === dst))
+      snap = GraphSnapshot(snap.nodes, e2, snap.locations)
+      dir.foreach(d => Snapshot.write(snap, d))
+    }
+
+  /** Cypher `MATCH (n {full_name:'x'}) REMOVE n.k, n.j` — property
+    * removal (r14): keys naming core fields (name, file_path,
+    * signature, class, code) null the column for the matched node,
+    * open-map keys drop via map_filter, keys the node doesn't carry
+    * no-op (Neo4j semantics). One narrow per-key map over the node
+    * set — no shuffle, no join. */
+  def removeNodeProps(fullName: String, keys: Seq[String]): Unit =
+    synchronized {
+      autoFlush()
+      val core = Map("name" -> "name", "file_path" -> "file_path",
+        "signature" -> "signature", "class" -> "clazz", "code" -> "code")
+      val hit = col("full_name") === fullName
+      var n2 = snap.nodes
+      keys.foreach { k =>
+        core.get(k) match {
+          case Some(c) => n2 = n2.withColumn(c,
+            when(hit, lit(null).cast("string")).otherwise(col(c)))
+          case None => n2 = n2.withColumn("props",
+            when(hit, map_filter(col("props"), (mk, _) => mk =!= k))
+              .otherwise(col("props")))
+        }
+      }
+      snap = GraphSnapshot(n2, snap.edges, snap.locations)
+      dir.foreach(d => Snapshot.write(snap, d))
+    }
+
   /** A5 — DETACH DELETE of a task snapshot. */
   def clearTaskData(taskId: String): Unit = synchronized {
     autoFlush()
@@ -407,6 +449,9 @@ final class GraphDatabase private (
             addEdge(task, s, r, d, props)
           case CypherWrite.MergeEdge(task, s, r, d, props, onC, onM) =>
             mergeEdge(task, s, r, d, props, onC, onM)
+          case CypherWrite.DeleteEdge(s, r, d) => deleteEdge(s, r, d)
+          case CypherWrite.RemoveProps(fn, keys) =>
+            removeNodeProps(fn, keys)
         }
         spark.emptyDataFrame
       case None => { val n = nodes; CypherLite.execute(n, snap.edges, cypher) }

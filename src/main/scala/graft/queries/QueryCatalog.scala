@@ -479,6 +479,15 @@ object QueryCatalog {
     run("MERGE (a:`t2` {full_name: 'tmp.0'})-[:CALL]->" +
       "(b {full_name: 'nation.1'})")
     run("MATCH (n:`t2`) DETACH DELETE n")
+    // r14b: the remaining write surface — REMOVE drops nation.3's nk
+    // (absent-key removal on nation.3's 'ghost' is the no-op case),
+    // SET += bulk-patches nation.4 (new key + nk overwrite), DELETE r
+    // drops the NEXT edge 2→3 (nation.2's branch props vanish from the
+    // readout, nation.3's in-degree falls to 0)
+    run("MATCH (n {full_name: 'nation.3'}) REMOVE n.nk, n.ghost")
+    run("MATCH (n {full_name: 'nation.4'}) SET n += {plus: 'p4', nk: '44'}")
+    run("MATCH (a {full_name: 'nation.2'})-[r:NEXT]->" +
+      "(b {full_name: 'nation.3'}) DELETE r")
     val inDeg = db.edges.groupBy(col("dst").as("full_name"))
       .agg(count(lit(1)).as("n_in"))
     // edge-branch readout (r14): each nation has ≤1 outgoing IN_REGION
@@ -494,6 +503,7 @@ object QueryCatalog {
     db.nodes
       .select(col("full_name"), col("kind"), col("name"),
         element_at(col("props"), "nk").as("nk"),
+        element_at(col("props"), "plus").as("plus"),
         element_at(col("props"), "touched").as("touched"),
         element_at(col("props"), "origin").as("origin"),
         element_at(col("props"), "matched").as("matched"))
@@ -501,7 +511,7 @@ object QueryCatalog {
       .join(regionEdge, Seq("full_name"), "left")
       .join(nextEdge, Seq("full_name"), "left")
       .select(col("full_name"), col("kind"), col("name"), col("nk"),
-        col("touched"), col("origin"), col("matched"),
+        col("plus"), col("touched"), col("origin"), col("matched"),
         coalesce(col("n_in"), lit(0L)).as("n_in"),
         col("r_et"), col("r_eo"), col("x_eo"), col("x_em"))
   }
@@ -523,21 +533,23 @@ object QueryCatalog {
     """WITH nat AS (SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS r FROM nation)
       |SELECT 'nation.' || k AS full_name, 'CLASS' AS kind,
       |  CASE WHEN k = 0 THEN 'RENAMED' ELSE nm END AS name,
-      |  k::VARCHAR AS nk,
+      |  CASE WHEN k = 3 THEN NULL WHEN k = 4 THEN '44'
+      |    ELSE k::VARCHAR END AS nk,
+      |  CASE WHEN k = 4 THEN 'p4' END AS plus,
       |  CASE WHEN k <= 2 THEN 'y' END AS touched,
       |  NULL AS origin, NULL AS matched,
-      |  (CASE WHEN k BETWEEN 1 AND 3 THEN 1 ELSE 0 END)::BIGINT AS n_in,
+      |  (CASE WHEN k BETWEEN 1 AND 2 THEN 1 ELSE 0 END)::BIGINT AS n_in,
       |  CASE WHEN k <= 2 THEN 'y' END AS r_et, NULL::VARCHAR AS r_eo,
-      |  CASE WHEN k <= 2 THEN 'new' END AS x_eo,
-      |  CASE WHEN k <= 2 THEN '1' END AS x_em
+      |  CASE WHEN k <= 1 THEN 'new' END AS x_eo,
+      |  CASE WHEN k <= 1 THEN '1' END AS x_em
       |FROM nat
       |UNION ALL
       |SELECT 'region.' || r, 'REGION', r::VARCHAR, NULL, NULL, NULL, NULL,
-      |  count(*)::BIGINT, NULL, NULL, NULL, NULL
+      |  NULL, count(*)::BIGINT, NULL, NULL, NULL, NULL
       |FROM nat GROUP BY r
       |UNION ALL
-      |SELECT 'merged.' || k, 'CLASS', 'M' || k, NULL, NULL, 'new', '1',
-      |  0::BIGINT, NULL, NULL, NULL, NULL
+      |SELECT 'merged.' || k, 'CLASS', 'M' || k, NULL, NULL, NULL, 'new',
+      |  '1', 0::BIGINT, NULL, NULL, NULL, NULL
       |FROM nat WHERE k <= 2""".stripMargin
 
   /** g_b10_union — Cypher `UNION` (distinct) across two branch

@@ -1396,6 +1396,53 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("r14 DELETE r / REMOVE n.prop / SET += : the remaining write " +
+      "surface, with Neo4j no-op and mismatch semantics") {
+    import org.apache.spark.sql.functions.element_at
+    val d = GraphDatabase.inMemory(spark)
+    d.executeQuery("CREATE (n:CLASS:`w` {full_name: 'w.A', name: 'A'})")
+    d.executeQuery("CREATE (n:CLASS:`w` {full_name: 'w.B', name: 'B'})")
+    d.executeQuery("MATCH (n {full_name: 'w.A'}) SET n.k = '1', n.j = '2'")
+    d.executeQuery("MERGE (a:`w` {full_name: 'w.A'})-[:CALLS {e: 'v'}]->" +
+      "(b {full_name: 'w.B'})")
+    d.executeQuery("MERGE (a:`w` {full_name: 'w.A'})-[:USES]->" +
+      "(b {full_name: 'w.B'})")
+    // SET += map-merges: new key lands, existing key overwrites, the
+    // untouched key survives
+    d.executeQuery("MATCH (n {full_name: 'w.A'}) SET n += {k: '9', p: 'x'}")
+    def propsOfA = d.nodes.filter(col("full_name") === "w.A")
+      .select(element_at(col("props"), "k"), element_at(col("props"), "j"),
+        element_at(col("props"), "p"), col("name")).collect().head
+    assert((propsOfA.getString(0), propsOfA.getString(1),
+      propsOfA.getString(2)) === (("9", "2", "x")))
+    // REMOVE drops map keys AND core fields; absent keys no-op
+    d.executeQuery("MATCH (n {full_name: 'w.A'}) REMOVE n.j, n.name, n.zz")
+    val after = propsOfA
+    assert(after.getString(1) === null && after.getString(3) === null)
+    assert(after.getString(0) === "9") // untouched key survives
+    // DELETE r drops exactly the one typed edge; the other type stays
+    d.executeQuery("MATCH (a {full_name: 'w.A'})-[r:CALLS]->" +
+      "(b {full_name: 'w.B'}) DELETE r")
+    val rels = d.edges.filter(col("src") === "w.A")
+      .select(col("rel_type")).collect().map(_.getString(0)).toSeq
+    assert(rels === Seq("USES"))
+    // endpoints survive an edge delete (DETACH is A5's job)
+    assert(d.nodes.filter(col("full_name").isin("w.A", "w.B")).count() === 2)
+    // DELETE of a variable that isn't the bound one raises
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MATCH (a {full_name: 'w.A'})-[r:USES]->" +
+        "(b {full_name: 'w.B'}) DELETE x")
+    }
+    // REMOVE must dot the bound variable
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MATCH (n {full_name: 'w.A'}) REMOVE m.k")
+    }
+    // SET += must target the bound variable
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MATCH (n {full_name: 'w.A'}) SET m += {k: '1'}")
+    }
+  }
+
   test("un-anchored OPTIONAL MATCH left-joins the whole driving row set") {
     // matched: every driving row pairs with the independent match
     val hit = db.executeQuery(
