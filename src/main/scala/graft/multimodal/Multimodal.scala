@@ -1076,72 +1076,106 @@ object Multimodal {
     * signature) → `truncated = true` with only FULLY CONTAINED records
     * counted. Header fields are matched case-insensitively (the spec
     * says field names are). Per-row narrow byte walk, zero shuffle. */
-  def withWarcMeta(media: DataFrame, payloadCol: String = "payload",
-      outCol: String = "warc_meta"): DataFrame = {
-    val parse = udf { (p: Array[Byte]) =>
-      val bad = WarcMeta(is_warc = false, null, 0, 0, 0L,
-        truncated = false)
-      def ascii(from: Int, until: Int) =
-        new String(p, from, until - from, "US-ASCII")
-      if (p == null || p.length < 9 || ascii(0, 5) != "WARC/") bad
-      else {
-        var records = 0
-        var responses = 0
-        var bytes = 0L
-        var trunc = false
-        var done = false
-        var off = 0
-        var version: String = null
-        while (!done) {
-          if (off >= p.length) done = true // clean end-of-file
-          else if (off + 5 > p.length || ascii(off, off + 5) != "WARC/") {
-            trunc = true; done = true // bytes between records: damaged
-          } else {
-            // header block ends at the first CRLFCRLF
-            var hEnd = -1
-            var i = off
-            while (hEnd < 0 && i + 3 < p.length) {
-              if (p(i) == '\r' && p(i + 1) == '\n' &&
-                  p(i + 2) == '\r' && p(i + 3) == '\n') hEnd = i
-              i += 1
-            }
-            if (hEnd < 0) { trunc = true; done = true }
-            else {
-              val lines = ascii(off, hEnd).split("\r\n")
-              if (version == null) version = lines.head.drop(5)
-              val fields = lines.tail.flatMap { l =>
-                val c = l.indexOf(':')
-                if (c < 0) None
-                else Some(l.take(c).trim.toLowerCase ->
-                  l.drop(c + 1).trim)
-              }.toMap
-              fields.get("content-length")
-                  .flatMap(v => scala.util.Try(v.toLong).toOption) match {
-                case None => trunc = true; done = true
-                case Some(len) =>
-                  val cStart = hEnd + 4
-                  val recEnd = cStart.toLong + len
-                  if (recEnd + 4 > p.length ||
-                      p(recEnd.toInt) != '\r' ||
-                      p(recEnd.toInt + 1) != '\n' ||
-                      p(recEnd.toInt + 2) != '\r' ||
-                      p(recEnd.toInt + 3) != '\n') {
-                    trunc = true; done = true
-                  } else {
-                    records += 1
-                    if (fields.get("warc-type").contains("response"))
-                      responses += 1
-                    bytes += len
-                    off = recEnd.toInt + 4
+  final case class WarcResponse(rec_idx: Int, content: String)
+
+  /** One shared record walk behind [[withWarcMeta]] (counters) and
+    * [[warcResponses]] (extraction) — `withContent` gates the UTF-8
+    * content decode so the meta-only path never materializes record
+    * bodies. */
+  private def walkWarc(p: Array[Byte], withContent: Boolean)
+      : (WarcMeta, Seq[WarcResponse]) = {
+    val bad = WarcMeta(is_warc = false, null, 0, 0, 0L,
+      truncated = false)
+    def ascii(from: Int, until: Int) =
+      new String(p, from, until - from, "US-ASCII")
+    val resp = scala.collection.mutable.ArrayBuffer.empty[WarcResponse]
+    if (p == null || p.length < 9 || ascii(0, 5) != "WARC/")
+      (bad, Seq.empty)
+    else {
+      var records = 0
+      var responses = 0
+      var bytes = 0L
+      var trunc = false
+      var done = false
+      var off = 0
+      var version: String = null
+      while (!done) {
+        if (off >= p.length) done = true // clean end-of-file
+        else if (off + 5 > p.length || ascii(off, off + 5) != "WARC/") {
+          trunc = true; done = true // bytes between records: damaged
+        } else {
+          // header block ends at the first CRLFCRLF
+          var hEnd = -1
+          var i = off
+          while (hEnd < 0 && i + 3 < p.length) {
+            if (p(i) == '\r' && p(i + 1) == '\n' &&
+                p(i + 2) == '\r' && p(i + 3) == '\n') hEnd = i
+            i += 1
+          }
+          if (hEnd < 0) { trunc = true; done = true }
+          else {
+            val lines = ascii(off, hEnd).split("\r\n")
+            if (version == null) version = lines.head.drop(5)
+            val fields = lines.tail.flatMap { l =>
+              val c = l.indexOf(':')
+              if (c < 0) None
+              else Some(l.take(c).trim.toLowerCase ->
+                l.drop(c + 1).trim)
+            }.toMap
+            fields.get("content-length")
+                .flatMap(v => scala.util.Try(v.toLong).toOption) match {
+              case None => trunc = true; done = true
+              case Some(len) =>
+                val cStart = hEnd + 4
+                val recEnd = cStart.toLong + len
+                if (recEnd + 4 > p.length ||
+                    p(recEnd.toInt) != '\r' ||
+                    p(recEnd.toInt + 1) != '\n' ||
+                    p(recEnd.toInt + 2) != '\r' ||
+                    p(recEnd.toInt + 3) != '\n') {
+                  trunc = true; done = true
+                } else {
+                  records += 1
+                  if (fields.get("warc-type").contains("response")) {
+                    responses += 1
+                    if (withContent)
+                      resp += WarcResponse(records,
+                        new String(p, cStart, len.toInt, "UTF-8"))
                   }
-              }
+                  bytes += len
+                  off = recEnd.toInt + 4
+                }
             }
           }
         }
-        WarcMeta(is_warc = true, version, records, responses, bytes,
-          trunc)
       }
+      (WarcMeta(is_warc = true, version, records, responses, bytes,
+        trunc), resp.toSeq)
     }
+  }
+
+  /** WARC RESPONSE EXTRACTION (r14) — the ingest step after
+    * [[withWarcMeta]]'s screen: each fully contained `response`
+    * record's content decodes (UTF-8, the web-archive convention) and
+    * explodes to one row per response with its 1-based record index —
+    * the page stream t_html / the quality screens consume. Truncated
+    * or damaged tails contribute nothing past the last intact record
+    * (the walk's contract); non-response records and non-WARC payloads
+    * yield no rows. Per-row narrow byte walk + explode, zero
+    * shuffle. */
+  def warcResponses(media: DataFrame, payloadCol: String = "payload")
+      : DataFrame = {
+    val extract = udf { (p: Array[Byte]) => walkWarc(p, true)._2 }
+    media
+      .withColumn("__resp", explode(extract(col(payloadCol))))
+      .select((media.columns.filterNot(_ == payloadCol).map(col) ++
+        Seq(col("__resp.rec_idx").as("rec_idx"),
+          col("__resp.content").as("content"))): _*)
+  }
+
+  def withWarcMeta(media: DataFrame, payloadCol: String = "payload",
+      outCol: String = "warc_meta"): DataFrame = {
+    val parse = udf { (p: Array[Byte]) => walkWarc(p, false)._1 }
     media.withColumn(outCol, parse(col(payloadCol)))
   }
 

@@ -8396,6 +8396,60 @@ object QueryCatalog {
       |  (NOT d.prose AND d.tr) AS truncated
       |FROM d JOIN a USING (doc_id)""".stripMargin
 
+  /** p_warc_ingest — the COMPOSED web-ingest front door
+    * ([[graft.multimodal.Multimodal.warcResponses]] →
+    * [[graft.pipeline.Corpus.htmlStrip]]): WARC archives walk to their
+    * `response` records, each page's HTML content extracts (UTF-8),
+    * and the batch HTML stripper runs downstream — the first two
+    * stages of a Common-Crawl-shaped pipeline as ONE gated plan
+    * (request records and non-WARC payloads contribute no rows; the
+    * script block inside a page carries a bare `<` that tag-stripping
+    * alone would mangle — block removal ordering is load-bearing).
+    * Keys are doc_id·10 + record index; the oracle predicts every
+    * extracted page and its stripped form in closed form. */
+  val pWarcIngest: Q = (s, d) => {
+    import graft.multimodal.Multimodal
+    val build = udf { (id: Long) =>
+      if (id % 4 == 0) "plain text, not an archive".getBytes("US-ASCII")
+      else {
+        val n = (id % 3 + 1).toInt
+        val sb = new StringBuilder
+        (1 to n).foreach { i =>
+          val isResp = (id + i) % 2 == 1
+          val typ = if (isResp) "response" else "request"
+          val body =
+            if (isResp) s"<html><body><p>w$id x$i &amp; more</p>" +
+              "<script>var j = 1 < 2;</script> tail</body></html>"
+            else s"q=$i"
+          sb.append(s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n")
+        }
+        sb.toString.getBytes("US-ASCII")
+      }
+    }
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("payload", build(col("doc_id")))
+    Corpus.htmlStrip(Multimodal.warcResponses(media).select(
+      (col("doc_id") * 10 + col("rec_idx")).as("doc_id"),
+      col("content").as("text")))
+  }
+
+  val pWarcIngestSql: String =
+    """WITH d AS (SELECT doc_id, (doc_id % 3 + 1)::INT AS n
+      |  FROM documents WHERE doc_id % 4 <> 0),
+      |r AS (SELECT d.doc_id, i.i AS i
+      |  FROM d, generate_series(1, 4) AS i(i)
+      |  WHERE i.i <= d.n AND (d.doc_id + i.i) % 2 = 1),
+      |h AS (SELECT doc_id * 10 + i AS k,
+      |    '<html><body><p>w' || doc_id || ' x' || i ||
+      |    ' &amp; more</p><script>var j = 1 < 2;</script> tail</body></html>' AS t2,
+      |    'w' || doc_id || ' x' || i || ' & more tail' AS clean
+      |  FROM r)
+      |SELECT k AS doc_id, clean AS text_clean, 6::BIGINT AS n_tags,
+      |  1::BIGINT AS n_entities,
+      |  (1000000 * length(clean) // length(t2))::BIGINT AS kept_ppm
+      |FROM h""".stripMargin
+
   /** m_corrupt — TRUNCATION TOLERANCE under the oracle gate: every 5th
     * document's payload is cut to its first 10 bytes (mid-header), and
     * the sniffers/walkers must DEGRADE deterministically — never throw,
@@ -9832,6 +9886,7 @@ object QueryCatalog {
     "m_srt" -> mSrt,
     "m_tar" -> mTar,
     "m_warc" -> mWarc,
+    "p_warc_ingest" -> pWarcIngest,
     "m_tiff" -> mTiff,
     "m_exif" -> mExif,
     "m_ogg" -> mOgg,
@@ -10146,6 +10201,7 @@ object QueryCatalog {
     "m_srt" -> mSrtSql,
     "m_tar" -> mTarSql,
     "m_warc" -> mWarcSql,
+    "p_warc_ingest" -> pWarcIngestSql,
     "m_tiff" -> mTiffSql,
     "m_exif" -> mExifSql,
     "m_ogg" -> mOggSql,

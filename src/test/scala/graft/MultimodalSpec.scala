@@ -740,6 +740,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(8L) === ((false, None, 0, 0, 0L, false)))
   }
 
+  test("r14 warcResponses: responses only, 1-based record indices, " +
+      "UTF-8 decode, damaged tails contribute nothing") {
+    def rec(typ: String, body: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: $typ\r\nContent-Length: ${body.length}" +
+        "\r\n\r\n").getBytes("US-ASCII") ++ body ++
+        "\r\n\r\n".getBytes("US-ASCII")
+    val utf8 = "café 中文".getBytes("UTF-8")
+    val good = rec("request", "q=1".getBytes) ++
+      rec("response", utf8) ++ rec("response", "plain".getBytes)
+    // a declared overrun after one good response: the tail vanishes
+    val cut = rec("response", "ok".getBytes) ++
+      ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99\r\n\r\nabc")
+        .getBytes("US-ASCII")
+    val rows = Seq(
+      (1L, good), (2L, cut),
+      (3L, "prose".getBytes("US-ASCII")),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    val out = Multimodal.warcResponses(rows)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(out === Set(
+      (1L, 2, "café 中文"),  // request at idx 1 skipped
+      (1L, 3, "plain"),
+      (2L, 1, "ok")))                     // the overrun tail is gone
+  }
+
   test("phashNearDup: planted pair found, perturbed grid within Hamming 3") {
     def grid(seed: Long) =
       Array.tabulate(72)(n => ((seed * 1000003L + n * 2654435761L) % 251).toByte)
