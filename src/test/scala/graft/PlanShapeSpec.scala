@@ -656,4 +656,48 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoop"),
       s"day join must be an equi join; plan:\n$plan")
   }
+
+  test("r14b e_cusum: one (type, day) count shuffle, calibration " +
+      "broadcast back, windows on the bounded day series") {
+    val df = QueryCatalog.eCusum(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"the 5-row calibration must broadcast; plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge join on a 5-row calibration; plan:\n$plan")
+    // the CORPUS shuffles exactly once — the partial-agg (type, day)
+    // count straight off the file scan; every other exchange
+    // (calibration aggregate pair + the window's per-type repartition)
+    // moves the bounded ≤ types·days table
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 4,
+      s"one corpus shuffle + bounded-table passes; plan:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the corpus pass must partial-aggregate off the scan; plan:\n$plan")
+  }
+
+  test("r14b m_warc / p_warc_ingest: narrow byte walks — the composed " +
+      "ingest adds zero exchanges end-to-end") {
+    for ((name, df) <- Seq("m_warc" -> QueryCatalog.mWarc(spark, sf),
+        "p_warc_ingest" -> QueryCatalog.pWarcIngest(spark, sf))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name must be a narrow walk; plan:\n$plan")
+    }
+  }
+
+  test("r14b t_wordpiece: the per-round unigram score table broadcasts " +
+      "into the pair join — never a shuffled join on symbols") {
+    val df = QueryCatalog.tWordpiece(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"unigram score joins must broadcast; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian anywhere in training; plan:\n$plan")
+  }
 }
