@@ -420,6 +420,14 @@ object PyIndexer {
   private val instanceAssign: Regex =
     """^\s*([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*(?:await\s+)?([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
 
+  /** `(x := callee(...))` — PEP 572 namedexpr (r14 slice 72): the
+    * target binds in the enclosing function scope like `x = callee()`.
+    * The leading `(` is the grammar's own requirement in if/while/
+    * comprehension positions, so a plain `:`-annotated assignment
+    * never matches. */
+  private val walrusAssign: Regex =
+    """\(\s*([A-Za-z_]\w*)\s*:=\s*(?:await\s+)?([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
+
   /** `self.f = Callee(...)` — a typed-field binding. */
   private val selfInstanceAssign: Regex =
     """self\.([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
@@ -2051,6 +2059,26 @@ object PyIndexer {
           // rest of the scope — the assert twin of slice 38's if-guard
           assertIsinstance.findFirstMatchIn(line).foreach { m =>
             classishType(m.group(2)).foreach(t => fn.locals(m.group(1)) = t)
+          }
+          // r14 slice 72: the WALRUS operator (`if (x := make()) …`,
+          // PEP 572) binds its target exactly like `x = make()` — a
+          // namedexpr assigns in the enclosing function scope (jedi
+          // resolves it as an assignment); the grammar requires the
+          // parentheses in these positions, so the `(` anchor never
+          // misreads a comparison. Same RHS chain as instanceAssign.
+          walrusAssign.findAllMatchIn(line).foreach { m =>
+            chainReturnType(line, m.end,
+                classishType(m.group(2))
+                  .orElse(fn.classAliases.get(m.group(2)))
+                  .orElse(fn.locals.get(m.group(2))
+                    .flatMap(t => methodReturn(t, "__call__")))
+                  .orElse(returnTypeTarget(m.group(2)))
+                  .orElse(typeshedReturnTarget(m.group(2)))
+                  .orElse(attrCallHead(m.group(2),
+                    n => if (n == "self" || n == "cls")
+                        curClass.map(_.fullName)
+                      else fn.locals.get(n).orElse(moduleVarTypes.get(n)))))
+              .foreach(t => fn.locals(m.group(1)) = t)
           }
           // binding priority: constructor RHS > callee's `-> Type` >
           // explicit annotation on the target

@@ -3107,6 +3107,38 @@ class IndexerSpec extends AnyFunSuite {
       c._2.endsWith(".execute")), s"got $calls")
   }
 
+  test("r14 slice 72: walrus bindings (`if (x := make()):`) type the " +
+      "target in the enclosing scope; unresolvable RHS binds nothing") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        return 1
+        |
+        |def make() -> Conn:
+        |    return Conn()
+        |
+        |def use_if():
+        |    if (c := make()) is not None:
+        |        return c.execute()
+        |
+        |def use_while():
+        |    while (c := Conn()):
+        |        c.execute()
+        |        break
+        |
+        |def use_ghost():
+        |    if (g := unknown_fn()):
+        |        return g.execute()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t72", "w.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("w.use_if", "w.Conn.execute")), s"got $calls")
+    assert(calls.contains(("w.use_while", "w.Conn.execute")), s"got $calls")
+    assert(!calls.exists(c => c._1 == "w.use_ghost" &&
+      c._2.endsWith(".execute")), s"got $calls")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
