@@ -209,6 +209,60 @@ object Sketches {
     }.min
   }
 
+  /** The AMS estimator bank: (sketch_id, a, b) affine remixes of the
+    * shared rolling hash; the LOW BIT of the remix is the ±1 sign. */
+  val AmsSeeds: Seq[(Int, Long, Long)] = Seq(
+    (1, 3L, 7L), (2, 7919L, 17L), (3, 104729L, 89L), (4, 130363L, 5L),
+    (5, 49157L, 101L), (6, 196613L, 31L), (7, 786433L, 3L),
+    (8, 26849L, 57L), (9, 65537L, 11L))
+
+  /** AMS "tug-of-war" SECOND-MOMENT sketch (r14 — Alon, Matias &
+    * Szegedy 1996): F₂ = Σ_t count(t)² is the SELF-JOIN SIZE of a
+    * column — the number a dedup or join planner wants BEFORE paying
+    * the groupBy that computes it exactly (a corpus's token F₂/F₁
+    * ratio is its repetitiveness; the exact-dedup shuffle's output
+    * size is F₀ but its skew is F₂). Each estimator keeps ONE counter
+    * Z_j = Σ_occurrences s_j(x), s_j ∈ {−1,+1}: matched pairs
+    * reinforce, unmatched cross-terms cancel in expectation, so
+    * E[Z²] = F₂ and the median of the 9 Z² readouts concentrates.
+    * ONE narrow pass — no per-value state, no shuffle beyond the
+    * 1-row partial-agg fold — and the counters merge by ADDITION, so
+    * the sketch is mergeable across partitions, files, and
+    * micro-batches by construction. The sign is the low bit of the
+    * CMS-style affine remix of the shared rolling hash (the
+    * engineering spelling of AMS's 4-wise family — exactly replayable
+    * cross-engine, which a seeded xxhash sign could never be; the
+    * estimator stays unbiased under the family's mixing). Returns 9
+    * rows (sketch_id, z, z2) plus the row sketch_id = 0 carrying the
+    * MEDIAN-of-z² estimate — all exact BIGINTs. */
+  def amsF2(df: DataFrame, c: Column): DataFrame = {
+    val rh = TextFunctions.rollingHash(c)
+    val zs = AmsSeeds.map { case (j, a, b) =>
+      sum(when(((rh * a + b) % P) % 2 === 0, 1L).otherwise(-1L))
+        .cast("long").as(s"z$j") }
+    val one = df.agg(zs.head, zs.tail: _*)
+    val rows = one.select(expr("stack(9, " +
+        AmsSeeds.map { case (j, _, _) => s"$j, z$j" }.mkString(", ") +
+        ") as (sketch_id, z)"))
+      .select(col("sketch_id").cast("int").as("sketch_id"), col("z"),
+        (col("z") * col("z")).as("z2"))
+    val est = rows.agg(expr("array_sort(collect_list(z2))[4]").as("m"))
+      .select(lit(0).as("sketch_id"), col("m").as("z"), col("m").as("z2"))
+    rows.unionByName(est)
+  }
+
+  /** Pure-Scala executable spec of [[amsF2]] — the exact fold the
+    * engine must reproduce, plus the exact F₂ for accuracy checks. */
+  def amsF2Spec(values: Seq[String]): (Seq[(Int, Long)], Long) = {
+    val zs = AmsSeeds.map { case (j, a, b) =>
+      j -> values.map { v =>
+        if (((rollingHashScala(v) * a + b) % P) % 2 == 0) 1L else -1L
+      }.sum }
+    val exact = values.groupBy(identity).values
+      .map(g => g.size.toLong * g.size).sum
+    (zs, exact)
+  }
+
   /** Pure-Scala executable spec (PropertySpec: mergeability + estimator). */
   def kmvSpec(hashes: Seq[Long], k: Int): Double = {
     val ks = hashes.filter(_ > 0).distinct.sorted.take(k)

@@ -1885,6 +1885,41 @@ object QueryCatalog {
        |FROM p, n WHERE n_ab * 100 >= n_docs * 1
        |ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin
 
+  /** t_f2 — AMS tug-of-war SECOND-MOMENT sketch over the token stream
+    * ([[graft.pipeline.Sketches.amsF2]], Alon-Matias-Szegedy 1996):
+    * F₂ = Σ count(term)² — the token self-join size, the corpus
+    * repetitiveness number a dedup planner reads in ONE narrow pass
+    * with 9 integer counters instead of a corpus-wide groupBy. Signs
+    * are the low bit of the CMS-style remix of the shared rolling
+    * hash, so the oracle replays every counter exactly; row 0 carries
+    * the median-of-z² estimate. */
+  val tF2: Q = (s, d) =>
+    graft.pipeline.Sketches.amsF2(
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= ""),
+      col("term"))
+
+  val tF2Sql: String = {
+    val rollh = "list_reduce(list_prepend(0::BIGINT, " +
+      "list_transform(string_split(term, ''), c -> ascii(c)::BIGINT)), " +
+      "(a, c) -> (a * 31 + c) % 2147483647)"
+    val seeds = graft.pipeline.Sketches.AmsSeeds
+      .map { case (j, a, b) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) AS term
+       |  FROM documents),
+       |t AS (SELECT $rollh AS rh FROM toks WHERE term <> ''),
+       |z AS (SELECT j, sum(CASE WHEN ((rh * a + b) % 2147483647) % 2 = 0
+       |    THEN 1 ELSE -1 END)::BIGINT AS z
+       |  FROM t, (VALUES $seeds) AS s(j, a, b) GROUP BY j),
+       |r AS (SELECT j::INT AS sketch_id, z, (z * z)::BIGINT AS z2 FROM z)
+       |SELECT * FROM r
+       |UNION ALL
+       |SELECT 0::INT, m, m FROM
+       |  (SELECT (list_sort(list(z2)))[5]::BIGINT AS m FROM r)""".stripMargin
+  }
+
   /** t_ppl — per-document bigram-LM negative log-likelihood
     * ([[graft.pipeline.Corpus.bigramNll]]): add-one-smoothed corpus
     * bigram model scoring each doc's token stream, per-bigram −ln P
@@ -9769,6 +9804,7 @@ object QueryCatalog {
     "q20_pivot" -> q20Pivot,
     "q21_range_window" -> q21RangeWindow,
     "t_vocab" -> tVocab,
+    "t_f2" -> tF2,
     "t_lexdiv" -> tLexDiv,
     "t_pmi" -> tPmi,
     "t_zipf" -> tZipf,
@@ -10084,6 +10120,7 @@ object QueryCatalog {
     "q20_pivot" -> q20PivotSql,
     "q21_range_window" -> q21RangeWindowSql,
     "t_vocab" -> tVocabSql,
+    "t_f2" -> tF2Sql,
     "t_lexdiv" -> tLexDivSql,
     "t_pmi" -> tPmiSql,
     "t_zipf" -> tZipfSql,

@@ -88,4 +88,32 @@ class SketchesSpec extends AnyFunSuite {
         s"n=$n: spec ($ss, $es) != plan (${row.getLong(1)}, $e)")
     }
   }
+
+  test("r14 amsF2: counters replay the executable spec, a single-token " +
+      "stream estimates F2 exactly, and counters merge by addition") {
+    def run(vals: Seq[String]) = Sketches.amsF2(
+        vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("i", "term"), col("term"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // arbitrary skewed corpus: engine rows == the pure-Scala fold
+    val vals = Seq.fill(30)("alpha") ++ Seq.fill(10)("beta") ++
+      (1 to 25).map(i => s"tail$i")
+    val out = run(vals)
+    val (zs, exact) = Sketches.amsF2Spec(vals)
+    assert(out.filter(_._1 > 0).map(r => (r._1, r._2)) === zs.sortBy(_._1))
+    // the median row is the 5th-smallest z²
+    val med = out.filter(_._1 > 0).map(_._3).sorted.apply(4)
+    assert(out.head === ((0, med, med)))
+    // single-token stream: every Z = ±n so EVERY estimator reads n² = F2
+    val mono = run(Seq.fill(17)("only"))
+    assert(mono.forall(_._3 === 17L * 17L))
+    assert(exact === vals.groupBy(identity).values
+      .map(g => g.size.toLong * g.size).sum) // spec self-check
+    // mergeability: Z(front ++ back) = Z(front) + Z(back), per estimator
+    val (front, back) = vals.splitAt(13)
+    val (zf, _) = Sketches.amsF2Spec(front)
+    val (zb, _) = Sketches.amsF2Spec(back)
+    assert(zs === zf.zip(zb).map { case ((j, a), (_, b)) => (j, a + b) })
+  }
 }
