@@ -8442,31 +8442,53 @@ object QueryCatalog {
     * alone would mangle — block removal ordering is load-bearing).
     * Keys are doc_id·10 + record index; the oracle predicts every
     * extracted page and its stripped form in closed form. */
-  val pWarcIngest: Q = (s, d) => {
-    import graft.multimodal.Multimodal
-    val build = udf { (id: Long) =>
-      if (id % 4 == 0) "plain text, not an archive".getBytes("US-ASCII")
-      else {
-        val n = (id % 3 + 1).toInt
-        val sb = new StringBuilder
-        (1 to n).foreach { i =>
-          val isResp = (id + i) % 2 == 1
-          val typ = if (isResp) "response" else "request"
-          val body =
-            if (isResp) s"<html><body><p>w$id x$i &amp; more</p>" +
-              "<script>var j = 1 < 2;</script> tail</body></html>"
-            else s"q=$i"
-          sb.append(s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
-            s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n")
-        }
-        sb.toString.getBytes("US-ASCII")
+  /** The p_warc_ingest / st_warc fixture archive for one doc — shared
+    * by the batch UDF and the streaming replay's driver-side rows. */
+  private def warcFixturePayload(id: Long): Array[Byte] =
+    if (id % 4 == 0) "plain text, not an archive".getBytes("US-ASCII")
+    else {
+      val n = (id % 3 + 1).toInt
+      val sb = new StringBuilder
+      (1 to n).foreach { i =>
+        val isResp = (id + i) % 2 == 1
+        val typ = if (isResp) "response" else "request"
+        val body =
+          if (isResp) s"<html><body><p>w$id x$i &amp; more</p>" +
+            "<script>var j = 1 < 2;</script> tail</body></html>"
+          else s"q=$i"
+        sb.append(s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n")
       }
+      sb.toString.getBytes("US-ASCII")
     }
-    val media = Tables.documents(s, d).select(col("doc_id"))
-      .withColumn("payload", build(col("doc_id")))
+
+  /** The WARC→extract→strip pipeline body, shared batch/stream. */
+  private def warcIngestPipe(media: DataFrame): DataFrame = {
+    import graft.multimodal.Multimodal
     Corpus.htmlStrip(Multimodal.warcResponses(media).select(
       (col("doc_id") * 10 + col("rec_idx")).as("doc_id"),
       col("content").as("text")))
+  }
+
+  val pWarcIngest: Q = (s, d) => {
+    val build = udf(warcFixturePayload _)
+    warcIngestPipe(Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("payload", build(col("doc_id"))))
+  }
+
+  /** st_warc — the web-ingest front door ON THE STREAM (r14b): WARC
+    * extraction and HTML stripping are stateless (a per-row byte walk
+    * + Column code), so the exact batch pipeline runs on a streaming
+    * frame unchanged — the st_html / st_bloom posture, now covering
+    * the archive-container stage too; gate shares p_warc_ingest's
+    * closed-form oracle verbatim. */
+  val stWarc: Q = (s, d) => {
+    import s.implicits._
+    val rows = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .collect().sorted.toSeq.map(id => (id, warcFixturePayload(id)))
+    StreamReplay.replay(s, rows, "st_warc", "append") { df =>
+      warcIngestPipe(df.toDF("doc_id", "payload"))
+    }
   }
 
   val pWarcIngestSql: String =
@@ -9923,6 +9945,7 @@ object QueryCatalog {
     "m_tar" -> mTar,
     "m_warc" -> mWarc,
     "p_warc_ingest" -> pWarcIngest,
+    "st_warc" -> stWarc,
     "m_tiff" -> mTiff,
     "m_exif" -> mExif,
     "m_ogg" -> mOgg,
@@ -10239,6 +10262,7 @@ object QueryCatalog {
     "m_tar" -> mTarSql,
     "m_warc" -> mWarcSql,
     "p_warc_ingest" -> pWarcIngestSql,
+    "st_warc" -> pWarcIngestSql,
     "m_tiff" -> mTiffSql,
     "m_exif" -> mExifSql,
     "m_ogg" -> mOggSql,
