@@ -844,6 +844,13 @@ object PyIndexer {
   private val forInCall: Regex =
     """^\s*for\s+([A-Za-z_]\w*)\s+in\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\([^()]*\)\s*:\s*$""".r
 
+  /** Comprehension `for <var> in <src>[(]` (r14 slice 73) — matched
+    * anywhere in a non-statement-`for` line; group 3 present means the
+    * source is a CALL (yield / declared-container-return typing),
+    * absent means a bare name (typed-container elemLocals). */
+  private val compForIn: Regex =
+    """\bfor\s+([A-Za-z_]\w*)\s+in\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*(\()?""".r
+
   /** `x = Name` — a bare-name RHS assignment: a CLASS RHS makes x a
     * class alias (slice 32), an already-typed local RHS aliases the
     * instance (`y = h` types y as h's type, jedi's name-to-name
@@ -2381,6 +2388,27 @@ object PyIndexer {
             forInPassthrough.findFirstMatchIn(line).foreach(m =>
               fn.elemLocals.get(m.group(2))
                 .foreach(t => fn.locals(m.group(1)) = t))
+            // r14 slice 73: COMPREHENSION loop variables — `[u.save()
+            // for u in all_users()]` / `(… for u in xs)` bind u from
+            // the source's element type (typed-container local/param,
+            // declared container return, or yield type), so the
+            // same-line member call resolves. jedi scopes the variable
+            // to the comprehension; binding into the callable's locals
+            // is the slice-38-style line-scoped over-approximation (a
+            // later rebinding overwrites). Statement `for` lines keep
+            // their own slices.
+            if (!line.trim.startsWith("for ") &&
+                !line.trim.startsWith("async for "))
+              compForIn.findAllMatchIn(line).foreach { m =>
+                val isCall = m.group(3) != null
+                val t =
+                  if (isCall) {
+                    if (m.group(2).endsWith(".values")) None
+                    else yieldTypeTarget(m.group(2))
+                      .orElse(returnElemTarget(m.group(2)))
+                  } else fn.elemLocals.get(m.group(2))
+                t.foreach(ty => fn.locals(m.group(1)) = ty)
+              }
             // slice 43: identity comprehensions carry the element type
             compIdentAssign.findFirstMatchIn(line)
               .filter(m => m.group(2) == m.group(3))

@@ -3139,6 +3139,37 @@ class IndexerSpec extends AnyFunSuite {
       c._2.endsWith(".execute")), s"got $calls")
   }
 
+  test("r14 slice 73: comprehension loop variables type from the " +
+      "source's element type; untyped sources bind nothing") {
+    val src =
+      """class User:
+        |    def save(self):
+        |        return 1
+        |
+        |def all_users() -> list[User]:
+        |    return [User()]
+        |
+        |def use_comp():
+        |    names = [u.save() for u in all_users()]
+        |    return names
+        |
+        |def use_gen(xs: list[User]):
+        |    total = sum(u.save() for u in xs)
+        |    return total
+        |
+        |def use_set(xs: set[User]):
+        |    return {u.save() for u in xs}
+        |
+        |def use_ghost(ys):
+        |    return [g.save() for g in ys]
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t73", "c.py", src)
+    val saves = ev.edges.filter(e => e.relType == Rel.Call &&
+      e.dst == "c.User.save").map(_.src).toSet
+    assert(saves === Set("c.use_comp", "c.use_gen", "c.use_set"),
+      s"got $saves")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
