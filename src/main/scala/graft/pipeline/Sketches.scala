@@ -236,11 +236,7 @@ object Sketches {
     * rows (sketch_id, z, z2) plus the row sketch_id = 0 carrying the
     * MEDIAN-of-z² estimate — all exact BIGINTs. */
   def amsF2(df: DataFrame, c: Column): DataFrame = {
-    val rh = TextFunctions.rollingHash(c)
-    val zs = AmsSeeds.map { case (j, a, b) =>
-      sum(when(((rh * a + b) % P) % 2 === 0, 1L).otherwise(-1L))
-        .cast("long").as(s"z$j") }
-    val one = df.agg(zs.head, zs.tail: _*)
+    val one = amsF2Counters(df, c)
     val rows = one.select(expr("stack(9, " +
         AmsSeeds.map { case (j, _, _) => s"$j, z$j" }.mkString(", ") +
         ") as (sketch_id, z)"))
@@ -249,6 +245,25 @@ object Sketches {
     val est = rows.agg(expr("array_sort(collect_list(z2))[4]").as("m"))
       .select(lit(0).as("sketch_id"), col("m").as("z"), col("m").as("z2"))
     rows.unionByName(est)
+  }
+
+  /** The 1-row (z1..z9) counter bank of [[amsF2]] — the partial a
+    * micro-batch contributes; banks MERGE BY ADDITION. */
+  def amsF2Counters(df: DataFrame, c: Column): DataFrame = {
+    val rh = TextFunctions.rollingHash(c)
+    val zs = AmsSeeds.map { case (j, a, b) =>
+      sum(when(((rh * a + b) % P) % 2 === 0, 1L).otherwise(-1L))
+        .cast("long").as(s"z$j") }
+    df.agg(zs.head, zs.tail: _*)
+  }
+
+  /** [[amsF2]]'s output rows from a counter bank — the pure readout
+    * the streaming maintainer shares with the batch plan: 9
+    * (sketch_id, z, z²) rows plus the median-estimate row 0. */
+  def amsF2Readout(counters: Seq[(Int, Long)]): Seq[(Int, Long, Long)] = {
+    val rows = counters.sortBy(_._1).map { case (j, z) => (j, z, z * z) }
+    val med = rows.map(_._3).sorted.apply(4)
+    (0, med, med) +: rows
   }
 
   /** Pure-Scala executable spec of [[amsF2]] — the exact fold the

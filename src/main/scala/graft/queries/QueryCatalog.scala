@@ -1920,6 +1920,31 @@ object QueryCatalog {
        |  (SELECT (list_sort(list(z2)))[5]::BIGINT AS m FROM r)""".stripMargin
   }
 
+  /** st_f2 — the AMS F₂ counter bank MAINTAINED ON THE STREAM
+    * ([[graft.streaming.Streams.amsF2Ingest]]): 9 longs of driver
+    * state per batch, merged by addition — batch-split invariant by
+    * integer commutativity, so the final readout IS the batch sketch
+    * and the gate shares t_f2's oracle verbatim. */
+  val stF2: Q = (s, d) => {
+    import s.implicits._
+    import graft.streaming.Streams
+    val terms = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "").as[String].collect().toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val (q, bank) = Streams.amsF2Ingest(mem.toDF().toDF("term"))
+    try {
+      terms.grouped(terms.length / 4 + 1).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    graft.pipeline.Sketches.amsF2Readout(bank())
+      .toDF("sketch_id", "z", "z2")
+  }
+
   /** t_ppl — per-document bigram-LM negative log-likelihood
     * ([[graft.pipeline.Corpus.bigramNll]]): add-one-smoothed corpus
     * bigram model scoring each doc's token stream, per-bigram −ln P
@@ -9827,6 +9852,7 @@ object QueryCatalog {
     "q21_range_window" -> q21RangeWindow,
     "t_vocab" -> tVocab,
     "t_f2" -> tF2,
+    "st_f2" -> stF2,
     "t_lexdiv" -> tLexDiv,
     "t_pmi" -> tPmi,
     "t_zipf" -> tZipf,
@@ -10144,6 +10170,7 @@ object QueryCatalog {
     "q21_range_window" -> q21RangeWindowSql,
     "t_vocab" -> tVocabSql,
     "t_f2" -> tF2Sql,
+    "st_f2" -> tF2Sql,
     "t_lexdiv" -> tLexDivSql,
     "t_pmi" -> tPmiSql,
     "t_zipf" -> tZipfSql,

@@ -1334,6 +1334,37 @@ object Streams {
         screened.iterator()).asScala.toSeq)
   }
 
+  /** Streaming AMS F₂ maintenance (r14b): the tug-of-war counters
+    * ([[graft.pipeline.Sketches.amsF2]]) merge by ADDITION, so the
+    * stream folds each micro-batch's 9-counter partial into the
+    * maintained bank — exactly 9 longs cross the driver per batch
+    * regardless of batch size (the graphIngest altitude), and integer
+    * additivity makes the bank after ANY batch split identical to the
+    * batch sketch of the union (bloomRefreshIngest's argument with
+    * addition for bit-OR). The readout after the last batch is the
+    * batch operator's own output, so the gate shares t_f2's oracle.
+    * Returns the query plus a current-bank readout. */
+  def amsF2Ingest(terms: DataFrame)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         () => Seq[(Int, Long)]) = {
+    import graft.pipeline.Sketches
+    val zero = Sketches.AmsSeeds.map(s => s._1 -> 0L).toMap
+    val ref =
+      new java.util.concurrent.atomic.AtomicReference[Map[Int, Long]](zero)
+    val q = terms.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val row = Sketches.amsF2Counters(batch, col("term"))
+          .collect().head
+        val part = Sketches.AmsSeeds.indices
+          .map(i => Sketches.AmsSeeds(i)._1 -> row.getLong(i)).toMap
+        ref.updateAndGet(cur => cur.map { case (j, z) =>
+          j -> (z + part.getOrElse(j, 0L)) })
+        ()
+      }
+      .start()
+    (q, () => ref.get().toSeq.sortBy(_._1))
+  }
+
   private val bloomCommitRe = """commit_(\d+)\.txt""".r
 
   /** Atomically commit the maintained bit set for `batchId`:
