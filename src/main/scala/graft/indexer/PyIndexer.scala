@@ -792,6 +792,24 @@ object PyIndexer {
     ("""^\s*([A-Za-z_]\w*)\s*=\s*\[\s*([A-Za-z_]\w*)\s+for\s+([A-Za-z_]\w*)""" +
       """\s+in\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*(\([^()]*\))?\s*\]\s*$""").r
 
+  /** r14 slice 74 — `d = {k_expr: v for v in src}`: an IDENTITY-VALUE
+    * dict comprehension carries the source's element type onto the
+    * target's VALUE binding (the mapping twin of [[compIdentAssign]];
+    * keys stay out of model, slice 28's rule). */
+  private val dictCompIdentAssign: Regex =
+    ("""^\s*([A-Za-z_]\w*)\s*=\s*\{[^{}:]*:\s*([A-Za-z_]\w*)\s+for\s+""" +
+      """([A-Za-z_]\w*)\s+in\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)""" +
+      """\s*(\([^()]*\))?\s*\}\s*$""").r
+
+  /** r14 slice 74 — `ys = sorted(xs)` / list/tuple/set/reversed: the
+    * assignment spelling of [[forInPassthrough]]'s order wrappers —
+    * the target's ELEMENT binding carries the inner source's (a typed
+    * container local, a declared container return, or a yield type).
+    * typeshed: these wrappers are Iterable[T] → Sequence[T]. */
+  private val wrapAssign: Regex =
+    ("""^\s*([A-Za-z_]\w*)\s*=\s*(?:sorted|reversed|list|tuple|set)\(\s*""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*(\([^()]*\))?\s*\)\s*$""").r
+
   /** `return name` — a bare-name return (a typed local, or `self`). */
   private val returnName: Regex =
     """^\s*return\s+([A-Za-z_]\w*)\s*$""".r
@@ -2416,8 +2434,31 @@ object PyIndexer {
                 val srcType =
                   if (m.group(5) == null) fn.elemLocals.get(m.group(4))
                   else yieldTypeTarget(m.group(4))
+                    .orElse(returnElemTarget(m.group(4)))
                 srcType.foreach(t => fn.elemLocals(m.group(1)) = t)
               }
+            // r14 slice 74: identity-VALUE dict comprehensions carry
+            // the element type onto the target's VALUE binding, so
+            // `d.get(k)` / `d[k]` reads type (slice 28's machinery)
+            dictCompIdentAssign.findFirstMatchIn(line)
+              .filter(m => m.group(2) == m.group(3))
+              .foreach { m =>
+                val srcType =
+                  if (m.group(5) == null) fn.elemLocals.get(m.group(4))
+                  else yieldTypeTarget(m.group(4))
+                    .orElse(returnElemTarget(m.group(4)))
+                srcType.foreach(t => fn.valueLocals(m.group(1)) = t)
+              }
+            // r14 slice 74: `ys = sorted(xs)` / list/tuple/set/reversed
+            // — the assignment spelling of the order-wrapper iteration:
+            // element bindings pass through the wrapper
+            wrapAssign.findFirstMatchIn(line).foreach { m =>
+              val srcType =
+                if (m.group(3) == null) fn.elemLocals.get(m.group(2))
+                else yieldTypeTarget(m.group(2))
+                  .orElse(returnElemTarget(m.group(2)))
+              srcType.foreach(t => fn.elemLocals(m.group(1)) = t)
+            }
             subscriptRead.findFirstMatchIn(line).foreach(m =>
               fn.elemLocals.get(m.group(2))
                 .orElse(fn.valueLocals.get(m.group(2)))

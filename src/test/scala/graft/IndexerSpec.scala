@@ -3170,6 +3170,49 @@ class IndexerSpec extends AnyFunSuite {
       s"got $saves")
   }
 
+  test("r14 slice 74: identity-value dict comprehensions feed value " +
+      "reads; order-wrapper assignments pass element types through") {
+    val src =
+      """class User:
+        |    def save(self):
+        |        return 1
+        |
+        |def all_users() -> list[User]:
+        |    return [User()]
+        |
+        |def use_dictcomp(xs: list[User]):
+        |    d = {u.name: u for u in xs}
+        |    v = d.get('k')
+        |    return v.save()
+        |
+        |def use_sorted(xs: list[User]):
+        |    ys = sorted(xs)
+        |    first = ys[0]
+        |    return first.save()
+        |
+        |def use_listwrap():
+        |    ys = list(all_users())
+        |    for u in ys:
+        |        u.save()
+        |
+        |def use_keycomp(xs: list[User]):
+        |    d = {u: u.name for u in xs}
+        |    k = d.get('k')
+        |    return k.save()
+        |
+        |def use_wrap_ghost(zs):
+        |    ys = sorted(zs)
+        |    return ys[0].save()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t74", "d.py", src)
+    val saves = ev.edges.filter(e => e.relType == Rel.Call &&
+      e.dst == "d.User.save").map(_.src).toSet
+    // a NON-identity value comprehension and an untyped wrapper source
+    // must stay out — keys are out of model, ghosts bind nothing
+    assert(saves === Set("d.use_dictcomp", "d.use_sorted",
+      "d.use_listwrap"), s"got $saves")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
