@@ -277,8 +277,12 @@ final class GraphDatabase private (
   def deleteEdge(src: String, relType: String, dst: String): Unit =
     synchronized {
       autoFlush()
+      // lineage truncation mirrors commit's in-memory arm: later
+      // commits embed the snapshot plan several times, so an unchecked
+      // filter chain would compound
       val e2 = snap.edges.filter(!(col("src") === src &&
         col("rel_type") === relType && col("dst") === dst))
+        .localCheckpoint(eager = true)
       snap = GraphSnapshot(snap.nodes, e2, snap.locations)
       dir.foreach(d => Snapshot.write(snap, d))
     }
@@ -305,7 +309,8 @@ final class GraphDatabase private (
               .otherwise(col("props")))
         }
       }
-      snap = GraphSnapshot(n2, snap.edges, snap.locations)
+      snap = GraphSnapshot(n2.localCheckpoint(eager = true), snap.edges,
+        snap.locations)
       dir.foreach(d => Snapshot.write(snap, d))
     }
 
