@@ -407,7 +407,11 @@ object PyIndexer {
       // `d = {}`, `list()`/`set()`/`dict()`) — a later `.append(Ctor())`
       // / `.add(...)` / `d[k] = Ctor()` infers the content type, jedi's
       // container-content tracking for the build-up idiom
-      emptyContainers: mutable.Set[String] = mutable.Set.empty)
+      emptyContainers: mutable.Set[String] = mutable.Set.empty,
+      // r14 slice 75: names declared `global` in this callable — a
+      // constructor assignment to one ALSO types the module singleton
+      // (the in-function initializer idiom `global db; db = Database()`)
+      globalDecls: mutable.Set[String] = mutable.Set.empty)
 
   /** Bare-name occurrence for the LOCAL usage scan — unlike [[nameRef]] a
     * following `(` or `.` does NOT disqualify: the reference records local
@@ -825,8 +829,8 @@ object PyIndexer {
   private val annoGenericTail: Regex =
     ("""(?::|->)\s*(?:typing\s*\.\s*)?""" +
       """(?:Optional|Union|List|Dict|Set|Tuple|FrozenSet|Sequence|""" +
-      """MutableSequence|Iterable|Iterator|Collection|list|dict|set|""" +
-      """tuple|frozenset)\s*\[\s*$""").r
+      """MutableSequence|Iterable|Iterator|Collection|Final|ClassVar|""" +
+      """Annotated|list|dict|set|tuple|frozenset)\s*\[\s*$""").r
 
   private val yieldCtor: Regex =
     """^\s*yield\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
@@ -861,6 +865,25 @@ object PyIndexer {
     * type (slice 30). */
   private val forInCall: Regex =
     """^\s*for\s+([A-Za-z_]\w*)\s+in\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\([^()]*\)\s*:\s*$""".r
+
+  /** `global a[, b …]` (r14 slice 75) — declared names route their
+    * in-function constructor assignments to the module singleton map. */
+  private val globalDecl: Regex =
+    """^\s*global\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*$""".r
+
+  /** `a = b = Ctor()` — multi-target assignment (r14 slice 75): BOTH
+    * targets bind the RHS instance type (jedi types each target). */
+  private val multiTargetAssign: Regex =
+    ("""^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*=\s*(?:await\s+)?""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""").r
+
+  /** `x: Final[User]` / ClassVar / Annotated (r14 slice 75) — the
+    * wrapper annotations whose FIRST argument is the instance type
+    * (PEP 591/526/593; Annotated's metadata tail is ignored). */
+  private val wrapperAnno: Regex =
+    ("""([A-Za-z_]\w*)\s*:\s*(?:typing\s*\.\s*)?""" +
+      """(?:Final|ClassVar|Annotated)\[\s*["']?""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)["']?\s*[\],]""").r
 
   /** Comprehension `for <var> in <src>[(]` (r14 slice 73) — matched
     * anywhere in a non-statement-`for` line; group 3 present means the
@@ -2085,6 +2108,25 @@ object PyIndexer {
           assertIsinstance.findFirstMatchIn(line).foreach { m =>
             classishType(m.group(2)).foreach(t => fn.locals(m.group(1)) = t)
           }
+          // r14 slice 75: record `global` declarations; a constructor
+          // assignment to a declared name below also types the module
+          // singleton (jedi resolves the global write module-wide; our
+          // syntactic pass feeds later-scanned readers, the file-order
+          // over-approximation every cross-scope slice takes)
+          globalDecl.findFirstMatchIn(line).foreach(m =>
+            fn.globalDecls ++= m.group(1).split(",").map(_.trim))
+          // r14 slice 75: multi-target assignment binds BOTH targets
+          multiTargetAssign.findFirstMatchIn(line).foreach { m =>
+            chainReturnType(line, m.end,
+                classishType(m.group(3))
+                  .orElse(fn.classAliases.get(m.group(3)))
+                  .orElse(returnTypeTarget(m.group(3)))
+                  .orElse(typeshedReturnTarget(m.group(3))))
+              .foreach { t =>
+                fn.locals(m.group(1)) = t
+                fn.locals(m.group(2)) = t
+              }
+          }
           // r14 slice 72: the WALRUS operator (`if (x := make()) …`,
           // PEP 572) binds its target exactly like `x = make()` — a
           // namedexpr assigns in the enclosing function scope (jedi
@@ -2145,7 +2187,13 @@ object PyIndexer {
                   .filter(_.group(1) == m.group(1))
                   .flatMap(a => classishType(
                     Option(a.group(2)).getOrElse(a.group(3)))))
-                .foreach(t => fn.locals(m.group(1)) = t)
+                .foreach { t =>
+                  fn.locals(m.group(1)) = t
+                  // r14 slice 75: a `global`-declared target also
+                  // types the module singleton
+                  if (fn.globalDecls.contains(m.group(1)))
+                    moduleVarTypes(m.group(1)) = t
+                }
             case None =>
               // annotated local without a constructor RHS (`x: Helper` /
               // `x: Helper = registry.get(...)`); slice 21 extends the
@@ -2158,6 +2206,12 @@ object PyIndexer {
                 .foreach { case (nm, anno) =>
                   classishType(anno).foreach(t => fn.locals(nm) = t)
                 }
+              // r14 slice 75: Final / ClassVar / Annotated wrappers
+              // type the name as their first argument
+              wrapperAnno.findFirstMatchIn(line)
+                .filter(m => line.trim.startsWith(m.group(1)))
+                .foreach(m => classishType(m.group(2))
+                  .foreach(t => fn.locals(m.group(1)) = t))
               localAnno.findFirstMatchIn(line) match {
                 case Some(m) =>
                   classishType(m.group(2)).foreach(t => fn.locals(m.group(1)) = t)

@@ -3213,6 +3213,58 @@ class IndexerSpec extends AnyFunSuite {
       "d.use_listwrap"), s"got $saves")
   }
 
+  test("r14 slice 75: multi-target assignment binds both targets, " +
+      "Final/ClassVar wrappers unwrap, global writes type the " +
+      "module singleton") {
+    val src =
+      """from typing import Final
+        |
+        |class Conn:
+        |    def execute(self):
+        |        return 1
+        |    def ping(self):
+        |        return 2
+        |
+        |def use_multi():
+        |    a = b = Conn()
+        |    a.execute()
+        |    return b.ping()
+        |
+        |def use_final(u2):
+        |    w: Final[Conn] = u2
+        |    return w.execute()
+        |
+        |def use_classvar(u3):
+        |    v: ClassVar["Conn"] = u3
+        |    return v.ping()
+        |
+        |def set_global():
+        |    global gdb
+        |    gdb = Conn()
+        |
+        |def use_global():
+        |    return gdb.execute()
+        |
+        |def not_global():
+        |    ldb = Conn()
+        |    return ldb
+        |
+        |def use_not_global():
+        |    return ldb.ping()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t75", "g.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("g.use_multi", "g.Conn.execute")), s"got $calls")
+    assert(calls.contains(("g.use_multi", "g.Conn.ping")), s"got $calls")
+    assert(calls.contains(("g.use_final", "g.Conn.execute")), s"got $calls")
+    assert(calls.contains(("g.use_classvar", "g.Conn.ping")), s"got $calls")
+    assert(calls.contains(("g.use_global", "g.Conn.execute")), s"got $calls")
+    // a local binding without the global declaration must NOT leak
+    assert(!calls.contains(("g.use_not_global", "g.Conn.ping")),
+      s"got $calls")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
