@@ -1032,6 +1032,44 @@ object Analytics {
       .agg(round(sum(col("betweenness")), 6).as("betweenness"))
   }
 
+  /** EDGE betweenness over a landmark set (r14b — Girvan & Newman 2002:
+    * the community-detection primitive; the highest-betweenness edges
+    * are the inter-community bridges their algorithm removes). Brandes
+    * gives it almost for free: with the forward σ/d table and the
+    * backward VERTEX dependencies δ in hand, a DAG edge u→w
+    * (d_w = d_u + 1) carries δ_s(u→w) = σ_u/σ_w · (1 + δ_w) for each
+    * landmark s — so after the shared [[betweennessLandmarks]] passes
+    * this is ONE extra edge ⋈ state join and a (src, dst) partial-agg
+    * sum; no new iteration, no new state shape. Per-(s, edge) terms
+    * quantize at round-10 and the final sum at round-6 (the established
+    * replayable-float discipline). Returns (src, dst, ebtw) for DAG
+    * edges reachable from ≥1 landmark. */
+  def edgeBetweennessLandmarks(edges: DataFrame, sources: Seq[String],
+      depth: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(eager = true)
+    val src0 = sources.toDF("s")
+      .select(col("s"), col("s").as("v"), lit(0L).as("d"), lit(1L).as("sig"))
+    val levels = sigmaLevels(e, src0, Seq("s", "v"), depth)
+    val state = backwardDeltas(e, levels, Seq("s", "v"))
+      .localCheckpoint(eager = true)
+    val uSt = state.select(col("s"), col("v").as("src"),
+      col("d").as("du"), col("sig").as("sigu"))
+    val wSt = state.select(col("s"), col("v").as("dst"),
+      col("d").as("dw"), col("sig").as("sigw"),
+      col("delta").as("deltaw"))
+    e.join(uSt, "src")
+      .join(wSt, Seq("s", "dst"))
+      .filter(col("dw") === col("du") + 1)
+      .select(col("src"), col("dst"),
+        round(col("sigu").cast("double") / col("sigw")
+          * (lit(1.0) + col("deltaw")), 10).as("c"))
+      .groupBy("src", "dst")
+      .agg(round(sum(col("c")), 6).as("ebtw"))
+  }
+
   /** GraphX scale path for [[betweennessLandmarks]] — the one analytics
     * pillar that previously had no resilient-RDD twin. Same math, same
     * roundings, so it SHARES q46's oracle:

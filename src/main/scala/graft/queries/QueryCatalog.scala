@@ -7070,7 +7070,11 @@ object QueryCatalog {
         .select(col("dst").as("src"), col("src").as("dst")),
       Seq("region.0", "region.1", "region.2"), depth = q22Iterations)
 
-  val q46BtwSql: String = {
+  /** The per-landmark Brandes forward/backward CTE chain (shared by
+    * q46's vertex readout and q81's edge readout): each landmark pfx
+    * ends in `${pfx}bt0` = the full (v, d, sig, delta) state. */
+  private def brandesChainsSql(
+      landmarks: Seq[(String, String)]): String = {
     val n = q22Iterations
     def spIter(pfx: String, source: String)(i: Int): String =
       s"""${pfx}spc$i AS MATERIALIZED (SELECT e.dst AS v, p.d + 1 AS d, p.sig
@@ -7094,18 +7098,50 @@ object QueryCatalog {
       s"""${(1 to n).map(spIter(pfx, source)).mkString(",\n")},
          |${pfx}bt_init AS (SELECT v, d, sig, 0.0 AS delta FROM ${pfx}sp$n),
          |${(n - 1 to 0 by -1).map(back(pfx)).mkString(",\n")}""".stripMargin
-    val landmarks = Seq("l0" -> "region.0", "l1" -> "region.1", "l2" -> "region.2")
-    val chains = landmarks.map { case (pfx, src) =>
+    landmarks.map { case (pfx, src) =>
       s"""${pfx}sp0 AS MATERIALIZED (SELECT '$src' AS v, 0::BIGINT AS d, 1::BIGINT AS sig),
          |${chain(pfx, src)}""".stripMargin
     }.mkString(",\n")
-    val union = landmarks.map { case (pfx, src) =>
+  }
+
+  private val btwLandmarks =
+    Seq("l0" -> "region.0", "l1" -> "region.1", "l2" -> "region.2")
+
+  val q46BtwSql: String = {
+    val union = btwLandmarks.map { case (pfx, src) =>
       s"SELECT v, round(delta, 6) AS b FROM ${pfx}bt0 WHERE v <> '$src'" }
       .mkString(" UNION ALL ")
     s"""WITH ${GraphSql.hierarchyCte},
        |rev AS MATERIALIZED (SELECT dst AS src, src AS dst FROM hier),
-       |$chains
+       |${brandesChainsSql(btwLandmarks)}
        |SELECT v, round(sum(b), 6) AS betweenness FROM ($union) GROUP BY v""".stripMargin
+  }
+
+  /** q81_ebtw — EDGE betweenness over the q46 landmark set
+    * ([[graft.enrich.Analytics.edgeBetweennessLandmarks]], Girvan &
+    * Newman 2002): per landmark, a DAG edge u→w (d_w = d_u + 1)
+    * carries σ_u/σ_w·(1+δ_w) — one extra edge ⋈ state join over the
+    * shared Brandes passes; the oracle reuses q46's per-landmark
+    * chains and reads the edge terms off each final state. */
+  val q81Ebtw: Q = (s, d) =>
+    graft.enrich.Analytics.edgeBetweennessLandmarks(
+      GraphTables.hierarchy(s, d)
+        .select(col("dst").as("src"), col("src").as("dst")),
+      Seq("region.0", "region.1", "region.2"), depth = q22Iterations)
+
+  val q81EbtwSql: String = {
+    val union = btwLandmarks.map { case (pfx, _) =>
+      s"""SELECT e.src, e.dst,
+         |  round(su.sig::DOUBLE / sw.sig * (1 + sw.delta), 10) AS c
+         |FROM rev e
+         |JOIN ${pfx}bt0 su ON e.src = su.v
+         |JOIN ${pfx}bt0 sw ON e.dst = sw.v AND sw.d = su.d + 1""".stripMargin }
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${GraphSql.hierarchyCte},
+       |rev AS MATERIALIZED (SELECT dst AS src, src AS dst FROM hier),
+       |${brandesChainsSql(btwLandmarks)}
+       |SELECT src, dst, round(sum(c), 6) AS ebtw
+       |FROM ($union) GROUP BY src, dst""".stripMargin
   }
 
   /** t_token_vote — the fastText-style curation classifier
@@ -10009,6 +10045,7 @@ object QueryCatalog {
     "st_lag" -> stLag,
     "st_ewma" -> stEwma,
     "q46_btw" -> q46Btw,
+    "q81_ebtw" -> q81Ebtw,
     "q46_btw_gx" -> q46BtwGx,
     "q53_hits" -> q53Hits,
     "t_readability" -> tReadability,
@@ -10327,6 +10364,7 @@ object QueryCatalog {
     "st_lag" -> stLagSql,
     "st_ewma" -> eEwmaSql,
     "q46_btw" -> q46BtwSql,
+    "q81_ebtw" -> q81EbtwSql,
     "q46_btw_gx" -> q46BtwSql,
     "q53_hits" -> q53HitsSql,
     "t_readability" -> tReadabilitySql,

@@ -281,6 +281,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === again)
   }
 
+  test("r14 edgeBetweennessLandmarks: Girvan-Newman edge dependencies " +
+      "sum per landmark; unreachable-side edges contribute nothing") {
+    // from a: (a,b)=(a,c)=1·(1+δ)=2, (b,d)=(c,d)=1/2·(1+1)=1,
+    // (d,e)=2/2·1=1; from b only (b,d)=1·(1+1)=2 and (d,e)=1 exist
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e")).toDF("src", "dst")
+    val got = Analytics.edgeBetweennessLandmarks(edges, Seq("a", "b"),
+        depth = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got === Map(
+      ("a", "b") -> 2.0, ("a", "c") -> 2.0, ("b", "d") -> 3.0,
+      ("c", "d") -> 1.0, ("d", "e") -> 2.0))
+  }
+
   test("betweennessLandmarks: sums per-source dependencies over the landmark set") {
     // two sources on the diamond+tail: from a, delta(b)=delta(c)=1,
     // delta(d)=1; from b, the only dependency is delta(d)=1 (d carries
