@@ -836,6 +836,10 @@ object PyIndexer {
     """^\s*yield\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
   private val yieldName: Regex =
     """^\s*yield\s+([A-Za-z_]\w*)\s*$""".r
+  /** `yield from callee(...)` — generator delegation (r14 slice 76):
+    * the enclosing generator iterates the callee's element type. */
+  private val yieldFromDeleg: Regex =
+    """^\s*yield\s+from\s+([A-Za-z_]\w*)\s*\(""".r
 
   /** `-> list[Elem]` (and the [[containerAnno]] family) as a RETURN
     * annotation — [[returnArrow]]'s no-bracket guard excludes these, so
@@ -1110,6 +1114,11 @@ object PyIndexer {
     // way returnInferredRaw keys its return type; `for x in gen():`
     // consumes it. First yield wins, same merge rule as returns.
     val yieldInferredRaw = mutable.Map.empty[String, String]
+    // r14 slice 76: `yield from callee()` DELEGATION — the generator's
+    // iteration type is the delegated callee's (its own yield type, or
+    // a declared container return's element); chains resolve at
+    // consumption, bounded and cycle-safe
+    val yieldFromRaw = mutable.Map.empty[String, String]
     // C3 slice 19: "C.m" keys of defs decorated `@property` /
     // `@(functools.)cached_property` — an attribute READ of one chases
     // the method's declared/inferred return type (jedi's descriptor
@@ -1277,6 +1286,10 @@ object PyIndexer {
                   yieldName.findFirstMatchIn(ln).foreach(m =>
                     bodyLocals.get(key).flatMap(_.get(m.group(1)))
                       .foreach(t => yieldInferredRaw(key) = t))
+                  // r14 slice 76: `yield from gen()` delegates
+                  if (!yieldFromRaw.contains(key))
+                    yieldFromDeleg.findFirstMatchIn(ln).foreach(m =>
+                      yieldFromRaw(key) = m.group(1))
                 }
               }
           }
@@ -1556,7 +1569,26 @@ object PyIndexer {
       if (keywords.contains(callee)) None
       else resolveCallee(callee)
         .filter(_.startsWith(mod + "."))
-        .flatMap(cf => yieldInferredRaw.get(cf.stripPrefix(mod + ".")))
+        .flatMap { cf =>
+          // r14 slice 76: follow `yield from` delegation (≤3 hops,
+          // cycle-safe) to the first own yield type; a delegation
+          // landing on a declared-container def yields its element
+          var key = cf.stripPrefix(mod + ".")
+          val seen = mutable.Set.empty[String]
+          var out = yieldInferredRaw.get(key)
+          var hops = 0
+          while (out.isEmpty && hops < 3 && seen.add(key) &&
+              yieldFromRaw.contains(key)) {
+            val next = yieldFromRaw(key)
+            if (topDefs.contains(next)) {
+              key = next
+              out = yieldInferredRaw.get(key)
+                .orElse(returnElemRaw.get(key))
+            } else hops = 3
+            hops += 1
+          }
+          out
+        }
         .flatMap(classishType)
 
     /** r14 slice 70 — the ELEMENT type of a same-module callee declared

@@ -3265,6 +3265,52 @@ class IndexerSpec extends AnyFunSuite {
       s"got $calls")
   }
 
+  test("r14 slice 76: `yield from` delegation carries the delegated " +
+      "generator's element type, chains bounded and cycle-safe") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        return 1
+        |
+        |def gen():
+        |    yield Conn()
+        |
+        |def gen2():
+        |    yield from gen()
+        |
+        |def gen3():
+        |    yield from gen2()
+        |
+        |def listy() -> list[Conn]:
+        |    return [Conn()]
+        |
+        |def gen4():
+        |    yield from listy()
+        |
+        |def loop_a():
+        |    yield from loop_b()
+        |
+        |def loop_b():
+        |    yield from loop_a()
+        |
+        |def use_chain():
+        |    for c in gen3():
+        |        c.execute()
+        |
+        |def use_container():
+        |    for c in gen4():
+        |        c.execute()
+        |
+        |def use_loop():
+        |    for c in loop_a():
+        |        c.execute()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t76", "h.py", src)
+    val execs = ev.edges.filter(e => e.relType == Rel.Call &&
+      e.dst == "h.Conn.execute").map(_.src).toSet
+    assert(execs === Set("h.use_chain", "h.use_container"), s"got $execs")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
