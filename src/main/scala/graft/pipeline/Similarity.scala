@@ -962,9 +962,15 @@ object Similarity {
   }
 
   def knnGraph(emb: DataFrame, k: Int = 3, nlist: Int = 16,
-      maxCell: Int = 4096): DataFrame = {
+      maxCell: Int = 4096): DataFrame =
+    mutualKnnEdges(cellMembers(emb, nlist, maxCell), k)
+
+  /** The ranked + mutual edge derivation over an assigned-and-size-
+    * filtered cell membership — shared by [[knnGraph]] (live),
+    * [[knnGraphWith]] (pinned centroids) and [[knnGraphRefresh]]
+    * (affected cells only). */
+  private def mutualKnnEdges(inCell: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val inCell = cellMembers(emb, nlist, maxCell)
     val w = Window.partitionBy("a").orderBy(col("sim").desc, col("b").asc)
     val ranked = inCell.as("x").hint("SHUFFLE_MERGE")
       .join(inCell.as("y").hint("SHUFFLE_MERGE"),
@@ -981,6 +987,47 @@ object Similarity {
       .filter(col("p.a") < col("p.b"))
       .select(col("p.a").as("src"), col("p.b").as("dst"),
         col("p.sim").as("sim"))
+  }
+
+  private def sizedCells(assigned: DataFrame, maxCell: Int): DataFrame = {
+    val ok = assigned.groupBy("cid").agg(count(lit(1)).as("cc"))
+      .filter(col("cc") >= 2 && col("cc") <= maxCell)
+    assigned.join(ok.select("cid"), Seq("cid"))
+  }
+
+  /** [[knnGraph]] with the cell assignment PINNED to given centroids —
+    * the build the incremental refresh must match (the ivfCentsPrev
+    * discipline: a deployment's graph is built against its model's
+    * centroids, not re-derived ones). */
+  def knnGraphWith(emb: DataFrame, cents: DataFrame, k: Int = 3,
+      maxCell: Int = 4096): DataFrame =
+    mutualKnnEdges(sizedCells(assignCellsTo(emb, cents), maxCell), k)
+
+  /** INCREMENTAL mutual k-NN graph refresh (r14b — the s_ivf_inc /
+    * s_pq_inc delta discipline applied to the GRAPH artifact): the
+    * cell-restricted graph is a disjoint union of per-cell subgraphs,
+    * so arriving vectors can only change the cells they land in —
+    * recompute the ranked+mutual edges for AFFECTED cells (full
+    * membership, so a newcomer entering an old vector's top-k, the
+    * mutual rule, and the 2..maxCell eligibility window all re-decide
+    * correctly) and SPLICE every untouched cell's edges from the
+    * persisted graph. Work is Σ_affected |cell|² instead of the full
+    * Σ |cell|²; with pinned centroids the result is provably ≡
+    * [[knnGraphWith]] on the whole corpus (per-cell independence).
+    * `isDelta` marks the arriving vectors inside `emb`. */
+  def knnGraphRefresh(prevGraph: DataFrame, emb: DataFrame,
+      cents: DataFrame, isDelta: Column, k: Int = 3,
+      maxCell: Int = 4096): DataFrame = {
+    val asg = assignCellsTo(emb, cents).localCheckpoint(eager = true)
+    val affected = asg.filter(isDelta).select("cid").distinct()
+      .localCheckpoint(eager = true)
+    val rebuilt = mutualKnnEdges(
+      sizedCells(asg.join(broadcast(affected), Seq("cid")), maxCell), k)
+    val srcCell = asg.select(col("vec_id").as("src"), col("cid"))
+    val kept = prevGraph.join(srcCell, "src")
+      .join(broadcast(affected), Seq("cid"), "left_anti")
+      .select(col("src"), col("dst"), col("sim"))
+    kept.unionByName(rebuilt)
   }
 
   /** GRAPH-BASED ANN — greedy beam search over the mutual k-NN graph

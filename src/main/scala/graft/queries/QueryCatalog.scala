@@ -3822,8 +3822,22 @@ object QueryCatalog {
     Similarity.knnGraph(Tables.embeddings(s, d), k = 3, nlist = 16,
       maxCell = 4096)
 
-  val sKnnGraphSql: String =
-    s"""WITH cents AS ${centsSql(16)},
+  /** s_knn_inc — INCREMENTAL mutual k-NN graph refresh
+    * ([[graft.pipeline.Similarity.knnGraphRefresh]]): only the cells
+    * the 2% delta lands in recompute; every untouched cell splices its
+    * edges from the persisted previous graph
+    * ([[graft.store.GraphTables.knnGraphPrev]]). Per-cell independence
+    * under pinned centroids makes the refresh provably ≡ the
+    * whole-corpus build, so the oracle is the full derivation against
+    * the previous centroids. */
+  val sKnnInc: Q = (s, d) =>
+    Similarity.knnGraphRefresh(GraphTables.knnGraphPrev(s, d),
+      Tables.embeddings(s, d), GraphTables.ivfCentsPrev(s, d),
+      col("vec_id") % GraphTables.annDeltaMod === 0,
+      k = 3, maxCell = 4096)
+
+  private def knnGraphSqlWith(cents: String): String =
+    s"""WITH cents AS $cents,
        |asg AS (SELECT e.vec_id, e.embedding, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cid) AS crank
        |  FROM embeddings e, cents c),
@@ -3840,6 +3854,9 @@ object QueryCatalog {
        |SELECT p.a AS src, p.b AS dst, p.sim AS sim
        |FROM ranked p JOIN ranked q ON p.a = q.b AND p.b = q.a
        |WHERE p.a < p.b""".stripMargin
+
+  val sKnnGraphSql: String = knnGraphSqlWith(centsSql(16))
+  val sKnnIncSql: String = knnGraphSqlWith(centsPrevSql(16))
 
   /** s_graph_ann — graph-based ANN
     * ([[graft.pipeline.Similarity.graphAnnTopK]]): greedy beam search
@@ -9838,6 +9855,7 @@ object QueryCatalog {
     "s_emb_neardup" -> sEmbNearDup,
     "s_semdedup" -> sSemDedup,
     "s_knn_graph" -> sKnnGraph,
+    "s_knn_inc" -> sKnnInc,
     "s_graph_ann" -> sGraphAnn,
     "q16_sessions" -> q16Sessions,
     "e_funnel" -> eFunnel,
@@ -10157,6 +10175,7 @@ object QueryCatalog {
     "s_emb_neardup" -> sEmbNearDupSql,
     "s_semdedup" -> sSemDedupSql,
     "s_knn_graph" -> sKnnGraphSql,
+    "s_knn_inc" -> sKnnIncSql,
     "s_graph_ann" -> sGraphAnnSql,
     "q16_sessions" -> q16SessionsSql,
     "e_funnel" -> eFunnelSql,

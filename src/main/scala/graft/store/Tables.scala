@@ -421,6 +421,18 @@ object GraphTables {
         .repartition(col("cid")).sortWithinPartitions("cid", "vec_id")
     }
 
+  /** PREVIOUS-version mutual k-NN graph (r14b): built over the base
+    * corpus against [[ivfCentsPrev]]'s pinned centroids — the graph a
+    * deployment persists alongside its quantizer model; the
+    * incremental refresh gate (`s_knn_inc`) splices untouched cells
+    * from this and recomputes only the cells the delta lands in. */
+  def knnGraphPrev(s: SparkSession, d: String): DataFrame =
+    materialized(s, d, s"knngraphprev$annDeltaMod") {
+      graft.pipeline.Similarity.knnGraphWith(embPrev(s, d),
+          ivfCentsPrev(s, d), k = 3, maxCell = 4096)
+        .repartition(col("src")).sortWithinPartitions("src", "dst")
+    }
+
   def pqBooksPrev(s: SparkSession, d: String): DataFrame =
     materialized(s, d, s"pqbooksprev$annDeltaMod") {
       graft.pipeline.Similarity.pqTrain(embPrev(s, d),

@@ -358,6 +358,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("r14 knnGraphRefresh: delta-cell rebuild + untouched-cell splice " +
+      "equals the whole-corpus build; an empty delta is the identity") {
+    // a spread corpus: two rough directions so the 3 seed centroids
+    // split it into multiple cells
+    val base = (0L until 40L).map { i =>
+      val a = (i % 7).toFloat / 7f
+      (i, Seq(1f - a, a, (i % 3).toFloat / 3f, 0.1f))
+    }
+    val delta = (100L until 106L).map { i =>
+      val a = (i % 5).toFloat / 5f
+      (i, Seq(a, 1f - a, 0.2f, (i % 2).toFloat))
+    }
+    val baseDf = base.toDF("vec_id", "embedding")
+    val fullDf = (base ++ delta).toDF("vec_id", "embedding")
+    val cents = Similarity.centroidSeeds(baseDf, nlist = 3)
+      .localCheckpoint(eager = true)
+    val prev = Similarity.knnGraphWith(baseDf, cents, k = 3)
+      .localCheckpoint(eager = true)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val refreshed = Similarity.knnGraphRefresh(prev, fullDf, cents,
+      col("vec_id") >= 100L, k = 3)
+    val full = Similarity.knnGraphWith(fullDf, cents, k = 3)
+    assert(edgeSet(refreshed) === edgeSet(full))
+    // no delta → the persisted graph comes back verbatim
+    val noop = Similarity.knnGraphRefresh(prev, baseDf, cents,
+      lit(false), k = 3)
+    assert(edgeSet(noop) === edgeSet(prev))
+  }
+
   test("kCenterSelect: farthest-first order and round-4 coverage sims") {
     // 1=(1,0) seeds (min id); 2=(0,1) is orthogonal (sim 0) so picked
     // next; 4=(.7,.7) sits at 0.7071 from both; 3≈(1,0) is near-dup of
