@@ -755,6 +755,15 @@ object PyIndexer {
   private val isinstanceNarrow: Regex =
     """isinstance\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\)""".r
 
+  /** `isinstance(x, (A, B, …))` — the TUPLE form (r14 slice 77): jedi
+    * narrows to the union; the optimistic take is the first arm that
+    * resolves to a class (member calls on it resolve, the chaseFields
+    * convention for the rest). */
+  private val isinstanceTupleNarrow: Regex =
+    ("""isinstance\(\s*([A-Za-z_]\w*)\s*,\s*\(\s*""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*""" +
+      """(?:\s*,\s*[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)*)\s*,?\s*\)\s*\)""").r
+
   /** `c = copy.copy(x)` / `c = (copy.)deepcopy(x)` — the stdlib copy
     * functions preserve their argument's type (C3 slice 39: jedi's
     * typeshed overloads return T for copy[T]). */
@@ -2300,6 +2309,17 @@ object PyIndexer {
                       trimmed.startsWith("assert "))
                     isinstanceNarrow.findAllMatchIn(line).foreach { m =>
                       classishType(m.group(2))
+                        .foreach(t => fn.locals(m.group(1)) = t)
+                    }
+                  // r14 slice 77: the tuple form narrows to the FIRST
+                  // class-resolving arm (jedi's union, optimistic take)
+                  if (trimmed.startsWith("if ") ||
+                      trimmed.startsWith("elif ") ||
+                      trimmed.startsWith("while ") ||
+                      trimmed.startsWith("assert "))
+                    isinstanceTupleNarrow.findAllMatchIn(line).foreach { m =>
+                      m.group(2).split(",").iterator.map(_.trim)
+                        .flatMap(classishType).toSeq.headOption
                         .foreach(t => fn.locals(m.group(1)) = t)
                     }
                   // slice 41: `y = x if … else None` flows x's type

@@ -3311,6 +3311,38 @@ class IndexerSpec extends AnyFunSuite {
     assert(execs === Set("h.use_chain", "h.use_container"), s"got $execs")
   }
 
+  test("r14 slice 77: tuple isinstance narrows to the first " +
+      "class-resolving arm; unresolvable tuples bind nothing") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        return 1
+        |class Other:
+        |    def ping(self):
+        |        return 2
+        |
+        |def first_arm(z):
+        |    if isinstance(z, (Conn, Other)):
+        |        return z.execute()
+        |
+        |def skip_nonclass(z):
+        |    if isinstance(z, (int, Other)):
+        |        return z.ping()
+        |
+        |def ghost(z):
+        |    if isinstance(z, (int, str)):
+        |        return z.execute()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t77", "k.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("k.first_arm", "k.Conn.execute")), s"got $calls")
+    // int doesn't resolve to a class: the narrowing takes Other
+    assert(calls.contains(("k.skip_nonclass", "k.Other.ping")), s"got $calls")
+    assert(!calls.exists(c => c._1 == "k.ghost" &&
+      c._2.endsWith(".execute")), s"got $calls")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
