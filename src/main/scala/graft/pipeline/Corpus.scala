@@ -409,6 +409,26 @@ object Corpus {
           .as("kept_ppm"))
   }
 
+  /** K-ANONYMITY screen over quasi-identifiers (r14b — Sweeney 2002,
+    * the data-governance gate a corpus with per-document metadata runs
+    * before release: any (lang, source, size-octave) equivalence class
+    * smaller than k re-identifies its members by metadata alone, so
+    * those documents suppress or generalize). Quasi-identifiers here
+    * are the release metadata columns plus the integer log2 size
+    * octave (`length(bin(n))` — the st_ddsketch bucketing idea as a
+    * GENERALIZATION function: exact sizes re-identify, octaves don't).
+    * One partial-agg groupBy over a bounded key space
+    * (langs × sources × ~60 octaves); the flag is an exact integer
+    * compare. Returns one row per equivalence class:
+    * (lang, source, len_oct, n, k_anon). */
+  def kAnonymity(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.select(col("lang"), col("source"),
+        length(bin(greatest(col("n_chars"), lit(1L)))).cast("int")
+          .as("len_oct"))
+      .groupBy("lang", "source", "len_oct")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k_anon", (col("n") >= k).cast("int"))
+
   def specialTokenScreen(docs: DataFrame): DataFrame = {
     // literal count: (len(text) − len(replace(text, tok, ''))) / len(tok)
     def countOf(tok: String) =

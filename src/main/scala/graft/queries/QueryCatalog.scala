@@ -1945,6 +1945,21 @@ object QueryCatalog {
       .toDF("sketch_id", "z", "z2")
   }
 
+  /** p_kanon — k-anonymity over release metadata
+    * ([[graft.pipeline.Corpus.kAnonymity]], Sweeney 2002): equivalence
+    * classes of (lang, source, size octave) with the k ≥ 5 flag — the
+    * pre-release governance gate; one bounded-key partial-agg groupBy,
+    * exact integer decisions. */
+  val pKanon: Q = (s, d) =>
+    Corpus.kAnonymity(Tables.documents(s, d), k = 5)
+
+  val pKanonSql: String =
+    """SELECT lang, source,
+      |  length(bin(greatest(n_chars, 1)))::INT AS len_oct,
+      |  count(*)::BIGINT AS n,
+      |  (CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END)::INT AS k_anon
+      |FROM documents GROUP BY 1, 2, 3""".stripMargin
+
   /** t_ppl — per-document bigram-LM negative log-likelihood
     * ([[graft.pipeline.Corpus.bigramNll]]): add-one-smoothed corpus
     * bigram model scoring each doc's token stream, per-bigram −ln P
@@ -9907,6 +9922,7 @@ object QueryCatalog {
     "t_vocab" -> tVocab,
     "t_f2" -> tF2,
     "st_f2" -> stF2,
+    "p_kanon" -> pKanon,
     "t_lexdiv" -> tLexDiv,
     "t_pmi" -> tPmi,
     "t_zipf" -> tZipf,
@@ -10227,6 +10243,7 @@ object QueryCatalog {
     "t_vocab" -> tVocabSql,
     "t_f2" -> tF2Sql,
     "st_f2" -> tF2Sql,
+    "p_kanon" -> pKanonSql,
     "t_lexdiv" -> tLexDivSql,
     "t_pmi" -> tPmiSql,
     "t_zipf" -> tZipfSql,

@@ -383,6 +383,22 @@ class CorpusSpec extends AnyFunSuite {
     assert((d.getLong(0), d.getLong(1)) === ((90L, 10L)))
   }
 
+  test("r14 kAnonymity: octave generalization, exact-k flag both ways") {
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "t", "en", "web", 100L)) ++   // n=6 ok
+      (1 to 4).map(i => (10L + i, "t", "en", "web", 300L)) ++    // n=4 flag
+      Seq((20L, "t", "zh", "book", 5000L))                       // n=1 flag
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.pipeline.Corpus.kAnonymity(docs, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getInt(4))).toSet
+    // 100 → 7 bits, 300 → 9 bits, 5000 → 13 bits
+    assert(out === Set(
+      ("en", "web", 7, 6L, 1),
+      ("en", "web", 9, 4L, 0),
+      ("zh", "book", 13, 1L, 0)))
+  }
+
   test("r14 cusum: in-plan calibration, max(0,.) floor via the " +
       "window closed form, alarm only past h = ref") {
     import java.sql.Timestamp
