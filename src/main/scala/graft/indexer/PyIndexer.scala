@@ -436,6 +436,15 @@ object PyIndexer {
   private val selfInstanceAssign: Regex =
     """self\.([A-Za-z_]\w*)\s*(?::[^=]+)?=\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
 
+  /** `self.f = x or Ctor(...)` — the OR-DEFAULT field binding (r14
+    * slice 78, the `__init__(self, c=None): self.c = c or Conn()`
+    * idiom): jedi types the union of both arms; the constructed
+    * default is the optimistic take (slice 61's `.get`-default
+    * convention). */
+  private val selfOrDefaultAssign: Regex =
+    ("""self\.([A-Za-z_]\w*)\s*=\s*[A-Za-z_]\w*\s+or\s+""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""").r
+
   /** `self.f = name` — a BARE-name field binding (the constructor-
     * injection pattern); the name's local/param type flows to the field. */
   private val selfNameAssign: Regex =
@@ -1774,6 +1783,12 @@ object PyIndexer {
                     .foreach(t => classFieldTypes.getOrElseUpdate(cls,
                       mutable.Map.empty)(m.group(1)) = t)
                 }
+                // r14 slice 78: or-default fields take the constructed arm
+                selfOrDefaultAssign.findAllMatchIn(ln).foreach { m =>
+                  classishType(m.group(2)).foreach(t =>
+                    classFieldTypes.getOrElseUpdate(cls,
+                      mutable.Map.empty)(m.group(1)) = t)
+                }
                 // annotated fields join the pre-pass too, so a base's
                 // `self.f: T = …` resolves through subclasses (slice 23)
                 selfAnnoAssign.findAllMatchIn(ln).foreach { m =>
@@ -2676,6 +2691,12 @@ object PyIndexer {
                 .foreach(t =>
                   classFieldTypes.getOrElseUpdate(c.fullName,
                     mutable.Map.empty)(m.group(1)) = t)
+            }
+            // r14 slice 78: or-default fields take the constructed arm
+            selfOrDefaultAssign.findAllMatchIn(line).foreach { m =>
+              classishType(m.group(2)).foreach(t =>
+                classFieldTypes.getOrElseUpdate(c.fullName,
+                  mutable.Map.empty)(m.group(1)) = t)
             }
             // C3 slice 20: `self.f = <name>` where the name is a TYPED
             // param/local — the constructor-injection pattern

@@ -3343,6 +3343,39 @@ class IndexerSpec extends AnyFunSuite {
       c._2.endsWith(".execute")), s"got $calls")
   }
 
+  test("r14 slice 78: `self.f = x or Ctor()` types the field from the " +
+      "constructed default arm, same- and cross-method reads resolve") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        return 1
+        |
+        |class Pool:
+        |    def __init__(self, c=None):
+        |        self.c = c or Conn()
+        |    def use_field(self):
+        |        return self.c.execute()
+        |
+        |def use_inst():
+        |    p = Pool()
+        |    return p.c.execute()
+        |
+        |class Ghost:
+        |    def __init__(self, c=None):
+        |        self.c = c or unknown_make()
+        |    def use(self):
+        |        return self.c.execute()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t78", "m.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("m.Pool.use_field", "m.Conn.execute")),
+      s"got $calls")
+    assert(calls.contains(("m.use_inst", "m.Conn.execute")), s"got $calls")
+    assert(!calls.exists(c => c._1 == "m.Ghost.use" &&
+      c._2.endsWith(".execute")), s"got $calls")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
