@@ -854,6 +854,12 @@ object PyIndexer {
     """^\s*yield\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
   private val yieldName: Regex =
     """^\s*yield\s+([A-Za-z_]\w*)\s*$""".r
+  /** `return self.field` — the getter idiom (r14 slice 79): the
+    * method's return type is the field's, resolved at consumption
+    * through the class's MRO'd field types. */
+  private val returnSelfField: Regex =
+    """^\s*return\s+self\.([A-Za-z_]\w*)\s*$""".r
+
   /** `yield from callee(...)` — generator delegation (r14 slice 76):
     * the enclosing generator iterates the callee's element type. */
   private val yieldFromDeleg: Regex =
@@ -1137,6 +1143,9 @@ object PyIndexer {
     // a declared container return's element); chains resolve at
     // consumption, bounded and cycle-safe
     val yieldFromRaw = mutable.Map.empty[String, String]
+    // r14 slice 79: `return self.field` getters — field name per key,
+    // resolved at consumption via the class's MRO'd field types
+    val returnSelfFieldRaw = mutable.Map.empty[String, String]
     // C3 slice 19: "C.m" keys of defs decorated `@property` /
     // `@(functools.)cached_property` — an attribute READ of one chases
     // the method's declared/inferred return type (jedi's descriptor
@@ -1296,6 +1305,13 @@ object PyIndexer {
                     } else bodyLocals.get(key).flatMap(_.get(n))
                       .foreach(t => returnInferredRaw(key) = t)
                   }
+                  // r14 slice 79: `return self.field` — the getter
+                  // idiom; resolved at consumption through the class's
+                  // MRO'd field types (the field may be typed by a
+                  // LATER-scanned method or a parent __init__)
+                  if (!returnSelfFieldRaw.contains(key))
+                    returnSelfField.findFirstMatchIn(ln).foreach(m =>
+                      returnSelfFieldRaw(key) = m.group(1))
                 }
                 if (!yieldInferredRaw.contains(key) &&
                     !decoPoisoned.contains(key)) {
@@ -1562,6 +1578,12 @@ object PyIndexer {
           val k = cf.stripPrefix(mod + ".")
           returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
             .flatMap(classishType)
+            // r14 slice 79: `return self.field` getters
+            .orElse(returnSelfFieldRaw.get(k).flatMap { f =>
+              val cls = k.split("\\.").dropRight(1)
+              if (cls.isEmpty) None
+              else fieldTypeViaMro(mod + "." + cls.mkString("."), f)
+            })
         } else corpus.flatMap(_.returns.get(cf))
       }
 
@@ -1648,6 +1670,9 @@ object PyIndexer {
         val k = definer.stripPrefix(mod + ".") + "." + method
         returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
           .flatMap(classishType)
+          // r14 slice 79: `return self.field` getters
+          .orElse(returnSelfFieldRaw.get(k)
+            .flatMap(f => fieldTypeViaMro(definer, f)))
       }
     }
 

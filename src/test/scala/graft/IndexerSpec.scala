@@ -3376,6 +3376,48 @@ class IndexerSpec extends AnyFunSuite {
       c._2.endsWith(".execute")), s"got $calls")
   }
 
+  test("r14 slice 79: `return self.field` getters carry the field's " +
+      "MRO'd type through bindings and inline chains") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        return 1
+        |
+        |class Base:
+        |    def __init__(self):
+        |        self.c = Conn()
+        |
+        |class Pool(Base):
+        |    def get_conn(self):
+        |        return self.c
+        |
+        |def use_bind():
+        |    p = Pool()
+        |    x = p.get_conn()
+        |    return x.execute()
+        |
+        |def use_chain():
+        |    return Pool().get_conn().execute()
+        |
+        |class Ghost:
+        |    def get(self):
+        |        return self.untyped
+        |
+        |def use_ghost():
+        |    g = Ghost()
+        |    x = g.get()
+        |    return x.execute()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t79", "n.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // the getter sits on the SUBCLASS while the parent types the field
+    assert(calls.contains(("n.use_bind", "n.Conn.execute")), s"got $calls")
+    assert(calls.contains(("n.use_chain", "n.Conn.execute")), s"got $calls")
+    assert(!calls.exists(c => c._1 == "n.use_ghost" &&
+      c._2.endsWith(".execute")), s"got $calls")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
