@@ -708,7 +708,10 @@ object PyIndexer {
     * DEFAULT arm; when the receiver's value type is unknown, the
     * resolvable default is the binding. */
   private val getDefaultCall: Regex =
-    ("""^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\.\s*get\s*""" +
+    // r14 slice 80 widens `.get` to `.setdefault` — same union, same
+    // optimistic default arm (setdefault additionally INSERTS, but the
+    // read type is identical)
+    ("""^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\.\s*(?:get|setdefault)\s*""" +
       """\(\s*[^,()]+,\s*(.+)\)\s*$""").r
 
   /** `y = max(xs)` / `y = min(xs)` — builtin element reads (C3 slice
@@ -794,7 +797,10 @@ object PyIndexer {
   /** `for i, h in enumerate(xs):` — the SECOND target iterates xs's
     * elements (C3 slice 42; the index stays unbound). */
   private val forInEnumerate: Regex =
-    """^\s*for\s+([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s+in\s+enumerate\(\s*([A-Za-z_]\w*)\s*\)\s*:\s*$""".r
+    // r14 slice 80: an optional empty-call source (`enumerate(f())`)
+    // and trailing args (`enumerate(xs, start=1)`) both parse
+    ("""^\s*for\s+([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s+in\s+enumerate\(\s*""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*(\(\s*\))?\s*(?:,[^()]*)?\)\s*:\s*$""").r
 
   /** `for a, b in zip(xs, ys):` — each target takes its own side's
     * element type (slice 42). */
@@ -2540,9 +2546,16 @@ object PyIndexer {
               returnElemTarget(m.group(2))
                 .foreach(t => fn.elemLocals(m.group(1)) = t))
             // slice 42: enumerate/zip/order-wrapper iteration
-            forInEnumerate.findFirstMatchIn(line).foreach(m =>
-              fn.elemLocals.get(m.group(3))
-                .foreach(t => fn.locals(m.group(2)) = t))
+            forInEnumerate.findFirstMatchIn(line).foreach { m =>
+              // r14 slice 80: call sources feed from the callee's yield
+              // or declared container element
+              val t =
+                if (m.group(4) != null)
+                  yieldTypeTarget(m.group(3))
+                    .orElse(returnElemTarget(m.group(3)))
+                else fn.elemLocals.get(m.group(3))
+              t.foreach(ty => fn.locals(m.group(2)) = ty)
+            }
             forInZip.findFirstMatchIn(line).foreach { m =>
               fn.elemLocals.get(m.group(3))
                 .foreach(t => fn.locals(m.group(1)) = t)

@@ -3418,6 +3418,39 @@ class IndexerSpec extends AnyFunSuite {
       c._2.endsWith(".execute")), s"got $calls")
   }
 
+  test("r14 slice 80: setdefault default arms bind like .get; " +
+      "enumerate takes start kwargs and call sources") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        return 1
+        |
+        |def all_conns() -> list[Conn]:
+        |    return [Conn()]
+        |
+        |def use_setdefault(d):
+        |    c = d.setdefault('k', Conn())
+        |    return c.execute()
+        |
+        |def use_enum_start(xs: list[Conn]):
+        |    for i, u in enumerate(xs, start=1):
+        |        u.execute()
+        |
+        |def use_enum_call():
+        |    for i, u in enumerate(all_conns()):
+        |        u.execute()
+        |
+        |def use_enum_ghost(zs):
+        |    for i, u in enumerate(zs):
+        |        u.execute()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t80", "p.py", src)
+    val execs = ev.edges.filter(e => e.relType == Rel.Call &&
+      e.dst == "p.Conn.execute").map(_.src).toSet
+    assert(execs === Set("p.use_setdefault", "p.use_enum_start",
+      "p.use_enum_call"), s"got $execs")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
