@@ -465,7 +465,9 @@ object PyIndexer {
     * `[^()]*` arg span keeps one clause's parens from swallowing the
     * next, at the cost of skipping managers with nested call args —
     * a silent miss, never a wrong binding. */
-  private val withStmt: Regex = """^\s*with\s+.*:\s*$""".r
+  // r14 slice 81: `async with` binds its as-targets exactly like `with`
+  private val withStmt: Regex =
+    """^\s*(?:async\s+)?with\s+.*:\s*$""".r
   private val withManager: Regex =
     """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\([^()]*\)\s*as\s+([A-Za-z_]\w*)""".r
 
@@ -1436,12 +1438,17 @@ object PyIndexer {
         // enclosing class (r12 slice 58's classmethod arm)
         curClass.map(c => s"${c.fullName}.${parts(1)}")
       else if (parts.length >= 2 &&
-          curCallable.exists(_.locals.contains(parts(0))))
+          stack.exists(sc => (sc.kind == Kind.Function ||
+            sc.kind == Kind.Method) && sc.locals.contains(parts(0))))
         // C3 (partial deep mode): `x.method()` where x was bound by a
         // constructor call in this callable — resolves as jedi inference
-        // would for the direct-instantiation case
-        curCallable.flatMap(fn =>
-          chaseFields(fn.locals(parts(0)), parts.tail.toSeq))
+        // would for the direct-instantiation case. r14 slice 81: the
+        // lookup walks OUT through enclosing callables (innermost
+        // first, so shadowing wins) — a nested def reads its closure's
+        // typed locals, jedi's lexical-scope resolution
+        stack.find(sc => (sc.kind == Kind.Function ||
+            sc.kind == Kind.Method) && sc.locals.contains(parts(0)))
+          .flatMap(sc => chaseFields(sc.locals(parts(0)), parts.tail.toSeq))
       else if (parts.length >= 3 &&
           (parts(0) == "self" || parts(0) == "cls"))
         // C3 (partial): `self.field[.field…].method()` through

@@ -3451,6 +3451,49 @@ class IndexerSpec extends AnyFunSuite {
       "p.use_enum_call"), s"got $execs")
   }
 
+  test("r14 slice 81: async-with as-targets bind; nested defs read " +
+      "their closure's typed locals with shadowing intact") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        return 1
+        |    async def __aenter__(self):
+        |        return self
+        |class Other:
+        |    def ping(self):
+        |        return 2
+        |
+        |async def async_with():
+        |    async with Conn() as c:
+        |        return c.execute()
+        |
+        |def outer():
+        |    db = Conn()
+        |    def inner():
+        |        return db.execute()
+        |    def shadowed():
+        |        db = Other()
+        |        return db.ping()
+        |    return inner
+        |
+        |def no_leak():
+        |    return db.execute()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t81", "q.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("q.async_with", "q.Conn.execute")), s"got $calls")
+    assert(calls.contains(("q.outer.inner", "q.Conn.execute")), s"got $calls")
+    // the inner rebinding shadows the closure's type
+    assert(calls.contains(("q.outer.shadowed", "q.Other.ping")),
+      s"got $calls")
+    assert(!calls.exists(c => c._1 == "q.outer.shadowed" &&
+      c._2 == "q.Conn.execute"), s"got $calls")
+    // a SIBLING function never sees another function's locals
+    assert(!calls.exists(c => c._1 == "q.no_leak" &&
+      c._2.endsWith(".execute")), s"got $calls")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
