@@ -862,6 +862,14 @@ object PyIndexer {
     """^\s*yield\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s*\(""".r
   private val yieldName: Regex =
     """^\s*yield\s+([A-Za-z_]\w*)\s*$""".r
+  /** `return [Ctor() for … ]` — a constructor list/set comprehension
+    * return (r14 slice 82): the def returns a container whose ELEMENT
+    * is the constructed class, feeding the slice-70 element machinery
+    * (`for x in f():`, `xs = f()` + iteration). */
+  private val returnCompCtor: Regex =
+    ("""^\s*return\s+[\[{]\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)""" +
+      """\s*\([^()]*\)\s+for\s""").r
+
   /** `return self.field` — the getter idiom (r14 slice 79): the
     * method's return type is the field's, resolved at consumption
     * through the class's MRO'd field types. */
@@ -1320,6 +1328,11 @@ object PyIndexer {
                   if (!returnSelfFieldRaw.contains(key))
                     returnSelfField.findFirstMatchIn(ln).foreach(m =>
                       returnSelfFieldRaw(key) = m.group(1))
+                  // r14 slice 82: ctor comprehension returns key the
+                  // def's ELEMENT type (slice 70's map)
+                  if (!returnElemRaw.contains(key))
+                    returnCompCtor.findFirstMatchIn(ln).foreach(m =>
+                      returnElemRaw(key) = m.group(1))
                 }
                 if (!yieldInferredRaw.contains(key) &&
                     !decoPoisoned.contains(key)) {
@@ -1572,6 +1585,16 @@ object PyIndexer {
         if (!propertyDefsRaw.contains(k)) None
         else returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
           .flatMap(classishType)
+          // r14 slice 82: a property whose body is `return self._f`
+          // (the canonical descriptor-over-private-field idiom) carries
+          // the backing field's type; the lookup deliberately consults
+          // PLAIN fields only (never another property) so a
+          // self-referential descriptor can't recurse
+          .orElse(returnSelfFieldRaw.get(k).flatMap { f =>
+            mroOf(owner).iterator
+              .flatMap(c => classFieldTypes.get(c).flatMap(_.get(f)))
+              .nextOption()
+          })
       }
 
     // declared `-> Type` of a called same-module function/method:

@@ -3494,6 +3494,49 @@ class IndexerSpec extends AnyFunSuite {
       c._2.endsWith(".execute")), s"got $calls")
   }
 
+  test("r14 slice 82: a property returning its backing field carries " +
+      "the field's type; ctor comprehension returns key element types") {
+    val src =
+      """class Conn:
+        |    def execute(self):
+        |        return 1
+        |
+        |class Pool:
+        |    def __init__(self):
+        |        self._c = Conn()
+        |    @property
+        |    def conn(self):
+        |        return self._c
+        |    @property
+        |    def selfref(self):
+        |        return self.selfref
+        |
+        |def use_prop():
+        |    p = Pool()
+        |    return p.conn.execute()
+        |
+        |def use_selfref():
+        |    p = Pool()
+        |    return p.selfref.execute()
+        |
+        |def make_many():
+        |    return [Conn() for _ in range(3)]
+        |
+        |def use_elems():
+        |    xs = make_many()
+        |    for c in xs:
+        |        c.execute()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t82", "r.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls.contains(("r.use_prop", "r.Conn.execute")), s"got $calls")
+    assert(calls.contains(("r.use_elems", "r.Conn.execute")), s"got $calls")
+    // the self-referential descriptor terminates and binds nothing
+    assert(!calls.exists(c => c._1 == "r.use_selfref" &&
+      c._2.endsWith(".execute")), s"got $calls")
+  }
+
   test("r13 slice 61: `.get(k, default)` binds the default arm on an " +
       "untyped receiver; typed receivers keep the value binding") {
     val src =
