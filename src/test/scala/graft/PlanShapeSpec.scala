@@ -690,6 +690,32 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("r14b s_knn_inc: the previous graph is a PERSISTED parquet " +
+      "scan; untouched cells splice via an anti-join on the broadcast " +
+      "affected set") {
+    val df = QueryCatalog.queries("s_knn_inc")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("knngraphprev"),
+      s"prev graph must come from the persisted artifact; plan:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"untouched cells must anti-join out the affected set; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian in the refresh; plan:\n$plan")
+  }
+
+  test("r14b p_kanon: one bounded-key partial-agg groupBy, no joins") {
+    val df = QueryCatalog.queries("p_kanon")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"one partial-agg exchange only; plan:\n$plan")
+    assert(!plan.contains("Join"), s"no joins; plan:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the scan must partial-aggregate; plan:\n$plan")
+  }
+
   test("r14b t_wordpiece: the per-round unigram score table broadcasts " +
       "into the pair join — never a shuffled join on symbols") {
     val df = QueryCatalog.tWordpiece(spark, sf)
