@@ -949,6 +949,19 @@ object PyIndexer {
   private val localAnno: Regex =
     """^\s*([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?!\w|\s*\[)\s*(?:=(?!=).*)?$""".r
 
+  /** Slice 84: one annotated parameter `name: Anno` inside a def
+    * header's paren span (the scan's shallow take — default-value
+    * expressions could in principle false-match, but a `name: Dotted`
+    * pair inside a default is vanishingly rare and the fact is
+    * positive-only). */
+  private val ctorParamAnno: Regex =
+    """([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)""".r
+
+  /** Slice 84: `self.f = p` — a whole-line constructor-injection
+    * assignment of a bare parameter name. */
+  private val selfParamAssign: Regex =
+    """^\s*self\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*$""".r
+
   /** Cross-module resolution context for deep slices (r14, slices
     * 62-63): `modules` = corpus modules whose top-level binding set is
     * CLOSED (no `import *`, no module-level `__getattr__` — PEP 562
@@ -963,7 +976,12 @@ object PyIndexer {
     * fields and `@property` reads (attr fqn → class fqn — slice 65's
     * cross-module attribute chases); `vars` = module-level SINGLETONS
     * (`db = Database()` constructor or annotated assignments — var fqn
-    * → class fqn, slice 67's imported-singleton typing). */
+    * → class fqn, slice 67's imported-singleton typing). `returns` and
+    * `fields` are FLATTENED through the transitive cross-module MRO at
+    * the fold (slice 83): a fact declared on `b.Base` surfaces keyed
+    * `a.Mid.m` too when `a.Mid(b.Base)`, nearest MRO declaration
+    * winning — so a local subclass of an imported class sees two-hop
+    * inherited members without chasing ancestors itself. */
   final case class CorpusContext(modules: Set[String], bound: Set[String],
       returns: Map[String, String], fields: Map[String, String],
       vars: Map[String, String])
@@ -978,7 +996,8 @@ object PyIndexer {
   final case class ModuleScan(mod: String, names: Set[String],
       open: Boolean, classes: Set[String], returns: Map[String, String],
       fields: Map[String, String], vars: Map[String, String],
-      imports: Map[String, String], modImports: Map[String, String])
+      imports: Map[String, String], modImports: Map[String, String],
+      bases: Map[String, Seq[String]] = Map.empty)
 
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier).
     * `corpus`, when present, enables the cross-module slices (62). */
@@ -1690,9 +1709,15 @@ object PyIndexer {
       // slice 66: a CROSS-MODULE MRO class defines the method when the
       // corpus scan keyed its declared return — a local subclass of an
       // imported base resolves the base's `-> Class` methods
+      // own-module classes qualify through their LOCAL defs only: the
+      // slice-83 flatten keys inherited facts under local subclasses
+      // too, and letting those nominate an own-module definer would
+      // route into the local arm below, which (correctly) never reads
+      // corpus facts for classes this file defines
       val definer = mroOf(recv)
         .find(c => classMethodsRaw.get(c).exists(_.contains(method)) ||
-          corpus.exists(_.returns.contains(s"$c.$method")))
+          (!c.startsWith(mod + ".") &&
+            corpus.exists(_.returns.contains(s"$c.$method"))))
         .getOrElse(recv)
       if (!definer.startsWith(mod + "."))
         // slice 45: a stdlib receiver's member returns what its
@@ -3051,6 +3076,7 @@ object PyIndexer {
     val defAnnos = mutable.Map.empty[String, String]
     val fieldAnnos = mutable.Map.empty[String, String]
     val varAnnos = mutable.Map.empty[String, String]
+    val clsBases = mutable.Map.empty[String, Seq[String]]
     val importBindings = mutable.Map.empty[String, String]
     val modImports = mutable.Map.empty[String, String]
     var open = false
@@ -3060,6 +3086,9 @@ object PyIndexer {
     var curCls: Option[String] = None
     var bodyIndent = -1
     var pendingProp = false
+    // slice 84: the annotated-param map of the __init__ we are inside
+    // (null when not directly after a top-level class's __init__ header)
+    var initParams: Map[String, String] = null
     val withAs = """^with\b.*\bas\s+([A-Za-z_]\w*)\s*:?\s*$""".r
     val tupleAssign =
       """^([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*=(?!=).*$""".r
@@ -3086,12 +3115,21 @@ object PyIndexer {
       val ln = lines(li)
       if (!cont(li) && ln.nonEmpty && !ln.head.isWhitespace) {
         curCls = None; bodyIndent = -1; pendingProp = false
+        initParams = null
         ln match {
           case defHeader(ind, d) if ind.isEmpty =>
             names += d; if (d == "__getattr__") open = true
             annoOf(li).foreach(a => defAnnos(d) = a)
           case classHeader(ind, c, _) if ind.isEmpty =>
             names += c; classes += c; curCls = Some(c)
+            // slice 83: base list, RAW (identifier / dotted spellings
+            // only; keyword args and subscripted generics drop) —
+            // resolution against imports happens at the corpus fold,
+            // where the transitive cross-module MRO linearizes
+            val bs = parenSpan(joined(li)).split(",").map(_.trim)
+              .filter(b => b.nonEmpty && b != "object" &&
+                b.matches("[A-Za-z_]\\w*(?:\\.[A-Za-z_]\\w*)*")).toSeq
+            if (bs.nonEmpty) clsBases(c) = bs
           case fromImport(srcMod, items) =>
             if (items.trim == "*" || items.contains("*")) open = true
             else items.split(",").foreach { it =>
@@ -3162,11 +3200,22 @@ object PyIndexer {
               defAnnos(s"${curCls.get}.$d") = a
               if (pendingProp) fieldAnnos(s"${curCls.get}.$d") = a
             }
+            // slice 84 (r15): constructor injection — `def __init__
+            // (self, conn: Conn)` + `self.conn = conn` types the field
+            // cross-module. Capture the annotated-param map here; the
+            // deeper body lines below consume it.
+            initParams =
+              if (d == "__init__")
+                ctorParamAnno.findAllMatchIn(parenSpan(joined(li)))
+                  .map(m => m.group(1) -> m.group(2)).toMap
+              else null
             pendingProp = false
           case localAnno(f, a)
               if a.matches("[A-Za-z_]\\w*(?:\\.[A-Za-z_]\\w*)*") =>
+            initParams = null
             fieldAnnos(s"${curCls.get}.$f") = a
           case _ =>
+            initParams = null
             val t = ln.trim
             if (t.startsWith("@")) {
               val deco = t.stripPrefix("@")
@@ -3174,6 +3223,17 @@ object PyIndexer {
               if (deco == "property" || deco == "cached_property" ||
                   deco == "functools.cached_property") pendingProp = true
             } else pendingProp = false
+        } else if (ind > bodyIndent && initParams != null) {
+          // slice 84: inside __init__'s body — `self.f = p` where p is
+          // an annotated parameter keys Cls.f as a field fact. An
+          // explicit class-body annotation wins (getOrElseUpdate); any
+          // re-binding of the field keeps the first take.
+          ln match {
+            case selfParamAssign(f, p) =>
+              initParams.get(p).foreach(a =>
+                fieldAnnos.getOrElseUpdate(s"${curCls.get}.$f", a))
+            case _ => ()
+          }
         }
       }
     }
@@ -3185,7 +3245,7 @@ object PyIndexer {
       defAnnos.iterator.map { case (d, a) => s"$mod.$d" -> a }.toMap,
       fieldAnnos.iterator.map { case (f, a) => s"$mod.$f" -> a }.toMap,
       varAnnos.iterator.map { case (v, a) => s"$mod.$v" -> a }.toMap,
-      importBindings.toMap, modImports.toMap)
+      importBindings.toMap, modImports.toMap, clsBases.toMap)
   }
 
   /** Fold per-module binding scans into the [[CorpusContext]] the deep
@@ -3225,12 +3285,61 @@ object PyIndexer {
         pick(s).iterator.flatMap { case (k, a) =>
           resolve(s)(a).map(k -> _) }
       }.toMap
+    // slice 83 (r15, verdict task #4): TRANSITIVE cross-module MRO.
+    // Slice 66 consults corpus facts per MRO class, but the per-class
+    // facts above only cover members declared ON the scanned class —
+    // a chain `local Sub(a.Mid)` where `a.Mid(b.Base)` inherited
+    // nothing from b.Base. Here, with every module's scan visible,
+    // each scanned class's base list resolves through the SAME import
+    // resolution as annotations, linearizes with the shared C3 kernel
+    // ([[graft.enrich.Closure.c3Merge]] — base order preserved,
+    // out-of-corpus ancestors drop, so they bind nothing), and member
+    // facts FLATTEN ancestor-ward: a fact declared on b.Base surfaces
+    // keyed a.Mid.m too, nearest MRO declaration winning. The local
+    // mroOf + corpus lookups then see two-hop inheritance for free.
+    val baseMap: Map[String, Seq[String]] =
+      scans.iterator.flatMap { s =>
+        s.bases.iterator.map { case (c, bs) =>
+          s"${s.mod}.$c" -> bs.flatMap(b => resolve(s)(b))
+        }
+      }.filter(_._2.nonEmpty).toMap
+    val mroMemo = mutable.Map.empty[String, Seq[String]]
+    def mroOf(c: String): Seq[String] = mroMemo.get(c) match {
+      case Some(m) => m
+      case None =>
+        mroMemo(c) = Seq(c) // cycle guard (illegal Python anyway)
+        val bs = baseMap.getOrElse(c, Seq.empty)
+        val res =
+          if (bs.isEmpty) Seq(c)
+          else graft.enrich.Closure.c3Merge(c,
+            bs.map(b => mroOf(b).toList) :+ bs.toList)
+        mroMemo(c) = res
+        res
+    }
+    def flatten(facts: Map[String, String]): Map[String, String] = {
+      val byOwner = facts.toSeq
+        .groupBy { case (k, _) => k.substring(0, k.lastIndexOf('.')) }
+        .map { case (o, kvs) => o -> kvs.map { case (k, v) =>
+          k.substring(o.length + 1) -> v }.toMap }
+      val inherited = baseMap.keysIterator.flatMap { c =>
+        val own = byOwner.getOrElse(c, Map.empty[String, String])
+        val merged = mutable.Map.empty[String, String]
+        mroOf(c).drop(1).foreach { a =>
+          byOwner.getOrElse(a, Map.empty[String, String]).foreach {
+            case (m, t) =>
+              if (!own.contains(m) && !merged.contains(m)) merged(m) = t
+          }
+        }
+        merged.iterator.map { case (m, t) => s"$c.$m" -> t }
+      }.toMap
+      inherited ++ facts
+    }
     CorpusContext(
       closed.iterator.map(_.mod).toSet,
       closed.iterator.flatMap { s =>
         s.names.iterator.map(n => s"${s.mod}.$n") }.toSet,
-      resolved(_.returns),
-      resolved(_.fields),
+      flatten(resolved(_.returns)),
+      flatten(resolved(_.fields)),
       resolved(_.vars))
   }
 }

@@ -2802,6 +2802,160 @@ class IndexerSpec extends AnyFunSuite {
       s"got $pings")
   }
 
+  test("r15 slice 83: TRANSITIVE cross-module MRO — a two-hop imported " +
+      "ancestor's returns/fields type a local subclass; out-of-corpus " +
+      "ancestors bind nothing") {
+    // chain: local Sub(a.Mid), a.Mid(c.Base) — Base's facts must flow
+    // two modules up through the corpus-fold linearization
+    val modC =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |class Base:
+        |    conn: Conn = None
+        |    def cursor(self) -> Conn:
+        |        return Conn()
+        |""".stripMargin
+    val modA =
+      """from mod_c import Base
+        |
+        |class Mid(Base):
+        |    def middle(self):
+        |        return 0
+        |""".stripMargin
+    val modB =
+      """from mod_a import Mid
+        |from ghost_mod import GBase
+        |
+        |class Sub(Mid):
+        |    def extra(self):
+        |        return 0
+        |
+        |class Mid2(GBase):
+        |    pass
+        |
+        |class Sub2(Mid2):
+        |    pass
+        |
+        |def use_method():
+        |    s = Sub()
+        |    c = s.cursor()
+        |    c.ping()
+        |
+        |def use_field():
+        |    s = Sub()
+        |    s.conn.ping()
+        |
+        |def use_ghost():
+        |    s = Sub2()
+        |    c = s.cursor()
+        |    c.ping()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_c.py", modC), SourceFile("mod_a.py", modA),
+      SourceFile("mod_b.py", modB)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t83"), "t83")
+    val pings = out.edges
+      .filter(col("rel_type") === Rel.Call && col("dst") === "mod_c.Conn.ping")
+      .select("src").as[String].collect().toSet
+    assert(pings.contains("mod_b.use_method"), s"got $pings")
+    assert(pings.contains("mod_b.use_field"), s"got $pings")
+    // the out-of-corpus ancestor chain resolves nothing — no Conn edge
+    assert(!pings.contains("mod_b.use_ghost"), s"got $pings")
+  }
+
+  test("r15 slice 83b: nearest MRO declaration wins — an intermediate " +
+      "override shadows the root's declared return") {
+    val modC =
+      """class A:
+        |    def a_ping(self):
+        |        return 1
+        |
+        |class B:
+        |    def b_ping(self):
+        |        return 1
+        |
+        |class Root:
+        |    def make(self) -> A:
+        |        return A()
+        |""".stripMargin
+    val modA =
+      """from mod_c import Root, B
+        |
+        |class Mid(Root):
+        |    def make(self) -> B:
+        |        return B()
+        |""".stripMargin
+    val modB =
+      """from mod_a import Mid
+        |
+        |class Sub(Mid):
+        |    pass
+        |
+        |def use():
+        |    s = Sub()
+        |    x = s.make()
+        |    x.b_ping()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_c.py", modC), SourceFile("mod_a.py", modA),
+      SourceFile("mod_b.py", modB)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t83b"), "t83b")
+    val calls = out.edges.filter(col("rel_type") === Rel.Call)
+      .filter(col("src") === "mod_b.use")
+      .select("dst").as[String].collect().toSet
+    assert(calls.contains("mod_c.B.b_ping"), s"got $calls")
+    assert(!calls.contains("mod_c.A.b_ping"), s"got $calls")
+  }
+
+  test("r15 slice 84: constructor injection — an annotated __init__ " +
+      "param assigned to self types the field cross-module; untyped " +
+      "params bind nothing; explicit class annotations win") {
+    val modA =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |class Pool:
+        |    def grab(self):
+        |        return 1
+        |
+        |class Database:
+        |    pool: Pool = None
+        |    def __init__(self, conn: Conn, label, pool):
+        |        self.conn = conn
+        |        self.label = label
+        |        self.pool = pool
+        |""".stripMargin
+    val modB =
+      """from mod_a import Database
+        |
+        |def use_typed(d: Database):
+        |    d.conn.ping()
+        |
+        |def use_untyped(d: Database):
+        |    d.label.ping()
+        |
+        |def use_anno_wins(d: Database):
+        |    d.pool.grab()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_a.py", modA),
+      SourceFile("mod_b.py", modB)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t84"), "t84")
+    val calls = out.edges.filter(col("rel_type") === Rel.Call)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(calls.contains(("mod_b.use_typed", "mod_a.Conn.ping")),
+      s"got $calls")
+    assert(!calls.exists(c => c._1 == "mod_b.use_untyped" &&
+      c._2.startsWith("mod_a.Conn")), s"got $calls")
+    // the explicit `pool: Pool` class annotation types grab() even
+    // though __init__'s `pool` param is unannotated
+    assert(calls.contains(("mod_b.use_anno_wins", "mod_a.Pool.grab")),
+      s"got $calls")
+  }
+
   test("r14 slice 67: imported MODULE SINGLETONS chase through their " +
       "scanned constructor/annotated type; untyped vars keep the " +
       "blind take") {
