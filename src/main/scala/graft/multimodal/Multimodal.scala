@@ -1071,18 +1071,68 @@ object Multimodal {
     * declared length (content is arbitrary bytes; a regex scan would
     * false-match `WARC/` inside payloads). Degradations are
     * deterministic, never thrown ([[withTarMeta]]'s discipline): no
-    * `WARC/` magic → not WARC; a record whose declared content overruns
+    * `WARC/` magic (after gzip inflation when the payload opens with
+    * 0x1f8b — `.warc.gz`, member-per-record or whole-file, r15) → not
+    * WARC; a record whose declared content overruns
     * the buffer or whose separator is missing (the interrupted-download
     * signature) → `truncated = true` with only FULLY CONTAINED records
     * counted. Header fields are matched case-insensitively (the spec
     * says field names are). Per-row narrow byte walk, zero shuffle. */
   final case class WarcResponse(rec_idx: Int, content: String)
 
+  /** Inflate cap for gzip'd WARC payloads: a crafted bomb (1 KB →
+    * gigabytes) must degrade deterministically, not OOM an executor —
+    * inflation stops at the cap with the truncated flag set, the same
+    * arm an interrupted download takes. */
+  private val maxWarcInflate: Long = 1L << 30
+
+  /** Inflate EVERY gzip member of `p` into one plaintext buffer.
+    * Common Crawl's wild format is one gzip member PER RECORD,
+    * concatenated (ISO 28500 annex; enables per-record random access);
+    * a whole-file gzip is a single member. JDK's GZIPInputStream walks
+    * concatenated members transparently, and the concatenation of
+    * per-record inflations IS the plaintext WARC file — so both
+    * layouts reduce to the one existing record walk. Returns the
+    * inflated bytes plus a damaged flag (CRC/format error mid-stream
+    * or inflate cap hit); bytes inflated before the error are kept so
+    * intact leading records still count ([[walkWarc]]'s contract). */
+  private def inflateMembers(p: Array[Byte]): (Array[Byte], Boolean) = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(p.length.toLong * 4, 1L << 20).toInt)
+    var damaged = false
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(p))
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0 && out.size() <= maxWarcInflate) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      if (n >= 0) damaged = true // inflate cap hit: bomb posture
+    } catch { case _: java.io.IOException => damaged = true }
+    (out.toByteArray, damaged)
+  }
+
   /** One shared record walk behind [[withWarcMeta]] (counters) and
     * [[warcResponses]] (extraction) — `withContent` gates the UTF-8
     * content decode so the meta-only path never materializes record
-    * bodies. */
+    * bodies. A payload opening with the gzip member magic (0x1f8b —
+    * the `.warc.gz` wild format, r15 verdict task #2) inflates first
+    * ([[inflateMembers]]); a damaged or capped inflation forces the
+    * truncated flag even when the inflated prefix happens to end at a
+    * record boundary. */
   private def walkWarc(p: Array[Byte], withContent: Boolean)
+      : (WarcMeta, Seq[WarcResponse]) =
+    if (p != null && p.length > 2 &&
+        (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b) {
+      val (plain, damaged) = inflateMembers(p)
+      val (meta, resp) = walkWarcPlain(plain, withContent)
+      (if (meta.is_warc && damaged) meta.copy(truncated = true) else meta,
+        resp)
+    } else walkWarcPlain(p, withContent)
+
+  private def walkWarcPlain(p: Array[Byte], withContent: Boolean)
       : (WarcMeta, Seq[WarcResponse]) = {
     val bad = WarcMeta(is_warc = false, null, 0, 0, 0L,
       truncated = false)
@@ -1127,6 +1177,15 @@ object Multimodal {
               case None => trunc = true; done = true
               case Some(len) =>
                 val cStart = hEnd + 4
+                // Guard the untrusted declared length BEFORE any
+                // arithmetic on it (r15 advisor fix): a negative value
+                // would reach the String/array reads below and throw,
+                // and a value near Long.MaxValue overflows recEnd + 4
+                // past the bounds check. Both are the truncated/damaged
+                // arm — degrade, never throw.
+                if (len < 0L || len > p.length.toLong - cStart) {
+                  trunc = true; done = true
+                } else {
                 val recEnd = cStart.toLong + len
                 if (recEnd + 4 > p.length ||
                     p(recEnd.toInt) != '\r' ||
@@ -1144,6 +1203,7 @@ object Multimodal {
                   }
                   bytes += len
                   off = recEnd.toInt + 4
+                }
                 }
             }
           }

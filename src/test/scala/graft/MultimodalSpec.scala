@@ -740,6 +740,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(8L) === ((false, None, 0, 0, 0L, false)))
   }
 
+  test("r15 warc.gz: member-per-record and whole-file gzip walk " +
+      "identically to the plaintext walk; damaged gzip degrades to " +
+      "truncated") {
+    def rec(typ: String, body: String): String =
+      s"WARC/1.0\r\nContent-Length: ${body.length}\r\nWARC-Type: $typ" +
+        s"\r\n\r\n$body\r\n\r\n"
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val recs = Seq(rec("response", "hello page"), rec("request", "q=1"),
+      rec("response", "x" * 40))
+    val plain = recs.mkString.getBytes("US-ASCII")
+    // the Common Crawl wild format: ONE gzip member PER RECORD
+    val perRecord = recs.map(r => gz(r.getBytes("US-ASCII")))
+      .reduce(_ ++ _)
+    // whole-file single member
+    val whole = gz(plain)
+    // damaged: truncate the gzip stream mid-member
+    val cut = whole.dropRight(25)
+    // gzip of NON-WARC prose: inflates fine, is_warc false
+    val prose = gz("just some prose".getBytes("US-ASCII"))
+    val rows = Seq((1L, plain), (2L, perRecord), (3L, whole),
+      (4L, cut), (5L, prose)).toDF("doc_id", "payload")
+    val out = Multimodal.withWarcMeta(rows)
+      .select(col("doc_id"), col("warc_meta.*"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2)), r.getInt(3),
+          r.getInt(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val expect = (true, Some("1.0"), 3, 2, 53L, false)
+    assert(out(1L) === expect)
+    assert(out(2L) === expect) // gz walks ≡ the plaintext walk
+    assert(out(3L) === expect)
+    assert(out(4L)._1 === true && out(4L)._6 === true) // damaged → truncated
+    assert(out(5L) === ((false, None, 0, 0, 0L, false)))
+    // responses extract identically through the gz path
+    val resp = Multimodal.warcResponses(rows.filter(col("doc_id") <= 3))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(resp === Set(
+      (1L, 1, "hello page"), (1L, 3, "x" * 40),
+      (2L, 1, "hello page"), (2L, 3, "x" * 40),
+      (3L, 1, "hello page"), (3L, 3, "x" * 40)))
+  }
+
+  test("r15 withWarcMeta: hostile declared lengths (negative, " +
+      "Long.MaxValue overflow) degrade to truncated, never throw") {
+    def rec(typ: String, body: String, declared: Long): String =
+      s"WARC/1.0\r\nContent-Length: $declared\r\nWARC-Type: $typ" +
+        s"\r\n\r\n$body\r\n\r\n"
+    // a negative length whose content starts with CRLF would previously
+    // reach new String(p, cStart, -2) and throw; now: truncated
+    val neg = rec("response", "ok", 2L) + rec("response", "\r\nxyz", -2L)
+    // a length near Long.MaxValue overflows recEnd + 4 past the bounds
+    // check so p(recEnd.toInt) would previously throw AIOOBE
+    val huge = rec("response", "ok", 2L) +
+      rec("response", "abc", Long.MaxValue - 2L)
+    val rows = Seq(
+      (1L, neg.getBytes("US-ASCII")),
+      (2L, huge.getBytes("US-ASCII"))).toDF("doc_id", "payload")
+    val out = Multimodal.withWarcMeta(rows)
+      .select(col("doc_id"), col("warc_meta.*"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getInt(3), r.getInt(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    // both: the one intact leading record counts, the hostile tail is
+    // the truncated arm — identical to the interrupted-download shape
+    assert(out(1L) === ((true, 1, 1, 2L, true)))
+    assert(out(2L) === ((true, 1, 1, 2L, true)))
+  }
+
   test("r14 warcResponses: responses only, 1-based record indices, " +
       "UTF-8 decode, damaged tails contribute nothing") {
     def rec(typ: String, body: Array[Byte]): Array[Byte] =
