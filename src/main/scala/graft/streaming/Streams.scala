@@ -655,6 +655,15 @@ object Streams {
   def streamingCusum(events: Dataset[Event], refMilli: Map[String, Long])
       : Dataset[CusumOut] = {
     import events.sparkSession.implicits._
+    // The batch twin buckets days with date_trunc('day', ts), which
+    // follows spark.sql.session.timeZone; this side buckets by raw UTC
+    // epoch arithmetic. The advertised stream ≡ batch equivalence
+    // therefore REQUIRES a UTC session — assert it loudly instead of
+    // silently producing different day buckets (r15 advisor fix).
+    require(
+      events.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+      "streamingCusum requires spark.sql.session.timeZone=UTC: its epoch-" +
+        "day buckets must match the batch twin's date_trunc('day', ts)")
     val dayUsLen = 86400L * 1000000L
     def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
     events.groupByKey(_.event_type)
@@ -1344,6 +1353,22 @@ object Streams {
     * addition for bit-OR). The readout after the last batch is the
     * batch operator's own output, so the gate shares t_f2's oracle.
     * Returns the query plus a current-bank readout. */
+  /** One micro-batch's fold into the maintained F₂ counter bank. An
+    * idle tick or recovery batch can be EMPTY: sum() over zero rows is
+    * NULL and Row.getLong would NPE (r15 advisor fix) — an empty batch
+    * contributes the zero partial, so it returns `cur` unchanged. */
+  def amsF2Fold(batch: DataFrame, cur: Map[Int, Long]): Map[Int, Long] = {
+    import graft.pipeline.Sketches
+    if (batch.isEmpty) cur
+    else {
+      val row = Sketches.amsF2Counters(batch, col("term"))
+        .collect().head
+      val part = Sketches.AmsSeeds.indices
+        .map(i => Sketches.AmsSeeds(i)._1 -> row.getLong(i)).toMap
+      cur.map { case (j, z) => j -> (z + part.getOrElse(j, 0L)) }
+    }
+  }
+
   def amsF2Ingest(terms: DataFrame)
       : (org.apache.spark.sql.streaming.StreamingQuery,
          () => Seq[(Int, Long)]) = {
@@ -1353,12 +1378,7 @@ object Streams {
       new java.util.concurrent.atomic.AtomicReference[Map[Int, Long]](zero)
     val q = terms.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val row = Sketches.amsF2Counters(batch, col("term"))
-          .collect().head
-        val part = Sketches.AmsSeeds.indices
-          .map(i => Sketches.AmsSeeds(i)._1 -> row.getLong(i)).toMap
-        ref.updateAndGet(cur => cur.map { case (j, z) =>
-          j -> (z + part.getOrElse(j, 0L)) })
+        ref.updateAndGet(cur => amsF2Fold(batch, cur))
         ()
       }
       .start()

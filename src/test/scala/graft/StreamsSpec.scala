@@ -1073,4 +1073,32 @@ class StreamsSpec extends AnyFunSuite {
       ("click", dayUs(3), 4L, 1900L, 0),
       ("click", dayUs(4), 4L, 3800L, 1)))  // day 5 open: absent
   }
+
+  test("r15 streamingCusum: non-UTC session raises loudly — its epoch-" +
+      "day buckets only match the batch twin's date_trunc under UTC") {
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val mem = MemoryStream[Event]
+      val ex = intercept[IllegalArgumentException] {
+        Streams.streamingCusum(mem.toDS(), Map("click" -> 2000L))
+      }
+      assert(ex.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+  }
+
+  test("r15 amsF2Fold: an empty micro-batch (idle tick / recovery " +
+      "batch) is the zero partial — bank unchanged, no NPE") {
+    import graft.pipeline.Sketches
+    val zero = Sketches.AmsSeeds.map(s => s._1 -> 0L).toMap
+    val empty = Seq.empty[String].toDF("term")
+    assert(Streams.amsF2Fold(empty, zero) === zero)
+    // and a real batch still folds additively on top of a prior bank
+    val b1 = Streams.amsF2Fold(Seq("a", "b", "a").toDF("term"), zero)
+    assert(b1 !== zero)
+    assert(Streams.amsF2Fold(empty, b1) === b1)
+    val twice = Streams.amsF2Fold(Seq("a", "b", "a").toDF("term"), b1)
+    assert(twice === b1.map { case (k, v) => k -> (2 * v) })
+  }
 }
