@@ -47,8 +47,13 @@ import org.apache.spark.sql.functions._
   *    `SKIP n`, `LIMIT n`.
   *
   *  - multiple MATCH clauses, plain or OPTIONAL: a later plain MATCH
-  *    must START at a variable bound earlier and inner-joins there; an
-  *    OPTIONAL MATCH left-joins — at its bound head variable when
+  *    anchored at a variable bound earlier inner-joins there; an
+  *    UN-anchored plain MATCH (and the comma form `MATCH (a:L), (b:M)`
+  *    — comma patterns split into sub-clauses, at most one carrying
+  *    relationships) executes Neo4j's cartesian product under a LOUD
+  *    row budget — both sides count in-plan and the product raises
+  *    past [[cartesianRowBudget]] rather than silently launching (r15);
+  *    an OPTIONAL MATCH left-joins — at its bound head variable when
   *    anchored, or (UN-anchored, sharing no variable) against the whole
   *    driving row set, null-extending when the optional pattern yields
   *    nothing. Every clause may carry its own WHERE; an OPTIONAL
@@ -90,10 +95,9 @@ import org.apache.spark.sql.functions._
   *    `UNWIND [list] AS x` preludes (literal or `$param` lists), and
   *    Neo4j-style `$name` parameters via the params overloads.
   *
-  * Anything else (undirected edges, later PLAIN clauses not anchored at
-  * a bound variable — a silent cartesian product, aggregates beyond
-  * those six) raises — exactly the reference's posture of not
-  * reimplementing Neo4j.
+  * Anything else (undirected edges, cartesian products past the row
+  * budget, aggregates beyond those six) raises — exactly the
+  * reference's posture of not reimplementing Neo4j.
   *
   * The parse result is a plain DataFrame expression — Catalyst plans it
   * like any hand-written combinator query (broadcast point expands,
@@ -154,6 +158,46 @@ object CypherLite {
     * materialized row count is capped and exceeding it raises loudly —
     * the unboundedMatchCap discipline applied to path multiplicity. */
   private val allspLevelRowCap = 2000000L
+
+  /** Un-anchored plain-MATCH row budget (r15, verdict task #3): Neo4j
+    * executes `MATCH (a:CLASS), (b:CLASS)` as a cartesian product with
+    * a warning; we execute it under the allShortestPaths loud-budget
+    * discipline — count both sides in-plan, RAISE when |left|·|right|
+    * exceeds this cap (a silent planet-sized product is a job-killer at
+    * 100 TB; a raise names the query), execute below it. Overridable
+    * per-deployment (and spec-testable) via the system property. */
+  private[api] def cartesianRowBudget: Long =
+    sys.props.get("graft.cypher.cartesianBudget").map(_.toLong)
+      .getOrElse(2000000L)
+
+  /** Split a MATCH pattern on top-level commas — unlike [[splitTop]]
+    * this also tracks brace and bracket depth: a comma inside a
+    * relationship pattern's props (`-[r:R {k:'a', j:'b'}]->`) sits at
+    * paren depth 0 but brace depth 1 and must NOT start a new comma
+    * pattern. Quotes and their escapes are literal text throughout. */
+  private def splitTopPattern(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var quote: Char = 0
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        sb.append(c)
+        if (c == '\\' && i + 1 < s.length) { i += 1; sb.append(s.charAt(i)) }
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') { quote = c; sb.append(c) }
+      else if (c == '(' || c == '{' || c == '[') { depth += 1; sb.append(c) }
+      else if (c == ')' || c == '}' || c == ']') {
+        depth = math.max(0, depth - 1); sb.append(c)
+      } else if (c == ',' && depth == 0) { out += sb.toString; sb.clear() }
+      else sb.append(c)
+      i += 1
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Every (src, dst) endpoint pair of paths with `min`..∞ edges of the
     * given scan, one row PER PATH, under Neo4j's relationship-uniqueness
@@ -2166,10 +2210,44 @@ object CypherLite {
       head.substring(p + 5, end).trim
     }
     val optionalMarks = rawBodies.map(_.toUpperCase.endsWith("OPTIONAL"))
-    val parsed = rawBodies.zipWithIndex.map { case (b, ix) =>
+    // r15 (verdict task #3): comma-separated patterns in ONE MATCH split
+    // into sub-clauses sharing the clause's plain/optional mode, the
+    // WHERE riding the LAST sub (by then every comma variable is in
+    // scope — identical WHERE scope to Neo4j's whole-clause rule). At
+    // most one sub-pattern may carry relationships: Neo4j's
+    // relationship-uniqueness rule spans the comma patterns of one
+    // MATCH and the sub-clause joins don't enforce it ACROSS subs;
+    // node-only subs bind no relationships, so for them the rule is
+    // vacuous and the split is exact. An OPTIONAL comma pattern
+    // null-extends atomically in Neo4j — per-sub left joins wouldn't —
+    // so that shape raises.
+    val parsedFlat =
+      scala.collection.mutable.ArrayBuffer.empty[(Clause, Int)]
+    rawBodies.zipWithIndex.foreach { case (b, ix) =>
       val body = if (optionalMarks(ix)) b.dropRight(8).trim else b
-      parseClause(body, optional = ix > 0 && optionalMarks(ix - 1), q, ix)
+      val optional = ix > 0 && optionalMarks(ix - 1)
+      val whereIdx = topLevelKeyword(body, "WHERE")
+      val pat =
+        (if (whereIdx >= 0) body.substring(0, whereIdx) else body).trim
+      val whereTxt = if (whereIdx >= 0) body.substring(whereIdx) else ""
+      val subs = splitTopPattern(pat)
+      require(subs.nonEmpty, s"no node pattern in: $q")
+      require(subs.lengthCompare(1) == 0 || !optional,
+        s"comma-separated patterns in OPTIONAL MATCH null-extend " +
+          s"atomically and are not supported: $q")
+      subs.zipWithIndex.foreach { case (sp, j) =>
+        val sbody =
+          if (j == subs.length - 1) s"$sp $whereTxt".trim else sp
+        parsedFlat += ((parseClause(sbody, optional, q,
+          clauseIx = parsedFlat.size), ix))
+      }
+      require(parsedFlat.takeRight(subs.length)
+          .count(_._1.hops.nonEmpty) <= 1,
+        s"comma-separated patterns may include at most one relationship " +
+          s"chain (relationship uniqueness is per MATCH clause): $q")
     }
+    val parsed = parsedFlat.map(_._1).toSeq
+    val matchOrdOf = parsedFlat.map(_._2).toSeq
     // a path variable may not collide with ANY bound variable — node or
     // relationship vars of EVERY clause, not just the owning one (r13,
     // advisor finding: a node named `p` in another MATCH silently
@@ -2186,7 +2264,11 @@ object CypherLite {
     // path columns are built on the optional side before the left join,
     // so the null extension is exactly the join's own (r13)
     val clauses = parsed.zipWithIndex.map { case (pc, ix) =>
-      pc.copy(pathVar = pathByMatch.get(ix))
+      // a path variable binds the FIRST comma sub-clause of its MATCH
+      // ordinal (Neo4j: `p = pattern1, pattern2` binds pattern1)
+      val firstOfOrd = matchOrdOf.indexOf(matchOrdOf(ix)) == ix
+      pc.copy(pathVar =
+        if (firstOfOrd) pathByMatch.get(matchOrdOf(ix)) else None)
     }
 
     // clause 0 binds its variables; later clauses must hook onto one.
@@ -2269,17 +2351,14 @@ object CypherLite {
       // EVERY position sharing an already-bound variable anchors the
       // join (Neo4j's rule: a later MATCH may share any number of
       // bound variables, not just its head). An UN-anchored clause (no
-      // shared variable at all) is legal Cypher only for OPTIONAL
-      // MATCH here: it left-joins the driving row set on TRUE — every
-      // driving row pairs with every optional match, or null-extends
-      // when the optional pattern (or its WHERE) yields nothing. A
-      // plain un-anchored MATCH would be a silent cartesian product —
-      // still refused.
+      // shared variable at all) left-joins on TRUE under OPTIONAL
+      // MATCH (every driving row pairs with every optional match, or
+      // null-extends); under PLAIN MATCH it is Neo4j's cartesian
+      // product, executed here under the loud row budget below (r15 —
+      // was refused through r14).
       val boundPos = c.nodeMs.zipWithIndex
         .filter { case (m, _) => vars.contains(m.v) }
       val anchored = boundPos.nonEmpty
-      require(anchored || c.optional,
-        s"a later MATCH clause must share a bound variable: $q")
       val start = aliasCount
       // bump BEFORE any pattern predicate in this clause's WHERE
       // allocates its own aliases (applyPatternPreds reads aliasCount)
@@ -2317,6 +2396,18 @@ object CypherLite {
             valueRefOf(subVars, unwindVars))).getOrElse(keyEq)
         df = df.join(sub2, cond, "left")
       } else {
+        if (!anchored) {
+          // budget-guarded cartesian (r15): count both sides in-plan
+          // and RAISE past the budget instead of silently launching a
+          // planet-sized product — the allShortestPaths loud-budget
+          // discipline. Neo4j executes this shape with a warning;
+          // below the budget we match its result exactly.
+          val leftN = df.count()
+          val rightN = sub.count()
+          require(BigInt(leftN) * BigInt(rightN) <= cartesianRowBudget,
+            s"un-anchored MATCH cartesian product $leftN x $rightN " +
+              s"exceeds the $cartesianRowBudget-row budget: $q")
+        }
         df = df.join(sub, keyEq)
         Option(c.where).foreach(w =>
           df = applyClauseWhere(df, w, subVars, cIx + 1))

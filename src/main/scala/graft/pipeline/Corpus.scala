@@ -429,6 +429,28 @@ object Corpus {
       .agg(count(lit(1)).as("n"))
       .withColumn("k_anon", (col("n") >= k).cast("int"))
 
+  /** ℓ-DIVERSITY screen (r15 — Machanavajjhala 2007, the standard
+    * companion to [[kAnonymity]]): k-anonymity bounds class SIZE but a
+    * class whose members all share one SENSITIVE value still discloses
+    * it (the homogeneity attack — every k-sized class with one disease
+    * tells you the disease). Here the quasi-identifiers are (lang,
+    * size octave) and the sensitive attribute is `source` (which
+    * collection a document came from — exactly what a release wants to
+    * keep non-attributable per document): a class releases only when
+    * it carries ≥ ℓ DISTINCT sensitive values. Same scale shape as the
+    * k-screen — ONE partial-agg groupBy over a bounded key space
+    * (langs × ~60 octaves) with `count_distinct` riding the same
+    * shuffle; exact integer decisions. Returns one row per
+    * equivalence class: (lang, len_oct, n, n_sens, l_div). */
+  def lDiversity(docs: DataFrame, l: Int = 3): DataFrame =
+    docs.select(col("lang"), col("source"),
+        length(bin(greatest(col("n_chars"), lit(1L)))).cast("int")
+          .as("len_oct"))
+      .groupBy("lang", "len_oct")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("source")).as("n_sens"))
+      .withColumn("l_div", (col("n_sens") >= l).cast("int"))
+
   def specialTokenScreen(docs: DataFrame): DataFrame = {
     // literal count: (len(text) − len(replace(text, tok, ''))) / len(tok)
     def countOf(tok: String) =
@@ -1624,6 +1646,20 @@ object Corpus {
       .select(col("word"), col("cnt"),
         (col("p0") + 1).cast("long").as("pos"), col("sym"))
       .localCheckpoint(eager = true)
+    // Overflow guard (r15 advisor fix): the ppb score's n·10⁹ and uₐ·u_b
+    // stay in exact BIGINT on BOTH engines only while every count is
+    // < 3·10⁹ (then n·10⁹ ≤ 3·10¹⁸ and uₐ·u_b ≤ 9·10¹⁸, both under
+    // 2⁶³−1). Every unigram/pair count is bounded by the capped vocab's
+    // total token occurrences, so guard THAT — loud on overflow instead
+    // of Spark silently wrapping while DuckDB raises. One tiny job over
+    // the checkpointed ≤vocabCap-row word table.
+    val totalRow = sym.select(col("word"), col("cnt")).distinct()
+      .agg(sum(col("cnt")).as("t")).head
+    val totalCnt = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    require(totalCnt < 3000000000L,
+      s"wordpieceMerges: capped-vocab token count $totalCnt >= 3e9 would " +
+        "overflow the exact BIGINT ppb score — shard the corpus or " +
+        "rescale counts before training")
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (r <- 1 to rounds) {
       val p = sym.withColumn("nxt", lead(col("sym"), 1).over(byWord))

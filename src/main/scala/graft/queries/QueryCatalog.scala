@@ -408,18 +408,21 @@ object QueryCatalog {
        |WHERE e.rel_type = 'IN_NATION' AND c.label = 'CUSTOMER' AND n.label = 'NATION'
        |GROUP BY n.name HAVING count(*) > 50""".stripMargin
 
-  /** g_b10_write — the Cypher WRITE path end-to-end under the oracle
-    * gate: a script of write statements (CREATE node, within-batch LWW
-    * re-CREATE, MERGE edge with endpoint stubs, `none`→kind promotion,
-    * prop-only SET, DETACH DELETE of a scratch task with edge cascade)
-    * executed ENTIRELY through
+  /** g_b10_write — the Cypher WRITE path's NODE surface end-to-end
+    * under the oracle gate: CREATE node, within-batch LWW re-CREATE,
+    * node-MERGE `ON CREATE SET`/`ON MATCH SET` branches, prop-only
+    * SET, `REMOVE n.k` (present and absent keys), and `SET n += {map}`
+    * — executed ENTIRELY through
     * [[graft.api.GraphDatabase.executeQuery]] — so the parse→mutation
-    * ROUTING layer is what's gated, not just the A1–A6 merge semantics
-    * underneath (those have their own rows). The final snapshot is
-    * compared to the oracle's closed-form prediction over `nation`
-    * (the st_ingest discipline, batch side). The driver-side loop over
-    * the collected nation rows (25 at any SF) is the bounded harness
-    * pattern, not a query path. */
+    * ROUTING layer is what's gated, not just the A1–A3 merge semantics
+    * underneath (those have their own rows). The EDGE surface (edge
+    * MERGE + stubs + promotion + branches, DELETE r, DETACH-cascade)
+    * moved to its own gate `g_b10_write_edge` in r15 (verdict task #5)
+    * so a regression in one statement family is attributable. The
+    * final snapshot is compared to the oracle's closed-form prediction
+    * over `nation` (the st_ingest discipline, batch side). The
+    * driver-side loop over the collected nation rows (25 at any SF) is
+    * the bounded harness pattern, not a query path. */
   val gB10Write: Q = (s, d) => {
     import s.implicits._
     val db = graft.api.GraphDatabase.inMemory(s)
@@ -433,14 +436,6 @@ object QueryCatalog {
       run(s"CREATE (n:CLASS:`t1` {full_name: 'nation.$k', name: '${esc(nm)}'})") }
     // LWW upsert: a second CREATE of an existing key — newest wins (A1)
     run("CREATE (n:CLASS:`t1` {full_name: 'nation.0', name: 'RENAMED'})")
-    // edge upserts create `none` stubs for the not-yet-seen regions (A4)
-    nats.foreach { case (k, _, r) =>
-      run(s"MERGE (a:`t1` {full_name: 'nation.$k'})-[:IN_REGION]->" +
-        s"(b {full_name: 'region.$r'})") }
-    // stub promotion (A2): every region stub becomes a REGION node
-    nats.map(_._3).distinct.sorted.foreach { r =>
-      run(s"MATCH (n:none {full_name: 'region.$r'}) " +
-        s"REMOVE n:none SET n:REGION") }
     // prop-only SET on existing nodes (A3)
     nats.foreach { case (k, _, _) =>
       run(s"MATCH (n {full_name: 'nation.$k'}) SET n.nk = '$k'") }
@@ -457,6 +452,71 @@ object QueryCatalog {
     (0L to 2L).foreach { k =>
       run(s"MERGE (n:CLASS:`t1` {full_name: 'merged.$k'}) " +
         "ON CREATE SET n.origin = 'again' ON MATCH SET n.matched = '1'") }
+    // r14b: REMOVE drops nation.3's nk (absent-key removal on
+    // nation.3's 'ghost' is the no-op case), SET += bulk-patches
+    // nation.4 (new key + nk overwrite)
+    run("MATCH (n {full_name: 'nation.3'}) REMOVE n.nk, n.ghost")
+    run("MATCH (n {full_name: 'nation.4'}) SET n += {plus: 'p4', nk: '44'}")
+    db.nodes
+      .select(col("full_name"), col("kind"), col("name"),
+        element_at(col("props"), "nk").as("nk"),
+        element_at(col("props"), "plus").as("plus"),
+        element_at(col("props"), "touched").as("touched"),
+        element_at(col("props"), "origin").as("origin"),
+        element_at(col("props"), "matched").as("matched"))
+  }
+
+  /** Closed-form prediction: nations keep their CREATE fields (LWW
+    * rename on key 0) and carry the SET prop (REMOVE'd on nation.3,
+    * `+=`-overwritten on nation.4); nations 0-2 additionally carry the
+    * ON MATCH `touched` patch (and never the ON CREATE `origin`); the
+    * merged.* nodes carry the first merge's ON CREATE seed and the
+    * second merge's ON MATCH patch — never the second ON CREATE
+    * value. */
+  val gB10WriteSql: String =
+    """WITH nat AS (SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS r FROM nation)
+      |SELECT 'nation.' || k AS full_name, 'CLASS' AS kind,
+      |  CASE WHEN k = 0 THEN 'RENAMED' ELSE nm END AS name,
+      |  CASE WHEN k = 3 THEN NULL WHEN k = 4 THEN '44'
+      |    ELSE k::VARCHAR END AS nk,
+      |  CASE WHEN k = 4 THEN 'p4' END AS plus,
+      |  CASE WHEN k <= 2 THEN 'y' END AS touched,
+      |  NULL AS origin, NULL AS matched
+      |FROM nat
+      |UNION ALL
+      |SELECT 'merged.' || k, 'CLASS', 'M' || k, NULL, NULL, NULL, 'new',
+      |  '1'
+      |FROM nat WHERE k <= 2""".stripMargin
+
+  /** g_b10_write_edge — the Cypher WRITE path's EDGE surface (split
+    * from `g_b10_write` in r15, verdict task #5): MERGE edge with
+    * `none` endpoint stubs (A4), stub `none`→kind promotion (A2), edge
+    * MERGE `ON CREATE SET`/`ON MATCH SET` branches (edge identity =
+    * the (src, rel_type, dst) A4 key), point edge `DELETE r`, and
+    * DETACH DELETE with edge cascade (A5) — all through
+    * [[graft.api.GraphDatabase.executeQuery]]. The readout surfaces
+    * per-node in-degree plus each source's IN_REGION / NEXT branch
+    * props, compared to the oracle's closed-form prediction over
+    * `nation`. */
+  val gB10WriteEdge: Q = (s, d) => {
+    import s.implicits._
+    val db = graft.api.GraphDatabase.inMemory(s)
+    def run(c: String): Unit = { db.executeQuery(c); () }
+    def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    val nats = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    nats.foreach { case (k, nm, _) =>
+      run(s"CREATE (n:CLASS:`t1` {full_name: 'nation.$k', name: '${esc(nm)}'})") }
+    // edge upserts create `none` stubs for the not-yet-seen regions (A4)
+    nats.foreach { case (k, _, r) =>
+      run(s"MERGE (a:`t1` {full_name: 'nation.$k'})-[:IN_REGION]->" +
+        s"(b {full_name: 'region.$r'})") }
+    // stub promotion (A2): every region stub becomes a REGION node
+    nats.map(_._3).distinct.sorted.foreach { r =>
+      run(s"MATCH (n:none {full_name: 'region.$r'}) " +
+        s"REMOVE n:none SET n:REGION") }
     // r14: EDGE MERGE with branches. The IN_REGION edges of nations 0-2
     // exist → ON MATCH patches r.et, the ON CREATE r.eo must NOT seed;
     // the NEXT chain edges are new → ON CREATE seeds r.eo, and a SECOND
@@ -479,19 +539,14 @@ object QueryCatalog {
     run("MERGE (a:`t2` {full_name: 'tmp.0'})-[:CALL]->" +
       "(b {full_name: 'nation.1'})")
     run("MATCH (n:`t2`) DETACH DELETE n")
-    // r14b: the remaining write surface — REMOVE drops nation.3's nk
-    // (absent-key removal on nation.3's 'ghost' is the no-op case),
-    // SET += bulk-patches nation.4 (new key + nk overwrite), DELETE r
-    // drops the NEXT edge 2→3 (nation.2's branch props vanish from the
-    // readout, nation.3's in-degree falls to 0)
-    run("MATCH (n {full_name: 'nation.3'}) REMOVE n.nk, n.ghost")
-    run("MATCH (n {full_name: 'nation.4'}) SET n += {plus: 'p4', nk: '44'}")
+    // DELETE r drops the NEXT edge 2→3 (nation.2's branch props vanish
+    // from the readout, nation.3's in-degree falls to 0)
     run("MATCH (a {full_name: 'nation.2'})-[r:NEXT]->" +
       "(b {full_name: 'nation.3'}) DELETE r")
     val inDeg = db.edges.groupBy(col("dst").as("full_name"))
       .agg(count(lit(1)).as("n_in"))
-    // edge-branch readout (r14): each nation has ≤1 outgoing IN_REGION
-    // and ≤1 outgoing NEXT edge — their branch props surface per src
+    // each nation has ≤1 outgoing IN_REGION and ≤1 outgoing NEXT edge —
+    // their branch props surface per src
     val regionEdge = db.edges.filter(col("rel_type") === "IN_REGION")
       .select(col("src").as("full_name"),
         element_at(col("props"), "et").as("r_et"),
@@ -501,56 +556,57 @@ object QueryCatalog {
         element_at(col("props"), "eo").as("x_eo"),
         element_at(col("props"), "em").as("x_em"))
     db.nodes
-      .select(col("full_name"), col("kind"), col("name"),
-        element_at(col("props"), "nk").as("nk"),
-        element_at(col("props"), "plus").as("plus"),
-        element_at(col("props"), "touched").as("touched"),
-        element_at(col("props"), "origin").as("origin"),
-        element_at(col("props"), "matched").as("matched"))
+      .select(col("full_name"), col("kind"), col("name"))
       .join(inDeg, Seq("full_name"), "left")
       .join(regionEdge, Seq("full_name"), "left")
       .join(nextEdge, Seq("full_name"), "left")
-      .select(col("full_name"), col("kind"), col("name"), col("nk"),
-        col("plus"), col("touched"), col("origin"), col("matched"),
+      .select(col("full_name"), col("kind"), col("name"),
         coalesce(col("n_in"), lit(0L)).as("n_in"),
         col("r_et"), col("r_eo"), col("x_eo"), col("x_em"))
   }
 
-  /** Closed-form prediction: nations keep their CREATE fields (LWW
-    * rename on key 0), carry the SET prop, and their in-degree is the
-    * NEXT chain's (nations 1-3; the scratch CALL edge cascades);
-    * nations 0-2 additionally carry the ON MATCH `touched` patch (and
-    * never the ON CREATE `origin`), the edge-branch patches r_et (IN
-    * _REGION existed → ON MATCH, never the ON CREATE r_eo) and
-    * x_eo/x_em (NEXT created by the first merge's ON CREATE, patched by
-    * the second's ON MATCH — never the second ON CREATE value); regions
-    * are promoted stubs whose `name` is the stub rule's last
-    * dot-segment and whose in-degree is their nation count; the merged.*
-    * nodes carry the first merge's ON CREATE seed and the second
-    * merge's ON MATCH patch — never the second ON CREATE value. The
-    * scratch task contributes nothing. */
-  val gB10WriteSql: String =
+  /** Closed-form prediction: nations' in-degree is the NEXT chain's
+    * after the 2→3 DELETE (nations 1-2; the scratch CALL edge
+    * cascades), the edge-branch patches r_et on nations 0-2 (IN_REGION
+    * existed → ON MATCH, never the ON CREATE r_eo) and x_eo/x_em on
+    * nations 0-1 (NEXT created by the first merge's ON CREATE, patched
+    * by the second's ON MATCH — never the second ON CREATE value;
+    * nation.2's NEXT edge is DELETE'd); regions are promoted stubs
+    * whose `name` is the stub rule's last dot-segment and whose
+    * in-degree is their nation count. The scratch task contributes
+    * nothing. */
+  val gB10WriteEdgeSql: String =
     """WITH nat AS (SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS r FROM nation)
-      |SELECT 'nation.' || k AS full_name, 'CLASS' AS kind,
-      |  CASE WHEN k = 0 THEN 'RENAMED' ELSE nm END AS name,
-      |  CASE WHEN k = 3 THEN NULL WHEN k = 4 THEN '44'
-      |    ELSE k::VARCHAR END AS nk,
-      |  CASE WHEN k = 4 THEN 'p4' END AS plus,
-      |  CASE WHEN k <= 2 THEN 'y' END AS touched,
-      |  NULL AS origin, NULL AS matched,
+      |SELECT 'nation.' || k AS full_name, 'CLASS' AS kind, nm AS name,
       |  (CASE WHEN k BETWEEN 1 AND 2 THEN 1 ELSE 0 END)::BIGINT AS n_in,
       |  CASE WHEN k <= 2 THEN 'y' END AS r_et, NULL::VARCHAR AS r_eo,
       |  CASE WHEN k <= 1 THEN 'new' END AS x_eo,
       |  CASE WHEN k <= 1 THEN '1' END AS x_em
       |FROM nat
       |UNION ALL
-      |SELECT 'region.' || r, 'REGION', r::VARCHAR, NULL, NULL, NULL, NULL,
-      |  NULL, count(*)::BIGINT, NULL, NULL, NULL, NULL
-      |FROM nat GROUP BY r
-      |UNION ALL
-      |SELECT 'merged.' || k, 'CLASS', 'M' || k, NULL, NULL, NULL, 'new',
-      |  '1', 0::BIGINT, NULL, NULL, NULL, NULL
-      |FROM nat WHERE k <= 2""".stripMargin
+      |SELECT 'region.' || r, 'REGION', r::VARCHAR, count(*)::BIGINT,
+      |  NULL, NULL, NULL, NULL
+      |FROM nat GROUP BY r""".stripMargin
+
+  /** g_b10_cart — un-anchored plain MATCH (r15, verdict task #3): the
+    * comma cartesian `MATCH (a:NATION), (b:NATION)` Neo4j executes
+    * with a warning, here under [[graft.api.CypherLite]]'s loud row
+    * budget (both sides count in-plan; 25 × 25 at any SF — far below
+    * the 2M budget). The WHERE's `a.name < b.name` is the canonical
+    * pair-enumeration de-dup. */
+  val gB10Cart: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (a:NATION), (b:NATION) WHERE a.name < b.name " +
+        "RETURN a.name AS a_name, b.name AS b_name")
+  }
+
+  val gB10CartSql: String =
+    s"""WITH ${GraphSql.nodesCte}
+       |SELECT a.name AS a_name, b.name AS b_name
+       |FROM nodes a, nodes b
+       |WHERE a.label = 'NATION' AND b.label = 'NATION'
+       |  AND a.name < b.name""".stripMargin
 
   /** g_b10_union — Cypher `UNION` (distinct) across two branch
     * sub-queries: nations reached from customers vs from suppliers.
@@ -1959,6 +2015,24 @@ object QueryCatalog {
       |  count(*)::BIGINT AS n,
       |  (CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END)::INT AS k_anon
       |FROM documents GROUP BY 1, 2, 3""".stripMargin
+
+  /** p_ldiv — ℓ-diversity over release metadata
+    * ([[graft.pipeline.Corpus.lDiversity]], Machanavajjhala 2007): the
+    * k-anonymity companion — each (lang, size-octave) equivalence
+    * class must carry ≥ 3 distinct `source` values or the class is
+    * homogeneity-attackable; one bounded-key partial-agg groupBy,
+    * exact integer decisions. */
+  val pLdiv: Q = (s, d) =>
+    Corpus.lDiversity(Tables.documents(s, d), l = 3)
+
+  val pLdivSql: String =
+    """SELECT lang,
+      |  length(bin(greatest(n_chars, 1)))::INT AS len_oct,
+      |  count(*)::BIGINT AS n,
+      |  count(DISTINCT source)::BIGINT AS n_sens,
+      |  (CASE WHEN count(DISTINCT source) >= 3 THEN 1 ELSE 0 END)::INT
+      |    AS l_div
+      |FROM documents GROUP BY 1, 2""".stripMargin
 
   /** t_ppl — per-document bigram-LM negative log-likelihood
     * ([[graft.pipeline.Corpus.bigramNll]]): add-one-smoothed corpus
@@ -9923,6 +9997,7 @@ object QueryCatalog {
     "t_f2" -> tF2,
     "st_f2" -> stF2,
     "p_kanon" -> pKanon,
+    "p_ldiv" -> pLdiv,
     "t_lexdiv" -> tLexDiv,
     "t_pmi" -> tPmi,
     "t_zipf" -> tZipf,
@@ -9994,6 +10069,8 @@ object QueryCatalog {
     "d_priority_dedup" -> dPriorityDedup,
     "g_b10_cypher" -> gB10Cypher,
     "g_b10_write" -> gB10Write,
+    "g_b10_write_edge" -> gB10WriteEdge,
+    "g_b10_cart" -> gB10Cart,
     "g_b10_spath" -> gB10Spath,
     "g_b10_cycle" -> gB10Cycle,
     "g_b10_union" -> gB10Union,
@@ -10244,6 +10321,7 @@ object QueryCatalog {
     "t_f2" -> tF2Sql,
     "st_f2" -> tF2Sql,
     "p_kanon" -> pKanonSql,
+    "p_ldiv" -> pLdivSql,
     "t_lexdiv" -> tLexDivSql,
     "t_pmi" -> tPmiSql,
     "t_zipf" -> tZipfSql,
@@ -10327,6 +10405,8 @@ object QueryCatalog {
     "g_b10_optpred" -> gB10OptpredSql,
     "g_b10_exists" -> gB10ExistsSql,
     "g_b10_write" -> gB10WriteSql,
+    "g_b10_write_edge" -> gB10WriteEdgeSql,
+    "g_b10_cart" -> gB10CartSql,
     "g_b10_spath" -> gB10SpathSql,
     "g_b10_cycle" -> gB10CycleSql,
     "t_cms_topk" -> tCmsTopkSql,

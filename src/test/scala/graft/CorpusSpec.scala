@@ -399,6 +399,26 @@ class CorpusSpec extends AnyFunSuite {
       ("zh", "book", 13, 1L, 0)))
   }
 
+  test("r15 lDiversity: homogeneous class fails, diverse class passes, " +
+      "size alone never suffices") {
+    val docs = (
+      // (en, oct 7): 6 docs but ONE source — large yet homogeneous: fail
+      (1 to 6).map(i => (i.toLong, "t", "en", "web", 100L)) ++
+      // (en, oct 9): 3 docs across 3 sources — small but diverse: pass
+      Seq((11L, "t", "en", "web", 300L), (12L, "t", "en", "book", 300L),
+        (13L, "t", "en", "wiki", 300L)) ++
+      // (zh, oct 13): 2 sources < ℓ=3: fail
+      Seq((21L, "t", "zh", "book", 5000L), (22L, "t", "zh", "web", 5000L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.pipeline.Corpus.lDiversity(docs, l = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(out === Set(
+      ("en", 7, 6L, 1L, 0),
+      ("en", 9, 3L, 3L, 1),
+      ("zh", 13, 2L, 2L, 0)))
+  }
+
   test("r14 cusum: in-plan calibration, max(0,.) floor via the " +
       "window closed form, alarm only past h = ref") {
     import java.sql.Timestamp

@@ -438,10 +438,12 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(out.length === 1)
     assert((out(0).getString(0), out(0).getString(1), out(0).getString(2)) ===
       (("m", "Person", "greet")))
-    // a later clause must anchor at a bound variable
-    intercept[IllegalArgumentException] {
-      db.executeQuery("MATCH (a:CLASS) MATCH (b:MODULE) RETURN a, b")
-    }
+    // a later un-anchored clause is Neo4j's cartesian product, executed
+    // under the loud row budget since r15 (1 CLASS x 1 MODULE here)
+    val cart = db.executeQuery(
+      "MATCH (a:CLASS) MATCH (b:MODULE) RETURN a.name, b.name").collect()
+    assert(cart.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("Person", "m")))
   }
 
   test("WHERE comparisons: numeric literals cast, strings compare lexicographically") {
@@ -1462,10 +1464,62 @@ class CypherLiteSpec extends AnyFunSuite {
         "RETURN c.name, f.full_name").collect()
     assert(whr.map(r => (r.getString(0), r.getString(1))).toSeq ===
       Seq(("Person", null)))
-    // an un-anchored PLAIN match is still a refused cartesian product
+    // an un-anchored PLAIN match executes as Neo4j's cartesian product
+    // under the loud row budget (r15 — refused through r14)
+    val cart = db.executeQuery(
+      "MATCH (c:CLASS) MATCH (f:FUNCTION) RETURN c.name, f.full_name")
+      .collect()
+    assert(cart.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("Person", "m.util")))
+  }
+
+  test("r15 comma patterns: cartesian under budget, cross-variable " +
+      "WHERE, shared-variable anchoring, budget raise") {
+    // the canonical un-anchored comma shape — a 4-node cartesian of
+    // every (node, node) pair, de-duplicated by the WHERE
+    val pairs = db.executeQuery(
+      "MATCH (a), (b) WHERE a.full_name < b.full_name " +
+        "RETURN a.full_name, b.full_name ORDER BY a.full_name, b.full_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pairs.length === 6) // C(4,2): ordered pairs of 4 nodes
+    assert(pairs.contains(("m.Person", "m.util")))
+    assert(pairs === pairs.sorted)
+    // comma with labels and cross-variable WHERE
+    val cf = db.executeQuery(
+      "MATCH (c:CLASS), (f:FUNCTION) WHERE c.name < f.name " +
+        "RETURN c.name, f.name").collect()
+    assert(cf.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("Person", "util")))
+    // a SHARED variable across comma patterns anchors, no cartesian:
+    // (c)-[:HAS_METHOD]->(m), (mod)-[:CONTAINS]->(c) — c joins both
+    val anchored = db.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(m:METHOD), (mod:MODULE {name: 'm'}) " +
+        "RETURN c.name, m.name, mod.name").collect()
+    assert(anchored.map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSeq === Seq(("Person", "greet", "m")))
+    // two relationship chains in one comma group: relationship
+    // uniqueness would span them — refused
     intercept[IllegalArgumentException] {
-      db.executeQuery(
-        "MATCH (c:CLASS) MATCH (f:FUNCTION) RETURN c.name, f.full_name")
+      db.executeQuery("MATCH (a)-[:CONTAINS]->(b), (c)-[:HAS_METHOD]->(d) " +
+        "RETURN a.name")
+    }
+    // comma under OPTIONAL MATCH null-extends atomically in Neo4j:
+    // refused rather than approximated
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (c:CLASS) OPTIONAL MATCH (a:MODULE), " +
+        "(b:FUNCTION) RETURN c.name")
+    }
+    // the budget raises LOUDLY: 4 x 4 = 16 rows over a 10-row budget
+    val saved = sys.props.get("graft.cypher.cartesianBudget")
+    try {
+      sys.props("graft.cypher.cartesianBudget") = "10"
+      val ex = intercept[IllegalArgumentException] {
+        db.executeQuery("MATCH (a), (b) RETURN a.full_name, b.full_name")
+      }
+      assert(ex.getMessage.contains("budget"))
+    } finally saved match {
+      case Some(v) => sys.props("graft.cypher.cartesianBudget") = v
+      case None => sys.props.remove("graft.cypher.cartesianBudget"); ()
     }
   }
 
