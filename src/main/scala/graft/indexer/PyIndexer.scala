@@ -984,7 +984,8 @@ object PyIndexer {
     * inherited members without chasing ancestors itself. */
   final case class CorpusContext(modules: Set[String], bound: Set[String],
       returns: Map[String, String], fields: Map[String, String],
-      vars: Map[String, String])
+      vars: Map[String, String],
+      returnElems: Map[String, String] = Map.empty)
 
   /** One module's pre-scan facts, RAW (slice 68): annotation values are
     * the simple names as written; resolution — against the module's own
@@ -997,7 +998,8 @@ object PyIndexer {
       open: Boolean, classes: Set[String], returns: Map[String, String],
       fields: Map[String, String], vars: Map[String, String],
       imports: Map[String, String], modImports: Map[String, String],
-      bases: Map[String, Seq[String]] = Map.empty)
+      bases: Map[String, Seq[String]] = Map.empty,
+      returnElems: Map[String, String] = Map.empty)
 
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier).
     * `corpus`, when present, enables the cross-module slices (62). */
@@ -1686,16 +1688,19 @@ object PyIndexer {
         }
         .flatMap(classishType)
 
-    /** r14 slice 70 — the ELEMENT type of a same-module callee declared
-      * to return a container (`def all() -> list[User]`): iterating or
+    /** r14 slice 70 — the ELEMENT type of a callee declared to return
+      * a container (`def all() -> list[User]`): iterating or
       * subscripting the call result yields User (jedi's generic-alias
-      * element inference for the declared case). */
+      * element inference for the declared case). r15 slice 87: a
+      * CROSS-MODULE callee resolves through the corpus scan's
+      * container-return facts (element already a resolved fqn). */
     def returnElemTarget(callee: String): Option[String] =
       if (keywords.contains(callee)) None
-      else resolveCallee(callee)
-        .filter(_.startsWith(mod + "."))
-        .flatMap(cf => returnElemRaw.get(cf.stripPrefix(mod + ".")))
-        .flatMap(classishType)
+      else resolveCallee(callee).flatMap { cf =>
+        if (cf.startsWith(mod + "."))
+          returnElemRaw.get(cf.stripPrefix(mod + ".")).flatMap(classishType)
+        else corpus.flatMap(_.returnElems.get(cf))
+      }
 
     // C3 slice 10: the return type of `<T>.method()` — same-module
     // receiver classes only (cross-file returns stay out of scope, the
@@ -3077,6 +3082,8 @@ object PyIndexer {
     val fieldAnnos = mutable.Map.empty[String, String]
     val varAnnos = mutable.Map.empty[String, String]
     val clsBases = mutable.Map.empty[String, Seq[String]]
+    // slice 87: container returns (`-> list[User]`) key the ELEMENT
+    val elemAnnos = mutable.Map.empty[String, String]
     val importBindings = mutable.Map.empty[String, String]
     val modImports = mutable.Map.empty[String, String]
     var open = false
@@ -3120,6 +3127,10 @@ object PyIndexer {
           case defHeader(ind, d) if ind.isEmpty =>
             names += d; if (d == "__getattr__") open = true
             annoOf(li).foreach(a => defAnnos(d) = a)
+            // slice 87: a container arrow keys the element type —
+            // resolution at the fold like every other annotation
+            arrowContainer.findFirstMatchIn(joined(li))
+              .foreach(m => elemAnnos(d) = m.group(1))
           case classHeader(ind, c, _) if ind.isEmpty =>
             names += c; classes += c; curCls = Some(c)
             // slice 83: base list, RAW (identifier / dotted spellings
@@ -3200,6 +3211,8 @@ object PyIndexer {
               defAnnos(s"${curCls.get}.$d") = a
               if (pendingProp) fieldAnnos(s"${curCls.get}.$d") = a
             }
+            arrowContainer.findFirstMatchIn(joined(li))
+              .foreach(m => elemAnnos(s"${curCls.get}.$d") = m.group(1))
             // slice 84 (r15): constructor injection — `def __init__
             // (self, conn: Conn)` + `self.conn = conn` types the field
             // cross-module. Capture the annotated-param map here; the
@@ -3236,6 +3249,28 @@ object PyIndexer {
           }
         }
       }
+      // slice 86 (r15): NESTED from-imports — `if TYPE_CHECKING:` /
+      // function-local imports bind names this module's annotations
+      // reference, which the top-level-only collection missed. They
+      // feed IMPORT BINDINGS for annotation resolution ONLY: never
+      // `names` (an indented import binds no top-level name, so the
+      // disproof side is untouched) and never `open` (a nested
+      // `import *` binds locally, not at module scope). Top-level
+      // bindings win (first take; line order puts them equal anyway).
+      if (!cont(li) && ln.nonEmpty && ln.head.isWhitespace) ln match {
+        case fromImport(srcMod, items) if !items.contains("*") =>
+          items.split(",").foreach { it =>
+            val parts = it.trim.stripPrefix("(").stripSuffix(")")
+              .trim.split("\\s+as\\s+")
+            val bound = parts.last.trim
+            val orig = parts.head.trim
+            if (bound.matches("[A-Za-z_]\\w*") &&
+                !srcMod.startsWith(".") && srcMod.nonEmpty &&
+                orig.matches("[A-Za-z_]\\w*"))
+              importBindings.getOrElseUpdate(bound, s"$srcMod.$orig")
+          }
+        case _ => ()
+      }
     }
     // slice 68: annotations stay RAW here (module-qualified keys,
     // simple-name values) — resolution moved to the corpus fold where
@@ -3245,7 +3280,8 @@ object PyIndexer {
       defAnnos.iterator.map { case (d, a) => s"$mod.$d" -> a }.toMap,
       fieldAnnos.iterator.map { case (f, a) => s"$mod.$f" -> a }.toMap,
       varAnnos.iterator.map { case (v, a) => s"$mod.$v" -> a }.toMap,
-      importBindings.toMap, modImports.toMap, clsBases.toMap)
+      importBindings.toMap, modImports.toMap, clsBases.toMap,
+      elemAnnos.iterator.map { case (d, a) => s"$mod.$d" -> a }.toMap)
   }
 
   /** Fold per-module binding scans into the [[CorpusContext]] the deep
@@ -3260,24 +3296,39 @@ object PyIndexer {
     * nothing — the optimistic take stays, the corpus never guesses. */
   def corpusContext(scans: Seq[ModuleScan]): CorpusContext = {
     val closed = scans.filterNot(_.open)
-    val classesByMod = scans.iterator.map(s => s.mod -> s.classes).toMap
+    val scansByMod = scans.iterator.map(s => s.mod -> s).toMap
+    // slice 85 (r15): RE-EXPORT chasing — `from mod_core import User`
+    // in a facade module + `from facade import User` elsewhere must
+    // resolve to mod_core.User. Chase a qualified `mod.Name` through
+    // each module's own from-import bindings until a module DEFINES
+    // the class (bounded hops; an out-of-corpus or non-class end
+    // binds nothing — the corpus never guesses).
+    @annotation.tailrec
+    def chaseClass(q: String, hops: Int = 4): Option[String] = {
+      val i = q.lastIndexOf('.')
+      if (i <= 0) None
+      else {
+        val (m, c) = (q.substring(0, i), q.substring(i + 1))
+        scansByMod.get(m) match {
+          case Some(ms) if ms.classes.contains(c) => Some(s"$m.$c")
+          case Some(ms) if hops > 0 && ms.imports.contains(c) =>
+            chaseClass(ms.imports(c), hops - 1)
+          case _ => None
+        }
+      }
+    }
     def resolve(s: ModuleScan)(anno: String): Option[String] =
       if (!anno.contains('.')) {
         if (s.classes.contains(anno)) Some(s"${s.mod}.$anno")
-        else s.imports.get(anno).filter { q =>
-          val i = q.lastIndexOf('.')
-          i > 0 && classesByMod.get(q.substring(0, i))
-            .exists(_.contains(q.substring(i + 1)))
-        }
+        else s.imports.get(anno).flatMap(q => chaseClass(q))
       } else {
         // slice 69: dotted `prefix.Cls` — the prefix must be one of the
         // scanning module's OWN `import` bindings (alias or full dotted
-        // path); the class must exist in the bound module's scan
+        // path); the class must exist in the bound module's scan (or
+        // chase its re-exports, slice 85)
         val i = anno.lastIndexOf('.')
         val (pref, cls) = (anno.substring(0, i), anno.substring(i + 1))
-        s.modImports.get(pref)
-          .filter(m => classesByMod.get(m).exists(_.contains(cls)))
-          .map(m => s"$m.$cls")
+        s.modImports.get(pref).flatMap(m => chaseClass(s"$m.$cls"))
       }
     def resolved(pick: ModuleScan => Map[String, String])
         : Map[String, String] =
@@ -3340,6 +3391,7 @@ object PyIndexer {
         s.names.iterator.map(n => s"${s.mod}.$n") }.toSet,
       flatten(resolved(_.returns)),
       flatten(resolved(_.fields)),
-      resolved(_.vars))
+      resolved(_.vars),
+      flatten(resolved(_.returnElems)))
   }
 }

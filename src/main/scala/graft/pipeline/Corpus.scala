@@ -451,6 +451,47 @@ object Corpus {
         count_distinct(col("source")).as("n_sens"))
       .withColumn("l_div", (col("n_sens") >= l).cast("int"))
 
+  /** t-CLOSENESS screen (r15 — Li 2007, completing the governance trio
+    * beside [[kAnonymity]] and [[lDiversity]]): ℓ distinct sensitive
+    * values per class still disclose when the class DISTRIBUTION skews
+    * far from the corpus-wide one (the skewness attack — 49 healthy +
+    * 1 rare-disease in a class where the disease is 1-in-a-million
+    * corpus-wide is a disclosure). A class releases only when the
+    * total-variation distance between its sensitive distribution and
+    * the global one is ≤ t. All decisions are EXACT integers: TVD =
+    * Σ|c_s/n − g_s/N| / 2 = Σ|c_s·N − g_s·n| / (2·n·N), reported as
+    * ppm via one integral division (products route through
+    * DECIMAL(38,0) so web-scale counts — N² ≈ 10²² at 10¹¹ docs —
+    * never wrap int64; DuckDB mirrors in HUGEINT). Sources a class
+    * lacks contribute |0·N − g_s·n| (Li's definition sums over the
+    * DOMAIN), hence the class × global-source grid — bounded (langs ×
+    * ~60 octaves × |sources|) with the global table broadcast, same
+    * scale shape as [[psiDrift]]. Returns one row per class:
+    * (lang, len_oct, n, tvd_ppm, t_close). */
+  def tCloseness(docs: DataFrame, tPpm: Long = 200000L): DataFrame = {
+    val base = docs.select(col("lang"), col("source"),
+      length(bin(greatest(col("n_chars"), lit(1L)))).cast("int")
+        .as("len_oct"))
+    val cls = base.groupBy("lang", "len_oct", "source")
+      .agg(count(lit(1)).as("c"))
+    val glob = base.groupBy("source").agg(count(lit(1)).as("g"))
+    val tot = glob.agg(sum(col("g")).as("gtot"))
+    val classN = cls.groupBy("lang", "len_oct").agg(sum(col("c")).as("n"))
+    classN.crossJoin(broadcast(glob))
+      .join(cls, Seq("lang", "len_oct", "source"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("len_oct"), col("n"),
+        expr("""abs(cast(coalesce(c, 0) as decimal(38,0)) * gtot
+               |    - cast(g as decimal(38,0)) * n)""".stripMargin)
+          .as("dev"),
+        expr("cast(n as decimal(38,0)) * gtot").as("nN"))
+      .groupBy("lang", "len_oct")
+      .agg(max(col("n")).as("n"),
+        expr("cast((sum(dev) * 500000) div max(nN) as bigint)")
+          .as("tvd_ppm"))
+      .withColumn("t_close", (col("tvd_ppm") <= tPpm).cast("int"))
+  }
+
   def specialTokenScreen(docs: DataFrame): DataFrame = {
     // literal count: (len(text) − len(replace(text, tok, ''))) / len(tok)
     def countOf(tok: String) =

@@ -2034,6 +2034,79 @@ object QueryCatalog {
       |    AS l_div
       |FROM documents GROUP BY 1, 2""".stripMargin
 
+  /** st_kanon / st_ldiv — the CONTINUOUS governance twins
+    * ([[graft.streaming.Streams.streamingKAnonymity]] /
+    * [[graft.streaming.Streams.streamingLDiversity]]): bounded-key
+    * flatMapGroupsWithState counters (one long / one small source-set
+    * per class); additive + set-union state is batch-boundary-
+    * independent, so after replaying the documents table the LAST
+    * emission per class hash-matches the batch screens — both gates
+    * share the batch oracles verbatim. */
+  val stKanon: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars"))
+      .as[(String, String, Long)].collect()
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    StreamReplay.replay(s, docs, "st_kanon", "update") { df =>
+      graft.streaming.Streams.streamingKAnonymity(
+        df.toDF("lang", "source", "n_chars")).toDF()
+    }
+      .groupBy("lang", "source", "len_oct")
+      .agg(max(col("n")).as("n"),
+        max_by(col("k_anon"), col("n")).as("k_anon"))
+  }
+
+  val stLdiv: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars"))
+      .as[(String, String, Long)].collect()
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    StreamReplay.replay(s, docs, "st_ldiv", "update") { df =>
+      graft.streaming.Streams.streamingLDiversity(
+        df.toDF("lang", "source", "n_chars")).toDF()
+    }
+      .groupBy("lang", "len_oct")
+      .agg(max(col("n")).as("n"),
+        max_by(col("n_sens"), col("n")).as("n_sens"),
+        max_by(col("l_div"), col("n")).as("l_div"))
+  }
+
+  /** p_tclose — t-closeness over release metadata
+    * ([[graft.pipeline.Corpus.tCloseness]], Li 2007 — the governance
+    * trio's third screen): per (lang, size-octave) class, the exact
+    * integer total-variation distance between the class's `source`
+    * distribution and the corpus-wide one, in ppm; release iff
+    * ≤ 200000 (t = 0.2). The oracle replays the class × domain grid
+    * and the HUGEINT deviation sum verbatim. */
+  val pTclose: Q = (s, d) =>
+    Corpus.tCloseness(Tables.documents(s, d), tPpm = 200000L)
+
+  val pTcloseSql: String =
+    """WITH base AS (SELECT lang, source,
+      |    length(bin(greatest(n_chars, 1)))::INT AS len_oct
+      |  FROM documents),
+      |cls AS (SELECT lang, len_oct, source, count(*)::BIGINT AS c
+      |  FROM base GROUP BY 1, 2, 3),
+      |gsrc AS (SELECT source, count(*)::BIGINT AS g FROM base GROUP BY 1),
+      |tot AS (SELECT sum(g)::BIGINT AS gtot FROM gsrc),
+      |cn AS (SELECT lang, len_oct, sum(c)::BIGINT AS n
+      |  FROM cls GROUP BY 1, 2),
+      |grid AS (SELECT cn.lang, cn.len_oct, cn.n,
+      |    abs(coalesce(cls.c, 0)::HUGEINT * tot.gtot
+      |        - gsrc.g::HUGEINT * cn.n) AS dev,
+      |    cn.n::HUGEINT * tot.gtot AS nN
+      |  FROM cn CROSS JOIN gsrc
+      |  LEFT JOIN cls ON cls.lang = cn.lang AND cls.len_oct = cn.len_oct
+      |    AND cls.source = gsrc.source
+      |  CROSS JOIN tot)
+      |SELECT lang, len_oct, max(n)::BIGINT AS n,
+      |  ((sum(dev) * 500000) // max(nN))::BIGINT AS tvd_ppm,
+      |  (CASE WHEN ((sum(dev) * 500000) // max(nN)) <= 200000
+      |    THEN 1 ELSE 0 END)::INT AS t_close
+      |FROM grid GROUP BY 1, 2""".stripMargin
+
   /** t_ppl — per-document bigram-LM negative log-likelihood
     * ([[graft.pipeline.Corpus.bigramNll]]): add-one-smoothed corpus
     * bigram model scoring each doc's token stream, per-bigram −ln P
@@ -9998,6 +10071,9 @@ object QueryCatalog {
     "st_f2" -> stF2,
     "p_kanon" -> pKanon,
     "p_ldiv" -> pLdiv,
+    "p_tclose" -> pTclose,
+    "st_kanon" -> stKanon,
+    "st_ldiv" -> stLdiv,
     "t_lexdiv" -> tLexDiv,
     "t_pmi" -> tPmi,
     "t_zipf" -> tZipf,
@@ -10322,6 +10398,9 @@ object QueryCatalog {
     "st_f2" -> tF2Sql,
     "p_kanon" -> pKanonSql,
     "p_ldiv" -> pLdivSql,
+    "p_tclose" -> pTcloseSql,
+    "st_kanon" -> pKanonSql,
+    "st_ldiv" -> pLdivSql,
     "t_lexdiv" -> tLexDivSql,
     "t_pmi" -> tPmiSql,
     "t_zipf" -> tZipfSql,

@@ -1421,6 +1421,75 @@ object Streams {
     }
   }
 
+  final case class KanonOut(lang: String, source: String, len_oct: Int,
+      n: Long, k_anon: Int)
+
+  /** Streaming k-ANONYMITY monitor (r15): the continuous twin of
+    * [[graft.pipeline.Corpus.kAnonymity]] — as documents arrive, each
+    * (lang, source, size-octave) equivalence class's count updates and
+    * re-emits with the k flag, so a release pipeline watches classes
+    * cross the threshold live instead of re-screening offline. State
+    * is ONE long per class over a bounded key space (langs × sources ×
+    * ~60 octaves — the smallest state family in this module, no TTL);
+    * counts are ADDITIVE, so the state after any batch split equals
+    * the batch count of the union and the LAST emission per class IS
+    * the batch screen — `st_kanon` shares `p_kanon`'s oracle
+    * verbatim. */
+  def streamingKAnonymity(docs: DataFrame, k: Int = 5)
+      : Dataset[KanonOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("lang"), col("source"),
+        length(bin(greatest(col("n_chars"), lit(1L)))).cast("int")
+          .as("len_oct"))
+      .as[(String, String, Int)]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroupsWithState[Long, KanonOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          Iterator.single(KanonOut(key._1, key._2, key._3, n,
+            if (n >= k) 1 else 0))
+      }
+  }
+
+  final case class LdivState(n: Long, srcs: Seq[String])
+  final case class LdivOut(lang: String, len_oct: Int, n: Long,
+      n_sens: Long, l_div: Int)
+
+  /** Streaming ℓ-DIVERSITY monitor (r15): the continuous twin of
+    * [[graft.pipeline.Corpus.lDiversity]] — per (lang, size-octave)
+    * class, the running count plus the SET of distinct sensitive
+    * `source` values seen (bounded: |sources| is small by
+    * construction; the set IS the exact distinct count, no sketch
+    * needed at this cardinality). Set-union and addition are both
+    * order- and batch-boundary-independent, so the last emission per
+    * class matches the batch screen and `st_ldiv` shares `p_ldiv`'s
+    * oracle verbatim. */
+  def streamingLDiversity(docs: DataFrame, l: Int = 3)
+      : Dataset[LdivOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("lang"), col("source"),
+        length(bin(greatest(col("n_chars"), lit(1L)))).cast("int")
+          .as("len_oct"))
+      .as[(String, String, Int)]
+      .groupByKey(t => (t._1, t._3))
+      .flatMapGroupsWithState[LdivState, LdivOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[LdivState]) =>
+          var s = state.getOption.getOrElse(LdivState(0L, Seq.empty))
+          val srcs = scala.collection.mutable.Set[String](s.srcs: _*)
+          var n = s.n
+          it.foreach { t => n += 1; srcs += t._2 }
+          s = LdivState(n, srcs.toSeq.sorted)
+          state.update(s)
+          Iterator.single(LdivOut(key._1, key._2, n, srcs.size.toLong,
+            if (srcs.size >= l) 1 else 0))
+      }
+  }
+
   /** Stateless corpus screens on a document STREAM: quality score + gate
     * and PII redaction are pure narrow maps (Column expressions, no
     * state, no shuffle), so the exact batch operators run on a streaming

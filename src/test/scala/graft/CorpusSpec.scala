@@ -419,6 +419,28 @@ class CorpusSpec extends AnyFunSuite {
       ("zh", 13, 2L, 2L, 0)))
   }
 
+  test("r15 tCloseness: exact-integer TVD in ppm — a corpus-like class " +
+      "releases, a single-source skew fails, absent domain values " +
+      "contribute") {
+    // global: web 8, book 4, N = 12
+    // class (en,7): web 4 + book 4, n = 8 → dev = |48−64| + |48−32| =
+    //   32, ppm = 32·500000/96 = 166666 ≤ 200000: release
+    // class (zh,13): web 4, n = 4 → dev = |48−32| + |0−16| = 32,
+    //   ppm = 32·500000/48 = 333333: fail (the absent `book` value
+    //   contributes — Li's domain sum)
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "t", "en", "web", 100L)) ++
+      (5 to 8).map(i => (i.toLong, "t", "en", "book", 100L)) ++
+      (11 to 14).map(i => (i.toLong, "t", "zh", "web", 5000L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.pipeline.Corpus.tCloseness(docs)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(out === Set(
+      ("en", 7, 8L, 166666L, 1),
+      ("zh", 13, 4L, 333333L, 0)))
+  }
+
   test("r14 cusum: in-plan calibration, max(0,.) floor via the " +
       "window closed form, alarm only past h = ref") {
     import java.sql.Timestamp

@@ -2909,6 +2909,117 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.contains("mod_c.A.b_ping"), s"got $calls")
   }
 
+  test("r15 slice 85: FACADE re-exports chase at the corpus fold — an " +
+      "annotation naming a re-exported class resolves to its definer; " +
+      "out-of-corpus re-export chains bind nothing") {
+    val modCore =
+      """class User:
+        |    def save(self):
+        |        return 1
+        |""".stripMargin
+    // the facade defines NO class — it only re-exports
+    val modPkg =
+      """from mod_core import User
+        |""".stripMargin
+    val modF =
+      """from mod_pkg import User
+        |from mod_ghostpkg import Phantom
+        |
+        |def make() -> User:
+        |    return User()
+        |
+        |def spook() -> Phantom:
+        |    return Phantom()
+        |""".stripMargin
+    val modG =
+      """from mod_f import make, spook
+        |
+        |def use():
+        |    make().save()
+        |
+        |def use_ghost():
+        |    spook().save()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_core.py", modCore),
+      SourceFile("mod_pkg.py", modPkg), SourceFile("mod_f.py", modF),
+      SourceFile("mod_g.py", modG)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t85"), "t85")
+    val saves = out.edges
+      .filter(col("rel_type") === Rel.Call && col("dst") === "mod_core.User.save")
+      .select("src").as[String].collect().toSet
+    assert(saves.contains("mod_g.use"), s"got $saves")
+    assert(!saves.contains("mod_g.use_ghost"), s"got $saves")
+  }
+
+  test("r15 slice 86: TYPE_CHECKING / nested from-imports feed " +
+      "annotation resolution; the disproof side stays top-level-only") {
+    val modA =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |""".stripMargin
+    val modB =
+      """from typing import TYPE_CHECKING
+        |
+        |if TYPE_CHECKING:
+        |    from mod_a import Conn
+        |
+        |def get() -> "Conn":
+        |    return _make()
+        |""".stripMargin
+    val modC =
+      """from mod_b import get
+        |
+        |def use():
+        |    get().ping()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_a.py", modA), SourceFile("mod_b.py", modB),
+      SourceFile("mod_c.py", modC)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t86"), "t86")
+    val pings = out.edges
+      .filter(col("rel_type") === Rel.Call && col("dst") === "mod_a.Conn.ping")
+      .select("src").as[String].collect().toSet
+    assert(pings.contains("mod_c.use"), s"got $pings")
+  }
+
+  test("r15 slice 87: cross-module CONTAINER returns — iterating an " +
+      "imported `-> list[User]` factory types the element; unresolved " +
+      "elements bind nothing") {
+    val modA =
+      """class User:
+        |    def save(self):
+        |        return 1
+        |
+        |def all_users() -> list[User]:
+        |    return [User()]
+        |
+        |def ghosts() -> list[Ghost]:
+        |    return []
+        |""".stripMargin
+    val modB =
+      """from mod_a import all_users, ghosts
+        |
+        |def use_iter():
+        |    for u in all_users():
+        |        u.save()
+        |
+        |def use_ghost():
+        |    for g in ghosts():
+        |        g.save()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_a.py", modA),
+      SourceFile("mod_b.py", modB)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t87"), "t87")
+    val saves = out.edges
+      .filter(col("rel_type") === Rel.Call && col("dst") === "mod_a.User.save")
+      .select("src").as[String].collect().toSet
+    assert(saves.contains("mod_b.use_iter"), s"got $saves")
+    assert(!saves.contains("mod_b.use_ghost"), s"got $saves")
+  }
+
   test("r15 slice 84: constructor injection — an annotated __init__ " +
       "param assigned to self types the field cross-module; untyped " +
       "params bind nothing; explicit class annotations win") {

@@ -716,6 +716,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the scan must partial-aggregate; plan:\n$plan")
   }
 
+  test("r15 p_ldiv: one bounded-key partial-agg groupBy, no joins") {
+    val df = QueryCatalog.queries("p_ldiv")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // count_distinct plans as a two-phase aggregate over the same key
+    // exchange family — but never a join, and never a per-doc shuffle
+    // beyond the bounded class/source keys
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"bounded-key exchanges only; plan:\n$plan")
+    assert(!plan.contains("Join"), s"no joins; plan:\n$plan")
+  }
+
+  test("r15 p_tclose: global/total tables broadcast into the bounded " +
+      "grid — no shuffled join, no unbounded cartesian") {
+    val df = QueryCatalog.queries("p_tclose")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("SortMergeJoin"),
+      s"the class x source grid joins must broadcast; plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the global tables must broadcast; plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"never a real cartesian; plan:\n$plan")
+  }
+
   test("r14b t_wordpiece: the per-round unigram score table broadcasts " +
       "into the pair join — never a shuffled join on symbols") {
     val df = QueryCatalog.tWordpiece(spark, sf)

@@ -1088,6 +1088,43 @@ class StreamsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", saved)
   }
 
+  test("r15 streamingKAnonymity / streamingLDiversity: additive state " +
+      "across batch splits; last emission per class equals the batch " +
+      "screen") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long)]
+    val q = Streams.streamingKAnonymity(
+        mem.toDS().toDF("lang", "source", "n_chars"), k = 5)
+      .toDF().writeStream.format("memory")
+      .queryName("st_kanon_t").outputMode("update").start()
+    // 6 docs of one class split across two batches: 4 then 2 — the
+    // flag must flip from 0 to 1 only at the second batch
+    mem.addData((1 to 4).map(_ => ("en", "web", 100L)): _*)
+    q.processAllAvailable()
+    mem.addData((1 to 2).map(_ => ("en", "web", 100L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val em = spark.table("st_kanon_t")
+      .collect().map(r => (r.getLong(3), r.getInt(4))).toSet
+    assert(em === Set((4L, 0), (6L, 1)))
+
+    val mem2 = MemoryStream[(String, String, Long)]
+    val q2 = Streams.streamingLDiversity(
+        mem2.toDS().toDF("lang", "source", "n_chars"), l = 3)
+      .toDF().writeStream.format("memory")
+      .queryName("st_ldiv_t").outputMode("update").start()
+    // distinct sources accumulate across batches: 2 then a 3rd (plus a
+    // repeat that must not double-count)
+    mem2.addData(("en", "web", 100L), ("en", "book", 100L))
+    q2.processAllAvailable()
+    mem2.addData(("en", "wiki", 100L), ("en", "web", 100L))
+    q2.processAllAvailable()
+    q2.stop()
+    val em2 = spark.table("st_ldiv_t")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    assert(em2 === Set((2L, 2L, 0), (4L, 3L, 1)))
+  }
+
   test("r15 amsF2Fold: an empty micro-batch (idle tick / recovery " +
       "batch) is the zero partial — bank unchanged, no NPE") {
     import graft.pipeline.Sketches
