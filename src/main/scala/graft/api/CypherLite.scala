@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
   *   [WHERE exists(x.prop) [AND x.prop = 'val' …]]
   *   RETURN <proj>[, <proj>…]
   *
-  *  - any number of hops, each `-[:R]->` (forward) or `<-[:R]-` (reversed),
+  *  - any number of hops, each `-[:R]->` (forward), `<-[:R]-`
+  *    (reversed) or `-[:R]-` / `--` (UNDIRECTED, r15 — either physical
+  *    orientation matches via a symmetrized scan whose physical
+  *    (src, rel_type, dst) columns survive, so startNode()/endNode(),
+  *    r-projections and relationship-uniqueness see the real edge;
+  *    self-loops match once; var-length undirected raises),
   *    optionally variable-length (`-[:R*2]->`, `-[:R*1..3]->`,
   *    `-[:R*..3]->`, zero-length `-[:R*0..2]->` binding the same node,
   *    and unbounded `-[:R*]->` via an edge-uniqueness path fixpoint
@@ -112,6 +117,10 @@ object CypherLite {
   // be of any listed type — one scan filter, not a union)
   private val fwdArrow = """^-\s*\[\s*(\w+)?\s*:(\w+(?:\s*\|\s*\w+)*)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*->$""".r
   private val bwdArrow = """^<-\s*\[\s*(\w+)?\s*:(\w+(?:\s*\|\s*\w+)*)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*-$""".r
+  // UNDIRECTED single hop `-[r:R {..}]-` (r15): matched AFTER fwd/bwd
+  // (no `>` tail, no `<` head reaches here); var-length stars raise at
+  // the parse site — the PATH-SUMMARY model is directed
+  private val undirArrow = """^-\s*\[\s*(\w+)?\s*:(\w+(?:\s*\|\s*\w+)*)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*-$""".r
 
   /** Hard cap on variable-length expansion: each extra hop is another
     * self-join of the edge table, so an unbounded (or huge) `*` would be
@@ -1280,7 +1289,8 @@ object CypherLite {
   private final case class Hop(rel: String, reversed: Boolean,
       minHops: Int = 1, maxHops: Int = 1,
       props: Map[String, String] = Map.empty,
-      varName: Option[String] = None) {
+      varName: Option[String] = None,
+      undirected: Boolean = false) {
     def isVarLength: Boolean = !(minHops == 1 && maxHops == 1)
   }
 
@@ -1412,11 +1422,22 @@ object CypherLite {
         case bwdArrow(rv, rel, star, props) =>
           val (mn, mx) = parseStar(star)
           Hop(rel, reversed = true, mn, mx, parseProps(props), Option(rv))
-        // bare arrows: ANY relationship type (Neo4j's `-->`/`<--`)
+        // bare arrows: ANY relationship type (Neo4j's `-->`/`<--`/`--`)
         case "-->" => Hop(null, reversed = false)
         case "<--" => Hop(null, reversed = true)
+        case "--" => Hop(null, reversed = false, undirected = true)
+        case undirArrow(rv, rel, star, props) =>
+          // UNDIRECTED single hop (r15): either physical orientation
+          // matches; var-length undirected stays out (the directed
+          // PATH-SUMMARY model), the module's raise-don't-approximate
+          // posture
+          require(star == null,
+            s"var-length undirected relationships not supported: " +
+              s"-[:$rel$star]-")
+          Hop(rel, reversed = false, 1, 1, parseProps(props), Option(rv),
+            undirected = true)
         case other => throw new IllegalArgumentException(
-          s"unsupported relationship pattern '$other' (directed arrows only)")
+          s"unsupported relationship pattern '$other'")
       }
     }
     // a variable on a var-length hop binds the traversed-edge LIST
@@ -1558,16 +1579,32 @@ object CypherLite {
       // a NAMED hop presents the uniform relationship-alias schema:
       // single-hop scans add hops = 1; var-length path frames add null
       // rel_type/props (the PATH-SUMMARY model — see relCarriedFields)
-      val e = (if (hop.varName.isEmpty) eRaw
+      val eDir = (if (hop.varName.isEmpty) eRaw
         else if (hop.isVarLength)
           eRaw.withColumn("rel_type", lit(null).cast("string"))
             .withColumn("props", lit(null).cast("map<string,string>"))
-        else eRaw.withColumn("hops", lit(1L))).alias(ea)
+        else eRaw.withColumn("hops", lit(1L)))
+      // UNDIRECTED hop (r15): symmetrize the scan into __from/__to
+      // join columns while KEEPING the physical (src, rel_type, dst)
+      // columns — relationship-uniqueness (triple equality below),
+      // startNode()/endNode() and r-projections all read PHYSICAL
+      // orientation, exactly Neo4j's semantics (an edge traversed
+      // either way is the same relationship). Self-loops enter once
+      // (the swapped copy filters them), so (a)-[r]-(a) matches once.
+      val e = (if (!hop.undirected) eDir
+        else eDir.withColumn("__from", col("src"))
+          .withColumn("__to", col("dst"))
+          .unionByName(eDir.filter(col("src") =!= col("dst"))
+            .withColumn("__from", col("dst"))
+            .withColumn("__to", col("src")))).alias(ea)
       val next = nodes
         .filter(nodePred(c.nodeMs(i + 1).labels, c.nodeMs(i + 1).props))
         .alias(s"n${ai + 1}")
       df =
-        if (!hop.reversed)
+        if (hop.undirected)
+          df.join(e, col(s"n$ai.full_name") === col(s"$ea.__from"))
+            .join(next, col(s"$ea.__to") === col(s"n${ai + 1}.full_name"))
+        else if (!hop.reversed)
           df.join(e, col(s"n$ai.full_name") === col(s"$ea.src"))
             .join(next, col(s"$ea.dst") === col(s"n${ai + 1}.full_name"))
         else

@@ -588,6 +588,29 @@ object QueryCatalog {
       |  NULL, NULL, NULL, NULL
       |FROM nat GROUP BY r""".stripMargin
 
+  /** g_b10_undir — UNDIRECTED relationships (r15): `(n:NATION)--(x)`
+    * matches either physical orientation — forward IN_REGION edges to
+    * the region AND backward IN_NATION edges from customers/suppliers
+    * both contribute, which no directed spelling reaches in one hop.
+    * The oracle symmetrizes the edge table (self-loops entering once)
+    * and replays the grouped count. */
+  val gB10Undir: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (n:NATION)--(x) " +
+        "RETURN n.name AS nation, x.kind AS kind, count(*) AS cnt")
+  }
+
+  val gB10UndirSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte},
+       |sym AS (SELECT src AS a, dst AS b FROM edges
+       |  UNION ALL SELECT dst, src FROM edges WHERE src <> dst)
+       |SELECT n.name AS nation, x.label AS kind, count(*)::BIGINT AS cnt
+       |FROM sym
+       |JOIN nodes n ON sym.a = n.full_name AND n.label = 'NATION'
+       |JOIN nodes x ON sym.b = x.full_name
+       |GROUP BY 1, 2""".stripMargin
+
   /** g_b10_cart — un-anchored plain MATCH (r15, verdict task #3): the
     * comma cartesian `MATCH (a:NATION), (b:NATION)` Neo4j executes
     * with a warning, here under [[graft.api.CypherLite]]'s loud row
@@ -10147,6 +10170,7 @@ object QueryCatalog {
     "g_b10_write" -> gB10Write,
     "g_b10_write_edge" -> gB10WriteEdge,
     "g_b10_cart" -> gB10Cart,
+    "g_b10_undir" -> gB10Undir,
     "g_b10_spath" -> gB10Spath,
     "g_b10_cycle" -> gB10Cycle,
     "g_b10_union" -> gB10Union,
@@ -10486,6 +10510,7 @@ object QueryCatalog {
     "g_b10_write" -> gB10WriteSql,
     "g_b10_write_edge" -> gB10WriteEdgeSql,
     "g_b10_cart" -> gB10CartSql,
+    "g_b10_undir" -> gB10UndirSql,
     "g_b10_spath" -> gB10SpathSql,
     "g_b10_cycle" -> gB10CycleSql,
     "t_cms_topk" -> tCmsTopkSql,

@@ -1473,6 +1473,46 @@ class CypherLiteSpec extends AnyFunSuite {
       Seq(("Person", "m.util")))
   }
 
+  test("r15 undirected relationships: both orientations match, " +
+      "physical columns survive, the same edge never binds twice, " +
+      "self-loops match once") {
+    // Person's edges: HAS_METHOD out (→ greet), CONTAINS in (← m) —
+    // one undirected untyped hop reaches BOTH
+    val both = db.executeQuery(
+      "MATCH (c:CLASS)--(x) RETURN x.full_name ORDER BY x.full_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(both === Seq("m", "m.Person.greet"))
+    // typed undirected: only the named type's edges, either way
+    val typed = db.executeQuery(
+      "MATCH (c:CLASS)-[:CONTAINS]-(x) RETURN x.full_name").collect()
+    assert(typed.map(_.getString(0)).toSeq === Seq("m"))
+    // the relationship variable reads PHYSICAL orientation: the
+    // CONTAINS edge runs m → Person even when matched backward
+    val phys = db.executeQuery(
+      "MATCH (c:CLASS)-[r:CONTAINS]-(x) RETURN startNode(r), endNode(r)")
+      .collect()
+    assert(phys.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("m", "m.Person")))
+    // relationship uniqueness spans orientations: walking CONTAINS
+    // from m to Person and "back" would reuse the SAME edge — no rows
+    val uniq = db.executeQuery(
+      "MATCH (a {full_name: 'm'})-[r1:CONTAINS]-(b)-[r2:CONTAINS]-(c) " +
+        "RETURN c.full_name").collect()
+    assert(uniq.isEmpty)
+    // self-loop matches ONCE through an undirected hop
+    val d2 = GraphDatabase.inMemory(spark)
+    d2.executeQuery("CREATE (n:CLASS:`u` {full_name: 'u.A', name: 'A'})")
+    d2.executeQuery("MERGE (a:`u` {full_name: 'u.A'})-[:CALLS]->" +
+      "(b {full_name: 'u.A'})")
+    val loop = d2.executeQuery(
+      "MATCH (a:CLASS)-[:CALLS]-(b) RETURN b.full_name").collect()
+    assert(loop.map(_.getString(0)).toSeq === Seq("u.A"))
+    // var-length undirected stays out — raises, never approximates
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (a:CLASS)-[:CONTAINS*1..2]-(b) RETURN b")
+    }
+  }
+
   test("r15 comma patterns: cartesian under budget, cross-variable " +
       "WHERE, shared-variable anchoring, budget raise") {
     // the canonical un-anchored comma shape — a 4-node cartesian of
