@@ -1720,7 +1720,29 @@ object CypherLite {
     * shortestPath family. */
   private final case class SpParts(pVar: String, aPat: NodePat,
       bPat: NodePat, hop: Hop, reversed: Boolean, minH: Int, maxH: Int,
-      tail: String)
+      tail: String, undirected: Boolean)
+
+  /** The BFS traversal frame for the path-search operators: traversal
+    * (src, dst) per direction mode, with the PHYSICAL (psrc, pdst)
+    * riding along so reconstruction emits the real edge. Undirected
+    * unions both orientations (self-loops enter once). */
+  private def spathTraversalFrame(scan: DataFrame, reversed: Boolean,
+      undirected: Boolean): DataFrame = {
+    val base = scan.select(col("src"), col("dst"), col("rel_type"))
+    if (undirected)
+      base.select(col("src"), col("dst"), col("rel_type"),
+          col("src").as("psrc"), col("dst").as("pdst"))
+        .unionByName(base.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("src"), col("src").as("dst"),
+            col("rel_type"), col("src").as("psrc"),
+            col("dst").as("pdst")))
+    else if (reversed)
+      base.select(col("dst").as("src"), col("src").as("dst"),
+        col("rel_type"), col("src").as("psrc"), col("dst").as("pdst"))
+    else
+      base.select(col("src"), col("dst"), col("rel_type"),
+        col("src").as("psrc"), col("dst").as("pdst"))
+  }
 
   private def parseSpathPattern(q: String, kwIdx: Int,
       kw: String): SpParts = {
@@ -1748,13 +1770,18 @@ object CypherLite {
       s"$kw needs exactly (a)-[…]->(b), got ${pats.size} nodes: $q")
     val Seq(aPat, bPat) = pats
     val arrow = inner.substring(aPat.end, bPat.start).trim
-    val (relSpec, reversed, star, relProps) = arrow match {
+    val (relSpec, reversed, undirected, star, relProps) = arrow match {
       case fwdArrow(v, rel, st, pr) =>
         require(v == null, s"relationship variable in $kw: $q")
-        (rel, false, st, pr)
+        (rel, false, false, st, pr)
       case bwdArrow(v, rel, st, pr) =>
         require(v == null, s"relationship variable in $kw: $q")
-        (rel, true, st, pr)
+        (rel, true, false, st, pr)
+      // UNDIRECTED variable-length search (r15): BFS over the
+      // symmetrized scan — Neo4j's `shortestPath((a)-[:R*]-(b))`
+      case undirArrow(v, rel, st, pr) =>
+        require(v == null, s"relationship variable in $kw: $q")
+        (rel, false, true, st, pr)
       case other => throw new IllegalArgumentException(
         s"unsupported $kw relationship '$other'")
     }
@@ -1778,20 +1805,20 @@ object CypherLite {
     SpParts(pVar, aPat, bPat,
       Hop(relSpec, reversed, 1, 1,
         Option(relProps).map(parseProps).getOrElse(Map.empty)),
-      reversed, minH, maxH, tail)
+      reversed, minH, maxH, tail, undirected)
   }
 
   private def executeShortestPath(nodes: DataFrame, edges: DataFrame,
       q: String, spIdx: Int): DataFrame = {
     val sp = parseSpathPattern(q, spIdx, "shortestPath")
-    val SpParts(pVar, aPat, bPat, hop, reversed, minH, maxH, tail) = sp
+    val SpParts(pVar, aPat, bPat, hop, reversed, minH, maxH, tail,
+      undirected) = sp
     val scan = hopEdges(edges, hop)
-    // BFS space: reversed arrows flip the scan; rel types ride along for
-    // the path-projection reconstruction (r12)
-    val eTyped = (if (reversed)
-        scan.select(col("dst").as("src"), col("src").as("dst"),
-          col("rel_type"))
-      else scan.select(col("src"), col("dst"), col("rel_type")))
+    // BFS space: reversed arrows flip the scan; UNDIRECTED (r15)
+    // unions both orientations. PHYSICAL (psrc, pdst) ride along with
+    // rel_type so path reconstruction emits the REAL edge whatever the
+    // traversal direction was.
+    val eTyped = spathTraversalFrame(scan, reversed, undirected)
     val e = eTyped.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(eager = true)
 
@@ -1840,7 +1867,8 @@ object CypherLite {
         .findFirstIn(tail).isDefined
     if (needPaths) {
       val eMin = eTyped.groupBy("src", "dst")
-        .agg(min(col("rel_type")).as("rt"))
+        .agg(min(struct(col("rel_type").as("rt"), col("psrc"),
+          col("pdst"))).as("m"))
         .localCheckpoint(eager = true)
       val emptyRels = expr("CAST(array() AS " +
         "array<struct<src:string,rel_type:string,dst:string>>)")
@@ -1852,13 +1880,11 @@ object CypherLite {
         .collect()(0).getLong(0)
       for (_ <- 1L to maxD) {
         val settledRows = st.filter(col("rem") === 0)
+        // the PHYSICAL edge rides the eMin struct — one spelling for
+        // forward, reversed and undirected traversal alike (r15)
         val relStruct =
-          if (!reversed)
-            struct(col("q.par").as("src"), col("t.rt").as("rel_type"),
-              col("p.cur").as("dst"))
-          else
-            struct(col("p.cur").as("src"), col("t.rt").as("rel_type"),
-              col("q.par").as("dst"))
+          struct(col("t.m.psrc").as("src"), col("t.m.rt").as("rel_type"),
+            col("t.m.pdst").as("dst"))
         val step = st.filter(col("rem") > 0).alias("p")
           .join(settled.alias("q"),
             col("p.s") === col("q.s") && col("p.cur") === col("q.v") &&
@@ -1918,12 +1944,10 @@ object CypherLite {
   private def executeAllShortestPaths(nodes: DataFrame, edges: DataFrame,
       q: String, idx: Int): DataFrame = {
     val sp = parseSpathPattern(q, idx, "allShortestPaths")
-    val SpParts(pVar, aPat, bPat, hop, reversed, minH, maxH, tail) = sp
+    val SpParts(pVar, aPat, bPat, hop, reversed, minH, maxH, tail,
+      undirected) = sp
     val scan = hopEdges(edges, hop)
-    val eTyped = (if (reversed)
-        scan.select(col("dst").as("src"), col("src").as("dst"),
-          col("rel_type"))
-      else scan.select(col("src"), col("dst"), col("rel_type")))
+    val eTyped = spathTraversalFrame(scan, reversed, undirected)
       .distinct()
       .localCheckpoint(eager = true)
     val e = eTyped.select(col("src"), col("dst")).distinct()
@@ -1952,6 +1976,7 @@ object CypherLite {
           col("w.d") === col("u.d") + 1)
       .select(col("u.s").as("s"), col("t.src").as("esrc"),
         col("t.dst").as("edst"), col("t.rel_type").as("rt"),
+        col("t.psrc").as("xpsrc"), col("t.pdst").as("xpdst"),
         col("w.d").as("dl"))
       .repartition(col("s"), col("esrc"))
       .localCheckpoint(eager = true)
@@ -1965,13 +1990,11 @@ object CypherLite {
     val maxD = settled.agg(coalesce(max(col("d")), lit(0L)))
       .collect()(0).getLong(0)
     for (lvl <- 1L to maxD) {
+      // the PHYSICAL edge rides spE — one spelling for forward,
+      // reversed and undirected traversal alike (r15)
       val relStruct =
-        if (!reversed)
-          struct(col("x.esrc").as("src"), col("x.rt").as("rel_type"),
-            col("x.edst").as("dst"))
-        else
-          struct(col("x.edst").as("src"), col("x.rt").as("rel_type"),
-            col("x.esrc").as("dst"))
+        struct(col("x.xpsrc").as("src"), col("x.rt").as("rel_type"),
+          col("x.xpdst").as("dst"))
       rows = rows.alias("p")
         .join(spE.alias("x"),
           col("p.s") === col("x.s") && col("p.cur") === col("x.esrc") &&

@@ -322,8 +322,10 @@ class CypherLiteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       db.executeQuery("OPTIONAL MATCH (a) RETURN a")
     }
+    // undirected single hops are SUPPORTED since r15 — see the
+    // undirected tests above; the var-length form still raises
     intercept[IllegalArgumentException] {
-      db.executeQuery("MATCH (a)-[:R]-(b) RETURN a") // undirected
+      db.executeQuery("MATCH (a)-[:R*1..2]-(b) RETURN a")
     }
     intercept[IllegalArgumentException] {
       // '_' is a word char: MATCH_foo must fail the keyword-boundary
@@ -1511,6 +1513,44 @@ class CypherLiteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       db.executeQuery("MATCH (a:CLASS)-[:CONTAINS*1..2]-(b) RETURN b")
     }
+  }
+
+  test("r15 undirected shortestPath/allShortestPaths: BFS over both " +
+      "orientations, physical edges in relationships(p)") {
+    // the graph runs m -CONTAINS-> Person -HAS_METHOD-> greet; no
+    // DIRECTED path exists from greet to m, the undirected one does
+    val sp = db.executeQuery(
+      "MATCH p = shortestPath((a {full_name: 'm.Person.greet'})" +
+        "-[:CONTAINS|HAS_METHOD*]-(b {full_name: 'm'})) " +
+        "RETURN length(p), nodes(p), relationships(p)").collect()
+    assert(sp.length === 1)
+    assert(sp(0).getLong(0) === 2L)
+    assert(sp(0).getSeq[String](1) ===
+      Seq("m.Person.greet", "m.Person", "m"))
+    // relationships carry PHYSICAL orientation even though both edges
+    // were walked backwards
+    val rels = sp(0).getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rels === Seq(
+      ("m.Person", "HAS_METHOD", "m.Person.greet"),
+      ("m", "CONTAINS", "m.Person")))
+    // the directed spelling of the same endpoints finds nothing
+    val dir = db.executeQuery(
+      "MATCH p = shortestPath((a {full_name: 'm.Person.greet'})" +
+        "-[:CONTAINS|HAS_METHOD*]->(b {full_name: 'm'})) " +
+        "RETURN length(p)").collect()
+    assert(dir.isEmpty)
+    // allShortestPaths: the single undirected geodesic, one row
+    val asp = db.executeQuery(
+      "MATCH p = allShortestPaths((a {full_name: 'm.Person.greet'})" +
+        "-[:CONTAINS|HAS_METHOD*]-(b {full_name: 'm'})) " +
+        "RETURN length(p), relationships(p)").collect()
+    assert(asp.length === 1)
+    assert(asp(0).getLong(0) === 2L)
+    assert(asp(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))) ===
+      Seq(("m.Person", "HAS_METHOD", "m.Person.greet"),
+        ("m", "CONTAINS", "m.Person")))
   }
 
   test("r15 comma patterns: cartesian under budget, cross-variable " +
