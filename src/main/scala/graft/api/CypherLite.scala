@@ -977,6 +977,20 @@ object CypherLite {
           if (fn == "properties") allProps
           else array_sort(map_keys(allProps))
         (one(out0, s"$fn($v)"), false)
+      // elementId(n) — Neo4j's STRING element identity; this model's
+      // element identity IS full_name (nodes) / the src|type|dst triple
+      // (relationships), so both spell deterministically. The numeric
+      // legacy id() stays unsupported: the string model has no integer
+      // identity and inventing one would not round-trip.
+      case c if c.startsWith("elementId(") =>
+        val v = c.stripPrefix("elementId(").stripSuffix(")").trim
+        val a = vars(v)
+        val out0 =
+          if (isRelAlias(a))
+            concat_ws("|", col(s"$a.src"), col(s"$a.rel_type"),
+              col(s"$a.dst"))
+          else col(s"$a.full_name")
+        (one(out0, s"elementId($v)"), false)
       // Neo4j's relationship accessors: type(r) is the edge's rel_type;
       // startNode/endNode yield the endpoint KEYS (full graph-side
       // hydration of the endpoint nodes is the pattern's job — bind them

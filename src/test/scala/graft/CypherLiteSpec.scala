@@ -1509,10 +1509,26 @@ class CypherLiteSpec extends AnyFunSuite {
     val loop = d2.executeQuery(
       "MATCH (a:CLASS)-[:CALLS]-(b) RETURN b.full_name").collect()
     assert(loop.map(_.getString(0)).toSeq === Seq("u.A"))
-    // var-length undirected stays out — raises, never approximates
+    // var-length undirected stays out of plain MATCH — raises
     intercept[IllegalArgumentException] {
       db.executeQuery("MATCH (a:CLASS)-[:CONTAINS*1..2]-(b) RETURN b")
     }
+    // pattern predicates accept undirected hops through the same
+    // machinery: nodes CONTAINS-adjacent to m in either direction
+    val pred = db.executeQuery(
+      "MATCH (x) WHERE (x)-[:CONTAINS]-({full_name: 'm'}) " +
+        "RETURN x.full_name").collect()
+    assert(pred.map(_.getString(0)).toSeq === Seq("m.Person"))
+  }
+
+  test("r15 elementId: full_name for nodes, src|type|dst for " +
+      "relationships") {
+    val out = db.executeQuery(
+      "MATCH (c:CLASS)-[r:HAS_METHOD]->(m2) " +
+        "RETURN elementId(c), elementId(r), elementId(m2)").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq === Seq(("m.Person", "m.Person|HAS_METHOD|m.Person.greet",
+        "m.Person.greet")))
   }
 
   test("r15 undirected shortestPath/allShortestPaths: BFS over both " +
