@@ -2988,9 +2988,15 @@ class IndexerSpec extends AnyFunSuite {
       "imported `-> list[User]` factory types the element; unresolved " +
       "elements bind nothing") {
     val modA =
-      """class User:
+      """from typing import List
+        |
+        |class User:
         |    def save(self):
         |        return 1
+        |
+        |class Repo:
+        |    def all(self) -> List[User]:
+        |        return [User()]
         |
         |def all_users() -> list[User]:
         |    return [User()]
@@ -2999,10 +3005,15 @@ class IndexerSpec extends AnyFunSuite {
         |    return []
         |""".stripMargin
     val modB =
-      """from mod_a import all_users, ghosts
+      """from mod_a import all_users, ghosts, Repo
         |
         |def use_iter():
         |    for u in all_users():
+        |        u.save()
+        |
+        |def use_method():
+        |    r = Repo()
+        |    for u in r.all():
         |        u.save()
         |
         |def use_ghost():
@@ -3017,6 +3028,9 @@ class IndexerSpec extends AnyFunSuite {
       .filter(col("rel_type") === Rel.Call && col("dst") === "mod_a.User.save")
       .select("src").as[String].collect().toSet
     assert(saves.contains("mod_b.use_iter"), s"got $saves")
+    // an imported CLASS's container-return method types too (the
+    // elemAnnos keys class methods; the MRO flatten carries them)
+    assert(saves.contains("mod_b.use_method"), s"got $saves")
     assert(!saves.contains("mod_b.use_ghost"), s"got $saves")
   }
 
