@@ -786,6 +786,33 @@ class MultimodalSpec extends AnyFunSuite {
       (3L, 1, "hello page"), (3L, 3, "x" * 40)))
   }
 
+  test("r15 withGzipInflated: round-trip byte counts, ISIZE check, " +
+      "multi-member None, damage degrades") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val body = ("payload " * 40).getBytes("US-ASCII")
+    val single = gz(body)
+    val multi = gz(body) ++ gz("tail".getBytes("US-ASCII"))
+    val cut = single.dropRight(6)
+    val rows = Seq((1L, single), (2L, multi), (3L, cut),
+      (4L, "prose".getBytes("US-ASCII")),
+      (5L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    val out = Multimodal.withGzipInflated(rows)
+      .select(col("doc_id"), col("gzip_inflated.*"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Boolean]),
+          r.getBoolean(4)))).toMap
+    assert(out(1L) === (("gzip", body.length.toLong, Some(true), false)))
+    assert(out(2L) === (("gzip", body.length.toLong + 4L, None, false)))
+    assert(out(3L)._1 === "gzip" && out(3L)._4 === true)
+    assert(out(4L) === (("not_gzip", 0L, None, false)))
+    assert(out(5L) === (("not_gzip", 0L, None, false)))
+  }
+
   test("r15 withWarcMeta: hostile declared lengths (negative, " +
       "Long.MaxValue overflow) degrade to truncated, never throw") {
     def rec(typ: String, body: String, declared: Long): String =
