@@ -949,6 +949,16 @@ object PyIndexer {
   private val localAnno: Regex =
     """^\s*([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?!\w|\s*\[)\s*(?:=(?!=).*)?$""".r
 
+  /** Decorator heads whose wrappers are RETURN-TRANSPARENT (or whose
+    * modules are): a def behind one keeps its declared annotations;
+    * anything else must resolve to a bound or imported name or the
+    * def's return keys poison (slice 59/62 in the deep pass, slice 88
+    * in the corpus scan). */
+  private val knownDecoHeads = Set("staticmethod", "classmethod",
+    "property", "cached_property", "abstractmethod", "functools",
+    "dataclass", "dataclasses", "abc", "typing", "override", "wraps",
+    "lru_cache", "cache")
+
   /** Slice 84: one annotated parameter `name: Anno` inside a def
     * header's paren span (the scan's shallow take — default-value
     * expressions could in principle false-match, but a `name: Dotted`
@@ -1201,10 +1211,6 @@ object PyIndexer {
     // (no def, no import) makes the call result unknown → the def's
     // return keys DROP and `x = f()` binds nothing.
     val decoPoisoned = mutable.Set.empty[String]
-    val knownDecoHeads = Set("staticmethod", "classmethod", "property",
-      "cached_property", "abstractmethod", "functools", "dataclass",
-      "dataclasses", "abc", "typing", "override", "wraps", "lru_cache",
-      "cache")
     locally {
       // (indent, name, isDef): a def's return key is valid only when
       // every enclosing level is a class (same rule returnAnnoRaw used)
@@ -3093,6 +3099,20 @@ object PyIndexer {
     var curCls: Option[String] = None
     var bodyIndent = -1
     var pendingProp = false
+    // slice 88: armed by a decorator the scan cannot resolve (not a
+    // whitelisted transparent head, not a module name seen so far, not
+    // an import binding) — the NEXT def's annotations are suspect and
+    // key nothing, mirroring the deep pass's slice-59 poisoning
+    var badDeco = false
+    def armDeco(trimmed: String): Unit = {
+      val dotted = trimmed.stripPrefix("@")
+        .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
+      val head = dotted.split('.').headOption.getOrElse("")
+      if (head.nonEmpty && !knownDecoHeads.contains(head) &&
+          !names.contains(head) && !importBindings.contains(head) &&
+          !modImports.contains(head))
+        badDeco = true
+    }
     // slice 84: the annotated-param map of the __init__ we are inside
     // (null when not directly after a top-level class's __init__ header)
     var initParams: Map[String, String] = null
@@ -3124,14 +3144,20 @@ object PyIndexer {
         curCls = None; bodyIndent = -1; pendingProp = false
         initParams = null
         ln match {
+          case dec if dec.startsWith("@") =>
+            armDeco(dec) // stacked decorators accumulate
           case defHeader(ind, d) if ind.isEmpty =>
             names += d; if (d == "__getattr__") open = true
-            annoOf(li).foreach(a => defAnnos(d) = a)
-            // slice 87: a container arrow keys the element type —
-            // resolution at the fold like every other annotation
-            arrowContainer.findFirstMatchIn(joined(li))
-              .foreach(m => elemAnnos(d) = m.group(1))
+            if (!badDeco) {
+              annoOf(li).foreach(a => defAnnos(d) = a)
+              // slice 87: a container arrow keys the element type —
+              // resolution at the fold like every other annotation
+              arrowContainer.findFirstMatchIn(joined(li))
+                .foreach(m => elemAnnos(d) = m.group(1))
+            }
+            badDeco = false
           case classHeader(ind, c, _) if ind.isEmpty =>
+            badDeco = false // class decorators stay out of scope
             names += c; classes += c; curCls = Some(c)
             // slice 83: base list, RAW (identifier / dotted spellings
             // only; keyword args and subscripted generics drop) —
@@ -3207,12 +3233,15 @@ object PyIndexer {
         if (bodyIndent < 0) bodyIndent = ind
         if (ind == bodyIndent) ln match {
           case defHeader(_, d) =>
-            annoOf(li).foreach { a =>
-              defAnnos(s"${curCls.get}.$d") = a
-              if (pendingProp) fieldAnnos(s"${curCls.get}.$d") = a
+            if (!badDeco) {
+              annoOf(li).foreach { a =>
+                defAnnos(s"${curCls.get}.$d") = a
+                if (pendingProp) fieldAnnos(s"${curCls.get}.$d") = a
+              }
+              arrowContainer.findFirstMatchIn(joined(li))
+                .foreach(m => elemAnnos(s"${curCls.get}.$d") = m.group(1))
             }
-            arrowContainer.findFirstMatchIn(joined(li))
-              .foreach(m => elemAnnos(s"${curCls.get}.$d") = m.group(1))
+            badDeco = false
             // slice 84 (r15): constructor injection — `def __init__
             // (self, conn: Conn)` + `self.conn = conn` types the field
             // cross-module. Capture the annotated-param map here; the
@@ -3235,7 +3264,8 @@ object PyIndexer {
                 .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
               if (deco == "property" || deco == "cached_property" ||
                   deco == "functools.cached_property") pendingProp = true
-            } else pendingProp = false
+              armDeco(t) // slice 88
+            } else { pendingProp = false; badDeco = false }
         } else if (ind > bodyIndent && initParams != null) {
           // slice 84: inside __init__'s body — `self.f = p` where p is
           // an annotated parameter keys Cls.f as a field fact. An

@@ -3034,6 +3034,55 @@ class IndexerSpec extends AnyFunSuite {
     assert(!saves.contains("mod_b.use_ghost"), s"got $saves")
   }
 
+  test("r15 slice 88: the corpus scan mirrors decorator poisoning — " +
+      "an unresolvable decorator drops the def's cross-module facts; " +
+      "whitelisted and locally-bound decorators keep them") {
+    val modA =
+      """from functools import lru_cache
+        |
+        |class User:
+        |    def save(self):
+        |        return 1
+        |
+        |def mydeco(f):
+        |    return f
+        |
+        |@phantom_decorator
+        |def make() -> User:
+        |    return User()
+        |
+        |@lru_cache
+        |def make2() -> User:
+        |    return User()
+        |
+        |@mydeco
+        |def make3() -> User:
+        |    return User()
+        |""".stripMargin
+    val modB =
+      """from mod_a import make, make2, make3
+        |
+        |def use_bad():
+        |    make().save()
+        |
+        |def use_known():
+        |    make2().save()
+        |
+        |def use_bound():
+        |    make3().save()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_a.py", modA),
+      SourceFile("mod_b.py", modB)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t88"), "t88")
+    val saves = out.edges
+      .filter(col("rel_type") === Rel.Call && col("dst") === "mod_a.User.save")
+      .select("src").as[String].collect().toSet
+    assert(!saves.contains("mod_b.use_bad"), s"got $saves")
+    assert(saves.contains("mod_b.use_known"), s"got $saves")
+    assert(saves.contains("mod_b.use_bound"), s"got $saves")
+  }
+
   test("r15 slice 84: constructor injection — an annotated __init__ " +
       "param assigned to self types the field cross-module; untyped " +
       "params bind nothing; explicit class annotations win") {
