@@ -985,6 +985,11 @@ object CypherLite {
       case c if c.startsWith("elementId(") =>
         val v = c.stripPrefix("elementId(").stripSuffix(")").trim
         val a = vars(v)
+        // a var-length r is a relationship LIST (path frame, null
+        // rel_type) — no single identity exists; raise, never
+        // fabricate a src|dst pair (the module's posture)
+        require(!isVarLenRelAlias(a),
+          s"elementId() of a var-length relationship list: '$p'")
         val out0 =
           if (isRelAlias(a))
             concat_ws("|", col(s"$a.src"), col(s"$a.rel_type"),
@@ -2470,19 +2475,26 @@ object CypherLite {
             valueRefOf(subVars, unwindVars))).getOrElse(keyEq)
         df = df.join(sub2, cond, "left")
       } else {
+        var subJ = sub
         if (!anchored) {
-          // budget-guarded cartesian (r15): count both sides in-plan
-          // and RAISE past the budget instead of silently launching a
+          // budget-guarded cartesian (r15): count both sides and RAISE
+          // past the budget instead of silently launching a
           // planet-sized product — the allShortestPaths loud-budget
-          // discipline. Neo4j executes this shape with a warning;
-          // below the budget we match its result exactly.
+          // discipline. Both sides CACHE first so the driving plan
+          // (prior clauses' joins/unwinds/filters) is computed once,
+          // not re-derived by the count and again by the join — cache,
+          // not localCheckpoint: a checkpoint swaps in a LogicalRDD
+          // and the n<i> alias scopes later clause references resolve
+          // against would be lost.
+          df = df.cache()
+          subJ = sub.cache()
           val leftN = df.count()
-          val rightN = sub.count()
+          val rightN = subJ.count()
           require(BigInt(leftN) * BigInt(rightN) <= cartesianRowBudget,
             s"un-anchored MATCH cartesian product $leftN x $rightN " +
               s"exceeds the $cartesianRowBudget-row budget: $q")
         }
-        df = df.join(sub, keyEq)
+        df = df.join(subJ, keyEq)
         Option(c.where).foreach(w =>
           df = applyClauseWhere(df, w, subVars, cIx + 1))
       }

@@ -3265,7 +3265,13 @@ object PyIndexer {
               if (deco == "property" || deco == "cached_property" ||
                   deco == "functools.cached_property") pendingProp = true
               armDeco(t) // slice 88
-            } else { pendingProp = false; badDeco = false }
+            } else if (!t.startsWith("#")) {
+              // a COMMENT between a decorator and its def must not
+              // reset the armed state (reviewer-caught: it silently
+              // re-admitted poisoned annotations and dropped @property
+              // arms); any real statement does
+              pendingProp = false; badDeco = false
+            }
         } else if (ind > bodyIndent && initParams != null) {
           // slice 84: inside __init__'s body — `self.f = p` where p is
           // an annotated parameter keys Cls.f as a field fact. An

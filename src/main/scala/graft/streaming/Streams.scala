@@ -660,10 +660,20 @@ object Streams {
     // epoch arithmetic. The advertised stream ≡ batch equivalence
     // therefore REQUIRES a UTC session — assert it loudly instead of
     // silently producing different day buckets (r15 advisor fix).
-    require(
-      events.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
-      "streamingCusum requires spark.sql.session.timeZone=UTC: its epoch-" +
-        "day buckets must match the batch twin's date_trunc('day', ts)")
+    locally {
+      val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+      // normalize: "Etc/UTC", "GMT", "+00:00" are all semantically UTC
+      // (fixed zero offset, no DST) and bucket identically — only a
+      // zone that can shift a day boundary must raise
+      val isUtc =
+        try java.time.ZoneId.of(tz).normalized() ==
+          java.time.ZoneOffset.UTC
+        catch { case _: Exception => tz == "UTC" }
+      require(isUtc,
+        s"streamingCusum requires a UTC session timezone (got '$tz'): " +
+          "its epoch-day buckets must match the batch twin's " +
+          "date_trunc('day', ts)")
+    }
     val dayUsLen = 86400L * 1000000L
     def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
     events.groupByKey(_.event_type)
@@ -1482,7 +1492,10 @@ object Streams {
           var s = state.getOption.getOrElse(LdivState(0L, Seq.empty))
           val srcs = scala.collection.mutable.Set[String](s.srcs: _*)
           var n = s.n
-          it.foreach { t => n += 1; srcs += t._2 }
+          // NULL is not a sensitive VALUE: the batch twin's
+          // count_distinct skips NULLs and the oracle must agree
+          // (reviewer-caught divergence)
+          it.foreach { t => n += 1; if (t._2 != null) srcs += t._2 }
           s = LdivState(n, srcs.toSeq.sorted)
           state.update(s)
           Iterator.single(LdivOut(key._1, key._2, n, srcs.size.toLong,

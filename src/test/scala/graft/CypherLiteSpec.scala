@@ -1529,6 +1529,12 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(out.map(r => (r.getString(0), r.getString(1), r.getString(2)))
       .toSeq === Seq(("m.Person", "m.Person|HAS_METHOD|m.Person.greet",
         "m.Person.greet")))
+    // a var-length r is a relationship LIST — no single identity:
+    // raises, never fabricates a src|dst pair
+    intercept[IllegalArgumentException] {
+      db.executeQuery(
+        "MATCH (a:MODULE)-[r:CONTAINS*1..2]->(b) RETURN elementId(r)")
+    }
   }
 
   test("r15 undirected shortestPath/allShortestPaths: BFS over both " +
@@ -1586,12 +1592,23 @@ class CypherLiteSpec extends AnyFunSuite {
         "RETURN c.name, f.name").collect()
     assert(cf.map(r => (r.getString(0), r.getString(1))).toSeq ===
       Seq(("Person", "util")))
-    // a SHARED variable across comma patterns anchors, no cartesian:
-    // (c)-[:HAS_METHOD]->(m), (mod)-[:CONTAINS]->(c) — c joins both
+    // a SHARED variable across comma patterns ANCHORS (no cartesian):
+    // the node-only sub re-binds c and adds label + prop constraints —
+    // with a non-matching name the whole pattern yields nothing
     val anchored = db.executeQuery(
-      "MATCH (c:CLASS)-[:HAS_METHOD]->(m:METHOD), (mod:MODULE {name: 'm'}) " +
-        "RETURN c.name, m.name, mod.name").collect()
-    assert(anchored.map(r => (r.getString(0), r.getString(1),
+      "MATCH (c)-[:HAS_METHOD]->(m2), (c:CLASS {name: 'Person'}) " +
+        "RETURN c.name, m2.name").collect()
+    assert(anchored.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("Person", "greet")))
+    val anchoredMiss = db.executeQuery(
+      "MATCH (c)-[:HAS_METHOD]->(m2), (c:CLASS {name: 'Nobody'}) " +
+        "RETURN c.name, m2.name").collect()
+    assert(anchoredMiss.isEmpty)
+    // and an UN-anchored node-only sub still cartesians under budget
+    val mixed = db.executeQuery(
+      "MATCH (c:CLASS)-[:HAS_METHOD]->(m2), (mod:MODULE {name: 'm'}) " +
+        "RETURN c.name, m2.name, mod.name").collect()
+    assert(mixed.map(r => (r.getString(0), r.getString(1),
       r.getString(2))).toSeq === Seq(("Person", "greet", "m")))
     // two relationship chains in one comma group: relationship
     // uniqueness would span them — refused

@@ -3058,9 +3058,15 @@ class IndexerSpec extends AnyFunSuite {
         |@mydeco
         |def make3() -> User:
         |    return User()
+        |
+        |class Factory:
+        |    @phantom_decorator
+        |    # a comment between decorator and def must not reset the arm
+        |    def mk(self) -> User:
+        |        return User()
         |""".stripMargin
     val modB =
-      """from mod_a import make, make2, make3
+      """from mod_a import make, make2, make3, Factory
         |
         |def use_bad():
         |    make().save()
@@ -3070,6 +3076,9 @@ class IndexerSpec extends AnyFunSuite {
         |
         |def use_bound():
         |    make3().save()
+        |
+        |def use_commented():
+        |    Factory().mk().save()
         |""".stripMargin
     val fx = Seq(SourceFile("mod_a.py", modA),
       SourceFile("mod_b.py", modB)).toDS()
@@ -3081,6 +3090,7 @@ class IndexerSpec extends AnyFunSuite {
     assert(!saves.contains("mod_b.use_bad"), s"got $saves")
     assert(saves.contains("mod_b.use_known"), s"got $saves")
     assert(saves.contains("mod_b.use_bound"), s"got $saves")
+    assert(!saves.contains("mod_b.use_commented"), s"got $saves")
   }
 
   test("r15 slice 84: constructor injection — an annotated __init__ " +

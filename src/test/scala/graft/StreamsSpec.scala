@@ -1085,6 +1085,12 @@ class StreamsSpec extends AnyFunSuite {
         Streams.streamingCusum(mem.toDS(), Map("click" -> 2000L))
       }
       assert(ex.getMessage.contains("UTC"))
+      // semantically-UTC spellings normalize and pass (fixed zero
+      // offset buckets identically)
+      for (tz <- Seq("Etc/UTC", "GMT", "+00:00")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        Streams.streamingCusum(mem.toDS(), Map("click" -> 2000L))
+      }
     } finally spark.conf.set("spark.sql.session.timeZone", saved)
   }
 
@@ -1114,15 +1120,17 @@ class StreamsSpec extends AnyFunSuite {
       .toDF().writeStream.format("memory")
       .queryName("st_ldiv_t").outputMode("update").start()
     // distinct sources accumulate across batches: 2 then a 3rd (plus a
-    // repeat that must not double-count)
+    // repeat that must not double-count and a NULL source, which is
+    // not a sensitive VALUE — the batch twin's count_distinct skips it)
     mem2.addData(("en", "web", 100L), ("en", "book", 100L))
     q2.processAllAvailable()
-    mem2.addData(("en", "wiki", 100L), ("en", "web", 100L))
+    mem2.addData(("en", "wiki", 100L), ("en", "web", 100L),
+      ("en", null, 100L))
     q2.processAllAvailable()
     q2.stop()
     val em2 = spark.table("st_ldiv_t")
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getInt(4))).toSet
-    assert(em2 === Set((2L, 2L, 0), (4L, 3L, 1)))
+    assert(em2 === Set((2L, 2L, 0), (5L, 3L, 1)))
   }
 
   test("r15 amsF2Fold: an empty micro-batch (idle tick / recovery " +
