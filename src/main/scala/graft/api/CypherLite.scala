@@ -550,6 +550,8 @@ object CypherLite {
   private val collectRe =
     """^(?i)collect\(\s*(DISTINCT\s+)?(\w+(?:\.\w+)?)\s*\)$""".r
   private val numAggRe = """^(?i)(sum|avg|min|max)\(\s*(\w+(?:\.\w+)?)\s*\)$""".r
+  private val percentileRe =
+    """^(?i)(percentileDisc|percentileCont)\(\s*(\w+(?:\.\w+)?)\s*,\s*(0?\.\d+|0|1|1\.0)\s*\)$""".r
 
   /** `count([DISTINCT] …)` column, shared by RETURN and WITH items.
     * `count(v)` on a node variable counts bound rows via the key column
@@ -629,6 +631,31 @@ object CypherLite {
       case "min" => min(base)
       case "max" => max(base)
     }
+  }
+
+  /** Neo4j's percentile aggregates (r15). percentileDisc(x, p) is the
+    * SMALLEST collected value whose cumulative position reaches p —
+    * index ceil(p·n) of the sorted list (1 at p=0), Neo4j's rule and
+    * SQL's PERCENTILE_DISC alike; exact and deterministic (a sort, no
+    * interpolation). percentileCont interpolates linearly — Spark's
+    * exact `percentile`, rounded to 6 so the last ulp of the
+    * interpolation can never flip a cross-engine compare. */
+  private def percentileCol(fn: String, arg: String, p: Double,
+      vars: Map[String, String], plain: String => Boolean): Column = {
+    require(p >= 0.0 && p <= 1.0, s"$fn: percentile $p out of [0, 1]")
+    val base =
+      if (arg.contains(".")) {
+        val Array(v, prop) = arg.split("\\.", 2)
+        propColOf(v, prop, vars)
+      } else if (plain(arg)) col(arg)
+      else throw new IllegalArgumentException(
+        s"$fn() needs a property or pipe column, got variable '$arg'")
+    if (fn.equalsIgnoreCase("percentileDisc")) {
+      val arr = sort_array(collect_list(base.cast("double")))
+      element_at(arr,
+        greatest(ceil(size(arr) * lit(p)), lit(1)).cast("int"))
+    } else
+      round(call_function("percentile", base.cast("double"), lit(p)), 6)
   }
 
   private val scalarFns = Set("coalesce", "tointeger", "tofloat", "abs", "size",
@@ -931,6 +958,9 @@ object CypherLite {
       case numAggRe(fn, arg) =>
         (one(numAggCol(fn, arg, vars, plain), s"${fn.toLowerCase}($arg)"),
           true)
+      case percentileRe(fn, arg, pv) =>
+        (one(percentileCol(fn, arg, pv.toDouble, vars, plain),
+          s"${fn.toLowerCase}($arg, $pv)"), true)
       // collect(x) gathers values per group like Neo4j's list aggregate;
       // the result is SORTED (Neo4j preserves encounter order, which is
       // not deterministic on a distributed engine — sorted is).
@@ -2631,6 +2661,11 @@ object CypherLite {
           val a = alias.getOrElse(throw new IllegalArgumentException(
             s"WITH expression needs AS alias: '$item'"))
           aggs += numAggCol(fn, arg, vars, prevPlain).as(a)
+          plain += a
+        case percentileRe(fn, arg, pv) =>
+          val a = alias.getOrElse(throw new IllegalArgumentException(
+            s"WITH expression needs AS alias: '$item'"))
+          aggs += percentileCol(fn, arg, pv.toDouble, vars, prevPlain).as(a)
           plain += a
         case collectRe(dist, arg) =>
           val a = alias.getOrElse(throw new IllegalArgumentException(

@@ -611,6 +611,32 @@ object QueryCatalog {
        |JOIN nodes x ON sym.b = x.full_name
        |GROUP BY 1, 2""".stripMargin
 
+  /** g_b10_pctl — Neo4j's percentile aggregates (r15):
+    * `percentileDisc(x, p)` (smallest value at cumulative position p —
+    * index ceil(p·n) of the sorted list, exact, no interpolation) and
+    * `percentileCont(x, p)` (linear interpolation, rounded to 6)
+    * through [[graft.api.CypherLite]]'s aggregate machinery over
+    * customer balances. The oracle replays the sorted-list index rule
+    * and quantile_cont verbatim. */
+  val gB10Pctl: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (c:CUSTOMER) RETURN percentileDisc(c.bal, 0.5) AS p50d, " +
+        "percentileCont(c.bal, 0.5) AS p50c, " +
+        "percentileDisc(c.bal, 0.9) AS p90d")
+  }
+
+  val gB10PctlSql: String =
+    s"""WITH ${GraphSql.nodesCte},
+       |b AS (SELECT prop_num AS v FROM nodes WHERE label = 'CUSTOMER')
+       |SELECT
+       |  (list_sort(list(v)))[greatest(ceil(0.5 * count(*)), 1)::INT]
+       |    AS p50d,
+       |  round(quantile_cont(v, 0.5), 6) AS p50c,
+       |  (list_sort(list(v)))[greatest(ceil(0.9 * count(*)), 1)::INT]
+       |    AS p90d
+       |FROM b""".stripMargin
+
   /** g_b10_cart — un-anchored plain MATCH (r15, verdict task #3): the
     * comma cartesian `MATCH (a:NATION), (b:NATION)` Neo4j executes
     * with a warning, here under [[graft.api.CypherLite]]'s loud row
@@ -10171,6 +10197,7 @@ object QueryCatalog {
     "g_b10_write_edge" -> gB10WriteEdge,
     "g_b10_cart" -> gB10Cart,
     "g_b10_undir" -> gB10Undir,
+    "g_b10_pctl" -> gB10Pctl,
     "g_b10_spath" -> gB10Spath,
     "g_b10_cycle" -> gB10Cycle,
     "g_b10_union" -> gB10Union,
@@ -10511,6 +10538,7 @@ object QueryCatalog {
     "g_b10_write_edge" -> gB10WriteEdgeSql,
     "g_b10_cart" -> gB10CartSql,
     "g_b10_undir" -> gB10UndirSql,
+    "g_b10_pctl" -> gB10PctlSql,
     "g_b10_spath" -> gB10SpathSql,
     "g_b10_cycle" -> gB10CycleSql,
     "t_cms_topk" -> tCmsTopkSql,

@@ -1521,6 +1521,34 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(pred.map(_.getString(0)).toSeq === Seq("m.Person"))
   }
 
+  test("r15 percentileDisc/percentileCont: ceil-index rule, " +
+      "interpolation, p edge values, WITH-pipe form") {
+    val d = GraphDatabase.inMemory(spark)
+    (1 to 4).foreach { i =>
+      d.executeQuery(s"CREATE (n:CLASS:`pc` {full_name: 'pc.$i', " +
+        s"name: 'n$i', v: '$i'})") }
+    val out = d.executeQuery(
+      "MATCH (n:`pc`) RETURN percentileDisc(n.v, 0.5) AS d50, " +
+        "percentileCont(n.v, 0.5) AS c50, " +
+        "percentileDisc(n.v, 0) AS d0, percentileDisc(n.v, 1) AS d100")
+      .collect().head
+    // values 1..4: disc(.5) = 2nd sorted = 2; cont(.5) = 2.5;
+    // disc(0) = first; disc(1) = last
+    assert(out.getDouble(0) === 2.0)
+    assert(out.getDouble(1) === 2.5)
+    assert(out.getDouble(2) === 1.0)
+    assert(out.getDouble(3) === 4.0)
+    // the WITH-pipe aggregate form composes with a trailing filter
+    val piped = d.executeQuery(
+      "MATCH (n:`pc`) WITH percentileDisc(n.v, 0.75) AS p WHERE p > 2 " +
+        "RETURN p").collect()
+    assert(piped.map(_.getDouble(0)).toSeq === Seq(3.0))
+    // out-of-range percentile raises
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MATCH (n:`pc`) RETURN percentileDisc(n.v, 1.5)")
+    }
+  }
+
   test("r15 elementId: full_name for nodes, src|type|dst for " +
       "relationships") {
     val out = db.executeQuery(
