@@ -550,6 +550,8 @@ object CypherLite {
   private val collectRe =
     """^(?i)collect\(\s*(DISTINCT\s+)?(\w+(?:\.\w+)?)\s*\)$""".r
   private val numAggRe = """^(?i)(sum|avg|min|max)\(\s*(\w+(?:\.\w+)?)\s*\)$""".r
+  private val stdevRe =
+    """^(?i)(stDev|stDevP)\(\s*(\w+(?:\.\w+)?)\s*\)$""".r
   private val percentileRe =
     """^(?i)(percentileDisc|percentileCont)\(\s*(\w+(?:\.\w+)?)\s*,\s*(0?\.\d+|0|1|1\.0)\s*\)$""".r
 
@@ -633,14 +635,16 @@ object CypherLite {
     }
   }
 
-  /** Neo4j's percentile aggregates (r15). percentileDisc(x, p) is the
+  /** Neo4j's statistical aggregates (r15): percentiles and standard
+    * deviations share the numeric-base resolution and the round-to-6
+    * determinism discipline. percentileDisc(x, p) is the
     * SMALLEST collected value whose cumulative position reaches p —
     * index ceil(p·n) of the sorted list (1 at p=0), Neo4j's rule and
     * SQL's PERCENTILE_DISC alike; exact and deterministic (a sort, no
     * interpolation). percentileCont interpolates linearly — Spark's
     * exact `percentile`, rounded to 6 so the last ulp of the
     * interpolation can never flip a cross-engine compare. */
-  private def percentileCol(fn: String, arg: String, p: Double,
+  private def statAggCol(fn: String, arg: String, p: Double,
       vars: Map[String, String], plain: String => Boolean): Column = {
     require(p >= 0.0 && p <= 1.0, s"$fn: percentile $p out of [0, 1]")
     val base =
@@ -650,7 +654,17 @@ object CypherLite {
       } else if (plain(arg)) col(arg)
       else throw new IllegalArgumentException(
         s"$fn() needs a property or pipe column, got variable '$arg'")
-    if (fn.equalsIgnoreCase("percentileDisc")) {
+    if (fn.equalsIgnoreCase("stDev") || fn.equalsIgnoreCase("stDevP")) {
+      // Neo4j's standard deviations: stDev = sample (n−1 divisor),
+      // stDevP = population; rounded to 6 (the percentileCont
+      // discipline) so accumulation-order float drift can never flip a
+      // cross-engine compare. A single value: stDev reads 0 in Neo4j
+      // (not NULL) — coalesce matches it.
+      val sd =
+        if (fn.equalsIgnoreCase("stDev")) stddev_samp(base.cast("double"))
+        else stddev_pop(base.cast("double"))
+      coalesce(round(sd, 6), lit(0.0))
+    } else if (fn.equalsIgnoreCase("percentileDisc")) {
       val arr = sort_array(collect_list(base.cast("double")))
       element_at(arr,
         greatest(ceil(size(arr) * lit(p)), lit(1)).cast("int"))
@@ -959,8 +973,11 @@ object CypherLite {
         (one(numAggCol(fn, arg, vars, plain), s"${fn.toLowerCase}($arg)"),
           true)
       case percentileRe(fn, arg, pv) =>
-        (one(percentileCol(fn, arg, pv.toDouble, vars, plain),
+        (one(statAggCol(fn, arg, pv.toDouble, vars, plain),
           s"${fn.toLowerCase}($arg, $pv)"), true)
+      case stdevRe(fn, arg) =>
+        (one(statAggCol(fn, arg, 0.0, vars, plain),
+          s"${fn.toLowerCase}($arg)"), true)
       // collect(x) gathers values per group like Neo4j's list aggregate;
       // the result is SORTED (Neo4j preserves encounter order, which is
       // not deterministic on a distributed engine — sorted is).
@@ -2665,7 +2682,12 @@ object CypherLite {
         case percentileRe(fn, arg, pv) =>
           val a = alias.getOrElse(throw new IllegalArgumentException(
             s"WITH expression needs AS alias: '$item'"))
-          aggs += percentileCol(fn, arg, pv.toDouble, vars, prevPlain).as(a)
+          aggs += statAggCol(fn, arg, pv.toDouble, vars, prevPlain).as(a)
+          plain += a
+        case stdevRe(fn, arg) =>
+          val a = alias.getOrElse(throw new IllegalArgumentException(
+            s"WITH expression needs AS alias: '$item'"))
+          aggs += statAggCol(fn, arg, 0.0, vars, prevPlain).as(a)
           plain += a
         case collectRe(dist, arg) =>
           val a = alias.getOrElse(throw new IllegalArgumentException(

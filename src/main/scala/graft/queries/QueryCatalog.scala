@@ -623,7 +623,8 @@ object QueryCatalog {
     graft.api.CypherLite.execute(n, e,
       "MATCH (c:CUSTOMER) RETURN percentileDisc(c.bal, 0.5) AS p50d, " +
         "percentileCont(c.bal, 0.5) AS p50c, " +
-        "percentileDisc(c.bal, 0.9) AS p90d")
+        "percentileDisc(c.bal, 0.9) AS p90d, " +
+        "stDev(c.bal) AS sdev, stDevP(c.bal) AS sdevp")
   }
 
   val gB10PctlSql: String =
@@ -634,7 +635,9 @@ object QueryCatalog {
        |    AS p50d,
        |  round(quantile_cont(v, 0.5), 6) AS p50c,
        |  (list_sort(list(v)))[greatest(ceil(0.9 * count(*)), 1)::INT]
-       |    AS p90d
+       |    AS p90d,
+       |  round(stddev_samp(v), 6) AS sdev,
+       |  round(stddev_pop(v), 6) AS sdevp
        |FROM b""".stripMargin
 
   /** g_b10_cart — un-anchored plain MATCH (r15, verdict task #3): the

@@ -1547,6 +1547,17 @@ class CypherLiteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       d.executeQuery("MATCH (n:`pc`) RETURN percentileDisc(n.v, 1.5)")
     }
+    // stDev (sample) and stDevP (population) over 1..4: variance 5/3
+    // and 5/4; a single value reads 0, not NULL (Neo4j)
+    val sd = d.executeQuery(
+      "MATCH (n:`pc`) RETURN stDev(n.v) AS s, stDevP(n.v) AS sp")
+      .collect().head
+    assert(sd.getDouble(0) === math.rint(math.sqrt(5.0 / 3) * 1e6) / 1e6)
+    assert(sd.getDouble(1) === math.rint(math.sqrt(5.0 / 4) * 1e6) / 1e6)
+    val one1 = d.executeQuery(
+      "MATCH (n:`pc` {full_name: 'pc.1'}) RETURN stDev(n.v) AS s")
+      .collect().head
+    assert(one1.getDouble(0) === 0.0)
   }
 
   test("r15 elementId: full_name for nodes, src|type|dst for " +
