@@ -1639,8 +1639,23 @@ object PyIndexer {
       else resolveCallee(callee).flatMap { cf =>
         if (cf.startsWith(mod + ".")) {
           val k = cf.stripPrefix(mod + ".")
-          returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
+          // slice 85b: the corpus fold resolved the SAME declared arrow
+          // with every module's class set visible (facade re-exports
+          // chased to the defining module — `from pkg import User`
+          // where pkg/__init__.py re-exports core.User types core.User,
+          // not the pkg.User stub the local optimism would bind), so a
+          // fold fact for an own TOP-LEVEL def wins — top-level defs
+          // cannot be overridden, so the fold fact is always the same
+          // arrow. METHOD keys stay local-first: the MRO-flattened fold
+          // could carry an ancestor's fact past an un-annotated local
+          // override (shadowing must win). Keys the scan doesn't cover
+          // (nested defs, inferred returns, getters) keep the local
+          // chain either way.
+          val fold = corpus.flatMap(_.returns.get(cf))
+          val local = returnAnnoRaw.get(k).orElse(returnInferredRaw.get(k))
             .flatMap(classishType)
+          (if (k.contains(".")) local.orElse(fold)
+           else fold.orElse(local))
             // r14 slice 79: `return self.field` getters
             .orElse(returnSelfFieldRaw.get(k).flatMap { f =>
               val cls = k.split("\\.").dropRight(1)
@@ -1703,9 +1718,14 @@ object PyIndexer {
     def returnElemTarget(callee: String): Option[String] =
       if (keywords.contains(callee)) None
       else resolveCallee(callee).flatMap { cf =>
-        if (cf.startsWith(mod + "."))
-          returnElemRaw.get(cf.stripPrefix(mod + ".")).flatMap(classishType)
-        else corpus.flatMap(_.returnElems.get(cf))
+        if (cf.startsWith(mod + ".")) {
+          // the returnTypeTarget slice-85b rule: fold-first for
+          // top-level defs, local-first for method keys (shadowing)
+          val k = cf.stripPrefix(mod + ".")
+          val fold = corpus.flatMap(_.returnElems.get(cf))
+          val local = returnElemRaw.get(k).flatMap(classishType)
+          if (k.contains(".")) local.orElse(fold) else fold.orElse(local)
+        } else corpus.flatMap(_.returnElems.get(cf))
       }
 
     // C3 slice 10: the return type of `<T>.method()` — same-module

@@ -2952,6 +2952,37 @@ class IndexerSpec extends AnyFunSuite {
     assert(!saves.contains("mod_g.use_ghost"), s"got $saves")
   }
 
+  test("r15 slice 85b: a real package __init__.py facade — " +
+      "`from pkg import X` resolves through pkg/__init__.py's " +
+      "re-export to the defining module") {
+    val core =
+      """class User:
+        |    def save(self):
+        |        return 1
+        |""".stripMargin
+    val init =
+      """from core import User
+        |""".stripMargin
+    val app =
+      """from pkg import User
+        |
+        |def make() -> User:
+        |    return User()
+        |
+        |def use():
+        |    make().save()
+        |""".stripMargin
+    val fx = Seq(SourceFile("core.py", core),
+      SourceFile("pkg/__init__.py", init),
+      SourceFile("app.py", app)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t85b"), "t85b")
+    val saves = out.edges
+      .filter(col("rel_type") === Rel.Call && col("dst") === "core.User.save")
+      .select("src").as[String].collect().toSet
+    assert(saves.contains("app.use"), s"got $saves")
+  }
+
   test("r15 slice 86: TYPE_CHECKING / nested from-imports feed " +
       "annotation resolution; the disproof side stays top-level-only") {
     val modA =
