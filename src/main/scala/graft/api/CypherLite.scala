@@ -115,12 +115,14 @@ object CypherLite {
   // An optional leading variable (`[r:REL]`) binds the relationship.
   // rel spec allows Neo4j's type ALTERNATION `:A|B|C` (matched edges may
   // be of any listed type — one scan filter, not a union)
-  private val fwdArrow = """^-\s*\[\s*(\w+)?\s*:(\w+(?:\s*\|\s*\w+)*)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*->$""".r
-  private val bwdArrow = """^<-\s*\[\s*(\w+)?\s*:(\w+(?:\s*\|\s*\w+)*)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*-$""".r
-  // UNDIRECTED single hop `-[r:R {..}]-` (r15): matched AFTER fwd/bwd
-  // (no `>` tail, no `<` head reaches here); var-length stars raise at
-  // the parse site — the PATH-SUMMARY model is directed
-  private val undirArrow = """^-\s*\[\s*(\w+)?\s*:(\w+(?:\s*\|\s*\w+)*)\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*-$""".r
+  // the `:TYPE…` spec is OPTIONAL (r16): `-[r]->` / `-[*1..2]->` are
+  // Neo4j's any-type bracketed arrows — a null rel group reaches
+  // hopEdges as "any relationship type", same as the bare `-->`
+  private val fwdArrow = """^-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*))?\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*->$""".r
+  private val bwdArrow = """^<-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*))?\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*-$""".r
+  // UNDIRECTED hop `-[r:R {..}]-` (r15; var-length r16): matched AFTER
+  // fwd/bwd (no `>` tail, no `<` head reaches here)
+  private val undirArrow = """^-\s*\[\s*(\w+)?\s*(?::\s*(\w+(?:\s*\|\s*\w+)*))?\s*(\*[^\]{]*)?\s*(\{.*\})?\s*\]\s*-$""".r
 
   /** Hard cap on variable-length expansion: each extra hop is another
     * self-join of the edge table, so an unbounded (or huge) `*` would be
@@ -253,6 +255,94 @@ object CypherLite {
       .getOrElse(emit(e.select(col("src"), col("dst"),
         array(struct(col("src").as("s"), col("rel_type").as("t"),
           col("dst").as("d"))).as("__p")), 0L).limit(0))
+  }
+
+  /** Symmetrize an edge scan for UNDIRECTED var-length traversal (r16):
+    * traversal (src, dst) covers both orientations while the PHYSICAL
+    * (psrc, pdst) rides along — prels structs and edge-uniqueness read
+    * physical identity (an edge traversed either way is the same
+    * relationship), exactly the single-hop undirected discipline.
+    * Self-loops enter once (the swapped copy filters them). */
+  private def symmetrizedScan(e0: DataFrame): DataFrame = {
+    val e = e0.select(col("src"), col("rel_type"), col("dst"))
+    e.select(col("src"), col("rel_type"), col("dst"),
+        col("src").as("psrc"), col("dst").as("pdst"))
+      .unionByName(e.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("rel_type"),
+          col("src").as("dst"), col("src").as("psrc"),
+          col("dst").as("pdst")))
+  }
+
+  /** [[varLengthRel]]'s UNDIRECTED twin (r16, verdict task #2): each
+    * step of the composition may cross an edge in either physical
+    * orientation; uniqueness compares PHYSICAL (psrc, pdst) pairs — a
+    * back-and-forth over one edge binds nothing, whatever orientations
+    * the two steps used — and `prels` carries physical structs (Neo4j's
+    * relationship entities never flip their endpoints). */
+  private def varLengthRelUndirected(e0: DataFrame, min: Int,
+      max: Int): DataFrame = {
+    val e = symmetrizedScan(e0)
+    def edgeStruct(j: Int) = struct(col(s"ps$j").as("src"),
+      col(s"t$j").as("rel_type"), col(s"pd$j").as("dst"))
+    def sel(j: Int) = e.select(col("src").as(s"s$j"),
+      col("rel_type").as(s"t$j"), col("dst").as(s"d$j"),
+      col("psrc").as(s"ps$j"), col("pdst").as(s"pd$j"))
+    val perLength = (math.max(min, 1) to max).map { len =>
+      var df = sel(0)
+      for (j <- 1 until len) {
+        df = df.join(sel(j), col(s"d${j - 1}") === col(s"s$j"))
+        for (k <- 0 until j)
+          df = df.filter(!(col(s"ps$k") === col(s"ps$j") &&
+            col(s"pd$k") === col(s"pd$j")))
+      }
+      df.select(col("s0").as("src"), col(s"d${len - 1}").as("dst"),
+        lit(len.toLong).as("hops"),
+        array((0 until len).map(edgeStruct): _*).as("prels"))
+    }
+    perLength.reduce(_ unionAll _)
+  }
+
+  /** [[varLengthRelUnbounded]]'s UNDIRECTED twin (r16): the same BFS
+    * path enumeration over the symmetrized frame; `__p` entries carry
+    * PHYSICAL (s, t, d), and the visited filter compares physical
+    * pairs, so edge-uniqueness spans orientations. Converges — every
+    * path consumes a distinct physical edge. */
+  private def varLengthRelUnboundedUndirected(e0: DataFrame,
+      min: Int): DataFrame = {
+    val e = symmetrizedScan(e0)
+    def emit(f: DataFrame, hops: Long) = f.select(col("src"), col("dst"),
+      lit(hops).as("hops"),
+      transform(col("__p"), x => struct(x.getField("s").as("src"),
+        x.getField("t").as("rel_type"), x.getField("d").as("dst")))
+        .as("prels"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var frontier = e.select(col("src"), col("dst"),
+      array(struct(col("psrc").as("s"), col("rel_type").as("t"),
+        col("pdst").as("d"))).as("__p"))
+      .localCheckpoint(true)
+    var level = 1
+    if (min <= 1) out += emit(frontier, 1L)
+    while (!frontier.isEmpty && level < unboundedMatchCap) {
+      level += 1
+      frontier = frontier.alias("p")
+        .join(e.alias("x"), col("p.dst") === col("x.src"))
+        .filter(!exists(col("p.__p"), el =>
+          el.getField("s") === col("x.psrc") &&
+            el.getField("d") === col("x.pdst")))
+        .select(col("p.src").as("src"), col("x.dst").as("dst"),
+          concat(col("p.__p"),
+            array(struct(col("x.psrc").as("s"), col("x.rel_type").as("t"),
+              col("x.pdst").as("d")))).as("__p"))
+        .localCheckpoint(true)
+      if (level >= min) out += emit(frontier, level.toLong)
+    }
+    require(frontier.isEmpty,
+      s"unbounded variable-length expansion passed $unboundedMatchCap " +
+        "levels without converging — bound the pattern (*m..n)")
+    out.reduceOption(_ unionAll _)
+      .getOrElse(emit(e.select(col("src"), col("dst"),
+        array(struct(col("psrc").as("s"), col("rel_type").as("t"),
+          col("pdst").as("d"))).as("__p")), 0L).limit(0))
   }
 
   /** The (src, dst) endpoint pairs of every path of `min`..`max` edges of
@@ -665,9 +755,11 @@ object CypherLite {
         else stddev_pop(base.cast("double"))
       coalesce(round(sd, 6), lit(0.0))
     } else if (fn.equalsIgnoreCase("percentileDisc")) {
+      // all-NULL group → empty collected array; ANSI element_at would
+      // raise INVALID_ARRAY_INDEX where Neo4j returns null (r16, advisor)
       val arr = sort_array(collect_list(base.cast("double")))
-      element_at(arr,
-        greatest(ceil(size(arr) * lit(p)), lit(1)).cast("int"))
+      when(size(arr) > lit(0), element_at(arr,
+        greatest(ceil(size(arr) * lit(p)), lit(1)).cast("int")))
     } else
       round(call_function("percentile", base.cast("double"), lit(p)), 6)
   }
@@ -1493,14 +1585,12 @@ object CypherLite {
         case "<--" => Hop(null, reversed = true)
         case "--" => Hop(null, reversed = false, undirected = true)
         case undirArrow(rv, rel, star, props) =>
-          // UNDIRECTED single hop (r15): either physical orientation
-          // matches; var-length undirected stays out (the directed
-          // PATH-SUMMARY model), the module's raise-don't-approximate
-          // posture
-          require(star == null,
-            s"var-length undirected relationships not supported: " +
-              s"-[:$rel$star]-")
-          Hop(rel, reversed = false, 1, 1, parseProps(props), Option(rv),
+          // UNDIRECTED hop (r15; var-length r16): either physical
+          // orientation matches each step; the var-length composition
+          // runs over the symmetrized frame with physical-identity
+          // edge-uniqueness and physical prels structs
+          val (mn, mx) = parseStar(star)
+          Hop(rel, reversed = false, mn, mx, parseProps(props), Option(rv),
             undirected = true)
         case other => throw new IllegalArgumentException(
           s"unsupported relationship pattern '$other'")
@@ -1637,6 +1727,12 @@ object CypherLite {
             else Seq.empty
           val pos =
             if (hop.maxHops == 0) Seq.empty
+            else if (hop.undirected && hop.maxHops < 0)
+              Seq(varLengthRelUnboundedUndirected(scan,
+                math.max(hop.minHops, 1)))
+            else if (hop.undirected)
+              Seq(varLengthRelUndirected(scan, math.max(hop.minHops, 1),
+                hop.maxHops))
             else if (hop.maxHops < 0)
               Seq(varLengthRelUnbounded(scan, math.max(hop.minHops, 1)))
             else Seq(varLengthRel(scan, math.max(hop.minHops, 1), hop.maxHops))
@@ -1657,7 +1753,10 @@ object CypherLite {
       // orientation, exactly Neo4j's semantics (an edge traversed
       // either way is the same relationship). Self-loops enter once
       // (the swapped copy filters them), so (a)-[r]-(a) matches once.
-      val e = (if (!hop.undirected) eDir
+      // a var-length undirected frame already symmetrized per step
+      // inside the composition — its (src, dst) ARE the traversal
+      // endpoints, so it joins like a forward hop below
+      val e = (if (!hop.undirected || hop.isVarLength) eDir
         else eDir.withColumn("__from", col("src"))
           .withColumn("__to", col("dst"))
           .unionByName(eDir.filter(col("src") =!= col("dst"))
@@ -1667,7 +1766,7 @@ object CypherLite {
         .filter(nodePred(c.nodeMs(i + 1).labels, c.nodeMs(i + 1).props))
         .alias(s"n${ai + 1}")
       df =
-        if (hop.undirected)
+        if (hop.undirected && !hop.isVarLength)
           df.join(e, col(s"n$ai.full_name") === col(s"$ea.__from"))
             .join(next, col(s"$ea.__to") === col(s"n${ai + 1}.full_name"))
         else if (!hop.reversed)
@@ -1737,7 +1836,19 @@ object CypherLite {
         array(col(s"n$aliasStart.full_name")) +:
           c.hops.zipWithIndex.map { case (hop, i) =>
             val ea = hopAliasOf(hop, i)
-            if (hop.isVarLength) {
+            if (hop.isVarLength && hop.undirected) {
+              // UNDIRECTED leg (r16): prels carry PHYSICAL endpoints,
+              // so the visited node per step is whichever endpoint is
+              // NOT the running node — an in-plan fold from the hop's
+              // start, dropping the start itself (list convention:
+              // each hop contributes its visited nodes, start excluded)
+              val start = col(s"n${aliasStart + i}.full_name")
+              val walked = aggregate(col(s"$ea.prels"), array(start),
+                (acc, r) => concat(acc, array(
+                  when(r.getField("src") === element_at(acc, -1),
+                    r.getField("dst")).otherwise(r.getField("src")))))
+              slice(walked, lit(2), size(col(s"$ea.prels")))
+            } else if (hop.isVarLength) {
               // forward leg visits each edge's dst in list order; a
               // reversed leg walks the composition backwards, visiting
               // each edge's SRC in reverse list order
@@ -2296,6 +2407,10 @@ object CypherLite {
     }
     val (q, pathByMatch, pathCols) = extractPathVars(qU)
     val unwindVars: Set[String] = unwinds.map(_.v).toSet ++ pathCols
+    // cached frames the budget-guarded cartesian pins (r16, advisor):
+    // unpersisted after the final result materializes, else a long-lived
+    // session leaks two cached plans' blocks per un-anchored MATCH
+    val cartCached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def addUnwinds(df0: DataFrame): DataFrame =
       unwinds.foldLeft(df0) { (d, u) =>
         // explode keeps the unwound rows INSIDE the one plan (a
@@ -2535,6 +2650,8 @@ object CypherLite {
           // against would be lost.
           df = df.cache()
           subJ = sub.cache()
+          cartCached += df
+          cartCached += subJ
           val leftN = df.count()
           val rightN = subJ.count()
           require(BigInt(leftN) * BigInt(rightN) <= cartesianRowBudget,
@@ -2570,7 +2687,17 @@ object CypherLite {
         q.substring(p + 4, bounds(i + 1)).trim, curVars, curPlain)
       df = d2; curVars = v2; curPlain = p2
     }
-    shapeResult(df, ret, curVars, curPlain)
+    val res = shapeResult(df, ret, curVars, curPlain)
+    if (cartCached.isEmpty) res
+    else {
+      // the RETURN projection is plain output columns — no alias scopes
+      // left to lose — so an eager localCheckpoint is safe here; its
+      // blocks are ContextCleaner-managed (freed when the result frame
+      // is GC'd), unlike CacheManager entries which pin forever
+      val out = res.localCheckpoint(eager = true)
+      cartCached.foreach(_.unpersist(false))
+      out
+    }
   }
 
   /** Columns a carried variable keeps through the WITH pipe (the fixed

@@ -469,7 +469,13 @@ object Corpus {
     * scale shape as [[psiDrift]]. Returns one row per class:
     * (lang, len_oct, n, tvd_ppm, t_close). */
   def tCloseness(docs: DataFrame, tPpm: Long = 200000L): DataFrame = {
-    val base = docs.select(col("lang"), col("source"),
+    // NULL sensitive values are outside Li's domain: a NULL source never
+    // matches the grid's left join, so keeping such docs would inflate a
+    // class's n while their mass vanished from its distribution,
+    // over-reporting TVD (r16, advisor). Filter them out of the corpus
+    // on BOTH sides of the compare (the oracle mirrors this WHERE).
+    val base = docs.filter(col("source").isNotNull)
+      .select(col("lang"), col("source"),
       length(bin(greatest(col("n_chars"), lit(1L)))).cast("int")
         .as("len_oct"))
     val cls = base.groupBy("lang", "len_oct", "source")

@@ -611,6 +611,33 @@ object QueryCatalog {
        |JOIN nodes x ON sym.b = x.full_name
        |GROUP BY 1, 2""".stripMargin
 
+  /** g_b10_undirvar — var-length UNDIRECTED relationships (r16,
+    * verdict task #2): `(r:REGION)-[*2..2]-(x)` walks two hops mixing
+    * physical orientations — region ← nation ← customer/supplier, both
+    * steps backward — under PHYSICAL edge-uniqueness (the step-1
+    * IN_REGION edge cannot be re-crossed at step 2, so the region
+    * itself never comes back). The oracle symmetrizes the edge table
+    * carrying physical (ps, pd) and replays the two-step join with the
+    * same physical-pair exclusion. */
+  val gB10UndirVar: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (r:REGION)-[*2..2]-(x) " +
+        "RETURN r.name AS region, x.kind AS kind, count(*) AS cnt")
+  }
+
+  val gB10UndirVarSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte},
+       |sym AS (SELECT src AS a, dst AS b, src AS ps, dst AS pd FROM edges
+       |  UNION ALL SELECT dst, src, src, dst FROM edges WHERE src <> dst)
+       |SELECT r.name AS region, x.label AS kind, count(*)::BIGINT AS cnt
+       |FROM sym e1
+       |JOIN sym e2 ON e1.b = e2.a
+       |JOIN nodes r ON e1.a = r.full_name AND r.label = 'REGION'
+       |JOIN nodes x ON e2.b = x.full_name
+       |WHERE NOT (e1.ps = e2.ps AND e1.pd = e2.pd)
+       |GROUP BY 1, 2""".stripMargin
+
   /** g_b10_pctl — Neo4j's percentile aggregates (r15):
     * `percentileDisc(x, p)` (smallest value at cumulative position p —
     * index ceil(p·n) of the sorted list, exact, no interpolation) and
@@ -2138,7 +2165,7 @@ object QueryCatalog {
   val pTcloseSql: String =
     """WITH base AS (SELECT lang, source,
       |    length(bin(greatest(n_chars, 1)))::INT AS len_oct
-      |  FROM documents),
+      |  FROM documents WHERE source IS NOT NULL),
       |cls AS (SELECT lang, len_oct, source, count(*)::BIGINT AS c
       |  FROM base GROUP BY 1, 2, 3),
       |gsrc AS (SELECT source, count(*)::BIGINT AS g FROM base GROUP BY 1),
@@ -10200,6 +10227,7 @@ object QueryCatalog {
     "g_b10_write_edge" -> gB10WriteEdge,
     "g_b10_cart" -> gB10Cart,
     "g_b10_undir" -> gB10Undir,
+    "g_b10_undirvar" -> gB10UndirVar,
     "g_b10_pctl" -> gB10Pctl,
     "g_b10_spath" -> gB10Spath,
     "g_b10_cycle" -> gB10Cycle,
@@ -10541,6 +10569,7 @@ object QueryCatalog {
     "g_b10_write_edge" -> gB10WriteEdgeSql,
     "g_b10_cart" -> gB10CartSql,
     "g_b10_undir" -> gB10UndirSql,
+    "g_b10_undirvar" -> gB10UndirVarSql,
     "g_b10_pctl" -> gB10PctlSql,
     "g_b10_spath" -> gB10SpathSql,
     "g_b10_cycle" -> gB10CycleSql,

@@ -439,6 +439,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(out === Set(
       ("en", 7, 8L, 166666L, 1),
       ("zh", 13, 4L, 333333L, 0)))
+    // r16 (advisor): NULL sources sit outside Li's domain — keeping
+    // them would inflate a class's n while their mass vanishes from
+    // its distribution (the left join never matches NULL). With nulls
+    // filtered, the numbers above must be unchanged.
+    val withNulls = docs.union(Seq(
+      (31L, "t", "en", null.asInstanceOf[String], 100L),
+      (32L, "t", "zh", null.asInstanceOf[String], 5000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out2 = graft.pipeline.Corpus.tCloseness(withNulls)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(out2 === out, "null sources must not perturb TVD")
   }
 
   test("r14 cusum: in-plan calibration, max(0,.) floor via the " +

@@ -1473,6 +1473,11 @@ class CypherLiteSpec extends AnyFunSuite {
       .collect()
     assert(cart.map(r => (r.getString(0), r.getString(1))).toSeq ===
       Seq(("Person", "m.util")))
+    // r16 (advisor): the budget guard's two cache() frames must NOT
+    // outlive the query — a long-lived session would leak two cached
+    // plans' blocks per un-anchored MATCH otherwise
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "un-anchored MATCH left plans in the cache manager")
   }
 
   test("r15 undirected relationships: both orientations match, " +
@@ -1509,16 +1514,66 @@ class CypherLiteSpec extends AnyFunSuite {
     val loop = d2.executeQuery(
       "MATCH (a:CLASS)-[:CALLS]-(b) RETURN b.full_name").collect()
     assert(loop.map(_.getString(0)).toSeq === Seq("u.A"))
-    // var-length undirected stays out of plain MATCH — raises
-    intercept[IllegalArgumentException] {
-      db.executeQuery("MATCH (a:CLASS)-[:CONTAINS*1..2]-(b) RETURN b")
-    }
+    // var-length undirected executes since r16 — single-type 1..2 from
+    // the class reaches only the module (one CONTAINS edge, and
+    // edge-uniqueness forbids going back over it)
+    val vl = db.executeQuery(
+      "MATCH (a:CLASS)-[:CONTAINS*1..2]-(b) RETURN b.full_name").collect()
+    assert(vl.map(_.getString(0)).toSeq === Seq("m"))
     // pattern predicates accept undirected hops through the same
     // machinery: nodes CONTAINS-adjacent to m in either direction
     val pred = db.executeQuery(
       "MATCH (x) WHERE (x)-[:CONTAINS]-({full_name: 'm'}) " +
         "RETURN x.full_name").collect()
     assert(pred.map(_.getString(0)).toSeq === Seq("m.Person"))
+  }
+
+  test("r16 var-length UNDIRECTED relationships: orientations mix per " +
+      "step, a back-and-forth over one edge binds nothing, path " +
+      "variables carry PHYSICAL rel structs, unbounded * converges") {
+    // graph: m -CONTAINS-> m.Person -HAS_METHOD-> m.Person.greet
+    // untyped *1..2 from m: Person at 1 hop, greet at 2 (CONTAINS
+    // cannot be re-crossed backward — physical edge-uniqueness)
+    val two = db.executeQuery(
+      "MATCH (a {full_name: 'm'})-[r*1..2]-(b) " +
+        "RETURN b.full_name, size(r) AS hops ORDER BY hops").collect()
+    assert(two.map(x => (x.getString(0), x.getLong(1))).toSeq ===
+      Seq(("m.Person", 1L), ("m.Person.greet", 2L)))
+    // back-and-forth: the only CONTAINS edge at m cannot be used twice
+    val bf = db.executeQuery(
+      "MATCH (a {full_name: 'm'})-[:CONTAINS*2..2]-(b) RETURN b").collect()
+    assert(bf.isEmpty)
+    // a 2-step chain crossing BOTH edges backward (greet → Person → m)
+    // through a type alternation
+    val rev = db.executeQuery(
+      "MATCH (a {full_name: 'm.Person.greet'})" +
+        "-[:HAS_METHOD|CONTAINS*2..2]-(b) RETURN b.full_name").collect()
+    assert(rev.map(_.getString(0)).toSeq === Seq("m"))
+    // path variable: nodes(p) walks visited nodes; relationships(p)
+    // keeps each edge's PHYSICAL (src, rel_type, dst) even when the
+    // step traversed it backward
+    val p = db.executeQuery(
+      "MATCH p = (a {full_name: 'm.Person.greet'})-[*2..2]-(b) " +
+        "RETURN nodes(p), relationships(p), length(p)").collect()
+    assert(p.length === 1)
+    assert(p(0).getSeq[String](0) ===
+      Seq("m.Person.greet", "m.Person", "m"))
+    val rels = p(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(rels.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      === Seq(("m.Person", "HAS_METHOD", "m.Person.greet"),
+        ("m", "CONTAINS", "m.Person")))
+    assert(p(0).getLong(2) === 2L)
+    // unbounded * converges (every path consumes a distinct edge)
+    val unb = db.executeQuery(
+      "MATCH (a {full_name: 'm'})-[*]-(b) RETURN b.full_name " +
+        "ORDER BY b.full_name").collect()
+    assert(unb.map(_.getString(0)).toSeq ===
+      Seq("m.Person", "m.Person.greet"))
+    // *0.. zero leg binds the start node itself
+    val z = db.executeQuery(
+      "MATCH (a:MODULE)-[*0..1]-(b) RETURN b.full_name " +
+        "ORDER BY b.full_name").collect()
+    assert(z.map(_.getString(0)).toSeq === Seq("m", "m.Person"))
   }
 
   test("r15 percentileDisc/percentileCont: ceil-index rule, " +
@@ -1558,6 +1613,13 @@ class CypherLiteSpec extends AnyFunSuite {
       "MATCH (n:`pc` {full_name: 'pc.1'}) RETURN stDev(n.v) AS s")
       .collect().head
     assert(one1.getDouble(0) === 0.0)
+    // r16 (advisor): an all-NULL group collects an EMPTY array — under
+    // ANSI mode element_at would raise INVALID_ARRAY_INDEX; Neo4j
+    // returns null. The missing prop `w` is null on every node.
+    val nul = d.executeQuery(
+      "MATCH (n:`pc`) RETURN percentileDisc(n.w, 0.5) AS d")
+      .collect().head
+    assert(nul.isNullAt(0), s"expected null, got ${nul.get(0)}")
   }
 
   test("r15 elementId: full_name for nodes, src|type|dst for " +

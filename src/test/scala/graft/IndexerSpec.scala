@@ -3015,6 +3015,43 @@ class IndexerSpec extends AnyFunSuite {
     assert(pings.contains("mod_c.use"), s"got $pings")
   }
 
+  test("r16 slice 86 hygiene: a from-import inside a triple-quoted " +
+      "docstring or example block binds NOTHING (advisor r16) — the " +
+      "preprocess blanking must reach the nested-import harvest") {
+    val modBad =
+      """class Conn:
+        |    def boom(self):
+        |        return 0
+        |""".stripMargin
+    val modB =
+      """def get() -> "Conn":
+        |    '''Usage example:
+        |        from mod_bad import Conn
+        |    and a double-quoted block too:
+        |    '''
+        |    s = "from mod_bad import Conn"
+        |    return _make()
+        |
+        |EXAMPLE = '''
+        |    from mod_bad import Conn
+        |'''
+        |""".stripMargin
+    val scan = graft.indexer.PyIndexer.moduleBindings("mod_b.py", modB)
+    assert(!scan.imports.contains("Conn"),
+      s"docstring from-import leaked into importBindings: ${scan.imports}")
+    // end-to-end: the docstring text must not type get()'s annotation
+    val modC =
+      "from mod_b import get\n\ndef use():\n    get().boom()\n"
+    val fx = Seq(SourceFile("mod_bad.py", modBad),
+      SourceFile("mod_b.py", modB), SourceFile("mod_c.py", modC)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t86d"), "t86d")
+    val booms = out.edges
+      .filter(col("rel_type") === Rel.Call && col("dst") === "mod_bad.Conn.boom")
+      .select("src").as[String].collect().toSet
+    assert(!booms.contains("mod_c.use"), s"got $booms")
+  }
+
   test("r15 slice 87: cross-module CONTAINER returns — iterating an " +
       "imported `-> list[User]` factory types the element; unresolved " +
       "elements bind nothing") {
