@@ -767,11 +767,12 @@ object CypherLite {
   private val scalarFns = Set("coalesce", "tointeger", "tofloat", "abs", "size",
     "length", "toupper", "tolower", "trim", "ltrim", "rtrim", "replace",
     "substring", "left", "right", "tostring", "round", "split", "reverse",
-    "head", "last")
+    "head", "last", "range")
 
   /** True when a RETURN/WITH item core is a scalar EXPRESSION rather than
     * a plain reference: a top-level arithmetic operator outside quotes and
-    * parens, or a leading scalar-function call. `count(*)`/`collect(x)`
+    * parens, a leading scalar-function call, or (r16) a postfix list
+    * index/slice `xs[…]` after a leading operand. `count(*)`/`collect(x)`
     * never match (their operators/args sit inside parens and their heads
     * are not scalar functions). */
   private def isValueExpr(c: String): Boolean = {
@@ -787,10 +788,52 @@ object CypherLite {
       else if (ch == '\'' || ch == '"') quote = ch
       else if (ch == '(') depth += 1
       else if (ch == ')') depth -= 1
+      else if (depth == 0 && ch == '[' && i > 0) return true
       else if (depth == 0 && "+-*/%".indexOf(ch.toInt) >= 0) return true
       i += 1
     }
     false
+  }
+
+  /** Matching `]` for the `[` at `open`, honoring quotes and nesting;
+    * -1 when unterminated. */
+  private def matchingBracket(s: String, open: Int): Int = {
+    var depth = 0
+    var quote: Char = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == '[') depth += 1
+      else if (c == ']') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  /** Index of the slice separator `..` outside quotes/brackets/parens;
+    * -1 when absent (then the bracket body is a plain index). A number
+    * literal never swallows it — this scan runs BEFORE parsing. */
+  private def topLevelDotDot(s: String): Int = {
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == '[' || c == '(') depth += 1
+      else if (c == ']' || c == ')') depth -= 1
+      else if (depth == 0 && c == '.' && i + 1 < s.length &&
+          s.charAt(i + 1) == '.') return i
+      i += 1
+    }
+    -1
   }
 
   /** Scalar RETURN/WITH expressions — the most common real-world shapes
@@ -839,15 +882,50 @@ object CypherLite {
     }
     def factor(): Column = {
       ws()
-      if (peek == '(') {
-        i += 1; val e = expr(); ws()
-        if (peek != ')') fail("missing ')'")
-        i += 1; e
+      var base =
+        if (peek == '(') {
+          i += 1; val e = expr(); ws()
+          if (peek != ')') fail("missing ')'")
+          i += 1; e
+        }
+        else if (peek == '-') { i += 1; negate(factor()) }
+        else if (peek == '\'' || peek == '"') lit(stringLit())
+        else if (peek.isDigit) numberLit()
+        else ident()
+      // postfix LIST INDEX / SLICE (r16, verdict task #6): Cypher's
+      // 0-based `xs[i]` (negative = from the end, out-of-range = null —
+      // try_element_at, the ANSI-safe read) and half-open `xs[a..b]`
+      // with either bound optional and negatives normalized against
+      // size, clamped like Cypher (never raising)
+      ws()
+      while (peek == '[') {
+        val close = matchingBracket(s, i)
+        if (close < 0) fail("unterminated '['")
+        val body = s.substring(i + 1, close)
+        val dd = topLevelDotDot(body)
+        def sub(t: String): Column = parseValueExpr(t, vars, plain, schema)
+        base =
+          if (dd < 0) {
+            val idx = sub(body).cast("long")
+            when(idx >= 0, try_element_at(base, (idx + 1).cast("int")))
+              .otherwise(try_element_at(base, idx.cast("int")))
+          } else {
+            val aT = body.substring(0, dd).trim
+            val bT = body.substring(dd + 2).trim
+            val sz = size(base).cast("long")
+            val aC = if (aT.isEmpty) lit(0L) else sub(aT).cast("long")
+            val bC = if (bT.isEmpty) sz else sub(bT).cast("long")
+            val aN = greatest(least(when(aC < 0, sz + aC).otherwise(aC),
+              sz), lit(0L))
+            val bN = greatest(least(when(bC < 0, sz + bC).otherwise(bC),
+              sz), lit(0L))
+            slice(base, (aN + 1).cast("int"),
+              greatest(bN - aN, lit(0L)).cast("int"))
+          }
+        i = close + 1
+        ws()
       }
-      else if (peek == '-') { i += 1; negate(factor()) }
-      else if (peek == '\'' || peek == '"') lit(stringLit())
-      else if (peek.isDigit) numberLit()
-      else ident()
+      base
     }
     def stringLit(): String = {
       val q = peek; i += 1
@@ -927,9 +1005,14 @@ object CypherLite {
             call_function("right", args.head.cast("string"), args(1).cast("int"))
           case "size" | "length" =>
             val argTxt = s.substring(argStart, argEnd).trim
-            val isArray = argTxt.matches("""\w+""") && plain(argTxt) &&
+            val argHead = argTxt.takeWhile(isWordChar).toLowerCase
+            val isArray = (argTxt.matches("""\w+""") && plain(argTxt) &&
               schema.fields.find(_.name == argTxt)
-                .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+                .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])) ||
+              // list-PRODUCING function heads size as lists (r16):
+              // size(range(…)) / size(split(…)) must never stringify
+              ((argHead == "range" || argHead == "split") &&
+                argTxt.drop(argHead.length).trim.startsWith("("))
             if (isArray) size(args.head) else length(args.head.cast("string"))
           case "tostring" => args.head.cast("string")
           // Cypher round() is round-half-up to an integer-valued DOUBLE
@@ -942,6 +1025,13 @@ object CypherLite {
               concat(lit("\\Q"), args(1).cast("string"), lit("\\E")))
           // reverse works on strings and lists alike (as in Cypher)
           case "reverse" => reverse(args.head)
+          // Cypher range(): INCLUSIVE bounds, optional step — Spark's
+          // sequence() has identical semantics (r16)
+          case "range" =>
+            if (args.length < 2 || args.length > 3)
+              fail("range(start, end[, step]) takes 2-3 args")
+            sequence(args(0).cast("long"), args(1).cast("long"),
+              args.lift(2).getOrElse(lit(1L)).cast("long"))
           case "head" => element_at(args.head, 1)
           case "last" => element_at(args.head, -1)
           case other => fail(s"unsupported function '$other(…)'")
@@ -2267,8 +2357,18 @@ object CypherLite {
     execute(nodes, edges, substituteParams(query, params))
 
   /** One parsed `UNWIND [...] AS x` prelude: the variable and its
-    * literal values (unquoted, in list order). */
-  private final case class Unwind(v: String, values: Seq[String])
+    * literal values (unquoted, in list order) — or, r16, a
+    * `range(start, end[, step])` spec generated IN-PLAN (Spark
+    * `sequence`, inclusive bounds like Cypher's), so the batch idiom
+    * `UNWIND range(1, 1000000) AS i` never materializes driver-side
+    * literals. */
+  private final case class Unwind(v: String, values: Seq[String],
+      range: Option[(Long, Long, Long)] = None)
+
+  /** Loud budget on UNWIND range() extent: the generated sequence is
+    * one in-memory array per driving row, so an unbounded extent is a
+    * job-killer — raise, the module's posture. */
+  private val unwindRangeBudget = 10000000L
 
   /** Parse the leading `UNWIND [literals] AS x` clauses (zero or more)
     * off the query; returns them plus the remaining text. Quote-aware:
@@ -2279,36 +2379,66 @@ object CypherLite {
   private def parseUnwinds(q0: String): (Seq[Unwind], String) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Unwind]
     var q = q0
+    val rangeRe =
+      """^(?i)range\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)""".r
+    val asRe0 = """^(?i)AS\s+(\w+)\s*""".r
     while (q.regionMatches(true, 0, "UNWIND", 0, 6) &&
         (q.length == 6 || !isWordChar(q.charAt(6)))) {
       val rest = q.substring(6).trim
-      require(rest.startsWith("["),
-        s"UNWIND expects a literal list (or a \\$$param list): $q")
-      // find the matching top-level ']' honoring quotes
-      var i = 1
-      var quote: Char = 0
-      var end = -1
-      while (i < rest.length && end < 0) {
-        val c = rest.charAt(i)
-        if (quote != 0) {
-          if (c == '\\') i += 1
-          else if (c == quote) quote = 0
-        } else if (c == '\'' || c == '"') quote = c
-        else if (c == ']') end = i
-        i += 1
+      rangeRe.findPrefixMatchOf(rest) match {
+        case Some(m) =>
+          // `UNWIND range(a, b[, step]) AS x` (r16, verdict task #6):
+          // inclusive bounds, optional (possibly negative) step —
+          // matched in-plan by Spark's sequence() at addUnwinds
+          val step = Option(m.group(3)).map(_.toLong).getOrElse(1L)
+          require(step != 0, s"range() step must be non-zero: $q")
+          val (a, b) = (m.group(1).toLong, m.group(2).toLong)
+          val extent = if (step > 0) (b - a) / step else (a - b) / -step
+          require(extent < unwindRangeBudget,
+            s"UNWIND range() extent ${extent + 1} exceeds the " +
+              s"$unwindRangeBudget-element budget: $q")
+          val tail = rest.substring(m.matched.length).trim
+          val mAs = asRe0.findFirstMatchIn(tail).getOrElse(
+            throw new IllegalArgumentException(
+              s"UNWIND needs `AS <var>`: $q"))
+          out += Unwind(mAs.group(1), Seq.empty, Some((a, b, step)))
+          q = tail.substring(mAs.matched.length).trim
+        case None =>
+          q = parseOneListUnwind(rest, q, out)
       }
-      require(end > 0, s"unterminated UNWIND list: $q")
-      val values = splitTop(rest.substring(1, end), ",").map(unquote)
-      val tail = rest.substring(end + 1).trim
-      val asRe = """^(?i)AS\s+(\w+)\s*""".r
-      val m = asRe.findFirstMatchIn(tail).getOrElse(
-        throw new IllegalArgumentException(s"UNWIND needs `AS <var>`: $q"))
-      out += Unwind(m.group(1), values)
-      q = tail.substring(m.matched.length).trim
     }
     require(out.map(_.v).distinct.size == out.size,
       s"repeated UNWIND variable: $q0")
     (out.toSeq, q)
+  }
+
+  /** The literal-list arm of [[parseUnwinds]]; returns the remaining
+    * query text after consuming one `[…] AS x`. */
+  private def parseOneListUnwind(rest: String, q: String,
+      out: scala.collection.mutable.ArrayBuffer[Unwind]): String = {
+    require(rest.startsWith("["),
+      s"UNWIND expects a literal list, range(), or a \\$$param list: $q")
+    // find the matching top-level ']' honoring quotes
+    var i = 1
+    var quote: Char = 0
+    var end = -1
+    while (i < rest.length && end < 0) {
+      val c = rest.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == ']') end = i
+      i += 1
+    }
+    require(end > 0, s"unterminated UNWIND list: $q")
+    val values = splitTop(rest.substring(1, end), ",").map(unquote)
+    val tail = rest.substring(end + 1).trim
+    val asRe = """^(?i)AS\s+(\w+)\s*""".r
+    val m = asRe.findFirstMatchIn(tail).getOrElse(
+      throw new IllegalArgumentException(s"UNWIND needs `AS <var>`: $q"))
+    out += Unwind(m.group(1), values)
+    tail.substring(m.matched.length).trim
   }
 
   /** `replaceAll` applied only OUTSIDE single/double-quoted string
@@ -2415,20 +2545,41 @@ object CypherLite {
       unwinds.foldLeft(df0) { (d, u) =>
         // explode keeps the unwound rows INSIDE the one plan (a
         // row-multiplying generator, no join): Cypher's list × match
-        // row multiplicity
-        d.withColumn(u.v, explode(array(u.values.map(lit): _*)))
+        // row multiplicity; a range() spec generates in-plan (r16)
+        d.withColumn(u.v, u.range match {
+          case Some((a, b, st)) =>
+            explode(sequence(lit(a), lit(b), lit(st)))
+          case None => explode(array(u.values.map(lit): _*))
+        })
       }
     // quote-aware clause split (not regex): keywords inside a quoted
     // prop literal — likely in code/signature text — must not terminate
     // the pattern
     val retIdx = topLevelKeyword(q, "RETURN")
-    // bare `UNWIND … RETURN …` (no MATCH): a one-row seed exploded per
-    // unwound value — Neo4j's list-driver shape
-    if (unwinds.nonEmpty && retIdx == 0) {
+    // bare `UNWIND … [WITH …] RETURN …` (no MATCH): a one-row seed
+    // exploded per unwound value — Neo4j's list-driver shape; WITH
+    // pipes (r16) fold over the seed exactly as over a MATCH frame
+    if (unwinds.nonEmpty &&
+        (retIdx == 0 || q.regionMatches(true, 0, "WITH", 0, 4))) {
       val seed = addUnwinds(nodes.sparkSession.range(1).toDF("__seed"))
         .drop("__seed")
-      return shapeResult(seed, q.substring(6).trim,
-        Map.empty[String, String], unwindVars)
+      if (retIdx == 0)
+        return shapeResult(seed, q.substring(6).trim,
+          Map.empty[String, String], unwindVars)
+      var df = seed
+      var curVars = Map.empty[String, String]
+      var curPlain = unwindVars
+      val withPositions = clauseWithPositions(q)
+      require(withPositions.nonEmpty && withPositions.forall(_ < retIdx),
+        s"unsupported Cypher shape after UNWIND: $q")
+      val bounds = withPositions :+ retIdx
+      withPositions.zipWithIndex.foreach { case (p, ix) =>
+        val (d2, v2, p2) = applyWith(df,
+          q.substring(p + 4, bounds(ix + 1)).trim, curVars, curPlain)
+        df = d2; curVars = v2; curPlain = p2
+      }
+      return shapeResult(df, q.substring(retIdx + 6).trim,
+        curVars, curPlain)
     }
     val isMatch = q.regionMatches(true, 0, "MATCH", 0, 5) &&
       q.length > 5 && !isWordChar(q.charAt(5))

@@ -638,6 +638,26 @@ object QueryCatalog {
        |WHERE NOT (e1.ps = e2.ps AND e1.pd = e2.pd)
        |GROUP BY 1, 2""".stripMargin
 
+  /** g_b10_range — `UNWIND range(a, b) AS i` (r16, verdict task #6),
+    * the standard Cypher batch idiom: the sequence generates IN-PLAN
+    * (Spark `sequence` + explode — no driver-side literal array), the
+    * variable is typed (long arithmetic, not string coercion), and the
+    * implicit-grouping aggregate pipeline runs over it. The oracle
+    * replays DuckDB's generate_series (inclusive, like Cypher). */
+  val gB10Range: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "UNWIND range(1, 5000) AS i WITH i % 7 AS bucket, i AS i " +
+        "RETURN bucket, count(*) AS n, sum(i) AS s, " +
+        "min(i) AS mn, max(i) AS mx")
+  }
+
+  val gB10RangeSql: String =
+    """SELECT i % 7 AS bucket, count(*)::BIGINT AS n, sum(i)::DOUBLE AS s,
+      |  min(i)::BIGINT AS mn, max(i)::BIGINT AS mx
+      |FROM generate_series(1, 5000) AS t(i)
+      |GROUP BY 1""".stripMargin
+
   /** g_b10_pctl — Neo4j's percentile aggregates (r15):
     * `percentileDisc(x, p)` (smallest value at cumulative position p —
     * index ceil(p·n) of the sorted list, exact, no interpolation) and
@@ -10228,6 +10248,7 @@ object QueryCatalog {
     "g_b10_cart" -> gB10Cart,
     "g_b10_undir" -> gB10Undir,
     "g_b10_undirvar" -> gB10UndirVar,
+    "g_b10_range" -> gB10Range,
     "g_b10_pctl" -> gB10Pctl,
     "g_b10_spath" -> gB10Spath,
     "g_b10_cycle" -> gB10Cycle,
@@ -10570,6 +10591,7 @@ object QueryCatalog {
     "g_b10_cart" -> gB10CartSql,
     "g_b10_undir" -> gB10UndirSql,
     "g_b10_undirvar" -> gB10UndirVarSql,
+    "g_b10_range" -> gB10RangeSql,
     "g_b10_pctl" -> gB10PctlSql,
     "g_b10_spath" -> gB10SpathSql,
     "g_b10_cycle" -> gB10CycleSql,

@@ -322,11 +322,8 @@ class CypherLiteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       db.executeQuery("OPTIONAL MATCH (a) RETURN a")
     }
-    // undirected single hops are SUPPORTED since r15 — see the
-    // undirected tests above; the var-length form still raises
-    intercept[IllegalArgumentException] {
-      db.executeQuery("MATCH (a)-[:R*1..2]-(b) RETURN a")
-    }
+    // undirected single hops are SUPPORTED since r15, var-length
+    // undirected since r16 — see the dedicated tests above
     intercept[IllegalArgumentException] {
       // '_' is a word char: MATCH_foo must fail the keyword-boundary
       // check, same \w rule as WHERE/RETURN (ADVICE r5)
@@ -1574,6 +1571,65 @@ class CypherLiteSpec extends AnyFunSuite {
       "MATCH (a:MODULE)-[*0..1]-(b) RETURN b.full_name " +
         "ORDER BY b.full_name").collect()
     assert(z.map(_.getString(0)).toSeq === Seq("m", "m.Person"))
+  }
+
+  test("r16 range() + list index/slice: UNWIND range is in-plan and " +
+      "typed, bounds are inclusive, slices are 0-based half-open with " +
+      "negatives and clamping, out-of-range index is null") {
+    // UNWIND range: inclusive bounds, typed longs (arithmetic stays long)
+    val r = db.executeQuery(
+      "UNWIND range(1, 4) AS x RETURN x, x * x AS sq ORDER BY x").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ===
+      Seq((1L, 1L), (2L, 4L), (3L, 9L), (4L, 16L)))
+    // negative step
+    val dn = db.executeQuery(
+      "UNWIND range(10, 0, -3) AS x RETURN x").collect()
+    assert(dn.map(_.getLong(0)).toSeq === Seq(10L, 7L, 4L, 1L))
+    // zero step and over-budget extents raise loudly
+    intercept[IllegalArgumentException] {
+      db.executeQuery("UNWIND range(1, 5, 0) AS x RETURN x")
+    }
+    intercept[IllegalArgumentException] {
+      db.executeQuery("UNWIND range(1, 999999999999) AS x RETURN x")
+    }
+    // range() as a RETURN expression + size() of a list-producing fn
+    val rr = db.executeQuery(
+      "UNWIND range(1, 1) AS i RETURN range(2, 6, 2) AS r, " +
+        "size(range(1, 10, 3)) AS n").collect().head
+    assert(rr.getSeq[Long](0) === Seq(2L, 4L, 6L))
+    assert(rr.getInt(1) === 4)
+    // list index/slice over a deterministic split() list
+    val s = db.executeQuery(
+      "UNWIND range(1, 1) AS i " +
+        "RETURN split('a,b,c,d', ',')[0] AS first, " +
+        "split('a,b,c,d', ',')[-1] AS last_, " +
+        "split('a,b,c,d', ',')[1..3] AS mid, " +
+        "split('a,b,c,d', ',')[..2] AS pre, " +
+        "split('a,b,c,d', ',')[2..] AS post, " +
+        "split('a,b,c,d', ',')[9] AS oob, " +
+        "split('a,b,c,d', ',')[1..100] AS clamp, " +
+        "split('a,b,c,d', ',')[-3..-1] AS negs, " +
+        "split('a,b,c,d', ',')[3..1] AS empty_").collect().head
+    assert(s.getString(0) === "a")
+    assert(s.getString(1) === "d")
+    assert(s.getSeq[String](2) === Seq("b", "c"))
+    assert(s.getSeq[String](3) === Seq("a", "b"))
+    assert(s.getSeq[String](4) === Seq("c", "d"))
+    assert(s.isNullAt(5))
+    assert(s.getSeq[String](6) === Seq("b", "c", "d"))
+    assert(s.getSeq[String](7) === Seq("b", "c"))
+    assert(s.getSeq[String](8) === Seq.empty)
+    // slicing composes with path machinery: nodes(p)[0] / [-1]
+    val p = db.executeQuery(
+      "MATCH p = (a {full_name: 'm'})-[:CONTAINS*1..1]->(b) " +
+        "RETURN nodes(p)[0] AS src, nodes(p)[-1] AS dst").collect().head
+    assert(p.getString(0) === "m")
+    assert(p.getString(1) === "m.Person")
+    // a dynamic index expression (the unwound var) works too
+    val dyn = db.executeQuery(
+      "UNWIND range(0, 3) AS i RETURN split('a,b,c,d', ',')[i] AS c " +
+        "ORDER BY c").collect()
+    assert(dyn.map(_.getString(0)).toSeq === Seq("a", "b", "c", "d"))
   }
 
   test("r15 percentileDisc/percentileCont: ceil-index rule, " +
