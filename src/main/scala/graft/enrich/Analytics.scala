@@ -508,7 +508,7 @@ object Analytics {
     * convention) so all three spellings — coloring loop, Pregel, oracle
     * closure — agree on the min-member label. */
   def stronglyConnectedGraphX(spark: SparkSession, edges: DataFrame,
-      numIter: Int = 12): DataFrame = {
+      numIter: Int = 12, localThreshold: Int = 200000): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     import spark.implicits._
     // the same TRIM pre-pass as the DataFrame path: the DAG periphery
@@ -520,6 +520,25 @@ object Analytics {
       return trimmed.map(_.select(col("v"), col("c").as("scc")))
         .getOrElse(e0.sparkSession.emptyDataFrame
           .select(lit("").as("v"), lit("").as("scc")).limit(0))
+    // r16 (verdict task #3): the DF path's POST-TRIM driver-Tarjan core
+    // probe, ported — after the periphery peel the surviving cyclic core
+    // is usually tiny, and Pregel's per-superstep job overhead dwarfs a
+    // one-pass local Tarjan on it. At cluster scale the probe misses
+    // (limit(k+1) pulls at most k+1 rows, never the graph) and Pregel
+    // carries the work; specs force the Pregel arm via localThreshold=0.
+    if (core.schema.head.dataType ==
+        org.apache.spark.sql.types.StringType) {
+      val probe = core.limit(localThreshold + 1)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      if (probe.length <= localThreshold) {
+        val m = tarjanNontrivial(probe)
+        val coreLabeled = probe.iterator
+          .flatMap(p => Iterator(p._1, p._2)).toSet
+          .toSeq.sorted.map(v => (v, m.getOrElse(v, v))).toDF("v", "scc")
+        return trimmed.fold(coreLabeled)(t =>
+          t.select(col("v"), col("c").as("scc")).unionByName(coreLabeled))
+      }
+    }
     val keyed = core.select(
       xxhash64(col("src")).as("sid"), col("src"),
       xxhash64(col("dst")).as("did"), col("dst")).cache()

@@ -30,9 +30,17 @@ class AnalyticsSpec extends AnyFunSuite {
     val loop = Analytics.stronglyConnected(edges, localThreshold = 0)
       .as[(String, String)].collect().toMap
     assert(loop === expected)
+    // default threshold: the r16 post-trim core probe labels the tiny
+    // core driver-side (Tarjan), Pregel never launches
     val gx = Analytics.stronglyConnectedGraphX(spark, edges)
       .as[(String, String)].collect().toMap
     assert(gx === expected)
+    // threshold 0 FORCES the GraphX Pregel arm past the probe —
+    // identical labels (the spec-forced distributed fallback discipline)
+    val gxForced = Analytics.stronglyConnectedGraphX(spark, edges,
+        localThreshold = 0)
+      .as[(String, String)].collect().toMap
+    assert(gxForced === expected)
   }
 
   test("stronglyConnectedIncremental ≡ from-scratch, incl. a merge that " +
