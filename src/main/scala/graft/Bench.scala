@@ -112,6 +112,32 @@ object Bench {
     // lottery. Sorted order keeps each query's predecessors stable
     // round-over-round, so a drift in its number means the QUERY (or
     // real ambient load), not the sweep.
+    // Session-hygiene probe (r16, verdict task #7): snapshot the three
+    // session-lifetime accumulators a cache reset can't return — local
+    // shuffle/block dirs on disk, post-GC heap, JIT code-cache
+    // occupancy — AFTER each query's timed runs, in the untimed gap.
+    // When a drift cluster appears round-over-round, these columns say
+    // whether session state (not the query) moved under it.
+    def tmpShuffleMb(): Long = {
+      val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      def sz(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles()).getOrElse(Array.empty).map(sz).sum
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("blockmgr-") ||
+          f.getName.startsWith("spark-"))
+        .map(sz).sum >> 20
+    }
+    def heapMb(): Long =
+      (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+    def codeCacheMb(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.toLowerCase.contains("codeheap"))
+        .map(_.getUsage.getUsed).sum >> 20
+    }
+    val probes = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long)]
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -119,6 +145,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       resetCacheState()
+      probes(name) = (tmpShuffleMb(), heapMb(), codeCacheMb())
       name -> times
     }.toMap
     val loadEnd = loadavg()
@@ -167,12 +194,18 @@ object Bench {
     // root, committed with the round, so every timing is
     // machine-readable round-over-round.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // per-query hygiene columns, sweep (= name) order preserved so the
+    // accumulation trend reads top-to-bottom
+    val probeJson = probes.map { case (k, (t, h, c)) =>
+      s""""$k":{"tmp_mb":$t,"heap_mb":$h,"codecache_mb":$c}"""
+    }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",
          |"load_start":"$loadStart","load_end":"$loadEnd","load_gate":"$loadGate",
          |"queries":$qs,
          |"queries_median":$med,
-         |"reran":$reranJson}""".stripMargin
+         |"reran":$reranJson,
+         |"probe":$probeJson}""".stripMargin
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
