@@ -1009,7 +1009,13 @@ object PyIndexer {
       fields: Map[String, String], vars: Map[String, String],
       imports: Map[String, String], modImports: Map[String, String],
       bases: Map[String, Seq[String]] = Map.empty,
-      returnElems: Map[String, String] = Map.empty)
+      returnElems: Map[String, String] = Map.empty,
+      // slice 89 (r16): ABSOLUTE sources of `from X import *` — the
+      // corpus fold resolves them (a star of a CLOSED indexed module
+      // binds exactly that module's exported top-level names; a star
+      // of an open/out-of-corpus module opens this module, jedi's
+      // resolution of import * — indexer_visitor.py:270-306)
+      starImports: Seq[String] = Seq.empty)
 
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier).
     * `corpus`, when present, enables the cross-module slices (62). */
@@ -1123,6 +1129,29 @@ object PyIndexer {
             .filter(_.nonEmpty).foreach { part =>
               if (part == "*") {
                 importFacts += ImportFact(mod, "*", srcMod, "wildcard")
+                // slice 89 (r16): a star of a CLOSED corpus module
+                // binds exactly its exported top-level names
+                // (underscore names stay home unless __all__ is
+                // declared — Python's default export set), and the
+                // visitor then resolves them like explicit
+                // from-imports. An open or out-of-corpus source keeps
+                // the blanket optimism. File order holds: an explicit
+                // binding BEFORE the star wins (no overwrite), one
+                // after it overwrites.
+                corpus.filter(_.modules.contains(srcMod)).foreach { c =>
+                  val pre = srcMod + "."
+                  val top = c.bound.iterator
+                    .filter(b => b.startsWith(pre) &&
+                      !b.substring(pre.length).contains('.'))
+                    .map(_.substring(pre.length)).toSet
+                  val keep =
+                    if (top.contains("__all__")) top
+                    else top.filterNot(_.startsWith("_"))
+                  keep.foreach { n =>
+                    if (!importedName.contains(n))
+                      importedName(n) = s"$srcMod.$n"
+                  }
+                }
               } else {
                 val (target, alias) = part.split("\\s+as\\s+") match {
                   case Array(t, a) => (t.trim, a.trim)
@@ -3112,6 +3141,7 @@ object PyIndexer {
     val elemAnnos = mutable.Map.empty[String, String]
     val importBindings = mutable.Map.empty[String, String]
     val modImports = mutable.Map.empty[String, String]
+    val starImports = mutable.ArrayBuffer.empty[String]
     var open = false
     // the top-level class whose body we are inside, and its body
     // indent (the FIRST statement indent seen — deeper statements are
@@ -3188,7 +3218,15 @@ object PyIndexer {
                 b.matches("[A-Za-z_]\\w*(?:\\.[A-Za-z_]\\w*)*")).toSeq
             if (bs.nonEmpty) clsBases(c) = bs
           case fromImport(srcMod, items) =>
-            if (items.trim == "*" || items.contains("*")) open = true
+            if (items.trim == "*" || items.contains("*")) {
+              // slice 89: defer — an ABSOLUTE star source may be a
+              // closed corpus module whose name set the fold knows
+              // exactly; a relative star has no corpus-stable module
+              // spelling and keeps the blanket optimism (open)
+              if (!srcMod.startsWith(".") && srcMod.nonEmpty)
+                starImports += srcMod
+              else open = true
+            }
             else items.split(",").foreach { it =>
               val parts = it.trim.stripPrefix("(").stripSuffix(")")
                 .trim.split("\\s+as\\s+")
@@ -3337,7 +3375,8 @@ object PyIndexer {
       fieldAnnos.iterator.map { case (f, a) => s"$mod.$f" -> a }.toMap,
       varAnnos.iterator.map { case (v, a) => s"$mod.$v" -> a }.toMap,
       importBindings.toMap, modImports.toMap, clsBases.toMap,
-      elemAnnos.iterator.map { case (d, a) => s"$mod.$d" -> a }.toMap)
+      elemAnnos.iterator.map { case (d, a) => s"$mod.$d" -> a }.toMap,
+      starImports.distinct.toSeq)
   }
 
   /** Fold per-module binding scans into the [[CorpusContext]] the deep
@@ -3350,7 +3389,66 @@ object PyIndexer {
     * + `-> U` types as the source class). An import whose target module
     * is out of corpus, or whose name is not a class there, resolves to
     * nothing — the optimistic take stays, the corpus never guesses. */
-  def corpusContext(scans: Seq[ModuleScan]): CorpusContext = {
+  /** Slice 89 (r16, verdict task #4): STAR-IMPORT resolution against
+    * the corpus. `from X import *` of a CLOSED indexed module binds
+    * exactly X's exported top-level names (Python's default export set
+    * — underscore names stay home unless `__all__` is declared, in
+    * which case the optimistic superset is kept: a too-large name set
+    * only withholds a disproof, never fabricates one); the importer
+    * also gains import bindings name → X.name so annotations resolve
+    * and facades chase through the star. A star of an open or
+    * out-of-corpus module OPENS the importer (jedi can bind anything
+    * through it — the pre-slice-89 blanket), and openness propagates
+    * through star chains. Name sets union to a fixpoint, so star
+    * CYCLES between closed modules converge to the optimistic union —
+    * sound for disproof. */
+  private def resolveStars(scans0: Seq[ModuleScan]): Seq[ModuleScan] = {
+    if (scans0.forall(_.starImports.isEmpty)) return scans0
+    val byMod = scans0.iterator.map(s => s.mod -> s).toMap
+    val open = mutable.Map.empty[String, Boolean]
+    scans0.foreach(s => open(s.mod) =
+      s.open || s.starImports.exists(!byMod.contains(_)))
+    var changed = true
+    while (changed) {
+      changed = false
+      scans0.foreach { s =>
+        if (!open(s.mod) && s.starImports.exists(open(_))) {
+          open(s.mod) = true; changed = true
+        }
+      }
+    }
+    def exported(ns: Set[String]): Set[String] =
+      if (ns.contains("__all__")) ns else ns.filterNot(_.startsWith("_"))
+    val names = mutable.Map.empty[String, Set[String]]
+    val imports = mutable.Map.empty[String, Map[String, String]]
+    scans0.foreach { s =>
+      names(s.mod) = s.names; imports(s.mod) = s.imports
+    }
+    changed = true
+    while (changed) {
+      changed = false
+      scans0.foreach { s =>
+        if (!open(s.mod)) s.starImports.foreach { src =>
+          exported(names(src)).foreach { x =>
+            if (!names(s.mod).contains(x)) {
+              names(s.mod) += x
+              // own bindings (and earlier stars) win; the qualified
+              // target may itself be src's re-export — chaseClass
+              // follows it through src's effective imports
+              if (!imports(s.mod).contains(x))
+                imports(s.mod) += x -> s"$src.$x"
+              changed = true
+            }
+          }
+        }
+      }
+    }
+    scans0.map(s => s.copy(open = open(s.mod), names = names(s.mod),
+      imports = imports(s.mod)))
+  }
+
+  def corpusContext(scans0: Seq[ModuleScan]): CorpusContext = {
+    val scans = resolveStars(scans0)
     val closed = scans.filterNot(_.open)
     val scansByMod = scans.iterator.map(s => s.mod -> s).toMap
     // slice 85 (r15): RE-EXPORT chasing — `from mod_core import User`

@@ -3015,6 +3015,80 @@ class IndexerSpec extends AnyFunSuite {
     assert(pings.contains("mod_c.use"), s"got $pings")
   }
 
+  test("r16 slice 89: star-import of a CLOSED corpus module binds its " +
+      "exported names — constructor calls type, annotations resolve, " +
+      "facades chase; open-module stars keep the blanket optimism; " +
+      "underscore names stay home") {
+    val modA =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |class _Hidden:
+        |    def boom(self):
+        |        return 0
+        |""".stripMargin
+    // positive: star-imported class types a constructor call
+    val modB =
+      """from mod_a import *
+        |
+        |def use():
+        |    x = Conn()
+        |    x.ping()
+        |""".stripMargin
+    // fold side: an annotation naming a star-imported class resolves
+    val modC =
+      """from mod_a import *
+        |
+        |def get() -> "Conn":
+        |    return _make()
+        |""".stripMargin
+    val modD =
+      "from mod_c import get\n\ndef use_d():\n    get().ping()\n"
+    // facade star-re-export: an explicit from-import of the facade
+    // CHASES through its star into the definer (annotation route —
+    // the slice 85 shape)
+    val modF = "from mod_a import *\n"
+    val modE =
+      """from mod_f import Conn
+        |
+        |def make() -> Conn:
+        |    return Conn()
+        |""".stripMargin
+    val modH =
+      "from mod_e import make\n\ndef use_e():\n    make().ping()\n"
+    val fx = Seq(SourceFile("mod_a.py", modA), SourceFile("mod_b.py", modB),
+      SourceFile("mod_c.py", modC), SourceFile("mod_d.py", modD),
+      SourceFile("mod_f.py", modF), SourceFile("mod_e.py", modE),
+      SourceFile("mod_h.py", modH)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t89"), "t89")
+    val pings = out.edges
+      .filter(col("rel_type") === Rel.Call && col("dst") === "mod_a.Conn.ping")
+      .select("src").as[String].collect().toSet
+    assert(pings.contains("mod_b.use"), s"constructor: got $pings")
+    assert(pings.contains("mod_d.use_d"), s"annotation: got $pings")
+    assert(pings.contains("mod_h.use_e"), s"facade chase: got $pings")
+    // underscore names stay home: _Hidden is NOT star-bound
+    val sB = graft.indexer.PyIndexer.corpusContext(Seq(
+      graft.indexer.PyIndexer.moduleBindings("mod_a.py", modA),
+      graft.indexer.PyIndexer.moduleBindings("mod_b.py", modB)))
+    assert(sB.bound.contains("mod_b.Conn"))
+    assert(!sB.bound.contains("mod_b._Hidden"))
+    assert(sB.modules.contains("mod_b"), "star of a closed module " +
+      "must keep the importer closed (disproof survives)")
+    // a star of an OPEN module (itself star-importing out-of-corpus)
+    // opens the importer — no disproof, blanket optimism
+    val modOpen = "from somewhere_external import *\n"
+    val modG = "from mod_open import *\n\ndef g():\n    return 1\n"
+    val sG = graft.indexer.PyIndexer.corpusContext(Seq(
+      graft.indexer.PyIndexer.moduleBindings("mod_open.py", modOpen),
+      graft.indexer.PyIndexer.moduleBindings("mod_g.py", modG)))
+    assert(!sG.modules.contains("mod_open"))
+    assert(!sG.modules.contains("mod_g"),
+      "openness must propagate through star chains")
+  }
+
   test("r16 slice 86 hygiene: a from-import inside a triple-quoted " +
       "docstring or example block binds NOTHING (advisor r16) — the " +
       "preprocess blanking must reach the nested-import harvest") {
