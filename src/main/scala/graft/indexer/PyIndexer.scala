@@ -113,11 +113,37 @@ object PyIndexer {
     "pathlib.Path.cwd" -> "pathlib.Path",
     "pathlib.Path.home" -> "pathlib.Path",
     "urllib.parse.urlparse" -> "urllib.parse.ParseResult",
+    "urllib.parse.urlsplit" -> "urllib.parse.SplitResult",
     "tempfile.TemporaryDirectory" -> "tempfile.TemporaryDirectory",
     "logging.getLogger" -> "logging.Logger",
     "subprocess.run" -> "subprocess.CompletedProcess",
     "subprocess.Popen" -> "subprocess.Popen",
-    "sqlite3.connect" -> "sqlite3.Connection")
+    "sqlite3.connect" -> "sqlite3.Connection",
+    // r16 tier (verdict task #5), grounded by a corpus scan — the
+    // reference repo alone constructs Path() 9 times: the pathlib
+    // constructor, the collections containers, strptime (the most
+    // common datetime classmethod the r15 table missed), in-memory io,
+    // and the threading/decimal constructors
+    "pathlib.Path" -> "pathlib.Path",
+    "pathlib.PurePath" -> "pathlib.PurePath",
+    "datetime.datetime.strptime" -> "datetime.datetime",
+    "datetime.datetime.combine" -> "datetime.datetime",
+    "collections.Counter" -> "collections.Counter",
+    "collections.defaultdict" -> "collections.defaultdict",
+    "collections.OrderedDict" -> "collections.OrderedDict",
+    "collections.deque" -> "collections.deque",
+    "configparser.ConfigParser" -> "configparser.ConfigParser",
+    "io.StringIO" -> "io.StringIO",
+    "io.BytesIO" -> "io.BytesIO",
+    "json.JSONDecoder" -> "json.JSONDecoder",
+    "argparse.ArgumentParser" -> "argparse.ArgumentParser",
+    "threading.Thread" -> "threading.Thread",
+    "threading.Lock" -> "threading.Lock",
+    "threading.Event" -> "threading.Event",
+    "decimal.Decimal" -> "decimal.Decimal",
+    "fractions.Fraction" -> "fractions.Fraction",
+    "random.Random" -> "random.Random",
+    "socket.socket" -> "socket.socket")
 
   /** Method returns on the slice-45 stdlib classes — what typeshed's
     * class stubs declare for the members a member-call chain folds
@@ -129,15 +155,28 @@ object PyIndexer {
     "pathlib.Path" -> Map("resolve" -> "pathlib.Path",
       "absolute" -> "pathlib.Path", "expanduser" -> "pathlib.Path",
       "with_suffix" -> "pathlib.Path", "with_name" -> "pathlib.Path",
-      "joinpath" -> "pathlib.Path", "rename" -> "pathlib.Path"),
+      "with_stem" -> "pathlib.Path", "relative_to" -> "pathlib.Path",
+      "joinpath" -> "pathlib.Path", "rename" -> "pathlib.Path",
+      "readlink" -> "pathlib.Path"),
     "datetime.datetime" -> Map("replace" -> "datetime.datetime",
-      "astimezone" -> "datetime.datetime", "date" -> "datetime.date"),
+      "astimezone" -> "datetime.datetime", "date" -> "datetime.date",
+      "strptime" -> "datetime.datetime"),
     "datetime.date" -> Map("replace" -> "datetime.date"),
+    // r16 tier: the copy() family preserves the container class;
+    // executemany mirrors execute's cursor-chaining
+    "collections.Counter" -> Map("copy" -> "collections.Counter"),
+    "collections.defaultdict" ->
+      Map("copy" -> "collections.defaultdict"),
+    "collections.OrderedDict" ->
+      Map("copy" -> "collections.OrderedDict"),
+    "collections.deque" -> Map("copy" -> "collections.deque"),
     "argparse.ArgumentParser" -> Map(
       "parse_args" -> "argparse.Namespace"),
     "sqlite3.Connection" -> Map("cursor" -> "sqlite3.Cursor",
-      "execute" -> "sqlite3.Cursor"),
-    "sqlite3.Cursor" -> Map("execute" -> "sqlite3.Cursor"),
+      "execute" -> "sqlite3.Cursor",
+      "executemany" -> "sqlite3.Cursor"),
+    "sqlite3.Cursor" -> Map("execute" -> "sqlite3.Cursor",
+      "executemany" -> "sqlite3.Cursor"),
     "logging.Logger" -> Map("getChild" -> "logging.Logger"))
 
   /** Builtins with class-valued returns (`open` has no import to

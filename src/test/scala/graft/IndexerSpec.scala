@@ -1243,6 +1243,79 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("sl.shadowed", "sl.open")))
   }
 
+  test("r16 slice 45 tier 2: collections / strptime / io / subprocess " +
+      "/ threading stubs bind; a module-local class SHADOWS the stub") {
+    val src =
+      """import collections
+        |import datetime
+        |import subprocess
+        |import io
+        |import threading
+        |from collections import Counter, defaultdict
+        |
+        |def counts(xs):
+        |    c = Counter(xs)
+        |    c2 = c.copy()
+        |    return c2.most_common(3)
+        |
+        |def grouped():
+        |    d = defaultdict(list)
+        |    return d.copy().keys()
+        |
+        |def ordered():
+        |    o = collections.OrderedDict()
+        |    return o.copy().items()
+        |
+        |def stamp(s):
+        |    t = datetime.datetime.strptime(s, '%Y')
+        |    return t.replace(year=2000).isoformat()
+        |
+        |def run(cmd):
+        |    r = subprocess.run(cmd)
+        |    return r.check_returncode()
+        |
+        |def buf(s):
+        |    b = io.StringIO(s)
+        |    return b.getvalue()
+        |
+        |def worker(fn):
+        |    t = threading.Thread(target=fn)
+        |    t.start()
+        |    return t
+        |
+        |class Counter:
+        |    def shadowed_method(self):
+        |        return 0
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "sl2.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // NOTE the file also defines a local `class Counter` — Python file
+    // scope shadows the import everywhere, so Counter() must construct
+    // the LOCAL class, not the stub (negative golden for the family)
+    assert(calls.contains(("sl2.counts", "sl2.Counter")), s"got $calls")
+    assert(!calls.exists(_._2 == "collections.Counter.copy"))
+    // defaultdict/OrderedDict: construct + copy() keeps the class
+    assert(calls.contains(("sl2.grouped", "collections.defaultdict")))
+    assert(calls.contains(("sl2.grouped", "collections.defaultdict.copy")))
+    assert(calls.contains(("sl2.grouped", "collections.defaultdict.keys")))
+    assert(calls.contains(("sl2.ordered", "collections.OrderedDict")))
+    assert(calls.contains(("sl2.ordered", "collections.OrderedDict.copy")))
+    // strptime classmethod types, replace() keeps datetime
+    assert(calls.contains(("sl2.stamp", "datetime.datetime.strptime")))
+    assert(calls.contains(("sl2.stamp", "datetime.datetime.replace")))
+    assert(calls.contains(("sl2.stamp", "datetime.datetime.isoformat")))
+    // subprocess.run -> CompletedProcess member
+    assert(calls.contains(
+      ("sl2.run", "subprocess.CompletedProcess.check_returncode")))
+    // io.StringIO constructs and members resolve
+    assert(calls.contains(("sl2.buf", "io.StringIO")))
+    assert(calls.contains(("sl2.buf", "io.StringIO.getvalue")))
+    // threading.Thread constructs; start() resolves on the stub class
+    assert(calls.contains(("sl2.worker", "threading.Thread")))
+    assert(calls.contains(("sl2.worker", "threading.Thread.start")))
+  }
+
   test("C3 slice 45: stdlib method chains fold through typeshed returns") {
     // `m = re.compile(r).match(s)` — the chain head constructs a stdlib
     // type and the trailing .match() folds through the stub's return,
