@@ -814,6 +814,87 @@ object CypherLite {
     -1
   }
 
+  private def skipWs(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    i
+  }
+
+  /** Matching closer for the opener at `open`, honoring quotes and
+    * nesting of the same delimiter pair; -1 when unterminated. */
+  private def matchingDelim(s: String, open: Int, oc: Char,
+      cc: Char): Int = {
+    var depth = 0
+    var quote: Char = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == oc) depth += 1
+      else if (c == cc) { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  /** PATTERN COUNTS (r16): `size((a)-[:R]->(b))` (the classic spelling
+    * — only when the parenthesized text carries a relationship pattern,
+    * so scalar `size()` is untouched) and the modern
+    * `COUNT { [MATCH] pattern [WHERE …] }` subquery. Each occurrence is
+    * rewritten to a generated plain column `__pcnt_i`; the clause
+    * builder attaches the column after the MATCH clauses as ONE
+    * groupBy-count of the mini-chain on its bound variables + a left
+    * join (anchors matching nothing read 0 — Neo4j's count of an empty
+    * pattern). Returns (rewritten query, (column, pattern text) pairs). */
+  private def extractPatternCounts(q0: String)
+      : (String, Seq[(String, String)]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var q = q0
+    var again = true
+    while (again) {
+      again = false
+      val cPos = allTopLevelKeywords(q, "COUNT").find { p =>
+        val j = skipWs(q, p + 5)
+        j < q.length && q.charAt(j) == '{'
+      }
+      cPos match {
+        case Some(p) =>
+          val open = skipWs(q, p + 5)
+          val close = matchingDelim(q, open, '{', '}')
+          require(close > 0, s"unterminated COUNT subquery: $q0")
+          var body = q.substring(open + 1, close).trim
+          if (body.regionMatches(true, 0, "MATCH", 0, 5) &&
+              body.length > 5 && !isWordChar(body.charAt(5)))
+            body = body.substring(5).trim
+          val name = s"__pcnt_${out.size}"
+          out += name -> body
+          q = q.substring(0, p) + name + q.substring(close + 1)
+          again = true
+        case None =>
+          val sPos = allTopLevelKeywords(q, "size").find { p =>
+            val j = skipWs(q, p + 4)
+            if (j >= q.length || q.charAt(j) != '(') false
+            else {
+              val close = matchingDelim(q, j, '(', ')')
+              close > 0 && hasRelPatternText(q.substring(j + 1, close))
+            }
+          }
+          sPos.foreach { p =>
+            val open = skipWs(q, p + 4)
+            val close = matchingDelim(q, open, '(', ')')
+            val name = s"__pcnt_${out.size}"
+            out += name -> q.substring(open + 1, close).trim
+            q = q.substring(0, p) + name + q.substring(close + 1)
+            again = true
+          }
+      }
+    }
+    (q, out.toSeq)
+  }
+
   /** Index of the slice separator `..` outside quotes/brackets/parens;
     * -1 when absent (then the bracket body is a plain index). A number
     * literal never swallows it — this scan runs BEFORE parsing. */
@@ -2535,8 +2616,10 @@ object CypherLite {
         return executeShortestPath(nodes, edges, qU, spIdx)
       }
     }
-    val (q, pathByMatch, pathCols) = extractPathVars(qU)
-    val unwindVars: Set[String] = unwinds.map(_.v).toSet ++ pathCols
+    val (qP, pathByMatch, pathCols) = extractPathVars(qU)
+    val (q, patternCounts) = extractPatternCounts(qP)
+    val unwindVars: Set[String] = unwinds.map(_.v).toSet ++ pathCols ++
+      patternCounts.map(_._1)
     // cached frames the budget-guarded cartesian pins (r16, advisor):
     // unpersisted after the final result materializes, else a long-lived
     // session leaks two cached plans' blocks per un-anchored MATCH
@@ -2727,9 +2810,23 @@ object CypherLite {
       d
     }
     // a clause WHERE splits into pattern predicates (join surgery) and
-    // the ordinary boolean remainder (a filter Column)
-    def applyClauseWhere(d0: DataFrame, w: String,
+    // the ordinary boolean remainder (a filter Column). Conjuncts
+    // referencing a PATTERN-COUNT column (r16) defer to after the count
+    // attaches — the column does not exist during the clause loop.
+    val deferredWhere = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyClauseWhere(d0: DataFrame, w0: String,
         vs: Map[String, String], clauseIx: Int): DataFrame = {
+      val w =
+        if (!w0.contains("__pcnt_")) w0
+        else {
+          require(splitBool(w0, "OR").lengthCompare(1) == 0 ||
+              splitBool(w0, "OR").forall(!_.contains("__pcnt_")),
+            s"a pattern count under OR is not supported: $q")
+          val (defer, keep) =
+            splitBool(w0, "AND").partition(_.contains("__pcnt_"))
+          deferredWhere ++= defer
+          if (keep.isEmpty) return d0 else keep.mkString(" AND ")
+        }
       val (preds, rest) = extractPatternPreds(w, q, clauseIx)
       var d = applyPatternPreds(d0, preds, vs)
       rest.foreach(w2 =>
@@ -2768,6 +2865,9 @@ object CypherLite {
           }.reduce(_ && _)
         else lit(true)
       if (c.optional) {
+        require(Option(c.where).forall(!_.contains("__pcnt_")),
+          s"a pattern count in an OPTIONAL MATCH WHERE is not " +
+            s"supported (it cannot null-extend): $q")
         // WHERE folds into the join: a filtered-out optional row
         // null-extends instead of dropping (Neo4j semantics). A PATTERN
         // predicate in the WHERE applies the same way — it semi/anti
@@ -2828,6 +2928,43 @@ object CypherLite {
         vars = vars ++ rv
       }
     }
+    // PATTERN COUNTS (r16): attach each __pcnt_i as ONE groupBy-count
+    // of its mini-chain on the pattern's BOUND variables, left-joined
+    // onto the driving frame (anchors matching nothing read 0); fresh
+    // named variables inside the pattern are existential (COUNT{} may
+    // introduce them, like EXISTS{}) and an inner WHERE filters the
+    // sub-chain. Then the clause-WHERE conjuncts deferred above apply.
+    patternCounts.zipWithIndex.foreach { case ((name, pat), pi) =>
+      val pc = parseClause(pat, optional = false, q, clauseIx = 600 + pi)
+      pc.hops.foreach(h => require(h.varName.isEmpty,
+        s"a pattern count cannot bind a relationship variable: $q"))
+      val aliasStart = 5000 + pi * 100
+      val boundPos = pc.nodeMs.zipWithIndex
+        .filter { case (m, _) => vars.contains(m.v) }
+        .groupBy(_._1.v).map { case (v, xs) => v -> xs.map(_._2).min }
+        .toSeq.sortBy(_._1)
+      require(boundPos.nonEmpty,
+        s"a pattern count must anchor on a bound variable: $q")
+      var sub = buildChain(nodes, edges, pc, aliasStart)
+      Option(pc.where).foreach { w =>
+        val subVars = pc.nodeMs.zipWithIndex
+          .map { case (m, i) => m.v -> s"n${aliasStart + i}" }.toMap
+        sub = sub.filter(parseWhere(w, matchScope(subVars),
+          valueRefOf(subVars, Set.empty)))
+      }
+      val grouped = sub.groupBy(boundPos.map { case (v, i) =>
+          col(s"n${aliasStart + i}.full_name").as(s"__pck_$v") }: _*)
+        .agg(count(lit(1)).cast("long").as(name))
+      val cond = boundPos.map { case (v, _) =>
+          col(s"${vars(v)}.full_name") === col(s"__pck_$v") }
+        .reduce(_ && _)
+      df = df.join(grouped, cond, "left")
+        .withColumn(name, coalesce(col(name), lit(0L)))
+        .drop(boundPos.map { case (v, _) => s"__pck_$v" }: _*)
+    }
+    deferredWhere.foreach(w =>
+      df = df.filter(parseWhere(w, scopeU(vars),
+        valueRefOf(vars, unwindVars))))
     // fold the WITH pipes left to right; each re-scopes the next segment;
     // unwound variables enter the pipeline as plain columns
     var curVars = vars

@@ -658,6 +658,36 @@ object QueryCatalog {
       |FROM generate_series(1, 5000) AS t(i)
       |GROUP BY 1""".stripMargin
 
+  /** g_b10_pcount — PATTERN COUNTS (r16): `COUNT { (s:SUPPLIER)
+    * -[:IN_NATION]->(n) }` per nation — Neo4j's degree-count idiom
+    * (the deprecated `size((pattern))` spelling shares the machinery),
+    * executed as ONE groupBy-count of the mini-chain left-joined onto
+    * the driving frame, so nations with no suppliers read 0 instead of
+    * dropping. The oracle replays the group-count + left join. */
+  val gB10Pcount: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (n:NATION) WHERE COUNT { (c:CUSTOMER)-[:IN_NATION]->(n) } " +
+        "> 0 RETURN n.name AS nation, " +
+        "COUNT { (sp:SUPPLIER)-[:IN_NATION]->(n) } AS ns")
+  }
+
+  val gB10PcountSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte},
+       |cc AS (SELECT e.dst AS nk, count(*) AS nc FROM edges e
+       |  JOIN nodes c ON e.src = c.full_name
+       |  WHERE e.rel_type = 'IN_NATION' AND c.label = 'CUSTOMER'
+       |  GROUP BY 1),
+       |sc AS (SELECT e.dst AS nk, count(*) AS ns FROM edges e
+       |  JOIN nodes sp ON e.src = sp.full_name
+       |  WHERE e.rel_type = 'IN_NATION' AND sp.label = 'SUPPLIER'
+       |  GROUP BY 1)
+       |SELECT n.name AS nation, coalesce(sc.ns, 0)::BIGINT AS ns
+       |FROM nodes n
+       |LEFT JOIN cc ON cc.nk = n.full_name
+       |LEFT JOIN sc ON sc.nk = n.full_name
+       |WHERE n.label = 'NATION' AND coalesce(cc.nc, 0) > 0""".stripMargin
+
   /** g_b10_pctl — Neo4j's percentile aggregates (r15):
     * `percentileDisc(x, p)` (smallest value at cumulative position p —
     * index ceil(p·n) of the sorted list, exact, no interpolation) and
@@ -10249,6 +10279,7 @@ object QueryCatalog {
     "g_b10_undir" -> gB10Undir,
     "g_b10_undirvar" -> gB10UndirVar,
     "g_b10_range" -> gB10Range,
+    "g_b10_pcount" -> gB10Pcount,
     "g_b10_pctl" -> gB10Pctl,
     "g_b10_spath" -> gB10Spath,
     "g_b10_cycle" -> gB10Cycle,
@@ -10592,6 +10623,7 @@ object QueryCatalog {
     "g_b10_undir" -> gB10UndirSql,
     "g_b10_undirvar" -> gB10UndirVarSql,
     "g_b10_range" -> gB10RangeSql,
+    "g_b10_pcount" -> gB10PcountSql,
     "g_b10_pctl" -> gB10PctlSql,
     "g_b10_spath" -> gB10SpathSql,
     "g_b10_cycle" -> gB10CycleSql,

@@ -1632,6 +1632,56 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(dyn.map(_.getString(0)).toSeq === Seq("a", "b", "c", "d"))
   }
 
+  test("r16 pattern counts: size((n)-[...]->()) and COUNT { ... } " +
+      "attach as groupBy-count + left join; zero-match anchors read 0; " +
+      "WHERE conjuncts defer; inner WHERE filters the sub-chain") {
+    // graph: m -CONTAINS-> m.Person -HAS_METHOD-> m.Person.greet; m.util
+    // has no edges at all
+    val deg = db.executeQuery(
+      "MATCH (n:sklearn) RETURN n.full_name AS v, " +
+        "size((n)-[]->()) AS deg ORDER BY v").collect()
+    assert(deg.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(
+      ("m", 1L), ("m.Person", 1L), ("m.Person.greet", 0L),
+      ("m.util", 0L)))
+    // the modern COUNT{} spelling, in a WHERE comparison (deferred
+    // conjunct) — undirected: only the edge-less node counts 0
+    val iso = db.executeQuery(
+      "MATCH (n:sklearn) WHERE COUNT { (n)--() } = 0 " +
+        "RETURN n.full_name").collect()
+    assert(iso.map(_.getString(0)).toSeq === Seq("m.util"))
+    // classic spelling in WHERE, composed with an ordinary conjunct
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) WHERE size((n)-[]->()) > 0 " +
+        "AND n.full_name <> 'm' RETURN n.full_name").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("m.Person"))
+    // inner WHERE filters the counted sub-chain (COUNT{} form)
+    val filt = db.executeQuery(
+      "MATCH (n:MODULE) RETURN COUNT { (n)-[]->(x) " +
+        "WHERE x.name = 'Person' } AS c").collect()
+    assert(filt.map(_.getLong(0)).toSeq === Seq(1L))
+    // two bound anchors: the count keys on BOTH endpoints
+    val pair = db.executeQuery(
+      "MATCH (a)-[:CONTAINS]->(b) RETURN a.full_name, " +
+        "size((a)-->(b)) AS c").collect()
+    assert(pair.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("m", 1L)))
+    // typed pattern count through an aggregate pipe
+    val agg = db.executeQuery(
+      "MATCH (n:sklearn) WITH size((n)-[:HAS_METHOD]->()) AS hm " +
+        "RETURN hm, count(*) AS n ORDER BY hm").collect()
+    assert(agg.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 3L), (1L, 1L)))
+    // unbound-anchor and OPTIONAL placements raise
+    intercept[IllegalArgumentException] {
+      db.executeQuery(
+        "MATCH (n:sklearn) RETURN size((zz)-[]->()) AS c")
+    }
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (n:sklearn) OPTIONAL MATCH (m:MODULE) " +
+        "WHERE size((m)-[]->()) > 0 RETURN n.full_name, m.full_name")
+    }
+  }
+
   test("r15 percentileDisc/percentileCont: ceil-index rule, " +
       "interpolation, p edge values, WITH-pipe form") {
     val d = GraphDatabase.inMemory(spark)
