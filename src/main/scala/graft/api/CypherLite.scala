@@ -393,6 +393,7 @@ object CypherLite {
   // Neo4j `<>`: missing props compare to NULL, so the row drops — the
   // Column `=!=` null semantics match exactly
   private val whereNeq = """^([\w.]+)\s*<>\s*(.+)$""".r
+  private val whereRegex = """^([\w.]+)\s*=~\s*(.+)$""".r
   private val whereCmp = """^([\w.]+)\s*(<=|>=|<|>)\s*(.+)$""".r
   private val whereStrPred =
     """^(?i)([\w.]+)\s+(STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+(.+)$""".r
@@ -451,8 +452,10 @@ object CypherLite {
         if (c == '\\' && i + 1 < s.length) { i += 1; sb.append(s.charAt(i)) }
         else if (c == quote) quote = 0
       } else if (c == '\'' || c == '"') { quote = c; sb.append(c) }
-      else if (c == '(') { depth += 1; sb.append(c) }
-      else if (c == ')') { depth = math.max(0, depth - 1); sb.append(c) }
+      else if (c == '(' || c == '[') { depth += 1; sb.append(c) }
+      else if (c == ')' || c == ']') {
+        depth = math.max(0, depth - 1); sb.append(c)
+      }
       else if (depth == 0 &&
           s.regionMatches(true, i, sep, 0, sep.length) &&
           (sep.head.isLetter // word separators (AND) need \w boundaries
@@ -767,7 +770,7 @@ object CypherLite {
   private val scalarFns = Set("coalesce", "tointeger", "tofloat", "abs", "size",
     "length", "toupper", "tolower", "trim", "ltrim", "rtrim", "replace",
     "substring", "left", "right", "tostring", "round", "split", "reverse",
-    "head", "last", "range")
+    "head", "last", "range", "reduce", "toboolean")
 
   /** True when a RETURN/WITH item core is a scalar EXPRESSION rather than
     * a plain reference: a top-level arithmetic operator outside quotes and
@@ -788,7 +791,7 @@ object CypherLite {
       else if (ch == '\'' || ch == '"') quote = ch
       else if (ch == '(') depth += 1
       else if (ch == ')') depth -= 1
-      else if (depth == 0 && ch == '[' && i > 0) return true
+      else if (depth == 0 && ch == '[') return true
       else if (depth == 0 && "+-*/%".indexOf(ch.toInt) >= 0) return true
       i += 1
     }
@@ -895,6 +898,102 @@ object CypherLite {
     (q, out.toSeq)
   }
 
+  /** First top-level `|` outside quotes/brackets/parens/braces — the
+    * comprehension/reduce projection separator (a rel-type alternation
+    * `:A|B` always sits inside a bracket, never at this level). */
+  private def topLevelPipe(s: String): Int = {
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == '[' || c == '(' || c == '{') depth += 1
+      else if (c == ']' || c == ')' || c == '}') depth -= 1
+      else if (depth == 0 && c == '|') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** First top-level `,` outside quotes/brackets/parens/braces. */
+  private def topLevelCommaIdx(s: String): Int = {
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == '[' || c == '(' || c == '{') depth += 1
+      else if (c == ']' || c == ')' || c == '}') depth -= 1
+      else if (depth == 0 && c == ',') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Boolean predicate INSIDE a list comprehension (r16): AND/OR/NOT
+    * with Cypher precedence over comparison leaves whose sides are
+    * scalar value expressions resolved with the lambda variable in
+    * scope — `x > 2`, `size(x) <= n.k`, `x IS NOT NULL`, `NOT (…)`. */
+  private def parseCompPred(t0: String, vars: Map[String, String],
+      plain: Set[String], schema: org.apache.spark.sql.types.StructType,
+      locals: Map[String, Column]): Column = {
+    val t = t0.trim
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"unsupported comprehension predicate '$t0'")
+    val orParts = splitBool(t, "OR")
+    if (orParts.lengthCompare(1) > 0)
+      return orParts.map(parseCompPred(_, vars, plain, schema, locals))
+        .reduce(_ || _)
+    val andParts = splitBool(t, "AND")
+    if (andParts.lengthCompare(1) > 0)
+      return andParts.map(parseCompPred(_, vars, plain, schema, locals))
+        .reduce(_ && _)
+    if (t.regionMatches(true, 0, "NOT", 0, 3) && t.length > 3 &&
+        !isWordChar(t.charAt(3)))
+      return !parseCompPred(t.substring(3), vars, plain, schema, locals)
+    if (isWholeParen(t))
+      return parseCompPred(t.substring(1, t.length - 1), vars, plain,
+        schema, locals)
+    def side(x: String): Column =
+      parseValueExpr(x.trim, vars, plain, schema, locals)
+    val isNull = """(?is)^(.*?)\s+IS\s+NULL$""".r
+    val isNotNull = """(?is)^(.*?)\s+IS\s+NOT\s+NULL$""".r
+    isNotNull.findFirstMatchIn(t).foreach(m => return side(m.group(1)).isNotNull)
+    isNull.findFirstMatchIn(t).foreach(m => return side(m.group(1)).isNull)
+    // first top-level comparison operator (two-char ops before one-char)
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == '[' || c == '(') depth += 1
+      else if (c == ']' || c == ')') depth -= 1
+      else if (depth == 0) {
+        val two = if (i + 1 < t.length) t.substring(i, i + 2) else ""
+        if (two == "<=" ) return side(t.substring(0, i)) <= side(t.substring(i + 2))
+        if (two == ">=") return side(t.substring(0, i)) >= side(t.substring(i + 2))
+        if (two == "<>") return side(t.substring(0, i)) =!= side(t.substring(i + 2))
+        if (c == '=') return side(t.substring(0, i)) === side(t.substring(i + 1))
+        if (c == '<') return side(t.substring(0, i)) < side(t.substring(i + 1))
+        if (c == '>') return side(t.substring(0, i)) > side(t.substring(i + 1))
+      }
+      i += 1
+    }
+    fail()
+  }
+
   /** Index of the slice separator `..` outside quotes/brackets/parens;
     * -1 when absent (then the bracket body is a plain index). A number
     * literal never swallows it — this scan runs BEFORE parsing. */
@@ -933,7 +1032,8 @@ object CypherLite {
     * raises, the module's posture. */
   private def parseValueExpr(s: String, vars: Map[String, String],
       plain: Set[String],
-      schema: org.apache.spark.sql.types.StructType): Column = {
+      schema: org.apache.spark.sql.types.StructType,
+      locals: Map[String, Column] = Map.empty): Column = {
     var i = 0
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"$msg in expression '$s' (pos $i)")
@@ -969,6 +1069,7 @@ object CypherLite {
           if (peek != ')') fail("missing ')'")
           i += 1; e
         }
+        else if (peek == '[') listOrComprehension()
         else if (peek == '-') { i += 1; negate(factor()) }
         else if (peek == '\'' || peek == '"') lit(stringLit())
         else if (peek.isDigit) numberLit()
@@ -984,7 +1085,8 @@ object CypherLite {
         if (close < 0) fail("unterminated '['")
         val body = s.substring(i + 1, close)
         val dd = topLevelDotDot(body)
-        def sub(t: String): Column = parseValueExpr(t, vars, plain, schema)
+        def sub(t: String): Column =
+          parseValueExpr(t, vars, plain, schema, locals)
         base =
           if (dd < 0) {
             val idx = sub(body).cast("long")
@@ -1021,6 +1123,47 @@ object CypherLite {
       val t = s.substring(st, i)
       if (t.contains(".")) lit(t.toDouble) else lit(t.toLong)
     }
+    def subExpr(t: String, loc: Map[String, Column] = locals): Column =
+      parseValueExpr(t.trim, vars, plain, schema, loc)
+    // LIST LITERAL `[e1, e2, …]` or COMPREHENSION
+    // `[x IN list [WHERE pred] [| out]]` (r16) — filter/transform stay
+    // in-plan; the lambda variable enters `locals` for the sub-parses
+    def listOrComprehension(): Column = {
+      val close = matchingBracket(s, i)
+      if (close < 0) fail("unterminated '['")
+      val body = s.substring(i + 1, close)
+      i = close + 1
+      val compRe = """(?is)^\s*(\w+)\s+IN\s+""".r
+      compRe.findPrefixMatchOf(body) match {
+        case Some(m) =>
+          val v = m.group(1)
+          val rest = body.substring(m.matched.length)
+          val wIdx = topLevelKeyword(rest, "WHERE")
+          val pIdx = topLevelPipe(rest)
+          require(pIdx < 0 || wIdx < pIdx,
+            s"malformed comprehension '[${body.trim}]'")
+          val listEnd =
+            if (wIdx >= 0) wIdx else if (pIdx >= 0) pIdx else rest.length
+          val listCol = subExpr(rest.substring(0, listEnd))
+          var cur = listCol
+          if (wIdx >= 0) {
+            val predTxt = rest.substring(wIdx + 5,
+              if (pIdx >= 0) pIdx else rest.length).trim
+            cur = filter(cur,
+              x => parseCompPred(predTxt, vars, plain, schema,
+                locals + (v -> x)))
+          }
+          if (pIdx >= 0)
+            cur = transform(cur,
+              x => subExpr(rest.substring(pIdx + 1), locals + (v -> x)))
+          cur
+        case None =>
+          val parts = splitTop(body, ",").map(_.trim).filter(_.nonEmpty)
+          if (parts.isEmpty)
+            fail("empty list literal needs a type — not supported")
+          array(parts.map(t => subExpr(t)): _*)
+      }
+    }
     def ident(): Column = {
       val st = i
       while (i < s.length && isWordChar(s.charAt(i))) i += 1
@@ -1033,6 +1176,34 @@ object CypherLite {
         // count (a var-length r is its path summary; a single hop is 1)
         // — intercepted before generic arg parsing, which refuses
         // whole-variable operands
+        // reduce(acc = init, x IN list | expr) — Cypher's fold, Spark's
+        // aggregate(); intercepted raw (its body is not a plain arg list)
+        if (w.equalsIgnoreCase("reduce")) {
+          val close = matchingDelim(s, i - 1, '(', ')')
+          if (close < 0) fail("unterminated reduce(")
+          val body = s.substring(i, close)
+          i = close + 1
+          val accRe = """(?s)^\s*(\w+)\s*=""".r
+          val mAcc = accRe.findPrefixMatchOf(body).getOrElse(
+            fail("reduce(acc = init, x IN list | expr)"))
+          val accV = mAcc.group(1)
+          val afterEq = body.substring(mAcc.matched.length)
+          val cIdx = topLevelCommaIdx(afterEq)
+          if (cIdx < 0) fail("reduce needs `, x IN list | expr`")
+          val initCol = subExpr(afterEq.substring(0, cIdx))
+          val rest = afterEq.substring(cIdx + 1)
+          val inRe = """(?is)^\s*(\w+)\s+IN\s+""".r
+          val mIn = inRe.findPrefixMatchOf(rest).getOrElse(
+            fail("reduce needs `x IN list | expr`"))
+          val elemV = mIn.group(1)
+          val rest2 = rest.substring(mIn.matched.length)
+          val pIdx = topLevelPipe(rest2)
+          if (pIdx < 0) fail("reduce needs `| expr`")
+          val listCol = subExpr(rest2.substring(0, pIdx))
+          return aggregate(listCol, initCol, (acc, x) =>
+            subExpr(rest2.substring(pIdx + 1),
+              locals + (accV -> acc, elemV -> x)))
+        }
         if (w.equalsIgnoreCase("size") || w.equalsIgnoreCase("length")) {
           val save = i
           val st2 = i
@@ -1090,10 +1261,12 @@ object CypherLite {
             val isArray = (argTxt.matches("""\w+""") && plain(argTxt) &&
               schema.fields.find(_.name == argTxt)
                 .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])) ||
-              // list-PRODUCING function heads size as lists (r16):
-              // size(range(…)) / size(split(…)) must never stringify
+              // list-PRODUCING forms size as lists (r16): range()/
+              // split() heads, list literals and comprehensions must
+              // never stringify
               ((argHead == "range" || argHead == "split") &&
-                argTxt.drop(argHead.length).trim.startsWith("("))
+                argTxt.drop(argHead.length).trim.startsWith("(")) ||
+              argTxt.startsWith("[")
             if (isArray) size(args.head) else length(args.head.cast("string"))
           case "tostring" => args.head.cast("string")
           // Cypher round() is round-half-up to an integer-valued DOUBLE
@@ -1113,6 +1286,10 @@ object CypherLite {
               fail("range(start, end[, step]) takes 2-3 args")
             sequence(args(0).cast("long"), args(1).cast("long"),
               args.lift(2).getOrElse(lit(1L)).cast("long"))
+          // Cypher toBoolean: 'true'/'false' (case-insensitive) parse,
+          // junk → null (try_cast's contract matches exactly)
+          case "toboolean" =>
+            lower(args.head.cast("string")).try_cast("boolean")
           case "head" => element_at(args.head, 1)
           case "last" => element_at(args.head, -1)
           case other => fail(s"unsupported function '$other(…)'")
@@ -1123,7 +1300,8 @@ object CypherLite {
         while (i < s.length && isWordChar(s.charAt(i))) i += 1
         if (i == pst) fail("expected a property name")
         propColOf(w, s.substring(pst, i), vars)
-      } else if (plain(w)) col(w)
+      } else if (locals.contains(w)) locals(w)
+      else if (plain(w)) col(w)
       else if (vars.contains(w)) fail(
         s"whole-variable operand '$w' (use a property: $w.<prop>)")
       else fail(s"unknown name '$w'")
@@ -1586,6 +1764,12 @@ object CypherLite {
       // so the bare `IS` never reaches the comparison fallbacks
       case whereIsNotNull(ref) => resolve(ref).isNotNull
       case whereIsNull(ref) => resolve(ref).isNull
+      // `=~` (r16): Neo4j's regex operator — a WHOLE-string Java-regex
+      // match (rlike alone is a substring find, so the pattern anchors);
+      // literal patterns only. Must match before whereEq (whose `=`
+      // would otherwise swallow the `~` into the value).
+      case whereRegex(ref, value) =>
+        resolve(ref).rlike("^(?:" + unquote(value) + ")$")
       case whereNeq(ref, value) =>
         valueRef(value).map(resolve(ref) =!= _)
           .getOrElse(resolve(ref) =!= unquote(value))

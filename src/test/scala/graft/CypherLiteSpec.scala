@@ -1682,6 +1682,53 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("r16 list expressions: literals, comprehensions with WHERE and " +
+      "projection, reduce(), =~ regex, toBoolean") {
+    // list literal + postfix index compose
+    val lt = db.executeQuery(
+      "UNWIND range(1, 1) AS i RETURN [10, 20, 30][1] AS x, " +
+        "size([1, 2, 3]) AS n").collect().head
+    assert(lt.getLong(0) === 20L)
+    // size() of a literal list: the arg is an array head, not a string
+    assert(lt.getInt(1) === 3 || lt.getLong(1) === 3L)
+    // comprehension: filter + projection, lambda var shadows nothing
+    val comp = db.executeQuery(
+      "UNWIND range(1, 1) AS i " +
+        "RETURN [x IN range(1, 6) WHERE x % 2 = 0 | x * 10] AS evens, " +
+        "[x IN range(1, 4) WHERE x > 2] AS fil, " +
+        "[x IN range(1, 3) | x + 100] AS proj").collect().head
+    assert(comp.getSeq[Long](0) === Seq(20L, 40L, 60L))
+    assert(comp.getSeq[Long](1) === Seq(3L, 4L))
+    assert(comp.getSeq[Long](2) === Seq(101L, 102L, 103L))
+    // reduce(): Cypher's fold — sum of squares
+    val red = db.executeQuery(
+      "UNWIND range(1, 1) AS i " +
+        "RETURN reduce(acc = 0, x IN range(1, 4) | acc + x * x) AS ss")
+      .collect().head
+    assert(red.getLong(0) === 30L)
+    // a comprehension over an unwound variable's list + AND/OR pred
+    val mix = db.executeQuery(
+      "UNWIND range(1, 1) AS i RETURN " +
+        "[x IN [1, 5, 8, 12] WHERE x > 2 AND x < 10 | x] AS mid")
+      .collect().head
+    assert(mix.getSeq[Long](0) === Seq(5L, 8L))
+    // =~ is a WHOLE-string Java regex (not a substring find)
+    val rex = db.executeQuery(
+      "MATCH (n:sklearn) WHERE n.name =~ 'Per.*' RETURN n.full_name")
+      .collect()
+    assert(rex.map(_.getString(0)).toSeq === Seq("m.Person"))
+    val rexAnchor = db.executeQuery(
+      "MATCH (n:sklearn) WHERE n.name =~ 'erso' RETURN n.full_name")
+      .collect()
+    assert(rexAnchor.isEmpty, "=~ must match the WHOLE string")
+    // toBoolean: parses, junk nulls (row drops in WHERE)
+    val tb = db.executeQuery(
+      "UNWIND range(1, 1) AS i RETURN toBoolean('TRUE') AS t, " +
+        "toBoolean('nope') AS j").collect().head
+    assert(tb.getBoolean(0) === true)
+    assert(tb.isNullAt(1))
+  }
+
   test("r15 percentileDisc/percentileCont: ceil-index rule, " +
       "interpolation, p edge values, WITH-pipe form") {
     val d = GraphDatabase.inMemory(spark)
