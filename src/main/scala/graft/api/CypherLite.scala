@@ -394,6 +394,11 @@ object CypherLite {
   // Column `=!=` null semantics match exactly
   private val whereNeq = """^([\w.]+)\s*<>\s*(.+)$""".r
   private val whereRegex = """^([\w.]+)\s*=~\s*(.+)$""".r
+  // `n:LABEL` / `NOT n:LABEL` — Neo4j's label predicate (r16); label =
+  // kind or a task id, the nodePred vocabulary
+  private val whereLabel = """^(\w+)\s*:\s*(`[^`]+`|\w+)$""".r
+  private val whereNotLabel =
+    """^(?i)NOT\s+(\w+)\s*:\s*(`[^`]+`|\w+)$""".r
   private val whereCmp = """^([\w.]+)\s*(<=|>=|<|>)\s*(.+)$""".r
   private val whereStrPred =
     """^(?i)([\w.]+)\s+(STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+(.+)$""".r
@@ -569,8 +574,10 @@ object CypherLite {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  // task_ids is fixed (r16) so the label predicate's membership test
+  // reaches the real ARRAY column on scans and carried structs alike
   private val fixed = Set("full_name", "kind", "name", "file_path",
-    "signature", "clazz", "code")
+    "signature", "clazz", "code", "task_ids")
 
   /** Node-pattern predicate over the engine's nodes schema: each label
     * must equal `kind` or be a member of `task_ids`; each prop literal is
@@ -1039,13 +1046,34 @@ object CypherLite {
       throw new IllegalArgumentException(s"$msg in expression '$s' (pos $i)")
     def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     def peek: Char = if (i < s.length) s.charAt(i) else '\u0000'
+    // Cypher `+` is ADDITION on numbers but CONCATENATION on strings
+    // and lists (r16) — Spark's Column `+` nulls on strings, so the
+    // parser dispatches on the operand's SYNTACTIC kind: an operand
+    // spelled as a string literal concats (both sides cast to string),
+    // one spelled as a list literal/comprehension concats arrays;
+    // everything else keeps the numeric coercion the string-typed model
+    // documents. `'n = ' + n.name` and `xs + [4]` both work.
+    def operandKind(): Char = {
+      val j = skipWs(s, i)
+      if (j < s.length && (s.charAt(j) == '\'' || s.charAt(j) == '"')) 's'
+      else if (j < s.length && s.charAt(j) == '[') 'l'
+      else ' '
+    }
     def expr(): Column = {
+      ws()
+      var kind = operandKind()
       var l = term()
       ws()
       while (peek == '+' || peek == '-') {
         val op = peek; i += 1
+        ws()
+        val rKind = operandKind()
         val r = term()
-        l = if (op == '+') l + r else l - r
+        if (op == '+' && (kind == 's' || rKind == 's')) {
+          l = concat(l.cast("string"), r.cast("string")); kind = 's'
+        } else if (op == '+' && (kind == 'l' || rKind == 'l')) {
+          l = concat(l, r); kind = 'l'
+        } else { l = if (op == '+') l + r else l - r; kind = ' ' }
         ws()
       }
       l
@@ -1764,6 +1792,18 @@ object CypherLite {
       // so the bare `IS` never reaches the comparison fallbacks
       case whereIsNotNull(ref) => resolve(ref).isNotNull
       case whereIsNull(ref) => resolve(ref).isNull
+      // label predicates (r16): `n:LABEL` tests kind OR task membership
+      // — the same vocabulary as a pattern's `(n:LABEL)`; task_ids is a
+      // fixed column so the scope resolver reaches it on scans and
+      // carried structs alike
+      case whereNotLabel(v, l0) =>
+        val l = l0.stripPrefix("`").stripSuffix("`")
+        !(resolve(s"$v.kind") === l ||
+          array_contains(resolve(s"$v.task_ids"), l))
+      case whereLabel(v, l0) =>
+        val l = l0.stripPrefix("`").stripSuffix("`")
+        resolve(s"$v.kind") === l ||
+          array_contains(resolve(s"$v.task_ids"), l)
       // `=~` (r16): Neo4j's regex operator — a WHOLE-string Java-regex
       // match (rlike alone is a substring find, so the pattern anchors);
       // literal patterns only. Must match before whereEq (whose `=`

@@ -1729,6 +1729,35 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(tb.isNullAt(1))
   }
 
+  test("r16 string/list + concatenation and n:LABEL predicates") {
+    // '+' with a string-literal operand CONCATENATES (Cypher), the
+    // numeric coercion stays for plain operands
+    val cat = db.executeQuery(
+      "MATCH (n:CLASS) RETURN 'name = ' + n.name AS s, " +
+        "n.name + '!' AS t").collect().head
+    assert(cat.getString(0) === "name = Person")
+    assert(cat.getString(1) === "Person!")
+    // list + list concatenates; numeric + stays numeric
+    val lc = db.executeQuery(
+      "UNWIND range(1, 1) AS i RETURN [1, 2] + [3] AS xs, " +
+        "1 + 2 AS n, 'a' + 1 AS m").collect().head
+    assert(lc.getSeq[Long](0) === Seq(1L, 2L, 3L))
+    assert(lc.getLong(1) === 3L)
+    assert(lc.getString(2) === "a1")
+    // label predicates in WHERE: kind and task-id vocabulary, NOT form
+    val lbl = db.executeQuery(
+      "MATCH (n:sklearn) WHERE n:CLASS RETURN n.full_name").collect()
+    assert(lbl.map(_.getString(0)).toSeq === Seq("m.Person"))
+    val notLbl = db.executeQuery(
+      "MATCH (n:sklearn) WHERE NOT n:CLASS AND NOT n:METHOD " +
+        "RETURN n.full_name ORDER BY n.full_name").collect()
+    assert(notLbl.map(_.getString(0)).toSeq === Seq("m", "m.util"))
+    // a task-id label tests membership of task_ids
+    val task = db.executeQuery(
+      "MATCH (n:CLASS) WHERE n:`sklearn` RETURN n.full_name").collect()
+    assert(task.map(_.getString(0)).toSeq === Seq("m.Person"))
+  }
+
   test("r15 percentileDisc/percentileCont: ceil-index rule, " +
       "interpolation, p edge values, WITH-pipe form") {
     val d = GraphDatabase.inMemory(spark)
