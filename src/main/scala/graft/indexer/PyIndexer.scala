@@ -371,6 +371,24 @@ object PyIndexer {
     * after `from` — not preceded by a `.` or word char (attribute members
     * never count, per shallow_indexer.py:488-489), not part of a longer
     * word. -1 when absent. */
+  private def isWordCh(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
+  /** Matching `)` for the `(` at `open` (paren depth only — runs over
+    * preprocess-blanked lines, so quotes are already spaces); -1 when
+    * unterminated. */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
   private def wordPos(s: String, w: String, from: Int = 0): Int = {
     val re = ("""(?<![\w.])""" + java.util.regex.Pattern.quote(w) + """(?!\w)""").r
     re.findAllMatchIn(s).find(_.start >= from).map(_.start).getOrElse(-1)
@@ -1204,6 +1222,85 @@ object PyIndexer {
             }
         }
       case _ => ()
+    }
+
+    // r16 slice 90: CALL-SITE PARAM INFERENCE — jedi's dynamic params
+    // (jedi searches a function's usages and executes the found
+    // arguments when a param lacks an annotation). FILE-LOCAL, like
+    // jedi's own bounded dynamic search: for each TOP-LEVEL def, every
+    // bare-name call site's argument spelled as a CONSTRUCTOR call of a
+    // classish head proposes its class for the reached param
+    // (positional or keyword); a param types only when it carries no
+    // annotation and EVERY proposing call site agrees on ONE head —
+    // disagreement keeps jedi's union out of the model, the module's
+    // optimistic-or-nothing posture.
+    val dynParams: Map[String, Map[String, String]] = locally {
+      val headerOf = mutable.Map.empty[String, Seq[String]]
+      lines.indices.foreach { li =>
+        if (!cont(li)) lines(li) match {
+          case defHeader(ind, d) if ind.isEmpty =>
+            headerOf(d) =
+              splitTopLevel(parenSpan(joinedHeader(li))).map(_.trim)
+          case _ => ()
+        }
+      }
+      val proposals =
+        mutable.Map.empty[(String, String), mutable.Set[String]]
+      if (headerOf.nonEmpty) {
+        val callRe = """(?<![\w.])([A-Za-z_]\w*)\s*\(""".r
+        val ctorArg = """^([A-Za-z_]\w*)\s*\(""".r
+        val kwArg = """^([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$""".r
+        def classish(h: String): Boolean = !keywords.contains(h) &&
+          (topClasses.contains(h) || h.headOption.exists(_.isUpper))
+        def paramName(piece: String): Option[String] = {
+          // plain un-annotated, default-less positional params only —
+          // an annotation or default already types (and wins); starred
+          // pieces never map positionally
+          val nm = piece.takeWhile(isWordCh)
+          if (nm.nonEmpty && !piece.contains(":") && !piece.contains("=") &&
+              !piece.startsWith("*")) Some(nm) else None
+        }
+        lines.indices.foreach { li =>
+          val t = lines(li).trim
+          if (!cont(li) && !t.startsWith("def ") &&
+              !t.startsWith("async def")) {
+            val logical = joinedHeader(li)
+            callRe.findAllMatchIn(logical).foreach { m =>
+              val f = m.group(1)
+              if (headerOf.contains(f)) {
+                val open = logical.indexOf('(', m.start)
+                val close = matchingParen(logical, open)
+                if (close > open) {
+                  val args = splitTopLevel(
+                    logical.substring(open + 1, close)).map(_.trim)
+                  val pieces = headerOf(f)
+                  args.zipWithIndex.foreach { case (a, k) =>
+                    val (pn, expr) = a match {
+                      case kwArg(nm, e)
+                        if pieces.exists(_.takeWhile(isWordCh) == nm) =>
+                        (pieces.find(_.takeWhile(isWordCh) == nm)
+                          .flatMap(paramName), e)
+                      case _ =>
+                        (pieces.lift(k).flatMap(paramName), a)
+                    }
+                    pn.foreach { p =>
+                      ctorArg.findFirstMatchIn(expr)
+                        .map(_.group(1)).filter(classish).foreach { h =>
+                          proposals.getOrElseUpdate((f, p),
+                            mutable.Set.empty) += h
+                        }
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      proposals.iterator.collect {
+        case ((f, p), hs) if hs.size == 1 => (f, p, hs.head)
+      }.toSeq.groupBy(_._1)
+        .map { case (f, xs) => f -> xs.map(t => t._2 -> t._3).toMap }
     }
 
     // module symbol (C13: FILE+MODULE recorded in the visitor ctor)
@@ -2154,6 +2251,18 @@ object PyIndexer {
                       resolveCallee(anno).foreach(t =>
                         fnScope.locals(m.group(1)) = t)
                   }
+              }
+            // r16 slice 90: call-site inferred params — TOP-LEVEL defs
+            // only (the dynParams key space); annotations, defaults and
+            // the container/mapping channels above all win
+            if (!inClass && stack.isEmpty)
+              dynParams.getOrElse(name, Map.empty).foreach {
+                case (pn, head) =>
+                  if (!fnScope.locals.contains(pn) &&
+                      !fnScope.elemLocals.contains(pn) &&
+                      !fnScope.valueLocals.contains(pn))
+                    resolveCallee(head).foreach(t =>
+                      fnScope.locals(pn) = t)
               }
             // A9/srctrl LOCAL symbols: every parameter (incl. self) is a
             // function-local — the reference records one local-symbol row

@@ -1465,14 +1465,17 @@ class CypherLiteSpec extends AnyFunSuite {
       Seq(("Person", null)))
     // an un-anchored PLAIN match executes as Neo4j's cartesian product
     // under the loud row budget (r15 — refused through r14)
+    // r16 (advisor): the budget guard's two cache() frames must NOT
+    // outlive the query — a long-lived session would leak two cached
+    // plans' blocks per un-anchored MATCH otherwise. clearCache first:
+    // the cache manager is session-global and other suites' leftovers
+    // must not mask (or fake) this query's own leak.
+    spark.sqlContext.clearCache()
     val cart = db.executeQuery(
       "MATCH (c:CLASS) MATCH (f:FUNCTION) RETURN c.name, f.full_name")
       .collect()
     assert(cart.map(r => (r.getString(0), r.getString(1))).toSeq ===
       Seq(("Person", "m.util")))
-    // r16 (advisor): the budget guard's two cache() frames must NOT
-    // outlive the query — a long-lived session would leak two cached
-    // plans' blocks per un-anchored MATCH otherwise
     assert(spark.sharedState.cacheManager.isEmpty,
       "un-anchored MATCH left plans in the cache manager")
   }

@@ -3162,6 +3162,55 @@ class IndexerSpec extends AnyFunSuite {
       "openness must propagate through star chains")
   }
 
+  test("r16 slice 90: call-site param inference (jedi's dynamic " +
+      "params) — agreeing constructor args type an un-annotated " +
+      "param; disagreement, annotations and non-top-level defs stay " +
+      "out") {
+    val src =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |class Other:
+        |    def ping(self):
+        |        return 2
+        |
+        |def use(h):
+        |    return h.ping()
+        |
+        |def mixed(h):
+        |    return h.ping()
+        |
+        |def annotated(h: Other):
+        |    return h.ping()
+        |
+        |def kwonly(a, h=None):
+        |    return h.ping()
+        |
+        |def caller():
+        |    use(Conn())
+        |    use(Conn())
+        |    mixed(Conn())
+        |    mixed(Other())
+        |    annotated(Conn())
+        |    kwonly(1, h=Conn())
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "dyn.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // agreeing call sites type the param: use's h.ping() resolves
+    assert(calls.contains(("dyn.use", "dyn.Conn.ping")), s"got $calls")
+    // DISAGREEING call sites bind nothing (jedi's union stays out)
+    assert(!calls.contains(("dyn.mixed", "dyn.Conn.ping")))
+    assert(!calls.contains(("dyn.mixed", "dyn.Other.ping")))
+    // an annotation WINS over call-site evidence
+    assert(calls.contains(("dyn.annotated", "dyn.Other.ping")))
+    assert(!calls.contains(("dyn.annotated", "dyn.Conn.ping")))
+    // a param with a DEFAULT stays out of the dynamic channel (the
+    // default's own slice-37 typing governs; None types nothing)
+    assert(!calls.contains(("dyn.kwonly", "dyn.Conn.ping")))
+  }
+
   test("r16 slice 86 hygiene: a from-import inside a triple-quoted " +
       "docstring or example block binds NOTHING (advisor r16) — the " +
       "preprocess blanking must reach the nested-import harvest") {
