@@ -1640,7 +1640,12 @@ object CypherLite {
           s"ORDER BY on a non-returned property cannot follow DISTINCT: $ret0")
         val hiddenIx = hiddenRefs.zipWithIndex.toMap
         val hiddenCols = hiddenRefs.zipWithIndex.map { case (ref, i) =>
-          withScope(vars, plain)(ref).as(s"__sort_$i")
+          // a VALUE EXPRESSION sort key (r16): `ORDER BY size(n.name)`,
+          // arithmetic, CASE — same grammar as RETURN items
+          (if (isCaseExpr(ref)) parseCaseExpr(ref, vars, plain, df.schema)
+           else if (isValueExpr(ref))
+             parseValueExpr(ref, vars, plain, df.schema)
+           else withScope(vars, plain)(ref)).as(s"__sort_$i")
         }
         val keys = parsed.map { case (ref, desc) =>
           val c = if (outCols.contains(ref)) col(s"`$ref`")

@@ -145,11 +145,11 @@ object IndexPipeline {
           s.returns.toSeq.sorted, s.fields.toSeq.sorted,
           s.vars.toSeq.sorted, s.imports.toSeq.sorted,
           s.modImports.toSeq.sorted, s.bases.toSeq.sortBy(_._1),
-          s.returnElems.toSeq.sorted, s.starImports)
+          s.returnElems.toSeq.sorted, s.starImports, s.allList)
       }.collect().toSeq
         .map(t => PyIndexer.ModuleScan(t._1, t._2.toSet, t._3,
           t._4.toSet, t._5.toMap, t._6.toMap, t._7.toMap, t._8.toMap,
-          t._9.toMap, t._10.toMap, t._11.toMap, t._12)))
+          t._9.toMap, t._10.toMap, t._11.toMap, t._12, t._13)))
     val ctxB = spark.sparkContext.broadcast(ctx)
     val events = files.flatMap { f =>
       val ev = PyIndexer.indexFileSafe(taskId, f.path, f.content,

@@ -1052,7 +1052,11 @@ object PyIndexer {
   final case class CorpusContext(modules: Set[String], bound: Set[String],
       returns: Map[String, String], fields: Map[String, String],
       vars: Map[String, String],
-      returnElems: Map[String, String] = Map.empty)
+      returnElems: Map[String, String] = Map.empty,
+      // slice 91 (r16): per closed module, the STAR-EXPORT name set —
+      // the parsed literal __all__ when one exists, else the
+      // non-underscore top-level names (transitive star names included)
+      exports: Map[String, Set[String]] = Map.empty)
 
   /** One module's pre-scan facts, RAW (slice 68): annotation values are
     * the simple names as written; resolution — against the module's own
@@ -1072,7 +1076,12 @@ object PyIndexer {
       // binds exactly that module's exported top-level names; a star
       // of an open/out-of-corpus module opens this module, jedi's
       // resolution of import * — indexer_visitor.py:270-306)
-      starImports: Seq[String] = Seq.empty)
+      starImports: Seq[String] = Seq.empty,
+      // slice 91 (r16): the module's LITERAL `__all__` list when one
+      // parses — the star-export allow-list Python itself honours; a
+      // dynamic __all__ (+=, extend, comprehension) stays None and the
+      // export set falls back to the optimistic superset
+      allList: Option[Seq[String]] = None)
 
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier).
     * `corpus`, when present, enables the cross-module slices (62). */
@@ -1196,15 +1205,10 @@ object PyIndexer {
                 // binding BEFORE the star wins (no overwrite), one
                 // after it overwrites.
                 corpus.filter(_.modules.contains(srcMod)).foreach { c =>
-                  val pre = srcMod + "."
-                  val top = c.bound.iterator
-                    .filter(b => b.startsWith(pre) &&
-                      !b.substring(pre.length).contains('.'))
-                    .map(_.substring(pre.length)).toSet
-                  val keep =
-                    if (top.contains("__all__")) top
-                    else top.filterNot(_.startsWith("_"))
-                  keep.foreach { n =>
+                  // slice 91: the fold's per-module export set applies
+                  // Python's __all__ rule (parsed literal allow-list,
+                  // else non-underscore names)
+                  c.exports.getOrElse(srcMod, Set.empty).foreach { n =>
                     if (!importedName.contains(n))
                       importedName(n) = s"$srcMod.$n"
                   }
@@ -3290,6 +3294,7 @@ object PyIndexer {
     val importBindings = mutable.Map.empty[String, String]
     val modImports = mutable.Map.empty[String, String]
     val starImports = mutable.ArrayBuffer.empty[String]
+    var allList: Option[Seq[String]] = None
     var open = false
     // the top-level class whose body we are inside, and its body
     // indent (the FIRST statement indent seen — deeper statements are
@@ -3409,6 +3414,34 @@ object PyIndexer {
             }
           case assignStmt(ind, n) if ind.isEmpty =>
             names += n
+            // slice 91: a LITERAL `__all__ = ["a", "b"]` parses into the
+            // star-export allow-list (joined across continuation lines);
+            // any non-literal spelling keeps allList None — the export
+            // fallback is the optimistic superset, never a wrong narrow
+            if (n == "__all__") {
+              // RAW lines: preprocess blanks string contents, and the
+              // allow-list IS string contents
+              val j = (rawLines(li) +: (li + 1 until lines.length)
+                .iterator.takeWhile(cont(_)).map(rawLines(_)).toSeq)
+                .mkString(" ")
+              val eq = j.indexOf('=')
+              val rhs = if (eq >= 0) j.substring(eq + 1).trim else ""
+              if (rhs.startsWith("[") || rhs.startsWith("(")) {
+                val inner = rhs.stripPrefix("[").stripPrefix("(")
+                  .reverse.dropWhile(c => c != ']' && c != ')')
+                  .drop(1).reverse
+                val parts = inner.split(",").map(_.trim)
+                  .filter(_.nonEmpty)
+                val lits = parts.flatMap { p =>
+                  val q = p.stripPrefix("\"").stripSuffix("\"")
+                    .stripPrefix("'").stripSuffix("'")
+                  if ((p.startsWith("\"") || p.startsWith("'")) &&
+                      q.matches("[A-Za-z_]\\w*")) Some(q) else None
+                }
+                if (lits.length == parts.length && lits.nonEmpty)
+                  allList = Some(lits.toSeq)
+              }
+            }
             // slice 67: module singleton — a constructor or annotated
             // assignment types the module-level name (simple own-module
             // class names only; resolution at the fold below)
@@ -3524,7 +3557,7 @@ object PyIndexer {
       varAnnos.iterator.map { case (v, a) => s"$mod.$v" -> a }.toMap,
       importBindings.toMap, modImports.toMap, clsBases.toMap,
       elemAnnos.iterator.map { case (d, a) => s"$mod.$d" -> a }.toMap,
-      starImports.distinct.toSeq)
+      starImports.distinct.toSeq, allList)
   }
 
   /** Fold per-module binding scans into the [[CorpusContext]] the deep
@@ -3565,19 +3598,29 @@ object PyIndexer {
         }
       }
     }
-    def exported(ns: Set[String]): Set[String] =
-      if (ns.contains("__all__")) ns else ns.filterNot(_.startsWith("_"))
     val names = mutable.Map.empty[String, Set[String]]
     val imports = mutable.Map.empty[String, Map[String, String]]
     scans0.foreach { s =>
       names(s.mod) = s.names; imports(s.mod) = s.imports
+    }
+    def exported(m: String): Set[String] = {
+      val ns = names(m)
+      byMod(m).allList match {
+        // slice 91: a parsed literal __all__ IS the export set —
+        // Python's own star-import rule
+        case Some(al) => al.toSet
+        // an unparsed (dynamic) __all__ keeps the optimistic superset:
+        // a too-large set only withholds a disproof
+        case None if ns.contains("__all__") => ns
+        case None => ns.filterNot(_.startsWith("_"))
+      }
     }
     changed = true
     while (changed) {
       changed = false
       scans0.foreach { s =>
         if (!open(s.mod)) s.starImports.foreach { src =>
-          exported(names(src)).foreach { x =>
+          exported(src).foreach { x =>
             if (!names(s.mod).contains(x)) {
               names(s.mod) += x
               // own bindings (and earlier stars) win; the qualified
@@ -3694,6 +3737,13 @@ object PyIndexer {
       flatten(resolved(_.returns)),
       flatten(resolved(_.fields)),
       resolved(_.vars),
-      flatten(resolved(_.returnElems)))
+      flatten(resolved(_.returnElems)),
+      closed.iterator.map { s =>
+        s.mod -> (s.allList match {
+          case Some(al) => al.toSet
+          case None if s.names.contains("__all__") => s.names
+          case None => s.names.filterNot(_.startsWith("_"))
+        })
+      }.toMap)
   }
 }

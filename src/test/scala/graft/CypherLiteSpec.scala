@@ -1732,6 +1732,20 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(tb.isNullAt(1))
   }
 
+  test("r16 ORDER BY value expressions: size()/arithmetic/CASE sort " +
+      "keys project as hidden columns and drop after the sort") {
+    val byLen = db.executeQuery(
+      "MATCH (n:sklearn) RETURN n.full_name " +
+        "ORDER BY size(n.full_name) DESC, n.full_name").collect()
+    assert(byLen.map(_.getString(0)).toSeq ===
+      Seq("m.Person.greet", "m.Person", "m.util", "m"))
+    val byCase = db.executeQuery(
+      "MATCH (n:sklearn) RETURN n.full_name ORDER BY " +
+        "CASE WHEN n.kind = 'MODULE' THEN 0 ELSE 1 END, n.full_name")
+      .collect()
+    assert(byCase.head.getString(0) === "m")
+  }
+
   test("r16 string/list + concatenation and n:LABEL predicates") {
     // '+' with a string-literal operand CONCATENATES (Cypher), the
     // numeric coercion stays for plain operands

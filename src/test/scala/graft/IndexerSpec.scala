@@ -3211,6 +3211,72 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.contains(("dyn.kwonly", "dyn.Conn.ping")))
   }
 
+  test("r16 slice 91: a literal __all__ is the star-export allow-list " +
+      "— names outside it do not star-bind; a dynamic __all__ keeps " +
+      "the optimistic superset") {
+    val modA =
+      """__all__ = ["Conn"]
+        |
+        |class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |class Hidden:
+        |    def boom(self):
+        |        return 0
+        |""".stripMargin
+    val modB =
+      """from mod_a import *
+        |
+        |def use():
+        |    x = Conn()
+        |    x.ping()
+        |
+        |def sneak():
+        |    y = Hidden()
+        |    y.boom()
+        |""".stripMargin
+    val fx = Seq(SourceFile("mod_a.py", modA),
+      SourceFile("mod_b.py", modB)).toDS()
+    val out = IndexPipeline.enrich(
+      IndexPipeline.indexFiles(spark, fx, "t91"), "t91")
+    val calls = out.edges
+      .filter(col("rel_type") === Rel.Call)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(calls.contains(("mod_b.use", "mod_a.Conn.ping")),
+      s"got $calls")
+    assert(!calls.contains(("mod_b.sneak", "mod_a.Hidden.boom")),
+      "a name outside __all__ must not star-bind")
+    // fold side mirrors: exports carries exactly the allow-list
+    val ctx = graft.indexer.PyIndexer.corpusContext(Seq(
+      graft.indexer.PyIndexer.moduleBindings("mod_a.py", modA),
+      graft.indexer.PyIndexer.moduleBindings("mod_b.py", modB)))
+    assert(ctx.exports("mod_a") === Set("Conn"))
+    assert(ctx.bound.contains("mod_b.Conn"))
+    assert(!ctx.bound.contains("mod_b.Hidden"))
+    // a DYNAMIC __all__ (+=) keeps the optimistic superset
+    val modDyn =
+      """__all__ = ["Conn"]
+        |__all__ += extra()
+        |
+        |class Conn:
+        |    pass
+        |
+        |class Hidden:
+        |    pass
+        |""".stripMargin
+    val sDyn = graft.indexer.PyIndexer.moduleBindings("mod_d.py", modDyn)
+    // the first literal parse stands; += cannot re-open it textually —
+    // but a module whose FIRST __all__ binding is non-literal stays None
+    val modDyn2 = "__all__ = make_exports()\n\nclass Conn:\n    pass\n"
+    val sDyn2 =
+      graft.indexer.PyIndexer.moduleBindings("mod_e.py", modDyn2)
+    assert(sDyn2.allList.isEmpty)
+    val ctx2 = graft.indexer.PyIndexer.corpusContext(Seq(sDyn2))
+    assert(ctx2.exports("mod_e").contains("Conn"))
+    assert(sDyn.allList === Some(Seq("Conn")))
+  }
+
   test("r16 slice 86 hygiene: a from-import inside a triple-quoted " +
       "docstring or example block binds NOTHING (advisor r16) — the " +
       "preprocess blanking must reach the nested-import harvest") {
