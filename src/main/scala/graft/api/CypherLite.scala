@@ -654,6 +654,10 @@ object CypherLite {
     """^(?i)(stDev|stDevP)\(\s*(\w+(?:\.\w+)?)\s*\)$""".r
   private val percentileRe =
     """^(?i)(percentileDisc|percentileCont)\(\s*(\w+(?:\.\w+)?)\s*,\s*(0?\.\d+|0|1|1\.0)\s*\)$""".r
+  // expression-argument aggregates (r16) — tried AFTER the strict
+  // simple-arg regexes above
+  private val aggExprRe =
+    """^(?i)(sum|avg|min|max|count|collect)\(\s*(.+)\)$""".r
 
   /** `count([DISTINCT] …)` column, shared by RETURN and WITH items.
     * `count(v)` on a node variable counts bound rows via the key column
@@ -777,7 +781,7 @@ object CypherLite {
   private val scalarFns = Set("coalesce", "tointeger", "tofloat", "abs", "size",
     "length", "toupper", "tolower", "trim", "ltrim", "rtrim", "replace",
     "substring", "left", "right", "tostring", "round", "split", "reverse",
-    "head", "last", "range", "reduce", "toboolean")
+    "head", "last", "range", "reduce", "toboolean", "tail")
 
   /** True when a RETURN/WITH item core is a scalar EXPRESSION rather than
     * a plain reference: a top-level arithmetic operator outside quotes and
@@ -1320,6 +1324,9 @@ object CypherLite {
             lower(args.head.cast("string")).try_cast("boolean")
           case "head" => element_at(args.head, 1)
           case "last" => element_at(args.head, -1)
+          // Cypher tail(): everything after the first element
+          case "tail" => slice(args.head, lit(2),
+            greatest(size(args.head) - 1, lit(0)))
           case other => fail(s"unsupported function '$other(…)'")
         }
       } else if (peek == '.') {
@@ -1455,6 +1462,25 @@ object CypherLite {
       case collectRe(dist, arg) =>
         val nm = s"collect(${if (dist != null) "DISTINCT " else ""}$arg)"
         (one(collectCol(dist != null, arg, vars, plain), nm), true)
+      // aggregates over VALUE EXPRESSIONS (r16): `sum(n.a * n.b)`,
+      // `avg(size(n.name))`, `collect(n.name + '!')` — the strict
+      // simple-arg cases above keep their paths (string-typed min/max,
+      // DISTINCT); an expression arg routes through parseValueExpr. The
+      // guard pins the head's '(' to the FINAL ')' so `sum(a) + sum(b)`
+      // stays a value expression, not a malformed aggregate.
+      case aggExprRe(fn, arg) if matchingDelim(core,
+          core.indexOf('('), '(', ')') == core.length - 1 =>
+        val base = parseValueExpr(arg.trim, vars, plain, schema)
+        val c = fn.toLowerCase match {
+          case "sum" => sum(base.cast("double"))
+          case "avg" => avg(base.cast("double"))
+          case "min" => min(base)
+          case "max" => max(base)
+          case "count" => count(base)
+          case _ => sort_array(collect_list(base))
+        }
+        (one(if (fn.equalsIgnoreCase("count")) c.cast("long") else c,
+          s"${fn.toLowerCase}($arg)"), true)
       // CASE before the value-expression probe: a THEN/ELSE value may
       // contain top-level arithmetic that would trip isValueExpr
       case c if isCaseExpr(c) =>
@@ -3337,6 +3363,23 @@ object CypherLite {
           val a = alias.getOrElse(throw new IllegalArgumentException(
             s"WITH expression needs AS alias: '$item'"))
           aggs += collectCol(dist != null, arg, vars, prevPlain).as(a)
+          plain += a
+        // expression-argument aggregates (r16) — same guard as retItem:
+        // the head's '(' must close at the FINAL ')'
+        case aggExprRe(fn, arg) if matchingDelim(core,
+            core.indexOf('('), '(', ')') == core.length - 1 =>
+          val a = alias.getOrElse(throw new IllegalArgumentException(
+            s"WITH expression needs AS alias: '$item'"))
+          val base = parseValueExpr(arg.trim, vars, prevPlain, df0.schema)
+          val c = fn.toLowerCase match {
+            case "sum" => sum(base.cast("double"))
+            case "avg" => avg(base.cast("double"))
+            case "min" => min(base)
+            case "max" => max(base)
+            case "count" => count(base).cast("long")
+            case _ => sort_array(collect_list(base))
+          }
+          aggs += c.as(a)
           plain += a
         case c if isCaseExpr(c) =>
           val a = alias.getOrElse(throw new IllegalArgumentException(

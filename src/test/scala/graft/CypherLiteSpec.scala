@@ -1746,6 +1746,39 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(byCase.head.getString(0) === "m")
   }
 
+  test("r16 expression aggregates and tail(): sum/avg/min/max/count/" +
+      "collect over value expressions, in RETURN and WITH") {
+    val ag = db.executeQuery(
+      "UNWIND range(1, 4) AS i RETURN sum(i * i) AS ss, " +
+        "avg(i + 1) AS ap, max(i % 3) AS mx, count(i * 2) AS c, " +
+        "collect(i * 10) AS xs").collect().head
+    assert(ag.getDouble(0) === 30.0)
+    assert(ag.getDouble(1) === 3.5)
+    assert(ag.getLong(2) === 2L)
+    assert(ag.getLong(3) === 4L)
+    assert(ag.getSeq[Long](4) === Seq(10L, 20L, 30L, 40L))
+    // WITH-pipe form with a trailing filter
+    val piped = db.executeQuery(
+      "UNWIND range(1, 4) AS i WITH i % 2 AS par, i AS i " +
+        "WITH par, sum(i * i) AS ss RETURN par, ss ORDER BY par")
+      .collect()
+    assert(piped.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((0L, 20.0), (1L, 10.0)))
+    // `sum(a) + sum(b)` stays a VALUE EXPRESSION of two strict
+    // aggregates — the final-paren guard must not mis-read it
+    intercept[IllegalArgumentException] {
+      // (raises because aggregate-in-value-expression isn't a shape —
+      // but it must raise THERE, not parse `a) + sum(b` as one arg)
+      db.executeQuery("UNWIND range(1, 2) AS i RETURN sum(i) + sum(i)")
+    }
+    // tail(): everything after the head; empty stays empty
+    val tl = db.executeQuery(
+      "UNWIND range(1, 1) AS i RETURN tail([1, 2, 3]) AS t, " +
+        "tail(split('a', ',')) AS e").collect().head
+    assert(tl.getSeq[Long](0) === Seq(2L, 3L))
+    assert(tl.getSeq[String](1) === Seq.empty)
+  }
+
   test("r16 string/list + concatenation and n:LABEL predicates") {
     // '+' with a string-literal operand CONCATENATES (Cypher), the
     // numeric coercion stays for plain operands
