@@ -457,8 +457,8 @@ object CypherLite {
         if (c == '\\' && i + 1 < s.length) { i += 1; sb.append(s.charAt(i)) }
         else if (c == quote) quote = 0
       } else if (c == '\'' || c == '"') { quote = c; sb.append(c) }
-      else if (c == '(' || c == '[') { depth += 1; sb.append(c) }
-      else if (c == ')' || c == ']') {
+      else if (c == '(' || c == '[' || c == '{') { depth += 1; sb.append(c) }
+      else if (c == ')' || c == ']' || c == '}') {
         depth = math.max(0, depth - 1); sb.append(c)
       }
       else if (depth == 0 &&
@@ -658,6 +658,8 @@ object CypherLite {
   // simple-arg regexes above
   private val aggExprRe =
     """^(?i)(sum|avg|min|max|count|collect)\(\s*(.+)\)$""".r
+  // map projection `v { items }` (r16)
+  private val mapProjRe = """(?s)^(\w+)\s*\{(.*)\}$""".r
 
   /** `count([DISTINCT] …)` column, shared by RETURN and WITH items.
     * `count(v)` on a node variable counts bound rows via the key column
@@ -800,8 +802,8 @@ object CypherLite {
       val ch = c.charAt(i)
       if (quote != 0) { if (ch == quote) quote = 0 }
       else if (ch == '\'' || ch == '"') quote = ch
-      else if (ch == '(') depth += 1
-      else if (ch == ')') depth -= 1
+      else if (ch == '(' || ch == '{') depth += 1
+      else if (ch == ')' || ch == '}') depth -= 1
       else if (depth == 0 && ch == '[') return true
       else if (depth == 0 && "+-*/%".indexOf(ch.toInt) >= 0) return true
       i += 1
@@ -1538,6 +1540,59 @@ object CypherLite {
               col(s"$a.dst"))
           else col(s"$a.full_name")
         (one(out0, s"elementId($v)"), false)
+      // MAP PROJECTIONS (r16): `n {.name, .kind, k: expr, .*}` —
+      // Neo4j's per-row map shaping, emitted as MAP<string,string>
+      // (the string-typed model; expression values cast). `.*` merges
+      // the full property map (the properties() fold) with explicit
+      // entries overriding.
+      case mapProjRe(v, items0) if vars.contains(v) &&
+          matchingDelim(core, core.indexOf('{'), '{', '}') ==
+            core.length - 1 =>
+        val a = vars(v)
+        require(!isRelAlias(a), s"map projection needs a node variable: '$p'")
+        val items = splitTop(items0, ",").map(_.trim).filter(_.nonEmpty)
+        var star = false
+        val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+        items.foreach {
+          case ".*" => star = true
+          case it if it.startsWith(".") =>
+            val prop = it.stripPrefix(".").trim
+            require(prop.matches("""\w+"""),
+              s"malformed map-projection item '$it' in '$p'")
+            entries += prop -> propColOf(v, prop, vars).cast("string")
+          case it =>
+            val ci = topLevelIndexOf(it, ':')
+            require(ci > 0, s"malformed map-projection item '$it' in '$p'")
+            val key = it.substring(0, ci).trim
+            require(key.matches("""\w+"""),
+              s"malformed map-projection key '$key' in '$p'")
+            entries += key -> parseValueExpr(it.substring(ci + 1).trim,
+              vars, plain, schema).cast("string")
+        }
+        val explicit =
+          if (entries.isEmpty) None
+          else Some(map(entries.toSeq.flatMap { case (k, cc) =>
+            Seq(lit(k), cc) }: _*))
+        val out0 =
+          if (!star) explicit.getOrElse(
+            throw new IllegalArgumentException(s"empty map projection: '$p'"))
+          else {
+            val fixedPairs = Seq("name" -> "name",
+              "file_path" -> "file_path", "signature" -> "signature",
+              "class" -> "clazz", "code" -> "code")
+              .flatMap { case (k, f) => Seq(lit(k), col(s"$a.$f")) }
+            val allProps = map_concat(
+              map_filter(map(fixedPairs: _*), (_, vv) => vv.isNotNull),
+              col(s"$a.props"))
+            explicit match {
+              case None => allProps
+              case Some(ex) =>
+                val keys = entries.map(_._1).toSeq
+                map_concat(
+                  map_filter(allProps, (k, _) => !k.isin(keys: _*)), ex)
+            }
+          }
+        (one(out0, v), false)
       // Neo4j's relationship accessors: type(r) is the edge's rel_type;
       // startNode/endNode yield the endpoint KEYS (full graph-side
       // hydration of the endpoint nodes is the pattern's job — bind them

@@ -1779,6 +1779,32 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(tl.getSeq[String](1) === Seq.empty)
   }
 
+  test("r16 map projections: .prop / key: expr / .* with explicit " +
+      "override; rel variables raise") {
+    val mp = db.executeQuery(
+      "MATCH (n:CLASS) RETURN n {.name, .kind, nick: n.name + '!'} AS m")
+      .collect().head.getMap[String, String](0)
+    assert(mp("name") === "Person")
+    assert(mp("kind") === "CLASS")
+    assert(mp("nick") === "Person!")
+    // .* merges the full property map, explicit entries overriding
+    val star = db.executeQuery(
+      "MATCH (n:METHOD) RETURN n {.*, name: 'shadowed'} AS m")
+      .collect().head.getMap[String, String](0)
+    assert(star("name") === "shadowed")
+    assert(star("signature") === "def greet(self):")
+    // a missing prop reads null inside the map? (map() drops nothing —
+    // the entry is present with a null value)
+    val miss = db.executeQuery(
+      "MATCH (n:CLASS) RETURN n {.file_path} AS m").collect().head
+      .getMap[String, String](0)
+    assert(miss.contains("file_path") && miss("file_path") == null)
+    intercept[IllegalArgumentException] {
+      db.executeQuery(
+        "MATCH (a)-[r:CONTAINS]->(b) RETURN r {.whatever} AS m")
+    }
+  }
+
   test("r16 string/list + concatenation and n:LABEL predicates") {
     // '+' with a string-literal operand CONCATENATES (Cypher), the
     // numeric coercion stays for plain operands
