@@ -2949,6 +2949,45 @@ object CypherLite {
     // prop literal — likely in code/signature text — must not terminate
     // the pattern
     val retIdx = topLevelKeyword(q, "RETURN")
+    // MID-QUERY UNWIND (r16): `… WITH collect(x) AS xs UNWIND xs AS y …`
+    // — Neo4j's collect-then-regroup idiom. An UNWIND after the pattern
+    // is a pipe boundary like WITH: its operand is any scalar LIST
+    // expression over the current scope, exploded in-plan (an empty or
+    // null list yields no rows, Neo4j's semantics).
+    def applyMidUnwind(d0: DataFrame, body: String,
+        vs: Map[String, String], pl: Set[String])
+        : (DataFrame, Set[String]) = {
+      val parts = splitTop(body, "AS")
+      require(parts.length == 2, s"UNWIND needs `<list-expr> AS <var>`: $q")
+      val (exprTxt, v) = (parts(0).trim, parts(1).trim)
+      require(v.matches("""\w+"""), s"malformed UNWIND alias '$v': $q")
+      require(!pl(v) && !vs.contains(v), s"UNWIND rebinds '$v': $q")
+      val cexpr = parseValueExpr(exprTxt, vs, pl, d0.schema)
+      (d0.withColumn(v, explode(cexpr)), pl + v)
+    }
+    // fold one WITH/UNWIND boundary sequence over a driving frame —
+    // shared by the MATCH path and the bare-UNWIND path
+    def foldPipeSegments(df0: DataFrame, vars0: Map[String, String],
+        plain0: Set[String], boundaries: Seq[Int])
+        : (DataFrame, Map[String, String], Set[String]) = {
+      var df = df0
+      var curVars = vars0
+      var curPlain = plain0
+      val bounds = boundaries :+ retIdx
+      boundaries.zipWithIndex.foreach { case (pos, ix) =>
+        val end = bounds(ix + 1)
+        if (q.regionMatches(true, pos, "WITH", 0, 4)) {
+          val (d2, v2, p2) = applyWith(df,
+            q.substring(pos + 4, end).trim, curVars, curPlain)
+          df = d2; curVars = v2; curPlain = p2
+        } else {
+          val (d2, p2) = applyMidUnwind(df,
+            q.substring(pos + 6, end).trim, curVars, curPlain)
+          df = d2; curPlain = p2
+        }
+      }
+      (df, curVars, curPlain)
+    }
     // bare `UNWIND … [WITH …] RETURN …` (no MATCH): a one-row seed
     // exploded per unwound value — Neo4j's list-driver shape; WITH
     // pipes (r16) fold over the seed exactly as over a MATCH frame
@@ -2959,18 +2998,12 @@ object CypherLite {
       if (retIdx == 0)
         return shapeResult(seed, q.substring(6).trim,
           Map.empty[String, String], unwindVars)
-      var df = seed
-      var curVars = Map.empty[String, String]
-      var curPlain = unwindVars
-      val withPositions = clauseWithPositions(q)
-      require(withPositions.nonEmpty && withPositions.forall(_ < retIdx),
+      val boundaries = (clauseWithPositions(q) ++
+        allTopLevelKeywords(q, "UNWIND")).sorted
+      require(boundaries.nonEmpty && boundaries.forall(_ < retIdx),
         s"unsupported Cypher shape after UNWIND: $q")
-      val bounds = withPositions :+ retIdx
-      withPositions.zipWithIndex.foreach { case (p, ix) =>
-        val (d2, v2, p2) = applyWith(df,
-          q.substring(p + 4, bounds(ix + 1)).trim, curVars, curPlain)
-        df = d2; curVars = v2; curPlain = p2
-      }
+      val (df, curVars, curPlain) = foldPipeSegments(seed,
+        Map.empty[String, String], unwindVars, boundaries)
       return shapeResult(df, q.substring(retIdx + 6).trim,
         curVars, curPlain)
     }
@@ -2979,9 +3012,13 @@ object CypherLite {
     require(isMatch && retIdx > 5, s"unsupported Cypher shape " +
       s"([UNWIND …] MATCH … [OPTIONAL MATCH …] [WITH …] RETURN … subset only): $q")
     // aggregate-then-filter pipes: MATCH … WITH items [WHERE] (chained) RETURN …
-    val withPositions = clauseWithPositions(q)
-    require(withPositions.forall(_ < retIdx),
-      s"WITH after RETURN is not a clause: $q")
+    // pipe boundaries: WITH clauses and mid-query UNWINDs (r16) — the
+    // pattern region ends at the first of them
+    val pipeBoundaries = (clauseWithPositions(q) ++
+      allTopLevelKeywords(q, "UNWIND")).sorted
+    require(pipeBoundaries.forall(_ < retIdx),
+      s"WITH/UNWIND after RETURN is not a clause: $q")
+    val withPositions = pipeBoundaries
     val head = q.substring(0, withPositions.headOption.getOrElse(retIdx))
     val ret = q.substring(retIdx + 6).trim
 
@@ -3275,16 +3312,11 @@ object CypherLite {
     deferredWhere.foreach(w =>
       df = df.filter(parseWhere(w, scopeU(vars),
         valueRefOf(vars, unwindVars))))
-    // fold the WITH pipes left to right; each re-scopes the next segment;
-    // unwound variables enter the pipeline as plain columns
-    var curVars = vars
-    var curPlain = unwindVars
-    val bounds = withPositions :+ retIdx
-    withPositions.zipWithIndex.foreach { case (p, i) =>
-      val (d2, v2, p2) = applyWith(df,
-        q.substring(p + 4, bounds(i + 1)).trim, curVars, curPlain)
-      df = d2; curVars = v2; curPlain = p2
-    }
+    // fold the WITH/UNWIND pipes left to right; each re-scopes the next
+    // segment; unwound variables enter the pipeline as plain columns
+    val (dfF, curVars, curPlain) =
+      foldPipeSegments(df, vars, unwindVars, withPositions)
+    df = dfF
     val res = shapeResult(df, ret, curVars, curPlain)
     if (cartCached.isEmpty) res
     else {

@@ -1779,6 +1779,37 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(tl.getSeq[String](1) === Seq.empty)
   }
 
+  test("r16 mid-query UNWIND: collect-then-regroup, range regrouping, " +
+      "empty lists drop, rebinds raise") {
+    // the canonical regroup: collect per group, unwind back out
+    val rg = db.executeQuery(
+      "MATCH (n:sklearn) WITH collect(n.full_name) AS xs " +
+        "UNWIND xs AS v RETURN v ORDER BY v").collect()
+    assert(rg.map(_.getString(0)).toSeq ===
+      Seq("m", "m.Person", "m.Person.greet", "m.util"))
+    // UNWIND of a computed list expression (slice of the collected set)
+    val sl = db.executeQuery(
+      "MATCH (n:sklearn) WITH collect(n.full_name) AS xs " +
+        "UNWIND xs[0..2] AS v RETURN count(*) AS c").collect().head
+    assert(sl.getLong(0) === 2L)
+    // UNWIND directly after the pattern (no WITH), over range()
+    val direct = db.executeQuery(
+      "MATCH (n:CLASS) UNWIND range(1, 3) AS k " +
+        "RETURN n.name, k ORDER BY k").collect()
+    assert(direct.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("Person", 1L), ("Person", 2L), ("Person", 3L)))
+    // an empty list yields NO rows (Neo4j)
+    val empty = db.executeQuery(
+      "MATCH (n:CLASS) WITH collect(n.file_path) AS xs " +
+        "UNWIND xs[0..0] AS v RETURN v").collect()
+    assert(empty.isEmpty)
+    // rebinding a bound name raises
+    intercept[IllegalArgumentException] {
+      db.executeQuery("MATCH (n:sklearn) WITH collect(n.name) AS xs " +
+        "UNWIND xs AS xs RETURN xs")
+    }
+  }
+
   test("r16 map projections: .prop / key: expr / .* with explicit " +
       "override; rel variables raise") {
     val mp = db.executeQuery(
