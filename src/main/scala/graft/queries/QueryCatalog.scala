@@ -688,6 +688,33 @@ object QueryCatalog {
        |LEFT JOIN sc ON sc.nk = n.full_name
        |WHERE n.label = 'NATION' AND coalesce(cc.nc, 0) > 0""".stripMargin
 
+  /** g_b10_regroup — mid-query UNWIND + list slice (r16): the
+    * collect-then-regroup idiom — per nation, collect the customer
+    * keys (sorted, the engine's deterministic collect), slice the
+    * first 3, unwind them back out and re-aggregate. The oracle
+    * replays it as a row_number window. */
+  val gB10Regroup: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (c:CUSTOMER)-[:IN_NATION]->(n:NATION) " +
+        "WITH n.name AS nation, collect(c.full_name) AS xs " +
+        "UNWIND xs[0..3] AS v " +
+        "RETURN nation, count(*) AS cnt, min(v) AS mn")
+  }
+
+  val gB10RegroupSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte},
+       |pairs AS (SELECT n.name AS nation, c.full_name AS v,
+       |    row_number() OVER (PARTITION BY n.name ORDER BY c.full_name)
+       |      AS rn
+       |  FROM edges e
+       |  JOIN nodes c ON e.src = c.full_name
+       |  JOIN nodes n ON e.dst = n.full_name
+       |  WHERE e.rel_type = 'IN_NATION' AND c.label = 'CUSTOMER'
+       |    AND n.label = 'NATION')
+       |SELECT nation, count(*)::BIGINT AS cnt, min(v) AS mn
+       |FROM pairs WHERE rn <= 3 GROUP BY 1""".stripMargin
+
   /** g_b10_pctl — Neo4j's percentile aggregates (r15):
     * `percentileDisc(x, p)` (smallest value at cumulative position p —
     * index ceil(p·n) of the sorted list, exact, no interpolation) and
@@ -10280,6 +10307,7 @@ object QueryCatalog {
     "g_b10_undirvar" -> gB10UndirVar,
     "g_b10_range" -> gB10Range,
     "g_b10_pcount" -> gB10Pcount,
+    "g_b10_regroup" -> gB10Regroup,
     "g_b10_pctl" -> gB10Pctl,
     "g_b10_spath" -> gB10Spath,
     "g_b10_cycle" -> gB10Cycle,
@@ -10624,6 +10652,7 @@ object QueryCatalog {
     "g_b10_undirvar" -> gB10UndirVarSql,
     "g_b10_range" -> gB10RangeSql,
     "g_b10_pcount" -> gB10PcountSql,
+    "g_b10_regroup" -> gB10RegroupSql,
     "g_b10_pctl" -> gB10PctlSql,
     "g_b10_spath" -> gB10SpathSql,
     "g_b10_cycle" -> gB10CycleSql,
