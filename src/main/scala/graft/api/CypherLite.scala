@@ -2638,6 +2638,66 @@ object CypherLite {
         col("w.d").as("dl"))
       .repartition(col("s"), col("esrc"))
       .localCheckpoint(eager = true)
+    val pQuoted0 = java.util.regex.Pattern.quote(pVar)
+    // r16 (scale): when the tail never reads nodes(p)/relationships(p)
+    // — `RETURN b, length(p)` is the common shape — path MULTIPLICITY
+    // is all that matters, and a per-(start, vertex) COUNT DP
+    // (paths(v) = Σ paths(pred), one groupBy per level) carries it
+    // with per-PAIR state instead of per-PATH rows: the diamond-lattice
+    // explosion the row cap guards against never materializes in
+    // flight; the counts explode into result rows only at the end.
+    val needsPaths = Seq("nodes", "relationships").exists(fn =>
+      ("(?i)\\b" + fn + "\\(\\s*" + pQuoted0 + "\\s*\\)").r
+        .findFirstIn(tail).isDefined)
+    val maxD = settled.agg(coalesce(max(col("d")), lit(0L)))
+      .collect()(0).getLong(0)
+    if (!needsPaths) {
+      var cnt = settled.filter(col("d") === 0)
+        .select(col("s"), col("v").as("cur"), lit(0L).as("d"),
+          lit(1L).as("np"))
+        .localCheckpoint(eager = true)
+      var allC = cnt
+      for (lvl <- 1L to maxD) {
+        cnt = cnt.alias("p")
+          .join(spE.alias("x"),
+            col("p.s") === col("x.s") && col("p.cur") === col("x.esrc") &&
+              col("x.dl") === lvl)
+          .select(col("p.s").as("s"), col("x.edst").as("cur"),
+            col("p.np").as("np"))
+          .groupBy("s", "cur").agg(sum("np").as("np"))
+          .select(col("s"), col("cur"), lit(lvl).as("d"), col("np"))
+          .localCheckpoint(eager = true)
+        allC = allC.unionByName(cnt)
+      }
+      val inRange = allC.filter(col("d") >= minH && col("d") <= maxH)
+      val totPaths = inRange.agg(coalesce(sum(col("np")), lit(0L)))
+        .collect()(0).getLong(0)
+      require(totPaths <= allspLevelRowCap,
+        s"allShortestPaths path multiplicity $totPaths exceeds the " +
+          s"$allspLevelRowCap cap — narrow the endpoint patterns: $q")
+      val paths = inRange
+        .withColumn("__dup", explode(sequence(lit(1L), col("np"))))
+        .drop("np", "__dup")
+      val vars = Map(aPat.v -> "n0", bPat.v -> "n1")
+      var df = paths
+        .join(nodes.alias("n0"), col("n0.full_name") === col("s"))
+        .join(nodes.filter(nodePred(bPat.labels, bPat.props)).alias("n1"),
+          col("n1.full_name") === col("cur"))
+        .withColumn("__plen", col("d"))
+      def rewriteLen(t: String): String = replaceOutsideQuotes(t,
+        "(?i)\\b(?:length|size)\\(\\s*" + pQuoted0 + "\\s*\\)", "__plen")
+      val plainCols = Set("__plen")
+      var rest = tail
+      val retIdx2 = topLevelKeyword(rest, "RETURN")
+      require(retIdx2 >= 0, s"allShortestPaths needs a RETURN clause: $q")
+      val whereIdx = topLevelKeyword(rest, "WHERE")
+      if (whereIdx >= 0 && whereIdx < retIdx2)
+        df = df.filter(parseWhere(
+          rewriteLen(rest.substring(whereIdx + 5, retIdx2).trim),
+          ref => if (plainCols(ref)) col(ref) else matchScope(vars)(ref)))
+      val ret = rewriteLen(rest.substring(retIdx2 + 6).trim)
+      return shapeResult(df, ret, vars, plainCols)
+    }
     val emptyRels = expr("CAST(array() AS " +
       "array<struct<src:string,rel_type:string,dst:string>>)")
     var rows = settled.filter(col("d") === 0)
@@ -2645,8 +2705,6 @@ object CypherLite {
         array(col("v")).as("__pnodes"), emptyRels.as("__prels"))
       .localCheckpoint(eager = true)
     var all = rows
-    val maxD = settled.agg(coalesce(max(col("d")), lit(0L)))
-      .collect()(0).getLong(0)
     for (lvl <- 1L to maxD) {
       // the PHYSICAL edge rides spE — one spelling for forward,
       // reversed and undirected traversal alike (r15)
