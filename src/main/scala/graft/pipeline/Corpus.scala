@@ -478,13 +478,27 @@ object Corpus {
       .select(col("lang"), col("source"),
       length(bin(greatest(col("n_chars"), lit(1L)))).cast("int")
         .as("len_oct"))
-    val cls = base.groupBy("lang", "len_oct", "source")
-      .agg(count(lit(1)).as("c"))
-    val glob = base.groupBy("source").agg(count(lit(1)).as("g"))
+    tClosenessFromGrid(base.groupBy("lang", "len_oct", "source")
+      .agg(count(lit(1)).as("c")), tPpm)
+  }
+
+  /** The TVD read-out of [[tCloseness]] from an already-materialized
+    * class × source count GRID (lang, len_oct, source, c) — shared
+    * with the STREAMING arm (r16): a streaming groupBy maintains the
+    * grid incrementally (O(bounded-key) state), and this stateless
+    * finishing fold scores the current snapshot, so stream-fold +
+    * finish ≡ the batch operator. */
+  def tClosenessFromGrid(cls: DataFrame,
+      tPpm: Long = 200000L): DataFrame = {
+    val glob = cls.groupBy("source").agg(sum(col("c")).as("g"))
     val tot = glob.agg(sum(col("g")).as("gtot"))
     val classN = cls.groupBy("lang", "len_oct").agg(sum(col("c")).as("n"))
+    // fresh exprIds on the re-joined grid copy: classN/glob derive from
+    // cls too, and an aggregated grid input (the streaming arm) trips
+    // the analyzer's conflicting-reference dedup otherwise
+    val clsJ = cls.select(cls.columns.map(c => col(c).as(c)): _*)
     classN.crossJoin(broadcast(glob))
-      .join(cls, Seq("lang", "len_oct", "source"), "left")
+      .join(clsJ, Seq("lang", "len_oct", "source"), "left")
       .crossJoin(broadcast(tot))
       .select(col("lang"), col("len_oct"), col("n"),
         expr("""abs(cast(coalesce(c, 0) as decimal(38,0)) * gtot

@@ -2229,6 +2229,26 @@ object QueryCatalog {
         max_by(col("l_div"), col("n")).as("l_div"))
   }
 
+  /** st_tclose — the STREAMING governance twin of [[pTclose]] (r16):
+    * the class × source grid folds incrementally in a streaming
+    * groupBy (update mode; latest update per key = max, counts are
+    * monotone), and the stateless TVD finish replays the batch algebra
+    * over the final snapshot — same oracle as p_tclose. */
+  val stTclose: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars"))
+      .as[(String, String, Long)].collect()
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val grid = StreamReplay.replay(s, docs, "st_tclose", "update") { df =>
+      graft.streaming.Streams.streamingTClosenessGrid(
+        df.toDF("lang", "source", "n_chars"))
+    }
+      .groupBy("lang", "len_oct", "source")
+      .agg(max(col("c")).as("c"))
+    Corpus.tClosenessFromGrid(grid, tPpm = 200000L)
+  }
+
   /** p_tclose — t-closeness over release metadata
     * ([[graft.pipeline.Corpus.tCloseness]], Li 2007 — the governance
     * trio's third screen): per (lang, size-octave) class, the exact
@@ -10230,6 +10250,7 @@ object QueryCatalog {
     "p_tclose" -> pTclose,
     "st_kanon" -> stKanon,
     "st_ldiv" -> stLdiv,
+    "st_tclose" -> stTclose,
     "t_lexdiv" -> tLexDiv,
     "t_pmi" -> tPmi,
     "t_zipf" -> tZipf,
@@ -10563,6 +10584,7 @@ object QueryCatalog {
     "p_tclose" -> pTcloseSql,
     "st_kanon" -> pKanonSql,
     "st_ldiv" -> pLdivSql,
+    "st_tclose" -> pTcloseSql,
     "t_lexdiv" -> tLexDivSql,
     "t_pmi" -> tPmiSql,
     "t_zipf" -> tZipfSql,

@@ -1503,6 +1503,28 @@ object Streams {
       }
   }
 
+  /** Streaming arm of t-CLOSENESS (r16, completing the governance
+    * trio's streaming side beside [[streamingKAnonymity]] and
+    * [[streamingLDiversity]]): the STATEFUL part of Li's screen is the
+    * class × source count grid — ONE streaming partial-agg groupBy
+    * (update mode, O(bounded-key) state: langs × ~60 octaves ×
+    * |sources|). The TVD read-out needs the corpus-WIDE distribution —
+    * a cross-key read no keyed state can own — so it stays a STATELESS
+    * finishing fold over the current grid snapshot
+    * ([[graft.pipeline.Corpus.tClosenessFromGrid]], the batch algebra
+    * verbatim), exactly how a production monitor scores: state
+    * maintains counts, the scorer reads the snapshot. Stream-fold +
+    * finish ≡ batch [[graft.pipeline.Corpus.tCloseness]]
+    * (spec-asserted). NULL sources are outside Li's domain (the batch
+    * twin's advisor-fix filter, mirrored). */
+  def streamingTClosenessGrid(docs: DataFrame): DataFrame =
+    docs.filter(col("source").isNotNull)
+      .select(col("lang"), col("source"),
+        length(bin(greatest(col("n_chars"), lit(1L)))).cast("int")
+          .as("len_oct"))
+      .groupBy("lang", "len_oct", "source")
+      .agg(count(lit(1)).as("c"))
+
   /** Stateless corpus screens on a document STREAM: quality score + gate
     * and PII redaction are pure narrow maps (Column expressions, no
     * state, no shuffle), so the exact batch operators run on a streaming

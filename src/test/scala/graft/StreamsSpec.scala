@@ -1133,6 +1133,48 @@ class StreamsSpec extends AnyFunSuite {
     assert(em2 === Set((2L, 2L, 0), (5L, 3L, 1)))
   }
 
+  test("r16 streamingTClosenessGrid: the class x source grid folds " +
+      "across batch splits; grid snapshot + finish == the batch " +
+      "tCloseness (null sources filtered on both sides)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("en", "web", 100L), ("en", "web", 100L), ("en", "web", 100L),
+      ("en", "web", 100L), ("en", "book", 100L), ("en", "book", 100L),
+      ("en", "book", 100L), ("en", "book", 100L),
+      ("zh", "web", 5000L), ("zh", "web", 5000L),
+      ("zh", "web", 5000L), ("zh", "web", 5000L),
+      ("zh", null, 5000L))
+    val mem = MemoryStream[(String, String, Long)]
+    val q = Streams.streamingTClosenessGrid(
+        mem.toDS().toDF("lang", "source", "n_chars"))
+      .writeStream.format("memory")
+      .queryName("st_tclose_t").outputMode("update").start()
+    val (b1, b2) = rows.splitAt(6)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // latest update per key (counts are monotone: max), then the
+    // stateless finish — must equal the batch operator exactly
+    val grid = spark.table("st_tclose_t")
+      .groupBy("lang", "len_oct", "source")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("c")).as("c"))
+    val streamed = graft.pipeline.Corpus.tClosenessFromGrid(grid)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    val batch = graft.pipeline.Corpus.tCloseness(
+        rows.zipWithIndex.map { case ((l, s, n), i) =>
+          (i.toLong, "t", l, s, n) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(streamed === batch)
+    // the fixture's own expectation (the p_tclose spec numbers):
+    // en class releases, zh single-source fails
+    assert(streamed === Set(("en", 7, 8L, 166666L, 1),
+      ("zh", 13, 4L, 333333L, 0)))
+  }
+
   test("r15 amsF2Fold: an empty micro-batch (idle tick / recovery " +
       "batch) is the zero partial — bank unchanged, no NPE") {
     import graft.pipeline.Sketches
