@@ -1240,18 +1240,33 @@ object PyIndexer {
     // optimistic-or-nothing posture.
     val dynParams: Map[String, Map[String, String]] = locally {
       val headerOf = mutable.Map.empty[String, Seq[String]]
+      // slice 92 (r16): CLASS-ADDRESSED methods too — `Cls.m(Conn())`
+      // names its receiver statically, so the same dynamic-params
+      // search applies, keyed "Cls.m"; a leading self/cls piece shifts
+      // the positional mapping by one (the naming convention jedi
+      // leans on as well). Instance-receiver calls (`x.m(...)`) stay
+      // out: the pre-pass has no type for x.
+      var curCls92: Option[String] = None
       lines.indices.foreach { li =>
         if (!cont(li)) lines(li) match {
+          case classHeader(ind, c, _) if ind.isEmpty =>
+            curCls92 = Some(c)
           case defHeader(ind, d) if ind.isEmpty =>
+            curCls92 = None
             headerOf(d) =
               splitTopLevel(parenSpan(joinedHeader(li))).map(_.trim)
+          case defHeader(ind, d) if ind.nonEmpty && curCls92.isDefined =>
+            headerOf(s"${curCls92.get}.$d") =
+              splitTopLevel(parenSpan(joinedHeader(li))).map(_.trim)
+          case ln92 if ln92.nonEmpty && !ln92.head.isWhitespace =>
+            curCls92 = None
           case _ => ()
         }
       }
       val proposals =
         mutable.Map.empty[(String, String), mutable.Set[String]]
       if (headerOf.nonEmpty) {
-        val callRe = """(?<![\w.])([A-Za-z_]\w*)\s*\(""".r
+        val callRe = """(?<![\w.])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*\(""".r
         val ctorArg = """^([A-Za-z_]\w*)\s*\(""".r
         val kwArg = """^([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$""".r
         def classish(h: String): Boolean = !keywords.contains(h) &&
@@ -1278,6 +1293,11 @@ object PyIndexer {
                   val args = splitTopLevel(
                     logical.substring(open + 1, close)).map(_.trim)
                   val pieces = headerOf(f)
+                  // slice 92: a class-addressed method's leading
+                  // self/cls piece shifts the positional mapping
+                  val off = if (f.contains(".") && pieces.headOption
+                      .exists(p => { val n = p.takeWhile(isWordCh)
+                        n == "self" || n == "cls" })) 1 else 0
                   args.zipWithIndex.foreach { case (a, k) =>
                     val (pn, expr) = a match {
                       case kwArg(nm, e)
@@ -1285,7 +1305,7 @@ object PyIndexer {
                         (pieces.find(_.takeWhile(isWordCh) == nm)
                           .flatMap(paramName), e)
                       case _ =>
-                        (pieces.lift(k).flatMap(paramName), a)
+                        (pieces.lift(k + off).flatMap(paramName), a)
                     }
                     pn.foreach { p =>
                       ctorArg.findFirstMatchIn(expr)
@@ -2256,18 +2276,25 @@ object PyIndexer {
                         fnScope.locals(m.group(1)) = t)
                   }
               }
-            // r16 slice 90: call-site inferred params — TOP-LEVEL defs
-            // only (the dynParams key space); annotations, defaults and
-            // the container/mapping channels above all win
-            if (!inClass && stack.isEmpty)
-              dynParams.getOrElse(name, Map.empty).foreach {
-                case (pn, head) =>
+            // r16 slices 90/92: call-site inferred params — top-level
+            // defs and first-level class methods (the dynParams key
+            // space); annotations, defaults and the container/mapping
+            // channels above all win
+            locally {
+              val dynKey =
+                if (!inClass && stack.isEmpty) Some(name)
+                else if (inClass && stack.size == 1)
+                  Some(s"${parent.split("\\.").last}.$name")
+                else None
+              dynKey.map(dynParams.getOrElse(_, Map.empty))
+                .getOrElse(Map.empty).foreach { case (pn, head) =>
                   if (!fnScope.locals.contains(pn) &&
                       !fnScope.elemLocals.contains(pn) &&
                       !fnScope.valueLocals.contains(pn))
                     resolveCallee(head).foreach(t =>
                       fnScope.locals(pn) = t)
-              }
+                }
+            }
             // A9/srctrl LOCAL symbols: every parameter (incl. self) is a
             // function-local — the reference records one local-symbol row
             // per param (shallow_indexer.py:394-397) and seeds the

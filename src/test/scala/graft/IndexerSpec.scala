@@ -3211,6 +3211,46 @@ class IndexerSpec extends AnyFunSuite {
     assert(!calls.contains(("dyn.kwonly", "dyn.Conn.ping")))
   }
 
+  test("r16 slice 92: class-addressed method call sites infer params " +
+      "(Cls.m(Conn()) with the self/cls positional shift); instance " +
+      "receivers stay out") {
+    val src =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |class Svc:
+        |    @staticmethod
+        |    def stat(h):
+        |        return h.ping()
+        |
+        |    @classmethod
+        |    def make(cls, h):
+        |        return h.ping()
+        |
+        |    def inst(self, h):
+        |        return h.ping()
+        |
+        |def caller():
+        |    Svc.stat(Conn())
+        |    Svc.make(Conn())
+        |    s = Svc()
+        |    s.inst(Conn())
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "dyn2.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // staticmethod: positional arg 0 -> param h (no self shift needed,
+    // but the header has no self piece either)
+    assert(calls.contains(("dyn2.Svc.stat", "dyn2.Conn.ping")),
+      s"got $calls")
+    // classmethod: the leading cls piece shifts the mapping by one
+    assert(calls.contains(("dyn2.Svc.make", "dyn2.Conn.ping")))
+    // an INSTANCE-receiver call site proposes nothing (the pre-pass
+    // has no type for s) — h stays untyped in inst
+    assert(!calls.contains(("dyn2.Svc.inst", "dyn2.Conn.ping")))
+  }
+
   test("r16 slice 91: a literal __all__ is the star-export allow-list " +
       "— names outside it do not star-bind; a dynamic __all__ keeps " +
       "the optimistic superset") {
