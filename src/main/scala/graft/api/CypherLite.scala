@@ -217,7 +217,18 @@ object CypherLite {
     * column, so uniqueness is a narrow `array_contains` filter, not a
     * driver-side structure. Levels localCheckpoint: the loop is
     * DataFrame-iterative (lineage would otherwise deepen per level). */
-  private def varLengthRelUnbounded(e0: DataFrame, min: Int): DataFrame = {
+  /** Restrict an edge frame's first-leg `src` to the anchor frontier
+    * (r16, scale): an ANCHORED var-length pattern must expand FROM its
+    * bound side, not enumerate every path in the graph and join the
+    * anchor afterwards — at cluster scale that is the difference
+    * between a frontier walk and a planet-sized enumeration. A pure
+    * prune (the downstream anchor join enforces the same equality), so
+    * semantics are untouched. */
+  private def seedSrc(e: DataFrame, seed: Option[DataFrame]): DataFrame =
+    seed.fold(e)(s => e.join(s, Seq("src"), "left_semi"))
+
+  private def varLengthRelUnbounded(e0: DataFrame, min: Int,
+      seed: Option[DataFrame] = None): DataFrame = {
     val e = e0.select(col("src"), col("rel_type"), col("dst"))
     // the visited-edge array doubles as the PATH for `relationships(p)`
     // projections (r12): entries carry (s, t, d); uniqueness still
@@ -229,7 +240,7 @@ object CypherLite {
         x.getField("t").as("rel_type"), x.getField("d").as("dst")))
         .as("prels"))
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var frontier = e.select(col("src"), col("dst"),
+    var frontier = seedSrc(e, seed).select(col("src"), col("dst"),
       array(struct(col("src").as("s"), col("rel_type").as("t"),
         col("dst").as("d"))).as("__p"))
       .localCheckpoint(true)
@@ -280,13 +291,16 @@ object CypherLite {
     * the two steps used — and `prels` carries physical structs (Neo4j's
     * relationship entities never flip their endpoints). */
   private def varLengthRelUndirected(e0: DataFrame, min: Int,
-      max: Int): DataFrame = {
+      max: Int, seed: Option[DataFrame] = None): DataFrame = {
     val e = symmetrizedScan(e0)
     def edgeStruct(j: Int) = struct(col(s"ps$j").as("src"),
       col(s"t$j").as("rel_type"), col(s"pd$j").as("dst"))
-    def sel(j: Int) = e.select(col("src").as(s"s$j"),
-      col("rel_type").as(s"t$j"), col("dst").as(s"d$j"),
-      col("psrc").as(s"ps$j"), col("pdst").as(s"pd$j"))
+    // only leg 0 seeds from the anchor frontier — later legs start at
+    // interior vertices
+    def sel(j: Int) = (if (j == 0) seedSrc(e, seed) else e)
+      .select(col("src").as(s"s$j"),
+        col("rel_type").as(s"t$j"), col("dst").as(s"d$j"),
+        col("psrc").as(s"ps$j"), col("pdst").as(s"pd$j"))
     val perLength = (math.max(min, 1) to max).map { len =>
       var df = sel(0)
       for (j <- 1 until len) {
@@ -308,7 +322,7 @@ object CypherLite {
     * pairs, so edge-uniqueness spans orientations. Converges — every
     * path consumes a distinct physical edge. */
   private def varLengthRelUnboundedUndirected(e0: DataFrame,
-      min: Int): DataFrame = {
+      min: Int, seed: Option[DataFrame] = None): DataFrame = {
     val e = symmetrizedScan(e0)
     def emit(f: DataFrame, hops: Long) = f.select(col("src"), col("dst"),
       lit(hops).as("hops"),
@@ -316,7 +330,9 @@ object CypherLite {
         x.getField("t").as("rel_type"), x.getField("d").as("dst")))
         .as("prels"))
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var frontier = e.select(col("src"), col("dst"),
+    // the INITIAL frontier seeds from the anchor; the expansion join
+    // walks the full frame
+    var frontier = seedSrc(e, seed).select(col("src"), col("dst"),
       array(struct(col("psrc").as("s"), col("rel_type").as("t"),
         col("pdst").as("d"))).as("__p"))
       .localCheckpoint(true)
@@ -353,18 +369,21 @@ object CypherLite {
     * Shape: the length-L slice is L-1 self-joins on the hop key; lengths
     * union together. Each self-join shuffles on the chain key unless the
     * edge table is bucketed (store.Bucketing's layout co-locates it). */
-  private def varLengthRel(e: DataFrame, min: Int, max: Int): DataFrame = {
+  private def varLengthRel(e: DataFrame, min: Int, max: Int,
+      seed: Option[DataFrame] = None): DataFrame = {
     // per-edge rel types ride along (t$j) so `relationships(p)` path
     // projections (r12) see the actual type of each hop — uniqueness
     // stays on (src, dst), the documented edge identity here
     def edgeStruct(j: Int) = struct(col(s"s$j").as("src"),
       col(s"t$j").as("rel_type"), col(s"d$j").as("dst"))
+    // only leg 0 seeds from the anchor frontier (r16, scale)
+    val e1 = seedSrc(e, seed)
     val perLength = (min to max).map { len =>
       if (len == 1)
-        e.select(col("src"), col("dst"), lit(1L).as("hops"),
+        e1.select(col("src"), col("dst"), lit(1L).as("hops"),
           array(struct(col("src"), col("rel_type"), col("dst"))).as("prels"))
       else {
-        var df = e.select(col("src").as("s0"), col("rel_type").as("t0"),
+        var df = e1.select(col("src").as("s0"), col("rel_type").as("t0"),
           col("dst").as("d0"))
         for (j <- 1 until len) {
           val ej = e.select(col("src").as(s"s$j"), col("rel_type").as(s"t$j"),
@@ -2206,17 +2225,35 @@ object CypherLite {
                 .withColumn("prels", expr("CAST(array() AS " +
                   "array<struct<src:string,rel_type:string,dst:string>>)")))
             else Seq.empty
+          // ANCHOR SEEDING (r16, scale): a forward/undirected var-length
+          // hop expands FROM the partial chain's frontier — the first
+          // composition leg semi-joins the bound keys, so an anchored
+          // pattern walks outward instead of enumerating every path in
+          // the graph and joining the anchor afterwards. A REVERSED hop
+          // anchors on the frame's dst (no first-leg prune to give);
+          // the chain's own join still restricts it. Pure prune: the
+          // downstream equality is unchanged.
+          // an UNFILTERED head node gives no prune (the seed would be
+          // every vertex) — skip the semi-join there
+          val leftUnfiltered = i == 0 && c.nodeMs.head.labels.isEmpty &&
+            c.nodeMs.head.props.isEmpty
+          val anchorSeed: Option[DataFrame] =
+            if (hop.reversed || leftUnfiltered) None
+            else Some(df.select(col(s"n$ai.full_name").as("src"))
+              .distinct())
           val pos =
             if (hop.maxHops == 0) Seq.empty
             else if (hop.undirected && hop.maxHops < 0)
               Seq(varLengthRelUnboundedUndirected(scan,
-                math.max(hop.minHops, 1)))
+                math.max(hop.minHops, 1), anchorSeed))
             else if (hop.undirected)
               Seq(varLengthRelUndirected(scan, math.max(hop.minHops, 1),
-                hop.maxHops))
+                hop.maxHops, anchorSeed))
             else if (hop.maxHops < 0)
-              Seq(varLengthRelUnbounded(scan, math.max(hop.minHops, 1)))
-            else Seq(varLengthRel(scan, math.max(hop.minHops, 1), hop.maxHops))
+              Seq(varLengthRelUnbounded(scan, math.max(hop.minHops, 1),
+                anchorSeed))
+            else Seq(varLengthRel(scan, math.max(hop.minHops, 1),
+              hop.maxHops, anchorSeed))
           (zero ++ pos).map(keep).reduce(_ unionAll _)
         } else scan
       // a NAMED hop presents the uniform relationship-alias schema:
