@@ -281,7 +281,7 @@ object QueryCatalog {
     * whole parse→plan→execute path, not just parser unit cases. */
   /** The derived star-schema graph in the node/edge shape CypherLite
     * executes against (the graph model's fixed columns + props map). */
-  private def cypherTables(s: SparkSession, d: String)
+  private[graft] def cypherTables(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val n = nodes(s, d).select(col("full_name"), col("label").as("kind"),
       col("name"), lit(null).cast("string").as("file_path"),

@@ -44,6 +44,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"label = 'x' should push to the scan; plan:\n$plan")
   }
 
+  test("anchored var-length expansion seeds the composition (r16): " +
+      "a LeftSemi prune appears in the plan; unfiltered heads skip it") {
+    // anchored: the undirected 2-hop from REGION must carry the
+    // first-leg LeftSemi — without it the plan enumerates every 2-path
+    // in the graph and joins the anchor afterwards (the scale killer
+    // the seeding exists to prevent)
+    val anchored = executed(QueryCatalog.gB10UndirVar(spark, sf))
+    assert(anchored.contains("LeftSemi"),
+      s"anchored var-length must seed via LeftSemi; plan:\n$anchored")
+    // unfiltered head: `(a)-[*1..2]->(b)` has no anchor to seed from —
+    // the prune (seed = every vertex) must NOT appear
+    val (n, e) = QueryCatalog.cypherTables(spark, sf)
+    val un = graft.api.CypherLite.execute(n, e,
+      "MATCH (a)-[:IN_NATION*1..2]->(b) RETURN count(*) AS c")
+    un.collect()
+    assert(!un.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "an unfiltered head must not pay the seed semi-join")
+  }
+
   test("column pruning: q1 aggregation reads only the five columns it uses") {
     val df = QueryCatalog.q1Agg(spark, sf)
     df.collect()
