@@ -1082,7 +1082,19 @@ object CypherLite {
       val j = skipWs(s, i)
       if (j < s.length && (s.charAt(j) == '\'' || s.charAt(j) == '"')) 's'
       else if (j < s.length && s.charAt(j) == '[') 'l'
-      else ' '
+      else {
+        // advisor r17: a var.prop operand is STRING-typed in this model,
+        // so `n.name + n.kind` must CONCATENATE (Neo4j's string + x) —
+        // the numeric Column `+` would silently null. Only a bound
+        // pattern variable's property ref dispatches to 's'; bare
+        // locals (WITH aliases, UNWIND vars) keep the numeric path
+        // (`ln + 1`, `acc + x * x`).
+        var k = j
+        while (k < s.length && isWordChar(s.charAt(k))) k += 1
+        if (k > j && k < s.length && s.charAt(k) == '.' &&
+            vars.contains(s.substring(j, k))) 's'
+        else ' '
+      }
     }
     def expr(): Column = {
       ws()
@@ -1333,12 +1345,25 @@ object CypherLite {
           // reverse works on strings and lists alike (as in Cypher)
           case "reverse" => reverse(args.head)
           // Cypher range(): INCLUSIVE bounds, optional step — Spark's
-          // sequence() has identical semantics (r16)
+          // sequence() matches EXCEPT reversed bounds: Neo4j's
+          // range(5,1) is [], Spark's sequence(5,1,1) raises (advisor
+          // r17). Null input → null; opposing sign(end-start)/sign(step)
+          // → empty typed array; extent budget enforced in-plan via
+          // assert_true (same bound as the UNWIND range() path).
           case "range" =>
             if (args.length < 2 || args.length > 3)
               fail("range(start, end[, step]) takes 2-3 args")
-            sequence(args(0).cast("long"), args(1).cast("long"),
-              args.lift(2).getOrElse(lit(1L)).cast("long"))
+            val st = args(0).cast("long")
+            val en = args(1).cast("long")
+            val sp = args.lift(2).getOrElse(lit(1L)).cast("long")
+            when(st.isNull || en.isNull || sp.isNull,
+                lit(null).cast("array<bigint>"))
+              .when((en - st) * sp < 0, typedLit(Array.empty[Long]))
+              .otherwise(when(assert_true(
+                (abs(en - st) / abs(sp)) < lit(unwindRangeBudget),
+                lit(s"range() extent exceeds the $unwindRangeBudget-" +
+                  "element budget")).isNull,
+                sequence(st, en, sp)))
           // Cypher toBoolean: 'true'/'false' (case-insensitive) parse,
           // junk → null (try_cast's contract matches exactly)
           case "toboolean" =>
@@ -1910,11 +1935,23 @@ object CypherLite {
         resolve(s"$v.kind") === l ||
           array_contains(resolve(s"$v.task_ids"), l)
       // `=~` (r16): Neo4j's regex operator — a WHOLE-string Java-regex
-      // match (rlike alone is a substring find, so the pattern anchors);
-      // literal patterns only. Must match before whereEq (whose `=`
-      // would otherwise swallow the `~` into the value).
+      // match (rlike alone is a substring find, so the pattern anchors).
+      // Must match before whereEq (whose `=` would otherwise swallow
+      // the `~` into the value). Advisor r17: a var.prop RHS resolves
+      // through valueRef (dynamic pattern, rlike's non-foldable arm);
+      // anything else must be a QUOTED string literal — treating
+      // `m.pattern` as literal regex text silently (mis)matches.
       case whereRegex(ref, value) =>
-        resolve(ref).rlike("^(?:" + unquote(value) + ")$")
+        valueRef(value) match {
+          case Some(rc) => call_function("rlike", resolve(ref),
+            concat(lit("^(?:"), rc.cast("string"), lit(")$")))
+          case None =>
+            val v = value.trim
+            require((v.startsWith("'") && v.endsWith("'") && v.length > 1)
+              || (v.startsWith("\"") && v.endsWith("\"") && v.length > 1),
+              s"=~ needs a string-literal or var.prop pattern: $value")
+            resolve(ref).rlike("^(?:" + unquote(value) + ")$")
+        }
       case whereNeq(ref, value) =>
         valueRef(value).map(resolve(ref) =!= _)
           .getOrElse(resolve(ref) =!= unquote(value))
@@ -3035,6 +3072,10 @@ object CypherLite {
         // row-multiplying generator, no join): Cypher's list × match
         // row multiplicity; a range() spec generates in-plan (r16)
         d.withColumn(u.v, u.range match {
+          // reversed literal bounds (advisor r17): Neo4j's range(5,1)
+          // is [] — zero rows — where Spark's sequence raises
+          case Some((a, b, st)) if (b - a) * st < 0 =>
+            explode(typedLit(Array.empty[Long]))
           case Some((a, b, st)) =>
             explode(sequence(lit(a), lit(b), lit(st)))
           case None => explode(array(u.values.map(lit): _*))

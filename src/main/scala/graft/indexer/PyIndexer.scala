@@ -3297,6 +3297,59 @@ object PyIndexer {
     es.groupBy(e => (e.src, e.relType, e.dst)).values.map(_.last).toSeq
       .sortBy(_.seq)
 
+  /** A top-level `__all__` augmentation or method mutation — anything
+    * that can re-open a previously parsed literal export set. */
+  private val allMutation: Regex =
+    """^__all__\s*(?:\+=|-=|\|=|\.\w+\s*\()""".r
+
+  /** Strip a `#` comment quote-aware (a `#` inside a string literal is
+    * content, not a comment) — `__all__` continuation lines commonly
+    * carry trailing comments per entry. */
+  private def stripHashComment(line: String): String = {
+    var q = ' '; var k = 0
+    while (k < line.length) {
+      val c = line.charAt(k)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else if (c == '\'' || c == '"') q = c
+      else if (c == '#') return line.substring(0, k)
+      k += 1
+    }
+    line
+  }
+
+  /** The `__all__` literal parser (slice 91, hardened r17 per ADVICE):
+    * accepts ONLY a bracketed list/tuple of quoted identifiers whose
+    * MATCHING close bracket ends the RHS (trailing whitespace only) —
+    * `["a"] + extra`, nested structures, and every other compound RHS
+    * return None, so the export fallback stays the optimistic superset
+    * and the corpus can never fabricate a star-import disproof. */
+  private[graft] def parseAllLiteral(rhs: String): Option[Seq[String]] = {
+    if (rhs.isEmpty || (rhs.head != '[' && rhs.head != '(')) return None
+    val open = rhs.head
+    val close = if (open == '[') ']' else ')'
+    var depth = 0; var q = ' '; var end = -1; var k = 0
+    while (k < rhs.length && end < 0) {
+      val c = rhs.charAt(k)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else if (c == '\'' || c == '"') q = c
+      else if (c == open) depth += 1
+      else if (c == close) { depth -= 1; if (depth == 0) end = k }
+      k += 1
+    }
+    if (end < 0) return None
+    if (rhs.substring(end + 1).trim.nonEmpty) return None
+    val parts = rhs.substring(1, end).split(",").map(_.trim)
+      .filter(_.nonEmpty)
+    val lits = parts.flatMap { p =>
+      val v = p.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("'").stripSuffix("'")
+      if ((p.startsWith("\"") || p.startsWith("'")) &&
+          v.matches("[A-Za-z_]\\w*")) Some(v) else None
+    }
+    if (lits.length == parts.length && lits.nonEmpty) Some(lits.toSeq)
+    else None
+  }
+
   /** Slice-62 PRE-SCAN — the names a module binds at its TOP LEVEL
     * (defs, classes, assignments incl. tuple targets, import aliases,
     * for/with targets), plus whether the binding set is CLOSED: a
@@ -3439,6 +3492,14 @@ object PyIndexer {
                   modImports(key) = full
               }
             }
+          // advisor r17: ANY augmentation/mutation of __all__ after a
+          // literal assignment (`+=`, `.append(…)`, `.extend(…)`, …)
+          // re-opens the export set — Python binds those names at
+          // runtime, so the parsed literal would be a wrong NARROW and
+          // the corpus could fabricate star-import disproofs
+          case mut if mut.startsWith("__all__") &&
+              allMutation.findFirstIn(mut).isDefined =>
+            allList = None
           case assignStmt(ind, n) if ind.isEmpty =>
             names += n
             // slice 91: a LITERAL `__all__ = ["a", "b"]` parses into the
@@ -3447,27 +3508,17 @@ object PyIndexer {
             // fallback is the optimistic superset, never a wrong narrow
             if (n == "__all__") {
               // RAW lines: preprocess blanks string contents, and the
-              // allow-list IS string contents
+              // allow-list IS string contents. Comments stripped
+              // quote-aware so multi-line lists with trailing comments
+              // still parse. EVERY re-assignment overwrites — a later
+              // dynamic `__all__ = gen()` resets to None (advisor r17:
+              // a stale literal must not survive a dynamic rebind).
               val j = (rawLines(li) +: (li + 1 until lines.length)
                 .iterator.takeWhile(cont(_)).map(rawLines(_)).toSeq)
-                .mkString(" ")
+                .map(stripHashComment).mkString(" ")
               val eq = j.indexOf('=')
               val rhs = if (eq >= 0) j.substring(eq + 1).trim else ""
-              if (rhs.startsWith("[") || rhs.startsWith("(")) {
-                val inner = rhs.stripPrefix("[").stripPrefix("(")
-                  .reverse.dropWhile(c => c != ']' && c != ')')
-                  .drop(1).reverse
-                val parts = inner.split(",").map(_.trim)
-                  .filter(_.nonEmpty)
-                val lits = parts.flatMap { p =>
-                  val q = p.stripPrefix("\"").stripSuffix("\"")
-                    .stripPrefix("'").stripSuffix("'")
-                  if ((p.startsWith("\"") || p.startsWith("'")) &&
-                      q.matches("[A-Za-z_]\\w*")) Some(q) else None
-                }
-                if (lits.length == parts.length && lits.nonEmpty)
-                  allList = Some(lits.toSeq)
-              }
+              allList = parseAllLiteral(rhs)
             }
             // slice 67: module singleton — a constructor or annotated
             // assignment types the module-level name (simple own-module

@@ -1865,6 +1865,75 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(task.map(_.getString(0)).toSeq === Seq("m.Person"))
   }
 
+  test("r17 advisor: prop + prop CONCATENATES (string-typed model); " +
+      "numeric locals keep the numeric path") {
+    // n.name + n.kind — two string-typed property refs: Neo4j
+    // concatenates; the r16 numeric `+` silently returned NULL here
+    val pp = db.executeQuery(
+      "MATCH (n:CLASS) RETURN n.name + n.kind AS s").collect().head
+    assert(pp.getString(0) === "PersonCLASS")
+    // prop + numeric literal: Neo4j string + int concatenates too
+    val pn = db.executeQuery(
+      "MATCH (n:CLASS) RETURN n.name + 1 AS s").collect().head
+    assert(pn.getString(0) === "Person1")
+    // a bare LOCAL stays numeric (WITH alias arithmetic)
+    val ln = db.executeQuery(
+      "MATCH (n:CLASS) WITH size(n.name) AS w RETURN w + 1 AS x")
+      .collect().head
+    assert(ln.getLong(0) === 7L)
+  }
+
+  test("r17 advisor: range() with reversed bounds is [] (Neo4j), not " +
+      "an error; scalar range() carries the extent budget") {
+    // UNWIND range(5,1) — zero rows, no exception
+    val u = db.executeQuery(
+      "UNWIND range(5, 1) AS i RETURN i").collect()
+    assert(u.isEmpty)
+    // negative step walks down; reversed-vs-step empty both ways
+    val d = db.executeQuery(
+      "UNWIND range(3, 1, -1) AS i RETURN i ORDER BY i").collect()
+    assert(d.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val e = db.executeQuery(
+      "UNWIND range(1, 3, -1) AS i RETURN i").collect()
+    assert(e.isEmpty)
+    // scalar range() in RETURN: reversed → empty list, not a throw
+    val s = db.executeQuery(
+      "UNWIND range(1, 1) AS i RETURN size(range(5, 1)) AS z, " +
+        "range(3, 1, -1) AS xs").collect().head
+    assert(s.getInt(0) === 0)
+    assert(s.getSeq[Long](1) === Seq(3L, 2L, 1L))
+    // the scalar path now enforces the same element budget as UNWIND
+    val boom = intercept[Exception] {
+      db.executeQuery(
+        "UNWIND range(1, 1) AS i RETURN size(range(1, 99999999999)) AS z")
+        .collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
+  test("r17 advisor: =~ RHS must be a literal or var.prop — var.prop " +
+      "resolves dynamically, junk raises") {
+    val d = GraphDatabase.inMemory(spark)
+    d.executeQuery("CREATE (n:CLASS:`rx` {full_name: 'rx.A', " +
+      "name: 'Widget', pat: 'Wid.*'})")
+    d.executeQuery("CREATE (n:CLASS:`rx` {full_name: 'rx.B', " +
+      "name: 'Gadget', pat: 'Wid.*'})")
+    // dynamic pattern: n.name =~ n.pat matches only the Widget row
+    val dyn = d.executeQuery(
+      "MATCH (n:`rx`) WHERE n.name =~ n.pat RETURN n.full_name")
+      .collect()
+    assert(dyn.map(_.getString(0)).toSeq === Seq("rx.A"))
+    // literal still works
+    val lt = d.executeQuery(
+      "MATCH (n:`rx`) WHERE n.name =~ 'Gad.*' RETURN n.full_name")
+      .collect()
+    assert(lt.map(_.getString(0)).toSeq === Seq("rx.B"))
+    // an unquoted non-ref RHS raises instead of silently matching
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MATCH (n:`rx`) WHERE n.name =~ Widget RETURN n.name")
+    }
+  }
+
   test("r15 percentileDisc/percentileCont: ceil-index rule, " +
       "interpolation, p edge values, WITH-pipe form") {
     val d = GraphDatabase.inMemory(spark)

@@ -3294,7 +3294,9 @@ class IndexerSpec extends AnyFunSuite {
     assert(ctx.exports("mod_a") === Set("Conn"))
     assert(ctx.bound.contains("mod_b.Conn"))
     assert(!ctx.bound.contains("mod_b.Hidden"))
-    // a DYNAMIC __all__ (+=) keeps the optimistic superset
+    // a DYNAMIC __all__ (+=) RE-OPENS the export set (advisor r17:
+    // Python binds the appended names at runtime, so keeping the
+    // literal would be a wrong narrow and fabricate disproofs)
     val modDyn =
       """__all__ = ["Conn"]
         |__all__ += extra()
@@ -3306,15 +3308,49 @@ class IndexerSpec extends AnyFunSuite {
         |    pass
         |""".stripMargin
     val sDyn = graft.indexer.PyIndexer.moduleBindings("mod_d.py", modDyn)
-    // the first literal parse stands; += cannot re-open it textually —
-    // but a module whose FIRST __all__ binding is non-literal stays None
+    assert(sDyn.allList.isEmpty,
+      "+= after a literal __all__ must reset the allow-list")
+    // a module whose FIRST __all__ binding is non-literal stays None
     val modDyn2 = "__all__ = make_exports()\n\nclass Conn:\n    pass\n"
     val sDyn2 =
       graft.indexer.PyIndexer.moduleBindings("mod_e.py", modDyn2)
     assert(sDyn2.allList.isEmpty)
     val ctx2 = graft.indexer.PyIndexer.corpusContext(Seq(sDyn2))
     assert(ctx2.exports("mod_e").contains("Conn"))
-    assert(sDyn.allList === Some(Seq("Conn")))
+  }
+
+  test("r17 advisor: __all__ literal parser — compound RHS, mutation, " +
+      "and dynamic rebind all keep/restore the optimistic superset; " +
+      "trailing comments and nested-close shapes parse exactly") {
+    import graft.indexer.PyIndexer
+    // `["a"] + extra` — the r16 reverse-scan accepted Some(["a"]);
+    // the matched close is NOT the end of the RHS → None
+    val sPlus = PyIndexer.moduleBindings("m1.py",
+      "__all__ = [\"a\"] + extra\n\ndef a():\n    pass\n\ndef b():\n    pass\n")
+    assert(sPlus.allList.isEmpty,
+      "a compound RHS must not narrow the export set")
+    val ctx = PyIndexer.corpusContext(Seq(sPlus))
+    assert(ctx.exports("m1").contains("b"),
+      "b stays exported under the optimistic superset")
+    // `.append(...)` after a literal re-opens
+    val sApp = PyIndexer.moduleBindings("m2.py",
+      "__all__ = [\"a\"]\n__all__.append(\"b\")\n\ndef a():\n    pass\n\ndef b():\n    pass\n")
+    assert(sApp.allList.isEmpty)
+    // a dynamic REASSIGNMENT after a literal re-opens too
+    val sRe = PyIndexer.moduleBindings("m3.py",
+      "__all__ = [\"a\"]\n__all__ = make()\n\ndef a():\n    pass\n")
+    assert(sRe.allList.isEmpty)
+    // multi-line list with per-entry trailing comments parses
+    val sCmt = PyIndexer.moduleBindings("m4.py",
+      "__all__ = [\n    \"a\",  # public\n    \"b\",\n]\n\ndef a():\n    pass\n\ndef b():\n    pass\n")
+    assert(sCmt.allList === Some(Seq("a", "b")))
+    // tuple spelling, trailing whitespace after the close
+    assert(PyIndexer.parseAllLiteral("(\"x\", \"y\")  ")
+      === Some(Seq("x", "y")))
+    // non-identifier entry → None (never a partial narrow)
+    assert(PyIndexer.parseAllLiteral("[\"x\", name]").isEmpty)
+    assert(PyIndexer.parseAllLiteral("[\"x\"] + rest").isEmpty)
+    assert(PyIndexer.parseAllLiteral("[]").isEmpty)
   }
 
   test("r16 slice 86 hygiene: a from-import inside a triple-quoted " +
