@@ -227,6 +227,36 @@ object CypherLite {
   private def seedSrc(e: DataFrame, seed: Option[DataFrame]): DataFrame =
     seed.fold(e)(s => e.join(s, Seq("src"), "left_semi"))
 
+  /** The dst-side twin of [[seedSrc]] (r17, verdict task #2): restrict
+    * a composition leg's `dst` to the target key set — the LAST leg of
+    * a bounded var-length pattern whose right endpoint is filtered
+    * prunes to paths that can actually reach a qualifying node. The
+    * target frame carries a `dst` column. Pure prune: the downstream
+    * endpoint join enforces the same equality. */
+  private def targetDst(e: DataFrame, target: Option[DataFrame]): DataFrame =
+    target.fold(e)(t => e.join(t, Seq("dst"), "left_semi"))
+
+  /** Flip an edge scan for BACKWARD var-length expansion (r17, verdict
+    * task #2): a dst-anchored REVERSED hop must expand from its bound
+    * side too — walking the flipped graph from the anchor is a frontier
+    * walk; expanding forward from everywhere and joining the anchor
+    * afterwards is the planet-sized enumeration the r16 seeding exists
+    * to prevent, just mirrored. */
+  private def flipScan(e: DataFrame): DataFrame =
+    e.select(col("dst").as("src"), col("rel_type"),
+      col("src").as("dst"))
+
+  /** Undo [[flipScan]] on an expanded var-length frame: swap the
+    * endpoints back and restore each prels struct's PHYSICAL
+    * orientation, reversing the list so edge order again runs from the
+    * frame's (restored) src to its dst. */
+  private def flipVarFrame(f: DataFrame): DataFrame =
+    f.select(col("dst").as("src"), col("src").as("dst"), col("hops"),
+      reverse(transform(col("prels"), x =>
+        struct(x.getField("dst").as("src"),
+          x.getField("rel_type").as("rel_type"),
+          x.getField("src").as("dst")))).as("prels"))
+
   private def varLengthRelUnbounded(e0: DataFrame, min: Int,
       seed: Option[DataFrame] = None): DataFrame = {
     val e = e0.select(col("src"), col("rel_type"), col("dst"))
@@ -291,20 +321,25 @@ object CypherLite {
     * the two steps used — and `prels` carries physical structs (Neo4j's
     * relationship entities never flip their endpoints). */
   private def varLengthRelUndirected(e0: DataFrame, min: Int,
-      max: Int, seed: Option[DataFrame] = None): DataFrame = {
+      max: Int, seed: Option[DataFrame] = None,
+      target: Option[DataFrame] = None): DataFrame = {
     val e = symmetrizedScan(e0)
     def edgeStruct(j: Int) = struct(col(s"ps$j").as("src"),
       col(s"t$j").as("rel_type"), col(s"pd$j").as("dst"))
-    // only leg 0 seeds from the anchor frontier — later legs start at
-    // interior vertices
-    def sel(j: Int) = (if (j == 0) seedSrc(e, seed) else e)
-      .select(col("src").as(s"s$j"),
+    // leg 0 seeds from the anchor frontier — later legs start at
+    // interior vertices; the last leg prunes to the target set when
+    // the right endpoint is filtered (r17)
+    def sel(j: Int, len: Int) = {
+      val base0 = if (j == 0) seedSrc(e, seed) else e
+      val base = if (j == len - 1) targetDst(base0, target) else base0
+      base.select(col("src").as(s"s$j"),
         col("rel_type").as(s"t$j"), col("dst").as(s"d$j"),
         col("psrc").as(s"ps$j"), col("pdst").as(s"pd$j"))
+    }
     val perLength = (math.max(min, 1) to max).map { len =>
-      var df = sel(0)
+      var df = sel(0, len)
       for (j <- 1 until len) {
-        df = df.join(sel(j), col(s"d${j - 1}") === col(s"s$j"))
+        df = df.join(sel(j, len), col(s"d${j - 1}") === col(s"s$j"))
         for (k <- 0 until j)
           df = df.filter(!(col(s"ps$k") === col(s"ps$j") &&
             col(s"pd$k") === col(s"pd$j")))
@@ -370,24 +405,30 @@ object CypherLite {
     * union together. Each self-join shuffles on the chain key unless the
     * edge table is bucketed (store.Bucketing's layout co-locates it). */
   private def varLengthRel(e: DataFrame, min: Int, max: Int,
-      seed: Option[DataFrame] = None): DataFrame = {
+      seed: Option[DataFrame] = None,
+      target: Option[DataFrame] = None): DataFrame = {
     // per-edge rel types ride along (t$j) so `relationships(p)` path
     // projections (r12) see the actual type of each hop — uniqueness
     // stays on (src, dst), the documented edge identity here
     def edgeStruct(j: Int) = struct(col(s"s$j").as("src"),
       col(s"t$j").as("rel_type"), col(s"d$j").as("dst"))
-    // only leg 0 seeds from the anchor frontier (r16, scale)
+    // leg 0 seeds from the anchor frontier (r16, scale); the LAST leg
+    // of each length prunes to the target key set when the pattern's
+    // right endpoint is filtered (r17) — interior legs can't prune
+    // (their vertices are unknown until joined)
     val e1 = seedSrc(e, seed)
     val perLength = (min to max).map { len =>
       if (len == 1)
-        e1.select(col("src"), col("dst"), lit(1L).as("hops"),
+        targetDst(e1, target)
+          .select(col("src"), col("dst"), lit(1L).as("hops"),
           array(struct(col("src"), col("rel_type"), col("dst"))).as("prels"))
       else {
         var df = e1.select(col("src").as("s0"), col("rel_type").as("t0"),
           col("dst").as("d0"))
         for (j <- 1 until len) {
-          val ej = e.select(col("src").as(s"s$j"), col("rel_type").as(s"t$j"),
-            col("dst").as(s"d$j"))
+          val ej = (if (j == len - 1) targetDst(e, target) else e)
+            .select(col("src").as(s"s$j"), col("rel_type").as(s"t$j"),
+              col("dst").as(s"d$j"))
           df = df.join(ej, col(s"d${j - 1}") === col(s"s$j"))
           for (k <- 0 until j)
             df = df.filter(
@@ -2262,35 +2303,51 @@ object CypherLite {
                 .withColumn("prels", expr("CAST(array() AS " +
                   "array<struct<src:string,rel_type:string,dst:string>>)")))
             else Seq.empty
-          // ANCHOR SEEDING (r16, scale): a forward/undirected var-length
-          // hop expands FROM the partial chain's frontier — the first
-          // composition leg semi-joins the bound keys, so an anchored
-          // pattern walks outward instead of enumerating every path in
-          // the graph and joining the anchor afterwards. A REVERSED hop
-          // anchors on the frame's dst (no first-leg prune to give);
-          // the chain's own join still restricts it. Pure prune: the
-          // downstream equality is unchanged.
+          // ANCHOR SEEDING (r16, extended r17 — verdict task #2): a
+          // var-length hop expands FROM the partial chain's frontier —
+          // the first composition leg semi-joins the bound keys, so an
+          // anchored pattern walks outward instead of enumerating every
+          // path in the graph and joining the anchor afterwards. A
+          // REVERSED hop (r17) expands over the FLIPPED scan from the
+          // bound dst and the frame flips back — the same frontier
+          // walk, mirrored. Bounded legs additionally prune their LAST
+          // composition leg to the right endpoint's key set when that
+          // endpoint is filtered. Pure prunes: every downstream
+          // equality is unchanged.
           // an UNFILTERED head node gives no prune (the seed would be
           // every vertex) — skip the semi-join there
           val leftUnfiltered = i == 0 && c.nodeMs.head.labels.isEmpty &&
             c.nodeMs.head.props.isEmpty
-          val anchorSeed: Option[DataFrame] =
-            if (hop.reversed || leftUnfiltered) None
+          val chainKeys: Option[DataFrame] =
+            if (leftUnfiltered) None
             else Some(df.select(col(s"n$ai.full_name").as("src"))
               .distinct())
-          val pos =
+          val rightM = c.nodeMs(i + 1)
+          val rightKeys: Option[DataFrame] =
+            if (rightM.labels.isEmpty && rightM.props.isEmpty) None
+            else Some(nodes.filter(nodePred(rightM.labels, rightM.props))
+              .select(col("full_name").as("dst")).distinct())
+          // in EXPANSION space: a reversed hop walks the FLIPPED graph,
+          // where the chain anchor (which joins the flipped-back
+          // frame's dst = the expansion's src) is the src-seed and the
+          // right endpoint (frame src = expansion dst) the dst-target —
+          // the seed/target column names line up without renames
+          val expScan = if (hop.reversed) flipScan(scan) else scan
+          val (srcSeed, dstTarget) = (chainKeys, rightKeys)
+          val pos0 =
             if (hop.maxHops == 0) Seq.empty
             else if (hop.undirected && hop.maxHops < 0)
-              Seq(varLengthRelUnboundedUndirected(scan,
-                math.max(hop.minHops, 1), anchorSeed))
+              Seq(varLengthRelUnboundedUndirected(expScan,
+                math.max(hop.minHops, 1), srcSeed))
             else if (hop.undirected)
-              Seq(varLengthRelUndirected(scan, math.max(hop.minHops, 1),
-                hop.maxHops, anchorSeed))
+              Seq(varLengthRelUndirected(expScan, math.max(hop.minHops, 1),
+                hop.maxHops, srcSeed, dstTarget))
             else if (hop.maxHops < 0)
-              Seq(varLengthRelUnbounded(scan, math.max(hop.minHops, 1),
-                anchorSeed))
-            else Seq(varLengthRel(scan, math.max(hop.minHops, 1),
-              hop.maxHops, anchorSeed))
+              Seq(varLengthRelUnbounded(expScan, math.max(hop.minHops, 1),
+                srcSeed))
+            else Seq(varLengthRel(expScan, math.max(hop.minHops, 1),
+              hop.maxHops, srcSeed, dstTarget))
+          val pos = if (hop.reversed) pos0.map(flipVarFrame) else pos0
           (zero ++ pos).map(keep).reduce(_ unionAll _)
         } else scan
       // a NAMED hop presents the uniform relationship-alias schema:

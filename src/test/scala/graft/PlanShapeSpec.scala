@@ -63,6 +63,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "an unfiltered head must not pay the seed semi-join")
   }
 
+  test("r17 verdict task #2: a REVERSED anchored var-length expands " +
+      "seeded too — the flipped-scan expansion carries the LeftSemi " +
+      "prune; g_b10_pathrev's gate shape is unchanged") {
+    // dst-anchored reversed hop: NATION is the bound side; without the
+    // flipped-scan seeding this enumerates every 1..2-path and joins
+    // the anchor afterwards — the r16 scale-killer, mirrored
+    val (n, e) = QueryCatalog.cypherTables(spark, sf)
+    val rev = graft.api.CypherLite.execute(n, e,
+      "MATCH (x:NATION {name: 'nation 7'})<-[:IN_NATION*1..2]-(c) " +
+        "RETURN count(*) AS c")
+    rev.collect()
+    assert(rev.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "a reversed anchored var-length must seed via LeftSemi")
+    // a filtered RIGHT endpoint prunes the last composition leg even
+    // with an unfiltered head (the r17 dst-target)
+    val tgt = graft.api.CypherLite.execute(n, e,
+      "MATCH (a)-[:IN_NATION*1..2]->(b:NATION) RETURN count(*) AS c")
+    tgt.collect()
+    assert(tgt.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "a filtered right endpoint must prune the last leg via LeftSemi")
+  }
+
   test("column pruning: q1 aggregation reads only the five columns it uses") {
     val df = QueryCatalog.q1Agg(spark, sf)
     df.collect()
