@@ -2643,17 +2643,23 @@ object CypherLite {
       .join(nodes.filter(nodePred(bPat.labels, bPat.props)).alias("n1"),
         col("n1.full_name") === col("v"))
       .withColumn("__plen", col("d"))
+      .withColumn("__pstart", col("s"))
+      .withColumn("__pend", col("v"))
+      .withColumn("__pnn", col("d") + 1)
 
     // r12: nodes(p)/relationships(p) projections — reconstruct THE
     // shortest path per (s, v) by backtracking the parent pointers,
     // maxD level-bounded rounds, each one (still-building rows) ⋈
     // settled ⋈ min-rel-type edge join; node lists are in PATTERN order
     // (a … b), rel structs keep PHYSICAL orientation under reversed
-    // arrows. Built only when the tail actually references them.
+    // arrows. Built only when the tail actually references them AFTER
+    // the demand-only rewrite (r17): endpoint/length reads never
+    // trigger the reconstruction loop.
     val pQuoted = java.util.regex.Pattern.quote(pVar)
+    val tail2 = rewriteEndpointReads(tail, pQuoted)
     val needPaths =
       ("(?i)\\b(nodes|relationships)\\(\\s*" + pQuoted + "\\s*\\)").r
-        .findFirstIn(tail).isDefined
+        .findFirstIn(tail2).isDefined
     if (needPaths) {
       val eMin = eTyped.groupBy("src", "dst")
         .agg(min(struct(col("rel_type").as("rt"), col("psrc"),
@@ -2661,7 +2667,15 @@ object CypherLite {
         .localCheckpoint(eager = true)
       val emptyRels = expr("CAST(array() AS " +
         "array<struct<src:string,rel_type:string,dst:string>>)")
-      var st = paths.select(col("s"), col("v"), col("v").as("cur"),
+      // reconstruct only QUALIFYING pairs (r17): when the right
+      // endpoint is filtered, pairs outside its key set never survive
+      // the n1 join — skip their backtrack entirely
+      val stBase =
+        if (bPat.labels.isEmpty && bPat.props.isEmpty) paths
+        else paths.join(nodes.filter(nodePred(bPat.labels, bPat.props))
+          .select(col("full_name").as("v")).distinct(), Seq("v"),
+          "left_semi")
+      var st = stBase.select(col("s"), col("v"), col("v").as("cur"),
           array(col("v")).as("__bn"), emptyRels.as("__br"),
           col("d").as("rem"))
         .localCheckpoint(eager = true)
@@ -2701,10 +2715,10 @@ object CypherLite {
       replaceOutsideQuotes(r,
         "(?i)\\brelationships\\(\\s*" + pQuoted + "\\s*\\)", "__prels")
     }
-    val plainCols = Set("__plen") ++
+    val plainCols = Set("__plen", "__pstart", "__pend", "__pnn") ++
       (if (needPaths) Set("__pnodes", "__prels") else Set.empty[String])
 
-    var rest = tail
+    var rest = tail2
     val retIdx2 = topLevelKeyword(rest, "RETURN")
     require(retIdx2 >= 0, s"shortestPath needs a RETURN clause: $q")
     val whereIdx = topLevelKeyword(rest, "WHERE")
@@ -2716,6 +2730,28 @@ object CypherLite {
     // machinery (aliases, ORDER BY, aggregates) applies unchanged
     val ret = rewritePathFns(rest.substring(retIdx2 + 6).trim)
     shapeResult(df, ret, vars, plainCols)
+  }
+
+  /** DEMAND-ONLY path reads rewritten to scalar columns (r17, verdict
+    * task #1): `head(nodes(p))` / `last(nodes(p))` are the path's
+    * endpoints and `size(relationships(p))` / `size(nodes(p))` are
+    * length-derived — none needs the arrays, so a tail reading only
+    * these shapes (the reference workload's hydrated-traversal
+    * projections) skips per-path reconstruction entirely: the
+    * shortestPath/allShortestPaths plan collapses to the BFS + joins. */
+  private def rewriteEndpointReads(t: String, pQuoted: String): String = {
+    var r = replaceOutsideQuotes(t,
+      "(?i)\\bhead\\(\\s*nodes\\(\\s*" + pQuoted + "\\s*\\)\\s*\\)",
+      "__pstart")
+    r = replaceOutsideQuotes(r,
+      "(?i)\\blast\\(\\s*nodes\\(\\s*" + pQuoted + "\\s*\\)\\s*\\)",
+      "__pend")
+    r = replaceOutsideQuotes(r,
+      "(?i)\\bsize\\(\\s*relationships\\(\\s*" + pQuoted + "\\s*\\)\\s*\\)",
+      "__plen")
+    replaceOutsideQuotes(r,
+      "(?i)\\bsize\\(\\s*nodes\\(\\s*" + pQuoted + "\\s*\\)\\s*\\)",
+      "__pnn")
   }
 
   /** `MATCH p = allShortestPaths((a…)-[:R*…]->(b…)) …` — EVERY shortest
@@ -2777,11 +2813,21 @@ object CypherLite {
     // with per-PAIR state instead of per-PATH rows: the diamond-lattice
     // explosion the row cap guards against never materializes in
     // flight; the counts explode into result rows only at the end.
+    val tail2 = rewriteEndpointReads(tail, pQuoted0)
     val needsPaths = Seq("nodes", "relationships").exists(fn =>
       ("(?i)\\b" + fn + "\\(\\s*" + pQuoted0 + "\\s*\\)").r
-        .findFirstIn(tail).isDefined)
+        .findFirstIn(tail2).isDefined)
     val maxD = settled.agg(coalesce(max(col("d")), lit(0L)))
       .collect()(0).getLong(0)
+    // the right endpoint's key set — BOTH arms prune to it before any
+    // per-path work (r17): counts explode / paths reconstruct only for
+    // (start, target) pairs that actually qualify. None when the right
+    // endpoint is unfiltered (a semi-join against every vertex would
+    // only add cost).
+    val bKeys: Option[DataFrame] =
+      if (bPat.labels.isEmpty && bPat.props.isEmpty) None
+      else Some(nodes.filter(nodePred(bPat.labels, bPat.props))
+        .select(col("full_name").as("v")).distinct())
     if (!needsPaths) {
       var cnt = settled.filter(col("d") === 0)
         .select(col("s"), col("v").as("cur"), lit(0L).as("d"),
@@ -2800,7 +2846,9 @@ object CypherLite {
           .localCheckpoint(eager = true)
         allC = allC.unionByName(cnt)
       }
-      val inRange = allC.filter(col("d") >= minH && col("d") <= maxH)
+      val inRange0 = allC.filter(col("d") >= minH && col("d") <= maxH)
+      val inRange = bKeys.fold(inRange0)(b => inRange0
+        .join(b.select(col("v").as("cur")), Seq("cur"), "left_semi"))
       val totPaths = inRange.agg(coalesce(sum(col("np")), lit(0L)))
         .collect()(0).getLong(0)
       require(totPaths <= allspLevelRowCap,
@@ -2815,10 +2863,13 @@ object CypherLite {
         .join(nodes.filter(nodePred(bPat.labels, bPat.props)).alias("n1"),
           col("n1.full_name") === col("cur"))
         .withColumn("__plen", col("d"))
+        .withColumn("__pstart", col("s"))
+        .withColumn("__pend", col("cur"))
+        .withColumn("__pnn", col("d") + 1)
       def rewriteLen(t: String): String = replaceOutsideQuotes(t,
         "(?i)\\b(?:length|size)\\(\\s*" + pQuoted0 + "\\s*\\)", "__plen")
-      val plainCols = Set("__plen")
-      var rest = tail
+      val plainCols = Set("__plen", "__pstart", "__pend", "__pnn")
+      var rest = tail2
       val retIdx2 = topLevelKeyword(rest, "RETURN")
       require(retIdx2 >= 0, s"allShortestPaths needs a RETURN clause: $q")
       val whereIdx = topLevelKeyword(rest, "WHERE")
@@ -2829,47 +2880,89 @@ object CypherLite {
       val ret = rewriteLen(rest.substring(retIdx2 + 6).trim)
       return shapeResult(df, ret, vars, plainCols)
     }
+    // checkpoint-and-strip: localCheckpoint preserves the frame's
+    // constraint set, and when a lineage held duplicate-named attrs the
+    // preserved set can reference REWRITTEN ids no longer in the output
+    // (Spark logs "output columns are expected to the same … but they
+    // aren't") — a later union's constraint-rewrite then throws
+    // key-not-found. Rebuilding from the checkpointed RDD drops the
+    // stale set; the data is already materialized, so the extra wrap is
+    // one row-conversion pass over an output-bounded frame.
+    def ckptClean(f: DataFrame): DataFrame = {
+      val g = f.localCheckpoint(eager = true)
+      g.sparkSession.createDataFrame(g.rdd, g.schema)
+    }
+    // r17 (verdict task #1): the per-path arm reconstructs BACKWARD
+    // from QUALIFYING endpoints — (start, target, d) triples whose
+    // target satisfies the right pattern and whose depth is in range —
+    // walking the layered DAG's predecessor levels d, d-1, …, 1 and
+    // PREPENDING each edge. Only paths that reach a qualifying endpoint
+    // ever materialize; the old forward enumeration carried every path
+    // to every vertex and filtered at the end. In-flight partials never
+    // exceed the final path count (each partial extends to ≥1 output
+    // path, injectively), so the row cap is now a safety assert on
+    // genuinely-demanded output, not a substitute for a plan.
     val emptyRels = expr("CAST(array() AS " +
       "array<struct<src:string,rel_type:string,dst:string>>)")
-    var rows = settled.filter(col("d") === 0)
-      .select(col("s"), col("v").as("cur"), lit(0L).as("d"),
+    val settledInRange = settled.localCheckpoint(eager = true)
+      .filter(col("d") >= minH && col("d") <= maxH)
+    val qual = ckptClean(bKeys.fold(settledInRange)(b =>
+      settledInRange.join(b, Seq("v"), "left_semi")))
+    // a backward-partitioned copy of the DAG: every walk level joins on
+    // (s, edst), so pre-partitioning there avoids re-shuffling the DAG
+    // each round (localCheckpoint preserves the partitioning info)
+    val spEB = ckptClean(spE.repartition(col("s"), col("edst")))
+    // one partial-reconstruction row per qualifying (start, target)
+    // pair, entering the walk at its own depth
+    def entering(lvl: Long): DataFrame = qual.filter(col("d") === lvl)
+      .select(col("s"), col("v").as("tgt"), col("d"),
+        col("v").as("cur"),
         array(col("v")).as("__pnodes"), emptyRels.as("__prels"))
-      .localCheckpoint(eager = true)
-    var all = rows
-    for (lvl <- 1L to maxD) {
+    var rows: DataFrame = null
+    for (lvl <- maxD to 1L by -1L) {
+      val ent = entering(lvl)
+      rows = if (rows == null) ent else rows.unionByName(ent)
       // the PHYSICAL edge rides spE — one spelling for forward,
       // reversed and undirected traversal alike (r15)
       val relStruct =
         struct(col("x.xpsrc").as("src"), col("x.rt").as("rel_type"),
           col("x.xpdst").as("dst"))
       rows = rows.alias("p")
-        .join(spE.alias("x"),
-          col("p.s") === col("x.s") && col("p.cur") === col("x.esrc") &&
+        .join(spEB.alias("x"),
+          col("p.s") === col("x.s") && col("p.cur") === col("x.edst") &&
             col("x.dl") === lvl)
-        .select(col("p.s").as("s"), col("x.edst").as("cur"),
-          lit(lvl).as("d"),
-          concat(col("p.__pnodes"), array(col("x.edst"))).as("__pnodes"),
-          concat(col("p.__prels"), array(relStruct)).as("__prels"))
-        .localCheckpoint(eager = true)
-      // path-multiplicity budget (r13, advisor finding): the DAG
-      // enumeration is combinatorial by the operator's own semantics —
-      // a diamond lattice doubles the row count per level — so fail
-      // FAST with a clear error instead of unbounded growth; the
-      // count() reads the just-materialized checkpoint (cheap).
+        .select(col("p.s").as("s"), col("p.tgt").as("tgt"),
+          col("p.d").as("d"), col("x.esrc").as("cur"),
+          concat(array(col("x.esrc")), col("p.__pnodes")).as("__pnodes"),
+          concat(array(relStruct), col("p.__prels")).as("__prels"))
+      rows = ckptClean(rows)
+      // safety assert (r13 origin, demoted r17): the backward walk
+      // carries only demanded paths, so tripping this means the OUTPUT
+      // itself exceeds the cap — fail loud either way. The count()
+      // reads the just-materialized checkpoint (cheap).
       val nLvl = rows.count()
       require(nLvl <= allspLevelRowCap,
         s"allShortestPaths path multiplicity exceeds cap at level $lvl " +
-          s"($nLvl > $allspLevelRowCap shortest paths in flight) — " +
+          s"($nLvl > $allspLevelRowCap shortest paths demanded) — " +
           s"narrow the endpoint patterns: $q")
-      all = all.unionByName(rows)
     }
-    val paths = all.filter(col("d") >= minH && col("d") <= maxH)
+    // after the walk every partial sits at level 0 (cur == s, the only
+    // depth-0 vertex of start s's own DAG); zero-length paths (a == b,
+    // minH == 0) enter directly
+    val cols5 = Seq("s", "tgt", "d", "__pnodes", "__prels").map(col)
+    val zero = entering(0L).select(cols5: _*)
+    val paths = (if (rows == null) zero
+      else rows.select(cols5: _*).unionByName(zero))
+      .withColumnRenamed("tgt", "cur")
     val vars = Map(aPat.v -> "n0", bPat.v -> "n1")
     var df = paths
       .join(nodes.alias("n0"), col("n0.full_name") === col("s"))
       .join(nodes.filter(nodePred(bPat.labels, bPat.props)).alias("n1"),
         col("n1.full_name") === col("cur"))
       .withColumn("__plen", col("d"))
+      .withColumn("__pstart", col("s"))
+      .withColumn("__pend", col("cur"))
+      .withColumn("__pnn", col("d") + 1)
     val pQuoted = java.util.regex.Pattern.quote(pVar)
     def rewritePathFns(t: String): String = {
       var r = replaceOutsideQuotes(t,
@@ -2879,8 +2972,9 @@ object CypherLite {
       replaceOutsideQuotes(r,
         "(?i)\\brelationships\\(\\s*" + pQuoted + "\\s*\\)", "__prels")
     }
-    val plainCols = Set("__plen", "__pnodes", "__prels")
-    var rest = tail
+    val plainCols = Set("__plen", "__pnodes", "__prels",
+      "__pstart", "__pend", "__pnn")
+    var rest = tail2
     val retIdx2 = topLevelKeyword(rest, "RETURN")
     require(retIdx2 >= 0, s"allShortestPaths needs a RETURN clause: $q")
     val whereIdx = topLevelKeyword(rest, "WHERE")

@@ -85,6 +85,33 @@ class PlanShapeSpec extends AnyFunSuite {
       "a filtered right endpoint must prune the last leg via LeftSemi")
   }
 
+  test("r17 verdict task #1: endpoint/length-only path reads skip " +
+      "reconstruction — g_b10_spathp's plan carries no path arrays") {
+    // head(nodes(p)) / last(nodes(p)) / size(relationships(p)) rewrite
+    // to the BFS frame's own columns; the backtracking loop (its __bn
+    // node-array column) must not appear in the plan at all — that loop
+    // is maxD extra join+checkpoint rounds the tail never demanded
+    val df = QueryCatalog.gB10SpathP(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("__bn") && !plan.contains("__pnodes"),
+      s"endpoint-only tail must not build path arrays; plan:\n" +
+        plan.take(2000))
+    // a tail that DOES read the arrays still reconstructs (and the
+    // allShortestPaths per-path arm walks BACKWARD from qualifying
+    // endpoints only — its partials are bounded by the demanded output,
+    // so the row cap is unreachable on any fixture whose result fits)
+    val (n, e) = QueryCatalog.cypherTables(spark, sf)
+    val full = graft.api.CypherLite.execute(n, e,
+      "MATCH p = allShortestPaths((a:REGION {full_name: 'region.0'})" +
+        "<-[:IN_NATION|IN_REGION*]-(b:CUSTOMER)) " +
+        "RETURN nodes(p) AS ns, length(p) AS d")
+    val rows = full.collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      r.getSeq[String](0).length == 3 && r.getLong(1) == 2L),
+      "customer→nation→region paths are length 2 with 3 nodes")
+  }
+
   test("column pruning: q1 aggregation reads only the five columns it uses") {
     val df = QueryCatalog.q1Agg(spark, sf)
     df.collect()
