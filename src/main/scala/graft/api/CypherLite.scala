@@ -3328,8 +3328,9 @@ object CypherLite {
     // MATCH and the sub-clause joins don't enforce it ACROSS subs;
     // node-only subs bind no relationships, so for them the rule is
     // vacuous and the split is exact. An OPTIONAL comma pattern
-    // null-extends atomically in Neo4j — per-sub left joins wouldn't —
-    // so that shape raises.
+    // null-extends atomically in Neo4j — the clause loop joins the
+    // comma subs into ONE conjunction frame and left-joins that (r17,
+    // verdict task #3), so all-or-nothing per driving row holds.
     val parsedFlat =
       scala.collection.mutable.ArrayBuffer.empty[(Clause, Int)]
     rawBodies.zipWithIndex.foreach { case (b, ix) =>
@@ -3341,19 +3342,18 @@ object CypherLite {
       val whereTxt = if (whereIdx >= 0) body.substring(whereIdx) else ""
       val subs = splitTopPattern(pat)
       require(subs.nonEmpty, s"no node pattern in: $q")
-      require(subs.lengthCompare(1) == 0 || !optional,
-        s"comma-separated patterns in OPTIONAL MATCH null-extend " +
-          s"atomically and are not supported: $q")
       subs.zipWithIndex.foreach { case (sp, j) =>
         val sbody =
           if (j == subs.length - 1) s"$sp $whereTxt".trim else sp
         parsedFlat += ((parseClause(sbody, optional, q,
           clauseIx = parsedFlat.size), ix))
       }
-      require(parsedFlat.takeRight(subs.length)
-          .count(_._1.hops.nonEmpty) <= 1,
-        s"comma-separated patterns may include at most one relationship " +
-          s"chain (relationship uniqueness is per MATCH clause): $q")
+      // multiple relationship chains in one comma group are allowed
+      // (r17): Neo4j's relationship uniqueness spans the clause, and
+      // the clause loop enforces it ACROSS the subs with the same
+      // pairwise triple-inequality buildChain applies within one chain.
+      // Var-length hops stay out (the PATH-SUMMARY model never exposes
+      // their internal edges), the documented scope.
     }
     val parsed = parsedFlat.map(_._1).toSeq
     val matchOrdOf = parsedFlat.map(_._2).toSeq
@@ -3470,7 +3470,100 @@ object CypherLite {
     Option(clauses.head.where).foreach(w =>
       df = applyClauseWhere(df, w, vars, 0))
 
-    clauses.drop(1).zipWithIndex.foreach { case (c, cIx) =>
+    // an OPTIONAL MATCH with comma patterns (r17, verdict task #3)
+    // null-extends ATOMICALLY: its subs join into one CONJUNCTION frame
+    // (on every variable the comma parts share — fresh or bound) and
+    // the driving frame left-joins that once, so a row either binds
+    // every comma variable or none, Neo4j's semantics. Disconnected
+    // comma parts (no shared variable) raise: the conjunction would be
+    // an unbudgeted pre-join product.
+    // cross-sub relationship uniqueness (r17): single-hop slots of
+    // DIFFERENT comma subs of one MATCH never bind the same edge — the
+    // same pairwise triple-inequality buildChain applies within a chain
+    def hopAliasesOf(c: Clause, start: Int): Seq[String] =
+      c.hops.zipWithIndex.collect {
+        case (h, i) if !h.isVarLength => relAlias(start + i) }
+    def crossSubUniq(d0: DataFrame, subs: Seq[Seq[String]]): DataFrame = {
+      var d = d0
+      for {
+        ai <- subs.indices; bi <- ai + 1 until subs.size
+        x <- subs(ai); y <- subs(bi)
+      } d = d.filter(!(col(s"$x.src") === col(s"$y.src") &&
+        col(s"$x.rel_type") === col(s"$y.rel_type") &&
+        col(s"$x.dst") === col(s"$y.dst")))
+      d
+    }
+    val ordHopAliases =
+      scala.collection.mutable.Map.empty[Int, List[Seq[String]]]
+    ordHopAliases(matchOrdOf.head) = List(hopAliasesOf(clauses.head, 0))
+    def applyOptionalCommaGroup(grp: Seq[Int]): Unit = {
+      val memberInfo = grp.map { j =>
+        val cj = clauses(j)
+        val start = aliasCount
+        aliasCount += cj.nodeMs.size
+        (cj, start, buildChain(nodes, edges, cj, start))
+      }
+      def slotsOf(cj: Clause, start: Int): Map[String, String] =
+        cj.nodeMs.zipWithIndex
+          .foldLeft(Map.empty[String, String]) { case (acc, (m, i)) =>
+            if (acc.contains(m.v)) acc else acc + (m.v -> s"n${start + i}")
+          }
+      var conj: DataFrame = null
+      var conjSlots = Map.empty[String, String]
+      memberInfo.foreach { case (cj, start, chain) =>
+        val mSlots = slotsOf(cj, start)
+        if (conj == null) { conj = chain; conjSlots = mSlots }
+        else {
+          val shared = mSlots.keySet.intersect(conjSlots.keySet)
+            .filterNot(_.startsWith("__anon"))
+          require(shared.nonEmpty,
+            s"OPTIONAL comma patterns must share a variable " +
+              s"(disconnected parts would pre-join a product): $q")
+          conj = conj.join(chain, shared.map(v =>
+            col(s"${conjSlots(v)}.full_name") ===
+              col(s"${mSlots(v)}.full_name")).reduce(_ && _))
+          conjSlots = conjSlots ++ (mSlots -- conjSlots.keySet)
+        }
+      }
+      conj = crossSubUniq(conj,
+        memberInfo.map { case (cj, start, _) => hopAliasesOf(cj, start) })
+      val subVars = vars ++ (conjSlots -- vars.keySet) ++
+        memberInfo.flatMap { case (cj, start, _) =>
+          relVarsOf(cj, start) }.toMap
+      val boundEqs = memberInfo.flatMap { case (cj, start, _) =>
+        cj.nodeMs.zipWithIndex.collect {
+          case (m, i) if vars.contains(m.v) =>
+            col(s"${vars(m.v)}.full_name") ===
+              col(s"n${start + i}.full_name")
+        }
+      }
+      val keyEq =
+        if (boundEqs.nonEmpty) boundEqs.reduce(_ && _) else lit(true)
+      // the split machinery rides the clause WHERE on the LAST sub; it
+      // folds into the left-join condition like the single-member
+      // optional (a filtered-out conjunction row null-extends)
+      val (optPreds, optRest) = Option(clauses(grp.last).where)
+        .map(w => extractPatternPreds(w, q, grp.last + 1))
+        .getOrElse((Seq.empty, None))
+      val sub2 = applyPatternPreds(conj, optPreds, conjSlots)
+      val cond = optRest
+        .map(w2 => keyEq && parseWhere(w2, scopeU(subVars),
+          valueRefOf(subVars, unwindVars))).getOrElse(keyEq)
+      df = df.join(sub2, cond, "left")
+      vars = subVars
+    }
+    var ci = 1
+    while (ci < clauses.length) {
+      val c = clauses(ci)
+      val cIx = ci - 1
+      // comma subs of ONE optional MATCH process as a group (atomic
+      // null-extension); everything else takes the per-clause path
+      val grpEnd = (ci until clauses.length)
+        .takeWhile(j => matchOrdOf(j) == matchOrdOf(ci)).last
+      if (c.optional && grpEnd > ci) {
+        applyOptionalCommaGroup(ci to grpEnd)
+        ci = grpEnd + 1
+      } else {
       // EVERY position sharing an already-bound variable anchors the
       // join (Neo4j's rule: a later MATCH may share any number of
       // bound variables, not just its head). An UN-anchored clause (no
@@ -3560,6 +3653,19 @@ object CypherLite {
         require(rv.keySet.intersect(vars.keySet).isEmpty,
           s"relationship variable rebinds a bound variable: $q")
         vars = vars ++ rv
+      }
+      // plain comma groups: once the LAST sub of this MATCH ordinal has
+      // joined, enforce relationship uniqueness across the subs
+      if (!c.optional) {
+        val ord = matchOrdOf(ci)
+        ordHopAliases(ord) =
+          ordHopAliases.getOrElse(ord, Nil) :+ hopAliasesOf(c, start)
+        val lastOfOrd =
+          ci == clauses.length - 1 || matchOrdOf(ci + 1) != ord
+        if (lastOfOrd && ordHopAliases(ord).count(_.nonEmpty) >= 2)
+          df = crossSubUniq(df, ordHopAliases(ord))
+      }
+      ci += 1
       }
     }
     // PATTERN COUNTS (r16): attach each __pcnt_i as ONE groupBy-count

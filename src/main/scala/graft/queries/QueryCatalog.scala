@@ -1020,6 +1020,35 @@ object QueryCatalog {
        |WHERE n.label = 'NATION'
        |GROUP BY n.name""".stripMargin
 
+  /** g_b10_optcomma — OPTIONAL MATCH with COMMA patterns (r17, verdict
+    * task #3): the comma subs join into one conjunction frame and the
+    * driver left-joins it ONCE, so the null extension is atomic —
+    * every region has nations, but only customer.1's region binds
+    * (nation, cust); the other four rows read NULL for BOTH even
+    * though their (n)-[:IN_REGION]->(r) half matches alone. */
+  val gB10OptComma: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (r:REGION) " +
+        "OPTIONAL MATCH (n:NATION)-[:IN_REGION]->(r), " +
+        "(c:CUSTOMER {full_name: 'customer.1'})-[:IN_NATION]->(n) " +
+        "RETURN r.full_name AS region, n.full_name AS nation, " +
+        "c.name AS cust")
+  }
+
+  val gB10OptCommaSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT r.full_name AS region, x.nation AS nation, x.cust AS cust
+       |FROM nodes r LEFT JOIN (
+       |  SELECT e1.dst AS region_fn, e1.src AS nation, c.name AS cust
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.rel_type = 'IN_NATION' AND e2.dst = e1.src
+       |  JOIN nodes c ON e2.src = c.full_name
+       |    AND c.full_name = 'customer.1'
+       |  WHERE e1.rel_type = 'IN_REGION'
+       |) x ON x.region_fn = r.full_name
+       |WHERE r.label = 'REGION'""".stripMargin
+
   /** q53 — HITS hubs & authorities over the containment hierarchy
     * ([[graft.enrich.Analytics.hits]]), 3 rounds: mutually-recursive
     * L1-normalized scores, decimal-routed sums + round-to-10 per stage
@@ -10343,6 +10372,7 @@ object QueryCatalog {
     "g_b10_case" -> gB10Case,
     "g_b10_patpred" -> gB10Patpred,
     "g_b10_optpred" -> gB10Optpred,
+    "g_b10_optcomma" -> gB10OptComma,
     "g_b10_exists" -> gB10Exists,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
@@ -10666,6 +10696,7 @@ object QueryCatalog {
     "g_b10_case" -> gB10CaseSql,
     "g_b10_patpred" -> gB10PatpredSql,
     "g_b10_optpred" -> gB10OptpredSql,
+    "g_b10_optcomma" -> gB10OptCommaSql,
     "g_b10_exists" -> gB10ExistsSql,
     "g_b10_write" -> gB10WriteSql,
     "g_b10_write_edge" -> gB10WriteEdgeSql,

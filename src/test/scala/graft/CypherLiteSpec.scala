@@ -2069,14 +2069,24 @@ class CypherLiteSpec extends AnyFunSuite {
         "RETURN c.name, m2.name, mod.name").collect()
     assert(mixed.map(r => (r.getString(0), r.getString(1),
       r.getString(2))).toSeq === Seq(("Person", "greet", "m")))
-    // two relationship chains in one comma group: relationship
-    // uniqueness would span them — refused
-    intercept[IllegalArgumentException] {
-      db.executeQuery("MATCH (a)-[:CONTAINS]->(b), (c)-[:HAS_METHOD]->(d) " +
-        "RETURN a.name")
-    }
-    // comma under OPTIONAL MATCH null-extends atomically in Neo4j:
-    // refused rather than approximated
+    // two relationship chains in one comma group (r17): relationship
+    // uniqueness spans them — enforced by cross-sub triple-inequality,
+    // so the pair binds (the two chains hold different edges here)
+    val two = db.executeQuery(
+      "MATCH (a)-[:CONTAINS]->(b), (c)-[:HAS_METHOD]->(d) " +
+        "RETURN a.name, c.name").collect()
+    assert(two.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("m", "Person")))
+    // the SAME chain twice: every pairing binds the same edge in both
+    // slots — cross-sub uniqueness filters them all out
+    val dup = db.executeQuery(
+      "MATCH (a)-[:HAS_METHOD]->(b), (c)-[:HAS_METHOD]->(d) " +
+        "RETURN a.name").collect()
+    assert(dup.isEmpty,
+      "one HAS_METHOD edge cannot bind both comma chains")
+    // DISCONNECTED comma parts under OPTIONAL MATCH (no shared
+    // variable) still raise — the conjunction would pre-join a product
+    // (connected comma parts null-extend atomically since r17)
     intercept[IllegalArgumentException] {
       db.executeQuery("MATCH (c:CLASS) OPTIONAL MATCH (a:MODULE), " +
         "(b:FUNCTION) RETURN c.name")
@@ -2093,6 +2103,54 @@ class CypherLiteSpec extends AnyFunSuite {
       case Some(v) => sys.props("graft.cypher.cartesianBudget") = v
       case None => sys.props.remove("graft.cypher.cartesianBudget"); ()
     }
+  }
+
+  test("r17 verdict task #3: OPTIONAL MATCH comma patterns null-extend " +
+      "ATOMICALLY — all comma variables bind or none does") {
+    val d = GraphDatabase.inMemory(spark)
+    // m1 contains a class WITH a method; m2 contains a class WITHOUT —
+    // for m2 the conjunction fails, so BOTH comma variables must be
+    // null even though (m2)-[:CONTAINS]->(class) alone matches
+    d.addNode("t", Kind.Module, "m1", Map("name" -> "m1"))
+    d.addNode("t", Kind.Module, "m2", Map("name" -> "m2"))
+    d.addNode("t", Kind.Class, "m1.C", Map("name" -> "C"))
+    d.addNode("t", Kind.Class, "m2.D", Map("name" -> "D"))
+    d.addNode("t", Kind.Method, "m1.C.f", Map("name" -> "f"))
+    d.addEdge("t", "m1", Rel.Contains, "m1.C")
+    d.addEdge("t", "m2", Rel.Contains, "m2.D")
+    d.addEdge("t", "m1.C", Rel.HasMethod, "m1.C.f")
+    d.commit()
+    val out = d.executeQuery(
+      "MATCH (mod:MODULE) OPTIONAL MATCH (mod)-[:CONTAINS]->(c:CLASS), " +
+        "(c)-[:HAS_METHOD]->(f:METHOD) " +
+        "RETURN mod.full_name AS m, c.full_name AS cls, " +
+        "f.full_name AS fn ORDER BY m").collect()
+    assert(out.length === 2)
+    assert((out(0).getString(0), out(0).getString(1), out(0).getString(2))
+      === (("m1", "m1.C", "m1.C.f")))
+    assert(out(1).getString(0) === "m2")
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2),
+      "the comma pattern must null-extend ATOMICALLY: c is null even " +
+        "though (m2)-[:CONTAINS]->(m2.D) alone matches")
+    // a WHERE on the conjunction folds into the left join: a filtered
+    // row null-extends instead of dropping
+    val w = d.executeQuery(
+      "MATCH (mod:MODULE) OPTIONAL MATCH (mod)-[:CONTAINS]->(c:CLASS), " +
+        "(c)-[:HAS_METHOD]->(f:METHOD) WHERE f.name = 'nope' " +
+        "RETURN mod.full_name AS m, f.full_name AS fn ORDER BY m")
+      .collect()
+    assert(w.length === 2 && w.forall(_.isNullAt(1)))
+    // the comma subs may ALSO share the bound variable itself — and
+    // relationship uniqueness spans the subs: m1 has ONE CONTAINS edge,
+    // which cannot bind both chains, so the conjunction fails and the
+    // row null-extends (Neo4j's per-clause uniqueness rule)
+    val b = d.executeQuery(
+      "MATCH (mod:MODULE {full_name: 'm1'}) " +
+        "OPTIONAL MATCH (mod)-[:CONTAINS]->(c:CLASS), " +
+        "(mod)-[:CONTAINS]->(c2:CLASS {name: 'C'}) " +
+        "RETURN c.name AS a, c2.name AS b").collect()
+    assert(b.length === 1 && b.head.isNullAt(0) && b.head.isNullAt(1),
+      "one CONTAINS edge cannot bind both comma chains — atomic null")
   }
 
   test("data-driven FOREACH: the write loop runs over a COLLECTED list") {
