@@ -971,6 +971,95 @@ object CypherLite {
     (q, out.toSeq)
   }
 
+  /** A `CALL { … }` subquery (r17, verdict task #6): `imports` are the
+    * variables of the leading importing `WITH` (empty = uncorrelated);
+    * `innerQ` is the sub-pipeline to plan through [[execute]] — for a
+    * correlated CALL the inner RETURN is rewritten to carry each
+    * import's key as `__call_key_<v>`, so the sub-pipeline's implicit
+    * grouping aggregates PER anchor and the driver joins on the keys;
+    * `outCols` are the sub's aliased output columns (entering the outer
+    * scope as plain columns); `aggAliases` maps the aggregate-valued
+    * ones to their aggregate head (count/sum/collect backfill their
+    * empty-group value after the left join). */
+  private final case class CallSub(imports: Seq[String], innerQ: String,
+      outCols: Seq[String], aggAliases: Map[String, String])
+
+  private val callAggHeads =
+    Set("count", "sum", "collect", "min", "max", "avg",
+      "percentiledisc", "percentilecont", "stdev", "stdevp")
+
+  /** Extract every top-level `CALL { … }` block (r17): each must sit in
+    * the pattern region (before any WITH/UNWIND pipe — a CALL after a
+    * pipe would need the piped scope, which the post-chain attachment
+    * does not model). Returns the query with the blocks removed plus
+    * the parsed subqueries. */
+  private def extractCallSubqueries(q0: String)
+      : (String, Seq[CallSub]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[CallSub]
+    var q = q0
+    // a CALL subquery is `CALL {` NOT preceded by ':' or '|' — `CALL`
+    // is also a relationship TYPE in this model (`-[:CALL]->`, and
+    // `-[:CALL {k: 'v'}]->` even pairs it with a brace), so rel-type
+    // positions must not parse as subqueries
+    def nextCall(): Int = allTopLevelKeywords(q, "CALL").find { p =>
+      var k = p - 1
+      while (k >= 0 && q.charAt(k).isWhitespace) k -= 1
+      val before = if (k >= 0) q.charAt(k) else ' '
+      val j = skipWs(q, p + 4)
+      before != ':' && before != '|' &&
+        j < q.length && q.charAt(j) == '{'
+    }.getOrElse(-1)
+    var idx = nextCall()
+    while (idx >= 0) {
+      require(topLevelKeyword(q.substring(0, idx), "WITH") < 0 &&
+          topLevelKeyword(q.substring(0, idx), "UNWIND") < 0,
+        s"CALL {…} after a WITH/UNWIND pipe is not supported: $q0")
+      val open = skipWs(q, idx + 4)
+      val close = matchingDelim(q, open, '{', '}')
+      require(close > 0, s"unterminated CALL subquery: $q0")
+      var body = q.substring(open + 1, close).trim
+      // leading importing WITH: bare variable names only (Neo4j's rule)
+      val imports: Seq[String] =
+        if (body.regionMatches(true, 0, "WITH", 0, 4) &&
+            body.length > 4 && !isWordChar(body.charAt(4))) {
+          val mIdx = topLevelKeyword(body, "MATCH")
+          require(mIdx > 4, s"CALL importing WITH needs a MATCH: $q0")
+          val vs = splitTop(body.substring(4, mIdx), ",").map(_.trim)
+          vs.foreach(v => require(v.matches("""\w+"""),
+            s"CALL importing WITH takes bare variables, got '$v': $q0"))
+          body = body.substring(mIdx)
+          vs
+        } else Seq.empty
+      val retI = topLevelKeyword(body, "RETURN")
+      require(retI >= 0, s"CALL subquery needs a RETURN: $q0")
+      val items = splitTop(body.substring(retI + 6), ",").map(_.trim)
+      val aliased = items.map { it =>
+        val parts = splitTop(it, "AS")
+        require(parts.length == 2 &&
+            parts(1).trim.matches("""\w+"""),
+          s"CALL subquery RETURN items must be aliased (`expr AS x`): $q0")
+        val alias = parts(1).trim
+        val head = parts(0).trim.takeWhile(c => c.isLetter).toLowerCase
+        val isAgg = callAggHeads.contains(head) &&
+          parts(0).trim.drop(head.length).trim.startsWith("(")
+        (alias, if (isAgg) Some(head) else None)
+      }
+      val keyItems = imports.map(v => s"$v.full_name AS __call_key_$v")
+      val innerQ =
+        if (imports.isEmpty) body
+        else body.substring(0, retI + 6) + " " +
+          (keyItems :+ body.substring(retI + 6).trim).mkString(", ")
+      out += CallSub(imports, innerQ, aliased.map(_._1),
+        aliased.collect { case (a, Some(h)) => a -> h }.toMap)
+      q = (q.substring(0, idx) + " " + q.substring(close + 1)).trim
+      idx = nextCall()
+    }
+    require(out.flatMap(_.outCols).distinct.size ==
+        out.flatMap(_.outCols).size,
+      s"CALL subqueries redeclare an output column: $q0")
+    (q, out.toSeq)
+  }
+
   /** First top-level `|` outside quotes/brackets/parens/braces — the
     * comprehension/reduce projection separator (a rel-type alternation
     * `:A|B` always sits inside a bracket, never at this level). */
@@ -3210,9 +3299,10 @@ object CypherLite {
       }
     }
     val (qP, pathByMatch, pathCols) = extractPathVars(qU)
-    val (q, patternCounts) = extractPatternCounts(qP)
+    val (qC, patternCounts) = extractPatternCounts(qP)
+    val (q, callSubs) = extractCallSubqueries(qC)
     val unwindVars: Set[String] = unwinds.map(_.v).toSet ++ pathCols ++
-      patternCounts.map(_._1)
+      patternCounts.map(_._1) ++ callSubs.flatMap(_.outCols)
     // cached frames the budget-guarded cartesian pins (r16, advisor):
     // unpersisted after the final result materializes, else a long-lived
     // session leaks two cached plans' blocks per un-anchored MATCH
@@ -3280,6 +3370,8 @@ object CypherLite {
     // pipes (r16) fold over the seed exactly as over a MATCH frame
     if (unwinds.nonEmpty &&
         (retIdx == 0 || q.regionMatches(true, 0, "WITH", 0, 4))) {
+      require(callSubs.isEmpty,
+        s"CALL {…} without a MATCH clause is not supported: $q")
       val seed = addUnwinds(nodes.sparkSession.range(1).toDF("__seed"))
         .drop("__seed")
       if (retIdx == 0)
@@ -3701,6 +3793,50 @@ object CypherLite {
       df = df.join(grouped, cond, "left")
         .withColumn(name, coalesce(col(name), lit(0L)))
         .drop(boundPos.map { case (v, _) => s"__pck_$v" }: _*)
+    }
+    // CALL { … } subqueries (r17, verdict task #6): each sub-pipeline
+    // plans independently through [[execute]] and joins the driving
+    // frame. Correlated (importing WITH): join on the imported keys —
+    // a PURE-aggregate sub left-joins (Neo4j: exactly one aggregate row
+    // per input row; count/sum/collect backfill their empty-group
+    // value), a row-returning sub inner-joins (no rows drops the
+    // driving row). Uncorrelated: a budget-guarded cross join.
+    callSubs.foreach { cs =>
+      if (cs.imports.isEmpty) {
+        val sub = execute(nodes, edges, cs.innerQ).cache()
+        df = df.cache()
+        cartCached += sub
+        cartCached += df
+        val leftN = df.count()
+        val rightN = sub.count()
+        require(BigInt(leftN) * BigInt(rightN) <= cartesianRowBudget,
+          s"uncorrelated CALL product $leftN x $rightN exceeds the " +
+            s"$cartesianRowBudget-row budget: $q")
+        df = df.join(sub, lit(true))
+      } else {
+        cs.imports.foreach(v => require(vars.contains(v),
+          s"CALL importing WITH references unbound variable '$v': $q"))
+        cs.outCols.foreach(a => require(!vars.contains(a),
+          s"CALL output column '$a' rebinds a variable: $q"))
+        val sub = execute(nodes, edges, cs.innerQ)
+        val cond = cs.imports.map(v =>
+          col(s"${vars(v)}.full_name") === col(s"__call_key_$v"))
+          .reduce(_ && _)
+        val pureAgg = cs.outCols.forall(cs.aggAliases.contains)
+        if (pureAgg) {
+          df = df.join(sub, cond, "left")
+          cs.aggAliases.foreach { case (alias, head) =>
+            if (head == "count" || head == "sum")
+              df = df.withColumn(alias, coalesce(col(alias), lit(0L)))
+            else if (head == "collect") {
+              val dt = sub.schema(alias).dataType.sql
+              df = df.withColumn(alias,
+                coalesce(col(alias), expr(s"CAST(array() AS $dt)")))
+            }
+          }
+        } else df = df.join(sub, cond)
+        df = df.drop(cs.imports.map(v => s"__call_key_$v"): _*)
+      }
     }
     deferredWhere.foreach(w =>
       df = df.filter(parseWhere(w, scopeU(vars),

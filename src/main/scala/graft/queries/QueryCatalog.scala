@@ -1049,6 +1049,43 @@ object QueryCatalog {
        |) x ON x.region_fn = r.full_name
        |WHERE r.label = 'REGION'""".stripMargin
 
+  /** g_b10_callsub — `CALL { … }` subqueries (r17, verdict task #6):
+    * two correlated pure-aggregate subs per region — each plans as its
+    * own pipeline grouped by the imported key and LEFT-joins the
+    * driver, with count backfilled to 0 (Neo4j: an aggregate subquery
+    * returns exactly one row per input row). The second sub is empty
+    * for four of the five regions, pinning the backfill. */
+  val gB10CallSub: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (r:REGION) " +
+        "CALL { WITH r MATCH (n:NATION)-[:IN_REGION]->(r) " +
+        "RETURN count(n) AS nations, min(n.name) AS first_nation } " +
+        "CALL { WITH r MATCH (n:NATION {name: 'ALGERIA'})" +
+        "-[:IN_REGION]->(r) RETURN count(n) AS algeria } " +
+        "RETURN r.full_name AS region, nations, first_nation, algeria")
+  }
+
+  val gB10CallSubSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT r.full_name AS region,
+       |  coalesce(x.nations, 0)::BIGINT AS nations,
+       |  x.first_nation AS first_nation,
+       |  coalesce(y.algeria, 0)::BIGINT AS algeria
+       |FROM nodes r
+       |LEFT JOIN (
+       |  SELECT e.dst AS rk, count(*) AS nations, min(n.name) AS first_nation
+       |  FROM edges e JOIN nodes n ON e.src = n.full_name
+       |  WHERE e.rel_type = 'IN_REGION' AND n.label = 'NATION'
+       |  GROUP BY e.dst) x ON x.rk = r.full_name
+       |LEFT JOIN (
+       |  SELECT e.dst AS rk, count(*) AS algeria
+       |  FROM edges e JOIN nodes n ON e.src = n.full_name
+       |  WHERE e.rel_type = 'IN_REGION' AND n.label = 'NATION'
+       |    AND n.name = 'ALGERIA'
+       |  GROUP BY e.dst) y ON y.rk = r.full_name
+       |WHERE r.label = 'REGION'""".stripMargin
+
   /** q53 — HITS hubs & authorities over the containment hierarchy
     * ([[graft.enrich.Analytics.hits]]), 3 rounds: mutually-recursive
     * L1-normalized scores, decimal-routed sums + round-to-10 per stage
@@ -10373,6 +10410,7 @@ object QueryCatalog {
     "g_b10_patpred" -> gB10Patpred,
     "g_b10_optpred" -> gB10Optpred,
     "g_b10_optcomma" -> gB10OptComma,
+    "g_b10_callsub" -> gB10CallSub,
     "g_b10_exists" -> gB10Exists,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
@@ -10697,6 +10735,7 @@ object QueryCatalog {
     "g_b10_patpred" -> gB10PatpredSql,
     "g_b10_optpred" -> gB10OptpredSql,
     "g_b10_optcomma" -> gB10OptCommaSql,
+    "g_b10_callsub" -> gB10CallSubSql,
     "g_b10_exists" -> gB10ExistsSql,
     "g_b10_write" -> gB10WriteSql,
     "g_b10_write_edge" -> gB10WriteEdgeSql,

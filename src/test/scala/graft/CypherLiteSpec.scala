@@ -2153,6 +2153,54 @@ class CypherLiteSpec extends AnyFunSuite {
       "one CONTAINS edge cannot bind both comma chains — atomic null")
   }
 
+  test("r17 verdict task #6: CALL { … } subqueries — correlated " +
+      "(importing WITH) and uncorrelated, aggregate and row-returning") {
+    val d = GraphDatabase.inMemory(spark)
+    d.addNode("t", Kind.Module, "m1", Map("name" -> "m1"))
+    d.addNode("t", Kind.Module, "m2", Map("name" -> "m2"))
+    d.addNode("t", Kind.Class, "m1.C", Map("name" -> "C"))
+    d.addNode("t", Kind.Class, "m1.D", Map("name" -> "D"))
+    d.addEdge("t", "m1", Rel.Contains, "m1.C")
+    d.addEdge("t", "m1", Rel.Contains, "m1.D")
+    d.commit()
+    // correlated PURE-AGGREGATE: one row per driving row; count reads 0
+    // for m2 (left join + backfill, Neo4j's empty-group value)
+    val agg = d.executeQuery(
+      "MATCH (mod:MODULE) CALL { WITH mod " +
+        "MATCH (mod)-[:CONTAINS]->(c:CLASS) RETURN count(c) AS nc, " +
+        "collect(c.name) AS names } " +
+        "RETURN mod.full_name AS m, nc, names ORDER BY m").collect()
+    assert(agg.length === 2)
+    assert(agg(0).getString(0) === "m1" && agg(0).getLong(1) === 2L)
+    assert(agg(0).getSeq[String](2).sorted === Seq("C", "D"))
+    assert(agg(1).getString(0) === "m2" && agg(1).getLong(1) === 0L)
+    assert(agg(1).getSeq[String](2) === Seq.empty)
+    // correlated ROW-RETURNING: no rows drops the driving row (inner)
+    val rows = d.executeQuery(
+      "MATCH (mod:MODULE) CALL { WITH mod " +
+        "MATCH (mod)-[:CONTAINS]->(c:CLASS) RETURN c.name AS cn } " +
+        "RETURN mod.full_name AS m, cn ORDER BY m, cn").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("m1", "C"), ("m1", "D")))
+    // uncorrelated: the sub plans once; its single aggregate row
+    // cross-joins every driving row
+    val unc = d.executeQuery(
+      "MATCH (mod:MODULE) CALL { MATCH (x:CLASS) " +
+        "RETURN count(x) AS total } " +
+        "RETURN mod.full_name AS m, total ORDER BY m").collect()
+    assert(unc.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("m1", 2L), ("m2", 2L)))
+    // un-aliased sub items raise; CALL after a pipe raises
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MATCH (mod:MODULE) CALL { MATCH (x:CLASS) " +
+        "RETURN count(x) } RETURN mod.name")
+    }
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MATCH (mod:MODULE) WITH mod.name AS mn " +
+        "CALL { MATCH (x:CLASS) RETURN count(x) AS t } RETURN mn, t")
+    }
+  }
+
   test("data-driven FOREACH: the write loop runs over a COLLECTED list") {
     val d = GraphDatabase.inMemory(spark)
     d.executeQuery("FOREACH (nm IN ['p1', 'p2', 'q3'] | " +
