@@ -185,6 +185,31 @@ object PyIndexer {
   private val typeshedBuiltins: Map[String, String] = Map(
     "open" -> "io.TextIOWrapper")
 
+  /** r17 tier 3 — ATTRIBUTE (non-call) returns on stdlib classes:
+    * typeshed declares these as properties/attributes, so a chain like
+    * `cfg_path.parent.joinpath('x')` folds through them exactly as
+    * jedi's descriptor resolution does. Keyed class fqn → attr →
+    * class fqn; consulted by the MRO field lookups for non-local
+    * receivers. */
+  private val typeshedAttrReturns: Map[String, Map[String, String]] = Map(
+    "pathlib.Path" -> Map("parent" -> "pathlib.Path"),
+    "pathlib.PurePath" -> Map("parent" -> "pathlib.PurePath"),
+    "re.Match" -> Map("re" -> "re.Pattern"),
+    "sqlite3.Cursor" -> Map("connection" -> "sqlite3.Connection"),
+    "logging.Logger" -> Map("parent" -> "logging.Logger"))
+
+  /** r17 tier 3 — ELEMENT types of stdlib iterator-returning callables
+    * (typeshed's `Iterator[T]` stubs): `for p in base.glob('*.py')`
+    * types p as pathlib.Path. Keyed by the RESOLVED callee fqn the
+    * element-target lookup produces (`<class>.<method>` for member
+    * calls, the dotted module function otherwise). */
+  private val typeshedElemReturns: Map[String, String] = Map(
+    "pathlib.Path.iterdir" -> "pathlib.Path",
+    "pathlib.Path.glob" -> "pathlib.Path",
+    "pathlib.Path.rglob" -> "pathlib.Path",
+    "re.Pattern.finditer" -> "re.Match",
+    "re.finditer" -> "re.Match")
+
   /** C10 — dotted module name from a repo-relative path: strip `.py`,
     * `/`→`.`, collapse `__init__` to the package
     * (reference ast_utils.py:64-95, indexer_visitor.py:551-577). */
@@ -1626,6 +1651,9 @@ object PyIndexer {
     def corpusFieldOf(cls: String, field: String): Option[String] =
       if (cls.startsWith(mod + ".")) None
       else corpus.flatMap(_.fields.get(s"$cls.$field"))
+        // r17 tier 3: stdlib receivers read typeshed's declared
+        // attributes (Path.parent IS a Path)
+        .orElse(typeshedAttrReturns.get(cls).flatMap(_.get(field)))
     def fieldTypeViaMro(cls: String, field: String): Option[String] =
       mroOf(cls).iterator
         .map(c => classFieldTypes.get(c).flatMap(_.get(field))
@@ -1915,6 +1943,9 @@ object PyIndexer {
           val local = returnElemRaw.get(k).flatMap(classishType)
           if (k.contains(".")) local.orElse(fold) else fold.orElse(local)
         } else corpus.flatMap(_.returnElems.get(cf))
+          // r17 tier 3: stdlib iterator factories (Path.glob and kin)
+          // yield what their typeshed stubs declare
+          .orElse(typeshedElemReturns.get(cf))
       }
 
     // C3 slice 10: the return type of `<T>.method()` — same-module

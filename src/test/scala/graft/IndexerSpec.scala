@@ -1243,6 +1243,132 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("sl.shadowed", "sl.open")))
   }
 
+  test("r17 slice 45 tier 3: typeshed ATTRIBUTE returns (Path.parent, " +
+      "Match.re, Cursor.connection) and iterator ELEMENT returns " +
+      "(glob/iterdir/finditer) bind and chain") {
+    val src =
+      """import re
+        |import sqlite3
+        |from pathlib import Path
+        |
+        |def updirs(root):
+        |    base = Path(root)
+        |    up = base.parent
+        |    return up.as_posix()
+        |
+        |def chained(root):
+        |    cfg = Path(root).parent.joinpath('cfg')
+        |    return cfg.read_text()
+        |
+        |def walk(root):
+        |    base = Path(root)
+        |    for p in base.glob('*.py'):
+        |        p.touch()
+        |    for q in base.iterdir():
+        |        q.unlink()
+        |
+        |def scan(src):
+        |    pat = re.compile(src)
+        |    for m in pat.finditer(src):
+        |        m.group(0)
+        |    back = pat.match(src).re
+        |    return back.findall(src)
+        |
+        |def dbwork(path):
+        |    cur = sqlite3.connect(path).cursor()
+        |    conn2 = cur.connection
+        |    conn2.commit()
+        |
+        |def nottyped(root):
+        |    base = Path(root)
+        |    x = base.unknown_attr
+        |    return x.anything()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "t3.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // attribute read: base.parent IS a Path
+    assert(calls.contains(("t3.updirs", "pathlib.Path.as_posix")))
+    // attr mid-chain: Path(root).parent.joinpath('cfg') folds to Path
+    // (the read_text edge proves cfg typed through the parent attr; the
+    // intra-chain joinpath edge itself is the known call-on-expression
+    // scanner gap, unrelated to the attr table)
+    assert(calls.contains(("t3.chained", "pathlib.Path.read_text")))
+    // iterator elements: glob/iterdir yield Path
+    assert(calls.contains(("t3.walk", "pathlib.Path.touch")))
+    assert(calls.contains(("t3.walk", "pathlib.Path.unlink")))
+    // finditer yields Match; Match.re is the Pattern
+    assert(calls.contains(("t3.scan", "re.Match.group")))
+    assert(calls.contains(("t3.scan", "re.Pattern.findall")))
+    // Cursor.connection is the Connection
+    assert(calls.contains(("t3.dbwork", "sqlite3.Connection.commit")))
+    // negative: an undeclared attribute refuses (all-or-nothing)
+    assert(!calls.exists(_._2.endsWith("anything")))
+  }
+
+  test("r17 slice 93: decorator-transparent returns — @dataclass " +
+      "fields bind from class-body annotations, @lru_cache/@cache " +
+      "keep the declared return, a stacked UNKNOWN decorator on a " +
+      "@property poisons the read (goldens both ways)") {
+    val src =
+      """import functools
+        |from dataclasses import dataclass
+        |
+        |class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |@dataclass
+        |class Box:
+        |    conn: Conn
+        |    label: str
+        |
+        |def use_box(b):
+        |    box = Box(Conn(), 'x')
+        |    box.conn.ping()
+        |
+        |@functools.lru_cache
+        |def cached_conn() -> Conn:
+        |    return Conn()
+        |
+        |@functools.cache
+        |def cached_conn2() -> Conn:
+        |    return Conn()
+        |
+        |def use_cached():
+        |    c = cached_conn()
+        |    c.ping()
+        |    d = cached_conn2()
+        |    d.ping()
+        |
+        |class Svc:
+        |    @mystery_deco
+        |    @property
+        |    def conn(self) -> Conn:
+        |        return Conn()
+        |
+        |def use_svc():
+        |    s = Svc()
+        |    s.conn.ping()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "s93.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // @dataclass: the generated constructor types the local, and the
+    // class-body annotation types the field — box.conn IS a Conn
+    assert(calls.contains(("s93.use_box", "s93.Box")))
+    assert(calls.contains(("s93.use_box", "s93.Conn.ping")),
+      s"dataclass field must type through the class-body annotation; " +
+        s"got $calls")
+    // signature-preserving stdlib decorators keep the declared return
+    assert(calls.contains(("s93.use_cached", "s93.Conn.ping")))
+    // an UNKNOWN decorator stacked over @property makes the read
+    // untypable — jedi resolves the descriptor through the unknown
+    // wrapper to nothing, so s.conn.ping() must NOT bind Conn.ping
+    assert(!calls.contains(("s93.use_svc", "s93.Conn.ping")),
+      "a mystery-decorated property must not type the attribute read")
+  }
+
   test("r16 slice 45 tier 2: collections / strptime / io / subprocess " +
       "/ threading stubs bind; a module-local class SHADOWS the stub") {
     val src =
