@@ -2845,16 +2845,17 @@ object CypherLite {
 
   /** `MATCH p = allShortestPaths((a…)-[:R*…]->(b…)) …` — EVERY shortest
     * path per endpoint pair, one row per path (Neo4j's multiplicity;
-    * plain `shortestPath` returns one). Plan: the same multi-source BFS
-    * derives distances, then the per-start LAYERED DAG (edges (u, w)
-    * with d(u) + 1 = d(w) — every path in it is a shortest-path prefix
-    * by construction) is enumerated forward, carrying node/edge arrays;
-    * rounds = max distance, each one frontier⋈DAG join. Parallel edges
-    * of different rel types are DISTINCT paths, as in Neo4j. The
-    * enumeration is combinatorial in the DAG's path count — exactly
-    * Neo4j's own cost for this operator; the spathMaxDepth cap bounds
-    * depth, never correctness. `nodes(p)`/`relationships(p)`/
-    * `length(p)` project like the r12 shortestPath machinery. */
+    * plain `shortestPath` returns one). Plan (r17): ONE multi-source
+    * BFS carries both distances and path COUNTS (np(s,v) = Σ np(s,u)
+    * over the parallel-typed edges arriving at v's settling level — the
+    * per-level groupBy IS the count DP). A tail reading only
+    * length/endpoints explodes the counts into rows directly — no DAG,
+    * no per-path state. A tail demanding `nodes(p)`/`relationships(p)`
+    * builds the per-start LAYERED DAG (edges (u, w) with d(u)+1 = d(w))
+    * and reconstructs BACKWARD from qualifying (start, target) pairs,
+    * so only demanded paths ever materialize. Parallel edges of
+    * different rel types are DISTINCT paths, as in Neo4j; the
+    * spathMaxDepth cap bounds depth, never correctness. */
   private def executeAllShortestPaths(nodes: DataFrame, edges: DataFrame,
       q: String, idx: Int): DataFrame = {
     val sp = parseSpathPattern(q, idx, "allShortestPaths")
@@ -2864,44 +2865,37 @@ object CypherLite {
     val eTyped = spathTraversalFrame(scan, reversed, undirected)
       .distinct()
       .localCheckpoint(eager = true)
-    val e = eTyped.select(col("src"), col("dst")).distinct()
+    // NOT distinct'd: parallel edges of different rel types are
+    // DISTINCT shortest paths (Neo4j), and the fused count DP (r17)
+    // rides multiplicity through this frame
+    val e = eTyped.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(eager = true)
     var frontier = nodes.filter(nodePred(aPat.labels, aPat.props))
       .select(col("full_name").as("s"))
       .withColumn("v", col("s")).withColumn("d", lit(0L))
+      .withColumn("np", lit(1L))
       .localCheckpoint(eager = true)
     var settled = frontier
     var i = 1
     var done = frontier.isEmpty
+    // r17 (fused count DP): the shortest-path COUNT rides the BFS
+    // frontier — np(s, v) = Σ np(s, u) over parallel-typed edges u→v
+    // arriving at v's settling level (the groupBy IS the per-level DP
+    // the r16 code ran as a second maxD-round loop over the layered
+    // DAG) — so the length-only arm below needs neither the DAG build
+    // (two settled self-joins) nor any extra per-level jobs.
     while (i <= maxH && !done) {
-      val nxt = e.join(frontier.select(col("s"), col("v").as("src")), "src")
-        .select(col("s"), col("dst").as("v")).distinct()
+      val nxt = e.join(frontier.select(col("s"), col("np"),
+          col("v").as("src")), "src")
+        .select(col("s"), col("dst").as("v"), col("np"))
+        .groupBy("s", "v").agg(sum("np").as("np"))
         .join(settled.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
-        .select(col("s"), col("v"), lit(i.toLong).as("d"))
+        .select(col("s"), col("v"), lit(i.toLong).as("d"), col("np"))
         .localCheckpoint(eager = false)
       if (nxt.count() == 0L) done = true
       else { settled = settled.unionByName(nxt); frontier = nxt; i += 1 }
     }
-    // per-start layered DAG: only edges that advance the BFS level
-    val spE = eTyped.alias("t")
-      .join(settled.alias("u"), col("t.src") === col("u.v"))
-      .join(settled.alias("w"),
-        col("w.s") === col("u.s") && col("t.dst") === col("w.v") &&
-          col("w.d") === col("u.d") + 1)
-      .select(col("u.s").as("s"), col("t.src").as("esrc"),
-        col("t.dst").as("edst"), col("t.rel_type").as("rt"),
-        col("t.psrc").as("xpsrc"), col("t.pdst").as("xpdst"),
-        col("w.d").as("dl"))
-      .repartition(col("s"), col("esrc"))
-      .localCheckpoint(eager = true)
     val pQuoted0 = java.util.regex.Pattern.quote(pVar)
-    // r16 (scale): when the tail never reads nodes(p)/relationships(p)
-    // — `RETURN b, length(p)` is the common shape — path MULTIPLICITY
-    // is all that matters, and a per-(start, vertex) COUNT DP
-    // (paths(v) = Σ paths(pred), one groupBy per level) carries it
-    // with per-PAIR state instead of per-PATH rows: the diamond-lattice
-    // explosion the row cap guards against never materializes in
-    // flight; the counts explode into result rows only at the end.
     val tail2 = rewriteEndpointReads(tail, pQuoted0)
     val needsPaths = Seq("nodes", "relationships").exists(fn =>
       ("(?i)\\b" + fn + "\\(\\s*" + pQuoted0 + "\\s*\\)").r
@@ -2918,23 +2912,10 @@ object CypherLite {
       else Some(nodes.filter(nodePred(bPat.labels, bPat.props))
         .select(col("full_name").as("v")).distinct())
     if (!needsPaths) {
-      var cnt = settled.filter(col("d") === 0)
-        .select(col("s"), col("v").as("cur"), lit(0L).as("d"),
-          lit(1L).as("np"))
-        .localCheckpoint(eager = true)
-      var allC = cnt
-      for (lvl <- 1L to maxD) {
-        cnt = cnt.alias("p")
-          .join(spE.alias("x"),
-            col("p.s") === col("x.s") && col("p.cur") === col("x.esrc") &&
-              col("x.dl") === lvl)
-          .select(col("p.s").as("s"), col("x.edst").as("cur"),
-            col("p.np").as("np"))
-          .groupBy("s", "cur").agg(sum("np").as("np"))
-          .select(col("s"), col("cur"), lit(lvl).as("d"), col("np"))
-          .localCheckpoint(eager = true)
-        allC = allC.unionByName(cnt)
-      }
+      // the counts already rode the BFS (fused DP, r17): settled IS
+      // the per-(start, vertex) multiplicity table
+      val allC = settled.select(col("s"), col("v").as("cur"),
+        col("d"), col("np"))
       val inRange0 = allC.filter(col("d") >= minH && col("d") <= maxH)
       val inRange = bKeys.fold(inRange0)(b => inRange0
         .join(b.select(col("v").as("cur")), Seq("cur"), "left_semi"))
@@ -2981,6 +2962,18 @@ object CypherLite {
       val g = f.localCheckpoint(eager = true)
       g.sparkSession.createDataFrame(g.rdd, g.schema)
     }
+    // per-start layered DAG (per-path arm only, r17 — the length-only
+    // arm above reads the fused BFS counts): edges that advance the
+    // BFS level; every path in it is a shortest-path prefix
+    val spE = eTyped.alias("t")
+      .join(settled.alias("u"), col("t.src") === col("u.v"))
+      .join(settled.alias("w"),
+        col("w.s") === col("u.s") && col("t.dst") === col("w.v") &&
+          col("w.d") === col("u.d") + 1)
+      .select(col("u.s").as("s"), col("t.src").as("esrc"),
+        col("t.dst").as("edst"), col("t.rel_type").as("rt"),
+        col("t.psrc").as("xpsrc"), col("t.pdst").as("xpdst"),
+        col("w.d").as("dl"))
     // r17 (verdict task #1): the per-path arm reconstructs BACKWARD
     // from QUALIFYING endpoints — (start, target, d) triples whose
     // target satisfies the right pattern and whose depth is in range —
