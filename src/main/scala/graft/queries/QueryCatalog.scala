@@ -1020,6 +1020,29 @@ object QueryCatalog {
        |WHERE n.label = 'NATION'
        |GROUP BY n.name""".stripMargin
 
+  /** g_b10_allspp — the allShortestPaths PER-PATH arm (r17, verdict
+    * task #1) under the oracle gate: the tail demands the node array
+    * (`head(tail(nodes(p)))` reads the path's interior), so the
+    * backward reconstruction runs — paths materialize only for
+    * (region.0, CUSTOMER) pairs that qualify (the b-filter semi-join),
+    * walked back through the predecessor levels. Each customer of
+    * region 0's nations has exactly one 2-hop geodesic, so the oracle
+    * is a two-table join. */
+  val gB10AllspP: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH p = allShortestPaths((a {full_name: 'region.0'})" +
+        "<-[:IN_NATION|IN_REGION*]-(b:CUSTOMER)) " +
+        "RETURN b.full_name AS cust, head(tail(nodes(p))) AS mid, " +
+        "length(p) AS d")
+  }
+
+  val gB10AllspPSql: String =
+    """SELECT 'customer.' || c.c_custkey AS cust,
+      |  'nation.' || c.c_nationkey AS mid, 2::BIGINT AS d
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE n.n_regionkey = 0""".stripMargin
+
   /** g_b10_optcomma — OPTIONAL MATCH with COMMA patterns (r17, verdict
     * task #3): the comma subs join into one conjunction frame and the
     * driver left-joins it ONCE, so the null extension is atomic —
@@ -10410,6 +10433,7 @@ object QueryCatalog {
     "g_b10_patpred" -> gB10Patpred,
     "g_b10_optpred" -> gB10Optpred,
     "g_b10_optcomma" -> gB10OptComma,
+    "g_b10_allspp" -> gB10AllspP,
     "g_b10_callsub" -> gB10CallSub,
     "g_b10_exists" -> gB10Exists,
     "t_cms_topk" -> tCmsTopk,
@@ -10735,6 +10759,7 @@ object QueryCatalog {
     "g_b10_patpred" -> gB10PatpredSql,
     "g_b10_optpred" -> gB10OptpredSql,
     "g_b10_optcomma" -> gB10OptCommaSql,
+    "g_b10_allspp" -> gB10AllspPSql,
     "g_b10_callsub" -> gB10CallSubSql,
     "g_b10_exists" -> gB10ExistsSql,
     "g_b10_write" -> gB10WriteSql,
