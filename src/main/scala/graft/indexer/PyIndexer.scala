@@ -493,7 +493,16 @@ object PyIndexer {
       // r14 slice 75: names declared `global` in this callable — a
       // constructor assignment to one ALSO types the module singleton
       // (the in-function initializer idiom `global db; db = Database()`)
-      globalDecls: mutable.Set[String] = mutable.Set.empty)
+      globalDecls: mutable.Set[String] = mutable.Set.empty,
+      // r17 slice 94: BRANCH-SCOPED isinstance narrows — (restore
+      // threshold, name, previous binding); the main walk restores an
+      // entry when it reaches a line at indent ≤ the threshold, so an
+      // if/elif/while guard's narrow dies with its branch (jedi's
+      // scoping; the whole-scope binding fabricated member edges after
+      // the block). An `assert` narrow holds for the rest of its suite
+      // (threshold = its indent − 1).
+      narrowRestores: mutable.Stack[(Int, String, Option[String])] =
+        mutable.Stack.empty)
 
   /** Bare-name occurrence for the LOCAL usage scan — unlike [[nameRef]] a
     * following `(` or `.` does NOT disqualify: the reference records local
@@ -2160,6 +2169,19 @@ object PyIndexer {
         // structural meaning: no scope pops, no header/assign matching
         if (!cont(i)) {
         while (stack.nonEmpty && ind <= stack.top.indent) stack.pop()
+        // r17 slice 94: expire branch-scoped isinstance narrows — a
+        // line at or above a guard's indent is outside its branch, so
+        // the tested name reverts to its pre-guard binding
+        stack.foreach { sc =>
+          while (sc.narrowRestores.nonEmpty &&
+              ind <= sc.narrowRestores.top._1) {
+            val (_, n, prev) = sc.narrowRestores.pop()
+            prev match {
+              case Some(t) => sc.locals(n) = t
+              case None => sc.locals.remove(n)
+            }
+          }
+        }
 
         line match {
           case classHeader(_, name, _) =>
@@ -2515,10 +2537,18 @@ object PyIndexer {
               .orElse(typeshedReturnTarget(m.group(3)))
               .foreach(t => fn.locals(m.group(1)) = t)
           }
+          // r17 slice 94: narrows record their pre-guard binding and
+          // the indent past which they expire (processed in the walk)
+          def narrowBind(name: String, t: String, threshold: Int): Unit = {
+            fn.narrowRestores.push((threshold, name, fn.locals.get(name)))
+            fn.locals(name) = t
+          }
           // slice 51: `assert isinstance(x, Cls)` narrows x for the
-          // rest of the scope — the assert twin of slice 38's if-guard
+          // rest of its SUITE (until a dedent below the assert) — the
+          // assert twin of slice 38's if-guard
           assertIsinstance.findFirstMatchIn(line).foreach { m =>
-            classishType(m.group(2)).foreach(t => fn.locals(m.group(1)) = t)
+            classishType(m.group(2)).foreach(t =>
+              narrowBind(m.group(1), t, indentOf(line) - 1))
           }
           // r14 slice 75: record `global` declarations; a constructor
           // assignment to a declared name below also types the module
@@ -2672,26 +2702,29 @@ object PyIndexer {
                     classishType(m.group(1))
                       .foreach(t => fn.locals(m.group(2)) = t)
                   }
-                  // slice 38: isinstance guards narrow the tested name
+                  // slice 38: isinstance guards narrow the tested name —
+                  // r17 slice 94: BRANCH-scoped (an if/elif/while narrow
+                  // expires at its guard's indent; an assert holds for
+                  // the rest of its suite)
                   val trimmed = line.trim
-                  if (trimmed.startsWith("if ") ||
-                      trimmed.startsWith("elif ") ||
-                      trimmed.startsWith("while ") ||
-                      trimmed.startsWith("assert "))
+                  val isGuardLine = trimmed.startsWith("if ") ||
+                    trimmed.startsWith("elif ") ||
+                    trimmed.startsWith("while ")
+                  val isAssertLine = trimmed.startsWith("assert ")
+                  val narrowTh =
+                    if (isAssertLine) indentOf(line) - 1 else indentOf(line)
+                  if (isGuardLine || isAssertLine)
                     isinstanceNarrow.findAllMatchIn(line).foreach { m =>
                       classishType(m.group(2))
-                        .foreach(t => fn.locals(m.group(1)) = t)
+                        .foreach(t => narrowBind(m.group(1), t, narrowTh))
                     }
                   // r14 slice 77: the tuple form narrows to the FIRST
                   // class-resolving arm (jedi's union, optimistic take)
-                  if (trimmed.startsWith("if ") ||
-                      trimmed.startsWith("elif ") ||
-                      trimmed.startsWith("while ") ||
-                      trimmed.startsWith("assert "))
+                  if (isGuardLine || isAssertLine)
                     isinstanceTupleNarrow.findAllMatchIn(line).foreach { m =>
                       m.group(2).split(",").iterator.map(_.trim)
                         .flatMap(classishType).toSeq.headOption
-                        .foreach(t => fn.locals(m.group(1)) = t)
+                        .foreach(t => narrowBind(m.group(1), t, narrowTh))
                     }
                   // slice 41: `y = x if … else None` flows x's type
                   ternaryNameAssign.findFirstMatchIn(line)

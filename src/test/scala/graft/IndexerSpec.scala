@@ -1114,6 +1114,72 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("nc.ternary_not", "nc.Helper.ping")))
   }
 
+  test("r17 slice 94: isinstance narrows are BRANCH-scoped — the " +
+      "narrow dies with its arm, asserts hold for their suite, and " +
+      "post-block reads fabricate nothing") {
+    val src =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |class Sock:
+        |    def close(self):
+        |        return 1
+        |
+        |def renarrow(x):
+        |    if isinstance(x, Conn):
+        |        x.ping()
+        |    x.anything()
+        |
+        |def elifarm(x):
+        |    if isinstance(x, Conn):
+        |        x.ping()
+        |    elif isinstance(x, Sock):
+        |        x.close()
+        |    else:
+        |        x.mystery()
+        |
+        |def asserted(x):
+        |    assert isinstance(x, Conn)
+        |    x.ping()
+        |    if True:
+        |        x.ping()
+        |
+        |def nested(x, y):
+        |    if isinstance(x, Conn):
+        |        if isinstance(y, Sock):
+        |            y.close()
+        |        x.ping()
+        |    y.unknown()
+        |
+        |def whileg(x):
+        |    while isinstance(x, Conn):
+        |        x.ping()
+        |    x.after()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "s94.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // within-branch narrows still bind
+    assert(calls.contains(("s94.renarrow", "s94.Conn.ping")))
+    assert(calls.contains(("s94.elifarm", "s94.Conn.ping")))
+    assert(calls.contains(("s94.elifarm", "s94.Sock.close")))
+    assert(calls.contains(("s94.asserted", "s94.Conn.ping")))
+    assert(calls.contains(("s94.nested", "s94.Sock.close")))
+    assert(calls.contains(("s94.nested", "s94.Conn.ping")))
+    assert(calls.contains(("s94.whileg", "s94.Conn.ping")))
+    // the r16 whole-scope binding FABRICATED these — a read past the
+    // guarded block must not resolve through the expired narrow
+    assert(!calls.exists(_._2.endsWith("anything")),
+      "x.anything() after the if-block must not bind Conn.anything")
+    assert(!calls.exists(_._2.endsWith("mystery")),
+      "the else arm must not see the if arm's narrow")
+    assert(!calls.exists(_._2.endsWith("unknown")),
+      "the inner narrow must expire before the outer-scope read")
+    assert(!calls.exists(_._2.endsWith("after")),
+      "a while-guard narrow dies with the loop body")
+  }
+
   test("C3 slices 42-44: wrapper iteration, identity comps, __call__") {
     val src =
       """class Helper:
