@@ -2691,16 +2691,22 @@ object PyIndexer {
                     }
                   // C3 slice 11: `except CustomError as e:` types e as
                   // the (resolvable) exception class, so `e.method()`
-                  // chains resolve; unresolvable builtins stay unbound
+                  // chains resolve; unresolvable builtins stay unbound.
+                  // r17 slice 94: BLOCK-scoped — Python 3 DELETES the
+                  // name when the except block ends, so a later read
+                  // must not resolve through it
                   exceptAs.findFirstMatchIn(line).foreach { m =>
                     classishType(m.group(1))
-                      .foreach(t => fn.locals(m.group(2)) = t)
+                      .foreach(t => narrowBind(m.group(2), t,
+                        indentOf(line)))
                   }
                   // slice 35: `case Cls(...) as x:` — jedi narrows the
-                  // capture to the matched class pattern
+                  // capture to the matched class pattern; r17 slice 94:
+                  // ARM-scoped (a sibling case must not see it)
                   matchCaseAs.findFirstMatchIn(line).foreach { m =>
                     classishType(m.group(1))
-                      .foreach(t => fn.locals(m.group(2)) = t)
+                      .foreach(t => narrowBind(m.group(2), t,
+                        indentOf(line)))
                   }
                   // slice 38: isinstance guards narrow the tested name —
                   // r17 slice 94: BRANCH-scoped (an if/elif/while narrow

@@ -1178,6 +1178,41 @@ class IndexerSpec extends AnyFunSuite {
       "the inner narrow must expire before the outer-scope read")
     assert(!calls.exists(_._2.endsWith("after")),
       "a while-guard narrow dies with the loop body")
+    // except-as and case-as are block-scoped too: Python 3 DELETES the
+    // except name after its block; a sibling case arm never sees a
+    // capture
+    val src2 =
+      """class MyErr(Exception):
+        |    def detail(self):
+        |        return 1
+        |
+        |class Shape:
+        |    def area(self):
+        |        return 1
+        |
+        |def handler(x):
+        |    try:
+        |        x()
+        |    except MyErr as e:
+        |        e.detail()
+        |    e.leaked()
+        |
+        |def matcher(v):
+        |    match v:
+        |        case Shape() as s:
+        |            s.area()
+        |        case _:
+        |            s.phantom()
+        |""".stripMargin
+    val ev2 = graft.indexer.PyIndexer.indexFile("t1", "s94b.py", src2)
+    val calls2 = ev2.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    assert(calls2.contains(("s94b.handler", "s94b.MyErr.detail")))
+    assert(calls2.contains(("s94b.matcher", "s94b.Shape.area")))
+    assert(!calls2.exists(_._2.endsWith("leaked")),
+      "Python 3 deletes the except name after its block")
+    assert(!calls2.exists(_._2.endsWith("phantom")),
+      "a sibling case arm must not see the capture")
   }
 
   test("C3 slices 42-44: wrapper iteration, identity comps, __call__") {
