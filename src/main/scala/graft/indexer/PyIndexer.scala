@@ -704,6 +704,11 @@ object PyIndexer {
   private val tupleTargetsAssign: Regex =
     """^\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*=(?!=)\s*(.+?)\s*$""".r
 
+  /** `del x[, y]` — unbinds the names (r17 slice 95: a read after the
+    * del must not resolve through the dead binding). */
+  private val delStmt: Regex =
+    """^\s*del\s+(.+?)\s*$""".r
+
   /** `a = b = Ctor()` — chained assignment: every target binds the one
     * RHS type (also slice 14; jedi resolves both names to the same
     * instance). */
@@ -2503,6 +2508,38 @@ object PyIndexer {
         // the PEP8 capitalized-class convention for imported names (a
         // local name only binds if it IS a known class).
         curCallable.foreach { fn =>
+          // r17 slice 95: a REBINDING assignment (or `del`) INVALIDATES
+          // the target's old type before the typing handlers below
+          // re-bind it — jedi re-infers per assignment, so after
+          // `x = unknown()` / `x = None` / `del x` a member read must
+          // not resolve through the stale class (it fabricated edges to
+          // a type the value no longer has). A RHS that references the
+          // target itself (`x = x.next()`) skips the clear so the
+          // handlers can still read the old binding.
+          def invalidate(n: String): Unit = {
+            fn.locals.remove(n); fn.elemLocals.remove(n)
+            fn.valueLocals.remove(n); fn.classAliases.remove(n)
+            fn.methodRefs.remove(n); ()
+          }
+          delStmt.findFirstMatchIn(line).foreach { m =>
+            m.group(1).split(",").map(_.trim)
+              .filter(_.matches("""[A-Za-z_]\w*"""))
+              .foreach(invalidate)
+          }
+          locally {
+            val eq = line.indexOf('=')
+            def rhsRefs(n: String): Boolean = eq >= 0 &&
+              ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+                .findFirstIn(line.substring(eq + 1)).isDefined
+            line match {
+              case assignStmt(_, n) if !rhsRefs(n) => invalidate(n)
+              case tupleTargetsAssign(ts, _) =>
+                ts.split(",").map(_.trim)
+                  .filter(t => t.matches("""[A-Za-z_]\w*""") && !rhsRefs(t))
+                  .foreach(invalidate)
+              case _ => ()
+            }
+          }
           // slice 39: stdlib copy functions preserve the argument's type
           copyAssign.findFirstMatchIn(line).foreach { m =>
             resolveCallee(m.group(2).replaceAll("\\s+", "")) match {

@@ -1215,6 +1215,58 @@ class IndexerSpec extends AnyFunSuite {
       "a sibling case arm must not see the capture")
   }
 
+  test("r17 slice 95: rebinding assignments and del INVALIDATE the old " +
+      "type — stale bindings fabricate nothing; self-referencing RHS " +
+      "keeps the chain readable") {
+    val src =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |
+        |def rebind(mk):
+        |    x = Conn()
+        |    x.ping()
+        |    x = mk()
+        |    x.ping2()
+        |
+        |def deleted():
+        |    x = Conn()
+        |    del x
+        |    x.ping3()
+        |
+        |def reb_none():
+        |    x = Conn()
+        |    x = None
+        |    x.ping4()
+        |
+        |def selfref():
+        |    x = Conn()
+        |    x = wrap(x)
+        |    x.ping5()
+        |
+        |def retype(mk):
+        |    x = mk()
+        |    x = Conn()
+        |    x.ping6()
+        |""".stripMargin
+    val ev = graft.indexer.PyIndexer.indexFile("t1", "s95.py", src)
+    val calls = ev.edges.filter(_.relType == Rel.Call)
+      .map(e => (e.src, e.dst)).toSet
+    // the pre-rebind use still resolves; post-rebind uses must not
+    assert(calls.contains(("s95.rebind", "s95.Conn.ping")))
+    assert(!calls.exists(_._2.endsWith("ping2")),
+      "x = mk() must clear the stale Conn binding")
+    assert(!calls.exists(_._2.endsWith("ping3")),
+      "del x unbinds the name")
+    assert(!calls.exists(_._2.endsWith("ping4")),
+      "x = None must clear the stale binding")
+    // a RHS referencing the target keeps the old binding readable
+    // (documented over-approximation — the handlers may need it)
+    assert(calls.contains(("s95.selfref", "s95.Conn.ping5")))
+    // re-typing after an unknown binding works (clear then re-bind)
+    assert(calls.contains(("s95.retype", "s95.Conn.ping6")))
+  }
+
   test("C3 slices 42-44: wrapper iteration, identity comps, __call__") {
     val src =
       """class Helper:
