@@ -460,12 +460,21 @@ object CypherLite {
   private val whereNotLabel =
     """^(?i)NOT\s+(\w+)\s*:\s*(`[^`]+`|\w+)$""".r
   private val whereCmp = """^([\w.]+)\s*(<=|>=|<|>)\s*(.+)$""".r
+  // r17: a FUNCTION-wrapped LHS (`WHERE toUpper(n.name) = 'B'`,
+  // `WHERE size(n.name) > 3`, `toLower(x) CONTAINS 'y'`) — the common
+  // Neo4j normalization idiom; one whitelisted scalar call over a ref,
+  // compared like the bare-ref arms
+  private val whereFnCmp =
+    ("""^(?i)(toUpper|toLower|trim|toInteger|toFloat|abs|size|length)""" +
+      """\s*\(\s*([\w.]+)\s*\)\s*""" +
+      """(<=|>=|<>|=|<|>|STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s*(.+)$""").r
   private val whereStrPred =
     """^(?i)([\w.]+)\s+(STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+(.+)$""".r
   private val whereIn = """^(?i)([\w.]+)\s+IN\s+\[(.*)\]$""".r
   private val whereIsNull = """^(?i)([\w.]+)\s+IS\s+NULL$""".r
   private val whereIsNotNull = """^(?i)([\w.]+)\s+IS\s+NOT\s+NULL$""".r
   private val notParen = """^(?i)NOT\s*\((.*)$""".r
+  private val whereNotGeneral = """^(?i)NOT\s+(.+)$""".r
   private val numericLit = """^-?\d+(\.\d+)?$""".r
 
   /** Index of the first occurrence of `word` (whole-word, case-insensitive)
@@ -2106,6 +2115,42 @@ object CypherLite {
       case whereEq(ref, value) =>
         valueRef(value).map(resolve(ref) === _)
           .getOrElse(resolve(ref) === unquote(value))
+      // r17: function-wrapped LHS — the same comparison vocabulary over
+      // a whitelisted scalar call (semantics match parseValueExpr's:
+      // toInteger/toFloat null on junk via try_cast, size/length is
+      // string length on the string-typed model)
+      case whereFnCmp(f, ref, op0, value) =>
+        val c = f.toLowerCase match {
+          case "toupper" => upper(resolve(ref).cast("string"))
+          case "tolower" => lower(resolve(ref).cast("string"))
+          case "trim" => trim(resolve(ref).cast("string"))
+          case "tointeger" => resolve(ref).cast("string").try_cast("long")
+          case "tofloat" => resolve(ref).cast("string").try_cast("double")
+          case "abs" => abs(resolve(ref).try_cast("double"))
+          case _ => length(resolve(ref).cast("string"))
+        }
+        val op = op0.toUpperCase.replaceAll("\\s+", " ")
+        lazy val rhs = valueRef(value).getOrElse {
+          val raw = value.trim
+          if (numericLit.findFirstIn(raw).isDefined) lit(raw.toDouble)
+          else lit(unquote(raw))
+        }
+        op match {
+          case "=" => c === rhs
+          case "<>" => c =!= rhs
+          case "<" => c < rhs
+          case "<=" => c <= rhs
+          case ">" => c > rhs
+          case ">=" => c >= rhs
+          case "STARTS WITH" => c.startsWith(unquote(value))
+          case "ENDS WITH" => c.endsWith(unquote(value))
+          case _ => c.contains(unquote(value))
+        }
+      // r17: general prefix NOT — comparison binds tighter than NOT in
+      // Cypher, so `NOT a = b` ≡ `NOT (a = b)`; the specific NOT arms
+      // above (NOT exists, NOT (…), NOT n:LABEL) keep their spellings
+      case whereNotGeneral(rest) =>
+        !parseWhere(rest, resolve, valueRef)
       case other => throw new IllegalArgumentException(
         s"unsupported WHERE condition: $other")
     }

@@ -2201,6 +2201,40 @@ class CypherLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("r17: function-wrapped WHERE comparisons — toUpper/toLower/size " +
+      "and kin on the LHS compare like bare refs") {
+    val d = GraphDatabase.inMemory(spark)
+    d.executeQuery("CREATE (n:CLASS:`fw` {full_name: 'f.Widget', " +
+      "name: 'Widget', n: '5'})")
+    d.executeQuery("CREATE (n:CLASS:`fw` {full_name: 'f.gadget', " +
+      "name: 'gadget', n: '12'})")
+    val up = d.executeQuery(
+      "MATCH (n:`fw`) WHERE toUpper(n.name) = 'WIDGET' RETURN n.full_name")
+      .collect()
+    assert(up.map(_.getString(0)).toSeq === Seq("f.Widget"))
+    val lo = d.executeQuery(
+      "MATCH (n:`fw`) WHERE toLower(n.name) STARTS WITH 'gad' " +
+        "RETURN n.full_name").collect()
+    assert(lo.map(_.getString(0)).toSeq === Seq("f.gadget"))
+    val sz = d.executeQuery(
+      "MATCH (n:`fw`) WHERE size(n.n) >= 2 RETURN n.full_name")
+      .collect()
+    assert(sz.map(_.getString(0)).toSeq === Seq("f.gadget"))
+    val ti = d.executeQuery(
+      "MATCH (n:`fw`) WHERE toInteger(n.n) >= 10 RETURN n.full_name")
+      .collect()
+    assert(ti.map(_.getString(0)).toSeq === Seq("f.gadget"))
+    // var.prop RHS resolves; NOT composes; junk still raises
+    val eqp = d.executeQuery(
+      "MATCH (n:`fw`) WHERE NOT toLower(n.name) = n.name " +
+        "RETURN n.full_name").collect()
+    assert(eqp.map(_.getString(0)).toSeq === Seq("f.Widget"))
+    intercept[IllegalArgumentException] {
+      d.executeQuery("MATCH (n:`fw`) WHERE mystery(n.name) = 'x' " +
+        "RETURN n.name")
+    }
+  }
+
   test("data-driven FOREACH: the write loop runs over a COLLECTED list") {
     val d = GraphDatabase.inMemory(spark)
     d.executeQuery("FOREACH (nm IN ['p1', 'p2', 'q3'] | " +
