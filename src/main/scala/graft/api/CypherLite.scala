@@ -1787,7 +1787,15 @@ object CypherLite {
         (one(col(s"$a.rel_type"), s"type($v)"), false)
       case c if c.startsWith("startNode(") || c.startsWith("endNode(") =>
         val fn = if (c.startsWith("startNode(")) "startNode" else "endNode"
+        // r17: a `.prop` postfix used to mangle the variable lookup
+        // ("key not found: r).name") — raise the DESIGNED answer
+        // instead: endpoint hydration is the pattern's job
+        require(c.endsWith(")"),
+          s"$fn(…).prop is not supported — bind the endpoint as a " +
+            s"node variable in the pattern and project its property: '$p'")
         val v = c.stripPrefix(s"$fn(").stripSuffix(")").trim
+        require(v.matches("""\w+"""),
+          s"$fn() takes a relationship variable: '$p'")
         val a = vars(v)
         require(isRelAlias(a), s"$fn() needs a relationship variable: '$p'")
         val side = if (fn == "startNode") "src" else "dst"
