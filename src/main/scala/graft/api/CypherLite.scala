@@ -803,8 +803,10 @@ object CypherLite {
       else throw new IllegalArgumentException(
         s"$fn() needs a property or pipe column, got variable '$arg'")
     fn.toLowerCase match {
-      case "sum" => sum(base.cast("double"))
-      case "avg" => avg(base.cast("double"))
+      // try_cast (r18): the documented non-numeric → null coercion —
+      // a plain cast under ANSI mode would raise mid-job instead
+      case "sum" => sum(base.try_cast("double"))
+      case "avg" => avg(base.try_cast("double"))
       case "min" => min(base)
       case "max" => max(base)
     }
@@ -847,6 +849,39 @@ object CypherLite {
         greatest(ceil(size(arr) * lit(p)), lit(1)).cast("int")))
     } else
       round(call_function("percentile", base.cast("double"), lit(p)), 6)
+  }
+
+  /** A leading `DISTINCT ` qualifier on an aggregate's expression arg
+    * (r18, verdict task #1): stripped and flagged. */
+  private def stripDistinct(arg0: String): (Boolean, String) = {
+    val d = arg0.regionMatches(true, 0, "DISTINCT", 0, 8) &&
+      arg0.length > 8 && !isWordChar(arg0.charAt(8))
+    (d, if (d) arg0.substring(8).trim else arg0)
+  }
+
+  /** Expression-argument aggregate Column, DISTINCT-aware (r18): the
+    * shared body of retItem's and applyWith's aggExprRe arms.
+    * min/max(DISTINCT) ≡ min/max; avg(DISTINCT) is sum_distinct /
+    * count_distinct guarded against the empty group (SQL's NULL, not a
+    * divide-by-zero under ANSI mode); collect(DISTINCT expr) is the
+    * sorted set like the simple-arg path. */
+  private def distinctAggCol(fn: String, distinct: Boolean,
+      base: Column): Column = fn.toLowerCase match {
+    // try_cast, not cast: the string-typed model's documented
+    // skip-non-numeric coercion must hold under ANSI mode too
+    case "sum" =>
+      if (distinct) sum_distinct(base.try_cast("double"))
+      else sum(base.try_cast("double"))
+    case "avg" =>
+      val b = base.try_cast("double")
+      if (distinct)
+        when(count_distinct(b) > 0, sum_distinct(b) / count_distinct(b))
+      else avg(b)
+    case "min" => min(base)
+    case "max" => max(base)
+    case "count" => if (distinct) count_distinct(base) else count(base)
+    case _ =>
+      sort_array(if (distinct) collect_set(base) else collect_list(base))
   }
 
   private val scalarFns = Set("coalesce", "tointeger", "tofloat", "abs", "size",
@@ -989,19 +1024,26 @@ object CypherLite {
     * `outCols` are the sub's aliased output columns (entering the outer
     * scope as plain columns); `aggAliases` maps the aggregate-valued
     * ones to their aggregate head (count/sum/collect backfill their
-    * empty-group value after the left join). */
+    * empty-group value after the left join); `pipeIdx` (r18, verdict
+    * task #2) is the number of WITH/UNWIND pipe boundaries textually
+    * BEFORE the CALL — 0 attaches in the pattern region (pre-pipe, the
+    * r17 shape), k > 0 attaches to the piped frame after folding the
+    * k-th boundary, importing the pipe's carried variables. */
   private final case class CallSub(imports: Seq[String], innerQ: String,
-      outCols: Seq[String], aggAliases: Map[String, String])
+      outCols: Seq[String], aggAliases: Map[String, String],
+      pipeIdx: Int)
 
   private val callAggHeads =
     Set("count", "sum", "collect", "min", "max", "avg",
       "percentiledisc", "percentilecont", "stdev", "stdevp")
 
-  /** Extract every top-level `CALL { … }` block (r17): each must sit in
-    * the pattern region (before any WITH/UNWIND pipe — a CALL after a
-    * pipe would need the piped scope, which the post-chain attachment
-    * does not model). Returns the query with the blocks removed plus
-    * the parsed subqueries. */
+  /** Extract every top-level `CALL { … }` block (r17; r18 extends past
+    * the pattern region): a CALL may sit before any pipe (attaching to
+    * the pattern frame) or after WITH/UNWIND boundaries (attaching to
+    * the piped frame at that stage — Neo4j's primary composition idiom
+    * `MATCH … WITH … CALL { … } RETURN`); the boundary count rides each
+    * parsed sub as `pipeIdx`. Returns the query with the blocks removed
+    * plus the parsed subqueries. */
   private def extractCallSubqueries(q0: String)
       : (String, Seq[CallSub]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[CallSub]
@@ -1020,9 +1062,14 @@ object CypherLite {
     }.getOrElse(-1)
     var idx = nextCall()
     while (idx >= 0) {
-      require(topLevelKeyword(q.substring(0, idx), "WITH") < 0 &&
-          topLevelKeyword(q.substring(0, idx), "UNWIND") < 0,
-        s"CALL {…} after a WITH/UNWIND pipe is not supported: $q0")
+      // r18: the pipe-boundary count before this CALL — earlier CALL
+      // bodies are already excised, so the prefix's WITH/UNWIND
+      // keywords are exactly the outer query's boundaries (the same
+      // clauseWithPositions spelling the execute loop uses, so STARTS
+      // WITH / ENDS WITH never count)
+      val pre = q.substring(0, idx)
+      val pipeIdx = clauseWithPositions(pre).size +
+        allTopLevelKeywords(pre, "UNWIND").size
       val open = skipWs(q, idx + 4)
       val close = matchingDelim(q, open, '{', '}')
       require(close > 0, s"unterminated CALL subquery: $q0")
@@ -1059,7 +1106,7 @@ object CypherLite {
         else body.substring(0, retI + 6) + " " +
           (keyItems :+ body.substring(retI + 6).trim).mkString(", ")
       out += CallSub(imports, innerQ, aliased.map(_._1),
-        aliased.collect { case (a, Some(h)) => a -> h }.toMap)
+        aliased.collect { case (a, Some(h)) => a -> h }.toMap, pipeIdx)
       q = (q.substring(0, idx) + " " + q.substring(close + 1)).trim
       idx = nextCall()
     }
@@ -1652,20 +1699,19 @@ object CypherLite {
       // simple-arg cases above keep their paths (string-typed min/max,
       // DISTINCT); an expression arg routes through parseValueExpr. The
       // guard pins the head's '(' to the FINAL ')' so `sum(a) + sum(b)`
-      // stays a value expression, not a malformed aggregate.
-      case aggExprRe(fn, arg) if matchingDelim(core,
+      // stays a value expression, not a malformed aggregate. r18
+      // (verdict task #1): a DISTINCT qualifier on the expression arg
+      // maps to Spark's distinct aggregates (count_distinct /
+      // sum_distinct / collect_set; avg(DISTINCT) is the guarded
+      // sum/count ratio — no avg_distinct Column function exists).
+      case aggExprRe(fn, arg0) if matchingDelim(core,
           core.indexOf('('), '(', ')') == core.length - 1 =>
-        val base = parseValueExpr(arg.trim, vars, plain, schema)
-        val c = fn.toLowerCase match {
-          case "sum" => sum(base.cast("double"))
-          case "avg" => avg(base.cast("double"))
-          case "min" => min(base)
-          case "max" => max(base)
-          case "count" => count(base)
-          case _ => sort_array(collect_list(base))
-        }
-        (one(if (fn.equalsIgnoreCase("count")) c.cast("long") else c,
-          s"${fn.toLowerCase}($arg)"), true)
+        val (distinct, arg) = stripDistinct(arg0.trim)
+        val base = parseValueExpr(arg, vars, plain, schema)
+        val c = distinctAggCol(fn, distinct, base)
+        val nm = s"${fn.toLowerCase}(${if (distinct) "DISTINCT " else ""}$arg)"
+        (one(if (fn.equalsIgnoreCase("count")) c.cast("long") else c, nm),
+          true)
       // CASE before the value-expression probe: a THEN/ELSE value may
       // contain top-level arithmetic that would trip isValueExpr
       case c if isCaseExpr(c) =>
@@ -1877,14 +1923,15 @@ object CypherLite {
     val plainCols = items.filterNot(_._2).flatMap(_._1)
     var res =
       if (aggCols.isEmpty) df.select(plainCols: _*)
-      else {
-        require(!isDistinct,
-          "DISTINCT with aggregation not supported (count(DISTINCT …) shape)")
-        if (plainCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-        // Cypher's implicit grouping: non-aggregated items are the key
-        else df.groupBy(plainCols: _*).agg(aggCols.head, aggCols.tail: _*)
-      }
-    if (isDistinct) res = res.distinct()
+      // Cypher's implicit grouping: non-aggregated items are the key.
+      // `RETURN DISTINCT` alongside aggregation (r18, verdict task #1)
+      // is a NO-OP — the grouped result is already one row per key
+      // combination (Neo4j accepts the spelling with the same reading)
+      // — so no post-agg dedup runs (it would also choke on collected
+      // array columns for nothing).
+      else if (plainCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(plainCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    if (isDistinct && aggCols.isEmpty) res = res.distinct()
     orderSpec.foreach { spec =>
       val outCols = res.columns.toSet
       val parsed = splitTop(spec, ",").map { item =>
@@ -2739,8 +2786,53 @@ object CypherLite {
       reversed, minH, maxH, tail, undirected)
   }
 
+  /** Seed frame (column `s`) of the shortestPath/allShortestPaths BFS
+    * (r18, verdict task #4). Without an UNWIND prelude: the anchor
+    * pattern's node scan, as before. With one: the unwound literal
+    * values seed the frontier DIRECTLY — per-row source sets are
+    * exactly the multi-source BFS the frontier fixpoint already runs —
+    * with a LeftSemi prune against the (rest-of-pattern-filtered) node
+    * scan so an off-graph or label-mismatched seed binds nothing
+    * (plan-shape-pinned in PlanShapeSpec). The unwound variable must
+    * anchor the start node's key (`(a {full_name: x})` — Neo4j's bare
+    * word in a property map IS a variable reference); its tail reads
+    * rewrite to the BFS frame's `__pstart`. Duplicate seed values
+    * raise (the frontier is keyed by start — a duplicate would
+    * silently collapse its multiplicity). */
+  private def spathSeedFrame(nodes: DataFrame, aPat: NodePat,
+      unwinds: Seq[Unwind], q: String): (DataFrame, Option[String]) = {
+    if (unwinds.isEmpty)
+      return (nodes.filter(nodePred(aPat.labels, aPat.props))
+        .select(col("full_name").as("s")), None)
+    require(unwinds.size == 1,
+      s"at most one UNWIND prelude before a shortestPath search: $q")
+    val u = unwinds.head
+    require(u.range.isEmpty,
+      s"UNWIND range() cannot seed a shortestPath start set: $q")
+    require(aPat.props.get("full_name").contains(u.v),
+      s"UNWIND before shortestPath must anchor the start node on the " +
+        s"unwound variable (`(a {full_name: ${u.v}})`): $q")
+    require(u.values.distinct.size == u.values.size,
+      s"duplicate UNWIND seed values before shortestPath: $q")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val seed = u.values.toDF("s")
+    val rest = aPat.props - "full_name"
+    val pruned = seed.join(nodes.filter(nodePred(aPat.labels, rest))
+      .select(col("full_name").as("s")), Seq("s"), "left_semi")
+    // recorded for PlanShapeSpec: the frontier localCheckpoints
+    // eagerly, so the final query plan cannot show this join
+    lastSpathSeedPlan = pruned.queryExecution.optimizedPlan.toString
+    (pruned, Some(u.v))
+  }
+
+  /** Optimized plan of the last UNWIND-seeded path-search seed frame
+    * (r18) — test instrumentation only; see [[spathSeedFrame]]. */
+  @volatile private[graft] var lastSpathSeedPlan: String = ""
+
   private def executeShortestPath(nodes: DataFrame, edges: DataFrame,
-      q: String, spIdx: Int): DataFrame = {
+      q: String, spIdx: Int, unwinds: Seq[Unwind] = Seq.empty)
+      : DataFrame = {
     val sp = parseSpathPattern(q, spIdx, "shortestPath")
     val SpParts(pVar, aPat, bPat, hop, reversed, minH, maxH, tail,
       undirected) = sp
@@ -2758,8 +2850,8 @@ object CypherLite {
     // (start, vertex) pair met, plus the MIN predecessor at that level
     // — a deterministic parent pointer, so ONE shortest path per pair
     // (Neo4j's shortestPath contract) reconstructs by backtracking
-    var frontier = nodes.filter(nodePred(aPat.labels, aPat.props))
-      .select(col("full_name").as("s"))
+    val (seedF, seedVar) = spathSeedFrame(nodes, aPat, unwinds, q)
+    var frontier = seedF
       .withColumn("v", col("s")).withColumn("d", lit(0L))
       .withColumn("par", lit(null).cast("string"))
       .localCheckpoint(eager = true)
@@ -2798,7 +2890,11 @@ object CypherLite {
     // the demand-only rewrite (r17): endpoint/length reads never
     // trigger the reconstruction loop.
     val pQuoted = java.util.regex.Pattern.quote(pVar)
-    val tail2 = rewriteEndpointReads(tail, pQuoted)
+    // r18: reads of the unwound seed variable are reads of the path's
+    // start key — rewrite to the BFS frame's own column
+    val tailS = seedVar.fold(tail)(v => replaceOutsideQuotes(tail,
+      "\\b" + java.util.regex.Pattern.quote(v) + "\\b", "__pstart"))
+    val tail2 = rewriteEndpointReads(tailS, pQuoted)
     val needPaths =
       ("(?i)\\b(nodes|relationships)\\(\\s*" + pQuoted + "\\s*\\)").r
         .findFirstIn(tail2).isDefined
@@ -2910,7 +3006,8 @@ object CypherLite {
     * different rel types are DISTINCT paths, as in Neo4j; the
     * spathMaxDepth cap bounds depth, never correctness. */
   private def executeAllShortestPaths(nodes: DataFrame, edges: DataFrame,
-      q: String, idx: Int): DataFrame = {
+      q: String, idx: Int, unwinds: Seq[Unwind] = Seq.empty)
+      : DataFrame = {
     val sp = parseSpathPattern(q, idx, "allShortestPaths")
     val SpParts(pVar, aPat, bPat, hop, reversed, minH, maxH, tail,
       undirected) = sp
@@ -2923,8 +3020,8 @@ object CypherLite {
     // rides multiplicity through this frame
     val e = eTyped.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(eager = true)
-    var frontier = nodes.filter(nodePred(aPat.labels, aPat.props))
-      .select(col("full_name").as("s"))
+    val (seedF, seedVar) = spathSeedFrame(nodes, aPat, unwinds, q)
+    var frontier = seedF
       .withColumn("v", col("s")).withColumn("d", lit(0L))
       .withColumn("np", lit(1L))
       .localCheckpoint(eager = true)
@@ -2949,7 +3046,10 @@ object CypherLite {
       else { settled = settled.unionByName(nxt); frontier = nxt; i += 1 }
     }
     val pQuoted0 = java.util.regex.Pattern.quote(pVar)
-    val tail2 = rewriteEndpointReads(tail, pQuoted0)
+    // r18: reads of the unwound seed variable rewrite to the start key
+    val tailS = seedVar.fold(tail)(v => replaceOutsideQuotes(tail,
+      "\\b" + java.util.regex.Pattern.quote(v) + "\\b", "__pstart"))
+    val tail2 = rewriteEndpointReads(tailS, pQuoted0)
     val needsPaths = Seq("nodes", "relationships").exists(fn =>
       ("(?i)\\b" + fn + "\\(\\s*" + pQuoted0 + "\\s*\\)").r
         .findFirstIn(tail2).isDefined)
@@ -3331,24 +3431,24 @@ object CypherLite {
     // UNWIND preludes: `UNWIND [...] AS x [UNWIND …] MATCH … / RETURN …`
     val (unwinds, qU) = parseUnwinds(q0)
     locally {
+      // r18 (verdict task #4): an UNWIND prelude seeds the path
+      // search's frontier directly (the multi-source BFS the fixpoint
+      // already runs) — spathSeedFrame carries the contract
       val aspIdx = topLevelKeyword(qU, "allShortestPaths")
-      if (aspIdx >= 0) {
-        require(unwinds.isEmpty,
-          s"UNWIND before allShortestPaths is not supported: $q0")
-        return executeAllShortestPaths(nodes, edges, qU, aspIdx)
-      }
+      if (aspIdx >= 0)
+        return executeAllShortestPaths(nodes, edges, qU, aspIdx, unwinds)
       val spIdx = topLevelKeyword(qU, "shortestPath")
-      if (spIdx >= 0) {
-        require(unwinds.isEmpty,
-          s"UNWIND before shortestPath is not supported: $q0")
-        return executeShortestPath(nodes, edges, qU, spIdx)
-      }
+      if (spIdx >= 0)
+        return executeShortestPath(nodes, edges, qU, spIdx, unwinds)
     }
     val (qP, pathByMatch, pathCols) = extractPathVars(qU)
     val (qC, patternCounts) = extractPatternCounts(qP)
     val (q, callSubs) = extractCallSubqueries(qC)
+    // post-pipe CALL outputs (pipeIdx > 0) enter scope at their own
+    // boundary inside foldPipeSegments, not in the pattern region
     val unwindVars: Set[String] = unwinds.map(_.v).toSet ++ pathCols ++
-      patternCounts.map(_._1) ++ callSubs.flatMap(_.outCols)
+      patternCounts.map(_._1) ++
+      callSubs.filter(_.pipeIdx == 0).flatMap(_.outCols)
     // cached frames the budget-guarded cartesian pins (r16, advisor):
     // unpersisted after the final result materializes, else a long-lived
     // session leaks two cached plans' blocks per un-anchored MATCH
@@ -3388,8 +3488,68 @@ object CypherLite {
       val cexpr = parseValueExpr(exprTxt, vs, pl, d0.schema)
       (d0.withColumn(v, explode(cexpr)), pl + v)
     }
+    // attach one CALL { … } subquery to a driving frame (r17; r18
+    // factors it out so post-pipe CALLs share it): the sub-pipeline
+    // plans independently through [[execute]] and joins the driver.
+    // Correlated (importing WITH): join on the imported keys — a
+    // PURE-aggregate sub left-joins (Neo4j: exactly one aggregate row
+    // per input row; count/sum/collect backfill their empty-group
+    // value), a row-returning sub inner-joins (no rows drops the
+    // driving row). Uncorrelated: a budget-guarded cross join. At a
+    // pipe stage the imports resolve against the CARRIED variable
+    // structs (`__w_v` — full_name rides every carry), so the join
+    // spelling is identical pre- and post-pipe.
+    def attachCall(d0: DataFrame, vs: Map[String, String],
+        plainScope: Set[String], cs: CallSub): DataFrame = {
+      // own outputs are pre-registered in the pattern region's plain
+      // scope (unwindVars) — exclude them from the rebind check
+      val scope = plainScope -- cs.outCols
+      cs.outCols.foreach(a => require(!vs.contains(a) && !scope(a),
+        s"CALL output column '$a' rebinds a variable: $q"))
+      if (cs.imports.isEmpty) {
+        val sub = execute(nodes, edges, cs.innerQ).cache()
+        val d = d0.cache()
+        cartCached += sub
+        cartCached += d
+        val leftN = d.count()
+        val rightN = sub.count()
+        require(BigInt(leftN) * BigInt(rightN) <= cartesianRowBudget,
+          s"uncorrelated CALL product $leftN x $rightN exceeds the " +
+            s"$cartesianRowBudget-row budget: $q")
+        d.join(sub, lit(true))
+      } else {
+        cs.imports.foreach { v =>
+          require(vs.contains(v),
+            s"CALL importing WITH references unbound variable '$v': $q")
+          require(!isRelAlias(vs(v)) && !vs(v).startsWith("__wr_"),
+            s"CALL importing WITH needs a node variable, '$v' is a " +
+              s"relationship: $q")
+        }
+        val sub = execute(nodes, edges, cs.innerQ)
+        val cond = cs.imports.map(v =>
+          col(s"${vs(v)}.full_name") === col(s"__call_key_$v"))
+          .reduce(_ && _)
+        val pureAgg = cs.outCols.forall(cs.aggAliases.contains)
+        var d = d0
+        if (pureAgg) {
+          d = d.join(sub, cond, "left")
+          cs.aggAliases.foreach { case (alias, head) =>
+            if (head == "count" || head == "sum")
+              d = d.withColumn(alias, coalesce(col(alias), lit(0L)))
+            else if (head == "collect") {
+              val dt = sub.schema(alias).dataType.sql
+              d = d.withColumn(alias,
+                coalesce(col(alias), expr(s"CAST(array() AS $dt)")))
+            }
+          }
+        } else d = d.join(sub, cond)
+        d.drop(cs.imports.map(v => s"__call_key_$v"): _*)
+      }
+    }
     // fold one WITH/UNWIND boundary sequence over a driving frame —
-    // shared by the MATCH path and the bare-UNWIND path
+    // shared by the MATCH path and the bare-UNWIND path. A CALL whose
+    // pipeIdx lands after boundary ix attaches to the folded frame
+    // there (r18), its outputs entering the pipe scope as plain columns.
     def foldPipeSegments(df0: DataFrame, vars0: Map[String, String],
         plain0: Set[String], boundaries: Seq[Int])
         : (DataFrame, Map[String, String], Set[String]) = {
@@ -3407,6 +3567,10 @@ object CypherLite {
           val (d2, p2) = applyMidUnwind(df,
             q.substring(pos + 6, end).trim, curVars, curPlain)
           df = d2; curPlain = p2
+        }
+        callSubs.filter(_.pipeIdx == ix + 1).foreach { cs =>
+          df = attachCall(df, curVars, curPlain, cs)
+          curPlain = curPlain ++ cs.outCols
         }
       }
       (df, curVars, curPlain)
@@ -3581,6 +3745,52 @@ object CypherLite {
       }
       d
     }
+    // r18 (verdict task #3): a pattern predicate under OR. The
+    // semi/anti-join plan cannot express a disjunction, so the pattern
+    // leaf becomes an existence FLAG instead: the predicate's chain,
+    // projected to its DISTINCT bound-variable keys, left-joins the
+    // driving frame with a literal true that coalesces to false on no
+    // match — one bounded-key distinct + one left join per pattern
+    // leaf, never a row-multiplying join (the distinct pins the
+    // at-most-one-flag-row-per-key invariant). The flag then
+    // participates in ordinary three-valued boolean logic with the
+    // other disjuncts.
+    var flagSeq = 0
+    def patternFlag(d0: DataFrame, pp: PatPred,
+        vs: Map[String, String]): (DataFrame, Column, String) = {
+      if (!pp.allowNewVars)
+        pp.clause.nodeMs.foreach(m => require(
+          vs.contains(m.v) || m.v.startsWith("__anon"),
+          s"pattern predicate introduces unbound variable '${m.v}': $q"))
+      flagSeq += 1
+      val flagName = s"__ppf_$flagSeq"
+      val start = aliasCount
+      aliasCount += pp.clause.nodeMs.size
+      var sub = buildChain(nodes, edges, pp.clause, start)
+      Option(pp.clause.where).foreach { w =>
+        val subVars = pp.clause.nodeMs.zipWithIndex
+          .map { case (m, i) => m.v -> s"n${start + i}" }.toMap
+        sub = sub.filter(parseWhere(w, matchScope(subVars)))
+      }
+      // one key position per bound variable (min slot — buildChain
+      // equates repeated slots within the chain)
+      val boundPos = pp.clause.nodeMs.zipWithIndex
+        .filter { case (m, _) => vs.contains(m.v) }
+        .groupBy(_._1.v).map { case (v, xs) => v -> xs.map(_._2).min }
+        .toSeq.sortBy(_._1)
+      require(boundPos.nonEmpty,
+        s"pattern predicate must reference a bound variable: $q")
+      val keyed = sub.select(boundPos.map { case (v, i) =>
+          col(s"n${start + i}.full_name").as(s"__ppk_${flagSeq}_$v") }: _*)
+        .distinct().withColumn(flagName, lit(true))
+      val cond = boundPos.map { case (v, _) =>
+          col(s"${vs(v)}.full_name") === col(s"__ppk_${flagSeq}_$v") }
+        .reduce(_ && _)
+      val joined = d0.join(keyed, cond, "left")
+        .drop(boundPos.map { case (v, _) => s"__ppk_${flagSeq}_$v" }: _*)
+      val flag = coalesce(col(flagName), lit(false))
+      (joined, if (pp.neg) !flag else flag, flagName)
+    }
     // a clause WHERE splits into pattern predicates (join surgery) and
     // the ordinary boolean remainder (a filter Column). Conjuncts
     // referencing a PATTERN-COUNT column (r16) defer to after the count
@@ -3599,6 +3809,48 @@ object CypherLite {
           deferredWhere ++= defer
           if (keep.isEmpty) return d0 else keep.mkString(" AND ")
         }
+      // r18: route boolean trees that put a pattern under OR through
+      // the flag plan; pure-conjunction WHEREs keep the semi/anti-join
+      // plan (the tighter shape — no flag column, no distinct)
+      def conjunctHasOrPattern(t0: String): Boolean = {
+        var t = t0.trim
+        while (isWholeParen(t)) t = t.substring(1, t.length - 1).trim
+        val dj = splitBool(t, "OR")
+        dj.lengthCompare(1) > 0 && dj.exists(hasRelPatternText)
+      }
+      if (conjunctHasOrPattern(w) ||
+          splitBool(w, "AND").exists(conjunctHasOrPattern)) {
+        val flagDrops = scala.collection.mutable.ArrayBuffer.empty[String]
+        def whereColumn(din: DataFrame, t0: String, ns: Int)
+            : (DataFrame, Column) = {
+          var t = t0.trim
+          while (isWholeParen(t)) t = t.substring(1, t.length - 1).trim
+          def plainCol = parseWhere(t, scopeU(vs), valueRefOf(vs, unwindVars))
+          if (!hasRelPatternText(t)) return (din, plainCol)
+          val dj = splitBool(t, "OR")
+          val cj = if (dj.lengthCompare(1) > 0) dj else splitBool(t, "AND")
+          if (cj.lengthCompare(1) > 0) {
+            var d = din
+            val cols = cj.zipWithIndex.map { case (x, i) =>
+              val (d2, c) = whereColumn(d, x, ns * 10 + i + 1)
+              d = d2; c
+            }
+            (d, if (dj.lengthCompare(1) > 0) cols.reduce(_ || _)
+              else cols.reduce(_ && _))
+          } else {
+            // single pattern leaf: `[NOT] (pat)` / `EXISTS { … }`
+            val (preds, rest) = extractPatternPreds(t, q,
+              clauseIx * 100 + ns)
+            require(rest.isEmpty && preds.size == 1,
+              s"unsupported pattern predicate shape under OR: $q")
+            val (d2, c, nm) = patternFlag(din, preds.head, vs)
+            flagDrops += nm
+            (d2, c)
+          }
+        }
+        val (d2, c) = whereColumn(d0, w, 0)
+        return d2.filter(c).drop(flagDrops.toSeq: _*)
+      }
       val (preds, rest) = extractPatternPreds(w, q, clauseIx)
       var d = applyPatternPreds(d0, preds, vs)
       rest.foreach(w2 =>
@@ -3840,49 +4092,12 @@ object CypherLite {
         .withColumn(name, coalesce(col(name), lit(0L)))
         .drop(boundPos.map { case (v, _) => s"__pck_$v" }: _*)
     }
-    // CALL { … } subqueries (r17, verdict task #6): each sub-pipeline
-    // plans independently through [[execute]] and joins the driving
-    // frame. Correlated (importing WITH): join on the imported keys —
-    // a PURE-aggregate sub left-joins (Neo4j: exactly one aggregate row
-    // per input row; count/sum/collect backfill their empty-group
-    // value), a row-returning sub inner-joins (no rows drops the
-    // driving row). Uncorrelated: a budget-guarded cross join.
-    callSubs.foreach { cs =>
-      if (cs.imports.isEmpty) {
-        val sub = execute(nodes, edges, cs.innerQ).cache()
-        df = df.cache()
-        cartCached += sub
-        cartCached += df
-        val leftN = df.count()
-        val rightN = sub.count()
-        require(BigInt(leftN) * BigInt(rightN) <= cartesianRowBudget,
-          s"uncorrelated CALL product $leftN x $rightN exceeds the " +
-            s"$cartesianRowBudget-row budget: $q")
-        df = df.join(sub, lit(true))
-      } else {
-        cs.imports.foreach(v => require(vars.contains(v),
-          s"CALL importing WITH references unbound variable '$v': $q"))
-        cs.outCols.foreach(a => require(!vars.contains(a),
-          s"CALL output column '$a' rebinds a variable: $q"))
-        val sub = execute(nodes, edges, cs.innerQ)
-        val cond = cs.imports.map(v =>
-          col(s"${vars(v)}.full_name") === col(s"__call_key_$v"))
-          .reduce(_ && _)
-        val pureAgg = cs.outCols.forall(cs.aggAliases.contains)
-        if (pureAgg) {
-          df = df.join(sub, cond, "left")
-          cs.aggAliases.foreach { case (alias, head) =>
-            if (head == "count" || head == "sum")
-              df = df.withColumn(alias, coalesce(col(alias), lit(0L)))
-            else if (head == "collect") {
-              val dt = sub.schema(alias).dataType.sql
-              df = df.withColumn(alias,
-                coalesce(col(alias), expr(s"CAST(array() AS $dt)")))
-            }
-          }
-        } else df = df.join(sub, cond)
-        df = df.drop(cs.imports.map(v => s"__call_key_$v"): _*)
-      }
+    // CALL { … } subqueries in the PATTERN REGION (r17, verdict task
+    // #6; the shared attachCall body carries the join semantics).
+    // Post-pipe CALLs (pipeIdx > 0, r18) attach inside
+    // foldPipeSegments at their own boundary instead.
+    callSubs.filter(_.pipeIdx == 0).foreach { cs =>
+      df = attachCall(df, vars, unwindVars, cs)
     }
     deferredWhere.foreach(w =>
       df = df.filter(parseWhere(w, scopeU(vars),
@@ -4027,20 +4242,16 @@ object CypherLite {
           aggs += collectCol(dist != null, arg, vars, prevPlain).as(a)
           plain += a
         // expression-argument aggregates (r16) — same guard as retItem:
-        // the head's '(' must close at the FINAL ')'
-        case aggExprRe(fn, arg) if matchingDelim(core,
+        // the head's '(' must close at the FINAL ')'; DISTINCT args
+        // route through the shared distinct-aware body (r18)
+        case aggExprRe(fn, arg0) if matchingDelim(core,
             core.indexOf('('), '(', ')') == core.length - 1 =>
           val a = alias.getOrElse(throw new IllegalArgumentException(
             s"WITH expression needs AS alias: '$item'"))
-          val base = parseValueExpr(arg.trim, vars, prevPlain, df0.schema)
-          val c = fn.toLowerCase match {
-            case "sum" => sum(base.cast("double"))
-            case "avg" => avg(base.cast("double"))
-            case "min" => min(base)
-            case "max" => max(base)
-            case "count" => count(base).cast("long")
-            case _ => sort_array(collect_list(base))
-          }
+          val (distinct, arg) = stripDistinct(arg0.trim)
+          val base = parseValueExpr(arg, vars, prevPlain, df0.schema)
+          val c0 = distinctAggCol(fn, distinct, base)
+          val c = if (fn.equalsIgnoreCase("count")) c0.cast("long") else c0
           aggs += c.as(a)
           plain += a
         case c if isCaseExpr(c) =>
@@ -4105,9 +4316,9 @@ object CypherLite {
             .drop(dk.map(_._1): _*)
         }
       } else {
-        require(!isDistinct,
-          "WITH DISTINCT with aggregation not supported (aggregate the " +
-            "distinct input in a prior pipe)")
+        // WITH DISTINCT alongside aggregation (r18, verdict task #1):
+        // a no-op like RETURN DISTINCT — the grouped pipe is already
+        // one row per key combination
         if (keys.isEmpty) df0.agg(aggs.head, aggs.tail.toSeq: _*)
         else df0.groupBy(keys.toSeq: _*).agg(aggs.head, aggs.tail.toSeq: _*)
       }

@@ -1095,7 +1095,14 @@ object PyIndexer {
       // slice 91 (r16): per closed module, the STAR-EXPORT name set —
       // the parsed literal __all__ when one exists, else the
       // non-underscore top-level names (transitive star names included)
-      exports: Map[String, Set[String]] = Map.empty)
+      exports: Map[String, Set[String]] = Map.empty,
+      // slice 95 (r18): per PEP 562 module with a PINNED __getattr__
+      // type, the resolved class fqn — attribute reads through the
+      // open module type as it when the name is NOT a real top-level
+      // binding (`getattrNames` holds those, per such module);
+      // un-pinned __getattr__ modules keep blanket optimism
+      getattrs: Map[String, String] = Map.empty,
+      getattrNames: Map[String, Set[String]] = Map.empty)
 
   /** One module's pre-scan facts, RAW (slice 68): annotation values are
     * the simple names as written; resolution — against the module's own
@@ -1120,7 +1127,13 @@ object PyIndexer {
       // parses — the star-export allow-list Python itself honours; a
       // dynamic __all__ (+=, extend, comprehension) stays None and the
       // export set falls back to the optimistic superset
-      allList: Option[Seq[String]] = None)
+      allList: Option[Seq[String]] = None,
+      // slice 95 (r18): the RAW pinned type of a module-level PEP 562
+      // `__getattr__` — its declared `-> Cls` annotation, or (when
+      // unannotated) the single constructor its body's returns all
+      // agree on. Resolution to a class fqn happens at the corpus
+      // fold; None keeps the pre-slice-95 blanket optimism.
+      getattrAnno: Option[String] = None)
 
   /** Index one file. `relPath` is repo-relative (A7 strips roots earlier).
     * `corpus`, when present, enables the cross-module slices (62). */
@@ -1753,7 +1766,25 @@ object PyIndexer {
         def viaVars(fqn: String, rest: Seq[String]): Option[String] =
           corpus.flatMap(_.vars.get(fqn)) match {
             case Some(cls) if rest.nonEmpty => chaseFields(cls, rest)
-            case _ => Some((fqn +: rest).mkString("."))
+            case _ =>
+              // slice 95 (r18): PEP 562 — the target module is open
+              // via a module-level __getattr__ with a PINNED type and
+              // the attribute is NOT a real top-level binding, so the
+              // dynamic attribute types as the pinned class (jedi's
+              // module-attribute resolution through the annotated
+              // fallback); un-pinned modules keep the blind take
+              val i = fqn.lastIndexOf('.')
+              val ga =
+                if (i <= 0) None
+                else {
+                  val (m, nm) = (fqn.substring(0, i), fqn.substring(i + 1))
+                  corpus.flatMap(c => c.getattrs.get(m).filterNot(_ =>
+                    c.getattrNames.getOrElse(m, Set.empty)(nm)))
+                }
+              ga match {
+                case Some(cls) if rest.nonEmpty => chaseFields(cls, rest)
+                case _ => Some((fqn +: rest).mkString("."))
+              }
           }
         // longest-prefix match against imported module bindings, so both
         // `import a.b.c` (binds a.b.c) and `import a.b as x` (binds x)
@@ -3506,6 +3537,14 @@ object PyIndexer {
     // slice 84: the annotated-param map of the __init__ we are inside
     // (null when not directly after a top-level class's __init__ header)
     var initParams: Map[String, String] = null
+    // slice 95 (r18): a PEP 562 module-level __getattr__'s pinned type
+    // — its `-> Cls` annotation, or (unannotated) the single
+    // constructor every `return` in its body agrees on; any
+    // non-conforming return keeps the blanket optimism (None)
+    var getattrAnno: Option[String] = None
+    var inGetattr = false
+    val getattrReturns =
+      mutable.ArrayBuffer.empty[Option[String]]
     val withAs = """^with\b.*\bas\s+([A-Za-z_]\w*)\s*:?\s*$""".r
     val tupleAssign =
       """^([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+)\s*=(?!=).*$""".r
@@ -3532,12 +3571,24 @@ object PyIndexer {
       val ln = lines(li)
       if (!cont(li) && ln.nonEmpty && !ln.head.isWhitespace) {
         curCls = None; bodyIndent = -1; pendingProp = false
-        initParams = null
+        initParams = null; inGetattr = false
         ln match {
           case dec if dec.startsWith("@") =>
             armDeco(dec) // stacked decorators accumulate
           case defHeader(ind, d) if ind.isEmpty =>
-            names += d; if (d == "__getattr__") open = true
+            names += d
+            if (d == "__getattr__") {
+              open = true
+              // slice 95: a pinned `-> Cls` on __getattr__ types
+              // attribute reads through the open module; unannotated
+              // arms scan the body's returns instead (a decorated
+              // __getattr__ stays blanket-optimistic like any
+              // suspect annotation)
+              if (!badDeco) {
+                getattrAnno = annoOf(li)
+                inGetattr = getattrAnno.isEmpty
+              }
+            }
             if (!badDeco) {
               annoOf(li).foreach(a => defAnnos(d) = a)
               // slice 87: a container arrow keys the element type —
@@ -3709,6 +3760,19 @@ object PyIndexer {
           }
         }
       }
+      // slice 95: while inside a top-level unannotated __getattr__,
+      // every `return` statement votes — all must be the same bare
+      // `Ctor(...)` construction for the pinned type to hold
+      if (inGetattr && !cont(li) && ln.nonEmpty && ln.head.isWhitespace) {
+        val rm = """^\s+return\s+(.+?)\s*$""".r
+        rm.findFirstMatchIn(ln).foreach { m =>
+          val ctor = """^([A-Za-z_]\w*)\s*\(.*\)$""".r
+          getattrReturns += (m.group(1) match {
+            case ctor(c) => Some(c)
+            case _ => None
+          })
+        }
+      }
       // slice 86 (r15): NESTED from-imports — `if TYPE_CHECKING:` /
       // function-local imports bind names this module's annotations
       // reference, which the top-level-only collection missed. They
@@ -3736,13 +3800,21 @@ object PyIndexer {
     // simple-name values) — resolution moved to the corpus fold where
     // every module's class set is visible, so an imported-class
     // annotation (`from models import User` + `-> User`) types too
+    // slice 95: the unannotated arm's vote — a unanimous single-ctor
+    // return body pins the type like an annotation would
+    val gaPinned = getattrAnno.orElse {
+      val rs = getattrReturns.toSeq
+      if (rs.nonEmpty && rs.forall(_.isDefined) &&
+          rs.flatten.distinct.size == 1) rs.head
+      else None
+    }
     ModuleScan(mod, names.toSet, open, classes.toSet,
       defAnnos.iterator.map { case (d, a) => s"$mod.$d" -> a }.toMap,
       fieldAnnos.iterator.map { case (f, a) => s"$mod.$f" -> a }.toMap,
       varAnnos.iterator.map { case (v, a) => s"$mod.$v" -> a }.toMap,
       importBindings.toMap, modImports.toMap, clsBases.toMap,
       elemAnnos.iterator.map { case (d, a) => s"$mod.$d" -> a }.toMap,
-      starImports.distinct.toSeq, allList)
+      starImports.distinct.toSeq, allList, gaPinned)
   }
 
   /** Fold per-module binding scans into the [[CorpusContext]] the deep
@@ -3915,6 +3987,13 @@ object PyIndexer {
       }.toMap
       inherited ++ facts
     }
+    // slice 95 (r18): resolve each pinned __getattr__ type through the
+    // SAME import resolution as every other annotation; the module's
+    // own top-level names ride along so a real binding never routes
+    // through the dynamic-attribute type
+    val getattrs: Map[String, String] = scans.iterator.flatMap { s =>
+      s.getattrAnno.flatMap(a => resolve(s)(a)).map(s.mod -> _)
+    }.toMap
     CorpusContext(
       closed.iterator.map(_.mod).toSet,
       closed.iterator.flatMap { s =>
@@ -3929,6 +4008,9 @@ object PyIndexer {
           case None if s.names.contains("__all__") => s.names
           case None => s.names.filterNot(_.startsWith("_"))
         })
-      }.toMap)
+      }.toMap,
+      getattrs,
+      scans.iterator.filter(s => getattrs.contains(s.mod))
+        .map(s => s.mod -> s.names).toMap)
   }
 }

@@ -1109,6 +1109,132 @@ object QueryCatalog {
        |  GROUP BY e.dst) y ON y.rk = r.full_name
        |WHERE r.label = 'REGION'""".stripMargin
 
+  /** g_b10_cntdist — DISTINCT-qualified aggregates (r18, verdict task
+    * #1): `count(DISTINCT c.name)` dedups the entity property per
+    * implicit group (customers with several orders count once),
+    * `count(o)` keeps the raw multiplicity beside it, and
+    * `avg(DISTINCT c.bal)` routes the expression-arg DISTINCT path
+    * (sum_distinct/count_distinct ratio). The leading `RETURN
+    * DISTINCT` alongside aggregation is Neo4j's accepted no-op — the
+    * grouped result is already one row per nation. */
+  val gB10CntDist: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (o:ORDER)-[:PLACED_BY]->(c:CUSTOMER)-[:IN_NATION]->(n:NATION) " +
+        "RETURN DISTINCT n.name AS nation, " +
+        "count(DISTINCT c.name) AS actives, count(o) AS orders, " +
+        "avg(DISTINCT c.bal) AS avgbal")
+  }
+
+  val gB10CntDistSql: String =
+    """SELECT n.n_name AS nation,
+      |  count(DISTINCT c.c_name)::BIGINT AS actives,
+      |  count(*)::BIGINT AS orders,
+      |  avg(DISTINCT c.c_acctbal) AS avgbal
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name""".stripMargin
+
+  /** g_b10_pator — a pattern predicate under OR (r18, verdict task
+    * #3): the disjunction routes through the existence-FLAG plan (one
+    * distinct-keyed left join per pattern leaf feeding a plain boolean
+    * OR) instead of the semi/anti-join surgery a conjunction gets. The
+    * second disjunct nests a NOT-pattern AND a numeric prop filter, so
+    * flag negation and the mixed boolean tree are both load-bearing. */
+  val gB10PatOr: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (c:CUSTOMER)-[:IN_NATION]->(n:NATION) " +
+        "WHERE (n)-[:IN_REGION]->({full_name: 'region.0'}) " +
+        "OR (NOT (c)<-[:PLACED_BY]-({name: 'P'}) AND c.bal > 9000) " +
+        "RETURN n.name AS nation, count(c) AS cnt")
+  }
+
+  val gB10PatOrSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT n.name AS nation, count(*)::BIGINT AS cnt
+       |FROM edges e
+       |JOIN nodes c ON e.src = c.full_name
+       |JOIN nodes n ON e.dst = n.full_name
+       |WHERE e.rel_type = 'IN_NATION' AND c.label = 'CUSTOMER'
+       |  AND n.label = 'NATION'
+       |  AND (EXISTS (SELECT 1 FROM edges e2 WHERE e2.src = n.full_name
+       |      AND e2.rel_type = 'IN_REGION' AND e2.dst = 'region.0')
+       |    OR (NOT EXISTS (SELECT 1 FROM edges e3
+       |        JOIN nodes o ON e3.src = o.full_name
+       |        WHERE e3.dst = c.full_name AND e3.rel_type = 'PLACED_BY'
+       |          AND o.name = 'P')
+       |      AND c.prop_num > 9000))
+       |GROUP BY n.name""".stripMargin
+
+  /** g_b10_callpipe — `CALL { … }` AFTER a WITH pipe (r18, verdict
+    * task #2), Neo4j's primary composition idiom: the pipe aggregates
+    * nations per region, then two correlated pure-aggregate subqueries
+    * import the CARRIED `r` (the `__w_r` struct — the join spelling is
+    * identical pre- and post-pipe) and left-join the piped frame. The
+    * second sub is empty for four of five regions, pinning the 0
+    * backfill at a pipe stage; `nations` crossing the boundary pins
+    * the pipe scope carrying through the CALL attachment. */
+  val gB10CallPipe: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "MATCH (n:NATION)-[:IN_REGION]->(r:REGION) " +
+        "WITH r, count(n) AS nations " +
+        "CALL { WITH r MATCH (c:CUSTOMER)-[:IN_NATION]->(n2:NATION)" +
+        "-[:IN_REGION]->(r) WHERE c.bal > 5000 " +
+        "RETURN count(c) AS rich, max(c.name) AS topc } " +
+        "CALL { WITH r MATCH (n3:NATION {name: 'NATION_0'})" +
+        "-[:IN_REGION]->(r) RETURN count(n3) AS zeroes } " +
+        "RETURN r.full_name AS region, nations, rich, topc, zeroes")
+  }
+
+  val gB10CallPipeSql: String =
+    s"""WITH ${GraphSql.nodesCte}, ${GraphSql.edgesCte}
+       |SELECT r.full_name AS region, x.nations AS nations,
+       |  coalesce(y.rich, 0)::BIGINT AS rich, y.topc AS topc,
+       |  coalesce(z.zeroes, 0)::BIGINT AS zeroes
+       |FROM nodes r
+       |JOIN (SELECT e.dst AS rk, count(*)::BIGINT AS nations
+       |  FROM edges e JOIN nodes n ON e.src = n.full_name
+       |  WHERE e.rel_type = 'IN_REGION' AND n.label = 'NATION'
+       |  GROUP BY e.dst) x ON x.rk = r.full_name
+       |LEFT JOIN (SELECT e2.dst AS rk, count(*) AS rich,
+       |    max(c.name) AS topc
+       |  FROM edges e1
+       |  JOIN nodes c ON e1.src = c.full_name AND c.label = 'CUSTOMER'
+       |  JOIN edges e2 ON e2.src = e1.dst AND e2.rel_type = 'IN_REGION'
+       |  WHERE e1.rel_type = 'IN_NATION' AND c.prop_num > 5000
+       |  GROUP BY e2.dst) y ON y.rk = r.full_name
+       |LEFT JOIN (SELECT e.dst AS rk, count(*) AS zeroes
+       |  FROM edges e JOIN nodes n ON e.src = n.full_name
+       |  WHERE e.rel_type = 'IN_REGION' AND n.name = 'NATION_0'
+       |  GROUP BY e.dst) z ON z.rk = r.full_name
+       |WHERE r.label = 'REGION'""".stripMargin
+
+  /** g_b10_unwsp — UNWIND before shortestPath (r18, verdict task #4):
+    * the unwound keys seed the multi-source BFS frontier directly
+    * (mixed 1-hop and 2-hop anchors in one search), LeftSemi-pruned
+    * against the node scan so the off-graph 'bogus.99' seed binds
+    * nothing (the PlanShapeSpec-pinned shape). `x` in the tail reads
+    * the path's start key. */
+  val gB10UnwSp: Q = (s, d) => {
+    val (n, e) = cypherTables(s, d)
+    graft.api.CypherLite.execute(n, e,
+      "UNWIND ['nation.0', 'nation.3', 'region.1', 'bogus.99'] AS x " +
+        "MATCH p = shortestPath((a {full_name: x})" +
+        "<-[:IN_NATION|IN_REGION*]-(b:SUPPLIER)) " +
+        "RETURN x AS anchor, b.full_name AS supp, length(p) AS d")
+  }
+
+  val gB10UnwSpSql: String =
+    """SELECT 'nation.' || s.s_nationkey AS anchor,
+      |  'supplier.' || s.s_suppkey AS supp, 1::BIGINT AS d
+      |FROM supplier s WHERE s.s_nationkey IN (0, 3)
+      |UNION ALL
+      |SELECT 'region.1', 'supplier.' || s.s_suppkey, 2::BIGINT
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE n.n_regionkey = 1""".stripMargin
+
   /** q53 — HITS hubs & authorities over the containment hierarchy
     * ([[graft.enrich.Analytics.hits]]), 3 rounds: mutually-recursive
     * L1-normalized scores, decimal-routed sums + round-to-10 per stage
@@ -10435,6 +10561,10 @@ object QueryCatalog {
     "g_b10_optcomma" -> gB10OptComma,
     "g_b10_allspp" -> gB10AllspP,
     "g_b10_callsub" -> gB10CallSub,
+    "g_b10_cntdist" -> gB10CntDist,
+    "g_b10_pator" -> gB10PatOr,
+    "g_b10_callpipe" -> gB10CallPipe,
+    "g_b10_unwsp" -> gB10UnwSp,
     "g_b10_exists" -> gB10Exists,
     "t_cms_topk" -> tCmsTopk,
     "d_incremental" -> dIncremental,
@@ -10761,6 +10891,10 @@ object QueryCatalog {
     "g_b10_optcomma" -> gB10OptCommaSql,
     "g_b10_allspp" -> gB10AllspPSql,
     "g_b10_callsub" -> gB10CallSubSql,
+    "g_b10_cntdist" -> gB10CntDistSql,
+    "g_b10_pator" -> gB10PatOrSql,
+    "g_b10_callpipe" -> gB10CallPipeSql,
+    "g_b10_unwsp" -> gB10UnwSpSql,
     "g_b10_exists" -> gB10ExistsSql,
     "g_b10_write" -> gB10WriteSql,
     "g_b10_write_edge" -> gB10WriteEdgeSql,

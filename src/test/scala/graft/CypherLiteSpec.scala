@@ -335,8 +335,9 @@ class CypherLiteSpec extends AnyFunSuite {
       db.executeQuery("MATCH (n:sklearn) RETURN n.name ORDER BY zz.kind")
     }
     intercept[IllegalArgumentException] {
-      // count(DISTINCT …) shape not supported
-      db.executeQuery("MATCH (n:sklearn) RETURN DISTINCT n.kind, count(*)")
+      // count(DISTINCT *) is not Cypher (r18: DISTINCT-qualified
+      // aggregates are otherwise supported)
+      db.executeQuery("MATCH (n:sklearn) RETURN count(DISTINCT *)")
     }
   }
 
@@ -1260,11 +1261,13 @@ class CypherLiteSpec extends AnyFunSuite {
     assert(out.length === 1)
   }
 
-  test("pattern predicate under OR raises (posture)") {
-    intercept[IllegalArgumentException] {
-      db.executeQuery("MATCH (n:sklearn) " +
-        "WHERE (n)-[:HAS_METHOD]->() OR n.name = 'm' RETURN n.full_name")
-    }
+  test("pattern predicate under OR filters as a disjunction (r18 — " +
+      "was the raising posture through r17)") {
+    val out = db.executeQuery("MATCH (n:sklearn) " +
+      "WHERE (n)-[:HAS_METHOD]->() OR n.name = 'm' " +
+      "RETURN n.full_name AS fn ORDER BY fn").collect()
+    // m.Person via the pattern side, m via the boolean side
+    assert(out.map(_.getString(0)).toSeq === Seq("m", "m.Person"))
   }
 
   test("pattern predicate with an unbound named variable raises") {
@@ -2190,15 +2193,19 @@ class CypherLiteSpec extends AnyFunSuite {
         "RETURN mod.full_name AS m, total ORDER BY m").collect()
     assert(unc.map(r => (r.getString(0), r.getLong(1))).toSeq ===
       Seq(("m1", 2L), ("m2", 2L)))
-    // un-aliased sub items raise; CALL after a pipe raises
+    // un-aliased sub items raise
     intercept[IllegalArgumentException] {
       d.executeQuery("MATCH (mod:MODULE) CALL { MATCH (x:CLASS) " +
         "RETURN count(x) } RETURN mod.name")
     }
-    intercept[IllegalArgumentException] {
-      d.executeQuery("MATCH (mod:MODULE) WITH mod.name AS mn " +
-        "CALL { MATCH (x:CLASS) RETURN count(x) AS t } RETURN mn, t")
-    }
+    // CALL after a pipe attaches at the pipe stage (r18 — was the
+    // raising posture through r17): the uncorrelated single-row
+    // aggregate cross-joins the piped frame
+    val piped = d.executeQuery("MATCH (mod:MODULE) WITH mod.name AS mn " +
+      "CALL { MATCH (x:CLASS) RETURN count(x) AS t } " +
+      "RETURN mn, t ORDER BY mn").collect()
+    assert(piped.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("m1", 2L), ("m2", 2L)))
   }
 
   test("r17: function-wrapped WHERE comparisons — toUpper/toLower/size " +
@@ -2357,10 +2364,11 @@ class CypherLiteSpec extends AnyFunSuite {
       "MATCH (s:CLASS {name: 'a'})-[:INHERITS*]->(t) " +
         "WITH DISTINCT t RETURN count(t) AS n").collect()
     assert(out(0).getLong(0) === 4L) // 6 paths, 4 distinct targets
-    intercept[IllegalArgumentException] {
-      chainDb.executeQuery("MATCH (s:CLASS)-[:INHERITS]->(t) " +
-        "WITH DISTINCT count(t) AS n RETURN n")
-    }
+    // WITH DISTINCT alongside aggregation is the no-op Neo4j accepts
+    // (r18): the grouped pipe is already one row
+    val noop = chainDb.executeQuery("MATCH (s:CLASS)-[:INHERITS]->(t) " +
+      "WITH DISTINCT count(t) AS n RETURN n").collect()
+    assert(noop.map(_.getLong(0)).toSeq === Seq(5L)) // 5 edges, one row
   }
 
   private lazy val cycleDb = {
@@ -2411,5 +2419,127 @@ class CypherLiteSpec extends AnyFunSuite {
       "MATCH (a:CLASS {name: 'o3'})-[:CALL]->(p)<-[:CALL]-(a) " +
         "RETURN a.name").collect()
     assert(out.isEmpty)
+  }
+
+  // ---- r18 verdict task #1: DISTINCT-qualified aggregates ----
+
+  test("r18: count(DISTINCT prop) skips nulls; count(DISTINCT) vs " +
+    "count multiplicity") {
+    // fixture: file_path set only on module m; 4 sklearn nodes total
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) RETURN count(DISTINCT n.file_path) AS fp, " +
+        "count(n.file_path) AS fpAll, count(*) AS rows").collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 1L) // one distinct non-null file_path
+    assert(out(0).getLong(1) === 1L)
+    assert(out(0).getLong(2) === 4L)
+  }
+
+  test("r18: avg(DISTINCT expr) of an all-null group is null, not a " +
+    "divide-by-zero; RETURN DISTINCT with aggregation is the no-op " +
+    "Neo4j accepts") {
+    // code is non-numeric ('…') on the only node carrying it — the
+    // double cast nulls every input, count_distinct reads 0, and the
+    // guarded ratio returns SQL's NULL instead of tripping ANSI
+    // divide-by-zero
+    val out = db.executeQuery(
+      "MATCH (n:sklearn) RETURN DISTINCT count(*) AS rows, " +
+        "avg(DISTINCT n.code) AS nocode").collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 4L)
+    assert(out(0).isNullAt(1))
+  }
+
+  test("r18: collect(DISTINCT expr) is the sorted set; WITH pipes " +
+    "carry DISTINCT aggregates") {
+    val out = db.executeQuery(
+      "MATCH (c:CLASS {name: 'Person'})-[:HAS_METHOD]->(m:METHOD) " +
+        "WITH count(DISTINCT toUpper(m.name)) AS k, " +
+        "collect(DISTINCT toUpper(m.name)) AS names " +
+        "RETURN k, names").collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 1L)
+    assert(out(0).getSeq[String](1) === Seq("GREET"))
+  }
+
+  // ---- r18 verdict task #3: pattern predicates under OR ----
+
+  test("r18: a pattern predicate under OR filters as a disjunction " +
+    "(flag plan), both sides load-bearing") {
+    val out = db.executeQuery(
+      "MATCH (x:sklearn) WHERE (x)-[:HAS_METHOD]->() OR " +
+        "x.name = 'util' RETURN x.full_name AS fn ORDER BY fn").collect()
+    // m.Person via the pattern side, m.util via the boolean side
+    assert(out.map(_.getString(0)).toSeq === Seq("m.Person", "m.util"))
+  }
+
+  test("r18: NOT-pattern under OR negates the existence flag") {
+    val out = db.executeQuery(
+      "MATCH (x:sklearn) WHERE NOT (x)-[:CONTAINS]->() OR " +
+        "x.name = 'm' RETURN x.full_name AS fn ORDER BY fn").collect()
+    // only m has an outgoing CONTAINS — it re-enters via the OR's
+    // boolean side, so all four nodes survive
+    assert(out.map(_.getString(0)).toSeq ===
+      Seq("m", "m.Person", "m.Person.greet", "m.util"))
+  }
+
+  test("r18: pure-conjunction pattern WHEREs keep the semi/anti-join " +
+    "plan (no flag column leaks into the output)") {
+    val df = db.executeQuery(
+      "MATCH (x:sklearn) WHERE (x)-[:HAS_METHOD]->() AND " +
+        "x.name = 'Person' RETURN x.full_name AS fn")
+    assert(!df.queryExecution.executedPlan.toString.contains("__ppf_"),
+      "AND-only pattern predicates must not pay the flag join")
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("m.Person"))
+  }
+
+  // ---- r18 verdict task #2: CALL { … } after a pipe ----
+
+  test("r18: CALL after a WITH+UNWIND boundary imports the carried " +
+    "variable; outputs enter the pipe scope") {
+    val out = db.executeQuery(
+      "MATCH (c:CLASS) WITH c UNWIND [1, 2] AS i " +
+        "CALL { WITH c MATCH (c)-[:HAS_METHOD]->(m2) " +
+        "RETURN count(m2) AS mc } " +
+        "RETURN c.name AS cls, i, mc ORDER BY i").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq(("Person", 1L, 1L), ("Person", 2L, 1L)))
+  }
+
+  test("r18: CALL import of a plain pipe column (not a carried node) " +
+    "raises the designed error") {
+    val ex = intercept[IllegalArgumentException] {
+      db.executeQuery(
+        "MATCH (c:CLASS) WITH c.name AS nm " +
+          "CALL { WITH nm MATCH (x:sklearn) RETURN count(x) AS k } " +
+          "RETURN nm, k").collect()
+    }
+    assert(ex.getMessage.contains("unbound variable 'nm'"))
+  }
+
+  // ---- r18 verdict task #4: UNWIND before shortestPath ----
+
+  test("r18: UNWIND seeds shortestPath; off-graph seeds bind nothing " +
+    "and the seed variable reads the start key") {
+    val out = db.executeQuery(
+      "UNWIND ['m', 'm.Person', 'nope'] AS x " +
+        "MATCH p = shortestPath((a {full_name: x})-[:CONTAINS|HAS_METHOD*]->(b)) " +
+        "RETURN x AS anchor, b.full_name AS v, length(p) AS d " +
+        "ORDER BY anchor, v").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq === Seq(
+        ("m", "m.Person", 1L), ("m", "m.Person.greet", 2L),
+        ("m.Person", "m.Person.greet", 1L)))
+  }
+
+  test("r18: duplicate UNWIND seed values before shortestPath raise " +
+    "(the frontier is keyed by start)") {
+    val ex = intercept[IllegalArgumentException] {
+      db.executeQuery(
+        "UNWIND ['m', 'm'] AS x " +
+          "MATCH p = shortestPath((a {full_name: x})-[:CONTAINS*]->(b)) " +
+          "RETURN b.full_name").collect()
+    }
+    assert(ex.getMessage.contains("duplicate UNWIND seed"))
   }
 }

@@ -4667,4 +4667,67 @@ class IndexerSpec extends AnyFunSuite {
     assert(calls.contains(("p.after", "p.Conn.execute")))
   }
 
+
+  test("r18 slice 95: PEP 562 — a PINNED module __getattr__ type " +
+      "(annotation or unanimous single-ctor returns) types dynamic " +
+      "attribute reads; bare __getattr__ keeps blanket optimism; real " +
+      "top-level bindings bypass the fallback") {
+    val modT =
+      """class Conn:
+        |    def ping(self):
+        |        return 1
+        |""".stripMargin
+    // annotated __getattr__ — the pinned type
+    val modDyn =
+      """from mod_t import Conn
+        |def real():
+        |    return 1
+        |def __getattr__(name) -> Conn:
+        |    return Conn()
+        |""".stripMargin
+    // bare __getattr__ with mixed returns — nothing pins
+    val modBare =
+      """def __getattr__(name):
+        |    if name:
+        |        return 1
+        |    return 2
+        |""".stripMargin
+    // unannotated but every return is the same constructor — pins too
+    val modCtor =
+      """from mod_t import Conn
+        |def __getattr__(name):
+        |    if name == "a":
+        |        return Conn()
+        |    return Conn(name)
+        |""".stripMargin
+    def callDsts(user: String, mods: Seq[(String, String)]): Set[String] = {
+      val ctx = PyIndexer.corpusContext(
+        mods.map { case (p, c) => PyIndexer.moduleBindings(p, c) } :+
+          PyIndexer.moduleBindings("mod_u.py", user))
+      PyIndexer.indexFile("t95", "mod_u.py", user, Some(ctx))
+        .edges.filter(_.relType == Rel.Call).map(_.dst).toSet
+    }
+    // the annotated fallback types mod_dyn.conn as Conn → Conn.ping
+    val u1 = "import mod_dyn\ndef use():\n    mod_dyn.conn.ping()\n"
+    assert(callDsts(u1, Seq("mod_t.py" -> modT, "mod_dyn.py" -> modDyn))
+      .contains("mod_t.Conn.ping"))
+    // a REAL top-level binding never routes through the fallback
+    val u2 = "import mod_dyn\ndef use():\n    mod_dyn.real.ping()\n"
+    val d2 = callDsts(u2, Seq("mod_t.py" -> modT, "mod_dyn.py" -> modDyn))
+    assert(!d2.contains("mod_t.Conn.ping") &&
+      d2.contains("mod_dyn.real.ping"), s"got $d2")
+    // bare __getattr__: the pre-slice-95 optimistic blind take stays
+    val u3 = "import mod_bare\ndef use():\n    mod_bare.conn.ping()\n"
+    val d3 = callDsts(u3, Seq("mod_bare.py" -> modBare))
+    assert(!d3.exists(_.contains("Conn")) &&
+      d3.contains("mod_bare.conn.ping"), s"got $d3")
+    // unanimous single-ctor returns pin like an annotation
+    val u4 = "import mod_ctor\ndef use():\n    mod_ctor.db.ping()\n"
+    assert(callDsts(u4, Seq("mod_t.py" -> modT, "mod_ctor.py" -> modCtor))
+      .contains("mod_t.Conn.ping"))
+    // and the from-import spelling routes through the fallback too
+    val u5 = "from mod_dyn import conn\ndef use():\n    conn.ping()\n"
+    assert(callDsts(u5, Seq("mod_t.py" -> modT, "mod_dyn.py" -> modDyn))
+      .contains("mod_t.Conn.ping"))
+  }
 }

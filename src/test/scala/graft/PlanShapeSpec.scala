@@ -112,6 +112,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "customer→nation→region paths are length 2 with 3 nodes")
   }
 
+  test("r18 verdict task #4: an UNWIND-seeded shortestPath carries the " +
+      "seed LeftSemi prune — off-graph seeds never enter the BFS") {
+    // the unwound keys seed the frontier directly; the semi join
+    // against the node scan is what keeps a bogus seed (or a
+    // label-mismatched one) from riding every BFS round. The frontier
+    // localCheckpoints eagerly, so the seed join cannot appear in the
+    // FINAL plan — the executor records the seed frame's own optimized
+    // plan for exactly this pin.
+    graft.api.CypherLite.lastSpathSeedPlan = ""
+    val rows = QueryCatalog.gB10UnwSp(spark, sf).collect()
+    val plan = graft.api.CypherLite.lastSpathSeedPlan
+    assert(plan.contains("LeftSemi"),
+      s"UNWIND seeds must prune via LeftSemi; seed plan:\n$plan")
+    // and the off-graph seed really bound nothing
+    assert(rows.nonEmpty &&
+      !rows.exists(_.getString(0) == "bogus.99"),
+      "the bogus seed must not reach the output")
+  }
+
   test("column pruning: q1 aggregation reads only the five columns it uses") {
     val df = QueryCatalog.q1Agg(spark, sf)
     df.collect()
