@@ -1397,7 +1397,12 @@ object Multimodal {
       maxBucket: Int = 4096): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band LSH guarantees full recall only up to Hamming 3")
-    val hashed = media.select(col("doc_id"), dHash64(col("payload")).as("h"))
+    // r18: parallelism floor under the per-row pixel/dHash kernel (guide
+    // §2.5/§2.6 — a one-file media scan pins the byte walk to one core;
+    // no-op at scale)
+    val hashed = graft.ops.Par
+      .spread(media.select(col("doc_id"), col("payload")))
+      .select(col("doc_id"), dHash64(col("payload")).as("h"))
       .filter(col("h").isNotNull)
     val banded = hashed.select(col("doc_id"), col("h"),
         explode(array((0 until 4).map(b =>

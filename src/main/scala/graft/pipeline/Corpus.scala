@@ -1501,14 +1501,35 @@ object Corpus {
         (a, b) => when(b.isNotNull && length(a) > 0 && length(b) > 0,
           concat(a, lit("\u0001"), b))),
       x => x.isNotNull)
-    val feats = docs.select(col("doc_id"), target.as("is_t"),
-        explode(concat(uni, bi)).as("f"))
+    // r18: ONE corpus tokenize+explode pass instead of two. The raw and
+    // target bucket models both derive from the per-(doc, is_t, bucket)
+    // partial aggregate: cs = Σ n over all docs, ct = Σ n over target
+    // docs — identical counts to aggregating the exploded stream twice,
+    // but the second aggregation now runs on the ≤ |docs|·buckets
+    // aggregate instead of re-exploding the corpus (guide §2.3
+    // "aggregate before you shuffle"; both consumers share the
+    // (doc_id, is_t, b) exchange, so the scan+explode is planned once).
+    // Par.spread lifts the explode off the single scan partition a small
+    // input pins it to (no-op at scale).
+    val feats = graft.ops.Par.spread(
+        docs.select(col("doc_id"), target.as("is_t"), col("text")))
+      .select(col("doc_id"), col("is_t"), explode(concat(uni, bi)).as("f"))
       .select(col("doc_id"), col("is_t"),
         pmod(rollingHash(col("f")), lit(buckets.toLong)).as("b"))
-    val docB = feats.groupBy(col("doc_id"), col("b"))
+    val docTB = feats.groupBy(col("doc_id"), col("is_t"), col("b"))
       .agg(count(lit(1)).cast("decimal(12,0)").as("n"))
-    val srcB = feats.groupBy(col("b")).agg(count(lit(1)).as("cs"),
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      // materialize the narrow aggregate once: the ratio/tots BROADCAST
+      // builds are separate jobs, so without this each re-runs the full
+      // corpus tokenize+explode (3 passes measured; guide §5 — cut
+      // lineage with localCheckpoint when recompute beats memory). The
+      // persisted frame is ≤ |docs|·(buckets+1) narrow rows — linear,
+      // spillable, local blocks only (no shuffle); the broadcast itself
+      // stays 64 rows.
+      .localCheckpoint(eager = false)
+    val docB = docTB.select(col("doc_id"), col("b"), col("n"))
+    val srcB = docTB.groupBy(col("b")).agg(
+      sum(col("n").cast("long")).as("cs"),
+      sum(when(col("is_t"), col("n").cast("long")).otherwise(0L)).as("ct"))
     val tots = srcB.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tt"))
     val ratio = srcB.crossJoin(broadcast(tots))
       .select(col("b"),

@@ -8336,8 +8336,12 @@ object QueryCatalog {
       transform(sequence(lit(0L), lit(71L)),
         n => lpad(hex(pix(n)), 2, "0")), ""))
     val payload = when(id % 17 === 3, substring(grid, 1, 10)).otherwise(grid)
+    // r18: the synthetic grid depends only on doc_id, so spread the
+    // narrow id scan BEFORE the 72-pixel generation + dHash kernel —
+    // otherwise both run on the single scan partition (guide §2.5/§2.6)
     graft.multimodal.Multimodal.phashNearDup(
-      Tables.documents(s, d).select(id, payload.as("payload")))
+      graft.ops.Par.spread(Tables.documents(s, d).select(id))
+        .select(id, payload.as("payload")))
   }
 
   val mPhashSql: String =
